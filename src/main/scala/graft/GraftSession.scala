@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table catalog for the graft engine.
+  *
+  * The reference (aristoteles/aristoteles.py:229-230) opens one SQLite
+  * connection per station; our equivalent "connection" is a single
+  * SparkSession whose Catalyst planner serves every operator. Tuning here
+  * is sized for local[N] testing but chosen to scale: AQE on (runtime
+  * re-planning, skew-join splitting at 100 TB), shuffle partitions pinned
+  * to the core count locally (a real cluster would size this to
+  * ~2-3x total cores or rely on AQE coalescing).
+  */
+object GraftSession {
+
+  def local(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    configure(
+      SparkSession.builder().master(s"local[$cpus]").appName(appName),
+      cpus
+    ).getOrCreate()
+  }
+
+  /** Apply engine defaults to any builder (shared by tests / Verify / Bench). */
+  def configure(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // day-level idempotent rewrites (SURVEY §2 S14) need dynamic overwrite
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.ui.enabled", "false")
+}
+
+/** Reads of the driver-provided parquet tables (TESTDATA.md).
+  *
+  * Always `spark.read.parquet` + an explicit `select` at the call site so
+  * Catalyst prunes columns down to the scan (`ReadSchema` in explain) and
+  * pushes filters (`PushedFilters`). Mirrors the reference's hard-coded
+  * 18-column projection (aristoteles/aristoteles.py:329-330) as a
+  * discipline, not a schema.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table is written with TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects by default (PARQUET_TYPE_ILLEGAL). We read
+    * nanos as a raw long (legacy conf, runtime-settable) and rebuild a
+    * microsecond TimestampType column ourselves — set here, not only in
+    * the session builder, so `entry` works under any driver session. */
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
+  /** events with `ts` as TimestampType (microsecond, floor-truncated from
+    * the file's nanoseconds — sub-microsecond detail is below every
+    * operator's granularity; oracles compare at second/day resolution). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // `div` = exact long integer division; a double `/` would lose
+    // precision on ~1.7e18-ns epoch values (53-bit mantissa).
+    eventsRaw(spark, dir).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+}
