@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.TimeSeries
+import graft.operators.{Relational, TimeSeries}
 
 /** Central registry: query name -> (SparkSession, sfDir) => DataFrame,
   * plus the DuckDB oracle SQL for each (driver contract, SURVEY §5).
@@ -85,6 +85,116 @@ object Queries {
        "GROUP BY user_id, day HAVING count(*) >= 1 ORDER BY user_id, day")
   )
 
-  def all: Map[String, Q] = timeSeries
-  def oracles: Map[String, String] = timeSeriesOracles
+  val relational: Map[String, Q] = Map(
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
+    "q5_local_supplier_volume" -> (Relational.q5LocalSupplierVolume _),
+    "q_semi_join" -> (Relational.semiJoinCustomersWithUrgent _),
+    "q_anti_join" -> (Relational.antiJoinCustomersNoUrgent _),
+    "q_window_top3_per_customer" -> (Relational.windowTop3PerCustomer _),
+    "q_window_running_sum" -> (Relational.windowRunningSum _),
+    "q_topk_orders" -> (Relational.topKOrders _),
+    "q_setops_intersect" -> (Relational.setOpsIntersect _),
+    "q_setops_except" -> (Relational.setOpsExcept _),
+    "q_distinct_counts" -> (Relational.distinctCounts _),
+    "q_rollup_sales" -> (Relational.rollupSales _),
+    "q_cube_sales" -> (Relational.cubeSales _),
+    "q_case_agg_by_status" -> (Relational.caseAggByStatus _),
+    "q_above_avg_suppliers" -> (Relational.aboveAvgSuppliers _),
+    "q_string_funcs" -> (Relational.stringFuncs _),
+    "q_date_funcs" -> (Relational.dateFuncs _),
+    "q_latest_order_per_customer" -> (Relational.latestOrderPerCustomer _)
+  )
+
+  val relationalOracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+       "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+       "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+       "round(avg(l_quantity), 4) AS avg_qty, round(avg(l_extendedprice), 4) AS avg_price, " +
+       "round(avg(l_discount), 6) AS avg_disc, count(*) AS count_order " +
+       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+       "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q3_shipping_priority" ->
+      ("SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date, " +
+       "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+       "FROM customer, orders, lineitem " +
+       "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+       "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00' " +
+       "GROUP BY l_orderkey, o_date ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "q5_local_supplier_volume" ->
+      ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+       "FROM region, nation, customer, orders, lineitem, supplier " +
+       "WHERE r_name = 'AFRICA' AND n_regionkey = r_regionkey AND c_nationkey = n_nationkey " +
+       "AND o_custkey = c_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey " +
+       "AND s_nationkey = c_nationkey " +
+       "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+       "GROUP BY n_name ORDER BY n_name"),
+    "q_semi_join" ->
+      ("SELECT c_custkey, c_name, c_mktsegment FROM customer " +
+       "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') " +
+       "ORDER BY c_custkey"),
+    "q_anti_join" ->
+      ("SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal FROM customer " +
+       "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') " +
+       "ORDER BY c_custkey"),
+    "q_window_top3_per_customer" ->
+      ("SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, CAST(rn AS INTEGER) AS rn FROM " +
+       "(SELECT o_custkey, o_orderkey, o_totalprice, " +
+       "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
+       "WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "q_window_running_sum" ->
+      ("SELECT l_suppkey, l_orderkey, l_linenumber, round(sum(l_quantity) OVER " +
+       "(PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty " +
+       "FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty"),
+    "q_topk_orders" ->
+      ("SELECT o_orderkey, round(o_totalprice, 2) AS totalprice FROM orders " +
+       "ORDER BY totalprice DESC, o_orderkey LIMIT 20"),
+    "q_setops_intersect" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
+       "INTERSECT SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW' " +
+       "ORDER BY o_custkey"),
+    "q_setops_except" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
+       "EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW' " +
+       "ORDER BY o_custkey"),
+    "q_distinct_counts" ->
+      ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders, " +
+       "count(DISTINCT l_suppkey) AS n_suppliers, count(*) AS n_rows " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_rollup_sales" ->
+      ("SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus, " +
+       "round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n " +
+       "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY returnflag, linestatus"),
+    "q_cube_sales" ->
+      ("SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority, " +
+       "round(sum(o_totalprice), 2) AS sum_price, count(*) AS n " +
+       "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY status, priority"),
+    "q_case_agg_by_status" ->
+      ("SELECT o_orderpriority, " +
+       "round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END), 2) AS open_total, " +
+       "round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS filled_total, " +
+       "round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0 END), 2) AS pending_total " +
+       "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_above_avg_suppliers" ->
+      ("SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal FROM supplier " +
+       "WHERE s_acctbal > (SELECT avg(s_acctbal) FROM supplier) ORDER BY s_suppkey"),
+    "q_string_funcs" ->
+      ("SELECT p_partkey, upper(p_brand) AS brand_upper, substring(p_name, 1, 8) AS name_prefix, " +
+       "length(p_name) AS name_len, concat_ws('-', p_type, p_brand) AS type_brand " +
+       "FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey"),
+    "q_date_funcs" ->
+      ("SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, CAST(month(o_orderdate) AS INTEGER) AS o_month, " +
+       "count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price " +
+       "FROM orders GROUP BY o_year, o_month ORDER BY o_year, o_month"),
+    "q_latest_order_per_customer" ->
+      ("SELECT o_custkey, o_orderkey, o_date FROM " +
+       "(SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date, " +
+       "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) " +
+       "WHERE rn = 1 ORDER BY o_custkey")
+  )
+
+  def all: Map[String, Q] = timeSeries ++ relational
+  def oracles: Map[String, String] = timeSeriesOracles ++ relationalOracles
 }

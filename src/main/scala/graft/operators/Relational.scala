@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Phase-2 relational surface (SURVEY §7): the general query engine the
+  * reference never needed (it has zero joins, SURVEY §2 note) but a
+  * complete analytics engine must have. Everything is built from Catalyst
+  * primitives so the 100 TB plan is the right one by construction:
+  *
+  *  - dimension tables (region, nation, and filtered customer subsets)
+  *    are broadcast explicitly — no shuffle for the build side;
+  *  - fact-fact joins (lineitem ⋈ orders) are plain equi-joins: Catalyst
+  *    picks sort-merge, and AQE converts to broadcast / splits skew at
+  *    runtime when stats allow;
+  *  - aggregations rely on partial+final hash aggregation (map-side
+  *    combine), so the shuffle carries group keys, not rows;
+  *  - analytic windows partition by a key before sorting, so the sort is
+  *    per-partition, never global.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: scan-filter-aggregate, the canonical map-side-combine
+    * workload. Filter + 7-column projection reach the parquet scan. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3 shape: dim-filter → fact join → top-k revenue. The filtered
+    * customer segment (~1/5 of an already-small dim) is broadcast. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1996-01-01 00:00:00").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_date"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: snowflake join through region→nation→customer→orders
+    * →lineitem→supplier with the co-located-nation condition. region and
+    * nation broadcast (tiny); supplier broadcast (small dim). */
+  def q5LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "AFRICA")
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey") &&
+                  supp("s_nationkey") === cust("c_nationkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Existence check as a semi join — never a full join + distinct. */
+  def semiJoinCustomersWithUrgent(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Non-existence as an anti join (NOT EXISTS without the subquery). */
+  def antiJoinCustomersNoUrgent(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Analytic window: top-3 orders per customer by totalprice.
+    * partitionBy keeps the sort per-customer — no global sort. */
+  def windowTop3PerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+              round(col("o_totalprice"), 2).as("totalprice"),
+              row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Running (cumulative) sum per supplier over ship time. */
+  def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+    // both the frame order and the output order add l_quantity /
+    // running_qty to stay total — otherwise tied rows can swap between
+    // engines and running sums diverge.
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+              round(sum(col("l_quantity")).over(w), 2).as("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+  }
+
+  /** Global top-k: orderBy + limit — Catalyst plans TakeOrderedAndProject
+    * (per-partition heap + driver merge), never a full global sort. */
+  def topKOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy(col("totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** Set operations: custkeys ordering urgent INTERSECT/EXCEPT low. */
+  def setOpsIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val low = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey"))
+    urgent.intersect(low).orderBy(col("o_custkey"))
+  }
+
+  def setOpsExcept(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val low = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey"))
+    urgent.except(low).orderBy(col("o_custkey"))
+  }
+
+  /** Distinct aggregation (exact) + its scale-out sibling HLL sketch is
+    * benched separately; exact distinct shuffles once on the agg key. */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+           countDistinct(col("l_suppkey")).as("n_suppliers"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** ROLLUP: hierarchical subtotals in one pass. */
+  def rollupSales(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+           count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("sum_price"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** CUBE: all grouping combinations in one pass. */
+  def cubeSales(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
+           count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("sum_price"), col("n"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Conditional (pivot-style) aggregation — one scan, N conditional sums. */
+  def caseAggByStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(lit(0.0))), 2).as("open_total"),
+        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0))), 2).as("filled_total"),
+        round(sum(when(col("o_orderstatus") === "P", col("o_totalprice")).otherwise(lit(0.0))), 2).as("pending_total"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Scalar "subquery": suppliers above global average balance. The
+    * 1-row aggregate is broadcast-joined, not collected to the driver. */
+  def aboveAvgSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+    val avgBal = supp.agg(avg(col("s_acctbal")).as("avg_bal"))
+    supp.crossJoin(broadcast(avgBal))
+      .filter(col("s_acctbal") > col("avg_bal"))
+      .select(col("s_suppkey"), col("s_name"), round(col("s_acctbal"), 2).as("acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** String functions over part. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_name").like("%a%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("-", col("p_type"), col("p_brand")).as("type_brand"))
+      .orderBy(col("p_partkey"))
+
+  /** Date functions over orders: per year/month order volume. */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+               month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_year"), col("o_month"))
+
+  /** Join + window combined: each customer's latest order. */
+  def latestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+              to_date(col("o_orderdate")).as("o_date"),
+              row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_date"))
+      .orderBy(col("o_custkey"))
+  }
+}
