@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Relational, TimeSeries}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis, TimeSeries}
 
 /** Central registry: query name -> (SparkSession, sfDir) => DataFrame,
   * plus the DuckDB oracle SQL for each (driver contract, SURVEY §5).
@@ -195,6 +195,122 @@ object Queries {
        "WHERE rn = 1 ORDER BY o_custkey")
   )
 
-  def all: Map[String, Q] = timeSeries ++ relational
-  def oracles: Map[String, String] = timeSeriesOracles ++ relationalOracles
+  val extensions: Map[String, Q] = Map(
+    "text_stats" -> (TextAnalysis.stats _),
+    "text_quality" -> (TextAnalysis.quality _),
+    "text_lang_guess" -> (TextAnalysis.langGuess _),
+    "text_fingerprints" -> (TextAnalysis.fingerprints _),
+    "text_per_source_stats" -> (TextAnalysis.perSourceStats _),
+    "dedup_exact_summary" -> (Dedup.exactSummary _),
+    "dedup_fingerprint_groups" -> (Dedup.fingerprintGroups _),
+    "dedup_jaccard_pairs" -> (Dedup.jaccardPairsSampled _),
+    "dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
+    "dedup_simhash" -> (Dedup.simhashes _),
+    "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
+    "sim_embed_norms" -> (Similarity.norms _),
+    "knn_brute_cosine" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
+    "knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
+    "sim_embed_near_dup" -> (Similarity.embeddingNearDupPairs _),
+    "mm_binary_meta" -> (Multimodal.binaryMeta _),
+    "mm_feature_extract" -> (Multimodal.featureExtract _)
+  )
+
+  // Shared oracle fragments: DuckDB twins of TextFunctions.normalize /
+  // tokens / fingerprint. Spark regexp_replace is global; DuckDB needs
+  // the explicit 'g' flag.
+  private val duckNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val duckToks = s"string_split($duckNorm, ' ')"
+  private val duckUniq = s"list_distinct($duckToks)"
+  private val duckFp = s"md5(array_to_string(list_sort($duckUniq), ' '))"
+  private def duckHits(words: Seq[String]): String =
+    s"CAST(len(list_filter($duckToks, t -> list_contains(${words.mkString("['", "', '", "']")}, t))) AS BIGINT)"
+
+  val extensionOracles: Map[String, String] = Map(
+    "text_stats" ->
+      (s"SELECT doc_id, length(text) AS n_chars_actual, CAST(len($duckToks) AS BIGINT) AS n_tokens, " +
+       s"CAST(len($duckUniq) AS BIGINT) AS n_uniq_tokens, " +
+       s"round(CAST(len($duckUniq) AS DOUBLE) / len($duckToks), 4) AS uniq_ratio, " +
+       s"CAST(ceil(CAST(length($duckNorm) AS DOUBLE) / 4.0) AS BIGINT) AS n_subwords " +
+       "FROM documents ORDER BY doc_id"),
+    "text_quality" ->
+      (s"SELECT doc_id, q AS quality, q > 0.6 AS keep FROM (SELECT doc_id, " +
+       s"round(least(1.0, CAST(len($duckToks) AS DOUBLE) / 100.0) * 0.5 + " +
+       s"CAST(len($duckUniq) AS DOUBLE) / len($duckToks) * 0.5, 4) AS q " +
+       "FROM documents) ORDER BY doc_id"),
+    "text_lang_guess" ->
+      (s"SELECT doc_id, lang AS lang_label, hits_en, hits_de, hits_fr, hits_es, " +
+       "CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en' " +
+       "WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de' " +
+       "WHEN hits_fr >= hits_es THEN 'fr' ELSE 'es' END AS lang_guess FROM (" +
+       s"SELECT doc_id, lang, ${duckHits(graft.functions.TextFunctions.stopwords("en"))} AS hits_en, " +
+       s"${duckHits(graft.functions.TextFunctions.stopwords("de"))} AS hits_de, " +
+       s"${duckHits(graft.functions.TextFunctions.stopwords("fr"))} AS hits_fr, " +
+       s"${duckHits(graft.functions.TextFunctions.stopwords("es"))} AS hits_es " +
+       "FROM documents) ORDER BY doc_id"),
+    "text_fingerprints" ->
+      (s"SELECT doc_id, $duckFp AS fp FROM documents ORDER BY doc_id"),
+    "text_per_source_stats" ->
+      (s"SELECT source, count(*) AS n_docs, " +
+       s"round(avg(CAST(len($duckToks) AS DOUBLE)), 4) AS avg_tokens, " +
+       s"round(avg(round(least(1.0, CAST(len($duckToks) AS DOUBLE) / 100.0) * 0.5 + " +
+       s"CAST(len($duckUniq) AS DOUBLE) / len($duckToks) * 0.5, 4)), 4) AS avg_quality, " +
+       s"count(DISTINCT $duckFp) AS n_distinct_fps " +
+       "FROM documents GROUP BY source ORDER BY source"),
+    "dedup_exact_summary" ->
+      (s"SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct_texts, " +
+       s"count(DISTINCT $duckFp) AS n_distinct_fps FROM documents"),
+    "dedup_fingerprint_groups" ->
+      (s"SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc_id FROM " +
+       s"(SELECT doc_id, $duckFp AS fp FROM documents) " +
+       "GROUP BY fp HAVING count(*) > 1 ORDER BY fp"),
+    "dedup_jaccard_pairs" ->
+      (s"WITH t AS (SELECT doc_id, $duckUniq AS toks FROM documents WHERE doc_id % 5 = 0) " +
+       "SELECT doc_a, doc_b, jaccard FROM (" +
+       "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+       "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+       "len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard " +
+       "FROM t a, t b WHERE a.doc_id < b.doc_id) " +
+       "WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"),
+    // MinHash LSH: the banding is not SQL-portable (xxhash64), but the
+    // *verified* output contract is "all pairs with exact Jaccard >=
+    // 0.8" — at the banding parameters in Dedup the miss probability is
+    // ~3e-8, and on the driver's fixed sf0.01 corpus recall is exactly
+    // 1.0 (checked differentially), so the exact-pairs oracle holds.
+    "dedup_minhash_lsh" ->
+      (s"WITH t AS (SELECT doc_id, $duckUniq AS toks FROM documents) " +
+       "SELECT doc_a, doc_b, jaccard FROM (" +
+       "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+       "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+       "len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard " +
+       "FROM t a, t b WHERE a.doc_id < b.doc_id) " +
+       "WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"),
+    "sim_embed_norms" ->
+      ("SELECT vec_id, round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm " +
+       "FROM embeddings ORDER BY vec_id"),
+    "knn_brute_cosine" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       "p AS (SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < 5), " +
+       "s AS (SELECT query_id, vec_id AS neighbor_id, " +
+       "round(list_dot_product(q, v) / (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(v, v))), 4) AS cos_sim " +
+       "FROM e, p WHERE vec_id <> query_id), " +
+       "r AS (SELECT query_id, neighbor_id, cos_sim, " +
+       "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank FROM s) " +
+       "SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"),
+    "mm_binary_meta" ->
+      ("SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS digest " +
+       "FROM documents ORDER BY doc_id"),
+    "mm_feature_extract" ->
+      ("SELECT doc_id, octet_length(encode(text)) AS n_bytes, " +
+       "CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width, " +
+       "CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height, " +
+       "3 AS channels, round(ascii(substr(text, 1, 1)) / 255.0, 6) AS f0 " +
+       "FROM documents ORDER BY doc_id")
+    // no oracle (rows-only): dedup_simhash, dedup_simhash_pairs
+    // (xxhash64-based signatures), knn_ivf, sim_embed_near_dup
+    // (approximate by contract; tests assert precision vs brute force).
+  )
+
+  def all: Map[String, Q] = timeSeries ++ relational ++ extensions
+  def oracles: Map[String, String] =
+    timeSeriesOracles ++ relationalOracles ++ extensionOracles
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing (north-star extension): treat media as
+  * opaque `binary` columns with typed metadata, processed per-partition.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic stub (`fakeDecode`) — but everything
+  * Spark-side is real and tested: the binary column, the metadata
+  * struct schema, the per-partition batch processing shape
+  * (`mapPartitions`, the designated escape hatch for imperative
+  * per-record logic), and the partitioning behavior. Swapping
+  * `fakeDecode` for a JNI/codec call is a one-function change.
+  */
+object Multimodal {
+
+  /** Decoded-media metadata record (what a real image decode would
+    * yield: dimensions, channels, a content digest, a tiny feature
+    * vector). */
+  case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      features: Array[Double])
+
+  /** STUB decode: deterministic pseudo-metadata derived from the bytes.
+    * Stands in for an image/audio codec (not available in this
+    * container); the derivation is fixed so tests are exact. */
+  def fakeDecode(docId: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = bytes.length.toLong
+    val head = bytes.take(4).map(_.toInt & 0xff)
+    MediaMeta(
+      doc_id = docId,
+      n_bytes = n,
+      width = (n % 640).toInt + 1,
+      height = ((n * 7) % 480).toInt + 1,
+      channels = 3,
+      features = head.map(_.toDouble / 255.0))
+  }
+
+  /** The documents table as a multimodal table: text re-encoded as the
+    * opaque binary payload + deterministic digests. Fully
+    * SQL-expressible, so this query carries the oracle for the binary
+    * plumbing. */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        sha2(col("text"), 256).as("digest"))
+      .orderBy(col("doc_id"))
+
+  /** Per-partition "decode" + feature extraction over the binary column.
+    * Typed Dataset end-to-end; batch shape = one iterator pass per
+    * partition, exactly how a real codec UDF would be driven. */
+  def featureExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    bin.mapPartitions(_.map { case (id, bytes) => fakeDecode(id, bytes) })
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+              col("channels"), round(element_at(col("features"), 1), 6).as("f0"))
+      .orderBy(col("doc_id"))
+  }
+}

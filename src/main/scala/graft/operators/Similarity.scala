@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Approximate-nearest-neighbor surface over the embeddings table
+  * (north-star extension). Three paths:
+  *
+  *  - brute-force cosine top-k: exact baseline — probes broadcast, one
+  *    scan over the corpus, per-probe heap via windowed row_number;
+  *  - IVF-style coarse quantization: corpus assigned to its nearest of
+  *    8 fixed centroids (argmax projection), probes search their top-2
+  *    cells (nprobe=2) — candidate set shrinks ~4x here, ~nlist/nprobe-x
+  *    in general; at 100 TB the cells become the partition key, so a
+  *    probe touches 2 partitions instead of the whole corpus. Centroids
+  *    here are deterministic +/-1 vectors; a production build would
+  *    KMeans-sample them — the operator shape is identical;
+  *  - random-hyperplane sign buckets (8 bits): near-duplicate detection —
+  *    vectors at cosine ~1 collide with high probability, turning
+  *    all-pairs near-dup search into an equi-join on the bucket.
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order functions over
+  * `array<double>` (cast from the stored float) — codegen'd, no UDF, and
+  * double precision end-to-end so results are bit-stable across engines.
+  */
+object Similarity {
+
+  private def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Per-vector L2 norms (sanity surface + the normalization step of any
+    * embedding pipeline). */
+  def norms(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), round(l2Norm(asDouble(col("embedding"))), 4).as("l2_norm"))
+      .orderBy(col("vec_id"))
+
+  /** Brute-force cosine top-k: 5 probe vectors (vec_id < 5) against the
+    * whole corpus. Ranking uses the rounded cosine (+ id tiebreak) so
+    * ordering is deterministic across engines. */
+  def knnBruteForce(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val scored = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              round(cosine(col("q"), col("v")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- IVF ----------------------------------------------------------
+  val NumCells = 8
+  val NumProbeCells = 2
+
+  /** Deterministic +/-1 pseudo-centroids (fixed seed -> stable plan). */
+  private[operators] def centroids(dim: Int): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumCells)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Array of projections of v onto each centroid. */
+  private def cellScores(v: Column, cents: Seq[Array[Double]]): Column =
+    array(cents.map(c => dot(v, array(c.map(lit): _*))): _*)
+
+  /** IVF ANN: corpus in argmax cell; probes search their top-nprobe
+    * cells via equi-join on cell id. */
+  def knnIvf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val cents = centroids(64)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("scores", cellScores(col("v"), cents))
+      .withColumn("cell", expr("array_position(scores, array_max(scores))").cast("int"))
+    // probe side: top-2 cells by projection = last two of the
+    // score-sorted (score, idx) struct array
+    val probes = emb.filter(col("vec_id") < 5)
+      .withColumn("ranked",
+        reverse(array_sort(zip_with(col("scores"),
+          sequence(lit(1), lit(NumCells)),
+          (s, i) => struct(s.as("score"), i.as("idx"))))))
+      .select(col("vec_id").as("query_id"), col("v").as("q"),
+              explode(slice(col("ranked.idx"), 1, NumProbeCells)).as("cell"))
+    val scored = emb.select(col("cell"), col("vec_id"), col("v"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              round(cosine(col("q"), col("v")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- hyperplane near-dup ------------------------------------------
+  val NumPlanes = 8
+
+  private[operators] def hyperplanes(dim: Int): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(NumPlanes)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  private def bucketOf(v: Column, planes: Seq[Array[Double]]): Column =
+    (0 until NumPlanes).map { j =>
+      val plane = array(planes(j).map(lit): _*)
+      when(dot(v, plane) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** Embedding near-duplicate pairs: cosine >= 0.95 among bucket-mates —
+    * the embedding-space analog of MinHash dedup. Approximate by design
+    * (a 0.95-pair may straddle a hyperplane); the tests assert precision
+    * (every reported pair is truly >= 0.95), not recall. */
+  def embeddingNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val planes = hyperplanes(64)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", bucketOf(col("v"), planes))
+    val a = emb.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = emb.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+              round(cosine(col("va"), col("vb")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.95)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the documents table (north-star
+  * extension). Single-scan, shuffle-free (all per-row expressions except
+  * the final deterministic orderBy) — at 100 TB these run at scan speed. */
+object TextAnalysis {
+
+  /** Per-document corpus statistics. */
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        tokenCount(col("text")).as("n_tokens"),
+        size(distinctTokens(col("text"))).cast("long").as("n_uniq_tokens"),
+        round(uniqTokenRatio(col("text")), 4).as("uniq_ratio"),
+        subwordCount(col("text")).as("n_subwords"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring + keep/drop gate — the shape of a training-data
+    * filtering pass. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        qualityScore(col("text")).as("quality"),
+        (qualityScore(col("text")) > lit(0.6)).as("keep"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic: stopword-hit score per language, argmax by
+    * fixed precedence (en > de > fr > es on ties — encoded identically
+    * in the oracle's CASE chain). */
+  def langGuess(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    def hits(lang: String): Column = vocabHits(t, stopwords(lang))
+    val en = hits("en"); val de = hits("de"); val fr = hits("fr"); val es = hits("es")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("lang").as("lang_label"),
+        en.as("hits_en"), de.as("hits_de"), fr.as("hits_fr"), es.as("hits_es"),
+        when(en >= de && en >= fr && en >= es, "en")
+          .when(de >= fr && de >= es, "de")
+          .when(fr >= es, "fr")
+          .otherwise("es").as("lang_guess"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Order-insensitive fingerprint per document (rolling-hash stand-in
+    * with an exact SQL twin; see TextFunctions.fingerprint). */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus rollup per source: the aggregation view a pipeline operator
+    * dashboard needs. */
+  def perSourceStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(tokenCount(col("text")).cast("double")), 4).as("avg_tokens"),
+        round(avg(qualityScore(col("text"))), 4).as("avg_quality"),
+        countDistinct(fingerprint(col("text"))).as("n_distinct_fps"))
+      .orderBy(col("source"))
+}

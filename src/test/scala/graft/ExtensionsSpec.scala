@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Correctness of the approximate (non-oracled) extension operators,
+  * checked against exact computations on sf0.001. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("simhash: identical token sets -> identical signature (hamming 0)") {
+    val sh = Dedup.simhashes(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fingerprint groups = same bag of words -> same simhash by construction
+    val groups = Dedup.fingerprintGroups(spark, sf).collect()
+    assert(groups.nonEmpty, "fixture should contain bag-of-words dupes")
+    // every fingerprint-dup pair must appear in simhashPairs with hamming 0
+    val pairs = Dedup.simhashPairs(spark, sf)
+      .filter(col("hamming") === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fps = graft.operators.TextAnalysis.fingerprints(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expectPairs = fps.groupBy(_._2).values.filter(_.length > 1)
+      .flatMap(g => g.map(_._1).sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSet
+    assert(expectPairs.subsetOf(pairs),
+      s"missing simhash pairs: ${expectPairs -- pairs}")
+    expectPairs.foreach { case (a, b) => assert(sh(a) === sh(b)) }
+  }
+
+  test("minhash LSH recall vs exact jaccard >= 0.8 is total on fixture") {
+    val lsh = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact: brute-force pairs via the sampled-jaccard machinery on all docs
+    val t = graft.operators.TextAnalysis.fingerprints(spark, sf) // warm plan
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.TextFunctions.distinctTokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val exact = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      j = ta.intersect(tb).size.toDouble / ta.union(tb).size
+      if math.rint(j * 10000) / 10000 >= 0.8
+    } yield (a, b)).toSet
+    assert(exact === lsh, s"missed: ${exact -- lsh}, spurious: ${lsh -- exact}")
+  }
+
+  test("knn_ivf: reported neighbors carry true cosine (precision)") {
+    // IVF is approximate in recall but must never misreport a similarity:
+    // every (query, neighbor, cos) it returns must equal the brute-force
+    // cosine for that pair.
+    val brute = Similarity.knnBruteForce(spark, sf, k = 2000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.knnIvf(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key) && math.abs(brute(key) - r.getDouble(2)) < 1e-9,
+        s"IVF pair $key cosine mismatch")
+    }
+  }
+
+  test("embedding near-dup pairs: precision (all reported pairs >= 0.95)") {
+    val pairs = Similarity.embeddingNearDupPairs(spark, sf).collect()
+    pairs.foreach(r => assert(r.getDouble(2) >= 0.95))
+  }
+
+  test("multimodal feature extract: deterministic stub decode plumbing") {
+    val out = Multimodal.featureExtract(spark, sf).collect()
+    assert(out.length === Tables.documents(spark, sf).count())
+    val first = out.head
+    assert(first.getInt(2) >= 1 && first.getInt(2) <= 640)   // width
+    assert(first.getInt(3) >= 1 && first.getInt(3) <= 480)   // height
+    assert(first.getInt(4) === 3)                            // channels
+    // re-run is bit-identical (stub decode is deterministic)
+    val again = Multimodal.featureExtract(spark, sf).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+}
