@@ -1,0 +1,202 @@
+package graft.pipeline
+
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.UnitConversions
+
+/** The aristoteles pipeline re-expressed Spark-first: incremental,
+  * idempotent, batch ETL from per-station archive tables to a
+  * day-partitioned columnar (parquet) archive, with a completeness gate,
+  * conditional unit conversion, high-watermark state, and Prometheus
+  * metrics. (SURVEY §2 S12, S14-S18; lifecycle §3 E1-E3.)
+  *
+  * Spark-native deltas from the reference, by design (SURVEY §1.4):
+  *  - multi-station fan-in is a long-format union with a `station`
+  *    column, not N copies of the pipeline;
+  *  - the sink is parquet partitioned by (month, day) — already
+  *    columnar, so the reference's per-column HDF5 shredding (S13) is
+  *    free; dynamic partition overwrite reproduces the idempotent
+  *    day-level rewrite, and Spark's commit protocol replaces the lock
+  *    file;
+  *  - two commit granularities: `perDayCommit = true` mirrors the
+  *    reference's day-at-a-time write→advance ordering (:474-476 crash
+  *    safety); `false` is the 100 TB backfill path — one job writes every
+  *    pending day (each day one partition), then the watermark advances
+  *    once.
+  */
+object ArchiveJob {
+
+  case class StationSource(name: String, path: String,
+      longitude: Option[Double] = None, latitude: Option[Double] = None,
+      description: Option[String] = None)
+
+  case class JobConfig(
+      statePath: String,
+      archivePath: String,
+      instrument: String,
+      stations: Seq[StationSource],
+      metricsPath: Option[String] = None)
+
+  /** Run outcome, mirroring the reference's exit metrics (S18). */
+  case class RunResult(
+      status: Int,            // 0 nothing-to-do, 1 wrote, 2 gate-blocked, 3 error
+      daysWritten: Int,
+      firstDay: Option[LocalDate],
+      yesterday: LocalDate,
+      samplesYesterday: Map[String, Long])
+
+  private val DayFmt = DateTimeFormatter.BASIC_ISO_DATE
+
+  /** One station's archive table in WviewSchema (S1). In production this
+    * is a JDBC read of the wview SQLite `archive` table; here any
+    * parquet path with the same schema. */
+  def loadStation(spark: SparkSession, st: StationSource): DataFrame =
+    spark.read.schema(WviewSchema.schema).parquet(st.path)
+
+  /** S12 — long-format fan-in: union of stations with a station tag. */
+  def unionStations(spark: SparkSession, cfg: JobConfig): DataFrame =
+    cfg.stations.map { st =>
+      loadStation(spark, st).withColumn("station", lit(st.name))
+    }.reduce(_ unionByName _)
+
+  /** S10 — the conditional unit conversion projection over all 16
+    * sensors, one codegen'd when/otherwise per column. */
+  def convertUnits(df: DataFrame): DataFrame = {
+    val us = col("usUnits") === 1
+    val converted = WviewSchema.sensors.map { case (name, phys) =>
+      UnitConversions.convert(phys, us, col(name)).as(name)
+    }
+    df.select(
+      (col("dateTime") +: col("usUnits") +: col("station") +: converted): _*)
+  }
+
+  /** Per-station sample counts for one UTC day, inclusive bounds (S2/S5).
+    * Returns counts only for stations present in the data. */
+  def dayCounts(df: DataFrame, day: LocalDate): DataFrame = {
+    val start = day.atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val stop = start + 86399 // 23:59:59 — BETWEEN is inclusive-inclusive
+    df.filter(col("dateTime").between(start, stop))
+      .groupBy(col("station")).agg(count(lit(1)).as("n"))
+  }
+
+  /** S9/S17 — completeness gate: every configured station must have
+    * exactly 288 samples for `day`. */
+  def gatePasses(counts: Map[String, Long], stations: Seq[String]): Boolean =
+    stations.forall(s => counts.getOrElse(s, 0L) == WviewSchema.SamplesPerDay.toLong)
+
+  /** S6 — earliest day with data across all stations. */
+  def firstAvailableDay(df: DataFrame): Option[LocalDate] =
+    df.agg(min(col("dateTime"))).collect()(0) match {
+      case row if row.isNullAt(0) => None
+      case row => Some(java.time.Instant.ofEpochSecond(row.getLong(0))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate)
+    }
+
+  /** E2 — state initialization (aristoteles.py:246-265): min first day
+    * over stations, clamped; only acts when state is absent or `force`. */
+  def resetState(spark: SparkSession, cfg: JobConfig,
+      requested: Option[LocalDate], force: Boolean): Option[LocalDate] = {
+    if (Watermark.read(cfg.statePath).isDefined && !force) return Watermark.read(cfg.statePath)
+    val first = firstAvailableDay(unionStations(spark, cfg))
+    first.map { f =>
+      val init = Watermark.clamp(requested.getOrElse(f), f)
+      Watermark.writeNext(cfg.statePath, init)
+      init
+    }
+  }
+
+  /** The day-partitioned conversion output for a set of days, ready for
+    * the partitioned sink: adds month=YYYYMM / day=YYYYMMDD columns. */
+  def outputFor(df: DataFrame, from: LocalDate, to: LocalDate): DataFrame = {
+    val start = from.atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val stop = to.atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond + 86399
+    convertUnits(df.filter(col("dateTime").between(start, stop)))
+      .withColumn("day", date_format(timestamp_seconds(col("dateTime")), "yyyyMMdd"))
+      .withColumn("month", substring(col("day"), 1, 6))
+  }
+
+  /** Write one or more days to the archive, one parquet partition (and
+    * one file) per day — the columnar analog of one .h5 per day (S14).
+    * Dynamic partition overwrite makes re-runs idempotent. */
+  private def writeDays(out: DataFrame, archivePath: String): Unit =
+    out.repartition(col("month"), col("day"))
+      .sortWithinPartitions(col("station"), col("dateTime")) // S3: order is load-bearing
+      .write.mode("overwrite")
+      .partitionBy("month", "day")
+      .parquet(archivePath)
+
+  /** E1 — the incremental run. */
+  def run(spark: SparkSession, cfg: JobConfig,
+      today: LocalDate,
+      force: Boolean = false,
+      stopDay: Option[LocalDate] = None,
+      perDayCommit: Boolean = true): RunResult = {
+
+    val yesterday = stopDay.getOrElse(today.minusDays(1))
+    val stateOpt = Watermark.read(cfg.statePath)
+    if (stateOpt.isEmpty)
+      return RunResult(3, 0, None, yesterday, Map.empty)
+    val firstDay = stateOpt.get
+
+    val df = unionStations(spark, cfg).cache()
+    try {
+      val yCounts = dayCounts(df, yesterday).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      if (firstDay.isAfter(yesterday)) {
+        publish(cfg, 0, 0, Some(firstDay), yesterday, yCounts)
+        return RunResult(0, 0, Some(firstDay), yesterday, yCounts)
+      }
+
+      if (!gatePasses(yCounts, cfg.stations.map(_.name)) && !force) {
+        publish(cfg, 2, 0, Some(firstDay), yesterday, yCounts)
+        return RunResult(2, 0, Some(firstDay), yesterday, yCounts)
+      }
+
+      val days = Iterator.iterate(firstDay)(_.plusDays(1))
+        .takeWhile(!_.isAfter(yesterday)).toSeq
+
+      var written = 0
+      if (perDayCommit) {
+        // Reference ordering (:474-476): write day N, then advance state.
+        days.foreach { day =>
+          val out = outputFor(df, day, day)
+          if (!out.isEmpty) { // S16: skip (no state advance) empty days
+            writeDays(out, cfg.archivePath)
+            Watermark.advance(cfg.statePath, day)
+            written += 1
+          }
+        }
+      } else {
+        // Backfill path: one job for the whole range, then one advance.
+        val out = outputFor(df, firstDay, yesterday)
+        val daysPresent = out.select(countDistinct(col("day"))).collect()(0).getLong(0)
+        if (daysPresent > 0) {
+          writeDays(out, cfg.archivePath)
+          Watermark.advance(cfg.statePath, yesterday)
+          written = daysPresent.toInt
+        }
+      }
+
+      val status = if (written > 0) 1 else 0
+      publish(cfg, status, written, Some(firstDay), yesterday, yCounts)
+      RunResult(status, written, Some(firstDay), yesterday, yCounts)
+    } finally df.unpersist()
+  }
+
+  private def publish(cfg: JobConfig, status: Int, daysWritten: Int,
+      firstDay: Option[LocalDate], yesterday: LocalDate,
+      samples: Map[String, Long]): Unit =
+    cfg.metricsPath.foreach { p =>
+      PromMetrics.write(p, PromMetrics.Snapshot(
+        status = status,
+        reportTime = System.currentTimeMillis() / 1000,
+        daysWritten = daysWritten,
+        yesterday = yesterday.format(DayFmt).toLong,
+        firstDay = firstDay.map(_.format(DayFmt).toLong).getOrElse(0L),
+        samplesYesterday = samples))
+    }
+}
