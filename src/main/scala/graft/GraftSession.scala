@@ -31,6 +31,8 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // day-level idempotent rewrites (SURVEY §2 S14) need dynamic overwrite
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // partition dirs are names, not numbers: keep day=20240301 a string
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.ui.enabled", "false")
 }
 
