@@ -67,13 +67,34 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
   /** events with `ts` as TimestampType (microsecond, floor-truncated from
     * the file's nanoseconds — sub-microsecond detail is below every
-    * operator's granularity; oracles compare at second/day resolution). */
+    * operator's granularity; oracles compare at second/day resolution).
+    * The raw nanos survive as `ts_ns` so range predicates can push down
+    * to the parquet scan (a filter on the derived `ts` cannot). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     // `div` = exact long integer division; a double `/` would lose
     // precision on ~1.7e18-ns epoch values (53-bit mantissa).
-    eventsRaw(spark, dir).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    eventsRaw(spark, dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
+
+  /** Pushdown-friendly inclusive bounds on events.ts, expressed against
+    * the raw int64 nanos column. Exact equivalences (ts = floor(ns/1e3)
+    * micros): ts >= T  <=>  ns >= T*1000 ; ts <= S  <=>  ns <= S*1000+999.
+    * These reach the scan as PushedFilters and prune row groups — the
+    * difference between a range read and a full scan at 100 TB. */
+  def tsGte(timestamp: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    col("ts_ns") >= epochMicros(timestamp) * 1000L
+  }
+  def tsLte(timestamp: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    col("ts_ns") <= epochMicros(timestamp) * 1000L + 999L
+  }
+  private def epochMicros(timestamp: String): Long =
+    java.time.LocalDateTime.parse(timestamp.replace(' ', 'T'))
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

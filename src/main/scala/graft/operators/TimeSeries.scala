@@ -31,8 +31,7 @@ object TimeSeries {
     * WHERE dateTime BETWEEN ? AND ?, both bounds inclusive). */
   def rangeFilter(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
-              col("ts") <= lit("2024-01-19 23:59:59").cast("timestamp"))
+      .filter(Tables.tsGte("2024-01-10 00:00:00") && Tables.tsLte("2024-01-19 23:59:59"))
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
 
@@ -58,8 +57,7 @@ object TimeSeries {
     * yesterday's sample count per station). */
   def countInRange(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
-              col("ts") <= lit("2024-01-19 23:59:59").cast("timestamp"))
+      .filter(Tables.tsGte("2024-01-10 00:00:00") && Tables.tsLte("2024-01-19 23:59:59"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_samples"))
       .orderBy(col("user_id"))
@@ -157,7 +155,7 @@ object TimeSeries {
   def flagship(spark: SparkSession, dir: String): DataFrame = {
     val us = col("event_type") === lit("purchase")
     Tables.events(spark, dir)
-      .filter(col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp"))
+      .filter(Tables.tsGte("2024-01-01 00:00:00"))
       .select(
         col("user_id"),
         to_date(col("ts")).as("day"),
