@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Analytics, Dedup, Multimodal, Relational, Similarity, TextAnalysis, TimeSeries}
 
 /** Central registry: query name -> (SparkSession, sfDir) => DataFrame,
   * plus the DuckDB oracle SQL for each (driver contract, SURVEY §5).
@@ -310,7 +310,50 @@ object Queries {
     // (approximate by contract; tests assert precision vs brute force).
   )
 
-  def all: Map[String, Q] = timeSeries ++ relational ++ extensions
+  val analytics: Map[String, Q] = Map(
+    "q6_forecast_revenue" -> (Analytics.q6ForecastRevenue _),
+    "q_stats_agg" -> (Analytics.statsAgg _),
+    "q_percentiles" -> (Analytics.percentiles _),
+    "q_word_counts" -> (Analytics.wordCounts _),
+    "q_pivot_sales" -> (Analytics.pivotSales _),
+    "q_asof_join" -> (Analytics.asofJoin _)
+  )
+
+  val analyticsOracles: Map[String, String] = Map(
+    "q6_forecast_revenue" ->
+      ("SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem " +
+       "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+       "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"),
+    "q_stats_agg" ->
+      ("SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty, " +
+       "round(var_samp(l_quantity), 4) AS var_qty, " +
+       "round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price, " +
+       "round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_percentiles" ->
+      ("SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5), 2) AS p50, " +
+       "round(quantile_cont(o_totalprice, 0.9), 2) AS p90, " +
+       "round(quantile_cont(o_totalprice, 0.99), 2) AS p99 " +
+       "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_word_counts" ->
+      (s"SELECT word, count(*) AS n FROM (SELECT unnest($duckToks) AS word FROM documents) " +
+       "GROUP BY word ORDER BY n DESC, word"),
+    "q_pivot_sales" ->
+      ("SELECT l_returnflag, " +
+       "round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS \"F\", " +
+       "round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2) AS \"O\" " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_asof_join" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, value, epoch_ns(ts) // 1000 AS ts_us " +
+       "FROM events WHERE event_type IN ('purchase', 'signup')), " +
+       "p AS (SELECT * FROM e WHERE event_type = 'purchase'), " +
+       "s AS (SELECT * FROM e WHERE event_type = 'signup') " +
+       "SELECT p.event_id, p.user_id, s.event_id AS last_signup_id, round(s.value, 2) AS signup_value " +
+       "FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts_us >= s.ts_us " +
+       "ORDER BY p.event_id")
+  )
+
+  def all: Map[String, Q] = timeSeries ++ relational ++ extensions ++ analytics
   def oracles: Map[String, String] =
-    timeSeriesOracles ++ relationalOracles ++ extensionOracles
+    timeSeriesOracles ++ relationalOracles ++ extensionOracles ++ analyticsOracles
 }

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Second-wave analytics surface: SQL-API entry, statistical aggregates,
+  * exact percentiles, lateral explode, pivot, and an as-of join.
+  *
+  * The as-of join is the one operator here Spark has no primitive for;
+  * it is built as the scalable single-pass form — union both sides,
+  * one window per key carrying the last left-side value forward — not a
+  * range-join explosion (SURVEY §7: compose built-ins before custom
+  * plans). */
+object Analytics {
+
+  /** TPC-H Q6 via the SQL API over registered temp views — the engine's
+    * SQL entry point (same Catalyst plan as the DataFrame form). */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("li_q6")
+    spark.sql("""
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      FROM li_q6
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.03 AND 0.07
+        AND l_quantity < 24
+    """)
+  }
+
+  /** Statistical aggregates (variance family + correlation). */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** Exact interpolated percentiles (the sketch-free baseline;
+    * approx_percentile is the 100 TB path, exercised in tests since its
+    * sketch values aren't portable across engines). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Lateral explode: corpus word frequencies — the canonical
+    * explode -> hash-aggregate pipeline (map-side combined). */
+  def wordCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+
+  /** Pivot (conditional-aggregation form under the hood): revenue by
+    * returnflag x linestatus. Fixed pivot values keep the schema static
+    * — at scale an open-ended pivot would need a values pre-pass. */
+  def pivotSales(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_extendedprice")), 2))
+      .orderBy(col("l_returnflag"))
+
+  /** As-of join: for every purchase event, the most recent signup (<=)
+    * by the same user. Single pass: union tagged sides, per-user window
+    * ordered by time carries the last signup forward — no range join,
+    * no explosion; one shuffle on user_id. Comparison happens on
+    * microsecond longs so the DuckDB oracle (native ASOF JOIN on the
+    * same longs) is exact. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+              expr("ts_ns div 1000").as("ts_us"))
+      .filter(col("event_type").isin("purchase", "signup"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("is_purchase"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("is_purchase", (col("event_type") === "purchase").cast("int"))
+      // signups sort before purchases at the same instant, so a
+      // same-timestamp signup is visible to the purchase (<= semantics)
+      .withColumn("last_signup_id",
+        last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_signup_value",
+        last(when(col("event_type") === "signup", col("value")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+              col("last_signup_id"), round(col("last_signup_value"), 2).as("signup_value"))
+      .orderBy(col("event_id"))
+  }
+}
