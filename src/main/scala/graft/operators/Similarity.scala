@@ -29,7 +29,12 @@ object Similarity {
 
   private def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  /** Hot-path dot product: native codegen expression (see
+    * graft.plans.DotProduct). `dotHof` is the composed-builtins form it
+    * replaced — kept for the equivalence test. */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorExpressions.dot(a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def l2Norm(a: Column): Column =

@@ -65,6 +65,23 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_dot codegen expression is bitwise-equal to the HOF chain") {
+    import org.apache.spark.sql.functions.{sum, transform}
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = emb.select(col("vec_id").as("ia"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("v").as("vb"))
+    val pairs = a.crossJoin(b).limit(20000)
+    val viaExpr = pairs.select(Similarity.dot(col("va"), col("vb")).as("d")).agg(sum("d")).collect()(0).getDouble(0)
+    val viaHof = pairs.select(Similarity.dotHof(col("va"), col("vb")).as("d")).agg(sum("d")).collect()(0).getDouble(0)
+    assert(viaExpr === viaHof) // identical accumulation order -> bitwise equal
+    // SQL registration path
+    graft.plans.VectorExpressions.register(spark)
+    val viaSql = pairs.createOrReplaceTempView("dot_pairs")
+    val s = spark.sql("SELECT sum(graft_dot(va, vb)) FROM dot_pairs").collect()(0).getDouble(0)
+    assert(s === viaExpr)
+  }
+
   test("embedding near-dup pairs: precision (all reported pairs >= 0.95)") {
     val pairs = Similarity.embeddingNearDupPairs(spark, sf).collect()
     pairs.foreach(r => assert(r.getDouble(2) >= 0.95))
