@@ -211,6 +211,7 @@ object Queries {
     "knn_brute_cosine" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
     "knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
     "sim_embed_near_dup" -> (Similarity.embeddingNearDupPairs _),
+    "sim_embed_candidates" -> (Similarity.embeddingCandidatePairs _),
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_feature_extract" -> (Multimodal.featureExtract _)
   )
@@ -225,7 +226,28 @@ object Queries {
   private def duckHits(words: Seq[String]): String =
     s"CAST(len(list_filter($duckToks, t -> list_contains(${words.mkString("['", "', '", "']")}, t))) AS BIGINT)"
 
+  /** DuckDB twin of Similarity.bucketPairs: the 8 random-hyperplane sign
+    * bits (identical plane literals, generated from the one Scala
+    * source) -> bucket equi-join -> cosine. Verifies the bucketing
+    * machinery itself — including that an empty near-dup result on a
+    * corpus with no true near-dups is CORRECT, not vacuous. */
+  private def simBucketPairsSql(threshold: Option[Double]): String = {
+    val planes = graft.operators.Similarity.duckPlaneLiterals
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product(v, $p) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val where = threshold.map(t => s"WHERE cos_sim >= $t ").getOrElse("")
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+    s"b AS (SELECT vec_id, v, $bits AS bucket FROM e), " +
+    "p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, " +
+    "round(list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim " +
+    "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) " +
+    s"SELECT vec_a, vec_b, cos_sim FROM p ${where}ORDER BY vec_a, vec_b"
+  }
+
   val extensionOracles: Map[String, String] = Map(
+    "sim_embed_near_dup" -> simBucketPairsSql(Some(0.95)),
+    "sim_embed_candidates" -> simBucketPairsSql(None),
     "text_stats" ->
       (s"SELECT doc_id, length(text) AS n_chars_actual, CAST(len($duckToks) AS BIGINT) AS n_tokens, " +
        s"CAST(len($duckUniq) AS BIGINT) AS n_uniq_tokens, " +
@@ -306,8 +328,8 @@ object Queries {
        "3 AS channels, round(ascii(substr(text, 1, 1)) / 255.0, 6) AS f0 " +
        "FROM documents ORDER BY doc_id")
     // no oracle (rows-only): dedup_simhash, dedup_simhash_pairs
-    // (xxhash64-based signatures), knn_ivf, sim_embed_near_dup
-    // (approximate by contract; tests assert precision vs brute force).
+    // (xxhash64-based signatures), knn_ivf (approximate by contract;
+    // recall vs brute force asserted in ExtensionsSpec).
   )
 
   val analytics: Map[String, Q] = Map(

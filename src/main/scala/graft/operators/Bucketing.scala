@@ -16,6 +16,18 @@ object Bucketing {
 
   /** Write lineitem + orders bucketed by the join key. */
   def writeBucketed(spark: SparkSession, dir: String, buckets: Int = 8): Unit = {
+    // saveAsTable(Overwrite) replaces the catalog entry but a stale
+    // warehouse directory from a previous JVM (fresh Derby metastore,
+    // surviving spark-warehouse/) still collides with
+    // LOCATION_ALREADY_EXISTS. Drop + clear the location first so the
+    // write is idempotent across workspaces, mirroring the reference's
+    // open-"w" overwrite protocol (aristoteles/aristoteles.py:393).
+    Seq("graft_lineitem_b", "graft_orders_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$t"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(loc))
+    }
     Tables.lineitem(spark, dir)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")

@@ -127,20 +127,55 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: cosine >= 0.95 among bucket-mates —
     * the embedding-space analog of MinHash dedup. Approximate by design
-    * (a 0.95-pair may straddle a hyperplane); the tests assert precision
-    * (every reported pair is truly >= 0.95), not recall. */
-  def embeddingNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    * (a 0.95-pair may straddle a hyperplane). On a corpus with no true
+    * near-dups the correct answer is EMPTY — which is why the DuckDB
+    * oracle (Queries.simBucketPairsSql) verifies it rather than a
+    * rows>0 smoke check; recall on planted near-dups is asserted
+    * differentially in ExtensionsSpec. */
+  def embeddingNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    bucketPairs(Tables.embeddings(spark, dir), Some(0.95))
+
+  /** The LSH candidate-generation stage by itself: every bucket-mate
+    * pair with its cosine, unthresholded. Non-empty even on corpora
+    * without true near-dups (birthday collisions across 2^8 buckets),
+    * so it exercises the bucket join end-to-end on the test fixture. */
+  def embeddingCandidatePairs(spark: SparkSession, dir: String): DataFrame =
+    bucketPairs(Tables.embeddings(spark, dir), None)
+
+  /** Core over any (vec_id, embedding) frame — unit-testable on
+    * synthesized corpora with planted near-dups. */
+  private[graft] def bucketPairs(src: DataFrame, threshold: Option[Double]): DataFrame = {
     val planes = hyperplanes(64)
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val emb = src.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket", bucketOf(col("v"), planes))
     val a = emb.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
     val b = emb.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
-    a.join(b, Seq("bucket"))
+    val pairs = a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
               round(cosine(col("va"), col("vb")), 4).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.95)
+    threshold.fold(pairs)(t => pairs.filter(col("cos_sim") >= t))
+      // distinct: two vectors can share several buckets only if equal
+      // bucket ids — single join key, so no dup pairs; ordering for the
+      // driver's hash-compare.
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** Exact all-pairs cosine >= threshold (brute force) — the recall
+    * yardstick for the bucketed path in tests. */
+  private[graft] def brutePairs(src: DataFrame, threshold: Double): DataFrame = {
+    val emb = src.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+              round(cosine(col("va"), col("vb")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** The hyperplane matrix as DuckDB DOUBLE[] literals, for oracle SQL
+    * generation (single source of truth: the same `hyperplanes(64)`). */
+  private[graft] def duckPlaneLiterals: Seq[String] =
+    hyperplanes(64).map(_.mkString("[", ", ", "]::DOUBLE[]"))
 }

@@ -137,8 +137,13 @@ object ArchiveJob {
 
     val yesterday = stopDay.getOrElse(today.minusDays(1))
     val stateOpt = Watermark.read(cfg.statePath)
-    if (stateOpt.isEmpty)
+    if (stateOpt.isEmpty) {
+      // The reference emits metrics on EVERY terminal path, including the
+      // bad-state abort (aristoteles/aristoteles.py:269-271 -> prom_and_exit
+      // :484-485): an operator watching aristoteles_status must see the 3.
+      publish(cfg, 3, 0, None, yesterday, Map.empty)
       return RunResult(3, 0, None, yesterday, Map.empty)
+    }
     val firstDay = stateOpt.get
 
     val df = unionStations(spark, cfg).cache()

@@ -119,6 +119,18 @@ class ArchiveJobSpec extends SparkSpec {
     assert(bRows(2).getDouble(iBaro) === 1.0)
   }
 
+  test("metrics are published on the bad-state error path (status 3)") {
+    // Reference contract: prom_and_exit on EVERY terminal path
+    // (aristoteles.py:269-271 -> :484-485), including the missing/corrupt
+    // state abort — an operator watching aristoteles_status must see 3.
+    val cfg = fixture() // no resetState -> state file absent
+    val res = ArchiveJob.run(spark, cfg, today = d2.plusDays(1))
+    assert(res.status === 3 && res.daysWritten === 0)
+    val prom = Files.readString(java.nio.file.Paths.get(cfg.metricsPath.get))
+    assert(prom.contains("aristoteles_status 3"))
+    assert(prom.contains("aristoteles_days_written 0"))
+  }
+
   test("per-day commit and batch backfill produce identical archives") {
     val cfgA = fixture(); val cfgB = fixture()
     ArchiveJob.resetState(spark, cfgA, None, force = false)

@@ -82,9 +82,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(s === viaExpr)
   }
 
-  test("embedding near-dup pairs: precision (all reported pairs >= 0.95)") {
-    val pairs = Similarity.embeddingNearDupPairs(spark, sf).collect()
-    pairs.foreach(r => assert(r.getDouble(2) >= 0.95))
+  test("embedding near-dup: non-empty + precision + recall on planted dups") {
+    // The sf fixtures are near-random (max pairwise cosine ~0.51), so an
+    // empty 0.95-result there is correct — verified by the DuckDB oracle.
+    // Recall needs true near-dups: plant 12 base vectors each with a
+    // tiny-perturbation twin (cosine > 0.999) plus 30 random decoys.
+    import spark.implicits._
+    val rnd = new scala.util.Random(123)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = Seq.tabulate(12)(i => (i.toLong * 2, vec()))
+    val twins = bases.map { case (id, v) =>
+      (id + 1, v.map(x => x + rnd.nextGaussian().toFloat * 1e-3f))
+    }
+    val decoys = Seq.tabulate(30)(i => (1000L + i, vec()))
+    val corpus = (bases ++ twins ++ decoys).toDF("vec_id", "embedding")
+
+    val got = Similarity.bucketPairs(corpus, Some(0.95)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "planted near-dups must surface")
+    val exact = Similarity.brutePairs(corpus, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), s"false positives: ${got -- exact}") // precision 1.0
+    val recall = got.size.toDouble / exact.size
+    // 8 hyperplanes: a cosine~0.999 pair collides w.p. ~(1 - theta/pi)^8
+    // ~ 0.95; deterministic seeds make the realized recall stable.
+    assert(recall >= 0.7, s"recall $recall below floor (${got.size}/${exact.size})")
+  }
+
+  test("embedding candidate pairs: bucket join surfaces pairs on the fixture") {
+    val cands = Similarity.embeddingCandidatePairs(spark, sf).collect()
+    assert(cands.nonEmpty, "birthday collisions across 256 buckets expected")
+    // every candidate is a genuine bucket collision with a real cosine
+    cands.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
   }
 
   test("multimodal feature extract: deterministic stub decode plumbing") {

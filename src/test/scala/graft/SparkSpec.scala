@@ -13,5 +13,12 @@ object SparkSpec {
   lazy val session: SparkSession =
     GraftSession.configure(
       SparkSession.builder().master("local[4]").appName("graft-test"), "4"
-    ).getOrCreate()
+    )
+      // The default ./spark-warehouse outlives the JVM while the Derby
+      // metastore does not: a second `sbt test` in the same workspace
+      // would hit LOCATION_ALREADY_EXISTS on every saveAsTable. A fresh
+      // temp warehouse per JVM keeps catalog and filesystem in sync.
+      .config("spark.sql.warehouse.dir",
+              java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .getOrCreate()
 }
