@@ -50,11 +50,25 @@ object ArchiveJob {
 
   private val DayFmt = DateTimeFormatter.BASIC_ISO_DATE
 
-  /** One station's archive table in WviewSchema (S1). In production this
-    * is a JDBC read of the wview SQLite `archive` table; here any
-    * parquet path with the same schema. */
+  /** One station's archive table in WviewSchema (S1). A wview SQLite
+    * database (the reference's actual input, aristoteles.py:229-230 —
+    * conventionally *.sdb / *.sqlite / *.db) is read through the native
+    * distributed SQLite source (graft.sources.sqlite): dateTime range
+    * predicates push down to b-tree subtree pruning and the file is
+    * scanned in parallel. Any other path is parquet with the same
+    * schema (the already-columnar fast path). */
   def loadStation(spark: SparkSession, st: StationSource): DataFrame =
-    spark.read.schema(WviewSchema.schema).parquet(st.path)
+    if (SqliteExts.exists(e => st.path.endsWith(e))) {
+      val raw = spark.read.format("sqlite").option("table", "archive").load(st.path)
+      // project + coerce to WviewSchema: dateTime long, usUnits int,
+      // sensors double; drops wview's extra columns (interval, ...)
+      raw.select(
+        col("dateTime").cast("long").as("dateTime") +:
+        col("usUnits").cast("int").as("usUnits") +:
+        WviewSchema.sensorNames.map(s => col(s).cast("double").as(s)): _*)
+    } else spark.read.schema(WviewSchema.schema).parquet(st.path)
+
+  private val SqliteExts = Seq(".sdb", ".sqlite", ".db")
 
   /** S12 — long-format fan-in: union of stations with a station tag. */
   def unionStations(spark: SparkSession, cfg: JobConfig): DataFrame =

@@ -1,0 +1,295 @@
+package graft.sources.sqlite
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
+
+/** Minimal read-only decoder for the SQLite3 database file format
+  * (public spec: https://www.sqlite.org/fileformat2.html), built so the
+  * engine can ingest the reference's actual input — wview station
+  * databases (aristoteles/aristoteles.py:229-230 opens `db_path` with
+  * sqlite3; every query targets the `archive` table) — without a JDBC
+  * driver dependency and, more importantly, with *distributed* reads:
+  * the table b-tree's top-level subtrees become Spark input partitions,
+  * so one big .sdb file is scanned by many executors in parallel, and
+  * rowid-range predicates (wview's `dateTime` is the table's rowid
+  * alias) prune whole subtrees before a page is read.
+  *
+  * Supported: table b-trees (page types 5/13), 64-bit varints, all
+  * serial types, payload overflow chains, rowid-alias (INTEGER PRIMARY
+  * KEY) columns, UTF-8 text. Out of scope for archived telemetry DBs,
+  * by design: WAL mode (readers see the main file only; wview archives
+  * are rollback-journal), indexes (we only ever range-scan the rowid,
+  * which IS the table b-tree key), encodings 2/3 (UTF-16).
+  *
+  * I/O goes through the Hadoop FileSystem API so the same reader works
+  * on file://, hdfs:// and s3a:// paths with positioned reads.
+  */
+final class SqliteFile(in: FSDataInputStream) {
+
+  // ---- header -------------------------------------------------------
+  private val header = new Array[Byte](100)
+  in.readFully(0L, header)
+  require(new String(header, 0, 16, "ISO-8859-1").startsWith("SQLite format 3"),
+    "not a SQLite 3 database")
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+  private def u32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+    ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  /** Page size: u16 at offset 16; the value 1 encodes 65536. */
+  val pageSize: Int = u16(header, 16) match { case 1 => 65536; case n => n }
+  private val reservedPerPage: Int = header(20) & 0xff
+  val usableSize: Int = pageSize - reservedPerPage
+  require((header(56 + 3) & 0xff) == 1 || u32(header, 56) == 1, "only UTF-8 text encoding supported")
+
+  def readPage(pageNo: Int): Array[Byte] = {
+    val buf = new Array[Byte](pageSize)
+    in.readFully((pageNo - 1).toLong * pageSize, buf)
+    buf
+  }
+
+  // ---- varints & serial types --------------------------------------
+  /** Decode a SQLite varint at `off`; returns (value, bytesConsumed).
+    * Big-endian 7-bit groups; a 9th byte contributes all 8 bits. */
+  def varint(b: Array[Byte], off: Int): (Long, Int) = {
+    var v = 0L; var i = 0
+    while (i < 8) {
+      val x = b(off + i)
+      if ((x & 0x80) == 0) return ((v << 7) | x, i + 1)
+      v = (v << 7) | (x & 0x7f)
+      i += 1
+    }
+    (((v << 8) | (b(off + 8) & 0xffL)), 9)
+  }
+
+  /** Byte width of a serial type's payload. */
+  def serialSize(t: Long): Int = t match {
+    case 0 | 8 | 9 => 0
+    case 1 => 1; case 2 => 2; case 3 => 3; case 4 => 4; case 5 => 6
+    case 6 | 7 => 8
+    case n if n >= 12 => ((n - 12) / 2).toInt
+    case _ => throw new IllegalStateException(s"reserved serial type $t")
+  }
+
+  /** Decode one value. Returns null | Long | Double | String | Array[Byte]. */
+  def serialValue(t: Long, b: Array[Byte], off: Int): Any = t match {
+    case 0 => null
+    case 8 => 0L
+    case 9 => 1L
+    case 7 => java.lang.Double.longBitsToDouble(be(b, off, 8))
+    case n if n >= 1 && n <= 6 =>
+      val w = serialSize(n)
+      val raw = be(b, off, w)
+      // sign-extend two's complement of width w
+      val shift = 64 - 8 * w
+      (raw << shift) >> shift
+    case n if n >= 13 && n % 2 == 1 => new String(b, off, ((n - 13) / 2).toInt, "UTF-8")
+    case n if n >= 12 => java.util.Arrays.copyOfRange(b, off, off + ((n - 12) / 2).toInt)
+  }
+
+  private def be(b: Array[Byte], off: Int, w: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < w) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+    v
+  }
+
+  // ---- b-tree pages -------------------------------------------------
+  /** (pageType, cellOffsets, rightMostChild) for a page. Page 1's
+    * b-tree header starts at byte 100 (after the file header). */
+  private def pageMeta(pageNo: Int, page: Array[Byte]): (Int, Array[Int], Long) = {
+    val base = if (pageNo == 1) 100 else 0
+    val typ = page(base) & 0xff
+    val nCells = u16(page, base + 3)
+    val headerLen = if (typ == 5 || typ == 2) 12 else 8
+    val right = if (headerLen == 12) u32(page, base + 8) else -1L
+    val cells = Array.tabulate(nCells)(i => u16(page, base + headerLen + 2 * i))
+    (typ, cells, right)
+  }
+
+  /** Max local payload for a table-leaf cell; the spill formula from the
+    * format spec ("Cell Payload Overflow Pages"). */
+  private def localPayload(total: Long): Int = {
+    val maxLocal = usableSize - 35
+    if (total <= maxLocal) total.toInt
+    else {
+      val minLocal = (usableSize - 12) * 32 / 255 - 23
+      val k = minLocal + ((total - minLocal) % (usableSize - 4)).toInt
+      if (k <= maxLocal) k else minLocal
+    }
+  }
+
+  /** Assemble a full payload, following the overflow chain if present. */
+  private def payloadAt(page: Array[Byte], off: Int, total: Long): Array[Byte] = {
+    val local = localPayload(total)
+    if (local == total) java.util.Arrays.copyOfRange(page, off, off + local)
+    else {
+      val out = new Array[Byte](total.toInt)
+      System.arraycopy(page, off, out, 0, local)
+      var written = local
+      var next = u32(page, off + local).toInt
+      while (next != 0 && written < total) {
+        val op = readPage(next)
+        val n = math.min(usableSize - 4, (total - written).toInt)
+        System.arraycopy(op, 4, out, written, n)
+        written += n
+        next = u32(op, 0).toInt
+      }
+      out
+    }
+  }
+
+  /** The immediate children of a table-interior page as (childPage,
+    * maxRowidInclusive) in key order; the rightmost child is unbounded
+    * (Long.MaxValue). Empty for a leaf root. Used by the DSv2 planner
+    * to build input partitions and prune on pushed rowid bounds. */
+  def interiorChildren(pageNo: Int): Seq[(Int, Long)] = {
+    val page = readPage(pageNo)
+    val (typ, cells, right) = pageMeta(pageNo, page)
+    if (typ != 5) Seq.empty
+    else cells.map { off =>
+      val child = u32(page, off).toInt
+      val (key, _) = varint(page, off + 4)
+      (child, key)
+    }.toSeq :+ ((right.toInt, Long.MaxValue))
+  }
+
+  /** Stream (rowid, payload) for every row of the table b-tree rooted at
+    * `pageNo` with lo <= rowid <= hi. Interior descent prunes children
+    * whose key range misses [lo, hi] — the pushed-down dateTime range
+    * never touches the leaves it excludes. */
+  def scanTable(pageNo: Int, lo: Long = Long.MinValue, hi: Long = Long.MaxValue): Iterator[(Long, Array[Byte])] = {
+    val page = readPage(pageNo)
+    val (typ, cells, right) = pageMeta(pageNo, page)
+    typ match {
+      case 13 => // table leaf
+        cells.iterator.flatMap { off =>
+          val (total, n1) = varint(page, off)
+          val (rowid, n2) = varint(page, off + n1)
+          if (rowid >= lo && rowid <= hi)
+            Iterator.single((rowid, payloadAt(page, off + n1 + n2, total)))
+          else Iterator.empty
+        }
+      case 5 => // table interior: child_i holds rowids in (key_{i-1}, key_i]
+        var prevKey = Long.MinValue
+        val kids = Seq.newBuilder[Int]
+        cells.foreach { off =>
+          val child = u32(page, off).toInt
+          val (key, _) = varint(page, off + 4)
+          if (key >= lo && prevKey < hi) kids += child
+          prevKey = key
+        }
+        if (prevKey < hi) kids += right.toInt
+        kids.result().iterator.flatMap(scanTable(_, lo, hi))
+      case t => throw new IllegalStateException(s"unexpected page type $t in table b-tree")
+    }
+  }
+
+  /** Decode a record payload into column values. `wanted(i)` = the output
+    * slot for source column i, or -1 to skip (column pruning: unneeded
+    * values are width-skipped, never materialized). `rowid` substitutes
+    * for a rowid-alias column, whose record slot is always NULL. */
+  def decodeRecord(payload: Array[Byte], rowid: Long, wanted: Array[Int],
+                   rowidAlias: Int, out: Array[Any]): Unit = {
+    val (headerLen, n0) = varint(payload, 0)
+    var hoff = n0
+    var doff = headerLen.toInt
+    var colIdx = 0
+    while (hoff < headerLen && colIdx < wanted.length) {
+      val (serial, n) = varint(payload, hoff)
+      hoff += n
+      val slot = wanted(colIdx)
+      if (slot >= 0)
+        out(slot) = if (colIdx == rowidAlias) rowid else serialValue(serial, payload, doff)
+      doff += serialSize(serial)
+      colIdx += 1
+    }
+    // Trailing columns absent from an old row version read as NULL; a
+    // rowid-alias slot is still the rowid.
+    while (colIdx < wanted.length) {
+      val slot = wanted(colIdx)
+      if (slot >= 0) out(slot) = if (colIdx == rowidAlias) rowid else null
+      colIdx += 1
+    }
+  }
+
+  // ---- catalog ------------------------------------------------------
+  case class MasterRow(typ: String, name: String, tblName: String, rootPage: Int, sql: String)
+
+  /** sqlite_master (root = page 1): (type, name, tbl_name, rootpage, sql). */
+  def master(): Seq[MasterRow] = {
+    val out = Seq.newBuilder[MasterRow]
+    scanTable(1).foreach { case (rowid, payload) =>
+      val vals = new Array[Any](5)
+      decodeRecord(payload, rowid, Array(0, 1, 2, 3, 4), -1, vals)
+      out += MasterRow(
+        String.valueOf(vals(0)), String.valueOf(vals(1)), String.valueOf(vals(2)),
+        vals(3) match { case l: java.lang.Long => l.toInt; case _ => 0 },
+        vals(4) match { case s: String => s; case _ => "" })
+    }
+    out.result()
+  }
+
+  def tableRoot(table: String): Int =
+    master().find(m => m.typ == "table" && m.name.equalsIgnoreCase(table))
+      .map(_.rootPage)
+      .getOrElse(throw new NoSuchElementException(s"table '$table' not found in sqlite_master"))
+
+  def tableSql(table: String): String =
+    master().find(m => m.typ == "table" && m.name.equalsIgnoreCase(table)).map(_.sql)
+      .getOrElse(throw new NoSuchElementException(s"table '$table' not found"))
+
+  def close(): Unit = in.close()
+}
+
+object SqliteFile {
+  def open(path: String, conf: Configuration = new Configuration()): SqliteFile = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    new SqliteFile(fs.open(p))
+  }
+
+  /** Columns of a CREATE TABLE statement as (name, declaredType), plus
+    * the index of the rowid-alias column (-1 if none). A column whose
+    * declared type is exactly INTEGER and that carries PRIMARY KEY in
+    * its definition aliases the rowid — wview's `dateTime INTEGER NOT
+    * NULL UNIQUE PRIMARY KEY` is the case that matters here; its record
+    * slots store NULL and the b-tree key is the timestamp itself. */
+  def parseCreateTable(sql: String): (Seq[(String, String)], Int) = {
+    val open = sql.indexOf('(')
+    val close = sql.lastIndexOf(')')
+    require(open >= 0 && close > open, s"cannot parse CREATE TABLE: $sql")
+    val body = sql.substring(open + 1, close)
+    // split on top-level commas (parens appear in CHECK/DEFAULT/type(n))
+    val parts = Seq.newBuilder[String]
+    var depth = 0; var start = 0
+    var inQuote: Char = 0
+    body.zipWithIndex.foreach { case (c, i) =>
+      c match {
+        case q @ ('\'' | '"' | '`') if inQuote == 0 => inQuote = q
+        case q if inQuote == q => inQuote = 0
+        case '(' if inQuote == 0 => depth += 1
+        case ')' if inQuote == 0 => depth -= 1
+        case ',' if depth == 0 && inQuote == 0 => parts += body.substring(start, i); start = i + 1
+        case _ =>
+      }
+    }
+    parts += body.substring(start)
+    val tableConstraint = "(?i)^(PRIMARY|UNIQUE|CHECK|FOREIGN|CONSTRAINT)\\b".r
+    val cols = parts.result().map(_.trim).filter(_.nonEmpty)
+      .filterNot(p => tableConstraint.findFirstIn(p).isDefined)
+      .map { p =>
+        val toks = p.split("\\s+", 2)
+        val name = toks(0).stripPrefix("\"").stripSuffix("\"")
+          .stripPrefix("`").stripSuffix("`").stripPrefix("[").stripSuffix("]")
+        val rest = if (toks.length > 1) toks(1) else ""
+        val declType = rest.split("\\s+").headOption.getOrElse("").toUpperCase
+        (name, declType, rest.toUpperCase)
+      }
+    val rowidAlias = cols.indexWhere { case (_, t, rest) =>
+      t == "INTEGER" && rest.contains("PRIMARY KEY")
+    }
+    (cols.map(c => (c._1, c._2)), rowidAlias)
+  }
+}
