@@ -179,12 +179,14 @@ object ArchiveJob {
         .takeWhile(!_.isAfter(yesterday)).toSeq
 
       var written = 0
+      val monthsTouched = scala.collection.mutable.LinkedHashSet.empty[String]
       if (perDayCommit) {
         // Reference ordering (:474-476): write day N, then advance state.
         days.foreach { day =>
           val out = outputFor(df, day, day)
           if (!out.isEmpty) { // S16: skip (no state advance) empty days
             writeDays(out, cfg.archivePath)
+            monthsTouched += day.format(DateTimeFormatter.ofPattern("yyyyMM"))
             Watermark.advance(cfg.statePath, day)
             written += 1
           }
@@ -192,13 +194,18 @@ object ArchiveJob {
       } else {
         // Backfill path: one job for the whole range, then one advance.
         val out = outputFor(df, firstDay, yesterday)
-        val daysPresent = out.select(countDistinct(col("day"))).collect()(0).getLong(0)
-        if (daysPresent > 0) {
+        // control-plane read: one row per day in the range, bounded small
+        val daysPresent = out.select(col("day")).distinct().collect().map(_.getString(0))
+        if (daysPresent.nonEmpty) {
           writeDays(out, cfg.archivePath)
+          monthsTouched ++= daysPresent.map(_.substring(0, 6)).distinct
           Watermark.advance(cfg.statePath, yesterday)
-          written = daysPresent.toInt
+          written = daysPresent.length
         }
       }
+      // Acquisition attrs per monthly partition (aristoteles.py:393-402,
+      // :443-458) — after data lands, before the run is declared done.
+      AcqMetadata.write(cfg, monthsTouched)
 
       val status = if (written > 0) 1 else 0
       publish(cfg, status, written, Some(firstDay), yesterday, yCounts)

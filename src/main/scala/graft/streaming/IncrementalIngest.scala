@@ -14,57 +14,75 @@ import graft.pipeline.{ArchiveJob, WviewSchema}
   *    analog of "resume where the last run left off"; the checkpoint
   *    directory *is* the state file (S15), maintained exactly-once by
   *    Spark instead of hand-rolled YYYYMMDD text;
+  *  - the station identity derives from the directory layout
+  *    (`<inputDir>/<station>/<file>`), mirroring the reference's
+  *    per-station fan-in of one SQLite DB per INI section
+  *    (aristoteles.py:201-205, :337-346) — NOT a constant tag, so a
+  *    single stream serves any number of stations;
   *  - `withWatermark("ts", "1 day")` + a tumbling daily window in
   *    append mode emits a day only after the watermark passes its end —
   *    the declarative form of the reference's "refuse to emit until
   *    yesterday is complete / wait for late replays" policy (S17,
   *    README.md:14-19). A shorter watermark is the `--force` analog;
-  *  - `foreachBatch` drives the same idempotent day-partitioned parquet
-  *    sink as the batch job (S14), so batch and streaming mode share
-  *    one storage layout.
+  *  - `foreachBatch` drives the same day-partitioned parquet layout as
+  *    the batch job (S14), sub-partitioned by `batch_id`: a replayed
+  *    micro-batch dynamically overwrites exactly its own
+  *    (month, day, batch_id) partitions — idempotent under replay —
+  *    while a UTC day whose data spans several micro-batches
+  *    accumulates instead of being clobbered (the failure mode of
+  *    plain day-level overwrite when trigger boundaries don't align
+  *    with days). The batch ArchiveJob doubles as the compactor that
+  *    rewrites a closed day to one file.
   */
 object IncrementalIngest {
 
-  /** Streaming source over a directory of wview-schema parquet files,
-    * with event-time + station columns prepared. */
-  def source(spark: SparkSession, inputDir: String): DataFrame =
+  /** Streaming source over per-station subdirectories of wview-schema
+    * parquet (one `<inputDir>/<station>/` dir per station), with
+    * event-time and path-derived station columns prepared. */
+  def source(spark: SparkSession, inputDir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
     spark.readStream
       .schema(WviewSchema.schema)
-      .option("maxFilesPerTrigger", "16")
-      .parquet(inputDir)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(s"$inputDir/*")
+      // hidden file-source metadata -> the station is the file's parent
+      // directory name; codegen'd regexp, no UDF
+      .withColumn("station",
+        regexp_extract(col("_metadata.file_path"), "([^/]+)/[^/]+$", 1))
       .withColumn("ts", timestamp_seconds(col("dateTime")))
 
-  /** Daily completeness aggregation (S5/S8/S9 in streaming form): one
-    * row per (station-less) day window carrying per-day sample counts;
-    * append mode + watermark ==> a window is emitted once, when it can
-    * no longer receive late data. */
+  /** Per-station daily completeness aggregation (S5/S8/S9 in streaming
+    * form): one row per (day window, station) carrying sample counts —
+    * the streaming twin of the reference's per-station
+    * `samples_yesterday` gauge (aristoteles.py:303-314). Append mode +
+    * watermark ==> a window is emitted once, when it can no longer
+    * receive late data. */
   def dailyCounts(src: DataFrame, watermarkDelay: String = "1 day"): DataFrame =
     src.withWatermark("ts", watermarkDelay)
-      .groupBy(window(col("ts"), "1 day").as("day_window"))
+      .groupBy(window(col("ts"), "1 day").as("day_window"), col("station"))
       .agg(count(lit(1)).as("n_samples"))
-      .select(to_date(col("day_window.start")).as("day"), col("n_samples"))
+      .select(to_date(col("day_window.start")).as("day"), col("station"), col("n_samples"))
 
-  /** Convert + append to the day-partitioned archive via foreachBatch:
-    * each micro-batch runs the batch sink path, so day partitions are
-    * rewritten idempotently under replay (exactly-once effect). */
+  /** Convert + append to the day-partitioned archive via foreachBatch
+    * (see class doc for the batch_id sub-partition rationale). */
   def archiveWriter(src: DataFrame, archivePath: String,
       checkpointDir: String): DataStreamWriter[Row] = {
     src.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val converted = ArchiveJob.convertUnits(
-              batch.withColumn("station", lit("stream")))
+          val converted = ArchiveJob.convertUnits(batch)
             .withColumn("day",
               date_format(timestamp_seconds(col("dateTime")), "yyyyMMdd"))
             .withColumn("month", substring(col("day"), 1, 6))
+            .withColumn("batch_id", lit(batchId))
           converted
             .repartition(col("month"), col("day"))
             .sortWithinPartitions(col("station"), col("dateTime"))
             .write.mode("overwrite")
-            .partitionBy("month", "day")
+            .partitionBy("month", "day", "batch_id")
             .parquet(archivePath)
         }
         ()

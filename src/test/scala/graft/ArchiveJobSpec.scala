@@ -93,6 +93,17 @@ class ArchiveJobSpec extends SparkSpec {
     // re-run: nothing pending -> status 0, no change
     val noop = ArchiveJob.run(spark, cfg, today = d2.plusDays(1), force = true)
     assert(noop.status === 0 && noop.daysWritten === 0)
+
+    // acquisition sidecar landed in the monthly partition with the
+    // reference's root/station attrs (aristoteles.py:373-375, :393-402)
+    val meta = Files.readString(java.nio.file.Paths.get(
+      s"${cfg.archivePath}/month=202403/_acquisition.json"))
+    assert(meta.contains("\"acquisition_name\": \"20240301T000000Z_testinst_weather\""))
+    assert(meta.contains("\"instrument_name\": \"testinst\""))
+    assert(meta.contains("\"archive_version\": \"4.0.0\""))
+    assert(meta.contains("\"acquisition_type\": \"weather\""))
+    assert(meta.contains("\"stA\"") && meta.contains("\"wview_database\""))
+    assert(meta.contains("\"units\": \"hPa\""))
   }
 
   test("conversion semantics land in the sink (zero-skip, NULL, per-row flag)") {

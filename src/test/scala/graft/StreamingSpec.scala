@@ -5,34 +5,40 @@ import java.time.LocalDate
 
 import org.apache.spark.sql.{Row, SaveMode}
 import org.apache.spark.sql.functions._
-import graft.pipeline.WviewSchema
+import graft.pipeline.{ArchiveJob, WviewSchema}
 import graft.streaming.IncrementalIngest
 
-/** Streaming incremental mode: file-source discovery, watermarked daily
-  * windows in append mode, foreachBatch partitioned sink, checkpoint
-  * resume. */
+/** Streaming incremental mode: file-source discovery with path-derived
+  * station identity, watermarked per-station daily windows in append
+  * mode, idempotent foreachBatch partitioned sink (batch_id
+  * sub-partitions), checkpoint resume, and batch/streaming archive
+  * equivalence on a two-station input. */
 class StreamingSpec extends SparkSpec {
 
   private val d1 = LocalDate.of(2024, 3, 1)
   private val d2 = LocalDate.of(2024, 3, 2)
 
-  private def dayRows(day: LocalDate, n: Int): Seq[Row] = {
+  private def dayRows(day: LocalDate, n: Int, offset: Int = 0): Seq[Row] = {
     val start = day.atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
-    (0 until n).map { i =>
+    (offset until offset + n).map { i =>
       Row.fromSeq((start + i * 300L).asInstanceOf[Any] :: 1 ::
         WviewSchema.sensorNames.map(_ => 50.0: Any).toList)
     }
   }
 
-  private def writeDay(dir: String, day: LocalDate, n: Int, part: Int): Unit =
-    spark.createDataFrame(spark.sparkContext.parallelize(dayRows(day, n), 1),
-        WviewSchema.schema)
-      .write.mode(SaveMode.Append).parquet(dir)
+  /** One parquet file into `<dir>/<station>/` — the per-station layout
+    * the streaming source derives identity from. */
+  private def writeDay(dir: String, station: String, day: LocalDate, n: Int,
+      offset: Int = 0): Unit =
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(dayRows(day, n, offset), 1), WviewSchema.schema)
+      .write.mode(SaveMode.Append).parquet(s"$dir/$station")
 
-  test("watermarked daily window emits only closed days (append mode)") {
+  test("watermarked daily window emits only closed days, per station") {
     val in = Files.createTempDirectory("graft-stream-in").toString
-    writeDay(in, d1, 288, 0)
-    writeDay(in, d2, 100, 1) // d2 still "open" — max ts is mid-day d2
+    writeDay(in, "stA", d1, 288)
+    writeDay(in, "stB", d1, 288)
+    writeDay(in, "stA", d2, 100) // d2 still "open" — max ts is mid-day d2
 
     val q = IncrementalIngest.startDailyCountsToMemory(spark, in, "daily_counts")
     q.processAllAvailable()
@@ -41,40 +47,75 @@ class StreamingSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM daily_counts").count() === 0)
 
     // a later file (d3) advances the watermark past d1's window end;
-    // d1 flushes, d2 (still within the late horizon) does not
-    writeDay(in, d2.plusDays(1), 288, 2)
+    // d1 flushes for BOTH stations, d2 (within the late horizon) does not
+    writeDay(in, "stA", d2.plusDays(1), 288)
     q.processAllAvailable()
-    val rows = spark.sql("SELECT day, n_samples FROM daily_counts ORDER BY day").collect()
+    val rows = spark.sql("SELECT day, station, n_samples FROM daily_counts ORDER BY day, station").collect()
     q.stop()
-    assert(rows.map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
-      === Seq(("2024-03-01", 288L)))
+    assert(rows.map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2))).toSeq
+      === Seq(("2024-03-01", "stA", 288L), ("2024-03-01", "stB", 288L)))
   }
 
-  test("foreachBatch archive sink writes day partitions; checkpoint resumes") {
+  test("foreachBatch sink: station from path, day split across batches survives, checkpoint resumes") {
     val in = Files.createTempDirectory("graft-stream-in2").toString
     val out = Files.createTempDirectory("graft-stream-out").toString
     val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
-    writeDay(in, d1, 288, 0)
+    // d1 for stA arrives as TWO files; maxFilesPerTrigger=1 forces the
+    // day across two micro-batches — the case plain day-overwrite loses
+    writeDay(in, "stA", d1, 144)
+    writeDay(in, "stA", d1, 144, offset = 144)
 
     val q1 = IncrementalIngest.archiveWriter(
-      IncrementalIngest.source(spark, in), out, ckpt).start()
+      IncrementalIngest.source(spark, in, maxFilesPerTrigger = 1), out, ckpt).start()
     q1.awaitTermination()
-    assert(Files.exists(java.nio.file.Paths.get(s"$out/month=202403/day=20240301")))
-    val n1 = spark.read.parquet(out).count()
-    assert(n1 === 288)
+    assert(spark.read.parquet(out).count() === 288,
+      "a day split across micro-batches must accumulate, not clobber")
+    assert(spark.read.parquet(out).select("station").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("stA"))
 
-    // new file arrives; restart from checkpoint — only the new data runs
-    writeDay(in, d2, 50, 1)
+    // new station + new day; restart from checkpoint — only new data runs
+    writeDay(in, "stB", d2, 50)
     val q2 = IncrementalIngest.archiveWriter(
-      IncrementalIngest.source(spark, in), out, ckpt).start()
+      IncrementalIngest.source(spark, in, maxFilesPerTrigger = 1), out, ckpt).start()
     q2.awaitTermination()
-    val byDay = spark.read.parquet(out).groupBy("day").count()
-      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
-    assert(byDay === Map("20240301" -> 288L, "20240302" -> 50L))
+    val byDayStation = spark.read.parquet(out).groupBy("day", "station").count()
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(byDayStation === Map(
+      ("20240301", "stA") -> 288L, ("20240302", "stB") -> 50L))
 
     // converted values present (50F -> 10C for temperature sensors)
     val temps = spark.read.parquet(out)
       .filter(col("day") === "20240301").select("outTemp").distinct().collect()
     assert(temps.length === 1 && math.abs(temps(0).getDouble(0) - 10.0) < 1e-9)
+  }
+
+  test("streaming archive matches batch archive on the same two-station input") {
+    val root = Files.createTempDirectory("graft-stream-eq").toString
+    for (st <- Seq("stA", "stB"); day <- Seq(d1, d2))
+      writeDay(root + "/in", st, day, 288)
+
+    // batch path (ArchiveJob over the same station dirs)
+    val cfg = ArchiveJob.JobConfig(
+      statePath = s"$root/state", archivePath = s"$root/batch_archive",
+      instrument = "eq",
+      stations = Seq(
+        ArchiveJob.StationSource("stA", s"$root/in/stA"),
+        ArchiveJob.StationSource("stB", s"$root/in/stB")))
+    ArchiveJob.resetState(spark, cfg, None, force = false)
+    assert(ArchiveJob.run(spark, cfg, today = d2.plusDays(1), force = true).daysWritten === 2)
+
+    // streaming path
+    val q = IncrementalIngest.archiveWriter(
+      IncrementalIngest.source(spark, s"$root/in"), s"$root/stream_archive",
+      s"$root/ckpt").start()
+    q.awaitTermination()
+
+    val cols = Seq("day", "station", "dateTime", "usUnits") ++ WviewSchema.sensorNames
+    val batchRows = spark.read.parquet(s"$root/batch_archive")
+      .select(cols.map(col): _*).orderBy(cols.map(col): _*).collect()
+    val streamRows = spark.read.parquet(s"$root/stream_archive")
+      .select(cols.map(col): _*).orderBy(cols.map(col): _*).collect()
+    assert(batchRows.length === 4 * 288)
+    assert(batchRows.map(_.toString).toSeq === streamRows.map(_.toString).toSeq)
   }
 }
