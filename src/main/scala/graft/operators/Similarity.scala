@@ -49,18 +49,23 @@ object Similarity {
       .select(col("vec_id"), round(l2Norm(asDouble(col("embedding"))), 4).as("l2_norm"))
       .orderBy(col("vec_id"))
 
-  /** Brute-force cosine top-k: 5 probe vectors (vec_id < 5) against the
-    * whole corpus. Ranking uses the rounded cosine (+ id tiebreak) so
-    * ordering is deterministic across engines. */
-  def knnBruteForce(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val probes = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("v").as("q"))
-    val scored = emb.crossJoin(broadcast(probes))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-              round(cosine(col("q"), col("v")), 4).as("cos_sim"))
+  /** Per-query top-k via the partial-aggregable bounded heap
+    * (graft.plans.TopKNeighbors): each map task keeps only k candidates
+    * per probe, so the exchange carries P*k*numPartitions rows instead
+    * of the full N*P scored set — no skew funnel at large probe counts.
+    * Output contract identical to the row_number window it replaced
+    * (score desc, id asc ties), proven hash-equal in ExtensionsSpec. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.plans.TopKAggregate.topk(col("cos_sim"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("n"))
+      .select(col("query_id"), col("n.neighbor_id").as("neighbor_id"),
+              col("n.cos_sim").as("cos_sim"), col("n.rank").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** The window/row_number form topKPerQuery replaced — kept as the
+    * differential yardstick (same role as dotHof for graft_dot). */
+  private[graft] def topKPerQueryWindow(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -68,26 +73,67 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** All (probe, corpus) cosines for probes vec_id < 5 — the scored set
+    * both top-k strategies consume. */
+  private[graft] def bruteScores(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              round(cosine(col("q"), col("v")), 4).as("cos_sim"))
+  }
+
+  /** Brute-force cosine top-k: 5 probe vectors (vec_id < 5) against the
+    * whole corpus. Ranking uses the rounded cosine (+ id tiebreak) so
+    * ordering is deterministic across engines. */
+  def knnBruteForce(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    topKPerQuery(bruteScores(spark, dir), k)
+
   // ---- IVF ----------------------------------------------------------
   val NumCells = 8
   val NumProbeCells = 2
 
-  /** Deterministic +/-1 pseudo-centroids (fixed seed -> stable plan). */
-  private[operators] def centroids(dim: Int): Seq[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(NumCells)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  /** Coarse-quantizer training-sample cap: at 100 TB the corpus is
+    * sampled down to this many vectors before KMeans — centroid quality
+    * saturates long before the sample stops fitting on the driver-side
+    * ML fit, and the cap keeps training cost O(1) in corpus size. */
+  val CentroidSampleCap = 100000
+
+  /** Real coarse quantizer: spark.ml KMeans (k-means|| init, fixed seed
+    * -> deterministic) over a bounded sample of the corpus, replacing
+    * the round-1 fixed ±1 stubs. Returns NumCells centroid vectors. */
+  private[operators] def kmeansCentroids(emb: DataFrame): Seq[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = emb.count()
+    val sampled =
+      if (n <= CentroidSampleCap) emb
+      else emb.sample(withReplacement = false, CentroidSampleCap.toDouble / n, seed = 42)
+    val train = sampled.select(array_to_vector(col("v")).as("features"))
+    val model = new KMeans().setK(NumCells).setSeed(42).setMaxIter(10).fit(train)
+    model.clusterCenters.map(_.toArray).toSeq
   }
 
-  /** Array of projections of v onto each centroid. */
+  /** Cell-affinity scores for v against each centroid: argmax of
+    * dot(v, c) - ||c||^2/2 is the nearest centroid by L2 (the ||v||^2
+    * term is common to all cells), computed as one codegen'd dot per
+    * centroid — no distance expansion. */
   private def cellScores(v: Column, cents: Seq[Array[Double]]): Column =
-    array(cents.map(c => dot(v, array(c.map(lit): _*))): _*)
+    array(cents.map { c =>
+      val halfNormSq = c.map(x => x * x).sum / 2.0
+      dot(v, array(c.map(lit): _*)) - lit(halfNormSq)
+    }: _*)
 
   /** IVF ANN: corpus in argmax cell; probes search their top-nprobe
     * cells via equi-join on cell id. */
   def knnIvf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val cents = centroids(64)
-    val emb = Tables.embeddings(spark, dir)
+    val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = kmeansCentroids(base)
+    val emb = base
       .withColumn("scores", cellScores(col("v"), cents))
       .withColumn("cell", expr("array_position(scores, array_max(scores))").cast("int"))
     // probe side: top-2 cells by projection = last two of the
@@ -104,11 +150,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
               round(cosine(col("q"), col("v")), 4).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    topKPerQuery(scored, k)
   }
 
   // ---- hyperplane near-dup ------------------------------------------

@@ -65,6 +65,38 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_topk heap aggregate is row-identical to the window form") {
+    val scored = Similarity.bruteScores(spark, sf)
+    val viaHeap = Similarity.knnBruteForce(spark, sf, k = 7).collect()
+    val viaWindow = Similarity.topKPerQueryWindow(scored, 7).collect()
+    assert(viaHeap.nonEmpty)
+    assert(viaHeap.map(_.toString).toSeq === viaWindow.map(_.toString).toSeq)
+  }
+
+  test("graft_topk plan: partial aggregation before the probe-key exchange") {
+    val plan = Similarity.knnBruteForce(spark, sf).queryExecution.executedPlan.toString
+    val partial = plan.indexOf("ObjectHashAggregate")
+    val shuffle = plan.indexOf("Exchange hashpartitioning(query_id")
+    val finalAgg = plan.lastIndexOf("ObjectHashAggregate")
+    // plan prints top-down: final agg ... exchange ... partial agg —
+    // i.e. the map-side heap runs BEFORE rows cross the wire
+    assert(partial >= 0 && shuffle > partial && finalAgg > shuffle,
+      s"expected partial ObjectHashAggregate above and below the exchange:\n$plan")
+    assert(!plan.contains("Window"), "row_number funnel should be gone")
+  }
+
+  test("knn_ivf: recall@5 vs brute force meets floor (kmeans centroids)") {
+    val brute = Similarity.knnBruteForce(spark, sf, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.knnIvf(spark, sf, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    info(s"IVF recall@5 = $recall")
+    // nprobe/ncells = 2/8 searches ~1/4 of a near-random corpus; real
+    // centroids + deterministic seeds make the realized recall stable
+    assert(recall >= 0.4, s"recall@5 $recall below floor")
+  }
+
   test("graft_dot codegen expression is bitwise-equal to the HOF chain") {
     import org.apache.spark.sql.functions.{sum, transform}
     val emb = Tables.embeddings(spark, sf)
