@@ -96,25 +96,77 @@ object Similarity {
   val NumCells = 8
   val NumProbeCells = 2
 
-  /** Coarse-quantizer training-sample cap: at 100 TB the corpus is
-    * sampled down to this many vectors before KMeans — centroid quality
-    * saturates long before the sample stops fitting on the driver-side
-    * ML fit, and the cap keeps training cost O(1) in corpus size. */
-  val CentroidSampleCap = 100000
+  /** Coarse-quantizer training-sample cap: the corpus is sampled down
+    * to this many vectors (one distributed sample+collect, ~10 MB at 64
+    * dims) and the quantizer trains in driver memory — centroid quality
+    * saturates long before the sample stops being representative, and
+    * index-build cost stays O(1) in corpus size. The in-memory-train-
+    * on-a-sample shape is the standard IVF construction (PAPERS.md IVF/
+    * product-quantization line); a distributed fit (spark.ml kmeans||)
+    * only pays off when k*dim itself is huge. */
+  val CentroidSampleCap = 20000
 
-  /** Real coarse quantizer: spark.ml KMeans (k-means|| init, fixed seed
-    * -> deterministic) over a bounded sample of the corpus, replacing
-    * the round-1 fixed ±1 stubs. Returns NumCells centroid vectors. */
+  /** Real coarse quantizer: Lloyd's k-means (fixed seed -> fully
+    * deterministic) over a bounded sample of the corpus, replacing the
+    * round-1 fixed ±1 stubs. Returns NumCells centroid vectors. */
   private[operators] def kmeansCentroids(emb: DataFrame): Seq[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val n = emb.count()
     val sampled =
       if (n <= CentroidSampleCap) emb
       else emb.sample(withReplacement = false, CentroidSampleCap.toDouble / n, seed = 42)
-    val train = sampled.select(array_to_vector(col("v")).as("features"))
-    val model = new KMeans().setK(NumCells).setSeed(42).setMaxIter(10).fit(train)
-    model.clusterCenters.map(_.toArray).toSeq
+    val pts: Array[Array[Double]] =
+      sampled.select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(pts.nonEmpty, "cannot train a quantizer on an empty corpus")
+    val dim = pts.head.length
+    val rnd = new scala.util.Random(42)
+    // k-means++ seeding: next center drawn with probability proportional
+    // to squared distance from the chosen set — O(n*k), trivial here,
+    // and markedly better cells than uniform picks on clustered data
+    var cents: Array[Array[Double]] = {
+      val chosen = scala.collection.mutable.ArrayBuffer(pts(rnd.nextInt(pts.length)).clone())
+      val d2 = Array.fill(pts.length)(Double.MaxValue)
+      while (chosen.length < NumCells) {
+        val c = chosen.last
+        var i = 0
+        while (i < pts.length) {
+          var d = 0.0; var j = 0
+          val p = pts(i)
+          while (j < p.length) { val x = p(j) - c(j); d += x * x; j += 1 }
+          if (d < d2(i)) d2(i) = d
+          i += 1
+        }
+        val total = d2.sum
+        var r = rnd.nextDouble() * total
+        var pick = 0
+        while (pick < pts.length - 1 && r > d2(pick)) { r -= d2(pick); pick += 1 }
+        chosen += pts(pick).clone()
+      }
+      chosen.toArray
+    }
+    def nearest(p: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < NumCells) {
+        var d = 0.0; var i = 0
+        while (i < dim) { val x = p(i) - cents(c)(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 0 until 8) {
+      val sums = Array.fill(NumCells)(new Array[Double](dim))
+      val counts = new Array[Int](NumCells)
+      pts.foreach { p =>
+        val c = nearest(p)
+        var i = 0; while (i < dim) { sums(c)(i) += p(i); i += 1 }
+        counts(c) += 1
+      }
+      cents = Array.tabulate(NumCells) { c =>
+        if (counts(c) == 0) cents(c) // empty cell keeps its old center
+        else { val m = sums(c); var i = 0; while (i < dim) { m(i) /= counts(c); i += 1 }; m }
+      }
+    }
+    cents.toSeq
   }
 
   /** Cell-affinity scores for v against each centroid: argmax of
@@ -129,10 +181,16 @@ object Similarity {
 
   /** IVF ANN: corpus in argmax cell; probes search their top-nprobe
     * cells via equi-join on cell id. */
+  /** Trained-once coarse quantizer per corpus: an IVF index is built at
+    * ingest time and amortized over every probe batch — retraining
+    * KMeans per query would charge index construction to each lookup. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()
+
   def knnIvf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val cents = kmeansCentroids(base)
+    val cents = centroidCache.computeIfAbsent(dir, _ => kmeansCentroids(base))
     val emb = base
       .withColumn("scores", cellScores(col("v"), cents))
       .withColumn("cell", expr("array_position(scores, array_max(scores))").cast("int"))
