@@ -103,7 +103,8 @@ object Queries {
     "q_above_avg_suppliers" -> (Relational.aboveAvgSuppliers _),
     "q_string_funcs" -> (Relational.stringFuncs _),
     "q_date_funcs" -> (Relational.dateFuncs _),
-    "q_latest_order_per_customer" -> (Relational.latestOrderPerCustomer _)
+    "q_latest_order_per_customer" -> (Relational.latestOrderPerCustomer _),
+    "q_catalog_sql" -> (graft.sources.GraftCatalog.customersPerNationSql _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -192,7 +193,11 @@ object Queries {
       ("SELECT o_custkey, o_orderkey, o_date FROM " +
        "(SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date, " +
        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) " +
-       "WHERE rn = 1 ORDER BY o_custkey")
+       "WHERE rn = 1 ORDER BY o_custkey"),
+    "q_catalog_sql" ->
+      ("SELECT n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "GROUP BY n_name ORDER BY n_name")
   )
 
   val extensions: Map[String, Q] = Map(
@@ -201,11 +206,13 @@ object Queries {
     "text_lang_guess" -> (TextAnalysis.langGuess _),
     "text_fingerprints" -> (TextAnalysis.fingerprints _),
     "text_per_source_stats" -> (TextAnalysis.perSourceStats _),
+    "text_token_counts" -> (TextAnalysis.tokenCounts _),
     "dedup_exact_summary" -> (Dedup.exactSummary _),
     "dedup_fingerprint_groups" -> (Dedup.fingerprintGroups _),
     "dedup_jaccard_pairs" -> (Dedup.jaccardPairsSampled _),
     "dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
     "dedup_simhash" -> (Dedup.simhashes _),
+    "dedup_clusters" -> (Dedup.dedupClusters _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "sim_embed_norms" -> (Similarity.norms _),
     "knn_brute_cosine" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
@@ -271,6 +278,10 @@ object Queries {
        "FROM documents) ORDER BY doc_id"),
     "text_fingerprints" ->
       (s"SELECT doc_id, $duckFp AS fp FROM documents ORDER BY doc_id"),
+    "text_token_counts" ->
+      (s"SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_ws_tokens, " +
+       "CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens " +
+       "FROM documents ORDER BY doc_id"),
     "text_per_source_stats" ->
       (s"SELECT source, count(*) AS n_docs, " +
        s"round(avg(CAST(len($duckToks) AS DOUBLE)), 4) AS avg_tokens, " +
@@ -306,6 +317,23 @@ object Queries {
        "len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard " +
        "FROM t a, t b WHERE a.doc_id < b.doc_id) " +
        "WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"),
+    // Connected components via recursive reachability: every label a doc
+    // can reach through the >=0.8-exact-Jaccard graph, then min per doc.
+    // Valid as the LSH-cluster oracle for the same reason as
+    // dedup_minhash_lsh: pair recall is 1.0 on this corpus (differential
+    // test), so both sides close over an identical edge set.
+    "dedup_clusters" ->
+      (s"WITH RECURSIVE t AS (SELECT doc_id, $duckUniq AS toks FROM documents), " +
+       "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+       "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+       "len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard " +
+       "FROM t a, t b WHERE a.doc_id < b.doc_id), " +
+       "e AS (SELECT doc_a AS src, doc_b AS dst FROM p WHERE jaccard >= 0.8 " +
+       "UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p WHERE jaccard >= 0.8), " +
+       "reach AS (SELECT doc_id, doc_id AS label FROM documents " +
+       "UNION SELECT e.src AS doc_id, r.label FROM e JOIN reach r ON e.dst = r.doc_id) " +
+       "SELECT doc_id, min(label) AS cluster_id, min(label) = doc_id AS is_canonical " +
+       "FROM reach GROUP BY doc_id ORDER BY doc_id"),
     "sim_embed_norms" ->
       ("SELECT vec_id, round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm " +
        "FROM embeddings ORDER BY vec_id"),
@@ -338,7 +366,8 @@ object Queries {
     "q_percentiles" -> (Analytics.percentiles _),
     "q_word_counts" -> (Analytics.wordCounts _),
     "q_pivot_sales" -> (Analytics.pivotSales _),
-    "q_asof_join" -> (Analytics.asofJoin _)
+    "q_asof_join" -> (Analytics.asofJoin _),
+    "q_sessionize" -> (Analytics.sessionize _)
   )
 
   val analyticsOracles: Map[String, String] = Map(
@@ -372,7 +401,17 @@ object Queries {
        "s AS (SELECT * FROM e WHERE event_type = 'signup') " +
        "SELECT p.event_id, p.user_id, s.event_id AS last_signup_id, round(s.value, 2) AS signup_value " +
        "FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts_us >= s.ts_us " +
-       "ORDER BY p.event_id")
+       "ORDER BY p.event_id"),
+    "q_sessionize" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events), " +
+       "f AS (SELECT user_id, event_id, ts_us, " +
+       "CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 21600000000 THEN 1 ELSE 0 END AS new_sess " +
+       "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), " +
+       "s AS (SELECT user_id, ts_us, CAST(sum(new_sess) OVER " +
+       "(PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f) " +
+       "SELECT user_id, session_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us, " +
+       "count(*) AS n_events, (max(ts_us) - min(ts_us)) // 1000000 AS duration_secs " +
+       "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id")
   )
 
   def all: Map[String, Q] = timeSeries ++ relational ++ extensions ++ analytics

@@ -97,4 +97,34 @@ object Analytics {
               col("last_signup_id"), round(col("last_signup_value"), 2).as("signup_value"))
       .orderBy(col("event_id"))
   }
+
+  /** Session gap: a >6h pause in a user's event stream closes the
+    * session. Microsecond longs end-to-end so the oracle is exact. */
+  val SessionGapUs: Long = 6L * 3600 * 1000000
+
+  /** Sessionization — the gaps-and-islands operator every behavioral
+    * pipeline needs: lag flags a session break, a running sum of flags
+    * numbers the sessions, then one aggregate per (user, session). Two
+    * window passes + one agg over a single shuffle on user_id; at scale
+    * the shuffle is the unavoidable partition-by-entity and everything
+    * else is within-partition. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    e.withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > SessionGapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("session_start_us"),
+           max(col("ts_us")).as("session_end_us"),
+           count(lit(1)).as("n_events"))
+      .withColumn("duration_secs",
+        expr("(session_end_us - session_start_us) div 1000000"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
 }

@@ -148,6 +148,12 @@ object Dedup {
     *    of LSH on a real (sparse-similarity) corpus at 100 TB.
     */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairsUnsorted(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The adaptive near-dup pair core WITHOUT the presentation sort —
+    * consumers that only need the pair set (connected components) skip
+    * the global range-partition+sort a total order costs. */
+  private[operators] def nearDupPairsUnsorted(spark: SparkSession, dir: String): DataFrame =
     smallVocab(tokenSets(spark, dir)) match {
       case Some(vocab) =>
         val repr = tokenSets(spark, dir)
@@ -161,7 +167,6 @@ object Dedup {
           repr.sparkSession.sparkContext.defaultParallelism * 2)
         verifyPairs(streamSide.join(broadcast(side("b")), col("doc_a") < col("doc_b")),
                     0.8, masked = true)
-          .orderBy(col("doc_a"), col("doc_b"))
       case None => minhashLshPairsBanded(spark, dir)
     }
 
@@ -233,5 +238,118 @@ object Dedup {
       .filter(col("hamming") <= 3)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Above this contracted-edge count the residual components solve
+    * distributedly (label-propagation loop) instead of on the driver. */
+  val CcLocalThreshold = 2000000L
+
+  /** Transitive dedup clusters: connected components over the
+    * MinHash-LSH near-dup pair graph, labeling every document with the
+    * minimum doc_id reachable through chains of >=0.8-Jaccard pairs —
+    * the "keep one canonical doc per duplicate cluster" step a
+    * training-data pipeline runs after pair generation (A~B, B~C =>
+    * {A,B,C} is one cluster even when A,C aren't a pair themselves).
+    *
+    * Shape (contract-then-solve, the GraphFrames/Pregel CC hybrid):
+    *
+    *  1. one aggregation labels every doc with min(self, min smaller
+    *     neighbor) — the directed doc_a < doc_b pair set means only
+    *     incoming edges matter, so this is a single map-side-combined
+    *     pass, no symmetrize, no join;
+    *  2. contract: rewrite pairs through those labels, drop self-loops
+    *     and dups. Near-dup graphs are cliquey, so the residual is
+    *     orders of magnitude smaller than the input (measured 3M pairs
+    *     -> 2.4k at sf0.1);
+    *  3. solve the residual: union-find on the driver when it fits
+    *     (one tiny collect — the local-mode switch every production CC
+    *     makes), else a broadcast label-propagation loop with
+    *     localCheckpoint-per-round to stop the iterative logical plan
+    *     doubling, O(log d) effective rounds after contraction;
+    *  4. resolve doc -> level-1 label -> residual root with broadcast
+    *     joins; docs without edges are singleton clusters. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir, CcLocalThreshold)
+
+  private[graft] def dedupClusters(spark: SparkSession, dir: String,
+      localThreshold: Long): DataFrame = {
+    val pairs = nearDupPairsUnsorted(spark, dir).select(col("doc_a"), col("doc_b"))
+      .cache()
+
+    // (1) first-level labels, one directed pass
+    val l1agg = pairs.groupBy(col("doc_b")).agg(min(col("doc_a")).as("label"))
+      .select(col("doc_b").as("doc_id"), col("label")) // label < doc_id always
+      .localCheckpoint(true)
+
+    // (2) contraction; docs absent from l1agg (= local minima, only
+    // ever on the doc_a side) keep their own id via coalesce — no
+    // distinct/anti-join pass to enumerate them
+    val cpairs = pairs
+      .join(broadcast(l1agg.toDF("doc_a", "la")), Seq("doc_a"), "left")
+      .join(broadcast(l1agg.toDF("doc_b", "lb")), Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("la"),
+              coalesce(col("lb"), col("doc_b")).as("lb"))
+      .filter(col("la") =!= col("lb"))
+      .distinct()
+      .localCheckpoint(true)
+    pairs.unpersist()
+
+    // (3) residual components -> root per residual node
+    val roots: DataFrame =
+      if (cpairs.count() <= localThreshold) {
+        val es = cpairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = parent.getOrElse(x, x)
+          if (r != x && parent.getOrElse(r, r) != r) { r = find(r); parent(x) = r }
+          r
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val resolvedRoots = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+          .map(n => (n, find(n)))
+        spark.createDataFrame(resolvedRoots.toSeq).toDF("label", "root")
+      } else {
+        var labels = cpairs.select(col("la").as("doc_id"))
+          .union(cpairs.select(col("lb"))).distinct()
+          .withColumn("label", col("doc_id")).localCheckpoint(true)
+        val cedges = cpairs.select(col("la").as("src"), col("lb").as("dst"))
+          .union(cpairs.select(col("lb").as("src"), col("la").as("dst")))
+        // decimal checksum: labels only decrease, equal sum == fixpoint
+        def checksum(df: DataFrame): java.math.BigDecimal =
+          df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+        var prev: java.math.BigDecimal = null
+        var curr = checksum(labels)
+        var rounds = 0
+        while (curr != prev && rounds < 25) {
+          val neigh = cedges.join(broadcast(labels), cedges("dst") === labels("doc_id"))
+            .select(cedges("src").as("doc_id"), col("label"))
+          val next = labels.select(col("doc_id"), col("label")).union(neigh)
+            .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+            .localCheckpoint(true)
+          prev = curr
+          curr = checksum(next)
+          labels = next
+          rounds += 1
+        }
+        labels.toDF("label", "root")
+      }
+
+    // (4) resolve; singleton docs label themselves
+    val resolved = l1agg
+      .join(broadcast(roots), Seq("label"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("label")).as("label"))
+    val withEdges = resolved.select(col("doc_id"))
+    val singles = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(broadcast(withEdges), Seq("doc_id"), "left_anti")
+      .join(broadcast(roots.select(col("label").as("doc_id"), col("root"))),
+            Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("label"))
+    resolved.union(singles)
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("label") === col("doc_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -55,10 +55,31 @@ object Multimodal {
         sha2(col("text"), 256).as("digest"))
       .orderBy(col("doc_id"))
 
-  /** Per-partition "decode" + feature extraction over the binary column.
-    * Typed Dataset end-to-end; batch shape = one iterator pass per
-    * partition, exactly how a real codec UDF would be driven. */
+  /** Feature extraction over the binary column, expressed as Columns:
+    * the shipped path. The stub decode is arithmetic on lengths/bytes,
+    * which whole-stage codegen executes at scan speed — reaching for
+    * mapPartitions here would trade a codegen'd projection for row
+    * (de)serialization with no codec to justify it. */
   def featureExtract(spark: SparkSession, dir: String): DataFrame = {
+    val n = length(encode(col("text"), "UTF-8")).cast("long")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        n.as("n_bytes"),
+        (n % 640 + 1).cast("int").as("width"),
+        ((n * 7) % 480 + 1).cast("int").as("height"),
+        lit(3).as("channels"),
+        round(ascii(col("text")) / 255.0, 6).as("f0"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The per-partition codec-batch shape a REAL decoder plugs into:
+    * typed Dataset, one iterator pass per partition, imperative decode
+    * per record (`fakeDecode` stands in for the codec). Kept as the
+    * integration seam — swap `fakeDecode` for a JNI/codec call and this
+    * is the production path; until then `featureExtract`'s Column form
+    * is what ships, and the two are proven row-identical in tests. */
+  def featureExtractCodec(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bin = Tables.documents(spark, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))

@@ -10,6 +10,25 @@ import graft.functions.TextFunctions._
   * the final deterministic orderBy) — at 100 TB these run at scan speed. */
 object TextAnalysis {
 
+  /** BPE-style pre-tokenizer: the GPT-2 pattern's letter-run / digit-run
+    * / punctuation-run classes with the optional leading space, minus
+    * the lookahead clauses (RE2-compatible, so the DuckDB oracle runs
+    * the identical pattern). Each match is one pre-token — the unit a
+    * byte-pair merge table would then split. */
+  val BpePattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** Token accounting per document: whitespace tokens vs BPE-style
+    * pre-tokens — the number a training-cost estimate bills by. Pure
+    * codegen'd regexp over one scan. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
   /** Per-document corpus statistics. */
   def stats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog surface: every engine table registered as an EXTERNAL
+  * parquet table in the session catalog, so users address data the way
+  * they would on a production cluster — `spark.table("lineitem")`,
+  * `spark.sql("SELECT ... FROM lineitem JOIN nation ...")` — instead of
+  * raw paths. External tables carry no data copy: dropping one touches
+  * only metadata, and the files stay where the lake put them.
+  *
+  * At 100 TB the catalog is what makes governance work (schema
+  * evolution, statistics for the CBO via ANALYZE TABLE, bucketed table
+  * specs for exchange-free joins — see operators/Bucketing). Locally it
+  * is backed by the per-JVM Derby metastore; registration is
+  * idempotent (drop-if-exists first, metadata-only for external
+  * tables).
+  */
+object GraftCatalog {
+
+  /** The engine's relational + extension tables (TESTDATA.md). `events`
+    * is registered too, but reading it needs the nanos conf that
+    * [[register]] sets — its TIMESTAMP(NANOS) column arrives as raw
+    * int64 (see graft.Tables.events for the rebuild). */
+  val TableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Idempotently register every table over `dir` and return the names. */
+  def register(spark: SparkSession, dir: String): Seq[String] = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    TableNames.map { name =>
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.catalog.createTable(name, "parquet",
+        Map("path" -> s"$dir/$name.parquet"))
+      name
+    }
+  }
+
+  /** A query surface proof: plain SQL over catalog tables only (no
+    * paths anywhere) — customers per nation with total balances. */
+  def customersPerNationSql(spark: SparkSession, dir: String): DataFrame = {
+    register(spark, dir)
+    spark.sql(
+      """SELECT n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+}

@@ -50,6 +50,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(adaptive === banded)
   }
 
+  test("dedup clusters equal union-find over the LSH pair graph") {
+    val pairs = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docs = Tables.documents(spark, sf).select(col("doc_id")).collect().map(_.getLong(0))
+    // reference union-find on the driver
+    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = docs.map(d => d -> find(d)).toMap
+    val got = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+    assert(got.length === docs.length)
+    got.foreach { case (d, (cluster, canonical)) =>
+      assert(cluster === expected(d), s"doc $d")
+      assert(canonical === (cluster == d))
+    }
+    // sanity: the fixture has real multi-doc clusters
+    assert(got.count(!_._2._2) > 0, "expected at least one non-canonical doc")
+
+    // the distributed residual solver (loop branch) must agree with the
+    // driver union-find branch — force it by zeroing the local threshold
+    val distributed = Dedup.dedupClusters(spark, sf, localThreshold = -1L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+    assert(distributed.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+  }
+
   test("knn_ivf: reported neighbors carry true cosine (precision)") {
     // IVF is approximate in recall but must never misreport a similarity:
     // every (query, neighbor, cos) it returns must equal the brute-force
@@ -158,5 +187,10 @@ class ExtensionsSpec extends SparkSpec {
     // re-run is bit-identical (stub decode is deterministic)
     val again = Multimodal.featureExtract(spark, sf).collect()
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // the mapPartitions codec seam computes the same rows as the
+    // shipped Column form — swapping in a real codec can't silently
+    // change the Spark-side contract
+    val codec = Multimodal.featureExtractCodec(spark, sf).collect()
+    assert(out.map(_.toString).toSeq === codec.map(_.toString).toSeq)
   }
 }
