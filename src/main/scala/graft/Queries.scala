@@ -212,7 +212,8 @@ object Queries {
     "dedup_jaccard_pairs" -> (Dedup.jaccardPairsSampled _),
     "dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
     "dedup_simhash" -> (Dedup.simhashes _),
-    "dedup_clusters" -> (Dedup.dedupClusters _),
+    "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
+    "dedup_shingle_pairs" -> (Dedup.shingleLshPairs _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "sim_embed_norms" -> (Similarity.norms _),
     "knn_brute_cosine" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
@@ -334,6 +335,20 @@ object Queries {
        "UNION SELECT e.src AS doc_id, r.label FROM e JOIN reach r ON e.dst = r.doc_id) " +
        "SELECT doc_id, min(label) AS cluster_id, min(label) = doc_id AS is_canonical " +
        "FROM reach GROUP BY doc_id ORDER BY doc_id"),
+    // Shingle near-dups: same recall argument as dedup_minhash_lsh —
+    // banding at these parameters misses a 0.8-pair w.p. ~3e-8, and
+    // recall is exactly 1.0 on the fixed corpus (differential test), so
+    // the exact all-pairs oracle holds.
+    "dedup_shingle_pairs" ->
+      (s"WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents), " +
+       "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1), " +
+       "i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh FROM t WHERE len(tk) >= 3) " +
+       "SELECT doc_a, doc_b, jaccard FROM (" +
+       "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+       "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+       "len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard " +
+       "FROM s a JOIN s b ON a.doc_id < b.doc_id) " +
+       "WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"),
     "sim_embed_norms" ->
       ("SELECT vec_id, round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm " +
        "FROM embeddings ORDER BY vec_id"),

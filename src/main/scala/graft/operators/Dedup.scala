@@ -128,10 +128,26 @@ object Dedup {
   /** Per-document MinHash signature: mh_i = min over tokens of
     * xxhash64(token + "#" + i). Pure codegen'd HOFs — no UDF. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    tokenSets(spark, dir).withColumn("mh",
+    signaturesFor(tokenSets(spark, dir))
+
+  private def signaturesFor(sets: DataFrame): DataFrame =
+    sets.withColumn("mh",
       array((0 until NumHashes).map(i =>
         array_min(transform(col("toks"),
           t => xxhash64(concat(t, lit("#" + i)))))): _*))
+
+  /** Distinct word n-gram (shingle) sets per document — the unit of
+    * SEQUENCE-sensitive near-dup detection: bag-of-words reshuffles
+    * that fool unigram Jaccard share almost no shingles, while true
+    * copy-edits keep most of them. */
+  private[graft] def shingleSets(spark: SparkSession, dir: String, n: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        when(size(col("t")) >= n,
+          array_distinct(transform(sequence(lit(1), size(col("t")) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(j => element_at(col("t"), i + j)): _*))))
+          .otherwise(array().cast("array<string>")).as("toks"))
 
   /** Near-duplicate pairs with exact Jaccard >= 0.8 — adaptive plan:
     *
@@ -173,8 +189,19 @@ object Dedup {
   /** The general-corpus LSH banding path (blocking equi-join on
     * (band_id, band_key), verification inline, distinct after the
     * threshold filter). */
-  def minhashLshPairsBanded(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir).withColumn("sz", size(col("toks")))
+  def minhashLshPairsBanded(spark: SparkSession, dir: String): DataFrame =
+    bandedPairsFor(tokenSets(spark, dir), 0.8)
+
+  /** Word-3-gram shingle near-dups: shingle -> MinHash -> band ->
+    * verify — the order-sensitive dedup pass (prompt-surface "n-gram
+    * Jaccard"). Same banded machinery as the unigram path, so the same
+    * 100 TB shape: candidates scale with true collisions. */
+  def shingleLshPairs(spark: SparkSession, dir: String): DataFrame =
+    bandedPairsFor(shingleSets(spark, dir, 3).filter(size(col("toks")) > 0), 0.8)
+
+  /** Banded-LSH near-dup pairs over ANY (doc_id, toks) set frame. */
+  private[operators] def bandedPairsFor(sets: DataFrame, threshold: Double): DataFrame = {
+    val sigs = signaturesFor(sets).withColumn("sz", size(col("toks")))
     val isMasked = false
     val payload = Seq(col("toks"))
     val bands = sigs.select(
@@ -192,7 +219,7 @@ object Dedup {
     verifyPairs(
       side("a").join(side("b"), Seq("band_id", "band_key"))
         .filter(col("doc_a") < col("doc_b")),
-      0.8, isMasked)
+      threshold, isMasked)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -89,6 +89,45 @@ object IncrementalIngest {
       }
   }
 
+  /** Per-station ingest state carried across micro-batches (and, via
+    * the checkpoint, across restarts). */
+  case class StationState(maxDateTime: Long, totalSamples: Long)
+
+  /** One progress row per station per micro-batch. */
+  case class StationProgress(
+      station: String, max_date_time: Long, total_samples: Long, batch_new: Long)
+
+  /** Arbitrary stateful processing (mapGroupsWithState): a per-station
+    * high-watermark + cumulative sample counter — the streaming twin of
+    * the reference's YYYYMMDD state file (aristoteles.py:65-79) and
+    * per-station sample gauges (:303-314), except the state store holds
+    * one entry per station key and Spark checkpoints it exactly-once.
+    * Watermark/window aggregation can't express "running max so far
+    * this stream" — custom keyed state is the designated tool. */
+  def stationWatermarks(spark: SparkSession, inputDir: String)
+      : org.apache.spark.sql.Dataset[StationProgress] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    source(spark, inputDir)
+      .select(col("station"), col("dateTime"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[StationState, StationProgress](GroupStateTimeout.NoTimeout) {
+        (station, rows, state) =>
+          var batchMax = Long.MinValue
+          var batchCount = 0L
+          rows.foreach { case (_, dt) =>
+            if (dt > batchMax) batchMax = dt
+            batchCount += 1
+          }
+          val prev = state.getOption.getOrElse(StationState(Long.MinValue, 0L))
+          val next = StationState(math.max(prev.maxDateTime, batchMax),
+            prev.totalSamples + batchCount)
+          state.update(next)
+          StationProgress(station, next.maxDateTime, next.totalSamples, batchCount)
+      }
+  }
+
   /** Run the gated daily aggregation into an in-memory sink (smoke /
     * test harness): returns the started query. */
   def startDailyCountsToMemory(spark: SparkSession, inputDir: String,

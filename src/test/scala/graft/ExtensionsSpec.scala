@@ -42,6 +42,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(exact === lsh, s"missed: ${exact -- lsh}, spurious: ${lsh -- exact}")
   }
 
+  test("shingle LSH recall vs exact shingle jaccard >= 0.8 is total on fixture") {
+    val lsh = Dedup.shingleLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = Dedup.shingleSets(spark, sf, 3)
+      .filter(size(col("toks")) > 0).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val exact = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if math.rint(j * 10000) / 10000 >= 0.8
+    } yield (a, b)).toSet
+    assert(exact.nonEmpty, "fixture should contain sequential near-dups")
+    assert(exact === lsh, s"missed: ${exact -- lsh}, spurious: ${lsh -- exact}")
+  }
+
   test("banded LSH path (general-vocab plan) agrees with adaptive plan") {
     val adaptive = Dedup.minhashLshPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

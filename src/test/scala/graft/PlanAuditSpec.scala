@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import graft.operators.{Relational, Similarity, TimeSeries}
+
+/** Physical-plan audits: the properties that decide 100 TB viability —
+  * filter pushdown to the scan, column pruning, broadcast side choice,
+  * whole-stage codegen — pinned as tests so a refactor that silently
+  * regresses the plan fails here, not on the cluster. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("events time-range predicates reach the parquet scan as PushedFilters") {
+    val plan = planOf(TimeSeries.rangeFilter(spark, sf))
+    // the rewrite onto the raw int64 nanos column is what makes these
+    // pushable (GraftSession.Tables.tsGte/tsLte); a filter on the
+    // derived timestamp column would not appear here
+    // the DF-side alias is ts_ns; in the file (and thus the pushed
+    // filter) the raw int64 nanos column is named ts
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThanOrEqual(ts,"),
+      s"ts_ns bounds not pushed:\n$plan")
+    assert(plan.contains("LessThanOrEqual(ts,"), s"upper bound not pushed:\n$plan")
+  }
+
+  test("projection prunes the parquet ReadSchema to selected columns") {
+    val plan = planOf(TimeSeries.scanProject(spark, sf))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.contains("event_id") && readSchema.contains("value"))
+    assert(!readSchema.contains("props"),
+      s"unprojected wide column read from disk: $readSchema")
+  }
+
+  test("dimension joins broadcast the small side (no fact-side shuffle)") {
+    val plan = planOf(Relational.q5LocalSupplierVolume(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast joins in q5:\n$plan")
+  }
+
+  test("top-k order is TakeOrderedAndProject, not global sort") {
+    val plan = planOf(Relational.topKOrders(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$plan")
+  }
+
+  test("scan-speed text operators stay inside whole-stage codegen") {
+    // AQE plans don't show codegen spans before execution; codegen
+    // explain mode compiles the stages without running the query
+    val df = graft.operators.TextAnalysis.stats(spark, sf)
+    val codegen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(codegen.contains("WholeStageCodegen"), s"no codegen span:\n$codegen")
+    val plan = planOf(df)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("mapPartitions"),
+      "text stats must not leave the codegen path")
+  }
+
+  test("similarity scoring uses the native dot-product expression") {
+    val analyzed = Similarity.knnBruteForce(spark, sf).queryExecution.analyzed.toString
+    assert(analyzed.contains("graft_dot"), s"HOF chain crept back in:\n$analyzed")
+  }
+
+  test("shuffle partition count follows the session setting, not the 200 default") {
+    assert(spark.conf.get("spark.sql.shuffle.partitions") !== "200")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
+  }
+
+  private def collectScans(p: SparkPlan): Seq[SparkPlan] =
+    p.collect { case s if s.nodeName.contains("Scan") => s }
+
+  test("sqlite scan carries its pushed range into the scan description") {
+    val path = getClass.getResource("/sqlite/stA.sdb").getPath
+    val lo = 1709251200L
+    val df = spark.read.format("sqlite").load(path)
+      .filter(org.apache.spark.sql.functions.col("dateTime") >= lo)
+      .select("dateTime", "outTemp")
+    val scans = collectScans(df.queryExecution.executedPlan)
+    assert(scans.exists(_.toString.contains(s"range=[$lo")),
+      s"sqlite rowid pushdown missing:\n${df.queryExecution.executedPlan}")
+  }
+}

@@ -89,6 +89,47 @@ class StreamingSpec extends SparkSpec {
     assert(temps.length === 1 && math.abs(temps(0).getDouble(0) - 10.0) < 1e-9)
   }
 
+  test("mapGroupsWithState station watermarks persist across restarts") {
+    val in = Files.createTempDirectory("graft-stream-state-in").toString
+    val ckpt = Files.createTempDirectory("graft-stream-state-ckpt").toString
+    writeDay(in, "stA", d1, 288)
+    writeDay(in, "stB", d1, 100)
+
+    val progressDir = Files.createTempDirectory("graft-stream-state-out").toString
+    def run(): Map[String, (Long, Long)] = {
+      // foreachBatch sink: the memory sink cannot recover from a
+      // checkpoint, and stateful update-mode output cannot use the
+      // append-only file sink directly
+      val q = IncrementalIngest.stationWatermarks(spark, in)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[IncrementalIngest.StationProgress], _: Long) =>
+          batch.write.mode(SaveMode.Append).parquet(progressDir); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // latest progress row per station
+      spark.read.parquet(progressDir)
+        .groupBy(col("station"))
+        .agg(max(col("max_date_time")), max(col("total_samples")))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    val first = run()
+    val d1Start = d1.atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    assert(first("stA") === (d1Start + 287 * 300L, 288L))
+    assert(first("stB") === (d1Start + 99 * 300L, 100L))
+
+    // restart with more data: state (cumulative counts, running max)
+    // must carry over through the checkpointed state store
+    spark.sql("DROP TABLE IF EXISTS station_wm")
+    writeDay(in, "stB", d2, 50)
+    val second = run()
+    assert(second("stB") ===
+      (d2.atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond + 49 * 300L, 150L),
+      "stB state did not accumulate across restart")
+    assert(!second.contains("stA") || second("stA")._2 === 288L)
+  }
+
   test("streaming archive matches batch archive on the same two-station input") {
     val root = Files.createTempDirectory("graft-stream-eq").toString
     for (st <- Seq("stA", "stB"); day <- Seq(d1, d2))
