@@ -130,24 +130,41 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     signaturesFor(tokenSets(spark, dir))
 
+  /** mh_i = min over set elements of xxhash64(element, i) — works for
+    * string tokens and hashed-long shingles alike (xxhash64 hashes all
+    * argument types), no per-hash string concat. */
   private def signaturesFor(sets: DataFrame): DataFrame =
     sets.withColumn("mh",
       array((0 until NumHashes).map(i =>
-        array_min(transform(col("toks"),
-          t => xxhash64(concat(t, lit("#" + i)))))): _*))
+        array_min(transform(col("toks"), t => xxhash64(t, lit(i))))): _*))
 
   /** Distinct word n-gram (shingle) sets per document — the unit of
     * SEQUENCE-sensitive near-dup detection: bag-of-words reshuffles
     * that fool unigram Jaccard share almost no shingles, while true
-    * copy-edits keep most of them. */
-  private[graft] def shingleSets(spark: SparkSession, dir: String, n: Int): DataFrame =
+    * copy-edits keep most of them. Shingles are xxhash64'd to longs at
+    * birth: every downstream set operation (distinct, minhash,
+    * intersect-verify) runs on fixed-width longs instead of strings,
+    * and with 2^64 space a collision on a real corpus is negligible —
+    * the Jaccard VALUE is identical to the string computation. */
+  private[graft] def shingleSets(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    require(n == 3, "shingleSets is specialized to n=3 (zip_with chain)")
+    val t = graft.functions.TextFunctions.tokens(col("text"))
+    // Sliding windows as zipped slices, NOT element_at(t, i) inside a
+    // sequence-transform: a lambda body re-evaluates its outer child
+    // per ELEMENT, which re-tokenizes the whole document per shingle —
+    // O(len^2) per doc (measured 16s over sf0.1). Slices evaluate the
+    // token array O(1) times per row.
+    val len = size(t) - lit(n - 1)
+    val windows = zip_with(
+      slice(t, lit(1), len),
+      zip_with(slice(t, lit(2), len), slice(t, lit(3), len),
+        (b, c) => concat(b, lit(" "), c)),
+      (a, bc) => xxhash64(concat(a, lit(" "), bc)))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("t"))
       .select(col("doc_id"),
-        when(size(col("t")) >= n,
-          array_distinct(transform(sequence(lit(1), size(col("t")) - (n - 1)),
-            i => concat_ws(" ", (0 until n).map(j => element_at(col("t"), i + j)): _*))))
-          .otherwise(array().cast("array<string>")).as("toks"))
+        when(size(t) >= n, array_distinct(windows))
+          .otherwise(array().cast("array<long>")).as("toks"))
+  }
 
   /** Near-duplicate pairs with exact Jaccard >= 0.8 — adaptive plan:
     *
@@ -216,11 +233,15 @@ object Dedup {
       bands.select(col("band_id"), col("band_key"),
         col("doc_id").as(s"doc_$suffix"), col("sz").as(s"s$suffix"), p)
     }
-    verifyPairs(
-      side("a").join(side("b"), Seq("band_id", "band_key"))
-        .filter(col("doc_a") < col("doc_b")),
-      threshold, isMasked)
-      .distinct()
+    // dedup candidates BEFORE verification: near-dup pairs agree on
+    // most bands, so the band join emits each true pair up to NumBands
+    // times — verifying first would pay the exact-Jaccard set
+    // intersection per emission. dropDuplicates groups on the id pair
+    // only (not the array payloads), one shuffle of candidate volume.
+    val candidates = side("a").join(side("b"), Seq("band_id", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyPairs(candidates, threshold, isMasked)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
