@@ -211,6 +211,52 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Materialized IVF index: the corpus written as parquet PARTITIONED
+    * BY cell. This is the true 100 TB shape — a probe's nprobe cells
+    * become partition-pruned directory reads (PartitionFilters in the
+    * scan), so each query touches nprobe/ncells of the data on DISK,
+    * not just in the join. Build once at ingest; `knnIvfIndexed` serves
+    * probes against it. */
+  def writeIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = centroidCache.computeIfAbsent(dir, _ => kmeansCentroids(base))
+    base
+      .withColumn("scores", cellScores(col("v"), cents))
+      .withColumn("cell", expr("array_position(scores, array_max(scores))").cast("int"))
+      .drop("scores")
+      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+  }
+
+  /** Top-k against a materialized index: probes (vec_id < 5 from the
+    * source corpus) search their top-nprobe cells; the filter on the
+    * partition column prunes every other cell's files at plan time. */
+  def knnIvfIndexed(spark: SparkSession, dir: String, indexPath: String, k: Int = 5): DataFrame = {
+    val cents = centroidCache.computeIfAbsent(dir, _ =>
+      kmeansCentroids(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))))
+    val probes = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
+      .withColumn("scores", cellScores(col("q"), cents))
+      .withColumn("ranked",
+        reverse(array_sort(zip_with(col("scores"),
+          sequence(lit(1), lit(NumCells)),
+          (s, i) => struct(s.as("score"), i.as("idx"))))))
+      .select(col("query_id"), col("q"),
+              explode(slice(col("ranked.idx"), 1, NumProbeCells)).as("cell"))
+    val probeCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)) // tiny driver read: <= 5 * nprobe ids
+    val index = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .select(col("cell").cast("int").as("cell"), col("vec_id"), col("v"))
+    val scored = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              round(cosine(col("q"), col("v")), 4).as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
   // ---- hyperplane near-dup ------------------------------------------
   val NumPlanes = 8
 

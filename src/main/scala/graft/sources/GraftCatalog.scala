@@ -37,6 +37,16 @@ object GraftCatalog {
     }
   }
 
+  /** Table + column statistics for the cost-based optimizer: row
+    * counts, sizes, per-column NDV/min/max/null counts. At 100 TB this
+    * is what lets Catalyst order multi-way joins by selectivity and
+    * pick broadcast sides from facts instead of thresholds; refreshed
+    * after each ingest wave, it is metadata-sized work. */
+  def analyze(spark: SparkSession, tables: Seq[String] = TableNames): Unit =
+    tables.foreach { t =>
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+
   /** A query surface proof: plain SQL over catalog tables only (no
     * paths anywhere) — customers per nation with total balances. */
   def customersPerNationSql(spark: SparkSession, dir: String): DataFrame = {

@@ -128,6 +128,31 @@ object IncrementalIngest {
       }
   }
 
+  /** Compact one closed day: fold its batch_id sub-partitions into a
+    * single sorted file under the reserved `batch_id=-1` partition —
+    * depth stays uniform with not-yet-compacted days (mixed partition
+    * depths break root-level discovery), real batch ids are
+    * non-negative so a replay can never collide, and the day reads as
+    * one file (the columnar analog of the reference's one .h5 per
+    * day). Write-to-temp + rename keeps readers consistent, mirroring
+    * the reference's lock-file protocol (aristoteles.py:379-387). */
+  def compactDay(spark: SparkSession, archivePath: String,
+      month: String, day: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dayPath = s"$archivePath/month=$month/day=$day"
+    val tmp = new Path(dayPath + ".compacting")
+    val dst = new Path(dayPath)
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dst)) return
+    spark.read.parquet(dayPath)
+      .withColumn("batch_id", lit(-1L))
+      .repartition(1)
+      .sortWithinPartitions(col("station"), col("dateTime"))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(tmp.toString)
+    fs.delete(dst, true)
+    fs.rename(tmp, dst)
+  }
+
   /** Run the gated daily aggregation into an in-memory sink (smoke /
     * test harness): returns the started query. */
   def startDailyCountsToMemory(spark: SparkSession, inputDir: String,

@@ -35,6 +35,20 @@ class CatalogSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq === viaPaths.map(_.toString).toSeq)
   }
 
+  test("ANALYZE records table and column statistics for the CBO") {
+    GraftCatalog.register(spark, sf)
+    GraftCatalog.analyze(spark, Seq("nation", "customer"))
+    val stats = spark.sql("DESCRIBE TABLE EXTENDED nation").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(stats.get("Statistics").exists(s => s.contains("rows")),
+      s"no row-count statistic recorded: ${stats.get("Statistics")}")
+    // column-level stats present (NDV etc.)
+    val colStats = spark.sql("DESCRIBE EXTENDED nation n_nationkey").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(colStats.get("distinct_count").exists(_ != "NULL"),
+      s"no NDV for n_nationkey: $colStats")
+  }
+
   test("dropping an external table leaves the data files intact") {
     GraftCatalog.register(spark, sf)
     spark.sql("DROP TABLE region")

@@ -141,6 +141,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall@5 $recall below floor")
   }
 
+  test("materialized IVF index: partition-pruned probe matches in-memory IVF") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    Similarity.writeIvfIndex(spark, sf, idx)
+    // one directory per cell on disk
+    val cellDirs = new java.io.File(idx).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length > 1, "index must be partitioned by cell")
+
+    val viaIndex = Similarity.knnIvfIndexed(spark, sf, idx).collect()
+    val inMemory = Similarity.knnIvf(spark, sf).collect()
+    assert(viaIndex.map(_.toString).toSeq === inMemory.map(_.toString).toSeq)
+
+    // the probe scan prunes partitions: PartitionFilters on cell
+    val plan = Similarity.knnIvfIndexed(spark, sf, idx)
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*cell#[^\\]]*IN \\(".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"cell partition pruning missing:\n$plan")
+  }
+
   test("graft_dot codegen expression is bitwise-equal to the HOF chain") {
     import org.apache.spark.sql.functions.{sum, transform}
     val emb = Tables.embeddings(spark, sf)

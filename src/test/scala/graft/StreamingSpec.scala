@@ -87,6 +87,21 @@ class StreamingSpec extends SparkSpec {
     val temps = spark.read.parquet(out)
       .filter(col("day") === "20240301").select("outTemp").distinct().collect()
     assert(temps.length === 1 && math.abs(temps(0).getDouble(0) - 10.0) < 1e-9)
+
+    // compaction folds the closed day's batch sub-partitions into one
+    // sorted file; content identical, batch= dirs gone
+    val before = spark.read.parquet(out).filter(col("day") === "20240301")
+      .drop("batch_id").orderBy(col("station"), col("dateTime")).collect()
+    IncrementalIngest.compactDay(spark, out, "202403", "20240301")
+    val dayDir = new java.io.File(s"$out/month=202403/day=20240301")
+    val batchDirs = dayDir.listFiles().filter(_.getName.startsWith("batch_id="))
+    assert(batchDirs.map(_.getName).toSeq === Seq("batch_id=-1"),
+      "multi-batch dirs must fold into the reserved compacted partition")
+    assert(batchDirs.head.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+      "compacted day should be a single file")
+    val after = spark.read.parquet(out).filter(col("day") === "20240301")
+      .drop("batch_id").orderBy(col("station"), col("dateTime")).collect()
+    assert(before.map(_.toString).toSeq === after.map(_.toString).toSeq)
   }
 
   test("mapGroupsWithState station watermarks persist across restarts") {
