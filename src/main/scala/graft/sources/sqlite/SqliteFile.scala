@@ -214,6 +214,77 @@ final class SqliteFile(in: FSDataInputStream) {
     }
   }
 
+  /** Min rowid in the subtree: leftmost descent, O(depth) page reads —
+    * the b-tree form of `SELECT dateTime FROM archive ORDER BY dateTime
+    * LIMIT 1` (aristoteles.py:240). Bounds-aware so a pushed range
+    * still answers correctly. */
+  def minRowid(pageNo: Int, lo: Long, hi: Long): Option[Long] =
+    scanTable(pageNo, lo, hi).buffered.headOption.map(_._1)
+
+  /** Max rowid in the subtree: rightmost descent, O(depth) page reads. */
+  def maxRowid(pageNo: Int, lo: Long, hi: Long): Option[Long] = {
+    val page = readPage(pageNo)
+    val (typ, cells, right) = pageMeta(pageNo, page)
+    typ match {
+      case 13 =>
+        // leaf: last in-range cell (cells are key-ordered)
+        var best: Option[Long] = None
+        cells.foreach { off =>
+          val (_, n1) = varint(page, off)
+          val (rowid, _) = varint(page, off + n1)
+          if (rowid >= lo && rowid <= hi) best = Some(rowid)
+        }
+        best
+      case 5 =>
+        // children right-to-left: first child intersecting [lo, hi]
+        // from the right holds the max
+        var prevKeys = Long.MinValue +: cells.map { off => varint(page, off + 4)._1 }
+        val children = cells.map(off => u32(page, off).toInt) :+ right.toInt
+        val maxKeys = cells.map(off => varint(page, off + 4)._1) :+ Long.MaxValue
+        children.indices.reverse.foreach { i =>
+          if (maxKeys(i) >= lo && prevKeys(i) < hi) {
+            val r = maxRowid(children(i), lo, hi)
+            if (r.isDefined) return r
+          }
+        }
+        None
+      case _ => None
+    }
+  }
+
+  /** Row count without record decode: walk the tree but only read the
+    * cell COUNT from each in-range leaf header; rowid-bounded leaves at
+    * the range edges fall back to per-cell key checks. */
+  def countRows(pageNo: Int, lo: Long, hi: Long): Long = {
+    val page = readPage(pageNo)
+    val (typ, cells, right) = pageMeta(pageNo, page)
+    typ match {
+      case 13 =>
+        if (lo == Long.MinValue && hi == Long.MaxValue) cells.length.toLong
+        else cells.count { off =>
+          val (_, n1) = varint(page, off)
+          val (rowid, _) = varint(page, off + n1)
+          rowid >= lo && rowid <= hi
+        }.toLong
+      case 5 =>
+        var prevKey = Long.MinValue
+        var total = 0L
+        cells.foreach { off =>
+          val child = u32(page, off).toInt
+          val (key, _) = varint(page, off + 4)
+          if (key >= lo && prevKey < hi) {
+            // fully-inside subtrees could skip the edge checks, but the
+            // leaf header count is already decode-free; recurse plainly
+            total += countRows(child, lo, hi)
+          }
+          prevKey = key
+        }
+        if (prevKey < hi) total += countRows(right.toInt, lo, hi)
+        total
+      case _ => 0L
+    }
+  }
+
   // ---- catalog ------------------------------------------------------
   case class MasterRow(typ: String, name: String, tblName: String, rootPage: Int, sql: String)
 

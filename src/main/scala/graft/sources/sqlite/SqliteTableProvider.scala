@@ -8,6 +8,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -94,10 +95,12 @@ class SqliteTable(path: String, table: String, tableSchema: StructType)
 }
 
 class SqliteScanBuilder(path: String, table: String, fullSchema: StructType)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAggs: Seq[SqliteAgg] = Seq.empty
   private var lo: Long = Long.MinValue
   private var hi: Long = Long.MaxValue
 
@@ -144,8 +147,99 @@ class SqliteScanBuilder(path: String, table: String, fullSchema: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SqliteScan(path, table, fullSchema, required, pushed, lo, hi)
+  /** MIN/MAX of the rowid alias answer from O(tree-depth) page reads
+    * (leftmost/rightmost descent — the b-tree form of the reference's
+    * `ORDER BY dateTime LIMIT 1`, aristoteles.py:240); COUNT(*) walks
+    * leaf page HEADERS without decoding a single record (:303-306).
+    * Complete pushdown: the scan returns the final aggregated row. */
+  override def supportCompletePushDown(aggregation: aggregate.Aggregation): Boolean =
+    translateAggs(aggregation).isDefined
+
+  override def pushAggregation(aggregation: aggregate.Aggregation): Boolean =
+    translateAggs(aggregation) match {
+      case Some(aggs) => pushedAggs = aggs; true
+      case None => false
+    }
+
+  private def translateAggs(aggregation: aggregate.Aggregation): Option[Seq[SqliteAgg]] = {
+    if (aggregation.groupByExpressions.nonEmpty) return None
+    val alias = rowidAliasName.orNull
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: org.apache.spark.sql.connector.expressions.NamedReference
+            if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+        case _ => None
+      }
+    val out = aggregation.aggregateExpressions.toSeq.map {
+      case m: aggregate.Min => fieldOf(m.column).filter(_ == alias).map(_ => SqliteAgg.MinRowid)
+      case m: aggregate.Max => fieldOf(m.column).filter(_ == alias).map(_ => SqliteAgg.MaxRowid)
+      case _: aggregate.CountStar => Some(SqliteAgg.CountStar)
+      case _ => None
+    }
+    if (out.forall(_.isDefined)) Some(out.flatten) else None
+  }
+
+  override def build(): Scan =
+    if (pushedAggs.nonEmpty) {
+      // output schema is positional: one long per pushed aggregate
+      val aggSchema = StructType(pushedAggs.zipWithIndex.map {
+        case (SqliteAgg.CountStar, i) => StructField(s"count_$i", LongType, nullable = false)
+        case (a, i) => StructField(s"${a.toString.toLowerCase}_$i", LongType)
+      })
+      new SqliteAggScan(path, table, pushedAggs, lo, hi, aggSchema)
+    } else new SqliteScan(path, table, fullSchema, required, pushed, lo, hi)
 }
+
+sealed trait SqliteAgg extends Serializable
+object SqliteAgg {
+  case object MinRowid extends SqliteAgg
+  case object MaxRowid extends SqliteAgg
+  case object CountStar extends SqliteAgg
+}
+
+/** Scan serving a completely-pushed aggregation: one partition, one
+  * output row, page-header-level work instead of a table scan. */
+class SqliteAggScan(path: String, table: String, aggs: Seq[SqliteAgg],
+                    lo: Long, hi: Long, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"SqliteAggScan table=$table aggs=${aggs.mkString(",")} " +
+    s"range=[${if (lo == Long.MinValue) "-inf" else lo}, ${if (hi == Long.MaxValue) "+inf" else hi}]"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SqliteAggPartition(path, table, aggs, lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val part = p.asInstanceOf[SqliteAggPartition]
+        new PartitionReader[InternalRow] {
+          private var done = false
+          private var row: InternalRow = _
+          override def next(): Boolean = {
+            if (done) return false
+            val f = SqliteFile.open(part.path)
+            try {
+              val root = f.tableRoot(part.table)
+              val vals: Seq[Any] = part.aggs.map {
+                case SqliteAgg.MinRowid => f.minRowid(root, part.lo, part.hi).orNull
+                case SqliteAgg.MaxRowid => f.maxRowid(root, part.lo, part.hi).orNull
+                case SqliteAgg.CountStar => f.countRows(root, part.lo, part.hi)
+              }
+              row = InternalRow.fromSeq(vals.toIndexedSeq)
+            } finally f.close()
+            done = true
+            true
+          }
+          override def get(): InternalRow = row
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class SqliteAggPartition(path: String, table: String, aggs: Seq[SqliteAgg],
+                              lo: Long, hi: Long) extends InputPartition
 
 class SqliteScan(path: String, table: String, fullSchema: StructType,
                  required: StructType, pushed: Array[Filter], lo: Long, hi: Long)
