@@ -382,7 +382,9 @@ object Queries {
     "q_word_counts" -> (Analytics.wordCounts _),
     "q_pivot_sales" -> (Analytics.pivotSales _),
     "q_asof_join" -> (Analytics.asofJoin _),
-    "q_sessionize" -> (Analytics.sessionize _)
+    "q_sessionize" -> (Analytics.sessionize _),
+    "q_moving_avg" -> (Analytics.movingAvg _),
+    "q_approx_sketches" -> (Analytics.approxSketches _)
   )
 
   val analyticsOracles: Map[String, String] = Map(
@@ -426,7 +428,16 @@ object Queries {
        "(PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f) " +
        "SELECT user_id, session_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us, " +
        "count(*) AS n_events, (max(ts_us) - min(ts_us)) // 1000000 AS duration_secs " +
-       "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id")
+       "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+    "q_moving_avg" ->
+      ("WITH d AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS day_value, " +
+       "datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_num FROM events GROUP BY 1, 3) " +
+       "SELECT day, round(day_value, 2) AS day_value, " +
+       "round(avg(day_value) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7 " +
+       "FROM d ORDER BY day")
+    // no oracle (rows-only): q_approx_sketches — sketch values are
+    // engine-specific; differential error bounds vs exact in
+    // ExtensionsSpec.
   )
 
   def all: Map[String, Q] = timeSeries ++ relational ++ extensions ++ analytics

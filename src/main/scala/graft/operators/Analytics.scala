@@ -98,6 +98,40 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** 7-day trailing moving average of daily event value — a RANGE
+    * window frame (value-based, not row-based: missing days widen
+    * nothing). One shuffle to the single ordering; daily pre-aggregate
+    * first so the window runs over days, not raw events. */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("day_value"))
+      .withColumn("day_num", datediff(col("day"), lit("2024-01-01")))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily
+      .withColumn("ma7", round(avg(col("day_value")).over(w), 2))
+      .select(col("day"), round(col("day_value"), 2).as("day_value"), col("ma7"))
+      .orderBy(col("day"))
+  }
+
+  /** Sketch aggregates — the 100 TB forms of COUNT(DISTINCT) and
+    * percentile: HyperLogLog++ and an online quantile sketch, both
+    * partial-aggregable (one map-side pass, tiny merge) where their
+    * exact twins shuffle every distinct value. Sketch internals differ
+    * across engines, so correctness is a differential error-bound test
+    * against the exact answers (ExtensionsSpec), not a DuckDB hash
+    * compare. */
+  def approxSketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        round(element_at(expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)"), 1), 2)
+          .as("approx_p50"),
+        round(element_at(expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)"), 2), 2)
+          .as("approx_p99"))
+      .orderBy(col("l_returnflag"))
+
   /** Session gap: a >6h pause in a user's event stream closes the
     * session. Microsecond longs end-to-end so the oracle is exact. */
   val SessionGapUs: Long = 6L * 3600 * 1000000

@@ -211,6 +211,25 @@ class ExtensionsSpec extends SparkSpec {
     cands.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
   }
 
+  test("approx sketches stay within error bounds of exact answers") {
+    import graft.operators.Analytics
+    val approx = Analytics.approxSketches(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"),
+           expr("percentile(l_extendedprice, 0.5)").as("p50"),
+           expr("percentile(l_extendedprice, 0.99)").as("p99"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    exact.foreach { case (flag, (n, p50, p99)) =>
+      val (an, ap50, ap99) = approx(flag)
+      assert(math.abs(an - n).toDouble / n <= 0.05, s"$flag HLL err: $an vs $n")
+      // approx_percentile returns a true data value within rank error
+      assert(math.abs(ap50 - p50) / p50 <= 0.05, s"$flag p50: $ap50 vs $p50")
+      assert(math.abs(ap99 - p99) / p99 <= 0.05, s"$flag p99: $ap99 vs $p99")
+    }
+  }
+
   test("multimodal feature extract: deterministic stub decode plumbing") {
     val out = Multimodal.featureExtract(spark, sf).collect()
     assert(out.length === Tables.documents(spark, sf).count())
