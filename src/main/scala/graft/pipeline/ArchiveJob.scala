@@ -38,7 +38,11 @@ object ArchiveJob {
       archivePath: String,
       instrument: String,
       stations: Seq[StationSource],
-      metricsPath: Option[String] = None)
+      metricsPath: Option[String] = None,
+      /** Columnar sink format: "parquet" (default) or "orc" — the
+        * north-star conversion target is "SQLite to Parquet/ORC"; both
+        * carry the same day-partitioned layout and schema metadata. */
+      sinkFormat: String = "parquet")
 
   /** Run outcome, mirroring the reference's exit metrics (S18). */
   case class RunResult(
@@ -135,12 +139,13 @@ object ArchiveJob {
   /** Write one or more days to the archive, one parquet partition (and
     * one file) per day — the columnar analog of one .h5 per day (S14).
     * Dynamic partition overwrite makes re-runs idempotent. */
-  private def writeDays(out: DataFrame, archivePath: String): Unit =
+  private def writeDays(out: DataFrame, cfg: JobConfig): Unit =
     out.repartition(col("month"), col("day"))
       .sortWithinPartitions(col("station"), col("dateTime")) // S3: order is load-bearing
       .write.mode("overwrite")
       .partitionBy("month", "day")
-      .parquet(archivePath)
+      .format(cfg.sinkFormat)
+      .save(cfg.archivePath)
 
   /** E1 — the incremental run. */
   def run(spark: SparkSession, cfg: JobConfig,
@@ -185,7 +190,7 @@ object ArchiveJob {
         days.foreach { day =>
           val out = outputFor(df, day, day)
           if (!out.isEmpty) { // S16: skip (no state advance) empty days
-            writeDays(out, cfg.archivePath)
+            writeDays(out, cfg)
             monthsTouched += day.format(DateTimeFormatter.ofPattern("yyyyMM"))
             Watermark.advance(cfg.statePath, day)
             written += 1
@@ -197,7 +202,7 @@ object ArchiveJob {
         // control-plane read: one row per day in the range, bounded small
         val daysPresent = out.select(col("day")).distinct().collect().map(_.getString(0))
         if (daysPresent.nonEmpty) {
-          writeDays(out, cfg.archivePath)
+          writeDays(out, cfg)
           monthsTouched ++= daysPresent.map(_.substring(0, 6)).distinct
           Watermark.advance(cfg.statePath, yesterday)
           written = daysPresent.length

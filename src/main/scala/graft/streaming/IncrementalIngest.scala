@@ -89,6 +89,18 @@ object IncrementalIngest {
       }
   }
 
+  /** Streaming replay dedup: upstream wview servers re-send data after
+    * downtime (README.md:14-19), so the same (station, dateTime) sample
+    * can arrive in several files. dropDuplicatesWithinWatermark keeps
+    * first-seen per key and — unlike plain dropDuplicates — DROPS a
+    * key's dedup state once the watermark passes it, so the state store
+    * is bounded by the late horizon instead of growing with the stream. */
+  def dedupedSource(spark: SparkSession, inputDir: String,
+      watermarkDelay: String = "1 day", maxFilesPerTrigger: Int = 16): DataFrame =
+    source(spark, inputDir, maxFilesPerTrigger)
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("station", "dateTime")
+
   /** Per-station ingest state carried across micro-batches (and, via
     * the checkpoint, across restarts). */
   case class StationState(maxDateTime: Long, totalSamples: Long)

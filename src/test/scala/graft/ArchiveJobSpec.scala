@@ -156,6 +156,23 @@ class ArchiveJobSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
   }
 
+  test("ORC sink carries the identical archive (north-star Parquet/ORC)") {
+    val base = fixture()
+    val cfg = base.copy(archivePath = base.archivePath + "_orc", sinkFormat = "orc")
+    ArchiveJob.resetState(spark, cfg, None, force = false)
+    val r = ArchiveJob.run(spark, cfg, today = d2.plusDays(1), force = true)
+    assert(r.status === 1 && r.daysWritten === 2)
+    val orc = spark.read.orc(cfg.archivePath)
+    assert(orc.count() === 4 * 288 - 1) // stB's short d2
+    // same partition layout and converted values as the parquet sink
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"${cfg.archivePath}/month=202403/day=20240301")))
+    val spot = orc.filter(col("station") === "stA" && col("day") === "20240301")
+      .orderBy(col("dateTime")).collect()(2)
+    val iBaro = orc.columns.indexOf("barometer")
+    assert(math.abs(spot.getDouble(iBaro) - 33.863886) < 1e-12)
+  }
+
   test("ini config round-trip and validation") {
     val cfg = fixture()
     val root = Files.createTempDirectory("graft-ini").toString

@@ -145,6 +145,21 @@ class StreamingSpec extends SparkSpec {
     assert(!second.contains("stA") || second("stA")._2 === 288L)
   }
 
+  test("replayed files dedup within the watermark (bounded state)") {
+    val in = Files.createTempDirectory("graft-stream-dedup-in").toString
+    val out = Files.createTempDirectory("graft-stream-dedup-out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-dedup-ckpt").toString
+    // the same day delivered twice (wview replay after downtime)
+    writeDay(in, "stA", d1, 288)
+    writeDay(in, "stA", d1, 288)
+
+    val q = IncrementalIngest.archiveWriter(
+      IncrementalIngest.dedupedSource(spark, in), out, ckpt).start()
+    q.awaitTermination()
+    val n = spark.read.parquet(out).count()
+    assert(n === 288, s"replayed rows must dedup: got $n")
+  }
+
   test("streaming archive matches batch archive on the same two-station input") {
     val root = Files.createTempDirectory("graft-stream-eq").toString
     for (st <- Seq("stA", "stB"); day <- Seq(d1, d2))
