@@ -25,6 +25,9 @@ object GraftSession {
   /** Apply engine defaults to any builder (shared by tests / Verify / Bench). */
   def configure(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions)
+      // graft_dot/graft_topk as session builtins + the nanos-range
+      // pushdown rule (plans.GraftExtensions / NanosRangeRewrite)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,127 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Engine extensions, installed with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`:
+  *
+  *  - registers the native functions (graft_dot, graft_topk) as
+  *    session builtins;
+  *  - injects [[NanosRangeRewrite]], the optimizer rule that makes
+  *    natural time-range filters pushdown-capable on nanos-backed
+  *    tables.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => NanosRangeRewrite)
+    e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk"),
+       new ExpressionInfo(classOf[TopKNeighbors].getName, "graft_topk"),
+       (exprs: Seq[Expression]) => TopKNeighbors(exprs(0), exprs(1), exprs(2))))
+  }
+}
+
+/** Derived-timestamp pushdown: graft's events tables carry the raw
+  * int64 nanos column (`ts_ns`) beside the derived microsecond
+  * timestamp `ts = timestamp_micros(ts_ns div 1000)` (Tables.events) —
+  * a filter on `ts` cannot reach the parquet scan (the scan only has
+  * the int64 column), so without help a natural `WHERE ts >= X` reads
+  * every row group. This rule CONJOINS the implied raw-column bound
+  * (it never removes the original predicate, so it is sound even if
+  * the invariant were violated — the added bound is implied by the
+  * derivation ts = floor(ns/1000) micros):
+  *
+  *    ts >= T  ==>  ts_ns >= T*1000        (micros -> nanos)
+  *    ts <= T  ==>  ts_ns <= T*1000 + 999  (floor absorbs the tail)
+  *    ts >  T  ==>  ts_ns >= (T+1)*1000
+  *    ts <  T  ==>  ts_ns <= T*1000 - 1
+  *
+  * The added comparisons are plain attribute-vs-literal on the long
+  * column, which the parquet source accepts as PushedFilters — turning
+  * the scan into a row-group-pruned range read. Guarded for
+  * idempotency (the optimizer runs rules to fixpoint). */
+object NanosRangeRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      // idempotency across the optimizer fixpoint: once
+      // PushDownPredicates moves an implied bound into a LOWER filter,
+      // this rule must not re-add it above — search the whole subtree,
+      // not just this condition
+      val implied = impliedBounds(cond)
+        .filter { case (raw, _) => child.outputSet.contains(raw) }
+        .map(_._2)
+        .filterNot(p => alreadyPresent(f, p))
+      if (implied.isEmpty) f
+      else Filter(implied.foldLeft(cond)(And(_, _)), child)
+  }
+
+  /** Matches the derivation graft tables use:
+    * `timestamp_micros(raw div 1000)` over an int64 nanos attribute —
+    * either in substituted form (after projection collapse) or as the
+    * named derived attribute is already gone by optimization time, the
+    * substituted form is the one that matters. */
+  private object DerivedMicros {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case mt: MicrosToTimestamp => mt.child match {
+        case d: IntegralDivide => (d.left, d.right) match {
+          case (a: Attribute, Literal(1000L, LongType)) if a.dataType == LongType => Some(a)
+          case (a: Attribute, Literal(1000, _)) if a.dataType == LongType => Some(a)
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Timestamp literals are micros-since-epoch longs in Catalyst.
+    * Restricted to non-negative epochs: `div` truncates toward zero,
+    * which equals floor only for non-negative nanos — the implied
+    * bounds below are proven under that assumption. */
+  private def micros(l: Literal): Option[Long] = l.dataType match {
+    case TimestampType => Some(l.value.asInstanceOf[Long]).filter(_ >= 0L)
+    case _ => None
+  }
+
+  private def impliedBounds(cond: Expression): Seq[(Attribute, Expression)] = {
+    def nsLit(v: Long): Literal = Literal(v, LongType)
+    splitConjuncts(cond).flatMap {
+      case GreaterThanOrEqual(DerivedMicros(raw), l: Literal) =>
+        micros(l).map(m => raw -> GreaterThanOrEqual(raw, nsLit(m * 1000L)))
+      case LessThanOrEqual(DerivedMicros(raw), l: Literal) =>
+        micros(l).map(m => raw -> LessThanOrEqual(raw, nsLit(m * 1000L + 999L)))
+      case GreaterThan(DerivedMicros(raw), l: Literal) =>
+        micros(l).map(m => raw -> GreaterThanOrEqual(raw, nsLit((m + 1) * 1000L)))
+      case LessThan(DerivedMicros(raw), l: Literal) =>
+        micros(l).map(m => raw -> LessThanOrEqual(raw, nsLit(m * 1000L - 1L)))
+      case EqualTo(DerivedMicros(raw), l: Literal) =>
+        micros(l).toSeq.flatMap(m => Seq(
+          raw -> GreaterThanOrEqual(raw, nsLit(m * 1000L)),
+          raw -> LessThanOrEqual(raw, nsLit(m * 1000L + 999L))))
+      // literal-on-the-left mirror forms
+      case LessThanOrEqual(l: Literal, DerivedMicros(raw)) =>
+        micros(l).map(m => raw -> GreaterThanOrEqual(raw, nsLit(m * 1000L)))
+      case GreaterThanOrEqual(l: Literal, DerivedMicros(raw)) =>
+        micros(l).map(m => raw -> LessThanOrEqual(raw, nsLit(m * 1000L + 999L)))
+      case _ => Nil
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def alreadyPresent(plan: LogicalPlan, p: Expression): Boolean =
+    plan.collect { case Filter(c, _) => splitConjuncts(c) }
+      .flatten.exists(_.semanticEquals(p))
+}

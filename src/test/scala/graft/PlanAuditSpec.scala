@@ -25,6 +25,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("LessThanOrEqual(ts,"), s"upper bound not pushed:\n$plan")
   }
 
+  test("NATURAL ts filters gain pushed nanos bounds via the optimizer rule") {
+    import org.apache.spark.sql.functions.col
+    // no manual tsGte/tsLte — the NanosRangeRewrite extension conjoins
+    // the implied raw-column bounds, which are the only pushable form
+    val df = Tables.events(spark, sf)
+      .filter(col("ts") >= "2024-01-10 00:00:00" && col("ts") <= "2024-01-19 23:59:59")
+      .select(col("event_id"), col("value"))
+    val plan = planOf(df)
+    assert(plan.contains("GreaterThanOrEqual(ts,1704844800000000000"),
+      s"implied lower nanos bound not pushed:\n$plan")
+    assert(plan.contains("LessThanOrEqual(ts,1705708799000000999"),
+      s"implied upper nanos bound not pushed:\n$plan")
+    // and the rows equal the hand-rewritten form
+    val manual = Tables.events(spark, sf)
+      .filter(Tables.tsGte("2024-01-10 00:00:00") && Tables.tsLte("2024-01-19 23:59:59"))
+      .select(col("event_id"), col("value"))
+    assert(df.collect().map(_.toString).sorted.toSeq ===
+      manual.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("projection prunes the parquet ReadSchema to selected columns") {
     val plan = planOf(TimeSeries.scanProject(spark, sf))
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
