@@ -53,11 +53,15 @@ object IniConfig {
       if (!Files.exists(Paths.get(st.path)))
         throw ParseError(s"station ${st.name}: unreadable db_path ${st.path}")
     }
+    val fmt = top.getOrElse("sink_format", "parquet")
+    if (!Seq("parquet", "orc").contains(fmt))
+      throw ParseError(s"sink_format must be parquet or orc, got: $fmt")
     ArchiveJob.JobConfig(
       statePath = req("state_path"),
       archivePath = req("archive"),
       instrument = req("instrument"),
       stations = stations,
-      metricsPath = top.get("netfc_path").map(_ + "/aristoteles.prom"))
+      metricsPath = top.get("netfc_path").map(_ + "/aristoteles.prom"),
+      sinkFormat = fmt)
   }
 }

@@ -194,6 +194,13 @@ class ArchiveJobSpec extends SparkSpec {
     assert(loaded.stations.map(_.name) === Seq("stA", "stB"))
     assert(loaded.stations.head.longitude === Some(-119.6))
     assert(loaded.stations.head.description === Some("test station"))
+    assert(loaded.sinkFormat === "parquet") // default
+    intercept[IniConfig.ParseError] {
+      Files.writeString(java.nio.file.Paths.get(s"$root/badfmt.ini"),
+        s"state_path = x\ninstrument = i\narchive = y\nsink_format = avro\n" +
+        s"[s]\ndb_path = ${cfg.stations.head.path}\n")
+      IniConfig.load(s"$root/badfmt.ini")
+    }
     intercept[IniConfig.ParseError] {
       IniConfig.load({ // missing instrument
         Files.writeString(java.nio.file.Paths.get(s"$root/bad.ini"),
