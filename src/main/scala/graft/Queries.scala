@@ -104,7 +104,8 @@ object Queries {
     "q_string_funcs" -> (Relational.stringFuncs _),
     "q_date_funcs" -> (Relational.dateFuncs _),
     "q_latest_order_per_customer" -> (Relational.latestOrderPerCustomer _),
-    "q_catalog_sql" -> (graft.sources.GraftCatalog.customersPerNationSql _)
+    "q_catalog_sql" -> (graft.sources.GraftCatalog.customersPerNationSql _),
+    "q_salted_join" -> (Relational.saltedJoinRevenue _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -197,7 +198,12 @@ object Queries {
     "q_catalog_sql" ->
       ("SELECT n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
-       "GROUP BY n_name ORDER BY n_name")
+       "GROUP BY n_name ORDER BY n_name"),
+    // the oracle is the UNSALTED join: salting must be invisible
+    "q_salted_join" ->
+      ("SELECT o_orderstatus, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+       "count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "GROUP BY o_orderstatus ORDER BY o_orderstatus")
   )
 
   val extensions: Map[String, Q] = Map(

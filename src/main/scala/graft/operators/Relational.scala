@@ -22,6 +22,40 @@ import graft.Tables
   */
 object Relational {
 
+  /** Skew-safe inner equi-join by key salting: the big (skewed) side
+    * gets a deterministic per-row salt, the small side is replicated
+    * once per salt shard, and the join key becomes (key, salt) — a hot
+    * key's rows spread across `salts` reducers instead of one. This is
+    * the manual fallback for skew AQE can't fix (AQE splits skewed
+    * sort-merge partitions, but a single hot key inside one partition
+    * of a hash aggregate or non-splittable join still serializes).
+    * Inner-join semantics are identical to the unsalted join — proven
+    * by the q_salted_join oracle, which is the PLAIN SQL join. */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, salts: Int): DataFrame = {
+    // salt from the full row hash: deterministic (no rand(); replays
+    // and retries salt identically), and a hot KEY still spreads
+    // because its rows differ in other columns
+    val salted = big.withColumn("_salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(salts)))
+    val replicated = small.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated,
+        salted(bigKey) === replicated(smallKey) && salted("_salt") === replicated("_salt"))
+      .drop("_salt")
+  }
+
+  /** The salted join as a verified query: revenue per order status,
+    * computed through the salted path — hash-identical to the plain
+    * join the oracle runs. */
+  def saltedJoinRevenue(spark: SparkSession, dir: String): DataFrame =
+    saltedJoin(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+        "l_orderkey", "o_orderkey", salts = 8)
+      .groupBy(col("o_orderstatus"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderstatus"))
+
   /** TPC-H Q1 shape: scan-filter-aggregate, the canonical map-side-combine
     * workload. Filter + 7-column projection reach the parquet scan. */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
