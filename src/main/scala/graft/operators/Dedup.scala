@@ -200,7 +200,7 @@ object Dedup {
           repr.sparkSession.sparkContext.defaultParallelism * 2)
         verifyPairs(streamSide.join(broadcast(side("b")), col("doc_a") < col("doc_b")),
                     0.8, masked = true)
-      case None => minhashLshPairsBanded(spark, dir)
+      case None => bandedPairsFor(tokenSets(spark, dir), 0.8) // unsorted
     }
 
   /** The general-corpus LSH banding path (blocking equi-join on
@@ -208,6 +208,7 @@ object Dedup {
     * threshold filter). */
   def minhashLshPairsBanded(spark: SparkSession, dir: String): DataFrame =
     bandedPairsFor(tokenSets(spark, dir), 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Word-3-gram shingle near-dups: shingle -> MinHash -> band ->
     * verify — the order-sensitive dedup pass (prompt-surface "n-gram
@@ -215,6 +216,7 @@ object Dedup {
     * 100 TB shape: candidates scale with true collisions. */
   def shingleLshPairs(spark: SparkSession, dir: String): DataFrame =
     bandedPairsFor(shingleSets(spark, dir, 3).filter(size(col("toks")) > 0), 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Banded-LSH near-dup pairs over ANY (doc_id, toks) set frame. */
   private[operators] def bandedPairsFor(sets: DataFrame, threshold: Double): DataFrame = {
@@ -241,8 +243,10 @@ object Dedup {
     val candidates = side("a").join(side("b"), Seq("band_id", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // no presentation sort here: set consumers (connected components)
+    // must not pay a global range-partition+sort they immediately
+    // re-shuffle; the query-surface wrappers add their own orderBy
     verifyPairs(candidates, threshold, isMasked)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** 64-bit SimHash per document: explode distinct tokens, per-bit +/-1
@@ -371,7 +375,8 @@ object Dedup {
         var prev: java.math.BigDecimal = null
         var curr = checksum(labels)
         var rounds = 0
-        while (curr != prev && rounds < 25) {
+        val maxRounds = 64 // propagation is one hop per round: bound = residual eccentricity
+        while (curr != prev && rounds < maxRounds) {
           val neigh = cedges.join(broadcast(labels), cedges("dst") === labels("doc_id"))
             .select(cedges("src").as("doc_id"), col("label"))
           val next = labels.select(col("doc_id"), col("label")).union(neigh)
@@ -382,6 +387,13 @@ object Dedup {
           labels = next
           rounds += 1
         }
+        // a silent cap would return WRONG clusters (one component split
+        // into several, each claiming a canonical doc) — fail loudly
+        if (curr != prev)
+          throw new IllegalStateException(
+            s"dedupClusters: label propagation did not converge in $maxRounds rounds; " +
+            "residual graph eccentricity exceeds the bound — raise maxRounds or " +
+            "lower CcLocalThreshold to solve the residual locally")
         labels.toDF("label", "root")
       }
 

@@ -226,15 +226,41 @@ object Similarity {
       .withColumn("cell", expr("array_position(scores, array_max(scores))").cast("int"))
       .drop("scores")
       .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    // The quantizer IS part of the index: probes must score against the
+    // centroids the data was partitioned by, not whatever a fresh
+    // training run would produce after the corpus (or its partitioning,
+    // or the session) changed. Underscore name keeps it out of
+    // partition discovery.
+    writeCentroidSidecar(spark, indexPath, cents)
+  }
+
+  private def writeCentroidSidecar(spark: SparkSession, indexPath: String,
+      cents: Seq[Array[Double]]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_centroids.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val json = cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[operators] def readCentroidSidecar(spark: SparkSession,
+      indexPath: String): Seq[Array[Double]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_centroids.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val json = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    // controlled format: [[d,d,...],[...]] — no general JSON needed
+    json.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+      .toSeq.map(_.split(",").map(_.toDouble))
   }
 
   /** Top-k against a materialized index: probes (vec_id < 5 from the
     * source corpus) search their top-nprobe cells; the filter on the
     * partition column prunes every other cell's files at plan time. */
   def knnIvfIndexed(spark: SparkSession, dir: String, indexPath: String, k: Int = 5): DataFrame = {
-    val cents = centroidCache.computeIfAbsent(dir, _ =>
-      kmeansCentroids(Tables.embeddings(spark, dir)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))))
+    // the index's own quantizer, never a retrained one (see writeIvfIndex)
+    val cents = readCentroidSidecar(spark, indexPath)
     val probes = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
@@ -245,6 +271,7 @@ object Similarity {
           (s, i) => struct(s.as("score"), i.as("idx"))))))
       .select(col("query_id"), col("q"),
               explode(slice(col("ranked.idx"), 1, NumProbeCells)).as("cell"))
+      .cache() // referenced twice: the cell collect below and the join
     val probeCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)) // tiny driver read: <= 5 * nprobe ids
     val index = spark.read.parquet(indexPath)

@@ -2,7 +2,6 @@ package graft.pipeline
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 
 /** Acquisition metadata sidecar — the parquet-archive equivalent of the
@@ -73,10 +72,12 @@ object AcqMetadata {
   }
 
   /** Idempotently (over)write the sidecar for each month partition.
-    * Hadoop FS so the same code serves file:// and hdfs://; tiny
+    * Hadoop FS with the SESSION's configuration — a bare Configuration
+    * would drop spark.hadoop.* settings (s3a credentials, defaultFS)
+    * and fail exactly on the remote filesystems this supports. Tiny
     * driver-side writes, one per month touched. */
   def write(cfg: ArchiveJob.JobConfig, months: Iterable[String]): Unit = {
-    val conf = new Configuration()
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
     months.foreach { m =>
       val dir = new Path(s"${cfg.archivePath}/month=$m")
       val fs = dir.getFileSystem(conf)

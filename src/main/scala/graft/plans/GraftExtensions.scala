@@ -84,11 +84,16 @@ object NanosRangeRewrite extends Rule[LogicalPlan] {
   }
 
   /** Timestamp literals are micros-since-epoch longs in Catalyst.
-    * Restricted to non-negative epochs: `div` truncates toward zero,
-    * which equals floor only for non-negative nanos — the implied
-    * bounds below are proven under that assumption. */
+    * Restricted to non-negative epochs (`div` truncates toward zero,
+    * which equals floor only for non-negative nanos) AND to values
+    * whose nanos form fits in a long: (m+1)*1000 must not overflow —
+    * a wrapped-negative bound conjoined to the filter would silently
+    * exclude every row. Out-of-range literals (sentinel dates past
+    * 2262-04-11) simply skip the rewrite. */
   private def micros(l: Literal): Option[Long] = l.dataType match {
-    case TimestampType => Some(l.value.asInstanceOf[Long]).filter(_ >= 0L)
+    case TimestampType =>
+      Some(l.value.asInstanceOf[Long])
+        .filter(m => m >= 0L && m < Long.MaxValue / 1000L - 1L)
     case _ => None
   }
 

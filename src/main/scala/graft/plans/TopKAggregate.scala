@@ -52,7 +52,13 @@ case class TopKNeighbors(
   override def checkInputDataTypes(): TypeCheckResult =
     if (score.dataType != DoubleType) TypeCheckResult.TypeCheckFailure("score must be double")
     else if (id.dataType != LongType) TypeCheckResult.TypeCheckFailure("id must be bigint")
-    else if (!kExpr.foldable) TypeCheckResult.TypeCheckFailure("k must be a literal")
+    else if (!kExpr.foldable ||
+             !Seq[DataType](IntegerType, LongType, ShortType, ByteType).contains(kExpr.dataType))
+      TypeCheckResult.TypeCheckFailure("k must be an integral literal")
+    // graft_topk is a session-wide SQL builtin: reject k <= 0 at
+    // analysis, not as a per-task NoSuchElementException on buf.head
+    else if (kExpr.eval() == null || kExpr.eval().asInstanceOf[Number].intValue < 1)
+      TypeCheckResult.TypeCheckFailure("k must be >= 1")
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = TopKNeighbors.resultType

@@ -322,15 +322,23 @@ object SqliteFile {
   }
 
   /** Columns of a CREATE TABLE statement as (name, declaredType), plus
-    * the index of the rowid-alias column (-1 if none). A column whose
-    * declared type is exactly INTEGER and that carries PRIMARY KEY in
-    * its definition aliases the rowid — wview's `dateTime INTEGER NOT
-    * NULL UNIQUE PRIMARY KEY` is the case that matters here; its record
-    * slots store NULL and the b-tree key is the timestamp itself. */
+    * the index of the rowid-alias column (-1 if none). Per the SQLite
+    * spec a column aliases the rowid when it is declared type INTEGER
+    * and is the primary key — either in the column definition
+    * (`dateTime INTEGER NOT NULL UNIQUE PRIMARY KEY`, the wview case)
+    * or as a single-column table constraint `PRIMARY KEY(col)` — with
+    * the documented exception that `PRIMARY KEY DESC` does NOT alias.
+    * An aliased column's record slots store NULL and the b-tree key
+    * carries the value, so getting this wrong silently reads NULLs (or
+    * rowids where real values live); WITHOUT ROWID tables use an
+    * index-b-tree layout this reader does not speak, so they are
+    * rejected rather than misread. */
   def parseCreateTable(sql: String): (Seq[(String, String)], Int) = {
     val open = sql.indexOf('(')
     val close = sql.lastIndexOf(')')
     require(open >= 0 && close > open, s"cannot parse CREATE TABLE: $sql")
+    require(!sql.substring(close + 1).toUpperCase.contains("WITHOUT ROWID"),
+      "WITHOUT ROWID tables are not supported (index-b-tree record layout)")
     val body = sql.substring(open + 1, close)
     // split on top-level commas (parens appear in CHECK/DEFAULT/type(n))
     val parts = Seq.newBuilder[String]
@@ -348,19 +356,36 @@ object SqliteFile {
     }
     parts += body.substring(start)
     val tableConstraint = "(?i)^(PRIMARY|UNIQUE|CHECK|FOREIGN|CONSTRAINT)\\b".r
-    val cols = parts.result().map(_.trim).filter(_.nonEmpty)
+    val allParts = parts.result().map(_.trim).filter(_.nonEmpty)
+    def unquote(s: String): String =
+      s.stripPrefix("\"").stripSuffix("\"").stripPrefix("`").stripSuffix("`")
+        .stripPrefix("[").stripSuffix("]")
+    val cols = allParts
       .filterNot(p => tableConstraint.findFirstIn(p).isDefined)
       .map { p =>
         val toks = p.split("\\s+", 2)
-        val name = toks(0).stripPrefix("\"").stripSuffix("\"")
-          .stripPrefix("`").stripSuffix("`").stripPrefix("[").stripSuffix("]")
         val rest = if (toks.length > 1) toks(1) else ""
-        val declType = rest.split("\\s+").headOption.getOrElse("").toUpperCase
-        (name, declType, rest.toUpperCase)
+        (unquote(toks(0)), rest.split("\\s+").headOption.getOrElse("").toUpperCase,
+         rest.toUpperCase)
       }
-    val rowidAlias = cols.indexWhere { case (_, t, rest) =>
-      t == "INTEGER" && rest.contains("PRIMARY KEY")
+    // column-level: INTEGER + PRIMARY KEY not immediately followed by DESC
+    val colLevel = cols.indexWhere { case (_, t, rest) =>
+      val i = rest.indexOf("PRIMARY KEY")
+      t == "INTEGER" && i >= 0 &&
+        !rest.substring(i + "PRIMARY KEY".length).trim.startsWith("DESC")
     }
+    // table-level: PRIMARY KEY(col [ASC]) over a single INTEGER column
+    val pkCols = "(?is)^(?:CONSTRAINT\\s+\\S+\\s+)?PRIMARY\\s+KEY\\s*\\(([^)]*)\\)".r
+    val tableLevel = allParts.flatMap(p => pkCols.findFirstMatchIn(p).map(_.group(1)))
+      .headOption.map(_.split(",").map(_.trim)).filter(_.length == 1)
+      .map(_.head.split("\\s+").toSeq).flatMap {
+        case Seq(name) => Some(unquote(name))
+        case Seq(name, asc) if asc.equalsIgnoreCase("ASC") => Some(unquote(name))
+        case _ => None // DESC or COLLATE forms: not an alias
+      }
+      .map(n => cols.indexWhere(c => c._1.equalsIgnoreCase(n) && c._2 == "INTEGER"))
+      .getOrElse(-1)
+    val rowidAlias = if (colLevel >= 0) colLevel else tableLevel
     (cols.map(c => (c._1, c._2)), rowidAlias)
   }
 }

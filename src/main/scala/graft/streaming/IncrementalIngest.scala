@@ -151,18 +151,27 @@ object IncrementalIngest {
   def compactDay(spark: SparkSession, archivePath: String,
       month: String, day: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val dayPath = s"$archivePath/month=$month/day=$day"
-    val tmp = new Path(dayPath + ".compacting")
-    val dst = new Path(dayPath)
+    val monthDir = s"$archivePath/month=$month"
+    val dst = new Path(s"$monthDir/day=$day")
+    // dot-prefixed siblings are invisible to Spark's partition
+    // discovery, so concurrent readers never see the in-progress copy
+    // or a bogus "day=<day>.compacting" partition
+    val tmp = new Path(s"$monthDir/.compacting_day=$day")
+    val old = new Path(s"$monthDir/.compacted_old_day=$day")
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dst)) return
-    spark.read.parquet(dayPath)
+    fs.delete(tmp, true); fs.delete(old, true) // stale leftovers of a crash
+    spark.read.parquet(dst.toString)
       .withColumn("batch_id", lit(-1L))
       .repartition(1)
       .sortWithinPartitions(col("station"), col("dateTime"))
       .write.mode("overwrite").partitionBy("batch_id").parquet(tmp.toString)
-    fs.delete(dst, true)
+    // swap by two atomic renames (not delete-then-rename): the day is
+    // absent only between them, and a crash leaves the original intact
+    // under the hidden old name for recovery
+    fs.rename(dst, old)
     fs.rename(tmp, dst)
+    fs.delete(old, true)
   }
 
   /** Run the gated daily aggregation into an in-memory sink (smoke /

@@ -45,6 +45,25 @@ class PlanAuditSpec extends SparkSpec {
       manual.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("nanos rewrite skips sentinel timestamps that would overflow longs") {
+    import org.apache.spark.sql.functions.col
+    // 9999-01-01 in nanos overflows a long; the rule must skip it, not
+    // conjoin a wrapped-negative bound that silently empties the result
+    val all = Tables.events(spark, sf).count()
+    val n = Tables.events(spark, sf)
+      .filter(col("ts") <= "9999-01-01 00:00:00").count()
+    assert(n === all, s"sentinel upper bound dropped rows: $n of $all")
+  }
+
+  test("graft_topk rejects non-positive k at analysis time") {
+    graft.plans.TopKAggregate.register(spark)
+    Tables.events(spark, sf).limit(1).createOrReplaceTempView("topk_probe")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_topk(value, event_id, 0) FROM topk_probe").collect()
+    }
+    assert(e.getMessage.contains("k must be"), e.getMessage)
+  }
+
   test("projection prunes the parquet ReadSchema to selected columns") {
     val plan = planOf(TimeSeries.scanProject(spark, sf))
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
