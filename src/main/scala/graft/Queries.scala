@@ -390,6 +390,7 @@ object Queries {
     "q_asof_join" -> (Analytics.asofJoin _),
     "q_sessionize" -> (Analytics.sessionize _),
     "q_moving_avg" -> (Analytics.movingAvg _),
+    "q_json_funcs" -> (Analytics.jsonFuncs _),
     "q_approx_sketches" -> (Analytics.approxSketches _)
   )
 
@@ -440,7 +441,11 @@ object Queries {
        "datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_num FROM events GROUP BY 1, 3) " +
        "SELECT day, round(day_value, 2) AS day_value, " +
        "round(avg(day_value) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7 " +
-       "FROM d ORDER BY day")
+       "FROM d ORDER BY day"),
+    "q_json_funcs" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path, " +
+       "CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed " +
+       "FROM events ORDER BY event_id")
     // no oracle (rows-only): q_approx_sketches — sketch values are
     // engine-specific; differential error bounds vs exact in
     // ExtensionsSpec.

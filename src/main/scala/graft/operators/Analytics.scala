@@ -132,6 +132,21 @@ object Analytics {
           .as("approx_p99"))
       .orderBy(col("l_returnflag"))
 
+  /** JSON column surface: path extraction (get_json_object) and typed
+    * parsing (from_json with an explicit schema) over the events props
+    * column — the schema-on-read pattern for semi-structured payload
+    * columns; both are codegen'd expressions, no UDF. */
+  def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+          .getField("k").as("k_typed"))
+      .orderBy(col("event_id"))
+
   /** Session gap: a >6h pause in a user's event stream closes the
     * session. Microsecond longs end-to-end so the oracle is exact. */
   val SessionGapUs: Long = 6L * 3600 * 1000000

@@ -89,6 +89,21 @@ object IncrementalIngest {
       }
   }
 
+  /** Watermarked stream-stream inner join: each left event enriched
+    * with right-side events for the same key within a trailing time
+    * horizon. Both sides carry watermarks and the join condition
+    * bounds right.ts to [left.ts - horizon, left.ts], so Spark can
+    * expire buffered state once the watermark passes — without the
+    * range bound the state store grows with the stream. The generic
+    * form of "purchase joined to the signup that preceded it". */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      key: String, horizon: String, watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay).alias("l")
+    val r = right.withWatermark("ts", watermarkDelay).alias("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND r.ts BETWEEN l.ts - INTERVAL $horizon AND l.ts"))
+  }
+
   /** Streaming replay dedup: upstream wview servers re-send data after
     * downtime (README.md:14-19), so the same (station, dateTime) sample
     * can arrive in several files. dropDuplicatesWithinWatermark keeps

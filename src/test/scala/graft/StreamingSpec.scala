@@ -160,6 +160,44 @@ class StreamingSpec extends SparkSpec {
     assert(n === 288, s"replayed rows must dedup: got $n")
   }
 
+  test("watermarked stream-stream join bounds state and matches batch join") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-ss-join").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts_sec", LongType)))
+    val base = d1.atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    // purchases at :10 and :90 min; signups at :00 and :60 min
+    val purchases = Seq((1L, 100L, base + 600), (1L, 101L, base + 5400), (2L, 102L, base + 600))
+    val signups = Seq((1L, 200L, base), (1L, 201L, base + 3600), (2L, 202L, base + 7200))
+    def write(dir: String, rows: Seq[(Long, Long, Long)]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2, r._3)), 1), schema)
+        .write.mode(SaveMode.Append).parquet(dir)
+    write(s"$root/purchases", purchases)
+    write(s"$root/signups", signups)
+
+    def stream(dir: String): org.apache.spark.sql.DataFrame =
+      spark.readStream.schema(schema).parquet(dir)
+        .withColumn("ts", timestamp_seconds(col("ts_sec")))
+
+    val joined = IncrementalIngest.streamStreamJoin(
+        stream(s"$root/purchases"), stream(s"$root/signups"),
+        key = "user_id", horizon = "1 HOUR")
+      .select(col("l.event_id").as("purchase_id"), col("r.event_id").as("signup_id"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT purchase_id, signup_id FROM ss_join")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // expected: purchase 100 (t+10m) joins signup 200 (t+0) within 1h;
+    // purchase 101 (t+90m) joins 201 (t+60m) AND NOT 200 (>1h before);
+    // purchase 102 has no preceding signup for user 2 (202 is later)
+    assert(got === Set((100L, 200L), (101L, 201L)))
+  }
+
   test("streaming archive matches batch archive on the same two-station input") {
     val root = Files.createTempDirectory("graft-stream-eq").toString
     for (st <- Seq("stA", "stB"); day <- Seq(d1, d2))
