@@ -220,6 +220,7 @@ object Queries {
     "dedup_simhash" -> (Dedup.simhashes _),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     "dedup_shingle_pairs" -> (Dedup.shingleLshPairs _),
+    "dedup_report" -> (Dedup.dedupReport _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "sim_embed_norms" -> (Similarity.norms _),
     "knn_brute_cosine" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
@@ -258,6 +259,20 @@ object Queries {
     "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) " +
     s"SELECT vec_a, vec_b, cos_sim FROM p ${where}ORDER BY vec_a, vec_b"
   }
+
+  /** Shared recursive-reachability CTE chain for the dedup cluster
+    * oracles; trailing comma so consumers append their own final CTE /
+    * SELECT. */
+  private val dedupClustersCte: String =
+    s"WITH RECURSIVE t AS (SELECT doc_id, $duckUniq AS toks FROM documents), " +
+    "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+    "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+    "len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard " +
+    "FROM t a, t b WHERE a.doc_id < b.doc_id), " +
+    "e AS (SELECT doc_a AS src, doc_b AS dst FROM p WHERE jaccard >= 0.8 " +
+    "UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p WHERE jaccard >= 0.8), " +
+    "reach AS (SELECT doc_id, doc_id AS label FROM documents " +
+    "UNION SELECT e.src AS doc_id, r.label FROM e JOIN reach r ON e.dst = r.doc_id) "
 
   val extensionOracles: Map[String, String] = Map(
     "sim_embed_near_dup" -> simBucketPairsSql(Some(0.95)),
@@ -330,17 +345,16 @@ object Queries {
     // dedup_minhash_lsh: pair recall is 1.0 on this corpus (differential
     // test), so both sides close over an identical edge set.
     "dedup_clusters" ->
-      (s"WITH RECURSIVE t AS (SELECT doc_id, $duckUniq AS toks FROM documents), " +
-       "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-       "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
-       "len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard " +
-       "FROM t a, t b WHERE a.doc_id < b.doc_id), " +
-       "e AS (SELECT doc_a AS src, doc_b AS dst FROM p WHERE jaccard >= 0.8 " +
-       "UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p WHERE jaccard >= 0.8), " +
-       "reach AS (SELECT doc_id, doc_id AS label FROM documents " +
-       "UNION SELECT e.src AS doc_id, r.label FROM e JOIN reach r ON e.dst = r.doc_id) " +
+      (dedupClustersCte +
        "SELECT doc_id, min(label) AS cluster_id, min(label) = doc_id AS is_canonical " +
        "FROM reach GROUP BY doc_id ORDER BY doc_id"),
+    "dedup_report" ->
+      (dedupClustersCte +
+       ", c AS (SELECT doc_id, min(label) AS cluster_id, min(label) = doc_id AS is_canonical " +
+       "FROM reach GROUP BY doc_id) " +
+       "SELECT count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters, " +
+       "CAST(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical, " +
+       "round(CAST(count(DISTINCT cluster_id) AS DOUBLE) / count(*), 4) AS keep_ratio FROM c"),
     // Shingle near-dups: same recall argument as dedup_minhash_lsh —
     // banding at these parameters misses a 0.8-pair w.p. ~3e-8, and
     // recall is exactly 1.0 on the fixed corpus (differential test), so

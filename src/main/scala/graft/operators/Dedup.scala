@@ -292,6 +292,19 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Corpus reduction report — the number a training-data pipeline
+    * publishes after dedup: how many documents, how many near-dup
+    * clusters they collapse to, and the survivor ratio if one
+    * canonical doc is kept per cluster. */
+  def dedupReport(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_canonical"),
+        round(countDistinct(col("cluster_id")).cast("double") / count(lit(1)), 4)
+          .as("keep_ratio"))
+
   /** Above this contracted-edge count the residual components solve
     * distributedly (label-propagation loop) instead of on the driver. */
   val CcLocalThreshold = 2000000L
