@@ -333,8 +333,16 @@ object Dedup {
     *     doubling, O(log d) effective rounds after contraction;
     *  4. resolve doc -> level-1 label -> residual root with broadcast
     *     joins; docs without edges are singleton clusters. */
+  /** Cluster assignments memoized per corpus: the components are
+    * computed once (the loop below materializes eagerly via
+    * localCheckpoint) and then served to every consumer — the clusters
+    * query, the reduction report, a keep-canonical filter — the same
+    * build-once economics as a materialized index. */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    dedupClusters(spark, dir, CcLocalThreshold)
+    clusterCache.computeIfAbsent(dir, _ => dedupClusters(spark, dir, CcLocalThreshold))
 
   private[graft] def dedupClusters(spark: SparkSession, dir: String,
       localThreshold: Long): DataFrame = {
