@@ -405,6 +405,7 @@ object Queries {
     "q_sessionize" -> (Analytics.sessionize _),
     "q_moving_avg" -> (Analytics.movingAvg _),
     "q_json_funcs" -> (Analytics.jsonFuncs _),
+    "q_array_agg" -> (Analytics.arrayAgg _),
     "q_approx_sketches" -> (Analytics.approxSketches _)
   )
 
@@ -459,7 +460,11 @@ object Queries {
     "q_json_funcs" ->
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path, " +
        "CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed " +
-       "FROM events ORDER BY event_id")
+       "FROM events ORDER BY event_id"),
+    "q_array_agg" ->
+      ("SELECT user_id, list_sort(list_distinct(list(event_type))) AS event_types, " +
+       "CAST(len(list_distinct(list(event_type))) AS BIGINT) AS n_types, " +
+       "count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id")
     // no oracle (rows-only): q_approx_sketches — sketch values are
     // engine-specific; differential error bounds vs exact in
     // ExtensionsSpec.

@@ -132,6 +132,19 @@ object Analytics {
           .as("approx_p99"))
       .orderBy(col("l_returnflag"))
 
+  /** Array aggregation surface: per-user distinct event types as a
+    * sorted array (deterministic for the oracle) plus scalar facts —
+    * the collect_set/sort_array pattern for building nested columns
+    * out of flat events. */
+  def arrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sort_array(collect_set(col("event_type"))).as("event_types"),
+        size(collect_set(col("event_type"))).cast("long").as("n_types"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
   /** JSON column surface: path extraction (get_json_object) and typed
     * parsing (from_json with an explicit schema) over the events props
     * column — the schema-on-read pattern for semi-structured payload
