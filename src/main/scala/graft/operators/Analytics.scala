@@ -141,8 +141,9 @@ object Analytics {
       .groupBy(col("user_id"))
       .agg(
         sort_array(collect_set(col("event_type"))).as("event_types"),
-        size(collect_set(col("event_type"))).cast("long").as("n_types"),
         count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("event_types"),
+        size(col("event_types")).cast("long").as("n_types"), col("n_events"))
       .orderBy(col("user_id"))
 
   /** JSON column surface: path extraction (get_json_object) and typed

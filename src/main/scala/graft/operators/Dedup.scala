@@ -342,7 +342,12 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    clusterCache.computeIfAbsent(dir, _ => dedupClusters(spark, dir, CcLocalThreshold))
+    // keyed by application AND dir: a cached frame is backed by this
+    // SparkContext's checkpoint RDDs — serving it to a later session in
+    // the same JVM would throw "SparkContext has been shut down"
+    clusterCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir",
+      _ => dedupClusters(spark, dir, CcLocalThreshold))
 
   private[graft] def dedupClusters(spark: SparkSession, dir: String,
       localThreshold: Long): DataFrame = {

@@ -271,13 +271,17 @@ object Similarity {
           (s, i) => struct(s.as("score"), i.as("idx"))))))
       .select(col("query_id"), col("q"),
               explode(slice(col("ranked.idx"), 1, NumProbeCells)).as("cell"))
-      .cache() // referenced twice: the cell collect below and the join
-    val probeCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)) // tiny driver read: <= 5 * nprobe ids
+    // the probe set is tiny (<= n_probes * nprobe rows): collect ONCE
+    // and rebuild a local frame — no second execution of the scoring
+    // subplan and no cache entry leaked per call
+    val probeRows = probes.collect()
+    val probeCells = probeRows.map(_.getInt(2)).distinct
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probes.schema)
     val index = spark.read.parquet(indexPath)
-      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf).toSeq: _*))
       .select(col("cell").cast("int").as("cell"), col("vec_id"), col("v"))
-    val scored = index.join(broadcast(probes), Seq("cell"))
+    val scored = index.join(broadcast(probesLocal), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
               round(cosine(col("q"), col("v")), 4).as("cos_sim"))

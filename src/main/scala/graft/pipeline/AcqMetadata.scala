@@ -72,12 +72,15 @@ object AcqMetadata {
   }
 
   /** Idempotently (over)write the sidecar for each month partition.
-    * Hadoop FS with the SESSION's configuration — a bare Configuration
-    * would drop spark.hadoop.* settings (s3a credentials, defaultFS)
-    * and fail exactly on the remote filesystems this supports. Tiny
-    * driver-side writes, one per month touched. */
-  def write(cfg: ArchiveJob.JobConfig, months: Iterable[String]): Unit = {
-    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    * Hadoop FS with the caller's SESSION configuration — a bare
+    * Configuration would drop spark.hadoop.* settings (s3a
+    * credentials, defaultFS) and fail exactly on the remote
+    * filesystems this supports; an explicit parameter rather than
+    * SparkSession.active so a scheduler thread without a thread-local
+    * session can still call it. Tiny driver-side writes, one per month
+    * touched. */
+  def write(cfg: ArchiveJob.JobConfig, months: Iterable[String],
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
     months.foreach { m =>
       val dir = new Path(s"${cfg.archivePath}/month=$m")
       val fs = dir.getFileSystem(conf)

@@ -210,7 +210,7 @@ object ArchiveJob {
       }
       // Acquisition attrs per monthly partition (aristoteles.py:393-402,
       // :443-458) — after data lands, before the run is declared done.
-      AcqMetadata.write(cfg, monthsTouched)
+      AcqMetadata.write(cfg, monthsTouched, spark.sessionState.newHadoopConf())
 
       val status = if (written > 0) 1 else 0
       publish(cfg, status, written, Some(firstDay), yesterday, yCounts)

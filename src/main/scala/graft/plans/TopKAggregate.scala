@@ -55,11 +55,16 @@ case class TopKNeighbors(
     else if (!kExpr.foldable ||
              !Seq[DataType](IntegerType, LongType, ShortType, ByteType).contains(kExpr.dataType))
       TypeCheckResult.TypeCheckFailure("k must be an integral literal")
-    // graft_topk is a session-wide SQL builtin: reject k <= 0 at
-    // analysis, not as a per-task NoSuchElementException on buf.head
-    else if (kExpr.eval() == null || kExpr.eval().asInstanceOf[Number].intValue < 1)
-      TypeCheckResult.TypeCheckFailure("k must be >= 1")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // graft_topk is a session-wide SQL builtin: reject bad k at
+      // analysis, not as a per-task exception. Compare as LONG — an
+      // intValue truncation would wrap k=2^32+1 to 1 silently.
+      val kv = kExpr.eval()
+      if (kv == null || kv.asInstanceOf[Number].longValue < 1L ||
+          kv.asInstanceOf[Number].longValue > Int.MaxValue.toLong)
+        TypeCheckResult.TypeCheckFailure(s"k must be in [1, ${Int.MaxValue}]")
+      else TypeCheckResult.TypeCheckSuccess
+    }
 
   override def dataType: DataType = TopKNeighbors.resultType
   override def nullable: Boolean = false

@@ -374,15 +374,14 @@ object SqliteFile {
       t == "INTEGER" && i >= 0 &&
         !rest.substring(i + "PRIMARY KEY".length).trim.startsWith("DESC")
     }
-    // table-level: PRIMARY KEY(col [ASC]) over a single INTEGER column
+    // table-level: PRIMARY KEY(col ...) over a single INTEGER column.
+    // Unlike the column-definition form, the spec's DESC exception does
+    // NOT apply here: PRIMARY KEY(x DESC) — and COLLATE variants —
+    // still alias the rowid, so only the column NAME matters.
     val pkCols = "(?is)^(?:CONSTRAINT\\s+\\S+\\s+)?PRIMARY\\s+KEY\\s*\\(([^)]*)\\)".r
     val tableLevel = allParts.flatMap(p => pkCols.findFirstMatchIn(p).map(_.group(1)))
       .headOption.map(_.split(",").map(_.trim)).filter(_.length == 1)
-      .map(_.head.split("\\s+").toSeq).flatMap {
-        case Seq(name) => Some(unquote(name))
-        case Seq(name, asc) if asc.equalsIgnoreCase("ASC") => Some(unquote(name))
-        case _ => None // DESC or COLLATE forms: not an alias
-      }
+      .flatMap(_.head.split("\\s+").headOption.map(unquote))
       .map(n => cols.indexWhere(c => c._1.equalsIgnoreCase(n) && c._2 == "INTEGER"))
       .getOrElse(-1)
     val rowidAlias = if (colLevel >= 0) colLevel else tableLevel

@@ -174,6 +174,13 @@ object IncrementalIngest {
     val tmp = new Path(s"$monthDir/.compacting_day=$day")
     val old = new Path(s"$monthDir/.compacted_old_day=$day")
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    // crash recovery FIRST: a previous run that died between its two
+    // renames left the day only under the hidden old name — restore it
+    // before the exists(dst) check can turn this into a silent no-op
+    if (!fs.exists(dst) && fs.exists(old)) {
+      if (!fs.rename(old, dst))
+        throw new java.io.IOException(s"compactDay: failed to recover $old -> $dst")
+    }
     if (!fs.exists(dst)) return
     fs.delete(tmp, true); fs.delete(old, true) // stale leftovers of a crash
     spark.read.parquet(dst.toString)
@@ -183,9 +190,13 @@ object IncrementalIngest {
       .write.mode("overwrite").partitionBy("batch_id").parquet(tmp.toString)
     // swap by two atomic renames (not delete-then-rename): the day is
     // absent only between them, and a crash leaves the original intact
-    // under the hidden old name for recovery
-    fs.rename(dst, old)
-    fs.rename(tmp, dst)
+    // under the hidden old name, recovered above on rerun. Hadoop
+    // rename signals failure by BOOLEAN — unchecked, a false from the
+    // first rename would make the second nest tmp inside dst.
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"compactDay: failed to stage $dst -> $old")
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"compactDay: failed to publish $tmp -> $dst")
     fs.delete(old, true)
   }
 
