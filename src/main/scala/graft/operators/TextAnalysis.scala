@@ -29,6 +29,17 @@ object TextAnalysis {
           .cast("long").as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Stratified corpus rebalancing: sample each source at its own
+    * fraction (the up/down-weighting step of training-data mixing —
+    * e.g. keep all of a scarce high-quality source, 10% of a crawl).
+    * `sampleBy` is a single scan with per-stratum Bernoulli draws —
+    * no shuffle, no per-source passes; a fixed seed makes runs
+    * reproducible, which corpus governance requires. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    Tables.documents(spark, dir)
+      .stat.sampleBy("source", fractions, seed)
+
   /** Per-document corpus statistics. */
   def stats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -211,6 +211,31 @@ class ExtensionsSpec extends SparkSpec {
     cands.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
   }
 
+  test("stratified sampling hits per-source fractions and is reproducible") {
+    import graft.operators.TextAnalysis
+    val sources = Tables.documents(spark, sf).select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(sources.length >= 2, "fixture needs multiple sources")
+    val fractions = sources.zipWithIndex.map { case (s, i) =>
+      s -> (if (i % 2 == 0) 1.0 else 0.25)
+    }.toMap
+    val sampled = TextAnalysis.stratifiedSample(spark, sf, fractions)
+    val got = sampled.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = Tables.documents(spark, sf).groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    fractions.foreach { case (s, f) =>
+      val kept = got.getOrElse(s, 0L).toDouble / full(s)
+      if (f == 1.0) assert(kept === 1.0, s"source $s: full strata must keep all")
+      else assert(kept > 0.0 && kept < 0.7,
+        s"source $s: kept $kept for fraction $f (Bernoulli tolerance)")
+    }
+    // reproducibility: same seed -> identical sample
+    val again = TextAnalysis.stratifiedSample(spark, sf, fractions)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(again === sampled.select(col("doc_id")).collect().map(_.getLong(0)).toSet)
+  }
+
   test("approx sketches stay within error bounds of exact answers") {
     import graft.operators.Analytics
     val approx = Analytics.approxSketches(spark, sf).collect()
