@@ -223,6 +223,7 @@ object Queries {
     "dedup_report" -> (Dedup.dedupReport _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "sim_embed_norms" -> (Similarity.norms _),
+    "sim_label_centroids" -> (Similarity.labelCentroids _),
     "knn_brute_cosine" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
     "knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
     "sim_embed_near_dup" -> (Similarity.embeddingNearDupPairs _),
@@ -372,6 +373,12 @@ object Queries {
     "sim_embed_norms" ->
       ("SELECT vec_id, round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm " +
        "FROM embeddings ORDER BY vec_id"),
+    "sim_label_centroids" ->
+      ("SELECT label, CAST(dim AS BIGINT) AS dim, round(avg(CAST(v AS DOUBLE)), 6) AS mean_v, " +
+       "count(*) AS n_vecs FROM (" +
+       "SELECT label, unnest(embedding) AS v, " +
+       "unnest(range(1, len(embedding) + 1)) AS dim FROM embeddings) " +
+       "GROUP BY label, dim ORDER BY label, dim"),
     "knn_brute_cosine" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
        "p AS (SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < 5), " +

@@ -42,6 +42,20 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Label-conditioned mean embeddings (class prototypes): posexplode
+    * to (label, dim, component), one hash-aggregate over label x dim —
+    * map-side combined, so the shuffle carries n_labels * dim partial
+    * sums regardless of corpus size. The long output shape (one row
+    * per label and dimension) is deliberately flat: it feeds drift/
+    * bias dashboards directly and needs no array reassembly. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(asDouble(col("embedding"))))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"), col("col").as("v"))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v")), 6).as("mean_v"), count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"), col("dim"))
+
   /** Per-vector L2 norms (sanity surface + the normalization step of any
     * embedding pipeline). */
   def norms(spark: SparkSession, dir: String): DataFrame =
