@@ -230,6 +230,12 @@ object Dedup {
           (0 until BandRows).map(r => col("mh")(bId * BandRows + r).cast("string")): _*))): _*)): _*)
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_key")
+      // materialized once: both join sides read the band table below,
+      // and without this each side would recompute the whole
+      // tokenize/shingle -> minhash -> band pipeline from the scan (a
+      // self-join reuses no subplan). At scale this IS the signature
+      // table a production dedup writes before the band join.
+      .localCheckpoint(true)
     def side(suffix: String) = {
       val p = if (isMasked) col("mask").as(s"mask_$suffix") else col("toks").as(s"toks_$suffix")
       bands.select(col("band_id"), col("band_key"),
