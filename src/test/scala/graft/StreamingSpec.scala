@@ -160,6 +160,34 @@ class StreamingSpec extends SparkSpec {
     assert(n === 288, s"replayed rows must dedup: got $n")
   }
 
+  test("streaming progress publishes Prometheus gauges atomically") {
+    val in = Files.createTempDirectory("graft-stream-prom-in").toString
+    val out = Files.createTempDirectory("graft-stream-prom-out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-prom-ckpt").toString
+    val prom = s"${Files.createTempDirectory("graft-prom")}/stream.prom"
+    writeDay(in, "stA", d1, 288)
+
+    val listener = new graft.streaming.StreamingPromListener(prom)
+    spark.streams.addListener(listener)
+    try {
+      val q = IncrementalIngest.archiveWriter(
+        IncrementalIngest.source(spark, in), out, ckpt).start()
+      q.awaitTermination()
+      // listener bus is async; progress events land shortly after
+      val deadline = System.nanoTime + 10e9.toLong
+      var text = ""
+      while (!text.contains("graft_stream_input_rows") && System.nanoTime < deadline) {
+        Thread.sleep(100)
+        if (Files.exists(java.nio.file.Paths.get(prom)))
+          text = Files.readString(java.nio.file.Paths.get(prom))
+      }
+      assert(text.contains("""graft_stream_input_rows{query="""),
+        s"missing input-rows gauge in:\n$text")
+      assert(text.contains("graft_stream_batch_id"))
+      assert(text.contains("# TYPE graft_stream_active gauge"))
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("watermarked stream-stream join bounds state and matches batch join") {
     import org.apache.spark.sql.types._
     val root = Files.createTempDirectory("graft-ss-join").toString
