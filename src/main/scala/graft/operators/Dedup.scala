@@ -233,9 +233,12 @@ object Dedup {
       // materialized once: both join sides read the band table below,
       // and without this each side would recompute the whole
       // tokenize/shingle -> minhash -> band pipeline from the scan (a
-      // self-join reuses no subplan). At scale this IS the signature
-      // table a production dedup writes before the band join.
-      .localCheckpoint(true)
+      // self-join reuses no subplan — with the checkpoint both sides
+      // share ONE RDD, computed once by the first action). Lazy so
+      // plan-only callers (.schema/.explain) pay nothing; at scale
+      // this IS the signature table a production dedup writes before
+      // the band join.
+      .localCheckpoint(false)
     def side(suffix: String) = {
       val p = if (isMasked) col("mask").as(s"mask_$suffix") else col("toks").as(s"toks_$suffix")
       bands.select(col("band_id"), col("band_key"),

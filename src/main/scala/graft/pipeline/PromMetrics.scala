@@ -47,12 +47,28 @@ object PromMetrics {
 
   /** Atomic publish: write `<path>.new`, rename over `<path>`
     * (aristoteles.py:141-142). */
-  def write(path: String, s: Snapshot): Unit = {
+  def write(path: String, s: Snapshot): Unit =
+    publishAtomic(path, render(s))
+
+  /** The shared atomicity-critical publish protocol (also used by the
+    * streaming listener): parent mkdir, write tmp, atomic rename. The
+    * tmp name is fixed per target path, so concurrent publishers of
+    * the SAME path must serialize externally. */
+  def publishAtomic(path: String, text: String): Unit = {
     val p = Paths.get(path)
     Option(p.getParent).foreach(Files.createDirectories(_))
     val tmp = Paths.get(path + ".new")
-    Files.writeString(tmp, render(s))
+    Files.writeString(tmp, text)
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Prometheus label-value escaping: backslash, quote, newline. */
+  def escapeLabel(v: String): String =
+    v.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case c => c.toString
+    }
 }

@@ -1,77 +1,83 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.streaming.StreamingQueryListener
+
+import graft.pipeline.PromMetrics
 
 /** S18 extended to streaming: a StreamingQueryListener publishing
   * per-query progress gauges in the same Prometheus textfile-collector
   * format (and atomic write-tmp-then-rename protocol,
-  * aristoteles.py:111-142) as the batch job's PromMetrics — so the
-  * operator watching `aristoteles_status` watches the stream with the
-  * same scrape config:
+  * aristoteles.py:111-142 — shared via PromMetrics.publishAtomic) as
+  * the batch job, so one scrape config watches both modes:
   *
   *   graft_stream_batch_id / input_rows / processed_rows_per_second /
   *   batch_duration_ms{query="<name>"} and graft_stream_active.
   *
-  * The textfile collector scrapes a whole-file snapshot, so the
-  * listener keeps the LAST progress per query and re-renders
-  * everything on each event — a publish that only carried the
-  * triggering event would erase every other query's gauges (and the
-  * terminate event would erase its own query's final numbers).
-  *
-  * Listener callbacks run on the streaming listener bus thread — the
-  * write must never throw (a listener exception kills metric delivery
-  * for every later event), so failures are swallowed after a stderr
-  * note. */
-class StreamingPromListener(promPath: String) extends StreamingQueryListener {
+  * Concurrency: started events fire synchronously on the caller's
+  * thread while progress/termination arrive on the async listener
+  * bus, so the active counter is atomic and publish() is synchronized
+  * (the shared tmp file is per-target-path). The textfile collector
+  * scrapes a whole-file snapshot, so the listener keeps the LAST
+  * progress per query and re-renders everything on each event;
+  * retained queries are capped (oldest evicted) so ad-hoc unnamed
+  * queries can't grow the file without bound. Query names are
+  * user-controlled and get label-escaped — one exotic name must not
+  * make the exposition file unparseable. Callbacks must never throw
+  * (an exception kills delivery for every later event), so failures
+  * are swallowed after a stderr note. */
+class StreamingPromListener(promPath: String, maxQueries: Int = 64)
+    extends StreamingQueryListener {
 
   private case class Last(batchId: Long, inputRows: Long,
       rowsPerSec: Double, durationMs: Long)
 
-  private val last = new java.util.concurrent.ConcurrentHashMap[String, Last]()
-  @volatile private var active: Int = 0
+  // access-ordered LRU with eviction at maxQueries, guarded by `this`
+  private val last = new java.util.LinkedHashMap[String, Last](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, Last]): Boolean =
+      size() > maxQueries
+  }
+  private val active = new AtomicInteger(0)
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = {
-    active += 1
+    active.incrementAndGet()
     publish()
   }
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
     val q = Option(p.name).getOrElse(p.id.toString)
-    last.put(q, Last(p.batchId, p.numInputRows, p.processedRowsPerSecond, p.batchDuration))
+    synchronized {
+      last.put(q, Last(p.batchId, p.numInputRows, p.processedRowsPerSecond, p.batchDuration))
+    }
     publish()
   }
 
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
-    active = math.max(0, active - 1)
+    active.updateAndGet(n => math.max(0, n - 1))
     publish()
   }
 
-  private def publish(): Unit =
+  private def publish(): Unit = synchronized {
     try {
       val sb = new StringBuilder
       sb.append("# TYPE graft_stream_active gauge\n")
-      sb.append(s"graft_stream_active $active\n")
-      def gauge(name: String): Unit = sb.append(s"# TYPE graft_stream_$name gauge\n")
-      gauge("batch_id"); gauge("input_rows")
-      gauge("processed_rows_per_second"); gauge("batch_duration_ms")
+      sb.append(s"graft_stream_active ${active.get()}\n")
+      def header(name: String): Unit = sb.append(s"# TYPE graft_stream_$name gauge\n")
+      header("batch_id"); header("input_rows")
+      header("processed_rows_per_second"); header("batch_duration_ms")
       last.forEach { (q, l) =>
-        sb.append(s"""graft_stream_batch_id{query="$q"} ${l.batchId}""").append('\n')
-        sb.append(s"""graft_stream_input_rows{query="$q"} ${l.inputRows}""").append('\n')
-        sb.append(s"""graft_stream_processed_rows_per_second{query="$q"} ${l.rowsPerSec}""").append('\n')
-        sb.append(s"""graft_stream_batch_duration_ms{query="$q"} ${l.durationMs}""").append('\n')
+        val lbl = PromMetrics.escapeLabel(q)
+        sb.append(s"""graft_stream_batch_id{query="$lbl"} ${l.batchId}""").append('\n')
+        sb.append(s"""graft_stream_input_rows{query="$lbl"} ${l.inputRows}""").append('\n')
+        sb.append(s"""graft_stream_processed_rows_per_second{query="$lbl"} ${l.rowsPerSec}""").append('\n')
+        sb.append(s"""graft_stream_batch_duration_ms{query="$lbl"} ${l.durationMs}""").append('\n')
       }
-      val p = Paths.get(promPath)
-      Option(p.getParent).foreach(Files.createDirectories(_))
-      val tmp = Paths.get(promPath + ".new")
-      Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      PromMetrics.publishAtomic(promPath, sb.toString)
     } catch {
       case t: Throwable =>
         System.err.println(s"[graft] stream metrics publish failed: ${t.getMessage}")
     }
+  }
 }

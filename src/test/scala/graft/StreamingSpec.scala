@@ -176,7 +176,9 @@ class StreamingSpec extends SparkSpec {
       // listener bus is async; progress events land shortly after
       val deadline = System.nanoTime + 10e9.toLong
       var text = ""
-      while (!text.contains("graft_stream_input_rows") && System.nanoTime < deadline) {
+      // wait for a SAMPLE line (the TYPE header appears before any
+      // progress event has been delivered on the async bus)
+      while (!text.contains("graft_stream_input_rows{query=\"") && System.nanoTime < deadline) {
         Thread.sleep(100)
         if (Files.exists(java.nio.file.Paths.get(prom)))
           text = Files.readString(java.nio.file.Paths.get(prom))
