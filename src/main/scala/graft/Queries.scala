@@ -242,6 +242,29 @@ object Queries {
   private def duckHits(words: Seq[String]): String =
     s"CAST(len(list_filter($duckToks, t -> list_contains(${words.mkString("['", "', '", "']")}, t))) AS BIGINT)"
 
+  // DuckDB twin of Dedup.simhashes: same md5-derived 64-bit token hash
+  // (two unsigned 32-bit hex halves), same +/-1 bit votes, same additive
+  // two's-complement reassembly. Generated, not hand-typed, so the 64
+  // terms stay mechanically in sync with SimhashBitWeight.
+  private val duckSimhashCte: String = {
+    val bitSums = (0 until 64).map { i =>
+      val half = if (i < 32) s"(lo >> $i)" else s"(hi >> ${i - 32})"
+      s"SUM(CASE WHEN ($half & 1) = 1 THEN 1 ELSE -1 END) AS b$i"
+    }.mkString(", ")
+    // bit 63's weight written as (-MAX - 1) to stay a BIGINT literal
+    // (DuckDB parses -9223372036854775808 via HUGEINT promotion, which
+    // would leak int128 into the result type)
+    val assemble = (0 until 64).map { i =>
+      val w = if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
+      s"CASE WHEN b$i > 0 THEN $w ELSE 0 END"
+    }.mkString(" + ")
+    s"WITH toks AS (SELECT doc_id, unnest($duckUniq) AS tok FROM documents), " +
+    "h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi, " +
+    "('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo FROM toks), " +
+    s"v AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id), " +
+    s"sim AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM v) "
+  }
+
   /** DuckDB twin of Similarity.bucketPairs: the 8 random-hyperplane sign
     * bits (identical plane literals, generated from the one Scala
     * source) -> bucket equi-join -> cosine. Verifies the bucketing
@@ -370,6 +393,18 @@ object Queries {
        "len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard " +
        "FROM s a JOIN s b ON a.doc_id < b.doc_id) " +
        "WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"),
+    "dedup_simhash" ->
+      (duckSimhashCte + "SELECT doc_id, simhash FROM sim ORDER BY doc_id"),
+    // Hamming<=3 via 4x16-bit pigeonhole banding on the Spark side is
+    // EXACT (a <=3-bit-differing pair always shares an intact band), so
+    // the brute-force all-pairs oracle is a true twin, not approximate.
+    "dedup_simhash_pairs" ->
+      (duckSimhashCte +
+       "SELECT doc_a, doc_b, hamming FROM (" +
+       "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+       "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
+       "FROM sim a JOIN sim b ON a.doc_id < b.doc_id) " +
+       "WHERE hamming <= 3 ORDER BY doc_a, doc_b"),
     "sim_embed_norms" ->
       ("SELECT vec_id, round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm " +
        "FROM embeddings ORDER BY vec_id"),
@@ -397,8 +432,7 @@ object Queries {
        "CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height, " +
        "3 AS channels, round(ascii(substr(text, 1, 1)) / 255.0, 6) AS f0 " +
        "FROM documents ORDER BY doc_id")
-    // no oracle (rows-only): dedup_simhash, dedup_simhash_pairs
-    // (xxhash64-based signatures), knn_ivf (approximate by contract;
+    // no oracle (rows-only): knn_ivf (approximate by contract;
     // recall vs brute force asserted in ExtensionsSpec).
   )
 
@@ -469,7 +503,7 @@ object Queries {
        "CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed " +
        "FROM events ORDER BY event_id"),
     "q_array_agg" ->
-      ("SELECT user_id, list_sort(list_distinct(list(event_type))) AS event_types, " +
+      ("SELECT user_id, array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types, " +
        "CAST(len(list_distinct(list(event_type))) AS BIGINT) AS n_types, " +
        "count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id")
     // no oracle (rows-only): q_approx_sketches — sketch values are

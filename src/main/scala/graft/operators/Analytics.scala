@@ -132,18 +132,20 @@ object Analytics {
           .as("approx_p99"))
       .orderBy(col("l_returnflag"))
 
-  /** Array aggregation surface: per-user distinct event types as a
-    * sorted array (deterministic for the oracle) plus scalar facts —
-    * the collect_set/sort_array pattern for building nested columns
-    * out of flat events. */
+  /** Array aggregation surface: per-user distinct event types built
+    * with collect_set/sort_array — the pattern for assembling nested
+    * columns out of flat events. The array is emitted joined to a
+    * string so external compare harnesses can hash the column; the
+    * nested form stays visible via n_types. */
   def arrayAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(
-        sort_array(collect_set(col("event_type"))).as("event_types"),
+        sort_array(collect_set(col("event_type"))).as("event_types_arr"),
         count(lit(1)).as("n_events"))
-      .select(col("user_id"), col("event_types"),
-        size(col("event_types")).cast("long").as("n_types"), col("n_events"))
+      .select(col("user_id"),
+        array_join(col("event_types_arr"), ",").as("event_types"),
+        size(col("event_types_arr")).cast("long").as("n_types"), col("n_events"))
       .orderBy(col("user_id"))
 
   /** JSON column surface: path extraction (get_json_object) and typed

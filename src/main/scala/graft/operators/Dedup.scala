@@ -259,21 +259,39 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: explode distinct tokens, per-bit +/-1
-    * vote sums in one hash-aggregate, reassemble the sign vector. */
+    * vote sums in one hash-aggregate, reassemble the sign vector.
+    *
+    * The token hash is the first 16 hex chars of md5, split into two
+    * unsigned 32-bit halves — an engine-portable construction (md5 is
+    * bit-identical everywhere), so an external SQL engine can reproduce
+    * the signatures exactly. xxhash64 would be ~2x cheaper per token but
+    * is Spark-private; md5 keeps the whole family oracle-checkable and
+    * the cost is still one codegen'd digest per (doc, token). */
   def simhashes(spark: SparkSession, dir: String): DataFrame = {
     val th = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(distinctTokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L)).as(s"b$i"))
+      .select(col("doc_id"), md5(col("tok")).as("m"))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("lo"))
+    val bitSums = (0 until 64).map { i =>
+      val half = if (i < 32) shiftright(col("lo"), i) else shiftright(col("hi"), i - 32)
+      sum(when(half.bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L)).as(s"b$i")
+    }
     th.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
+        // additive reassembly (bit 63's weight is Long.MinValue, the
+        // rest sum below 2^63) so the SQL oracle's arithmetic matches
         (0 until 64).map(i =>
-          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("simhash"))
+          when(col(s"b$i") > 0, lit(SimhashBitWeight(i))).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
       .orderBy(col("doc_id"))
   }
+
+  /** Two's-complement weight of bit i in a signed 64-bit value. */
+  private[graft] def SimhashBitWeight(i: Int): Long =
+    if (i == 63) Long.MinValue else 1L << i
 
   /** SimHash near-dup pairs within Hamming distance 3. Pigeonhole over
     * 4x16-bit bands: any pair with <=3 differing bits shares at least one
