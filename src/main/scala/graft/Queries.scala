@@ -225,7 +225,7 @@ object Queries {
     "sim_embed_norms" -> (Similarity.norms _),
     "sim_label_centroids" -> (Similarity.labelCentroids _),
     "knn_brute_cosine" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
-    "knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
+    "knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvfServed(s, d)),
     "sim_embed_near_dup" -> (Similarity.embeddingNearDupPairs _),
     "sim_embed_candidates" -> (Similarity.embeddingCandidatePairs _),
     "mm_binary_meta" -> (Multimodal.binaryMeta _),

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{AppScopedCache, Tables}
 import graft.functions.TextFunctions._
 
 /** Deduplication operators for the LLM-data-pipeline surface (north-star
@@ -183,10 +183,23 @@ object Dedup {
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
     nearDupPairsUnsorted(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
+  /** One pair set per corpus: minhash_lsh, the cluster build, and the
+    * reduction report all consume the same near-dup pairs, so the
+    * pipeline (tokenize -> minhash -> band join -> verify) runs once and
+    * is served from a lazy checkpoint — the same build-once economics as
+    * the cluster assignments below. Evicted with [[evictCorpus]]. */
+  private val pairCache =
+    new AppScopedCache[DataFrame](AppScopedCache.unpersistPlanRDDs)
+
   /** The adaptive near-dup pair core WITHOUT the presentation sort —
     * consumers that only need the pair set (connected components) skip
     * the global range-partition+sort a total order costs. */
   private[operators] def nearDupPairsUnsorted(spark: SparkSession, dir: String): DataFrame =
+    pairCache.getOrCompute(spark, dir) {
+      nearDupPairsImpl(spark, dir).localCheckpoint(false)
+    }
+
+  private def nearDupPairsImpl(spark: SparkSession, dir: String): DataFrame =
     smallVocab(tokenSets(spark, dir)) match {
       case Some(vocab) =>
         val repr = tokenSets(spark, dir)
@@ -200,14 +213,14 @@ object Dedup {
           repr.sparkSession.sparkContext.defaultParallelism * 2)
         verifyPairs(streamSide.join(broadcast(side("b")), col("doc_a") < col("doc_b")),
                     0.8, masked = true)
-      case None => bandedPairsFor(tokenSets(spark, dir), 0.8) // unsorted
+      case None => bandedPairsFor(tokenSets(spark, dir), 0.8, dir) // unsorted
     }
 
   /** The general-corpus LSH banding path (blocking equi-join on
     * (band_id, band_key), verification inline, distinct after the
     * threshold filter). */
   def minhashLshPairsBanded(spark: SparkSession, dir: String): DataFrame =
-    bandedPairsFor(tokenSets(spark, dir), 0.8)
+    bandedPairsFor(tokenSets(spark, dir), 0.8, dir)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** Word-3-gram shingle near-dups: shingle -> MinHash -> band ->
@@ -215,11 +228,17 @@ object Dedup {
     * Jaccard"). Same banded machinery as the unigram path, so the same
     * 100 TB shape: candidates scale with true collisions. */
   def shingleLshPairs(spark: SparkSession, dir: String): DataFrame =
-    bandedPairsFor(shingleSets(spark, dir, 3).filter(size(col("toks")) > 0), 0.8)
+    bandedPairsFor(shingleSets(spark, dir, 3).filter(size(col("toks")) > 0), 0.8, dir)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** Banded-LSH near-dup pairs over ANY (doc_id, toks) set frame. */
-  private[operators] def bandedPairsFor(sets: DataFrame, threshold: Double): DataFrame = {
+  /** Per-call band-table checkpoints, tracked per corpus so
+    * [[evictCorpus]] can release their blocks in a long-lived session. */
+  private val scratch = new AppScopedCache.ScratchFrames
+
+  /** Banded-LSH near-dup pairs over ANY (doc_id, toks) set frame.
+    * `scope` names the corpus for storage-lifetime tracking. */
+  private[operators] def bandedPairsFor(sets: DataFrame, threshold: Double,
+      scope: String): DataFrame = {
     val sigs = signaturesFor(sets).withColumn("sz", size(col("toks")))
     val isMasked = false
     val payload = Seq(col("toks"))
@@ -239,6 +258,7 @@ object Dedup {
       // this IS the signature table a production dedup writes before
       // the band join.
       .localCheckpoint(false)
+    scratch.track(sets.sparkSession, scope, bands)
     def side(suffix: String) = {
       val p = if (isMasked) col("mask").as(s"mask_$suffix") else col("toks").as(s"toks_$suffix")
       bands.select(col("band_id"), col("band_key"),
@@ -366,20 +386,26 @@ object Dedup {
     * query, the reduction report, a keep-canonical filter — the same
     * build-once economics as a materialized index. */
   private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new AppScopedCache[DataFrame](AppScopedCache.unpersistPlanRDDs)
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    // keyed by application AND dir: a cached frame is backed by this
-    // SparkContext's checkpoint RDDs — serving it to a later session in
-    // the same JVM would throw "SparkContext has been shut down"
-    clusterCache.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}:$dir",
-      _ => dedupClusters(spark, dir, CcLocalThreshold))
+    clusterCache.getOrCompute(spark, dir)(dedupClusters(spark, dir, CcLocalThreshold))
+
+  /** Release one corpus's memoized state now — cluster assignments,
+    * the near-dup pair set, and tracked band-table checkpoints — so a
+    * long-lived session serving many corpora doesn't accumulate their
+    * storage blocks. (App shutdown evicts everything automatically.) */
+  def evictCorpus(spark: SparkSession, dir: String): Unit = {
+    clusterCache.evict(spark, dir)
+    pairCache.evict(spark, dir)
+    scratch.evict(spark, dir)
+  }
 
   private[graft] def dedupClusters(spark: SparkSession, dir: String,
       localThreshold: Long): DataFrame = {
+    // the memoized pair checkpoint (pairCache) already materializes
+    // once and serves every read below — no extra .cache() layer
     val pairs = nearDupPairsUnsorted(spark, dir).select(col("doc_a"), col("doc_b"))
-      .cache()
 
     // (1) first-level labels, one directed pass
     val l1agg = pairs.groupBy(col("doc_b")).agg(min(col("doc_a")).as("label"))
@@ -397,7 +423,6 @@ object Dedup {
       .filter(col("la") =!= col("lb"))
       .distinct()
       .localCheckpoint(true)
-    pairs.unpersist()
 
     // (3) residual components -> root per residual node
     val roots: DataFrame =
@@ -437,6 +462,9 @@ object Dedup {
             .localCheckpoint(true)
           prev = curr
           curr = checksum(next)
+          // the superseded round's checkpoint is no longer referenced
+          // once `next` is materialized — release it immediately
+          AppScopedCache.unpersistPlanRDDs(labels)
           labels = next
           rounds += 1
         }
@@ -449,6 +477,11 @@ object Dedup {
             "lower CcLocalThreshold to solve the residual locally")
         labels.toDF("label", "root")
       }
+
+    // cpairs fed the residual solve only; its checkpoint is not a leaf
+    // of the final memoized frame (which eviction unpersists), so
+    // release it here rather than pinning it for the app lifetime
+    AppScopedCache.unpersistPlanRDDs(cpairs)
 
     // (4) resolve; singleton docs label themselves
     val resolved = l1agg

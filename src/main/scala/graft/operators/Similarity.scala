@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.Tables
+import graft.{AppScopedCache, Tables}
 
 /** Approximate-nearest-neighbor surface over the embeddings table
   * (north-star extension). Three paths:
@@ -198,13 +198,12 @@ object Similarity {
   /** Trained-once coarse quantizer per corpus: an IVF index is built at
     * ingest time and amortized over every probe batch — retraining
     * KMeans per query would charge index construction to each lookup. */
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()
+  private val centroidCache = new AppScopedCache[Seq[Array[Double]]]()
 
   def knnIvf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val cents = centroidCache.computeIfAbsent(dir, _ => kmeansCentroids(base))
+    val cents = centroidCache.getOrCompute(spark, dir)(kmeansCentroids(base))
     val emb = base
       .withColumn("scores", cellScores(col("v"), cents))
       .withColumn("cell", expr("array_position(scores, array_max(scores))").cast("int"))
@@ -234,7 +233,7 @@ object Similarity {
   def writeIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val cents = centroidCache.computeIfAbsent(dir, _ => kmeansCentroids(base))
+    val cents = centroidCache.getOrCompute(spark, dir)(kmeansCentroids(base))
     base
       .withColumn("scores", cellScores(col("v"), cents))
       .withColumn("cell", expr("array_position(scores, array_max(scores))").cast("int"))
@@ -268,6 +267,36 @@ object Similarity {
     json.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
       .toSeq.map(_.split(",").map(_.toDouble))
   }
+
+  /** One materialized index per corpus, built on first use (or in an
+    * ingest/warmup phase via an eager [[ivfIndexPath]] call) under a
+    * scratch directory that is deleted when the app ends. This is the
+    * serving path: probes never retrain the quantizer and read only
+    * their nprobe cells' files. */
+  private val indexCache = new AppScopedCache[String](deleteLocalDir)
+
+  private def deleteLocalDir(path: String): Unit = {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val root = Path.of(path)
+    if (Files.exists(root)) {
+      val all = Files.walk(root).iterator().asScala.toList
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  def ivfIndexPath(spark: SparkSession, dir: String): String =
+    indexCache.getOrCompute(spark, dir) {
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+      writeIvfIndex(spark, dir, path)
+      path
+    }
+
+  /** The registered knn_ivf query: serve from the materialized index.
+    * Index construction (quantizer training + partitioned write) happens
+    * once per corpus, not per probe batch. */
+  def knnIvfServed(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    knnIvfIndexed(spark, dir, ivfIndexPath(spark, dir), k)
 
   /** Top-k against a materialized index: probes (vec_id < 5 from the
     * source corpus) search their top-nprobe cells; the filter on the

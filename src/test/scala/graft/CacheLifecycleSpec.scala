@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+
+/** Storage-lifetime hygiene: memoized build-once artifacts (near-dup
+  * pair sets, cluster assignments, band-table checkpoints, IVF
+  * indexes) are released on explicit corpus eviction, so a long-lived
+  * session serving many corpora does not accumulate block-manager
+  * storage — the failure mode is invisible at bench scale and an OOM
+  * at 100 TB serving scale. */
+class CacheLifecycleSpec extends SparkSpec {
+
+  private def persistentCount = spark.sparkContext.getPersistentRDDs.size
+
+  test("evictCorpus releases the blocks the dedup family pinned") {
+    Dedup.minhashLshPairs(spark, sf).count()
+    Dedup.dedupClusters(spark, sf).count()
+    val before = persistentCount
+    assert(before > 0, "expected checkpointed blocks after the cluster build")
+    Dedup.evictCorpus(spark, sf)
+    val after = persistentCount
+    assert(after < before, s"eviction released nothing ($before -> $after)")
+    // post-eviction use rebuilds fresh rather than serving a dead frame
+    assert(Dedup.dedupClusters(spark, sf).count() > 0)
+    Dedup.evictCorpus(spark, sf)
+  }
+
+  test("a second corpus does not accumulate the first corpus's blocks") {
+    val sf2 = "/root/testdata/sf0.01"
+    Dedup.dedupClusters(spark, sf).count()
+    Dedup.evictCorpus(spark, sf)
+    val baseline = persistentCount
+    Dedup.dedupClusters(spark, sf2).count()
+    Dedup.evictCorpus(spark, sf2)
+    assert(persistentCount <= baseline,
+      s"second corpus leaked blocks past eviction ($baseline -> $persistentCount)")
+  }
+
+  test("knn_ivf serving reuses one materialized index per corpus") {
+    val p1 = Similarity.ivfIndexPath(spark, sf)
+    val p2 = Similarity.ivfIndexPath(spark, sf)
+    assert(p1 === p2, "index rebuilt for the same corpus")
+    val served = Similarity.knnIvfServed(spark, sf).collect()
+    val inMem = Similarity.knnIvf(spark, sf).collect()
+    assert(served.map(_.toString).toSeq === inMem.map(_.toString).toSeq)
+  }
+}

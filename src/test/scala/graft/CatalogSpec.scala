@@ -53,6 +53,58 @@ class CatalogSpec extends SparkSpec {
     GraftCatalog.register(spark, sf)
     spark.sql("DROP TABLE region")
     assert(Tables.region(spark, sf).count() === 5) // files untouched
+    // register() memoizes per (app, dir): after out-of-band DDL the
+    // memo must be reset for the re-registration to actually run
+    GraftCatalog.reset(spark, sf)
     GraftCatalog.register(spark, sf) // restore for other tests
+    assert(spark.table("region").count() === 5)
+  }
+
+  test("register-once: a second call issues no DDL for the same dir") {
+    GraftCatalog.register(spark, sf)
+    val before = spark.sql("DESCRIBE TABLE EXTENDED nation").collect()
+      .find(_.getString(0) == "Created Time").map(_.getString(1))
+    GraftCatalog.register(spark, sf)
+    val after = spark.sql("DESCRIBE TABLE EXTENDED nation").collect()
+      .find(_.getString(0) == "Created Time").map(_.getString(1))
+    assert(before === after, "second register() recreated the table")
+  }
+
+  test("ANALYZE column statistics flip a filtered join to broadcast (CBO load-bearing)") {
+    // isolated twin tables so other tests' statistics can't leak in
+    Seq("lineitem_cbo", "orders_cbo").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.catalog.createTable("lineitem_cbo", "parquet",
+      Map("path" -> s"$sf/lineitem.parquet"))
+    spark.catalog.createTable("orders_cbo", "parquet",
+      Map("path" -> s"$sf/orders.parquet"))
+    // selective filter on the fact side: size-only estimation cannot see
+    // that l_quantity < 3 keeps ~4% of rows, the CBO's FilterEstimation
+    // (min/max from ANALYZE ... FOR ALL COLUMNS) can — that estimate is
+    // exactly what decides broadcastability at 100 TB, where "the whole
+    // file" is never under any threshold but a filtered dimension is
+    // o.* keeps the orders side at full width (no projection shrink):
+    // with the threshold below both sides' size-only estimates, the
+    // pre-ANALYZE plan cannot broadcast either side
+    val q = "SELECT o.*, l.l_quantity FROM orders_cbo o " +
+      "JOIN lineitem_cbo l ON o.o_orderkey = l.l_orderkey WHERE l.l_quantity < 2"
+    def planStr = spark.sql(q).queryExecution.executedPlan.toString
+    val conf = spark.conf
+    val prevCbo = conf.get("spark.sql.cbo.enabled")
+    val prevThresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.cbo.enabled", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", (4 * 1024).toString)
+      // without column stats the filter's output is estimated at the
+      // scan's (projected) size — above threshold, so sort-merge
+      assert(planStr.contains("SortMergeJoin"),
+        s"expected sort-merge before ANALYZE:\n$planStr")
+      GraftCatalog.analyze(spark, Seq("lineitem_cbo", "orders_cbo"))
+      assert(planStr.contains("BroadcastHashJoin"),
+        s"expected broadcast after ANALYZE:\n$planStr")
+    } finally {
+      conf.set("spark.sql.cbo.enabled", prevCbo)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      Seq("lineitem_cbo", "orders_cbo").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
   }
 }
