@@ -34,10 +34,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * timestamp `ts = timestamp_micros(ts_ns div 1000)` (Tables.events) —
   * a filter on `ts` cannot reach the parquet scan (the scan only has
   * the int64 column), so without help a natural `WHERE ts >= X` reads
-  * every row group. This rule CONJOINS the implied raw-column bound
-  * (it never removes the original predicate, so it is sound even if
-  * the invariant were violated — the added bound is implied by the
-  * derivation ts = floor(ns/1000) micros):
+  * every row group. This rule CONJOINS the implied raw-column bound;
+  * the original predicate always stays, so correctness needs exactly
+  * one thing: that the added bound really is implied by the derivation
+  * ts = truncate(ns/1000) micros. Because `div` truncates toward zero
+  * (= floor only for ns >= 0), lower-bound rewrites at the epoch are
+  * NOT implied for negative nanos and are skipped (see impliedBounds):
   *
   *    ts >= T  ==>  ts_ns >= T*1000        (micros -> nanos)
   *    ts <= T  ==>  ts_ns <= T*1000 + 999  (floor absorbs the tail)
@@ -99,22 +101,31 @@ object NanosRangeRewrite extends Rule[LogicalPlan] {
 
   private def impliedBounds(cond: Expression): Seq[(Attribute, Expression)] = {
     def nsLit(v: Long): Literal = Literal(v, LongType)
+    // Lower-bound (and equality-lower) rewrites additionally require
+    // m >= 1: at m = 0, rows with ts_ns in [-999, -1] truncate to the
+    // epoch (`div` rounds toward zero), satisfy ts >= epoch, yet fail
+    // the conjoined ts_ns >= 0 — the one case where the implied bound
+    // is NOT implied. Upper bounds stay sound at m = 0 (any negative
+    // ts_ns is below m*1000+999).
+    def lowerSafe(l: Literal): Option[Long] = micros(l).filter(_ >= 1L)
     splitConjuncts(cond).flatMap {
       case GreaterThanOrEqual(DerivedMicros(raw), l: Literal) =>
-        micros(l).map(m => raw -> GreaterThanOrEqual(raw, nsLit(m * 1000L)))
+        lowerSafe(l).map(m => raw -> GreaterThanOrEqual(raw, nsLit(m * 1000L)))
       case LessThanOrEqual(DerivedMicros(raw), l: Literal) =>
         micros(l).map(m => raw -> LessThanOrEqual(raw, nsLit(m * 1000L + 999L)))
       case GreaterThan(DerivedMicros(raw), l: Literal) =>
+        // sound at m = 0: ts > epoch excludes the truncated-to-epoch
+        // negatives, and (m+1)*1000 >= 1000 never gains them back
         micros(l).map(m => raw -> GreaterThanOrEqual(raw, nsLit((m + 1) * 1000L)))
       case LessThan(DerivedMicros(raw), l: Literal) =>
         micros(l).map(m => raw -> LessThanOrEqual(raw, nsLit(m * 1000L - 1L)))
       case EqualTo(DerivedMicros(raw), l: Literal) =>
-        micros(l).toSeq.flatMap(m => Seq(
-          raw -> GreaterThanOrEqual(raw, nsLit(m * 1000L)),
-          raw -> LessThanOrEqual(raw, nsLit(m * 1000L + 999L))))
+        micros(l).toSeq.flatMap(m =>
+          (if (m >= 1L) Seq(raw -> GreaterThanOrEqual(raw, nsLit(m * 1000L))) else Nil) :+
+          (raw -> LessThanOrEqual(raw, nsLit(m * 1000L + 999L))))
       // literal-on-the-left mirror forms
       case LessThanOrEqual(l: Literal, DerivedMicros(raw)) =>
-        micros(l).map(m => raw -> GreaterThanOrEqual(raw, nsLit(m * 1000L)))
+        lowerSafe(l).map(m => raw -> GreaterThanOrEqual(raw, nsLit(m * 1000L)))
       case GreaterThanOrEqual(l: Literal, DerivedMicros(raw)) =>
         micros(l).map(m => raw -> LessThanOrEqual(raw, nsLit(m * 1000L + 999L)))
       case _ => Nil

@@ -131,11 +131,17 @@ class SqliteScanBuilder(path: String, table: String, fullSchema: StructType)
       case LessThanOrEqual(a, v) if a == alias => asLong(v).isDefined
       case _ => false
     }
+    // rowid > Long.MaxValue / < Long.MinValue match nothing: l+1 / l-1
+    // would WRAP and silently turn "empty" into "everything", so those
+    // extremes short-circuit to an empty range (lo > hi) instead
+    def emptyRange(): Unit = { lo = Long.MaxValue; hi = Long.MinValue }
     accepted.foreach {
       case EqualTo(_, v) => asLong(v).foreach { l => lo = math.max(lo, l); hi = math.min(hi, l) }
-      case GreaterThan(_, v) => asLong(v).foreach { l => lo = math.max(lo, l + 1) }
+      case GreaterThan(_, v) => asLong(v).foreach { l =>
+        if (l == Long.MaxValue) emptyRange() else lo = math.max(lo, l + 1) }
       case GreaterThanOrEqual(_, v) => asLong(v).foreach { l => lo = math.max(lo, l) }
-      case LessThan(_, v) => asLong(v).foreach { l => hi = math.min(hi, l - 1) }
+      case LessThan(_, v) => asLong(v).foreach { l =>
+        if (l == Long.MinValue) emptyRange() else hi = math.min(hi, l - 1) }
       case LessThanOrEqual(_, v) => asLong(v).foreach { l => hi = math.min(hi, l) }
       case _ =>
     }

@@ -64,16 +64,20 @@ class StreamingPromListener(promPath: String, maxQueries: Int = 64)
       val sb = new StringBuilder
       sb.append("# TYPE graft_stream_active gauge\n")
       sb.append(s"graft_stream_active ${active.get()}\n")
-      def header(name: String): Unit = sb.append(s"# TYPE graft_stream_$name gauge\n")
-      header("batch_id"); header("input_rows")
-      header("processed_rows_per_second"); header("batch_duration_ms")
-      last.forEach { (q, l) =>
-        val lbl = PromMetrics.escapeLabel(q)
-        sb.append(s"""graft_stream_batch_id{query="$lbl"} ${l.batchId}""").append('\n')
-        sb.append(s"""graft_stream_input_rows{query="$lbl"} ${l.inputRows}""").append('\n')
-        sb.append(s"""graft_stream_processed_rows_per_second{query="$lbl"} ${l.rowsPerSec}""").append('\n')
-        sb.append(s"""graft_stream_batch_duration_ms{query="$lbl"} ${l.durationMs}""").append('\n')
+      // Prometheus text format requires all lines of one metric family
+      // to form a single group after its TYPE line — emit family by
+      // family (strict parsers like promtool reject interleaving)
+      def family(name: String)(value: Last => String): Unit = {
+        sb.append(s"# TYPE graft_stream_$name gauge\n")
+        last.forEach { (q, l) =>
+          val lbl = PromMetrics.escapeLabel(q)
+          sb.append(s"""graft_stream_$name{query="$lbl"} ${value(l)}""").append('\n')
+        }
       }
+      family("batch_id")(_.batchId.toString)
+      family("input_rows")(_.inputRows.toString)
+      family("processed_rows_per_second")(_.rowsPerSec.toString)
+      family("batch_duration_ms")(_.durationMs.toString)
       PromMetrics.publishAtomic(promPath, sb.toString)
     } catch {
       case t: Throwable =>

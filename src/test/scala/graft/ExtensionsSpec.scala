@@ -7,6 +7,25 @@ import graft.operators.{Dedup, Multimodal, Similarity}
   * checked against exact computations on sf0.001. */
 class ExtensionsSpec extends SparkSpec {
 
+  test("nanos rewrite: epoch lower bound keeps negative-nanos rows") {
+    import spark.implicits._
+    // parquet-backed (a local relation would be constant-folded away
+    // before the optimizer rule has anything to rewrite)
+    val p = java.nio.file.Files.createTempDirectory("graft-nanos").toString + "/t"
+    Seq(-500L, 500L, 1500L).toDF("ts_ns").write.parquet(p)
+    val df = spark.read.parquet(p)
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    // -500 ns truncates toward zero to the epoch, so it satisfies
+    // ts >= epoch; an m = 0 bound rewrite (ts_ns >= 0) would drop it
+    val got = df.filter(col("ts") >= "1970-01-01 00:00:00")
+      .select(col("ts_ns")).collect().map(_.getLong(0)).sorted
+    assert(got === Array(-500L, 500L, 1500L))
+    // at m >= 1 the implied bound still rewrites (rule stays active)
+    val plan = df.filter(col("ts") >= "1970-01-01 00:00:00.001")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("1000000"), s"expected rewritten nanos bound:\n$plan")
+  }
+
   test("simhash: identical token sets -> identical signature (hamming 0)") {
     val sh = Dedup.simhashes(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // fingerprint groups = same bag of words -> same simhash by construction
