@@ -53,11 +53,18 @@ class SqliteTableProvider extends TableProvider with DataSourceRegister {
     val path = Option(options.get("path"))
       .getOrElse(throw new IllegalArgumentException("sqlite source requires a path"))
     val table = opt(options, "table", "archive")
-    val f = SqliteFile.open(path)
-    try {
+    val files = SqlitePaths.resolve(path, new Configuration())
+    require(files.nonEmpty, s"no .sdb/.db files under $path")
+    val f = SqliteFile.open(files.head._2)
+    val base = try {
       val (cols, _) = SqliteFile.parseCreateTable(f.tableSql(table))
       StructType(cols.map { case (name, decl) => StructField(name, SqliteTableProvider.sparkType(decl)) })
     } finally f.close()
+    // optional derived column: which station (file) a row came from —
+    // the multi-file/streaming analog of the parquet source's
+    // _metadata.file_path derivation in IncrementalIngest.source
+    Option(options.get("stationColumn"))
+      .fold(base)(c => base.add(StructField(c, StringType, nullable = false)))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -65,7 +72,29 @@ class SqliteTableProvider extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new SqliteTable(
       Option(opts.get("path")).getOrElse(throw new IllegalArgumentException("path required")),
-      opt(opts, "table", "archive"), schema)
+      opt(opts, "table", "archive"), schema, Option(opts.get("stationColumn")))
+  }
+}
+
+/** Path resolution shared by batch, streaming, and schema inference:
+  * a single `.sdb`/`.db` file, or a directory of them (one per
+  * station, the reference's layout — aristoteles.py:201-205). */
+object SqlitePaths {
+  import org.apache.hadoop.fs.Path
+
+  def stationOf(fileName: String): String =
+    fileName.replaceAll("\\.(sdb|db)$", "")
+
+  /** (station, filePath) pairs, sorted by station for determinism. */
+  def resolve(path: String, conf: Configuration): Seq[(String, String)] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(_.isFile).map(_.getPath)
+        .filter(q => q.getName.endsWith(".sdb") || q.getName.endsWith(".db"))
+        .map(q => (stationOf(q.getName), q.toString))
+        .sortBy(_._1).toSeq
+    else Seq((stationOf(p.getName), path))
   }
 }
 
@@ -81,7 +110,8 @@ object SqliteTableProvider {
   }
 }
 
-class SqliteTable(path: String, table: String, tableSchema: StructType)
+class SqliteTable(path: String, table: String, tableSchema: StructType,
+    stationCol: Option[String] = None)
     extends Table with SupportsRead {
   override def name(): String = s"sqlite:$path#$table"
   // columns() defaults to converting this; the non-deprecated variant
@@ -89,12 +119,13 @@ class SqliteTable(path: String, table: String, tableSchema: StructType)
   @annotation.nowarn("cat=deprecation")
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SqliteScanBuilder(path, table, tableSchema)
+    new SqliteScanBuilder(path, table, tableSchema, stationCol)
 }
 
-class SqliteScanBuilder(path: String, table: String, fullSchema: StructType)
+class SqliteScanBuilder(path: String, table: String, fullSchema: StructType,
+    stationCol: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -104,9 +135,12 @@ class SqliteScanBuilder(path: String, table: String, fullSchema: StructType)
   private var lo: Long = Long.MinValue
   private var hi: Long = Long.MaxValue
 
+  private lazy val files: Seq[(String, String)] =
+    SqlitePaths.resolve(path, new Configuration())
+
   // the rowid-alias column name, if the table has one (wview: dateTime)
   private lazy val rowidAliasName: Option[String] = {
-    val f = SqliteFile.open(path)
+    val f = SqliteFile.open(files.head._2)
     try {
       val (cols, idx) = SqliteFile.parseCreateTable(f.tableSql(table))
       if (idx >= 0) Some(cols(idx)._1) else None
@@ -169,6 +203,10 @@ class SqliteScanBuilder(path: String, table: String, fullSchema: StructType)
 
   private def translateAggs(aggregation: aggregate.Aggregation): Option[Seq[SqliteAgg]] = {
     if (aggregation.groupByExpressions.nonEmpty) return None
+    // complete pushdown is a single-file answer: across several station
+    // files (or with a derived station column) the per-file aggregates
+    // would need a re-combine this scan contract doesn't express
+    if (files.lengthCompare(1) != 0 || stationCol.isDefined) return None
     val alias = rowidAliasName.orNull
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -192,8 +230,8 @@ class SqliteScanBuilder(path: String, table: String, fullSchema: StructType)
         case (SqliteAgg.CountStar, i) => StructField(s"count_$i", LongType, nullable = false)
         case (a, i) => StructField(s"${a.toString.toLowerCase}_$i", LongType)
       })
-      new SqliteAggScan(path, table, pushedAggs, lo, hi, aggSchema)
-    } else new SqliteScan(path, table, fullSchema, required, pushed, lo, hi)
+      new SqliteAggScan(files.head._2, table, pushedAggs, lo, hi, aggSchema)
+    } else new SqliteScan(path, files, table, fullSchema, required, pushed, lo, hi, stationCol)
 }
 
 sealed trait SqliteAgg extends Serializable
@@ -247,25 +285,46 @@ class SqliteAggScan(path: String, table: String, aggs: Seq[SqliteAgg],
 case class SqliteAggPartition(path: String, table: String, aggs: Seq[SqliteAgg],
                               lo: Long, hi: Long) extends InputPartition
 
-class SqliteScan(path: String, table: String, fullSchema: StructType,
-                 required: StructType, pushed: Array[Filter], lo: Long, hi: Long)
+class SqliteScan(rootPath: String, files: Seq[(String, String)], table: String,
+                 fullSchema: StructType, required: StructType,
+                 pushed: Array[Filter], lo: Long, hi: Long,
+                 stationCol: Option[String])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"SqliteScan table=$table range=[${if (lo == Long.MinValue) "-inf" else lo}, " +
+    s"SqliteScan table=$table files=${files.length} " +
+    s"range=[${if (lo == Long.MinValue) "-inf" else lo}, " +
     s"${if (hi == Long.MaxValue) "+inf" else hi}] PushedFilters: ${pushed.mkString("[", ", ", "]")}"
   override def toBatch: Batch = this
 
-  /** One partition per group of root-page children; children whose key
-    * interval misses [lo, hi] are pruned here, at plan time. A leaf
-    * root (small DB) is a single partition. */
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Every file's pruned page groups become partitions (see
+    * [[SqliteScan.pageGroups]]); a multi-station directory fans in as
+    * one distributed scan. */
+  override def planInputPartitions(): Array[InputPartition] =
+    files.toArray.flatMap { case (station, p) =>
+      SqliteScan.pageGroups(p, table, lo, hi).map(pages =>
+        SqlitePartition(p, table, pages, lo, hi, station, stationCol): InputPartition)
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SqliteReaderFactory(fullSchema, required)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SqliteMicroBatchStream(rootPath, table, fullSchema, required, lo, hi, stationCol)
+}
+
+object SqliteScan {
+  /** One page group per partition-to-be: the table b-tree root's
+    * children, pruned to those intersecting [lo, hi] at PLAN time,
+    * grouped so partition count stays O(32-ish per file). A leaf root
+    * (small DB) is a single group. */
+  def pageGroups(path: String, table: String, lo: Long, hi: Long): Array[Seq[Int]] = {
     val f = SqliteFile.open(path)
     try {
       val root = f.tableRoot(table)
       val kids = f.interiorChildren(root)
-      if (kids.isEmpty)
-        Array(SqlitePartition(path, table, Seq(root), lo, hi))
+      if (kids.isEmpty) Array(Seq(root))
       else {
         var prevKey = Long.MinValue
         val alive = kids.filter { case (_, maxKey) =>
@@ -273,23 +332,18 @@ class SqliteScan(path: String, table: String, fullSchema: StructType,
           prevKey = maxKey
           keep
         }
-        // Group children so partition count stays O(32-ish per file) —
-        // each group is an independent subtree scan on an executor.
         val targetParts = 32
         val perGroup = math.max(1, math.ceil(alive.length.toDouble / targetParts).toInt)
-        alive.grouped(perGroup).map { g =>
-          SqlitePartition(path, table, g.map(_._1), lo, hi): InputPartition
-        }.toArray
+        alive.grouped(perGroup).map(_.map(_._1)).toArray
       }
     } finally f.close()
   }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new SqliteReaderFactory(fullSchema, required)
 }
 
 case class SqlitePartition(path: String, table: String, pages: Seq[Int],
-                           lo: Long, hi: Long) extends InputPartition
+                           lo: Long, hi: Long,
+                           station: String = "",
+                           stationCol: Option[String] = None) extends InputPartition
 
 class SqliteReaderFactory(fullSchema: StructType, required: StructType)
     extends PartitionReaderFactory {
@@ -310,6 +364,11 @@ class SqlitePartitionReader(p: SqlitePartition, fullSchema: StructType, required
   }.toArray
   private val outTypes: Array[DataType] = required.fields.map(_.dataType)
 
+  // derived station column's output slot (-1 = not requested)
+  private val stationSlot: Int =
+    p.stationCol.map(required.fieldNames.indexOf(_)).getOrElse(-1)
+  private val stationValue: UTF8String = UTF8String.fromString(p.station)
+
   private val rows: Iterator[(Long, Array[Byte])] =
     p.pages.iterator.flatMap(pg => file.scanTable(pg, p.lo, p.hi))
   private val buf = new Array[Any](required.length)
@@ -326,6 +385,7 @@ class SqlitePartitionReader(p: SqlitePartition, fullSchema: StructType, required
       vals(i) = coerce(buf(i), outTypes(i))
       i += 1
     }
+    if (stationSlot >= 0) vals(stationSlot) = stationValue
     current = InternalRow.fromSeq(vals.toIndexedSeq)
     true
   }

@@ -51,6 +51,22 @@ object IncrementalIngest {
         regexp_extract(col("_metadata.file_path"), "([^/]+)/[^/]+$", 1))
       .withColumn("ts", timestamp_seconds(col("dateTime")))
 
+  /** Streaming source over the reference's REAL input layout — a
+    * directory of per-station wview SQLite files (`<station>.sdb`,
+    * aristoteles.py:201-205, :229-230) — via the native source's
+    * micro-batch stream: each trigger reads only rowids past the
+    * per-file high-watermark offset (see SqliteMicroBatchStream), so
+    * dropping a grown `.sdb` snapshot in place ingests just the new
+    * samples. Same downstream shape as [[source]] (ts + station
+    * columns), so every writer/aggregation in this module composes. */
+  def sqliteSource(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream
+      .format("sqlite")
+      .option("table", "archive")
+      .option("stationColumn", "station")
+      .load(inputDir)
+      .withColumn("ts", timestamp_seconds(col("dateTime")))
+
   /** Per-station daily completeness aggregation (S5/S8/S9 in streaming
     * form): one row per (day window, station) carrying sample counts —
     * the streaming twin of the reference's per-station

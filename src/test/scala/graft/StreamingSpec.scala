@@ -56,6 +56,57 @@ class StreamingSpec extends SparkSpec {
       === Seq(("2024-03-01", "stA", 288L), ("2024-03-01", "stB", 288L)))
   }
 
+  test("sqlite micro-batch stream: rowid watermark ingests only new rows") {
+    val dir = Files.createTempDirectory("graft-sdb-stream")
+    def res(name: String) = getClass.getResource(s"/sqlite/$name").getPath
+    Files.copy(java.nio.file.Path.of(res("stA.sdb")), dir.resolve("stA.sdb"))
+    Files.copy(java.nio.file.Path.of(res("stB.sdb")), dir.resolve("stB.sdb"))
+    val out = Files.createTempDirectory("graft-sdb-out").toString
+    val ckpt = Files.createTempDirectory("graft-sdb-ckpt").toString
+
+    def runOnce(): Unit = {
+      val q = IncrementalIngest.sqliteSource(spark, dir.toString)
+        .select(col("station"), col("dateTime"), col("outTemp"), col("ts"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", out)
+        .start()
+      assert(q.awaitTermination(120000), "stream did not finish in time")
+    }
+
+    runOnce()
+    val batchCount =
+      spark.read.format("sqlite").load(dir.resolve("stA.sdb").toString).count() +
+      spark.read.format("sqlite").load(dir.resolve("stB.sdb").toString).count()
+    val first = spark.read.parquet(out)
+    assert(first.count() === batchCount)
+    assert(first.select("station").distinct().collect().map(_.getString(0)).toSet
+      === Set("stA", "stB"))
+
+    // grow stA in place — the reference's ".sdb snapshot drop" (its
+    // wview input gains rows between runs, aristoteles.py:229-230)
+    val newTimes = Seq(1709424000L, 1709424300L)
+    val ins = newTimes.map(t =>
+      s"INSERT INTO archive(dateTime, usUnits, interval, outTemp) VALUES ($t, 1, 5, 42.0);")
+      .mkString(" ")
+    val proc = new ProcessBuilder("sqlite3", dir.resolve("stA.sdb").toString, ins)
+      .inheritIO().start()
+    assert(proc.waitFor() === 0, "sqlite3 CLI insert failed")
+
+    runOnce()
+    val second = spark.read.parquet(out)
+    assert(second.count() === batchCount + 2)
+    // the second run read ONLY the delta: no (station, dateTime) dups
+    assert(second.select("station", "dateTime").distinct().count() === batchCount + 2)
+    val appended = second.filter(col("station") === "stA" && col("dateTime") >= newTimes.min)
+      .collect()
+    assert(appended.map(_.getLong(1)).sorted === newTimes.sorted.toArray)
+    assert(appended.forall(_.getDouble(2) === 42.0))
+  }
+
   test("foreachBatch sink: station from path, day split across batches survives, checkpoint resumes") {
     val in = Files.createTempDirectory("graft-stream-in2").toString
     val out = Files.createTempDirectory("graft-stream-out").toString
