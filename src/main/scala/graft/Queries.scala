@@ -105,7 +105,9 @@ object Queries {
     "q_date_funcs" -> (Relational.dateFuncs _),
     "q_latest_order_per_customer" -> (Relational.latestOrderPerCustomer _),
     "q_catalog_sql" -> (graft.sources.GraftCatalog.customersPerNationSql _),
-    "q_salted_join" -> (Relational.saltedJoinRevenue _)
+    "q_salted_join" -> (Relational.saltedJoinRevenue _),
+    "q4_order_priority" -> (Relational.q4OrderPriority _),
+    "q7_volume_shipping" -> (Relational.q7VolumeShipping _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -136,6 +138,23 @@ object Queries {
       ("SELECT c_custkey, c_name, c_mktsegment FROM customer " +
        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') " +
        "ORDER BY c_custkey"),
+    "q4_order_priority" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+       "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' " +
+       "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+       "AND l_shipdate > o_orderdate + INTERVAL 75 DAY) " +
+       "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q7_volume_shipping" ->
+      ("SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue FROM (" +
+       "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+       "CAST(year(l_shipdate) AS INTEGER) AS l_year, " +
+       "l_extendedprice * (1 - l_discount) AS volume " +
+       "FROM supplier, lineitem, orders, customer, nation n1, nation n2 " +
+       "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey " +
+       "AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey " +
+       "AND n1.n_nationkey < 5 AND n2.n_nationkey < 5 AND n1.n_name <> n2.n_name " +
+       "AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00') " +
+       "GROUP BY supp_nation, cust_nation, l_year ORDER BY supp_nation, cust_nation, l_year"),
     "q_anti_join" ->
       ("SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal FROM customer " +
        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') " +
@@ -213,6 +232,9 @@ object Queries {
     "text_fingerprints" -> (TextAnalysis.fingerprints _),
     "text_per_source_stats" -> (TextAnalysis.perSourceStats _),
     "text_token_counts" -> (TextAnalysis.tokenCounts _),
+    "text_tfidf_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
+    "text_quality_gate" -> ((s: SparkSession, d: String) => TextAnalysis.qualityGate(s, d)),
+    "sim_embed_quantized" -> (Similarity.quantizeEmbeddings _),
     "dedup_exact_summary" -> (Dedup.exactSummary _),
     "dedup_fingerprint_groups" -> (Dedup.fingerprintGroups _),
     "dedup_jaccard_pairs" -> (Dedup.jaccardPairsSampled _),
@@ -241,6 +263,12 @@ object Queries {
   private val duckFp = s"md5(array_to_string(list_sort($duckUniq), ' '))"
   private def duckHits(words: Seq[String]): String =
     s"CAST(len(list_filter($duckToks, t -> list_contains(${words.mkString("['", "', '", "']")}, t))) AS BIGINT)"
+
+  // DuckDB twin of TextFunctions.qualityScore (shared by text_quality
+  // and the percentile gate)
+  private val duckQuality =
+    s"round(least(1.0, CAST(len($duckToks) AS DOUBLE) / 100.0) * 0.5 + " +
+    s"CAST(len($duckUniq) AS DOUBLE) / len($duckToks) * 0.5, 4)"
 
   // DuckDB twin of Dedup.simhashes: same md5-derived 64-bit token hash
   // (two unsigned 32-bit hex halves), same +/-1 bit votes, same additive
@@ -307,10 +335,34 @@ object Queries {
        s"round(CAST(len($duckUniq) AS DOUBLE) / len($duckToks), 4) AS uniq_ratio, " +
        s"CAST(ceil(CAST(length($duckNorm) AS DOUBLE) / 4.0) AS BIGINT) AS n_subwords " +
        "FROM documents ORDER BY doc_id"),
+    "text_tfidf_top_terms" ->
+      (s"WITH tok AS (SELECT doc_id, unnest($duckToks) AS term FROM documents), " +
+       "tf AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term), " +
+       s"dl AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tok FROM documents), " +
+       "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+       "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents), " +
+       "s AS (SELECT tf.doc_id, tf.term, round((CAST(cnt AS DOUBLE) / n_tok) * ln(n / df), 6) AS tfidf " +
+       "FROM tf JOIN dl ON tf.doc_id = dl.doc_id JOIN df ON tf.term = df.term CROSS JOIN n), " +
+       "r AS (SELECT doc_id, term, tfidf, CAST(row_number() OVER " +
+       "(PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank FROM s) " +
+       "SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3 ORDER BY doc_id, rank"),
+    "text_quality_gate" ->
+      (s"WITH q AS (SELECT doc_id, source, $duckQuality AS quality FROM documents), " +
+       "p AS (SELECT doc_id, source, quality, percent_rank() OVER " +
+       "(PARTITION BY source ORDER BY quality, doc_id) AS pr FROM q) " +
+       "SELECT doc_id, source, quality, round(pr, 6) AS pr FROM p WHERE pr >= 0.6 ORDER BY doc_id"),
+    "sim_embed_quantized" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       "d AS (SELECT vec_id, unnest(v) AS x, CAST(unnest(range(1, len(v) + 1)) AS BIGINT) AS dim FROM e), " +
+       "st AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM d GROUP BY dim), " +
+       "c AS (SELECT vec_id, x, lo, hi, CASE WHEN hi = lo THEN 0 ELSE " +
+       "CAST(round((x - lo) * 255.0 / (hi - lo), 0) AS INTEGER) END AS code " +
+       "FROM d JOIN st ON d.dim = st.dim) " +
+       "SELECT vec_id, round(sqrt(avg(pow(x - (lo + code * (hi - lo) / 255.0), 2))) * 1000.0, 6) AS rmse_x1000, " +
+       "CAST(sum(code) AS BIGINT) AS code_sum FROM c GROUP BY vec_id ORDER BY vec_id"),
     "text_quality" ->
       (s"SELECT doc_id, q AS quality, q > 0.6 AS keep FROM (SELECT doc_id, " +
-       s"round(least(1.0, CAST(len($duckToks) AS DOUBLE) / 100.0) * 0.5 + " +
-       s"CAST(len($duckUniq) AS DOUBLE) / len($duckToks) * 0.5, 4) AS q " +
+       s"$duckQuality AS q " +
        "FROM documents) ORDER BY doc_id"),
     "text_lang_guess" ->
       (s"SELECT doc_id, lang AS lang_label, hits_en, hits_de, hits_fr, hits_es, " +
@@ -447,6 +499,7 @@ object Queries {
     "q_moving_avg" -> (Analytics.movingAvg _),
     "q_json_funcs" -> (Analytics.jsonFuncs _),
     "q_array_agg" -> (Analytics.arrayAgg _),
+    "q_day_over_day" -> (Analytics.dayOverDay _),
     "q_approx_sketches" -> (Analytics.approxSketches _)
   )
 
@@ -502,6 +555,11 @@ object Queries {
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path, " +
        "CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed " +
        "FROM events ORDER BY event_id"),
+    "q_day_over_day" ->
+      ("WITH d AS (SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS day_value " +
+       "FROM events GROUP BY 1) " +
+       "SELECT day, day_value, round(day_value - lag(day_value) OVER (ORDER BY day), 2) AS delta " +
+       "FROM d ORDER BY day"),
     "q_array_agg" ->
       ("SELECT user_id, array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types, " +
        "CAST(len(list_distinct(list(event_type))) AS BIGINT) AS n_types, " +

@@ -148,6 +148,19 @@ object Analytics {
         size(col("event_types_arr")).cast("long").as("n_types"), col("n_events"))
       .orderBy(col("user_id"))
 
+  /** Day-over-day delta via lag(): the windowed change-detection shape
+    * (daily totals then a 1-row lookback over the day order). First day
+    * has NULL delta in both engines. */
+  def dayOverDay(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 2).as("day_value"))
+      .withColumn("prev_value",
+        lag(col("day_value"), 1).over(Window.orderBy(col("day"))))
+      .select(col("day"), col("day_value"),
+        round(col("day_value") - col("prev_value"), 2).as("delta"))
+      .orderBy(col("day"))
+
   /** JSON column surface: path extraction (get_json_object) and typed
     * parsing (from_json with an explicit schema) over the events props
     * column — the schema-on-read pattern for semi-structured payload

@@ -331,6 +331,33 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Int8 scalar quantization of the embedding corpus: per-dimension
+    * global [min, max] -> 8-bit codes plus per-vector reconstruction
+    * error — the 4x memory-reduction step before ANN serving at scale
+    * (PQ/SQ in the IVF literature; this is the SQ half). Dim stats are
+    * one tiny aggregation (dims rows) broadcast back over the exploded
+    * corpus; codes are exact integers (portable), the RMSE is reported
+    * x1000 so rounding lands at an epsilon-stable magnitude. */
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val exploded = emb.select(col("vec_id"), posexplode(col("v")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"), col("col").as("x"))
+    val dimStats = exploded.groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val coded = exploded.join(broadcast(dimStats), Seq("dim"))
+      .select(col("vec_id"), col("x"), col("lo"), col("hi"),
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(round((col("x") - col("lo")) * 255.0 / (col("hi") - col("lo")), 0)
+            .cast("int")).as("code"))
+    val deq = col("lo") + col("code") * (col("hi") - col("lo")) / 255.0
+    coded.groupBy(col("vec_id"))
+      .agg(
+        round(sqrt(avg(pow(col("x") - deq, lit(2)))) * 1000.0, 6).as("rmse_x1000"),
+        sum(col("code")).as("code_sum"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---- hyperplane near-dup ------------------------------------------
   val NumPlanes = 8
 

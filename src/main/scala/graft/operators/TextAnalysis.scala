@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextFunctions._
 
@@ -61,6 +62,48 @@ object TextAnalysis {
         qualityScore(col("text")).as("quality"),
         (qualityScore(col("text")) > lit(0.6)).as("keep"))
       .orderBy(col("doc_id"))
+
+  /** TF-IDF top terms per document — the keyword-extraction pass of a
+    * text pipeline. tf = term count / doc token count (non-distinct
+    * whitespace tokens), idf = ln(N / df). Two aggregations — (doc,
+    * term) counts and per-term document frequency — plus one window
+    * for the per-doc top-k; N rides in as a broadcast one-row frame,
+    * never a driver-side collect. Scores are ranked on the ROUNDED
+    * value (term-asc ties) so ordering is engine-portable. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+    val docLen = docs.select(col("doc_id"), tokenCount(col("text")).as("n_tok"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val scored = tf
+      .join(docLen, Seq("doc_id"))
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round((col("cnt") / col("n_tok")) * log(col("n") / col("df")), 6).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Percentile quality gate: keep documents at/above the per-source
+    * 60th percentile of the quality score — the relative-threshold
+    * corpus filter (absolute cutoffs misbehave across heterogeneous
+    * sources). percent_rank over a TOTAL order (score, doc_id) is
+    * exact and engine-portable, unlike an approximate-quantile cutoff;
+    * one shuffle on source. */
+  def qualityGate(spark: SparkSession, dir: String, pct: Double = 0.6): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), qualityScore(col("text")).as("quality"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= pct)
+      .select(col("doc_id"), col("source"), col("quality"), round(col("pr"), 6).as("pr"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Language-ID heuristic: stopword-hit score per language, argmax by
     * fixed precedence (en > de > fr > es on ties — encoded identically
