@@ -99,16 +99,23 @@ object Dedup {
       i.cast("double") / (col("sa") + col("sb") - i)
     }
 
+  /** Exact jaccard + final threshold over pre-paired rows (callers
+    * that haven't already applied the size-ratio prefilter use
+    * [[verifyPairs]]). */
+  private def jaccardVerify(pairs: DataFrame, threshold: Double, masked: Boolean): DataFrame =
+    pairs
+      .select(col("doc_a"), col("doc_b"),
+              round(pairJaccard(masked), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
   /** Size-ratio prefilter (sound: i <= min(sa,sb) and union >= max, so
     * j <= min/max — pairs failing it can never reach the threshold) +
     * exact jaccard + final threshold. */
   private def verifyPairs(pairs: DataFrame, threshold: Double, masked: Boolean): DataFrame =
-    pairs
-      .filter(least(col("sa"), col("sb")).cast("double") /
-              greatest(col("sa"), col("sb")) >= threshold)
-      .select(col("doc_a"), col("doc_b"),
-              round(pairJaccard(masked), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    jaccardVerify(
+      pairs.filter(least(col("sa"), col("sb")).cast("double") /
+                   greatest(col("sa"), col("sb")) >= threshold),
+      threshold, masked)
 
   private def sides(repr: DataFrame, masked: Boolean): (DataFrame, DataFrame) = {
     def side(suffix: String) = {
@@ -226,19 +233,25 @@ object Dedup {
     }
 
   /** The general-corpus LSH banding path (blocking equi-join on
-    * (band_id, band_key), verification inline, distinct after the
-    * threshold filter). */
+    * (band_id, band_key), first-agreeing-band candidate dedup,
+    * verification on attached sets). Memoized per corpus like the
+    * adaptive path — repeat calls must not rebuild checkpoints (the
+    * scratch tracker holds strong references, so an unmemoized
+    * per-call build would grow storage without bound). */
   def minhashLshPairsBanded(spark: SparkSession, dir: String): DataFrame =
-    bandedPairsFor(tokenSets(spark, dir), 0.8, dir)
-      .orderBy(col("doc_a"), col("doc_b"))
+    pairCache.getOrCompute(spark, s"$dir#banded") {
+      bandedPairsFor(tokenSets(spark, dir), 0.8, s"$dir#banded").localCheckpoint(false)
+    }.orderBy(col("doc_a"), col("doc_b"))
 
   /** Word-3-gram shingle near-dups: shingle -> MinHash -> band ->
     * verify — the order-sensitive dedup pass (prompt-surface "n-gram
     * Jaccard"). Same banded machinery as the unigram path, so the same
     * 100 TB shape: candidates scale with true collisions. */
   def shingleLshPairs(spark: SparkSession, dir: String): DataFrame =
-    bandedPairsFor(shingleSets(spark, dir, 3).filter(size(col("toks")) > 0), 0.8, dir)
-      .orderBy(col("doc_a"), col("doc_b"))
+    pairCache.getOrCompute(spark, s"$dir#shingle") {
+      bandedPairsFor(shingleSets(spark, dir, 3).filter(size(col("toks")) > 0),
+        0.8, s"$dir#shingle").localCheckpoint(false)
+    }.orderBy(col("doc_a"), col("doc_b"))
 
   /** Per-call band-table checkpoints, tracked per corpus so
     * [[evictCorpus]] can release their blocks in a long-lived session. */
@@ -304,8 +317,10 @@ object Dedup {
       .join(repr.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
     // no presentation sort here: set consumers (connected components)
     // must not pay a global range-partition+sort they immediately
-    // re-shuffle; the query-surface wrappers add their own orderBy
-    verifyPairs(withSets, threshold, masked = false)
+    // re-shuffle; the query-surface wrappers add their own orderBy.
+    // (candidates already passed the size-ratio prefilter above, so
+    // this is the jaccard check alone — one place owns each predicate)
+    jaccardVerify(withSets, threshold, masked = false)
   }
 
   /** 64-bit SimHash per document: explode distinct tokens, per-bit +/-1
@@ -427,8 +442,10 @@ object Dedup {
     * storage blocks. (App shutdown evicts everything automatically.) */
   def evictCorpus(spark: SparkSession, dir: String): Unit = {
     clusterCache.evict(spark, dir)
-    pairCache.evict(spark, dir)
-    scratch.evict(spark, dir)
+    Seq(dir, s"$dir#banded", s"$dir#shingle").foreach { scope =>
+      pairCache.evict(spark, scope)
+      scratch.evict(spark, scope)
+    }
   }
 
   private[graft] def dedupClusters(spark: SparkSession, dir: String,

@@ -280,7 +280,10 @@ object Similarity {
     import scala.jdk.CollectionConverters._
     val root = Path.of(path)
     if (Files.exists(root)) {
-      val all = Files.walk(root).iterator().asScala.toList
+      // Files.walk holds directory handles until closed — leaked
+      // streams exhaust fds in a session that evicts many indexes
+      val s = Files.walk(root)
+      val all = try s.iterator().asScala.toList finally s.close()
       all.reverse.foreach(Files.deleteIfExists(_))
     }
   }

@@ -27,30 +27,36 @@ object GraftCatalog {
     "lineitem", "events", "documents", "embeddings")
 
   /** Register-once bookkeeping: metastore DDL (drop + create x 10
-    * tables) is fixed-cost setup, not per-query work — a session
-    * re-registers only when pointed at a DIFFERENT dir. (Table names
-    * are session-global, so with several dirs in one session the most
-    * recently registered dir wins — which is also what the DDL does.) */
-  private val registeredOnce = new graft.AppScopedCache[Seq[String]]()
+    * tables) is fixed-cost setup, not per-query work. The memo holds
+    * the dir the session's tables CURRENTLY point at — table names are
+    * session-global, so registering a different dir re-runs the DDL
+    * (and switching back re-runs it again); only a same-dir repeat is
+    * a no-op. */
+  private val registeredDir = new graft.AppScopedCache[String]()
 
   /** Idempotently register every table over `dir` and return the names. */
   def register(spark: SparkSession, dir: String): Seq[String] = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    registeredOnce.getOrCompute(spark, dir) {
-      TableNames.map { name =>
+    def ddl(): String = {
+      TableNames.foreach { name =>
         spark.sql(s"DROP TABLE IF EXISTS $name")
         spark.catalog.createTable(name, "parquet",
           Map("path" -> s"$dir/$name.parquet"))
-        name
       }
+      dir
     }
+    if (registeredDir.getOrCompute(spark, "dir")(ddl()) != dir) {
+      registeredDir.evict(spark, "dir")
+      registeredDir.getOrCompute(spark, "dir")(ddl())
+    }
+    TableNames
   }
 
-  /** Forget the register-once memo for `dir` (e.g. after external DDL
-    * dropped one of the tables behind the session's back), so the next
+  /** Forget the register-once memo (e.g. after external DDL dropped
+    * one of the tables behind the session's back), so the next
     * [[register]] call redoes the DDL. */
   def reset(spark: SparkSession, dir: String): Unit =
-    registeredOnce.evict(spark, dir)
+    registeredDir.evict(spark, "dir")
 
   /** Table + column statistics for the cost-based optimizer: row
     * counts, sizes, per-column NDV/min/max/null counts. At 100 TB this

@@ -64,6 +64,18 @@ class SqliteMicroBatchStream(rootPath: String, table: String,
     val stationByPath = SqlitePaths.resolve(rootPath, conf)
       .map { case (st, p) => p -> st }.toMap
     e.toSeq.sortBy(_._1).flatMap { case (p, endRowid) =>
+      // a max rowid BELOW the checkpointed watermark means the file
+      // was rebuilt/re-initialized in place — rowids restarted, and
+      // this stream's offset contract cannot tell which rows are new.
+      // Skipping is the safe choice (re-reading would double-ingest
+      // into append sinks), but it must be LOUD: silence here is a
+      // station that stops ingesting with no diagnostic.
+      s.get(p).filter(_ > endRowid).foreach { prev =>
+        System.err.println(
+          s"[graft] sqlite stream: $p max rowid $endRowid regressed below " +
+          s"watermark $prev (file rebuilt?); holding watermark, rows below it " +
+          "are not ingested — reset the checkpoint to re-read this station")
+      }
       val ploOpt = s.get(p) match {
         // a file already at Long.MaxValue can gain nothing more (and
         // prev + 1 would wrap)

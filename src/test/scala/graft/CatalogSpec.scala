@@ -60,6 +60,16 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("region").count() === 5)
   }
 
+  test("register re-runs DDL when the dir changes (no cross-dir staleness)") {
+    val sf2 = "/root/testdata/sf0.01"
+    GraftCatalog.register(spark, sf)
+    GraftCatalog.register(spark, sf2)
+    assert(spark.table("customer").count() === 1500) // sf0.01's corpus
+    // switching BACK must re-register too, not hit a stale per-dir memo
+    GraftCatalog.register(spark, sf)
+    assert(spark.table("customer").count() === 150)
+  }
+
   test("register-once: a second call issues no DDL for the same dir") {
     GraftCatalog.register(spark, sf)
     val before = spark.sql("DESCRIBE TABLE EXTENDED nation").collect()
