@@ -107,6 +107,39 @@ class StreamingSpec extends SparkSpec {
     assert(appended.forall(_.getDouble(2) === 42.0))
   }
 
+  test("sqlite stream composes with the archive writer (streaming == batch archive)") {
+    val root = Files.createTempDirectory("graft-sdb-compose").toString
+    def res(name: String) = getClass.getResource(s"/sqlite/$name").getPath
+    new java.io.File(s"$root/in").mkdirs()
+    for (st <- Seq("stA", "stB"))
+      Files.copy(java.nio.file.Path.of(res(s"$st.sdb")),
+                 java.nio.file.Path.of(s"$root/in/$st.sdb"))
+
+    // batch reference: the ArchiveJob reading the SAME .sdb files
+    val cfg = ArchiveJob.JobConfig(
+      statePath = s"$root/state", archivePath = s"$root/batch_archive",
+      instrument = "cmp",
+      stations = Seq(ArchiveJob.StationSource("stA", s"$root/in/stA.sdb"),
+                     ArchiveJob.StationSource("stB", s"$root/in/stB.sdb")))
+    ArchiveJob.resetState(spark, cfg, None, force = false)
+    val mar1 = LocalDate.of(2024, 3, 1)
+    assert(ArchiveJob.run(spark, cfg, today = mar1.plusDays(2), force = true).daysWritten === 2)
+
+    // streaming path: native sqlite micro-batch source -> same sink
+    val q = IncrementalIngest.archiveWriter(
+      IncrementalIngest.sqliteSource(spark, s"$root/in"),
+      s"$root/stream_archive", s"$root/ckpt").start()
+    q.awaitTermination()
+
+    val cols = Seq("day", "station", "dateTime", "usUnits") ++ WviewSchema.sensorNames
+    val b = spark.read.parquet(s"$root/batch_archive")
+      .select(cols.map(col): _*).orderBy(cols.map(col): _*).collect()
+    val s = spark.read.parquet(s"$root/stream_archive")
+      .select(cols.map(col): _*).orderBy(cols.map(col): _*).collect()
+    assert(b.length === 576 + 575)
+    assert(b.map(_.toString).toSeq === s.map(_.toString).toSeq)
+  }
+
   test("foreachBatch sink: station from path, day split across batches survives, checkpoint resumes") {
     val in = Files.createTempDirectory("graft-stream-in2").toString
     val out = Files.createTempDirectory("graft-stream-out").toString
