@@ -251,7 +251,8 @@ object Queries {
     "sim_embed_near_dup" -> (Similarity.embeddingNearDupPairs _),
     "sim_embed_candidates" -> (Similarity.embeddingCandidatePairs _),
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
-    "mm_feature_extract" -> (Multimodal.featureExtract _)
+    "mm_feature_extract" -> (Multimodal.featureExtract _),
+    "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d))
   )
 
   // Shared oracle fragments: DuckDB twins of TextFunctions.normalize /
@@ -483,7 +484,12 @@ object Queries {
        "CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width, " +
        "CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height, " +
        "3 AS channels, round(ascii(substr(text, 1, 1)) / 255.0, 6) AS f0 " +
-       "FROM documents ORDER BY doc_id")
+       "FROM documents ORDER BY doc_id"),
+    "mm_frame_sample" ->
+      ("SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, " +
+       "CAST(1 + i * greatest(1, length(text) // 4) AS BIGINT) AS start, " +
+       "md5(substring(text, CAST(1 + i * greatest(1, length(text) // 4) AS INTEGER), 32)) AS digest " +
+       "FROM documents, (SELECT unnest(range(4)) AS i) ORDER BY doc_id, frame_idx")
     // no oracle (rows-only): knn_ivf (approximate by contract;
     // recall vs brute force asserted in ExtensionsSpec).
   )
@@ -500,6 +506,7 @@ object Queries {
     "q_json_funcs" -> (Analytics.jsonFuncs _),
     "q_array_agg" -> (Analytics.arrayAgg _),
     "q_day_over_day" -> (Analytics.dayOverDay _),
+    "q_funnel" -> (Analytics.funnelSignupPurchase _),
     "q_approx_sketches" -> (Analytics.approxSketches _)
   )
 
@@ -555,6 +562,12 @@ object Queries {
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path, " +
        "CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed " +
        "FROM events ORDER BY event_id"),
+    "q_funnel" ->
+      ("WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events WHERE event_type = 'signup' GROUP BY user_id), " +
+       "p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e JOIN s ON e.user_id = s.user_id " +
+       "AND e.ts >= s.s_ts WHERE e.event_type = 'purchase' GROUP BY e.user_id) " +
+       "SELECT s.user_id, s_ts, p_ts, coalesce(p_ts <= s_ts + INTERVAL 1 HOUR, false) AS converted_1h " +
+       "FROM s LEFT JOIN p ON s.user_id = p.user_id ORDER BY s.user_id"),
     "q_day_over_day" ->
       ("WITH d AS (SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS day_value " +
        "FROM events GROUP BY 1) " +

@@ -148,6 +148,28 @@ object Analytics {
         size(col("event_types_arr")).cast("long").as("n_types"), col("n_events"))
       .orderBy(col("user_id"))
 
+  /** Two-step funnel (signup -> purchase within 1 hour): per user, the
+    * first signup and the first purchase AT OR AFTER it, then the
+    * conversion flag — the sequential-pattern query every product
+    * analytics stack runs. Two filtered aggregations and one join on
+    * user_id; no window over the raw event stream, so the shuffle
+    * carries one row per user, not per event. */
+  def funnelSignupPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(s, Seq("user_id"))
+      .filter(col("ts") >= col("s_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    s.join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("s_ts"), col("p_ts"),
+        coalesce(col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"), lit(false))
+          .as("converted_1h"))
+      .orderBy(col("user_id"))
+  }
+
   /** Day-over-day delta via lag(): the windowed change-detection shape
     * (daily totals then a 1-row lookback over the day order). First day
     * has NULL delta in both engines. */

@@ -55,6 +55,25 @@ object Multimodal {
         sha2(col("text"), 256).as("digest"))
       .orderBy(col("doc_id"))
 
+  /** Frame sampling over an opaque payload: k evenly-spaced fixed-width
+    * windows per document, each digested — the shape of "sample N video
+    * frames / audio windows and fingerprint them" with the codec
+    * stubbed to substring+md5 (deterministic, so this query carries an
+    * exact oracle; a real build swaps the window expression for a
+    * decoder call, the explode/offset/digest plumbing is unchanged).
+    * One generator per row, no shuffle at all. */
+  def frameSample(spark: SparkSession, dir: String, k: Int = 4): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"),
+        greatest(lit(1), (col("n") / k).cast("int")).as("step"))
+      .select(col("doc_id"),
+        col("i").cast("long").as("frame_idx"),
+        (lit(1) + col("i") * col("step")).cast("long").as("start"),
+        md5(col("text").substr(lit(1) + col("i") * col("step"), lit(32))).as("digest"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   /** Feature extraction over the binary column, expressed as Columns:
     * the shipped path. The stub decode is arithmetic on lengths/bytes,
     * which whole-stage codegen executes at scan speed — reaching for
