@@ -96,6 +96,9 @@ object Queries {
     "q_topk_orders" -> (Relational.topKOrders _),
     "q_setops_intersect" -> (Relational.setOpsIntersect _),
     "q_setops_except" -> (Relational.setOpsExcept _),
+    "q_setops_except_all" -> (Relational.setOpsExceptAll _),
+    "q_setops_intersect_all" -> (Relational.setOpsIntersectAll _),
+    "q_unpivot" -> (Relational.unpivotMeasures _),
     "q_distinct_counts" -> (Relational.distinctCounts _),
     "q_rollup_sales" -> (Relational.rollupSales _),
     "q_cube_sales" -> (Relational.cubeSales _),
@@ -180,6 +183,22 @@ object Queries {
       ("SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
        "EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW' " +
        "ORDER BY o_custkey"),
+    "q_setops_except_all" ->
+      ("SELECT o_custkey, count(*) AS multiplicity FROM (" +
+       "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
+       "EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW') " +
+       "GROUP BY o_custkey ORDER BY o_custkey"),
+    "q_setops_intersect_all" ->
+      ("SELECT o_custkey, count(*) AS multiplicity FROM (" +
+       "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
+       "INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW') " +
+       "GROUP BY o_custkey ORDER BY o_custkey"),
+    "q_unpivot" ->
+      ("SELECT measure, count(*) AS n, round(sum(value), 2) AS total, round(avg(value), 4) AS mean " +
+       "FROM (SELECT l_orderkey, l_linenumber, measure, value FROM lineitem " +
+       "UNPIVOT (value FOR measure IN (l_quantity AS quantity, l_extendedprice AS extendedprice, " +
+       "l_discount AS discount, l_tax AS tax))) " +
+       "GROUP BY measure ORDER BY measure"),
     "q_distinct_counts" ->
       ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders, " +
        "count(DISTINCT l_suppkey) AS n_suppliers, count(*) AS n_rows " +

@@ -240,6 +240,49 @@ object Relational {
     urgent.except(low).orderBy(col("o_custkey"))
   }
 
+  /** Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL): multiplicity
+    * preserved — each urgent order keeps one row per occurrence beyond
+    * the low-priority count. Spark plans these as aggregated
+    * count-difference joins, not row-by-row subtraction. Output is the
+    * custkey with its surviving multiplicity so the result is a
+    * deterministic relation (raw ALL output has duplicate rows, which
+    * a sorted compare can't canonicalize). */
+  def setOpsExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val low = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey"))
+    urgent.exceptAll(low)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("o_custkey"))
+  }
+
+  def setOpsIntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val low = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey"))
+    urgent.intersectAll(low)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Wide-to-long unpivot via the stack() generator (codegen'd, no
+    * shuffle): every lineitem measure becomes a (measure, value) row —
+    * the melt step feeding generic per-metric aggregation/plotting
+    * pipelines. Row count multiplies by the measure count at scan
+    * speed; the downstream aggregation is then one shuffle on
+    * (measure) regardless of how many measures were melted. */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice, " +
+             "'discount', l_discount, 'tax', l_tax) AS (measure, value)"))
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
+           round(avg(col("value")), 4).as("mean"))
+      .orderBy(col("measure"))
+
   /** Distinct aggregation (exact) + its scale-out sibling HLL sketch is
     * benched separately; exact distinct shuffles once on the agg key. */
   def distinctCounts(spark: SparkSession, dir: String): DataFrame =

@@ -109,6 +109,32 @@ class PlanAuditSpec extends SparkSpec {
   private def collectScans(p: SparkPlan): Seq[SparkPlan] =
     p.collect { case s if s.nodeName.contains("Scan") => s }
 
+  test("q7 broadcasts its dimension sides (nation twice, supplier once)") {
+    val plan = planOf(Relational.q7VolumeShipping(spark, sf))
+    val n = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(n >= 3, s"expected >=3 broadcast joins (supplier + nation x2), got $n:\n$plan")
+  }
+
+  test("unpivot melts at scan speed: one agg exchange + one sort exchange only") {
+    val plan = planOf(Relational.unpivotMeasures(spark, sf))
+    assert(plan.contains("Generate"), s"stack() generator missing:\n$plan")
+    val n = "Exchange".r.findAllIn(plan).length
+    assert(n <= 2, s"unpivot should shuffle only for the agg + sort, got $n exchanges:\n$plan")
+  }
+
+  test("frame sampling is shuffle-free up to the presentation sort") {
+    val plan = planOf(graft.operators.Multimodal.frameSample(spark, sf))
+    val n = "Exchange".r.findAllIn(plan).length
+    assert(n <= 1, s"frame sampling must not shuffle before the sort, got $n:\n$plan")
+  }
+
+  test("registered knn_ivf serves from the partition-pruned index") {
+    val plan = planOf(SparkEntry.queries("knn_ivf")(spark, sf))
+    val pf = "PartitionFilters: \\[[^\\]]*cell#[^\\]]*".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"served knn_ivf is not pruning index partitions:\n$plan")
+  }
+
   test("sqlite scan carries its pushed range into the scan description") {
     val path = getClass.getResource("/sqlite/stA.sdb").getPath
     val lo = 1709251200L

@@ -107,6 +107,34 @@ class StreamingSpec extends SparkSpec {
     assert(appended.forall(_.getDouble(2) === 42.0))
   }
 
+  test("sqlite stream picks up a NEW station file between triggers") {
+    val dir = Files.createTempDirectory("graft-sdb-newst")
+    def res(name: String) = getClass.getResource(s"/sqlite/$name").getPath
+    Files.copy(java.nio.file.Path.of(res("stA.sdb")), dir.resolve("stA.sdb"))
+    val out = Files.createTempDirectory("graft-sdb-newst-out").toString
+    val ckpt = Files.createTempDirectory("graft-sdb-newst-ckpt").toString
+
+    def runOnce(): Unit = {
+      val q = IncrementalIngest.sqliteSource(spark, dir.toString)
+        .select(col("station"), col("dateTime"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out).start()
+      assert(q.awaitTermination(120000))
+    }
+
+    runOnce()
+    assert(spark.read.parquet(out).count() === 576) // stA alone
+    // a station joins the fleet: its whole file is an implicit
+    // from-the-beginning offset, existing stations stay incremental
+    Files.copy(java.nio.file.Path.of(res("stB.sdb")), dir.resolve("stB.sdb"))
+    runOnce()
+    val byStation = spark.read.parquet(out).groupBy(col("station")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStation === Map("stA" -> 576L, "stB" -> 575L))
+  }
+
   test("sqlite stream composes with the archive writer (streaming == batch archive)") {
     val root = Files.createTempDirectory("graft-sdb-compose").toString
     def res(name: String) = getClass.getResource(s"/sqlite/$name").getPath
