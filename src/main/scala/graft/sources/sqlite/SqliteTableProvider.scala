@@ -192,8 +192,14 @@ class SqliteScanBuilder(path: String, table: String, fullSchema: StructType,
     * `ORDER BY dateTime LIMIT 1`, aristoteles.py:240); COUNT(*) walks
     * leaf page HEADERS without decoding a single record (:303-306).
     * Complete pushdown: the scan returns the final aggregated row. */
+  /** Complete only for a single file; a directory fan-in pushes
+    * PARTIAL aggregates (one MIN/MAX/COUNT row per file, still from
+    * b-tree descent / leaf headers) and Spark's final aggregation
+    * combines them — COUNT is rewritten to a SUM of the partials by
+    * the engine, MIN/MAX re-minimized. Fleet-wide counts never decode
+    * a record. */
   override def supportCompletePushDown(aggregation: aggregate.Aggregation): Boolean =
-    translateAggs(aggregation).isDefined
+    translateAggs(aggregation).isDefined && files.lengthCompare(1) == 0
 
   override def pushAggregation(aggregation: aggregate.Aggregation): Boolean =
     translateAggs(aggregation) match {
@@ -203,10 +209,9 @@ class SqliteScanBuilder(path: String, table: String, fullSchema: StructType,
 
   private def translateAggs(aggregation: aggregate.Aggregation): Option[Seq[SqliteAgg]] = {
     if (aggregation.groupByExpressions.nonEmpty) return None
-    // complete pushdown is a single-file answer: across several station
-    // files (or with a derived station column) the per-file aggregates
-    // would need a re-combine this scan contract doesn't express
-    if (files.lengthCompare(1) != 0 || stationCol.isDefined) return None
+    // the derived station column isn't a b-tree answer; aggregations
+    // touching it fall back to the row scan
+    if (stationCol.isDefined) return None
     val alias = rowidAliasName.orNull
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -230,7 +235,7 @@ class SqliteScanBuilder(path: String, table: String, fullSchema: StructType,
         case (SqliteAgg.CountStar, i) => StructField(s"count_$i", LongType, nullable = false)
         case (a, i) => StructField(s"${a.toString.toLowerCase}_$i", LongType)
       })
-      new SqliteAggScan(files.head._2, table, pushedAggs, lo, hi, aggSchema)
+      new SqliteAggScan(files.map(_._2), table, pushedAggs, lo, hi, aggSchema)
     } else new SqliteScan(path, files, table, fullSchema, required, pushed, lo, hi, stationCol)
 }
 
@@ -241,18 +246,20 @@ object SqliteAgg {
   case object CountStar extends SqliteAgg
 }
 
-/** Scan serving a completely-pushed aggregation: one partition, one
-  * output row, page-header-level work instead of a table scan. */
-class SqliteAggScan(path: String, table: String, aggs: Seq[SqliteAgg],
+/** Scan serving a pushed aggregation: one partition PER FILE, one
+  * partial row each, page-header-level work instead of a table scan
+  * (complete for a single file; Spark's final aggregation combines the
+  * per-file partials on a directory fan-in). */
+class SqliteAggScan(paths: Seq[String], table: String, aggs: Seq[SqliteAgg],
                     lo: Long, hi: Long, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"SqliteAggScan table=$table aggs=${aggs.mkString(",")} " +
+    s"SqliteAggScan table=$table files=${paths.length} aggs=${aggs.mkString(",")} " +
     s"range=[${if (lo == Long.MinValue) "-inf" else lo}, ${if (hi == Long.MaxValue) "+inf" else hi}]"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(SqliteAggPartition(path, table, aggs, lo, hi))
+    paths.toArray.map(p => SqliteAggPartition(p, table, aggs, lo, hi): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
