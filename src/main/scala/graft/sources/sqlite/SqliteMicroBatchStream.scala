@@ -2,7 +2,9 @@ package graft.sources.sqlite
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{
+  MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows,
+  SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 /** Streaming offset: the high-watermark rowid per station file. wview
@@ -40,9 +42,21 @@ object SqliteOffset {
   * micro-batch's work is proportional to NEW data only. */
 class SqliteMicroBatchStream(rootPath: String, table: String,
     fullSchema: StructType, required: StructType,
-    lo: Long, hi: Long, stationCol: Option[String]) extends MicroBatchStream {
+    lo: Long, hi: Long, stationCol: Option[String],
+    maxRowsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def conf = new Configuration()
+
+  // Trigger.AvailableNow: Spark would otherwise wrap this source and
+  // DISCARD its read limit (the generic wrapper can't cap a custom
+  // offset type) — implementing the trigger natively pins the target
+  // head here, and rate-limited micro-batches walk up to it.
+  @volatile private var availableNowTarget: Option[SqliteOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestOffset().asInstanceOf[SqliteOffset])
 
   override def initialOffset(): Offset = SqliteOffset(Map.empty)
 
@@ -56,6 +70,69 @@ class SqliteMicroBatchStream(rootPath: String, table: String,
       try f.maxRowid(f.tableRoot(table), Long.MinValue, Long.MaxValue).map(p -> _)
       finally f.close()
     }.toMap)
+  }
+
+  // ---- admission control (maxRowsPerTrigger) ------------------------
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  /** True head of every file — what AvailableNow catches up to across
+    * rate-limited triggers. */
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  /** Advance each file's watermark by at most `maxRows` rows in total:
+    * files are taken in path order; within the file that exhausts the
+    * budget the cutoff rowid is found by binary search over the rowid
+    * space with leaf-header COUNT probes (O(log(range) x count cost) —
+    * rowids are sample times here, so dense-rank arithmetic doesn't
+    * apply; the count probe is the b-tree's native rank oracle). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val full = availableNowTarget
+      .getOrElse(latestOffset().asInstanceOf[SqliteOffset])
+    limit match {
+      case _: ReadAllAvailable => full
+      case r: ReadMaxRows =>
+        val s = start.asInstanceOf[SqliteOffset].maxRowids
+        var budget = r.maxRows()
+        val capped = full.maxRowids.toSeq.sortBy(_._1).map { case (p, endRowid) =>
+          val prev = s.get(p)
+          val plo = prev match {
+            case Some(v) if v == Long.MaxValue => Long.MaxValue
+            case Some(v) => math.max(lo, v + 1)
+            case None => lo
+          }
+          val phi = math.min(hi, endRowid)
+          if (budget <= 0 || plo > phi) {
+            // no budget (or nothing new): hold this file's watermark
+            p -> prev.getOrElse(Long.MinValue)
+          } else {
+            val f = SqliteFile.open(p, conf)
+            try {
+              val root = f.tableRoot(table)
+              val avail = f.countRows(root, plo, phi)
+              if (avail <= budget) { budget -= avail; p -> endRowid }
+              else {
+                // smallest cutoff with count(plo..cutoff) >= budget.
+                // Anchor the search at the file's true min rowid and
+                // use an overflow-safe midpoint: plo can be
+                // Long.MinValue (no pushed bound), where a + (b-a)/2
+                // wraps and the search never terminates.
+                var a = math.max(plo, f.minRowid(root, plo, phi).getOrElse(plo))
+                var b = phi
+                while (a < b) {
+                  val mid = (a >> 1) + (b >> 1) + (a & b & 1L)
+                  if (f.countRows(root, plo, mid) >= budget) b = mid else a = mid + 1
+                }
+                budget = 0
+                p -> a
+              }
+            } finally f.close()
+          }
+        }.filterNot(_._2 == Long.MinValue).toMap
+        SqliteOffset(capped)
+      case other => throw new UnsupportedOperationException(s"read limit $other")
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -72,7 +72,8 @@ class SqliteTableProvider extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new SqliteTable(
       Option(opts.get("path")).getOrElse(throw new IllegalArgumentException("path required")),
-      opt(opts, "table", "archive"), schema, Option(opts.get("stationColumn")))
+      opt(opts, "table", "archive"), schema, Option(opts.get("stationColumn")),
+      Option(opts.get("maxRowsPerTrigger")).map(_.toLong))
   }
 }
 
@@ -111,7 +112,7 @@ object SqliteTableProvider {
 }
 
 class SqliteTable(path: String, table: String, tableSchema: StructType,
-    stationCol: Option[String] = None)
+    stationCol: Option[String] = None, maxRowsPerTrigger: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"sqlite:$path#$table"
   // columns() defaults to converting this; the non-deprecated variant
@@ -121,11 +122,11 @@ class SqliteTable(path: String, table: String, tableSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SqliteScanBuilder(path, table, tableSchema, stationCol)
+    new SqliteScanBuilder(path, table, tableSchema, stationCol, maxRowsPerTrigger)
 }
 
 class SqliteScanBuilder(path: String, table: String, fullSchema: StructType,
-    stationCol: Option[String] = None)
+    stationCol: Option[String] = None, maxRowsPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -236,7 +237,8 @@ class SqliteScanBuilder(path: String, table: String, fullSchema: StructType,
         case (a, i) => StructField(s"${a.toString.toLowerCase}_$i", LongType)
       })
       new SqliteAggScan(files.map(_._2), table, pushedAggs, lo, hi, aggSchema)
-    } else new SqliteScan(path, files, table, fullSchema, required, pushed, lo, hi, stationCol)
+    } else new SqliteScan(path, files, table, fullSchema, required, pushed, lo, hi,
+      stationCol, maxRowsPerTrigger)
 }
 
 sealed trait SqliteAgg extends Serializable
@@ -295,7 +297,8 @@ case class SqliteAggPartition(path: String, table: String, aggs: Seq[SqliteAgg],
 class SqliteScan(rootPath: String, files: Seq[(String, String)], table: String,
                  fullSchema: StructType, required: StructType,
                  pushed: Array[Filter], lo: Long, hi: Long,
-                 stationCol: Option[String])
+                 stationCol: Option[String],
+                 maxRowsPerTrigger: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
@@ -318,7 +321,8 @@ class SqliteScan(rootPath: String, files: Seq[(String, String)], table: String,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new SqliteMicroBatchStream(rootPath, table, fullSchema, required, lo, hi, stationCol)
+    new SqliteMicroBatchStream(rootPath, table, fullSchema, required, lo, hi,
+      stationCol, maxRowsPerTrigger)
 }
 
 object SqliteScan {

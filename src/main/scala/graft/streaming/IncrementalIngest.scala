@@ -59,13 +59,16 @@ object IncrementalIngest {
     * dropping a grown `.sdb` snapshot in place ingests just the new
     * samples. Same downstream shape as [[source]] (ts + station
     * columns), so every writer/aggregation in this module composes. */
-  def sqliteSource(spark: SparkSession, inputDir: String): DataFrame =
-    spark.readStream
+  def sqliteSource(spark: SparkSession, inputDir: String,
+      maxRowsPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream
       .format("sqlite")
       .option("table", "archive")
       .option("stationColumn", "station")
-      .load(inputDir)
+    maxRowsPerTrigger.foreach(n => r.option("maxRowsPerTrigger", n.toString))
+    r.load(inputDir)
       .withColumn("ts", timestamp_seconds(col("dateTime")))
+  }
 
   /** Per-station daily completeness aggregation (S5/S8/S9 in streaming
     * form): one row per (day window, station) carrying sample counts —

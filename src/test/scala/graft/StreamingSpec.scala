@@ -135,6 +135,33 @@ class StreamingSpec extends SparkSpec {
     assert(byStation === Map("stA" -> 576L, "stB" -> 575L))
   }
 
+  test("sqlite stream rate-limits with maxRowsPerTrigger (bounded micro-batches)") {
+    val dir = Files.createTempDirectory("graft-sdb-rate")
+    def res(name: String) = getClass.getResource(s"/sqlite/$name").getPath
+    for (st <- Seq("stA", "stB"))
+      Files.copy(java.nio.file.Path.of(res(s"$st.sdb")), dir.resolve(s"$st.sdb"))
+    val out = Files.createTempDirectory("graft-sdb-rate-out").toString
+    val ckpt = Files.createTempDirectory("graft-sdb-rate-ckpt").toString
+
+    val q = IncrementalIngest.sqliteSource(spark, dir.toString, Some(300L))
+      .select(col("station"), col("dateTime"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    assert(q.awaitTermination(120000))
+
+    // complete (AvailableNow catches up to the reported head) and
+    // exactly-once across the rate-limited batches
+    val got = spark.read.parquet(out)
+    assert(got.count() === 576 + 575)
+    assert(got.distinct().count() === 576 + 575)
+    // and the 1151 rows really arrived in >= ceil(1151/300) batches
+    val offsetFiles = new java.io.File(s"$ckpt/offsets").listFiles()
+      .filterNot(_.getName.startsWith(".")).length
+    assert(offsetFiles >= 4, s"expected >=4 rate-limited batches, got $offsetFiles")
+  }
+
   test("sqlite stream composes with the archive writer (streaming == batch archive)") {
     val root = Files.createTempDirectory("graft-sdb-compose").toString
     def res(name: String) = getClass.getResource(s"/sqlite/$name").getPath
