@@ -101,6 +101,7 @@ object Queries {
     "q_unpivot" -> (Relational.unpivotMeasures _),
     "q_distinct_counts" -> (Relational.distinctCounts _),
     "q_rollup_sales" -> (Relational.rollupSales _),
+    "q_grouping_sets" -> (Relational.groupingSetsSales _),
     "q_cube_sales" -> (Relational.cubeSales _),
     "q_case_agg_by_status" -> (Relational.caseAggByStatus _),
     "q_above_avg_suppliers" -> (Relational.aboveAvgSuppliers _),
@@ -207,6 +208,11 @@ object Queries {
       ("SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus, " +
        "round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n " +
        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY returnflag, linestatus"),
+    "q_grouping_sets" ->
+      ("SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus, " +
+       "round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n " +
+       "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+       "ORDER BY returnflag, linestatus"),
     "q_cube_sales" ->
       ("SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority, " +
        "round(sum(o_totalprice), 2) AS sum_price, count(*) AS n " +
@@ -526,6 +532,7 @@ object Queries {
     "q_array_agg" -> (Analytics.arrayAgg _),
     "q_day_over_day" -> (Analytics.dayOverDay _),
     "q_funnel" -> (Analytics.funnelSignupPurchase _),
+    "q_gap_fill" -> (Analytics.gapFillDaily _),
     "q_approx_sketches" -> (Analytics.approxSketches _)
   )
 
@@ -581,6 +588,14 @@ object Queries {
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path, " +
        "CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed " +
        "FROM events ORDER BY event_id"),
+    "q_gap_fill" ->
+      ("WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events), " +
+       "spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b), " +
+       "p AS (SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS day_value FROM events " +
+       "WHERE event_type = 'purchase' AND user_id < 5 GROUP BY 1) " +
+       "SELECT spine.day AS day, coalesce(day_value, 0.0) AS day_value, " +
+       "day_value IS NOT NULL AS had_data " +
+       "FROM spine LEFT JOIN p ON spine.day = p.day ORDER BY day"),
     "q_funnel" ->
       ("WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events WHERE event_type = 'signup' GROUP BY user_id), " +
        "p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e JOIN s ON e.user_id = s.user_id " +

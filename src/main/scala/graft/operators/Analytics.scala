@@ -170,6 +170,27 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Calendar-spine gap filling: a sparse per-day series (purchases of
+    * a user subset) left-joined onto the generated full day range, with
+    * missing days zero-filled and flagged — the densify step required
+    * before any window arithmetic that assumes contiguous days. The
+    * spine comes from one sequence() over the corpus bounds (a one-row
+    * aggregate exploded), never a driver-side date loop. */
+  def gapFillDaily(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sparse = ev
+      .filter(col("event_type") === "purchase" && col("user_id") < 5)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 2).as("day_value"))
+    val spine = ev.agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    spine.join(sparse, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("day_value"), lit(0.0)).as("day_value"),
+        col("day_value").isNotNull.as("had_data"))
+      .orderBy(col("day"))
+  }
+
   /** Day-over-day delta via lag(): the windowed change-detection shape
     * (daily totals then a 1-row lookback over the day order). First day
     * has NULL delta in both engines. */

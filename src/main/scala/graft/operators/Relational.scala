@@ -304,6 +304,22 @@ object Relational {
               col("sum_price"), col("n"))
       .orderBy(col("returnflag"), col("linestatus"))
 
+  /** GROUPING SETS: the explicit-combination sibling of rollup/cube —
+    * per-returnflag, per-linestatus, and the grand total in ONE pass
+    * over the fact table (three separate aggregations would scan it
+    * three times). */
+  def groupingSetsSales(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+           count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("sum_price"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
   /** CUBE: all grouping combinations in one pass. */
   def cubeSales(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
