@@ -212,24 +212,36 @@ object Dedup {
     * the global range-partition+sort a total order costs. */
   private[operators] def nearDupPairsUnsorted(spark: SparkSession, dir: String): DataFrame =
     pairCache.getOrCompute(spark, dir) {
-      nearDupPairsImpl(spark, dir).localCheckpoint(false)
+      smallVocab(tokenSets(spark, dir)) match {
+        case Some(vocab) =>
+          maskedPairsFor(spark, dir, vocab).localCheckpoint(false)
+        // general corpus: share the ONE banded build with
+        // minhashLshPairsBanded — the memoized frame is already a
+        // checkpoint, so no second layer and no duplicate pipeline
+        case None => bandedPairsShared(spark, dir)
+      }
     }
 
-  private def nearDupPairsImpl(spark: SparkSession, dir: String): DataFrame =
-    smallVocab(tokenSets(spark, dir)) match {
-      case Some(vocab) =>
-        val repr = tokenSets(spark, dir)
-          .select(col("doc_id"), size(col("toks")).as("sz"), maskExpr(vocab).as("mask"))
-        def side(suffix: String) =
-          repr.select(col("doc_id").as(s"doc_$suffix"), col("sz").as(s"s$suffix"),
-                      col("mask").as(s"mask_$suffix"))
-        // the corpus parquet is 1-2 splits, which would serialize the
-        // nested loop; spread the stream side across the cores first
-        val streamSide = side("a").repartition(
-          repr.sparkSession.sparkContext.defaultParallelism * 2)
-        verifyPairs(streamSide.join(broadcast(side("b")), col("doc_a") < col("doc_b")),
-                    0.8, masked = true)
-      case None => bandedPairsFor(tokenSets(spark, dir), 0.8, dir) // unsorted
+  private def maskedPairsFor(spark: SparkSession, dir: String,
+      vocab: Array[Long]): DataFrame = {
+    val repr = tokenSets(spark, dir)
+      .select(col("doc_id"), size(col("toks")).as("sz"), maskExpr(vocab).as("mask"))
+    def side(suffix: String) =
+      repr.select(col("doc_id").as(s"doc_$suffix"), col("sz").as(s"s$suffix"),
+                  col("mask").as(s"mask_$suffix"))
+    // the corpus parquet is 1-2 splits, which would serialize the
+    // nested loop; spread the stream side across the cores first
+    val streamSide = side("a").repartition(
+      repr.sparkSession.sparkContext.defaultParallelism * 2)
+    verifyPairs(streamSide.join(broadcast(side("b")), col("doc_a") < col("doc_b")),
+                0.8, masked = true)
+  }
+
+  /** The single memoized banded build per corpus, shared by the
+    * adaptive path and the explicit banded query. */
+  private def bandedPairsShared(spark: SparkSession, dir: String): DataFrame =
+    pairCache.getOrCompute(spark, s"$dir#banded") {
+      bandedPairsFor(tokenSets(spark, dir), 0.8, s"$dir#banded").localCheckpoint(false)
     }
 
   /** The general-corpus LSH banding path (blocking equi-join on
@@ -239,9 +251,7 @@ object Dedup {
     * scratch tracker holds strong references, so an unmemoized
     * per-call build would grow storage without bound). */
   def minhashLshPairsBanded(spark: SparkSession, dir: String): DataFrame =
-    pairCache.getOrCompute(spark, s"$dir#banded") {
-      bandedPairsFor(tokenSets(spark, dir), 0.8, s"$dir#banded").localCheckpoint(false)
-    }.orderBy(col("doc_a"), col("doc_b"))
+    bandedPairsShared(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
   /** Word-3-gram shingle near-dups: shingle -> MinHash -> band ->
     * verify — the order-sensitive dedup pass (prompt-surface "n-gram

@@ -45,10 +45,21 @@ object GraftCatalog {
       }
       dir
     }
-    if (registeredDir.getOrCompute(spark, "dir")(ddl()) != dir) {
+    // check-then-act is racy on the single contended memo key: another
+    // thread's register(otherDir) can win the re-registration, so loop
+    // until the memo agrees with OUR dir and fail loudly if it never
+    // does (silent success with tables pointing at another corpus is
+    // the one unacceptable outcome)
+    var attempts = 0
+    var got = registeredDir.getOrCompute(spark, "dir")(ddl())
+    while (got != dir && attempts < 5) {
       registeredDir.evict(spark, "dir")
-      registeredDir.getOrCompute(spark, "dir")(ddl())
+      got = registeredDir.getOrCompute(spark, "dir")(ddl())
+      attempts += 1
     }
+    if (got != dir)
+      throw new IllegalStateException(
+        s"catalog registration raced: wanted $dir but the session registered $got")
     TableNames
   }
 

@@ -285,6 +285,61 @@ final class SqliteFile(in: FSDataInputStream) {
     }
   }
 
+  /** Rowid of the k-th (1-based) in-range row — the b-tree's
+    * rank-select. One left-to-right walk that stops at the k-th row:
+    * subtrees known (from the parent's key bounds) to sit fully inside
+    * [lo, hi] are skipped whole via leaf-header counts; only edge
+    * leaves and the terminal leaf decode cell keys. None when the
+    * range holds fewer than k rows. */
+  def kthRowid(pageNo: Int, lo: Long, hi: Long, k: Long): Option[Long] = {
+    if (k <= 0) return None
+    var remaining = k
+    def walk(pg: Int, inside: Boolean): Option[Long] = {
+      val page = readPage(pg)
+      val (typ, cells, right) = pageMeta(pg, page)
+      typ match {
+        case 13 =>
+          if (inside && cells.length < remaining) {
+            remaining -= cells.length
+            None
+          } else if (inside) {
+            // all in range and ordered: the answer is this leaf's
+            // (remaining)-th cell key
+            val off = cells(remaining.toInt - 1)
+            val (_, n1) = varint(page, off)
+            Some(varint(page, off + n1)._1)
+          } else {
+            cells.foreach { off =>
+              val (_, n1) = varint(page, off)
+              val (rowid, _) = varint(page, off + n1)
+              if (rowid >= lo && rowid <= hi) {
+                remaining -= 1
+                if (remaining == 0) return Some(rowid)
+              }
+            }
+            None
+          }
+        case 5 =>
+          var prevKey = Long.MinValue
+          cells.foreach { off =>
+            val child = u32(page, off).toInt
+            val (key, _) = varint(page, off + 4)
+            if (key >= lo && prevKey < hi) {
+              val childInside = inside ||
+                ((lo == Long.MinValue || prevKey >= lo - 1) &&
+                 (hi == Long.MaxValue || key <= hi))
+              val r = walk(child, childInside)
+              if (r.isDefined) return r
+            }
+            prevKey = key
+          }
+          if (prevKey < hi) walk(right.toInt, inside) else None
+        case _ => None
+      }
+    }
+    walk(pageNo, inside = lo == Long.MinValue && hi == Long.MaxValue)
+  }
+
   // ---- catalog ------------------------------------------------------
   case class MasterRow(typ: String, name: String, tblName: String, rootPage: Int, sql: String)
 

@@ -81,19 +81,44 @@ class SqliteMicroBatchStream(rootPath: String, table: String,
     * rate-limited triggers. */
   override def reportLatestOffset(): Offset = latestOffset()
 
-  /** Advance each file's watermark by at most `maxRows` rows in total:
-    * files are taken in path order; within the file that exhausts the
-    * budget the cutoff rowid is found by binary search over the rowid
-    * space with leaf-header COUNT probes (O(log(range) x count cost) —
-    * rowids are sample times here, so dense-rank arithmetic doesn't
-    * apply; the count probe is the b-tree's native rank oracle). */
+  /** Files whose regression we already warned about (once per stream
+    * instance, not once per trigger). */
+  private val warnedRegressions = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The end offset for the next batch. Watermarks NEVER regress: a
+    * file whose live max rowid fell below the checkpointed watermark
+    * was rebuilt in place — its rows can't be told apart from already-
+    * ingested ones, so the watermark holds (re-reading would
+    * double-ingest into append sinks) and the hold is warned LOUDLY,
+    * here where the decision is made against the live head. Files that
+    * vanished keep their watermark too (a reappearing rebuild must not
+    * restart from scratch).
+    *
+    * Under a rows-per-trigger budget, files advance in path order; the
+    * file that exhausts the budget gets its cutoff from kthRowid — the
+    * b-tree's rank-select, one walk that stops at the budget-th row —
+    * so per-trigger discovery work is O(rows admitted), not
+    * O(backlog). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val full = availableNowTarget
+    val s = start.asInstanceOf[SqliteOffset].maxRowids
+    val live = availableNowTarget
       .getOrElse(latestOffset().asInstanceOf[SqliteOffset])
+    val held = live.maxRowids.map { case (p, end) =>
+      s.get(p).filter(_ > end) match {
+        case Some(prev) =>
+          if (warnedRegressions.add(p))
+            System.err.println(
+              s"[graft] sqlite stream: $p max rowid $end regressed below " +
+              s"watermark $prev (file rebuilt?); holding the watermark, rows " +
+              "below it are not ingested — reset the checkpoint to re-read this station")
+          p -> prev
+        case None => p -> end
+      }
+    } ++ (s -- live.maxRowids.keySet) // vanished files keep their watermark
+    val full = SqliteOffset(held)
     limit match {
       case _: ReadAllAvailable => full
       case r: ReadMaxRows =>
-        val s = start.asInstanceOf[SqliteOffset].maxRowids
         var budget = r.maxRows()
         val capped = full.maxRowids.toSeq.sortBy(_._1).map { case (p, endRowid) =>
           val prev = s.get(p)
@@ -110,22 +135,14 @@ class SqliteMicroBatchStream(rootPath: String, table: String,
             val f = SqliteFile.open(p, conf)
             try {
               val root = f.tableRoot(table)
-              val avail = f.countRows(root, plo, phi)
-              if (avail <= budget) { budget -= avail; p -> endRowid }
-              else {
-                // smallest cutoff with count(plo..cutoff) >= budget.
-                // Anchor the search at the file's true min rowid and
-                // use an overflow-safe midpoint: plo can be
-                // Long.MinValue (no pushed bound), where a + (b-a)/2
-                // wraps and the search never terminates.
-                var a = math.max(plo, f.minRowid(root, plo, phi).getOrElse(plo))
-                var b = phi
-                while (a < b) {
-                  val mid = (a >> 1) + (b >> 1) + (a & b & 1L)
-                  if (f.countRows(root, plo, mid) >= budget) b = mid else a = mid + 1
-                }
-                budget = 0
-                p -> a
+              f.kthRowid(root, plo, phi, budget + 1) match {
+                case None => // the whole backlog fits the budget
+                  budget -= f.countRows(root, plo, phi)
+                  p -> endRowid
+                case Some(_) =>
+                  val cutoff = f.kthRowid(root, plo, phi, budget).get
+                  budget = 0
+                  p -> cutoff
               }
             } finally f.close()
           }
@@ -141,18 +158,8 @@ class SqliteMicroBatchStream(rootPath: String, table: String,
     val stationByPath = SqlitePaths.resolve(rootPath, conf)
       .map { case (st, p) => p -> st }.toMap
     e.toSeq.sortBy(_._1).flatMap { case (p, endRowid) =>
-      // a max rowid BELOW the checkpointed watermark means the file
-      // was rebuilt/re-initialized in place — rowids restarted, and
-      // this stream's offset contract cannot tell which rows are new.
-      // Skipping is the safe choice (re-reading would double-ingest
-      // into append sinks), but it must be LOUD: silence here is a
-      // station that stops ingesting with no diagnostic.
-      s.get(p).filter(_ > endRowid).foreach { prev =>
-        System.err.println(
-          s"[graft] sqlite stream: $p max rowid $endRowid regressed below " +
-          s"watermark $prev (file rebuilt?); holding watermark, rows below it " +
-          "are not ingested — reset the checkpoint to re-read this station")
-      }
+      // (watermark-regression handling lives in latestOffset, where
+      // the hold decision is made against the live head)
       val ploOpt = s.get(p) match {
         // a file already at Long.MaxValue can gain nothing more (and
         // prev + 1 would wrap)

@@ -135,6 +135,48 @@ class StreamingSpec extends SparkSpec {
     assert(byStation === Map("stA" -> 576L, "stB" -> 575L))
   }
 
+  test("rebuilt station file holds the watermark — no double ingest, no regress") {
+    val dir = Files.createTempDirectory("graft-sdb-rebuild")
+    def res(name: String) = getClass.getResource(s"/sqlite/$name").getPath
+    Files.copy(java.nio.file.Path.of(res("stA.sdb")), dir.resolve("stA.sdb"))
+    val out = Files.createTempDirectory("graft-sdb-rebuild-out").toString
+    val ckpt = Files.createTempDirectory("graft-sdb-rebuild-ckpt").toString
+    val oldMax = 1709423700L
+
+    def runOnce(): Unit = {
+      val q = IncrementalIngest.sqliteSource(spark, dir.toString)
+        .select(col("station"), col("dateTime"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out).start()
+      assert(q.awaitTermination(120000))
+    }
+    def sql(stmt: String): Unit = {
+      val pr = new ProcessBuilder("sqlite3", dir.resolve("stA.sdb").toString, stmt)
+        .inheritIO().start()
+      assert(pr.waitFor() === 0, s"sqlite3 failed: $stmt")
+    }
+
+    runOnce()
+    assert(spark.read.parquet(out).count() === 576)
+    // rebuild in place: the file's max rowid drops far below the
+    // checkpointed watermark — already-ingested rowid space
+    sql(s"DELETE FROM archive WHERE dateTime > ${1709251200L + 3000}; VACUUM;")
+    runOnce()
+    assert(spark.read.parquet(out).count() === 576, "rebuild re-ingested old rowids")
+    // rows inside the already-ingested rowid space stay held too
+    sql(s"INSERT INTO archive(dateTime, usUnits, interval, outTemp) VALUES (${oldMax - 300}, 1, 5, 1.0);")
+    runOnce()
+    assert(spark.read.parquet(out).count() === 576, "held watermark leaked old-range rows")
+    // only a rowid PAST the held watermark is genuinely new
+    sql(s"INSERT INTO archive(dateTime, usUnits, interval, outTemp) VALUES (${oldMax + 300}, 1, 5, 2.0);")
+    runOnce()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() === 577)
+    assert(rows.filter(col("dateTime") === oldMax + 300).count() === 1)
+  }
+
   test("sqlite stream rate-limits with maxRowsPerTrigger (bounded micro-batches)") {
     val dir = Files.createTempDirectory("graft-sdb-rate")
     def res(name: String) = getClass.getResource(s"/sqlite/$name").getPath
