@@ -258,6 +258,7 @@ object Queries {
     "text_per_source_stats" -> (TextAnalysis.perSourceStats _),
     "text_token_counts" -> (TextAnalysis.tokenCounts _),
     "text_tfidf_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
+    "text_rolling_hash" -> (TextAnalysis.rollingFingerprints _),
     "text_quality_gate" -> ((s: SparkSession, d: String) => TextAnalysis.qualityGate(s, d)),
     "sim_embed_quantized" -> (Similarity.quantizeEmbeddings _),
     "dedup_exact_summary" -> (Dedup.exactSummary _),
@@ -402,6 +403,12 @@ object Queries {
        "FROM documents) ORDER BY doc_id"),
     "text_fingerprints" ->
       (s"SELECT doc_id, $duckFp AS fp FROM documents ORDER BY doc_id"),
+    "text_rolling_hash" ->
+      (s"SELECT doc_id, $duckFp AS fp_set, " +
+       s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($duckToks, " +
+       "t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)), " +
+       "(acc, h) -> (acc * 31 + h) % 2147483647) AS fp_rolling " +
+       "FROM documents ORDER BY doc_id"),
     "text_token_counts" ->
       (s"SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_ws_tokens, " +
        "CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens " +

@@ -36,6 +36,18 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(distinctTokens(text))))
 
+  /** Order-SENSITIVE document fingerprint: a polynomial rolling hash
+    * over the token stream, acc = (acc*31 + h(tok)) mod (2^31 - 1) —
+    * unlike [[fingerprint]] it distinguishes word-order edits. Token
+    * hashes are md5-derived 32-bit values, so the whole computation is
+    * engine-portable and overflow-free (acc*31 + h < 2^37). */
+  def rollingHash(text: Column): Column = {
+    val M = 2147483647L // 2^31 - 1
+    val th = transform(tokens(text),
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    aggregate(th, lit(0L), (acc, h) => (acc * 31 + h) % M)
+  }
+
   /** "BPE-ish" subword proxy: 4-byte chunks of the normalized text.
     * A cheap, deterministic stand-in for tokenizer cost estimation. */
   def subwordCount(text: Column): Column =

@@ -130,6 +130,16 @@ object TextAnalysis {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Both fingerprint flavors side by side: the order-insensitive
+    * md5-of-sorted-set and the order-sensitive rolling hash — a word
+    * reshuffle changes only the second, which is how a pipeline tells
+    * bag-of-words dups from true verbatim dups. */
+  def rollingFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp_set"),
+        rollingHash(col("text")).as("fp_rolling"))
+      .orderBy(col("doc_id"))
+
   /** Corpus rollup per source: the aggregation view a pipeline operator
     * dashboard needs. */
   def perSourceStats(spark: SparkSession, dir: String): DataFrame =

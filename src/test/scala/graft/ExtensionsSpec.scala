@@ -7,6 +7,18 @@ import graft.operators.{Dedup, Multimodal, Similarity}
   * checked against exact computations on sf0.001. */
 class ExtensionsSpec extends SparkSpec {
 
+  test("rolling hash is order-sensitive where the set fingerprint is not") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val r = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
+      .toDF("doc_id", "text")
+      .select(TextFunctions.fingerprint(col("text")).as("fs"),
+              TextFunctions.rollingHash(col("text")).as("fr"))
+      .collect()
+    assert(r(0).getString(0) === r(1).getString(0)) // same bag of words
+    assert(r(0).getLong(1) !== r(1).getLong(1))     // different order
+  }
+
   test("nanos rewrite: epoch lower bound keeps negative-nanos rows") {
     import spark.implicits._
     // parquet-backed (a local relation would be constant-folded away
