@@ -522,8 +522,8 @@ object Queries {
        "CAST(1 + i * greatest(1, length(text) // 4) AS BIGINT) AS start, " +
        "md5(substring(text, CAST(1 + i * greatest(1, length(text) // 4) AS INTEGER), 32)) AS digest " +
        "FROM documents, (SELECT unnest(range(4)) AS i) ORDER BY doc_id, frame_idx")
-    // no oracle (rows-only): knn_ivf (approximate by contract;
-    // recall vs brute force asserted in ExtensionsSpec).
+    // knn_ivf's oracle is generated post-run from the served quantizer
+    // (see knnIvfOracle below).
   )
 
   val analytics: Map[String, Q] = Map(
@@ -623,7 +623,38 @@ object Queries {
     // ExtensionsSpec.
   )
 
+  // DuckDB twin of the served IVF path, generated from the EXACT
+  // quantizer the query batch used (centroids are data-derived, so the
+  // SQL exists only after knn_ivf has served — which is the order the
+  // correctness harness runs in: all queries, then the oracle dump).
+  // Cell assignment, top-2 probe cells, cosine, and the (rounded score
+  // desc, id asc) top-5 all mirror Similarity.knnIvfIndexed.
+  private def knnIvfOracle: Option[(String, String)] =
+    graft.operators.Similarity.lastServedCentroids.map { cents =>
+      val scores = cents.map { c =>
+        val lit = c.mkString("[", ", ", "]::DOUBLE[]")
+        val half = c.map(x => x * x).sum / 2.0
+        s"list_dot_product(v, $lit) - ($half)"
+      }.mkString("[", ", ", "]")
+      "knn_ivf" ->
+        ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+         s"sc AS (SELECT vec_id, v, $scores AS scores FROM e), " +
+         "a AS (SELECT vec_id, v, scores, CAST(list_position(scores, list_max(scores)) AS INTEGER) AS cell FROM sc), " +
+         "p0 AS (SELECT vec_id AS query_id, v AS q, scores FROM a WHERE vec_id < 5), " +
+         "px AS (SELECT query_id, q, unnest(list_slice(list_reverse_sort(" +
+         s"list_transform(range(1, ${cents.length + 1}), i -> {'s': scores[i], 'i': i})), 1, " +
+         s"${graft.operators.Similarity.NumProbeCells})) AS cr FROM p0), " +
+         "probes AS (SELECT query_id, q, CAST(cr.i AS INTEGER) AS cell FROM px), " +
+         "scored AS (SELECT query_id, a.vec_id AS neighbor_id, " +
+         "round(list_dot_product(q, v) / (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(v, v))), 4) AS cos_sim " +
+         "FROM a JOIN probes ON a.cell = probes.cell AND a.vec_id <> probes.query_id), " +
+         "r AS (SELECT query_id, neighbor_id, cos_sim, " +
+         "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank FROM scored) " +
+         "SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank")
+    }
+
   def all: Map[String, Q] = timeSeries ++ relational ++ extensions ++ analytics
   def oracles: Map[String, String] =
-    timeSeriesOracles ++ relationalOracles ++ extensionOracles ++ analyticsOracles
+    timeSeriesOracles ++ relationalOracles ++ extensionOracles ++ analyticsOracles ++
+      knnIvfOracle.toMap
 }

@@ -264,9 +264,16 @@ object Similarity {
     val json = try new String(
       org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
     // controlled format: [[d,d,...],[...]] — no general JSON needed
-    json.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+    val cents = json.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
       .toSeq.map(_.split(",").map(_.toDouble))
+    lastServedCentroids = Some(cents)
+    cents
   }
+
+  /** The quantizer most recently used to SERVE a query — recorded so
+    * the oracle-SQL dump (which runs after the query batch) can embed
+    * the exact centroid literals the results were computed with. */
+  @volatile private[graft] var lastServedCentroids: Option[Seq[Array[Double]]] = None
 
   /** One materialized index per corpus, built on first use (or in an
     * ingest/warmup phase via an eager [[ivfIndexPath]] call) under a
