@@ -368,6 +368,19 @@ class StreamingSpec extends SparkSpec {
         s"missing input-rows gauge in:\n$text")
       assert(text.contains("graft_stream_batch_id"))
       assert(text.contains("# TYPE graft_stream_active gauge"))
+      // Prometheus text format: every family's lines must be ONE
+      // contiguous group after its TYPE header — no metric name may
+      // appear once another family's lines have started
+      val familyOf = (line: String) =>
+        if (line.startsWith("# TYPE ")) line.split(" ")(2)
+        else line.takeWhile(c => c != '{' && c != ' ')
+      val seqs = text.linesIterator.filter(_.nonEmpty).map(familyOf).toSeq
+      val firstLast = seqs.zipWithIndex.groupBy(_._1).values.map(g =>
+        (g.head._1, g.map(_._2).min, g.map(_._2).max))
+      firstLast.foreach { case (fam, lo, hi) =>
+        assert(seqs.slice(lo, hi + 1).forall(_ == fam),
+          s"family $fam interleaved with others in:\n$text")
+      }
     } finally spark.streams.removeListener(listener)
   }
 
