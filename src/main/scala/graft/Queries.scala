@@ -405,9 +405,12 @@ object Queries {
       (s"SELECT doc_id, $duckFp AS fp FROM documents ORDER BY doc_id"),
     "text_rolling_hash" ->
       (s"SELECT doc_id, $duckFp AS fp_set, " +
+       // NULL guard: list_prepend(0, NULL) is [0] in DuckDB, which
+       // would hash a NULL text to 0 where Spark propagates NULL
+       "CASE WHEN text IS NULL THEN NULL ELSE " +
        s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($duckToks, " +
        "t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)), " +
-       "(acc, h) -> (acc * 31 + h) % 2147483647) AS fp_rolling " +
+       "(acc, h) -> (acc * 31 + h) % 2147483647) END AS fp_rolling " +
        "FROM documents ORDER BY doc_id"),
     "text_token_counts" ->
       (s"SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_ws_tokens, " +
@@ -629,8 +632,28 @@ object Queries {
   // correctness harness runs in: all queries, then the oracle dump).
   // Cell assignment, top-2 probe cells, cosine, and the (rounded score
   // desc, id asc) top-5 all mirror Similarity.knnIvfIndexed.
-  private def knnIvfOracle: Option[(String, String)] =
-    graft.operators.Similarity.lastServedCentroids.map { cents =>
+  private def knnIvfOracle: Option[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val served = graft.operators.Similarity.servedCentroids.asScala.toMap
+    served.toSeq match {
+      case Seq((_, cents)) => Some(knnIvfOracleFor(cents))
+      case Seq() =>
+        // query failed (or never ran): emit a sentinel so the compare
+        // FAILS VISIBLY instead of silently recording "no oracle" —
+        // the spark result parquet is missing/bogus in this case too
+        Some("knn_ivf" ->
+          "SELECT 'knn_ivf served no quantizer - query failed before reading the index sidecar' AS error")
+      case many =>
+        // ambiguous: several corpora served in this JVM; an arbitrary
+        // pick could poison a correct run with a wrong-quantizer twin
+        System.err.println(
+          s"[graft] knn_ivf oracle omitted: centroids served for ${many.size} dirs " +
+          s"(${many.map(_._1).mkString(", ")}) — cannot tell which the dump refers to")
+        None
+    }
+  }
+
+  private def knnIvfOracleFor(cents: Seq[Array[Double]]): (String, String) = {
       val scores = cents.map { c =>
         val lit = c.mkString("[", ", ", "]::DOUBLE[]")
         val half = c.map(x => x * x).sum / 2.0

@@ -264,16 +264,17 @@ object Similarity {
     val json = try new String(
       org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
     // controlled format: [[d,d,...],[...]] — no general JSON needed
-    val cents = json.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+    json.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
       .toSeq.map(_.split(",").map(_.toDouble))
-    lastServedCentroids = Some(cents)
-    cents
   }
 
-  /** The quantizer most recently used to SERVE a query — recorded so
-    * the oracle-SQL dump (which runs after the query batch) can embed
-    * the exact centroid literals the results were computed with. */
-  @volatile private[graft] var lastServedCentroids: Option[Seq[Array[Double]]] = None
+  /** Quantizers used to SERVE queries, per corpus dir — recorded so the
+    * oracle-SQL dump (which runs after the query batch) can embed the
+    * exact centroid literals the results were computed with. Keyed by
+    * dir because a last-write-wins global would let a second corpus
+    * served in the same JVM poison the first one's oracle. */
+  private[graft] val servedCentroids =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()
 
   /** One materialized index per corpus, built on first use (or in an
     * ingest/warmup phase via an eager [[ivfIndexPath]] call) under a
@@ -314,6 +315,7 @@ object Similarity {
   def knnIvfIndexed(spark: SparkSession, dir: String, indexPath: String, k: Int = 5): DataFrame = {
     // the index's own quantizer, never a retrained one (see writeIvfIndex)
     val cents = readCentroidSidecar(spark, indexPath)
+    servedCentroids.put(dir, cents)
     val probes = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
