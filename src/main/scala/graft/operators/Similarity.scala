@@ -309,6 +309,16 @@ object Similarity {
   def knnIvfServed(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     knnIvfIndexed(spark, dir, ivfIndexPath(spark, dir), k)
 
+  /** Release one corpus's ANN state now — the trained quantizer and the
+    * materialized index's scratch directory — mirroring
+    * Dedup.evictCorpus for long-lived sessions. (App shutdown evicts
+    * everything automatically.) */
+  def evictCorpus(spark: SparkSession, dir: String): Unit = {
+    centroidCache.evict(spark, dir)
+    indexCache.evict(spark, dir)
+    servedCentroids.remove(dir)
+  }
+
   /** Top-k against a materialized index: probes (vec_id < 5 from the
     * source corpus) search their top-nprobe cells; the filter on the
     * partition column prunes every other cell's files at plan time. */

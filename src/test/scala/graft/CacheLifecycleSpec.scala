@@ -44,4 +44,16 @@ class CacheLifecycleSpec extends SparkSpec {
     val inMem = Similarity.knnIvf(spark, sf).collect()
     assert(served.map(_.toString).toSeq === inMem.map(_.toString).toSeq)
   }
+
+  test("evicting a corpus's ANN state deletes its index scratch dir") {
+    val p = Similarity.ivfIndexPath(spark, sf)
+    assert(java.nio.file.Files.exists(java.nio.file.Path.of(p)))
+    Similarity.evictCorpus(spark, sf)
+    assert(!java.nio.file.Files.exists(java.nio.file.Path.of(p)),
+      "evicted index directory still on disk")
+    // next serve rebuilds a fresh index and works end to end
+    val p2 = Similarity.ivfIndexPath(spark, sf)
+    assert(p2 !== p)
+    assert(Similarity.knnIvfServed(spark, sf).count() > 0)
+  }
 }
