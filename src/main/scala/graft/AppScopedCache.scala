@@ -34,7 +34,7 @@ final class AppScopedCache[V](onEvict: V => Unit = (_: V) => ()) {
       sc.addSparkListener(new SparkListener {
         override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit = {
           hookedApps.remove(appId)
-          evictApp(appId)
+          dropApp(appId)
         }
       })
     }
@@ -46,16 +46,20 @@ final class AppScopedCache[V](onEvict: V => Unit = (_: V) => ()) {
   def evict(spark: SparkSession, key: String): Unit =
     remove(fullKey(spark.sparkContext.applicationId, key))
 
-  private def evictApp(appId: String): Unit = {
+  /** App-end teardown drops references WITHOUT running cleanups: the
+    * stopping SparkContext releases every block itself, and issuing
+    * unpersist RPCs here races the executor pools' shutdown — the
+    * rejected promise continuations spray RejectedExecutionException
+    * stack traces onto stderr after the app's own output (which broke
+    * the bench driver's output-tail parse in round 3). */
+  private def dropApp(appId: String): Unit = {
     import scala.jdk.CollectionConverters._
     entries.keySet().asScala.toList
-      .filter(_.startsWith(appId + ":")).foreach(remove)
+      .filter(_.startsWith(appId + ":")).foreach(entries.remove)
   }
 
   private def remove(k: String): Unit = {
     val v = entries.remove(k)
-    // cleanup best-effort: on app-end eviction the block manager is
-    // already going down and unpersist calls may throw harmlessly
     if (v != null) scala.util.Try(onEvict(v))
   }
 
