@@ -111,7 +111,13 @@ object Queries {
     "q_catalog_sql" -> (graft.sources.GraftCatalog.customersPerNationSql _),
     "q_salted_join" -> (Relational.saltedJoinRevenue _),
     "q4_order_priority" -> (Relational.q4OrderPriority _),
-    "q7_volume_shipping" -> (Relational.q7VolumeShipping _)
+    "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
+    "q10_returned_items" -> (Relational.q10ReturnedItems _),
+    "q13_order_distribution" -> (Relational.q13OrderDistribution _),
+    "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
+    "q15_top_supplier" -> (Relational.q15TopSupplier _),
+    "q18_large_orders" -> (Relational.q18LargeOrders _),
+    "q_window_misc" -> (Relational.windowMisc _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -243,6 +249,46 @@ object Queries {
       ("SELECT n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
        "GROUP BY n_name ORDER BY n_name"),
+    "q10_returned_items" ->
+      ("SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, n_name, " +
+       "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * " +
+       "(1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue " +
+       "FROM customer, orders, lineitem, nation " +
+       "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND c_nationkey = n_nationkey " +
+       "AND l_returnflag = 'R' " +
+       "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' " +
+       "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
+       "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "q13_order_distribution" ->
+      ("SELECT c_count, count(*) AS custdist FROM (" +
+       "SELECT c_custkey, count(o_orderkey) AS c_count FROM customer " +
+       "LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' " +
+       "GROUP BY c_custkey) GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    "q14_promo_revenue" ->
+      ("SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' " +
+       "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) / " +
+       "sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct " +
+       "FROM lineitem, part WHERE l_partkey = p_partkey " +
+       "AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"),
+    "q15_top_supplier" ->
+      ("WITH r AS (SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue " +
+       "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+       "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_suppkey) " +
+       "SELECT s_suppkey, s_name, total_revenue FROM r JOIN supplier ON l_suppkey = s_suppkey " +
+       "WHERE total_revenue = (SELECT max(total_revenue) FROM r) ORDER BY s_suppkey"),
+    "q18_large_orders" ->
+      ("SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_date, " +
+       "round(o_totalprice, 2) AS totalprice, total_qty FROM " +
+       "(SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty FROM lineitem " +
+       "GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 300) big " +
+       "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+       "ORDER BY totalprice DESC, o_orderkey"),
+    "q_window_misc" ->
+      ("SELECT o_orderkey, o_orderpriority, CAST(ntile(4) OVER w AS INTEGER) AS quartile, " +
+       "round(cume_dist() OVER w, 6) AS cd, lead(o_orderkey, 1) OVER w AS next_key, " +
+       "first_value(o_orderkey) OVER w AS cheapest_key " +
+       "FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) " +
+       "ORDER BY o_orderkey"),
     // the oracle is the UNSALTED join: salting must be invisible
     "q_salted_join" ->
       ("SELECT o_orderstatus, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +

@@ -373,6 +373,123 @@ object Relational {
            round(sum(col("o_totalprice")), 2).as("sum_price"))
       .orderBy(col("o_year"), col("o_month"))
 
+  /** TPC-H Q10 (returned items): revenue lost to returns per customer
+    * over one quarter — fact-fact join on the order key, customer join,
+    * nation broadcast, then a top-20 on the aggregated revenue
+    * (TakeOrderedAndProject after the agg, never a global sort). */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    // exact decimal accumulation: this aggregate's doubles land on a
+    // half-cent rounding boundary at sf0.01, where float summation
+    // order decides the 2dp digit — decimal makes the sum order-free
+    val disc = col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(round(sum(disc), 2).cast("double").as("revenue"))
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"),
+              col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q13 (customer order distribution): LEFT OUTER join with a
+    * join-condition filter (the filter must ride the join, not a WHERE —
+    * a WHERE would silently turn the outer join inner), double
+    * aggregation: orders per customer, then customers per order count.
+    * count(col) skips the nulls the outer join manufactures, so
+    * order-less customers land in the 0 bucket by construction. */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q14 (promotion effect): global ratio of conditional to total
+    * revenue over one month — the part dimension broadcast, one
+    * scan-side month filter, a single 1-row aggregate (no shuffle of
+    * fact rows beyond the partial-agg combine). */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01 00:00:00").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val part = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+             sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))) / sum(disc),
+           4).as("promo_revenue_pct"))
+  }
+
+  /** TPC-H Q15 (top supplier): revenue per supplier over a quarter,
+    * then the argmax via a broadcast 1-row max — the "view + scalar
+    * subquery" shape without any driver-side collect. Revenue is
+    * rounded BEFORE the max-equality so both engines compare the same
+    * decimal. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q18 (large-volume orders): grouped HAVING over the fact
+    * table feeding a join back to orders + customer — the "IN (GROUP BY
+    * ... HAVING)" shape planned as agg-then-join, so the fact table is
+    * scanned once and only qualifying orderkeys reach the join. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    big.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+              to_date(col("o_orderdate")).as("o_date"),
+              round(col("o_totalprice"), 2).as("totalprice"), col("total_qty"))
+      .orderBy(col("totalprice").desc, col("o_orderkey"))
+  }
+
+  /** Analytic-function variety: ntile quartiles, cumulative
+    * distribution, lead, and the partition's first value in one window
+    * — partitioned by priority so every sort is per-partition. */
+  def windowMisc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cd"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        first(col("o_orderkey")).over(w).as("cheapest_key"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Join + window combined: each customer's latest order. */
   def latestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
