@@ -117,7 +117,12 @@ object Queries {
     "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
     "q15_top_supplier" -> (Relational.q15TopSupplier _),
     "q18_large_orders" -> (Relational.q18LargeOrders _),
-    "q_window_misc" -> (Relational.windowMisc _)
+    "q_window_misc" -> (Relational.windowMisc _),
+    "q17_small_quantity" -> (Relational.q17SmallQuantity _),
+    "q19_discounted_revenue" -> (Relational.q19DiscountedRevenue _),
+    "q21_late_shippers" -> (Relational.q21LateShippers _),
+    "q22_idle_balance" -> (Relational.q22IdleBalance _),
+    "q2_min_cost_supplier" -> (Relational.q2MinCostSupplier _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -289,6 +294,42 @@ object Queries {
        "first_value(o_orderkey) OVER w AS cheapest_key " +
        "FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) " +
        "ORDER BY o_orderkey"),
+    "q17_small_quantity" ->
+      ("SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0, 2) AS DOUBLE) AS avg_yearly " +
+       "FROM lineitem, part WHERE p_partkey = l_partkey AND p_brand = 'Brand#3' " +
+       "AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2 " +
+       "WHERE l2.l_partkey = part.p_partkey)"),
+    "q19_discounted_revenue" ->
+      ("SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * " +
+       "(1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue " +
+       "FROM lineitem, part WHERE p_partkey = l_partkey AND (" +
+       "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11) OR " +
+       "(p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20) OR " +
+       "(p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))"),
+    "q21_late_shippers" ->
+      ("SELECT s_name, count(*) AS numwait FROM supplier, lineitem l1, orders " +
+       "WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F' " +
+       "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey " +
+       "AND l2.l_suppkey <> l1.l_suppkey) " +
+       "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey " +
+       "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > l1.l_shipdate) " +
+       "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25"),
+    "q22_idle_balance" ->
+      ("SELECT n_name, count(*) AS numcust, " +
+       "CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal " +
+       "FROM customer, nation WHERE c_nationkey = n_nationkey " +
+       "AND c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0) " +
+       "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+       "AND o_orderpriority = '5-LOW') " +
+       "GROUP BY n_name ORDER BY n_name"),
+    "q2_min_cost_supplier" ->
+      ("SELECT p_partkey, s_suppkey, s_name, min_unit_price_e4 FROM (" +
+       "SELECT DISTINCT l_partkey AS p_partkey, l_suppkey, unit_price_e4 AS min_unit_price_e4 FROM (" +
+       "SELECT l_partkey, l_suppkey, CAST(floor(l_extendedprice * 10000.0 / l_quantity) AS BIGINT) AS unit_price_e4, " +
+       "min(CAST(floor(l_extendedprice * 10000.0 / l_quantity) AS BIGINT)) OVER (PARTITION BY l_partkey) AS min_unit " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey AND p_size = 10) " +
+       "WHERE unit_price_e4 = min_unit) " +
+       "JOIN supplier ON l_suppkey = s_suppkey ORDER BY p_partkey, s_suppkey"),
     // the oracle is the UNSALTED join: salting must be invisible
     "q_salted_join" ->
       ("SELECT o_orderstatus, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +

@@ -490,6 +490,126 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** TPC-H Q17 (small-quantity revenue): correlated scalar subquery —
+    * each lineitem compared to ITS part's average quantity. Planned as
+    * one extra aggregate over the same fact table joined back on the
+    * part key: two scans, one shuffle each, no per-row subquery
+    * execution (which is the trap a row-at-a-time engine falls into). */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val brandParts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#3").select(col("p_partkey"))
+    val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)")) / 7.0, 2)
+        .cast("double").as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 (discounted revenue, disjunctive predicates): an OR of
+    * three (brand, size-range, quantity-range) conjunct groups across
+    * the part join — the shape that exercises predicate normalization.
+    * The common subterm (the part join itself) is factored once;
+    * Catalyst pushes the per-table halves of each disjunct to both
+    * scans (OR-ed filters are still pushable when every branch
+    * references only that table's columns). */
+  def q19DiscountedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)") *
+             (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))), 2)
+        .cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q21's shape on this schema (no receipt/commit dates, so
+    * "kept the order waiting" = shipped last): suppliers whose lineitem
+    * is the LATEST ship in a multi-supplier order — a correlated EXISTS
+    * (some other supplier in the order) AND NOT EXISTS (some other
+    * supplier shipped later), planned as a left-semi then left-anti
+    * self-join on the order key with non-equi conjuncts riding the join
+    * conditions. The self-join sides are projected thin (key, supplier,
+    * date) before shuffling. */
+  def q21LateShippers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val l1 = li.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val l2 = li.select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+    val l3 = li.select(col("l_orderkey").as("l3_orderkey"),
+      col("l_suppkey").as("l3_suppkey"), col("l_shipdate").as("l3_shipdate"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    l1.join(ord, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(l2, col("l_orderkey") === col("l2_orderkey") &&
+                col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+      .join(l3, col("l_orderkey") === col("l3_orderkey") &&
+                col("l_suppkey") =!= col("l3_suppkey") &&
+                col("l3_shipdate") > col("l_shipdate"), "left_anti")
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(25)
+  }
+
+  /** TPC-H Q22's shape on this schema (no phone country codes):
+    * per-nation count and balance of rich-but-idle customers — balance
+    * above the global positive-balance average (broadcast 1-row scalar)
+    * AND no low-priority orders (anti join). */
+  def q22IdleBalance(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val lowOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(lowOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+           round(sum(col("c_acctbal").cast("decimal(18,6)")), 2)
+             .cast("double").as("totacctbal"))
+      .orderBy(col("n_name"))
+  }
+
+  /** TPC-H Q2's shape on this schema (no partsupp): groupwise argmin —
+    * for each size-10 part, the supplier(s) whose lineitem achieves the
+    * minimum unit price. A per-part window min then an equality filter:
+    * one shuffle on the part key, never a correlated per-part subquery.
+    * Ties keep all achieving suppliers (deterministic output). */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_size") === 10).select(col("p_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+    // unit price in exact 1e-4 units via floor of a double: floor is
+    // deterministic on the IEEE value (bit-identical in both engines),
+    // unlike round-at-decimal, which straddles half boundaries
+    Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .withColumn("unit_price_e4",
+        floor(col("l_extendedprice") * lit(10000.0) / col("l_quantity")).cast("long"))
+      .withColumn("min_unit", min(col("unit_price_e4")).over(w))
+      .filter(col("unit_price_e4") === col("min_unit"))
+      .select(col("l_partkey").as("p_partkey"), col("l_suppkey"),
+              col("unit_price_e4").as("min_unit_price_e4"))
+      .distinct()
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("s_suppkey"), col("s_name"), col("min_unit_price_e4"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+  }
+
   /** Join + window combined: each customer's latest order. */
   def latestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
