@@ -356,6 +356,10 @@ object Queries {
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     "dedup_shingle_pairs" -> (Dedup.shingleLshPairs _),
     "dedup_report" -> (Dedup.dedupReport _),
+    "dedup_survivors" -> (Dedup.dedupSurvivors _),
+    "text_length_histogram" -> ((s: SparkSession, d: String) => TextAnalysis.lengthHistogram(s, d)),
+    "text_top_bigrams" -> ((s: SparkSession, d: String) => TextAnalysis.topBigrams(s, d)),
+    "knn_quantized_rerank" -> ((s: SparkSession, d: String) => Similarity.knnQuantizedRerank(s, d)),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "sim_embed_norms" -> (Similarity.norms _),
     "sim_label_centroids" -> (Similarity.labelCentroids _),
@@ -580,6 +584,42 @@ object Queries {
        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
        "FROM sim a JOIN sim b ON a.doc_id < b.doc_id) " +
        "WHERE hamming <= 3 ORDER BY doc_a, doc_b"),
+    "dedup_survivors" ->
+      (dedupClustersCte +
+       ", c AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id) " +
+       "SELECT cluster_id AS doc_id, count(*) AS n_members, count(*) > 1 AS is_dup_cluster " +
+       "FROM c GROUP BY cluster_id ORDER BY doc_id"),
+    "text_length_histogram" ->
+      (s"SELECT source, CAST((len($duckToks) // 20) * 20 AS BIGINT) AS bucket_lo, " +
+       "count(*) AS n_docs FROM documents GROUP BY source, bucket_lo " +
+       "ORDER BY source, bucket_lo"),
+    "text_top_bigrams" ->
+      (s"SELECT bigram, count(*) AS n FROM (SELECT unnest(list_transform(range(1, len(tk)), " +
+       "i -> tk[i] || ' ' || tk[i + 1])) AS bigram FROM " +
+       s"(SELECT $duckToks AS tk FROM documents)) " +
+       "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25"),
+    "knn_quantized_rerank" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       "d AS (SELECT vec_id, unnest(v) AS x, CAST(unnest(range(1, len(v) + 1)) AS BIGINT) AS dim FROM e), " +
+       "st AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM d GROUP BY dim), " +
+       "dq AS (SELECT vec_id, dim, lo + (CASE WHEN hi = lo THEN 0 ELSE " +
+       "CAST(round((x - lo) * 255.0 / (hi - lo), 0) AS INTEGER) END) * (hi - lo) / 255.0 AS xq " +
+       "FROM d JOIN st USING (dim)), " +
+       "r AS (SELECT vec_id, list(xq ORDER BY dim) AS vq FROM dq GROUP BY vec_id), " +
+       "p AS (SELECT vec_id AS query_id, vq AS q FROM r WHERE vec_id < 5), " +
+       "coarse AS (SELECT query_id, r.vec_id AS neighbor_id, " +
+       "round(list_dot_product(q, vq) / (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(vq, vq))), 4) AS cos_sim " +
+       "FROM r, p WHERE r.vec_id <> query_id), " +
+       "cr AS (SELECT query_id, neighbor_id, CAST(row_number() OVER " +
+       "(PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS crank FROM coarse), " +
+       "sl AS (SELECT query_id, neighbor_id FROM cr WHERE crank <= 20), " +
+       "ep AS (SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < 5), " +
+       "ex AS (SELECT sl.query_id, sl.neighbor_id, " +
+       "round(list_dot_product(ep.q, e.v) / (sqrt(list_dot_product(ep.q, ep.q)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cos_sim " +
+       "FROM sl JOIN e ON sl.neighbor_id = e.vec_id JOIN ep ON sl.query_id = ep.query_id), " +
+       "rr AS (SELECT query_id, neighbor_id, cos_sim, CAST(row_number() OVER " +
+       "(PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank FROM ex) " +
+       "SELECT query_id, neighbor_id, cos_sim, rank FROM rr WHERE rank <= 5 ORDER BY query_id, rank"),
     "sim_embed_norms" ->
       ("SELECT vec_id, round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm " +
        "FROM embeddings ORDER BY vec_id"),

@@ -446,6 +446,17 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     clusterCache.getOrCompute(spark, dir)(dedupClusters(spark, dir, CcLocalThreshold))
 
+  /** The deduped-corpus view: one row per surviving (canonical)
+    * document with its cluster's member count — the output a training
+    * pipeline actually ships (dedup_clusters is the assignment table;
+    * this is the keep-list). Reuses the memoized cluster assignments,
+    * so after any dedup query it's one extra aggregation. */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .groupBy(col("cluster_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_members"), (count(lit(1)) > 1).as("is_dup_cluster"))
+      .orderBy(col("doc_id"))
+
   /** Release one corpus's memoized state now — cluster assignments,
     * the near-dup pair set, and tracked band-table checkpoints — so a
     * long-lived session serving many corpora doesn't accumulate their

@@ -380,6 +380,50 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Two-stage retrieval over the quantized corpus: coarse top-`coarseK`
+    * on DEQUANTIZED int8 vectors, exact cosine re-rank of the survivors
+    * to top-`k` — the standard SQ serving pattern (scan the 4x-smaller
+    * representation, touch full precision only for the shortlist). Both
+    * stages are deterministic (the quantization grid is exact per-dim
+    * min/max, dequantization is pure IEEE arithmetic), so the DuckDB
+    * twin reproduces them bit-for-bit. At 100 TB the codes would be the
+    * stored representation; here they're derived in-plan from the same
+    * exploded aggregation `quantizeEmbeddings` uses. */
+  def knnQuantizedRerank(spark: SparkSession, dir: String,
+      k: Int = 5, coarseK: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val exploded = emb.select(col("vec_id"), posexplode(col("v")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"), col("col").as("x"))
+    val dimStats = exploded.groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val deq = col("lo") + when(col("hi") === col("lo"), lit(0))
+      .otherwise(round((col("x") - col("lo")) * 255.0 / (col("hi") - col("lo")), 0)
+        .cast("int")) * (col("hi") - col("lo")) / 255.0
+    val recon = exploded.join(broadcast(dimStats), Seq("dim"))
+      .select(col("vec_id"), struct(col("dim"), deq.as("xq")).as("s"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(col("s"))).as("sv"))
+      .select(col("vec_id"), transform(col("sv"), e => e.getField("xq")).as("vq"))
+    val probes = recon.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("vq").as("q"))
+    val coarse = recon.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              round(cosine(col("q"), col("vq")), 4).as("cos_sim"))
+    val shortlist = topKPerQuery(coarse, coarseK)
+      .select(col("query_id"), col("neighbor_id"))
+    // re-rank: full-precision vectors only for shortlist rows
+    val exactProbes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val exact = shortlist
+      .join(emb, col("neighbor_id") === emb("vec_id"))
+      .join(broadcast(exactProbes), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              round(cosine(col("q"), col("v")), 4).as("cos_sim"))
+    topKPerQuery(exact, k)
+  }
+
   // ---- hyperplane near-dup ------------------------------------------
   val NumPlanes = 8
 

@@ -140,6 +140,35 @@ object TextAnalysis {
         rollingHash(col("text")).as("fp_rolling"))
       .orderBy(col("doc_id"))
 
+  /** Token-length histogram per source: bucketed document lengths (the
+    * distribution view that drives truncation/packing decisions in a
+    * training pipeline). One scan, one aggregate on (source, bucket). */
+  def lengthHistogram(spark: SparkSession, dir: String, width: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"),
+        (floor(tokenCount(col("text")) / width) * width).cast("long").as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("bucket_lo"))
+
+  /** Corpus-wide top bigrams: adjacent-token pairs via two zipped
+    * slices (O(len) per row — never element_at inside a lambda, which
+    * re-evaluates the array per element), then explode + one map-side-
+    * combined count. The n-gram frequency table that feeds phrase
+    * vocabularies and boilerplate detection. */
+  def topBigrams(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val t = tokens(col("text"))
+    val bg = zip_with(
+      slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    Tables.documents(spark, dir)
+      .select(explode(bg).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Corpus rollup per source: the aggregation view a pipeline operator
     * dashboard needs. */
   def perSourceStats(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Semantic invariants for the round-4 pipeline operators: the DuckDB
+  * differential harness checks values; these pin the properties that
+  * must hold regardless of corpus. */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("dedup_survivors partitions the corpus: member counts sum to doc count") {
+    val total = Tables.documents(spark, sf).count()
+    val surv = Dedup.dedupSurvivors(spark, sf).collect()
+    assert(surv.map(_.getAs[Long]("n_members")).sum === total)
+    // every survivor id is its own cluster's canonical (min) member
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+    surv.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(clusters(id).map(_.getAs[Long]("doc_id")).min === id)
+      assert(r.getAs[Long]("n_members") === clusters(id).length)
+    }
+  }
+
+  test("length histogram covers every document exactly once") {
+    val total = Tables.documents(spark, sf).count()
+    val hist = TextAnalysis.lengthHistogram(spark, sf).collect()
+    assert(hist.map(_.getAs[Long]("n_docs")).sum === total)
+    assert(hist.forall(_.getAs[Long]("bucket_lo") % 20 === 0))
+  }
+
+  test("top bigrams are k rows in non-increasing frequency order") {
+    val rows = TextAnalysis.topBigrams(spark, sf, k = 25).collect()
+    assert(rows.length === 25)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(_.getAs[String]("bigram").split(" ").length === 2))
+  }
+
+  test("quantized rerank reports exact cosine and high recall vs brute force") {
+    val rr = Similarity.knnQuantizedRerank(spark, sf).collect()
+    val brute = Similarity.knnBruteForce(spark, sf).collect()
+    val bruteSim = brute.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+      r.getAs[Double]("cos_sim")).toMap
+    // per query: exactly k ranked rows, ranks 1..k
+    rr.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to 5L))
+    }
+    // re-ranked similarity is the EXACT cosine, so any (q, n) pair that
+    // brute force also ranked must carry an identical score
+    val overlap = rr.flatMap { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bruteSim.get(key).map(b => (r.getAs[Double]("cos_sim"), b))
+    }
+    assert(overlap.nonEmpty)
+    overlap.foreach { case (got, want) => assert(math.abs(got - want) < 1e-9) }
+    // int8 quantization on a 20%-wide coarse net: recall@5 should be near-total
+    val recall = overlap.length.toDouble / brute.length
+    assert(recall >= 0.8, s"recall@5 = $recall")
+  }
+}
