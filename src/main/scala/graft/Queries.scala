@@ -122,7 +122,13 @@ object Queries {
     "q19_discounted_revenue" -> (Relational.q19DiscountedRevenue _),
     "q21_late_shippers" -> (Relational.q21LateShippers _),
     "q22_idle_balance" -> (Relational.q22IdleBalance _),
-    "q2_min_cost_supplier" -> (Relational.q2MinCostSupplier _)
+    "q2_min_cost_supplier" -> (Relational.q2MinCostSupplier _),
+    "q8_market_share" -> (Relational.q8MarketShare _),
+    "q9_product_profit" -> (Relational.q9ProductProfit _),
+    "q11_important_parts" -> (Relational.q11ImportantParts _),
+    "q12_ship_delay_priority" -> (Relational.q12ShipDelayPriority _),
+    "q16_supplier_relation" -> (Relational.q16SupplierRelation _),
+    "q20_volume_suppliers" -> (Relational.q20VolumeSuppliers _)
   )
 
   val relationalOracles: Map[String, String] = Map(
@@ -334,7 +340,69 @@ object Queries {
     "q_salted_join" ->
       ("SELECT o_orderstatus, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
        "count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-       "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+       "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q8_market_share" ->
+      ("SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, " +
+       "CAST(round(sum(CASE WHEN sn.n_name = 'NATION_3' THEN " +
+       "CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) " +
+       "ELSE CAST(0 AS DECIMAL(18,6)) END) / " +
+       "sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 6) AS DOUBLE) AS mkt_share " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD' " +
+       "JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN supplier ON l_suppkey = s_suppkey " +
+       "JOIN nation sn ON s_nationkey = sn.n_nationkey " +
+       "WHERE o_custkey IN (SELECT c_custkey FROM customer " +
+       "JOIN nation cn ON c_nationkey = cn.n_nationkey " +
+       "JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE') " +
+       "GROUP BY o_year ORDER BY o_year"),
+    "q9_product_profit" ->
+      ("SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year, " +
+       "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * " +
+       "(1 - CAST(l_discount AS DECIMAL(18,6))) - " +
+       "CAST(0.5 AS DECIMAL(18,6)) * CAST(p_retailprice AS DECIMAL(18,6)) * " +
+       "CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_profit " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO' " +
+       "JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN supplier ON l_suppkey = s_suppkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       // GROUP BY the base column: the bare alias `nation` binds to the
+       // TABLE nation in DuckDB's scope, not the select-list alias
+       "GROUP BY n_name, o_year ORDER BY n_name, o_year DESC"),
+    "q11_important_parts" ->
+      ("WITH pv AS (SELECT l_partkey AS p_partkey, " +
+       "sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS part_value " +
+       "FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM supplier " +
+       "JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1') " +
+       "GROUP BY l_partkey) " +
+       "SELECT p_partkey, CAST(round(part_value, 2) AS DOUBLE) AS part_value FROM pv " +
+       "WHERE part_value > (SELECT sum(part_value) * CAST(0.001 AS DECIMAL(18,6)) FROM pv) " +
+       "ORDER BY part_value DESC, p_partkey"),
+    "q12_ship_delay_priority" ->
+      ("SELECT CAST(floor(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) / 30.0) * 30 AS BIGINT) AS delay_band, " +
+       "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count, " +
+       "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+       "GROUP BY delay_band ORDER BY delay_band"),
+    "q16_supplier_relation" ->
+      ("SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt " +
+       "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) " +
+       "JOIN part ON l_partkey = p_partkey " +
+       "WHERE p_brand <> 'Brand#5' AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34) " +
+       "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+       "GROUP BY p_brand, p_type, p_size " +
+       "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
+    "q20_volume_suppliers" ->
+      ("WITH li96 AS (SELECT l_partkey, l_suppkey, l_quantity FROM lineitem " +
+       "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+       "AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')), " +
+       "ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty FROM li96 GROUP BY 1, 2), " +
+       "pt AS (SELECT l_partkey, sum(l_quantity) AS total_qty FROM li96 GROUP BY 1) " +
+       "SELECT s_suppkey, s_name, n_name FROM supplier " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "WHERE s_suppkey IN (SELECT DISTINCT ps.l_suppkey FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey " +
+       "WHERE supp_qty > total_qty * 0.25) " +
+       "ORDER BY s_suppkey")
   )
 
   val extensions: Map[String, Q] = Map(
@@ -359,6 +427,9 @@ object Queries {
     "dedup_survivors" -> (Dedup.dedupSurvivors _),
     "text_length_histogram" -> ((s: SparkSession, d: String) => TextAnalysis.lengthHistogram(s, d)),
     "text_top_bigrams" -> ((s: SparkSession, d: String) => TextAnalysis.topBigrams(s, d)),
+    "text_doc_packing" -> ((s: SparkSession, d: String) => TextAnalysis.docPacking(s, d)),
+    "text_contamination" -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
+    "text_repetition" -> (TextAnalysis.repetition _),
     "knn_quantized_rerank" -> ((s: SparkSession, d: String) => Similarity.knnQuantizedRerank(s, d)),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "sim_embed_norms" -> (Similarity.norms _),
@@ -598,6 +669,30 @@ object Queries {
        "i -> tk[i] || ' ' || tk[i + 1])) AS bigram FROM " +
        s"(SELECT $duckToks AS tk FROM documents)) " +
        "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25"),
+    "text_doc_packing" ->
+      (s"WITH d AS (SELECT source, doc_id, CAST(len($duckToks) AS BIGINT) AS tok FROM documents), " +
+       "b AS (SELECT source, doc_id, tok, CAST(floor((sum(tok) OVER " +
+       "(PARTITION BY source ORDER BY doc_id) - tok) / 2048.0) AS BIGINT) AS seq_id FROM d) " +
+       "SELECT source, seq_id, count(*) AS n_docs, sum(tok) AS n_tokens " +
+       "FROM b GROUP BY source, seq_id ORDER BY source, seq_id"),
+    "text_contamination" ->
+      (s"WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents), " +
+       "g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 2), " +
+       "i -> array_to_string(t[i:i+3], ' '))) AS gs FROM tk WHERE len(t) >= 4), " +
+       "e AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, unnest(gs) AS gram FROM g), " +
+       "bench AS (SELECT DISTINCT gram FROM e WHERE doc_id % 50 = 0) " +
+       "SELECT doc_id, count(*) AS n_hits, any_value(n_grams) AS n_grams, " +
+       "round(count(*) / any_value(n_grams), 4) AS contamination_ratio " +
+       "FROM e JOIN bench USING (gram) WHERE doc_id % 50 <> 0 " +
+       "GROUP BY doc_id ORDER BY doc_id"),
+    "text_repetition" ->
+      (s"SELECT doc_id, CAST(coalesce(len(g), 0) AS BIGINT) AS n_grams_total, " +
+       "CAST(coalesce(len(list_distinct(g)), 0) AS BIGINT) AS n_grams_distinct, " +
+       "CASE WHEN coalesce(len(g), 0) > 0 THEN round(1.0 - " +
+       "CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 4) ELSE 0.0 END AS rep_ratio FROM " +
+       s"(SELECT doc_id, CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1), " +
+       "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END AS g FROM " +
+       s"(SELECT doc_id, $duckToks AS t FROM documents)) ORDER BY doc_id"),
     "knn_quantized_rerank" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
        "d AS (SELECT vec_id, unnest(v) AS x, CAST(unnest(range(1, len(v) + 1)) AS BIGINT) AS dim FROM e), " +

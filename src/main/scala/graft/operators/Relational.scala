@@ -610,6 +610,167 @@ object Relational {
       .orderBy(col("p_partkey"), col("s_suppkey"))
   }
 
+  /** TPC-H Q8 (national market share): the 8-table star — lineitem at
+    * the center, orders for the year, customer→nation→region fencing
+    * the market, supplier→nation naming the contender, part fencing the
+    * product segment. Every dimension chain collapses to a broadcast;
+    * the fact table shuffles once for the (year) aggregate. Share is a
+    * conditional-sum ratio, so one pass computes both numerator and
+    * denominator. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+    val custInRegion = Tables.customer(spark, dir)
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(nat.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val stdParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD").select(col("p_partkey"))
+    val vol = col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(stdParts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custInRegion), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0).cast("decimal(18,6)"))) /
+        sum(vol), 6).cast("double").as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9's shape on this schema (no partsupp, so supply cost is
+    * proxied at half retail): profit by supplier nation and order year
+    * over one product segment. Profit is a per-row expression of fact ×
+    * two broadcast dims; the only shuffle is the final (nation, year)
+    * aggregate. Decimal accumulation keeps the 2dp digit order-free. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val promoParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"), col("p_retailprice"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val profit = col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")) -
+      lit(0.5).cast("decimal(18,6)") * col("p_retailprice").cast("decimal(18,6)") *
+      col("l_quantity").cast("decimal(18,6)")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(round(sum(profit), 2).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 (important inventory) on this schema: per-part shipped
+    * value through one nation's suppliers, kept when above a fixed
+    * fraction of that nation's total — grouped agg + global scalar
+    * threshold via a broadcast 1-row cross join (never a correlated
+    * subquery re-executed per group). */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir).filter(col("n_name") === "NATION_1"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
+    val perPart = Tables.lineitem(spark, dir)
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(value).as("part_value"))
+    val threshold = perPart.agg((sum(col("part_value")) *
+      lit(0.001).cast("decimal(18,6)")).as("cutoff"))
+    perPart.crossJoin(broadcast(threshold))
+      .filter(col("part_value") > col("cutoff"))
+      .select(col("p_partkey"), round(col("part_value"), 2).cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q12's shape on this schema (no ship mode, so the category is
+    * the shipping-delay band): per 30-day band of order-to-ship delay,
+    * how many high- vs low-priority orders shipped in 1996. One
+    * fact-fact join (lineitem ⋈ orders), then the Q12 CASE-sum pair
+    * over a derived category. */
+  def q12ShipDelayPriority(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_band",
+        (floor(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) / 30) * 30)
+          .cast("long"))
+      .groupBy(col("delay_band"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+           sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("delay_band"))
+  }
+
+  /** TPC-H Q16 (parts/supplier relationship): how many distinct
+    * suppliers ship each (brand, type, size) combination, excluding one
+    * brand and suppliers in bad standing (the complaints stand-in:
+    * negative balance) — a distinct-pairs projection of the fact table,
+    * an anti join for the exclusion, then count(DISTINCT). The fact
+    * table collapses to distinct (part, supplier) BEFORE joining dims,
+    * so the join input is bounded by the association count, not row
+    * count. */
+  def q16SupplierRelation(spark: SparkSession, dir: String): DataFrame = {
+    val assoc = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val badSupp = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#5" &&
+              col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    assoc
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20's shape on this schema (no partsupp availability, so
+    * "holds excess stock" becomes "dominates the part's volume"):
+    * suppliers who shipped more than a quarter of some PROMO part's
+    * 1996 volume, named with their nation. Two-level aggregation —
+    * (part, supplier) then part — joined back on the part key; the
+    * dominance filter compares sibling aggregates, and qualifying
+    * suppliers semi-join the dimension. */
+  def q20VolumeSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val promoParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val li96 = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
+    val perSupp = li96.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("supp_qty"))
+    val perPart = li96.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+    val dominant = perSupp
+      .join(perPart, col("l_partkey") === col("t_partkey"))
+      .filter(col("supp_qty") > col("total_qty") * 0.25)
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Join + window combined: each customer's latest order. */
   def latestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

@@ -169,6 +169,84 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Word n-gram windows as a zip_with chain over n shifted slices —
+    * O(n·len) per row. NEVER element_at(tokens, i) inside a
+    * sequence-transform: the lambda re-evaluates its outer child per
+    * element, re-tokenizing the document per window (the measured
+    * O(len²) trap). */
+  private def ngrams(t: Column, n: Int): Column = {
+    val len = size(t) - lit(n - 1)
+    (1 to n).map(i => slice(t, lit(i), len))
+      .reduceLeft((acc, s) => zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
+  }
+
+  /** Sequence packing (concat-and-chunk): assign documents, in
+    * deterministic corpus order, to fixed-capacity training sequences —
+    * a doc lands in the sequence where its first token falls. The
+    * packing itself is one window cumsum partitioned by source (each
+    * source packs independently, so the window sort is per-partition,
+    * never global) and the report is one aggregate. At 100 TB this is
+    * the exact plan: no driver loop, no collect — bin assignment is a
+    * per-row expression over a running sum. */
+  def docPacking(spark: SparkSession, dir: String, capacity: Int = 2048): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), tokenCount(col("text")).as("tok"))
+      .withColumn("seq_id",
+        floor((sum(col("tok")).over(w) - col("tok")) / capacity).cast("long"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  /** Benchmark-contamination check: flag corpus documents sharing any
+    * word n-gram with a held-out benchmark set (here: every 50th
+    * document — the standard n-gram-overlap decontamination pass).
+    * Production pipelines use 8-13-grams; this synthetic word-soup
+    * corpus shares almost no windows that long, so n=4 keeps the check
+    * non-vacuous while the plan is n-independent. The benchmark's
+    * distinct grams are a broadcast semi-structure (benchmarks are
+    * small by construction); the corpus side explodes distinct grams
+    * once and inner-joins, so cost is corpus-gram count, never a
+    * doc×doc product. Grams stay strings for oracle parity — at 100 TB
+    * they'd be xxhash64'd to longs at birth (identical counts,
+    * negligible collision odds). */
+  def contamination(spark: SparkSession, dir: String, n: Int = 4): DataFrame = {
+    val t = tokens(col("text"))
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(size(t) >= n, array_distinct(ngrams(t, n)))
+          .otherwise(array().cast("array<string>")).as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+        explode(col("gs")).as("gram"))
+    val bench = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("gram")).distinct()
+    grams.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), Seq("gram"), "inner")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), first(col("n_grams")).as("n_grams"))
+      .select(col("doc_id"), col("n_hits"), col("n_grams"),
+        round(col("n_hits") / col("n_grams"), 4).as("contamination_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Repetition scoring: 1 − distinct/total over word 3-grams — the
+    * degenerate-text detector (loops, boilerplate, template spam) every
+    * quality pipeline runs. Pure per-row expressions; scan speed. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val g = ngrams(t, 3)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(size(t) >= 3, size(g)).otherwise(0).cast("long").as("n_grams_total"),
+        when(size(t) >= 3, size(array_distinct(g))).otherwise(0).cast("long").as("n_grams_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_grams_total") > 0,
+          round(lit(1.0) - col("n_grams_distinct") / col("n_grams_total"), 4))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus rollup per source: the aggregation view a pipeline operator
     * dashboard needs. */
   def perSourceStats(spark: SparkSession, dir: String): DataFrame =
