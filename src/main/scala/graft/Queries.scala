@@ -428,6 +428,7 @@ object Queries {
     "text_length_histogram" -> ((s: SparkSession, d: String) => TextAnalysis.lengthHistogram(s, d)),
     "text_top_bigrams" -> ((s: SparkSession, d: String) => TextAnalysis.topBigrams(s, d)),
     "text_doc_packing" -> ((s: SparkSession, d: String) => TextAnalysis.docPacking(s, d)),
+    "q_profile_columns" -> (Analytics.profileColumns _),
     "text_contamination" -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
     "text_repetition" -> (TextAnalysis.repetition _),
     "knn_quantized_rerank" -> ((s: SparkSession, d: String) => Similarity.knnQuantizedRerank(s, d)),
@@ -773,6 +774,18 @@ object Queries {
       ("SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem " +
        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
        "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"),
+    "q_profile_columns" -> {
+      val numeric = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+      val categorical = Seq("l_returnflag", "l_linestatus")
+      (numeric.map(c =>
+        s"SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls, " +
+        s"count(DISTINCT $c) AS n_distinct, round(min(CAST($c AS DOUBLE)), 4) AS min_v, " +
+        s"round(max(CAST($c AS DOUBLE)), 4) AS max_v FROM lineitem") ++
+       categorical.map(c =>
+        s"SELECT '$c', count(*) - count($c), count(DISTINCT $c), " +
+        "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM lineitem"))
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+    },
     "q_stats_agg" ->
       ("SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty, " +
        "round(var_samp(l_quantity), 4) AS var_qty, " +

@@ -248,4 +248,34 @@ object Analytics {
         expr("(session_end_us - session_start_us) div 1000000"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  /** Column profiling — the data-quality pass an ingest pipeline runs
+    * before accepting a drop: null count, exact distinct count, and
+    * numeric range per column, in ONE scan of the fact table. Multiple
+    * count(DISTINCT) in one aggregate plan via expand (each distinct
+    * column gets its own partial-agg lane — standard Catalyst, scales
+    * as rows x profiled columns); the wide 1-row result melts to
+    * long format with stack(). */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame = {
+    val numeric = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    val categorical = Seq("l_returnflag", "l_linestatus")
+    val cols = numeric ++ categorical
+    val aggs =
+      // count(*) - count(col): both engines type this BIGINT (a SUM of
+      // CASE widens to int128 in DuckDB and breaks the dtype compare)
+      cols.map(c => (count(lit(1)) - count(col(c))).as(s"${c}_nulls")) ++
+      cols.map(c => countDistinct(col(c)).as(s"${c}_distinct")) ++
+      numeric.map(c => round(min(col(c).cast("double")), 4).as(s"${c}_min")) ++
+      numeric.map(c => round(max(col(c).cast("double")), 4).as(s"${c}_max"))
+    val wide = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      val minMax =
+        if (numeric.contains(c)) s"${c}_min, ${c}_max"
+        else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+      s"'$c', ${c}_nulls, ${c}_distinct, $minMax"
+    }.mkString(", ")
+    wide.selectExpr(
+        s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_v, max_v)")
+      .orderBy(col("col_name"))
+  }
 }

@@ -135,6 +135,27 @@ class PlanAuditSpec extends SparkSpec {
       s"served knn_ivf is not pruning index partitions:\n$plan")
   }
 
+  test("q8's dimension star is all broadcast: no fact-side shuffle before the agg") {
+    val plan = planOf(Relational.q8MarketShare(spark, sf))
+    val n = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(n >= 3, s"expected part+customer-region+supplier-nation broadcasts, got $n:\n$plan")
+  }
+
+  test("contamination joins the benchmark gram set broadcast, never doc x doc") {
+    val plan = planOf(graft.operators.TextAnalysis.contamination(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark grams not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"doc x doc product crept in:\n$plan")
+  }
+
+  test("doc packing reuses the window's source partitioning for the aggregate") {
+    // hashpartitioning(source) satisfies the (source, seq_id) clustered
+    // distribution, so the groupBy must NOT re-shuffle: one exchange for
+    // the window, one for the final presentation sort
+    val plan = planOf(graft.operators.TextAnalysis.docPacking(spark, sf))
+    val n = "Exchange".r.findAllIn(plan).length
+    assert(n <= 2, s"doc packing should shuffle once + sort, got $n exchanges:\n$plan")
+  }
+
   test("sqlite scan carries its pushed range into the scan description") {
     val path = getClass.getResource("/sqlite/stA.sdb").getPath
     val lo = 1709251200L
