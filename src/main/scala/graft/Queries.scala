@@ -379,8 +379,8 @@ object Queries {
        "ORDER BY part_value DESC, p_partkey"),
     "q12_ship_delay_priority" ->
       ("SELECT CAST(floor(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) / 30.0) * 30 AS BIGINT) AS delay_band, " +
-       "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count, " +
-       "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count " +
+       "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+       "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
        "GROUP BY delay_band ORDER BY delay_band"),
@@ -674,7 +674,7 @@ object Queries {
       (s"WITH d AS (SELECT source, doc_id, CAST(len($duckToks) AS BIGINT) AS tok FROM documents), " +
        "b AS (SELECT source, doc_id, tok, CAST(floor((sum(tok) OVER " +
        "(PARTITION BY source ORDER BY doc_id) - tok) / 2048.0) AS BIGINT) AS seq_id FROM d) " +
-       "SELECT source, seq_id, count(*) AS n_docs, sum(tok) AS n_tokens " +
+       "SELECT source, seq_id, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens " +
        "FROM b GROUP BY source, seq_id ORDER BY source, seq_id"),
     "text_contamination" ->
       (s"WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents), " +

@@ -156,13 +156,8 @@ object TextAnalysis {
     * combined count. The n-gram frequency table that feeds phrase
     * vocabularies and boilerplate detection. */
   def topBigrams(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
-    val t = tokens(col("text"))
-    val bg = zip_with(
-      slice(t, lit(1), size(t) - 1),
-      slice(t, lit(2), size(t) - 1),
-      (a, b) => concat(a, lit(" "), b))
     Tables.documents(spark, dir)
-      .select(explode(bg).as("bigram"))
+      .select(explode(ngrams(tokens(col("text")), 2)).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))

@@ -10,7 +10,8 @@ import graft.operators.Layout
   * (no rows gained/lost/changed). */
 class LayoutSpec extends SparkSpec {
 
-  private def fileBoxes(path: String, a: String, b: String): Seq[(Double, Double)] = {
+  /** Per output file: (minA, maxA, minB, maxB) — the footer-stat view. */
+  private def fileBoxes(path: String, a: String, b: String): Seq[(Double, Double, Double, Double)] = {
     val files = new java.io.File(path).listFiles()
       .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).toSeq
     files.map { f =>
@@ -18,7 +19,7 @@ class LayoutSpec extends SparkSpec {
         .agg(min(col(a).cast("double")), max(col(a).cast("double")),
              min(col(b).cast("double")), max(col(b).cast("double")))
         .head()
-      (r.getDouble(1) - r.getDouble(0), r.getDouble(3) - r.getDouble(2))
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     }
   }
 
@@ -51,31 +52,24 @@ class LayoutSpec extends SparkSpec {
     // z-curve bounds BOTH dims at ~1/sqrt(files) of their spans
     val zBoxes = fileBoxes(zDir, "l_orderkey", "l_partkey")
     val sBoxes = fileBoxes(sDir, "l_orderkey", "l_partkey")
-    def meanBRange(boxes: Seq[(Double, Double)]): Double =
-      boxes.map(_._2 / bSpan).sum / boxes.length
+    def meanBRange(boxes: Seq[(Double, Double, Double, Double)]): Double =
+      boxes.map(b => (b._4 - b._3) / bSpan).sum / boxes.length
     val zB = meanBRange(zBoxes)
     val sB = meanBRange(sBoxes)
     assert(sB > 0.85, s"1-D layout unexpectedly tight on partkey ($sB) — bad baseline")
     assert(zB < 0.5 * sB, s"z-order partkey ranges not tighter: z=$zB vs sorted=$sB")
     // and orderkey stays bounded too (z-order trades a constant, not
     // the dimension): every file's orderkey range is a fraction of span
-    assert(zBoxes.map(_._1 / aSpan).max < 0.75,
+    assert(zBoxes.map(b => (b._2 - b._1) / aSpan).max < 0.75,
       "z-order lost orderkey locality entirely")
 
     // the practical consequence: a partkey-only predicate can skip
-    // most z-ordered files by footer stats, and no 1-D-sorted ones
-    def prunable(boxes: Seq[(Double, Double)], loB: Double, hiB: Double,
-        path: String): Int = {
-      val files = new java.io.File(path).listFiles()
-        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
-      files.count { f =>
-        val r = spark.read.parquet(f)
-          .agg(min(col("l_partkey").cast("double")), max(col("l_partkey").cast("double"))).head()
-        r.getDouble(1) < loB || r.getDouble(0) > hiB // stats alone exclude the file
-      }
-    }
-    val zSkipped = prunable(zBoxes, 100, 300, zDir)
-    val sSkipped = prunable(sBoxes, 100, 300, sDir)
+    // most z-ordered files on footer stats alone, and no 1-D-sorted ones
+    def skipped(boxes: Seq[(Double, Double, Double, Double)],
+        loB: Double, hiB: Double): Int =
+      boxes.count(b => b._4 < loB || b._3 > hiB)
+    val zSkipped = skipped(zBoxes, 100, 300)
+    val sSkipped = skipped(sBoxes, 100, 300)
     assert(zSkipped > sSkipped,
       s"z-order should let footer stats skip files: z=$zSkipped vs sorted=$sSkipped")
   }
