@@ -100,4 +100,20 @@ object Tables {
       .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** The documents table spread across the cluster BEFORE expensive
+    * per-row compute (shingling, minhash signatures, n-gram windows —
+    * higher-order-function chains that run interpreted, ~0.5 ms/doc).
+    * The test corpus is one small parquet file with ONE row group, so
+    * without this every such pipeline's map phase runs on a single
+    * core (`maxPartitionBytes` cannot split inside a row group); at
+    * 100 TB the input is thousands of files and the repartition of a
+    * by-comparison-tiny doc table before a CPU-bound stage is still
+    * the right trade. Hash on doc_id: deterministic assignment, even
+    * spread. */
+  def documentsParallel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+  }
 }

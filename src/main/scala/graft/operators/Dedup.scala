@@ -35,7 +35,7 @@ object Dedup {
   /** Bag-of-words duplicate groups: same sorted distinct token set.
     * (The synthetic corpus has these; exact-text dupes it does not.) */
   def fingerprintGroups(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsParallel(spark, dir)
       .groupBy(fingerprint(col("text")).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
       .filter(col("n_docs") > 1)
@@ -50,7 +50,7 @@ object Dedup {
     * collision on a real corpus is negligible), which is exactly the
     * argument the DuckDB string-token oracle relies on. */
   private def tokenSets(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsParallel(spark, dir)
       .select(col("doc_id"),
         array_distinct(transform(tokens(col("text")), t => xxhash64(t))).as("toks"))
 
@@ -176,7 +176,7 @@ object Dedup {
       zip_with(slice(t, lit(2), len), slice(t, lit(3), len),
         (b, c) => concat(b, lit(" "), c)),
       (a, bc) => xxhash64(concat(a, lit(" "), bc)))
-    Tables.documents(spark, dir)
+    Tables.documentsParallel(spark, dir)
       .select(col("doc_id"),
         when(size(t) >= n, array_distinct(windows))
           .otherwise(array().cast("array<long>")).as("toks"))
@@ -343,7 +343,7 @@ object Dedup {
     * is Spark-private; md5 keeps the whole family oracle-checkable and
     * the cost is still one codegen'd digest per (doc, token). */
   def simhashes(spark: SparkSession, dir: String): DataFrame = {
-    val th = Tables.documents(spark, dir)
+    val th = Tables.documentsParallel(spark, dir)
       .select(col("doc_id"), explode(distinctTokens(col("text"))).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("m"))
       .select(col("doc_id"),

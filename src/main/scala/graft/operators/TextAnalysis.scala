@@ -71,7 +71,7 @@ object TextAnalysis {
     * never a driver-side collect. Scores are ranked on the ROUNDED
     * value (term-asc ties) so ordering is engine-portable. */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsParallel(spark, dir)
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
     val docLen = docs.select(col("doc_id"), tokenCount(col("text")).as("n_tok"))
@@ -164,6 +164,41 @@ object TextAnalysis {
       .limit(k)
   }
 
+  private val gramCache =
+    new graft.AppScopedCache[org.apache.spark.sql.DataFrame](
+      graft.AppScopedCache.unpersistPlanRDDs)
+
+  /** The exploded distinct-(doc_id, gram) table, checkpointed once per
+    * (corpus, n): the tokenize→window expression is expensive and its
+    * consumers read it from BOTH sides of a self-derived join (corpus
+    * vs benchmark slice) — and Catalyst's infer-filters-from-generate
+    * additionally duplicates the generator input into size>0/isnotnull
+    * pre-filters, so without a barrier the expression evaluates ~3x
+    * per row per scan. Memoizing the materialized rows makes it once
+    * per corpus (eviction via the app-scoped listener, same lifecycle
+    * as the dedup pair sets). */
+  private def gramTable(spark: SparkSession, dir: String, n: Int): DataFrame =
+    gramCache.getOrCompute(spark, s"$dir#ngrams$n") {
+      val t = tokens(col("text"))
+      // grams hashed to longs AT BIRTH (same discipline as the dedup
+      // shingles): the exploded table and the equi-join carry 8-byte
+      // keys instead of ~25-char strings; set cardinalities — and so
+      // n_hits/n_grams — are identical to the string computation, which
+      // is what the string-gram DuckDB oracle checks
+      val gsRaw = when(size(t) >= n, array_distinct(transform(ngrams(t, n), g => xxhash64(g))))
+        .otherwise(array().cast("array<long>"))
+      // checkpoint the ARRAYS (one compact row per doc), explode at use:
+      // exploding an attribute of a materialized frame is pure codegen
+      // over in-memory rows, and the infer-filters-from-generate rule
+      // has only a cheap attribute — not the whole tokenize pipeline —
+      // to duplicate into its size>0 pre-filter
+      Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"), gsRaw.as("gs"))
+        .localCheckpoint(false)
+        .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+          explode(col("gs")).as("gram"))
+    }
+
   /** Word n-gram windows as a zip_with chain over n shifted slices —
     * O(n·len) per row. NEVER element_at(tokens, i) inside a
     * sequence-transform: the lambda re-evaluates its outer child per
@@ -207,13 +242,7 @@ object TextAnalysis {
     * they'd be xxhash64'd to longs at birth (identical counts,
     * negligible collision odds). */
   def contamination(spark: SparkSession, dir: String, n: Int = 4): DataFrame = {
-    val t = tokens(col("text"))
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        when(size(t) >= n, array_distinct(ngrams(t, n)))
-          .otherwise(array().cast("array<string>")).as("gs"))
-      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
-        explode(col("gs")).as("gram"))
+    val grams = gramTable(spark, dir, n)
     val bench = grams.filter(col("doc_id") % 50 === 0)
       .select(col("gram")).distinct()
     grams.filter(col("doc_id") % 50 =!= 0)

@@ -229,4 +229,29 @@ object IncrementalIngest {
       .format("memory")
       .queryName(queryName)
       .start()
+
+  /** Session-windowed activity per station: samples closer than `gap`
+    * fuse into one session; a gap closes it. `session_window` is the
+    * built-in streaming session operator — state is one open session
+    * per (station), merged on arrival and EMITTED (then dropped) once
+    * the watermark passes the session end + gap, so state is bounded
+    * by open sessions, not history. The streaming twin of the batch
+    * gaps-and-islands sessionize (Analytics.sessionize). */
+  def sessionCounts(src: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    src.withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("station"))
+      .agg(count(lit(1)).as("n_samples"))
+      .select(col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+              col("station"), col("n_samples"))
+
+  def startSessionCountsToMemory(spark: SparkSession, inputDir: String,
+      queryName: String, gap: String = "30 minutes",
+      watermarkDelay: String = "1 hour"): StreamingQuery =
+    sessionCounts(source(spark, inputDir), gap, watermarkDelay)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .start()
 }

@@ -56,6 +56,35 @@ class StreamingSpec extends SparkSpec {
       === Seq(("2024-03-01", "stA", 288L), ("2024-03-01", "stB", 288L)))
   }
 
+  test("session windows fuse bursts, split on gaps, close with the watermark") {
+    val in = Files.createTempDirectory("graft-sess-in").toString
+    // burst 1: 10 samples at 5-min cadence (00:00-00:45); burst 2
+    // starts 55 min later (> the 30-min gap) with 6 samples
+    writeDay(in, "stA", d1, 10)
+    writeDay(in, "stA", d1, 6, offset = 20)
+
+    val q = IncrementalIngest.startSessionCountsToMemory(spark, in, "sess_counts")
+    q.processAllAvailable()
+    // watermark (max ts - 1h) hasn't passed burst 2's end+gap yet
+    assert(spark.sql("SELECT * FROM sess_counts").count() === 0)
+
+    writeDay(in, "stA", d2, 1) // advance the watermark a day
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT session_start, session_end, station, n_samples FROM sess_counts " +
+      "ORDER BY session_start").collect()
+    q.stop()
+    assert(rows.length === 2, rows.mkString("; "))
+    assert(rows.map(_.getLong(3)).toSeq === Seq(10L, 6L))
+    // session_window end = last event + gap
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    def ts(r: Row, i: Int) = r.getTimestamp(i).toLocalDateTime.format(fmt)
+    assert(ts(rows(0), 0) === "2024-03-01 00:00:00")
+    assert(ts(rows(0), 1) === "2024-03-01 01:15:00") // 00:45 last + 30 min
+    assert(ts(rows(1), 0) === "2024-03-01 01:40:00") // offset 20 x 5 min
+    assert(ts(rows(1), 1) === "2024-03-01 02:35:00") // 02:05 last + 30 min
+  }
+
   test("sqlite micro-batch stream: rowid watermark ingests only new rows") {
     val dir = Files.createTempDirectory("graft-sdb-stream")
     def res(name: String) = getClass.getResource(s"/sqlite/$name").getPath
