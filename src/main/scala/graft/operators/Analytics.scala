@@ -267,7 +267,17 @@ object Analytics {
       cols.map(c => countDistinct(col(c)).as(s"${c}_distinct")) ++
       numeric.map(c => round(min(col(c).cast("double")), 4).as(s"${c}_min")) ++
       numeric.map(c => round(max(col(c).cast("double")), 4).as(s"${c}_max"))
-    val wide = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    // multi-DISTINCT expands each row x (distinct columns + 1) before
+    // the partial agg; the input is one parquet row group (= one scan
+    // task), so without a spread the whole expand crunches on a single
+    // core. Hash-repartition the compact 6-column projection first
+    // (hash, not round-robin: round-robin pays a defensive local sort
+    // under sortBeforeRepartition); the shuffle is small, the expand
+    // then runs cluster-wide.
+    val wide = Tables.lineitem(spark, dir)
+      .select(cols.map(col): _*)
+      .repartition(spark.sparkContext.defaultParallelism, col("l_orderkey"))
+      .agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map { c =>
       val minMax =
         if (numeric.contains(c)) s"${c}_min, ${c}_max"
