@@ -429,6 +429,8 @@ object Queries {
     "text_top_bigrams" -> ((s: SparkSession, d: String) => TextAnalysis.topBigrams(s, d)),
     "text_doc_packing" -> ((s: SparkSession, d: String) => TextAnalysis.docPacking(s, d)),
     "q_profile_columns" -> (Analytics.profileColumns _),
+    "text_lm_score" -> (TextAnalysis.lmScore _),
+    "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
     "text_contamination" -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
     "text_repetition" -> (TextAnalysis.repetition _),
     "knn_quantized_rerank" -> ((s: SparkSession, d: String) => Similarity.knnQuantizedRerank(s, d)),
@@ -593,6 +595,22 @@ object Queries {
       (s"SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc_id FROM " +
        s"(SELECT doc_id, $duckFp AS fp FROM documents) " +
        "GROUP BY fp HAVING count(*) > 1 ORDER BY fp"),
+    "dedup_incremental" ->
+      (s"WITH t AS (SELECT doc_id, $duckUniq AS toks FROM documents) " +
+       "SELECT new_doc_id, dup_of, jaccard FROM (" +
+       "SELECT n.doc_id AS new_doc_id, o.doc_id AS dup_of, " +
+       "round(CAST(len(list_intersect(o.toks, n.toks)) AS DOUBLE) / " +
+       "len(list_distinct(list_concat(o.toks, n.toks))), 4) AS jaccard " +
+       "FROM (SELECT * FROM t WHERE doc_id % 10 = 0) n, " +
+       "(SELECT * FROM t WHERE doc_id % 10 <> 0) o) " +
+       "WHERE jaccard >= 0.8 ORDER BY new_doc_id, dup_of"),
+    "text_lm_score" ->
+      (s"WITH tok AS (SELECT doc_id, unnest($duckToks) AS term FROM documents), " +
+       "freq AS (SELECT term, count(*) AS tf FROM tok GROUP BY term), " +
+       "tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM tok) " +
+       "SELECT doc_id, round(avg(-ln(tf / n_total)), 4) AS nll, " +
+       "count(*) AS n_tokens FROM tok JOIN freq USING (term), tot " +
+       "GROUP BY doc_id ORDER BY doc_id"),
     "dedup_jaccard_pairs" ->
       (s"WITH t AS (SELECT doc_id, $duckUniq AS toks FROM documents WHERE doc_id % 5 = 0) " +
        "SELECT doc_a, doc_b, jaccard FROM (" +

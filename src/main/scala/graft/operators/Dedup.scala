@@ -446,6 +446,31 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     clusterCache.getOrCompute(spark, dir)(dedupClusters(spark, dir, CcLocalThreshold))
 
+  /** Incremental ingest dedup — the production shape: an INCOMING
+    * batch (here the doc_id % 10 slice) checked for near-duplicates
+    * against the STANDING corpus, without re-clustering anything. The
+    * batch is small by construction, so its token sets broadcast and
+    * the corpus makes one scan with a bounded per-row intersect — no
+    * self-join, no quadratic blowup in corpus size (cost = corpus ×
+    * batch; when the batch itself grows past broadcast size, the same
+    * banded-LSH machinery over a side-tagged union takes over). Sets
+    * are the hashed-long token sets, so the exact-Jaccard values match
+    * the string-token oracle (hashing preserves set cardinalities). */
+  def incrementalDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val sets = tokenSets(spark, dir)
+    val incoming = sets.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("new_doc_id"), col("toks").as("new_toks"))
+    val jac = size(array_intersect(col("toks"), col("new_toks"))).cast("double") /
+      size(array_union(col("toks"), col("new_toks")))
+    sets.filter(col("doc_id") % 10 =!= 0)
+      .crossJoin(broadcast(incoming))
+      .select(col("new_doc_id"), col("doc_id").as("dup_of"),
+              round(jac, 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("new_doc_id"), col("dup_of"))
+  }
+
   /** The deduped-corpus view: one row per surviving (canonical)
     * document with its cluster's member count — the output a training
     * pipeline actually ships (dedup_clusters is the assignment table;

@@ -271,6 +271,28 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram language-model scoring: mean negative log-likelihood of a
+    * document under the corpus's own unigram distribution — the
+    * KenLM-style perplexity-proxy quality signal (high = rare-token
+    * soup, low = stereotypical text), exactly reproducible in SQL
+    * unlike a real LM. Two aggregations (term frequencies, then a
+    * per-doc mean over the exploded term stream joined to them); the
+    * vocabulary rides the join broadcast — at web scale the vocab
+    * table is still tiny next to the corpus, and the plan degrades
+    * gracefully to a shuffle join if it ever is not. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsParallel(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val freq = tok.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = tok.agg(count(lit(1)).cast("double").as("n_total"))
+    tok.join(broadcast(freq), Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(-log(col("tf") / col("n_total"))), 4).as("nll"),
+           count(lit(1)).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus rollup per source: the aggregation view a pipeline operator
     * dashboard needs. */
   def perSourceStats(spark: SparkSession, dir: String): DataFrame =

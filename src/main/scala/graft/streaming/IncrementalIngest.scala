@@ -174,6 +174,49 @@ object IncrementalIngest {
       }
   }
 
+  case class SensorState(n: Long, mean: Double, m2: Double)
+  case class Anomaly(station: String, dateTime: Long, value: Double,
+    expected: Double, sigma: Double)
+
+  /** Streaming anomaly detector: per-station running mean/variance
+    * (Welford's algorithm — numerically stable, constant state) over
+    * one sensor, EMITTING only readings more than `z` sigmas from the
+    * running mean once `minSamples` have been seen.
+    * `flatMapGroupsWithState` is the right primitive: 0..n output rows
+    * per group per batch (mapGroups must emit exactly one), state is
+    * three doubles per station regardless of stream length, and rows
+    * are folded in event-time order within each batch so replayed
+    * batches fold identically. The streaming form of a quality gate a
+    * wview deployment would want: a stuck or spiking sensor surfaces
+    * as it happens, not at end-of-day. */
+  def anomalies(spark: SparkSession, inputDir: String, sensor: String = "outTemp",
+      z: Double = 3.0, minSamples: Long = 10)
+      : org.apache.spark.sql.Dataset[Anomaly] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    source(spark, inputDir)
+      .select(col("station"), col("dateTime"), col(sensor).cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SensorState, Anomaly](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (station, rows, state) =>
+          var s = state.getOption.getOrElse(SensorState(0L, 0.0, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
+          rows.toSeq.sortBy(_._2).foreach { case (_, dt, x) =>
+            val sigma = if (s.n > 1) math.sqrt(s.m2 / (s.n - 1)) else 0.0
+            if (s.n >= minSamples && math.abs(x - s.mean) > z * sigma)
+              out += Anomaly(station, dt, x, s.mean, sigma)
+            val n1 = s.n + 1
+            val d = x - s.mean
+            val mean1 = s.mean + d / n1
+            s = SensorState(n1, mean1, s.m2 + d * (x - mean1))
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Compact one closed day: fold its batch_id sub-partitions into a
     * single sorted file under the reserved `batch_id=-1` partition —
     * depth stays uniform with not-yet-compacted days (mixed partition

@@ -56,6 +56,69 @@ class StreamingSpec extends SparkSpec {
       === Seq(("2024-03-01", "stA", 288L), ("2024-03-01", "stB", 288L)))
   }
 
+  /** Like writeDay but with explicit outTemp values per sample. */
+  private def writeValues(dir: String, station: String, day: LocalDate,
+      vals: Seq[Double], offset: Int = 0): Unit = {
+    val start = day.atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      Row.fromSeq((start + (offset + i) * 300L).asInstanceOf[Any] :: 1 ::
+        WviewSchema.sensorNames.map(n => if (n == "outTemp") v: Any else 50.0: Any).toList)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), WviewSchema.schema)
+      .write.mode(SaveMode.Append).parquet(s"$dir/$station")
+  }
+
+  test("flatMapGroupsWithState anomaly detector: spikes emit, state spans batches") {
+    val in = Files.createTempDirectory("graft-anom-in").toString
+    // batch 1: 20 calm alternating samples — establishes mean~50.1,
+    // sigma~0.1; nothing may emit
+    writeValues(in, "stA", d1, (0 until 20).map(i => if (i % 2 == 0) 50.0 else 50.2))
+    val q = IncrementalIngest.anomalies(spark, in)
+      .writeStream.outputMode("append").format("memory").queryName("anoms").start()
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM anoms").count() === 0)
+
+    // batch 2: calm, spike, calm — exactly the spike must emit, and
+    // only because batch 1's state (n=20 >= minSamples) carried over
+    writeValues(in, "stA", d1, Seq(50.0, 99.0, 50.2), offset = 20)
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT station, value, expected, sigma FROM anoms").collect()
+    q.stop()
+    assert(rows.length === 1, rows.mkString("; "))
+    assert(rows(0).getString(0) === "stA")
+    assert(rows(0).getDouble(1) === 99.0)
+    assert(math.abs(rows(0).getDouble(2) - 50.1) < 0.05) // running mean at spike time
+    assert(rows(0).getDouble(3) > 0.0 && rows(0).getDouble(3) < 0.2)
+  }
+
+  test("stateful aggregation runs on the RocksDB state store (the 100 TB backend)") {
+    // the default HDFS-backed store keeps all state on the JVM heap —
+    // fine for tests, an OOM at production key counts; RocksDB spills
+    // to native memory + disk and is the provider a real deployment
+    // sets. Same query, same results, provider-specific metrics prove
+    // it actually engaged.
+    val in = Files.createTempDirectory("graft-rocks-in").toString
+    writeDay(in, "stA", d1, 288)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = IncrementalIngest.startDailyCountsToMemory(spark, in, "rocksdb_counts")
+      q.processAllAvailable()
+      writeDay(in, "stA", d2.plusDays(1), 288) // advance watermark past d1
+      q.processAllAvailable()
+      val prog = q.lastProgress
+      q.stop()
+      val rows = spark.sql("SELECT day, station, n_samples FROM rocksdb_counts").collect()
+      assert(rows.map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2))).toSeq
+        === Seq(("2024-03-01", "stA", 288L)))
+      assert(prog.stateOperators.nonEmpty)
+      val metricKeys = prog.stateOperators(0).customMetrics.keySet()
+      import scala.jdk.CollectionConverters._
+      assert(metricKeys.asScala.exists(_.toLowerCase.contains("rocksdb")),
+        s"RocksDB provider did not engage; metrics: ${metricKeys.asScala.mkString(",")}")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("session windows fuse bursts, split on gaps, close with the watermark") {
     val in = Files.createTempDirectory("graft-sess-in").toString
     // burst 1: 10 samples at 5-min cadence (00:00-00:45); burst 2
