@@ -458,16 +458,17 @@ object Dedup {
     * the string-token oracle (hashing preserves set cardinalities). */
   def incrementalDedup(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
-    val sets = tokenSets(spark, dir)
-    val incoming = sets.filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id").as("new_doc_id"), col("toks").as("new_toks"))
-    val jac = size(array_intersect(col("toks"), col("new_toks"))).cast("double") /
-      size(array_union(col("toks"), col("new_toks")))
-    sets.filter(col("doc_id") % 10 =!= 0)
-      .crossJoin(broadcast(incoming))
-      .select(col("new_doc_id"), col("doc_id").as("dup_of"),
-              round(jac, 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // full reuse of the adaptive pair machinery: setRepr picks the
+    // bitmask fast path when the vocabulary allows, verifyPairs
+    // applies the sound size-ratio prefilter before paying for any
+    // intersect — same Jaccard, same oracle argument, one
+    // implementation to maintain
+    val (repr, masked) = setRepr(spark, dir)
+    val (aAll, bAll) = sides(repr, masked)
+    val incoming = aAll.filter(col("doc_a") % 10 === 0)
+    val corpus = bAll.filter(col("doc_b") % 10 =!= 0)
+    verifyPairs(corpus.crossJoin(broadcast(incoming)), threshold, masked)
+      .select(col("doc_a").as("new_doc_id"), col("doc_b").as("dup_of"), col("jaccard"))
       .orderBy(col("new_doc_id"), col("dup_of"))
   }
 

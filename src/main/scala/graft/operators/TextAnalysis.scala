@@ -199,6 +199,13 @@ object TextAnalysis {
           explode(col("gs")).as("gram"))
     }
 
+  /** Release one corpus's memoized gram tables (the checkpointed
+    * frames gramTable pins) — the same lifecycle contract as
+    * Dedup.evictCorpus, so a long-lived session serving many corpora
+    * doesn't accumulate block-manager storage per corpus served. */
+  def evictCorpus(spark: SparkSession, dir: String, ns: Seq[Int] = Seq(4)): Unit =
+    ns.foreach(n => gramCache.evict(spark, s"$dir#ngrams$n"))
+
   /** Word n-gram windows as a zip_with chain over n shifted slices —
     * O(n·len) per row. NEVER element_at(tokens, i) inside a
     * sequence-transform: the lambda re-evaluates its outer child per
@@ -238,9 +245,11 @@ object TextAnalysis {
     * distinct grams are a broadcast semi-structure (benchmarks are
     * small by construction); the corpus side explodes distinct grams
     * once and inner-joins, so cost is corpus-gram count, never a
-    * doc×doc product. Grams stay strings for oracle parity — at 100 TB
-    * they'd be xxhash64'd to longs at birth (identical counts,
-    * negligible collision odds). */
+    * doc×doc product. Grams are xxhash64'd to longs at birth inside
+    * [[gramTable]] — the exploded table and the equi-join carry 8-byte
+    * keys; set cardinalities (and so n_hits/n_grams) are identical to
+    * the string computation, which is what the string-gram DuckDB
+    * oracle checks. */
   def contamination(spark: SparkSession, dir: String, n: Int = 4): DataFrame = {
     val grams = gramTable(spark, dir, n)
     val bench = grams.filter(col("doc_id") % 50 === 0)
@@ -277,9 +286,10 @@ object TextAnalysis {
     * soup, low = stereotypical text), exactly reproducible in SQL
     * unlike a real LM. Two aggregations (term frequencies, then a
     * per-doc mean over the exploded term stream joined to them); the
-    * vocabulary rides the join broadcast — at web scale the vocab
-    * table is still tiny next to the corpus, and the plan degrades
-    * gracefully to a shuffle join if it ever is not. */
+    * vocabulary rides the join as an EXPLICIT broadcast — right for
+    * any vocab that fits the driver (this surface). A corpus whose
+    * vocab outgrows that must drop the hint so the planner can choose
+    * a shuffle join; the hint forces broadcast and would fail hard. */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsParallel(spark, dir)
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))

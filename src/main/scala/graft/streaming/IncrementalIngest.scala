@@ -186,11 +186,16 @@ object IncrementalIngest {
     * per group per batch (mapGroups must emit exactly one), state is
     * three doubles per station regardless of stream length, and rows
     * are folded in event-time order within each batch so replayed
-    * batches fold identically. The streaming form of a quality gate a
-    * wview deployment would want: a stuck or spiking sensor surfaces
-    * as it happens, not at end-of-day. */
+    * batches fold identically. `minSigma` floors the detection band:
+    * a constant (quantized or defaulted) warmup drives running sigma
+    * to 0, and a bare z-score would then flag ANY nonzero fluctuation
+    * — the band is max(z*sigma, minSigma) in sensor units, so a stuck
+    * sensor still flags a real spike without turning ordinary
+    * quantization noise into alerts. The streaming form of a quality
+    * gate a wview deployment would want: a stuck or spiking sensor
+    * surfaces as it happens, not at end-of-day. */
   def anomalies(spark: SparkSession, inputDir: String, sensor: String = "outTemp",
-      z: Double = 3.0, minSamples: Long = 10)
+      z: Double = 3.0, minSamples: Long = 10, minSigma: Double = 0.5)
       : org.apache.spark.sql.Dataset[Anomaly] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
@@ -205,7 +210,7 @@ object IncrementalIngest {
           val out = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
           rows.toSeq.sortBy(_._2).foreach { case (_, dt, x) =>
             val sigma = if (s.n > 1) math.sqrt(s.m2 / (s.n - 1)) else 0.0
-            if (s.n >= minSamples && math.abs(x - s.mean) > z * sigma)
+            if (s.n >= minSamples && math.abs(x - s.mean) > math.max(z * sigma, minSigma))
               out += Anomaly(station, dt, x, s.mean, sigma)
             val n1 = s.n + 1
             val d = x - s.mean

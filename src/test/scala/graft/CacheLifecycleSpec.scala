@@ -36,6 +36,19 @@ class CacheLifecycleSpec extends SparkSpec {
       s"second corpus leaked blocks past eviction ($baseline -> $persistentCount)")
   }
 
+  test("gram-table eviction releases contamination's checkpointed blocks") {
+    import graft.operators.TextAnalysis
+    TextAnalysis.contamination(spark, sf).count()
+    val before = persistentCount
+    assert(before > 0, "expected a checkpointed gram table after contamination")
+    TextAnalysis.evictCorpus(spark, sf)
+    assert(persistentCount < before,
+      s"gram eviction released nothing ($before -> $persistentCount)")
+    // post-eviction use rebuilds fresh
+    assert(TextAnalysis.contamination(spark, sf).count() >= 0)
+    TextAnalysis.evictCorpus(spark, sf)
+  }
+
   test("knn_ivf serving reuses one materialized index per corpus") {
     val p1 = Similarity.ivfIndexPath(spark, sf)
     val p2 = Similarity.ivfIndexPath(spark, sf)

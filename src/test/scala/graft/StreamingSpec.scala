@@ -91,6 +91,22 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getDouble(3) > 0.0 && rows(0).getDouble(3) < 0.2)
   }
 
+  test("anomaly detector: constant warmup (sigma=0) doesn't flag quantization noise") {
+    val in = Files.createTempDirectory("graft-anom0-in").toString
+    // perfectly constant warmup drives running sigma to 0; a bare
+    // z-score flags ANY fluctuation — the minSigma floor must hold the
+    // 0.2-unit quantization step back while still passing a real spike
+    writeValues(in, "stB", d1, Seq.fill(15)(50.0))
+    val q = IncrementalIngest.anomalies(spark, in)
+      .writeStream.outputMode("append").format("memory").queryName("anoms0").start()
+    q.processAllAvailable()
+    writeValues(in, "stB", d1, Seq(50.2, 99.0, 50.0), offset = 15)
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT value FROM anoms0").collect()
+    q.stop()
+    assert(rows.map(_.getDouble(0)).toSeq === Seq(99.0), rows.mkString("; "))
+  }
+
   test("stateful aggregation runs on the RocksDB state store (the 100 TB backend)") {
     // the default HDFS-backed store keeps all state on the JVM heap —
     // fine for tests, an OOM at production key counts; RocksDB spills
