@@ -393,18 +393,26 @@ object Similarity {
       k: Int = 5, coarseK: Int = 20): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val exploded = emb.select(col("vec_id"), posexplode(col("v")))
-      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"), col("col").as("x"))
-    val dimStats = exploded.groupBy(col("dim"))
+    // per-dim grid bounds collapse to ONE broadcast row of (lo, hi)
+    // arrays (dims entries); reconstruction is then a per-row zip_with
+    // over the vector — no join of the exploded corpus back to stats,
+    // no collect_list/array_sort regroup shuffle (measured ~3x on this
+    // query's bench time). Arithmetic is expression-for-expression the
+    // grid the DuckDB twin computes.
+    val exploded = emb.select(posexplode(col("v")))
+      .select(col("pos").as("dim"), col("col").as("x"))
+    val statsRow = exploded.groupBy(col("dim"))
       .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-    val deq = col("lo") + when(col("hi") === col("lo"), lit(0))
-      .otherwise(round((col("x") - col("lo")) * 255.0 / (col("hi") - col("lo")), 0)
-        .cast("int")) * (col("hi") - col("lo")) / 255.0
-    val recon = exploded.join(broadcast(dimStats), Seq("dim"))
-      .select(col("vec_id"), struct(col("dim"), deq.as("xq")).as("s"))
-      .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(col("s"))).as("sv"))
-      .select(col("vec_id"), transform(col("sv"), e => e.getField("xq")).as("vq"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("lo"), col("hi")))).as("sv"))
+      .select(transform(col("sv"), e =>
+        struct(e.getField("lo").as("lo"), e.getField("hi").as("hi"))).as("st"))
+    def deqOf(x: Column, s: Column): Column = {
+      val lo = s.getField("lo"); val hi = s.getField("hi")
+      lo + when(hi === lo, lit(0))
+        .otherwise(round((x - lo) * 255.0 / (hi - lo), 0).cast("int")) * (hi - lo) / 255.0
+    }
+    val recon = emb.crossJoin(broadcast(statsRow))
+      .select(col("vec_id"), zip_with(col("v"), col("st"), (x, s) => deqOf(x, s)).as("vq"))
     val probes = recon.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("vq").as("q"))
     val coarse = recon.crossJoin(broadcast(probes))
