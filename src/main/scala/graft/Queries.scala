@@ -430,6 +430,8 @@ object Queries {
     "text_doc_packing" -> ((s: SparkSession, d: String) => TextAnalysis.docPacking(s, d)),
     "q_profile_columns" -> (Analytics.profileColumns _),
     "text_lm_score" -> (TextAnalysis.lmScore _),
+    "pipeline_curation_manifest" ->
+      ((s: SparkSession, d: String) => TextAnalysis.curationManifest(s, d)),
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
     "text_contamination" -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
     "text_repetition" -> (TextAnalysis.repetition _),
@@ -648,6 +650,16 @@ object Queries {
        "SELECT count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters, " +
        "CAST(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical, " +
        "round(CAST(count(DISTINCT cluster_id) AS DOUBLE) / count(*), 4) AS keep_ratio FROM c"),
+    "pipeline_curation_manifest" ->
+      (dedupClustersCte +
+       ", c AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id), " +
+       "surv AS (SELECT doc_id FROM c WHERE doc_id = cluster_id), " +
+       s"kept AS (SELECT doc_id, source, CAST(len($duckToks) AS BIGINT) AS n_tokens " +
+       s"FROM documents WHERE $duckQuality > 0.5 " +
+       "AND doc_id IN (SELECT doc_id FROM surv)), " +
+       "pk AS (SELECT doc_id, source, n_tokens, CAST(floor((sum(n_tokens) OVER " +
+       "(PARTITION BY source ORDER BY doc_id) - n_tokens) / 2048.0) AS BIGINT) AS seq_id FROM kept) " +
+       "SELECT doc_id, source, seq_id, n_tokens FROM pk ORDER BY doc_id"),
     // Shingle near-dups: same recall argument as dedup_minhash_lsh —
     // banding at these parameters misses a 0.8-pair w.p. ~3e-8, and
     // recall is exactly 1.0 on the fixed corpus (differential test), so

@@ -199,6 +199,31 @@ object TextAnalysis {
           explode(col("gs")).as("gram"))
     }
 
+  /** The end-to-end curation pipeline as ONE composed plan — what a
+    * training-data run actually ships: quality-gate the corpus (score
+    * > 0.6), drop near-duplicates keeping each cluster's canonical
+    * member (the [[Dedup.dedupClusters]] keep-list), then pack the
+    * survivors into fixed-capacity training sequences per source. Every
+    * stage is the already-verified operator; composing them stays one
+    * dataflow (no intermediate materialization, the cluster table is
+    * the corpus-memoized frame), which is exactly how the pieces are
+    * meant to be used together at scale. */
+  def curationManifest(spark: SparkSession, dir: String,
+      capacity: Int = 2048, minQuality: Double = 0.5): DataFrame = {
+    val survivors = Dedup.dedupClusters(spark, dir)
+      .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
+    val kept = Tables.documents(spark, dir)
+      .filter(qualityScore(col("text")) > minQuality)
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    kept
+      .withColumn("seq_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / capacity).cast("long"))
+      .select(col("doc_id"), col("source"), col("seq_id"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Release one corpus's memoized gram tables (the checkpointed
     * frames gramTable pins) — the same lifecycle contract as
     * Dedup.evictCorpus, so a long-lived session serving many corpora

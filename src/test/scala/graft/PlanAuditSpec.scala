@@ -156,6 +156,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(n <= 2, s"doc packing should shuffle once + sort, got $n exchanges:\n$plan")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective non-broadcast join") {
+    // at 100 TB a selective dim filter should reach the fact scan as a
+    // runtime bloom filter when the join can't broadcast; thresholds
+    // are size-gated, so pin the MECHANISM with the gates opened
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.{col, sum}
+      val li = Tables.lineitem(spark, sf)
+      val promo = Tables.part(spark, sf).filter(col("p_type") === "PROMO")
+      val df = li.join(promo, col("l_partkey") === col("p_partkey"))
+        .agg(sum(col("l_extendedprice")).as("s"))
+      val optimized = df.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$optimized")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("sqlite scan carries its pushed range into the scan description") {
     val path = getClass.getResource("/sqlite/stA.sdb").getPath
     val lo = 1709251200L
