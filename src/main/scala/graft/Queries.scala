@@ -429,6 +429,7 @@ object Queries {
     "text_top_bigrams" -> ((s: SparkSession, d: String) => TextAnalysis.topBigrams(s, d)),
     "text_doc_packing" -> ((s: SparkSession, d: String) => TextAnalysis.docPacking(s, d)),
     "q_profile_columns" -> (Analytics.profileColumns _),
+    "q_cohort_retention" -> ((s: SparkSession, d: String) => Analytics.cohortRetention(s, d)),
     "text_lm_score" -> (TextAnalysis.lmScore _),
     "pipeline_curation_manifest" ->
       ((s: SparkSession, d: String) => TextAnalysis.curationManifest(s, d)),
@@ -436,6 +437,7 @@ object Queries {
     "text_contamination" -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
     "text_repetition" -> (TextAnalysis.repetition _),
     "knn_quantized_rerank" -> ((s: SparkSession, d: String) => Similarity.knnQuantizedRerank(s, d)),
+    "knn_filtered" -> ((s: SparkSession, d: String) => Similarity.knnFiltered(s, d)),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "sim_embed_norms" -> (Similarity.norms _),
     "sim_label_centroids" -> (Similarity.labelCentroids _),
@@ -755,6 +757,15 @@ object Queries {
        "SELECT label, unnest(embedding) AS v, " +
        "unnest(range(1, len(embedding) + 1)) AS dim FROM embeddings) " +
        "GROUP BY label, dim ORDER BY label, dim"),
+    "knn_filtered" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), " +
+       "p AS (SELECT vec_id AS query_id, v AS q, label FROM e WHERE vec_id < 5), " +
+       "s AS (SELECT query_id, vec_id AS neighbor_id, e.label, " +
+       "round(list_dot_product(q, v) / (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(v, v))), 4) AS cos_sim " +
+       "FROM e JOIN p ON e.label = p.label AND vec_id <> query_id), " +
+       "r AS (SELECT query_id, neighbor_id, label, cos_sim, " +
+       "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank FROM s) " +
+       "SELECT query_id, neighbor_id, label, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"),
     "knn_brute_cosine" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
        "p AS (SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < 5), " +
@@ -804,6 +815,13 @@ object Queries {
       ("SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem " +
        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
        "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"),
+    "q_cohort_retention" ->
+      ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), " +
+       "f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id) " +
+       "SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset, " +
+       "count(DISTINCT user_id) AS n_users FROM ev JOIN f USING (user_id) " +
+       "WHERE date_diff('day', cohort_day, day) BETWEEN 0 AND 7 " +
+       "GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset"),
     "q_profile_columns" -> {
       val numeric = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
       val categorical = Seq("l_returnflag", "l_linestatus")

@@ -249,6 +249,24 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Cohort retention: users grouped by their first-seen day, distinct
+    * actives counted at each day offset — the canonical product-
+    * analytics self-join (first-touch aggregate joined back to the
+    * event stream on the entity key; one shuffle on user_id feeds
+    * both sides, then one (cohort, offset) aggregate). */
+  def cohortRetention(spark: SparkSession, dir: String, maxOffset: Int = 7): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(firstDay, Seq("user_id"))
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .filter(col("day_offset").between(0, maxOffset))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Column profiling — the data-quality pass an ingest pipeline runs
     * before accepting a drop: null count, exact distinct count, and
     * numeric range per column, in ONE scan of the fact table. Multiple

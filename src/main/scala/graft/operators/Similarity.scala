@@ -106,6 +106,30 @@ object Similarity {
   def knnBruteForce(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     topKPerQuery(bruteScores(spark, dir), k)
 
+  /** Metadata-FILTERED top-k: each probe retrieves only among corpus
+    * vectors sharing its label — the filtered-vector-search serving
+    * pattern (tenant/language/source-restricted retrieval). The filter
+    * rides the score join as an extra equi-condition, so pruning
+    * happens BEFORE any distance is computed (pre-filtering, the shape
+    * that keeps recall exact — post-filtering a plain top-k can return
+    * < k or miss matches; at index scale the label becomes a partition
+    * column and the same plan prunes partitions). */
+  def knnFiltered(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("q"), col("label"))
+    val scored = emb.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+              round(cosine(col("q"), col("v")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- IVF ----------------------------------------------------------
   val NumCells = 8
   val NumProbeCells = 2
