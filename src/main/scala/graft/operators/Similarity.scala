@@ -40,7 +40,10 @@ object Similarity {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Fused single-loop cosine (plans.CosineSim): bit-identical to
+    * dot/(norm*norm) — same per-accumulator summation order, same final
+    * IEEE combination — at a third of the array passes. */
+  def cosine(a: Column, b: Column): Column = graft.plans.VectorExpressions.cos(a, b)
 
   /** Label-conditioned mean embeddings (class prototypes): posexplode
     * to (label, dim, component), one hash-aggregate over label x dim —

@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
        (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cos"),
+       new ExpressionInfo(classOf[CosineSim].getName, "graft_cos"),
+       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk"),
        new ExpressionInfo(classOf[TopKNeighbors].getName, "graft_topk"),
        (exprs: Seq[Expression]) => TopKNeighbors(exprs(0), exprs(1), exprs(2))))

@@ -208,6 +208,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(s === viaExpr)
   }
 
+  test("graft_cos fused cosine is bitwise-equal to dot/(norm*norm)") {
+    import org.apache.spark.sql.functions.{sqrt, transform}
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = emb.select(col("vec_id").as("ia"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("v").as("vb"))
+    val pairs = a.crossJoin(b).limit(20000)
+    val composed = pairs.select((Similarity.dot(col("va"), col("vb")) /
+        (sqrt(Similarity.dot(col("va"), col("va"))) *
+         sqrt(Similarity.dot(col("vb"), col("vb"))))).as("c")).collect().map(_.getDouble(0))
+    val fused = pairs.select(
+      graft.plans.VectorExpressions.cos(col("va"), col("vb")).as("c"))
+      .collect().map(_.getDouble(0))
+    // same per-accumulator summation order + same final IEEE combination
+    composed.zip(fused).foreach { case (c, f) =>
+      assert(java.lang.Double.doubleToLongBits(c) === java.lang.Double.doubleToLongBits(f))
+    }
+  }
+
   test("embedding near-dup: non-empty + precision + recall on planted dups") {
     // The sf fixtures are near-random (max pairwise cosine ~0.51), so an
     // empty 0.95-result there is correct — verified by the DuckDB oracle.

@@ -95,9 +95,9 @@ class PlanAuditSpec extends SparkSpec {
       "text stats must not leave the codegen path")
   }
 
-  test("similarity scoring uses the native dot-product expression") {
+  test("similarity scoring uses the native fused-cosine expression") {
     val analyzed = Similarity.knnBruteForce(spark, sf).queryExecution.analyzed.toString
-    assert(analyzed.contains("graft_dot"), s"HOF chain crept back in:\n$analyzed")
+    assert(analyzed.contains("graft_cos"), s"HOF chain crept back in:\n$analyzed")
   }
 
   test("shuffle partition count follows the session setting, not the 200 default") {
