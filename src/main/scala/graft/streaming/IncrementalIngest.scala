@@ -174,6 +174,18 @@ object IncrementalIngest {
       }
   }
 
+  /** Stream-static enrichment: the streaming source joined to a static
+    * dimension frame (station metadata — the reference's per-section
+    * longitude/latitude/description). Static sides need no watermark
+    * and no state: Spark re-plans the join per micro-batch, so the
+    * dimension may even be swapped between triggers; with a small dim
+    * it broadcasts and the stream never shuffles. */
+  def enrichedSource(spark: SparkSession, inputDir: String,
+      stationMeta: DataFrame): DataFrame =
+    source(spark, inputDir)
+      .join(org.apache.spark.sql.functions.broadcast(stationMeta), Seq("station"),
+        "left_outer")
+
   case class SensorState(n: Long, mean: Double, m2: Double)
   case class Anomaly(station: String, dateTime: Long, value: Double,
     expected: Double, sigma: Double)

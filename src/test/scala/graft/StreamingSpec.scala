@@ -107,6 +107,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getDouble(0)).toSeq === Seq(99.0), rows.mkString("; "))
   }
 
+  test("stream-static join enriches the stream with broadcast station metadata") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-enrich-in").toString
+    writeDay(in, "stA", d1, 3)
+    writeDay(in, "stB", d1, 2)
+    val meta = Seq(("stA", 49.32, -119.62), ("stB", 47.0, -120.0))
+      .toDF("station", "latitude", "longitude")
+    val q = IncrementalIngest.enrichedSource(spark, in, meta)
+      .select(col("station"), col("dateTime"), col("latitude"))
+      .writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT station, latitude FROM enriched").collect()
+    assert(rows.length === 5)
+    assert(rows.filter(_.getString(0) == "stA").forall(_.getDouble(1) === 49.32))
+    assert(rows.filter(_.getString(0) == "stB").forall(_.getDouble(1) === 47.0))
+  }
+
   test("stateful aggregation runs on the RocksDB state store (the 100 TB backend)") {
     // the default HDFS-backed store keeps all state on the JVM heap —
     // fine for tests, an OOM at production key counts; RocksDB spills
