@@ -126,11 +126,9 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
               round(cosine(col("q"), col("v")), 4).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    // window form, not graft_topk: the label column must ride through
+    // to the output, and the helper keeps every input column
+    topKPerQueryWindow(scored, k)
   }
 
   // ---- IVF ----------------------------------------------------------

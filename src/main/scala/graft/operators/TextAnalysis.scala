@@ -201,25 +201,26 @@ object TextAnalysis {
 
   /** The end-to-end curation pipeline as ONE composed plan — what a
     * training-data run actually ships: quality-gate the corpus (score
-    * > 0.6), drop near-duplicates keeping each cluster's canonical
-    * member (the [[Dedup.dedupClusters]] keep-list), then pack the
-    * survivors into fixed-capacity training sequences per source. Every
-    * stage is the already-verified operator; composing them stays one
-    * dataflow (no intermediate materialization, the cluster table is
-    * the corpus-memoized frame), which is exactly how the pieces are
-    * meant to be used together at scale. */
+    * > minQuality, default 0.5 — above it this degenerate word-soup
+    * corpus keeps almost nothing), drop near-duplicates keeping each
+    * cluster's canonical member (the [[Dedup.dedupClusters]] keep-list,
+    * via its own is_canonical flag), then pack the survivors into
+    * fixed-capacity training sequences per source ([[packedSeqId]], the
+    * same rule docPacking reports on). Every stage is the already-
+    * verified operator; composing them stays one dataflow (no
+    * intermediate materialization, the cluster table is the corpus-
+    * memoized frame), which is exactly how the pieces are meant to be
+    * used together at scale. */
   def curationManifest(spark: SparkSession, dir: String,
       capacity: Int = 2048, minQuality: Double = 0.5): DataFrame = {
     val survivors = Dedup.dedupClusters(spark, dir)
-      .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
+      .filter(col("is_canonical")).select(col("doc_id"))
     val kept = Tables.documents(spark, dir)
       .filter(qualityScore(col("text")) > minQuality)
       .join(survivors, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens"))
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     kept
-      .withColumn("seq_id",
-        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / capacity).cast("long"))
+      .withColumn("seq_id", packedSeqId(col("n_tokens"), capacity))
       .select(col("doc_id"), col("source"), col("seq_id"), col("n_tokens"))
       .orderBy(col("doc_id"))
   }
@@ -250,16 +251,22 @@ object TextAnalysis {
     * never global) and the report is one aggregate. At 100 TB this is
     * the exact plan: no driver loop, no collect — bin assignment is a
     * per-row expression over a running sum. */
-  def docPacking(spark: SparkSession, dir: String, capacity: Int = 2048): DataFrame = {
+  /** The packing rule shared by [[docPacking]] and [[curationManifest]]:
+    * a doc lands in the sequence where its first token falls, per
+    * source, in doc_id order. One definition so the report and the
+    * manifest can never disagree on sequence assignment. */
+  private def packedSeqId(tok: Column, capacity: Int): Column = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    floor((sum(tok).over(w) - tok) / capacity).cast("long")
+  }
+
+  def docPacking(spark: SparkSession, dir: String, capacity: Int = 2048): DataFrame =
     Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"), tokenCount(col("text")).as("tok"))
-      .withColumn("seq_id",
-        floor((sum(col("tok")).over(w) - col("tok")) / capacity).cast("long"))
+      .withColumn("seq_id", packedSeqId(col("tok"), capacity))
       .groupBy(col("source"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
       .orderBy(col("source"), col("seq_id"))
-  }
 
   /** Benchmark-contamination check: flag corpus documents sharing any
     * word n-gram with a held-out benchmark set (here: every 50th

@@ -62,13 +62,19 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Fused cosine similarity: dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))
-  * in ONE scalar loop (three independent accumulators) instead of three
-  * array passes. Each accumulator sums in the same i = 0..n-1 order as
-  * its standalone loop, and the final combination is the identical IEEE
-  * expression — so the fused value is bit-for-bit the composed one and
-  * every oracle comparison is unaffected. This is the hot inner loop of
-  * the whole similarity family (brute/filtered/rerank/IVF scoring). */
+/** Fused cosine similarity: graft_dot(a,b) / (l2Norm(a) * l2Norm(b))
+  * in ONE pass instead of three. Bit-identical to the composed form on
+  * EVERY input, including the edges:
+  *  - each norm sums x_i² over its OWN array's full length (the
+  *    composed l2Norm does), while the dot truncates to the common
+  *    prefix (graft_dot does);
+  *  - a null ELEMENT anywhere makes the result NULL — the composed
+  *    form's HOF norms propagate element nulls (x*x -> null ->
+  *    acc+null -> null), so the fusion must too;
+  *  - each accumulator sums in i = 0..n-1 order and the final
+  *    combination is the identical IEEE expression.
+  * This is the hot inner loop of the whole similarity family
+  * (brute/filtered/rerank/IVF scoring). */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -80,40 +86,65 @@ case class CosineSim(left: Expression, right: Expression)
         s"graft_cos expects (array<double>, array<double>), got ($l, $r)")
     }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_cos"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val na = x.numElements(); val nb = y.numElements()
+    val nc = math.min(na, nb)
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
-    while (i < n) {
-      val xi = x.getDouble(i); val yi = y.getDouble(i)
-      ab += xi * yi; aa += xi * xi; bb += yi * yi
-      i += 1
+    while (i < na) {
+      if (x.isNullAt(i)) return null
+      val xi = x.getDouble(i); aa += xi * xi; i += 1
     }
+    i = 0
+    while (i < nb) {
+      if (y.isNullAt(i)) return null
+      val yi = y.getDouble(i); bb += yi * yi; i += 1
+    }
+    i = 0
+    while (i < nc) { ab += x.getDouble(i) * y.getDouble(i); i += 1 }
     ab / (math.sqrt(aa) * math.sqrt(bb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val nc = ctx.freshName("nc")
       val ab = ctx.freshName("ab")
       val aa = ctx.freshName("aa")
       val bb = ctx.freshName("bb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val bad = ctx.freshName("anyNull")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $nc = java.lang.Math.min($na, $nb);
          |double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $ab += $xi * $yi; $aa += $xi * $xi; $bb += $yi * $yi;
+         |boolean $bad = false;
+         |for (int $i = 0; $i < $na && !$bad; $i++) {
+         |  if ($a.isNullAt($i)) { $bad = true; } else {
+         |    double $xi = $a.getDouble($i); $aa += $xi * $xi;
+         |  }
          |}
-         |${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+         |for (int $i = 0; $i < $nb && !$bad; $i++) {
+         |  if ($b.isNullAt($i)) { $bad = true; } else {
+         |    double $yi = $b.getDouble($i); $bb += $yi * $yi;
+         |  }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $nc; $i++) {
+         |    $ab += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+         |}
        """.stripMargin
     })
 
@@ -132,13 +163,17 @@ object VectorExpressions {
       "graft_cos", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
   }
 
-  /** Column-API form; registers on the active session on first use. */
+  /** Column-API form; registers on the active session on first use.
+    * PRECONDITION (both forms): a SparkSession must be active when the
+    * Column is CONSTRUCTED, or the executing session must carry
+    * GraftExtensions (every graft.GraftSession does) — otherwise
+    * analysis fails with an unresolved graft_dot/graft_cos routine. */
   def dot(a: Column, b: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_dot", a, b)
   }
 
-  /** Fused cosine, column form. */
+  /** Fused cosine, column form; same registration precondition. */
   def cos(a: Column, b: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_cos", a, b)

@@ -225,6 +225,25 @@ class ExtensionsSpec extends SparkSpec {
     composed.zip(fused).foreach { case (c, f) =>
       assert(java.lang.Double.doubleToLongBits(c) === java.lang.Double.doubleToLongBits(f))
     }
+
+    // edge contract: null ELEMENTS null the result (the composed HOF
+    // norms propagate them), unequal lengths norm over their own array
+    // and dot over the common prefix — fused must match the composed
+    // expression exactly on both
+    val edge = spark.sql(
+      "SELECT array(1.0d, 2.0d, NULL) AS va, array(1.0d, 2.0d, 3.0d) AS vb " +
+      "UNION ALL SELECT array(1.0d, 2.0d), array(3.0d, 4.0d, 5.0d) " +
+      "UNION ALL SELECT array(1.0d, 2.0d, 3.0d), array(1.0d, NULL)")
+    val comp2 = edge.select((Similarity.dot(col("va"), col("vb")) /
+      (Similarity.l2Norm(col("va")) * Similarity.l2Norm(col("vb")))).as("c")).collect()
+    val fused2 = edge.select(
+      graft.plans.VectorExpressions.cos(col("va"), col("vb")).as("c")).collect()
+    comp2.zip(fused2).foreach { case (c, f) =>
+      assert(c.isNullAt(0) === f.isNullAt(0), s"null parity: $c vs $f")
+      if (!c.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(c.getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(f.getDouble(0)))
+    }
   }
 
   test("embedding near-dup: non-empty + precision + recall on planted dups") {
