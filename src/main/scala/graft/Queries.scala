@@ -276,17 +276,21 @@ object Queries {
        "LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' " +
        "GROUP BY c_custkey) GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
     "q14_promo_revenue" ->
-      ("SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' " +
-       "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) / " +
-       "sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct " +
+      ("SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' " +
+       "THEN CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) " +
+       "ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) / " +
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * " +
+       "(1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS promo_revenue_pct " +
        "FROM lineitem, part WHERE l_partkey = p_partkey " +
        "AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"),
     "q15_top_supplier" ->
-      ("WITH r AS (SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue " +
+      ("WITH r AS (SELECT l_suppkey, round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * " +
+       "(1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS trd " +
        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
        "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_suppkey) " +
-       "SELECT s_suppkey, s_name, total_revenue FROM r JOIN supplier ON l_suppkey = s_suppkey " +
-       "WHERE total_revenue = (SELECT max(total_revenue) FROM r) ORDER BY s_suppkey"),
+       "SELECT s_suppkey, s_name, CAST(trd AS DOUBLE) AS total_revenue " +
+       "FROM r JOIN supplier ON l_suppkey = s_suppkey " +
+       "WHERE trd = (SELECT max(trd) FROM r) ORDER BY s_suppkey"),
     "q18_large_orders" ->
       ("SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_date, " +
        "round(o_totalprice, 2) AS totalprice, total_qty FROM " +
@@ -447,7 +451,11 @@ object Queries {
     "sim_embed_candidates" -> (Similarity.embeddingCandidatePairs _),
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_feature_extract" -> (Multimodal.featureExtract _),
-    "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d))
+    "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    "mm_image_meta" -> (Multimodal.imageMeta _),
+    "text_clean" -> ((s: SparkSession, d: String) => TextAnalysis.clean(s, d)),
+    "dedup_paragraphs" -> ((s: SparkSession, d: String) => Dedup.paragraphDedup(s, d)),
+    "dedup_paragraph_flags" -> ((s: SparkSession, d: String) => Dedup.paragraphFlags(s, d))
   )
 
   // Shared oracle fragments: DuckDB twins of TextFunctions.normalize /
@@ -788,7 +796,52 @@ object Queries {
       ("SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, " +
        "CAST(1 + i * greatest(1, length(text) // 4) AS BIGINT) AS start, " +
        "md5(substring(text, CAST(1 + i * greatest(1, length(text) // 4) AS INTEGER), 32)) AS digest " +
-       "FROM documents, (SELECT unnest(range(4)) AS i) ORDER BY doc_id, frame_idx")
+       "FROM documents, (SELECT unnest(range(4)) AS i) ORDER BY doc_id, frame_idx"),
+    // the payload layout is deterministic doc_id arithmetic, so the
+    // oracle recomputes the EXPECTED header metadata directly — the
+    // compare is then an exact construct->parse round-trip check of the
+    // Spark-side PNG/JPEG header parser (plans.ImageMeta)
+    "mm_image_meta" ->
+      ("SELECT doc_id, " +
+       "CAST(CASE WHEN doc_id % 97 = 0 THEN octet_length(encode(substring(text, 1, 16))) " +
+       "WHEN doc_id % 2 = 0 THEN 33 ELSE 39 END AS BIGINT) AS n_bytes, " +
+       "CASE WHEN doc_id % 97 = 0 THEN NULL WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
+       "CASE WHEN doc_id % 97 = 0 THEN NULL ELSE CAST(doc_id % 1021 + 16 AS INTEGER) END AS width, " +
+       "CASE WHEN doc_id % 97 = 0 THEN NULL ELSE CAST((doc_id * 7) % 739 + 16 AS INTEGER) END AS height " +
+       "FROM documents ORDER BY doc_id"),
+    "text_clean" -> {
+      // the pattern string passes through verbatim: DuckDB single-quoted
+      // literals keep backslashes as-is (same convention as duckNorm)
+      val scrub = "trim(regexp_replace(regexp_replace(lower(text), " +
+        s"'${graft.operators.TextAnalysis.ScrubPattern}', ' ', 'g'), " +
+        "'\\s+', ' ', 'g'))"
+      val hits = graft.operators.TextAnalysis.CleanStopwords
+        .map(w => s"(CASE WHEN list_contains(tk, '$w') THEN 1 ELSE 0 END)").mkString(" + ")
+      val flag = graft.operators.TextAnalysis.CleanBadwords
+        .map(w => s"list_contains(tk, '$w')").mkString(" OR ")
+      s"WITH c AS (SELECT doc_id, $scrub AS s FROM documents), " +
+      "t AS (SELECT doc_id, s, string_split(s, ' ') AS tk FROM c) " +
+      s"SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, " +
+      s"CAST($hits AS BIGINT) AS stop_hits, ($flag) AS flagged, " +
+      "CAST(length(s) AS BIGINT) AS clean_len, md5(s) AS clean_fp " +
+      s"FROM t WHERE len(tk) >= 40 AND ($hits) >= 2 ORDER BY doc_id"
+    },
+    "dedup_paragraphs" ->
+      (s"WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents), " +
+       "c AS (SELECT doc_id, unnest(list_transform(range(1, 1 + CAST(ceil(len(tk) / 20.0) AS INTEGER)), " +
+       "i -> md5(array_to_string(tk[(i-1)*20+1 : i*20], ' ')))) AS para_fp FROM t) " +
+       "SELECT para_fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences, " +
+       "min(doc_id) AS min_doc_id FROM c GROUP BY para_fp " +
+       "HAVING count(DISTINCT doc_id) > 1 ORDER BY para_fp"),
+    "dedup_paragraph_flags" ->
+      (s"WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents), " +
+       "c AS (SELECT doc_id, unnest(list_transform(range(1, 1 + CAST(ceil(len(tk) / 20.0) AS INTEGER)), " +
+       "i -> md5(array_to_string(tk[(i-1)*20+1 : i*20], ' ')))) AS para_fp FROM t), " +
+       "sh AS (SELECT para_fp FROM c GROUP BY para_fp HAVING count(DISTINCT doc_id) > 1) " +
+       "SELECT doc_id, count(*) AS n_paras, " +
+       "CAST(sum(CASE WHEN para_fp IN (SELECT para_fp FROM sh) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras, " +
+       "round(CAST(sum(CASE WHEN para_fp IN (SELECT para_fp FROM sh) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_ratio " +
+       "FROM c GROUP BY doc_id ORDER BY doc_id")
     // knn_ivf's oracle is generated post-run from the served quantizer
     // (see knnIvfOracle below).
   )
@@ -807,7 +860,8 @@ object Queries {
     "q_day_over_day" -> (Analytics.dayOverDay _),
     "q_funnel" -> (Analytics.funnelSignupPurchase _),
     "q_gap_fill" -> (Analytics.gapFillDaily _),
-    "q_approx_sketches" -> (Analytics.approxSketches _)
+    "q_approx_sketches" -> (Analytics.approxSketches _),
+    "q_sketch_exact" -> (Analytics.sketchExact _)
   )
 
   val analyticsOracles: Map[String, String] = Map(
@@ -903,10 +957,17 @@ object Queries {
     "q_array_agg" ->
       ("SELECT user_id, array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types, " +
        "CAST(len(list_distinct(list(event_type))) AS BIGINT) AS n_types, " +
-       "count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id")
-    // no oracle (rows-only): q_approx_sketches — sketch values are
-    // engine-specific; differential error bounds vs exact in
-    // ExtensionsSpec.
+       "count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id"),
+    // q_approx_sketches itself stays no-oracle BY CONTRACT (sketch
+    // values are engine-specific); its exact counterpart below shares
+    // the grouping/aliasing/ordering so the sketch path's shape is
+    // oracled end-to-end, and the <=5% differential test in
+    // ExtensionsSpec bounds the sketch values against this exact frame.
+    "q_sketch_exact" ->
+      ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders, " +
+       "round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50, " +
+       "round(quantile_cont(l_extendedprice, 0.99), 2) AS exact_p99 " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
   )
 
   // DuckDB twin of the served IVF path, generated from the EXACT

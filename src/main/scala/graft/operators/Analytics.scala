@@ -132,6 +132,21 @@ object Analytics {
           .as("approx_p99"))
       .orderBy(col("l_returnflag"))
 
+  /** Exact counterpart of [[approxSketches]] — same grouping, same
+    * measures, exact operators — so the sketch path's SHAPE (grouping,
+    * aliasing, ordering) is validated end-to-end by the DuckDB oracle
+    * even though the sketch VALUES are contractually engine-specific
+    * (their bound is the <=5% differential test in ExtensionsSpec,
+    * which compares approxSketches against exactly this frame). */
+  def sketchExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_p50"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("exact_p99"))
+      .orderBy(col("l_returnflag"))
+
   /** Array aggregation surface: per-user distinct event types built
     * with collect_set/sort_array — the pattern for assembling nested
     * columns out of flat events. The array is emitted joined to a

@@ -281,27 +281,52 @@ object Dedup {
     * scale, shuffles on doc_id at large). Measured at sf0.1 this cut
     * the pair build ~3x vs carrying toks through the band join. */
   private[operators] def bandedPairsFor(sets: DataFrame, threshold: Double,
-      scope: String): DataFrame = {
-    val spark = sets.sparkSession
+      scope: String): DataFrame =
+    bandedPairsCore(sets, None, threshold, scope)
+
+  /** Banded near-dup pairs BETWEEN two disjoint set frames — the
+    * incremental-ingest shape (side a = standing corpus, side b =
+    * incoming batch). Identical topology to the self-join path: only
+    * CROSS-side band collisions materialize (corpus-vs-corpus pairs
+    * never enter the join), so cost scales with true batch-vs-corpus
+    * collisions — the property that makes a large backfill batch
+    * ingestible at 100 TB where a broadcast would OOM. */
+  private[operators] def bandedPairsAcross(setsA: DataFrame, setsB: DataFrame,
+      threshold: Double, scope: String): DataFrame =
+    bandedPairsCore(setsA, Some(setsB), threshold, scope)
+
+  private def bandedPairsCore(setsA: DataFrame, setsB: Option[DataFrame],
+      threshold: Double, scope: String): DataFrame = {
+    val spark = setsA.sparkSession
     // materialized once: the band table and both candidate-attach
     // joins below all read this frame — without the checkpoint each
     // consumer would recompute tokenize/shingle from the scan. Lazy so
     // plan-only callers (.schema/.explain) pay nothing; at scale this
     // IS the set table a production dedup writes before banding.
-    val repr = sets.withColumn("sz", size(col("toks"))).localCheckpoint(false)
-    scratch.track(spark, scope, repr)
-    val bands = signaturesFor(repr)
-      .withColumn("bks", array((0 until NumBands).map(bId =>
-        xxhash64(concat_ws(",",
-          (0 until BandRows).map(r => col("mh")(bId * BandRows + r).cast("string")): _*))): _*))
-      .select(col("doc_id"), col("sz"), col("bks"), posexplode(col("bks")))
-      .withColumnRenamed("pos", "band_id")
-      .withColumnRenamed("col", "band_key")
-      // both join sides read the band table: checkpoint so the
-      // signature pipeline runs once (a self-join reuses no subplan)
-      .localCheckpoint(false)
-    scratch.track(spark, scope, bands)
-    def side(suffix: String) =
+    def prep(sets: DataFrame): DataFrame = {
+      val r = sets.withColumn("sz", size(col("toks"))).localCheckpoint(false)
+      scratch.track(spark, scope, r)
+      r
+    }
+    val reprA = prep(setsA)
+    val reprB = setsB.map(prep).getOrElse(reprA)
+    def bandTable(repr: DataFrame): DataFrame = {
+      val b = signaturesFor(repr)
+        .withColumn("bks", array((0 until NumBands).map(bId =>
+          xxhash64(concat_ws(",",
+            (0 until BandRows).map(r => col("mh")(bId * BandRows + r).cast("string")): _*))): _*))
+        .select(col("doc_id"), col("sz"), col("bks"), posexplode(col("bks")))
+        .withColumnRenamed("pos", "band_id")
+        .withColumnRenamed("col", "band_key")
+        // both join sides read the band table: checkpoint so the
+        // signature pipeline runs once (a self-join reuses no subplan)
+        .localCheckpoint(false)
+      scratch.track(spark, scope, b)
+      b
+    }
+    val bandsA = bandTable(reprA)
+    val bandsB = setsB.map(_ => bandTable(reprB)).getOrElse(bandsA)
+    def side(bands: DataFrame, suffix: String) =
       bands.select(col("band_id"), col("band_key"),
         col("doc_id").as(s"doc_$suffix"), col("sz").as(s"s$suffix"),
         col("bks").as(s"bks_$suffix"))
@@ -312,8 +337,11 @@ object Dedup {
     // replaces the dropDuplicates SHUFFLE of that multiplied volume
     // with per-row arithmetic. Size-ratio prefilter first (sound:
     // jaccard <= min(sz)/max(sz)), it's the cheaper predicate.
-    val candidates = side("a").join(side("b"), Seq("band_id", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
+    // Self-join orients pairs doc_a < doc_b; the cross-side form skips
+    // that filter (the sides are disjoint, each pair appears once).
+    val joined = side(bandsA, "a").join(side(bandsB, "b"), Seq("band_id", "band_key"))
+    val oriented = if (setsB.isEmpty) joined.filter(col("doc_a") < col("doc_b")) else joined
+    val candidates = oriented
       .filter(least(col("sa"), col("sb")).cast("double") /
               greatest(col("sa"), col("sb")) >= threshold)
       .filter(!exists(
@@ -323,8 +351,8 @@ object Dedup {
         p => p))
       .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
     val withSets = candidates
-      .join(repr.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
-      .join(repr.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
+      .join(reprA.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(reprB.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
     // no presentation sort here: set consumers (connected components)
     // must not pay a global range-partition+sort they immediately
     // re-shuffle; the query-surface wrappers add their own orderBy.
@@ -456,20 +484,101 @@ object Dedup {
     * banded-LSH machinery over a side-tagged union takes over). Sets
     * are the hashed-long token sets, so the exact-Jaccard values match
     * the string-token oracle (hashing preserves set cardinalities). */
+  /** Broadcast ceiling for the incremental path, in batch DOCUMENTS: a
+    * normal trickle batch rides a broadcast; a backfill batch beyond
+    * this routes through the banded machinery (token-set rows at ~1 KB
+    * each put 1M docs ~1 GB — the practical broadcast bound). */
+  val IncrementalBroadcastMaxDocs = 1000000L
+
   def incrementalDedup(spark: SparkSession, dir: String,
-      threshold: Double = 0.8): DataFrame = {
-    // full reuse of the adaptive pair machinery: setRepr picks the
-    // bitmask fast path when the vocabulary allows, verifyPairs
-    // applies the sound size-ratio prefilter before paying for any
-    // intersect — same Jaccard, same oracle argument, one
-    // implementation to maintain
-    val (repr, masked) = setRepr(spark, dir)
-    val (aAll, bAll) = sides(repr, masked)
-    val incoming = aAll.filter(col("doc_a") % 10 === 0)
-    val corpus = bAll.filter(col("doc_b") % 10 =!= 0)
-    verifyPairs(corpus.crossJoin(broadcast(incoming)), threshold, masked)
-      .select(col("doc_a").as("new_doc_id"), col("doc_b").as("dup_of"), col("jaccard"))
-      .orderBy(col("new_doc_id"), col("dup_of"))
+      threshold: Double = 0.8,
+      maxBroadcastBatch: Long = IncrementalBroadcastMaxDocs): DataFrame = {
+    // batch-size dispatch: one column-pruned count of the incoming
+    // slice (a production ingest knows its batch row count for free;
+    // here it is derived from the same table the slice reads)
+    val batchDocs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0).count()
+    if (batchDocs <= maxBroadcastBatch) {
+      // full reuse of the adaptive pair machinery: setRepr picks the
+      // bitmask fast path when the vocabulary allows, verifyPairs
+      // applies the sound size-ratio prefilter before paying for any
+      // intersect — same Jaccard, same oracle argument, one
+      // implementation to maintain
+      val (repr, masked) = setRepr(spark, dir)
+      val (aAll, bAll) = sides(repr, masked)
+      val incoming = aAll.filter(col("doc_a") % 10 === 0)
+      val corpus = bAll.filter(col("doc_b") % 10 =!= 0)
+      verifyPairs(corpus.crossJoin(broadcast(incoming)), threshold, masked)
+        .select(col("doc_a").as("new_doc_id"), col("doc_b").as("dup_of"), col("jaccard"))
+        .orderBy(col("new_doc_id"), col("dup_of"))
+    } else {
+      // the batch outgrew broadcast: band it against the corpus with
+      // the SAME LSH machinery the self-dedup path uses, joined ACROSS
+      // sides — only corpus-vs-batch band collisions materialize, no
+      // nested loop, no corpus self-pairs. Same recall contract as
+      // dedup_minhash_lsh (miss probability ~3e-8 at 0.8), same exact
+      // Jaccard verification, so the output contract is unchanged.
+      val sets = tokenSets(spark, dir)
+      bandedPairsAcross(
+        sets.filter(col("doc_id") % 10 =!= 0),
+        sets.filter(col("doc_id") % 10 === 0),
+        threshold, s"$dir#incremental")
+        .select(col("doc_b").as("new_doc_id"), col("doc_a").as("dup_of"), col("jaccard"))
+        .orderBy(col("new_doc_id"), col("dup_of"))
+    }
+  }
+
+  /** "Paragraphs" of a document: consecutive `k`-token windows of the
+    * normalized token stream, each fingerprinted with engine-portable
+    * md5 — the exact-span unit every public pre-dedup pass hashes (C4
+    * dedups three-sentence spans, RefinedWeb/Gopher exact paragraph
+    * hashes; this corpus has no newlines, so the fixed-width window IS
+    * the paragraph boundary). The token array is materialized as a
+    * plain attribute BEFORE the chunk lambda so the per-chunk slice
+    * re-evaluates an attribute, not the whole tokenize pipeline (the
+    * measured O(len²) trap, see shingleSets). */
+  private def paragraphChunks(spark: SparkSession, dir: String, k: Int): DataFrame =
+    Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        explode(when(size(col("tk")) > 0,
+          transform(
+            sequence(lit(0), floor((size(col("tk")) - 1) / k).cast("int")),
+            i => md5(array_join(slice(col("tk"), i * k + 1, lit(k)), " "))))
+          .otherwise(array().cast("array<string>"))).as("para_fp"))
+
+  /** Paragraph-level dedup report: every paragraph fingerprint that
+    * occurs in MORE THAN ONE document — the shared-boilerplate table a
+    * training pipeline subtracts before doc-level near-dup (doc-level
+    * passes miss exactly this mode: distinct docs sharing a template
+    * paragraph). One explode + one hash-aggregate; scan-speed. */
+  def paragraphDedup(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    paragraphChunks(spark, dir, k)
+      .groupBy(col("para_fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_occurrences"),
+           min(col("doc_id")).as("min_doc_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("para_fp"))
+
+  /** Per-document boilerplate exposure: how many of a doc's paragraphs
+    * are shared with some other doc — the decision input for "scrub the
+    * shared spans, keep the doc". The shared-fp set is small by
+    * construction (it passed n_docs > 1), so it rides the join as an
+    * explicit broadcast. */
+  def paragraphFlags(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val chunks = paragraphChunks(spark, dir, k)
+    val shared = chunks
+      .groupBy(col("para_fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("para_fp"), lit(true).as("is_dup"))
+    chunks.join(broadcast(shared), Seq("para_fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+           sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_paras"))
+      .withColumn("dup_ratio", round(col("n_dup_paras") / col("n_paras"), 4))
+      .orderBy(col("doc_id"))
   }
 
   /** The deduped-corpus view: one row per surviving (canonical)
@@ -489,7 +598,7 @@ object Dedup {
     * storage blocks. (App shutdown evicts everything automatically.) */
   def evictCorpus(spark: SparkSession, dir: String): Unit = {
     clusterCache.evict(spark, dir)
-    Seq(dir, s"$dir#banded", s"$dir#shingle").foreach { scope =>
+    Seq(dir, s"$dir#banded", s"$dir#shingle", s"$dir#incremental").foreach { scope =>
       pairCache.evict(spark, scope)
       scratch.evict(spark, scope)
     }

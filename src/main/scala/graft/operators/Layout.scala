@@ -21,11 +21,18 @@ object Layout {
     * columns (a in odd positions, b in even): the Morton index. A
     * static fold over bit positions — 2*bits shift/mask terms, all
     * inside whole-stage codegen. */
-  def morton(a: Column, b: Column, bits: Int = 16): Column =
+  def morton(a: Column, b: Column, bits: Int = 16): Column = {
+    // bits = 31 is the ceiling: the top term shifts to position
+    // 2*(bits-1)+1 = 61; at bits >= 32 interleaved bits would reach the
+    // sign bit, z-values go negative, and the range partition of the
+    // curve is silently corrupted — fail fast instead
+    require(bits >= 1 && bits <= 31,
+      s"morton bits must be in [1, 31] (got $bits): 2*(bits-1)+1 must stay below the long sign bit")
     (0 until bits).map { i =>
       shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
         .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
     }.reduce(_ bitwiseOR _)
+  }
 
   /** Normalize a numeric column to [0, 2^bits) against the given
     * bounds (computed once per write, broadcast). */

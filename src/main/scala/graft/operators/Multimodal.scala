@@ -92,6 +92,59 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Real multimodal decode: PNG/JPEG header parsing over a binary
+    * media column via the codegen'd [[graft.plans.ImageMeta]]
+    * expression (magic bytes, IHDR offsets, JPEG segment walk — the
+    * public file-format specs, see ImageExpressions.scala).
+    *
+    * The container ships no image files, so the media column is
+    * CONSTRUCTED per-row to the byte layout of the specs themselves —
+    * a spec-conformant PNG signature+IHDR or SOI+APP0(JFIF)+SOF0
+    * stream carrying dimensions derived from doc_id (and a deliberate
+    * non-image payload every 97th doc) — and the parser must invert
+    * that construction exactly: format routing, big-endian dims at the
+    * right offsets, APP0 skipped by its length field, NULL on the
+    * corrupt rows. Construction is plain codegen'd byte concat
+    * (hex/lpad/unhex big-endians), so the whole query is one
+    * shuffle-free scan; the DuckDB oracle recomputes the expected
+    * metadata from the same doc_id arithmetic, making the compare an
+    * exact round-trip check of the parser. (Unit tests additionally
+    * feed multi-segment JPEGs and truncation edge cases —
+    * ImageMetaSpec.) */
+  def imageMeta(spark: SparkSession, dir: String): DataFrame = {
+    val w = (col("doc_id") % 1021 + 16).cast("int")
+    val h = ((col("doc_id") * 7) % 739 + 16).cast("int")
+    def be(n: org.apache.spark.sql.Column, hexDigits: Int) =
+      unhex(lpad(hex(n), hexDigits, "0"))
+    // PNG: signature, IHDR length (13), "IHDR", w, h, bit depth 8,
+    // color type 6 (RGBA), compression/filter/interlace 0, CRC bytes
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
+      be(w, 8), be(h, 8),
+      unhex(lit("0806000000" + "00000000")))
+    // JPEG: SOI, APP0/JFIF (16-byte segment the parser must SKIP via
+    // its length field), then SOF0 (len 17, precision 8, h, w, 3
+    // components 4:2:0)
+    val jpeg = concat(
+      unhex(lit("FFD8" + "FFE000104A46494600010100000100010000")),
+      unhex(lit("FFC00011" + "08")), be(h, 4), be(w, 4),
+      unhex(lit("03012200021101031101")))
+    val corrupt = encode(col("text").substr(1, 16), "UTF-8")
+    val payload = when(col("doc_id") % 97 === 0, corrupt)
+      .when(col("doc_id") % 2 === 0, png)
+      .otherwise(jpeg)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), payload.as("img"))
+      .select(col("doc_id"),
+        length(col("img")).cast("long").as("n_bytes"),
+        graft.plans.VectorExpressions.imgMeta(col("img")).as("m"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("m.format").as("format"),
+        col("m.width").as("width"),
+        col("m.height").as("height"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The per-partition codec-batch shape a REAL decoder plugs into:
     * typed Dataset, one iterator pass per partition, imperative decode
     * per record (`fakeDecode` stands in for the codec). Kept as the

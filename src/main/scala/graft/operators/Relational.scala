@@ -432,10 +432,16 @@ object Relational {
               col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
       .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
     val part = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
-    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    // decimal(18,6) accumulation (same discipline as q8/q9/q10): the
+    // sums are order-free exact; divide as double only once both sides
+    // are closed, so the 4dp ratio can't straddle a half-rounding
+    // boundary between engines at any scale factor
+    val disc = col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .agg(round(lit(100.0) *
-             sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))) / sum(disc),
+             sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast("decimal(18,6)")))
+               .cast("double") / sum(disc).cast("double"),
            4).as("promo_revenue_pct"))
   }
 
@@ -445,16 +451,22 @@ object Relational {
     * rounded BEFORE the max-equality so both engines compare the same
     * decimal. */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    // decimal(18,6) accumulation so the 2dp revenue — and therefore the
+    // max-equality pick — is summation-order-free (same discipline as
+    // q10/q19); cast to double only in the final projection
+    val disc = col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
     val rev = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
               col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
       .groupBy(col("l_suppkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_revenue"))
-    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+      .agg(round(sum(disc), 2).as("total_revenue_dec"))
+    val maxRev = rev.agg(max(col("total_revenue_dec")).as("max_rev"))
     rev.crossJoin(broadcast(maxRev))
-      .filter(col("total_revenue") === col("max_rev"))
+      .filter(col("total_revenue_dec") === col("max_rev"))
       .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .select(col("s_suppkey"), col("s_name"),
+              col("total_revenue_dec").cast("double").as("total_revenue"))
       .orderBy(col("s_suppkey"))
   }
 

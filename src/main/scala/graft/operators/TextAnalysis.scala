@@ -144,7 +144,7 @@ object TextAnalysis {
     * distribution view that drives truncation/packing decisions in a
     * training pipeline). One scan, one aggregate on (source, bucket). */
   def lengthHistogram(spark: SparkSession, dir: String, width: Int = 20): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsParallel(spark, dir)
       .groupBy(col("source"),
         (floor(tokenCount(col("text")) / width) * width).cast("long").as("bucket_lo"))
       .agg(count(lit(1)).as("n_docs"))
@@ -156,7 +156,7 @@ object TextAnalysis {
     * combined count. The n-gram frequency table that feeds phrase
     * vocabularies and boilerplate detection. */
   def topBigrams(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
-    Tables.documents(spark, dir)
+    Tables.documentsParallel(spark, dir)
       .select(explode(ngrams(tokens(col("text")), 2)).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
@@ -261,7 +261,14 @@ object TextAnalysis {
   }
 
   def docPacking(spark: SparkSession, dir: String, capacity: Int = 2048): DataFrame =
+    // spread by SOURCE, not doc_id: the packing window right below
+    // partitions by source, so hashpartitioning(source, N) both breaks
+    // the single-row-group scan's one-core tokenize (the measured
+    // pitfall documentsParallel exists for) AND satisfies the window's
+    // distribution — one exchange serves both, keeping the audited
+    // shuffle-once plan
     Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("source"))
       .select(col("source"), col("doc_id"), tokenCount(col("text")).as("tok"))
       .withColumn("seq_id", packedSeqId(col("tok"), capacity))
       .groupBy(col("source"), col("seq_id"))
@@ -332,6 +339,58 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(round(avg(-log(col("tf") / col("n_total"))), 4).as("nll"),
            count(lit(1)).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** URL/email pattern shared by [[clean]] and its DuckDB oracle
+    * (RE2-compatible — no lookaround — so both engines run it
+    * verbatim). */
+  val ScrubPattern: String =
+    "(https?://[^\\s]+)|([A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+)"
+
+  /** Gopher-style stopword witness list for [[clean]] (the C4 paper
+    * gates on an English function-word appearing; Gopher requires >= 2
+    * of a small set). */
+  val CleanStopwords: Seq[String] = Seq("the", "a", "and", "of", "to")
+
+  /** Stand-in bad-word list (the C4 pipeline consults a public
+    * blocklist; any real deployment swaps its own in — the MECHANISM,
+    * a token-membership flag, is what this operator ships). */
+  val CleanBadwords: Seq[String] = Seq("slow", "crash")
+
+  /** C4/Gopher-style corpus cleaning — the rule pass every public
+    * training-data pipeline runs BEFORE dedup (C4 §2.1, Gopher A.1.1):
+    *
+    *  1. scrub URLs and emails out of the text (regexp, codegen'd);
+    *  2. drop documents under a minimum token count (Gopher's 50);
+    *  3. drop documents without >= 2 distinct function-word stopwords
+    *     (the "is this prose at all" witness);
+    *  4. flag — not drop — documents hitting the bad-word list, so a
+    *     policy layer downstream owns the removal decision.
+    *
+    * Output = the KEPT manifest (non-vacuous row delta by design) with
+    * the per-doc rule evidence and a fingerprint of the scrubbed text
+    * (witnesses both engines cleaned identically). One scan, zero
+    * shuffles before the presentation sort. */
+  def clean(spark: SparkSession, dir: String,
+      minTokens: Int = 40, minStopwords: Int = 2): DataFrame = {
+    val scrubbed = trim(regexp_replace(
+      regexp_replace(lower(col("text")), ScrubPattern, " "), "\\s+", " "))
+    val tk = split(scrubbed, " ")
+    val stopHits = CleanStopwords
+      .map(w => when(array_contains(tk, w), 1).otherwise(0))
+      .reduce(_ + _)
+    val flagged = CleanBadwords
+      .map(w => array_contains(tk, w))
+      .reduce(_ || _)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tk).cast("long").as("n_tokens"),
+        stopHits.cast("long").as("stop_hits"),
+        flagged.as("flagged"),
+        length(scrubbed).cast("long").as("clean_len"),
+        md5(scrubbed).as("clean_fp"))
+      .filter(col("n_tokens") >= minTokens && col("stop_hits") >= minStopwords)
       .orderBy(col("doc_id"))
   }
 

@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft_img_meta(binary)` → `struct<format: string, width: int,
+  * height: int>`, NULL when the bytes are not a recognizable image —
+  * real multimodal decode over an opaque media column, from the public
+  * file-format specs alone:
+  *
+  *  - PNG (RFC 2083 / W3C spec): 8-byte signature, then the IHDR chunk
+  *    is REQUIRED first — width and height are the two big-endian
+  *    uint32s at fixed offsets 16 and 20;
+  *  - JPEG (ITU T.81 / JFIF): an SOI marker then a SEGMENT STREAM —
+  *    dimensions live in whichever SOFn frame header appears, so the
+  *    parser must walk segments by their length fields (skipping APPn /
+  *    DQT / DHT / COM and padding bytes), exactly what any real decoder
+  *    front-end does. Handles standalone markers (RSTn/TEM) and rejects
+  *    truncated or EOI-before-SOF streams.
+  *
+  * A pure per-row byte walk with no allocation beyond the result row:
+  * runs inside whole-stage codegen via a static call, so header
+  * extraction over a 100 TB media table is scan-speed. The deliberately
+  * stubbed pixel-decode seam (Multimodal.fakeDecode) remains for full
+  * decodes; header metadata — the first thing a media curation pipeline
+  * actually needs (resolution filters, aspect-ratio buckets, format
+  * routing) — is real. */
+case class ImageMeta(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_img_meta expects a binary column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ImageMeta.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_img_meta"
+
+  override def nullSafeEval(input: Any): Any =
+    ImageMeta.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.plans.ImageMeta.parse($b);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): ImageMeta =
+    copy(child = newChild)
+}
+
+object ImageMeta {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  private val PngSig: Array[Int] = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+
+  /** Null iff the bytes are not a parseable PNG/JPEG header. Called
+    * from generated code (static, no captures). */
+  def parse(b: Array[Byte]): InternalRow = {
+    val png = parsePng(b)
+    if (png != null) png else parseJpeg(b)
+  }
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  private def row(fmt: String, w: Long, h: Long): InternalRow =
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) null
+    else new GenericInternalRow(Array[Any](UTF8String.fromString(fmt), w.toInt, h.toInt))
+
+  private def parsePng(b: Array[Byte]): InternalRow = {
+    // signature + IHDR length (13) + "IHDR" + width + height = 24 bytes
+    if (b.length < 24) return null
+    var i = 0
+    while (i < 8) { if (u8(b, i) != PngSig(i)) return null; i += 1 }
+    // IHDR must be the first chunk (spec §5.6); its 4-byte length is 13
+    if (be32(b, 8) != 13L) return null
+    if (u8(b, 12) != 'I' || u8(b, 13) != 'H' || u8(b, 14) != 'D' || u8(b, 15) != 'R') return null
+    row("png", be32(b, 16), be32(b, 20))
+  }
+
+  private def parseJpeg(b: Array[Byte]): InternalRow = {
+    if (b.length < 4 || u8(b, 0) != 0xFF || u8(b, 1) != 0xD8) return null // SOI
+    var i = 2
+    while (i + 1 < b.length) {
+      if (u8(b, i) != 0xFF) return null // marker misalignment: corrupt
+      var m = u8(b, i + 1)
+      // fill bytes: any number of 0xFF may pad before a marker (T.81 B.1.1.2)
+      while (m == 0xFF && i + 2 < b.length) { i += 1; m = u8(b, i + 1) }
+      m match {
+        case 0xD8 | 0x01 => i += 2 // SOI again / TEM: standalone
+        case r if r >= 0xD0 && r <= 0xD7 => i += 2 // RSTn: standalone
+        case 0xD9 => return null // EOI before any SOF: no dimensions
+        case sof if sof >= 0xC0 && sof <= 0xCF && sof != 0xC4 && sof != 0xC8 && sof != 0xCC =>
+          // SOFn frame header: len(2) precision(1) height(2) width(2)
+          if (i + 8 >= b.length) return null
+          return row("jpeg", be16(b, i + 7).toLong, be16(b, i + 5).toLong)
+        case _ =>
+          // every other segment (APPn, DQT, DHT, COM, ...) carries its
+          // own big-endian length INCLUDING the length field — skip it
+          if (i + 3 >= b.length) return null
+          val segLen = be16(b, i + 2)
+          if (segLen < 2) return null
+          i += 2 + segLen
+      }
+    }
+    null
+  }
+}

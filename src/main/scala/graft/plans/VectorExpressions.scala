@@ -161,6 +161,8 @@ object VectorExpressions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cos", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_img_meta", exprs => ImageMeta(exprs(0)), "scala_udf")
   }
 
   /** Column-API form; registers on the active session on first use.
@@ -177,5 +179,12 @@ object VectorExpressions {
   def cos(a: Column, b: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_cos", a, b)
+  }
+
+  /** PNG/JPEG header metadata (plans.ImageMeta), column form; same
+    * registration precondition. */
+  def imgMeta(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_img_meta", c)
   }
 }

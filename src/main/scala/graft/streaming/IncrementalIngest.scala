@@ -213,6 +213,11 @@ object IncrementalIngest {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     source(spark, inputDir)
       .select(col("station"), col("dateTime"), col(sensor).cast("double"))
+      // wview archives store NULL for absent sensors (WviewSchema keeps
+      // every sensor column nullable); the non-nullable tuple encoder
+      // below would kill the whole query on the first NULL reading, so
+      // skip them — a missing sample carries no anomaly signal anyway
+      .filter(col(sensor).isNotNull)
       .as[(String, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SensorState, Anomaly](

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+
+/** plans.ImageMeta: the header parser must handle REAL file layouts —
+  * not just the fixture the registered query constructs — so these
+  * bytes are hand-assembled to the public specs, including the cases
+  * the query never produces (multi-segment JPEGs, fill bytes,
+  * truncations, EOI-before-SOF). */
+class ImageMetaSpec extends SparkSpec {
+
+  private def be32(v: Long): Array[Byte] =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+  private def hx(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def png(w: Long, h: Long): Array[Byte] =
+    hx("89504E470D0A1A0A") ++ hx("0000000D") ++ "IHDR".getBytes ++
+      be32(w) ++ be32(h) ++ hx("080600000000000000")
+
+  /** JPEG with APP0(JFIF) + APP1(Exif-ish, 32 bytes of payload) + DQT
+    * before the SOF — the parser must skip all three by length. */
+  private def jpegMultiSeg(w: Int, h: Int, sofMarker: Int = 0xC0): Array[Byte] = {
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, marker.toByte) ++ be16(payload.length + 2) ++ payload
+    hx("FFD8") ++
+      seg(0xE0, "JFIF".getBytes ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)) ++
+      seg(0xE1, Array.fill[Byte](32)(0x42)) ++
+      seg(0xDB, Array.fill[Byte](65)(1)) ++
+      seg(sofMarker, Array[Byte](8) ++ be16(h) ++ be16(w) ++
+        hx("03012200021101031101"))
+  }
+
+  private def parse(b: Array[Byte]): Option[(String, Int, Int)] = {
+    val r = graft.plans.ImageMeta.parse(b)
+    Option(r).map(row => (row.getUTF8String(0).toString, row.getInt(1), row.getInt(2)))
+  }
+
+  test("PNG IHDR: dims at spec offsets; truncation and bad signature rejected") {
+    assert(parse(png(640, 480)) === Some(("png", 640, 480)))
+    assert(parse(png(1, 1)) === Some(("png", 1, 1)))
+    assert(parse(png(640, 480).take(23)) === None) // mid-IHDR truncation
+    val badSig = png(640, 480); badSig(1) = 'Q'.toByte
+    assert(parse(badSig) === None)
+    assert(parse(png(0, 480)) === None) // zero dimension: invalid per spec
+  }
+
+  test("JPEG: segment walk skips APPn/DQT by length; SOF0/SOF2 both carry dims") {
+    assert(parse(jpegMultiSeg(1024, 768)) === Some(("jpeg", 1024, 768)))
+    assert(parse(jpegMultiSeg(33, 17, sofMarker = 0xC2)) === Some(("jpeg", 33, 17))) // progressive
+    // fill bytes before a marker are legal padding (T.81 B.1.1.2)
+    val filled = hx("FFD8FFFF") ++ jpegMultiSeg(5, 6).drop(2)
+    assert(parse(filled) === Some(("jpeg", 5, 6)))
+    // EOI before any SOF: a dimensionless stream, not an image with dims
+    assert(parse(hx("FFD8FFD9")) === None)
+    // truncated inside the APP1 segment
+    assert(parse(jpegMultiSeg(9, 9).take(12)) === None)
+    // DHT (C4) is NOT a frame header even though it sits in the CX range
+    val dhtFirst = hx("FFD8") ++ hx("FFC4") ++ be16(4) ++ Array.fill[Byte](2)(0) ++
+      jpegMultiSeg(7, 8).drop(2)
+    assert(parse(dhtFirst) === Some(("jpeg", 7, 8)))
+  }
+
+  test("garbage and empty inputs are null, not errors") {
+    assert(parse(Array.emptyByteArray) === None)
+    assert(parse("hello world plain text".getBytes) === None)
+    assert(parse(hx("FFD8") ++ "not markers".getBytes) === None)
+  }
+
+  test("expression path (codegen): struct fields and nulls through SQL") {
+    val rows = Seq(
+      Row(1L, png(800, 600)),
+      Row(2L, jpegMultiSeg(320, 240)),
+      Row(3L, "junk".getBytes),
+      Row(4L, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("id", LongType), StructField("img", BinaryType))))
+    val out = df.select(col("id"), graft.plans.VectorExpressions.imgMeta(col("img")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .orderBy(col("id")).collect()
+    assert(out(0).getString(1) === "png" && out(0).getInt(2) === 800 && out(0).getInt(3) === 600)
+    assert(out(1).getString(1) === "jpeg" && out(1).getInt(2) === 320 && out(1).getInt(3) === 240)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2) && out(2).isNullAt(3))
+    assert(out(3).isNullAt(1))
+  }
+
+  test("registered query round-trips its constructed headers at sf0.001") {
+    val out = graft.operators.Multimodal.imageMeta(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 97 == 0) {
+        assert(r.isNullAt(2), s"doc $id: corrupt payload must parse null")
+      } else {
+        assert(r.getString(2) === (if (id % 2 == 0) "png" else "jpeg"), s"doc $id")
+        assert(r.getInt(3) === (id % 1021 + 16).toInt, s"doc $id width")
+        assert(r.getInt(4) === ((id * 7) % 739 + 16).toInt, s"doc $id height")
+      }
+    }
+    // and the fixture must exercise all three branches
+    assert(out.exists(_.getLong(0) % 97 == 0))
+    assert(out.exists(r => !r.isNullAt(2) && r.getString(2) == "png"))
+    assert(out.exists(r => !r.isNullAt(2) && r.getString(2) == "jpeg"))
+  }
+}

@@ -74,6 +74,15 @@ class LayoutSpec extends SparkSpec {
       s"z-order should let footer stats skip files: z=$zSkipped vs sorted=$sSkipped")
   }
 
+  test("morton rejects bit widths that would reach the long sign bit") {
+    // bits = 32 would shift an interleaved bit to position 63: negative
+    // z-values, corrupted curve order — must fail fast at plan build
+    intercept[IllegalArgumentException] { Layout.morton(lit(1L), lit(1L), bits = 32) }
+    intercept[IllegalArgumentException] { Layout.morton(lit(1L), lit(1L), bits = 0) }
+    // 31 is the documented ceiling and must stay legal
+    Layout.morton(lit(1L), lit(1L), bits = 31)
+  }
+
   test("morton interleaving is order-preserving per dimension at fixed other") {
     // sanity on the bit math: along one axis (other fixed), z is monotone
     val rows = spark.range(0, 256)

@@ -13,6 +13,23 @@ class PlanAuditSpec extends SparkSpec {
   private def planOf(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("incremental dedup large-batch path is banded — no nested-loop, and row-identical") {
+    import graft.operators.Dedup
+    // forcing the dispatch (broadcast ceiling 0) must route through the
+    // cross-side banded machinery: equi-join on (band_id, band_key),
+    // never a BroadcastNestedLoopJoin/CartesianProduct over the corpus
+    val banded = Dedup.incrementalDedup(spark, sf, maxBroadcastBatch = 0L)
+    val plan = planOf(banded)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"large-batch incremental dedup fell back to a nested loop:\n$plan")
+    // and the output contract is unchanged: identical rows to the
+    // broadcast path (banded recall is exact on this corpus — the same
+    // differential argument dedup_minhash_lsh's oracle rests on)
+    val broadcastPath = Dedup.incrementalDedup(spark, sf)
+    assert(banded.collect().map(_.toString).toSeq ===
+      broadcastPath.collect().map(_.toString).toSeq)
+  }
+
   test("events time-range predicates reach the parquet scan as PushedFilters") {
     val plan = planOf(TimeSeries.rangeFilter(spark, sf))
     // the rewrite onto the raw int64 nanos column is what makes these

@@ -56,6 +56,21 @@ class StreamingSpec extends SparkSpec {
       === Seq(("2024-03-01", "stA", 288L), ("2024-03-01", "stB", 288L)))
   }
 
+  /** Run SQL against a fixture .sdb with whatever this container has:
+    * the sqlite3 CLI when present, else python3's stdlib sqlite3
+    * module; cancels the test (assume) when neither exists. */
+  private def fixtureSql(db: java.nio.file.Path, stmt: String): Unit = {
+    def run(cmd: String*): Option[Int] =
+      try Some(new ProcessBuilder(cmd: _*).inheritIO().start().waitFor())
+      catch { case _: java.io.IOException => None }
+    val rc = run("sqlite3", db.toString, stmt).orElse(
+      run("python3", "-c",
+        "import sqlite3,sys; c=sqlite3.connect(sys.argv[1]); c.executescript(sys.argv[2]); c.close()",
+        db.toString, stmt))
+    assume(rc.isDefined, "neither sqlite3 CLI nor python3 available to author fixtures")
+    assert(rc.get === 0, s"fixture sql failed: $stmt")
+  }
+
   /** Like writeDay but with explicit outTemp values per sample. */
   private def writeValues(dir: String, station: String, day: LocalDate,
       vals: Seq[Double], offset: Int = 0): Unit = {
@@ -105,6 +120,34 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.sql("SELECT value FROM anoms0").collect()
     q.stop()
     assert(rows.map(_.getDouble(0)).toSeq === Seq(99.0), rows.mkString("; "))
+  }
+
+  test("anomaly detector skips NULL sensor readings instead of dying") {
+    val in = Files.createTempDirectory("graft-anomnull-in").toString
+    // wview stores NULL for absent sensors; the tuple encoder is
+    // non-nullable, so without the isNotNull filter the FIRST null
+    // sample kills the whole streaming query
+    val start = d1.atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val vals: Seq[Any] = (0 until 15).map(i => if (i % 2 == 0) 50.0 else 50.2) ++
+      Seq(null, null) // sensor dropout mid-stream
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      Row.fromSeq((start + i * 300L).asInstanceOf[Any] :: 1 ::
+        WviewSchema.sensorNames.map(n => if (n == "outTemp") v else 50.0: Any).toList)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), WviewSchema.schema)
+      .write.mode(SaveMode.Append).parquet(s"$in/stA")
+    val q = IncrementalIngest.anomalies(spark, in)
+      .writeStream.outputMode("append").format("memory").queryName("anomsnull").start()
+    q.processAllAvailable() // would throw "Null value appeared in non-nullable field" unfiltered
+    assert(spark.sql("SELECT * FROM anomsnull").count() === 0)
+    // state survived the dropout: a later spike still emits, and the
+    // running stats reflect only the 15 non-null warmup samples
+    writeValues(in, "stA", d1, Seq(99.0), offset = 17)
+    q.processAllAvailable()
+    val out = spark.sql("SELECT value, expected FROM anomsnull").collect()
+    q.stop()
+    assert(out.map(_.getDouble(0)).toSeq === Seq(99.0), out.mkString("; "))
+    assert(math.abs(out(0).getDouble(1) - 50.09) < 0.1)
   }
 
   test("stream-static join enriches the stream with broadcast station metadata") {
@@ -218,9 +261,7 @@ class StreamingSpec extends SparkSpec {
     val ins = newTimes.map(t =>
       s"INSERT INTO archive(dateTime, usUnits, interval, outTemp) VALUES ($t, 1, 5, 42.0);")
       .mkString(" ")
-    val proc = new ProcessBuilder("sqlite3", dir.resolve("stA.sdb").toString, ins)
-      .inheritIO().start()
-    assert(proc.waitFor() === 0, "sqlite3 CLI insert failed")
+    fixtureSql(dir.resolve("stA.sdb"), ins)
 
     runOnce()
     val second = spark.read.parquet(out)
@@ -278,11 +319,7 @@ class StreamingSpec extends SparkSpec {
         .format("parquet").option("path", out).start()
       assert(q.awaitTermination(120000))
     }
-    def sql(stmt: String): Unit = {
-      val pr = new ProcessBuilder("sqlite3", dir.resolve("stA.sdb").toString, stmt)
-        .inheritIO().start()
-      assert(pr.waitFor() === 0, s"sqlite3 failed: $stmt")
-    }
+    def sql(stmt: String): Unit = fixtureSql(dir.resolve("stA.sdb"), stmt)
 
     runOnce()
     assert(spark.read.parquet(out).count() === 576)
