@@ -370,7 +370,13 @@ object Dedup {
     * the signatures exactly. xxhash64 would be ~2x cheaper per token but
     * is Spark-private; md5 keeps the whole family oracle-checkable and
     * the cost is still one codegen'd digest per (doc, token). */
-  def simhashes(spark: SparkSession, dir: String): DataFrame = {
+  def simhashes(spark: SparkSession, dir: String): DataFrame =
+    simhashesUnsorted(spark, dir).orderBy(col("doc_id"))
+
+  /** The signature computation without the query surface's presentation
+    * sort — pair generation re-shuffles on band value immediately, so a
+    * global range-sort between them would be pure waste. */
+  private def simhashesUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val th = Tables.documentsParallel(spark, dir)
       .select(col("doc_id"), explode(distinctTokens(col("text"))).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("m"))
@@ -389,7 +395,6 @@ object Dedup {
         (0 until 64).map(i =>
           when(col(s"b$i") > 0, lit(SimhashBitWeight(i))).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
-      .orderBy(col("doc_id"))
   }
 
   /** Two's-complement weight of bit i in a signed 64-bit value. */
@@ -400,7 +405,13 @@ object Dedup {
     * 4x16-bit bands: any pair with <=3 differing bits shares at least one
     * intact band, so an equi-join on band value finds every such pair. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashes(spark, dir)
+    // checkpoint the signatures: BOTH sides of the band self-join read
+    // them, and a self-join reuses no subplan — without the barrier the
+    // md5-per-token signature pipeline runs twice (measured ~2x the
+    // whole query's cost). Tracked under the corpus scope so
+    // evictCorpus releases the blocks.
+    val sh = simhashesUnsorted(spark, dir).localCheckpoint(false)
+    scratch.track(spark, dir, sh)
     val bands = sh.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(k =>

@@ -383,7 +383,9 @@ object TextAnalysis {
     val flagged = CleanBadwords
       .map(w => array_contains(tk, w))
       .reduce(_ || _)
-    Tables.documents(spark, dir)
+    // documentsParallel: two full-text regexp passes + tokenize are the
+    // same interpreted-heavy per-row shape the rollout covers
+    Tables.documentsParallel(spark, dir)
       .select(col("doc_id"),
         size(tk).cast("long").as("n_tokens"),
         stopHits.cast("long").as("stop_hits"),

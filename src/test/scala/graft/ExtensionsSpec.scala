@@ -309,11 +309,10 @@ class ExtensionsSpec extends SparkSpec {
     import graft.operators.Analytics
     val approx = Analytics.approxSketches(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
-    val exact = Tables.lineitem(spark, sf)
-      .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_orderkey")).as("n"),
-           expr("percentile(l_extendedprice, 0.5)").as("p50"),
-           expr("percentile(l_extendedprice, 0.99)").as("p99"))
+    // the exact side IS the registered q_sketch_exact frame (the oracled
+    // shape twin), so the differential bound and the DuckDB compare
+    // close over one definition
+    val exact = Analytics.sketchExact(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
     exact.foreach { case (flag, (n, p50, p99)) =>
       val (an, ap50, ap99) = approx(flag)
