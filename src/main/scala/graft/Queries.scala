@@ -453,6 +453,8 @@ object Queries {
     "mm_feature_extract" -> (Multimodal.featureExtract _),
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "mm_image_meta" -> (Multimodal.imageMeta _),
+    "mm_audio_meta" -> (Multimodal.audioMeta _),
+    "text_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
     "text_clean" -> ((s: SparkSession, d: String) => TextAnalysis.clean(s, d)),
     "dedup_paragraphs" -> ((s: SparkSession, d: String) => Dedup.paragraphDedup(s, d)),
     "dedup_paragraph_flags" -> ((s: SparkSession, d: String) => Dedup.paragraphFlags(s, d))
@@ -809,6 +811,30 @@ object Queries {
        "CASE WHEN doc_id % 97 = 0 THEN NULL ELSE CAST(doc_id % 1021 + 16 AS INTEGER) END AS width, " +
        "CASE WHEN doc_id % 97 = 0 THEN NULL ELSE CAST((doc_id * 7) % 739 + 16 AS INTEGER) END AS height " +
        "FROM documents ORDER BY doc_id"),
+    // WAV twin of mm_image_meta: expected metadata recomputed from the
+    // same doc_id arithmetic -> exact construct->parse round-trip check
+    // of the RIFF chunk walk (incl. the JUNK chunk odd docs carry)
+    "mm_audio_meta" ->
+      ("SELECT doc_id, " +
+       "CAST(CASE WHEN doc_id % 89 = 0 THEN octet_length(encode(substring(text, 1, 12))) " +
+       "WHEN doc_id % 2 = 1 THEN 48 ELSE 36 END AS BIGINT) AS n_bytes, " +
+       "CASE WHEN doc_id % 89 = 0 THEN NULL ELSE CAST(1 + doc_id % 2 AS INTEGER) END AS channels, " +
+       "CASE WHEN doc_id % 89 = 0 THEN NULL ELSE CAST(8000 * (1 + doc_id % 6) AS INTEGER) END AS sample_rate, " +
+       "CASE WHEN doc_id % 89 = 0 THEN NULL ELSE CAST(8 * (1 + doc_id % 3) AS INTEGER) END AS bits " +
+       "FROM documents ORDER BY doc_id"),
+    // the sampler's keep decision is a pure function of doc_id (md5
+    // uniform), so the oracle reproduces the EXACT sample — the whole
+    // point of the deterministic form (sampleBy's RNG has no SQL twin)
+    "text_sample_stratified" -> {
+      val cases = graft.operators.TextAnalysis.DefaultSampleFractions
+        .map { case (s, f) => s"WHEN source = '$s' THEN $f" }.mkString(" ")
+      val dflt = graft.operators.TextAnalysis.DefaultSampleFraction
+      "WITH s AS (SELECT doc_id, source, " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u " +
+      "FROM documents) " +
+      "SELECT doc_id, source, round(u, 6) AS u FROM s " +
+      s"WHERE u < (CASE $cases ELSE $dflt END) ORDER BY doc_id"
+    },
     "text_clean" -> {
       // the pattern string passes through verbatim: DuckDB single-quoted
       // literals keep backslashes as-is (same convention as duckNorm)

@@ -145,6 +145,49 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Audio twin of [[imageMeta]]: WAV header decode over constructed
+    * spec-conformant RIFF/WAVE streams (plans.WavMeta walks the chunk
+    * list by little-endian size fields). Odd doc_ids carry a JUNK chunk
+    * BEFORE fmt so the chunk walk — not a fixed offset read — is what
+    * the oracle certifies; every 89th doc is a deliberate non-WAV
+    * payload that must parse NULL. */
+  def audioMeta(spark: SparkSession, dir: String): DataFrame = {
+    val rate = (lit(8000) * (lit(1) + col("doc_id") % 6)).cast("int")
+    val channels = (lit(1) + col("doc_id") % 2).cast("int")
+    val bits = (lit(8) * (lit(1) + col("doc_id") % 3)).cast("int")
+    // little-endian byte strings from integral columns (all values here
+    // are small positive ints, so the double `/` then long cast is exact
+    // floor division)
+    def byteOf(n: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(n.cast("long") % 256), 2, "0"))
+    def le16(n: org.apache.spark.sql.Column) =
+      concat(byteOf(n), byteOf((n.cast("long") / 256).cast("long")))
+    def le32(n: org.apache.spark.sql.Column) =
+      concat(le16(n.cast("long") % 65536), le16((n.cast("long") / 65536).cast("long")))
+    val byteRate = (rate.cast("long") * channels * bits / 8).cast("long")
+    val blockAlign = (channels.cast("long") * bits / 8).cast("long")
+    val fmtChunk = concat(
+      unhex(lit("666D742010000000" + "0100")), // "fmt ", size 16 LE, PCM
+      le16(channels), le32(rate), le32(byteRate), le16(blockAlign), le16(bits))
+    val junkChunk = unhex(lit("4A554E4B04000000DEADBEEF")) // "JUNK", size 4 LE, payload
+    val riff = (body: org.apache.spark.sql.Column) =>
+      concat(unhex(lit("52494646")), le32(length(body) + 4), unhex(lit("57415645")), body)
+    val wav = when(col("doc_id") % 2 === 1, riff(concat(junkChunk, fmtChunk)))
+      .otherwise(riff(fmtChunk))
+    val payload = when(col("doc_id") % 89 === 0, encode(col("text").substr(1, 12), "UTF-8"))
+      .otherwise(wav)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), payload.as("audio"))
+      .select(col("doc_id"),
+        length(col("audio")).cast("long").as("n_bytes"),
+        graft.plans.VectorExpressions.wavMeta(col("audio")).as("m"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("m.channels").as("channels"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.bits").as("bits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The per-partition codec-batch shape a REAL decoder plugs into:
     * typed Dataset, one iterator pass per partition, imperative decode
     * per record (`fakeDecode` stands in for the codec). Kept as the

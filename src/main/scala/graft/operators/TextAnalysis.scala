@@ -41,6 +41,37 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .stat.sampleBy("source", fractions, seed)
 
+  /** Reproducible stratified sampling — the governance-grade form of
+    * [[stratifiedSample]]: the keep decision is a PURE FUNCTION of
+    * doc_id (u = first 32 md5 bits as a uniform in [0,1)), so any
+    * engine, rerun, resume, or audit reproduces the EXACT sample —
+    * which is why this one carries an exact DuckDB oracle where
+    * sampleBy's engine-private RNG cannot. Per-source fractions are the
+    * up/down-weighting step of training-data mixing (keep all of the
+    * scarce high-quality sources, a fraction of the crawl); unlisted
+    * sources take `defaultFraction`. One scan, no shuffle before the
+    * presentation sort, and at 100 TB the same expression IS the plan —
+    * no state, no sampling pass, no coordination. */
+  /** The registered query's mixing weights (shared with its oracle
+    * generator): keep all of the two "scarce high-quality" sources,
+    * 30% of the rest. */
+  val DefaultSampleFractions: Seq[(String, Double)] = Seq("src0" -> 1.0, "src1" -> 1.0)
+  val DefaultSampleFraction: Double = 0.3
+
+  def sampleStratified(spark: SparkSession, dir: String,
+      fractions: Seq[(String, Double)] = DefaultSampleFractions,
+      defaultFraction: Double = DefaultSampleFraction): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val frac = fractions.foldLeft(lit(defaultFraction): Column) {
+      case (acc, (s, f)) => when(col("source") === s, lit(f)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .filter(u < frac)
+      .select(col("doc_id"), col("source"), round(u, 6).as("u"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document corpus statistics. */
   def stats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_img_meta"),
        new ExpressionInfo(classOf[ImageMeta].getName, "graft_img_meta"),
        (exprs: Seq[Expression]) => ImageMeta(exprs(0))))
+    e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_wav_meta"),
+       new ExpressionInfo(classOf[WavMeta].getName, "graft_wav_meta"),
+       (exprs: Seq[Expression]) => WavMeta(exprs(0))))
   }
 }
 

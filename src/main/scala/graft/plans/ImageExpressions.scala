@@ -52,6 +52,71 @@ case class ImageMeta(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_wav_meta(binary)` → `struct<channels: int, sample_rate: int,
+  * bits: int>`, NULL when the bytes are not a parseable WAV — the audio
+  * side of real multimodal decode, from the public RIFF/WAVE spec: a
+  * 12-byte RIFF/WAVE header then a CHUNK LIST walked by little-endian
+  * size fields (chunks are word-aligned, odd sizes carry a pad byte)
+  * until the `fmt ` chunk yields channel count, sample rate, and bit
+  * depth. Same execution shape as [[ImageMeta]]: static per-row byte
+  * walk inside whole-stage codegen. */
+case class WavMeta(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_wav_meta expects a binary column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = WavMeta.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_meta"
+
+  override def nullSafeEval(input: Any): Any =
+    WavMeta.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.plans.WavMeta.parse($b);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): WavMeta =
+    copy(child = newChild)
+}
+
+object WavMeta {
+  val schema: StructType = StructType(Seq(
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits", IntegerType)))
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) |
+      (u8(b, i + 3).toLong << 24)
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    (0 until 4).forall(j => u8(b, i + j) == t.charAt(j))
+
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
+    var i = 12L
+    while (i + 8 <= b.length) {
+      val ii = i.toInt
+      val size = le32(b, ii + 4)
+      if (tag(b, ii, "fmt ")) {
+        if (size < 16 || i + 8 + 16 > b.length) return null
+        val channels = le16(b, ii + 10)
+        val rate = le32(b, ii + 12)
+        val bits = le16(b, ii + 22)
+        return if (channels <= 0 || rate <= 0 || rate > Int.MaxValue || bits <= 0) null
+        else new GenericInternalRow(Array[Any](channels, rate.toInt, bits))
+      }
+      i += 8 + size + (size & 1) // word alignment: odd chunk sizes pad one byte
+    }
+    null
+  }
+}
+
 object ImageMeta {
   val schema: StructType = StructType(Seq(
     StructField("format", StringType),

@@ -163,6 +163,8 @@ object VectorExpressions {
       "graft_cos", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_img_meta", exprs => ImageMeta(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_wav_meta", exprs => WavMeta(exprs(0)), "scala_udf")
   }
 
   /** Column-API form; registers on the active session on first use.
@@ -186,5 +188,12 @@ object VectorExpressions {
   def imgMeta(c: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_img_meta", c)
+  }
+
+  /** WAV header metadata (plans.WavMeta), column form; same
+    * registration precondition. */
+  def wavMeta(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_wav_meta", c)
   }
 }

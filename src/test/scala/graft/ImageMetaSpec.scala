@@ -64,6 +64,55 @@ class ImageMetaSpec extends SparkSpec {
     assert(parse(dhtFirst) === Some(("jpeg", 7, 8)))
   }
 
+  private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+    id.getBytes ++ le32(payload.length) ++ payload ++
+      (if (payload.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+  private def fmtChunk(ch: Int, rate: Long, bits: Int): Array[Byte] =
+    chunk("fmt ", le16(1) ++ le16(ch) ++ le32(rate) ++
+      le32(rate * ch * bits / 8) ++ le16(ch * bits / 8) ++ le16(bits))
+  private def wav(body: Array[Byte]): Array[Byte] =
+    "RIFF".getBytes ++ le32(body.length + 4) ++ "WAVE".getBytes ++ body
+
+  private def parseWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    val r = graft.plans.WavMeta.parse(b)
+    Option(r).map(row => (row.getInt(0), row.getInt(1), row.getInt(2)))
+  }
+
+  test("WAV: fmt fields decoded little-endian; chunk walk skips by size incl. odd padding") {
+    assert(parseWav(wav(fmtChunk(2, 44100, 16))) === Some((2, 44100, 16)))
+    // chunks BEFORE fmt must be skipped by their size field — including
+    // an odd-sized one whose pad byte the walk must account for
+    val padded = wav(chunk("JUNK", Array[Byte](1, 2, 3)) ++
+      chunk("LIST", Array.fill[Byte](10)(7)) ++ fmtChunk(1, 8000, 8))
+    assert(parseWav(padded) === Some((1, 8000, 8)))
+    // truncated before fmt / inside fmt: null, not a crash
+    assert(parseWav(wav(fmtChunk(2, 44100, 16)).take(20)) === None)
+    assert(parseWav(wav(chunk("JUNK", Array[Byte](1)))) === None) // no fmt at all
+    // wrong container tags
+    val notWave = wav(fmtChunk(1, 8000, 8)); notWave(9) = 'X'.toByte
+    assert(parseWav(notWave) === None)
+    assert(parseWav(wav(fmtChunk(0, 8000, 8))) === None) // zero channels: invalid
+  }
+
+  test("registered audio query round-trips its constructed headers at sf0.001") {
+    val out = graft.operators.Multimodal.audioMeta(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 89 == 0) assert(r.isNullAt(2), s"doc $id: non-WAV must parse null")
+      else {
+        assert(r.getInt(2) === (1 + id % 2).toInt, s"doc $id channels")
+        assert(r.getInt(3) === (8000 * (1 + id % 6)).toInt, s"doc $id rate")
+        assert(r.getInt(4) === (8 * (1 + id % 3)).toInt, s"doc $id bits")
+      }
+    }
+    assert(out.exists(_.getLong(0) % 89 == 0))
+    assert(out.exists(r => r.getLong(0) % 2 == 1 && !r.isNullAt(2))) // JUNK-chunk branch
+  }
+
   test("garbage and empty inputs are null, not errors") {
     assert(parse(Array.emptyByteArray) === None)
     assert(parse("hello world plain text".getBytes) === None)
