@@ -405,13 +405,15 @@ object Dedup {
     * 4x16-bit bands: any pair with <=3 differing bits shares at least one
     * intact band, so an equi-join on band value finds every such pair. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // checkpoint the signatures: BOTH sides of the band self-join read
-    // them, and a self-join reuses no subplan — without the barrier the
-    // md5-per-token signature pipeline runs twice (measured ~2x the
-    // whole query's cost). Tracked under the corpus scope so
-    // evictCorpus releases the blocks.
-    val sh = simhashesUnsorted(spark, dir).localCheckpoint(false)
-    scratch.track(spark, dir, sh)
+    // checkpoint the signatures ONCE PER CORPUS: both sides of the band
+    // self-join read them, and a self-join reuses no subplan — without
+    // the barrier the md5-per-token signature pipeline runs twice
+    // (measured ~2x the whole query's cost). Memoized, not per-call
+    // tracked: repeated calls must serve one checkpoint, not accumulate
+    // storage blocks. Evicted with [[evictCorpus]].
+    val sh = pairCache.getOrCompute(spark, s"$dir#simhash") {
+      simhashesUnsorted(spark, dir).localCheckpoint(false)
+    }
     val bands = sh.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(k =>
@@ -501,14 +503,21 @@ object Dedup {
     * each put 1M docs ~1 GB — the practical broadcast bound). */
   val IncrementalBroadcastMaxDocs = 1000000L
 
+  /** Incoming-slice row count per corpus, memoized: the dispatch below
+    * needs it at plan-construction time, and paying a scan job on EVERY
+    * call (including plan-only .explain/.schema callers) would break
+    * the lazy-construction convention this file keeps. A production
+    * ingest passes `knownBatchDocs` instead — its batch size is free. */
+  private val batchCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def incrementalDedup(spark: SparkSession, dir: String,
       threshold: Double = 0.8,
-      maxBroadcastBatch: Long = IncrementalBroadcastMaxDocs): DataFrame = {
-    // batch-size dispatch: one column-pruned count of the incoming
-    // slice (a production ingest knows its batch row count for free;
-    // here it is derived from the same table the slice reads)
-    val batchDocs = Tables.documents(spark, dir)
-      .filter(col("doc_id") % 10 === 0).count()
+      maxBroadcastBatch: Long = IncrementalBroadcastMaxDocs,
+      knownBatchDocs: Option[Long] = None): DataFrame = {
+    val batchDocs: Long = knownBatchDocs.getOrElse(
+      batchCountCache.computeIfAbsent(dir, _ =>
+        Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0).count()))
     if (batchDocs <= maxBroadcastBatch) {
       // full reuse of the adaptive pair machinery: setRepr picks the
       // bitmask fast path when the vocabulary allows, verifyPairs
@@ -529,14 +538,26 @@ object Dedup {
       // nested loop, no corpus self-pairs. Same recall contract as
       // dedup_minhash_lsh (miss probability ~3e-8 at 0.8), same exact
       // Jaccard verification, so the output contract is unchanged.
-      val sets = tokenSets(spark, dir)
-      bandedPairsAcross(
-        sets.filter(col("doc_id") % 10 =!= 0),
-        sets.filter(col("doc_id") % 10 === 0),
-        threshold, s"$dir#incremental")
+      // Memoized per corpus like every other banded build: per-call
+      // scratch checkpoints would grow block storage without bound.
+      pairCache.getOrCompute(spark, s"$dir#incremental") {
+        incrementalBandedRaw(spark, dir, threshold).localCheckpoint(false)
+      }
         .select(col("doc_b").as("new_doc_id"), col("doc_a").as("dup_of"), col("jaccard"))
         .orderBy(col("new_doc_id"), col("dup_of"))
     }
+  }
+
+  /** The un-memoized banded cross-side build (exposed package-private so
+    * the plan audit can pin the JOIN topology — the memo's checkpoint
+    * hides it behind a LogicalRDD). */
+  private[graft] def incrementalBandedRaw(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val sets = tokenSets(spark, dir)
+    bandedPairsAcross(
+      sets.filter(col("doc_id") % 10 =!= 0),
+      sets.filter(col("doc_id") % 10 === 0),
+      threshold, s"$dir#incremental")
   }
 
   /** "Paragraphs" of a document: consecutive `k`-token windows of the
@@ -548,15 +569,22 @@ object Dedup {
     * plain attribute BEFORE the chunk lambda so the per-chunk slice
     * re-evaluates an attribute, not the whole tokenize pipeline (the
     * measured O(len²) trap, see shingleSets). */
+  /** Chunk table memoized per (corpus, k): paragraphFlags reads it from
+    * BOTH sides of its shared-fp join (a self-derived join reuses no
+    * subplan), and paragraphDedup shares the same rows — the gramTable
+    * economics. Evicted with [[evictCorpus]]. */
   private def paragraphChunks(spark: SparkSession, dir: String, k: Int): DataFrame =
-    Tables.documentsParallel(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id"),
-        explode(when(size(col("tk")) > 0,
-          transform(
-            sequence(lit(0), floor((size(col("tk")) - 1) / k).cast("int")),
-            i => md5(array_join(slice(col("tk"), i * k + 1, lit(k)), " "))))
-          .otherwise(array().cast("array<string>"))).as("para_fp"))
+    pairCache.getOrCompute(spark, s"$dir#paras$k") {
+      Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          explode(when(size(col("tk")) > 0,
+            transform(
+              sequence(lit(0), floor((size(col("tk")) - 1) / k).cast("int")),
+              i => md5(array_join(slice(col("tk"), i * k + 1, lit(k)), " "))))
+            .otherwise(array().cast("array<string>"))).as("para_fp"))
+        .localCheckpoint(false)
+    }
 
   /** Paragraph-level dedup report: every paragraph fingerprint that
     * occurs in MORE THAN ONE document — the shared-boilerplate table a
@@ -607,9 +635,13 @@ object Dedup {
     * the near-dup pair set, and tracked band-table checkpoints — so a
     * long-lived session serving many corpora doesn't accumulate their
     * storage blocks. (App shutdown evicts everything automatically.) */
-  def evictCorpus(spark: SparkSession, dir: String): Unit = {
+  def evictCorpus(spark: SparkSession, dir: String,
+      paragraphKs: Seq[Int] = Seq(20)): Unit = {
     clusterCache.evict(spark, dir)
-    Seq(dir, s"$dir#banded", s"$dir#shingle", s"$dir#incremental").foreach { scope =>
+    batchCountCache.remove(dir)
+    paragraphKs.foreach(k => pairCache.evict(spark, s"$dir#paras$k"))
+    Seq(dir, s"$dir#banded", s"$dir#shingle", s"$dir#incremental", s"$dir#simhash")
+      .foreach { scope =>
       pairCache.evict(spark, scope)
       scratch.evict(spark, scope)
     }

@@ -63,8 +63,11 @@ object TextAnalysis {
       defaultFraction: Double = DefaultSampleFraction): DataFrame = {
     val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)
-    val frac = fractions.foldLeft(lit(defaultFraction): Column) {
-      case (acc, (s, f)) => when(col("source") === s, lit(f)).otherwise(acc)
+    // foldRight so the FIRST entry is the outermost WHEN — first-wins
+    // on a duplicated source, matching SQL CASE resolution in the
+    // oracle (foldLeft would silently invert to last-wins)
+    val frac = fractions.foldRight(lit(defaultFraction): Column) {
+      case ((s, f), acc) => when(col("source") === s, lit(f)).otherwise(acc)
     }
     Tables.documents(spark, dir)
       .filter(u < frac)

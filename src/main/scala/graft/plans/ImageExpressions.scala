@@ -166,7 +166,12 @@ object ImageMeta {
         case 0xD9 => return null // EOI before any SOF: no dimensions
         case sof if sof >= 0xC0 && sof <= 0xCF && sof != 0xC4 && sof != 0xC8 && sof != 0xCC =>
           // SOFn frame header: len(2) precision(1) height(2) width(2)
+          // Nf(1) + 3 bytes/component. The DECLARED length must cover
+          // the fixed fields plus >= 1 component (T.81 minimum 11) —
+          // otherwise the dimension bytes belong to the next segment
+          // and a real decoder rejects the stream.
           if (i + 8 >= b.length) return null
+          if (be16(b, i + 2) < 11) return null
           return row("jpeg", be16(b, i + 7).toLong, be16(b, i + 5).toLong)
         case _ =>
           // every other segment (APPn, DQT, DHT, COM, ...) carries its

@@ -58,6 +58,11 @@ class ImageMetaSpec extends SparkSpec {
     assert(parse(hx("FFD8FFD9")) === None)
     // truncated inside the APP1 segment
     assert(parse(jpegMultiSeg(9, 9).take(12)) === None)
+    // SOF whose DECLARED length can't cover its fixed fields: the
+    // would-be dimension bytes belong to the next segment — reject,
+    // don't report garbage dims (a real decoder errors here too)
+    val shortSof = hx("FFD8FFC0") ++ be16(3) ++ hx("08FFFE0010")
+    assert(parse(shortSof) === None)
     // DHT (C4) is NOT a frame header even though it sits in the CX range
     val dhtFirst = hx("FFD8") ++ hx("FFC4") ++ be16(4) ++ Array.fill[Byte](2)(0) ++
       jpegMultiSeg(7, 8).drop(2)

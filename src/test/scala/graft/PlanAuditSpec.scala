@@ -15,16 +15,20 @@ class PlanAuditSpec extends SparkSpec {
 
   test("incremental dedup large-batch path is banded — no nested-loop, and row-identical") {
     import graft.operators.Dedup
-    // forcing the dispatch (broadcast ceiling 0) must route through the
-    // cross-side banded machinery: equi-join on (band_id, band_key),
-    // never a BroadcastNestedLoopJoin/CartesianProduct over the corpus
-    val banded = Dedup.incrementalDedup(spark, sf, maxBroadcastBatch = 0L)
-    val plan = planOf(banded)
+    // the cross-side banded build must be an equi-join on
+    // (band_id, band_key) — never a BroadcastNestedLoopJoin/
+    // CartesianProduct over the corpus. Pin the RAW build's plan: the
+    // public path memoizes behind a checkpoint, which hides the join
+    // topology in an RDD lineage.
+    val plan = planOf(Dedup.incrementalBandedRaw(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"large-batch incremental dedup fell back to a nested loop:\n$plan")
-    // and the output contract is unchanged: identical rows to the
+    // and the dispatched public path (broadcast ceiling 0, batch size
+    // injected so no count job runs) returns rows identical to the
     // broadcast path (banded recall is exact on this corpus — the same
     // differential argument dedup_minhash_lsh's oracle rests on)
+    val banded = Dedup.incrementalDedup(spark, sf, maxBroadcastBatch = 0L,
+      knownBatchDocs = Some(1L))
     val broadcastPath = Dedup.incrementalDedup(spark, sf)
     assert(banded.collect().map(_.toString).toSeq ===
       broadcastPath.collect().map(_.toString).toSeq)
