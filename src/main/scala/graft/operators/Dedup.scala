@@ -371,7 +371,14 @@ object Dedup {
     * is Spark-private; md5 keeps the whole family oracle-checkable and
     * the cost is still one codegen'd digest per (doc, token). */
   def simhashes(spark: SparkSession, dir: String): DataFrame =
-    simhashesUnsorted(spark, dir).orderBy(col("doc_id"))
+    simhashMemo(spark, dir).orderBy(col("doc_id"))
+
+  /** One signature build per corpus, served to both the signature query
+    * and the pair join (which reads it from two sides). */
+  private def simhashMemo(spark: SparkSession, dir: String): DataFrame =
+    pairCache.getOrCompute(spark, s"$dir#simhash") {
+      simhashesUnsorted(spark, dir).localCheckpoint(false)
+    }
 
   /** The signature computation without the query surface's presentation
     * sort — pair generation re-shuffles on band value immediately, so a
@@ -405,15 +412,12 @@ object Dedup {
     * 4x16-bit bands: any pair with <=3 differing bits shares at least one
     * intact band, so an equi-join on band value finds every such pair. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // checkpoint the signatures ONCE PER CORPUS: both sides of the band
-    // self-join read them, and a self-join reuses no subplan — without
-    // the barrier the md5-per-token signature pipeline runs twice
-    // (measured ~2x the whole query's cost). Memoized, not per-call
-    // tracked: repeated calls must serve one checkpoint, not accumulate
-    // storage blocks. Evicted with [[evictCorpus]].
-    val sh = pairCache.getOrCompute(spark, s"$dir#simhash") {
-      simhashesUnsorted(spark, dir).localCheckpoint(false)
-    }
+    // the memoized per-corpus signature checkpoint: both sides of the
+    // band self-join read it, and a self-join reuses no subplan —
+    // without the barrier the md5-per-token signature pipeline runs
+    // twice (measured ~2x the whole query's cost). Evicted with
+    // [[evictCorpus]].
+    val sh = simhashMemo(spark, dir)
     val bands = sh.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(k =>

@@ -7,13 +7,19 @@ import graft.Tables
 /** Multimodal column plumbing (north-star extension): treat media as
   * opaque `binary` columns with typed metadata, processed per-partition.
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * clearly-marked deterministic stub (`fakeDecode`) — but everything
-  * Spark-side is real and tested: the binary column, the metadata
-  * struct schema, the per-partition batch processing shape
-  * (`mapPartitions`, the designated escape hatch for imperative
-  * per-record logic), and the partitioning behavior. Swapping
-  * `fakeDecode` for a JNI/codec call is a one-function change.
+  * Two layers:
+  *  - HEADER decode is REAL — [[imageMeta]]/[[audioMeta]] parse
+  *    PNG/JPEG/WAV headers from the public file-format specs via native
+  *    codegen'd expressions (plans.ImageMeta / plans.WavMeta): the
+  *    metadata a curation pipeline filters on (resolution, format,
+  *    channels, sample rate) without any codec dependency;
+  *  - PIXEL/SAMPLE decode needs codecs this container doesn't ship, so
+  *    it stays a clearly-marked deterministic stub (`fakeDecode`) with
+  *    the Spark-side shape real and tested: the binary column, the
+  *    metadata struct schema, the per-partition batch processing shape
+  *    (`mapPartitions`, the designated escape hatch for imperative
+  *    per-record logic), and the partitioning behavior. Swapping
+  *    `fakeDecode` for a JNI/codec call is a one-function change.
   */
 object Multimodal {
 

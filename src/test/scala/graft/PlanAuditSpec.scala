@@ -34,6 +34,25 @@ class PlanAuditSpec extends SparkSpec {
       broadcastPath.collect().map(_.toString).toSeq)
   }
 
+  test("media header decode is a shuffle-free single scan (both modalities)") {
+    import graft.operators.Multimodal
+    // construct-bytes -> parse-header is pure per-row work: any
+    // Exchange before the presentation sort means someone broke the
+    // scan-speed contract of the decode family
+    for (df <- Seq(Multimodal.imageMeta(spark, sf), Multimodal.audioMeta(spark, sf))) {
+      val plan = planOf(df)
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"media decode should only exchange for the orderBy:\n$plan")
+    }
+  }
+
+  test("text_clean is one scan: repartition spread + presentation sort only") {
+    val plan = planOf(graft.operators.TextAnalysis.clean(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"clean pass grew extra shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"clean pass must not join:\n$plan")
+  }
+
   test("events time-range predicates reach the parquet scan as PushedFilters") {
     val plan = planOf(TimeSeries.rangeFilter(spark, sf))
     // the rewrite onto the raw int64 nanos column is what makes these
