@@ -454,6 +454,7 @@ object Queries {
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "mm_image_meta" -> (Multimodal.imageMeta _),
     "mm_audio_meta" -> (Multimodal.audioMeta _),
+    "mm_pixel_stats" -> (Multimodal.pixelStats _),
     "text_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
     "text_clean" -> ((s: SparkSession, d: String) => TextAnalysis.clean(s, d)),
     "dedup_paragraphs" -> ((s: SparkSession, d: String) => Dedup.paragraphDedup(s, d)),
@@ -822,6 +823,21 @@ object Queries {
        "CASE WHEN doc_id % 89 = 0 THEN NULL ELSE CAST(8000 * (1 + doc_id % 6) AS INTEGER) END AS sample_rate, " +
        "CASE WHEN doc_id % 89 = 0 THEN NULL ELSE CAST(8 * (1 + doc_id % 3) AS INTEGER) END AS bits " +
        "FROM documents ORDER BY doc_id"),
+    // pixel-sum twin: expected integer channel sums recomputed from the
+    // construction arithmetic (H * W/2 copies of each pattern pixel) —
+    // wrong row padding, BGR order, or top-down handling changes them
+    "mm_pixel_stats" -> {
+      def chan(a: String, b: String) =
+        s"(1 + doc_id % 4) * (1 + doc_id % 3) * ((doc_id * $a) % 256 + (doc_id * $b) % 256)"
+      "SELECT doc_id, " +
+      "CASE WHEN doc_id % 83 = 0 THEN NULL ELSE CAST(2 * (1 + doc_id % 3) AS INTEGER) END AS width, " +
+      "CASE WHEN doc_id % 83 = 0 THEN NULL ELSE CAST(1 + doc_id % 4 AS INTEGER) END AS height, " +
+      s"CASE WHEN doc_id % 83 = 0 THEN NULL ELSE CAST(${chan("7", "17")} AS BIGINT) END AS sum_r, " +
+      s"CASE WHEN doc_id % 83 = 0 THEN NULL ELSE CAST(${chan("3", "13")} AS BIGINT) END AS sum_g, " +
+      s"CASE WHEN doc_id % 83 = 0 THEN NULL ELSE CAST(${chan("1", "11")} AS BIGINT) END AS sum_b, " +
+      "CASE WHEN doc_id % 83 = 0 THEN NULL ELSE CAST(2 * (1 + doc_id % 3) * (1 + doc_id % 4) AS BIGINT) END AS n_pixels " +
+      "FROM documents ORDER BY doc_id"
+    },
     // the sampler's keep decision is a pure function of doc_id (md5
     // uniform), so the oracle reproduces the EXACT sample — the whole
     // point of the deterministic form (sampleBy's RNG has no SQL twin)

@@ -194,6 +194,53 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL pixel decode (plans.BmpStats): per-document uncompressed
+    * 24-bit BMPs are constructed to the public spec — 14-byte file
+    * header, 40-byte info header, raw BGR rows each padded to a 4-byte
+    * boundary — carrying an alternating two-pixel pattern whose exact
+    * integer channel sums the decoder must reproduce. Docs where
+    * doc_id % 5 = 0 encode NEGATIVE height (top-down row order, same
+    * sums) so orientation handling is certified too; every 83rd doc is
+    * a non-BMP payload that must decode NULL. A wrong treatment of row
+    * padding, BGR order, or orientation changes the sums and fails the
+    * oracle round-trip. */
+  def pixelStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.call_function
+    def bh(n: org.apache.spark.sql.Column) = lpad(hex(n.cast("long") % 256), 2, "0")
+    def le16h(n: org.apache.spark.sql.Column) =
+      concat(bh(n), bh((n.cast("long") / 256).cast("long")))
+    def le32h(n: org.apache.spark.sql.Column) =
+      concat(le16h(n.cast("long") % 65536), le16h((n.cast("long") / 65536).cast("long")))
+    val id = col("doc_id")
+    val w = (lit(2) * (lit(1) + id % 3)).cast("long")  // 2 | 4 | 6
+    val h = (lit(1) + id % 4).cast("long")             // 1..4
+    val rowSize = ((w * 3 + 3) / 4).cast("long") * 4   // 4-byte row alignment
+    val pad = (rowSize - w * 3).cast("int")
+    val pxA = concat(bh(id), bh(id * 3), bh(id * 7))          // stored B,G,R
+    val pxB = concat(bh(id * 11), bh(id * 13), bh(id * 17))
+    val rowHex = concat(
+      call_function("repeat", concat(pxA, pxB), (w / 2).cast("int")),
+      call_function("repeat", lit("00"), pad))
+    val dataHex = call_function("repeat", rowHex, h.cast("int"))
+    val imgSize = rowSize * h
+    val hEnc = when(id % 5 === 0, lit(4294967296L) - h).otherwise(h) // two's-complement top-down
+    val bmp = unhex(concat(
+      lit("424D"), le32h(lit(54L) + imgSize), lit("00000000"), le32h(lit(54L)),
+      le32h(lit(40L)), le32h(w), le32h(hEnc), le16h(lit(1L)), le16h(lit(24L)),
+      le32h(lit(0L)), le32h(imgSize), le32h(lit(2835L)), le32h(lit(2835L)),
+      le32h(lit(0L)), le32h(lit(0L)), dataHex))
+    val payload = when(id % 83 === 0, encode(col("text").substr(1, 10), "UTF-8"))
+      .otherwise(bmp)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), payload.as("img"))
+      .select(col("doc_id"), graft.plans.VectorExpressions.bmpStats(col("img")).as("s"))
+      .select(col("doc_id"),
+        col("s.width").as("width"), col("s.height").as("height"),
+        col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),
+        col("s.sum_b").as("sum_b"), col("s.n_pixels").as("n_pixels"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The per-partition codec-batch shape a REAL decoder plugs into:
     * typed Dataset, one iterator pass per partition, imperative decode
     * per record (`fakeDecode` stands in for the codec). Kept as the

@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_wav_meta"),
        new ExpressionInfo(classOf[WavMeta].getName, "graft_wav_meta"),
        (exprs: Seq[Expression]) => WavMeta(exprs(0))))
+    e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bmp_stats"),
+       new ExpressionInfo(classOf[BmpStats].getName, "graft_bmp_stats"),
+       (exprs: Seq[Expression]) => BmpStats(exprs(0))))
   }
 }
 

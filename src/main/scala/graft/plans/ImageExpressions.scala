@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `graft_img_meta(binary)` → `struct<format: string, width: int,
@@ -114,6 +114,83 @@ object WavMeta {
       i += 8 + size + (size & 1) // word alignment: odd chunk sizes pad one byte
     }
     null
+  }
+}
+
+/** `graft_bmp_stats(binary)` → `struct<width: int, height: int,
+  * sum_r: long, sum_g: long, sum_b: long, n_pixels: long>`, NULL when
+  * the bytes are not an uncompressed 24-bit BMP — REAL pixel decode,
+  * not just header metadata: the one mainstream raster format whose
+  * pixel data is decodable from the public spec alone (BITMAPFILEHEADER
+  * + BITMAPINFOHEADER + raw BGR rows, each row padded to a 4-byte
+  * boundary, bottom-up unless height is negative), so no codec library
+  * is needed. Channel SUMS are returned (not float means) so downstream
+  * aggregates — and the DuckDB oracle — stay integer-exact; a wrong
+  * treatment of row padding or orientation changes the sums and fails
+  * the round-trip. Per-row byte loop inside whole-stage codegen, same
+  * execution shape as [[ImageMeta]]. */
+case class BmpStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bmp_stats expects a binary column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = BmpStats.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bmp_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    BmpStats.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.plans.BmpStats.parse($b);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): BmpStats =
+    copy(child = newChild)
+}
+
+object BmpStats {
+  val schema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("n_pixels", LongType)))
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) |
+      (u8(b, i + 3).toLong << 24)
+
+  def parse(b: Array[Byte]): InternalRow = {
+    // 14-byte file header + 40-byte BITMAPINFOHEADER minimum
+    if (b.length < 54 || u8(b, 0) != 'B' || u8(b, 1) != 'M') return null
+    val dataOffset = le32(b, 10)
+    if (le32(b, 14) < 40) return null // older core-header variants: out of scope
+    val w = le32(b, 18).toInt
+    val hRaw = le32(b, 22).toInt // negative = top-down; sums are orientation-invariant
+    val h = math.abs(hRaw)
+    if (w <= 0 || h <= 0 || le16(b, 26) != 1) return null
+    if (le16(b, 28) != 24 || le32(b, 30) != 0L) return null // 24bpp BI_RGB only
+    val rowSize = ((w * 3 + 3) / 4) * 4 // each BGR row padded to 4 bytes
+    if (dataOffset < 54 || dataOffset + rowSize.toLong * h > b.length) return null
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var row = 0
+    while (row < h) {
+      var i = dataOffset.toInt + row * rowSize
+      val end = i + w * 3 // pad bytes excluded
+      while (i < end) {
+        sb += u8(b, i); sg += u8(b, i + 1); sr += u8(b, i + 2) // stored B,G,R
+        i += 3
+      }
+      row += 1
+    }
+    new GenericInternalRow(Array[Any](w, h, sr, sg, sb, w.toLong * h))
   }
 }
 

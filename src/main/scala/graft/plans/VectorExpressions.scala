@@ -165,6 +165,8 @@ object VectorExpressions {
       "graft_img_meta", exprs => ImageMeta(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_wav_meta", exprs => WavMeta(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bmp_stats", exprs => BmpStats(exprs(0)), "scala_udf")
   }
 
   /** Column-API form; registers on the active session on first use.
@@ -195,5 +197,12 @@ object VectorExpressions {
   def wavMeta(c: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_wav_meta", c)
+  }
+
+  /** BMP pixel statistics (plans.BmpStats), column form; same
+    * registration precondition. */
+  def bmpStats(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_bmp_stats", c)
   }
 }

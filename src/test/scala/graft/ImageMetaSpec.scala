@@ -118,6 +118,64 @@ class ImageMetaSpec extends SparkSpec {
     assert(out.exists(r => r.getLong(0) % 2 == 1 && !r.isNullAt(2))) // JUNK-chunk branch
   }
 
+  /** Uncompressed 24bpp BMP from explicit (r,g,b) pixel rows (row 0 =
+    * TOP row as seen); `topDown` flips the stored row order + sign. */
+  private def bmp(pixels: Seq[Seq[(Int, Int, Int)]], topDown: Boolean = false): Array[Byte] = {
+    val h = pixels.length; val w = pixels.head.length
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val stored = if (topDown) pixels else pixels.reverse // file stores bottom-up by default
+    val data = stored.flatMap { row =>
+      row.flatMap { case (r, g, b) => Seq(b.toByte, g.toByte, r.toByte) } ++
+        Array.fill[Byte](rowSize - w * 3)(0)
+    }.toArray
+    "BM".getBytes ++ le32(54L + data.length) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(if (topDown) (4294967296L - h) else h.toLong) ++
+      le16(1) ++ le16(24) ++ le32(0) ++ le32(data.length) ++
+      le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++ data
+  }
+
+  private def parseBmp(b: Array[Byte]): Option[(Int, Int, Long, Long, Long, Long)] = {
+    val r = graft.plans.BmpStats.parse(b)
+    Option(r).map(row => (row.getInt(0), row.getInt(1), row.getLong(2),
+      row.getLong(3), row.getLong(4), row.getLong(5)))
+  }
+
+  test("BMP pixel decode: exact channel sums, row padding excluded, orientation-invariant") {
+    // 2x2: distinct per-channel values; W=2 rows pad 2 bytes each,
+    // which must NOT leak into the sums
+    val px = Seq(Seq((10, 20, 30), (40, 50, 60)), Seq((1, 2, 3), (4, 5, 6)))
+    val expect = Some((2, 2, 55L, 77L, 99L, 4L))
+    assert(parseBmp(bmp(px)) === expect)
+    assert(parseBmp(bmp(px, topDown = true)) === expect) // sums invariant to row order
+    // W=1: rowSize 4 with 1 pad byte per row
+    assert(parseBmp(bmp(Seq(Seq((255, 0, 128)), Seq((1, 1, 1))))) ===
+      Some((1, 2, 256L, 1L, 129L, 2L)))
+    // truncated pixel data / wrong depth / garbage: null, never garbage sums
+    assert(parseBmp(bmp(px).dropRight(1)) === None)
+    val wrongDepth = bmp(px); wrongDepth(28) = 32.toByte
+    assert(parseBmp(wrongDepth) === None)
+    assert(parseBmp("BMnot really a bitmap".getBytes) === None)
+  }
+
+  test("registered pixel query round-trips its constructed BMPs at sf0.001") {
+    val out = graft.operators.Multimodal.pixelStats(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 83 == 0) assert(r.isNullAt(1), s"doc $id: non-BMP must decode null")
+      else {
+        val (w, h) = (2 * (1 + id % 3), 1 + id % 4)
+        assert(r.getInt(1) === w.toInt && r.getInt(2) === h.toInt, s"doc $id dims")
+        assert(r.getLong(3) === h * (w / 2) * ((id * 7) % 256 + (id * 17) % 256), s"doc $id sum_r")
+        assert(r.getLong(6) === w * h, s"doc $id n_pixels")
+      }
+    }
+    // all three branches exercised: corrupt, bottom-up, top-down
+    assert(out.exists(_.getLong(0) % 83 == 0))
+    assert(out.exists(r => r.getLong(0) % 5 == 0 && r.getLong(0) % 83 != 0 && !r.isNullAt(1)))
+    assert(out.exists(r => r.getLong(0) % 5 != 0 && !r.isNullAt(1)))
+  }
+
   test("garbage and empty inputs are null, not errors") {
     assert(parse(Array.emptyByteArray) === None)
     assert(parse("hello world plain text".getBytes) === None)
