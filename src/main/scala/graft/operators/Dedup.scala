@@ -370,11 +370,13 @@ object Dedup {
     * the signatures exactly. xxhash64 would be ~2x cheaper per token but
     * is Spark-private; md5 keeps the whole family oracle-checkable and
     * the cost is still one codegen'd digest per (doc, token). */
+  /** Side-effect-free: the signature QUERY is one scan-and-aggregate
+    * and pins nothing — only [[simhashPairs]], which genuinely reads
+    * the signatures from two join sides, builds the per-corpus memo. */
   def simhashes(spark: SparkSession, dir: String): DataFrame =
-    simhashMemo(spark, dir).orderBy(col("doc_id"))
+    simhashesUnsorted(spark, dir).orderBy(col("doc_id"))
 
-  /** One signature build per corpus, served to both the signature query
-    * and the pair join (which reads it from two sides). */
+  /** One signature checkpoint per corpus for the pair join. */
   private def simhashMemo(spark: SparkSession, dir: String): DataFrame =
     pairCache.getOrCompute(spark, s"$dir#simhash") {
       simhashesUnsorted(spark, dir).localCheckpoint(false)

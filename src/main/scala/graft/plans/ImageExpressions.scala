@@ -177,8 +177,13 @@ object BmpStats {
     val h = math.abs(hRaw)
     if (w <= 0 || h <= 0 || le16(b, 26) != 1) return null
     if (le16(b, 28) != 24 || le32(b, 30) != 0L) return null // 24bpp BI_RGB only
-    val rowSize = ((w * 3 + 3) / 4) * 4 // each BGR row padded to 4 bytes
-    if (dataOffset < 54 || dataOffset + rowSize.toLong * h > b.length) return null
+    // row size in LONG: a hostile header's width can overflow w*3+3 in
+    // Int, flipping rowSize negative and bypassing the bounds check
+    // (negative-index crash or silent zero sums). The Long bound also
+    // caps every later Int product: rowSizeL <= b.length < 2^31.
+    val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4 // each BGR row padded to 4 bytes
+    if (dataOffset < 54 || dataOffset + rowSizeL * h > b.length) return null
+    val rowSize = rowSizeL.toInt
     var (sr, sg, sb) = (0L, 0L, 0L)
     var row = 0
     while (row < h) {

@@ -15,6 +15,10 @@ class CacheLifecycleSpec extends SparkSpec {
   test("evictCorpus releases the blocks the dedup family pinned") {
     Dedup.minhashLshPairs(spark, sf).count()
     Dedup.dedupClusters(spark, sf).count()
+    // the round-5 memo scopes too: paragraph chunks, simhash
+    // signatures — their checkpoints must ride the same eviction
+    Dedup.paragraphFlags(spark, sf).count()
+    Dedup.simhashPairs(spark, sf).count()
     val before = persistentCount
     assert(before > 0, "expected checkpointed blocks after the cluster build")
     Dedup.evictCorpus(spark, sf)
@@ -22,6 +26,24 @@ class CacheLifecycleSpec extends SparkSpec {
     assert(after < before, s"eviction released nothing ($before -> $after)")
     // post-eviction use rebuilds fresh rather than serving a dead frame
     assert(Dedup.dedupClusters(spark, sf).count() > 0)
+    Dedup.evictCorpus(spark, sf)
+  }
+
+  test("repeated memoized dedup calls serve one checkpoint, not one per call") {
+    Dedup.evictCorpus(spark, sf)
+    Dedup.simhashPairs(spark, sf).count()
+    Dedup.paragraphFlags(spark, sf).count()
+    val afterFirst = persistentCount
+    // N further calls must not pin new blocks (the pre-fix behavior
+    // tracked a fresh checkpoint per call — unbounded storage growth
+    // in a long-lived serving session)
+    (1 to 3).foreach { _ =>
+      Dedup.simhashPairs(spark, sf).count()
+      Dedup.paragraphFlags(spark, sf).count()
+      Dedup.paragraphDedup(spark, sf).count()
+    }
+    assert(persistentCount === afterFirst,
+      s"repeat calls accumulated blocks ($afterFirst -> $persistentCount)")
     Dedup.evictCorpus(spark, sf)
   }
 

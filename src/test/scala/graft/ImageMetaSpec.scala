@@ -152,6 +152,15 @@ class ImageMetaSpec extends SparkSpec {
       Some((1, 2, 256L, 1L, 129L, 2L)))
     // truncated pixel data / wrong depth / garbage: null, never garbage sums
     assert(parseBmp(bmp(px).dropRight(1)) === None)
+    // hostile header: width chosen so w*3+3 overflows Int (negative
+    // rowSize would bypass the bounds check) — must be null, not a
+    // negative-index crash or silent zero sums
+    val hostile = bmp(px)
+    System.arraycopy(le32(715827882L), 0, hostile, 18, 4)
+    assert(parseBmp(hostile) === None)
+    val hostile2 = bmp(px)
+    System.arraycopy(le32(1431655766L), 0, hostile2, 18, 4) // w*3 itself overflows
+    assert(parseBmp(hostile2) === None)
     val wrongDepth = bmp(px); wrongDepth(28) = 32.toByte
     assert(parseBmp(wrongDepth) === None)
     assert(parseBmp("BMnot really a bitmap".getBytes) === None)
