@@ -449,6 +449,7 @@ object Queries {
     "knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvfServed(s, d)),
     "sim_embed_near_dup" -> (Similarity.embeddingNearDupPairs _),
     "sim_embed_candidates" -> (Similarity.embeddingCandidatePairs _),
+    "pipeline_quality_fusion" -> ((s: SparkSession, d: String) => Similarity.qualityFusion(s, d)),
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_feature_extract" -> (Multimodal.featureExtract _),
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -786,6 +787,19 @@ object Queries {
        "r AS (SELECT query_id, neighbor_id, cos_sim, " +
        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank FROM s) " +
        "SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"),
+    "pipeline_quality_fusion" ->
+      ("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       "d AS (SELECT label, unnest(v) AS x, CAST(unnest(range(1, len(v) + 1)) AS BIGINT) AS dim FROM e), " +
+       "cm AS (SELECT label, dim, round(avg(x), 6) AS m FROM d GROUP BY label, dim), " +
+       "cent AS (SELECT label, list(m ORDER BY dim) AS c FROM cm GROUP BY label), " +
+       s"q AS (SELECT doc_id, $duckQuality AS quality FROM documents), " +
+       "j AS (SELECT e.vec_id AS doc_id, e.label, " +
+       "round(sqrt(list_dot_product(v, v)), 4) AS l2_norm, " +
+       "round(list_dot_product(v, c) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))), 4) AS centroid_cos " +
+       "FROM e JOIN cent USING (label)) " +
+       "SELECT j.doc_id, label, quality, l2_norm, centroid_cos, " +
+       "(quality > 0.5 AND centroid_cos >= 0.15) AS keep " +
+       "FROM j JOIN q ON j.doc_id = q.doc_id ORDER BY j.doc_id"),
     "mm_binary_meta" ->
       ("SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS digest " +
        "FROM documents ORDER BY doc_id"),

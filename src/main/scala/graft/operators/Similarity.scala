@@ -61,6 +61,40 @@ object Similarity {
 
   /** Per-vector L2 norms (sanity surface + the normalization step of any
     * embedding pipeline). */
+  /** Cross-modal curation fusion: the signal-combination step real
+    * pipelines run before a keep decision — TEXT quality (heuristic
+    * scorer over documents) fused with EMBEDDING geometry (L2 norm +
+    * cosine to the doc's own label centroid, the "is this vector
+    * where its class lives" outlier signal). Centroids are per-label
+    * dimension means ROUNDED to 6dp before the cosine so both engines
+    * score bit-identical inputs; they ride the join as an explicit
+    * broadcast (labels are few by construction). One embeddings scan +
+    * one documents scan + one label-dim aggregate — at 100 TB the
+    * centroid table is metadata-sized and the fusion stays a broadcast
+    * join per scan. */
+  def qualityFusion(spark: SparkSession, dir: String,
+      minQuality: Double = 0.5, minCos: Double = 0.15): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val cent = e.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col")), 6).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("c"))
+    val q = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+    e.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id").as("doc_id"), col("label"),
+        round(l2Norm(col("v")), 4).as("l2_norm"),
+        round(cosine(col("v"), col("c")), 4).as("centroid_cos"))
+      .join(q, Seq("doc_id"))
+      .select(col("doc_id"), col("label"), col("quality"),
+        col("l2_norm"), col("centroid_cos"),
+        (col("quality") > minQuality && col("centroid_cos") >= minCos).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def norms(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), round(l2Norm(asDouble(col("embedding"))), 4).as("l2_norm"))

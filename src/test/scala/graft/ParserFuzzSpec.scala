@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The media parsers run over arbitrary UNTRUSTED bytes at corpus scale
+  * — a single thrown exception fails a whole 100 TB query stage, so the
+  * total-function contract ("parse or NULL, never throw") is fuzzed:
+  * pure random bytes, random bytes behind valid magic prefixes
+  * (steering the fuzz INTO each format's segment/chunk walk), and
+  * truncations / single-byte corruptions of well-formed files. Seeded
+  * generation (same convention as TopKPropertySpec — the scalacheck
+  * scalatest bridge isn't in the offline cache). */
+class ParserFuzzSpec extends AnyFunSuite {
+
+  private def hx(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private val parsers: Seq[(String, Array[Byte] => AnyRef)] = Seq(
+    "ImageMeta" -> (graft.plans.ImageMeta.parse(_)),
+    "WavMeta" -> (graft.plans.WavMeta.parse(_)),
+    "BmpStats" -> (graft.plans.BmpStats.parse(_)))
+
+  // magic prefixes steer the fuzz into each format's deep parse path
+  private val prefixes: Seq[Array[Byte]] = Seq(
+    Array.emptyByteArray,
+    hx("89504E470D0A1A0A"), // PNG signature
+    hx("FFD8"), // JPEG SOI
+    "RIFF1234WAVE".getBytes, // RIFF/WAVE container
+    "BM".getBytes) // BMP magic
+
+  private def neverThrows(name: String, p: Array[Byte] => AnyRef,
+      input: Array[Byte], what: String): Unit =
+    try p(input)
+    catch { case e: Throwable =>
+      fail(s"$name threw ${e.getClass.getSimpleName} on $what " +
+        s"(${input.length} bytes): ${e.getMessage}")
+    }
+
+  test("random bytes (raw and behind every magic prefix) never throw") {
+    val rnd = new scala.util.Random(0x5EED)
+    for (trial <- 0 until 4000) {
+      val tail = new Array[Byte](rnd.nextInt(201))
+      rnd.nextBytes(tail)
+      val input = prefixes(trial % prefixes.length) ++ tail
+      parsers.foreach { case (name, p) =>
+        neverThrows(name, p, input, s"fuzz trial $trial")
+      }
+    }
+  }
+
+  test("truncations and single-byte corruptions of valid files never throw") {
+    // one well-formed instance per format (same layouts the unit specs use)
+    val png = hx("89504E470D0A1A0A0000000D49484452") ++
+      hx("00000280") ++ hx("000001E0") ++ hx("080600000000000000")
+    val jpeg = hx("FFD8FFE000104A46494600010100000100010000") ++
+      hx("FFC0001108") ++ hx("01E0") ++ hx("0280") ++ hx("03012200021101031101")
+    val wav = "RIFF".getBytes ++ hx("28000000") ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ hx("10000000") ++ hx("0100") ++ hx("0200") ++
+      hx("44AC0000") ++ hx("10B10200") ++ hx("0400") ++ hx("1000")
+    val bmp = "BM".getBytes ++ hx("46000000") ++ hx("00000000") ++ hx("36000000") ++
+      hx("28000000") ++ hx("02000000") ++ hx("02000000") ++ hx("0100") ++ hx("1800") ++
+      hx("00000000") ++ hx("10000000") ++ hx("130B0000130B0000") ++
+      hx("0000000000000000") ++ Array.fill[Byte](16)(0x5A)
+    // sanity: the uncorrupted instances all parse (the fuzz below is
+    // mutating REAL files, not junk that parsers reject at byte 0)
+    assert(graft.plans.ImageMeta.parse(png) != null)
+    assert(graft.plans.ImageMeta.parse(jpeg) != null)
+    assert(graft.plans.WavMeta.parse(wav) != null)
+    assert(graft.plans.BmpStats.parse(bmp) != null)
+    val rnd = new scala.util.Random(0xF00D)
+    for (f <- Seq(png, jpeg, wav, bmp); _ <- 0 until 800) {
+      val truncated = f.take(rnd.nextInt(f.length + 1))
+      val corrupted = f.clone()
+      val at = rnd.nextInt(f.length)
+      corrupted(at) = (corrupted(at) ^ (1 + rnd.nextInt(255))).toByte
+      parsers.foreach { case (name, p) =>
+        neverThrows(name, p, truncated, "truncation")
+        neverThrows(name, p, corrupted, s"corruption at byte $at")
+      }
+    }
+  }
+}
