@@ -146,13 +146,16 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     signaturesFor(tokenSets(spark, dir))
 
-  /** mh_i = min over set elements of xxhash64(element, i) — works for
-    * string tokens and hashed-long shingles alike (xxhash64 hashes all
-    * argument types), no per-hash string concat. */
+  /** mh_i = min over set elements of xxhash64(element, i), via the
+    * native one-pass expression (plans.MinhashSignature): each element
+    * is hashed once and mixed NumHashes times, where the composed-HOF
+    * form it replaced ran NumHashes interpreted transform+array_min
+    * passes per row. Bit-identical output (differential test in
+    * ExtensionsSpec), so every downstream band key — and every oracle
+    * recall argument — is unchanged. */
   private def signaturesFor(sets: DataFrame): DataFrame =
     sets.withColumn("mh",
-      array((0 until NumHashes).map(i =>
-        array_min(transform(col("toks"), t => xxhash64(t, lit(i))))): _*))
+      graft.plans.VectorExpressions.minhash(col("toks"), NumHashes))
 
   /** Distinct word n-gram (shingle) sets per document — the unit of
     * SEQUENCE-sensitive near-dup detection: bag-of-words reshuffles

@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bmp_stats"),
        new ExpressionInfo(classOf[BmpStats].getName, "graft_bmp_stats"),
        (exprs: Seq[Expression]) => BmpStats(exprs(0))))
+    e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
+       new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
+       (exprs: Seq[Expression]) => MinhashSignature(exprs(0),
+         exprs(1).eval(null).asInstanceOf[Int])))
   }
 }
 

@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** `graft_minhash(array<long>, k)` → the k-element MinHash signature
+  * `mh_i = min over elements e of xxhash64(e, i)` — bit-identical to the
+  * composed-builtins form
+  * `array((0 until k).map(i => array_min(transform(toks, e => xxhash64(e, lit(i))))))`
+  * (pinned by a differential test), but ONE pass instead of k:
+  *
+  * the HOF form evaluates k interpreted `transform` passes per row, each
+  * recomputing the inner element hash `hashLong(e, 42)` before mixing in
+  * the hash index, and k interpreted `array_min` reductions on top. This
+  * expression hashes each element once and applies k cheap `hashInt`
+  * mixes in a tight loop — the signature step is the map-side cost of
+  * every banded-LSH path (unigram, shingle, incremental), which at
+  * 100 TB is pure scan-side CPU. Spark's own XXH64 statics (the same
+  * ones XxHash64's doGenCode emits calls to) supply the mixes, which
+  * is what makes bit-equality with the builtin exact rather than
+  * approximate. */
+case class MinhashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"graft_minhash k must be positive, got $numHashes")
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash expects array<bigint>, got ${other.catalogString}")
+  }
+  // containsNull mirrors the HOF form: array_min over an EMPTY array is
+  // null, so an empty input yields k nulls (callers filter empties, but
+  // the twin semantics must hold everywhere)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashSignature.sig(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.plans.MinhashSignature.sig($a, $numHashes);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+}
+
+object MinhashSignature {
+  def sig(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](numHashes)) // k nulls
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      // xxhash64(e, i) = hashInt(i, hashLong(e, 42)): the element hash
+      // is the per-element invariant — computed once here, k times in
+      // the HOF form. A null element leaves the seed untouched (Spark
+      // hash functions skip nulls), mirrored exactly.
+      val h1 = if (arr.isNullAt(j)) 42L
+               else XXH64.hashLong(arr.getLong(j), 42L)
+      var i = 0
+      while (i < numHashes) {
+        val h = XXH64.hashInt(i, h1)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+}

@@ -167,6 +167,9 @@ object VectorExpressions {
       "graft_wav_meta", exprs => WavMeta(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bmp_stats", exprs => BmpStats(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinhashSignature(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
   }
 
   /** Column-API form; registers on the active session on first use.
@@ -204,5 +207,12 @@ object VectorExpressions {
   def bmpStats(c: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_bmp_stats", c)
+  }
+
+  /** One-pass MinHash signature (plans.MinhashSignature), column form;
+    * same registration precondition. */
+  def minhash(c: Column, k: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_minhash", c, org.apache.spark.sql.functions.lit(k))
   }
 }

@@ -191,6 +191,41 @@ class ExtensionsSpec extends SparkSpec {
       s"cell partition pruning missing:\n$plan")
   }
 
+  test("graft_minhash one-pass signature is bitwise-equal to the HOF chain") {
+    import org.apache.spark.sql.functions.{array, array_distinct, array_min, lit, transform, xxhash64}
+    // the independently re-derived composed-builtins form this
+    // expression replaced: k interpreted transform+array_min passes
+    def hofSig(toks: org.apache.spark.sql.Column) =
+      array((0 until Dedup.NumHashes).map(i =>
+        array_min(transform(toks, t => xxhash64(t, lit(i))))): _*)
+    // real corpus token sets (the hashed-long form every banded path uses)
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_distinct(transform(graft.functions.TextFunctions.tokens(col("text")),
+          t => xxhash64(t))).as("toks"))
+    val both = sets.select(col("doc_id"),
+        graft.plans.VectorExpressions.minhash(col("toks"), Dedup.NumHashes).as("native"),
+        hofSig(col("toks")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    }
+    // adversarial shapes the corpus never produces: empty array (k
+    // nulls, matching array_min-of-empty), single element, null element
+    val edge = spark.sql(
+      "SELECT graft_minhash(CAST(array() AS ARRAY<BIGINT>), 4) AS e, " +
+      "graft_minhash(array(CAST(7 AS BIGINT)), 4) AS s, " +
+      "graft_minhash(array(CAST(7 AS BIGINT), CAST(NULL AS BIGINT)), 4) AS n").collect()(0)
+    assert(edge.getSeq[Any](0) === Seq(null, null, null, null))
+    val hofEdge = spark.sql(
+      "SELECT transform(sequence(0, 3), i -> array_min(transform(array(CAST(7 AS BIGINT)), t -> xxhash64(t, i)))) AS s, " +
+      "transform(sequence(0, 3), i -> array_min(transform(array(CAST(7 AS BIGINT), CAST(NULL AS BIGINT)), t -> xxhash64(t, i)))) AS n")
+      .collect()(0)
+    assert(edge.getSeq[Long](1) === hofEdge.getSeq[Long](0))
+    assert(edge.getSeq[Long](2) === hofEdge.getSeq[Long](1))
+  }
+
   test("graft_dot codegen expression is bitwise-equal to the HOF chain") {
     import org.apache.spark.sql.functions.{sum, transform}
     val emb = Tables.embeddings(spark, sf)
