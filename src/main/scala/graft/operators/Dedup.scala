@@ -141,8 +141,9 @@ object Dedup {
   val BandRows = 2
   val NumBands: Int = NumHashes / BandRows
 
-  /** Per-document MinHash signature: mh_i = min over tokens of
-    * xxhash64(token + "#" + i). Pure codegen'd HOFs — no UDF. */
+  /** Per-document MinHash signature over the hashed-long token sets:
+    * mh_i = min over tokens of xxhash64(token, i), computed by the
+    * native one-pass graft_minhash expression (see [[signaturesFor]]). */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     signaturesFor(tokenSets(spark, dir))
 

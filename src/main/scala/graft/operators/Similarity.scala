@@ -52,12 +52,20 @@ object Similarity {
     * per label and dimension) is deliberately flat: it feeds drift/
     * bias dashboards directly and needs no array reassembly. */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    labelDimMeans(spark, dir)
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        col("m").as("mean_v"), col("n_vecs"))
+      .orderBy(col("label"), col("dim"))
+
+  /** Per-(label, dimension) embedding component means, rounded 6dp —
+    * THE centroid rounding rule both engines score against, owned in
+    * one place so [[labelCentroids]] and [[qualityFusion]] can never
+    * diverge on it. */
+  private def labelDimMeans(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(asDouble(col("embedding"))))
-      .select(col("label"), (col("pos") + 1).cast("long").as("dim"), col("col").as("v"))
-      .groupBy(col("label"), col("dim"))
-      .agg(round(avg(col("v")), 6).as("mean_v"), count(lit(1)).as("n_vecs"))
-      .orderBy(col("label"), col("dim"))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col")), 6).as("m"), count(lit(1)).as("n_vecs"))
 
   /** Per-vector L2 norms (sanity surface + the normalization step of any
     * embedding pipeline). */
@@ -76,9 +84,7 @@ object Similarity {
       minQuality: Double = 0.5, minCos: Double = 0.15): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    val cent = e.select(col("label"), posexplode(col("v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("col")), 6).as("m"))
+    val cent = labelDimMeans(spark, dir)
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("c"))

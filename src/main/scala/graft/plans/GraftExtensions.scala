@@ -45,8 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
        new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
-       (exprs: Seq[Expression]) => MinhashSignature(exprs(0),
-         exprs(1).eval(null).asInstanceOf[Int])))
+       (exprs: Seq[Expression]) => MinhashSignature.fromArgs(exprs)))
   }
 }
 

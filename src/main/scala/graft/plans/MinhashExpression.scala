@@ -1,8 +1,10 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -34,27 +36,54 @@ case class MinhashSignature(child: Expression, numHashes: Int)
         s"graft_minhash expects array<bigint>, got ${other.catalogString}")
   }
   // containsNull mirrors the HOF form: array_min over an EMPTY array is
-  // null, so an empty input yields k nulls (callers filter empties, but
-  // the twin semantics must hold everywhere)
+  // null, so an empty input yields k nulls; a NULL input array likewise
+  // yields k nulls, because the outer array(...) constructor of the HOF
+  // form is non-null even when every transform inside it was — the twin
+  // semantics hold everywhere, so the expression itself never returns
+  // NULL
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = false
   override def prettyName: String = "graft_minhash"
 
-  override def nullSafeEval(input: Any): Any =
-    MinhashSignature.sig(input.asInstanceOf[ArrayData], numHashes)
+  override def eval(input: InternalRow): Any = child.eval(input) match {
+    case null => MinhashSignature.nulls(numHashes)
+    case a => MinhashSignature.sig(a.asInstanceOf[ArrayData], numHashes)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => s"""
-      ${ev.value} = graft.plans.MinhashSignature.sig($a, $numHashes);
-    """)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaCode = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        ${c.isNull} ? graft.plans.MinhashSignature.nulls($numHashes)
+                    : graft.plans.MinhashSignature.sig(${c.value}, $numHashes);
+    """
+    ev.copy(code = javaCode, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
     copy(child = newChild)
 }
 
 object MinhashSignature {
+  /** Builder shared by the SQL registrations: k must be a foldable
+    * integer literal, rejected with a named error instead of an opaque
+    * cast/eval crash. */
+  def fromArgs(exprs: Seq[Expression]): MinhashSignature = {
+    val kExpr = exprs(1)
+    val k = if (kExpr.foldable) kExpr.eval(null) else null
+    k match {
+      case i: java.lang.Integer => MinhashSignature(exprs(0), i)
+      case _ => throw new IllegalArgumentException(
+        s"graft_minhash(arr, k): k must be an INT literal, got ${kExpr.sql}")
+    }
+  }
+
+  def nulls(numHashes: Int): ArrayData = new GenericArrayData(new Array[Any](numHashes))
+
   def sig(arr: ArrayData, numHashes: Int): ArrayData = {
     val n = arr.numElements()
-    if (n == 0) return new GenericArrayData(new Array[Any](numHashes)) // k nulls
+    if (n == 0) return nulls(numHashes) // k nulls, matching array_min-of-empty
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
     var j = 0

@@ -168,8 +168,7 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bmp_stats", exprs => BmpStats(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash", exprs => MinhashSignature(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
+      "graft_minhash", exprs => MinhashSignature.fromArgs(exprs), "scala_udf")
   }
 
   /** Column-API form; registers on the active session on first use.

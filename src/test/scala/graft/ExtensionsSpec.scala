@@ -216,8 +216,17 @@ class ExtensionsSpec extends SparkSpec {
     val edge = spark.sql(
       "SELECT graft_minhash(CAST(array() AS ARRAY<BIGINT>), 4) AS e, " +
       "graft_minhash(array(CAST(7 AS BIGINT)), 4) AS s, " +
-      "graft_minhash(array(CAST(7 AS BIGINT), CAST(NULL AS BIGINT)), 4) AS n").collect()(0)
+      "graft_minhash(array(CAST(7 AS BIGINT), CAST(NULL AS BIGINT)), 4) AS n, " +
+      "graft_minhash(CAST(NULL AS ARRAY<BIGINT>), 4) AS z").collect()(0)
     assert(edge.getSeq[Any](0) === Seq(null, null, null, null))
+    // NULL input array: k nulls, like the HOF's outer array(...) —
+    // never a NULL result
+    assert(edge.getSeq[Any](3) === Seq(null, null, null, null))
+    // non-literal k is rejected with a named error, not a raw cast crash
+    val bad = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array(CAST(7 AS BIGINT)), CAST(4 AS BIGINT))").collect()
+    }
+    assert(bad.getMessage.contains("graft_minhash"), bad.getMessage)
     val hofEdge = spark.sql(
       "SELECT transform(sequence(0, 3), i -> array_min(transform(array(CAST(7 AS BIGINT)), t -> xxhash64(t, i)))) AS s, " +
       "transform(sequence(0, 3), i -> array_min(transform(array(CAST(7 AS BIGINT), CAST(NULL AS BIGINT)), t -> xxhash64(t, i)))) AS n")
