@@ -167,23 +167,18 @@ object Dedup {
     * and with 2^64 space a collision on a real corpus is negligible —
     * the Jaccard VALUE is identical to the string computation. */
   private[graft] def shingleSets(spark: SparkSession, dir: String, n: Int): DataFrame = {
-    require(n == 3, "shingleSets is specialized to n=3 (zip_with chain)")
+    // One-pass native window hashing (plans.NgramHashes) — bit-identical
+    // to the zip_with slice chain it replaced (differential test in
+    // ExtensionsSpec), but without n interpreted slice evaluations and
+    // n-1 interpreted lambda passes per row; short docs yield the empty
+    // set directly. (Historical trap, still true of any composed form:
+    // NEVER element_at(t, i) inside a sequence-transform — the lambda
+    // re-evaluates its outer child per element, re-tokenizing the whole
+    // document per shingle, measured O(len^2).)
     val t = graft.functions.TextFunctions.tokens(col("text"))
-    // Sliding windows as zipped slices, NOT element_at(t, i) inside a
-    // sequence-transform: a lambda body re-evaluates its outer child
-    // per ELEMENT, which re-tokenizes the whole document per shingle —
-    // O(len^2) per doc (measured 16s over sf0.1). Slices evaluate the
-    // token array O(1) times per row.
-    val len = size(t) - lit(n - 1)
-    val windows = zip_with(
-      slice(t, lit(1), len),
-      zip_with(slice(t, lit(2), len), slice(t, lit(3), len),
-        (b, c) => concat(b, lit(" "), c)),
-      (a, bc) => xxhash64(concat(a, lit(" "), bc)))
     Tables.documentsParallel(spark, dir)
       .select(col("doc_id"),
-        when(size(t) >= n, array_distinct(windows))
-          .otherwise(array().cast("array<long>")).as("toks"))
+        array_distinct(graft.plans.VectorExpressions.ngramHashes(t, n)).as("toks"))
   }
 
   /** Near-duplicate pairs with exact Jaccard >= 0.8 — adaptive plan:

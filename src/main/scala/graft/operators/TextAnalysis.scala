@@ -215,12 +215,13 @@ object TextAnalysis {
     gramCache.getOrCompute(spark, s"$dir#ngrams$n") {
       val t = tokens(col("text"))
       // grams hashed to longs AT BIRTH (same discipline as the dedup
-      // shingles): the exploded table and the equi-join carry 8-byte
-      // keys instead of ~25-char strings; set cardinalities — and so
-      // n_hits/n_grams — are identical to the string computation, which
-      // is what the string-gram DuckDB oracle checks
-      val gsRaw = when(size(t) >= n, array_distinct(transform(ngrams(t, n), g => xxhash64(g))))
-        .otherwise(array().cast("array<long>"))
+      // shingles) via the native one-pass window hasher — bit-identical
+      // to transform(ngrams(t, n), xxhash64) (ExtensionsSpec): the
+      // exploded table and the equi-join carry 8-byte keys instead of
+      // ~25-char strings; set cardinalities — and so n_hits/n_grams —
+      // are identical to the string computation, which is what the
+      // string-gram DuckDB oracle checks
+      val gsRaw = array_distinct(graft.plans.VectorExpressions.ngramHashes(t, n))
       // checkpoint the ARRAYS (one compact row per doc), explode at use:
       // exploding an attribute of a materialized frame is pure codegen
       // over in-memory rows, and the infer-filters-from-generate rule

@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
        new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
        (exprs: Seq[Expression]) => MinhashSignature.fromArgs(exprs)))
+    e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ngram_hashes"),
+       new ExpressionInfo(classOf[NgramHashes].getName, "graft_ngram_hashes"),
+       (exprs: Seq[Expression]) => NgramHashes.fromArgs(exprs)))
   }
 }
 

@@ -169,6 +169,8 @@ object VectorExpressions {
       "graft_bmp_stats", exprs => BmpStats(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", exprs => MinhashSignature.fromArgs(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngram_hashes", exprs => NgramHashes.fromArgs(exprs), "scala_udf")
   }
 
   /** Column-API form; registers on the active session on first use.
@@ -213,5 +215,12 @@ object VectorExpressions {
   def minhash(c: Column, k: Int): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_minhash", c, org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** One-pass hashed n-gram windows (plans.NgramHashes), column form;
+    * same registration precondition. */
+  def ngramHashes(c: Column, n: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_ngram_hashes", c, org.apache.spark.sql.functions.lit(n))
   }
 }

@@ -235,6 +235,51 @@ class ExtensionsSpec extends SparkSpec {
     assert(edge.getSeq[Long](2) === hofEdge.getSeq[Long](1))
   }
 
+  test("graft_ngram_hashes one-pass windows are bitwise-equal to the zip_with chain") {
+    import org.apache.spark.sql.functions.{array, lit, size, slice, transform, when, xxhash64, zip_with, array_distinct, concat}
+    // independently re-derived composed forms this expression replaced:
+    // the 3-gram zip_with slice chain (Dedup.shingleSets) and the
+    // generic reduceLeft concat chain + transform-hash (TextAnalysis)
+    def chain3(t: org.apache.spark.sql.Column) = {
+      val len = size(t) - lit(2)
+      when(size(t) >= 3, zip_with(
+        slice(t, lit(1), len),
+        zip_with(slice(t, lit(2), len), slice(t, lit(3), len),
+          (b, c) => concat(b, lit(" "), c)),
+        (a, bc) => xxhash64(concat(a, lit(" "), bc))))
+        .otherwise(array().cast("array<long>"))
+    }
+    def chainN(t: org.apache.spark.sql.Column, n: Int) = {
+      val len = size(t) - lit(n - 1)
+      val grams = (1 to n).map(i => slice(t, lit(i), len))
+        .reduceLeft((acc, s) => zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
+      when(size(t) >= n, transform(grams, g => xxhash64(g)))
+        .otherwise(array().cast("array<long>"))
+    }
+    val t = graft.functions.TextFunctions.tokens(col("text"))
+    val both = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.ngramHashes(t, 3).as("n3"),
+        chain3(t).as("c3"),
+        graft.plans.VectorExpressions.ngramHashes(t, 4).as("n4"),
+        chainN(t, 4).as("c4"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"doc ${r.getLong(0)} n=3")
+      assert(r.getSeq[Long](3) === r.getSeq[Long](4), s"doc ${r.getLong(0)} n=4")
+    }
+    // edges: short array (empty), null token inside a window (seed-42
+    // lane, like xxhash64 of the nulled concat), distinct composition
+    val edge = spark.sql(
+      "SELECT graft_ngram_hashes(array('a'), 3) AS short, " +
+      "graft_ngram_hashes(array('a', CAST(NULL AS STRING), 'b'), 3) AS withnull, " +
+      "transform(sequence(1, 1), i -> xxhash64(concat('a', ' ', CAST(NULL AS STRING), ' ', 'b'))) AS hofnull")
+      .collect()(0)
+    assert(edge.getSeq[Long](0) === Seq.empty)
+    assert(edge.getSeq[Long](1) === edge.getSeq[Long](2))
+  }
+
   test("graft_dot codegen expression is bitwise-equal to the HOF chain") {
     import org.apache.spark.sql.functions.{sum, transform}
     val emb = Tables.embeddings(spark, sf)
