@@ -16,6 +16,11 @@ run / fork := true
 // would otherwise displace it (VERDICT r4 "What's wrong" #1).
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// With fork=true the forked JVM's stdout goes through sbt's logger and
+// every line arrives as "[info] {...}", which breaks the driver's JSON
+// parse (VERDICT r5 "What's wrong" #1). StdoutOutput passes the child's
+// stdout through unprefixed; javaOptions above still apply to the fork.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -543,9 +543,11 @@ object Dedup {
       // nested loop, no corpus self-pairs. Same recall contract as
       // dedup_minhash_lsh (miss probability ~3e-8 at 0.8), same exact
       // Jaccard verification, so the output contract is unchanged.
-      // Memoized per corpus like every other banded build: per-call
-      // scratch checkpoints would grow block storage without bound.
-      pairCache.getOrCompute(spark, s"$dir#incremental") {
+      // Memoized per (corpus, threshold) like every other banded
+      // build: per-call scratch checkpoints would grow block storage
+      // without bound, and the threshold belongs in the key — a memo
+      // built at 0.8 must not answer a 0.9 call (ADVICE r5).
+      pairCache.getOrCompute(spark, s"$dir#incremental#$threshold") {
         incrementalBandedRaw(spark, dir, threshold).localCheckpoint(false)
       }
         .select(col("doc_b").as("new_doc_id"), col("doc_a").as("dup_of"), col("jaccard"))
@@ -641,10 +643,13 @@ object Dedup {
     * long-lived session serving many corpora doesn't accumulate their
     * storage blocks. (App shutdown evicts everything automatically.) */
   def evictCorpus(spark: SparkSession, dir: String,
-      paragraphKs: Seq[Int] = Seq(20)): Unit = {
+      paragraphKs: Seq[Int] = Seq(20),
+      incrementalThresholds: Seq[Double] = Seq(0.8)): Unit = {
     clusterCache.evict(spark, dir)
     batchCountCache.remove(dir)
     paragraphKs.foreach(k => pairCache.evict(spark, s"$dir#paras$k"))
+    incrementalThresholds.foreach(t =>
+      pairCache.evict(spark, s"$dir#incremental#$t"))
     Seq(dir, s"$dir#banded", s"$dir#shingle", s"$dir#incremental", s"$dir#simhash")
       .foreach { scope =>
       pairCache.evict(spark, scope)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.Tables
+import graft.{AppScopedCache, Tables}
 
 /** Phase-2 relational surface (SURVEY §7): the general query engine the
   * reference never needed (it has zero joins, SURVEY §2 note) but a
@@ -682,6 +682,15 @@ object Relational {
       .orderBy(col("nation"), col("o_year").desc)
   }
 
+  /** q11's per-part aggregate, memoized per corpus: BOTH the kept-parts
+    * branch and the scalar threshold read it, and without a barrier the
+    * crossJoin evaluates each branch independently — lineitem is scanned
+    * and aggregated twice (VERDICT r5 "What's wrong" #3; ~2x at scale).
+    * The lazy localCheckpoint makes the second reader pay only the
+    * checkpoint read; blocks are released on app end via the cache. */
+  private val q11PerPartCache =
+    new AppScopedCache[DataFrame](AppScopedCache.unpersistPlanRDDs)
+
   /** TPC-H Q11 (important inventory) on this schema: per-part shipped
     * value through one nation's suppliers, kept when above a fixed
     * fraction of that nation's total — grouped agg + global scalar
@@ -694,10 +703,13 @@ object Relational {
       .select(col("s_suppkey"))
     val value = col("l_extendedprice").cast("decimal(18,6)") *
       (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
-    val perPart = Tables.lineitem(spark, dir)
-      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
-      .groupBy(col("l_partkey").as("p_partkey"))
-      .agg(sum(value).as("part_value"))
+    val perPart = q11PerPartCache.getOrCompute(spark, s"$dir#q11") {
+      Tables.lineitem(spark, dir)
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum(value).as("part_value"))
+        .localCheckpoint(false)
+    }
     val threshold = perPart.agg((sum(col("part_value")) *
       lit(0.001).cast("decimal(18,6)")).as("cutoff"))
     perPart.crossJoin(broadcast(threshold))

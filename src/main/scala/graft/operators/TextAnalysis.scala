@@ -397,7 +397,10 @@ object TextAnalysis {
     * training-data pipeline runs BEFORE dedup (C4 §2.1, Gopher A.1.1):
     *
     *  1. scrub URLs and emails out of the text (regexp, codegen'd);
-    *  2. drop documents under a minimum token count (Gopher's 50);
+    *  2. drop documents under a minimum token count (default 40 —
+    *     deliberately below Gopher's 50 because this synthetic
+    *     corpus's docs are short; the DuckDB oracle gates on the same
+    *     40, so change both together);
     *  3. drop documents without >= 2 distinct function-word stopwords
     *     (the "is this prose at all" witness);
     *  4. flag — not drop — documents hitting the bad-word list, so a

@@ -179,10 +179,16 @@ object BmpStats {
     if (le16(b, 28) != 24 || le32(b, 30) != 0L) return null // 24bpp BI_RGB only
     // row size in LONG: a hostile header's width can overflow w*3+3 in
     // Int, flipping rowSize negative and bypassing the bounds check
-    // (negative-index crash or silent zero sums). The Long bound also
-    // caps every later Int product: rowSizeL <= b.length < 2^31.
+    // (negative-index crash or silent zero sums). But rowSizeL * h can
+    // itself overflow LONG for w,h both near 2^31 (~1.4e19 > 2^63-1),
+    // wrapping negative and passing a `+ >` bound — so the bound is
+    // phrased as a division, which cannot overflow: rowSizeL <=
+    // (len - off) / h  <=>  off + rowSizeL * h <= len for integral
+    // rowSizeL, h >= 1. Passing it caps every later Int product:
+    // rowSizeL <= b.length < 2^31.
     val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4 // each BGR row padded to 4 bytes
-    if (dataOffset < 54 || dataOffset + rowSizeL * h > b.length) return null
+    if (dataOffset < 54 || dataOffset > b.length) return null
+    if (rowSizeL > (b.length - dataOffset) / h) return null
     val rowSize = rowSizeL.toInt
     var (sr, sg, sb) = (0L, 0L, 0L)
     var row = 0

@@ -164,6 +164,20 @@ class ImageMetaSpec extends SparkSpec {
     val wrongDepth = bmp(px); wrongDepth(28) = 32.toByte
     assert(parseBmp(wrongDepth) === None)
     assert(parseBmp("BMnot really a bitmap".getBytes) === None)
+    // hostile header where rowSizeL * h overflows LONG (w,h both near
+    // 2^31 with valid planes/bpp/compression — ADVICE r5): the wrapped
+    // product would pass a `off + rowSizeL*h > len` bound and the pixel
+    // loop would read past the array; the division-form bound rejects it
+    val longOverflow = bmp(px)
+    System.arraycopy(le32(2100000000L), 0, longOverflow, 18, 4) // w
+    System.arraycopy(le32(2000000000L), 0, longOverflow, 22, 4) // h
+    assert(parseBmp(longOverflow) === None)
+    // dataOffset beyond the buffer with huge h: (len - off) must not go
+    // negative-and-wrap through the division bound either
+    val hugeOffset = bmp(px)
+    System.arraycopy(le32(4000000000L), 0, hugeOffset, 10, 4)
+    System.arraycopy(le32(2000000000L), 0, hugeOffset, 22, 4)
+    assert(parseBmp(hugeOffset) === None)
   }
 
   test("registered pixel query round-trips its constructed BMPs at sf0.001") {
