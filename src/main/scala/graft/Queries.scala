@@ -803,12 +803,37 @@ object Queries {
     "mm_binary_meta" ->
       ("SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS digest " +
        "FROM documents ORDER BY doc_id"),
+    // the media column is constructed per-row from doc_id arithmetic
+    // (doc_id%4 picks BMP/WAV/PNG/JPEG, every 97th doc is non-media),
+    // so the oracle recomputes the expected unified metadata directly —
+    // the compare is an exact construct -> magic-byte-dispatch -> parse
+    // round trip across all four real decoders at once
     "mm_feature_extract" ->
-      ("SELECT doc_id, octet_length(encode(text)) AS n_bytes, " +
-       "CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width, " +
-       "CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height, " +
-       "3 AS channels, round(ascii(substr(text, 1, 1)) / 255.0, 6) AS f0 " +
-       "FROM documents ORDER BY doc_id"),
+      ("WITH d AS (SELECT doc_id, text, doc_id % 97 = 0 AS corrupt, " +
+       "doc_id % 4 AS f, doc_id // 4 AS q, " +
+       "2*(1 + (doc_id // 4) % 3) AS bw, 1 + (doc_id // 4) % 4 AS bhh, " +
+       "((2*(1 + (doc_id // 4) % 3)*3 + 3) // 4) * 4 AS rs FROM documents) " +
+       "SELECT doc_id, " +
+       "CAST(CASE WHEN corrupt THEN octet_length(encode(substring(text, 1, 16))) " +
+       "WHEN f = 0 THEN 54 + rs * bhh " +
+       "WHEN f = 1 THEN CASE WHEN q % 2 = 1 THEN 48 ELSE 36 END " +
+       "WHEN f = 2 THEN 33 ELSE 39 END AS BIGINT) AS n_bytes, " +
+       "CASE WHEN corrupt THEN NULL WHEN f = 0 THEN 'bmp' WHEN f = 1 THEN 'wav' " +
+       "WHEN f = 2 THEN 'png' ELSE 'jpeg' END AS media_type, " +
+       "CAST(CASE WHEN corrupt THEN NULL WHEN f = 0 THEN bw " +
+       "WHEN f >= 2 THEN doc_id % 1021 + 16 END AS INTEGER) AS width, " +
+       "CAST(CASE WHEN corrupt THEN NULL WHEN f = 0 THEN bhh " +
+       "WHEN f >= 2 THEN (doc_id * 7) % 739 + 16 END AS INTEGER) AS height, " +
+       "CAST(CASE WHEN corrupt THEN NULL WHEN f = 0 THEN 3 " +
+       "WHEN f = 1 THEN 1 + q % 2 END AS INTEGER) AS channels, " +
+       "CAST(CASE WHEN corrupt THEN NULL WHEN f = 1 THEN 8000*(1 + q % 6) " +
+       "END AS INTEGER) AS sample_rate, " +
+       "CASE WHEN corrupt OR f <> 0 THEN NULL ELSE round(" +
+       "(bhh*(bw//2)*((doc_id*7)%256 + (doc_id*17)%256) " +
+       "+ bhh*(bw//2)*((doc_id*3)%256 + (doc_id*13)%256) " +
+       "+ bhh*(bw//2)*((doc_id)%256 + (doc_id*11)%256)) " +
+       "/ (3.0 * bw * bhh), 6) END AS mean_px " +
+       "FROM d ORDER BY doc_id"),
     "mm_frame_sample" ->
       ("SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, " +
        "CAST(1 + i * greatest(1, length(text) // 4) AS BIGINT) AS start, " +

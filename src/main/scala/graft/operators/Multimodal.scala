@@ -5,49 +5,19 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Multimodal column plumbing (north-star extension): treat media as
-  * opaque `binary` columns with typed metadata, processed per-partition.
-  *
-  * Two layers:
-  *  - HEADER decode is REAL — [[imageMeta]]/[[audioMeta]] parse
-  *    PNG/JPEG/WAV headers from the public file-format specs via native
-  *    codegen'd expressions (plans.ImageMeta / plans.WavMeta): the
-  *    metadata a curation pipeline filters on (resolution, format,
-  *    channels, sample rate) without any codec dependency;
-  *  - PIXEL/SAMPLE decode needs codecs this container doesn't ship, so
-  *    it stays a clearly-marked deterministic stub (`fakeDecode`) with
-  *    the Spark-side shape real and tested: the binary column, the
-  *    metadata struct schema, the per-partition batch processing shape
-  *    (`mapPartitions`, the designated escape hatch for imperative
-  *    per-record logic), and the partitioning behavior. Swapping
-  *    `fakeDecode` for a JNI/codec call is a one-function change.
+  * opaque `binary` columns with typed metadata, decoded by REAL
+  * parsers — [[imageMeta]]/[[audioMeta]]/[[pixelStats]] parse
+  * PNG/JPEG/WAV headers and uncompressed BMP pixels from the public
+  * file-format specs via native codegen'd expressions
+  * (plans.ImageExpressions), and [[featureExtract]] runs the
+  * production shape: a MAGIC-BYTE dispatch over a mixed-format media
+  * column, routing each payload to its format's parser inside one
+  * whole-stage-codegen'd scan. No codec stubs remain: every decode in
+  * this file walks actual bytes per spec. (Formats needing external
+  * codecs — video, compressed audio — would slot in as further
+  * codegen'd expressions behind the same dispatch.)
   */
 object Multimodal {
-
-  /** Decoded-media metadata record (what a real image decode would
-    * yield: dimensions, channels, a content digest, a tiny feature
-    * vector). */
-  case class MediaMeta(
-      doc_id: Long,
-      n_bytes: Long,
-      width: Int,
-      height: Int,
-      channels: Int,
-      features: Array[Double])
-
-  /** STUB decode: deterministic pseudo-metadata derived from the bytes.
-    * Stands in for an image/audio codec (not available in this
-    * container); the derivation is fixed so tests are exact. */
-  def fakeDecode(docId: Long, bytes: Array[Byte]): MediaMeta = {
-    val n = bytes.length.toLong
-    val head = bytes.take(4).map(_.toInt & 0xff)
-    MediaMeta(
-      doc_id = docId,
-      n_bytes = n,
-      width = (n % 640).toInt + 1,
-      height = ((n * 7) % 480).toInt + 1,
-      channels = 3,
-      features = head.map(_.toDouble / 255.0))
-  }
 
   /** The documents table as a multimodal table: text re-encoded as the
     * opaque binary payload + deterministic digests. Fully
@@ -80,21 +50,111 @@ object Multimodal {
         md5(col("text").substr(lit(1) + col("i") * col("step"), lit(32))).as("digest"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
-  /** Feature extraction over the binary column, expressed as Columns:
-    * the shipped path. The stub decode is arithmetic on lengths/bytes,
-    * which whole-stage codegen executes at scan speed — reaching for
-    * mapPartitions here would trade a codegen'd projection for row
-    * (de)serialization with no codec to justify it. */
+  /** REAL feature extraction over a MIXED-format media column — the
+    * production shape of a multimodal curation pass: one scan, a
+    * magic-byte dispatch (`BM` / `RIFF..WAVE` / PNG signature / JPEG
+    * SOI, read from the payload bytes, never from out-of-band hints)
+    * routing each row to its format's native parser, and a unified
+    * metadata/feature row out. All four decoders are the real
+    * spec-walking expressions (plans.ImageExpressions); BMP rows carry
+    * an actual pixel-derived feature (mean channel value from the
+    * decoded sums). CaseWhen short-circuits per row, so each payload
+    * pays exactly its own format's parse, in whole-stage codegen.
+    *
+    * The corpus is constructed per-row to the public specs from doc_id
+    * arithmetic (doc_id%4 picks the format; every 97th doc is a
+    * deliberate non-media payload that must yield NULLs), so the
+    * DuckDB oracle recomputes the expected output directly and the
+    * compare is an exact construct→dispatch→parse round trip. */
   def featureExtract(spark: SparkSession, dir: String): DataFrame = {
-    val n = length(encode(col("text"), "UTF-8")).cast("long")
+    import org.apache.spark.sql.functions.call_function
+    val id = col("doc_id")
+    val q = (id / 4).cast("long")
+    def bh(n: org.apache.spark.sql.Column) = lpad(hex(n.cast("long") % 256), 2, "0")
+    def le16h(n: org.apache.spark.sql.Column) =
+      concat(bh(n), bh((n.cast("long") / 256).cast("long")))
+    def le32h(n: org.apache.spark.sql.Column) =
+      concat(le16h(n.cast("long") % 65536), le16h((n.cast("long") / 65536).cast("long")))
+    def be(n: org.apache.spark.sql.Column, hexDigits: Int) =
+      unhex(lpad(hex(n), hexDigits, "0"))
+
+    // BMP (id%4==0): 24bpp bottom-up, alternating two-pixel pattern
+    val bw = (lit(2) * (lit(1) + q % 3)).cast("long")
+    val bhgt = (lit(1) + q % 4).cast("long")
+    val rowSize = ((bw * 3 + 3) / 4).cast("long") * 4
+    val pxA = concat(bh(id), bh(id * 3), bh(id * 7))
+    val pxB = concat(bh(id * 11), bh(id * 13), bh(id * 17))
+    val rowHex = concat(
+      call_function("repeat", concat(pxA, pxB), (bw / 2).cast("int")),
+      call_function("repeat", lit("00"), (rowSize - bw * 3).cast("int")))
+    val bmpPayload = unhex(concat(
+      lit("424D"), le32h(lit(54L) + rowSize * bhgt), lit("00000000"), le32h(lit(54L)),
+      le32h(lit(40L)), le32h(bw), le32h(bhgt), le16h(lit(1L)), le16h(lit(24L)),
+      le32h(lit(0L)), le32h(rowSize * bhgt), le32h(lit(2835L)), le32h(lit(2835L)),
+      le32h(lit(0L)), le32h(lit(0L)), call_function("repeat", rowHex, bhgt.cast("int"))))
+
+    // WAV (id%4==1): PCM fmt chunk; odd q prepends a JUNK chunk so the
+    // walk — not a fixed offset — is certified here too
+    val rate = (lit(8000) * (lit(1) + q % 6)).cast("long")
+    val wchan = (lit(1) + q % 2).cast("long")
+    val wbits = (lit(8) * (lit(1) + q % 3)).cast("long")
+    val fmtChunk = concat(
+      lit("666D742010000000" + "0100"),
+      le16h(wchan), le32h(rate), le32h(rate * wchan * wbits / 8),
+      le16h(wchan * wbits / 8), le16h(wbits))
+    val wavBody = when(q % 2 === 1, concat(lit("4A554E4B04000000DEADBEEF"), fmtChunk))
+      .otherwise(fmtChunk)
+    val wavPayload = unhex(concat(
+      lit("52494646"), le32h((length(wavBody) / 2).cast("long") + 4),
+      lit("57415645"), wavBody))
+
+    // PNG (id%4==2) / JPEG (id%4==3): signature+IHDR / SOI+APP0+SOF0
+    val iw = (id % 1021 + 16).cast("int")
+    val ih = ((id * 7) % 739 + 16).cast("int")
+    val pngPayload = concat(
+      unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
+      be(iw, 8), be(ih, 8), unhex(lit("0806000000" + "00000000")))
+    val jpegPayload = concat(
+      unhex(lit("FFD8" + "FFE000104A46494600010100000100010000")),
+      unhex(lit("FFC00011" + "08")), be(ih, 4), be(iw, 4),
+      unhex(lit("03012200021101031101")))
+
+    val payload = when(id % 97 === 0, encode(col("text").substr(1, 16), "UTF-8"))
+      .when(id % 4 === 0, bmpPayload)
+      .when(id % 4 === 1, wavPayload)
+      .when(id % 4 === 2, pngPayload)
+      .otherwise(jpegPayload)
+
+    // ---- the dispatch: magic bytes -> that format's parser ----------
+    val p = col("media")
+    val isBmp = hex(col("media").substr(1, 2)) === "424D"
+    val isWav = hex(col("media").substr(1, 4)) === "52494646" &&
+      hex(col("media").substr(9, 4)) === "57415645"
+    val isImg = hex(col("media").substr(1, 8)) === "89504E470D0A1A0A" ||
+      hex(col("media").substr(1, 2)) === "FFD8"
+    val bmp = graft.plans.VectorExpressions.bmpStats(p)
+    val wav = graft.plans.VectorExpressions.wavMeta(p)
+    val img = graft.plans.VectorExpressions.imgMeta(p)
+    val nullInt = lit(null).cast("int")
     Tables.documents(spark, dir)
+      .select(col("doc_id"), payload.as("media"))
       .select(
         col("doc_id"),
-        n.as("n_bytes"),
-        (n % 640 + 1).cast("int").as("width"),
-        ((n * 7) % 480 + 1).cast("int").as("height"),
-        lit(3).as("channels"),
-        round(ascii(col("text")) / 255.0, 6).as("f0"))
+        length(p).cast("long").as("n_bytes"),
+        when(isBmp, when(bmp.isNotNull, "bmp"))
+          .when(isWav, when(wav.isNotNull, "wav"))
+          .when(isImg, img.getField("format")).as("media_type"),
+        when(isBmp, bmp.getField("width"))
+          .when(isImg, img.getField("width")).otherwise(nullInt).as("width"),
+        when(isBmp, bmp.getField("height"))
+          .when(isImg, img.getField("height")).otherwise(nullInt).as("height"),
+        when(isBmp, when(bmp.isNotNull, 3))
+          .when(isWav, wav.getField("channels")).otherwise(nullInt).as("channels"),
+        when(isWav, wav.getField("sample_rate")).otherwise(nullInt).as("sample_rate"),
+        when(isBmp, round(
+          (bmp.getField("sum_r") + bmp.getField("sum_g") + bmp.getField("sum_b")) /
+            (lit(3.0) * bmp.getField("n_pixels")), 6))
+          .otherwise(lit(null).cast("double")).as("mean_px"))
       .orderBy(col("doc_id"))
   }
 
@@ -241,21 +301,4 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** The per-partition codec-batch shape a REAL decoder plugs into:
-    * typed Dataset, one iterator pass per partition, imperative decode
-    * per record (`fakeDecode` stands in for the codec). Kept as the
-    * integration seam — swap `fakeDecode` for a JNI/codec call and this
-    * is the production path; until then `featureExtract`'s Column form
-    * is what ships, and the two are proven row-identical in tests. */
-  def featureExtractCodec(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val bin = Tables.documents(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
-    bin.mapPartitions(_.map { case (id, bytes) => fakeDecode(id, bytes) })
-      .toDF()
-      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
-              col("channels"), round(element_at(col("features"), 1), 6).as("f0"))
-      .orderBy(col("doc_id"))
-  }
 }

@@ -24,11 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * A pure per-row byte walk with no allocation beyond the result row:
   * runs inside whole-stage codegen via a static call, so header
-  * extraction over a 100 TB media table is scan-speed. The deliberately
-  * stubbed pixel-decode seam (Multimodal.fakeDecode) remains for full
-  * decodes; header metadata — the first thing a media curation pipeline
-  * actually needs (resolution filters, aspect-ratio buckets, format
-  * routing) — is real. */
+  * extraction over a 100 TB media table is scan-speed. Together with
+  * BmpStats (real pixel sums) and WavMeta (RIFF chunk walk) this is the
+  * complete decoder set behind Multimodal.featureExtract's magic-byte
+  * dispatch — no stubbed decode remains anywhere in the engine. */
 case class ImageMeta(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =

@@ -412,20 +412,45 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
-  test("multimodal feature extract: deterministic stub decode plumbing") {
+  test("multimodal feature extract: magic-byte dispatch to real parsers") {
     val out = Multimodal.featureExtract(spark, sf).collect()
     assert(out.length === Tables.documents(spark, sf).count())
-    val first = out.head
-    assert(first.getInt(2) >= 1 && first.getInt(2) <= 640)   // width
-    assert(first.getInt(3) >= 1 && first.getInt(3) <= 480)   // height
-    assert(first.getInt(4) === 3)                            // channels
-    // re-run is bit-identical (stub decode is deterministic)
-    val again = Multimodal.featureExtract(spark, sf).collect()
-    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
-    // the mapPartitions codec seam computes the same rows as the
-    // shipped Column form — swapping in a real codec can't silently
-    // change the Spark-side contract
-    val codec = Multimodal.featureExtractCodec(spark, sf).collect()
-    assert(out.map(_.toString).toSeq === codec.map(_.toString).toSeq)
+    // cols: doc_id, n_bytes, media_type, width, height, channels,
+    //       sample_rate, mean_px
+    out.foreach { r =>
+      val id = r.getLong(0); val q = id / 4
+      if (id % 97 == 0) {
+        // non-media payload: every parse-derived field NULL
+        assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) &&
+          r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7), s"doc $id")
+      } else id % 4 match {
+        case 0 => // BMP: real pixel decode, mean channel feature
+          assert(r.getString(2) === "bmp", s"doc $id")
+          assert(r.getInt(3) === 2 * (1 + q % 3) && r.getInt(4) === 1 + q % 4)
+          assert(r.getInt(5) === 3 && r.isNullAt(6))
+          val sums = (id * 7) % 256 + (id * 17) % 256 + (id * 3) % 256 +
+            (id * 13) % 256 + id % 256 + (id * 11) % 256
+          val expected = BigDecimal(sums * (r.getInt(3) / 2) * r.getInt(4) /
+            (3.0 * r.getInt(3) * r.getInt(4)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(r.getDouble(7) === expected, s"doc $id mean_px")
+        case 1 => // WAV: chunk walk (odd q carries a leading JUNK chunk)
+          assert(r.getString(2) === "wav", s"doc $id")
+          assert(r.isNullAt(3) && r.isNullAt(4))
+          assert(r.getInt(5) === 1 + q % 2)
+          assert(r.getInt(6) === 8000 * (1 + q % 6))
+          assert(r.getLong(1) === (if (q % 2 == 1) 48 else 36))
+        case 2 =>
+          assert(r.getString(2) === "png", s"doc $id")
+          assert(r.getInt(3) === id % 1021 + 16 && r.getInt(4) === (id * 7) % 739 + 16)
+          assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7))
+        case _ =>
+          assert(r.getString(2) === "jpeg", s"doc $id")
+          assert(r.getInt(3) === id % 1021 + 16 && r.getInt(4) === (id * 7) % 739 + 16)
+      }
+    }
+    // all four formats + the corrupt rows are actually present
+    val types = out.map(r => if (r.isNullAt(2)) "null" else r.getString(2)).toSet
+    assert(types === Set("bmp", "wav", "png", "jpeg", "null"))
   }
 }
