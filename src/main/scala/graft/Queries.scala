@@ -438,6 +438,8 @@ object Queries {
     "pipeline_curation_manifest" ->
       ((s: SparkSession, d: String) => TextAnalysis.curationManifest(s, d)),
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
+    "dedup_incremental_indexed" ->
+      ((s: SparkSession, d: String) => Dedup.incrementalDedupServed(s, d)),
     "text_contamination" -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
     "text_repetition" -> (TextAnalysis.repetition _),
     "knn_quantized_rerank" -> ((s: SparkSession, d: String) => Similarity.knnQuantizedRerank(s, d)),
@@ -612,6 +614,17 @@ object Queries {
        s"(SELECT doc_id, $duckFp AS fp FROM documents) " +
        "GROUP BY fp HAVING count(*) > 1 ORDER BY fp"),
     "dedup_incremental" ->
+      (s"WITH t AS (SELECT doc_id, $duckUniq AS toks FROM documents) " +
+       "SELECT new_doc_id, dup_of, jaccard FROM (" +
+       "SELECT n.doc_id AS new_doc_id, o.doc_id AS dup_of, " +
+       "round(CAST(len(list_intersect(o.toks, n.toks)) AS DOUBLE) / " +
+       "len(list_distinct(list_concat(o.toks, n.toks))), 4) AS jaccard " +
+       "FROM (SELECT * FROM t WHERE doc_id % 10 = 0) n, " +
+       "(SELECT * FROM t WHERE doc_id % 10 <> 0) o) " +
+       "WHERE jaccard >= 0.8 ORDER BY new_doc_id, dup_of"),
+    // served from the persisted corpus index — same contract, same
+    // exact cross-side Jaccard twin as dedup_incremental
+    "dedup_incremental_indexed" ->
       (s"WITH t AS (SELECT doc_id, $duckUniq AS toks FROM documents) " +
        "SELECT new_doc_id, dup_of, jaccard FROM (" +
        "SELECT n.doc_id AS new_doc_id, o.doc_id AS dup_of, " +

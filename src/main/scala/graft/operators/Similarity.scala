@@ -348,7 +348,7 @@ object Similarity {
     * their nprobe cells' files. */
   private val indexCache = new AppScopedCache[String](deleteLocalDir)
 
-  private def deleteLocalDir(path: String): Unit = {
+  private[operators] def deleteLocalDir(path: String): Unit = {
     import java.nio.file.{Files, Path}
     import scala.jdk.CollectionConverters._
     val root = Path.of(path)
