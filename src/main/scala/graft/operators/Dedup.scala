@@ -655,6 +655,44 @@ object Dedup {
   def incrementalDedupServed(spark: SparkSession, dir: String): DataFrame =
     incrementalDedupIndexed(spark, dir, dedupIndexPath(spark, dir))
 
+  /** Near-dup check of an ARBITRARY incoming batch frame (doc_id, text)
+    * against the standing corpus's persisted index — the foreachBatch
+    * micro-batch shape (streaming ingest dedup,
+    * IncrementalIngest.dedupFlagsWriter). The batch is tokenized live
+    * (work ∝ batch size); the corpus side reads the index parquet, so
+    * no session ever re-signs the standing corpus. The steady-state
+    * micro-batch broadcasts against one index scan; a backfill-sized
+    * batch dispatches to the same cross-side banding as
+    * [[incrementalDedup]] (no nested loop; both branches row-identical,
+    * pinned in StreamingSpec). Stateless per call — every micro-batch
+    * is new data, so there is nothing to memoize. */
+  def batchDedupIndexed(spark: SparkSession, indexPath: String,
+      batch: DataFrame, threshold: Double = 0.8,
+      maxBroadcastBatch: Long = IncrementalBroadcastMaxDocs,
+      knownBatchDocs: Option[Long] = None): DataFrame = {
+    val batchRepr = batch.select(col("doc_id"),
+        array_distinct(transform(tokens(col("text")), t => xxhash64(t))).as("toks"))
+      .withColumn("sz", size(col("toks")))
+    val corpusSets = spark.read.parquet(s"$indexPath/sets")
+    val n = knownBatchDocs.getOrElse(batch.count())
+    val pairs = if (n <= maxBroadcastBatch) {
+      val a = corpusSets.select(col("doc_id").as("doc_a"),
+        col("sz").as("sa"), col("toks").as("toks_a"))
+      val b = batchRepr.select(col("doc_id").as("doc_b"),
+        col("sz").as("sb"), col("toks").as("toks_b"))
+      verifyPairs(a.crossJoin(broadcast(b)), threshold, masked = false)
+    } else
+      // batchRepr is deliberately NOT checkpointed here: it is read
+      // twice (band table + verification attach) but is the small side
+      // and recompute is ∝ batch, where per-call checkpoints inside a
+      // long-running stream would grow block storage without bound
+      bandJoinVerify(spark.read.parquet(s"$indexPath/bands"), corpusSets,
+        bandTableFor(batchRepr), batchRepr, threshold, selfJoin = false)
+    pairs
+      .select(col("doc_b").as("new_doc_id"), col("doc_a").as("dup_of"), col("jaccard"))
+      .orderBy(col("new_doc_id"), col("dup_of"))
+  }
+
   /** "Paragraphs" of a document: consecutive `k`-token windows of the
     * normalized token stream, each fingerprinted with engine-portable
     * md5 — the exact-span unit every public pre-dedup pass hashes (C4

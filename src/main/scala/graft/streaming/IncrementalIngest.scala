@@ -108,6 +108,49 @@ object IncrementalIngest {
       }
   }
 
+  /** File-source stream of incoming documents (doc_id, text) — the
+    * ingest feed for [[dedupFlagsWriter]]. */
+  def documentsSource(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(inputDir)
+
+  /** Streaming × dedup composition — the as-it-arrives near-dup check
+    * a real ingest runs: every micro-batch of incoming documents is
+    * checked against the standing corpus's PERSISTED dedup index
+    * (Dedup.writeDedupIndex — the corpus is never re-signed, work per
+    * trigger ∝ new data) inside foreachBatch, and one flag row per
+    * incoming document lands in a batch_id-sub-partitioned parquet
+    * sink: the keep/drop signal the ingest acts on, novel documents
+    * included (is_dup = false). A replayed micro-batch (restart
+    * between sink write and offset commit) dynamically overwrites
+    * exactly its own batch_id partition — idempotent under replay,
+    * the same exactly-once contract as [[archiveWriter]]. */
+  def dedupFlagsWriter(docs: DataFrame, indexPath: String, flagsPath: String,
+      checkpointDir: String, threshold: Double = 0.8): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val n = batch.count() // the ingest knows its batch size for free
+          val pairs = graft.operators.Dedup.batchDedupIndexed(
+            batch.sparkSession, indexPath, batch, threshold,
+            knownBatchDocs = Some(n))
+          batch.select(col("doc_id"))
+            .join(pairs.groupBy(col("new_doc_id"))
+                .agg(min(col("dup_of")).as("dup_of"),
+                     max(col("jaccard")).as("best_jaccard")),
+              col("doc_id") === col("new_doc_id"), "left")
+            .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+              col("dup_of"), col("best_jaccard"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id").parquet(flagsPath)
+        }
+        ()
+      }
+
   /** Watermarked stream-stream inner join: each left event enriched
     * with right-side events for the same key within a trailing time
     * horizon. Both sides carry watermarks and the join condition
