@@ -196,6 +196,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(n <= 2, s"doc packing should shuffle once + sort, got $n exchanges:\n$plan")
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // saltedJoin is the manual answer to skew; the automatic one the
+    // session advertises (GraftSession: adaptive.skewJoin.enabled) is
+    // AQE's split-and-replicate. Size gates default to 256 MB, so pin
+    // the MECHANISM with the gates opened on a deliberately skewed
+    // key: one key holding ~95% of the left side must make the final
+    // adaptive plan a skew-split sort-merge join.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.{col, when}
+      val skewed = spark.range(0, 200000, 1, 8)
+        .select(when(col("id") % 20 =!= 0, 0L).otherwise(col("id") % 32).as("k"),
+          col("id").as("v"))
+      val dim = spark.range(32).select(col("id").as("k"), (col("id") * 10).as("w"))
+      val joined = skewed.join(dim, "k")
+      // execute THIS plan tree (count() would plan a separate query
+      // and leave `joined`'s adaptive plan unfinalized)
+      assert(joined.collect().length === 200000)
+      val plan = planOf(joined) // adaptive final plan, post-execution
+      assert(plan.contains("skew=true"),
+        s"skewed partition was not split by AQE:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective non-broadcast join") {
     // at 100 TB a selective dim filter should reach the fact scan as a
     // runtime bloom filter when the join can't broadcast; thresholds
