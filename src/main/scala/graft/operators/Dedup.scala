@@ -341,17 +341,22 @@ object Dedup {
     * `reprX` carry (doc_id, toks) for the verification attach. */
   private def bandJoinVerify(bandsA: DataFrame, reprA: DataFrame,
       bandsB: DataFrame, reprB: DataFrame, threshold: Double,
-      selfJoin: Boolean): DataFrame = {
+      selfJoin: Boolean, vocab: Option[Array[Long]] = None): DataFrame = {
     def side(bands: DataFrame, suffix: String) =
       bands.select(col("band_id"), col("band_key"),
         col("doc_id").as(s"doc_$suffix"), col("sz").as(s"s$suffix"),
         col("bks").as(s"bks_$suffix"))
     // Each pair is kept only at its FIRST agreeing band (both sides
-    // carry the full 16-key vector; prior-band agreement is a <=16-
-    // element codegen'd scan) — on a dup-heavy corpus the band join
-    // emits a true pair up to NumBands times, and this map-side filter
-    // replaces the dropDuplicates SHUFFLE of that multiplied volume
-    // with per-row arithmetic. Size-ratio prefilter first (sound:
+    // carry the full 16-key vector) — on a dup-heavy corpus the band
+    // join emits a true pair up to NumBands times, and this map-side
+    // filter replaces the dropDuplicates SHUFFLE of that multiplied
+    // volume with per-row arithmetic. graft_first_agree is a native
+    // one-pass codegen'd scan (plans.FirstAgree): the composed
+    // exists(zip_with(slice,slice)) form it replaced allocated three
+    // arrays per joined row — ~12 s over the 11M-row sf0.1
+    // incremental-serve join. The join guarantees agreement AT
+    // band_id, so first_agree == band_id iff no earlier band agrees —
+    // the identical keep-set. Size-ratio prefilter first (sound:
     // jaccard <= min(sz)/max(sz)), it's the cheaper predicate.
     // Self-join orients pairs doc_a < doc_b; the cross-side form skips
     // that filter (the sides are disjoint, each pair appears once).
@@ -360,21 +365,46 @@ object Dedup {
     val candidates = oriented
       .filter(least(col("sa"), col("sb")).cast("double") /
               greatest(col("sa"), col("sb")) >= threshold)
-      .filter(!exists(
-        zip_with(slice(col("bks_a"), lit(1), col("band_id").cast("int")),
-                 slice(col("bks_b"), lit(1), col("band_id").cast("int")),
-                 (x, y) => x === y),
-        p => p))
+      .filter(graft.plans.VectorExpressions.firstAgree(col("bks_a"), col("bks_b"))
+        === col("band_id"))
       .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-    val withSets = candidates
-      .join(reprA.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
-      .join(reprB.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
-    // no presentation sort here: set consumers (connected components)
+    // no presentation sort below: set consumers (connected components)
     // must not pay a global range-partition+sort they immediately
     // re-shuffle; the query-surface wrappers add their own orderBy.
     // (candidates already passed the size-ratio prefilter above, so
     // this is the jaccard check alone — one place owns each predicate)
-    jaccardVerify(withSets, threshold, masked = false)
+    vocab match {
+      case Some(v) =>
+        // CORPUS-vocabulary popcount tier (the banded twin of setRepr's
+        // bitmask fast path): each side is dictionary-masked once per
+        // DOC before the attach, and the per-PAIR verify is two
+        // popcounts instead of an array intersect (~9us -> ~ns).
+        val ma = reprA.select(col("doc_id").as("doc_a"), maskExpr(v).as("mask_a"))
+        val mb = reprB.select(col("doc_id").as("doc_b"), maskExpr(v).as("mask_b"))
+        hybridVerify(candidates.join(ma, Seq("doc_a")).join(mb, Seq("doc_b")),
+          threshold)
+      case None =>
+        val withSets = candidates
+          .join(reprA.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+          .join(reprB.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
+        jaccardVerify(withSets, threshold, masked = false)
+    }
+  }
+
+  /** Exact jaccard over (doc_a, doc_b, sa, sb, mask_a, mask_b) rows
+    * where the masks were built from a dictionary covering EVERY
+    * corpus (side-a) token. Sound even when side b carries
+    * out-of-vocab tokens: any INTERSECTING token must be a corpus
+    * token and hence in vocab, so i = popcount(mask_a & mask_b) is
+    * exact, and with sa/sb the TRUE set sizes, i/(sa+sb-i) is the
+    * exact jaccard — the same rational the array form computes,
+    * bit-identical after the shared round(_, 4). */
+  private def hybridVerify(pairs: DataFrame, threshold: Double): DataFrame = {
+    val i = bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double")
+    pairs
+      .select(col("doc_a"), col("doc_b"),
+        round(i / (col("sa") + col("sb") - i), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash per document: explode distinct tokens, per-bit +/-1
@@ -604,8 +634,36 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$indexPath/sets")
     // band table derived from the WRITTEN sets: one tokenize pass
     // total, and the two artifacts are consistent by construction
-    bandTableFor(spark.read.parquet(s"$indexPath/sets"))
+    val written = spark.read.parquet(s"$indexPath/sets")
+    bandTableFor(written)
       .write.mode("overwrite").partitionBy("band_id").parquet(s"$indexPath/bands")
+    // Adaptive verification tier, persisted WITH the index (mirrors
+    // the IVF _centroids.json: the quantizer is part of the index):
+    // when the corpus vocabulary fits 64 symbols, store the dictionary
+    // so every serving session verifies candidates at popcount speed.
+    // Threshold-free like the rest of the index; absent sidecar = the
+    // general array-intersect tier.
+    smallVocab(written).foreach { vocab =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexPath/_vocab.json")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(p, true)
+      try out.write(vocab.mkString("[", ",", "]").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** The persisted vocabulary tier of a dedup index, when present. */
+  private def readVocabSidecar(spark: SparkSession,
+      indexPath: String): Option[Array[Long]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_vocab.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val json = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      Some(json.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toLong))
+    }
   }
 
   /** One persisted index per corpus, built on first use (or eagerly at
@@ -645,7 +703,7 @@ object Dedup {
     val corpusSets = spark.read.parquet(s"$indexPath/sets")
     val corpusBands = spark.read.parquet(s"$indexPath/bands")
     bandJoinVerify(corpusBands, corpusSets, batchBands, batchRepr,
-        threshold, selfJoin = false)
+        threshold, selfJoin = false, vocab = readVocabSidecar(spark, indexPath))
       .select(col("doc_b").as("new_doc_id"), col("doc_a").as("dup_of"), col("jaccard"))
       .orderBy(col("new_doc_id"), col("dup_of"))
   }
@@ -674,20 +732,37 @@ object Dedup {
         array_distinct(transform(tokens(col("text")), t => xxhash64(t))).as("toks"))
       .withColumn("sz", size(col("toks")))
     val corpusSets = spark.read.parquet(s"$indexPath/sets")
+    val vocab = readVocabSidecar(spark, indexPath)
     val n = knownBatchDocs.getOrElse(batch.count())
     val pairs = if (n <= maxBroadcastBatch) {
-      val a = corpusSets.select(col("doc_id").as("doc_a"),
-        col("sz").as("sa"), col("toks").as("toks_a"))
-      val b = batchRepr.select(col("doc_id").as("doc_b"),
-        col("sz").as("sb"), col("toks").as("toks_b"))
-      verifyPairs(a.crossJoin(broadcast(b)), threshold, masked = false)
+      // steady-state micro-batch: one corpus scan x broadcast batch.
+      // The per-pair verify is the hot loop (corpus-sized), so the
+      // index's persisted vocabulary tier matters MOST here — popcount
+      // verify when present, array intersect otherwise.
+      val sizeOk = least(col("sa"), col("sb")).cast("double") /
+        greatest(col("sa"), col("sb")) >= threshold
+      vocab match {
+        case Some(v) =>
+          val a = corpusSets.select(col("doc_id").as("doc_a"),
+            col("sz").as("sa"), maskExpr(v).as("mask_a"))
+          val b = batchRepr.select(col("doc_id").as("doc_b"),
+            col("sz").as("sb"), maskExpr(v).as("mask_b"))
+          hybridVerify(a.crossJoin(broadcast(b)).filter(sizeOk), threshold)
+        case None =>
+          val a = corpusSets.select(col("doc_id").as("doc_a"),
+            col("sz").as("sa"), col("toks").as("toks_a"))
+          val b = batchRepr.select(col("doc_id").as("doc_b"),
+            col("sz").as("sb"), col("toks").as("toks_b"))
+          verifyPairs(a.crossJoin(broadcast(b)), threshold, masked = false)
+      }
     } else
       // batchRepr is deliberately NOT checkpointed here: it is read
       // twice (band table + verification attach) but is the small side
       // and recompute is ∝ batch, where per-call checkpoints inside a
       // long-running stream would grow block storage without bound
       bandJoinVerify(spark.read.parquet(s"$indexPath/bands"), corpusSets,
-        bandTableFor(batchRepr), batchRepr, threshold, selfJoin = false)
+        bandTableFor(batchRepr), batchRepr, threshold, selfJoin = false,
+        vocab = vocab)
     pairs
       .select(col("doc_b").as("new_doc_id"), col("doc_a").as("dup_of"), col("jaccard"))
       .orderBy(col("new_doc_id"), col("dup_of"))

@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ngram_hashes"),
        new ExpressionInfo(classOf[NgramHashes].getName, "graft_ngram_hashes"),
        (exprs: Seq[Expression]) => NgramHashes.fromArgs(exprs)))
+    e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_first_agree"),
+       new ExpressionInfo(classOf[FirstAgree].getName, "graft_first_agree"),
+       (exprs: Seq[Expression]) => FirstAgree(exprs(0), exprs(1))))
   }
 }
 

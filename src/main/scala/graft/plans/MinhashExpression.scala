@@ -105,3 +105,64 @@ object MinhashSignature {
     new GenericArrayData(mins)
   }
 }
+
+/** `graft_first_agree(array<long>, array<long>)` → the smallest index
+  * where the two arrays carry the same value, or -1 — the band-dedup
+  * primitive of every cross/self LSH join. A pair that collides in b
+  * bands is emitted b times by the band equi-join; keeping a row only
+  * when `graft_first_agree(bks_a, bks_b) = band_id` retains exactly one
+  * copy (the join guarantees agreement AT band_id, so the first
+  * agreement is <= band_id, with equality iff no earlier band agrees).
+  *
+  * Replaces the composed filter
+  * `!exists(zip_with(slice(bks_a,1,band_id), slice(bks_b,1,band_id), ==), p)`
+  * which allocates two sliced arrays plus a boolean array and drives a
+  * lambda interpreter PER JOINED ROW — measured ~1us/row = 12 s over the
+  * 11M-row band join of the sf0.1 incremental-dedup serve, vs one fused
+  * scalar loop here inside whole-stage codegen. Identical keep-set. */
+case class FirstAgree(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_first_agree expects (array<long>, array<long>), got ($l, $r)")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_first_agree"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val res = ctx.freshName("res")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $res = -1;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      $a.getLong($i) == $b.getLong($i)) { $res = $i; break; }
+         |}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

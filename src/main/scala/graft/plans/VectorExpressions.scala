@@ -171,6 +171,8 @@ object VectorExpressions {
       "graft_minhash", exprs => MinhashSignature.fromArgs(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ngram_hashes", exprs => NgramHashes.fromArgs(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_first_agree", exprs => FirstAgree(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Column-API form; registers on the active session on first use.
@@ -222,5 +224,13 @@ object VectorExpressions {
   def ngramHashes(c: Column, n: Int): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_ngram_hashes", c, org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** First index where two long arrays agree, -1 if none
+    * (plans.FirstAgree — the LSH band-dedup primitive), column form;
+    * same registration precondition. */
+  def firstAgree(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_first_agree", a, b)
   }
 }

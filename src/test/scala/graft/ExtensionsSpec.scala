@@ -280,6 +280,44 @@ class ExtensionsSpec extends SparkSpec {
     assert(edge.getSeq[Long](1) === edge.getSeq[Long](2))
   }
 
+  test("graft_first_agree is identical to the composed zip_with/array_position form") {
+    import org.apache.spark.sql.functions.{array, array_position, coalesce, lit, transform, sequence, when, xxhash64, zip_with}
+    // independently re-derived composed form: 1-based position of the
+    // first pairwise agreement, shifted to 0-based, -1 when none
+    def composed(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      coalesce(array_position(zip_with(a, b, (x, y) => x === y), lit(true)) - 1,
+        lit(-1L)).cast("int")
+    // synthetic band-vector shapes with PLANTED collisions: hashing
+    // id%k makes agreement at index i exactly when both sides share
+    // id%k — a mix of never/early/late first agreements
+    val df = spark.range(0, 2000)
+      .select(col("id"),
+        transform(sequence(lit(0), lit(15)),
+          i => xxhash64(col("id") % 7, i)).as("a"),
+        transform(sequence(lit(0), lit(15)),
+          i => when(i < 8, xxhash64(col("id") % 13, i))
+            .otherwise(xxhash64(col("id") % 7, i))).as("b"))
+    val rows = df.select(
+        graft.plans.VectorExpressions.firstAgree(col("a"), col("b")).as("native"),
+        composed(col("a"), col("b")).as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    assert(rows.exists(_.getInt(0) >= 8), "late agreements exercised")
+    // edges: empty, unequal lengths (zip_with null-pads; === null is
+    // never true — same as the native min-length scan), null elements
+    // skipped, NULL array -> NULL out
+    val edge = spark.sql(
+      "SELECT graft_first_agree(CAST(array() AS ARRAY<BIGINT>), CAST(array() AS ARRAY<BIGINT>)) AS e, " +
+      "graft_first_agree(array(1L, 2L), array(9L, 2L, 3L)) AS u, " +
+      "graft_first_agree(array(CAST(NULL AS BIGINT), 5L), array(CAST(NULL AS BIGINT), 5L)) AS n, " +
+      "graft_first_agree(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS z").collect()(0)
+    assert(edge.getInt(0) === -1)
+    assert(edge.getInt(1) === 1)
+    assert(edge.getInt(2) === 1, "null elements never agree")
+    assert(edge.isNullAt(3))
+  }
+
   test("graft_dot codegen expression is bitwise-equal to the HOF chain") {
     import org.apache.spark.sql.functions.{sum, transform}
     val emb = Tables.embeddings(spark, sf)
