@@ -449,6 +449,7 @@ object Queries {
     "sim_label_centroids" -> (Similarity.labelCentroids _),
     "knn_brute_cosine" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
     "knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvfServed(s, d)),
+    "dedup_semantic" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "sim_embed_near_dup" -> (Similarity.embeddingNearDupPairs _),
     "sim_embed_candidates" -> (Similarity.embeddingCandidatePairs _),
     "pipeline_quality_fusion" -> ((s: SparkSession, d: String) => Similarity.qualityFusion(s, d)),
@@ -1070,25 +1071,52 @@ object Queries {
   // correctness harness runs in: all queries, then the oracle dump).
   // Cell assignment, top-2 probe cells, cosine, and the (rounded score
   // desc, id asc) top-5 all mirror Similarity.knnIvfIndexed.
-  private def knnIvfOracle: Option[(String, String)] = {
+  // Both centroid-parameterized oracles (knn_ivf, dedup_semantic) are
+  // generated from the ONE served quantizer or not at all.
+  private def centroidOracles: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     val served = graft.operators.Similarity.servedCentroids.asScala.toMap
     served.toSeq match {
-      case Seq((_, cents)) => Some(knnIvfOracleFor(cents))
+      case Seq((_, cents)) =>
+        Map(knnIvfOracleFor(cents), dedupSemanticOracleFor(cents))
       case Seq() =>
-        // query failed (or never ran): emit a sentinel so the compare
+        // queries failed (or never ran): emit sentinels so the compare
         // FAILS VISIBLY instead of silently recording "no oracle" —
-        // the spark result parquet is missing/bogus in this case too
-        Some("knn_ivf" ->
-          "SELECT 'knn_ivf served no quantizer - query failed before reading the index sidecar' AS error")
+        // the spark result parquets are missing/bogus in this case too
+        Seq("knn_ivf", "dedup_semantic").map(n => n ->
+          s"SELECT '$n served no quantizer - query failed before reading the index sidecar' AS error")
+          .toMap
       case many =>
         // ambiguous: several corpora served in this JVM; an arbitrary
         // pick could poison a correct run with a wrong-quantizer twin
         System.err.println(
-          s"[graft] knn_ivf oracle omitted: centroids served for ${many.size} dirs " +
+          s"[graft] centroid oracles omitted: centroids served for ${many.size} dirs " +
           s"(${many.map(_._1).mkString(", ")}) — cannot tell which the dump refers to")
-        None
+        Map.empty
     }
+  }
+
+  // DuckDB twin of semanticDedup served from the same quantizer: cell
+  // assignment mirrors the index writer, within-cell lower-id pairs,
+  // per-vector evidence + lowest-id-survivor decision at 0.95.
+  private def dedupSemanticOracleFor(cents: Seq[Array[Double]]): (String, String) = {
+    val scores = cents.map { c =>
+      val lit = c.mkString("[", ", ", "]::DOUBLE[]")
+      val half = c.map(x => x * x).sum / 2.0
+      s"list_dot_product(v, $lit) - ($half)"
+    }.mkString("[", ", ", "]")
+    "dedup_semantic" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       s"sc AS (SELECT vec_id, v, $scores AS scores FROM e), " +
+       "a AS (SELECT vec_id, v, CAST(list_position(scores, list_max(scores)) AS INTEGER) AS cell FROM sc), " +
+       "p AS (SELECT x.vec_id, y.vec_id AS nb_id, " +
+       "round(list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS c " +
+       "FROM a x JOIN a y ON x.cell = y.cell AND y.vec_id < x.vec_id), " +
+       "g AS (SELECT vec_id, count(*) AS n_prior, max(c) AS max_prior_cos, " +
+       "min(CASE WHEN c >= 0.95 THEN nb_id END) AS dup_of FROM p GROUP BY vec_id) " +
+       "SELECT a.vec_id, a.cell, coalesce(g.n_prior, 0) AS n_prior, g.max_prior_cos, " +
+       "(g.dup_of IS NOT NULL) AS is_dup, g.dup_of " +
+       "FROM a LEFT JOIN g USING (vec_id) ORDER BY a.vec_id")
   }
 
   private def knnIvfOracleFor(cents: Seq[Array[Double]]): (String, String) = {
@@ -1117,5 +1145,5 @@ object Queries {
   def all: Map[String, Q] = timeSeries ++ relational ++ extensions ++ analytics
   def oracles: Map[String, String] =
     timeSeriesOracles ++ relationalOracles ++ extensionOracles ++ analyticsOracles ++
-      knnIvfOracle.toMap
+      centroidOracles
 }

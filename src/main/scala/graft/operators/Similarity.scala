@@ -418,6 +418,57 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the index's coarse
+    * quantizer, then compare each vector ONLY against its own
+    * cluster's members — the published trick that turns an O(N^2)
+    * embedding dedup into k independent O((N/k)^2) cell problems, with
+    * k grown alongside N so cells stay bounded. Served from the
+    * materialized IVF index (the cells ARE the index's partition
+    * directories, and the quantizer is the index's own sidecar — never
+    * retrained), so the dedup pass is one co-partitioned self-join
+    * over partition-pruned parquet, the artifact ingest already built
+    * for ANN serving.
+    *
+    * Per vector: its cell, how many lower-id cellmates it was compared
+    * against, the best such cosine (the dedup EVIDENCE — non-vacuous
+    * even on a corpus with no true near-dups, where the correct
+    * decision column is all-false), and the SemDeDup decision: is_dup
+    * with dup_of = the lowest-id cellmate at cosine >= threshold
+    * (lowest-id survivor rule, deterministic). Planted-near-dup recall
+    * is pinned differentially in ExtensionsSpec. */
+  def semanticDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.95): DataFrame = {
+    val indexPath = ivfIndexPath(spark, dir)
+    servedCentroids.put(dir, readCentroidSidecar(spark, indexPath))
+    val emb = spark.read.parquet(indexPath)
+      .select(col("cell").cast("int").as("cell"), col("vec_id"), col("v"))
+    semanticDedupCore(emb, threshold)
+  }
+
+  /** Core over any (cell, vec_id, v) frame — unit-testable on
+    * synthesized corpora with planted near-dups. */
+  private[graft] def semanticDedupCore(emb: DataFrame,
+      threshold: Double): DataFrame = {
+    val prior = emb.select(col("cell"),
+      col("vec_id").as("nb_id"), col("v").as("nv"))
+    val pairs = emb.join(prior, Seq("cell"))
+      .filter(col("nb_id") < col("vec_id"))
+      .select(col("vec_id"), col("nb_id"),
+        round(cosine(col("v"), col("nv")), 4).as("cos"))
+    val agg = pairs.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_prior"),
+        max(col("cos")).as("max_prior_cos"),
+        min(when(col("cos") >= threshold, col("nb_id"))).as("dup_of"))
+    emb.select(col("vec_id"), col("cell"))
+      .join(agg, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+        col("max_prior_cos"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Int8 scalar quantization of the embedding corpus: per-dimension
     * global [min, max] -> 8-bit codes plus per-vector reconstruction
     * error — the 4x memory-reduction step before ANN serving at scale

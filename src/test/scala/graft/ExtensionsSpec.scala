@@ -400,6 +400,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall below floor (${got.size}/${exact.size})")
   }
 
+  test("semantic dedup core: planted near-dups flagged, lowest-id survives") {
+    import spark.implicits._
+    val base = Array.tabulate(8)(i => if (i < 4) 1.0 else 0.0)
+    val nearDup = base.clone(); nearDup(7) = 0.1 // cos ~0.997
+    val ortho = Array.tabulate(8)(i => if (i >= 4) 1.0 else 0.0)
+    val emb = Seq(
+      (1, 10L, base), (1, 11L, nearDup), (1, 12L, ortho), // one cell
+      (2, 20L, base), (2, 21L, base)                      // exact dup pair
+    ).toDF("cell", "vec_id", "v")
+    val out = graft.operators.Similarity.semanticDedupCore(emb, 0.95)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // lowest id in each cell always survives (nothing prior to it)
+    assert(!out(10L).getBoolean(4) && out(10L).getLong(2) === 0)
+    assert(out(10L).isNullAt(3))
+    // planted near-dup: flagged against the survivor
+    assert(out(11L).getBoolean(4) && out(11L).getLong(5) === 10L)
+    assert(out(11L).getDouble(3) > 0.99)
+    // orthogonal cellmate: compared against both priors, kept
+    assert(!out(12L).getBoolean(4) && out(12L).getLong(2) === 2)
+    // exact dup in the other cell: cos 1.0, dup_of = the lower id;
+    // cells never compare across (vec 20 saw only its own cell)
+    assert(out(21L).getBoolean(4) && out(21L).getLong(5) === 20L)
+    assert(out(21L).getDouble(3) === 1.0)
+    assert(out(20L).getLong(2) === 0)
+  }
+
   test("embedding candidate pairs: bucket join surfaces pairs on the fixture") {
     val cands = Similarity.embeddingCandidatePairs(spark, sf).collect()
     assert(cands.nonEmpty, "birthday collisions across 256 buckets expected")
