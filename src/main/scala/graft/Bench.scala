@@ -39,6 +39,10 @@ object Bench {
     // as the IVF index: built once, served by dedup_incremental_indexed
     try graft.operators.Dedup.dedupIndexPath(spark, sfDir)
     catch { case _: Throwable => }
+    // the media fixture likewise: synthesized + written once at ingest,
+    // decoded from parquet by every mm_ query
+    try graft.operators.Multimodal.mediaFixturePath(spark, sfDir)
+    catch { case _: Throwable => }
     // the dedup pair/cluster memo is likewise built once at ingest time
     // in a deployment and SERVED to every dedup query; warming it here
     // makes dedup_clusters (alphabetically first in its family) time

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -16,8 +16,168 @@ import graft.Tables
   * this file walks actual bytes per spec. (Formats needing external
   * codecs — video, compressed audio — would slot in as further
   * codegen'd expressions behind the same dispatch.)
+  *
+  * The container ships no media files, so a spec-conformant corpus is
+  * SYNTHESIZED from doc_id arithmetic — once per corpus, persisted as
+  * a parquet MEDIA FIXTURE (the same ingest-artifact pattern as the
+  * IVF and dedup indexes: in production the binary columns simply
+  * arrive in storage). The registered queries then decode binary read
+  * FROM PARQUET — the true production dataflow — and each one's
+  * DuckDB oracle re-derives the expected metadata from the same
+  * doc_id arithmetic, making every compare an exact
+  * construct→store→scan→parse round trip. Keeping synthesis out of
+  * the decode queries also keeps their generated code small: fused,
+  * the synthesis+parse+extract tree overflowed the JVM's 64 KB method
+  * limit and silently de-optimized the scan to interpreted mode.
   */
 object Multimodal {
+
+  // ---- byte-string constructors (hex-string form; unhex at the end) --
+  private def bh(n: Column) = lpad(hex(n.cast("long") % 256), 2, "0")
+  private def le16h(n: Column) =
+    concat(bh(n), bh((n.cast("long") / 256).cast("long")))
+  private def le32h(n: Column) =
+    concat(le16h(n.cast("long") % 65536), le16h((n.cast("long") / 65536).cast("long")))
+  private def be(n: Column, hexDigits: Int) = unhex(lpad(hex(n), hexDigits, "0"))
+
+  // ---- parameterized byte builders (each returns ONE format) --------
+
+  /** PNG: signature, IHDR length (13), "IHDR", w, h, bit depth 8,
+    * color type 6 (RGBA), compression/filter/interlace 0, CRC bytes. */
+  private def pngBytes(w: Column, h: Column): Column = concat(
+    unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
+    be(w, 8), be(h, 8), unhex(lit("0806000000" + "00000000")))
+
+  /** JPEG: SOI, APP0/JFIF (16-byte segment the parser must SKIP via
+    * its length field), then SOF0 (len 17, precision 8, h, w, 3
+    * components 4:2:0). */
+  private def jpegBytes(w: Column, h: Column): Column = concat(
+    unhex(lit("FFD8" + "FFE000104A46494600010100000100010000")),
+    unhex(lit("FFC00011" + "08")), be(h, 4), be(w, 4),
+    unhex(lit("03012200021101031101")))
+
+  /** RIFF/WAVE with a PCM fmt chunk, params derived from `seed`; rows
+    * matching `junkWhen` carry a JUNK chunk BEFORE fmt so the chunk
+    * walk — not a fixed offset read — is what the oracle certifies.
+    * All values are small positive ints, so `/` then long cast is
+    * exact floor division. */
+  private def wavBytes(seed: Column, junkWhen: Column): Column = {
+    val rate = (lit(8000) * (lit(1) + seed % 6)).cast("long")
+    val ch = (lit(1) + seed % 2).cast("long")
+    val bits = (lit(8) * (lit(1) + seed % 3)).cast("long")
+    val fmtChunk = concat(
+      lit("666D742010000000" + "0100"), // "fmt ", size 16 LE, PCM
+      le16h(ch), le32h(rate), le32h(rate * ch * bits / 8),
+      le16h(ch * bits / 8), le16h(bits))
+    // junk prefix via empty-string concat so fmtChunk occurs ONCE in
+    // the tree (a two-branch CASE duplicates it, doubling codegen)
+    val bodyHex = concat(
+      when(junkWhen, lit("4A554E4B04000000DEADBEEF")).otherwise(lit("")), // "JUNK", size 4 LE, payload
+      fmtChunk)
+    unhex(concat(lit("52494646"), le32h((length(bodyHex) / 2).cast("long") + 4),
+      lit("57415645"), bodyHex))
+  }
+
+  /** Uncompressed 24bpp BMP — 14-byte file header, 40-byte info
+    * header, BGR rows padded to 4 bytes — with an alternating
+    * two-pixel pattern whose exact channel sums the decoder must
+    * reproduce. Rows matching `topDownWhen` encode NEGATIVE height
+    * (top-down row order, same sums) so orientation handling is
+    * certified too. */
+  private def bmpBytes(dimSeed: Column, pxSeed: Column,
+      topDownWhen: Option[Column]): Column = {
+    val w = (lit(2) * (lit(1) + dimSeed % 3)).cast("long")  // 2 | 4 | 6
+    val h = (lit(1) + dimSeed % 4).cast("long")             // 1..4
+    val rowSize = ((w * 3 + 3) / 4).cast("long") * 4        // 4-byte row alignment
+    val pad = (rowSize - w * 3).cast("int")
+    val pxA = concat(bh(pxSeed), bh(pxSeed * 3), bh(pxSeed * 7))          // stored B,G,R
+    val pxB = concat(bh(pxSeed * 11), bh(pxSeed * 13), bh(pxSeed * 17))
+    val rowHex = concat(
+      call_function("repeat", concat(pxA, pxB), (w / 2).cast("int")),
+      call_function("repeat", lit("00"), pad))
+    val dataHex = call_function("repeat", rowHex, h.cast("int"))
+    val imgSize = rowSize * h
+    val hEnc = topDownWhen // two's-complement top-down height
+      .map(c => when(c, lit(4294967296L) - h).otherwise(h)).getOrElse(h)
+    unhex(concat(
+      lit("424D"), le32h(lit(54L) + imgSize), lit("00000000"), le32h(lit(54L)),
+      le32h(lit(40L)), le32h(w), le32h(hEnc), le16h(lit(1L)), le16h(lit(24L)),
+      le32h(lit(0L)), le32h(imgSize), le32h(lit(2835L)), le32h(lit(2835L)),
+      le32h(lit(0L)), le32h(lit(0L)), dataHex))
+  }
+
+  /** The per-modality fixture slices: (row filter, payload bytes),
+    * mutually exclusive and exhaustive over the corpus.
+    *  - img:   PNG (even ids) / JPEG (odd); every 97th doc corrupt.
+    *  - audio: WAV, JUNK-prefixed on odd ids; every 89th doc corrupt.
+    *  - bmp:   BMP, top-down rows on id%5=0; every 83rd doc corrupt.
+    *  - media: doc_id%4 picks BMP/WAV/PNG/JPEG (parameterized by
+    *    q = doc_id/4 so each format sweeps its value space); every
+    *    97th doc corrupt.
+    * Sliced rather than CASE'd so each write stage codegens ONE
+    * format's tree (the combined audio/media CASE trees overflow the
+    * JVM's 64 KB method limit and de-optimize to interpreted). */
+  private def fixtureSlices(kind: String): Seq[(Column, Column)] = {
+    val id = col("doc_id")
+    val text = col("text")
+    val iw = (id % 1021 + 16).cast("int")
+    val ih = ((id * 7) % 739 + 16).cast("int")
+    kind match {
+      case "img" => Seq(
+        (id % 97 === 0, encode(text.substr(1, 16), "UTF-8")),
+        (id % 97 =!= 0 && id % 2 === 0, pngBytes(iw, ih)),
+        (id % 97 =!= 0 && id % 2 =!= 0, jpegBytes(iw, ih)))
+      case "audio" => Seq(
+        (id % 89 === 0, encode(text.substr(1, 12), "UTF-8")),
+        (id % 89 =!= 0, wavBytes(id, id % 2 === 1)))
+      case "bmp" => Seq(
+        (id % 83 === 0, encode(text.substr(1, 10), "UTF-8")),
+        (id % 83 =!= 0, bmpBytes(id, id, Some(id % 5 === 0))))
+      case "media" =>
+        val q = (id / 4).cast("long")
+        Seq(
+          (id % 97 === 0, encode(text.substr(1, 16), "UTF-8")),
+          (id % 97 =!= 0 && id % 4 === 0, bmpBytes(q, id, None)),
+          (id % 97 =!= 0 && id % 4 === 1, wavBytes(q, q % 2 === 1)),
+          (id % 97 =!= 0 && id % 4 === 2, pngBytes(iw, ih)),
+          (id % 97 =!= 0 && id % 4 === 3, jpegBytes(iw, ih)))
+    }
+  }
+
+  /** Writes the per-corpus media fixture: one parquet dir per modality
+    * ($path/img, $path/audio, $path/bmp, $path/media), each one row per
+    * document with (doc_id, bytes). An ingest-time batch job (in
+    * production the media bytes already live in storage); the
+    * synthesis trees run HERE, once, one format-slice per write stage —
+    * never fused into a decode query's codegen. */
+  def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
+    Seq("img", "audio", "bmp", "media")
+      .foreach(writeMediaFixtureOne(spark, dir, path, _))
+
+  private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
+      path: String, kind: String): Unit =
+    fixtureSlices(kind).zipWithIndex.foreach { case ((cond, payload), i) =>
+      Tables.documents(spark, dir)
+        .filter(cond)
+        .select(col("doc_id"), payload.as(kind))
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(s"$path/$kind")
+    }
+
+  /** One persisted media fixture per corpus, built on first use (or
+    * eagerly at warmup) under a scratch dir deleted on app end —
+    * mirrors Similarity.ivfIndexPath / Dedup.dedupIndexPath. */
+  private val mediaCache =
+    new graft.AppScopedCache[String](Similarity.deleteLocalDir(_))
+
+  def mediaFixturePath(spark: SparkSession, dir: String): String =
+    mediaCache.getOrCompute(spark, s"$dir#media") {
+      val path = java.nio.file.Files.createTempDirectory("graft_media_").toString
+      writeMediaFixture(spark, dir, path)
+      path
+    }
+
+  private def mediaTable(spark: SparkSession, dir: String, kind: String): DataFrame =
+    spark.read.parquet(s"${mediaFixturePath(spark, dir)}/$kind")
 
   /** The documents table as a multimodal table: text re-encoded as the
     * opaque binary payload + deterministic digests. Fully
@@ -51,93 +211,28 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
 
   /** REAL feature extraction over a MIXED-format media column — the
-    * production shape of a multimodal curation pass: one scan, a
-    * magic-byte dispatch (`BM` / `RIFF..WAVE` / PNG signature / JPEG
-    * SOI, read from the payload bytes, never from out-of-band hints)
-    * routing each row to its format's native parser, and a unified
-    * metadata/feature row out. All four decoders are the real
-    * spec-walking expressions (plans.ImageExpressions); BMP rows carry
-    * an actual pixel-derived feature (mean channel value from the
-    * decoded sums). CaseWhen short-circuits per row, so each payload
-    * pays exactly its own format's parse, in whole-stage codegen.
-    *
-    * The corpus is constructed per-row to the public specs from doc_id
-    * arithmetic (doc_id%4 picks the format; every 97th doc is a
-    * deliberate non-media payload that must yield NULLs), so the
-    * DuckDB oracle recomputes the expected output directly and the
-    * compare is an exact construct→dispatch→parse round trip. */
+    * production shape of a multimodal curation pass: one scan over the
+    * stored binary column, a magic-byte dispatch (`BM` / `RIFF..WAVE` /
+    * PNG signature / JPEG SOI, read from the payload bytes, never from
+    * out-of-band hints) routing each row to its format's native
+    * parser, and a unified metadata/feature row out. All four decoders
+    * are the real spec-walking expressions (plans.ImageExpressions);
+    * BMP rows carry an actual pixel-derived feature (mean channel
+    * value from the decoded sums). CaseWhen short-circuits per row, so
+    * each payload pays exactly its own format's parse, in whole-stage
+    * codegen. */
   def featureExtract(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.call_function
-    val id = col("doc_id")
-    val q = (id / 4).cast("long")
-    def bh(n: org.apache.spark.sql.Column) = lpad(hex(n.cast("long") % 256), 2, "0")
-    def le16h(n: org.apache.spark.sql.Column) =
-      concat(bh(n), bh((n.cast("long") / 256).cast("long")))
-    def le32h(n: org.apache.spark.sql.Column) =
-      concat(le16h(n.cast("long") % 65536), le16h((n.cast("long") / 65536).cast("long")))
-    def be(n: org.apache.spark.sql.Column, hexDigits: Int) =
-      unhex(lpad(hex(n), hexDigits, "0"))
-
-    // BMP (id%4==0): 24bpp bottom-up, alternating two-pixel pattern
-    val bw = (lit(2) * (lit(1) + q % 3)).cast("long")
-    val bhgt = (lit(1) + q % 4).cast("long")
-    val rowSize = ((bw * 3 + 3) / 4).cast("long") * 4
-    val pxA = concat(bh(id), bh(id * 3), bh(id * 7))
-    val pxB = concat(bh(id * 11), bh(id * 13), bh(id * 17))
-    val rowHex = concat(
-      call_function("repeat", concat(pxA, pxB), (bw / 2).cast("int")),
-      call_function("repeat", lit("00"), (rowSize - bw * 3).cast("int")))
-    val bmpPayload = unhex(concat(
-      lit("424D"), le32h(lit(54L) + rowSize * bhgt), lit("00000000"), le32h(lit(54L)),
-      le32h(lit(40L)), le32h(bw), le32h(bhgt), le16h(lit(1L)), le16h(lit(24L)),
-      le32h(lit(0L)), le32h(rowSize * bhgt), le32h(lit(2835L)), le32h(lit(2835L)),
-      le32h(lit(0L)), le32h(lit(0L)), call_function("repeat", rowHex, bhgt.cast("int"))))
-
-    // WAV (id%4==1): PCM fmt chunk; odd q prepends a JUNK chunk so the
-    // walk — not a fixed offset — is certified here too
-    val rate = (lit(8000) * (lit(1) + q % 6)).cast("long")
-    val wchan = (lit(1) + q % 2).cast("long")
-    val wbits = (lit(8) * (lit(1) + q % 3)).cast("long")
-    val fmtChunk = concat(
-      lit("666D742010000000" + "0100"),
-      le16h(wchan), le32h(rate), le32h(rate * wchan * wbits / 8),
-      le16h(wchan * wbits / 8), le16h(wbits))
-    val wavBody = when(q % 2 === 1, concat(lit("4A554E4B04000000DEADBEEF"), fmtChunk))
-      .otherwise(fmtChunk)
-    val wavPayload = unhex(concat(
-      lit("52494646"), le32h((length(wavBody) / 2).cast("long") + 4),
-      lit("57415645"), wavBody))
-
-    // PNG (id%4==2) / JPEG (id%4==3): signature+IHDR / SOI+APP0+SOF0
-    val iw = (id % 1021 + 16).cast("int")
-    val ih = ((id * 7) % 739 + 16).cast("int")
-    val pngPayload = concat(
-      unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
-      be(iw, 8), be(ih, 8), unhex(lit("0806000000" + "00000000")))
-    val jpegPayload = concat(
-      unhex(lit("FFD8" + "FFE000104A46494600010100000100010000")),
-      unhex(lit("FFC00011" + "08")), be(ih, 4), be(iw, 4),
-      unhex(lit("03012200021101031101")))
-
-    val payload = when(id % 97 === 0, encode(col("text").substr(1, 16), "UTF-8"))
-      .when(id % 4 === 0, bmpPayload)
-      .when(id % 4 === 1, wavPayload)
-      .when(id % 4 === 2, pngPayload)
-      .otherwise(jpegPayload)
-
-    // ---- the dispatch: magic bytes -> that format's parser ----------
     val p = col("media")
-    val isBmp = hex(col("media").substr(1, 2)) === "424D"
-    val isWav = hex(col("media").substr(1, 4)) === "52494646" &&
-      hex(col("media").substr(9, 4)) === "57415645"
-    val isImg = hex(col("media").substr(1, 8)) === "89504E470D0A1A0A" ||
-      hex(col("media").substr(1, 2)) === "FFD8"
+    val isBmp = hex(p.substr(1, 2)) === "424D"
+    val isWav = hex(p.substr(1, 4)) === "52494646" &&
+      hex(p.substr(9, 4)) === "57415645"
+    val isImg = hex(p.substr(1, 8)) === "89504E470D0A1A0A" ||
+      hex(p.substr(1, 2)) === "FFD8"
     val bmp = graft.plans.VectorExpressions.bmpStats(p)
     val wav = graft.plans.VectorExpressions.wavMeta(p)
     val img = graft.plans.VectorExpressions.imgMeta(p)
     val nullInt = lit(null).cast("int")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), payload.as("media"))
+    mediaTable(spark, dir, "media")
       .select(
         col("doc_id"),
         length(p).cast("long").as("n_bytes"),
@@ -158,49 +253,17 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** Real multimodal decode: PNG/JPEG header parsing over a binary
-    * media column via the codegen'd [[graft.plans.ImageMeta]]
+  /** Real multimodal decode: PNG/JPEG header parsing over the stored
+    * binary media column via the codegen'd [[graft.plans.ImageMeta]]
     * expression (magic bytes, IHDR offsets, JPEG segment walk — the
-    * public file-format specs, see ImageExpressions.scala).
-    *
-    * The container ships no image files, so the media column is
-    * CONSTRUCTED per-row to the byte layout of the specs themselves —
-    * a spec-conformant PNG signature+IHDR or SOI+APP0(JFIF)+SOF0
-    * stream carrying dimensions derived from doc_id (and a deliberate
-    * non-image payload every 97th doc) — and the parser must invert
-    * that construction exactly: format routing, big-endian dims at the
-    * right offsets, APP0 skipped by its length field, NULL on the
-    * corrupt rows. Construction is plain codegen'd byte concat
-    * (hex/lpad/unhex big-endians), so the whole query is one
-    * shuffle-free scan; the DuckDB oracle recomputes the expected
-    * metadata from the same doc_id arithmetic, making the compare an
-    * exact round-trip check of the parser. (Unit tests additionally
-    * feed multi-segment JPEGs and truncation edge cases —
-    * ImageMetaSpec.) */
-  def imageMeta(spark: SparkSession, dir: String): DataFrame = {
-    val w = (col("doc_id") % 1021 + 16).cast("int")
-    val h = ((col("doc_id") * 7) % 739 + 16).cast("int")
-    def be(n: org.apache.spark.sql.Column, hexDigits: Int) =
-      unhex(lpad(hex(n), hexDigits, "0"))
-    // PNG: signature, IHDR length (13), "IHDR", w, h, bit depth 8,
-    // color type 6 (RGBA), compression/filter/interlace 0, CRC bytes
-    val png = concat(
-      unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
-      be(w, 8), be(h, 8),
-      unhex(lit("0806000000" + "00000000")))
-    // JPEG: SOI, APP0/JFIF (16-byte segment the parser must SKIP via
-    // its length field), then SOF0 (len 17, precision 8, h, w, 3
-    // components 4:2:0)
-    val jpeg = concat(
-      unhex(lit("FFD8" + "FFE000104A46494600010100000100010000")),
-      unhex(lit("FFC00011" + "08")), be(h, 4), be(w, 4),
-      unhex(lit("03012200021101031101")))
-    val corrupt = encode(col("text").substr(1, 16), "UTF-8")
-    val payload = when(col("doc_id") % 97 === 0, corrupt)
-      .when(col("doc_id") % 2 === 0, png)
-      .otherwise(jpeg)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), payload.as("img"))
+    * public file-format specs, see ImageExpressions.scala). The parser
+    * must invert the fixture's construction exactly: format routing,
+    * big-endian dims at the right offsets, APP0 skipped by its length
+    * field, NULL on the corrupt rows. One shuffle-free scan; unit
+    * tests additionally feed multi-segment JPEGs and truncation edge
+    * cases (ImageMetaSpec). */
+  def imageMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "img")
       .select(col("doc_id"),
         length(col("img")).cast("long").as("n_bytes"),
         graft.plans.VectorExpressions.imgMeta(col("img")).as("m"))
@@ -209,41 +272,13 @@ object Multimodal {
         col("m.width").as("width"),
         col("m.height").as("height"))
       .orderBy(col("doc_id"))
-  }
 
-  /** Audio twin of [[imageMeta]]: WAV header decode over constructed
-    * spec-conformant RIFF/WAVE streams (plans.WavMeta walks the chunk
-    * list by little-endian size fields). Odd doc_ids carry a JUNK chunk
-    * BEFORE fmt so the chunk walk — not a fixed offset read — is what
-    * the oracle certifies; every 89th doc is a deliberate non-WAV
-    * payload that must parse NULL. */
-  def audioMeta(spark: SparkSession, dir: String): DataFrame = {
-    val rate = (lit(8000) * (lit(1) + col("doc_id") % 6)).cast("int")
-    val channels = (lit(1) + col("doc_id") % 2).cast("int")
-    val bits = (lit(8) * (lit(1) + col("doc_id") % 3)).cast("int")
-    // little-endian byte strings from integral columns (all values here
-    // are small positive ints, so the double `/` then long cast is exact
-    // floor division)
-    def byteOf(n: org.apache.spark.sql.Column) =
-      unhex(lpad(hex(n.cast("long") % 256), 2, "0"))
-    def le16(n: org.apache.spark.sql.Column) =
-      concat(byteOf(n), byteOf((n.cast("long") / 256).cast("long")))
-    def le32(n: org.apache.spark.sql.Column) =
-      concat(le16(n.cast("long") % 65536), le16((n.cast("long") / 65536).cast("long")))
-    val byteRate = (rate.cast("long") * channels * bits / 8).cast("long")
-    val blockAlign = (channels.cast("long") * bits / 8).cast("long")
-    val fmtChunk = concat(
-      unhex(lit("666D742010000000" + "0100")), // "fmt ", size 16 LE, PCM
-      le16(channels), le32(rate), le32(byteRate), le16(blockAlign), le16(bits))
-    val junkChunk = unhex(lit("4A554E4B04000000DEADBEEF")) // "JUNK", size 4 LE, payload
-    val riff = (body: org.apache.spark.sql.Column) =>
-      concat(unhex(lit("52494646")), le32(length(body) + 4), unhex(lit("57415645")), body)
-    val wav = when(col("doc_id") % 2 === 1, riff(concat(junkChunk, fmtChunk)))
-      .otherwise(riff(fmtChunk))
-    val payload = when(col("doc_id") % 89 === 0, encode(col("text").substr(1, 12), "UTF-8"))
-      .otherwise(wav)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), payload.as("audio"))
+  /** Audio twin of [[imageMeta]]: WAV header decode over the stored
+    * RIFF/WAVE column (plans.WavMeta walks the chunk list by
+    * little-endian size fields — odd doc_ids carry a JUNK chunk before
+    * fmt, so the walk is what the oracle certifies). */
+  def audioMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "audio")
       .select(col("doc_id"),
         length(col("audio")).cast("long").as("n_bytes"),
         graft.plans.VectorExpressions.wavMeta(col("audio")).as("m"))
@@ -252,53 +287,17 @@ object Multimodal {
         col("m.sample_rate").as("sample_rate"),
         col("m.bits").as("bits"))
       .orderBy(col("doc_id"))
-  }
 
-  /** REAL pixel decode (plans.BmpStats): per-document uncompressed
-    * 24-bit BMPs are constructed to the public spec — 14-byte file
-    * header, 40-byte info header, raw BGR rows each padded to a 4-byte
-    * boundary — carrying an alternating two-pixel pattern whose exact
-    * integer channel sums the decoder must reproduce. Docs where
-    * doc_id % 5 = 0 encode NEGATIVE height (top-down row order, same
-    * sums) so orientation handling is certified too; every 83rd doc is
-    * a non-BMP payload that must decode NULL. A wrong treatment of row
-    * padding, BGR order, or orientation changes the sums and fails the
-    * oracle round-trip. */
-  def pixelStats(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.call_function
-    def bh(n: org.apache.spark.sql.Column) = lpad(hex(n.cast("long") % 256), 2, "0")
-    def le16h(n: org.apache.spark.sql.Column) =
-      concat(bh(n), bh((n.cast("long") / 256).cast("long")))
-    def le32h(n: org.apache.spark.sql.Column) =
-      concat(le16h(n.cast("long") % 65536), le16h((n.cast("long") / 65536).cast("long")))
-    val id = col("doc_id")
-    val w = (lit(2) * (lit(1) + id % 3)).cast("long")  // 2 | 4 | 6
-    val h = (lit(1) + id % 4).cast("long")             // 1..4
-    val rowSize = ((w * 3 + 3) / 4).cast("long") * 4   // 4-byte row alignment
-    val pad = (rowSize - w * 3).cast("int")
-    val pxA = concat(bh(id), bh(id * 3), bh(id * 7))          // stored B,G,R
-    val pxB = concat(bh(id * 11), bh(id * 13), bh(id * 17))
-    val rowHex = concat(
-      call_function("repeat", concat(pxA, pxB), (w / 2).cast("int")),
-      call_function("repeat", lit("00"), pad))
-    val dataHex = call_function("repeat", rowHex, h.cast("int"))
-    val imgSize = rowSize * h
-    val hEnc = when(id % 5 === 0, lit(4294967296L) - h).otherwise(h) // two's-complement top-down
-    val bmp = unhex(concat(
-      lit("424D"), le32h(lit(54L) + imgSize), lit("00000000"), le32h(lit(54L)),
-      le32h(lit(40L)), le32h(w), le32h(hEnc), le16h(lit(1L)), le16h(lit(24L)),
-      le32h(lit(0L)), le32h(imgSize), le32h(lit(2835L)), le32h(lit(2835L)),
-      le32h(lit(0L)), le32h(lit(0L)), dataHex))
-    val payload = when(id % 83 === 0, encode(col("text").substr(1, 10), "UTF-8"))
-      .otherwise(bmp)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), payload.as("img"))
-      .select(col("doc_id"), graft.plans.VectorExpressions.bmpStats(col("img")).as("s"))
+  /** REAL pixel decode (plans.BmpStats) over the stored BMP column: a
+    * wrong treatment of row padding, BGR order, or orientation changes
+    * the decoded channel sums and fails the oracle round-trip. */
+  def pixelStats(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "bmp")
+      .select(col("doc_id"), graft.plans.VectorExpressions.bmpStats(col("bmp")).as("s"))
       .select(col("doc_id"),
         col("s.width").as("width"), col("s.height").as("height"),
         col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),
         col("s.sum_b").as("sum_b"), col("s.n_pixels").as("n_pixels"))
       .orderBy(col("doc_id"))
-  }
 
 }
