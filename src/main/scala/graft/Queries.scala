@@ -110,6 +110,7 @@ object Queries {
     "q_latest_order_per_customer" -> (Relational.latestOrderPerCustomer _),
     "q_catalog_sql" -> (graft.sources.GraftCatalog.customersPerNationSql _),
     "q_salted_join" -> (Relational.saltedJoinRevenue _),
+    "q_range_join" -> (Relational.rangeJoinActivity _),
     "q4_order_priority" -> (Relational.q4OrderPriority _),
     "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
@@ -345,6 +346,15 @@ object Queries {
       ("SELECT o_orderstatus, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
        "count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // the oracle is the NAIVE non-equi BETWEEN join: binning must be invisible
+    "q_range_join" ->
+      ("WITH w AS (SELECT o_custkey AS window_cust, CAST(min(o_orderdate) AS DATE) AS w_start, " +
+       "CAST(min(o_orderdate) AS DATE) + 90 AS w_end FROM orders WHERE o_custkey <= 200 GROUP BY o_custkey), " +
+       "p AS (SELECT CAST(o_orderdate AS DATE) AS d, o_totalprice FROM orders) " +
+       "SELECT w.window_cust, w.w_start, w.w_end, count(*) AS n_orders, " +
+       "round(sum(p.o_totalprice), 2) AS total_price " +
+       "FROM w JOIN p ON p.d BETWEEN w.w_start AND w.w_end " +
+       "GROUP BY 1, 2, 3 ORDER BY window_cust"),
     "q8_market_share" ->
       ("SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, " +
        "CAST(round(sum(CASE WHEN sn.n_name = 'NATION_3' THEN " +

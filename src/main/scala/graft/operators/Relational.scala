@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{AppScopedCache, Tables}
@@ -55,6 +55,55 @@ object Relational {
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy(col("o_orderstatus"))
+
+  /** Binned (point-in-interval) range join: points joined to the
+    * intervals containing them WITHOUT an equi-key. Spark plans the
+    * naive `p.d BETWEEN i.lo AND i.hi` as a BroadcastNestedLoopJoin —
+    * fine while the interval side broadcasts, quadratic disaster when
+    * it doesn't. The scale-safe form: explode each interval into the
+    * fixed-width bins it covers, map each point to its ONE bin, and
+    * equi-join on the bin with the BETWEEN as a residual filter — a
+    * plain shuffled hash join whose cost is true (point, interval-bin)
+    * collisions. No pair dedup is needed: a point lives in exactly one
+    * bin, so a (point, interval) pair meets at most once. Bin width
+    * trades interval fan-out against residual selectivity; pick it
+    * near the median interval length.
+    *
+    * `points` must carry a date column `d`; `intervals` must carry
+    * date columns `lo`/`hi` (inclusive). Returns the matched rows with
+    * both sides' columns, bin dropped. */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame,
+      binDays: Int): DataFrame = {
+    def binOf(d: Column) =
+      floor(datediff(d, to_date(lit("1970-01-01"))) / binDays)
+    val wb = intervals.withColumn("_bin",
+      explode(sequence(binOf(col("lo")), binOf(col("hi")))))
+    val pb = points.withColumn("_bin", binOf(col("d")))
+    pb.join(wb, Seq("_bin"))
+      .filter(col("d").between(col("lo"), col("hi")))
+      .drop("_bin")
+  }
+
+  /** The registered range-join query: per early customer (custkey <=
+    * 200), total market activity — every order from ANY customer —
+    * inside that customer's 90-day onboarding window, computed with
+    * the binned plan above (PlanAuditSpec pins nested-loop-free).
+    * Oracle is the naive BETWEEN join. */
+  def rangeJoinActivity(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val points = orders.select(to_date(col("o_orderdate")).as("d"),
+      col("o_totalprice"))
+    val windows = orders.filter(col("o_custkey") <= 200)
+      .groupBy(col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("lo"))
+      .select(col("o_custkey").as("window_cust"), col("lo"),
+        date_add(col("lo"), 90).as("hi"))
+    rangeJoinBinned(points, windows, binDays = 30)
+      .groupBy(col("window_cust"), col("lo").as("w_start"), col("hi").as("w_end"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("window_cust"))
+  }
 
   /** TPC-H Q1 shape: scan-filter-aggregate, the canonical map-side-combine
     * workload. Filter + 7-column projection reach the parquet scan. */

@@ -196,6 +196,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(n <= 2, s"doc packing should shuffle once + sort, got $n exchanges:\n$plan")
   }
 
+  test("binned range join is an equi-join — no nested loop over the point side") {
+    // the naive point-in-interval BETWEEN join plans as a
+    // BroadcastNestedLoopJoin; the binned form must be a plain
+    // equi-join on the bin key with the BETWEEN as residual
+    val plan = planOf(Relational.rangeJoinActivity(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+    assert(plan.contains("Join"), s"expected a join in:\n$plan")
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // saltedJoin is the manual answer to skew; the automatic one the
     // session advertises (GraftSession: adaptive.skewJoin.enabled) is
