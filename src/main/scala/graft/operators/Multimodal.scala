@@ -176,6 +176,12 @@ object Multimodal {
       path
     }
 
+  /** Release one corpus's media fixture now (scratch dir deleted, next
+    * decode rebuilds) — mirrors Dedup/Similarity.evictCorpus for
+    * long-lived sessions. App shutdown evicts everything automatically. */
+  def evictCorpus(spark: SparkSession, dir: String): Unit =
+    mediaCache.evict(spark, s"$dir#media")
+
   private def mediaTable(spark: SparkSession, dir: String, kind: String): DataFrame =
     spark.read.parquet(s"${mediaFixturePath(spark, dir)}/$kind")
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Storage-lifetime hygiene: memoized build-once artifacts (near-dup
   * pair sets, cluster assignments, band-table checkpoints, IVF
@@ -90,5 +90,17 @@ class CacheLifecycleSpec extends SparkSpec {
     val p2 = Similarity.ivfIndexPath(spark, sf)
     assert(p2 !== p)
     assert(Similarity.knnIvfServed(spark, sf).count() > 0)
+  }
+
+  test("evicting a corpus's media fixture deletes its scratch dir") {
+    val p = Multimodal.mediaFixturePath(spark, sf)
+    assert(java.nio.file.Files.exists(java.nio.file.Path.of(p)))
+    Multimodal.evictCorpus(spark, sf)
+    assert(!java.nio.file.Files.exists(java.nio.file.Path.of(p)),
+      "evicted media fixture still on disk")
+    // next decode rebuilds a fresh fixture and works end to end
+    val p2 = Multimodal.mediaFixturePath(spark, sf)
+    assert(p2 !== p)
+    assert(Multimodal.audioMeta(spark, sf).count() > 0)
   }
 }
