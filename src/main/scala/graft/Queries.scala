@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Multimodal, Relational, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Analytics, Changes, Dedup, Html, Multimodal, Relational, Similarity, TextAnalysis, TimeSeries}
 
 /** Central registry: query name -> (SparkSession, sfDir) => DataFrame,
   * plus the DuckDB oracle SQL for each (driver contract, SURVEY §5).
@@ -472,7 +472,12 @@ object Queries {
     "text_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
     "text_clean" -> ((s: SparkSession, d: String) => TextAnalysis.clean(s, d)),
     "dedup_paragraphs" -> ((s: SparkSession, d: String) => Dedup.paragraphDedup(s, d)),
-    "dedup_paragraph_flags" -> ((s: SparkSession, d: String) => Dedup.paragraphFlags(s, d))
+    "dedup_paragraph_flags" -> ((s: SparkSession, d: String) => Dedup.paragraphFlags(s, d)),
+    "text_html_extract" -> (Html.htmlExtract _),
+    "text_html_links" -> (Html.htmlLinks _),
+    "pipeline_domain_blocklist" -> (Html.domainBlocklist _),
+    "q_merge_upsert" -> (Changes.mergeUpsert _),
+    "q_scd2_user_state" -> (Changes.scd2UserState _)
   )
 
   // Shared oracle fragments: DuckDB twins of TextFunctions.normalize /
@@ -946,7 +951,55 @@ object Queries {
        "SELECT doc_id, count(*) AS n_paras, " +
        "CAST(sum(CASE WHEN para_fp IN (SELECT para_fp FROM sh) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras, " +
        "round(CAST(sum(CASE WHEN para_fp IN (SELECT para_fp FROM sh) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_ratio " +
-       "FROM c GROUP BY doc_id ORDER BY doc_id")
+       "FROM c GROUP BY doc_id ORDER BY doc_id"),
+    // HTML fixture round-trip oracles: synthesis is deterministic from
+    // the documents columns (Html.htmlOf), so DuckDB reconstructs the
+    // EXPECTED extraction/normalization output directly — checking
+    // extract∘synthesize = identity end to end.
+    "text_html_extract" ->
+      ("SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) || ' - ' || source || " +
+       "' Doc ' || CAST(doc_id AS VARCHAR) || ' ' || " +
+       "regexp_replace(trim(text), '\\s+', ' ', 'g') || " +
+       "' Entities: & <b> \"q\" AB &unknown; end more ' || " +
+       "CAST(doc_id % 7 AS VARCHAR) || ' home' AS extracted " +
+       "FROM documents ORDER BY doc_id"),
+    "text_html_links" ->
+      ("SELECT doc_id, url, domain FROM (" +
+       "SELECT doc_id, 'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR) || " +
+       "'?ref=feed&src=' || source AS url, source || '.example.com' AS domain FROM documents " +
+       "UNION ALL " +
+       "SELECT doc_id, 'http://' || source || '.example.com/index.html' AS url, " +
+       "source || '.example.com' AS domain FROM documents" +
+       ") ORDER BY doc_id, url"),
+    "pipeline_domain_blocklist" ->
+      ("SELECT source || '.example.com' AS domain, CAST(count(*) AS BIGINT) AS n_docs " +
+       "FROM documents WHERE source NOT IN ('src2', 'src7', 'src12', 'src17') " +
+       "GROUP BY domain ORDER BY domain"),
+    // CDC MERGE: the oracle reconstructs the same deterministic change
+    // batch (Changes.changeBatch) and applies MERGE semantics as set
+    // algebra — row-level check of every survivor/update/insert.
+    "q_merge_upsert" ->
+      // touched keys = {k%10=3 (U)} ∪ {k%10=7 (D)} ∪ {k+10M : k%10=5 (I)};
+      // the +10M insert keys don't exist in base, so base survivors are
+      // exactly keys with k%10 NOT IN (3, 7)
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate FROM (" +
+       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate " +
+       "FROM orders WHERE o_orderkey % 10 NOT IN (3, 7) " +
+       "UNION ALL SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, " +
+       "round(o_totalprice * 1.05, 2), o_orderdate FROM orders WHERE o_orderkey % 10 = 3 " +
+       "UNION ALL SELECT o_orderkey + 10000000, o_custkey, 'N', " +
+       "round(o_totalprice * 0.5, 2), o_orderdate FROM orders WHERE o_orderkey % 10 = 5" +
+       ") ORDER BY o_orderkey"),
+    "q_scd2_user_state" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events), " +
+       "t AS (SELECT user_id, event_id, event_type, ts_us, " +
+       "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type FROM e), " +
+       "tr AS (SELECT user_id, event_id, event_type, ts_us FROM t " +
+       "WHERE prev_type IS NULL OR prev_type <> event_type) " +
+       "SELECT user_id, event_id, event_type AS state, ts_us AS valid_from_us, " +
+       "lead(ts_us) OVER w AS valid_to_us, lead(ts_us) OVER w IS NULL AS is_current " +
+       "FROM tr WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id) " +
+       "ORDER BY user_id, valid_from_us, event_id")
     // knn_ivf's oracle is generated post-run from the served quantizer
     // (see knnIvfOracle below).
   )

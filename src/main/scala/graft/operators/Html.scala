@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** HTML ingestion surface: visible-text extraction, link harvest, URL
+  * normalization, and domain-blocklist filtering — the web-crawl front
+  * end of a training-data pipeline (C4 §2.1, RefinedWeb §3.1), which
+  * the reference never needs (aristoteles.py ingests numeric SQLite
+  * rows) but any 100 TB text corpus starts from.
+  *
+  * The corpus is a per-dir synthesized HTML FIXTURE persisted to
+  * parquet (same ingest-time discipline as [[Multimodal]]'s media
+  * fixture): each document's text is wrapped in a deterministic page —
+  * head/title, a style block, a script block whose body contains `<`,
+  * `>` and `&&` (the tokens that break regex strippers), a comment,
+  * character entities, and two anchors whose hrefs carry entity-coded
+  * query strings, mixed-case scheme/host, default ports and fragments.
+  * Because synthesis is deterministic from the documents table, every
+  * query here is FULLY oracled: DuckDB reconstructs the expected
+  * output from the raw columns, so extraction-composed-with-synthesis
+  * is checked end to end (round-trip identity), not just eyeballed.
+  *
+  * Scale shape: extraction is one codegen'd scan (plans.HtmlText —
+  * no UDF, no interpreter fallback); link normalization is built-in
+  * string functions over the same scan; the blocklist filter is a
+  * broadcast anti-join (a blocklist is metadata-sized at any corpus
+  * scale). Nothing here shuffles except the final per-domain count. */
+object Html {
+
+  /** Deterministic page around one document row (doc_id, text, source,
+    * lang). Kept in one concat so fixture writes are a single
+    * projection — no per-row format cost beyond string building. */
+  private def htmlOf: Column = {
+    val id = col("doc_id").cast("string")
+    val m7 = (col("doc_id") % 7).cast("string")
+    concat(
+      lit("<!DOCTYPE html>\n<html lang=\""), col("lang"),
+      lit("\">\n<head>\n<title>Doc "), id, lit(" - "), col("source"),
+      lit("</title>\n<style type=\"text/css\">body { margin: 0; } p.main { color: #222; }</style>\n" +
+        "<script type=\"text/javascript\">if (x < 3 && y > 1) { track(\"doc-"), id,
+      lit("\"); }</script>\n<meta charset=\"utf-8\"/>\n</head>\n<body>\n" +
+        "<!-- synthesized fixture; id="), id,
+      lit(" -->\n<h1 id=\"h"), id, lit("\">Doc "), id,
+      lit("</h1>\n<p class=\"main\">"), col("text"),
+      lit("</p>\n<p>Entities: &amp; &lt;b&gt; &quot;q&quot; &#65;&#x42; &unknown; &nbsp;end</p>\n<ul>\n" +
+        "<li><a href=\"https://www."), col("source"), lit(".example.com:443/docs/"), id,
+      lit("?ref=feed&amp;src="), col("source"), lit("#frag\">more "), m7,
+      lit("</a></li>\n<li><a href=\"HTTP://"), col("source"),
+      lit(".Example.COM:80/index.html\">home</a></li>\n</ul>\n</body>\n</html>"))
+  }
+
+  /** Writes the per-corpus HTML fixture: one row per document,
+    * (doc_id, html). Ingest-time batch job — in production the pages
+    * already live in storage (WARC/WET); queries read parquet. */
+  def writeHtmlFixture(spark: SparkSession, dir: String, path: String): Unit =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), htmlOf.as("html"))
+      .write.mode("overwrite").parquet(path)
+
+  private val htmlCache =
+    new graft.AppScopedCache[String](Similarity.deleteLocalDir(_))
+
+  /** One persisted HTML fixture per corpus, built on first use under a
+    * scratch dir deleted on app end — mirrors Multimodal.mediaFixturePath. */
+  def htmlFixturePath(spark: SparkSession, dir: String): String =
+    htmlCache.getOrCompute(spark, s"$dir#html") {
+      val path = java.nio.file.Files.createTempDirectory("graft_html_").toString
+      writeHtmlFixture(spark, dir, path)
+      path
+    }
+
+  /** Release one corpus's HTML fixture now (next query rebuilds). */
+  def evictCorpus(spark: SparkSession, dir: String): Unit =
+    htmlCache.evict(spark, s"$dir#html")
+
+  private def pages(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(htmlFixturePath(spark, dir))
+
+  /** Visible text per page via the native extractor — one codegen'd
+    * scan over the fixture. Oracled as a ROUND-TRIP: extraction must
+    * recover exactly the title/heading/body/entity text the synthesis
+    * embedded, with script/style/comment content gone and whitespace
+    * collapsed. */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame =
+    pages(spark, dir)
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.htmlText(col("html")).as("extracted"))
+      .orderBy(col("doc_id"))
+
+  /** Harvested + normalized links: every href, entity-decoded
+    * (&amp; -> &), scheme/host lowercased, `www.` stripped, default
+    * port dropped (non-default ports kept), fragment dropped. The
+    * `domain` column is the normalized host — the key real pipelines
+    * rate-limit, sample, and blocklist by. (A production registrable-
+    * domain would consult the Public Suffix List; host-minus-www is
+    * the deterministic stand-in at fixture scale.) */
+  def htmlLinks(spark: SparkSession, dir: String): DataFrame = {
+    val href = graft.plans.VectorExpressions.htmlText(col("href")).as("url0")
+    val exploded = pages(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(html, 'href=\"([^\"]+)\"', 1)")).as("href"))
+      .select(col("doc_id"), href)
+    val scheme = lower(regexp_extract(col("url0"), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = regexp_replace(lower(parse_url(col("url0"), lit("HOST"))), "^www\\.", "")
+    val port = regexp_extract(parse_url(col("url0"), lit("AUTHORITY")), ":(\\d+)$", 1)
+    val keptPort = when(port === "" ||
+      (scheme === "https" && port === "443") ||
+      (scheme === "http" && port === "80"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path = coalesce(parse_url(col("url0"), lit("PATH")), lit(""))
+    val query = parse_url(col("url0"), lit("QUERY"))
+    exploded
+      .select(col("doc_id"),
+        concat(scheme, lit("://"), host, keptPort, path,
+          when(query.isNotNull, concat(lit("?"), query)).otherwise(lit(""))).as("url"),
+        host.as("domain"))
+      .orderBy(col("doc_id"), col("url"))
+  }
+
+  /** Deterministic fixture blocklist: the domains a crawl operator
+    * would refuse (spam/SEO farms). Literal so both sides agree. */
+  val blockedDomains: Seq[String] =
+    Seq("src2", "src7", "src12", "src17").map(_ + ".example.com")
+
+  /** Surviving docs per domain after the blocklist anti-join. The
+    * domain is derived from the page's own links (the full harvest ->
+    * normalize -> filter chain), not read from metadata — so this
+    * query exercises the whole pipeline. Blocklist is broadcast:
+    * metadata-sized at any corpus scale, no shuffle for the filter. */
+  def domainBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docDomains = htmlLinks(spark, dir)
+      .select(col("doc_id"), col("domain")).distinct()
+    val blocked = blockedDomains.toDF("domain")
+    docDomains
+      .join(broadcast(blocked), Seq("domain"), "left_anti")
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("domain"))
+  }
+}

@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_first_agree"),
        new ExpressionInfo(classOf[FirstAgree].getName, "graft_first_agree"),
        (exprs: Seq[Expression]) => FirstAgree(exprs(0), exprs(1))))
+    e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_html_text"),
+       new ExpressionInfo(classOf[HtmlText].getName, "graft_html_text"),
+       (exprs: Seq[Expression]) => HtmlText(exprs(0))))
   }
 }
 

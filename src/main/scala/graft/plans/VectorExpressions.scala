@@ -173,6 +173,8 @@ object VectorExpressions {
       "graft_ngram_hashes", exprs => NgramHashes.fromArgs(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_first_agree", exprs => FirstAgree(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_html_text", exprs => HtmlText(exprs(0)), "scala_udf")
   }
 
   /** Column-API form; registers on the active session on first use.
@@ -196,6 +198,13 @@ object VectorExpressions {
   def imgMeta(c: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_img_meta", c)
+  }
+
+  /** HTML visible-text extraction (plans.HtmlText), column form; same
+    * registration precondition. */
+  def htmlText(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_html_text", c)
   }
 
   /** WAV header metadata (plans.WavMeta), column form; same
