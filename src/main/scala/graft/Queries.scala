@@ -986,9 +986,9 @@ object Queries {
        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate " +
        "FROM orders WHERE o_orderkey % 10 NOT IN (3, 7) " +
        "UNION ALL SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, " +
-       "round(o_totalprice * 1.05, 2), o_orderdate FROM orders WHERE o_orderkey % 10 = 3 " +
+       "o_totalprice * 1.05, o_orderdate FROM orders WHERE o_orderkey % 10 = 3 " +
        "UNION ALL SELECT o_orderkey + 10000000, o_custkey, 'N', " +
-       "round(o_totalprice * 0.5, 2), o_orderdate FROM orders WHERE o_orderkey % 10 = 5" +
+       "o_totalprice * 0.5, o_orderdate FROM orders WHERE o_orderkey % 10 = 5" +
        ") ORDER BY o_orderkey"),
     "q_scd2_user_state" ->
       ("WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events), " +

@@ -30,10 +30,15 @@ object Changes {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderdate"))
+    // NOTE: no round() on the reprices — this is a row-level op (no
+    // summation-order ambiguity), and round()'s decimalization of a
+    // half-way double differs between engines (Spark 250020.015 ->
+    // .01, DuckDB -> .02). The raw IEEE products are bit-identical
+    // everywhere; rounding would ADD divergence here, not remove it.
     val u = o.filter(col("o_orderkey") % 10 === 3)
       .select(col("o_orderkey"), lit("U").as("op"), col("o_custkey"),
         lit("U").as("o_orderstatus"),
-        round(col("o_totalprice") * 1.05, 2).as("o_totalprice"), col("o_orderdate"))
+        (col("o_totalprice") * 1.05).as("o_totalprice"), col("o_orderdate"))
     val d = o.filter(col("o_orderkey") % 10 === 7)
       .select(col("o_orderkey"), lit("D").as("op"),
         lit(null).cast("long").as("o_custkey"),
@@ -43,7 +48,7 @@ object Changes {
     val i = o.filter(col("o_orderkey") % 10 === 5)
       .select((col("o_orderkey") + 10000000L).as("o_orderkey"), lit("I").as("op"),
         col("o_custkey"), lit("N").as("o_orderstatus"),
-        round(col("o_totalprice") * 0.5, 2).as("o_totalprice"), col("o_orderdate"))
+        (col("o_totalprice") * 0.5).as("o_totalprice"), col("o_orderdate"))
     u.unionByName(d).unionByName(i)
   }
 

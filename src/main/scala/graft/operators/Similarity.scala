@@ -295,14 +295,21 @@ object Similarity {
     * scan), so each query touches nprobe/ncells of the data on DISK,
     * not just in the join. Build once at ingest; `knnIvfIndexed` serves
     * probes against it. */
-  def writeIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
-    val base = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val cents = centroidCache.getOrCompute(spark, dir)(kmeansCentroids(base))
+  /** Argmax-cell assignment of (vec_id, v) rows under a FIXED
+    * quantizer — shared by the initial build and incremental append so
+    * the two paths cannot drift. */
+  private def assignCells(base: DataFrame,
+      cents: Seq[Array[Double]]): DataFrame =
     base
       .withColumn("scores", cellScores(col("v"), cents))
       .withColumn("cell", expr("array_position(scores, array_max(scores))").cast("int"))
       .drop("scores")
+
+  def writeIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = centroidCache.getOrCompute(spark, dir)(kmeansCentroids(base))
+    assignCells(base, cents)
       .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
     // The quantizer IS part of the index: probes must score against the
     // centroids the data was partitioned by, not whatever a fresh
@@ -310,6 +317,83 @@ object Similarity {
     // or the session) changed. Underscore name keeps it out of
     // partition discovery.
     writeCentroidSidecar(spark, indexPath, cents)
+  }
+
+  /** Build an index from an explicit (vec_id, embedding) frame —
+    * the from-subset entry the incremental-append test and any
+    * partial-corpus ingest use. Trains a fresh quantizer on exactly
+    * the rows given. */
+  private[graft] def writeIvfIndexFrom(spark: SparkSession, emb: DataFrame,
+      indexPath: String): Unit = {
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = kmeansCentroids(base)
+    assignCells(base, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    writeCentroidSidecar(spark, indexPath, cents)
+  }
+
+  /** Incremental index maintenance: assign NEW vectors to the cells of
+    * the EXISTING quantizer (sidecar — never retrained; retraining
+    * would silently invalidate every already-partitioned row) and
+    * append them as new files under their cell directories. This is
+    * the IVF analogue of Dedup's incremental banded path: ingest work
+    * is proportional to the batch, the standing index is never
+    * re-clustered or rewritten, and serving picks the new rows up on
+    * the next partition-pruned read with zero coordination. Periodic
+    * re-train + full rebuild (when drift degrades recall) is a
+    * separate, rarer batch job — exactly how production IVF systems
+    * (Faiss ondisk, Milvus) schedule it. */
+  def appendIvfIndex(spark: SparkSession, indexPath: String,
+      newVecs: DataFrame): Unit = {
+    val cents = readCentroidSidecar(spark, indexPath)
+    assignCells(newVecs.select(col("vec_id"), asDouble(col("embedding")).as("v")), cents)
+      .write.mode("append").partitionBy("cell").parquet(indexPath)
+  }
+
+  /** Replay-safe append for a STREAMING ingest: batch `batchId`'s rows
+    * land as deterministically-named files (`cell=X/ivfb<id>-<i>`), and
+    * the append FIRST deletes any files a previous attempt of the same
+    * batch left behind. A micro-batch replayed after a crash anywhere
+    * in the sequence (partial tmp write, partial move, move complete
+    * but offset uncommitted) therefore converges to exactly one copy of
+    * its rows — the same exactly-once contract as the archive writer's
+    * batch_id partition overwrite, adapted to a sink whose partitioning
+    * (cell) is DATA-derived and shared across batches, where dynamic
+    * partition overwrite would clobber other batches' rows. */
+  def appendIvfIndexBatch(spark: SparkSession, indexPath: String,
+      newVecs: DataFrame, batchId: Long): Unit = {
+    val cents = readCentroidSidecar(spark, indexPath)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(indexPath))
+    val prefix = s"ivfb$batchId-"
+    def cellDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+    // replay cleanup: this batch's earlier (possibly partial) landing
+    cellDirs.foreach { d =>
+      fs.listStatus(d.getPath)
+        .filter(_.getPath.getName.startsWith(prefix))
+        .foreach(f => fs.delete(f.getPath, false))
+    }
+    val tmp = new org.apache.hadoop.fs.Path(root, s"_ivf_append_tmp_$batchId")
+    assignCells(newVecs.select(col("vec_id"), asDouble(col("embedding")).as("v")), cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    fs.listStatus(tmp)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .foreach { d =>
+        val dst = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
+        fs.mkdirs(dst)
+        fs.listStatus(d.getPath)
+          .filter { f =>
+            val n = f.getPath.getName
+            f.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          .zipWithIndex.foreach { case (f, i) =>
+            val target = new org.apache.hadoop.fs.Path(dst, s"$prefix$i.parquet")
+            require(fs.rename(f.getPath, target), s"rename failed: ${f.getPath}")
+          }
+      }
+    fs.delete(tmp, true)
   }
 
   private def writeCentroidSidecar(spark: SparkSession, indexPath: String,
@@ -321,7 +405,7 @@ object Similarity {
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
-  private[operators] def readCentroidSidecar(spark: SparkSession,
+  private[graft] def readCentroidSidecar(spark: SparkSession,
       indexPath: String): Seq[Array[Double]] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/_centroids.json")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

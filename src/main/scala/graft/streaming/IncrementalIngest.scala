@@ -151,6 +151,39 @@ object IncrementalIngest {
         ()
       }
 
+  /** Streaming embedding ingest -> incremental ANN index: every
+    * micro-batch of (vec_id, embedding) rows is cell-assigned under the
+    * standing index's FROZEN sidecar quantizer and landed as that
+    * batch's own deterministically-named files
+    * (Similarity.appendIvfIndexBatch) — the as-it-arrives index
+    * maintenance of a production vector store, composing the streaming
+    * runtime with the persisted-IVF family the way [[dedupFlagsWriter]]
+    * composes it with the persisted dedup index. Work per trigger ∝
+    * batch size; the standing index is never re-clustered or rewritten;
+    * a replayed batch (restart between landing and offset commit)
+    * deletes and re-lands only its own files — exactly-once. */
+  def ivfAppendWriter(vecs: DataFrame, indexPath: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Similarity.appendIvfIndexBatch(
+            batch.sparkSession, indexPath, batch, batchId)
+        ()
+      }
+
+  /** File-source stream of incoming embeddings — the ingest feed for
+    * [[ivfAppendWriter]]. */
+  def embeddingsSource(spark: SparkSession, inputDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+
   /** Watermarked stream-stream inner join: each left event enriched
     * with right-side events for the same key within a trailing time
     * horizon. Both sides carry watermarks and the join condition
