@@ -477,7 +477,9 @@ object Queries {
     "text_html_links" -> (Html.htmlLinks _),
     "pipeline_domain_blocklist" -> (Html.domainBlocklist _),
     "q_merge_upsert" -> (Changes.mergeUpsert _),
-    "q_scd2_user_state" -> (Changes.scd2UserState _)
+    "q_scd2_user_state" -> (Changes.scd2UserState _),
+    "dedup_url_groups" -> (Html.urlDupGroups _),
+    "pipeline_domain_cap" -> ((s: SparkSession, d: String) => Html.domainCap(s, d))
   )
 
   // Shared oracle fragments: DuckDB twins of TextFunctions.normalize /
@@ -975,6 +977,16 @@ object Queries {
       ("SELECT source || '.example.com' AS domain, CAST(count(*) AS BIGINT) AS n_docs " +
        "FROM documents WHERE source NOT IN ('src2', 'src7', 'src12', 'src17') " +
        "GROUP BY domain ORDER BY domain"),
+    // only the per-source home links collide; /docs/{id} urls are unique
+    "dedup_url_groups" ->
+      ("SELECT 'http://' || source || '.example.com/index.html' AS url, " +
+       "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, min(doc_id) AS min_doc " +
+       "FROM documents GROUP BY source HAVING count(DISTINCT doc_id) > 1 ORDER BY url"),
+    "pipeline_domain_cap" ->
+      ("WITH d AS (SELECT doc_id, source || '.example.com' AS domain FROM documents), " +
+       "r AS (SELECT doc_id, domain, CAST(row_number() OVER " +
+       "(PARTITION BY domain ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rank FROM d) " +
+       "SELECT doc_id, domain, rank FROM r WHERE rank <= 10 ORDER BY domain, rank"),
     // CDC MERGE: the oracle reconstructs the same deterministic change
     // batch (Changes.changeBatch) and applies MERGE semantics as set
     // algebra — row-level check of every survivor/update/insert.

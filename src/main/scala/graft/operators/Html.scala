@@ -119,6 +119,40 @@ object Html {
       .orderBy(col("doc_id"), col("url"))
   }
 
+  /** URL-level exact dedup — the cheapest, highest-yield dedup in any
+    * web pipeline (the same canonical URL fetched repeatedly): group
+    * the NORMALIZED urls, report every url multiple documents share.
+    * One hash aggregate over the harvested links; at corpus scale this
+    * is the pre-pass that removes refetches before any content dedup
+    * spends a cycle. On the fixture the per-source home links collide
+    * (one per document of that source) while /docs/{id} urls are
+    * unique — non-vacuous on both sides of the HAVING. */
+  def urlDupGroups(spark: SparkSession, dir: String): DataFrame =
+    htmlLinks(spark, dir)
+      .groupBy(col("url"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("url"))
+
+  /** Per-domain quota (domain balancing): cap each domain's
+    * contribution at k documents, chosen by md5(doc_id) — a PURE
+    * function of the row, so the kept set is engine/rerun/audit
+    * reproducible (the sampleStratified discipline applied to the
+    * over-represented-domain problem: C4 and RefinedWeb both bound
+    * per-host contribution so one mirror farm can't dominate the mix).
+    * One window over the (domain)-partitioned doc list. */
+  def domainCap(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    htmlLinks(spark, dir)
+      .select(col("doc_id"), col("domain")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("domain"), col("rank"))
+  }
+
   /** Deterministic fixture blocklist: the domains a crawl operator
     * would refuse (spam/SEO farms). Literal so both sides agree. */
   val blockedDomains: Seq[String] =
