@@ -72,8 +72,10 @@ object Html {
     }
 
   /** Release one corpus's HTML fixture now (next query rebuilds). */
-  def evictCorpus(spark: SparkSession, dir: String): Unit =
+  def evictCorpus(spark: SparkSession, dir: String): Unit = {
     htmlCache.evict(spark, s"$dir#html")
+    linksCache.evict(spark, s"$dir#links")
+  }
 
   private def pages(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(htmlFixturePath(spark, dir))
@@ -119,6 +121,18 @@ object Html {
       .orderBy(col("doc_id"), col("url"))
   }
 
+  /** Parsed+normalized links, memoized per corpus (localCheckpoint):
+    * the blocklist/cap/url-dedup family all consume the same link
+    * table, so the regexp harvest + URL parse runs ONCE per corpus —
+    * the build-once-serve-many discipline of the dedup pair memo. */
+  private val linksCache =
+    new graft.AppScopedCache[DataFrame](graft.AppScopedCache.unpersistPlanRDDs)
+
+  private def linksMemo(spark: SparkSession, dir: String): DataFrame =
+    linksCache.getOrCompute(spark, s"$dir#links") {
+      htmlLinks(spark, dir).localCheckpoint(false)
+    }
+
   /** URL-level exact dedup — the cheapest, highest-yield dedup in any
     * web pipeline (the same canonical URL fetched repeatedly): group
     * the NORMALIZED urls, report every url multiple documents share.
@@ -128,7 +142,7 @@ object Html {
     * (one per document of that source) while /docs/{id} urls are
     * unique — non-vacuous on both sides of the HAVING. */
   def urlDupGroups(spark: SparkSession, dir: String): DataFrame =
-    htmlLinks(spark, dir)
+    linksMemo(spark, dir)
       .groupBy(col("url"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("min_doc"))
@@ -146,7 +160,7 @@ object Html {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("domain"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    htmlLinks(spark, dir)
+    linksMemo(spark, dir)
       .select(col("doc_id"), col("domain")).distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -165,7 +179,7 @@ object Html {
     * metadata-sized at any corpus scale, no shuffle for the filter. */
   def domainBlocklist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docDomains = htmlLinks(spark, dir)
+    val docDomains = linksMemo(spark, dir)
       .select(col("doc_id"), col("domain")).distinct()
     val blocked = blockedDomains.toDF("domain")
     docDomains
