@@ -55,7 +55,10 @@ object Html {
     * (doc_id, html). Ingest-time batch job — in production the pages
     * already live in storage (WARC/WET); queries read parquet. */
   def writeHtmlFixture(spark: SparkSession, dir: String, path: String): Unit =
-    Tables.documents(spark, dir)
+    // documentsParallel: spread the single-row-group doc table before
+    // the synthesis projection AND give the fixture multiple files, so
+    // the extraction queries' scans parallelize too
+    Tables.documentsParallel(spark, dir)
       .select(col("doc_id"), htmlOf.as("html"))
       .write.mode("overwrite").parquet(path)
 

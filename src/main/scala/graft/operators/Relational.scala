@@ -37,7 +37,7 @@ object Relational {
     // and retries salt identically), and a hot KEY still spreads
     // because its rows differ in other columns
     val salted = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts)))
+      pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val replicated = small.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     salted.join(replicated,

@@ -255,7 +255,7 @@ object Similarity {
   private def cellScores(v: Column, cents: Seq[Array[Double]]): Column =
     array(cents.map { c =>
       val halfNormSq = c.map(x => x * x).sum / 2.0
-      dot(v, array(c.map(lit): _*)) - lit(halfNormSq)
+      dot(v, array(c.toIndexedSeq.map(lit): _*)) - lit(halfNormSq)
     }: _*)
 
   /** IVF ANN: corpus in argmax cell; probes search their top-nprobe
@@ -642,7 +642,7 @@ object Similarity {
 
   private def bucketOf(v: Column, planes: Seq[Array[Double]]): Column =
     (0 until NumPlanes).map { j =>
-      val plane = array(planes(j).map(lit): _*)
+      val plane = array(planes(j).toIndexedSeq.map(lit): _*)
       when(dot(v, plane) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 

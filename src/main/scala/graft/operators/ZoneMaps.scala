@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level zone maps: a per-file min/max manifest written at ingest
+  * so a range scan can drop files WITHOUT opening them. Parquet's own
+  * footer stats already skip row groups — but reading a footer is an
+  * I/O round trip per file, and a 100 TB table is O(100k) files: the
+  * listing + footer pass dominates short-range queries long before any
+  * data page is touched. A metadata-sized manifest (one JSON line per
+  * file) turns that into a driver-side filter — the same move every
+  * lakehouse table format makes by keeping file stats in the commit
+  * log, reproduced here over raw parquet.
+  *
+  * Composes with [[Layout]]: writeZOrdered produces files whose
+  * per-file ranges are TIGHT on both clustered dimensions, which is
+  * exactly what makes a zone map selective; an unclustered table's
+  * zones all span the full domain and prune nothing (the manifest
+  * faithfully reports that — the layout, not the map, is the enabler).
+  *
+  * Pruning is conservative: a file is kept unless its zone PROVABLY
+  * excludes the predicate range (nulls-only zones keep). The scan
+  * result is therefore identical to the unpruned filter — pruning is
+  * an optimization, never a semantics change; [[scanRange]] re-applies
+  * the predicate over the surviving files. */
+object ZoneMaps {
+
+  val ManifestName = "_zonemaps.json"
+
+  /** Compute and persist per-file [min,max] for `cols` in one scan
+    * (group by input_file_name — each task contributes its own files'
+    * partial stats, one metadata-sized aggregate). Ingest-time: run
+    * after a write/compaction pass, like ANALYZE. */
+  def write(spark: SparkSession, tablePath: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "zone map needs at least one column")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    }
+    val rows = spark.read.parquet(tablePath)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val json = rows.map { r =>
+      val file = r.getString(0)
+      val stats = cols.flatMap { c =>
+        Seq(s""""min_$c":${jsonVal(r.getAs[Any](s"min_$c"))}""",
+          s""""max_$c":${jsonVal(r.getAs[Any](s"max_$c"))}""")
+      }.mkString(",")
+      s"""{"file":"$file",$stats}"""
+    }.mkString("\n")
+    val p = new Path(tablePath, ManifestName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def jsonVal(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case ts: java.sql.Timestamp => ts.getTime.toString // epoch millis
+    case d: java.sql.Date => d.getTime.toString
+    case other => other.toString
+  }
+
+  /** The manifest as rows: (file, min_c, max_c, ...) — numeric stats
+    * come back as doubles (controlled format, written by [[write]]). */
+  private[graft] def readManifest(spark: SparkSession,
+      tablePath: String): Seq[Map[String, String]] = {
+    val p = new Path(tablePath, ManifestName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val text = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    // controlled one-line-per-file format: {"k":v,...} with string or
+    // numeric/null values — a tiny hand parser, no JSON lib needed
+    text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val body = line.trim.stripPrefix("{").stripSuffix("}")
+      // split on commas between fields: quoted values contain no commas
+      // for the stats we write (file paths never carry commas here
+      // either — scratch/temp dirs); keys are always quoted
+      body.split(",(?=\")").map { kv =>
+        val Array(k, v) = kv.split(":", 2)
+        k.trim.stripPrefix("\"").stripSuffix("\"") ->
+          v.trim.stripPrefix("\"").stripSuffix("\"")
+      }.toMap
+    }
+  }
+
+  /** Files whose zone may intersect [lo, hi] on `column` — the
+    * driver-side prune. Numeric comparison; a file with null stats
+    * (all-null zone or missing column) is conservatively kept. */
+  private[graft] def candidateFiles(spark: SparkSession, tablePath: String,
+      column: String, lo: Double, hi: Double): Seq[String] =
+    readManifest(spark, tablePath).filter { m =>
+      val mn = m.get(s"min_$column").filter(_ != "null").map(_.toDouble)
+      val mx = m.get(s"max_$column").filter(_ != "null").map(_.toDouble)
+      (mn, mx) match {
+        case (Some(a), Some(b)) => !(b < lo || a > hi)
+        case _ => true
+      }
+    }.map(_("file"))
+
+  /** Range scan served from the manifest: only surviving files are
+    * handed to the reader (no listing, no footer reads for pruned
+    * files), and the predicate is re-applied so results are identical
+    * to an unpruned scan. Returns an empty frame (correct schema) when
+    * every zone excludes the range. */
+  def scanRange(spark: SparkSession, tablePath: String,
+      column: String, lo: Double, hi: Double): DataFrame = {
+    val files = candidateFiles(spark, tablePath, column, lo, hi)
+    val pred = col(column) >= lo && col(column) <= hi
+    if (files.isEmpty)
+      spark.read.parquet(tablePath).filter(lit(false))
+    else
+      spark.read.parquet(files: _*).filter(pred)
+  }
+}
