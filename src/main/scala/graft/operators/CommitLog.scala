@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal commit-log table format over raw parquet — the metadata
+  * layer that turns a directory of files into a TABLE with atomic
+  * multi-file commits, snapshot isolation, and time travel. This is
+  * the missing backbone under the maintenance ops: [[Compaction]]'s
+  * write-then-delete swap has a doubled-worst-case window, a reader
+  * racing [[Similarity.appendIvfIndexBatch]] can see a half-landed
+  * batch — with a log, readers resolve a VERSION first and only ever
+  * see file sets some commit published, no matter what a concurrent
+  * writer is mid-way through. The same design (scaled down) as every
+  * lakehouse format's core: Delta's JSON actions, Iceberg's snapshot
+  * manifests.
+  *
+  * Layout:
+  * {{{
+  *   table/
+  *     _graft_log/00000000.json   {"version":0,"adds":[...],"removes":[]}
+  *     _graft_log/00000001.json   ...
+  *     data/<uuid>-<i>.parquet    immutable once committed
+  * }}}
+  *
+  *  - one JSON line per commit; `adds`/`removes` are paths RELATIVE to
+  *    the table root (the table can be moved/cloned wholesale);
+  *  - data files are immutable: logical delete = a `removes` entry, so
+  *    every prior version stays readable (time travel) until a future
+  *    vacuum pass physically drops unreferenced files;
+  *  - a crash before the commit rename leaves only invisible staging
+  *    files — the log defines the table, orphans are garbage, never
+  *    phantom rows;
+  *  - commit claims version N by rename(tmp, N.json), retrying on the
+  *    next number if N is taken — optimistic concurrency at the
+  *    file-system level. Local-FS caveat: POSIX rename overwrites, so
+  *    the claim here is exists-check + rename (TOCTOU-safe only per
+  *    JVM); a production deployment backs this one primitive with a
+  *    store that has real put-if-absent (HDFS rename, S3 conditional
+  *    put, a DynamoDB/ZK lock) — everything else is unchanged. */
+object CommitLog {
+
+  private val LogDir = "_graft_log"
+  private val DataDir = "data"
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def jarr(xs: Seq[String]): String =
+    xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+
+  /** Claim the next version atomically-enough (see class doc) and
+    * publish this commit's add/remove sets. Returns the version.
+    * `batchId` stamps a streaming micro-batch's identity into the
+    * commit so a replay can recognize its own earlier publish. */
+  def commit(spark: SparkSession, tablePath: String,
+      adds: Seq[String], removes: Seq[String],
+      batchId: Option[Long] = None): Long = {
+    val log = new Path(tablePath, LogDir)
+    val fs = fsOf(spark, log)
+    fs.mkdirs(log)
+    val tmp = new Path(log, s".tmp-${java.util.UUID.randomUUID()}")
+    var v = latestVersion(spark, tablePath) + 1
+    val batchField = batchId.fold("")(b => s""","batchId":$b""")
+    val body = (version: Long) =>
+      s"""{"version":$version,"adds":${jarr(adds)},"removes":${jarr(removes)}$batchField}"""
+    var claimed = -1L
+    while (claimed < 0) {
+      val out = fs.create(tmp, true)
+      try out.write(body(v).getBytes("UTF-8")) finally out.close()
+      val dst = new Path(log, f"$v%08d.json")
+      if (!fs.exists(dst) && fs.rename(tmp, dst)) claimed = v
+      else v += 1 // lost the race; rewrite the body with the new number
+    }
+    claimed
+  }
+
+  /** batchIds already committed to this table (the streaming sink's
+    * replay ledger). Metadata-sized: one log read per trigger. */
+  def committedBatchIds(spark: SparkSession, tablePath: String): Set[Long] = {
+    val log = new Path(tablePath, LogDir)
+    val fs = fsOf(spark, log)
+    versions(spark, tablePath).flatMap { v =>
+      val in = fs.open(new Path(log, f"$v%08d.json"))
+      val line = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      val i = line.indexOf("\"batchId\":")
+      if (i < 0) None
+      else scala.util.Try(
+        line.substring(i + 10).takeWhile(c => c.isDigit || c == '-').toLong).toOption
+    }.toSet
+  }
+
+  /** Exactly-once streaming append: the TRANSACTIONAL form of the
+    * per-batch file-naming trick ([[Similarity.appendIvfIndexBatch]])
+    * — a replayed micro-batch (restart between publish and offset
+    * commit) finds its batchId already in the log and stages nothing;
+    * a batch that crashed BEFORE its commit left only invisible
+    * staging orphans, so re-running it is safe. Returns None on a
+    * recognized replay. This is how every lakehouse streaming sink
+    * gets exactly-once from an at-least-once engine contract. */
+  def appendStream(spark: SparkSession, tablePath: String, df: DataFrame,
+      batchId: Long): Option[Long] =
+    if (committedBatchIds(spark, tablePath).contains(batchId)) None
+    else Some(commit(spark, tablePath, stage(spark, tablePath, df),
+      Seq.empty, Some(batchId)))
+
+  def latestVersion(spark: SparkSession, tablePath: String): Long = {
+    val log = new Path(tablePath, LogDir)
+    val fs = fsOf(spark, log)
+    if (!fs.exists(log)) -1L
+    else fs.listStatus(log).map(_.getPath.getName)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json"))
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+      .foldLeft(-1L)(math.max)
+  }
+
+  def versions(spark: SparkSession, tablePath: String): Seq[Long] = {
+    val log = new Path(tablePath, LogDir)
+    val fs = fsOf(spark, log)
+    if (!fs.exists(log)) Seq.empty
+    else fs.listStatus(log).map(_.getPath.getName).toSeq
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json"))
+      .flatMap(n => scala.util.Try(n.toLong).toOption).sorted
+  }
+
+  /** The live file set at `asOf` (default: latest): replay the log's
+    * add/remove actions in version order. Paths relative to root. */
+  def snapshot(spark: SparkSession, tablePath: String,
+      asOf: Option[Long] = None): Seq[String] = {
+    val log = new Path(tablePath, LogDir)
+    val fs = fsOf(spark, log)
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    versions(spark, tablePath)
+      .filter(v => asOf.forall(v <= _))
+      .foreach { v =>
+        val p = new Path(log, f"$v%08d.json")
+        val in = fs.open(p)
+        val line = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+        live ++= extractArr(line, "adds")
+        live --= extractArr(line, "removes")
+      }
+    live.toSeq
+  }
+
+  // controlled format written by commit(): values are uuid/part file
+  // names (no quotes or commas inside), so a tiny scanner suffices
+  private def extractArr(json: String, key: String): Seq[String] = {
+    val start = json.indexOf("\"" + key + "\":[")
+    if (start < 0) return Seq.empty
+    val open = json.indexOf('[', start)
+    val close = json.indexOf(']', open)
+    val body = json.substring(open + 1, close).trim
+    if (body.isEmpty) Seq.empty
+    else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+  }
+
+  /** Snapshot read: resolve a version, hand exactly that commit's file
+    * set to the reader. Concurrent writers are invisible — they only
+    * publish by writing a NEW log entry this read never consults. */
+  def read(spark: SparkSession, tablePath: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val files = snapshot(spark, tablePath, asOf)
+    require(files.nonEmpty,
+      s"no live files in $tablePath" + asOf.fold("")(v => s" at version $v"))
+    spark.read.parquet(files.map(f => s"$tablePath/$f"): _*)
+  }
+
+  /** Stage `df` as new immutable data files and publish them in one
+    * commit. Appends never rewrite existing files. */
+  def append(spark: SparkSession, tablePath: String, df: DataFrame): Long =
+    commit(spark, tablePath, stage(spark, tablePath, df), Seq.empty)
+
+  /** Atomic full-table rewrite: stage the new content, then ONE commit
+    * swaps it for every currently-live file. Readers see the old or
+    * the new table, never a mixture — this is what [[Compaction]]'s
+    * raw-parquet swap cannot promise. */
+  def overwrite(spark: SparkSession, tablePath: String, df: DataFrame): Long = {
+    val old = snapshot(spark, tablePath)
+    commit(spark, tablePath, stage(spark, tablePath, df), old)
+  }
+
+  /** Atomic compaction: bin-pack the live set into `targetFiles` and
+    * swap in one commit. Old versions remain time-travelable. */
+  def compact(spark: SparkSession, tablePath: String, targetFiles: Int): Long =
+    overwrite(spark, tablePath, read(spark, tablePath).coalesce(targetFiles))
+
+  /** CDC merge as copy-on-write at table granularity: apply
+    * [[Changes.mergeApply]] semantics and publish the result as one
+    * atomic swap (a production format rewrites only the TOUCHED files;
+    * the commit protocol — the part raw parquet lacks — is identical). */
+  def merge(spark: SparkSession, tablePath: String, changes: DataFrame,
+      key: String): Long =
+    overwrite(spark, tablePath,
+      Changes.mergeApply(read(spark, tablePath), changes, key))
+
+  /** Physically delete files no snapshot <= horizon references and
+    * drop the log entries before it — the retention pass bounding
+    * time-travel storage. */
+  def vacuum(spark: SparkSession, tablePath: String, keepFrom: Long): Unit = {
+    val fs = fsOf(spark, new Path(tablePath))
+    val keep = versions(spark, tablePath).filter(_ >= keepFrom)
+      .flatMap(v => snapshot(spark, tablePath, Some(v))).toSet ++
+      snapshot(spark, tablePath).toSet
+    val dataDir = new Path(tablePath, DataDir)
+    if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { f =>
+      if (!keep.contains(s"$DataDir/${f.getPath.getName}"))
+        fs.delete(f.getPath, false)
+    }
+    versions(spark, tablePath).filter(_ < keepFrom).foreach { v =>
+      fs.delete(new Path(new Path(tablePath, LogDir), f"$v%08d.json"), false)
+    }
+  }
+
+  /** Write df's files under data/ with a fresh uuid prefix; return the
+    * relative paths. Staging is invisible until commit publishes it. */
+  private def stage(spark: SparkSession, tablePath: String,
+      df: DataFrame): Seq[String] = {
+    val root = new Path(tablePath)
+    val fs = fsOf(spark, root)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(root, s"_staging_$stamp")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val dataDir = new Path(root, DataDir)
+    fs.mkdirs(dataDir)
+    val moved = fs.listStatus(tmp)
+      .filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .zipWithIndex.map { case (f, i) =>
+        val name = s"$stamp-$i.parquet"
+        require(fs.rename(f.getPath, new Path(dataDir, name)),
+          s"stage rename failed: ${f.getPath}")
+        s"$DataDir/$name"
+      }
+    fs.delete(tmp, true)
+    moved.toSeq
+  }
+}

@@ -175,6 +175,26 @@ object IncrementalIngest {
         ()
       }
 
+  /** Streaming sink through the commit-log table format: each
+    * micro-batch publishes as ONE log commit stamped with its batchId
+    * (CommitLog.appendStream), so a replay after restart recognizes
+    * itself and lands nothing — exactly-once with snapshot isolation
+    * for concurrent readers and the whole table's time-travel history
+    * per trigger. The transactional upgrade of [[archiveWriter]]'s
+    * partition-overwrite idempotency. */
+  def commitLogWriter(src: DataFrame, tablePath: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    src.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.CommitLog.appendStream(
+            batch.sparkSession, tablePath, batch, batchId)
+        ()
+      }
+
   /** File-source stream of incoming embeddings — the ingest feed for
     * [[ivfAppendWriter]]. */
   def embeddingsSource(spark: SparkSession, inputDir: String,

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CommitLog
+
+/** CommitLog: atomic publish, snapshot isolation, time travel, atomic
+  * compaction/merge, vacuum retention, crash-orphan invisibility, and
+  * version-claim conflict retry. */
+class CommitLogSpec extends SparkSpec {
+
+  private def tempTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_log_").toString
+
+  private def cleanup(p: String): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    ()
+  }
+
+  test("appends publish atomically; time travel reads every version") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      val v0 = CommitLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+      val v1 = CommitLog.append(spark, t, Seq((3L, "c")).toDF("id", "s"))
+      val v2 = CommitLog.append(spark, t, Seq((4L, "d")).toDF("id", "s"))
+      assert(Seq(v0, v1, v2) === Seq(0L, 1L, 2L))
+      assert(CommitLog.read(spark, t).count() === 4)
+      assert(CommitLog.read(spark, t, asOf = Some(0L)).count() === 2)
+      assert(CommitLog.read(spark, t, asOf = Some(1L)).count() === 3)
+      assert(CommitLog.read(spark, t, asOf = Some(1L))
+        .agg(sum("id")).head.getLong(0) === 6L)
+    } finally cleanup(t)
+  }
+
+  test("atomic compaction: one commit swaps the file set; history intact") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      (0 until 4).foreach { i =>
+        CommitLog.append(spark, t,
+          Seq.tabulate(25)(j => (i * 25L + j, s"r$i-$j")).toDF("id", "s")
+            .repartition(3))
+      }
+      val filesBefore = CommitLog.snapshot(spark, t)
+      assert(filesBefore.length >= 8, s"got ${filesBefore.length}")
+      val cv = CommitLog.compact(spark, t, targetFiles = 1)
+      // new snapshot: one file, same rows
+      assert(CommitLog.snapshot(spark, t).length === 1)
+      assert(CommitLog.read(spark, t).count() === 100)
+      assert(CommitLog.read(spark, t).agg(sum("id")).head.getLong(0) ===
+        (0L until 100L).sum)
+      // pre-compaction version still fully readable (data immutable)
+      assert(CommitLog.read(spark, t, asOf = Some(cv - 1)).count() === 100)
+      assert(CommitLog.snapshot(spark, t, Some(cv - 1)) === filesBefore)
+    } finally cleanup(t)
+  }
+
+  test("CDC merge publishes as one version; old version is the pre-image") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t,
+        Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v"))
+      val mv = CommitLog.merge(spark, t,
+        Seq((2L, "U", "b2", 22.0), (3L, "D", null.asInstanceOf[String], 0.0),
+          (9L, "I", "new", 90.0)).toDF("k", "op", "s", "v"), "k")
+      val now = CommitLog.read(spark, t).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(now === Seq((1L, "a"), (2L, "b2"), (9L, "new")))
+      val before = CommitLog.read(spark, t, asOf = Some(mv - 1))
+        .orderBy("k").collect().map(_.getLong(0)).toSeq
+      assert(before === Seq(1L, 2L, 3L))
+    } finally cleanup(t)
+  }
+
+  test("a crashed write (staged files, no commit) is invisible") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+      // simulate a crash: data files land in data/ without a commit
+      Seq((99L, "phantom")).toDF("id", "s").coalesce(1)
+        .write.mode("overwrite").parquet(s"$t/_staging_crash")
+      val dir = new java.io.File(s"$t/_staging_crash")
+      val part = dir.listFiles().filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Path.of(s"$t/data/orphan-0.parquet"))
+      assert(CommitLog.read(spark, t).count() === 1,
+        "reader saw uncommitted files")
+    } finally cleanup(t)
+  }
+
+  test("version claim conflict: a taken number is skipped, not clobbered") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s")) // v0
+      // an out-of-band writer claims v1 with its own commit
+      val blocker = s"""{"version":1,"adds":[],"removes":[]}"""
+      java.nio.file.Files.write(
+        java.nio.file.Path.of(s"$t/_graft_log/00000001.json"),
+        blocker.getBytes("UTF-8"))
+      val v = CommitLog.append(spark, t, Seq((2L, "b")).toDF("id", "s"))
+      assert(v === 2L, "commit must skip the claimed version")
+      assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Path.of(s"$t/_graft_log/00000001.json"))) === blocker,
+        "commit clobbered a claimed version")
+      assert(CommitLog.read(spark, t).count() === 2)
+    } finally cleanup(t)
+  }
+
+  test("streaming sink: one commit per micro-batch, replays land nothing") {
+    val t = tempTable()
+    val dir = java.nio.file.Files.createTempDirectory("graft_logstream_").toString
+    try {
+      import spark.implicits._
+      Seq.tabulate(90)(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+        .repartition(3).write.parquet(s"$dir/feed")
+      val src = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/feed")
+      val q = graft.streaming.IncrementalIngest.commitLogWriter(
+        src, t, s"$dir/ckpt").start()
+      q.awaitTermination(120000)
+
+      assert(CommitLog.read(spark, t).count() === 90)
+      val batchIds = CommitLog.committedBatchIds(spark, t)
+      assert(batchIds.size >= 2, s"expected multiple micro-batches: $batchIds")
+      // replay any committed batch: recognized, nothing staged
+      val replayed = CommitLog.appendStream(spark, t,
+        Seq((999L, "phantom")).toDF("doc_id", "text"), batchIds.head)
+      assert(replayed.isEmpty, "replayed batch was committed again")
+      assert(CommitLog.read(spark, t).count() === 90)
+    } finally { cleanup(t); cleanup(dir) }
+  }
+
+  test("vacuum drops unreferenced files but keeps the retained horizon") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s")) // v0
+      CommitLog.append(spark, t, Seq((2L, "b")).toDF("id", "s")) // v1
+      val cv = CommitLog.compact(spark, t, 1) // v2: removes v0+v1 files
+      val nBefore = new java.io.File(s"$t/data").listFiles().length
+      CommitLog.vacuum(spark, t, keepFrom = cv)
+      val nAfter = new java.io.File(s"$t/data").listFiles().length
+      assert(nAfter < nBefore, "vacuum freed nothing")
+      assert(CommitLog.read(spark, t).count() === 2)
+      // the pre-compaction log entries are gone with their files
+      assert(CommitLog.versions(spark, t) === Seq(cv))
+    } finally cleanup(t)
+  }
+}
