@@ -479,7 +479,8 @@ object Queries {
     "q_merge_upsert" -> (Changes.mergeUpsert _),
     "q_scd2_user_state" -> (Changes.scd2UserState _),
     "dedup_url_groups" -> (Html.urlDupGroups _),
-    "pipeline_domain_cap" -> ((s: SparkSession, d: String) => Html.domainCap(s, d))
+    "pipeline_domain_cap" -> ((s: SparkSession, d: String) => Html.domainCap(s, d)),
+    "text_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.chunks(s, d))
   )
 
   // Shared oracle fragments: DuckDB twins of TextFunctions.normalize /
@@ -987,6 +988,18 @@ object Queries {
        "r AS (SELECT doc_id, domain, CAST(row_number() OVER " +
        "(PARTITION BY domain ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rank FROM d) " +
        "SELECT doc_id, domain, rank FROM r WHERE rank <= 10 ORDER BY domain, rank"),
+    // sliding windows: chunk i covers tokens [(i-1)*16+1, (i-1)*16+32]
+    // (inclusive DuckDB slice), one chunk per 16-token stride while new
+    // tokens remain: n = 1 + ceil(max(len-32,0)/16)
+    "text_chunks" ->
+      (s"WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents), " +
+       "n AS (SELECT doc_id, tk, CASE WHEN len(tk) = 0 THEN 0 ELSE " +
+       "1 + CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INTEGER) END AS nc FROM t), " +
+       "c AS (SELECT doc_id, tk, unnest(range(1, nc + 1)) AS chunk_id FROM n) " +
+       "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
+       "CAST(len(tk[(chunk_id-1)*16+1 : (chunk_id-1)*16+32]) AS BIGINT) AS n_tokens, " +
+       "md5(array_to_string(tk[(chunk_id-1)*16+1 : (chunk_id-1)*16+32], ' ')) AS chunk_fp " +
+       "FROM c ORDER BY doc_id, chunk_id"),
     // CDC MERGE: the oracle reconstructs the same deterministic change
     // batch (Changes.changeBatch) and applies MERGE semantics as set
     // algebra — row-level check of every survivor/update/insert.

@@ -436,6 +436,36 @@ object TextAnalysis {
 
   /** Corpus rollup per source: the aggregation view a pipeline operator
     * dashboard needs. */
+  /** Sliding-window context chunking (window w, stride s < w): the
+    * doc-to-training-example conversion between cleaning and packing.
+    * Overlapping windows preserve cross-boundary context that disjoint
+    * splitting loses — the standard LM prep move; [[docPacking]] then
+    * bins the chunks, and the overlap factor w/s is the dataset's
+    * context-duplication budget. A chunk is emitted only when it adds
+    * new tokens: n_chunks = 1 + ceil(max(len - w, 0) / s). One scan,
+    * one generator per doc, no shuffle before the output sort;
+    * chunk_fp = md5 of the space-joined window so both engines witness
+    * identical chunk CONTENT, not just counts. */
+  def chunks(spark: SparkSession, dir: String,
+      w: Int = 32, s: Int = 16): DataFrame = {
+    require(s > 0 && s < w, s"need 0 < stride < window, got s=$s w=$w")
+    val n = when(size(col("tk")) === 0, lit(0)).otherwise(
+      lit(1) + ceil((greatest(size(col("tk")) - w, lit(0))) / s.toDouble).cast("int"))
+    Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        // sequence(1, 0) DESCENDS in Spark, so the empty-doc case must
+        // short-circuit to an empty array, not an empty sequence
+        posexplode(when(size(col("tk")) > 0,
+          transform(sequence(lit(1), n),
+            i => slice(col("tk"), (i - 1) * s + 1, lit(w))))
+          .otherwise(array().cast("array<array<string>>"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_id"),
+        size(col("col")).cast("long").as("n_tokens"),
+        md5(array_join(col("col"), " ")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   def perSourceStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy(col("source"))
