@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import graft.GraftSession
+import graft.operators.{CommitLog, Compaction, ZoneMaps}
+
+/** Ops CLI for the table-maintenance jobs a long-lived deployment
+  * schedules (the counterpart of [[Main]]'s ingest loop — the
+  * reference has no maintenance surface because its archive never
+  * fragments; a streaming/incremental ingest does):
+  *
+  * {{{
+  *   maintenance compact  <tablePath> [targetMB=128]   # raw parquet bin-pack
+  *   maintenance zonemap  <tablePath> <col[,col...]>   # write _zonemaps.json
+  *   maintenance log-compact <logTable> [targetFiles=1]# atomic (commit log)
+  *   maintenance vacuum   <logTable> <keepFromVersion> # drop old versions
+  * }}}
+  *
+  * Exit codes: 0 ok, 1 usage/validation error — same contract as Main. */
+object Maintenance {
+
+  def run(spark: SparkSession, argv: Array[String]): Either[String, String] =
+    argv.toList match {
+      case "compact" :: table :: rest =>
+        val mb = rest.headOption.map(_.toLong).getOrElse(128L)
+        if (mb <= 0) Left(s"targetMB must be positive, got $mb")
+        else {
+          val reports = Compaction.compact(spark, table, mb << 20)
+          Right(if (reports.isEmpty) "already compact"
+          else reports.map(r =>
+            s"${r.partition}: ${r.filesBefore} -> ${r.filesAfter} files").mkString("; "))
+        }
+      case "zonemap" :: table :: cols :: Nil =>
+        val cs = cols.split(',').toSeq.filter(_.nonEmpty)
+        if (cs.isEmpty) Left("zonemap needs at least one column")
+        else { ZoneMaps.write(spark, table, cs); Right(s"zone map over ${cs.mkString(",")}") }
+      case "log-compact" :: table :: rest =>
+        val files = rest.headOption.map(_.toInt).getOrElse(1)
+        if (files <= 0) Left(s"targetFiles must be positive, got $files")
+        else Right(s"committed v${CommitLog.compact(spark, table, files)}")
+      case "vacuum" :: table :: keep :: Nil =>
+        scala.util.Try(keep.toLong).toOption match {
+          case None => Left(s"unparsable version: $keep")
+          case Some(v) => CommitLog.vacuum(spark, table, v); Right(s"vacuumed below v$v")
+        }
+      case other =>
+        Left("usage: compact <table> [targetMB] | zonemap <table> <cols> | " +
+          s"log-compact <table> [targetFiles] | vacuum <table> <version>" +
+          (if (other.isEmpty) "" else s" (got: ${other.mkString(" ")})"))
+    }
+
+  def main(argv: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    val out = try run(spark, argv) finally spark.stop()
+    out match {
+      case Left(err) => System.err.println(s"maintenance: $err"); sys.exit(1)
+      case Right(msg) => println(msg)
+    }
+  }
+}

@@ -70,6 +70,22 @@ class HtmlSpec extends SparkSpec {
     }
   }
 
+  test("codegen path equals interpreted path on hostile strings") {
+    import spark.implicits._
+    val alphabet = "<>&;/!?-\"' ab#xscriptstyleé中"
+    val rnd = new scala.util.Random(7)
+    val hostile = Seq.fill(2000) {
+      val len = rnd.nextInt(80)
+      new String(Array.fill(len)(alphabet.charAt(rnd.nextInt(alphabet.length))))
+    }
+    val viaSpark = hostile.toDF("s")
+      .select(graft.plans.VectorExpressions.htmlText(col("s")).as("o"))
+      .collect().map(_.getString(0))
+    val viaStatic = hostile.map(x)
+    assert(viaSpark.toSeq === viaStatic,
+      "whole-stage-codegen extraction diverged from the static parser")
+  }
+
   test("fixture round-trip: extraction recovers the synthesized text") {
     val rows = Html.htmlExtract(spark, sf).limit(5).collect()
     assert(rows.nonEmpty)

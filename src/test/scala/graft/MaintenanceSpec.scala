@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CommitLog
+import graft.pipeline.Maintenance
+
+/** Maintenance CLI: argument validation (Left) and each subcommand
+  * end-to-end (Right), sharing the suite session. */
+class MaintenanceSpec extends SparkSpec {
+
+  test("usage and validation errors are Left, never throws") {
+    assert(Maintenance.run(spark, Array.empty).isLeft)
+    assert(Maintenance.run(spark, Array("frobnicate", "/tmp/x")).isLeft)
+    assert(Maintenance.run(spark, Array("compact", "/tmp/x", "0")).isLeft)
+    assert(Maintenance.run(spark, Array("zonemap", "/tmp/x", "")).isLeft)
+    assert(Maintenance.run(spark, Array("vacuum", "/tmp/x", "notaversion")).isLeft)
+  }
+
+  test("compact + zonemap subcommands drive the real operators") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_maint_").toString
+    try {
+      import spark.implicits._
+      Seq.tabulate(500)(i => (i.toLong, i * 2.0)).toDF("id", "v")
+        .repartition(6).write.mode("overwrite").parquet(tmp)
+      val r = Maintenance.run(spark, Array("compact", tmp, "512"))
+      assert(r.isRight && r.toOption.get.contains("-> 1 files"), r.toString)
+      val z = Maintenance.run(spark, Array("zonemap", tmp, "id,v"))
+      assert(z.isRight)
+      assert(new java.io.File(s"$tmp/_zonemaps.json").exists())
+      assert(spark.read.parquet(tmp).count() === 500)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      ()
+    }
+  }
+
+  test("log-compact + vacuum subcommands drive the commit log") {
+    val t = java.nio.file.Files.createTempDirectory("graft_maintlog_").toString
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+      CommitLog.append(spark, t, Seq((2L, "b")).toDF("id", "s"))
+      val r = Maintenance.run(spark, Array("log-compact", t))
+      assert(r.isRight && r.toOption.get.startsWith("committed v"), r.toString)
+      val cv = CommitLog.latestVersion(spark, t)
+      assert(Maintenance.run(spark, Array("vacuum", t, cv.toString)).isRight)
+      assert(CommitLog.read(spark, t).count() === 2)
+      assert(CommitLog.versions(spark, t) === Seq(cv))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+      ()
+    }
+  }
+}
