@@ -467,6 +467,7 @@ object Queries {
     "mm_feature_extract" -> (Multimodal.featureExtract _),
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "mm_image_meta" -> (Multimodal.imageMeta _),
+    "mm_gif_meta" -> (Multimodal.gifMeta _),
     "mm_audio_meta" -> (Multimodal.audioMeta _),
     "mm_pixel_stats" -> (Multimodal.pixelStats _),
     "text_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
@@ -882,6 +883,14 @@ object Queries {
        "CASE WHEN doc_id % 97 = 0 THEN NULL WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
        "CASE WHEN doc_id % 97 = 0 THEN NULL ELSE CAST(doc_id % 1021 + 16 AS INTEGER) END AS width, " +
        "CASE WHEN doc_id % 97 = 0 THEN NULL ELSE CAST((doc_id * 7) % 739 + 16 AS INTEGER) END AS height " +
+       "FROM documents ORDER BY doc_id"),
+    // GIF twin: header + LSD reconstruction from the same arithmetic
+    "mm_gif_meta" ->
+      ("SELECT doc_id, " +
+       "CAST(CASE WHEN doc_id % 101 = 0 THEN octet_length(encode(substring(text, 1, 14))) ELSE 13 END AS BIGINT) AS n_bytes, " +
+       "CASE WHEN doc_id % 101 = 0 THEN NULL WHEN doc_id % 2 = 0 THEN '87a' ELSE '89a' END AS version, " +
+       "CASE WHEN doc_id % 101 = 0 THEN NULL ELSE CAST(doc_id % 641 + 9 AS INTEGER) END AS width, " +
+       "CASE WHEN doc_id % 101 = 0 THEN NULL ELSE CAST((doc_id * 5) % 509 + 7 AS INTEGER) END AS height " +
        "FROM documents ORDER BY doc_id"),
     // WAV twin of mm_image_meta: expected metadata recomputed from the
     // same doc_id arithmetic -> exact construct->parse round-trip check

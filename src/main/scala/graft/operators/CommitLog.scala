@@ -72,11 +72,20 @@ object CommitLog {
       val out = fs.create(tmp, true)
       try out.write(body(v).getBytes("UTF-8")) finally out.close()
       val dst = new Path(log, f"$v%08d.json")
-      if (!fs.exists(dst) && fs.rename(tmp, dst)) claimed = v
+      // the put-if-absent primitive: POSIX rename OVERWRITES, so the
+      // exists+rename pair is made atomic per JVM here (all of Spark
+      // local/driver-side commits share this object); cross-PROCESS
+      // writers need the store-level primitive the class doc names
+      val won = claimLock.synchronized {
+        !fs.exists(dst) && fs.rename(tmp, dst)
+      }
+      if (won) claimed = v
       else v += 1 // lost the race; rewrite the body with the new number
     }
     claimed
   }
+
+  private val claimLock = new Object
 
   /** batchIds already committed to this table (the streaming sink's
     * replay ledger). Metadata-sized: one log read per trigger. */

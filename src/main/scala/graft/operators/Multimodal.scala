@@ -106,6 +106,15 @@ object Multimodal {
       le32h(lit(0L)), le32h(lit(0L)), dataHex))
   }
 
+  /** GIF header + Logical Screen Descriptor (13 bytes): signature
+    * "GIF", version 87a (even ids) / 89a (odd), canvas w/h as LE
+    * uint16, then packed/background/aspect zero bytes. */
+  private def gifBytes(version87When: Column, w: Column, h: Column): Column =
+    unhex(concat(
+      lit("474946"), // "GIF"
+      when(version87When, lit("383761")).otherwise(lit("383961")), // "87a"|"89a"
+      le16h(w), le16h(h), lit("000000")))
+
   /** The per-modality fixture slices: (row filter, payload bytes),
     * mutually exclusive and exhaustive over the corpus.
     *  - img:   PNG (even ids) / JPEG (odd); every 97th doc corrupt.
@@ -133,6 +142,10 @@ object Multimodal {
       case "bmp" => Seq(
         (id % 83 === 0, encode(text.substr(1, 10), "UTF-8")),
         (id % 83 =!= 0, bmpBytes(id, id, Some(id % 5 === 0))))
+      case "gif" => Seq(
+        (id % 101 === 0, encode(text.substr(1, 14), "UTF-8")),
+        (id % 101 =!= 0,
+         gifBytes(id % 2 === 0, (id % 641 + 9).cast("int"), ((id * 5) % 509 + 7).cast("int"))))
       case "media" =>
         val q = (id / 4).cast("long")
         Seq(
@@ -151,7 +164,7 @@ object Multimodal {
     * synthesis trees run HERE, once, one format-slice per write stage —
     * never fused into a decode query's codegen. */
   def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
-    Seq("img", "audio", "bmp", "media")
+    Seq("img", "audio", "bmp", "media", "gif")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -275,6 +288,20 @@ object Multimodal {
         graft.plans.VectorExpressions.imgMeta(col("img")).as("m"))
       .select(col("doc_id"), col("n_bytes"),
         col("m.format").as("format"),
+        col("m.width").as("width"),
+        col("m.height").as("height"))
+      .orderBy(col("doc_id"))
+
+  /** GIF twin of [[imageMeta]]: signature/version + LE16 canvas
+    * dimensions from the Logical Screen Descriptor (every 101st doc is
+    * non-GIF text -> NULL), completing the five-codec decode family. */
+  def gifMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "gif")
+      .select(col("doc_id"),
+        length(col("gif")).cast("long").as("n_bytes"),
+        graft.plans.VectorExpressions.gifMeta(col("gif")).as("m"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("m.version").as("version"),
         col("m.width").as("width"),
         col("m.height").as("height"))
       .orderBy(col("doc_id"))

@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_html_text"),
        new ExpressionInfo(classOf[HtmlText].getName, "graft_html_text"),
        (exprs: Seq[Expression]) => HtmlText(exprs(0))))
+    e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_gif_meta"),
+       new ExpressionInfo(classOf[GifMeta].getName, "graft_gif_meta"),
+       (exprs: Seq[Expression]) => GifMeta(exprs(0))))
   }
 }
 

@@ -272,3 +272,60 @@ object ImageMeta {
     null
   }
 }
+
+/** `graft_gif_meta(binary)` → `struct<version: string, width: int,
+  * height: int>`, NULL when the bytes are not a parseable GIF — the
+  * fifth codec of the decode family, from the public GIF87a/GIF89a
+  * spec: a 6-byte signature+version, then the Logical Screen
+  * Descriptor carries canvas width and height as little-endian uint16
+  * at fixed offsets 6 and 8 (header + LSD = 13 bytes minimum). Same
+  * execution shape as [[ImageMeta]]: a static per-row byte walk inside
+  * whole-stage codegen, total over hostile bytes (parse or NULL,
+  * never throw). */
+case class GifMeta(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_gif_meta expects a binary column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = GifMeta.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gif_meta"
+
+  override def nullSafeEval(input: Any): Any =
+    GifMeta.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.plans.GifMeta.parse($b);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): GifMeta =
+    copy(child = newChild)
+}
+
+object GifMeta {
+  val schema: StructType = StructType(Seq(
+    StructField("version", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+
+  def parse(b: Array[Byte]): InternalRow = {
+    // signature "GIF" + version "87a" | "89a", then the LSD: the
+    // header+LSD minimum is 13 bytes (spec §17-18)
+    if (b.length < 13) return null
+    if (u8(b, 0) != 'G' || u8(b, 1) != 'I' || u8(b, 2) != 'F' ||
+        u8(b, 3) != '8' || u8(b, 5) != 'a') return null
+    val v = u8(b, 4)
+    if (v != '7' && v != '9') return null
+    val w = le16(b, 6)
+    val h = le16(b, 8)
+    if (w <= 0 || h <= 0) return null
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(if (v == '7') "87a" else "89a"), w, h))
+  }
+}

@@ -175,6 +175,8 @@ object VectorExpressions {
       "graft_first_agree", exprs => FirstAgree(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_html_text", exprs => HtmlText(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gif_meta", exprs => GifMeta(exprs(0)), "scala_udf")
   }
 
   /** Column-API form; registers on the active session on first use.
@@ -198,6 +200,13 @@ object VectorExpressions {
   def imgMeta(c: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_img_meta", c)
+  }
+
+  /** GIF header metadata (plans.GifMeta), column form; same
+    * registration precondition. */
+  def gifMeta(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_gif_meta", c)
   }
 
   /** HTML visible-text extraction (plans.HtmlText), column form; same

@@ -133,6 +133,27 @@ class CommitLogSpec extends SparkSpec {
     } finally { cleanup(t); cleanup(dir) }
   }
 
+  test("concurrent appenders all land: distinct versions, no lost rows") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, Seq((0L, "seed")).toDF("id", "s"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writers = (1 to 6).map { i =>
+        Future(CommitLog.append(spark, t,
+          Seq((i.toLong, s"w$i")).toDF("id", "s")))
+      }
+      val versions = Await.result(Future.sequence(writers), 120.seconds)
+      // every writer claimed its own version — no clobbering
+      assert(versions.distinct.length === 6, s"versions collided: $versions")
+      val rows = CommitLog.read(spark, t).orderBy("id").collect()
+        .map(_.getLong(0)).toSeq
+      assert(rows === (0L to 6L), s"lost or duplicated rows: $rows")
+    } finally cleanup(t)
+  }
+
   test("vacuum drops unreferenced files but keeps the retained horizon") {
     val t = tempTable()
     try {

@@ -241,4 +241,22 @@ class ImageMetaSpec extends SparkSpec {
     assert(out.exists(r => !r.isNullAt(2) && r.getString(2) == "png"))
     assert(out.exists(r => !r.isNullAt(2) && r.getString(2) == "jpeg"))
   }
+
+  test("GIF: signature/version gate, LE16 dims, truncation and zero dims rejected") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def gif(ver: String, w: Int, h: Int): Array[Byte] =
+      s"GIF$ver".getBytes ++
+        Array((w & 0xFF).toByte, (w >> 8).toByte, (h & 0xFF).toByte, (h >> 8).toByte) ++
+        hx("000000")
+    val g = graft.plans.GifMeta.parse(gif("89a", 300, 77))
+    assert(g != null)
+    assert(g.getString(0) === "89a")
+    assert(g.getInt(1) === 300 && g.getInt(2) === 77)
+    assert(graft.plans.GifMeta.parse(gif("87a", 65535, 1)).getString(0) === "87a")
+    assert(graft.plans.GifMeta.parse(gif("88a", 5, 5)) == null, "unknown version")
+    assert(graft.plans.GifMeta.parse(gif("89a", 0, 5)) == null, "zero width")
+    assert(graft.plans.GifMeta.parse(gif("89a", 5, 5).take(12)) == null, "truncated")
+    assert(graft.plans.GifMeta.parse("NOTGIF".getBytes ++ hx("00000000000000")) == null)
+  }
 }

@@ -18,7 +18,8 @@ class ParserFuzzSpec extends AnyFunSuite {
   private val parsers: Seq[(String, Array[Byte] => AnyRef)] = Seq(
     "ImageMeta" -> (graft.plans.ImageMeta.parse(_)),
     "WavMeta" -> (graft.plans.WavMeta.parse(_)),
-    "BmpStats" -> (graft.plans.BmpStats.parse(_)))
+    "BmpStats" -> (graft.plans.BmpStats.parse(_)),
+    "GifMeta" -> (graft.plans.GifMeta.parse(_)))
 
   // magic prefixes steer the fuzz into each format's deep parse path
   private val prefixes: Seq[Array[Byte]] = Seq(
@@ -26,7 +27,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     hx("89504E470D0A1A0A"), // PNG signature
     hx("FFD8"), // JPEG SOI
     "RIFF1234WAVE".getBytes, // RIFF/WAVE container
-    "BM".getBytes) // BMP magic
+    "BM".getBytes, // BMP magic
+    "GIF87a".getBytes, "GIF89a".getBytes) // GIF signatures
 
   private def neverThrows(name: String, p: Array[Byte] => AnyRef,
       input: Array[Byte], what: String): Unit =
@@ -67,8 +69,10 @@ class ParserFuzzSpec extends AnyFunSuite {
     assert(graft.plans.ImageMeta.parse(jpeg) != null)
     assert(graft.plans.WavMeta.parse(wav) != null)
     assert(graft.plans.BmpStats.parse(bmp) != null)
+    val gif = "GIF89a".getBytes ++ hx("0A00") ++ hx("0700") ++ hx("000000")
+    assert(graft.plans.GifMeta.parse(gif) != null)
     val rnd = new scala.util.Random(0xF00D)
-    for (f <- Seq(png, jpeg, wav, bmp); _ <- 0 until 800) {
+    for (f <- Seq(png, jpeg, wav, bmp, gif); _ <- 0 until 800) {
       val truncated = f.take(rnd.nextInt(f.length + 1))
       val corrupted = f.clone()
       val at = rnd.nextInt(f.length)
