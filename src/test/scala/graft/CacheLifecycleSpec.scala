@@ -92,6 +92,17 @@ class CacheLifecycleSpec extends SparkSpec {
     assert(Similarity.knnIvfServed(spark, sf).count() > 0)
   }
 
+  test("evicting a corpus's html fixture deletes its scratch dir and link memo") {
+    val p = graft.operators.Html.htmlFixturePath(spark, sf)
+    assert(java.nio.file.Files.exists(java.nio.file.Path.of(p)))
+    graft.operators.Html.evictCorpus(spark, sf)
+    assert(!java.nio.file.Files.exists(java.nio.file.Path.of(p)),
+      "evicted html fixture still on disk")
+    val p2 = graft.operators.Html.htmlFixturePath(spark, sf)
+    assert(p2 !== p)
+    assert(graft.operators.Html.htmlExtract(spark, sf).count() > 0)
+  }
+
   test("evicting a corpus's media fixture deletes its scratch dir") {
     val p = Multimodal.mediaFixturePath(spark, sf)
     assert(java.nio.file.Files.exists(java.nio.file.Path.of(p)))
