@@ -240,36 +240,50 @@ object Multimodal {
     * value from the decoded sums). CaseWhen short-circuits per row, so
     * each payload pays exactly its own format's parse, in whole-stage
     * codegen. */
-  def featureExtract(spark: SparkSession, dir: String): DataFrame = {
-    val p = col("media")
+  def featureExtract(spark: SparkSession, dir: String): DataFrame =
+    dispatchSelect(mediaTable(spark, dir, "media"), "media")
+      .orderBy(col("doc_id"))
+
+  /** The magic-byte dispatch projection itself, over ANY frame with a
+    * binary `payload` column — all five decoders (BMP pixels, WAV
+    * chunks, PNG/JPEG headers, GIF LSD) behind one codegen'd CASE.
+    * Factored out of [[featureExtract]] so the dispatch is testable
+    * against hand-built payloads independent of the fixture (the media
+    * kind exercises four formats; the GIF branch is pinned by a direct
+    * unit test, ImageMetaSpec). */
+  private[graft] def dispatchSelect(df: DataFrame, payload: String): DataFrame = {
+    val p = col(payload)
     val isBmp = hex(p.substr(1, 2)) === "424D"
     val isWav = hex(p.substr(1, 4)) === "52494646" &&
       hex(p.substr(9, 4)) === "57415645"
+    val isGif = hex(p.substr(1, 4)) === "47494638"
     val isImg = hex(p.substr(1, 8)) === "89504E470D0A1A0A" ||
       hex(p.substr(1, 2)) === "FFD8"
     val bmp = graft.plans.VectorExpressions.bmpStats(p)
     val wav = graft.plans.VectorExpressions.wavMeta(p)
+    val gif = graft.plans.VectorExpressions.gifMeta(p)
     val img = graft.plans.VectorExpressions.imgMeta(p)
     val nullInt = lit(null).cast("int")
-    mediaTable(spark, dir, "media")
-      .select(
-        col("doc_id"),
-        length(p).cast("long").as("n_bytes"),
-        when(isBmp, when(bmp.isNotNull, "bmp"))
-          .when(isWav, when(wav.isNotNull, "wav"))
-          .when(isImg, img.getField("format")).as("media_type"),
-        when(isBmp, bmp.getField("width"))
-          .when(isImg, img.getField("width")).otherwise(nullInt).as("width"),
-        when(isBmp, bmp.getField("height"))
-          .when(isImg, img.getField("height")).otherwise(nullInt).as("height"),
-        when(isBmp, when(bmp.isNotNull, 3))
-          .when(isWav, wav.getField("channels")).otherwise(nullInt).as("channels"),
-        when(isWav, wav.getField("sample_rate")).otherwise(nullInt).as("sample_rate"),
-        when(isBmp, round(
-          (bmp.getField("sum_r") + bmp.getField("sum_g") + bmp.getField("sum_b")) /
-            (lit(3.0) * bmp.getField("n_pixels")), 6))
-          .otherwise(lit(null).cast("double")).as("mean_px"))
-      .orderBy(col("doc_id"))
+    df.select(
+      col("doc_id"),
+      length(p).cast("long").as("n_bytes"),
+      when(isBmp, when(bmp.isNotNull, "bmp"))
+        .when(isWav, when(wav.isNotNull, "wav"))
+        .when(isGif, when(gif.isNotNull, "gif"))
+        .when(isImg, img.getField("format")).as("media_type"),
+      when(isBmp, bmp.getField("width"))
+        .when(isGif, gif.getField("width"))
+        .when(isImg, img.getField("width")).otherwise(nullInt).as("width"),
+      when(isBmp, bmp.getField("height"))
+        .when(isGif, gif.getField("height"))
+        .when(isImg, img.getField("height")).otherwise(nullInt).as("height"),
+      when(isBmp, when(bmp.isNotNull, 3))
+        .when(isWav, wav.getField("channels")).otherwise(nullInt).as("channels"),
+      when(isWav, wav.getField("sample_rate")).otherwise(nullInt).as("sample_rate"),
+      when(isBmp, round(
+        (bmp.getField("sum_r") + bmp.getField("sum_g") + bmp.getField("sum_b")) /
+          (lit(3.0) * bmp.getField("n_pixels")), 6))
+        .otherwise(lit(null).cast("double")).as("mean_px"))
   }
 
   /** Real multimodal decode: PNG/JPEG header parsing over the stored

@@ -242,6 +242,30 @@ class ImageMetaSpec extends SparkSpec {
     assert(out.exists(r => !r.isNullAt(2) && r.getString(2) == "jpeg"))
   }
 
+  test("five-way magic-byte dispatch routes every format, GIF included") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val gif = "GIF89a".getBytes ++ hx("2C01") ++ hx("9600") ++ hx("000000") // 300x150
+    val png = hx("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000010" + "00000020" + "0806000000" + "00000000") // 16x32
+    val wav = "RIFF".getBytes ++ hx("24000000") ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ hx("10000000" + "0100" + "0200" + "80BB0000" +
+        "00EE0200" + "0400" + "1000") // 2ch 48000Hz 16bit
+    val junk = "not media at all".getBytes
+    val rows = graft.operators.Multimodal.dispatchSelect(
+      Seq((1L, gif), (2L, png), (3L, wav), (4L, junk))
+        .toDF("doc_id", "payload"), "payload")
+      .orderBy("doc_id").collect()
+    assert(rows(0).getString(2) === "gif")
+    assert(rows(0).getInt(3) === 300 && rows(0).getInt(4) === 150)
+    assert(rows(1).getString(2) === "png")
+    assert(rows(1).getInt(3) === 16 && rows(1).getInt(4) === 32)
+    assert(rows(2).getString(2) === "wav")
+    assert(rows(2).getInt(5) === 2 && rows(2).getInt(6) === 48000)
+    assert(rows(3).isNullAt(2), "junk must not claim a media type")
+  }
+
   test("GIF: signature/version gate, LE16 dims, truncation and zero dims rejected") {
     def hx(s: String): Array[Byte] =
       s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
