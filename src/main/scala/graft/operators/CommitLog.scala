@@ -207,21 +207,43 @@ object CommitLog {
     overwrite(spark, tablePath,
       Changes.mergeApply(read(spark, tablePath), changes, key))
 
-  /** Physically delete files no snapshot <= horizon references and
-    * drop the log entries before it — the retention pass bounding
-    * time-travel storage. */
+  /** Retention pass bounding time-travel storage: physically delete
+    * files no retained version references and drop the log entries
+    * before the horizon. Because replay starts from the oldest
+    * RETAINED entry, that entry is first REWRITTEN as a CHECKPOINT
+    * carrying the full cumulative snapshot at its version — without
+    * this, files added before the horizon (and never removed since)
+    * would survive on disk yet vanish from every replay. The same
+    * reason Delta pairs log truncation with checkpoint files.
+    *
+    * Vacuum is a single-writer maintenance op (it rewrites one log
+    * entry in place). Checkpointing drops the truncated commits'
+    * batchIds, so the retention horizon must exceed the streaming
+    * engine's replay horizon — as in any lakehouse format. */
   def vacuum(spark: SparkSession, tablePath: String, keepFrom: Long): Unit = {
+    val latest = latestVersion(spark, tablePath)
+    require(keepFrom >= 0 && keepFrom <= latest,
+      s"keepFrom $keepFrom outside the log's versions [0, $latest]")
     val fs = fsOf(spark, new Path(tablePath))
-    val keep = versions(spark, tablePath).filter(_ >= keepFrom)
-      .flatMap(v => snapshot(spark, tablePath, Some(v))).toSet ++
-      snapshot(spark, tablePath).toSet
+    val retained = versions(spark, tablePath).filter(_ >= keepFrom)
+    val keep = retained.flatMap(v => snapshot(spark, tablePath, Some(v))).toSet
+    // checkpoint the horizon entry BEFORE truncating anything: its
+    // replay-visible state must equal the cumulative snapshot
+    val horizonState = snapshot(spark, tablePath, Some(keepFrom))
+    val log = new Path(tablePath, LogDir)
+    val cp = new Path(log, f"$keepFrom%08d.json")
+    val out = fs.create(cp, true)
+    try out.write(
+      s"""{"version":$keepFrom,"adds":${jarr(horizonState)},"removes":[],"checkpoint":true}"""
+        .getBytes("UTF-8"))
+    finally out.close()
     val dataDir = new Path(tablePath, DataDir)
     if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { f =>
       if (!keep.contains(s"$DataDir/${f.getPath.getName}"))
         fs.delete(f.getPath, false)
     }
     versions(spark, tablePath).filter(_ < keepFrom).foreach { v =>
-      fs.delete(new Path(new Path(tablePath, LogDir), f"$v%08d.json"), false)
+      fs.delete(new Path(log, f"$v%08d.json"), false)
     }
   }
 

@@ -154,6 +154,30 @@ class CommitLogSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("vacuum after plain appends checkpoints the horizon (no vanishing files)") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s")) // v0: fileA
+      CommitLog.append(spark, t, Seq((2L, "b")).toDF("id", "s")) // v1: fileB
+      CommitLog.append(spark, t, Seq((3L, "c")).toDF("id", "s")) // v2: fileC
+      // truncate below v1: v0's file is still LIVE (never removed) and
+      // must survive replay via the checkpointed horizon entry
+      CommitLog.vacuum(spark, t, keepFrom = 1L)
+      assert(CommitLog.versions(spark, t) === Seq(1L, 2L))
+      assert(CommitLog.read(spark, t).orderBy("id").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L),
+        "file added before the horizon vanished from replay")
+      // and time travel to the horizon itself still works
+      assert(CommitLog.read(spark, t, asOf = Some(1L)).count() === 2)
+      // out-of-range horizons are rejected, not destructive
+      intercept[IllegalArgumentException] {
+        CommitLog.vacuum(spark, t, keepFrom = 99L)
+      }
+      ()
+    } finally cleanup(t)
+  }
+
   test("vacuum drops unreferenced files but keeps the retained horizon") {
     val t = tempTable()
     try {
