@@ -52,21 +52,38 @@ object CommitLog {
   private def jarr(xs: Seq[String]): String =
     xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
 
+  /** Per-file column stats carried IN the commit (file -> column ->
+    * [min, max] as doubles) — the lakehouse data-skipping design:
+    * stats live in the log, so a range scan prunes files from
+    * metadata it already read to resolve the snapshot, with no
+    * separate manifest pass and no footer I/O for pruned files. */
+  type FileStats = Map[String, Map[String, (Double, Double)]]
+
+  private def jstats(stats: FileStats): String =
+    stats.map { case (f, cols) =>
+      "\"" + esc(f) + "\":{" + cols.map { case (c, (lo, hi)) =>
+        "\"" + esc(c) + s"""":[$lo,$hi]"""
+      }.mkString(",") + "}"
+    }.mkString("{", ",", "}")
+
   /** Claim the next version atomically-enough (see class doc) and
     * publish this commit's add/remove sets. Returns the version.
     * `batchId` stamps a streaming micro-batch's identity into the
-    * commit so a replay can recognize its own earlier publish. */
+    * commit so a replay can recognize its own earlier publish;
+    * `stats` records per-file zone maps for data skipping. */
   def commit(spark: SparkSession, tablePath: String,
       adds: Seq[String], removes: Seq[String],
-      batchId: Option[Long] = None): Long = {
+      batchId: Option[Long] = None,
+      stats: FileStats = Map.empty): Long = {
     val log = new Path(tablePath, LogDir)
     val fs = fsOf(spark, log)
     fs.mkdirs(log)
     val tmp = new Path(log, s".tmp-${java.util.UUID.randomUUID()}")
     var v = latestVersion(spark, tablePath) + 1
     val batchField = batchId.fold("")(b => s""","batchId":$b""")
+    val statsField = if (stats.isEmpty) "" else s""","stats":${jstats(stats)}"""
     val body = (version: Long) =>
-      s"""{"version":$version,"adds":${jarr(adds)},"removes":${jarr(removes)}$batchField}"""
+      s"""{"version":$version,"adds":${jarr(adds)},"removes":${jarr(removes)}$batchField$statsField}"""
     var claimed = -1L
     while (claimed < 0) {
       val out = fs.create(tmp, true)
@@ -168,6 +185,85 @@ object CommitLog {
     else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
   }
 
+  /** Zone maps replayed from the log: a file's stats ride the commit
+    * that ADDED it (controlled format — see [[jstats]]); files
+    * committed without stats simply never prune. */
+  def fileStats(spark: SparkSession, tablePath: String,
+      asOf: Option[Long] = None): FileStats = {
+    val log = new Path(tablePath, LogDir)
+    val fs = fsOf(spark, log)
+    val acc = scala.collection.mutable.Map.empty[String, Map[String, (Double, Double)]]
+    versions(spark, tablePath)
+      .filter(v => asOf.forall(v <= _))
+      .foreach { v =>
+        val in = fs.open(new Path(log, f"$v%08d.json"))
+        val line = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+        acc ++= extractStats(line)
+      }
+    acc.toMap
+  }
+
+  private val statsFileRe = """"((?:[^"\\]|\\.)+)":\{([^}]*)\}""".r
+  private val statsColRe = """"((?:[^"\\]|\\.)+)":\[([^,\]]+),([^\]]+)\]""".r
+
+  private def extractStats(json: String): FileStats = {
+    val key = "\"stats\":{"
+    val start = json.indexOf(key)
+    if (start < 0) return Map.empty
+    // walk to the matching close brace (values contain no braces, so
+    // only the per-file objects nest — depth bookkeeping suffices)
+    var i = start + key.length - 1
+    var depth = 0
+    var end = -1
+    while (end < 0 && i < json.length) {
+      json.charAt(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) end = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (end < 0) return Map.empty
+    val body = json.substring(start + key.length, end)
+    statsFileRe.findAllMatchIn(body).map { fm =>
+      fm.group(1) -> statsColRe.findAllMatchIn(fm.group(2)).map { cm =>
+        cm.group(1) -> (cm.group(2).toDouble, cm.group(3).toDouble)
+      }.toMap
+    }.toMap
+  }
+
+  /** Snapshot read WITH data skipping: resolve the version's file set,
+    * then drop every file whose logged zone provably excludes
+    * [lo, hi] on `column` — no listing, no footer reads for pruned
+    * files, and the stats arrived in the same metadata read that
+    * resolved the snapshot. Conservative: un-statted files are kept,
+    * and the predicate is re-applied, so the result is identical to an
+    * unpruned scan-and-filter. */
+  def scanRange(spark: SparkSession, tablePath: String, column: String,
+      lo: Double, hi: Double, asOf: Option[Long] = None): DataFrame = {
+    val stats = fileStats(spark, tablePath, asOf)
+    val files = snapshot(spark, tablePath, asOf).filter { f =>
+      stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => !(mx < lo || mn > hi)
+        case None => true
+      }
+    }
+    val pred = org.apache.spark.sql.functions.col(column) >= lo &&
+      org.apache.spark.sql.functions.col(column) <= hi
+    if (files.isEmpty) read(spark, tablePath, asOf).filter(org.apache.spark.sql.functions.lit(false))
+    else spark.read.parquet(files.map(f => s"$tablePath/$f"): _*).filter(pred)
+  }
+
+  /** Append publishing per-file zone maps for `statsCols` in the same
+    * commit — the stats are computed over the staged files BEFORE the
+    * move, so one commit carries data AND its skipping metadata. */
+  def appendWithStats(spark: SparkSession, tablePath: String, df: DataFrame,
+      statsCols: Seq[String]): Long = {
+    val (files, stats) = stageWithStats(spark, tablePath, df, statsCols)
+    commit(spark, tablePath, files, Seq.empty, stats = stats)
+  }
+
   /** Snapshot read: resolve a version, hand exactly that commit's file
     * set to the reader. Concurrent writers are invisible — they only
     * publish by writing a NEW log entry this read never consults. */
@@ -230,11 +326,17 @@ object CommitLog {
     // checkpoint the horizon entry BEFORE truncating anything: its
     // replay-visible state must equal the cumulative snapshot
     val horizonState = snapshot(spark, tablePath, Some(keepFrom))
+    // carry forward the surviving files' zone maps: truncated commits
+    // were the only carriers of their adds' stats
+    val horizonStats = fileStats(spark, tablePath, Some(keepFrom))
+      .filter { case (f, _) => horizonState.contains(f) }
+    val statsField =
+      if (horizonStats.isEmpty) "" else s""","stats":${jstats(horizonStats)}"""
     val log = new Path(tablePath, LogDir)
     val cp = new Path(log, f"$keepFrom%08d.json")
     val out = fs.create(cp, true)
     try out.write(
-      s"""{"version":$keepFrom,"adds":${jarr(horizonState)},"removes":[],"checkpoint":true}"""
+      s"""{"version":$keepFrom,"adds":${jarr(horizonState)},"removes":[]$statsField,"checkpoint":true}"""
         .getBytes("UTF-8"))
     finally out.close()
     val dataDir = new Path(tablePath, DataDir)
@@ -250,12 +352,41 @@ object CommitLog {
   /** Write df's files under data/ with a fresh uuid prefix; return the
     * relative paths. Staging is invisible until commit publishes it. */
   private def stage(spark: SparkSession, tablePath: String,
-      df: DataFrame): Seq[String] = {
+      df: DataFrame): Seq[String] =
+    stageWithStats(spark, tablePath, df, Seq.empty)._1
+
+  /** Stage plus per-staged-file [min, max] for `statsCols` — computed
+    * over the staging dir BEFORE the move (one aggregate grouped by
+    * input_file_name, the ZoneMaps.write shape), keyed by the files'
+    * FINAL relative names. */
+  private def stageWithStats(spark: SparkSession, tablePath: String,
+      df: DataFrame, statsCols: Seq[String]): (Seq[String], FileStats) = {
     val root = new Path(tablePath)
     val fs = fsOf(spark, root)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(root, s"_staging_$stamp")
     df.write.mode("overwrite").parquet(tmp.toString)
+    val tmpStats: Map[String, Map[String, (Double, Double)]] =
+      if (statsCols.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+        val aggs = statsCols.flatMap(c =>
+          Seq(min(col(c)).cast("double").as(s"min_$c"),
+            max(col(c)).cast("double").as(s"max_$c")))
+        spark.read.parquet(tmp.toString)
+          .groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val name = r.getString(0).split('/').last
+            name -> statsCols.flatMap { c =>
+              val lo = r.getAs[Any](s"min_$c")
+              val hi = r.getAs[Any](s"max_$c")
+              if (lo == null || hi == null) None
+              else Some(c -> (lo.asInstanceOf[Double], hi.asInstanceOf[Double]))
+            }.toMap
+          }.toMap
+      }
     val dataDir = new Path(root, DataDir)
     fs.mkdirs(dataDir)
     val moved = fs.listStatus(tmp)
@@ -267,9 +398,12 @@ object CommitLog {
         val name = s"$stamp-$i.parquet"
         require(fs.rename(f.getPath, new Path(dataDir, name)),
           s"stage rename failed: ${f.getPath}")
-        s"$DataDir/$name"
+        (s"$DataDir/$name", f.getPath.getName)
       }
     fs.delete(tmp, true)
-    moved.toSeq
+    val stats = moved.flatMap { case (rel, tmpName) =>
+      tmpStats.get(tmpName).filter(_.nonEmpty).map(rel -> _)
+    }.toMap
+    (moved.map(_._1).toSeq, stats)
   }
 }

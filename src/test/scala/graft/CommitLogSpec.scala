@@ -154,6 +154,44 @@ class CommitLogSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("in-log zone maps: scanRange prunes by the stats the commits carry") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      // three appends with disjoint value ranges -> three statted files
+      Seq.tabulate(3) { b =>
+        CommitLog.appendWithStats(spark, t,
+          Seq.tabulate(100)(i => (b * 100L + i, (b * 1000 + i).toDouble))
+            .toDF("id", "v").coalesce(1), Seq("v"))
+      }
+      val stats = CommitLog.fileStats(spark, t)
+      assert(stats.size === 3)
+      assert(stats.values.forall(_.contains("v")))
+
+      // a range inside batch 1's zone reads exactly one file
+      val pruned = CommitLog.scanRange(spark, t, "v", 1010, 1050)
+      assert(pruned.inputFiles.length === 1,
+        s"expected 1 surviving file, got ${pruned.inputFiles.length}")
+      val expected = CommitLog.read(spark, t)
+        .filter(col("v") >= 1010 && col("v") <= 1050)
+      assert(pruned.count() === expected.count())
+      assert(pruned.agg(sum("id")).head.getLong(0) ===
+        expected.agg(sum("id")).head.getLong(0))
+
+      // un-statted files are kept conservatively
+      CommitLog.append(spark, t, Seq((999L, 5e6)).toDF("id", "v"))
+      assert(CommitLog.scanRange(spark, t, "v", 1010, 1050)
+        .inputFiles.length === 2)
+
+      // vacuum's checkpoint carries the zone maps forward
+      CommitLog.vacuum(spark, t, keepFrom = CommitLog.latestVersion(spark, t))
+      assert(CommitLog.fileStats(spark, t).size === 3,
+        "vacuum dropped the surviving files' stats")
+      assert(CommitLog.scanRange(spark, t, "v", 1010, 1050)
+        .inputFiles.length === 2)
+    } finally cleanup(t)
+  }
+
   test("vacuum after plain appends checkpoints the horizon (no vanishing files)") {
     val t = tempTable()
     try {
