@@ -70,11 +70,15 @@ object CommitLog {
     * publish this commit's add/remove sets. Returns the version.
     * `batchId` stamps a streaming micro-batch's identity into the
     * commit so a replay can recognize its own earlier publish;
-    * `stats` records per-file zone maps for data skipping. */
+    * `stats` records per-file zone maps for data skipping;
+    * `dataChange = false` marks a pure REARRANGEMENT (compaction) whose
+    * adds/removes carry no new logical rows — the change feed skips
+    * such commits, exactly Delta's dataChange=false action flag. */
   def commit(spark: SparkSession, tablePath: String,
       adds: Seq[String], removes: Seq[String],
       batchId: Option[Long] = None,
-      stats: FileStats = Map.empty): Long = {
+      stats: FileStats = Map.empty,
+      dataChange: Boolean = true): Long = {
     val log = new Path(tablePath, LogDir)
     val fs = fsOf(spark, log)
     fs.mkdirs(log)
@@ -82,8 +86,9 @@ object CommitLog {
     var v = latestVersion(spark, tablePath) + 1
     val batchField = batchId.fold("")(b => s""","batchId":$b""")
     val statsField = if (stats.isEmpty) "" else s""","stats":${jstats(stats)}"""
+    val dcField = if (dataChange) "" else s""","dataChange":false"""
     val body = (version: Long) =>
-      s"""{"version":$version,"adds":${jarr(adds)},"removes":${jarr(removes)}$batchField$statsField}"""
+      s"""{"version":$version,"adds":${jarr(adds)},"removes":${jarr(removes)}$batchField$statsField$dcField}"""
     var claimed = -1L
     while (claimed < 0) {
       val out = fs.create(tmp, true)
@@ -284,15 +289,51 @@ object CommitLog {
     * swaps it for every currently-live file. Readers see the old or
     * the new table, never a mixture — this is what [[Compaction]]'s
     * raw-parquet swap cannot promise. */
-  def overwrite(spark: SparkSession, tablePath: String, df: DataFrame): Long = {
+  def overwrite(spark: SparkSession, tablePath: String, df: DataFrame,
+      dataChange: Boolean = true): Long = {
     val old = snapshot(spark, tablePath)
-    commit(spark, tablePath, stage(spark, tablePath, df), old)
+    commit(spark, tablePath, stage(spark, tablePath, df), old,
+      dataChange = dataChange)
   }
 
   /** Atomic compaction: bin-pack the live set into `targetFiles` and
-    * swap in one commit. Old versions remain time-travelable. */
+    * swap in one commit. Old versions remain time-travelable. The
+    * commit is dataChange=false: the same logical rows in fewer files,
+    * so a change-feed consumer sees NOTHING — maintenance must not
+    * masquerade as churn downstream. */
   def compact(spark: SparkSession, tablePath: String, targetFiles: Int): Long =
-    overwrite(spark, tablePath, read(spark, tablePath).coalesce(targetFiles))
+    overwrite(spark, tablePath, read(spark, tablePath).coalesce(targetFiles),
+      dataChange = false)
+
+  /** OPTIMIZE — compaction's generalization: same logical rows, a new
+    * physical arrangement chosen by `reshape`, published as ONE
+    * dataChange=false commit carrying the rewritten files' zone maps
+    * for `statsCols`. Readers never see a half-rewritten table, the
+    * change feed sees nothing, and [[scanRange]] prunes on the freshly
+    * clustered dimensions from the commit it just read. */
+  def optimize(spark: SparkSession, tablePath: String,
+      reshape: DataFrame => DataFrame, statsCols: Seq[String]): Long = {
+    val old = snapshot(spark, tablePath)
+    val (files, stats) =
+      stageWithStats(spark, tablePath, reshape(read(spark, tablePath)), statsCols)
+    commit(spark, tablePath, files, old, stats = stats, dataChange = false)
+  }
+
+  /** Z-order OPTIMIZE: cluster the table on the (a, b) space-filling
+    * curve into `files` files ([[Layout]]'s range-partition + in-file
+    * sort), zone maps on BOTH dims in the same commit — after this,
+    * a range scan on EITHER column prunes, the Delta OPTIMIZE ZORDER
+    * composition. */
+  def optimizeZOrder(spark: SparkSession, tablePath: String,
+      a: String, b: String, files: Int): Long = {
+    import org.apache.spark.sql.functions.col
+    optimize(spark, tablePath,
+      df => Layout.withZValue(df, a, b)
+        .repartitionByRange(files, col("_z"))
+        .sortWithinPartitions(col("_z"))
+        .drop("_z"),
+      Seq(a, b))
+  }
 
   /** CDC merge as copy-on-write at table granularity: apply
     * [[Changes.mergeApply]] semantics and publish the result as one
@@ -302,6 +343,79 @@ object CommitLog {
       key: String): Long =
     overwrite(spark, tablePath,
       Changes.mergeApply(read(spark, tablePath), changes, key))
+
+  /** Change feed (CDC read): every logical row change published in
+    * versions (sinceVersion, untilVersion], tagged `_change_type`
+    * ('insert' | 'delete') and `_commit_version`. A commit's `adds`
+    * surface as inserts and its `removes` as deletes — removed files
+    * stay on disk until vacuum, so the pre-image is readable straight
+    * from the log's own file lists. Skipped: dataChange=false commits
+    * (compaction — a rearrangement is not churn) and vacuum's
+    * checkpoint entry (a replay artifact, not a change). Copy-on-write
+    * granularity note: [[merge]] rewrites the whole table, so its feed
+    * entry is a full delete+insert image — a production format
+    * rewrites (and therefore feeds) only the touched files; the
+    * consumer contract is identical. */
+  def readChanges(spark: SparkSession, tablePath: String,
+      sinceVersion: Long, untilVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val hi = untilVersion.getOrElse(latestVersion(spark, tablePath))
+    val slices = versions(spark, tablePath)
+      .filter(v => v > sinceVersion && v <= hi)
+      .flatMap { v =>
+        val line = commitLine(spark, tablePath, v)
+        if (line.contains("\"checkpoint\":true") ||
+            line.contains("\"dataChange\":false")) Seq.empty
+        else Seq("insert" -> extractArr(line, "adds"),
+                 "delete" -> extractArr(line, "removes"))
+          .collect { case (kind, files) if files.nonEmpty =>
+            spark.read.parquet(files.map(f => s"$tablePath/$f"): _*)
+              .withColumn("_change_type", lit(kind))
+              .withColumn("_commit_version", lit(v))
+          }
+      }
+    if (slices.nonEmpty) slices.reduce(_ unionByName _)
+    else read(spark, tablePath, Some(hi))
+      .withColumn("_change_type", lit(""))
+      .withColumn("_commit_version", lit(-1L))
+      .filter(lit(false))
+  }
+
+  /** Exactly-once incremental table-to-table propagation — the
+    * bronze→silver hop of a medallion pipeline, built from two log
+    * primitives and nothing else: the SOURCE log says what changed
+    * (the insert slice of [[readChanges]]), the DESTINATION log's
+    * batchId ledger says how far this consumer already got (batchId =
+    * source version, the same replay ledger the streaming sink uses).
+    * A crash between publish and the caller observing it replays into
+    * [[appendStream]]'s dedup and lands nothing; a no-change call is a
+    * no-op. Returns the destination's new version, None when already
+    * caught up. The destination's batchId space belongs to its ONE
+    * consumer identity — don't mix with a streaming sink on the same
+    * table. */
+  def syncIncremental(spark: SparkSession, srcPath: String, dstPath: String,
+      transform: DataFrame => DataFrame = identity): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    val srcV = latestVersion(spark, srcPath)
+    val applied = committedBatchIds(spark, dstPath)
+    val from = if (applied.isEmpty) -1L else applied.max
+    if (srcV <= from) None
+    else {
+      val delta = readChanges(spark, srcPath, from, Some(srcV))
+        .filter(col("_change_type") === "insert")
+        .drop("_change_type", "_commit_version")
+      appendStream(spark, dstPath, transform(delta), batchId = srcV)
+    }
+  }
+
+  private def commitLine(spark: SparkSession, tablePath: String,
+      v: Long): String = {
+    val log = new Path(tablePath, LogDir)
+    val fs = fsOf(spark, log)
+    val in = fs.open(new Path(log, f"$v%08d.json"))
+    try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+  }
 
   /** Retention pass bounding time-travel storage: physically delete
     * files no retained version references and drop the log entries

@@ -192,6 +192,103 @@ class CommitLogSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("change feed: inserts and deletes per version; compaction invisible") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))   // v0
+      CommitLog.append(spark, t, Seq((3L, "c")).toDF("k", "s"))              // v1
+      val cv = CommitLog.compact(spark, t, targetFiles = 1)                  // v2
+      val mv = CommitLog.merge(spark, t,                                     // v3
+        Seq((2L, "D", null.asInstanceOf[String])).toDF("k", "op", "s"), "k")
+
+      // since v0: v1's insert, nothing from the compaction, merge's CoW image
+      val feed = CommitLog.readChanges(spark, t, sinceVersion = 0L)
+        .select("k", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(!feed.exists(_._3 == cv), "compaction leaked into the feed")
+      assert(feed.contains((3L, "insert", 1L)))
+      // merge at CoW table granularity: full pre-image deleted, post inserted
+      assert(feed.contains((2L, "delete", mv)))
+      assert(feed.filter(c => c._3 == mv && c._2 == "insert")
+        .map(_._1) === Set(1L, 3L))
+
+      // a bounded window sees only its slice
+      val w = CommitLog.readChanges(spark, t, 0L, Some(1L)).collect()
+      assert(w.length === 1 && w.head.getLong(0) === 3L)
+
+      // caught-up consumer: empty frame, schema intact
+      val none = CommitLog.readChanges(spark, t, CommitLog.latestVersion(spark, t))
+      assert(none.count() === 0)
+      assert(none.columns.contains("_change_type"))
+    } finally cleanup(t)
+  }
+
+  test("syncIncremental: exactly-once table-to-table propagation") {
+    val src = tempTable(); val dst = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, src, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+      val first = CommitLog.syncIncremental(spark, src, dst,
+        df => df.withColumn("v2", col("v") * 2))
+      assert(first.nonEmpty)
+      assert(CommitLog.read(spark, dst).count() === 2)
+      assert(CommitLog.read(spark, dst).agg(sum("v2")).head.getDouble(0) === 60.0)
+
+      // caught up -> no-op, no new version
+      assert(CommitLog.syncIncremental(spark, src, dst,
+        df => df.withColumn("v2", col("v") * 2)).isEmpty)
+      assert(CommitLog.latestVersion(spark, dst) === first.get)
+
+      // two more source commits -> ONE sync lands exactly the delta
+      CommitLog.append(spark, src, Seq((3L, 30.0)).toDF("k", "v"))
+      CommitLog.append(spark, src, Seq((4L, 40.0)).toDF("k", "v"))
+      assert(CommitLog.syncIncremental(spark, src, dst,
+        df => df.withColumn("v2", col("v") * 2)).nonEmpty)
+      assert(CommitLog.read(spark, dst).orderBy("k").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+
+      // replay with a stale ledger view = the crash window: appendStream's
+      // batchId dedup refuses the duplicate
+      val beforeReplay = CommitLog.read(spark, dst).count()
+      assert(CommitLog.appendStream(spark, dst,
+        Seq((3L, 30.0, 60.0), (4L, 40.0, 80.0)).toDF("k", "v", "v2"),
+        batchId = CommitLog.latestVersion(spark, src)).isEmpty)
+      assert(CommitLog.read(spark, dst).count() === beforeReplay)
+    } finally { cleanup(src); cleanup(dst) }
+  }
+
+  test("optimizeZOrder: atomic, feed-invisible, prunes both dims from the log") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      // two appends, each spanning the FULL (x, y) space -> no file is
+      // prunable before the rewrite
+      (0 until 2).foreach { b =>
+        CommitLog.appendWithStats(spark, t,
+          Seq.tabulate(400)(i => (i.toLong, (i * 7 % 400).toDouble, (i * 13 % 400).toDouble))
+            .toDF("id", "x", "y").repartition(2), Seq("x", "y"))
+      }
+      assert(CommitLog.scanRange(spark, t, "x", 0, 39).inputFiles.length === 4,
+        "precondition: unclustered files all overlap the probe range")
+      val preV = CommitLog.latestVersion(spark, t)
+      CommitLog.optimizeZOrder(spark, t, "x", "y", files = 4)
+
+      // same logical rows, history intact, nothing in the change feed
+      assert(CommitLog.read(spark, t).count() === 800)
+      assert(CommitLog.read(spark, t, asOf = Some(preV)).count() === 800)
+      assert(CommitLog.readChanges(spark, t, preV).count() === 0)
+
+      // clustering makes the in-log zones selective on BOTH dims
+      val px = CommitLog.scanRange(spark, t, "x", 0, 39)
+      val py = CommitLog.scanRange(spark, t, "y", 0, 39)
+      assert(px.inputFiles.length < 4, s"x-range read ${px.inputFiles.length} files")
+      assert(py.inputFiles.length < 4, s"y-range read ${py.inputFiles.length} files")
+      assert(px.count() ===
+        CommitLog.read(spark, t).filter(col("x") >= 0 && col("x") <= 39).count())
+    } finally cleanup(t)
+  }
+
   test("vacuum after plain appends checkpoints the horizon (no vanishing files)") {
     val t = tempTable()
     try {
