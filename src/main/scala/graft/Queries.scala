@@ -481,7 +481,8 @@ object Queries {
     "q_scd2_user_state" -> (Changes.scd2UserState _),
     "dedup_url_groups" -> (Html.urlDupGroups _),
     "pipeline_domain_cap" -> ((s: SparkSession, d: String) => Html.domainCap(s, d)),
-    "text_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.chunks(s, d))
+    "text_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.chunks(s, d)),
+    "text_pii_redact" -> (TextAnalysis.piiRedact _)
   )
 
   // Shared oracle fragments: DuckDB twins of TextFunctions.normalize /
@@ -1033,7 +1034,29 @@ object Queries {
        "SELECT user_id, event_id, event_type AS state, ts_us AS valid_from_us, " +
        "lead(ts_us) OVER w AS valid_to_us, lead(ts_us) OVER w IS NULL AS is_current " +
        "FROM tr WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id) " +
-       "ORDER BY user_id, valid_from_us, event_id")
+       "ORDER BY user_id, valid_from_us, event_id"),
+    // PII round-trip: the oracle re-synthesizes the identical contact
+    // block from raw columns, then counts/redacts with the SAME
+    // RE2-safe patterns (passed verbatim; DuckDB needs the 'g' flag,
+    // Spark regexp_replace is global by default)
+    "text_pii_redact" -> {
+      val e = graft.operators.TextAnalysis.PiiEmailPattern
+      val p = graft.operators.TextAnalysis.PiiPhonePattern
+      val i = graft.operators.TextAnalysis.PiiIpPattern
+      "WITH s AS (SELECT doc_id, text || CASE doc_id % 4 " +
+      "WHEN 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@' || source || '.example.com' " +
+      "WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') " +
+      "|| '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') " +
+      "WHEN 2 THEN ' from host 10.' || CAST(doc_id % 200 AS VARCHAR) " +
+      "|| '.' || CAST(doc_id % 250 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) " +
+      "ELSE '' END AS t FROM documents) " +
+      s"SELECT doc_id, CAST(len(regexp_extract_all(t, '$e')) AS BIGINT) AS n_emails, " +
+      s"CAST(len(regexp_extract_all(t, '$p')) AS BIGINT) AS n_phones, " +
+      s"CAST(len(regexp_extract_all(t, '$i')) AS BIGINT) AS n_ips, " +
+      s"md5(regexp_replace(regexp_replace(regexp_replace(t, '$e', '<EMAIL>', 'g'), " +
+      s"'$i', '<IP>', 'g'), '$p', '<PHONE>', 'g')) AS redacted_fp " +
+      "FROM s ORDER BY doc_id"
+    }
     // knn_ivf's oracle is generated post-run from the served quantizer
     // (see knnIvfOracle below).
   )

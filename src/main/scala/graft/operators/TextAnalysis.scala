@@ -466,6 +466,56 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** PII patterns shared with the DuckDB oracle verbatim
+    * (RE2-compatible — no lookaround). Group-free on purpose: both
+    * engines count whole-match occurrences (group 0). */
+  val PiiEmailPattern = "[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+"
+  val PiiPhonePattern = "\\d{3}-\\d{3}-\\d{4}"
+  val PiiIpPattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction — the scrub pass a training pipeline runs before
+    * anything else ships: typed placeholders (`<EMAIL>`/`<PHONE>`/
+    * `<IP>`) replace matches so downstream ops keep sentence shape,
+    * and per-category counts survive as the audit evidence. The
+    * synthetic corpus carries no PII, so (same move as [[Html]]'s
+    * fixture) a deterministic contact block derived from raw columns
+    * is appended per doc (3 of every 4 docs get exactly one PII kind;
+    * the 4th gets none — non-vacuous on BOTH sides of every count),
+    * and the oracle recomputes the identical synthesis in SQL: the
+    * round-trip witnesses pattern semantics, replacement order, and
+    * placeholder text match across engines. Redaction order
+    * email -> ip -> phone is load-bearing only in that both engines
+    * share it. One scan, zero pre-sort shuffles. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 4
+    val email = concat(lit(" reach user"), col("doc_id").cast("string"),
+      lit("@"), col("source"), lit(".example.com"))
+    val phone = concat(lit(" call 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val ip = concat(lit(" from host 10."), (col("doc_id") % 200).cast("string"),
+      lit("."), (col("doc_id") % 250).cast("string"),
+      lit("."), (col("doc_id") % 100).cast("string"))
+    val t = concat(col("text"),
+      when(m === 0, email).when(m === 1, phone).when(m === 2, ip)
+        .otherwise(lit("")))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, PiiEmailPattern, "<EMAIL>"),
+        PiiIpPattern, "<IP>"),
+      PiiPhonePattern, "<PHONE>")
+    Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(t, lit(PiiEmailPattern), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(t, lit(PiiPhonePattern), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(t, lit(PiiIpPattern), lit(0)))
+          .cast("long").as("n_ips"),
+        md5(redacted).as("redacted_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   def perSourceStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy(col("source"))
