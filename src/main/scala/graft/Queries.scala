@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Changes, Dedup, Html, Multimodal, Relational, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Analytics, Changes, Dedup, Html, Multimodal, Quality, Relational, Similarity, TextAnalysis, TimeSeries}
 
 /** Central registry: query name -> (SparkSession, sfDir) => DataFrame,
   * plus the DuckDB oracle SQL for each (driver contract, SURVEY §5).
@@ -482,7 +482,8 @@ object Queries {
     "dedup_url_groups" -> (Html.urlDupGroups _),
     "pipeline_domain_cap" -> ((s: SparkSession, d: String) => Html.domainCap(s, d)),
     "text_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.chunks(s, d)),
-    "text_pii_redact" -> (TextAnalysis.piiRedact _)
+    "text_pii_redact" -> (TextAnalysis.piiRedact _),
+    "pipeline_quality_report" -> (Quality.report _)
   )
 
   // Shared oracle fragments: DuckDB twins of TextFunctions.normalize /
@@ -1056,7 +1057,23 @@ object Queries {
       s"md5(regexp_replace(regexp_replace(regexp_replace(t, '$e', '<EMAIL>', 'g'), " +
       s"'$i', '<IP>', 'g'), '$p', '<PHONE>', 'g')) AS redacted_fp " +
       "FROM s ORDER BY doc_id"
-    }
+    },
+    // quality expectations: one aggregate row pivoted to per-rule rows;
+    // the lang allowlist rule fails by design (es/zh rows exist) so the
+    // report witnesses both verdicts
+    "pipeline_quality_report" ->
+      ("WITH a AS (SELECT count(*) AS n, " +
+       "sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v_null, " +
+       "sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS v_chars, " +
+       "sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS v_empty, " +
+       "sum(CASE WHEN lang NOT IN ('en', 'de', 'fr') THEN 1 ELSE 0 END) AS v_lang, " +
+       "count(*) - count(DISTINCT doc_id) AS v_uniq FROM documents) " +
+       "SELECT 'doc_id_not_null' AS rule, n AS n_checked, CAST(v_null AS BIGINT) AS n_violations, v_null = 0 AS pass FROM a " +
+       "UNION ALL SELECT 'n_chars_consistent', n, CAST(v_chars AS BIGINT), v_chars = 0 FROM a " +
+       "UNION ALL SELECT 'text_nonempty', n, CAST(v_empty AS BIGINT), v_empty = 0 FROM a " +
+       "UNION ALL SELECT 'lang_allowlisted', n, CAST(v_lang AS BIGINT), v_lang = 0 FROM a " +
+       "UNION ALL SELECT 'doc_id_unique', n, CAST(v_uniq AS BIGINT), v_uniq = 0 FROM a " +
+       "ORDER BY rule")
     // knn_ivf's oracle is generated post-run from the served quantizer
     // (see knnIvfOracle below).
   )

@@ -66,6 +66,20 @@ object CommitLog {
       }.mkString(",") + "}"
     }.mkString("{", ",", "}")
 
+  /** Per-file Bloom filters carried IN the commit (file -> column ->
+    * "m:k:base64(bitset)") — the point-predicate complement of
+    * [[FileStats]]: zone maps prune ranges on clustered columns, blooms
+    * prune equality probes on high-cardinality UNCLUSTERED keys where
+    * every file's [min, max] spans the domain. */
+  type FileBlooms = Map[String, Map[String, String]]
+
+  private def jblooms(blooms: FileBlooms): String =
+    blooms.map { case (f, cols) =>
+      "\"" + esc(f) + "\":{" + cols.map { case (c, enc) =>
+        "\"" + esc(c) + "\":\"" + enc + "\""
+      }.mkString(",") + "}"
+    }.mkString("{", ",", "}")
+
   /** Claim the next version atomically-enough (see class doc) and
     * publish this commit's add/remove sets. Returns the version.
     * `batchId` stamps a streaming micro-batch's identity into the
@@ -78,7 +92,8 @@ object CommitLog {
       adds: Seq[String], removes: Seq[String],
       batchId: Option[Long] = None,
       stats: FileStats = Map.empty,
-      dataChange: Boolean = true): Long = {
+      dataChange: Boolean = true,
+      blooms: FileBlooms = Map.empty): Long = {
     val log = new Path(tablePath, LogDir)
     val fs = fsOf(spark, log)
     fs.mkdirs(log)
@@ -86,9 +101,10 @@ object CommitLog {
     var v = latestVersion(spark, tablePath) + 1
     val batchField = batchId.fold("")(b => s""","batchId":$b""")
     val statsField = if (stats.isEmpty) "" else s""","stats":${jstats(stats)}"""
+    val bloomField = if (blooms.isEmpty) "" else s""","blooms":${jblooms(blooms)}"""
     val dcField = if (dataChange) "" else s""","dataChange":false"""
     val body = (version: Long) =>
-      s"""{"version":$version,"adds":${jarr(adds)},"removes":${jarr(removes)}$batchField$statsField$dcField}"""
+      s"""{"version":$version,"adds":${jarr(adds)},"removes":${jarr(removes)}$batchField$statsField$bloomField$dcField}"""
     var claimed = -1L
     while (claimed < 0) {
       val out = fs.create(tmp, true)
@@ -211,13 +227,15 @@ object CommitLog {
 
   private val statsFileRe = """"((?:[^"\\]|\\.)+)":\{([^}]*)\}""".r
   private val statsColRe = """"((?:[^"\\]|\\.)+)":\[([^,\]]+),([^\]]+)\]""".r
+  private val bloomColRe = """"((?:[^"\\]|\\.)+)":"([^"]+)"""".r
 
-  private def extractStats(json: String): FileStats = {
-    val key = "\"stats\":{"
+  /** The body of `"key":{...}` by brace walk (values contain no
+    * braces, so only the per-file objects nest — depth bookkeeping
+    * suffices). */
+  private def extractSection(json: String, keyName: String): Option[String] = {
+    val key = "\"" + keyName + "\":{"
     val start = json.indexOf(key)
-    if (start < 0) return Map.empty
-    // walk to the matching close brace (values contain no braces, so
-    // only the per-file objects nest — depth bookkeeping suffices)
+    if (start < 0) return None
     var i = start + key.length - 1
     var depth = 0
     var end = -1
@@ -229,13 +247,37 @@ object CommitLog {
       }
       i += 1
     }
-    if (end < 0) return Map.empty
-    val body = json.substring(start + key.length, end)
-    statsFileRe.findAllMatchIn(body).map { fm =>
-      fm.group(1) -> statsColRe.findAllMatchIn(fm.group(2)).map { cm =>
-        cm.group(1) -> (cm.group(2).toDouble, cm.group(3).toDouble)
+    if (end < 0) None else Some(json.substring(start + key.length, end))
+  }
+
+  private def extractStats(json: String): FileStats =
+    extractSection(json, "stats").fold(Map.empty: FileStats) { body =>
+      statsFileRe.findAllMatchIn(body).map { fm =>
+        fm.group(1) -> statsColRe.findAllMatchIn(fm.group(2)).map { cm =>
+          cm.group(1) -> (cm.group(2).toDouble, cm.group(3).toDouble)
+        }.toMap
       }.toMap
-    }.toMap
+    }
+
+  private def extractBlooms(json: String): FileBlooms =
+    extractSection(json, "blooms").fold(Map.empty: FileBlooms) { body =>
+      statsFileRe.findAllMatchIn(body).map { fm =>
+        fm.group(1) -> bloomColRe.findAllMatchIn(fm.group(2)).map { cm =>
+          cm.group(1) -> cm.group(2)
+        }.toMap
+      }.toMap
+    }
+
+  /** Bloom filters replayed from the log, same contract as
+    * [[fileStats]]: a file's filters ride the commit that ADDED it;
+    * files committed without them simply never prune. */
+  def fileBlooms(spark: SparkSession, tablePath: String,
+      asOf: Option[Long] = None): FileBlooms = {
+    val acc = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    versions(spark, tablePath)
+      .filter(v => asOf.forall(v <= _))
+      .foreach(v => acc ++= extractBlooms(commitLine(spark, tablePath, v)))
+    acc.toMap
   }
 
   /** Snapshot read WITH data skipping: resolve the version's file set,
@@ -265,8 +307,49 @@ object CommitLog {
     * move, so one commit carries data AND its skipping metadata. */
   def appendWithStats(spark: SparkSession, tablePath: String, df: DataFrame,
       statsCols: Seq[String]): Long = {
-    val (files, stats) = stageWithStats(spark, tablePath, df, statsCols)
+    val (files, stats, _) = stageWithMeta(spark, tablePath, df, statsCols, Seq.empty)
     commit(spark, tablePath, files, Seq.empty, stats = stats)
+  }
+
+  /** Append publishing per-file Bloom filters for `bloomCols` (and
+    * optionally zone maps for `statsCols`) in the same commit. mBits
+    * sizes each filter (default 2^16 bits = 8 KiB/file/column — ~1%
+    * false positives at 6k distinct values with k=5; size up for
+    * bigger files). */
+  def appendWithBloom(spark: SparkSession, tablePath: String, df: DataFrame,
+      bloomCols: Seq[String], statsCols: Seq[String] = Seq.empty,
+      mBits: Int = 1 << 16, k: Int = 5): Long = {
+    val (files, stats, blooms) =
+      stageWithMeta(spark, tablePath, df, statsCols, bloomCols, mBits, k)
+    commit(spark, tablePath, files, Seq.empty, stats = stats, blooms = blooms)
+  }
+
+  /** Snapshot read WITH Bloom skipping: resolve the version's file
+    * set, then drop every file whose logged filter says `column =
+    * value` definitively has no match — the point-predicate
+    * complement of [[scanRange]], for high-cardinality keys where
+    * zones can't help. Conservative exactly like scanRange: files
+    * without a filter are kept, the predicate is re-applied, so the
+    * result is identical to an unpruned scan-and-filter. Probe types:
+    * integral or string (the columns `xxhash64` hashes portably). */
+  def scanEquals(spark: SparkSession, tablePath: String, column: String,
+      value: Any, asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val blooms = fileBlooms(spark, tablePath, asOf)
+    val h = graft.plans.BloomAggregate.hashOf(value)
+    val files = snapshot(spark, tablePath, asOf).filter { f =>
+      blooms.get(f).flatMap(_.get(column)) match {
+        case Some(enc) =>
+          val Array(kStr, b64) = enc.split(":", 2)
+          graft.plans.BloomAggregate.mightContain(
+            graft.plans.BloomAggregate.wordsOf(
+              java.util.Base64.getDecoder.decode(b64)), h, kStr.toInt)
+        case None => true
+      }
+    }
+    if (files.isEmpty) read(spark, tablePath, asOf).filter(lit(false))
+    else spark.read.parquet(files.map(f => s"$tablePath/$f"): _*)
+      .filter(col(column) === lit(value))
   }
 
   /** Snapshot read: resolve a version, hand exactly that commit's file
@@ -314,8 +397,8 @@ object CommitLog {
   def optimize(spark: SparkSession, tablePath: String,
       reshape: DataFrame => DataFrame, statsCols: Seq[String]): Long = {
     val old = snapshot(spark, tablePath)
-    val (files, stats) =
-      stageWithStats(spark, tablePath, reshape(read(spark, tablePath)), statsCols)
+    val (files, stats, _) =
+      stageWithMeta(spark, tablePath, reshape(read(spark, tablePath)), statsCols, Seq.empty)
     commit(spark, tablePath, files, old, stats = stats, dataChange = false)
   }
 
@@ -408,6 +491,53 @@ object CommitLog {
     }
   }
 
+  /** Exactly-once atomic REPLACE for a consumer-owned table: same
+    * ledger contract as [[appendStream]] but the commit swaps the full
+    * content — the publish primitive incremental view maintenance
+    * needs (its state table is replaced, not appended, each advance). */
+  def overwriteStream(spark: SparkSession, tablePath: String, df: DataFrame,
+      batchId: Long): Option[Long] =
+    if (committedBatchIds(spark, tablePath).contains(batchId)) None
+    else {
+      val old = snapshot(spark, tablePath)
+      Some(commit(spark, tablePath, stage(spark, tablePath, df), old,
+        batchId = Some(batchId)))
+    }
+
+  /** Incremental view maintenance: keep `dstPath` equal to
+    * `SELECT key, count(*), sum(value) FROM src GROUP BY key` by
+    * consuming the source's CHANGE FEED instead of rescanning the
+    * source — work per advance is O(changed rows), not O(table), the
+    * materialized-view algebra every warehouse implements (inserts
+    * add (+1, +v), deletes add (-1, -v), groups at count 0 vanish;
+    * count/sum are self-invertible so no per-group rescan is ever
+    * needed). Exactly-once by the same two-log contract as
+    * [[syncIncremental]]: the destination's batchId ledger records the
+    * last source version applied, and a crash replay lands nothing.
+    * Returns the destination's new version, None when caught up. */
+  def maintainAggregate(spark: SparkSession, srcPath: String, dstPath: String,
+      keyCol: String, valueCol: String): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+    val srcV = latestVersion(spark, srcPath)
+    val applied = committedBatchIds(spark, dstPath)
+    val from = if (applied.isEmpty) -1L else applied.max
+    if (srcV <= from) return None
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val delta = readChanges(spark, srcPath, from, Some(srcV))
+      .groupBy(col(keyCol))
+      .agg(sum(sign).as("d_cnt"),
+        sum(sign.cast("double") * col(valueCol)).as("d_sum"))
+    val state =
+      if (latestVersion(spark, dstPath) < 0) delta
+        .select(col(keyCol), col("d_cnt").as("cnt"), col("d_sum").as("total"))
+      else read(spark, dstPath).as("s")
+        .join(delta.as("d"), Seq(keyCol), "full_outer")
+        .select(col(keyCol),
+          (coalesce(col("s.cnt"), lit(0L)) + coalesce(col("d.d_cnt"), lit(0L))).as("cnt"),
+          (coalesce(col("s.total"), lit(0.0)) + coalesce(col("d.d_sum"), lit(0.0))).as("total"))
+    overwriteStream(spark, dstPath, state.filter(col("cnt") > 0), batchId = srcV)
+  }
+
   private def commitLine(spark: SparkSession, tablePath: String,
       v: Long): String = {
     val log = new Path(tablePath, LogDir)
@@ -440,17 +570,21 @@ object CommitLog {
     // checkpoint the horizon entry BEFORE truncating anything: its
     // replay-visible state must equal the cumulative snapshot
     val horizonState = snapshot(spark, tablePath, Some(keepFrom))
-    // carry forward the surviving files' zone maps: truncated commits
-    // were the only carriers of their adds' stats
+    // carry forward the surviving files' skipping metadata: truncated
+    // commits were the only carriers of their adds' stats/blooms
     val horizonStats = fileStats(spark, tablePath, Some(keepFrom))
+      .filter { case (f, _) => horizonState.contains(f) }
+    val horizonBlooms = fileBlooms(spark, tablePath, Some(keepFrom))
       .filter { case (f, _) => horizonState.contains(f) }
     val statsField =
       if (horizonStats.isEmpty) "" else s""","stats":${jstats(horizonStats)}"""
+    val bloomField =
+      if (horizonBlooms.isEmpty) "" else s""","blooms":${jblooms(horizonBlooms)}"""
     val log = new Path(tablePath, LogDir)
     val cp = new Path(log, f"$keepFrom%08d.json")
     val out = fs.create(cp, true)
     try out.write(
-      s"""{"version":$keepFrom,"adds":${jarr(horizonState)},"removes":[]$statsField,"checkpoint":true}"""
+      s"""{"version":$keepFrom,"adds":${jarr(horizonState)},"removes":[]$statsField$bloomField,"checkpoint":true}"""
         .getBytes("UTF-8"))
     finally out.close()
     val dataDir = new Path(tablePath, DataDir)
@@ -467,40 +601,51 @@ object CommitLog {
     * relative paths. Staging is invisible until commit publishes it. */
   private def stage(spark: SparkSession, tablePath: String,
       df: DataFrame): Seq[String] =
-    stageWithStats(spark, tablePath, df, Seq.empty)._1
+    stageWithMeta(spark, tablePath, df, Seq.empty, Seq.empty)._1
 
-  /** Stage plus per-staged-file [min, max] for `statsCols` — computed
-    * over the staging dir BEFORE the move (one aggregate grouped by
+  /** Stage plus per-staged-file skipping metadata — [min, max] zones
+    * for `statsCols` and Bloom filters for `bloomCols` — computed over
+    * the staging dir BEFORE the move (one aggregate grouped by
     * input_file_name, the ZoneMaps.write shape), keyed by the files'
     * FINAL relative names. */
-  private def stageWithStats(spark: SparkSession, tablePath: String,
-      df: DataFrame, statsCols: Seq[String]): (Seq[String], FileStats) = {
+  private def stageWithMeta(spark: SparkSession, tablePath: String,
+      df: DataFrame, statsCols: Seq[String], bloomCols: Seq[String],
+      mBits: Int = 1 << 16, k: Int = 5): (Seq[String], FileStats, FileBlooms) = {
     val root = new Path(tablePath)
     val fs = fsOf(spark, root)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(root, s"_staging_$stamp")
     df.write.mode("overwrite").parquet(tmp.toString)
-    val tmpStats: Map[String, Map[String, (Double, Double)]] =
-      if (statsCols.isEmpty) Map.empty
-      else {
-        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-        val aggs = statsCols.flatMap(c =>
-          Seq(min(col(c)).cast("double").as(s"min_$c"),
-            max(col(c)).cast("double").as(s"max_$c")))
-        spark.read.parquet(tmp.toString)
-          .groupBy(input_file_name().as("file"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .map { r =>
-            val name = r.getString(0).split('/').last
-            name -> statsCols.flatMap { c =>
-              val lo = r.getAs[Any](s"min_$c")
-              val hi = r.getAs[Any](s"max_$c")
-              if (lo == null || hi == null) None
-              else Some(c -> (lo.asInstanceOf[Double], hi.asInstanceOf[Double]))
-            }.toMap
-          }.toMap
-      }
+    var tmpStats: Map[String, Map[String, (Double, Double)]] = Map.empty
+    var tmpBlooms: Map[String, Map[String, String]] = Map.empty
+    if (statsCols.nonEmpty || bloomCols.nonEmpty) {
+      import org.apache.spark.sql.functions.{col, input_file_name, max, min, xxhash64}
+      val aggs = statsCols.flatMap(c =>
+        Seq(min(col(c)).cast("double").as(s"min_$c"),
+          max(col(c)).cast("double").as(s"max_$c"))) ++
+        bloomCols.map(c =>
+          graft.plans.BloomAggregate.bloom(xxhash64(col(c)), mBits, k).as(s"bloom_$c"))
+      val rows = spark.read.parquet(tmp.toString)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      tmpStats = rows.map { r =>
+        val name = r.getString(0).split('/').last
+        name -> statsCols.flatMap { c =>
+          val lo = r.getAs[Any](s"min_$c")
+          val hi = r.getAs[Any](s"max_$c")
+          if (lo == null || hi == null) None
+          else Some(c -> (lo.asInstanceOf[Double], hi.asInstanceOf[Double]))
+        }.toMap
+      }.toMap
+      tmpBlooms = rows.map { r =>
+        val name = r.getString(0).split('/').last
+        name -> bloomCols.map { c =>
+          c -> (k.toString + ":" + java.util.Base64.getEncoder
+            .encodeToString(r.getAs[Array[Byte]](s"bloom_$c")))
+        }.toMap
+      }.toMap
+    }
     val dataDir = new Path(root, DataDir)
     fs.mkdirs(dataDir)
     val moved = fs.listStatus(tmp)
@@ -518,6 +663,9 @@ object CommitLog {
     val stats = moved.flatMap { case (rel, tmpName) =>
       tmpStats.get(tmpName).filter(_.nonEmpty).map(rel -> _)
     }.toMap
-    (moved.map(_._1).toSeq, stats)
+    val blooms = moved.flatMap { case (rel, tmpName) =>
+      tmpBlooms.get(tmpName).filter(_.nonEmpty).map(rel -> _)
+    }.toMap
+    (moved.map(_._1).toSeq, stats, blooms)
   }
 }

@@ -62,6 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_gif_meta"),
        new ExpressionInfo(classOf[GifMeta].getName, "graft_gif_meta"),
        (exprs: Seq[Expression]) => GifMeta(exprs(0))))
+    e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom"),
+       new ExpressionInfo(classOf[BloomBits].getName, "graft_bloom"),
+       (exprs: Seq[Expression]) => BloomBits(exprs(0), exprs(1), exprs(2))))
   }
 }
 

@@ -258,6 +258,48 @@ class CommitLogSpec extends SparkSpec {
     } finally { cleanup(src); cleanup(dst) }
   }
 
+  test("in-log bloom filters: scanEquals prunes where zone maps cannot") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      // 3 files of interleaved ids (id % 3 == b) — every file's
+      // [min, max] spans the whole domain, so zones are useless here
+      (0 until 3).foreach { b =>
+        CommitLog.appendWithBloom(spark, t,
+          Seq.tabulate(1000)(i => { val id = 3L * i + b; (id, s"doc-$id") })
+            .toDF("id", "name").coalesce(1),
+          bloomCols = Seq("id", "name"), statsCols = Seq("id"))
+      }
+      assert(CommitLog.scanRange(spark, t, "id", 1234, 1234)
+        .inputFiles.length === 3, "precondition: zones overlap on every file")
+
+      // the bloom knows: id 1234 (% 3 == 1) lives in exactly one file
+      val hit = CommitLog.scanEquals(spark, t, "id", 1234L)
+      assert(hit.inputFiles.length === 1,
+        s"expected 1 surviving file, got ${hit.inputFiles.length}")
+      assert(hit.count() === 1)
+      assert(hit.head.getString(1) === "doc-1234")
+
+      // string-column probe prunes the same way
+      val byName = CommitLog.scanEquals(spark, t, "name", "doc-2000")
+      assert(byName.inputFiles.length === 1 && byName.count() === 1)
+
+      // an absent key: every filter says definitively-no -> empty scan
+      assert(CommitLog.scanEquals(spark, t, "id", 999999L).count() === 0)
+
+      // un-bloomed files are kept conservatively
+      CommitLog.append(spark, t, Seq((5000L, "doc-5000")).toDF("id", "name"))
+      assert(CommitLog.scanEquals(spark, t, "id", 5000L).count() === 1)
+
+      // vacuum's checkpoint carries the filters forward
+      CommitLog.vacuum(spark, t, keepFrom = CommitLog.latestVersion(spark, t))
+      assert(CommitLog.fileBlooms(spark, t).size === 3,
+        "vacuum dropped the surviving files' blooms")
+      assert(CommitLog.scanEquals(spark, t, "id", 1234L)
+        .inputFiles.length <= 2) // 1 bloomed hit + the un-bloomed file
+    } finally cleanup(t)
+  }
+
   test("optimizeZOrder: atomic, feed-invisible, prunes both dims from the log") {
     val t = tempTable()
     try {
@@ -287,6 +329,43 @@ class CommitLogSpec extends SparkSpec {
       assert(px.count() ===
         CommitLog.read(spark, t).filter(col("x") >= 0 && col("x") <= 39).count())
     } finally cleanup(t)
+  }
+
+  test("maintainAggregate: change-feed IVM equals full recompute at every step") {
+    val src = tempTable(); val dst = tempTable()
+    def recompute() = CommitLog.read(spark, src).groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    def maintained() = CommitLog.read(spark, dst)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, src,
+        Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("k", "v"))
+      assert(CommitLog.maintainAggregate(spark, src, dst, "k", "v").nonEmpty)
+      assert(maintained() === recompute())
+
+      CommitLog.append(spark, src, Seq(("b", 4.0), ("c", 5.0)).toDF("k", "v"))
+      assert(CommitLog.maintainAggregate(spark, src, dst, "k", "v").nonEmpty)
+      assert(maintained() === recompute())
+      assert(maintained().map(_._1) === Set("a", "b", "c"))
+
+      // CoW merge: delete every 'a' row, update a 'c' row — the feed's
+      // delete/insert image drives the view through a mixed delta
+      CommitLog.merge(spark, src, Seq(("a", "D", 0.0), ("c", "U", 50.0))
+        .toDF("k", "op", "v"), "k")
+      assert(CommitLog.maintainAggregate(spark, src, dst, "k", "v").nonEmpty)
+      assert(maintained() === recompute())
+      assert(!maintained().exists(_._1 == "a"), "count-0 group must vanish")
+
+      // caught up -> None; replayed publish with a stale ledger -> refused
+      assert(CommitLog.maintainAggregate(spark, src, dst, "k", "v").isEmpty)
+      val before = maintained()
+      assert(CommitLog.overwriteStream(spark, dst,
+        Seq(("zz", 9L, 9.0)).toDF("k", "cnt", "total"),
+        batchId = CommitLog.latestVersion(spark, src)).isEmpty)
+      assert(maintained() === before)
+    } finally { cleanup(src); cleanup(dst) }
   }
 
   test("vacuum after plain appends checkpoints the horizon (no vanishing files)") {

@@ -160,6 +160,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(!plan.contains("Window"), "row_number funnel should be gone")
   }
 
+  test("graft_bloom: no false negatives across partial-merge; FP rate sane") {
+    import spark.implicits._
+    import graft.plans.BloomAggregate
+    // 8 partitions force the partial/merge path (word-wise OR) — a
+    // single-partition build would leave merge() untested
+    val built = spark.range(0, 5000).repartition(8)
+      .agg(BloomAggregate.bloom(xxhash64(col("id")), 1 << 16, 5).as("b"))
+      .head.getAs[Array[Byte]]("b")
+    val words = BloomAggregate.wordsOf(built)
+    // zero false negatives is the bloom CONTRACT, not a statistic
+    (0L until 5000L).foreach { v =>
+      assert(BloomAggregate.mightContain(words, BloomAggregate.hashOf(v), 5),
+        s"false negative for $v")
+    }
+    // absent probes: the 1%-regime filter must say no almost always
+    val fp = (100000L until 110000L)
+      .count(v => BloomAggregate.mightContain(words, BloomAggregate.hashOf(v), 5))
+    info(s"false positives: $fp / 10000")
+    assert(fp < 300, s"false-positive rate implausibly high: $fp / 10000")
+  }
+
   test("knn_ivf: recall@5 vs brute force meets floor (kmeans centroids)") {
     val brute = Similarity.knnBruteForce(spark, sf, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
