@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** A minimal commit-log table format over raw parquet — the metadata
   * layer that turns a directory of files into a TABLE with atomic
@@ -80,6 +81,27 @@ object CommitLog {
       }.mkString(",") + "}"
     }.mkString("{", ",", "}")
 
+  /** CHECK constraints carried in the log (name -> SQL boolean
+    * expression). SQL-standard semantics: a row violates a constraint
+    * only when the expression evaluates to FALSE (NULL passes). The
+    * latest commit carrying a `constraints` field defines the COMPLETE
+    * map — add/drop republish the whole (small) set, so replay needs
+    * no per-entry merge. */
+  type Constraints = Map[String, String]
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  /** Expressions ride base64 so the commit line stays flat (no quotes
+    * or braces inside values — the same property the brace-walk parser
+    * relies on everywhere else). */
+  private def jconstraints(cs: Constraints): String =
+    cs.toSeq.sortBy(_._1).map { case (n, e) =>
+      "\"" + esc(n) + "\":\"" + b64(e) + "\""
+    }.mkString("{", ",", "}")
+
   /** Claim the next version atomically-enough (see class doc) and
     * publish this commit's add/remove sets. Returns the version.
     * `batchId` stamps a streaming micro-batch's identity into the
@@ -93,7 +115,9 @@ object CommitLog {
       batchId: Option[Long] = None,
       stats: FileStats = Map.empty,
       dataChange: Boolean = true,
-      blooms: FileBlooms = Map.empty): Long = {
+      blooms: FileBlooms = Map.empty,
+      schemaB64: Option[String] = None,
+      constraintsField: Option[Constraints] = None): Long = {
     val log = new Path(tablePath, LogDir)
     val fs = fsOf(spark, log)
     fs.mkdirs(log)
@@ -102,9 +126,11 @@ object CommitLog {
     val batchField = batchId.fold("")(b => s""","batchId":$b""")
     val statsField = if (stats.isEmpty) "" else s""","stats":${jstats(stats)}"""
     val bloomField = if (blooms.isEmpty) "" else s""","blooms":${jblooms(blooms)}"""
+    val schemaField = schemaB64.fold("")(s => s""","schemaB64":"$s"""")
+    val consField = constraintsField.fold("")(c => s""","constraints":${jconstraints(c)}""")
     val dcField = if (dataChange) "" else s""","dataChange":false"""
     val body = (version: Long) =>
-      s"""{"version":$version,"adds":${jarr(adds)},"removes":${jarr(removes)}$batchField$statsField$bloomField$dcField}"""
+      s"""{"version":$version,"adds":${jarr(adds)},"removes":${jarr(removes)}$batchField$statsField$bloomField$schemaField$consField$dcField}"""
     var claimed = -1L
     while (claimed < 0) {
       val out = fs.create(tmp, true)
@@ -280,6 +306,115 @@ object CommitLog {
     acc.toMap
   }
 
+  // ---- declared schema + CHECK constraints (table-boundary gate) ----
+
+  private val schemaFieldRe = """"schemaB64":"([^"]*)"""".r
+
+  /** The declared schema in force at `asOf` (latest declaration at or
+    * before it), replayed from the log. None = never declared: the
+    * table behaves as raw parquet, schema inferred from footers. */
+  def tableSchema(spark: SparkSession, tablePath: String,
+      asOf: Option[Long] = None): Option[StructType] =
+    versions(spark, tablePath).filter(v => asOf.forall(v <= _)).reverseIterator
+      .map(v => schemaFieldRe.findFirstMatchIn(commitLine(spark, tablePath, v)))
+      .collectFirst { case Some(m) =>
+        DataType.fromJson(unb64(m.group(1))).asInstanceOf[StructType] }
+
+  /** The CHECK-constraint set in force at `asOf` — the latest
+    * `constraints` field wins (each carries the complete map). */
+  def constraints(spark: SparkSession, tablePath: String,
+      asOf: Option[Long] = None): Constraints =
+    versions(spark, tablePath).filter(v => asOf.forall(v <= _)).reverseIterator
+      .map(v => extractSection(commitLine(spark, tablePath, v), "constraints"))
+      .collectFirst { case Some(body) =>
+        bloomColRe.findAllMatchIn(body).map(m =>
+          m.group(1) -> unb64(m.group(2))).toMap: Constraints }
+      .getOrElse(Map.empty)
+
+  /** Declare (or replace) the table's schema in one metadata-only
+    * commit (dataChange=false — invisible to the change feed). From
+    * then on EVERY write path is gated at the staging choke point
+    * ([[stageWithMeta]], which append / appendStream / overwrite /
+    * merge / optimize all funnel through): a staged column absent from
+    * the declared schema, or typed differently, refuses the whole
+    * write before anything becomes visible. Staged columns MAY be a
+    * subset — the reader applies the declared schema, so files written
+    * before an evolution read back with NULLs in the new columns and
+    * no footer-merge pass is ever needed. */
+  def declareSchema(spark: SparkSession, tablePath: String,
+      schema: StructType): Long =
+    commit(spark, tablePath, Seq.empty, Seq.empty, dataChange = false,
+      schemaB64 = Some(b64(schema.json)))
+
+  /** Widen the declared schema: every currently-declared field must
+    * survive with an identical type (a rename/retype/drop would orphan
+    * existing files' data); brand-new columns read as NULL from files
+    * written before the evolution. */
+  def evolveSchema(spark: SparkSession, tablePath: String,
+      schema: StructType): Long = {
+    val cur = tableSchema(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"evolveSchema: $tablePath has no declared schema (declareSchema first)"))
+    val next = schema.fields.map(f => f.name -> f.dataType).toMap
+    cur.fields.foreach { f =>
+      next.get(f.name) match {
+        case Some(dt) if dt == f.dataType => ()
+        case Some(dt) => throw new IllegalArgumentException(
+          s"evolveSchema: ${f.name} retyped ${f.dataType.catalogString} -> ${dt.catalogString}")
+        case None => throw new IllegalArgumentException(
+          s"evolveSchema: declared column ${f.name} missing from the new schema")
+      }
+    }
+    declareSchema(spark, tablePath, schema)
+  }
+
+  /** Add a CHECK constraint (a SQL boolean expression over the
+    * table's columns). Existing data is validated FIRST — a constraint
+    * the table already violates is refused — so a published constraint
+    * is a guarantee over every live row, past and future (Delta's
+    * ALTER TABLE ADD CONSTRAINT contract). */
+  def addConstraint(spark: SparkSession, tablePath: String,
+      name: String, exprSql: String): Long = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name must be an identifier, got $name")
+    if (latestVersion(spark, tablePath) >= 0 &&
+        snapshot(spark, tablePath).nonEmpty) {
+      val bad = violationCounts(read(spark, tablePath), Map(name -> exprSql))
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"addConstraint $name: existing data violates it (${bad.head._2} rows)")
+    }
+    commit(spark, tablePath, Seq.empty, Seq.empty, dataChange = false,
+      constraintsField = Some(constraints(spark, tablePath) + (name -> exprSql)))
+  }
+
+  def dropConstraint(spark: SparkSession, tablePath: String,
+      name: String): Long =
+    commit(spark, tablePath, Seq.empty, Seq.empty, dataChange = false,
+      constraintsField = Some(constraints(spark, tablePath) - name))
+
+  /** (name, violating-row count) for constraints with any violation —
+    * ONE aggregate over one scan computes every rule (the [[Quality]]
+    * indicator shape). SQL CHECK semantics: only FALSE violates, NULL
+    * passes. */
+  private def violationCounts(df: DataFrame, cs: Constraints): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.{expr, lit, sum, when}
+    val names = cs.keys.toSeq.sorted
+    val aggs = names.map(n =>
+      sum(when(expr(cs(n)) === lit(false), 1L).otherwise(0L)).as(n))
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    names.flatMap { n => // null sum = zero rows staged: nothing violates
+      Option(row.getAs[Any](n)).map(_.asInstanceOf[Long]).filter(_ > 0).map(n -> _)
+    }
+  }
+
+  /** DataFrameReader honoring the declared schema when one exists
+    * (nullability relaxed: absent columns in pre-evolution files must
+    * materialize as NULL, not fail). */
+  private def readerFor(spark: SparkSession, tablePath: String,
+      asOf: Option[Long] = None) =
+    tableSchema(spark, tablePath, asOf).fold(spark.read)(d =>
+      spark.read.schema(StructType(d.fields.map(_.copy(nullable = true)))))
+
   /** Snapshot read WITH data skipping: resolve the version's file set,
     * then drop every file whose logged zone provably excludes
     * [lo, hi] on `column` — no listing, no footer reads for pruned
@@ -360,7 +495,7 @@ object CommitLog {
     val files = snapshot(spark, tablePath, asOf)
     require(files.nonEmpty,
       s"no live files in $tablePath" + asOf.fold("")(v => s" at version $v"))
-    spark.read.parquet(files.map(f => s"$tablePath/$f"): _*)
+    readerFor(spark, tablePath, asOf).parquet(files.map(f => s"$tablePath/$f"): _*)
   }
 
   /** Stage `df` as new immutable data files and publish them in one
@@ -452,7 +587,9 @@ object CommitLog {
         else Seq("insert" -> extractArr(line, "adds"),
                  "delete" -> extractArr(line, "removes"))
           .collect { case (kind, files) if files.nonEmpty =>
-            spark.read.parquet(files.map(f => s"$tablePath/$f"): _*)
+            // declared-schema read keeps slices uniform across a
+            // schema evolution (pre-evolution files null-fill)
+            readerFor(spark, tablePath).parquet(files.map(f => s"$tablePath/$f"): _*)
               .withColumn("_change_type", lit(kind))
               .withColumn("_commit_version", lit(v))
           }
@@ -580,11 +717,19 @@ object CommitLog {
       if (horizonStats.isEmpty) "" else s""","stats":${jstats(horizonStats)}"""
     val bloomField =
       if (horizonBlooms.isEmpty) "" else s""","blooms":${jblooms(horizonBlooms)}"""
+    // schema/constraints declared at or before the horizon ride the
+    // checkpoint too — truncated commits may have been their only
+    // carriers, and the table's gate must survive retention
+    val schemaField = tableSchema(spark, tablePath, Some(keepFrom))
+      .fold("")(s => s""","schemaB64":"${b64(s.json)}"""")
+    val horizonCons = constraints(spark, tablePath, Some(keepFrom))
+    val consField =
+      if (horizonCons.isEmpty) "" else s""","constraints":${jconstraints(horizonCons)}"""
     val log = new Path(tablePath, LogDir)
     val cp = new Path(log, f"$keepFrom%08d.json")
     val out = fs.create(cp, true)
     try out.write(
-      s"""{"version":$keepFrom,"adds":${jarr(horizonState)},"removes":[]$statsField$bloomField,"checkpoint":true}"""
+      s"""{"version":$keepFrom,"adds":${jarr(horizonState)},"removes":[]$statsField$bloomField$schemaField$consField,"checkpoint":true}"""
         .getBytes("UTF-8"))
     finally out.close()
     val dataDir = new Path(tablePath, DataDir)
@@ -613,9 +758,44 @@ object CommitLog {
       mBits: Int = 1 << 16, k: Int = 5): (Seq[String], FileStats, FileBlooms) = {
     val root = new Path(tablePath)
     val fs = fsOf(spark, root)
+    // schema gate BEFORE any work: staged columns must be a subset of
+    // the declared schema with identical types (absent columns are
+    // fine — the reader null-fills them from the declared schema)
+    val declared = tableSchema(spark, tablePath)
+    declared.foreach { d =>
+      val decl = d.fields.map(f => f.name -> f.dataType).toMap
+      df.schema.fields.foreach { f =>
+        decl.get(f.name) match {
+          case None => throw new IllegalArgumentException(
+            s"schema enforcement: $tablePath declares no column ${f.name} " +
+            "(evolveSchema to add it)")
+          case Some(dt) if dt != f.dataType => throw new IllegalArgumentException(
+            s"schema enforcement: ${f.name} is declared ${dt.catalogString}, " +
+            s"staged ${f.dataType.catalogString}")
+          case _ => ()
+        }
+      }
+    }
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(root, s"_staging_$stamp")
     df.write.mode("overwrite").parquet(tmp.toString)
+    // CHECK-constraint gate over the STAGED files (input computed
+    // once; columnar re-read is cheap): any violation deletes the
+    // staging dir and refuses the whole write — nothing was committed,
+    // so readers never see a partially-validated batch
+    val cs = constraints(spark, tablePath)
+    if (cs.nonEmpty) {
+      val staged = declared.fold(spark.read)(d =>
+        spark.read.schema(StructType(d.fields.map(_.copy(nullable = true)))))
+        .parquet(tmp.toString)
+      val bad = violationCounts(staged, cs)
+      if (bad.nonEmpty) {
+        fs.delete(tmp, true)
+        throw new IllegalArgumentException(
+          s"constraint violation on write to $tablePath — nothing committed: " +
+          bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
+      }
+    }
     var tmpStats: Map[String, Map[String, (Double, Double)]] = Map.empty
     var tmpBlooms: Map[String, Map[String, String]] = Map.empty
     if (statsCols.nonEmpty || bloomCols.nonEmpty) {

@@ -368,6 +368,77 @@ class CommitLogSpec extends SparkSpec {
     } finally { cleanup(src); cleanup(dst) }
   }
 
+  test("declared schema + CHECK constraints gate every write at the commit boundary") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.types._
+      CommitLog.declareSchema(spark, t,
+        StructType(Seq(StructField("id", LongType), StructField("v", DoubleType))))
+      CommitLog.append(spark, t, Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+
+      // undeclared column / retyped column: the WHOLE write refused
+      intercept[IllegalArgumentException] {
+        CommitLog.append(spark, t, Seq((3L, 3.0, "x")).toDF("id", "v", "w"))
+      }
+      intercept[IllegalArgumentException] {
+        CommitLog.append(spark, t, Seq(("3", 3.0)).toDF("id", "v"))
+      }
+      assert(CommitLog.read(spark, t).count() === 2, "refused writes left no rows")
+
+      // a constraint existing data violates is refused at ADD time
+      intercept[IllegalArgumentException] {
+        CommitLog.addConstraint(spark, t, "v_big", "v >= 10")
+      }
+      CommitLog.addConstraint(spark, t, "v_nonneg", "v >= 0")
+      val vBefore = CommitLog.latestVersion(spark, t)
+      intercept[IllegalArgumentException] {
+        CommitLog.append(spark, t, Seq((4L, -1.0)).toDF("id", "v"))
+      }
+      assert(CommitLog.latestVersion(spark, t) === vBefore, "refusal committed nothing")
+      assert(CommitLog.read(spark, t).count() === 2)
+
+      // SQL CHECK semantics: NULL passes, only FALSE violates
+      CommitLog.append(spark, t, Seq((5L, Option.empty[Double])).toDF("id", "v"))
+      assert(CommitLog.read(spark, t).count() === 3)
+
+      CommitLog.dropConstraint(spark, t, "v_nonneg")
+      CommitLog.append(spark, t, Seq((6L, -1.0)).toDF("id", "v"))
+      assert(CommitLog.read(spark, t).count() === 4)
+
+      // evolution: new column lands, pre-evolution rows null-fill, and
+      // declared fields are protected from retype/drop
+      CommitLog.evolveSchema(spark, t, StructType(Seq(
+        StructField("id", LongType), StructField("v", DoubleType),
+        StructField("lang", StringType))))
+      intercept[IllegalArgumentException] { // dropping v
+        CommitLog.evolveSchema(spark, t, StructType(Seq(
+          StructField("id", LongType), StructField("lang", StringType))))
+      }
+      CommitLog.append(spark, t, Seq((7L, 1.0, "en")).toDF("id", "v", "lang"))
+      val r = CommitLog.read(spark, t)
+      assert(r.filter(col("id") === 7L).head.getString(2) === "en")
+      assert(r.filter(col("id") === 1L).head.isNullAt(2), "pre-evolution rows null-fill")
+      // subset writes stay legal after evolution (reader fills NULLs)
+      CommitLog.append(spark, t, Seq((8L, 2.0)).toDF("id", "v"))
+      assert(CommitLog.read(spark, t).filter(col("id") === 8L).head.isNullAt(2))
+
+      // metadata commits are invisible to the change feed
+      assert(CommitLog.readChanges(spark, t, -1L)
+        .filter(col("_change_type") === "insert").count() === 6)
+
+      // vacuum's checkpoint carries the whole gate forward
+      CommitLog.addConstraint(spark, t, "id_pos", "id > 0")
+      CommitLog.vacuum(spark, t, keepFrom = CommitLog.latestVersion(spark, t))
+      assert(CommitLog.constraints(spark, t) === Map("id_pos" -> "id > 0"))
+      assert(CommitLog.tableSchema(spark, t).map(_.fieldNames.toSeq) ===
+        Some(Seq("id", "v", "lang")))
+      intercept[IllegalArgumentException] {
+        CommitLog.append(spark, t, Seq((-1L, 1.0)).toDF("id", "v"))
+      }
+    } finally cleanup(t)
+  }
+
   test("vacuum after plain appends checkpoints the horizon (no vanishing files)") {
     val t = tempTable()
     try {
