@@ -439,6 +439,51 @@ class CommitLogSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("streaming sink meets the table gate: violating batch fails atomically, retry exactly-once") {
+    val t = tempTable()
+    val dir = java.nio.file.Files.createTempDirectory("graft_gatestream_").toString
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.types._
+      CommitLog.declareSchema(spark, t, StructType(Seq(
+        StructField("doc_id", LongType), StructField("score", DoubleType))))
+      CommitLog.addConstraint(spark, t, "score_unit", "score >= 0 AND score <= 1")
+
+      def run() = graft.streaming.IncrementalIngest.commitLogWriter(
+        spark.readStream.schema("doc_id LONG, score DOUBLE")
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/feed"),
+        t, s"$dir/ckpt").start()
+
+      Seq((0L, 0.5), (1L, 0.9)).toDF("doc_id", "score").coalesce(1)
+        .write.parquet(s"$dir/feed")
+      run().awaitTermination(120000)
+      assert(CommitLog.read(spark, t).count() === 2)
+
+      // a poison micro-batch: one good row, one violating row — the
+      // sink must refuse the WHOLE batch and fail the query before the
+      // engine commits its offset
+      Seq((2L, 0.7), (3L, 1.5)).toDF("doc_id", "score").coalesce(1)
+        .write.mode("append").parquet(s"$dir/feed")
+      val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        run().awaitTermination(120000)
+      }
+      val causes = Iterator.iterate(failed: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(causes.contains("constraint violation"), s"unexpected failure: $causes")
+      assert(CommitLog.read(spark, t).count() === 2,
+        "the good row of a refused batch must not land either")
+
+      // the operator lifts the gate; restart from the SAME checkpoint
+      // replays the refused batch — it lands exactly once
+      CommitLog.dropConstraint(spark, t, "score_unit")
+      run().awaitTermination(120000)
+      val rows = CommitLog.read(spark, t)
+      assert(rows.count() === 4)
+      assert(rows.groupBy("doc_id").count()
+        .filter(col("count") > 1).count() === 0, "a doc_id landed twice")
+    } finally { cleanup(t); cleanup(dir) }
+  }
+
   test("vacuum after plain appends checkpoints the horizon (no vanishing files)") {
     val t = tempTable()
     try {
