@@ -434,7 +434,10 @@ object CommitLog {
     val pred = org.apache.spark.sql.functions.col(column) >= lo &&
       org.apache.spark.sql.functions.col(column) <= hi
     if (files.isEmpty) read(spark, tablePath, asOf).filter(org.apache.spark.sql.functions.lit(false))
-    else spark.read.parquet(files.map(f => s"$tablePath/$f"): _*).filter(pred)
+    // declared-schema read: a post-evolution scan over mixed-schema
+    // survivors must null-fill, exactly like [[read]]
+    else readerFor(spark, tablePath, asOf)
+      .parquet(files.map(f => s"$tablePath/$f"): _*).filter(pred)
   }
 
   /** Append publishing per-file zone maps for `statsCols` in the same
@@ -483,7 +486,8 @@ object CommitLog {
       }
     }
     if (files.isEmpty) read(spark, tablePath, asOf).filter(lit(false))
-    else spark.read.parquet(files.map(f => s"$tablePath/$f"): _*)
+    else readerFor(spark, tablePath, asOf)
+      .parquet(files.map(f => s"$tablePath/$f"): _*)
       .filter(col(column) === lit(value))
   }
 
