@@ -470,10 +470,12 @@ object Queries {
     "mm_gif_meta" -> (Multimodal.gifMeta _),
     "mm_audio_meta" -> (Multimodal.audioMeta _),
     "mm_pixel_stats" -> (Multimodal.pixelStats _),
+    "mm_png_pixels" -> (Multimodal.pngPixels _),
     "text_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
     "text_clean" -> ((s: SparkSession, d: String) => TextAnalysis.clean(s, d)),
     "dedup_paragraphs" -> ((s: SparkSession, d: String) => Dedup.paragraphDedup(s, d)),
     "dedup_paragraph_flags" -> ((s: SparkSession, d: String) => Dedup.paragraphFlags(s, d)),
+    "dedup_substrings" -> ((s: SparkSession, d: String) => Dedup.substringDedup(s, d)),
     "text_html_extract" -> (Html.htmlExtract _),
     "text_html_links" -> (Html.htmlLinks _),
     "pipeline_domain_blocklist" -> (Html.domainBlocklist _),
@@ -920,6 +922,25 @@ object Queries {
       "CASE WHEN doc_id % 83 = 0 THEN NULL ELSE CAST(2 * (1 + doc_id % 3) * (1 + doc_id % 4) AS BIGINT) END AS n_pixels " +
       "FROM documents ORDER BY doc_id"
     },
+    // compressed-pixel twin: the encoder writes pixel (x,y) channels
+    // from doc_id arithmetic (PngEncode scaladoc), so the oracle
+    // recomputes the exact channel sums per doc — certifying the whole
+    // inflate + five-filter unfilter + IDAT-concat path byte-exactly
+    "mm_png_pixels" ->
+      ("WITH d AS (SELECT doc_id, 2 + doc_id % 5 AS w, 5 + doc_id % 4 AS h FROM documents), " +
+       "px AS (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM d WHERE doc_id % 103 <> 0), " +
+       "s AS (SELECT doc_id, " +
+       "sum((doc_id + 3 * (i % w) + 7 * (i // w)) % 256) AS sr, " +
+       "sum((2 * doc_id + 5 * (i % w) + (i // w)) % 256) AS sg, " +
+       "sum((3 * doc_id + (i % w) + 11 * (i // w)) % 256) AS sb " +
+       "FROM px GROUP BY doc_id) " +
+       "SELECT d.doc_id, " +
+       "CASE WHEN d.doc_id % 103 = 0 THEN NULL ELSE CAST(d.w AS INTEGER) END AS width, " +
+       "CASE WHEN d.doc_id % 103 = 0 THEN NULL ELSE CAST(d.h AS INTEGER) END AS height, " +
+       "CAST(s.sr AS BIGINT) AS sum_r, CAST(s.sg AS BIGINT) AS sum_g, " +
+       "CAST(s.sb AS BIGINT) AS sum_b, " +
+       "CASE WHEN d.doc_id % 103 = 0 THEN NULL ELSE CAST(d.w * d.h AS BIGINT) END AS n_pixels " +
+       "FROM d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"),
     // the sampler's keep decision is a pure function of doc_id (md5
     // uniform), so the oracle reproduces the EXACT sample — the whole
     // point of the deterministic form (sampleBy's RNG has no SQL twin)
@@ -957,6 +978,18 @@ object Queries {
        "SELECT para_fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences, " +
        "min(doc_id) AS min_doc_id FROM c GROUP BY para_fp " +
        "HAVING count(DISTINCT doc_id) > 1 ORDER BY para_fp"),
+    "dedup_substrings" ->
+      (s"WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents), " +
+       "p AS (SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 19, 0))) AS pos FROM t), " +
+       "g AS (SELECT doc_id, pos, md5(array_to_string(tk[pos+1 : pos+20], ' ')) AS fp FROM p), " +
+       "m AS (SELECT doc_id, pos FROM g WHERE fp IN " +
+       "(SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) > 1)), " +
+       "r AS (SELECT doc_id, pos, pos - row_number() OVER " +
+       "(PARTITION BY doc_id ORDER BY pos) AS island FROM m) " +
+       "SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos, " +
+       "CAST(max(pos) + 19 AS BIGINT) AS end_pos, " +
+       "CAST(max(pos) - min(pos) + 20 AS BIGINT) AS span_tokens " +
+       "FROM r GROUP BY doc_id, island ORDER BY doc_id, start_pos"),
     "dedup_paragraph_flags" ->
       (s"WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents), " +
        "c AS (SELECT doc_id, unnest(list_transform(range(1, 1 + CAST(ceil(len(tk) / 20.0) AS INTEGER)), " +

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
 
 /** A minimal commit-log table format over raw parquet — the metadata
   * layer that turns a directory of files into a TABLE with atomic
@@ -68,7 +68,8 @@ object CommitLog {
     }.mkString("{", ",", "}")
 
   /** Per-file Bloom filters carried IN the commit (file -> column ->
-    * "m:k:base64(bitset)") — the point-predicate complement of
+    * "k:base64(bitset)"; the bit count m is recovered from the decoded
+    * bitset length, so it is not encoded) — the point-predicate complement of
     * [[FileStats]]: zone maps prune ranges on clustered columns, blooms
     * prune equality probes on high-cardinality UNCLUSTERED keys where
     * every file's [min, max] spans the domain. */
@@ -146,6 +147,7 @@ object CommitLog {
       if (won) claimed = v
       else v += 1 // lost the race; rewrite the body with the new number
     }
+    maybeCheckpoint(spark, tablePath, claimed)
     claimed
   }
 
@@ -200,20 +202,21 @@ object CommitLog {
       .flatMap(n => scala.util.Try(n.toLong).toOption).sorted
   }
 
-  /** The live file set at `asOf` (default: latest): replay the log's
-    * add/remove actions in version order. Paths relative to root. */
+  /** The live file set at `asOf` (default: latest): start from the
+    * newest parquet checkpoint at or below it (when one exists) and
+    * replay only the JSON tail after it — O(checkpoint + tail), not
+    * O(versions). Paths relative to root. */
   def snapshot(spark: SparkSession, tablePath: String,
       asOf: Option[Long] = None): Seq[String] = {
-    val log = new Path(tablePath, LogDir)
-    val fs = fsOf(spark, log)
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val cp = bestCheckpoint(spark, tablePath, asOf)
+    cp.foreach { c =>
+      live ++= readCheckpointRows(spark, tablePath, c).map(_._1)
+    }
     versions(spark, tablePath)
-      .filter(v => asOf.forall(v <= _))
+      .filter(v => cp.forall(v > _) && asOf.forall(v <= _))
       .foreach { v =>
-        val p = new Path(log, f"$v%08d.json")
-        val in = fs.open(p)
-        val line = try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+        val line = commitLine(spark, tablePath, v)
         live ++= extractArr(line, "adds")
         live --= extractArr(line, "removes")
       }
@@ -234,20 +237,20 @@ object CommitLog {
 
   /** Zone maps replayed from the log: a file's stats ride the commit
     * that ADDED it (controlled format — see [[jstats]]); files
-    * committed without stats simply never prune. */
+    * committed without stats simply never prune. Served from the
+    * newest parquet checkpoint + JSON tail, like [[snapshot]]. */
   def fileStats(spark: SparkSession, tablePath: String,
       asOf: Option[Long] = None): FileStats = {
-    val log = new Path(tablePath, LogDir)
-    val fs = fsOf(spark, log)
     val acc = scala.collection.mutable.Map.empty[String, Map[String, (Double, Double)]]
-    versions(spark, tablePath)
-      .filter(v => asOf.forall(v <= _))
-      .foreach { v =>
-        val in = fs.open(new Path(log, f"$v%08d.json"))
-        val line = try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
-        acc ++= extractStats(line)
+    val cp = bestCheckpoint(spark, tablePath, asOf)
+    cp.foreach { c =>
+      readCheckpointRows(spark, tablePath, c).foreach { case (f, st, _) =>
+        if (st.nonEmpty) acc += f -> parseStatsCols(st)
       }
+    }
+    versions(spark, tablePath)
+      .filter(v => cp.forall(v > _) && asOf.forall(v <= _))
+      .foreach(v => acc ++= extractStats(commitLine(spark, tablePath, v)))
     acc.toMap
   }
 
@@ -300,10 +303,157 @@ object CommitLog {
   def fileBlooms(spark: SparkSession, tablePath: String,
       asOf: Option[Long] = None): FileBlooms = {
     val acc = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    val cp = bestCheckpoint(spark, tablePath, asOf)
+    cp.foreach { c =>
+      readCheckpointRows(spark, tablePath, c).foreach { case (f, _, bl) =>
+        if (bl.nonEmpty) acc += f -> parseBloomCols(bl)
+      }
+    }
     versions(spark, tablePath)
-      .filter(v => asOf.forall(v <= _))
+      .filter(v => cp.forall(v > _) && asOf.forall(v <= _))
       .foreach(v => acc ++= extractBlooms(commitLine(spark, tablePath, v)))
     acc.toMap
+  }
+
+  // ---- periodic parquet checkpoints (the Delta _last_checkpoint
+  // design): every `checkpointInterval` commits the writer persists
+  // the RESOLVED table state — one parquet row per live file carrying
+  // that file's stats/blooms — plus a `_last_checkpoint` pointer.
+  // Snapshot/stats/bloom resolution then reads checkpoint + JSON tail
+  // instead of replaying O(versions) commits, and the payload is
+  // columnar rows (never one driver-sized JSON string: a 100k-file
+  // table's blooms are ~GBs — exactly what must not be a single
+  // string). The checkpoint is built INCREMENTALLY: previous
+  // checkpoint (parquet domain) minus the tail's removes plus the
+  // tail's adds — only the bounded tail's metadata is ever
+  // driver-resident. ----
+
+  /** Commits between periodic checkpoints; configurable via
+    * `spark.graft.commitlog.checkpointInterval` (<= 0 disables). */
+  private def checkpointInterval(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.commitlog.checkpointInterval")
+      .map(_.toInt).getOrElse(20)
+
+  private def cpDirName(v: Long) = f"cp-$v%08d.parquet"
+  private val cpNameRe = """cp-(\d+)\.parquet""".r
+
+  /** Parquet checkpoint versions present, ascending. Discovery is by
+    * listing (correct even if the `_last_checkpoint` pointer write was
+    * lost); the pointer is the O(1) fast path for the latest. */
+  def checkpointVersions(spark: SparkSession, tablePath: String): Seq[Long] = {
+    val log = new Path(tablePath, LogDir)
+    val fs = fsOf(spark, log)
+    if (!fs.exists(log)) Seq.empty
+    else fs.listStatus(log).map(_.getPath.getName).toSeq.collect {
+      case cpNameRe(d) => d.toLong
+    }.sorted
+  }
+
+  /** The newest checkpoint at or below `asOf` (latest when None). */
+  private def bestCheckpoint(spark: SparkSession, tablePath: String,
+      asOf: Option[Long]): Option[Long] =
+    checkpointVersions(spark, tablePath).filter(v => asOf.forall(v <= _)).lastOption
+
+  /** The `_last_checkpoint` pointer, when present and readable. */
+  def lastCheckpointPointer(spark: SparkSession, tablePath: String): Option[Long] = {
+    val p = new Path(new Path(tablePath, LogDir), "_last_checkpoint")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val in = fs.open(p)
+      val s = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      val i = s.indexOf("\"version\":")
+      s.drop(i + 10).takeWhile(_.isDigit).toLong
+    }.toOption
+  }
+
+  /** Checkpoint rows (file, statsBody, bloomsBody) — bodies in the
+    * same inner format the JSON commits use ("" = none), parsed
+    * per-file with the existing regexes. */
+  private def readCheckpointRows(spark: SparkSession, tablePath: String,
+      v: Long): Seq[(String, String, String)] = {
+    val dir = new Path(new Path(tablePath, LogDir), cpDirName(v))
+    spark.read.parquet(dir.toString)
+      .select("file", "stats", "blooms")
+      .collect()
+      .toSeq
+      .map(r => (r.getString(0),
+        Option(r.getString(1)).getOrElse(""),
+        Option(r.getString(2)).getOrElse("")))
+  }
+
+  private def parseStatsCols(body: String): Map[String, (Double, Double)] =
+    statsColRe.findAllMatchIn(body).map { cm =>
+      cm.group(1) -> (cm.group(2).toDouble, cm.group(3).toDouble)
+    }.toMap
+
+  private def parseBloomCols(body: String): Map[String, String] =
+    bloomColRe.findAllMatchIn(body).map(cm => cm.group(1) -> cm.group(2)).toMap
+
+  private def statsBodyOf(cols: Map[String, (Double, Double)]): String =
+    cols.map { case (c, (lo, hi)) => "\"" + esc(c) + s"""":[$lo,$hi]""" }.mkString(",")
+
+  private def bloomsBodyOf(cols: Map[String, String]): String =
+    cols.map { case (c, enc) => "\"" + esc(c) + "\":\"" + enc + "\"" }.mkString(",")
+
+  /** Persist the resolved state at version `v` as a parquet
+    * checkpoint. Incremental: previous checkpoint rows stay in the
+    * parquet domain (anti-joined against the tail's removes); only the
+    * tail commits — bounded by the checkpoint interval, except after a
+    * full-table overwrite whose removes are naturally file-count-sized
+    * name lists — are parsed on the driver. Crash-safe: written to a
+    * temp dir, renamed into place (readers discover only complete
+    * checkpoints), pointer updated last. */
+  def writeCheckpoint(spark: SparkSession, tablePath: String, v: Long): Unit = {
+    import spark.implicits._
+    val log = new Path(tablePath, LogDir)
+    val fs = fsOf(spark, log)
+    val prev = bestCheckpoint(spark, tablePath, Some(v)).filter(_ < v)
+    val tailVs = versions(spark, tablePath)
+      .filter(x => prev.forall(x > _) && x <= v)
+    val tailLines = tailVs.map(x => commitLine(spark, tablePath, x))
+    val removed = tailLines.flatMap(l => extractArr(l, "removes")).toSet
+    // adds can't reappear after a remove (every staged file has a
+    // fresh uuid name), so set semantics are exact here
+    val tailAdds: Seq[(String, String, String)] = tailLines.flatMap { l =>
+      val st = extractStats(l)
+      val bl = extractBlooms(l)
+      extractArr(l, "adds").map { f =>
+        (f, st.get(f).map(statsBodyOf).getOrElse(""),
+          bl.get(f).map(bloomsBodyOf).getOrElse(""))
+      }
+    }.filterNot(r => removed.contains(r._1))
+    val tailDF = tailAdds.toDF("file", "stats", "blooms")
+    val out = prev match {
+      case None => tailDF
+      case Some(c) =>
+        val base = spark.read.parquet(new Path(log, cpDirName(c)).toString)
+          .select("file", "stats", "blooms")
+        val removesDF = removed.toSeq.toDF("file")
+        base.join(removesDF, Seq("file"), "left_anti").unionByName(tailDF)
+    }
+    val tmp = new Path(log, s".cptmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    out.write.mode("overwrite").parquet(tmp.toString)
+    val dst = new Path(log, cpDirName(v))
+    if (!fs.exists(dst) && fs.rename(tmp, dst)) {
+      val lp = fs.create(new Path(log, "_last_checkpoint"), true)
+      try lp.write(s"""{"version":$v}""".getBytes("UTF-8")) finally lp.close()
+    } else {
+      fs.delete(tmp, true) // lost a race to a concurrent checkpointer
+      ()
+    }
+  }
+
+  /** Post-commit hook: checkpoint on the cadence. Best-effort — a
+    * failed checkpoint only means a longer JSON replay, never a failed
+    * commit (the commit entry is already durable). */
+  private def maybeCheckpoint(spark: SparkSession, tablePath: String,
+      v: Long): Unit = {
+    val n = checkpointInterval(spark)
+    if (n > 0 && v > 0 && v % n == 0)
+      scala.util.Try(writeCheckpoint(spark, tablePath, v))
+    ()
   }
 
   // ---- declared schema + CHECK constraints (table-boundary gate) ----
@@ -401,7 +551,7 @@ object CommitLog {
     val names = cs.keys.toSeq.sorted
     val aggs = names.map(n =>
       sum(when(expr(cs(n)) === lit(false), 1L).otherwise(0L)).as(n))
-    val row = df.agg(aggs.head, aggs.tail: _*).head
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
     names.flatMap { n => // null sum = zero rows staged: nothing violates
       Option(row.getAs[Any](n)).map(_.asInstanceOf[Long]).filter(_ > 0).map(n -> _)
     }
@@ -474,15 +624,36 @@ object CommitLog {
       value: Any, asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val blooms = fileBlooms(spark, tablePath, asOf)
-    val h = graft.plans.BloomAggregate.hashOf(value)
+    // The stored filter hashed the COLUMN through xxhash64, i.e. with
+    // the column's declared type's bit width — an Int probe against a
+    // bigint column (or Long against int) hashes differently and would
+    // prune files that DO match after the filter's implicit cast. Cast
+    // the probe to the column's type before hashing; when the type
+    // can't be resolved or the cast is lossy, skip bloom pruning for
+    // that shape entirely (conservative — identical results, no skip).
+    val colType = tableSchema(spark, tablePath, asOf)
+      .flatMap(_.fields.find(_.name == column).map(_.dataType))
+      .orElse(snapshot(spark, tablePath, asOf).headOption.flatMap { f =>
+        spark.read.parquet(s"$tablePath/$f")
+          .schema.fields.find(_.name == column).map(_.dataType) })
+    val probe: Option[Any] = (colType, value) match {
+      case (Some(LongType), i: Int) => Some(i.toLong)
+      case (Some(LongType), l: Long) => Some(l)
+      case (Some(IntegerType), l: Long) =>
+        if (l.isValidInt) Some(l.toInt) else None // can still match via cast; don't prune
+      case (Some(IntegerType), i: Int) => Some(i)
+      case (Some(StringType), s: String) => Some(s)
+      case _ => None // unknown/mismatched type: no pruning, filter decides
+    }
+    val hOpt = probe.map(graft.plans.BloomAggregate.hashOf)
     val files = snapshot(spark, tablePath, asOf).filter { f =>
-      blooms.get(f).flatMap(_.get(column)) match {
-        case Some(enc) =>
+      (hOpt, blooms.get(f).flatMap(_.get(column))) match {
+        case (Some(h), Some(enc)) =>
           val Array(kStr, b64) = enc.split(":", 2)
           graft.plans.BloomAggregate.mightContain(
             graft.plans.BloomAggregate.wordsOf(
               java.util.Base64.getDecoder.decode(b64)), h, kStr.toInt)
-        case None => true
+        case _ => true
       }
     }
     if (files.isEmpty) read(spark, tablePath, asOf).filter(lit(false))
@@ -516,6 +687,63 @@ object CommitLog {
     val old = snapshot(spark, tablePath)
     commit(spark, tablePath, stage(spark, tablePath, df), old,
       dataChange = dataChange)
+  }
+
+  /** Targeted range replacement — Delta's `replaceWhere` for one
+    * numeric column, the day-partition rewrite shape: ONE commit adds
+    * df's staged files (zone maps on `column` included) and removes
+    * every live file whose logged [min, max] lies wholly inside
+    * [lo, hi]. Files that STRADDLE the boundary — and files with no
+    * logged stats for `column`, whose extent is unknown — are read,
+    * their out-of-range survivors re-staged, and the originals
+    * removed in the same commit, so the result is exact on ANY file
+    * layout (a range-managed table writes range-aligned files and
+    * never pays this; the rewrite is the safety net). Readers see the
+    * old day or the new day, never a mixture, and a crash before the
+    * commit leaves only invisible staging orphans.
+    *
+    * `batchId` makes the transaction exactly-once: a re-run that
+    * finds its batchId already in the ledger stages nothing and
+    * returns None — the ArchiveJob crash-between-write-and-watermark
+    * contract (S14/S15) as a log guarantee instead of directory
+    * choreography. The staged frame must itself lie inside [lo, hi]
+    * (checked against its computed zones; violation throws, nothing
+    * commits). */
+  def replaceRange(spark: SparkSession, tablePath: String, df: DataFrame,
+      column: String, lo: Double, hi: Double,
+      batchId: Option[Long] = None): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (batchId.exists(committedBatchIds(spark, tablePath).contains)) return None
+    val live = snapshot(spark, tablePath)
+    val zones = fileStats(spark, tablePath)
+    def extent(f: String) = zones.get(f).flatMap(_.get(column))
+    val inside = live.filter(extent(_).exists { case (mn, mx) => mn >= lo && mx <= hi })
+    val straddling = live.filter { f =>
+      extent(f) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi && !(mn >= lo && mx <= hi)
+        case None => true // unknown extent: must be rewritten to be safe
+      }
+    }
+    val (survFiles, survStats) =
+      if (straddling.isEmpty) (Seq.empty[String], Map.empty: FileStats)
+      else {
+        val surv = readerFor(spark, tablePath, None)
+          .parquet(straddling.map(f => s"$tablePath/$f"): _*)
+          .filter(col(column) < lit(lo) || col(column) > lit(hi))
+        val (fs0, st0, _) = stageWithMeta(spark, tablePath, surv, Seq(column), Seq.empty)
+        (fs0, st0)
+      }
+    val (newFiles, newStats, _) =
+      stageWithMeta(spark, tablePath, df, Seq(column), Seq.empty)
+    newStats.foreach { case (f, cols) =>
+      cols.get(column).foreach { case (mn, mx) =>
+        require(mn >= lo && mx <= hi,
+          s"replaceRange: staged file $f carries $column in [$mn, $mx], " +
+          s"outside the declared range [$lo, $hi] — nothing committed")
+      }
+    }
+    Some(commit(spark, tablePath, newFiles ++ survFiles, inside ++ straddling,
+      batchId, stats = newStats ++ survStats))
   }
 
   /** Atomic compaction: bin-pack the live set into `targetFiles` and
@@ -582,6 +810,22 @@ object CommitLog {
       sinceVersion: Long, untilVersion: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val hi = untilVersion.getOrElse(latestVersion(spark, tablePath))
+    // Completeness gate (Delta CDF behavior): once vacuum has rewritten
+    // the retention horizon as a checkpoint, the changes BEFORE it are
+    // gone — its line summarizes cumulative state, not churn. A
+    // consumer asking to start below that horizon (including a fresh
+    // syncIncremental/maintainAggregate consumer, from = -1) would get
+    // a silently-incomplete feed and then permanently record the gap in
+    // its batchId ledger. Fail loudly instead.
+    versions(spark, tablePath).headOption.foreach { oldest =>
+      if (sinceVersion < oldest &&
+          commitLine(spark, tablePath, oldest).contains("\"checkpoint\":true"))
+        throw new IllegalStateException(
+          s"change feed from version $sinceVersion is no longer available: " +
+          s"$tablePath was vacuumed and version $oldest is now a checkpoint " +
+          "(cumulative state, not churn). Re-seed the consumer from a full " +
+          s"snapshot (read at version $oldest) and continue from there.")
+    }
     val slices = versions(spark, tablePath)
       .filter(v => v > sinceVersion && v <= hi)
       .flatMap { v =>
@@ -729,11 +973,26 @@ object CommitLog {
     val horizonCons = constraints(spark, tablePath, Some(keepFrom))
     val consField =
       if (horizonCons.isEmpty) "" else s""","constraints":${jconstraints(horizonCons)}"""
+    // the keepFrom commit is the ONE retained entry being rewritten:
+    // if it was a streaming batch, its batchId must survive into the
+    // checkpoint line or a replay inside the engine's horizon would no
+    // longer be recognized by committedBatchIds and land twice. (The
+    // TRUNCATED commits' batchIds are still dropped — that is the
+    // documented retention-vs-replay-horizon contract above.)
+    val keepFromLine = commitLine(spark, tablePath, keepFrom)
+    val batchField = {
+      val i = keepFromLine.indexOf("\"batchId\":")
+      if (i < 0) ""
+      else {
+        val rest = keepFromLine.drop(i + 10).takeWhile(c => c.isDigit || c == '-')
+        s""","batchId":$rest"""
+      }
+    }
     val log = new Path(tablePath, LogDir)
     val cp = new Path(log, f"$keepFrom%08d.json")
     val out = fs.create(cp, true)
     try out.write(
-      s"""{"version":$keepFrom,"adds":${jarr(horizonState)},"removes":[]$statsField$bloomField$schemaField$consField,"checkpoint":true}"""
+      s"""{"version":$keepFrom,"adds":${jarr(horizonState)},"removes":[]$statsField$bloomField$schemaField$consField$batchField,"checkpoint":true}"""
         .getBytes("UTF-8"))
     finally out.close()
     val dataDir = new Path(tablePath, DataDir)
@@ -744,6 +1003,16 @@ object CommitLog {
     versions(spark, tablePath).filter(_ < keepFrom).foreach { v =>
       fs.delete(new Path(log, f"$v%08d.json"), false)
     }
+    // parquet checkpoints below the horizon are stale: a snapshot
+    // seeded from one would replay a tail whose remove entries were
+    // just truncated — resurrecting deleted files. Drop them, and a
+    // pointer referring below the horizon with them.
+    checkpointVersions(spark, tablePath).filter(_ < keepFrom).foreach { c =>
+      fs.delete(new Path(log, cpDirName(c)), true)
+    }
+    if (lastCheckpointPointer(spark, tablePath).exists(_ < keepFrom))
+      fs.delete(new Path(log, "_last_checkpoint"), false)
+    ()
   }
 
   /** Write df's files under data/ with a fresh uuid prefix; return the

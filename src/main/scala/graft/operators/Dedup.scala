@@ -652,6 +652,100 @@ object Dedup {
     }
   }
 
+  /** Incremental index maintenance — the dedup twin of
+    * [[Similarity.appendIvfIndexBatch]]: a new batch's token sets and
+    * band rows are APPENDED to the standing index under the SAME band
+    * function ([[bandTableFor]] — the sidecar-frozen-quantizer
+    * discipline; band keys here are pure functions of the token set,
+    * so identity is structural, not trained), and the standing files
+    * are never rewritten. Ingest work is ∝ batch size.
+    *
+    * Exactly-once under replay: the batch's files land with
+    * deterministic names (`ddb<batchId>-<i>.parquet`) after deleting
+    * any earlier (possibly partial) landing of the same batchId — a
+    * crash anywhere in stage/move/commit converges to one copy, same
+    * contract as the IVF append.
+    *
+    * Vocabulary sidecar: the popcount verify tier is only SOUND while
+    * the sidecar covers EVERY corpus token (see [[hybridVerify]]'s
+    * soundness note — corpus-side masks must be complete). The append
+    * therefore extends the sidecar with the batch's tokens when the
+    * union still fits the 64-symbol tier, and DELETES it otherwise —
+    * serving then falls back to the general intersect tier, which is
+    * correct on any vocabulary. */
+  def appendDedupIndexBatch(spark: SparkSession, indexPath: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexPath).getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(new Path(indexPath))
+    val setsDir = new Path(root, "sets")
+    val bandsDir = new Path(root, "bands")
+    val prefix = s"ddb$batchId-"
+    // replay cleanup: drop this batch's earlier landing, if any
+    def dropPrefixed(dir: Path): Unit =
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>
+        if (s.isFile && s.getPath.getName.startsWith(prefix))
+          fs.delete(s.getPath, false)
+        else if (s.isDirectory && s.getPath.getName.startsWith("band_id="))
+          fs.listStatus(s.getPath)
+            .filter(_.getPath.getName.startsWith(prefix))
+            .foreach(f => fs.delete(f.getPath, false))
+      }
+    dropPrefixed(setsDir)
+    dropPrefixed(bandsDir)
+    // stage the batch's sets, then derive its bands from the STAGED
+    // files (writeDedupIndex's one-tokenize-pass discipline: the two
+    // artifacts are consistent by construction)
+    val tmpSets = new Path(root, s"_dd_append_sets_$batchId")
+    val tmpBands = new Path(root, s"_dd_append_bands_$batchId")
+    batch.select(col("doc_id"),
+        array_distinct(transform(tokens(col("text")), t => xxhash64(t))).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .write.mode("overwrite").parquet(tmpSets.toString)
+    val staged = spark.read.parquet(tmpSets.toString)
+    bandTableFor(staged)
+      .write.mode("overwrite").partitionBy("band_id").parquet(tmpBands.toString)
+    // batch vocabulary (bounded probe, same 64-symbol bound as
+    // smallVocab) — read BEFORE the staged files move
+    val batchToks: Option[Array[Long]] = {
+      val d = staged.select(explode(col("toks")).as("tok")).distinct()
+      if (d.limit(65).count() > 64) None
+      else Some(d.collect().map(_.getLong(0)))
+    }
+    def moveFlat(from: Path, into: Path): Unit = {
+      fs.mkdirs(into)
+      fs.listStatus(from).filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.zipWithIndex.foreach { case (f, i) =>
+        require(fs.rename(f.getPath, new Path(into, s"$prefix$i.parquet")),
+          s"rename failed: ${f.getPath}")
+      }
+    }
+    fs.listStatus(tmpBands)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("band_id="))
+      .foreach(d => moveFlat(d.getPath, new Path(bandsDir, d.getPath.getName)))
+    moveFlat(tmpSets, setsDir)
+    fs.delete(tmpSets, true)
+    fs.delete(tmpBands, true)
+    // sidecar maintenance (after the data lands: a crash between the
+    // moves and here leaves a stale-but-droppable sidecar only until
+    // the replay repeats this block)
+    readVocabSidecar(spark, indexPath).foreach { old =>
+      batchToks.map(bt => (old ++ bt).distinct.sorted) match {
+        case Some(u) if u.length <= 64 =>
+          val out = fs.create(new Path(root, "_vocab.json"), true)
+          try out.write(u.mkString("[", ",", "]").getBytes("UTF-8"))
+          finally out.close()
+        case _ =>
+          // vocabulary outgrew the popcount tier: masks would no longer
+          // cover every corpus token, so the tier must retire
+          fs.delete(new Path(root, "_vocab.json"), false)
+          ()
+      }
+    }
+  }
+
   /** The persisted vocabulary tier of a dedup index, when present. */
   private def readVocabSidecar(spark: SparkSession,
       indexPath: String): Option[Array[Long]] = {
@@ -828,6 +922,62 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Stride-1 hashed k-gram table with positions: one row per
+    * (doc, offset) k-token window of the normalized token stream —
+    * the index exact-substring dedup runs on. Same O(len²)-trap
+    * discipline as [[paragraphChunks]]: the token array is a plain
+    * attribute before the per-position slice lambda. */
+  private[graft] def substringGrams(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("tk")) - k),
+          i => struct(i.cast("int").as("pos"),
+            md5(array_join(slice(col("tk"), i + 1, lit(k)), " ")).as("fp")))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.fp").as("fp"))
+
+  /** Maximal cross-document duplicated token spans from a
+    * (checkpointed) gram table: grams shared by >1 doc are merged into
+    * runs of consecutive positions (gaps-and-islands), so a duplicated
+    * span of length L >= k reconstructs exactly as [start, start+L-1].
+    * Pass a checkpointed gram table — dupFp is self-derived, and an
+    * unchecked self-join recomputes the grams twice (the q11/q15
+    * pattern). */
+  private[graft] def substringSpansOf(grams: DataFrame, k: Int): DataFrame = {
+    val dupFp = grams.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(dupFp, Seq("fp"))
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+           (max(col("pos")) + (k - 1)).cast("long").as("end_pos"))
+      .select(col("doc_id"), col("start_pos"), col("end_pos"),
+        (col("end_pos") - col("start_pos") + lit(1L)).as("span_tokens"))
+      .orderBy(col("doc_id"), col("start_pos"))
+  }
+
+  /** Exact substring dedup at ARBITRARY offsets — the output shape of
+    * suffix-array dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"), computed scan-speed relationally:
+    * stride-1 hashed k-grams, cross-doc shared grams, run-merging.
+    * [[paragraphDedup]]'s fixed windows miss a span duplicated at a
+    * shifted offset by construction (the copy straddles two windows and
+    * neither window's hash matches); a stride-1 chain cannot — every
+    * >= k-token duplicated span carries a shared k-gram at EVERY
+    * offset, and the merged run is the maximal span. Linear in corpus
+    * tokens (k× the paragraph table's rows — still one explode + two
+    * hash shuffles + one bounded window, no pairwise work). */
+  def substringDedup(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val grams = pairCache.getOrCompute(spark, s"$dir#sgrams$k") {
+      substringGrams(Tables.documentsParallel(spark, dir), k).localCheckpoint(false)
+    }
+    substringSpansOf(grams, k)
+  }
+
   /** The deduped-corpus view: one row per surviving (canonical)
     * document with its cluster's member count — the output a training
     * pipeline actually ships (dedup_clusters is the assignment table;
@@ -845,10 +995,12 @@ object Dedup {
     * storage blocks. (App shutdown evicts everything automatically.) */
   def evictCorpus(spark: SparkSession, dir: String,
       paragraphKs: Seq[Int] = Seq(20),
-      incrementalThresholds: Seq[Double] = Seq(0.8)): Unit = {
+      incrementalThresholds: Seq[Double] = Seq(0.8),
+      substringKs: Seq[Int] = Seq(20)): Unit = {
     clusterCache.evict(spark, dir)
     batchCountCache.remove(dir)
     paragraphKs.foreach(k => pairCache.evict(spark, s"$dir#paras$k"))
+    substringKs.foreach(k => pairCache.evict(spark, s"$dir#sgrams$k"))
     incrementalThresholds.foreach(t =>
       pairCache.evict(spark, s"$dir#incremental#$t"))
     dedupIndexCache.evict(spark, s"$dir#dedupidx")

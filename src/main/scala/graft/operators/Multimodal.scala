@@ -146,6 +146,14 @@ object Multimodal {
         (id % 101 === 0, encode(text.substr(1, 14), "UTF-8")),
         (id % 101 =!= 0,
          gifBytes(id % 2 === 0, (id % 641 + 9).cast("int"), ((id * 5) % 509 + 7).cast("int"))))
+      case "png" => Seq(
+        (id % 103 === 0, encode(text.substr(1, 18), "UTF-8")),
+        // REAL compressed PNGs (Deflater + CRCs + Adler, plans.PngEncode):
+        // w 2..6, h 5..8 — every doc's height >= 5 forces all five
+        // scanline filters (row y uses filter y%5); every 3rd doc RGBA
+        (id % 103 =!= 0, graft.plans.VectorExpressions.pngEncode(
+          (id % 5 + 2).cast("int"), (id % 4 + 5).cast("int"),
+          id.cast("long"), id % 3 === 0)))
       case "media" =>
         val q = (id / 4).cast("long")
         Seq(
@@ -164,7 +172,7 @@ object Multimodal {
     * synthesis trees run HERE, once, one format-slice per write stage —
     * never fused into a decode query's codegen. */
   def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
-    Seq("img", "audio", "bmp", "media", "gif")
+    Seq("img", "audio", "bmp", "media", "gif", "png")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -341,6 +349,22 @@ object Multimodal {
   def pixelStats(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir, "bmp")
       .select(col("doc_id"), graft.plans.VectorExpressions.bmpStats(col("bmp")).as("s"))
+      .select(col("doc_id"),
+        col("s.width").as("width"), col("s.height").as("height"),
+        col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),
+        col("s.sum_b").as("sum_b"), col("s.n_pixels").as("n_pixels"))
+      .orderBy(col("doc_id"))
+
+  /** COMPRESSED pixel decode (plans.PngStats) over the stored PNG
+    * column: concatenate IDATs → zlib inflate → unfilter all five
+    * scanline predictors → channel sums. The oracle recomputes the
+    * exact sums from the encoder's pixel arithmetic, so one wrong
+    * predictor neighbor, a missed IDAT boundary, or a bad Average
+    * floor changes the sums and fails the round trip. Corrupt rows
+    * (every 103rd doc carries text bytes) decode to NULL. */
+  def pngPixels(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "png")
+      .select(col("doc_id"), graft.plans.VectorExpressions.pngStats(col("png")).as("s"))
       .select(col("doc_id"),
         col("s.width").as("width"), col("s.height").as("height"),
         col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),

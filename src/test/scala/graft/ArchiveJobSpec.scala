@@ -156,6 +156,63 @@ class ArchiveJobSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
   }
 
+  test("commit-log sink: atomic days, crash replay lands nothing, content identical") {
+    import graft.operators.CommitLog
+    val base = fixture()
+    val cfg = base.copy(archivePath = base.archivePath + "_cl", sinkFormat = "commitlog")
+    ArchiveJob.resetState(spark, cfg, None, force = false)
+    val r = ArchiveJob.run(spark, cfg, today = d2.plusDays(1), force = true,
+      perDayCommit = true)
+    assert(r.status === 1 && r.daysWritten === 2)
+    val cl = CommitLog.read(spark, cfg.archivePath)
+    assert(cl.count() === 4 * 288 - 1) // stB's short d2
+
+    // day-level atomicity: each day is ONE commit — at version 0 the
+    // archive holds exactly d1, never a partial d2 (a crash mid-write
+    // leaves only invisible staging orphans, so no intermediate state
+    // between these versions ever existed for a reader)
+    assert(CommitLog.latestVersion(spark, cfg.archivePath) === 1L)
+    assert(CommitLog.read(spark, cfg.archivePath, asOf = Some(0L))
+      .select("day").distinct().collect().map(_.getString(0)).toSeq === Seq("20240301"))
+
+    // crash BETWEEN write and watermark-advance: roll the watermark
+    // back one day and re-run — the reference's write→advance ordering
+    // makes this exactly the replay case. The day's batchId is already
+    // in the ledger, so the re-run lands NO new commit and no
+    // duplicate rows; the watermark still re-advances.
+    val vBefore = CommitLog.latestVersion(spark, cfg.archivePath)
+    Watermark.writeNext(cfg.statePath, d2)
+    val r2 = ArchiveJob.run(spark, cfg, today = d2.plusDays(1), force = true,
+      perDayCommit = true)
+    assert(r2.status === 1)
+    assert(CommitLog.latestVersion(spark, cfg.archivePath) === vBefore,
+      "replayed day landed a duplicate commit")
+    assert(CommitLog.read(spark, cfg.archivePath).count() === 4 * 288 - 1,
+      "replayed day duplicated rows")
+    assert(Watermark.read(cfg.statePath) === Some(d2.plusDays(1)))
+
+    // content identical to the raw parquet sink, column for column
+    val cfgP = fixture()
+    ArchiveJob.resetState(spark, cfgP, None, force = false)
+    ArchiveJob.run(spark, cfgP, today = d2.plusDays(1), force = true)
+    val cols = cl.columns.sorted.map(col(_))
+    val a = spark.read.parquet(cfgP.archivePath).select(cols: _*)
+      .orderBy(col("day"), col("station"), col("dateTime")).collect()
+    val b = CommitLog.read(spark, cfg.archivePath).select(cols: _*)
+      .orderBy(col("day"), col("station"), col("dateTime")).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+
+    // the log's dateTime zone maps prune a day-bounded scan to the
+    // day's own files — the partition-pruning twin the raw sink gets
+    // from hive layout, served here from commit metadata
+    val lo = d1.atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val d1Scan = CommitLog.scanRange(spark, cfg.archivePath, "dateTime",
+      lo.toDouble, (lo + 86399).toDouble)
+    assert(d1Scan.count() === 2 * 288)
+    assert(d1Scan.inputFiles.length < CommitLog.read(spark, cfg.archivePath)
+      .inputFiles.length, "zone maps no longer prune the day scan")
+  }
+
   test("ORC sink carries the identical archive (north-star Parquet/ORC)") {
     val base = fixture()
     val cfg = base.copy(archivePath = base.archivePath + "_orc", sinkFormat = "orc")

@@ -508,6 +508,189 @@ class CommitLogSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("scanEquals probe type is reconciled with the column type before hashing") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      // bigint column, bloomed. An Int probe hashes differently from a
+      // Long under xxhash64 — pre-fix, probing with Int silently pruned
+      // the matching file (false definitive-no). Now the probe is cast
+      // to the column's type first: identical results either way.
+      CommitLog.appendWithBloom(spark, t,
+        Seq.tabulate(100)(i => (i.toLong, s"d-$i")).toDF("id", "s").coalesce(1),
+        bloomCols = Seq("id"))
+      assert(CommitLog.scanEquals(spark, t, "id", 42).count() === 1,
+        "Int probe against a bigint column lost its row")
+      assert(CommitLog.scanEquals(spark, t, "id", 42L).count() === 1)
+      // int column probed with a Long
+      val t2 = tempTable()
+      try {
+        CommitLog.appendWithBloom(spark, t2,
+          Seq.tabulate(100)(i => (i, s"d-$i")).toDF("id", "s").coalesce(1),
+          bloomCols = Seq("id"))
+        assert(CommitLog.scanEquals(spark, t2, "id", 42L).count() === 1,
+          "Long probe against an int column lost its row")
+        // out-of-int-range Long: no pruning, filter returns empty
+        assert(CommitLog.scanEquals(spark, t2, "id", Long.MaxValue).count() === 0)
+      } finally cleanup(t2)
+    } finally cleanup(t)
+  }
+
+  test("vacuum's checkpoint preserves the keepFrom commit's batchId") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s")) // v0
+      val v = CommitLog.appendStream(spark, t,
+        Seq((2L, "b")).toDF("id", "s"), batchId = 7L).get // v1, batch 7
+      CommitLog.vacuum(spark, t, keepFrom = v)
+      // the rewritten horizon entry is the ONE retained commit: its
+      // batchId must survive so an engine replay inside the horizon
+      // still lands nothing (pre-fix the ledger forgot batch 7 here)
+      assert(CommitLog.committedBatchIds(spark, t).contains(7L),
+        "checkpoint rewrite dropped the keepFrom commit's batchId")
+      assert(CommitLog.appendStream(spark, t,
+        Seq((2L, "b")).toDF("id", "s"), batchId = 7L).isEmpty,
+        "replayed batch landed twice after vacuum")
+      assert(CommitLog.read(spark, t).count() === 2)
+    } finally cleanup(t)
+  }
+
+  test("change feed below a vacuumed horizon fails loudly, not silently empty") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s")) // v0
+      CommitLog.append(spark, t, Seq((2L, "b")).toDF("id", "s")) // v1
+      CommitLog.append(spark, t, Seq((3L, "c")).toDF("id", "s")) // v2
+      CommitLog.vacuum(spark, t, keepFrom = 1L)
+      // a consumer starting below the checkpointed horizon would lose
+      // every row the checkpoint carries — Delta CDF errors here; so do we
+      intercept[IllegalStateException] {
+        CommitLog.readChanges(spark, t, sinceVersion = -1L).count()
+      }
+      intercept[IllegalStateException] {
+        CommitLog.readChanges(spark, t, sinceVersion = 0L).count()
+      }
+      // at or above the horizon the feed is complete and unchanged
+      assert(CommitLog.readChanges(spark, t, sinceVersion = 1L)
+        .filter(col("_change_type") === "insert").count() === 1)
+    } finally cleanup(t)
+  }
+
+  test("periodic parquet checkpoints: snapshot resolves from checkpoint + tail only") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      spark.conf.set("spark.graft.commitlog.checkpointInterval", "10")
+      try {
+        (0 until 103).foreach { i =>
+          if (i % 10 == 3) // a bloomed/statted commit per cadence window
+            CommitLog.appendWithBloom(spark, t,
+              Seq((i.toLong, s"d-$i")).toDF("id", "s").coalesce(1),
+              bloomCols = Seq("id"), statsCols = Seq("id"))
+          else
+            CommitLog.append(spark, t,
+              Seq((i.toLong, s"d-$i")).toDF("id", "s").coalesce(1))
+        }
+        // commits 0..102 -> versions 0..102; cadence-10 checkpoints,
+        // the pointer tracking the newest
+        assert(CommitLog.lastCheckpointPointer(spark, t) === Some(100L))
+        assert(CommitLog.checkpointVersions(spark, t).contains(100L))
+        val before = CommitLog.read(spark, t).orderBy("id")
+          .collect().map(_.getLong(0)).toSeq
+        val statsBefore = CommitLog.fileStats(spark, t)
+        val bloomsBefore = CommitLog.fileBlooms(spark, t)
+        // THE pin: resolving must not open pre-checkpoint JSON commits.
+        // Delete them outright — resolution via checkpoint + tail
+        // (101, 102) must still see every row and every file's metadata
+        val log = new java.io.File(s"$t/_graft_log")
+        (0L until 100L).foreach { v =>
+          val f = new java.io.File(log, f"$v%08d.json")
+          assert(f.delete(), s"fixture: could not delete $f")
+        }
+        assert(CommitLog.snapshot(spark, t).size === 103)
+        assert(CommitLog.read(spark, t).orderBy("id")
+          .collect().map(_.getLong(0)).toSeq === before)
+        assert(CommitLog.fileStats(spark, t) === statsBefore,
+          "zone maps did not survive into the checkpoint")
+        assert(CommitLog.fileBlooms(spark, t) === bloomsBefore,
+          "bloom filters did not survive into the checkpoint")
+        // bloom-pruned point read served from checkpoint metadata
+        val hit = CommitLog.scanEquals(spark, t, "id", 13L)
+        assert(hit.count() === 1 && hit.inputFiles.length < 103,
+          "checkpointed blooms no longer prune")
+        // time travel within the tail window still works
+        assert(CommitLog.read(spark, t, asOf = Some(101L)).count() === 102)
+      } finally spark.conf.unset("spark.graft.commitlog.checkpointInterval")
+    } finally cleanup(t)
+  }
+
+  test("vacuum drops stale parquet checkpoints with the truncated tail") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      spark.conf.set("spark.graft.commitlog.checkpointInterval", "5")
+      try {
+        (0 until 12).foreach { i =>
+          CommitLog.append(spark, t,
+            Seq((i.toLong, s"d-$i")).toDF("id", "s").coalesce(1))
+        }
+        assert(CommitLog.checkpointVersions(spark, t) === Seq(5L, 10L))
+        // an overwrite between checkpoints: its removes live in the
+        // JSON tail; a snapshot seeded from a sub-horizon checkpoint
+        // AFTER vacuum truncates that tail would resurrect the removed
+        // files — vacuum must drop such checkpoints
+        CommitLog.overwrite(spark, t, Seq((99L, "z")).toDF("id", "s")) // v12
+        CommitLog.vacuum(spark, t, keepFrom = 12L)
+        assert(CommitLog.checkpointVersions(spark, t).isEmpty,
+          "sub-horizon checkpoints survived vacuum")
+        assert(CommitLog.lastCheckpointPointer(spark, t).isEmpty,
+          "dangling _last_checkpoint pointer")
+        assert(CommitLog.read(spark, t).collect().map(_.getLong(0)).toSeq === Seq(99L))
+      } finally spark.conf.unset("spark.graft.commitlog.checkpointInterval")
+    } finally cleanup(t)
+  }
+
+  test("replaceRange: atomic range swap, straddler rewrite, ledger replay, range gate") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      // seed files: one wholly inside the day range [0, 99] (ts 0..98),
+      // one STRADDLING the boundary (ts 90..109)
+      CommitLog.appendWithStats(spark, t,
+        Seq.tabulate(50)(i => (i.toLong * 2, "old")).toDF("ts", "v").coalesce(1),
+        Seq("ts"))
+      CommitLog.appendWithStats(spark, t,
+        Seq.tabulate(20)(i => (90L + i, "mix")).toDF("ts", "v").coalesce(1),
+        Seq("ts"))
+      val rep = Seq.tabulate(10)(i => (i.toLong, "new")).toDF("ts", "v").coalesce(1)
+      assert(CommitLog.replaceRange(spark, t, rep, "ts", 0.0, 99.0,
+        batchId = Some(42L)).isDefined)
+      val rows = CommitLog.read(spark, t).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      // inside the range: ONLY the replacement; the straddler's
+      // out-of-range rows (100..109) survive its rewrite; nothing old
+      assert(rows.filter(_._1 <= 99L).forall(_._2 == "new"), s"${rows.toSeq}")
+      assert(rows.count(_._2 == "new") === 10)
+      assert(rows.filter(_._1 > 99L).map(_._1).sorted.toSeq === (100L to 109L))
+      assert(rows.count(_._2 == "old") === 0)
+      // exactly-once: the same batchId stages nothing on replay
+      assert(CommitLog.replaceRange(spark, t, rep, "ts", 0.0, 99.0,
+        batchId = Some(42L)).isEmpty)
+      assert(CommitLog.read(spark, t).count() === 20)
+      // range gate: staged rows outside [lo, hi] refuse the commit
+      intercept[IllegalArgumentException] {
+        CommitLog.replaceRange(spark, t,
+          Seq((500L, "bad")).toDF("ts", "v"), "ts", 0.0, 99.0)
+      }
+      assert(CommitLog.read(spark, t).count() === 20)
+      // time travel: the pre-replace version still serves the old day
+      assert(CommitLog.read(spark, t, asOf = Some(1L))
+        .filter(col("v") === "old").count() === 50)
+    } finally cleanup(t)
+  }
+
   test("vacuum drops unreferenced files but keeps the retained horizon") {
     val t = tempTable()
     try {

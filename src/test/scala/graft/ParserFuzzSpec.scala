@@ -19,7 +19,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "ImageMeta" -> (graft.plans.ImageMeta.parse(_)),
     "WavMeta" -> (graft.plans.WavMeta.parse(_)),
     "BmpStats" -> (graft.plans.BmpStats.parse(_)),
-    "GifMeta" -> (graft.plans.GifMeta.parse(_)))
+    "GifMeta" -> (graft.plans.GifMeta.parse(_)),
+    "PngStats" -> (graft.plans.PngStats.parse(_)))
 
   // magic prefixes steer the fuzz into each format's deep parse path
   private val prefixes: Seq[Array[Byte]] = Seq(
@@ -71,8 +72,12 @@ class ParserFuzzSpec extends AnyFunSuite {
     assert(graft.plans.BmpStats.parse(bmp) != null)
     val gif = "GIF89a".getBytes ++ hx("0A00") ++ hx("0700") ++ hx("000000")
     assert(graft.plans.GifMeta.parse(gif) != null)
+    // a REAL compressed PNG: corruptions land inside the zlib/filter
+    // stream (hostile IDAT bytes), not just the chunk framing
+    val fullPng = graft.plans.PngEncode.encode(4, 6, 77L, true)
+    assert(graft.plans.PngStats.parse(fullPng) != null)
     val rnd = new scala.util.Random(0xF00D)
-    for (f <- Seq(png, jpeg, wav, bmp, gif); _ <- 0 until 800) {
+    for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng); _ <- 0 until 800) {
       val truncated = f.take(rnd.nextInt(f.length + 1))
       val corrupted = f.clone()
       val at = rnd.nextInt(f.length)

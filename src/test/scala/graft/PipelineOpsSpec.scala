@@ -21,6 +21,39 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("substring dedup finds an offset-shifted span that paragraphDedup misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc 1 carries a 25-token span; doc 2 carries the SAME span
+    // starting at offset 7 — it straddles doc 2's fixed 20-token
+    // window boundary, so no window hash can match doc 1's
+    val span = (0 until 25).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, span + " " + (0 until 15).map(i => s"a$i").mkString(" ")),
+      (2L, (0 until 7).map(i => s"b$i").mkString(" ") + " " + span + " " +
+           (0 until 8).map(i => s"c$i").mkString(" ")),
+      (3L, (0 until 40).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+
+    // paragraph (fixed-window) fingerprints share nothing across docs
+    val paraFps = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), floor((size(col("tk")) - 1) / 20).cast("int")),
+        i => md5(array_join(slice(col("tk"), i * 20 + 1, lit(20)), " ")))).as("fp"))
+      .groupBy("fp").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1).count()
+    assert(paraFps === 0, "fixture broken: fixed windows were not offset-shifted")
+
+    // the stride-1 gram chain reconstructs the exact maximal span in both docs
+    val grams = Dedup.substringGrams(docs, 20).localCheckpoint(false)
+    val spans = Dedup.substringSpansOf(grams, 20).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("start_pos"),
+        r.getAs[Long]("end_pos"), r.getAs[Long]("span_tokens")))
+    assert(spans.toSeq === Seq((1L, 0L, 24L, 25L), (2L, 7L, 31L, 25L)),
+      s"expected the 25-token span at offsets 0 and 7, got ${spans.toSeq}")
+  }
+
   test("length histogram covers every document exactly once") {
     val total = Tables.documents(spark, sf).count()
     val hist = TextAnalysis.lengthHistogram(spark, sf).collect()

@@ -265,6 +265,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q15 aggregates lineitem once: the revenue view is checkpointed, not recomputed") {
+    // before the fix both the scalar max and the crossJoin probe side
+    // re-derived the per-supplier aggregate from the parquet scan —
+    // lineitem was scanned and aggregated twice (VERDICT r6 #1). With
+    // the memoized localCheckpoint the final plan reads the checkpoint
+    // RDD; no lineitem file scan (and no aggregate over one) remains.
+    val plan = planOf(Relational.q15TopSupplier(spark, sf))
+    val lineitemScans = collectScans(
+      Relational.q15TopSupplier(spark, sf).queryExecution.executedPlan)
+      .count(_.toString.contains("lineitem"))
+    assert(lineitemScans === 0,
+      s"q15 still scans lineitem $lineitemScans time(s) in the serving plan:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"q15 revenue view is not served from the checkpoint:\n$plan")
+  }
+
   test("sqlite scan carries its pushed range into the scan description") {
     val path = getClass.getResource("/sqlite/stA.sdb").getPath
     val lo = 1709251200L

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** plans.PngStats / plans.PngEncode: the COMPRESSED pixel decode pair.
+  * The encoder writes fully valid PNGs (real Deflater, per-chunk CRCs,
+  * zlib Adler) with pixel channels from seed arithmetic; the decoder
+  * must invert the whole path — IDAT concatenation, zlib inflate, and
+  * all five scanline filters — byte-exactly or the sums drift. Hostile
+  * cases cover the failure modes a 100 TB scan will meet: truncated /
+  * corrupted streams, geometry lies, out-of-range filter bytes. */
+class PngStatsSpec extends SparkSpec {
+
+  private def expected(w: Int, h: Int, seed: Long): (Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      sr += java.lang.Math.floorMod(seed + 3L * x + 7L * y, 256L)
+      sg += java.lang.Math.floorMod(2L * seed + 5L * x + y, 256L)
+      sb += java.lang.Math.floorMod(3L * seed + x + 11L * y, 256L)
+    }
+    (sr, sg, sb)
+  }
+
+  private def parsed(b: Array[Byte]): Option[(Int, Int, Long, Long, Long, Long)] =
+    Option(graft.plans.PngStats.parse(b)).map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+
+  test("encode -> parse round-trips exact channel sums, RGB and RGBA") {
+    // h >= 5 cycles filter types 0..4: every predictor is exercised
+    for (seed <- Seq(0L, 1L, 17L, 12345L); alpha <- Seq(false, true)) {
+      val (w, h) = (4, 7)
+      val png = graft.plans.PngEncode.encode(w, h, seed, alpha)
+      assert(png != null)
+      val (sr, sg, sb) = expected(w, h, seed)
+      assert(parsed(png) === Some((w, h, sr, sg, sb, w.toLong * h)),
+        s"seed=$seed alpha=$alpha")
+    }
+    // 1x1 (no left/up neighbors anywhere) and a wide single row
+    assert(parsed(graft.plans.PngEncode.encode(1, 1, 9L, false)).isDefined)
+    val row = graft.plans.PngEncode.encode(64, 1, 3L, true)
+    val (sr, sg, sb) = expected(64, 1, 3L)
+    assert(parsed(row) === Some((64, 1, sr, sg, sb, 64L)))
+  }
+
+  test("the compressed stream really is split across two IDAT chunks") {
+    val png = graft.plans.PngEncode.encode(5, 6, 7L, false)
+    val idats = new String(png.map(b => (b & 0xFF).toChar))
+      .sliding(4).count(_ == "IDAT")
+    assert(idats === 2, "encoder no longer certifies IDAT concatenation")
+  }
+
+  test("grayscale (color type 0) feeds the value into all three sums") {
+    // hand-built: 3x2 gray, filter 0 rows, values 10..15
+    val raw = Array[Byte](0, 10, 11, 12, 0, 13, 14, 15)
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](64)
+    val n = defl.deflate(buf); defl.end()
+    val png = sig ++ chunk("IHDR",
+      be32(3) ++ be32(2) ++ Array[Byte](8, 0, 0, 0, 0)) ++
+      chunk("IDAT", buf.take(n)) ++ chunk("IEND", Array.emptyByteArray)
+    assert(parsed(png) === Some((3, 2, 75L, 75L, 75L, 6L)))
+  }
+
+  test("hostile inputs are NULL, never a throw") {
+    val good = graft.plans.PngEncode.encode(4, 6, 11L, false)
+    // corrupt one byte inside the first IDAT payload: Adler-32 (or the
+    // Huffman stream) breaks -> DataFormatException path -> null
+    val idatOff = good.indexOfSlice("IDAT".getBytes) + 6
+    val badAdler = good.clone(); badAdler(idatOff) = (badAdler(idatOff) ^ 0x5A).toByte
+    assert(graft.plans.PngStats.parse(badAdler) == null)
+    // truncation at every prefix length
+    (0 until good.length).foreach { k =>
+      graft.plans.PngStats.parse(good.take(k)) // must not throw
+    }
+    // geometry lie: IHDR claims fewer rows than the stream carries
+    val lied = good.clone()
+    val hOff = 8 + 8 + 4 // sig + len/type + width
+    lied(hOff + 3) = (lied(hOff + 3) - 1).toByte
+    fixIhdrCrc(lied)
+    assert(graft.plans.PngStats.parse(lied) == null, "trailing pixel data accepted")
+    // filter byte out of range: deflate a raw stream with filter 9
+    val raw = Array[Byte](9, 1, 2, 3, 1, 2, 3) // 2x1 RGB-ish? (w=2,h=1,bpp=3): 1+6 bytes
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](64); val n = defl.deflate(buf); defl.end()
+    val badFilter = sig ++ chunk("IHDR",
+      be32(2) ++ be32(1) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk("IDAT", buf.take(n)) ++ chunk("IEND", Array.emptyByteArray)
+    assert(graft.plans.PngStats.parse(badFilter) == null)
+    // unsupported shapes: bit depth 16, palette (3), interlace 1
+    for (ihdr <- Seq(
+        be32(2) ++ be32(2) ++ Array[Byte](16, 2, 0, 0, 0),
+        be32(2) ++ be32(2) ++ Array[Byte](8, 3, 0, 0, 0),
+        be32(2) ++ be32(2) ++ Array[Byte](8, 2, 0, 0, 1))) {
+      val p = sig ++ chunk("IHDR", ihdr) ++
+        chunk("IDAT", Array[Byte](1, 2, 3)) ++ chunk("IEND", Array.emptyByteArray)
+      assert(graft.plans.PngStats.parse(p) == null)
+    }
+    // hostile geometry: header claims 65536 x 65536 (raw > MaxRawBytes)
+    val huge = sig ++ chunk("IHDR",
+      be32(65536) ++ be32(65536) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk("IDAT", Array[Byte](1)) ++ chunk("IEND", Array.emptyByteArray)
+    assert(graft.plans.PngStats.parse(huge) == null)
+  }
+
+  test("expression path (codegen): struct fields and nulls through SQL") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, graft.plans.PngEncode.encode(3, 5, 21L, false)),
+      (2L, "not a png at all".getBytes),
+      (3L, graft.plans.PngEncode.encode(2, 6, 22L, true)))
+    val df = rows.toDF("id", "b")
+    graft.plans.VectorExpressions.register(spark)
+    val out = df.selectExpr("id", "graft_png_stats(b) AS s")
+      .selectExpr("id", "s.width", "s.sum_r", "s.n_pixels")
+      .orderBy("id").collect()
+    val (sr1, _, _) = expected(3, 5, 21L)
+    assert(out(0).getInt(1) === 3 && out(0).getLong(2) === sr1 &&
+      out(0).getLong(3) === 15L)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(out(2).getInt(1) === 2)
+  }
+
+  test("registered query round-trips its stored PNGs at sf0.001") {
+    val out = graft.operators.Multimodal.pngPixels(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val d = r.getLong(0)
+      if (d % 103 == 0) {
+        assert(r.isNullAt(1) && r.isNullAt(3), s"corrupt doc $d decoded")
+      } else {
+        val w = (d % 5 + 2).toInt; val h = (d % 4 + 5).toInt
+        val (sr, sg, sb) = expected(w, h, d)
+        assert(r.getInt(1) === w && r.getInt(2) === h, s"doc $d dims")
+        assert(r.getLong(3) === sr && r.getLong(4) === sg && r.getLong(5) === sb,
+          s"doc $d sums")
+        assert(r.getLong(6) === w.toLong * h)
+      }
+    }
+  }
+
+  // ---- byte builders (spec layouts, independent of the encoder) ----
+  private def sig: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes); crc.update(data)
+    be32(data.length.toLong) ++ typ.getBytes ++ data ++ be32(crc.getValue)
+  }
+  private def fixIhdrCrc(png: Array[Byte]): Unit = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(png, 12, 4 + 13)
+    System.arraycopy(be32(crc.getValue), 0, png, 12 + 4 + 13, 4)
+  }
+}

@@ -46,6 +46,29 @@ class ZoneMapsSpec extends SparkSpec {
     }
   }
 
+  test("write rejects string columns up front — the manifest has no escaping for them") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zm_").toString
+    try {
+      import spark.implicits._
+      // a string min/max containing `,"` would mis-split the flat
+      // hand-parsed manifest; candidateFiles compares as Double anyway,
+      // so a string zone could never prune — reject at write time
+      Seq((1L, """x,"y"""), (2L, "plain")).toDF("id", "s")
+        .write.mode("overwrite").parquet(tmp)
+      intercept[IllegalArgumentException] {
+        ZoneMaps.write(spark, tmp, Seq("s"))
+      }
+      intercept[IllegalArgumentException] {
+        ZoneMaps.write(spark, tmp, Seq("missing_col"))
+      }
+      ZoneMaps.write(spark, tmp, Seq("id")) // numeric still fine
+      assert(ZoneMaps.candidateFiles(spark, tmp, "id", 1, 2).nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      ()
+    }
+  }
+
   test("a range excluded by every zone yields an empty frame, right schema") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_zm2_").toString
     try {
