@@ -471,11 +471,13 @@ object Queries {
     "mm_audio_meta" -> (Multimodal.audioMeta _),
     "mm_pixel_stats" -> (Multimodal.pixelStats _),
     "mm_png_pixels" -> (Multimodal.pngPixels _),
+    "mm_gif_pixels" -> (Multimodal.gifPixelsQ _),
     "text_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
     "text_clean" -> ((s: SparkSession, d: String) => TextAnalysis.clean(s, d)),
     "dedup_paragraphs" -> ((s: SparkSession, d: String) => Dedup.paragraphDedup(s, d)),
     "dedup_paragraph_flags" -> ((s: SparkSession, d: String) => Dedup.paragraphFlags(s, d)),
     "dedup_substrings" -> ((s: SparkSession, d: String) => Dedup.substringDedup(s, d)),
+    "dedup_substring_scrub" -> ((s: SparkSession, d: String) => Dedup.substringScrub(s, d)),
     "text_html_extract" -> (Html.htmlExtract _),
     "text_html_links" -> (Html.htmlLinks _),
     "pipeline_domain_blocklist" -> (Html.domainBlocklist _),
@@ -941,6 +943,26 @@ object Queries {
        "CAST(s.sb AS BIGINT) AS sum_b, " +
        "CASE WHEN d.doc_id % 103 = 0 THEN NULL ELSE CAST(d.w * d.h AS BIGINT) END AS n_pixels " +
        "FROM d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"),
+    // LZW twin: the GIF encoder writes palette index (doc_id + x + 2y)
+    // mod 64 over the palette (doc_id+5i, 2*doc_id+3i, doc_id+7i+1)
+    // mod 256 (GifEncode scaladoc), so the oracle recomputes the exact
+    // channel sums per doc — certifying the variable-width LZW decode,
+    // extension skip, and palette lookup byte-exactly
+    "mm_gif_pixels" ->
+      ("WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h FROM documents), " +
+       "px AS (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM d WHERE doc_id % 107 <> 0), " +
+       "s AS (SELECT doc_id, " +
+       "sum((doc_id + 5 * ((doc_id + (i % w) + 2 * (i // w)) % 64)) % 256) AS sr, " +
+       "sum((2 * doc_id + 3 * ((doc_id + (i % w) + 2 * (i // w)) % 64)) % 256) AS sg, " +
+       "sum((doc_id + 7 * ((doc_id + (i % w) + 2 * (i // w)) % 64) + 1) % 256) AS sb " +
+       "FROM px GROUP BY doc_id) " +
+       "SELECT d.doc_id, " +
+       "CASE WHEN d.doc_id % 107 = 0 THEN NULL ELSE CAST(d.w AS INTEGER) END AS width, " +
+       "CASE WHEN d.doc_id % 107 = 0 THEN NULL ELSE CAST(d.h AS INTEGER) END AS height, " +
+       "CAST(s.sr AS BIGINT) AS sum_r, CAST(s.sg AS BIGINT) AS sum_g, " +
+       "CAST(s.sb AS BIGINT) AS sum_b, " +
+       "CASE WHEN d.doc_id % 107 = 0 THEN NULL ELSE CAST(d.w * d.h AS BIGINT) END AS n_pixels " +
+       "FROM d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"),
     // the sampler's keep decision is a pure function of doc_id (md5
     // uniform), so the oracle reproduces the EXACT sample — the whole
     // point of the deterministic form (sampleBy's RNG has no SQL twin)
@@ -990,6 +1012,23 @@ object Queries {
        "CAST(max(pos) + 19 AS BIGINT) AS end_pos, " +
        "CAST(max(pos) - min(pos) + 20 AS BIGINT) AS span_tokens " +
        "FROM r GROUP BY doc_id, island ORDER BY doc_id, start_pos"),
+    "dedup_substring_scrub" ->
+      (s"WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents), " +
+       "p AS (SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 19, 0))) AS pos FROM t), " +
+       "g AS (SELECT doc_id, pos, md5(array_to_string(tk[pos+1 : pos+20], ' ')) AS fp FROM p), " +
+       "m AS (SELECT doc_id, pos FROM g WHERE fp IN " +
+       "(SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) > 1)), " +
+       "cov AS (SELECT DISTINCT m.doc_id, m.pos + r.u AS ti FROM m, " +
+       "(SELECT unnest(range(20)) AS u) r), " +
+       "tok AS (SELECT doc_id, tk, unnest(range(len(tk))) AS ti FROM t), " +
+       "kept AS (SELECT tok.doc_id, count(*) AS n_kept, " +
+       "string_agg(tok.tk[tok.ti + 1], ' ' ORDER BY tok.ti) AS clean_text " +
+       "FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.ti = cov.ti " +
+       "WHERE cov.doc_id IS NULL GROUP BY tok.doc_id) " +
+       "SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens, " +
+       "CAST(len(t.tk) - coalesce(kept.n_kept, 0) AS BIGINT) AS n_removed, " +
+       "coalesce(kept.clean_text, '') AS clean_text " +
+       "FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id ORDER BY t.doc_id"),
     "dedup_paragraph_flags" ->
       (s"WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents), " +
        "c AS (SELECT doc_id, unnest(list_transform(range(1, 1 + CAST(ceil(len(tk) / 20.0) AS INTEGER)), " +

@@ -978,6 +978,51 @@ object Dedup {
     substringSpansOf(grams, k)
   }
 
+  /** The transform [[substringDedup]]'s span table exists FOR: the
+    * scrubbed corpus, one row per document with the cross-document
+    * duplicated spans REMOVED from the token stream (Lee et al. 2022's
+    * substring dedup is a removal pass, not just a report — the
+    * boilerplate-scrub counterpart of [[paragraphFlags]]' decision
+    * input). A token position is covered iff some shared k-gram's
+    * window [pos, pos+k-1] contains it, computed by exploding each
+    * shared gram's coverage (20x a RARE row set — shared grams passed
+    * the cross-doc gate) and distinct-ing; the corpus-wide token table
+    * anti-joins the covered set, then reassembles per-doc text with an
+    * order-carrying collect (array_sort over (idx, token) structs —
+    * deterministic, no window). Per-doc totals come from the documents
+    * table itself so zero-token and fully-scrubbed docs still emit a
+    * row (empty clean_text), keeping the frame total. Linear: two
+    * exploded scans, one hash anti-join, one hash aggregate. */
+  def substringScrub(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val grams = pairCache.getOrCompute(spark, s"$dir#sgrams$k") {
+      substringGrams(Tables.documentsParallel(spark, dir), k).localCheckpoint(false)
+    }
+    val dupFp = grams.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("fp"))
+    val covered = grams.join(dupFp, Seq("fp"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("ti"))
+      .distinct()
+    val docs = Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(col("tk")).as(Seq("ti", "tok")))
+    val kept = toks.join(covered, Seq("doc_id", "ti"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("ti"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    docs.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The deduped-corpus view: one row per surviving (canonical)
     * document with its cluster's member count — the output a training
     * pipeline actually ships (dedup_clusters is the assignment table;

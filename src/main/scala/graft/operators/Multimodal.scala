@@ -146,6 +146,15 @@ object Multimodal {
         (id % 101 === 0, encode(text.substr(1, 14), "UTF-8")),
         (id % 101 =!= 0,
          gifBytes(id % 2 === 0, (id % 641 + 9).cast("int"), ((id * 5) % 509 + 7).cast("int"))))
+      case "gifpx" => Seq(
+        (id % 107 === 0, encode(text.substr(1, 20), "UTF-8")),
+        // REAL LZW-compressed GIFs (plans.GifEncode): w 16..32,
+        // h 16..28 — every doc's frame is large enough to push the
+        // code width past its initial 7 bits, so the decoder's
+        // dictionary-growth path runs on every row
+        (id % 107 =!= 0, graft.plans.VectorExpressions.gifEncode(
+          (id % 17 + 16).cast("int"), (id % 13 + 16).cast("int"),
+          id.cast("long"))))
       case "png" => Seq(
         (id % 103 === 0, encode(text.substr(1, 18), "UTF-8")),
         // REAL compressed PNGs (Deflater + CRCs + Adler, plans.PngEncode):
@@ -172,7 +181,7 @@ object Multimodal {
     * synthesis trees run HERE, once, one format-slice per write stage —
     * never fused into a decode query's codegen. */
   def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
-    Seq("img", "audio", "bmp", "media", "gif", "png")
+    Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -365,6 +374,23 @@ object Multimodal {
   def pngPixels(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir, "png")
       .select(col("doc_id"), graft.plans.VectorExpressions.pngStats(col("png")).as("s"))
+      .select(col("doc_id"),
+        col("s.width").as("width"), col("s.height").as("height"),
+        col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),
+        col("s.sum_b").as("sum_b"), col("s.n_pixels").as("n_pixels"))
+      .orderBy(col("doc_id"))
+
+  /** LZW pixel decode (plans.GifPixels) over the stored GIF column:
+    * block walk past the Graphic Control extension → variable-width
+    * LZW decompression with dictionary growth → palette lookup →
+    * channel sums. The oracle recomputes the exact sums from the
+    * encoder's index/palette arithmetic, so a mis-stepped code width,
+    * a dropped KwKwK case, or a palette off-by-one changes the sums
+    * and fails the round trip. Corrupt rows (every 107th doc carries
+    * text bytes) decode to NULL. */
+  def gifPixelsQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "gifpx")
+      .select(col("doc_id"), graft.plans.VectorExpressions.gifPixels(col("gifpx")).as("s"))
       .select(col("doc_id"),
         col("s.width").as("width"), col("s.height").as("height"),
         col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),

@@ -71,6 +71,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
        new ExpressionInfo(classOf[PngEncode].getName, "graft_png_encode"),
        (exprs: Seq[Expression]) => PngEncode(exprs(0), exprs(1), exprs(2), exprs(3))))
     e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_gif_pixels"),
+       new ExpressionInfo(classOf[GifPixels].getName, "graft_gif_pixels"),
+       (exprs: Seq[Expression]) => GifPixels(exprs(0))))
+    e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_gif_encode"),
+       new ExpressionInfo(classOf[GifEncode].getName, "graft_gif_encode"),
+       (exprs: Seq[Expression]) => GifEncode(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom"),
        new ExpressionInfo(classOf[BloomBits].getName, "graft_bloom"),
        (exprs: Seq[Expression]) => BloomBits(exprs(0), exprs(1), exprs(2))))

@@ -182,6 +182,11 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_png_encode",
       exprs => PngEncode(exprs(0), exprs(1), exprs(2), exprs(3)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gif_pixels", exprs => GifPixels(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gif_encode",
+      exprs => GifEncode(exprs(0), exprs(1), exprs(2)), "scala_udf")
   }
 
   /** Column-API form; registers on the active session on first use.
@@ -247,6 +252,20 @@ object VectorExpressions {
   def pngEncode(w: Column, h: Column, seed: Column, alpha: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_png_encode", w, h, seed, alpha)
+  }
+
+  /** GIF LZW pixel decode — palette indices to channel sums
+    * (plans.GifPixels), column form; same registration precondition. */
+  def gifPixels(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_gif_pixels", c)
+  }
+
+  /** Deterministic valid-GIF synthesis with real LZW
+    * (plans.GifEncode), column form; same registration precondition. */
+  def gifEncode(w: Column, h: Column, seed: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_gif_encode", w, h, seed)
   }
 
   /** One-pass MinHash signature (plans.MinhashSignature), column form;

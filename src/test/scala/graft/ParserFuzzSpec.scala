@@ -20,7 +20,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "WavMeta" -> (graft.plans.WavMeta.parse(_)),
     "BmpStats" -> (graft.plans.BmpStats.parse(_)),
     "GifMeta" -> (graft.plans.GifMeta.parse(_)),
-    "PngStats" -> (graft.plans.PngStats.parse(_)))
+    "PngStats" -> (graft.plans.PngStats.parse(_)),
+    "GifPixels" -> (graft.plans.GifPixels.parse(_)))
 
   // magic prefixes steer the fuzz into each format's deep parse path
   private val prefixes: Seq[Array[Byte]] = Seq(
@@ -76,8 +77,12 @@ class ParserFuzzSpec extends AnyFunSuite {
     // stream (hostile IDAT bytes), not just the chunk framing
     val fullPng = graft.plans.PngEncode.encode(4, 6, 77L, true)
     assert(graft.plans.PngStats.parse(fullPng) != null)
+    // a REAL LZW-compressed GIF: corruptions land inside the code
+    // stream (bad widths, out-of-range codes, mangled sub-blocks)
+    val fullGif = graft.plans.GifEncode.encode(16, 16, 77L)
+    assert(graft.plans.GifPixels.parse(fullGif) != null)
     val rnd = new scala.util.Random(0xF00D)
-    for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng); _ <- 0 until 800) {
+    for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif); _ <- 0 until 800) {
       val truncated = f.take(rnd.nextInt(f.length + 1))
       val corrupted = f.clone()
       val at = rnd.nextInt(f.length)

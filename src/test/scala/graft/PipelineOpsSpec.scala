@@ -54,6 +54,32 @@ class PipelineOpsSpec extends SparkSpec {
       s"expected the 25-token span at offsets 0 and 7, got ${spans.toSeq}")
   }
 
+  test("substring scrub removes exactly the duplicated spans from sf0.001") {
+    import org.apache.spark.sql.functions._
+    val spans = Dedup.substringDedup(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (d, rs) =>
+        // covered tokens = union of [start, end] intervals (islands are
+        // disjoint by construction)
+        d -> rs.map(r => r.getAs[Long]("end_pos") - r.getAs[Long]("start_pos") + 1).sum
+      }
+    val out = Dedup.substringScrub(spark, sf).collect()
+    assert(out.nonEmpty)
+    val total = Tables.documents(spark, sf).count()
+    assert(out.length.toLong === total, "scrub must keep the frame total")
+    out.foreach { r =>
+      val d = r.getLong(0)
+      val nTok = r.getAs[Long]("n_tokens")
+      val nRem = r.getAs[Long]("n_removed")
+      val clean = r.getAs[String]("clean_text")
+      assert(nRem === spans.getOrElse(d, 0L), s"doc $d removed $nRem")
+      val keptLen = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(keptLen.toLong === nTok - nRem, s"doc $d clean_text length")
+    }
+    assert(out.exists(_.getAs[Long]("n_removed") > 0),
+      "fixture carries no duplicated spans - scrub untested")
+  }
+
   test("length histogram covers every document exactly once") {
     val total = Tables.documents(spark, sf).count()
     val hist = TextAnalysis.lengthHistogram(spark, sf).collect()
