@@ -82,6 +82,24 @@ object CommitLog {
       }.mkString(",") + "}"
     }.mkString("{", ",", "}")
 
+  /** Per-file DELETION VECTORS carried in the commit (file ->
+    * base64(bitset of deleted row indices)) — row-level delete as a
+    * metadata-sized commit, Delta's DV design scaled down: the data
+    * file stays immutable, the vector says which of its row positions
+    * are logically gone, and every read masks with one bit probe per
+    * row ([[graft.plans.DvTest]], codegen'd — no join). Entries are
+    * complete per-file REPLACEMENTS (the writer unions with the prior
+    * vector before committing), so resolution is "latest entry per
+    * live file", the same rule as stats/blooms. Vectors die with
+    * their file: any rewrite (compact/optimize/merge reads through
+    * the mask) materializes the deletes and drops the DVs. */
+  type FileDvs = Map[String, String]
+
+  private def jdvs(dvs: FileDvs): String =
+    dvs.toSeq.sortBy(_._1).map { case (f, enc) =>
+      "\"" + esc(f) + "\":\"" + enc + "\""
+    }.mkString("{", ",", "}")
+
   /** CHECK constraints carried in the log (name -> SQL boolean
     * expression). SQL-standard semantics: a row violates a constraint
     * only when the expression evaluates to FALSE (NULL passes). The
@@ -118,7 +136,8 @@ object CommitLog {
       dataChange: Boolean = true,
       blooms: FileBlooms = Map.empty,
       schemaB64: Option[String] = None,
-      constraintsField: Option[Constraints] = None): Long = {
+      constraintsField: Option[Constraints] = None,
+      dvs: FileDvs = Map.empty): Long = {
     val log = new Path(tablePath, LogDir)
     val fs = fsOf(spark, log)
     fs.mkdirs(log)
@@ -129,9 +148,10 @@ object CommitLog {
     val bloomField = if (blooms.isEmpty) "" else s""","blooms":${jblooms(blooms)}"""
     val schemaField = schemaB64.fold("")(s => s""","schemaB64":"$s"""")
     val consField = constraintsField.fold("")(c => s""","constraints":${jconstraints(c)}""")
+    val dvField = if (dvs.isEmpty) "" else s""","dvs":${jdvs(dvs)}"""
     val dcField = if (dataChange) "" else s""","dataChange":false"""
     val body = (version: Long) =>
-      s"""{"version":$version,"adds":${jarr(adds)},"removes":${jarr(removes)}$batchField$statsField$bloomField$schemaField$consField$dcField}"""
+      s"""{"version":$version,"adds":${jarr(adds)},"removes":${jarr(removes)}$batchField$statsField$bloomField$schemaField$consField$dvField$dcField}"""
     var claimed = -1L
     while (claimed < 0) {
       val out = fs.create(tmp, true)
@@ -315,6 +335,36 @@ object CommitLog {
     acc.toMap
   }
 
+  private def extractDvs(json: String): Map[String, String] =
+    extractSection(json, "dvs").fold(Map.empty[String, String]) { body =>
+      bloomColRe.findAllMatchIn(body).map(cm => cm.group(1) -> cm.group(2)).toMap
+    }
+
+  /** Deletion vectors in force at `asOf`, decoded: latest `dvs` entry
+    * per file (each entry is a complete replacement), checkpoint base
+    * + JSON tail like [[fileStats]]. Entries for files no longer live
+    * may linger until a checkpoint prunes them; callers filter by the
+    * snapshot's file set. Driver-resident by design — vectors are
+    * (deleted rows)/8 bytes, metadata-sized for the selective deletes
+    * DVs exist for (a delete touching most of a table should be a
+    * rewrite, not a vector). */
+  def deletionVectors(spark: SparkSession, tablePath: String,
+      asOf: Option[Long] = None): Map[String, Array[Byte]] = {
+    val acc = scala.collection.mutable.Map.empty[String, String]
+    val cp = bestCheckpoint(spark, tablePath, asOf)
+    cp.foreach { c =>
+      readCheckpointDvs(spark, tablePath, c).foreach { case (f, enc) =>
+        if (enc.nonEmpty) acc += f -> enc
+      }
+    }
+    versions(spark, tablePath)
+      .filter(v => cp.forall(v > _) && asOf.forall(v <= _))
+      .foreach(v => acc ++= extractDvs(commitLine(spark, tablePath, v)))
+    acc.map { case (f, enc) =>
+      f -> java.util.Base64.getDecoder.decode(enc)
+    }.toMap
+  }
+
   // ---- periodic parquet checkpoints (the Delta _last_checkpoint
   // design): every `checkpointInterval` commits the writer persists
   // the RESOLVED table state — one parquet row per live file carrying
@@ -383,6 +433,18 @@ object CommitLog {
         Option(r.getString(2)).getOrElse("")))
   }
 
+  /** (file, base64 dv) pairs from a checkpoint; tolerant of
+    * checkpoints written before the dv column existed. */
+  private def readCheckpointDvs(spark: SparkSession, tablePath: String,
+      v: Long): Seq[(String, String)] = {
+    val dir = new Path(new Path(tablePath, LogDir), cpDirName(v))
+    val df = spark.read.parquet(dir.toString)
+    if (!df.columns.contains("dv")) Seq.empty
+    else df.select("file", "dv").collect().toSeq
+      .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("")))
+      .filter(_._2.nonEmpty)
+  }
+
   private def parseStatsCols(body: String): Map[String, (Double, Double)] =
     statsColRe.findAllMatchIn(body).map { cm =>
       cm.group(1) -> (cm.group(2).toDouble, cm.group(3).toDouble)
@@ -425,14 +487,35 @@ object CommitLog {
       }
     }.filterNot(r => removed.contains(r._1))
     val tailDF = tailAdds.toDF("file", "stats", "blooms")
-    val out = prev match {
+      .withColumn("dv", org.apache.spark.sql.functions.lit(""))
+    val merged = prev match {
       case None => tailDF
       case Some(c) =>
-        val base = spark.read.parquet(new Path(log, cpDirName(c)).toString)
-          .select("file", "stats", "blooms")
+        val baseRaw = spark.read.parquet(new Path(log, cpDirName(c)).toString)
+        val base = (if (baseRaw.columns.contains("dv")) baseRaw
+          else baseRaw.withColumn("dv", org.apache.spark.sql.functions.lit("")))
+          .select("file", "stats", "blooms", "dv")
         val removesDF = removed.toSeq.toDF("file")
         base.join(removesDF, Seq("file"), "left_anti").unionByName(tailDF)
     }
+    // deletion vectors: the tail's `dvs` replacements override any
+    // base-checkpoint vector (each entry is complete); files can gain
+    // a DV long after their add, so this applies to base rows too
+    val tailDvs = tailLines
+      .foldLeft(Map.empty[String, String])((acc, l) => acc ++ extractDvs(l))
+      .filterNot { case (f, _) => removed.contains(f) }
+    val out =
+      if (tailDvs.isEmpty) merged
+      else {
+        val dvDF = tailDvs.toSeq.toDF("file", "dv_new")
+        merged.join(dvDF, Seq("file"), "left")
+          .select(org.apache.spark.sql.functions.col("file"),
+            org.apache.spark.sql.functions.col("stats"),
+            org.apache.spark.sql.functions.col("blooms"),
+            org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.col("dv_new"),
+              org.apache.spark.sql.functions.col("dv")).as("dv"))
+      }
     val tmp = new Path(log, s".cptmp-${java.util.UUID.randomUUID().toString.take(8)}")
     out.write.mode("overwrite").parquet(tmp.toString)
     val dst = new Path(log, cpDirName(v))
@@ -565,6 +648,33 @@ object CommitLog {
     tableSchema(spark, tablePath, asOf).fold(spark.read)(d =>
       spark.read.schema(StructType(d.fields.map(_.copy(nullable = true)))))
 
+  /** Apply the version's deletion vectors to a parquet scan over
+    * `files`: look the row's file up in a (metadata-sized) literal
+    * map, probe its vector at `_metadata.row_index` — one codegen'd
+    * bit test per row, rows in no vector pay a null check only. A
+    * no-DV table returns the frame untouched (zero overhead). Must
+    * wrap the scan BEFORE projections: `_metadata` is only resolvable
+    * on the file source relation. */
+  private def maskDvs(spark: SparkSession, tablePath: String,
+      asOf: Option[Long], files: Seq[String],
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, lit, map, not}
+    val live = files.toSet
+    val dvs = deletionVectors(spark, tablePath, asOf)
+      .filter { case (f, _) => live.contains(f) }
+    if (dvs.isEmpty) df
+    else {
+      // keyed by file NAME: staged files carry fresh uuid names, so
+      // names are unique table-wide and _metadata.file_name is enough
+      val entries = dvs.toSeq.flatMap { case (f, bytes) =>
+        Seq(lit(new Path(f).getName), lit(bytes))
+      }
+      val dv = element_at(map(entries: _*), col("_metadata.file_name"))
+      df.filter(dv.isNull ||
+        not(graft.plans.DeletionVector.dvTest(dv, col("_metadata.row_index"))))
+    }
+  }
+
   /** Snapshot read WITH data skipping: resolve the version's file set,
     * then drop every file whose logged zone provably excludes
     * [lo, hi] on `column` — no listing, no footer reads for pruned
@@ -586,8 +696,9 @@ object CommitLog {
     if (files.isEmpty) read(spark, tablePath, asOf).filter(org.apache.spark.sql.functions.lit(false))
     // declared-schema read: a post-evolution scan over mixed-schema
     // survivors must null-fill, exactly like [[read]]
-    else readerFor(spark, tablePath, asOf)
-      .parquet(files.map(f => s"$tablePath/$f"): _*).filter(pred)
+    else maskDvs(spark, tablePath, asOf, files,
+      readerFor(spark, tablePath, asOf)
+        .parquet(files.map(f => s"$tablePath/$f"): _*)).filter(pred)
   }
 
   /** Append publishing per-file zone maps for `statsCols` in the same
@@ -657,8 +768,9 @@ object CommitLog {
       }
     }
     if (files.isEmpty) read(spark, tablePath, asOf).filter(lit(false))
-    else readerFor(spark, tablePath, asOf)
-      .parquet(files.map(f => s"$tablePath/$f"): _*)
+    else maskDvs(spark, tablePath, asOf, files,
+      readerFor(spark, tablePath, asOf)
+        .parquet(files.map(f => s"$tablePath/$f"): _*))
       .filter(col(column) === lit(value))
   }
 
@@ -670,7 +782,8 @@ object CommitLog {
     val files = snapshot(spark, tablePath, asOf)
     require(files.nonEmpty,
       s"no live files in $tablePath" + asOf.fold("")(v => s" at version $v"))
-    readerFor(spark, tablePath, asOf).parquet(files.map(f => s"$tablePath/$f"): _*)
+    maskDvs(spark, tablePath, asOf, files,
+      readerFor(spark, tablePath, asOf).parquet(files.map(f => s"$tablePath/$f"): _*))
   }
 
   /** Stage `df` as new immutable data files and publish them in one
@@ -744,6 +857,55 @@ object CommitLog {
     }
     Some(commit(spark, tablePath, newFiles ++ survFiles, inside ++ straddling,
       batchId, stats = newStats ++ survStats))
+  }
+
+  /** Row-level DELETE as one metadata commit — no data file is
+    * rewritten: rows matching `predicate` are marked in per-file
+    * deletion vectors built ON THE EXECUTORS (grouped by file,
+    * [[graft.plans.BitsetAggregate]] over `_metadata.row_index`; only
+    * the finished vectors — (deleted rows)/8 bytes each — reach the
+    * driver), unioned with any prior vector for the file, and
+    * published as complete per-file replacements. Every subsequent
+    * read/scan masks them; [[readChanges]] surfaces exactly the
+    * newly-deleted rows; the next compact/optimize/merge reads
+    * through the mask and so MATERIALIZES the deletes, retiring the
+    * vectors with the files. Time travel below the commit still sees
+    * the rows.
+    *
+    * `batchId` gives the delete the ledger's exactly-once contract (a
+    * replayed delete is recognized and skipped — important because
+    * re-evaluating the predicate later could match different rows).
+    * Returns None when nothing matched (or on a recognized replay):
+    * the table is unchanged and no commit is written. */
+  def delete(spark: SparkSession, tablePath: String, predicate: String,
+      batchId: Option[Long] = None): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    if (batchId.exists(committedBatchIds(spark, tablePath).contains)) return None
+    val files = snapshot(spark, tablePath)
+    if (files.isEmpty) return None
+    // mask existing DVs so an already-deleted row can't be "re-deleted"
+    // into a vector diff the change feed would then re-emit
+    val scan = maskDvs(spark, tablePath, None, files,
+      readerFor(spark, tablePath, None)
+        .parquet(files.map(f => s"$tablePath/$f"): _*))
+    val matched = scan.filter(expr(predicate))
+      .select(col("_metadata.file_name").as("fname"),
+        col("_metadata.row_index").as("ri"))
+      .groupBy(col("fname"))
+      .agg(graft.plans.DeletionVector.bitset(col("ri")).as("dv"))
+      .collect()
+    if (matched.isEmpty) return None
+    val prior = deletionVectors(spark, tablePath, None)
+    val byName = files.map(f => new Path(f).getName -> f).toMap
+    val newDvs: FileDvs = matched.map { r =>
+      val f = byName.getOrElse(r.getString(0),
+        sys.error(s"delete matched rows in unknown file ${r.getString(0)}"))
+      val merged = prior.get(f)
+        .fold(r.getAs[Array[Byte]]("dv"))(
+          graft.plans.BitsetAggregate.union(_, r.getAs[Array[Byte]]("dv")))
+      f -> java.util.Base64.getEncoder.encodeToString(merged)
+    }.toMap
+    Some(commit(spark, tablePath, Seq.empty, Seq.empty, batchId, dvs = newDvs))
   }
 
   /** Atomic compaction: bin-pack the live set into `targetFiles` and
@@ -832,15 +994,40 @@ object CommitLog {
         val line = commitLine(spark, tablePath, v)
         if (line.contains("\"checkpoint\":true") ||
             line.contains("\"dataChange\":false")) Seq.empty
-        else Seq("insert" -> extractArr(line, "adds"),
-                 "delete" -> extractArr(line, "removes"))
-          .collect { case (kind, files) if files.nonEmpty =>
-            // declared-schema read keeps slices uniform across a
-            // schema evolution (pre-evolution files null-fill)
-            readerFor(spark, tablePath).parquet(files.map(f => s"$tablePath/$f"): _*)
-              .withColumn("_change_type", lit(kind))
-              .withColumn("_commit_version", lit(v))
-          }
+        else {
+          val fileSlices = Seq("insert" -> extractArr(line, "adds"),
+                   "delete" -> extractArr(line, "removes"))
+            .collect { case (kind, files) if files.nonEmpty =>
+              // declared-schema read keeps slices uniform across a
+              // schema evolution (pre-evolution files null-fill)
+              readerFor(spark, tablePath).parquet(files.map(f => s"$tablePath/$f"): _*)
+                .withColumn("_change_type", lit(kind))
+                .withColumn("_commit_version", lit(v))
+            }
+          // a DV commit's churn is the vector DIFF: rows set at v but
+          // not at v-1 surface as deletes, read straight from the
+          // still-on-disk file (the pre-image, same as removes)
+          val dvEntries = extractDvs(line)
+          val dvSlices =
+            if (dvEntries.isEmpty) Seq.empty
+            else {
+              val before = deletionVectors(spark, tablePath, Some(v - 1))
+              dvEntries.toSeq.flatMap { case (f, enc) =>
+                val now = java.util.Base64.getDecoder.decode(enc)
+                val fresh = before.get(f)
+                  .fold(now)(graft.plans.BitsetAggregate.minus(now, _))
+                if (graft.plans.BitsetAggregate.cardinality(fresh) == 0L) None
+                else Some(
+                  readerFor(spark, tablePath).parquet(s"$tablePath/$f")
+                    .filter(graft.plans.DeletionVector.dvTest(
+                      lit(fresh),
+                      org.apache.spark.sql.functions.col("_metadata.row_index")))
+                    .withColumn("_change_type", lit("delete"))
+                    .withColumn("_commit_version", lit(v)))
+              }
+            }
+          fileSlices ++ dvSlices
+        }
       }
     if (slices.nonEmpty) slices.reduce(_ unionByName _)
     else read(spark, tablePath, Some(hi))
@@ -965,6 +1152,14 @@ object CommitLog {
       if (horizonStats.isEmpty) "" else s""","stats":${jstats(horizonStats)}"""
     val bloomField =
       if (horizonBlooms.isEmpty) "" else s""","blooms":${jblooms(horizonBlooms)}"""
+    // deletion vectors in force at the horizon ride the checkpoint:
+    // truncated commits may have been their only carriers, and a
+    // replay losing a vector would resurrect deleted rows
+    val horizonDvs: FileDvs = deletionVectors(spark, tablePath, Some(keepFrom))
+      .filter { case (f, _) => horizonState.contains(f) }
+      .map { case (f, b) => f -> java.util.Base64.getEncoder.encodeToString(b) }
+    val dvField =
+      if (horizonDvs.isEmpty) "" else s""","dvs":${jdvs(horizonDvs)}"""
     // schema/constraints declared at or before the horizon ride the
     // checkpoint too — truncated commits may have been their only
     // carriers, and the table's gate must survive retention
@@ -992,7 +1187,7 @@ object CommitLog {
     val cp = new Path(log, f"$keepFrom%08d.json")
     val out = fs.create(cp, true)
     try out.write(
-      s"""{"version":$keepFrom,"adds":${jarr(horizonState)},"removes":[]$statsField$bloomField$schemaField$consField$batchField,"checkpoint":true}"""
+      s"""{"version":$keepFrom,"adds":${jarr(horizonState)},"removes":[]$statsField$bloomField$schemaField$consField$dvField$batchField,"checkpoint":true}"""
         .getBytes("UTF-8"))
     finally out.close()
     val dataDir = new Path(tablePath, DataDir)

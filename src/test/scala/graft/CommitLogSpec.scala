@@ -707,4 +707,124 @@ class CommitLogSpec extends SparkSpec {
       assert(CommitLog.versions(spark, t) === Seq(cv))
     } finally cleanup(t)
   }
+
+  test("deletion vectors: row deletes are metadata commits; reads mask, history intact") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t,
+        Seq.tabulate(20)(i => (i.toLong, s"r$i")).toDF("id", "s").repartition(2))
+      CommitLog.appendWithStats(spark, t,
+        Seq.tabulate(10)(i => (100L + i, s"x$i")).toDF("id", "s").coalesce(1),
+        statsCols = Seq("id"))
+      val filesBefore = CommitLog.snapshot(spark, t).toSet
+      val dv1 = CommitLog.delete(spark, t, "id % 2 = 1")
+      assert(dv1.isDefined)
+      // no data file was added, removed, or rewritten
+      assert(CommitLog.snapshot(spark, t).toSet === filesBefore)
+      assert(CommitLog.read(spark, t).count() === 15)
+      assert(CommitLog.read(spark, t).filter("id % 2 = 1").count() === 0)
+      // time travel below the delete still sees every row
+      assert(CommitLog.read(spark, t, asOf = Some(dv1.get - 1)).count() === 30)
+      // plan pin: the mask is one filter over the scan — a bit probe
+      // per row, never a join against a deleted-rows table
+      val masked = CommitLog.read(spark, t).queryExecution.executedPlan.toString
+      assert(!masked.contains("Join"), s"DV mask planned a join:\n$masked")
+      assert(masked.contains("graft_dv_test"), "DV mask missing from the plan")
+      // a second delete UNIONS with the standing vectors
+      assert(CommitLog.delete(spark, t, "id = 100").isDefined)
+      assert(CommitLog.read(spark, t).count() === 14)
+      assert(CommitLog.read(spark, t).filter("id % 2 = 1 OR id = 100").count() === 0)
+      // pruned scans mask too: no resurrected rows behind zone maps
+      val ranged = CommitLog.scanRange(spark, t, "id", 100, 109)
+      assert(ranged.collect().map(_.getLong(0)).sorted.toSeq ===
+        Seq(102L, 104L, 106L, 108L))
+      // matching nothing commits nothing
+      val v = CommitLog.latestVersion(spark, t)
+      assert(CommitLog.delete(spark, t, "id = 99999").isEmpty)
+      assert(CommitLog.latestVersion(spark, t) === v)
+      // ledger replay: same batchId, no second commit
+      assert(CommitLog.delete(spark, t, "id = 2", batchId = Some(7L)).isDefined)
+      assert(CommitLog.delete(spark, t, "id = 4", batchId = Some(7L)).isEmpty)
+      assert(CommitLog.read(spark, t).filter("id = 4").count() === 1)
+    } finally cleanup(t)
+  }
+
+  test("compaction materializes deletes and retires the vectors") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t,
+        Seq.tabulate(50)(i => (i.toLong, s"r$i")).toDF("id", "s").repartition(3))
+      CommitLog.delete(spark, t, "id >= 40")
+      assert(CommitLog.deletionVectors(spark, t).nonEmpty)
+      CommitLog.compact(spark, t, targetFiles = 1)
+      val live = CommitLog.snapshot(spark, t).toSet
+      // the rewritten file carries no vector: deletes are IN the data now
+      assert(CommitLog.deletionVectors(spark, t)
+        .keys.forall(f => !live.contains(f)), "live file still carries a DV")
+      assert(CommitLog.read(spark, t).count() === 40)
+      assert(CommitLog.read(spark, t).agg(max("id")).head.getLong(0) === 39L)
+    } finally cleanup(t)
+  }
+
+  test("change feed surfaces exactly the newly-deleted rows of each DV commit") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t,
+        Seq.tabulate(10)(i => (i.toLong, s"r$i")).toDF("id", "s").coalesce(1)) // v0
+      val va = CommitLog.delete(spark, t, "id IN (2, 5)").get
+      val vb = CommitLog.delete(spark, t, "id IN (5, 7)").get // 5 already gone
+      val feedA = CommitLog.readChanges(spark, t, va - 1, Some(va))
+        .filter(col("_change_type") === "delete")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(feedA === Seq(2L, 5L), s"got $feedA")
+      // the overlap (5) must NOT re-surface in the second commit's feed
+      val feedB = CommitLog.readChanges(spark, t, vb - 1, Some(vb))
+        .filter(col("_change_type") === "delete")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(feedB === Seq(7L), s"got $feedB")
+      // IVM consumes DV deletes like file deletes: count drops by 3
+      val mv = tempTable()
+      try {
+        CommitLog.maintainAggregate(spark, t, mv, "s", "id")
+        assert(CommitLog.read(spark, mv).agg(sum("cnt")).head.getLong(0) === 7L)
+      } finally cleanup(mv)
+    } finally cleanup(t)
+  }
+
+  test("deletion vectors survive parquet checkpoints and vacuum") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      spark.conf.set("spark.graft.commitlog.checkpointInterval", "10")
+      try {
+        (0 until 9).foreach { i =>
+          CommitLog.append(spark, t,
+            Seq((i.toLong, s"d-$i")).toDF("id", "s").coalesce(1)) // v0..v8
+        }
+        CommitLog.delete(spark, t, "id IN (3, 6)") // v9
+        (9 until 12).foreach { i =>
+          CommitLog.append(spark, t,
+            Seq((i.toLong, s"d-$i")).toDF("id", "s").coalesce(1)) // v10..v12
+        }
+        // v10 wrote a checkpoint whose rows must carry the v9 vectors
+        assert(CommitLog.checkpointVersions(spark, t).contains(10L))
+        val log = new java.io.File(s"$t/_graft_log")
+        (0L until 10L).foreach { v =>
+          val f = new java.io.File(log, f"$v%08d.json")
+          assert(f.delete(), s"fixture: could not delete $f")
+        }
+        assert(CommitLog.read(spark, t).count() === 10)
+        assert(CommitLog.read(spark, t).filter("id IN (3, 6)").count() === 0,
+          "deletes resurrected after checkpoint-seeded resolution")
+        // vacuum rewrites the horizon as a JSON checkpoint: vectors ride it
+        CommitLog.vacuum(spark, t, keepFrom = 12L)
+        assert(CommitLog.read(spark, t).count() === 10)
+        assert(CommitLog.read(spark, t).filter("id IN (3, 6)").count() === 0,
+          "deletes resurrected after vacuum horizon rewrite")
+      } finally spark.conf.unset("spark.graft.commitlog.checkpointInterval")
+    } finally cleanup(t)
+  }
 }
