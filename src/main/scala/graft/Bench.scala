@@ -84,12 +84,15 @@ object Bench {
     // Outlier re-time (VERDICT r6 #7): best-of-2 back-to-back bounds a
     // one-off stall but not SUSTAINED machine load — in round 6 four
     // unchanged queries recorded 2-4x their round-5 detail while 40
-    // others got faster. Any query whose best-of-2 exceeds 3x its
-    // recorded history (and by more than noise) gets ONE more shot at
-    // the END of the run, when the load spike has had time to pass;
-    // keep the min. Bounded: only flagged queries pay a third run.
+    // others got faster. Any query whose best-of-2 exceeds 2x its
+    // recorded history AND is off by >0.5 s absolute (so sub-second
+    // noise never triggers) gets ONE more shot at the END of the run,
+    // when the load spike has had time to pass; keep the min. The 3x
+    // trigger used through r7 let a 2.7x excursion into the record
+    // (knn_quantized_rerank, VERDICT r7 #3). Bounded: only flagged
+    // queries pay a third run.
     val results = firstPass.map { case (name, t) =>
-      val suspect = history.get(name).exists(h => t > 3 * h && t - h > 0.5)
+      val suspect = history.get(name).exists(h => t > 2 * h && t - h > 0.5)
       if (suspect) name -> math.min(t, timeOnce(SparkEntry.queries(name)))
       else name -> t
     }

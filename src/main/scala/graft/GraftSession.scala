@@ -51,13 +51,17 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table is written with TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects by default (PARQUET_TYPE_ILLEGAL). We read
-    * nanos as a raw long (legacy conf, runtime-settable) and rebuild a
-    * microsecond TimestampType column ourselves — set here, not only in
-    * the session builder, so `entry` works under any driver session. */
+  /** Two events layouts exist in the wild (the driver regenerated the
+    * testdata between rounds): the CURRENT files store `ts` as standard
+    * `timestamp[us]` with isAdjustedToUTC=false — which Spark would
+    * otherwise infer as TIMESTAMP_NTZ, a type nothing downstream wants —
+    * and the LEGACY files stored TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects by default (PARQUET_TYPE_ILLEGAL). Both confs are
+    * runtime-settable, so set them here — not only in the session
+    * builder — and let [[events]] branch on the footer schema. */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/events.parquet")
   }
 
@@ -68,36 +72,42 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  /** events with `ts` as TimestampType (microsecond, floor-truncated from
-    * the file's nanoseconds — sub-microsecond detail is below every
-    * operator's granularity; oracles compare at second/day resolution).
-    * The raw nanos survive as `ts_ns` so range predicates can push down
-    * to the parquet scan (a filter on the derived `ts` cannot). */
+  /** events with `ts` as session-TZ TimestampType, whatever the file
+    * layout. Current layout: `ts` is already a microsecond timestamp —
+    * use it natively (range predicates on it reach the scan as native
+    * timestamp PushedFilters; no derived column needed). Legacy layout:
+    * `ts` arrives as raw int64 nanos (LongType under the nanosAsLong
+    * conf) — keep it as `ts_ns` and rebuild a microsecond `ts`
+    * (floor-truncated; sub-microsecond detail is below every operator's
+    * granularity), with NanosRangeRewrite conjoining pushable `ts_ns`
+    * bounds onto `ts` filters. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    // `div` = exact long integer division; a double `/` would lose
-    // precision on ~1.7e18-ns epoch values (53-bit mantissa).
-    eventsRaw(spark, dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = eventsRaw(spark, dir)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // `div` = exact long integer division; a double `/` would lose
+        // precision on ~1.7e18-ns epoch values (53-bit mantissa).
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => raw
+    }
   }
 
-  /** Pushdown-friendly inclusive bounds on events.ts, expressed against
-    * the raw int64 nanos column. Exact equivalences (ts = floor(ns/1e3)
-    * micros): ts >= T  <=>  ns >= T*1000 ; ts <= S  <=>  ns <= S*1000+999.
-    * These reach the scan as PushedFilters and prune row groups — the
-    * difference between a range read and a full scan at 100 TB. */
+  /** Inclusive bounds on events.ts. On the native layout the constant
+    * folds to a timestamp literal and reaches the parquet scan as a
+    * PushedFilter directly; on the legacy layout NanosRangeRewrite
+    * (plans/GraftExtensions) conjoins the equivalent raw `ts_ns` bounds
+    * — either way the range prunes row groups, the difference between a
+    * range read and a full scan at 100 TB. */
   def tsGte(timestamp: String): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.col
-    col("ts_ns") >= epochMicros(timestamp) * 1000L
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    col("ts") >= to_timestamp(lit(timestamp))
   }
   def tsLte(timestamp: String): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.col
-    col("ts_ns") <= epochMicros(timestamp) * 1000L + 999L
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    col("ts") <= to_timestamp(lit(timestamp))
   }
-  private def epochMicros(timestamp: String): Long =
-    java.time.LocalDateTime.parse(timestamp.replace(' ', 'T'))
-      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 

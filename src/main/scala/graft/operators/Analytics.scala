@@ -80,7 +80,7 @@ object Analytics {
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
-              expr("ts_ns div 1000").as("ts_us"))
+              unix_micros(col("ts")).as("ts_us"))
       .filter(col("event_type").isin("purchase", "signup"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("is_purchase"), col("event_id"))
@@ -246,7 +246,7 @@ object Analytics {
     * else is within-partition. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     e.withColumn("prev_us", lag(col("ts_us"), 1).over(w))
       .withColumn("new_sess",

@@ -87,7 +87,7 @@ object Changes {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val transitions = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("ts_ns div 1000").as("ts_us"))
+        unix_micros(col("ts")).as("ts_us"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
     transitions

@@ -227,17 +227,40 @@ object CommitLog {
     * replay only the JSON tail after it — O(checkpoint + tail), not
     * O(versions). Paths relative to root. */
   def snapshot(spark: SparkSession, tablePath: String,
-      asOf: Option[Long] = None): Seq[String] = {
+      asOf: Option[Long] = None): Seq[String] =
+    prunedSnapshot(spark, tablePath, asOf, identity, (_, _) => true)
+
+  /** Snapshot resolution with a metadata predicate pushed into the
+    * parquet domain: `keepCp` filters the checkpoint's (file, stats,
+    * blooms) rows AS A DATAFRAME — zone/bloom evaluation runs where
+    * the checkpoint lives, column pruning keeps unreferenced metadata
+    * columns (e.g. the ~8 KiB/column blooms on a zone-only scan) from
+    * ever being read, and only surviving file NAMES are collected. A
+    * resolve over an O(100k)-file table ships O(survivors) names to
+    * the driver, not ~GBs of per-file metadata. The JSON tail after
+    * the checkpoint is bounded by the checkpoint interval; `keepAdd`
+    * applies the same predicate to each tail add's parsed metadata
+    * driver-side (metadata-sized by construction). */
+  private def prunedSnapshot(spark: SparkSession, tablePath: String,
+      asOf: Option[Long], keepCp: DataFrame => DataFrame,
+      keepAdd: (Map[String, (Double, Double)], Map[String, String]) => Boolean): Seq[String] = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val cp = bestCheckpoint(spark, tablePath, asOf)
     cp.foreach { c =>
-      live ++= readCheckpointRows(spark, tablePath, c).map(_._1)
+      val dir = new Path(new Path(tablePath, LogDir), cpDirName(c))
+      live ++= keepCp(spark.read.parquet(dir.toString))
+        .select("file").collect().map(_.getString(0))
     }
     versions(spark, tablePath)
       .filter(v => cp.forall(v > _) && asOf.forall(v <= _))
       .foreach { v =>
         val line = commitLine(spark, tablePath, v)
-        live ++= extractArr(line, "adds")
+        val st = extractStats(line)
+        val bl = extractBlooms(line)
+        extractArr(line, "adds").foreach { f =>
+          if (keepAdd(st.getOrElse(f, Map.empty), bl.getOrElse(f, Map.empty)))
+            live += f
+        }
         live --= extractArr(line, "removes")
       }
     live.toSeq
@@ -420,7 +443,11 @@ object CommitLog {
 
   /** Checkpoint rows (file, statsBody, bloomsBody) — bodies in the
     * same inner format the JSON commits use ("" = none), parsed
-    * per-file with the existing regexes. */
+    * per-file with the existing regexes. Full materialization: use
+    * only where the caller genuinely needs every file's metadata
+    * (fileStats/fileBlooms introspection); snapshot resolution goes
+    * through [[prunedSnapshot]], which keeps the metadata in the
+    * parquet domain. */
   private def readCheckpointRows(spark: SparkSession, tablePath: String,
       v: Long): Seq[(String, String, String)] = {
     val dir = new Path(new Path(tablePath, LogDir), cpDirName(v))

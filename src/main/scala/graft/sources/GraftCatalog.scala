@@ -19,9 +19,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object GraftCatalog {
 
   /** The engine's relational + extension tables (TESTDATA.md). `events`
-    * is registered too, but reading it needs the nanos conf that
-    * [[register]] sets — its TIMESTAMP(NANOS) column arrives as raw
-    * int64 (see graft.Tables.events for the rebuild). */
+    * is registered too; [[register]] sets the confs that make its `ts`
+    * column read as session-TZ TimestampType on the current layout
+    * (timestamp[us], isAdjustedToUTC=false) and as raw int64 nanos on
+    * the legacy one (see graft.Tables.events for the branch). */
   val TableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
@@ -37,6 +38,7 @@ object GraftCatalog {
   /** Idempotently register every table over `dir` and return the names. */
   def register(spark: SparkSession, dir: String): Seq[String] = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     def ddl(): String = {
       TableNames.foreach { name =>
         spark.sql(s"DROP TABLE IF EXISTS $name")

@@ -55,29 +55,29 @@ class PlanAuditSpec extends SparkSpec {
 
   test("events time-range predicates reach the parquet scan as PushedFilters") {
     val plan = planOf(TimeSeries.rangeFilter(spark, sf))
-    // the rewrite onto the raw int64 nanos column is what makes these
-    // pushable (GraftSession.Tables.tsGte/tsLte); a filter on the
-    // derived timestamp column would not appear here
-    // the DF-side alias is ts_ns; in the file (and thus the pushed
-    // filter) the raw int64 nanos column is named ts
+    // on the current layout ts is a native timestamp[us] column, so the
+    // tsGte/tsLte literals push down directly as timestamp bounds (no
+    // derived-column rewrite needed)
     assert(plan.contains("PushedFilters:") && plan.contains("GreaterThanOrEqual(ts,"),
-      s"ts_ns bounds not pushed:\n$plan")
+      s"ts lower bound not pushed:\n$plan")
     assert(plan.contains("LessThanOrEqual(ts,"), s"upper bound not pushed:\n$plan")
   }
 
-  test("NATURAL ts filters gain pushed nanos bounds via the optimizer rule") {
+  test("NATURAL ts filters push native timestamp bounds to the scan") {
     import org.apache.spark.sql.functions.col
-    // no manual tsGte/tsLte — the NanosRangeRewrite extension conjoins
-    // the implied raw-column bounds, which are the only pushable form
+    // plain comparisons against string literals — the implicit cast
+    // folds to a timestamp literal and must reach the scan; the day the
+    // loader reintroduces a derived ts (as the legacy-nanos branch did)
+    // this pin catches the silent full-scan
     val df = Tables.events(spark, sf)
       .filter(col("ts") >= "2024-01-10 00:00:00" && col("ts") <= "2024-01-19 23:59:59")
       .select(col("event_id"), col("value"))
     val plan = planOf(df)
-    assert(plan.contains("GreaterThanOrEqual(ts,1704844800000000000"),
-      s"implied lower nanos bound not pushed:\n$plan")
-    assert(plan.contains("LessThanOrEqual(ts,1705708799000000999"),
-      s"implied upper nanos bound not pushed:\n$plan")
-    // and the rows equal the hand-rewritten form
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThanOrEqual(ts,2024-01-10"),
+      s"lower ts bound not pushed:\n$plan")
+    assert(plan.contains("LessThanOrEqual(ts,2024-01-19"),
+      s"upper ts bound not pushed:\n$plan")
+    // and the rows equal the tsGte/tsLte helper form
     val manual = Tables.events(spark, sf)
       .filter(Tables.tsGte("2024-01-10 00:00:00") && Tables.tsLte("2024-01-19 23:59:59"))
       .select(col("event_id"), col("value"))
@@ -85,10 +85,11 @@ class PlanAuditSpec extends SparkSpec {
       manual.collect().map(_.toString).sorted.toSeq)
   }
 
-  test("nanos rewrite skips sentinel timestamps that would overflow longs") {
+  test("far-future sentinel bounds keep every row (no overflow wraparound)") {
     import org.apache.spark.sql.functions.col
-    // 9999-01-01 in nanos overflows a long; the rule must skip it, not
-    // conjoin a wrapped-negative bound that silently empties the result
+    // 9999-01-01 in nanos overflows a long — the legacy rewrite had to
+    // skip it; the native path must simply compare correctly. Either
+    // way a sentinel upper bound must never silently empty the result.
     val all = Tables.events(spark, sf).count()
     val n = Tables.events(spark, sf)
       .filter(col("ts") <= "9999-01-01 00:00:00").count()
