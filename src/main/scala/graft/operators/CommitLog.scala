@@ -363,16 +363,17 @@ object CommitLog {
       bloomColRe.findAllMatchIn(body).map(cm => cm.group(1) -> cm.group(2)).toMap
     }
 
-  /** Deletion vectors in force at `asOf`, decoded: latest `dvs` entry
-    * per file (each entry is a complete replacement), checkpoint base
-    * + JSON tail like [[fileStats]]. Entries for files no longer live
-    * may linger until a checkpoint prunes them; callers filter by the
-    * snapshot's file set. Driver-resident by design — vectors are
-    * (deleted rows)/8 bytes, metadata-sized for the selective deletes
-    * DVs exist for (a delete touching most of a table should be a
-    * rewrite, not a vector). */
-  def deletionVectors(spark: SparkSession, tablePath: String,
-      asOf: Option[Long] = None): Map[String, Array[Byte]] = {
+  /** Deletion-vector REFERENCES in force at `asOf`: latest `dvs`
+    * entry per file (each entry is a complete replacement), checkpoint
+    * base + JSON tail like [[fileStats]]. An entry is either inline
+    * base64 (small vectors) or `@<name>` — a sidecar file under the
+    * log holding the raw bytes, written by [[delete]] when a vector
+    * outgrows the inline threshold (Delta's sidecar-DV transport: the
+    * commit stays metadata-sized; bytes are loaded where needed).
+    * Entries for files no longer live may linger until a checkpoint
+    * prunes them; callers filter by the snapshot's file set. */
+  def deletionVectorRefs(spark: SparkSession, tablePath: String,
+      asOf: Option[Long] = None): FileDvs = {
     val acc = scala.collection.mutable.Map.empty[String, String]
     val cp = bestCheckpoint(spark, tablePath, asOf)
     cp.foreach { c =>
@@ -383,10 +384,29 @@ object CommitLog {
     versions(spark, tablePath)
       .filter(v => cp.forall(v > _) && asOf.forall(v <= _))
       .foreach(v => acc ++= extractDvs(commitLine(spark, tablePath, v)))
-    acc.map { case (f, enc) =>
-      f -> java.util.Base64.getDecoder.decode(enc)
-    }.toMap
+    acc.toMap
   }
+
+  /** Decoded bytes behind one DV reference — inline base64, or a
+    * driver-side sidecar read. Use per TOUCHED file (delete's prior
+    * merge, the change feed's diff), never over a whole table. */
+  private def dvBytesOf(spark: SparkSession, tablePath: String,
+      enc: String): Array[Byte] =
+    if (enc.startsWith("@")) {
+      val p = new Path(new Path(tablePath, LogDir), enc.drop(1))
+      val fs = fsOf(spark, p)
+      val in = fs.open(p)
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    } else java.util.Base64.getDecoder.decode(enc)
+
+  /** Deletion vectors in force at `asOf`, decoded to bytes on the
+    * driver. Introspection/test surface — the scan path masks through
+    * [[maskDvs]], which keeps sidecar bytes on the executors. */
+  def deletionVectors(spark: SparkSession, tablePath: String,
+      asOf: Option[Long] = None): Map[String, Array[Byte]] =
+    deletionVectorRefs(spark, tablePath, asOf).map { case (f, enc) =>
+      f -> dvBytesOf(spark, tablePath, enc)
+    }
 
   // ---- periodic parquet checkpoints (the Delta _last_checkpoint
   // design): every `checkpointInterval` commits the writer persists
@@ -678,46 +698,82 @@ object CommitLog {
   /** Apply the version's deletion vectors to a parquet scan over
     * `files`: look the row's file up in a (metadata-sized) literal
     * map, probe its vector at `_metadata.row_index` — one codegen'd
-    * bit test per row, rows in no vector pay a null check only. A
-    * no-DV table returns the frame untouched (zero overhead). Must
-    * wrap the scan BEFORE projections: `_metadata` is only resolvable
-    * on the file source relation. */
+    * bit test per row, rows in no vector pay a null check only. Small
+    * vectors ride the plan as inline byte literals; sidecar vectors
+    * ride as PATH literals and are loaded on the executors
+    * ([[graft.plans.DvLoad]], cached per JVM) — a delete touching 50k
+    * files ships 50k paths through the plan, never GBs of bitmaps
+    * through the driver. A no-DV table returns the frame untouched
+    * (zero overhead). Must wrap the scan BEFORE projections:
+    * `_metadata` is only resolvable on the file source relation. */
   private def maskDvs(spark: SparkSession, tablePath: String,
       asOf: Option[Long], files: Seq[String],
       df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, element_at, lit, map, not}
+    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, map, not}
     val live = files.toSet
-    val dvs = deletionVectors(spark, tablePath, asOf)
+    val refs = deletionVectorRefs(spark, tablePath, asOf)
       .filter { case (f, _) => live.contains(f) }
-    if (dvs.isEmpty) df
+    if (refs.isEmpty) df
     else {
       // keyed by file NAME: staged files carry fresh uuid names, so
       // names are unique table-wide and _metadata.file_name is enough
-      val entries = dvs.toSeq.flatMap { case (f, bytes) =>
-        Seq(lit(new Path(f).getName), lit(bytes))
-      }
-      val dv = element_at(map(entries: _*), col("_metadata.file_name"))
+      val (sidecar, inline) = refs.toSeq.partition(_._2.startsWith("@"))
+      val fn = col("_metadata.file_name")
+      val branches = Seq(
+        Option.when(inline.nonEmpty) {
+          val entries = inline.flatMap { case (f, enc) =>
+            Seq(lit(new Path(f).getName),
+              lit(java.util.Base64.getDecoder.decode(enc)))
+          }
+          element_at(map(entries: _*), fn)
+        },
+        Option.when(sidecar.nonEmpty) {
+          val entries = sidecar.flatMap { case (f, enc) =>
+            Seq(lit(new Path(f).getName),
+              lit(new Path(new Path(tablePath, LogDir), enc.drop(1)).toString))
+          }
+          graft.plans.DeletionVector.dvLoad(element_at(map(entries: _*), fn))
+        }).flatten
+      val dv = if (branches.size == 1) branches.head else coalesce(branches: _*)
       df.filter(dv.isNull ||
         not(graft.plans.DeletionVector.dvTest(dv, col("_metadata.row_index"))))
+    }
+  }
+
+  /** The parquet-domain zone predicate over a checkpoint's `stats`
+    * column for "[lo, hi] might intersect `column`'s zone": extract
+    * the column's [min,max] from the stats body with a codegen'd
+    * regexp, keep when absent (conservative) or overlapping. The
+    * CaseWhen keeps the ANSI double cast off the no-stats branch.
+    * Package-visible so the spec can pin the plan shape. */
+  private[graft] def zoneKeep(column: String, lo: Double, hi: Double): DataFrame => DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, regexp_extract, when}
+    val pat = "\"" + java.util.regex.Pattern.quote(esc(column)) +
+      "\":\\[([^,\\]]+),([^\\]]+)\\]"
+    df => {
+      val mn = regexp_extract(col("stats"), pat, 1)
+      val mx = regexp_extract(col("stats"), pat, 2)
+      df.filter(when(mn === "" || mx === "", lit(true))
+        .otherwise(mx.cast("double") >= lo && mn.cast("double") <= hi))
     }
   }
 
   /** Snapshot read WITH data skipping: resolve the version's file set,
     * then drop every file whose logged zone provably excludes
     * [lo, hi] on `column` — no listing, no footer reads for pruned
-    * files, and the stats arrived in the same metadata read that
-    * resolved the snapshot. Conservative: un-statted files are kept,
-    * and the predicate is re-applied, so the result is identical to an
+    * files, and the zone evaluation runs IN the checkpoint's parquet
+    * domain (only surviving file names reach the driver; the tail's
+    * adds, bounded by the checkpoint interval, are checked from their
+    * parsed JSON). Conservative: un-statted files are kept, and the
+    * predicate is re-applied, so the result is identical to an
     * unpruned scan-and-filter. */
   def scanRange(spark: SparkSession, tablePath: String, column: String,
       lo: Double, hi: Double, asOf: Option[Long] = None): DataFrame = {
-    val stats = fileStats(spark, tablePath, asOf)
-    val files = snapshot(spark, tablePath, asOf).filter { f =>
-      stats.get(f).flatMap(_.get(column)) match {
+    val files = prunedSnapshot(spark, tablePath, asOf, zoneKeep(column, lo, hi),
+      (st, _) => st.get(column) match {
         case Some((mn, mx)) => !(mx < lo || mn > hi)
         case None => true
-      }
-    }
+      })
     val pred = org.apache.spark.sql.functions.col(column) >= lo &&
       org.apache.spark.sql.functions.col(column) <= hi
     if (files.isEmpty) read(spark, tablePath, asOf).filter(org.apache.spark.sql.functions.lit(false))
@@ -761,7 +817,6 @@ object CommitLog {
   def scanEquals(spark: SparkSession, tablePath: String, column: String,
       value: Any, asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val blooms = fileBlooms(spark, tablePath, asOf)
     // The stored filter hashed the COLUMN through xxhash64, i.e. with
     // the column's declared type's bit width — an Int probe against a
     // bigint column (or Long against int) hashes differently and would
@@ -784,21 +839,62 @@ object CommitLog {
       case _ => None // unknown/mismatched type: no pruning, filter decides
     }
     val hOpt = probe.map(graft.plans.BloomAggregate.hashOf)
-    val files = snapshot(spark, tablePath, asOf).filter { f =>
-      (hOpt, blooms.get(f).flatMap(_.get(column))) match {
-        case (Some(h), Some(enc)) =>
-          val Array(kStr, b64) = enc.split(":", 2)
-          graft.plans.BloomAggregate.mightContain(
-            graft.plans.BloomAggregate.wordsOf(
-              java.util.Base64.getDecoder.decode(b64)), h, kStr.toInt)
-        case _ => true
-      }
+    val files = hOpt match {
+      case None => snapshot(spark, tablePath, asOf)
+      case Some(h) => prunedSnapshot(spark, tablePath, asOf, bloomKeep(column, h),
+        (_, bl) => bl.get(column) match {
+          case Some(enc) =>
+            val Array(kStr, b64) = enc.split(":", 2)
+            graft.plans.BloomAggregate.mightContain(
+              graft.plans.BloomAggregate.wordsOf(
+                java.util.Base64.getDecoder.decode(b64)), h, kStr.toInt)
+          case None => true
+        })
     }
     if (files.isEmpty) read(spark, tablePath, asOf).filter(lit(false))
     else maskDvs(spark, tablePath, asOf, files,
       readerFor(spark, tablePath, asOf)
         .parquet(files.map(f => s"$tablePath/$f"): _*))
       .filter(col(column) === lit(value))
+  }
+
+  /** The parquet-domain bloom probe over a checkpoint's `blooms`
+    * column for "file might contain the value hashing to `h` in
+    * `column`". The probe's k bit positions derive from driver
+    * constants (Kirsch–Mitzenmacher g_i = h1 + i*h2 — the same
+    * doubling [[graft.plans.BloomAggregate]] builds with); only the
+    * modulus (the per-file filter's bit count) is per-row, so each
+    * probe is pmod + one [[graft.plans.DvTest]] bit test — the
+    * codegen'd bitset probe, whose big-endian word layout matches
+    * BloomAggregate's exactly. Files without a filter, with an
+    * unparseable entry, or with k beyond the probe fan-out are kept
+    * (conservative). Package-visible so the spec can pin the plan. */
+  private[graft] def bloomKeep(column: String, h: Long): DataFrame => DataFrame = {
+    import org.apache.spark.sql.functions.{col, get, lit, not, octet_length, pmod, regexp_extract, split, unbase64, when}
+    val pat = "\"" + java.util.regex.Pattern.quote(esc(column)) + "\":\"([^\"]+)\""
+    // probe positions' dividends: driver constants (h is the constant
+    // probe's hash; truncation to Int mirrors BloomAggregate.positions)
+    val h1 = (h & 0xffffffffL).toInt
+    val h2 = ((h >>> 32).toInt << 1) | 1
+    val kMax = 16
+    val gs = Array.tabulate(kMax)(i => (h1 + i.toLong * h2).toInt)
+    df => {
+      val enc = regexp_extract(col("blooms"), pat, 1)
+      val parts = split(enc, ":", 2)
+      val kCol = get(parts, lit(0)).cast("int")
+      val bin = unbase64(get(parts, lit(1)))
+      // whole 64-bit words only, exactly like BloomAggregate.wordsOf —
+      // a trailing partial word is never probed by the builder either
+      val mBits = (octet_length(bin) - pmod(octet_length(bin), lit(8))) * 8
+      val mightContain = (0 until kMax).map { i =>
+        lit(i) >= kCol || graft.plans.DeletionVector.dvTest(
+          bin, pmod(lit(gs(i)), mBits).cast("long"))
+      }.reduce(_ && _)
+      df.filter(
+        when(enc === "" || not(enc.rlike("^[0-9]+:")), lit(true))
+          .otherwise(when(kCol > kMax || mBits <= 0, lit(true))
+            .otherwise(mightContain)))
+    }
   }
 
   /** Snapshot read: resolve a version, hand exactly that commit's file
@@ -922,18 +1018,44 @@ object CommitLog {
       .agg(graft.plans.DeletionVector.bitset(col("ri")).as("dv"))
       .collect()
     if (matched.isEmpty) return None
-    val prior = deletionVectors(spark, tablePath, None)
+    // prior vectors: refs for everything, bytes only for TOUCHED files
+    // (the driver's transit is ∝ this delete's blast radius, not the
+    // table's accumulated delete state)
+    val priorRefs = deletionVectorRefs(spark, tablePath, None)
     val byName = files.map(f => new Path(f).getName -> f).toMap
     val newDvs: FileDvs = matched.map { r =>
       val f = byName.getOrElse(r.getString(0),
         sys.error(s"delete matched rows in unknown file ${r.getString(0)}"))
-      val merged = prior.get(f)
+      val merged = priorRefs.get(f).map(dvBytesOf(spark, tablePath, _))
         .fold(r.getAs[Array[Byte]]("dv"))(
           graft.plans.BitsetAggregate.union(_, r.getAs[Array[Byte]]("dv")))
-      f -> java.util.Base64.getEncoder.encodeToString(merged)
+      f -> publishDv(spark, tablePath, merged)
     }.toMap
     Some(commit(spark, tablePath, Seq.empty, Seq.empty, batchId, dvs = newDvs))
   }
+
+  /** Vectors at or below this raw-byte size ride the commit JSON
+    * inline (base64); larger ones become sidecar files. Delta-style
+    * split: the log stays metadata-sized however big the delete. */
+  private def dvInlineThreshold(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.commitlog.dvInlineThreshold")
+      .map(_.toInt).getOrElse(2048)
+
+  /** Encode a finished vector for the commit: inline base64 when
+    * small, else write `dv-<uuid>.bin` under the log (immutable,
+    * uuid-named — never rewritten) and return its `@` reference. */
+  private def publishDv(spark: SparkSession, tablePath: String,
+      bytes: Array[Byte]): String =
+    if (bytes.length <= dvInlineThreshold(spark))
+      java.util.Base64.getEncoder.encodeToString(bytes)
+    else {
+      val name = s"dv-${java.util.UUID.randomUUID().toString.take(12)}.bin"
+      val p = new Path(new Path(tablePath, LogDir), name)
+      val fs = fsOf(spark, p)
+      val out = fs.create(p, false)
+      try out.write(bytes) finally out.close()
+      "@" + name
+    }
 
   /** Atomic compaction: bin-pack the live set into `targetFiles` and
     * swap in one commit. Old versions remain time-travelable. The
@@ -1038,10 +1160,12 @@ object CommitLog {
           val dvSlices =
             if (dvEntries.isEmpty) Seq.empty
             else {
-              val before = deletionVectors(spark, tablePath, Some(v - 1))
+              // bytes only for the files THIS commit touched — the
+              // diff's driver transit is ∝ the commit, not the table
+              val beforeRefs = deletionVectorRefs(spark, tablePath, Some(v - 1))
               dvEntries.toSeq.flatMap { case (f, enc) =>
-                val now = java.util.Base64.getDecoder.decode(enc)
-                val fresh = before.get(f)
+                val now = dvBytesOf(spark, tablePath, enc)
+                val fresh = beforeRefs.get(f).map(dvBytesOf(spark, tablePath, _))
                   .fold(now)(graft.plans.BitsetAggregate.minus(now, _))
                 if (graft.plans.BitsetAggregate.cardinality(fresh) == 0L) None
                 else Some(
@@ -1181,10 +1305,12 @@ object CommitLog {
       if (horizonBlooms.isEmpty) "" else s""","blooms":${jblooms(horizonBlooms)}"""
     // deletion vectors in force at the horizon ride the checkpoint:
     // truncated commits may have been their only carriers, and a
-    // replay losing a vector would resurrect deleted rows
-    val horizonDvs: FileDvs = deletionVectors(spark, tablePath, Some(keepFrom))
+    // replay losing a vector would resurrect deleted rows. References
+    // carry over AS references — sidecar bytes never transit here,
+    // and the sidecar files themselves survive below (orphan sweep
+    // spares everything still referenced)
+    val horizonDvs: FileDvs = deletionVectorRefs(spark, tablePath, Some(keepFrom))
       .filter { case (f, _) => horizonState.contains(f) }
-      .map { case (f, b) => f -> java.util.Base64.getEncoder.encodeToString(b) }
     val dvField =
       if (horizonDvs.isEmpty) "" else s""","dvs":${jdvs(horizonDvs)}"""
     // schema/constraints declared at or before the horizon ride the
@@ -1234,6 +1360,26 @@ object CommitLog {
     }
     if (lastCheckpointPointer(spark, tablePath).exists(_ < keepFrom))
       fs.delete(new Path(log, "_last_checkpoint"), false)
+    // orphan sweep: sidecar DV files referenced by no surviving commit
+    // or parquet checkpoint are unreachable (their commits were just
+    // truncated, or a later delete replaced their vector). References
+    // are collected AFTER truncation, from the retained JSON lines and
+    // — parquet-domain — from surviving checkpoints' dv columns.
+    import org.apache.spark.sql.functions.col
+    val referenced: Set[String] =
+      versions(spark, tablePath).flatMap(v =>
+        extractDvs(commitLine(spark, tablePath, v)).values).toSet ++
+      checkpointVersions(spark, tablePath).flatMap { c =>
+        val df = spark.read.parquet(new Path(log, cpDirName(c)).toString)
+        if (!df.columns.contains("dv")) Seq.empty[String]
+        else df.select("dv").filter(col("dv").startsWith("@"))
+          .collect().map(_.getString(0)).toSeq
+      }
+    val referencedNames = referenced.filter(_.startsWith("@")).map(_.drop(1))
+    fs.listStatus(log).map(_.getPath.getName)
+      .filter(n => n.startsWith("dv-") && n.endsWith(".bin"))
+      .filterNot(referencedNames.contains)
+      .foreach(n => fs.delete(new Path(log, n), false))
     ()
   }
 

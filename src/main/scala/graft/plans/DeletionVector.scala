@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -177,6 +177,63 @@ case class DvTest(left: Expression, right: Expression) extends BinaryExpression 
       newRight: Expression): DvTest = copy(left = newLeft, right = newRight)
 }
 
+/** `graft_dv_load(path)` → binary: a sidecar deletion-vector file's
+  * bytes, loaded ON THE EXECUTOR probing the row — large vectors never
+  * transit the driver, the commit JSON, or a broadcast; each task
+  * reads the (immutable, uuid-named) sidecar for the data file it is
+  * scanning, through a JVM-wide bounded cache so a partition pays one
+  * filesystem read, not one per row. The Delta sidecar-DV transport
+  * shape. Null path (no sidecar for this row's file) → null, which
+  * the mask treats as "nothing deleted". */
+case class DvLoad(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dv_load expects a string path, got ${child.dataType.catalogString}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dv_load"
+
+  override def nullSafeEval(path: Any): Any =
+    DvLoad.bytesFor(path.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, path => s"""
+      ${ev.value} = graft.plans.DvLoad.bytesFor($path.toString());
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): DvLoad =
+    copy(child = newChild)
+}
+
+object DvLoad {
+  // sidecars are immutable (fresh uuid name per write), so a pure
+  // path-keyed LRU is safe; 64 entries bounds executor memory at
+  // 64 x the largest vector while covering every file a task set
+  // typically touches between evictions
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Array[Byte]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[Byte]]): Boolean = size() > 64
+    })
+
+  def bytesFor(path: String): Array[Byte] = {
+    val hit = cache.get(path)
+    if (hit != null) hit
+    else {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val in = fs.open(p)
+      val bytes =
+        try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      cache.put(path, bytes)
+      bytes
+    }
+  }
+}
+
 object DeletionVector {
 
   def register(spark: SparkSession): Unit = {
@@ -184,6 +241,8 @@ object DeletionVector {
       "graft_bitset", exprs => BitsetAggregate(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dv_test", exprs => DvTest(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dv_load", exprs => DvLoad(exprs(0)), "scala_udf")
   }
 
   /** Column forms; register on the active session on first use (same
@@ -196,5 +255,10 @@ object DeletionVector {
   def dvTest(dv: Column, idx: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_dv_test", dv, idx)
+  }
+
+  def dvLoad(path: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_dv_load", path)
   }
 }

@@ -626,6 +626,55 @@ class CommitLogSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("checkpointed scan pruning stays in the parquet domain: survivor names only reach the driver") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      spark.conf.set("spark.graft.commitlog.checkpointInterval", "10")
+      try {
+        // 20 one-file commits, file i holding ids [i*100, i*100+9], each
+        // with zone + bloom metadata; cadence-10 -> checkpoint at v10
+        // covers 11 files, tail v11..v19 adds 9 more
+        (0 until 20).foreach { i =>
+          CommitLog.appendWithBloom(spark, t,
+            (0 until 10).map(j => (i * 100L + j, s"d-$i-$j")).toDF("id", "s").coalesce(1),
+            bloomCols = Seq("id"), statsCols = Seq("id"))
+        }
+        assert(CommitLog.lastCheckpointPointer(spark, t) === Some(10L))
+        val cpDf = spark.read.parquet(s"$t/_graft_log/cp-00000010.parquet")
+        assert(cpDf.count() === 11)
+        // THE pin: the zone predicate runs over the checkpoint AS A
+        // DATAFRAME and only surviving names are collected — resolve
+        // work is O(survivors), not O(files x 8 KiB blooms)
+        val zdf = CommitLog.zoneKeep("id", 300, 399)(cpDf).select("file")
+        assert(zdf.collect().map(_.getString(0)).length === 1,
+          "zone filter over checkpoint rows should survive exactly file 3")
+        // and the blooms column is PRUNED from the checkpoint read: a
+        // zone-only resolve never materializes the heavy payload at all
+        val zRead = zdf.queryExecution.executedPlan.toString.linesIterator
+          .find(_.contains("ReadSchema:")).getOrElse("")
+        assert(zRead.contains("stats") && !zRead.contains("blooms"),
+          s"zone-only resolve read the bloom payload: $zRead")
+        // bloom probe: evaluated IN the plan via the codegen'd bit test
+        // (positions are driver constants; only the modulus is per-row)
+        val h = graft.plans.BloomAggregate.hashOf(507L)
+        val bdf = CommitLog.bloomKeep("id", h)(cpDf).select("file")
+        assert(bdf.queryExecution.executedPlan.toString.contains("graft_dv_test"),
+          "bloom probe not visible in the checkpoint-filter plan")
+        assert(bdf.collect().map(_.getString(0)).length === 1,
+          "bloom probe over checkpoint rows should survive exactly file 5")
+        // end-to-end behavior unchanged: pruned scans read only the
+        // surviving files and return exactly the unpruned rows
+        val ranged = CommitLog.scanRange(spark, t, "id", 300, 399)
+        assert(ranged.inputFiles.length === 1 && ranged.count() === 10)
+        assert(ranged.orderBy("id").collect().map(_.getLong(0)).toSeq ===
+          (300L to 309L))
+        val point = CommitLog.scanEquals(spark, t, "id", 507L)
+        assert(point.inputFiles.length === 1 && point.count() === 1)
+      } finally spark.conf.unset("spark.graft.commitlog.checkpointInterval")
+    } finally cleanup(t)
+  }
+
   test("vacuum drops stale parquet checkpoints with the truncated tail") {
     val t = tempTable()
     try {
@@ -825,6 +874,50 @@ class CommitLogSpec extends SparkSpec {
         assert(CommitLog.read(spark, t).filter("id IN (3, 6)").count() === 0,
           "deletes resurrected after vacuum horizon rewrite")
       } finally spark.conf.unset("spark.graft.commitlog.checkpointInterval")
+    } finally cleanup(t)
+  }
+
+  test("sidecar deletion vectors: a big delete's commit stays metadata-sized") {
+    val t = tempTable()
+    try {
+      // force the sidecar path: vectors over 64 raw bytes leave the JSON
+      spark.conf.set("spark.graft.commitlog.dvInlineThreshold", "64")
+      try {
+        CommitLog.append(spark, t,
+          spark.range(0, 10000).selectExpr("id", "cast(id as string) AS s").coalesce(1))
+        val v = CommitLog.delete(spark, t, "id % 2 = 0").get
+        // THE pin: the 10k-row file's ~1.25 KB vector rides as a `@`
+        // reference; the commit line itself stays metadata-sized
+        val json = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(f"$t/_graft_log/$v%08d.json")), "UTF-8")
+        assert(json.contains(":\"@dv-"), s"expected a sidecar reference in: $json")
+        assert(json.length < 500,
+          s"commit JSON carries the bitmap (len ${json.length}): $json")
+        val log = new java.io.File(s"$t/_graft_log")
+        assert(log.listFiles.exists(f =>
+          f.getName.startsWith("dv-") && f.getName.endsWith(".bin")))
+        // masking, time travel, and the change feed behave exactly as inline
+        assert(CommitLog.read(spark, t).count() === 5000)
+        assert(CommitLog.read(spark, t).agg(min("id")).head.getLong(0) === 1L)
+        assert(CommitLog.read(spark, t, asOf = Some(0L)).count() === 10000)
+        assert(CommitLog.readChanges(spark, t, 0L)
+          .filter(col("_change_type") === "delete").count() === 5000)
+        // a second delete unions with the prior SIDECAR vector
+        CommitLog.delete(spark, t, "id % 3 = 0")
+        assert(CommitLog.read(spark, t).count() === 3333) // odd, not %3
+        // parquet checkpoints carry the reference through resolution
+        val latest = CommitLog.latestVersion(spark, t)
+        CommitLog.writeCheckpoint(spark, t, latest)
+        assert(CommitLog.read(spark, t).count() === 3333)
+        // vacuum: the horizon rewrite keeps the ref (no byte transit),
+        // the orphan sweep drops the REPLACED sidecar, keeps the live one
+        CommitLog.vacuum(spark, t, keepFrom = latest)
+        assert(CommitLog.read(spark, t).count() === 3333,
+          "deletes resurrected after vacuum with sidecar vectors")
+        val sidecars = log.listFiles.count(_.getName.startsWith("dv-"))
+        assert(sidecars === 1,
+          s"expected 1 live sidecar after the orphan sweep, found $sidecars")
+      } finally spark.conf.unset("spark.graft.commitlog.dvInlineThreshold")
     } finally cleanup(t)
   }
 }
