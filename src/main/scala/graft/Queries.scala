@@ -472,6 +472,7 @@ object Queries {
     "mm_pixel_stats" -> (Multimodal.pixelStats _),
     "mm_png_pixels" -> (Multimodal.pngPixels _),
     "mm_gif_pixels" -> (Multimodal.gifPixelsQ _),
+    "mm_jpeg_pixels" -> (Multimodal.jpegPixelsQ _),
     "text_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
     "text_clean" -> ((s: SparkSession, d: String) => TextAnalysis.clean(s, d)),
     "dedup_paragraphs" -> ((s: SparkSession, d: String) => Dedup.paragraphDedup(s, d)),
@@ -962,6 +963,25 @@ object Queries {
        "CAST(s.sr AS BIGINT) AS sum_r, CAST(s.sg AS BIGINT) AS sum_g, " +
        "CAST(s.sb AS BIGINT) AS sum_b, " +
        "CASE WHEN d.doc_id % 107 = 0 THEN NULL ELSE CAST(d.w * d.h AS BIGINT) END AS n_pixels " +
+       "FROM d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"),
+    // baseline-DCT twin: the JPEG encoder writes per-8x8-block-constant
+    // gray (doc_id + 5*bx + 11*by) mod 256, which survives the lossy
+    // codec EXACTLY (DC = 8*(v-128), quantizer 8 — JpegEncode
+    // scaladoc), so the oracle recomputes the decoded sums precisely —
+    // certifying Huffman entropy decode, DC prediction + restart
+    // resets, dequant, IDCT, and edge-MCU cropping byte-exactly
+    "mm_jpeg_pixels" ->
+      ("WITH d AS (SELECT doc_id, 9 + doc_id % 23 AS w, 9 + (doc_id * 3) % 19 AS h FROM documents), " +
+       "px AS (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM d WHERE doc_id % 109 <> 0), " +
+       "s AS (SELECT doc_id, " +
+       "sum((doc_id + 5 * ((i % w) // 8) + 11 * ((i // w) // 8)) % 256) AS sg " +
+       "FROM px GROUP BY doc_id) " +
+       "SELECT d.doc_id, " +
+       "CASE WHEN d.doc_id % 109 = 0 THEN NULL ELSE CAST(d.w AS INTEGER) END AS width, " +
+       "CASE WHEN d.doc_id % 109 = 0 THEN NULL ELSE CAST(d.h AS INTEGER) END AS height, " +
+       "CAST(s.sg AS BIGINT) AS sum_r, CAST(s.sg AS BIGINT) AS sum_g, " +
+       "CAST(s.sg AS BIGINT) AS sum_b, " +
+       "CASE WHEN d.doc_id % 109 = 0 THEN NULL ELSE CAST(d.w * d.h AS BIGINT) END AS n_pixels " +
        "FROM d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"),
     // the sampler's keep decision is a pure function of doc_id (md5
     // uniform), so the oracle reproduces the EXACT sample — the whole

@@ -155,6 +155,17 @@ object Multimodal {
         (id % 107 =!= 0, graft.plans.VectorExpressions.gifEncode(
           (id % 17 + 16).cast("int"), (id % 13 + 16).cast("int"),
           id.cast("long"))))
+      case "jpgpx" => Seq(
+        (id % 109 === 0, encode(text.substr(1, 22), "UTF-8")),
+        // REAL baseline JPEGs (plans.JpegEncode: forward DCT, Annex-K
+        // Huffman, quantizer 8): w 9..31, h 9..27 — never a multiple
+        // of 8, so every doc exercises edge-MCU cropping; per-block-
+        // constant pixels decode bit-exactly (the lossless-by-
+        // construction trick the oracle rests on); every other doc
+        // carries a restart marker per MCU row, pinning the RSTn path
+        (id % 109 =!= 0, graft.plans.VectorExpressions.jpegEncode(
+          (id % 23 + 9).cast("int"), ((id * 3) % 19 + 9).cast("int"),
+          id.cast("long"), id % 2 === 0)))
       case "png" => Seq(
         (id % 103 === 0, encode(text.substr(1, 18), "UTF-8")),
         // REAL compressed PNGs (Deflater + CRCs + Adler, plans.PngEncode):
@@ -181,7 +192,7 @@ object Multimodal {
     * synthesis trees run HERE, once, one format-slice per write stage —
     * never fused into a decode query's codegen. */
   def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
-    Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx")
+    Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "jpgpx")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -391,6 +402,24 @@ object Multimodal {
   def gifPixelsQ(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir, "gifpx")
       .select(col("doc_id"), graft.plans.VectorExpressions.gifPixels(col("gifpx")).as("s"))
+      .select(col("doc_id"),
+        col("s.width").as("width"), col("s.height").as("height"),
+        col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),
+        col("s.sum_b").as("sum_b"), col("s.n_pixels").as("n_pixels"))
+      .orderBy(col("doc_id"))
+
+  /** Baseline-DCT pixel decode (plans.JpegPixels) over the stored JPEG
+    * column — the dominant crawl format, completing the pixel family:
+    * marker walk → Huffman entropy decode (DC prediction + restart
+    * resets, AC run/size) → dequantize → IDCT → crop → channel sums.
+    * The fixture's per-block-constant pixels make the lossy codec
+    * lossless by construction (JpegEncode scaladoc), so the oracle
+    * recomputes the exact sums and one wrong Huffman bit, predictor
+    * reset, or IDCT scale fails the round trip. Corrupt rows (every
+    * 109th doc carries text bytes) decode to NULL. */
+  def jpegPixelsQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "jpgpx")
+      .select(col("doc_id"), graft.plans.VectorExpressions.jpegPixels(col("jpgpx")).as("s"))
       .select(col("doc_id"),
         col("s.width").as("width"), col("s.height").as("height"),
         col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),

@@ -1,0 +1,566 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.QuaternaryLike
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, IntegerType, LongType}
+
+/** `graft_jpeg_pixels(binary)` → the pixel-stats struct shared with
+  * [[PngStats]] (width, height, sum_r/g/b, n_pixels — grayscale feeds
+  * all three sums), NULL when the bytes are not a decodable in-scope
+  * JPEG. Completes the pixel family for the dominant crawl format: a
+  * REAL baseline-DCT decoder from the public spec (ITU T.81), zero
+  * dependencies —
+  *
+  *  - marker walk: SOI, then length-delimited segments (APPn/COM
+  *    skipped; DQT/DHT may carry several tables each; DRI sets the
+  *    restart cadence; SOF0 fixes geometry) until SOS;
+  *  - entropy decode of the scan: canonical Huffman per the spec's
+  *    mincode/maxcode/valptr algorithm, DC category + difference
+  *    (predictor across blocks, reset at restart markers), AC
+  *    run/size with ZRL and EOB, `extend` sign recovery, byte
+  *    UN-stuffing (FF 00) inline in the bit reader;
+  *  - per block: dezigzag, dequantize, 2-D IDCT (double-precision
+  *    separable basis — exact for the DC-only blocks the round-trip
+  *    oracle uses, spec-accurate for the rest), +128 level shift,
+  *    clamp, and channel sums over only the pixels inside w x h (edge
+  *    MCUs crop).
+  *
+  * Scope: baseline sequential (SOF0), 8-bit, SINGLE component
+  * (grayscale), no subsampling — the verdict's target; progressive,
+  * multi-component, and 12-bit return NULL, never throw (fuzzed in
+  * ParserFuzzSpec). Memory is O(one 8x8 block) regardless of claimed
+  * geometry — no w*h buffer exists to balloon, only the running sums —
+  * so a hostile header cannot hurt a 100 TB scan. Decode is certified
+  * two ways: the DuckDB oracle recomputes exact sums for the
+  * per-block-constant fixture ([[JpegEncode]]: quantizer 8 divides
+  * the DC 8*(v-128) exactly, so constant blocks round-trip
+  * BIT-EXACTLY through real Huffman + IDCT), and JpegSpec runs a
+  * differential against the JDK's own ImageIO decoder on
+  * gradient images where every AC path fires. */
+case class JpegPixels(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_jpeg_pixels expects a binary column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = PngStats.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_jpeg_pixels"
+
+  override def nullSafeEval(input: Any): Any =
+    JpegPixels.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.plans.JpegPixels.parse($b);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): JpegPixels =
+    copy(child = newChild)
+}
+
+object JpegPixels {
+
+  /** Geometry ceiling: headers claiming more pixels are rejected
+    * up front (decode memory is O(block) anyway; this bounds TIME). */
+  val MaxPixels: Long = 1L << 26
+
+  /** Zigzag position -> natural (row-major) index, T.81 figure A.6. */
+  private[plans] val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** IDCT basis: ct(x)(u) = C_u/2 * cos((2x+1) u pi / 16), so
+    * s(x,y) = sum_u sum_v ct(x)(u) ct(y)(v) F(u,v). */
+  private val Ct: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    cu / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  // canonical Huffman decode tables per T.81 F.2.2.3
+  private final class HuffTable(bits: Array[Int], vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    val values: Array[Byte] = vals
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxCode(l) = if (bits(l - 1) == 0) -1 else code - 1
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  /** Bit reader over the entropy-coded segment: un-stuffs FF 00,
+    * surfaces markers (FFxx) as end-of-data, byte-aligns at restart
+    * boundaries. Throws DecodeErr (caught in parse) on overrun. */
+  private object DecodeErr extends RuntimeException { override def fillInStackTrace(): Throwable = this }
+
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nbits = 0
+    def readBit(): Int = {
+      if (nbits == 0) {
+        if (pos >= b.length) throw DecodeErr
+        var byte = b(pos) & 0xFF; pos += 1
+        if (byte == 0xFF) {
+          if (pos >= b.length) throw DecodeErr
+          val nxt = b(pos) & 0xFF
+          if (nxt == 0x00) pos += 1 // stuffed FF
+          else throw DecodeErr // marker inside the scan: truncated image
+        }
+        cur = byte; nbits = 8
+      }
+      nbits -= 1
+      (cur >> nbits) & 1
+    }
+    def readBits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def align(): Unit = nbits = 0
+    def decode(t: HuffTable): Int = {
+      var code = readBit()
+      var l = 1
+      while (code > t.maxCode(l)) {
+        if (l >= 16) throw DecodeErr
+        code = (code << 1) | readBit()
+        l += 1
+      }
+      t.values(t.valPtr(l) + code - t.minCode(l)) & 0xFF
+    }
+  }
+
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def u16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+
+  /** Null iff the bytes are not a decodable in-scope JPEG. Static, no
+    * captures; total over hostile bytes. */
+  def parse(b: Array[Byte]): InternalRow = try {
+    if (b == null || b.length < 4) return null
+    if (u8(b, 0) != 0xFF || u8(b, 1) != 0xD8) return null // SOI
+    var i = 2
+    var w = 0; var h = 0
+    var qtId = -1
+    val qts = new Array[Array[Int]](4)
+    val dcT = new Array[HuffTable](4)
+    val acT = new Array[HuffTable](4)
+    var restartInterval = 0
+    var dcSel = -1; var acSel = -1
+    var scanStart = -1
+    while (scanStart < 0) {
+      // marker prefix (fill FF bytes are legal padding)
+      if (i + 1 >= b.length) return null
+      if (u8(b, i) != 0xFF) return null
+      var m = u8(b, i + 1)
+      while (m == 0xFF) { i += 1; if (i + 1 >= b.length) return null; m = u8(b, i + 1) }
+      i += 2
+      if (m == 0xD9) return null // EOI before any scan
+      if (i + 2 > b.length) return null
+      val len = u16(b, i)
+      if (len < 2 || i + len > b.length) return null
+      val end = i + len
+      m match {
+        case 0xC0 => // SOF0 baseline
+          if (len < 11) return null
+          if (u8(b, i + 2) != 8) return null // 8-bit only
+          h = u16(b, i + 3); w = u16(b, i + 5)
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
+          if (u8(b, i + 7) != 1) return null // single component (grayscale)
+          if (u8(b, i + 9) != 0x11) return null // no subsampling
+          qtId = u8(b, i + 10)
+          if (qtId > 3) return null
+        case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+             0xCD | 0xCE | 0xCF =>
+          return null // extended/progressive/lossless/arithmetic: out of scope
+        case 0xDB => // DQT: one or more tables
+          var j = i + 2
+          while (j < end) {
+            val pq = u8(b, j) >> 4; val tq = u8(b, j) & 0x0F
+            if (pq != 0 || tq > 3 || j + 65 > end) return null // 8-bit tables only
+            val q = new Array[Int](64)
+            var z = 0
+            while (z < 64) { q(Zigzag(z)) = u8(b, j + 1 + z); z += 1 }
+            qts(tq) = q
+            j += 65
+          }
+          if (j != end) return null
+        case 0xC4 => // DHT: one or more tables
+          var j = i + 2
+          while (j < end) {
+            if (j + 17 > end) return null
+            val tc = u8(b, j) >> 4; val th = u8(b, j) & 0x0F
+            if (tc > 1 || th > 3) return null
+            val bits = Array.tabulate(16)(k => u8(b, j + 1 + k))
+            val n = bits.sum
+            if (n > 256 || j + 17 + n > end) return null
+            val vals = new Array[Byte](n)
+            System.arraycopy(b, j + 17, vals, 0, n)
+            val t = new HuffTable(bits, vals)
+            if (tc == 0) dcT(th) = t else acT(th) = t
+            j += 17 + n
+          }
+          if (j != end) return null
+        case 0xDD => // DRI
+          if (len != 4) return null
+          restartInterval = u16(b, i + 2)
+        case 0xDA => // SOS
+          if (len < 8) return null
+          if (u8(b, i + 2) != 1) return null // one component in scan
+          dcSel = u8(b, i + 4) >> 4; acSel = u8(b, i + 4) & 0x0F
+          // baseline spectral selection/approx must be 0..63, 0, 0
+          if (u8(b, i + 5) != 0 || u8(b, i + 6) != 63 || u8(b, i + 7) != 0) return null
+          scanStart = end
+        case _ => () // APPn, COM, others: skip by length
+      }
+      i = end
+    }
+    if (w == 0 || qtId < 0 || qts(qtId) == null) return null
+    if (dcSel > 3 || acSel > 3 || dcT(dcSel) == null || acT(acSel) == null) return null
+    val qt = qts(qtId)
+    val dc = dcT(dcSel); val ac = acT(acSel)
+    val bx = (w + 7) / 8; val by = (h + 7) / 8
+    val r = new BitReader(b, scanStart)
+    val coef = new Array[Int](64)
+    val block = new Array[Double](64)
+    var pred = 0
+    var sum = 0L
+    var mcu = 0
+    var yB = 0
+    while (yB < by) {
+      var xB = 0
+      while (xB < bx) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          // byte-align, skip any stuffed FF 00 the 1-bit padding left
+          // (an all-ones pad byte is a legal 0xFF and arrives stuffed),
+          // expect RSTn (n cycles 0..7), reset the predictor
+          r.align()
+          var p = r.pos
+          while (p + 1 < b.length && u8(b, p) == 0xFF && u8(b, p + 1) == 0x00)
+            p += 2
+          if (p + 1 >= b.length || u8(b, p) != 0xFF) return null
+          val n = u8(b, p + 1)
+          if (n != 0xD0 + ((mcu / restartInterval - 1) & 7)) return null
+          r.pos = p + 2
+          pred = 0
+        }
+        java.util.Arrays.fill(coef, 0)
+        val t = r.decode(dc)
+        if (t > 11) return null
+        pred += extend(r.readBits(t), t)
+        coef(0) = pred * qt(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = r.decode(ac)
+          val run = rs >> 4; val size = rs & 0x0F
+          if (size == 0) {
+            if (run == 15) k += 16 // ZRL
+            else eob = true // EOB
+          } else {
+            k += run
+            if (k > 63) return null
+            val nat = Zigzag(k)
+            coef(nat) = extend(r.readBits(size), size) * qt(nat)
+            k += 1
+          }
+        }
+        // IDCT, level shift, clamp; sum only pixels inside w x h
+        var y = 0
+        while (y < 8) {
+          val py = yB * 8 + y
+          if (py < h) {
+            var x = 0
+            while (x < 8) {
+              val px = xB * 8 + x
+              if (px < w) {
+                var acc = 0.0
+                var v = 0
+                while (v < 64) {
+                  val c = coef(v)
+                  if (c != 0) acc += Ct(x)(v & 7) * Ct(y)(v >> 3) * c
+                  v += 1
+                }
+                var s = math.round(acc).toInt + 128
+                if (s < 0) s = 0 else if (s > 255) s = 255
+                sum += s
+              }
+              x += 1
+            }
+          }
+          y += 1
+        }
+        mcu += 1
+        xB += 1
+      }
+      yB += 1
+    }
+    new GenericInternalRow(Array[Any](w, h, sum, sum, sum, w.toLong * h))
+  } catch { case scala.util.control.NonFatal(_) => null }
+}
+
+/** `graft_jpeg_encode(width, height, seed, restartRows)` → binary: a
+  * fully valid baseline grayscale JPEG (real forward DCT, flat
+  * quantizer 8, Annex-K luminance Huffman tables, byte stuffing,
+  * optional one-restart-per-block-row DRI/RSTn cadence) whose pixel
+  * (x, y) carries the PER-8x8-BLOCK-CONSTANT value
+  *
+  *   v = (seed + 5*(x div 8) + 11*(y div 8)) mod 256
+  *
+  * Constant blocks make the lossy format LOSSLESS BY CONSTRUCTION:
+  * the only nonzero coefficient is DC = 8*(v-128), the quantizer 8
+  * divides it exactly, and the inverse DCT of a DC-only block is the
+  * same constant — so a DuckDB oracle recomputes the exact decoded
+  * sums from the same arithmetic and certifies the whole Huffman +
+  * dequant + IDCT + crop path bit-exactly (the fixture side of the
+  * construct → store → scan → decode round trip, like [[PngEncode]]).
+  * With `restartRows` the stream carries a restart marker per MCU row,
+  * pinning the decoder's RSTn/predictor-reset path under the same
+  * exact oracle. The encoder's DCT is the general double-precision
+  * transform (not a constant-block shortcut), so JpegSpec can also
+  * feed it arbitrary pixels for the ImageIO differential. */
+case class JpegEncode(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with QuaternaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (IntegerType, IntegerType, LongType, BooleanType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_jpeg_encode expects (int, int, bigint, boolean), got $other")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_jpeg_encode"
+
+  override def nullSafeEval(w: Any, h: Any, seed: Any, rst: Any): Any =
+    JpegEncode.encodeBlocky(w.asInstanceOf[Int], h.asInstanceOf[Int],
+      seed.asInstanceOf[Long], rst.asInstanceOf[Boolean])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, h, s, r) => s"""
+      ${ev.value} = graft.plans.JpegEncode.encodeBlocky($w, $h, $s, $r);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): JpegEncode = copy(f, s, t, q)
+}
+
+object JpegEncode {
+
+  /** Flat quantizer: 8 everywhere. 8 divides every constant block's
+    * DC (8*(v-128)) exactly — the keystone of the exact oracle. */
+  val Quant = 8
+
+  // Annex K.3 luminance tables (ITU T.81, public spec data)
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals: Array[Int] = (0 to 11).toArray
+  private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+  private val AcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA)
+
+  /** Canonical code assignment (T.81 C.2): symbol -> (code, length). */
+  private def buildCodes(bits: Array[Int], vals: Array[Int]): (Array[Int], Array[Int]) = {
+    val code = new Array[Int](256)
+    val size = new Array[Int](256)
+    var c = 0; var k = 0; var l = 1
+    while (l <= 16) {
+      var n = bits(l - 1)
+      while (n > 0) {
+        code(vals(k)) = c; size(vals(k)) = l
+        c += 1; k += 1; n -= 1
+      }
+      c <<= 1
+      l += 1
+    }
+    (code, size)
+  }
+  private val (dcCode, dcSize) = buildCodes(DcBits, DcVals)
+  private val (acCode, acSize) = buildCodes(AcBits, AcVals)
+
+  private val FwdCt: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    cu / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def write(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad to a byte boundary with 1-bits (T.81 F.1.2.3). */
+    def flush(): Unit = if (n > 0) write(0xFF, 8 - n)
+  }
+
+  private def category(v: Int): Int = {
+    var a = math.abs(v); var c = 0
+    while (a != 0) { a >>= 1; c += 1 }
+    c
+  }
+
+  /** The fixture encoder: per-block-constant pixels from the seed
+    * formula (see class doc). Null on non-positive/oversized dims. */
+  def encodeBlocky(w: Int, h: Int, seed: Long, restartRows: Boolean): Array[Byte] = {
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 20)) return null
+    val bx = (w + 7) / 8
+    val pix = (px: Int, py: Int) => {
+      val v = java.lang.Math.floorMod(seed + 5L * (px / 8) + 11L * (py / 8), 256L)
+      v.toInt
+    }
+    encode(w, h, pix, if (restartRows) bx else 0)
+  }
+
+  /** General baseline grayscale encoder over any pixel function —
+    * forward DCT (double), quantize by [[Quant]], Annex-K Huffman.
+    * `restartInterval` in MCUs (0 = none). */
+  def encode(w: Int, h: Int, pix: (Int, Int) => Int,
+      restartInterval: Int): Array[Byte] = {
+    val bx = (w + 7) / 8; val by = (h + 7) / 8
+    val out = new java.io.ByteArrayOutputStream(w * h / 4 + 1024)
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xFF)
+      body.foreach(out.write)
+    }
+    marker(0xD8) // SOI
+    // DQT: table 0, zigzag order (flat, so order is moot — written
+    // spec-correctly anyway)
+    seg(0xDB, Array(0x00) ++ Array.fill(64)(Quant))
+    // SOF0: 8-bit, h x w, 1 component, 1x1 sampling, quant table 0
+    seg(0xC0, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 1, 1, 0x11, 0))
+    // DHT: DC table 0, AC table 0
+    seg(0xC4, Array(0x00) ++ DcBits ++ DcVals)
+    seg(0xC4, Array(0x10) ++ AcBits ++ AcVals)
+    if (restartInterval > 0)
+      seg(0xDD, Array(restartInterval >> 8, restartInterval & 0xFF))
+    // SOS: 1 component, DC/AC table 0, full spectral range
+    seg(0xDA, Array(1, 1, 0x00, 0, 63, 0))
+    val bw = new BitWriter(out)
+    val samples = new Array[Double](64)
+    val coef = new Array[Int](64)
+    var pred = 0
+    var mcu = 0
+    var rstN = 0
+    var yB = 0
+    while (yB < by) {
+      var xB = 0
+      while (xB < bx) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush()
+          marker(0xD0 + rstN)
+          rstN = (rstN + 1) & 7
+          pred = 0
+        }
+        // level-shifted block (edge blocks replicate the last
+        // row/column — keeps constant blocks constant)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val px = math.min(xB * 8 + x, w - 1)
+            val py = math.min(yB * 8 + y, h - 1)
+            samples(y * 8 + x) = pix(px, py) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        // forward DCT + quantize
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var acc = 0.0
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                acc += FwdCt(xx)(u) * FwdCt(yy)(v) * samples(yy * 8 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            coef(v * 8 + u) = math.round(acc / Quant).toInt
+            v += 1
+          }
+          u += 1
+        }
+        // DC difference
+        val diff = coef(0) - pred
+        pred = coef(0)
+        val t = category(diff)
+        bw.write(dcCode(t), dcSize(t))
+        if (t > 0) {
+          val bits = if (diff < 0) diff + (1 << t) - 1 else diff
+          bw.write(bits, t)
+        }
+        // AC run-length over zigzag order
+        var k = 1
+        var run = 0
+        while (k < 64) {
+          val c = coef(JpegPixels.Zigzag(k))
+          if (c == 0) run += 1
+          else {
+            while (run > 15) { bw.write(acCode(0xF0), acSize(0xF0)); run -= 16 }
+            val s = category(c)
+            val rs = (run << 4) | s
+            bw.write(acCode(rs), acSize(rs))
+            val bits = if (c < 0) c + (1 << s) - 1 else c
+            bw.write(bits, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) bw.write(acCode(0x00), acSize(0x00)) // EOB
+        mcu += 1
+        xB += 1
+      }
+      yB += 1
+    }
+    bw.flush()
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+}

@@ -187,6 +187,11 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gif_encode",
       exprs => GifEncode(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jpeg_pixels", exprs => JpegPixels(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jpeg_encode",
+      exprs => JpegEncode(exprs(0), exprs(1), exprs(2), exprs(3)), "scala_udf")
   }
 
   /** Column-API form; registers on the active session on first use.
@@ -266,6 +271,21 @@ object VectorExpressions {
   def gifEncode(w: Column, h: Column, seed: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_gif_encode", w, h, seed)
+  }
+
+  /** Baseline-DCT JPEG pixel decode — Huffman + dequant + IDCT to
+    * channel sums (plans.JpegPixels), column form; same registration
+    * precondition. */
+  def jpegPixels(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_jpeg_pixels", c)
+  }
+
+  /** Deterministic exactly-decodable baseline-JPEG synthesis
+    * (plans.JpegEncode), column form; same registration precondition. */
+  def jpegEncode(w: Column, h: Column, seed: Column, restartRows: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_jpeg_encode", w, h, seed, restartRows)
   }
 
   /** One-pass MinHash signature (plans.MinhashSignature), column form;

@@ -46,6 +46,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("compressed pixel decode (PNG/GIF/JPEG) is a shuffle-free single scan") {
+    import graft.operators.Multimodal
+    // the whole codec (inflate / LZW / Huffman+IDCT) runs inside one
+    // codegen'd projection over the fixture scan: only the presentation
+    // sort may exchange
+    for (df <- Seq(Multimodal.pngPixels(spark, sf),
+        Multimodal.gifPixelsQ(spark, sf), Multimodal.jpegPixelsQ(spark, sf))) {
+      val plan = planOf(df)
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"pixel decode should only exchange for the orderBy:\n$plan")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("mapPartitions"),
+        "pixel decode must stay native")
+    }
+  }
+
   test("text_clean is one scan: repartition spread + presentation sort only") {
     val plan = planOf(graft.operators.TextAnalysis.clean(spark, sf))
     val exchanges = "Exchange".r.findAllIn(plan).length
