@@ -177,6 +177,27 @@ case class DvTest(left: Expression, right: Expression) extends BinaryExpression 
       newRight: Expression): DvTest = copy(left = newLeft, right = newRight)
 }
 
+/** The driver session's Hadoop configuration, made Java-serializable
+  * so an expression can carry it to the executors (Configuration is
+  * Writable but not Serializable; the same trick Spark uses
+  * internally). Without it an executor-side `new Configuration()`
+  * would silently drop runtime `spark.hadoop.*` settings — object
+  * store credentials, endpoints — and sidecar reads would fail on a
+  * real cluster while passing on local disk. */
+final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 /** `graft_dv_load(path)` → binary: a sidecar deletion-vector file's
   * bytes, loaded ON THE EXECUTOR probing the row — large vectors never
   * transit the driver, the commit JSON, or a broadcast; each task
@@ -184,8 +205,11 @@ case class DvTest(left: Expression, right: Expression) extends BinaryExpression 
   * scanning, through a JVM-wide bounded cache so a partition pays one
   * filesystem read, not one per row. The Delta sidecar-DV transport
   * shape. Null path (no sidecar for this row's file) → null, which
-  * the mask treats as "nothing deleted". */
-case class DvLoad(child: Expression) extends UnaryExpression {
+  * the mask treats as "nothing deleted". Carries the driver's Hadoop
+  * conf (see [[SerializableHadoopConf]]) so executor-side filesystem
+  * resolution sees the session's store settings. */
+case class DvLoad(child: Expression, conf: SerializableHadoopConf)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == org.apache.spark.sql.types.StringType)
@@ -197,12 +221,15 @@ case class DvLoad(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_dv_load"
 
   override def nullSafeEval(path: Any): Any =
-    DvLoad.bytesFor(path.toString)
+    DvLoad.bytesFor(path.toString, conf.value)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val confRef = ctx.addReferenceObj("dvConf", conf,
+      classOf[SerializableHadoopConf].getName)
     nullSafeCodeGen(ctx, ev, path => s"""
-      ${ev.value} = graft.plans.DvLoad.bytesFor($path.toString());
+      ${ev.value} = graft.plans.DvLoad.bytesFor($path.toString(), $confRef.value());
     """)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): DvLoad =
     copy(child = newChild)
@@ -219,12 +246,13 @@ object DvLoad {
           e: java.util.Map.Entry[String, Array[Byte]]): Boolean = size() > 64
     })
 
-  def bytesFor(path: String): Array[Byte] = {
+  def bytesFor(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
     val hit = cache.get(path)
     if (hit != null) hit
     else {
       val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = p.getFileSystem(conf)
       val in = fs.open(p)
       val bytes =
         try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
@@ -242,7 +270,12 @@ object DeletionVector {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dv_test", exprs => DvTest(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dv_load", exprs => DvLoad(exprs(0)), "scala_udf")
+      "graft_dv_load", exprs => DvLoad(exprs(0),
+        // resolution runs on the driver with a session active: snapshot
+        // ITS hadoop conf (incl. spark.hadoop.* runtime settings) into
+        // the expression the executors will deserialize
+        new SerializableHadoopConf(
+          SparkSession.active.sessionState.newHadoopConf())), "scala_udf")
   }
 
   /** Column forms; register on the active session on first use (same
