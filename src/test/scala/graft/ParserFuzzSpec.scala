@@ -21,7 +21,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "BmpStats" -> (graft.plans.BmpStats.parse(_)),
     "GifMeta" -> (graft.plans.GifMeta.parse(_)),
     "PngStats" -> (graft.plans.PngStats.parse(_)),
-    "GifPixels" -> (graft.plans.GifPixels.parse(_)))
+    "GifPixels" -> (graft.plans.GifPixels.parse(_)),
+    "JpegPixels" -> (graft.plans.JpegPixels.parse(_)))
 
   // magic prefixes steer the fuzz into each format's deep parse path
   private val prefixes: Seq[Array[Byte]] = Seq(
@@ -81,8 +82,13 @@ class ParserFuzzSpec extends AnyFunSuite {
     // stream (bad widths, out-of-range codes, mangled sub-blocks)
     val fullGif = graft.plans.GifEncode.encode(16, 16, 77L)
     assert(graft.plans.GifPixels.parse(fullGif) != null)
+    // a REAL entropy-coded baseline JPEG (restart markers on):
+    // corruptions land inside the Huffman bit stream, the marker walk,
+    // and the RSTn cadence
+    val fullJpeg = graft.plans.JpegEncode.encodeBlocky(17, 12, 77L, true)
+    assert(graft.plans.JpegPixels.parse(fullJpeg) != null)
     val rnd = new scala.util.Random(0xF00D)
-    for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif); _ <- 0 until 800) {
+    for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif, fullJpeg); _ <- 0 until 800) {
       val truncated = f.take(rnd.nextInt(f.length + 1))
       val corrupted = f.clone()
       val at = rnd.nextInt(f.length)
