@@ -480,16 +480,21 @@ object CommitLog {
         Option(r.getString(2)).getOrElse("")))
   }
 
-  /** (file, base64 dv) pairs from a checkpoint; tolerant of
-    * checkpoints written before the dv column existed. */
+  /** (file, dv reference) pairs from a checkpoint; tolerant of
+    * checkpoints written before the dv column existed. The
+    * has-a-vector filter runs in the parquet domain, so only the
+    * (rare) DV-carrying rows are ever collected — a 100k-file
+    * checkpoint with a handful of deletes ships a handful of rows. */
   private def readCheckpointDvs(spark: SparkSession, tablePath: String,
       v: Long): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions.{col, length}
     val dir = new Path(new Path(tablePath, LogDir), cpDirName(v))
     val df = spark.read.parquet(dir.toString)
     if (!df.columns.contains("dv")) Seq.empty
-    else df.select("file", "dv").collect().toSeq
-      .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("")))
-      .filter(_._2.nonEmpty)
+    else df.select("file", "dv")
+      .filter(col("dv").isNotNull && length(col("dv")) > 0)
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getString(1)))
   }
 
   private def parseStatsCols(body: String): Map[String, (Double, Double)] =
