@@ -930,6 +930,72 @@ object CommitLog {
       dataChange = dataChange)
   }
 
+  /** RESTORE TABLE — Delta's revert-to-version as one NEW commit:
+    * the live set becomes `version`'s snapshot (re-adding files that
+    * were removed since, removing files added since), history stays
+    * intact (the restore is itself time-travelable, and un-doable by
+    * another restore). Deletion vectors are restored too: a file
+    * whose vector changed since `version` gets its at-version vector
+    * republished, and a file deleted-from since `version` gets an
+    * explicit all-zero tombstone vector (entries are latest-wins, so
+    * silence would leave the newer deletes in force). Refuses a
+    * version below the vacuum horizon (its snapshot is no longer
+    * resolvable) — the Delta RESTORE constraint. Change-feed note:
+    * file-level adds/removes surface as inserts/deletes; rows
+    * un-deleted purely by a DV rollback do not re-surface (document
+    * consumers should re-seed after a restore, as with Delta CDF). */
+  def restore(spark: SparkSession, tablePath: String, version: Long): Long = {
+    val vs = versions(spark, tablePath)
+    require(vs.nonEmpty, s"restore: $tablePath has no commits")
+    require(version >= vs.head && version <= vs.last,
+      s"restore: version $version outside the resolvable log [${vs.head}, ${vs.last}]" +
+        (if (version < vs.head) " (below the vacuum horizon)" else ""))
+    val target = snapshot(spark, tablePath, Some(version))
+    val current = snapshot(spark, tablePath, None)
+    val fs = fsOf(spark, new Path(tablePath))
+    target.foreach { f =>
+      if (!fs.exists(new Path(tablePath, f))) throw new IllegalStateException(
+        s"restore: data file $f of version $version no longer exists (vacuumed)")
+    }
+    val cur = current.toSet
+    val tgt = target.toSet
+    val adds = target.filterNot(cur)
+    val removes = current.filterNot(tgt)
+    val refsAt = deletionVectorRefs(spark, tablePath, Some(version))
+    val refsNow = deletionVectorRefs(spark, tablePath, None)
+    val dvs: FileDvs = target.flatMap { f =>
+      (refsAt.get(f), refsNow.get(f)) match {
+        case (Some(a), b) if !b.contains(a) => Some(f -> a)
+        case (None, Some(_)) => Some(f ->
+          java.util.Base64.getEncoder.encodeToString(Array[Byte](0)))
+        case _ => None
+      }
+    }.toMap
+    commit(spark, tablePath, adds, removes, dvs = dvs)
+  }
+
+  /** DESCRIBE HISTORY — one row per commit still in the log: version,
+    * add/remove counts, the streaming batchId when present, the
+    * dataChange flag, whether the entry is a vacuum checkpoint, and
+    * how many deletion-vector entries rode it. Driver-built from the
+    * (vacuum-bounded) log — an admin surface, not a data-plane scan. */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, tablePath).map { v =>
+      val line = commitLine(spark, tablePath, v)
+      val batchId: Option[Long] = {
+        val i = line.indexOf("\"batchId\":")
+        if (i < 0) None
+        else scala.util.Try(
+          line.drop(i + 10).takeWhile(c => c.isDigit || c == '-').toLong).toOption
+      }
+      (v, extractArr(line, "adds").size, extractArr(line, "removes").size,
+        batchId, !line.contains("\"dataChange\":false"),
+        line.contains("\"checkpoint\":true"), extractDvs(line).size)
+    }.toDF("version", "n_adds", "n_removes", "batch_id", "data_change",
+      "checkpoint", "n_dvs")
+  }
+
   /** Targeted range replacement — Delta's `replaceWhere` for one
     * numeric column, the day-partition rewrite shape: ONE commit adds
     * df's staged files (zone maps on `column` included) and removes

@@ -877,6 +877,45 @@ class CommitLogSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("restore reverts live set and deletion vectors as one commit; history describes the log") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1)) // v0
+      CommitLog.append(spark, t, Seq((3L, "c")).toDF("id", "s").coalesce(1))            // v1
+      CommitLog.overwrite(spark, t, Seq((9L, "z")).toDF("id", "s").coalesce(1))         // v2
+      // current = {9}; restore to v1 -> {1,2,3}, as a NEW commit
+      assert(CommitLog.restore(spark, t, 1L) === 3L)
+      assert(CommitLog.read(spark, t).orderBy("id").collect().map(_.getLong(0)).toSeq
+        === Seq(1L, 2L, 3L))
+      // history intact: the overwritten state is still time-travelable
+      assert(CommitLog.read(spark, t, asOf = Some(2L))
+        .collect().map(_.getLong(0)).toSeq === Seq(9L))
+      // restore undoes a DELETE via DV rollback (the tombstone path:
+      // entries are latest-wins, so silence would keep the delete)
+      CommitLog.delete(spark, t, "id = 2")                                              // v4
+      assert(CommitLog.read(spark, t).count() === 2)
+      CommitLog.restore(spark, t, 3L)                                                   // v5
+      assert(CommitLog.read(spark, t).orderBy("id").collect().map(_.getLong(0)).toSeq
+        === Seq(1L, 2L, 3L), "DV rollback must resurrect the deleted row")
+      // and restoring BACK to the deleted state re-applies the vector
+      CommitLog.restore(spark, t, 4L)                                                   // v6
+      assert(CommitLog.read(spark, t).orderBy("id").collect().map(_.getLong(0)).toSeq
+        === Seq(1L, 3L))
+      // history: one row per commit, counts and flags right
+      val h = CommitLog.history(spark, t).orderBy("version").collect()
+      assert(h.length === 7)
+      assert(h(2).getInt(1) === 1 && h(2).getInt(2) === 2,
+        "v2 overwrite should read as 1 add / 2 removes")
+      assert(h(4).getInt(6) === 1, "the delete commit should carry one dv entry")
+      assert(h.forall(_.getBoolean(4)), "no dataChange=false commits in this log")
+      // below the vacuum horizon the snapshot is gone: restore refuses
+      CommitLog.vacuum(spark, t, keepFrom = 5L)
+      val e = intercept[IllegalArgumentException] { CommitLog.restore(spark, t, 2L) }
+      assert(e.getMessage.contains("horizon"), e.getMessage)
+    } finally cleanup(t)
+  }
+
   test("sidecar deletion vectors: a big delete's commit stays metadata-sized") {
     val t = tempTable()
     try {
