@@ -85,11 +85,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-/** Derived-timestamp pushdown: graft's events tables carry the raw
-  * int64 nanos column (`ts_ns`) beside the derived microsecond
-  * timestamp `ts = timestamp_micros(ts_ns div 1000)` (Tables.events) —
-  * a filter on `ts` cannot reach the parquet scan (the scan only has
-  * the int64 column), so without help a natural `WHERE ts >= X` reads
+/** Derived-timestamp pushdown for the LEGACY events layout (ts stored
+  * as raw TIMESTAMP(NANOS) int64 — see Tables.events; the CURRENT
+  * driver layout stores native timestamp[us], whose filters push down
+  * directly and never match this rule). The rule is schema-gated by
+  * its own pattern: it only fires on plans containing the legacy
+  * derivation `ts = timestamp_micros(ts_ns div 1000)`, so on native
+  * layouts it is inert by construction (pinned: PlanAuditSpec asserts
+  * native-ts PushedFilters; ExtensionsSpec pins the legacy rewrite on
+  * a hand-built nanos table).
+  *
+  * Legacy problem: a filter on the derived `ts` cannot reach the
+  * parquet scan (the scan only has the int64 column), so without help
+  * a natural `WHERE ts >= X` reads
   * every row group. This rule CONJOINS the implied raw-column bound;
   * the original predicate always stays, so correctness needs exactly
   * one thing: that the added bound really is implied by the derivation
