@@ -887,7 +887,8 @@ object CommitLog {
       val enc = regexp_extract(col("blooms"), pat, 1)
       val parts = split(enc, ":", 2)
       val kCol = get(parts, lit(0)).cast("int")
-      val bin = unbase64(get(parts, lit(1)))
+      val b64 = get(parts, lit(1))
+      val bin = unbase64(b64)
       // whole 64-bit words only, exactly like BloomAggregate.wordsOf —
       // a trailing partial word is never probed by the builder either
       val mBits = (octet_length(bin) - pmod(octet_length(bin), lit(8))) * 8
@@ -895,8 +896,17 @@ object CommitLog {
         lit(i) >= kCol || graft.plans.DeletionVector.dvTest(
           bin, pmod(lit(gs(i)), mBits).cast("long"))
       }.reduce(_ && _)
+      // a CORRUPT entry must keep the file, never throw: the digit
+      // guard is LENGTH-bounded (an unbounded `[0-9]+` would let a
+      // hostile k overflow the ANSI int cast) and the payload must be
+      // shaped like base64 before unbase64 ever evaluates — the lazy
+      // CaseWhen keeps both casts off the malformed branch
+      val malformed = enc === "" ||
+        not(enc.rlike("^[0-9]{1,3}:")) ||
+        not(b64.rlike("^[A-Za-z0-9+/]+={0,2}$")) ||
+        pmod(org.apache.spark.sql.functions.length(b64), lit(4)) =!= 0
       df.filter(
-        when(enc === "" || not(enc.rlike("^[0-9]+:")), lit(true))
+        when(malformed, lit(true))
           .otherwise(when(kCol > kMax || mBits <= 0, lit(true))
             .otherwise(mightContain)))
     }

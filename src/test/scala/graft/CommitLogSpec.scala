@@ -877,6 +877,23 @@ class CommitLogSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("bloomKeep keeps files with corrupt bloom entries — conservative, never a throw") {
+    import spark.implicits._
+    val h = graft.plans.BloomAggregate.hashOf(42L)
+    val rows = Seq(
+      ("f1", "", "\"id\":\"99999999999:AAAA\"", ""), // k overflows an int cast
+      ("f2", "", "\"id\":\"5:!!notbase64!!\"", ""), // payload not base64
+      ("f3", "", "\"id\":\"5:AAA\"", ""), // payload length not a multiple of 4
+      ("f4", "", "\"id\":\"5\"", ""), // no colon at all
+      ("f5", "", "", ""), // no entry: un-bloomed files are kept
+      ("f6", "", "\"id\":\"2:AAAAAAAAAAA=\"", "")) // VALID all-zero filter: definitive no
+    val df = rows.toDF("file", "stats", "blooms", "dv")
+    val kept = CommitLog.bloomKeep("id", h)(df)
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(kept === Set("f1", "f2", "f3", "f4", "f5"),
+      s"corrupt entries must keep, the valid empty filter must prune: got $kept")
+  }
+
   test("restore reverts live set and deletion vectors as one commit; history describes the log") {
     val t = tempTable()
     try {
