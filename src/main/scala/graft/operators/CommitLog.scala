@@ -1374,26 +1374,20 @@ object CommitLog {
     // checkpoint the horizon entry BEFORE truncating anything: its
     // replay-visible state must equal the cumulative snapshot
     val horizonState = snapshot(spark, tablePath, Some(keepFrom))
-    // carry forward the surviving files' skipping metadata: truncated
-    // commits were the only carriers of their adds' stats/blooms
-    val horizonStats = fileStats(spark, tablePath, Some(keepFrom))
-      .filter { case (f, _) => horizonState.contains(f) }
-    val horizonBlooms = fileBlooms(spark, tablePath, Some(keepFrom))
-      .filter { case (f, _) => horizonState.contains(f) }
-    val statsField =
-      if (horizonStats.isEmpty) "" else s""","stats":${jstats(horizonStats)}"""
-    val bloomField =
-      if (horizonBlooms.isEmpty) "" else s""","blooms":${jblooms(horizonBlooms)}"""
-    // deletion vectors in force at the horizon ride the checkpoint:
-    // truncated commits may have been their only carriers, and a
-    // replay losing a vector would resurrect deleted rows. References
-    // carry over AS references — sidecar bytes never transit here,
-    // and the sidecar files themselves survive below (orphan sweep
-    // spares everything still referenced)
-    val horizonDvs: FileDvs = deletionVectorRefs(spark, tablePath, Some(keepFrom))
-      .filter { case (f, _) => horizonState.contains(f) }
-    val dvField =
-      if (horizonDvs.isEmpty) "" else s""","dvs":${jdvs(horizonDvs)}"""
+    // surviving files' skipping metadata and deletion vectors ride a
+    // PARQUET checkpoint at the horizon, not the JSON line: truncated
+    // commits were their only carriers, but jamming 100k files'
+    // stats + 8 KiB blooms into one driver-built JSON string is
+    // exactly the scale wrongness the parquet checkpoints exist to
+    // avoid. The checkpoint build stays in the parquet domain
+    // (previous checkpoint anti-joined against the tail); the slim
+    // JSON below keeps only names + table metadata. Pre-checkpoint
+    // tables vacuumed by older builds still resolve (JSON fallback).
+    writeCheckpoint(spark, tablePath, keepFrom)
+    if (!checkpointVersions(spark, tablePath).contains(keepFrom))
+      throw new IllegalStateException(
+        s"vacuum: horizon checkpoint at $keepFrom failed to publish; " +
+        "aborting before any truncation (stats/blooms/DVs would be lost)")
     // schema/constraints declared at or before the horizon ride the
     // checkpoint too — truncated commits may have been their only
     // carriers, and the table's gate must survive retention
@@ -1421,7 +1415,7 @@ object CommitLog {
     val cp = new Path(log, f"$keepFrom%08d.json")
     val out = fs.create(cp, true)
     try out.write(
-      s"""{"version":$keepFrom,"adds":${jarr(horizonState)},"removes":[]$statsField$bloomField$schemaField$consField$dvField$batchField,"checkpoint":true}"""
+      s"""{"version":$keepFrom,"adds":${jarr(horizonState)},"removes":[]$schemaField$consField$batchField,"checkpoint":true}"""
         .getBytes("UTF-8"))
     finally out.close()
     val dataDir = new Path(tablePath, DataDir)

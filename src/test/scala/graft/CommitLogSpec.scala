@@ -692,10 +692,14 @@ class CommitLogSpec extends SparkSpec {
         // files — vacuum must drop such checkpoints
         CommitLog.overwrite(spark, t, Seq((99L, "z")).toDF("id", "s")) // v12
         CommitLog.vacuum(spark, t, keepFrom = 12L)
-        assert(CommitLog.checkpointVersions(spark, t).isEmpty,
-          "sub-horizon checkpoints survived vacuum")
-        assert(CommitLog.lastCheckpointPointer(spark, t).isEmpty,
-          "dangling _last_checkpoint pointer")
+        // sub-horizon checkpoints are stale and dropped; the HORIZON
+        // itself is now a parquet checkpoint (vacuum publishes it so
+        // the slim JSON line never carries per-file metadata), and the
+        // pointer tracks it
+        assert(CommitLog.checkpointVersions(spark, t) === Seq(12L),
+          "vacuum must drop sub-horizon checkpoints and keep the horizon's")
+        assert(CommitLog.lastCheckpointPointer(spark, t) === Some(12L),
+          "_last_checkpoint must track the horizon checkpoint")
         assert(CommitLog.read(spark, t).collect().map(_.getLong(0)).toSeq === Seq(99L))
       } finally spark.conf.unset("spark.graft.commitlog.checkpointInterval")
     } finally cleanup(t)
