@@ -14,6 +14,8 @@ import graft.operators.{CommitLog, Compaction, ZoneMaps}
   *   maintenance zonemap  <tablePath> <col[,col...]>   # write _zonemaps.json
   *   maintenance log-compact <logTable> [targetFiles=1]# atomic (commit log)
   *   maintenance vacuum   <logTable> <keepFromVersion> # drop old versions
+  *   maintenance restore  <logTable> <version>         # revert as new commit
+  *   maintenance history  <logTable>                   # one line per commit
   * }}}
   *
   * Exit codes: 0 ok, 1 usage/validation error — same contract as Main. */
@@ -43,9 +45,29 @@ object Maintenance {
           case None => Left(s"unparsable version: $keep")
           case Some(v) => CommitLog.vacuum(spark, table, v); Right(s"vacuumed below v$v")
         }
+      case "restore" :: table :: ver :: Nil =>
+        scala.util.Try(ver.toLong).toOption match {
+          case None => Left(s"unparsable version: $ver")
+          case Some(v) =>
+            scala.util.Try(CommitLog.restore(spark, table, v)) match {
+              case scala.util.Success(nv) => Right(s"restored to v$v as commit v$nv")
+              case scala.util.Failure(e) => Left(e.getMessage)
+            }
+        }
+      case "history" :: table :: Nil =>
+        val rows = CommitLog.history(spark, table).orderBy("version").collect()
+        if (rows.isEmpty) Left(s"no commits at $table")
+        else Right(rows.map { r =>
+          val batch = if (r.isNullAt(3)) "" else s" batchId=${r.getLong(3)}"
+          val flags = (if (!r.getBoolean(4)) " dataChange=false" else "") +
+            (if (r.getBoolean(5)) " checkpoint" else "") +
+            (if (r.getInt(6) > 0) s" dvs=${r.getInt(6)}" else "")
+          s"v${r.getLong(0)}: +${r.getInt(1)}/-${r.getInt(2)}$batch$flags"
+        }.mkString("\n"))
       case other =>
         Left("usage: compact <table> [targetMB] | zonemap <table> <cols> | " +
-          s"log-compact <table> [targetFiles] | vacuum <table> <version>" +
+          s"log-compact <table> [targetFiles] | vacuum <table> <version> | " +
+          s"restore <table> <version> | history <table>" +
           (if (other.isEmpty) "" else s" (got: ${other.mkString(" ")})"))
     }
 

@@ -51,4 +51,26 @@ class MaintenanceSpec extends SparkSpec {
       ()
     }
   }
+
+  test("restore + history subcommands drive the commit log") {
+    val t = java.nio.file.Files.createTempDirectory("graft_maintres_").toString
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s").coalesce(1)) // v0
+      CommitLog.overwrite(spark, t, Seq((9L, "z")).toDF("id", "s").coalesce(1)) // v1
+      val r = Maintenance.run(spark, Array("restore", t, "0"))
+      assert(r.isRight && r.toOption.get.contains("restored to v0 as commit v2"), r.toString)
+      assert(CommitLog.read(spark, t).collect().map(_.getLong(0)).toSeq === Seq(1L))
+      val h = Maintenance.run(spark, Array("history", t))
+      assert(h.isRight, h.toString)
+      val lines = h.toOption.get.linesIterator.toSeq
+      assert(lines.length === 3 && lines.head.startsWith("v0: +1/-0"), h.toString)
+      // bad version: a Left, not a crash
+      assert(Maintenance.run(spark, Array("restore", t, "99")).isLeft)
+      assert(Maintenance.run(spark, Array("history", s"$t-missing")).isLeft)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+      ()
+    }
+  }
 }
