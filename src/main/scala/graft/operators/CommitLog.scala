@@ -322,11 +322,17 @@ object CommitLog {
     if (end < 0) None else Some(json.substring(start + key.length, end))
   }
 
+  // corrupt bounds parse to NaN, whose comparisons are all false — every
+  // driver-side consumer (zone keep, replaceRange extents) then takes
+  // its conservative branch instead of throwing or mis-pruning
+  private def numOrNaN(s: String): Double =
+    s.toDoubleOption.getOrElse(Double.NaN)
+
   private def extractStats(json: String): FileStats =
     extractSection(json, "stats").fold(Map.empty: FileStats) { body =>
       statsFileRe.findAllMatchIn(body).map { fm =>
         fm.group(1) -> statsColRe.findAllMatchIn(fm.group(2)).map { cm =>
-          cm.group(1) -> (cm.group(2).toDouble, cm.group(3).toDouble)
+          cm.group(1) -> (numOrNaN(cm.group(2)), numOrNaN(cm.group(3)))
         }.toMap
       }.toMap
     }
@@ -499,7 +505,7 @@ object CommitLog {
 
   private def parseStatsCols(body: String): Map[String, (Double, Double)] =
     statsColRe.findAllMatchIn(body).map { cm =>
-      cm.group(1) -> (cm.group(2).toDouble, cm.group(3).toDouble)
+      cm.group(1) -> (numOrNaN(cm.group(2)), numOrNaN(cm.group(3)))
     }.toMap
 
   private def parseBloomCols(body: String): Map[String, String] =
@@ -527,35 +533,64 @@ object CommitLog {
     val tailVs = versions(spark, tablePath)
       .filter(x => prev.forall(x > _) && x <= v)
     val tailLines = tailVs.map(x => commitLine(spark, tablePath, x))
-    val removed = tailLines.flatMap(l => extractArr(l, "removes")).toSet
-    // adds can't reappear after a remove (every staged file has a
-    // fresh uuid name), so set semantics are exact here
-    val tailAdds: Seq[(String, String, String)] = tailLines.flatMap { l =>
+    // ORDER-AWARE tail replay (mirrors prunedSnapshot: per version,
+    // adds then removes): a remove cancels only EARLIER adds, and a
+    // later re-add of the same name — restore() republishes
+    // previously-removed files verbatim — wins. Set semantics here
+    // would drop restored files from the checkpoint, and the next
+    // vacuum would then delete their data.
+    val liveAdds = scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
+    val touched = scala.collection.mutable.Set.empty[String] // any tail add/remove: base row superseded
+    val dvAcc = scala.collection.mutable.Map.empty[String, String]
+    tailLines.foreach { l =>
       val st = extractStats(l)
       val bl = extractBlooms(l)
-      extractArr(l, "adds").map { f =>
-        (f, st.get(f).map(statsBodyOf).getOrElse(""),
+      extractArr(l, "adds").foreach { f =>
+        liveAdds(f) = (st.get(f).map(statsBodyOf).getOrElse(""),
           bl.get(f).map(bloomsBodyOf).getOrElse(""))
+        touched += f
       }
-    }.filterNot(r => removed.contains(r._1))
-    val tailDF = tailAdds.toDF("file", "stats", "blooms")
+      extractArr(l, "removes").foreach { f =>
+        liveAdds -= f
+        touched += f
+      }
+      // `dvs` entries are latest-wins replacements, never cleared by a
+      // remove (deletionVectorRefs replays the same way; a re-add that
+      // needs a different vector republishes it — restore() does)
+      dvAcc ++= extractDvs(l)
+    }
+    val tailDF = liveAdds.toSeq.map { case (f, (st, bl)) => (f, st, bl) }
+      .toDF("file", "stats", "blooms")
       .withColumn("dv", org.apache.spark.sql.functions.lit(""))
     val merged = prev match {
       case None => tailDF
       case Some(c) =>
+        import org.apache.spark.sql.functions.{coalesce, col, lit, when}
         val baseRaw = spark.read.parquet(new Path(log, cpDirName(c)).toString)
         val base = (if (baseRaw.columns.contains("dv")) baseRaw
           else baseRaw.withColumn("dv", org.apache.spark.sql.functions.lit("")))
           .select("file", "stats", "blooms", "dv")
-        val removesDF = removed.toSeq.toDF("file")
-        base.join(removesDF, Seq("file"), "left_anti").unionByName(tailDF)
+        val touchedDF = touched.toSeq.toDF("file")
+        // re-added base files keep their base-checkpoint metadata when
+        // the re-add commit carried none (the file bytes are unchanged,
+        // so the old stats/blooms/DV are still valid)
+        val tailFilled = tailDF.as("t")
+          .join(base.as("b"), Seq("file"), "left")
+          .select(col("file"),
+            when(col("t.stats") =!= "", col("t.stats"))
+              .otherwise(coalesce(col("b.stats"), lit(""))).as("stats"),
+            when(col("t.blooms") =!= "", col("t.blooms"))
+              .otherwise(coalesce(col("b.blooms"), lit(""))).as("blooms"),
+            coalesce(col("b.dv"), lit("")).as("dv"))
+        base.join(touchedDF, Seq("file"), "left_anti").unionByName(tailFilled)
     }
     // deletion vectors: the tail's `dvs` replacements override any
     // base-checkpoint vector (each entry is complete); files can gain
-    // a DV long after their add, so this applies to base rows too
-    val tailDvs = tailLines
-      .foldLeft(Map.empty[String, String])((acc, l) => acc ++ extractDvs(l))
-      .filterNot { case (f, _) => removed.contains(f) }
+    // a DV long after their add, so this applies to base rows too.
+    // Entries whose file is net-removed in the tail are dead weight —
+    // drop them; a re-added file's entry (restore) is kept.
+    val tailDvs = dvAcc.toMap
+      .filterNot { case (f, _) => touched.contains(f) && !liveAdds.contains(f) }
     val out =
       if (tailDvs.isEmpty) merged
       else {
@@ -752,14 +787,22 @@ object CommitLog {
     * CaseWhen keeps the ANSI double cast off the no-stats branch.
     * Package-visible so the spec can pin the plan shape. */
   private[graft] def zoneKeep(column: String, lo: Double, hi: Double): DataFrame => DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, regexp_extract, when}
+    import org.apache.spark.sql.functions.{col, isnan, lit, regexp_extract, when}
     val pat = "\"" + java.util.regex.Pattern.quote(esc(column)) +
       "\":\\[([^,\\]]+),([^\\]]+)\\]"
     df => {
       val mn = regexp_extract(col("stats"), pat, 1)
       val mx = regexp_extract(col("stats"), pat, 2)
-      df.filter(when(mn === "" || mx === "", lit(true))
-        .otherwise(mx.cast("double") >= lo && mn.cast("double") <= hi))
+      // Corruption-safe like bloomKeep: a non-empty but UNPARSABLE (or
+      // NaN) bound must KEEP the file — try_cast nulls instead of
+      // throwing (ANSI) and the null/NaN branch short-circuits to true,
+      // so a damaged stats body degrades to no-skip, never to pruning
+      // live rows
+      val mnD = mn.try_cast("double")
+      val mxD = mx.try_cast("double")
+      df.filter(when(mn === "" || mx === "" ||
+          mnD.isNull || mxD.isNull || isnan(mnD) || isnan(mxD), lit(true))
+        .otherwise(mxD >= lo && mnD <= hi))
     }
   }
 
@@ -981,7 +1024,18 @@ object CommitLog {
         case _ => None
       }
     }.toMap
-    commit(spark, tablePath, adds, removes, dvs = dvs)
+    // carry the at-version stats/blooms for the re-added files into the
+    // restore commit (the file bytes are unchanged, so the metadata is
+    // still valid — Delta's RESTORE preserves add-action stats the same
+    // way); without this a later checkpoint would permanently degrade
+    // the restored files to conservative no-skip
+    val addSet = adds.toSet
+    val statsAt = fileStats(spark, tablePath, Some(version))
+      .filter { case (f, cols) => addSet(f) && cols.nonEmpty }
+    val bloomsAt = fileBlooms(spark, tablePath, Some(version))
+      .filter { case (f, cols) => addSet(f) && cols.nonEmpty }
+    commit(spark, tablePath, adds, removes, dvs = dvs,
+      stats = statsAt, blooms = bloomsAt)
   }
 
   /** DESCRIBE HISTORY — one row per commit still in the log: version,
@@ -1037,8 +1091,9 @@ object CommitLog {
     val inside = live.filter(extent(_).exists { case (mn, mx) => mn >= lo && mx <= hi })
     val straddling = live.filter { f =>
       extent(f) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi && !(mn >= lo && mx <= hi)
-        case None => true // unknown extent: must be rewritten to be safe
+        case Some((mn, mx)) if !mn.isNaN && !mx.isNaN =>
+          mx >= lo && mn <= hi && !(mn >= lo && mx <= hi)
+        case _ => true // unknown/corrupt extent: must be rewritten to be safe
       }
     }
     val (survFiles, survStats) =
@@ -1451,10 +1506,24 @@ object CommitLog {
           .collect().map(_.getString(0)).toSeq
       }
     val referencedNames = referenced.filter(_.startsWith("@")).map(_.drop(1))
-    fs.listStatus(log).map(_.getPath.getName)
-      .filter(n => n.startsWith("dv-") && n.endsWith(".bin"))
-      .filterNot(referencedNames.contains)
-      .foreach(n => fs.delete(new Path(log, n), false))
+    // grace period (Delta's vacuum-style age gate, here for sidecars):
+    // publishDv writes dv-*.bin BEFORE the commit JSON referencing it
+    // exists, so a sweep racing a concurrent delete() could reap the
+    // sidecar in that window and break the just-committed delete's
+    // scans. Skip young sidecars; a crashed delete's orphan is swept by
+    // the NEXT vacuum once it ages past the grace window.
+    val graceMs = spark.conf
+      .getOption("spark.graft.commitlog.dvSweepGraceMs")
+      .map(_.toLong).getOrElse(10 * 60 * 1000L)
+    val now = System.currentTimeMillis()
+    fs.listStatus(log)
+      .filter { s =>
+        val n = s.getPath.getName
+        n.startsWith("dv-") && n.endsWith(".bin") &&
+          now - s.getModificationTime >= graceMs
+      }
+      .filterNot(s => referencedNames.contains(s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, false))
     ()
   }
 

@@ -971,13 +971,103 @@ class CommitLogSpec extends SparkSpec {
         assert(CommitLog.read(spark, t).count() === 3333)
         // vacuum: the horizon rewrite keeps the ref (no byte transit),
         // the orphan sweep drops the REPLACED sidecar, keeps the live one
+        // (grace window zeroed so the just-written orphan is sweepable)
+        spark.conf.set("spark.graft.commitlog.dvSweepGraceMs", "0")
         CommitLog.vacuum(spark, t, keepFrom = latest)
         assert(CommitLog.read(spark, t).count() === 3333,
           "deletes resurrected after vacuum with sidecar vectors")
         val sidecars = log.listFiles.count(_.getName.startsWith("dv-"))
         assert(sidecars === 1,
           s"expected 1 live sidecar after the orphan sweep, found $sidecars")
-      } finally spark.conf.unset("spark.graft.commitlog.dvInlineThreshold")
+      } finally {
+        spark.conf.unset("spark.graft.commitlog.dvInlineThreshold")
+        spark.conf.unset("spark.graft.commitlog.dvSweepGraceMs")
+      }
+    } finally cleanup(t)
+  }
+
+  test("checkpoint after restore keeps the restored files — a remove only cancels EARLIER adds") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.appendWithBloom(spark, t,
+        Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1),
+        bloomCols = Seq("id"), statsCols = Seq("id"))                    // v0
+      CommitLog.overwrite(spark, t, Seq((9L, "z")).toDF("id", "s").coalesce(1)) // v1
+      CommitLog.restore(spark, t, 0L)                                    // v2: re-adds v0's file
+      // THE regression (advice r8-high): a checkpoint whose tail spans
+      // the overwrite's remove AND the restore's re-add of the same
+      // name must keep the re-added file — set-based tail merge dropped
+      // it and the table read back empty after vacuum
+      CommitLog.writeCheckpoint(spark, t, 2L)
+      assert(CommitLog.read(spark, t).orderBy("id").collect().map(_.getLong(0)).toSeq
+        === Seq(1L, 2L), "restored files lost by the checkpoint tail merge")
+      // and the restore commit carries the at-version stats/blooms, so
+      // the checkpointed rows keep their data-skipping metadata
+      val cp = spark.read.parquet(s"$t/_graft_log/cp-00000002.parquet")
+      val row = cp.filter(col("stats") =!= "").collect()
+      assert(row.length === 1 && row.head.getAs[String]("blooms").nonEmpty,
+        "restored file lost its stats/blooms through restore+checkpoint")
+      // vacuum (which always writes the horizon checkpoint) after a
+      // restore must also preserve the data end-to-end
+      CommitLog.vacuum(spark, t, keepFrom = 2L)
+      assert(CommitLog.read(spark, t).orderBy("id").collect().map(_.getLong(0)).toSeq
+        === Seq(1L, 2L), "restored data lost after vacuum")
+      // and skipping still works off the post-vacuum checkpoint
+      val pruned = CommitLog.scanRange(spark, t, "id", 1, 2)
+      assert(pruned.count() === 2)
+    } finally cleanup(t)
+  }
+
+  test("checkpoint spanning remove->re-add preserves a still-live deletion vector") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t,
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s").coalesce(1)) // v0
+      CommitLog.delete(spark, t, "id = 2")                                // v1 (DV)
+      CommitLog.overwrite(spark, t, Seq((9L, "z")).toDF("id", "s").coalesce(1)) // v2
+      CommitLog.restore(spark, t, 1L)                                     // v3: re-add + DV republish
+      CommitLog.writeCheckpoint(spark, t, 3L)
+      assert(CommitLog.read(spark, t).orderBy("id").collect().map(_.getLong(0)).toSeq
+        === Seq(1L, 3L), "restored deletion vector lost through the checkpoint")
+    } finally cleanup(t)
+  }
+
+  test("zoneKeep keeps files with corrupt stats entries — conservative, never a prune") {
+    import spark.implicits._
+    val rows = Seq(
+      ("f1", "\"id\":[garbage,100.0]", "", ""),  // unparsable min
+      ("f2", "\"id\":[0.0,alsobad]", "", ""),    // unparsable max
+      ("f3", "\"id\":[NaN,NaN]", "", ""),        // NaN bounds
+      ("f4", "", "", ""),                          // no stats: kept
+      ("f5", "\"id\":[500.0,600.0]", "", ""),    // valid, outside: pruned
+      ("f6", "\"id\":[0.0,10.0]", "", ""))       // valid, inside: kept
+    val df = rows.toDF("file", "stats", "blooms", "dv")
+    val kept = CommitLog.zoneKeep("id", 5, 7)(df)
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(kept === Set("f1", "f2", "f3", "f4", "f6"),
+      s"corrupt stats must keep the file, valid-outside must prune: got $kept")
+  }
+
+  test("vacuum's sidecar sweep skips young dv files (concurrent-delete race window)") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t,
+        spark.range(0, 100).selectExpr("id", "cast(id as string) AS s").coalesce(1))
+      // an unreferenced sidecar, as a crashed delete() would leave it —
+      // or one whose commit JSON is a rename away from existing
+      val orphan = new java.io.File(s"$t/_graft_log/dv-orphan000000.bin")
+      java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+      CommitLog.vacuum(spark, t, keepFrom = CommitLog.latestVersion(spark, t))
+      assert(orphan.exists,
+        "sweep reaped a young sidecar inside the grace window")
+      spark.conf.set("spark.graft.commitlog.dvSweepGraceMs", "0")
+      try {
+        CommitLog.vacuum(spark, t, keepFrom = CommitLog.latestVersion(spark, t))
+        assert(!orphan.exists, "aged orphan sidecar must be swept")
+      } finally spark.conf.unset("spark.graft.commitlog.dvSweepGraceMs")
     } finally cleanup(t)
   }
 }
