@@ -284,41 +284,52 @@ object Analytics {
 
   /** Column profiling — the data-quality pass an ingest pipeline runs
     * before accepting a drop: null count, exact distinct count, and
-    * numeric range per column, in ONE scan of the fact table. Multiple
-    * count(DISTINCT) in one aggregate plan via expand (each distinct
-    * column gets its own partial-agg lane — standard Catalyst, scales
-    * as rows x profiled columns); the wide 1-row result melts to
-    * long format with stack(). */
+    * numeric range per column, in ONE scan of the fact table.
+    *
+    * Plan: melt the 6 profiled columns to narrow (col_name, value)
+    * rows with stack(), then aggregate TWICE — groupBy(col_name,
+    * value) with map-side partial aggregation, then groupBy(col_name)
+    * over the distinct pairs. Exactness is preserved (the second
+    * stage counts the distinct-pair rows), but unlike the previous
+    * multi-count(DISTINCT) plan there is no Expand multiplying the
+    * shuffle x(lanes+1): the one data-sized shuffle is keyed
+    * (col, value) and map-side combine compresses it to the per-
+    * partition distinct cardinality; stage two is sized by the global
+    * distinct cardinality. At 100 TB that is the difference between
+    * shuffling ~7x the table and shuffling its distinct values.
+    * Nulls and min/max ride the same pass (the null group's count is
+    * the null count; v_num lanes are NULL for categorical columns). */
   def profileColumns(spark: SparkSession, dir: String): DataFrame = {
     val numeric = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
     val categorical = Seq("l_returnflag", "l_linestatus")
     val cols = numeric ++ categorical
-    val aggs =
-      // count(*) - count(col): both engines type this BIGINT (a SUM of
-      // CASE widens to int128 in DuckDB and breaks the dtype compare)
-      cols.map(c => (count(lit(1)) - count(col(c))).as(s"${c}_nulls")) ++
-      cols.map(c => countDistinct(col(c)).as(s"${c}_distinct")) ++
-      numeric.map(c => round(min(col(c).cast("double")), 4).as(s"${c}_min")) ++
-      numeric.map(c => round(max(col(c).cast("double")), 4).as(s"${c}_max"))
-    // multi-DISTINCT expands each row x (distinct columns + 1) before
-    // the partial agg; the input is one parquet row group (= one scan
-    // task), so without a spread the whole expand crunches on a single
-    // core. Hash-repartition the compact 6-column projection first
-    // (hash, not round-robin: round-robin pays a defensive local sort
-    // under sortBeforeRepartition); the shuffle is small, the expand
-    // then runs cluster-wide.
-    val wide = Tables.lineitem(spark, dir)
+    // value identity via CAST(x AS STRING): injective per column (a
+    // double/decimal/string each round-trips), so distinct-on-string
+    // equals distinct-on-value; the double lane feeds min/max
+    val stackArgs = cols.map { c =>
+      val num = if (numeric.contains(c)) s"CAST($c AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      s"'$c', CAST($c AS STRING), $num"
+    }.mkString(", ")
+    // the scan input is one parquet row group (= one task) at test SF,
+    // so spread the narrow 6-column projection first; hash, not
+    // round-robin (round-robin pays a defensive local sort under
+    // sortBeforeRepartition). At scale the file count provides the
+    // parallelism and this shuffle stays proportional to the narrow
+    // projection, not the full row.
+    Tables.lineitem(spark, dir)
       .select(cols.map(col): _*)
       .repartition(spark.sparkContext.defaultParallelism, col("l_orderkey"))
-      .agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map { c =>
-      val minMax =
-        if (numeric.contains(c)) s"${c}_min, ${c}_max"
-        else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
-      s"'$c', ${c}_nulls, ${c}_distinct, $minMax"
-    }.mkString(", ")
-    wide.selectExpr(
-        s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_v, max_v)")
+      .selectExpr(s"stack(${cols.length}, $stackArgs) AS (col_name, v_str, v_num)")
+      .groupBy(col("col_name"), col("v_str"))
+      .agg(count(lit(1)).as("cnt"), min(col("v_num")).as("mn"), max(col("v_num")).as("mx"))
+      .groupBy(col("col_name"))
+      .agg(
+        // sum over when(): stays BIGINT in both engines (the oracle's
+        // count(*) - count(col) types BIGINT too)
+        sum(when(col("v_str").isNull, col("cnt")).otherwise(lit(0L))).as("n_nulls"),
+        count(when(col("v_str").isNotNull, lit(1))).as("n_distinct"),
+        round(min(col("mn")), 4).as("min_v"),
+        round(max(col("mx")), 4).as("max_v"))
       .orderBy(col("col_name"))
   }
 }

@@ -297,6 +297,38 @@ class PlanAuditSpec extends SparkSpec {
       s"q15 revenue view is not served from the checkpoint:\n$plan")
   }
 
+  test("profileColumns plan has no Expand and matches the multi-DISTINCT computation") {
+    import graft.operators.Analytics
+    val df = Analytics.profileColumns(spark, sf)
+    // THE pin (advice r8-perf): the old plan's six count(DISTINCT)
+    // lanes multiplied shuffle input x7 through an Expand; the melt +
+    // two-level aggregate must not reintroduce one
+    val plan = planOf(df)
+    assert(!plan.contains("Expand"),
+      s"profileColumns reintroduced the count-DISTINCT Expand:\n$plan")
+    // differential: same numbers as the straightforward wide aggregate
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sf)
+    val expected = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+      .map { c =>
+        val r = li.agg(
+          (count(lit(1)) - count(col(c))).as("n"),
+          countDistinct(col(c)).as("d"),
+          round(min(col(c).cast("double")), 4).as("mn"),
+          round(max(col(c).cast("double")), 4).as("mx")).head
+        (c, r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)))
+      } ++ Seq("l_returnflag", "l_linestatus").map { c =>
+        val r = li.agg(
+          (count(lit(1)) - count(col(c))).as("n"),
+          countDistinct(col(c)).as("d")).head
+        (c, r.getLong(0), r.getLong(1), None, None)
+      }
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)))).toSeq
+    assert(got.sortBy(_._1) === expected.sortBy(_._1))
+  }
+
   test("sqlite scan carries its pushed range into the scan description") {
     val path = getClass.getResource("/sqlite/stA.sdb").getPath
     val lo = 1709251200L
