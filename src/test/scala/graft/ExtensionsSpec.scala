@@ -38,6 +38,58 @@ class ExtensionsSpec extends SparkSpec {
     assert(plan.contains("1000000"), s"expected rewritten nanos bound:\n$plan")
   }
 
+  test("legacy nanos events layout end-to-end: footer-gated loader branch + pushed ts_ns bounds") {
+    // A REAL TIMESTAMP(NANOS) parquet footer (written with parquet-java
+    // directly — Spark cannot write nanos), so this exercises the whole
+    // legacy chain on the layout the driver once shipped: eventsRaw's
+    // nanosAsLong conf -> LongType footer branch -> ts_ns rebuild ->
+    // NanosRangeRewrite conjoining pushable raw bounds. Without this
+    // fixture the rule's trigger condition exists in no test's data.
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    val dir = java.nio.file.Files.createTempDirectory("graft-legacy-events").toString
+    val schema = Types.buildMessage()
+      .addField(Types.required(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts"))
+      .addField(Types.required(PrimitiveTypeName.INT64).named("user_id"))
+      .named("events")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/events.parquet/part-00000.parquet"), conf))
+      .withConf(conf).build()
+    // session-TZ-robust base: derive the nanos epoch the same way the
+    // query-side literals will be parsed
+    val baseNs = spark.sql(
+      "SELECT unix_micros(to_timestamp('2024-01-05 00:00:00'))").head.getLong(0) * 1000L
+    val gf = new SimpleGroupFactory(schema)
+    (0 until 10).foreach { i =>
+      val g = gf.newGroup()
+      g.add("ts", baseNs + i * 3600L * 1000000000L + 123L) // sub-us tail
+      g.add("user_id", i.toLong)
+      writer.write(g)
+    }
+    writer.close()
+    val ev = Tables.events(spark, dir)
+    // loader branch: ts rebuilt as a session-TZ timestamp, raw kept as ts_ns
+    assert(ev.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
+    assert(ev.schema("ts_ns").dataType === org.apache.spark.sql.types.LongType)
+    val q = ev.filter(Tables.tsGte("2024-01-05 03:00:00")).select("user_id")
+    assert(q.collect().map(_.getLong(0)).sorted === (3L to 9L).toArray)
+    // THE pin: the rewritten raw nanos bound reaches the parquet scan
+    // (the scan sees the file's own column name `ts`, an int64)
+    val boundNs = baseNs + 3L * 3600L * 1000000000L
+    val plan = q.queryExecution.executedPlan.toString
+    assert(
+      s"PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts,$boundNs\\)".r
+        .findFirstIn(plan).isDefined,
+      s"legacy layout lost its nanos-bound pushdown:\n$plan")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("simhash: identical token sets -> identical signature (hamming 0)") {
     val sh = Dedup.simhashes(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // fingerprint groups = same bag of words -> same simhash by construction
