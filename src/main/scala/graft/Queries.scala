@@ -110,6 +110,7 @@ object Queries {
     "q_latest_order_per_customer" -> (Relational.latestOrderPerCustomer _),
     "q_catalog_sql" -> (graft.sources.GraftCatalog.customersPerNationSql _),
     "q_salted_join" -> (Relational.saltedJoinRevenue _),
+    "q_salted_join_left" -> (Relational.saltedJoinLeftRevenue _),
     "q_range_join" -> (Relational.rangeJoinActivity _),
     "q4_order_priority" -> (Relational.q4OrderPriority _),
     "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
@@ -346,6 +347,14 @@ object Queries {
       ("SELECT o_orderstatus, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
        "count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // the oracle is the plain LEFT JOIN: unmatched big-side rows must
+    // surface exactly once through the salted path
+    "q_salted_join_left" ->
+      ("SELECT coalesce(o_orderstatus, '(none)') AS status_bucket, " +
+       "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+       "count(*) AS n_items FROM lineitem LEFT JOIN " +
+       "(SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F') o " +
+       "ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1"),
     // the oracle is the NAIVE non-equi BETWEEN join: binning must be invisible
     "q_range_join" ->
       ("WITH w AS (SELECT o_custkey AS window_cust, CAST(min(o_orderdate) AS DATE) AS w_start, " +

@@ -22,17 +22,28 @@ import graft.{AppScopedCache, Tables}
   */
 object Relational {
 
-  /** Skew-safe inner equi-join by key salting: the big (skewed) side
-    * gets a deterministic per-row salt, the small side is replicated
-    * once per salt shard, and the join key becomes (key, salt) — a hot
-    * key's rows spread across `salts` reducers instead of one. This is
-    * the manual fallback for skew AQE can't fix (AQE splits skewed
+  /** Skew-safe equi-join by key salting: the big (skewed) side gets a
+    * deterministic per-row salt, the small side is replicated once per
+    * salt shard, and the join key becomes (key, salt) — a hot key's
+    * rows spread across `salts` reducers instead of one. This is the
+    * manual fallback for skew AQE can't fix (AQE splits skewed
     * sort-merge partitions, but a single hot key inside one partition
     * of a hash aggregate or non-splittable join still serializes).
-    * Inner-join semantics are identical to the unsalted join — proven
-    * by the q_salted_join oracle, which is the PLAIN SQL join. */
+    *
+    * Semantics contract: `"inner"` and `"left"` (big side outer) are
+    * supported and identical to the unsalted join — proven by the
+    * q_salted_join / q_salted_join_left oracles, which are the PLAIN
+    * SQL joins. Left-outer is sound because only the SMALL side is
+    * replicated: an unmatched big row carries one salt, so it
+    * null-extends exactly once. Right/full outer are refused — the
+    * small side's replicas would null-extend `salts` times per
+    * unmatched row, and de-duplicating them back is the caller's
+    * correctness trap this require() forecloses. */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
-      smallKey: String, salts: Int): DataFrame = {
+      smallKey: String, salts: Int, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports only 'inner' and 'left' (big side outer); " +
+      s"'$joinType' would null-extend the replicated small side once per salt")
     // salt from the full row hash: deterministic (no rand(); replays
     // and retries salt identically), and a hot KEY still spreads
     // because its rows differ in other columns
@@ -41,7 +52,8 @@ object Relational {
     val replicated = small.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     salted.join(replicated,
-        salted(bigKey) === replicated(smallKey) && salted("_salt") === replicated("_salt"))
+        salted(bigKey) === replicated(smallKey) && salted("_salt") === replicated("_salt"),
+        joinType)
       .drop("_salt")
   }
 
@@ -55,6 +67,20 @@ object Relational {
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy(col("o_orderstatus"))
+
+  /** The LEFT-outer salted join as a verified query: every lineitem
+    * with its order's status when the order is finished ('F'), a
+    * '(none)' bucket otherwise — unmatched big-side rows must appear
+    * exactly once, which the oracle (a plain SQL LEFT JOIN) proves. */
+  def saltedJoinLeftRevenue(spark: SparkSession, dir: String): DataFrame =
+    saltedJoin(Tables.lineitem(spark, dir),
+        Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderstatus")),
+        "l_orderkey", "o_orderkey", salts = 8, joinType = "left")
+      .groupBy(coalesce(col("o_orderstatus"), lit("(none)")).as("status_bucket"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("status_bucket"))
 
   /** Binned (point-in-interval) range join: points joined to the
     * intervals containing them WITHOUT an equi-key. Spark plans the
