@@ -150,12 +150,19 @@ object CommitLog {
     val consField = constraintsField.fold("")(c => s""","constraints":${jconstraints(c)}""")
     val dvField = if (dvs.isEmpty) "" else s""","dvs":${jdvs(dvs)}"""
     val dcField = if (dataChange) "" else s""","dataChange":false"""
-    val body = (version: Long) =>
-      s"""{"version":$version,"adds":${jarr(adds)},"removes":${jarr(removes)}$batchField$statsField$bloomField$schemaField$consField$dvField$dcField}"""
+    val body = (version: Long, tsMillis: Long) =>
+      s"""{"version":$version,"tsMillis":$tsMillis,"adds":${jarr(adds)},"removes":${jarr(removes)}$batchField$statsField$bloomField$schemaField$consField$dvField$dcField}"""
     var claimed = -1L
     while (claimed < 0) {
+      // commit wall-time, forced strictly monotone against the previous
+      // commit (Delta's clock-skew guard): TIMESTAMP AS OF binary-
+      // searches these, so they must order like the versions do
+      val prevTs =
+        if (v == 0) 0L
+        else commitTimestampMillis(spark, tablePath, v - 1).getOrElse(0L)
+      val tsMillis = math.max(System.currentTimeMillis(), prevTs + 1)
       val out = fs.create(tmp, true)
-      try out.write(body(v).getBytes("UTF-8")) finally out.close()
+      try out.write(body(v, tsMillis).getBytes("UTF-8")) finally out.close()
       val dst = new Path(log, f"$v%08d.json")
       // the put-if-absent primitive: POSIX rename OVERWRITES, so the
       // exists+rename pair is made atomic per JVM here (all of Spark
@@ -221,6 +228,56 @@ object CommitLog {
       .filter(_.endsWith(".json")).map(_.stripSuffix(".json"))
       .flatMap(n => scala.util.Try(n.toLong).toOption).sorted
   }
+
+  private val tsMillisRe = """"tsMillis":(\d+)""".r
+
+  /** A commit's wall-clock time in epoch millis. Commits written since
+    * the field existed carry `tsMillis` in their JSON line; older
+    * commits (and foreign logs) fall back to the log file's
+    * modification time — Delta's same fallback for un-stamped
+    * commits. None only when the commit file is unreadable. */
+  def commitTimestampMillis(spark: SparkSession, tablePath: String,
+      v: Long): Option[Long] = {
+    val p = new Path(new Path(tablePath, LogDir), f"$v%08d.json")
+    val fs = fsOf(spark, p)
+    scala.util.Try(commitLine(spark, tablePath, v)).toOption.flatMap { line =>
+      tsMillisRe.findFirstMatchIn(line).map(_.group(1).toLong)
+        .orElse(scala.util.Try(fs.getFileStatus(p).getModificationTime).toOption)
+    }
+  }
+
+  /** TIMESTAMP AS OF resolution: the newest retained version whose
+    * commit time is <= `tsMillis` — binary search over the (vacuum-
+    * bounded) version list, O(log versions) commit-line reads.
+    * Refuses a timestamp before the oldest retained commit (that
+    * history is below the vacuum horizon — the same contract as
+    * [[restore]]); a timestamp past the newest commit resolves to the
+    * newest (the table simply hasn't changed since). */
+  def versionAtTimestamp(spark: SparkSession, tablePath: String,
+      tsMillis: Long): Long = {
+    val vs = versions(spark, tablePath)
+    require(vs.nonEmpty, s"versionAtTimestamp: $tablePath has no commits")
+    def tsOf(i: Int): Long =
+      commitTimestampMillis(spark, tablePath, vs(i)).getOrElse(Long.MaxValue)
+    require(tsMillis >= tsOf(0),
+      s"timestamp $tsMillis predates the oldest retained commit " +
+      s"(v${vs.head} at ${tsOf(0)}) — below the vacuum horizon")
+    var lo = 0
+    var hi = vs.length - 1
+    var ans = 0
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (tsOf(mid) <= tsMillis) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    vs(ans)
+  }
+
+  /** Snapshot read at a wall-clock instant — `TIMESTAMP AS OF` over
+    * the commit timestamps. `ts` accepts epoch millis. */
+  def readTimestampAsOf(spark: SparkSession, tablePath: String,
+      tsMillis: Long): DataFrame =
+    read(spark, tablePath, Some(versionAtTimestamp(spark, tablePath, tsMillis)))
 
   /** The live file set at `asOf` (default: latest): start from the
     * newest parquet checkpoint at or below it (when one exists) and
@@ -1053,11 +1110,15 @@ object CommitLog {
         else scala.util.Try(
           line.drop(i + 10).takeWhile(c => c.isDigit || c == '-').toLong).toOption
       }
-      (v, extractArr(line, "adds").size, extractArr(line, "removes").size,
+      // the wall-clock column an auditor reads first; falls back to
+      // file mtime for pre-tsMillis commits like commitTimestampMillis
+      val ts = commitTimestampMillis(spark, tablePath, v)
+        .map(m => new java.sql.Timestamp(m)).orNull
+      (v, ts, extractArr(line, "adds").size, extractArr(line, "removes").size,
         batchId, !line.contains("\"dataChange\":false"),
         line.contains("\"checkpoint\":true"), extractDvs(line).size)
-    }.toDF("version", "n_adds", "n_removes", "batch_id", "data_change",
-      "checkpoint", "n_dvs")
+    }.toDF("version", "timestamp", "n_adds", "n_removes", "batch_id",
+      "data_change", "checkpoint", "n_dvs")
   }
 
   /** Targeted range replacement — Delta's `replaceWhere` for one
@@ -1253,17 +1314,24 @@ object CommitLog {
     * entry is a full delete+insert image — a production format
     * rewrites (and therefore feeds) only the touched files; the
     * consumer contract is identical. */
-  def readChanges(spark: SparkSession, tablePath: String,
-      sinceVersion: Long, untilVersion: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    val hi = untilVersion.getOrElse(latestVersion(spark, tablePath))
-    // Completeness gate (Delta CDF behavior): once vacuum has rewritten
-    // the retention horizon as a checkpoint, the changes BEFORE it are
-    // gone — its line summarizes cumulative state, not churn. A
-    // consumer asking to start below that horizon (including a fresh
-    // syncIncremental/maintainAggregate consumer, from = -1) would get
-    // a silently-incomplete feed and then permanently record the gap in
-    // its batchId ledger. Fail loudly instead.
+  /** One planned unit of the change feed: a file to read, the change
+    * kind its rows surface as, the commit that published it, and — for
+    * DV-delete slices — the vector DIFF whose set rows are the
+    * deletes. The ONE definition both the batch [[readChanges]] and
+    * the streaming source (graft.sources.changes) plan from, so the
+    * two surfaces cannot drift. */
+  private[graft] final case class ChangeSlice(file: String, kind: String,
+      version: Long, dvDiff: Option[Array[Byte]])
+
+  /** Completeness gate (Delta CDF behavior): once vacuum has rewritten
+    * the retention horizon as a checkpoint, the changes BEFORE it are
+    * gone — its line summarizes cumulative state, not churn. A
+    * consumer asking to start below that horizon (including a fresh
+    * syncIncremental/maintainAggregate consumer, from = -1) would get
+    * a silently-incomplete feed and then permanently record the gap in
+    * its batchId ledger. Fail loudly instead. */
+  private[graft] def assertChangesAvailable(spark: SparkSession,
+      tablePath: String, sinceVersion: Long): Unit =
     versions(spark, tablePath).headOption.foreach { oldest =>
       if (sinceVersion < oldest &&
           commitLine(spark, tablePath, oldest).contains("\"checkpoint\":true"))
@@ -1273,22 +1341,25 @@ object CommitLog {
           "(cumulative state, not churn). Re-seed the consumer from a full " +
           s"snapshot (read at version $oldest) and continue from there.")
     }
-    val slices = versions(spark, tablePath)
-      .filter(v => v > sinceVersion && v <= hi)
+
+  /** Change slices for versions (sinceVersion, untilVersion]. Skipped:
+    * dataChange=false commits (compaction — a rearrangement is not
+    * churn) and vacuum's checkpoint entry (a replay artifact). Work is
+    * metadata-sized: commit lines plus DV bytes for the files those
+    * commits touched — never a base-table scan. */
+  private[graft] def changeSlices(spark: SparkSession, tablePath: String,
+      sinceVersion: Long, untilVersion: Long): Seq[ChangeSlice] = {
+    assertChangesAvailable(spark, tablePath, sinceVersion)
+    versions(spark, tablePath)
+      .filter(v => v > sinceVersion && v <= untilVersion)
       .flatMap { v =>
         val line = commitLine(spark, tablePath, v)
         if (line.contains("\"checkpoint\":true") ||
             line.contains("\"dataChange\":false")) Seq.empty
         else {
-          val fileSlices = Seq("insert" -> extractArr(line, "adds"),
-                   "delete" -> extractArr(line, "removes"))
-            .collect { case (kind, files) if files.nonEmpty =>
-              // declared-schema read keeps slices uniform across a
-              // schema evolution (pre-evolution files null-fill)
-              readerFor(spark, tablePath).parquet(files.map(f => s"$tablePath/$f"): _*)
-                .withColumn("_change_type", lit(kind))
-                .withColumn("_commit_version", lit(v))
-            }
+          val fileSlices =
+            extractArr(line, "adds").map(f => ChangeSlice(f, "insert", v, None)) ++
+            extractArr(line, "removes").map(f => ChangeSlice(f, "delete", v, None))
           // a DV commit's churn is the vector DIFF: rows set at v but
           // not at v-1 surface as deletes, read straight from the
           // still-on-disk file (the pre-image, same as removes)
@@ -1304,19 +1375,41 @@ object CommitLog {
                 val fresh = beforeRefs.get(f).map(dvBytesOf(spark, tablePath, _))
                   .fold(now)(graft.plans.BitsetAggregate.minus(now, _))
                 if (graft.plans.BitsetAggregate.cardinality(fresh) == 0L) None
-                else Some(
-                  readerFor(spark, tablePath).parquet(s"$tablePath/$f")
-                    .filter(graft.plans.DeletionVector.dvTest(
-                      lit(fresh),
-                      org.apache.spark.sql.functions.col("_metadata.row_index")))
-                    .withColumn("_change_type", lit("delete"))
-                    .withColumn("_commit_version", lit(v)))
+                else Some(ChangeSlice(f, "delete", v, Some(fresh)))
               }
             }
           fileSlices ++ dvSlices
         }
       }
-    if (slices.nonEmpty) slices.reduce(_ unionByName _)
+  }
+
+  def readChanges(spark: SparkSession, tablePath: String,
+      sinceVersion: Long, untilVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val hi = untilVersion.getOrElse(latestVersion(spark, tablePath))
+    val slices = changeSlices(spark, tablePath, sinceVersion, hi)
+    // plain slices batch into ONE multi-path read per (version, kind) —
+    // a 1000-file commit is one scan, not a 1000-way union
+    val (dvSlices, plain) = slices.partition(_.dvDiff.isDefined)
+    val plainDfs = plain.groupBy(s => (s.version, s.kind)).toSeq
+      .sortBy { case ((v, kind), _) => (v, kind) }
+      .map { case ((v, kind), ss) =>
+        // declared-schema read keeps slices uniform across a schema
+        // evolution (pre-evolution files null-fill)
+        readerFor(spark, tablePath).parquet(ss.map(s => s"$tablePath/${s.file}"): _*)
+          .withColumn("_change_type", lit(kind))
+          .withColumn("_commit_version", lit(v))
+      }
+    val dvDfs = dvSlices.map { s =>
+      readerFor(spark, tablePath).parquet(s"$tablePath/${s.file}")
+        .filter(graft.plans.DeletionVector.dvTest(
+          lit(s.dvDiff.get),
+          org.apache.spark.sql.functions.col("_metadata.row_index")))
+        .withColumn("_change_type", lit("delete"))
+        .withColumn("_commit_version", lit(s.version))
+    }
+    val dfs = plainDfs ++ dvDfs
+    if (dfs.nonEmpty) dfs.reduce(_ unionByName _)
     else read(spark, tablePath, Some(hi))
       .withColumn("_change_type", lit(""))
       .withColumn("_commit_version", lit(-1L))
@@ -1466,11 +1559,15 @@ object CommitLog {
         s""","batchId":$rest"""
       }
     }
+    // the ORIGINAL commit's wall time survives the rewrite, so
+    // TIMESTAMP AS OF stays monotone across the horizon
+    val tsField = tsMillisRe.findFirstMatchIn(keepFromLine)
+      .map(m => s""""tsMillis":${m.group(1)},""").getOrElse("")
     val log = new Path(tablePath, LogDir)
     val cp = new Path(log, f"$keepFrom%08d.json")
     val out = fs.create(cp, true)
     try out.write(
-      s"""{"version":$keepFrom,"adds":${jarr(horizonState)},"removes":[]$schemaField$consField$batchField,"checkpoint":true}"""
+      s"""{"version":$keepFrom,$tsField"adds":${jarr(horizonState)},"removes":[]$schemaField$consField$batchField,"checkpoint":true}"""
         .getBytes("UTF-8"))
     finally out.close()
     val dataDir = new Path(tablePath, DataDir)

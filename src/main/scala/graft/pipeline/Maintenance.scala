@@ -58,11 +58,15 @@ object Maintenance {
         val rows = CommitLog.history(spark, table).orderBy("version").collect()
         if (rows.isEmpty) Left(s"no commits at $table")
         else Right(rows.map { r =>
-          val batch = if (r.isNullAt(3)) "" else s" batchId=${r.getLong(3)}"
-          val flags = (if (!r.getBoolean(4)) " dataChange=false" else "") +
-            (if (r.getBoolean(5)) " checkpoint" else "") +
-            (if (r.getInt(6) > 0) s" dvs=${r.getInt(6)}" else "")
-          s"v${r.getLong(0)}: +${r.getInt(1)}/-${r.getInt(2)}$batch$flags"
+          val when =
+            if (r.isNullAt(1)) ""
+            else " @" + java.time.Instant
+              .ofEpochMilli(r.getTimestamp(1).getTime).toString
+          val batch = if (r.isNullAt(4)) "" else s" batchId=${r.getLong(4)}"
+          val flags = (if (!r.getBoolean(5)) " dataChange=false" else "") +
+            (if (r.getBoolean(6)) " checkpoint" else "") +
+            (if (r.getInt(7) > 0) s" dvs=${r.getInt(7)}" else "")
+          s"v${r.getLong(0)}$when: +${r.getInt(2)}/-${r.getInt(3)}$batch$flags"
         }.mkString("\n"))
       case other =>
         Left("usage: compact <table> [targetMB] | zonemap <table> <cols> | " +

@@ -926,10 +926,15 @@ class CommitLogSpec extends SparkSpec {
       // history: one row per commit, counts and flags right
       val h = CommitLog.history(spark, t).orderBy("version").collect()
       assert(h.length === 7)
-      assert(h(2).getInt(1) === 1 && h(2).getInt(2) === 2,
+      assert(h(2).getInt(2) === 1 && h(2).getInt(3) === 2,
         "v2 overwrite should read as 1 add / 2 removes")
-      assert(h(4).getInt(6) === 1, "the delete commit should carry one dv entry")
-      assert(h.forall(_.getBoolean(4)), "no dataChange=false commits in this log")
+      assert(h(4).getInt(7) === 1, "the delete commit should carry one dv entry")
+      assert(h.forall(_.getBoolean(5)), "no dataChange=false commits in this log")
+      // the auditor column: every commit stamped, strictly increasing
+      val stamps = h.map(_.getTimestamp(1))
+      assert(stamps.forall(_ != null))
+      assert(stamps.sliding(2).forall(p => p(0).before(p(1))),
+        "commit timestamps must be strictly monotone")
       // below the vacuum horizon the snapshot is gone: restore refuses
       CommitLog.vacuum(spark, t, keepFrom = 5L)
       val e = intercept[IllegalArgumentException] { CommitLog.restore(spark, t, 2L) }
@@ -983,6 +988,42 @@ class CommitLogSpec extends SparkSpec {
         spark.conf.unset("spark.graft.commitlog.dvInlineThreshold")
         spark.conf.unset("spark.graft.commitlog.dvSweepGraceMs")
       }
+    } finally cleanup(t)
+  }
+
+  test("TIMESTAMP AS OF: commit stamps resolve to versions; vacuum keeps the horizon stamp") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s").coalesce(1)) // v0
+      CommitLog.append(spark, t, Seq((2L, "b")).toDF("id", "s").coalesce(1)) // v1
+      CommitLog.append(spark, t, Seq((3L, "c")).toDF("id", "s").coalesce(1)) // v2
+      val ts = (0L to 2L).map(v =>
+        CommitLog.commitTimestampMillis(spark, t, v).get)
+      assert(ts === ts.sorted && ts.distinct === ts, "stamps must be strictly monotone")
+      // exact stamps resolve to their versions; between-stamps to the earlier
+      ts.zipWithIndex.foreach { case (m, v) =>
+        assert(CommitLog.versionAtTimestamp(spark, t, m) === v.toLong)
+      }
+      assert(CommitLog.versionAtTimestamp(spark, t, ts(1) + (ts(2) - ts(1)) / 2) === 1L
+        || ts(2) - ts(1) < 2, "between-commit instant must resolve to the earlier version")
+      // a future instant resolves to the newest commit
+      assert(CommitLog.versionAtTimestamp(spark, t, ts(2) + 60000L) === 2L)
+      assert(CommitLog.readTimestampAsOf(spark, t, ts(0)).count() === 1)
+      assert(CommitLog.readTimestampAsOf(spark, t, ts(2) + 60000L).count() === 3)
+      // before the first commit: refused, like restore below the horizon
+      val e = intercept[IllegalArgumentException] {
+        CommitLog.versionAtTimestamp(spark, t, ts(0) - 1)
+      }
+      assert(e.getMessage.contains("vacuum horizon"), e.getMessage)
+      // vacuum rewrites the horizon line but keeps its original stamp
+      CommitLog.vacuum(spark, t, keepFrom = 1L)
+      assert(CommitLog.commitTimestampMillis(spark, t, 1L) === Some(ts(1)))
+      assert(CommitLog.versionAtTimestamp(spark, t, ts(2)) === 2L)
+      intercept[IllegalArgumentException] {
+        CommitLog.versionAtTimestamp(spark, t, ts(0))
+      }
+      ()
     } finally cleanup(t)
   }
 
@@ -1048,6 +1089,30 @@ class CommitLogSpec extends SparkSpec {
       .select("file").collect().map(_.getString(0)).toSet
     assert(kept === Set("f1", "f2", "f3", "f4", "f6"),
       s"corrupt stats must keep the file, valid-outside must prune: got $kept")
+  }
+
+  test("change slices plan only the streamed versions' files — the stream never rescans the base table") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s").coalesce(1)) // v0
+      CommitLog.append(spark, t, Seq((2L, "b")).toDF("id", "s").coalesce(1)) // v1
+      CommitLog.append(spark, t, Seq((3L, "c")).toDF("id", "s").coalesce(1)) // v2
+      val v2File = (CommitLog.snapshot(spark, t, Some(2L)).toSet --
+        CommitLog.snapshot(spark, t, Some(1L)).toSet).head
+      // THE pin: a batch over (1, 2] plans exactly v2's one file — not
+      // the other two live files of the base table
+      val slices = CommitLog.changeSlices(spark, t, 1L, 2L)
+      assert(slices.map(s => (s.file, s.kind, s.version)) ===
+        Seq((v2File, "insert", 2L)))
+      assert(slices.forall(_.dvDiff.isEmpty))
+      // the vacuum completeness gate guards the stream planner too
+      CommitLog.vacuum(spark, t, keepFrom = 2L)
+      val e = intercept[IllegalStateException] {
+        CommitLog.changeSlices(spark, t, 0L, 2L)
+      }
+      assert(e.getMessage.contains("no longer available"), e.getMessage)
+    } finally cleanup(t)
   }
 
   test("vacuum's sidecar sweep skips young dv files (concurrent-delete race window)") {

@@ -64,7 +64,8 @@ class MaintenanceSpec extends SparkSpec {
       val h = Maintenance.run(spark, Array("history", t))
       assert(h.isRight, h.toString)
       val lines = h.toOption.get.linesIterator.toSeq
-      assert(lines.length === 3 && lines.head.startsWith("v0: +1/-0"), h.toString)
+      assert(lines.length === 3 && lines.head.startsWith("v0 @"), h.toString)
+      assert(lines.head.contains(": +1/-0"), h.toString)
       // bad version: a Left, not a crash
       assert(Maintenance.run(spark, Array("restore", t, "99")).isLeft)
       assert(Maintenance.run(spark, Array("history", s"$t-missing")).isLeft)

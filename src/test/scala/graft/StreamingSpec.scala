@@ -678,4 +678,103 @@ class StreamingSpec extends SparkSpec {
       banded.collect().map(_.toString).toSeq)
     assert(broad.count() > 0)
   }
+
+  test("change-feed stream: appends + DV deletes flow, compaction invisible, no-op replay lands nothing") {
+    import graft.operators.CommitLog
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft_cdc_src_").toString
+    val out = Files.createTempDirectory("graft_cdc_out_").toString
+    val ckpt = Files.createTempDirectory("graft_cdc_ckpt_").toString
+    try {
+      CommitLog.append(spark, t,
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s").coalesce(1)) // v0
+
+      def runOnce(): Unit = {
+        val q = spark.readStream.format("graft-changes")
+          .option("startingVersion", "0")
+          .load(t)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", out)
+          .start()
+        assert(q.awaitTermination(120000), "change stream did not finish")
+      }
+
+      runOnce()
+      val first = spark.read.parquet(out)
+      assert(first.count() === 3)
+      assert(first.select("_change_type").distinct().collect()
+        .map(_.getString(0)).toSeq === Seq("insert"))
+      assert(first.select("_commit_version").distinct().collect()
+        .map(_.getLong(0)).toSeq === Seq(0L))
+      assert(first.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+      CommitLog.append(spark, t, Seq((4L, "d")).toDF("id", "s").coalesce(1)) // v1
+      CommitLog.delete(spark, t, "id = 2")                                    // v2 (DV)
+      CommitLog.compact(spark, t, targetFiles = 1)                            // v3 dataChange=false
+
+      runOnce()
+      val second = spark.read.parquet(out)
+      assert(second.count() === 5, "expected exactly the v1 insert and the v2 DV delete")
+      val news = second.filter(col("_commit_version") > 0)
+        .orderBy("_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+      assert(news.toSeq === Seq((4L, "insert", 1L), (2L, "delete", 2L)),
+        s"got ${news.toSeq}")
+
+      // nothing new: the replayed trigger plans zero slices
+      runOnce()
+      assert(spark.read.parquet(out).count() === 5, "no-op trigger must land nothing")
+    } finally {
+      Seq(t, out, ckpt).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    }
+  }
+
+  test("change-feed stream -> commit-log sink is exactly-once under full re-delivery") {
+    import graft.operators.CommitLog
+    import spark.implicits._
+    val bronze = Files.createTempDirectory("graft_cdc_bronze_").toString
+    val silver = Files.createTempDirectory("graft_cdc_silver_").toString
+    try {
+      CommitLog.append(spark, bronze, Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1)) // v0
+      CommitLog.append(spark, bronze, Seq((3L, "c")).toDF("id", "s").coalesce(1))            // v1
+
+      // batchId = the batch's max _commit_version: deterministic across
+      // re-deliveries, so the destination ledger recognizes replays even
+      // from a FRESH engine checkpoint
+      def runOnce(): Unit = {
+        val q = spark.readStream.format("graft-changes")
+          .option("startingVersion", "0")
+          .load(bronze)
+          .writeStream
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_cdc_sckpt_").toString) // fresh: force re-delivery
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val inserts = df.filter(col("_change_type") === "insert")
+            if (!inserts.isEmpty) {
+              val srcV = inserts.agg(max(col("_commit_version"))).head.getLong(0)
+              CommitLog.appendStream(spark, silver,
+                inserts.drop("_change_type", "_commit_version"), batchId = srcV)
+              ()
+            }
+          }
+          .start()
+        assert(q.awaitTermination(120000), "sink stream did not finish")
+      }
+
+      runOnce()
+      assert(CommitLog.read(spark, silver).count() === 3)
+      // full re-delivery (fresh checkpoint): the ledger refuses the replay
+      runOnce()
+      assert(CommitLog.read(spark, silver).count() === 3,
+        "re-delivered batch landed twice — ledger did not recognize the replay")
+    } finally {
+      Seq(bronze, silver).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    }
+  }
 }
