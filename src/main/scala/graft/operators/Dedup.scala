@@ -43,7 +43,7 @@ object Dedup {
 
   /** Distinct tokens hashed to longs at birth (same move as
     * [[shingleSets]]): every downstream set op — minhash transforms,
-    * candidate verification's array_intersect — runs on fixed-width
+    * candidate verification's merge-intersect — runs on fixed-width
     * longs instead of strings (measured: string intersect ~9us/pair
     * dominates verification). The Jaccard VALUE is identical to the
     * string computation (hashing preserves set cardinalities; a 64-bit
@@ -52,7 +52,10 @@ object Dedup {
   private def tokenSets(spark: SparkSession, dir: String): DataFrame =
     Tables.documentsParallel(spark, dir)
       .select(col("doc_id"),
-        array_distinct(transform(tokens(col("text")), t => xxhash64(t))).as("toks"))
+        // sorted ONCE per document so the per-pair verification tier
+        // (graft_isect_size) runs its single merge pass with no
+        // per-pair sort; minhash and the bitmask tier are order-blind
+        sort_array(array_distinct(transform(tokens(col("text")), t => xxhash64(t)))).as("toks"))
 
   /** Adaptive set representation. Exact set similarity is dominated by
     * per-pair intersection cost (measured ~9us/pair for string-array
@@ -89,13 +92,19 @@ object Dedup {
   }
 
   /** Exact jaccard over pre-paired rows carrying (sa, sb) and either
-    * (mask_a, mask_b) or (toks_a, toks_b). */
+    * (mask_a, mask_b) or (toks_a, toks_b). The unmasked branch is the
+    * SORTED-INT-ARRAY tier (advice r8 #5): graft_isect_size merges the
+    * per-doc-sorted long arrays in one pass — the same value as
+    * size(array_intersect) (differential-pinned in ExtensionsSpec)
+    * without its per-pair boxed hash-set build. Every consumer
+    * (jaccard_pairs, banded verify, incremental, indexed) inherits the
+    * tier through this one dispatch. */
   private def pairJaccard(masked: Boolean): Column =
     if (masked)
       bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double") /
         bit_count(col("mask_a").bitwiseOR(col("mask_b")))
     else {
-      val i = size(array_intersect(col("toks_a"), col("toks_b")))
+      val i = graft.plans.VectorExpressions.isectSize(col("toks_a"), col("toks_b"))
       i.cast("double") / (col("sa") + col("sb") - i)
     }
 

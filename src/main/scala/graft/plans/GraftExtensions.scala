@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
        new ExpressionInfo(classOf[CosineSim].getName, "graft_cos"),
        (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
     e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_isect_size"),
+       new ExpressionInfo(classOf[LongSetIntersectSize].getName, "graft_isect_size"),
+       (exprs: Seq[Expression]) => LongSetIntersectSize(exprs(0), exprs(1))))
+    e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk"),
        new ExpressionInfo(classOf[TopKNeighbors].getName, "graft_topk"),
        (exprs: Seq[Expression]) => TopKNeighbors(exprs(0), exprs(1), exprs(2))))

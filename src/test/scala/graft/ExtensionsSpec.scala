@@ -353,6 +353,42 @@ class ExtensionsSpec extends SparkSpec {
     assert(edge.getSeq[Long](1) === edge.getSeq[Long](2))
   }
 
+  test("graft_isect_size equals size(array_intersect) — the sorted-array dedup tier") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_intersect, size => asize, sort_array}
+    // real corpus token sets paired quadratically on a sample: the
+    // exact shape the dedup verification tier runs on
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        sort_array(array_distinct(transform(
+          graft.functions.TextFunctions.tokens(col("text")), t => xxhash64(t)))).as("toks"))
+      .filter(col("doc_id") % 3 === 0)
+    val pairs = sets.select(col("doc_id").as("da"), col("toks").as("ta"))
+      .crossJoin(sets.select(col("doc_id").as("db"), col("toks").as("tb")))
+      .filter(col("da") < col("db"))
+    val diff = pairs.select(
+        graft.plans.VectorExpressions.isectSize(col("ta"), col("tb")).as("tier"),
+        asize(array_intersect(col("ta"), col("tb"))).as("generic"))
+      .filter(col("tier") =!= col("generic"))
+    assert(diff.count() === 0, "tier disagrees with array_intersect on the corpus")
+    // adversarial shapes: empty/NULL arrays, UNSORTED inputs (the
+    // expression must sort, not mis-merge), duplicate values (count
+    // once, like array_intersect), disjoint and identical sets
+    val edge = spark.sql(
+      "SELECT graft_isect_size(array(5L, 1L, 3L), array(3L, 9L, 1L)) AS unsorted, " +
+      "graft_isect_size(array(1L, 1L, 2L, 2L), array(2L, 2L, 1L)) AS dups, " +
+      "graft_isect_size(CAST(array() AS ARRAY<BIGINT>), array(1L)) AS empty, " +
+      "graft_isect_size(array(1L, 2L), array(3L, 4L)) AS disjoint, " +
+      "graft_isect_size(array(-9L, 0L, 7L), array(-9L, 0L, 7L)) AS same, " +
+      "graft_isect_size(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS nullarr").head
+    assert(edge.getInt(0) === 2)
+    assert(edge.getInt(1) === 2)
+    assert(edge.getInt(2) === 0)
+    assert(edge.getInt(3) === 0)
+    assert(edge.getInt(4) === 3)
+    assert(edge.isNullAt(5))
+  }
+
   test("graft_first_agree is identical to the composed zip_with/array_position form") {
     import org.apache.spark.sql.functions.{array, array_position, coalesce, lit, transform, sequence, when, xxhash64, zip_with}
     // independently re-derived composed form: 1-based position of the
