@@ -482,6 +482,7 @@ object Queries {
     "mm_png_pixels" -> (Multimodal.pngPixels _),
     "mm_gif_pixels" -> (Multimodal.gifPixelsQ _),
     "mm_jpeg_pixels" -> (Multimodal.jpegPixelsQ _),
+    "mm_jpeg_color" -> (Multimodal.jpegColorQ _),
     "text_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
     "text_clean" -> ((s: SparkSession, d: String) => TextAnalysis.clean(s, d)),
     "dedup_paragraphs" -> ((s: SparkSession, d: String) => Dedup.paragraphDedup(s, d)),
@@ -990,6 +991,42 @@ object Queries {
        "CASE WHEN d.doc_id % 109 = 0 THEN NULL ELSE CAST(d.h AS INTEGER) END AS height, " +
        "CAST(s.sg AS BIGINT) AS sum_r, CAST(s.sg AS BIGINT) AS sum_g, " +
        "CAST(s.sg AS BIGINT) AS sum_b, " +
+       "CASE WHEN d.doc_id % 109 = 0 THEN NULL ELSE CAST(d.w * d.h AS BIGINT) END AS n_pixels " +
+       "FROM d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"),
+    // COLOR twin of mm_jpeg_pixels: the constant-block construction
+    // makes (y, cb, cr) — hence each clamped RGB channel — constant per
+    // LUMA block (a luma block lies inside one chroma region), so the
+    // oracle enumerates blocks: y/cb/cr from the seed formulas, the
+    // JFIF matrix with floor(x+0.5) EXACTLY as the decoder computes it,
+    // weighted by each block's cropped pixel count. One wrong
+    // interleave order, chroma index, predictor reset, or conversion
+    // constant fails the hash.
+    "mm_jpeg_color" ->
+      ("WITH d AS (SELECT doc_id, 9 + doc_id % 23 AS w, 9 + (doc_id * 3) % 19 AS h, " +
+       "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS hs, " +
+       "CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS vs " +
+       "FROM documents), " +
+       "blk AS (SELECT doc_id, w, h, hs, vs, " +
+       "unnest(range(((w + 7) // 8) * ((h + 7) // 8))) AS bi, (w + 7) // 8 AS nbx " +
+       "FROM d WHERE doc_id % 109 <> 0), " +
+       "v AS (SELECT doc_id, w, h, bi % nbx AS bx, bi // nbx AS by, " +
+       "(doc_id + 5 * (bi % nbx) + 11 * (bi // nbx)) % 256 AS y, " +
+       "(3 * doc_id + 7 * ((bi % nbx) // hs) + 13 * ((bi // nbx) // vs) + 64) % 256 AS cb, " +
+       "(5 * doc_id + 3 * ((bi % nbx) // hs) + 17 * ((bi // nbx) // vs) + 128) % 256 AS cr " +
+       "FROM blk), " +
+       "s AS (SELECT doc_id, " +
+       "sum(least(greatest(floor(y + 1.402 * (cr - 128) + 0.5), 0), 255) * " +
+       "  (least(8, w - 8 * bx) * least(8, h - 8 * by))) AS sr, " +
+       "sum(least(greatest(floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5), 0), 255) * " +
+       "  (least(8, w - 8 * bx) * least(8, h - 8 * by))) AS sg, " +
+       "sum(least(greatest(floor(y + 1.772 * (cb - 128) + 0.5), 0), 255) * " +
+       "  (least(8, w - 8 * bx) * least(8, h - 8 * by))) AS sb " +
+       "FROM v GROUP BY doc_id) " +
+       "SELECT d.doc_id, " +
+       "CASE WHEN d.doc_id % 109 = 0 THEN NULL ELSE CAST(d.w AS INTEGER) END AS width, " +
+       "CASE WHEN d.doc_id % 109 = 0 THEN NULL ELSE CAST(d.h AS INTEGER) END AS height, " +
+       "CAST(s.sr AS BIGINT) AS sum_r, CAST(s.sg AS BIGINT) AS sum_g, " +
+       "CAST(s.sb AS BIGINT) AS sum_b, " +
        "CASE WHEN d.doc_id % 109 = 0 THEN NULL ELSE CAST(d.w * d.h AS BIGINT) END AS n_pixels " +
        "FROM d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"),
     // the sampler's keep decision is a pure function of doc_id (md5

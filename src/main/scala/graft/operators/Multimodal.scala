@@ -166,6 +166,18 @@ object Multimodal {
         (id % 109 =!= 0, graft.plans.VectorExpressions.jpegEncode(
           (id % 23 + 9).cast("int"), ((id * 3) % 19 + 9).cast("int"),
           id.cast("long"), id % 2 === 0)))
+      case "jpgcol" => Seq(
+        (id % 109 === 0, encode(text.substr(1, 22), "UTF-8")),
+        // REAL baseline COLOR JPEGs (plans.JpegEncodeColor: interleaved
+        // MCUs, per-doc subsampling cycling 4:4:4 / 4:2:2 / 4:2:0):
+        // w 9..31, h 9..27 — never multiples of 8 OR 16, so edge MCUs
+        // crop through the subsampled chroma too; per-block-constant
+        // planes keep the lossy codec exactly oracle-recomputable;
+        // every other doc carries a restart per MCU row (pins the
+        // 3-predictor reset path)
+        (id % 109 =!= 0, graft.plans.VectorExpressions.jpegEncodeColor(
+          (id % 23 + 9).cast("int"), ((id * 3) % 19 + 9).cast("int"),
+          id.cast("long"), (id % 3).cast("int"), id % 2 === 0)))
       case "png" => Seq(
         (id % 103 === 0, encode(text.substr(1, 18), "UTF-8")),
         // REAL compressed PNGs (Deflater + CRCs + Adler, plans.PngEncode):
@@ -192,7 +204,7 @@ object Multimodal {
     * synthesis trees run HERE, once, one format-slice per write stage —
     * never fused into a decode query's codegen. */
   def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
-    Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "jpgpx")
+    Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "jpgpx", "jpgcol")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -420,6 +432,22 @@ object Multimodal {
   def jpegPixelsQ(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir, "jpgpx")
       .select(col("doc_id"), graft.plans.VectorExpressions.jpegPixels(col("jpgpx")).as("s"))
+      .select(col("doc_id"),
+        col("s.width").as("width"), col("s.height").as("height"),
+        col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),
+        col("s.sum_b").as("sum_b"), col("s.n_pixels").as("n_pixels"))
+      .orderBy(col("doc_id"))
+
+  /** Registered COLOR-JPEG decode query: same scan-decode shape over
+    * the color fixture (interleaved YCbCr, per-doc 4:4:4 / 4:2:2 /
+    * 4:2:0 subsampling). The constant-block construction makes every
+    * pixel's (y, cb, cr) — hence its clamped RGB — constant per LUMA
+    * block, so the DuckDB oracle enumerates blocks and recomputes all
+    * three channel sums exactly: one wrong interleave order, chroma
+    * index, predictor reset, or conversion constant fails the hash. */
+  def jpegColorQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "jpgcol")
+      .select(col("doc_id"), graft.plans.VectorExpressions.jpegPixels(col("jpgcol")).as("s"))
       .select(col("doc_id"),
         col("s.width").as("width"), col("s.height").as("height"),
         col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),

@@ -28,17 +28,21 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, IntegerTyp
   *    clamp, and channel sums over only the pixels inside w x h (edge
   *    MCUs crop).
   *
-  * Scope: baseline sequential (SOF0), 8-bit, SINGLE component
-  * (grayscale), no subsampling — the verdict's target; progressive,
-  * multi-component, and 12-bit return NULL, never throw (fuzzed in
-  * ParserFuzzSpec). Memory is O(one 8x8 block) regardless of claimed
+  * Scope: baseline sequential (SOF0), 8-bit, grayscale AND 3-component
+  * interleaved YCbCr with 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 subsampling —
+  * the shapes that cover real crawl JPEGs (chroma upsampling by
+  * sample replication, JFIF conversion matrix); progressive, 12-bit,
+  * arithmetic, and exotic sampling return NULL, never throw (fuzzed
+  * in ParserFuzzSpec). Memory is O(one MCU) regardless of claimed
   * geometry — no w*h buffer exists to balloon, only the running sums —
   * so a hostile header cannot hurt a 100 TB scan. Decode is certified
   * two ways: the DuckDB oracle recomputes exact sums for the
-  * per-block-constant fixture ([[JpegEncode]]: quantizer 8 divides
-  * the DC 8*(v-128) exactly, so constant blocks round-trip
-  * BIT-EXACTLY through real Huffman + IDCT), and JpegSpec runs a
-  * differential against the JDK's own ImageIO decoder on
+  * per-block-constant fixtures ([[JpegEncode]] grayscale,
+  * [[JpegEncodeColor]] YCbCr: quantizer 8 divides the DC 8*(v-128)
+  * exactly, so constant blocks round-trip BIT-EXACTLY through real
+  * Huffman + IDCT — and a luma block lies inside ONE chroma region,
+  * so the RGB conversion is per-block-constant too), and JpegSpec
+  * runs differentials against the JDK's own ImageIO decoder on
   * gradient images where every AC path fires. */
 case class JpegPixels(child: Expression) extends UnaryExpression {
 
@@ -149,19 +153,42 @@ object JpegPixels {
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
   private def u16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
 
+  /** JFIF YCbCr -> one RGB channel: LITERALLY floor(x + 0.5) (not
+    * Math.round, which special-cases the double just below .5 and
+    * would diverge from the DuckDB oracle's floor(expr + 0.5) by one
+    * ulp-edge), clamped to [0, 255]. */
+  private def rgbClamp(x: Double): Int = {
+    val s = math.floor(x + 0.5).toInt
+    if (s < 0) 0 else if (s > 255) 255 else s
+  }
+
   /** Null iff the bytes are not a decodable in-scope JPEG. Static, no
-    * captures; total over hostile bytes. */
+    * captures; total over hostile bytes.
+    *
+    * Scope: baseline sequential (SOF0), 8-bit, grayscale OR
+    * 3-component YCbCr with luma sampling factors in {1,2}x{1,2} and
+    * 1x1 chroma — 4:4:4, 4:2:2, 4:4:0 and 4:2:0, the shapes that
+    * cover real crawl JPEGs. Chroma upsampling is sample replication
+    * (cx = px div hmax); conversion is the JFIF matrix with
+    * floor(x+0.5) rounding, so the color fixture's constant blocks
+    * remain exactly oracle-recomputable. Memory is O(one MCU):
+    * <= (16x16 + 8x8 + 8x8) samples, whatever the claimed geometry. */
   def parse(b: Array[Byte]): InternalRow = try {
     if (b == null || b.length < 4) return null
     if (u8(b, 0) != 0xFF || u8(b, 1) != 0xD8) return null // SOI
     var i = 2
     var w = 0; var h = 0
-    var qtId = -1
+    var nComp = 0
+    val compId = new Array[Int](3)
+    val compQt = new Array[Int](3)
+    val compH = new Array[Int](3)
+    val compV = new Array[Int](3)
     val qts = new Array[Array[Int]](4)
     val dcT = new Array[HuffTable](4)
     val acT = new Array[HuffTable](4)
     var restartInterval = 0
-    var dcSel = -1; var acSel = -1
+    val dcSel = new Array[Int](3)
+    val acSel = new Array[Int](3)
     var scanStart = -1
     while (scanStart < 0) {
       // marker prefix (fill FF bytes are legal padding)
@@ -181,10 +208,26 @@ object JpegPixels {
           if (u8(b, i + 2) != 8) return null // 8-bit only
           h = u16(b, i + 3); w = u16(b, i + 5)
           if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
-          if (u8(b, i + 7) != 1) return null // single component (grayscale)
-          if (u8(b, i + 9) != 0x11) return null // no subsampling
-          qtId = u8(b, i + 10)
-          if (qtId > 3) return null
+          nComp = u8(b, i + 7)
+          if (nComp != 1 && nComp != 3) return null
+          if (len < 8 + 3 * nComp) return null
+          var c = 0
+          while (c < nComp) {
+            compId(c) = u8(b, i + 8 + 3 * c)
+            val samp = u8(b, i + 9 + 3 * c)
+            compH(c) = samp >> 4; compV(c) = samp & 0x0F
+            compQt(c) = u8(b, i + 10 + 3 * c)
+            if (compQt(c) > 3) return null
+            c += 1
+          }
+          if (nComp == 1) {
+            if (compH(0) != 1 || compV(0) != 1) return null // no subsampling
+          } else {
+            // luma in {1,2}x{1,2}; chroma strictly 1x1 — 4:4:4 / 4:2:2 /
+            // 4:4:0 / 4:2:0, the crawl formats; exotic factors decode NULL
+            if (compH(0) < 1 || compH(0) > 2 || compV(0) < 1 || compV(0) > 2) return null
+            if (compH(1) != 1 || compV(1) != 1 || compH(2) != 1 || compV(2) != 1) return null
+          }
         case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
              0xCD | 0xCE | 0xCF =>
           return null // extended/progressive/lossless/arithmetic: out of scope
@@ -220,35 +263,55 @@ object JpegPixels {
           if (len != 4) return null
           restartInterval = u16(b, i + 2)
         case 0xDA => // SOS
-          if (len < 8) return null
-          if (u8(b, i + 2) != 1) return null // one component in scan
-          dcSel = u8(b, i + 4) >> 4; acSel = u8(b, i + 4) & 0x0F
+          if (nComp == 0) return null // SOS before SOF
+          if (len < 6 + 2 * nComp) return null
+          if (u8(b, i + 2) != nComp) return null // full interleave only
+          var s = 0
+          while (s < nComp) {
+            val cs = u8(b, i + 3 + 2 * s)
+            // match scan order to frame components by id
+            var c = 0
+            var found = -1
+            while (c < nComp) { if (compId(c) == cs) found = c; c += 1 }
+            if (found != s) return null // reordered scans: out of scope
+            dcSel(s) = u8(b, i + 4 + 2 * s) >> 4
+            acSel(s) = u8(b, i + 4 + 2 * s) & 0x0F
+            if (dcSel(s) > 3 || acSel(s) > 3) return null
+            s += 1
+          }
+          val p = i + 3 + 2 * nComp
           // baseline spectral selection/approx must be 0..63, 0, 0
-          if (u8(b, i + 5) != 0 || u8(b, i + 6) != 63 || u8(b, i + 7) != 0) return null
+          if (u8(b, p) != 0 || u8(b, p + 1) != 63 || u8(b, p + 2) != 0) return null
           scanStart = end
         case _ => () // APPn, COM, others: skip by length
       }
       i = end
     }
-    if (w == 0 || qtId < 0 || qts(qtId) == null) return null
-    if (dcSel > 3 || acSel > 3 || dcT(dcSel) == null || acT(acSel) == null) return null
-    val qt = qts(qtId)
-    val dc = dcT(dcSel); val ac = acT(acSel)
-    val bx = (w + 7) / 8; val by = (h + 7) / 8
+    if (w == 0) return null
+    var c = 0
+    while (c < nComp) {
+      if (qts(compQt(c)) == null || dcT(dcSel(c)) == null || acT(acSel(c)) == null)
+        return null
+      c += 1
+    }
+    val hmax = compH(0); val vmax = compV(0) // chroma is 1x1, luma is max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
     val r = new BitReader(b, scanStart)
     val coef = new Array[Int](64)
-    val block = new Array[Double](64)
-    var pred = 0
-    var sum = 0L
+    // one plane per component, MCU-sized: O(MCU) memory always
+    val planes = Array.tabulate(nComp)(c => new Array[Int](64 * compH(c) * compV(c)))
+    val preds = new Array[Int](3)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
     var mcu = 0
-    var yB = 0
-    while (yB < by) {
-      var xB = 0
-      while (xB < bx) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           // byte-align, skip any stuffed FF 00 the 1-bit padding left
           // (an all-ones pad byte is a legal 0xFF and arrives stuffed),
-          // expect RSTn (n cycles 0..7), reset the predictor
+          // expect RSTn (n cycles 0..7), reset ALL predictors
           r.align()
           var p = r.pos
           while (p + 1 < b.length && u8(b, p) == 0xFF && u8(b, p + 1) == 0x00)
@@ -257,60 +320,101 @@ object JpegPixels {
           val n = u8(b, p + 1)
           if (n != 0xD0 + ((mcu / restartInterval - 1) & 7)) return null
           r.pos = p + 2
-          pred = 0
+          java.util.Arrays.fill(preds, 0)
         }
-        java.util.Arrays.fill(coef, 0)
-        val t = r.decode(dc)
-        if (t > 11) return null
-        pred += extend(r.readBits(t), t)
-        coef(0) = pred * qt(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = r.decode(ac)
-          val run = rs >> 4; val size = rs & 0x0F
-          if (size == 0) {
-            if (run == 15) k += 16 // ZRL
-            else eob = true // EOB
-          } else {
-            k += run
-            if (k > 63) return null
-            val nat = Zigzag(k)
-            coef(nat) = extend(r.readBits(size), size) * qt(nat)
-            k += 1
-          }
-        }
-        // IDCT, level shift, clamp; sum only pixels inside w x h
-        var y = 0
-        while (y < 8) {
-          val py = yB * 8 + y
-          if (py < h) {
-            var x = 0
-            while (x < 8) {
-              val px = xB * 8 + x
-              if (px < w) {
-                var acc = 0.0
-                var v = 0
-                while (v < 64) {
-                  val c = coef(v)
-                  if (c != 0) acc += Ct(x)(v & 7) * Ct(y)(v >> 3) * c
-                  v += 1
+        // decode this MCU's blocks, interleaved per T.81: for each
+        // component, its h x v blocks in raster order within the MCU
+        c = 0
+        while (c < nComp) {
+          val qt = qts(compQt(c))
+          val dc = dcT(dcSel(c)); val ac = acT(acSel(c))
+          val cw = 8 * compH(c) // plane row width in samples
+          var bv = 0
+          while (bv < compV(c)) {
+            var bh = 0
+            while (bh < compH(c)) {
+              java.util.Arrays.fill(coef, 0)
+              val t = r.decode(dc)
+              if (t > 11) return null
+              preds(c) += extend(r.readBits(t), t)
+              coef(0) = preds(c) * qt(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = r.decode(ac)
+                val run = rs >> 4; val size = rs & 0x0F
+                if (size == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else eob = true // EOB
+                } else {
+                  k += run
+                  if (k > 63) return null
+                  val nat = Zigzag(k)
+                  coef(nat) = extend(r.readBits(size), size) * qt(nat)
+                  k += 1
                 }
-                var s = math.round(acc).toInt + 128
-                if (s < 0) s = 0 else if (s > 255) s = 255
-                sum += s
               }
-              x += 1
+              // IDCT, level shift, clamp into the component plane
+              val plane = planes(c)
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var acc = 0.0
+                  var v = 0
+                  while (v < 64) {
+                    val cf = coef(v)
+                    if (cf != 0) acc += Ct(x)(v & 7) * Ct(y)(v >> 3) * cf
+                    v += 1
+                  }
+                  var s = math.round(acc).toInt + 128
+                  if (s < 0) s = 0 else if (s > 255) s = 255
+                  plane((bv * 8 + y) * cw + bh * 8 + x) = s
+                  x += 1
+                }
+                y += 1
+              }
+              bh += 1
+            }
+            bv += 1
+          }
+          c += 1
+        }
+        // pixel pass over this MCU ∩ image: nearest-sample chroma
+        // upsample + JFIF matrix (3-comp) or straight copy (grayscale)
+        val lumaW = 8 * hmax
+        var py = 0
+        val mcuH = 8 * vmax
+        while (py < mcuH) {
+          val gy = my * mcuH + py
+          if (gy < h) {
+            var px = 0
+            val mcuW = 8 * hmax
+            while (px < mcuW) {
+              val gx = mx * mcuW + px
+              if (gx < w) {
+                val yv = planes(0)(py * lumaW + px)
+                if (nComp == 1) {
+                  sumR += yv; sumG += yv; sumB += yv
+                } else {
+                  val cb = planes(1)((py / vmax) * 8 + px / hmax)
+                  val cr = planes(2)((py / vmax) * 8 + px / hmax)
+                  sumR += rgbClamp(yv + 1.402 * (cr - 128))
+                  sumG += rgbClamp(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+                  sumB += rgbClamp(yv + 1.772 * (cb - 128))
+                }
+              }
+              px += 1
             }
           }
-          y += 1
+          py += 1
         }
         mcu += 1
-        xB += 1
+        mx += 1
       }
-      yB += 1
+      my += 1
     }
-    new GenericInternalRow(Array[Any](w, h, sum, sum, sum, w.toLong * h))
+    new GenericInternalRow(Array[Any](w, h, sumR, sumG, sumB, w.toLong * h))
   } catch { case scala.util.control.NonFatal(_) => null }
 }
 
@@ -455,8 +559,30 @@ object JpegEncode {
     * forward DCT (double), quantize by [[Quant]], Annex-K Huffman.
     * `restartInterval` in MCUs (0 = none). */
   def encode(w: Int, h: Int, pix: (Int, Int) => Int,
-      restartInterval: Int): Array[Byte] = {
-    val bx = (w + 7) / 8; val by = (h + 7) / 8
+      restartInterval: Int): Array[Byte] =
+    encodeInterleaved(w, h, 1, 1, Array(pix), restartInterval)
+
+  /** General baseline COLOR encoder: three sample functions in THEIR
+    * OWN sample spaces (luma full-resolution, chroma subsampled by
+    * hs x vs), interleaved MCUs per T.81. */
+  def encodeColor(w: Int, h: Int, yF: (Int, Int) => Int,
+      cbF: (Int, Int) => Int, crF: (Int, Int) => Int,
+      hs: Int, vs: Int, restartInterval: Int): Array[Byte] =
+    encodeInterleaved(w, h, hs, vs, Array(yF, cbF, crF), restartInterval)
+
+  /** Shared interleaved encoder: `comps.length` ∈ {1, 3}; component 0
+    * samples at (hs, vs) per MCU, the rest at 1x1 (chroma). Each
+    * component's sample function is indexed in its own grid and edge
+    * blocks replicate the last row/column — constant blocks stay
+    * constant, the exact-oracle keystone. */
+  private def encodeInterleaved(w: Int, h: Int, hs: Int, vs: Int,
+      comps: Array[(Int, Int) => Int], restartInterval: Int): Array[Byte] = {
+    val nComp = comps.length
+    val mcusX = (w + 8 * hs - 1) / (8 * hs)
+    val mcusY = (h + 8 * vs - 1) / (8 * vs)
+    // per-component sample-grid bounds (for edge replication)
+    val compW = Array.tabulate(nComp)(c => if (c == 0) w else (w + hs - 1) / hs)
+    val compH2 = Array.tabulate(nComp)(c => if (c == 0) h else (h + vs - 1) / vs)
     val out = new java.io.ByteArrayOutputStream(w * h / 4 + 1024)
     def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
     def seg(m: Int, body: Array[Int]): Unit = {
@@ -467,100 +593,193 @@ object JpegEncode {
     }
     marker(0xD8) // SOI
     // DQT: table 0, zigzag order (flat, so order is moot — written
-    // spec-correctly anyway)
+    // spec-correctly anyway); shared by every component
     seg(0xDB, Array(0x00) ++ Array.fill(64)(Quant))
-    // SOF0: 8-bit, h x w, 1 component, 1x1 sampling, quant table 0
-    seg(0xC0, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 1, 1, 0x11, 0))
-    // DHT: DC table 0, AC table 0
+    // SOF0: 8-bit, h x w; component 0 samples (hs, vs), chroma 1x1
+    val sofComps =
+      if (nComp == 1) Array(1, 0x11, 0)
+      else Array(1, (hs << 4) | vs, 0, 2, 0x11, 0, 3, 0x11, 0)
+    seg(0xC0, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, nComp) ++ sofComps)
+    // DHT: DC table 0, AC table 0 (Annex-K luminance for every
+    // component — legal, the scan just selects table 0 thrice)
     seg(0xC4, Array(0x00) ++ DcBits ++ DcVals)
     seg(0xC4, Array(0x10) ++ AcBits ++ AcVals)
     if (restartInterval > 0)
       seg(0xDD, Array(restartInterval >> 8, restartInterval & 0xFF))
-    // SOS: 1 component, DC/AC table 0, full spectral range
-    seg(0xDA, Array(1, 1, 0x00, 0, 63, 0))
+    // SOS: all components, DC/AC table 0, full spectral range
+    val sosComps = (1 to nComp).flatMap(c => Seq(c, 0x00)).toArray
+    seg(0xDA, Array(nComp) ++ sosComps ++ Array(0, 63, 0))
     val bw = new BitWriter(out)
     val samples = new Array[Double](64)
     val coef = new Array[Int](64)
-    var pred = 0
+    val preds = new Array[Int](nComp)
     var mcu = 0
     var rstN = 0
-    var yB = 0
-    while (yB < by) {
-      var xB = 0
-      while (xB < bx) {
+
+    def writeBlock(c: Int, ox: Int, oy: Int): Unit = {
+      // level-shifted block (edge blocks replicate the last
+      // row/column — keeps constant blocks constant)
+      val pix = comps(c)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val px = math.min(ox + x, compW(c) - 1)
+          val py = math.min(oy + y, compH2(c) - 1)
+          samples(y * 8 + x) = pix(px, py) - 128.0
+          x += 1
+        }
+        y += 1
+      }
+      // forward DCT + quantize
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var acc = 0.0
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              acc += FwdCt(xx)(u) * FwdCt(yy)(v) * samples(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          coef(v * 8 + u) = math.round(acc / Quant).toInt
+          v += 1
+        }
+        u += 1
+      }
+      // DC difference
+      val diff = coef(0) - preds(c)
+      preds(c) = coef(0)
+      val t = category(diff)
+      bw.write(dcCode(t), dcSize(t))
+      if (t > 0) {
+        val bits = if (diff < 0) diff + (1 << t) - 1 else diff
+        bw.write(bits, t)
+      }
+      // AC run-length over zigzag order
+      var k = 1
+      var run = 0
+      while (k < 64) {
+        val cv = coef(JpegPixels.Zigzag(k))
+        if (cv == 0) run += 1
+        else {
+          while (run > 15) { bw.write(acCode(0xF0), acSize(0xF0)); run -= 16 }
+          val s = category(cv)
+          val rs = (run << 4) | s
+          bw.write(acCode(rs), acSize(rs))
+          val bits = if (cv < 0) cv + (1 << s) - 1 else cv
+          bw.write(bits, s)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) bw.write(acCode(0x00), acSize(0x00)) // EOB
+    }
+
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           bw.flush()
           marker(0xD0 + rstN)
           rstN = (rstN + 1) & 7
-          pred = 0
+          java.util.Arrays.fill(preds, 0)
         }
-        // level-shifted block (edge blocks replicate the last
-        // row/column — keeps constant blocks constant)
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            val px = math.min(xB * 8 + x, w - 1)
-            val py = math.min(yB * 8 + y, h - 1)
-            samples(y * 8 + x) = pix(px, py) - 128.0
-            x += 1
+        // interleave: component 0's hs x vs blocks, then one block each
+        // of the 1x1 components — T.81's MCU ordering
+        var bv = 0
+        while (bv < vs) {
+          var bh = 0
+          while (bh < hs) {
+            writeBlock(0, mx * 8 * hs + bh * 8, my * 8 * vs + bv * 8)
+            bh += 1
           }
-          y += 1
+          bv += 1
         }
-        // forward DCT + quantize
-        var u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            var acc = 0.0
-            var yy = 0
-            while (yy < 8) {
-              var xx = 0
-              while (xx < 8) {
-                acc += FwdCt(xx)(u) * FwdCt(yy)(v) * samples(yy * 8 + xx)
-                xx += 1
-              }
-              yy += 1
-            }
-            coef(v * 8 + u) = math.round(acc / Quant).toInt
-            v += 1
-          }
-          u += 1
+        var c = 1
+        while (c < nComp) {
+          writeBlock(c, mx * 8, my * 8)
+          c += 1
         }
-        // DC difference
-        val diff = coef(0) - pred
-        pred = coef(0)
-        val t = category(diff)
-        bw.write(dcCode(t), dcSize(t))
-        if (t > 0) {
-          val bits = if (diff < 0) diff + (1 << t) - 1 else diff
-          bw.write(bits, t)
-        }
-        // AC run-length over zigzag order
-        var k = 1
-        var run = 0
-        while (k < 64) {
-          val c = coef(JpegPixels.Zigzag(k))
-          if (c == 0) run += 1
-          else {
-            while (run > 15) { bw.write(acCode(0xF0), acSize(0xF0)); run -= 16 }
-            val s = category(c)
-            val rs = (run << 4) | s
-            bw.write(acCode(rs), acSize(rs))
-            val bits = if (c < 0) c + (1 << s) - 1 else c
-            bw.write(bits, s)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) bw.write(acCode(0x00), acSize(0x00)) // EOB
         mcu += 1
-        xB += 1
+        mx += 1
       }
-      yB += 1
+      my += 1
     }
     bw.flush()
     marker(0xD9) // EOI
     out.toByteArray
   }
+
+  /** The COLOR fixture encoder: per-block-constant planes in each
+    * component's own sample space —
+    *
+    *   y (luma block bx, by)    = (seed + 5*bx + 11*by) mod 256
+    *   cb (chroma block cx, cy) = (3*seed + 7*cx + 13*cy + 64) mod 256
+    *   cr (chroma block cx, cy) = (5*seed + 3*cx + 17*cy + 128) mod 256
+    *
+    * `mode`: 0 = 4:4:4 (1x1), 1 = 4:2:2 (2x1), 2 = 4:2:0 (2x2).
+    * Because chroma is constant per chroma BLOCK and a luma block lies
+    * inside exactly one chroma region, every decoded pixel's (y, cb,
+    * cr) — and so its clamped RGB — is constant per LUMA block: the
+    * DuckDB oracle enumerates luma blocks and recomputes the channel
+    * sums exactly (floor(x+0.5) conversion, see JpegPixels.rgbClamp).
+    * restartRows adds one restart per MCU row (pins the color
+    * predictor-reset path). Null on non-positive/oversized dims. */
+  def encodeBlockyColor(w: Int, h: Int, seed: Long, mode: Int,
+      restartRows: Boolean): Array[Byte] = {
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 20)) return null
+    val (hs, vs) = mode match {
+      case 0 => (1, 1)
+      case 1 => (2, 1)
+      case 2 => (2, 2)
+      case _ => return null
+    }
+    def m256(v: Long): Int = java.lang.Math.floorMod(v, 256L).toInt
+    val yF = (px: Int, py: Int) => m256(seed + 5L * (px / 8) + 11L * (py / 8))
+    val cbF = (cx: Int, cy: Int) => m256(3L * seed + 7L * (cx / 8) + 13L * (cy / 8) + 64L)
+    val crF = (cx: Int, cy: Int) => m256(5L * seed + 3L * (cx / 8) + 17L * (cy / 8) + 128L)
+    val mcusX = (w + 8 * hs - 1) / (8 * hs)
+    encodeColor(w, h, yF, cbF, crF, hs, vs, if (restartRows) mcusX else 0)
+  }
+}
+
+/** `graft_jpeg_encode_color(width, height, seed, mode, restartRows)` →
+  * binary: a fully valid baseline YCbCr JPEG with real subsampling
+  * (mode 0/1/2 = 4:4:4 / 4:2:2 / 4:2:0), per-block-constant planes —
+  * the color fixture side of the exact round-trip oracle (see
+  * [[JpegEncode.encodeBlockyColor]]). */
+case class JpegEncodeColor(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    children.map(_.dataType) match {
+      case Seq(IntegerType, IntegerType, LongType, IntegerType, BooleanType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_jpeg_encode_color expects (int, int, bigint, int, boolean), got $other")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  // CodegenFallback (not a hot path: the FIXTURE build runs it once per
+  // doc at media-table write time; the decoder stays codegen'd)
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def prettyName: String = "graft_jpeg_encode_color"
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else JpegEncode.encodeBlockyColor(vs(0).asInstanceOf[Int],
+      vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Long],
+      vs(3).asInstanceOf[Int], vs(4).asInstanceOf[Boolean])
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): JpegEncodeColor =
+    copy(children = newChildren)
 }

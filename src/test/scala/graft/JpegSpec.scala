@@ -101,6 +101,124 @@ class JpegSpec extends SparkSpec {
     assert(graft.plans.JpegPixels.parse(big) === null)
   }
 
+  private def clampRgb(x: Double): Long = {
+    val s = math.floor(x + 0.5).toInt
+    if (s < 0) 0L else if (s > 255) 255L else s.toLong
+  }
+
+  /** Per-pixel reference of the color fixture's decoded channel sums:
+    * the chroma sample for pixel px is px div hs (replication), whose
+    * block is px div (8*hs) — the same composition the oracle uses. */
+  private def expectedColor(w: Int, h: Int, seed: Long, mode: Int): (Long, Long, Long) = {
+    val (hs, vs) = mode match { case 0 => (1, 1); case 1 => (2, 1); case _ => (2, 2) }
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (py <- 0 until h; px <- 0 until w) {
+      val y = java.lang.Math.floorMod(seed + 5L * (px / 8) + 11L * (py / 8), 256L).toInt
+      val cbx = px / (8 * hs); val cby = py / (8 * vs)
+      val cb = java.lang.Math.floorMod(3L * seed + 7L * cbx + 13L * cby + 64L, 256L).toInt
+      val cr = java.lang.Math.floorMod(5L * seed + 3L * cbx + 17L * cby + 128L, 256L).toInt
+      sr += clampRgb(y + 1.402 * (cr - 128))
+      sg += clampRgb(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+      sb += clampRgb(y + 1.772 * (cb - 128))
+    }
+    (sr, sg, sb)
+  }
+
+  test("color blocky encode -> decode round-trips exact sums across 4:4:4/4:2:2/4:2:0") {
+    for {
+      seed <- Seq(0L, 7L, 123L, 99999L)
+      mode <- Seq(0, 1, 2)
+      rst <- Seq(false, true)
+      (w, h) <- Seq((9, 9), (16, 16), (31, 27), (8, 24), (23, 10), (1, 1), (17, 9))
+    } {
+      val jpg = graft.plans.JpegEncode.encodeBlockyColor(w, h, seed, mode, rst)
+      assert(jpg != null)
+      val (sr, sg, sb) = expectedColor(w, h, seed, mode)
+      assert(parsed(jpg) === Some((w, h, sr, sg, sb, w.toLong * h)),
+        s"seed=$seed mode=$mode rst=$rst w=$w h=$h")
+    }
+  }
+
+  test("color gradients agree with the JDK's ImageIO decoder") {
+    // 4:4:4 with full gradients in all three planes (no upsampling →
+    // only IDCT + conversion rounding differ), and subsampled modes
+    // with CONSTANT chroma (any spec upsampler — replication or
+    // libjpeg's triangle filter — reproduces a constant exactly, so
+    // the differential isolates the interleave/IDCT path)
+    val cases = Seq(
+      (24, 17, 1, 1, true), (40, 33, 2, 1, true), (16, 16, 1, 1, true),
+      (24, 17, 2, 1, false), (40, 33, 2, 2, false), (31, 27, 2, 2, false))
+    for ((w, h, hs, vs, chromaGrad) <- cases) {
+      val yF = (x: Int, y: Int) =>
+        java.lang.Math.floorMod(x * x + 3L * y + x * y / 5 + 11 * y, 256L).toInt
+      val cbF = (x: Int, y: Int) =>
+        if (chromaGrad) java.lang.Math.floorMod(90L + 2 * x + 3 * y, 256L).toInt else 100
+      val crF = (x: Int, y: Int) =>
+        if (chromaGrad) java.lang.Math.floorMod(150L + 3 * x + 2 * y, 256L).toInt else 160
+      val jpg = graft.plans.JpegEncode.encodeColor(w, h, yF, cbF, crF, hs, vs, 0)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+      assert(img != null, "ImageIO could not decode the color encoder's output")
+      assert(img.getWidth === w && img.getHeight === h)
+      var refR = 0L; var refG = 0L; var refB = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        refR += (rgb >> 16) & 0xFF; refG += (rgb >> 8) & 0xFF; refB += rgb & 0xFF
+      }
+      val mine = parsed(jpg).get
+      assert(mine._1 === w && mine._2 === h)
+      // two spec-compliant IDCTs differ by <=1/px; YCbCr->RGB rounding
+      // differs by <=1/px more per channel (libjpeg is fixed-point)
+      val tol = 3L * w * h
+      assert(math.abs(mine._3 - refR) <= tol, s"R diverged: ${mine._3} vs $refR ($w x $h)")
+      assert(math.abs(mine._4 - refG) <= tol, s"G diverged: ${mine._4} vs $refG ($w x $h)")
+      assert(math.abs(mine._5 - refB) <= tol, s"B diverged: ${mine._5} vs $refB ($w x $h)")
+      info(s"${w}x$h ${hs}x$vs chromaGrad=$chromaGrad: " +
+        s"|dR|=${math.abs(mine._3 - refR)} |dG|=${math.abs(mine._4 - refG)} " +
+        s"|dB|=${math.abs(mine._5 - refB)} over ${w * h} px")
+    }
+  }
+
+  test("hostile color bytes decode to NULL, never throw") {
+    val good = graft.plans.JpegEncode.encodeBlockyColor(17, 12, 5L, 2, restartRows = true)
+    var i = 0
+    while (i < good.length) {
+      graft.plans.JpegPixels.parse(java.util.Arrays.copyOf(good, i))
+      i += 1
+    }
+    for (j <- 2 until good.length by 3) {
+      val bad = good.clone()
+      bad(j) = (bad(j) ^ 0x5A).toByte
+      graft.plans.JpegPixels.parse(bad)
+    }
+    // exotic sampling factors (3x1 luma) are out of scope -> null
+    val sof = good.indices.find(k =>
+      (good(k) & 0xFF) == 0xFF && (good(k + 1) & 0xFF) == 0xC0).get
+    val exotic = good.clone()
+    exotic(sof + 11) = 0x31.toByte // component 0 sampling 3x1
+    assert(graft.plans.JpegPixels.parse(exotic) === null)
+  }
+
+  test("mm_jpeg_color serves decoded color stats with corrupt docs as NULL") {
+    val df = graft.operators.Multimodal.jpegColorQ(spark, sf)
+    val rows = df.collect()
+    assert(rows.length > 0)
+    val corrupt = rows.filter(_.getLong(0) % 109 == 0)
+    assert(corrupt.nonEmpty && corrupt.forall(_.isNullAt(1)),
+      "corrupt docs must surface NULL stats")
+    val good = rows.filter(r => r.getLong(0) % 109 != 0)
+    assert(good.forall(!_.isNullAt(1)), "every valid color doc must decode")
+    // spot-check docs of each subsampling mode against the closed form
+    for (mode <- 0 to 2) {
+      val r0 = good.find(_.getLong(0) % 3 == mode).get
+      val id = r0.getLong(0)
+      val (w, h) = ((id % 23 + 9).toInt, ((id * 3) % 19 + 9).toInt)
+      val (sr, sg, sb) = expectedColor(w, h, id, mode)
+      assert(r0.getInt(1) === w && r0.getInt(2) === h)
+      assert((r0.getLong(3), r0.getLong(4), r0.getLong(5)) === ((sr, sg, sb)),
+        s"doc $id mode $mode")
+    }
+  }
+
   test("mm_jpeg_pixels serves decoded stats with corrupt docs as NULL") {
     val df = graft.operators.Multimodal.jpegPixelsQ(spark, sf)
     val rows = df.collect()

@@ -87,8 +87,14 @@ class ParserFuzzSpec extends AnyFunSuite {
     // and the RSTn cadence
     val fullJpeg = graft.plans.JpegEncode.encodeBlocky(17, 12, 77L, true)
     assert(graft.plans.JpegPixels.parse(fullJpeg) != null)
+    // the COLOR variant: corruptions land in the interleaved-MCU
+    // stream, the 3-component SOF/SOS headers, and the subsampled
+    // chroma path
+    val fullJpegColor = graft.plans.JpegEncode.encodeBlockyColor(17, 12, 77L, 2, true)
+    assert(graft.plans.JpegPixels.parse(fullJpegColor) != null)
     val rnd = new scala.util.Random(0xF00D)
-    for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif, fullJpeg); _ <- 0 until 800) {
+    for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif, fullJpeg,
+        fullJpegColor); _ <- 0 until 800) {
       val truncated = f.take(rnd.nextInt(f.length + 1))
       val corrupted = f.clone()
       val at = rnd.nextInt(f.length)
