@@ -16,7 +16,11 @@ import graft.operators.{CommitLog, Compaction, ZoneMaps}
   *   maintenance vacuum   <logTable> <keepFromVersion> # drop old versions
   *   maintenance restore  <logTable> <version>         # revert as new commit
   *   maintenance history  <logTable>                   # one line per commit
+  *   maintenance version-at <logTable> <instant>       # TIMESTAMP AS OF resolve
   * }}}
+  *
+  * `instant` is epoch millis or an ISO-8601 instant
+  * (2026-08-14T12:00:00Z).
   *
   * Exit codes: 0 ok, 1 usage/validation error — same contract as Main. */
 object Maintenance {
@@ -54,6 +58,19 @@ object Maintenance {
               case scala.util.Failure(e) => Left(e.getMessage)
             }
         }
+      case "version-at" :: table :: instant :: Nil =>
+        val millis = scala.util.Try(instant.toLong).toOption
+          .orElse(scala.util.Try(
+            java.time.Instant.parse(instant).toEpochMilli).toOption)
+        millis match {
+          case None => Left(s"unparsable instant: $instant (epoch millis or ISO-8601)")
+          case Some(m) =>
+            scala.util.Try(CommitLog.versionAtTimestamp(spark, table, m)) match {
+              case scala.util.Success(v) => Right(
+                s"v$v (read with asOf=Some(${v}L) / readTimestampAsOf)")
+              case scala.util.Failure(e) => Left(e.getMessage)
+            }
+        }
       case "history" :: table :: Nil =>
         val rows = CommitLog.history(spark, table).orderBy("version").collect()
         if (rows.isEmpty) Left(s"no commits at $table")
@@ -71,7 +88,8 @@ object Maintenance {
       case other =>
         Left("usage: compact <table> [targetMB] | zonemap <table> <cols> | " +
           s"log-compact <table> [targetFiles] | vacuum <table> <version> | " +
-          s"restore <table> <version> | history <table>" +
+          s"restore <table> <version> | history <table> | " +
+          s"version-at <table> <instant>" +
           (if (other.isEmpty) "" else s" (got: ${other.mkString(" ")})"))
     }
 

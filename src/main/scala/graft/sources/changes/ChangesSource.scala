@@ -220,10 +220,15 @@ class ChangesPartitionReader(p: ChangesPartition, schema: StructType)
     if (fileSchema.containsField(f.name)) fileSchema.getFieldIndex(f.name) else -1
   }
   fieldIdx.zipWithIndex.foreach { case (i, out) =>
-    if (i >= 0 && !fileSchema.getType(i).isPrimitive)
-      throw new UnsupportedOperationException(
+    if (i >= 0 && !fileSchema.getType(i).isPrimitive) {
+      val ok = dataFields(out).dataType.isInstanceOf[ArrayType] &&
+        fileSchema.getType(i).getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.ListLogicalTypeAnnotation]
+      if (!ok) throw new UnsupportedOperationException(
         s"graft-changes: column '${dataFields(out).name}' in ${p.filePath} " +
-        "is nested — the change-feed stream reader supports flat primitive schemas")
+        "is nested — the change-feed stream reader supports flat primitive " +
+        "and array-of-primitive schemas")
+    }
   }
 
   private val changeTypeValue = UTF8String.fromString(p.kind)
@@ -258,6 +263,7 @@ class ChangesPartitionReader(p: ChangesPartition, schema: StructType)
   }
 
   private def convert(g: Group, fi: Int, to: DataType): Any = {
+    if (!fileSchema.getType(fi).isPrimitive) return convertList(g, fi, to)
     val pt = fileSchema.getType(fi).asPrimitiveType()
     val ann = pt.getLogicalTypeAnnotation
     pt.getPrimitiveTypeName match {
@@ -304,6 +310,69 @@ class ChangesPartitionReader(p: ChangesPartition, schema: StructType)
       case other => throw new UnsupportedOperationException(
         s"graft-changes: unsupported parquet type $other for ${p.filePath}")
     }
+  }
+
+  /** Parquet 3-level LIST (`optional group col (LIST) { repeated group
+    * list { <element> } }`) -> Spark ArrayData — the layout Spark
+    * itself writes for array columns, so the embeddings medallion
+    * (array<float>) streams through the feed. Null elements surface
+    * as nulls; element conversion reuses the primitive rules. */
+  private def convertList(g: Group, fi: Int, to: DataType): Any = {
+    val elemType = to match {
+      case ArrayType(e, _) => e
+      case other => throw new UnsupportedOperationException(
+        s"graft-changes: parquet LIST column read as non-array $other")
+    }
+    val listGroup = g.getGroup(fi, 0)
+    val n = listGroup.getFieldRepetitionCount(0)
+    val out = new Array[Any](n)
+    var k = 0
+    while (k < n) {
+      val entry = listGroup.getGroup(0, k)
+      out(k) =
+        if (entry.getFieldRepetitionCount(0) == 0) null
+        else {
+          val et = entry.getType.getType(0).asPrimitiveType()
+          val ann = et.getLogicalTypeAnnotation
+          et.getPrimitiveTypeName match {
+            case PrimitiveTypeName.BOOLEAN => entry.getBoolean(0, 0)
+            case PrimitiveTypeName.INT32 =>
+              val v = entry.getInteger(0, 0)
+              elemType match {
+                case LongType => v.toLong
+                case DoubleType => v.toDouble
+                case _ => v
+              }
+            case PrimitiveTypeName.INT64 =>
+              val v = entry.getLong(0, 0)
+              ann match {
+                case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+                  case TimeUnit.MICROS => v
+                  case TimeUnit.MILLIS => v * 1000L
+                  case TimeUnit.NANOS => Math.floorDiv(v, 1000L)
+                }
+                case _ => elemType match {
+                  case DoubleType => v.toDouble
+                  case _ => v
+                }
+              }
+            case PrimitiveTypeName.FLOAT =>
+              val v = entry.getFloat(0, 0)
+              elemType match { case DoubleType => v.toDouble; case _ => v }
+            case PrimitiveTypeName.DOUBLE => entry.getDouble(0, 0)
+            case PrimitiveTypeName.BINARY | PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
+              val bytes = entry.getBinary(0, 0).getBytes
+              elemType match {
+                case StringType => UTF8String.fromBytes(bytes)
+                case _ => bytes
+              }
+            case other => throw new UnsupportedOperationException(
+              s"graft-changes: unsupported list element type $other")
+          }
+        }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   override def get(): InternalRow = current

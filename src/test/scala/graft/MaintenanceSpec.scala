@@ -69,6 +69,18 @@ class MaintenanceSpec extends SparkSpec {
       // bad version: a Left, not a crash
       assert(Maintenance.run(spark, Array("restore", t, "99")).isLeft)
       assert(Maintenance.run(spark, Array("history", s"$t-missing")).isLeft)
+      // TIMESTAMP AS OF resolve: the v1 stamp maps back to v1, both as
+      // epoch millis and as an ISO instant
+      val t1 = CommitLog.commitTimestampMillis(spark, t, 1L).get
+      val r1 = Maintenance.run(spark, Array("version-at", t, t1.toString))
+      assert(r1.isRight && r1.toOption.get.startsWith("v1"), r1.toString)
+      val iso = java.time.Instant.ofEpochMilli(t1).toString
+      val r2 = Maintenance.run(spark, Array("version-at", t, iso))
+      assert(r2.isRight && r2.toOption.get.startsWith("v1"), r2.toString)
+      assert(Maintenance.run(spark, Array("version-at", t, "not-a-time")).isLeft)
+      // before the first commit: refused with the horizon message
+      val r3 = Maintenance.run(spark, Array("version-at", t, "0"))
+      assert(r3.isLeft && r3.swap.toOption.get.contains("horizon"), r3.toString)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
       ()

@@ -733,6 +733,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("change-feed stream carries array columns (the embeddings medallion shape)") {
+    import graft.operators.CommitLog
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft_cdc_arr_").toString
+    val out = Files.createTempDirectory("graft_cdc_arrout_").toString
+    val ckpt = Files.createTempDirectory("graft_cdc_arrckpt_").toString
+    try {
+      CommitLog.append(spark, t,
+        Seq((1L, Array(0.5f, -1.25f, 3.0f), Seq("a", "b")),
+            (2L, Array(2.0f, 0.0f, -0.5f), Seq.empty[String]))
+          .toDF("vec_id", "embedding", "tags").coalesce(1))
+      val q = spark.readStream.format("graft-changes")
+        .option("startingVersion", "0")
+        .load(t)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out)
+        .start()
+      assert(q.awaitTermination(120000), "array stream did not finish")
+      val got = spark.read.parquet(out).orderBy("vec_id").collect()
+      assert(got.length === 2)
+      assert(got(0).getSeq[Float](1) === Seq(0.5f, -1.25f, 3.0f))
+      assert(got(0).getSeq[String](2) === Seq("a", "b"))
+      assert(got(1).getSeq[Float](1) === Seq(2.0f, 0.0f, -0.5f))
+      assert(got(1).getSeq[String](2) === Seq.empty)
+      assert(got.forall(_.getString(3) === "insert"))
+    } finally {
+      Seq(t, out, ckpt).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    }
+  }
+
   test("change-feed stream -> commit-log sink is exactly-once under full re-delivery") {
     import graft.operators.CommitLog
     import spark.implicits._
