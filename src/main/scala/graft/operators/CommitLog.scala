@@ -129,6 +129,19 @@ object CommitLog {
     * `dataChange = false` marks a pure REARRANGEMENT (compaction) whose
     * adds/removes carry no new logical rows — the change feed skips
     * such commits, exactly Delta's dataChange=false action flag. */
+  /** `expectedVersion`: OPTIMISTIC CONCURRENCY for commits whose
+    * adds/removes/dvs were COMPUTED FROM a snapshot — overwrite,
+    * delete, merge, optimize, restore, replaceRange all resolve state
+    * at some version V and publish a delta against it. If the log has
+    * advanced past V by commit time, publishing anyway would base the
+    * table on stale state (the classic lost update: a delete racing a
+    * compaction resurrects rows; two overwrites both "win"). With
+    * `expectedVersion = Some(V)` the commit claims ONLY version V+1 —
+    * any interleaved commit makes it throw
+    * [[java.util.ConcurrentModificationException]] instead of
+    * publishing, and the caller re-reads and retries. Appends leave it
+    * None: blind adds commute with everything (Delta's same conflict
+    * matrix, reduced to its sound core). */
   def commit(spark: SparkSession, tablePath: String,
       adds: Seq[String], removes: Seq[String],
       batchId: Option[Long] = None,
@@ -137,7 +150,8 @@ object CommitLog {
       blooms: FileBlooms = Map.empty,
       schemaB64: Option[String] = None,
       constraintsField: Option[Constraints] = None,
-      dvs: FileDvs = Map.empty): Long = {
+      dvs: FileDvs = Map.empty,
+      expectedVersion: Option[Long] = None): Long = {
     val log = new Path(tablePath, LogDir)
     val fs = fsOf(spark, log)
     fs.mkdirs(log)
@@ -152,6 +166,15 @@ object CommitLog {
     val dcField = if (dataChange) "" else s""","dataChange":false"""
     val body = (version: Long, tsMillis: Long) =>
       s"""{"version":$version,"tsMillis":$tsMillis,"adds":${jarr(adds)},"removes":${jarr(removes)}$batchField$statsField$bloomField$schemaField$consField$dvField$dcField}"""
+    def conflict(): Nothing = {
+      scala.util.Try(fs.delete(tmp, false))
+      throw new java.util.ConcurrentModificationException(
+        s"commit to $tablePath conflicts: expected to publish version " +
+        s"${expectedVersion.get + 1} over snapshot v${expectedVersion.get}, " +
+        s"but the log has advanced to v${latestVersion(spark, tablePath)} — " +
+        "re-read the table and retry the operation")
+    }
+    expectedVersion.foreach(e => if (v != e + 1) conflict())
     var claimed = -1L
     while (claimed < 0) {
       // commit wall-time, forced strictly monotone against the previous
@@ -172,7 +195,12 @@ object CommitLog {
         !fs.exists(dst) && fs.rename(tmp, dst)
       }
       if (won) claimed = v
-      else v += 1 // lost the race; rewrite the body with the new number
+      else {
+        // lost the race: a snapshot-based commit must NOT silently
+        // rebase onto state it never read — that is the lost update
+        if (expectedVersion.isDefined) conflict()
+        v += 1 // blind append: rewrite the body with the new number
+      }
     }
     maybeCheckpoint(spark, tablePath, claimed)
     claimed
@@ -1030,14 +1058,18 @@ object CommitLog {
     commit(spark, tablePath, stage(spark, tablePath, df), Seq.empty)
 
   /** Atomic full-table rewrite: stage the new content, then ONE commit
-    * swaps it for every currently-live file. Readers see the old or
-    * the new table, never a mixture — this is what [[Compaction]]'s
-    * raw-parquet swap cannot promise. */
+    * swaps it for every file live at the PINNED snapshot version.
+    * Readers see the old or the new table, never a mixture — this is
+    * what [[Compaction]]'s raw-parquet swap cannot promise. Conflicts
+    * with any interleaved commit (the removes were computed from the
+    * pinned snapshot): throws ConcurrentModificationException instead
+    * of publishing a lost update. */
   def overwrite(spark: SparkSession, tablePath: String, df: DataFrame,
       dataChange: Boolean = true): Long = {
-    val old = snapshot(spark, tablePath)
+    val v0 = latestVersion(spark, tablePath)
+    val old = if (v0 < 0) Seq.empty[String] else snapshot(spark, tablePath, Some(v0))
     commit(spark, tablePath, stage(spark, tablePath, df), old,
-      dataChange = dataChange)
+      dataChange = dataChange, expectedVersion = Some(v0))
   }
 
   /** RESTORE TABLE — Delta's revert-to-version as one NEW commit:
@@ -1060,8 +1092,9 @@ object CommitLog {
     require(version >= vs.head && version <= vs.last,
       s"restore: version $version outside the resolvable log [${vs.head}, ${vs.last}]" +
         (if (version < vs.head) " (below the vacuum horizon)" else ""))
+    val v0 = vs.last // the pinned "current" this revert is computed against
     val target = snapshot(spark, tablePath, Some(version))
-    val current = snapshot(spark, tablePath, None)
+    val current = snapshot(spark, tablePath, Some(v0))
     val fs = fsOf(spark, new Path(tablePath))
     target.foreach { f =>
       if (!fs.exists(new Path(tablePath, f))) throw new IllegalStateException(
@@ -1072,7 +1105,7 @@ object CommitLog {
     val adds = target.filterNot(cur)
     val removes = current.filterNot(tgt)
     val refsAt = deletionVectorRefs(spark, tablePath, Some(version))
-    val refsNow = deletionVectorRefs(spark, tablePath, None)
+    val refsNow = deletionVectorRefs(spark, tablePath, Some(v0))
     val dvs: FileDvs = target.flatMap { f =>
       (refsAt.get(f), refsNow.get(f)) match {
         case (Some(a), b) if !b.contains(a) => Some(f -> a)
@@ -1092,7 +1125,7 @@ object CommitLog {
     val bloomsAt = fileBlooms(spark, tablePath, Some(version))
       .filter { case (f, cols) => addSet(f) && cols.nonEmpty }
     commit(spark, tablePath, adds, removes, dvs = dvs,
-      stats = statsAt, blooms = bloomsAt)
+      stats = statsAt, blooms = bloomsAt, expectedVersion = Some(v0))
   }
 
   /** DESCRIBE HISTORY — one row per commit still in the log: version,
@@ -1146,8 +1179,11 @@ object CommitLog {
       batchId: Option[Long] = None): Option[Long] = {
     import org.apache.spark.sql.functions.{col, lit}
     if (batchId.exists(committedBatchIds(spark, tablePath).contains)) return None
-    val live = snapshot(spark, tablePath)
-    val zones = fileStats(spark, tablePath)
+    // pinned snapshot: removes and straddling-survivor reads below are
+    // computed against THIS version; interleaved commits conflict
+    val v0 = latestVersion(spark, tablePath)
+    val live = if (v0 < 0) Seq.empty[String] else snapshot(spark, tablePath, Some(v0))
+    val zones = fileStats(spark, tablePath, Some(v0))
     def extent(f: String) = zones.get(f).flatMap(_.get(column))
     val inside = live.filter(extent(_).exists { case (mn, mx) => mn >= lo && mx <= hi })
     val straddling = live.filter { f =>
@@ -1160,7 +1196,7 @@ object CommitLog {
     val (survFiles, survStats) =
       if (straddling.isEmpty) (Seq.empty[String], Map.empty: FileStats)
       else {
-        val surv = readerFor(spark, tablePath, None)
+        val surv = readerFor(spark, tablePath, Some(v0))
           .parquet(straddling.map(f => s"$tablePath/$f"): _*)
           .filter(col(column) < lit(lo) || col(column) > lit(hi))
         val (fs0, st0, _) = stageWithMeta(spark, tablePath, surv, Seq(column), Seq.empty)
@@ -1176,7 +1212,7 @@ object CommitLog {
       }
     }
     Some(commit(spark, tablePath, newFiles ++ survFiles, inside ++ straddling,
-      batchId, stats = newStats ++ survStats))
+      batchId, stats = newStats ++ survStats, expectedVersion = Some(v0)))
   }
 
   /** Row-level DELETE as one metadata commit — no data file is
@@ -1201,12 +1237,16 @@ object CommitLog {
       batchId: Option[Long] = None): Option[Long] = {
     import org.apache.spark.sql.functions.{col, expr}
     if (batchId.exists(committedBatchIds(spark, tablePath).contains)) return None
-    val files = snapshot(spark, tablePath)
+    // pin the snapshot: the vectors below are unions against THIS
+    // version's state, so an interleaved commit must conflict
+    val v0 = latestVersion(spark, tablePath)
+    if (v0 < 0) return None
+    val files = snapshot(spark, tablePath, Some(v0))
     if (files.isEmpty) return None
     // mask existing DVs so an already-deleted row can't be "re-deleted"
     // into a vector diff the change feed would then re-emit
-    val scan = maskDvs(spark, tablePath, None, files,
-      readerFor(spark, tablePath, None)
+    val scan = maskDvs(spark, tablePath, Some(v0), files,
+      readerFor(spark, tablePath, Some(v0))
         .parquet(files.map(f => s"$tablePath/$f"): _*))
     val matched = scan.filter(expr(predicate))
       .select(col("_metadata.file_name").as("fname"),
@@ -1218,7 +1258,7 @@ object CommitLog {
     // prior vectors: refs for everything, bytes only for TOUCHED files
     // (the driver's transit is ∝ this delete's blast radius, not the
     // table's accumulated delete state)
-    val priorRefs = deletionVectorRefs(spark, tablePath, None)
+    val priorRefs = deletionVectorRefs(spark, tablePath, Some(v0))
     val byName = files.map(f => new Path(f).getName -> f).toMap
     val newDvs: FileDvs = matched.map { r =>
       val f = byName.getOrElse(r.getString(0),
@@ -1228,7 +1268,8 @@ object CommitLog {
           graft.plans.BitsetAggregate.union(_, r.getAs[Array[Byte]]("dv")))
       f -> publishDv(spark, tablePath, merged)
     }.toMap
-    Some(commit(spark, tablePath, Seq.empty, Seq.empty, batchId, dvs = newDvs))
+    Some(commit(spark, tablePath, Seq.empty, Seq.empty, batchId, dvs = newDvs,
+      expectedVersion = Some(v0)))
   }
 
   /** Vectors at or below this raw-byte size ride the commit JSON
@@ -1258,10 +1299,16 @@ object CommitLog {
     * swap in one commit. Old versions remain time-travelable. The
     * commit is dataChange=false: the same logical rows in fewer files,
     * so a change-feed consumer sees NOTHING — maintenance must not
-    * masquerade as churn downstream. */
-  def compact(spark: SparkSession, tablePath: String, targetFiles: Int): Long =
-    overwrite(spark, tablePath, read(spark, tablePath).coalesce(targetFiles),
-      dataChange = false)
+    * masquerade as churn downstream. Content and removes are pinned to
+    * ONE snapshot version, so a delete racing the compaction conflicts
+    * instead of being silently resurrected. */
+  def compact(spark: SparkSession, tablePath: String, targetFiles: Int): Long = {
+    val v0 = latestVersion(spark, tablePath)
+    val old = snapshot(spark, tablePath, Some(v0))
+    commit(spark, tablePath,
+      stage(spark, tablePath, read(spark, tablePath, Some(v0)).coalesce(targetFiles)),
+      old, dataChange = false, expectedVersion = Some(v0))
+  }
 
   /** OPTIMIZE — compaction's generalization: same logical rows, a new
     * physical arrangement chosen by `reshape`, published as ONE
@@ -1271,10 +1318,13 @@ object CommitLog {
     * clustered dimensions from the commit it just read. */
   def optimize(spark: SparkSession, tablePath: String,
       reshape: DataFrame => DataFrame, statsCols: Seq[String]): Long = {
-    val old = snapshot(spark, tablePath)
+    val v0 = latestVersion(spark, tablePath)
+    val old = snapshot(spark, tablePath, Some(v0))
     val (files, stats, _) =
-      stageWithMeta(spark, tablePath, reshape(read(spark, tablePath)), statsCols, Seq.empty)
-    commit(spark, tablePath, files, old, stats = stats, dataChange = false)
+      stageWithMeta(spark, tablePath, reshape(read(spark, tablePath, Some(v0))),
+        statsCols, Seq.empty)
+    commit(spark, tablePath, files, old, stats = stats, dataChange = false,
+      expectedVersion = Some(v0))
   }
 
   /** Z-order OPTIMIZE: cluster the table on the (a, b) space-filling
@@ -1293,14 +1343,44 @@ object CommitLog {
       Seq(a, b))
   }
 
-  /** CDC merge as copy-on-write at table granularity: apply
-    * [[Changes.mergeApply]] semantics and publish the result as one
-    * atomic swap (a production format rewrites only the TOUCHED files;
-    * the commit protocol — the part raw parquet lacks — is identical). */
+  /** CDC merge as copy-on-write at FILE granularity: only files that
+    * actually contain a changed key are rewritten; every other live
+    * file survives the commit untouched — work (and the change feed's
+    * churn) is proportional to the merge's blast radius, not the
+    * table. The touched set is found by one key-column semi-join from
+    * the pinned snapshot's (file_name, key) projection to the change
+    * keys (column-pruned scan; the result is a metadata-sized name
+    * list), rows are read THROUGH the DV masks so deleted rows never
+    * resurrect into the rewrite, and [[Changes.mergeApply]] semantics
+    * apply over exactly the touched slice: surviving rows + U/I change
+    * rows, published with the touched files' removal in ONE commit.
+    * Conflicts with any interleaved commit (pinned snapshot). */
   def merge(spark: SparkSession, tablePath: String, changes: DataFrame,
-      key: String): Long =
-    overwrite(spark, tablePath,
-      Changes.mergeApply(read(spark, tablePath), changes, key))
+      key: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val v0 = latestVersion(spark, tablePath)
+    val files = snapshot(spark, tablePath, Some(v0))
+    require(files.nonEmpty, s"merge: no live files in $tablePath")
+    val keys = changes.select(col(key)).distinct()
+    val touchedNames = read(spark, tablePath, Some(v0))
+      .select(col("_metadata.file_name").as("_fn"), col(key))
+      .join(keys, Seq(key), "left_semi")
+      .select(col("_fn")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val touched = files.filter(f => touchedNames.contains(new Path(f).getName))
+    // base slice: the touched files' LIVE rows (mask applied); when no
+    // file holds a changed key the base is the empty table shape and
+    // the merge is pure insert
+    val base =
+      if (touched.isEmpty)
+        read(spark, tablePath, Some(v0)).filter(org.apache.spark.sql.functions.lit(false))
+      else maskDvs(spark, tablePath, Some(v0), touched,
+        readerFor(spark, tablePath, Some(v0))
+          .parquet(touched.map(f => s"$tablePath/$f"): _*))
+    val content = Changes.mergeApply(base, changes, key)
+    commit(spark, tablePath, stage(spark, tablePath, content), touched,
+      expectedVersion = Some(v0))
+  }
 
   /** Change feed (CDC read): every logical row change published in
     * versions (sinceVersion, untilVersion], tagged `_change_type`
@@ -1310,10 +1390,10 @@ object CommitLog {
     * from the log's own file lists. Skipped: dataChange=false commits
     * (compaction — a rearrangement is not churn) and vacuum's
     * checkpoint entry (a replay artifact, not a change). Copy-on-write
-    * granularity note: [[merge]] rewrites the whole table, so its feed
-    * entry is a full delete+insert image — a production format
-    * rewrites (and therefore feeds) only the touched files; the
-    * consumer contract is identical. */
+    * granularity note: [[merge]] rewrites only the TOUCHED files, so
+    * its feed entry is those files' delete images plus the rewritten
+    * inserts — churn proportional to the merge's blast radius, like a
+    * production format. */
   /** One planned unit of the change feed: a file to read, the change
     * kind its rows surface as, the commit that published it, and — for
     * DV-delete slices — the vector DIFF whose set rows are the
@@ -1451,9 +1531,10 @@ object CommitLog {
       batchId: Long): Option[Long] =
     if (committedBatchIds(spark, tablePath).contains(batchId)) None
     else {
-      val old = snapshot(spark, tablePath)
+      val v0 = latestVersion(spark, tablePath)
+      val old = if (v0 < 0) Seq.empty[String] else snapshot(spark, tablePath, Some(v0))
       Some(commit(spark, tablePath, stage(spark, tablePath, df), old,
-        batchId = Some(batchId)))
+        batchId = Some(batchId), expectedVersion = Some(v0)))
     }
 
   /** Incremental view maintenance: keep `dstPath` equal to

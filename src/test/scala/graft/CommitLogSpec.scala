@@ -1115,6 +1115,65 @@ class CommitLogSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("optimistic concurrency: a snapshot-based commit refuses to publish over an advanced log") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s").coalesce(1)) // v0
+      CommitLog.append(spark, t, Seq((2L, "b")).toDF("id", "s").coalesce(1)) // v1
+      // a writer that resolved its snapshot at v0 (and computed removes
+      // from it) must NOT publish over v1 — that is the lost update
+      val e = intercept[java.util.ConcurrentModificationException] {
+        CommitLog.commit(spark, t, Seq.empty, Seq("data/stale.parquet"),
+          expectedVersion = Some(0L))
+      }
+      assert(e.getMessage.contains("advanced"), e.getMessage)
+      assert(CommitLog.latestVersion(spark, t) === 1L, "conflict must publish nothing")
+      assert(!new java.io.File(s"$t/_graft_log").listFiles
+        .exists(_.getName.startsWith(".tmp")), "conflict must clean its temp file")
+      // the snapshot-based public ops still publish on the happy path
+      assert(CommitLog.overwrite(spark, t, Seq((9L, "z")).toDF("id", "s")) === 2L)
+      assert(CommitLog.compact(spark, t, 1) === 3L)
+      assert(CommitLog.read(spark, t).collect().map(_.getLong(0)).toSeq === Seq(9L))
+    } finally cleanup(t)
+  }
+
+  test("merge rewrites only the touched files; DV-deleted rows never resurrect") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t,
+        Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1))   // v0: file A
+      CommitLog.append(spark, t,
+        Seq((10L, "x"), (11L, "y")).toDF("k", "s").coalesce(1)) // v1: file B
+      val fileA = CommitLog.snapshot(spark, t, Some(0L)).head
+      val fileB = (CommitLog.snapshot(spark, t, Some(1L)).toSet - fileA).head
+      // touch only file B's key range
+      CommitLog.merge(spark, t,
+        Seq((10L, "U", "x2")).toDF("k", "op", "s"), "k")        // v2
+      val after = CommitLog.snapshot(spark, t).toSet
+      assert(after.contains(fileA), "untouched file was rewritten")
+      assert(!after.contains(fileB), "touched file must be replaced")
+      assert(CommitLog.read(spark, t).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "a"), (2L, "b"), (10L, "x2"), (11L, "y")))
+      // pure-insert merge: no touched files, nothing removed
+      val preInsert = CommitLog.snapshot(spark, t).toSet
+      CommitLog.merge(spark, t, Seq((99L, "I", "n")).toDF("k", "op", "s"), "k") // v3
+      assert(preInsert.subsetOf(CommitLog.snapshot(spark, t).toSet),
+        "pure-insert merge must remove nothing")
+      assert(CommitLog.read(spark, t).count() === 5)
+      // DV interplay: delete k=1 (vector on file A), then merge-touch
+      // k=2 — the rewrite reads THROUGH the mask, so k=1 stays gone
+      CommitLog.delete(spark, t, "k = 1")                        // v4
+      CommitLog.merge(spark, t, Seq((2L, "U", "b2")).toDF("k", "op", "s"), "k") // v5
+      assert(CommitLog.read(spark, t).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((2L, "b2"), (10L, "x2"), (11L, "y"), (99L, "n")),
+        "DV-deleted row resurrected through the merge rewrite")
+    } finally cleanup(t)
+  }
+
   test("vacuum's sidecar sweep skips young dv files (concurrent-delete race window)") {
     val t = tempTable()
     try {
