@@ -1362,11 +1362,21 @@ object CommitLog {
     val files = snapshot(spark, tablePath, Some(v0))
     require(files.nonEmpty, s"merge: no live files in $tablePath")
     val keys = changes.select(col(key)).distinct()
-    val touchedNames = read(spark, tablePath, Some(v0))
-      .select(col("_metadata.file_name").as("_fn"), col(key))
-      .join(keys, Seq(key), "left_semi")
-      .select(col("_fn")).distinct()
-      .collect().map(_.getString(0)).toSet
+    // data-skipping pre-prune: on a zone-statted key, files whose
+    // logged [min, max] cannot intersect the changes' key range hold
+    // no changed key and are skipped before the detection scan — on a
+    // range-clustered table the scan touches the blast radius, not
+    // the table
+    val candidates = mergeCandidates(spark, tablePath, v0, files, keys, key)
+    val touchedNames =
+      if (candidates.isEmpty) Set.empty[String]
+      else maskDvs(spark, tablePath, Some(v0), candidates,
+        readerFor(spark, tablePath, Some(v0))
+          .parquet(candidates.map(f => s"$tablePath/$f"): _*))
+        .select(col("_metadata.file_name").as("_fn"), col(key))
+        .join(keys, Seq(key), "left_semi")
+        .select(col("_fn")).distinct()
+        .collect().map(_.getString(0)).toSet
     val touched = files.filter(f => touchedNames.contains(new Path(f).getName))
     // base slice: the touched files' LIVE rows (mask applied); when no
     // file holds a changed key the base is the empty table shape and
@@ -1380,6 +1390,38 @@ object CommitLog {
     val content = Changes.mergeApply(base, changes, key)
     commit(spark, tablePath, stage(spark, tablePath, content), touched,
       expectedVersion = Some(v0))
+  }
+
+  /** The files that MIGHT hold a changed key: zone-pruned when both
+    * the table logs [min, max] stats on `key` and the changes' key
+    * range casts to double (one tiny aggregate over the change set);
+    * conservative everywhere else — un-statted or NaN-bounded files
+    * are kept, a non-castable key keeps everything. Sound because a
+    * file whose logged extent misses the changes' [lo, hi] cannot
+    * contain any changed key. Package-visible so the spec can pin the
+    * pruning. */
+  private[graft] def mergeCandidates(spark: SparkSession, tablePath: String,
+      v0: Long, files: Seq[String], keys: DataFrame, key: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val zones = fileStats(spark, tablePath, Some(v0))
+    if (!files.exists(f => zones.get(f).exists(_.contains(key)))) return files
+    val range = scala.util.Try {
+      val r = keys.agg(
+        min(col(key).try_cast("double")).as("lo"),
+        max(col(key).try_cast("double")).as("hi")).head
+      if (r.isNullAt(0) || r.isNullAt(1)) None
+      else Some((r.getDouble(0), r.getDouble(1)))
+    }.toOption.flatten
+    range match {
+      case None => files // non-numeric / empty change set: no pruning
+      case Some((lo, hi)) =>
+        files.filter { f =>
+          zones.get(f).flatMap(_.get(key)) match {
+            case Some((mn, mx)) if !mn.isNaN && !mx.isNaN => mx >= lo && mn <= hi
+            case _ => true // unknown/corrupt extent: conservative keep
+          }
+        }
+    }
   }
 
   /** Change feed (CDC read): every logical row change published in

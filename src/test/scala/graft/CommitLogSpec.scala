@@ -1174,6 +1174,36 @@ class CommitLogSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("merge touch detection zone-prunes on a statted key before any scan") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.appendWithStats(spark, t,
+        Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1), Seq("k"))   // v0: k in [1,2]
+      CommitLog.appendWithStats(spark, t,
+        Seq((100L, "x"), (101L, "y")).toDF("k", "s").coalesce(1), Seq("k")) // v1: k in [100,101]
+      val files = CommitLog.snapshot(spark, t)
+      val lowFile = CommitLog.snapshot(spark, t, Some(0L)).head
+      // changes confined to the high range: the low file is not even a
+      // CANDIDATE — its zone excludes the changes' key range, so the
+      // detection scan never opens it
+      val keys = Seq(100L).toDF("k")
+      val cands = CommitLog.mergeCandidates(spark, t, 1L, files, keys, "k")
+      assert(!cands.contains(lowFile), "zone-excluded file still a candidate")
+      assert(cands.length === 1)
+      // end-to-end unchanged: merge result exact, low file survives
+      CommitLog.merge(spark, t, Seq((100L, "U", "x2")).toDF("k", "op", "s"), "k")
+      assert(CommitLog.snapshot(spark, t).contains(lowFile))
+      assert(CommitLog.read(spark, t).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "a"), (2L, "b"), (100L, "x2"), (101L, "y")))
+      // a string-keyed change set (no castable range) keeps everything
+      val allCands = CommitLog.mergeCandidates(spark, t, 1L, files,
+        Seq("not-a-number").toDF("k"), "k")
+      assert(allCands === files, "non-numeric keys must disable pruning, not break it")
+    } finally cleanup(t)
+  }
+
   test("vacuum's sidecar sweep skips young dv files (concurrent-delete race window)") {
     val t = tempTable()
     try {
