@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Changes, Dedup, Html, Multimodal, Quality, Relational, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Analytics, Changes, Dedup, Html, Lake, Multimodal, Quality, Relational, Similarity, TextAnalysis, TimeSeries}
 
 /** Central registry: query name -> (SparkSession, sfDir) => DataFrame,
   * plus the DuckDB oracle SQL for each (driver contract, SURVEY §5).
@@ -493,6 +493,7 @@ object Queries {
     "text_html_links" -> (Html.htmlLinks _),
     "pipeline_domain_blocklist" -> (Html.domainBlocklist _),
     "q_merge_upsert" -> (Changes.mergeUpsert _),
+    "q_lake_pushdown_scan" -> (Lake.pushdownScan _),
     "q_scd2_user_state" -> (Changes.scd2UserState _),
     "dedup_url_groups" -> (Html.urlDupGroups _),
     "pipeline_domain_cap" -> ((s: SparkSession, d: String) => Html.domainCap(s, d)),
@@ -1164,6 +1165,14 @@ object Queries {
        "UNION ALL SELECT o_orderkey + 10000000, o_custkey, 'N', " +
        "o_totalprice * 0.5, o_orderdate FROM orders WHERE o_orderkey % 10 = 5" +
        ") ORDER BY o_orderkey"),
+    // Through the graft DSv2 source: a commit-log twin of orders is
+    // built once per corpus; the oracle only sees the source parquet —
+    // any skipping bug (zone, bloom, row-group, DV) breaks the hash.
+    "q_lake_pushdown_scan" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+       "round(sum(o_totalprice), 2) AS total_price " +
+       "FROM orders WHERE o_totalprice >= 150000.0 " +
+       "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q_scd2_user_state" ->
       ("WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events), " +
        "t AS (SELECT user_id, event_id, event_type, ts_us, " +

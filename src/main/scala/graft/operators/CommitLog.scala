@@ -41,7 +41,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
   *    put, a DynamoDB/ZK lock) — everything else is unchanged. */
 object CommitLog {
 
-  private val LogDir = "_graft_log"
+  private[graft] val LogDir = "_graft_log"
   private val DataDir = "data"
 
   private def fsOf(spark: SparkSession, p: Path) =
@@ -891,6 +891,76 @@ object CommitLog {
     }
   }
 
+  /** A conjunctive file-skipping predicate: numeric zone ranges plus
+    * bloom point probes, evaluated together over ONE snapshot resolve.
+    * Each leg is individually conservative (absent or corrupt metadata
+    * keeps the file), so the conjunction is too. This is the shared
+    * spine under [[scanRange]], [[scanEquals]] and the `graft` DSv2
+    * source's pushdown-driven planning. */
+  private[graft] final case class SkipPreds(
+      ranges: Seq[(String, Double, Double)] = Seq.empty,
+      probes: Seq[(String, Long)] = Seq.empty) {
+    def isEmpty: Boolean = ranges.isEmpty && probes.isEmpty
+  }
+
+  /** Driver-side twin of [[bloomKeep]] for a tail add's parsed bloom
+    * entry; any corrupt entry keeps the file (never throws). */
+  private def addMightContain(bl: Map[String, String], column: String,
+      h: Long): Boolean =
+    bl.get(column) match {
+      case Some(enc) => scala.util.Try {
+        val Array(kStr, b64s) = enc.split(":", 2)
+        graft.plans.BloomAggregate.mightContain(
+          graft.plans.BloomAggregate.wordsOf(
+            java.util.Base64.getDecoder.decode(b64s)), h, kStr.toInt)
+      }.getOrElse(true)
+      case None => true
+    }
+
+  /** The version's live files minus every file whose logged metadata
+    * provably excludes ALL of `preds` — zone legs evaluated in the
+    * checkpoint's parquet domain via [[zoneKeep]], bloom legs via
+    * [[bloomKeep]], tail adds checked driver-side from their parsed
+    * JSON (metadata-sized by construction). NaN or missing bounds keep
+    * the file: the `!(mx < lo || mn > hi)` form is false-on-NaN in
+    * both disjuncts, so a NaN zone never prunes. */
+  private[graft] def prunedFilesFor(spark: SparkSession, tablePath: String,
+      asOf: Option[Long], preds: SkipPreds): Seq[String] = {
+    val keepCp = (preds.ranges.map { case (c, lo, hi) => zoneKeep(c, lo, hi) } ++
+      preds.probes.map { case (c, h) => bloomKeep(c, h) })
+      .foldLeft(identity[DataFrame] _)(_ andThen _)
+    prunedSnapshot(spark, tablePath, asOf, keepCp, (st, bl) =>
+      preds.ranges.forall { case (c, lo, hi) =>
+        st.get(c).forall { case (mn, mx) => !(mx < lo || mn > hi) } } &&
+      preds.probes.forall { case (c, h) => addMightContain(bl, c, h) })
+  }
+
+  /** xxhash64 probe for `column = value`, hashed the way the stored
+    * filter hashed the COLUMN — i.e. at the column's declared type's
+    * bit width. An Int probe against a bigint column (or Long against
+    * int) hashes differently and would prune files that DO match after
+    * the filter's implicit cast, so the probe value is cast to the
+    * column type first; None when the type can't be resolved or the
+    * cast is lossy (no pruning — the re-applied predicate decides). */
+  private[graft] def probeHashFor(spark: SparkSession, tablePath: String,
+      asOf: Option[Long], column: String, value: Any): Option[Long] = {
+    val colType = tableSchema(spark, tablePath, asOf)
+      .flatMap(_.fields.find(_.name == column).map(_.dataType))
+      .orElse(snapshot(spark, tablePath, asOf).headOption.flatMap { f =>
+        spark.read.parquet(s"$tablePath/$f")
+          .schema.fields.find(_.name == column).map(_.dataType) })
+    val probe: Option[Any] = (colType, value) match {
+      case (Some(LongType), i: Int) => Some(i.toLong)
+      case (Some(LongType), l: Long) => Some(l)
+      case (Some(IntegerType), l: Long) =>
+        if (l.isValidInt) Some(l.toInt) else None // can still match via cast; don't prune
+      case (Some(IntegerType), i: Int) => Some(i)
+      case (Some(StringType), s: String) => Some(s)
+      case _ => None // unknown/mismatched type: no pruning, filter decides
+    }
+    probe.map(graft.plans.BloomAggregate.hashOf)
+  }
+
   /** Snapshot read WITH data skipping: resolve the version's file set,
     * then drop every file whose logged zone provably excludes
     * [lo, hi] on `column` — no listing, no footer reads for pruned
@@ -902,11 +972,8 @@ object CommitLog {
     * unpruned scan-and-filter. */
   def scanRange(spark: SparkSession, tablePath: String, column: String,
       lo: Double, hi: Double, asOf: Option[Long] = None): DataFrame = {
-    val files = prunedSnapshot(spark, tablePath, asOf, zoneKeep(column, lo, hi),
-      (st, _) => st.get(column) match {
-        case Some((mn, mx)) => !(mx < lo || mn > hi)
-        case None => true
-      })
+    val files = prunedFilesFor(spark, tablePath, asOf,
+      SkipPreds(ranges = Seq((column, lo, hi))))
     val pred = org.apache.spark.sql.functions.col(column) >= lo &&
       org.apache.spark.sql.functions.col(column) <= hi
     if (files.isEmpty) read(spark, tablePath, asOf).filter(org.apache.spark.sql.functions.lit(false))
@@ -950,39 +1017,12 @@ object CommitLog {
   def scanEquals(spark: SparkSession, tablePath: String, column: String,
       value: Any, asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    // The stored filter hashed the COLUMN through xxhash64, i.e. with
-    // the column's declared type's bit width — an Int probe against a
-    // bigint column (or Long against int) hashes differently and would
-    // prune files that DO match after the filter's implicit cast. Cast
-    // the probe to the column's type before hashing; when the type
-    // can't be resolved or the cast is lossy, skip bloom pruning for
-    // that shape entirely (conservative — identical results, no skip).
-    val colType = tableSchema(spark, tablePath, asOf)
-      .flatMap(_.fields.find(_.name == column).map(_.dataType))
-      .orElse(snapshot(spark, tablePath, asOf).headOption.flatMap { f =>
-        spark.read.parquet(s"$tablePath/$f")
-          .schema.fields.find(_.name == column).map(_.dataType) })
-    val probe: Option[Any] = (colType, value) match {
-      case (Some(LongType), i: Int) => Some(i.toLong)
-      case (Some(LongType), l: Long) => Some(l)
-      case (Some(IntegerType), l: Long) =>
-        if (l.isValidInt) Some(l.toInt) else None // can still match via cast; don't prune
-      case (Some(IntegerType), i: Int) => Some(i)
-      case (Some(StringType), s: String) => Some(s)
-      case _ => None // unknown/mismatched type: no pruning, filter decides
-    }
-    val hOpt = probe.map(graft.plans.BloomAggregate.hashOf)
-    val files = hOpt match {
+    // probe typing subtleties live in [[probeHashFor]]; None = no
+    // pruning for this shape (conservative — identical results)
+    val files = probeHashFor(spark, tablePath, asOf, column, value) match {
       case None => snapshot(spark, tablePath, asOf)
-      case Some(h) => prunedSnapshot(spark, tablePath, asOf, bloomKeep(column, h),
-        (_, bl) => bl.get(column) match {
-          case Some(enc) =>
-            val Array(kStr, b64) = enc.split(":", 2)
-            graft.plans.BloomAggregate.mightContain(
-              graft.plans.BloomAggregate.wordsOf(
-                java.util.Base64.getDecoder.decode(b64)), h, kStr.toInt)
-          case None => true
-        })
+      case Some(h) => prunedFilesFor(spark, tablePath, asOf,
+        SkipPreds(probes = Seq((column, h))))
     }
     if (files.isEmpty) read(spark, tablePath, asOf).filter(lit(false))
     else maskDvs(spark, tablePath, asOf, files,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** End-to-end pin of the `graft` DSv2 batch source inside the
+  * correctness gate: a commit-log table is materialized ONCE per
+  * corpus from the `orders` parquet (range-clustered so zone maps are
+  * real), then read back through `spark.read.format("graft")` with a
+  * Catalyst-pushed filter — file skipping, bloom probes, DV plumbing
+  * and the Group reader all sit under an oracle that only sees ANSI
+  * SQL over the source table. At scale this is the medallion read
+  * path: the range clustering means the pushed predicate prunes most
+  * files from ONE metadata resolve, and the residual filter re-applied
+  * by Spark keeps conservativeness invisible to results. */
+object Lake {
+
+  private val tableCache = new graft.AppScopedCache[String](p => {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    ()
+  })
+
+  /** orders(o_orderkey, o_orderstatus, o_totalprice) as a commit-log
+    * table, range-clustered on o_totalprice (4 files with disjoint
+    * zones) with a bloom on o_orderstatus — built once per (app, dir)
+    * in a temp dir the cache deletes on application end. */
+  private def ordersTable(spark: SparkSession, dir: String): String =
+    tableCache.getOrCompute(spark, dir) {
+      val p = java.nio.file.Files.createTempDirectory("graft_lake_").toString
+      val df = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(4, col("o_totalprice"))
+      CommitLog.appendWithBloom(spark, p, df,
+        bloomCols = Seq("o_orderstatus"), statsCols = Seq("o_totalprice"))
+      p
+    }
+
+  /** Filter+aggregate THROUGH the DSv2 source: the o_totalprice
+    * predicate is pushed by Catalyst, zone-prunes the range-clustered
+    * files, and row-group stats skip inside survivors; the aggregate
+    * runs over exactly the rows ANSI SQL sees. */
+  def pushdownScan(spark: SparkSession, dir: String): DataFrame = {
+    val p = ordersTable(spark, dir)
+    spark.read.format("graft").load(p)
+      .filter(col("o_totalprice") >= 150000.0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+}

@@ -253,126 +253,14 @@ class ChangesPartitionReader(p: ChangesPartition, schema: StructType)
       val fi = fieldIdx(out)
       vals(out) =
         if (fi < 0 || g.getFieldRepetitionCount(fi) == 0) null
-        else convert(g, fi, dataFields(out).dataType)
+        else graft.sources.ParquetGroups.convert(g, fi,
+          dataFields(out).dataType, s"graft-changes ${p.filePath}")
       out += 1
     }
     vals(schema.length - 2) = changeTypeValue
     vals(schema.length - 1) = p.version
     current = InternalRow.fromSeq(vals.toIndexedSeq)
     true
-  }
-
-  private def convert(g: Group, fi: Int, to: DataType): Any = {
-    if (!fileSchema.getType(fi).isPrimitive) return convertList(g, fi, to)
-    val pt = fileSchema.getType(fi).asPrimitiveType()
-    val ann = pt.getLogicalTypeAnnotation
-    pt.getPrimitiveTypeName match {
-      case PrimitiveTypeName.BOOLEAN => g.getBoolean(fi, 0)
-      case PrimitiveTypeName.INT32 =>
-        val v = g.getInteger(fi, 0)
-        to match {
-          case LongType => v.toLong
-          case DoubleType => v.toDouble
-          case _ => v // IntegerType / DateType (days) share the int repr
-        }
-      case PrimitiveTypeName.INT64 =>
-        val v = g.getLong(fi, 0)
-        ann match {
-          case t: TimestampLogicalTypeAnnotation => t.getUnit match {
-            case TimeUnit.MICROS => v
-            case TimeUnit.MILLIS => v * 1000L
-            case TimeUnit.NANOS => Math.floorDiv(v, 1000L)
-          }
-          case _ => to match {
-            case DoubleType => v.toDouble
-            case _ => v
-          }
-        }
-      case PrimitiveTypeName.INT96 =>
-        // legacy impala layout: 8B nanos-of-day LE + 4B julian day LE
-        val b = g.getInt96(fi, 0).getBytes
-        val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        val nanosOfDay = buf.getLong
-        val julianDay = buf.getInt
-        (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
-      case PrimitiveTypeName.FLOAT =>
-        val v = g.getFloat(fi, 0)
-        to match { case DoubleType => v.toDouble; case _ => v }
-      case PrimitiveTypeName.DOUBLE => g.getDouble(fi, 0)
-      case PrimitiveTypeName.BINARY | PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
-        val bytes = g.getBinary(fi, 0).getBytes
-        to match {
-          case StringType => UTF8String.fromBytes(bytes)
-          case _ if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
-            UTF8String.fromBytes(bytes)
-          case _ => bytes
-        }
-      case other => throw new UnsupportedOperationException(
-        s"graft-changes: unsupported parquet type $other for ${p.filePath}")
-    }
-  }
-
-  /** Parquet 3-level LIST (`optional group col (LIST) { repeated group
-    * list { <element> } }`) -> Spark ArrayData — the layout Spark
-    * itself writes for array columns, so the embeddings medallion
-    * (array<float>) streams through the feed. Null elements surface
-    * as nulls; element conversion reuses the primitive rules. */
-  private def convertList(g: Group, fi: Int, to: DataType): Any = {
-    val elemType = to match {
-      case ArrayType(e, _) => e
-      case other => throw new UnsupportedOperationException(
-        s"graft-changes: parquet LIST column read as non-array $other")
-    }
-    val listGroup = g.getGroup(fi, 0)
-    val n = listGroup.getFieldRepetitionCount(0)
-    val out = new Array[Any](n)
-    var k = 0
-    while (k < n) {
-      val entry = listGroup.getGroup(0, k)
-      out(k) =
-        if (entry.getFieldRepetitionCount(0) == 0) null
-        else {
-          val et = entry.getType.getType(0).asPrimitiveType()
-          val ann = et.getLogicalTypeAnnotation
-          et.getPrimitiveTypeName match {
-            case PrimitiveTypeName.BOOLEAN => entry.getBoolean(0, 0)
-            case PrimitiveTypeName.INT32 =>
-              val v = entry.getInteger(0, 0)
-              elemType match {
-                case LongType => v.toLong
-                case DoubleType => v.toDouble
-                case _ => v
-              }
-            case PrimitiveTypeName.INT64 =>
-              val v = entry.getLong(0, 0)
-              ann match {
-                case t: TimestampLogicalTypeAnnotation => t.getUnit match {
-                  case TimeUnit.MICROS => v
-                  case TimeUnit.MILLIS => v * 1000L
-                  case TimeUnit.NANOS => Math.floorDiv(v, 1000L)
-                }
-                case _ => elemType match {
-                  case DoubleType => v.toDouble
-                  case _ => v
-                }
-              }
-            case PrimitiveTypeName.FLOAT =>
-              val v = entry.getFloat(0, 0)
-              elemType match { case DoubleType => v.toDouble; case _ => v }
-            case PrimitiveTypeName.DOUBLE => entry.getDouble(0, 0)
-            case PrimitiveTypeName.BINARY | PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
-              val bytes = entry.getBinary(0, 0).getBytes
-              elemType match {
-                case StringType => UTF8String.fromBytes(bytes)
-                case _ => bytes
-              }
-            case other => throw new UnsupportedOperationException(
-              s"graft-changes: unsupported list element type $other")
-          }
-        }
-      k += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   override def get(): InternalRow = current

@@ -1,0 +1,466 @@
+package graft.sources.grafttable
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.column.statistics.{DoubleStatistics, FloatStatistics, IntStatistics, LongStatistics}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.metadata.BlockMetaData
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.{ColumnIOFactory, RecordReader}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.CommitLog
+
+/** Batch DSv2 source over a commit-log table — the `spark.read`
+  * surface that makes the log's data skipping AUTOMATIC:
+  *
+  * {{{
+  *   spark.read.format("graft")
+  *     .option("versionAsOf", "3")            // or timestampAsOf
+  *     .load(tablePath)
+  *     .filter($"user_id" === 42 && $"score" >= 0.5)
+  * }}}
+  *
+  * Catalyst pushes the filter's conjuncts into the scan
+  * ([[GraftScanBuilder.pushFilters]]); planning translates them into
+  * the SAME [[CommitLog.SkipPreds]] the explicit `scanRange` /
+  * `scanEquals` APIs use — numeric comparisons become zone legs,
+  * equality on keyed columns becomes a Bloom probe — so whole FILES
+  * the logged metadata excludes are never opened, without the caller
+  * naming a column. Inside each surviving file the reader skips whole
+  * ROW GROUPS whose parquet footer statistics exclude every pushed
+  * range (ordinal bookkeeping keeps deletion-vector positions exact
+  * across skips). Every pushed filter is also RETURNED to Spark as a
+  * residual, so the scan's result is identical to an unpruned
+  * scan-and-filter no matter how conservative the metadata is.
+  *
+  * Snapshot isolation: the version is pinned when the table object is
+  * created (load time) — concurrent commits are invisible to an
+  * already-constructed DataFrame, exactly like [[CommitLog.read]].
+  *
+  * Deletion vectors ride the partitions: small vectors inline as
+  * bytes, sidecars as paths loaded once per partition reader on the
+  * executor — the driver never materializes sidecar bitmaps.
+  *
+  * Column pruning reaches the parquet pages: the reader requests only
+  * the projected fields ([[ParquetFileReader.setRequestedSchema]]);
+  * a count-style empty projection reads NO pages at all — row counts
+  * come from footer metadata, minus the deletion vector's bits.
+  *
+  * At 100 TB this is the read path a cluster user wants: file-level
+  * skipping from one metadata resolve (checkpoint parquet domain, no
+  * listing), row-group skipping from footers already being read, and
+  * a declared-schema null-fill for pre-evolution files — while the
+  * `graft-changes` sibling serves the same table incrementally. */
+class GraftTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft: .load(tablePath) is required"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val path = pathOf(options)
+    val asOf = GraftTableProvider.pinVersion(spark, path, options)
+    GraftTableProvider.schemaAt(spark, path, asOf)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val path = pathOf(options)
+    val spark = SparkSession.active
+    new GraftTable(path, schema,
+      GraftTableProvider.pinVersion(spark, path, options))
+  }
+}
+
+object GraftTableProvider {
+  /** Resolve and PIN the version this read serves: explicit
+    * `versionAsOf`, `timestampAsOf` (epoch millis or ISO-8601
+    * instant — the maintenance CLI's exact contract), else the
+    * latest version at load time. */
+  private[grafttable] def pinVersion(spark: SparkSession, path: String,
+      options: CaseInsensitiveStringMap): Long = {
+    val v = Option(options.get("versionAsOf")).map(_.toLong)
+    val ts = Option(options.get("timestampAsOf")).map { s =>
+      val millis = scala.util.Try(s.toLong).toOption
+        .orElse(scala.util.Try(java.time.Instant.parse(s).toEpochMilli).toOption)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft: unparsable timestampAsOf '$s' (epoch millis or ISO-8601)"))
+      CommitLog.versionAtTimestamp(spark, path, millis)
+    }
+    (v, ts) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "graft: versionAsOf and timestampAsOf are mutually exclusive")
+      case (Some(x), None) => x
+      case (None, Some(x)) => x
+      case (None, None) => CommitLog.latestVersion(spark, path)
+    }
+  }
+
+  /** Declared schema at the pinned version, else the newest live
+    * file's footer (same fallback as the change feed). A brand-new
+    * table (version -1, write-only targets) has no schema yet — empty
+    * struct; ACCEPT_ANY_SCHEMA lets the first append through and the
+    * commit log's own declared-schema gate takes over from there. */
+  private[grafttable] def schemaAt(spark: SparkSession, path: String,
+      version: Long): StructType =
+    if (version < 0) new StructType()
+    else CommitLog.tableSchema(spark, path, Some(version)).getOrElse {
+      val files = CommitLog.snapshot(spark, path, Some(version))
+      require(files.nonEmpty,
+        s"graft: no live files in $path at version $version and no declared schema")
+      spark.read.parquet(s"$path/${files.last}").schema
+    }
+}
+
+class GraftTable(tablePath: String, tableSchema: StructType, version: Long)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft:$tablePath@v$version"
+  override def schema(): StructType = tableSchema
+  // ACCEPT_ANY_SCHEMA: Spark's v2 write validation is skipped in favor
+  // of the commit log's OWN declared-schema gate (stageWithMeta), whose
+  // subset-with-identical-types contract is stricter about types and
+  // looser about omitted columns (they null-fill) than Spark's check
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, // routes DataFrameWriter to the v2 plan
+      TableCapability.V1_BATCH_WRITE, // ...whose strategy picks the V1Write exec
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(tablePath, version, tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(tablePath, info)
+}
+
+/** Batch writes through the V1 fallback (Delta's original approach):
+  * the incoming DataFrame goes to [[CommitLog.append]] /
+  * [[CommitLog.overwrite]] WHOLE, so staging uses Spark's native
+  * vectorized parquet writer and the log's single-commit atomicity,
+  * stats publication and schema gate all apply unchanged:
+  *
+  * {{{
+  *   df.write.format("graft").mode("append")
+  *     .option("statsCols", "ts,score")   // zone maps in the same commit
+  *     .option("bloomCols", "doc_id")     // bloom filters likewise
+  *     .save(tablePath)                   // mode("overwrite") = truncate
+  * }}} */
+class GraftWriteBuilder(tablePath: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  private def csv(key: String): Seq[String] =
+    Option(info.options.get(key)).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+        val spark = data.sparkSession
+        val (statsCols, bloomCols) = (csv("statsCols"), csv("bloomCols"))
+        if (overwrite) {
+          require(statsCols.isEmpty && bloomCols.isEmpty,
+            "graft: statsCols/bloomCols are append-only options " +
+            "(overwrite stages without metadata; run ZoneMaps/optimize after)")
+          CommitLog.overwrite(spark, tablePath, data)
+        } else if (bloomCols.nonEmpty) {
+          CommitLog.appendWithBloom(spark, tablePath, data,
+            bloomCols = bloomCols, statsCols = statsCols)
+        } else if (statsCols.nonEmpty) {
+          CommitLog.appendWithStats(spark, tablePath, data, statsCols)
+        } else CommitLog.append(spark, tablePath, data)
+        ()
+      }
+  }
+}
+
+/** Accepts range/equality conjuncts for metadata skipping but claims
+  * NONE as fully handled — every filter is returned as residual, so
+  * Spark re-evaluates each predicate over the surviving rows and
+  * conservative metadata can never change results. */
+class GraftScanBuilder(tablePath: String, version: Long, full: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  private def skippable(f: Filter): Boolean = f match {
+    case GreaterThan(_, v) => numeric(v)
+    case GreaterThanOrEqual(_, v) => numeric(v)
+    case LessThan(_, v) => numeric(v)
+    case LessThanOrEqual(_, v) => numeric(v)
+    case EqualTo(_, v) => numeric(v) || v.isInstanceOf[String]
+    case _ => false
+  }
+
+  // zone legs compare in the double domain stageWithMeta logged
+  // (min/max cast to double) — BigDecimal's rounding is NOT value-
+  // preserving there, so decimals never prune
+  private def numeric(v: Any): Boolean = v match {
+    case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+         _: java.lang.Byte => true
+    case d: java.lang.Double => !d.isNaN
+    case f: java.lang.Float => !f.isNaN
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(skippable)
+    filters // ALL residual: Spark re-applies every predicate
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GraftScan(tablePath, version, required, pushed)
+}
+
+class GraftScan(tablePath: String, version: Long, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft $tablePath v$version PushedFilters: [${pushed.mkString(", ")}], " +
+    s"ReadSchema: ${required.catalogString}"
+
+  /** Pushed v1 filters → the log's skip predicates. Equality on a
+    * numeric column contributes BOTH legs (zone range [v,v] and, when
+    * the probe types soundly, a Bloom probe); strict comparisons use
+    * their inclusive bound (conservative: a file whose max equals a
+    * strict lower bound survives and the residual filter decides). */
+  private def skipPreds(spark: SparkSession): CommitLog.SkipPreds = {
+    val ranges = Seq.newBuilder[(String, Double, Double)]
+    val probes = Seq.newBuilder[(String, Long)]
+    def num(v: Any): Double = v.asInstanceOf[Number].doubleValue()
+    pushed.foreach {
+      case GreaterThan(c, v) => ranges += ((c, num(v), Double.PositiveInfinity))
+      case GreaterThanOrEqual(c, v) => ranges += ((c, num(v), Double.PositiveInfinity))
+      case LessThan(c, v) => ranges += ((c, Double.NegativeInfinity, num(v)))
+      case LessThanOrEqual(c, v) => ranges += ((c, Double.NegativeInfinity, num(v)))
+      case EqualTo(c, v) =>
+        if (v.isInstanceOf[Number]) ranges += ((c, num(v), num(v)))
+        CommitLog.probeHashFor(spark, tablePath, Some(version), c, v)
+          .foreach(h => probes += ((c, h)))
+      case _ => ()
+    }
+    CommitLog.SkipPreds(ranges.result(), probes.result())
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val preds = skipPreds(spark)
+    val files =
+      if (preds.isEmpty) CommitLog.snapshot(spark, tablePath, Some(version))
+      else CommitLog.prunedFilesFor(spark, tablePath, Some(version), preds)
+    val dvRefs = CommitLog.deletionVectorRefs(spark, tablePath, Some(version))
+    // only the RANGE legs travel to the readers (row-group skipping);
+    // bloom legs are file-level only — our files carry no parquet
+    // bloom filters
+    val ranges = preds.ranges.toArray
+    files.map { f =>
+      val (inline, sidecar) = dvRefs.get(f) match {
+        case Some(enc) if enc.startsWith("@") =>
+          (null: Array[Byte], s"$tablePath/${CommitLog.LogDir}/${enc.drop(1)}")
+        case Some(enc) => (java.util.Base64.getDecoder.decode(enc), null: String)
+        case None => (null: Array[Byte], null: String)
+      }
+      GraftPartition(s"$tablePath/$f", inline, sidecar, ranges): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required)
+}
+
+case class GraftPartition(filePath: String, dvInline: Array[Byte],
+    dvSidecar: String, ranges: Array[(String, Double, Double)])
+    extends InputPartition
+
+class GraftReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(partition.asInstanceOf[GraftPartition], schema)
+}
+
+/** Reads one data file row-group by row-group with parquet-java's
+  * low-level API:
+  *
+  *  - requests ONLY the projected columns (pages of pruned columns are
+  *    never decoded; an empty projection reads no pages at all — rows
+  *    are counted from footer metadata);
+  *  - skips whole row groups whose footer statistics exclude every
+  *    pushed range ([[ParquetFileReader.skipNextRowGroup]]) — the
+  *    running row ORDINAL advances by the group's rowCount, so
+  *    deletion-vector bits keep lining up with `_metadata.row_index`
+  *    semantics;
+  *  - masks rows whose deletion-vector bit is set, with the SAME
+  *    [[graft.plans.BitsetAggregate.testBit]] the SQL scan path
+  *    codegens — the word layout is its contract, never re-derived;
+  *  - null-fills projected columns absent from the file (declared-
+  *    schema reads over pre-evolution files).
+  *
+  * Row-group statistics only prune when the column's physical type is
+  * a plain signed number (no logical annotation) — the one domain
+  * where footer min/max and the pushed double range are comparable
+  * without conversion subtleties; everything else keeps the group. */
+class GraftPartitionReader(p: GraftPartition, schema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val reader =
+    ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p.filePath), conf))
+  private val fileSchema: MessageType =
+    reader.getFooter.getFileMetaData.getSchema
+
+  // projected fields present in the file (declared-schema evolution:
+  // absent fields null-fill); nested shapes beyond LIST-of-primitive
+  // are refused, mirroring the change feed's contract
+  private val present: Array[StructField] =
+    schema.fields.filter(f => fileSchema.containsField(f.name))
+  present.foreach { f =>
+    val t = fileSchema.getType(fileSchema.getFieldIndex(f.name))
+    if (!t.isPrimitive) {
+      val ok = f.dataType.isInstanceOf[ArrayType] &&
+        t.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.ListLogicalTypeAnnotation]
+      if (!ok) throw new UnsupportedOperationException(
+        s"graft ${p.filePath}: column '${f.name}' is nested — the reader " +
+        "supports flat primitive and array-of-primitive schemas")
+    }
+  }
+  private val projSchema: MessageType =
+    new MessageType(fileSchema.getName, present.map(f =>
+      fileSchema.getType(fileSchema.getFieldIndex(f.name))): _*)
+  if (present.nonEmpty) reader.setRequestedSchema(projSchema)
+
+  // output slot -> projected field index (-1 = absent: null-fill)
+  private val fieldIdx: Array[Int] = schema.fields.map(f =>
+    if (projSchema.containsField(f.name)) projSchema.getFieldIndex(f.name)
+    else -1)
+
+  private val dv: Array[Byte] =
+    if (p.dvInline != null) p.dvInline
+    else if (p.dvSidecar != null) {
+      val path = new Path(p.dvSidecar)
+      val fs = path.getFileSystem(conf)
+      val in = fs.open(path)
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    } else null
+
+  private val blocks: util.List[BlockMetaData] = reader.getFooter.getBlocks
+  private var blockIdx = 0
+  private var rowsLeftInGroup = 0L
+  private var recordReader: RecordReader[Group] = _
+  private var ordinal = -1L // row position within the FILE (dv domain)
+  private var current: InternalRow = _
+
+  /** Footer-statistics check for "this row group might contain a row
+    * in every pushed range" — absent/empty/annotated stats keep the
+    * group (conservative), matching [[CommitLog.zoneKeep]]'s posture
+    * at file granularity. */
+  private def keepGroup(b: BlockMetaData): Boolean =
+    p.ranges.forall { case (col, lo, hi) =>
+      b.getColumns.asScala.find(cc =>
+        cc.getPath.size == 1 && cc.getPath.iterator.next == col) match {
+        case None => true
+        case Some(cc) =>
+          val st = cc.getStatistics
+          if (st == null || st.isEmpty || !st.hasNonNullValue) true
+          else {
+            val pt = cc.getPrimitiveType
+            val plain = pt.getLogicalTypeAnnotation == null ||
+              (pt.getLogicalTypeAnnotation match {
+                case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                  i.isSigned
+                case _ => false
+              })
+            if (!plain) true
+            else (pt.getPrimitiveTypeName, st) match {
+              case (PrimitiveTypeName.INT32, s: IntStatistics) =>
+                !(s.getMax < lo || s.getMin > hi)
+              case (PrimitiveTypeName.INT64, s: LongStatistics) =>
+                !(s.getMax < lo || s.getMin > hi)
+              case (PrimitiveTypeName.FLOAT, s: FloatStatistics) =>
+                !(s.getMax < lo || s.getMin > hi)
+              case (PrimitiveTypeName.DOUBLE, s: DoubleStatistics) =>
+                !(s.getMax < lo || s.getMin > hi)
+              case _ => true
+            }
+          }
+      }
+    }
+
+  /** Position on the next surviving row group; false = file done. */
+  private def advanceGroup(): Boolean = {
+    while (blockIdx < blocks.size) {
+      val b = blocks.get(blockIdx)
+      blockIdx += 1
+      if (!keepGroup(b)) {
+        reader.skipNextRowGroup()
+        ordinal += b.getRowCount
+      } else if (present.isEmpty) {
+        // count-only projection: rows exist, pages don't matter
+        reader.skipNextRowGroup()
+        rowsLeftInGroup = b.getRowCount
+        return true
+      } else {
+        val pages = reader.readNextRowGroup()
+        rowsLeftInGroup = pages.getRowCount
+        recordReader = new ColumnIOFactory()
+          .getColumnIO(projSchema, fileSchema)
+          .getRecordReader(pages, new GroupRecordConverter(projSchema))
+        return true
+      }
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (rowsLeftInGroup == 0 && !advanceGroup()) return false
+      rowsLeftInGroup -= 1
+      ordinal += 1
+      val g: Group = if (present.isEmpty) null else recordReader.read()
+      if (dv == null || !graft.plans.BitsetAggregate.testBit(dv, ordinal)) {
+        val vals = new Array[Any](schema.length)
+        var out = 0
+        while (out < schema.length) {
+          val fi = fieldIdx(out)
+          vals(out) =
+            if (fi < 0 || g == null || g.getFieldRepetitionCount(fi) == 0) null
+            else graft.sources.ParquetGroups.convert(g, fi,
+              schema.fields(out).dataType, s"graft ${p.filePath}")
+          out += 1
+        }
+        current = InternalRow.fromSeq(vals.toIndexedSeq)
+        return true
+      }
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

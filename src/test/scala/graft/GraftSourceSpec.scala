@@ -1,0 +1,253 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThanOrEqual}
+import org.apache.spark.sql.types._
+
+import graft.operators.CommitLog
+import graft.sources.grafttable.{GraftScan, GraftScanBuilder}
+
+/** The `graft` batch DSv2 source: result parity with CommitLog.read,
+  * pushdown-driven file pruning (zones + blooms), row-group skipping
+  * with exact DV ordinals, column pruning incl. the page-free count
+  * path, time travel options, and declared-schema null-fill. */
+class GraftSourceSpec extends SparkSpec {
+
+  private def tempTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_src_").toString
+
+  private def cleanup(p: String): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    ()
+  }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("reads a table with full parity to CommitLog.read") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t,
+        Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "x"))
+      CommitLog.append(spark, t, Seq((3L, "c", 3.5)).toDF("id", "s", "x"))
+      val viaSource = spark.read.format("graft").load(t)
+      assert(viaSource.schema === CommitLog.read(spark, t).schema)
+      assert(sortedRows(viaSource) === sortedRows(CommitLog.read(spark, t)))
+    } finally cleanup(t)
+  }
+
+  test("pushed range filter prunes files by logged zones; result identical") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      // three files with disjoint id extents, zones logged per file
+      Seq(0L, 100L, 200L).foreach { base =>
+        CommitLog.appendWithStats(spark, t,
+          Seq.tabulate(50)(i => (base + i, s"r${base + i}")).toDF("id", "s")
+            .coalesce(1), statsCols = Seq("id"))
+      }
+      val v = CommitLog.latestVersion(spark, t)
+      val schema = spark.read.format("graft").load(t).schema
+
+      // plan-level pin: only the middle file survives a [100, 149] push
+      val sb = new GraftScanBuilder(t, v, schema)
+      sb.pushFilters(Array(GreaterThanOrEqual("id", 100L),
+        LessThanOrEqual("id", 149L)))
+      val parts = sb.build().asInstanceOf[GraftScan].planInputPartitions()
+      assert(parts.length === 1, s"expected 1 surviving file, got ${parts.length}")
+
+      // end-to-end: same rows as an unpruned scan-and-filter
+      val got = spark.read.format("graft").load(t)
+        .filter(col("id") >= 100L && col("id") <= 149L)
+      val want = CommitLog.read(spark, t)
+        .filter(col("id") >= 100L && col("id") <= 149L)
+      assert(sortedRows(got) === sortedRows(want))
+      assert(got.count() === 50)
+    } finally cleanup(t)
+  }
+
+  test("pushed string equality prunes files by logged blooms") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      Seq("alpha", "beta", "gamma").zipWithIndex.foreach { case (tag, i) =>
+        CommitLog.appendWithBloom(spark, t,
+          Seq.tabulate(40)(j => (i * 40L + j, s"$tag-$j")).toDF("id", "key")
+            .coalesce(1), bloomCols = Seq("key"))
+      }
+      val v = CommitLog.latestVersion(spark, t)
+      val schema = spark.read.format("graft").load(t).schema
+      val sb = new GraftScanBuilder(t, v, schema)
+      sb.pushFilters(Array(EqualTo("key", "beta-7")))
+      val parts = sb.build().asInstanceOf[GraftScan].planInputPartitions()
+      assert(parts.length === 1, s"expected 1 surviving file, got ${parts.length}")
+
+      val got = spark.read.format("graft").load(t).filter(col("key") === "beta-7")
+      assert(got.count() === 1)
+      assert(got.head.getLong(0) === 47L)
+    } finally cleanup(t)
+  }
+
+  test("row-group skipping keeps DV ordinals exact") {
+    val t = tempTable()
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    try {
+      import spark.implicits._
+      // small row groups: one file, many groups, ascending id
+      hc.setInt("parquet.block.size", 32 * 1024)
+      CommitLog.append(spark, t,
+        spark.range(0, 60000).select(col("id"),
+          concat(lit("payload-"), col("id")).as("s")).coalesce(1))
+      // delete rows scattered across groups -> deletion vector
+      CommitLog.delete(spark, t, "id % 1000 = 0")
+      val want = CommitLog.read(spark, t)
+        .filter(col("id") >= 30000L && col("id") < 31000L)
+      val got = spark.read.format("graft").load(t)
+        .filter(col("id") >= 30000L && col("id") < 31000L)
+      assert(sortedRows(got) === sortedRows(want))
+      assert(got.count() === 999) // 1000 minus the deleted 30000
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+      cleanup(t)
+    }
+  }
+
+  test("sidecar deletion vectors mask on the executor-side reader") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      spark.conf.set("spark.graft.commitlog.dvInlineThreshold", "8")
+      CommitLog.append(spark, t,
+        spark.range(0, 5000).select(col("id"), (col("id") * 2).as("y"))
+          .coalesce(1))
+      CommitLog.delete(spark, t, "id % 3 = 0")
+      val got = spark.read.format("graft").load(t)
+      assert(got.count() === CommitLog.read(spark, t).count())
+      assert(got.filter(col("id") % 3 === 0).count() === 0)
+    } finally {
+      spark.conf.unset("spark.graft.commitlog.dvInlineThreshold")
+      cleanup(t)
+    }
+  }
+
+  test("count() projection reads no pages and still respects DVs") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t,
+        spark.range(0, 1000).select(col("id"), lit("x").as("s")))
+      CommitLog.delete(spark, t, "id < 100")
+      assert(spark.read.format("graft").load(t).count() === 900)
+    } finally cleanup(t)
+  }
+
+  test("versionAsOf and timestampAsOf pin a snapshot") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+      CommitLog.append(spark, t, Seq((2L, "b")).toDF("id", "s"))
+      assert(spark.read.format("graft").option("versionAsOf", "0")
+        .load(t).count() === 1)
+      val ts0 = CommitLog.commitTimestampMillis(spark, t, 0L).get
+      assert(spark.read.format("graft").option("timestampAsOf", ts0.toString)
+        .load(t).count() === 1)
+      intercept[IllegalArgumentException] {
+        spark.read.format("graft").option("versionAsOf", "0")
+          .option("timestampAsOf", ts0.toString).load(t).count()
+      }
+    } finally cleanup(t)
+  }
+
+  test("declared-schema evolution null-fills pre-evolution files") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.declareSchema(spark, t, StructType(Seq(
+        StructField("id", LongType), StructField("s", StringType))))
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+      CommitLog.evolveSchema(spark, t, StructType(Seq(
+        StructField("id", LongType), StructField("s", StringType),
+        StructField("score", DoubleType))))
+      CommitLog.append(spark, t, Seq((2L, "b", 0.5)).toDF("id", "s", "score"))
+      val got = spark.read.format("graft").load(t).orderBy("id").collect()
+      assert(got.length === 2)
+      assert(got(0).isNullAt(2))
+      assert(got(1).getDouble(2) === 0.5)
+    } finally cleanup(t)
+  }
+
+  test("df.write.format(graft) appends and overwrites through the log") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+        .write.format("graft").mode("append").save(t)
+      Seq((3L, "c")).toDF("id", "s")
+        .write.format("graft").mode("append").save(t)
+      assert(CommitLog.latestVersion(spark, t) === 1L)
+      assert(CommitLog.read(spark, t).count() === 3)
+      // overwrite = truncate-and-replace in ONE commit; history intact
+      Seq((9L, "z")).toDF("id", "s")
+        .write.format("graft").mode("overwrite").save(t)
+      assert(CommitLog.read(spark, t).count() === 1)
+      assert(CommitLog.read(spark, t, asOf = Some(1L)).count() === 3)
+    } finally cleanup(t)
+  }
+
+  test("write options publish zone maps and blooms in the same commit") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      Seq.tabulate(3) { i =>
+        Seq.tabulate(20)(j => (i * 100L + j, s"k${i * 100 + j}"))
+          .toDF("id", "key").coalesce(1)
+      }.foreach(_.write.format("graft").mode("append")
+        .option("statsCols", "id").option("bloomCols", "key").save(t))
+      val v = CommitLog.latestVersion(spark, t)
+      val schema = spark.read.format("graft").load(t).schema
+      // the logged metadata actually skips: one file survives each shape
+      val zb = new GraftScanBuilder(t, v, schema)
+      zb.pushFilters(Array(GreaterThanOrEqual("id", 100L),
+        LessThanOrEqual("id", 119L)))
+      assert(zb.build().asInstanceOf[GraftScan].planInputPartitions().length === 1)
+      val bb = new GraftScanBuilder(t, v, schema)
+      bb.pushFilters(Array(EqualTo("key", "k205")))
+      assert(bb.build().asInstanceOf[GraftScan].planInputPartitions().length === 1)
+      // a key in NO file blooms out everything — zero partitions planned
+      val nb = new GraftScanBuilder(t, v, schema)
+      nb.pushFilters(Array(EqualTo("key", "absent")))
+      assert(nb.build().asInstanceOf[GraftScan].planInputPartitions().length === 0)
+    } finally cleanup(t)
+  }
+
+  test("declared-schema gate applies to DSv2 writes") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.declareSchema(spark, t, StructType(Seq(
+        StructField("id", LongType), StructField("s", StringType))))
+      intercept[IllegalArgumentException] {
+        Seq((1L, 2.5)).toDF("id", "wrong")
+          .write.format("graft").mode("append").save(t)
+      }
+      assert(CommitLog.snapshot(spark, t).isEmpty) // nothing published
+    } finally cleanup(t)
+  }
+
+  test("array columns read through (embeddings-shaped tables)") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t,
+        Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
+          .toDF("id", "vec"))
+      val got = spark.read.format("graft").load(t).orderBy("id").collect()
+      assert(got.map(_.getSeq[Float](1).toSeq).toSeq ===
+        Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)))
+    } finally cleanup(t)
+  }
+}
