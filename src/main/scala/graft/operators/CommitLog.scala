@@ -42,7 +42,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
 object CommitLog {
 
   private[graft] val LogDir = "_graft_log"
-  private val DataDir = "data"
+  private[graft] val DataDir = "data"
 
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -801,7 +801,7 @@ object CommitLog {
     * ONE aggregate over one scan computes every rule (the [[Quality]]
     * indicator shape). SQL CHECK semantics: only FALSE violates, NULL
     * passes. */
-  private def violationCounts(df: DataFrame, cs: Constraints): Seq[(String, Long)] = {
+  private[graft] def violationCounts(df: DataFrame, cs: Constraints): Seq[(String, Long)] = {
     import org.apache.spark.sql.functions.{expr, lit, sum, when}
     val names = cs.keys.toSeq.sorted
     val aggs = names.map(n =>

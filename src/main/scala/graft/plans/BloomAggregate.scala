@@ -116,7 +116,7 @@ object BloomAggregate {
     }
   }
 
-  private[plans] def setBits(words: Array[Long], h: Long, k: Int): Unit =
+  private[graft] def setBits(words: Array[Long], h: Long, k: Int): Unit =
     positions(h, k, words.length * 64).foreach { p =>
       words(p >> 6) |= 1L << (p & 63)
     }
@@ -130,6 +130,16 @@ object BloomAggregate {
   def wordsOf(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
     Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  /** Inverse of [[wordsOf]] — the big-endian word serialization the
+    * aggregate's own `serialize` writes, for builders that construct
+    * filter words OUTSIDE the SQL aggregate (the streaming sink's
+    * per-writer bloom build). */
+  private[graft] def bytesOf(words: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * words.length)
+    words.foreach(bb.putLong)
+    bb.array()
   }
 
   /** Driver-side twins of `xxhash64(col)` (seed 42) for the probe

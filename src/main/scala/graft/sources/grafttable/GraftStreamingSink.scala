@@ -1,0 +1,381 @@
+package graft.sources.grafttable
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type, Types}
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.CommitLog
+import graft.plans.BloomAggregate
+
+/** Native exactly-once streaming sink for commit-log tables:
+  *
+  * {{{
+  *   df.writeStream.format("graft")
+  *     .option("checkpointLocation", ckpt)
+  *     .option("statsCols", "ts").option("bloomCols", "doc_id")
+  *     .start(tablePath)            // outputMode Complete = overwrite
+  * }}}
+  *
+  * This is the stage-then-commit protocol the log was designed around,
+  * expressed as a DSv2 STREAMING_WRITE: each task writes its partition
+  * straight to `data/` under a fresh uuid name (invisible until
+  * committed — a crashed task leaves an orphan vacuum sweeps, exactly
+  * like batch staging), computing zone extents and Bloom words AS IT
+  * WRITES — no post-hoc stats pass re-reading staged files, which at
+  * scale halves the write's I/O vs the batch path. The driver's
+  * `commit(epochId, messages)` publishes every staged file + its
+  * metadata in ONE commit stamped with `batchId = epochId`: a replayed
+  * micro-batch (restart between publish and the engine's offset
+  * commit) finds its epoch in the [[CommitLog.committedBatchIds]]
+  * ledger, deletes its re-staged files and publishes nothing — the
+  * same exactly-once contract as [[CommitLog.appendStream]], now under
+  * `writeStream.format("graft")` instead of foreachBatch plumbing.
+  *
+  * Append mode appends; Complete mode (truncate) replaces the table's
+  * file set in the same single commit, pinned with expectedVersion so
+  * a concurrent writer conflicts instead of being silently dropped.
+  * The declared-schema gate runs at factory creation (fail fast,
+  * before any file is staged); CHECK constraints are validated over
+  * the staged files before publish, refusing the whole epoch. */
+class GraftStreamingWrite(tablePath: String, schema: StructType,
+    statsCols: Seq[String], bloomCols: Seq[String], mBits: Int, k: Int,
+    truncateEachEpoch: Boolean) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    // declared-schema gate BEFORE any task writes: same subset-with-
+    // identical-types contract stageWithMeta enforces for batch
+    CommitLog.tableSchema(spark, tablePath).foreach { d =>
+      val decl = d.fields.map(f => f.name -> f.dataType).toMap
+      schema.fields.foreach { f =>
+        decl.get(f.name) match {
+          case None => throw new IllegalArgumentException(
+            s"schema enforcement: $tablePath declares no column ${f.name} " +
+            "(evolveSchema to add it)")
+          case Some(dt) if dt != f.dataType => throw new IllegalArgumentException(
+            s"schema enforcement: ${f.name} is declared ${dt.catalogString}, " +
+            s"staged ${f.dataType.catalogString}")
+          case _ => ()
+        }
+      }
+    }
+    GraftStreamWriterFactory(tablePath, schema, statsCols, bloomCols, mBits, k)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val staged = messages.collect {
+      case m: GraftFileMessage if m.relName != null => m // null = empty partition
+    }
+    def deleteStaged(): Unit = {
+      val fs = new Path(tablePath).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      staged.foreach(m =>
+        scala.util.Try(fs.delete(new Path(tablePath, m.relName), false)))
+    }
+    // exactly-once: a replayed epoch re-staged fresh files — the
+    // earlier publish already carries this batch, so drop the copies
+    if (CommitLog.committedBatchIds(spark, tablePath).contains(epochId)) {
+      deleteStaged(); return
+    }
+    val adds = staged.map(_.relName).toSeq
+    if (adds.isEmpty) return // all-empty batch: nothing staged, no commit
+    // CHECK-constraint gate over the staged files, batch-path parity:
+    // a violation refuses the WHOLE epoch before anything is visible
+    val cs = CommitLog.constraints(spark, tablePath)
+    if (cs.nonEmpty) {
+      val stagedDf = spark.read
+        .schema(StructType(schema.fields.map(_.copy(nullable = true))))
+        .parquet(adds.map(f => s"$tablePath/$f"): _*)
+      val bad = CommitLog.violationCounts(stagedDf, cs)
+      if (bad.nonEmpty) {
+        deleteStaged()
+        throw new IllegalArgumentException(
+          s"constraint violation on streaming write to $tablePath — epoch " +
+          s"$epochId refused: " +
+          bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
+      }
+    }
+    val stats = staged.filter(_.stats.nonEmpty)
+      .map(m => m.relName -> m.stats).toMap
+    val blooms = staged.filter(_.blooms.nonEmpty)
+      .map(m => m.relName -> m.blooms).toMap
+    if (truncateEachEpoch) {
+      // Complete mode: replace the file set in the SAME commit, pinned
+      // against concurrent writers (a racing append must conflict, not
+      // be silently dropped by our removes)
+      val v0 = CommitLog.latestVersion(spark, tablePath)
+      val removes =
+        if (v0 < 0) Seq.empty[String]
+        else CommitLog.snapshot(spark, tablePath, Some(v0))
+      CommitLog.commit(spark, tablePath, adds, removes,
+        batchId = Some(epochId), stats = stats, blooms = blooms,
+        expectedVersion = Some(v0))
+    } else {
+      CommitLog.commit(spark, tablePath, adds, Seq.empty,
+        batchId = Some(epochId), stats = stats, blooms = blooms)
+    }
+    ()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(tablePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    messages.foreach {
+      case m: GraftFileMessage if m.relName != null =>
+        scala.util.Try(fs.delete(new Path(tablePath, m.relName), false))
+      case _ => () // failed tasks report null — their writer aborted locally
+    }
+  }
+}
+
+/** One staged file's publish payload: relative name plus the skipping
+  * metadata its writer computed inline. */
+case class GraftFileMessage(relName: String, rows: Long,
+    stats: Map[String, (Double, Double)], blooms: Map[String, String])
+    extends WriterCommitMessage
+
+case class GraftStreamWriterFactory(tablePath: String, schema: StructType,
+    statsCols: Seq[String], bloomCols: Seq[String], mBits: Int, k: Int)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftStreamDataWriter(tablePath, schema, statsCols, bloomCols,
+      mBits, k, partitionId)
+}
+
+/** Executor-side writer: InternalRow → parquet Group straight to the
+  * table's data dir (fresh uuid name, invisible until the driver's
+  * commit), zone extents and Bloom words updated per row. The parquet
+  * layout matches what Spark's own writer produces for the supported
+  * type surface (INT64 MICROS adjusted-to-UTC timestamps, annotated
+  * strings/dates, 3-level LIST arrays), so batch readers — Spark's and
+  * the engine's own — read streamed and batch-staged files
+  * identically. */
+class GraftStreamDataWriter(tablePath: String, schema: StructType,
+    statsCols: Seq[String], bloomCols: Seq[String], mBits: Int, k: Int,
+    partitionId: Int) extends DataWriter[InternalRow] {
+
+  import GraftStreamDataWriter._
+
+  private val relName =
+    s"${CommitLog.DataDir}/${UUID.randomUUID().toString.take(8)}-s$partitionId.parquet"
+  private val fullPath = new Path(tablePath, relName)
+  private val conf = new Configuration()
+  private val msgType = messageTypeOf(schema)
+  private val factory = new SimpleGroupFactory(msgType)
+
+  { // refuse unsupported stats/bloom shapes before writing anything
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    statsCols.foreach { c =>
+      require(byName.contains(c), s"statsCols: no column '$c' in the stream")
+    }
+    bloomCols.foreach { c =>
+      byName.get(c) match {
+        case Some(IntegerType | LongType | StringType) => ()
+        case Some(dt) => throw new IllegalArgumentException(
+          s"bloomCols: '$c' is ${dt.catalogString} — blooms hash integral " +
+          "and string columns only (the xxhash64 probe surface)")
+        case None => throw new IllegalArgumentException(
+          s"bloomCols: no column '$c' in the stream")
+      }
+    }
+  }
+
+  // lazily created so an empty partition stages NO file at all
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[
+    org.apache.parquet.example.data.Group] = _
+  private var rows = 0L
+
+  private val statIdx: Array[Int] = statsCols.map(schema.fieldIndex).toArray
+  private val statType: Array[DataType] = statsCols.map(c =>
+    schema.fields(schema.fieldIndex(c)).dataType).toArray
+  private val statMin = Array.fill(statsCols.length)(Double.PositiveInfinity)
+  private val statMax = Array.fill(statsCols.length)(Double.NegativeInfinity)
+
+  private val bloomIdx: Array[Int] = bloomCols.map(schema.fieldIndex).toArray
+  private val bloomType: Array[DataType] = bloomCols.map(c =>
+    schema.fields(schema.fieldIndex(c)).dataType).toArray
+  private val bloomWords: Array[Array[Long]] =
+    Array.fill(bloomCols.length)(new Array[Long](mBits / 64))
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) {
+      writer = ExampleParquetWriter.builder(fullPath).withConf(conf)
+        .withType(msgType)
+        .withCompressionCodec(CompressionCodecName.SNAPPY).build()
+    }
+    writer.write(groupOf(factory, schema, row))
+    var i = 0
+    while (i < statIdx.length) {
+      if (!row.isNullAt(statIdx(i))) {
+        // the batch path's `min(col).cast("double")` domain: numerics
+        // widen, timestamps become fractional epoch seconds, anything
+        // else logs nothing (cast-null parity); NaN never widens an
+        // extent — zoneKeep treats NaN rows as unprunable anyway
+        val d = doubleOf(row, statIdx(i), statType(i))
+        if (!d.isNaN) {
+          if (d < statMin(i)) statMin(i) = d
+          if (d > statMax(i)) statMax(i) = d
+        }
+      }
+      i += 1
+    }
+    i = 0
+    while (i < bloomIdx.length) {
+      if (!row.isNullAt(bloomIdx(i))) {
+        val h = bloomType(i) match {
+          case LongType => BloomAggregate.hashOf(row.getLong(bloomIdx(i)))
+          case IntegerType => BloomAggregate.hashOf(row.getInt(bloomIdx(i)))
+          case _ => hashUtf8(row.getUTF8String(bloomIdx(i)))
+        }
+        BloomAggregate.setBits(bloomWords(i), h, k)
+      }
+      i += 1
+    }
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer == null) return GraftFileMessage(null, 0L, Map.empty, Map.empty)
+    writer.close()
+    writer = null
+    val stats = statsCols.indices.flatMap { i =>
+      if (statMin(i).isInfinite || statMax(i).isInfinite) None
+      else Some(statsCols(i) -> (statMin(i), statMax(i)))
+    }.toMap
+    val blooms = bloomCols.indices.map { i =>
+      bloomCols(i) -> (k.toString + ":" + java.util.Base64.getEncoder
+        .encodeToString(BloomAggregate.bytesOf(bloomWords(i))))
+    }.toMap
+    GraftFileMessage(relName, rows, stats, blooms)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) { scala.util.Try(writer.close()); writer = null }
+    scala.util.Try(fullPath.getFileSystem(conf).delete(fullPath, false))
+    ()
+  }
+
+  override def close(): Unit =
+    if (writer != null) { scala.util.Try(writer.close()); writer = null }
+}
+
+object GraftStreamDataWriter {
+
+  /** The batch path's `cast("double")` domain for zone stats. */
+  private[grafttable] def doubleOf(row: InternalRow, i: Int,
+      dt: DataType): Double = dt match {
+    case IntegerType => row.getInt(i).toDouble
+    case LongType => row.getLong(i).toDouble
+    case ShortType => row.getShort(i).toDouble
+    case ByteType => row.getByte(i).toDouble
+    case FloatType => row.getFloat(i).toDouble
+    case DoubleType => row.getDouble(i)
+    case TimestampType => row.getLong(i) / 1e6 // epoch seconds, cast parity
+    case _ => Double.NaN // cast-null parity: logs nothing for this column
+  }
+
+  private[grafttable] def hashUtf8(u: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+
+  /** StructType → parquet MessageType for the engine's flat-primitive
+    * (+array-of-primitive) table surface, matching Spark's writer
+    * layout so the files are indistinguishable from batch-staged
+    * ones. */
+  private[grafttable] def messageTypeOf(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach(f => b.addField(fieldTypeOf(f.name, f.dataType)))
+    b.named("spark_schema")
+  }
+
+  private def fieldTypeOf(name: String, dt: DataType): Type = dt match {
+    case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN).named(name)
+    case IntegerType => Types.optional(PrimitiveTypeName.INT32).named(name)
+    case LongType => Types.optional(PrimitiveTypeName.INT64).named(name)
+    case FloatType => Types.optional(PrimitiveTypeName.FLOAT).named(name)
+    case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE).named(name)
+    case StringType => Types.optional(PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named(name)
+    case BinaryType => Types.optional(PrimitiveTypeName.BINARY).named(name)
+    case TimestampType => Types.optional(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS)).named(name)
+    case DateType => Types.optional(PrimitiveTypeName.INT32)
+      .as(LogicalTypeAnnotation.dateType()).named(name)
+    case ArrayType(et, _) =>
+      val elem = fieldTypeOf("element", et)
+      require(elem.isPrimitive,
+        s"graft streaming sink: nested array element ${et.catalogString}")
+      Types.optionalList().setElementType(elem).named(name)
+    case other => throw new UnsupportedOperationException(
+      s"graft streaming sink: unsupported column type ${other.catalogString} " +
+      "(supported: boolean, int, bigint, float, double, string, binary, " +
+      "timestamp, date, array of those)")
+  }
+
+  private[grafttable] def groupOf(factory: SimpleGroupFactory,
+      schema: StructType,
+      row: InternalRow): org.apache.parquet.example.data.Group = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) {
+        schema.fields(i).dataType match {
+          case BooleanType => g.add(i, row.getBoolean(i))
+          case IntegerType | DateType => g.add(i, row.getInt(i))
+          case LongType | TimestampType => g.add(i, row.getLong(i))
+          case FloatType => g.add(i, row.getFloat(i))
+          case DoubleType => g.add(i, row.getDouble(i))
+          case StringType => g.add(i,
+            Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+          case BinaryType => g.add(i,
+            Binary.fromConstantByteArray(row.getBinary(i)))
+          case ArrayType(et, _) =>
+            val arr = row.getArray(i)
+            val listG = g.addGroup(i)
+            var j = 0
+            while (j < arr.numElements()) {
+              val entry = listG.addGroup(0)
+              if (!arr.isNullAt(j)) et match {
+                case BooleanType => entry.add(0, arr.getBoolean(j))
+                case IntegerType | DateType => entry.add(0, arr.getInt(j))
+                case LongType | TimestampType => entry.add(0, arr.getLong(j))
+                case FloatType => entry.add(0, arr.getFloat(j))
+                case DoubleType => entry.add(0, arr.getDouble(j))
+                case StringType => entry.add(0,
+                  Binary.fromConstantByteArray(arr.getUTF8String(j).getBytes))
+                case BinaryType => entry.add(0,
+                  Binary.fromConstantByteArray(arr.getBinary(j)))
+                case other => throw new UnsupportedOperationException(
+                  s"graft streaming sink: array element $other")
+              }
+              j += 1
+            }
+          case other => throw new UnsupportedOperationException(
+            s"graft streaming sink: unsupported type $other")
+        }
+      }
+      i += 1
+    }
+    g
+  }
+}

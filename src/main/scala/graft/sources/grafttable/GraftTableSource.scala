@@ -146,6 +146,7 @@ class GraftTable(tablePath: String, tableSchema: StructType, version: Long)
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, // routes DataFrameWriter to the v2 plan
       TableCapability.V1_BATCH_WRITE, // ...whose strategy picks the V1Write exec
+      TableCapability.STREAMING_WRITE, // writeStream.format("graft")
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tablePath, version, tableSchema)
@@ -175,6 +176,9 @@ class GraftWriteBuilder(tablePath: String, info: LogicalWriteInfo)
     Option(info.options.get(key)).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
+  private def intOpt(key: String, dflt: Int): Int =
+    Option(info.options.get(key)).map(_.toInt).getOrElse(dflt)
+
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
@@ -193,6 +197,14 @@ class GraftWriteBuilder(tablePath: String, info: LogicalWriteInfo)
         } else CommitLog.append(spark, tablePath, data)
         ()
       }
+    // writeStream.format("graft"): exactly-once per-epoch commits with
+    // inline stats/blooms — see [[GraftStreamingWrite]]. Append mode
+    // appends; outputMode Complete arrives as truncate() = replace.
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(tablePath, info.schema(),
+        csv("statsCols"), csv("bloomCols"),
+        intOpt("bloomBits", 1 << 16), intOpt("bloomK", 5),
+        truncateEachEpoch = overwrite)
   }
 }
 

@@ -238,6 +238,143 @@ class GraftSourceSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("writeStream.format(graft): exactly-once appends with inline stats/blooms") {
+    val t = tempTable()
+    val in = java.nio.file.Files.createTempDirectory("graft_sink_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ck_").toString
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      Seq.tabulate(50)(i => (i.toLong, s"k$i")).toDF("id", "key")
+        .coalesce(1).write.parquet(s"$in/b0")
+      def runOnce(): Unit = {
+        val q = spark.readStream.schema("id LONG, key STRING")
+          .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+          .writeStream.format("graft")
+          .option("checkpointLocation", ckpt)
+          .option("statsCols", "id").option("bloomCols", "key")
+          .trigger(Trigger.AvailableNow()).start(t)
+        q.awaitTermination()
+      }
+      runOnce()
+      assert(CommitLog.read(spark, t).count() === 50)
+      // the commit carries the batchId ledger entry + skipping metadata
+      assert(CommitLog.committedBatchIds(spark, t).nonEmpty)
+      val stats = CommitLog.fileStats(spark, t)
+      assert(stats.values.exists(_.get("id").contains((0.0, 49.0))))
+      // the inline-built bloom actually skips: a probe for an absent
+      // key prunes every file
+      assert(CommitLog.scanEquals(spark, t, "key", "absent").count() === 0)
+      assert(CommitLog.scanEquals(spark, t, "key", "k7").count() === 1)
+      // second batch through the SAME checkpoint: only new rows land
+      Seq.tabulate(10)(i => (100L + i, s"k${100 + i}")).toDF("id", "key")
+        .coalesce(1).write.parquet(s"$in/b1")
+      runOnce()
+      assert(CommitLog.read(spark, t).count() === 60)
+      // re-running with nothing new lands nothing
+      runOnce()
+      assert(CommitLog.read(spark, t).count() === 60)
+    } finally { cleanup(t); cleanup(in); cleanup(ckpt) }
+  }
+
+  test("streaming sink replay: a committed epoch's re-staged files are dropped") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+      // stamp epoch 7 into the ledger the way a successful publish does
+      CommitLog.commit(spark, t, Seq.empty, Seq.empty, batchId = Some(7L))
+      val v = CommitLog.latestVersion(spark, t)
+      // simulate the replayed epoch: a freshly staged file + commit(7)
+      val staged = s"${"data"}/replayed-s0.parquet"
+      Seq((2L, "b")).toDF("id", "s").coalesce(1)
+        .write.parquet(s"$t/_replay_tmp")
+      val fs = new org.apache.hadoop.fs.Path(t).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/_replay_tmp"))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.rename(part, new org.apache.hadoop.fs.Path(t, staged))
+      new graft.sources.grafttable.GraftStreamingWrite(t,
+        StructType(Seq(StructField("id", LongType), StructField("s", StringType))),
+        Seq.empty, Seq.empty, 1 << 16, 5, truncateEachEpoch = false)
+        .commit(7L, Array(graft.sources.grafttable.GraftFileMessage(
+          staged, 1L, Map.empty, Map.empty)))
+      // no new version, and the re-staged file is gone
+      assert(CommitLog.latestVersion(spark, t) === v)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(t, staged)))
+      assert(CommitLog.read(spark, t).count() === 1)
+    } finally cleanup(t)
+  }
+
+  test("streaming Complete mode replaces the table per epoch") {
+    val t = tempTable()
+    val in = java.nio.file.Files.createTempDirectory("graft_cmpl_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cmpl_ck_").toString
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      Seq.tabulate(30)(i => (i.toLong % 3, 1L)).toDF("grp", "n")
+        .coalesce(1).write.parquet(s"$in/b0")
+      val q = spark.readStream.schema("grp LONG, n LONG").parquet(s"$in/*")
+        .groupBy(col("grp")).agg(count(lit(1)).as("cnt"))
+        .writeStream.format("graft").outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(t)
+      q.awaitTermination()
+      val got = CommitLog.read(spark, t).orderBy("grp").collect()
+      assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        Seq((0L, 10L), (1L, 10L), (2L, 10L)))
+    } finally { cleanup(t); cleanup(in); cleanup(ckpt) }
+  }
+
+  test("streamed files round-trip timestamps and arrays bit-exactly") {
+    val t = tempTable()
+    val in = java.nio.file.Files.createTempDirectory("graft_rt_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rt_ck_").toString
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val src = Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456"),
+          java.sql.Date.valueOf("2024-01-02"), Array(1.5f, -2.5f), "héllo"),
+        (2L, java.sql.Timestamp.valueOf("2024-06-07 08:09:10.5"),
+          java.sql.Date.valueOf("2024-06-07"), Array.empty[Float], ""))
+        .toDF("id", "ts", "d", "vec", "s")
+      src.coalesce(1).write.parquet(s"$in/b0")
+      val q = spark.readStream.schema(src.schema).parquet(s"$in/*")
+        .writeStream.format("graft").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(t)
+      q.awaitTermination()
+      assert(sortedRows(CommitLog.read(spark, t)) === sortedRows(src))
+      // and through the DSv2 read path too
+      assert(sortedRows(spark.read.format("graft").load(t)) === sortedRows(src))
+    } finally { cleanup(t); cleanup(in); cleanup(ckpt) }
+  }
+
+  test("streaming sink refuses an epoch violating a CHECK constraint") {
+    val t = tempTable()
+    val in = java.nio.file.Files.createTempDirectory("graft_cons_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cons_ck_").toString
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      CommitLog.declareSchema(spark, t, StructType(Seq(
+        StructField("id", LongType), StructField("score", DoubleType))))
+      CommitLog.addConstraint(spark, t, "score_unit", "score >= 0 AND score <= 1")
+      Seq((1L, 0.5), (2L, 7.5)).toDF("id", "score")
+        .coalesce(1).write.parquet(s"$in/b0")
+      val q = spark.readStream.schema("id LONG, score DOUBLE").parquet(s"$in/*")
+        .writeStream.format("graft").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(t)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination()
+      }
+      assert(e.getMessage.contains("constraint violation") ||
+        Option(e.getCause).exists(_.getMessage.contains("constraint violation")))
+      assert(CommitLog.snapshot(spark, t).isEmpty) // nothing published
+    } finally { cleanup(t); cleanup(in); cleanup(ckpt) }
+  }
+
   test("array columns read through (embeddings-shaped tables)") {
     val t = tempTable()
     try {
