@@ -144,12 +144,13 @@ class GraftTable(tablePath: String, tableSchema: StructType, version: Long)
   // looser about omitted columns (they null-fill) than Spark's check
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, // readStream.format("graft")
       TableCapability.BATCH_WRITE, // routes DataFrameWriter to the v2 plan
       TableCapability.V1_BATCH_WRITE, // ...whose strategy picks the V1Write exec
       TableCapability.STREAMING_WRITE, // writeStream.format("graft")
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tablePath, version, tableSchema)
+    new GraftScanBuilder(tablePath, version, tableSchema, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(tablePath, info)
 }
@@ -212,7 +213,8 @@ class GraftWriteBuilder(tablePath: String, info: LogicalWriteInfo)
   * NONE as fully handled — every filter is returned as residual, so
   * Spark re-evaluates each predicate over the surviving rows and
   * conservative metadata can never change results. */
-class GraftScanBuilder(tablePath: String, version: Long, full: StructType)
+class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -246,14 +248,23 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftScan(tablePath, version, required, pushed)
+  override def build(): Scan =
+    new GraftScan(tablePath, version, required, pushed, options)
 }
 
 class GraftScan(tablePath: String, version: Long, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter],
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(tablePath, required,
+      Option(options.get("startingVersion")).map(_.toLong),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+      ignoreDeletes = Option(options.get("ignoreDeletes")).exists(_.toBoolean))
   override def description(): String =
     s"graft $tablePath v$version PushedFilters: [${pushed.mkString(", ")}], " +
     s"ReadSchema: ${required.catalogString}"
@@ -287,11 +298,26 @@ class GraftScan(tablePath: String, version: Long, required: StructType,
     val files =
       if (preds.isEmpty) CommitLog.snapshot(spark, tablePath, Some(version))
       else CommitLog.prunedFilesFor(spark, tablePath, Some(version), preds)
-    val dvRefs = CommitLog.deletionVectorRefs(spark, tablePath, Some(version))
     // only the RANGE legs travel to the readers (row-group skipping);
     // bloom legs are file-level only — our files carry no parquet
     // bloom filters
-    val ranges = preds.ranges.toArray
+    GraftScan.partitionsFor(spark, tablePath, version, files,
+      preds.ranges.toArray)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required)
+}
+
+object GraftScan {
+  /** File list → DV-resolved reader partitions at `version`: inline
+    * vectors decode driver-side (small by contract), sidecars travel
+    * as paths the executor loads. Shared by the batch scan and the
+    * table stream's snapshot batch. */
+  private[grafttable] def partitionsFor(spark: SparkSession,
+      tablePath: String, version: Long, files: Seq[String],
+      ranges: Array[(String, Double, Double)]): Array[InputPartition] = {
+    val dvRefs = CommitLog.deletionVectorRefs(spark, tablePath, Some(version))
     files.map { f =>
       val (inline, sidecar) = dvRefs.get(f) match {
         case Some(enc) if enc.startsWith("@") =>
@@ -302,9 +328,6 @@ class GraftScan(tablePath: String, version: Long, required: StructType,
       GraftPartition(s"$tablePath/$f", inline, sidecar, ranges): InputPartition
     }.toArray
   }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required)
 }
 
 case class GraftPartition(filePath: String, dvInline: Array[Byte],

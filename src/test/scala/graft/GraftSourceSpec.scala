@@ -375,6 +375,89 @@ class GraftSourceSpec extends SparkSpec {
     } finally { cleanup(t); cleanup(in); cleanup(ckpt) }
   }
 
+  test("readStream.format(graft): snapshot batch then per-commit increments") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+      CommitLog.delete(spark, t, "id = 2") // snapshot must read through the DV
+      val q = spark.readStream.format("graft").load(t)
+        .writeStream.format("memory").queryName("tbl_stream").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.sql("SELECT id FROM tbl_stream").collect()
+          .map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+        // appends stream incrementally — each exactly once
+        CommitLog.append(spark, t, Seq((4L, "d")).toDF("id", "s"))
+        CommitLog.append(spark, t, Seq((5L, "e")).toDF("id", "s"))
+        q.processAllAvailable()
+        assert(spark.sql("SELECT id FROM tbl_stream").collect()
+          .map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 4L, 5L))
+      } finally q.stop()
+    } finally cleanup(t)
+  }
+
+  test("table stream refuses deletes unless ignoreDeletes; changes feed covers CDC") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+      val q = spark.readStream.format("graft").load(t)
+        .writeStream.format("memory").queryName("tbl_del").start()
+      try {
+        q.processAllAvailable()
+        CommitLog.delete(spark, t, "id = 1")
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+          q.awaitTermination(2000)
+          throw new IllegalStateException("stream survived a delete")
+        }
+        assert(e.getMessage.contains("append-only") ||
+          Option(e.getCause).exists(_.getMessage.contains("append-only")))
+      } finally q.stop()
+      // opted in: the delete version is dropped, later appends flow
+      val q2 = spark.readStream.format("graft")
+        .option("startingVersion", "0").option("ignoreDeletes", "true").load(t)
+        .writeStream.format("memory").queryName("tbl_del_ok").start()
+      try {
+        CommitLog.append(spark, t, Seq((9L, "z")).toDF("id", "s"))
+        q2.processAllAvailable()
+        assert(spark.sql("SELECT id FROM tbl_del_ok").collect()
+          .map(_.getLong(0)).sorted.toSeq === Seq(1L, 9L))
+      } finally q2.stop()
+    } finally cleanup(t)
+  }
+
+  test("medallion composition: table stream in, graft sink out, exactly-once") {
+    val bronze = tempTable()
+    val silver = tempTable()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_med_ck_").toString
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      CommitLog.append(spark, bronze,
+        Seq.tabulate(20)(i => (i.toLong, i * 2.0)).toDF("id", "x"))
+      def sync(): Unit = {
+        val q = spark.readStream.format("graft").load(bronze)
+          .filter(col("id") % 2 === 0)
+          .writeStream.format("graft")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start(silver)
+        q.awaitTermination()
+      }
+      sync()
+      assert(CommitLog.read(spark, silver).count() === 10)
+      CommitLog.append(spark, bronze,
+        Seq((100L, 1.0), (101L, 2.0)).toDF("id", "x"))
+      sync()
+      assert(CommitLog.read(spark, silver).count() === 11)
+      sync() // nothing new: nothing lands
+      assert(CommitLog.read(spark, silver).count() === 11)
+      assert(sortedRows(CommitLog.read(spark, silver)) ===
+        sortedRows(CommitLog.read(spark, bronze).filter(col("id") % 2 === 0)))
+    } finally { cleanup(bronze); cleanup(silver); cleanup(ckpt) }
+  }
+
   test("array columns read through (embeddings-shaped tables)") {
     val t = tempTable()
     try {
