@@ -1,0 +1,145 @@
+package graft.sources.grafttable
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.CommitLog
+
+/** Path-based SQL catalog for commit-log tables — Delta's
+  * `` delta.`/path` `` addressing, with SQL time travel served by the
+  * catalog's versioned loadTable overloads:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     "graft.sources.grafttable.GraftCatalogPlugin")
+  *   spark.sql("SELECT * FROM graft.`/lake/events`")
+  *   spark.sql("SELECT * FROM graft.`/lake/events` VERSION AS OF 3")
+  *   spark.sql("SELECT * FROM graft.`/lake/events` TIMESTAMP AS OF '2026-08-14'")
+  *   spark.sql("INSERT INTO graft.`/lake/events` SELECT ...")
+  *   spark.sql("CREATE TABLE graft.`/lake/new` (id BIGINT, s STRING)")
+  *   spark.sql("ALTER TABLE graft.`/lake/events` ADD COLUMNS (score DOUBLE)")
+  * }}}
+  *
+  * The identifier IS the table path (single-part, backquoted).
+  * loadTable pins the resolved version into the returned
+  * [[GraftTable]], so one SQL statement reads one snapshot; INSERT
+  * INTO routes through the table's write builder (one atomic commit,
+  * declared-schema gate); CREATE TABLE is a declareSchema metadata
+  * commit; ADD COLUMNS is evolveSchema's widen-only contract. DROP and
+  * RENAME are refused by design: a path-addressed table's lifecycle
+  * belongs to the storage layer and the vacuum/retention tooling, not
+  * a metadata catalog (Delta draws the same line). */
+class GraftCatalogPlugin extends TableCatalog {
+
+  private var catalogName: String = "graft"
+  private def spark = SparkSession.active
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String = {
+    if (ident.namespace.nonEmpty)
+      throw new NoSuchTableException(ident)
+    ident.name
+  }
+
+  private def exists(path: String): Boolean =
+    scala.util.Try(CommitLog.latestVersion(spark, path)).toOption.exists(_ >= 0)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // path-addressed: there is no enumerable namespace
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.isEmpty && exists(ident.name)
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = pathOf(ident)
+    if (!exists(path)) throw new NoSuchTableException(ident)
+    val v = CommitLog.latestVersion(spark, path)
+    new GraftTable(path, GraftTableProvider.schemaAt(spark, path, v), v)
+  }
+
+  /** SQL `VERSION AS OF <v>`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident)
+    if (!exists(path)) throw new NoSuchTableException(ident)
+    val v = scala.util.Try(version.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"$catalogName: VERSION AS OF wants a commit number, got '$version'"))
+    require(CommitLog.versions(spark, path).contains(v),
+      s"$catalogName: $path has no version $v")
+    new GraftTable(path, GraftTableProvider.schemaAt(spark, path, v), v)
+  }
+
+  /** SQL `TIMESTAMP AS OF <t>` — Spark hands the instant in
+    * MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = pathOf(ident)
+    if (!exists(path)) throw new NoSuchTableException(ident)
+    val v = CommitLog.versionAtTimestamp(spark, path,
+      Math.floorDiv(timestampMicros, 1000L))
+    new GraftTable(path, GraftTableProvider.schemaAt(spark, path, v), v)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = pathOf(ident)
+    if (exists(path)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      s"$catalogName: partition transforms are not supported — the log's " +
+      "zone maps serve partition pruning (appendWithStats/statsCols)")
+    val v = CommitLog.declareSchema(spark, path, schema)
+    new GraftTable(path, schema, v)
+  }
+
+  /** ADD COLUMNS only, mapped onto [[CommitLog.evolveSchema]]'s
+    * widen-only contract: a top-level, positionless, defaultless new
+    * column; anything else (renames, retypes, drops) would orphan
+    * existing files' data and is refused with the evolve rule's own
+    * message. */
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    if (!exists(path)) throw new NoSuchTableException(ident)
+    val cur = CommitLog.tableSchema(spark, path).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$catalogName: $path has no declared schema — declareSchema " +
+        "first (ALTER gates on the declared-schema contract)"))
+    val next = changes.foldLeft(cur) { (acc, ch) =>
+      ch match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames.length == 1,
+            s"$catalogName: nested ADD COLUMN ${add.fieldNames.mkString(".")}")
+          require(add.position == null,
+            s"$catalogName: column position is not supported (files are " +
+            "name-addressed; order is presentational)")
+          acc.add(add.fieldNames.head, add.dataType, nullable = true)
+        case other => throw new UnsupportedOperationException(
+          s"$catalogName: unsupported ALTER ${other.getClass.getSimpleName} — " +
+          "only ADD COLUMNS widens without orphaning existing files")
+      }
+    }
+    CommitLog.evolveSchema(spark, path, next)
+    new GraftTable(path, next, CommitLog.latestVersion(spark, path))
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      s"$catalogName: DROP TABLE on a path-addressed table is a storage " +
+      "operation — delete the directory (or vacuum to the horizon) instead")
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName: RENAME on a path-addressed table is a storage move")
+}

@@ -182,8 +182,56 @@ class GraftWriteBuilder(tablePath: String, info: LogicalWriteInfo)
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
-      (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
-        val spark = data.sparkSession
+      (incoming: org.apache.spark.sql.DataFrame, _: Boolean) => {
+        val spark = incoming.sparkSession
+        // SQL INSERT resolves BY POSITION, and ACCEPT_ANY_SCHEMA means
+        // Spark hands us the query's own output names — VALUES yields
+        // the auto-generated col1, col2, ... . Only THAT pattern
+        // aligns positionally to the table's columns: a DataFrameWriter
+        // append (or SQL SELECT) carrying real-but-wrong names still
+        // hits the declared-schema gate loudly instead of being
+        // silently renamed.
+        val tableNames: Option[Seq[String]] =
+          CommitLog.tableSchema(spark, tablePath)
+            .map(_.fields.map(_.name).toSeq)
+            .orElse(scala.util.Try {
+              val v = CommitLog.latestVersion(spark, tablePath)
+              if (v < 0) None
+              else Some(GraftTableProvider.schemaAt(spark, tablePath, v)
+                .fields.map(_.name).toSeq)
+            }.toOption.flatten.filter(_.nonEmpty))
+        val positional = incoming.columns.zipWithIndex.forall {
+          case (c, i) => c.equalsIgnoreCase(s"col${i + 1}")
+        }
+        val aligned = tableNames match {
+          case Some(names) if positional &&
+              names.length == incoming.columns.length &&
+              incoming.columns.toSet != names.toSet =>
+            incoming.toDF(names: _*)
+          case _ => incoming
+        }
+        // ACCEPT_ANY_SCHEMA also skips Spark's insert-time cast, so a
+        // SQL literal arrives as its own type (0.5 is decimal(1,1)).
+        // Apply the casts Spark's own v2 insert would (ANSI store
+        // assignment: numeric<->numeric with runtime overflow checks,
+        // no silent string coercions); anything outside that policy is
+        // left for the declared-schema gate to refuse loudly.
+        val data = CommitLog.tableSchema(spark, tablePath) match {
+          case Some(d) =>
+            val declared = d.fields.map(f => f.name -> f.dataType).toMap
+            import org.apache.spark.sql.catalyst.expressions.Cast
+            import org.apache.spark.sql.functions.col
+            def castOf(f: org.apache.spark.sql.types.StructField) =
+              declared.get(f.name) match {
+                case Some(t) if t != f.dataType && Cast.canANSIStoreAssign(f.dataType, t) =>
+                  Some(col(f.name).cast(t).as(f.name))
+                case _ => None
+              }
+            if (aligned.schema.fields.forall(castOf(_).isEmpty)) aligned
+            else aligned.select(aligned.schema.fields.map(f =>
+              castOf(f).getOrElse(col(f.name))): _*)
+          case None => aligned
+        }
         val (statsCols, bloomCols) = (csv("statsCols"), csv("bloomCols"))
         if (overwrite) {
           require(statsCols.isEmpty && bloomCols.isEmpty,
