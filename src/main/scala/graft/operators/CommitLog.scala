@@ -1086,8 +1086,18 @@ object CommitLog {
   def read(spark: SparkSession, tablePath: String,
       asOf: Option[Long] = None): DataFrame = {
     val files = snapshot(spark, tablePath, asOf)
-    require(files.nonEmpty,
-      s"no live files in $tablePath" + asOf.fold("")(v => s" at version $v"))
+    if (files.isEmpty) {
+      // a truncated/pre-first-append table still reads — as the empty
+      // relation in its declared schema (without one there is no shape
+      // to serve, and the old refusal stands)
+      val declared = tableSchema(spark, tablePath, asOf)
+      require(declared.isDefined,
+        s"no live files in $tablePath" + asOf.fold("")(v => s" at version $v") +
+        " and no declared schema")
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        declared.get)
+    }
     maskDvs(spark, tablePath, asOf, files,
       readerFor(spark, tablePath, asOf).parquet(files.map(f => s"$tablePath/$f"): _*))
   }
@@ -1274,8 +1284,19 @@ object CommitLog {
     * Returns None when nothing matched (or on a recognized replay):
     * the table is unchanged and no commit is written. */
   def delete(spark: SparkSession, tablePath: String, predicate: String,
+      batchId: Option[Long] = None): Option[Long] =
+    deleteWhere(spark, tablePath,
+      org.apache.spark.sql.functions.expr(predicate), batchId)
+
+  /** [[delete]] with the predicate as a [[Column]] — the SQL DML
+    * surface ([[graft.sources.grafttable.GraftTable]] `DELETE FROM`)
+    * builds its predicate structurally from Catalyst's pushed v2
+    * filters, so no string round-trip (with its quoting pitfalls)
+    * sits between the user's WHERE clause and the vectors. */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column,
       batchId: Option[Long] = None): Option[Long] = {
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.col
     if (batchId.exists(committedBatchIds(spark, tablePath).contains)) return None
     // pin the snapshot: the vectors below are unions against THIS
     // version's state, so an interleaved commit must conflict
@@ -1288,7 +1309,7 @@ object CommitLog {
     val scan = maskDvs(spark, tablePath, Some(v0), files,
       readerFor(spark, tablePath, Some(v0))
         .parquet(files.map(f => s"$tablePath/$f"): _*))
-    val matched = scan.filter(expr(predicate))
+    val matched = scan.filter(predicate)
       .select(col("_metadata.file_name").as("fname"),
         col("_metadata.row_index").as("ri"))
       .groupBy(col("fname"))
@@ -1310,6 +1331,20 @@ object CommitLog {
     }.toMap
     Some(commit(spark, tablePath, Seq.empty, Seq.empty, batchId, dvs = newDvs,
       expectedVersion = Some(v0)))
+  }
+
+  /** TRUNCATE TABLE — every live file removed in ONE metadata commit
+    * (no deletion vectors: marking every row would write bitmap bytes
+    * proportional to the table for a result the remove list states in
+    * file names). History stays time-travelable until vacuum; the
+    * change feed sees one delete generation per removed file's rows.
+    * Returns None when the table is already empty. */
+  def truncate(spark: SparkSession, tablePath: String): Option[Long] = {
+    val v0 = latestVersion(spark, tablePath)
+    if (v0 < 0) return None
+    val files = snapshot(spark, tablePath, Some(v0))
+    if (files.isEmpty) return None
+    Some(commit(spark, tablePath, Seq.empty, files, expectedVersion = Some(v0)))
   }
 
   /** Vectors at or below this raw-byte size ride the commit JSON

@@ -135,9 +135,40 @@ object GraftTableProvider {
 }
 
 class GraftTable(tablePath: String, tableSchema: StructType, version: Long)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
   override def name(): String = s"graft:$tablePath@v$version"
   override def schema(): StructType = tableSchema
+
+  // ---- SQL DML: DELETE FROM graft.`path` [WHERE ...] -----------------
+  // Metadata-only, the Delta posture: a translatable WHERE becomes one
+  // deletion-vector commit (no data file rewritten); an unconditional
+  // delete — and SQL TRUNCATE TABLE — is one remove-all commit. Both
+  // stay time-travelable until vacuum. Conditions this surface can't
+  // express row-identically (arithmetic, functions, subqueries) are
+  // REFUSED via canDeleteWhere, never approximated.
+  import org.apache.spark.sql.connector.expressions.filter.{AlwaysTrue, Predicate}
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    predicates.forall(p => GraftDml.translate(p).isDefined)
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    val spark = SparkSession.active
+    if (predicates.isEmpty || predicates.forall(_.isInstanceOf[AlwaysTrue])) {
+      CommitLog.truncate(spark, tablePath)
+    } else {
+      val cond = predicates.map(p => GraftDml.translate(p).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft: cannot DELETE WHERE $p — condition doesn't translate " +
+          "to a row-identical predicate"))).reduce(_ && _)
+      CommitLog.deleteWhere(spark, tablePath, cond)
+    }
+  }
+
+  override def truncateTable(): Boolean = {
+    CommitLog.truncate(SparkSession.active, tablePath)
+    true
+  }
   // ACCEPT_ANY_SCHEMA: Spark's v2 write validation is skipped in favor
   // of the commit log's OWN declared-schema gate (stageWithMeta), whose
   // subset-with-identical-types contract is stricter about types and

@@ -113,6 +113,63 @@ class GraftCatalogSqlSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("DELETE FROM with a translatable WHERE is one metadata (DV) commit") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      ensureCatalog()
+      CommitLog.appendWithStats(spark, t,
+        Seq.tabulate(40)(i => (i.toLong, s"r$i")).toDF("id", "s")
+          .repartition(2), statsCols = Seq("id"))
+      val v0 = CommitLog.latestVersion(spark, t)
+      val files0 = CommitLog.snapshot(spark, t).toSet
+      spark.sql(s"DELETE FROM graft.`$t` WHERE id >= 30")
+      assert(CommitLog.read(spark, t).count() === 30)
+      // metadata-only: same data files, one new commit, history intact
+      assert(CommitLog.snapshot(spark, t).toSet === files0)
+      assert(CommitLog.latestVersion(spark, t) === v0 + 1)
+      assert(CommitLog.read(spark, t, asOf = Some(v0)).count() === 40)
+      // string equality and AND translate too
+      spark.sql(s"DELETE FROM graft.`$t` WHERE s = 'r5' AND id < 10")
+      assert(CommitLog.read(spark, t).count() === 29)
+      assert(CommitLog.read(spark, t).filter($"s" === "r5").count() === 0)
+    } finally cleanup(t)
+  }
+
+  test("DELETE without WHERE and TRUNCATE TABLE are one remove-all commit") {
+    val t = tempTable()
+    try {
+      ensureCatalog()
+      spark.sql(s"CREATE TABLE graft.`$t` (id BIGINT, s STRING)")
+      spark.sql(s"INSERT INTO graft.`$t` VALUES (1L, 'a'), (2L, 'b')")
+      val v0 = CommitLog.latestVersion(spark, t)
+      spark.sql(s"DELETE FROM graft.`$t`")
+      assert(CommitLog.read(spark, t).count() === 0) // empty, declared shape
+      assert(CommitLog.snapshot(spark, t).isEmpty)
+      assert(CommitLog.read(spark, t, asOf = Some(v0)).count() === 2) // time travel
+      spark.sql(s"INSERT INTO graft.`$t` VALUES (3L, 'c')")
+      spark.sql(s"TRUNCATE TABLE graft.`$t`")
+      assert(CommitLog.read(spark, t).count() === 0)
+      assert(spark.sql(s"SELECT * FROM graft.`$t`").count() === 0)
+    } finally cleanup(t)
+  }
+
+  test("untranslatable DELETE condition is refused; table unchanged") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      ensureCatalog()
+      CommitLog.append(spark, t,
+        Seq.tabulate(10)(i => (i.toLong, s"r$i")).toDF("id", "s"))
+      val v0 = CommitLog.latestVersion(spark, t)
+      intercept[Exception] {
+        spark.sql(s"DELETE FROM graft.`$t` WHERE id % 2 = 0")
+      }
+      assert(CommitLog.read(spark, t).count() === 10)
+      assert(CommitLog.latestVersion(spark, t) === v0)
+    } finally cleanup(t)
+  }
+
   test("DROP and RENAME are storage operations, refused by the catalog") {
     val t = tempTable()
     try {
