@@ -65,7 +65,7 @@ class GraftCatalogPlugin extends TableCatalog {
     val path = pathOf(ident)
     if (!exists(path)) throw new NoSuchTableException(ident)
     val v = CommitLog.latestVersion(spark, path)
-    new GraftTable(path, GraftTableProvider.schemaAt(spark, path, v), v)
+    new GraftTable(path, GraftTableProvider.schemaAt(spark, path, v), v, acceptAnySchema = false)
   }
 
   /** SQL `VERSION AS OF <v>`. */
@@ -77,7 +77,7 @@ class GraftCatalogPlugin extends TableCatalog {
         s"$catalogName: VERSION AS OF wants a commit number, got '$version'"))
     require(CommitLog.versions(spark, path).contains(v),
       s"$catalogName: $path has no version $v")
-    new GraftTable(path, GraftTableProvider.schemaAt(spark, path, v), v)
+    new GraftTable(path, GraftTableProvider.schemaAt(spark, path, v), v, acceptAnySchema = false)
   }
 
   /** SQL `TIMESTAMP AS OF <t>` — Spark hands the instant in
@@ -87,7 +87,7 @@ class GraftCatalogPlugin extends TableCatalog {
     if (!exists(path)) throw new NoSuchTableException(ident)
     val v = CommitLog.versionAtTimestamp(spark, path,
       Math.floorDiv(timestampMicros, 1000L))
-    new GraftTable(path, GraftTableProvider.schemaAt(spark, path, v), v)
+    new GraftTable(path, GraftTableProvider.schemaAt(spark, path, v), v, acceptAnySchema = false)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -99,7 +99,7 @@ class GraftCatalogPlugin extends TableCatalog {
       s"$catalogName: partition transforms are not supported — the log's " +
       "zone maps serve partition pruning (appendWithStats/statsCols)")
     val v = CommitLog.declareSchema(spark, path, schema)
-    new GraftTable(path, schema, v)
+    new GraftTable(path, schema, v, acceptAnySchema = false)
   }
 
   /** ADD COLUMNS only, mapped onto [[CommitLog.evolveSchema]]'s
@@ -130,7 +130,7 @@ class GraftCatalogPlugin extends TableCatalog {
       }
     }
     CommitLog.evolveSchema(spark, path, next)
-    new GraftTable(path, next, CommitLog.latestVersion(spark, path))
+    new GraftTable(path, next, CommitLog.latestVersion(spark, path), acceptAnySchema = false)
   }
 
   override def dropTable(ident: Identifier): Boolean =

@@ -134,11 +134,26 @@ object GraftTableProvider {
     }
 }
 
-class GraftTable(tablePath: String, tableSchema: StructType, version: Long)
+class GraftTable(tablePath: String, tableSchema: StructType, version: Long,
+    acceptAnySchema: Boolean = true)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft:$tablePath@v$version"
   override def schema(): StructType = tableSchema
+
+  /** `_file` provenance for SELECTs and the row-level runtime group
+    * filter's join key. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftFileMetaColumn)
+
+  /** SQL UPDATE / MERGE INTO (and COW DELETE where the metadata path
+    * can't express the condition) — see [[GraftRowLevelOperation]]. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(tablePath, info.command())
 
   // ---- SQL DML: DELETE FROM graft.`path` [WHERE ...] -----------------
   // Metadata-only, the Delta posture: a translatable WHERE becomes one
@@ -169,17 +184,26 @@ class GraftTable(tablePath: String, tableSchema: StructType, version: Long)
     CommitLog.truncate(SparkSession.active, tablePath)
     true
   }
-  // ACCEPT_ANY_SCHEMA: Spark's v2 write validation is skipped in favor
-  // of the commit log's OWN declared-schema gate (stageWithMeta), whose
-  // subset-with-identical-types contract is stricter about types and
-  // looser about omitted columns (they null-fill) than Spark's check
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
+  // ACCEPT_ANY_SCHEMA (path-based reads/writes only): Spark's v2 write
+  // validation is skipped in favor of the commit log's OWN declared-
+  // schema gate (stageWithMeta), whose subset-with-identical-types
+  // contract is stricter about types and looser about omitted columns
+  // (they null-fill) than Spark's check. The CATALOG path constructs
+  // the table WITHOUT it: there the schema is always known, Spark's
+  // positional alignment + ANSI casts serve SQL INSERT natively, and —
+  // decisive — ACCEPT_ANY_SCHEMA marks the relation skipSchemaResolution,
+  // which blocks row-level command alignment and with it SQL
+  // UPDATE/MERGE entirely.
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, // readStream.format("graft")
       TableCapability.BATCH_WRITE, // routes DataFrameWriter to the v2 plan
       TableCapability.V1_BATCH_WRITE, // ...whose strategy picks the V1Write exec
       TableCapability.STREAMING_WRITE, // writeStream.format("graft")
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.TRUNCATE)
+    if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tablePath, version, tableSchema, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -300,7 +324,7 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
 
-  private def skippable(f: Filter): Boolean = f match {
+  private[grafttable] def skippable(f: Filter): Boolean = f match {
     case GreaterThan(_, v) => numeric(v)
     case GreaterThanOrEqual(_, v) => numeric(v)
     case LessThan(_, v) => numeric(v)
@@ -348,12 +372,32 @@ class GraftScan(tablePath: String, version: Long, required: StructType,
     s"graft $tablePath v$version PushedFilters: [${pushed.mkString(", ")}], " +
     s"ReadSchema: ${required.catalogString}"
 
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val preds = GraftScan.skipPredsOf(spark, tablePath, version, pushed)
+    val files =
+      if (preds.isEmpty) CommitLog.snapshot(spark, tablePath, Some(version))
+      else CommitLog.prunedFilesFor(spark, tablePath, Some(version), preds)
+    // only the RANGE legs travel to the readers (row-group skipping);
+    // bloom legs are file-level only — our files carry no parquet
+    // bloom filters
+    GraftScan.partitionsFor(spark, tablePath, version, files,
+      preds.ranges.toArray)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required)
+}
+
+object GraftScan {
   /** Pushed v1 filters → the log's skip predicates. Equality on a
     * numeric column contributes BOTH legs (zone range [v,v] and, when
     * the probe types soundly, a Bloom probe); strict comparisons use
     * their inclusive bound (conservative: a file whose max equals a
-    * strict lower bound survives and the residual filter decides). */
-  private def skipPreds(spark: SparkSession): CommitLog.SkipPreds = {
+    * strict lower bound survives and the residual filter decides).
+    * Shared by the batch scan and the row-level COW scan. */
+  private[grafttable] def skipPredsOf(spark: SparkSession, tablePath: String,
+      version: Long, pushed: Array[Filter]): CommitLog.SkipPreds = {
     val ranges = Seq.newBuilder[(String, Double, Double)]
     val probes = Seq.newBuilder[(String, Long)]
     def num(v: Any): Double = v.asInstanceOf[Number].doubleValue()
@@ -371,24 +415,6 @@ class GraftScan(tablePath: String, version: Long, required: StructType,
     CommitLog.SkipPreds(ranges.result(), probes.result())
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
-    val preds = skipPreds(spark)
-    val files =
-      if (preds.isEmpty) CommitLog.snapshot(spark, tablePath, Some(version))
-      else CommitLog.prunedFilesFor(spark, tablePath, Some(version), preds)
-    // only the RANGE legs travel to the readers (row-group skipping);
-    // bloom legs are file-level only — our files carry no parquet
-    // bloom filters
-    GraftScan.partitionsFor(spark, tablePath, version, files,
-      preds.ranges.toArray)
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required)
-}
-
-object GraftScan {
   /** File list → DV-resolved reader partitions at `version`: inline
     * vectors decode driver-side (small by contract), sidecars travel
     * as paths the executor loads. Shared by the batch scan and the
@@ -449,8 +475,13 @@ class GraftPartitionReader(p: GraftPartition, schema: StructType)
     reader.getFooter.getFileMetaData.getSchema
 
   // projected fields present in the file (declared-schema evolution:
-  // absent fields null-fill); nested shapes beyond LIST-of-primitive
-  // are refused, mirroring the change feed's contract
+  // absent fields null-fill; `_file` fills with the file path); nested
+  // shapes beyond LIST-of-primitive are refused, mirroring the change
+  // feed's contract
+  private val isFileCol: Array[Boolean] = schema.fields.map(f =>
+    f.name == GraftFileMetaColumn.name() && !fileSchema.containsField(f.name))
+  private val filePathUtf8 =
+    org.apache.spark.unsafe.types.UTF8String.fromString(p.filePath)
   private val present: Array[StructField] =
     schema.fields.filter(f => fileSchema.containsField(f.name))
   present.foreach { f =>
@@ -563,7 +594,8 @@ class GraftPartitionReader(p: GraftPartition, schema: StructType)
         while (out < schema.length) {
           val fi = fieldIdx(out)
           vals(out) =
-            if (fi < 0 || g == null || g.getFieldRepetitionCount(fi) == 0) null
+            if (isFileCol(out)) filePathUtf8
+            else if (fi < 0 || g == null || g.getFieldRepetitionCount(fi) == 0) null
             else graft.sources.ParquetGroups.convert(g, fi,
               schema.fields(out).dataType, s"graft ${p.filePath}")
           out += 1
