@@ -483,6 +483,8 @@ object Queries {
     "mm_gif_pixels" -> (Multimodal.gifPixelsQ _),
     "mm_jpeg_pixels" -> (Multimodal.jpegPixelsQ _),
     "mm_jpeg_color" -> (Multimodal.jpegColorQ _),
+    "mm_video_meta" -> (Multimodal.videoMeta _),
+    "mm_video_frames" -> (Multimodal.videoFrames _),
     "text_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
     "text_clean" -> ((s: SparkSession, d: String) => TextAnalysis.clean(s, d)),
     "dedup_paragraphs" -> ((s: SparkSession, d: String) => Dedup.paragraphDedup(s, d)),
@@ -1030,6 +1032,50 @@ object Queries {
        "CAST(s.sb AS BIGINT) AS sum_b, " +
        "CASE WHEN d.doc_id % 109 = 0 THEN NULL ELSE CAST(d.w * d.h AS BIGINT) END AS n_pixels " +
        "FROM d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"),
+    // VIDEO header triage twin: the AVI encoder writes avih/strh/strf
+    // from doc_id arithmetic, so the oracle restates the header fields
+    // directly — certifying the RIFF walk (incl. the odd-JUNK padding)
+    // and the LE field offsets
+    "mm_video_meta" ->
+      ("SELECT doc_id, " +
+       "CASE WHEN doc_id % 111 = 0 THEN NULL ELSE CAST(9 + doc_id % 15 AS INTEGER) END AS width, " +
+       "CASE WHEN doc_id % 111 = 0 THEN NULL ELSE CAST(9 + (doc_id * 3) % 13 AS INTEGER) END AS height, " +
+       "CASE WHEN doc_id % 111 = 0 THEN NULL ELSE CAST(1 + doc_id % 3 AS INTEGER) END AS n_frames, " +
+       "CASE WHEN doc_id % 111 = 0 THEN NULL ELSE CAST(1 AS INTEGER) END AS n_streams, " +
+       "CASE WHEN doc_id % 111 = 0 THEN NULL ELSE 'MJPG' END AS codec " +
+       "FROM documents ORDER BY doc_id"),
+    // VIDEO frame-decode twin: frame f of doc d is a color JPEG seeded
+    // d + 1000*f (AviEncode scaladoc), so the mm_jpeg_color block
+    // enumeration runs per (doc, frame) with that seed — one wrong
+    // frame boundary, chunk pad, or per-frame decode fails the hash
+    "mm_video_frames" ->
+      ("WITH d AS (SELECT doc_id, 9 + doc_id % 15 AS w, 9 + (doc_id * 3) % 13 AS h, " +
+       "1 + doc_id % 3 AS nf, " +
+       "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS hs, " +
+       "CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS vs " +
+       "FROM documents WHERE doc_id % 111 <> 0), " +
+       "f AS (SELECT doc_id, w, h, hs, vs, unnest(range(nf)) AS fi FROM d), " +
+       "blk AS (SELECT doc_id, fi, w, h, hs, vs, doc_id + 1000 * fi AS sd, " +
+       "unnest(range(((w + 7) // 8) * ((h + 7) // 8))) AS bi, (w + 7) // 8 AS nbx " +
+       "FROM f), " +
+       "v AS (SELECT doc_id, fi, w, h, bi % nbx AS bx, bi // nbx AS by, " +
+       "(sd + 5 * (bi % nbx) + 11 * (bi // nbx)) % 256 AS y, " +
+       "(3 * sd + 7 * ((bi % nbx) // hs) + 13 * ((bi // nbx) // vs) + 64) % 256 AS cb, " +
+       "(5 * sd + 3 * ((bi % nbx) // hs) + 17 * ((bi // nbx) // vs) + 128) % 256 AS cr " +
+       "FROM blk), " +
+       "s AS (SELECT doc_id, fi, w, h, " +
+       "sum(least(greatest(floor(y + 1.402 * (cr - 128) + 0.5), 0), 255) * " +
+       "  (least(8, w - 8 * bx) * least(8, h - 8 * by))) AS sr, " +
+       "sum(least(greatest(floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5), 0), 255) * " +
+       "  (least(8, w - 8 * bx) * least(8, h - 8 * by))) AS sg, " +
+       "sum(least(greatest(floor(y + 1.772 * (cb - 128) + 0.5), 0), 255) * " +
+       "  (least(8, w - 8 * bx) * least(8, h - 8 * by))) AS sb " +
+       "FROM v GROUP BY doc_id, fi, w, h) " +
+       "SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx, " +
+       "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +
+       "CAST(sr AS BIGINT) AS sum_r, CAST(sg AS BIGINT) AS sum_g, " +
+       "CAST(sb AS BIGINT) AS sum_b, CAST(w * h AS BIGINT) AS n_pixels " +
+       "FROM s ORDER BY doc_id, frame_idx"),
     // the sampler's keep decision is a pure function of doc_id (md5
     // uniform), so the oracle reproduces the EXACT sample — the whole
     // point of the deterministic form (sampleBy's RNG has no SQL twin)

@@ -178,6 +178,17 @@ object Multimodal {
         (id % 109 =!= 0, graft.plans.VectorExpressions.jpegEncodeColor(
           (id % 23 + 9).cast("int"), ((id * 3) % 19 + 9).cast("int"),
           id.cast("long"), (id % 3).cast("int"), id % 2 === 0)))
+      case "avi" => Seq(
+        (id % 111 === 0, encode(text.substr(1, 24), "UTF-8")),
+        // REAL single-stream MJPEG AVIs (plans.AviEncode): 1..3 color
+        // JPEG frames per doc (frame f seeded doc_id + 1000*f), w
+        // 9..23, h 9..21 (edge-MCU cropping on every doc), subsampling
+        // cycling 4:4:4 / 4:2:2 / 4:2:0 per doc; the container carries
+        // an odd-sized JUNK chunk so the walk's word-alignment padding
+        // is exercised on every row
+        (id % 111 =!= 0, graft.plans.VectorExpressions.aviEncode(
+          (id % 15 + 9).cast("int"), ((id * 3) % 13 + 9).cast("int"),
+          (id % 3 + 1).cast("int"), id.cast("long"), (id % 3).cast("int"))))
       case "png" => Seq(
         (id % 103 === 0, encode(text.substr(1, 18), "UTF-8")),
         // REAL compressed PNGs (Deflater + CRCs + Adler, plans.PngEncode):
@@ -204,8 +215,8 @@ object Multimodal {
     * synthesis trees run HERE, once, one format-slice per write stage —
     * never fused into a decode query's codegen. */
   def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
-    Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "jpgpx", "jpgcol")
-      .foreach(writeMediaFixtureOne(spark, dir, path, _))
+    Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "jpgpx",
+      "jpgcol", "avi").foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
       path: String, kind: String): Unit =
@@ -453,5 +464,32 @@ object Multimodal {
         col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),
         col("s.sum_b").as("sum_b"), col("s.n_pixels").as("n_pixels"))
       .orderBy(col("doc_id"))
+
+  /** VIDEO container triage: AVI header metadata per doc (NULL for the
+    * non-AVI rows) — the cheap header pass before any frame decode. */
+  def videoMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "avi")
+      .select(col("doc_id"), graft.plans.VectorExpressions.aviMeta(col("avi")).as("m"))
+      .select(col("doc_id"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.n_frames").as("n_frames"), col("m.n_streams").as("n_streams"),
+        col("m.codec").as("codec"))
+      .orderBy(col("doc_id"))
+
+  /** VIDEO frame decode: every MJPEG frame of every AVI through the
+    * baseline JPEG decoder — one row per (doc, frame) with exact
+    * channel sums. posexplode drops the non-AVI (NULL) rows; at scale
+    * this is the embarrassingly-parallel decode pass (one row in, a
+    * handful out, no shuffle before the presentation sort). */
+  def videoFrames(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "avi")
+      .select(col("doc_id"),
+        posexplode(graft.plans.VectorExpressions.aviFrames(col("avi"))))
+      .select(col("doc_id"),
+        col("col.frame_idx").as("frame_idx"),
+        col("col.width").as("width"), col("col.height").as("height"),
+        col("col.sum_r").as("sum_r"), col("col.sum_g").as("sum_g"),
+        col("col.sum_b").as("sum_b"), col("col.n_pixels").as("n_pixels"))
+      .orderBy(col("doc_id"), col("frame_idx"))
 
 }

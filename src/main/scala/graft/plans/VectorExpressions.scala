@@ -285,6 +285,12 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jpeg_encode_color",
       exprs => JpegEncodeColor(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_avi_meta", exprs => AviMeta(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_avi_frames", exprs => AviFrames(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_avi_encode", exprs => AviEncode(exprs), "scala_udf")
   }
 
   /** Column-API form; registers on the active session on first use.
@@ -395,6 +401,28 @@ object VectorExpressions {
       restartRows: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_jpeg_encode_color", w, h, seed, mode, restartRows)
+  }
+
+  /** AVI header parse (plans.AviMeta), column form; same registration
+    * precondition. */
+  def aviMeta(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_avi_meta", c)
+  }
+
+  /** MJPEG-in-AVI per-frame pixel decode (plans.AviFrames), column
+    * form; same registration precondition. */
+  def aviFrames(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_avi_frames", c)
+  }
+
+  /** Deterministic exactly-decodable MJPEG AVI synthesis
+    * (plans.AviEncode), column form; same registration precondition. */
+  def aviEncode(w: Column, h: Column, nFrames: Column, seed: Column,
+      mode: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_avi_encode", w, h, nFrames, seed, mode)
   }
 
   /** One-pass MinHash signature (plans.MinhashSignature), column form;

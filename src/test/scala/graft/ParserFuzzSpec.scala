@@ -22,7 +22,9 @@ class ParserFuzzSpec extends AnyFunSuite {
     "GifMeta" -> (graft.plans.GifMeta.parse(_)),
     "PngStats" -> (graft.plans.PngStats.parse(_)),
     "GifPixels" -> (graft.plans.GifPixels.parse(_)),
-    "JpegPixels" -> (graft.plans.JpegPixels.parse(_)))
+    "JpegPixels" -> (graft.plans.JpegPixels.parse(_)),
+    "AviMeta" -> (graft.plans.AviMeta.parse(_)),
+    "AviFrames" -> (graft.plans.AviFrames.parse(_)))
 
   // magic prefixes steer the fuzz into each format's deep parse path
   private val prefixes: Seq[Array[Byte]] = Seq(
@@ -31,7 +33,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     hx("FFD8"), // JPEG SOI
     "RIFF1234WAVE".getBytes, // RIFF/WAVE container
     "BM".getBytes, // BMP magic
-    "GIF87a".getBytes, "GIF89a".getBytes) // GIF signatures
+    "GIF87a".getBytes, "GIF89a".getBytes, // GIF signatures
+    "RIFF".getBytes ++ hx("10000000") ++ "AVI LIST".getBytes) // AVI container
 
   private def neverThrows(name: String, p: Array[Byte] => AnyRef,
       input: Array[Byte], what: String): Unit =
@@ -92,9 +95,14 @@ class ParserFuzzSpec extends AnyFunSuite {
     // chroma path
     val fullJpegColor = graft.plans.JpegEncode.encodeBlockyColor(17, 12, 77L, 2, true)
     assert(graft.plans.JpegPixels.parse(fullJpegColor) != null)
+    // a REAL MJPEG AVI: corruptions land in the RIFF chunk walk, the
+    // word-alignment padding, and the per-frame JPEG streams
+    val fullAvi = graft.plans.AviEncode.encode(17, 12, 2, 77L, 1)
+    assert(graft.plans.AviFrames.parse(fullAvi) != null)
+    assert(graft.plans.AviMeta.parse(fullAvi) != null)
     val rnd = new scala.util.Random(0xF00D)
     for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif, fullJpeg,
-        fullJpegColor); _ <- 0 until 800) {
+        fullJpegColor, fullAvi); _ <- 0 until 800) {
       val truncated = f.take(rnd.nextInt(f.length + 1))
       val corrupted = f.clone()
       val at = rnd.nextInt(f.length)
