@@ -485,6 +485,7 @@ object Queries {
     "mm_jpeg_color" -> (Multimodal.jpegColorQ _),
     "mm_video_meta" -> (Multimodal.videoMeta _),
     "mm_video_frames" -> (Multimodal.videoFrames _),
+    "mm_audio_pcm" -> (Multimodal.audioPcm _),
     "text_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
     "text_clean" -> ((s: SparkSession, d: String) => TextAnalysis.clean(s, d)),
     "dedup_paragraphs" -> ((s: SparkSession, d: String) => Dedup.paragraphDedup(s, d)),
@@ -1032,6 +1033,28 @@ object Queries {
        "CAST(s.sb AS BIGINT) AS sum_b, " +
        "CASE WHEN d.doc_id % 109 = 0 THEN NULL ELSE CAST(d.w * d.h AS BIGINT) END AS n_pixels " +
        "FROM d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"),
+    // AUDIO sample twin: the WAV encoder writes frame i channel c as
+    // ((doc_id + 31 i + 17 c) mod 65536) - 32768 (WavEncode scaladoc),
+    // so the oracle recomputes the exact per-channel sums and the peak
+    // amplitude — certifying the RIFF walk (JUNK before fmt, odd-size
+    // padding) and the signed-LE sample decode
+    "mm_audio_pcm" ->
+      ("WITH d AS (SELECT doc_id, 64 + doc_id % 193 AS n, 1 + doc_id % 2 AS ch " +
+       "FROM documents WHERE doc_id % 113 <> 0), " +
+       "i AS (SELECT doc_id, n, ch, unnest(range(n)) AS i FROM d), " +
+       "v AS (SELECT doc_id, (doc_id + 31 * i) % 65536 - 32768 AS l, " +
+       "CASE WHEN ch = 2 THEN (doc_id + 31 * i + 17) % 65536 - 32768 END AS r FROM i), " +
+       "s AS (SELECT doc_id, sum(l) AS sl, sum(r) AS sr, " +
+       "max(greatest(abs(l), coalesce(abs(r), 0))) AS pk FROM v GROUP BY doc_id), " +
+       "a AS (SELECT doc_id FROM documents) " +
+       "SELECT a.doc_id, " +
+       "CASE WHEN a.doc_id % 113 = 0 THEN NULL ELSE CAST(1 + a.doc_id % 2 AS INTEGER) END AS channels, " +
+       "CASE WHEN a.doc_id % 113 = 0 THEN NULL ELSE CAST(8000 AS INTEGER) END AS sample_rate, " +
+       "CASE WHEN a.doc_id % 113 = 0 THEN NULL ELSE CAST(16 AS INTEGER) END AS bits, " +
+       "CASE WHEN a.doc_id % 113 = 0 THEN NULL ELSE CAST(64 + a.doc_id % 193 AS BIGINT) END AS n_frames, " +
+       "CAST(s.sl AS BIGINT) AS sum_l, CAST(s.sr AS BIGINT) AS sum_r, " +
+       "CAST(s.pk AS INTEGER) AS peak " +
+       "FROM a LEFT JOIN s ON a.doc_id = s.doc_id ORDER BY a.doc_id"),
     // VIDEO header triage twin: the AVI encoder writes avih/strh/strf
     // from doc_id arithmetic, so the oracle restates the header fields
     // directly — certifying the RIFF walk (incl. the odd-JUNK padding)

@@ -189,6 +189,14 @@ object Multimodal {
         (id % 111 =!= 0, graft.plans.VectorExpressions.aviEncode(
           (id % 15 + 9).cast("int"), ((id * 3) % 13 + 9).cast("int"),
           (id % 3 + 1).cast("int"), id.cast("long"), (id % 3).cast("int"))))
+      case "wavpcm" => Seq(
+        (id % 113 === 0, encode(text.substr(1, 26), "UTF-8")),
+        // REAL 16-bit PCM WAVs (plans.WavEncode: JUNK-then-fmt walk,
+        // sample arithmetic from doc_id): 64..256 frames, mono/stereo
+        // alternating per doc — the sample-level audio fixture
+        (id % 113 =!= 0, graft.plans.VectorExpressions.wavEncode(
+          (id % 193 + 64).cast("int"), (id % 2 + 1).cast("int"),
+          id.cast("long"))))
       case "png" => Seq(
         (id % 103 === 0, encode(text.substr(1, 18), "UTF-8")),
         // REAL compressed PNGs (Deflater + CRCs + Adler, plans.PngEncode):
@@ -216,7 +224,7 @@ object Multimodal {
     * never fused into a decode query's codegen. */
   def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "jpgpx",
-      "jpgcol", "avi").foreach(writeMediaFixtureOne(spark, dir, path, _))
+      "jpgcol", "avi", "wavpcm").foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
       path: String, kind: String): Unit =
@@ -463,6 +471,20 @@ object Multimodal {
         col("s.width").as("width"), col("s.height").as("height"),
         col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),
         col("s.sum_b").as("sum_b"), col("s.n_pixels").as("n_pixels"))
+      .orderBy(col("doc_id"))
+
+  /** AUDIO sample decode: per-channel PCM sums + peak amplitude per
+    * doc (NULL for non-WAV rows) — the silence/clipping triage stats,
+    * integer-exact so the oracle certifies the whole data-chunk
+    * decode. */
+  def audioPcm(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "wavpcm")
+      .select(col("doc_id"), graft.plans.VectorExpressions.wavPcm(col("wavpcm")).as("s"))
+      .select(col("doc_id"),
+        col("s.channels").as("channels"), col("s.sample_rate").as("sample_rate"),
+        col("s.bits").as("bits"), col("s.n_frames").as("n_frames"),
+        col("s.sum_l").as("sum_l"), col("s.sum_r").as("sum_r"),
+        col("s.peak").as("peak"))
       .orderBy(col("doc_id"))
 
   /** VIDEO container triage: AVI header metadata per doc (NULL for the

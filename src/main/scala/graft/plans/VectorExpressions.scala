@@ -291,6 +291,11 @@ object VectorExpressions {
       "graft_avi_frames", exprs => AviFrames(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_avi_encode", exprs => AviEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_wav_pcm", exprs => WavPcm(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_wav_encode",
+      exprs => WavEncode(exprs(0), exprs(1), exprs(2)), "scala_udf")
   }
 
   /** Column-API form; registers on the active session on first use.
@@ -423,6 +428,20 @@ object VectorExpressions {
       mode: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_avi_encode", w, h, nFrames, seed, mode)
+  }
+
+  /** PCM sample decode to channel sums + peak (plans.WavPcm), column
+    * form; same registration precondition. */
+  def wavPcm(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_wav_pcm", c)
+  }
+
+  /** Deterministic exactly-decodable 16-bit PCM WAV synthesis
+    * (plans.WavEncode), column form; same registration precondition. */
+  def wavEncode(nFrames: Column, channels: Column, seed: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_wav_encode", nFrames, channels, seed)
   }
 
   /** One-pass MinHash signature (plans.MinhashSignature), column form;

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.{WavEncode, WavPcm}
+
+/** PCM sample decode: encoder round trip (sums/peak integer-exact),
+  * format gates, hostile inputs, codegen path. */
+class AudioPcmSpec extends SparkSpec {
+
+  test("encoder round trip: sums and peak match the sample formula") {
+    for ((n, ch, seed) <- Seq((64, 1, 0L), (100, 2, 7L), (256, 2, 99999L))) {
+      val wav = WavEncode.encode(n, ch, seed)
+      assert(wav != null)
+      val s = WavPcm.parse(wav)
+      assert(s != null)
+      assert(s.getInt(0) === ch && s.getInt(1) === 8000 && s.getInt(2) === 16)
+      assert(s.getLong(3) === n.toLong)
+      def sample(i: Int, c: Int): Int =
+        java.lang.Math.floorMod(seed + 31L * i + 17L * c, 65536L).toInt - 32768
+      val expL = (0 until n).map(sample(_, 0).toLong).sum
+      assert(s.getLong(4) === expL)
+      if (ch == 2) {
+        val expR = (0 until n).map(sample(_, 1).toLong).sum
+        assert(s.getLong(5) === expR)
+      } else assert(s.isNullAt(5))
+      val expPeak = (0 until n).flatMap(i =>
+        (0 until ch).map(c => math.abs(sample(i, c)))).max
+      assert(s.getInt(6) === expPeak)
+    }
+  }
+
+  test("non-PCM formats and hostile inputs are NULL, never throw") {
+    val wav = WavEncode.encode(64, 1, 5L)
+    // format code flipped to 3 (IEEE float) → triage NULL
+    val float = wav.clone()
+    val fmtAt = (0 until wav.length - 4).find(i =>
+      wav(i) == 'f' && wav(i + 1) == 'm' && wav(i + 2) == 't').get
+    float(fmtAt + 8) = 3
+    assert(WavPcm.parse(float) == null)
+    assert(WavPcm.parse(wav.take(30)) == null) // truncated before data
+    assert(WavPcm.parse("RIFF0000WAVE".getBytes) == null) // no chunks
+    assert(WavPcm.parse(Array.emptyByteArray) == null)
+    // truncated mid-data: decodes only whole frames that fit
+    val cut = wav.take(wav.length - 3)
+    val s = WavPcm.parse(cut)
+    assert(s != null && s.getLong(3) === 62L) // 64 frames - 2 partial/cut
+  }
+
+  test("column expressions run through the codegen path") {
+    import spark.implicits._
+    val rows = Seq((1L, 64, 1), (2L, 80, 2)).toDF("id", "n", "ch")
+      .select(col("id"), graft.plans.VectorExpressions.wavPcm(
+        graft.plans.VectorExpressions.wavEncode(col("n"), col("ch"), col("id"))).as("s"))
+      .orderBy("id").collect()
+    assert(rows(0).getStruct(1).getLong(3) === 64L)
+    assert(rows(1).getStruct(1).getInt(0) === 2)
+  }
+}

@@ -24,7 +24,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "GifPixels" -> (graft.plans.GifPixels.parse(_)),
     "JpegPixels" -> (graft.plans.JpegPixels.parse(_)),
     "AviMeta" -> (graft.plans.AviMeta.parse(_)),
-    "AviFrames" -> (graft.plans.AviFrames.parse(_)))
+    "AviFrames" -> (graft.plans.AviFrames.parse(_)),
+    "WavPcm" -> (graft.plans.WavPcm.parse(_)))
 
   // magic prefixes steer the fuzz into each format's deep parse path
   private val prefixes: Seq[Array[Byte]] = Seq(
@@ -100,9 +101,13 @@ class ParserFuzzSpec extends AnyFunSuite {
     val fullAvi = graft.plans.AviEncode.encode(17, 12, 2, 77L, 1)
     assert(graft.plans.AviFrames.parse(fullAvi) != null)
     assert(graft.plans.AviMeta.parse(fullAvi) != null)
+    // a REAL PCM WAV: corruptions land in the sample data and the
+    // JUNK/fmt/data chunk framing
+    val fullWav = graft.plans.WavEncode.encode(80, 2, 77L)
+    assert(graft.plans.WavPcm.parse(fullWav) != null)
     val rnd = new scala.util.Random(0xF00D)
     for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif, fullJpeg,
-        fullJpegColor, fullAvi); _ <- 0 until 800) {
+        fullJpegColor, fullAvi, fullWav); _ <- 0 until 800) {
       val truncated = f.take(rnd.nextInt(f.length + 1))
       val corrupted = f.clone()
       val at = rnd.nextInt(f.length)
