@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Changes, Dedup, Html, Lake, Multimodal, Quality, Relational, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Analytics, Changes, Dedup, Graph, Html, Lake, Multimodal, Quality, Relational, Search, Similarity, TextAnalysis, TimeSeries}
 
 /** Central registry: query name -> (SparkSession, sfDir) => DataFrame,
   * plus the DuckDB oracle SQL for each (driver contract, SURVEY §5).
@@ -502,7 +502,11 @@ object Queries {
     "pipeline_domain_cap" -> ((s: SparkSession, d: String) => Html.domainCap(s, d)),
     "text_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.chunks(s, d)),
     "text_pii_redact" -> (TextAnalysis.piiRedact _),
-    "pipeline_quality_report" -> (Quality.report _)
+    "pipeline_quality_report" -> (Quality.report _),
+    "text_inverted_index" -> (Search.invertedIndex _),
+    "text_search_and" -> ((s: SparkSession, d: String) => Search.searchAll(s, d)),
+    "text_search_bm25" -> ((s: SparkSession, d: String) => Search.searchBm25(s, d)),
+    "q_pagerank_suppliers" -> (Graph.pagerankSuppliers _)
   )
 
   // Shared oracle fragments: DuckDB twins of TextFunctions.normalize /
@@ -511,6 +515,13 @@ object Queries {
   private val duckNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val duckToks = s"string_split($duckNorm, ' ')"
   private val duckUniq = s"list_distinct($duckToks)"
+  // Postings table (token, doc_id, tf) — the DuckDB twin of
+  // Search.postings, built from the same tokenizer.
+  private val duckPostings =
+    s"SELECT token, doc_id, count(*) AS tf FROM " +
+    s"(SELECT doc_id, unnest($duckToks) AS token FROM documents) GROUP BY token, doc_id"
+  private val duckTermsIn =
+    graft.operators.Search.QueryTerms.mkString("('", "', '", "')")
   private val duckFp = s"md5(array_to_string(list_sort($duckUniq), ' '))"
   private def duckHits(words: Seq[String]): String =
     s"CAST(len(list_filter($duckToks, t -> list_contains(${words.mkString("['", "', '", "']")}, t))) AS BIGINT)"
@@ -1289,7 +1300,63 @@ object Queries {
        "UNION ALL SELECT 'text_nonempty', n, CAST(v_empty AS BIGINT), v_empty = 0 FROM a " +
        "UNION ALL SELECT 'lang_allowlisted', n, CAST(v_lang AS BIGINT), v_lang = 0 FROM a " +
        "UNION ALL SELECT 'doc_id_unique', n, CAST(v_uniq AS BIGINT), v_uniq = 0 FROM a " +
-       "ORDER BY rule")
+       "ORDER BY rule"),
+    // Inverted-index family: the oracle rebuilds the postings table
+    // from scratch with the shared tokenizer (duckPostings) and runs
+    // the same dictionary / AND-serve / BM25 math. BM25 constants are
+    // the SAME literals the Spark expression uses (2.2 = k1+1, 0.25 =
+    // 1-b) so both engines execute an identical double expression
+    // tree; ordering is by the ROUNDED score so ranking cannot hinge
+    // on sub-round float noise.
+    "text_inverted_index" ->
+      (s"WITH p AS ($duckPostings) " +
+       "SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf, " +
+       "min(doc_id) AS min_doc FROM p GROUP BY token ORDER BY token"),
+    "text_search_and" ->
+      (s"WITH p AS ($duckPostings) " +
+       s"SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf FROM p WHERE token IN $duckTermsIn " +
+       s"GROUP BY doc_id HAVING count(DISTINCT token) = ${graft.operators.Search.QueryTerms.size} " +
+       "ORDER BY doc_id"),
+    "text_search_bm25" ->
+      (s"WITH p AS ($duckPostings), " +
+       "dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM p GROUP BY doc_id), " +
+       "st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) / count(*) AS avgdl FROM dl), " +
+       s"d AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM p WHERE token IN $duckTermsIn GROUP BY token), " +
+       "m AS (SELECT p.doc_id, CAST(p.tf AS DOUBLE) AS tf, dl.dl, d.df, st.n_docs, st.avgdl " +
+       "FROM p JOIN dl USING (doc_id) JOIN d ON p.token = d.token CROSS JOIN st), " +
+       "s AS (SELECT doc_id, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) / " +
+       "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w FROM m) " +
+       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, round(sum(w), 4) AS score " +
+       "FROM s GROUP BY doc_id ORDER BY score DESC, doc_id"),
+    // PageRank unrolled to the same fixed 3 iterations over the same
+    // symmetric customer<->supplier graph; constants (0.15, 0.85, the
+    // 2k/2k+1 node packing) mirror Graph.pagerankSuppliers literally.
+    // Per-node in-rank sums are the only order-sensitive float step;
+    // the final normalize-and-round(6) absorbs it, and the presented
+    // ordering uses the rounded value.
+    "q_pagerank_suppliers" ->
+      ("WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s " +
+       "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+       "e AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s AS src, c AS dst FROM pairs), " +
+       "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src), " +
+       "nd AS (SELECT DISTINCT src AS node FROM e), " +
+       "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd), " +
+       "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nd CROSS JOIN nn), " +
+       "a1 AS (SELECT e.dst AS node, sum(r0.rank / deg.outdeg) AS in_rank " +
+       "FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src GROUP BY e.dst), " +
+       "r1 AS (SELECT nd.node, 0.15 / nn.n + 0.85 * coalesce(a1.in_rank, 0.0) AS rank " +
+       "FROM nd LEFT JOIN a1 USING (node) CROSS JOIN nn), " +
+       "a2 AS (SELECT e.dst AS node, sum(r1.rank / deg.outdeg) AS in_rank " +
+       "FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src GROUP BY e.dst), " +
+       "r2 AS (SELECT nd.node, 0.15 / nn.n + 0.85 * coalesce(a2.in_rank, 0.0) AS rank " +
+       "FROM nd LEFT JOIN a2 USING (node) CROSS JOIN nn), " +
+       "a3 AS (SELECT e.dst AS node, sum(r2.rank / deg.outdeg) AS in_rank " +
+       "FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src GROUP BY e.dst), " +
+       "r3 AS (SELECT nd.node, 0.15 / nn.n + 0.85 * coalesce(a3.in_rank, 0.0) AS rank " +
+       "FROM nd LEFT JOIN a3 USING (node) CROSS JOIN nn) " +
+       "SELECT CAST((node - 1) // 2 AS BIGINT) AS supp_key, " +
+       "round(rank * nn.n, 6) AS rank_norm FROM r3 CROSS JOIN nn WHERE node % 2 = 1 " +
+       "ORDER BY rank_norm DESC, supp_key")
     // knn_ivf's oracle is generated post-run from the served quantizer
     // (see knnIvfOracle below).
   )

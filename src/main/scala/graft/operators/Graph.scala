@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over relations the engine already holds — the
+  * link-analysis step of a data-curation pipeline (entity importance
+  * for sampling weights, hub detection for domain caps) expressed as
+  * iterated joins/aggregates, the way Pregel-style engines lower to
+  * dataflow anyway.
+  *
+  * The graph here is the transaction bipartite graph: customer→supplier
+  * edges from orders⋈lineitem (who bought from whom), made symmetric so
+  * every node has out-degree ≥ 1 — which removes PageRank's dangling-
+  * mass term entirely (no rank leaks, no global redistribution step).
+  * Node ids pack both key spaces into one long: customer k → 2k,
+  * supplier k → 2k+1.
+  *
+  * Scale shape: each PageRank iteration is ONE shuffle (edges join
+  * ranks on src, aggregate on dst); edges are built once and
+  * checkpointed, ranks are node-sized (orders of magnitude smaller
+  * than edges) and checkpointed per iteration so the logical plan
+  * stays flat instead of nesting exponentially — the standard
+  * iterative-dataflow discipline (same as the dedup label-propagation
+  * loop). At 100 TB the edge table partitions by src and the
+  * rank-join is co-partitioned after the first iteration. */
+object Graph {
+
+  val Damping: Double = 0.85
+  val Iterations: Int = 3
+
+  private val rankCache =
+    new graft.AppScopedCache[DataFrame](graft.AppScopedCache.unpersistPlanRDDs)
+
+  /** PageRank over the symmetric customer↔supplier graph, fixed
+    * iteration count, reported for suppliers as rank normalized to the
+    * uniform baseline (rank × N — "how many times more central than
+    * average"), rounded so the ranking order itself is independent of
+    * float-summation order. The converged ranks are a build-once
+    * artifact: memoized per corpus, so repeated serves re-run only the
+    * presentation projection (intermediate per-iteration checkpoints
+    * drop out of reach and are reclaimed by the ContextCleaner). */
+  def pagerankSuppliers(spark: SparkSession, dir: String): DataFrame =
+    rankCache.getOrCompute(spark, s"$dir#pagerank") {
+      pagerankSuppliersUncached(spark, dir).localCheckpoint(false)
+    }.orderBy(col("rank_norm").desc, col("supp_key"))
+
+  def evictCorpus(spark: SparkSession, dir: String): Unit =
+    rankCache.evict(spark, s"$dir#pagerank")
+
+  private def pagerankSuppliersUncached(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), (col("o_custkey") * 2).as("c"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("s")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("c"), col("s")).distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .localCheckpoint(false)
+    val deg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(false)
+    val nRow = nodes.agg(count(lit(1)).cast("double").as("n"))
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+      .localCheckpoint(false)
+    for (_ <- 1 to Iterations) {
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .join(deg, "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("outdeg")).as("in_rank"))
+      ranks = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(nRow))
+        .select(nodes("node"),
+          (lit(0.15) / col("n") + lit(0.85) * coalesce(col("in_rank"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint(false)
+    }
+    ranks.filter(col("node") % 2 === 1)
+      .crossJoin(broadcast(nRow))
+      .select(((col("node") - 1) / 2).cast("long").as("supp_key"),
+        round(col("rank") * col("n"), 6).as("rank_norm"))
+      .orderBy(col("rank_norm").desc, col("supp_key"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Full-text keyword search served from an inverted index — the
+  * retrieval half of a training-data pipeline (corpus audit queries,
+  * benchmark-contamination lookups, targeted subset extraction all run
+  * keyword search over the corpus, and at 100 TB they cannot afford a
+  * text scan per query).
+  *
+  * The index is the classic IR decomposition: a postings table
+  * (token, doc_id, tf) built by ONE explode + hash aggregate over the
+  * corpus, partitioned by token hash — the build is a single shuffle of
+  * the tokenized corpus and every query after it touches only the
+  * queried tokens' postings (a semi-join-sized read, not a corpus
+  * scan). Serving shapes:
+  *   - conjunctive (AND) match: filter postings to the query terms,
+  *     group by document, keep documents matching ALL terms — the
+  *     intersect-posting-lists plan every search engine runs;
+  *   - BM25 ranking (Robertson/Sparck Jones, the public Okapi BM25
+  *     formula): idf * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)) summed
+  *     over matched terms. Document lengths and corpus stats (N,
+  *     avgdl) come from the same postings artifact; the per-corpus
+  *     scalars ride a broadcast one-row frame so the whole ranking is
+  *     one plan with no driver-side action.
+  *
+  * Both serving queries consume the memoized postings
+  * (build-once-serve-many, [[graft.AppScopedCache]] discipline), so a
+  * session answering many searches tokenizes the corpus ONCE. */
+object Search {
+
+  /** The registered queries' search terms — present in the fixture
+    * vocabulary so both serving shapes return non-trivial results. */
+  val QueryTerms: Seq[String] = Seq("spark", "merge", "window")
+
+  private val postingsCache =
+    new graft.AppScopedCache[DataFrame](graft.AppScopedCache.unpersistPlanRDDs)
+
+  /** Postings table (token, doc_id, tf): one explode + one hash
+    * aggregate, shuffled by (token, doc_id). Memoized per corpus. */
+  def postings(spark: SparkSession, dir: String): DataFrame =
+    postingsCache.getOrCompute(spark, s"$dir#postings") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false)
+    }
+
+  def evictCorpus(spark: SparkSession, dir: String): Unit =
+    postingsCache.evict(spark, s"$dir#postings")
+
+  /** Term dictionary: per-token document frequency, collection
+    * frequency, and first posting — the index's own summary (what a
+    * vocabulary audit or stop-word selection reads). One aggregate
+    * over the postings artifact; never re-touches the corpus. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    postings(spark, dir)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("token"))
+
+  /** Conjunctive keyword search: documents containing ALL query terms,
+    * served by intersecting posting lists — filter to the |terms|
+    * tokens, one group-by-document, HAVING n_terms = |terms|. Work is
+    * proportional to the queried tokens' postings, not the corpus. */
+  def searchAll(spark: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms): DataFrame =
+    postings(spark, dir)
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("token")).as("n_terms"),
+        sum(col("tf")).as("total_tf"))
+      .filter(col("n_terms") === terms.size)
+      .select(col("doc_id"), col("total_tf"))
+      .orderBy(col("doc_id"))
+
+  /** BM25 ranking over documents matching ANY query term. Constants
+    * k1=1.2, b=0.75 appear as the same literals the oracle SQL uses
+    * ((k1+1) pre-folded to 2.2, 1-b to 0.25) so both engines run the
+    * IDENTICAL double-precision expression tree; only the final
+    * per-document sum is order-sensitive, absorbed by round(.,4).
+    * Ordering is by the ROUNDED score (then doc_id) so the presented
+    * ranking cannot depend on sub-round float noise either. */
+  def searchBm25(spark: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms): DataFrame = {
+    val p = postings(spark, dir)
+    val dl = p.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val dfTab = p.filter(col("token").isin(terms: _*))
+      .groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+    val matched = p.filter(col("token").isin(terms: _*))
+      .join(dl, "doc_id")
+      .join(broadcast(dfTab), "token")
+      .crossJoin(broadcast(stats))
+    val tf = col("tf").cast("double")
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val w = idf * (tf * lit(2.2)) /
+      (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    matched
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), round(sum(w), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+}

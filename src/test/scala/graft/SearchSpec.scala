@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Search
+import graft.functions.TextFunctions
+
+/** Inverted-index search family: index consistency, serve-from-index
+  * (no corpus rescan), AND semantics, and BM25 ranking sanity — the
+  * exact-value certification is the DuckDB oracle's job. */
+class SearchSpec extends SparkSpec {
+
+  test("inverted index dictionary is consistent with a direct corpus scan") {
+    val idx = Search.invertedIndex(spark, sf).collect()
+    assert(idx.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    // every df within [1, nDocs]; cf >= df (a doc counted in df
+    // contributes at least one occurrence)
+    idx.foreach { r =>
+      val df = r.getAs[Long]("df"); val cf = r.getAs[Long]("cf")
+      assert(df >= 1 && df <= nDocs)
+      assert(cf >= df)
+    }
+    // total collection frequency equals the corpus token count
+    val cfSum = idx.map(_.getAs[Long]("cf")).sum
+    val tokTotal = Tables.documents(spark, sf)
+      .agg(sum(TextFunctions.tokenCount(col("text")))).head.getLong(0)
+    assert(cfSum === tokTotal)
+  }
+
+  test("AND search matches a direct all-terms text filter") {
+    val served = Search.searchAll(spark, sf).collect().map(_.getLong(0)).toSet
+    val toks = TextFunctions.tokens(col("text"))
+    val direct = Tables.documents(spark, sf)
+      .filter(Search.QueryTerms.map(t => array_contains(toks, t)).reduce(_ && _))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(served === direct)
+    assert(served.nonEmpty)
+  }
+
+  test("serving runs from the memoized index, not a corpus scan") {
+    Search.searchAll(spark, sf).count() // force the postings build
+    val plan = Search.searchBm25(spark, sf).queryExecution.executedPlan.toString
+    // the postings artifact is a checkpointed RDD scan; a documents
+    // parquet FileScan in the serve plan would mean a corpus rescan
+    assert(!plan.contains("documents.parquet"))
+  }
+
+  test("BM25 scores are positive, ordered, and slice back to the AND set") {
+    val rows = Search.searchBm25(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("score") > 0.0)
+      val n = r.getAs[Long]("n_terms")
+      assert(n >= 1 && n <= Search.QueryTerms.size)
+    }
+    // presented order is score-descending (rounded), doc_id tiebreak
+    val scores = rows.map(r => (r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+    assert(scores.sameElements(scores.sortBy { case (s, id) => (-s, id) }))
+    // the AND-match set is exactly the n_terms == |terms| slice
+    val andDocs = Search.searchAll(spark, sf).collect().map(_.getLong(0)).toSet
+    val fullDocs = rows.filter(_.getAs[Long]("n_terms") == Search.QueryTerms.size)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(fullDocs === andDocs)
+  }
+}
