@@ -463,6 +463,7 @@ object Queries {
     "text_repetition" -> (TextAnalysis.repetition _),
     "knn_quantized_rerank" -> ((s: SparkSession, d: String) => Similarity.knnQuantizedRerank(s, d)),
     "knn_pq_adc" -> ((s: SparkSession, d: String) => Similarity.knnPqAdc(s, d)),
+    "knn_ivf_pq" -> ((s: SparkSession, d: String) => Similarity.knnIvfPq(s, d)),
     "knn_filtered" -> ((s: SparkSession, d: String) => Similarity.knnFiltered(s, d)),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "sim_embed_norms" -> (Similarity.norms _),
@@ -1578,6 +1579,83 @@ object Queries {
        "SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank")
   }
 
+  // DuckDB twin of the composed IVF-PQ path: needs BOTH served
+  // artifacts (index centroids + PQ codebooks) for the same corpus.
+  // Probe cell ranking mirrors knnIvfOracleFor; codes/LUT/ADC mirror
+  // knnPqOracleFor; the join runs per probed cell.
+  private def ivfPqOracles: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val sc = graft.operators.Similarity.servedCentroids.asScala.toMap
+    val sb = graft.operators.Similarity.servedCodebooks.asScala.toMap
+    (sc.toSeq, sb.toSeq) match {
+      case (Seq((d1, cents)), Seq((d2, cb))) if d1 == d2 =>
+        Map(knnIvfPqOracleFor(cents, cb))
+      case (Seq(_), Seq(_)) =>
+        System.err.println("[graft] ivf-pq oracle omitted: quantizer and codebooks " +
+          "served for different corpora")
+        Map.empty
+      case (Seq(), _) | (_, Seq()) =>
+        Map("knn_ivf_pq" ->
+          "SELECT 'knn_ivf_pq served no quantizer or codebooks - query failed before serving' AS error")
+      case _ =>
+        System.err.println("[graft] ivf-pq oracle omitted: multiple corpora served")
+        Map.empty
+    }
+  }
+
+  private def knnIvfPqOracleFor(cents: Seq[Array[Double]],
+      cb: Seq[Seq[Array[Double]]]): (String, String) = {
+    val m = graft.operators.Similarity.PqSubspaces
+    val d = graft.operators.Similarity.PqDim
+    val cellScores = cents.map { c =>
+      val lit = c.mkString("[", ", ", "]::DOUBLE[]")
+      val half = c.map(x => x * x).sum / 2.0
+      s"list_dot_product(v, $lit) - ($half)"
+    }.mkString("[", ", ", "]")
+    val subScores = (0 until m).map { i =>
+      val lo = i * d + 1; val hi = (i + 1) * d
+      cb(i).map { c =>
+        val l = c.mkString("[", ", ", "]::DOUBLE[]")
+        val half = c.map(x => x * x).sum / 2.0
+        s"list_dot_product(v[$lo:$hi], $l) - ($half)"
+      }.mkString("[", ", ", "]") + s" AS s$i"
+    }.mkString(", ")
+    val codes = (0 until m)
+      .map(i => s"CAST(list_position(s$i, list_max(s$i)) AS INTEGER)")
+      .mkString("[", ", ", "]")
+    val luts = (0 until m).map { i =>
+      val lo = i * d + 1; val hi = (i + 1) * d
+      cb(i).map { c =>
+        val l = c.mkString("[", ", ", "]::DOUBLE[]")
+        s"list_dot_product(q[$lo:$hi], $l)"
+      }.mkString("[", ", ", "]") + s" AS l$i"
+    }.mkString(", ")
+    val adc = (0 until m).map(i => s"l$i[codes[${i + 1}]]").mkString(" + ")
+    "knn_ivf_pq" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       s"csc AS (SELECT vec_id, v, $cellScores AS scores FROM e), " +
+       "a AS (SELECT vec_id, v, scores, CAST(list_position(scores, list_max(scores)) AS INTEGER) AS cell FROM csc), " +
+       "p0 AS (SELECT vec_id AS query_id, v AS q, scores FROM a WHERE vec_id < 5), " +
+       "px AS (SELECT query_id, q, unnest(list_slice(list_reverse_sort(" +
+       s"list_transform(range(1, ${cents.length + 1}), i -> {'s': scores[i], 'i': i})), 1, " +
+       s"${graft.operators.Similarity.NumProbeCells})) AS cr FROM p0), " +
+       "probes AS (SELECT query_id, q, CAST(cr.i AS INTEGER) AS cell FROM px), " +
+       s"sc AS (SELECT vec_id, cell, v, $subScores FROM a), " +
+       s"c AS (SELECT vec_id, cell, $codes AS codes FROM sc), " +
+       s"pl AS (SELECT query_id, cell, $luts FROM probes), " +
+       "co AS (SELECT pl.query_id, c.vec_id AS neighbor_id, " +
+       s"round($adc, 6) AS adc FROM c JOIN pl ON c.cell = pl.cell AND c.vec_id <> pl.query_id), " +
+       "sl AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+       "row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn FROM co) " +
+       "WHERE rn <= 20), " +
+       "ex AS (SELECT sl.query_id, sl.neighbor_id, " +
+       "round(list_dot_product(p0.q, e.v) / (sqrt(list_dot_product(p0.q, p0.q)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cos_sim " +
+       "FROM sl JOIN e ON sl.neighbor_id = e.vec_id JOIN p0 ON sl.query_id = p0.query_id), " +
+       "r AS (SELECT query_id, neighbor_id, cos_sim, " +
+       "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank FROM ex) " +
+       "SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank")
+  }
+
   private def centroidOracles: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     val served = graft.operators.Similarity.servedCentroids.asScala.toMap
@@ -1650,5 +1728,5 @@ object Queries {
   def all: Map[String, Q] = timeSeries ++ relational ++ extensions ++ analytics
   def oracles: Map[String, String] =
     timeSeriesOracles ++ relationalOracles ++ extensionOracles ++ analyticsOracles ++
-      centroidOracles ++ pqOracles
+      centroidOracles ++ pqOracles ++ ivfPqOracles
 }

@@ -864,4 +864,72 @@ object Similarity {
         round(cosine(col("q"), col("v")), 4).as("cos_sim"))
     topKPerQuery(exact, k)
   }
+
+  /** IVF-PQ: the composed large-scale serving architecture — coarse
+    * cell pruning from the materialized IVF index (probes read only
+    * their top-nprobe cells' files, plan-time partition pruning) AND
+    * the PQ-ADC compressed scan inside the survivors (codes + one
+    * broadcast LUT row per probe, never the floats), then exact-cosine
+    * re-rank of the shortlist. This is the FAISS-IVFPQ shape: at 100 TB
+    * the index stores codes alongside each cell's vectors, a query
+    * touches nprobe/k of the corpus AND reads it 32x smaller, and full
+    * precision is paid only for the top-coarseK shortlist. Both
+    * quantizers are served artifacts (index sidecar centroids, memoized
+    * codebooks) — never retrained at query time — and both feed the
+    * post-run oracle generator. */
+  def knnIvfPq(spark: SparkSession, dir: String,
+      k: Int = 5, coarseK: Int = 20): DataFrame = {
+    val indexPath = ivfIndexPath(spark, dir)
+    val cents = readCentroidSidecar(spark, indexPath)
+    servedCentroids.put(dir, cents)
+    val cb = pqCodebooks(spark, dir)
+    servedCodebooks.put(dir, cb)
+    val probes = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
+      .withColumn("scores", cellScores(col("q"), cents))
+      .withColumn("ranked",
+        reverse(array_sort(zip_with(col("scores"),
+          sequence(lit(1), lit(NumCells)),
+          (s, i) => struct(s.as("score"), i.as("idx"))))))
+      .select(col("query_id"), col("q"),
+              explode(slice(col("ranked.idx"), 1, NumProbeCells)).as("cell"))
+    val probeRows = probes.collect()
+    val probeCells = probeRows.map(_.getInt(2)).distinct
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probes.schema)
+    val luts = (0 until PqSubspaces).map { m =>
+      array(cb(m).map(c =>
+        dot(slice(col("q"), m * PqDim + 1, PqDim),
+          array(c.toIndexedSeq.map(lit): _*))): _*).as(s"lut$m")
+    }
+    val probesLut = probesLocal
+      .select(col("query_id") +: col("cell") +: col("q").as("q") +: luts: _*)
+    val index = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf).toSeq: _*))
+      .select(col("cell").cast("int").as("cell"), col("vec_id"), col("v"))
+    val coded = index.select(col("cell"), col("vec_id"),
+      array((0 until PqSubspaces).map(m => pqCode(col("v"), m, cb)): _*).as("codes"))
+    val adcExpr = (0 until PqSubspaces)
+      .map(m => element_at(col(s"lut$m"), element_at(col("codes"), m + 1)))
+      .reduce(_ + _)
+    val coarse = coded.join(broadcast(probesLut.drop("q")), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(adcExpr, 6).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val shortlist = coarse.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= coarseK)
+      .select(col("query_id"), col("neighbor_id"))
+    val exactProbes = probesLocal
+      .select(col("query_id"), col("q")).distinct()
+    val exact = shortlist
+      .join(index.select(col("vec_id"), col("v")),
+        col("neighbor_id") === col("vec_id"))
+      .join(broadcast(exactProbes), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q"), col("v")), 4).as("cos_sim"))
+    topKPerQuery(exact, k)
+  }
 }

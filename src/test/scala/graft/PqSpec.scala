@@ -56,4 +56,31 @@ class PqSpec extends SparkSpec {
       assert(want.exists(pq.contains), s"query $q lost all true neighbors")
     }
   }
+
+  test("IVF-PQ composes both quantizers into a ranked, self-free top-k") {
+    val rows = Similarity.knnIvfPq(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.foreach { case (q, g) =>
+      assert(g.length === 5)
+      val ranked = g.sortBy(_.getAs[Long]("rank"))
+      assert(ranked.map(_.getAs[Long]("rank")).toSeq === (1L to 5L))
+      val sims = ranked.map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(!ranked.exists(_.getAs[Long]("neighbor_id") == q))
+    }
+    // the composed path returns a subset of the IVF candidate universe:
+    // every neighbor it reports must also be reachable by the pure IVF
+    // serve over the same probed cells when its shortlist is widest —
+    // cross-check against plain IVF top-k overlap being nonzero
+    // (identical cells, PQ only re-orders the coarse stage)
+    val ivf = Similarity.knnIvfIndexed(spark, sf,
+      Similarity.ivfIndexPath(spark, sf)).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(got.intersect(ivf).nonEmpty)
+    // determinism across serves
+    val again = Similarity.knnIvfPq(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
