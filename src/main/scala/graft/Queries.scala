@@ -508,6 +508,8 @@ object Queries {
     "text_inverted_index" -> (Search.invertedIndex _),
     "text_search_and" -> ((s: SparkSession, d: String) => Search.searchAll(s, d)),
     "text_search_bm25" -> ((s: SparkSession, d: String) => Search.searchBm25(s, d)),
+    "text_search_phrase" -> ((s: SparkSession, d: String) => Search.searchPhrase(s, d)),
+    "text_collocations_pmi" -> ((s: SparkSession, d: String) => Search.collocationsPmi(s, d)),
     "q_pagerank_suppliers" -> (Graph.pagerankSuppliers _)
   )
 
@@ -1330,6 +1332,31 @@ object Queries {
        "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w FROM m) " +
        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, round(sum(w), 4) AS score " +
        "FROM s GROUP BY doc_id ORDER BY score DESC, doc_id"),
+    // phrase search: the oracle scans each token list for the aligned
+    // 3-token window — the Spark side must produce the same counts
+    // from positional-index equi-joins
+    "text_search_phrase" -> {
+      val Seq(w0, w1, w2) = graft.operators.Search.PhraseTerms
+      s"WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents), " +
+      "h AS (SELECT doc_id, CAST(len(list_filter(range(1, len(tk) - 1), " +
+      s"i -> tk[i] = '$w0' AND tk[i+1] = '$w1' AND tk[i+2] = '$w2')) AS BIGINT) AS n_hits FROM t) " +
+      "SELECT doc_id, n_hits FROM h WHERE n_hits > 0 ORDER BY doc_id"
+    },
+    // PMI: identical operation order (counts cast to double, the
+    // (c_ab/N2)/((c_a/N1)(c_b/N1)) nesting, natural log), ordering by
+    // the rounded score
+    "text_collocations_pmi" ->
+      (s"WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents), " +
+       "u AS (SELECT unnest(tk) AS token FROM t), " +
+       "c1 AS (SELECT token, CAST(count(*) AS DOUBLE) AS c FROM u GROUP BY token), " +
+       "sc AS (SELECT CAST(count(*) AS DOUBLE) AS n1, " +
+       "CAST(count(*) AS DOUBLE) - (SELECT CAST(count(*) AS DOUBLE) FROM t) AS n2 FROM u), " +
+       "bg AS (SELECT unnest(list_transform(range(1, len(tk)), i -> {'a': tk[i], 'b': tk[i+1]})) AS b FROM t), " +
+       "c2 AS (SELECT b.a AS w1, b.b AS w2, count(*) AS n_pair FROM bg GROUP BY 1, 2 HAVING count(*) >= 5) " +
+       "SELECT w1, w2, n_pair, " +
+       "round(ln((CAST(n_pair AS DOUBLE) / sc.n2) / ((ca.c / sc.n1) * (cb.c / sc.n1))), 4) AS pmi " +
+       "FROM c2 JOIN c1 ca ON c2.w1 = ca.token JOIN c1 cb ON c2.w2 = cb.token CROSS JOIN sc " +
+       "ORDER BY pmi DESC, w1, w2"),
     // PageRank unrolled to the same fixed 3 iterations over the same
     // symmetric customer<->supplier graph; constants (0.15, 0.85, the
     // 2k/2k+1 node packing) mirror Graph.pagerankSuppliers literally.

@@ -50,8 +50,10 @@ object Search {
         .localCheckpoint(false)
     }
 
-  def evictCorpus(spark: SparkSession, dir: String): Unit =
+  def evictCorpus(spark: SparkSession, dir: String): Unit = {
     postingsCache.evict(spark, s"$dir#postings")
+    posPostingsCache.evict(spark, s"$dir#pospostings")
+  }
 
   /** Term dictionary: per-token document frequency, collection
     * frequency, and first posting — the index's own summary (what a
@@ -79,6 +81,78 @@ object Search {
       .filter(col("n_terms") === terms.size)
       .select(col("doc_id"), col("total_tf"))
       .orderBy(col("doc_id"))
+
+  /** The registered phrase query — present at every fixture SF. */
+  val PhraseTerms: Seq[String] = Seq("big", "order", "scan")
+
+  private val posPostingsCache =
+    new graft.AppScopedCache[DataFrame](graft.AppScopedCache.unpersistPlanRDDs)
+
+  /** Positional postings (token, doc_id, pos) — the index layout that
+    * upgrades keyword search to PHRASE search and feeds collocation
+    * mining; one posexplode + shuffle by token, memoized per corpus
+    * like [[postings]]. */
+  def posPostings(spark: SparkSession, dir: String): DataFrame =
+    posPostingsCache.getOrCompute(spark, s"$dir#pospostings") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .select(col("doc_id"), col("col").as("token"),
+          (col("pos") + 1).cast("long").as("pos"))
+        .localCheckpoint(false)
+    }
+
+  /** Phrase search served from the positional index: one equi-join per
+    * phrase term on (doc_id, aligned position) — the classic
+    * positional-intersect plan; work ∝ the phrase terms' postings,
+    * never a corpus scan. Returns matching documents with their
+    * occurrence counts. */
+  def searchPhrase(spark: SparkSession, dir: String,
+      phrase: Seq[String] = PhraseTerms): DataFrame = {
+    val p = posPostings(spark, dir)
+    val anchor = p.filter(col("token") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val joined = phrase.zipWithIndex.tail.foldLeft(anchor) { case (acc, (w, i)) =>
+      acc.join(p.filter(col("token") === w)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+        Seq("doc_id", "pos"))
+    }
+    joined.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Collocation mining: adjacent-bigram PMI over the positional index
+    * — ln((c_ab/N2) / ((c_a/N1)(c_b/N1))), the association measure
+    * that separates real collocations from chance co-occurrence.
+    * Unigram stats come from [[postings]], bigram counts from ONE
+    * positional self-join; corpus scalars ride a broadcast one-row
+    * frame. The formula is written in the identical operation order as
+    * the oracle; ordering is by the ROUNDED score. */
+  def collocationsPmi(spark: SparkSession, dir: String,
+      minCount: Int = 5): DataFrame = {
+    val p = posPostings(spark, dir)
+    val uni = postings(spark, dir).groupBy(col("token"))
+      .agg(sum(col("tf")).cast("double").as("c1"))
+    val scalars = postings(spark, dir)
+      .agg(sum(col("tf")).cast("double").as("n1"))
+      .crossJoin(Tables.documents(spark, dir)
+        .agg(count(lit(1)).cast("double").as("nd")))
+      .select(col("n1"), (col("n1") - col("nd")).as("n2"))
+    val pairs = p.select(col("doc_id"), col("pos"), col("token").as("w1"))
+      .join(p.select(col("doc_id"), (col("pos") - 1).as("pos"), col("token").as("w2")),
+        Seq("doc_id", "pos"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val pmi = log((col("n_pair").cast("double") / col("n2")) /
+      ((col("ca") / col("n1")) * (col("cb") / col("n1"))))
+    pairs
+      .join(broadcast(uni.select(col("token").as("w1"), col("c1").as("ca"))), Seq("w1"))
+      .join(broadcast(uni.select(col("token").as("w2"), col("c1").as("cb"))), Seq("w2"))
+      .crossJoin(broadcast(scalars))
+      .select(col("w1"), col("w2"), col("n_pair"), round(pmi, 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+  }
 
   /** BM25 ranking over documents matching ANY query term. Constants
     * k1=1.2, b=0.75 appear as the same literals the oracle SQL uses

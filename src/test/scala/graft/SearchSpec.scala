@@ -45,6 +45,47 @@ class SearchSpec extends SparkSpec {
     assert(!plan.contains("documents.parquet"))
   }
 
+  test("phrase search matches a driver-side sliding-window count") {
+    val served = Search.searchPhrase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      .collect()
+      .map { r =>
+        val tk = r.getSeq[String](1)
+        val hits = tk.indices.dropRight(2).count(i =>
+          tk(i) == Search.PhraseTerms(0) && tk(i + 1) == Search.PhraseTerms(1) &&
+            tk(i + 2) == Search.PhraseTerms(2))
+        (r.getLong(0), hits.toLong)
+      }.filter(_._2 > 0).toMap
+    assert(served === want)
+    assert(served.nonEmpty)
+  }
+
+  test("PMI collocations are well-formed and match a hand-computed pair") {
+    val rows = Search.collocationsPmi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_pair") >= 5L))
+    val scores = rows.map(r => (r.getAs[Double]("pmi"),
+      r.getAs[String]("w1"), r.getAs[String]("w2")))
+    assert(scores.sameElements(scores.sortBy { case (s, a, b) => (-s, a, b) }))
+    // recompute one pair from first principles
+    val docs = Tables.documents(spark, sf)
+      .select(TextFunctions.tokens(col("text")).as("tk")).collect()
+      .map(_.getSeq[String](0))
+    val head = rows.head
+    val (w1, w2) = (head.getAs[String]("w1"), head.getAs[String]("w2"))
+    val n1 = docs.map(_.length.toLong).sum.toDouble
+    val n2 = n1 - docs.length
+    val ca = docs.map(_.count(_ == w1).toLong).sum.toDouble
+    val cb = docs.map(_.count(_ == w2).toLong).sum.toDouble
+    val cab = docs.map(tk => tk.indices.dropRight(1)
+      .count(i => tk(i) == w1 && tk(i + 1) == w2).toLong).sum.toDouble
+    val want = math.log((cab / n2) / ((ca / n1) * (cb / n1)))
+    assert(math.abs(head.getAs[Double]("pmi") - want) < 1e-3)
+    assert(cab === head.getAs[Long]("n_pair").toDouble)
+  }
+
   test("BM25 scores are positive, ordered, and slice back to the AND set") {
     val rows = Search.searchBm25(spark, sf).collect()
     assert(rows.nonEmpty)
