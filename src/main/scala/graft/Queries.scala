@@ -1405,6 +1405,7 @@ object Queries {
     "q_funnel" -> (Analytics.funnelSignupPurchase _),
     "q_gap_fill" -> (Analytics.gapFillDaily _),
     "q_interpolate" -> (Analytics.interpolateDaily _),
+    "q_rolling_corr" -> (Analytics.rollingCorr _),
     "q_approx_sketches" -> (Analytics.approxSketches _),
     "q_sketch_exact" -> (Analytics.sketchExact _)
   )
@@ -1508,6 +1509,17 @@ object Queries {
        "WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv " +
        "ELSE pv + (nv - pv) * (day - pd) / (nd - pd) END, 4) AS value_interp, " +
        "day_value IS NOT NULL AS had_data FROM w ORDER BY day"),
+    // Pearson is scale-invariant: sample/population n-1 conventions
+    // cancel, round(4) seals residual float noise; <2-point windows
+    // are NULL in both engines
+    "q_rolling_corr" ->
+      ("WITH d AS (SELECT CAST(ts AS DATE) AS day, " +
+       "sum(CASE WHEN event_type = 'click' THEN value END) AS click_v, " +
+       "sum(CASE WHEN event_type = 'view' THEN value END) AS view_v " +
+       "FROM events WHERE event_type IN ('click', 'view') GROUP BY 1) " +
+       "SELECT day, round(click_v, 2) AS click_v, round(view_v, 2) AS view_v, " +
+       "round(corr(click_v, view_v) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS corr_7d " +
+       "FROM d ORDER BY day"),
     "q_funnel" ->
       ("WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events WHERE event_type = 'signup' GROUP BY user_id), " +
        "p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e JOIN s ON e.user_id = s.user_id " +

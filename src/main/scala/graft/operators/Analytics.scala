@@ -245,6 +245,29 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Rolling 7-day Pearson correlation between two daily series (click
+    * vs view volume) — the co-movement diagnostic dashboards run over
+    * every metric pair. One aggregate to daily grain, then a windowed
+    * corr(): Pearson is scale-invariant, so Spark's and the oracle's
+    * sample/population conventions cancel and round(4) seals the
+    * residual float noise. Windows shorter than 2 points are NULL in
+    * both engines. */
+  def rollingCorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", col("value"))).as("click_v"),
+        sum(when(col("event_type") === "view", col("value"))).as("view_v"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+    daily
+      .select(col("day"),
+        round(col("click_v"), 2).as("click_v"),
+        round(col("view_v"), 2).as("view_v"),
+        round(corr(col("click_v"), col("view_v")).over(w), 4).as("corr_7d"))
+      .orderBy(col("day"))
+  }
+
   /** Day-over-day delta via lag(): the windowed change-detection shape
     * (daily totals then a 1-row lookback over the day order). First day
     * has NULL delta in both engines. */

@@ -339,4 +339,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans.exists(_.toString.contains(s"range=[$lo")),
       s"sqlite rowid pushdown missing:\n${df.queryExecution.executedPlan}")
   }
+
+  test("BM25 serving broadcasts every small side — no postings-side shuffle join") {
+    import graft.operators.Search
+    Search.postings(spark, sf).count() // build the index artifact
+    val plan = planOf(Search.searchBm25(spark, sf))
+    // df table + corpus scalars are broadcast by construction; the big
+    // dl join may hash — but nothing may nested-loop except the
+    // one-row scalar cross join
+    assert(!plan.contains("CartesianProduct"), s"bm25 cartesian:\n$plan")
+    assert("BroadcastExchange".r.findAllIn(plan).length >= 2,
+      s"bm25 lost its broadcast sides:\n$plan")
+  }
+
+  test("pagerank iterations are equi-joins over checkpointed frames — no nested loop") {
+    import graft.operators.Graph
+    val plan = planOf(Graph.pagerankSuppliers(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"pagerank fell back to a nested loop:\n$plan")
+  }
+
+  test("IVF-PQ coarse stage prunes index partitions on the probed cells") {
+    import graft.operators.Similarity
+    val df = Similarity.knnIvfPq(spark, sf)
+    // the cell predicate must land as a PARTITION filter on the index
+    // scan (plan-time directory pruning, not a post-scan filter). On
+    // this tiny fixture the 5 probes' top-2 cells may cover every
+    // cell, so pin the mechanism, not the count.
+    val plan = planOf(df)
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("cell"))
+    val pf = "PartitionFilters: \\[[^\\]]*cell".r
+    assert(scanLine.exists(l => pf.findFirstIn(l).isDefined),
+      s"index scan lost its cell partition filter:\n$plan")
+  }
 }
