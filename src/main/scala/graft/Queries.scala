@@ -509,6 +509,7 @@ object Queries {
     "text_search_and" -> ((s: SparkSession, d: String) => Search.searchAll(s, d)),
     "text_search_bm25" -> ((s: SparkSession, d: String) => Search.searchBm25(s, d)),
     "text_search_phrase" -> ((s: SparkSession, d: String) => Search.searchPhrase(s, d)),
+    "text_search_indexed" -> ((s: SparkSession, d: String) => Search.searchAllIndexed(s, d)),
     "text_collocations_pmi" -> ((s: SparkSession, d: String) => Search.collocationsPmi(s, d)),
     "q_pagerank_suppliers" -> (Graph.pagerankSuppliers _)
   )
@@ -1332,6 +1333,14 @@ object Queries {
        "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w FROM m) " +
        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, round(sum(w), 4) AS score " +
        "FROM s GROUP BY doc_id ORDER BY score DESC, doc_id"),
+    // served from the PERSISTED two-segment commit-log index; the
+    // oracle is the full-corpus SQL — base ∪ delta ≡ whole corpus is
+    // exactly the property under test
+    "text_search_indexed" ->
+      (s"WITH p AS ($duckPostings) " +
+       s"SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf FROM p WHERE token IN $duckTermsIn " +
+       s"GROUP BY doc_id HAVING count(DISTINCT token) = ${graft.operators.Search.QueryTerms.size} " +
+       "ORDER BY doc_id"),
     // phrase search: the oracle scans each token list for the aligned
     // 3-token window — the Spark side must produce the same counts
     // from positional-index equi-joins

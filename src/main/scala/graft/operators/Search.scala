@@ -53,6 +53,7 @@ object Search {
   def evictCorpus(spark: SparkSession, dir: String): Unit = {
     postingsCache.evict(spark, s"$dir#postings")
     posPostingsCache.evict(spark, s"$dir#pospostings")
+    indexTableCache.evict(spark, s"$dir#indextable")
   }
 
   /** Term dictionary: per-token document frequency, collection
@@ -152,6 +153,50 @@ object Search {
       .crossJoin(broadcast(scalars))
       .select(col("w1"), col("w2"), col("n_pair"), round(pmi, 4).as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
+  }
+
+  /** The persisted index: postings stored AS a graft commit-log table —
+    * segment appends are atomic commits (a reader never sees a half-
+    * written segment), each segment publishes a token Bloom filter so
+    * term lookups skip segments that cannot contain the term, and the
+    * index is TIME-TRAVELABLE (serve the index as of any version —
+    * audit which corpus state answered yesterday's query). This is the
+    * Lucene segment model re-expressed on the engine's own table
+    * format; at 100 TB segments are per-ingest-batch and a background
+    * compact() merges small ones like any other graft table. The
+    * fixture build writes two segments: the base corpus (doc_id%10!=9)
+    * then the delta (doc_id%10==9). */
+  private val indexTableCache =
+    new graft.AppScopedCache[String](Similarity.deleteLocalDir)
+
+  def indexTablePath(spark: SparkSession, dir: String): String =
+    indexTableCache.getOrCompute(spark, s"$dir#indextable") {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_searchidx_").toString
+      val p = postings(spark, dir)
+      val base = p.filter(col("doc_id") % 10 =!= 9)
+      val delta = p.filter(col("doc_id") % 10 === 9)
+      graft.operators.CommitLog.appendWithBloom(spark, path, base, Seq("token"))
+      graft.operators.CommitLog.appendWithBloom(spark, path, delta, Seq("token"))
+      path
+    }
+
+  /** Conjunctive search served from the PERSISTED index across all
+    * committed segments — same plan as [[searchAll]], proving
+    * base ∪ delta ≡ the whole corpus (the oracle is the full-corpus
+    * SQL). `asOf = Some(0)` serves yesterday's index: only base-
+    * segment hits. */
+  def searchAllIndexed(spark: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms, asOf: Option[Long] = None): DataFrame = {
+    val idx = graft.operators.CommitLog.read(spark,
+      indexTablePath(spark, dir), asOf)
+    idx.filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("token")).as("n_terms"),
+        sum(col("tf")).as("total_tf"))
+      .filter(col("n_terms") === terms.size)
+      .select(col("doc_id"), col("total_tf"))
+      .orderBy(col("doc_id"))
   }
 
   /** BM25 ranking over documents matching ANY query term. Constants

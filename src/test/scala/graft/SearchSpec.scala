@@ -86,6 +86,25 @@ class SearchSpec extends SparkSpec {
     assert(cab === head.getAs[Long]("n_pair").toDouble)
   }
 
+  test("persisted segment index serves the full corpus and time-travels") {
+    // across both committed segments: identical to the in-memory serve
+    val seg = Search.searchAllIndexed(spark, sf).collect().map(_.toString).toSeq
+    val mem = Search.searchAll(spark, sf).collect().map(_.toString).toSeq
+    assert(seg === mem && seg.nonEmpty)
+    // as of version 0: only base-segment (doc_id % 10 != 9) hits —
+    // yesterday's index state answers with yesterday's corpus
+    val v0 = Search.searchAllIndexed(spark, sf, asOf = Some(0L)).collect()
+      .map(_.getLong(0))
+    assert(v0.forall(_ % 10 != 9))
+    val full = Search.searchAll(spark, sf).collect().map(_.getLong(0))
+    assert(v0.toSet === full.filter(_ % 10 != 9).toSet)
+    // each segment commit published its token bloom (term lookups can
+    // skip segments)
+    val hist = graft.operators.CommitLog.history(spark,
+      Search.indexTablePath(spark, sf))
+    assert(hist.count() >= 2)
+  }
+
   test("BM25 scores are positive, ordered, and slice back to the AND set") {
     val rows = Search.searchBm25(spark, sf).collect()
     assert(rows.nonEmpty)
