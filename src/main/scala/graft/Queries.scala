@@ -489,6 +489,7 @@ object Queries {
     "mm_video_frames" -> (Multimodal.videoFrames _),
     "mm_audio_pcm" -> (Multimodal.audioPcm _),
     "text_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
+    "pipeline_weighted_sample" -> ((s: SparkSession, d: String) => TextAnalysis.weightedSample(s, d)),
     "text_clean" -> ((s: SparkSession, d: String) => TextAnalysis.clean(s, d)),
     "dedup_paragraphs" -> ((s: SparkSession, d: String) => Dedup.paragraphDedup(s, d)),
     "dedup_paragraph_flags" -> ((s: SparkSession, d: String) => Dedup.paragraphFlags(s, d)),
@@ -1118,6 +1119,13 @@ object Queries {
     // the sampler's keep decision is a pure function of doc_id (md5
     // uniform), so the oracle reproduces the EXACT sample — the whole
     // point of the deterministic form (sampleBy's RNG has no SQL twin)
+    // Efraimidis–Spirakis priorities from the same md5 uniform; the
+    // cut orders by the ROUNDED priority with doc_id tiebreak
+    "pipeline_weighted_sample" ->
+      (s"WITH s AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens, " +
+       "round(ln(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0) / " +
+       s"CAST(len($duckToks) AS DOUBLE), 6) AS priority FROM documents) " +
+       "SELECT doc_id, n_tokens, priority FROM s ORDER BY priority DESC, doc_id LIMIT 64"),
     "text_sample_stratified" -> {
       val cases = graft.operators.TextAnalysis.DefaultSampleFractions
         .map { case (s, f) => s"WHEN source = '$s' THEN $f" }.mkString(" ")

@@ -18,6 +18,27 @@ object TextAnalysis {
     * byte-pair merge table would then split. */
   val BpePattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
 
+  /** Weighted sample without replacement (Efraimidis–Spirakis priority
+    * sampling): each doc draws priority ln(u)/w — u the md5-keyed
+    * uniform (the [[sampleStratified]] discipline: a PURE function of
+    * doc_id, so any engine/rerun/audit reproduces the exact sample),
+    * w the token count — and the k highest priorities are the sample.
+    * This is THE token-budget sampling primitive: inclusion
+    * probability ∝ weight, one scan, and the top-k lowers to
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k
+    * rows — no global sort at 100 TB). Priorities are rounded before
+    * the cut so the kept set cannot hinge on sub-round float noise. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val w = tokenCount(col("text")).cast("double")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+        round(log(u) / w, 6).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Token accounting per document: whitespace tokens vs BPE-style
     * pre-tokens — the number a training-cost estimate bills by. Pure
     * codegen'd regexp over one scan. */

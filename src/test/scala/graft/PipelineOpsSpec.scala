@@ -116,4 +116,27 @@ class PipelineOpsSpec extends SparkSpec {
     val recall = overlap.length.toDouble / brute.length
     assert(recall >= 0.8, s"recall@5 = $recall")
   }
+
+  test("weighted sample prefers heavy documents and lowers to a top-k plan") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val df = TextAnalysis.weightedSample(spark, sf, k = 16)
+    // the top-k must be TakeOrderedAndProject (per-partition heaps),
+    // never a global Sort + Limit
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      s"weighted sample lost its top-k plan:\n${df.queryExecution.executedPlan}")
+    val rows = df.collect()
+    assert(rows.length === 16)
+    // priorities presented in the cut order, deterministic across runs
+    val pri = rows.map(_.getAs[Double]("priority"))
+    assert(pri.zip(pri.tail).forall { case (a, b) => a >= b })
+    assert(df.collect().map(_.toString).toSeq === rows.map(_.toString).toSeq)
+    // inclusion probability ∝ token count: the sample's mean length
+    // must exceed the corpus mean (heavily weighted docs preferred)
+    val sampleMean = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble / rows.length
+    val corpusMean = graft.Tables.documents(spark, sf)
+      .agg(avg(graft.functions.TextFunctions.tokenCount(col("text")))).head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
 }
