@@ -182,15 +182,18 @@ object Search {
     }
 
   /** Conjunctive search served from the PERSISTED index across all
-    * committed segments — same plan as [[searchAll]], proving
-    * base ∪ delta ≡ the whole corpus (the oracle is the full-corpus
-    * SQL). `asOf = Some(0)` serves yesterday's index: only base-
-    * segment hits. */
+    * committed segments: one [[graft.operators.CommitLog.scanEquals]]
+    * per term — each probe consults the per-segment token Blooms, so a
+    * term absent from a segment never opens that segment's file — then
+    * the same intersect plan as [[searchAll]], proving base ∪ delta ≡
+    * the whole corpus (the oracle is the full-corpus SQL).
+    * `asOf = Some(0)` serves yesterday's index: only base-segment
+    * hits. */
   def searchAllIndexed(spark: SparkSession, dir: String,
       terms: Seq[String] = QueryTerms, asOf: Option[Long] = None): DataFrame = {
-    val idx = graft.operators.CommitLog.read(spark,
-      indexTablePath(spark, dir), asOf)
-    idx.filter(col("token").isin(terms: _*))
+    val table = indexTablePath(spark, dir)
+    terms.map(t => graft.operators.CommitLog.scanEquals(spark, table, "token", t, asOf))
+      .reduce(_ unionAll _)
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("token")).as("n_terms"),
         sum(col("tf")).as("total_tf"))
