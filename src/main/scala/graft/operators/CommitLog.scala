@@ -233,10 +233,20 @@ object CommitLog {
     * recognized replay. This is how every lakehouse streaming sink
     * gets exactly-once from an at-least-once engine contract. */
   def appendStream(spark: SparkSession, tablePath: String, df: DataFrame,
-      batchId: Long): Option[Long] =
+      batchId: Long, bloomCols: Seq[String] = Seq.empty): Option[Long] =
     if (committedBatchIds(spark, tablePath).contains(batchId)) None
-    else Some(commit(spark, tablePath, stage(spark, tablePath, df),
-      Seq.empty, Some(batchId)))
+    else if (bloomCols.isEmpty)
+      Some(commit(spark, tablePath, stage(spark, tablePath, df),
+        Seq.empty, Some(batchId)))
+    else {
+      // segment-with-metadata form: the streamed batch publishes its
+      // Bloom filters in the SAME exactly-once commit, so point-probe
+      // skipping works on streamed segments identically to batch ones
+      val (files, stats, blooms) =
+        stageWithMeta(spark, tablePath, df, Seq.empty, bloomCols)
+      Some(commit(spark, tablePath, files, Seq.empty, Some(batchId),
+        stats = stats, blooms = blooms))
+    }
 
   def latestVersion(spark: SparkSession, tablePath: String): Long = {
     val log = new Path(tablePath, LogDir)

@@ -195,6 +195,37 @@ object IncrementalIngest {
         ()
       }
 
+  /** Streaming inverted-index maintenance: every micro-batch of
+    * incoming documents tokenizes to a postings segment (token,
+    * doc_id, tf) and commits it to the persisted search index table
+    * WITH its per-segment token Bloom — one exactly-once
+    * batchId-stamped commit per trigger (CommitLog.appendStream's
+    * ledger: a replayed batch lands nothing), so keyword search over
+    * the table sees each arrived document exactly once and term
+    * probes skip streamed segments identically to batch ones. The
+    * as-it-arrives counterpart of [[graft.operators.Search]]'s
+    * two-segment fixture build; work per trigger ∝ batch size, the
+    * standing index is never rewritten. */
+  def searchIndexWriter(docs: DataFrame, tablePath: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val postings = batch
+            .select(col("doc_id"),
+              explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+            .groupBy(col("token"), col("doc_id"))
+            .agg(count(lit(1)).as("tf"))
+          graft.operators.CommitLog.appendStream(
+            batch.sparkSession, tablePath, postings, batchId,
+            bloomCols = Seq("token"))
+        }
+        ()
+      }
+
   /** File-source stream of incoming embeddings — the ingest feed for
     * [[ivfAppendWriter]]. */
   def embeddingsSource(spark: SparkSession, inputDir: String,

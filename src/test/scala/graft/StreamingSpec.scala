@@ -810,4 +810,53 @@ class StreamingSpec extends SparkSpec {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
     }
   }
+
+  test("streaming search-index maintenance: postings segments commit exactly-once with blooms") {
+    import graft.operators.CommitLog
+    val root = Files.createTempDirectory("graft-ssearch").toString
+    val (in, idx, ckpt) = (s"$root/in", s"$root/idx", s"$root/ckpt")
+    def writeDocs(docs: Seq[(Long, String)]): Unit = {
+      import spark.implicits._
+      docs.toDF("doc_id", "text").repartition(1)
+        .write.mode(SaveMode.Append).parquet(in)
+    }
+    def runStream(): Unit = {
+      val q = IncrementalIngest.searchIndexWriter(
+        IncrementalIngest.documentsSource(spark, in), idx, ckpt).start()
+      q.awaitTermination()
+    }
+    def andSearch(terms: Seq[String]): Set[Long] =
+      terms.map(t => CommitLog.scanEquals(spark, idx, "token", t))
+        .reduce(_ unionAll _)
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("token")).as("n"))
+        .filter(col("n") === terms.size)
+        .collect().map(_.getLong(0)).toSet
+    try {
+      writeDocs((0L until 20L).map(i => (i, s"alpha beta w${i % 5}")))
+      runStream()
+      val v1 = CommitLog.latestVersion(spark, idx)
+      // keyword search over the streamed index sees every arrived doc
+      assert(andSearch(Seq("alpha", "w3")) === Set(3L, 8L, 13L, 18L))
+      // second arrival: only new docs index; a new commit lands
+      writeDocs(Seq((100L, "alpha beta w3 gamma")))
+      runStream()
+      assert(CommitLog.latestVersion(spark, idx) > v1)
+      assert(andSearch(Seq("alpha", "w3")) === Set(3L, 8L, 13L, 18L, 100L))
+      assert(andSearch(Seq("gamma", "beta")) === Set(100L))
+      // exactly-once: re-delivering a committed batch lands nothing
+      import spark.implicits._
+      val ids = CommitLog.committedBatchIds(spark, idx)
+      val n0 = CommitLog.read(spark, idx).count()
+      val replay = CommitLog.appendStream(spark, idx,
+        Seq(("phantom", 999L, 1L)).toDF("token", "doc_id", "tf"),
+        ids.head, bloomCols = Seq("token"))
+      assert(replay.isEmpty && CommitLog.read(spark, idx).count() === n0)
+      // every streamed segment carries its token bloom: a term that no
+      // segment contains prunes ALL files driver-side (empty scan)
+      assert(andSearch(Seq("zeta")) === Set.empty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
 }
