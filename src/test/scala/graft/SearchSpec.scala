@@ -100,9 +100,15 @@ class SearchSpec extends SparkSpec {
     assert(v0.toSet === full.filter(_ % 10 != 9).toSet)
     // each segment commit published its token bloom (term lookups can
     // skip segments)
-    val hist = graft.operators.CommitLog.history(spark,
-      Search.indexTablePath(spark, sf))
+    val table = Search.indexTablePath(spark, sf)
+    val hist = graft.operators.CommitLog.history(spark, table)
     assert(hist.count() >= 2)
+    // segment merge: compacting the index (a dataChange=false commit,
+    // like any graft table) leaves every search answer unchanged — the
+    // Lucene merge without a Lucene
+    graft.operators.CommitLog.compact(spark, table, targetFiles = 1)
+    val merged = Search.searchAllIndexed(spark, sf).collect().map(_.toString).toSeq
+    assert(merged === mem)
   }
 
   test("BM25 scores are positive, ordered, and slice back to the AND set") {
