@@ -1423,6 +1423,7 @@ object Queries {
     "q_gap_fill" -> (Analytics.gapFillDaily _),
     "q_interpolate" -> (Analytics.interpolateDaily _),
     "q_rolling_corr" -> (Analytics.rollingCorr _),
+    "q_seasonal_decompose" -> (Analytics.seasonalDecompose _),
     "q_approx_sketches" -> (Analytics.approxSketches _),
     "q_sketch_exact" -> (Analytics.sketchExact _)
   )
@@ -1526,6 +1527,19 @@ object Queries {
        "WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv " +
        "ELSE pv + (nv - pv) * (day - pd) / (nd - pd) END, 4) AS value_interp, " +
        "day_value IS NOT NULL AS had_data FROM w ORDER BY day"),
+    // STL-lite: dow = (day - anchor) % 7 because Spark and DuckDB
+    // number dayofweek() differently; partial centered windows at the
+    // edges have the same frame semantics in both engines
+    "q_seasonal_decompose" ->
+      ("WITH d AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS day_value FROM events GROUP BY 1), " +
+       "t AS (SELECT day, day_value, " +
+       "avg(day_value) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend, " +
+       "(day - DATE '2024-01-01') % 7 AS dow FROM d), " +
+       "s AS (SELECT day, dow, day_value, trend, day_value - trend AS detrended, " +
+       "avg(day_value - trend) OVER (PARTITION BY dow) AS seasonal FROM t) " +
+       "SELECT day, CAST(dow AS INTEGER) AS dow, round(day_value, 2) AS day_value, " +
+       "round(trend, 4) AS trend, round(seasonal, 4) AS seasonal, " +
+       "round(detrended - seasonal, 4) AS residual FROM s ORDER BY day"),
     // Pearson is scale-invariant: sample/population n-1 conventions
     // cancel, round(4) seals residual float noise; <2-point windows
     // are NULL in both engines

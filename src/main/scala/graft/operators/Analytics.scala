@@ -245,6 +245,36 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Seasonal decomposition (STL-lite): daily totals split into trend
+    * (7-day centered moving average), weekly seasonal (mean detrended
+    * value per day-of-week slot), and residual — the
+    * anomaly-vs-seasonality triage every metrics pipeline runs.
+    * Day-of-week is computed as (day - epoch_anchor) % 7, NOT
+    * dayofweek(): Spark numbers Sunday=1..7 while DuckDB numbers
+    * Sunday=0..6, and the arithmetic form is identical in both
+    * engines. Edge days keep their partial centered windows (same
+    * frame semantics both sides). */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("day_value"))
+    val wTrend = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val withTrend = daily
+      .withColumn("trend", avg(col("day_value")).over(wTrend))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("2024-01-01").cast("date")), lit(7)))
+      .withColumn("detrended", col("day_value") - col("trend"))
+    val wSeason = Window.partitionBy(col("dow"))
+    withTrend
+      .withColumn("seasonal", avg(col("detrended")).over(wSeason))
+      .select(col("day"), col("dow").cast("int").as("dow"),
+        round(col("day_value"), 2).as("day_value"),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("detrended") - col("seasonal"), 4).as("residual"))
+      .orderBy(col("day"))
+  }
+
   /** Rolling 7-day Pearson correlation between two daily series (click
     * vs view volume) — the co-movement diagnostic dashboards run over
     * every metric pair. One aggregate to daily grain, then a windowed
