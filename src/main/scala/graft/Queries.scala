@@ -490,6 +490,7 @@ object Queries {
     "mm_audio_pcm" -> (Multimodal.audioPcm _),
     "text_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
     "pipeline_weighted_sample" -> ((s: SparkSession, d: String) => TextAnalysis.weightedSample(s, d)),
+    "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "text_clean" -> ((s: SparkSession, d: String) => TextAnalysis.clean(s, d)),
     "dedup_paragraphs" -> ((s: SparkSession, d: String) => Dedup.paragraphDedup(s, d)),
     "dedup_paragraph_flags" -> ((s: SparkSession, d: String) => Dedup.paragraphFlags(s, d)),
@@ -1119,6 +1120,16 @@ object Queries {
     // the sampler's keep decision is a pure function of doc_id (md5
     // uniform), so the oracle reproduces the EXACT sample — the whole
     // point of the deterministic form (sampleBy's RNG has no SQL twin)
+    // two-pass heavy hitters: the sketch pass has no SQL twin, but the
+    // MG no-false-negative bound + exact recount make the OUTPUT
+    // exactly the frequency-threshold answer — the oracle states it
+    // directly
+    "text_heavy_hitters" ->
+      (s"WITH u AS (SELECT unnest($duckToks) AS token FROM documents), " +
+       "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM u), " +
+       "c AS (SELECT token, count(*) AS exact_count FROM u GROUP BY token) " +
+       "SELECT token, exact_count FROM c CROSS JOIN n WHERE exact_count > n.n * 0.02 " +
+       "ORDER BY exact_count DESC, token"),
     // Efraimidis–Spirakis priorities from the same md5 uniform; the
     // cut orders by the ROUNDED priority with doc_id tiebreak
     "pipeline_weighted_sample" ->

@@ -39,6 +39,39 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Two-pass heavy hitters: a one-pass Misra–Gries sketch
+    * ([[graft.plans.FrequentItemsAggregate]] — k counters per task,
+    * mergeable partials) nominates ≤k candidates, then ONE exact
+    * recount over just the candidate set keeps the true heavy hitters.
+    * The MG bound (no false negatives above N/k) plus threshold ≥ 1/k
+    * makes the output EXACTLY the frequency-threshold answer — which
+    * is why this carries an exact oracle even though the first pass is
+    * a sketch. At 100 TB the sketch pass replaces a full
+    * distinct-key aggregate (billions of groups) with k counters per
+    * task; the exact pass touches only ≤k broadcast keys. */
+  def heavyHitters(spark: SparkSession, dir: String,
+      k: Int = 64, threshold: Double = 0.02): DataFrame = {
+    require(threshold >= 1.0 / k,
+      s"threshold $threshold below the sketch guarantee 1/k=${1.0 / k}: " +
+        "a true heavy hitter could be missed")
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+    // pass 1: candidate nomination — the collect is ≤ k rows
+    val cands = toks
+      .agg(graft.plans.FrequentItemsAggregate.freqItems(col("token"), k).as("c"))
+      .select(explode(col("c")).as("e"))
+      .select(col("e").getField("item").as("item"))
+      .collect().map(_.getString(0)).toSeq
+    // pass 2: exact recount of candidates only
+    val n = toks.agg(count(lit(1)).cast("double").as("n"))
+    toks.filter(col("token").isin(cands: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+      .crossJoin(broadcast(n))
+      .filter(col("exact_count") > col("n") * lit(threshold))
+      .select(col("token"), col("exact_count"))
+      .orderBy(col("exact_count").desc, col("token"))
+  }
+
   /** Token accounting per document: whitespace tokens vs BPE-style
     * pre-tokens — the number a training-cost estimate bills by. Pure
     * codegen'd regexp over one scan. */

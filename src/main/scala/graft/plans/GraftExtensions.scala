@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
        new ExpressionInfo(classOf[TopKNeighbors].getName, "graft_topk"),
        (exprs: Seq[Expression]) => TopKNeighbors(exprs(0), exprs(1), exprs(2))))
     e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_freq_items"),
+       new ExpressionInfo(classOf[FrequentItems].getName, "graft_freq_items"),
+       (exprs: Seq[Expression]) => FrequentItems(exprs(0), exprs(1))))
+    e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_img_meta"),
        new ExpressionInfo(classOf[ImageMeta].getName, "graft_img_meta"),
        (exprs: Seq[Expression]) => ImageMeta(exprs(0))))
