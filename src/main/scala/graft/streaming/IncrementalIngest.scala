@@ -226,6 +226,42 @@ object IncrementalIngest {
         ()
       }
 
+  /** Streaming ingest with a dead-letter queue: rows violating the
+    * target table's CHECK constraints are routed to a quarantine table
+    * (stamped with the violated rule's name) instead of poisoning the
+    * whole batch — the operational alternative to
+    * [[commitLogWriter]]'s refuse-loudly contract when the feed is
+    * known-dirty and the pipeline must keep moving. Both tables commit
+    * under the SAME batchId through their own exactly-once ledgers, so
+    * a replay after a crash between the two commits re-lands only the
+    * missing side. SQL CHECK semantics match the table gate exactly:
+    * only FALSE violates, NULL passes; among several violated rules
+    * the alphabetically-first name is recorded. */
+  def quarantineWriter(src: DataFrame, tablePath: String,
+      quarantinePath: String, checkpointDir: String): DataStreamWriter[Row] =
+    src.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val cons = graft.operators.CommitLog.constraints(s, tablePath)
+            .toSeq.sortBy(_._1)
+          val violated = cons.foldRight(lit(null).cast("string")) {
+            case ((n, sql), acc) => when(expr(sql) === lit(false), lit(n)).otherwise(acc)
+          }
+          val marked = batch.withColumn("_violated", violated)
+            .localCheckpoint(false)
+          graft.operators.CommitLog.appendStream(s, tablePath,
+            marked.filter(col("_violated").isNull).drop("_violated"), batchId)
+          val bad = marked.filter(col("_violated").isNotNull)
+          if (!bad.isEmpty)
+            graft.operators.CommitLog.appendStream(s, quarantinePath, bad, batchId)
+        }
+        ()
+      }
+
   /** File-source stream of incoming embeddings — the ingest feed for
     * [[ivfAppendWriter]]. */
   def embeddingsSource(spark: SparkSession, inputDir: String,

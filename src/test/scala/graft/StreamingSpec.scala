@@ -859,4 +859,47 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
   }
+
+  test("quarantine writer routes constraint violators to the dead-letter table") {
+    import graft.operators.CommitLog
+    val root = Files.createTempDirectory("graft-dlq").toString
+    val (in, main, dlq, ckpt) = (s"$root/in", s"$root/main", s"$root/dlq", s"$root/ckpt")
+    try {
+      import spark.implicits._
+      // seed + constraints on the main table
+      CommitLog.append(spark, main, Seq((0L, 0.5)).toDF("id", "score"))
+      CommitLog.addConstraint(spark, main, "score_unit", "score >= 0 AND score <= 1")
+      CommitLog.addConstraint(spark, main, "id_positive", "id >= 0")
+      // dirty feed: 2 valid, 1 score violation, 1 violating BOTH rules
+      // (alphabetically-first rule name must win), 1 NULL score (SQL
+      // CHECK: NULL passes)
+      Seq((1L, 0.9), (2L, 0.1), (3L, 1.5), (-4L, 9.0))
+        .toDF("id", "score")
+        .union(Seq(5L).toDF("id").select(col("id"), lit(null).cast("double").as("score")))
+        .repartition(1).write.parquet(in)
+      val q = IncrementalIngest.quarantineWriter(
+        spark.readStream.schema("id LONG, score DOUBLE").parquet(in),
+        main, dlq, ckpt).start()
+      q.awaitTermination()
+
+      val mainIds = CommitLog.read(spark, main).select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(mainIds === Set(0L, 1L, 2L, 5L), s"main table: $mainIds")
+      val bad = CommitLog.read(spark, dlq)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("_violated")).toMap
+      assert(bad === Map(3L -> "score_unit", -4L -> "id_positive"))
+      // replay of a committed batch lands nothing on either side
+      val ids = CommitLog.committedBatchIds(spark, main)
+      val (n1, n2) = (CommitLog.read(spark, main).count(), CommitLog.read(spark, dlq).count())
+      IncrementalIngest.quarantineWriter(
+        spark.readStream.schema("id LONG, score DOUBLE").parquet(in),
+        main, dlq, s"$root/ckpt2") // fresh checkpoint: engine re-delivers
+      assert(CommitLog.appendStream(spark, main,
+        Seq((99L, 0.2)).toDF("id", "score"), ids.head).isEmpty)
+      assert(CommitLog.read(spark, main).count() === n1)
+      assert(CommitLog.read(spark, dlq).count() === n2)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
 }
