@@ -71,6 +71,18 @@ object Maintenance {
               case scala.util.Failure(e) => Left(e.getMessage)
             }
         }
+      case "constraints" :: table :: Nil =>
+        val cs = CommitLog.constraints(spark, table)
+        if (cs.isEmpty) Right("no constraints")
+        else Right(cs.toSeq.sortBy(_._1)
+          .map { case (n, sql) => s"$n: CHECK ($sql)" }.mkString("\n"))
+      case "add-constraint" :: table :: name :: rest if rest.nonEmpty =>
+        // the expression may contain spaces: everything after the name
+        scala.util.Try(CommitLog.addConstraint(spark, table, name,
+            rest.mkString(" "))) match {
+          case scala.util.Success(v) => Right(s"constraint $name committed as v$v")
+          case scala.util.Failure(e) => Left(e.getMessage)
+        }
       case "history" :: table :: Nil =>
         val rows = CommitLog.history(spark, table).orderBy("version").collect()
         if (rows.isEmpty) Left(s"no commits at $table")
@@ -89,7 +101,8 @@ object Maintenance {
         Left("usage: compact <table> [targetMB] | zonemap <table> <cols> | " +
           s"log-compact <table> [targetFiles] | vacuum <table> <version> | " +
           s"restore <table> <version> | history <table> | " +
-          s"version-at <table> <instant>" +
+          s"version-at <table> <instant> | constraints <table> | " +
+          s"add-constraint <table> <name> <sql-expr>" +
           (if (other.isEmpty) "" else s" (got: ${other.mkString(" ")})"))
     }
 

@@ -86,4 +86,29 @@ class MaintenanceSpec extends SparkSpec {
       ()
     }
   }
+
+  test("constraints + add-constraint subcommands drive the table gate") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_mcons_").toString + "/t"
+    try {
+      graft.operators.CommitLog.append(spark, t, Seq((1L, 0.5)).toDF("id", "score"))
+      assert(Maintenance.run(spark, Array("constraints", t)) === Right("no constraints"))
+      val a = Maintenance.run(spark,
+        Array("add-constraint", t, "score_unit", "score", ">=", "0", "AND", "score", "<=", "1"))
+      assert(a.isRight, a)
+      val l = Maintenance.run(spark, Array("constraints", t))
+      assert(l === Right("score_unit: CHECK (score >= 0 AND score <= 1)"))
+      // existing data violating the rule refuses as Left, never throws
+      assert(Maintenance.run(spark,
+        Array("add-constraint", t, "impossible", "score", ">", "2")).isLeft)
+      // the gate is live: a violating append refuses
+      intercept[Exception] {
+        graft.operators.CommitLog.append(spark, t, Seq((2L, 7.0)).toDF("id", "score"))
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(new java.io.File(t).getParent))
+      ()
+    }
+  }
 }
