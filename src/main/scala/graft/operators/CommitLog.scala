@@ -269,6 +269,13 @@ object CommitLog {
 
   private val tsMillisRe = """"tsMillis":(\d+)""".r
 
+  /** Epoch millis or ISO-8601 instant — the ONE accepted-instant
+    * grammar, shared by the maintenance CLI's `version-at` and the
+    * DSv2 source's `timestampAsOf` so the two surfaces cannot drift. */
+  def parseInstantMillis(s: String): Option[Long] =
+    scala.util.Try(s.toLong).toOption
+      .orElse(scala.util.Try(java.time.Instant.parse(s).toEpochMilli).toOption)
+
   /** A commit's wall-clock time in epoch millis. Commits written since
     * the field existed carry `tsMillis` in their JSON line; older
     * commits (and foreign logs) fall back to the log file's
@@ -822,6 +829,31 @@ object CommitLog {
     }
   }
 
+  /** CHECK-constraint gate over already-staged (but uncommitted)
+    * files — the shared refuse-before-visibility step of the DSv2
+    * write paths (COW row-level ops, streaming sink). Reads the
+    * staged files under the nullable-relaxed write schema, and on any
+    * violation runs the caller's cleanup then throws with the
+    * violation counts. stageWithMeta's batch path gates the same way
+    * over its tmp directory before files ever reach the table. */
+  private[graft] def gateStagedFiles(spark: SparkSession, tablePath: String,
+      schema: StructType, relNames: Seq[String], what: String)(
+      cleanup: => Unit): Unit = {
+    val cs = constraints(spark, tablePath)
+    if (cs.nonEmpty && relNames.nonEmpty) {
+      val stagedDf = spark.read
+        .schema(StructType(schema.fields.map(_.copy(nullable = true))))
+        .parquet(relNames.map(f => s"$tablePath/$f"): _*)
+      val bad = violationCounts(stagedDf, cs)
+      if (bad.nonEmpty) {
+        cleanup
+        throw new IllegalArgumentException(
+          s"constraint violation on $what — nothing committed: " +
+          bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
+      }
+    }
+  }
+
   /** DataFrameReader honoring the declared schema when one exists
     * (nullability relaxed: absent columns in pre-evolution files must
     * materialize as NULL, not fail). */
@@ -1203,9 +1235,16 @@ object CommitLog {
         else scala.util.Try(
           line.drop(i + 10).takeWhile(c => c.isDigit || c == '-').toLong).toOption
       }
-      // the wall-clock column an auditor reads first; falls back to
-      // file mtime for pre-tsMillis commits like commitTimestampMillis
-      val ts = commitTimestampMillis(spark, tablePath, v)
+      // the wall-clock column an auditor reads first. Take tsMillis
+      // from the line ALREADY in hand (commitTimestampMillis would
+      // re-open the same file — 2N GETs on object storage); only the
+      // pre-tsMillis mtime fallback pays a getFileStatus
+      val ts = tsMillisRe.findFirstMatchIn(line).map(_.group(1).toLong)
+        .orElse {
+          val p = new Path(new Path(tablePath, LogDir), f"$v%08d.json")
+          scala.util.Try(
+            fsOf(spark, p).getFileStatus(p).getModificationTime).toOption
+        }
         .map(m => new java.sql.Timestamp(m)).orNull
       (v, ts, extractArr(line, "adds").size, extractArr(line, "removes").size,
         batchId, !line.contains("\"dataChange\":false"),

@@ -814,6 +814,23 @@ object Similarity {
     array_position(s, array_max(s)).cast("int")
   }
 
+  /** Per-probe ADC lookup tables (one `lut$m` column per subspace:
+    * dot of the query subvector with every sub-centroid) and the
+    * fixed-order 8-lookup sum over a `codes` column — ONE definition
+    * serving both the flat and the IVF-composed path, so the LUT
+    * layout and the 1-based code indexing cannot drift between them. */
+  private def pqLutCols(q: Column, cb: Seq[Seq[Array[Double]]]): Seq[Column] =
+    (0 until PqSubspaces).map { m =>
+      array(cb(m).map(c =>
+        dot(slice(q, m * PqDim + 1, PqDim),
+          array(c.toIndexedSeq.map(lit): _*))): _*).as(s"lut$m")
+    }
+
+  private def pqAdcExpr: Column =
+    (0 until PqSubspaces)
+      .map(m => element_at(col(s"lut$m"), element_at(col("codes"), m + 1)))
+      .reduce(_ + _)
+
   /** Two-stage PQ retrieval (the asymmetric-distance pattern): coarse
     * stage scores every corpus vector against each probe by table
     * lookup — per probe, ONE precomputed LUT row (dot of the query
@@ -836,20 +853,13 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val coded = emb.select(col("vec_id"),
       array((0 until PqSubspaces).map(m => pqCode(col("v"), m, cb)): _*).as("codes"))
-    val luts = (0 until PqSubspaces).map { m =>
-      array(cb(m).map(c =>
-        dot(slice(col("q"), m * PqDim + 1, PqDim),
-          array(c.toIndexedSeq.map(lit): _*))): _*).as(s"lut$m")
-    }
     val probes = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id") +: col("v").as("q") +: luts: _*)
-    val adc = (0 until PqSubspaces)
-      .map(m => element_at(col(s"lut$m"), element_at(col("codes"), m + 1)))
-      .reduce(_ + _)
+      .select(col("vec_id").as("query_id") +: col("v").as("q") +:
+        pqLutCols(col("q"), cb): _*)
     val coarse = coded.crossJoin(broadcast(probes.drop("q")))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(adc, 6).as("adc"))
+        round(pqAdcExpr, 6).as("adc"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
     val shortlist = coarse.withColumn("rn", row_number().over(w))
@@ -898,25 +908,18 @@ object Similarity {
     val probeCells = probeRows.map(_.getInt(2)).distinct
     val probesLocal = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probes.schema)
-    val luts = (0 until PqSubspaces).map { m =>
-      array(cb(m).map(c =>
-        dot(slice(col("q"), m * PqDim + 1, PqDim),
-          array(c.toIndexedSeq.map(lit): _*))): _*).as(s"lut$m")
-    }
     val probesLut = probesLocal
-      .select(col("query_id") +: col("cell") +: col("q").as("q") +: luts: _*)
+      .select(col("query_id") +: col("cell") +: col("q").as("q") +:
+        pqLutCols(col("q"), cb): _*)
     val index = spark.read.parquet(indexPath)
       .filter(col("cell").isin(probeCells.map(Integer.valueOf).toSeq: _*))
       .select(col("cell").cast("int").as("cell"), col("vec_id"), col("v"))
     val coded = index.select(col("cell"), col("vec_id"),
       array((0 until PqSubspaces).map(m => pqCode(col("v"), m, cb)): _*).as("codes"))
-    val adcExpr = (0 until PqSubspaces)
-      .map(m => element_at(col(s"lut$m"), element_at(col("codes"), m + 1)))
-      .reduce(_ + _)
     val coarse = coded.join(broadcast(probesLut.drop("q")), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(adcExpr, 6).as("adc"))
+        round(pqAdcExpr, 6).as("adc"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
     val shortlist = coarse.withColumn("rn", row_number().over(w))

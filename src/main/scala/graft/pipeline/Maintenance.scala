@@ -59,10 +59,7 @@ object Maintenance {
             }
         }
       case "version-at" :: table :: instant :: Nil =>
-        val millis = scala.util.Try(instant.toLong).toOption
-          .orElse(scala.util.Try(
-            java.time.Instant.parse(instant).toEpochMilli).toOption)
-        millis match {
+        CommitLog.parseInstantMillis(instant) match {
           case None => Left(s"unparsable instant: $instant (epoch millis or ISO-8601)")
           case Some(m) =>
             scala.util.Try(CommitLog.versionAtTimestamp(spark, table, m)) match {

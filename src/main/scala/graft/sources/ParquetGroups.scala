@@ -23,8 +23,22 @@ private[graft] object ParquetGroups {
   /** Field `fi` of `g` (known present) as the Spark-internal value for
     * Catalyst type `to`. The field's parquet type comes from the
     * group's OWN schema, so projected reads convert correctly. */
+  /** The Catalyst types this low-level reader can produce. Anything
+    * else (DECIMAL above all — Spark writes it as annotated INT32/
+    * INT64/BINARY whose raw physical value is the UNSCALED integer)
+    * must be refused loudly: decoding the raw value into a slot
+    * Catalyst types differently would serve silently wrong data. */
+  private def checkTarget(to: DataType, who: => String): Unit = to match {
+    case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+         DateType | TimestampType | TimestampNTZType | StringType | BinaryType => ()
+    case other => throw new UnsupportedOperationException(
+      s"$who: unsupported Catalyst type $other for the low-level parquet reader " +
+        "(flat primitives and arrays of them only)")
+  }
+
   def convert(g: Group, fi: Int, to: DataType, who: => String): Any = {
     if (!g.getType.getType(fi).isPrimitive) return convertList(g, fi, to, who)
+    checkTarget(to, who)
     val pt = g.getType.getType(fi).asPrimitiveType()
     val ann = pt.getLogicalTypeAnnotation
     pt.getPrimitiveTypeName match {
@@ -84,6 +98,7 @@ private[graft] object ParquetGroups {
       case other => throw new UnsupportedOperationException(
         s"$who: parquet LIST column read as non-array $other")
     }
+    checkTarget(elemType, who)
     val listGroup = g.getGroup(fi, 0)
     val n = listGroup.getFieldRepetitionCount(0)
     val out = new Array[Any](n)

@@ -72,8 +72,10 @@ class ChangesTableProvider extends TableProvider with DataSourceRegister {
       val files = CommitLog.snapshot(spark, table)
       require(files.nonEmpty,
         s"graft-changes: $table has no live files and no declared schema")
-      // one footer read, driver-side — metadata, not a table scan
-      spark.read.parquet(s"$table/${files.head}").schema
+      // one footer read, driver-side — metadata, not a table scan;
+      // the NEWEST live file (same fallback as the batch source's
+      // schemaAt) so later appends' widened columns survive
+      spark.read.parquet(s"$table/${files.last}").schema
     }
     base
       .add(StructField("_change_type", StringType, nullable = false))

@@ -88,6 +88,9 @@ private[grafttable] object GraftDml {
     * the SAME Catalyst literal. Types without that guarantee (binary,
     * intervals, nested) don't translate. */
   private def value(e: Expression): Option[Any] = e match {
+    // a NULL literal (e.g. `c IN ('a', NULL)`) has no lit-round-trip
+    // form — refuse so canDeleteWhere falls back, never NPE mid-cast
+    case l: Literal[_] if l.value == null => None
     case l: Literal[_] => l.dataType match {
       case StringType => Some(l.value.toString)
       case BooleanType | ByteType | ShortType | IntegerType | LongType =>

@@ -211,19 +211,8 @@ class GraftCowWrite(op: GraftRowLevelOperation, tablePath: String,
       staged.foreach(m =>
         scala.util.Try(fs.delete(new Path(tablePath, m.relName), false)))
     }
-    val cs = CommitLog.constraints(spark, tablePath)
-    if (cs.nonEmpty && adds.nonEmpty) {
-      val stagedDf = spark.read
-        .schema(StructType(writeSchema.fields.map(_.copy(nullable = true))))
-        .parquet(adds.map(f => s"$tablePath/$f"): _*)
-      val bad = CommitLog.violationCounts(stagedDf, cs)
-      if (bad.nonEmpty) {
-        deleteStaged()
-        throw new IllegalArgumentException(
-          s"constraint violation on ${op.description()} — nothing committed: " +
-          bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
-      }
-    }
+    CommitLog.gateStagedFiles(spark, tablePath, writeSchema, adds,
+      op.description())(deleteStaged())
     val removes = scan.files
     if (adds.isEmpty && removes.isEmpty) return // matched nothing: no-op
     val stats = staged.filter(_.stats.nonEmpty)

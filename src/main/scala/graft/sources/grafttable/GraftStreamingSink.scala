@@ -95,23 +95,15 @@ class GraftStreamingWrite(tablePath: String, schema: StructType,
       deleteStaged(); return
     }
     val adds = staged.map(_.relName).toSeq
-    if (adds.isEmpty) return // all-empty batch: nothing staged, no commit
+    // All-empty APPEND batch: nothing staged, no commit. In Complete
+    // mode an empty epoch is still a RESULT — "the aggregate is now
+    // empty" — so it must truncate the previous epoch's file set (and
+    // record the epochId) rather than leave stale rows visible.
+    if (adds.isEmpty && !truncateEachEpoch) return
     // CHECK-constraint gate over the staged files, batch-path parity:
     // a violation refuses the WHOLE epoch before anything is visible
-    val cs = CommitLog.constraints(spark, tablePath)
-    if (cs.nonEmpty) {
-      val stagedDf = spark.read
-        .schema(StructType(schema.fields.map(_.copy(nullable = true))))
-        .parquet(adds.map(f => s"$tablePath/$f"): _*)
-      val bad = CommitLog.violationCounts(stagedDf, cs)
-      if (bad.nonEmpty) {
-        deleteStaged()
-        throw new IllegalArgumentException(
-          s"constraint violation on streaming write to $tablePath — epoch " +
-          s"$epochId refused: " +
-          bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
-      }
-    }
+    CommitLog.gateStagedFiles(spark, tablePath, schema, adds,
+      s"streaming write to $tablePath (epoch $epochId)")(deleteStaged())
     val stats = staged.filter(_.stats.nonEmpty)
       .map(m => m.relName -> m.stats).toMap
     val blooms = staged.filter(_.blooms.nonEmpty)

@@ -89,8 +89,16 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     val options = new CaseInsensitiveStringMap(properties)
     val path = pathOf(options)
     val spark = SparkSession.active
-    new GraftTable(path, schema,
-      GraftTableProvider.pinVersion(spark, path, options))
+    // pin ONCE here and re-resolve the schema at that exact pin: a
+    // commit landing between Spark's inferSchema call and this one
+    // must not serve the new version's files through the old schema
+    // (silent null-drop of a just-evolved column). The passed schema
+    // only survives for empty/unschematized targets (write-only path).
+    val pinned = GraftTableProvider.pinVersion(spark, path, options)
+    val resolved = scala.util.Try(
+      GraftTableProvider.schemaAt(spark, path, pinned)).toOption
+      .filter(_.nonEmpty).getOrElse(schema)
+    new GraftTable(path, resolved, pinned)
   }
 }
 
@@ -103,8 +111,7 @@ object GraftTableProvider {
       options: CaseInsensitiveStringMap): Long = {
     val v = Option(options.get("versionAsOf")).map(_.toLong)
     val ts = Option(options.get("timestampAsOf")).map { s =>
-      val millis = scala.util.Try(s.toLong).toOption
-        .orElse(scala.util.Try(java.time.Instant.parse(s).toEpochMilli).toOption)
+      val millis = CommitLog.parseInstantMillis(s)
         .getOrElse(throw new IllegalArgumentException(
           s"graft: unparsable timestampAsOf '$s' (epoch millis or ISO-8601)"))
       CommitLog.versionAtTimestamp(spark, path, millis)
@@ -112,7 +119,15 @@ object GraftTableProvider {
     (v, ts) match {
       case (Some(_), Some(_)) => throw new IllegalArgumentException(
         "graft: versionAsOf and timestampAsOf are mutually exclusive")
-      case (Some(x), None) => x
+      case (Some(x), None) =>
+        // validate like the SQL catalog path: a version beyond the
+        // head (or vacuumed away) must refuse, not silently serve the
+        // latest snapshot labeled as x
+        val existing = CommitLog.versions(spark, path)
+        require(existing.contains(x),
+          s"graft: versionAsOf $x does not exist at $path " +
+            s"(versions: ${existing.headOption.getOrElse("-")}..${existing.lastOption.getOrElse("-")})")
+        x
       case (None, Some(x)) => x
       case (None, None) => CommitLog.latestVersion(spark, path)
     }

@@ -213,4 +213,20 @@ class GraftDmlSpec extends SparkSpec {
       assert(files.forall(_.startsWith(t)))
     } finally cleanup(t)
   }
+
+  test("DELETE with a NULL literal in the predicate falls back, never NPEs") {
+    val t = tempTable()
+    try {
+      ensureCatalog()
+      twoFileTable(t)
+      // c IN ('r1', NULL): SQL three-valued logic — r1 deleted, every
+      // other row's predicate is NULL (not TRUE) so it survives; the
+      // pushed-translation path must refuse the NULL literal cleanly
+      // and let the row-level path evaluate it
+      spark.sql(s"DELETE FROM graft.`$t` WHERE s IN ('r1', NULL)")
+      val left = spark.sql(s"SELECT id FROM graft.`$t` ORDER BY id")
+        .collect().map(_.getLong(0))
+      assert(left.length === 39 && !left.contains(1L))
+    } finally cleanup(t)
+  }
 }

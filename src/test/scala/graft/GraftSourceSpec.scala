@@ -470,4 +470,82 @@ class GraftSourceSpec extends SparkSpec {
         Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)))
     } finally cleanup(t)
   }
+
+  test("unsupported DECIMAL column refuses loudly instead of decoding raw") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, Seq((1L, BigDecimal("123.45")))
+        .toDF("id", "amt"))
+      CommitLog.declareSchema(spark, t,
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, amt DECIMAL(10,2)"))
+      val e = intercept[Exception] {
+        spark.read.format("graft").load(t).select("amt").collect()
+      }
+      def msgs(x: Throwable): Seq[String] =
+        Option(x).toSeq.flatMap(c => Option(c.getMessage).toSeq ++ msgs(c.getCause))
+      assert(msgs(e).exists(_.contains("unsupported Catalyst type")),
+        s"wrong failure: ${msgs(e)}")
+      // the non-decimal column still reads
+      assert(spark.read.format("graft").load(t).select("id")
+        .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    } finally cleanup(t)
+  }
+
+  test("Complete mode with an empty epoch result truncates, not stales") {
+    val t = tempTable()
+    val in = java.nio.file.Files.createTempDirectory("graft_cmpl0_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cmpl0_ck_").toString
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      def run(): Unit = {
+        val q = spark.readStream.schema("grp LONG, n LONG").parquet(s"$in/*")
+          .groupBy(col("grp")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") === 1) // singleton groups only
+          .writeStream.format("graft").outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start(t)
+        q.awaitTermination()
+      }
+      // declared schema: an empty table must still be readable after
+      // the truncate (the TRUNCATE TABLE contract)
+      CommitLog.declareSchema(spark, t,
+        org.apache.spark.sql.types.StructType.fromDDL("grp BIGINT, cnt BIGINT"))
+      Seq((0L, 1L), (1L, 1L)).toDF("grp", "n").coalesce(1).write.parquet(s"$in/b0")
+      run()
+      assert(CommitLog.read(spark, t).count() === 2)
+      // second batch doubles every group: the Complete result is EMPTY
+      // — the table must truncate to zero rows, not keep epoch 0's
+      Seq((0L, 2L), (1L, 2L)).toDF("grp", "n").coalesce(1).write.parquet(s"$in/b1")
+      run()
+      assert(CommitLog.read(spark, t).count() === 0,
+        "empty Complete epoch left stale rows visible")
+    } finally { cleanup(t); cleanup(in); cleanup(ckpt) }
+  }
+
+  test("versionAsOf beyond the head refuses instead of serving latest") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+      val e = intercept[IllegalArgumentException] {
+        spark.read.format("graft").option("versionAsOf", "999").load(t).collect()
+      }
+      assert(e.getMessage.contains("does not exist"))
+    } finally cleanup(t)
+  }
+
+  test("change-feed schema fallback follows the NEWEST live file") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      // undeclared schema: later append carries an extra column
+      CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+      CommitLog.append(spark, t, Seq((2L, "b", 0.5)).toDF("id", "s", "score"))
+      val schema = spark.readStream.format("graft-changes").load(t).schema
+      assert(schema.fieldNames.contains("score"),
+        s"newest file's column lost: ${schema.fieldNames.mkString(",")}")
+    } finally cleanup(t)
+  }
 }
