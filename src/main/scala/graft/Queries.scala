@@ -1435,6 +1435,7 @@ object Queries {
     "q_interpolate" -> (Analytics.interpolateDaily _),
     "q_rolling_corr" -> (Analytics.rollingCorr _),
     "q_seasonal_decompose" -> (Analytics.seasonalDecompose _),
+    "q_full_outer_reconcile" -> (Analytics.fullOuterReconcile _),
     "q_approx_sketches" -> (Analytics.approxSketches _),
     "q_sketch_exact" -> (Analytics.sketchExact _)
   )
@@ -1538,6 +1539,16 @@ object Queries {
        "WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv " +
        "ELSE pv + (nv - pv) * (day - pd) / (nd - pd) END, 4) AS value_interp, " +
        "day_value IS NOT NULL AS had_data FROM w ORDER BY day"),
+    "q_full_outer_reconcile" ->
+      ("WITH c AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_click, " +
+       "round(sum(value), 2) AS sum_click FROM events " +
+       "WHERE event_type = 'click' AND user_id < 2 GROUP BY 1), " +
+       "v AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_view, " +
+       "round(sum(value), 2) AS sum_view FROM events " +
+       "WHERE event_type = 'view' AND user_id < 2 GROUP BY 1) " +
+       "SELECT coalesce(c.day, v.day) AS day, n_click, sum_click, n_view, sum_view, " +
+       "c.day IS NOT NULL AND v.day IS NOT NULL AS both_present " +
+       "FROM c FULL JOIN v ON c.day = v.day ORDER BY day"),
     // STL-lite: dow = (day - anchor) % 7 because Spark and DuckDB
     // number dayofweek() differently; partial centered windows at the
     // edges have the same frame semantics in both engines

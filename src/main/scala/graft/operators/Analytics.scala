@@ -245,6 +245,27 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Two-series reconciliation via FULL OUTER join — the
+    * completeness-audit shape (which days have clicks but no views,
+    * and vice versa). The join key coalesces through the USING-column
+    * form; a day missing from one side carries NULL metrics and
+    * both_present=false. Completes the join-type surface alongside
+    * the semi/anti/left registrations. */
+  def fullOuterReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def side(t: String, alias: String): DataFrame = ev
+      .filter(col("event_type") === t && col("user_id") < 2)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as(s"n_$alias"),
+        round(sum(col("value")), 2).as(s"sum_$alias"))
+    side("click", "click")
+      .join(side("view", "view"), Seq("day"), "full_outer")
+      .select(col("day"), col("n_click"), col("sum_click"),
+        col("n_view"), col("sum_view"),
+        (col("n_click").isNotNull && col("n_view").isNotNull).as("both_present"))
+      .orderBy(col("day"))
+  }
+
   /** Seasonal decomposition (STL-lite): daily totals split into trend
     * (7-day centered moving average), weekly seasonal (mean detrended
     * value per day-of-week slot), and residual — the
