@@ -12,30 +12,51 @@ import org.apache.spark.unsafe.types.UTF8String
   * scan (the `graft-changes` stream and the `graft` batch source).
   * One definition, so the two readers cannot drift on type mapping.
   *
-  * Supported physical types: BOOLEAN, INT32 (int/date), INT64
-  * (long/timestamp MICROS|MILLIS|NANOS), INT96 (legacy timestamp),
-  * FLOAT, DOUBLE, BINARY (string/bytes), plus 3-level LIST of those —
-  * the flat-primitive(+array) surface commit-log tables carry.
+  * Supported physical types: BOOLEAN, INT32 (int/date/decimal), INT64
+  * (long/timestamp MICROS|MILLIS|NANOS/decimal), INT96 (legacy
+  * timestamp), FLOAT, DOUBLE, BINARY/FLBA (string/bytes/decimal),
+  * plus 3-level LIST of those — the flat-primitive(+array) surface
+  * commit-log tables carry.
   * Unsupported shapes are refused with a named error rather than
   * decoded wrongly; `who` labels the failing reader and file. */
 private[graft] object ParquetGroups {
 
-  /** Field `fi` of `g` (known present) as the Spark-internal value for
-    * Catalyst type `to`. The field's parquet type comes from the
-    * group's OWN schema, so projected reads convert correctly. */
   /** The Catalyst types this low-level reader can produce. Anything
-    * else (DECIMAL above all — Spark writes it as annotated INT32/
-    * INT64/BINARY whose raw physical value is the UNSCALED integer)
-    * must be refused loudly: decoding the raw value into a slot
-    * Catalyst types differently would serve silently wrong data. */
+    * else (nested struct/map above all) must be refused loudly:
+    * decoding a raw physical value into a slot Catalyst types
+    * differently would serve silently wrong data. */
   private def checkTarget(to: DataType, who: => String): Unit = to match {
     case BooleanType | IntegerType | LongType | FloatType | DoubleType |
          DateType | TimestampType | TimestampNTZType | StringType | BinaryType => ()
+    case _: DecimalType => ()
     case other => throw new UnsupportedOperationException(
       s"$who: unsupported Catalyst type $other for the low-level parquet reader " +
-        "(flat primitives and arrays of them only)")
+        "(flat primitives, decimals, and arrays of them only)")
   }
 
+  /** Parquet stores DECIMAL as the UNSCALED integer in INT32/INT64 or
+    * big-endian two's-complement BINARY/FLBA. Interpret the unscaled
+    * value at the FILE's annotated scale (the writer's truth), then
+    * rescale to the declared Catalyst precision/scale — a file written
+    * decimal(38,18) read under a declared DECIMAL(10,2) must yield the
+    * same numeric value, not the raw digits reinterpreted. */
+  private def fileScaleOf(ann: LogicalTypeAnnotation, to: DecimalType): Int =
+    ann match {
+      case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => d.getScale
+      case _ => to.scale
+    }
+
+  private def decimalOf(unscaled: Long, fileScale: Int, to: DecimalType): Decimal =
+    Decimal(BigDecimal(java.math.BigDecimal.valueOf(unscaled, fileScale)),
+      to.precision, to.scale)
+
+  private def decimalOf(bytes: Array[Byte], fileScale: Int, to: DecimalType): Decimal =
+    Decimal(BigDecimal(new java.math.BigDecimal(
+      new java.math.BigInteger(bytes), fileScale)), to.precision, to.scale)
+
+  /** Field `fi` of `g` (known present) as the Spark-internal value for
+    * Catalyst type `to`. The field's parquet type comes from the
+    * group's OWN schema, so projected reads convert correctly. */
   def convert(g: Group, fi: Int, to: DataType, who: => String): Any = {
     if (!g.getType.getType(fi).isPrimitive) return convertList(g, fi, to, who)
     checkTarget(to, who)
@@ -48,6 +69,7 @@ private[graft] object ParquetGroups {
         to match {
           case LongType => v.toLong
           case DoubleType => v.toDouble
+          case d: DecimalType => decimalOf(v.toLong, fileScaleOf(ann, d), d)
           case _ => v // IntegerType / DateType (days) share the int repr
         }
       case PrimitiveTypeName.INT64 =>
@@ -60,6 +82,7 @@ private[graft] object ParquetGroups {
           }
           case _ => to match {
             case DoubleType => v.toDouble
+            case d: DecimalType => decimalOf(v, fileScaleOf(ann, d), d)
             case _ => v
           }
         }
@@ -78,6 +101,7 @@ private[graft] object ParquetGroups {
         val bytes = g.getBinary(fi, 0).getBytes
         to match {
           case StringType => UTF8String.fromBytes(bytes)
+          case d: DecimalType => decimalOf(bytes, fileScaleOf(ann, d), d)
           case _ if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
             UTF8String.fromBytes(bytes)
           case _ => bytes
@@ -117,6 +141,7 @@ private[graft] object ParquetGroups {
               elemType match {
                 case LongType => v.toLong
                 case DoubleType => v.toDouble
+                case d: DecimalType => decimalOf(v.toLong, fileScaleOf(ann, d), d)
                 case _ => v
               }
             case PrimitiveTypeName.INT64 =>
@@ -129,6 +154,7 @@ private[graft] object ParquetGroups {
                 }
                 case _ => elemType match {
                   case DoubleType => v.toDouble
+                  case d: DecimalType => decimalOf(v, fileScaleOf(ann, d), d)
                   case _ => v
                 }
               }
@@ -140,6 +166,7 @@ private[graft] object ParquetGroups {
               val bytes = entry.getBinary(0, 0).getBytes
               elemType match {
                 case StringType => UTF8String.fromBytes(bytes)
+                case d: DecimalType => decimalOf(bytes, fileScaleOf(ann, d), d)
                 case _ => bytes
               }
             case other => throw new UnsupportedOperationException(

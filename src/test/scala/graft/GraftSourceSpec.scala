@@ -471,24 +471,34 @@ class GraftSourceSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
-  test("unsupported DECIMAL column refuses loudly instead of decoding raw") {
+  test("DECIMAL columns decode at the file scale, rescaled to the declared type") {
     val t = tempTable()
     try {
       import spark.implicits._
-      CommitLog.append(spark, t, Seq((1L, BigDecimal("123.45")))
-        .toDF("id", "amt"))
+      // Spark writes BigDecimal as decimal(38,18) FLBA: the reader
+      // must interpret the unscaled bytes at the FILE's scale, then
+      // rescale to the declared DECIMAL(10,2) — same numeric value
+      CommitLog.append(spark, t,
+        Seq((1L, BigDecimal("123.45")), (2L, BigDecimal("-0.05")))
+          .toDF("id", "amt"))
       CommitLog.declareSchema(spark, t,
         org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, amt DECIMAL(10,2)"))
-      val e = intercept[Exception] {
-        spark.read.format("graft").load(t).select("amt").collect()
-      }
-      def msgs(x: Throwable): Seq[String] =
-        Option(x).toSeq.flatMap(c => Option(c.getMessage).toSeq ++ msgs(c.getCause))
-      assert(msgs(e).exists(_.contains("unsupported Catalyst type")),
-        s"wrong failure: ${msgs(e)}")
-      // the non-decimal column still reads
-      assert(spark.read.format("graft").load(t).select("id")
-        .collect().map(_.getLong(0)).toSeq === Seq(1L))
+      val got = spark.read.format("graft").load(t).orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString))
+      assert(got.toSeq === Seq((1L, "123.45"), (2L, "-0.05")))
+      // nested struct still refuses loudly (the documented limit)
+      val t2 = tempTable()
+      try {
+        CommitLog.append(spark, t2,
+          Seq((1L, (2L, "x"))).toDF("id", "nested"))
+        val e = intercept[Exception] {
+          spark.read.format("graft").load(t2).select("nested").collect()
+        }
+        def msgs(x: Throwable): Seq[String] =
+          Option(x).toSeq.flatMap(c => Option(c.getMessage).toSeq ++ msgs(c.getCause))
+        assert(msgs(e).exists(m => m.contains("unsupported Catalyst type") ||
+          m.contains("is nested")), s"wrong failure: ${msgs(e)}")
+      } finally cleanup(t2)
     } finally cleanup(t)
   }
 
