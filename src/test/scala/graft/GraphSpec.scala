@@ -43,6 +43,22 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("convergence-tested pagerank stops on its own and conserves mass") {
+    val (ranks, iters) = Graph.pagerankConverged(spark, sf, eps = 1e-4)
+    assert(iters > Graph.Iterations && iters < 50,
+      s"converged in $iters iterations")
+    val rows = ranks.collect().map(_.getAs[Double]("rank"))
+    // total rank mass stays 1 (symmetric graph: no dangling leakage)
+    assert(math.abs(rows.sum - 1.0) < 1e-9, s"mass = ${rows.sum}")
+    rows.foreach(r => assert(r > 0.0))
+    // one more iteration moves nothing beyond eps: a true fixed point
+    val again = Graph.pagerankConverged(spark, sf, eps = 1e-4)._1.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    ranks.collect().foreach { r =>
+      assert(math.abs(again(r.getLong(0)) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
   test("ranks conserve mass and reward degree") {
     val df = Graph.pagerankSuppliers(spark, sf)
     val rows = df.collect()
