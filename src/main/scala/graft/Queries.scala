@@ -1134,8 +1134,9 @@ object Queries {
     // cut orders by the ROUNDED priority with doc_id tiebreak
     "pipeline_weighted_sample" ->
       (s"WITH s AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens, " +
-       "round(ln(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0) / " +
-       s"CAST(len($duckToks) AS DOUBLE), 6) AS priority FROM documents) " +
+       "round(ln(greatest(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0, 1e-12)) / " +
+       s"CAST(len($duckToks) AS DOUBLE), 6) AS priority FROM documents " +
+       s"WHERE CAST(len($duckToks) AS BIGINT) > 0) " +
        "SELECT doc_id, n_tokens, priority FROM s ORDER BY priority DESC, doc_id LIMIT 64"),
     "text_sample_stratified" -> {
       val cases = graft.operators.TextAnalysis.DefaultSampleFractions
@@ -1382,11 +1383,14 @@ object Queries {
        "bg AS (SELECT unnest(list_transform(range(1, len(tk)), i -> {'a': tk[i], 'b': tk[i+1]})) AS b FROM t), " +
        "c2 AS (SELECT b.a AS w1, b.b AS w2, count(*) AS n_pair FROM bg GROUP BY 1, 2 HAVING count(*) >= 5) " +
        "SELECT w1, w2, n_pair, " +
-       "round(ln((CAST(n_pair AS DOUBLE) / sc.n2) / ((ca.c / sc.n1) * (cb.c / sc.n1))), 4) AS pmi " +
+       "round(ln((CAST(n_pair AS DOUBLE) / sc.n2) / ((ca.c / sc.n1) * (cb.c / sc.n1))), 4) + 0 AS pmi " +
        "FROM c2 JOIN c1 ca ON c2.w1 = ca.token JOIN c1 cb ON c2.w2 = cb.token CROSS JOIN sc " +
        "ORDER BY pmi DESC, w1, w2"),
     // PageRank unrolled to the same fixed 3 iterations over the same
-    // symmetric customer<->supplier graph; constants (0.15, 0.85, the
+    // symmetric customer<->supplier graph; constants ((1 - 0.85)
+    // spelled as the subtraction so it is the same IEEE double Spark's
+    // lit(1 - Damping) produces — the 0.15 literal is a DIFFERENT
+    // double — 0.85, the
     // 2k/2k+1 node packing) mirror Graph.pagerankSuppliers literally.
     // Per-node in-rank sums are the only order-sensitive float step;
     // the final normalize-and-round(6) absorbs it, and the presented
@@ -1401,15 +1405,15 @@ object Queries {
        "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nd CROSS JOIN nn), " +
        "a1 AS (SELECT e.dst AS node, sum(r0.rank / deg.outdeg) AS in_rank " +
        "FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src GROUP BY e.dst), " +
-       "r1 AS (SELECT nd.node, 0.15 / nn.n + 0.85 * coalesce(a1.in_rank, 0.0) AS rank " +
+       "r1 AS (SELECT nd.node, (1 - 0.85) / nn.n + 0.85 * coalesce(a1.in_rank, 0.0) AS rank " +
        "FROM nd LEFT JOIN a1 USING (node) CROSS JOIN nn), " +
        "a2 AS (SELECT e.dst AS node, sum(r1.rank / deg.outdeg) AS in_rank " +
        "FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src GROUP BY e.dst), " +
-       "r2 AS (SELECT nd.node, 0.15 / nn.n + 0.85 * coalesce(a2.in_rank, 0.0) AS rank " +
+       "r2 AS (SELECT nd.node, (1 - 0.85) / nn.n + 0.85 * coalesce(a2.in_rank, 0.0) AS rank " +
        "FROM nd LEFT JOIN a2 USING (node) CROSS JOIN nn), " +
        "a3 AS (SELECT e.dst AS node, sum(r2.rank / deg.outdeg) AS in_rank " +
        "FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src GROUP BY e.dst), " +
-       "r3 AS (SELECT nd.node, 0.15 / nn.n + 0.85 * coalesce(a3.in_rank, 0.0) AS rank " +
+       "r3 AS (SELECT nd.node, (1 - 0.85) / nn.n + 0.85 * coalesce(a3.in_rank, 0.0) AS rank " +
        "FROM nd LEFT JOIN a3 USING (node) CROSS JOIN nn) " +
        "SELECT CAST((node - 1) // 2 AS BIGINT) AS supp_key, " +
        "round(rank * nn.n, 6) AS rank_norm FROM r3 CROSS JOIN nn WHERE node % 2 = 1 " +
@@ -1556,7 +1560,7 @@ object Queries {
       ("WITH d AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS day_value FROM events GROUP BY 1), " +
        "t AS (SELECT day, day_value, " +
        "avg(day_value) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend, " +
-       "(day - DATE '2024-01-01') % 7 AS dow FROM d), " +
+       "((day - DATE '2024-01-01') % 7 + 7) % 7 AS dow FROM d), " +
        "s AS (SELECT day, dow, day_value, trend, day_value - trend AS detrended, " +
        "avg(day_value - trend) OVER (PARTITION BY dow) AS seasonal FROM t) " +
        "SELECT day, CAST(dow AS INTEGER) AS dow, round(day_value, 2) AS day_value, " +

@@ -270,10 +270,13 @@ object Analytics {
     * (7-day centered moving average), weekly seasonal (mean detrended
     * value per day-of-week slot), and residual — the
     * anomaly-vs-seasonality triage every metrics pipeline runs.
-    * Day-of-week is computed as (day - epoch_anchor) % 7, NOT
+    * Day-of-week is computed as pmod(day - epoch_anchor, 7), NOT
     * dayofweek(): Spark numbers Sunday=1..7 while DuckDB numbers
-    * Sunday=0..6, and the arithmetic form is identical in both
-    * engines. Edge days keep their partial centered windows (same
+    * Sunday=0..6. The oracle mirrors pmod's always-non-negative
+    * result with ((diff % 7) + 7) % 7 — DuckDB's bare % follows the
+    * dividend sign, so a fixture day before the anchor would
+    * otherwise go negative only on the oracle side. Edge days keep
+    * their partial centered windows (same
     * frame semantics both sides). */
   def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)

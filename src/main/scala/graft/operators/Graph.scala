@@ -107,7 +107,7 @@ object Graph {
       .join(contrib, g.nodes("node") === contrib("dst"), "left")
       .crossJoin(broadcast(g.nRow))
       .select(g.nodes("node"),
-        (lit(0.15) / col("n") + lit(0.85) * coalesce(col("in_rank"), lit(0.0)))
+        (lit(1 - Damping) / col("n") + lit(Damping) * coalesce(col("in_rank"), lit(0.0)))
           .as("rank"))
   }
 

@@ -54,6 +54,7 @@ object Search {
     postingsCache.evict(spark, s"$dir#postings")
     posPostingsCache.evict(spark, s"$dir#pospostings")
     indexTableCache.evict(spark, s"$dir#indextable")
+    posIndexTableCache.evict(spark, s"$dir#posindextable")
   }
 
   /** Term dictionary: per-token document frequency, collection
@@ -102,18 +103,46 @@ object Search {
         .localCheckpoint(false)
     }
 
-  /** Phrase search served from the positional index: one equi-join per
-    * phrase term on (doc_id, aligned position) — the classic
-    * positional-intersect plan; work ∝ the phrase terms' postings,
-    * never a corpus scan. Returns matching documents with their
-    * occurrence counts. */
+  /** The PERSISTED positional index: (token, doc_id, pos) stored as
+    * commit-log segments with per-segment token Blooms, exactly like
+    * the token-postings table below — so phrase search and collocation
+    * mining serve from a durable artifact instead of re-running the
+    * corpus posexplode per session. At 100 TB the session-only memo
+    * meant a full corpus re-tokenize before the first phrase query of
+    * every session; the persisted table amortizes the build across
+    * sessions and a term lookup opens only segments whose Bloom admits
+    * the term. Same base/delta two-segment fixture split as
+    * [[indexTablePath]]. */
+  private val posIndexTableCache =
+    new graft.AppScopedCache[String](Similarity.deleteLocalDir)
+
+  def posIndexTablePath(spark: SparkSession, dir: String): String =
+    posIndexTableCache.getOrCompute(spark, s"$dir#posindextable") {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_posidx_").toString
+      val p = posPostings(spark, dir)
+      val base = p.filter(col("doc_id") % 10 =!= 9)
+      val delta = p.filter(col("doc_id") % 10 === 9)
+      graft.operators.CommitLog.appendWithBloom(spark, path, base, Seq("token"))
+      graft.operators.CommitLog.appendWithBloom(spark, path, delta, Seq("token"))
+      path
+    }
+
+  /** Phrase search served from the PERSISTED positional index: one
+    * Bloom-pruned [[graft.operators.CommitLog.scanEquals]] per phrase
+    * term, then an equi-join per term on (doc_id, aligned position) —
+    * the classic positional-intersect plan; work ∝ the phrase terms'
+    * postings (segments without the term never open), never a corpus
+    * scan. Returns matching documents with their occurrence counts. */
   def searchPhrase(spark: SparkSession, dir: String,
-      phrase: Seq[String] = PhraseTerms): DataFrame = {
-    val p = posPostings(spark, dir)
-    val anchor = p.filter(col("token") === phrase.head)
+      phrase: Seq[String] = PhraseTerms, asOf: Option[Long] = None): DataFrame = {
+    val table = posIndexTablePath(spark, dir)
+    def termPostings(t: String) =
+      graft.operators.CommitLog.scanEquals(spark, table, "token", t, asOf)
+    val anchor = termPostings(phrase.head)
       .select(col("doc_id"), col("pos"))
     val joined = phrase.zipWithIndex.tail.foldLeft(anchor) { case (acc, (w, i)) =>
-      acc.join(p.filter(col("token") === w)
+      acc.join(termPostings(w)
           .select(col("doc_id"), (col("pos") - i).as("pos")),
         Seq("doc_id", "pos"))
     }
@@ -122,20 +151,33 @@ object Search {
       .orderBy(col("doc_id"))
   }
 
-  /** Collocation mining: adjacent-bigram PMI over the positional index
-    * — ln((c_ab/N2) / ((c_a/N1)(c_b/N1))), the association measure
-    * that separates real collocations from chance co-occurrence.
-    * Unigram stats come from [[postings]], bigram counts from ONE
-    * positional self-join; corpus scalars ride a broadcast one-row
-    * frame. The formula is written in the identical operation order as
-    * the oracle; ordering is by the ROUNDED score. */
+  /** Collocation mining: adjacent-bigram PMI over the PERSISTED
+    * positional index — ln((c_ab/N2) / ((c_a/N1)(c_b/N1))), the
+    * association measure that separates real collocations from chance
+    * co-occurrence. Unigram stats and N1 come from the same index
+    * read (one occurrence per stored position), bigram counts from
+    * ONE positional self-join; corpus scalars ride a broadcast
+    * one-row frame. The formula is written in the identical operation order as
+    * the oracle; ordering is by the ROUNDED score. `+ 0.0` on both
+    * sides folds IEEE -0.0 to +0.0: DuckDB rounds the binary double
+    * (a tiny-negative PMI yields -0.0) while Spark rounds via
+    * BigDecimal (yields +0.0) — the values are equal but the hash
+    * gate sees the sign bit. */
   def collocationsPmi(spark: SparkSession, dir: String,
       minCount: Int = 5): DataFrame = {
-    val p = posPostings(spark, dir)
-    val uni = postings(spark, dir).groupBy(col("token"))
-      .agg(sum(col("tf")).cast("double").as("c1"))
-    val scalars = postings(spark, dir)
-      .agg(sum(col("tf")).cast("double").as("n1"))
+    // serve EVERYTHING token-shaped from the persisted positional
+    // index (each stored position is one occurrence, so a per-token
+    // count over the index IS the collection frequency and the total
+    // row count IS N1) — no corpus re-tokenize. The only corpus touch
+    // left is the document COUNT (N2 = N1 - |docs| mirrors the
+    // oracle's per-doc bigram total): a count-star scan that reads
+    // zero data columns, never the text.
+    val p = graft.operators.CommitLog.read(spark, posIndexTablePath(spark, dir))
+      .localCheckpoint(false)
+    val uni = p.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("c1"))
+    val scalars = p
+      .agg(count(lit(1)).cast("double").as("n1"))
       .crossJoin(Tables.documents(spark, dir)
         .agg(count(lit(1)).cast("double").as("nd")))
       .select(col("n1"), (col("n1") - col("nd")).as("n2"))
@@ -151,7 +193,8 @@ object Search {
       .join(broadcast(uni.select(col("token").as("w1"), col("c1").as("ca"))), Seq("w1"))
       .join(broadcast(uni.select(col("token").as("w2"), col("c1").as("cb"))), Seq("w2"))
       .crossJoin(broadcast(scalars))
-      .select(col("w1"), col("w2"), col("n_pair"), round(pmi, 4).as("pmi"))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        (round(pmi, 4) + lit(0.0)).as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
   }
 

@@ -591,30 +591,54 @@ object Similarity {
     * twin reproduces them bit-for-bit. At 100 TB the codes would be the
     * stored representation; here they're derived in-plan from the same
     * exploded aggregation `quantizeEmbeddings` uses. */
+  /** Per-dimension SQ grid, trained once per corpus and served as a
+    * driver artifact (the [[centroidCache]]/[[codebookCache]]
+    * discipline): ONE exploded aggregation computes global [lo, hi]
+    * per dimension; the collect is `dims` rows — bounded by the
+    * embedding dimensionality, never by corpus size. */
+  private val sqGridCache = new AppScopedCache[Seq[(Double, Double)]]()
+
+  private[operators] def sqGrid(spark: SparkSession, dir: String): Seq[(Double, Double)] =
+    sqGridCache.getOrCompute(spark, s"$dir#sqgrid") {
+      Tables.embeddings(spark, dir)
+        .select(asDouble(col("embedding")).as("v"))
+        .select(posexplode(col("v")))
+        .groupBy(col("pos"))
+        .agg(min(col("col")).as("lo"), max(col("col")).as("hi"))
+        .orderBy(col("pos"))
+        .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+    }
+
   def knnQuantizedRerank(spark: SparkSession, dir: String,
       k: Int = 5, coarseK: Int = 20): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    // per-dim grid bounds collapse to ONE broadcast row of (lo, hi)
-    // arrays (dims entries); reconstruction is then a per-row zip_with
-    // over the vector — no join of the exploded corpus back to stats,
-    // no collect_list/array_sort regroup shuffle (measured ~3x on this
-    // query's bench time). Arithmetic is expression-for-expression the
-    // grid the DuckDB twin computes.
-    val exploded = emb.select(posexplode(col("v")))
-      .select(col("pos").as("dim"), col("col").as("x"))
-    val statsRow = exploded.groupBy(col("dim"))
-      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("lo"), col("hi")))).as("sv"))
-      .select(transform(col("sv"), e =>
-        struct(e.getField("lo").as("lo"), e.getField("hi").as("hi"))).as("st"))
-    def deqOf(x: Column, s: Column): Column = {
+    // The grid is a SERVED artifact (memoized driver-side, dims-sized)
+    // baked into the plan as literals — no in-plan aggregation subtree
+    // to recompute per consumer. The int8 CODES are the materialized
+    // scanned representation (localCheckpoint below): the coarse stage
+    // reads codes and dequantizes with pure arithmetic, realizing the
+    // "scan the 4x-smaller representation" SQ serving contract instead
+    // of re-deriving the quantization from full-precision doubles per
+    // probe batch. Arithmetic is expression-for-expression the grid the
+    // DuckDB twin computes.
+    val grid = sqGrid(spark, dir)
+    val st = array(grid.map { case (lo, hi) =>
+      struct(lit(lo).as("lo"), lit(hi).as("hi")) }: _*)
+    def codeOf(x: Column, s: Column): Column = {
       val lo = s.getField("lo"); val hi = s.getField("hi")
-      lo + when(hi === lo, lit(0))
-        .otherwise(round((x - lo) * 255.0 / (hi - lo), 0).cast("int")) * (hi - lo) / 255.0
+      when(hi === lo, lit(0))
+        .otherwise(round((x - lo) * 255.0 / (hi - lo), 0).cast("int"))
     }
-    val recon = emb.crossJoin(broadcast(statsRow))
-      .select(col("vec_id"), zip_with(col("v"), col("st"), (x, s) => deqOf(x, s)).as("vq"))
+    def deqOf(c: Column, s: Column): Column = {
+      val lo = s.getField("lo"); val hi = s.getField("hi")
+      lo + c * (hi - lo) / 255.0
+    }
+    val codes = emb
+      .select(col("vec_id"), zip_with(col("v"), st, (x, s) => codeOf(x, s)).as("codes"))
+      .localCheckpoint(false)
+    val recon = codes
+      .select(col("vec_id"), zip_with(col("codes"), st, (c, s) => deqOf(c, s)).as("vq"))
     val probes = recon.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("vq").as("q"))
     val coarse = recon.crossJoin(broadcast(probes))

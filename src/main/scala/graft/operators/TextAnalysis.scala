@@ -29,10 +29,18 @@ object TextAnalysis {
     * rows — no global sort at 100 TB). Priorities are rounded before
     * the cut so the kept set cannot hinge on sub-round float noise. */
   def weightedSample(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
-    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)
+    // u is floored at 1e-12 and zero-weight (empty) documents are
+    // filtered BEFORE the priority draw: ln(0) and x/0 diverge between
+    // engines (Spark log returns NULL, DuckDB ln(0) errors/-inf), so
+    // neither edge may reach the expression. Both guards are mirrored
+    // in the oracle SQL.
+    val u = greatest(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0),
+      lit(1e-12))
     val w = tokenCount(col("text")).cast("double")
     Tables.documents(spark, dir)
+      .filter(tokenCount(col("text")) > 0)
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
         round(log(u) / w, 6).as("priority"))
       .orderBy(col("priority").desc, col("doc_id"))
@@ -56,18 +64,23 @@ object TextAnalysis {
         "a true heavy hitter could be missed")
     val toks = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("token"))
-    // pass 1: candidate nomination — the collect is ≤ k rows
-    val cands = toks
-      .agg(graft.plans.FrequentItemsAggregate.freqItems(col("token"), k).as("c"))
-      .select(explode(col("c")).as("e"))
-      .select(col("e").getField("item").as("item"))
-      .collect().map(_.getString(0)).toSeq
-    // pass 2: exact recount of candidates only
-    val n = toks.agg(count(lit(1)).cast("double").as("n"))
+    // pass 1: candidate nomination AND the corpus token total ride ONE
+    // aggregate — the count is free alongside the sketch, so the whole
+    // operator is exactly two corpus scans (sketch+N, then the
+    // candidate recount). The collect is a single row: ≤k candidate
+    // structs plus one scalar.
+    val first = toks.agg(
+        graft.plans.FrequentItemsAggregate.freqItems(col("token"), k).as("c"),
+        count(lit(1)).cast("double").as("n"))
+      .head()
+    val cands = first.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    val cut = first.getDouble(1) * threshold
+    // pass 2: exact recount of candidates only; the threshold is a
+    // driver scalar (same IEEE n*threshold product the in-plan
+    // broadcast form computed)
     toks.filter(col("token").isin(cands: _*))
       .groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
-      .crossJoin(broadcast(n))
-      .filter(col("exact_count") > col("n") * lit(threshold))
+      .filter(col("exact_count") > lit(cut))
       .select(col("token"), col("exact_count"))
       .orderBy(col("exact_count").desc, col("token"))
   }
@@ -161,7 +174,12 @@ object TextAnalysis {
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val docs = Tables.documentsParallel(spark, dir)
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // (doc, term) counts feed BOTH the df aggregation and the scored
+    // join — localCheckpoint so the tokenize+explode+agg subtree runs
+    // once (the materialized set is the aggregated counts, far smaller
+    // than the token stream it replaces)
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val docLen = docs.select(col("doc_id"), tokenCount(col("text")).as("n_tok"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n"))

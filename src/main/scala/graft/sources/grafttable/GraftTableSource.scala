@@ -92,12 +92,40 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     // pin ONCE here and re-resolve the schema at that exact pin: a
     // commit landing between Spark's inferSchema call and this one
     // must not serve the new version's files through the old schema
-    // (silent null-drop of a just-evolved column). The passed schema
-    // only survives for empty/unschematized targets (write-only path).
+    // (silent null-drop of a just-evolved column). A passed schema
+    // (spark.read.schema(...) — the provider advertises
+    // supportsExternalMetadata) is HONORED when it is a subset of the
+    // committed schema with identical types (the write path's gate):
+    // the read then serves exactly those columns. Anything else —
+    // unknown column, type mismatch — refuses loudly rather than
+    // silently substituting the committed schema. For empty or
+    // unschematized targets the passed schema survives as-is (the
+    // write-only path).
     val pinned = GraftTableProvider.pinVersion(spark, path, options)
-    val resolved = scala.util.Try(
+    val committed = scala.util.Try(
       GraftTableProvider.schemaAt(spark, path, pinned)).toOption
-      .filter(_.nonEmpty).getOrElse(schema)
+      .filter(_.nonEmpty)
+    val resolved = committed match {
+      case None => schema
+      case Some(c) if schema.isEmpty || schema == c => c
+      case Some(c) =>
+        val decl = c.fields.map(f => f.name -> f.dataType).toMap
+        schema.fields.foreach { f =>
+          decl.get(f.name) match {
+            case None => throw new IllegalArgumentException(
+              s"graft: user schema names column ${f.name} which $path " +
+                s"does not declare at version $pinned " +
+                s"(declared: ${c.fieldNames.mkString(", ")})")
+            case Some(dt) if dt != f.dataType =>
+              throw new IllegalArgumentException(
+                s"graft: user schema declares ${f.name} as " +
+                  s"${f.dataType.catalogString} but $path declares " +
+                  s"${dt.catalogString} at version $pinned")
+            case _ => ()
+          }
+        }
+        schema
+    }
     new GraftTable(path, resolved, pinned)
   }
 }

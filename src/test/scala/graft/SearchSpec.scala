@@ -111,6 +111,30 @@ class SearchSpec extends SparkSpec {
     assert(merged === mem)
   }
 
+  test("phrase + PMI serve from the persisted positional index, not a corpus re-tokenize") {
+    Search.searchPhrase(spark, sf).count() // force the index build
+    // phrase: plan-pinned NO documents FileScan at all — every row
+    // comes from Bloom-pruned index-segment reads
+    val phrasePlan = Search.searchPhrase(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!phrasePlan.contains("documents.parquet"))
+    // PMI: the one allowed corpus touch is the count-star scan for
+    // |docs| — it must read ZERO data columns (never the text)
+    val pmiPlan = Search.collocationsPmi(spark, sf)
+      .queryExecution.executedPlan.toString
+    pmiPlan.split('\n').filter(_.contains("documents.parquet")).foreach { line =>
+      assert(line.contains("ReadSchema: struct<>"),
+        s"documents scan in the PMI serve plan reads columns: $line")
+    }
+    // time travel: as of version 0 only base-segment (doc_id%10 != 9)
+    // positions exist, so phrase hits are base-only
+    val v0 = Search.searchPhrase(spark, sf, asOf = Some(0L)).collect()
+      .map(_.getLong(0))
+    assert(v0.forall(_ % 10 != 9))
+    val full = Search.searchPhrase(spark, sf).collect().map(_.getLong(0))
+    assert(v0.toSet === full.filter(_ % 10 != 9).toSet)
+  }
+
   test("BM25 scores are positive, ordered, and slice back to the AND set") {
     val rows = Search.searchBm25(spark, sf).collect()
     assert(rows.nonEmpty)
