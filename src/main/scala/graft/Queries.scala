@@ -485,6 +485,7 @@ object Queries {
     "mm_gif_pixels" -> (Multimodal.gifPixelsQ _),
     "mm_jpeg_pixels" -> (Multimodal.jpegPixelsQ _),
     "mm_jpeg_color" -> (Multimodal.jpegColorQ _),
+    "mm_jpeg_progressive" -> (Multimodal.jpegProgressiveQ _),
     "mm_video_meta" -> (Multimodal.videoMeta _),
     "mm_video_frames" -> (Multimodal.videoFrames _),
     "mm_audio_pcm" -> (Multimodal.audioPcm _),
@@ -1042,6 +1043,41 @@ object Queries {
        "sum(least(greatest(floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5), 0), 255) * " +
        "  (least(8, w - 8 * bx) * least(8, h - 8 * by))) AS sg, " +
        "sum(least(greatest(floor(y + 1.772 * (cb - 128) + 0.5), 0), 255) * " +
+       "  (least(8, w - 8 * bx) * least(8, h - 8 * by))) AS sb " +
+       "FROM v GROUP BY doc_id) " +
+       "SELECT d.doc_id, " +
+       "CASE WHEN d.doc_id % 109 = 0 THEN NULL ELSE CAST(d.w AS INTEGER) END AS width, " +
+       "CASE WHEN d.doc_id % 109 = 0 THEN NULL ELSE CAST(d.h AS INTEGER) END AS height, " +
+       "CAST(s.sr AS BIGINT) AS sum_r, CAST(s.sg AS BIGINT) AS sum_g, " +
+       "CAST(s.sb AS BIGINT) AS sum_b, " +
+       "CASE WHEN d.doc_id % 109 = 0 THEN NULL ELSE CAST(d.w * d.h AS BIGINT) END AS n_pixels " +
+       "FROM d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"),
+    // PROGRESSIVE twin: the SOF2 fixture carries the SAME
+    // per-block-constant planes (gray rows where doc_id % 5 = 0 use
+    // the luma value directly; color rows the JFIF conversion), so one
+    // oracle covers the whole successive-approximation protocol: the
+    // decoded image must be bit-identical to the baseline encoding of
+    // the same planes, whatever the scan script did
+    "mm_jpeg_progressive" ->
+      ("WITH d AS (SELECT doc_id, 9 + doc_id % 23 AS w, 9 + (doc_id * 3) % 19 AS h, " +
+       "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS hs, " +
+       "CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS vs, " +
+       "doc_id % 5 = 0 AS gray " +
+       "FROM documents), " +
+       "blk AS (SELECT doc_id, w, h, hs, vs, gray, " +
+       "unnest(range(((w + 7) // 8) * ((h + 7) // 8))) AS bi, (w + 7) // 8 AS nbx " +
+       "FROM d WHERE doc_id % 109 <> 0), " +
+       "v AS (SELECT doc_id, w, h, gray, bi % nbx AS bx, bi // nbx AS by, " +
+       "(doc_id + 5 * (bi % nbx) + 11 * (bi // nbx)) % 256 AS y, " +
+       "(3 * doc_id + 7 * ((bi % nbx) // hs) + 13 * ((bi // nbx) // vs) + 64) % 256 AS cb, " +
+       "(5 * doc_id + 3 * ((bi % nbx) // hs) + 17 * ((bi // nbx) // vs) + 128) % 256 AS cr " +
+       "FROM blk), " +
+       "s AS (SELECT doc_id, " +
+       "sum(CASE WHEN gray THEN y ELSE least(greatest(floor(y + 1.402 * (cr - 128) + 0.5), 0), 255) END * " +
+       "  (least(8, w - 8 * bx) * least(8, h - 8 * by))) AS sr, " +
+       "sum(CASE WHEN gray THEN y ELSE least(greatest(floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5), 0), 255) END * " +
+       "  (least(8, w - 8 * bx) * least(8, h - 8 * by))) AS sg, " +
+       "sum(CASE WHEN gray THEN y ELSE least(greatest(floor(y + 1.772 * (cb - 128) + 0.5), 0), 255) END * " +
        "  (least(8, w - 8 * bx) * least(8, h - 8 * by))) AS sb " +
        "FROM v GROUP BY doc_id) " +
        "SELECT d.doc_id, " +

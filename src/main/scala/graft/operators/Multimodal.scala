@@ -178,6 +178,19 @@ object Multimodal {
         (id % 109 =!= 0, graft.plans.VectorExpressions.jpegEncodeColor(
           (id % 23 + 9).cast("int"), ((id * 3) % 19 + 9).cast("int"),
           id.cast("long"), (id % 3).cast("int"), id % 2 === 0)))
+      case "jpgprog" => Seq(
+        (id % 109 === 0, encode(text.substr(1, 22), "UTF-8")),
+        // REAL PROGRESSIVE (SOF2) JPEGs (plans.JpegEncodeProgressive:
+        // successive-approximation scan script, EOBn runs, per-scan
+        // restarts): same geometry as jpgpx; every 5th doc grayscale,
+        // the rest color cycling 4:4:4 / 4:2:2 / 4:2:0 — the
+        // constant-block construction keeps the whole multi-scan
+        // protocol exactly oracle-recomputable
+        (id % 109 =!= 0, graft.plans.VectorExpressions.jpegEncodeProgressive(
+          (id % 23 + 9).cast("int"), ((id * 3) % 19 + 9).cast("int"),
+          id.cast("long"),
+          when(id % 5 === 0, lit(3)).otherwise(id % 3).cast("int"),
+          id % 2 === 0)))
       case "avi" => Seq(
         (id % 111 === 0, encode(text.substr(1, 24), "UTF-8")),
         // REAL single-stream MJPEG AVIs (plans.AviEncode): 1..3 color
@@ -224,7 +237,8 @@ object Multimodal {
     * never fused into a decode query's codegen. */
   def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "jpgpx",
-      "jpgcol", "avi", "wavpcm").foreach(writeMediaFixtureOne(spark, dir, path, _))
+      "jpgcol", "jpgprog", "avi", "wavpcm")
+      .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
       path: String, kind: String): Unit =
@@ -467,6 +481,23 @@ object Multimodal {
   def jpegColorQ(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir, "jpgcol")
       .select(col("doc_id"), graft.plans.VectorExpressions.jpegPixels(col("jpgcol")).as("s"))
+      .select(col("doc_id"),
+        col("s.width").as("width"), col("s.height").as("height"),
+        col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),
+        col("s.sum_b").as("sum_b"), col("s.n_pixels").as("n_pixels"))
+      .orderBy(col("doc_id"))
+
+  /** Registered PROGRESSIVE-JPEG decode query: the same scan-decode
+    * shape over the SOF2 fixture (successive-approximation multi-scan
+    * streams, gray + all three color subsamplings). The constant-block
+    * construction survives the progressive protocol exactly — DC
+    * Al-split + refinement bits reassemble the identical quantized DC,
+    * zero ACs ride EOBn runs — so the oracle recomputes the decoded
+    * sums with no tolerance: one wrong refinement bit, EOB-run length,
+    * band offset, or non-interleaved grid dimension fails the hash. */
+  def jpegProgressiveQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "jpgprog")
+      .select(col("doc_id"), graft.plans.VectorExpressions.jpegPixels(col("jpgprog")).as("s"))
       .select(col("doc_id"),
         col("s.width").as("width"), col("s.height").as("height"),
         col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),

@@ -28,14 +28,18 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, IntegerTyp
   *    clamp, and channel sums over only the pixels inside w x h (edge
   *    MCUs crop).
   *
-  * Scope: baseline sequential (SOF0), 8-bit, grayscale AND 3-component
-  * interleaved YCbCr with 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 subsampling —
+  * Scope: baseline sequential (SOF0) AND progressive (SOF2, ITU T.81
+  * Annex G — spectral selection, successive approximation, EOB runs;
+  * see [[JpegPixels.decodeProgressive]]), 8-bit, grayscale AND
+  * 3-component YCbCr with 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 subsampling —
   * the shapes that cover real crawl JPEGs (chroma upsampling by
-  * sample replication, JFIF conversion matrix); progressive, 12-bit,
-  * arithmetic, and exotic sampling return NULL, never throw (fuzzed
-  * in ParserFuzzSpec). Memory is O(one MCU) regardless of claimed
-  * geometry — no w*h buffer exists to balloon, only the running sums —
-  * so a hostile header cannot hurt a 100 TB scan. Decode is certified
+  * sample replication, JFIF conversion matrix); 12-bit, arithmetic,
+  * lossless, and exotic sampling return NULL, never throw (fuzzed in
+  * ParserFuzzSpec). Baseline memory is O(one MCU) regardless of
+  * claimed geometry; progressive inherently needs the full-frame
+  * coefficient buffer (every decoder does), capped by
+  * [[JpegPixels.MaxPixelsProgressive]] — so a hostile header cannot
+  * hurt a 100 TB scan either way. Decode is certified
   * two ways: the DuckDB oracle recomputes exact sums for the
   * per-block-constant fixtures ([[JpegEncode]] grayscale,
   * [[JpegEncodeColor]] YCbCr: quantizer 8 divides the DC 8*(v-128)
@@ -162,10 +166,111 @@ object JpegPixels {
     if (s < 0) 0 else if (s > 255) 255 else s
   }
 
+  /** Dequantized natural-order coefficients -> 8x8 spatial block:
+    * separable double IDCT, +128 level shift, clamp, written into the
+    * component plane at (ox, oy) with row stride cw. Shared by the
+    * baseline streaming path and the progressive final render. */
+  private def idctInto(coef: Array[Int], plane: Array[Int], cw: Int,
+      ox: Int, oy: Int): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 64) {
+          val cf = coef(v)
+          if (cf != 0) acc += Ct(x)(v & 7) * Ct(y)(v >> 3) * cf
+          v += 1
+        }
+        var s = math.round(acc).toInt + 128
+        if (s < 0) s = 0 else if (s > 255) s = 255
+        plane((oy + y) * cw + ox + x) = s
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** RGB channel sums over (one MCU ∩ the image): nearest-sample
+    * chroma upsample + JFIF matrix (3-comp) or straight copy (gray),
+    * accumulated into sums(0..2). Shared by both decode paths. */
+  private def sumMcuPixels(planes: Array[Array[Int]], nComp: Int,
+      hmax: Int, vmax: Int, mx: Int, my: Int, w: Int, h: Int,
+      sums: Array[Long]): Unit = {
+    val lumaW = 8 * hmax
+    val mcuH = 8 * vmax
+    val mcuW = 8 * hmax
+    var py = 0
+    while (py < mcuH) {
+      val gy = my * mcuH + py
+      if (gy < h) {
+        var px = 0
+        while (px < mcuW) {
+          val gx = mx * mcuW + px
+          if (gx < w) {
+            val yv = planes(0)(py * lumaW + px)
+            if (nComp == 1) {
+              sums(0) += yv; sums(1) += yv; sums(2) += yv
+            } else {
+              val cb = planes(1)((py / vmax) * 8 + px / hmax)
+              val cr = planes(2)((py / vmax) * 8 + px / hmax)
+              sums(0) += rgbClamp(yv + 1.402 * (cr - 128))
+              sums(1) += rgbClamp(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+              sums(2) += rgbClamp(yv + 1.772 * (cb - 128))
+            }
+          }
+          px += 1
+        }
+      }
+      py += 1
+    }
+  }
+
+  /** DQT segment body [j0, end): one or more 8-bit tables, stored in
+    * NATURAL order. False on any malformed structure. Shared by the
+    * pre-scan header walk and the progressive between-scan walk. */
+  private def parseDqt(b: Array[Byte], j0: Int, end: Int,
+      qts: Array[Array[Int]]): Boolean = {
+    var j = j0
+    while (j < end) {
+      val pq = u8(b, j) >> 4; val tq = u8(b, j) & 0x0F
+      if (pq != 0 || tq > 3 || j + 65 > end) return false // 8-bit tables only
+      val q = new Array[Int](64)
+      var z = 0
+      while (z < 64) { q(Zigzag(z)) = u8(b, j + 1 + z); z += 1 }
+      qts(tq) = q
+      j += 65
+    }
+    j == end
+  }
+
+  /** DHT segment body [j0, end): one or more Huffman tables. False on
+    * any malformed structure. */
+  private def parseDht(b: Array[Byte], j0: Int, end: Int,
+      dcT: Array[HuffTable], acT: Array[HuffTable]): Boolean = {
+    var j = j0
+    while (j < end) {
+      if (j + 17 > end) return false
+      val tc = u8(b, j) >> 4; val th = u8(b, j) & 0x0F
+      if (tc > 1 || th > 3) return false
+      val bits = Array.tabulate(16)(k => u8(b, j + 1 + k))
+      val n = bits.sum
+      if (n > 256 || j + 17 + n > end) return false
+      val vals = new Array[Byte](n)
+      System.arraycopy(b, j + 17, vals, 0, n)
+      val t = new HuffTable(bits, vals)
+      if (tc == 0) dcT(th) = t else acT(th) = t
+      j += 17 + n
+    }
+    j == end
+  }
+
   /** Null iff the bytes are not a decodable in-scope JPEG. Static, no
-    * captures; total over hostile bytes.
+    * captures; total over hostile bytes. SOF2 frames hand off to
+    * [[decodeProgressive]] at the first SOS.
     *
-    * Scope: baseline sequential (SOF0), 8-bit, grayscale OR
+    * Baseline scope: sequential (SOF0), 8-bit, grayscale OR
     * 3-component YCbCr with luma sampling factors in {1,2}x{1,2} and
     * 1x1 chroma — 4:4:4, 4:2:2, 4:4:0 and 4:2:0, the shapes that
     * cover real crawl JPEGs. Chroma upsampling is sample replication
@@ -179,6 +284,7 @@ object JpegPixels {
     var i = 2
     var w = 0; var h = 0
     var nComp = 0
+    var progressive = false
     val compId = new Array[Int](3)
     val compQt = new Array[Int](3)
     val compH = new Array[Int](3)
@@ -203,7 +309,8 @@ object JpegPixels {
       if (len < 2 || i + len > b.length) return null
       val end = i + len
       m match {
-        case 0xC0 => // SOF0 baseline
+        case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive
+          progressive = m == 0xC2
           if (len < 11) return null
           if (u8(b, i + 2) != 8) return null // 8-bit only
           h = u16(b, i + 3); w = u16(b, i + 5)
@@ -228,42 +335,24 @@ object JpegPixels {
             if (compH(0) < 1 || compH(0) > 2 || compV(0) < 1 || compV(0) > 2) return null
             if (compH(1) != 1 || compV(1) != 1 || compH(2) != 1 || compV(2) != 1) return null
           }
-        case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+        case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
              0xCD | 0xCE | 0xCF =>
-          return null // extended/progressive/lossless/arithmetic: out of scope
+          return null // extended/lossless/arithmetic: out of scope
         case 0xDB => // DQT: one or more tables
-          var j = i + 2
-          while (j < end) {
-            val pq = u8(b, j) >> 4; val tq = u8(b, j) & 0x0F
-            if (pq != 0 || tq > 3 || j + 65 > end) return null // 8-bit tables only
-            val q = new Array[Int](64)
-            var z = 0
-            while (z < 64) { q(Zigzag(z)) = u8(b, j + 1 + z); z += 1 }
-            qts(tq) = q
-            j += 65
-          }
-          if (j != end) return null
+          if (!parseDqt(b, i + 2, end, qts)) return null
         case 0xC4 => // DHT: one or more tables
-          var j = i + 2
-          while (j < end) {
-            if (j + 17 > end) return null
-            val tc = u8(b, j) >> 4; val th = u8(b, j) & 0x0F
-            if (tc > 1 || th > 3) return null
-            val bits = Array.tabulate(16)(k => u8(b, j + 1 + k))
-            val n = bits.sum
-            if (n > 256 || j + 17 + n > end) return null
-            val vals = new Array[Byte](n)
-            System.arraycopy(b, j + 17, vals, 0, n)
-            val t = new HuffTable(bits, vals)
-            if (tc == 0) dcT(th) = t else acT(th) = t
-            j += 17 + n
-          }
-          if (j != end) return null
+          if (!parseDht(b, i + 2, end, dcT, acT)) return null
         case 0xDD => // DRI
           if (len != 4) return null
           restartInterval = u16(b, i + 2)
         case 0xDA => // SOS
           if (nComp == 0) return null // SOS before SOF
+          if (progressive)
+            // the whole multi-scan protocol (spectral selection,
+            // successive approximation, per-scan tables) lives in
+            // decodeProgressive; `i` points at this SOS's length field
+            return decodeProgressive(b, i, w, h, nComp, compId, compQt,
+              compH, compV, qts, dcT, acT, restartInterval)
           if (len < 6 + 2 * nComp) return null
           if (u8(b, i + 2) != nComp) return null // full interleave only
           var s = 0
@@ -302,7 +391,7 @@ object JpegPixels {
     // one plane per component, MCU-sized: O(MCU) memory always
     val planes = Array.tabulate(nComp)(c => new Array[Int](64 * compH(c) * compV(c)))
     val preds = new Array[Int](3)
-    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    val sums = new Array[Long](3)
     var mcu = 0
     var my = 0
     while (my < mcusY) {
@@ -355,67 +444,349 @@ object JpegPixels {
                 }
               }
               // IDCT, level shift, clamp into the component plane
-              val plane = planes(c)
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  var acc = 0.0
-                  var v = 0
-                  while (v < 64) {
-                    val cf = coef(v)
-                    if (cf != 0) acc += Ct(x)(v & 7) * Ct(y)(v >> 3) * cf
-                    v += 1
-                  }
-                  var s = math.round(acc).toInt + 128
-                  if (s < 0) s = 0 else if (s > 255) s = 255
-                  plane((bv * 8 + y) * cw + bh * 8 + x) = s
-                  x += 1
-                }
-                y += 1
-              }
+              idctInto(coef, planes(c), cw, bh * 8, bv * 8)
               bh += 1
             }
             bv += 1
           }
           c += 1
         }
-        // pixel pass over this MCU ∩ image: nearest-sample chroma
-        // upsample + JFIF matrix (3-comp) or straight copy (grayscale)
-        val lumaW = 8 * hmax
-        var py = 0
-        val mcuH = 8 * vmax
-        while (py < mcuH) {
-          val gy = my * mcuH + py
-          if (gy < h) {
-            var px = 0
-            val mcuW = 8 * hmax
-            while (px < mcuW) {
-              val gx = mx * mcuW + px
-              if (gx < w) {
-                val yv = planes(0)(py * lumaW + px)
-                if (nComp == 1) {
-                  sumR += yv; sumG += yv; sumB += yv
-                } else {
-                  val cb = planes(1)((py / vmax) * 8 + px / hmax)
-                  val cr = planes(2)((py / vmax) * 8 + px / hmax)
-                  sumR += rgbClamp(yv + 1.402 * (cr - 128))
-                  sumG += rgbClamp(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
-                  sumB += rgbClamp(yv + 1.772 * (cb - 128))
-                }
-              }
-              px += 1
-            }
-          }
-          py += 1
-        }
+        // pixel pass over this MCU ∩ image
+        sumMcuPixels(planes, nComp, hmax, vmax, mx, my, w, h, sums)
         mcu += 1
         mx += 1
       }
       my += 1
     }
-    new GenericInternalRow(Array[Any](w, h, sumR, sumG, sumB, w.toLong * h))
+    new GenericInternalRow(Array[Any](w, h, sums(0), sums(1), sums(2), w.toLong * h))
   } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Progressive pixel ceiling. Unlike baseline (streamed, O(one MCU)),
+    * progressive decode REQUIRES full-frame coefficient storage — every
+    * scan refines coefficients anywhere in the image, so every real
+    * decoder (libjpeg included) holds them all until the last scan.
+    * 2^22 pixels caps the hostile-header exposure at ~48 MB/row
+    * (4 B/coefficient, worst case 4:4:4 color). */
+  val MaxPixelsProgressive: Long = 1L << 22
+
+  /** ITU T.81 Annex G progressive decode, entered by [[parse]] at the
+    * first SOS of an SOF2 frame (`firstSos` = offset of that SOS's
+    * length field; geometry/tables parsed so far passed through):
+    *
+    *  - DC scans (Ss=0): interleaved (Ns>1: MCU order over the PADDED
+    *    per-component block grid) or single-component (non-interleaved
+    *    ceil-grid); first pass (Ah=0) Huffman-codes diffs of DC>>Al
+    *    (predictors like baseline), refinement passes (Ah=Al+1) append
+    *    exactly one bit: coef |= 1<<Al — correct for negatives because
+    *    the first pass stored the arithmetic-shifted value;
+    *  - AC scans (Ss>=1): single-component ONLY per the spec, spectral
+    *    band Ss..Se; first pass codes values<<Al with EOBn run
+    *    batching (run length 2^r + r extra bits, spanning blocks);
+    *    refinement passes emit one correction bit per nonzero-history
+    *    coefficient crossed and insert new ±1<<Al coefficients — the
+    *    G.1.2.3 algorithm (independently re-derived; same decision
+    *    structure every conformant decoder must implement);
+    *  - DHT/DQT/DRI may be redefined between scans; RSTn cycles from 0
+    *    within each scan and resets predictors AND the pending EOB run;
+    *  - the scan loop ends at EOI, then ONE dequantize+IDCT render
+    *    pass in MCU order reuses the baseline's idctInto/sumMcuPixels.
+    *
+    * Totality: every bit/Huffman read throws DecodeErr on overrun
+    * (caught by parse -> NULL); marker offsets advance strictly, so
+    * hostile bytes terminate. Memory is the coefficient buffer, capped
+    * by [[MaxPixelsProgressive]]. */
+  private def decodeProgressive(b: Array[Byte], firstSos: Int,
+      w: Int, h: Int, nComp: Int,
+      compId: Array[Int], compQt: Array[Int],
+      compH: Array[Int], compV: Array[Int],
+      qts: Array[Array[Int]], dcT: Array[HuffTable], acT: Array[HuffTable],
+      restartInterval0: Int): InternalRow = {
+    if (w.toLong * h > MaxPixelsProgressive) return null
+    var restartInterval = restartInterval0
+    val hmax = compH(0); val vmax = compV(0) // scope: chroma 1x1 (SOF-validated)
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    // padded grid: interleaved scans code the padding blocks too
+    val padW = Array.tabulate(nComp)(c => mcusX * compH(c))
+    val padH = Array.tabulate(nComp)(c => mcusY * compV(c))
+    // non-interleaved grid: ceil(ceil(w*Hc/Hmax)/8) (T.81 A.1.1/A.2.2)
+    val niW = Array.tabulate(nComp)(c => ((w * compH(c) + hmax - 1) / hmax + 7) / 8)
+    val niH = Array.tabulate(nComp)(c => ((h * compV(c) + vmax - 1) / vmax + 7) / 8)
+    val coefs = Array.tabulate(nComp)(c => new Array[Int](padW(c) * padH(c) * 64))
+    val preds = new Array[Int](3)
+
+    var i = firstSos
+    var seenScan = false
+    var atSos = true // parse dispatched here AT the first SOS
+    var done = false
+    while (!done) {
+      if (atSos) {
+        // ---- one scan: header then entropy-coded data ----
+        if (i + 2 > b.length) return null
+        val len = u16(b, i)
+        if (len < 2 || i + len > b.length) return null
+        val ns = u8(b, i + 2)
+        if (ns < 1 || ns > nComp || len != 6 + 2 * ns) return null
+        val scanComp = new Array[Int](ns)
+        val dcSel = new Array[Int](ns)
+        val acSel = new Array[Int](ns)
+        var prev = -1
+        var sIx = 0
+        while (sIx < ns) {
+          val cs = u8(b, i + 3 + 2 * sIx)
+          var found = -1
+          var c = 0
+          while (c < nComp) { if (compId(c) == cs) found = c; c += 1 }
+          // subset of frame components, in frame order, no repeats
+          if (found < 0 || found <= prev) return null
+          prev = found
+          scanComp(sIx) = found
+          dcSel(sIx) = u8(b, i + 4 + 2 * sIx) >> 4
+          acSel(sIx) = u8(b, i + 4 + 2 * sIx) & 0x0F
+          if (dcSel(sIx) > 3 || acSel(sIx) > 3) return null
+          sIx += 1
+        }
+        val p0 = i + 3 + 2 * ns
+        val ss = u8(b, p0); val se = u8(b, p0 + 1)
+        val ah = u8(b, p0 + 2) >> 4; val al = u8(b, p0 + 2) & 0x0F
+        val isDc = ss == 0
+        if (isDc) { if (se != 0 || al > 13) return null }
+        else if (ns != 1 || se < ss || se > 63 || al > 13) return null
+        if (ah != 0 && ah != al + 1) return null // first pass or 1-bit step
+
+        val r = new BitReader(b, i + len)
+        var eobrun = 0
+        java.util.Arrays.fill(preds, 0)
+        var unit = 0 // restart cadence counts MCUs (interleaved) / blocks
+
+        def restartIfDue(): Unit =
+          if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+            r.align()
+            var p = r.pos
+            while (p + 1 < b.length && u8(b, p) == 0xFF && u8(b, p + 1) == 0x00)
+              p += 2
+            if (p + 1 >= b.length || u8(b, p) != 0xFF) throw DecodeErr
+            if (u8(b, p + 1) != 0xD0 + ((unit / restartInterval - 1) & 7))
+              throw DecodeErr
+            r.pos = p + 2
+            java.util.Arrays.fill(preds, 0)
+            eobrun = 0
+          }
+
+        def dcFirst(c: Int, dcTab: HuffTable, off: Int): Unit = {
+          val t = r.decode(dcTab)
+          if (t > 11) throw DecodeErr
+          preds(c) += extend(r.readBits(t), t)
+          coefs(c)(off) = preds(c) << al
+        }
+        def dcRefine(c: Int, off: Int): Unit =
+          if (r.readBit() == 1) coefs(c)(off) |= (1 << al)
+
+        def acFirst(cf: Array[Int], off: Int, acTab: HuffTable): Unit = {
+          if (eobrun > 0) { eobrun -= 1; return }
+          var k = ss
+          var eob = false
+          while (k <= se && !eob) {
+            val rs = r.decode(acTab)
+            val run = rs >> 4; val size = rs & 0x0F
+            if (size == 0) {
+              if (run == 15) k += 16 // ZRL
+              else {
+                eobrun = (1 << run) - 1 // this block ends the run's first
+                if (run > 0) eobrun += r.readBits(run)
+                eob = true
+              }
+            } else {
+              k += run
+              if (k > se) throw DecodeErr
+              cf(off + Zigzag(k)) = extend(r.readBits(size), size) << al
+              k += 1
+            }
+          }
+        }
+
+        def acRefine(cf: Array[Int], off: Int, acTab: HuffTable): Unit = {
+          val pl = 1 << al
+          val ml = -1 << al
+          var k = ss
+          if (eobrun == 0) {
+            var brk = false
+            while (k <= se && !brk) {
+              val rs = r.decode(acTab)
+              var run = rs >> 4
+              val size = rs & 0x0F
+              var sval = 0
+              if (size == 0) {
+                if (run != 15) { // EOBn: run starts AT this block
+                  eobrun = 1 << run
+                  if (run > 0) eobrun += r.readBits(run)
+                  brk = true
+                }
+                // run == 15 (ZRL): skip 16 zero-history coefficients
+              } else {
+                if (size != 1) throw DecodeErr // refinement codes only ±1
+                sval = if (r.readBit() == 1) pl else ml
+              }
+              if (!brk) {
+                // advance over `run` zero-history positions, emitting a
+                // correction bit at every nonzero-history one crossed
+                var placed = false
+                while (k <= se && !placed) {
+                  val z = off + Zigzag(k)
+                  if (cf(z) != 0) {
+                    if (r.readBit() == 1 && (cf(z) & pl) == 0)
+                      cf(z) += (if (cf(z) >= 0) pl else ml)
+                  } else if (run == 0) {
+                    if (sval != 0) cf(z) = sval
+                    placed = true
+                  } else run -= 1
+                  k += 1
+                }
+              }
+            }
+          }
+          if (eobrun > 0) {
+            // the run covers this block's remaining band: correction
+            // bits for nonzero-history coefficients only
+            while (k <= se) {
+              val z = off + Zigzag(k)
+              if (cf(z) != 0 && r.readBit() == 1 && (cf(z) & pl) == 0)
+                cf(z) += (if (cf(z) >= 0) pl else ml)
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+
+        if (isDc && ns > 1) {
+          // interleaved DC scan over the padded grid, MCU order
+          val dcTabs = Array.tabulate(ns)(s2 => dcT(dcSel(s2)))
+          if (ah == 0 && dcTabs.exists(_ == null)) return null
+          var my = 0
+          while (my < mcusY) {
+            var mx = 0
+            while (mx < mcusX) {
+              restartIfDue()
+              var s2 = 0
+              while (s2 < ns) {
+                val c = scanComp(s2)
+                var bv = 0
+                while (bv < compV(c)) {
+                  var bh2 = 0
+                  while (bh2 < compH(c)) {
+                    val off = ((my * compV(c) + bv) * padW(c) +
+                      mx * compH(c) + bh2) * 64
+                    if (ah == 0) dcFirst(c, dcTabs(s2), off)
+                    else dcRefine(c, off)
+                    bh2 += 1
+                  }
+                  bv += 1
+                }
+                s2 += 1
+              }
+              unit += 1
+              mx += 1
+            }
+            my += 1
+          }
+        } else {
+          // single-component scan (DC or AC): non-interleaved grid
+          val c = scanComp(0)
+          val dcTab = if (isDc) dcT(dcSel(0)) else null
+          val acTab = if (!isDc) acT(acSel(0)) else null
+          if (isDc && ah == 0 && dcTab == null) return null
+          if (!isDc && acTab == null) return null
+          val cf = coefs(c)
+          var by = 0
+          while (by < niH(c)) {
+            var bx = 0
+            while (bx < niW(c)) {
+              restartIfDue()
+              val off = (by * padW(c) + bx) * 64
+              if (isDc) { if (ah == 0) dcFirst(c, dcTab, off) else dcRefine(c, off) }
+              else { if (ah == 0) acFirst(cf, off, acTab) else acRefine(cf, off, acTab) }
+              unit += 1
+              bx += 1
+            }
+            by += 1
+          }
+        }
+        seenScan = true
+        // seek the next marker past stuffed FF00s and fill bytes
+        r.align()
+        var p = r.pos
+        while (p + 1 < b.length && !(u8(b, p) == 0xFF && u8(b, p + 1) != 0x00))
+          p += 1
+        if (p + 1 >= b.length) return null
+        i = p
+        atSos = false
+      } else {
+        // ---- marker walk between scans ----
+        if (i + 1 >= b.length || u8(b, i) != 0xFF) return null
+        var m = u8(b, i + 1)
+        while (m == 0xFF) { i += 1; if (i + 1 >= b.length) return null; m = u8(b, i + 1) }
+        i += 2
+        if (m == 0xD9) done = true // EOI: render
+        else {
+          if (i + 2 > b.length) return null
+          val len = u16(b, i)
+          if (len < 2 || i + len > b.length) return null
+          val end = i + len
+          m match {
+            case 0xDA => atSos = true // decoded next iteration (i at length)
+            case 0xC4 => if (!parseDht(b, i + 2, end, dcT, acT)) return null
+            case 0xDB => if (!parseDqt(b, i + 2, end, qts)) return null
+            case 0xDD =>
+              if (len != 4) return null
+              restartInterval = u16(b, i + 2)
+            case 0xD8 | 0xC0 | 0xC2 => return null // nested SOI/SOF
+            case _ => () // APPn / COM / DNL: skip by length
+          }
+          if (m != 0xDA) i = end
+        }
+      }
+    }
+    if (!seenScan) return null
+    var c = 0
+    while (c < nComp) {
+      if (qts(compQt(c)) == null) return null
+      c += 1
+    }
+    // final render: dequantize + IDCT in MCU order, O(MCU) extra memory
+    val planes = Array.tabulate(nComp)(c2 => new Array[Int](64 * compH(c2) * compV(c2)))
+    val sums = new Array[Long](3)
+    val dq = new Array[Int](64)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var c2 = 0
+        while (c2 < nComp) {
+          val qt = qts(compQt(c2))
+          val cw = 8 * compH(c2)
+          val cf = coefs(c2)
+          var bv = 0
+          while (bv < compV(c2)) {
+            var bh2 = 0
+            while (bh2 < compH(c2)) {
+              val off = ((my * compV(c2) + bv) * padW(c2) +
+                mx * compH(c2) + bh2) * 64
+              var v = 0
+              while (v < 64) { dq(v) = cf(off + v) * qt(v); v += 1 }
+              idctInto(dq, planes(c2), cw, bh2 * 8, bv * 8)
+              bh2 += 1
+            }
+            bv += 1
+          }
+          c2 += 1
+        }
+        sumMcuPixels(planes, nComp, hmax, vmax, mx, my, w, h, sums)
+        mx += 1
+      }
+      my += 1
+    }
+    new GenericInternalRow(Array[Any](w, h, sums(0), sums(1), sums(2), w.toLong * h))
+  }
 }
 
 /** `graft_jpeg_encode(width, height, seed, restartRows)` → binary: a
@@ -716,6 +1087,284 @@ object JpegEncode {
     out.toByteArray
   }
 
+  // Progressive AC scans need EOBn symbols (0x10..0x70) the Annex-K
+  // baseline table lacks. Custom canonical table: EOBn 0x00..0x70, ZRL,
+  // and (run, size<=3) codes, all length 6 (57 codes < 63 -- the
+  // all-ones code stays unused, as T.81 requires).
+  private val ProgAcVals: Array[Int] =
+    (0 to 7).map(_ << 4).toArray ++ Array(0xF0) ++
+      (for (r <- 0 to 15; sz <- 1 to 3) yield (r << 4) | sz)
+  private val ProgAcBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, ProgAcVals.length, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val (progAcCode, progAcSize) = buildCodes(ProgAcBits, ProgAcVals)
+
+  /** PROGRESSIVE (SOF2) fixture encoder over general sample functions:
+    * real forward DCT + quantize per block up front, then a
+    * successive-approximation scan script —
+    *
+    *   DC first (Al=1, interleaved when 3 components), then per
+    *   component banded AC first passes, AC refinement passes
+    *   (Ah=1 -> Al=0) for component 0, and a final DC refinement —
+    *
+    * with EOBn run batching across blocks (the progressive-only
+    * symbol family), optional DRI/RSTn cadence in EVERY scan (run
+    * flushed at each restart, RST index cycling from 0 per scan), and
+    * byte stuffing. DC successive approximation uses the arithmetic
+    * shift (T.81 point transform for DC), so the refinement bit is
+    * exactly dc & 1 and the decoder's (pred<<1)|bit reconstruction is
+    * lossless for negative coefficients too. AC coefficients beyond
+    * size 3 have no code in the custom table -> null (the fixture's
+    * constant blocks have none; the DCT is still the general
+    * transform, not a constant-block shortcut). */
+  private def encodeProgressive(w: Int, h: Int, hs: Int, vs: Int,
+      comps: Array[(Int, Int) => Int], restartInterval: Int): Array[Byte] = {
+    val nComp = comps.length
+    val mcusX = (w + 8 * hs - 1) / (8 * hs)
+    val mcusY = (h + 8 * vs - 1) / (8 * vs)
+    val compHs = Array.tabulate(nComp)(c => if (c == 0) hs else 1)
+    val compVs = Array.tabulate(nComp)(c => if (c == 0) vs else 1)
+    val compW = Array.tabulate(nComp)(c => if (c == 0) w else (w + hs - 1) / hs)
+    val compH2 = Array.tabulate(nComp)(c => if (c == 0) h else (h + vs - 1) / vs)
+    val padW = Array.tabulate(nComp)(c => mcusX * compHs(c))
+    val padH = Array.tabulate(nComp)(c => mcusY * compVs(c))
+    val niW = Array.tabulate(nComp)(c => (compW(c) + 7) / 8)
+    val niH = Array.tabulate(nComp)(c => (compH2(c) + 7) / 8)
+
+    // quantize every padded-grid block once (interleaved DC scans code
+    // the padding blocks; edge replication keeps them constant)
+    val samples = new Array[Double](64)
+    def quantBlock(c: Int, bx: Int, by: Int): Array[Int] = {
+      val pix = comps(c)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val px = math.min(bx * 8 + x, compW(c) - 1)
+          val py = math.min(by * 8 + y, compH2(c) - 1)
+          samples(y * 8 + x) = pix(px, py) - 128.0
+          x += 1
+        }
+        y += 1
+      }
+      val coef = new Array[Int](64)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var acc = 0.0
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              acc += FwdCt(xx)(u) * FwdCt(yy)(v) * samples(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          coef(v * 8 + u) = math.round(acc / Quant).toInt
+          v += 1
+        }
+        u += 1
+      }
+      coef
+    }
+    val blocks = Array.tabulate(nComp)(c =>
+      Array.tabulate(padH(c) * padW(c))(i => quantBlock(c, i % padW(c), i / padW(c))))
+
+    val out = new java.io.ByteArrayOutputStream(w * h / 4 + 1024)
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xFF)
+      body.foreach(out.write)
+    }
+    marker(0xD8)
+    seg(0xDB, Array(0x00) ++ Array.fill(64)(Quant))
+    val sofComps =
+      if (nComp == 1) Array(1, 0x11, 0)
+      else Array(1, (hs << 4) | vs, 0, 2, 0x11, 0, 3, 0x11, 0)
+    seg(0xC2, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, nComp) ++ sofComps)
+    seg(0xC4, Array(0x00) ++ DcBits ++ DcVals)
+    seg(0xC4, Array(0x10) ++ ProgAcBits ++ ProgAcVals)
+    if (restartInterval > 0)
+      seg(0xDD, Array(restartInterval >> 8, restartInterval & 0xFF))
+
+    var bad = false // AC value without a code in the custom table
+
+    /** One scan: components `scs` (frame indices), band ss..se, shift
+      * ah -> al. Emits SOS header + entropy data + restarts. */
+    def scan(scs: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      val sosComps = scs.flatMap(c => Seq(c + 1, 0x00)).toArray // DC tab 0, AC tab 0
+      seg(0xDA, Array(scs.length) ++ sosComps ++ Array(ss, se, (ah << 4) | al))
+      val bw = new BitWriter(out)
+      val preds = new Array[Int](nComp)
+      var eobrun = 0
+      var unit = 0
+      var rstN = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        var r = 0
+        while ((2 << r) <= eobrun) r += 1 // r = floor(log2(eobrun))
+        bw.write(progAcCode(r << 4), progAcSize(r << 4))
+        if (r > 0) bw.write(eobrun - (1 << r), r)
+        eobrun = 0
+      }
+      def restartIfDue(): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          flushEob()
+          bw.flush()
+          marker(0xD0 + rstN)
+          rstN = (rstN + 1) & 7
+          java.util.Arrays.fill(preds, 0)
+        }
+      def dcFirstBlock(c: Int, coef: Array[Int]): Unit = {
+        val dcAl = coef(0) >> al // arithmetic shift: the DC point transform
+        val diff = dcAl - preds(c)
+        preds(c) = dcAl
+        val t = category(diff)
+        bw.write(dcCode(t), dcSize(t))
+        if (t > 0)
+          bw.write(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      }
+      def dcRefineBlock(coef: Array[Int]): Unit =
+        bw.write((coef(0) >> al) & 1, 1)
+      def acFirstBlock(coef: Array[Int]): Unit = {
+        // band values after the point transform (division by 2^Al,
+        // truncating toward zero per T.81 A.4)
+        var any = false
+        var k = ss
+        while (k <= se && !any) { if (coef(JpegPixels.Zigzag(k)) / (1 << al) != 0) any = true; k += 1 }
+        if (!any) {
+          eobrun += 1
+          if (eobrun == 255) flushEob() // 0x70's ceiling
+          return
+        }
+        flushEob()
+        var run = 0
+        var kk = ss
+        var lastNz = ss - 1
+        k = ss
+        while (k <= se) { if (coef(JpegPixels.Zigzag(k)) / (1 << al) != 0) lastNz = k; k += 1 }
+        while (kk <= lastNz) {
+          val cv = coef(JpegPixels.Zigzag(kk)) / (1 << al)
+          if (cv == 0) run += 1
+          else {
+            while (run > 15) { bw.write(progAcCode(0xF0), progAcSize(0xF0)); run -= 16 }
+            val sz = category(cv)
+            if (sz > 3) { bad = true; return }
+            val rs = (run << 4) | sz
+            bw.write(progAcCode(rs), progAcSize(rs))
+            bw.write(if (cv < 0) cv + (1 << sz) - 1 else cv, sz)
+            run = 0
+          }
+          kk += 1
+        }
+        if (lastNz < se) eobrun += 1
+        if (eobrun == 255) flushEob()
+      }
+      def acRefineBlock(coef: Array[Int]): Unit = {
+        // fixture blocks have no AC history and no new bits at this
+        // precision -> the whole block joins the EOB run; anything else
+        // is out of this encoder's scope (decoder-side refinement with
+        // real bits is certified by the ImageIO differential)
+        var k = ss
+        while (k <= se) {
+          if (coef(JpegPixels.Zigzag(k)) != 0) { bad = true; return }
+          k += 1
+        }
+        eobrun += 1
+        if (eobrun == 255) flushEob()
+      }
+
+      val isDc = ss == 0
+      if (isDc && scs.length > 1) {
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            restartIfDue()
+            scs.foreach { c =>
+              var bv = 0
+              while (bv < compVs(c)) {
+                var bh = 0
+                while (bh < compHs(c)) {
+                  val coef = blocks(c)((my * compVs(c) + bv) * padW(c) +
+                    mx * compHs(c) + bh)
+                  if (ah == 0) dcFirstBlock(c, coef) else dcRefineBlock(coef)
+                  bh += 1
+                }
+                bv += 1
+              }
+            }
+            unit += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        val c = scs.head
+        var by = 0
+        while (by < niH(c)) {
+          var bx = 0
+          while (bx < niW(c)) {
+            restartIfDue()
+            val coef = blocks(c)(by * padW(c) + bx)
+            if (isDc) { if (ah == 0) dcFirstBlock(c, coef) else dcRefineBlock(coef) }
+            else { if (ah == 0) acFirstBlock(coef) else acRefineBlock(coef) }
+            unit += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      flushEob()
+      bw.flush()
+    }
+
+    val all = 0 until nComp
+    // DC first at Al=1 (interleaved for color), banded AC first passes,
+    // AC refinements for component 0, final DC refinement
+    scan(all, 0, 0, 0, 1)
+    scan(Seq(0), 1, 5, 0, 1)
+    scan(Seq(0), 6, 63, 0, 1)
+    if (nComp == 3) { scan(Seq(1), 1, 63, 0, 0); scan(Seq(2), 1, 63, 0, 0) }
+    scan(Seq(0), 1, 5, 1, 0)
+    scan(Seq(0), 6, 63, 1, 0)
+    scan(all, 0, 0, 1, 0)
+    marker(0xD9)
+    if (bad) null else out.toByteArray
+  }
+
+  /** The PROGRESSIVE fixture encoder: same per-block-constant planes
+    * as [[encodeBlockyColor]] (modes 0/1/2) or [[encodeBlocky]]
+    * (mode 3 = grayscale), emitted as an SOF2 successive-approximation
+    * scan sequence — so the SAME DuckDB sum oracle certifies the whole
+    * progressive protocol (DC Al split + refinement bits, spectral
+    * bands, EOBn runs, per-scan restarts) bit-exactly. */
+  def encodeBlockyProgressive(w: Int, h: Int, seed: Long, mode: Int,
+      restartRows: Boolean): Array[Byte] = {
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 20)) return null
+    def m256(v: Long): Int = java.lang.Math.floorMod(v, 256L).toInt
+    val yF = (px: Int, py: Int) => m256(seed + 5L * (px / 8) + 11L * (py / 8))
+    mode match {
+      case 3 =>
+        encodeProgressive(w, h, 1, 1, Array(yF),
+          if (restartRows) (w + 7) / 8 else 0)
+      case 0 | 1 | 2 =>
+        val (hs, vs) = mode match {
+          case 0 => (1, 1)
+          case 1 => (2, 1)
+          case _ => (2, 2)
+        }
+        val cbF = (cx: Int, cy: Int) => m256(3L * seed + 7L * (cx / 8) + 13L * (cy / 8) + 64L)
+        val crF = (cx: Int, cy: Int) => m256(5L * seed + 3L * (cx / 8) + 17L * (cy / 8) + 128L)
+        val mcusX = (w + 8 * hs - 1) / (8 * hs)
+        encodeProgressive(w, h, hs, vs, Array(yF, cbF, crF),
+          if (restartRows) mcusX else 0)
+      case _ => null
+    }
+  }
+
   /** The COLOR fixture encoder: per-block-constant planes in each
     * component's own sample space —
     *
@@ -781,5 +1430,40 @@ case class JpegEncodeColor(children: Seq[Expression]) extends Expression
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): JpegEncodeColor =
+    copy(children = newChildren)
+}
+
+/** `graft_jpeg_encode_progressive(width, height, seed, mode,
+  * restartRows)` → binary: a fully valid PROGRESSIVE (SOF2) JPEG of
+  * the same per-block-constant planes as the baseline fixtures (mode
+  * 0/1/2 = color 4:4:4 / 4:2:2 / 4:2:0, mode 3 = grayscale), coded as
+  * a successive-approximation scan sequence — see
+  * [[JpegEncode.encodeBlockyProgressive]]. */
+case class JpegEncodeProgressive(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    children.map(_.dataType) match {
+      case Seq(IntegerType, IntegerType, LongType, IntegerType, BooleanType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_jpeg_encode_progressive expects (int, int, bigint, int, boolean), got $other")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  // CodegenFallback: fixture-build-only, like JpegEncodeColor
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def prettyName: String = "graft_jpeg_encode_progressive"
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else JpegEncode.encodeBlockyProgressive(vs(0).asInstanceOf[Int],
+      vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Long],
+      vs(3).asInstanceOf[Int], vs(4).asInstanceOf[Boolean])
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): JpegEncodeProgressive =
     copy(children = newChildren)
 }

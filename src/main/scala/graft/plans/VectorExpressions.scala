@@ -286,6 +286,9 @@ object VectorExpressions {
       "graft_jpeg_encode_color",
       exprs => JpegEncodeColor(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jpeg_encode_progressive",
+      exprs => JpegEncodeProgressive(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_avi_meta", exprs => AviMeta(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_avi_frames", exprs => AviFrames(exprs(0)), "scala_udf")
@@ -406,6 +409,15 @@ object VectorExpressions {
       restartRows: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_jpeg_encode_color", w, h, seed, mode, restartRows)
+  }
+
+  /** Deterministic exactly-decodable PROGRESSIVE-JPEG synthesis
+    * (plans.JpegEncodeProgressive; mode 0/1/2 = color subsampling,
+    * 3 = grayscale), column form; same registration precondition. */
+  def jpegEncodeProgressive(w: Column, h: Column, seed: Column, mode: Column,
+      restartRows: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_jpeg_encode_progressive", w, h, seed, mode, restartRows)
   }
 
   /** AVI header parse (plans.AviMeta), column form; same registration

@@ -178,6 +178,144 @@ class JpegSpec extends SparkSpec {
     }
   }
 
+  test("progressive blocky encode -> decode round-trips exact sums (gray + color)") {
+    for {
+      seed <- Seq(0L, 7L, 99999L)
+      rst <- Seq(false, true)
+      mode <- 0 to 3
+      (w, h) <- Seq((9, 9), (31, 27), (16, 16), (23, 10))
+    } {
+      val jpg = graft.plans.JpegEncode.encodeBlockyProgressive(w, h, seed, mode, rst)
+      assert(jpg != null, s"encode null: seed=$seed mode=$mode rst=$rst $w x $h")
+      // really SOF2
+      assert(jpg.indices.exists(k =>
+        (jpg(k) & 0xFF) == 0xFF && k + 1 < jpg.length && (jpg(k + 1) & 0xFF) == 0xC2))
+      val got = parsed(jpg)
+      if (mode == 3) {
+        val s = expected(w, h, seed)
+        assert(got === Some((w, h, s, s, s, w.toLong * h)),
+          s"gray seed=$seed rst=$rst $w x $h")
+      } else {
+        val (er, eg, eb) = expectedColor(w, h, seed, mode)
+        assert(got === Some((w, h, er, eg, eb, w.toLong * h)),
+          s"color seed=$seed mode=$mode rst=$rst $w x $h")
+      }
+      // the JDK decoder agrees on the same bytes (third opinion on the
+      // scan script's validity, not just self-consistency)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+      assert(img != null && img.getWidth === w && img.getHeight === h,
+        s"ImageIO rejected the progressive stream (mode=$mode rst=$rst)")
+    }
+  }
+
+  test("progressive restart encoding really emits per-scan RSTn markers") {
+    val jpg = graft.plans.JpegEncode.encodeBlockyProgressive(31, 27, 5L, 3, restartRows = true)
+    val rsts = jpg.indices.dropRight(1).count(i =>
+      (jpg(i) & 0xFF) == 0xFF && (jpg(i + 1) & 0xFF) >= 0xD0 && (jpg(i + 1) & 0xFF) <= 0xD7)
+    // 4 block rows (h=27, interval = 4 blocks/row): 3 interior
+    // boundaries per scan x 6 scans (gray script: DC first, 2 banded
+    // AC first, 2 AC refine, DC refine)
+    assert(rsts === 18, s"expected 18 restart markers, found $rsts")
+  }
+
+  test("hostile progressive bytes decode to NULL, never throw") {
+    val good = graft.plans.JpegEncode.encodeBlockyProgressive(17, 12, 5L, 2, restartRows = true)
+    var i = 0
+    while (i < good.length) {
+      graft.plans.JpegPixels.parse(java.util.Arrays.copyOf(good, i))
+      i += 1
+    }
+    for (j <- 2 until good.length by 3) {
+      val bad = good.clone()
+      bad(j) = (bad(j) ^ 0x5A).toByte
+      graft.plans.JpegPixels.parse(bad)
+    }
+    // geometry past the progressive ceiling refuses up front
+    val sof = good.indices.find(k =>
+      (good(k) & 0xFF) == 0xFF && (good(k + 1) & 0xFF) == 0xC2).get
+    val huge = good.clone()
+    huge(sof + 5) = 0x7F.toByte; huge(sof + 6) = 0xFF.toByte // h = 32767
+    huge(sof + 7) = 0x7F.toByte; huge(sof + 8) = 0xFF.toByte // w = 32767
+    assert(graft.plans.JpegPixels.parse(huge) === null)
+  }
+
+  /** ImageIO writes a PROGRESSIVE (SOF2) JPEG of the given image —
+    * the JDK writer's default progressive scan script is libjpeg's
+    * successive-approximation sequence (DC 0,1 + banded AC first
+    * passes at Al=2 + AC/DC refinement scans down to Al=0), so this
+    * exercises spectral selection, EOB runs, AND real AC correction
+    * bits — paths a hand fixture with constant blocks cannot reach. */
+  private def imageIoProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    out.toByteArray
+  }
+
+  test("progressive gray JPEGs (ImageIO-written) decode within IDCT tolerance") {
+    for ((w, h, seed) <- Seq((24, 17, 1), (40, 33, 42), (16, 16, 7), (9, 9, 3))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0,
+          java.lang.Math.floorMod(x * x + 3L * y * seed + x * y / 5 + 11 * y, 256L).toInt)
+      val jpg = imageIoProgressive(img)
+      // really progressive: the stream carries SOF2
+      assert(jpg.indices.exists(k =>
+        (jpg(k) & 0xFF) == 0xFF && k + 1 < jpg.length && (jpg(k + 1) & 0xFF) == 0xC2),
+        "ImageIO did not emit SOF2 — progressive path untested")
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+      var refSum = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        refSum += ref.getRaster.getSample(x, y, 0)
+      val mine = parsed(jpg)
+      assert(mine.isDefined, s"progressive decode returned NULL ($w x $h)")
+      assert(mine.get._1 === w && mine.get._2 === h)
+      assert(math.abs(mine.get._3 - refSum) <= 2L * w * h,
+        s"progressive sum diverged: mine=${mine.get._3} ref=$refSum ($w x $h)")
+      info(s"${w}x$h: |sumDiff|=${math.abs(mine.get._3 - refSum)} over ${w * h} px")
+    }
+  }
+
+  test("progressive color JPEGs (ImageIO-written) decode within tolerance") {
+    for ((w, h) <- Seq((24, 17), (40, 33), (31, 27))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = java.lang.Math.floorMod(x * x + 11L * y, 256L).toInt
+        val g = java.lang.Math.floorMod(90L + 2 * x + 3 * y, 256L).toInt
+        val b = java.lang.Math.floorMod(150L + 3 * x * y, 256L).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val jpg = imageIoProgressive(img)
+      assert(jpg.indices.exists(k =>
+        (jpg(k) & 0xFF) == 0xFF && k + 1 < jpg.length && (jpg(k + 1) & 0xFF) == 0xC2))
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+      var refR = 0L; var refG = 0L; var refB = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = ref.getRGB(x, y)
+        refR += (rgb >> 16) & 0xFF; refG += (rgb >> 8) & 0xFF; refB += rgb & 0xFF
+      }
+      val mine = parsed(jpg)
+      assert(mine.isDefined, s"progressive color decode returned NULL ($w x $h)")
+      assert(mine.get._1 === w && mine.get._2 === h)
+      // subsampled chroma upsampling differs between replication (mine)
+      // and libjpeg's triangle filter on gradients — bound loosely; the
+      // EXACT certification is the constant-block oracle fixture
+      val tol = 9L * w * h
+      assert(math.abs(mine.get._3 - refR) <= tol, s"R: ${mine.get._3} vs $refR")
+      assert(math.abs(mine.get._4 - refG) <= tol, s"G: ${mine.get._4} vs $refG")
+      assert(math.abs(mine.get._5 - refB) <= tol, s"B: ${mine.get._5} vs $refB")
+      info(s"${w}x$h: |dR|=${math.abs(mine.get._3 - refR)} " +
+        s"|dG|=${math.abs(mine.get._4 - refG)} |dB|=${math.abs(mine.get._5 - refB)}")
+    }
+  }
+
   test("hostile color bytes decode to NULL, never throw") {
     val good = graft.plans.JpegEncode.encodeBlockyColor(17, 12, 5L, 2, restartRows = true)
     var i = 0
