@@ -4,6 +4,9 @@ import org.apache.parquet.example.data.Group
 import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -14,24 +17,40 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Supported physical types: BOOLEAN, INT32 (int/date/decimal), INT64
   * (long/timestamp MICROS|MILLIS|NANOS/decimal), INT96 (legacy
-  * timestamp), FLOAT, DOUBLE, BINARY/FLBA (string/bytes/decimal),
-  * plus 3-level LIST of those — the flat-primitive(+array) surface
-  * commit-log tables carry.
-  * Unsupported shapes are refused with a named error rather than
-  * decoded wrongly; `who` labels the failing reader and file. */
+  * timestamp), FLOAT, DOUBLE, BINARY/FLBA (string/bytes/decimal).
+  * Supported NESTED shapes, fully recursive: 3-level LIST, MAP
+  * (key_value layout), and plain-group STRUCT — arrays of structs of
+  * maps of arrays all decode, because every nested value routes back
+  * through one recursive dispatcher. Struct fields are matched BY NAME
+  * against the file group's own schema and null-filled when absent
+  * (the same schema-evolution null-fill the top-level reader applies
+  * to whole columns). Unsupported shapes are refused with a named
+  * error rather than decoded wrongly; `who` labels the failing reader
+  * and file. */
 private[graft] object ParquetGroups {
 
-  /** The Catalyst types this low-level reader can produce. Anything
-    * else (nested struct/map above all) must be refused loudly:
-    * decoding a raw physical value into a slot Catalyst types
-    * differently would serve silently wrong data. */
-  private def checkTarget(to: DataType, who: => String): Unit = to match {
+  /** Open-time shape gate for readers: the declared Catalyst type
+    * matches the file column's TOP-LEVEL parquet shape (list vs map vs
+    * struct vs primitive). Deep mismatches are refused by [[convert]]
+    * at first touch with the same named-error discipline. */
+  def shapeCompatible(t: org.apache.parquet.schema.Type, dt: DataType): Boolean =
+    if (t.isPrimitive) true
+    else t.getLogicalTypeAnnotation match {
+      case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation => dt.isInstanceOf[ArrayType]
+      case _: LogicalTypeAnnotation.MapLogicalTypeAnnotation => dt.isInstanceOf[MapType]
+      case _ => dt.isInstanceOf[StructType]
+    }
+
+  /** The LEAF Catalyst types this reader can produce. A mismatch here
+    * means the declared schema types a slot differently than the file
+    * stores it — refuse loudly: decoding a raw physical value into a
+    * differently-typed slot would serve silently wrong data. */
+  private def checkLeaf(to: DataType, who: => String): Unit = to match {
     case BooleanType | IntegerType | LongType | FloatType | DoubleType |
          DateType | TimestampType | TimestampNTZType | StringType | BinaryType => ()
     case _: DecimalType => ()
     case other => throw new UnsupportedOperationException(
-      s"$who: unsupported Catalyst type $other for the low-level parquet reader " +
-        "(flat primitives, decimals, and arrays of them only)")
+      s"$who: unsupported Catalyst leaf type $other for the low-level parquet reader")
   }
 
   /** Parquet stores DECIMAL as the UNSCALED integer in INT32/INT64 or
@@ -57,15 +76,36 @@ private[graft] object ParquetGroups {
   /** Field `fi` of `g` (known present) as the Spark-internal value for
     * Catalyst type `to`. The field's parquet type comes from the
     * group's OWN schema, so projected reads convert correctly. */
-  def convert(g: Group, fi: Int, to: DataType, who: => String): Any = {
-    if (!g.getType.getType(fi).isPrimitive) return convertList(g, fi, to, who)
-    checkTarget(to, who)
+  def convert(g: Group, fi: Int, to: DataType, who: => String): Any =
+    convertValueAt(g, fi, 0, to, who)
+
+  /** Occurrence `idx` of field `fi` in `parent`, recursively: the one
+    * dispatcher every nesting level routes through. */
+  private def convertValueAt(parent: Group, fi: Int, idx: Int,
+      to: DataType, who: => String): Any = {
+    val ft = parent.getType.getType(fi)
+    if (ft.isPrimitive) convertPrimitiveAt(parent, fi, idx, to, who)
+    else ft.getLogicalTypeAnnotation match {
+      case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation =>
+        convertListGroup(parent.getGroup(fi, idx), to, who)
+      case _: LogicalTypeAnnotation.MapLogicalTypeAnnotation =>
+        convertMapGroup(parent.getGroup(fi, idx), to, who)
+      case _ => // un-annotated group = STRUCT
+        convertStruct(parent.getGroup(fi, idx), to, who)
+    }
+  }
+
+  /** Primitive occurrence `idx` of field `fi` — the leaf conversion
+    * rules, shared by every nesting level. */
+  private def convertPrimitiveAt(g: Group, fi: Int, idx: Int,
+      to: DataType, who: => String): Any = {
+    checkLeaf(to, who)
     val pt = g.getType.getType(fi).asPrimitiveType()
     val ann = pt.getLogicalTypeAnnotation
     pt.getPrimitiveTypeName match {
-      case PrimitiveTypeName.BOOLEAN => g.getBoolean(fi, 0)
+      case PrimitiveTypeName.BOOLEAN => g.getBoolean(fi, idx)
       case PrimitiveTypeName.INT32 =>
-        val v = g.getInteger(fi, 0)
+        val v = g.getInteger(fi, idx)
         to match {
           case LongType => v.toLong
           case DoubleType => v.toDouble
@@ -73,7 +113,7 @@ private[graft] object ParquetGroups {
           case _ => v // IntegerType / DateType (days) share the int repr
         }
       case PrimitiveTypeName.INT64 =>
-        val v = g.getLong(fi, 0)
+        val v = g.getLong(fi, idx)
         ann match {
           case t: TimestampLogicalTypeAnnotation => t.getUnit match {
             case TimeUnit.MICROS => v
@@ -88,17 +128,17 @@ private[graft] object ParquetGroups {
         }
       case PrimitiveTypeName.INT96 =>
         // legacy impala layout: 8B nanos-of-day LE + 4B julian day LE
-        val b = g.getInt96(fi, 0).getBytes
+        val b = g.getInt96(fi, idx).getBytes
         val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         val nanosOfDay = buf.getLong
         val julianDay = buf.getInt
         (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
       case PrimitiveTypeName.FLOAT =>
-        val v = g.getFloat(fi, 0)
+        val v = g.getFloat(fi, idx)
         to match { case DoubleType => v.toDouble; case _ => v }
-      case PrimitiveTypeName.DOUBLE => g.getDouble(fi, 0)
+      case PrimitiveTypeName.DOUBLE => g.getDouble(fi, idx)
       case PrimitiveTypeName.BINARY | PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
-        val bytes = g.getBinary(fi, 0).getBytes
+        val bytes = g.getBinary(fi, idx).getBytes
         to match {
           case StringType => UTF8String.fromBytes(bytes)
           case d: DecimalType => decimalOf(bytes, fileScaleOf(ann, d), d)
@@ -113,68 +153,76 @@ private[graft] object ParquetGroups {
 
   /** Parquet 3-level LIST (`optional group col (LIST) { repeated group
     * list { <element> } }`) -> Spark ArrayData — the layout Spark
-    * itself writes for array columns, so array<primitive> tables read
-    * through. Null elements surface as nulls; element conversion
-    * mirrors the primitive rules. */
-  private def convertList(g: Group, fi: Int, to: DataType, who: => String): Any = {
+    * itself writes for array columns. Null elements surface as nulls;
+    * elements recurse (array<struct>, array<array<...>> decode). */
+  private def convertListGroup(listGroup: Group, to: DataType, who: => String): Any = {
     val elemType = to match {
       case ArrayType(e, _) => e
       case other => throw new UnsupportedOperationException(
         s"$who: parquet LIST column read as non-array $other")
     }
-    checkTarget(elemType, who)
-    val listGroup = g.getGroup(fi, 0)
     val n = listGroup.getFieldRepetitionCount(0)
     val out = new Array[Any](n)
     var k = 0
     while (k < n) {
-      val entry = listGroup.getGroup(0, k)
+      val entry = listGroup.getGroup(0, k) // repeated "list" wrapper
       out(k) =
         if (entry.getFieldRepetitionCount(0) == 0) null
-        else {
-          val et = entry.getType.getType(0).asPrimitiveType()
-          val ann = et.getLogicalTypeAnnotation
-          et.getPrimitiveTypeName match {
-            case PrimitiveTypeName.BOOLEAN => entry.getBoolean(0, 0)
-            case PrimitiveTypeName.INT32 =>
-              val v = entry.getInteger(0, 0)
-              elemType match {
-                case LongType => v.toLong
-                case DoubleType => v.toDouble
-                case d: DecimalType => decimalOf(v.toLong, fileScaleOf(ann, d), d)
-                case _ => v
-              }
-            case PrimitiveTypeName.INT64 =>
-              val v = entry.getLong(0, 0)
-              ann match {
-                case t: TimestampLogicalTypeAnnotation => t.getUnit match {
-                  case TimeUnit.MICROS => v
-                  case TimeUnit.MILLIS => v * 1000L
-                  case TimeUnit.NANOS => Math.floorDiv(v, 1000L)
-                }
-                case _ => elemType match {
-                  case DoubleType => v.toDouble
-                  case d: DecimalType => decimalOf(v, fileScaleOf(ann, d), d)
-                  case _ => v
-                }
-              }
-            case PrimitiveTypeName.FLOAT =>
-              val v = entry.getFloat(0, 0)
-              elemType match { case DoubleType => v.toDouble; case _ => v }
-            case PrimitiveTypeName.DOUBLE => entry.getDouble(0, 0)
-            case PrimitiveTypeName.BINARY | PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
-              val bytes = entry.getBinary(0, 0).getBytes
-              elemType match {
-                case StringType => UTF8String.fromBytes(bytes)
-                case d: DecimalType => decimalOf(bytes, fileScaleOf(ann, d), d)
-                case _ => bytes
-              }
-            case other => throw new UnsupportedOperationException(
-              s"$who: unsupported list element type $other")
-          }
-        }
+        else convertValueAt(entry, 0, 0, elemType, who)
       k += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    new GenericArrayData(out)
+  }
+
+  /** Parquet MAP (`optional group col (MAP) { repeated group key_value
+    * { required <key>; <value> } }`) -> Spark MapData. Keys are
+    * required by the spec; null values surface as nulls; both sides
+    * recurse. */
+  private def convertMapGroup(mapGroup: Group, to: DataType, who: => String): Any = {
+    val (keyType, valType) = to match {
+      case MapType(k, v, _) => (k, v)
+      case other => throw new UnsupportedOperationException(
+        s"$who: parquet MAP column read as non-map $other")
+    }
+    val n = mapGroup.getFieldRepetitionCount(0)
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    var k = 0
+    while (k < n) {
+      val kv = mapGroup.getGroup(0, k) // repeated "key_value"
+      keys(k) = convertValueAt(kv, 0, 0, keyType, who)
+      vals(k) =
+        if (kv.getType.getFieldCount < 2 || kv.getFieldRepetitionCount(1) == 0) null
+        else convertValueAt(kv, 1, 0, valType, who)
+      k += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  /** Plain parquet group -> Spark InternalRow under the declared
+    * StructType: fields matched BY NAME against the group's own
+    * schema; declared fields the file lacks (schema evolution) and
+    * present-but-unset fields null-fill. */
+  private def convertStruct(sg: Group, to: DataType, who: => String): InternalRow = {
+    val st = to match {
+      case s: StructType => s
+      case other => throw new UnsupportedOperationException(
+        s"$who: parquet group column read as non-struct $other")
+    }
+    val gt = sg.getType
+    val out = new Array[Any](st.length)
+    var i = 0
+    while (i < st.length) {
+      val f = st(i)
+      out(i) =
+        if (!gt.containsField(f.name)) null
+        else {
+          val fi = gt.getFieldIndex(f.name)
+          if (sg.getFieldRepetitionCount(fi) == 0) null
+          else convertValueAt(sg, fi, 0, f.dataType, who)
+        }
+      i += 1
+    }
+    new GenericInternalRow(out)
   }
 }

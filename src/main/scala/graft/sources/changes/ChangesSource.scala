@@ -222,15 +222,14 @@ class ChangesPartitionReader(p: ChangesPartition, schema: StructType)
     if (fileSchema.containsField(f.name)) fileSchema.getFieldIndex(f.name) else -1
   }
   fieldIdx.zipWithIndex.foreach { case (i, out) =>
-    if (i >= 0 && !fileSchema.getType(i).isPrimitive) {
-      val ok = dataFields(out).dataType.isInstanceOf[ArrayType] &&
-        fileSchema.getType(i).getLogicalTypeAnnotation
-          .isInstanceOf[LogicalTypeAnnotation.ListLogicalTypeAnnotation]
-      if (!ok) throw new UnsupportedOperationException(
+    // nested columns (list / map / struct, recursively) decode through
+    // ParquetGroups; only a top-level shape contradiction refuses
+    if (i >= 0 && !graft.sources.ParquetGroups.shapeCompatible(
+        fileSchema.getType(i), dataFields(out).dataType))
+      throw new UnsupportedOperationException(
         s"graft-changes: column '${dataFields(out).name}' in ${p.filePath} " +
-        "is nested — the change-feed stream reader supports flat primitive " +
-        "and array-of-primitive schemas")
-    }
+        s"is ${fileSchema.getType(i)} in the file but declared " +
+        s"${dataFields(out).dataType.catalogString} — top-level shape mismatch")
   }
 
   private val changeTypeValue = UTF8String.fromString(p.kind)

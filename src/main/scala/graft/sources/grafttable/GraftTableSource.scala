@@ -519,8 +519,9 @@ class GraftPartitionReader(p: GraftPartition, schema: StructType)
 
   // projected fields present in the file (declared-schema evolution:
   // absent fields null-fill; `_file` fills with the file path); nested
-  // shapes beyond LIST-of-primitive are refused, mirroring the change
-  // feed's contract
+  // columns (list / map / struct, recursively) decode through
+  // ParquetGroups — the open-time gate only rejects a declared type
+  // whose TOP-LEVEL shape contradicts the file's
   private val isFileCol: Array[Boolean] = schema.fields.map(f =>
     f.name == GraftFileMetaColumn.name() && !fileSchema.containsField(f.name))
   private val filePathUtf8 =
@@ -529,14 +530,10 @@ class GraftPartitionReader(p: GraftPartition, schema: StructType)
     schema.fields.filter(f => fileSchema.containsField(f.name))
   present.foreach { f =>
     val t = fileSchema.getType(fileSchema.getFieldIndex(f.name))
-    if (!t.isPrimitive) {
-      val ok = f.dataType.isInstanceOf[ArrayType] &&
-        t.getLogicalTypeAnnotation
-          .isInstanceOf[LogicalTypeAnnotation.ListLogicalTypeAnnotation]
-      if (!ok) throw new UnsupportedOperationException(
-        s"graft ${p.filePath}: column '${f.name}' is nested — the reader " +
-        "supports flat primitive and array-of-primitive schemas")
-    }
+    if (!graft.sources.ParquetGroups.shapeCompatible(t, f.dataType))
+      throw new UnsupportedOperationException(
+        s"graft ${p.filePath}: column '${f.name}' is ${t} in the file but " +
+        s"declared ${f.dataType.catalogString} — top-level shape mismatch")
   }
   private val projSchema: MessageType =
     new MessageType(fileSchema.getName, present.map(f =>

@@ -486,20 +486,70 @@ class GraftSourceSpec extends SparkSpec {
       val got = spark.read.format("graft").load(t).orderBy("id")
         .collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString))
       assert(got.toSeq === Seq((1L, "123.45"), (2L, "-0.05")))
-      // nested struct still refuses loudly (the documented limit)
-      val t2 = tempTable()
-      try {
-        CommitLog.append(spark, t2,
-          Seq((1L, (2L, "x"))).toDF("id", "nested"))
-        val e = intercept[Exception] {
-          spark.read.format("graft").load(t2).select("nested").collect()
-        }
-        def msgs(x: Throwable): Seq[String] =
-          Option(x).toSeq.flatMap(c => Option(c.getMessage).toSeq ++ msgs(c.getCause))
-        assert(msgs(e).exists(m => m.contains("unsupported Catalyst type") ||
-          m.contains("is nested")), s"wrong failure: ${msgs(e)}")
-      } finally cleanup(t2)
     } finally cleanup(t)
+  }
+
+  test("nested struct / map / array<struct> columns decode through the graft source") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      val df = Seq(
+        (1L, (10L, "a"), Map("k1" -> 1.5, "k2" -> 2.5), Seq((1, "x"), (2, "y"))),
+        (2L, (20L, "b"), Map("k3" -> 3.5), Seq.empty[(Int, String)]))
+        .toDF("id", "st", "m", "arr")
+      CommitLog.append(spark, t, df)
+      val got = spark.read.format("graft").load(t).orderBy("id").collect()
+      assert(got.length === 2)
+      val r1 = got(0)
+      assert(r1.getStruct(1).getLong(0) === 10L && r1.getStruct(1).getString(1) === "a")
+      assert(r1.getMap[String, Double](2) === Map("k1" -> 1.5, "k2" -> 2.5))
+      assert(r1.getSeq[org.apache.spark.sql.Row](3).map(x =>
+        (x.getInt(0), x.getString(1))) === Seq((1, "x"), (2, "y")))
+      val r2 = got(1)
+      assert(r2.getStruct(1).getString(1) === "b")
+      assert(r2.getMap[String, Double](2) === Map("k3" -> 3.5))
+      assert(r2.getSeq[org.apache.spark.sql.Row](3).isEmpty)
+      // full parity with Spark's own reader over the same files
+      assert(sortedRows(spark.read.format("graft").load(t)) ===
+        sortedRows(CommitLog.read(spark, t)))
+      // struct schema evolution: a declared sub-field the file lacks
+      // null-fills (the by-name struct match)
+      CommitLog.declareSchema(spark, t, StructType(Seq(
+        StructField("id", LongType),
+        StructField("st", StructType(Seq(
+          StructField("_1", LongType), StructField("_2", StringType),
+          StructField("added", DoubleType)))))))
+      val ev = spark.read.format("graft").load(t).orderBy("id").collect()
+      assert(ev(0).getStruct(1).isNullAt(2), "new struct sub-field must null-fill")
+      assert(ev(0).getStruct(1).getLong(0) === 10L)
+    } finally cleanup(t)
+  }
+
+  test("nested columns flow through the graft-changes CDF stream") {
+    val t = tempTable()
+    val ckpt = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t,
+        Seq((1L, (10L, "a"), Seq(1.0, 2.0))).toDF("id", "st", "vec"))
+      CommitLog.append(spark, t,
+        Seq((2L, (20L, "b"), Seq(3.0))).toDF("id", "st", "vec"))
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val q = spark.readStream.format("graft-changes")
+        .option("startingVersion", "0").load(t)
+        .writeStream.option("checkpointLocation", s"$ckpt/cp")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach { r =>
+            val st = r.getStruct(r.fieldIndex("st"))
+            out.add(s"${r.getAs[Long]("id")}|${st.getLong(0)}|${st.getString(1)}|" +
+              r.getSeq[Double](r.fieldIndex("vec")).mkString(","))
+          }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      assert(out.toArray.map(_.toString).sorted.toSeq ===
+        Seq("1|10|a|1.0,2.0", "2|20|b|3.0"))
+    } finally { cleanup(t); cleanup(ckpt) }
   }
 
   test("Complete mode with an empty epoch result truncates, not stales") {
