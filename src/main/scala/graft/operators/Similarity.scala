@@ -175,77 +175,115 @@ object Similarity {
   val NumCells = 8
   val NumProbeCells = 2
 
-  /** Coarse-quantizer training-sample cap: the corpus is sampled down
-    * to this many vectors (one distributed sample+collect, ~10 MB at 64
-    * dims) and the quantizer trains in driver memory — centroid quality
-    * saturates long before the sample stops being representative, and
-    * index-build cost stays O(1) in corpus size. The in-memory-train-
-    * on-a-sample shape is the standard IVF construction (PAPERS.md IVF/
-    * product-quantization line); a distributed fit (spark.ml kmeans||)
-    * only pays off when k*dim itself is huge. */
-  val CentroidSampleCap = 20000
+  /** k-means++ SEEDING only needs a small representative sample (the
+    * sequential draw is inherently driver-side, O(sample * k)); every
+    * Lloyd's round after it runs DISTRIBUTED over the FULL corpus —
+    * so there is no corpus-size cap anywhere in quantizer training.
+    * 2000 points seed 8-256 centers comfortably. */
+  val SeedSampleCap = 2000
 
-  /** Real coarse quantizer: Lloyd's k-means (fixed seed -> fully
-    * deterministic) over a bounded sample of the corpus, replacing the
-    * round-1 fixed ±1 stubs. Returns NumCells centroid vectors. */
+  /** Deterministic k-means++ seeding over a driver-side point set:
+    * next center drawn with probability proportional to squared
+    * distance from the chosen set. Shared by the IVF coarse quantizer
+    * and the per-subspace PQ codebooks. */
+  private def seedPlusPlus(pts: Array[Array[Double]], k: Int,
+      seed: Int): Array[Array[Double]] = {
+    require(pts.nonEmpty, "cannot seed a quantizer on an empty corpus")
+    val rnd = new scala.util.Random(seed)
+    val chosen = scala.collection.mutable.ArrayBuffer(pts(rnd.nextInt(pts.length)).clone())
+    val d2 = Array.fill(pts.length)(Double.MaxValue)
+    while (chosen.length < k) {
+      val c = chosen.last
+      var i = 0
+      while (i < pts.length) {
+        var d = 0.0; var j = 0
+        val p = pts(i)
+        while (j < p.length) { val x = p(j) - c(j); d += x * x; j += 1 }
+        if (d < d2(i)) d2(i) = d
+        i += 1
+      }
+      val total = d2.sum
+      var r = rnd.nextDouble() * total
+      var pick = 0
+      while (pick < pts.length - 1 && r > d2(pick)) { r -= d2(pick); pick += 1 }
+      chosen += pts(pick).clone()
+    }
+    chosen.toArray
+  }
+
+  /** DISTRIBUTED Lloyd's rounds: centroids ride into the plan as
+    * broadcast literals, assignment is the codegen'd argmax of
+    * dot(sub, c) - ||c||^2/2 (nearest-by-L2, first-max ties — the
+    * same rule the serving expressions use), and recentering is ONE
+    * partial aggregate per round whose driver traffic is exactly
+    * groups * k * dim rows — never the corpus. `groups` lets PQ train
+    * all 8 subspaces inside the SAME scan (one explode fans each
+    * vector to its per-subspace (cell, subvector) rows); IVF passes
+    * one group over the full vector. At 100 TB each round is one
+    * map-side-combined scan — the join-assign/agg-recenter loop that
+    * replaces the old sample-capped driver fit. */
+  private def lloydRounds(emb: DataFrame, groups: Int, subDim: Int,
+      kPerGroup: Int, init: Array[Array[Array[Double]]],
+      subCol: (Column, Int) => Column, rounds: Int = 8): Array[Array[Array[Double]]] = {
+    var cents = init
+    for (_ <- 0 until rounds) {
+      // one scan: explode the per-group branches, posexplode subvectors,
+      // aggregate (g, cell, dim) partial sums
+      val rows = emb
+        .select(col("v"))
+        .select(explode(array((0 until groups).map { g =>
+          val sub = subCol(col("v"), g)
+          val scores = array(cents(g).map { c =>
+            val halfNormSq = c.map(x => x * x).sum / 2.0
+            dot(sub, array(c.toIndexedSeq.map(lit): _*)) - lit(halfNormSq)
+          }: _*)
+          struct(lit(g).as("g"),
+            array_position(scores, array_max(scores)).cast("int").as("cell"),
+            sub.as("sub"))
+        }: _*)).as("e"))
+        .select(col("e.g").as("g"), col("e.cell").as("cell"), posexplode(col("e.sub")))
+        .groupBy(col("g"), col("cell"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val sums = Array.fill(groups, kPerGroup)(new Array[Double](subDim))
+      val counts = Array.fill(groups, kPerGroup)(0L)
+      rows.foreach { r =>
+        val g = r.getInt(0); val c = r.getInt(1) - 1; val p = r.getInt(2)
+        if (c >= 0 && c < kPerGroup && p < subDim) {
+          sums(g)(c)(p) = r.getDouble(3)
+          counts(g)(c) = r.getLong(4)
+        }
+      }
+      cents = Array.tabulate(groups, kPerGroup) { (g, c) =>
+        if (counts(g)(c) == 0) cents(g)(c) // empty cell keeps its center
+        else {
+          val m = sums(g)(c).clone()
+          var i = 0
+          while (i < subDim) { m(i) /= counts(g)(c); i += 1 }
+          m
+        }
+      }
+    }
+    cents
+  }
+
+  /** Real coarse quantizer: k-means++ seeding on a bounded sample,
+    * then 8 DISTRIBUTED Lloyd's rounds over the FULL corpus (fixed
+    * seed, first-max assignment, empty cell keeps its center —
+    * deterministic given the corpus and partition-sum order, and
+    * memoized per app so every consumer serves the same artifact).
+    * Returns NumCells centroid vectors. */
   private[operators] def kmeansCentroids(emb: DataFrame): Seq[Array[Double]] = {
     val n = emb.count()
     val sampled =
-      if (n <= CentroidSampleCap) emb
-      else emb.sample(withReplacement = false, CentroidSampleCap.toDouble / n, seed = 42)
+      if (n <= SeedSampleCap) emb
+      else emb.sample(withReplacement = false, SeedSampleCap.toDouble / n, seed = 42)
     val pts: Array[Array[Double]] =
       sampled.select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-    require(pts.nonEmpty, "cannot train a quantizer on an empty corpus")
     val dim = pts.head.length
-    val rnd = new scala.util.Random(42)
-    // k-means++ seeding: next center drawn with probability proportional
-    // to squared distance from the chosen set — O(n*k), trivial here,
-    // and markedly better cells than uniform picks on clustered data
-    var cents: Array[Array[Double]] = {
-      val chosen = scala.collection.mutable.ArrayBuffer(pts(rnd.nextInt(pts.length)).clone())
-      val d2 = Array.fill(pts.length)(Double.MaxValue)
-      while (chosen.length < NumCells) {
-        val c = chosen.last
-        var i = 0
-        while (i < pts.length) {
-          var d = 0.0; var j = 0
-          val p = pts(i)
-          while (j < p.length) { val x = p(j) - c(j); d += x * x; j += 1 }
-          if (d < d2(i)) d2(i) = d
-          i += 1
-        }
-        val total = d2.sum
-        var r = rnd.nextDouble() * total
-        var pick = 0
-        while (pick < pts.length - 1 && r > d2(pick)) { r -= d2(pick); pick += 1 }
-        chosen += pts(pick).clone()
-      }
-      chosen.toArray
-    }
-    def nearest(p: Array[Double]): Int = {
-      var best = 0; var bestD = Double.MaxValue; var c = 0
-      while (c < NumCells) {
-        var d = 0.0; var i = 0
-        while (i < dim) { val x = p(i) - cents(c)(i); d += x * x; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    for (_ <- 0 until 8) {
-      val sums = Array.fill(NumCells)(new Array[Double](dim))
-      val counts = new Array[Int](NumCells)
-      pts.foreach { p =>
-        val c = nearest(p)
-        var i = 0; while (i < dim) { sums(c)(i) += p(i); i += 1 }
-        counts(c) += 1
-      }
-      cents = Array.tabulate(NumCells) { c =>
-        if (counts(c) == 0) cents(c) // empty cell keeps its old center
-        else { val m = sums(c); var i = 0; while (i < dim) { m(i) /= counts(c); i += 1 }; m }
-      }
-    }
-    cents.toSeq
+    val init = seedPlusPlus(pts, NumCells, 42)
+    lloydRounds(emb.select(col("v")), 1, dim, NumCells,
+      Array(init), (v, _) => v)(0).toSeq
   }
 
   /** Cell-affinity scores for v against each centroid: argmax of
@@ -745,81 +783,27 @@ object Similarity {
   private[graft] val servedCodebooks =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Array[Double]]]]()
 
-  /** Plain Lloyd's over driver-side points (bounded by the same
-    * [[CentroidSampleCap]] sampling discipline as the coarse
-    * quantizer): deterministic — seeded k-means++ init, fixed 8
-    * rounds, empty cluster keeps its center. Kept separate from
-    * [[kmeansCentroids]] (whose shape is pinned by the IVF sidecar
-    * format + oracles); this one is parameterized for the per-subspace
-    * training PQ needs. */
-  private def lloyd(pts: Array[Array[Double]], k: Int, seed: Int): Seq[Array[Double]] = {
-    require(pts.nonEmpty, "cannot train a codebook on an empty corpus")
-    val dim = pts.head.length
-    val rnd = new scala.util.Random(seed)
-    var cents: Array[Array[Double]] = {
-      val chosen = scala.collection.mutable.ArrayBuffer(pts(rnd.nextInt(pts.length)).clone())
-      val d2 = Array.fill(pts.length)(Double.MaxValue)
-      while (chosen.length < k) {
-        val c = chosen.last
-        var i = 0
-        while (i < pts.length) {
-          var d = 0.0; var j = 0
-          val p = pts(i)
-          while (j < p.length) { val x = p(j) - c(j); d += x * x; j += 1 }
-          if (d < d2(i)) d2(i) = d
-          i += 1
-        }
-        val total = d2.sum
-        var r = rnd.nextDouble() * total
-        var pick = 0
-        while (pick < pts.length - 1 && r > d2(pick)) { r -= d2(pick); pick += 1 }
-        chosen += pts(pick).clone()
-      }
-      chosen.toArray
-    }
-    def nearest(p: Array[Double]): Int = {
-      var best = 0; var bestD = Double.MaxValue; var c = 0
-      while (c < k) {
-        var d = 0.0; var i = 0
-        while (i < dim) { val x = p(i) - cents(c)(i); d += x * x; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    for (_ <- 0 until 8) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Int](k)
-      pts.foreach { p =>
-        val c = nearest(p)
-        var i = 0; while (i < dim) { sums(c)(i) += p(i); i += 1 }
-        counts(c) += 1
-      }
-      cents = Array.tabulate(k) { c =>
-        if (counts(c) == 0) cents(c)
-        else { val m = sums(c); var i = 0; while (i < dim) { m(i) /= counts(c); i += 1 }; m }
-      }
-    }
-    cents.toSeq
-  }
-
-  /** Per-subspace codebooks, trained once per corpus on a bounded
-    * sample and memoized (build-once-serve-many). Seeds differ per
-    * subspace so identical marginal distributions still get
-    * independent inits. */
+  /** Per-subspace codebooks: k-means++ seeding per subspace on ONE
+    * bounded sample (seeds differ per subspace so identical marginal
+    * distributions still get independent inits), then 8 DISTRIBUTED
+    * Lloyd's rounds in which ALL subspaces train inside the same
+    * corpus scan ([[lloydRounds]] groups = subspaces). Memoized
+    * build-once-serve-many. */
   private[graft] def pqCodebooks(spark: SparkSession, dir: String): Seq[Seq[Array[Double]]] =
     codebookCache.getOrCompute(spark, s"$dir#pq") {
       val emb = Tables.embeddings(spark, dir)
         .select(asDouble(col("embedding")).as("v"))
       val n = emb.count()
       val sampled =
-        if (n <= CentroidSampleCap) emb
-        else emb.sample(withReplacement = false, CentroidSampleCap.toDouble / n, seed = 42)
+        if (n <= SeedSampleCap) emb
+        else emb.sample(withReplacement = false, SeedSampleCap.toDouble / n, seed = 42)
       val pts = sampled.collect().map(_.getSeq[Double](0).toArray)
-      (0 until PqSubspaces).map { m =>
-        lloyd(pts.map(p => java.util.Arrays.copyOfRange(p, m * PqDim, (m + 1) * PqDim)),
-          PqCodes, seed = 42 + m)
-      }
+      val init = Array.tabulate(PqSubspaces)(m => seedPlusPlus(
+        pts.map(p => java.util.Arrays.copyOfRange(p, m * PqDim, (m + 1) * PqDim)),
+        PqCodes, seed = 42 + m))
+      val trained = lloydRounds(emb, PqSubspaces, PqDim, PqCodes, init,
+        (v, m) => slice(v, m * PqDim + 1, PqDim))
+      (0 until PqSubspaces).map(m => trained(m).toSeq)
     }
 
   /** Scores of v's m-th subvector against each sub-centroid — argmax of
