@@ -9,6 +9,7 @@ import org.apache.parquet.hadoop.example.ExampleParquetWriter
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type, Types}
+import org.apache.parquet.schema.Type.Repetition
 import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.SparkSession
@@ -290,38 +291,95 @@ object GraftStreamDataWriter {
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
       u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
 
-  /** StructType → parquet MessageType for the engine's flat-primitive
-    * (+array-of-primitive) table surface, matching Spark's writer
-    * layout so the files are indistinguishable from batch-staged
-    * ones. */
+  /** StructType → parquet MessageType matching Spark's writer layout
+    * (3-level LIST, key_value MAP, plain-group STRUCT — recursively),
+    * so the sink's files are indistinguishable from batch-staged ones
+    * and the recursive reader round-trips them. */
   private[grafttable] def messageTypeOf(schema: StructType): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach(f => b.addField(fieldTypeOf(f.name, f.dataType)))
     b.named("spark_schema")
   }
 
-  private def fieldTypeOf(name: String, dt: DataType): Type = dt match {
-    case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN).named(name)
-    case IntegerType => Types.optional(PrimitiveTypeName.INT32).named(name)
-    case LongType => Types.optional(PrimitiveTypeName.INT64).named(name)
-    case FloatType => Types.optional(PrimitiveTypeName.FLOAT).named(name)
-    case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE).named(name)
-    case StringType => Types.optional(PrimitiveTypeName.BINARY)
+  private def fieldTypeOf(name: String, dt: DataType,
+      rep: Repetition = Repetition.OPTIONAL): Type = dt match {
+    case BooleanType => Types.primitive(PrimitiveTypeName.BOOLEAN, rep).named(name)
+    case IntegerType => Types.primitive(PrimitiveTypeName.INT32, rep).named(name)
+    case LongType => Types.primitive(PrimitiveTypeName.INT64, rep).named(name)
+    case FloatType => Types.primitive(PrimitiveTypeName.FLOAT, rep).named(name)
+    case DoubleType => Types.primitive(PrimitiveTypeName.DOUBLE, rep).named(name)
+    case StringType => Types.primitive(PrimitiveTypeName.BINARY, rep)
       .as(LogicalTypeAnnotation.stringType()).named(name)
-    case BinaryType => Types.optional(PrimitiveTypeName.BINARY).named(name)
-    case TimestampType => Types.optional(PrimitiveTypeName.INT64)
+    case BinaryType => Types.primitive(PrimitiveTypeName.BINARY, rep).named(name)
+    case TimestampType => Types.primitive(PrimitiveTypeName.INT64, rep)
       .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS)).named(name)
-    case DateType => Types.optional(PrimitiveTypeName.INT32)
+    case DateType => Types.primitive(PrimitiveTypeName.INT32, rep)
       .as(LogicalTypeAnnotation.dateType()).named(name)
     case ArrayType(et, _) =>
-      val elem = fieldTypeOf("element", et)
-      require(elem.isPrimitive,
-        s"graft streaming sink: nested array element ${et.catalogString}")
-      Types.optionalList().setElementType(elem).named(name)
+      Types.list(rep).setElementType(fieldTypeOf("element", et)).named(name)
+    case MapType(kt, vt, _) =>
+      Types.buildGroup(rep).as(LogicalTypeAnnotation.mapType())
+        .addField(Types.repeatedGroup()
+          .addField(fieldTypeOf("key", kt, Repetition.REQUIRED))
+          .addField(fieldTypeOf("value", vt))
+          .named("key_value"))
+        .named(name)
+    case st: StructType =>
+      val gb = Types.buildGroup(rep)
+      st.fields.foreach(f => gb.addField(fieldTypeOf(f.name, f.dataType)))
+      gb.named(name)
     case other => throw new UnsupportedOperationException(
       s"graft streaming sink: unsupported column type ${other.catalogString} " +
       "(supported: boolean, int, bigint, float, double, string, binary, " +
-      "timestamp, date, array of those)")
+      "timestamp, date, and array / map / struct of those)")
+  }
+
+  /** One value into slot `fi` of `g`, recursively — InternalRow,
+    * ArrayData, and MapData key/value arrays all expose the same
+    * SpecializedGetters surface, so one definition writes every
+    * nesting level (the writer twin of ParquetGroups.convert). */
+  private def addValue(g: org.apache.parquet.example.data.Group, fi: Int,
+      dt: DataType,
+      src: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      ordinal: Int): Unit = dt match {
+    case BooleanType => g.add(fi, src.getBoolean(ordinal))
+    case IntegerType | DateType => g.add(fi, src.getInt(ordinal))
+    case LongType | TimestampType => g.add(fi, src.getLong(ordinal))
+    case FloatType => g.add(fi, src.getFloat(ordinal))
+    case DoubleType => g.add(fi, src.getDouble(ordinal))
+    case StringType => g.add(fi,
+      Binary.fromConstantByteArray(src.getUTF8String(ordinal).getBytes))
+    case BinaryType => g.add(fi,
+      Binary.fromConstantByteArray(src.getBinary(ordinal)))
+    case ArrayType(et, _) =>
+      val arr = src.getArray(ordinal)
+      val listG = g.addGroup(fi)
+      var j = 0
+      while (j < arr.numElements()) {
+        val entry = listG.addGroup(0)
+        if (!arr.isNullAt(j)) addValue(entry, 0, et, arr, j)
+        j += 1
+      }
+    case MapType(kt, vt, _) =>
+      val m = src.getMap(ordinal)
+      val mapG = g.addGroup(fi)
+      var j = 0
+      while (j < m.numElements()) {
+        val kv = mapG.addGroup(0)
+        addValue(kv, 0, kt, m.keyArray(), j)
+        if (!m.valueArray().isNullAt(j)) addValue(kv, 1, vt, m.valueArray(), j)
+        j += 1
+      }
+    case st: StructType =>
+      val sr = src.getStruct(ordinal, st.length)
+      val sg = g.addGroup(fi)
+      var j = 0
+      while (j < st.length) {
+        if (!sr.isNullAt(j)) addValue(sg, j, st(j).dataType, sr, j)
+        j += 1
+      }
+    case other => throw new UnsupportedOperationException(
+      s"graft streaming sink: unsupported type $other")
   }
 
   private[grafttable] def groupOf(factory: SimpleGroupFactory,
@@ -330,42 +388,7 @@ object GraftStreamDataWriter {
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
-      if (!row.isNullAt(i)) {
-        schema.fields(i).dataType match {
-          case BooleanType => g.add(i, row.getBoolean(i))
-          case IntegerType | DateType => g.add(i, row.getInt(i))
-          case LongType | TimestampType => g.add(i, row.getLong(i))
-          case FloatType => g.add(i, row.getFloat(i))
-          case DoubleType => g.add(i, row.getDouble(i))
-          case StringType => g.add(i,
-            Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
-          case BinaryType => g.add(i,
-            Binary.fromConstantByteArray(row.getBinary(i)))
-          case ArrayType(et, _) =>
-            val arr = row.getArray(i)
-            val listG = g.addGroup(i)
-            var j = 0
-            while (j < arr.numElements()) {
-              val entry = listG.addGroup(0)
-              if (!arr.isNullAt(j)) et match {
-                case BooleanType => entry.add(0, arr.getBoolean(j))
-                case IntegerType | DateType => entry.add(0, arr.getInt(j))
-                case LongType | TimestampType => entry.add(0, arr.getLong(j))
-                case FloatType => entry.add(0, arr.getFloat(j))
-                case DoubleType => entry.add(0, arr.getDouble(j))
-                case StringType => entry.add(0,
-                  Binary.fromConstantByteArray(arr.getUTF8String(j).getBytes))
-                case BinaryType => entry.add(0,
-                  Binary.fromConstantByteArray(arr.getBinary(j)))
-                case other => throw new UnsupportedOperationException(
-                  s"graft streaming sink: array element $other")
-              }
-              j += 1
-            }
-          case other => throw new UnsupportedOperationException(
-            s"graft streaming sink: unsupported type $other")
-        }
-      }
+      if (!row.isNullAt(i)) addValue(g, i, schema.fields(i).dataType, row, i)
       i += 1
     }
     g
