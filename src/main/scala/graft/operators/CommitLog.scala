@@ -1451,21 +1451,25 @@ object CommitLog {
       expectedVersion = Some(v0))
   }
 
-  /** Z-order OPTIMIZE: cluster the table on the (a, b) space-filling
-    * curve into `files` files ([[Layout]]'s range-partition + in-file
-    * sort), zone maps on BOTH dims in the same commit — after this,
-    * a range scan on EITHER column prunes, the Delta OPTIMIZE ZORDER
-    * composition. */
-  def optimizeZOrder(spark: SparkSession, tablePath: String,
-      a: String, b: String, files: Int): Long = {
+  /** Z-order OPTIMIZE: cluster the table on the space-filling curve
+    * of N columns into `files` files ([[Layout]]'s range-partition +
+    * in-file sort), zone maps on EVERY clustered dim in the same
+    * commit — after this, a range scan on ANY of the columns prunes:
+    * the Delta OPTIMIZE ZORDER BY composition, N-ary like Delta's. */
+  def optimizeZOrderBy(spark: SparkSession, tablePath: String,
+      cols: Seq[String], files: Int): Long = {
     import org.apache.spark.sql.functions.col
     optimize(spark, tablePath,
-      df => Layout.withZValue(df, a, b)
+      df => Layout.withZValueN(df, cols)
         .repartitionByRange(files, col("_z"))
         .sortWithinPartitions(col("_z"))
         .drop("_z"),
-      Seq(a, b))
+      cols)
   }
+
+  def optimizeZOrder(spark: SparkSession, tablePath: String,
+      a: String, b: String, files: Int): Long =
+    optimizeZOrderBy(spark, tablePath, Seq(a, b), files)
 
   /** CDC merge as copy-on-write at FILE granularity: only files that
     * actually contain a changed key are rewritten; every other live

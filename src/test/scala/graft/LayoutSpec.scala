@@ -74,6 +74,71 @@ class LayoutSpec extends SparkSpec {
       s"z-order should let footer stats skip files: z=$zSkipped vs sorted=$sSkipped")
   }
 
+  test("3-D z-order bounds every dimension; commit-log OPTIMIZE ZORDER BY serves it") {
+    val df = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val dims = Seq("l_orderkey", "l_partkey", "l_suppkey")
+    val spans = dims.map { d =>
+      val r = df.agg(max(col(d)).cast("double") - min(col(d)).cast("double")).head()
+      d -> r.getDouble(0)
+    }.toMap
+    val zDir = Files.createTempDirectory("zorder3").toString
+    Layout.writeZOrderedN(df, dims, zDir, files = 27)
+    val back = spark.read.parquet(zDir)
+    assert(back.count() === df.count())
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // every dimension's per-file range must be bounded away from the
+    // full span (a 1-D sort leaves two of the three at ~1.0)
+    val files = new java.io.File(zDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    dims.foreach { d =>
+      val mean = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col(d).cast("double")), max(col(d).cast("double"))).head()
+        (r.getDouble(1) - r.getDouble(0)) / spans(d)
+      }.sum / files.length
+      assert(mean < 0.7, s"3-D z-order not bounded on $d: mean range $mean")
+    }
+    // the commit-log composition: OPTIMIZE ZORDER BY three columns,
+    // zone maps on all three in one dataChange=false commit
+    val t = Files.createTempDirectory("zorder3_table").toString
+    try {
+      graft.operators.CommitLog.append(spark, t, df)
+      val before = graft.operators.CommitLog.read(spark, t).count()
+      graft.operators.CommitLog.optimizeZOrderBy(spark, t, dims, files = 9)
+      assert(graft.operators.CommitLog.read(spark, t).count() === before)
+      // a range predicate on the LAST dim prunes files via zones
+      val all = graft.operators.CommitLog.snapshot(spark, t, None).size
+      val pruned = graft.operators.CommitLog.scanRange(
+        spark, t, "l_suppkey", 1L, 3L).inputFiles.length
+      assert(pruned < all, s"zone pruning on the 3rd z-dim: $pruned vs $all files")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+  }
+
+  test("mortonN matches a reference interleave and enforces the bit budget") {
+    // N=3, bits=4: expression vs driver-side reference
+    def ref3(a: Long, b: Long, c: Long, bits: Int): Long =
+      (for (i <- 0 until bits; (v, j) <- Seq(a, b, c).zipWithIndex)
+        yield ((v >> i) & 1L) << (i * 3 + (2 - j))).reduce(_ | _)
+    val rows = spark.range(0, 16).select(col("id"),
+        Layout.mortonN(Seq(col("id"), lit(5L), lit(9L)), 4).as("z"))
+      .orderBy("id").collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === ref3(r.getLong(0), 5L, 9L, 4))
+    }
+    // 2-D morton is exactly the N=2 instance
+    val eq = spark.range(0, 64).select(
+      (Layout.morton(col("id"), lit(21L), bits = 6) ===
+        Layout.mortonN(Seq(col("id"), lit(21L)), 6)).as("ok")).collect()
+    assert(eq.forall(_.getBoolean(0)))
+    // bit budget: bits*n must stay below the sign bit
+    intercept[IllegalArgumentException] { Layout.mortonN(Seq(lit(1L), lit(1L), lit(1L)), 22) }
+    Layout.mortonN(Seq(lit(1L), lit(1L), lit(1L)), 21)
+    intercept[IllegalArgumentException] {
+      Layout.mortonN(Seq(lit(1L), lit(1L), lit(1L), lit(1L)), 16) }
+    Layout.mortonN(Seq(lit(1L), lit(1L), lit(1L), lit(1L)), 15)
+  }
+
   test("morton rejects bit widths that would reach the long sign bit") {
     // bits = 32 would shift an interleaved bit to position 63: negative
     // z-values, corrupted curve order — must fail fast at plan build
