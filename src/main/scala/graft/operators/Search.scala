@@ -52,7 +52,6 @@ object Search {
 
   def evictCorpus(spark: SparkSession, dir: String): Unit = {
     postingsCache.evict(spark, s"$dir#postings")
-    posPostingsCache.evict(spark, s"$dir#pospostings")
     indexTableCache.evict(spark, s"$dir#indextable")
     posIndexTableCache.evict(spark, s"$dir#posindextable")
   }
@@ -87,21 +86,17 @@ object Search {
   /** The registered phrase query — present at every fixture SF. */
   val PhraseTerms: Seq[String] = Seq("big", "order", "scan")
 
-  private val posPostingsCache =
-    new graft.AppScopedCache[DataFrame](graft.AppScopedCache.unpersistPlanRDDs)
-
-  /** Positional postings (token, doc_id, pos) — the index layout that
-    * upgrades keyword search to PHRASE search and feeds collocation
-    * mining; one posexplode + shuffle by token, memoized per corpus
-    * like [[postings]]. */
+  /** Positional postings (token, doc_id, pos) — the raw build input
+    * for the PERSISTED positional index below. NOT memoized: the only
+    * consumer is the build-once segment write, so a localCheckpoint
+    * would materialize a corpus-sized intermediate just to copy it
+    * into parquet — the explode streams straight into each segment
+    * instead. Serving always reads the persisted table. */
   def posPostings(spark: SparkSession, dir: String): DataFrame =
-    posPostingsCache.getOrCompute(spark, s"$dir#pospostings") {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), posexplode(tokens(col("text"))))
-        .select(col("doc_id"), col("col").as("token"),
-          (col("pos") + 1).cast("long").as("pos"))
-        .localCheckpoint(false)
-    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("col").as("token"),
+        (col("pos") + 1).cast("long").as("pos"))
 
   /** The PERSISTED positional index: (token, doc_id, pos) stored as
     * commit-log segments with per-segment token Blooms, exactly like
