@@ -281,6 +281,65 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning reaches a partitioned fact scan behind a dim filter") {
+    // the 100 TB shape: a date-partitioned fact table joined to a
+    // filtered dim must read ONLY the matching partitions — Spark's
+    // DPP injects the dim's build side as a partition filter at
+    // runtime (reusing the broadcast). Pin the mechanism end to end:
+    // the pruning expression in the plan AND the actual file reads.
+    import org.apache.spark.sql.functions.{col, count, lit, to_date}
+    val factDir = java.nio.file.Files.createTempDirectory("dpp_fact").toString
+    val dimDir = java.nio.file.Files.createTempDirectory("dpp_dim").toString
+    try {
+      Tables.events(spark, sf)
+        .withColumn("day", to_date(col("ts")))
+        .write.partitionBy("day").mode("overwrite").parquet(factDir)
+      val fact = spark.read.parquet(factDir)
+      val nDays = fact.select("day").distinct().count()
+      assert(nDays > 5, s"fixture spans only $nDays days — DPP pin meaningless")
+      // a full day dim with a flag marking 2 days: the QUERY's filter
+      // on the flag is the selective predicate DPP requires on the
+      // build side (a pre-filtered dim has no filter to prune by)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.row_number
+      fact.select(col("day").as("d")).distinct()
+        .withColumn("flag",
+          (row_number().over(Window.orderBy(col("d"))) <= 2).cast("int"))
+        .write.mode("overwrite").parquet(dimDir)
+      val dim = spark.read.parquet(dimDir).filter(col("flag") === 1)
+      val joined = fact.join(dim, fact("day") === dim("d"))
+        .groupBy(fact("day")).agg(count(lit(1)).as("n"))
+      val planStr = joined.queryExecution.executedPlan.toString.toLowerCase
+      assert(planStr.contains("dynamicpruning"),
+        s"no dynamic partition pruning in the plan:\n$planStr")
+      val rows = joined.collect()
+      assert(rows.length === 2)
+      // the scan really read only the 2 matching day partitions:
+      // inputFiles reflects the STATIC index, so read the executed
+      // scan's own "number of files read" metric instead
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        (p +: p.children.flatMap(allNodes)) ++ (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            allNodes(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            allNodes(q.plan)
+          case _ => Nil
+        })
+      val factScan = allNodes(joined.queryExecution.executedPlan).collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(
+              new java.io.File(factDir).getName)) => f
+      }.getOrElse(fail("no FileSourceScanExec for the fact table in the executed plan"))
+      val filesRead = factScan.metrics("numFiles").value
+      assert(filesRead < nDays,
+        s"DPP did not prune at runtime: read $filesRead files over $nDays days")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(factDir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dimDir))
+    }
+  }
+
   test("q15 aggregates lineitem once: the revenue view is checkpointed, not recomputed") {
     // before the fix both the scalar max and the crossJoin probe side
     // re-derived the per-supplier aggregate from the parquet scan —
