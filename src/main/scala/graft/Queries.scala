@@ -513,6 +513,7 @@ object Queries {
     "text_search_bm25" -> ((s: SparkSession, d: String) => Search.searchBm25(s, d)),
     "text_search_phrase" -> ((s: SparkSession, d: String) => Search.searchPhrase(s, d)),
     "text_search_indexed" -> ((s: SparkSession, d: String) => Search.searchAllIndexed(s, d)),
+    "text_search_bm25_indexed" -> ((s: SparkSession, d: String) => Search.searchBm25Indexed(s, d)),
     "text_collocations_pmi" -> ((s: SparkSession, d: String) => Search.collocationsPmi(s, d)),
     "q_pagerank_suppliers" -> (Graph.pagerankSuppliers _)
   )
@@ -1379,6 +1380,20 @@ object Queries {
        s"GROUP BY doc_id HAVING count(DISTINCT token) = ${graft.operators.Search.QueryTerms.size} " +
        "ORDER BY doc_id"),
     "text_search_bm25" ->
+      (s"WITH p AS ($duckPostings), " +
+       "dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM p GROUP BY doc_id), " +
+       "st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) / count(*) AS avgdl FROM dl), " +
+       s"d AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM p WHERE token IN $duckTermsIn GROUP BY token), " +
+       "m AS (SELECT p.doc_id, CAST(p.tf AS DOUBLE) AS tf, dl.dl, d.df, st.n_docs, st.avgdl " +
+       "FROM p JOIN dl USING (doc_id) JOIN d ON p.token = d.token CROSS JOIN st), " +
+       "s AS (SELECT doc_id, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) / " +
+       "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w FROM m) " +
+       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, round(sum(w), 4) AS score " +
+       "FROM s GROUP BY doc_id ORDER BY score DESC, doc_id"),
+    // BM25 from persisted index + norms segments: the oracle is the
+    // SAME full-corpus SQL — (index segments) ∪ (norms segments) ≡
+    // corpus is the property the hash certifies
+    "text_search_bm25_indexed" ->
       (s"WITH p AS ($duckPostings), " +
        "dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM p GROUP BY doc_id), " +
        "st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) / count(*) AS avgdl FROM dl), " +

@@ -54,6 +54,7 @@ object Search {
     postingsCache.evict(spark, s"$dir#postings")
     indexTableCache.evict(spark, s"$dir#indextable")
     posIndexTableCache.evict(spark, s"$dir#posindextable")
+    normsTableCache.evict(spark, s"$dir#normstable")
   }
 
   /** Term dictionary: per-token document frequency, collection
@@ -240,6 +241,69 @@ object Search {
       .orderBy(col("doc_id"))
   }
 
+  /** Document-length NORMS as their own commit-log segments beside
+    * the token index — the Lucene norms file re-expressed on the
+    * engine's table format: BM25's per-document length factor must
+    * not require touching every token's postings at query time. Same
+    * base/delta two-segment split, zone stats on doc_id; time-travels
+    * in step with the index (version 0 = base corpus norms). */
+  private val normsTableCache =
+    new graft.AppScopedCache[String](Similarity.deleteLocalDir)
+
+  def normsTablePath(spark: SparkSession, dir: String): String =
+    normsTableCache.getOrCompute(spark, s"$dir#normstable") {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_norms_").toString
+      val dl = postings(spark, dir).groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("dl"))
+      val base = dl.filter(col("doc_id") % 10 =!= 9)
+      val delta = dl.filter(col("doc_id") % 10 === 9)
+      graft.operators.CommitLog.appendWithBloom(spark, path, base,
+        Seq.empty, Seq("doc_id"))
+      graft.operators.CommitLog.appendWithBloom(spark, path, delta,
+        Seq.empty, Seq("doc_id"))
+      path
+    }
+
+  /** BM25 served ENTIRELY from persisted artifacts: Bloom-pruned
+    * per-term postings scans from the segment index + the norms table
+    * for dl/avgdl/N — no postings rebuild, no corpus tokenize, no
+    * documents scan at all (plan-pinned in SearchSpec). The score
+    * expression is shared with [[searchBm25]] so the two serving
+    * paths cannot drift; the oracle is the full-corpus SQL, so
+    * index ∪ norms ≡ corpus is exactly what the hash certifies. */
+  def searchBm25Indexed(spark: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms, asOf: Option[Long] = None): DataFrame = {
+    val idxTable = indexTablePath(spark, dir)
+    val matchedPost = terms
+      .map(t => graft.operators.CommitLog.scanEquals(spark, idxTable, "token", t, asOf))
+      .reduce(_ unionAll _)
+    val dl = graft.operators.CommitLog.read(spark, normsTablePath(spark, dir), asOf)
+      .select(col("doc_id"), col("dl").cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val dfTab = matchedPost.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val matched = matchedPost
+      .join(dl, "doc_id")
+      .join(broadcast(dfTab), "token")
+      .crossJoin(broadcast(stats))
+    matched
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), round(sum(bm25Weight), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** The Okapi BM25 per-posting weight (k1=1.2, b=0.75; (k1+1) and
+    * (1-b) pre-folded to the SAME literals the oracle SQL uses) —
+    * one definition shared by the in-memory and index-served paths. */
+  private def bm25Weight: org.apache.spark.sql.Column = {
+    val tf = col("tf").cast("double")
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    idf * (tf * lit(2.2)) /
+      (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+  }
+
   /** BM25 ranking over documents matching ANY query term. Constants
     * k1=1.2, b=0.75 appear as the same literals the oracle SQL uses
     * ((k1+1) pre-folded to 2.2, 1-b to 0.25) so both engines run the
@@ -260,13 +324,9 @@ object Search {
       .join(dl, "doc_id")
       .join(broadcast(dfTab), "token")
       .crossJoin(broadcast(stats))
-    val tf = col("tf").cast("double")
-    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-    val w = idf * (tf * lit(2.2)) /
-      (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
     matched
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"), round(sum(w), 4).as("score"))
+      .agg(count(lit(1)).as("n_terms"), round(sum(bm25Weight), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
   }
 }

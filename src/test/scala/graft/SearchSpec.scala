@@ -135,6 +135,24 @@ class SearchSpec extends SparkSpec {
     assert(v0.toSet === full.filter(_ % 10 != 9).toSet)
   }
 
+  test("BM25 served from persisted index + norms equals the in-memory path, corpus-free") {
+    val mem = Search.searchBm25(spark, sf).collect().map(_.toString).toSeq
+    val idx = Search.searchBm25Indexed(spark, sf).collect().map(_.toString).toSeq
+    assert(idx === mem && idx.nonEmpty)
+    // plan-pinned: the index-served ranking never opens the corpus
+    val plan = Search.searchBm25Indexed(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"BM25-indexed serve rescans the corpus:\n$plan")
+    // time travel: version 0 = base segments only (doc_id % 10 != 9
+    // corpus) for BOTH artifacts — ranks must equal BM25 over just the
+    // base corpus... which has different dl/df/N, so simply pin the
+    // doc set and positivity
+    val v0 = Search.searchBm25Indexed(spark, sf, asOf = Some(0L)).collect()
+    assert(v0.nonEmpty && v0.forall(_.getLong(0) % 10 != 9))
+    v0.foreach(r => assert(r.getDouble(2) > 0.0))
+  }
+
   test("BM25 scores are positive, ordered, and slice back to the AND set") {
     val rows = Search.searchBm25(spark, sf).collect()
     assert(rows.nonEmpty)
