@@ -1434,6 +1434,26 @@ object CommitLog {
       old, dataChange = false, expectedVersion = Some(v0))
   }
 
+  /** Compaction that RE-PUBLISHES skipping metadata: plain [[compact]]
+    * commits the merged files with no zones/Blooms, which is
+    * conservative-correct but turns every point probe into
+    * open-all-files — on an index table that silently forfeits the
+    * segment-skipping the Blooms existed for. This variant stages with
+    * [[stageWithMeta]] so the compacted files carry fresh Bloom words
+    * for `bloomCols` (and zones for `statsCols`) in the SAME
+    * dataChange=false commit. */
+  def compactWithBloom(spark: SparkSession, tablePath: String,
+      targetFiles: Int, bloomCols: Seq[String],
+      statsCols: Seq[String] = Seq.empty): Long = {
+    val v0 = latestVersion(spark, tablePath)
+    val old = snapshot(spark, tablePath, Some(v0))
+    val (files, stats, blooms) = stageWithMeta(spark, tablePath,
+      read(spark, tablePath, Some(v0)).coalesce(targetFiles),
+      statsCols, bloomCols)
+    commit(spark, tablePath, files, old, stats = stats, blooms = blooms,
+      dataChange = false, expectedVersion = Some(v0))
+  }
+
   /** OPTIMIZE — compaction's generalization: same logical rows, a new
     * physical arrangement chosen by `reshape`, published as ONE
     * dataChange=false commit carrying the rewritten files' zone maps

@@ -109,6 +109,20 @@ class SearchSpec extends SparkSpec {
     graft.operators.CommitLog.compact(spark, table, targetFiles = 1)
     val merged = Search.searchAllIndexed(spark, sf).collect().map(_.toString).toSeq
     assert(merged === mem)
+    // plain compact dropped the Blooms: a probe for a token that does
+    // not exist now opens the merged file (conservative keep) —
+    // compactWithBloom restores skipping in one dataChange=false
+    // commit: the same impossible probe opens ZERO files
+    val ghost = "zz_no_such_token_zz"
+    def filesOpened(): Int = graft.operators.CommitLog
+      .scanEquals(spark, table, "token", ghost).inputFiles.length
+    assert(filesOpened() > 0, "expected the bloom-less compacted file to open")
+    graft.operators.CommitLog.compactWithBloom(spark, table,
+      targetFiles = 1, bloomCols = Seq("token"))
+    assert(filesOpened() === 0,
+      "re-published Blooms must skip every file for an absent token")
+    val recompacted = Search.searchAllIndexed(spark, sf).collect().map(_.toString).toSeq
+    assert(recompacted === mem)
   }
 
   test("phrase + PMI serve from the persisted positional index, not a corpus re-tokenize") {
