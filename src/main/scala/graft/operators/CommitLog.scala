@@ -233,17 +233,18 @@ object CommitLog {
     * recognized replay. This is how every lakehouse streaming sink
     * gets exactly-once from an at-least-once engine contract. */
   def appendStream(spark: SparkSession, tablePath: String, df: DataFrame,
-      batchId: Long, bloomCols: Seq[String] = Seq.empty): Option[Long] =
+      batchId: Long, bloomCols: Seq[String] = Seq.empty,
+      statsCols: Seq[String] = Seq.empty): Option[Long] =
     if (committedBatchIds(spark, tablePath).contains(batchId)) None
-    else if (bloomCols.isEmpty)
+    else if (bloomCols.isEmpty && statsCols.isEmpty)
       Some(commit(spark, tablePath, stage(spark, tablePath, df),
         Seq.empty, Some(batchId)))
     else {
       // segment-with-metadata form: the streamed batch publishes its
-      // Bloom filters in the SAME exactly-once commit, so point-probe
+      // Bloom filters / zone maps in the SAME exactly-once commit, so
       // skipping works on streamed segments identically to batch ones
       val (files, stats, blooms) =
-        stageWithMeta(spark, tablePath, df, Seq.empty, bloomCols)
+        stageWithMeta(spark, tablePath, df, statsCols, bloomCols)
       Some(commit(spark, tablePath, files, Seq.empty, Some(batchId),
         stats = stats, blooms = blooms))
     }

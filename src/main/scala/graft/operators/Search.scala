@@ -131,8 +131,14 @@ object Search {
     * postings (segments without the term never open), never a corpus
     * scan. Returns matching documents with their occurrence counts. */
   def searchPhrase(spark: SparkSession, dir: String,
-      phrase: Seq[String] = PhraseTerms, asOf: Option[Long] = None): DataFrame = {
-    val table = posIndexTablePath(spark, dir)
+      phrase: Seq[String] = PhraseTerms, asOf: Option[Long] = None): DataFrame =
+    phraseFromIndex(spark, posIndexTablePath(spark, dir), phrase, asOf)
+
+  /** The phrase-intersect serve plan over ANY positional-index table
+    * (fixture-built or stream-maintained): Bloom-pruned per-term
+    * scans, one aligned equi-join per phrase term. */
+  def phraseFromIndex(spark: SparkSession, table: String,
+      phrase: Seq[String], asOf: Option[Long] = None): DataFrame = {
     def termPostings(t: String) =
       graft.operators.CommitLog.scanEquals(spark, table, "token", t, asOf)
     val anchor = termPostings(phrase.head)
@@ -273,12 +279,18 @@ object Search {
     * paths cannot drift; the oracle is the full-corpus SQL, so
     * index ∪ norms ≡ corpus is exactly what the hash certifies. */
   def searchBm25Indexed(spark: SparkSession, dir: String,
-      terms: Seq[String] = QueryTerms, asOf: Option[Long] = None): DataFrame = {
-    val idxTable = indexTablePath(spark, dir)
+      terms: Seq[String] = QueryTerms, asOf: Option[Long] = None): DataFrame =
+    bm25FromIndex(spark, indexTablePath(spark, dir),
+      normsTablePath(spark, dir), terms, asOf)
+
+  /** The BM25 serve plan over ANY (index table, norms table) pair
+    * (fixture-built or stream-maintained). */
+  def bm25FromIndex(spark: SparkSession, idxTable: String, normsTable: String,
+      terms: Seq[String], asOf: Option[Long] = None): DataFrame = {
     val matchedPost = terms
       .map(t => graft.operators.CommitLog.scanEquals(spark, idxTable, "token", t, asOf))
       .reduce(_ unionAll _)
-    val dl = graft.operators.CommitLog.read(spark, normsTablePath(spark, dir), asOf)
+    val dl = graft.operators.CommitLog.read(spark, normsTable, asOf)
       .select(col("doc_id"), col("dl").cast("double").as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       (sum(col("dl")) / count(lit(1))).as("avgdl"))

@@ -226,6 +226,47 @@ object IncrementalIngest {
         ()
       }
 
+  /** FULL streaming search-index maintenance: every micro-batch of
+    * incoming documents commits THREE segments — token postings
+    * (token, doc_id, tf) with a token Bloom, positional postings
+    * (token, doc_id, pos) with a token Bloom, and document-length
+    * norms (doc_id, dl) with doc_id zones — to their three commit-log
+    * tables, each under the SAME batchId through its own exactly-once
+    * ledger (the quarantine-writer discipline: a replay after a crash
+    * between commits re-lands only the missing sides). After any
+    * trigger, keyword AND (searchAllIndexed's plan), phrase
+    * ([[graft.operators.Search.phraseFromIndex]]), and BM25
+    * ([[graft.operators.Search.bm25FromIndex]]) all serve the
+    * arrived corpus with no rebuild — the standing segments are never
+    * rewritten, work per trigger ∝ batch size. */
+  def searchIndexFullWriter(docs: DataFrame, indexTable: String,
+      posTable: String, normsTable: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val sp = batch.sparkSession
+          val toks = batch.select(col("doc_id"),
+            posexplode(graft.functions.TextFunctions.tokens(col("text"))))
+          val positions = toks.select(col("doc_id"), col("col").as("token"),
+            (col("pos") + 1).cast("long").as("pos"))
+          val postings = positions.groupBy(col("token"), col("doc_id"))
+            .agg(count(lit(1)).as("tf"))
+          val norms = postings.groupBy(col("doc_id"))
+            .agg(sum(col("tf")).as("dl"))
+          graft.operators.CommitLog.appendStream(sp, indexTable, postings,
+            batchId, bloomCols = Seq("token"))
+          graft.operators.CommitLog.appendStream(sp, posTable, positions,
+            batchId, bloomCols = Seq("token"))
+          graft.operators.CommitLog.appendStream(sp, normsTable, norms,
+            batchId, statsCols = Seq("doc_id"))
+        }
+        ()
+      }
+
   /** Streaming ingest with a dead-letter queue: rows violating the
     * target table's CHECK constraints are routed to a quarantine table
     * (stamped with the violated rule's name) instead of poisoning the

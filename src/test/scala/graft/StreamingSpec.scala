@@ -860,6 +860,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("full streaming index maintenance: phrase + BM25 serve the arrived corpus") {
+    import graft.operators.{CommitLog, Search}
+    val root = Files.createTempDirectory("graft-fsearch").toString
+    val (in, idx, pos, norms, ckpt) =
+      (s"$root/in", s"$root/idx", s"$root/pos", s"$root/norms", s"$root/ckpt")
+    def writeDocs(docs: Seq[(Long, String)]): Unit = {
+      import spark.implicits._
+      docs.toDF("doc_id", "text").repartition(1)
+        .write.mode(SaveMode.Append).parquet(in)
+    }
+    def runStream(): Unit = {
+      val q = IncrementalIngest.searchIndexFullWriter(
+        IncrementalIngest.documentsSource(spark, in), idx, pos, norms, ckpt).start()
+      q.awaitTermination()
+    }
+    try {
+      writeDocs(Seq(
+        (1L, "big order scan runs fast"),
+        (2L, "the big order scan again big order scan"),
+        (3L, "no phrase here order big scan")))
+      runStream()
+      // phrase over the STREAMED positional table: docs 1 and 2 match
+      // "big order scan" (doc 2 twice); doc 3 has the words, not the phrase
+      val hits = Search.phraseFromIndex(spark, pos, Seq("big", "order", "scan"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(hits === Map(1L -> 1L, 2L -> 2L))
+      // BM25 over the STREAMED index + norms: every doc containing any
+      // term scores; the doc repeating the terms with similar length
+      // outranks
+      val ranked = Search.bm25FromIndex(spark, idx, norms, Seq("big", "order"))
+        .collect()
+      assert(ranked.map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+      assert(ranked.head.getLong(0) === 2L, "tf-heavy doc must rank first")
+      // second arrival updates all three artifacts; the phrase answer grows
+      writeDocs(Seq((10L, "big order scan")))
+      runStream()
+      val hits2 = Search.phraseFromIndex(spark, pos, Seq("big", "order", "scan"))
+        .collect().map(_.getLong(0)).toSet
+      assert(hits2 === Set(1L, 2L, 10L))
+      // the three tables committed under the same batch ids (ledger
+      // parity: a crash between commits replays only the missing side)
+      val ids = Seq(idx, pos, norms).map(CommitLog.committedBatchIds(spark, _).toSet)
+      assert(ids.distinct.size === 1, s"batch ledgers diverged: $ids")
+      // norms zones carry doc_id extents (streamed segments publish
+      // stats like batch ones)
+      val normRows = CommitLog.read(spark, norms).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(normRows(2L) === 8L && normRows(10L) === 3L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("quarantine writer routes constraint violators to the dead-letter table") {
     import graft.operators.CommitLog
     val root = Files.createTempDirectory("graft-dlq").toString
