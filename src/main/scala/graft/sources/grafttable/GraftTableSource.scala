@@ -362,10 +362,99 @@ class GraftWriteBuilder(tablePath: String, info: LogicalWriteInfo)
 class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var aggResult: Option[(StructType, InternalRow)] = None
+
+  /** MIN/MAX answered from the LOG's zone maps — zero file opens, the
+    * metadata the cluster's driver already holds. Sound only when:
+    * no grouping (Spark additionally only pushes aggregates when every
+    * filter was fully consumed, and this source keeps all filters
+    * residual — so an aggregate only reaches here on an UNFILTERED
+    * scan); every live file logs a zone for the column; no deletion
+    * vector exists at this version (a DV could have deleted the
+    * extremal row); and the zone's double representation is exact for
+    * the column's type (int/date/float/double always; long only below
+    * 2^53 — a zone AT 2^53 cannot be distinguished from a rounded
+    * 2^53+1, so it falls back). Anything else declines and the
+    * ordinary scan path serves. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    translateAggs(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    translateAggs(agg) match {
+      case Some(r) => aggResult = Some(r); true
+      case None => false
+    }
+
+  private def translateAggs(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Max, Min}
+    if (agg.groupByExpressions.nonEmpty) return None
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: org.apache.spark.sql.connector.expressions.NamedReference
+            if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+        case _ => None
+      }
+    val wanted: Seq[Option[(String, Boolean)]] = agg.aggregateExpressions.toSeq.map {
+      case m: Min => fieldOf(m.column).map((_, true))
+      case m: Max => fieldOf(m.column).map((_, false))
+      case _ => None
+    }
+    if (!wanted.forall(_.isDefined)) return None
+    val cols = wanted.flatten
+    // exact-in-zone-double column types only
+    val types = cols.map { case (c, _) => full.fields.find(_.name == c).map(_.dataType) }
+    if (!types.forall(_.exists {
+      case IntegerType | DateType | FloatType | DoubleType | LongType => true
+      case _ => false
+    })) return None
+    val spark = SparkSession.active
+    if (CommitLog.deletionVectorRefs(spark, tablePath, Some(version)).nonEmpty)
+      return None
+    val files = CommitLog.snapshot(spark, tablePath, Some(version))
+    val zones = CommitLog.fileStats(spark, tablePath, Some(version))
+    def extremum(c: String, isMin: Boolean): Option[Option[Double]] = {
+      // Some(None) = empty table (NULL result); None = cannot serve
+      if (files.isEmpty) return Some(None)
+      val perFile = files.map(f => zones.get(f).flatMap(_.get(c)))
+      if (perFile.exists(_.isEmpty)) return None // un-statted file
+      val vals = perFile.flatten.map(t => if (isMin) t._1 else t._2)
+      if (vals.exists(_.isNaN)) return None
+      val v = if (isMin) vals.min else vals.max
+      val isLong = full.fields.find(_.name == c).exists(_.dataType == LongType)
+      if (isLong && math.abs(v) >= 9007199254740992.0) return None // 2^53
+      Some(Some(v))
+    }
+    val results = cols.map { case (c, isMin) => extremum(c, isMin) }
+    if (results.exists(_.isEmpty)) return None
+    val schema = StructType(cols.zipWithIndex.map { case ((c, isMin), i) =>
+      StructField(s"${if (isMin) "min" else "max"}_${c}_$i",
+        full.fields.find(_.name == c).get.dataType, nullable = true)
+    })
+    // explicit boxing per branch: bare numeric branches would unify
+    // under Scala's weak conformance to Double, silently widening the
+    // Long/Int values back into doubles inside the Any slot
+    val values: Array[Any] = cols.zip(results.map(_.get)).map {
+      case (_, None) => null
+      case ((c, _), Some(v)) =>
+        (full.fields.find(_.name == c).get.dataType match {
+          case IntegerType | DateType => Int.box(v.toInt)
+          case LongType => Long.box(v.toLong)
+          case FloatType => Float.box(v.toFloat)
+          case DoubleType => Double.box(v)
+        }): Any
+    }.toArray
+    Some((schema,
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)))
+  }
 
   private[grafttable] def skippable(f: Filter): Boolean = f match {
     case GreaterThan(_, v) => numeric(v)
@@ -394,9 +483,37 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan =
-    new GraftScan(tablePath, version, required, pushed, options)
+  override def build(): Scan = aggResult match {
+    case Some((schema, row)) => new GraftAggScan(tablePath, version, schema, row)
+    case None => new GraftScan(tablePath, version, required, pushed, options)
+  }
 }
+
+/** Scan serving a completely-pushed MIN/MAX from the commit log's
+  * zone maps: one partition, one precomputed row, ZERO data-file
+  * opens — at 100 TB the answer comes from metadata the driver
+  * already resolved. */
+class GraftAggScan(tablePath: String, version: Long,
+    schema: StructType, row: InternalRow) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftAggScan $tablePath v$version zones-only ${schema.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(row.copy()))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = if (done) false else { done = true; true }
+          override def get(): InternalRow = p.asInstanceOf[GraftAggPartition].row
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class GraftAggPartition(row: InternalRow) extends InputPartition
 
 class GraftScan(tablePath: String, version: Long, required: StructType,
     pushed: Array[Filter],

@@ -489,6 +489,41 @@ class GraftSourceSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("MIN/MAX pushdown answers from zone maps with zero data-file opens") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      val df = Seq((1L, 10.5, 3), (7L, -2.25, 9), (4L, 99.0, 1)).toDF("id", "x", "k")
+      // two appends, both publishing zones for every column
+      CommitLog.appendWithBloom(spark, t, df.filter(col("id") < 5),
+        Seq.empty, Seq("id", "x", "k"))
+      CommitLog.appendWithBloom(spark, t, df.filter(col("id") >= 5),
+        Seq.empty, Seq("id", "x", "k"))
+      val agg = spark.read.format("graft").load(t)
+        .agg(min(col("id")), max(col("id")), min(col("x")), max(col("x")), max(col("k")))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftAggScan"),
+        s"MIN/MAX did not push to the zone-serving scan:\n$plan")
+      assert(!plan.contains(".parquet"), s"agg plan still opens data files:\n$plan")
+      val r = agg.head()
+      assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)) ===
+        ((1L, 7L, -2.25, 99.0, 9)))
+      // a DV at the head version forfeits the metadata answer: fall
+      // back to the ordinary scan AND stay correct
+      CommitLog.delete(spark, t, "id = 7")
+      val agg2 = spark.read.format("graft").load(t).agg(max(col("id")))
+      assert(!agg2.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+        "DV-bearing snapshot must not serve MIN/MAX from zones")
+      assert(agg2.head().getLong(0) === 4L)
+      // a filtered aggregate keeps the ordinary path (filters are
+      // residual here, so Spark never offers the aggregate)
+      val agg3 = spark.read.format("graft").load(t)
+        .filter(col("k") > 0).agg(min(col("id")))
+      assert(!agg3.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+      assert(agg3.head().getLong(0) === 1L)
+    } finally cleanup(t)
+  }
+
   test("nested struct / map / array<struct> columns decode through the graft source") {
     val t = tempTable()
     try {
