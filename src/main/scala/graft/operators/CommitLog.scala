@@ -60,6 +60,13 @@ object CommitLog {
     * separate manifest pass and no footer I/O for pruned files. */
   type FileStats = Map[String, Map[String, (Double, Double)]]
 
+  /** Reserved stats key carrying a file's ROW COUNT as (n, n) inside
+    * the ordinary zone map — no new log field, flows through commits
+    * and checkpoints untouched; zone pruning never consults it (no
+    * query column is named this). Published by every stats/bloom
+    * staging path. */
+  val RowCountStat: String = "__rows"
+
   private def jstats(stats: FileStats): String =
     stats.map { case (f, cols) =>
       "\"" + esc(f) + "\":{" + cols.map { case (c, (lo, hi)) =>
@@ -1953,24 +1960,36 @@ object CommitLog {
     var tmpStats: Map[String, Map[String, (Double, Double)]] = Map.empty
     var tmpBlooms: Map[String, Map[String, String]] = Map.empty
     if (statsCols.nonEmpty || bloomCols.nonEmpty) {
-      import org.apache.spark.sql.functions.{col, input_file_name, max, min, xxhash64}
+      import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, xxhash64}
+      // per-file ROW COUNT rides the same aggregate under the reserved
+      // [[RowCountStat]] stats key (Delta's numRecords): COUNT(*) then
+      // answers from the log with zero file opens. Skipped (collision
+      // safety) in the pathological case of a data column by that name.
+      val publishRows = !df.columns.contains(RowCountStat)
       val aggs = statsCols.flatMap(c =>
         Seq(min(col(c)).cast("double").as(s"min_$c"),
           max(col(c)).cast("double").as(s"max_$c"))) ++
         bloomCols.map(c =>
-          graft.plans.BloomAggregate.bloom(xxhash64(col(c)), mBits, k).as(s"bloom_$c"))
+          graft.plans.BloomAggregate.bloom(xxhash64(col(c)), mBits, k).as(s"bloom_$c")) ++
+        (if (publishRows) Seq(count(lit(1)).cast("double").as("__nrows")) else Seq.empty)
       val rows = spark.read.parquet(tmp.toString)
         .groupBy(input_file_name().as("file"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
       tmpStats = rows.map { r =>
         val name = r.getString(0).split('/').last
-        name -> statsCols.flatMap { c =>
+        val colStats = statsCols.flatMap { c =>
           val lo = r.getAs[Any](s"min_$c")
           val hi = r.getAs[Any](s"max_$c")
           if (lo == null || hi == null) None
           else Some(c -> (lo.asInstanceOf[Double], hi.asInstanceOf[Double]))
         }.toMap
+        val rowStat =
+          if (publishRows) {
+            val n = r.getAs[Double]("__nrows")
+            Map(RowCountStat -> (n, n))
+          } else Map.empty[String, (Double, Double)]
+        name -> (colStats ++ rowStat)
       }.toMap
       tmpBlooms = rows.map { r =>
         val name = r.getString(0).split('/').last

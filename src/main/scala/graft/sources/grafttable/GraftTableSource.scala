@@ -392,10 +392,15 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
       case None => false
     }
 
+  private sealed trait ZoneAgg
+  private case class MinOf(c: String) extends ZoneAgg
+  private case class MaxOf(c: String) extends ZoneAgg
+  private case object RowCount extends ZoneAgg
+
   private def translateAggs(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, InternalRow)] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     if (agg.groupByExpressions.nonEmpty) return None
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -403,19 +408,21 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
             if f.fieldNames.length == 1 => Some(f.fieldNames.head)
         case _ => None
       }
-    val wanted: Seq[Option[(String, Boolean)]] = agg.aggregateExpressions.toSeq.map {
-      case m: Min => fieldOf(m.column).map((_, true))
-      case m: Max => fieldOf(m.column).map((_, false))
+    val wanted: Seq[Option[ZoneAgg]] = agg.aggregateExpressions.toSeq.map {
+      case m: Min => fieldOf(m.column).map(MinOf)
+      case m: Max => fieldOf(m.column).map(MaxOf)
+      case _: CountStar => Some(RowCount)
       case _ => None
     }
     if (!wanted.forall(_.isDefined)) return None
-    val cols = wanted.flatten
-    // exact-in-zone-double column types only
-    val types = cols.map { case (c, _) => full.fields.find(_.name == c).map(_.dataType) }
-    if (!types.forall(_.exists {
-      case IntegerType | DateType | FloatType | DoubleType | LongType => true
-      case _ => false
-    })) return None
+    val aggsW = wanted.flatten
+    // exact-in-zone-double column types only for min/max
+    val ok = aggsW.forall {
+      case MinOf(c) => exactType(c)
+      case MaxOf(c) => exactType(c)
+      case RowCount => true
+    }
+    if (!ok) return None
     val spark = SparkSession.active
     if (CommitLog.deletionVectorRefs(spark, tablePath, Some(version)).nonEmpty)
       return None
@@ -433,18 +440,38 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
       if (isLong && math.abs(v) >= 9007199254740992.0) return None // 2^53
       Some(Some(v))
     }
-    val results = cols.map { case (c, isMin) => extremum(c, isMin) }
+    def totalRows(): Option[Option[Double]] = {
+      // every live file must carry the reserved row-count stat; each
+      // count is an exact-in-double integral by construction (< 2^53
+      // rows/file), and the SUM must stay exact too
+      val perFile = files.map(f =>
+        zones.get(f).flatMap(_.get(CommitLog.RowCountStat)).map(_._1))
+      if (perFile.exists(_.isEmpty)) return None
+      val total = perFile.flatten.sum
+      if (total.isNaN || total >= 9007199254740992.0) return None
+      Some(Some(total))
+    }
+    val results = aggsW.map {
+      case MinOf(c) => extremum(c, isMin = true)
+      case MaxOf(c) => extremum(c, isMin = false)
+      case RowCount => totalRows()
+    }
     if (results.exists(_.isEmpty)) return None
-    val schema = StructType(cols.zipWithIndex.map { case ((c, isMin), i) =>
-      StructField(s"${if (isMin) "min" else "max"}_${c}_$i",
+    val schema = StructType(aggsW.zipWithIndex.map {
+      case (MinOf(c), i) => StructField(s"min_${c}_$i",
         full.fields.find(_.name == c).get.dataType, nullable = true)
+      case (MaxOf(c), i) => StructField(s"max_${c}_$i",
+        full.fields.find(_.name == c).get.dataType, nullable = true)
+      case (RowCount, i) => StructField(s"count_$i", LongType, nullable = false)
     })
     // explicit boxing per branch: bare numeric branches would unify
     // under Scala's weak conformance to Double, silently widening the
     // Long/Int values back into doubles inside the Any slot
-    val values: Array[Any] = cols.zip(results.map(_.get)).map {
+    val values: Array[Any] = aggsW.zip(results.map(_.get)).map {
+      case (RowCount, v) => Long.box(v.fold(0L)(_.toLong)) // empty table counts 0
       case (_, None) => null
-      case ((c, _), Some(v)) =>
+      case (a, Some(v)) =>
+        val c = a match { case MinOf(x) => x; case MaxOf(x) => x; case RowCount => "" }
         (full.fields.find(_.name == c).get.dataType match {
           case IntegerType | DateType => Int.box(v.toInt)
           case LongType => Long.box(v.toLong)
@@ -455,6 +482,14 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
     Some((schema,
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)))
   }
+
+  private def exactType(c: String): Boolean =
+    full.fields.find(_.name == c).exists {
+      _.dataType match {
+        case IntegerType | DateType | FloatType | DoubleType | LongType => true
+        case _ => false
+      }
+    }
 
   private[grafttable] def skippable(f: Filter): Boolean = f match {
     case GreaterThan(_, v) => numeric(v)

@@ -500,14 +500,15 @@ class GraftSourceSpec extends SparkSpec {
       CommitLog.appendWithBloom(spark, t, df.filter(col("id") >= 5),
         Seq.empty, Seq("id", "x", "k"))
       val agg = spark.read.format("graft").load(t)
-        .agg(min(col("id")), max(col("id")), min(col("x")), max(col("x")), max(col("k")))
+        .agg(min(col("id")), max(col("id")), min(col("x")), max(col("x")),
+          max(col("k")), count(lit(1)))
       val plan = agg.queryExecution.executedPlan.toString
       assert(plan.contains("GraftAggScan"),
-        s"MIN/MAX did not push to the zone-serving scan:\n$plan")
+        s"MIN/MAX/COUNT did not push to the zone-serving scan:\n$plan")
       assert(!plan.contains(".parquet"), s"agg plan still opens data files:\n$plan")
       val r = agg.head()
-      assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)) ===
-        ((1L, 7L, -2.25, 99.0, 9)))
+      assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getInt(4), r.getLong(5)) === ((1L, 7L, -2.25, 99.0, 9, 3L)))
       // a DV at the head version forfeits the metadata answer: fall
       // back to the ordinary scan AND stay correct
       CommitLog.delete(spark, t, "id = 7")
