@@ -502,6 +502,7 @@ object Queries {
     "pipeline_domain_blocklist" -> (Html.domainBlocklist _),
     "q_merge_upsert" -> (Changes.mergeUpsert _),
     "q_lake_pushdown_scan" -> (Lake.pushdownScan _),
+    "q_lake_agg_pushdown" -> (Lake.aggPushdown _),
     "q_scd2_user_state" -> (Changes.scd2UserState _),
     "dedup_url_groups" -> (Html.urlDupGroups _),
     "pipeline_domain_cap" -> ((s: SparkSession, d: String) => Html.domainCap(s, d)),
@@ -1315,6 +1316,14 @@ object Queries {
        "round(sum(o_totalprice), 2) AS total_price " +
        "FROM orders WHERE o_totalprice >= 150000.0 " +
        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // answered by the graft source ENTIRELY from commit-log zone maps
+    // and row counts (GraftAggScan — zero file opens, plan-pinned);
+    // the oracle actually reads every row, so the metadata answer must
+    // be value-identical
+    "q_lake_agg_pushdown" ->
+      ("SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, " +
+       "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price, " +
+       "CAST(count(*) AS BIGINT) AS n_orders FROM orders"),
     "q_scd2_user_state" ->
       ("WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events), " +
        "t AS (SELECT user_id, event_id, event_type, ts_us, " +

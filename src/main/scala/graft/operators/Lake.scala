@@ -33,7 +33,8 @@ object Lake {
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .repartitionByRange(4, col("o_totalprice"))
       CommitLog.appendWithBloom(spark, p, df,
-        bloomCols = Seq("o_orderstatus"), statsCols = Seq("o_totalprice"))
+        bloomCols = Seq("o_orderstatus"),
+        statsCols = Seq("o_totalprice", "o_orderkey"))
       p
     }
 
@@ -41,6 +42,22 @@ object Lake {
     * predicate is pushed by Catalyst, zone-prunes the range-clustered
     * files, and row-group stats skip inside survivors; the aggregate
     * runs over exactly the rows ANSI SQL sees. */
+  /** Un-grouped MIN/MAX/COUNT through the DSv2 source: Catalyst
+    * pushes the whole aggregation and the scan answers it from the
+    * commit log's zone maps + row counts — ZERO data-file opens
+    * (plan-pinned GraftAggScan in PlanAuditSpec). The oracle is the
+    * plain SQL aggregate over the raw table, so the metadata answer
+    * must be value-identical to actually reading every row. */
+  def aggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val p = ordersTable(spark, dir)
+    spark.read.format("graft").load(p)
+      .agg(min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        count(lit(1)).as("n_orders"))
+  }
+
   def pushdownScan(spark: SparkSession, dir: String): DataFrame = {
     val p = ordersTable(spark, dir)
     spark.read.format("graft").load(p)
