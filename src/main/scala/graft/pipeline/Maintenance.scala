@@ -44,6 +44,23 @@ object Maintenance {
         val files = rest.headOption.map(_.toInt).getOrElse(1)
         if (files <= 0) Left(s"targetFiles must be positive, got $files")
         else Right(s"committed v${CommitLog.compact(spark, table, files)}")
+      case "log-compact-bloom" :: table :: files :: bloomCols :: rest =>
+        // compaction that RE-PUBLISHES skipping metadata: Blooms on
+        // bloomCols (comma-separated), zones on the optional 4th arg
+        val n = scala.util.Try(files.toInt).getOrElse(0)
+        val bc = bloomCols.split(',').toSeq.filter(_.nonEmpty)
+        val sc = rest.headOption.toSeq.flatMap(_.split(',').toSeq.filter(_.nonEmpty))
+        if (n <= 0) Left(s"targetFiles must be positive, got $files")
+        else if (bc.isEmpty && sc.isEmpty) Left("log-compact-bloom needs bloom or stats columns")
+        else Right(s"committed v${CommitLog.compactWithBloom(spark, table, n, bc, sc)}")
+      case "zorder" :: table :: files :: cols :: Nil =>
+        // N-ary OPTIMIZE ZORDER BY: cluster on the space-filling curve
+        // of the comma-separated columns, zones on all of them
+        val n = scala.util.Try(files.toInt).getOrElse(0)
+        val cs = cols.split(',').toSeq.filter(_.nonEmpty)
+        if (n <= 0) Left(s"targetFiles must be positive, got $files")
+        else if (cs.size < 2) Left("zorder needs at least two columns")
+        else Right(s"committed v${CommitLog.optimizeZOrderBy(spark, table, cs, n)}")
       case "vacuum" :: table :: keep :: Nil =>
         scala.util.Try(keep.toLong).toOption match {
           case None => Left(s"unparsable version: $keep")
@@ -96,7 +113,9 @@ object Maintenance {
         }.mkString("\n"))
       case other =>
         Left("usage: compact <table> [targetMB] | zonemap <table> <cols> | " +
-          s"log-compact <table> [targetFiles] | vacuum <table> <version> | " +
+          s"log-compact <table> [targetFiles] | " +
+          s"log-compact-bloom <table> <targetFiles> <bloomCols> [statsCols] | " +
+          s"zorder <table> <targetFiles> <cols> | vacuum <table> <version> | " +
           s"restore <table> <version> | history <table> | " +
           s"version-at <table> <instant> | constraints <table> | " +
           s"add-constraint <table> <name> <sql-expr>" +

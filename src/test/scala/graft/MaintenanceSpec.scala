@@ -52,6 +52,32 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("log-compact-bloom + zorder subcommands drive the metadata-publishing rewrites") {
+    val t = java.nio.file.Files.createTempDirectory("graft_maintmeta_").toString
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      CommitLog.append(spark, t,
+        Seq.tabulate(60)(i => (i.toLong, i * 2L, s"k$i")).toDF("a", "b", "key"))
+      // N-ary zorder publishes zones on both clustered dims
+      val z = Maintenance.run(spark, Array("zorder", t, "4", "a,b"))
+      assert(z.isRight && z.toOption.get.startsWith("committed v"), z.toString)
+      assert(CommitLog.scanRange(spark, t, "b", 0L, 10L).inputFiles.length <
+        CommitLog.snapshot(spark, t, None).size)
+      // bloom-publishing compaction: an impossible key probe opens 0 files
+      val c = Maintenance.run(spark, Array("log-compact-bloom", t, "1", "key"))
+      assert(c.isRight && c.toOption.get.startsWith("committed v"), c.toString)
+      assert(CommitLog.scanEquals(spark, t, "key", "nope").inputFiles.isEmpty)
+      assert(CommitLog.read(spark, t).count() === 60)
+      // validation
+      assert(Maintenance.run(spark, Array("zorder", t, "4", "a")).isLeft)
+      assert(Maintenance.run(spark, Array("log-compact-bloom", t, "0", "key")).isLeft)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+      ()
+    }
+  }
+
   test("restore + history subcommands drive the commit log") {
     val t = java.nio.file.Files.createTempDirectory("graft_maintres_").toString
     try {
