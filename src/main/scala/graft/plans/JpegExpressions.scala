@@ -1350,10 +1350,11 @@ object JpegEncode {
       case 3 =>
         encodeProgressive(w, h, 1, 1, Array(yF),
           if (restartRows) (w + 7) / 8 else 0)
-      case 0 | 1 | 2 =>
+      case 0 | 1 | 2 | 4 =>
         val (hs, vs) = mode match {
           case 0 => (1, 1)
           case 1 => (2, 1)
+          case 4 => (1, 2) // 4:4:0 — the vertically-subsampled shape
           case _ => (2, 2)
         }
         val cbF = (cx: Int, cy: Int) => m256(3L * seed + 7L * (cx / 8) + 13L * (cy / 8) + 64L)

@@ -111,6 +111,11 @@ class JpegSpec extends SparkSpec {
     * block is px div (8*hs) — the same composition the oracle uses. */
   private def expectedColor(w: Int, h: Int, seed: Long, mode: Int): (Long, Long, Long) = {
     val (hs, vs) = mode match { case 0 => (1, 1); case 1 => (2, 1); case _ => (2, 2) }
+    expectedColorHV(w, h, seed, hs, vs)
+  }
+
+  private def expectedColorHV(w: Int, h: Int, seed: Long,
+      hs: Int, vs: Int): (Long, Long, Long) = {
     var sr = 0L; var sg = 0L; var sb = 0L
     for (py <- 0 until h; px <- 0 until w) {
       val y = java.lang.Math.floorMod(seed + 5L * (px / 8) + 11L * (py / 8), 256L).toInt
@@ -182,7 +187,7 @@ class JpegSpec extends SparkSpec {
     for {
       seed <- Seq(0L, 7L, 99999L)
       rst <- Seq(false, true)
-      mode <- 0 to 3
+      mode <- Seq(0, 1, 2, 3, 4) // incl. 4 = 4:4:0 (1x2 subsampling)
       (w, h) <- Seq((9, 9), (31, 27), (16, 16), (23, 10))
     } {
       val jpg = graft.plans.JpegEncode.encodeBlockyProgressive(w, h, seed, mode, rst)
@@ -195,6 +200,12 @@ class JpegSpec extends SparkSpec {
         val s = expected(w, h, seed)
         assert(got === Some((w, h, s, s, s, w.toLong * h)),
           s"gray seed=$seed rst=$rst $w x $h")
+      } else if (mode == 4) {
+        // 4:4:0 shares 4:4:4 block values when h <= 8 only; recompute
+        // from first principles via the driver-side reference instead
+        val (er, eg, eb) = expectedColorHV(w, h, seed, 1, 2)
+        assert(got === Some((w, h, er, eg, eb, w.toLong * h)),
+          s"4:4:0 seed=$seed rst=$rst $w x $h")
       } else {
         val (er, eg, eb) = expectedColor(w, h, seed, mode)
         assert(got === Some((w, h, er, eg, eb, w.toLong * h)),
