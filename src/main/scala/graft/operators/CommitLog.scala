@@ -524,6 +524,19 @@ object CommitLog {
       f -> dvBytesOf(spark, tablePath, enc)
     }
 
+  /** Deleted-row count behind one decoded deletion vector: bits are
+    * set only at real row ordinals (never padding), so the raw
+    * popcount IS the cardinality. */
+  def dvCardinality(bytes: Array[Byte]): Long = {
+    var n = 0L
+    var i = 0
+    while (i < bytes.length) {
+      n += java.lang.Integer.bitCount(bytes(i) & 0xFF)
+      i += 1
+    }
+    n
+  }
+
   // ---- periodic parquet checkpoints (the Delta _last_checkpoint
   // design): every `checkpointInterval` commits the writer persists
   // the RESOLVED table state — one parquet row per live file carrying

@@ -424,9 +424,16 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
     }
     if (!ok) return None
     val spark = SparkSession.active
-    if (CommitLog.deletionVectorRefs(spark, tablePath, Some(version)).nonEmpty)
-      return None
     val files = CommitLog.snapshot(spark, tablePath, Some(version))
+    val liveDvFiles = CommitLog
+      .deletionVectorRefs(spark, tablePath, Some(version)).keySet
+      .intersect(files.toSet)
+    // MIN/MAX cannot survive a deletion vector (it may have deleted
+    // the extremum); COUNT(*) can — deleted rows subtract exactly
+    if (liveDvFiles.nonEmpty && aggsW.exists {
+      case RowCount => false
+      case _ => true
+    }) return None
     val zones = CommitLog.fileStats(spark, tablePath, Some(version))
     def extremum(c: String, isMin: Boolean): Option[Option[Double]] = {
       // Some(None) = empty table (NULL result); None = cannot serve
@@ -447,8 +454,18 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
       val perFile = files.map(f =>
         zones.get(f).flatMap(_.get(CommitLog.RowCountStat)).map(_._1))
       if (perFile.exists(_.isEmpty)) return None
-      val total = perFile.flatten.sum
+      var total = perFile.flatten.sum
       if (total.isNaN || total >= 9007199254740992.0) return None
+      if (liveDvFiles.nonEmpty) {
+        // DV-exact count: subtract each vector's popcount. Decoding
+        // happens on the driver, so bound the file set — beyond it the
+        // footer-based count path (also DV-exact) serves instead.
+        if (liveDvFiles.size > 64) return None
+        val dvs = CommitLog.deletionVectors(spark, tablePath, Some(version))
+        liveDvFiles.foreach { f =>
+          total -= CommitLog.dvCardinality(dvs(f)).toDouble
+        }
+      }
       Some(Some(total))
     }
     val results = aggsW.map {

@@ -509,13 +509,19 @@ class GraftSourceSpec extends SparkSpec {
       val r = agg.head()
       assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
         r.getInt(4), r.getLong(5)) === ((1L, 7L, -2.25, 99.0, 9, 3L)))
-      // a DV at the head version forfeits the metadata answer: fall
-      // back to the ordinary scan AND stay correct
+      // a DV at the head version forfeits MIN/MAX: fall back to the
+      // ordinary scan AND stay correct
       CommitLog.delete(spark, t, "id = 7")
       val agg2 = spark.read.format("graft").load(t).agg(max(col("id")))
       assert(!agg2.queryExecution.executedPlan.toString.contains("GraftAggScan"),
         "DV-bearing snapshot must not serve MIN/MAX from zones")
       assert(agg2.head().getLong(0) === 4L)
+      // COUNT(*) stays metadata-served: logged counts minus the DV
+      // popcount, still zero data-file opens
+      val cnt = spark.read.format("graft").load(t).agg(count(lit(1)))
+      assert(cnt.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+        "DV-exact COUNT must still serve from metadata")
+      assert(cnt.head().getLong(0) === 2L)
       // a filtered aggregate keeps the ordinary path (filters are
       // residual here, so Spark never offers the aggregate)
       val agg3 = spark.read.format("graft").load(t)
