@@ -594,6 +594,59 @@ class GraftSourceSpec extends SparkSpec {
     } finally { cleanup(t); cleanup(ckpt) }
   }
 
+  test("randomized deep-nesting round trip: batch reader and streaming writer (seeded)") {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("st", StructType(Seq(
+        StructField("a", IntegerType),
+        StructField("b", StringType),
+        StructField("c", ArrayType(DoubleType))))),
+      StructField("m", MapType(StringType, StructType(Seq(
+        StructField("x", LongType),
+        StructField("y", ArrayType(IntegerType)))))),
+      StructField("aa", ArrayType(ArrayType(StringType))),
+      StructField("am", ArrayType(MapType(StringType, IntegerType)))))
+    val rnd = new scala.util.Random(20260814L)
+    def maybe[T](v: => T): Any = if (rnd.nextInt(5) == 0) null else v
+    val rows: Seq[Row] = Seq.tabulate(200) { i =>
+      Row(
+        i.toLong,
+        maybe(Row(maybe(rnd.nextInt(1000)), maybe(s"s${rnd.nextInt(50)}"),
+          maybe(Seq.fill(rnd.nextInt(4))(rnd.nextDouble())))),
+        maybe(Map(s"k${rnd.nextInt(5)}" ->
+          Row(rnd.nextLong() % 1000, Seq.fill(rnd.nextInt(3))(rnd.nextInt(99))))),
+        maybe(Seq.fill(rnd.nextInt(3))(
+          Seq.fill(rnd.nextInt(3))(s"v${rnd.nextInt(10)}"))),
+        maybe(Seq.fill(rnd.nextInt(3))(Map(s"q${rnd.nextInt(3)}" -> rnd.nextInt(7)))))
+    }
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+    // 1) batch: Spark writer -> executor-side recursive reader
+    val t1 = tempTable()
+    try {
+      CommitLog.append(spark, t1, df)
+      assert(sortedRows(spark.read.format("graft").load(t1)) ===
+        sortedRows(CommitLog.read(spark, t1)))
+      assert(spark.read.format("graft").load(t1).count() === 200)
+    } finally cleanup(t1)
+    // 2) streaming: recursive sink writer -> both readers
+    val in = tempTable(); val t2 = tempTable(); val ckpt = tempTable()
+    try {
+      df.write.mode("overwrite").parquet(in)
+      val q = spark.readStream.schema(schema).parquet(in)
+        .writeStream.format("graft")
+        .option("checkpointLocation", s"$ckpt/cp")
+        .option("path", t2).start()
+      try q.processAllAvailable() finally q.stop()
+      assert(sortedRows(spark.read.format("graft").load(t2)) ===
+        sortedRows(spark.read.parquet(in)))
+      assert(sortedRows(CommitLog.read(spark, t2)) ===
+        sortedRows(spark.read.parquet(in)))
+    } finally { cleanup(in); cleanup(t2); cleanup(ckpt) }
+  }
+
   test("nested columns flow through the graft-changes CDF stream") {
     val t = tempTable()
     val ckpt = tempTable()
