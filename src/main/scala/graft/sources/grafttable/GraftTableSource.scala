@@ -501,6 +501,9 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
   }
 
   private def exactType(c: String): Boolean =
+    // a user column literally named like the reserved row-count stat
+    // would read count entries from OLDER files as min/max — decline
+    c != CommitLog.RowCountStat &&
     full.fields.find(_.name == c).exists {
       _.dataType match {
         case IntegerType | DateType | FloatType | DoubleType | LongType => true

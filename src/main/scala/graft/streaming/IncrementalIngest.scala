@@ -251,8 +251,11 @@ object IncrementalIngest {
           val sp = batch.sparkSession
           val toks = batch.select(col("doc_id"),
             posexplode(graft.functions.TextFunctions.tokens(col("text"))))
+          // one tokenize per trigger: postings and norms derive from
+          // the materialized positions, not three re-tokenizations
           val positions = toks.select(col("doc_id"), col("col").as("token"),
             (col("pos") + 1).cast("long").as("pos"))
+            .localCheckpoint(false)
           val postings = positions.groupBy(col("token"), col("doc_id"))
             .agg(count(lit(1)).as("tf"))
           val norms = postings.groupBy(col("doc_id"))
