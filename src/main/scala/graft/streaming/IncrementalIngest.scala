@@ -260,12 +260,18 @@ object IncrementalIngest {
             .agg(count(lit(1)).as("tf"))
           val norms = postings.groupBy(col("doc_id"))
             .agg(sum(col("tf")).as("dl"))
-          graft.operators.CommitLog.appendStream(sp, indexTable, postings,
-            batchId, bloomCols = Seq("token"))
-          graft.operators.CommitLog.appendStream(sp, posTable, positions,
-            batchId, bloomCols = Seq("token"))
+          // commit ORDER makes the between-commit window benign:
+          // norms first, postings LAST — BM25's postings-to-norms
+          // inner join then sees a batch's docs only once every
+          // artifact has landed (full batch or nothing per query);
+          // phrase reads positions alone, AND search postings alone,
+          // so each is individually consistent at any instant
           graft.operators.CommitLog.appendStream(sp, normsTable, norms,
             batchId, statsCols = Seq("doc_id"))
+          graft.operators.CommitLog.appendStream(sp, posTable, positions,
+            batchId, bloomCols = Seq("token"))
+          graft.operators.CommitLog.appendStream(sp, indexTable, postings,
+            batchId, bloomCols = Seq("token"))
         }
         ()
       }
