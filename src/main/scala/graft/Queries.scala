@@ -483,6 +483,7 @@ object Queries {
     "mm_pixel_stats" -> (Multimodal.pixelStats _),
     "mm_png_pixels" -> (Multimodal.pngPixels _),
     "mm_gif_pixels" -> (Multimodal.gifPixelsQ _),
+    "mm_gif_frames" -> (Multimodal.gifFramesQ _),
     "mm_jpeg_pixels" -> (Multimodal.jpegPixelsQ _),
     "mm_jpeg_color" -> (Multimodal.jpegColorQ _),
     "mm_jpeg_progressive" -> (Multimodal.jpegProgressiveQ _),
@@ -999,6 +1000,27 @@ object Queries {
        "CAST(s.sb AS BIGINT) AS sum_b, " +
        "CASE WHEN d.doc_id % 107 = 0 THEN NULL ELSE CAST(d.w * d.h AS BIGINT) END AS n_pixels " +
        "FROM d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"),
+    // ANIMATED twin: frame f's pixel index is (doc_id + 7f + x + 2y)
+    // mod 64 over the same seed palette (GifEncode.encodeAnim), so the
+    // oracle recomputes every frame's exact channel sums — the LZW
+    // decode, per-frame palette scoping, and inter-frame GCE walk are
+    // all certified by the hash; corrupt docs (doc_id % 107 = 0)
+    // explode to no rows like mm_video_frames
+    "mm_gif_frames" ->
+      ("WITH d AS (SELECT doc_id, 12 + doc_id % 16 AS w, 10 + doc_id % 12 AS h, " +
+       "1 + doc_id % 3 AS nf FROM documents WHERE doc_id % 107 <> 0), " +
+       "f AS (SELECT doc_id, w, h, unnest(range(nf)) AS fi FROM d), " +
+       "px AS (SELECT doc_id, fi, w, h, unnest(range(w * h)) AS i FROM f), " +
+       "s AS (SELECT doc_id, fi, w, h, " +
+       "sum((doc_id + 5 * ((doc_id + 7 * fi + (i % w) + 2 * (i // w)) % 64)) % 256) AS sr, " +
+       "sum((2 * doc_id + 3 * ((doc_id + 7 * fi + (i % w) + 2 * (i // w)) % 64)) % 256) AS sg, " +
+       "sum((doc_id + 7 * ((doc_id + 7 * fi + (i % w) + 2 * (i // w)) % 64) + 1) % 256) AS sb " +
+       "FROM px GROUP BY doc_id, fi, w, h) " +
+       "SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx, " +
+       "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +
+       "CAST(sr AS BIGINT) AS sum_r, CAST(sg AS BIGINT) AS sum_g, " +
+       "CAST(sb AS BIGINT) AS sum_b, CAST(w * h AS BIGINT) AS n_pixels " +
+       "FROM s ORDER BY doc_id, frame_idx"),
     // baseline-DCT twin: the JPEG encoder writes per-8x8-block-constant
     // gray (doc_id + 5*bx + 11*by) mod 256, which survives the lossy
     // codec EXACTLY (DC = 8*(v-128), quantizer 8 — JpegEncode

@@ -178,6 +178,14 @@ object Multimodal {
         (id % 109 =!= 0, graft.plans.VectorExpressions.jpegEncodeColor(
           (id % 23 + 9).cast("int"), ((id * 3) % 19 + 9).cast("int"),
           id.cast("long"), (id % 3).cast("int"), id % 2 === 0)))
+      case "gifanim" => Seq(
+        (id % 107 === 0, encode(text.substr(1, 20), "UTF-8")),
+        // REAL multi-frame GIF89a (plans.GifEncodeAnim): 1..3 frames
+        // per doc, w 12..27, h 10..21 — the animated round trip with a
+        // Graphic Control extension between every pair of frames
+        (id % 107 =!= 0, graft.plans.VectorExpressions.gifEncodeAnim(
+          (id % 16 + 12).cast("int"), (id % 12 + 10).cast("int"),
+          (id % 3 + 1).cast("int"), id.cast("long"))))
       case "jpgprog" => Seq(
         (id % 109 === 0, encode(text.substr(1, 22), "UTF-8")),
         // REAL PROGRESSIVE (SOF2) JPEGs (plans.JpegEncodeProgressive:
@@ -236,8 +244,8 @@ object Multimodal {
     * synthesis trees run HERE, once, one format-slice per write stage —
     * never fused into a decode query's codegen. */
   def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
-    Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "jpgpx",
-      "jpgcol", "jpgprog", "avi", "wavpcm")
+    Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "gifanim",
+      "jpgpx", "jpgcol", "jpgprog", "avi", "wavpcm")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -486,6 +494,21 @@ object Multimodal {
         col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),
         col("s.sum_b").as("sum_b"), col("s.n_pixels").as("n_pixels"))
       .orderBy(col("doc_id"))
+
+  /** Registered ANIMATED-GIF frame decode query: every frame of every
+    * doc's multi-frame GIF, decoded independently ([[plans.GifFrames]])
+    * — the GIF twin of [[videoFrames]]; corrupt docs explode to no
+    * rows, exactly like the AVI path. */
+  def gifFramesQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "gifanim")
+      .select(col("doc_id"),
+        posexplode(graft.plans.VectorExpressions.gifFrames(col("gifanim"))))
+      .select(col("doc_id"),
+        col("col.frame_idx").as("frame_idx"),
+        col("col.width").as("width"), col("col.height").as("height"),
+        col("col.sum_r").as("sum_r"), col("col.sum_g").as("sum_g"),
+        col("col.sum_b").as("sum_b"), col("col.n_pixels").as("n_pixels"))
+      .orderBy(col("doc_id"), col("frame_idx"))
 
   /** Registered PROGRESSIVE-JPEG decode query: the same scan-decode
     * shape over the SOF2 fixture (successive-approximation multi-scan

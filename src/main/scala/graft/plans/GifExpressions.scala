@@ -74,8 +74,8 @@ object GifPixels {
     * before the index buffer is allocated. */
   val MaxPixels: Long = 1L << 24
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
-  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private[plans] def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private[plans] def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
 
   /** Null iff the bytes are not a decodable in-scope GIF. Static — no
     * captures — so generated code calls it directly. */
@@ -148,7 +148,7 @@ object GifPixels {
     * ignored (encoders may pad before EOI). Dictionary as parallel
     * prefix/suffix arrays — entry k is entry prefix(k)'s string plus
     * one byte, emitted by walking the chain into a stack. */
-  private def lzw(b: Array[Byte], off: Int, need: Int): Array[Byte] = {
+  private[plans] def lzw(b: Array[Byte], off: Int, need: Int): Array[Byte] = {
     if (off >= b.length) return null
     val minCode = u8(b, off)
     if (minCode < 2 || minCode > 8) return null
@@ -214,6 +214,138 @@ object GifPixels {
     }
     if (outN < need) null else out
   }
+}
+
+/** `graft_gif_frames(binary)` → `array<struct<frame_idx, left, top,
+  * width, height, sum_r, sum_g, sum_b, n_pixels>>`, NULL when the
+  * bytes are not a decodable GIF — the ANIMATION upgrade of
+  * [[GifPixels]]: every Image Descriptor decodes (GIF89a multi-frame
+  * layout), each frame INDEPENDENTLY in its own rectangle with its
+  * own local color table when present (a local table never leaks into
+  * later frames — the single-frame decoder's palette mutation would
+  * be a bug here). Disposal/transparency are presentation concerns a
+  * stats pass does not composite; the per-frame sums are the raw
+  * frame pixels, which is what frame-sampling fingerprints hash.
+  * Frame count capped at [[GifFrames.MaxFrames]] (hostile many-frame
+  * streams decode the cap and stop); per-frame pixels capped by
+  * [[GifPixels.MaxPixels]]. NULL-never-throw, fuzzed. */
+case class GifFrames(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_gif_frames expects a binary column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = GifFrames.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gif_frames"
+
+  override def nullSafeEval(input: Any): Any =
+    GifFrames.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.plans.GifFrames.parse($b);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): GifFrames =
+    copy(child = newChild)
+}
+
+object GifFrames {
+  val frameSchema: StructType = StructType(Seq(
+    StructField("frame_idx", IntegerType),
+    StructField("left", IntegerType),
+    StructField("top", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("n_pixels", LongType)))
+  val schema: DataType =
+    org.apache.spark.sql.types.ArrayType(frameSchema, containsNull = false)
+
+  /** Hostile-stream ceiling: decode stops (returning what it has)
+    * after this many frames. */
+  val MaxFrames = 64
+
+  import GifPixels.{le16, lzw, u8}
+
+  def parse(b: Array[Byte]): Any = try {
+    if (b == null || b.length < 14) return null
+    if (u8(b, 0) != 'G' || u8(b, 1) != 'I' || u8(b, 2) != 'F' ||
+        u8(b, 3) != '8' || u8(b, 5) != 'a') return null
+    val v = u8(b, 4)
+    if (v != '7' && v != '9') return null
+    var i = 13
+    val lsdPacked = u8(b, 10)
+    var global: Array[Byte] = null
+    if ((lsdPacked & 0x80) != 0) {
+      val n = 1 << ((lsdPacked & 7) + 1)
+      if (i + 3 * n > b.length) return null
+      global = java.util.Arrays.copyOfRange(b, i, i + 3 * n)
+      i += 3 * n
+    }
+    val frames = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var trailerSeen = false
+    while (!trailerSeen && frames.length < MaxFrames) {
+      if (i >= b.length) return null
+      u8(b, i) match {
+        case 0x21 =>
+          i += 2
+          var done = false
+          while (!done) {
+            if (i >= b.length) return null
+            val n = u8(b, i); i += 1 + n
+            done = n == 0
+          }
+        case 0x2C =>
+          if (i + 10 > b.length) return null
+          val left = le16(b, i + 1); val top = le16(b, i + 3)
+          val w = le16(b, i + 5); val h = le16(b, i + 7)
+          val packed = u8(b, i + 9)
+          i += 10
+          if (w <= 0 || h <= 0 || w.toLong * h > GifPixels.MaxPixels) return null
+          if ((packed & 0x40) != 0) return null // interlace out of scope
+          var palette = global // local table for THIS frame only
+          if ((packed & 0x80) != 0) {
+            val n = 1 << ((packed & 7) + 1)
+            if (i + 3 * n > b.length) return null
+            palette = java.util.Arrays.copyOfRange(b, i, i + 3 * n)
+            i += 3 * n
+          }
+          if (palette == null) return null
+          val px = lzw(b, i, w * h)
+          if (px == null) return null
+          // advance i past the LZW data: min-code byte + sub-blocks
+          i += 1
+          var blockDone = false
+          while (!blockDone) {
+            if (i >= b.length) return null
+            val n = u8(b, i); i += 1 + n
+            blockDone = n == 0
+          }
+          val nColors = palette.length / 3
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var j = 0
+          while (j < px.length) {
+            val idx = px(j) & 0xFF
+            if (idx >= nColors) return null
+            sr += u8(palette, 3 * idx)
+            sg += u8(palette, 3 * idx + 1)
+            sb += u8(palette, 3 * idx + 2)
+            j += 1
+          }
+          frames += new GenericInternalRow(Array[Any](
+            frames.length, left, top, w, h, sr, sg, sb, w.toLong * h))
+        case 0x3B => trailerSeen = true
+        case _ => return null
+      }
+    }
+    if (frames.isEmpty) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(frames.toArray[Any])
+  } catch { case scala.util.control.NonFatal(_) => null }
 }
 
 /** `graft_gif_encode(width, height, seed)` → binary: a fully valid
@@ -310,6 +442,55 @@ object GifEncode {
     out.toByteArray
   }
 
+  /** Multi-frame fixture encoder: `frames` full-canvas frames, frame
+    * f's pixel (x, y) at palette index (seed + 7f + x + 2y) mod 64
+    * over the same seed palette — so the animated round trip is
+    * exactly oracle-recomputable per frame. Every frame carries its
+    * own Graphic Control extension (the skip path runs between every
+    * pair of frames) and the same REAL LZW compressor. Null on
+    * non-positive dims/frames or an oversized canvas. */
+  def encodeAnim(w: Int, h: Int, frames: Int, seed: Long): Array[Byte] = {
+    if (w <= 0 || h <= 0 || frames <= 0 || frames > 16 ||
+      w.toLong * h > (1L << 20)) return null
+    val out = new java.io.ByteArrayOutputStream(frames * w * h / 2 + 256)
+    out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    out.write(w & 0xFF); out.write(w >> 8)
+    out.write(h & 0xFF); out.write(h >> 8)
+    out.write(0xF5); out.write(0); out.write(0)
+    var i = 0
+    while (i < 64) {
+      out.write(mod256(seed + 5L * i))
+      out.write(mod256(2L * seed + 3L * i))
+      out.write(mod256(seed + 7L * i + 1L))
+      i += 1
+    }
+    var f = 0
+    while (f < frames) {
+      out.write(Array(0x21, 0xF9, 0x04, 0x00, 0x04, 0x00, 0x00, 0x00).map(_.toByte), 0, 8)
+      out.write(0x2C)
+      out.write(0); out.write(0); out.write(0); out.write(0)
+      out.write(w & 0xFF); out.write(w >> 8)
+      out.write(h & 0xFF); out.write(h >> 8)
+      out.write(0)
+      val px = new Array[Byte](w * h)
+      var y = 0; var o = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          px(o) = java.lang.Math.floorMod(seed + 7L * f + x + 2L * y, 64L).toByte
+          o += 1; x += 1
+        }
+        y += 1
+      }
+      out.write(6)
+      lzwCompress(px, 6, out)
+      out.write(0)
+      f += 1
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
   /** Real GIF LZW: dictionary of (prefix code, next byte) pairs in a
     * linear-probed open-addressing table, output width growing at each
     * power of two, Clear emitted when the 4096th entry would be
@@ -383,3 +564,34 @@ object GifEncode {
     flushBits()
   }
 }
+
+/** `graft_gif_encode_anim(width, height, frames, seed)` → binary: a
+  * fully valid MULTI-FRAME GIF89a ([[GifEncode.encodeAnim]]) — the
+  * fixture side of the animated round-trip oracle. */
+case class GifEncodeAnim(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    children.map(_.dataType) match {
+      case Seq(IntegerType, IntegerType, IntegerType, LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_gif_encode_anim expects (int, int, int, bigint), got $other")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def prettyName: String = "graft_gif_encode_anim"
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else GifEncode.encodeAnim(vs(0).asInstanceOf[Int], vs(1).asInstanceOf[Int],
+      vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Long])
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GifEncodeAnim =
+    copy(children = newChildren)
+}
+

@@ -278,6 +278,10 @@ object VectorExpressions {
       "graft_gif_encode",
       exprs => GifEncode(exprs(0), exprs(1), exprs(2)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gif_frames", exprs => GifFrames(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gif_encode_anim", exprs => GifEncodeAnim(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jpeg_pixels", exprs => JpegPixels(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jpeg_encode",
@@ -409,6 +413,21 @@ object VectorExpressions {
       restartRows: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_jpeg_encode_color", w, h, seed, mode, restartRows)
+  }
+
+  /** Animated-GIF per-frame pixel decode (plans.GifFrames), column
+    * form; same registration precondition. */
+  def gifFrames(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_gif_frames", c)
+  }
+
+  /** Deterministic exactly-decodable MULTI-FRAME GIF synthesis
+    * (plans.GifEncodeAnim), column form; same registration
+    * precondition. */
+  def gifEncodeAnim(w: Column, h: Column, frames: Column, seed: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_gif_encode_anim", w, h, frames, seed)
   }
 
   /** Deterministic exactly-decodable PROGRESSIVE-JPEG synthesis

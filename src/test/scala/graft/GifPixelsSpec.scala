@@ -138,6 +138,65 @@ class GifPixelsSpec extends SparkSpec {
     assert(out(2).getInt(1) === 16)
   }
 
+  test("animated encode -> frames decode round-trips every frame exactly") {
+    for {
+      seed <- Seq(0L, 7L, 999L)
+      nf <- Seq(1, 2, 3, 5)
+      (w, h) <- Seq((12, 10), (27, 21), (16, 16))
+    } {
+      val gif = graft.plans.GifEncode.encodeAnim(w, h, nf, seed)
+      assert(gif != null)
+      val arr = graft.plans.GifFrames.parse(gif)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      assert(arr.numElements() === nf, s"seed=$seed nf=$nf $w x $h")
+      for (f <- 0 until nf) {
+        val r = arr.getStruct(f, 9)
+        assert(r.getInt(0) === f && r.getInt(3) === w && r.getInt(4) === h)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val idx = java.lang.Math.floorMod(seed + 7L * f + x + 2L * y, 64L)
+          sr += java.lang.Math.floorMod(seed + 5L * idx, 256L)
+          sg += java.lang.Math.floorMod(2L * seed + 3L * idx, 256L)
+          sb += java.lang.Math.floorMod(seed + 7L * idx + 1L, 256L)
+        }
+        assert(r.getLong(5) === sr && r.getLong(6) === sg && r.getLong(7) === sb,
+          s"frame $f sums (seed=$seed $w x $h)")
+        assert(r.getLong(8) === w.toLong * h)
+      }
+      // the single-frame decoder still reads frame 0 of the animation
+      val first = graft.plans.GifPixels.parse(gif)
+      assert(first != null && first.getInt(0) === w)
+    }
+  }
+
+  test("hostile animated inputs are NULL or truncated, never a throw") {
+    val good = graft.plans.GifEncode.encodeAnim(14, 11, 3, 5L)
+    var i = 0
+    while (i < good.length) {
+      graft.plans.GifFrames.parse(java.util.Arrays.copyOf(good, i))
+      i += 1
+    }
+    for (j <- 2 until good.length by 3) {
+      val bad = good.clone()
+      bad(j) = (bad(j) ^ 0x5A).toByte
+      graft.plans.GifFrames.parse(bad)
+    }
+    assert(graft.plans.GifFrames.parse("nope".getBytes("UTF-8")) === null)
+    // a frame bomb stops at the cap instead of ballooning
+    val many = graft.plans.GifEncode.encodeAnim(4, 4, 16, 1L)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(many, 0, many.length - 1) // drop the trailer
+    // append the same 16 frames' bytes 8 more times (128 extra frames)
+    val body = java.util.Arrays.copyOfRange(many,
+      13 + 3 * 64, many.length - 1) // after header+GCT
+    for (_ <- 0 until 8) out.write(body, 0, body.length)
+    out.write(0x3B)
+    val bomb = out.toByteArray
+    val arr = graft.plans.GifFrames.parse(bomb)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(arr != null && arr.numElements() === graft.plans.GifFrames.MaxFrames)
+  }
+
   test("registered query round-trips its stored GIFs at sf0.001") {
     val out = graft.operators.Multimodal.gifPixelsQ(spark, sf).collect()
     assert(out.nonEmpty)
