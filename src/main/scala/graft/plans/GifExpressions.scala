@@ -35,9 +35,11 @@ import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, 
   *  - palette lookup → integer-exact channel sums, the same
   *    DuckDB-oracle discipline as [[PngStats]]/[[BmpStats]].
   *
-  * Interlace is out of scope (NULL): row reordering without new
-  * decode machinery. Pixel count is bounded (`MaxPixels`) so a
-  * hostile LSD cannot balloon executor memory. */
+  * Interlaced frames decode too: the 4-pass layout permutes ROWS,
+  * and every output of this expression (dims, channel sums, pixel
+  * count) is permutation-invariant — so no reordering pass exists to
+  * get wrong. Pixel count is bounded (`MaxPixels`) so a hostile LSD
+  * cannot balloon executor memory. */
 case class GifPixels(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -113,7 +115,10 @@ object GifPixels {
           val packed = u8(b, i + 9)
           i += 10
           if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
-          if ((packed & 0x40) != 0) return null // interlace out of scope
+          // interlace (packed & 0x40) needs NO handling for a stats
+          // contract: the 4-pass layout permutes ROWS, and channel
+          // sums are permutation-invariant — the same w*h indices
+          // decode either way
           if ((packed & 0x80) != 0) { // local color table overrides
             val n = 1 << ((packed & 7) + 1)
             if (i + 3 * n > b.length) return null
@@ -307,7 +312,7 @@ object GifFrames {
           val packed = u8(b, i + 9)
           i += 10
           if (w <= 0 || h <= 0 || w.toLong * h > GifPixels.MaxPixels) return null
-          if ((packed & 0x40) != 0) return null // interlace out of scope
+          // interlace permutes rows; sums are permutation-invariant
           var palette = global // local table for THIS frame only
           if ((packed & 0x80) != 0) {
             val n = 1 << ((packed & 7) + 1)
@@ -487,6 +492,59 @@ object GifEncode {
       out.write(0)
       f += 1
     }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  /** GIF89a 4-pass interlace row order (appendix E): rows 0,8,16..,
+    * then 4,12.., then 2,6.., then odd rows. */
+  private[graft] def interlaceOrder(h: Int): Array[Int] = {
+    val order = Array.newBuilder[Int]
+    var y = 0
+    while (y < h) { order += y; y += 8 }
+    y = 4
+    while (y < h) { order += y; y += 8 }
+    y = 2
+    while (y < h) { order += y; y += 4 }
+    y = 1
+    while (y < h) { order += y; y += 2 }
+    order.result()
+  }
+
+  /** The single-frame fixture image encoded INTERLACED (flag set, rows
+    * emitted in 4-pass order) — the differential twin proving the
+    * decoder's sums are truly row-order-invariant. Test surface. */
+  private[graft] def encodeInterlaced(w: Int, h: Int, seed: Long): Array[Byte] = {
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 20)) return null
+    val out = new java.io.ByteArrayOutputStream(w * h / 2 + 256)
+    out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    out.write(w & 0xFF); out.write(w >> 8)
+    out.write(h & 0xFF); out.write(h >> 8)
+    out.write(0xF5); out.write(0); out.write(0)
+    var i = 0
+    while (i < 64) {
+      out.write(mod256(seed + 5L * i))
+      out.write(mod256(2L * seed + 3L * i))
+      out.write(mod256(seed + 7L * i + 1L))
+      i += 1
+    }
+    out.write(0x2C)
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(w & 0xFF); out.write(w >> 8)
+    out.write(h & 0xFF); out.write(h >> 8)
+    out.write(0x40) // interlaced, no LCT
+    val px = new Array[Byte](w * h)
+    var o = 0
+    interlaceOrder(h).foreach { y =>
+      var x = 0
+      while (x < w) {
+        px(o) = java.lang.Math.floorMod(seed + x + 2L * y, 64L).toByte
+        o += 1; x += 1
+      }
+    }
+    out.write(6)
+    lzwCompress(px, 6, out)
+    out.write(0)
     out.write(0x3B)
     out.toByteArray
   }

@@ -69,10 +69,14 @@ class GifPixelsSpec extends SparkSpec {
     val dataOff = 13 + 192 + 8 + 10 + 2
     bad(dataOff) = (bad(dataOff) ^ 0x7F).toByte
     graft.plans.GifPixels.parse(bad) // corrupt codes: null or wrong sums, no throw
-    // interlace flag set -> out of scope, null
+    // interlace flag set -> decodes (sums are row-order-invariant);
+    // flipping the flag on sequential data permutes rows only, so the
+    // sums equal the unflagged decode
     val inter = good.clone()
     inter(13 + 192 + 8 + 9) = 0x40.toByte
-    assert(graft.plans.GifPixels.parse(inter) == null)
+    val flagged = graft.plans.GifPixels.parse(inter)
+    val straight = graft.plans.GifPixels.parse(good)
+    assert(flagged != null && flagged.getLong(2) === straight.getLong(2))
     // geometry lie: descriptor claims one more row than the stream has
     val lied = good.clone()
     val hOff = 13 + 192 + 8 + 7
@@ -195,6 +199,24 @@ class GifPixelsSpec extends SparkSpec {
     val arr = graft.plans.GifFrames.parse(bomb)
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     assert(arr != null && arr.numElements() === graft.plans.GifFrames.MaxFrames)
+  }
+
+  test("interlaced frames decode to the same sums as sequential ones") {
+    for ((w, h, seed) <- Seq((16, 16, 3L), (27, 21, 42L), (12, 9, 0L))) {
+      val seq = graft.plans.GifEncode.encode(w, h, seed)
+      val ilc = graft.plans.GifEncode.encodeInterlaced(w, h, seed)
+      // really flagged interlaced
+      assert((ilc(13 + 3 * 64 + 9) & 0x40) != 0, "interlace flag missing")
+      val a = graft.plans.GifPixels.parse(seq)
+      val b = graft.plans.GifPixels.parse(ilc)
+      assert(b != null, "interlaced frame refused")
+      assert(a.getLong(2) === b.getLong(2) && a.getLong(3) === b.getLong(3) &&
+        a.getLong(4) === b.getLong(4), s"sums diverge at $w x $h seed=$seed")
+      assert(b.getInt(0) === w && b.getInt(1) === h)
+    }
+    // the 4-pass order is a permutation of 0..h-1 for every height
+    for (h <- 1 to 40)
+      assert(graft.plans.GifEncode.interlaceOrder(h).sorted.toSeq === (0 until h))
   }
 
   test("registered query round-trips its stored GIFs at sf0.001") {
