@@ -32,7 +32,9 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, IntegerTyp
   *
   * Scope: bit depth 8, color types 0 (gray: the value feeds all three
   * sums), 2 (RGB) and 6 (RGBA: alpha decoded but not summed), no
-  * interlace — the dominant shapes; everything else is NULL, never a
+  * interlace, AND Adam7 interlace (each pass is its own filtered
+  * sub-image; the statistics are position-invariant, so passes decode
+  * and sum without re-positioning) — everything else is NULL, never a
   * throw (fuzzed with hostile IDAT/filter bytes in ParserFuzzSpec).
   * Decoded size is bounded (`MaxRawBytes`) so a hostile header cannot
   * balloon executor memory: a 100 TB scan must survive any row.
@@ -97,7 +99,7 @@ object PngStats {
     if (b == null || b.length < 57) return null
     var i = 0
     while (i < 8) { if (u8(b, i) != Sig(i)) return null; i += 1 }
-    var w = 0; var h = 0; var colorType = -1
+    var w = 0; var h = 0; var colorType = -1; var interlace = 0
     var seenIhdr = false; var seenIend = false
     val idat = new java.io.ByteArrayOutputStream()
     while (i + 12 <= b.length && !seenIend) {
@@ -115,7 +117,8 @@ object PngStats {
         if (u8(b, i + 16) != 8) return null // bit depth 8 only
         if (colorType != 0 && colorType != 2 && colorType != 6) return null
         if (u8(b, i + 18) != 0 || u8(b, i + 19) != 0) return null // compression/filter 0
-        if (u8(b, i + 20) != 0) return null // no interlace (Adam7 out of scope)
+        interlace = u8(b, i + 20)
+        if (interlace != 0 && interlace != 1) return null
         seenIhdr = true
       } else if (tag(b, i + 4, "IDAT")) {
         idat.write(b, i + 8, n)
@@ -126,9 +129,17 @@ object PngStats {
     }
     if (!seenIhdr || !seenIend || idat.size() == 0) return null
     val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+    // the stream is a sequence of independently-filtered sub-images:
+    // ONE pass covering the image, or the seven Adam7 passes (each
+    // pass's virtual row above row 0 is zero, like a fresh image) —
+    // since every statistic here is position-invariant, the passes
+    // only need decoding and summing, never re-positioning
+    val passes: Array[(Int, Int)] =
+      if (interlace == 0) Array((w, h)) else adam7Passes(w, h)
     val stride = w.toLong * bpp
-    val rawLen = h.toLong * (stride + 1)
-    if (stride + 1 > Int.MaxValue || rawLen > MaxRawBytes) return null
+    val rawLen = passes.map { case (wp, hp) =>
+      if (wp == 0 || hp == 0) 0L else hp.toLong * (wp.toLong * bpp + 1) }.sum
+    if (stride + 1 > Int.MaxValue || rawLen > MaxRawBytes || rawLen == 0) return null
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
@@ -148,13 +159,47 @@ object PngStats {
         if (inf.inflate(scratch, 0, 1) != 0 || !inf.finished()) return null
       }
     } finally inf.end()
-    // unfilter in place: predictors read the RECONSTRUCTED bytes
-    val strideI = stride.toInt
+    // unfilter + sum each pass independently (predictors read the
+    // RECONSTRUCTED bytes; the row above a pass's first row is zero)
+    val sums = new Array[Long](3)
+    var off = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (wp, hp) = passes(pi)
+      if (wp > 0 && hp > 0) {
+        if (!unfilterAndSum(raw, off, wp, hp, bpp, sums)) return null
+        off += hp * (wp * bpp + 1)
+      }
+      pi += 1
+    }
+    new GenericInternalRow(Array[Any](w, h, sums(0), sums(1), sums(2), w.toLong * h))
+  } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Adam7 pass dimensions for a w x h image (PNG spec §8.2):
+    * pass p samples x in xStart(p) + k*xStep(p), y likewise. */
+  private[plans] val Adam7XStart = Array(0, 4, 0, 2, 0, 1, 0)
+  private[plans] val Adam7YStart = Array(0, 0, 4, 0, 2, 0, 1)
+  private[plans] val Adam7XStep = Array(8, 8, 4, 4, 2, 2, 1)
+  private[plans] val Adam7YStep = Array(8, 8, 8, 4, 4, 2, 2)
+
+  private[plans] def adam7Passes(w: Int, h: Int): Array[(Int, Int)] =
+    Array.tabulate(7) { p =>
+      val wp = if (w > Adam7XStart(p)) (w - Adam7XStart(p) + Adam7XStep(p) - 1) / Adam7XStep(p) else 0
+      val hp = if (h > Adam7YStart(p)) (h - Adam7YStart(p) + Adam7YStep(p) - 1) / Adam7YStep(p) else 0
+      (wp, hp)
+    }
+
+  /** One filtered sub-image starting at `off` in `raw`: unfilter in
+    * place, accumulate channel sums. False on an invalid filter
+    * byte. */
+  private def unfilterAndSum(raw: Array[Byte], off: Int, wp: Int, hp: Int,
+      bpp: Int, sums: Array[Long]): Boolean = {
+    val strideI = wp * bpp
     var y = 0
-    while (y < h) {
-      val rowOff = y * (strideI + 1)
+    while (y < hp) {
+      val rowOff = off + y * (strideI + 1)
       val ft = u8(raw, rowOff)
-      if (ft > 4) return null
+      if (ft > 4) return false
       val cur = rowOff + 1
       val prv = cur - (strideI + 1)
       var j = 0
@@ -174,20 +219,22 @@ object PngStats {
       }
       y += 1
     }
-    var sr = 0L; var sg = 0L; var sb = 0L
     y = 0
-    while (y < h) {
-      var j = y * (strideI + 1) + 1
+    while (y < hp) {
+      var j = off + y * (strideI + 1) + 1
       val end = j + strideI
       if (bpp == 1) {
-        while (j < end) { val v = u8(raw, j); sr += v; sg += v; sb += v; j += 1 }
+        while (j < end) { val v = u8(raw, j); sums(0) += v; sums(1) += v; sums(2) += v; j += 1 }
       } else {
-        while (j < end) { sr += u8(raw, j); sg += u8(raw, j + 1); sb += u8(raw, j + 2); j += bpp }
+        while (j < end) {
+          sums(0) += u8(raw, j); sums(1) += u8(raw, j + 1); sums(2) += u8(raw, j + 2)
+          j += bpp
+        }
       }
       y += 1
     }
-    new GenericInternalRow(Array[Any](w, h, sr, sg, sb, w.toLong * h))
-  } catch { case scala.util.control.NonFatal(_) => null }
+    true
+  }
 }
 
 /** `graft_png_encode(width, height, seed, alpha)` → binary: a fully
@@ -310,6 +357,83 @@ object PngEncode {
       writeChunk(png, "IDAT", comp, 0, half)
       writeChunk(png, "IDAT", comp, half, comp.length - half)
     } else writeChunk(png, "IDAT", comp, 0, comp.length)
+    writeChunk(png, "IEND", Array.emptyByteArray, 0, 0)
+    png.toByteArray
+  }
+
+  /** The fixture image encoded ADAM7-INTERLACED: same pixel formulas,
+    * each of the seven passes written as its own filtered sub-image in
+    * true pass order (per-pass filter cycling, fresh zero row above
+    * each pass). Test surface: the differential twin for the decoder's
+    * interlace support, third-party-checked against ImageIO. */
+  private[graft] def encodeAdam7(w: Int, h: Int, seed: Long,
+      alpha: Boolean): Array[Byte] = {
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 20)) return null
+    val bpp = if (alpha) 4 else 3
+    val rawOut = new java.io.ByteArrayOutputStream(w * h * bpp + h + 64)
+    var p = 0
+    while (p < 7) {
+      val xs = PngStats.Adam7XStart(p); val xst = PngStats.Adam7XStep(p)
+      val ys = PngStats.Adam7YStart(p); val yst = PngStats.Adam7YStep(p)
+      val wp = if (w > xs) (w - xs + xst - 1) / xst else 0
+      val hp = if (h > ys) (h - ys + yst - 1) / yst else 0
+      if (wp > 0 && hp > 0) {
+        val stride = wp * bpp
+        val cur = new Array[Int](stride)
+        val prev = new Array[Int](stride)
+        java.util.Arrays.fill(prev, 0)
+        var iy = 0
+        while (iy < hp) {
+          val y = ys + iy * yst
+          var ix = 0; var j = 0
+          while (ix < wp) {
+            val x = xs + ix * xst
+            cur(j) = mod256(seed + 3L * x + 7L * y)
+            cur(j + 1) = mod256(2L * seed + 5L * x + y)
+            cur(j + 2) = mod256(3L * seed + x + 11L * y)
+            if (alpha) cur(j + 3) = (x + y) % 256
+            ix += 1; j += bpp
+          }
+          val ft = iy % 5
+          rawOut.write(ft)
+          var i = 0
+          while (i < stride) {
+            val a = if (i >= bpp) cur(i - bpp) else 0
+            val b = prev(i)
+            val c = if (i >= bpp) prev(i - bpp) else 0
+            val f = ft match {
+              case 0 => cur(i)
+              case 1 => (cur(i) - a) & 0xFF
+              case 2 => (cur(i) - b) & 0xFF
+              case 3 => (cur(i) - ((a + b) >> 1)) & 0xFF
+              case _ => (cur(i) - paeth(a, b, c)) & 0xFF
+            }
+            rawOut.write(f)
+            i += 1
+          }
+          System.arraycopy(cur, 0, prev, 0, stride)
+          iy += 1
+        }
+      }
+      p += 1
+    }
+    val raw = rawOut.toByteArray
+    val defl = new java.util.zip.Deflater()
+    val comp = try {
+      defl.setInput(raw); defl.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      out.toByteArray
+    } finally defl.end()
+    val png = new java.io.ByteArrayOutputStream(comp.length + 128)
+    png.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put((if (alpha) 6 else 2).toByte)
+      .put(0.toByte).put(0.toByte).put(1.toByte).array() // interlace = 1
+    writeChunk(png, "IHDR", ihdr, 0, ihdr.length)
+    writeChunk(png, "IDAT", comp, 0, comp.length)
     writeChunk(png, "IEND", Array.emptyByteArray, 0, 0)
     png.toByteArray
   }

@@ -88,11 +88,12 @@ class PngStatsSpec extends SparkSpec {
       be32(2) ++ be32(1) ++ Array[Byte](8, 2, 0, 0, 0)) ++
       chunk("IDAT", buf.take(n)) ++ chunk("IEND", Array.emptyByteArray)
     assert(graft.plans.PngStats.parse(badFilter) == null)
-    // unsupported shapes: bit depth 16, palette (3), interlace 1
+    // unsupported shapes: bit depth 16, palette (3), interlace 2
+    // (Adam7 = 1 is SUPPORTED now; 2 is out of spec)
     for (ihdr <- Seq(
         be32(2) ++ be32(2) ++ Array[Byte](16, 2, 0, 0, 0),
         be32(2) ++ be32(2) ++ Array[Byte](8, 3, 0, 0, 0),
-        be32(2) ++ be32(2) ++ Array[Byte](8, 2, 0, 0, 1))) {
+        be32(2) ++ be32(2) ++ Array[Byte](8, 2, 0, 0, 2))) {
       val p = sig ++ chunk("IHDR", ihdr) ++
         chunk("IDAT", Array[Byte](1, 2, 3)) ++ chunk("IEND", Array.emptyByteArray)
       assert(graft.plans.PngStats.parse(p) == null)
@@ -120,6 +121,42 @@ class PngStatsSpec extends SparkSpec {
       out(0).getLong(3) === 15L)
     assert(out(1).isNullAt(1) && out(1).isNullAt(2))
     assert(out(2).getInt(1) === 2)
+  }
+
+  test("Adam7-interlaced PNGs decode to the same sums; ImageIO agrees per pixel") {
+    for {
+      alpha <- Seq(false, true)
+      (w, h, seed) <- Seq((2, 6, 3L), (9, 9, 42L), (17, 12, 0L), (1, 1, 7L), (8, 3, 11L))
+    } {
+      val seqPng = graft.plans.PngEncode.encode(w, h, seed, alpha)
+      val ilcPng = graft.plans.PngEncode.encodeAdam7(w, h, seed, alpha)
+      // third-party check first: the JDK decodes the interlaced file to
+      // EXACTLY the formula pixels (PNG is lossless), proving the
+      // Adam7 ENCODER writes a conformant stream
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ilcPng))
+      assert(img != null, s"ImageIO rejected the Adam7 stream ($w x $h alpha=$alpha)")
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        def m(v: Long) = java.lang.Math.floorMod(v, 256L).toInt
+        assert(((rgb >> 16) & 0xFF) === m(seed + 3L * x + 7L * y), s"R($x,$y)")
+        assert(((rgb >> 8) & 0xFF) === m(2L * seed + 5L * x + y), s"G($x,$y)")
+        assert((rgb & 0xFF) === m(3L * seed + x + 11L * y), s"B($x,$y)")
+      }
+      // then OUR decoder: interlaced sums equal the sequential ones
+      val a = graft.plans.PngStats.parse(seqPng)
+      val b = graft.plans.PngStats.parse(ilcPng)
+      assert(b != null, s"interlaced PNG refused ($w x $h alpha=$alpha)")
+      assert(a.getLong(2) === b.getLong(2) && a.getLong(3) === b.getLong(3) &&
+        a.getLong(4) === b.getLong(4), s"sums diverge ($w x $h alpha=$alpha)")
+      assert(b.getInt(0) === w && b.getInt(1) === h)
+    }
+    // hostile: truncating the interlaced stream anywhere stays total
+    val good = graft.plans.PngEncode.encodeAdam7(9, 9, 1L, false)
+    var i = 0
+    while (i < good.length) {
+      graft.plans.PngStats.parse(java.util.Arrays.copyOf(good, i))
+      i += 1
+    }
   }
 
   test("registered query round-trips its stored PNGs at sf0.001") {
