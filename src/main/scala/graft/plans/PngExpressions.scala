@@ -32,9 +32,12 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, IntegerTyp
   *
   * Scope: bit depth 8, color types 0 (gray: the value feeds all three
   * sums), 2 (RGB) and 6 (RGBA: alpha decoded but not summed), no
-  * interlace, AND Adam7 interlace (each pass is its own filtered
+  * interlace, Adam7 interlace (each pass is its own filtered
   * sub-image; the statistics are position-invariant, so passes decode
-  * and sum without re-positioning) — everything else is NULL, never a
+  * and sum without re-positioning), AND PALETTE images (colorType 3
+  * at packed depths 1/2/4/8 — the icon/screenshot shapes; byte-level
+  * filtering, MSB-first index unpack, per-index bounds check) —
+  * everything else is NULL, never a
   * throw (fuzzed with hostile IDAT/filter bytes in ParserFuzzSpec).
   * Decoded size is bounded (`MaxRawBytes`) so a hostile header cannot
   * balloon executor memory: a 100 TB scan must survive any row.
@@ -100,6 +103,8 @@ object PngStats {
     var i = 0
     while (i < 8) { if (u8(b, i) != Sig(i)) return null; i += 1 }
     var w = 0; var h = 0; var colorType = -1; var interlace = 0
+    var depth = 8
+    var plte: Array[Byte] = null
     var seenIhdr = false; var seenIend = false
     val idat = new java.io.ByteArrayOutputStream()
     while (i + 12 <= b.length && !seenIend) {
@@ -114,12 +119,22 @@ object PngStats {
         if (wl <= 0 || hl <= 0 || wl > Int.MaxValue || hl > Int.MaxValue) return null
         w = wl.toInt; h = hl.toInt
         colorType = u8(b, i + 17)
-        if (u8(b, i + 16) != 8) return null // bit depth 8 only
-        if (colorType != 0 && colorType != 2 && colorType != 6) return null
+        depth = u8(b, i + 16)
+        // truecolor/gray at depth 8; PALETTE (3) additionally at the
+        // packed depths 1/2/4 — the icon/screenshot shapes
+        val depthOk =
+          if (colorType == 3) depth == 1 || depth == 2 || depth == 4 || depth == 8
+          else depth == 8
+        if (!depthOk) return null
+        if (colorType != 0 && colorType != 2 && colorType != 3 && colorType != 6)
+          return null
         if (u8(b, i + 18) != 0 || u8(b, i + 19) != 0) return null // compression/filter 0
         interlace = u8(b, i + 20)
         if (interlace != 0 && interlace != 1) return null
         seenIhdr = true
+      } else if (tag(b, i + 4, "PLTE")) {
+        if (n % 3 != 0 || n == 0 || n > 3 * 256 || idat.size() > 0) return null
+        plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + n)
       } else if (tag(b, i + 4, "IDAT")) {
         idat.write(b, i + 8, n)
       } else if (tag(b, i + 4, "IEND")) {
@@ -128,7 +143,12 @@ object PngStats {
       i += 12 + n
     }
     if (!seenIhdr || !seenIend || idat.size() == 0) return null
-    val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+    if (colorType == 3 && plte == null) return null // palette image needs PLTE
+    val bpp = colorType match { case 0 => 1; case 2 => 3; case 3 => 1; case _ => 4 }
+    // a row's byte width: packed indices for palette depths < 8,
+    // bpp bytes per pixel otherwise (filtering is byte-level either way)
+    def rowBytes(wp: Int): Long =
+      if (colorType == 3) (wp.toLong * depth + 7) / 8 else wp.toLong * bpp
     // the stream is a sequence of independently-filtered sub-images:
     // ONE pass covering the image, or the seven Adam7 passes (each
     // pass's virtual row above row 0 is zero, like a fresh image) —
@@ -136,10 +156,9 @@ object PngStats {
     // only need decoding and summing, never re-positioning
     val passes: Array[(Int, Int)] =
       if (interlace == 0) Array((w, h)) else adam7Passes(w, h)
-    val stride = w.toLong * bpp
     val rawLen = passes.map { case (wp, hp) =>
-      if (wp == 0 || hp == 0) 0L else hp.toLong * (wp.toLong * bpp + 1) }.sum
-    if (stride + 1 > Int.MaxValue || rawLen > MaxRawBytes || rawLen == 0) return null
+      if (wp == 0 || hp == 0) 0L else hp.toLong * (rowBytes(wp) + 1) }.sum
+    if (rowBytes(w) + 1 > Int.MaxValue || rawLen > MaxRawBytes || rawLen == 0) return null
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
@@ -167,8 +186,9 @@ object PngStats {
     while (pi < passes.length) {
       val (wp, hp) = passes(pi)
       if (wp > 0 && hp > 0) {
-        if (!unfilterAndSum(raw, off, wp, hp, bpp, sums)) return null
-        off += hp * (wp * bpp + 1)
+        if (!unfilterAndSum(raw, off, wp, hp, bpp, rowBytes(wp).toInt,
+          depth, if (colorType == 3) plte else null, sums)) return null
+        off += hp * (rowBytes(wp).toInt + 1)
       }
       pi += 1
     }
@@ -190,11 +210,14 @@ object PngStats {
     }
 
   /** One filtered sub-image starting at `off` in `raw`: unfilter in
-    * place, accumulate channel sums. False on an invalid filter
-    * byte. */
+    * place, accumulate channel sums. With `palette`, bytes are packed
+    * indices at `depth` bits MSB-first (the colorType-3 layout);
+    * filtering is byte-level with bpp=1, the sum unpacks per pixel and
+    * bounds-checks every index. False on an invalid filter byte or an
+    * index past the palette. */
   private def unfilterAndSum(raw: Array[Byte], off: Int, wp: Int, hp: Int,
-      bpp: Int, sums: Array[Long]): Boolean = {
-    val strideI = wp * bpp
+      bpp: Int, strideI: Int, depth: Int, palette: Array[Byte],
+      sums: Array[Long]): Boolean = {
     var y = 0
     while (y < hp) {
       val rowOff = off + y * (strideI + 1)
@@ -220,7 +243,25 @@ object PngStats {
       y += 1
     }
     y = 0
-    while (y < hp) {
+    if (palette != null) {
+      val nColors = palette.length / 3
+      while (y < hp) {
+        val rowOff = off + y * (strideI + 1) + 1
+        var x = 0
+        while (x < wp) {
+          val bitPos = x * depth
+          val byteV = u8(raw, rowOff + (bitPos >> 3))
+          val shift = 8 - depth - (bitPos & 7)
+          val idx = (byteV >> shift) & ((1 << depth) - 1)
+          if (idx >= nColors) return false
+          sums(0) += u8(palette, 3 * idx)
+          sums(1) += u8(palette, 3 * idx + 1)
+          sums(2) += u8(palette, 3 * idx + 2)
+          x += 1
+        }
+        y += 1
+      }
+    } else while (y < hp) {
       var j = off + y * (strideI + 1) + 1
       val end = j + strideI
       if (bpp == 1) {
@@ -357,6 +398,78 @@ object PngEncode {
       writeChunk(png, "IDAT", comp, 0, half)
       writeChunk(png, "IDAT", comp, half, comp.length - half)
     } else writeChunk(png, "IDAT", comp, 0, comp.length)
+    writeChunk(png, "IEND", Array.emptyByteArray, 0, 0)
+    png.toByteArray
+  }
+
+  /** PALETTE (colorType 3) fixture encoder at packed depth 1/2/4/8:
+    * PLTE carries 2^depth seed-formula entries, pixel (x, y) holds
+    * index (seed + x + 2y) mod 2^depth packed MSB-first, per-row
+    * filters cycle byte-level. Test surface (ImageIO-differentialed
+    * per pixel before our decoder's sums are compared). */
+  private[graft] def encodePalette(w: Int, h: Int, seed: Long,
+      depth: Int): Array[Byte] = {
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 20)) return null
+    if (depth != 1 && depth != 2 && depth != 4 && depth != 8) return null
+    val nColors = 1 << depth
+    val rowB = (w * depth + 7) / 8
+    val raw = new Array[Byte](h * (rowB + 1))
+    val cur = new Array[Int](rowB)
+    val prev = new Array[Int](rowB)
+    var y = 0; var o = 0
+    while (y < h) {
+      java.util.Arrays.fill(cur, 0)
+      var x = 0
+      while (x < w) {
+        val idx = java.lang.Math.floorMod(seed + x + 2L * y, nColors.toLong).toInt
+        val bitPos = x * depth
+        cur(bitPos >> 3) |= idx << (8 - depth - (bitPos & 7))
+        x += 1
+      }
+      val ft = y % 5
+      raw(o) = ft.toByte; o += 1
+      var i = 0
+      while (i < rowB) {
+        val a = if (i >= 1) cur(i - 1) else 0
+        val b = prev(i)
+        val c = if (i >= 1) prev(i - 1) else 0
+        val f = ft match {
+          case 0 => cur(i)
+          case 1 => (cur(i) - a) & 0xFF
+          case 2 => (cur(i) - b) & 0xFF
+          case 3 => (cur(i) - ((a + b) >> 1)) & 0xFF
+          case _ => (cur(i) - paeth(a, b, c)) & 0xFF
+        }
+        raw(o) = f.toByte; o += 1; i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowB)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    val comp = try {
+      defl.setInput(raw); defl.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      out.toByteArray
+    } finally defl.end()
+    val png = new java.io.ByteArrayOutputStream(comp.length + 128)
+    png.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(depth.toByte).put(3.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    writeChunk(png, "IHDR", ihdr, 0, ihdr.length)
+    val plte = new Array[Byte](3 * nColors)
+    var ci = 0
+    while (ci < nColors) {
+      plte(3 * ci) = mod256(seed + 5L * ci).toByte
+      plte(3 * ci + 1) = mod256(2L * seed + 3L * ci).toByte
+      plte(3 * ci + 2) = mod256(seed + 7L * ci + 1L).toByte
+      ci += 1
+    }
+    writeChunk(png, "PLTE", plte, 0, plte.length)
+    writeChunk(png, "IDAT", comp, 0, comp.length)
     writeChunk(png, "IEND", Array.emptyByteArray, 0, 0)
     png.toByteArray
   }

@@ -123,6 +123,43 @@ class PngStatsSpec extends SparkSpec {
     assert(out(2).getInt(1) === 2)
   }
 
+  test("palette PNGs (colorType 3) decode at depths 1/2/4/8; ImageIO agrees per pixel") {
+    for {
+      depth <- Seq(1, 2, 4, 8)
+      (w, h, seed) <- Seq((9, 7, 3L), (16, 16, 42L), (1, 5, 0L), (13, 2, 7L))
+    } {
+      val png = graft.plans.PngEncode.encodePalette(w, h, seed, depth)
+      assert(png != null)
+      val nColors = 1 << depth
+      def m(v: Long) = java.lang.Math.floorMod(v, 256L).toInt
+      // third-party per-pixel check of the packed-index encoder
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null, s"ImageIO rejected palette PNG depth=$depth ($w x $h)")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val idx = java.lang.Math.floorMod(seed + x + 2L * y, nColors.toLong).toInt
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xFF) === m(seed + 5L * idx), s"R($x,$y) d=$depth")
+        assert(((rgb >> 8) & 0xFF) === m(2L * seed + 3L * idx), s"G($x,$y) d=$depth")
+        assert((rgb & 0xFF) === m(seed + 7L * idx + 1L), s"B($x,$y) d=$depth")
+        sr += m(seed + 5L * idx); sg += m(2L * seed + 3L * idx); sb += m(seed + 7L * idx + 1L)
+      }
+      // our decoder's sums
+      val r = graft.plans.PngStats.parse(png)
+      assert(r != null, s"palette PNG refused depth=$depth")
+      assert(r.getInt(0) === w && r.getInt(1) === h)
+      assert(r.getLong(2) === sr && r.getLong(3) === sg && r.getLong(4) === sb,
+        s"palette sums diverge depth=$depth ($w x $h)")
+    }
+    // hostile: truncations stay total; a palette image without PLTE is null
+    val good = graft.plans.PngEncode.encodePalette(9, 7, 1L, 4)
+    var i = 0
+    while (i < good.length) {
+      graft.plans.PngStats.parse(java.util.Arrays.copyOf(good, i))
+      i += 1
+    }
+  }
+
   test("Adam7-interlaced PNGs decode to the same sums; ImageIO agrees per pixel") {
     for {
       alpha <- Seq(false, true)
