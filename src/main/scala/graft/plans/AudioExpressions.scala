@@ -62,8 +62,10 @@ object WavPcm {
   private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
 
   /** RIFF/WAVE walk to `fmt ` then `data`; decode per-channel sums.
-    * Only uncompressed PCM (format 1) at 8 or 16 bits, 1-2 channels —
-    * anything else (float, ADPCM, >2ch) is NULL, the triage contract. */
+    * Only uncompressed PCM (format 1) at 8, 16, or 24 bits, 1-2
+    * channels — anything else (float, ADPCM, >2ch) is NULL, the
+    * triage contract. 24-bit is the studio-capture shape: 3-byte LE
+    * two's-complement samples, sign-extended exactly. */
   def parse(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 12) return null
     if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
@@ -81,7 +83,7 @@ object WavPcm {
         bits = le16(b, body + 14)
       } else if (tag(b, p, "data")) {
         if (channels < 1 || channels > 2) return null
-        if (bits != 8 && bits != 16) return null
+        if (bits != 8 && bits != 16 && bits != 24) return null
         val bytesPer = bits / 8
         val frameBytes = bytesPer * channels
         val avail = math.min(size, (end - body).toLong).toInt
@@ -94,6 +96,8 @@ object WavPcm {
             val off = body + i * frameBytes + c * bytesPer
             val v =
               if (bits == 16) (le16(b, off) << 16) >> 16 // sign-extend
+              else if (bits == 24) // 3-byte LE two's complement
+                ((u8(b, off) | (u8(b, off + 1) << 8) | (u8(b, off + 2) << 16)) << 8) >> 8
               else u8(b, off) // 8-bit WAV is unsigned
             if (c == 0) sumL += v else sumR += v
             val a = math.abs(v)
@@ -165,6 +169,37 @@ object WavEncode {
       while (c < channels) {
         val v = java.lang.Math.floorMod(seed + 31L * i + 17L * c, 65536L).toInt - 32768
         w16(v & 0xFFFF)
+        c += 1
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** 24-bit PCM twin: frame i channel c =
+    * ((seed + 131 i + 37 c) mod 16777216) - 8388608, 3-byte LE two's
+    * complement — the studio-capture shape. Test surface. */
+  private[graft] def encode24(nFrames: Int, channels: Int, seed: Long): Array[Byte] = {
+    if (nFrames <= 0 || nFrames > (1 << 20)) return null
+    if (channels < 1 || channels > 2) return null
+    val rate = 48000
+    val dataLen = nFrames * channels * 3
+    val out = new java.io.ByteArrayOutputStream(dataLen + 64)
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Long): Unit = { w16((v & 0xFFFF).toInt); w16(((v >> 16) & 0xFFFF).toInt) }
+    def cc(t: String): Unit = t.foreach(c => out.write(c.toInt))
+    val riffLen = 4 + (8 + 16) + (8 + dataLen)
+    cc("RIFF"); w32(riffLen.toLong); cc("WAVE")
+    cc("fmt "); w32(16L)
+    w16(1); w16(channels); w32(rate.toLong)
+    w32(rate.toLong * channels * 3); w16(channels * 3); w16(24)
+    cc("data"); w32(dataLen.toLong)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val v = java.lang.Math.floorMod(seed + 131L * i + 37L * c, 16777216L).toInt - 8388608
+        out.write(v & 0xFF); out.write((v >> 8) & 0xFF); out.write((v >> 16) & 0xFF)
         c += 1
       }
       i += 1

@@ -120,11 +120,11 @@ object PngStats {
         w = wl.toInt; h = hl.toInt
         colorType = u8(b, i + 17)
         depth = u8(b, i + 16)
-        // truecolor/gray at depth 8; PALETTE (3) additionally at the
-        // packed depths 1/2/4 — the icon/screenshot shapes
+        // truecolor/gray at depth 8 or 16; PALETTE (3) at the packed
+        // depths 1/2/4/8 — the icon/screenshot shapes
         val depthOk =
           if (colorType == 3) depth == 1 || depth == 2 || depth == 4 || depth == 8
-          else depth == 8
+          else depth == 8 || depth == 16
         if (!depthOk) return null
         if (colorType != 0 && colorType != 2 && colorType != 3 && colorType != 6)
           return null
@@ -144,9 +144,12 @@ object PngStats {
     }
     if (!seenIhdr || !seenIend || idat.size() == 0) return null
     if (colorType == 3 && plte == null) return null // palette image needs PLTE
-    val bpp = colorType match { case 0 => 1; case 2 => 3; case 3 => 1; case _ => 4 }
+    val channels = colorType match { case 0 => 1; case 2 => 3; case 3 => 1; case _ => 4 }
+    // filter "bpp" is BYTES per pixel (the spec's byte-level
+    // predictors): 2x at depth 16, 1 for packed palette rows
+    val bpp = if (colorType == 3) 1 else channels * (depth / 8)
     // a row's byte width: packed indices for palette depths < 8,
-    // bpp bytes per pixel otherwise (filtering is byte-level either way)
+    // bpp bytes per pixel otherwise
     def rowBytes(wp: Int): Long =
       if (colorType == 3) (wp.toLong * depth + 7) / 8 else wp.toLong * bpp
     // the stream is a sequence of independently-filtered sub-images:
@@ -187,7 +190,7 @@ object PngStats {
       val (wp, hp) = passes(pi)
       if (wp > 0 && hp > 0) {
         if (!unfilterAndSum(raw, off, wp, hp, bpp, rowBytes(wp).toInt,
-          depth, if (colorType == 3) plte else null, sums)) return null
+          depth, channels, if (colorType == 3) plte else null, sums)) return null
         off += hp * (rowBytes(wp).toInt + 1)
       }
       pi += 1
@@ -216,8 +219,8 @@ object PngStats {
     * bounds-checks every index. False on an invalid filter byte or an
     * index past the palette. */
   private def unfilterAndSum(raw: Array[Byte], off: Int, wp: Int, hp: Int,
-      bpp: Int, strideI: Int, depth: Int, palette: Array[Byte],
-      sums: Array[Long]): Boolean = {
+      bpp: Int, strideI: Int, depth: Int, channels: Int,
+      palette: Array[Byte], sums: Array[Long]): Boolean = {
     var y = 0
     while (y < hp) {
       val rowOff = off + y * (strideI + 1)
@@ -264,7 +267,19 @@ object PngStats {
     } else while (y < hp) {
       var j = off + y * (strideI + 1) + 1
       val end = j + strideI
-      if (bpp == 1) {
+      if (depth == 16) {
+        // big-endian 16-bit samples: the 8-bit projection is the HIGH
+        // byte (the spec's recommended fast scaling), so sums stay
+        // comparable with the 8-bit rendering of the same image
+        if (channels == 1) {
+          while (j < end) { val v = u8(raw, j); sums(0) += v; sums(1) += v; sums(2) += v; j += 2 }
+        } else {
+          while (j < end) {
+            sums(0) += u8(raw, j); sums(1) += u8(raw, j + 2); sums(2) += u8(raw, j + 4)
+            j += bpp
+          }
+        }
+      } else if (bpp == 1) {
         while (j < end) { val v = u8(raw, j); sums(0) += v; sums(1) += v; sums(2) += v; j += 1 }
       } else {
         while (j < end) {
@@ -398,6 +413,79 @@ object PngEncode {
       writeChunk(png, "IDAT", comp, 0, half)
       writeChunk(png, "IDAT", comp, half, comp.length - half)
     } else writeChunk(png, "IDAT", comp, 0, comp.length)
+    writeChunk(png, "IEND", Array.emptyByteArray, 0, 0)
+    png.toByteArray
+  }
+
+  /** 16-BIT fixture encoder (gray or RGB(A)): each sample's HIGH byte
+    * carries the 8-bit formula (so sums equal the 8-bit encoding's),
+    * the low byte an independent formula — a decoder that sums the
+    * wrong byte or mis-steps the 2-byte samples fails loudly. Test
+    * surface. */
+  private[graft] def encode16(w: Int, h: Int, seed: Long,
+      channels: Int): Array[Byte] = {
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 20)) return null
+    if (channels != 1 && channels != 3 && channels != 4) return null
+    val bpp = channels * 2
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (stride + 1))
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    def hi(ch: Int, x: Int, y: Int): Int = ch match {
+      case 0 => mod256(seed + 3L * x + 7L * y)
+      case 1 => mod256(2L * seed + 5L * x + y)
+      case 2 => mod256(3L * seed + x + 11L * y)
+      case _ => (x + y) % 256
+    }
+    var y = 0; var o = 0
+    while (y < h) {
+      var x = 0; var j = 0
+      while (x < w) {
+        var ch = 0
+        while (ch < channels) {
+          val c = if (channels == 1) 0 else ch
+          cur(j) = hi(c, x, y)
+          cur(j + 1) = mod256(7L * seed + x * y + 13L * ch) // low byte
+          ch += 1; j += 2
+        }
+        x += 1
+      }
+      val ft = y % 5
+      raw(o) = ft.toByte; o += 1
+      var i = 0
+      while (i < stride) {
+        val a = if (i >= bpp) cur(i - bpp) else 0
+        val b = prev(i)
+        val c = if (i >= bpp) prev(i - bpp) else 0
+        val f = ft match {
+          case 0 => cur(i)
+          case 1 => (cur(i) - a) & 0xFF
+          case 2 => (cur(i) - b) & 0xFF
+          case 3 => (cur(i) - ((a + b) >> 1)) & 0xFF
+          case _ => (cur(i) - paeth(a, b, c)) & 0xFF
+        }
+        raw(o) = f.toByte; o += 1; i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    val comp = try {
+      defl.setInput(raw); defl.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      out.toByteArray
+    } finally defl.end()
+    val png = new java.io.ByteArrayOutputStream(comp.length + 128)
+    png.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    val ct = channels match { case 1 => 0; case 3 => 2; case _ => 6 }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(16.toByte).put(ct.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    writeChunk(png, "IHDR", ihdr, 0, ihdr.length)
+    writeChunk(png, "IDAT", comp, 0, comp.length)
     writeChunk(png, "IEND", Array.emptyByteArray, 0, 0)
     png.toByteArray
   }

