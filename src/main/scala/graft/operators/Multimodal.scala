@@ -151,8 +151,13 @@ object Multimodal {
         // REAL LZW-compressed GIFs (plans.GifEncode): w 16..32,
         // h 16..28 — every doc's frame is large enough to push the
         // code width past its initial 7 bits, so the decoder's
-        // dictionary-growth path runs on every row
-        (id % 107 =!= 0, graft.plans.VectorExpressions.gifEncode(
+        // dictionary-growth path runs on every row; every 5th doc
+        // stores the INTERLACED layout — the oracle's formulas are
+        // row-order-invariant, so the hash certifies that path too
+        (id % 107 =!= 0 && id % 5 === 0, graft.plans.VectorExpressions.gifEncodeIlc(
+          (id % 17 + 16).cast("int"), (id % 13 + 16).cast("int"),
+          id.cast("long"))),
+        (id % 107 =!= 0 && id % 5 =!= 0, graft.plans.VectorExpressions.gifEncode(
           (id % 17 + 16).cast("int"), (id % 13 + 16).cast("int"),
           id.cast("long"))))
       case "jpgpx" => Seq(
@@ -222,8 +227,13 @@ object Multimodal {
         (id % 103 === 0, encode(text.substr(1, 18), "UTF-8")),
         // REAL compressed PNGs (Deflater + CRCs + Adler, plans.PngEncode):
         // w 2..6, h 5..8 — every doc's height >= 5 forces all five
-        // scanline filters (row y uses filter y%5); every 3rd doc RGBA
-        (id % 103 =!= 0, graft.plans.VectorExpressions.pngEncode(
+        // scanline filters (row y uses filter y%5); every 3rd doc RGBA;
+        // every 5th doc stores the ADAM7 layout — same pixels, so the
+        // oracle's per-pixel formulas certify the interlaced path
+        (id % 103 =!= 0 && id % 5 === 0, graft.plans.VectorExpressions.pngEncodeAdam7(
+          (id % 5 + 2).cast("int"), (id % 4 + 5).cast("int"),
+          id.cast("long"), id % 3 === 0)),
+        (id % 103 =!= 0 && id % 5 =!= 0, graft.plans.VectorExpressions.pngEncode(
           (id % 5 + 2).cast("int"), (id % 4 + 5).cast("int"),
           id.cast("long"), id % 3 === 0)))
       case "media" =>

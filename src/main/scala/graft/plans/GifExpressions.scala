@@ -513,8 +513,11 @@ object GifEncode {
 
   /** The single-frame fixture image encoded INTERLACED (flag set, rows
     * emitted in 4-pass order) — the differential twin proving the
-    * decoder's sums are truly row-order-invariant. Test surface. */
-  private[graft] def encodeInterlaced(w: Int, h: Int, seed: Long): Array[Byte] = {
+    * decoder's sums are truly row-order-invariant. Also a FIXTURE
+    * surface: every 5th gifpx doc stores this layout, so the
+    * mm_gif_pixels ORACLE (whose formulas are layout-invariant)
+    * hash-certifies the interlaced path. */
+  def encodeInterlaced(w: Int, h: Int, seed: Long): Array[Byte] = {
     if (w <= 0 || h <= 0 || w.toLong * h > (1L << 20)) return null
     val out = new java.io.ByteArrayOutputStream(w * h / 2 + 256)
     out.write("GIF89a".getBytes("US-ASCII"), 0, 6)

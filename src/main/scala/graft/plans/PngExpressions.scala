@@ -567,7 +567,7 @@ object PngEncode {
     * true pass order (per-pass filter cycling, fresh zero row above
     * each pass). Test surface: the differential twin for the decoder's
     * interlace support, third-party-checked against ImageIO. */
-  private[graft] def encodeAdam7(w: Int, h: Int, seed: Long,
+  def encodeAdam7(w: Int, h: Int, seed: Long,
       alpha: Boolean): Array[Byte] = {
     if (w <= 0 || h <= 0 || w.toLong * h > (1L << 20)) return null
     val bpp = if (alpha) 4 else 3

@@ -280,6 +280,24 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gif_frames", exprs => GifFrames(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gif_encode_ilc",
+      exprs => graft.plans.SynthExpr(exprs, "graft_gif_encode_ilc",
+        Seq(org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType),
+        vs => GifEncode.encodeInterlaced(vs(0).asInstanceOf[Int],
+          vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Long])), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_png_encode_adam7",
+      exprs => graft.plans.SynthExpr(exprs, "graft_png_encode_adam7",
+        Seq(org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.BooleanType),
+        vs => PngEncode.encodeAdam7(vs(0).asInstanceOf[Int],
+          vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Long],
+          vs(3).asInstanceOf[Boolean])), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gif_encode_anim", exprs => GifEncodeAnim(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jpeg_pixels", exprs => JpegPixels(exprs(0)), "scala_udf")
@@ -413,6 +431,18 @@ object VectorExpressions {
       restartRows: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_jpeg_encode_color", w, h, seed, mode, restartRows)
+  }
+
+  /** INTERLACED single-frame GIF synthesis, column form. */
+  def gifEncodeIlc(w: Column, h: Column, seed: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_gif_encode_ilc", w, h, seed)
+  }
+
+  /** ADAM7-interlaced PNG synthesis, column form. */
+  def pngEncodeAdam7(w: Column, h: Column, seed: Column, alpha: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_png_encode_adam7", w, h, seed, alpha)
   }
 
   /** Animated-GIF per-frame pixel decode (plans.GifFrames), column
