@@ -118,7 +118,9 @@ object WavMeta {
 
 /** `graft_bmp_stats(binary)` → `struct<width: int, height: int,
   * sum_r: long, sum_g: long, sum_b: long, n_pixels: long>`, NULL when
-  * the bytes are not an uncompressed 24-bit BMP — REAL pixel decode,
+  * the bytes are not an uncompressed 8/24/32-bit BI_RGB BMP (8-bit =
+  * palette of BGRA quads after the info header; 32-bit = BGRA rows,
+  * alpha ignored) — REAL pixel decode,
   * not just header metadata: the one mainstream raster format whose
   * pixel data is decodable from the public spec alone (BITMAPFILEHEADER
   * + BITMAPINFOHEADER + raw BGR rows, each row padded to a 4-byte
@@ -175,7 +177,21 @@ object BmpStats {
     val hRaw = le32(b, 22).toInt // negative = top-down; sums are orientation-invariant
     val h = math.abs(hRaw)
     if (w <= 0 || h <= 0 || le16(b, 26) != 1) return null
-    if (le16(b, 28) != 24 || le32(b, 30) != 0L) return null // 24bpp BI_RGB only
+    val bits = le16(b, 28)
+    // uncompressed BI_RGB at the mainstream depths: 8 (palette),
+    // 24 (BGR), 32 (BGRA, alpha ignored)
+    if ((bits != 8 && bits != 24 && bits != 32) || le32(b, 30) != 0L) return null
+    // 8-bit: palette of biClrUsed (0 = 256) BGRA quads follows the
+    // 40-byte info header
+    val headerSize = le32(b, 14)
+    var palette: Array[Byte] = null
+    if (bits == 8) {
+      val used = le32(b, 46)
+      val n = if (used == 0L) 256 else if (used > 0 && used <= 256) used.toInt else return null
+      val pOff = 14 + headerSize
+      if (pOff + 4L * n > b.length || pOff > Int.MaxValue - 4 * n) return null
+      palette = java.util.Arrays.copyOfRange(b, pOff.toInt, pOff.toInt + 4 * n)
+    }
     // row size in LONG: a hostile header's width can overflow w*3+3 in
     // Int, flipping rowSize negative and bypassing the bounds check
     // (negative-index crash or silent zero sums). But rowSizeL * h can
@@ -185,7 +201,8 @@ object BmpStats {
     // (len - off) / h  <=>  off + rowSizeL * h <= len for integral
     // rowSizeL, h >= 1. Passing it caps every later Int product:
     // rowSizeL <= b.length < 2^31.
-    val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4 // each BGR row padded to 4 bytes
+    val bytesPerPx = bits / 8
+    val rowSizeL = ((w.toLong * bytesPerPx + 3) / 4) * 4 // rows pad to 4 bytes
     if (dataOffset < 54 || dataOffset > b.length) return null
     if (rowSizeL > (b.length - dataOffset) / h) return null
     val rowSize = rowSizeL.toInt
@@ -193,10 +210,22 @@ object BmpStats {
     var row = 0
     while (row < h) {
       var i = dataOffset.toInt + row * rowSize
-      val end = i + w * 3 // pad bytes excluded
-      while (i < end) {
-        sb += u8(b, i); sg += u8(b, i + 1); sr += u8(b, i + 2) // stored B,G,R
-        i += 3
+      if (bits == 8) {
+        val nColors = palette.length / 4
+        val end = i + w
+        while (i < end) {
+          val idx = u8(b, i)
+          if (idx >= nColors) return null
+          sb += u8(palette, 4 * idx); sg += u8(palette, 4 * idx + 1)
+          sr += u8(palette, 4 * idx + 2) // quads stored B,G,R,reserved
+          i += 1
+        }
+      } else {
+        val end = i + w * bytesPerPx // pad bytes excluded
+        while (i < end) {
+          sb += u8(b, i); sg += u8(b, i + 1); sr += u8(b, i + 2) // stored B,G,R(,A)
+          i += bytesPerPx
+        }
       }
       row += 1
     }

@@ -161,7 +161,7 @@ class ImageMetaSpec extends SparkSpec {
     val hostile2 = bmp(px)
     System.arraycopy(le32(1431655766L), 0, hostile2, 18, 4) // w*3 itself overflows
     assert(parseBmp(hostile2) === None)
-    val wrongDepth = bmp(px); wrongDepth(28) = 32.toByte
+    val wrongDepth = bmp(px); wrongDepth(28) = 16.toByte // 16bpp unsupported
     assert(parseBmp(wrongDepth) === None)
     assert(parseBmp("BMnot really a bitmap".getBytes) === None)
     // hostile header where rowSizeL * h overflows LONG (w,h both near
@@ -178,6 +178,77 @@ class ImageMetaSpec extends SparkSpec {
     System.arraycopy(le32(4000000000L), 0, hugeOffset, 10, 4)
     System.arraycopy(le32(2000000000L), 0, hugeOffset, 22, 4)
     assert(parseBmp(hugeOffset) === None)
+  }
+
+  test("8-bit palette and 32-bit BMPs decode with exact sums; ImageIO agrees") {
+    def le16b(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32b(v: Long) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    // ---- 8-bit palette, 5x3, 16 colors, explicit biClrUsed ----
+    val (w8, h8) = (5, 3)
+    val pal = (0 until 16).map(i => (10 * i % 256, (7 * i + 3) % 256, (13 * i + 1) % 256))
+    def idx8(x: Int, y: Int) = (x + 2 * y) % 16
+    val row8 = (w8 + 3) / 4 * 4
+    val out8 = new java.io.ByteArrayOutputStream()
+    out8.write('B'); out8.write('M')
+    out8.write(le32b(14 + 40 + 4 * 16 + row8.toLong * h8), 0, 4)
+    out8.write(le32b(0), 0, 4); out8.write(le32b(14 + 40 + 4 * 16), 0, 4)
+    out8.write(le32b(40), 0, 4)
+    out8.write(le32b(w8.toLong), 0, 4); out8.write(le32b(h8.toLong), 0, 4)
+    out8.write(le16b(1), 0, 2); out8.write(le16b(8), 0, 2)
+    out8.write(le32b(0), 0, 4); out8.write(le32b(row8.toLong * h8), 0, 4)
+    out8.write(le32b(2835), 0, 4); out8.write(le32b(2835), 0, 4)
+    out8.write(le32b(16), 0, 4); out8.write(le32b(0), 0, 4)
+    pal.foreach { case (r, g, b) =>
+      out8.write(b); out8.write(g); out8.write(r); out8.write(0) } // BGRA quads
+    for (y <- (h8 - 1) to 0 by -1) { // bottom-up rows
+      for (x <- 0 until w8) out8.write(idx8(x, y))
+      for (_ <- w8 until row8) out8.write(0)
+    }
+    val bmp8 = out8.toByteArray
+    var (er, eg, eb) = (0L, 0L, 0L)
+    for (y <- 0 until h8; x <- 0 until w8) {
+      val (r, g, b) = pal(idx8(x, y)); er += r; eg += g; eb += b
+    }
+    assert(parseBmp(bmp8) === Some((w8, h8, er, eg, eb, w8.toLong * h8)))
+    val img8 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp8))
+    assert(img8 != null && img8.getWidth === w8)
+    for (y <- 0 until h8; x <- 0 until w8) {
+      val rgb = img8.getRGB(x, y); val (r, g, b) = pal(idx8(x, y))
+      assert(((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF) === ((r, g, b)),
+        s"palette BMP pixel ($x,$y)")
+    }
+    // ---- 32-bit BGRA, 3x2, alpha ignored ----
+    val (w32, h32) = (3, 2)
+    def px32(x: Int, y: Int) = (20 * x + 5, 30 * y + 7, 11 * (x + y) + 2)
+    val out32 = new java.io.ByteArrayOutputStream()
+    out32.write('B'); out32.write('M')
+    out32.write(le32b(14 + 40 + 4L * w32 * h32), 0, 4)
+    out32.write(le32b(0), 0, 4); out32.write(le32b(54), 0, 4)
+    out32.write(le32b(40), 0, 4)
+    out32.write(le32b(w32.toLong), 0, 4); out32.write(le32b(h32.toLong), 0, 4)
+    out32.write(le16b(1), 0, 2); out32.write(le16b(32), 0, 2)
+    out32.write(le32b(0), 0, 4); out32.write(le32b(4L * w32 * h32), 0, 4)
+    out32.write(le32b(2835), 0, 4); out32.write(le32b(2835), 0, 4)
+    out32.write(le32b(0), 0, 4); out32.write(le32b(0), 0, 4)
+    for (y <- (h32 - 1) to 0 by -1; x <- 0 until w32) {
+      val (r, g, b) = px32(x, y)
+      out32.write(b); out32.write(g); out32.write(r); out32.write(0xAA)
+    }
+    val bmp32 = out32.toByteArray
+    var (fr, fg, fb) = (0L, 0L, 0L)
+    for (y <- 0 until h32; x <- 0 until w32) {
+      val (r, g, b) = px32(x, y); fr += r; fg += g; fb += b
+    }
+    assert(parseBmp(bmp32) === Some((w32, h32, fr, fg, fb, w32.toLong * h32)))
+    // truncation fuzz over both
+    for (good <- Seq(bmp8, bmp32)) {
+      var i = 0
+      while (i < good.length) {
+        graft.plans.BmpStats.parse(java.util.Arrays.copyOf(good, i))
+        i += 1
+      }
+    }
   }
 
   test("registered pixel query round-trips its constructed BMPs at sf0.001") {
