@@ -407,6 +407,17 @@ class PlanAuditSpec extends SparkSpec {
       s"sqlite rowid pushdown missing:\n${df.queryExecution.executedPlan}")
   }
 
+  test("index-served BM25 keeps the same broadcast discipline, corpus-free") {
+    import graft.operators.Search
+    Search.searchBm25Indexed(spark, sf).count() // build index + norms tables
+    val plan = planOf(Search.searchBm25Indexed(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"bm25-indexed cartesian: $plan")
+    assert("BroadcastExchange".r.findAllIn(plan).length >= 2,
+      s"bm25-indexed lost its broadcast sides: $plan")
+    assert(!plan.contains("documents.parquet"),
+      s"bm25-indexed rescans the corpus: $plan")
+  }
+
   test("BM25 serving broadcasts every small side — no postings-side shuffle join") {
     import graft.operators.Search
     Search.postings(spark, sf).count() // build the index artifact
