@@ -1116,8 +1116,9 @@ object JpegEncode {
     * size 3 have no code in the custom table -> null (the fixture's
     * constant blocks have none; the DCT is still the general
     * transform, not a constant-block shortcut). */
-  private def encodeProgressive(w: Int, h: Int, hs: Int, vs: Int,
-      comps: Array[(Int, Int) => Int], restartInterval: Int): Array[Byte] = {
+  private[graft] def encodeProgressive(w: Int, h: Int, hs: Int, vs: Int,
+      comps: Array[(Int, Int) => Int], restartInterval: Int,
+      script: Seq[(Seq[Int], Int, Int, Int, Int)] = Seq.empty): Array[Byte] = {
     val nComp = comps.length
     val mcusX = (w + 8 * hs - 1) / (8 * hs)
     val mcusY = (h + 8 * vs - 1) / (8 * vs)
@@ -1322,17 +1323,43 @@ object JpegEncode {
     }
 
     val all = 0 until nComp
-    // DC first at Al=1 (interleaved for color), banded AC first passes,
-    // AC refinements for component 0, final DC refinement
-    scan(all, 0, 0, 0, 1)
-    scan(Seq(0), 1, 5, 0, 1)
-    scan(Seq(0), 6, 63, 0, 1)
-    if (nComp == 3) { scan(Seq(1), 1, 63, 0, 0); scan(Seq(2), 1, 63, 0, 0) }
-    scan(Seq(0), 1, 5, 1, 0)
-    scan(Seq(0), 6, 63, 1, 0)
-    scan(all, 0, 0, 1, 0)
+    val useScript: Seq[(Seq[Int], Int, Int, Int, Int)] =
+      if (script.nonEmpty) script
+      else {
+        // default: DC first at Al=1 (interleaved for color), banded AC
+        // first passes, AC refinements for component 0, final DC refine
+        Seq((all, 0, 0, 0, 1),
+          (Seq(0), 1, 5, 0, 1), (Seq(0), 6, 63, 0, 1)) ++
+          (if (nComp == 3) Seq((Seq(1), 1, 63, 0, 0), (Seq(2), 1, 63, 0, 0))
+           else Seq.empty) ++
+          Seq((Seq(0), 1, 5, 1, 0), (Seq(0), 6, 63, 1, 0), (all, 0, 0, 1, 0))
+      }
+    useScript.foreach { case (scs, ss, se, ah, al) => scan(scs, ss, se, ah, al) }
     marker(0xD9)
     if (bad) null else out.toByteArray
+  }
+
+  /** Test hook: the progressive fixture planes under an ARBITRARY
+    * scan script (Seq of (components, ss, se, ah, al)) — the fuzz
+    * harness generates random valid successive-approximation scripts
+    * and the decoder must reproduce the same constant-block sums
+    * whatever the script did. */
+  private[graft] def encodeBlockyProgressiveScript(w: Int, h: Int, seed: Long,
+      mode: Int, script: Seq[(Seq[Int], Int, Int, Int, Int)]): Array[Byte] = {
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 20)) return null
+    def m256(v: Long): Int = java.lang.Math.floorMod(v, 256L).toInt
+    val yF = (px: Int, py: Int) => m256(seed + 5L * (px / 8) + 11L * (py / 8))
+    mode match {
+      case 3 => encodeProgressive(w, h, 1, 1, Array(yF), 0, script)
+      case 0 | 1 | 2 | 4 =>
+        val (hs, vs) = mode match {
+          case 0 => (1, 1); case 1 => (2, 1); case 4 => (1, 2); case _ => (2, 2)
+        }
+        val cbF = (cx: Int, cy: Int) => m256(3L * seed + 7L * (cx / 8) + 13L * (cy / 8) + 64L)
+        val crF = (cx: Int, cy: Int) => m256(5L * seed + 3L * (cx / 8) + 17L * (cy / 8) + 128L)
+        encodeProgressive(w, h, hs, vs, Array(yF, cbF, crF), 0, script)
+      case _ => null
+    }
   }
 
   /** The PROGRESSIVE fixture encoder: same per-block-constant planes

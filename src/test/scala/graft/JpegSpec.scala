@@ -250,6 +250,56 @@ class JpegSpec extends SparkSpec {
     assert(graft.plans.JpegPixels.parse(huge) === null)
   }
 
+  test("randomized progressive scan scripts all decode to the exact sums (seeded)") {
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 0 until 30) {
+      val mode = rnd.nextInt(5) // 0..2 color, 3 gray, 4 = 4:4:0
+      val nComp = if (mode == 3) 1 else 3
+      val w = 9 + rnd.nextInt(20); val h = 9 + rnd.nextInt(16)
+      val seed = rnd.nextLong() % 100000L
+      // build a random VALID successive-approximation script:
+      //  - DC: one interleaved first scan at Al in 0..2, refines to 0
+      //  - per component: 1..3 AC bands over 1..63, each first-coded at
+      //    Al in 0..1 and refined to 0; within a refinement layer the
+      //    scan order is shuffled
+      val dcAl = rnd.nextInt(3)
+      val script = scala.collection.mutable.ArrayBuffer.empty[(Seq[Int], Int, Int, Int, Int)]
+      script += ((0 until nComp, 0, 0, 0, dcAl))
+      val acChains = (0 until nComp).flatMap { c =>
+        val nBands = 1 + rnd.nextInt(3)
+        val cuts = (Seq(1, 64) ++ Seq.fill(nBands - 1)(2 + rnd.nextInt(62)))
+          .distinct.sorted
+        cuts.sliding(2).map { case Seq(lo, hi) =>
+          (c, lo, hi - 1, rnd.nextInt(2))
+        }.toSeq
+      }
+      // AC first passes (shuffled)
+      rnd.shuffle(acChains).foreach { case (c, ss, se, al) =>
+        script += ((Seq(c), ss, se, 0, al))
+      }
+      // refinement layers: every chain with al>0 refines down to 0
+      val maxAl = (acChains.map(_._4) :+ dcAl).max
+      for (lvl <- maxAl to 1 by -1) {
+        val layer = acChains.filter(_._4 >= lvl).map { case (c, ss, se, _) =>
+          ((Seq(c), ss, se, lvl, lvl - 1)): (Seq[Int], Int, Int, Int, Int)
+        } ++ (if (dcAl >= lvl) Seq(((0 until nComp, 0, 0, lvl, lvl - 1))
+          : (Seq[Int], Int, Int, Int, Int)) else Seq.empty)
+        rnd.shuffle(layer).foreach(script += _)
+      }
+      val jpg = graft.plans.JpegEncode.encodeBlockyProgressiveScript(
+        w, h, seed, mode, script.toSeq)
+      assert(jpg != null, s"trial $trial: encoder refused script $script")
+      val got = parsed(jpg)
+      val want =
+        if (mode == 3) { val s = expected(w, h, seed); (s, s, s) }
+        else if (mode == 4) expectedColorHV(w, h, seed, 1, 2)
+        else expectedColor(w, h, seed, mode)
+      assert(got === Some((w, h, want._1, want._2, want._3, w.toLong * h)),
+        s"trial $trial diverged: mode=$mode $w x $h seed=$seed dcAl=$dcAl " +
+          s"script=${script.mkString(";")}")
+    }
+  }
+
   /** ImageIO writes a PROGRESSIVE (SOF2) JPEG of the given image —
     * the JDK writer's default progressive scan script is libjpeg's
     * successive-approximation sequence (DC 0,1 + banded AC first
