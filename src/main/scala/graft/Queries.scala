@@ -484,6 +484,7 @@ object Queries {
     "mm_png_pixels" -> (Multimodal.pngPixels _),
     "mm_gif_pixels" -> (Multimodal.gifPixelsQ _),
     "mm_gif_frames" -> (Multimodal.gifFramesQ _),
+    "mm_png_frames" -> (Multimodal.pngFramesQ _),
     "mm_jpeg_pixels" -> (Multimodal.jpegPixelsQ _),
     "mm_jpeg_color" -> (Multimodal.jpegColorQ _),
     "mm_jpeg_progressive" -> (Multimodal.jpegProgressiveQ _),
@@ -1015,6 +1016,26 @@ object Queries {
        "sum((doc_id + 5 * ((doc_id + 7 * fi + (i % w) + 2 * (i // w)) % 64)) % 256) AS sr, " +
        "sum((2 * doc_id + 3 * ((doc_id + 7 * fi + (i % w) + 2 * (i // w)) % 64)) % 256) AS sg, " +
        "sum((doc_id + 7 * ((doc_id + 7 * fi + (i % w) + 2 * (i // w)) % 64) + 1) % 256) AS sb " +
+       "FROM px GROUP BY doc_id, fi, w, h) " +
+       "SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx, " +
+       "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +
+       "CAST(sr AS BIGINT) AS sum_r, CAST(sg AS BIGINT) AS sum_g, " +
+       "CAST(sb AS BIGINT) AS sum_b, CAST(w * h AS BIGINT) AS n_pixels " +
+       "FROM s ORDER BY doc_id, frame_idx"),
+    // APNG twin: frame f of doc d uses the static-PNG formulas at
+    // shifted seed d + 17f (PngEncode.encodeApng), so the oracle
+    // recomputes every frame's exact channel sums — acTL/fcTL/fdAT
+    // walk, per-frame zlib streams, and fdAT concatenation are all
+    // certified by the hash
+    "mm_png_frames" ->
+      ("WITH d AS (SELECT doc_id, 8 + doc_id % 14 AS w, 6 + doc_id % 10 AS h, " +
+       "1 + doc_id % 3 AS nf FROM documents WHERE doc_id % 103 <> 0), " +
+       "f AS (SELECT doc_id, w, h, unnest(range(nf)) AS fi, doc_id + 17 * unnest(range(nf)) AS sd FROM d), " +
+       "px AS (SELECT doc_id, fi, w, h, sd, unnest(range(w * h)) AS i FROM f), " +
+       "s AS (SELECT doc_id, fi, w, h, " +
+       "sum((sd + 3 * (i % w) + 7 * (i // w)) % 256) AS sr, " +
+       "sum((2 * sd + 5 * (i % w) + (i // w)) % 256) AS sg, " +
+       "sum((3 * sd + (i % w) + 11 * (i // w)) % 256) AS sb " +
        "FROM px GROUP BY doc_id, fi, w, h) " +
        "SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx, " +
        "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +

@@ -183,6 +183,15 @@ object Multimodal {
         (id % 109 =!= 0, graft.plans.VectorExpressions.jpegEncodeColor(
           (id % 23 + 9).cast("int"), ((id * 3) % 19 + 9).cast("int"),
           id.cast("long"), (id % 3).cast("int"), id % 2 === 0)))
+      case "apng" => Seq(
+        (id % 103 === 0, encode(text.substr(1, 18), "UTF-8")),
+        // REAL APNG animations (plans.PngEncode.encodeApng): 1..3
+        // full-canvas frames, frame f's channels shifted by 17f —
+        // frame 0 rides IDAT, later frames split across two fdAT
+        // chunks each
+        (id % 103 =!= 0, graft.plans.VectorExpressions.pngEncodeApng(
+          (id % 14 + 8).cast("int"), (id % 10 + 6).cast("int"),
+          (id % 3 + 1).cast("int"), id.cast("long"))))
       case "gifanim" => Seq(
         (id % 107 === 0, encode(text.substr(1, 20), "UTF-8")),
         // REAL multi-frame GIF89a (plans.GifEncodeAnim): 1..3 frames
@@ -255,7 +264,7 @@ object Multimodal {
     * never fused into a decode query's codegen. */
   def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "gifanim",
-      "jpgpx", "jpgcol", "jpgprog", "avi", "wavpcm")
+      "apng", "jpgpx", "jpgcol", "jpgprog", "avi", "wavpcm")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -513,6 +522,20 @@ object Multimodal {
     mediaTable(spark, dir, "gifanim")
       .select(col("doc_id"),
         posexplode(graft.plans.VectorExpressions.gifFrames(col("gifanim"))))
+      .select(col("doc_id"),
+        col("col.frame_idx").as("frame_idx"),
+        col("col.width").as("width"), col("col.height").as("height"),
+        col("col.sum_r").as("sum_r"), col("col.sum_g").as("sum_g"),
+        col("col.sum_b").as("sum_b"), col("col.n_pixels").as("n_pixels"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Registered APNG frame decode query: every frame of every doc's
+    * animation decoded independently ([[plans.PngFrames]]) — the PNG
+    * twin of [[gifFramesQ]]; corrupt docs explode to no rows. */
+  def pngFramesQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "apng")
+      .select(col("doc_id"),
+        posexplode(graft.plans.VectorExpressions.pngFrames(col("apng"))))
       .select(col("doc_id"),
         col("col.frame_idx").as("frame_idx"),
         col("col.width").as("width"), col("col.height").as("height"),

@@ -80,7 +80,7 @@ object PngStats {
     * memory bound a corpus-scale scan needs against hostile headers. */
   val MaxRawBytes: Long = 64L * 1024 * 1024
 
-  private val Sig: Array[Int] = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+  private[plans] val Sig: Array[Int] = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
   private def be32(b: Array[Byte], i: Int): Long =
@@ -144,6 +144,19 @@ object PngStats {
     }
     if (!seenIhdr || !seenIend || idat.size() == 0) return null
     if (colorType == 3 && plte == null) return null // palette image needs PLTE
+    val sums = decodeImage(idat.toByteArray, w, h, colorType, depth,
+      interlace, plte)
+    if (sums == null) return null
+    new GenericInternalRow(Array[Any](w, h, sums(0), sums(1), sums(2), w.toLong * h))
+  } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** One complete zlib-compressed image (or APNG frame) of `w` x `h`
+    * under the declared color layout: inflate, per-pass unfilter, sum.
+    * Null on any malformation. Shared by [[parse]] and the APNG
+    * frame decoder. */
+  private[plans] def decodeImage(idatBytes: Array[Byte], w: Int, h: Int,
+      colorType: Int, depth: Int, interlace: Int,
+      plte: Array[Byte]): Array[Long] = try {
     val channels = colorType match { case 0 => 1; case 2 => 3; case 3 => 1; case _ => 4 }
     // filter "bpp" is BYTES per pixel (the spec's byte-level
     // predictors): 2x at depth 16, 1 for packed palette rows
@@ -165,7 +178,7 @@ object PngStats {
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
-      inf.setInput(idat.toByteArray)
+      inf.setInput(idatBytes)
       var got = 0
       var stalled = false
       while (got < raw.length && !inf.finished() && !stalled) {
@@ -195,7 +208,7 @@ object PngStats {
       }
       pi += 1
     }
-    new GenericInternalRow(Array[Any](w, h, sums(0), sums(1), sums(2), w.toLong * h))
+    sums
   } catch { case scala.util.control.NonFatal(_) => null }
 
   /** Adam7 pass dimensions for a w x h image (PNG spec §8.2):
@@ -291,6 +304,157 @@ object PngStats {
     }
     true
   }
+}
+
+/** `graft_png_frames(binary)` → `array<struct<frame_idx, left, top,
+  * width, height, sum_r, sum_g, sum_b, n_pixels>>`, NULL when the
+  * bytes are not a decodable PNG — the ANIMATION (APNG, PNG third
+  * edition §4.5) upgrade of [[PngStats]] and the raster twin of
+  * [[GifFrames]]: acTL declares the animation, each fcTL opens a
+  * frame region, frame 0 rides IDAT when its fcTL precedes it, and
+  * every later frame's fdAT chunks (4-byte sequence prefix stripped)
+  * concatenate into that frame's own complete zlib stream, decoded
+  * independently with the shared [[PngStats.decodeImage]] machinery
+  * (same color layout and interlace method as the static image).
+  * A plain non-animated PNG returns its single image as frame 0, so
+  * one expression serves mixed corpora. Disposal/blend are
+  * presentation concerns a stats pass does not composite. Frame
+  * count capped; per-frame pixels capped by the raw-bytes ceiling.
+  * NULL-never-throw, fuzzed. */
+case class PngFrames(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_png_frames expects a binary column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = PngFrames.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_png_frames"
+
+  override def nullSafeEval(input: Any): Any =
+    PngFrames.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.plans.PngFrames.parse($b);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): PngFrames =
+    copy(child = newChild)
+}
+
+object PngFrames {
+  val frameSchema: StructType = StructType(Seq(
+    StructField("frame_idx", IntegerType),
+    StructField("left", IntegerType),
+    StructField("top", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("n_pixels", LongType)))
+  val schema: DataType =
+    org.apache.spark.sql.types.ArrayType(frameSchema, containsNull = false)
+
+  /** Hostile-stream ceiling, like [[GifFrames.MaxFrames]]. */
+  val MaxFrames = 64
+
+  def parse(b: Array[Byte]): Any = try {
+    if (b == null || b.length < 57) return null
+    var i = 0
+    while (i < 8) { if ((b(i) & 0xFF) != PngStats.Sig(i)) return null; i += 1 }
+    var w = 0; var h = 0; var colorType = -1; var interlace = 0
+    var depth = 8
+    var plte: Array[Byte] = null
+    var seenIhdr = false; var seenIend = false
+    var animated = false
+    val idat = new java.io.ByteArrayOutputStream()
+    // per-frame accumulation: (left, top, fw, fh, data)
+    final case class Fc(left: Int, top: Int, fw: Int, fh: Int,
+      data: java.io.ByteArrayOutputStream)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Fc]
+    var idatIsFrame = false
+    def u8i(i: Int): Int = b(i) & 0xFF
+    def be32i(i: Int): Long =
+      (u8i(i).toLong << 24) | (u8i(i + 1) << 16) | (u8i(i + 2) << 8) | u8i(i + 3)
+    def tagIs(i: Int, t: String): Boolean =
+      u8i(i) == t.charAt(0) && u8i(i + 1) == t.charAt(1) &&
+        u8i(i + 2) == t.charAt(2) && u8i(i + 3) == t.charAt(3)
+    while (i + 12 <= b.length && !seenIend) {
+      val len = be32i(i)
+      if (len < 0 || len > b.length - i - 12) return null
+      val n = len.toInt
+      if (!seenIhdr) {
+        if (!tagIs(i + 4, "IHDR") || n != 13) return null
+        val wl = be32i(i + 8); val hl = be32i(i + 12)
+        if (wl <= 0 || hl <= 0 || wl > Int.MaxValue || hl > Int.MaxValue) return null
+        w = wl.toInt; h = hl.toInt
+        depth = u8i(i + 16); colorType = u8i(i + 17)
+        val depthOk =
+          if (colorType == 3) depth == 1 || depth == 2 || depth == 4 || depth == 8
+          else depth == 8 || depth == 16
+        if (!depthOk) return null
+        if (colorType != 0 && colorType != 2 && colorType != 3 && colorType != 6)
+          return null
+        if (u8i(i + 18) != 0 || u8i(i + 19) != 0) return null
+        interlace = u8i(i + 20)
+        if (interlace != 0 && interlace != 1) return null
+        seenIhdr = true
+      } else if (tagIs(i + 4, "PLTE")) {
+        if (n % 3 != 0 || n == 0 || n > 3 * 256 || idat.size() > 0) return null
+        plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + n)
+      } else if (tagIs(i + 4, "acTL")) {
+        if (n != 8) return null
+        animated = true
+      } else if (tagIs(i + 4, "fcTL")) {
+        if (n != 26) return null
+        val fw = be32i(i + 12); val fh = be32i(i + 16)
+        val fx = be32i(i + 20); val fy = be32i(i + 24)
+        if (fw <= 0 || fh <= 0 || fx < 0 || fy < 0 ||
+          fx + fw > w || fy + fh > h) return null
+        if (frames.length < MaxFrames)
+          frames += Fc(fx.toInt, fy.toInt, fw.toInt, fh.toInt,
+            new java.io.ByteArrayOutputStream())
+        if (idat.size() == 0 && frames.length == 1) idatIsFrame = true
+      } else if (tagIs(i + 4, "IDAT")) {
+        idat.write(b, i + 8, n)
+      } else if (tagIs(i + 4, "fdAT")) {
+        if (n < 4 || frames.isEmpty) return null
+        // 4-byte sequence number stripped; payload joins the LAST
+        // opened frame's stream
+        frames.last.data.write(b, i + 12, n - 4)
+      } else if (tagIs(i + 4, "IEND")) {
+        seenIend = true
+      }
+      i += 12 + n
+    }
+    if (!seenIhdr || !seenIend || idat.size() == 0) return null
+    if (colorType == 3 && plte == null) return null
+    // route IDAT into frame 0 when its fcTL preceded it
+    val effective: Seq[(Int, Int, Int, Int, Array[Byte])] =
+      if (!animated || frames.isEmpty)
+        Seq((0, 0, w, h, idat.toByteArray)) // plain PNG = one frame
+      else {
+        val head =
+          if (idatIsFrame) Seq((frames.head.left, frames.head.top,
+            frames.head.fw, frames.head.fh, idat.toByteArray))
+          else Seq.empty // default image outside the animation
+        head ++ frames.drop(if (idatIsFrame) 1 else 0).map(f =>
+          (f.left, f.top, f.fw, f.fh, f.data.toByteArray))
+      }
+    if (effective.isEmpty) return null
+    val rows = effective.zipWithIndex.map { case ((l, t, fw, fh, data), fi) =>
+      if (data.isEmpty) return null
+      val sums = PngStats.decodeImage(data, fw, fh, colorType, depth,
+        interlace, plte)
+      if (sums == null) return null
+      new GenericInternalRow(Array[Any](
+        fi, l, t, fw, fh, sums(0), sums(1), sums(2), fw.toLong * fh))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray[Any])
+  } catch { case scala.util.control.NonFatal(_) => null }
 }
 
 /** `graft_png_encode(width, height, seed, alpha)` → binary: a fully
@@ -413,6 +577,99 @@ object PngEncode {
       writeChunk(png, "IDAT", comp, 0, half)
       writeChunk(png, "IDAT", comp, half, comp.length - half)
     } else writeChunk(png, "IDAT", comp, 0, comp.length)
+    writeChunk(png, "IEND", Array.emptyByteArray, 0, 0)
+    png.toByteArray
+  }
+
+  /** APNG fixture encoder: `frames` full-canvas RGB frames over the
+    * [[encode]] formulas shifted per frame (frame f uses seed + 17f),
+    * frame 0 riding IDAT behind its fcTL, later frames as fdAT chains
+    * (each frame's zlib stream split across TWO fdAT chunks so
+    * concatenation is certified), correct shared sequence numbering.
+    * Null on non-positive dims/frames. */
+  def encodeApng(w: Int, h: Int, frames: Int, seed: Long): Array[Byte] = {
+    if (w <= 0 || h <= 0 || frames <= 0 || frames > 16 ||
+      w.toLong * h > (1L << 20)) return null
+    def frameRaw(f: Int): Array[Byte] = {
+      val fs = seed + 17L * f
+      val bpp = 3
+      val stride = w * bpp
+      val raw = new Array[Byte](h * (stride + 1))
+      val cur = new Array[Int](stride)
+      val prev = new Array[Int](stride)
+      java.util.Arrays.fill(prev, 0)
+      var y = 0; var o = 0
+      while (y < h) {
+        var x = 0; var j = 0
+        while (x < w) {
+          cur(j) = mod256(fs + 3L * x + 7L * y)
+          cur(j + 1) = mod256(2L * fs + 5L * x + y)
+          cur(j + 2) = mod256(3L * fs + x + 11L * y)
+          x += 1; j += bpp
+        }
+        val ft = y % 5
+        raw(o) = ft.toByte; o += 1
+        var i = 0
+        while (i < stride) {
+          val a = if (i >= bpp) cur(i - bpp) else 0
+          val b = prev(i)
+          val c = if (i >= bpp) prev(i - bpp) else 0
+          val fv = ft match {
+            case 0 => cur(i)
+            case 1 => (cur(i) - a) & 0xFF
+            case 2 => (cur(i) - b) & 0xFF
+            case 3 => (cur(i) - ((a + b) >> 1)) & 0xFF
+            case _ => (cur(i) - paeth(a, b, c)) & 0xFF
+          }
+          raw(o) = fv.toByte; o += 1; i += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, stride)
+        y += 1
+      }
+      raw
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val defl = new java.util.zip.Deflater()
+      try {
+        defl.setInput(raw); defl.finish()
+        val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+        val buf = new Array[Byte](8192)
+        while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+        out.toByteArray
+      } finally defl.end()
+    }
+    val png = new java.io.ByteArrayOutputStream(4096)
+    png.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    writeChunk(png, "IHDR", ihdr, 0, ihdr.length)
+    writeChunk(png, "acTL",
+      java.nio.ByteBuffer.allocate(8).putInt(frames).putInt(0).array(), 0, 8)
+    var seq = 0
+    def fctl(): Unit = {
+      val c = java.nio.ByteBuffer.allocate(26)
+        .putInt(seq).putInt(w).putInt(h).putInt(0).putInt(0)
+        .putShort(1.toShort).putShort(10.toShort) // delay 1/10 s
+        .put(0.toByte).put(0.toByte).array()     // dispose none, blend source
+      writeChunk(png, "fcTL", c, 0, 26)
+      seq += 1
+    }
+    fctl()
+    writeChunk(png, "IDAT", deflate(frameRaw(0)), 0, deflate(frameRaw(0)).length)
+    var f = 1
+    while (f < frames) {
+      fctl()
+      val comp = deflate(frameRaw(f))
+      val half = math.max(1, comp.length / 2)
+      for ((off, len) <- Seq((0, half), (half, comp.length - half)) if len > 0) {
+        val body = java.nio.ByteBuffer.allocate(4 + len).putInt(seq)
+          .put(comp, off, len).array()
+        writeChunk(png, "fdAT", body, 0, body.length)
+        seq += 1
+      }
+      f += 1
+    }
     writeChunk(png, "IEND", Array.emptyByteArray, 0, 0)
     png.toByteArray
   }

@@ -280,6 +280,18 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gif_frames", exprs => GifFrames(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_png_frames", exprs => PngFrames(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_png_encode_apng",
+      exprs => graft.plans.SynthExpr(exprs, "graft_png_encode_apng",
+        Seq(org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType),
+        vs => PngEncode.encodeApng(vs(0).asInstanceOf[Int],
+          vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Int],
+          vs(3).asInstanceOf[Long])), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gif_encode_ilc",
       exprs => graft.plans.SynthExpr(exprs, "graft_gif_encode_ilc",
         Seq(org.apache.spark.sql.types.IntegerType,
@@ -443,6 +455,18 @@ object VectorExpressions {
   def pngEncodeAdam7(w: Column, h: Column, seed: Column, alpha: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_png_encode_adam7", w, h, seed, alpha)
+  }
+
+  /** APNG per-frame pixel decode (plans.PngFrames), column form. */
+  def pngFrames(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_png_frames", c)
+  }
+
+  /** Deterministic exactly-decodable APNG synthesis, column form. */
+  def pngEncodeApng(w: Column, h: Column, frames: Column, seed: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_png_encode_apng", w, h, frames, seed)
   }
 
   /** Animated-GIF per-frame pixel decode (plans.GifFrames), column

@@ -231,6 +231,52 @@ class PngStatsSpec extends SparkSpec {
     }
   }
 
+  test("APNG frames decode independently with exact sums; plain PNGs are frame 0") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    for {
+      nf <- Seq(1, 2, 3, 5)
+      (w, h, seed) <- Seq((9, 7, 3L), (16, 16, 42L), (2, 6, 0L))
+    } {
+      val apng = graft.plans.PngEncode.encodeApng(w, h, nf, seed)
+      assert(apng != null)
+      val arr = graft.plans.PngFrames.parse(apng).asInstanceOf[ArrayData]
+      assert(arr != null && arr.numElements() === nf, s"nf=$nf $w x $h")
+      for (f <- 0 until nf) {
+        val r = arr.getStruct(f, 9)
+        assert(r.getInt(0) === f && r.getInt(3) === w && r.getInt(4) === h)
+        val fs = seed + 17L * f
+        var sr = 0L; var sg = 0L; var sb = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          sr += java.lang.Math.floorMod(fs + 3L * x + 7L * y, 256L)
+          sg += java.lang.Math.floorMod(2L * fs + 5L * x + y, 256L)
+          sb += java.lang.Math.floorMod(3L * fs + x + 11L * y, 256L)
+        }
+        assert(r.getLong(5) === sr && r.getLong(6) === sg && r.getLong(7) === sb,
+          s"frame $f sums (nf=$nf $w x $h)")
+      }
+      // frame 0 of the animation is also what the single-image decoder
+      // and ImageIO (APNG-unaware: reads the default image) see
+      val first = graft.plans.PngStats.parse(apng)
+      assert(first != null && first.getInt(0) === w)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(apng))
+      assert(img != null && img.getWidth === w,
+        "APNG must stay a valid plain PNG to APNG-unaware decoders")
+    }
+    // a PLAIN PNG serves as its own single frame through the same API
+    val plain = graft.plans.PngEncode.encode(9, 7, 5L, false)
+    val one = graft.plans.PngFrames.parse(plain).asInstanceOf[ArrayData]
+    assert(one.numElements() === 1)
+    assert(one.getStruct(0, 9).getLong(5) ===
+      graft.plans.PngStats.parse(plain).getLong(2))
+    // truncation fuzz
+    val good = graft.plans.PngEncode.encodeApng(9, 7, 3, 1L)
+    var i = 0
+    while (i < good.length) {
+      graft.plans.PngFrames.parse(java.util.Arrays.copyOf(good, i))
+      i += 1
+    }
+  }
+
   test("registered query round-trips its stored PNGs at sf0.001") {
     val out = graft.operators.Multimodal.pngPixels(spark, sf).collect()
     assert(out.nonEmpty)
