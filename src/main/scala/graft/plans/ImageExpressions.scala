@@ -241,11 +241,46 @@ object ImageMeta {
 
   private val PngSig: Array[Int] = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
 
-  /** Null iff the bytes are not a parseable PNG/JPEG header. Called
-    * from generated code (static, no captures). */
+  /** Null iff the bytes are not a parseable PNG/JPEG/WebP header.
+    * Called from generated code (static, no captures). */
   def parse(b: Array[Byte]): InternalRow = {
     val png = parsePng(b)
-    if (png != null) png else parseJpeg(b)
+    if (png != null) return png
+    val webp = parseWebp(b)
+    if (webp != null) webp else parseJpeg(b)
+  }
+
+  /** WebP triage (RIFF....WEBP): all three container flavors —
+    * "VP8 " lossy (start code 9D 01 2A, 14-bit LE dims), "VP8L"
+    * lossless (0x2F signature, width-1/height-1 packed 14+14 bits
+    * LE), "VP8X" extended (24-bit LE canvas dims minus one). Header
+    * fields only — the VP8 entropy-coded payload is a full video
+    * codec, which is exactly what the triage pass exists to avoid
+    * paying per row. */
+  private def parseWebp(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 25) return null
+    def le16(i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    def le24(i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
+    def le32(i: Int): Long = le24(i).toLong | (u8(b, i + 3).toLong << 24)
+    if (u8(b, 0) != 'R' || u8(b, 1) != 'I' || u8(b, 2) != 'F' || u8(b, 3) != 'F' ||
+        u8(b, 8) != 'W' || u8(b, 9) != 'E' || u8(b, 10) != 'B' || u8(b, 11) != 'P')
+      return null
+    val tag = new String(Array(b(12), b(13), b(14), b(15)), "US-ASCII")
+    tag match {
+      case "VP8 " =>
+        // 3-byte frame tag, then the start code, then 14-bit dims
+        if (b.length < 30) return null
+        if (u8(b, 23) != 0x9D || u8(b, 24) != 0x01 || u8(b, 25) != 0x2A) return null
+        row("webp", le16(26) & 0x3FFF, le16(28) & 0x3FFF)
+      case "VP8L" =>
+        if (u8(b, 20) != 0x2F) return null
+        val bits = le32(21)
+        row("webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+      case "VP8X" =>
+        if (b.length < 30) return null
+        row("webp", le24(24) + 1, le24(27) + 1)
+      case _ => null
+    }
   }
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF

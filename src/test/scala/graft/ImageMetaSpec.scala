@@ -270,6 +270,53 @@ class ImageMetaSpec extends SparkSpec {
     assert(out.exists(r => r.getLong(0) % 5 != 0 && !r.isNullAt(1)))
   }
 
+  test("WebP headers: all three container flavors carry dims; hostile variants null") {
+    def riff(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      "RIFF".foreach(c => out.write(c.toInt))
+      val size = 4 + 8 + payload.length
+      out.write(size & 0xFF); out.write((size >> 8) & 0xFF)
+      out.write((size >> 16) & 0xFF); out.write((size >> 24) & 0xFF)
+      "WEBP".foreach(c => out.write(c.toInt))
+      tag.foreach(c => out.write(c.toInt))
+      out.write(payload.length & 0xFF); out.write((payload.length >> 8) & 0xFF)
+      out.write((payload.length >> 16) & 0xFF); out.write((payload.length >> 24) & 0xFF)
+      out.write(payload, 0, payload.length)
+      out.toByteArray
+    }
+    def meta(b: Array[Byte]): Option[(String, Int, Int)] =
+      Option(graft.plans.ImageMeta.parse(b)).map(r =>
+        (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2)))
+    // VP8 lossy: 3-byte frame tag, 9D 01 2A, then 14-bit LE dims
+    val vp8 = riff("VP8 ", Array[Byte](0x30, 0x01, 0x00,
+      0x9D.toByte, 0x01, 0x2A,
+      0x40, 0x01, // width 320
+      0xF0.toByte, 0x00)) // height 240
+    assert(meta(vp8) === Some(("webp", 320, 240)))
+    // VP8L lossless: 0x2F, then (w-1) 14 bits | (h-1) << 14, LE
+    val bits = (199L & 0x3FFF) | ((99L & 0x3FFF) << 14) // 200 x 100
+    val vp8l = riff("VP8L", Array[Byte](0x2F,
+      (bits & 0xFF).toByte, ((bits >> 8) & 0xFF).toByte,
+      ((bits >> 16) & 0xFF).toByte, ((bits >> 24) & 0xFF).toByte))
+    assert(meta(vp8l) === Some(("webp", 200, 100)))
+    // VP8X extended: 4 flag bytes + 24-bit LE (w-1), (h-1)
+    val vp8x = riff("VP8X", Array[Byte](0x10, 0, 0, 0,
+      0x1F, 0x03, 0x00,  // w-1 = 799 -> 800
+      0x57, 0x02, 0x00)) // h-1 = 599 -> 600
+    assert(meta(vp8x) === Some(("webp", 800, 600)))
+    // hostile: wrong start code, truncations
+    val bad = vp8.clone(); bad(23) = 0x00
+    assert(graft.plans.ImageMeta.parse(bad) === null)
+    var i = 0
+    while (i < vp8.length) {
+      graft.plans.ImageMeta.parse(java.util.Arrays.copyOf(vp8, i))
+      i += 1
+    }
+    // RIFF-but-WAVE is NOT an image
+    assert(graft.plans.ImageMeta.parse(
+      "RIFF\u0000\u0000\u0000\u0000WAVEfmt ".getBytes("ISO-8859-1")) === null)
+  }
+
   test("garbage and empty inputs are null, not errors") {
     assert(parse(Array.emptyByteArray) === None)
     assert(parse("hello world plain text".getBytes) === None)
