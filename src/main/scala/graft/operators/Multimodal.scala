@@ -358,7 +358,9 @@ object Multimodal {
       hex(p.substr(9, 4)) === "57415645"
     val isGif = hex(p.substr(1, 4)) === "47494638"
     val isImg = hex(p.substr(1, 8)) === "89504E470D0A1A0A" ||
-      hex(p.substr(1, 2)) === "FFD8"
+      hex(p.substr(1, 2)) === "FFD8" ||
+      (hex(p.substr(1, 4)) === "52494646" &&
+        hex(p.substr(9, 4)) === "57454250") // RIFF....WEBP
     val bmp = graft.plans.VectorExpressions.bmpStats(p)
     val wav = graft.plans.VectorExpressions.wavMeta(p)
     val gif = graft.plans.VectorExpressions.gifMeta(p)

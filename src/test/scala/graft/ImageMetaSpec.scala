@@ -371,8 +371,12 @@ class ImageMetaSpec extends SparkSpec {
       "fmt ".getBytes ++ hx("10000000" + "0100" + "0200" + "80BB0000" +
         "00EE0200" + "0400" + "1000") // 2ch 48000Hz 16bit
     val junk = "not media at all".getBytes
+    // WebP (VP8X flavor): RIFF....WEBP routes to the image branch
+    val webp = "RIFF".getBytes ++ hx("1A000000") ++ "WEBP".getBytes ++
+      "VP8X".getBytes ++ hx("0E000000") ++ hx("10000000") ++
+      hx("1F0300") ++ hx("570200") // 800x600
     val rows = graft.operators.Multimodal.dispatchSelect(
-      Seq((1L, gif), (2L, png), (3L, wav), (4L, junk))
+      Seq((1L, gif), (2L, png), (3L, wav), (4L, junk), (5L, webp))
         .toDF("doc_id", "payload"), "payload")
       .orderBy("doc_id").collect()
     assert(rows(0).getString(2) === "gif")
@@ -382,6 +386,8 @@ class ImageMetaSpec extends SparkSpec {
     assert(rows(2).getString(2) === "wav")
     assert(rows(2).getInt(5) === 2 && rows(2).getInt(6) === 48000)
     assert(rows(3).isNullAt(2), "junk must not claim a media type")
+    assert(rows(4).getString(2) === "webp")
+    assert(rows(4).getInt(3) === 800 && rows(4).getInt(4) === 600)
   }
 
   test("GIF: signature/version gate, LE16 dims, truncation and zero dims rejected") {
