@@ -241,13 +241,60 @@ object ImageMeta {
 
   private val PngSig: Array[Int] = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
 
-  /** Null iff the bytes are not a parseable PNG/JPEG/WebP header.
-    * Called from generated code (static, no captures). */
+  /** Null iff the bytes are not a parseable PNG/JPEG/WebP/TIFF
+    * header. Called from generated code (static, no captures). */
   def parse(b: Array[Byte]): InternalRow = {
     val png = parsePng(b)
     if (png != null) return png
     val webp = parseWebp(b)
-    if (webp != null) webp else parseJpeg(b)
+    if (webp != null) return webp
+    val tiff = parseTiff(b)
+    if (tiff != null) tiff else parseJpeg(b)
+  }
+
+  /** TIFF triage (the EXIF substrate): "II*\0" little- or "MM\0*"
+    * big-endian header, 32-bit offset to IFD0, then the entry walk for
+    * ImageWidth (256) and ImageLength (257) — each a SHORT or LONG
+    * scalar stored inline in the 4-byte value field. Entry count is
+    * bounds-checked so a hostile header cannot walk past the buffer;
+    * both tags must resolve or the parse is null. */
+  private def parseTiff(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 14) return null
+    val le =
+      if (u8(b, 0) == 'I' && u8(b, 1) == 'I' && u8(b, 2) == 42 && u8(b, 3) == 0) true
+      else if (u8(b, 0) == 'M' && u8(b, 1) == 'M' && u8(b, 2) == 0 && u8(b, 3) == 42) false
+      else return null
+    def r16(i: Int): Int =
+      if (le) u8(b, i) | (u8(b, i + 1) << 8) else (u8(b, i) << 8) | u8(b, i + 1)
+    def r32(i: Int): Long =
+      if (le) u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+        (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+      else (u8(b, i).toLong << 24) | (u8(b, i + 1).toLong << 16) |
+        (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong
+    val ifd = r32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return null
+    val n = r16(ifd.toInt)
+    if (n <= 0 || ifd + 2 + 12L * n > b.length) return null
+    var w = -1L; var h = -1L
+    var e = 0
+    while (e < n) {
+      val off = ifd.toInt + 2 + 12 * e
+      val tag = r16(off)
+      if (tag == 256 || tag == 257) {
+        val typ = r16(off + 2)
+        val count = r32(off + 4)
+        if (count != 1L) return null // dimension tags are scalars
+        val v = typ match {
+          case 3 => r16(off + 8).toLong // SHORT rides the value field's start
+          case 4 => r32(off + 8)        // LONG fills it
+          case _ => return null
+        }
+        if (tag == 256) w = v else h = v
+      }
+      e += 1
+    }
+    if (w <= 0 || h <= 0) return null
+    row("tiff", w, h)
   }
 
   /** WebP triage (RIFF....WEBP): all three container flavors —

@@ -317,6 +317,54 @@ class ImageMetaSpec extends SparkSpec {
       "RIFF\u0000\u0000\u0000\u0000WAVEfmt ".getBytes("ISO-8859-1")) === null)
   }
 
+  test("TIFF headers: II and MM IFD walks resolve dims; hostile walks null") {
+    def tiff(le: Boolean, wTyp: Int, w: Long, hTyp: Int, h: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit =
+        if (le) { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+        else { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+      def w32(v: Long): Unit =
+        if (le) { out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+          out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt) }
+        else { out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+          out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt) }
+      if (le) { out.write('I'); out.write('I'); out.write(42); out.write(0) }
+      else { out.write('M'); out.write('M'); out.write(0); out.write(42) }
+      w32(8) // IFD0 at byte 8
+      w16(2) // two entries
+      def entry(tag: Int, typ: Int, v: Long): Unit = {
+        w16(tag); w16(typ); w32(1)
+        if (typ == 3) { w16(v.toInt); w16(0) } else w32(v)
+      }
+      entry(256, wTyp, w); entry(257, hTyp, h)
+      w32(0) // next-IFD terminator
+      out.toByteArray
+    }
+    def meta(b: Array[Byte]): Option[(String, Int, Int)] =
+      Option(graft.plans.ImageMeta.parse(b)).map(r =>
+        (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2)))
+    assert(meta(tiff(le = true, 3, 640, 3, 480)) === Some(("tiff", 640, 480)))
+    assert(meta(tiff(le = false, 3, 640, 3, 480)) === Some(("tiff", 640, 480)))
+    assert(meta(tiff(le = true, 4, 70000, 4, 480)) === Some(("tiff", 70000, 480)))
+    assert(meta(tiff(le = false, 4, 1, 3, 1)) === Some(("tiff", 1, 1)))
+    // hostile: entry count claiming past the buffer; truncations
+    val good = tiff(le = true, 3, 10, 3, 10)
+    val bomb = good.clone()
+    bomb(8) = 0xFF.toByte; bomb(9) = 0x7F.toByte
+    assert(graft.plans.ImageMeta.parse(bomb) === null)
+    var i = 0
+    while (i < good.length) {
+      graft.plans.ImageMeta.parse(java.util.Arrays.copyOf(good, i))
+      i += 1
+    }
+    // a TIFF missing one dimension tag is null, not a half-row
+    val onlyW = good.clone()
+    // overwrite the second entry's tag (257 -> 300)
+    val e2 = 8 + 2 + 12
+    onlyW(e2) = (300 & 0xFF).toByte; onlyW(e2 + 1) = ((300 >> 8) & 0xFF).toByte
+    assert(graft.plans.ImageMeta.parse(onlyW) === null)
+  }
+
   test("garbage and empty inputs are null, not errors") {
     assert(parse(Array.emptyByteArray) === None)
     assert(parse("hello world plain text".getBytes) === None)
