@@ -923,8 +923,11 @@ object Queries {
     "mm_image_meta" ->
       ("SELECT doc_id, " +
        "CAST(CASE WHEN doc_id % 97 = 0 THEN octet_length(encode(substring(text, 1, 16))) " +
-       "WHEN doc_id % 2 = 0 THEN 33 ELSE 39 END AS BIGINT) AS n_bytes, " +
-       "CASE WHEN doc_id % 97 = 0 THEN NULL WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
+       "WHEN doc_id % 4 = 0 THEN 33 WHEN doc_id % 4 = 1 THEN 39 " +
+       "WHEN doc_id % 4 = 2 THEN 30 ELSE 38 END AS BIGINT) AS n_bytes, " +
+       "CASE WHEN doc_id % 97 = 0 THEN NULL WHEN doc_id % 4 = 0 THEN 'png' " +
+       "WHEN doc_id % 4 = 1 THEN 'jpeg' WHEN doc_id % 4 = 2 THEN 'webp' " +
+       "ELSE 'tiff' END AS format, " +
        "CASE WHEN doc_id % 97 = 0 THEN NULL ELSE CAST(doc_id % 1021 + 16 AS INTEGER) END AS width, " +
        "CASE WHEN doc_id % 97 = 0 THEN NULL ELSE CAST((doc_id * 7) % 739 + 16 AS INTEGER) END AS height " +
        "FROM documents ORDER BY doc_id"),

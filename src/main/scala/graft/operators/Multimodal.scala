@@ -39,6 +39,8 @@ object Multimodal {
   private def le32h(n: Column) =
     concat(le16h(n.cast("long") % 65536), le16h((n.cast("long") / 65536).cast("long")))
   private def be(n: Column, hexDigits: Int) = unhex(lpad(hex(n), hexDigits, "0"))
+  private def le24h(n: Column) = concat(bh(n), bh((n.cast("long") / 256).cast("long")),
+    bh((n.cast("long") / 65536).cast("long")))
 
   // ---- parameterized byte builders (each returns ONE format) --------
 
@@ -47,6 +49,23 @@ object Multimodal {
   private def pngBytes(w: Column, h: Column): Column = concat(
     unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
     be(w, 8), be(h, 8), unhex(lit("0806000000" + "00000000")))
+
+  /** WebP: RIFF container, VP8X extended header (flags, then 24-bit
+    * LE canvas dims minus one) — the header-triage flavor a crawl's
+    * modern images mostly carry. 30 bytes. */
+  private def webpBytes(w: Column, h: Column): Column = unhex(concat(
+    lit("52494646"), le32h(lit(22L)), lit("57454250"),
+    lit("56503858"), le32h(lit(10L)), lit("10000000"),
+    le24h(w - 1), le24h(h - 1)))
+
+  /** TIFF: little-endian header, IFD0 at byte 8 with two SHORT
+    * entries (ImageWidth 256, ImageLength 257) and the terminator —
+    * the minimal conformant IFD walk. 38 bytes. */
+  private def tiffBytes(w: Column, h: Column): Column = unhex(concat(
+    lit("49492A00"), le32h(lit(8L)), le16h(lit(2L)),
+    le16h(lit(256L)), le16h(lit(3L)), le32h(lit(1L)), le16h(w), le16h(lit(0L)),
+    le16h(lit(257L)), le16h(lit(3L)), le32h(lit(1L)), le16h(h), le16h(lit(0L)),
+    le32h(lit(0L))))
 
   /** JPEG: SOI, APP0/JFIF (16-byte segment the parser must SKIP via
     * its length field), then SOF0 (len 17, precision 8, h, w, 3
@@ -134,8 +153,10 @@ object Multimodal {
     kind match {
       case "img" => Seq(
         (id % 97 === 0, encode(text.substr(1, 16), "UTF-8")),
-        (id % 97 =!= 0 && id % 2 === 0, pngBytes(iw, ih)),
-        (id % 97 =!= 0 && id % 2 =!= 0, jpegBytes(iw, ih)))
+        (id % 97 =!= 0 && id % 4 === 0, pngBytes(iw, ih)),
+        (id % 97 =!= 0 && id % 4 === 1, jpegBytes(iw, ih)),
+        (id % 97 =!= 0 && id % 4 === 2, webpBytes(iw, ih)),
+        (id % 97 =!= 0 && id % 4 === 3, tiffBytes(iw, ih)))
       case "audio" => Seq(
         (id % 89 === 0, encode(text.substr(1, 12), "UTF-8")),
         (id % 89 =!= 0, wavBytes(id, id % 2 === 1)))

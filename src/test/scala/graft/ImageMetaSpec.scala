@@ -397,15 +397,18 @@ class ImageMetaSpec extends SparkSpec {
       if (id % 97 == 0) {
         assert(r.isNullAt(2), s"doc $id: corrupt payload must parse null")
       } else {
-        assert(r.getString(2) === (if (id % 2 == 0) "png" else "jpeg"), s"doc $id")
+        val want = (id % 4) match {
+          case 0 => "png"; case 1 => "jpeg"; case 2 => "webp"; case _ => "tiff"
+        }
+        assert(r.getString(2) === want, s"doc $id")
         assert(r.getInt(3) === (id % 1021 + 16).toInt, s"doc $id width")
         assert(r.getInt(4) === ((id * 7) % 739 + 16).toInt, s"doc $id height")
       }
     }
-    // and the fixture must exercise all three branches
+    // and the fixture must exercise every branch
     assert(out.exists(_.getLong(0) % 97 == 0))
-    assert(out.exists(r => !r.isNullAt(2) && r.getString(2) == "png"))
-    assert(out.exists(r => !r.isNullAt(2) && r.getString(2) == "jpeg"))
+    for (f <- Seq("png", "jpeg", "webp", "tiff"))
+      assert(out.exists(r => !r.isNullAt(2) && r.getString(2) == f), s"no $f row")
   }
 
   test("five-way magic-byte dispatch routes every format, GIF included") {
