@@ -501,7 +501,14 @@ object JpegPixels {
       compH: Array[Int], compV: Array[Int],
       qts: Array[Array[Int]], dcT: Array[HuffTable], acT: Array[HuffTable],
       restartInterval0: Int): InternalRow = {
+    // match baseline triage: a zero-dim frame is NULL, not a (0,h,...) row
+    if (w == 0 || h == 0) return null
     if (w.toLong * h > MaxPixelsProgressive) return null
+    // scan budget (libjpeg-style): a hostile stream can pack scans that
+    // consume ~0 entropy bits yet each cost a full block-grid walk —
+    // without a cap that's O(input_bytes * image_blocks) CPU
+    val maxScans = 64 * nComp
+    var nScans = 0
     var restartInterval = restartInterval0
     val hmax = compH(0); val vmax = compV(0) // scope: chroma 1x1 (SOF-validated)
     val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
@@ -522,6 +529,8 @@ object JpegPixels {
     while (!done) {
       if (atSos) {
         // ---- one scan: header then entropy-coded data ----
+        nScans += 1
+        if (nScans > maxScans) return null
         if (i + 2 > b.length) return null
         val len = u16(b, i)
         if (len < 2 || i + len > b.length) return null

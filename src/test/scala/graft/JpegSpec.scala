@@ -250,6 +250,42 @@ class JpegSpec extends SparkSpec {
     assert(graft.plans.JpegPixels.parse(huge) === null)
   }
 
+  test("zero-dimension progressive headers return NULL (baseline triage parity)") {
+    val good = graft.plans.JpegEncode.encodeBlockyProgressive(17, 12, 5L, 3, restartRows = false)
+    val sof = good.indices.find(k =>
+      (good(k) & 0xFF) == 0xFF && (good(k + 1) & 0xFF) == 0xC2).get
+    val zw = good.clone()
+    zw(sof + 7) = 0; zw(sof + 8) = 0 // w = 0
+    assert(graft.plans.JpegPixels.parse(zw) === null)
+    val zh = good.clone()
+    zh(sof + 5) = 0; zh(sof + 6) = 0 // h = 0
+    assert(graft.plans.JpegPixels.parse(zh) === null)
+  }
+
+  test("a progressive scan-count bomb returns NULL; a few extra scans stay exact") {
+    // gray script ends with a DC refinement scan, which is idempotent
+    // under repetition (each pass re-ORs the same approximation bit),
+    // so splicing copies of the final scan keeps the stream decodable
+    // until the scan budget (64 * nComp) trips
+    val good = graft.plans.JpegEncode.encodeBlockyProgressive(17, 12, 5L, 3, restartRows = false)
+    assert((good(good.length - 2) & 0xFF) == 0xFF && (good.last & 0xFF) == 0xD9)
+    val lastSos = (good.length - 2 to 0 by -1).find(k =>
+      (good(k) & 0xFF) == 0xFF && (good(k + 1) & 0xFF) == 0xDA).get
+    val span = java.util.Arrays.copyOfRange(good, lastSos, good.length - 2)
+    def spliced(copies: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(good, 0, good.length - 2)
+      for (_ <- 0 until copies) out.write(span)
+      out.write(0xFF); out.write(0xD9)
+      out.toByteArray
+    }
+    // 6 base scans + 70 copies > 64-scan gray budget -> NULL, no throw
+    assert(graft.plans.JpegPixels.parse(spliced(70)) === null)
+    // 3 copies stay within budget and decode to the exact sums
+    val s = expected(17, 12, 5L)
+    assert(parsed(spliced(3)) === Some((17, 12, s, s, s, 17L * 12)))
+  }
+
   test("randomized progressive scan scripts all decode to the exact sums (seeded)") {
     val rnd = new scala.util.Random(20260814L)
     for (trial <- 0 until 30) {
