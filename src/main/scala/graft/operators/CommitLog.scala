@@ -896,11 +896,16 @@ object CommitLog {
     * `_metadata` is only resolvable on the file source relation. */
   private def maskDvs(spark: SparkSession, tablePath: String,
       asOf: Option[Long], files: Seq[String],
-      df: DataFrame): DataFrame = {
+      df: DataFrame): DataFrame =
+    maskDvsWith(tablePath, deletionVectorRefs(spark, tablePath, asOf), files, df)
+
+  /** [[maskDvs]] against already-resolved DV references — the
+    * multi-probe path replays them once per query, not once per term. */
+  private def maskDvsWith(tablePath: String, allRefs: FileDvs,
+      files: Seq[String], df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, map, not}
     val live = files.toSet
-    val refs = deletionVectorRefs(spark, tablePath, asOf)
-      .filter { case (f, _) => live.contains(f) }
+    val refs = allRefs.filter { case (f, _) => live.contains(f) }
     if (refs.isEmpty) df
     else {
       // keyed by file NAME: staged files carry fresh uuid names, so
@@ -934,24 +939,27 @@ object CommitLog {
     * regexp, keep when absent (conservative) or overlapping. The
     * CaseWhen keeps the ANSI double cast off the no-stats branch.
     * Package-visible so the spec can pin the plan shape. */
-  private[graft] def zoneKeep(column: String, lo: Double, hi: Double): DataFrame => DataFrame = {
+  private[graft] def zoneKeep(column: String, lo: Double, hi: Double): DataFrame => DataFrame =
+    df => df.filter(zoneKeepCol(column, lo, hi))
+
+  /** [[zoneKeep]]'s predicate as a boolean Column, so a multi-probe
+    * resolve can evaluate many keeps in ONE checkpoint scan. */
+  private[graft] def zoneKeepCol(column: String, lo: Double, hi: Double): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, isnan, lit, regexp_extract, when}
     val pat = "\"" + java.util.regex.Pattern.quote(esc(column)) +
       "\":\\[([^,\\]]+),([^\\]]+)\\]"
-    df => {
-      val mn = regexp_extract(col("stats"), pat, 1)
-      val mx = regexp_extract(col("stats"), pat, 2)
-      // Corruption-safe like bloomKeep: a non-empty but UNPARSABLE (or
-      // NaN) bound must KEEP the file — try_cast nulls instead of
-      // throwing (ANSI) and the null/NaN branch short-circuits to true,
-      // so a damaged stats body degrades to no-skip, never to pruning
-      // live rows
-      val mnD = mn.try_cast("double")
-      val mxD = mx.try_cast("double")
-      df.filter(when(mn === "" || mx === "" ||
-          mnD.isNull || mxD.isNull || isnan(mnD) || isnan(mxD), lit(true))
-        .otherwise(mxD >= lo && mnD <= hi))
-    }
+    val mn = regexp_extract(col("stats"), pat, 1)
+    val mx = regexp_extract(col("stats"), pat, 2)
+    // Corruption-safe like bloomKeep: a non-empty but UNPARSABLE (or
+    // NaN) bound must KEEP the file — try_cast nulls instead of
+    // throwing (ANSI) and the null/NaN branch short-circuits to true,
+    // so a damaged stats body degrades to no-skip, never to pruning
+    // live rows
+    val mnD = mn.try_cast("double")
+    val mxD = mx.try_cast("double")
+    when(mn === "" || mx === "" ||
+        mnD.isNull || mxD.isNull || isnan(mnD) || isnan(mxD), lit(true))
+      .otherwise(mxD >= lo && mnD <= hi)
   }
 
   /** A conjunctive file-skipping predicate: numeric zone ranges plus
@@ -1006,12 +1014,17 @@ object CommitLog {
     * column type first; None when the type can't be resolved or the
     * cast is lossy (no pruning — the re-applied predicate decides). */
   private[graft] def probeHashFor(spark: SparkSession, tablePath: String,
-      asOf: Option[Long], column: String, value: Any): Option[Long] = {
-    val colType = tableSchema(spark, tablePath, asOf)
-      .flatMap(_.fields.find(_.name == column).map(_.dataType))
-      .orElse(snapshot(spark, tablePath, asOf).headOption.flatMap { f =>
-        spark.read.parquet(s"$tablePath/$f")
-          .schema.fields.find(_.name == column).map(_.dataType) })
+      asOf: Option[Long], column: String, value: Any): Option[Long] =
+    probeHashOf(tableSchema(spark, tablePath, asOf)
+      .orElse(snapshot(spark, tablePath, asOf).headOption.map(f =>
+        spark.read.parquet(s"$tablePath/$f").schema)), column, value)
+
+  /** The probe-typing core of [[probeHashFor]] against an
+    * already-resolved schema — the multi-probe path resolves the
+    * schema ONCE and types every term against it. */
+  private def probeHashOf(schema: Option[StructType], column: String,
+      value: Any): Option[Long] = {
+    val colType = schema.flatMap(_.fields.find(_.name == column).map(_.dataType))
     val probe: Option[Any] = (colType, value) match {
       case (Some(LongType), i: Int) => Some(i.toLong)
       case (Some(LongType), l: Long) => Some(l)
@@ -1035,15 +1048,16 @@ object CommitLog {
     * unpruned scan-and-filter. */
   def scanRange(spark: SparkSession, tablePath: String, column: String,
       lo: Double, hi: Double, asOf: Option[Long] = None): DataFrame = {
-    val files = prunedFilesFor(spark, tablePath, asOf,
-      SkipPreds(ranges = Seq((column, lo, hi))))
+    val meta = resolvedMeta(spark, tablePath, asOf)
+    val files = prunedFilesMulti(spark, tablePath, meta,
+      Seq(SkipPreds(ranges = Seq((column, lo, hi))))).head
     val pred = org.apache.spark.sql.functions.col(column) >= lo &&
       org.apache.spark.sql.functions.col(column) <= hi
     if (files.isEmpty) read(spark, tablePath, asOf).filter(org.apache.spark.sql.functions.lit(false))
     // declared-schema read: a post-evolution scan over mixed-schema
     // survivors must null-fill, exactly like [[read]]
-    else maskDvs(spark, tablePath, asOf, files,
-      readerFor(spark, tablePath, asOf)
+    else maskDvsWith(tablePath, meta.dvRefs, files,
+      readerOf(spark, meta)
         .parquet(files.map(f => s"$tablePath/$f"): _*)).filter(pred)
   }
 
@@ -1078,20 +1092,168 @@ object CommitLog {
     * result is identical to an unpruned scan-and-filter. Probe types:
     * integral or string (the columns `xxhash64` hashes portably). */
   def scanEquals(spark: SparkSession, tablePath: String, column: String,
-      value: Any, asOf: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    // probe typing subtleties live in [[probeHashFor]]; None = no
-    // pruning for this shape (conservative — identical results)
-    val files = probeHashFor(spark, tablePath, asOf, column, value) match {
-      case None => snapshot(spark, tablePath, asOf)
-      case Some(h) => prunedFilesFor(spark, tablePath, asOf,
-        SkipPreds(probes = Seq((column, h))))
+      value: Any, asOf: Option[Long] = None): DataFrame =
+    scanEqualsMulti(spark, tablePath, column, Seq(value), asOf).head
+
+  /** Version-pinned table metadata resolved ONCE and memoized for the
+    * Spark app's lifetime. Everything here is immutable for a committed
+    * version — the log is append-only (writers only ever publish NEW
+    * versions; restore/compaction included), so re-deriving it per
+    * probe is pure fixed cost. Contents stay metadata-sized: file
+    * NAMES (exactly what [[read]] ships to the driver anyway), the
+    * checkpoint-interval-bounded JSON tail, the declared/inferred
+    * schema, and the (sparse) DV reference map — never per-file stats
+    * or bloom bytes, which stay in the checkpoint's parquet domain. */
+  private[graft] final case class ResolvedMeta(
+      version: Long,
+      cp: Option[Long],
+      tail: Seq[(Long, String)],
+      live: Seq[String],
+      declared: Option[StructType],
+      probeSchema: Option[StructType],
+      dvRefs: FileDvs)
+
+  private val metaCache = new graft.AppScopedCache[ResolvedMeta]()
+
+  /** Resolve-or-recall the metadata pinned at `asOf` (latest when
+    * None). The PIN is re-derived per call — "latest" must observe a
+    * concurrent writer's new commit, so the version listing always
+    * runs — but everything hanging off a pinned version serves from
+    * the cache. The key carries the pinned commit file's mtime so a
+    * table dropped and recreated at the same path (same version
+    * numbers, different content) can never serve a stale resolve. */
+  private[graft] def resolvedMeta(spark: SparkSession, tablePath: String,
+      asOf: Option[Long]): ResolvedMeta = {
+    val vs = versions(spark, tablePath)
+    val pin = vs.filter(v => asOf.forall(_ >= v)).foldLeft(-1L)(math.max)
+    def resolve(): ResolvedMeta = {
+      val at = if (pin < 0) None else Some(pin)
+      val cp = bestCheckpoint(spark, tablePath, at)
+      val tail = vs.filter(v => cp.forall(v > _) && v <= pin)
+        .map(v => v -> commitLine(spark, tablePath, v))
+      val live = scala.collection.mutable.LinkedHashSet.empty[String]
+      cp.foreach { c =>
+        val dir = new Path(new Path(tablePath, LogDir), cpDirName(c))
+        live ++= spark.read.parquet(dir.toString)
+          .select("file").collect().map(_.getString(0))
+      }
+      tail.foreach { case (_, line) =>
+        extractArr(line, "adds").foreach(live += _)
+        live --= extractArr(line, "removes")
+      }
+      val declared = tableSchema(spark, tablePath, at)
+      val probeSchema = declared.orElse(live.headOption.map(f =>
+        spark.read.parquet(s"$tablePath/$f").schema))
+      ResolvedMeta(pin, cp, tail, live.toSeq, declared, probeSchema,
+        deletionVectorRefs(spark, tablePath, at))
     }
-    if (files.isEmpty) read(spark, tablePath, asOf).filter(lit(false))
-    else maskDvs(spark, tablePath, asOf, files,
-      readerFor(spark, tablePath, asOf)
-        .parquet(files.map(f => s"$tablePath/$f"): _*))
-      .filter(col(column) === lit(value))
+    if (pin < 0) resolve() // empty table: nothing worth caching
+    else {
+      val p = new Path(new Path(tablePath, LogDir), f"$pin%08d.json")
+      val mtime = scala.util.Try(
+        fsOf(spark, p).getFileStatus(p).getModificationTime).getOrElse(0L)
+      metaCache.getOrCompute(spark, s"$tablePath@$pin@$mtime")(resolve())
+    }
+  }
+
+  /** ONE parquet-domain job, many probes: for each `preds(i)`, the
+    * pinned version's live files NOT provably excluded by it — the
+    * per-term pruning of [[scanEquals]] batched so a k-term query pays
+    * one checkpoint scan and one tail walk instead of k full snapshot
+    * resolutions. Each leg keeps its conservative posture (absent or
+    * corrupt metadata keeps the file); an EMPTY SkipPreds yields the
+    * full live set (the no-pruning fallback for unhashable probes).
+    * Only rows some probe keeps are collected, each as (file, k keep
+    * bits) — still O(survivors) driver traffic. */
+  private[graft] def prunedFilesMulti(spark: SparkSession, tablePath: String,
+      meta: ResolvedMeta, preds: Seq[SkipPreds]): Seq[Seq[String]] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val keepCols = preds.map { p =>
+      (p.ranges.map { case (c, lo, hi) => zoneKeepCol(c, lo, hi) } ++
+        p.probes.map { case (c, h) => bloomKeepCol(c, h) })
+        .reduceOption(_ && _).getOrElse(lit(true))
+    }
+    val out = preds.map(_ => scala.collection.mutable.LinkedHashSet.empty[String])
+    meta.cp.foreach { c =>
+      val dir = new Path(new Path(tablePath, LogDir), cpDirName(c))
+      spark.read.parquet(dir.toString)
+        .select(col("file") +: keepCols.zipWithIndex.map { case (k, i) =>
+          // a NULL keep means "filtered out" under the single-probe
+          // path's df.filter — coalesce to false for identical results
+          org.apache.spark.sql.functions.coalesce(k, lit(false)).as(s"_k$i")
+        }: _*)
+        .filter(preds.indices.map(i => col(s"_k$i")).reduce(_ || _))
+        .collect()
+        .foreach { r =>
+          var i = 0
+          while (i < preds.length) {
+            if (r.getBoolean(i + 1)) out(i) += r.getString(0)
+            i += 1
+          }
+        }
+    }
+    meta.tail.foreach { case (_, line) =>
+      val st = extractStats(line)
+      val bl = extractBlooms(line)
+      val adds = extractArr(line, "adds")
+      val removes = extractArr(line, "removes")
+      preds.zipWithIndex.foreach { case (p, i) =>
+        adds.foreach { f =>
+          val fst = st.getOrElse(f, Map.empty[String, (Double, Double)])
+          val fbl = bl.getOrElse(f, Map.empty[String, String])
+          val keep = p.ranges.forall { case (c, lo, hi) =>
+            fst.get(c).forall { case (mn, mx) => !(mx < lo || mn > hi) } } &&
+            p.probes.forall { case (c, h) => addMightContain(fbl, c, h) }
+          if (keep) out(i) += f
+        }
+        out(i) --= removes
+      }
+    }
+    out.map(_.toSeq)
+  }
+
+  /** [[scanEquals]] batched over many probe values with ONE metadata
+    * resolve. A k-term index query (phrase intersect, BM25, AND
+    * search) previously paid k independent snapshot resolutions — k
+    * version listings, k checkpoint scans, k schema replays, k DV
+    * replays — all of the SAME version: pure fixed cost that dominated
+    * serve latency once the data work shrank to Bloom-pruned segment
+    * reads. Here the version pins once, the schema and DV references
+    * replay once (memoized app-wide per pinned version), and every
+    * term's Bloom pruning runs in one parquet-domain job over the
+    * checkpoint. Returns one DataFrame per value, each identical to
+    * its [[scanEquals]] twin. */
+  def scanEqualsMulti(spark: SparkSession, tablePath: String, column: String,
+      values: Seq[Any], asOf: Option[Long] = None): Seq[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (values.isEmpty) return Seq.empty
+    val meta = resolvedMeta(spark, tablePath, asOf)
+    // probe typing subtleties live in [[probeHashOf]]; None = no
+    // pruning for this shape (conservative — identical results)
+    val preds = values.map(v => probeHashOf(meta.probeSchema, column, v)
+      .fold(SkipPreds())(h => SkipPreds(probes = Seq((column, h)))))
+    val filesPer = prunedFilesMulti(spark, tablePath, meta, preds)
+    val reader = readerOf(spark, meta)
+    values.zip(filesPer).map { case (v, files) =>
+      if (files.isEmpty) {
+        // same shape [[read]].filter(false) serves: the full live scan
+        // under the empty filter (planner prunes it), or the declared
+        // schema's empty relation for a file-less table
+        if (meta.live.nonEmpty)
+          reader.parquet(meta.live.map(f => s"$tablePath/$f"): _*)
+            .filter(lit(false))
+        else {
+          require(meta.declared.isDefined,
+            s"no live files in $tablePath" +
+            asOf.fold("")(a => s" at version $a") + " and no declared schema")
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            meta.declared.get)
+        }
+      } else maskDvsWith(tablePath, meta.dvRefs, files,
+        reader.parquet(files.map(f => s"$tablePath/$f"): _*))
+        .filter(col(column) === lit(v))
+    }
   }
 
   /** The parquet-domain bloom probe over a checkpoint's `blooms`
@@ -1105,7 +1267,12 @@ object CommitLog {
     * BloomAggregate's exactly. Files without a filter, with an
     * unparseable entry, or with k beyond the probe fan-out are kept
     * (conservative). Package-visible so the spec can pin the plan. */
-  private[graft] def bloomKeep(column: String, h: Long): DataFrame => DataFrame = {
+  private[graft] def bloomKeep(column: String, h: Long): DataFrame => DataFrame =
+    df => df.filter(bloomKeepCol(column, h))
+
+  /** [[bloomKeep]]'s predicate as a boolean Column — the multi-probe
+    * twin of [[zoneKeepCol]]. */
+  private[graft] def bloomKeepCol(column: String, h: Long): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, get, lit, not, octet_length, pmod, regexp_extract, split, unbase64, when}
     val pat = "\"" + java.util.regex.Pattern.quote(esc(column)) + "\":\"([^\"]+)\""
     // probe positions' dividends: driver constants (h is the constant
@@ -1114,33 +1281,30 @@ object CommitLog {
     val h2 = ((h >>> 32).toInt << 1) | 1
     val kMax = 16
     val gs = Array.tabulate(kMax)(i => (h1 + i.toLong * h2).toInt)
-    df => {
-      val enc = regexp_extract(col("blooms"), pat, 1)
-      val parts = split(enc, ":", 2)
-      val kCol = get(parts, lit(0)).cast("int")
-      val b64 = get(parts, lit(1))
-      val bin = unbase64(b64)
-      // whole 64-bit words only, exactly like BloomAggregate.wordsOf —
-      // a trailing partial word is never probed by the builder either
-      val mBits = (octet_length(bin) - pmod(octet_length(bin), lit(8))) * 8
-      val mightContain = (0 until kMax).map { i =>
-        lit(i) >= kCol || graft.plans.DeletionVector.dvTest(
-          bin, pmod(lit(gs(i)), mBits).cast("long"))
-      }.reduce(_ && _)
-      // a CORRUPT entry must keep the file, never throw: the digit
-      // guard is LENGTH-bounded (an unbounded `[0-9]+` would let a
-      // hostile k overflow the ANSI int cast) and the payload must be
-      // shaped like base64 before unbase64 ever evaluates — the lazy
-      // CaseWhen keeps both casts off the malformed branch
-      val malformed = enc === "" ||
-        not(enc.rlike("^[0-9]{1,3}:")) ||
-        not(b64.rlike("^[A-Za-z0-9+/]+={0,2}$")) ||
-        pmod(org.apache.spark.sql.functions.length(b64), lit(4)) =!= 0
-      df.filter(
-        when(malformed, lit(true))
-          .otherwise(when(kCol > kMax || mBits <= 0, lit(true))
-            .otherwise(mightContain)))
-    }
+    val enc = regexp_extract(col("blooms"), pat, 1)
+    val parts = split(enc, ":", 2)
+    val kCol = get(parts, lit(0)).cast("int")
+    val b64 = get(parts, lit(1))
+    val bin = unbase64(b64)
+    // whole 64-bit words only, exactly like BloomAggregate.wordsOf —
+    // a trailing partial word is never probed by the builder either
+    val mBits = (octet_length(bin) - pmod(octet_length(bin), lit(8))) * 8
+    val mightContain = (0 until kMax).map { i =>
+      lit(i) >= kCol || graft.plans.DeletionVector.dvTest(
+        bin, pmod(lit(gs(i)), mBits).cast("long"))
+    }.reduce(_ && _)
+    // a CORRUPT entry must keep the file, never throw: the digit
+    // guard is LENGTH-bounded (an unbounded `[0-9]+` would let a
+    // hostile k overflow the ANSI int cast) and the payload must be
+    // shaped like base64 before unbase64 ever evaluates — the lazy
+    // CaseWhen keeps both casts off the malformed branch
+    val malformed = enc === "" ||
+      not(enc.rlike("^[0-9]{1,3}:")) ||
+      not(b64.rlike("^[A-Za-z0-9+/]+={0,2}$")) ||
+      pmod(org.apache.spark.sql.functions.length(b64), lit(4)) =!= 0
+    when(malformed, lit(true))
+      .otherwise(when(kCol > kMax || mBits <= 0, lit(true))
+        .otherwise(mightContain))
   }
 
   /** Snapshot read: resolve a version, hand exactly that commit's file
@@ -1148,22 +1312,33 @@ object CommitLog {
     * publish by writing a NEW log entry this read never consults. */
   def read(spark: SparkSession, tablePath: String,
       asOf: Option[Long] = None): DataFrame = {
-    val files = snapshot(spark, tablePath, asOf)
-    if (files.isEmpty) {
+    // served from the memoized per-version resolve: a session reading
+    // the same version many times (index serving, repeated analytics)
+    // replays schema/DV/snapshot once, not per read
+    val meta = resolvedMeta(spark, tablePath, asOf)
+    if (meta.live.isEmpty) {
       // a truncated/pre-first-append table still reads — as the empty
       // relation in its declared schema (without one there is no shape
       // to serve, and the old refusal stands)
-      val declared = tableSchema(spark, tablePath, asOf)
-      require(declared.isDefined,
+      require(meta.declared.isDefined,
         s"no live files in $tablePath" + asOf.fold("")(v => s" at version $v") +
         " and no declared schema")
       return spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        declared.get)
+        meta.declared.get)
     }
-    maskDvs(spark, tablePath, asOf, files,
-      readerFor(spark, tablePath, asOf).parquet(files.map(f => s"$tablePath/$f"): _*))
+    maskDvsWith(tablePath, meta.dvRefs, meta.live,
+      readerOf(spark, meta).parquet(meta.live.map(f => s"$tablePath/$f"): _*))
   }
+
+  /** Reader honoring the resolve's declared schema (nullability
+    * relaxed, like [[readerFor]]); an UNDECLARED table reads under the
+    * resolve-time inferred footer schema — one footer read per
+    * version, not one inference pass per query (undeclared tables are
+    * uniform-schema by contract: evolution requires a declaration). */
+  private def readerOf(spark: SparkSession, meta: ResolvedMeta) =
+    meta.declared.orElse(meta.probeSchema).fold(spark.read)(d =>
+      spark.read.schema(StructType(d.fields.map(_.copy(nullable = true)))))
 
   /** Stage `df` as new immutable data files and publish them in one
     * commit. Appends never rewrite existing files. */

@@ -139,13 +139,14 @@ object Search {
     * scans, one aligned equi-join per phrase term. */
   def phraseFromIndex(spark: SparkSession, table: String,
       phrase: Seq[String], asOf: Option[Long] = None): DataFrame = {
-    def termPostings(t: String) =
-      graft.operators.CommitLog.scanEquals(spark, table, "token", t, asOf)
-    val anchor = termPostings(phrase.head)
+    // ONE snapshot resolve for the whole phrase (scanEqualsMulti): a
+    // k-term query must not pay k checkpoint scans of the same version
+    val perTerm = graft.operators.CommitLog
+      .scanEqualsMulti(spark, table, "token", phrase, asOf)
+    val anchor = perTerm.head
       .select(col("doc_id"), col("pos"))
-    val joined = phrase.zipWithIndex.tail.foldLeft(anchor) { case (acc, (w, i)) =>
-      acc.join(termPostings(w)
-          .select(col("doc_id"), (col("pos") - i).as("pos")),
+    val joined = perTerm.zipWithIndex.tail.foldLeft(anchor) { case (acc, (df, i)) =>
+      acc.join(df.select(col("doc_id"), (col("pos") - i).as("pos")),
         Seq("doc_id", "pos"))
     }
     joined.groupBy(col("doc_id"))
@@ -237,7 +238,8 @@ object Search {
   def searchAllIndexed(spark: SparkSession, dir: String,
       terms: Seq[String] = QueryTerms, asOf: Option[Long] = None): DataFrame = {
     val table = indexTablePath(spark, dir)
-    terms.map(t => graft.operators.CommitLog.scanEquals(spark, table, "token", t, asOf))
+    graft.operators.CommitLog
+      .scanEqualsMulti(spark, table, "token", terms, asOf)
       .reduce(_ unionAll _)
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("token")).as("n_terms"),
@@ -287,8 +289,8 @@ object Search {
     * (fixture-built or stream-maintained). */
   def bm25FromIndex(spark: SparkSession, idxTable: String, normsTable: String,
       terms: Seq[String], asOf: Option[Long] = None): DataFrame = {
-    val matchedPost = terms
-      .map(t => graft.operators.CommitLog.scanEquals(spark, idxTable, "token", t, asOf))
+    val matchedPost = graft.operators.CommitLog
+      .scanEqualsMulti(spark, idxTable, "token", terms, asOf)
       .reduce(_ unionAll _)
     val dl = graft.operators.CommitLog.read(spark, normsTable, asOf)
       .select(col("doc_id"), col("dl").cast("double").as("dl"))

@@ -300,6 +300,38 @@ class CommitLogSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("scanEqualsMulti: one resolve, per-term pruning identical to scanEquals") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      (0 until 3).foreach { b =>
+        CommitLog.appendWithBloom(spark, t,
+          Seq.tabulate(1000)(i => { val id = 3L * i + b; (id, s"doc-$id") })
+            .toDF("id", "name").coalesce(1),
+          bloomCols = Seq("id"), statsCols = Seq("id"))
+      }
+      // hit / other-file hit / definitive miss, in one batched resolve
+      val Seq(a, b2, miss) =
+        CommitLog.scanEqualsMulti(spark, t, "id", Seq(1234L, 2000L, 999999L))
+      assert(a.inputFiles.length === 1 && a.count() === 1)
+      assert(a.head.getString(1) === "doc-1234")
+      assert(b2.inputFiles.length === 1 && b2.count() === 1)
+      assert(miss.count() === 0)
+      // per-value results are the scanEquals twins, file set included
+      assert(a.inputFiles.toSet ===
+        CommitLog.scanEquals(spark, t, "id", 1234L).inputFiles.toSet)
+      // a new commit moves the pin: the memoized resolve must not
+      // serve yesterday's version for today's query
+      CommitLog.append(spark, t, Seq((999999L, "doc-999999")).toDF("id", "name"))
+      val Seq(fresh) = CommitLog.scanEqualsMulti(spark, t, "id", Seq(999999L))
+      assert(fresh.count() === 1, "stale resolve served after a new commit")
+      // asOf pins time-travel exactly like scanEquals
+      val v0 = 2L // the third bloom append
+      assert(CommitLog.scanEqualsMulti(spark, t, "id", Seq(999999L), Some(v0))
+        .head.count() === 0)
+    } finally cleanup(t)
+  }
+
   test("optimizeZOrder: atomic, feed-invisible, prunes both dims from the log") {
     val t = tempTable()
     try {
