@@ -158,13 +158,17 @@ object CommitLog {
       schemaB64: Option[String] = None,
       constraintsField: Option[Constraints] = None,
       dvs: FileDvs = Map.empty,
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None,
+      pins: Map[String, Long] = Map.empty): Long = {
     val log = new Path(tablePath, LogDir)
     val fs = fsOf(spark, log)
     fs.mkdirs(log)
     val tmp = new Path(log, s".tmp-${java.util.UUID.randomUUID()}")
     var v = latestVersion(spark, tablePath) + 1
     val batchField = batchId.fold("")(b => s""","batchId":$b""")
+    val pinsField = if (pins.isEmpty) "" else
+      pins.toSeq.sortBy(_._1).map { case (k, ver) => s""""${esc(k)}":$ver""" }
+        .mkString(""","pins":{""", ",", "}")
     val statsField = if (stats.isEmpty) "" else s""","stats":${jstats(stats)}"""
     val bloomField = if (blooms.isEmpty) "" else s""","blooms":${jblooms(blooms)}"""
     val schemaField = schemaB64.fold("")(s => s""","schemaB64":"$s"""")
@@ -172,7 +176,7 @@ object CommitLog {
     val dvField = if (dvs.isEmpty) "" else s""","dvs":${jdvs(dvs)}"""
     val dcField = if (dataChange) "" else s""","dataChange":false"""
     val body = (version: Long, tsMillis: Long) =>
-      s"""{"version":$version,"tsMillis":$tsMillis,"adds":${jarr(adds)},"removes":${jarr(removes)}$batchField$statsField$bloomField$schemaField$consField$dvField$dcField}"""
+      s"""{"version":$version,"tsMillis":$tsMillis,"adds":${jarr(adds)},"removes":${jarr(removes)}$batchField$pinsField$statsField$bloomField$schemaField$consField$dvField$dcField}"""
     def conflict(): Nothing = {
       scala.util.Try(fs.delete(tmp, false))
       throw new java.util.ConcurrentModificationException(
@@ -254,6 +258,63 @@ object CommitLog {
         stageWithMeta(spark, tablePath, df, statsCols, bloomCols)
       Some(commit(spark, tablePath, files, Seq.empty, Some(batchId),
         stats = stats, blooms = blooms))
+    }
+
+  // ---- cross-table transactions: the parent-commit manifest ----
+  // Child tables commit independently (each exactly-once under its own
+  // batchId ledger); a transaction becomes VISIBLE only when its parent
+  // manifest entry lands, pinning (role -> child version). Readers
+  // resolve the manifest first and serve every child AS OF its pinned
+  // version — so a crash between child commits, or after the last
+  // child but before the manifest, leaves the PREVIOUS transaction
+  // serving and the half-landed one invisible until replay completes
+  // it. The manifest is itself a (data-less) commit-log directory: the
+  // same claim-by-rename atomicity, batchId ledger, monotone
+  // timestamps, and time travel as any table.
+
+  /** Publish the parent commit for one transaction: `pins` maps each
+    * child ROLE to the version that child's batchId-stamped commit
+    * landed at. Exactly-once per batchId (None on a recognized
+    * replay). Call only after EVERY child commit has landed —
+    * [[versionForBatchId]] recovers a replayed child's version. */
+  def txnCommit(spark: SparkSession, manifestDir: String, batchId: Long,
+      pins: Map[String, Long]): Option[Long] =
+    if (committedBatchIds(spark, manifestDir).contains(batchId)) None
+    else Some(commit(spark, manifestDir, Seq.empty, Seq.empty,
+      Some(batchId), dataChange = false, pins = pins))
+
+  private val pinColRe = """"((?:[^"\\]|\\.)+)":(-?\d+)""".r
+
+  /** The newest committed transaction's pins at `asOf` (latest when
+    * None) — empty when no transaction has ever been published. */
+  def txnPins(spark: SparkSession, manifestDir: String,
+      asOf: Option[Long] = None): Map[String, Long] =
+    versions(spark, manifestDir).filter(v => asOf.forall(v <= _))
+      .reverseIterator
+      .map(v => extractSection(commitLine(spark, manifestDir, v), "pins"))
+      .collectFirst { case Some(body) =>
+        pinColRe.findAllMatchIn(body).map(m =>
+          unescKey(m.group(1)) -> m.group(2).toLong).toMap }
+      .getOrElse(Map.empty)
+
+  // pin keys pass through esc()/the JSON scanner unescaped-safe for
+  // the role names the writers use; this un-escapes the two chars esc
+  // escapes so a path-shaped key round-trips too
+  private def unescKey(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** The version whose commit carries `batchId` — the ledger's inverse
+    * lookup, how a replayed transaction recovers the child version its
+    * earlier incarnation landed. Newest-first: a batchId appears at
+    * most once per table by the [[appendStream]] contract. */
+  def versionForBatchId(spark: SparkSession, tablePath: String,
+      batchId: Long): Option[Long] =
+    versions(spark, tablePath).reverseIterator.find { v =>
+      val line = commitLine(spark, tablePath, v)
+      val i = line.indexOf("\"batchId\":")
+      i >= 0 && scala.util.Try(line.substring(i + 10)
+        .takeWhile(c => c.isDigit || c == '-').toLong)
+        .toOption.contains(batchId)
     }
 
   def latestVersion(spark: SparkSession, tablePath: String): Long = {

@@ -236,8 +236,14 @@ object Search {
     * `asOf = Some(0)` serves yesterday's index: only base-segment
     * hits. */
   def searchAllIndexed(spark: SparkSession, dir: String,
-      terms: Seq[String] = QueryTerms, asOf: Option[Long] = None): DataFrame = {
-    val table = indexTablePath(spark, dir)
+      terms: Seq[String] = QueryTerms, asOf: Option[Long] = None): DataFrame =
+    andFromIndex(spark, indexTablePath(spark, dir), terms, asOf)
+
+  /** The conjunctive (AND) serve plan over ANY postings-index table —
+    * the body of [[searchAllIndexed]], reusable by the
+    * transaction-pinned serve. */
+  def andFromIndex(spark: SparkSession, table: String,
+      terms: Seq[String], asOf: Option[Long] = None): DataFrame =
     graft.operators.CommitLog
       .scanEqualsMulti(spark, table, "token", terms, asOf)
       .reduce(_ unionAll _)
@@ -247,7 +253,6 @@ object Search {
       .filter(col("n_terms") === terms.size)
       .select(col("doc_id"), col("total_tf"))
       .orderBy(col("doc_id"))
-  }
 
   /** Document-length NORMS as their own commit-log segments beside
     * the token index — the Lucene norms file re-expressed on the
@@ -288,11 +293,19 @@ object Search {
   /** The BM25 serve plan over ANY (index table, norms table) pair
     * (fixture-built or stream-maintained). */
   def bm25FromIndex(spark: SparkSession, idxTable: String, normsTable: String,
-      terms: Seq[String], asOf: Option[Long] = None): DataFrame = {
+      terms: Seq[String], asOf: Option[Long] = None): DataFrame =
+    bm25FromIndexAt(spark, idxTable, asOf, normsTable, asOf, terms)
+
+  /** [[bm25FromIndex]] with INDEPENDENT child versions — the
+    * transaction-pinned serve needs each table at ITS manifest pin
+    * (child logs advance at different rates). */
+  def bm25FromIndexAt(spark: SparkSession, idxTable: String,
+      idxAsOf: Option[Long], normsTable: String, normsAsOf: Option[Long],
+      terms: Seq[String]): DataFrame = {
     val matchedPost = graft.operators.CommitLog
-      .scanEqualsMulti(spark, idxTable, "token", terms, asOf)
+      .scanEqualsMulti(spark, idxTable, "token", terms, idxAsOf)
       .reduce(_ unionAll _)
-    val dl = graft.operators.CommitLog.read(spark, normsTable, asOf)
+    val dl = graft.operators.CommitLog.read(spark, normsTable, normsAsOf)
       .select(col("doc_id"), col("dl").cast("double").as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       (sum(col("dl")) / count(lit(1))).as("avgdl"))
@@ -307,6 +320,50 @@ object Search {
       .agg(count(lit(1)).as("n_terms"), round(sum(bm25Weight), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
   }
+
+  // ---- transaction-pinned serving (the atomic-visibility contract) --
+  // [[graft.streaming.IncrementalIngest.searchIndexFullWriter]] with a
+  // manifestDir commits each trigger's three child segments, then one
+  // PARENT manifest entry pinning (role -> child version). These
+  // serving paths resolve the manifest FIRST and read every child AS
+  // OF its pin — so a writer crash between child commits can never
+  // surface a partial trigger: the previous transaction keeps serving
+  // until the replay completes this one.
+
+  /** Child-table roles a search transaction's manifest pins. */
+  val RoleIndex = "index"
+  val RolePos = "pos"
+  val RoleNorms = "norms"
+
+  private def pinOf(spark: SparkSession, manifestDir: String,
+      role: String): Long = {
+    val pins = graft.operators.CommitLog.txnPins(spark, manifestDir)
+    if (pins.isEmpty) throw new IllegalStateException(
+      s"no committed transaction in $manifestDir — nothing is servable yet")
+    pins.getOrElse(role, throw new IllegalStateException(
+      s"manifest $manifestDir pins ${pins.keys.mkString(",")} but not '$role'"))
+  }
+
+  /** Phrase search at the newest COMPLETE transaction. */
+  def phrasePinned(spark: SparkSession, manifestDir: String,
+      posTable: String, phrase: Seq[String]): DataFrame =
+    phraseFromIndex(spark, posTable, phrase,
+      Some(pinOf(spark, manifestDir, RolePos)))
+
+  /** Conjunctive (AND) search at the newest COMPLETE transaction. */
+  def andPinned(spark: SparkSession, manifestDir: String,
+      idxTable: String, terms: Seq[String]): DataFrame =
+    andFromIndex(spark, idxTable, terms,
+      Some(pinOf(spark, manifestDir, RoleIndex)))
+
+  /** BM25 at the newest COMPLETE transaction — index and norms each
+    * at THEIR pinned version, so the postings-to-norms join can never
+    * mix a half-landed trigger's sides. */
+  def bm25Pinned(spark: SparkSession, manifestDir: String,
+      idxTable: String, normsTable: String, terms: Seq[String]): DataFrame =
+    bm25FromIndexAt(spark, idxTable,
+      Some(pinOf(spark, manifestDir, RoleIndex)),
+      normsTable, Some(pinOf(spark, manifestDir, RoleNorms)), terms)
 
   /** The Okapi BM25 per-posting weight (k1=1.2, b=0.75; (k1+1) and
     * (1-b) pre-folded to the SAME literals the oracle SQL uses) —

@@ -238,10 +238,22 @@ object IncrementalIngest {
     * ([[graft.operators.Search.phraseFromIndex]]), and BM25
     * ([[graft.operators.Search.bm25FromIndex]]) all serve the
     * arrived corpus with no rebuild — the standing segments are never
-    * rewritten, work per trigger ∝ batch size. */
+    * rewritten, work per trigger ∝ batch size.
+    *
+    * With `manifestDir` set, the trigger is a CROSS-TABLE TRANSACTION:
+    * after the three child commits land, one parent manifest commit
+    * pins (role -> child version) via
+    * [[graft.operators.CommitLog.txnCommit]]. Readers serving through
+    * [[graft.operators.Search.phrasePinned]] /
+    * [[graft.operators.Search.bm25Pinned]] /
+    * [[graft.operators.Search.andPinned]] resolve the manifest first
+    * and read every child AS OF its pinned version — a crash between
+    * child commits (or after the last child, before the manifest)
+    * leaves the previous trigger serving and the half-landed one
+    * invisible until the replay completes it. */
   def searchIndexFullWriter(docs: DataFrame, indexTable: String,
-      posTable: String, normsTable: String,
-      checkpointDir: String): DataStreamWriter[Row] =
+      posTable: String, normsTable: String, checkpointDir: String,
+      manifestDir: Option[String] = None): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -266,12 +278,30 @@ object IncrementalIngest {
           // artifact has landed (full batch or nothing per query);
           // phrase reads positions alone, AND search postings alone,
           // so each is individually consistent at any instant
-          graft.operators.CommitLog.appendStream(sp, normsTable, norms,
-            batchId, statsCols = Seq("doc_id"))
-          graft.operators.CommitLog.appendStream(sp, posTable, positions,
-            batchId, bloomCols = Seq("token"))
-          graft.operators.CommitLog.appendStream(sp, indexTable, postings,
-            batchId, bloomCols = Seq("token"))
+          // A replayed child (crash between commits) lands nothing and
+          // returns None; the ledger's inverse lookup recovers the
+          // version its earlier incarnation claimed, so the parent
+          // manifest can still pin the complete transaction.
+          def landed(table: String, commit: => Option[Long]): Long =
+            commit.getOrElse(graft.operators.CommitLog
+              .versionForBatchId(sp, table, batchId)
+              .getOrElse(sys.error(
+                s"batch $batchId in $table's ledger but no commit carries it")))
+          val vN = landed(normsTable, graft.operators.CommitLog.appendStream(
+            sp, normsTable, norms, batchId, statsCols = Seq("doc_id")))
+          val vP = landed(posTable, graft.operators.CommitLog.appendStream(
+            sp, posTable, positions, batchId, bloomCols = Seq("token")))
+          val vI = landed(indexTable, graft.operators.CommitLog.appendStream(
+            sp, indexTable, postings, batchId, bloomCols = Seq("token")))
+          // the PARENT commit: the trigger's three child commits become
+          // atomically visible to manifest-pinned readers only here —
+          // a crash anywhere above leaves the previous transaction
+          // serving, and the replay completes this one
+          manifestDir.foreach(m => graft.operators.CommitLog.txnCommit(
+            sp, m, batchId, Map(
+              graft.operators.Search.RoleIndex -> vI,
+              graft.operators.Search.RolePos -> vP,
+              graft.operators.Search.RoleNorms -> vN)))
         }
         ()
       }

@@ -913,6 +913,92 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("search-index transaction: a crash between child commits is never servable") {
+    import graft.operators.{CommitLog, Search}
+    val root = Files.createTempDirectory("graft-txnsearch").toString
+    val (in, idx, pos, norms, man, ckpt) =
+      (s"$root/in", s"$root/idx", s"$root/pos", s"$root/norms",
+        s"$root/man", s"$root/ckpt")
+    def writeDocs(docs: Seq[(Long, String)]): Unit = {
+      import spark.implicits._
+      docs.toDF("doc_id", "text").repartition(1)
+        .write.mode(SaveMode.Append).parquet(in)
+    }
+    def runStream(): Unit = {
+      val q = IncrementalIngest.searchIndexFullWriter(
+        IncrementalIngest.documentsSource(spark, in), idx, pos, norms, ckpt,
+        manifestDir = Some(man)).start()
+      q.awaitTermination()
+    }
+    val phrase = Seq("big", "order", "scan")
+    def phraseDocs() = Search.phrasePinned(spark, man, pos, phrase)
+      .collect().map(_.getLong(0)).toSet
+    def bm25Docs() = Search.bm25Pinned(spark, man, idx, norms, Seq("big", "order"))
+      .collect().map(_.getLong(0)).toSet
+    def andDocs() = Search.andPinned(spark, man, idx, Seq("big", "order"))
+      .collect().map(_.getLong(0)).toSet
+    try {
+      // before any transaction: pinned serving refuses loudly
+      intercept[IllegalStateException](phraseDocs())
+      // trigger 0: a complete transaction
+      writeDocs(Seq(
+        (1L, "big order scan runs fast"),
+        (2L, "the big order scan again big order scan"),
+        (3L, "no phrase here order big scan")))
+      runStream()
+      assert(phraseDocs() === Set(1L, 2L))
+      assert(bm25Docs() === Set(1L, 2L, 3L) && andDocs() === Set(1L, 2L, 3L))
+
+      // trigger 1 dies mid-transaction: the docs arrived, and the
+      // norms + positions children committed under batchId 1, but the
+      // index child and the PARENT MANIFEST never landed (exactly the
+      // crash window the parent commit exists for)
+      val newDocs = Seq((10L, "big order scan"))
+      writeDocs(newDocs)
+      import spark.implicits._
+      val positions1 = newDocs.toDF("doc_id", "text")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.posexplode(
+            graft.functions.TextFunctions.tokens(
+              org.apache.spark.sql.functions.col("text"))))
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("col").as("token"),
+          (org.apache.spark.sql.functions.col("pos") + 1).cast("long").as("pos"))
+      val norms1 = positions1.groupBy("doc_id")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).cast("long").as("dl"))
+      assert(CommitLog.appendStream(spark, norms, norms1, 1L,
+        statsCols = Seq("doc_id")).isDefined)
+      assert(CommitLog.appendStream(spark, pos, positions1, 1L,
+        bloomCols = Seq("token")).isDefined)
+
+      // an UNPINNED read of the positions table already sees the
+      // half-landed trigger — this is the window
+      assert(Search.phraseFromIndex(spark, pos, phrase)
+        .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 10L))
+      // every PINNED serving path still answers from the complete
+      // transaction: no partial trigger is ever servable
+      assert(phraseDocs() === Set(1L, 2L), "partial batch leaked into phrase")
+      assert(bm25Docs() === Set(1L, 2L, 3L), "partial batch leaked into BM25")
+      assert(andDocs() === Set(1L, 2L, 3L), "partial batch leaked into AND")
+
+      // the replay completes the transaction: the two committed
+      // children no-op through their ledgers (versionForBatchId
+      // recovers their versions for the manifest), the index child and
+      // the parent land, and the trigger becomes visible atomically
+      runStream()
+      assert(phraseDocs() === Set(1L, 2L, 10L))
+      assert(bm25Docs() === Set(1L, 2L, 3L, 10L) && andDocs() === Set(1L, 2L, 3L, 10L))
+      // ledger parity held throughout — including the parent's
+      val ids = Seq(idx, pos, norms, man).map(CommitLog.committedBatchIds(spark, _))
+      assert(ids.forall(_ === Set(0L, 1L)), s"ledgers diverged: $ids")
+      // no child committed twice for the replayed batch
+      assert(CommitLog.read(spark, norms).filter("doc_id = 10").count() === 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("quarantine writer routes constraint violators to the dead-letter table") {
     import graft.operators.CommitLog
     val root = Files.createTempDirectory("graft-dlq").toString
