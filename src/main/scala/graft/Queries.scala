@@ -489,6 +489,7 @@ object Queries {
     "mm_jpeg_color" -> (Multimodal.jpegColorQ _),
     "mm_jpeg_progressive" -> (Multimodal.jpegProgressiveQ _),
     "mm_video_meta" -> (Multimodal.videoMeta _),
+    "mm_mp4_meta" -> (Multimodal.mp4MetaQ _),
     "mm_video_frames" -> (Multimodal.videoFrames _),
     "mm_audio_pcm" -> (Multimodal.audioPcm _),
     "text_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
@@ -1168,6 +1169,22 @@ object Queries {
        "CASE WHEN doc_id % 111 = 0 THEN NULL ELSE CAST(1 + doc_id % 3 AS INTEGER) END AS n_frames, " +
        "CASE WHEN doc_id % 111 = 0 THEN NULL ELSE CAST(1 AS INTEGER) END AS n_streams, " +
        "CASE WHEN doc_id % 111 = 0 THEN NULL ELSE 'MJPG' END AS codec " +
+       "FROM documents ORDER BY doc_id"),
+    // MP4 triage twin: the ISO-BMFF encoder writes ftyp/mvhd/tkhd/hdlr
+    // from doc_id arithmetic (Mp4Encode scaladoc), so the oracle
+    // restates every header field directly — certifying the box walk
+    // incl. both mvhd/tkhd versions, the 64-bit largesize path, and
+    // the size==0 open-mdat path, all of which cycle on doc_id
+    "mm_mp4_meta" ->
+      ("SELECT doc_id, " +
+       "CASE WHEN doc_id % 127 = 0 THEN NULL ELSE 'isom' END AS brand, " +
+       "CASE WHEN doc_id % 127 = 0 THEN NULL ELSE CAST((doc_id % 4 + 1) * 600 AS INTEGER) END AS timescale, " +
+       "CASE WHEN doc_id % 127 = 0 THEN NULL ELSE CAST(doc_id % 100000 + 1000 AS BIGINT) END AS duration, " +
+       "CASE WHEN doc_id % 127 = 0 THEN NULL ELSE CAST(doc_id % 3 + doc_id % 2 + 1 AS INTEGER) END AS n_tracks, " +
+       "CASE WHEN doc_id % 127 = 0 THEN NULL ELSE CAST(doc_id % 3 AS INTEGER) END AS video_tracks, " +
+       "CASE WHEN doc_id % 127 = 0 THEN NULL ELSE CAST(doc_id % 2 + 1 AS INTEGER) END AS audio_tracks, " +
+       "CASE WHEN doc_id % 127 = 0 OR doc_id % 3 = 0 THEN NULL ELSE CAST(doc_id % 600 + 16 AS INTEGER) END AS width, " +
+       "CASE WHEN doc_id % 127 = 0 OR doc_id % 3 = 0 THEN NULL ELSE CAST((doc_id * 3) % 400 + 16 AS INTEGER) END AS height " +
        "FROM documents ORDER BY doc_id"),
     // VIDEO frame-decode twin: frame f of doc d is a color JPEG seeded
     // d + 1000*f (AviEncode scaladoc), so the mm_jpeg_color block

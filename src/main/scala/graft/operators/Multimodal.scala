@@ -245,6 +245,18 @@ object Multimodal {
         (id % 111 =!= 0, graft.plans.VectorExpressions.aviEncode(
           (id % 15 + 9).cast("int"), ((id * 3) % 13 + 9).cast("int"),
           (id % 3 + 1).cast("int"), id.cast("long"), (id % 3).cast("int"))))
+      case "mp4" => Seq(
+        (id % 127 === 0, encode(text.substr(1, 28), "UTF-8")),
+        // REAL ISO-BMFF files (plans.Mp4Encode): 0..2 video + 1..2
+        // audio tracks, mvhd/tkhd version and the largesize / open-
+        // mdat structural variants all cycling on doc_id — the box
+        // grammar's edge paths land on every few rows, not in a
+        // corner fixture
+        (id % 127 =!= 0, graft.plans.VectorExpressions.mp4Encode(
+          (id % 600 + 16).cast("int"), ((id * 3) % 400 + 16).cast("int"),
+          (id % 3).cast("int"), (id % 2 + 1).cast("int"),
+          ((id % 4 + 1) * 600).cast("int"), (id % 100000 + 1000).cast("long"),
+          id.cast("long"))))
       case "wavpcm" => Seq(
         (id % 113 === 0, encode(text.substr(1, 26), "UTF-8")),
         // REAL 16-bit PCM WAVs (plans.WavEncode: JUNK-then-fmt walk,
@@ -285,7 +297,7 @@ object Multimodal {
     * never fused into a decode query's codegen. */
   def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "gifanim",
-      "apng", "jpgpx", "jpgcol", "jpgprog", "avi", "wavpcm")
+      "apng", "jpgpx", "jpgcol", "jpgprog", "avi", "mp4", "wavpcm")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -606,6 +618,23 @@ object Multimodal {
         col("m.width").as("width"), col("m.height").as("height"),
         col("m.n_frames").as("n_frames"), col("m.n_streams").as("n_streams"),
         col("m.codec").as("codec"))
+      .orderBy(col("doc_id"))
+
+  /** MP4 container triage: ISO-BMFF box-tree metadata per doc (NULL
+    * for the non-MP4 rows) — the header pass over the dominant real
+    * video container; AVI's RIFF twin is [[videoMeta]]. The fixture
+    * cycles both fullbox versions and the largesize / open-mdat
+    * structural variants, so the oracle round-trip certifies every
+    * branch of the box walk, not just the common one. */
+  def mp4MetaQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "mp4")
+      .select(col("doc_id"), graft.plans.VectorExpressions.mp4Meta(col("mp4")).as("m"))
+      .select(col("doc_id"),
+        col("m.brand").as("brand"), col("m.timescale").as("timescale"),
+        col("m.duration").as("duration"), col("m.n_tracks").as("n_tracks"),
+        col("m.video_tracks").as("video_tracks"),
+        col("m.audio_tracks").as("audio_tracks"),
+        col("m.width").as("width"), col("m.height").as("height"))
       .orderBy(col("doc_id"))
 
   /** VIDEO frame decode: every MJPEG frame of every AVI through the

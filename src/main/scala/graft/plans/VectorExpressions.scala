@@ -329,6 +329,10 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_avi_encode", exprs => AviEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_mp4_meta", exprs => Mp4Meta(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_mp4_encode", exprs => Mp4Encode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_wav_pcm", exprs => WavPcm(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_wav_encode",
@@ -513,6 +517,22 @@ object VectorExpressions {
       mode: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_avi_encode", w, h, nFrames, seed, mode)
+  }
+
+  /** ISO-BMFF (MP4) box-tree triage (plans.Mp4Meta), column form;
+    * same registration precondition. */
+  def mp4Meta(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_mp4_meta", c)
+  }
+
+  /** Deterministic structurally-valid MP4 synthesis (plans.Mp4Encode),
+    * column form; same registration precondition. */
+  def mp4Encode(w: Column, h: Column, nVideo: Column, nAudio: Column,
+      timescale: Column, duration: Column, seed: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_mp4_encode", w, h, nVideo, nAudio, timescale,
+      duration, seed)
   }
 
   /** PCM sample decode to channel sums + peak (plans.WavPcm), column

@@ -25,6 +25,7 @@ class ParserFuzzSpec extends AnyFunSuite {
     "JpegPixels" -> (graft.plans.JpegPixels.parse(_)),
     "AviMeta" -> (graft.plans.AviMeta.parse(_)),
     "AviFrames" -> (graft.plans.AviFrames.parse(_)),
+    "Mp4Meta" -> (graft.plans.Mp4Meta.parse(_)),
     "WavPcm" -> (graft.plans.WavPcm.parse(_)))
 
   // magic prefixes steer the fuzz into each format's deep parse path
@@ -35,7 +36,9 @@ class ParserFuzzSpec extends AnyFunSuite {
     "RIFF1234WAVE".getBytes, // RIFF/WAVE container
     "BM".getBytes, // BMP magic
     "GIF87a".getBytes, "GIF89a".getBytes, // GIF signatures
-    "RIFF".getBytes ++ hx("10000000") ++ "AVI LIST".getBytes) // AVI container
+    "RIFF".getBytes ++ hx("10000000") ++ "AVI LIST".getBytes, // AVI container
+    hx("00000014") ++ "ftypisom".getBytes ++ hx("00000200") ++
+      "isommp42".getBytes) // ISO-BMFF ftyp: steers into the box walk
 
   private def neverThrows(name: String, p: Array[Byte] => AnyRef,
       input: Array[Byte], what: String): Unit =
@@ -105,9 +108,15 @@ class ParserFuzzSpec extends AnyFunSuite {
     // JUNK/fmt/data chunk framing
     val fullWav = graft.plans.WavEncode.encode(80, 2, 77L)
     assert(graft.plans.WavPcm.parse(fullWav) != null)
+    // REAL ISO-BMFF files across the structural variants (fullbox
+    // versions, 64-bit largesize, size==0 open mdat): corruptions
+    // land in the box size fields and the nested moov/trak walk
+    val fullMp4s = Seq(0L, 1L, 2L, 3L, 5L, 7L, 35L).map(s =>
+      graft.plans.Mp4Encode.encode(320, 240, 1, 1, 600, 5000L, s))
+    fullMp4s.foreach(f => assert(graft.plans.Mp4Meta.parse(f) != null))
     val rnd = new scala.util.Random(0xF00D)
     for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif, fullJpeg,
-        fullJpegColor, fullAvi, fullWav); _ <- 0 until 800) {
+        fullJpegColor, fullAvi, fullWav) ++ fullMp4s; _ <- 0 until 800) {
       val truncated = f.take(rnd.nextInt(f.length + 1))
       val corrupted = f.clone()
       val at = rnd.nextInt(f.length)
