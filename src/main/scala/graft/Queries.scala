@@ -490,6 +490,7 @@ object Queries {
     "mm_jpeg_progressive" -> (Multimodal.jpegProgressiveQ _),
     "mm_video_meta" -> (Multimodal.videoMeta _),
     "mm_mp4_meta" -> (Multimodal.mp4MetaQ _),
+    "mm_tiff_pixels" -> (Multimodal.tiffPixelsQ _),
     "mm_video_frames" -> (Multimodal.videoFrames _),
     "mm_audio_pcm" -> (Multimodal.audioPcm _),
     "text_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
@@ -1170,6 +1171,31 @@ object Queries {
        "CASE WHEN doc_id % 111 = 0 THEN NULL ELSE CAST(1 AS INTEGER) END AS n_streams, " +
        "CASE WHEN doc_id % 111 = 0 THEN NULL ELSE 'MJPG' END AS codec " +
        "FROM documents ORDER BY doc_id"),
+    // TIFF pixel twin: the baseline-TIFF encoder writes pixel (x,y)
+    // channels from doc_id arithmetic (TiffEncode scaladoc; mode>=2 is
+    // grayscale, which replicates its sum to all three channels), so
+    // the oracle recomputes the exact sums per doc — certifying the
+    // IFD walk, the strip partition (multi-strip with out-of-line
+    // offset arrays on most rows), and both byte orders
+    "mm_tiff_pixels" ->
+      ("WITH d AS (SELECT doc_id, 4 + doc_id % 9 AS w, 4 + (doc_id * 3) % 7 AS h, " +
+       "doc_id % 4 AS m FROM documents), " +
+       "px AS (SELECT doc_id, w, h, m, unnest(range(w * h)) AS i FROM d WHERE doc_id % 131 <> 0), " +
+       "s AS (SELECT doc_id, " +
+       "sum(CASE WHEN m >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
+       "ELSE (doc_id + 3 * (i % w) + 7 * (i // w)) % 256 END) AS sr, " +
+       "sum(CASE WHEN m >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
+       "ELSE (2 * doc_id + 5 * (i % w) + (i // w)) % 256 END) AS sg, " +
+       "sum(CASE WHEN m >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
+       "ELSE (3 * doc_id + (i % w) + 11 * (i // w)) % 256 END) AS sb " +
+       "FROM px GROUP BY doc_id) " +
+       "SELECT d.doc_id, " +
+       "CASE WHEN d.doc_id % 131 = 0 THEN NULL ELSE CAST(d.w AS INTEGER) END AS width, " +
+       "CASE WHEN d.doc_id % 131 = 0 THEN NULL ELSE CAST(d.h AS INTEGER) END AS height, " +
+       "CAST(s.sr AS BIGINT) AS sum_r, CAST(s.sg AS BIGINT) AS sum_g, " +
+       "CAST(s.sb AS BIGINT) AS sum_b, " +
+       "CASE WHEN d.doc_id % 131 = 0 THEN NULL ELSE CAST(d.w * d.h AS BIGINT) END AS n_pixels " +
+       "FROM d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"),
     // MP4 triage twin: the ISO-BMFF encoder writes ftyp/mvhd/tkhd/hdlr
     // from doc_id arithmetic (Mp4Encode scaladoc), so the oracle
     // restates every header field directly — certifying the box walk

@@ -245,6 +245,15 @@ object Multimodal {
         (id % 111 =!= 0, graft.plans.VectorExpressions.aviEncode(
           (id % 15 + 9).cast("int"), ((id * 3) % 13 + 9).cast("int"),
           (id % 3 + 1).cast("int"), id.cast("long"), (id % 3).cast("int"))))
+      case "tiff" => Seq(
+        (id % 131 === 0, encode(text.substr(1, 30), "UTF-8")),
+        // REAL baseline TIFFs (plans.TiffEncode): both byte orders and
+        // gray/RGB cycling on doc_id (mode = id%4), rows-per-strip
+        // 1..4 so multi-strip layouts with out-of-line offset arrays
+        // land on most rows
+        (id % 131 =!= 0, graft.plans.VectorExpressions.tiffEncode(
+          (id % 9 + 4).cast("int"), ((id * 3) % 7 + 4).cast("int"),
+          id.cast("long"), (id % 4).cast("int"), (id % 4 + 1).cast("int"))))
       case "mp4" => Seq(
         (id % 127 === 0, encode(text.substr(1, 28), "UTF-8")),
         // REAL ISO-BMFF files (plans.Mp4Encode): 0..2 video + 1..2
@@ -297,7 +306,7 @@ object Multimodal {
     * never fused into a decode query's codegen. */
   def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "gifanim",
-      "apng", "jpgpx", "jpgcol", "jpgprog", "avi", "mp4", "wavpcm")
+      "apng", "jpgpx", "jpgcol", "jpgprog", "avi", "mp4", "tiff", "wavpcm")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -618,6 +627,23 @@ object Multimodal {
         col("m.width").as("width"), col("m.height").as("height"),
         col("m.n_frames").as("n_frames"), col("m.n_streams").as("n_streams"),
         col("m.codec").as("codec"))
+      .orderBy(col("doc_id"))
+
+  /** TIFF pixel decode (plans.TiffPixels) over the stored baseline-
+    * TIFF column: IFD entry walk → strip partition (inline or
+    * out-of-line offset arrays) → chunky 8-bit sample sums, both byte
+    * orders. The oracle recomputes the exact sums from the encoder's
+    * pixel arithmetic, so a wrong endianness branch, strip boundary,
+    * or inline/out-of-line decision changes the sums and fails the
+    * round trip. Corrupt rows (every 131st doc carries text bytes)
+    * decode to NULL. */
+  def tiffPixelsQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "tiff")
+      .select(col("doc_id"), graft.plans.VectorExpressions.tiffPixels(col("tiff")).as("s"))
+      .select(col("doc_id"),
+        col("s.width").as("width"), col("s.height").as("height"),
+        col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),
+        col("s.sum_b").as("sum_b"), col("s.n_pixels").as("n_pixels"))
       .orderBy(col("doc_id"))
 
   /** MP4 container triage: ISO-BMFF box-tree metadata per doc (NULL

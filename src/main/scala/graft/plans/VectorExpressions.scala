@@ -329,6 +329,10 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_avi_encode", exprs => AviEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tiff_pixels", exprs => TiffPixels(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tiff_encode", exprs => TiffEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_mp4_meta", exprs => Mp4Meta(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_mp4_encode", exprs => Mp4Encode(exprs), "scala_udf")
@@ -517,6 +521,22 @@ object VectorExpressions {
       mode: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_avi_encode", w, h, nFrames, seed, mode)
+  }
+
+  /** Uncompressed-strip TIFF pixel decode (plans.TiffPixels), column
+    * form; same registration precondition. */
+  def tiffPixels(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_tiff_pixels", c)
+  }
+
+  /** Deterministic exactly-decodable baseline-TIFF synthesis
+    * (plans.TiffEncode), column form; same registration
+    * precondition. */
+  def tiffEncode(w: Column, h: Column, seed: Column, mode: Column,
+      rowsPerStrip: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_tiff_encode", w, h, seed, mode, rowsPerStrip)
   }
 
   /** ISO-BMFF (MP4) box-tree triage (plans.Mp4Meta), column form;

@@ -26,6 +26,7 @@ class ParserFuzzSpec extends AnyFunSuite {
     "AviMeta" -> (graft.plans.AviMeta.parse(_)),
     "AviFrames" -> (graft.plans.AviFrames.parse(_)),
     "Mp4Meta" -> (graft.plans.Mp4Meta.parse(_)),
+    "TiffPixels" -> (graft.plans.TiffPixels.parse(_)),
     "WavPcm" -> (graft.plans.WavPcm.parse(_)))
 
   // magic prefixes steer the fuzz into each format's deep parse path
@@ -38,7 +39,9 @@ class ParserFuzzSpec extends AnyFunSuite {
     "GIF87a".getBytes, "GIF89a".getBytes, // GIF signatures
     "RIFF".getBytes ++ hx("10000000") ++ "AVI LIST".getBytes, // AVI container
     hx("00000014") ++ "ftypisom".getBytes ++ hx("00000200") ++
-      "isommp42".getBytes) // ISO-BMFF ftyp: steers into the box walk
+      "isommp42".getBytes, // ISO-BMFF ftyp: steers into the box walk
+    hx("49492A0008000000"), // TIFF little-endian header → IFD walk
+    hx("4D4D002A00000008")) // TIFF big-endian header → IFD walk
 
   private def neverThrows(name: String, p: Array[Byte] => AnyRef,
       input: Array[Byte], what: String): Unit =
@@ -114,9 +117,16 @@ class ParserFuzzSpec extends AnyFunSuite {
     val fullMp4s = Seq(0L, 1L, 2L, 3L, 5L, 7L, 35L).map(s =>
       graft.plans.Mp4Encode.encode(320, 240, 1, 1, 600, 5000L, s))
     fullMp4s.foreach(f => assert(graft.plans.Mp4Meta.parse(f) != null))
+    // REAL baseline TIFFs, both byte orders and strip layouts:
+    // corruptions land in the IFD entry walk, the out-of-line value
+    // arrays, and the strip bounds arithmetic
+    val fullTiffs = (0 to 3).map(mode =>
+      graft.plans.TiffEncode.encode(9, 7, 77L, mode, 2))
+    fullTiffs.foreach(f => assert(graft.plans.TiffPixels.parse(f) != null))
     val rnd = new scala.util.Random(0xF00D)
     for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif, fullJpeg,
-        fullJpegColor, fullAvi, fullWav) ++ fullMp4s; _ <- 0 until 800) {
+        fullJpegColor, fullAvi, fullWav) ++ fullMp4s ++ fullTiffs;
+        _ <- 0 until 800) {
       val truncated = f.take(rnd.nextInt(f.length + 1))
       val corrupted = f.clone()
       val at = rnd.nextInt(f.length)

@@ -1,0 +1,111 @@
+package graft
+
+import graft.plans.{TiffEncode, TiffPixels}
+
+/** Baseline-TIFF strip decode: encode→parse round trips across byte
+  * orders, gray/RGB, and strip layouts; an ImageIO differential; and
+  * the decline envelope (compressed / planar / deep TIFFs are
+  * triage-only, never wrong-valued). */
+class TiffSpec extends SparkSpec {
+
+  private def m(v: Long) = java.lang.Math.floorMod(v, 256L)
+
+  test("exact channel sums round-trip across modes and strip layouts") {
+    for {
+      (w, h) <- Seq((1, 1), (4, 4), (9, 7), (16, 11))
+      mode <- 0 to 3
+      rps <- Seq(1, 3, 100) // single row, partial last strip, one strip
+    } {
+      val seed = 13L * w + h + mode
+      val t = TiffEncode.encode(w, h, seed, mode, rps)
+      assert(t != null, s"encode failed w=$w h=$h mode=$mode rps=$rps")
+      val r = TiffPixels.parse(t)
+      assert(r != null, s"parse failed w=$w h=$h mode=$mode rps=$rps")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        if (mode >= 2) { val g = m(seed + 5L * x + 3L * y); sr += g; sg += g; sb += g }
+        else {
+          sr += m(seed + 3L * x + 7L * y)
+          sg += m(2L * seed + 5L * x + y)
+          sb += m(3L * seed + x + 11L * y)
+        }
+      }
+      assert(r.getInt(0) === w && r.getInt(1) === h)
+      assert(r.getLong(2) === sr && r.getLong(3) === sg && r.getLong(4) === sb,
+        s"sums diverge w=$w h=$h mode=$mode rps=$rps")
+      assert(r.getLong(5) === w.toLong * h)
+    }
+  }
+
+  test("the JDK's ImageIO TIFF reader agrees per pixel, both byte orders") {
+    for (mode <- 0 to 3) {
+      val (w, h, seed) = (11, 9, 311L)
+      val t = TiffEncode.encode(w, h, seed, mode, 4)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t))
+      assert(img != null, s"ImageIO rejected the encoder's output (mode=$mode)")
+      assert(img.getWidth === w && img.getHeight === h)
+      // raw raster samples, not getRGB: the JDK routes TYPE_BYTE_GRAY
+      // through a linear color space and getRGB would gamma-convert
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w) {
+        if (mode >= 2) {
+          val g = m(seed + 5L * x + 3L * y).toInt
+          assert(raster.getSample(x, y, 0) === g, s"gray($x,$y) mode=$mode")
+        } else {
+          assert(raster.getSample(x, y, 0) === m(seed + 3L * x + 7L * y).toInt, s"R($x,$y) mode=$mode")
+          assert(raster.getSample(x, y, 1) === m(2L * seed + 5L * x + y).toInt, s"G($x,$y) mode=$mode")
+          assert(raster.getSample(x, y, 2) === m(3L * seed + x + 11L * y).toInt, s"B($x,$y) mode=$mode")
+        }
+      }
+    }
+  }
+
+  test("out-of-envelope TIFFs decline to NULL instead of guessing") {
+    val good = TiffEncode.encode(8, 6, 5L, 0, 2)
+    assert(TiffPixels.parse(good) != null)
+    // entry layout: IFD at read32(4); entry e value field at ifd+2+12e+8
+    def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16) |
+        ((b(i + 3) & 0xFF) << 24)
+    val ifd = le32(good, 4)
+    def withValue(entryIdx: Int, v: Int): Array[Byte] = {
+      val c = good.clone()
+      val off = ifd + 2 + 12 * entryIdx + 8
+      c(off) = (v & 0xFF).toByte; c(off + 1) = ((v >> 8) & 0xFF).toByte
+      c
+    }
+    // entries (ascending): 0=256, 1=257, 2=258, 3=259(Compression),
+    // 4=262(Photometric), 5=273, 6=277(SamplesPerPixel), 7=278, 8=279,
+    // 9=284(Planar)
+    assert(TiffPixels.parse(withValue(3, 5)) == null) // LZW: triage-only
+    assert(TiffPixels.parse(withValue(9, 2)) == null) // planar: declined
+    assert(TiffPixels.parse(withValue(4, 3)) == null) // palette photometric
+    // a gray file claiming 3 samples/px (inconsistent) declines
+    val grayBad = {
+      val g = TiffEncode.encode(8, 6, 5L, 2, 2)
+      val i2 = le32(g, 4)
+      val c = g.clone(); c(i2 + 2 + 12 * 6 + 8) = 3; c
+    }
+    assert(TiffPixels.parse(grayBad) == null)
+    // truncations never throw and never accept a partial raster; only
+    // the trailing next-IFD pointer (which the decoder never reads) is
+    // allowed to be missing
+    val ifdComplete = ifd + 2 + 12 * 10
+    for (n <- 0 until good.length)
+      assert(TiffPixels.parse(good.take(n)) == null || n >= ifdComplete,
+        s"prefix $n accepted")
+    // header triage still reads dims from the same file (family
+    // coherence: graft_img_meta and graft_tiff_pixels agree)
+    val meta = graft.plans.ImageMeta.parse(good)
+    assert(meta != null && meta.getInt(1) === 8 && meta.getInt(2) === 6)
+  }
+
+  test("SQL registration: graft_tiff_pixels composes with graft_tiff_encode") {
+    graft.plans.VectorExpressions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_tiff_pixels(graft_tiff_encode(
+        |  5, 4, CAST(21 AS BIGINT), 1, 2)) AS s""".stripMargin)
+      .selectExpr("s.width", "s.height", "s.n_pixels").head()
+    assert(r.getInt(0) === 5 && r.getInt(1) === 4 && r.getLong(2) === 20L)
+  }
+}
