@@ -175,22 +175,24 @@ object Similarity {
   val NumCells = 8
   val NumProbeCells = 2
 
-  /** k-means++ SEEDING only needs a small representative sample (the
-    * sequential draw is inherently driver-side, O(sample * k)); every
-    * Lloyd's round after it runs DISTRIBUTED over the FULL corpus —
-    * so there is no corpus-size cap anywhere in quantizer training.
-    * 2000 points seed 8-256 centers comfortably. */
-  val SeedSampleCap = 2000
-
-  /** Deterministic k-means++ seeding over a driver-side point set:
-    * next center drawn with probability proportional to squared
-    * distance from the chosen set. Shared by the IVF coarse quantizer
-    * and the per-subspace PQ codebooks. */
-  private def seedPlusPlus(pts: Array[Array[Double]], k: Int,
-      seed: Int): Array[Array[Double]] = {
+  /** Deterministic WEIGHTED k-means++ over a SMALL driver-side
+    * candidate set — the recluster step of k-means‖ (the candidates
+    * are the [[seedParallel]] oversample, each weighted by how many
+    * corpus points it is nearest to): next center drawn with
+    * probability ∝ weight × squared distance from the chosen set.
+    * O(|candidates| × k), never sees the corpus. */
+  private def seedPlusPlus(pts: Array[Array[Double]], wts: Array[Double],
+      k: Int, seed: Int): Array[Array[Double]] = {
     require(pts.nonEmpty, "cannot seed a quantizer on an empty corpus")
     val rnd = new scala.util.Random(seed)
-    val chosen = scala.collection.mutable.ArrayBuffer(pts(rnd.nextInt(pts.length)).clone())
+    def pick(score: Array[Double]): Int = {
+      val total = score.sum
+      var r = rnd.nextDouble() * total
+      var i = 0
+      while (i < score.length - 1 && r > score(i)) { r -= score(i); i += 1 }
+      i
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(pts(pick(wts)).clone())
     val d2 = Array.fill(pts.length)(Double.MaxValue)
     while (chosen.length < k) {
       val c = chosen.last
@@ -202,13 +204,103 @@ object Similarity {
         if (d < d2(i)) d2(i) = d
         i += 1
       }
-      val total = d2.sum
-      var r = rnd.nextDouble() * total
-      var pick = 0
-      while (pick < pts.length - 1 && r > d2(pick)) { r -= d2(pick); pick += 1 }
-      chosen += pts(pick).clone()
+      chosen += pts(pick(Array.tabulate(pts.length)(i => wts(i) * d2(i)))).clone()
     }
     chosen.toArray
+  }
+
+  /** DISTRIBUTED k-means‖ seeding (Bahmani et al., "Scalable
+    * k-means++", VLDB 2012) — replaces the former 2000-point
+    * driver-side sample, so no corpus row reaches the driver except
+    * the O(rounds × ℓ) points the oversampling SELECTS:
+    *
+    *  1. one aggregate picks each group's initial center (the row
+    *     minimizing a deterministic per-group hash);
+    *  2. each oversampling round runs two corpus scans — a partial
+    *     aggregate for the clustering cost φ_g, then an independent
+    *     inclusion pass keeping x with p = min(1, ℓ·d²(x,C_g)/φ_g),
+    *     ℓ = 2k, so ~ℓ new candidates per group per round (the
+    *     paper's expectation bound);
+    *  3. one scan counts corpus points per nearest candidate, and
+    *     the driver cuts the weighted ~3ℓ candidates to k with
+    *     [[seedPlusPlus]].
+    *
+    * Inclusion decisions hash (id, round, group) — deterministic
+    * under ANY partitioning, unlike rand(). All `groups` subspaces
+    * ride the same scans (PQ trains 8 codebooks in one pass, IVF
+    * passes one group). Driver traffic is O(groups·ℓ·dim) per round;
+    * the k seeds then feed [[lloydRounds]] exactly as before. */
+  private def seedParallel(base: DataFrame, groups: Int, kPerGroup: Int,
+      subCol: (Column, Int) => Column, seed: Int): Array[Array[Array[Double]]] = {
+    val ell = 2 * kPerGroup
+    val rounds = 3
+    val cand = Array.fill(groups)(scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+
+    val initAggs = (0 until groups).map(g =>
+      min(struct(xxhash64(col("id"), lit(seed + g)).as("h"),
+        subCol(col("v"), g).as("s"))).as(s"m$g"))
+    val initRow = base.agg(initAggs.head, initAggs.tail: _*).head()
+    require(!initRow.isNullAt(0), "cannot seed a quantizer on an empty corpus")
+    for (g <- 0 until groups)
+      cand(g) += initRow.getStruct(g).getSeq[Double](1).toArray
+
+    // squared L2 to the nearest current candidate, as codegen'd dots
+    // (clamped: ||x||² - 2x·c + ||c||² can dip below 0 in floating point)
+    def d2Col(g: Int): Column = {
+      val sub = subCol(col("v"), g)
+      greatest(array_min(array(cand(g).toSeq.map { c =>
+        dot(sub, sub) - lit(2.0) * dot(sub, array(c.toIndexedSeq.map(lit): _*)) +
+          lit(c.map(x => x * x).sum)
+      }: _*)), lit(0.0))
+    }
+
+    var r = 0
+    var live = true
+    while (r < rounds && live) {
+      val costAggs = (0 until groups).map(g => sum(d2Col(g)).as(s"c$g"))
+      val costRow = base.agg(costAggs.head, costAggs.tail: _*).head()
+      val phi = Array.tabulate(groups)(g =>
+        if (costRow.isNullAt(g)) 0.0 else costRow.getDouble(g))
+      live = phi.exists(_ > 0) // all-zero cost: candidates already cover
+      if (live) {
+        val branches = (0 until groups).filter(phi(_) > 0).map { g =>
+          val u = pmod(xxhash64(col("id"), lit(seed + 7919 * (r * groups + g + 1))),
+            lit(1000000007L)).cast("double") / lit(1.0e9 + 7.0)
+          // u < ℓ·d²/φ, cross-multiplied so φ stays a literal
+          struct(lit(g).as("g"), subCol(col("v"), g).as("s"),
+            (u * lit(phi(g)) < lit(ell.toDouble) * d2Col(g)).as("keep"))
+        }
+        base.select(explode(array(branches: _*)).as("e"))
+          .filter(col("e.keep"))
+          .select(col("e.g"), col("e.s"))
+          .collect()
+          .foreach(row => cand(row.getInt(0)) += row.getSeq[Double](1).toArray)
+      }
+      r += 1
+    }
+
+    // weights: corpus points per nearest candidate (argmax of
+    // dot - ||c||²/2, the same first-max rule serving uses); the tiny
+    // floor keeps never-nearest candidates drawable-but-negligible
+    val weights = Array.tabulate(groups)(g => Array.fill(cand(g).length)(1.0e-9))
+    base.select(explode(array((0 until groups).map { g =>
+        val sub = subCol(col("v"), g)
+        val scores = array(cand(g).toSeq.map { c =>
+          dot(sub, array(c.toIndexedSeq.map(lit): _*)) - lit(c.map(x => x * x).sum / 2.0)
+        }: _*)
+        struct(lit(g).as("g"),
+          array_position(scores, array_max(scores)).cast("int").as("c"))
+      }: _*)).as("e"))
+      .groupBy(col("e.g").as("g"), col("e.c").as("c"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .foreach { row =>
+        val g = row.getInt(0); val c = row.getInt(1) - 1
+        if (c >= 0 && c < weights(g).length) weights(g)(c) += row.getLong(2)
+      }
+
+    Array.tabulate(groups)(g =>
+      seedPlusPlus(cand(g).toArray, weights(g), kPerGroup, seed + g))
   }
 
   /** DISTRIBUTED Lloyd's rounds: centroids ride into the plan as
@@ -267,23 +359,19 @@ object Similarity {
     cents
   }
 
-  /** Real coarse quantizer: k-means++ seeding on a bounded sample,
-    * then 8 DISTRIBUTED Lloyd's rounds over the FULL corpus (fixed
-    * seed, first-max assignment, empty cell keeps its center —
+  /** Real coarse quantizer: DISTRIBUTED k-means‖ seeding
+    * ([[seedParallel]] — no driver-side corpus sample anywhere), then
+    * 8 DISTRIBUTED Lloyd's rounds over the FULL corpus (fixed seed,
+    * first-max assignment, empty cell keeps its center —
     * deterministic given the corpus and partition-sum order, and
     * memoized per app so every consumer serves the same artifact).
     * Returns NumCells centroid vectors. */
   private[operators] def kmeansCentroids(emb: DataFrame): Seq[Array[Double]] = {
-    val n = emb.count()
-    val sampled =
-      if (n <= SeedSampleCap) emb
-      else emb.sample(withReplacement = false, SeedSampleCap.toDouble / n, seed = 42)
-    val pts: Array[Array[Double]] =
-      sampled.select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-    val dim = pts.head.length
-    val init = seedPlusPlus(pts, NumCells, 42)
+    val init = seedParallel(emb.select(col("vec_id").as("id"), col("v")),
+      1, NumCells, (v, _) => v, seed = 42)
+    val dim = init(0)(0).length
     lloydRounds(emb.select(col("v")), 1, dim, NumCells,
-      Array(init), (v, _) => v)(0).toSeq
+      init, (v, _) => v)(0).toSeq
   }
 
   /** Cell-affinity scores for v against each centroid: argmax of
@@ -783,25 +871,19 @@ object Similarity {
   private[graft] val servedCodebooks =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Array[Double]]]]()
 
-  /** Per-subspace codebooks: k-means++ seeding per subspace on ONE
-    * bounded sample (seeds differ per subspace so identical marginal
-    * distributions still get independent inits), then 8 DISTRIBUTED
-    * Lloyd's rounds in which ALL subspaces train inside the same
-    * corpus scan ([[lloydRounds]] groups = subspaces). Memoized
-    * build-once-serve-many. */
+  /** Per-subspace codebooks: DISTRIBUTED k-means‖ seeding — all 8
+    * subspaces oversample inside the SAME corpus scans
+    * ([[seedParallel]] groups = subspaces; per-group hash salts keep
+    * identical marginal distributions on independent draws) — then 8
+    * DISTRIBUTED Lloyd's rounds, also one scan per round across all
+    * subspaces ([[lloydRounds]]). Memoized build-once-serve-many. */
   private[graft] def pqCodebooks(spark: SparkSession, dir: String): Seq[Seq[Array[Double]]] =
     codebookCache.getOrCompute(spark, s"$dir#pq") {
       val emb = Tables.embeddings(spark, dir)
-        .select(asDouble(col("embedding")).as("v"))
-      val n = emb.count()
-      val sampled =
-        if (n <= SeedSampleCap) emb
-        else emb.sample(withReplacement = false, SeedSampleCap.toDouble / n, seed = 42)
-      val pts = sampled.collect().map(_.getSeq[Double](0).toArray)
-      val init = Array.tabulate(PqSubspaces)(m => seedPlusPlus(
-        pts.map(p => java.util.Arrays.copyOfRange(p, m * PqDim, (m + 1) * PqDim)),
-        PqCodes, seed = 42 + m))
-      val trained = lloydRounds(emb, PqSubspaces, PqDim, PqCodes, init,
+        .select(col("vec_id").as("id"), asDouble(col("embedding")).as("v"))
+      val init = seedParallel(emb, PqSubspaces, PqCodes,
+        (v, m) => slice(v, m * PqDim + 1, PqDim), seed = 42)
+      val trained = lloydRounds(emb.select(col("v")), PqSubspaces, PqDim, PqCodes, init,
         (v, m) => slice(v, m * PqDim + 1, PqDim))
       (0 until PqSubspaces).map(m => trained(m).toSeq)
     }
