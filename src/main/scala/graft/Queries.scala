@@ -507,6 +507,7 @@ object Queries {
     "q_merge_upsert" -> (Changes.mergeUpsert _),
     "q_lake_pushdown_scan" -> (Lake.pushdownScan _),
     "q_lake_agg_pushdown" -> (Lake.aggPushdown _),
+    "q_lake_group_pushdown" -> (Lake.groupAggPushdown _),
     "q_scd2_user_state" -> (Changes.scd2UserState _),
     "dedup_url_groups" -> (Html.urlDupGroups _),
     "pipeline_domain_cap" -> ((s: SparkSession, d: String) => Html.domainCap(s, d)),
@@ -1413,6 +1414,15 @@ object Queries {
       ("SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, " +
        "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price, " +
        "CAST(count(*) AS BIGINT) AS n_orders FROM orders"),
+    // GROUPED metadata aggregate: the grouped commit-log twin is
+    // written one commit per bucket, so every file's bucket zone is a
+    // point and the source answers GROUP BY bucket from zone maps +
+    // row counts alone (one row per bucket, zero file opens); the
+    // oracle reads every raw row
+    "q_lake_group_pushdown" ->
+      ("SELECT o_orderkey % 4 AS bucket, CAST(count(*) AS BIGINT) AS n_orders, " +
+       "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key " +
+       "FROM orders GROUP BY 1 ORDER BY bucket"),
     "q_scd2_user_state" ->
       ("WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events), " +
        "t AS (SELECT user_id, event_id, event_type, ts_us, " +

@@ -58,6 +58,40 @@ object Lake {
         count(lit(1)).as("n_orders"))
   }
 
+  /** orders keyed by a derived low-cardinality `bucket` column
+    * (o_orderkey % 4), written ONE COMMIT PER BUCKET so every data
+    * file's zone for `bucket` is a point (min == max) — the
+    * clustered/partition-like layout under which the source can
+    * answer GROUP BY bucket entirely from metadata (Delta's
+    * partition-level count, generalized to clustering stats). */
+  private def groupedTable(spark: SparkSession, dir: String): String =
+    tableCache.getOrCompute(spark, s"$dir#grouped") {
+      val p = java.nio.file.Files.createTempDirectory("graft_lakeg_").toString
+      val df = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), (col("o_orderkey") % 4).as("bucket"))
+      (0 until 4).foreach { i =>
+        CommitLog.appendWithStats(spark, p, df.filter(col("bucket") === i),
+          Seq("bucket", "o_orderkey"))
+      }
+      p
+    }
+
+  /** GROUPED aggregate THROUGH the DSv2 source: Catalyst pushes the
+    * whole GROUP BY bucket aggregation and the scan answers one row
+    * per bucket from the commit log's zone maps + row counts — zero
+    * data-file opens (plan-pinned in GraftSourceSpec). The oracle
+    * reads every raw row, so the metadata answer must be
+    * value-identical. */
+  def groupAggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val p = groupedTable(spark, dir)
+    spark.read.format("graft").load(p)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("bucket"))
+  }
+
   def pushdownScan(spark: SparkSession, dir: String): DataFrame = {
     val p = ordersTable(spark, dir)
     spark.read.format("graft").load(p)

@@ -367,17 +367,21 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
-  private var aggResult: Option[(StructType, InternalRow)] = None
+  private var aggResult: Option[(StructType, Seq[InternalRow])] = None
 
-  /** MIN/MAX answered from the LOG's zone maps — zero file opens, the
-    * metadata the cluster's driver already holds. Sound only when:
-    * no grouping (Spark additionally only pushes aggregates when every
-    * filter was fully consumed, and this source keeps all filters
-    * residual — so an aggregate only reaches here on an UNFILTERED
-    * scan); every live file logs a zone for the column; no deletion
-    * vector exists at this version (a DV could have deleted the
-    * extremal row); and the zone's double representation is exact for
-    * the column's type (int/date/float/double always; long only below
+  /** MIN/MAX/COUNT answered from the LOG's zone maps — zero file
+    * opens, the metadata the cluster's driver already holds. Sound
+    * only when: grouping is absent OR by ONE column whose zone is a
+    * POINT (min == max) in EVERY live file — the clustered/partition-
+    * like layout where group membership is decidable per file from
+    * metadata alone (Spark additionally only pushes aggregates when
+    * every filter was fully consumed, and this source keeps all
+    * filters residual — so an aggregate only reaches here on an
+    * UNFILTERED scan); every live file logs a zone for the column; no
+    * deletion vector exists at this version for MIN/MAX (a DV could
+    * have deleted the extremal row; COUNT subtracts DV cardinality
+    * exactly); and the zone's double representation is exact for the
+    * column's type (int/date/float/double always; long only below
     * 2^53 — a zone AT 2^53 cannot be distinguished from a rounded
     * 2^53+1, so it falls back). Anything else declines and the
     * ordinary scan path serves. */
@@ -399,15 +403,24 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
 
   private def translateAggs(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, InternalRow)] = {
+      : Option[(StructType, Seq[InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    if (agg.groupByExpressions.nonEmpty) return None
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case f: org.apache.spark.sql.connector.expressions.NamedReference
             if f.fieldNames.length == 1 => Some(f.fieldNames.head)
         case _ => None
       }
+    // grouping: absent, or ONE plain column — whether every live file
+    // stores it as a point zone is checked once the snapshot resolves
+    val groupCol: Option[String] = agg.groupByExpressions.toSeq match {
+      case Seq() => None
+      case Seq(e) => fieldOf(e).filter(exactType) match {
+        case some @ Some(_) => some
+        case None => return None
+      }
+      case _ => return None
+    }
     val wanted: Seq[Option[ZoneAgg]] = agg.aggregateExpressions.toSeq.map {
       case m: Min => fieldOf(m.column).map(MinOf)
       case m: Max => fieldOf(m.column).map(MaxOf)
@@ -435,10 +448,12 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
       case _ => true
     }) return None
     val zones = CommitLog.fileStats(spark, tablePath, Some(version))
-    def extremum(c: String, isMin: Boolean): Option[Option[Double]] = {
-      // Some(None) = empty table (NULL result); None = cannot serve
-      if (files.isEmpty) return Some(None)
-      val perFile = files.map(f => zones.get(f).flatMap(_.get(c)))
+
+    // answers over a FILE SUBSET (the whole snapshot, or one group's
+    // files); Some(None) = NULL result, None = cannot serve
+    def extremum(sub: Seq[String], c: String, isMin: Boolean): Option[Option[Double]] = {
+      if (sub.isEmpty) return Some(None)
+      val perFile = sub.map(f => zones.get(f).flatMap(_.get(c)))
       if (perFile.exists(_.isEmpty)) return None // un-statted file
       val vals = perFile.flatten.map(t => if (isMin) t._1 else t._2)
       if (vals.exists(_.isNaN)) return None
@@ -447,57 +462,93 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
       if (isLong && math.abs(v) >= 9007199254740992.0) return None // 2^53
       Some(Some(v))
     }
-    def totalRows(): Option[Option[Double]] = {
+    def totalRows(sub: Seq[String]): Option[Option[Double]] = {
       // every live file must carry the reserved row-count stat; each
       // count is an exact-in-double integral by construction (< 2^53
       // rows/file), and the SUM must stay exact too
-      val perFile = files.map(f =>
+      val perFile = sub.map(f =>
         zones.get(f).flatMap(_.get(CommitLog.RowCountStat)).map(_._1))
       if (perFile.exists(_.isEmpty)) return None
       var total = perFile.flatten.sum
       if (total.isNaN || total >= 9007199254740992.0) return None
-      if (liveDvFiles.nonEmpty) {
+      val dvHere = liveDvFiles.intersect(sub.toSet)
+      if (dvHere.nonEmpty) {
         // DV-exact count: subtract each vector's popcount. Decoding
         // happens on the driver, so bound the file set — beyond it the
         // footer-based count path (also DV-exact) serves instead.
         if (liveDvFiles.size > 64) return None
         val dvs = CommitLog.deletionVectors(spark, tablePath, Some(version))
-        liveDvFiles.foreach { f =>
+        dvHere.foreach { f =>
           total -= CommitLog.dvCardinality(dvs(f)).toDouble
         }
       }
       Some(Some(total))
     }
-    val results = aggsW.map {
-      case MinOf(c) => extremum(c, isMin = true)
-      case MaxOf(c) => extremum(c, isMin = false)
-      case RowCount => totalRows()
+
+    def dtypeOf(c: String) = full.fields.find(_.name == c).get.dataType
+    def box(dt: org.apache.spark.sql.types.DataType, v: Double): Any = dt match {
+      case IntegerType | DateType => Int.box(v.toInt)
+      case LongType => Long.box(v.toLong)
+      case FloatType => Float.box(v.toFloat)
+      case DoubleType => Double.box(v)
     }
-    if (results.exists(_.isEmpty)) return None
-    val schema = StructType(aggsW.zipWithIndex.map {
-      case (MinOf(c), i) => StructField(s"min_${c}_$i",
-        full.fields.find(_.name == c).get.dataType, nullable = true)
-      case (MaxOf(c), i) => StructField(s"max_${c}_$i",
-        full.fields.find(_.name == c).get.dataType, nullable = true)
+    val aggSchema = StructType(aggsW.zipWithIndex.map {
+      case (MinOf(c), i) => StructField(s"min_${c}_$i", dtypeOf(c), nullable = true)
+      case (MaxOf(c), i) => StructField(s"max_${c}_$i", dtypeOf(c), nullable = true)
       case (RowCount, i) => StructField(s"count_$i", LongType, nullable = false)
     })
-    // explicit boxing per branch: bare numeric branches would unify
-    // under Scala's weak conformance to Double, silently widening the
-    // Long/Int values back into doubles inside the Any slot
-    val values: Array[Any] = aggsW.zip(results.map(_.get)).map {
-      case (RowCount, v) => Long.box(v.fold(0L)(_.toLong)) // empty table counts 0
-      case (_, None) => null
-      case (a, Some(v)) =>
-        val c = a match { case MinOf(x) => x; case MaxOf(x) => x; case RowCount => "" }
-        (full.fields.find(_.name == c).get.dataType match {
-          case IntegerType | DateType => Int.box(v.toInt)
-          case LongType => Long.box(v.toLong)
-          case FloatType => Float.box(v.toFloat)
-          case DoubleType => Double.box(v)
-        }): Any
-    }.toArray
-    Some((schema,
-      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)))
+    // one output row's agg values over a file subset. Explicit boxing
+    // per branch: bare numeric branches would unify under Scala's weak
+    // conformance to Double, silently widening the Long/Int values
+    // back into doubles inside the Any slot
+    def valuesFor(sub: Seq[String]): Option[Array[Any]] = {
+      val results = aggsW.map {
+        case MinOf(c) => extremum(sub, c, isMin = true)
+        case MaxOf(c) => extremum(sub, c, isMin = false)
+        case RowCount => totalRows(sub)
+      }
+      if (results.exists(_.isEmpty)) return None
+      Some(aggsW.zip(results.map(_.get)).map {
+        case (RowCount, v) => (Long.box(v.fold(0L)(_.toLong)): Any) // empty counts 0
+        case (_, None) => (null: Any)
+        case (a, Some(v)) =>
+          val c = a match { case MinOf(x) => x; case MaxOf(x) => x; case RowCount => "" }
+          box(dtypeOf(c), v)
+      }.toArray)
+    }
+
+    groupCol match {
+      case None =>
+        valuesFor(files).map(vs => (aggSchema, Seq(
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vs))))
+      case Some(g) =>
+        // Delta's partition-level answer generalized to clustering:
+        // every live file must store the group column as a POINT zone
+        // (min == max, not NaN) so its group is decidable from
+        // metadata alone; one output row per distinct point value
+        val keyed = files.map { f =>
+          zones.get(f).flatMap(_.get(g)) match {
+            case Some((lo, hi)) if lo == hi && !lo.isNaN => Some(lo -> f)
+            case _ => None
+          }
+        }
+        if (keyed.exists(_.isEmpty)) return None
+        if (dtypeOf(g) == LongType &&
+            keyed.flatten.exists(t => math.abs(t._1) >= 9007199254740992.0))
+          return None // group key itself must be exact in double
+        val rows = keyed.flatten.groupBy(_._1).toSeq.sortBy(_._1).map {
+          case (key, fs) =>
+            valuesFor(fs.map(_._2)) match {
+              case Some(vs) =>
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  (box(dtypeOf(g), key) +: vs.toSeq).toArray)
+              case None => return None
+            }
+        }
+        Some((StructType(
+          StructField(s"group_$g", dtypeOf(g), nullable = true) +:
+            aggSchema.fields.toSeq), rows))
+    }
   }
 
   private def exactType(c: String): Boolean =
@@ -539,36 +590,37 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = aggResult match {
-    case Some((schema, row)) => new GraftAggScan(tablePath, version, schema, row)
+    case Some((schema, rows)) => new GraftAggScan(tablePath, version, schema, rows)
     case None => new GraftScan(tablePath, version, required, pushed, options)
   }
 }
 
-/** Scan serving a completely-pushed MIN/MAX from the commit log's
-  * zone maps: one partition, one precomputed row, ZERO data-file
-  * opens — at 100 TB the answer comes from metadata the driver
-  * already resolved. */
+/** Scan serving a completely-pushed MIN/MAX/COUNT from the commit
+  * log's zone maps: one partition, precomputed rows (one, or one per
+  * point-zone group), ZERO data-file opens — at 100 TB the answer
+  * comes from metadata the driver already resolved. */
 class GraftAggScan(tablePath: String, version: Long,
-    schema: StructType, row: InternalRow) extends Scan with Batch {
+    schema: StructType, rows: Seq[InternalRow]) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftAggScan $tablePath v$version zones-only ${schema.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftAggPartition(row.copy()))
+    Array(GraftAggPartition(rows.map(_.copy()).toArray))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private var done = false
-          override def next(): Boolean = if (done) false else { done = true; true }
-          override def get(): InternalRow = p.asInstanceOf[GraftAggPartition].row
+          private val all = p.asInstanceOf[GraftAggPartition].rows
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < all.length }
+          override def get(): InternalRow = all(i)
           override def close(): Unit = ()
         }
     }
 }
 
-case class GraftAggPartition(row: InternalRow) extends InputPartition
+case class GraftAggPartition(rows: Array[InternalRow]) extends InputPartition
 
 class GraftScan(tablePath: String, version: Long, required: StructType,
     pushed: Array[Filter],

@@ -531,6 +531,55 @@ class GraftSourceSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("GROUP BY a point-zone column answers from zone maps with zero file opens") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      val df = Seq((1L, 0), (7L, 0), (4L, 1), (9L, 1), (2L, 2))
+        .toDF("id", "k")
+      // one commit per k, one FILE per commit (coalesce): every file's
+      // zone for k is a point while its id zone genuinely spans
+      (0 to 2).foreach(i =>
+        CommitLog.appendWithStats(spark, t,
+          df.filter(col("k") === i).coalesce(1), Seq("k", "id")))
+      val agg = spark.read.format("graft").load(t)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), min(col("id")).as("lo"), max(col("id")).as("hi"))
+        .orderBy(col("k"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftAggScan"),
+        s"grouped MIN/MAX/COUNT did not push to the zone-serving scan:\n$plan")
+      assert(!plan.contains(".parquet"), s"grouped agg plan still opens data files:\n$plan")
+      val got = agg.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq === Seq((0, 2L, 1L, 7L), (1, 2L, 4L, 9L), (2, 1L, 2L, 2L)))
+      // grouping by a column whose zones SPAN (id) must decline and
+      // stay correct through the ordinary scan
+      val span = spark.read.format("graft").load(t)
+        .groupBy(col("id")).agg(count(lit(1)).as("n"))
+      assert(!span.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+        "span-zone group column must not serve from metadata")
+      assert(span.count() === 5)
+      // an unsupported aggregate (SUM) in the grouped list declines
+      val withSum = spark.read.format("graft").load(t)
+        .groupBy(col("k")).agg(sum(col("id")).as("s"))
+      assert(!withSum.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+      assert(withSum.count() === 3)
+      // a DV forfeits grouped MIN/MAX but grouped COUNT stays
+      // metadata-served and DV-exact for the group it touches
+      CommitLog.delete(spark, t, "id = 7")
+      val gmm = spark.read.format("graft").load(t)
+        .groupBy(col("k")).agg(max(col("id")).as("hi"))
+      assert(!gmm.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+        "DV-bearing snapshot must not serve grouped MIN/MAX from zones")
+      val gcnt = spark.read.format("graft").load(t)
+        .groupBy(col("k")).agg(count(lit(1)).as("n")).orderBy(col("k"))
+      assert(gcnt.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+        "grouped DV-exact COUNT must still serve from metadata")
+      assert(gcnt.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+        Seq((0, 1L), (1, 2L), (2, 1L)))
+    } finally cleanup(t)
+  }
+
   test("nested struct / map / array<struct> columns decode through the graft source") {
     val t = tempTable()
     try {

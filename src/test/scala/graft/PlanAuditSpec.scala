@@ -348,6 +348,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains(".parquet"), s"agg plan opens data files:\n$plan")
   }
 
+  test("q_lake_group_pushdown serves grouped rows from GraftAggScan — zero file opens") {
+    val df = graft.operators.Lake.groupAggPushdown(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("GraftAggScan"),
+      s"registered grouped lake aggregate did not push to the zone scan:\n$plan")
+    assert(!plan.contains(".parquet"), s"grouped agg plan opens data files:\n$plan")
+  }
+
   test("q15 aggregates lineitem once: the revenue view is checkpointed, not recomputed") {
     // before the fix both the scalar max and the crossJoin probe side
     // re-derived the per-supplier aggregate from the parquet scan —
