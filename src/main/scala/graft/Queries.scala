@@ -1173,21 +1173,24 @@ object Queries {
        "CASE WHEN doc_id % 111 = 0 THEN NULL ELSE 'MJPG' END AS codec " +
        "FROM documents ORDER BY doc_id"),
     // TIFF pixel twin: the baseline-TIFF encoder writes pixel (x,y)
-    // channels from doc_id arithmetic (TiffEncode scaladoc; mode>=2 is
-    // grayscale, which replicates its sum to all three channels), so
-    // the oracle recomputes the exact sums per doc — certifying the
-    // IFD walk, the strip partition (multi-strip with out-of-line
-    // offset arrays on most rows), and both byte orders
+    // channels from doc_id arithmetic (TiffEncode scaladoc; mode%4>=2
+    // is grayscale, which replicates its sum to all three channels;
+    // mode = doc_id%12 also cycles uncompressed / LZW / LZW+predictor
+    // strips, which the pixel formulas are invariant to), so the
+    // oracle recomputes the exact sums per doc — certifying the IFD
+    // walk, the strip partition (multi-strip with out-of-line offset
+    // arrays on most rows), the LZW + predictor decode, and both byte
+    // orders
     "mm_tiff_pixels" ->
       ("WITH d AS (SELECT doc_id, 4 + doc_id % 9 AS w, 4 + (doc_id * 3) % 7 AS h, " +
-       "doc_id % 4 AS m FROM documents), " +
+       "doc_id % 12 AS m FROM documents), " +
        "px AS (SELECT doc_id, w, h, m, unnest(range(w * h)) AS i FROM d WHERE doc_id % 131 <> 0), " +
        "s AS (SELECT doc_id, " +
-       "sum(CASE WHEN m >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
+       "sum(CASE WHEN m % 4 >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
        "ELSE (doc_id + 3 * (i % w) + 7 * (i // w)) % 256 END) AS sr, " +
-       "sum(CASE WHEN m >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
+       "sum(CASE WHEN m % 4 >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
        "ELSE (2 * doc_id + 5 * (i % w) + (i // w)) % 256 END) AS sg, " +
-       "sum(CASE WHEN m >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
+       "sum(CASE WHEN m % 4 >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
        "ELSE (3 * doc_id + (i % w) + 11 * (i // w)) % 256 END) AS sb " +
        "FROM px GROUP BY doc_id) " +
        "SELECT d.doc_id, " +

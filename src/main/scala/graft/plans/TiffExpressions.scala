@@ -9,9 +9,10 @@ import org.apache.spark.sql.types._
 /** TIFF pixel decode — extending the EXIF-substrate coverage past the
   * r10 header triage (ImageExpressions.scala parseTiff, dims only) to
   * real raster data, from the public TIFF 6.0 spec alone. Scope is
-  * the BMP-difficulty case: Compression=1 (uncompressed) baseline
-  * TIFF, 8 bits per sample, chunky planar layout, grayscale
-  * (PhotometricInterpretation=1) or RGB (=2), BOTH byte orders.
+  * baseline TIFF at 8 bits per sample, chunky planar layout,
+  * grayscale (PhotometricInterpretation=1) or RGB (=2), BOTH byte
+  * orders, uncompressed (Compression=1) or TIFF-flavor LZW (=5, see
+  * [[TiffLzw]]) with or without the horizontal predictor (tag 317).
   *
   * `graft_tiff_pixels(binary)` → the [[BmpStats]] schema (width,
   * height, channel sums, n_pixels; grayscale replicates its sum to
@@ -111,6 +112,7 @@ object TiffPixels {
 
     var w = -1L; var h = -1L
     var comp = 1L; var photo = -1L; var spp = 1L; var planar = 1L
+    var pred = 1L // Predictor (317): 1 = none, 2 = horizontal differencing
     var rps = -1L // absent = one strip spanning the whole image
     var bps: Array[Long] = null
     var offsets: Array[Long] = null
@@ -129,14 +131,20 @@ object TiffPixels {
         case 278 => rps = readScalar(off)
         case 279 => counts = readArray(off); if (counts == null) return null
         case 284 => planar = readScalar(off)
+        case 317 => pred = readScalar(off)
         case _ => // unknown tags are skipped (EXIF etc.)
       }
       e += 1
     }
 
-    // the decode envelope: 8-bit chunky uncompressed gray or RGB
+    // the decode envelope: 8-bit chunky gray or RGB, uncompressed or
+    // TIFF-flavor LZW, horizontal predictor or none
     if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return null
-    if (comp != 1L || planar != 1L) return null
+    if ((comp != 1L && comp != 5L) || planar != 1L) return null
+    if (pred != 1L && pred != 2L) return null
+    // the LZW path allocates the decompressed strip (the input bytes
+    // no longer bound it), so a hostile header needs a pixel ceiling
+    if (comp == 5L && w * h > MaxLzwPixels) return null
     if (photo == 1L) { if (spp != 1L) return null }
     else if (photo == 2L) { if (spp != 3L) return null }
     else return null
@@ -154,16 +162,40 @@ object TiffPixels {
     while (s < nStrips) {
       val rows = math.min(rps, h - s.toLong * rps)
       val expect = rows * rowBytes
-      if (counts(s) != expect) return null // strict: strips must tile exactly
+      if (expect > Int.MaxValue) return null
       val at = offsets(s)
-      if (at < 8 || at + expect > b.length) return null
-      var i = at.toInt
-      val end = (at + expect).toInt
+      // strip bytes: raw samples (comp=1, exact tiling required), or a
+      // decompressed buffer (comp=5, byte count is the COMPRESSED size)
+      val strip: Array[Byte] =
+        if (comp == 1L) {
+          if (counts(s) != expect) return null // strict: strips tile exactly
+          if (at < 8 || at + expect > b.length) return null
+          java.util.Arrays.copyOfRange(b, at.toInt, (at + expect).toInt)
+        } else {
+          val cnt = counts(s)
+          if (cnt <= 0 || at < 8 || at + cnt > b.length) return null
+          val out = new Array[Byte](expect.toInt)
+          if (!TiffLzw.decode(b, at.toInt, (at + cnt).toInt, out)) return null
+          out
+        }
+      if (pred == 2L) {
+        // horizontal differencing: cumulative sum per sample along
+        // each row (mod 256)
+        val sppI = spp.toInt
+        var r0 = 0
+        while (r0 < rows) {
+          var i = r0.toInt * rowBytes.toInt + sppI
+          val end = (r0.toInt + 1) * rowBytes.toInt
+          while (i < end) { strip(i) = (strip(i) + strip(i - sppI)).toByte; i += 1 }
+          r0 += 1
+        }
+      }
+      var i = 0
       if (spp == 1L) {
-        while (i < end) { sr += u8(b, i); i += 1 }
+        while (i < strip.length) { sr += u8(strip, i); i += 1 }
       } else {
-        while (i < end) {
-          sr += u8(b, i); sg += u8(b, i + 1); sb += u8(b, i + 2)
+        while (i < strip.length) {
+          sr += u8(strip, i); sg += u8(strip, i + 1); sb += u8(strip, i + 2)
           i += 3
         }
       }
@@ -172,17 +204,149 @@ object TiffPixels {
     if (spp == 1L) { sg = sr; sb = sr } // gray replicates, like JPEG gray
     new GenericInternalRow(Array[Any](w.toInt, h.toInt, sr, sg, sb, w * h))
   }
+
+  /** Hostile-header ceiling on decompressed pixels for the LZW path —
+    * the compressed input no longer bounds the output allocation. */
+  val MaxLzwPixels: Long = 1L << 22
+}
+
+/** TIFF-flavor LZW (TIFF 6.0 §13) — shares the LZW idea with the GIF
+  * core but differs in every framing detail: codes pack MSB-first
+  * (GIF: LSB-first), there are no data sub-blocks, the dictionary
+  * starts at 258 (256 = ClearCode, 257 = EOI), and the code width
+  * uses the EARLY-CHANGE rule — it grows one entry sooner than GIF's
+  * (at table size 511/1023/2047), certified here in both directions
+  * against the JDK's own TIFF codec. Encoder and decoder live
+  * together so their width schedule cannot drift: the decoder widens
+  * on ITS table counter, the encoder on the counter the decoder WILL
+  * have when reading that code (one entry behind its own). */
+object TiffLzw {
+
+  private def widthOf(next: Int): Int =
+    if (next >= 2047) 12 else if (next >= 1023) 11 else if (next >= 511) 10 else 9
+
+  /** Decodes [from, to) into `out` (whose length is the EXACT expected
+    * strip size). Returns false on any structural error: code beyond
+    * the table, output over/underflow, truncated stream. */
+  def decode(b: Array[Byte], from: Int, to: Int, out: Array[Byte]): Boolean = {
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    var next = 258; var width = 9
+    var bitBuf = 0L; var bits = 0; var p = from
+    var prev = -1
+    var o = 0
+    def readCode(): Int = {
+      while (bits < width) {
+        if (p >= to) return -1
+        bitBuf = (bitBuf << 8) | (b(p) & 0xFF); p += 1; bits += 8
+      }
+      bits -= width
+      ((bitBuf >> bits) & ((1 << width) - 1)).toInt
+    }
+    // first byte of a code's expansion (walks the prefix chain)
+    def firstOf(code: Int): Int = {
+      var c = code
+      while (c >= 258) c = prefix(c)
+      c
+    }
+    // append code's expansion to out; false on overflow/corruption
+    def emit(code: Int): Boolean = {
+      var c = code; var sp = 0
+      while (c >= 258) {
+        if (sp >= stack.length) return false
+        stack(sp) = suffix(c); sp += 1; c = prefix(c)
+      }
+      if (c >= 256) return false // Clear/EOI inside a chain: corrupt
+      if (o + sp + 1 > out.length) return false
+      out(o) = c.toByte; o += 1
+      while (sp > 0) { sp -= 1; out(o) = stack(sp); o += 1 }
+      true
+    }
+    while (true) {
+      val code = readCode()
+      if (code < 0) return false // ran out of input before EOI
+      if (code == 256) { next = 258; width = 9; prev = -1 }
+      else if (code == 257) return o == out.length
+      else if (prev == -1) {
+        if (code > 255) return false // first code after clear: literal only
+        if (o >= out.length) return false
+        out(o) = code.toByte; o += 1
+        prev = code
+      } else {
+        if (next >= 4096) return false // table overflow without a clear
+        if (code < next) {
+          prefix(next) = prev; suffix(next) = firstOf(code).toByte
+          next += 1
+          if (!emit(code)) return false
+        } else if (code == next) { // KwKwK
+          prefix(next) = prev; suffix(next) = firstOf(prev).toByte
+          next += 1
+          if (!emit(code)) return false
+        } else return false // beyond the table: corrupt
+        prev = code
+        width = widthOf(next) // early change: on the DECODER's counter
+      }
+    }
+    false // unreachable
+  }
+
+  /** Compresses `data` as one TIFF LZW strip (leading ClearCode,
+    * trailing EOI, early-change width schedule on the decoder's
+    * lagged counter). Real dictionary compression, not literal-only —
+    * the width transitions actually occur on realistic strips. */
+  def encode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
+    var bitBuf = 0L; var bits = 0
+    var next = 258
+    val table = new java.util.HashMap[Integer, Integer]()
+    def width: Int = widthOf(math.max(next - 1, 258)) // decoder is one entry behind
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bits += width
+      while (bits >= 8) { bits -= 8; out.write(((bitBuf >> bits) & 0xFF).toInt) }
+    }
+    put(256) // spec: every strip begins with a ClearCode
+    var prev = -1
+    var i = 0
+    while (i < data.length) {
+      val k = data(i) & 0xFF
+      if (prev == -1) prev = k
+      else {
+        val key = Integer.valueOf((prev << 8) | k)
+        val hit = table.get(key)
+        if (hit != null) prev = hit.intValue()
+        else {
+          put(prev)
+          table.put(key, Integer.valueOf(next)); next += 1
+          if (next >= 4094) { // table nearly full: reset (spec §13)
+            put(256)
+            table.clear(); next = 258
+          }
+          prev = k
+        }
+      }
+      i += 1
+    }
+    if (prev != -1) put(prev)
+    put(257) // EOI
+    if (bits > 0) out.write(((bitBuf << (8 - bits)) & 0xFF).toInt)
+    out.toByteArray
+  }
 }
 
 /** `graft_tiff_encode(w, h, seed, mode, rows_per_strip)` → binary: a
-  * valid baseline TIFF — mode 0 = little-endian RGB, 1 = big-endian
-  * RGB, 2 = little-endian grayscale, 3 = big-endian grayscale; pixel
-  * (x,y) channels come from the same seed arithmetic as
-  * [[PngEncode]] (r=(s+3x+7y)%256, g=(2s+5x+y)%256, b=(3s+x+11y)%256;
-  * gray=(s+5x+3y)%256) so the DuckDB oracle recomputes exact sums.
-  * rows_per_strip < h forces a multi-strip layout with out-of-line
-  * StripOffsets/StripByteCounts arrays, certifying the inline/
-  * out-of-line value rule in the decoder. */
+  * valid baseline TIFF. `mode % 4` picks the sample layout — 0 =
+  * little-endian RGB, 1 = big-endian RGB, 2 = little-endian
+  * grayscale, 3 = big-endian grayscale; `mode / 4` picks the strip
+  * encoding — 0 = uncompressed, 1 = TIFF LZW ([[TiffLzw]]), 2 = LZW
+  * with the horizontal predictor (tag 317 = 2). Pixel (x,y) channels
+  * come from the same seed arithmetic as [[PngEncode]]
+  * (r=(s+3x+7y)%256, g=(2s+5x+y)%256, b=(3s+x+11y)%256;
+  * gray=(s+5x+3y)%256) so the DuckDB oracle recomputes exact sums
+  * regardless of the strip encoding. rows_per_strip < h forces a
+  * multi-strip layout with out-of-line StripOffsets/StripByteCounts
+  * arrays, certifying the inline/out-of-line value rule in the
+  * decoder. */
 case class TiffEncode(children: Seq[Expression]) extends Expression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -212,17 +376,61 @@ object TiffEncode {
 
   def encode(w: Int, h: Int, seed: Long, mode: Int, rowsPerStrip: Int): Array[Byte] = {
     if (w <= 0 || w > 4096 || h <= 0 || h > 4096 || seed < 0) return null
-    if (mode < 0 || mode > 3 || rowsPerStrip <= 0) return null
+    if (mode < 0 || mode > 11 || rowsPerStrip <= 0) return null
     val le = (mode & 1) == 0
-    val gray = mode >= 2
+    val gray = (mode % 4) >= 2
+    val lzw = mode >= 4
+    val pred2 = mode >= 8
     val spp = if (gray) 1 else 3
     val rps = math.min(rowsPerStrip, h)
     val nStrips = (h + rps - 1) / rps
     val rowBytes = w * spp
-    val dataLen = rowBytes * h
-    val pad = dataLen & 1 // keep later offsets word-aligned (spec rec.)
 
-    val auxStart = 8 + dataLen + pad
+    // strip payloads first (compressed sizes vary), offsets after
+    def rawStrip(s: Int): Array[Byte] = {
+      val rows = math.min(rps, h - s * rps)
+      val out = new Array[Byte](rows * rowBytes)
+      var i = 0
+      var y = s * rps
+      val yEnd = y + rows
+      while (y < yEnd) {
+        var x = 0
+        while (x < w) {
+          if (gray) { out(i) = ((seed + 5L * x + 3L * y) % 256).toByte; i += 1 }
+          else {
+            out(i) = ((seed + 3L * x + 7L * y) % 256).toByte
+            out(i + 1) = ((2L * seed + 5L * x + y) % 256).toByte
+            out(i + 2) = ((3L * seed + x + 11L * y) % 256).toByte
+            i += 3
+          }
+          x += 1
+        }
+        y += 1
+      }
+      if (pred2) { // horizontal differencing per sample, back to front
+        val rows2 = rows
+        var r0 = 0
+        while (r0 < rows2) {
+          var j = (r0 + 1) * rowBytes - 1
+          val start = r0 * rowBytes + spp
+          while (j >= start) { out(j) = (out(j) - out(j - spp)).toByte; j -= 1 }
+          r0 += 1
+        }
+      }
+      out
+    }
+    val strips: Array[Array[Byte]] =
+      Array.tabulate(nStrips)(s => if (lzw) TiffLzw.encode(rawStrip(s)) else rawStrip(s))
+
+    val stripOffsets = new Array[Long](nStrips)
+    var cursor = 8L
+    var s = 0
+    while (s < nStrips) {
+      stripOffsets(s) = cursor
+      cursor += strips(s).length + (strips(s).length & 1) // word-align
+      s += 1
+    }
+    val auxStart = cursor.toInt
     val bpsOff = auxStart // RGB: 3 SHORTs out-of-line (6 bytes)
     val bpsLen = if (gray) 0 else 6
     val soOff = bpsOff + bpsLen
@@ -230,7 +438,7 @@ object TiffEncode {
     val scOff = soOff + soLen
     val scLen = soLen
     val ifdOff = scOff + scLen
-    val nEntries = 10
+    val nEntries = if (pred2) 11 else 10
     val total = ifdOff + 2 + nEntries * 12 + 4
 
     val b = new Array[Byte](total)
@@ -249,30 +457,17 @@ object TiffEncode {
     if (le) { w8('I'); w8('I'); w8(42); w8(0) } else { w8('M'); w8('M'); w8(0); w8(42) }
     w32(ifdOff.toLong)
 
-    // pixel data, rows top-down, chunky
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        if (gray) w8(((seed + 5L * x + 3L * y) % 256).toInt)
-        else {
-          w8(((seed + 3L * x + 7L * y) % 256).toInt)
-          w8(((2L * seed + 5L * x + y) % 256).toInt)
-          w8(((3L * seed + x + 11L * y) % 256).toInt)
-        }
-        x += 1
-      }
-      y += 1
+    // strip data, each word-aligned
+    strips.foreach { st =>
+      System.arraycopy(st, 0, b, p, st.length); p += st.length
+      if ((st.length & 1) == 1) w8(0)
     }
-    if (pad == 1) w8(0)
 
     // out-of-line arrays
     if (!gray) { w16(8); w16(8); w16(8) }
-    def stripOffset(i: Int): Long = 8L + i.toLong * rps * rowBytes
-    def stripCount(i: Int): Long = math.min(rps.toLong, h - i.toLong * rps) * rowBytes
     if (nStrips > 1) {
-      (0 until nStrips).foreach(i => w32(stripOffset(i)))
-      (0 until nStrips).foreach(i => w32(stripCount(i)))
+      stripOffsets.foreach(w32)
+      strips.foreach(st => w32(st.length.toLong))
     }
 
     // IFD: entries in ascending tag order (spec requirement)
@@ -287,15 +482,16 @@ object TiffEncode {
     entry(257, 4, 1)(w32(h.toLong)) // ImageLength
     if (gray) entry(258, 3, 1)(w16(8)) // BitsPerSample inline
     else entry(258, 3, 3)(w32(bpsOff.toLong)) // out-of-line 3 SHORTs
-    entry(259, 3, 1)(w16(1)) // Compression = none
+    entry(259, 3, 1)(w16(if (lzw) 5 else 1)) // Compression
     entry(262, 3, 1)(w16(if (gray) 1 else 2)) // Photometric
     if (nStrips > 1) entry(273, 4, nStrips.toLong)(w32(soOff.toLong))
-    else entry(273, 4, 1)(w32(stripOffset(0)))
+    else entry(273, 4, 1)(w32(stripOffsets(0)))
     entry(277, 3, 1)(w16(spp)) // SamplesPerPixel
     entry(278, 4, 1)(w32(rps.toLong)) // RowsPerStrip
     if (nStrips > 1) entry(279, 4, nStrips.toLong)(w32(scOff.toLong))
-    else entry(279, 4, 1)(w32(stripCount(0)))
+    else entry(279, 4, 1)(w32(strips(0).length.toLong))
     entry(284, 3, 1)(w16(1)) // PlanarConfiguration = chunky
+    if (pred2) entry(317, 3, 1)(w16(2)) // Predictor = horizontal
     w32(0L) // next IFD: none
     b
   }

@@ -117,10 +117,11 @@ class ParserFuzzSpec extends AnyFunSuite {
     val fullMp4s = Seq(0L, 1L, 2L, 3L, 5L, 7L, 35L).map(s =>
       graft.plans.Mp4Encode.encode(320, 240, 1, 1, 600, 5000L, s))
     fullMp4s.foreach(f => assert(graft.plans.Mp4Meta.parse(f) != null))
-    // REAL baseline TIFFs, both byte orders and strip layouts:
-    // corruptions land in the IFD entry walk, the out-of-line value
-    // arrays, and the strip bounds arithmetic
-    val fullTiffs = (0 to 3).map(mode =>
+    // REAL baseline TIFFs, both byte orders, strip layouts, and strip
+    // encodings (uncompressed / LZW / LZW+predictor): corruptions land
+    // in the IFD entry walk, the out-of-line value arrays, the strip
+    // bounds arithmetic, and the LZW code stream
+    val fullTiffs = (0 to 11).map(mode =>
       graft.plans.TiffEncode.encode(9, 7, 77L, mode, 2))
     fullTiffs.foreach(f => assert(graft.plans.TiffPixels.parse(f) != null))
     val rnd = new scala.util.Random(0xF00D)

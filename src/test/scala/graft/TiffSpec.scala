@@ -13,7 +13,7 @@ class TiffSpec extends SparkSpec {
   test("exact channel sums round-trip across modes and strip layouts") {
     for {
       (w, h) <- Seq((1, 1), (4, 4), (9, 7), (16, 11))
-      mode <- 0 to 3
+      mode <- 0 to 11 // x4: uncompressed / LZW / LZW+predictor
       rps <- Seq(1, 3, 100) // single row, partial last strip, one strip
     } {
       val seed = 13L * w + h + mode
@@ -23,7 +23,7 @@ class TiffSpec extends SparkSpec {
       assert(r != null, s"parse failed w=$w h=$h mode=$mode rps=$rps")
       var sr = 0L; var sg = 0L; var sb = 0L
       for (y <- 0 until h; x <- 0 until w) {
-        if (mode >= 2) { val g = m(seed + 5L * x + 3L * y); sr += g; sg += g; sb += g }
+        if (mode % 4 >= 2) { val g = m(seed + 5L * x + 3L * y); sr += g; sg += g; sb += g }
         else {
           sr += m(seed + 3L * x + 7L * y)
           sg += m(2L * seed + 5L * x + y)
@@ -38,7 +38,7 @@ class TiffSpec extends SparkSpec {
   }
 
   test("the JDK's ImageIO TIFF reader agrees per pixel, both byte orders") {
-    for (mode <- 0 to 3) {
+    for (mode <- 0 to 11) {
       val (w, h, seed) = (11, 9, 311L)
       val t = TiffEncode.encode(w, h, seed, mode, 4)
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t))
@@ -48,7 +48,7 @@ class TiffSpec extends SparkSpec {
       // through a linear color space and getRGB would gamma-convert
       val raster = img.getRaster
       for (y <- 0 until h; x <- 0 until w) {
-        if (mode >= 2) {
+        if (mode % 4 >= 2) {
           val g = m(seed + 5L * x + 3L * y).toInt
           assert(raster.getSample(x, y, 0) === g, s"gray($x,$y) mode=$mode")
         } else {
@@ -58,6 +58,60 @@ class TiffSpec extends SparkSpec {
         }
       }
     }
+  }
+
+  test("LZW width transitions: ImageIO decodes a strip crossing 9→10→11 bits") {
+    // 80x60 RGB = 14400 bytes/strip: thousands of dictionary entries,
+    // so the early-change width schedule actually exercises 10 and 11
+    // bits — the JDK reader is the external witness that the
+    // encoder's lagged-counter schedule is the spec's
+    for (mode <- Seq(4, 8)) {
+      val (w, h, seed) = (80, 60, 17L)
+      val t = TiffEncode.encode(w, h, seed, mode, 1000) // one big strip
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t))
+      assert(img != null, s"ImageIO rejected the LZW output (mode=$mode)")
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w) {
+        assert(raster.getSample(x, y, 0) === m(seed + 3L * x + 7L * y).toInt, s"R($x,$y) mode=$mode")
+        assert(raster.getSample(x, y, 1) === m(2L * seed + 5L * x + y).toInt, s"G($x,$y) mode=$mode")
+        assert(raster.getSample(x, y, 2) === m(3L * seed + x + 11L * y).toInt, s"B($x,$y) mode=$mode")
+      }
+      // and our decoder agrees with itself on the same stream
+      val r = TiffPixels.parse(t)
+      assert(r != null && r.getInt(0) === w && r.getInt(1) === h)
+    }
+  }
+
+  test("LZW width transitions: our decoder reads the JDK writer's LZW output") {
+    // reverse differential: the JDK's own TIFF writer compresses with
+    // LZW; our decoder must reproduce the pixels exactly — arbitrates
+    // the DECODER's width schedule against an independent encoder
+    val (w, h) = (73, 59)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 31 + y * 17) % 256 << 16) |
+        ((x * 7 + y * 3) % 256 << 8) | ((x + y * 11) % 256))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("LZW")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val r = TiffPixels.parse(bos.toByteArray)
+    assert(r != null, "our decoder refused the JDK writer's LZW TIFF")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      sr += (x * 31 + y * 17) % 256
+      sg += (x * 7 + y * 3) % 256
+      sb += (x + y * 11) % 256
+    }
+    assert(r.getInt(0) === w && r.getInt(1) === h)
+    assert(r.getLong(2) === sr && r.getLong(3) === sg && r.getLong(4) === sb,
+      "sums diverge from the JDK's LZW stream")
   }
 
   test("out-of-envelope TIFFs decline to NULL instead of guessing") {
