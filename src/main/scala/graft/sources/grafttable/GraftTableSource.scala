@@ -411,15 +411,13 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
             if f.fieldNames.length == 1 => Some(f.fieldNames.head)
         case _ => None
       }
-    // grouping: absent, or ONE plain column — whether every live file
-    // stores it as a point zone is checked once the snapshot resolves
-    val groupCol: Option[String] = agg.groupByExpressions.toSeq match {
-      case Seq() => None
-      case Seq(e) => fieldOf(e).filter(exactType) match {
-        case some @ Some(_) => some
-        case None => return None
-      }
-      case _ => return None
+    // grouping: absent, or plain columns — whether every live file
+    // stores each as a point zone is checked once the snapshot
+    // resolves (bounded: a grouping wider than 8 columns declines)
+    val groupCols: Seq[String] = {
+      val cols = agg.groupByExpressions.toSeq.map(fieldOf(_).filter(exactType))
+      if (!cols.forall(_.isDefined) || cols.length > 8) return None
+      cols.flatten
     }
     val wanted: Seq[Option[ZoneAgg]] = agg.aggregateExpressions.toSeq.map {
       case m: Min => fieldOf(m.column).map(MinOf)
@@ -517,37 +515,43 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
       }.toArray)
     }
 
-    groupCol match {
-      case None =>
-        valuesFor(files).map(vs => (aggSchema, Seq(
-          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vs))))
-      case Some(g) =>
-        // Delta's partition-level answer generalized to clustering:
-        // every live file must store the group column as a POINT zone
-        // (min == max, not NaN) so its group is decidable from
-        // metadata alone; one output row per distinct point value
-        val keyed = files.map { f =>
+    if (groupCols.isEmpty) {
+      valuesFor(files).map(vs => (aggSchema, Seq(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vs))))
+    } else {
+      // Delta's partition-level answer generalized to clustering:
+      // every live file must store EVERY group column as a POINT zone
+      // (min == max, not NaN) so its group is decidable from metadata
+      // alone; one output row per distinct key tuple
+      val keyed: Seq[Option[(Seq[Double], String)]] = files.map { f =>
+        val key = groupCols.map { g =>
           zones.get(f).flatMap(_.get(g)) match {
-            case Some((lo, hi)) if lo == hi && !lo.isNaN => Some(lo -> f)
+            case Some((lo, hi)) if lo == hi && !lo.isNaN => Some(lo)
             case _ => None
           }
         }
-        if (keyed.exists(_.isEmpty)) return None
-        if (dtypeOf(g) == LongType &&
-            keyed.flatten.exists(t => math.abs(t._1) >= 9007199254740992.0))
-          return None // group key itself must be exact in double
-        val rows = keyed.flatten.groupBy(_._1).toSeq.sortBy(_._1).map {
-          case (key, fs) =>
-            valuesFor(fs.map(_._2)) match {
-              case Some(vs) =>
-                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-                  (box(dtypeOf(g), key) +: vs.toSeq).toArray)
-              case None => return None
-            }
+        if (key.forall(_.isDefined)) Some(key.flatten -> f) else None
+      }
+      if (keyed.exists(_.isEmpty)) return None
+      val flat = keyed.flatten
+      // every group key value must itself be exact in double
+      if (flat.exists(_._1.zip(groupCols).exists { case (v, g) =>
+        dtypeOf(g) == LongType && math.abs(v) >= 9007199254740992.0
+      })) return None
+      val rows = flat.groupBy(_._1).toSeq
+        .sortBy(_._1.mkString(","))
+        .map { case (key, fs) =>
+          valuesFor(fs.map(_._2)) match {
+            case Some(vs) =>
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                (key.zip(groupCols).map { case (v, g) => box(dtypeOf(g), v) } ++
+                  vs.toSeq).toArray)
+            case None => return None
+          }
         }
-        Some((StructType(
-          StructField(s"group_$g", dtypeOf(g), nullable = true) +:
-            aggSchema.fields.toSeq), rows))
+      Some((StructType(
+        groupCols.map(g => StructField(s"group_$g", dtypeOf(g), nullable = true)) ++
+          aggSchema.fields.toSeq), rows))
     }
   }
 

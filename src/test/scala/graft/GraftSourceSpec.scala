@@ -580,6 +580,37 @@ class GraftSourceSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("multi-column GROUP BY serves when every group column is a point zone") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      val df = Seq((1L, 0, 10), (7L, 0, 10), (4L, 0, 20), (9L, 1, 10), (2L, 1, 10))
+        .toDF("id", "k", "j")
+      // one commit per (k, j): both group columns are points per file
+      Seq((0, 10), (0, 20), (1, 10)).foreach { case (k, j) =>
+        CommitLog.appendWithStats(spark, t,
+          df.filter(col("k") === k && col("j") === j).coalesce(1),
+          Seq("k", "j", "id"))
+      }
+      val agg = spark.read.format("graft").load(t)
+        .groupBy(col("k"), col("j"))
+        .agg(count(lit(1)).as("n"), max(col("id")).as("hi"))
+        .orderBy(col("k"), col("j"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftAggScan"),
+        s"two-column point-zone grouping did not push:\n$plan")
+      assert(!plan.contains(".parquet"), s"plan opens data files:\n$plan")
+      assert(agg.collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq ===
+        Seq((0, 10, 2L, 7L), (0, 20, 1L, 4L), (1, 10, 2L, 9L)))
+      // one span column in the mix declines the whole pushdown
+      val span = spark.read.format("graft").load(t)
+        .groupBy(col("k"), col("id")).agg(count(lit(1)).as("n"))
+      assert(!span.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+      assert(span.count() === 5)
+    } finally cleanup(t)
+  }
+
   test("nested struct / map / array<struct> columns decode through the graft source") {
     val t = tempTable()
     try {
