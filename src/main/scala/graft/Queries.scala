@@ -493,6 +493,7 @@ object Queries {
     "mm_tiff_pixels" -> (Multimodal.tiffPixelsQ _),
     "mm_video_frames" -> (Multimodal.videoFrames _),
     "mm_audio_pcm" -> (Multimodal.audioPcm _),
+    "mm_audio_g711" -> (Multimodal.audioG711 _),
     "text_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
     "pipeline_weighted_sample" -> ((s: SparkSession, d: String) => TextAnalysis.weightedSample(s, d)),
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
@@ -1160,6 +1161,39 @@ object Queries {
        "CAST(s.sl AS BIGINT) AS sum_l, CAST(s.sr AS BIGINT) AS sum_r, " +
        "CAST(s.pk AS INTEGER) AS peak " +
        "FROM a LEFT JOIN s ON a.doc_id = s.doc_id ORDER BY a.doc_id"),
+    // G.711 twin: the data bytes ARE the law codes ((doc_id + 13i + 7c)
+    // mod 256), so the oracle replays the public µ-law/A-law expansion
+    // formulas (complement/xor, segment shift, bias, sign) over the
+    // same arithmetic — one wrong segment boundary or sign convention
+    // in the decoder fails the hash
+    "mm_audio_g711" -> {
+      def mu(c: String) =
+        s"(CASE WHEN (255 - $c) >= 128 THEN 132 - ((((255 - $c) % 16) * 8 + 132) * (1 << (((255 - $c) // 16) % 8))) " +
+        s"ELSE (((255 - $c) % 16) * 8 + 132) * (1 << (((255 - $c) // 16) % 8)) - 132 END)"
+      def al(c: String) =
+        s"((CASE WHEN xor($c, 85) >= 128 THEN 1 ELSE -1 END) * " +
+        s"(CASE WHEN (xor($c, 85) // 16) % 8 = 0 THEN (xor($c, 85) % 16) * 16 + 8 " +
+        s"ELSE ((xor($c, 85) % 16) * 16 + 264) * (1 << ((xor($c, 85) // 16) % 8 - 1)) END))"
+      def dec(c: String) = s"(CASE WHEN mu THEN ${mu(c)} ELSE ${al(c)} END)"
+      "WITH d AS (SELECT doc_id, 48 + doc_id % 211 AS n, (doc_id % 3) % 2 + 1 AS ch, " +
+      "doc_id % 2 = 0 AS mu FROM documents WHERE doc_id % 137 <> 0), " +
+      "i AS (SELECT doc_id, n, ch, mu, unnest(range(n)) AS i FROM d), " +
+      "c AS (SELECT doc_id, ch, mu, (doc_id + 13 * i) % 256 AS cl, " +
+      "CASE WHEN ch = 2 THEN (doc_id + 13 * i + 7) % 256 END AS cr FROM i), " +
+      s"v AS (SELECT doc_id, ${dec("cl")} AS l, " +
+      s"CASE WHEN cr IS NOT NULL THEN ${dec("cr")} END AS r FROM c), " +
+      "s AS (SELECT doc_id, sum(l) AS sl, sum(r) AS srr, " +
+      "max(greatest(abs(l), coalesce(abs(r), 0))) AS pk FROM v GROUP BY doc_id), " +
+      "a AS (SELECT doc_id FROM documents) " +
+      "SELECT a.doc_id, " +
+      "CASE WHEN a.doc_id % 137 = 0 THEN NULL ELSE CAST((a.doc_id % 3) % 2 + 1 AS INTEGER) END AS channels, " +
+      "CASE WHEN a.doc_id % 137 = 0 THEN NULL ELSE CAST(8000 AS INTEGER) END AS sample_rate, " +
+      "CASE WHEN a.doc_id % 137 = 0 THEN NULL ELSE CAST(8 AS INTEGER) END AS bits, " +
+      "CASE WHEN a.doc_id % 137 = 0 THEN NULL ELSE CAST(48 + a.doc_id % 211 AS BIGINT) END AS n_frames, " +
+      "CAST(s.sl AS BIGINT) AS sum_l, CAST(s.srr AS BIGINT) AS sum_r, " +
+      "CAST(s.pk AS INTEGER) AS peak " +
+      "FROM a LEFT JOIN s ON a.doc_id = s.doc_id ORDER BY a.doc_id"
+    },
     // VIDEO header triage twin: the AVI encoder writes avih/strh/strf
     // from doc_id arithmetic, so the oracle restates the header fields
     // directly — certifying the RIFF walk (incl. the odd-JUNK padding)

@@ -267,6 +267,15 @@ object Multimodal {
           (id % 3).cast("int"), (id % 2 + 1).cast("int"),
           ((id % 4 + 1) * 600).cast("int"), (id % 100000 + 1000).cast("long"),
           id.cast("long"))))
+      case "wavg711" => Seq(
+        (id % 137 === 0, encode(text.substr(1, 32), "UTF-8")),
+        // REAL G.711 WAVs (plans.WavEncode.encodeG711): µ-law on even
+        // docs, A-law on odd, mono/stereo alternating independently —
+        // the telephony-audio shape whose 8-bit codes expand through
+        // the public segment/bias formulas
+        (id % 137 =!= 0, graft.plans.VectorExpressions.wavEncodeG711(
+          (id % 211 + 48).cast("int"), (id % 3 % 2 + 1).cast("int"),
+          id.cast("long"), id % 2 === 0)))
       case "wavpcm" => Seq(
         (id % 113 === 0, encode(text.substr(1, 26), "UTF-8")),
         // REAL 16-bit PCM WAVs (plans.WavEncode: JUNK-then-fmt walk,
@@ -307,7 +316,8 @@ object Multimodal {
     * never fused into a decode query's codegen. */
   def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "gifanim",
-      "apng", "jpgpx", "jpgcol", "jpgprog", "avi", "mp4", "tiff", "wavpcm")
+      "apng", "jpgpx", "jpgcol", "jpgprog", "avi", "mp4", "tiff", "wavpcm",
+      "wavg711")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -612,6 +622,21 @@ object Multimodal {
   def audioPcm(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir, "wavpcm")
       .select(col("doc_id"), graft.plans.VectorExpressions.wavPcm(col("wavpcm")).as("s"))
+      .select(col("doc_id"),
+        col("s.channels").as("channels"), col("s.sample_rate").as("sample_rate"),
+        col("s.bits").as("bits"), col("s.n_frames").as("n_frames"),
+        col("s.sum_l").as("sum_l"), col("s.sum_r").as("sum_r"),
+        col("s.peak").as("peak"))
+      .orderBy(col("doc_id"))
+
+  /** G.711 AUDIO decode: per-channel LINEAR sums + peak from µ-law /
+    * A-law code streams (telephony WAV, formats 7/6) — the same
+    * triage stats as [[audioPcm]] but through the G.711 expansion,
+    * so the oracle certifies the segment/bias/sign arithmetic of
+    * both laws on every corpus row. */
+  def audioG711(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "wavg711")
+      .select(col("doc_id"), graft.plans.VectorExpressions.wavPcm(col("wavg711")).as("s"))
       .select(col("doc_id"),
         col("s.channels").as("channels"), col("s.sample_rate").as("sample_rate"),
         col("s.bits").as("bits"), col("s.n_frames").as("n_frames"),

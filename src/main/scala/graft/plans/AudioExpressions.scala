@@ -61,29 +61,54 @@ object WavPcm {
   import AviMeta.{le32, tag, u8}
   private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
 
+  /** G.711 µ-law expansion (CCITT G.711, the classic u-law→linear
+    * table formula): complement, rebuild the biased mantissa, shift by
+    * the segment exponent, strip the bias, apply sign. */
+  def ulaw2linear(code: Int): Int = {
+    val u = (~code) & 0xFF
+    val t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law expansion: XOR 0x55, segment 0 adds the half-step
+    * bias only, higher segments add the full bias then shift; the
+    * sign bit SET means positive in A-law's convention. */
+  def alaw2linear(code: Int): Int = {
+    val a = code ^ 0x55
+    val q = a & 0x0F
+    val seg = (a >> 4) & 7
+    val t =
+      if (seg == 0) (q << 4) + 8
+      else ((q << 4) + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
   /** RIFF/WAVE walk to `fmt ` then `data`; decode per-channel sums.
-    * Only uncompressed PCM (format 1) at 8, 16, or 24 bits, 1-2
-    * channels — anything else (float, ADPCM, >2ch) is NULL, the
-    * triage contract. 24-bit is the studio-capture shape: 3-byte LE
-    * two's-complement samples, sign-extended exactly. */
+    * Uncompressed PCM (format 1) at 8, 16, or 24 bits, or G.711
+    * A-law/µ-law (formats 6/7, 8-bit codes expanded to 13/14-bit
+    * linear), 1-2 channels — anything else (float, ADPCM, >2ch) is
+    * NULL, the triage contract. 24-bit is the studio-capture shape:
+    * 3-byte LE two's-complement samples, sign-extended exactly. */
   def parse(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 12) return null
     if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
     val end = math.min(b.length.toLong, 8L + le32(b, 4)).toInt
     var p = 12
-    var channels, rate, bits = -1
+    var fmt, channels, rate, bits = -1
     while (p + 8 <= end) {
       val size = le32(b, p + 4)
       if (size < 0 || size > Int.MaxValue - 8) return null
       val body = p + 8
       if (tag(b, p, "fmt ") && size >= 16 && body + 16 <= end) {
-        if (le16(b, body) != 1) return null // PCM only
+        fmt = le16(b, body)
+        if (fmt != 1 && fmt != 6 && fmt != 7) return null // PCM / A-law / µ-law
         channels = le16(b, body + 2)
         rate = le32(b, body + 4).toInt
         bits = le16(b, body + 14)
       } else if (tag(b, p, "data")) {
         if (channels < 1 || channels > 2) return null
-        if (bits != 8 && bits != 16 && bits != 24) return null
+        if (fmt == 1) { if (bits != 8 && bits != 16 && bits != 24) return null }
+        else if (bits != 8) return null // G.711 codes are one byte
         val bytesPer = bits / 8
         val frameBytes = bytesPer * channels
         val avail = math.min(size, (end - body).toLong).toInt
@@ -95,10 +120,12 @@ object WavPcm {
           while (c < channels) {
             val off = body + i * frameBytes + c * bytesPer
             val v =
-              if (bits == 16) (le16(b, off) << 16) >> 16 // sign-extend
+              if (fmt == 7) ulaw2linear(u8(b, off))
+              else if (fmt == 6) alaw2linear(u8(b, off))
+              else if (bits == 16) (le16(b, off) << 16) >> 16 // sign-extend
               else if (bits == 24) // 3-byte LE two's complement
                 ((u8(b, off) | (u8(b, off + 1) << 8) | (u8(b, off + 2) << 16)) << 8) >> 8
-              else u8(b, off) // 8-bit WAV is unsigned
+              else u8(b, off) // 8-bit PCM WAV is unsigned
             if (c == 0) sumL += v else sumR += v
             val a = math.abs(v)
             if (a > peak) peak = a
@@ -173,6 +200,42 @@ object WavEncode {
       }
       i += 1
     }
+    out.toByteArray
+  }
+
+  /** G.711 twin (fmt 7 = µ-law when `mulaw`, else 6 = A-law), 8 kHz
+    * telephony shape: the DATA bytes are the G.711 CODES themselves,
+    * frame i channel c = (seed + 13 i + 7 c) mod 256 — so the DuckDB
+    * oracle replays the public expansion formula over the same arithmetic
+    * and certifies the decoder's segment/bias/sign handling exactly.
+    * fmt chunk is the spec's 18-byte non-PCM form (cbSize = 0). */
+  def encodeG711(nFrames: Int, channels: Int, seed: Long,
+      mulaw: Boolean): Array[Byte] = {
+    if (nFrames <= 0 || nFrames > (1 << 20)) return null
+    if (channels < 1 || channels > 2) return null
+    val rate = 8000
+    val dataLen = nFrames * channels
+    val out = new java.io.ByteArrayOutputStream(dataLen + 64)
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Long): Unit = { w16((v & 0xFFFF).toInt); w16(((v >> 16) & 0xFFFF).toInt) }
+    def cc(t: String): Unit = t.foreach(c => out.write(c.toInt))
+    val pad = dataLen & 1
+    val riffLen = 4 + (8 + 18) + (8 + dataLen + pad)
+    cc("RIFF"); w32(riffLen.toLong); cc("WAVE")
+    cc("fmt "); w32(18L)
+    w16(if (mulaw) 7 else 6); w16(channels); w32(rate.toLong)
+    w32(rate.toLong * channels); w16(channels); w16(8); w16(0) // cbSize
+    cc("data"); w32(dataLen.toLong)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        out.write(java.lang.Math.floorMod(seed + 13L * i + 7L * c, 256L).toInt)
+        c += 1
+      }
+      i += 1
+    }
+    if (pad == 1) out.write(0)
     out.toByteArray
   }
 

@@ -341,6 +341,16 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_wav_encode",
       exprs => WavEncode(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_wav_encode_g711",
+      exprs => graft.plans.SynthExpr(exprs, "graft_wav_encode_g711",
+        Seq(org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.BooleanType),
+        vs => WavEncode.encodeG711(vs(0).asInstanceOf[Int],
+          vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Long],
+          vs(3).asInstanceOf[Boolean])), "scala_udf")
   }
 
   /** Column-API form; registers on the active session on first use.
@@ -567,6 +577,15 @@ object VectorExpressions {
   def wavEncode(nFrames: Column, channels: Column, seed: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_wav_encode", nFrames, channels, seed)
+  }
+
+  /** Deterministic exactly-decodable G.711 WAV synthesis
+    * (plans.WavEncode.encodeG711: µ-law when mulaw, else A-law),
+    * column form; same registration precondition. */
+  def wavEncodeG711(nFrames: Column, channels: Column, seed: Column,
+      mulaw: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_wav_encode_g711", nFrames, channels, seed, mulaw)
   }
 
   /** One-pass MinHash signature (plans.MinhashSignature), column form;

@@ -74,6 +74,51 @@ class AudioPcmSpec extends SparkSpec {
     assert(s != null && s.getLong(3) === 62L) // 64 frames - 2 partial/cut
   }
 
+  test("G.711 mu-law and A-law decode with exact linear sums") {
+    for ((n, ch, seed, mu) <- Seq((64, 1, 3L, true), (200, 2, 42L, true),
+        (64, 1, 3L, false), (200, 2, 42L, false), (1, 2, 0L, true))) {
+      val wav = WavEncode.encodeG711(n, ch, seed, mu)
+      assert(wav != null)
+      val r = WavPcm.parse(wav)
+      assert(r != null, s"G.711 WAV refused (n=$n ch=$ch mu=$mu)")
+      assert(r.getInt(0) === ch && r.getInt(1) === 8000 && r.getInt(2) === 8)
+      assert(r.getLong(3) === n.toLong)
+      var sl = 0L; var sr = 0L; var pk = 0
+      for (i <- 0 until n; c <- 0 until ch) {
+        val code = java.lang.Math.floorMod(seed + 13L * i + 7L * c, 256L).toInt
+        val v = if (mu) WavPcm.ulaw2linear(code) else WavPcm.alaw2linear(code)
+        if (c == 0) sl += v else sr += v
+        pk = math.max(pk, math.abs(v))
+      }
+      assert(r.getLong(4) === sl)
+      if (ch == 2) assert(r.getLong(5) === sr) else assert(r.isNullAt(5))
+      assert(r.getInt(6) === pk)
+    }
+  }
+
+  test("the JDK's own G.711 converter agrees per sample, both laws") {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    for (mu <- Seq(true, false)) {
+      val n = 256 // every code value appears
+      val wav = WavEncode.encodeG711(n, 1, 0L, mu)
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val pcm = AudioSystem.getAudioInputStream(
+        AudioFormat.Encoding.PCM_SIGNED, ais)
+      val be = pcm.getFormat.isBigEndian
+      val bytes = pcm.readAllBytes()
+      assert(bytes.length >= 2 * n, s"JDK converter returned ${bytes.length} bytes")
+      for (i <- 0 until n) {
+        val lo = bytes(2 * i + (if (be) 1 else 0)) & 0xFF
+        val hi = bytes(2 * i + (if (be) 0 else 1)).toInt
+        val jdk = (hi << 8) | lo
+        val code = java.lang.Math.floorMod(13L * i, 256L).toInt
+        val ours = if (mu) WavPcm.ulaw2linear(code) else WavPcm.alaw2linear(code)
+        assert(jdk === ours, s"code=$code mu=$mu: jdk=$jdk ours=$ours")
+      }
+    }
+  }
+
   test("column expressions run through the codegen path") {
     import spark.implicits._
     val rows = Seq((1L, 64, 1), (2L, 80, 2)).toDF("id", "n", "ch")

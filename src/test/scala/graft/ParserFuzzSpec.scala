@@ -111,6 +111,11 @@ class ParserFuzzSpec extends AnyFunSuite {
     // JUNK/fmt/data chunk framing
     val fullWav = graft.plans.WavEncode.encode(80, 2, 77L)
     assert(graft.plans.WavPcm.parse(fullWav) != null)
+    // G.711 WAVs (both laws): corruptions land in the 18-byte non-PCM
+    // fmt chunk and the code-byte expansion
+    val fullG711s = Seq(true, false).map(mu =>
+      graft.plans.WavEncode.encodeG711(60, 2, 77L, mu))
+    fullG711s.foreach(f => assert(graft.plans.WavPcm.parse(f) != null))
     // REAL ISO-BMFF files across the structural variants (fullbox
     // versions, 64-bit largesize, size==0 open mdat): corruptions
     // land in the box size fields and the nested moov/trak walk
@@ -126,7 +131,7 @@ class ParserFuzzSpec extends AnyFunSuite {
     fullTiffs.foreach(f => assert(graft.plans.TiffPixels.parse(f) != null))
     val rnd = new scala.util.Random(0xF00D)
     for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif, fullJpeg,
-        fullJpegColor, fullAvi, fullWav) ++ fullMp4s ++ fullTiffs;
+        fullJpegColor, fullAvi, fullWav) ++ fullG711s ++ fullMp4s ++ fullTiffs;
         _ <- 0 until 800) {
       val truncated = f.take(rnd.nextInt(f.length + 1))
       val corrupted = f.clone()
