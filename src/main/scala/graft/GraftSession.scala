@@ -36,6 +36,13 @@ object GraftSession {
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       // partition dirs are names, not numbers: keep day=20240301 a string
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      // storage-partitioned joins: lets a DSv2 scan's KeyGroupedPartitioning
+      // (the graft source's opt-in `clusterBy`) eliminate join shuffles
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // a join on (cluster_key, more...) is still co-partitioned when
+      // both sides cluster on cluster_key — accept the subset match
+      // instead of demanding join keys == partition keys
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
 }
 

@@ -509,6 +509,7 @@ object Queries {
     "q_lake_pushdown_scan" -> (Lake.pushdownScan _),
     "q_lake_agg_pushdown" -> (Lake.aggPushdown _),
     "q_lake_group_pushdown" -> (Lake.groupAggPushdown _),
+    "q_lake_spj_join" -> (Lake.spjJoin _),
     "q_scd2_user_state" -> (Changes.scd2UserState _),
     "dedup_url_groups" -> (Html.urlDupGroups _),
     "pipeline_domain_cap" -> ((s: SparkSession, d: String) => Html.domainCap(s, d)),
@@ -1459,6 +1460,15 @@ object Queries {
     "q_lake_group_pushdown" ->
       ("SELECT o_orderkey % 4 AS bucket, CAST(count(*) AS BIGINT) AS n_orders, " +
        "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key " +
+       "FROM orders GROUP BY 1 ORDER BY bucket"),
+    // STORAGE-PARTITIONED self-join: both sides of the key join read
+    // the bucket-clustered table with clusterBy, so neither shuffles
+    // (KeyGroupedPartitioning, plan-pinned); the oracle is the plain
+    // self-join — co-location must be result-invisible. The key join
+    // is 1:1, so the doubled price sums restate from one scan
+    "q_lake_spj_join" ->
+      ("SELECT o_orderkey % 4 AS bucket, CAST(count(*) AS BIGINT) AS n_orders, " +
+       "round(sum(2 * o_totalprice), 2) AS total2 " +
        "FROM orders GROUP BY 1 ORDER BY bucket"),
     "q_scd2_user_state" ->
       ("WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events), " +

@@ -68,7 +68,8 @@ object Lake {
     tableCache.getOrCompute(spark, s"$dir#grouped") {
       val p = java.nio.file.Files.createTempDirectory("graft_lakeg_").toString
       val df = Tables.orders(spark, dir)
-        .select(col("o_orderkey"), (col("o_orderkey") % 4).as("bucket"))
+        .select(col("o_orderkey"), (col("o_orderkey") % 4).as("bucket"),
+          col("o_totalprice"))
       (0 until 4).foreach { i =>
         CommitLog.appendWithStats(spark, p, df.filter(col("bucket") === i),
           Seq("bucket", "o_orderkey"))
@@ -89,6 +90,23 @@ object Lake {
       .agg(count(lit(1)).as("n_orders"),
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("bucket"))
+  }
+
+  /** STORAGE-PARTITIONED self-join THROUGH the DSv2 source: both
+    * sides read the bucket-clustered table with `clusterBy`, so the
+    * scan reports KeyGroupedPartitioning and the join on
+    * (bucket, o_orderkey) runs with NO shuffle on either side
+    * (plan-pinned in GraftSourceSpec/PlanAuditSpec) — the 100 TB
+    * fact-to-fact join shape. The oracle is the plain SQL self-join,
+    * so co-location can never change results. */
+  def spjJoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = groupedTable(spark, dir)
+    def side = spark.read.format("graft").option("clusterBy", "bucket").load(p)
+    side.as("l").join(side.as("r"), Seq("bucket", "o_orderkey"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("l.o_totalprice") + col("r.o_totalprice")), 2).as("total2"))
       .orderBy(col("bucket"))
   }
 

@@ -629,7 +629,8 @@ case class GraftAggPartition(rows: Array[InternalRow]) extends InputPartition
 class GraftScan(tablePath: String, version: Long, required: StructType,
     pushed: Array[Filter],
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -643,17 +644,98 @@ class GraftScan(tablePath: String, version: Long, required: StructType,
     s"graft $tablePath v$version PushedFilters: [${pushed.mkString(", ")}], " +
     s"ReadSchema: ${required.catalogString}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** STORAGE-PARTITIONED JOIN support (opt-in via the `clusterBy`
+    * read option, the Iceberg discipline): when every surviving file
+    * stores each cluster column as a POINT zone, files group into one
+    * input partition per distinct key tuple, each exposing its key
+    * via HasPartitionKey, and the scan reports KeyGroupedPartitioning
+    * — so a join of two tables co-clustered on the join key runs with
+    * NO shuffle on either side (Spark's
+    * spark.sql.sources.v2.bucketing.enabled machinery). At 100 TB
+    * this is the difference between re-shuffling both fact tables per
+    * join and reading co-located files directly. Falls back silently
+    * to per-file partitions (UnknownPartitioning) when any file's
+    * zone spans, so a mis-clustered table is never wrong — just
+    * shuffled as usual. */
+  private lazy val fileSlices: (Seq[String], Array[(String, Double, Double)]) = {
     val spark = SparkSession.active
     val preds = GraftScan.skipPredsOf(spark, tablePath, version, pushed)
     val files =
       if (preds.isEmpty) CommitLog.snapshot(spark, tablePath, Some(version))
       else CommitLog.prunedFilesFor(spark, tablePath, Some(version), preds)
+    (files, preds.ranges.toArray)
+  }
+
+  private lazy val clusterCols: Seq[String] =
+    Option(options.get("clusterBy")).map(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      .filter(c => required.fieldNames.contains(c))
+
+  /** Files grouped by their cluster-key point-zone tuple; None when
+    * clustering is off or any file's zone is not a point. */
+  private lazy val keyedGroups: Option[Seq[(Seq[Double], Seq[String])]] = {
+    if (clusterCols.isEmpty) None
+    else {
+      val spark = SparkSession.active
+      val zones = CommitLog.fileStats(spark, tablePath, Some(version))
+      val keyed = fileSlices._1.map { f =>
+        val key = clusterCols.map(c => zones.get(f).flatMap(_.get(c)) match {
+          case Some((lo, hi)) if lo == hi && !lo.isNaN => Some(lo)
+          case _ => None
+        })
+        if (key.forall(_.isDefined)) Some(key.flatten -> f) else None
+      }
+      if (keyed.exists(_.isEmpty)) None
+      else Some(keyed.flatten.groupBy(_._1).toSeq
+        .sortBy(_._1.mkString(","))
+        .map { case (k, fs) => k -> fs.map(_._2) })
+    }
+  }
+
+  private def boxKey(vals: Seq[Double]): InternalRow = {
+    val boxed: Array[Any] = vals.zip(clusterCols).map { case (v, c) =>
+      (required.fields.find(_.name == c).get.dataType match {
+        case IntegerType | DateType => Int.box(v.toInt)
+        case LongType => Long.box(v.toLong)
+        case FloatType => Float.box(v.toFloat)
+        case DoubleType => Double.box(v)
+        case _ => Double.box(v)
+      }): Any
+    }.toArray
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(boxed)
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedGroups match {
+      case Some(groups) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          clusterCols.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+              : org.apache.spark.sql.connector.expressions.Expression).toArray,
+          groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          fileSlices._1.size)
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val (files, ranges) = fileSlices
     // only the RANGE legs travel to the readers (row-group skipping);
     // bloom legs are file-level only — our files carry no parquet
     // bloom filters
-    GraftScan.partitionsFor(spark, tablePath, version, files,
-      preds.ranges.toArray)
+    keyedGroups match {
+      case Some(groups) =>
+        groups.map { case (key, fs) =>
+          GraftKeyedPartition(
+            GraftScan.partitionsFor(spark, tablePath, version, fs, ranges)
+              .map(_.asInstanceOf[GraftPartition]),
+            boxKey(key)): InputPartition
+        }.toArray
+      case None =>
+        GraftScan.partitionsFor(spark, tablePath, version, files, ranges)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -710,9 +792,38 @@ case class GraftPartition(filePath: String, dvInline: Array[Byte],
     dvSidecar: String, ranges: Array[(String, Double, Double)])
     extends InputPartition
 
+/** One storage-partitioned-join partition: ALL the files sharing one
+  * cluster-key tuple, the key exposed so Spark's KeyGroupedPartitioning
+  * machinery can co-locate it with the other join side's matching
+  * partition. */
+case class GraftKeyedPartition(files: Array[GraftPartition], key: InternalRow)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
 class GraftReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(partition.asInstanceOf[GraftPartition], schema)
+    partition match {
+      case p: GraftPartition => new GraftPartitionReader(p, schema)
+      case k: GraftKeyedPartition => new PartitionReader[InternalRow] {
+        // chain the key's files through the ordinary single-file reader
+        private var idx = 0
+        private var cur: PartitionReader[InternalRow] =
+          if (k.files.isEmpty) null else new GraftPartitionReader(k.files(0), schema)
+        override def next(): Boolean = {
+          while (cur != null) {
+            if (cur.next()) return true
+            cur.close(); idx += 1
+            cur = if (idx < k.files.length)
+              new GraftPartitionReader(k.files(idx), schema) else null
+          }
+          false
+        }
+        override def get(): InternalRow = cur.get()
+        override def close(): Unit = if (cur != null) cur.close()
+      }
+    }
 }
 
 /** Reads one data file row-group by row-group with parquet-java's

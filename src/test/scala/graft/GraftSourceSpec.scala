@@ -611,6 +611,58 @@ class GraftSourceSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("storage-partitioned join: co-clustered tables join with no shuffle") {
+    val t1 = tempTable(); val t2 = tempTable()
+    val keep = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      import spark.implicits._
+      val a = Seq((0, 1L), (0, 2L), (1, 3L), (2, 4L), (3, 5L)).toDF("k", "va")
+      val bd = Seq((0, 10L), (1, 11L), (2, 12L), (3, 13L), (3, 14L)).toDF("k", "vb")
+      // both tables one-commit-per-k: every file's k zone is a point
+      (0 to 3).foreach { k =>
+        CommitLog.appendWithStats(spark, t1, a.filter(col("k") === k).coalesce(1), Seq("k"))
+        CommitLog.appendWithStats(spark, t2, bd.filter(col("k") === k).coalesce(1), Seq("k"))
+      }
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val l = spark.read.format("graft").option("clusterBy", "k").load(t1)
+      val r = spark.read.format("graft").option("clusterBy", "k").load(t2)
+      val j = l.join(r, "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("Join"), s"no join in plan:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-clustered storage-partitioned join still shuffles:\n$plan")
+      val got = j.select(col("k"), col("va"), col("vb")).collect()
+        .map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSet
+      assert(got === Set((0, 1L, 10L), (0, 2L, 10L), (1, 3L, 11L),
+        (2, 4L, 12L), (3, 5L, 13L), (3, 5L, 14L)))
+      // without clusterBy the same join shuffles both sides (sanity
+      // that the assertion above is load-bearing)
+      val plain = spark.read.format("graft").load(t1)
+        .join(spark.read.format("graft").load(t2), "k")
+      assert(plain.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "control join unexpectedly shuffle-free")
+      // a table whose zones span must NOT report keyed partitioning —
+      // one multi-k commit makes t3 unkeyed; the join stays correct
+      val t3 = tempTable()
+      try {
+        CommitLog.appendWithStats(spark, t3, a.coalesce(1), Seq("k"))
+        val u = spark.read.format("graft").option("clusterBy", "k").load(t3)
+        val j2 = u.join(r, "k")
+        assert(j2.count() === 6)
+      } finally cleanup(t3)
+    } finally {
+      keep.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      cleanup(t1); cleanup(t2)
+    }
+  }
+
   test("nested struct / map / array<struct> columns decode through the graft source") {
     val t = tempTable()
     try {

@@ -356,6 +356,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains(".parquet"), s"grouped agg plan opens data files:\n$plan")
   }
 
+  test("q_lake_spj_join: the key join itself shuffles neither scan side") {
+    val df = graft.operators.Lake.spjJoin(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("Join"), s"no join in plan:\n$plan")
+    // with storage-partitioned joins the ONLY hash exchange left is
+    // the small post-join aggregate on bucket; a second one means a
+    // join input got re-partitioned and SPJ regressed
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges <= 1,
+      s"storage-partitioned join re-shuffled a scan side ($hashExchanges hash exchanges):\n$plan")
+  }
+
   test("q15 aggregates lineitem once: the revenue view is checkpointed, not recomputed") {
     // before the fix both the scalar max and the crossJoin probe side
     // re-derived the per-supplier aggregate from the parquet scan —
