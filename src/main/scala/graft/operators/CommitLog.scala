@@ -1031,8 +1031,12 @@ object CommitLog {
     * source's pushdown-driven planning. */
   private[graft] final case class SkipPreds(
       ranges: Seq[(String, Double, Double)] = Seq.empty,
-      probes: Seq[(String, Long)] = Seq.empty) {
-    def isEmpty: Boolean = ranges.isEmpty && probes.isEmpty
+      probes: Seq[(String, Long)] = Seq.empty,
+      // IN-set legs (runtime filters / pushed IN): a file survives a
+      // (column, hashes) entry when ANY hash might be present — OR
+      // across the set, AND across entries
+      probeSets: Seq[(String, Seq[Long])] = Seq.empty) {
+    def isEmpty: Boolean = ranges.isEmpty && probes.isEmpty && probeSets.isEmpty
   }
 
   /** Driver-side twin of [[bloomKeep]] for a tail add's parsed bloom
@@ -1059,12 +1063,16 @@ object CommitLog {
   private[graft] def prunedFilesFor(spark: SparkSession, tablePath: String,
       asOf: Option[Long], preds: SkipPreds): Seq[String] = {
     val keepCp = (preds.ranges.map { case (c, lo, hi) => zoneKeep(c, lo, hi) } ++
-      preds.probes.map { case (c, h) => bloomKeep(c, h) })
+      preds.probes.map { case (c, h) => bloomKeep(c, h) } ++
+      preds.probeSets.map { case (c, hs) =>
+        (df: DataFrame) => df.filter(hs.map(h => bloomKeepCol(c, h)).reduce(_ || _))
+      })
       .foldLeft(identity[DataFrame] _)(_ andThen _)
     prunedSnapshot(spark, tablePath, asOf, keepCp, (st, bl) =>
       preds.ranges.forall { case (c, lo, hi) =>
         st.get(c).forall { case (mn, mx) => !(mx < lo || mn > hi) } } &&
-      preds.probes.forall { case (c, h) => addMightContain(bl, c, h) })
+      preds.probes.forall { case (c, h) => addMightContain(bl, c, h) } &&
+      preds.probeSets.forall { case (c, hs) => hs.exists(h => addMightContain(bl, c, h)) })
   }
 
   /** xxhash64 probe for `column = value`, hashed the way the stored

@@ -21,7 +21,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -566,12 +566,38 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
       }
     }
 
+  private[grafttable] def skippable(f: Filter): Boolean =
+    GraftScanBuilder.skippable(f)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(skippable)
+    filters // ALL residual: Spark re-applies every predicate
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = aggResult match {
+    case Some((schema, rows)) => new GraftAggScan(tablePath, version, schema, rows)
+    case None => new GraftScan(tablePath, version, required, pushed, options)
+  }
+}
+
+object GraftScanBuilder {
+
   private[grafttable] def skippable(f: Filter): Boolean = f match {
     case GreaterThan(_, v) => numeric(v)
     case GreaterThanOrEqual(_, v) => numeric(v)
     case LessThan(_, v) => numeric(v)
     case LessThanOrEqual(_, v) => numeric(v)
     case EqualTo(_, v) => numeric(v) || v.isInstanceOf[String]
+    // IN-set (incl. DPP runtime filters): prunable when the non-null
+    // values are all numeric or all strings; bounded — a huge IN list
+    // costs more to probe than it saves
+    case In(_, vs) => vs != null && vs.nonEmpty && vs.length <= 256 && {
+      val nn = vs.filter(_ != null)
+      nn.nonEmpty &&
+        (nn.forall(numeric) || nn.forall(_.isInstanceOf[String]))
+    }
     case _ => false
   }
 
@@ -584,18 +610,6 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
     case d: java.lang.Double => !d.isNaN
     case f: java.lang.Float => !f.isNaN
     case _ => false
-  }
-
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(skippable)
-    filters // ALL residual: Spark re-applies every predicate
-  }
-  override def pushedFilters(): Array[Filter] = pushed
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-  override def build(): Scan = aggResult match {
-    case Some((schema, rows)) => new GraftAggScan(tablePath, version, schema, rows)
-    case None => new GraftScan(tablePath, version, required, pushed, options)
   }
 }
 
@@ -630,7 +644,8 @@ class GraftScan(tablePath: String, version: Long, required: StructType,
     pushed: Array[Filter],
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -657,13 +672,46 @@ class GraftScan(tablePath: String, version: Long, required: StructType,
     * to per-file partitions (UnknownPartitioning) when any file's
     * zone spans, so a mis-clustered table is never wrong — just
     * shuffled as usual. */
-  private lazy val fileSlices: (Seq[String], Array[(String, Double, Double)]) = {
-    val spark = SparkSession.active
-    val preds = GraftScan.skipPredsOf(spark, tablePath, version, pushed)
-    val files =
-      if (preds.isEmpty) CommitLog.snapshot(spark, tablePath, Some(version))
-      else CommitLog.prunedFilesFor(spark, tablePath, Some(version), preds)
-    (files, preds.ranges.toArray)
+  /** DPP-style RUNTIME file pruning (SupportsRuntimeFiltering): when
+    * a join's build side resolves, Spark hands the scan the IN-set of
+    * observed join keys and the file set re-prunes through the SAME
+    * zone + bloom legs the static path uses (OR across the set) —
+    * the DSv2 generalization of dynamic partition pruning, here over
+    * CLUSTERING metadata instead of directory partitions. Ignored in
+    * clusterBy-keyed mode: dropping key groups after
+    * KeyGroupedPartitioning was reported would break the contract the
+    * storage-partitioned join planned against. */
+  @volatile private var runtime: Array[Filter] = Array.empty
+  @volatile private var slicesCache: (Seq[String], Array[(String, Double, Double)]) = null
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (clusterCols.nonEmpty) Array.empty
+    else required.fields.collect {
+      case f if Seq(IntegerType, LongType, DateType, FloatType, DoubleType,
+          org.apache.spark.sql.types.StringType).contains(f.dataType) =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+
+  override def filter(filters: Array[Filter]): Unit =
+    if (clusterCols.isEmpty) {
+      runtime = filters.filter(GraftScanBuilder.skippable)
+      slicesCache = null
+    }
+
+  private def fileSlices: (Seq[String], Array[(String, Double, Double)]) = {
+    val cached = slicesCache
+    if (cached != null) cached
+    else {
+      val spark = SparkSession.active
+      val preds = GraftScan.skipPredsOf(spark, tablePath, version, pushed ++ runtime)
+      val files =
+        if (preds.isEmpty) CommitLog.snapshot(spark, tablePath, Some(version))
+        else CommitLog.prunedFilesFor(spark, tablePath, Some(version), preds)
+      val computed = (files, preds.ranges.toArray)
+      slicesCache = computed
+      computed
+    }
   }
 
   private lazy val clusterCols: Seq[String] =
@@ -753,6 +801,7 @@ object GraftScan {
       version: Long, pushed: Array[Filter]): CommitLog.SkipPreds = {
     val ranges = Seq.newBuilder[(String, Double, Double)]
     val probes = Seq.newBuilder[(String, Long)]
+    val probeSets = Seq.newBuilder[(String, Seq[Long])]
     def num(v: Any): Double = v.asInstanceOf[Number].doubleValue()
     pushed.foreach {
       case GreaterThan(c, v) => ranges += ((c, num(v), Double.PositiveInfinity))
@@ -763,9 +812,23 @@ object GraftScan {
         if (v.isInstanceOf[Number]) ranges += ((c, num(v), num(v)))
         CommitLog.probeHashFor(spark, tablePath, Some(version), c, v)
           .foreach(h => probes += ((c, h)))
+      case In(c, vs) if vs != null && vs.nonEmpty =>
+        // null never matches IN, so the non-null values carry the leg
+        val nn = vs.filter(_ != null)
+        if (nn.nonEmpty) {
+          if (nn.forall(_.isInstanceOf[Number])) {
+            val ds = nn.map(num)
+            ranges += ((c, ds.min, ds.max)) // sound envelope of the set
+          }
+          // bloom OR-probe: only when EVERY value hashes portably —
+          // a partial set would prune files holding the unhashed rest
+          val hs = nn.toSeq.map(v =>
+            CommitLog.probeHashFor(spark, tablePath, Some(version), c, v))
+          if (hs.forall(_.isDefined)) probeSets += ((c, hs.flatten))
+        }
       case _ => ()
     }
-    CommitLog.SkipPreds(ranges.result(), probes.result())
+    CommitLog.SkipPreds(ranges.result(), probes.result(), probeSets.result())
   }
 
   /** File list → DV-resolved reader partitions at `version`: inline
@@ -849,6 +912,8 @@ class GraftReaderFactory(schema: StructType) extends PartitionReaderFactory {
   * without conversion subtleties; everything else keeps the group. */
 class GraftPartitionReader(p: GraftPartition, schema: StructType)
     extends PartitionReader[InternalRow] {
+
+  GraftPartitionReader.filesOpened.incrementAndGet() // test observability
 
   private val conf = new Configuration()
   private val reader =
@@ -988,4 +1053,12 @@ class GraftPartitionReader(p: GraftPartition, schema: StructType)
 
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
+}
+
+object GraftPartitionReader {
+  /** Data files actually OPENED by readers in this JVM — the
+    * observable the runtime-filtering and pruning specs assert on
+    * (local-mode only; production metrics ride Spark's own scan
+    * metrics). */
+  val filesOpened = new java.util.concurrent.atomic.AtomicLong(0)
 }

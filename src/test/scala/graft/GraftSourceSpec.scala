@@ -663,6 +663,36 @@ class GraftSourceSpec extends SparkSpec {
     }
   }
 
+  test("runtime filtering: a join's build side prunes fact files at execution") {
+    val t = tempTable()
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dim_").toString
+    try {
+      import spark.implicits._
+      val fact = (0 until 4).flatMap(k =>
+        (0 until 50).map(i => (k, k * 1000L + i))).toDF("k", "v")
+      // one commit per k, one file each: zones make k-pruning possible
+      (0 to 3).foreach(k =>
+        CommitLog.appendWithStats(spark, t,
+          fact.filter(col("k") === k).coalesce(1), Seq("k", "v")))
+      // dim side: parquet with a selective filter → broadcast → DPP
+      Seq((2, "keep"), (7, "other")).toDF("k", "tag")
+        .write.mode("overwrite").parquet(dimDir)
+      val f = spark.read.format("graft").load(t)
+      val d = spark.read.parquet(dimDir).filter(col("tag") === "keep")
+      val j = f.join(d, "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning") || plan.contains("RuntimeFilters: [in"),
+        s"no runtime filter reached the graft scan:\n$plan")
+      sources.grafttable.GraftPartitionReader.filesOpened.set(0L)
+      assert(j.count() === 50)
+      val opened = sources.grafttable.GraftPartitionReader.filesOpened.get()
+      assert(opened < 4, s"runtime filter pruned nothing: opened $opened of 4 files")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dimDir))
+      cleanup(t)
+    }
+  }
+
   test("nested struct / map / array<struct> columns decode through the graft source") {
     val t = tempTable()
     try {
