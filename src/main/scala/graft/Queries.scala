@@ -510,6 +510,7 @@ object Queries {
     "q_lake_agg_pushdown" -> (Lake.aggPushdown _),
     "q_lake_group_pushdown" -> (Lake.groupAggPushdown _),
     "q_lake_spj_join" -> (Lake.spjJoin _),
+    "q_lake_runtime_prune" -> (Lake.runtimePrune _),
     "q_scd2_user_state" -> (Changes.scd2UserState _),
     "dedup_url_groups" -> (Html.urlDupGroups _),
     "pipeline_domain_cap" -> ((s: SparkSession, d: String) => Html.domainCap(s, d)),
@@ -1249,7 +1250,9 @@ object Queries {
        "CASE WHEN doc_id % 127 = 0 THEN NULL ELSE CAST(doc_id % 3 AS INTEGER) END AS video_tracks, " +
        "CASE WHEN doc_id % 127 = 0 THEN NULL ELSE CAST(doc_id % 2 + 1 AS INTEGER) END AS audio_tracks, " +
        "CASE WHEN doc_id % 127 = 0 OR doc_id % 3 = 0 THEN NULL ELSE CAST(doc_id % 600 + 16 AS INTEGER) END AS width, " +
-       "CASE WHEN doc_id % 127 = 0 OR doc_id % 3 = 0 THEN NULL ELSE CAST((doc_id * 3) % 400 + 16 AS INTEGER) END AS height " +
+       "CASE WHEN doc_id % 127 = 0 OR doc_id % 3 = 0 THEN NULL ELSE CAST((doc_id * 3) % 400 + 16 AS INTEGER) END AS height, " +
+       "CASE WHEN doc_id % 127 = 0 THEN NULL ELSE CAST((doc_id % 5) % 3 AS INTEGER) END AS n_fragments, " +
+       "CASE WHEN doc_id % 127 = 0 THEN NULL ELSE CAST((doc_id % 5) % 3 * (10 + doc_id % 50) * (doc_id % 3 + doc_id % 2 + 1) AS BIGINT) END AS n_samples " +
        "FROM documents ORDER BY doc_id"),
     // VIDEO frame-decode twin: frame f of doc d is a color JPEG seeded
     // d + 1000*f (AviEncode scaladoc), so the mm_jpeg_color block
@@ -1470,6 +1473,14 @@ object Queries {
       ("SELECT o_orderkey % 4 AS bucket, CAST(count(*) AS BIGINT) AS n_orders, " +
        "round(sum(2 * o_totalprice), 2) AS total2 " +
        "FROM orders GROUP BY 1 ORDER BY bucket"),
+    // RUNTIME-pruned join: the broadcast dim resolves to bucket {0}
+    // (every o_orderkey % 8 = 0 key has % 4 = 0), the scan prunes
+    // files with the runtime IN-set; the oracle is the static WHERE
+    // equivalent — pruning must be result-invisible
+    "q_lake_runtime_prune" ->
+      ("SELECT o_orderkey % 4 AS bucket, CAST(count(*) AS BIGINT) AS n_orders, " +
+       "round(sum(o_totalprice), 2) AS total " +
+       "FROM orders WHERE o_orderkey % 4 = 0 GROUP BY 1 ORDER BY bucket"),
     "q_scd2_user_state" ->
       ("WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events), " +
        "t AS (SELECT user_id, event_id, event_type, ts_us, " +

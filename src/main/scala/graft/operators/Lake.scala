@@ -64,7 +64,7 @@ object Lake {
     * clustered/partition-like layout under which the source can
     * answer GROUP BY bucket entirely from metadata (Delta's
     * partition-level count, generalized to clustering stats). */
-  private def groupedTable(spark: SparkSession, dir: String): String =
+  private[graft] def groupedTable(spark: SparkSession, dir: String): String =
     tableCache.getOrCompute(spark, s"$dir#grouped") {
       val p = java.nio.file.Files.createTempDirectory("graft_lakeg_").toString
       val df = Tables.orders(spark, dir)
@@ -107,6 +107,26 @@ object Lake {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("l.o_totalprice") + col("r.o_totalprice")), 2).as("total2"))
+      .orderBy(col("bucket"))
+  }
+
+  /** RUNTIME-PRUNED join THROUGH the DSv2 source: the broadcast dim
+    * side resolves to bucket {0} at execution (o_orderkey % 8 = 0
+    * implies % 4 = 0), Spark hands the scan that IN-set, and the
+    * fact side opens only bucket-0 files (SupportsRuntimeFiltering —
+    * behavior-pinned by the file-open counter in GraftSourceSpec /
+    * PlanAuditSpec). The oracle restates the join as a static WHERE,
+    * so runtime pruning can never change results. */
+  def runtimePrune(spark: SparkSession, dir: String): DataFrame = {
+    val p = groupedTable(spark, dir)
+    val fact = spark.read.format("graft").load(p)
+    val dim = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 8 === 0)
+      .select((col("o_orderkey") % 4).as("bucket")).distinct()
+    fact.join(broadcast(dim), Seq("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
       .orderBy(col("bucket"))
   }
 

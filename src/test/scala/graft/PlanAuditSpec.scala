@@ -368,6 +368,25 @@ class PlanAuditSpec extends SparkSpec {
       s"storage-partitioned join re-shuffled a scan side ($hashExchanges hash exchanges):\n$plan")
   }
 
+  test("q_lake_runtime_prune: the fact scan opens fewer files than it has") {
+    val df = graft.operators.Lake.runtimePrune(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("dynamicpruning") || plan.contains("RuntimeFilters: [in"),
+      s"no runtime filter reached the fact scan:\n$plan")
+    val total = graft.operators.CommitLog.snapshot(spark,
+      graft.operators.Lake.groupedTable(spark, sf), None).size
+    graft.sources.grafttable.GraftPartitionReader.filesOpened.set(0L)
+    assert(df.collect().nonEmpty)
+    val opened = graft.sources.grafttable.GraftPartitionReader.filesOpened.get()
+    // the dim resolves to bucket {0}, one of the table's four bucket
+    // commit groups — the fact side must open strictly fewer files
+    // than the table holds (the dim's own orders scan is parquet and
+    // not counted)
+    assert(opened > 0, "counter saw no graft file opens at all")
+    assert(opened < total,
+      s"runtime filter pruned nothing: opened $opened of $total files")
+  }
+
   test("q15 aggregates lineitem once: the revenue view is checkpointed, not recomputed") {
     // before the fix both the scalar max and the crossJoin probe side
     // re-derived the per-supplier aggregate from the parquet scan —
