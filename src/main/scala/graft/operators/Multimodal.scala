@@ -266,6 +266,7 @@ object Multimodal {
           (id % 600 + 16).cast("int"), ((id * 3) % 400 + 16).cast("int"),
           (id % 3).cast("int"), (id % 2 + 1).cast("int"),
           ((id % 4 + 1) * 600).cast("int"), (id % 100000 + 1000).cast("long"),
+          (id % 5 % 3).cast("int"), (id % 50 + 10).cast("int"),
           id.cast("long"))))
       case "wavg711" => Seq(
         (id % 137 === 0, encode(text.substr(1, 32), "UTF-8")),
@@ -686,7 +687,9 @@ object Multimodal {
         col("m.duration").as("duration"), col("m.n_tracks").as("n_tracks"),
         col("m.video_tracks").as("video_tracks"),
         col("m.audio_tracks").as("audio_tracks"),
-        col("m.width").as("width"), col("m.height").as("height"))
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.n_fragments").as("n_fragments"),
+        col("m.n_samples").as("n_samples"))
       .orderBy(col("doc_id"))
 
   /** VIDEO frame decode: every MJPEG frame of every AVI through the

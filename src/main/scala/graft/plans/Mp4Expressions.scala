@@ -72,11 +72,18 @@ object Mp4Meta {
     StructField("video_tracks", IntegerType),
     StructField("audio_tracks", IntegerType),
     StructField("width", IntegerType),
-    StructField("height", IntegerType)))
+    StructField("height", IntegerType),
+    // fragmented-MP4 (DASH/HLS) triage: movie-fragment count and the
+    // total trun sample count across all track fragments — 0/0 for a
+    // plain progressive file
+    StructField("n_fragments", IntegerType),
+    StructField("n_samples", LongType)))
 
   /** Hostile-header ceiling on boxes visited across ALL nesting
-    * levels: bounds walk time; memory is O(1) regardless. */
-  val MaxBoxes = 512
+    * levels: bounds walk time; memory is O(1) regardless. Sized past
+    * the encoder's own envelope (64 fragments x 8 tracks of
+    * traf/tfhd/trun triples). */
+  val MaxBoxes = 4096
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
   private def be32(b: Array[Byte], i: Int): Long =
@@ -101,6 +108,8 @@ object Mp4Meta {
     // per-trak: tkhd dims (level 2) + hdlr kind (level 3)
     var trakW = -1; var trakH = -1
     var trakKind = 0 // 0 = other/unknown, 1 = vide, 2 = soun
+    // fragmented-MP4 accumulation (moof/traf/trun)
+    var nFrags = 0; var nSamples = 0L
   }
 
   def parse(b: Array[Byte]): InternalRow = {
@@ -108,8 +117,9 @@ object Mp4Meta {
     // cheap signature gate before any walk: the first box must be a
     // known file-level type (every real file leads with ftyp; moov/
     // free/mdat leads occur in practice for ftyp-less QuickTime)
-    if (!typ(b, 4, "ftyp") && !typ(b, 4, "moov") && !typ(b, 4, "free") &&
-        !typ(b, 4, "skip") && !typ(b, 4, "mdat") && !typ(b, 4, "wide"))
+    if (!typ(b, 4, "ftyp") && !typ(b, 4, "styp") && !typ(b, 4, "moov") &&
+        !typ(b, 4, "free") && !typ(b, 4, "skip") && !typ(b, 4, "mdat") &&
+        !typ(b, 4, "wide"))
       return null
     val st = new St
     if (!walkChildren(b, 0, b.length, 0, st)) return null
@@ -117,7 +127,8 @@ object Mp4Meta {
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(st.brand), st.timescale, st.duration,
       st.nTracks, st.vid, st.aud,
-      if (st.w >= 0) st.w else null, if (st.h >= 0) st.h else null))
+      if (st.w >= 0) st.w else null, if (st.h >= 0) st.h else null,
+      st.nFrags, st.nSamples))
   }
 
   /** Walks the boxes in [from, to) at nesting `level` (0 = file level,
@@ -144,9 +155,20 @@ object Mp4Meta {
         end = p + size32
       }
       val boxEnd = end.toInt
-      if (level == 0 && typ(b, p + 4, "ftyp")) {
+      if (level == 0 && (typ(b, p + 4, "ftyp") || typ(b, p + 4, "styp"))) {
+        // ftyp leads self-contained files, styp leads DASH segments;
+        // first one wins as the reported brand
         if (body + 4 > boxEnd) return false
-        st.brand = new String(b, body, 4, "US-ASCII")
+        if (st.brand == null) st.brand = new String(b, body, 4, "US-ASCII")
+      } else if (level == 0 && typ(b, p + 4, "moof")) {
+        st.nFrags += 1
+        if (!walkChildren(b, body, boxEnd, 4, st)) return false
+      } else if (level == 4 && typ(b, p + 4, "traf")) {
+        if (!walkChildren(b, body, boxEnd, 5, st)) return false
+      } else if (level == 5 && typ(b, p + 4, "trun")) {
+        // FullBox 4, then sample_count (u32)
+        if (body + 8 > boxEnd) return false
+        st.nSamples += be32(b, body + 4)
       } else if (level == 0 && typ(b, p + 4, "moov")) {
         if (!walkChildren(b, body, boxEnd, 1, st)) return false
       } else if (level == 1 && typ(b, p + 4, "mvhd")) {
@@ -220,12 +242,13 @@ case class Mp4Encode(children: Seq[Expression]) extends Expression
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val expected = Seq(IntegerType, IntegerType, IntegerType, IntegerType,
-      IntegerType, LongType, LongType)
-    if (children.length == 7 && children.map(_.dataType) == expected)
+      IntegerType, LongType, IntegerType, IntegerType, LongType)
+    if (children.length == 9 && children.map(_.dataType) == expected)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       "graft_mp4_encode expects (int w, int h, int nVideo, int nAudio, " +
-        "int timescale, long duration, long seed)")
+        "int timescale, long duration, int nFragments, int samplesPerFrag, " +
+        "long seed)")
   }
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -237,7 +260,8 @@ case class Mp4Encode(children: Seq[Expression]) extends Expression
     else Mp4Encode.encode(vs(0).asInstanceOf[Int], vs(1).asInstanceOf[Int],
       vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Int],
       vs(4).asInstanceOf[Int], vs(5).asInstanceOf[Long],
-      vs(6).asInstanceOf[Long])
+      vs(6).asInstanceOf[Int], vs(7).asInstanceOf[Int],
+      vs(8).asInstanceOf[Long])
   }
 
   override protected def withNewChildrenInternal(
@@ -267,10 +291,13 @@ object Mp4Encode {
   }
 
   def encode(w: Int, h: Int, nVideo: Int, nAudio: Int, timescale: Int,
-      duration: Long, seed: Long): Array[Byte] = {
+      duration: Long, nFragments: Int, samplesPerFrag: Int,
+      seed: Long): Array[Byte] = {
     if (w <= 0 || w > 8192 || h <= 0 || h > 8192) return null
     if (nVideo < 0 || nVideo > 8 || nAudio < 0 || nAudio > 8 ||
         nVideo + nAudio < 1) return null
+    if (nFragments < 0 || nFragments > 64 ||
+        (nFragments > 0 && samplesPerFrag <= 0)) return null
     if (timescale <= 0 || duration < 0 || seed < 0) return null
     val mvhdV1 = (seed & 1L) == 1L
     if (!mvhdV1 && duration > 0xFFFFFFFFL) return null // v0 stores u32
@@ -343,6 +370,22 @@ object Mp4Encode {
         o.write(freeBody, 0, freeBody.length)
       } else box(o, "free", freeBody)
       box(o, "moov", moov)
+      // movie fragments (fMP4): moof [mfhd + one traf per track, each
+      // carrying a trun with its sample count] followed by its mdat
+      (0 until nFragments).foreach { fi =>
+        box(o, "moof", bytesOf { m =>
+          box(m, "mfhd", bytesOf { x => be32(x, 0L); be32(x, fi.toLong + 1) })
+          (1 to nVideo + nAudio).foreach { tid =>
+            box(m, "traf", bytesOf { t =>
+              box(t, "tfhd", bytesOf { x => be32(x, 0L); be32(x, tid.toLong) })
+              box(t, "trun", bytesOf { x =>
+                be32(x, 0L); be32(x, samplesPerFrag.toLong)
+              })
+            })
+          }
+        })
+        box(o, "mdat", Array.fill[Byte](((seed + fi) % 7).toInt + 1)(0x6D))
+      }
       val payload = Array.fill[Byte]((seed % 13).toInt + 2)(0x6D)
       if (openMdat) { // size==0: mdat extends to end of file
         be32(o, 0L); fourcc(o, "mdat"); o.write(payload, 0, payload.length)

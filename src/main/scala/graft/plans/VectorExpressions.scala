@@ -559,10 +559,11 @@ object VectorExpressions {
   /** Deterministic structurally-valid MP4 synthesis (plans.Mp4Encode),
     * column form; same registration precondition. */
   def mp4Encode(w: Column, h: Column, nVideo: Column, nAudio: Column,
-      timescale: Column, duration: Column, seed: Column): Column = {
+      timescale: Column, duration: Column, nFragments: Column,
+      samplesPerFrag: Column, seed: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_mp4_encode", w, h, nVideo, nAudio, timescale,
-      duration, seed)
+      duration, nFragments, samplesPerFrag, seed)
   }
 
   /** PCM sample decode to channel sums + peak (plans.WavPcm), column

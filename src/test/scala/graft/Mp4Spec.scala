@@ -16,7 +16,7 @@ class Mp4Spec extends SparkSpec {
     // seed bits drive: 1 = mvhd v1, 2 = tkhd v1, %5==0 = largesize
     // free, %7==0 = open mdat — cover each alone and in combination
     for (seed <- Seq(4L, 1L, 2L, 3L, 5L, 7L, 35L, 70L, 105L)) {
-      val b = Mp4Encode.encode(640, 480, 1, 2, 90000, 123456L, seed)
+      val b = Mp4Encode.encode(640, 480, 1, 2, 90000, 123456L, 0, 0, seed)
       assert(b != null, s"encode failed for seed=$seed")
       val m = Mp4Meta.parse(b)
       assert(m != null, s"parse failed for seed=$seed")
@@ -30,8 +30,25 @@ class Mp4Spec extends SparkSpec {
     }
   }
 
+  test("fragmented files count moofs and trun samples; plain files report 0/0") {
+    val plain = Mp4Meta.parse(Mp4Encode.encode(64, 48, 1, 1, 600, 100L, 0, 0, 4L))
+    assert(plain.getInt(8) === 0 && plain.getLong(9) === 0L)
+    // 3 fragments x (1 video + 2 audio) trafs x 20 samples each
+    val frag = Mp4Meta.parse(Mp4Encode.encode(64, 48, 1, 2, 600, 100L, 3, 20, 4L))
+    assert(frag != null)
+    assert(frag.getInt(8) === 3, "n_fragments")
+    assert(frag.getLong(9) === 3L * 3 * 20, "n_samples")
+    // a styp-led segment (DASH media-segment brand position) parses
+    // when the moov is present in the same stream
+    val b = Mp4Encode.encode(64, 48, 1, 0, 600, 100L, 2, 5, 4L)
+    val styp = b.clone()
+    styp(4) = 's'; styp(5) = 't' // ftyp -> styp fourcc
+    val m = Mp4Meta.parse(styp)
+    assert(m != null && m.getString(0) === "isom" && m.getInt(8) === 2)
+  }
+
   test("audio-only files report NULL dimensions") {
-    val b = Mp4Encode.encode(1, 1, 0, 2, 600, 999L, 4L)
+    val b = Mp4Encode.encode(1, 1, 0, 2, 600, 999L, 0, 0, 4L)
     val m = Mp4Meta.parse(b)
     assert(m != null)
     assert(m.getInt(4) === 0 && m.getInt(5) === 2)
@@ -40,13 +57,13 @@ class Mp4Spec extends SparkSpec {
 
   test("64-bit durations survive the mvhd v1 path") {
     val big = 0x1_0000_0000L + 17L // does not fit u32
-    assert(Mp4Encode.encode(8, 8, 1, 0, 600, big, 0L) == null) // v0 rejects
-    val m = Mp4Meta.parse(Mp4Encode.encode(8, 8, 1, 0, 600, big, 1L))
+    assert(Mp4Encode.encode(8, 8, 1, 0, 600, big, 0, 0, 0L) == null) // v0 rejects
+    val m = Mp4Meta.parse(Mp4Encode.encode(8, 8, 1, 0, 600, big, 0, 0, 1L))
     assert(m != null && m.getLong(2) === big)
   }
 
   test("hostile inputs parse to NULL, never throw") {
-    val good = Mp4Encode.encode(320, 240, 1, 1, 600, 5000L, 4L)
+    val good = Mp4Encode.encode(320, 240, 1, 1, 600, 5000L, 0, 0, 4L)
     assert(Mp4Meta.parse(good) != null)
     // truncations at every prefix length: a cut INSIDE a box must be
     // refused; a cut exactly at a top-level box boundary after moov is
@@ -84,7 +101,7 @@ class Mp4Spec extends SparkSpec {
     // the parse is refused in bounded time rather than walked forever
     val spam = Array.fill(Mp4Meta.MaxBoxes + 8)(be32(8) ++ "free".getBytes)
       .flatten.toArray
-    val good = Mp4Encode.encode(16, 16, 1, 0, 600, 100L, 4L)
+    val good = Mp4Encode.encode(16, 16, 1, 0, 600, 100L, 0, 0, 4L)
     assert(Mp4Meta.parse(spam ++ good) == null)
   }
 
@@ -92,7 +109,8 @@ class Mp4Spec extends SparkSpec {
     graft.plans.VectorExpressions.register(spark)
     val df = spark.sql(
       """SELECT graft_mp4_meta(graft_mp4_encode(
-        |  320, 240, 2, 1, 1200, CAST(777 AS BIGINT), CAST(6 AS BIGINT))) AS m""".stripMargin)
+        |  320, 240, 2, 1, 1200, CAST(777 AS BIGINT), 2, 9,
+        |  CAST(6 AS BIGINT))) AS m""".stripMargin)
     val r = df.selectExpr("m.brand", "m.n_tracks", "m.video_tracks",
       "m.width", "m.duration").head()
     assert(r.getString(0) === "isom")

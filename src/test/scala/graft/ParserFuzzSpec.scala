@@ -120,7 +120,7 @@ class ParserFuzzSpec extends AnyFunSuite {
     // versions, 64-bit largesize, size==0 open mdat): corruptions
     // land in the box size fields and the nested moov/trak walk
     val fullMp4s = Seq(0L, 1L, 2L, 3L, 5L, 7L, 35L).map(s =>
-      graft.plans.Mp4Encode.encode(320, 240, 1, 1, 600, 5000L, s))
+      graft.plans.Mp4Encode.encode(320, 240, 1, 1, 600, 5000L, (s % 3).toInt, 12, s))
     fullMp4s.foreach(f => assert(graft.plans.Mp4Meta.parse(f) != null))
     // REAL baseline TIFFs, both byte orders, strip layouts, and strip
     // encodings (uncompressed / LZW / LZW+predictor): corruptions land
