@@ -494,6 +494,7 @@ object Queries {
     "mm_video_frames" -> (Multimodal.videoFrames _),
     "mm_audio_pcm" -> (Multimodal.audioPcm _),
     "mm_audio_g711" -> (Multimodal.audioG711 _),
+    "mm_audio_float" -> (Multimodal.audioFloat _),
     "text_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
     "pipeline_weighted_sample" -> ((s: SparkSession, d: String) => TextAnalysis.weightedSample(s, d)),
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
@@ -1162,6 +1163,26 @@ object Queries {
        "CASE WHEN a.doc_id % 113 = 0 THEN NULL ELSE CAST(64 + a.doc_id % 193 AS BIGINT) END AS n_frames, " +
        "CAST(s.sl AS BIGINT) AS sum_l, CAST(s.sr AS BIGINT) AS sum_r, " +
        "CAST(s.pk AS INTEGER) AS peak " +
+       "FROM a LEFT JOIN s ON a.doc_id = s.doc_id ORDER BY a.doc_id"),
+    // IEEE-float twin: samples are dyadic k/256 (k = (doc_id + 29i +
+    // 11c) mod 65536 - 32768), so the double sums are exact and
+    // order-independent — the one construction under which float
+    // audio admits a hash-exact SQL oracle
+    "mm_audio_float" ->
+      ("WITH d AS (SELECT doc_id, 32 + doc_id % 223 AS n, 1 + doc_id % 2 AS ch " +
+       "FROM documents WHERE doc_id % 139 <> 0), " +
+       "i AS (SELECT doc_id, n, ch, unnest(range(n)) AS i FROM d), " +
+       "v AS (SELECT doc_id, ((doc_id + 29 * i) % 65536 - 32768) / 256.0 AS l, " +
+       "CASE WHEN ch = 2 THEN ((doc_id + 29 * i + 11) % 65536 - 32768) / 256.0 END AS r FROM i), " +
+       "s AS (SELECT doc_id, sum(l) AS sl, sum(r) AS srr, " +
+       "max(greatest(abs(l), coalesce(abs(r), 0))) AS pk FROM v GROUP BY doc_id), " +
+       "a AS (SELECT doc_id FROM documents) " +
+       "SELECT a.doc_id, " +
+       "CASE WHEN a.doc_id % 139 = 0 THEN NULL ELSE CAST(1 + a.doc_id % 2 AS INTEGER) END AS channels, " +
+       "CASE WHEN a.doc_id % 139 = 0 THEN NULL ELSE CAST(44100 AS INTEGER) END AS sample_rate, " +
+       "CASE WHEN a.doc_id % 139 = 0 THEN NULL ELSE CAST(32 + a.doc_id % 223 AS BIGINT) END AS n_frames, " +
+       "CAST(s.sl AS DOUBLE) AS sum_l, CAST(s.srr AS DOUBLE) AS sum_r, " +
+       "CAST(s.pk AS DOUBLE) AS peak " +
        "FROM a LEFT JOIN s ON a.doc_id = s.doc_id ORDER BY a.doc_id"),
     // G.711 twin: the data bytes ARE the law codes ((doc_id + 13i + 7c)
     // mod 256), so the oracle replays the public µ-law/A-law expansion

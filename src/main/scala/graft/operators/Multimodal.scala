@@ -268,6 +268,14 @@ object Multimodal {
           ((id % 4 + 1) * 600).cast("int"), (id % 100000 + 1000).cast("long"),
           (id % 5 % 3).cast("int"), (id % 50 + 10).cast("int"),
           id.cast("long"))))
+      case "wavfloat" => Seq(
+        (id % 139 === 0, encode(text.substr(1, 34), "UTF-8")),
+        // REAL IEEE-float WAVs (plans.WavFloat.encode): samples are
+        // dyadic k/256 so the decoded double sums replay exactly in
+        // SQL, order-free
+        (id % 139 =!= 0, graft.plans.VectorExpressions.wavEncodeFloat(
+          (id % 223 + 32).cast("int"), (id % 2 + 1).cast("int"),
+          id.cast("long"))))
       case "wavg711" => Seq(
         (id % 137 === 0, encode(text.substr(1, 32), "UTF-8")),
         // REAL G.711 WAVs (plans.WavEncode.encodeG711): µ-law on even
@@ -318,7 +326,7 @@ object Multimodal {
   def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "gifanim",
       "apng", "jpgpx", "jpgcol", "jpgprog", "avi", "mp4", "tiff", "wavpcm",
-      "wavg711")
+      "wavg711", "wavfloat")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -641,6 +649,20 @@ object Multimodal {
       .select(col("doc_id"),
         col("s.channels").as("channels"), col("s.sample_rate").as("sample_rate"),
         col("s.bits").as("bits"), col("s.n_frames").as("n_frames"),
+        col("s.sum_l").as("sum_l"), col("s.sum_r").as("sum_r"),
+        col("s.peak").as("peak"))
+      .orderBy(col("doc_id"))
+
+  /** IEEE-float AUDIO decode: per-channel double sums + peak over
+    * format-3 WAVs (the DAW-export shape). The fixture's dyadic
+    * samples make the double sums exact and order-free, so the oracle
+    * certifies the float32 bit decode itself. */
+  def audioFloat(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "wavfloat")
+      .select(col("doc_id"), graft.plans.VectorExpressions.wavFloat(col("wavfloat")).as("s"))
+      .select(col("doc_id"),
+        col("s.channels").as("channels"), col("s.sample_rate").as("sample_rate"),
+        col("s.n_frames").as("n_frames"),
         col("s.sum_l").as("sum_l"), col("s.sum_r").as("sum_r"),
         col("s.peak").as("peak"))
       .orderBy(col("doc_id"))

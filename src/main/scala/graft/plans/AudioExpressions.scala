@@ -142,6 +142,128 @@ object WavPcm {
   }
 }
 
+/** `graft_wav_float(binary)` → (channels, sample_rate, n_frames,
+  * sum_l, sum_r, peak) over an IEEE-float WAV (format 3, 32-bit
+  * little-endian samples — the DAW-export shape). Sums and peak are
+  * DOUBLES; the fixture's samples are dyadic (k/256 with |k| < 2^15),
+  * so every sum is exactly representable and ORDER-INDEPENDENT in
+  * double — which is what lets a SQL oracle replay it despite float
+  * addition's general non-associativity. Same RIFF discipline and
+  * total-function contract as [[WavPcm]]. */
+case class WavFloat(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_wav_float expects a binary column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = WavFloat.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_float"
+
+  override def nullSafeEval(input: Any): Any =
+    WavFloat.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.plans.WavFloat.parse($b);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): WavFloat =
+    copy(child = newChild)
+}
+
+object WavFloat {
+
+  val schema: StructType = StructType(Seq(
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("sum_l", DoubleType),
+    StructField("sum_r", DoubleType), // null for mono
+    StructField("peak", DoubleType)))
+
+  import AviMeta.{le32, tag, u8}
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 12) return null
+    if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
+    val end = math.min(b.length.toLong, 8L + le32(b, 4)).toInt
+    var p = 12
+    var fmt, channels, rate, bits = -1
+    while (p + 8 <= end) {
+      val size = le32(b, p + 4)
+      if (size < 0 || size > Int.MaxValue - 8) return null
+      val body = p + 8
+      if (tag(b, p, "fmt ") && size >= 16 && body + 16 <= end) {
+        fmt = le16(b, body)
+        if (fmt != 3) return null // IEEE float only; PCM rides WavPcm
+        channels = le16(b, body + 2)
+        rate = le32(b, body + 4).toInt
+        bits = le16(b, body + 14)
+      } else if (tag(b, p, "data")) {
+        if (channels < 1 || channels > 2 || bits != 32) return null
+        val frameBytes = 4 * channels
+        val avail = math.min(size, (end - body).toLong).toInt
+        val nFrames = avail / frameBytes
+        var sumL = 0.0; var sumR = 0.0; var peak = 0.0
+        var i = 0
+        while (i < nFrames) {
+          var c = 0
+          while (c < channels) {
+            val off = body + i * frameBytes + c * 4
+            val bitsI = le32(b, off).toInt
+            val v = java.lang.Float.intBitsToFloat(bitsI).toDouble
+            if (v.isNaN || v.isInfinite) return null // corrupt sample
+            if (c == 0) sumL += v else sumR += v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            c += 1
+          }
+          i += 1
+        }
+        return new GenericInternalRow(Array[Any](channels, rate,
+          nFrames.toLong, sumL, if (channels == 2) sumR else null, peak))
+      }
+      p = body + size.toInt + (size.toInt & 1)
+    }
+    null // no data chunk
+  }
+
+  /** Encoder twin: frame i channel c =
+    * (((seed + 29 i + 11 c) mod 65536) - 32768) / 256 — dyadic, so
+    * the decoded double sums are exact and order-free. fmt chunk is
+    * the 18-byte non-PCM form. */
+  def encode(nFrames: Int, channels: Int, seed: Long): Array[Byte] = {
+    if (nFrames <= 0 || nFrames > (1 << 20)) return null
+    if (channels < 1 || channels > 2 || seed < 0) return null
+    val rate = 44100
+    val dataLen = nFrames * channels * 4
+    val out = new java.io.ByteArrayOutputStream(dataLen + 64)
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Long): Unit = { w16((v & 0xFFFF).toInt); w16(((v >> 16) & 0xFFFF).toInt) }
+    def cc(t: String): Unit = t.foreach(c => out.write(c.toInt))
+    val riffLen = 4 + (8 + 18) + (8 + dataLen)
+    cc("RIFF"); w32(riffLen.toLong); cc("WAVE")
+    cc("fmt "); w32(18L)
+    w16(3); w16(channels); w32(rate.toLong)
+    w32(rate.toLong * channels * 4); w16(channels * 4); w16(32); w16(0)
+    cc("data"); w32(dataLen.toLong)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val k = java.lang.Math.floorMod(seed + 29L * i + 11L * c, 65536L).toInt - 32768
+        w32(java.lang.Float.floatToIntBits(k / 256.0f).toLong & 0xFFFFFFFFL)
+        c += 1
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+}
+
 /** `graft_wav_encode(n_frames, channels, seed)` — see [[WavPcm]]. */
 case class WavEncode(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression {

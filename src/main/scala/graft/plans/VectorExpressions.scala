@@ -342,6 +342,16 @@ object VectorExpressions {
       "graft_wav_encode",
       exprs => WavEncode(exprs(0), exprs(1), exprs(2)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_wav_float", exprs => WavFloat(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_wav_encode_float",
+      exprs => graft.plans.SynthExpr(exprs, "graft_wav_encode_float",
+        Seq(org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType),
+        vs => WavFloat.encode(vs(0).asInstanceOf[Int],
+          vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Long])), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_wav_encode_g711",
       exprs => graft.plans.SynthExpr(exprs, "graft_wav_encode_g711",
         Seq(org.apache.spark.sql.types.IntegerType,
@@ -578,6 +588,21 @@ object VectorExpressions {
   def wavEncode(nFrames: Column, channels: Column, seed: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_wav_encode", nFrames, channels, seed)
+  }
+
+  /** IEEE-float WAV sample decode (plans.WavFloat), column form;
+    * same registration precondition. */
+  def wavFloat(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_wav_float", c)
+  }
+
+  /** Deterministic exactly-decodable IEEE-float WAV synthesis
+    * (plans.WavFloat.encode), column form; same registration
+    * precondition. */
+  def wavEncodeFloat(nFrames: Column, channels: Column, seed: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_wav_encode_float", nFrames, channels, seed)
   }
 
   /** Deterministic exactly-decodable G.711 WAV synthesis

@@ -119,6 +119,37 @@ class AudioPcmSpec extends SparkSpec {
     }
   }
 
+  test("IEEE-float WAVs decode with exact dyadic double sums") {
+    import graft.plans.WavFloat
+    for ((n, ch, seed) <- Seq((64, 1, 3L), (200, 2, 42L), (1, 2, 0L))) {
+      val wav = WavFloat.encode(n, ch, seed)
+      assert(wav != null)
+      val r = WavFloat.parse(wav)
+      assert(r != null, s"float WAV refused (n=$n ch=$ch)")
+      assert(r.getInt(0) === ch && r.getInt(1) === 44100)
+      assert(r.getLong(2) === n.toLong)
+      var sl = 0.0; var sr = 0.0; var pk = 0.0
+      for (i <- 0 until n; c <- 0 until ch) {
+        val k = java.lang.Math.floorMod(seed + 29L * i + 11L * c, 65536L).toInt - 32768
+        val v = k / 256.0
+        if (c == 0) sl += v else sr += v
+        pk = math.max(pk, math.abs(v))
+      }
+      assert(r.getDouble(3) === sl)
+      if (ch == 2) assert(r.getDouble(4) === sr) else assert(r.isNullAt(4))
+      assert(r.getDouble(5) === pk)
+    }
+    // NaN/Inf samples are corrupt, not averaged in
+    val bad = WavFloat.encode(8, 1, 5L)
+    val dataAt = (0 until bad.length - 4).find(i =>
+      bad(i) == 'd' && bad(i + 1) == 'a' && bad(i + 2) == 't' && bad(i + 3) == 'a').get
+    val nanBits = java.lang.Float.floatToIntBits(Float.NaN)
+    for (j <- 0 until 4) bad(dataAt + 8 + j) = ((nanBits >> (8 * j)) & 0xFF).toByte
+    assert(WavFloat.parse(bad) == null)
+    // a PCM (format 1) file is WavPcm's domain, not this one's
+    assert(WavFloat.parse(WavEncode.encode(16, 1, 5L)) == null)
+  }
+
   test("column expressions run through the codegen path") {
     import spark.implicits._
     val rows = Seq((1L, 64, 1), (2L, 80, 2)).toDF("id", "n", "ch")

@@ -27,6 +27,7 @@ class ParserFuzzSpec extends AnyFunSuite {
     "AviFrames" -> (graft.plans.AviFrames.parse(_)),
     "Mp4Meta" -> (graft.plans.Mp4Meta.parse(_)),
     "TiffPixels" -> (graft.plans.TiffPixels.parse(_)),
+    "WavFloat" -> (graft.plans.WavFloat.parse(_)),
     "WavPcm" -> (graft.plans.WavPcm.parse(_)))
 
   // magic prefixes steer the fuzz into each format's deep parse path
@@ -116,6 +117,10 @@ class ParserFuzzSpec extends AnyFunSuite {
     val fullG711s = Seq(true, false).map(mu =>
       graft.plans.WavEncode.encodeG711(60, 2, 77L, mu))
     fullG711s.foreach(f => assert(graft.plans.WavPcm.parse(f) != null))
+    // an IEEE-float WAV: corruptions land in the float sample bits
+    // (incl. NaN/Inf injections the decoder must refuse, not sum)
+    val fullFloat = graft.plans.WavFloat.encode(60, 2, 77L)
+    assert(graft.plans.WavFloat.parse(fullFloat) != null)
     // REAL ISO-BMFF files across the structural variants (fullbox
     // versions, 64-bit largesize, size==0 open mdat): corruptions
     // land in the box size fields and the nested moov/trak walk
@@ -131,7 +136,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     fullTiffs.foreach(f => assert(graft.plans.TiffPixels.parse(f) != null))
     val rnd = new scala.util.Random(0xF00D)
     for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif, fullJpeg,
-        fullJpegColor, fullAvi, fullWav) ++ fullG711s ++ fullMp4s ++ fullTiffs;
+        fullJpegColor, fullAvi, fullWav, fullFloat) ++ fullG711s ++
+        fullMp4s ++ fullTiffs;
         _ <- 0 until 800) {
       val truncated = f.take(rnd.nextInt(f.length + 1))
       val corrupted = f.clone()
