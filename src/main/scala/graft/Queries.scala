@@ -488,6 +488,7 @@ object Queries {
     "mm_jpeg_pixels" -> (Multimodal.jpegPixelsQ _),
     "mm_jpeg_color" -> (Multimodal.jpegColorQ _),
     "mm_jpeg_progressive" -> (Multimodal.jpegProgressiveQ _),
+    "mm_jpeg_lossless" -> (Multimodal.jpegLosslessQ _),
     "mm_video_meta" -> (Multimodal.videoMeta _),
     "mm_mp4_meta" -> (Multimodal.mp4MetaQ _),
     "mm_tiff_pixels" -> (Multimodal.tiffPixelsQ _),
@@ -1164,6 +1165,31 @@ object Queries {
        "CAST(s.sl AS BIGINT) AS sum_l, CAST(s.sr AS BIGINT) AS sum_r, " +
        "CAST(s.pk AS INTEGER) AS peak " +
        "FROM a LEFT JOIN s ON a.doc_id = s.doc_id ORDER BY a.doc_id"),
+    // LOSSLESS-JPEG twin: SOF3 spatial prediction is lossless, so the
+    // decoded sums ARE the pixel-formula sums (same formulas as the
+    // TIFF fixture) — the oracle carries zero codec arithmetic while
+    // the hash still certifies the Huffman difference decode, the
+    // H.1.2.1 prediction rules (all seven predictors cycle on
+    // doc_id%7), and the modulo-2^16 reconstruction
+    "mm_jpeg_lossless" ->
+      ("WITH d AS (SELECT doc_id, 5 + doc_id % 21 AS w, 5 + (doc_id * 3) % 17 AS h, " +
+       "doc_id % 5 = 0 AS gr FROM documents), " +
+       "px AS (SELECT doc_id, w, h, gr, unnest(range(w * h)) AS i FROM d WHERE doc_id % 151 <> 0), " +
+       "s AS (SELECT doc_id, " +
+       "sum(CASE WHEN gr THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
+       "ELSE (doc_id + 3 * (i % w) + 7 * (i // w)) % 256 END) AS sr, " +
+       "sum(CASE WHEN gr THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
+       "ELSE (2 * doc_id + 5 * (i % w) + (i // w)) % 256 END) AS sg, " +
+       "sum(CASE WHEN gr THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
+       "ELSE (3 * doc_id + (i % w) + 11 * (i // w)) % 256 END) AS sb " +
+       "FROM px GROUP BY doc_id) " +
+       "SELECT d.doc_id, " +
+       "CASE WHEN d.doc_id % 151 = 0 THEN NULL ELSE CAST(d.w AS INTEGER) END AS width, " +
+       "CASE WHEN d.doc_id % 151 = 0 THEN NULL ELSE CAST(d.h AS INTEGER) END AS height, " +
+       "CAST(s.sr AS BIGINT) AS sum_r, CAST(s.sg AS BIGINT) AS sum_g, " +
+       "CAST(s.sb AS BIGINT) AS sum_b, " +
+       "CASE WHEN d.doc_id % 151 = 0 THEN NULL ELSE CAST(d.w * d.h AS BIGINT) END AS n_pixels " +
+       "FROM d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"),
     // IEEE-float twin: samples are dyadic k/256 (k = (doc_id + 29i +
     // 11c) mod 65536 - 32768), so the double sums are exact and
     // order-independent — the one construction under which float

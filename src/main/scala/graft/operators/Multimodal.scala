@@ -234,6 +234,17 @@ object Multimodal {
           id.cast("long"),
           when(id % 5 === 0, lit(3)).otherwise(id % 3).cast("int"),
           id % 2 === 0)))
+      case "jpgll" => Seq(
+        (id % 151 === 0, encode(text.substr(1, 36), "UTF-8")),
+        // REAL LOSSLESS (SOF3) JPEGs (plans.JpegEncode.encodeLossless):
+        // ALL SEVEN predictors cycle on doc_id, gray every 5th doc —
+        // lossless means the decoded sums equal the pixel formulas
+        // exactly, so the oracle needs no codec arithmetic
+        (id % 151 =!= 0, graft.plans.VectorExpressions.jpegEncodeLossless(
+          (id % 21 + 5).cast("int"), ((id * 3) % 17 + 5).cast("int"),
+          id.cast("long"),
+          when(id % 5 === 0, lit(1)).otherwise(lit(3)).cast("int"),
+          (id % 7 + 1).cast("int"))))
       case "avi" => Seq(
         (id % 111 === 0, encode(text.substr(1, 24), "UTF-8")),
         // REAL single-stream MJPEG AVIs (plans.AviEncode): 1..3 color
@@ -325,8 +336,8 @@ object Multimodal {
     * never fused into a decode query's codegen. */
   def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "gifanim",
-      "apng", "jpgpx", "jpgcol", "jpgprog", "avi", "mp4", "tiff", "wavpcm",
-      "wavg711", "wavfloat")
+      "apng", "jpgpx", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
+      "wavpcm", "wavg711", "wavfloat")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -618,6 +629,21 @@ object Multimodal {
   def jpegProgressiveQ(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir, "jpgprog")
       .select(col("doc_id"), graft.plans.VectorExpressions.jpegPixels(col("jpgprog")).as("s"))
+      .select(col("doc_id"),
+        col("s.width").as("width"), col("s.height").as("height"),
+        col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),
+        col("s.sum_b").as("sum_b"), col("s.n_pixels").as("n_pixels"))
+      .orderBy(col("doc_id"))
+
+  /** Registered LOSSLESS-JPEG decode query: SOF3 spatial-prediction
+    * streams through the same graft_jpeg_pixels expression — all
+    * seven predictors cycle across the corpus, and because the codec
+    * is lossless the oracle recomputes the sums straight from the
+    * pixel formulas (the strongest oracle shape: zero tolerance,
+    * zero codec arithmetic). */
+  def jpegLosslessQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "jpgll")
+      .select(col("doc_id"), graft.plans.VectorExpressions.jpegPixels(col("jpgll")).as("s"))
       .select(col("doc_id"),
         col("s.width").as("width"), col("s.height").as("height"),
         col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),

@@ -285,6 +285,7 @@ object JpegPixels {
     var w = 0; var h = 0
     var nComp = 0
     var progressive = false
+    var lossless = false
     val compId = new Array[Int](3)
     val compQt = new Array[Int](3)
     val compH = new Array[Int](3)
@@ -335,9 +336,26 @@ object JpegPixels {
             if (compH(0) < 1 || compH(0) > 2 || compV(0) < 1 || compV(0) > 2) return null
             if (compH(1) != 1 || compV(1) != 1 || compH(2) != 1 || compV(2) != 1) return null
           }
-        case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+        case 0xC3 => // SOF3 lossless (T.81 Annex H, process 14)
+          lossless = true
+          if (len < 11) return null
+          if (u8(b, i + 2) != 8) return null // 8-bit lossless only
+          h = u16(b, i + 3); w = u16(b, i + 5)
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
+          nComp = u8(b, i + 7)
+          if (nComp != 1 && nComp != 3) return null
+          if (len < 8 + 3 * nComp) return null
+          var c = 0
+          while (c < nComp) {
+            compId(c) = u8(b, i + 8 + 3 * c)
+            // subsampled lossless is legal but vanishingly rare — out
+            // of the envelope, NULL not wrong-valued
+            if (u8(b, i + 9 + 3 * c) != 0x11) return null
+            c += 1
+          }
+        case 0xC1 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
              0xCD | 0xCE | 0xCF =>
-          return null // extended/lossless/arithmetic: out of scope
+          return null // extended/arithmetic/hierarchical: out of scope
         case 0xDB => // DQT: one or more tables
           if (!parseDqt(b, i + 2, end, qts)) return null
         case 0xC4 => // DHT: one or more tables
@@ -347,6 +365,9 @@ object JpegPixels {
           restartInterval = u16(b, i + 2)
         case 0xDA => // SOS
           if (nComp == 0) return null // SOS before SOF
+          if (lossless)
+            return decodeLossless(b, i, w, h, nComp, compId, dcT,
+              restartInterval)
           if (progressive)
             // the whole multi-scan protocol (spectral selection,
             // successive approximation, per-scan tables) lives in
@@ -457,6 +478,100 @@ object JpegPixels {
         mx += 1
       }
       my += 1
+    }
+    new GenericInternalRow(Array[Any](w, h, sums(0), sums(1), sums(2), w.toLong * h))
+  } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** ITU T.81 Annex H LOSSLESS decode (process 14), entered by
+    * [[parse]] at the SOS of an SOF3 frame. Samples are spatial-domain
+    * predictions + Huffman-coded differences — no DCT, no quantizer:
+    *
+    *  - each sample's difference is a DC-style (SSSS category, extra
+    *    bits) pair from the component's DC-class Huffman table;
+    *  - prediction (H.1.2.1): first sample 2^(P-1-Pt); rest of the
+    *    first line uses Ra; first column uses Rb; everywhere else the
+    *    scan header's predictor selector Ss ∈ 1..7 (Ra, Rb, Rc,
+    *    Ra+Rb−Rc, Ra+((Rb−Rc)>>1), Rb+((Ra−Rc)>>1), (Ra+Rb)>>1);
+    *  - reconstruction is modulo 2^16; output = Rx << Pt.
+    *
+    * Envelope: 8-bit precision, 1 or 3 components at 1x1 (enforced at
+    * SOF3), full interleave, no restart markers — anything else NULL.
+    * A 3-component lossless frame carries components in their SOURCE
+    * space (no YCbCr transform is defined for lossless), so they sum
+    * directly as R/G/B; grayscale replicates. Memory is two rows per
+    * component; work is O(pixels). */
+  private def decodeLossless(b: Array[Byte], sosAt: Int, w: Int, h: Int,
+      nComp: Int, compId: Array[Int], dcT: Array[HuffTable],
+      restartInterval: Int): InternalRow = try {
+    if (restartInterval != 0) return null // rare in lossless; out of envelope
+    val len = u16(b, sosAt)
+    if (len < 6 + 2 * nComp || sosAt + len > b.length) return null
+    if (u8(b, sosAt + 2) != nComp) return null // full interleave only
+    val tables = new Array[HuffTable](nComp)
+    var s = 0
+    while (s < nComp) {
+      val cs = u8(b, sosAt + 3 + 2 * s)
+      val tsel = u8(b, sosAt + 4 + 2 * s) >> 4 // DC-class selector
+      var c = 0; var found = -1
+      while (c < nComp) { if (compId(c) == cs) found = c; c += 1 }
+      if (found < 0 || tsel > 3 || dcT(tsel) == null) return null
+      tables(found) = dcT(tsel)
+      s += 1
+    }
+    if (tables.exists(_ == null)) return null
+    val pred = u8(b, sosAt + 3 + 2 * nComp) // Ss = predictor selector
+    if (pred < 1 || pred > 7) return null
+    val pt = u8(b, sosAt + 5 + 2 * nComp) & 0x0F // Al = point transform
+    if (pt > 7) return null // P=8: shifting more leaves no signal
+    val defaultPred = 1 << (7 - pt) // 2^(P-1-Pt)
+    val r = new BitReader(b, sosAt + len)
+    val prevRow = Array.fill(nComp)(new Array[Int](w))
+    val curRow = Array.fill(nComp)(new Array[Int](w))
+    val sums = new Array[Long](3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < nComp) {
+          val ssss = r.decode(tables(c))
+          val diff =
+            if (ssss == 0) 0
+            else if (ssss == 16) 32768 // P=16's special symbol; legal bits
+            else extend(r.readBits(ssss), ssss)
+          val px =
+            if (y == 0 && x == 0) defaultPred
+            else if (y == 0) curRow(c)(x - 1) // rest of first line: Ra
+            else if (x == 0) prevRow(c)(0) // first column: Rb
+            else {
+              val ra = curRow(c)(x - 1)
+              val rb = prevRow(c)(x)
+              val rc = prevRow(c)(x - 1)
+              pred match {
+                case 1 => ra
+                case 2 => rb
+                case 3 => rc
+                case 4 => ra + rb - rc
+                case 5 => ra + ((rb - rc) >> 1)
+                case 6 => rb + ((ra - rc) >> 1)
+                case 7 => (ra + rb) >> 1
+              }
+            }
+          val rx = (px + diff) & 0xFFFF // modulo-2^16 reconstruction
+          curRow(c)(x) = rx
+          val out = (rx << pt) & 0xFFFF
+          if (nComp == 1) { sums(0) += out; sums(1) += out; sums(2) += out }
+          else sums(c) += out
+          c += 1
+        }
+        x += 1
+      }
+      var c = 0
+      while (c < nComp) { // roll rows without reallocating
+        val t = prevRow(c); prevRow(c) = curRow(c); curRow(c) = t
+        c += 1
+      }
+      y += 1
     }
     new GenericInternalRow(Array[Any](w, h, sums(0), sums(1), sums(2), w.toLong * h))
   } catch { case scala.util.control.NonFatal(_) => null }
@@ -921,6 +1036,87 @@ object JpegEncode {
     var a = math.abs(v); var c = 0
     while (a != 0) { a >>= 1; c += 1 }
     c
+  }
+
+  /** LOSSLESS fixture encoder (SOF3, T.81 Annex H process 14): pixel
+    * (x, y) channels come from the same seed formulas as
+    * [[TiffEncode]] (gray (s+5x+3y)%256; RGB (s+3x+7y)/(2s+5x+y)/
+    * (3s+x+11y) mod 256 — lossless carries components in their source
+    * space, no YCbCr), spatial prediction with selector `pred` 1..7,
+    * DC-category differences on the Annex-K DC table (8-bit diffs
+    * stay within its 0..11 symbols). Being LOSSLESS, the decoded sums
+    * equal the formula sums exactly — the oracle needs no codec
+    * arithmetic at all. */
+  def encodeLossless(w: Int, h: Int, seed: Long, nComp: Int,
+      pred: Int): Array[Byte] = {
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 20)) return null
+    if ((nComp != 1 && nComp != 3) || pred < 1 || pred > 7 || seed < 0) return null
+    def sample(c: Int, x: Int, y: Int): Int = (if (nComp == 1)
+      java.lang.Math.floorMod(seed + 5L * x + 3L * y, 256L)
+    else c match {
+      case 0 => java.lang.Math.floorMod(seed + 3L * x + 7L * y, 256L)
+      case 1 => java.lang.Math.floorMod(2L * seed + 5L * x + y, 256L)
+      case _ => java.lang.Math.floorMod(3L * seed + x + 11L * y, 256L)
+    }).toInt
+    val out = new java.io.ByteArrayOutputStream(w * h * nComp / 2 + 256)
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m); val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xFF); body.foreach(out.write)
+    }
+    marker(0xD8)
+    val sofComps = (1 to nComp).flatMap(c => Seq(c, 0x11, 0)).toArray
+    seg(0xC3, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, nComp) ++ sofComps)
+    seg(0xC4, Array(0x00) ++ DcBits ++ DcVals)
+    val sosComps = (1 to nComp).flatMap(c => Seq(c, 0x00)).toArray
+    seg(0xDA, Array(nComp) ++ sosComps ++ Array(pred, 0, 0)) // Ss=pred, Pt=0
+    val bw = new BitWriter(out)
+    val prevRow = Array.fill(nComp)(new Array[Int](w))
+    val curRow = Array.fill(nComp)(new Array[Int](w))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < nComp) {
+          val v = sample(c, x, y)
+          // the decoder's prediction, mirrored exactly (H.1.2.1)
+          val px =
+            if (y == 0 && x == 0) 128 // 2^(P-1), Pt=0
+            else if (y == 0) curRow(c)(x - 1)
+            else if (x == 0) prevRow(c)(0)
+            else {
+              val ra = curRow(c)(x - 1); val rb = prevRow(c)(x)
+              val rc = prevRow(c)(x - 1)
+              pred match {
+                case 1 => ra
+                case 2 => rb
+                case 3 => rc
+                case 4 => ra + rb - rc
+                case 5 => ra + ((rb - rc) >> 1)
+                case 6 => rb + ((ra - rc) >> 1)
+                case 7 => (ra + rb) >> 1
+              }
+            }
+          curRow(c)(x) = v // the reconstruction IS the sample
+          val d = v - px
+          val ssss = category(d)
+          bw.write(dcCode(ssss), dcSize(ssss))
+          if (ssss > 0) bw.write(if (d < 0) d + (1 << ssss) - 1 else d, ssss)
+          c += 1
+        }
+        x += 1
+      }
+      var c = 0
+      while (c < nComp) {
+        val t = prevRow(c); prevRow(c) = curRow(c); curRow(c) = t
+        c += 1
+      }
+      y += 1
+    }
+    bw.flush()
+    marker(0xD9)
+    out.toByteArray
   }
 
   /** The fixture encoder: per-block-constant pixels from the seed

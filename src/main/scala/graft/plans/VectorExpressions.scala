@@ -323,6 +323,17 @@ object VectorExpressions {
       "graft_jpeg_encode_progressive",
       exprs => JpegEncodeProgressive(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jpeg_encode_lossless",
+      exprs => graft.plans.SynthExpr(exprs, "graft_jpeg_encode_lossless",
+        Seq(org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType),
+        vs => JpegEncode.encodeLossless(vs(0).asInstanceOf[Int],
+          vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Long],
+          vs(3).asInstanceOf[Int], vs(4).asInstanceOf[Int])), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_avi_meta", exprs => AviMeta(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_avi_frames", exprs => AviFrames(exprs(0)), "scala_udf")
@@ -519,6 +530,15 @@ object VectorExpressions {
       restartRows: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_jpeg_encode_progressive", w, h, seed, mode, restartRows)
+  }
+
+  /** Deterministic exactly-decodable LOSSLESS-JPEG synthesis
+    * (plans.JpegEncode.encodeLossless: SOF3, predictor 1..7, gray or
+    * 3-component), column form; same registration precondition. */
+  def jpegEncodeLossless(w: Column, h: Column, seed: Column, nComp: Column,
+      pred: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_jpeg_encode_lossless", w, h, seed, nComp, pred)
   }
 
   /** AVI header parse (plans.AviMeta), column form; same registration

@@ -454,6 +454,63 @@ class JpegSpec extends SparkSpec {
     }
   }
 
+  test("lossless (SOF3) decodes exactly across all seven predictors") {
+    import graft.plans.{JpegEncode, JpegPixels}
+    def m(v: Long) = java.lang.Math.floorMod(v, 256L)
+    for {
+      (w, h) <- Seq((1, 1), (9, 7), (16, 11), (2, 31))
+      nComp <- Seq(1, 3)
+      pred <- 1 to 7
+    } {
+      val seed = 13L * w + h + pred
+      val jll = JpegEncode.encodeLossless(w, h, seed, nComp, pred)
+      assert(jll != null)
+      val r = JpegPixels.parse(jll)
+      assert(r != null, s"lossless refused w=$w h=$h nComp=$nComp pred=$pred")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        if (nComp == 1) {
+          val g = m(seed + 5L * x + 3L * y); sr += g; sg += g; sb += g
+        } else {
+          sr += m(seed + 3L * x + 7L * y)
+          sg += m(2L * seed + 5L * x + y)
+          sb += m(3L * seed + x + 11L * y)
+        }
+      }
+      assert(r.getInt(0) === w && r.getInt(1) === h)
+      // LOSSLESS: decoded sums equal the pixel-formula sums with no
+      // codec arithmetic — and therefore agree ACROSS predictors, the
+      // seven-way internal differential
+      assert(r.getLong(2) === sr && r.getLong(3) === sg && r.getLong(4) === sb,
+        s"lossless sums diverge w=$w h=$h nComp=$nComp pred=$pred")
+    }
+  }
+
+  test("lossless hostile inputs are NULL, never throw") {
+    import graft.plans.{JpegEncode, JpegPixels}
+    val good = JpegEncode.encodeLossless(11, 9, 7L, 3, 4)
+    assert(JpegPixels.parse(good) != null)
+    // every cut inside the entropy stream must refuse; only the
+    // trailing EOI (which the decoder never needs) may go missing
+    for (n <- 0 until good.length - 2)
+      assert(JpegPixels.parse(good.take(n)) == null, s"prefix $n accepted")
+    // bad predictor selector (0 and 8)
+    for (bad <- Seq(0, 8)) {
+      val c = good.clone()
+      // SOS layout: FF DA len(2) Ns comps(2*3) Ss — Ss at marker + 11
+      val at = (0 until c.length - 1).find(i =>
+        (c(i) & 0xFF) == 0xFF && (c(i + 1) & 0xFF) == 0xDA).get
+      c(at + 11) = bad.toByte
+      assert(JpegPixels.parse(c) == null, s"predictor $bad accepted")
+    }
+    // 16-bit precision declines (envelope)
+    val c16 = good.clone()
+    val sofAt = (0 until c16.length - 1).find(i =>
+      (c16(i) & 0xFF) == 0xFF && (c16(i + 1) & 0xFF) == 0xC3).get
+    c16(sofAt + 4) = 16
+    assert(JpegPixels.parse(c16) == null)
+  }
+
   test("mm_jpeg_pixels serves decoded stats with corrupt docs as NULL") {
     val df = graft.operators.Multimodal.jpegPixelsQ(spark, sf)
     val rows = df.collect()

@@ -103,6 +103,10 @@ class ParserFuzzSpec extends AnyFunSuite {
     // chroma path
     val fullJpegColor = graft.plans.JpegEncode.encodeBlockyColor(17, 12, 77L, 2, true)
     assert(graft.plans.JpegPixels.parse(fullJpegColor) != null)
+    // LOSSLESS (SOF3): corruptions land in the prediction/difference
+    // stream and the lossless-specific SOS fields
+    val fullJpegLossless = graft.plans.JpegEncode.encodeLossless(17, 12, 77L, 3, 4)
+    assert(graft.plans.JpegPixels.parse(fullJpegLossless) != null)
     // a REAL MJPEG AVI: corruptions land in the RIFF chunk walk, the
     // word-alignment padding, and the per-frame JPEG streams
     val fullAvi = graft.plans.AviEncode.encode(17, 12, 2, 77L, 1)
@@ -136,8 +140,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     fullTiffs.foreach(f => assert(graft.plans.TiffPixels.parse(f) != null))
     val rnd = new scala.util.Random(0xF00D)
     for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif, fullJpeg,
-        fullJpegColor, fullAvi, fullWav, fullFloat) ++ fullG711s ++
-        fullMp4s ++ fullTiffs;
+        fullJpegColor, fullJpegLossless, fullAvi, fullWav, fullFloat) ++
+        fullG711s ++ fullMp4s ++ fullTiffs;
         _ <- 0 until 800) {
       val truncated = f.take(rnd.nextInt(f.length + 1))
       val corrupted = f.clone()
