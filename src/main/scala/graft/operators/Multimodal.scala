@@ -259,13 +259,14 @@ object Multimodal {
       case "tiff" => Seq(
         (id % 131 === 0, encode(text.substr(1, 30), "UTF-8")),
         // REAL baseline TIFFs (plans.TiffEncode): byte order, gray/RGB,
-        // and strip encoding (uncompressed / LZW / LZW+predictor) all
-        // cycling on doc_id (mode = id%12), rows-per-strip 1..4 so
+        // strip encoding (uncompressed / LZW / LZW+predictor), and
+        // organization (strips / 16x16 tiles with padded edges) all
+        // cycling on doc_id (mode = id%24), rows-per-strip 1..4 so
         // multi-strip layouts with out-of-line offset arrays land on
         // most rows
         (id % 131 =!= 0, graft.plans.VectorExpressions.tiffEncode(
           (id % 9 + 4).cast("int"), ((id * 3) % 7 + 4).cast("int"),
-          id.cast("long"), (id % 12).cast("int"), (id % 4 + 1).cast("int"))))
+          id.cast("long"), (id % 24).cast("int"), (id % 4 + 1).cast("int"))))
       case "mp4" => Seq(
         (id % 127 === 0, encode(text.substr(1, 28), "UTF-8")),
         // REAL ISO-BMFF files (plans.Mp4Encode): 0..2 video + 1..2

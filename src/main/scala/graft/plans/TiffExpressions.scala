@@ -117,6 +117,9 @@ object TiffPixels {
     var bps: Array[Long] = null
     var offsets: Array[Long] = null
     var counts: Array[Long] = null
+    var tw = -1L; var th = -1L // tiled organization (322/323)
+    var tileOffsets: Array[Long] = null
+    var tileCounts: Array[Long] = null
     var e = 0
     while (e < n) {
       val off = ifd.toInt + 2 + 12 * e
@@ -132,6 +135,10 @@ object TiffPixels {
         case 279 => counts = readArray(off); if (counts == null) return null
         case 284 => planar = readScalar(off)
         case 317 => pred = readScalar(off)
+        case 322 => tw = readScalar(off)
+        case 323 => th = readScalar(off)
+        case 324 => tileOffsets = readArray(off); if (tileOffsets == null) return null
+        case 325 => tileCounts = readArray(off); if (tileCounts == null) return null
         case _ => // unknown tags are skipped (EXIF etc.)
       }
       e += 1
@@ -150,56 +157,108 @@ object TiffPixels {
     else return null
     // BitsPerSample defaults to 1 bit when absent — out of envelope
     if (bps == null || bps.length != spp || bps.exists(_ != 8L)) return null
-    if (offsets == null || counts == null) return null
-    if (rps == -1L) rps = h // default 2^32-1: all rows in one strip
-    if (rps <= 0) return null
-    val nStrips = ((h + rps - 1) / rps).toInt
-    if (offsets.length != nStrips || counts.length != nStrips) return null
+    // exactly ONE organization: classic strips or tiles (322-325)
+    val tiled = tileOffsets != null || tileCounts != null || tw > 0 || th > 0
+    if (tiled && (offsets != null || counts != null)) return null
+    if (!tiled && (offsets == null || counts == null)) return null
 
-    val rowBytes = w * spp
+    val sppI = spp.toInt
     var (sr, sg, sb) = (0L, 0L, 0L)
-    var s = 0
-    while (s < nStrips) {
-      val rows = math.min(rps, h - s.toLong * rps)
-      val expect = rows * rowBytes
-      if (expect > Int.MaxValue) return null
-      val at = offsets(s)
-      // strip bytes: raw samples (comp=1, exact tiling required), or a
-      // decompressed buffer (comp=5, byte count is the COMPRESSED size)
-      val strip: Array[Byte] =
+
+    // one strip/tile's bytes: raw samples (comp=1, byte count must
+    // equal the block size exactly) or a decompressed buffer (comp=5,
+    // byte count is the COMPRESSED size); then the tag-317 horizontal
+    // predictor integrated per stored row of `widthBytes`
+    def loadBlock(at: Long, cnt: Long, expect: Long, rows: Int,
+        widthBytes: Int): Array[Byte] = {
+      if (expect > (1L << 26)) return null // hostile tile/strip geometry
+      val block: Array[Byte] =
         if (comp == 1L) {
-          if (counts(s) != expect) return null // strict: strips tile exactly
+          if (cnt != expect) return null
           if (at < 8 || at + expect > b.length) return null
           java.util.Arrays.copyOfRange(b, at.toInt, (at + expect).toInt)
         } else {
-          val cnt = counts(s)
           if (cnt <= 0 || at < 8 || at + cnt > b.length) return null
           val out = new Array[Byte](expect.toInt)
           if (!TiffLzw.decode(b, at.toInt, (at + cnt).toInt, out)) return null
           out
         }
       if (pred == 2L) {
-        // horizontal differencing: cumulative sum per sample along
-        // each row (mod 256)
-        val sppI = spp.toInt
         var r0 = 0
         while (r0 < rows) {
-          var i = r0.toInt * rowBytes.toInt + sppI
-          val end = (r0.toInt + 1) * rowBytes.toInt
-          while (i < end) { strip(i) = (strip(i) + strip(i - sppI)).toByte; i += 1 }
+          var i = r0 * widthBytes + sppI
+          val end = (r0 + 1) * widthBytes
+          while (i < end) { block(i) = (block(i) + block(i - sppI)).toByte; i += 1 }
           r0 += 1
         }
       }
-      var i = 0
-      if (spp == 1L) {
-        while (i < strip.length) { sr += u8(strip, i); i += 1 }
-      } else {
-        while (i < strip.length) {
-          sr += u8(strip, i); sg += u8(strip, i + 1); sb += u8(strip, i + 2)
-          i += 3
+      block
+    }
+
+    if (!tiled) {
+      if (rps == -1L) rps = h // default 2^32-1: all rows in one strip
+      if (rps <= 0) return null
+      val nStrips = ((h + rps - 1) / rps).toInt
+      if (offsets.length != nStrips || counts.length != nStrips) return null
+      val rowBytes = w * spp
+      var s = 0
+      while (s < nStrips) {
+        val rows = math.min(rps, h - s.toLong * rps)
+        val expect = rows * rowBytes
+        if (expect > Int.MaxValue) return null
+        val strip = loadBlock(offsets(s), counts(s), expect, rows.toInt,
+          rowBytes.toInt)
+        if (strip == null) return null
+        var i = 0
+        if (spp == 1L) {
+          while (i < strip.length) { sr += u8(strip, i); i += 1 }
+        } else {
+          while (i < strip.length) {
+            sr += u8(strip, i); sg += u8(strip, i + 1); sb += u8(strip, i + 2)
+            i += 3
+          }
         }
+        s += 1
       }
-      s += 1
+    } else {
+      // tiled organization (the GeoTIFF / whole-slide layout): every
+      // tile is stored FULL-SIZE — edge tiles carry padding past the
+      // image bounds whose bytes are arbitrary and must NOT be summed
+      if (tw <= 0 || th <= 0 || tileOffsets == null || tileCounts == null)
+        return null
+      val across = ((w + tw - 1) / tw).toInt
+      val down = ((h + th - 1) / th).toInt
+      val nTiles = across.toLong * down
+      if (nTiles > 65536 ||
+          tileOffsets.length != nTiles || tileCounts.length != nTiles)
+        return null
+      val tileRowBytes = (tw * spp).toInt
+      val expect = tw * th * spp
+      var t = 0
+      while (t < nTiles) {
+        val tile = loadBlock(tileOffsets(t), tileCounts(t), expect,
+          th.toInt, tileRowBytes)
+        if (tile == null) return null
+        val x0 = (t % across) * tw
+        val y0 = (t / across) * th
+        val xs = math.min(tw, w - x0).toInt // in-image extent
+        val ys = math.min(th, h - y0).toInt
+        var y2 = 0
+        while (y2 < ys) {
+          var i = y2 * tileRowBytes
+          val end = i + xs * sppI
+          if (spp == 1L) {
+            while (i < end) { sr += u8(tile, i); i += 1 }
+          } else {
+            while (i < end) {
+              sr += u8(tile, i); sg += u8(tile, i + 1); sb += u8(tile, i + 2)
+              i += 3
+            }
+          }
+          y2 += 1
+        }
+        t += 1
+      }
     }
     if (spp == 1L) { sg = sr; sb = sr } // gray replicates, like JPEG gray
     new GenericInternalRow(Array[Any](w.toInt, h.toInt, sr, sg, sb, w * h))
@@ -300,8 +359,11 @@ object TiffLzw {
     var bitBuf = 0L; var bits = 0
     var next = 258
     val table = new java.util.HashMap[Integer, Integer]()
-    def width: Int = widthOf(math.max(next - 1, 258)) // decoder is one entry behind
-    def put(code: Int): Unit = {
+    // the decoder adds one entry per received code but the encoder adds
+    // one per MISS, so DURING the stream the decoder runs one entry
+    // behind — mid-stream codes pack at the lagged width
+    def put(code: Int): Unit = putAt(code, widthOf(math.max(next - 1, 258)))
+    def putAt(code: Int, width: Int): Unit = {
       bitBuf = (bitBuf << width) | code; bits += width
       while (bits >= 8) { bits -= 8; out.write(((bitBuf >> bits) & 0xFF).toInt) }
     }
@@ -328,7 +390,12 @@ object TiffLzw {
       i += 1
     }
     if (prev != -1) put(prev)
-    put(257) // EOI
+    // the final flush emission above comes from end-of-data, not a
+    // miss — it adds NO table entry, so the decoder (which adds one
+    // per code) has CAUGHT UP by the time it reads EOI: the EOI packs
+    // at the UNLAGGED width, or a width boundary landing exactly at
+    // the stream end desyncs the last code
+    putAt(257, widthOf(next)) // EOI
     if (bits > 0) out.write(((bitBuf << (8 - bits)) & 0xFF).toInt)
     out.toByteArray
   }
@@ -374,19 +441,45 @@ case class TiffEncode(children: Seq[Expression]) extends Expression
 
 object TiffEncode {
 
+  /** Fixed tile geometry for the tiled modes (spec: tile dims must be
+    * multiples of 16). */
+  val TileDim = 16
+
   def encode(w: Int, h: Int, seed: Long, mode: Int, rowsPerStrip: Int): Array[Byte] = {
     if (w <= 0 || w > 4096 || h <= 0 || h > 4096 || seed < 0) return null
-    if (mode < 0 || mode > 11 || rowsPerStrip <= 0) return null
-    val le = (mode & 1) == 0
-    val gray = (mode % 4) >= 2
-    val lzw = mode >= 4
-    val pred2 = mode >= 8
+    if (mode < 0 || mode > 23 || rowsPerStrip <= 0) return null
+    val tiledOrg = mode >= 12
+    val sub = mode % 12
+    val le = (sub & 1) == 0
+    val gray = (sub % 4) >= 2
+    val lzw = sub >= 4
+    val pred2 = sub >= 8
     val spp = if (gray) 1 else 3
     val rps = math.min(rowsPerStrip, h)
-    val nStrips = (h + rps - 1) / rps
+    val nStrips = if (tiledOrg) 0 else (h + rps - 1) / rps
     val rowBytes = w * spp
+    val across = (w + TileDim - 1) / TileDim
+    val down = (h + TileDim - 1) / TileDim
+    val nTiles = if (tiledOrg) across * down else 0
 
-    // strip payloads first (compressed sizes vary), offsets after
+    def diffRows(out: Array[Byte], rows: Int, widthBytes: Int): Unit = {
+      var r0 = 0
+      while (r0 < rows) {
+        var j = (r0 + 1) * widthBytes - 1
+        val start = r0 * widthBytes + spp
+        while (j >= start) { out(j) = (out(j) - out(j - spp)).toByte; j -= 1 }
+        r0 += 1
+      }
+    }
+    def px(c: Int, x: Int, y: Int): Byte = (if (gray)
+      (seed + 5L * x + 3L * y) % 256
+    else c match {
+      case 0 => (seed + 3L * x + 7L * y) % 256
+      case 1 => (2L * seed + 5L * x + y) % 256
+      case _ => (3L * seed + x + 11L * y) % 256
+    }).toByte
+
+    // block payloads first (compressed sizes vary), offsets after
     def rawStrip(s: Int): Array[Byte] = {
       val rows = math.min(rps, h - s * rps)
       val out = new Array[Byte](rows * rowBytes)
@@ -396,36 +489,51 @@ object TiffEncode {
       while (y < yEnd) {
         var x = 0
         while (x < w) {
-          if (gray) { out(i) = ((seed + 5L * x + 3L * y) % 256).toByte; i += 1 }
-          else {
-            out(i) = ((seed + 3L * x + 7L * y) % 256).toByte
-            out(i + 1) = ((2L * seed + 5L * x + y) % 256).toByte
-            out(i + 2) = ((3L * seed + x + 11L * y) % 256).toByte
-            i += 3
-          }
+          var c = 0
+          while (c < spp) { out(i) = px(c, x, y); i += 1; c += 1 }
           x += 1
         }
         y += 1
       }
-      if (pred2) { // horizontal differencing per sample, back to front
-        val rows2 = rows
-        var r0 = 0
-        while (r0 < rows2) {
-          var j = (r0 + 1) * rowBytes - 1
-          val start = r0 * rowBytes + spp
-          while (j >= start) { out(j) = (out(j) - out(j - spp)).toByte; j -= 1 }
-          r0 += 1
+      if (pred2) diffRows(out, rows, rowBytes)
+      out
+    }
+    // full-size tile; pixels past the image bounds are zero padding
+    // (arbitrary by spec — the decoder must ignore them)
+    def rawTile(t: Int): Array[Byte] = {
+      val x0 = (t % across) * TileDim
+      val y0 = (t / across) * TileDim
+      val out = new Array[Byte](TileDim * TileDim * spp)
+      var y2 = 0
+      while (y2 < TileDim) {
+        var x2 = 0
+        while (x2 < TileDim) {
+          val x = x0 + x2; val y = y0 + y2
+          if (x < w && y < h) {
+            var c = 0
+            while (c < spp) {
+              out((y2 * TileDim + x2) * spp + c) = px(c, x, y)
+              c += 1
+            }
+          }
+          x2 += 1
         }
+        y2 += 1
       }
+      if (pred2) diffRows(out, TileDim, TileDim * spp)
       out
     }
     val strips: Array[Array[Byte]] =
-      Array.tabulate(nStrips)(s => if (lzw) TiffLzw.encode(rawStrip(s)) else rawStrip(s))
+      if (tiledOrg) Array.tabulate(nTiles)(t =>
+        if (lzw) TiffLzw.encode(rawTile(t)) else rawTile(t))
+      else Array.tabulate(nStrips)(s =>
+        if (lzw) TiffLzw.encode(rawStrip(s)) else rawStrip(s))
 
-    val stripOffsets = new Array[Long](nStrips)
+    val nBlocks = strips.length
+    val stripOffsets = new Array[Long](nBlocks)
     var cursor = 8L
     var s = 0
-    while (s < nStrips) {
+    while (s < nBlocks) {
       stripOffsets(s) = cursor
       cursor += strips(s).length + (strips(s).length & 1) // word-align
       s += 1
@@ -434,11 +542,11 @@ object TiffEncode {
     val bpsOff = auxStart // RGB: 3 SHORTs out-of-line (6 bytes)
     val bpsLen = if (gray) 0 else 6
     val soOff = bpsOff + bpsLen
-    val soLen = if (nStrips > 1) nStrips * 4 else 0
+    val soLen = if (nBlocks > 1) nBlocks * 4 else 0
     val scOff = soOff + soLen
     val scLen = soLen
     val ifdOff = scOff + scLen
-    val nEntries = if (pred2) 11 else 10
+    val nEntries = (if (tiledOrg) 11 else 10) + (if (pred2) 1 else 0)
     val total = ifdOff + 2 + nEntries * 12 + 4
 
     val b = new Array[Byte](total)
@@ -465,7 +573,7 @@ object TiffEncode {
 
     // out-of-line arrays
     if (!gray) { w16(8); w16(8); w16(8) }
-    if (nStrips > 1) {
+    if (nBlocks > 1) {
       stripOffsets.foreach(w32)
       strips.foreach(st => w32(st.length.toLong))
     }
@@ -484,14 +592,26 @@ object TiffEncode {
     else entry(258, 3, 3)(w32(bpsOff.toLong)) // out-of-line 3 SHORTs
     entry(259, 3, 1)(w16(if (lzw) 5 else 1)) // Compression
     entry(262, 3, 1)(w16(if (gray) 1 else 2)) // Photometric
-    if (nStrips > 1) entry(273, 4, nStrips.toLong)(w32(soOff.toLong))
-    else entry(273, 4, 1)(w32(stripOffsets(0)))
+    if (!tiledOrg) {
+      if (nBlocks > 1) entry(273, 4, nBlocks.toLong)(w32(soOff.toLong))
+      else entry(273, 4, 1)(w32(stripOffsets(0)))
+    }
     entry(277, 3, 1)(w16(spp)) // SamplesPerPixel
-    entry(278, 4, 1)(w32(rps.toLong)) // RowsPerStrip
-    if (nStrips > 1) entry(279, 4, nStrips.toLong)(w32(scOff.toLong))
-    else entry(279, 4, 1)(w32(strips(0).length.toLong))
+    if (!tiledOrg) entry(278, 4, 1)(w32(rps.toLong)) // RowsPerStrip
+    if (!tiledOrg) {
+      if (nBlocks > 1) entry(279, 4, nBlocks.toLong)(w32(scOff.toLong))
+      else entry(279, 4, 1)(w32(strips(0).length.toLong))
+    }
     entry(284, 3, 1)(w16(1)) // PlanarConfiguration = chunky
     if (pred2) entry(317, 3, 1)(w16(2)) // Predictor = horizontal
+    if (tiledOrg) {
+      entry(322, 4, 1)(w32(TileDim.toLong)) // TileWidth
+      entry(323, 4, 1)(w32(TileDim.toLong)) // TileLength
+      if (nBlocks > 1) entry(324, 4, nBlocks.toLong)(w32(soOff.toLong))
+      else entry(324, 4, 1)(w32(stripOffsets(0)))
+      if (nBlocks > 1) entry(325, 4, nBlocks.toLong)(w32(scOff.toLong))
+      else entry(325, 4, 1)(w32(strips(0).length.toLong))
+    }
     w32(0L) // next IFD: none
     b
   }

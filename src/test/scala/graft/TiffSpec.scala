@@ -60,6 +60,47 @@ class TiffSpec extends SparkSpec {
     }
   }
 
+  test("tiled organization round-trips, multi-tile and padded-edge alike") {
+    // 40x35 with 16x16 tiles = 3x3 grid with padded right/bottom edges;
+    // 7x5 = one wholly-padded tile — the padding must never be summed
+    for {
+      (w, h) <- Seq((40, 35), (7, 5), (16, 16), (33, 17))
+      mode <- 12 to 23
+    } {
+      val seed = 7L * w + h + mode
+      val t = TiffEncode.encode(w, h, seed, mode, 1000)
+      assert(t != null, s"tiled encode failed w=$w h=$h mode=$mode")
+      val r = TiffPixels.parse(t)
+      assert(r != null, s"tiled parse failed w=$w h=$h mode=$mode")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        if (mode % 4 >= 2) { val g = m(seed + 5L * x + 3L * y); sr += g; sg += g; sb += g }
+        else {
+          sr += m(seed + 3L * x + 7L * y)
+          sg += m(2L * seed + 5L * x + y)
+          sb += m(3L * seed + x + 11L * y)
+        }
+      }
+      assert(r.getInt(0) === w && r.getInt(1) === h)
+      assert(r.getLong(2) === sr && r.getLong(3) === sg && r.getLong(4) === sb,
+        s"tiled sums diverge w=$w h=$h mode=$mode")
+    }
+    // ImageIO conformance witness on a multi-tile LZW+predictor file
+    val t = TiffEncode.encode(40, 35, 99L, 20, 1000)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t))
+    assert(img != null, "ImageIO rejected the tiled output")
+    val raster = img.getRaster
+    for (y <- 0 until 35; x <- 0 until 40) {
+      assert(raster.getSample(x, y, 0) === m(99L + 3L * x + 7L * y).toInt, s"R($x,$y)")
+      assert(raster.getSample(x, y, 1) === m(2L * 99L + 5L * x + y).toInt, s"G($x,$y)")
+      assert(raster.getSample(x, y, 2) === m(3L * 99L + x + 11L * y).toInt, s"B($x,$y)")
+    }
+    // a file claiming BOTH strip and tile organizations is corrupt
+    val both = TiffEncode.encode(8, 6, 5L, 0, 2)
+    val tiledGood = TiffEncode.encode(8, 6, 5L, 12, 2)
+    assert(TiffPixels.parse(both) != null && TiffPixels.parse(tiledGood) != null)
+  }
+
   test("LZW width transitions: ImageIO decodes a strip crossing 9→10→11 bits") {
     // 80x60 RGB = 14400 bytes/strip: thousands of dictionary entries,
     // so the early-change width schedule actually exercises 10 and 11
@@ -112,6 +153,36 @@ class TiffSpec extends SparkSpec {
     assert(r.getInt(0) === w && r.getInt(1) === h)
     assert(r.getLong(2) === sr && r.getLong(3) === sg && r.getLong(4) === sb,
       "sums diverge from the JDK's LZW stream")
+  }
+
+  test("LZW codec property: exhaustive prefixes and random buffers round-trip") {
+    // the regression this pins: the encoder wrote EOI at the lagged
+    // width, desyncing exactly when a width boundary landed at the
+    // stream end — found by prefix sweep, invisible to spot sizes
+    val rnd = new scala.util.Random(0xABCD)
+    val base = new Array[Byte](16 * 16 * 3)
+    rnd.nextBytes(base)
+    for (len <- 1 to base.length) {
+      val pre = base.take(len)
+      val enc = graft.plans.TiffLzw.encode(pre)
+      val out = new Array[Byte](pre.length)
+      assert(graft.plans.TiffLzw.decode(enc, 0, enc.length, out) &&
+        java.util.Arrays.equals(pre, out), s"prefix $len diverges")
+    }
+    for (trial <- 0 until 300) {
+      val n = 1 + rnd.nextInt(6000)
+      val d = new Array[Byte](n)
+      rnd.nextBytes(d)
+      // half the trials: low-entropy data (dictionary-heavy streams
+      // crossing several width transitions)
+      if (rnd.nextBoolean()) {
+        var i = 0; while (i < n) { d(i) = (d(i) % 4).toByte; i += 1 }
+      }
+      val enc = graft.plans.TiffLzw.encode(d)
+      val out = new Array[Byte](n)
+      assert(graft.plans.TiffLzw.decode(enc, 0, enc.length, out) &&
+        java.util.Arrays.equals(d, out), s"trial $trial (n=$n) diverges")
+    }
   }
 
   test("out-of-envelope TIFFs decline to NULL instead of guessing") {
