@@ -236,4 +236,23 @@ class GifPixelsSpec extends SparkSpec {
       }
     }
   }
+
+  test("geometry sweep: every (w, h) grid cell round-trips exactly") {
+    // the TIFF LZW pair had a stream-end width-boundary bug only a
+    // dense sweep exposed; this is the GIF pair's equivalent net —
+    // 1440 combos crossing several code-width transitions, each
+    // compared to the closed-form sums
+    for (w <- 1 to 48; h <- 1 to 10; seed <- Seq(0L, 7L, 77L)) {
+      val g = graft.plans.GifEncode.encode(w, h, seed)
+      assert(g != null, s"encode null w=$w h=$h seed=$seed")
+      val r = graft.plans.GifPixels.parse(g)
+      assert(r != null, s"parse null w=$w h=$h seed=$seed")
+      var sr = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val idx = java.lang.Math.floorMod(seed + x + 2L * y, 64L)
+        sr += java.lang.Math.floorMod(seed + 5L * idx, 256L)
+      }
+      assert(r.getLong(2) === sr, s"sum_r diverges w=$w h=$h seed=$seed")
+    }
+  }
 }

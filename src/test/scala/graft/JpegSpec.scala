@@ -527,4 +527,23 @@ class JpegSpec extends SparkSpec {
     assert(r0.getInt(1) === w && r0.getInt(2) === h)
     assert(r0.getLong(3) === expected(w, h, id))
   }
+
+  test("lossless randomized geometry/predictor sweep") {
+    import graft.plans.{JpegEncode, JpegPixels}
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 120) {
+      val w = 1 + rnd.nextInt(48); val h = 1 + rnd.nextInt(24)
+      val nc = if (rnd.nextBoolean()) 1 else 3
+      val pred = 1 + rnd.nextInt(7)
+      val seed = rnd.nextInt(100000).toLong
+      val j = JpegEncode.encodeLossless(w, h, seed, nc, pred)
+      val r = JpegPixels.parse(j)
+      assert(r != null, s"trial $trial refused (w=$w h=$h nc=$nc pred=$pred)")
+      var sr = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        sr += (if (nc == 1) java.lang.Math.floorMod(seed + 5L * x + 3L * y, 256L)
+               else java.lang.Math.floorMod(seed + 3L * x + 7L * y, 256L))
+      assert(r.getLong(2) === sr, s"trial $trial sums diverge (w=$w h=$h nc=$nc pred=$pred)")
+    }
+  }
 }
