@@ -147,7 +147,7 @@ object TiffPixels {
     // the decode envelope: 8-bit chunky gray or RGB, uncompressed or
     // TIFF-flavor LZW, horizontal predictor or none
     if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return null
-    if ((comp != 1L && comp != 5L) || planar != 1L) return null
+    if ((comp != 1L && comp != 5L) || (planar != 1L && planar != 2L)) return null
     if (pred != 1L && pred != 2L) return null
     // the LZW path allocates the decompressed strip (the input bytes
     // no longer bound it), so a hostile header needs a pixel ceiling
@@ -157,10 +157,12 @@ object TiffPixels {
     else return null
     // BitsPerSample defaults to 1 bit when absent — out of envelope
     if (bps == null || bps.length != spp || bps.exists(_ != 8L)) return null
-    // exactly ONE organization: classic strips or tiles (322-325)
+    // exactly ONE organization: classic strips or tiles (322-325);
+    // the planar (separate-plane) layout decodes in strips only
     val tiled = tileOffsets != null || tileCounts != null || tw > 0 || th > 0
     if (tiled && (offsets != null || counts != null)) return null
     if (!tiled && (offsets == null || counts == null)) return null
+    if (tiled && planar == 2L) return null
 
     val sppI = spp.toInt
     var (sr, sg, sb) = (0L, 0L, 0L)
@@ -168,9 +170,10 @@ object TiffPixels {
     // one strip/tile's bytes: raw samples (comp=1, byte count must
     // equal the block size exactly) or a decompressed buffer (comp=5,
     // byte count is the COMPRESSED size); then the tag-317 horizontal
-    // predictor integrated per stored row of `widthBytes`
+    // predictor integrated per stored row of `widthBytes` with the
+    // given sample stride (spp for chunky rows, 1 inside a plane)
     def loadBlock(at: Long, cnt: Long, expect: Long, rows: Int,
-        widthBytes: Int): Array[Byte] = {
+        widthBytes: Int, stride: Int): Array[Byte] = {
       if (expect > (1L << 26)) return null // hostile tile/strip geometry
       val block: Array[Byte] =
         if (comp == 1L) {
@@ -186,16 +189,45 @@ object TiffPixels {
       if (pred == 2L) {
         var r0 = 0
         while (r0 < rows) {
-          var i = r0 * widthBytes + sppI
+          var i = r0 * widthBytes + stride
           val end = (r0 + 1) * widthBytes
-          while (i < end) { block(i) = (block(i) + block(i - sppI)).toByte; i += 1 }
+          while (i < end) { block(i) = (block(i) + block(i - stride)).toByte; i += 1 }
           r0 += 1
         }
       }
       block
     }
 
-    if (!tiled) {
+    if (!tiled && planar == 2L) {
+      // separate-plane layout (PlanarConfiguration = 2): the strip
+      // arrays hold plane 0's strips, then plane 1's, ... — each strip
+      // carries ONE sample per pixel, so the plane index IS the channel
+      if (rps == -1L) rps = h
+      if (rps <= 0) return null
+      val nStrips = ((h + rps - 1) / rps).toInt
+      if (offsets.length != nStrips * sppI || counts.length != nStrips * sppI)
+        return null
+      var c = 0
+      while (c < sppI) {
+        var s = 0
+        while (s < nStrips) {
+          val rows = math.min(rps, h - s.toLong * rps)
+          val expect = rows * w
+          if (expect > Int.MaxValue) return null
+          val strip = loadBlock(offsets(c * nStrips + s), counts(c * nStrips + s),
+            expect, rows.toInt, w.toInt, 1)
+          if (strip == null) return null
+          var i = 0
+          while (i < strip.length) {
+            val v = u8(strip, i)
+            if (c == 0) sr += v else if (c == 1) sg += v else sb += v
+            i += 1
+          }
+          s += 1
+        }
+        c += 1
+      }
+    } else if (!tiled) {
       if (rps == -1L) rps = h // default 2^32-1: all rows in one strip
       if (rps <= 0) return null
       val nStrips = ((h + rps - 1) / rps).toInt
@@ -207,7 +239,7 @@ object TiffPixels {
         val expect = rows * rowBytes
         if (expect > Int.MaxValue) return null
         val strip = loadBlock(offsets(s), counts(s), expect, rows.toInt,
-          rowBytes.toInt)
+          rowBytes.toInt, sppI)
         if (strip == null) return null
         var i = 0
         if (spp == 1L) {
@@ -237,7 +269,7 @@ object TiffPixels {
       var t = 0
       while (t < nTiles) {
         val tile = loadBlock(tileOffsets(t), tileCounts(t), expect,
-          th.toInt, tileRowBytes)
+          th.toInt, tileRowBytes, sppI)
         if (tile == null) return null
         val x0 = (t % across) * tw
         val y0 = (t / across) * th
@@ -447,8 +479,9 @@ object TiffEncode {
 
   def encode(w: Int, h: Int, seed: Long, mode: Int, rowsPerStrip: Int): Array[Byte] = {
     if (w <= 0 || w > 4096 || h <= 0 || h > 4096 || seed < 0) return null
-    if (mode < 0 || mode > 23 || rowsPerStrip <= 0) return null
-    val tiledOrg = mode >= 12
+    if (mode < 0 || mode > 35 || rowsPerStrip <= 0) return null
+    val tiledOrg = mode >= 12 && mode < 24
+    val planarOrg = mode >= 24
     val sub = mode % 12
     val le = (sub & 1) == 0
     val gray = (sub % 4) >= 2
@@ -462,12 +495,13 @@ object TiffEncode {
     val down = (h + TileDim - 1) / TileDim
     val nTiles = if (tiledOrg) across * down else 0
 
-    def diffRows(out: Array[Byte], rows: Int, widthBytes: Int): Unit = {
+    def diffRows(out: Array[Byte], rows: Int, widthBytes: Int,
+        stride: Int): Unit = {
       var r0 = 0
       while (r0 < rows) {
         var j = (r0 + 1) * widthBytes - 1
-        val start = r0 * widthBytes + spp
-        while (j >= start) { out(j) = (out(j) - out(j - spp)).toByte; j -= 1 }
+        val start = r0 * widthBytes + stride
+        while (j >= start) { out(j) = (out(j) - out(j - stride)).toByte; j -= 1 }
         r0 += 1
       }
     }
@@ -495,7 +529,22 @@ object TiffEncode {
         }
         y += 1
       }
-      if (pred2) diffRows(out, rows, rowBytes)
+      if (pred2) diffRows(out, rows, rowBytes, spp)
+      out
+    }
+    // one PLANE's strip (PlanarConfiguration = 2): one sample per px
+    def rawPlanarStrip(c: Int, s: Int): Array[Byte] = {
+      val rows = math.min(rps, h - s * rps)
+      val out = new Array[Byte](rows * w)
+      var i = 0
+      var y = s * rps
+      val yEnd = y + rows
+      while (y < yEnd) {
+        var x = 0
+        while (x < w) { out(i) = px(c, x, y); i += 1; x += 1 }
+        y += 1
+      }
+      if (pred2) diffRows(out, rows, w, 1)
       out
     }
     // full-size tile; pixels past the image bounds are zero padding
@@ -520,12 +569,16 @@ object TiffEncode {
         }
         y2 += 1
       }
-      if (pred2) diffRows(out, TileDim, TileDim * spp)
+      if (pred2) diffRows(out, TileDim, TileDim * spp, spp)
       out
     }
     val strips: Array[Array[Byte]] =
       if (tiledOrg) Array.tabulate(nTiles)(t =>
         if (lzw) TiffLzw.encode(rawTile(t)) else rawTile(t))
+      else if (planarOrg) Array.tabulate(nStrips * spp) { i =>
+        val raw = rawPlanarStrip(i / nStrips, i % nStrips)
+        if (lzw) TiffLzw.encode(raw) else raw
+      }
       else Array.tabulate(nStrips)(s =>
         if (lzw) TiffLzw.encode(rawStrip(s)) else rawStrip(s))
 
@@ -602,7 +655,7 @@ object TiffEncode {
       if (nBlocks > 1) entry(279, 4, nBlocks.toLong)(w32(scOff.toLong))
       else entry(279, 4, 1)(w32(strips(0).length.toLong))
     }
-    entry(284, 3, 1)(w16(1)) // PlanarConfiguration = chunky
+    entry(284, 3, 1)(w16(if (planarOrg) 2 else 1)) // PlanarConfiguration
     if (pred2) entry(317, 3, 1)(w16(2)) // Predictor = horizontal
     if (tiledOrg) {
       entry(322, 4, 1)(w32(TileDim.toLong)) // TileWidth

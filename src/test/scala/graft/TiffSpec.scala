@@ -155,6 +155,42 @@ class TiffSpec extends SparkSpec {
       "sums diverge from the JDK's LZW stream")
   }
 
+  test("planar configuration 2 round-trips: plane index is the channel") {
+    for {
+      (w, h) <- Seq((1, 1), (9, 7), (16, 11))
+      mode <- 24 to 35
+      rps <- Seq(2, 100)
+    } {
+      val seed = 11L * w + h + mode
+      val t = TiffEncode.encode(w, h, seed, mode, rps)
+      assert(t != null, s"planar encode failed w=$w h=$h mode=$mode")
+      val r = TiffPixels.parse(t)
+      assert(r != null, s"planar parse failed w=$w h=$h mode=$mode rps=$rps")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        if (mode % 4 >= 2) { val g = m(seed + 5L * x + 3L * y); sr += g; sg += g; sb += g }
+        else {
+          sr += m(seed + 3L * x + 7L * y)
+          sg += m(2L * seed + 5L * x + y)
+          sb += m(3L * seed + x + 11L * y)
+        }
+      }
+      assert(r.getInt(0) === w && r.getInt(1) === h)
+      assert(r.getLong(2) === sr && r.getLong(3) === sg && r.getLong(4) === sb,
+        s"planar sums diverge w=$w h=$h mode=$mode rps=$rps")
+    }
+    // ImageIO conformance witness on a multi-strip planar LZW+pred file
+    val t = TiffEncode.encode(11, 9, 311L, 32, 3)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t))
+    assert(img != null, "ImageIO rejected the planar output")
+    val raster = img.getRaster
+    for (y <- 0 until 9; x <- 0 until 11) {
+      assert(raster.getSample(x, y, 0) === m(311L + 3L * x + 7L * y).toInt, s"R($x,$y)")
+      assert(raster.getSample(x, y, 1) === m(2L * 311L + 5L * x + y).toInt, s"G($x,$y)")
+      assert(raster.getSample(x, y, 2) === m(3L * 311L + x + 11L * y).toInt, s"B($x,$y)")
+    }
+  }
+
   test("LZW codec property: exhaustive prefixes and random buffers round-trip") {
     // the regression this pins: the encoder wrote EOI at the lagged
     // width, desyncing exactly when a width boundary landed at the
