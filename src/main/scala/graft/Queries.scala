@@ -1258,16 +1258,18 @@ object Queries {
     // TIFF pixel twin: the baseline-TIFF encoder writes pixel (x,y)
     // channels from doc_id arithmetic (TiffEncode scaladoc; mode%4>=2
     // is grayscale, which replicates its sum to all three channels;
-    // mode = doc_id%36 also cycles uncompressed / LZW / LZW+predictor
-    // strips, the tiled organization with padded edge tiles, and the
-    // separate-plane layout — all of which the pixel formulas are
-    // invariant to), so the oracle recomputes the exact sums per doc —
+    // mode = doc_id%48 also cycles uncompressed / LZW / LZW+predictor
+    // strips, the tiled organization with padded edge tiles, the
+    // separate-plane layout, and 16-bit samples stored as v*257 whose
+    // high-byte sums equal the 8-bit formulas — all of which the
+    // summed values are invariant to), so the oracle recomputes the
+    // exact sums per doc —
     // certifying the IFD walk, the strip/tile/plane partitions, the
     // LZW + predictor decode, the tile-padding exclusion, and both
     // byte orders
     "mm_tiff_pixels" ->
       ("WITH d AS (SELECT doc_id, 4 + doc_id % 9 AS w, 4 + (doc_id * 3) % 7 AS h, " +
-       "doc_id % 36 AS m FROM documents), " +
+       "doc_id % 48 AS m FROM documents), " +
        "px AS (SELECT doc_id, w, h, m, unnest(range(w * h)) AS i FROM d WHERE doc_id % 131 <> 0), " +
        "s AS (SELECT doc_id, " +
        "sum(CASE WHEN m % 4 >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +

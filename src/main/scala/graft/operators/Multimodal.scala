@@ -261,12 +261,13 @@ object Multimodal {
         // REAL baseline TIFFs (plans.TiffEncode): byte order, gray/RGB,
         // strip encoding (uncompressed / LZW / LZW+predictor), and
         // organization (chunky strips / 16x16 tiles with padded edges /
-        // separate planes) all cycling on doc_id (mode = id%36),
+        // separate planes), plus 16-bit chunky strips summed by the
+        // high byte, all cycling on doc_id (mode = id%48),
         // rows-per-strip 1..4 so multi-strip layouts with out-of-line
         // offset arrays land on most rows
         (id % 131 =!= 0, graft.plans.VectorExpressions.tiffEncode(
           (id % 9 + 4).cast("int"), ((id * 3) % 7 + 4).cast("int"),
-          id.cast("long"), (id % 36).cast("int"), (id % 4 + 1).cast("int"))))
+          id.cast("long"), (id % 48).cast("int"), (id % 4 + 1).cast("int"))))
       case "mp4" => Seq(
         (id % 127 === 0, encode(text.substr(1, 28), "UTF-8")),
         // REAL ISO-BMFF files (plans.Mp4Encode): 0..2 video + 1..2

@@ -155,14 +155,19 @@ object TiffPixels {
     if (photo == 1L) { if (spp != 1L) return null }
     else if (photo == 2L) { if (spp != 3L) return null }
     else return null
-    // BitsPerSample defaults to 1 bit when absent — out of envelope
-    if (bps == null || bps.length != spp || bps.exists(_ != 8L)) return null
+    // BitsPerSample defaults to 1 bit when absent — out of envelope;
+    // 8-bit everywhere, or 16-bit (summed by the HIGH byte, the PNG-16
+    // convention) in the chunky-strip organization
+    if (bps == null || bps.length != spp ||
+        !(bps.forall(_ == 8L) || bps.forall(_ == 16L))) return null
+    val bits16 = bps(0) == 16L
     // exactly ONE organization: classic strips or tiles (322-325);
     // the planar (separate-plane) layout decodes in strips only
     val tiled = tileOffsets != null || tileCounts != null || tw > 0 || th > 0
     if (tiled && (offsets != null || counts != null)) return null
     if (!tiled && (offsets == null || counts == null)) return null
     if (tiled && planar == 2L) return null
+    if (bits16 && (tiled || planar == 2L)) return null // 16-bit: chunky strips
 
     val sppI = spp.toInt
     var (sr, sg, sb) = (0L, 0L, 0L)
@@ -186,12 +191,28 @@ object TiffPixels {
           if (!TiffLzw.decode(b, at.toInt, (at + cnt).toInt, out)) return null
           out
         }
-      if (pred == 2L) {
+      if (pred == 2L && !bits16) {
         var r0 = 0
         while (r0 < rows) {
           var i = r0 * widthBytes + stride
           val end = (r0 + 1) * widthBytes
           while (i < end) { block(i) = (block(i) + block(i - stride)).toByte; i += 1 }
+          r0 += 1
+        }
+      } else if (pred == 2L) {
+        // 16-bit predictor differences whole VALUES (mod 2^16), stored
+        // in the file's byte order
+        def rd(i: Int): Int =
+          if (le) (block(i) & 0xFF) | ((block(i + 1) & 0xFF) << 8)
+          else ((block(i) & 0xFF) << 8) | (block(i + 1) & 0xFF)
+        def wr(i: Int, v: Int): Unit =
+          if (le) { block(i) = (v & 0xFF).toByte; block(i + 1) = ((v >> 8) & 0xFF).toByte }
+          else { block(i) = ((v >> 8) & 0xFF).toByte; block(i + 1) = (v & 0xFF).toByte }
+        var r0 = 0
+        while (r0 < rows) {
+          var i = r0 * widthBytes + 2 * stride
+          val end = (r0 + 1) * widthBytes
+          while (i < end) { wr(i, (rd(i) + rd(i - 2 * stride)) & 0xFFFF); i += 2 }
           r0 += 1
         }
       }
@@ -232,7 +253,10 @@ object TiffPixels {
       if (rps <= 0) return null
       val nStrips = ((h + rps - 1) / rps).toInt
       if (offsets.length != nStrips || counts.length != nStrips) return null
-      val rowBytes = w * spp
+      val bytesPer = if (bits16) 2 else 1
+      val rowBytes = w * spp * bytesPer
+      // 16-bit: the sample's HIGH byte position in the file byte order
+      val hbOff = if (bits16 && le) 1 else 0
       var s = 0
       while (s < nStrips) {
         val rows = math.min(rps, h - s.toLong * rps)
@@ -243,11 +267,13 @@ object TiffPixels {
         if (strip == null) return null
         var i = 0
         if (spp == 1L) {
-          while (i < strip.length) { sr += u8(strip, i); i += 1 }
+          while (i < strip.length) { sr += u8(strip, i + hbOff); i += bytesPer }
         } else {
           while (i < strip.length) {
-            sr += u8(strip, i); sg += u8(strip, i + 1); sb += u8(strip, i + 2)
-            i += 3
+            sr += u8(strip, i + hbOff)
+            sg += u8(strip, i + bytesPer + hbOff)
+            sb += u8(strip, i + 2 * bytesPer + hbOff)
+            i += 3 * bytesPer
           }
         }
         s += 1
@@ -479,9 +505,10 @@ object TiffEncode {
 
   def encode(w: Int, h: Int, seed: Long, mode: Int, rowsPerStrip: Int): Array[Byte] = {
     if (w <= 0 || w > 4096 || h <= 0 || h > 4096 || seed < 0) return null
-    if (mode < 0 || mode > 35 || rowsPerStrip <= 0) return null
+    if (mode < 0 || mode > 47 || rowsPerStrip <= 0) return null
     val tiledOrg = mode >= 12 && mode < 24
-    val planarOrg = mode >= 24
+    val planarOrg = mode >= 24 && mode < 36
+    val bits16 = mode >= 36 // 16-bit chunky strips; sample = v<<8 | v
     val sub = mode % 12
     val le = (sub & 1) == 0
     val gray = (sub % 4) >= 2
@@ -516,21 +543,60 @@ object TiffEncode {
     // block payloads first (compressed sizes vary), offsets after
     def rawStrip(s: Int): Array[Byte] = {
       val rows = math.min(rps, h - s * rps)
-      val out = new Array[Byte](rows * rowBytes)
-      var i = 0
-      var y = s * rps
-      val yEnd = y + rows
-      while (y < yEnd) {
-        var x = 0
-        while (x < w) {
-          var c = 0
-          while (c < spp) { out(i) = px(c, x, y); i += 1; c += 1 }
-          x += 1
+      if (!bits16) {
+        val out = new Array[Byte](rows * rowBytes)
+        var i = 0
+        var y = s * rps
+        val yEnd = y + rows
+        while (y < yEnd) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < spp) { out(i) = px(c, x, y); i += 1; c += 1 }
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        if (pred2) diffRows(out, rows, rowBytes, spp)
+        out
+      } else {
+        // 16-bit sample = v<<8 | v: the high byte carries the 8-bit
+        // formula, so decoded high-byte sums match the 8-bit oracle
+        val wb = rowBytes * 2
+        val out = new Array[Byte](rows * wb)
+        var i = 0
+        var y = s * rps
+        val yEnd = y + rows
+        while (y < yEnd) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < spp) {
+              val v = px(c, x, y)
+              out(i) = v; out(i + 1) = v // v*257: byte order immaterial
+              i += 2; c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        if (pred2) { // 16-bit predictor: per-VALUE mod 2^16, file order
+          def rd(i: Int): Int =
+            if (le) (out(i) & 0xFF) | ((out(i + 1) & 0xFF) << 8)
+            else ((out(i) & 0xFF) << 8) | (out(i + 1) & 0xFF)
+          def wr(i: Int, v: Int): Unit =
+            if (le) { out(i) = (v & 0xFF).toByte; out(i + 1) = ((v >> 8) & 0xFF).toByte }
+            else { out(i) = ((v >> 8) & 0xFF).toByte; out(i + 1) = (v & 0xFF).toByte }
+          var r0 = 0
+          while (r0 < rows) {
+            var j = (r0 + 1) * wb - 2
+            val start = r0 * wb + 2 * spp
+            while (j >= start) { wr(j, (rd(j) - rd(j - 2 * spp)) & 0xFFFF); j -= 2 }
+            r0 += 1
+          }
+        }
+        out
       }
-      if (pred2) diffRows(out, rows, rowBytes, spp)
-      out
     }
     // one PLANE's strip (PlanarConfiguration = 2): one sample per px
     def rawPlanarStrip(c: Int, s: Int): Array[Byte] = {
@@ -625,7 +691,10 @@ object TiffEncode {
     }
 
     // out-of-line arrays
-    if (!gray) { w16(8); w16(8); w16(8) }
+    if (!gray) {
+      val sb16 = if (bits16) 16 else 8
+      w16(sb16); w16(sb16); w16(sb16)
+    }
     if (nBlocks > 1) {
       stripOffsets.foreach(w32)
       strips.foreach(st => w32(st.length.toLong))
@@ -641,7 +710,8 @@ object TiffEncode {
     }
     entry(256, 4, 1)(w32(w.toLong)) // ImageWidth
     entry(257, 4, 1)(w32(h.toLong)) // ImageLength
-    if (gray) entry(258, 3, 1)(w16(8)) // BitsPerSample inline
+    val sampleBits = if (bits16) 16 else 8
+    if (gray) entry(258, 3, 1)(w16(sampleBits)) // BitsPerSample inline
     else entry(258, 3, 3)(w32(bpsOff.toLong)) // out-of-line 3 SHORTs
     entry(259, 3, 1)(w16(if (lzw) 5 else 1)) // Compression
     entry(262, 3, 1)(w16(if (gray) 1 else 2)) // Photometric

@@ -191,6 +191,48 @@ class TiffSpec extends SparkSpec {
     }
   }
 
+  test("16-bit samples decode by their high byte (PNG-16 convention)") {
+    for {
+      (w, h) <- Seq((1, 1), (9, 7), (16, 11))
+      mode <- 36 to 47
+      rps <- Seq(2, 100)
+    } {
+      val seed = 17L * w + h + mode
+      val t = TiffEncode.encode(w, h, seed, mode, rps)
+      assert(t != null, s"16-bit encode failed w=$w h=$h mode=$mode")
+      val r = TiffPixels.parse(t)
+      assert(r != null, s"16-bit parse failed w=$w h=$h mode=$mode rps=$rps")
+      // fixture samples are v*257, so high-byte sums equal the 8-bit
+      // formula sums exactly
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        if (mode % 4 >= 2) { val g = m(seed + 5L * x + 3L * y); sr += g; sg += g; sb += g }
+        else {
+          sr += m(seed + 3L * x + 7L * y)
+          sg += m(2L * seed + 5L * x + y)
+          sb += m(3L * seed + x + 11L * y)
+        }
+      }
+      assert(r.getInt(0) === w && r.getInt(1) === h)
+      assert(r.getLong(2) === sr && r.getLong(3) === sg && r.getLong(4) === sb,
+        s"16-bit sums diverge w=$w h=$h mode=$mode rps=$rps")
+    }
+    // ImageIO conformance witness (16-bit BE RGB LZW, no predictor —
+    // the JDK's reader refuses 16-bit + horizontal differencing, so
+    // that combination is certified by our own pair above): v*257
+    // scales to 16-bit full range, so the JDK's raster must read
+    // v*257 per sample
+    val t = TiffEncode.encode(11, 9, 311L, 41, 3)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t))
+    assert(img != null, "ImageIO rejected the 16-bit output")
+    val raster = img.getRaster
+    for (y <- 0 until 9; x <- 0 until 11) {
+      assert(raster.getSample(x, y, 0) === m(311L + 3L * x + 7L * y).toInt * 257, s"R($x,$y)")
+      assert(raster.getSample(x, y, 1) === m(2L * 311L + 5L * x + y).toInt * 257, s"G($x,$y)")
+      assert(raster.getSample(x, y, 2) === m(3L * 311L + x + 11L * y).toInt * 257, s"B($x,$y)")
+    }
+  }
+
   test("LZW codec property: exhaustive prefixes and random buffers round-trip") {
     // the regression this pins: the encoder wrote EOI at the lagged
     // width, desyncing exactly when a width boundary landed at the
