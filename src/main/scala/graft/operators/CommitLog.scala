@@ -1756,6 +1756,58 @@ object CommitLog {
       a: String, b: String, files: Int): Long =
     optimizeZOrderBy(spark, tablePath, Seq(a, b), files)
 
+  /** CLUSTER-BY OPTIMIZE: rewrite the table so that every data file
+    * holds exactly ONE distinct value tuple of `cols` — the layout
+    * under which each file's zone for those columns is a POINT
+    * (min == max), which is what unlocks the metadata-served GROUP BY
+    * ([[GraftTableSource]] grouped aggregates) and storage-partitioned
+    * joins (`clusterBy` reads). Published as ONE dataChange=false
+    * commit like every OPTIMIZE: readers never see a half-reclustered
+    * table and the change feed sees nothing.
+    *
+    * Bounded by design: the cluster columns must be LOW-cardinality
+    * (partition-like) — the rewrite stages one slice per distinct
+    * tuple, so cardinality above `maxKeys` refuses loudly rather than
+    * launching thousands of jobs. Rows where any cluster column is
+    * NULL also refuse (a NULL has no zone and would silently break
+    * the point-zone contract). */
+  def optimizeClusterBy(spark: SparkSession, tablePath: String,
+      cols: Seq[String], maxKeys: Int = 1024): Long = {
+    import org.apache.spark.sql.functions.col
+    require(cols.nonEmpty, "clusterBy needs at least one column")
+    val v0 = latestVersion(spark, tablePath)
+    val old = snapshot(spark, tablePath, Some(v0))
+    val df = read(spark, tablePath, Some(v0))
+    val keyCols = cols.map(col)
+    require(df.filter(keyCols.map(_.isNull).reduce(_ || _)).isEmpty,
+      s"clusterBy: NULL values in ${cols.mkString(",")} have no zone")
+    val keys = df.select(keyCols: _*).distinct().limit(maxKeys + 1).collect()
+    require(keys.length <= maxKeys,
+      s"clusterBy: more than $maxKeys distinct ${cols.mkString(",")} tuples — " +
+        "cluster on a lower-cardinality (partition-like) column")
+    // zones for the cluster cols AND every other numeric column — the
+    // rewrite touches every row anyway, so the stats are free, and a
+    // grouped MIN/MAX over any numeric column can then serve from
+    // metadata too
+    val statCols = (cols ++ df.schema.fields.collect {
+      case f if Seq(org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.DateType,
+        org.apache.spark.sql.types.FloatType, org.apache.spark.sql.types.DoubleType)
+        .contains(f.dataType) => f.name
+    }).distinct
+    var adds = Seq.empty[String]
+    var stats: FileStats = Map.empty
+    keys.foreach { k =>
+      val slice = cols.zipWithIndex
+        .foldLeft(df) { case (d, (c, i)) => d.filter(col(c) === k.get(i)) }
+      val (fs, st, _) = stageWithMeta(spark, tablePath, slice, statCols, Seq.empty)
+      adds ++= fs
+      stats ++= st
+    }
+    commit(spark, tablePath, adds, old, stats = stats, dataChange = false,
+      expectedVersion = Some(v0))
+  }
+
   /** CDC merge as copy-on-write at FILE granularity: only files that
     * actually contain a changed key are rewritten; every other live
     * file survives the commit untouched — work (and the change feed's

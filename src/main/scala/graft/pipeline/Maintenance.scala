@@ -61,6 +61,15 @@ object Maintenance {
         if (n <= 0) Left(s"targetFiles must be positive, got $files")
         else if (cs.size < 2) Left("zorder needs at least two columns")
         else Right(s"committed v${CommitLog.optimizeZOrderBy(spark, table, cs, n)}")
+      case "cluster-by" :: table :: cols :: Nil =>
+        // one file group per distinct key tuple: the point-zone layout
+        // metadata-served GROUP BY and storage-partitioned joins need
+        val cs = cols.split(',').toSeq.filter(_.nonEmpty)
+        if (cs.isEmpty) Left("cluster-by needs at least one column")
+        else scala.util.Try(CommitLog.optimizeClusterBy(spark, table, cs)) match {
+          case scala.util.Success(v) => Right(s"committed v$v")
+          case scala.util.Failure(e) => Left(e.getMessage)
+        }
       case "vacuum" :: table :: keep :: Nil =>
         scala.util.Try(keep.toLong).toOption match {
           case None => Left(s"unparsable version: $keep")
@@ -115,7 +124,8 @@ object Maintenance {
         Left("usage: compact <table> [targetMB] | zonemap <table> <cols> | " +
           s"log-compact <table> [targetFiles] | " +
           s"log-compact-bloom <table> <targetFiles> <bloomCols> [statsCols] | " +
-          s"zorder <table> <targetFiles> <cols> | vacuum <table> <version> | " +
+          s"zorder <table> <targetFiles> <cols> | cluster-by <table> <cols> | " +
+          s"vacuum <table> <version> | " +
           s"restore <table> <version> | history <table> | " +
           s"version-at <table> <instant> | constraints <table> | " +
           s"add-constraint <table> <name> <sql-expr>" +

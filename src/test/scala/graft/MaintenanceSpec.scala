@@ -78,6 +78,46 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("cluster-by rewrites into point-zone files that serve grouped pushdown") {
+    val t = java.nio.file.Files.createTempDirectory("graft_maintclust_").toString
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, count, lit, max}
+      // interleaved keys: no file starts out with a point zone for k
+      CommitLog.append(spark, t,
+        Seq.tabulate(60)(i => (i.toLong, i % 3)).toDF("id", "k")
+          .coalesce(2))
+      val before = spark.read.format("graft").load(t)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      assert(!before.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+        "pre-recluster grouped agg must not claim metadata service")
+      val r = Maintenance.run(spark, Array("cluster-by", t, "k"))
+      assert(r.isRight && r.toOption.get.startsWith("committed v"), r.toString)
+      // every live file now stores k as a point: grouped COUNT serves
+      // from metadata, rows and values unchanged
+      val after = spark.read.format("graft").load(t)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"), max(col("id")).as("hi"))
+        .orderBy(col("k"))
+      assert(after.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+        "reclustered table must serve grouped aggregates from zones")
+      assert(after.collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSeq ===
+        Seq((0, 20L, 57L), (1, 20L, 58L), (2, 20L, 59L)))
+      assert(CommitLog.read(spark, t).count() === 60)
+      // NULL cluster keys refuse (no zone to be a point of)
+      val tn = java.nio.file.Files.createTempDirectory("graft_maintnull_").toString
+      try {
+        CommitLog.append(spark, tn,
+          Seq((1L, Some(1)), (2L, None)).toDF("id", "k"))
+        assert(Maintenance.run(spark, Array("cluster-by", tn, "k")).isLeft)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tn)); ()
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+      ()
+    }
+  }
+
   test("restore + history subcommands drive the commit log") {
     val t = java.nio.file.Files.createTempDirectory("graft_maintres_").toString
     try {
