@@ -285,10 +285,16 @@ object CommitLog {
 
   private val pinColRe = """"((?:[^"\\]|\\.)+)":(-?\d+)""".r
 
+  /** Manifest-resolve counter — test observability only (mirrors
+    * GraftPartitionReader.filesOpened): pins the one-resolve-per-query
+    * contract of the transaction-pinned serving paths. */
+  val txnResolves = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** The newest committed transaction's pins at `asOf` (latest when
     * None) — empty when no transaction has ever been published. */
   def txnPins(spark: SparkSession, manifestDir: String,
-      asOf: Option[Long] = None): Map[String, Long] =
+      asOf: Option[Long] = None): Map[String, Long] = {
+    txnResolves.incrementAndGet()
     versions(spark, manifestDir).filter(v => asOf.forall(v <= _))
       .reverseIterator
       .map(v => extractSection(commitLine(spark, manifestDir, v), "pins"))
@@ -296,6 +302,7 @@ object CommitLog {
         pinColRe.findAllMatchIn(body).map(m =>
           unescKey(m.group(1)) -> m.group(2).toLong).toMap }
       .getOrElse(Map.empty)
+  }
 
   // pin keys pass through esc()/the JSON scanner unescaped-safe for
   // the role names the writers use; this un-escapes the two chars esc
@@ -1184,6 +1191,9 @@ object CommitLog {
 
   private val metaCache = new graft.AppScopedCache[ResolvedMeta]()
 
+  /** Test observability: live [[metaCache]] entries (all tables). */
+  private[graft] def metaCacheSize: Int = metaCache.liveEntryCount
+
   /** Resolve-or-recall the metadata pinned at `asOf` (latest when
     * None). The PIN is re-derived per call — "latest" must observe a
     * concurrent writer's new commit, so the version listing always
@@ -1221,8 +1231,31 @@ object CommitLog {
       val p = new Path(new Path(tablePath, LogDir), f"$pin%08d.json")
       val mtime = scala.util.Try(
         fsOf(spark, p).getFileStatus(p).getModificationTime).getOrElse(0L)
-      metaCache.getOrCompute(spark, s"$tablePath@$pin@$mtime")(resolve())
+      val meta = metaCache.getOrCompute(spark, s"$tablePath@$pin@$mtime")(resolve())
+      // bound the cache per table: a long-running serving app reading
+      // "latest" across many commits would otherwise hold one resolve
+      // (full live-file list + tail JSON) per version until app end.
+      // Keep the newest few pins — recent time-travel reads stay warm;
+      // an evicted older pin just re-resolves on demand.
+      metaCache.evictMatching(spark, k =>
+        k.startsWith(tablePath + "@") &&
+          cachedPinOf(k, tablePath).exists(_ < pin - MetaCacheKeepPins))
+      meta
     }
+  }
+
+  /** Newest pins kept per table in [[metaCache]] beyond the one just
+    * resolved (older pins re-resolve on demand — correctness is
+    * version-keyed, only latency changes). */
+  private val MetaCacheKeepPins = 4L
+
+  // cache keys are s"$tablePath@$pin@$mtime"; parse the PIN from the
+  // fixed tail so a table path containing '@' can't confuse it
+  private def cachedPinOf(key: String, tablePath: String): Option[Long] = {
+    val rest = key.substring(tablePath.length + 1)
+    val at = rest.indexOf('@')
+    if (at <= 0) None
+    else scala.util.Try(rest.substring(0, at).toLong).toOption
   }
 
   /** ONE parquet-domain job, many probes: for each `preds(i)`, the
@@ -1239,7 +1272,9 @@ object CommitLog {
     import org.apache.spark.sql.functions.{col, lit}
     val keepCols = preds.map { p =>
       (p.ranges.map { case (c, lo, hi) => zoneKeepCol(c, lo, hi) } ++
-        p.probes.map { case (c, h) => bloomKeepCol(c, h) })
+        p.probes.map { case (c, h) => bloomKeepCol(c, h) } ++
+        p.probeSets.map { case (c, hs) =>
+          hs.map(h => bloomKeepCol(c, h)).reduce(_ || _) })
         .reduceOption(_ && _).getOrElse(lit(true))
     }
     val out = preds.map(_ => scala.collection.mutable.LinkedHashSet.empty[String])
@@ -1272,7 +1307,9 @@ object CommitLog {
           val fbl = bl.getOrElse(f, Map.empty[String, String])
           val keep = p.ranges.forall { case (c, lo, hi) =>
             fst.get(c).forall { case (mn, mx) => !(mx < lo || mn > hi) } } &&
-            p.probes.forall { case (c, h) => addMightContain(fbl, c, h) }
+            p.probes.forall { case (c, h) => addMightContain(fbl, c, h) } &&
+            p.probeSets.forall { case (c, hs) =>
+              hs.exists(h => addMightContain(fbl, c, h)) }
           if (keep) out(i) += f
         }
         out(i) --= removes
@@ -1766,22 +1803,37 @@ object CommitLog {
     * table and the change feed sees nothing.
     *
     * Bounded by design: the cluster columns must be LOW-cardinality
-    * (partition-like) — the rewrite stages one slice per distinct
-    * tuple, so cardinality above `maxKeys` refuses loudly rather than
-    * launching thousands of jobs. Rows where any cluster column is
-    * NULL also refuse (a NULL has no zone and would silently break
-    * the point-zone contract). */
+    * (partition-like) — cardinality above `maxKeys` refuses loudly.
+    * Rows where any cluster column is NULL also refuse (a NULL has no
+    * zone and would silently break the point-zone contract).
+    *
+    * ONE data pass: each row is tagged with its key tuple's dense
+    * index (broadcast map join over the ≤ maxKeys collected tuples)
+    * and moved to exactly that partition by an EXACT partitioner —
+    * partition i holds precisely tuple i, which neither hash
+    * repartitioning (two tuples can collide into one partition and
+    * span the file's zone) nor range partitioning (sampling can merge
+    * small adjacent keys) guarantees. That exactness is genuinely
+    * per-partition-imperative, so this is the engine's one RDD
+    * partitioner hop. At scale the old shape — one full filtered scan
+    * + staging job PER distinct tuple — read the table up to maxKeys
+    * times; this reads it once and shuffles it once. Bloom filters
+    * the OLD files carried are recomputed on the rewritten files
+    * (same columns), so equality pruning never regresses across an
+    * OPTIMIZE. */
   def optimizeClusterBy(spark: SparkSession, tablePath: String,
       cols: Seq[String], maxKeys: Int = 1024): Long = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col}
     require(cols.nonEmpty, "clusterBy needs at least one column")
     val v0 = latestVersion(spark, tablePath)
     val old = snapshot(spark, tablePath, Some(v0))
     val df = read(spark, tablePath, Some(v0))
     val keyCols = cols.map(col)
-    require(df.filter(keyCols.map(_.isNull).reduce(_ || _)).isEmpty,
-      s"clusterBy: NULL values in ${cols.mkString(",")} have no zone")
+    // one distinct scan finds the key tuples AND any NULL violation (a
+    // NULL-bearing tuple surfaces as a distinct row — no separate scan)
     val keys = df.select(keyCols: _*).distinct().limit(maxKeys + 1).collect()
+    require(!keys.exists(r => cols.indices.exists(r.isNullAt)),
+      s"clusterBy: NULL values in ${cols.mkString(",")} have no zone")
     require(keys.length <= maxKeys,
       s"clusterBy: more than $maxKeys distinct ${cols.mkString(",")} tuples — " +
         "cluster on a lower-cardinality (partition-like) column")
@@ -1795,17 +1847,38 @@ object CommitLog {
         org.apache.spark.sql.types.FloatType, org.apache.spark.sql.types.DoubleType)
         .contains(f.dataType) => f.name
     }).distinct
-    var adds = Seq.empty[String]
-    var stats: FileStats = Map.empty
-    keys.foreach { k =>
-      val slice = cols.zipWithIndex
-        .foldLeft(df) { case (d, (c, i)) => d.filter(col(c) === k.get(i)) }
-      val (fs, st, _) = stageWithMeta(spark, tablePath, slice, statCols, Seq.empty)
-      adds ++= fs
-      stats ++= st
-    }
-    commit(spark, tablePath, adds, old, stats = stats, dataChange = false,
-      expectedVersion = Some(v0))
+    // bloom columns the outgoing files carried, recomputed below
+    val bloomCols = fileBlooms(spark, tablePath, Some(v0)).values
+      .flatMap(_.keys).toSeq.distinct.sorted
+    val (adds, stats, blooms) =
+      if (keys.isEmpty) (Seq.empty[String], Map.empty: FileStats, Map.empty: FileBlooms)
+      else {
+        val kidx = "_graft_kidx"
+        require(!df.columns.contains(kidx), s"clusterBy: column $kidx is reserved")
+        val keySchema = org.apache.spark.sql.types.StructType(
+          df.select(keyCols: _*).schema.fields :+
+            org.apache.spark.sql.types.StructField(kidx,
+              org.apache.spark.sql.types.IntegerType, nullable = false))
+        val idxDf = spark.createDataFrame(
+          java.util.Arrays.asList(keys.zipWithIndex.map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }: _*), keySchema)
+        val tagged = df.join(broadcast(idxDf), cols)
+          .select(df.columns.map(col) :+ col(kidx): _*)
+        val schema = tagged.schema
+        val iK = schema.fieldIndex(kidx)
+        val n = keys.length
+        val parted = tagged.rdd
+          .map(r => (r.getInt(iK), r))
+          .partitionBy(new org.apache.spark.Partitioner {
+            override def numPartitions: Int = n
+            override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+          })
+          .map(_._2)
+        stageWithMeta(spark, tablePath,
+          spark.createDataFrame(parted, schema).drop(kidx), statCols, bloomCols)
+      }
+    commit(spark, tablePath, adds, old, stats = stats, blooms = blooms,
+      dataChange = false, expectedVersion = Some(v0))
   }
 
   /** CDC merge as copy-on-write at FILE granularity: only files that

@@ -335,14 +335,28 @@ object Search {
   val RolePos = "pos"
   val RoleNorms = "norms"
 
-  private def pinOf(spark: SparkSession, manifestDir: String,
-      role: String): Long = {
+  /** ONE manifest resolve per query. Callers needing several roles
+    * must read them all from the same returned map — a second
+    * `txnPins` call could observe a transaction that committed in
+    * between, pinning e.g. the index at txn N and the norms at N+1:
+    * exactly the mixed half-visible state the manifest exists to
+    * prevent. */
+  private def pinsOf(spark: SparkSession, manifestDir: String)
+      : Map[String, Long] = {
     val pins = graft.operators.CommitLog.txnPins(spark, manifestDir)
     if (pins.isEmpty) throw new IllegalStateException(
       s"no committed transaction in $manifestDir — nothing is servable yet")
+    pins
+  }
+
+  private def pinFrom(pins: Map[String, Long], manifestDir: String,
+      role: String): Long =
     pins.getOrElse(role, throw new IllegalStateException(
       s"manifest $manifestDir pins ${pins.keys.mkString(",")} but not '$role'"))
-  }
+
+  private def pinOf(spark: SparkSession, manifestDir: String,
+      role: String): Long =
+    pinFrom(pinsOf(spark, manifestDir), manifestDir, role)
 
   /** Phrase search at the newest COMPLETE transaction. */
   def phrasePinned(spark: SparkSession, manifestDir: String,
@@ -360,10 +374,14 @@ object Search {
     * at THEIR pinned version, so the postings-to-norms join can never
     * mix a half-landed trigger's sides. */
   def bm25Pinned(spark: SparkSession, manifestDir: String,
-      idxTable: String, normsTable: String, terms: Seq[String]): DataFrame =
+      idxTable: String, normsTable: String, terms: Seq[String]): DataFrame = {
+    // resolve the manifest ONCE; both roles come from the same
+    // transaction snapshot even if a writer commits mid-call
+    val pins = pinsOf(spark, manifestDir)
     bm25FromIndexAt(spark, idxTable,
-      Some(pinOf(spark, manifestDir, RoleIndex)),
-      normsTable, Some(pinOf(spark, manifestDir, RoleNorms)), terms)
+      Some(pinFrom(pins, manifestDir, RoleIndex)),
+      normsTable, Some(pinFrom(pins, manifestDir, RoleNorms)), terms)
+  }
 
   /** The Okapi BM25 per-posting weight (k1=1.2, b=0.75; (k1+1) and
     * (1-b) pre-folded to the SAME literals the oracle SQL uses) —

@@ -540,12 +540,19 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
       })) return None
       val rows = flat.groupBy(_._1).toSeq
         .sortBy(_._1.mkString(","))
-        .map { case (key, fs) =>
-          valuesFor(fs.map(_._2)) match {
+        .flatMap { case (key, fs) =>
+          val sub = fs.map(_._2)
+          // a group whose rows are ALL deletion-vector-deleted has no
+          // output row at all — deleteWhere keeps the fully-covered
+          // files live (the key stays decidable from point zones) but
+          // GROUP BY omits empty groups, so emitting count=0 here
+          // would be a phantom row real SQL never produces
+          if (totalRows(sub).contains(Some(0.0))) None
+          else valuesFor(sub) match {
             case Some(vs) =>
-              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Some(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
                 (key.zip(groupCols).map { case (v, g) => box(dtypeOf(g), v) } ++
-                  vs.toSeq).toArray)
+                  vs.toSeq).toArray))
             case None => return None
           }
         }

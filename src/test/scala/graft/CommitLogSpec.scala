@@ -1256,4 +1256,61 @@ class CommitLogSpec extends SparkSpec {
       } finally spark.conf.unset("spark.graft.commitlog.dvSweepGraceMs")
     } finally cleanup(t)
   }
+
+  test("cluster-by OPTIMIZE: one file per key tuple, blooms recomputed") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      // two bloomed files of interleaved ids: zones on id span, k spans
+      (0 until 2).foreach { b =>
+        CommitLog.appendWithBloom(spark, t,
+          Seq.tabulate(300)(i => { val id = 2L * i + b; (id, (id % 3).toInt) })
+            .toDF("id", "k").coalesce(1),
+          bloomCols = Seq("id"), statsCols = Seq("id"))
+      }
+      val v = CommitLog.optimizeClusterBy(spark, t, Seq("k"))
+      // the single-shuffle rewrite must land EXACTLY one file per
+      // distinct key tuple — the point-zone contract, now from one
+      // job instead of one filtered scan per key
+      val files = CommitLog.snapshot(spark, t, Some(v))
+      assert(files.length === 3, s"expected 3 one-tuple files, got $files")
+      // blooms recomputed on the rewritten files (the old files
+      // carried id filters): equality pruning survives the OPTIMIZE
+      val blooms = CommitLog.fileBlooms(spark, t, Some(v))
+      assert(files.forall(f => blooms.get(f).exists(_.contains("id"))),
+        "rewritten files lost their bloom filters")
+      val hit = CommitLog.scanEquals(spark, t, "id", 123L)
+      assert(hit.inputFiles.length === 1 && hit.count() === 1,
+        "post-OPTIMIZE bloom pruning regressed")
+      // values intact; point zones serve grouped pushdown
+      assert(CommitLog.read(spark, t).count() === 600)
+      val agg = spark.read.format("graft").load(t)
+        .groupBy(col("k")).agg(count(lit(1)).as("n")).orderBy(col("k"))
+      assert(agg.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+        "reclustered table must serve grouped COUNT from metadata")
+      assert(agg.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+        Seq((0, 200L), (1, 200L), (2, 200L)))
+    } finally cleanup(t)
+  }
+
+  test("metaCache bounds per-table pins; evicted versions re-resolve") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      val base = CommitLog.metaCacheSize
+      (0 until 12).foreach { i =>
+        CommitLog.append(spark, t, Seq((i.toLong, i.toString)).toDF("id", "s"))
+        assert(CommitLog.read(spark, t).count() === i + 1L)
+      }
+      // a long-lived serving app reading "latest" across many commits
+      // must not hold one resolve per version: superseded pins evict,
+      // keeping the newest few for warm time travel
+      assert(CommitLog.metaCacheSize - base <= 5,
+        s"metaCache grew by ${CommitLog.metaCacheSize - base} over 12 versions")
+      // an evicted older pin is still correct — it just re-resolves
+      assert(CommitLog.read(spark, t, asOf = Some(2L)).count() === 3)
+      assert(CommitLog.read(spark, t, asOf = Some(0L))
+        .head.getLong(0) === 0L)
+    } finally cleanup(t)
+  }
 }

@@ -577,6 +577,17 @@ class GraftSourceSpec extends SparkSpec {
         "grouped DV-exact COUNT must still serve from metadata")
       assert(gcnt.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ===
         Seq((0, 1L), (1, 2L), (2, 1L)))
+      // deleting EVERY row of one cluster key leaves its file live
+      // (deleteWhere keeps fully-covered files) — grouped COUNT must
+      // OMIT that group, not emit a phantom count=0 row
+      CommitLog.delete(spark, t, "id = 2")
+      val gone = spark.read.format("graft").load(t)
+        .groupBy(col("k")).agg(count(lit(1)).as("n")).orderBy(col("k"))
+      assert(gone.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+        "fully-deleted group must not forfeit metadata serving for the others")
+      assert(gone.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+        Seq((0, 1L), (1, 2L)),
+        "GROUP BY must omit the all-rows-deleted group entirely")
     } finally cleanup(t)
   }
 

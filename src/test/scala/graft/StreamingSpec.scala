@@ -994,6 +994,16 @@ class StreamingSpec extends SparkSpec {
       assert(ids.forall(_ === Set(0L, 1L)), s"ledgers diverged: $ids")
       // no child committed twice for the replayed batch
       assert(CommitLog.read(spark, norms).filter("doc_id = 10").count() === 1)
+      // ONE manifest resolve per pinned query: a second txnPins read
+      // inside bm25Pinned could pin index at txn N and norms at N+1 if
+      // a writer committed in between — the exact mixed state the
+      // manifest prevents. Pin the count so the single-resolve
+      // contract cannot silently regress.
+      CommitLog.txnResolves.set(0)
+      bm25Docs()
+      assert(CommitLog.txnResolves.get() === 1L,
+        s"bm25Pinned resolved the manifest ${CommitLog.txnResolves.get()} times; " +
+          "both roles must come from ONE txnPins snapshot")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
