@@ -1943,13 +1943,14 @@ object Queries {
   }
 
   // DuckDB twin of the composed IVF-PQ path: needs BOTH served
-  // artifacts (index centroids + PQ codebooks) for the same corpus.
-  // Probe cell ranking mirrors knnIvfOracleFor; codes/LUT/ADC mirror
-  // knnPqOracleFor; the join runs per probed cell.
+  // artifacts (index centroids + RESIDUAL codebooks) for the same
+  // corpus. Probe cell ranking mirrors knnIvfOracleFor; codes/LUT/ADC
+  // mirror knnPqOracleFor but over r = v − centroid(cell), with the
+  // per-(probe, cell) base dot added back — the residual-IVFADC serve.
   private def ivfPqOracles: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     val sc = graft.operators.Similarity.servedCentroids.asScala.toMap
-    val sb = graft.operators.Similarity.servedCodebooks.asScala.toMap
+    val sb = graft.operators.Similarity.servedIvfCodebooks.asScala.toMap
     (sc.toSeq, sb.toSeq) match {
       case (Seq((d1, cents)), Seq((d2, cb))) if d1 == d2 =>
         Map(knnIvfPqOracleFor(cents, cb))
@@ -1970,17 +1971,23 @@ object Queries {
       cb: Seq[Seq[Array[Double]]]): (String, String) = {
     val m = graft.operators.Similarity.PqSubspaces
     val d = graft.operators.Similarity.PqDim
+    val dim = cents.head.length
+    // the full centroid table as one DOUBLE[][] literal: indexed by the
+    // 1-based cell id for the residual subtraction and the base dot
+    val centsLit = cents.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]::DOUBLE[][]")
     val cellScores = cents.map { c =>
       val lit = c.mkString("[", ", ", "]::DOUBLE[]")
       val half = c.map(x => x * x).sum / 2.0
       s"list_dot_product(v, $lit) - ($half)"
     }.mkString("[", ", ", "]")
+    // residual sub-scores: the codebooks quantize rv = v − cents[cell]
     val subScores = (0 until m).map { i =>
       val lo = i * d + 1; val hi = (i + 1) * d
       cb(i).map { c =>
         val l = c.mkString("[", ", ", "]::DOUBLE[]")
         val half = c.map(x => x * x).sum / 2.0
-        s"list_dot_product(v[$lo:$hi], $l) - ($half)"
+        s"list_dot_product(rv[$lo:$hi], $l) - ($half)"
       }.mkString("[", ", ", "]") + s" AS s$i"
     }.mkString(", ")
     val codes = (0 until m)
@@ -1993,7 +2000,8 @@ object Queries {
         s"list_dot_product(q[$lo:$hi], $l)"
       }.mkString("[", ", ", "]") + s" AS l$i"
     }.mkString(", ")
-    val adc = (0 until m).map(i => s"l$i[codes[${i + 1}]]").mkString(" + ")
+    // ADC reconstructs dot(q, x) ≈ dot(q, centroid) + Σ lut lookups
+    val adc = "qc + " + (0 until m).map(i => s"l$i[codes[${i + 1}]]").mkString(" + ")
     "knn_ivf_pq" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
        s"csc AS (SELECT vec_id, v, $cellScores AS scores FROM e), " +
@@ -2003,9 +2011,11 @@ object Queries {
        s"list_transform(range(1, ${cents.length + 1}), i -> {'s': scores[i], 'i': i})), 1, " +
        s"${graft.operators.Similarity.NumProbeCells})) AS cr FROM p0), " +
        "probes AS (SELECT query_id, q, CAST(cr.i AS INTEGER) AS cell FROM px), " +
-       s"sc AS (SELECT vec_id, cell, v, $subScores FROM a), " +
+       "rs AS (SELECT vec_id, cell, " +
+       s"list_transform(range(1, ${dim + 1}), i -> v[i] - ($centsLit)[cell][i]) AS rv FROM a), " +
+       s"sc AS (SELECT vec_id, cell, $subScores FROM rs), " +
        s"c AS (SELECT vec_id, cell, $codes AS codes FROM sc), " +
-       s"pl AS (SELECT query_id, cell, $luts FROM probes), " +
+       s"pl AS (SELECT query_id, cell, list_dot_product(q, ($centsLit)[cell]) AS qc, $luts FROM probes), " +
        "co AS (SELECT pl.query_id, c.vec_id AS neighbor_id, " +
        s"round($adc, 6) AS adc FROM c JOIN pl ON c.cell = pl.cell AND c.vec_id <> pl.query_id), " +
        "sl AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +

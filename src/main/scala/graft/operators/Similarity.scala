@@ -594,6 +594,8 @@ object Similarity {
     servedCentroids.remove(dir)
     codebookCache.evict(spark, s"$dir#pq")
     servedCodebooks.remove(dir)
+    residualCodebookCache.evict(spark, s"$dir#ivfpq")
+    servedIvfCodebooks.remove(dir)
   }
 
   /** Top-k against a materialized index: probes (vec_id < 5 from the
@@ -888,6 +890,49 @@ object Similarity {
       (0 until PqSubspaces).map(m => trained(m).toSeq)
     }
 
+  // ---- residual codebooks (IVF-PQ / true IVFADC) --------------------
+  private val residualCodebookCache = new AppScopedCache[Seq[Seq[Array[Double]]]]()
+
+  /** Residual codebooks used to SERVE knn_ivf_pq, per corpus dir —
+    * distinct from [[servedCodebooks]] (the flat-PQ raw-vector books):
+    * the two quantizer families feed different post-run oracles. */
+  private[graft] val servedIvfCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Array[Double]]]]()
+
+  /** The cell's centroid as an array column (1-based `cell`, matching
+    * `array_position`'s assignment) — one literal array-of-arrays,
+    * shared by the residual encode and the serve-side base dot. */
+  private def centLookup(cell: Column, cents: Seq[Array[Double]]): Column =
+    element_at(array(cents.map(c =>
+      array(c.toIndexedSeq.map(lit): _*)): _*), cell)
+
+  /** r = x − centroid(cell): the quantity residual PQ encodes. */
+  private def residualOf(v: Column, cell: Column,
+      cents: Seq[Array[Double]]): Column =
+    zip_with(v, centLookup(cell, cents), (a, b) => a - b)
+
+  /** Residual PQ codebooks — the published IVFADC design (Jégou et
+    * al., TPAMI 2011, §IV-A): PQ encodes r = x − coarse_centroid
+    * rather than x itself. Residuals concentrate near the origin with
+    * far less variance than raw vectors, so the same 4-bit code budget
+    * quantizes them much more finely — the standard recall lift at
+    * fixed code size. Trained on the MATERIALIZED INDEX (cell, v)
+    * rows — the artifact serving reads — through the same distributed
+    * [[seedParallel]] + [[lloydRounds]] scans as the flat books: no
+    * corpus row reaches the driver. Memoized build-once-serve-many. */
+  private[graft] def ivfResidualCodebooks(spark: SparkSession, dir: String,
+      indexPath: String, cents: Seq[Array[Double]]): Seq[Seq[Array[Double]]] =
+    residualCodebookCache.getOrCompute(spark, s"$dir#ivfpq") {
+      val res = spark.read.parquet(indexPath)
+        .select(col("vec_id").as("id"),
+          residualOf(col("v"), col("cell").cast("int"), cents).as("v"))
+      val init = seedParallel(res, PqSubspaces, PqCodes,
+        (v, m) => slice(v, m * PqDim + 1, PqDim), seed = 43)
+      val trained = lloydRounds(res.select(col("v")), PqSubspaces, PqDim,
+        PqCodes, init, (v, m) => slice(v, m * PqDim + 1, PqDim))
+      (0 until PqSubspaces).map(m => trained(m).toSeq)
+    }
+
   /** Scores of v's m-th subvector against each sub-centroid — argmax of
     * dot(sub, c) - ||c||^2/2 is nearest-by-L2, same trick as
     * [[cellScores]]; `array_position(s, array_max(s))` (first max) is
@@ -973,17 +1018,24 @@ object Similarity {
     * re-rank of the shortlist. This is the FAISS-IVFPQ shape: at 100 TB
     * the index stores codes alongside each cell's vectors, a query
     * touches nprobe/k of the corpus AND reads it 32x smaller, and full
-    * precision is paid only for the top-coarseK shortlist. Both
-    * quantizers are served artifacts (index sidecar centroids, memoized
-    * codebooks) — never retrained at query time — and both feed the
-    * post-run oracle generator. */
+    * precision is paid only for the top-coarseK shortlist.
+    *
+    * RESIDUAL coding (true IVFADC, Jégou et al. TPAMI 2011 §IV-A):
+    * each indexed vector is PQ-encoded as r = x − centroid(cell), and
+    * the ADC score reconstructs dot(q, x) ≈ dot(q, centroid) +
+    * Σ_m lut_m[code_m] — the per-(probe, cell) base dot rides the same
+    * broadcast LUT row, so serving cost is unchanged while the 4-bit
+    * codes spend their whole budget on the low-variance residual.
+    * Both quantizers are served artifacts (index sidecar centroids,
+    * memoized residual codebooks) — never retrained at query time —
+    * and both feed the post-run oracle generator. */
   def knnIvfPq(spark: SparkSession, dir: String,
       k: Int = 5, coarseK: Int = 20): DataFrame = {
     val indexPath = ivfIndexPath(spark, dir)
     val cents = readCentroidSidecar(spark, indexPath)
     servedCentroids.put(dir, cents)
-    val cb = pqCodebooks(spark, dir)
-    servedCodebooks.put(dir, cb)
+    val cb = ivfResidualCodebooks(spark, dir, indexPath, cents)
+    servedIvfCodebooks.put(dir, cb)
     val probes = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
@@ -998,18 +1050,25 @@ object Similarity {
     val probeCells = probeRows.map(_.getInt(2)).distinct
     val probesLocal = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probes.schema)
+    // per-(probe, cell) base dot(q, centroid) + the residual LUTs:
+    // together they reconstruct dot(q, x) from an 8-code row
     val probesLut = probesLocal
       .select(col("query_id") +: col("cell") +: col("q").as("q") +:
+        dot(col("q"), centLookup(col("cell"), cents)).as("qc") +:
         pqLutCols(col("q"), cb): _*)
     val index = spark.read.parquet(indexPath)
       .filter(col("cell").isin(probeCells.map(Integer.valueOf).toSeq: _*))
       .select(col("cell").cast("int").as("cell"), col("vec_id"), col("v"))
-    val coded = index.select(col("cell"), col("vec_id"),
-      array((0 until PqSubspaces).map(m => pqCode(col("v"), m, cb)): _*).as("codes"))
+    // residual computed ONCE per row, then 8 code assignments off it
+    val coded = index
+      .select(col("cell"), col("vec_id"),
+        residualOf(col("v"), col("cell"), cents).as("r"))
+      .select(col("cell"), col("vec_id"),
+        array((0 until PqSubspaces).map(m => pqCode(col("r"), m, cb)): _*).as("codes"))
     val coarse = coded.join(broadcast(probesLut.drop("q")), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(pqAdcExpr, 6).as("adc"))
+        round(col("qc") + pqAdcExpr, 6).as("adc"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
     val shortlist = coarse.withColumn("rn", row_number().over(w))

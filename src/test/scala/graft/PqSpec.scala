@@ -83,4 +83,18 @@ class PqSpec extends SparkSpec {
     val again = Similarity.knnIvfPq(spark, sf).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("residual coding lifts IVF-PQ recall above the raw-vector floor") {
+    val ivfpq = Similarity.knnIvfPq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = Similarity.knnBruteForce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val hit = ivfpq.intersect(exact).size.toDouble / exact.size
+    info(s"IVF-PQ (residual) recall@5 = $hit")
+    // raw-vector IVF-PQ measured 0.36 here (r11 verdict); residual
+    // codebooks (true IVFADC) measure 0.60 on this fixture — the floor
+    // sits above the old raw-vector ceiling with margin below the
+    // measured residual recall
+    assert(hit >= 0.45, s"residual IVF-PQ recall@5 = $hit")
+  }
 }
