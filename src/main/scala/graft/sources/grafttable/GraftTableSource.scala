@@ -726,13 +726,15 @@ class GraftScan(tablePath: String, version: Long, required: StructType,
       .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
       .filter(c => required.fieldNames.contains(c))
 
+  private lazy val zoneStats: CommitLog.FileStats =
+    CommitLog.fileStats(SparkSession.active, tablePath, Some(version))
+
   /** Files grouped by their cluster-key point-zone tuple; None when
     * clustering is off or any file's zone is not a point. */
   private lazy val keyedGroups: Option[Seq[(Seq[Double], Seq[String])]] = {
     if (clusterCols.isEmpty) None
     else {
-      val spark = SparkSession.active
-      val zones = CommitLog.fileStats(spark, tablePath, Some(version))
+      val zones = zoneStats
       val keyed = fileSlices._1.map { f =>
         val key = clusterCols.map(c => zones.get(f).flatMap(_.get(c)) match {
           case Some((lo, hi)) if lo == hi && !lo.isNaN => Some(lo)
@@ -746,6 +748,42 @@ class GraftScan(tablePath: String, version: Long, required: StructType,
         .map { case (k, fs) => k -> fs.map(_._2) })
     }
   }
+
+  /** PARTIALLY-CLUSTERED SPJ (the skew escape valve): one key tuple =
+    * one task serializes a hot key's whole file set at 100 TB. When a
+    * group's metadata row count exceeds this threshold, the group is
+    * reported as one keyed partition PER FILE (same key on each) —
+    * with spark.sql.sources.v2.bucketing.partiallyClusteredDistribution
+    * .enabled Spark keeps the splits as separate tasks and replicates
+    * the other side's matching partition over them; without it Spark
+    * simply regroups same-key splits into one task, so splitting is
+    * never wrong. Row counts come from the log's reserved per-file
+    * stat (zero filesystem calls; byte skew tracks row skew for a
+    * fixed schema); a group missing any count stays unsplit —
+    * conservative. */
+  private lazy val splitThresholdRows: Long =
+    SparkSession.active.conf
+      .getOption("spark.graft.spj.splitThresholdRows")
+      .map(_.toLong).getOrElse(4L * 1000 * 1000)
+
+  /** The keyed input partitions, splitting hot groups per-file. Built
+    * once: outputPartitioning reports its length and
+    * planInputPartitions returns it, so the two can never disagree. */
+  private lazy val keyedPlan: Option[Array[InputPartition]] =
+    keyedGroups.map { groups =>
+      val spark = SparkSession.active
+      val ranges = fileSlices._2
+      groups.flatMap { case (key, fs) =>
+        val parts = GraftScan.partitionsFor(spark, tablePath, version, fs, ranges)
+          .map(_.asInstanceOf[GraftPartition])
+        val rows = fs.map(f =>
+          zoneStats.get(f).flatMap(_.get(CommitLog.RowCountStat)).map(_._1))
+        val hot = fs.length > 1 && rows.forall(_.isDefined) &&
+          rows.flatten.sum > splitThresholdRows.toDouble
+        if (hot) parts.map(p => GraftKeyedPartition(Array(p), boxKey(key)): InputPartition)
+        else Seq(GraftKeyedPartition(parts, boxKey(key)): InputPartition)
+      }.toArray
+    }
 
   private def boxKey(vals: Seq[Double]): InternalRow = {
     val boxed: Array[Any] = vals.zip(clusterCols).map { case (v, c) =>
@@ -762,13 +800,13 @@ class GraftScan(tablePath: String, version: Long, required: StructType,
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    keyedGroups match {
-      case Some(groups) =>
+    keyedPlan match {
+      case Some(parts) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           clusterCols.map(c =>
             org.apache.spark.sql.connector.expressions.Expressions.identity(c)
               : org.apache.spark.sql.connector.expressions.Expression).toArray,
-          groups.size)
+          parts.length)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
           fileSlices._1.size)
@@ -780,14 +818,8 @@ class GraftScan(tablePath: String, version: Long, required: StructType,
     // only the RANGE legs travel to the readers (row-group skipping);
     // bloom legs are file-level only — our files carry no parquet
     // bloom filters
-    keyedGroups match {
-      case Some(groups) =>
-        groups.map { case (key, fs) =>
-          GraftKeyedPartition(
-            GraftScan.partitionsFor(spark, tablePath, version, fs, ranges)
-              .map(_.asInstanceOf[GraftPartition]),
-            boxKey(key)): InputPartition
-        }.toArray
+    keyedPlan match {
+      case Some(parts) => parts
       case None =>
         GraftScan.partitionsFor(spark, tablePath, version, files, ranges)
     }

@@ -674,6 +674,61 @@ class GraftSourceSpec extends SparkSpec {
     }
   }
 
+  test("partially-clustered SPJ: a hot key runs as multiple tasks, results identical") {
+    val t1 = tempTable(); val t2 = tempTable()
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // force the hot-group split at fixture scale
+      "spark.graft.spj.splitThresholdRows" -> "10")
+    val keep = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    try {
+      import spark.implicits._
+      // fact side: key 0 is HOT — three files, 60 rows; keys 1, 2 one
+      // small file each. Dim side: one small file per key.
+      val hot = Seq.tabulate(60)(i => (0, i.toLong)).toDF("k", "va")
+      (0 until 3).foreach(s =>
+        CommitLog.appendWithStats(spark, t1,
+          hot.filter(col("va") % 3 === s).coalesce(1), Seq("k")))
+      Seq(1, 2).foreach(k =>
+        CommitLog.appendWithStats(spark, t1,
+          Seq((k, 100L + k)).toDF("k", "va").coalesce(1), Seq("k")))
+      (0 to 2).foreach(k =>
+        CommitLog.appendWithStats(spark, t2,
+          Seq((k, 10L * k)).toDF("k", "vb").coalesce(1), Seq("k")))
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val l = spark.read.format("graft").option("clusterBy", "k").load(t1)
+      val r = spark.read.format("graft").option("clusterBy", "k").load(t2)
+      val j = l.join(r, "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"partially-clustered SPJ still shuffles:\n$plan")
+      // the skew escape valve: the hot key's three files must NOT
+      // serialize into one task — with partially-clustered
+      // distribution the join runs one task per hot-side split (3 for
+      // key 0) plus one per small key = 5, not one per distinct key
+      val nTasks = j.queryExecution.toRdd.getNumPartitions
+      assert(nTasks > 3, s"hot key still serializes: $nTasks join tasks for 3 keys")
+      // results identical to the shuffled control
+      val got = j.select(col("k"), col("va"), col("vb")).collect()
+        .map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSet
+      val control = spark.read.format("graft").load(t1)
+        .join(spark.read.format("graft").load(t2), "k")
+        .select(col("k"), col("va"), col("vb")).collect()
+        .map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSet
+      assert(got === control && got.size === 62)
+    } finally {
+      keep.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      cleanup(t1); cleanup(t2)
+    }
+  }
+
   test("runtime filtering: a join's build side prunes fact files at execution") {
     val t = tempTable()
     val dimDir = java.nio.file.Files.createTempDirectory("graft_dim_").toString
