@@ -1268,15 +1268,20 @@ object Queries {
     // LZW + predictor decode, the tile-padding exclusion, and both
     // byte orders
     "mm_tiff_pixels" ->
+      // modes 48-51 are palette: the pixel stores the gray-formula
+      // INDEX; decoded channels are the ColorMap high bytes
+      // (i, 2i%256, 3i%256) — the r channel equals the index, g/b wrap
       ("WITH d AS (SELECT doc_id, 4 + doc_id % 9 AS w, 4 + (doc_id * 3) % 7 AS h, " +
-       "doc_id % 48 AS m FROM documents), " +
+       "doc_id % 52 AS m FROM documents), " +
        "px AS (SELECT doc_id, w, h, m, unnest(range(w * h)) AS i FROM d WHERE doc_id % 131 <> 0), " +
        "s AS (SELECT doc_id, " +
-       "sum(CASE WHEN m % 4 >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
+       "sum(CASE WHEN m >= 48 OR m % 4 >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
        "ELSE (doc_id + 3 * (i % w) + 7 * (i // w)) % 256 END) AS sr, " +
-       "sum(CASE WHEN m % 4 >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
+       "sum(CASE WHEN m >= 48 THEN (2 * ((doc_id + 5 * (i % w) + 3 * (i // w)) % 256)) % 256 " +
+       "WHEN m % 4 >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
        "ELSE (2 * doc_id + 5 * (i % w) + (i // w)) % 256 END) AS sg, " +
-       "sum(CASE WHEN m % 4 >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
+       "sum(CASE WHEN m >= 48 THEN (3 * ((doc_id + 5 * (i % w) + 3 * (i // w)) % 256)) % 256 " +
+       "WHEN m % 4 >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
        "ELSE (3 * doc_id + (i % w) + 11 * (i // w)) % 256 END) AS sb " +
        "FROM px GROUP BY doc_id) " +
        "SELECT d.doc_id, " +
@@ -1302,7 +1307,16 @@ object Queries {
        "CASE WHEN doc_id % 127 = 0 OR doc_id % 3 = 0 THEN NULL ELSE CAST(doc_id % 600 + 16 AS INTEGER) END AS width, " +
        "CASE WHEN doc_id % 127 = 0 OR doc_id % 3 = 0 THEN NULL ELSE CAST((doc_id * 3) % 400 + 16 AS INTEGER) END AS height, " +
        "CASE WHEN doc_id % 127 = 0 THEN NULL ELSE CAST((doc_id % 5) % 3 AS INTEGER) END AS n_fragments, " +
-       "CASE WHEN doc_id % 127 = 0 THEN NULL ELSE CAST((doc_id % 5) % 3 * (10 + doc_id % 50) * (doc_id % 3 + doc_id % 2 + 1) AS BIGINT) END AS n_samples " +
+       "CASE WHEN doc_id % 127 = 0 THEN NULL ELSE CAST((doc_id % 5) % 3 * (10 + doc_id % 50) * (doc_id % 3 + doc_id % 2 + 1) AS BIGINT) END AS n_samples, " +
+       // codec identity (stsd first-entry fourcc): video cycles
+       // avc1/hvc1/av01 on seed%3 (NULL when the file has no video
+       // track, i.e. doc_id%3=0); audio is mp4a (>=1 audio track always)
+       "CASE WHEN doc_id % 127 = 0 OR doc_id % 3 = 0 THEN NULL " +
+       "ELSE (['avc1', 'hvc1', 'av01'])[CAST(doc_id % 3 AS INTEGER) + 1] END AS video_codec, " +
+       "CASE WHEN doc_id % 127 = 0 THEN NULL ELSE 'mp4a' END AS audio_codec, " +
+       // stsz sample count: (seed%97 + 1) per track, summed over tracks
+       "CASE WHEN doc_id % 127 = 0 THEN NULL " +
+       "ELSE CAST((doc_id % 97 + 1) * (doc_id % 3 + doc_id % 2 + 1) AS BIGINT) END AS n_samples_stbl " +
        "FROM documents ORDER BY doc_id"),
     // VIDEO frame-decode twin: frame f of doc d is a color JPEG seeded
     // d + 1000*f (AviEncode scaladoc), so the mm_jpeg_color block

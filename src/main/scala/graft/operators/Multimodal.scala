@@ -262,12 +262,13 @@ object Multimodal {
         // strip encoding (uncompressed / LZW / LZW+predictor), and
         // organization (chunky strips / 16x16 tiles with padded edges /
         // separate planes), plus 16-bit chunky strips summed by the
-        // high byte, all cycling on doc_id (mode = id%48),
-        // rows-per-strip 1..4 so multi-strip layouts with out-of-line
-        // offset arrays land on most rows
+        // high byte AND 8-bit palette (ColorMap) strips, all cycling
+        // on doc_id (mode = id%52; 48-51 = palette), rows-per-strip
+        // 1..4 so multi-strip layouts with out-of-line offset arrays
+        // land on most rows
         (id % 131 =!= 0, graft.plans.VectorExpressions.tiffEncode(
           (id % 9 + 4).cast("int"), ((id * 3) % 7 + 4).cast("int"),
-          id.cast("long"), (id % 48).cast("int"), (id % 4 + 1).cast("int"))))
+          id.cast("long"), (id % 52).cast("int"), (id % 4 + 1).cast("int"))))
       case "mp4" => Seq(
         (id % 127 === 0, encode(text.substr(1, 28), "UTF-8")),
         // REAL ISO-BMFF files (plans.Mp4Encode): 0..2 video + 1..2
@@ -739,7 +740,10 @@ object Multimodal {
         col("m.audio_tracks").as("audio_tracks"),
         col("m.width").as("width"), col("m.height").as("height"),
         col("m.n_fragments").as("n_fragments"),
-        col("m.n_samples").as("n_samples"))
+        col("m.n_samples").as("n_samples"),
+        col("m.video_codec").as("video_codec"),
+        col("m.audio_codec").as("audio_codec"),
+        col("m.n_samples_stbl").as("n_samples_stbl"))
       .orderBy(col("doc_id"))
 
   /** VIDEO frame decode: every MJPEG frame of every AVI through the

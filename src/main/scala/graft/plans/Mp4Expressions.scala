@@ -18,8 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * for.
   *
   * `graft_mp4_meta(binary)` → (brand, timescale, duration, n_tracks,
-  * video_tracks, audio_tracks, width, height), NULL when the bytes
-  * are not a parseable ISO-BMFF stream. From the public spec:
+  * video_tracks, audio_tracks, width, height, n_fragments, n_samples,
+  * video_codec, audio_codec, n_samples_stbl), NULL when the bytes
+  * are not a parseable ISO-BMFF stream. Codec identity comes from the
+  * stsd sample-description walk (trak → mdia → minf → stbl → stsd
+  * first-entry fourcc: avc1/hvc1/av01, mp4a/...) — the filter a real
+  * curation pipeline applies before paying any decode; the
+  * non-fragmented sample count reads stsz's fixed-offset count field.
+  * From the public spec:
   *
   *  - a box is `size(u32 BE) + type(4cc)`; size==1 switches to a
   *    64-bit largesize after the type; size==0 means "to the end of
@@ -77,7 +83,16 @@ object Mp4Meta {
     // total trun sample count across all track fragments — 0/0 for a
     // plain progressive file
     StructField("n_fragments", IntegerType),
-    StructField("n_samples", LongType)))
+    StructField("n_samples", LongType),
+    // codec identity (stsd sample-entry fourcc of the FIRST video /
+    // audio track — avc1/hvc1/av01, mp4a/...): the filter-on-codec
+    // triage a real crawl runs before paying any decode ("keep H.264,
+    // drop AV1"); NULL when the track carries no sample description
+    StructField("video_codec", StringType),
+    StructField("audio_codec", StringType),
+    // stsz-derived total sample count across all tracks' sample
+    // tables — the non-fragmented twin of n_samples (0 when no stbl)
+    StructField("n_samples_stbl", LongType)))
 
   /** Hostile-header ceiling on boxes visited across ALL nesting
     * levels: bounds walk time; memory is O(1) regardless. Sized past
@@ -105,11 +120,17 @@ object Mp4Meta {
     var duration = -1L
     var nTracks = 0; var vid = 0; var aud = 0
     var w = -1; var h = -1
-    // per-trak: tkhd dims (level 2) + hdlr kind (level 3)
+    // per-trak: tkhd dims (level 2) + hdlr kind (level 3) + stsd
+    // sample-entry fourcc and stsz sample count (level 7)
     var trakW = -1; var trakH = -1
     var trakKind = 0 // 0 = other/unknown, 1 = vide, 2 = soun
+    var trakCodec: String = null
+    var trakSamples = -1L
     // fragmented-MP4 accumulation (moof/traf/trun)
     var nFrags = 0; var nSamples = 0L
+    // first video / audio track's codec + summed stsz counts
+    var vcodec: String = null; var acodec: String = null
+    var nSamplesStbl = 0L
   }
 
   def parse(b: Array[Byte]): InternalRow = {
@@ -128,7 +149,10 @@ object Mp4Meta {
       UTF8String.fromString(st.brand), st.timescale, st.duration,
       st.nTracks, st.vid, st.aud,
       if (st.w >= 0) st.w else null, if (st.h >= 0) st.h else null,
-      st.nFrags, st.nSamples))
+      st.nFrags, st.nSamples,
+      if (st.vcodec != null) UTF8String.fromString(st.vcodec) else null,
+      if (st.acodec != null) UTF8String.fromString(st.acodec) else null,
+      st.nSamplesStbl))
   }
 
   /** Walks the boxes in [from, to) at nesting `level` (0 = file level,
@@ -188,6 +212,7 @@ object Mp4Meta {
       } else if (level == 1 && typ(b, p + 4, "trak")) {
         st.nTracks += 1
         st.trakW = -1; st.trakH = -1; st.trakKind = 0
+        st.trakCodec = null; st.trakSamples = -1L
         if (!walkChildren(b, body, boxEnd, 2, st)) return false
         st.trakKind match {
           case 1 =>
@@ -195,9 +220,13 @@ object Mp4Meta {
             if (st.w < 0 && st.trakW > 0 && st.trakH > 0) {
               st.w = st.trakW; st.h = st.trakH
             }
-          case 2 => st.aud += 1
+            if (st.vcodec == null) st.vcodec = st.trakCodec
+          case 2 =>
+            st.aud += 1
+            if (st.acodec == null) st.acodec = st.trakCodec
           case _ =>
         }
+        if (st.trakSamples > 0) st.nSamplesStbl += st.trakSamples
       } else if (level == 2 && typ(b, p + 4, "tkhd")) {
         // v0 body: ver/flags 4 + times 8 + id 4 + res 4 + dur 4 +
         // res 8 + layer/alt/vol/res 8 + matrix 36, then 16.16 w, h;
@@ -219,6 +248,36 @@ object Mp4Meta {
         if (typ(b, body + 8, "vide")) st.trakKind = 1
         else if (typ(b, body + 8, "soun")) st.trakKind = 2
         else st.trakKind = 0
+      } else if (level == 3 && typ(b, p + 4, "minf")) {
+        if (!walkChildren(b, body, boxEnd, 6, st)) return false
+      } else if (level == 6 && typ(b, p + 4, "stbl")) {
+        if (!walkChildren(b, body, boxEnd, 7, st)) return false
+      } else if (level == 7 && typ(b, p + 4, "stsd")) {
+        // FullBox 4 + entry_count 4, then sample entries (each itself
+        // a box: size + format fourcc). The FIRST entry's fourcc is
+        // the track's codec identity — the crawl-triage filter key.
+        if (body + 8 > boxEnd) return false
+        val entries = be32(b, body + 4)
+        if (entries > 0) {
+          // entry header: size(4) + fourcc(4); require printable ASCII
+          // so hostile bytes can't masquerade as a codec name
+          if (body + 16 > boxEnd) return false
+          var i = 0
+          var ok = true
+          while (i < 4) {
+            val c = u8(b, body + 12 + i)
+            if (c < 0x20 || c > 0x7E) ok = false
+            i += 1
+          }
+          if (!ok) return false
+          st.trakCodec = new String(b, body + 12, 4, "US-ASCII")
+        }
+      } else if (level == 7 && typ(b, p + 4, "stsz")) {
+        // FullBox 4 + sample_size 4 + sample_count 4: the count sits
+        // at a fixed offset whatever the (possibly huge) size table
+        // holds — O(1), no entry iteration, hostile-size-proof
+        if (body + 12 > boxEnd) return false
+        st.trakSamples = be32(b, body + 8)
       }
       // every other box (free/skip/mdat/mdhd/minf/...) is skipped by size
       p = boxEnd
@@ -344,12 +403,37 @@ object Mp4Encode {
       be16(o, 0x55C4); be16(o, 0) // language "und", pre_defined
     }
 
+    // codec fourccs + per-track sample count, deterministic in seed so
+    // the DuckDB oracle restates them from doc_id arithmetic
+    val vcodecName = Seq("avc1", "hvc1", "av01")((seed % 3).toInt)
+    val stblSamples = seed % 97 + 1
+
+    def stsd(codec: String): Array[Byte] = bytesOf { o =>
+      be32(o, 0L); be32(o, 1L) // ver/flags, entry_count = 1
+      // minimal SampleEntry body: 6 reserved bytes + data_reference_index
+      box(o, codec, bytesOf { e =>
+        (0 until 6).foreach(_ => e.write(0)); be16(e, 1)
+      })
+    }
+
+    def stsz: Array[Byte] = bytesOf { o =>
+      be32(o, 0L) // ver/flags
+      be32(o, 1L) // sample_size != 0: constant size, NO per-sample table
+      be32(o, stblSamples)
+    }
+
     def trak(trackId: Int, video: Boolean): Array[Byte] = bytesOf { o =>
       box(o, "tkhd", if (video) tkhd(trackId, w, h) else tkhd(trackId, 0, 0))
       box(o, "mdia", bytesOf { m =>
         box(m, "mdhd", mdhd)
         box(m, "hdlr", hdlr(if (video) "vide" else "soun",
           if (video) "VideoHandler" else "SoundHandler"))
+        box(m, "minf", bytesOf { n =>
+          box(n, "stbl", bytesOf { s =>
+            box(s, "stsd", stsd(if (video) vcodecName else "mp4a"))
+            box(s, "stsz", stsz)
+          })
+        })
       })
     }
 

@@ -27,7 +27,31 @@ class Mp4Spec extends SparkSpec {
       assert(m.getInt(4) === 1) // video_tracks
       assert(m.getInt(5) === 2) // audio_tracks
       assert(m.getInt(6) === 640 && m.getInt(7) === 480)
+      // codec identity: video cycles avc1/hvc1/av01 on seed%3, audio
+      // is mp4a; stsz count (seed%97+1) sums over the 3 tracks
+      assert(m.getString(10) ===
+        Seq("avc1", "hvc1", "av01")((seed % 3).toInt), s"video codec, seed=$seed")
+      assert(m.getString(11) === "mp4a")
+      assert(m.getLong(12) === 3L * (seed % 97 + 1), s"stbl samples, seed=$seed")
     }
+  }
+
+  test("codec fields: audio-only files have NULL video codec") {
+    val m = Mp4Meta.parse(Mp4Encode.encode(1, 1, 0, 2, 600, 999L, 0, 0, 9L))
+    assert(m != null)
+    assert(m.isNullAt(10), "audio-only file reported a video codec")
+    assert(m.getString(11) === "mp4a")
+    // a non-printable stsd fourcc refuses the parse (hostile bytes
+    // cannot masquerade as a codec name)
+    val good = Mp4Encode.encode(64, 48, 1, 0, 600, 100L, 0, 0, 0L)
+    val idx = {
+      // locate the avc1 sample-entry fourcc and corrupt it
+      val s = new String(good.map(b => if (b >= 0x20 && b <= 0x7E) b.toChar else '.'))
+      s.indexOf("avc1")
+    }
+    assert(idx > 0, "fixture should contain an avc1 sample entry")
+    val bad = good.clone(); bad(idx) = 0x01
+    assert(Mp4Meta.parse(bad) == null)
   }
 
   test("fragmented files count moofs and trun samples; plain files report 0/0") {
