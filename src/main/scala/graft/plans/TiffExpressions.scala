@@ -8,17 +8,27 @@ import org.apache.spark.sql.types._
 
 /** TIFF pixel decode — extending the EXIF-substrate coverage past the
   * r10 header triage (ImageExpressions.scala parseTiff, dims only) to
-  * real raster data, from the public TIFF 6.0 spec alone. Scope is
-  * baseline TIFF at 8 bits per sample, chunky planar layout,
-  * grayscale (PhotometricInterpretation=1) or RGB (=2), BOTH byte
-  * orders, uncompressed (Compression=1) or TIFF-flavor LZW (=5, see
-  * [[TiffLzw]]) with or without the horizontal predictor (tag 317).
+  * real raster data, from the public TIFF 6.0 spec alone.
+  *
+  * The DECODE envelope (everything below has passing round-trip
+  * oracles and both-direction JDK differentials): grayscale
+  * (PhotometricInterpretation=1), RGB (=2) and 8-bit Palette (=3,
+  * ColorMap tag 320), BOTH byte orders, uncompressed (Compression=1)
+  * or TIFF-flavor LZW (=5, see [[TiffLzw]]) with or without the
+  * horizontal predictor (317), organized as chunky strips, 16×16+
+  * tiles (322-325, padded edges ignored), or separate planes
+  * (PlanarConfiguration=2, decoded in strips), and 16-bit samples in
+  * chunky strips (summed by the HIGH byte, the PNG-16 convention).
+  *
+  * The DECLINE envelope (NULL, never wrong-valued; format/dims still
+  * triage via graft_img_meta): JPEG-in-TIFF and other compressions,
+  * sub-8-bit samples, palette outside 8-bit chunky strips, 16-bit
+  * tiled/planar combinations, and >16-bit-deep samples.
   *
   * `graft_tiff_pixels(binary)` → the [[BmpStats]] schema (width,
   * height, channel sums, n_pixels; grayscale replicates its sum to
-  * all three channels), NULL for anything outside that envelope —
-  * LZW/JPEG-compressed, planar, tiled, or deep TIFFs are triage-only
-  * by design (format/dims via graft_img_meta), never wrong-valued.
+  * all three channels; palette sums the looked-up ColorMap high
+  * bytes).
   *
   * The strip walk is the part the oracle certifies: IFD0's
   * StripOffsets / StripByteCounts / RowsPerStrip (SHORT or LONG,
@@ -120,6 +130,7 @@ object TiffPixels {
     var tw = -1L; var th = -1L // tiled organization (322/323)
     var tileOffsets: Array[Long] = null
     var tileCounts: Array[Long] = null
+    var colorMap: Array[Long] = null // ColorMap (320): r[..], g[..], b[..]
     var e = 0
     while (e < n) {
       val off = ifd.toInt + 2 + 12 * e
@@ -135,6 +146,7 @@ object TiffPixels {
         case 279 => counts = readArray(off); if (counts == null) return null
         case 284 => planar = readScalar(off)
         case 317 => pred = readScalar(off)
+        case 320 => colorMap = readArray(off); if (colorMap == null) return null
         case 322 => tw = readScalar(off)
         case 323 => th = readScalar(off)
         case 324 => tileOffsets = readArray(off); if (tileOffsets == null) return null
@@ -154,7 +166,16 @@ object TiffPixels {
     if (comp == 5L && w * h > MaxLzwPixels) return null
     if (photo == 1L) { if (spp != 1L) return null }
     else if (photo == 2L) { if (spp != 3L) return null }
+    else if (photo == 3L) {
+      // Palette color (TIFF 6.0 §5): one 8-bit index per pixel looked
+      // up in ColorMap (320) — 3 × 2^bits 16-bit planes (r, g, b).
+      // Envelope: 8-bit indices in chunky strips (reusing the strip /
+      // LZW machinery); 4/16-bit palettes, tiles and planar decline.
+      if (spp != 1L || colorMap == null || colorMap.length != 3 * 256)
+        return null
+    }
     else return null
+    val palette = photo == 3L
     // BitsPerSample defaults to 1 bit when absent — out of envelope;
     // 8-bit everywhere, or 16-bit (summed by the HIGH byte, the PNG-16
     // convention) in the chunky-strip organization
@@ -168,6 +189,7 @@ object TiffPixels {
     if (!tiled && (offsets == null || counts == null)) return null
     if (tiled && planar == 2L) return null
     if (bits16 && (tiled || planar == 2L)) return null // 16-bit: chunky strips
+    if (palette && (bits16 || tiled || planar == 2L)) return null // 8-bit chunky strips only
 
     val sppI = spp.toInt
     var (sr, sg, sb) = (0L, 0L, 0L)
@@ -266,7 +288,18 @@ object TiffPixels {
           rowBytes.toInt, sppI)
         if (strip == null) return null
         var i = 0
-        if (spp == 1L) {
+        if (palette) {
+          // index → 16-bit ColorMap entry; report the HIGH byte, the
+          // same 8-bit convention as the 16-bit sample path (and what
+          // the JDK's TIFF reader hands back for palette files)
+          while (i < strip.length) {
+            val idx = u8(strip, i)
+            sr += colorMap(idx) >> 8
+            sg += colorMap(256 + idx) >> 8
+            sb += colorMap(512 + idx) >> 8
+            i += 1
+          }
+        } else if (spp == 1L) {
           while (i < strip.length) { sr += u8(strip, i + hbOff); i += bytesPer }
         } else {
           while (i < strip.length) {
@@ -318,7 +351,7 @@ object TiffPixels {
         t += 1
       }
     }
-    if (spp == 1L) { sg = sr; sb = sr } // gray replicates, like JPEG gray
+    if (spp == 1L && !palette) { sg = sr; sb = sr } // gray replicates, like JPEG gray
     new GenericInternalRow(Array[Any](w.toInt, h.toInt, sr, sg, sb, w * h))
   }
 
@@ -505,15 +538,19 @@ object TiffEncode {
 
   def encode(w: Int, h: Int, seed: Long, mode: Int, rowsPerStrip: Int): Array[Byte] = {
     if (w <= 0 || w > 4096 || h <= 0 || h > 4096 || seed < 0) return null
-    if (mode < 0 || mode > 47 || rowsPerStrip <= 0) return null
-    val tiledOrg = mode >= 12 && mode < 24
-    val planarOrg = mode >= 24 && mode < 36
-    val bits16 = mode >= 36 // 16-bit chunky strips; sample = v<<8 | v
+    if (mode < 0 || mode > 51 || rowsPerStrip <= 0) return null
+    // modes 48..51: palette color (photometric 3) in chunky strips —
+    // bit 0 = byte order, bit 1 = LZW; indices use the gray formula,
+    // ColorMap maps index i to (i, 2i%256, 3i%256) scaled to 16-bit
+    val pal = mode >= 48
+    val tiledOrg = !pal && mode >= 12 && mode < 24
+    val planarOrg = !pal && mode >= 24 && mode < 36
+    val bits16 = !pal && mode >= 36 // 16-bit chunky strips; sample = v<<8 | v
     val sub = mode % 12
-    val le = (sub & 1) == 0
-    val gray = (sub % 4) >= 2
-    val lzw = sub >= 4
-    val pred2 = sub >= 8
+    val le = if (pal) ((mode - 48) & 1) == 0 else (sub & 1) == 0
+    val gray = pal || (sub % 4) >= 2 // pal: 1 sample/px, gray px formula as INDEX
+    val lzw = if (pal) ((mode - 48) & 2) != 0 else sub >= 4
+    val pred2 = !pal && sub >= 8
     val spp = if (gray) 1 else 3
     val rps = math.min(rowsPerStrip, h)
     val nStrips = if (tiledOrg) 0 else (h + rps - 1) / rps
@@ -660,12 +697,15 @@ object TiffEncode {
     val auxStart = cursor.toInt
     val bpsOff = auxStart // RGB: 3 SHORTs out-of-line (6 bytes)
     val bpsLen = if (gray) 0 else 6
-    val soOff = bpsOff + bpsLen
+    val cmOff = bpsOff + bpsLen // palette ColorMap: 768 SHORTs
+    val cmLen = if (pal) 3 * 256 * 2 else 0
+    val soOff = cmOff + cmLen
     val soLen = if (nBlocks > 1) nBlocks * 4 else 0
     val scOff = soOff + soLen
     val scLen = soLen
     val ifdOff = scOff + scLen
-    val nEntries = (if (tiledOrg) 11 else 10) + (if (pred2) 1 else 0)
+    val nEntries = (if (tiledOrg) 11 else 10) +
+      (if (pred2) 1 else 0) + (if (pal) 1 else 0)
     val total = ifdOff + 2 + nEntries * 12 + 4
 
     val b = new Array[Byte](total)
@@ -695,6 +735,15 @@ object TiffEncode {
       val sb16 = if (bits16) 16 else 8
       w16(sb16); w16(sb16); w16(sb16)
     }
+    if (pal) {
+      // ColorMap planes: 16-bit entries; i*257 keeps the high byte = i
+      var i = 0
+      while (i < 256) { w16(i * 257); i += 1 } // red: identity
+      i = 0
+      while (i < 256) { w16(((2 * i) % 256) * 257); i += 1 } // green
+      i = 0
+      while (i < 256) { w16(((3 * i) % 256) * 257); i += 1 } // blue
+    }
     if (nBlocks > 1) {
       stripOffsets.foreach(w32)
       strips.foreach(st => w32(st.length.toLong))
@@ -714,7 +763,7 @@ object TiffEncode {
     if (gray) entry(258, 3, 1)(w16(sampleBits)) // BitsPerSample inline
     else entry(258, 3, 3)(w32(bpsOff.toLong)) // out-of-line 3 SHORTs
     entry(259, 3, 1)(w16(if (lzw) 5 else 1)) // Compression
-    entry(262, 3, 1)(w16(if (gray) 1 else 2)) // Photometric
+    entry(262, 3, 1)(w16(if (pal) 3 else if (gray) 1 else 2)) // Photometric
     if (!tiledOrg) {
       if (nBlocks > 1) entry(273, 4, nBlocks.toLong)(w32(soOff.toLong))
       else entry(273, 4, 1)(w32(stripOffsets(0)))
@@ -727,6 +776,7 @@ object TiffEncode {
     }
     entry(284, 3, 1)(w16(if (planarOrg) 2 else 1)) // PlanarConfiguration
     if (pred2) entry(317, 3, 1)(w16(2)) // Predictor = horizontal
+    if (pal) entry(320, 3, 3 * 256)(w32(cmOff.toLong)) // ColorMap
     if (tiledOrg) {
       entry(322, 4, 1)(w32(TileDim.toLong)) // TileWidth
       entry(323, 4, 1)(w32(TileDim.toLong)) // TileLength

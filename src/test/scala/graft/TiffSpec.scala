@@ -233,6 +233,70 @@ class TiffSpec extends SparkSpec {
     }
   }
 
+  test("palette (ColorMap) strips round-trip; JDK differential both directions") {
+    // modes 48-51: the pixel stores the gray-formula INDEX; decoded
+    // channels are the ColorMap high bytes (i, 2i%256, 3i%256)
+    for {
+      (w, h) <- Seq((1, 1), (9, 7), (16, 11))
+      mode <- 48 to 51
+      rps <- Seq(1, 3, 100)
+    } {
+      val seed = 19L * w + h + mode
+      val t = TiffEncode.encode(w, h, seed, mode, rps)
+      assert(t != null, s"palette encode failed w=$w h=$h mode=$mode")
+      val r = TiffPixels.parse(t)
+      assert(r != null, s"palette parse failed w=$w h=$h mode=$mode rps=$rps")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val idx = m(seed + 5L * x + 3L * y)
+        sr += idx; sg += (2 * idx) % 256; sb += (3 * idx) % 256
+      }
+      assert(r.getInt(0) === w && r.getInt(1) === h)
+      assert(r.getLong(2) === sr && r.getLong(3) === sg && r.getLong(4) === sb,
+        s"palette sums diverge w=$w h=$h mode=$mode rps=$rps")
+    }
+    // forward differential: the JDK reads our palette LZW file and its
+    // IndexColorModel resolves every pixel to the same 8-bit channels
+    val t = TiffEncode.encode(11, 9, 311L, 50, 3)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t))
+    assert(img != null, "ImageIO rejected the palette output")
+    for (y <- 0 until 9; x <- 0 until 11) {
+      val idx = m(311L + 5L * x + 3L * y).toInt
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xFF) === idx, s"R($x,$y)")
+      assert(((rgb >> 8) & 0xFF) === (2 * idx) % 256, s"G($x,$y)")
+      assert((rgb & 0xFF) === (3 * idx) % 256, s"B($x,$y)")
+    }
+    // reverse differential: the JDK WRITES an indexed TIFF (its own
+    // photometric-3 layout and 16-bit colormap scaling) and our
+    // decoder reproduces the palette-resolved sums exactly
+    val (w2, h2) = (13, 8)
+    val cr = Array.tabulate(256)(i => i.toByte)
+    val cg = Array.tabulate(256)(i => ((2 * i) % 256).toByte)
+    val cb2 = Array.tabulate(256)(i => ((3 * i) % 256).toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, cr, cg, cb2)
+    val idxImg = new java.awt.image.BufferedImage(w2, h2,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h2; x <- 0 until w2)
+      idxImg.getRaster.setSample(x, y, 0, (x * 5 + y * 3) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    writer.setOutput(ios)
+    writer.write(idxImg)
+    ios.close(); writer.dispose()
+    val r2 = TiffPixels.parse(bos.toByteArray)
+    assert(r2 != null, "our decoder refused the JDK's indexed TIFF")
+    var sr2 = 0L; var sg2 = 0L; var sb3 = 0L
+    for (y <- 0 until h2; x <- 0 until w2) {
+      val idx = (x * 5 + y * 3) % 256
+      sr2 += idx; sg2 += (2 * idx) % 256; sb3 += (3 * idx) % 256
+    }
+    assert(r2.getInt(0) === w2 && r2.getInt(1) === h2)
+    assert(r2.getLong(2) === sr2 && r2.getLong(3) === sg2 && r2.getLong(4) === sb3,
+      "sums diverge from the JDK's indexed TIFF")
+  }
+
   test("LZW codec property: exhaustive prefixes and random buffers round-trip") {
     // the regression this pins: the encoder wrote EOI at the lagged
     // width, desyncing exactly when a width boundary landed at the
@@ -280,9 +344,12 @@ class TiffSpec extends SparkSpec {
     // entries (ascending): 0=256, 1=257, 2=258, 3=259(Compression),
     // 4=262(Photometric), 5=273, 6=277(SamplesPerPixel), 7=278, 8=279,
     // 9=284(Planar)
-    assert(TiffPixels.parse(withValue(3, 5)) == null) // LZW: triage-only
-    assert(TiffPixels.parse(withValue(9, 2)) == null) // planar: declined
-    assert(TiffPixels.parse(withValue(4, 3)) == null) // palette photometric
+    // claiming LZW over raw (non-LZW) strip bytes fails the decode
+    assert(TiffPixels.parse(withValue(3, 5)) == null)
+    // claiming planar=2 without the per-plane strip layout declines
+    assert(TiffPixels.parse(withValue(9, 2)) == null)
+    // palette photometric on an RGB (spp=3, no ColorMap) file declines
+    assert(TiffPixels.parse(withValue(4, 3)) == null)
     // a gray file claiming 3 samples/px (inconsistent) declines
     val grayBad = {
       val g = TiffEncode.encode(8, 6, 5L, 2, 2)
