@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** A minimal commit-log table format over raw parquet — the metadata
   * layer that turns a directory of files into a TABLE with atomic
@@ -1046,6 +1046,25 @@ object CommitLog {
     def isEmpty: Boolean = ranges.isEmpty && probes.isEmpty && probeSets.isEmpty
   }
 
+  /** Driver-side per-file keep decision for a [[SkipPreds]] over
+    * ALREADY-RESOLVED metadata maps — the runtime-filter twin of the
+    * tail-walk keep check, for callers that must preserve a
+    * precomputed file GROUPING (the keyed scan's storage-partitioned
+    * contract) and therefore prune files WITHIN groups instead of
+    * re-resolving the snapshot. Conservative like every leg: absent
+    * or corrupt metadata keeps the file. */
+  private[graft] def fileMightMatch(f: String, zones: FileStats,
+      blooms: FileBlooms, preds: SkipPreds): Boolean = {
+    val fst = zones.getOrElse(f, Map.empty[String, (Double, Double)])
+    val fbl = blooms.getOrElse(f, Map.empty[String, String])
+    preds.ranges.forall { case (c, lo, hi) =>
+      fst.get(c).forall { case (mn, mx) =>
+        mn.isNaN || mx.isNaN || !(mx < lo || mn > hi) } } &&
+    preds.probes.forall { case (c, h) => addMightContain(fbl, c, h) } &&
+    preds.probeSets.forall { case (c, hs) =>
+      hs.exists(h => addMightContain(fbl, c, h)) }
+  }
+
   /** Driver-side twin of [[bloomKeep]] for a tail add's parsed bloom
     * entry; any corrupt entry keeps the file (never throws). */
   private def addMightContain(bl: Map[String, String], column: String,
@@ -1823,11 +1842,59 @@ object CommitLog {
     * OPTIMIZE. */
   def optimizeClusterBy(spark: SparkSession, tablePath: String,
       cols: Seq[String], maxKeys: Int = 1024): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col}
     require(cols.nonEmpty, "clusterBy needs at least one column")
     val v0 = latestVersion(spark, tablePath)
     val old = snapshot(spark, tablePath, Some(v0))
-    val df = read(spark, tablePath, Some(v0))
+    reclusterBy(spark, tablePath, read(spark, tablePath, Some(v0)),
+      cols, maxKeys, v0, old)
+  }
+
+  /** HASH-BUCKET tier of cluster-by for HIGH-cardinality keys:
+    * [[optimizeClusterBy]] refuses past `maxKeys` distinct tuples
+    * (one file per tuple stops scaling), so this materializes a
+    * derived `<column>_bucket` = pmod(xxhash64(column), n) column —
+    * NULL keys land in the RESERVED bucket `n` (a real value, so the
+    * point-zone contract holds; NULL never equi-joins anyway) — and
+    * reclusters on it: one file per bucket, each bucket's zone a
+    * point. Grouped aggregates BY BUCKET then serve from metadata and
+    * a co-bucketed join reading `clusterBy=<column>_bucket` runs
+    * storage-partitioned (join on (bucket, column): equal column
+    * values hash to equal buckets, so adding the bucket key never
+    * changes results). The bucket column is evolved into the declared
+    * schema when one exists; older snapshots read it as NULL. This is
+    * the Iceberg/Delta bucket-transform shape expressed through the
+    * engine's zone machinery. */
+  def clusterByBucket(spark: SparkSession, tablePath: String,
+      column: String, nBuckets: Int): Long = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, when, xxhash64}
+    require(nBuckets > 0 && nBuckets <= 4096,
+      s"clusterByBucket: nBuckets $nBuckets out of (0, 4096]")
+    val bName = s"${column}_bucket"
+    // the declared schema (when present) must admit the new column
+    // BEFORE staging, or the schema gate refuses the rewrite
+    tableSchema(spark, tablePath).foreach { cur =>
+      require(cur.fields.exists(_.name == column),
+        s"clusterByBucket: $tablePath declares no column $column")
+      if (!cur.fields.exists(_.name == bName))
+        evolveSchema(spark, tablePath,
+          StructType(cur.fields :+ StructField(bName, IntegerType, nullable = true)))
+    }
+    val v0 = latestVersion(spark, tablePath)
+    val old = snapshot(spark, tablePath, Some(v0))
+    val base = read(spark, tablePath, Some(v0))
+    require(base.columns.contains(column),
+      s"clusterByBucket: no column $column in $tablePath")
+    val bucket = when(col(column).isNull, lit(nBuckets))
+      .otherwise(pmod(xxhash64(col(column)), lit(nBuckets.toLong)).cast("int"))
+      .cast("int")
+    reclusterBy(spark, tablePath, base.withColumn(bName, bucket),
+      Seq(bName), nBuckets + 1, v0, old)
+  }
+
+  private def reclusterBy(spark: SparkSession, tablePath: String,
+      df: org.apache.spark.sql.DataFrame, cols: Seq[String], maxKeys: Int,
+      v0: Long, old: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     val keyCols = cols.map(col)
     // one distinct scan finds the key tuples AND any NULL violation (a
     // NULL-bearing tuple surfaces as a distinct row — no separate scan)

@@ -70,6 +70,17 @@ object Maintenance {
           case scala.util.Success(v) => Right(s"committed v$v")
           case scala.util.Failure(e) => Left(e.getMessage)
         }
+      case "cluster-by-bucket" :: table :: col :: n :: Nil =>
+        // the high-cardinality tier: recluster on a materialized
+        // pmod(xxhash64(col), n) bucket column (NULLs in bucket n)
+        scala.util.Try(n.toInt).toOption.filter(_ > 0) match {
+          case None => Left(s"unparsable bucket count: $n")
+          case Some(nb) =>
+            scala.util.Try(CommitLog.clusterByBucket(spark, table, col, nb)) match {
+              case scala.util.Success(v) => Right(s"committed v$v")
+              case scala.util.Failure(e) => Left(e.getMessage)
+            }
+        }
       case "vacuum" :: table :: keep :: Nil =>
         scala.util.Try(keep.toLong).toOption match {
           case None => Left(s"unparsable version: $keep")
@@ -125,6 +136,7 @@ object Maintenance {
           s"log-compact <table> [targetFiles] | " +
           s"log-compact-bloom <table> <targetFiles> <bloomCols> [statsCols] | " +
           s"zorder <table> <targetFiles> <cols> | cluster-by <table> <cols> | " +
+          s"cluster-by-bucket <table> <col> <nBuckets> | " +
           s"vacuum <table> <version> | " +
           s"restore <table> <version> | history <table> | " +
           s"version-at <table> <instant> | constraints <table> | " +

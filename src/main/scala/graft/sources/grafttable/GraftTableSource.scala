@@ -684,17 +684,21 @@ class GraftScan(tablePath: String, version: Long, required: StructType,
     * observed join keys and the file set re-prunes through the SAME
     * zone + bloom legs the static path uses (OR across the set) —
     * the DSv2 generalization of dynamic partition pruning, here over
-    * CLUSTERING metadata instead of directory partitions. Ignored in
-    * clusterBy-keyed mode: dropping key groups after
-    * KeyGroupedPartitioning was reported would break the contract the
-    * storage-partitioned join planned against. */
+    * CLUSTERING metadata instead of directory partitions.
+    *
+    * In clusterBy-KEYED mode the reported KeyGroupedPartitioning is a
+    * contract — partition COUNT and KEYS must not change after
+    * planning — so runtime filters prune files WITHIN each keyed
+    * partition (an all-pruned partition keeps its key over an empty
+    * file list) instead of re-resolving the snapshot: the
+    * storage-partitioned join keeps its shape AND skips the build
+    * side's dead files. */
   @volatile private var runtime: Array[Filter] = Array.empty
   @volatile private var slicesCache: (Seq[String], Array[(String, Double, Double)]) = null
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (clusterCols.nonEmpty) Array.empty
-    else required.fields.collect {
+    required.fields.collect {
       case f if Seq(IntegerType, LongType, DateType, FloatType, DoubleType,
           org.apache.spark.sql.types.StringType).contains(f.dataType) =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
@@ -704,6 +708,11 @@ class GraftScan(tablePath: String, version: Long, required: StructType,
     if (clusterCols.isEmpty) {
       runtime = filters.filter(GraftScanBuilder.skippable)
       slicesCache = null
+    } else {
+      // freeze the keyed structure FIRST (it derives from the static
+      // file set), then record the filters for within-group pruning
+      keyedPlan
+      runtime = filters.filter(GraftScanBuilder.skippable)
     }
 
   private def fileSlices: (Seq[String], Array[(String, Double, Double)]) = {
@@ -819,7 +828,27 @@ class GraftScan(tablePath: String, version: Long, required: StructType,
     // bloom legs are file-level only — our files carry no parquet
     // bloom filters
     keyedPlan match {
-      case Some(parts) => parts
+      case Some(parts) =>
+        val rt = runtime
+        if (rt.isEmpty) parts
+        else {
+          // within-group runtime pruning: same zone + bloom legs as
+          // the unkeyed path, applied per file with the partition
+          // list (count, order, keys) left exactly as reported
+          val preds = GraftScan.skipPredsOf(spark, tablePath, version, rt)
+          if (preds.isEmpty) parts
+          else {
+            val blooms = CommitLog.fileBlooms(spark, tablePath, Some(version))
+            val prefix = tablePath + "/"
+            parts.map {
+              case k: GraftKeyedPartition =>
+                GraftKeyedPartition(k.files.filter(p =>
+                  CommitLog.fileMightMatch(p.filePath.stripPrefix(prefix),
+                    zoneStats, blooms, preds)), k.key): InputPartition
+              case p => p
+            }
+          }
+        }
       case None =>
         GraftScan.partitionsFor(spark, tablePath, version, files, ranges)
     }

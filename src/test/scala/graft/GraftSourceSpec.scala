@@ -729,6 +729,73 @@ class GraftSourceSpec extends SparkSpec {
     }
   }
 
+  test("cluster-by-bucket: hash buckets give metadata GROUP BY and SPJ on high-cardinality keys") {
+    val t1 = tempTable(); val t2 = tempTable()
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val keep = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    try {
+      import spark.implicits._
+      // 30 distinct string keys (too many for one-file-per-tuple at a
+      // 4-key budget) plus one NULL-keyed row
+      val a = (0 until 30).map(i => (s"user-$i", i.toLong)).toDF("k", "va")
+        .union(Seq(100L).toDF("va").select(lit(null).cast("string").as("k"), col("va")))
+      CommitLog.append(spark, t1, a.repartition(3))
+      // plain cluster-by at maxKeys=4 refuses: this is the gap the
+      // bucket tier exists for
+      intercept[IllegalArgumentException](
+        CommitLog.optimizeClusterBy(spark, t1, Seq("k"), maxKeys = 4))
+      val v = CommitLog.clusterByBucket(spark, t1, "k", 4)
+      val files = CommitLog.snapshot(spark, t1, Some(v))
+      assert(files.length <= 5, s"more files than buckets: $files")
+      // grouped COUNT by bucket serves from metadata (point zones)
+      val g = spark.read.format("graft").load(t1)
+        .groupBy(col("k_bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k_bucket"))
+      assert(g.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+        "bucket GROUP BY must serve from zone metadata")
+      val got = g.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(got.values.sum === 31L)
+      // the NULL key landed in the RESERVED bucket n (= 4)
+      assert(got.get(4).contains(1L), s"NULL row not in reserved bucket: $got")
+      // bucket values agree with the derived hash everywhere
+      val mismatch = spark.read.format("graft").load(t1)
+        .filter(col("k").isNotNull &&
+          col("k_bucket") =!= pmod(xxhash64(col("k")), lit(4L)).cast("int"))
+        .count()
+      assert(mismatch === 0L)
+      // SPJ: a co-bucketed second table joins on the bucket key with
+      // no shuffle; adding k to the join keys keeps the real join
+      // semantics (equal k implies equal bucket)
+      val b = (0 until 30 by 2).map(i => (s"user-$i", i * 10L)).toDF("k", "vb")
+      CommitLog.append(spark, t2, b.repartition(2))
+      CommitLog.clusterByBucket(spark, t2, "k", 4)
+      confs.foreach { case (k2, v2) => spark.conf.set(k2, v2) }
+      val l = spark.read.format("graft").option("clusterBy", "k_bucket").load(t1)
+      val r = spark.read.format("graft").option("clusterBy", "k_bucket").load(t2)
+      val j = l.join(r, Seq("k_bucket", "k"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join still shuffles:\n$plan")
+      val res = j.select(col("k"), col("va"), col("vb")).collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+      val control = spark.read.format("graft").load(t1)
+        .join(spark.read.format("graft").load(t2), Seq("k"))
+        .select(col("k"), col("va"), col("vb")).collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+      assert(res === control && res.size === 15)
+    } finally {
+      keep.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      cleanup(t1); cleanup(t2)
+    }
+  }
+
   test("runtime filtering: a join's build side prunes fact files at execution") {
     val t = tempTable()
     val dimDir = java.nio.file.Files.createTempDirectory("graft_dim_").toString
@@ -754,6 +821,46 @@ class GraftSourceSpec extends SparkSpec {
       val opened = sources.grafttable.GraftPartitionReader.filesOpened.get()
       assert(opened < 4, s"runtime filter pruned nothing: opened $opened of 4 files")
     } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dimDir))
+      cleanup(t)
+    }
+  }
+
+  test("runtime filtering prunes files INSIDE keyed partitions, shape preserved") {
+    val t = tempTable()
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dimk_").toString
+    val confs = Seq("spark.sql.sources.v2.bucketing.enabled" -> "true")
+    val keep = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    try {
+      import spark.implicits._
+      val fact = (0 until 4).flatMap(k =>
+        (0 until 50).map(i => (k, k * 1000L + i))).toDF("k", "v")
+      (0 to 3).foreach(k =>
+        CommitLog.appendWithStats(spark, t,
+          fact.filter(col("k") === k).coalesce(1), Seq("k", "v")))
+      Seq((2, "keep"), (7, "other")).toDF("k", "tag")
+        .write.mode("overwrite").parquet(dimDir)
+      confs.foreach { case (k2, v2) => spark.conf.set(k2, v2) }
+      // the fact side reads KEYED (clusterBy): before r12, keyed mode
+      // dropped runtime filtering entirely to protect the reported
+      // KeyGroupedPartitioning; now the filter prunes files WITHIN the
+      // keyed partitions — count and keys stay exactly as reported
+      val f = spark.read.format("graft").option("clusterBy", "k").load(t)
+      val d = spark.read.parquet(dimDir).filter(col("tag") === "keep")
+      val j = f.join(d, "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning") || plan.contains("RuntimeFilters: [in"),
+        s"no runtime filter reached the keyed graft scan:\n$plan")
+      sources.grafttable.GraftPartitionReader.filesOpened.set(0L)
+      assert(j.count() === 50)
+      val opened = sources.grafttable.GraftPartitionReader.filesOpened.get()
+      assert(opened < 4, s"keyed runtime filter pruned nothing: opened $opened of 4")
+    } finally {
+      keep.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dimDir))
       cleanup(t)
     }
