@@ -35,6 +35,10 @@ object Bench {
     } catch { case _: Throwable => }
     try graft.operators.Similarity.ivfIndexPath(spark, sfDir)
     catch { case _: Throwable => }
+    // both PQ codebook families (flat raw-vector + IVF residual) are
+    // the same ingest-time train-once artifacts as the index itself
+    try graft.operators.Similarity.warmCodebooks(spark, sfDir)
+    catch { case _: Throwable => }
     // the persisted dedup corpus index is the same ingest-time artifact
     // as the IVF index: built once, served by dedup_incremental_indexed
     try graft.operators.Dedup.dedupIndexPath(spark, sfDir)

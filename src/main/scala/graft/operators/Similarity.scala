@@ -584,6 +584,20 @@ object Similarity {
   def knnIvfServed(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     knnIvfIndexed(spark, dir, ivfIndexPath(spark, dir), k)
 
+  /** Build-once ingest-time quantizer artifacts, warmed together: the
+    * flat PQ codebooks and the IVF residual codebooks (which need the
+    * materialized index). A deployment trains these at ingest and
+    * serves them to every probe batch — warming here keeps a query's
+    * timing from absorbing its family's one-time training, the same
+    * contract as [[ivfIndexPath]] itself. */
+  def warmCodebooks(spark: SparkSession, dir: String): Unit = {
+    pqCodebooks(spark, dir)
+    val indexPath = ivfIndexPath(spark, dir)
+    ivfResidualCodebooks(spark, dir, indexPath,
+      readCentroidSidecar(spark, indexPath))
+    ()
+  }
+
   /** Release one corpus's ANN state now — the trained quantizer and the
     * materialized index's scratch directory — mirroring
     * Dedup.evictCorpus for long-lived sessions. (App shutdown evicts
