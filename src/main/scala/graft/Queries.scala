@@ -499,6 +499,8 @@ object Queries {
     "text_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
     "pipeline_weighted_sample" -> ((s: SparkSession, d: String) => TextAnalysis.weightedSample(s, d)),
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
+    "text_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
+    "text_bpe_merges" -> ((s: SparkSession, d: String) => TextAnalysis.bpeMerges(s, d)),
     "text_clean" -> ((s: SparkSession, d: String) => TextAnalysis.clean(s, d)),
     "dedup_paragraphs" -> ((s: SparkSession, d: String) => Dedup.paragraphDedup(s, d)),
     "dedup_paragraph_flags" -> ((s: SparkSession, d: String) => Dedup.paragraphFlags(s, d)),
@@ -545,6 +547,20 @@ object Queries {
   private val duckFp = s"md5(array_to_string(list_sort($duckUniq), ' '))"
   private def duckHits(words: Seq[String]): String =
     s"CAST(len(list_filter($duckToks, t -> list_contains(${words.mkString("['", "', '", "']")}, t))) AS BIGINT)"
+
+  // BPE training fragments: corpus word-frequency table + per-word
+  // character symbols (string_split(word, '') — the exact twin of the
+  // engine's substr-indexed charSyms), and the adjacent-pair count
+  // template parameterized by the vocab CTE of a given round.
+  private val duckBpeVocab =
+    s"wf AS (SELECT word, count(*) AS freq FROM " +
+    s"(SELECT unnest($duckToks) AS word FROM documents) " +
+    "WHERE len(word) > 0 GROUP BY word), " +
+    "v0 AS (SELECT freq, string_split(word, '') AS s FROM wf)"
+  private def duckBpePairs(v: String): String =
+    s"SELECT s[g] AS a, s[g+1] AS b, sum(freq) AS cnt FROM $v, " +
+    "unnest(generate_series(1, len(s) - 1)) AS t(g) " +
+    "WHERE len(s) >= 2 GROUP BY 1, 2"
 
   // DuckDB twin of TextFunctions.qualityScore (shared by text_quality
   // and the percentile gate)
@@ -799,6 +815,13 @@ object Queries {
        "i -> tk[i] || ' ' || tk[i + 1])) AS bigram FROM " +
        s"(SELECT $duckToks AS tk FROM documents)) " +
        "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25"),
+    // BPE round-0 pair-frequency table: the quantity the tokenizer
+    // trainer's first merge maximizes — statically SQL-expressible
+    // (the trained merge list itself is oracled post-run, bpeOracles)
+    "text_bpe_pairs" ->
+      (s"WITH $duckBpeVocab, p AS (${duckBpePairs("v0")}) " +
+       "SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p " +
+       "ORDER BY cnt DESC, a, b LIMIT 50"),
     "text_doc_packing" ->
       (s"WITH d AS (SELECT source, doc_id, CAST(len($duckToks) AS BIGINT) AS tok FROM documents), " +
        "b AS (SELECT source, doc_id, tok, CAST(floor((sum(tok) OVER " +
@@ -1172,16 +1195,20 @@ object Queries {
     // H.1.2.1 prediction rules (all seven predictors cycle on
     // doc_id%7), and the modulo-2^16 reconstruction
     "mm_jpeg_lossless" ->
+      // precision cycles 8/12/16 bits on doc_id; lossless sums are the
+      // raw pixel formulas mod 2^prec — still zero codec arithmetic
       ("WITH d AS (SELECT doc_id, 5 + doc_id % 21 AS w, 5 + (doc_id * 3) % 17 AS h, " +
-       "doc_id % 5 = 0 AS gr FROM documents), " +
-       "px AS (SELECT doc_id, w, h, gr, unnest(range(w * h)) AS i FROM d WHERE doc_id % 151 <> 0), " +
+       "doc_id % 5 = 0 AS gr, " +
+       "CASE WHEN doc_id % 11 = 0 THEN 65536 WHEN doc_id % 3 = 0 THEN 4096 ELSE 256 END AS mv " +
+       "FROM documents), " +
+       "px AS (SELECT doc_id, w, h, gr, mv, unnest(range(w * h)) AS i FROM d WHERE doc_id % 151 <> 0), " +
        "s AS (SELECT doc_id, " +
-       "sum(CASE WHEN gr THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
-       "ELSE (doc_id + 3 * (i % w) + 7 * (i // w)) % 256 END) AS sr, " +
-       "sum(CASE WHEN gr THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
-       "ELSE (2 * doc_id + 5 * (i % w) + (i // w)) % 256 END) AS sg, " +
-       "sum(CASE WHEN gr THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
-       "ELSE (3 * doc_id + (i % w) + 11 * (i // w)) % 256 END) AS sb " +
+       "sum(CASE WHEN gr THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % mv " +
+       "ELSE (doc_id + 3 * (i % w) + 7 * (i // w)) % mv END) AS sr, " +
+       "sum(CASE WHEN gr THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % mv " +
+       "ELSE (2 * doc_id + 5 * (i % w) + (i // w)) % mv END) AS sg, " +
+       "sum(CASE WHEN gr THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % mv " +
+       "ELSE (3 * doc_id + (i % w) + 11 * (i // w)) % mv END) AS sb " +
        "FROM px GROUP BY doc_id) " +
        "SELECT d.doc_id, " +
        "CASE WHEN d.doc_id % 151 = 0 THEN NULL ELSE CAST(d.w AS INTEGER) END AS width, " +
@@ -2112,8 +2139,56 @@ object Queries {
          "SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank")
     }
 
+  // Post-run BPE-merges oracle, generated from the SERVED merge list
+  // (same contract as the ANN quantizer oracles): the SQL recomputes
+  // EVERY round's argmax pair from scratch and replays the engine's
+  // merges through list_reduce (the identical left fold) — a single
+  // wrong merge, tie-break, or fold step makes some round's emitted
+  // row differ and the hash fails.
+  private def bpeOracles: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val served = graft.operators.TextAnalysis.servedBpeMerges.asScala.toMap
+    served.toSeq match {
+      case Seq((_, merges)) if merges.nonEmpty =>
+        Map("text_bpe_merges" -> bpeMergesOracleFor(merges))
+      case Seq() | Seq((_, Seq())) =>
+        Map("text_bpe_merges" ->
+          "SELECT 'text_bpe_merges served no merges - query failed before training' AS error")
+      case many =>
+        System.err.println(
+          s"[graft] bpe oracle omitted: merges served for ${many.size} dirs " +
+          s"(${many.map(_._1).mkString(", ")}) — cannot tell which the dump refers to")
+        Map.empty
+    }
+  }
+
+  private def bpeMergesOracleFor(merges: Seq[(String, String, Long)]): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val ctes = new StringBuilder
+    val rows = new StringBuilder
+    merges.zipWithIndex.foreach { case ((a, b, _), i) =>
+      val r = i + 1
+      ctes ++= s"p$r AS (${duckBpePairs(s"v${r - 1}")}), "
+      ctes ++= s"t$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1), "
+      // the vocab rewrite applies the ENGINE's r-th merge as literals:
+      // if it is not t_r's own argmax, row r (and every later round)
+      // diverges — the round-by-round certification
+      val (ea, eb, em) = (esc(a), esc(b), esc(a + b))
+      ctes ++= s"v$r AS (SELECT freq, CASE WHEN len(s) <= 1 THEN s ELSE " +
+        s"list_reduce(list_transform(s, e -> [e]), (acc, x) -> " +
+        s"CASE WHEN acc[-1] = '$ea' AND x[1] = '$eb' " +
+        s"THEN acc[1:len(acc)-1] || ['$em'] ELSE acc || x END) END AS s " +
+        s"FROM v${r - 1}), "
+      if (r > 1) rows ++= " UNION ALL "
+      rows ++= s"SELECT $r AS rank, a AS pair_a, b AS pair_b, a || b AS merged, " +
+        s"CAST(cnt AS BIGINT) AS freq FROM t$r"
+    }
+    s"WITH $duckBpeVocab, ${ctes.toString.stripSuffix(", ")} " +
+      s"SELECT rank, pair_a, pair_b, merged, freq FROM ($rows) ORDER BY rank"
+  }
+
   def all: Map[String, Q] = timeSeries ++ relational ++ extensions ++ analytics
   def oracles: Map[String, String] =
     timeSeriesOracles ++ relationalOracles ++ extensionOracles ++ analyticsOracles ++
-      centroidOracles ++ pqOracles ++ ivfPqOracles
+      centroidOracles ++ pqOracles ++ ivfPqOracles ++ bpeOracles
 }

@@ -237,14 +237,18 @@ object Multimodal {
       case "jpgll" => Seq(
         (id % 151 === 0, encode(text.substr(1, 36), "UTF-8")),
         // REAL LOSSLESS (SOF3) JPEGs (plans.JpegEncode.encodeLossless):
-        // ALL SEVEN predictors cycle on doc_id, gray every 5th doc —
-        // lossless means the decoded sums equal the pixel formulas
-        // exactly, so the oracle needs no codec arithmetic
+        // ALL SEVEN predictors cycle on doc_id, gray every 5th doc,
+        // precision cycling 8/12/16 bits (every 11th doc 16-bit, every
+        // 3rd 12-bit — the medical/scan depths) — lossless means the
+        // decoded sums equal the pixel formulas exactly (mod 2^prec),
+        // so the oracle needs no codec arithmetic
         (id % 151 =!= 0, graft.plans.VectorExpressions.jpegEncodeLossless(
           (id % 21 + 5).cast("int"), ((id * 3) % 17 + 5).cast("int"),
           id.cast("long"),
           when(id % 5 === 0, lit(1)).otherwise(lit(3)).cast("int"),
-          (id % 7 + 1).cast("int"))))
+          (id % 7 + 1).cast("int"),
+          when(id % 11 === 0, lit(16)).when(id % 3 === 0, lit(12))
+            .otherwise(lit(8)).cast("int"))))
       case "avi" => Seq(
         (id % 111 === 0, encode(text.substr(1, 24), "UTF-8")),
         // REAL single-stream MJPEG AVIs (plans.AviEncode): 1..3 color

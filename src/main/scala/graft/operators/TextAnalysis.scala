@@ -597,4 +597,130 @@ object TextAnalysis {
         round(avg(qualityScore(col("text"))), 4).as("avg_quality"),
         countDistinct(fingerprint(col("text"))).as("n_distinct_fps"))
       .orderBy(col("source"))
+
+  // ---- BPE tokenizer training ---------------------------------------
+
+  /** Corpus word-frequency table — the ONE corpus scan BPE training
+    * pays; every merge round after it runs on this vocab-sized frame
+    * (Sennrich et al., ACL 2016 train on exactly this reduction). */
+  private def wordFreqs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsParallel(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** Adjacent symbol pairs of one row's `syms`, frequency-weighted —
+    * the zip-with-tail construction shared by the pair query and every
+    * training round. */
+  private def adjacentPairs(df: DataFrame): DataFrame =
+    df.select(col("freq"),
+        explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** One BPE merge applied to a symbol array: the left fold that
+    * replaces each adjacent (a, b) with the merged token, consuming
+    * both (so overlapping occurrences merge greedily left-to-right —
+    * `aaa` under (a,a) becomes `aa a`). Built-in HOF (aggregate), no
+    * UDF: the fold keeps the whole training loop in Catalyst
+    * expressions, and DuckDB's list_reduce replays the IDENTICAL fold
+    * in the generated oracle. */
+  private def mergeOnce(syms: Column, a: String, b: String): Column = {
+    val merged = a + b
+    when(size(syms) <= 1, syms).otherwise(
+      aggregate(
+        slice(syms, lit(2), size(syms) - 1),
+        array(element_at(syms, 1)),
+        (acc, x) =>
+          when(element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+          .otherwise(concat(acc, array(x)))))
+  }
+
+  /** A word as its character-symbol array — substr-indexed rather than
+    * split(word, "") (whose Java-regex trailing-empty behavior is
+    * version-sensitive); DuckDB's string_split(word, '') is the exact
+    * twin. */
+  private def charSyms(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** The round-0 pair-frequency table (top `k`, total order) — the
+    * quantity BPE's first merge maximizes, statically SQL-expressible
+    * so it carries its own exact oracle independent of the training
+    * loop. */
+  def bpePairs(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    adjacentPairs(wordFreqs(spark, dir)
+        .select(col("freq"), charSyms(col("word")).as("syms")))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(k)
+
+  /** Learned merges served per corpus — feeds the post-run oracle
+    * generator (same contract as the served ANN quantizers). */
+  private[graft] val servedBpeMerges =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String, Long)]]()
+
+  private val bpeCache = new graft.AppScopedCache[Seq[(String, String, Long)]]()
+
+  /** BPE TOKENIZER TRAINING (Sennrich et al., ACL 2016): learn the
+    * first `rounds` byte-pair merges of the corpus. One corpus scan
+    * builds the word-frequency table; each round then runs ONE
+    * vocab-sized aggregation (adjacent-pair counts weighted by word
+    * frequency), takes the argmax (count desc, then (a, b)
+    * lexicographic — the deterministic tie-break both engines share),
+    * and rewrites the vocab through [[mergeOnce]]. Driver traffic is
+    * ONE ROW per round; the vocab re-materializes per round
+    * (localCheckpoint) so the plan stays flat across rounds. At 100 TB
+    * the corpus scan dominates and everything after it is
+    * vocab-sized — exactly how production BPE trainers behave.
+    * Memoized per corpus (build-once-serve-many). */
+  def bpeMergeList(spark: SparkSession, dir: String,
+      rounds: Int = 10): Seq[(String, String, Long)] =
+    bpeCache.getOrCompute(spark, s"$dir#bpe$rounds") {
+      var vocab = wordFreqs(spark, dir)
+        .select(col("freq"), charSyms(col("word")).as("syms"))
+        .localCheckpoint()
+      val out = Seq.newBuilder[(String, String, Long)]
+      var r = 0
+      var live = true
+      while (r < rounds && live) {
+        val top = adjacentPairs(vocab)
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) live = false
+        else {
+          val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          out += ((a, b, cnt))
+          val next = vocab
+            .select(col("freq"), mergeOnce(col("syms"), a, b).as("syms"))
+            .localCheckpoint()
+          graft.AppScopedCache.unpersistPlanRDDs(vocab)
+          vocab = next
+        }
+        r += 1
+      }
+      graft.AppScopedCache.unpersistPlanRDDs(vocab)
+      out.result()
+    }
+
+  /** The registered training query: one row per learned merge —
+    * (rank, a, b, merged token, frequency at merge time). Oracled
+    * post-run: the generated DuckDB twin recomputes every round's
+    * argmax from scratch and replays the engine's merges through
+    * list_reduce, so a single wrong merge, tie-break, or fold step
+    * hash-fails. */
+  def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 10): DataFrame = {
+    val merges = bpeMergeList(spark, dir, rounds)
+    servedBpeMerges.put(dir, merges)
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b, cnt), i) =>
+      (i + 1, a, b, a + b, cnt)
+    }.toDF("rank", "pair_a", "pair_b", "merged", "freq")
+      .select(col("rank").cast("int").as("rank"), col("pair_a"), col("pair_b"),
+        col("merged"), col("freq").cast("long").as("freq"))
+      .orderBy(col("rank"))
+  }
 }

@@ -286,6 +286,7 @@ object JpegPixels {
     var nComp = 0
     var progressive = false
     var lossless = false
+    var losslessPrec = 8
     val compId = new Array[Int](3)
     val compQt = new Array[Int](3)
     val compH = new Array[Int](3)
@@ -339,7 +340,11 @@ object JpegPixels {
         case 0xC3 => // SOF3 lossless (T.81 Annex H, process 14)
           lossless = true
           if (len < 11) return null
-          if (u8(b, i + 2) != 8) return null // 8-bit lossless only
+          // lossless admits ANY precision 2..16 (T.81 B.2.2) — the
+          // reconstruction is modulo 2^16 regardless, so the decode is
+          // precision-parametric; 12-bit is the medical/scan shape
+          losslessPrec = u8(b, i + 2)
+          if (losslessPrec < 2 || losslessPrec > 16) return null
           h = u16(b, i + 3); w = u16(b, i + 5)
           if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
           nComp = u8(b, i + 7)
@@ -367,7 +372,7 @@ object JpegPixels {
           if (nComp == 0) return null // SOS before SOF
           if (lossless)
             return decodeLossless(b, i, w, h, nComp, compId, dcT,
-              restartInterval)
+              restartInterval, losslessPrec)
           if (progressive)
             // the whole multi-scan protocol (spectral selection,
             // successive approximation, per-scan tables) lives in
@@ -494,15 +499,17 @@ object JpegPixels {
     *    Ra+Rb−Rc, Ra+((Rb−Rc)>>1), Rb+((Ra−Rc)>>1), (Ra+Rb)>>1);
     *  - reconstruction is modulo 2^16; output = Rx << Pt.
     *
-    * Envelope: 8-bit precision, 1 or 3 components at 1x1 (enforced at
-    * SOF3), full interleave, no restart markers — anything else NULL.
-    * A 3-component lossless frame carries components in their SOURCE
-    * space (no YCbCr transform is defined for lossless), so they sum
-    * directly as R/G/B; grayscale replicates. Memory is two rows per
-    * component; work is O(pixels). */
+    * Envelope: ANY precision 2..16 (the modulo-2^16 reconstruction is
+    * precision-parametric — 12-bit covers the medical/scan shape),
+    * 1 or 3 components at 1x1 (enforced at SOF3), full interleave, no
+    * restart markers — anything else NULL. A 3-component lossless
+    * frame carries components in their SOURCE space (no YCbCr
+    * transform is defined for lossless), so they sum directly as
+    * R/G/B; grayscale replicates. Memory is two rows per component;
+    * work is O(pixels). */
   private def decodeLossless(b: Array[Byte], sosAt: Int, w: Int, h: Int,
       nComp: Int, compId: Array[Int], dcT: Array[HuffTable],
-      restartInterval: Int): InternalRow = try {
+      restartInterval: Int, prec: Int): InternalRow = try {
     if (restartInterval != 0) return null // rare in lossless; out of envelope
     val len = u16(b, sosAt)
     if (len < 6 + 2 * nComp || sosAt + len > b.length) return null
@@ -522,8 +529,8 @@ object JpegPixels {
     val pred = u8(b, sosAt + 3 + 2 * nComp) // Ss = predictor selector
     if (pred < 1 || pred > 7) return null
     val pt = u8(b, sosAt + 5 + 2 * nComp) & 0x0F // Al = point transform
-    if (pt > 7) return null // P=8: shifting more leaves no signal
-    val defaultPred = 1 << (7 - pt) // 2^(P-1-Pt)
+    if (pt >= prec) return null // shifting the whole precision away leaves no signal
+    val defaultPred = 1 << (prec - 1 - pt) // 2^(P-1-Pt)
     val r = new BitReader(b, sosAt + len)
     val prevRow = Array.fill(nComp)(new Array[Int](w))
     val curRow = Array.fill(nComp)(new Array[Int](w))
@@ -535,9 +542,10 @@ object JpegPixels {
         var c = 0
         while (c < nComp) {
           val ssss = r.decode(tables(c))
+          if (ssss > 16) return null // hostile DHT symbol: no such category
           val diff =
             if (ssss == 0) 0
-            else if (ssss == 16) 32768 // P=16's special symbol; legal bits
+            else if (ssss == 16) 32768 // the ≡ −32768 (mod 2^16) symbol; no bits
             else extend(r.readBits(ssss), ssss)
           val px =
             if (y == 0 && x == 0) defaultPred
@@ -1038,26 +1046,41 @@ object JpegEncode {
     c
   }
 
+  /** Canonical Huffman table for lossless frames deeper than 8 bits:
+    * all 17 difference categories (0..16 — 16 is the ≡ −32768 special
+    * symbol) at code length 5; the all-ones length-5 code stays
+    * unused, satisfying T.81's reserved-prefix rule. The 8-bit path
+    * keeps the Annex-K DC table so its byte streams are unchanged. */
+  private val LlBits: Array[Int] =
+    Array(0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val LlVals: Array[Int] = (0 to 16).toArray
+  private val (llCode, llSize) = buildCodes(LlBits, LlVals)
+
   /** LOSSLESS fixture encoder (SOF3, T.81 Annex H process 14): pixel
     * (x, y) channels come from the same seed formulas as
-    * [[TiffEncode]] (gray (s+5x+3y)%256; RGB (s+3x+7y)/(2s+5x+y)/
-    * (3s+x+11y) mod 256 — lossless carries components in their source
-    * space, no YCbCr), spatial prediction with selector `pred` 1..7,
-    * DC-category differences on the Annex-K DC table (8-bit diffs
-    * stay within its 0..11 symbols). Being LOSSLESS, the decoded sums
-    * equal the formula sums exactly — the oracle needs no codec
-    * arithmetic at all. */
+    * [[TiffEncode]] (gray (s+5x+3y); RGB (s+3x+7y)/(2s+5x+y)/
+    * (3s+x+11y), each mod 2^prec — lossless carries components in
+    * their source space, no YCbCr), spatial prediction with selector
+    * `pred` 1..7, DC-category differences wrapped to [−32768, 32767]
+    * (the ≡ −32768 case emits category 16 with no bits). Precision
+    * 8 uses the Annex-K DC table (byte-identical to the pre-r12
+    * encoder); 12/16-bit frames carry the 17-symbol [[LlBits]] table.
+    * Being LOSSLESS, the decoded sums equal the formula sums exactly
+    * — the oracle needs no codec arithmetic at all. */
   def encodeLossless(w: Int, h: Int, seed: Long, nComp: Int,
-      pred: Int): Array[Byte] = {
+      pred: Int, prec: Int = 8): Array[Byte] = {
     if (w <= 0 || h <= 0 || w.toLong * h > (1L << 20)) return null
     if ((nComp != 1 && nComp != 3) || pred < 1 || pred > 7 || seed < 0) return null
+    if (prec != 8 && prec != 12 && prec != 16) return null
+    val mod = 1L << prec
     def sample(c: Int, x: Int, y: Int): Int = (if (nComp == 1)
-      java.lang.Math.floorMod(seed + 5L * x + 3L * y, 256L)
+      java.lang.Math.floorMod(seed + 5L * x + 3L * y, mod)
     else c match {
-      case 0 => java.lang.Math.floorMod(seed + 3L * x + 7L * y, 256L)
-      case 1 => java.lang.Math.floorMod(2L * seed + 5L * x + y, 256L)
-      case _ => java.lang.Math.floorMod(3L * seed + x + 11L * y, 256L)
+      case 0 => java.lang.Math.floorMod(seed + 3L * x + 7L * y, mod)
+      case 1 => java.lang.Math.floorMod(2L * seed + 5L * x + y, mod)
+      case _ => java.lang.Math.floorMod(3L * seed + x + 11L * y, mod)
     }).toInt
+    val deep = prec > 8
     val out = new java.io.ByteArrayOutputStream(w * h * nComp / 2 + 256)
     def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
     def seg(m: Int, body: Array[Int]): Unit = {
@@ -1066,8 +1089,9 @@ object JpegEncode {
     }
     marker(0xD8)
     val sofComps = (1 to nComp).flatMap(c => Seq(c, 0x11, 0)).toArray
-    seg(0xC3, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, nComp) ++ sofComps)
-    seg(0xC4, Array(0x00) ++ DcBits ++ DcVals)
+    seg(0xC3, Array(prec, h >> 8, h & 0xFF, w >> 8, w & 0xFF, nComp) ++ sofComps)
+    if (deep) seg(0xC4, Array(0x00) ++ LlBits ++ LlVals)
+    else seg(0xC4, Array(0x00) ++ DcBits ++ DcVals)
     val sosComps = (1 to nComp).flatMap(c => Seq(c, 0x00)).toArray
     seg(0xDA, Array(nComp) ++ sosComps ++ Array(pred, 0, 0)) // Ss=pred, Pt=0
     val bw = new BitWriter(out)
@@ -1082,7 +1106,7 @@ object JpegEncode {
           val v = sample(c, x, y)
           // the decoder's prediction, mirrored exactly (H.1.2.1)
           val px =
-            if (y == 0 && x == 0) 128 // 2^(P-1), Pt=0
+            if (y == 0 && x == 0) 1 << (prec - 1) // 2^(P-1), Pt=0
             else if (y == 0) curRow(c)(x - 1)
             else if (x == 0) prevRow(c)(0)
             else {
@@ -1099,10 +1123,21 @@ object JpegEncode {
               }
             }
           curRow(c)(x) = v // the reconstruction IS the sample
-          val d = v - px
-          val ssss = category(d)
-          bw.write(dcCode(ssss), dcSize(ssss))
-          if (ssss > 0) bw.write(if (d < 0) d + (1 << ssss) - 1 else d, ssss)
+          // wrap the difference into [−32768, 32767]: the decoder adds
+          // mod 2^16, so any representative is legal — the wrapped one
+          // has the smallest category (identical to the old direct
+          // difference for P=8, where |v − px| ≤ 510)
+          var d = (v - px) & 0xFFFF
+          if (d > 32767) d -= 65536
+          if (d == -32768) { // category 16: no magnitude bits follow
+            if (deep) bw.write(llCode(16), llSize(16))
+            else bw.write(dcCode(16), dcSize(16)) // unreachable at P=8
+          } else {
+            val ssss = category(d)
+            if (deep) bw.write(llCode(ssss), llSize(ssss))
+            else bw.write(dcCode(ssss), dcSize(ssss))
+            if (ssss > 0) bw.write(if (d < 0) d + (1 << ssss) - 1 else d, ssss)
+          }
           c += 1
         }
         x += 1

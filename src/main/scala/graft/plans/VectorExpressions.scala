@@ -329,10 +329,12 @@ object VectorExpressions {
           org.apache.spark.sql.types.IntegerType,
           org.apache.spark.sql.types.LongType,
           org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType,
           org.apache.spark.sql.types.IntegerType),
         vs => JpegEncode.encodeLossless(vs(0).asInstanceOf[Int],
           vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Long],
-          vs(3).asInstanceOf[Int], vs(4).asInstanceOf[Int])), "scala_udf")
+          vs(3).asInstanceOf[Int], vs(4).asInstanceOf[Int],
+          vs(5).asInstanceOf[Int])), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_avi_meta", exprs => AviMeta(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -536,9 +538,9 @@ object VectorExpressions {
     * (plans.JpegEncode.encodeLossless: SOF3, predictor 1..7, gray or
     * 3-component), column form; same registration precondition. */
   def jpegEncodeLossless(w: Column, h: Column, seed: Column, nComp: Column,
-      pred: Column): Column = {
+      pred: Column, prec: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
-    call_function("graft_jpeg_encode_lossless", w, h, seed, nComp, pred)
+    call_function("graft_jpeg_encode_lossless", w, h, seed, nComp, pred, prec)
   }
 
   /** AVI header parse (plans.AviMeta), column form; same registration

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** BPE tokenizer training: the distributed merge learner against an
+  * independent in-memory reference (naive skip-scan merge, mutable
+  * pair counting — deliberately a different construction from the
+  * engine's Catalyst left fold), plus fold-semantics and memoization
+  * pins. Exact-value certification against DuckDB is the generated
+  * post-run oracle's job (bpeMergesOracleFor). */
+class BpeSpec extends SparkSpec {
+
+  /** Reference implementation: word frequencies and greedy
+    * left-to-right skip-scan merging, the textbook formulation. */
+  private def referenceMerges(texts: Seq[String],
+      rounds: Int): Seq[(String, String, Long)] = {
+    val words = texts.flatMap(t =>
+      t.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")).filter(_.nonEmpty)
+    var vocab: Map[Vector[String], Long] = words
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.size.toLong }
+    def mergeVec(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var r = 0
+    var live = true
+    while (r < rounds && live) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => counts(p) += f)
+      }
+      if (counts.isEmpty) live = false
+      else {
+        // max count, then lexicographically smallest (a, b) — the
+        // tie-break the engine and the generated oracle share
+        val ((a, b), cnt) = counts.toSeq
+          .sortBy { case ((x, y), c) => (-c, x, y) }.head
+        merges += ((a, b, cnt))
+        vocab = vocab.toSeq.map { case (s, f) => mergeVec(s, a, b) -> f }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+      }
+      r += 1
+    }
+    merges.result()
+  }
+
+  test("learned merges match the in-memory reference round by round") {
+    val texts = graft.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0)).toSeq
+    val want = referenceMerges(texts, 10)
+    assert(want.length === 10, "fixture corpus should sustain 10 merges")
+    val got = TextAnalysis.bpeMerges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.length === want.length)
+    got.zip(want).foreach { case ((rank, a, b, merged, freq), (wa, wb, wc)) =>
+      assert(a === wa && b === wb && freq === wc && merged === wa + wb,
+        s"merge $rank diverges: engine ($a,$b,$freq) vs reference ($wa,$wb,$wc)")
+    }
+    // merged frequencies are non-increasing only per-pair-history, but
+    // rank 1 must be the corpus's single most frequent adjacent pair
+    assert(got.head._5 >= got.last._5 || got.length === 1)
+  }
+
+  test("round-0 pair table matches the reference counts") {
+    val texts = graft.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0)).toSeq
+    val words = texts.flatMap(t =>
+      t.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")).filter(_.nonEmpty)
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    words.foreach { w =>
+      w.zip(w.tail).foreach { case (x, y) =>
+        counts((x.toString, y.toString)) += 1L }
+    }
+    val want = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.take(50)
+      .map { case ((a, b), c) => (a, b, c) }
+    val got = TextAnalysis.bpePairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
+
+  test("training is memoized per corpus and deterministic across serves") {
+    val a = TextAnalysis.bpeMergeList(spark, sf)
+    val b = TextAnalysis.bpeMergeList(spark, sf)
+    assert(a eq b, "second call must serve the memoized artifact")
+    val r1 = TextAnalysis.bpeMerges(spark, sf).collect().map(_.toString).toSeq
+    val r2 = TextAnalysis.bpeMerges(spark, sf).collect().map(_.toString).toSeq
+    assert(r1 === r2)
+  }
+}

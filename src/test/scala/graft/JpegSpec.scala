@@ -454,19 +454,20 @@ class JpegSpec extends SparkSpec {
     }
   }
 
-  test("lossless (SOF3) decodes exactly across all seven predictors") {
+  test("lossless (SOF3) decodes exactly across all seven predictors and 8/12/16-bit depths") {
     import graft.plans.{JpegEncode, JpegPixels}
-    def m(v: Long) = java.lang.Math.floorMod(v, 256L)
     for {
       (w, h) <- Seq((1, 1), (9, 7), (16, 11), (2, 31))
       nComp <- Seq(1, 3)
       pred <- 1 to 7
+      prec <- Seq(8, 12, 16)
     } {
-      val seed = 13L * w + h + pred
-      val jll = JpegEncode.encodeLossless(w, h, seed, nComp, pred)
+      def m(v: Long) = java.lang.Math.floorMod(v, 1L << prec)
+      val seed = 13L * w + h + pred + 1000L * prec
+      val jll = JpegEncode.encodeLossless(w, h, seed, nComp, pred, prec)
       assert(jll != null)
       val r = JpegPixels.parse(jll)
-      assert(r != null, s"lossless refused w=$w h=$h nComp=$nComp pred=$pred")
+      assert(r != null, s"lossless refused w=$w h=$h nComp=$nComp pred=$pred prec=$prec")
       var sr = 0L; var sg = 0L; var sb = 0L
       for (y <- 0 until h; x <- 0 until w) {
         if (nComp == 1) {
@@ -478,11 +479,13 @@ class JpegSpec extends SparkSpec {
         }
       }
       assert(r.getInt(0) === w && r.getInt(1) === h)
-      // LOSSLESS: decoded sums equal the pixel-formula sums with no
-      // codec arithmetic — and therefore agree ACROSS predictors, the
-      // seven-way internal differential
+      // LOSSLESS: decoded sums equal the pixel-formula sums (mod
+      // 2^prec) with no codec arithmetic — and therefore agree ACROSS
+      // predictors AND depths, the internal differential; the 12/16-bit
+      // paths exercise large wrapped differences up to the no-bits
+      // category-16 symbol
       assert(r.getLong(2) === sr && r.getLong(3) === sg && r.getLong(4) === sb,
-        s"lossless sums diverge w=$w h=$h nComp=$nComp pred=$pred")
+        s"lossless sums diverge w=$w h=$h nComp=$nComp pred=$pred prec=$prec")
     }
   }
 
@@ -503,12 +506,14 @@ class JpegSpec extends SparkSpec {
       c(at + 11) = bad.toByte
       assert(JpegPixels.parse(c) == null, s"predictor $bad accepted")
     }
-    // 16-bit precision declines (envelope)
-    val c16 = good.clone()
-    val sofAt = (0 until c16.length - 1).find(i =>
-      (c16(i) & 0xFF) == 0xFF && (c16(i + 1) & 0xFF) == 0xC3).get
-    c16(sofAt + 4) = 16
-    assert(JpegPixels.parse(c16) == null)
+    // out-of-range precisions decline (lossless admits 2..16)
+    val sofAt = (0 until good.length - 1).find(i =>
+      (good(i) & 0xFF) == 0xFF && (good(i + 1) & 0xFF) == 0xC3).get
+    for (bad <- Seq(1, 17)) {
+      val cp = good.clone()
+      cp(sofAt + 4) = bad.toByte
+      assert(JpegPixels.parse(cp) == null, s"precision $bad accepted")
+    }
   }
 
   test("mm_jpeg_pixels serves decoded stats with corrupt docs as NULL") {
@@ -535,15 +540,16 @@ class JpegSpec extends SparkSpec {
       val w = 1 + rnd.nextInt(48); val h = 1 + rnd.nextInt(24)
       val nc = if (rnd.nextBoolean()) 1 else 3
       val pred = 1 + rnd.nextInt(7)
+      val prec = Seq(8, 12, 16)(rnd.nextInt(3))
       val seed = rnd.nextInt(100000).toLong
-      val j = JpegEncode.encodeLossless(w, h, seed, nc, pred)
+      val j = JpegEncode.encodeLossless(w, h, seed, nc, pred, prec)
       val r = JpegPixels.parse(j)
-      assert(r != null, s"trial $trial refused (w=$w h=$h nc=$nc pred=$pred)")
+      assert(r != null, s"trial $trial refused (w=$w h=$h nc=$nc pred=$pred prec=$prec)")
       var sr = 0L
       for (y <- 0 until h; x <- 0 until w)
-        sr += (if (nc == 1) java.lang.Math.floorMod(seed + 5L * x + 3L * y, 256L)
-               else java.lang.Math.floorMod(seed + 3L * x + 7L * y, 256L))
-      assert(r.getLong(2) === sr, s"trial $trial sums diverge (w=$w h=$h nc=$nc pred=$pred)")
+        sr += (if (nc == 1) java.lang.Math.floorMod(seed + 5L * x + 3L * y, 1L << prec)
+               else java.lang.Math.floorMod(seed + 3L * x + 7L * y, 1L << prec))
+      assert(r.getLong(2) === sr, s"trial $trial sums diverge (w=$w h=$h nc=$nc pred=$pred prec=$prec)")
     }
   }
 }

@@ -105,7 +105,7 @@ class ParserFuzzSpec extends AnyFunSuite {
     assert(graft.plans.JpegPixels.parse(fullJpegColor) != null)
     // LOSSLESS (SOF3): corruptions land in the prediction/difference
     // stream and the lossless-specific SOS fields
-    val fullJpegLossless = graft.plans.JpegEncode.encodeLossless(17, 12, 77L, 3, 4)
+    val fullJpegLossless = graft.plans.JpegEncode.encodeLossless(17, 12, 77L, 3, 4, 12)
     assert(graft.plans.JpegPixels.parse(fullJpegLossless) != null)
     // a REAL MJPEG AVI: corruptions land in the RIFF chunk walk, the
     // word-alignment padding, and the per-frame JPEG streams
