@@ -464,6 +464,7 @@ object Queries {
     "knn_quantized_rerank" -> ((s: SparkSession, d: String) => Similarity.knnQuantizedRerank(s, d)),
     "knn_pq_adc" -> ((s: SparkSession, d: String) => Similarity.knnPqAdc(s, d)),
     "knn_ivf_pq" -> ((s: SparkSession, d: String) => Similarity.knnIvfPq(s, d)),
+    "sim_diversity_sample" -> ((s: SparkSession, d: String) => Similarity.diversitySample(s, d)),
     "knn_filtered" -> ((s: SparkSession, d: String) => Similarity.knnFiltered(s, d)),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "sim_embed_norms" -> (Similarity.norms _),
@@ -2075,12 +2076,13 @@ object Queries {
     val served = graft.operators.Similarity.servedCentroids.asScala.toMap
     served.toSeq match {
       case Seq((_, cents)) =>
-        Map(knnIvfOracleFor(cents), dedupSemanticOracleFor(cents))
+        Map(knnIvfOracleFor(cents), dedupSemanticOracleFor(cents),
+          diversitySampleOracleFor(cents))
       case Seq() =>
         // queries failed (or never ran): emit sentinels so the compare
         // FAILS VISIBLY instead of silently recording "no oracle" —
         // the spark result parquets are missing/bogus in this case too
-        Seq("knn_ivf", "dedup_semantic").map(n => n ->
+        Seq("knn_ivf", "dedup_semantic", "sim_diversity_sample").map(n => n ->
           s"SELECT '$n served no quantizer - query failed before reading the index sidecar' AS error")
           .toMap
       case many =>
@@ -2114,6 +2116,27 @@ object Queries {
        "SELECT a.vec_id, a.cell, coalesce(g.n_prior, 0) AS n_prior, g.max_prior_cos, " +
        "(g.dup_of IS NOT NULL) AS is_dup, g.dup_of " +
        "FROM a LEFT JOIN g USING (vec_id) ORDER BY a.vec_id")
+  }
+
+  // DuckDB twin of diversitySample from the same served quantizer:
+  // argmax cell assignment, the exact md5-uniform priority, per-cell
+  // row_number quota — mirrors Similarity.diversitySample literally.
+  private def diversitySampleOracleFor(cents: Seq[Array[Double]]): (String, String) = {
+    val scores = cents.map { c =>
+      val lit = c.mkString("[", ", ", "]::DOUBLE[]")
+      val half = c.map(x => x * x).sum / 2.0
+      s"list_dot_product(v, $lit) - ($half)"
+    }.mkString("[", ", ", "]")
+    "sim_diversity_sample" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       s"sc AS (SELECT vec_id, $scores AS scores FROM e), " +
+       "a AS (SELECT vec_id, CAST(list_position(scores, list_max(scores)) AS INTEGER) AS cell FROM sc), " +
+       "s AS (SELECT cell, vec_id, " +
+       "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u FROM a), " +
+       "r AS (SELECT cell, vec_id, u, " +
+       "CAST(row_number() OVER (PARTITION BY cell ORDER BY u, vec_id) AS INTEGER) AS pick FROM s) " +
+       "SELECT cell, vec_id, pick, round(u, 6) AS u FROM r WHERE pick <= 8 " +
+       "ORDER BY cell, pick")
   }
 
   private def knnIvfOracleFor(cents: Seq[Array[Double]]): (String, String) = {

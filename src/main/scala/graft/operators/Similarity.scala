@@ -598,6 +598,38 @@ object Similarity {
     ()
   }
 
+  /** DIVERSITY-BALANCED sampling: per-cluster quotas over the served
+    * coarse quantizer — the corpus-balancing step embedding-driven
+    * curation pipelines run after dedup. A uniform sample reproduces
+    * the corpus's cluster skew (near-duplicate-dense regions dominate);
+    * here each quantizer cell contributes its `perCell`
+    * highest-priority members, so the kept set covers the embedding
+    * space evenly. Priority is the md5-keyed uniform of vec_id (the
+    * sampleStratified discipline: a PURE function of the id, so any
+    * engine, rerun, or audit reproduces the EXACT sample — and the
+    * DuckDB twin is generated from the served quantizer). Reads the
+    * materialized IVF index rows and its sidecar centroids (never
+    * retrained); one scan + one per-cell top-k window, partitionable
+    * by cell at any scale. */
+  def diversitySample(spark: SparkSession, dir: String, perCell: Int = 8): DataFrame = {
+    val indexPath = ivfIndexPath(spark, dir)
+    val cents = readCentroidSidecar(spark, indexPath)
+    servedCentroids.put(dir, cents)
+    // exact uniform: first 32 md5 bits / 2^32 — an integer divided by a
+    // power of two, so the double is exact and cross-engine ordering
+    // cannot hinge on float noise (vec_id breaks the residual ties)
+    val u = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val base = spark.read.parquet(indexPath)
+      .select(col("cell").cast("int").as("cell"), col("vec_id"), u.as("u"))
+    val w = Window.partitionBy(col("cell")).orderBy(col("u"), col("vec_id"))
+    base.withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= perCell)
+      .select(col("cell"), col("vec_id"), col("pick").cast("int").as("pick"),
+        round(col("u"), 6).as("u"))
+      .orderBy(col("cell"), col("pick"))
+  }
+
   /** Release one corpus's ANN state now — the trained quantizer and the
     * materialized index's scratch directory — mirroring
     * Dedup.evictCorpus for long-lived sessions. (App shutdown evicts

@@ -233,6 +233,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(fp < 300, s"false-positive rate implausibly high: $fp / 10000")
   }
 
+  test("diversity sample: per-cell quotas, exact md5 priority, deterministic") {
+    import graft.operators.Similarity
+    val rows = Similarity.diversitySample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCell = rows.groupBy(_.getInt(0))
+    // every populated quantizer cell is represented with <= perCell
+    // members whose picks are dense ranks 1..n — the balance contract
+    val index = spark.read.parquet(Similarity.ivfIndexPath(spark, sf))
+    val populated = index.select("cell").distinct().collect()
+      .map(_.get(0).toString.toInt).toSet
+    assert(byCell.keySet === populated,
+      s"sampled cells ${byCell.keySet} != populated $populated")
+    byCell.foreach { case (c, g) =>
+      assert(g.length <= 8, s"cell $c over quota")
+      assert(g.map(_.getInt(2)).sorted.toSeq === (1 to g.length), s"cell $c ranks")
+      // picks follow the md5-uniform priority: u non-decreasing in rank
+      val us = g.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(us.zip(us.tail).forall { case (a, b) => a <= b }, s"cell $c priority order")
+    }
+    // a cell with more than perCell members must be CUT to the quota
+    // (non-vacuous: the fixture corpus has a dominant cell)
+    val cellSizes = index.groupBy("cell").count().collect()
+      .map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
+    assert(cellSizes.values.exists(_ > 8), "fixture too small to exercise the quota")
+    cellSizes.filter(_._2 > 8).keys.foreach(c =>
+      assert(byCell(c).length === 8, s"over-populated cell $c not cut to quota"))
+    // pure function of the corpus: a second serve is identical
+    val again = Similarity.diversitySample(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("knn_ivf: recall@5 vs brute force meets floor (kmeans centroids)") {
     val brute = Similarity.knnBruteForce(spark, sf, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
