@@ -487,6 +487,7 @@ object Queries {
     "mm_gif_frames" -> (Multimodal.gifFramesQ _),
     "mm_png_frames" -> (Multimodal.pngFramesQ _),
     "mm_jpeg_pixels" -> (Multimodal.jpegPixelsQ _),
+    "mm_jpeg12" -> (Multimodal.jpeg12Q _),
     "mm_jpeg_color" -> (Multimodal.jpegColorQ _),
     "mm_jpeg_progressive" -> (Multimodal.jpegProgressiveQ _),
     "mm_jpeg_lossless" -> (Multimodal.jpegLosslessQ _),
@@ -1095,6 +1096,23 @@ object Queries {
        "CAST(s.sg AS BIGINT) AS sum_r, CAST(s.sg AS BIGINT) AS sum_g, " +
        "CAST(s.sg AS BIGINT) AS sum_b, " +
        "CASE WHEN d.doc_id % 109 = 0 THEN NULL ELSE CAST(d.w * d.h AS BIGINT) END AS n_pixels " +
+       "FROM d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"),
+    // 12-bit extended-sequential twin of mm_jpeg_pixels: same blocky
+    // lossless-by-construction trick, sample values mod 4096 (SOF1,
+    // Pq=1 DQT, 16-symbol DC table — one wrong wide-entry read, level
+    // shift, clamp bound, or category gate fails the hash)
+    "mm_jpeg12" ->
+      ("WITH d AS (SELECT doc_id, 9 + doc_id % 23 AS w, 9 + (doc_id * 3) % 19 AS h FROM documents), " +
+       "px AS (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM d WHERE doc_id % 157 <> 0), " +
+       "s AS (SELECT doc_id, " +
+       "sum((doc_id + 5 * ((i % w) // 8) + 11 * ((i // w) // 8)) % 4096) AS sg " +
+       "FROM px GROUP BY doc_id) " +
+       "SELECT d.doc_id, " +
+       "CASE WHEN d.doc_id % 157 = 0 THEN NULL ELSE CAST(d.w AS INTEGER) END AS width, " +
+       "CASE WHEN d.doc_id % 157 = 0 THEN NULL ELSE CAST(d.h AS INTEGER) END AS height, " +
+       "CAST(s.sg AS BIGINT) AS sum_r, CAST(s.sg AS BIGINT) AS sum_g, " +
+       "CAST(s.sg AS BIGINT) AS sum_b, " +
+       "CASE WHEN d.doc_id % 157 = 0 THEN NULL ELSE CAST(d.w * d.h AS BIGINT) END AS n_pixels " +
        "FROM d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"),
     // COLOR twin of mm_jpeg_pixels: the constant-block construction
     // makes (y, cb, cr) — hence each clamped RGB channel — constant per

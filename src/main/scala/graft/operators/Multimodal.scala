@@ -192,6 +192,16 @@ object Multimodal {
         (id % 109 =!= 0, graft.plans.VectorExpressions.jpegEncode(
           (id % 23 + 9).cast("int"), ((id * 3) % 19 + 9).cast("int"),
           id.cast("long"), id % 2 === 0)))
+      case "jpg12" => Seq(
+        (id % 157 === 0, encode(text.substr(1, 20), "UTF-8")),
+        // REAL 12-bit EXTENDED-SEQUENTIAL JPEGs (SOF1, plans.JpegEncode
+        // .encodeBlocky12): per-block-constant 12-bit pixels decode
+        // losslessly (quantizer 8 divides DC = 8*(v-2048)), streams
+        // carry the Pq=1 16-bit DQT and the 16-symbol DC table; every
+        // other doc pins the RSTn path at 12 bits too
+        (id % 157 =!= 0, graft.plans.VectorExpressions.jpegEncode12(
+          (id % 23 + 9).cast("int"), ((id * 3) % 19 + 9).cast("int"),
+          id.cast("long"), id % 2 === 0)))
       case "jpgcol" => Seq(
         (id % 109 === 0, encode(text.substr(1, 22), "UTF-8")),
         // REAL baseline COLOR JPEGs (plans.JpegEncodeColor: interleaved
@@ -343,7 +353,7 @@ object Multimodal {
     * never fused into a decode query's codegen. */
   def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "gifanim",
-      "apng", "jpgpx", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
+      "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
       "wavpcm", "wavg711", "wavfloat")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
@@ -574,6 +584,20 @@ object Multimodal {
   def jpegPixelsQ(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir, "jpgpx")
       .select(col("doc_id"), graft.plans.VectorExpressions.jpegPixels(col("jpgpx")).as("s"))
+      .select(col("doc_id"),
+        col("s.width").as("width"), col("s.height").as("height"),
+        col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),
+        col("s.sum_b").as("sum_b"), col("s.n_pixels").as("n_pixels"))
+      .orderBy(col("doc_id"))
+
+  /** 12-bit extended-sequential (SOF1) decode query: the jpg12
+    * fixture's per-block-constant 12-bit pixels through the same
+    * graft_jpeg_pixels expression — sums are of 0..4095 sample values,
+    * lossless by the constant-block construction, so the oracle is the
+    * raw block formula mod 4096. */
+  def jpeg12Q(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "jpg12")
+      .select(col("doc_id"), graft.plans.VectorExpressions.jpegPixels(col("jpg12")).as("s"))
       .select(col("doc_id"),
         col("s.width").as("width"), col("s.height").as("height"),
         col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),

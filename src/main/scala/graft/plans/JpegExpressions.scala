@@ -28,14 +28,18 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, IntegerTyp
   *    clamp, and channel sums over only the pixels inside w x h (edge
   *    MCUs crop).
   *
-  * Scope: baseline sequential (SOF0) AND progressive (SOF2, ITU T.81
-  * Annex G — spectral selection, successive approximation, EOB runs;
-  * see [[JpegPixels.decodeProgressive]]), 8-bit, grayscale AND
-  * 3-component YCbCr with 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 subsampling —
-  * the shapes that cover real crawl JPEGs (chroma upsampling by
-  * sample replication, JFIF conversion matrix); 12-bit, arithmetic,
-  * lossless, and exotic sampling return NULL, never throw (fuzzed in
-  * ParserFuzzSpec). Baseline memory is O(one MCU) regardless of
+  * Scope: baseline sequential (SOF0, 8-bit), EXTENDED sequential
+  * (SOF1, 8- or 12-bit — same Huffman algorithm with a wider level
+  * shift/clamp, Pq=1 16-bit quantizer entries, DC categories to 15),
+  * progressive (SOF2, 8-bit, ITU T.81 Annex G — spectral selection,
+  * successive approximation, EOB runs; see
+  * [[JpegPixels.decodeProgressive]]), and LOSSLESS (SOF3, any
+  * precision 2..16; see [[JpegPixels.decodeLossless]]) — grayscale
+  * AND 3-component YCbCr with 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0
+  * subsampling, the shapes that cover real crawl JPEGs (chroma
+  * upsampling by sample replication, JFIF conversion matrix);
+  * arithmetic coding, hierarchical processes, and exotic sampling
+  * return NULL, never throw (fuzzed in ParserFuzzSpec). Baseline memory is O(one MCU) regardless of
   * claimed geometry; progressive inherently needs the full-frame
   * coefficient buffer (every decoder does), capped by
   * [[JpegPixels.MaxPixelsProgressive]] — so a hostile header cannot
@@ -160,18 +164,19 @@ object JpegPixels {
   /** JFIF YCbCr -> one RGB channel: LITERALLY floor(x + 0.5) (not
     * Math.round, which special-cases the double just below .5 and
     * would diverge from the DuckDB oracle's floor(expr + 0.5) by one
-    * ulp-edge), clamped to [0, 255]. */
-  private def rgbClamp(x: Double): Int = {
+    * ulp-edge), clamped to [0, maxV] (255 at 8-bit, 4095 at 12). */
+  private def rgbClamp(x: Double, maxV: Int): Int = {
     val s = math.floor(x + 0.5).toInt
-    if (s < 0) 0 else if (s > 255) 255 else s
+    if (s < 0) 0 else if (s > maxV) maxV else s
   }
 
   /** Dequantized natural-order coefficients -> 8x8 spatial block:
-    * separable double IDCT, +128 level shift, clamp, written into the
-    * component plane at (ox, oy) with row stride cw. Shared by the
-    * baseline streaming path and the progressive final render. */
+    * separable double IDCT, +2^(P-1) level shift, clamp to
+    * [0, 2^P - 1], written into the component plane at (ox, oy) with
+    * row stride cw. Shared by the baseline/extended streaming path
+    * (P = 8 or 12) and the progressive final render (P = 8). */
   private def idctInto(coef: Array[Int], plane: Array[Int], cw: Int,
-      ox: Int, oy: Int): Unit = {
+      ox: Int, oy: Int, half: Int = 128, maxV: Int = 255): Unit = {
     var y = 0
     while (y < 8) {
       var x = 0
@@ -183,8 +188,8 @@ object JpegPixels {
           if (cf != 0) acc += Ct(x)(v & 7) * Ct(y)(v >> 3) * cf
           v += 1
         }
-        var s = math.round(acc).toInt + 128
-        if (s < 0) s = 0 else if (s > 255) s = 255
+        var s = math.round(acc).toInt + half
+        if (s < 0) s = 0 else if (s > maxV) s = maxV
         plane((oy + y) * cw + ox + x) = s
         x += 1
       }
@@ -193,11 +198,12 @@ object JpegPixels {
   }
 
   /** RGB channel sums over (one MCU ∩ the image): nearest-sample
-    * chroma upsample + JFIF matrix (3-comp) or straight copy (gray),
-    * accumulated into sums(0..2). Shared by both decode paths. */
+    * chroma upsample + JFIF matrix (3-comp, chroma centered at
+    * 2^(P-1)) or straight copy (gray), accumulated into sums(0..2).
+    * Shared by both decode paths. */
   private def sumMcuPixels(planes: Array[Array[Int]], nComp: Int,
       hmax: Int, vmax: Int, mx: Int, my: Int, w: Int, h: Int,
-      sums: Array[Long]): Unit = {
+      sums: Array[Long], half: Int = 128, maxV: Int = 255): Unit = {
     val lumaW = 8 * hmax
     val mcuH = 8 * vmax
     val mcuW = 8 * hmax
@@ -215,9 +221,9 @@ object JpegPixels {
             } else {
               val cb = planes(1)((py / vmax) * 8 + px / hmax)
               val cr = planes(2)((py / vmax) * 8 + px / hmax)
-              sums(0) += rgbClamp(yv + 1.402 * (cr - 128))
-              sums(1) += rgbClamp(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
-              sums(2) += rgbClamp(yv + 1.772 * (cb - 128))
+              sums(0) += rgbClamp(yv + 1.402 * (cr - half), maxV)
+              sums(1) += rgbClamp(yv - 0.344136 * (cb - half) - 0.714136 * (cr - half), maxV)
+              sums(2) += rgbClamp(yv + 1.772 * (cb - half), maxV)
             }
           }
           px += 1
@@ -227,20 +233,26 @@ object JpegPixels {
     }
   }
 
-  /** DQT segment body [j0, end): one or more 8-bit tables, stored in
-    * NATURAL order. False on any malformed structure. Shared by the
-    * pre-scan header walk and the progressive between-scan walk. */
+  /** DQT segment body [j0, end): one or more tables in zigzag order,
+    * 8-bit entries (Pq=0) or 16-bit (Pq=1 — the 12-bit-precision
+    * form). False on any malformed structure. Shared by the pre-scan
+    * header walk and the progressive between-scan walk. */
   private def parseDqt(b: Array[Byte], j0: Int, end: Int,
       qts: Array[Array[Int]]): Boolean = {
     var j = j0
     while (j < end) {
       val pq = u8(b, j) >> 4; val tq = u8(b, j) & 0x0F
-      if (pq != 0 || tq > 3 || j + 65 > end) return false // 8-bit tables only
+      if (pq > 1 || tq > 3) return false
+      val eb = pq + 1 // entry bytes
+      if (j + 1 + 64 * eb > end) return false
       val q = new Array[Int](64)
       var z = 0
-      while (z < 64) { q(Zigzag(z)) = u8(b, j + 1 + z); z += 1 }
+      while (z < 64) {
+        q(Zigzag(z)) = if (pq == 0) u8(b, j + 1 + z) else u16(b, j + 1 + 2 * z)
+        z += 1
+      }
       qts(tq) = q
-      j += 65
+      j += 1 + 64 * eb
     }
     j == end
   }
@@ -287,6 +299,7 @@ object JpegPixels {
     var progressive = false
     var lossless = false
     var losslessPrec = 8
+    var dctPrec = 8
     val compId = new Array[Int](3)
     val compQt = new Array[Int](3)
     val compH = new Array[Int](3)
@@ -311,10 +324,14 @@ object JpegPixels {
       if (len < 2 || i + len > b.length) return null
       val end = i + len
       m match {
-        case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive
+        case 0xC0 | 0xC1 | 0xC2 =>
+          // SOF0 baseline (8-bit) / SOF1 extended sequential (8- or
+          // 12-bit — same Huffman algorithm, wider samples) / SOF2
+          // progressive (8-bit)
           progressive = m == 0xC2
+          dctPrec = u8(b, i + 2)
           if (len < 11) return null
-          if (u8(b, i + 2) != 8) return null // 8-bit only
+          if (dctPrec != 8 && !(m == 0xC1 && dctPrec == 12)) return null
           h = u16(b, i + 3); w = u16(b, i + 5)
           if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
           nComp = u8(b, i + 7)
@@ -358,9 +375,9 @@ object JpegPixels {
             if (u8(b, i + 9 + 3 * c) != 0x11) return null
             c += 1
           }
-        case 0xC1 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+        case 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
              0xCD | 0xCE | 0xCF =>
-          return null // extended/arithmetic/hierarchical: out of scope
+          return null // arithmetic/hierarchical: out of scope
         case 0xDB => // DQT: one or more tables
           if (!parseDqt(b, i + 2, end, qts)) return null
         case 0xC4 => // DHT: one or more tables
@@ -450,7 +467,8 @@ object JpegPixels {
             while (bh < compH(c)) {
               java.util.Arrays.fill(coef, 0)
               val t = r.decode(dc)
-              if (t > 11) return null
+              // DC category ceiling: 11 at 8-bit, 15 at 12 (T.81 F.1.2.1.1)
+              if (t > (if (dctPrec > 8) 15 else 11)) return null
               preds(c) += extend(r.readBits(t), t)
               coef(0) = preds(c) * qt(0)
               var k = 1
@@ -470,7 +488,8 @@ object JpegPixels {
                 }
               }
               // IDCT, level shift, clamp into the component plane
-              idctInto(coef, planes(c), cw, bh * 8, bv * 8)
+              idctInto(coef, planes(c), cw, bh * 8, bv * 8,
+                1 << (dctPrec - 1), (1 << dctPrec) - 1)
               bh += 1
             }
             bv += 1
@@ -478,7 +497,8 @@ object JpegPixels {
           c += 1
         }
         // pixel pass over this MCU ∩ image
-        sumMcuPixels(planes, nComp, hmax, vmax, mx, my, w, h, sums)
+        sumMcuPixels(planes, nComp, hmax, vmax, mx, my, w, h, sums,
+          1 << (dctPrec - 1), (1 << dctPrec) - 1)
         mcu += 1
         mx += 1
       }
@@ -1015,6 +1035,14 @@ object JpegEncode {
   private val (dcCode, dcSize) = buildCodes(DcBits, DcVals)
   private val (acCode, acSize) = buildCodes(AcBits, AcVals)
 
+  // 12-bit DC table: categories 0..15 (T.81 F.1.2.1.1 allows SSSS up
+  // to 15 at 12-bit precision; Annex K's table stops at 11), all at
+  // code length 5 — 16 of 32 codes used, all-ones reserved.
+  private val Dc12Bits: Array[Int] =
+    Array(0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val Dc12Vals: Array[Int] = (0 to 15).toArray
+  private val (dc12Code, dc12Size) = buildCodes(Dc12Bits, Dc12Vals)
+
   private val FwdCt: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
     val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
     cu / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
@@ -1166,6 +1194,24 @@ object JpegEncode {
     encode(w, h, pix, if (restartRows) bx else 0)
   }
 
+  /** 12-BIT blocky fixture (SOF1 extended sequential, T.81 process 2
+    * with Huffman coding): per-block-constant 12-bit pixels
+    * (seed + 5bx + 11by) mod 4096. The constant-block construction is
+    * lossless here exactly as at 8 bits — DC = 8·(v − 2048) and the
+    * flat quantizer 8 divides it, so the decoded sums equal the
+    * formula sums with zero codec arithmetic in the oracle. Streams
+    * carry the Pq=1 (16-bit-entry) DQT form and the 16-symbol DC
+    * table, certifying both 12-bit parse paths. */
+  def encodeBlocky12(w: Int, h: Int, seed: Long, restartRows: Boolean): Array[Byte] = {
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 20) || seed < 0) return null
+    val bx = (w + 7) / 8
+    val pix = (px: Int, py: Int) =>
+      java.lang.Math.floorMod(seed + 5L * (px / 8) + 11L * (py / 8), 4096L).toInt
+    try encodeInterleaved(w, h, 1, 1, Array(pix),
+      if (restartRows) bx else 0, prec = 12)
+    catch { case _: IllegalArgumentException => null }
+  }
+
   /** General baseline grayscale encoder over any pixel function —
     * forward DCT (double), quantize by [[Quant]], Annex-K Huffman.
     * `restartInterval` in MCUs (0 = none). */
@@ -1187,8 +1233,14 @@ object JpegEncode {
     * blocks replicate the last row/column — constant blocks stay
     * constant, the exact-oracle keystone. */
   private def encodeInterleaved(w: Int, h: Int, hs: Int, vs: Int,
-      comps: Array[(Int, Int) => Int], restartInterval: Int): Array[Byte] = {
+      comps: Array[(Int, Int) => Int], restartInterval: Int,
+      prec: Int = 8): Array[Byte] = {
     val nComp = comps.length
+    val half = 1 << (prec - 1)
+    // 12-bit streams use the 16-symbol DC table; the Annex-K AC table
+    // serves both depths (sizes beyond its 10-bit ceiling refuse below)
+    val (dCode, dSize) =
+      if (prec == 12) (dc12Code, dc12Size) else (dcCode, dcSize)
     val mcusX = (w + 8 * hs - 1) / (8 * hs)
     val mcusY = (h + 8 * vs - 1) / (8 * vs)
     // per-component sample-grid bounds (for edge replication)
@@ -1204,16 +1256,23 @@ object JpegEncode {
     }
     marker(0xD8) // SOI
     // DQT: table 0, zigzag order (flat, so order is moot — written
-    // spec-correctly anyway); shared by every component
-    seg(0xDB, Array(0x00) ++ Array.fill(64)(Quant))
-    // SOF0: 8-bit, h x w; component 0 samples (hs, vs), chroma 1x1
+    // spec-correctly anyway); shared by every component. The 12-bit
+    // form stores 16-bit entries (Pq=1), certifying that parse path.
+    if (prec == 12)
+      seg(0xDB, Array(0x10) ++ Array.fill(64)(Quant).flatMap(v =>
+        Array(v >> 8, v & 0xFF)))
+    else seg(0xDB, Array(0x00) ++ Array.fill(64)(Quant))
+    // SOF0 (8-bit baseline) or SOF1 (12-bit extended sequential);
+    // component 0 samples (hs, vs), chroma 1x1
     val sofComps =
       if (nComp == 1) Array(1, 0x11, 0)
       else Array(1, (hs << 4) | vs, 0, 2, 0x11, 0, 3, 0x11, 0)
-    seg(0xC0, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, nComp) ++ sofComps)
+    seg(if (prec == 12) 0xC1 else 0xC0,
+      Array(prec, h >> 8, h & 0xFF, w >> 8, w & 0xFF, nComp) ++ sofComps)
     // DHT: DC table 0, AC table 0 (Annex-K luminance for every
     // component — legal, the scan just selects table 0 thrice)
-    seg(0xC4, Array(0x00) ++ DcBits ++ DcVals)
+    if (prec == 12) seg(0xC4, Array(0x00) ++ Dc12Bits ++ Dc12Vals)
+    else seg(0xC4, Array(0x00) ++ DcBits ++ DcVals)
     seg(0xC4, Array(0x10) ++ AcBits ++ AcVals)
     if (restartInterval > 0)
       seg(0xDD, Array(restartInterval >> 8, restartInterval & 0xFF))
@@ -1237,7 +1296,7 @@ object JpegEncode {
         while (x < 8) {
           val px = math.min(ox + x, compW(c) - 1)
           val py = math.min(oy + y, compH2(c) - 1)
-          samples(y * 8 + x) = pix(px, py) - 128.0
+          samples(y * 8 + x) = pix(px, py) - half.toDouble
           x += 1
         }
         y += 1
@@ -1266,7 +1325,7 @@ object JpegEncode {
       val diff = coef(0) - preds(c)
       preds(c) = coef(0)
       val t = category(diff)
-      bw.write(dcCode(t), dcSize(t))
+      bw.write(dCode(t), dSize(t))
       if (t > 0) {
         val bits = if (diff < 0) diff + (1 << t) - 1 else diff
         bw.write(bits, t)
@@ -1280,6 +1339,11 @@ object JpegEncode {
         else {
           while (run > 15) { bw.write(acCode(0xF0), acSize(0xF0)); run -= 16 }
           val s = category(cv)
+          // the Annex-K AC table stops at 10 magnitude bits: a 12-bit
+          // input whose quantized AC needs more refuses rather than
+          // emitting a zero-length (corrupt) code
+          if (s > 10) throw new IllegalArgumentException(
+            s"AC category $s beyond the Annex-K table")
           val rs = (run << 4) | s
           bw.write(acCode(rs), acSize(rs))
           val bits = if (cv < 0) cv + (1 << s) - 1 else cv

@@ -317,6 +317,16 @@ object VectorExpressions {
       "graft_jpeg_encode",
       exprs => JpegEncode(exprs(0), exprs(1), exprs(2), exprs(3)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jpeg_encode12",
+      exprs => graft.plans.SynthExpr(exprs, "graft_jpeg_encode12",
+        Seq(org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.BooleanType),
+        vs => JpegEncode.encodeBlocky12(vs(0).asInstanceOf[Int],
+          vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Long],
+          vs(3).asInstanceOf[Boolean])), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jpeg_encode_color",
       exprs => JpegEncodeColor(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -537,6 +547,14 @@ object VectorExpressions {
   /** Deterministic exactly-decodable LOSSLESS-JPEG synthesis
     * (plans.JpegEncode.encodeLossless: SOF3, predictor 1..7, gray or
     * 3-component), column form; same registration precondition. */
+  /** 12-bit blocky SOF1 synthesis (plans.JpegEncode.encodeBlocky12),
+    * column form; same registration precondition. */
+  def jpegEncode12(w: Column, h: Column, seed: Column,
+      restartRows: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_jpeg_encode12", w, h, seed, restartRows)
+  }
+
   def jpegEncodeLossless(w: Column, h: Column, seed: Column, nComp: Column,
       pred: Column, prec: Column): Column = {
     SparkSession.getActiveSession.foreach(register)

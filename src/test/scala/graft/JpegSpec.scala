@@ -454,6 +454,61 @@ class JpegSpec extends SparkSpec {
     }
   }
 
+  test("12-bit extended sequential (SOF1): blocky round-trip, restarts, hostile precisions") {
+    import graft.plans.{JpegEncode, JpegPixels}
+    for {
+      (w, h) <- Seq((1, 1), (9, 7), (16, 11), (23, 27), (8, 8))
+      rst <- Seq(false, true)
+    } {
+      val seed = 31L * w + h + (if (rst) 7 else 0)
+      val j = JpegEncode.encodeBlocky12(w, h, seed, rst)
+      assert(j != null, s"12-bit encode failed w=$w h=$h rst=$rst")
+      val r = JpegPixels.parse(j)
+      assert(r != null, s"12-bit parse refused w=$w h=$h rst=$rst")
+      var sg = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        sg += java.lang.Math.floorMod(seed + 5L * (x / 8) + 11L * (y / 8), 4096L)
+      assert(r.getInt(0) === w && r.getInt(1) === h)
+      // constant blocks are lossless at 12 bits exactly as at 8: the
+      // flat quantizer 8 divides DC = 8*(v-2048); gray replicates
+      assert(r.getLong(2) === sg && r.getLong(3) === sg && r.getLong(4) === sg,
+        s"12-bit sums diverge w=$w h=$h rst=$rst")
+      // samples above 255 actually occur (the depth is load-bearing)
+      assert(sg > 255L * w * h || seed % 4096 < 256,
+        s"fixture degenerated to 8-bit range w=$w h=$h")
+    }
+    // hostile precision bytes: SOF1 admits 8 or 12 ONLY; SOF0/SOF2 8 only
+    val good = JpegEncode.encodeBlocky12(16, 16, 5L, false)
+    val sofAt = (0 until good.length - 1).find(i =>
+      (good(i) & 0xFF) == 0xFF && (good(i + 1) & 0xFF) == 0xC1).get
+    for (bad <- Seq(10, 16)) {
+      val c = good.clone(); c(sofAt + 4) = bad.toByte
+      assert(JpegPixels.parse(c) == null, s"SOF1 precision $bad accepted")
+    }
+    val asSof0 = good.clone(); asSof0(sofAt + 1) = 0xC0.toByte
+    assert(JpegPixels.parse(asSof0) == null, "SOF0 must stay 8-bit only")
+    // truncations never throw
+    for (n <- 0 until good.length by 7)
+      assert(JpegPixels.parse(good.take(n)) == null || n >= good.length - 2)
+  }
+
+  test("mm_jpeg12 serves decoded 12-bit stats with corrupt docs as NULL") {
+    val rows = graft.operators.Multimodal.jpeg12Q(spark, sf).collect()
+    assert(rows.length > 0)
+    val corrupt = rows.filter(_.getLong(0) % 157 == 0)
+    assert(corrupt.nonEmpty && corrupt.forall(_.isNullAt(1)),
+      "corrupt docs must surface NULL stats")
+    val good = rows.filter(r => r.getLong(0) % 157 != 0)
+    assert(good.forall(!_.isNullAt(1)), "every valid 12-bit doc must decode")
+    val r0 = good.maxBy(_.getLong(0))
+    val id = r0.getLong(0)
+    val (w, h) = ((id % 23 + 9).toInt, ((id * 3) % 19 + 9).toInt)
+    var sg = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      sg += java.lang.Math.floorMod(id + 5L * (x / 8) + 11L * (y / 8), 4096L)
+    assert(r0.getInt(1) === w && r0.getInt(2) === h && r0.getLong(3) === sg)
+  }
+
   test("lossless (SOF3) decodes exactly across all seven predictors and 8/12/16-bit depths") {
     import graft.plans.{JpegEncode, JpegPixels}
     for {

@@ -107,6 +107,10 @@ class ParserFuzzSpec extends AnyFunSuite {
     // stream and the lossless-specific SOS fields
     val fullJpegLossless = graft.plans.JpegEncode.encodeLossless(17, 12, 77L, 3, 4, 12)
     assert(graft.plans.JpegPixels.parse(fullJpegLossless) != null)
+    // 12-bit extended sequential (SOF1): corruptions land in the
+    // Pq=1 wide DQT entries and the 16-symbol DC table
+    val fullJpeg12 = graft.plans.JpegEncode.encodeBlocky12(17, 12, 77L, true)
+    assert(graft.plans.JpegPixels.parse(fullJpeg12) != null)
     // a REAL MJPEG AVI: corruptions land in the RIFF chunk walk, the
     // word-alignment padding, and the per-frame JPEG streams
     val fullAvi = graft.plans.AviEncode.encode(17, 12, 2, 77L, 1)
@@ -135,12 +139,12 @@ class ParserFuzzSpec extends AnyFunSuite {
     // encodings (uncompressed / LZW / LZW+predictor): corruptions land
     // in the IFD entry walk, the out-of-line value arrays, the strip
     // bounds arithmetic, and the LZW code stream
-    val fullTiffs = (0 to 47).map(mode =>
+    val fullTiffs = (0 to 51).map(mode =>
       graft.plans.TiffEncode.encode(9, 7, 77L, mode, 2))
     fullTiffs.foreach(f => assert(graft.plans.TiffPixels.parse(f) != null))
     val rnd = new scala.util.Random(0xF00D)
     for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif, fullJpeg,
-        fullJpegColor, fullJpegLossless, fullAvi, fullWav, fullFloat) ++
+        fullJpegColor, fullJpegLossless, fullJpeg12, fullAvi, fullWav, fullFloat) ++
         fullG711s ++ fullMp4s ++ fullTiffs;
         _ <- 0 until 800) {
       val truncated = f.take(rnd.nextInt(f.length + 1))
