@@ -503,6 +503,7 @@ object Queries {
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "text_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     "text_bpe_merges" -> ((s: SparkSession, d: String) => TextAnalysis.bpeMerges(s, d)),
+    "text_bpe_tokenize" -> ((s: SparkSession, d: String) => TextAnalysis.bpeTokenize(s, d)),
     "text_clean" -> ((s: SparkSession, d: String) => TextAnalysis.clean(s, d)),
     "dedup_paragraphs" -> ((s: SparkSession, d: String) => Dedup.paragraphDedup(s, d)),
     "dedup_paragraph_flags" -> ((s: SparkSession, d: String) => Dedup.paragraphFlags(s, d)),
@@ -2191,10 +2192,12 @@ object Queries {
     val served = graft.operators.TextAnalysis.servedBpeMerges.asScala.toMap
     served.toSeq match {
       case Seq((_, merges)) if merges.nonEmpty =>
-        Map("text_bpe_merges" -> bpeMergesOracleFor(merges))
+        Map("text_bpe_merges" -> bpeMergesOracleFor(merges),
+          "text_bpe_tokenize" -> bpeTokenizeOracleFor(merges))
       case Seq() | Seq((_, Seq())) =>
-        Map("text_bpe_merges" ->
-          "SELECT 'text_bpe_merges served no merges - query failed before training' AS error")
+        Seq("text_bpe_merges", "text_bpe_tokenize").map(n => n ->
+          s"SELECT '$n served no merges - query failed before training' AS error")
+          .toMap
       case many =>
         System.err.println(
           s"[graft] bpe oracle omitted: merges served for ${many.size} dirs " +
@@ -2226,6 +2229,30 @@ object Queries {
     }
     s"WITH $duckBpeVocab, ${ctes.toString.stripSuffix(", ")} " +
       s"SELECT rank, pair_a, pair_b, merged, freq FROM ($rows) ORDER BY rank"
+  }
+
+  // Tokenizer APPLICATION twin: every word runs the served merge chain
+  // (one list_reduce per merge, the engine's fold literally) and the
+  // per-doc char/token totals must agree — certifies that applying the
+  // artifact downstream gives identical segmentations cross-engine.
+  private def bpeTokenizeOracleFor(merges: Seq[(String, String, Long)]): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val chain = merges.zipWithIndex.map { case ((a, b, _), i) =>
+      val r = i + 1
+      val (ea, eb, em) = (esc(a), esc(b), esc(a + b))
+      s"s$r AS (SELECT doc_id, nc, CASE WHEN len(s) <= 1 THEN s ELSE " +
+        s"list_reduce(list_transform(s, e -> [e]), (acc, x) -> " +
+        s"CASE WHEN acc[-1] = '$ea' AND x[1] = '$eb' " +
+        s"THEN acc[1:len(acc)-1] || ['$em'] ELSE acc || x END) END AS s " +
+        s"FROM s${r - 1})"
+    }.mkString(", ")
+    s"WITH w AS (SELECT doc_id, unnest($duckToks) AS word FROM documents), " +
+      "w2 AS (SELECT doc_id, word FROM w WHERE len(word) > 0), " +
+      "s0 AS (SELECT doc_id, len(word) AS nc, string_split(word, '') AS s FROM w2), " +
+      s"$chain " +
+      s"SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n_chars, " +
+      s"CAST(sum(len(s)) AS BIGINT) AS n_bpe_tokens " +
+      s"FROM s${merges.length} GROUP BY doc_id ORDER BY doc_id"
   }
 
   def all: Map[String, Q] = timeSeries ++ relational ++ extensions ++ analytics

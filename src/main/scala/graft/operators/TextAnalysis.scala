@@ -706,6 +706,41 @@ object TextAnalysis {
       out.result()
     }
 
+  /** APPLY the learned merges corpus-wide: per-document BPE token
+    * accounting under the trained tokenizer — the downstream consumer
+    * of [[bpeMergeList]] (training-cost estimates bill by THESE
+    * counts, not whitespace words). Each word's character symbols run
+    * through the merge chain (one [[mergeOnce]] fold per learned
+    * merge, all inside one scan's expressions); output is per-doc
+    * total chars vs post-merge token count. At 100 TB this is a scan
+    * with a broadcast-free, state-free expression chain — the trained
+    * artifact rides the PLAN as literals. */
+  def bpeTokenize(spark: SparkSession, dir: String, rounds: Int = 10): DataFrame = {
+    val merges = bpeMergeList(spark, dir, rounds)
+    servedBpeMerges.put(dir, merges)
+    val words = Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    // one PROJECTION per merge, not one nested expression: mergeOnce
+    // references its input several times, so a directly-chained tree
+    // grows ~4^rounds nodes (it OOMed plan conversion at 10 rounds);
+    // as staged projections each fold references the previous stage's
+    // ATTRIBUTE, the tree stays linear, and CollapseProject leaves
+    // multi-reference non-cheap projections uncollapsed
+    var staged = words.select(col("doc_id"),
+      length(col("word")).cast("long").as("nc"),
+      charSyms(col("word")).as("s"))
+    merges.foreach { case (a, b, _) =>
+      staged = staged.select(col("doc_id"), col("nc"),
+        mergeOnce(col("s"), a, b).as("s"))
+    }
+    staged
+      .select(col("doc_id"), col("nc"), size(col("s")).cast("long").as("nt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nc")).as("n_chars"), sum(col("nt")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The registered training query: one row per learned merge —
     * (rank, a, b, merged token, frequency at merge time). Oracled
     * post-run: the generated DuckDB twin recomputes every round's

@@ -10,24 +10,29 @@ import graft.operators.TextAnalysis
   * post-run oracle's job (bpeMergesOracleFor). */
 class BpeSpec extends SparkSpec {
 
-  /** Reference implementation: word frequencies and greedy
-    * left-to-right skip-scan merging, the textbook formulation. */
+  /** Greedy left-to-right skip-scan merge — the textbook formulation,
+    * deliberately different from the engine's Catalyst fold. */
+  private def mergeVec(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]; var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refWords(texts: Seq[String]): Seq[String] =
+    texts.flatMap(t =>
+      t.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")).filter(_.nonEmpty)
+
+  /** Reference implementation: word frequencies and skip-scan merges. */
   private def referenceMerges(texts: Seq[String],
       rounds: Int): Seq[(String, String, Long)] = {
-    val words = texts.flatMap(t =>
-      t.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")).filter(_.nonEmpty)
+    val words = refWords(texts)
     var vocab: Map[Vector[String], Long] = words
       .groupBy(identity).map { case (w, ws) =>
         w.map(_.toString).toVector -> ws.size.toLong }
-    def mergeVec(syms: Vector[String], a: String, b: String): Vector[String] = {
-      val out = Vector.newBuilder[String]; var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-          out += (a + b); i += 2
-        } else { out += syms(i); i += 1 }
-      }
-      out.result()
-    }
     val merges = Seq.newBuilder[(String, String, Long)]
     var r = 0
     var live = true
@@ -86,6 +91,30 @@ class BpeSpec extends SparkSpec {
     val got = TextAnalysis.bpePairs(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(got === want)
+  }
+
+  test("applying the merges reproduces the reference segmentation totals") {
+    val texts = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val merges = referenceMerges(texts.map(_._2), 10)
+    // per-doc totals under reference skip-scan application of the chain
+    val want = texts.map { case (id, t) =>
+      val words = refWords(Seq(t))
+      val nChars = words.map(_.length.toLong).sum
+      val nTok = words.map { w =>
+        merges.foldLeft(w.map(_.toString).toVector) {
+          case (v, (a, b, _)) => mergeVec(v, a, b)
+        }.length.toLong
+      }.sum
+      (id, nChars, nTok)
+    }.filter(_._2 > 0).sortBy(_._1)
+    val got = graft.operators.TextAnalysis.bpeTokenize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+    // the tokenizer is load-bearing: merges strictly reduce the token
+    // count below the character count somewhere
+    assert(got.exists { case (_, nc, nt) => nt < nc })
   }
 
   test("training is memoized per corpus and deterministic across serves") {
