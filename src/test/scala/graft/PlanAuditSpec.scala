@@ -490,4 +490,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(scanLine.exists(l => pf.findFirstIn(l).isDefined),
       s"index scan lost its cell partition filter:\n$plan")
   }
+
+  test("r12 additions keep their shuffle budgets (bpe, diversity)") {
+    import graft.operators.{Similarity, TextAnalysis}
+    // bpe pair table: the documentsParallel spread + the word-freq agg
+    // + the pair agg — three exchanges; the top-k lowers to
+    // TakeOrdered (per-partition heaps), never a global sort
+    val pairs = TextAnalysis.bpePairs(spark, sf)
+    val pairPlan = planOf(pairs)
+    assert("Exchange".r.findAllIn(pairPlan).length <= 3,
+      s"bpe pair table grew extra shuffles:\n$pairPlan")
+    assert(pairPlan.contains("TakeOrdered"),
+      s"bpe pair top-k should lower to TakeOrderedAndProject:\n$pairPlan")
+    // tokenizer application: the merge chain is pure per-row expression
+    // work — one aggregation exchange plus the presentation sort only
+    val tok = TextAnalysis.bpeTokenize(spark, sf)
+    val tokPlan = planOf(tok)
+    assert("Exchange".r.findAllIn(tokPlan).length <= 3,
+      s"bpe tokenize grew extra shuffles:\n$tokPlan")
+    assert(!tokPlan.contains("CartesianProduct") &&
+      !tokPlan.contains("BroadcastNestedLoopJoin"),
+      s"bpe tokenize must stay join-free:\n$tokPlan")
+    // diversity sample: one window exchange over the index scan plus
+    // the presentation sort; no joins anywhere
+    val div = Similarity.diversitySample(spark, sf)
+    val divPlan = planOf(div)
+    assert("Exchange".r.findAllIn(divPlan).length <= 2,
+      s"diversity sample grew extra shuffles:\n$divPlan")
+    assert(!divPlan.contains("CartesianProduct") &&
+      !divPlan.contains("BroadcastNestedLoopJoin"),
+      s"diversity sample must stay join-free:\n$divPlan")
+  }
 }
