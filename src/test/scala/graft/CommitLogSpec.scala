@@ -1293,6 +1293,41 @@ class CommitLogSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("claim-by-rename under real contention: concurrent appends all land exactly once") {
+    val t = tempTable()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      import spark.implicits._
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      // 8 threads x 4 blind appends racing on ONE log directory: the
+      // version-claim loop must give every commit a distinct version
+      // with no lost update and no duplicated rows — the atomicity the
+      // whole format rests on, pinned under real thread contention
+      // rather than the single-writer spec flow
+      val versions = Await.result(
+        Future.sequence((0 until 8).map { th =>
+          Future {
+            (0 until 4).map { i =>
+              CommitLog.append(spark, t,
+                Seq((th * 100L + i, s"t$th-$i")).toDF("id", "s").coalesce(1))
+            }
+          }
+        }), Duration(600, "s")).flatten
+      assert(versions.toSet.size === 32, s"versions collided: $versions")
+      assert(versions.min === 0L && versions.max === 31L)
+      val rows = CommitLog.read(spark, t).collect()
+      assert(rows.length === 32, s"rows lost or duplicated: ${rows.length}")
+      assert(rows.map(_.getLong(0)).toSet.size === 32)
+      // history replays cleanly through every contended commit
+      assert(CommitLog.read(spark, t, asOf = Some(15L)).count() === 16)
+    } finally {
+      pool.shutdown()
+      cleanup(t)
+    }
+  }
+
   test("metaCache bounds per-table pins; evicted versions re-resolve") {
     val t = tempTable()
     try {

@@ -1004,6 +1004,44 @@ class StreamingSpec extends SparkSpec {
       assert(CommitLog.txnResolves.get() === 1L,
         s"bm25Pinned resolved the manifest ${CommitLog.txnResolves.get()} times; " +
           "both roles must come from ONE txnPins snapshot")
+
+      // the THIRD crash window: ALL children commit but the parent
+      // manifest never lands — the transaction is complete on disk yet
+      // must stay INVISIBLE to pinned serving until the replay
+      // publishes the parent (visibility is the manifest's, not the
+      // children's)
+      val encore = Seq((20L, "big order scan encore"))
+      writeDocs(encore)
+      val positions2 = encore.toDF("doc_id", "text")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.posexplode(
+            graft.functions.TextFunctions.tokens(
+              org.apache.spark.sql.functions.col("text"))))
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("col").as("token"),
+          (org.apache.spark.sql.functions.col("pos") + 1).cast("long").as("pos"))
+      val postings2 = positions2.groupBy("token", "doc_id")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("tf"))
+      val norms2 = postings2.groupBy("doc_id")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("tf")).cast("long").as("dl"))
+      assert(CommitLog.appendStream(spark, norms, norms2, 2L,
+        statsCols = Seq("doc_id")).isDefined)
+      assert(CommitLog.appendStream(spark, pos, positions2, 2L,
+        bloomCols = Seq("token")).isDefined)
+      assert(CommitLog.appendStream(spark, idx, postings2, 2L,
+        bloomCols = Seq("token")).isDefined)
+      assert(phraseDocs() === Set(1L, 2L, 10L),
+        "fully-committed-but-unpublished transaction leaked into phrase")
+      assert(bm25Docs() === Set(1L, 2L, 3L, 10L),
+        "fully-committed-but-unpublished transaction leaked into BM25")
+      // replay: all three children no-op through their ledgers, the
+      // parent lands, doc 20 becomes visible atomically
+      runStream()
+      assert(phraseDocs() === Set(1L, 2L, 10L, 20L))
+      assert(bm25Docs() === Set(1L, 2L, 3L, 10L, 20L))
+      assert(CommitLog.read(spark, norms).filter("doc_id = 20").count() === 1)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
