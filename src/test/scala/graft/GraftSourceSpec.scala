@@ -720,6 +720,22 @@ class GraftSourceSpec extends SparkSpec {
         .select(col("k"), col("va"), col("vb")).collect()
         .map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSet
       assert(got === control && got.size === 62)
+      // the "never wrong" half: with partiallyClusteredDistribution
+      // OFF, Spark regroups the same-key splits into one task per key
+      // — splitting costs nothing when the escape valve is unused
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+        "false")
+      val j2 = spark.read.format("graft").option("clusterBy", "k").load(t1)
+        .join(spark.read.format("graft").option("clusterBy", "k").load(t2), "k")
+      assert(!j2.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "regrouped SPJ must stay shuffle-free")
+      assert(j2.queryExecution.toRdd.getNumPartitions === 3,
+        "same-key splits must regroup to one task per key when the valve is off")
+      val got2 = j2.select(col("k"), col("va"), col("vb")).collect()
+        .map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSet
+      assert(got2 === control)
     } finally {
       keep.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
