@@ -629,7 +629,7 @@ object TextAnalysis {
     * UDF: the fold keeps the whole training loop in Catalyst
     * expressions, and DuckDB's list_reduce replays the IDENTICAL fold
     * in the generated oracle. */
-  private def mergeOnce(syms: Column, a: String, b: String): Column = {
+  private[graft] def mergeOnce(syms: Column, a: String, b: String): Column = {
     val merged = a + b
     when(size(syms) <= 1, syms).otherwise(
       aggregate(

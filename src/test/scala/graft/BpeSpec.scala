@@ -117,6 +117,31 @@ class BpeSpec extends SparkSpec {
     assert(got.exists { case (_, nc, nt) => nt < nc })
   }
 
+  test("the Catalyst merge fold equals the skip-scan reference on adversarial arrays") {
+    import org.apache.spark.sql.functions.{col, typedLit}
+    // overlap chains, self-pairs, merged-token-lookalike inputs: the
+    // cases where a left fold and a skip-scan could diverge if the
+    // consumed-pair semantics were off by one
+    val arrays = Seq(
+      Seq("a"), Seq("a", "a"), Seq("a", "a", "a"), Seq("a", "a", "a", "a"),
+      Seq("a", "b", "a", "b"), Seq("b", "a", "b", "a", "b"),
+      Seq("a", "b", "b", "a"), Seq("aa", "a", "a"), Seq("a", "aa", "a"),
+      Seq("ab", "a", "b"), Seq("a", "b", "ab"), Seq("x", "a", "b", "y", "a", "b"))
+    val pairs = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("aa", "a"))
+    for ((a, b) <- pairs) {
+      import spark.implicits._
+      val df = arrays.zipWithIndex.toDF("arr", "i")
+      val got = df
+        .select(col("i"), TextAnalysis.mergeOnce(col("arr"), a, b).as("m"))
+        .orderBy(col("i")).collect()
+        .map(_.getSeq[String](1).toVector)
+      val want = arrays.map(s => mergeVec(s.toVector, a, b))
+      got.zip(want).zip(arrays).foreach { case ((g, w), in) =>
+        assert(g === w, s"fold diverges from skip-scan on $in with pair ($a,$b)")
+      }
+    }
+  }
+
   test("training is memoized per corpus and deterministic across serves") {
     val a = TextAnalysis.bpeMergeList(spark, sf)
     val b = TextAnalysis.bpeMergeList(spark, sf)
