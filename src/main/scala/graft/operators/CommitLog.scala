@@ -2349,6 +2349,27 @@ object CommitLog {
       }
       .filterNot(s => referencedNames.contains(s.getPath.getName))
       .foreach(s => fs.delete(s.getPath, false))
+    // crashed-write staging sweep: a writer that died between
+    // `df.write` and the rename pass leaves its `_staging_<stamp>`
+    // directory behind — invisible to every reader (no commit ever
+    // references it; the rename emptied committed ones) but leaked
+    // disk forever. The same age gate protects an IN-FLIGHT write's
+    // staging dir from a racing vacuum; a crashed write's orphan is
+    // swept once it ages past the grace window.
+    val root2 = new Path(tablePath)
+    fs.listStatus(root2)
+      .filter { s =>
+        s.isDirectory && s.getPath.getName.startsWith("_staging_") && {
+          // age by the NEWEST entry inside, not the dir inode: a slow
+          // in-flight write keeps creating part files, so its newest
+          // child stays young while a crashed write's never moves
+          val newest = (s.getModificationTime +: scala.util.Try(
+            fs.listStatus(s.getPath).map(_.getModificationTime).toSeq)
+            .getOrElse(Seq.empty)).max
+          now - newest >= graceMs
+        }
+      }
+      .foreach(s => fs.delete(s.getPath, true))
     ()
   }
 

@@ -1249,10 +1249,22 @@ class CommitLogSpec extends SparkSpec {
       CommitLog.vacuum(spark, t, keepFrom = CommitLog.latestVersion(spark, t))
       assert(orphan.exists,
         "sweep reaped a young sidecar inside the grace window")
+      // a crashed write's staging dir: invisible to readers but leaked
+      // disk — swept by vacuum once aged past the same grace window
+      val staging = new java.io.File(s"$t/_staging_deadbeef")
+      staging.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(staging, "part-0.parquet").toPath, Array[Byte](7))
+      CommitLog.vacuum(spark, t, keepFrom = CommitLog.latestVersion(spark, t))
+      assert(staging.exists,
+        "sweep reaped a young staging dir inside the grace window")
       spark.conf.set("spark.graft.commitlog.dvSweepGraceMs", "0")
       try {
         CommitLog.vacuum(spark, t, keepFrom = CommitLog.latestVersion(spark, t))
         assert(!orphan.exists, "aged orphan sidecar must be swept")
+        assert(!staging.exists, "aged crashed-write staging dir must be swept")
+        // the table still reads after the sweeps
+        assert(CommitLog.read(spark, t).count() === 100)
       } finally spark.conf.unset("spark.graft.commitlog.dvSweepGraceMs")
     } finally cleanup(t)
   }
