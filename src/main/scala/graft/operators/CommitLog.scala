@@ -1901,6 +1901,18 @@ object CommitLog {
     val keys = df.select(keyCols: _*).distinct().limit(maxKeys + 1).collect()
     require(!keys.exists(r => cols.indices.exists(r.isNullAt)),
       s"clusterBy: NULL values in ${cols.mkString(",")} have no zone")
+    // NaN keys must refuse like NULLs: distinct GROUPS NaN rows (so
+    // they surface here) but equality JOINS/filters never match NaN —
+    // proceeding would silently DROP those rows from the rewrite (a
+    // latent bug in the pre-r12 per-key filtered scans too); a NaN
+    // zone also cannot be a point, so the layout couldn't serve anyway
+    require(!keys.exists(r => cols.indices.exists { i =>
+      r.get(i) match {
+        case d: java.lang.Double => d.isNaN
+        case f: java.lang.Float => f.isNaN
+        case _ => false
+      }
+    }), s"clusterBy: NaN values in ${cols.mkString(",")} have no point zone")
     require(keys.length <= maxKeys,
       s"clusterBy: more than $maxKeys distinct ${cols.mkString(",")} tuples — " +
         "cluster on a lower-cardinality (partition-like) column")

@@ -1339,9 +1339,11 @@ object JpegEncode {
         else {
           while (run > 15) { bw.write(acCode(0xF0), acSize(0xF0)); run -= 16 }
           val s = category(cv)
-          // the Annex-K AC table stops at 10 magnitude bits: a 12-bit
-          // input whose quantized AC needs more refuses rather than
-          // emitting a zero-length (corrupt) code
+          // the Annex-K AC table stops at 10 magnitude bits: an input
+          // whose quantized AC needs more refuses rather than emitting
+          // a zero-length (silently corrupt) code. Unreachable at
+          // 8-bit (|coef| is DCT-bounded under category 10 there);
+          // the 12-bit public entry catches this into a NULL.
           if (s > 10) throw new IllegalArgumentException(
             s"AC category $s beyond the Annex-K table")
           val rs = (run << 4) | s

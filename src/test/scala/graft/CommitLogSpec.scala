@@ -1305,6 +1305,22 @@ class CommitLogSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("cluster-by refuses NaN keys instead of silently dropping their rows") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      // NaN groups in distinct but never equi-matches: proceeding
+      // would drop these rows from the rewrite (data loss) — refuse
+      CommitLog.append(spark, t,
+        Seq((1L, 1.0), (2L, 2.0), (3L, Double.NaN)).toDF("id", "k"))
+      val e = intercept[IllegalArgumentException](
+        CommitLog.optimizeClusterBy(spark, t, Seq("k")))
+      assert(e.getMessage.contains("NaN"))
+      // nothing was committed: all three rows still read
+      assert(CommitLog.read(spark, t).count() === 3)
+    } finally cleanup(t)
+  }
+
   test("claim-by-rename under real contention: concurrent appends all land exactly once") {
     val t = tempTable()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
