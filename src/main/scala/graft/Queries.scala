@@ -488,6 +488,7 @@ object Queries {
     "mm_png_frames" -> (Multimodal.pngFramesQ _),
     "mm_jpeg_pixels" -> (Multimodal.jpegPixelsQ _),
     "mm_jpeg12" -> (Multimodal.jpeg12Q _),
+    "mm_bmp_resize" -> (Multimodal.bmpResizeQ _),
     "mm_jpeg_color" -> (Multimodal.jpegColorQ _),
     "mm_jpeg_progressive" -> (Multimodal.jpegProgressiveQ _),
     "mm_jpeg_lossless" -> (Multimodal.jpegLosslessQ _),
@@ -998,6 +999,27 @@ object Queries {
       s"CASE WHEN doc_id % 83 = 0 THEN NULL ELSE CAST(${chan("1", "11")} AS BIGINT) END AS sum_b, " +
       "CASE WHEN doc_id % 83 = 0 THEN NULL ELSE CAST(2 * (1 + doc_id % 3) * (1 + doc_id % 4) AS BIGINT) END AS n_pixels " +
       "FROM documents ORDER BY doc_id"
+    },
+    // nearest-neighbor thumbnail twin: the fixture BMP alternates two
+    // pixel values by COLUMN PARITY (rows identical), so which source
+    // columns the 3x2 target samples — floor(x2*w/3) — is pure integer
+    // arithmetic; 2x for the two identical target rows. A wrong sample
+    // map, row flip, or padding treatment changes the sums.
+    "mm_bmp_resize" -> {
+      def cell(a: String, b: String) =
+        s"sum(CASE WHEN ((x2 * w) // 3) % 2 = 0 THEN (doc_id * $a) % 256 ELSE (doc_id * $b) % 256 END)"
+      "WITH d AS (SELECT doc_id, 2 * (1 + doc_id % 3) AS w FROM documents), " +
+      "g AS (SELECT doc_id, w, unnest(range(3)) AS x2 FROM d WHERE doc_id % 83 <> 0), " +
+      s"s AS (SELECT doc_id, 2 * ${cell("7", "17")} AS sr, " +
+      s"2 * ${cell("3", "13")} AS sg, 2 * ${cell("1", "11")} AS sb " +
+      "FROM g GROUP BY doc_id) " +
+      "SELECT d.doc_id, " +
+      "CASE WHEN d.doc_id % 83 = 0 THEN NULL ELSE 3 END AS width, " +
+      "CASE WHEN d.doc_id % 83 = 0 THEN NULL ELSE 2 END AS height, " +
+      "CAST(s.sr AS BIGINT) AS sum_r, CAST(s.sg AS BIGINT) AS sum_g, " +
+      "CAST(s.sb AS BIGINT) AS sum_b, " +
+      "CASE WHEN d.doc_id % 83 = 0 THEN NULL ELSE CAST(6 AS BIGINT) END AS n_pixels " +
+      "FROM d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"
     },
     // compressed-pixel twin: the encoder writes pixel (x,y) channels
     // from doc_id arithmetic (PngEncode scaladoc), so the oracle

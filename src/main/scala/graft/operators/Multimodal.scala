@@ -539,6 +539,22 @@ object Multimodal {
         col("s.sum_b").as("sum_b"), col("s.n_pixels").as("n_pixels"))
       .orderBy(col("doc_id"))
 
+  /** Thumbnailing triage: every BMP nearest-neighbor-resized to a
+    * fixed 3×2 thumbnail, stats over the SAMPLED pixels — work is
+    * O(target) per image regardless of source size, the point of
+    * triage-by-thumbnail. The fixture's column-parity pattern makes
+    * the sampled sums exactly SQL-restatable (which source columns the
+    * ⌊x2·w/w2⌋ map lands on is pure integer arithmetic). */
+  def bmpResizeQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "bmp")
+      .select(col("doc_id"), graft.plans.VectorExpressions.bmpResize(
+        col("bmp"), lit(3), lit(2)).as("s"))
+      .select(col("doc_id"),
+        col("s.width").as("width"), col("s.height").as("height"),
+        col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),
+        col("s.sum_b").as("sum_b"), col("s.n_pixels").as("n_pixels"))
+      .orderBy(col("doc_id"))
+
   /** COMPRESSED pixel decode (plans.PngStats) over the stored PNG
     * column: concatenate IDATs → zlib inflate → unfilter all five
     * scanline predictors → channel sums. The oracle recomputes the

@@ -168,7 +168,12 @@ object BmpStats {
     u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) |
       (u8(b, i + 3).toLong << 24)
 
-  def parse(b: Array[Byte]): InternalRow = {
+  /** Validated BMP geometry shared by [[parse]] and [[BmpResize]]:
+    * every field already bounds-proofed against the buffer. */
+  private[plans] final case class Header(dataOffset: Int, w: Int, hRaw: Int,
+      bits: Int, palette: Array[Byte], rowSize: Int)
+
+  private[plans] def header(b: Array[Byte]): Header = {
     // 14-byte file header + 40-byte BITMAPINFOHEADER minimum
     if (b.length < 54 || u8(b, 0) != 'B' || u8(b, 1) != 'M') return null
     val dataOffset = le32(b, 10)
@@ -205,7 +210,19 @@ object BmpStats {
     val rowSizeL = ((w.toLong * bytesPerPx + 3) / 4) * 4 // rows pad to 4 bytes
     if (dataOffset < 54 || dataOffset > b.length) return null
     if (rowSizeL > (b.length - dataOffset) / h) return null
-    val rowSize = rowSizeL.toInt
+    Header(dataOffset.toInt, w, hRaw, bits, palette, rowSizeL.toInt)
+  }
+
+  def parse(b: Array[Byte]): InternalRow = {
+    val hd = header(b)
+    if (hd == null) return null
+    val dataOffset = hd.dataOffset.toLong
+    val w = hd.w
+    val h = math.abs(hd.hRaw)
+    val bits = hd.bits
+    val palette = hd.palette
+    val bytesPerPx = bits / 8
+    val rowSize = hd.rowSize
     var (sr, sg, sb) = (0L, 0L, 0L)
     var row = 0
     while (row < h) {
@@ -230,6 +247,82 @@ object BmpStats {
       row += 1
     }
     new GenericInternalRow(Array[Any](w, h, sr, sg, sb, w.toLong * h))
+  }
+}
+
+/** `graft_bmp_resize(binary, w2, h2)` → the [[BmpStats]] stats struct
+  * over the NEAREST-NEIGHBOR resize of an uncompressed 8/24/32-bit
+  * BMP to w2 × h2 — the thumbnailing triage a curation pipeline runs
+  * before paying storage for full rasters. Target pixel (x2, y2)
+  * samples source (⌊x2·w/w2⌋, ⌊y2·h/h2⌋) in TOP-ORIGIN coordinates
+  * (orientation matters here, unlike the whole-image sums: the stored
+  * row is flipped for bottom-up files), up- and down-scaling alike.
+  * Work is O(w2·h2) random reads — independent of the SOURCE size,
+  * which is the point of triage-by-thumbnail. Shares [[BmpStats]]'s
+  * overflow-proofed header validation; parse-or-NULL like every
+  * decoder (fuzzed). */
+case class BmpResize(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == BinaryType && second.dataType == IntegerType &&
+        third.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_bmp_resize expects (binary, int, int), got " +
+        Seq(first, second, third).map(_.dataType.catalogString).mkString(", "))
+  override def dataType: DataType = BmpStats.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bmp_resize"
+
+  override def nullSafeEval(b: Any, w2: Any, h2: Any): Any =
+    BmpResize.parse(b.asInstanceOf[Array[Byte]],
+      w2.asInstanceOf[Int], h2.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, w2, h2) => s"""
+      ${ev.value} = graft.plans.BmpResize.parse($b, $w2, $h2);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): BmpResize =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object BmpResize {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+
+  def parse(b: Array[Byte], w2: Int, h2: Int): InternalRow = {
+    if (w2 <= 0 || h2 <= 0 || w2 > 4096 || h2 > 4096) return null
+    val hd = BmpStats.header(b)
+    if (hd == null) return null
+    val h = math.abs(hd.hRaw)
+    val bytesPerPx = hd.bits / 8
+    val nColors = if (hd.palette == null) 0 else hd.palette.length / 4
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y2 = 0
+    while (y2 < h2) {
+      // top-origin source row, then the stored row for this orientation
+      val sy = (y2.toLong * h / h2).toInt
+      val row = if (hd.hRaw > 0) h - 1 - sy else sy
+      val base = hd.dataOffset + row * hd.rowSize
+      var x2 = 0
+      while (x2 < w2) {
+        val sx = (x2.toLong * hd.w / w2).toInt
+        if (hd.bits == 8) {
+          val idx = u8(b, base + sx)
+          if (idx >= nColors) return null
+          sb += u8(hd.palette, 4 * idx); sg += u8(hd.palette, 4 * idx + 1)
+          sr += u8(hd.palette, 4 * idx + 2)
+        } else {
+          val i = base + sx * bytesPerPx
+          sb += u8(b, i); sg += u8(b, i + 1); sr += u8(b, i + 2)
+        }
+        x2 += 1
+      }
+      y2 += 1
+    }
+    new GenericInternalRow(Array[Any](w2, h2, sr, sg, sb, w2.toLong * h2))
   }
 }
 

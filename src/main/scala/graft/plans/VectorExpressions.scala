@@ -317,6 +317,9 @@ object VectorExpressions {
       "graft_jpeg_encode",
       exprs => JpegEncode(exprs(0), exprs(1), exprs(2), exprs(3)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bmp_resize",
+      exprs => BmpResize(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jpeg_encode12",
       exprs => graft.plans.SynthExpr(exprs, "graft_jpeg_encode12",
         Seq(org.apache.spark.sql.types.IntegerType,
@@ -547,6 +550,13 @@ object VectorExpressions {
   /** Deterministic exactly-decodable LOSSLESS-JPEG synthesis
     * (plans.JpegEncode.encodeLossless: SOF3, predictor 1..7, gray or
     * 3-component), column form; same registration precondition. */
+  /** Nearest-neighbor BMP resize stats (plans.BmpResize), column
+    * form; same registration precondition. */
+  def bmpResize(c: Column, w2: Column, h2: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_bmp_resize", c, w2, h2)
+  }
+
   /** 12-bit blocky SOF1 synthesis (plans.JpegEncode.encodeBlocky12),
     * column form; same registration precondition. */
   def jpegEncode12(w: Column, h: Column, seed: Column,

@@ -180,6 +180,42 @@ class ImageMetaSpec extends SparkSpec {
     assert(parseBmp(hugeOffset) === None)
   }
 
+  test("BMP nearest-neighbor resize: sample map, orientation, identity, upscale") {
+    import graft.plans.BmpResize
+    def resize(b: Array[Byte], w2: Int, h2: Int) =
+      Option(BmpResize.parse(b, w2, h2)).map(r => (r.getInt(0), r.getInt(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // reference: pure-Scala nearest-neighbor over the (r,g,b) grid
+    def ref(px: Seq[Seq[(Int, Int, Int)]], w2: Int, h2: Int) = {
+      val h = px.length; val w = px.head.length
+      val sampled = for (y2 <- 0 until h2; x2 <- 0 until w2)
+        yield px((y2 * h / h2).toInt)((x2 * w / w2).toInt)
+      Some((w2, h2, sampled.map(_._1.toLong).sum,
+        sampled.map(_._2.toLong).sum, sampled.map(_._3.toLong).sum,
+        w2.toLong * h2))
+    }
+    // 4x3 with DISTINCT rows: a wrong row flip changes the samples
+    val px = Seq(
+      Seq((10, 0, 0), (20, 0, 0), (30, 0, 0), (40, 0, 0)),
+      Seq((0, 50, 0), (0, 60, 0), (0, 70, 0), (0, 80, 0)),
+      Seq((0, 0, 90), (0, 0, 100), (0, 0, 110), (0, 0, 120)))
+    for ((w2, h2) <- Seq((2, 2), (1, 1), (3, 3), (4, 3), (8, 6), (5, 1))) {
+      val want = ref(px, w2, h2)
+      assert(resize(bmp(px), w2, h2) === want, s"bottom-up $w2 x $h2")
+      // orientation is LOAD-BEARING for resize (unlike whole-image
+      // sums): the top-down file must sample the same logical rows
+      assert(resize(bmp(px, topDown = true), w2, h2) === want, s"top-down $w2 x $h2")
+    }
+    // identity resize equals the full stats
+    assert(resize(bmp(px), 4, 3).map(t => (t._3, t._4, t._5)) ===
+      parseBmp(bmp(px)).map(t => (t._3, t._4, t._5)))
+    // hostile: bad targets and corrupt sources are NULL, never throw
+    assert(resize(bmp(px), 0, 2) === None)
+    assert(resize(bmp(px), 2, 5000) === None)
+    assert(resize(bmp(px).dropRight(1), 2, 2) === None)
+    assert(resize("BMnope".getBytes, 2, 2) === None)
+  }
+
   test("8-bit palette and 32-bit BMPs decode with exact sums; ImageIO agrees") {
     def le16b(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
     def le32b(v: Long) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,

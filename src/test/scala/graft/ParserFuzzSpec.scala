@@ -19,6 +19,7 @@ class ParserFuzzSpec extends AnyFunSuite {
     "ImageMeta" -> (graft.plans.ImageMeta.parse(_)),
     "WavMeta" -> (graft.plans.WavMeta.parse(_)),
     "BmpStats" -> (graft.plans.BmpStats.parse(_)),
+    "BmpResize" -> (graft.plans.BmpResize.parse(_, 3, 2)),
     "GifMeta" -> (graft.plans.GifMeta.parse(_)),
     "PngStats" -> (graft.plans.PngStats.parse(_)),
     "GifPixels" -> (graft.plans.GifPixels.parse(_)),
