@@ -812,6 +812,44 @@ class GraftSourceSpec extends SparkSpec {
     }
   }
 
+  test("bucket column as an ENFORCED generated column via CHECK constraint") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t,
+        (0 until 12).map(i => (s"u$i", i.toLong)).toDF("k", "v"))
+      CommitLog.clusterByBucket(spark, t, "k", 4)
+      // compose the bucket tier with the table gate: future appends
+      // must supply the SAME derived bucket — the Delta
+      // generated-column contract expressed through CHECK constraints
+      CommitLog.addConstraint(spark, t, "k_bucket_gen",
+        "(k IS NULL AND k_bucket = 4) OR k_bucket = pmod(xxhash64(k), 4)")
+      // a correct append lands...
+      val good = Seq(("u99", 99L)).toDF("k", "v")
+        .withColumn("k_bucket",
+          pmod(xxhash64(col("k")), lit(4L)).cast("int"))
+      CommitLog.append(spark, t, good)
+      assert(CommitLog.read(spark, t).count() === 13)
+      // ...a wrong bucket is refused atomically at the staging gate
+      val bad = Seq(("u100", 100L)).toDF("k", "v")
+        .withColumn("k_bucket",
+          (pmod(xxhash64(col("k")), lit(4L)).cast("int") + 1) % 4)
+      val e = intercept[IllegalArgumentException](CommitLog.append(spark, t, bad))
+      assert(e.getMessage.contains("k_bucket_gen"))
+      assert(CommitLog.read(spark, t).count() === 13, "refused batch leaked rows")
+      // and a NULL key must land in the reserved bucket to pass
+      val nullBad = Seq(101L).toDF("v")
+        .select(lit(null).cast("string").as("k"), col("v"),
+          lit(0).cast("int").as("k_bucket"))
+      intercept[IllegalArgumentException](CommitLog.append(spark, t, nullBad))
+      val nullGood = Seq(101L).toDF("v")
+        .select(lit(null).cast("string").as("k"), col("v"),
+          lit(4).cast("int").as("k_bucket"))
+      CommitLog.append(spark, t, nullGood)
+      assert(CommitLog.read(spark, t).count() === 14)
+    } finally cleanup(t)
+  }
+
   test("runtime filtering: a join's build side prunes fact files at execution") {
     val t = tempTable()
     val dimDir = java.nio.file.Files.createTempDirectory("graft_dim_").toString
