@@ -487,12 +487,14 @@ object TextAnalysis {
     val scrubbed = trim(regexp_replace(
       regexp_replace(lower(col("text")), ScrubPattern, " "), "\\s+", " "))
     val tk = split(scrubbed, " ")
-    val stopHits = CleanStopwords
-      .map(w => when(array_contains(tk, w), 1).otherwise(0))
-      .reduce(_ + _)
-    val flagged = CleanBadwords
-      .map(w => array_contains(tk, w))
-      .reduce(_ || _)
+    // ONE membership pass each instead of one array scan per list
+    // word: array_intersect returns the DISTINCT common elements, so
+    // its size equals the sum of per-word presence indicators exactly
+    // (both lists are distinct) — value-identical to the unrolled
+    // form the oracle states, linear in tokens not tokens × words
+    val stopHits = size(array_intersect(tk,
+      array(CleanStopwords.map(lit): _*)))
+    val flagged = arrays_overlap(tk, array(CleanBadwords.map(lit): _*))
     // documentsParallel: two full-text regexp passes + tokenize are the
     // same interpreted-heavy per-row shape the rollout covers
     Tables.documentsParallel(spark, dir)
