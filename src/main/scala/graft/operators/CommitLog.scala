@@ -67,6 +67,19 @@ object CommitLog {
     * staging path. */
   val RowCountStat: String = "__rows"
 
+  /** Reserved stats-key PREFIX carrying a column's per-file NON-NULL
+    * row count as (n, n) — same vehicle as [[RowCountStat]] (an
+    * ordinary zone entry, flows through commits and checkpoints
+    * untouched). `__nn_c == __rows` proves column c null-free in that
+    * file, which is what lets a keyed scan report its constant-key
+    * SORT ORDER (a point zone alone cannot: min/max ignore NULLs, so
+    * a mixed NULL/key file still presents a point zone while its rows
+    * are NOT ordered by the key). Published by every stats/bloom
+    * staging path; files from before this stat existed simply lack it
+    * and decline the proof. */
+  val NonNullStatPrefix: String = "__nn_"
+  def nonNullStat(c: String): String = NonNullStatPrefix + c
+
   private def jstats(stats: FileStats): String =
     stats.map { case (f, cols) =>
       "\"" + esc(f) + "\":{" + cols.map { case (c, (lo, hi)) =>
@@ -2448,11 +2461,17 @@ object CommitLog {
       // answers from the log with zero file opens. Skipped (collision
       // safety) in the pathological case of a data column by that name.
       val publishRows = !df.columns.contains(RowCountStat)
+      // per-column NON-NULL counts ride the same aggregate (see
+      // [[NonNullStatPrefix]]); a user column literally named like the
+      // reserved key would collide in the stats map, so that column
+      // skips publication (same collision posture as __rows)
+      val nnCols = statsCols.filter(c => !df.columns.contains(nonNullStat(c)))
       val aggs = statsCols.flatMap(c =>
         Seq(min(col(c)).cast("double").as(s"min_$c"),
           max(col(c)).cast("double").as(s"max_$c"))) ++
         bloomCols.map(c =>
           graft.plans.BloomAggregate.bloom(xxhash64(col(c)), mBits, k).as(s"bloom_$c")) ++
+        nnCols.map(c => count(col(c)).cast("double").as(s"nn_$c")) ++
         (if (publishRows) Seq(count(lit(1)).cast("double").as("__nrows")) else Seq.empty)
       val rows = spark.read.parquet(tmp.toString)
         .groupBy(input_file_name().as("file"))
@@ -2466,12 +2485,16 @@ object CommitLog {
           if (lo == null || hi == null) None
           else Some(c -> (lo.asInstanceOf[Double], hi.asInstanceOf[Double]))
         }.toMap
+        val nnStats = nnCols.map { c =>
+          val n = r.getAs[Double](s"nn_$c")
+          nonNullStat(c) -> (n, n)
+        }.toMap
         val rowStat =
           if (publishRows) {
             val n = r.getAs[Double]("__nrows")
             Map(RowCountStat -> (n, n))
           } else Map.empty[String, (Double, Double)]
-        name -> (colStats ++ rowStat)
+        name -> (colStats ++ nnStats ++ rowStat)
       }.toMap
       tmpBlooms = rows.map { r =>
         val name = r.getString(0).split('/').last

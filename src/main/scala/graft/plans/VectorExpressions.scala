@@ -387,6 +387,39 @@ object VectorExpressions {
         vs => WavEncode.encodeG711(vs(0).asInstanceOf[Int],
           vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Long],
           vs(3).asInstanceOf[Boolean])), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_flac_meta", exprs => FlacMeta(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_mp3_meta", exprs => Mp3Meta(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_flac_encode",
+      exprs => graft.plans.SynthExpr(exprs, "graft_flac_encode",
+        Seq(org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType),
+        vs => FlacMeta.encode(vs(0).asInstanceOf[Int],
+          vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Int],
+          vs(3).asInstanceOf[Long], vs(4).asInstanceOf[Long],
+          vs(5).asInstanceOf[Int])), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_mp3_encode",
+      exprs => graft.plans.SynthExpr(exprs, "graft_mp3_encode",
+        Seq(org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.BooleanType,
+          org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.BooleanType),
+        vs => Mp3Meta.encode(vs(0).asInstanceOf[Int],
+          vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Int],
+          vs(3).asInstanceOf[Boolean], vs(4).asInstanceOf[Long],
+          vs(5).asInstanceOf[Int], vs(6).asInstanceOf[Int],
+          vs(7).asInstanceOf[Boolean])), "scala_udf")
   }
 
   /** Column-API form; registers on the active session on first use.
@@ -662,6 +695,39 @@ object VectorExpressions {
       mulaw: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_wav_encode_g711", nFrames, channels, seed, mulaw)
+  }
+
+  /** FLAC STREAMINFO + metadata-chain triage (plans.FlacMeta), column
+    * form; same registration precondition. */
+  def flacMeta(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_flac_meta", c)
+  }
+
+  /** Deterministic conformant FLAC fixture synthesis
+    * (plans.FlacMeta.encode), column form; same precondition. */
+  def flacEncode(sampleRate: Column, channels: Column, bits: Column,
+      totalSamples: Column, seed: Column, padLen: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_flac_encode", sampleRate, channels, bits,
+      totalSamples, seed, padLen)
+  }
+
+  /** MPEG Layer III frame-chain triage (plans.Mp3Meta), column form;
+    * same registration precondition. */
+  def mp3Meta(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_mp3_meta", c)
+  }
+
+  /** Deterministic Layer III fixture synthesis (plans.Mp3Meta.encode),
+    * column form; same precondition. */
+  def mp3Encode(nFrames: Column, verSel: Column, rateIdx: Column,
+      mono: Column, seed: Column, vbrStep: Column, id3Len: Column,
+      id3v1: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_mp3_encode", nFrames, verSel, rateIdx, mono, seed,
+      vbrStep, id3Len, id3v1)
   }
 
   /** One-pass MinHash signature (plans.MinhashSignature), column form;

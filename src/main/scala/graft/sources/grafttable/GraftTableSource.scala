@@ -563,9 +563,11 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
   }
 
   private def exactType(c: String): Boolean =
-    // a user column literally named like the reserved row-count stat
-    // would read count entries from OLDER files as min/max — decline
+    // a user column literally named like the reserved row-count or
+    // non-null-count stats would read count entries from OLDER files
+    // as min/max — decline
     c != CommitLog.RowCountStat &&
+    !c.startsWith(CommitLog.NonNullStatPrefix) &&
     full.fields.find(_.name == c).exists {
       _.dataType match {
         case IntegerType | DateType | FloatType | DoubleType | LongType => true
@@ -652,6 +654,7 @@ class GraftScan(tablePath: String, version: Long, required: StructType,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
@@ -807,6 +810,38 @@ class GraftScan(tablePath: String, version: Long, required: StructType,
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(boxed)
   }
 
+  /** CONSTANT-KEY ordering (SupportsReportOrdering): in clusterBy-keyed
+    * mode every reported partition carries exactly one cluster-key
+    * tuple, so rows within a partition are trivially non-decreasing in
+    * the cluster columns — PROVIDED the key columns are null-free in
+    * every live file. A point zone alone cannot prove that (min/max
+    * ignore NULLs — a file of key-5 rows plus NULL-key rows still
+    * presents the point zone 5, and its rows are NOT ordered), so the
+    * proof is the reserved per-file non-null count: `__nn_c == __rows`
+    * for every cluster column in every file. Files that predate the
+    * stat decline conservatively (sorts stay — never wrong, just
+    * slower). With the proof, a co-clustered sort-merge join drops
+    * BOTH per-partition sorts on top of dropping both shuffles — the
+    * full Iceberg/Delta storage-partitioned-join discipline: at 100 TB
+    * the join reads co-located files straight into the merge. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (keyedPlan.isDefined && clusterColsNullFree)
+      clusterCols.map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.identity(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+    else Array.empty
+
+  private lazy val clusterColsNullFree: Boolean =
+    fileSlices._1.forall { f =>
+      val st = zoneStats.getOrElse(f, Map.empty)
+      st.get(CommitLog.RowCountStat).exists { case (rows, _) =>
+        clusterCols.forall(c =>
+          st.get(CommitLog.nonNullStat(c)).exists(_._1 == rows))
+      }
+    }
+
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     keyedPlan match {
@@ -859,6 +894,17 @@ class GraftScan(tablePath: String, version: Long, required: StructType,
 }
 
 object GraftScan {
+  /** The column a skippable v1 filter predicates on, if any. */
+  private[grafttable] def filterColumn(f: Filter): Option[String] = f match {
+    case GreaterThan(c, _) => Some(c)
+    case GreaterThanOrEqual(c, _) => Some(c)
+    case LessThan(c, _) => Some(c)
+    case LessThanOrEqual(c, _) => Some(c)
+    case EqualTo(c, _) => Some(c)
+    case In(c, _) => Some(c)
+    case _ => None
+  }
+
   /** Pushed v1 filters → the log's skip predicates. Equality on a
     * numeric column contributes BOTH legs (zone range [v,v] and, when
     * the probe types soundly, a Bloom probe); strict comparisons use
@@ -871,7 +917,14 @@ object GraftScan {
     val probes = Seq.newBuilder[(String, Long)]
     val probeSets = Seq.newBuilder[(String, Seq[Long])]
     def num(v: Any): Double = v.asInstanceOf[Number].doubleValue()
+    // a data column literally named like a reserved stats key would
+    // prune against the STAT entries of files that predate the column
+    // (e.g. "__rows" = 5 would drop every file not exactly 5 rows
+    // long) — those columns never skip, same decline as exactType
+    def reserved(c: String): Boolean =
+      c == CommitLog.RowCountStat || c.startsWith(CommitLog.NonNullStatPrefix)
     pushed.foreach {
+      case f if GraftScan.filterColumn(f).exists(reserved) => ()
       case GreaterThan(c, v) => ranges += ((c, num(v), Double.PositiveInfinity))
       case GreaterThanOrEqual(c, v) => ranges += ((c, num(v), Double.PositiveInfinity))
       case LessThan(c, v) => ranges += ((c, Double.NegativeInfinity, num(v)))

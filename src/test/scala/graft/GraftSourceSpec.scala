@@ -674,6 +674,70 @@ class GraftSourceSpec extends SparkSpec {
     }
   }
 
+  test("sort-free SPJ: constant-key ordering drops both sorts; NULL-bearing files decline") {
+    val t1 = tempTable(); val t2 = tempTable()
+    val keep = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      import spark.implicits._
+      val a = Seq((0, 1L), (0, 2L), (1, 3L), (2, 4L)).toDF("k", "va")
+      val bd = Seq((0, 10L), (1, 11L), (2, 12L)).toDF("k", "vb")
+      (0 to 2).foreach { k =>
+        CommitLog.appendWithStats(spark, t1, a.filter(col("k") === k).coalesce(1), Seq("k"))
+        CommitLog.appendWithStats(spark, t2, bd.filter(col("k") === k).coalesce(1), Seq("k"))
+      }
+      // the proof rides the log: every file records __nn_k == __rows
+      val st1 = CommitLog.fileStats(spark, t1, None)
+      assert(st1.nonEmpty && st1.values.forall(s =>
+        s.get(CommitLog.nonNullStat("k")) === s.get(CommitLog.RowCountStat)),
+        s"non-null stat missing or wrong: $st1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val l = spark.read.format("graft").option("clusterBy", "k").load(t1)
+      val r = spark.read.format("graft").option("clusterBy", "k").load(t2)
+      val j = l.join(r, "k")
+      val plan = j.queryExecution.executedPlan.toString
+      // the full discipline: merge join with NEITHER a shuffle NOR a
+      // per-partition sort on either side — constant-key partitions
+      // are already ordered by the join key
+      assert(plan.contains("SortMergeJoin"), s"expected a merge join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"), s"still shuffles:\n$plan")
+      assert(!plan.contains("Sort ["), s"sorts survived reported ordering:\n$plan")
+      val got = j.select(col("k"), col("va"), col("vb")).collect()
+        .map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSet
+      assert(got === Set((0, 1L, 10L), (0, 2L, 10L), (1, 3L, 11L), (2, 4L, 12L)))
+      // a file with NULL keys under a POINT zone (min/max ignore NULLs)
+      // must NOT report ordering — its rows are not sorted by k — but
+      // keeps keyed partitioning; the sorts come back and results stay
+      // right. This is exactly the case a zone-only proof would corrupt.
+      val t3 = tempTable()
+      try {
+        CommitLog.appendWithStats(spark, t3,
+          Seq((Option(1), 30L), (Option.empty[Int], 31L), (Option(1), 32L))
+            .toDF("k", "vc").coalesce(1), Seq("k"))
+        val st3 = CommitLog.fileStats(spark, t3, None)
+        assert(st3.values.exists(s =>
+          s.get(CommitLog.nonNullStat("k")).map(_._1) === Some(2.0) &&
+          s.get(CommitLog.RowCountStat).map(_._1) === Some(3.0)))
+        val u = spark.read.format("graft").option("clusterBy", "k").load(t3)
+        val j2 = u.join(r, "k")
+        val plan2 = j2.queryExecution.executedPlan.toString
+        assert(plan2.contains("Sort ["),
+          s"NULL-bearing file must decline reported ordering:\n$plan2")
+        val got2 = j2.select(col("k"), col("vc"), col("vb")).collect()
+          .map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSet
+        assert(got2 === Set((1, 30L, 11L), (1, 32L, 11L)))
+      } finally cleanup(t3)
+    } finally {
+      keep.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      cleanup(t1); cleanup(t2)
+    }
+  }
+
   test("partially-clustered SPJ: a hot key runs as multiple tasks, results identical") {
     val t1 = tempTable(); val t2 = tempTable()
     val confs = Seq(
