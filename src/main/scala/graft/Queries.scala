@@ -494,6 +494,8 @@ object Queries {
     "mm_jpeg_lossless" -> (Multimodal.jpegLosslessQ _),
     "mm_video_meta" -> (Multimodal.videoMeta _),
     "mm_mp4_meta" -> (Multimodal.mp4MetaQ _),
+    "mm_flac_meta" -> (Multimodal.flacMetaQ _),
+    "mm_mp3_meta" -> (Multimodal.mp3MetaQ _),
     "mm_tiff_pixels" -> (Multimodal.tiffPixelsQ _),
     "mm_video_frames" -> (Multimodal.videoFrames _),
     "mm_audio_pcm" -> (Multimodal.audioPcm _),
@@ -1386,6 +1388,45 @@ object Queries {
        // stsz sample count: (seed%97 + 1) per track, summed over tracks
        "CASE WHEN doc_id % 127 = 0 THEN NULL " +
        "ELSE CAST((doc_id % 97 + 1) * (doc_id % 3 + doc_id % 2 + 1) AS BIGINT) END AS n_samples_stbl " +
+       "FROM documents ORDER BY doc_id"),
+    // FLAC triage twin: the encoder packs STREAMINFO fields straight
+    // from doc_id arithmetic (FlacMeta.encode scaladoc), so the oracle
+    // restates the 20-bit rate / 3-bit channels / 5-bit depth / 36-bit
+    // count layout and the (id+7i) mod 256 MD5 bytes hex-exact —
+    // certifying the packed-field bit boundaries and the block-chain
+    // walk (the chain always carries VORBIS_COMMENT + PADDING → 3)
+    "mm_flac_meta" ->
+      ("SELECT doc_id, " +
+       "CASE WHEN doc_id % 149 = 0 THEN NULL ELSE CAST(doc_id % 48000 + 8000 AS INTEGER) END AS sample_rate, " +
+       "CASE WHEN doc_id % 149 = 0 THEN NULL ELSE CAST(doc_id % 8 + 1 AS INTEGER) END AS channels, " +
+       "CASE WHEN doc_id % 149 = 0 THEN NULL ELSE CAST(doc_id % 29 + 4 AS INTEGER) END AS bits, " +
+       "CASE WHEN doc_id % 149 = 0 THEN NULL ELSE CAST(doc_id * 441 % 100000000 AS BIGINT) END AS total_samples, " +
+       "CASE WHEN doc_id % 149 = 0 THEN NULL ELSE CAST((doc_id * 441 % 100000000) * 1000 // (doc_id % 48000 + 8000) AS BIGINT) END AS duration_ms, " +
+       "CASE WHEN doc_id % 149 = 0 THEN NULL ELSE CAST(3 AS INTEGER) END AS n_blocks, " +
+       "CASE WHEN doc_id % 149 = 0 THEN NULL ELSE array_to_string(list_transform(range(0, 16), i -> printf('%02x', (doc_id + 7 * i) % 256)), '') END AS md5_hex " +
+       "FROM documents ORDER BY doc_id"),
+    // MP3 triage twin: every header field cycles on doc_id
+    // (Mp3Meta.encode scaladoc) — version picks the (rate, bitrate,
+    // samples-per-frame) tables, the first frame's bitrate index is
+    // 1 + id%7, duration is frames·spf·1000/rate integer-divided; a
+    // wrong table entry or frame-length coefficient desyncs the walk
+    // and NULLs the whole row, so the hash certifies the chain
+    "mm_mp3_meta" ->
+      ("SELECT doc_id, " +
+       "CASE WHEN doc_id % 163 = 0 THEN NULL ELSE (['1', '2', '2.5'])[CAST(doc_id % 3 AS INTEGER) + 1] END AS version, " +
+       "CASE WHEN doc_id % 163 = 0 THEN NULL ELSE " +
+       "([44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000, 8000])" +
+       "[CAST(doc_id % 3 AS INTEGER) * 3 + CAST((doc_id // 3) % 3 AS INTEGER) + 1] END AS sample_rate, " +
+       "CASE WHEN doc_id % 163 = 0 THEN NULL WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS channels, " +
+       "CASE WHEN doc_id % 163 = 0 THEN NULL WHEN doc_id % 3 = 0 THEN " +
+       "([32, 40, 48, 56, 64, 80, 96])[CAST(doc_id % 7 AS INTEGER) + 1] ELSE " +
+       "([8, 16, 24, 32, 40, 48, 56])[CAST(doc_id % 7 AS INTEGER) + 1] END AS bitrate_kbps, " +
+       "CASE WHEN doc_id % 163 = 0 THEN NULL ELSE CAST(doc_id % 50 + 3 AS INTEGER) END AS n_frames, " +
+       "CASE WHEN doc_id % 163 = 0 THEN NULL ELSE CAST((doc_id % 50 + 3) * " +
+       "(CASE WHEN doc_id % 3 = 0 THEN 1152 ELSE 576 END) * 1000 // " +
+       "(([44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000, 8000])" +
+       "[CAST(doc_id % 3 AS INTEGER) * 3 + CAST((doc_id // 3) % 3 AS INTEGER) + 1]) AS BIGINT) END AS duration_ms, " +
+       "CASE WHEN doc_id % 163 = 0 THEN NULL ELSE doc_id % 4 <> 0 END AS has_id3v2 " +
        "FROM documents ORDER BY doc_id"),
     // VIDEO frame-decode twin: frame f of doc d is a color JPEG seeded
     // d + 1000*f (AviEncode scaladoc), so the mm_jpeg_color block

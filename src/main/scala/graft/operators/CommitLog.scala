@@ -32,13 +32,14 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
   *  - a crash before the commit rename leaves only invisible staging
   *    files — the log defines the table, orphans are garbage, never
   *    phantom rows;
-  *  - commit claims version N by rename(tmp, N.json), retrying on the
-  *    next number if N is taken — optimistic concurrency at the
-  *    file-system level. Local-FS caveat: POSIX rename overwrites, so
-  *    the claim here is exists-check + rename (TOCTOU-safe only per
-  *    JVM); a production deployment backs this one primitive with a
-  *    store that has real put-if-absent (HDFS rename, S3 conditional
-  *    put, a DynamoDB/ZK lock) — everything else is unchanged. */
+  *  - commit claims version N by PUT-IF-ABSENT of the fully-written
+  *    payload at N.json, retrying on the next number if N is taken —
+  *    optimistic concurrency at the file-system level. On a local FS
+  *    the primitive is a hard link (link(2) fails EEXIST atomically —
+  *    safe across PROCESSES, not just threads; see
+  *    [[publishIfAbsent]]); non-local deployments back it with the
+  *    store's own conditional put (HDFS rename, S3 conditional put, a
+  *    DynamoDB/ZK lock) — everything else is unchanged. */
 object CommitLog {
 
   private[graft] val LogDir = "_graft_log"
@@ -211,13 +212,7 @@ object CommitLog {
       val out = fs.create(tmp, true)
       try out.write(body(v, tsMillis).getBytes("UTF-8")) finally out.close()
       val dst = new Path(log, f"$v%08d.json")
-      // the put-if-absent primitive: POSIX rename OVERWRITES, so the
-      // exists+rename pair is made atomic per JVM here (all of Spark
-      // local/driver-side commits share this object); cross-PROCESS
-      // writers need the store-level primitive the class doc names
-      val won = claimLock.synchronized {
-        !fs.exists(dst) && fs.rename(tmp, dst)
-      }
+      val won = publishIfAbsent(fs, tmp, dst)
       if (won) claimed = v
       else {
         // lost the race: a snapshot-based commit must NOT silently
@@ -231,6 +226,40 @@ object CommitLog {
   }
 
   private val claimLock = new Object
+
+  /** Atomic put-if-absent publish of a fully-written `tmp` at `dst` —
+    * the one primitive optimistic concurrency rests on. On a LOCAL
+    * filesystem it is a HARD LINK: link(2) fails with EEXIST when dst
+    * exists, atomically, arbitrated by the kernel — a true
+    * cross-PROCESS put-if-absent (the class doc's rename-TOCTOU caveat
+    * applied only to multi-process local writers; this closes it).
+    * Readers still never see a partial file: the payload was fully
+    * written at the tmp name before the link publishes it. Elsewhere
+    * (or on mounts without hard links) it falls back to the per-JVM
+    * synchronized exists+rename; a production deployment backs that
+    * path with the store's own conditional put (HDFS rename, S3
+    * conditional put), as the class doc describes. */
+  private[graft] def publishIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: Path, dst: Path): Boolean = {
+    def renameFallback(): Boolean = claimLock.synchronized {
+      !fs.exists(dst) && fs.rename(tmp, dst)
+    }
+    if (fs.getScheme != "file") renameFallback()
+    else {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        // delete via the Hadoop fs so a checksum sidecar goes with it
+        scala.util.Try(fs.delete(tmp, false))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException => renameFallback()
+        case _: java.io.IOException => renameFallback()
+      }
+    }
+  }
 
   /** batchIds already committed to this table (the streaming sink's
     * replay ledger). Metadata-sized: one log read per trigger. */
@@ -2435,6 +2464,18 @@ object CommitLog {
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(root, s"_staging_$stamp")
     df.write.mode("overwrite").parquet(tmp.toString)
+    // heartbeat: the staging sweep (vacuum) ages a _staging_ dir by
+    // its NEWEST child — which stops moving once the last part file
+    // lands, even though the write is still mid-flight (constraint
+    // re-read, stats/bloom aggregation, rename pass can together
+    // outlast the sweep grace on a large batch). Touching a marker
+    // between the phases restarts the clock, so a concurrent vacuum
+    // never reaps an in-flight write mid-commit.
+    def heartbeat(): Unit = scala.util.Try {
+      val hb = fs.create(new Path(tmp, ".heartbeat"), true)
+      try hb.write('1') finally hb.close()
+    }
+    heartbeat()
     // CHECK-constraint gate over the STAGED files (input computed
     // once; columnar re-read is cheap): any violation deletes the
     // staging dir and refuses the whole write — nothing was committed,
@@ -2452,6 +2493,7 @@ object CommitLog {
           bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
       }
     }
+    heartbeat() // fresh grace window for the stats/bloom aggregation
     var tmpStats: Map[String, Map[String, (Double, Double)]] = Map.empty
     var tmpBlooms: Map[String, Map[String, String]] = Map.empty
     if (statsCols.nonEmpty || bloomCols.nonEmpty) {
@@ -2504,6 +2546,7 @@ object CommitLog {
         }.toMap
       }.toMap
     }
+    heartbeat() // fresh grace window for the rename pass
     val dataDir = new Path(root, DataDir)
     fs.mkdirs(dataDir)
     val moved = fs.listStatus(tmp)

@@ -296,6 +296,32 @@ object Multimodal {
           ((id % 4 + 1) * 600).cast("int"), (id % 100000 + 1000).cast("long"),
           (id % 5 % 3).cast("int"), (id % 50 + 10).cast("int"),
           id.cast("long"))))
+      case "flac" => Seq(
+        (id % 149 === 0, encode(text.substr(1, 26), "UTF-8")),
+        // REAL FLAC metadata chains (plans.FlacMeta.encode): STREAMINFO
+        // packed fields all doc_id-derived (rate 8000..55999, channels
+        // 1..8, bits 4..32, 36-bit sample counts), then a
+        // VORBIS_COMMENT and a PADDING block so the chain walk is
+        // load-bearing on every row; MD5 bytes are (id + 7i) mod 256,
+        // restated hex-exact by the oracle
+        (id % 149 =!= 0, graft.plans.VectorExpressions.flacEncode(
+          (id % 48000 + 8000).cast("int"), (id % 8 + 1).cast("int"),
+          (id % 29 + 4).cast("int"), (id * 441 % 100000000).cast("long"),
+          id.cast("long"), (id % 37).cast("int"))))
+      case "mp3" => Seq(
+        (id % 163 === 0, encode(text.substr(1, 24), "UTF-8")),
+        // REAL Layer III frame chains (plans.Mp3Meta.encode): version
+        // cycles MPEG-1/2/2.5, rate index independently, frame count
+        // 3..52; vbrStep (id%5) drives per-frame bitrate churn so the
+        // walk recomputes every frame length (0 = CBR); 3 of 4 docs
+        // carry an ID3v2 prefix (syncsafe skip), every 7th an ID3v1
+        // trailer — all four chain shapes land in the fixture
+        (id % 163 =!= 0, graft.plans.VectorExpressions.mp3Encode(
+          (id % 50 + 3).cast("int"), (id % 3).cast("int"),
+          (floor(id / 3) % 3).cast("int"), id % 2 === 0,
+          id.cast("long"), (id % 5).cast("int"),
+          when(id % 4 === 0, lit(0)).otherwise(id % 100 + 10).cast("int"),
+          id % 7 === 0)))
       case "wavfloat" => Seq(
         (id % 139 === 0, encode(text.substr(1, 34), "UTF-8")),
         // REAL IEEE-float WAVs (plans.WavFloat.encode): samples are
@@ -354,7 +380,7 @@ object Multimodal {
   def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "gifanim",
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
-      "wavpcm", "wavg711", "wavfloat")
+      "wavpcm", "wavg711", "wavfloat", "flac", "mp3")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -788,6 +814,46 @@ object Multimodal {
         col("m.video_codec").as("video_codec"),
         col("m.audio_codec").as("audio_codec"),
         col("m.n_samples_stbl").as("n_samples_stbl"))
+      .orderBy(col("doc_id"))
+
+  /** COMPRESSED-AUDIO triage, lossless tier: FLAC STREAMINFO +
+    * metadata-chain walk (plans.FlacMeta) over the stored binary
+    * column — sample rate, channels, bit depth, total samples, and the
+    * unencoded-audio MD5, all without touching a single frame. The
+    * fixture's every field is doc_id-derived, so the oracle restates
+    * the full packed-STREAMINFO layout (20-bit rate, 36-bit count) and
+    * the hex MD5 — one wrong bit boundary fails the hash. Corrupt rows
+    * (every 149th doc carries text bytes) triage to NULL. */
+  def flacMetaQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "flac")
+      .select(col("doc_id"), graft.plans.VectorExpressions.flacMeta(col("flac")).as("m"))
+      .select(col("doc_id"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.channels").as("channels"), col("m.bits").as("bits"),
+        col("m.total_samples").as("total_samples"),
+        col("m.duration_ms").as("duration_ms"),
+        col("m.n_blocks").as("n_blocks"), col("m.md5_hex").as("md5_hex"))
+      .orderBy(col("doc_id"))
+
+  /** COMPRESSED-AUDIO triage, lossy tier: MPEG Layer III frame-chain
+    * walk (plans.Mp3Meta) — the web's dominant audio format, counted
+    * frame by frame (VBR included: the fixture churns the bitrate
+    * index per frame, so every row recomputes every frame length) with
+    * ID3v2 syncsafe skip and ID3v1 trailer acceptance. Duration is
+    * frames·samplesPerFrame/rate, restated by the oracle from the same
+    * doc_id arithmetic; one wrong frame-length coefficient desyncs the
+    * chain and NULLs the row. Corrupt rows (every 163rd doc) NULL. */
+  def mp3MetaQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "mp3")
+      .select(col("doc_id"), graft.plans.VectorExpressions.mp3Meta(col("mp3")).as("m"))
+      .select(col("doc_id"),
+        col("m.version").as("version"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.channels").as("channels"),
+        col("m.bitrate_kbps").as("bitrate_kbps"),
+        col("m.n_frames").as("n_frames"),
+        col("m.duration_ms").as("duration_ms"),
+        col("m.has_id3v2").as("has_id3v2"))
       .orderBy(col("doc_id"))
 
   /** VIDEO frame decode: every MJPEG frame of every AVI through the

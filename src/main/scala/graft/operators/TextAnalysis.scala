@@ -667,42 +667,109 @@ object TextAnalysis {
 
   private val bpeCache = new graft.AppScopedCache[Seq[(String, String, Long)]]()
 
+  /** The largest batch of top-ranked pairs provably identical to
+    * applying them one greedy round at a time — what lets a
+    * realistic-budget training run learn several merges per
+    * aggregation instead of paying one driver round trip each. Input
+    * is the (cnt desc, a, b)-sorted head of the pair table. A
+    * consecutive prefix is greedy-equivalent when:
+    *
+    *  1. its members are pairwise disjoint on symbols AND on merged
+    *     tokens (a shared symbol means an earlier merge changes a
+    *     later member's count; a shared merged token means a later
+    *     member's count could GROW through the newly minted symbol);
+    *  2. the cut sits at a STRICT count boundary (every pair outside
+    *     the prefix — including the parents of any pair an applied
+    *     merge creates, whose counts are bounded by their parents' —
+    *     then counts strictly less than every member, so no created
+    *     or decreased pair can overtake a later member or force a
+    *     tie-break against an unseen symbol); when the collected head
+    *     IS the whole pair table (`complete`), the empty remainder is
+    *     a valid boundary;
+    *  3. a member whose merged token ALREADY exists as a vocab symbol
+    *     ends the batch — its merge mints indistinguishable copies of
+    *     that symbol, so pairs involving it can grow unboundedly and
+    *     nothing after is provably the argmax (the member itself is:
+    *     the growth only affects later steps).
+    *
+    * Within such a prefix every member's count is untouched by the
+    * earlier members (disjointness), so the sorted order IS the greedy
+    * order, recorded frequencies included. Pure, so BpeSpec pins the
+    * admission rules adversarially. */
+  private[graft] def greedyBatch(pairs: IndexedSeq[(String, String, Long)],
+      complete: Boolean, maxN: Int,
+      symbols: Set[String]): Seq[(String, String, Long)] = {
+    if (pairs.isEmpty || maxN <= 0) return Seq.empty
+    val used = scala.collection.mutable.HashSet[String]()
+    var d = 0
+    var stop = false
+    while (!stop && d < pairs.length && d < maxN) {
+      val (a, b, _) = pairs(d)
+      if (d > 0 && (used(a) || used(b) || used(a + b))) stop = true
+      else {
+        used += a; used += b; used += (a + b)
+        d += 1
+        if (symbols(a + b)) stop = true // collision: valid only as last member
+      }
+    }
+    var j = d
+    def boundaryOk(k: Int): Boolean =
+      if (k >= pairs.length) complete else pairs(k)._3 < pairs(k - 1)._3
+    while (j > 1 && !boundaryOk(j)) j -= 1
+    pairs.take(j)
+  }
+
   /** BPE TOKENIZER TRAINING (Sennrich et al., ACL 2016): learn the
     * first `rounds` byte-pair merges of the corpus. One corpus scan
-    * builds the word-frequency table; each round then runs ONE
+    * builds the word-frequency table; each round after runs ONE
     * vocab-sized aggregation (adjacent-pair counts weighted by word
-    * frequency), takes the argmax (count desc, then (a, b)
-    * lexicographic — the deterministic tie-break both engines share),
-    * and rewrites the vocab through [[mergeOnce]]. Driver traffic is
-    * ONE ROW per round; the vocab re-materializes per round
-    * (localCheckpoint) so the plan stays flat across rounds. At 100 TB
-    * the corpus scan dominates and everything after it is
-    * vocab-sized — exactly how production BPE trainers behave.
-    * Memoized per corpus (build-once-serve-many). */
+    * frequency) and applies the longest provably-greedy-equivalent
+    * BATCH of its top pairs ([[greedyBatch]]) — so a realistic merge
+    * budget (default 50; real tokenizers learn thousands) costs a few
+    * aggregations, not one driver round trip and one vocab
+    * materialization per merge. Driver traffic is ≤17 rows per round;
+    * the vocab re-materializes once per ROUND (staged [[mergeOnce]]
+    * projections, then one localCheckpoint) so the plan stays flat.
+    * The collision guard's symbol universe is charset-sized (initial
+    * distinct characters — bounded by the alphabet, not the corpus —
+    * plus one minted token per merge). At 100 TB the corpus scan
+    * dominates and everything after it is vocab-sized — exactly how
+    * production BPE trainers behave. Memoized per corpus
+    * (build-once-serve-many). */
   def bpeMergeList(spark: SparkSession, dir: String,
-      rounds: Int = 10): Seq[(String, String, Long)] =
+      rounds: Int = 50): Seq[(String, String, Long)] =
     bpeCache.getOrCompute(spark, s"$dir#bpe$rounds") {
       var vocab = wordFreqs(spark, dir)
         .select(col("freq"), charSyms(col("word")).as("syms"))
         .localCheckpoint()
+      val symbols = scala.collection.mutable.HashSet[String]()
+      vocab.select(explode(col("syms")).as("s")).distinct()
+        .collect().foreach(r => symbols += r.getString(0))
       val out = Seq.newBuilder[(String, String, Long)]
-      var r = 0
+      var learned = 0
       var live = true
-      while (r < rounds && live) {
+      val topM = 17 // 16 batch candidates + 1 strict-boundary witness
+      while (learned < rounds && live) {
         val top = adjacentPairs(vocab)
           .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1).collect()
+          .limit(topM).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .toIndexedSeq
         if (top.isEmpty) live = false
         else {
-          val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          out += ((a, b, cnt))
-          val next = vocab
-            .select(col("freq"), mergeOnce(col("syms"), a, b).as("syms"))
-            .localCheckpoint()
+          val batch =
+            greedyBatch(top, top.length < topM, rounds - learned, symbols.toSet)
+          var next = vocab
+          batch.foreach { case (a, b, cnt) =>
+            out += ((a, b, cnt))
+            symbols += (a + b)
+            next = next.select(col("freq"), mergeOnce(col("syms"), a, b).as("syms"))
+          }
+          next = next.localCheckpoint()
           graft.AppScopedCache.unpersistPlanRDDs(vocab)
           vocab = next
+          learned += batch.length
         }
-        r += 1
       }
       graft.AppScopedCache.unpersistPlanRDDs(vocab)
       out.result()
@@ -717,7 +784,7 @@ object TextAnalysis {
     * total chars vs post-merge token count. At 100 TB this is a scan
     * with a broadcast-free, state-free expression chain — the trained
     * artifact rides the PLAN as literals. */
-  def bpeTokenize(spark: SparkSession, dir: String, rounds: Int = 10): DataFrame = {
+  def bpeTokenize(spark: SparkSession, dir: String, rounds: Int = 50): DataFrame = {
     val merges = bpeMergeList(spark, dir, rounds)
     servedBpeMerges.put(dir, merges)
     val words = Tables.documentsParallel(spark, dir)
@@ -749,7 +816,7 @@ object TextAnalysis {
     * argmax from scratch and replays the engine's merges through
     * list_reduce, so a single wrong merge, tie-break, or fold step
     * hash-fails. */
-  def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 10): DataFrame = {
+  def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 50): DataFrame = {
     val merges = bpeMergeList(spark, dir, rounds)
     servedBpeMerges.put(dir, merges)
     import spark.implicits._

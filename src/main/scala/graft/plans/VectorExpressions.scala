@@ -580,9 +580,6 @@ object VectorExpressions {
     call_function("graft_jpeg_encode_progressive", w, h, seed, mode, restartRows)
   }
 
-  /** Deterministic exactly-decodable LOSSLESS-JPEG synthesis
-    * (plans.JpegEncode.encodeLossless: SOF3, predictor 1..7, gray or
-    * 3-component), column form; same registration precondition. */
   /** Nearest-neighbor BMP resize stats (plans.BmpResize), column
     * form; same registration precondition. */
   def bmpResize(c: Column, w2: Column, h2: Column): Column = {
@@ -598,6 +595,9 @@ object VectorExpressions {
     call_function("graft_jpeg_encode12", w, h, seed, restartRows)
   }
 
+  /** Deterministic exactly-decodable LOSSLESS-JPEG synthesis
+    * (plans.JpegEncode.encodeLossless: SOF3, predictor 1..7, gray or
+    * 3-component), column form; same registration precondition. */
   def jpegEncodeLossless(w: Column, h: Column, seed: Column, nComp: Column,
       pred: Column, prec: Column): Column = {
     SparkSession.getActiveSession.foreach(register)

@@ -21,6 +21,31 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(Bench.parseHistory(old, "/root/testdata/sf0.1").get("q1").contains(0.5))
   }
 
+  test("history parsing is anchored to the queries object, not the envelope") {
+    // envelope fields (value, passes) must NOT become history entries:
+    // a future query literally named `value` would otherwise compare
+    // against the run TOTAL and always flag (or never)
+    val h = Bench.parseHistory(detail, "/root/testdata/sf0.1")
+    assert(!h.contains("value") && !h.contains("metric") && !h.contains("unit"))
+    assert(h.size === 3)
+    // a record with no queries object at all parses to empty, not junk
+    val bare = """{"metric":"total","value":7.5,"unit":"sec"}"""
+    assert(Bench.parseHistory(bare, "/root/testdata/sf0.1") === Map.empty)
+  }
+
+  test("full second pass fires only on a still-degraded end-of-run total") {
+    val hist = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
+    // diffuse 20% on every line: under every per-query gate, but the
+    // total is degraded — exactly the r11/r12 co-tenant signature
+    assert(Bench.totalDegraded(Seq("a" -> 1.2, "b" -> 1.2, "c" -> 1.2), hist))
+    // 5% diffuse: inside the noise band, no second pass
+    assert(!Bench.totalDegraded(Seq("a" -> 1.05, "b" -> 1.05, "c" -> 1.05), hist))
+    // new queries don't count toward the shared total
+    assert(!Bench.totalDegraded(Seq("a" -> 1.0, "new_q" -> 9.0), hist))
+    // no history (first run at this SF): never fires
+    assert(!Bench.totalDegraded(Seq("a" -> 9.9), Map.empty))
+  }
+
   test("rescue triggers only past +10% on the history-covered total") {
     val hist = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
     // 5% inflation spread across lines: under the gate, no rescue

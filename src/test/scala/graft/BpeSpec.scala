@@ -58,10 +58,13 @@ class BpeSpec extends SparkSpec {
   }
 
   test("learned merges match the in-memory reference round by round") {
+    // the engine trains 50 merges in BATCHES (greedyBatch); the
+    // reference is strictly sequential — agreement across all 50 IS
+    // the greedy-equivalence certification of the batching
     val texts = graft.Tables.documents(spark, sf)
       .select("text").collect().map(_.getString(0)).toSeq
-    val want = referenceMerges(texts, 10)
-    assert(want.length === 10, "fixture corpus should sustain 10 merges")
+    val want = referenceMerges(texts, 50)
+    assert(want.length === 50, "fixture corpus should sustain 50 merges")
     val got = TextAnalysis.bpeMerges(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4)))
@@ -97,7 +100,7 @@ class BpeSpec extends SparkSpec {
     val texts = graft.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toSeq
-    val merges = referenceMerges(texts.map(_._2), 10)
+    val merges = referenceMerges(texts.map(_._2), 50)
     // per-doc totals under reference skip-scan application of the chain
     val want = texts.map { case (id, t) =>
       val words = refWords(Seq(t))
@@ -140,6 +143,44 @@ class BpeSpec extends SparkSpec {
         assert(g === w, s"fold diverges from skip-scan on $in with pair ($a,$b)")
       }
     }
+  }
+
+  test("greedyBatch admits only provably greedy-equivalent prefixes") {
+    def gb(ps: Seq[(String, String, Long)], complete: Boolean = true,
+        maxN: Int = 16, syms: Set[String] = Set.empty) =
+      TextAnalysis.greedyBatch(ps.toIndexedSeq, complete, maxN, syms)
+    // disjoint members with strict count steps: the whole list batches
+    val clean = Seq(("a", "b", 9L), ("c", "d", 7L), ("e", "f", 5L))
+    assert(gb(clean) === clean)
+    // a shared symbol cuts the batch BEFORE the conflicting member
+    assert(gb(Seq(("a", "b", 9L), ("b", "c", 7L), ("e", "f", 5L)))
+      === Seq(("a", "b", 9L)))
+    // sharing an earlier member's MERGED token also conflicts: merging
+    // (a,b) mints "ab" symbols, so ("ab","x") counts could grow
+    assert(gb(Seq(("a", "b", 9L), ("ab", "x", 7L))) === Seq(("a", "b", 9L)))
+    // a TIE at a forced cut is rejected (shrinks to the last strict
+    // step): a decreased-or-created pair could tie the boundary member
+    // and win an unseen tie-break. Here maxN forces the cut between
+    // the two 7s
+    assert(gb(Seq(("a", "b", 9L), ("c", "d", 7L), ("e", "f", 7L)), maxN = 2)
+      === Seq(("a", "b", 9L)))
+    // ...but a tie strictly INSIDE the prefix is fine (sorted order is
+    // the tie-break order and nothing in the prefix changes counts)
+    assert(gb(Seq(("a", "b", 9L), ("c", "d", 9L), ("e", "f", 5L)))
+      === Seq(("a", "b", 9L), ("c", "d", 9L), ("e", "f", 5L)))
+    // an INCOMPLETE head cannot batch through its own end: unseen
+    // pairs may tie the last member
+    assert(gb(clean, complete = false) === clean.take(2))
+    // maxN (remaining merge budget) caps the batch
+    assert(gb(clean, maxN = 2) === clean.take(2))
+    // a merged token that already exists as a vocab symbol ends the
+    // batch AFTER its member (growth only affects later steps)
+    assert(gb(clean, syms = Set("ab")) === clean.take(1))
+    assert(gb(clean, syms = Set("cd")) === clean.take(2))
+    // single merges are always greedy: even a tied head admits one
+    assert(gb(Seq(("a", "b", 9L), ("c", "d", 9L))) ===
+      Seq(("a", "b", 9L), ("c", "d", 9L))) // disjoint + complete: both
+    assert(gb(Seq(("a", "b", 9L), ("a", "d", 9L))) === Seq(("a", "b", 9L)))
   }
 
   test("training is memoized per corpus and deterministic across serves") {

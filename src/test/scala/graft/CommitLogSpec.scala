@@ -1356,6 +1356,56 @@ class CommitLogSpec extends SparkSpec {
     }
   }
 
+  test("publishIfAbsent is a kernel-arbitrated put-if-absent: exactly one racer wins") {
+    // the claim primitive WITHOUT the per-JVM claimLock in play: on a
+    // local FS it is link(2), whose EEXIST is arbitrated by the
+    // KERNEL, so this certifies the multi-PROCESS story too (processes
+    // and threads are indistinguishable to the syscall — no JVM state
+    // participates). 16 racers publish distinct payloads at ONE
+    // destination; exactly one must win, the winner's payload must be
+    // intact, and every loser must keep its tmp for the retry loop.
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pia_").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    try {
+      for (round <- 0 until 20) {
+        val dst = new org.apache.hadoop.fs.Path(dir, f"$round%08d.json")
+        val tmps = (0 until 16).map { i =>
+          val p = new org.apache.hadoop.fs.Path(dir, s".tmp-$round-$i")
+          val out = fs.create(p, true)
+          try out.write(s"""{"racer":$i}""".getBytes("UTF-8")) finally out.close()
+          (i, p)
+        }
+        val gate = new java.util.concurrent.CountDownLatch(1)
+        val results = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]()
+        val threads = tmps.map { case (i, p) =>
+          val th = new Thread(() => {
+            gate.await()
+            results.put(i, CommitLog.publishIfAbsent(fs, p, dst))
+          })
+          th.start(); th
+        }
+        gate.countDown()
+        threads.foreach(_.join())
+        val winners = results.asScala.collect { case (i, true) => i }.toSeq
+        assert(winners.size === 1, s"round $round: winners $winners")
+        val in = fs.open(dst)
+        val body = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+        assert(body === s"""{"racer":${winners.head}}""",
+          s"round $round: published payload torn or mixed: $body")
+        // losers keep their tmp files — the commit loop rewrites them
+        // for the next version; the winner's tmp is consumed
+        tmps.foreach { case (i, p) =>
+          assert(fs.exists(p) === !winners.contains(i),
+            s"round $round: tmp state wrong for racer $i")
+        }
+      }
+    } finally {
+      scala.util.Try(fs.delete(new org.apache.hadoop.fs.Path(dir), true))
+    }
+  }
+
   test("metaCache bounds per-table pins; evicted versions re-resolve") {
     val t = tempTable()
     try {

@@ -1,0 +1,161 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{FlacMeta, Mp3Meta}
+
+/** Compressed-audio triage: FLAC metadata-chain and MPEG Layer III
+  * frame-chain encode→parse round trips, the chain-integrity laws
+  * (truncation → NULL, desync → NULL), the ID3v2/ID3v1 envelope
+  * handling, and the deliberate declines (Layer I/II, free-format
+  * bitrate, reserved indices) — the parse-or-NULL contract everything
+  * at corpus scale rests on. */
+class Mp3FlacSpec extends AnyFunSuite {
+
+  // ---------------------------------------------------------------- FLAC
+
+  test("FLAC STREAMINFO round-trips across the packed-field space") {
+    // sweep each field through its bit-boundary values: 20-bit rate,
+    // 3-bit channels, 5-bit depth, 36-bit total crossing 2^32
+    val cases = Seq(
+      (8000, 1, 4, 0L), (44100, 2, 16, 1234567L), (96000, 8, 24, 0xFFFFFFFFL),
+      (655350, 3, 32, (1L << 36) - 1), (11025, 6, 12, 1L << 32))
+    for (((sr, ch, bits, total), k) <- cases.zipWithIndex) {
+      val b = FlacMeta.encode(sr, ch, bits, total, 31L + k, 5 * k)
+      val m = FlacMeta.parse(b)
+      assert(m != null, s"case $k parse")
+      assert(m.getInt(0) === sr); assert(m.getInt(1) === ch)
+      assert(m.getInt(2) === bits); assert(m.getLong(3) === total)
+      assert(m.getLong(4) === total * 1000L / sr)
+      assert(m.getInt(5) === 3) // STREAMINFO + VORBIS_COMMENT + PADDING
+      val md5 = (0 until 16).map(i => f"${(31L + k + 7 * i) % 256}%02x").mkString
+      assert(m.getString(6) === md5)
+    }
+  }
+
+  test("FLAC chain walk enforces structure: every violation is NULL, never a throw") {
+    val good = FlacMeta.encode(48000, 2, 16, 99999L, 7L, 12)
+    assert(FlacMeta.parse(good) != null)
+    // truncation law: any prefix of a valid file is NULL, never a throw
+    for (n <- 0 until good.length)
+      assert(FlacMeta.parse(good.take(n)) == null, s"truncation at $n")
+    // not-fLaC magic
+    val notMagic = good.clone(); notMagic(0) = 'g'
+    assert(FlacMeta.parse(notMagic) == null)
+    // first block must be STREAMINFO (type 0, length 34)
+    val wrongFirst = good.clone(); wrongFirst(4) = 0x04
+    assert(FlacMeta.parse(wrongFirst) == null)
+    // duplicate STREAMINFO mid-chain is a spec violation → NULL
+    val dupInfo = good.clone(); dupInfo(42) = 0x00
+    assert(FlacMeta.parse(dupInfo) == null)
+    // forbidden block type 127 → NULL
+    val forbidden = good.clone(); forbidden(42) = 0x7F
+    assert(FlacMeta.parse(forbidden) == null)
+    // hostile block length pointing past the buffer → NULL
+    val hostileLen = good.clone()
+    hostileLen(43) = 0xFF.toByte; hostileLen(44) = 0xFF.toByte
+    assert(FlacMeta.parse(hostileLen) == null)
+    // a chain that never sets the last-block flag → NULL (no overrun)
+    val neverLast = good.dropRight(12 + 4) // drop the PADDING block
+    assert(FlacMeta.parse(neverLast) == null)
+    // zero sample rate is invalid per spec
+    val zeroRate = FlacMeta.encode(1, 1, 8, 0L, 0L, 0)
+    zeroRate(18) = 0; zeroRate(19) = 0; zeroRate(20) = (zeroRate(20) & 0x0F).toByte
+    assert(FlacMeta.parse(zeroRate) == null)
+  }
+
+  // ----------------------------------------------------------------- MP3
+
+  test("MP3 frame chains round-trip: CBR and VBR, all versions and rates") {
+    for {
+      verSel <- 0 to 2
+      rateIdx <- 0 to 2
+      vbrStep <- Seq(0, 3) // CBR and per-frame bitrate churn
+    } {
+      val n = 17
+      val b = Mp3Meta.encode(n, verSel, rateIdx, mono = verSel == 1,
+        seed = 5L, vbrStep = vbrStep, id3Len = 0, id3v1 = false)
+      val m = Mp3Meta.parse(b)
+      assert(m != null, s"v$verSel r$rateIdx s$vbrStep parse")
+      assert(m.getString(0) === Seq("1", "2", "2.5")(verSel))
+      val rate = (verSel match {
+        case 0 => Mp3Meta.RateV1; case 1 => Mp3Meta.RateV2
+        case _ => Mp3Meta.RateV25
+      })(rateIdx)
+      assert(m.getInt(1) === rate)
+      assert(m.getInt(2) === (if (verSel == 1) 1 else 2))
+      val brTable = if (verSel == 0) Mp3Meta.BitrateV1 else Mp3Meta.BitrateV2
+      assert(m.getInt(3) === brTable(1 + 5 % 7)) // first frame, seed=5
+      assert(m.getInt(4) === n)
+      val spf = if (verSel == 0) 1152 else 576
+      assert(m.getLong(5) === n.toLong * spf * 1000L / rate)
+      assert(!m.getBoolean(6))
+    }
+  }
+
+  test("MP3 ID3v2 prefix is skipped via syncsafe size; ID3v1 trailer accepted") {
+    // syncsafe sizes that would differ under a plain 32-bit read
+    for (id3Len <- Seq(1, 127, 128, 300, 16383, 16384)) {
+      val b = Mp3Meta.encode(5, 0, 0, mono = false, seed = 9L,
+        vbrStep = 1, id3Len = id3Len, id3v1 = true)
+      val m = Mp3Meta.parse(b)
+      assert(m != null, s"id3Len=$id3Len")
+      assert(m.getInt(4) === 5)
+      assert(m.getBoolean(6), "has_id3v2")
+    }
+    // a non-syncsafe size byte (high bit set) refuses the parse
+    val bad = Mp3Meta.encode(3, 0, 0, mono = false, seed = 1L,
+      vbrStep = 0, id3Len = 10, id3v1 = false)
+    bad(6) = 0x80.toByte
+    assert(Mp3Meta.parse(bad) == null)
+    // ID3v1 trailer alone (no frames) is not an MP3
+    val tagOnly = new Array[Byte](128)
+    tagOnly(0) = 'T'; tagOnly(1) = 'A'; tagOnly(2) = 'G'
+    assert(Mp3Meta.parse(tagOnly) == null)
+  }
+
+  test("MP3 truncation law and mid-stream desync → NULL") {
+    val good = Mp3Meta.encode(8, 0, 1, mono = true, seed = 3L,
+      vbrStep = 2, id3Len = 20, id3v1 = true)
+    assert(Mp3Meta.parse(good) != null)
+    // truncation law: a cut exactly on a frame boundary is itself a
+    // valid shorter chain (fewer frames — or all 8 when only the
+    // ID3v1 trailer was dropped); any other cut is NULL — never a
+    // throw either way
+    for (n <- 0 until good.length) {
+      val m = Mp3Meta.parse(good.take(n))
+      if (m != null) assert(m.getInt(4) <= 8, s"truncation at $n")
+    }
+    // trailing junk that is neither a frame nor a 128-byte TAG → NULL
+    assert(Mp3Meta.parse(good ++ Array[Byte](1, 2, 3)) == null)
+    // a mid-stream sample-rate-index drift breaks chain consistency
+    val noTag = Mp3Meta.encode(4, 0, 1, mono = true, seed = 3L,
+      vbrStep = 0, id3Len = 0, id3v1 = false)
+    val frameLen = 144000 * Mp3Meta.BitrateV1(1 + 3 % 7) / Mp3Meta.RateV1(1) + 1
+    val drift = noTag.clone()
+    drift(frameLen + 2) = (drift(frameLen + 2) ^ 0x04).toByte // rate idx bit
+    assert(Mp3Meta.parse(drift) == null)
+  }
+
+  test("MP3 declines: Layer I/II, free-format, reserved version/rate, non-III chains") {
+    val good = Mp3Meta.encode(3, 0, 0, mono = false, seed = 0L,
+      vbrStep = 0, id3Len = 0, id3v1 = false)
+    // Layer bits: 01 = III (accepted); 10 = II, 11 = I, 00 = reserved
+    for (layerBits <- Seq(0x0, 0x2, 0x3)) {
+      val b = good.clone()
+      b(1) = ((b(1) & ~0x06) | (layerBits << 1)).toByte
+      assert(Mp3Meta.parse(b) == null, s"layer bits $layerBits")
+    }
+    // reserved version (01)
+    val rv = good.clone(); rv(1) = ((rv(1) & ~0x18) | 0x08).toByte
+    assert(Mp3Meta.parse(rv) == null)
+    // free-format bitrate (index 0) and invalid (index 15)
+    for (brIdx <- Seq(0x0, 0xF)) {
+      val b = good.clone()
+      b(2) = ((b(2) & 0x0F) | (brIdx << 4)).toByte
+      assert(Mp3Meta.parse(b) == null, s"bitrate idx $brIdx")
+    }
+    // reserved sample-rate index (3)
+    val rr = good.clone(); rr(2) = ((rr(2) & ~0x0C) | 0x0C).toByte
+    assert(Mp3Meta.parse(rr) == null)
+  }
+}

@@ -29,7 +29,9 @@ class ParserFuzzSpec extends AnyFunSuite {
     "Mp4Meta" -> (graft.plans.Mp4Meta.parse(_)),
     "TiffPixels" -> (graft.plans.TiffPixels.parse(_)),
     "WavFloat" -> (graft.plans.WavFloat.parse(_)),
-    "WavPcm" -> (graft.plans.WavPcm.parse(_)))
+    "WavPcm" -> (graft.plans.WavPcm.parse(_)),
+    "FlacMeta" -> (graft.plans.FlacMeta.parse(_)),
+    "Mp3Meta" -> (graft.plans.Mp3Meta.parse(_)))
 
   // magic prefixes steer the fuzz into each format's deep parse path
   private val prefixes: Seq[Array[Byte]] = Seq(
@@ -43,7 +45,10 @@ class ParserFuzzSpec extends AnyFunSuite {
     hx("00000014") ++ "ftypisom".getBytes ++ hx("00000200") ++
       "isommp42".getBytes, // ISO-BMFF ftyp: steers into the box walk
     hx("49492A0008000000"), // TIFF little-endian header → IFD walk
-    hx("4D4D002A00000008")) // TIFF big-endian header → IFD walk
+    hx("4D4D002A00000008"), // TIFF big-endian header → IFD walk
+    "fLaC".getBytes ++ hx("00000022"), // FLAC magic + STREAMINFO header
+    "ID3".getBytes ++ hx("0300000000000A"), // ID3v2 header → syncsafe skip
+    hx("FFFB")) // MPEG-1 Layer III frame sync → frame-chain walk
 
   private def neverThrows(name: String, p: Array[Byte] => AnyRef,
       input: Array[Byte], what: String): Unit =
@@ -143,9 +148,21 @@ class ParserFuzzSpec extends AnyFunSuite {
     val fullTiffs = (0 to 51).map(mode =>
       graft.plans.TiffEncode.encode(9, 7, 77L, mode, 2))
     fullTiffs.foreach(f => assert(graft.plans.TiffPixels.parse(f) != null))
+    // a REAL FLAC metadata chain: corruptions land in the packed
+    // STREAMINFO bit fields and the block-chain length walk
+    val fullFlac = graft.plans.FlacMeta.encode(44100, 2, 16, 99999L, 77L, 12)
+    assert(graft.plans.FlacMeta.parse(fullFlac) != null)
+    // a REAL VBR Layer III chain behind an ID3v2 tag with an ID3v1
+    // trailer: corruptions land in the syncsafe size, the per-frame
+    // headers (version/layer/bitrate/rate drift checks), and the
+    // frame-length arithmetic
+    val fullMp3 = graft.plans.Mp3Meta.encode(8, 0, 1, mono = false,
+      seed = 77L, vbrStep = 2, id3Len = 40, id3v1 = true)
+    assert(graft.plans.Mp3Meta.parse(fullMp3) != null)
     val rnd = new scala.util.Random(0xF00D)
     for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif, fullJpeg,
-        fullJpegColor, fullJpegLossless, fullJpeg12, fullAvi, fullWav, fullFloat) ++
+        fullJpegColor, fullJpegLossless, fullJpeg12, fullAvi, fullWav, fullFloat,
+        fullFlac, fullMp3) ++
         fullG711s ++ fullMp4s ++ fullTiffs;
         _ <- 0 until 800) {
       val truncated = f.take(rnd.nextInt(f.length + 1))
