@@ -496,6 +496,7 @@ object Queries {
     "mm_mp4_meta" -> (Multimodal.mp4MetaQ _),
     "mm_flac_meta" -> (Multimodal.flacMetaQ _),
     "mm_mp3_meta" -> (Multimodal.mp3MetaQ _),
+    "mm_exif_meta" -> (Multimodal.exifMetaQ _),
     "mm_tiff_pixels" -> (Multimodal.tiffPixelsQ _),
     "mm_video_frames" -> (Multimodal.videoFrames _),
     "mm_audio_pcm" -> (Multimodal.audioPcm _),
@@ -1388,6 +1389,20 @@ object Queries {
        // stsz sample count: (seed%97 + 1) per track, summed over tracks
        "CASE WHEN doc_id % 127 = 0 THEN NULL " +
        "ELSE CAST((doc_id % 97 + 1) * (doc_id % 3 + doc_id % 2 + 1) AS BIGINT) END AS n_samples_stbl " +
+       "FROM documents ORDER BY doc_id"),
+    // EXIF triage twin: every IFD field cycles on doc_id
+    // (ExifMeta.encode scaladoc) — the oracle restates orientation,
+    // the sub-IFD DateTimeOriginal (which shadows IFD0's DateTime),
+    // the Make string, and the container split; both byte orders
+    // alternate per doc so one wrong endian branch fails half the rows
+    "mm_exif_meta" ->
+      ("SELECT doc_id, " +
+       "CASE WHEN doc_id % 167 = 0 THEN NULL WHEN doc_id % 3 = 0 THEN 'tiff' ELSE 'jpeg' END AS container, " +
+       "CASE WHEN doc_id % 167 = 0 THEN NULL ELSE CAST(doc_id % 8 + 1 AS INTEGER) END AS orientation, " +
+       "CASE WHEN doc_id % 167 = 0 THEN NULL ELSE printf('%04d:%02d:%02d %02d:%02d:%02d', " +
+       "2000 + doc_id % 20, doc_id * 3 % 12 + 1, doc_id * 7 % 28 + 1, " +
+       "doc_id * 5 % 24, doc_id * 11 % 60, doc_id * 13 % 60) END AS datetime_original, " +
+       "CASE WHEN doc_id % 167 = 0 THEN NULL ELSE 'cam' || CAST(doc_id % 5 AS VARCHAR) END AS make " +
        "FROM documents ORDER BY doc_id"),
     // FLAC triage twin: the encoder packs STREAMINFO fields straight
     // from doc_id arithmetic (FlacMeta.encode scaladoc), so the oracle

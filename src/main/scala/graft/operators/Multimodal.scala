@@ -296,6 +296,24 @@ object Multimodal {
           ((id % 4 + 1) * 600).cast("int"), (id % 100000 + 1000).cast("long"),
           (id % 5 % 3).cast("int"), (id % 50 + 10).cast("int"),
           id.cast("long"))))
+      case "exif" => Seq(
+        (id % 167 === 0, encode(text.substr(1, 20), "UTF-8")),
+        // REAL EXIF-carrying files (plans.ExifMeta.encode): a
+        // spec-conformant IFD chain (IFD0 Make/Orientation/DateTime +
+        // EXIF sub-IFD DateTimeOriginal) spliced as APP1 into a real
+        // entropy-coded JPEG on 2 of 3 docs, bare TIFF-grammar EXIF on
+        // the third; byte order alternates per doc; every field is
+        // doc_id-derived so the oracle restates the full walk
+        (id % 167 =!= 0, graft.plans.VectorExpressions.exifEncode(
+          id.cast("long"), id % 2 === 0, id % 3 =!= 0,
+          (id % 8 + 1).cast("int"),
+          concat(lit("cam"), (id % 5).cast("string")),
+          format_string("%04d:%02d:%02d %02d:%02d:%02d",
+            lit(2020) + id % 5, id % 12 + 1, id % 28 + 1,
+            id % 24, id % 60, id % 60),
+          format_string("%04d:%02d:%02d %02d:%02d:%02d",
+            lit(2000) + id % 20, (id * 3) % 12 + 1, (id * 7) % 28 + 1,
+            (id * 5) % 24, (id * 11) % 60, (id * 13) % 60))))
       case "flac" => Seq(
         (id % 149 === 0, encode(text.substr(1, 26), "UTF-8")),
         // REAL FLAC metadata chains (plans.FlacMeta.encode): STREAMINFO
@@ -380,7 +398,7 @@ object Multimodal {
   def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "gifanim",
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
-      "wavpcm", "wavg711", "wavfloat", "flac", "mp3")
+      "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -814,6 +832,24 @@ object Multimodal {
         col("m.video_codec").as("video_codec"),
         col("m.audio_codec").as("audio_codec"),
         col("m.n_samples_stbl").as("n_samples_stbl"))
+      .orderBy(col("doc_id"))
+
+  /** EXIF triage: the IFD-chain walk (plans.ExifMeta) over stored
+    * JPEG/APP1 and bare-TIFF payloads — orientation (rotation-aware
+    * thumbnailing), DateTimeOriginal (dedup-by-capture-time, temporal
+    * partitioning), Make (device cohorts), all without touching a
+    * pixel. Both byte orders and both containers cycle on doc_id; the
+    * oracle restates every field from the same arithmetic, so a wrong
+    * IFD offset, inline/out-of-line decision, or sub-IFD hop fails the
+    * hash. Corrupt rows (every 167th doc carries text bytes) NULL. */
+  def exifMetaQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "exif")
+      .select(col("doc_id"), graft.plans.VectorExpressions.exifMeta(col("exif")).as("m"))
+      .select(col("doc_id"),
+        col("m.container").as("container"),
+        col("m.orientation").as("orientation"),
+        col("m.datetime_original").as("datetime_original"),
+        col("m.make").as("make"))
       .orderBy(col("doc_id"))
 
   /** COMPRESSED-AUDIO triage, lossless tier: FLAC STREAMINFO +

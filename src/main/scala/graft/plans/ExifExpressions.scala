@@ -262,6 +262,7 @@ object ExifMeta {
       out.write((segLen >>> 8) & 0xFF); out.write(segLen & 0xFF)
       out.write('E'); out.write('x'); out.write('i'); out.write('f')
       out.write(0); out.write(0)
+      out.write(tiff, 0, tiff.length)
       out.write(jpeg, 2, jpeg.length - 2) // everything after the SOI
       out.toByteArray
     }

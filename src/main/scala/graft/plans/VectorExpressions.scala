@@ -388,6 +388,22 @@ object VectorExpressions {
           vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Long],
           vs(3).asInstanceOf[Boolean])), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_exif_meta", exprs => ExifMeta(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_exif_encode",
+      exprs => graft.plans.SynthExpr(exprs, "graft_exif_encode",
+        Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.BooleanType,
+          org.apache.spark.sql.types.BooleanType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType),
+        vs => ExifMeta.encode(vs(0).asInstanceOf[Long],
+          vs(1).asInstanceOf[Boolean], vs(2).asInstanceOf[Boolean],
+          vs(3).asInstanceOf[Int], vs(4).toString, vs(5).toString,
+          vs(6).toString)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_flac_meta", exprs => FlacMeta(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_mp3_meta", exprs => Mp3Meta(exprs(0)), "scala_udf")
@@ -695,6 +711,24 @@ object VectorExpressions {
       mulaw: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_wav_encode_g711", nFrames, channels, seed, mulaw)
+  }
+
+  /** EXIF IFD-chain triage (plans.ExifMeta: orientation,
+    * DateTimeOriginal, Make over JPEG/APP1 or bare TIFF), column form;
+    * same registration precondition. */
+  def exifMeta(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_exif_meta", c)
+  }
+
+  /** Deterministic EXIF fixture synthesis (plans.ExifMeta.encode),
+    * column form; same precondition. */
+  def exifEncode(seed: Column, le: Column, wrapJpeg: Column,
+      orientation: Column, make: Column, dt: Column,
+      dtOriginal: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_exif_encode", seed, le, wrapJpeg, orientation,
+      make, dt, dtOriginal)
   }
 
   /** FLAC STREAMINFO + metadata-chain triage (plans.FlacMeta), column

@@ -31,7 +31,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "WavFloat" -> (graft.plans.WavFloat.parse(_)),
     "WavPcm" -> (graft.plans.WavPcm.parse(_)),
     "FlacMeta" -> (graft.plans.FlacMeta.parse(_)),
-    "Mp3Meta" -> (graft.plans.Mp3Meta.parse(_)))
+    "Mp3Meta" -> (graft.plans.Mp3Meta.parse(_)),
+    "ExifMeta" -> (graft.plans.ExifMeta.parse(_)))
 
   // magic prefixes steer the fuzz into each format's deep parse path
   private val prefixes: Seq[Array[Byte]] = Seq(
@@ -48,7 +49,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     hx("4D4D002A00000008"), // TIFF big-endian header → IFD walk
     "fLaC".getBytes ++ hx("00000022"), // FLAC magic + STREAMINFO header
     "ID3".getBytes ++ hx("0300000000000A"), // ID3v2 header → syncsafe skip
-    hx("FFFB")) // MPEG-1 Layer III frame sync → frame-chain walk
+    hx("FFFB"), // MPEG-1 Layer III frame sync → frame-chain walk
+    hx("FFD8FFE100A0") ++ "Exif".getBytes ++ hx("0000")) // APP1/EXIF → IFD walk
 
   private def neverThrows(name: String, p: Array[Byte] => AnyRef,
       input: Array[Byte], what: String): Unit =
@@ -159,11 +161,20 @@ class ParserFuzzSpec extends AnyFunSuite {
     val fullMp3 = graft.plans.Mp3Meta.encode(8, 0, 1, mono = false,
       seed = 77L, vbrStep = 2, id3Len = 40, id3v1 = true)
     assert(graft.plans.Mp3Meta.parse(fullMp3) != null)
+    // REAL EXIF carriers, both containers: corruptions land in the
+    // IFD entry walk, the inline/out-of-line value dispatch, the
+    // sub-IFD hop, and (JPEG) the APP1 segment framing
+    val fullExifs = Seq(
+      graft.plans.ExifMeta.encode(77L, true, true, 3, "cam",
+        "2021:02:03 04:05:06", "2001:04:08 05:11:13"),
+      graft.plans.ExifMeta.encode(77L, false, false, 6, "cam",
+        "2021:02:03 04:05:06", "2001:04:08 05:11:13"))
+    fullExifs.foreach(f => assert(graft.plans.ExifMeta.parse(f) != null))
     val rnd = new scala.util.Random(0xF00D)
     for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif, fullJpeg,
         fullJpegColor, fullJpegLossless, fullJpeg12, fullAvi, fullWav, fullFloat,
         fullFlac, fullMp3) ++
-        fullG711s ++ fullMp4s ++ fullTiffs;
+        fullExifs ++ fullG711s ++ fullMp4s ++ fullTiffs;
         _ <- 0 until 800) {
       val truncated = f.take(rnd.nextInt(f.length + 1))
       val corrupted = f.clone()
