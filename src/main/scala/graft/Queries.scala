@@ -1342,17 +1342,25 @@ object Queries {
     "mm_tiff_pixels" ->
       // modes 48-51 are palette: the pixel stores the gray-formula
       // INDEX; decoded channels are the ColorMap high bytes
-      // (i, 2i%256, 3i%256) — the r channel equals the index, g/b wrap
+      // (i, 2i%256, 3i%256) — the r channel equals the index, g/b wrap.
+      // modes 52-63 are sub-8-bit packed gray/bilevel: the gray
+      // formula reduced mod 2^bits (bits = 1/2/4 by (m-52)//4), raw
+      // sample-value sums replicated to all three channels
       ("WITH d AS (SELECT doc_id, 4 + doc_id % 9 AS w, 4 + (doc_id * 3) % 7 AS h, " +
-       "doc_id % 52 AS m FROM documents), " +
-       "px AS (SELECT doc_id, w, h, m, unnest(range(w * h)) AS i FROM d WHERE doc_id % 131 <> 0), " +
+       "doc_id % 64 AS m FROM documents), " +
+       "px AS (SELECT doc_id, w, h, m, " +
+       "CASE WHEN m >= 52 THEN (CASE (m - 52) // 4 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16 END) " +
+       "ELSE 256 END AS md, " +
+       "unnest(range(w * h)) AS i FROM d WHERE doc_id % 131 <> 0), " +
        "s AS (SELECT doc_id, " +
-       "sum(CASE WHEN m >= 48 OR m % 4 >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
+       "sum(CASE WHEN m >= 48 OR m % 4 >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % md " +
        "ELSE (doc_id + 3 * (i % w) + 7 * (i // w)) % 256 END) AS sr, " +
-       "sum(CASE WHEN m >= 48 THEN (2 * ((doc_id + 5 * (i % w) + 3 * (i // w)) % 256)) % 256 " +
+       "sum(CASE WHEN m >= 52 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % md " +
+       "WHEN m >= 48 THEN (2 * ((doc_id + 5 * (i % w) + 3 * (i // w)) % 256)) % 256 " +
        "WHEN m % 4 >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
        "ELSE (2 * doc_id + 5 * (i % w) + (i // w)) % 256 END) AS sg, " +
-       "sum(CASE WHEN m >= 48 THEN (3 * ((doc_id + 5 * (i % w) + 3 * (i // w)) % 256)) % 256 " +
+       "sum(CASE WHEN m >= 52 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % md " +
+       "WHEN m >= 48 THEN (3 * ((doc_id + 5 * (i % w) + 3 * (i // w)) % 256)) % 256 " +
        "WHEN m % 4 >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
        "ELSE (3 * doc_id + (i % w) + 11 * (i // w)) % 256 END) AS sb " +
        "FROM px GROUP BY doc_id) " +

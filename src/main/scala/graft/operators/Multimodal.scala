@@ -276,13 +276,15 @@ object Multimodal {
         // strip encoding (uncompressed / LZW / LZW+predictor), and
         // organization (chunky strips / 16x16 tiles with padded edges /
         // separate planes), plus 16-bit chunky strips summed by the
-        // high byte AND 8-bit palette (ColorMap) strips, all cycling
-        // on doc_id (mode = id%52; 48-51 = palette), rows-per-strip
-        // 1..4 so multi-strip layouts with out-of-line offset arrays
-        // land on most rows
+        // high byte, 8-bit palette (ColorMap) strips, AND 1/2/4-bit
+        // packed grayscale/bilevel fax/scan strips (the 1-bit modes
+        // omit BitsPerSample — the spec-default path), all cycling on
+        // doc_id (mode = id%64; 48-51 = palette, 52-63 = sub-8-bit),
+        // rows-per-strip 1..4 so multi-strip layouts with out-of-line
+        // offset arrays land on most rows
         (id % 131 =!= 0, graft.plans.VectorExpressions.tiffEncode(
           (id % 9 + 4).cast("int"), ((id * 3) % 7 + 4).cast("int"),
-          id.cast("long"), (id % 52).cast("int"), (id % 4 + 1).cast("int"))))
+          id.cast("long"), (id % 64).cast("int"), (id % 4 + 1).cast("int"))))
       case "mp4" => Seq(
         (id % 127 === 0, encode(text.substr(1, 28), "UTF-8")),
         // REAL ISO-BMFF files (plans.Mp4Encode): 0..2 video + 1..2

@@ -17,13 +17,19 @@ import org.apache.spark.sql.types._
   * or TIFF-flavor LZW (=5, see [[TiffLzw]]) with or without the
   * horizontal predictor (317), organized as chunky strips, 16×16+
   * tiles (322-325, padded edges ignored), or separate planes
-  * (PlanarConfiguration=2, decoded in strips), and 16-bit samples in
-  * chunky strips (summed by the HIGH byte, the PNG-16 convention).
+  * (PlanarConfiguration=2, decoded in strips), 16-bit samples in
+  * chunky strips (summed by the HIGH byte, the PNG-16 convention),
+  * and 1/2/4-bit packed grayscale/bilevel (the fax/scan shapes,
+  * photometric 0 or 1) in chunky strips — MSB-first within each
+  * byte, rows byte-aligned, RAW sample-value sums, BitsPerSample
+  * defaulting to 1 when the tag is absent per spec.
   *
   * The DECLINE envelope (NULL, never wrong-valued; format/dims still
   * triage via graft_img_meta): JPEG-in-TIFF and other compressions,
-  * sub-8-bit samples, palette outside 8-bit chunky strips, 16-bit
-  * tiled/planar combinations, and >16-bit-deep samples.
+  * palette outside 8-bit chunky strips, 16-bit tiled/planar
+  * combinations, sub-8-bit outside single-sample chunky strips (or
+  * with a predictor — tag 317 is defined on 8/16-bit samples),
+  * WhiteIsZero outside the sub-byte shapes, and >16-bit samples.
   *
   * `graft_tiff_pixels(binary)` → the [[BmpStats]] schema (width,
   * height, channel sums, n_pixels; grayscale replicates its sum to
@@ -164,7 +170,7 @@ object TiffPixels {
     // the LZW path allocates the decompressed strip (the input bytes
     // no longer bound it), so a hostile header needs a pixel ceiling
     if (comp == 5L && w * h > MaxLzwPixels) return null
-    if (photo == 1L) { if (spp != 1L) return null }
+    if (photo == 0L || photo == 1L) { if (spp != 1L) return null }
     else if (photo == 2L) { if (spp != 3L) return null }
     else if (photo == 3L) {
       // Palette color (TIFF 6.0 §5): one 8-bit index per pixel looked
@@ -176,12 +182,23 @@ object TiffPixels {
     }
     else return null
     val palette = photo == 3L
-    // BitsPerSample defaults to 1 bit when absent — out of envelope;
-    // 8-bit everywhere, or 16-bit (summed by the HIGH byte, the PNG-16
-    // convention) in the chunky-strip organization
-    if (bps == null || bps.length != spp ||
-        !(bps.forall(_ == 8L) || bps.forall(_ == 16L))) return null
-    val bits16 = bps(0) == 16L
+    // BitsPerSample: 8-bit everywhere; 16-bit (summed by the HIGH
+    // byte, the PNG-16 convention) in chunky strips; 1/2/4-bit packed
+    // grayscale/bilevel (the fax/scan shapes — raw sample-value sums,
+    // MSB-first within the byte, rows byte-aligned) in chunky strips.
+    // An ABSENT tag 258 defaults to 1 bit per the spec — the classic
+    // minimal bilevel file.
+    var bitsN = 1L
+    if (bps != null) {
+      if (bps.length != spp.toInt) return null
+      bitsN = bps(0)
+      var bi = 1
+      while (bi < bps.length) { if (bps(bi) != bitsN) return null; bi += 1 }
+    }
+    if (bitsN != 1L && bitsN != 2L && bitsN != 4L && bitsN != 8L && bitsN != 16L)
+      return null
+    val bits16 = bitsN == 16L
+    val subByte = bitsN < 8L
     // exactly ONE organization: classic strips or tiles (322-325);
     // the planar (separate-plane) layout decodes in strips only
     val tiled = tileOffsets != null || tileCounts != null || tw > 0 || th > 0
@@ -189,7 +206,15 @@ object TiffPixels {
     if (!tiled && (offsets == null || counts == null)) return null
     if (tiled && planar == 2L) return null
     if (bits16 && (tiled || planar == 2L)) return null // 16-bit: chunky strips
-    if (palette && (bits16 || tiled || planar == 2L)) return null // 8-bit chunky strips only
+    if (palette && (bitsN != 8L || tiled || planar == 2L)) return null // 8-bit chunky strips only
+    // sub-8-bit: single-sample gray/bilevel chunky strips, no
+    // predictor (tag 317's byte/value differencing is defined on
+    // 8/16-bit samples)
+    if (subByte && (spp != 1L || palette || tiled || planar == 2L || pred != 1L))
+      return null
+    // WhiteIsZero only enters through the sub-byte fax/scan shapes;
+    // the certified 8/16-bit envelope stays at photometric 1/2/3
+    if (photo == 0L && !subByte) return null
 
     val sppI = spp.toInt
     var (sr, sg, sb) = (0L, 0L, 0L)
@@ -276,7 +301,9 @@ object TiffPixels {
       val nStrips = ((h + rps - 1) / rps).toInt
       if (offsets.length != nStrips || counts.length != nStrips) return null
       val bytesPer = if (bits16) 2 else 1
-      val rowBytes = w * spp * bytesPer
+      val rowBytes =
+        if (subByte) (w * bitsN + 7) / 8 // packed rows, byte-aligned
+        else w * spp * bytesPer
       // 16-bit: the sample's HIGH byte position in the file byte order
       val hbOff = if (bits16 && le) 1 else 0
       var s = 0
@@ -288,7 +315,28 @@ object TiffPixels {
           rowBytes.toInt, sppI)
         if (strip == null) return null
         var i = 0
-        if (palette) {
+        if (subByte) {
+          // packed sub-byte samples: MSB-first within each byte, every
+          // row padded to a byte boundary — the pad bits are ignored,
+          // only the w real samples of each row are summed (raw
+          // sample values: 0..2^bits-1, the stored fax/scan levels)
+          val bitsI = bitsN.toInt
+          val perByte = 8 / bitsI
+          val mask = (1 << bitsI) - 1
+          val rb = rowBytes.toInt
+          val wI = w.toInt
+          var r0 = 0
+          while (r0 < rows.toInt) {
+            val base = r0 * rb
+            var x = 0
+            while (x < wI) {
+              val shift = 8 - bitsI * (x % perByte + 1)
+              sr += (u8(strip, base + x / perByte) >> shift) & mask
+              x += 1
+            }
+            r0 += 1
+          }
+        } else if (palette) {
           // index → 16-bit ColorMap entry; report the HIGH byte, the
           // same 8-bit convention as the 16-bit sample path (and what
           // the JDK's TIFF reader hands back for palette files)
@@ -493,18 +541,22 @@ object TiffLzw {
 }
 
 /** `graft_tiff_encode(w, h, seed, mode, rows_per_strip)` → binary: a
-  * valid baseline TIFF. `mode % 4` picks the sample layout — 0 =
-  * little-endian RGB, 1 = big-endian RGB, 2 = little-endian
-  * grayscale, 3 = big-endian grayscale; `mode / 4` picks the strip
-  * encoding — 0 = uncompressed, 1 = TIFF LZW ([[TiffLzw]]), 2 = LZW
-  * with the horizontal predictor (tag 317 = 2). Pixel (x,y) channels
-  * come from the same seed arithmetic as [[PngEncode]]
+  * valid baseline TIFF. Modes 0..11 are chunky strips (`mode % 4`:
+  * 0 = LE RGB, 1 = BE RGB, 2 = LE gray, 3 = BE gray; `mode / 4`:
+  * 0 = uncompressed, 1 = TIFF LZW ([[TiffLzw]]), 2 = LZW + horizontal
+  * predictor); 12..23 the same matrix as 16×16 tiles; 24..35 as
+  * separate planes; 36..47 as 16-bit chunky strips (sample = v·257);
+  * 48..51 palette color (bit 0 = byte order, bit 1 = LZW); 52..63
+  * sub-8-bit packed grayscale/bilevel — (mode−52)/4 picks bits 1/2/4,
+  * bit 0 = byte order (photometric alternates 0/1 with it), bit 1 =
+  * LZW, and the 1-bit modes omit BitsPerSample (spec default). Pixel
+  * (x,y) channels come from the same seed arithmetic as [[PngEncode]]
   * (r=(s+3x+7y)%256, g=(2s+5x+y)%256, b=(3s+x+11y)%256;
-  * gray=(s+5x+3y)%256) so the DuckDB oracle recomputes exact sums
-  * regardless of the strip encoding. rows_per_strip < h forces a
-  * multi-strip layout with out-of-line StripOffsets/StripByteCounts
-  * arrays, certifying the inline/out-of-line value rule in the
-  * decoder. */
+  * gray=(s+5x+3y)%256, reduced mod 2^bits for the packed modes) so
+  * the DuckDB oracle recomputes exact sums regardless of the strip
+  * encoding. rows_per_strip < h forces a multi-strip layout with
+  * out-of-line StripOffsets/StripByteCounts arrays, certifying the
+  * inline/out-of-line value rule in the decoder. */
 case class TiffEncode(children: Seq[Expression]) extends Expression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -538,19 +590,31 @@ object TiffEncode {
 
   def encode(w: Int, h: Int, seed: Long, mode: Int, rowsPerStrip: Int): Array[Byte] = {
     if (w <= 0 || w > 4096 || h <= 0 || h > 4096 || seed < 0) return null
-    if (mode < 0 || mode > 51 || rowsPerStrip <= 0) return null
+    if (mode < 0 || mode > 63 || rowsPerStrip <= 0) return null
     // modes 48..51: palette color (photometric 3) in chunky strips —
     // bit 0 = byte order, bit 1 = LZW; indices use the gray formula,
-    // ColorMap maps index i to (i, 2i%256, 3i%256) scaled to 16-bit
-    val pal = mode >= 48
-    val tiledOrg = !pal && mode >= 12 && mode < 24
-    val planarOrg = !pal && mode >= 24 && mode < 36
-    val bits16 = !pal && mode >= 36 // 16-bit chunky strips; sample = v<<8 | v
+    // ColorMap maps index i to (i, 2i%256, 3i%256) scaled to 16-bit.
+    // modes 52..63: sub-8-bit packed grayscale/bilevel (the fax/scan
+    // shapes) in chunky strips — bit 0 = byte order, bit 1 = LZW,
+    // (mode-52)/4 picks bits 1/2/4; the bilevel (1-bit) modes OMIT
+    // the BitsPerSample tag entirely, pinning the spec's default-1
+    // path through the fixture itself; photometric alternates 0/1 on
+    // the byte-order bit (both fax polarities land in the corpus)
+    val subB = mode >= 52
+    val subBits = if (subB) Array(1, 2, 4)((mode - 52) / 4) else 8
+    val pal = !subB && mode >= 48
+    val tiledOrg = !pal && !subB && mode >= 12 && mode < 24
+    val planarOrg = !pal && !subB && mode >= 24 && mode < 36
+    val bits16 = !pal && !subB && mode >= 36 // 16-bit chunky; sample = v<<8 | v
     val sub = mode % 12
-    val le = if (pal) ((mode - 48) & 1) == 0 else (sub & 1) == 0
-    val gray = pal || (sub % 4) >= 2 // pal: 1 sample/px, gray px formula as INDEX
-    val lzw = if (pal) ((mode - 48) & 2) != 0 else sub >= 4
-    val pred2 = !pal && sub >= 8
+    val le =
+      if (subB) ((mode - 52) & 1) == 0
+      else if (pal) ((mode - 48) & 1) == 0 else (sub & 1) == 0
+    val gray = pal || subB || (sub % 4) >= 2 // pal: gray px formula as INDEX
+    val lzw =
+      if (subB) ((mode - 52) & 2) != 0
+      else if (pal) ((mode - 48) & 2) != 0 else sub >= 4
+    val pred2 = !pal && !subB && sub >= 8
     val spp = if (gray) 1 else 3
     val rps = math.min(rowsPerStrip, h)
     val nStrips = if (tiledOrg) 0 else (h + rps - 1) / rps
@@ -580,7 +644,27 @@ object TiffEncode {
     // block payloads first (compressed sizes vary), offsets after
     def rawStrip(s: Int): Array[Byte] = {
       val rows = math.min(rps, h - s * rps)
-      if (!bits16) {
+      if (subB) {
+        // packed sub-byte rows, MSB-first, byte-aligned per row; the
+        // sample is the gray formula reduced mod 2^bits
+        val rb = (w * subBits + 7) / 8
+        val perByte = 8 / subBits
+        val out = new Array[Byte](rows * rb)
+        var r0 = 0
+        while (r0 < rows) {
+          val y = s * rps + r0
+          var x = 0
+          while (x < w) {
+            val v = ((seed + 5L * x + 3L * y) % (1 << subBits)).toInt
+            val idx = r0 * rb + x / perByte
+            val shift = 8 - subBits * (x % perByte + 1)
+            out(idx) = (out(idx) | (v << shift)).toByte
+            x += 1
+          }
+          r0 += 1
+        }
+        out
+      } else if (!bits16) {
         val out = new Array[Byte](rows * rowBytes)
         var i = 0
         var y = s * rps
@@ -705,7 +789,8 @@ object TiffEncode {
     val scLen = soLen
     val ifdOff = scOff + scLen
     val nEntries = (if (tiledOrg) 11 else 10) +
-      (if (pred2) 1 else 0) + (if (pal) 1 else 0)
+      (if (pred2) 1 else 0) + (if (pal) 1 else 0) +
+      (if (subB && subBits == 1) -1 else 0) // bilevel omits tag 258
     val total = ifdOff + 2 + nEntries * 12 + 4
 
     val b = new Array[Byte](total)
@@ -759,11 +844,14 @@ object TiffEncode {
     }
     entry(256, 4, 1)(w32(w.toLong)) // ImageWidth
     entry(257, 4, 1)(w32(h.toLong)) // ImageLength
-    val sampleBits = if (bits16) 16 else 8
-    if (gray) entry(258, 3, 1)(w16(sampleBits)) // BitsPerSample inline
+    val sampleBits = if (bits16) 16 else if (subB) subBits else 8
+    if (subB && subBits == 1) () // bilevel: tag 258 omitted (defaults 1)
+    else if (gray) entry(258, 3, 1)(w16(sampleBits)) // BitsPerSample inline
     else entry(258, 3, 3)(w32(bpsOff.toLong)) // out-of-line 3 SHORTs
     entry(259, 3, 1)(w16(if (lzw) 5 else 1)) // Compression
-    entry(262, 3, 1)(w16(if (pal) 3 else if (gray) 1 else 2)) // Photometric
+    entry(262, 3, 1)(w16(
+      if (subB) (if (le) 1 else 0) // both fax polarities in the corpus
+      else if (pal) 3 else if (gray) 1 else 2)) // Photometric
     if (!tiledOrg) {
       if (nBlocks > 1) entry(273, 4, nBlocks.toLong)(w32(soOff.toLong))
       else entry(273, 4, 1)(w32(stripOffsets(0)))

@@ -370,6 +370,72 @@ class TiffSpec extends SparkSpec {
     assert(meta != null && meta.getInt(1) === 8 && meta.getInt(2) === 6)
   }
 
+  test("sub-8-bit packed gray/bilevel round-trips; JDK differential both directions") {
+    // modes 52-63: 1/2/4-bit packed samples, MSB-first, rows
+    // byte-aligned — width sweep crosses every per-byte alignment
+    // (w%8 = 0..7 for 1-bit, w%4 and w%2 for 2/4-bit); the 1-bit
+    // modes carry NO BitsPerSample tag (spec default)
+    for {
+      (w, h) <- Seq((1, 1), (7, 5), (8, 4), (9, 7), (16, 11), (13, 3))
+      mode <- 52 to 63
+      rps <- Seq(1, 3, 100)
+    } {
+      val bits = Array(1, 2, 4)((mode - 52) / 4)
+      val seed = 23L * w + h + mode
+      val t = TiffEncode.encode(w, h, seed, mode, rps)
+      assert(t != null, s"sub-byte encode failed w=$w h=$h mode=$mode")
+      val r = TiffPixels.parse(t)
+      assert(r != null, s"sub-byte parse failed w=$w h=$h mode=$mode rps=$rps")
+      var s = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        s += java.lang.Math.floorMod(seed + 5L * x + 3L * y, 1L << bits)
+      assert(r.getInt(0) === w && r.getInt(1) === h)
+      assert(r.getLong(2) === s && r.getLong(3) === s && r.getLong(4) === s,
+        s"sub-byte sums diverge w=$w h=$h mode=$mode rps=$rps (bits=$bits)")
+      assert(r.getLong(5) === w.toLong * h)
+    }
+    // forward differential: the JDK reads our packed files and its
+    // raster hands back the same raw samples (photometric-1 modes —
+    // the raster is polarity-agnostic but getRGB is not)
+    for (mode <- Seq(52, 54, 56, 58, 60, 62)) {
+      val bits = Array(1, 2, 4)((mode - 52) / 4)
+      val (w, h, seed) = (11, 9, 311L)
+      val t = TiffEncode.encode(w, h, seed, mode, 4)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t))
+      assert(img != null, s"ImageIO rejected the sub-byte output (mode=$mode)")
+      assert(img.getWidth === w && img.getHeight === h)
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = java.lang.Math.floorMod(seed + 5L * x + 3L * y, 1L << bits).toInt
+        assert(raster.getSample(x, y, 0) === v, s"sample($x,$y) mode=$mode bits=$bits")
+      }
+    }
+    // reverse differential: the JDK WRITES a 1-bit binary TIFF (its
+    // own bilevel layout) and our decoder reproduces the bit sums
+    val (w2, h2) = (13, 6)
+    val binImg = new java.awt.image.BufferedImage(w2, h2,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until h2; x <- 0 until w2)
+      binImg.getRaster.setSample(x, y, 0, (x + y) % 2)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    writer.setOutput(ios)
+    // force no compression: bilevel TIFFs otherwise tend toward CCITT
+    // fax encodings, which are outside the decode envelope by design
+    val wp = writer.getDefaultWriteParam
+    wp.setCompressionMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    writer.write(null, new javax.imageio.IIOImage(binImg, null, null), wp)
+    ios.close(); writer.dispose()
+    val r2 = TiffPixels.parse(bos.toByteArray)
+    assert(r2 != null, "our decoder refused the JDK's bilevel TIFF")
+    var s2 = 0L
+    for (y <- 0 until h2; x <- 0 until w2) s2 += (x + y) % 2
+    assert(r2.getInt(0) === w2 && r2.getInt(1) === h2)
+    assert(r2.getLong(2) === s2 && r2.getLong(3) === s2 && r2.getLong(4) === s2,
+      "sums diverge from the JDK's bilevel TIFF")
+  }
+
   test("SQL registration: graft_tiff_pixels composes with graft_tiff_encode") {
     graft.plans.VectorExpressions.register(spark)
     val r = spark.sql(
