@@ -178,6 +178,12 @@ object TextAnalysis {
     // join — localCheckpoint so the tokenize+explode+agg subtree runs
     // once (the materialized set is the aggregated counts, far smaller
     // than the token stream it replaces)
+    // Measured (r13, sf0.1 quiet, 6 reps each): WITH the checkpoint
+    // min 0.82 / median 1.03 s; WITHOUT (tokenize+explode+agg runs
+    // twice) min 0.71 / median 1.06 s — indistinguishable at this
+    // scale, so the checkpoint is kept for the 100 TB shape, where
+    // re-tokenizing the corpus is the dominant cost and materializing
+    // the far smaller aggregated counts is the only sane trade.
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(false)
     val docLen = docs.select(col("doc_id"), tokenCount(col("text")).as("n_tok"))
