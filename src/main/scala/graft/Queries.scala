@@ -497,6 +497,8 @@ object Queries {
     "mm_flac_meta" -> (Multimodal.flacMetaQ _),
     "mm_mp3_meta" -> (Multimodal.mp3MetaQ _),
     "mm_exif_meta" -> (Multimodal.exifMetaQ _),
+    "mm_flac_tags" -> (Multimodal.flacTagsQ _),
+    "mm_mp3_tags" -> (Multimodal.mp3TagsQ _),
     "mm_tiff_pixels" -> (Multimodal.tiffPixelsQ _),
     "mm_video_frames" -> (Multimodal.videoFrames _),
     "mm_audio_pcm" -> (Multimodal.audioPcm _),
@@ -1411,6 +1413,28 @@ object Queries {
        "2000 + doc_id % 20, doc_id * 3 % 12 + 1, doc_id * 7 % 28 + 1, " +
        "doc_id * 5 % 24, doc_id * 11 % 60, doc_id * 13 % 60) END AS datetime_original, " +
        "CASE WHEN doc_id % 167 = 0 THEN NULL ELSE 'cam' || CAST(doc_id % 5 AS VARCHAR) END AS make " +
+       "FROM documents ORDER BY doc_id"),
+    // AUDIO TAG twins: every tag value is seed-derived
+    // (FlacMeta.tagTitle/tagArtist/tagAlbum = t/a/b + seed mod
+    // 1000/100/50), so the oracles restate the full VORBIS_COMMENT /
+    // ID3v2 structures field-exact
+    "mm_flac_tags" ->
+      ("SELECT doc_id, " +
+       "CASE WHEN doc_id % 149 = 0 THEN NULL ELSE 'flac' END AS container, " +
+       "CASE WHEN doc_id % 149 = 0 THEN NULL ELSE 't' || CAST(doc_id % 1000 AS VARCHAR) END AS title, " +
+       "CASE WHEN doc_id % 149 = 0 THEN NULL ELSE 'a' || CAST(doc_id % 100 AS VARCHAR) END AS artist, " +
+       "CASE WHEN doc_id % 149 = 0 THEN NULL ELSE 'b' || CAST(doc_id % 50 AS VARCHAR) END AS album, " +
+       "CASE WHEN doc_id % 149 = 0 THEN NULL ELSE 'graft' END AS vendor " +
+       "FROM documents ORDER BY doc_id"),
+    // MP3 side: docs without an ID3 tag (every 4th) have no tag
+    // structure at all — NULL row, same as the corrupt docs
+    "mm_mp3_tags" ->
+      ("SELECT doc_id, " +
+       "CASE WHEN doc_id % 163 = 0 OR doc_id % 4 = 0 THEN NULL ELSE 'mp3' END AS container, " +
+       "CASE WHEN doc_id % 163 = 0 OR doc_id % 4 = 0 THEN NULL ELSE 't' || CAST(doc_id % 1000 AS VARCHAR) END AS title, " +
+       "CASE WHEN doc_id % 163 = 0 OR doc_id % 4 = 0 THEN NULL ELSE 'a' || CAST(doc_id % 100 AS VARCHAR) END AS artist, " +
+       "CASE WHEN doc_id % 163 = 0 OR doc_id % 4 = 0 THEN NULL ELSE 'b' || CAST(doc_id % 50 AS VARCHAR) END AS album, " +
+       "CAST(NULL AS VARCHAR) AS vendor " +
        "FROM documents ORDER BY doc_id"),
     // FLAC triage twin: the encoder packs STREAMINFO fields straight
     // from doc_id arithmetic (FlacMeta.encode scaladoc), so the oracle

@@ -334,13 +334,15 @@ object Multimodal {
         // cycles MPEG-1/2/2.5, rate index independently, frame count
         // 3..52; vbrStep (id%5) drives per-frame bitrate churn so the
         // walk recomputes every frame length (0 = CBR); 3 of 4 docs
-        // carry an ID3v2 prefix (syncsafe skip), every 7th an ID3v1
-        // trailer — all four chain shapes land in the fixture
+        // carry an ID3v2 prefix (syncsafe skip; >= 60 bytes so the
+        // REAL TIT2/TPE1/TALB frames always fit — the mm_mp3_tags
+        // surface; tag version cycles v2.3/v2.4 on id%3), every 7th
+        // an ID3v1 trailer — all four chain shapes land in the fixture
         (id % 163 =!= 0, graft.plans.VectorExpressions.mp3Encode(
           (id % 50 + 3).cast("int"), (id % 3).cast("int"),
           (floor(id / 3) % 3).cast("int"), id % 2 === 0,
           id.cast("long"), (id % 5).cast("int"),
-          when(id % 4 === 0, lit(0)).otherwise(id % 100 + 10).cast("int"),
+          when(id % 4 === 0, lit(0)).otherwise(id % 100 + 60).cast("int"),
           id % 7 === 0)))
       case "wavfloat" => Seq(
         (id % 139 === 0, encode(text.substr(1, 34), "UTF-8")),
@@ -871,6 +873,35 @@ object Multimodal {
         col("m.total_samples").as("total_samples"),
         col("m.duration_ms").as("duration_ms"),
         col("m.n_blocks").as("n_blocks"), col("m.md5_hex").as("md5_hex"))
+      .orderBy(col("doc_id"))
+
+  /** AUDIO TAG triage, FLAC side: the VORBIS_COMMENT walk
+    * (plans.AudioTags) — title/artist/album/vendor without decoding a
+    * frame, the audio twin of [[exifMetaQ]] (same-recording dedup
+    * keys, per-artist corpus balance). Every value is seed-derived
+    * (FlacMeta.tagTitle/tagArtist/tagAlbum), so the oracle restates
+    * the whole comment structure; one wrong little-endian length or
+    * key-case rule fails the hash. */
+  def flacTagsQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "flac")
+      .select(col("doc_id"), graft.plans.VectorExpressions.audioTags(col("flac")).as("m"))
+      .select(col("doc_id"),
+        col("m.container").as("container"), col("m.title").as("title"),
+        col("m.artist").as("artist"), col("m.album").as("album"),
+        col("m.vendor").as("vendor"))
+      .orderBy(col("doc_id"))
+
+  /** AUDIO TAG triage, MP3 side: ID3v2.3/2.4 text frames TIT2/TPE1/
+    * TALB (plans.AudioTags; frame sizes plain vs syncsafe by version —
+    * the fixture cycles both on doc_id%3). Docs without an ID3 tag
+    * (every 4th) and corrupt docs (every 163rd) are NULL rows. */
+  def mp3TagsQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "mp3")
+      .select(col("doc_id"), graft.plans.VectorExpressions.audioTags(col("mp3")).as("m"))
+      .select(col("doc_id"),
+        col("m.container").as("container"), col("m.title").as("title"),
+        col("m.artist").as("artist"), col("m.album").as("album"),
+        col("m.vendor").as("vendor"))
       .orderBy(col("doc_id"))
 
   /** COMPRESSED-AUDIO triage, lossy tier: MPEG Layer III frame-chain

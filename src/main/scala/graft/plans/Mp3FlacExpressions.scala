@@ -117,10 +117,18 @@ object FlacMeta {
       total * 1000L / sr, nBlocks, UTF8String.fromString(md5.toString)))
   }
 
+  /** The fixture's seed-derived tag values, shared with the
+    * [[AudioTags]] oracle: every field is doc_id-recomputable. */
+  def tagTitle(seed: Long): String = s"t${seed % 1000}"
+  def tagArtist(seed: Long): String = s"a${seed % 100}"
+  def tagAlbum(seed: Long): String = s"b${seed % 50}"
+  val TagVendor = "graft"
+
   /** Deterministic conformant fixture: STREAMINFO with the given
-    * packed fields, a VORBIS_COMMENT-typed opaque block and a PADDING
-    * block (so the chain walk is load-bearing), then `extra` bytes of
-    * fake frame data. MD5 bytes are `(seed + 7i) mod 256`. */
+    * packed fields, a REAL VORBIS_COMMENT block (vendor "graft" +
+    * TITLE/ARTIST/ALBUM from the seed — the [[AudioTags]] surface)
+    * and a PADDING block (so the chain walk is load-bearing). MD5
+    * bytes are `(seed + 7i) mod 256`. */
   def encode(sampleRate: Int, channels: Int, bits: Int, totalSamples: Long,
       seed: Long, padLen: Int): Array[Byte] = {
     require(sampleRate > 0 && sampleRate <= 655350 &&
@@ -129,6 +137,7 @@ object FlacMeta {
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xFF)
     def w24(v: Int): Unit = { w8(v >>> 16); w8(v >>> 8); w8(v) }
+    def wle32(v: Int): Unit = { w8(v); w8(v >>> 8); w8(v >>> 16); w8(v >>> 24) }
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
     w8(0x00); w24(34) // STREAMINFO, not last
     w8(4096 >>> 8); w8(4096 & 0xFF) // min block size
@@ -142,9 +151,16 @@ object FlacMeta {
     w8((totalSamples >>> 8).toInt); w8(totalSamples.toInt)
     var i = 0
     while (i < 16) { w8(((seed + 7 * i) % 256).toInt); i += 1 }
-    w8(0x04); w24(8) // VORBIS_COMMENT, not last, 8 opaque bytes
-    i = 0
-    while (i < 8) { w8(((seed + 3 * i) % 256).toInt); i += 1 }
+    // VORBIS_COMMENT: vendor + 3 comments, all lengths LE u32
+    val comments = Seq(
+      s"TITLE=${tagTitle(seed)}", s"ARTIST=${tagArtist(seed)}",
+      s"ALBUM=${tagAlbum(seed)}").map(_.getBytes("UTF-8"))
+    val vcLen = 4 + TagVendor.length + 4 + comments.map(4 + _.length).sum
+    w8(0x04); w24(vcLen) // VORBIS_COMMENT, not last
+    wle32(TagVendor.length)
+    TagVendor.foreach(c => w8(c))
+    wle32(comments.length)
+    comments.foreach { c => wle32(c.length); c.foreach(x => out.write(x)) }
     w8(0x81); w24(padLen) // PADDING, LAST
     i = 0
     while (i < padLen) { w8(0); i += 1 }
@@ -273,7 +289,12 @@ object Mp3Meta {
   }
 
   /** Deterministic Layer III fixture: optional ID3v2 prefix (syncsafe
-    * length `id3Len`), then `nFrames` frames whose bitrate index is
+    * length `id3Len`) carrying REAL TIT2/TPE1/TALB text frames when
+    * they fit (values from [[FlacMeta.tagTitle]] etc. — the
+    * [[AudioTags]] surface; tag version v2.4 with syncsafe frame
+    * sizes when seed%3==0, else v2.3 plain-32-bit; zero padding
+    * fills the rest) or opaque filler when id3Len is too small; then
+    * `nFrames` frames whose bitrate index is
     * `1 + ((seed + i·vbrStep) mod 7)` — vbrStep 0 gives CBR, anything
     * else exercises the per-frame length recomputation — and whose
     * padding bit alternates with `(seed + i) mod 2`; optional ID3v1
@@ -290,12 +311,36 @@ object Mp3Meta {
     val coef = if (verSel == 0) 144000 else 72000
     val out = new java.io.ByteArrayOutputStream()
     if (id3Len > 0) {
+      val tagVer = if (seed % 3 == 0) 4 else 3
       out.write('I'); out.write('D'); out.write('3')
-      out.write(3); out.write(0); out.write(0) // v2.3, no flags
+      out.write(tagVer); out.write(0); out.write(0) // no flags
       out.write((id3Len >>> 21) & 0x7F); out.write((id3Len >>> 14) & 0x7F)
       out.write((id3Len >>> 7) & 0x7F); out.write(id3Len & 0x7F)
-      var i = 0
-      while (i < id3Len) { out.write(((seed + i) % 128).toInt); i += 1 }
+      val frames = Seq("TIT2" -> FlacMeta.tagTitle(seed),
+        "TPE1" -> FlacMeta.tagArtist(seed), "TALB" -> FlacMeta.tagAlbum(seed))
+      val need = frames.map { case (_, v) => 11 + v.length }.sum
+      if (need <= id3Len) {
+        var written = 0
+        frames.foreach { case (fid, v) =>
+          fid.foreach(c => out.write(c))
+          val fsize = 1 + v.length
+          if (tagVer == 4) {
+            out.write((fsize >>> 21) & 0x7F); out.write((fsize >>> 14) & 0x7F)
+            out.write((fsize >>> 7) & 0x7F); out.write(fsize & 0x7F)
+          } else {
+            out.write(fsize >>> 24); out.write((fsize >>> 16) & 0xFF)
+            out.write((fsize >>> 8) & 0xFF); out.write(fsize & 0xFF)
+          }
+          out.write(0); out.write(0) // frame flags
+          out.write(0) // text encoding: ISO-8859-1
+          v.foreach(c => out.write(c))
+          written += 10 + fsize
+        }
+        while (written < id3Len) { out.write(0); written += 1 } // padding
+      } else {
+        var i = 0
+        while (i < id3Len) { out.write(((seed + i) % 128).toInt); i += 1 }
+      }
     }
     var i = 0
     while (i < nFrames) {

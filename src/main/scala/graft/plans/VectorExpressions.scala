@@ -388,6 +388,8 @@ object VectorExpressions {
           vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Long],
           vs(3).asInstanceOf[Boolean])), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_audio_tags", exprs => AudioTags(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_exif_meta", exprs => ExifMeta(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_exif_encode",
@@ -711,6 +713,14 @@ object VectorExpressions {
       mulaw: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_wav_encode_g711", nFrames, channels, seed, mulaw)
+  }
+
+  /** Audio tag triage (plans.AudioTags: FLAC VORBIS_COMMENT + MP3
+    * ID3v2 text frames), column form; same registration
+    * precondition. */
+  def audioTags(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_audio_tags", c)
   }
 
   /** EXIF IFD-chain triage (plans.ExifMeta: orientation,

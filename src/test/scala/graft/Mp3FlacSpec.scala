@@ -136,6 +136,73 @@ class Mp3FlacSpec extends AnyFunSuite {
     assert(Mp3Meta.parse(drift) == null)
   }
 
+  test("audio tags: VORBIS_COMMENT and ID3v2.3/2.4 frames round-trip") {
+    import graft.plans.AudioTags
+    // FLAC: the encoder's real comment block, several seeds
+    for (seed <- Seq(0L, 7L, 99L, 999L, 12345L)) {
+      val f = FlacMeta.encode(44100, 2, 16, 1000L, seed, 4)
+      val m = AudioTags.parse(f)
+      assert(m != null, s"flac tags seed=$seed")
+      assert(m.getString(0) === "flac")
+      assert(m.getString(1) === s"t${seed % 1000}")
+      assert(m.getString(2) === s"a${seed % 100}")
+      assert(m.getString(3) === s"b${seed % 50}")
+      assert(m.getString(4) === "graft")
+    }
+    // MP3: both tag versions (seed%3==0 -> v2.4 syncsafe frame sizes)
+    for (seed <- Seq(6L, 7L, 77L * 3, 101L)) {
+      val p = Mp3Meta.encode(4, 0, 1, mono = false, seed = seed,
+        vbrStep = 1, id3Len = 120, id3v1 = false)
+      val m = AudioTags.parse(p)
+      assert(m != null, s"mp3 tags seed=$seed")
+      assert(m.getString(0) === "mp3")
+      assert(m.getString(1) === s"t${seed % 1000}", s"v2.${if (seed % 3 == 0) 4 else 3}")
+      assert(m.getString(2) === s"a${seed % 100}")
+      assert(m.getString(3) === s"b${seed % 50}")
+      assert(m.isNullAt(4))
+    }
+    // an MP3 with no ID3 tag has no tag structure: NULL, not a row
+    val bare = Mp3Meta.encode(3, 0, 0, mono = true, seed = 5L,
+      vbrStep = 0, id3Len = 0, id3v1 = false)
+    assert(AudioTags.parse(bare) == null)
+    // an ID3 area too small for the frames carries opaque filler:
+    // parse-or-NULL, never a misread title
+    val filler = Mp3Meta.encode(3, 0, 0, mono = true, seed = 5L,
+      vbrStep = 0, id3Len = 12, id3v1 = false)
+    val fm = AudioTags.parse(filler)
+    assert(fm == null || fm.isNullAt(1))
+  }
+
+  test("audio tags: key case-insensitivity, UTF-16 decline, hostile lengths") {
+    import graft.plans.AudioTags
+    val good = FlacMeta.encode(48000, 1, 8, 10L, 42L, 2)
+    // lowercase 'title' key must still resolve (Vorbis keys are
+    // case-insensitive): rewrite the KEY bytes in place
+    val lc = good.clone()
+    val tIdx = new String(lc, "ISO-8859-1").indexOf("TITLE=")
+    assert(tIdx > 0)
+    "title".zipWithIndex.foreach { case (c, i) => lc(tIdx + i) = c.toByte }
+    val lm = AudioTags.parse(lc)
+    assert(lm != null && lm.getString(1) === "t42")
+    // a hostile comment length pointing past the block: NULL
+    val hostile = good.clone()
+    val vcLenIdx = tIdx - 4 // the comment's own LE length field
+    hostile(vcLenIdx) = 0xFF.toByte; hostile(vcLenIdx + 1) = 0xFF.toByte
+    assert(AudioTags.parse(hostile) == null)
+    // ID3: a UTF-16 text frame declines the FIELD, not the row
+    val mp3 = Mp3Meta.encode(3, 0, 0, mono = true, seed = 7L,
+      vbrStep = 0, id3Len = 120, id3v1 = false)
+    val enc16 = mp3.clone()
+    val titleAt = new String(enc16, "ISO-8859-1").indexOf("TIT2")
+    assert(titleAt > 0)
+    enc16(titleAt + 10) = 1 // encoding byte: UTF-16 with BOM
+    val em = AudioTags.parse(enc16)
+    assert(em != null && em.isNullAt(1) && em.getString(2) === "a7")
+    // truncation law over both containers: never a throw
+    for (n <- 0 until good.length) AudioTags.parse(good.take(n))
+    for (n <- 0 until mp3.length) AudioTags.parse(mp3.take(n))
+  }
+
   test("MP3 declines: Layer I/II, free-format, reserved version/rate, non-III chains") {
     val good = Mp3Meta.encode(3, 0, 0, mono = false, seed = 0L,
       vbrStep = 0, id3Len = 0, id3v1 = false)

@@ -32,7 +32,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "WavPcm" -> (graft.plans.WavPcm.parse(_)),
     "FlacMeta" -> (graft.plans.FlacMeta.parse(_)),
     "Mp3Meta" -> (graft.plans.Mp3Meta.parse(_)),
-    "ExifMeta" -> (graft.plans.ExifMeta.parse(_)))
+    "ExifMeta" -> (graft.plans.ExifMeta.parse(_)),
+    "AudioTags" -> (graft.plans.AudioTags.parse(_)))
 
   // magic prefixes steer the fuzz into each format's deep parse path
   private val prefixes: Seq[Array[Byte]] = Seq(
