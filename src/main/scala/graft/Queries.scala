@@ -1412,7 +1412,14 @@ object Queries {
        "CASE WHEN doc_id % 167 = 0 THEN NULL ELSE printf('%04d:%02d:%02d %02d:%02d:%02d', " +
        "2000 + doc_id % 20, doc_id * 3 % 12 + 1, doc_id * 7 % 28 + 1, " +
        "doc_id * 5 % 24, doc_id * 11 % 60, doc_id * 13 % 60) END AS datetime_original, " +
-       "CASE WHEN doc_id % 167 = 0 THEN NULL ELSE 'cam' || CAST(doc_id % 5 AS VARCHAR) END AS make " +
+       "CASE WHEN doc_id % 167 = 0 THEN NULL ELSE 'cam' || CAST(doc_id % 5 AS VARCHAR) END AS make, " +
+       // GPS in signed centiseconds of arc: the rational triple
+       // (deg/1, min/1, csec/100) replays exactly under the decoder's
+       // truncating division, hemisphere sign from the Ref tag
+       "CASE WHEN doc_id % 167 = 0 THEN NULL ELSE CAST(" +
+       "(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END) * (doc_id * 11 % 32400000) AS INTEGER) END AS lat_csec, " +
+       "CASE WHEN doc_id % 167 = 0 THEN NULL ELSE CAST(" +
+       "(CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END) * (doc_id * 13 % 64800000) AS INTEGER) END AS lon_csec " +
        "FROM documents ORDER BY doc_id"),
     // AUDIO TAG twins: every tag value is seed-derived
     // (FlacMeta.tagTitle/tagArtist/tagAlbum = t/a/b + seed mod

@@ -315,7 +315,11 @@ object Multimodal {
             id % 24, id % 60, id % 60),
           format_string("%04d:%02d:%02d %02d:%02d:%02d",
             lit(2000) + id % 20, (id * 3) % 12 + 1, (id * 7) % 28 + 1,
-            (id * 5) % 24, (id * 11) % 60, (id * 13) % 60))))
+            (id * 5) % 24, (id * 11) % 60, (id * 13) % 60),
+          // GPS position in signed centiseconds of arc — hemisphere
+          // signs cycle independently of the magnitudes
+          (when(id % 2 === 0, 1).otherwise(-1) * (id * 11 % 32400000)).cast("int"),
+          (when(id % 3 === 0, -1).otherwise(1) * (id * 13 % 64800000)).cast("int"))))
       case "flac" => Seq(
         (id % 149 === 0, encode(text.substr(1, 26), "UTF-8")),
         // REAL FLAC metadata chains (plans.FlacMeta.encode): STREAMINFO
@@ -853,7 +857,9 @@ object Multimodal {
         col("m.container").as("container"),
         col("m.orientation").as("orientation"),
         col("m.datetime_original").as("datetime_original"),
-        col("m.make").as("make"))
+        col("m.make").as("make"),
+        col("m.lat_csec").as("lat_csec"),
+        col("m.lon_csec").as("lon_csec"))
       .orderBy(col("doc_id"))
 
   /** COMPRESSED-AUDIO triage, lossless tier: FLAC STREAMINFO +

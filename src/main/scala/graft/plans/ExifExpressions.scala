@@ -67,7 +67,12 @@ object ExifMeta {
     StructField("container", StringType), // "jpeg" | "tiff"
     StructField("orientation", IntegerType),
     StructField("datetime_original", StringType),
-    StructField("make", StringType)))
+    StructField("make", StringType),
+    // GPS position in signed CENTISECONDS of arc (S/W negative):
+    // integer-exact for den=1 rationals, truncating division
+    // otherwise — never float, so cross-engine compares are stable
+    StructField("lat_csec", IntegerType),
+    StructField("lon_csec", IntegerType)))
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
   private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
@@ -127,6 +132,8 @@ object ExifMeta {
     var make: String = null
     var dtOriginal: String = null
     var dtFallback: String = null
+    var latRef = 0; var lonRef = 0 // +1 N/E, -1 S/W
+    var latC = Int.MinValue; var lonC = Int.MinValue // unsigned centiseconds
 
     /** ASCII value of an entry (count includes the NUL); inline when
       * count <= 4, else out-of-line at the value-field offset. */
@@ -154,8 +161,43 @@ object ExifMeta {
       sb.toString
     }
 
-    /** Walk one IFD; returns false on structural violation. */
-    def walk(ifdStart: Long, isExifIfd: Boolean): Boolean = {
+    /** A GPS coordinate: RATIONAL count 3 (deg, min, sec as u32/u32
+      * pairs, always out-of-line at 24 bytes) → unsigned centiseconds
+      * of arc via truncating integer division. Int.MinValue = bad. */
+    def gpsCoord(entryOff: Int, count: Long): Int = {
+      if (count != 3L) return Int.MinValue
+      val o = r32(entryOff + 8)
+      if (o < 8 || start + o + 24 > end) return Int.MinValue
+      val at = (start + o).toInt
+      var total = 0L
+      var i = 0
+      val scale = Array(360000L, 6000L, 100L)
+      while (i < 3) {
+        val num = r32(at + 8 * i)
+        val den = r32(at + 8 * i + 4)
+        if (den <= 0 || num < 0) return Int.MinValue
+        total += num * scale(i) / den
+        i += 1
+      }
+      if (total > Int.MaxValue) Int.MinValue else total.toInt
+    }
+
+    /** N/E → +1, S/W → -1, anything else 0 (field declines). */
+    def gpsRef(entryOff: Int, count: Long): Int = {
+      if (count < 1 || count > 2) return 0
+      (entryOff + 8 < end) match {
+        case true => u8(b, entryOff + 8) match {
+          case 'N' | 'E' => 1
+          case 'S' | 'W' => -1
+          case _ => 0
+        }
+        case false => 0
+      }
+    }
+
+    /** Walk one IFD; returns false on structural violation.
+      * kind: 0 = IFD0, 1 = EXIF sub-IFD, 2 = GPS IFD. */
+    def walk(ifdStart: Long, kind: Int): Boolean = {
       val ifd = start + ifdStart
       if (ifdStart < 8 || ifd + 2 > end) return false
       val n = r16(ifd.toInt)
@@ -166,7 +208,7 @@ object ExifMeta {
         val tag = r16(off)
         val typ = r16(off + 2)
         val count = r32(off + 4)
-        if (!isExifIfd) tag match {
+        if (kind == 0) tag match {
           case 271 if typ == 2 => make = ascii(off, count)
           case 274 if typ == 3 && count == 1L =>
             val v = r16(off + 8)
@@ -175,10 +217,19 @@ object ExifMeta {
           case 306 if typ == 2 => dtFallback = ascii(off, count)
           case 34665 if (typ == 4 || typ == 3) && count == 1L =>
             val sub = if (typ == 4) r32(off + 8) else r16(off + 8).toLong
-            if (!walk(sub, isExifIfd = true)) return false
+            if (!walk(sub, kind = 1)) return false
+          case 34853 if (typ == 4 || typ == 3) && count == 1L =>
+            val sub = if (typ == 4) r32(off + 8) else r16(off + 8).toLong
+            if (!walk(sub, kind = 2)) return false
           case _ => ()
-        } else tag match {
+        } else if (kind == 1) tag match {
           case 36867 if typ == 2 => dtOriginal = ascii(off, count)
+          case _ => ()
+        } else tag match { // GPS IFD (EXIF 2.3 §4.6.6)
+          case 1 if typ == 2 => latRef = gpsRef(off, count)
+          case 2 if typ == 5 => latC = gpsCoord(off, count)
+          case 3 if typ == 2 => lonRef = gpsRef(off, count)
+          case 4 if typ == 5 => lonC = gpsCoord(off, count)
           case _ => ()
         }
         e += 1
@@ -186,14 +237,20 @@ object ExifMeta {
       true
     }
 
-    if (!walk(r32(start + 4), isExifIfd = false)) return null
+    if (!walk(r32(start + 4), kind = 0)) return null
     val dt = if (dtOriginal != null) dtOriginal else dtFallback
-    if (orientation < 0 && dt == null && make == null) return null
+    // a coordinate surfaces only when value AND hemisphere are sound
+    val lat = if (latC != Int.MinValue && latRef != 0) latRef * latC else Int.MinValue
+    val lon = if (lonC != Int.MinValue && lonRef != 0) lonRef * lonC else Int.MinValue
+    if (orientation < 0 && dt == null && make == null &&
+      lat == Int.MinValue && lon == Int.MinValue) return null
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(container),
       if (orientation < 0) null else orientation,
       if (dt == null) null else UTF8String.fromString(dt),
-      if (make == null) null else UTF8String.fromString(make)))
+      if (make == null) null else UTF8String.fromString(make),
+      if (lat == Int.MinValue) null else lat,
+      if (lon == Int.MinValue) null else lon))
   }
 
   // ---- fixture synthesis ---------------------------------------------
@@ -201,13 +258,19 @@ object ExifMeta {
   /** A spec-conformant EXIF TIFF stream: IFD0 with Make (ASCII,
     * out-of-line), Orientation (SHORT, inline), DateTime (ASCII 20,
     * out-of-line), ExifIFD pointer (LONG) → sub-IFD with
-    * DateTimeOriginal (ASCII 20). Entries tag-sorted per spec; both
-    * byte orders. `dtOriginal`/`dt` must be 19 printable chars. */
+    * DateTimeOriginal (ASCII 20), and GPSInfo pointer (LONG) → GPS
+    * IFD with LatitudeRef/Latitude/LongitudeRef/Longitude — the
+    * coordinates are signed CENTISECONDS of arc, decomposed into the
+    * spec's (deg/1, min/1, centisec/100) RATIONAL triple so the
+    * truncating-division decode replays them exactly. Entries
+    * tag-sorted per spec; both byte orders. */
   def encodeTiffStream(le: Boolean, orientation: Int, make: String,
-      dt: String, dtOriginal: String): Array[Byte] = {
+      dt: String, dtOriginal: String,
+      latCsec: Int, lonCsec: Int): Array[Byte] = {
     require(orientation >= 1 && orientation <= 8 &&
       make.nonEmpty && make.length <= 32 &&
-      dt.length == 19 && dtOriginal.length == 19)
+      dt.length == 19 && dtOriginal.length == 19 &&
+      math.abs(latCsec) <= 90 * 360000 && math.abs(lonCsec) <= 180 * 360000)
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xFF)
     def w16(v: Int): Unit =
@@ -218,29 +281,47 @@ object ExifMeta {
     // header
     if (le) { w8('I'); w8('I'); w8(42); w8(0) } else { w8('M'); w8('M'); w8(0); w8(42) }
     w32(8L) // IFD0 right after the header
-    // layout: IFD0 (2 + 4*12 + 4), then value area, then sub-IFD
+    // layout: IFD0 (2 + 5*12 + 4), value area, EXIF sub-IFD, GPS IFD
     val ifd0 = 8
-    val valueArea = ifd0 + 2 + 4 * 12 + 4
+    val valueArea = ifd0 + 2 + 5 * 12 + 4
     val makeBytes = make.length + 1 // NUL-terminated
     val makeOff = valueArea
     val dtOff = makeOff + makeBytes
     val subIfdOff = dtOff + 20
     val dtoOff = subIfdOff + 2 + 1 * 12 + 4
+    val gpsIfdOff = dtoOff + 20
+    val latOff = gpsIfdOff + 2 + 4 * 12 + 4
+    val lonOff = latOff + 24
     def entry(tag: Int, typ: Int, count: Long, inline: Long => Unit): Unit = {
       w16(tag); w16(typ); w32(count); inline(count)
     }
-    w16(4) // IFD0 entry count
+    w16(5) // IFD0 entry count
     entry(271, 2, makeBytes.toLong, _ => w32(makeOff.toLong))
     entry(274, 3, 1L, _ => { w16(orientation); w16(0) })
     entry(306, 2, 20L, _ => w32(dtOff.toLong))
     entry(34665, 4, 1L, _ => w32(subIfdOff.toLong))
+    entry(34853, 4, 1L, _ => w32(gpsIfdOff.toLong))
     w32(0L) // no IFD1
     make.foreach(c => w8(c)); w8(0)
     dt.foreach(c => w8(c)); w8(0)
-    w16(1) // sub-IFD entry count
+    w16(1) // EXIF sub-IFD entry count
     entry(36867, 2, 20L, _ => w32(dtoOff.toLong))
     w32(0L)
     dtOriginal.foreach(c => w8(c)); w8(0)
+    // GPS IFD: refs inline ("N\0" padded), coords out-of-line
+    w16(4)
+    entry(1, 2, 2L, _ => { w8(if (latCsec >= 0) 'N' else 'S'); w8(0); w16(0) })
+    entry(2, 5, 3L, _ => w32(latOff.toLong))
+    entry(3, 2, 2L, _ => { w8(if (lonCsec >= 0) 'E' else 'W'); w8(0); w16(0) })
+    entry(4, 5, 3L, _ => w32(lonOff.toLong))
+    w32(0L)
+    def coord(csec: Int): Unit = {
+      val a = math.abs(csec)
+      w32(a / 360000L); w32(1L)          // degrees
+      w32((a % 360000L) / 6000L); w32(1L) // minutes
+      w32(a % 6000L); w32(100L)           // centiseconds / 100 = seconds
+    }
+    coord(latCsec); coord(lonCsec)
     out.toByteArray
   }
 
@@ -249,8 +330,10 @@ object ExifMeta {
     * (JpegEncode.encodeBlocky seeded from the same arithmetic) right
     * after SOI — the exact byte layout a camera writes. */
   def encode(seed: Long, le: Boolean, wrapJpeg: Boolean, orientation: Int,
-      make: String, dt: String, dtOriginal: String): Array[Byte] = {
-    val tiff = encodeTiffStream(le, orientation, make, dt, dtOriginal)
+      make: String, dt: String, dtOriginal: String,
+      latCsec: Int = 0, lonCsec: Int = 0): Array[Byte] = {
+    val tiff = encodeTiffStream(le, orientation, make, dt, dtOriginal,
+      latCsec, lonCsec)
     if (!wrapJpeg) tiff
     else {
       val jpeg = JpegEncode.encodeBlocky(

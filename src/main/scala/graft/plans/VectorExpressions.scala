@@ -400,11 +400,14 @@ object VectorExpressions {
           org.apache.spark.sql.types.IntegerType,
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.StringType,
-          org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType),
         vs => ExifMeta.encode(vs(0).asInstanceOf[Long],
           vs(1).asInstanceOf[Boolean], vs(2).asInstanceOf[Boolean],
           vs(3).asInstanceOf[Int], vs(4).toString, vs(5).toString,
-          vs(6).toString)), "scala_udf")
+          vs(6).toString, vs(7).asInstanceOf[Int],
+          vs(8).asInstanceOf[Int])), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_flac_meta", exprs => FlacMeta(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -735,10 +738,10 @@ object VectorExpressions {
     * column form; same precondition. */
   def exifEncode(seed: Column, le: Column, wrapJpeg: Column,
       orientation: Column, make: Column, dt: Column,
-      dtOriginal: Column): Column = {
+      dtOriginal: Column, latCsec: Column, lonCsec: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_exif_encode", seed, le, wrapJpeg, orientation,
-      make, dt, dtOriginal)
+      make, dt, dtOriginal, latCsec, lonCsec)
   }
 
   /** FLAC STREAMINFO + metadata-chain triage (plans.FlacMeta), column

@@ -73,6 +73,43 @@ class ExifSpec extends AnyFunSuite {
     assert(m.isNullAt(3), "no Make tag -> null field")
   }
 
+  test("GPS coordinates round-trip in exact integer centiseconds") {
+    // all four hemisphere sign combinations, plus the equator/prime-
+    // meridian zeros and the extremes
+    for {
+      lat <- Seq(0, 1, 12345678, -12345678, 90 * 360000, -90 * 360000)
+      lon <- Seq(0, -1, 23456789, 180 * 360000)
+      le <- Seq(true, false)
+    } {
+      val b = ExifMeta.encode(5L, le, wrapJpeg = false, 1, "cam", dt, dto, lat, lon)
+      val m = ExifMeta.parse(b)
+      assert(m != null)
+      assert(m.getInt(4) === lat, s"lat le=$le")
+      assert(m.getInt(5) === lon, s"lon le=$le")
+    }
+    // JPEG container carries the same GPS IFD
+    val j = ExifMeta.parse(ExifMeta.encode(5L, true, wrapJpeg = true,
+      1, "cam", dt, dto, -777777, 888888))
+    assert(j != null && j.getInt(4) === -777777 && j.getInt(5) === 888888)
+    // the decode is truncating rational arithmetic, not float: a
+    // seconds rational of 1/3 (= 0.333… s = 33.3… cs) reads as 33 cs
+    val b = ExifMeta.encode(5L, true, wrapJpeg = false, 1, "cam", dt, dto, 6000, 0)
+    // rewrite the latitude seconds rational (num=0,den=100 at the end
+    // of the lat coord block) to 1/3: LE u32s
+    val latNum = b.length - 48 + 16 // lat coord = 24 bytes before lon's 24
+    b(latNum) = 1; b(latNum + 1) = 0; b(latNum + 2) = 0; b(latNum + 3) = 0
+    b(latNum + 4) = 3; b(latNum + 5) = 0; b(latNum + 6) = 0; b(latNum + 7) = 0
+    val m3 = ExifMeta.parse(b)
+    assert(m3 != null && m3.getInt(4) === 6000 + 33, "1/3 s must truncate to 33 cs")
+    // a zero denominator declines the FIELD, not the row
+    val z = ExifMeta.encode(5L, true, wrapJpeg = false, 4, "cam", dt, dto, 6000, 7)
+    val zNum = z.length - 48 + 20 // lat seconds denominator
+    z(zNum) = 0; z(zNum + 1) = 0; z(zNum + 2) = 0; z(zNum + 3) = 0
+    val mz = ExifMeta.parse(z)
+    assert(mz != null && mz.isNullAt(4) && mz.getInt(5) === 7)
+    assert(mz.getInt(1) === 4, "other fields survive a bad coordinate")
+  }
+
   test("hostile structures are NULL, never a throw") {
     val good = ExifMeta.encode(4L, false, false, 2, "cam", dt, dto)
     // out-of-range orientation (9) is a structural refusal
