@@ -61,6 +61,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("r13 triage queries (EXIF/FLAC/MP3/tags) are shuffle-free single scans") {
+    import graft.operators.Multimodal
+    // the whole metadata walk runs inside one codegen'd projection
+    // over the fixture scan: only the presentation sort may exchange
+    for (df <- Seq(Multimodal.exifMetaQ(spark, sf),
+        Multimodal.flacMetaQ(spark, sf), Multimodal.mp3MetaQ(spark, sf),
+        Multimodal.flacTagsQ(spark, sf), Multimodal.mp3TagsQ(spark, sf))) {
+      val plan = planOf(df)
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"triage should only exchange for the orderBy:\n$plan")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("mapPartitions"),
+        "triage must stay native")
+      assert(!plan.contains("Join"), s"triage must not join:\n$plan")
+    }
+  }
+
   test("text_clean is one scan: repartition spread + presentation sort only") {
     val plan = planOf(graft.operators.TextAnalysis.clean(spark, sf))
     val exchanges = "Exchange".r.findAllIn(plan).length
