@@ -477,6 +477,7 @@ object Queries {
     "pipeline_quality_fusion" -> ((s: SparkSession, d: String) => Similarity.qualityFusion(s, d)),
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_feature_extract" -> (Multimodal.featureExtract _),
+    "mm_dispatch_all" -> (Multimodal.dispatchAll _),
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "mm_image_meta" -> (Multimodal.imageMeta _),
     "mm_gif_meta" -> (Multimodal.gifMeta _),
@@ -951,6 +952,43 @@ object Queries {
        "+ bhh*(bw//2)*((doc_id)%256 + (doc_id*11)%256)) " +
        "/ (3.0 * bw * bhh), 6) END AS mean_px " +
        "FROM d ORDER BY doc_id"),
+    // the FULL-FAMILY dispatch: doc_id%8 picks one of EIGHT real
+    // formats (every 173rd doc is non-media text); the oracle restates
+    // the unified metadata per format from the same arithmetic — one
+    // wrong magic route, field mapping, or duration division fails the
+    // hash across a whole format slice
+    "mm_dispatch_all" ->
+      ("WITH d AS (SELECT doc_id, doc_id % 173 = 0 AS corrupt, " +
+       "doc_id % 8 AS f, doc_id // 8 AS q FROM documents), " +
+       "m AS (SELECT doc_id, corrupt, f, q, " +
+       // mp3 sample-rate table indexed by verSel*3 + rateIdx
+       "([44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000, 8000])" +
+       "[CAST(doc_id % 3 AS INTEGER) * 3 + CAST((doc_id // 3) % 3 AS INTEGER) + 1] AS mp3rate " +
+       "FROM d) " +
+       "SELECT doc_id, " +
+       "CASE WHEN corrupt THEN NULL WHEN f = 0 THEN 'bmp' WHEN f = 1 THEN 'wav' " +
+       "WHEN f = 2 THEN 'png' WHEN f = 3 THEN 'jpeg' WHEN f = 4 THEN 'flac' " +
+       "WHEN f = 5 THEN 'mp3' WHEN f = 6 THEN 'mp4' ELSE 'tiff' END AS media_type, " +
+       "CAST(CASE WHEN corrupt THEN NULL " +
+       "WHEN f = 0 THEN 2 * (1 + q % 3) " +
+       "WHEN f = 2 OR f = 3 OR f = 7 THEN doc_id % 1021 + 16 " +
+       "WHEN f = 6 AND doc_id % 3 <> 0 THEN doc_id % 600 + 16 END AS INTEGER) AS width, " +
+       "CAST(CASE WHEN corrupt THEN NULL " +
+       "WHEN f = 0 THEN 1 + q % 4 " +
+       "WHEN f = 2 OR f = 3 OR f = 7 THEN (doc_id * 7) % 739 + 16 " +
+       "WHEN f = 6 AND doc_id % 3 <> 0 THEN (doc_id * 3) % 400 + 16 END AS INTEGER) AS height, " +
+       "CAST(CASE WHEN corrupt THEN NULL WHEN f = 0 THEN 3 " +
+       "WHEN f = 1 THEN 1 + q % 2 WHEN f = 4 THEN doc_id % 8 + 1 " +
+       "WHEN f = 5 THEN CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END END AS INTEGER) AS channels, " +
+       "CAST(CASE WHEN corrupt THEN NULL WHEN f = 1 THEN 8000 * (1 + q % 6) " +
+       "WHEN f = 4 THEN doc_id % 48000 + 8000 " +
+       "WHEN f = 5 THEN mp3rate END AS INTEGER) AS sample_rate, " +
+       "CAST(CASE WHEN corrupt THEN NULL " +
+       "WHEN f = 4 THEN (doc_id * 441 % 100000000) * 1000 // (doc_id % 48000 + 8000) " +
+       "WHEN f = 5 THEN (doc_id % 50 + 3) * (CASE WHEN doc_id % 3 = 0 THEN 1152 ELSE 576 END) * 1000 // mp3rate " +
+       "WHEN f = 6 THEN (doc_id % 100000 + 1000) * 1000 // ((doc_id % 4 + 1) * 600) " +
+       "END AS BIGINT) AS duration_ms " +
+       "FROM m ORDER BY doc_id"),
     "mm_frame_sample" ->
       ("SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, " +
        "CAST(1 + i * greatest(1, length(text) // 4) AS BIGINT) AS start, " +

@@ -394,6 +394,35 @@ object Multimodal {
           (id % 97 =!= 0 && id % 4 === 1, wavBytes(q, q % 2 === 1)),
           (id % 97 =!= 0 && id % 4 === 2, pngBytes(iw, ih)),
           (id % 97 =!= 0 && id % 4 === 3, jpegBytes(iw, ih)))
+      case "mixed" =>
+        // the WIDE heterogeneous column: doc_id%8 picks one of EIGHT
+        // real formats spanning every triage tier (image header,
+        // audio chunk, compressed-audio chain, video container) — the
+        // corpus the full-family dispatch (mm_dispatch_all) scans
+        val q = (id / 8).cast("long")
+        Seq(
+          (id % 173 === 0, encode(text.substr(1, 16), "UTF-8")),
+          (id % 173 =!= 0 && id % 8 === 0, bmpBytes(q, id, None)),
+          (id % 173 =!= 0 && id % 8 === 1, wavBytes(q, q % 2 === 1)),
+          (id % 173 =!= 0 && id % 8 === 2, pngBytes(iw, ih)),
+          (id % 173 =!= 0 && id % 8 === 3, jpegBytes(iw, ih)),
+          (id % 173 =!= 0 && id % 8 === 4, graft.plans.VectorExpressions.flacEncode(
+            (id % 48000 + 8000).cast("int"), (id % 8 + 1).cast("int"),
+            (id % 29 + 4).cast("int"), (id * 441 % 100000000).cast("long"),
+            id.cast("long"), (id % 37).cast("int"))),
+          (id % 173 =!= 0 && id % 8 === 5, graft.plans.VectorExpressions.mp3Encode(
+            (id % 50 + 3).cast("int"), (id % 3).cast("int"),
+            (floor(id / 3) % 3).cast("int"), id % 2 === 0,
+            id.cast("long"), (id % 5).cast("int"),
+            (id % 100 + 60).cast("int"), // always an ID3 tag: the route key
+            id % 7 === 0)),
+          (id % 173 =!= 0 && id % 8 === 6, graft.plans.VectorExpressions.mp4Encode(
+            (id % 600 + 16).cast("int"), ((id * 3) % 400 + 16).cast("int"),
+            (id % 3).cast("int"), (id % 2 + 1).cast("int"),
+            ((id % 4 + 1) * 600).cast("int"), (id % 100000 + 1000).cast("long"),
+            (id % 5 % 3).cast("int"), (id % 50 + 10).cast("int"),
+            id.cast("long"))),
+          (id % 173 =!= 0 && id % 8 === 7, tiffBytes(iw, ih)))
     }
   }
 
@@ -406,7 +435,7 @@ object Multimodal {
   def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "gifanim",
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
-      "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif")
+      "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -528,6 +557,64 @@ object Multimodal {
         (bmp.getField("sum_r") + bmp.getField("sum_g") + bmp.getField("sum_b")) /
           (lit(3.0) * bmp.getField("n_pixels")), 6))
         .otherwise(lit(null).cast("double")).as("mean_px"))
+  }
+
+  /** The FULL-FAMILY dispatch: one scan over a heterogeneous media
+    * column routing EIGHT formats — BMP, WAV, PNG, JPEG, FLAC, MP3
+    * (by ID3), MP4 (by ftyp), TIFF — each to its native spec-walking
+    * parser behind one codegen'd CASE (magic bytes only, never
+    * out-of-band hints), unified into (media_type, width, height,
+    * channels, sample_rate, duration_ms). CaseWhen short-circuits per
+    * row, so every payload pays exactly its own format's parse — the
+    * production crawl-curation scan across all the triage tiers this
+    * engine has, in one pass. */
+  def dispatchAll(spark: SparkSession, dir: String): DataFrame = {
+    val p = col("mixed")
+    val isBmp = hex(p.substr(1, 2)) === "424D"
+    val isWav = hex(p.substr(1, 4)) === "52494646" &&
+      hex(p.substr(9, 4)) === "57415645"
+    val isFlac = hex(p.substr(1, 4)) === "664C6143" // "fLaC"
+    val isId3 = hex(p.substr(1, 3)) === "494433" // "ID3" → MP3 w/ tag
+    val isMp4 = hex(p.substr(5, 4)) === "66747970" // box fourcc "ftyp"
+    val isImg = hex(p.substr(1, 8)) === "89504E470D0A1A0A" ||
+      hex(p.substr(1, 2)) === "FFD8" ||
+      hex(p.substr(1, 4)) === "49492A00" || hex(p.substr(1, 4)) === "4D4D002A"
+    val bmp = graft.plans.VectorExpressions.bmpStats(p)
+    val wav = graft.plans.VectorExpressions.wavMeta(p)
+    val flac = graft.plans.VectorExpressions.flacMeta(p)
+    val mp3 = graft.plans.VectorExpressions.mp3Meta(p)
+    val mp4 = graft.plans.VectorExpressions.mp4Meta(p)
+    val img = graft.plans.VectorExpressions.imgMeta(p)
+    val nullInt = lit(null).cast("int")
+    val nullLong = lit(null).cast("bigint")
+    mediaTable(spark, dir, "mixed")
+      .select(
+        col("doc_id"),
+        when(isBmp, when(bmp.isNotNull, "bmp"))
+          .when(isWav, when(wav.isNotNull, "wav"))
+          .when(isFlac, when(flac.isNotNull, "flac"))
+          .when(isId3, when(mp3.isNotNull, "mp3"))
+          .when(isMp4, when(mp4.isNotNull, "mp4"))
+          .when(isImg, img.getField("format")).as("media_type"),
+        when(isBmp, bmp.getField("width"))
+          .when(isMp4, mp4.getField("width"))
+          .when(isImg, img.getField("width")).otherwise(nullInt).as("width"),
+        when(isBmp, bmp.getField("height"))
+          .when(isMp4, mp4.getField("height"))
+          .when(isImg, img.getField("height")).otherwise(nullInt).as("height"),
+        when(isBmp, when(bmp.isNotNull, 3))
+          .when(isWav, wav.getField("channels"))
+          .when(isFlac, flac.getField("channels"))
+          .when(isId3, mp3.getField("channels")).otherwise(nullInt).as("channels"),
+        when(isWav, wav.getField("sample_rate"))
+          .when(isFlac, flac.getField("sample_rate"))
+          .when(isId3, mp3.getField("sample_rate")).otherwise(nullInt).as("sample_rate"),
+        when(isFlac, flac.getField("duration_ms"))
+          .when(isId3, mp3.getField("duration_ms"))
+          .when(isMp4, (mp4.getField("duration") * lit(1000L) /
+            mp4.getField("timescale")).cast("long"))
+          .otherwise(nullLong).as("duration_ms"))
+      .orderBy(col("doc_id"))
   }
 
   /** Real multimodal decode: PNG/JPEG header parsing over the stored

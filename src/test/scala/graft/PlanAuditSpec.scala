@@ -67,7 +67,8 @@ class PlanAuditSpec extends SparkSpec {
     // over the fixture scan: only the presentation sort may exchange
     for (df <- Seq(Multimodal.exifMetaQ(spark, sf),
         Multimodal.flacMetaQ(spark, sf), Multimodal.mp3MetaQ(spark, sf),
-        Multimodal.flacTagsQ(spark, sf), Multimodal.mp3TagsQ(spark, sf))) {
+        Multimodal.flacTagsQ(spark, sf), Multimodal.mp3TagsQ(spark, sf),
+        Multimodal.dispatchAll(spark, sf))) {
       val plan = planOf(df)
       val exchanges = "Exchange".r.findAllIn(plan).length
       assert(exchanges <= 1, s"triage should only exchange for the orderBy:\n$plan")
