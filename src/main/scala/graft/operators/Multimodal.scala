@@ -568,8 +568,16 @@ object Multimodal {
     * row, so every payload pays exactly its own format's parse — the
     * production crawl-curation scan across all the triage tiers this
     * engine has, in one pass. */
-  def dispatchAll(spark: SparkSession, dir: String): DataFrame = {
-    val p = col("mixed")
+  def dispatchAll(spark: SparkSession, dir: String): DataFrame =
+    dispatchAllSelect(mediaTable(spark, dir, "mixed"), "mixed")
+      .orderBy(col("doc_id"))
+
+  /** The full-family dispatch projection itself, over ANY frame with
+    * a binary `payload` column — factored out (like [[dispatchSelect]])
+    * so the STREAMING media-triage writer runs the identical
+    * projection per micro-batch. */
+  private[graft] def dispatchAllSelect(df: DataFrame, payload: String): DataFrame = {
+    val p = col(payload)
     val isBmp = hex(p.substr(1, 2)) === "424D"
     val isWav = hex(p.substr(1, 4)) === "52494646" &&
       hex(p.substr(9, 4)) === "57415645"
@@ -587,8 +595,7 @@ object Multimodal {
     val img = graft.plans.VectorExpressions.imgMeta(p)
     val nullInt = lit(null).cast("int")
     val nullLong = lit(null).cast("bigint")
-    mediaTable(spark, dir, "mixed")
-      .select(
+    df.select(
         col("doc_id"),
         when(isBmp, when(bmp.isNotNull, "bmp"))
           .when(isWav, when(wav.isNotNull, "wav"))
@@ -614,7 +621,6 @@ object Multimodal {
           .when(isMp4, (mp4.getField("duration") * lit(1000L) /
             mp4.getField("timescale")).cast("long"))
           .otherwise(nullLong).as("duration_ms"))
-      .orderBy(col("doc_id"))
   }
 
   /** Real multimodal decode: PNG/JPEG header parsing over the stored

@@ -195,6 +195,38 @@ object IncrementalIngest {
         ()
       }
 
+  /** Streaming media source: (doc_id, payload) rows with an opaque
+    * binary column — the shape a crawl's media ingest lands in. */
+  def mediaSource(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream
+      .schema("doc_id LONG, payload BINARY")
+      .parquet(inputDir)
+
+  /** Streaming MEDIA TRIAGE: every micro-batch of opaque binary
+    * payloads runs the full-family magic-byte dispatch
+    * (Multimodal.dispatchAllSelect — the identical projection the
+    * batch query uses: 8 formats, each routed to its native parser in
+    * one codegen'd CASE) and the unified metadata rows publish to a
+    * commit-log table as ONE batchId-stamped commit — a replayed batch
+    * recognizes itself in the ledger and lands nothing (exactly-once),
+    * and downstream curation reads triage results with snapshot
+    * isolation. The as-it-arrives counterpart of [[commitLogWriter]]
+    * for the multimodal column family; work per trigger ∝ batch
+    * bytes, per-row parse only (no shuffle inside the batch). */
+  def mediaTriageWriter(media: DataFrame, tablePath: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    media.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.CommitLog.appendStream(batch.sparkSession, tablePath,
+            graft.operators.Multimodal.dispatchAllSelect(batch, "payload"),
+            batchId)
+        ()
+      }
+
   /** Streaming inverted-index maintenance: every micro-batch of
     * incoming documents tokenizes to a postings segment (token,
     * doc_id, tf) and commits it to the persisted search index table

@@ -811,6 +811,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming media triage: full-family dispatch per micro-batch, exactly-once") {
+    import graft.operators.{CommitLog, Multimodal}
+    val in = Files.createTempDirectory("graft_media_in_").toString
+    val table = Files.createTempDirectory("graft_media_triage_").toString
+    try {
+      // input = the mixed 8-format fixture re-landed as a streaming
+      // (doc_id, payload) drop dir
+      spark.read.parquet(s"${Multimodal.mediaFixturePath(spark, sf)}/mixed")
+        .withColumnRenamed("mixed", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      val ckpt = Files.createTempDirectory("graft_media_ckpt_").toString
+      def runOnce(cp: String): Unit = {
+        val q = graft.streaming.IncrementalIngest.mediaTriageWriter(
+          graft.streaming.IncrementalIngest.mediaSource(spark, in), table, cp)
+          .start()
+        assert(q.awaitTermination(120000), "media triage stream did not finish")
+      }
+      runOnce(ckpt)
+      // the streamed table equals the batch dispatch row-for-row
+      val want = Multimodal.dispatchAll(spark, sf).collect()
+        .map(_.toString).sorted
+      val got = CommitLog.read(spark, table).collect().map(_.toString).sorted
+      assert(got.length === want.length, s"${got.length} vs ${want.length}")
+      assert(got === want, "streamed triage diverges from the batch dispatch")
+      // same checkpoint: nothing new to process
+      runOnce(ckpt)
+      assert(CommitLog.read(spark, table).count() === want.length)
+      // FRESH checkpoint (full re-delivery): the batchId ledger
+      // recognizes the replay and lands nothing
+      runOnce(Files.createTempDirectory("graft_media_ckpt2_").toString)
+      assert(CommitLog.read(spark, table).count() === want.length,
+        "re-delivered media batch landed twice")
+    } finally {
+      Seq(in, table).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    }
+  }
+
   test("streaming search-index maintenance: postings segments commit exactly-once with blooms") {
     import graft.operators.CommitLog
     val root = Files.createTempDirectory("graft-ssearch").toString
