@@ -463,6 +463,7 @@ object Queries {
     "text_repetition" -> (TextAnalysis.repetition _),
     "knn_quantized_rerank" -> ((s: SparkSession, d: String) => Similarity.knnQuantizedRerank(s, d)),
     "knn_pq_adc" -> ((s: SparkSession, d: String) => Similarity.knnPqAdc(s, d)),
+    "sim_pca_project" -> ((s: SparkSession, d: String) => Similarity.pcaProject(s, d)),
     "knn_ivf_pq" -> ((s: SparkSession, d: String) => Similarity.knnIvfPq(s, d)),
     "sim_diversity_sample" -> ((s: SparkSession, d: String) => Similarity.diversitySample(s, d)),
     "knn_filtered" -> ((s: SparkSession, d: String) => Similarity.knnFiltered(s, d)),
@@ -2410,8 +2411,34 @@ object Queries {
       s"FROM s${merges.length} GROUP BY doc_id ORDER BY doc_id"
   }
 
+  // Post-run PCA oracle (same served-artifact contract as pqOracles):
+  // the DuckDB twin recomputes every projection from the SERVED
+  // component literals via list_dot_product — a wrong component order,
+  // sign, or summation diverges some row's rounded coordinate.
+  private def pcaOracles: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val served = graft.operators.Similarity.servedPca.asScala.toMap
+    served.toSeq match {
+      case Seq((_, comps)) if comps.nonEmpty =>
+        val cols = comps.zipWithIndex.map { case (c, j) =>
+          val l = c.mkString("[", ", ", "]::DOUBLE[]")
+          s"round(list_dot_product(CAST(embedding AS DOUBLE[]), $l), 6) AS pc$j"
+        }.mkString(", ")
+        Map("sim_pca_project" ->
+          s"SELECT vec_id, $cols FROM embeddings ORDER BY vec_id")
+      case Seq() =>
+        Map("sim_pca_project" ->
+          "SELECT 'sim_pca_project served no components - query failed before training' AS error")
+      case many =>
+        System.err.println(
+          s"[graft] pca oracle omitted: components served for ${many.size} dirs " +
+          s"(${many.map(_._1).mkString(", ")}) — cannot tell which the dump refers to")
+        Map.empty
+    }
+  }
+
   def all: Map[String, Q] = timeSeries ++ relational ++ extensions ++ analytics
   def oracles: Map[String, String] =
     timeSeriesOracles ++ relationalOracles ++ extensionOracles ++ analyticsOracles ++
-      centroidOracles ++ pqOracles ++ ivfPqOracles ++ bpeOracles
+      centroidOracles ++ pqOracles ++ ivfPqOracles ++ bpeOracles ++ pcaOracles
 }

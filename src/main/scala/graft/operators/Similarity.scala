@@ -1130,4 +1130,58 @@ object Similarity {
         round(cosine(col("q"), col("v")), 4).as("cos_sim"))
     topKPerQuery(exact, k)
   }
+
+  // ---- PCA embedding compression -------------------------------------
+
+  /** Output dimensionality of [[pcaProject]]: 64 → 8, the same 8x
+    * footprint cut as a PQ code per subspace, but LINEAR — projected
+    * vectors still support dot/cosine directly, which is what makes
+    * PCA the standard pre-index compression (and whitening) stage. */
+  val PcaK = 8
+
+  private val pcaCache = new AppScopedCache[Seq[Array[Double]]]()
+
+  /** Components used to SERVE [[pcaProject]], per corpus dir — same
+    * post-run oracle contract as [[servedCodebooks]]. */
+  private[graft] val servedPca =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()
+
+  /** Top-k principal components of the corpus embeddings, trained with
+    * Spark's own distributed machinery: `RowMatrix
+    * .computePrincipalComponents` computes the d×d Gramian/covariance
+    * in ONE treeAggregate pass over the corpus (d² driver doubles —
+    * 32 KB at d=64, independent of corpus size) and eigendecomposes on
+    * the driver. Build-once-serve-many, memoized per corpus like the
+    * PQ codebooks. Returned as k column vectors of length d. */
+  private[graft] def pcaComponents(spark: SparkSession, dir: String,
+      k: Int = PcaK): Seq[Array[Double]] =
+    pcaCache.getOrCompute(spark, s"$dir#pca$k") {
+      val rows = Tables.embeddings(spark, dir).select(col("embedding")).rdd
+        .map(r => org.apache.spark.mllib.linalg.Vectors.dense(
+          r.getSeq[Float](0).map(_.toDouble).toArray))
+      val pc = new org.apache.spark.mllib.linalg.distributed.RowMatrix(rows)
+        .computePrincipalComponents(k) // d x k, column-major
+      (0 until k).map(j => Array.tabulate(pc.numRows)(i => pc(i, j)))
+    }
+
+  /** EMBEDDING COMPRESSION by PCA projection: every corpus vector →
+    * its k principal-component coordinates, one codegen'd scan (the
+    * served components ride the plan as literal arrays through the
+    * same native [[dot]] the ANN family uses — no shuffle, no UDF).
+    * Downstream, the 8-dim projections are what a billion-vector
+    * dedup/clustering pass would feed instead of raw 64-dim floats.
+    * Oracled POST-RUN from the served components (the DuckDB twin
+    * recomputes every projection via list_dot_product), so a wrong
+    * component order, sign, or fold diverges the hash. */
+  def pcaProject(spark: SparkSession, dir: String, k: Int = PcaK): DataFrame = {
+    val comps = pcaComponents(spark, dir, k)
+    servedPca.put(dir, comps)
+    val v = asDouble(col("embedding"))
+    val pcs = comps.zipWithIndex.map { case (c, j) =>
+      round(dot(v, array(c.toIndexedSeq.map(lit): _*)), 6).as(s"pc$j")
+    }
+    Tables.embeddings(spark, dir)
+      .select((col("vec_id") +: pcs): _*)
+      .orderBy(col("vec_id"))
+  }
 }
