@@ -244,7 +244,9 @@ object CommitLog {
     def renameFallback(): Boolean = claimLock.synchronized {
       !fs.exists(dst) && fs.rename(tmp, dst)
     }
-    if (fs.getScheme != "file") renameFallback()
+    // getUri never throws; FileSystem.getScheme's base implementation
+    // does (UnsupportedOperationException) on connectors that predate it
+    if (fs.getUri.getScheme != "file") renameFallback()
     else {
       try {
         java.nio.file.Files.createLink(
@@ -2411,16 +2413,27 @@ object CommitLog {
     // staging dir from a racing vacuum; a crashed write's orphan is
     // swept once it ages past the grace window.
     val root2 = new Path(tablePath)
+    // staging grace defaults to 6x the sidecar grace (60 min): the
+    // writer refreshes a .heartbeat marker BETWEEN its phases
+    // (stageWithMeta), but a single phase — the stats/bloom
+    // aggregation on a very large batch — can itself run long with no
+    // new children, so the sweep's own window must comfortably exceed
+    // any plausible single-phase duration; a crashed write's orphan
+    // still reclaims within the hour
+    val stagingGraceMs = spark.conf
+      .getOption("spark.graft.commitlog.stagingSweepGraceMs")
+      .map(_.toLong).getOrElse(6 * graceMs)
     fs.listStatus(root2)
       .filter { s =>
         s.isDirectory && s.getPath.getName.startsWith("_staging_") && {
           // age by the NEWEST entry inside, not the dir inode: a slow
-          // in-flight write keeps creating part files, so its newest
-          // child stays young while a crashed write's never moves
+          // in-flight write keeps creating part files (and touching
+          // its heartbeat), so its newest child stays young while a
+          // crashed write's never moves
           val newest = (s.getModificationTime +: scala.util.Try(
             fs.listStatus(s.getPath).map(_.getModificationTime).toSeq)
             .getOrElse(Seq.empty)).max
-          now - newest >= graceMs
+          now - newest >= stagingGraceMs
         }
       }
       .foreach(s => fs.delete(s.getPath, true))

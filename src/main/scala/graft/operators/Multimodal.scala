@@ -134,6 +134,32 @@ object Multimodal {
       when(version87When, lit("383761")).otherwise(lit("383961")), // "87a"|"89a"
       le16h(w), le16h(h), lit("000000")))
 
+  /** Shared format builders for slices that appear in BOTH their own
+    * fixture and the mixed-dispatch corpus — ONE definition per format
+    * so the doc_id arithmetic can never desync from the oracles that
+    * restate it. */
+  private def flacFixture(id: Column): Column =
+    graft.plans.VectorExpressions.flacEncode(
+      (id % 48000 + 8000).cast("int"), (id % 8 + 1).cast("int"),
+      (id % 29 + 4).cast("int"), (id * 441 % 100000000).cast("long"),
+      id.cast("long"), (id % 37).cast("int"))
+
+  private def mp3Fixture(id: Column, noId3When: Column): Column =
+    graft.plans.VectorExpressions.mp3Encode(
+      (id % 50 + 3).cast("int"), (id % 3).cast("int"),
+      (floor(id / 3) % 3).cast("int"), id % 2 === 0,
+      id.cast("long"), (id % 5).cast("int"),
+      when(noId3When, lit(0)).otherwise(id % 100 + 60).cast("int"),
+      id % 7 === 0)
+
+  private def mp4Fixture(id: Column): Column =
+    graft.plans.VectorExpressions.mp4Encode(
+      (id % 600 + 16).cast("int"), ((id * 3) % 400 + 16).cast("int"),
+      (id % 3).cast("int"), (id % 2 + 1).cast("int"),
+      ((id % 4 + 1) * 600).cast("int"), (id % 100000 + 1000).cast("long"),
+      (id % 5 % 3).cast("int"), (id % 50 + 10).cast("int"),
+      id.cast("long"))
+
   /** The per-modality fixture slices: (row filter, payload bytes),
     * mutually exclusive and exhaustive over the corpus.
     *  - img:   PNG (even ids) / JPEG (odd); every 97th doc corrupt.
@@ -292,12 +318,7 @@ object Multimodal {
         // mdat structural variants all cycling on doc_id — the box
         // grammar's edge paths land on every few rows, not in a
         // corner fixture
-        (id % 127 =!= 0, graft.plans.VectorExpressions.mp4Encode(
-          (id % 600 + 16).cast("int"), ((id * 3) % 400 + 16).cast("int"),
-          (id % 3).cast("int"), (id % 2 + 1).cast("int"),
-          ((id % 4 + 1) * 600).cast("int"), (id % 100000 + 1000).cast("long"),
-          (id % 5 % 3).cast("int"), (id % 50 + 10).cast("int"),
-          id.cast("long"))))
+        (id % 127 =!= 0, mp4Fixture(id)))
       case "exif" => Seq(
         (id % 167 === 0, encode(text.substr(1, 20), "UTF-8")),
         // REAL EXIF-carrying files (plans.ExifMeta.encode): a
@@ -328,10 +349,7 @@ object Multimodal {
         // VORBIS_COMMENT and a PADDING block so the chain walk is
         // load-bearing on every row; MD5 bytes are (id + 7i) mod 256,
         // restated hex-exact by the oracle
-        (id % 149 =!= 0, graft.plans.VectorExpressions.flacEncode(
-          (id % 48000 + 8000).cast("int"), (id % 8 + 1).cast("int"),
-          (id % 29 + 4).cast("int"), (id * 441 % 100000000).cast("long"),
-          id.cast("long"), (id % 37).cast("int"))))
+        (id % 149 =!= 0, flacFixture(id)))
       case "mp3" => Seq(
         (id % 163 === 0, encode(text.substr(1, 24), "UTF-8")),
         // REAL Layer III frame chains (plans.Mp3Meta.encode): version
@@ -342,12 +360,7 @@ object Multimodal {
         // REAL TIT2/TPE1/TALB frames always fit — the mm_mp3_tags
         // surface; tag version cycles v2.3/v2.4 on id%3), every 7th
         // an ID3v1 trailer — all four chain shapes land in the fixture
-        (id % 163 =!= 0, graft.plans.VectorExpressions.mp3Encode(
-          (id % 50 + 3).cast("int"), (id % 3).cast("int"),
-          (floor(id / 3) % 3).cast("int"), id % 2 === 0,
-          id.cast("long"), (id % 5).cast("int"),
-          when(id % 4 === 0, lit(0)).otherwise(id % 100 + 60).cast("int"),
-          id % 7 === 0)))
+        (id % 163 =!= 0, mp3Fixture(id, noId3When = id % 4 === 0)))
       case "wavfloat" => Seq(
         (id % 139 === 0, encode(text.substr(1, 34), "UTF-8")),
         // REAL IEEE-float WAVs (plans.WavFloat.encode): samples are
@@ -406,22 +419,10 @@ object Multimodal {
           (id % 173 =!= 0 && id % 8 === 1, wavBytes(q, q % 2 === 1)),
           (id % 173 =!= 0 && id % 8 === 2, pngBytes(iw, ih)),
           (id % 173 =!= 0 && id % 8 === 3, jpegBytes(iw, ih)),
-          (id % 173 =!= 0 && id % 8 === 4, graft.plans.VectorExpressions.flacEncode(
-            (id % 48000 + 8000).cast("int"), (id % 8 + 1).cast("int"),
-            (id % 29 + 4).cast("int"), (id * 441 % 100000000).cast("long"),
-            id.cast("long"), (id % 37).cast("int"))),
-          (id % 173 =!= 0 && id % 8 === 5, graft.plans.VectorExpressions.mp3Encode(
-            (id % 50 + 3).cast("int"), (id % 3).cast("int"),
-            (floor(id / 3) % 3).cast("int"), id % 2 === 0,
-            id.cast("long"), (id % 5).cast("int"),
-            (id % 100 + 60).cast("int"), // always an ID3 tag: the route key
-            id % 7 === 0)),
-          (id % 173 =!= 0 && id % 8 === 6, graft.plans.VectorExpressions.mp4Encode(
-            (id % 600 + 16).cast("int"), ((id * 3) % 400 + 16).cast("int"),
-            (id % 3).cast("int"), (id % 2 + 1).cast("int"),
-            ((id % 4 + 1) * 600).cast("int"), (id % 100000 + 1000).cast("long"),
-            (id % 5 % 3).cast("int"), (id % 50 + 10).cast("int"),
-            id.cast("long"))),
+          (id % 173 =!= 0 && id % 8 === 4, flacFixture(id)),
+          // always an ID3 tag here: it is the dispatch's MP3 route key
+          (id % 173 =!= 0 && id % 8 === 5, mp3Fixture(id, noId3When = lit(false))),
+          (id % 173 =!= 0 && id % 8 === 6, mp4Fixture(id)),
           (id % 173 =!= 0 && id % 8 === 7, tiffBytes(iw, ih)))
     }
   }

@@ -191,15 +191,17 @@ object AudioTags {
         val id = new String(b, p, 4, "US-ASCII")
         if (!id.forall(ch => (ch >= 'A' && ch <= 'Z') || (ch >= '0' && ch <= '9')))
           return null
-        val fsize =
+        val fsize: Long =
           if (ver == 4) {
             // v2.4 frame sizes are syncsafe: high bit clear in each byte
             if ((u8(b, p + 4) & 0x80) != 0 || (u8(b, p + 5) & 0x80) != 0 ||
               (u8(b, p + 6) & 0x80) != 0 || (u8(b, p + 7) & 0x80) != 0) return null
-            (u8(b, p + 4) << 21) | (u8(b, p + 5) << 14) |
-              (u8(b, p + 6) << 7) | u8(b, p + 7)
-          } else be32(b, p + 4).toInt
-        if (fsize < 0 || p + 10 + fsize > tagEnd) return null
+            ((u8(b, p + 4) << 21) | (u8(b, p + 5) << 14) |
+              (u8(b, p + 6) << 7) | u8(b, p + 7)).toLong
+          } else be32(b, p + 4)
+        // bounds in LONG: a hostile v2.3 size near 2^31 overflows the
+        // Int sum and would sneak past an Int comparison
+        if (fsize < 0 || p + 10L + fsize > tagEnd) return null
         val flags = (u8(b, p + 8) << 8) | u8(b, p + 9)
         // compressed/encrypted/grouped frames: skip, never misread
         val plain = (flags & 0x00FF) == 0 && (flags & 0xF000) == 0
@@ -208,8 +210,8 @@ object AudioTags {
           // 0 = ISO-8859-1, 3 = UTF-8 (decoded); 1/2 = UTF-16 (field
           // declines — the bytes are real but we never guess order)
           val v =
-            if (enc == 0) text(b, p + 11, fsize - 1, "ISO-8859-1")
-            else if (enc == 3) text(b, p + 11, fsize - 1)
+            if (enc == 0) text(b, p + 11, fsize.toInt - 1, "ISO-8859-1")
+            else if (enc == 3) text(b, p + 11, fsize.toInt - 1)
             else null
           id match {
             case "TIT2" if title == null => title = v
@@ -218,7 +220,7 @@ object AudioTags {
             case _ => ()
           }
         }
-        p += 10 + fsize
+        p += 10 + fsize.toInt // bounded by tagEnd above
         frames += 1
       }
     }

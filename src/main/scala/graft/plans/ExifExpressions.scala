@@ -93,6 +93,9 @@ object ExifMeta {
         if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { i += 2 }
         else if (m == 0xD9 || m == 0xDA) return null // EOI / SOS: no EXIF found
         else {
+          // re-check AFTER the fill-byte skip moved i: a hostile FF run
+          // ending at the buffer edge must not read past it
+          if (i + 3 >= b.length) return null
           val segLen = be16(b, i + 2)
           if (segLen < 2 || i + 2 + segLen > b.length) return null
           if (m == 0xE1 && segLen >= 10 &&

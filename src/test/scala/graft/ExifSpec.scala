@@ -136,6 +136,14 @@ class ExifSpec extends AnyFunSuite {
     // same law for the JPEG container
     val jp = ExifMeta.encode(4L, true, true, 2, "cam", dt, dto)
     for (n <- 0 until jp.length) ExifMeta.parse(jp.take(n))
+    // REGRESSION (r13 review): a fill-byte FF run ending at the buffer
+    // edge moved the walk cursor past the bounds check and crashed —
+    // the segment-length read must re-check after the skip
+    assert(ExifMeta.parse(Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte,
+      0xE0.toByte, 0x00)) == null)
+    assert(ExifMeta.parse(Array.fill[Byte](16)(0xFF.toByte)
+      .updated(1, 0xD8.toByte)) == null)
   }
 
   private def indexOfAscii(b: Array[Byte], s: String): Int = {

@@ -201,6 +201,16 @@ class Mp3FlacSpec extends AnyFunSuite {
     // truncation law over both containers: never a throw
     for (n <- 0 until good.length) AudioTags.parse(good.take(n))
     for (n <- 0 until mp3.length) AudioTags.parse(mp3.take(n))
+    // REGRESSION (r13 review): a hostile v2.3 frame size near 2^31
+    // overflowed the Int bounds sum and crashed instead of NULLing —
+    // the bounds must compare in Long
+    val overflow = Array[Byte]('I', 'D', '3', 3, 0, 0,
+      0, 0, 0, 21, // syncsafe tag size 21
+      'T', 'I', 'T', '2',
+      0x7F, 0xFF.toByte, 0xFF.toByte, 0xF0.toByte, // fsize ~ 2^31
+      0, 0, // flags
+      0) ++ Array.fill[Byte](10)(0x41)
+    assert(AudioTags.parse(overflow) == null, "overflowing frame size must NULL")
   }
 
   test("MP3 declines: Layer I/II, free-format, reserved version/rate, non-III chains") {
