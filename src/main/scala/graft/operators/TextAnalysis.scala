@@ -748,9 +748,22 @@ object TextAnalysis {
       var vocab = wordFreqs(spark, dir)
         .select(col("freq"), charSyms(col("word")).as("syms"))
         .localCheckpoint()
-      val symbols = scala.collection.mutable.HashSet[String]()
-      vocab.select(explode(col("syms")).as("s")).distinct()
-        .collect().foreach(r => symbols += r.getString(0))
+      // the collision guard's symbol universe: bounded by the CHARSET
+      // (round-0 symbols are single characters), not the corpus — but a
+      // pathological corpus could still stress the driver, so the
+      // collect is capped; past the cap the universe is declared
+      // unknown (None) and greedyBatch degrades to sound single-merge
+      // rounds rather than risk an unsound batch
+      val SymbolCeiling = 1 << 20
+      val collected = vocab.select(explode(col("syms")).as("s")).distinct()
+        .limit(SymbolCeiling + 1).collect()
+      val symbols: Option[scala.collection.mutable.HashSet[String]] =
+        if (collected.length > SymbolCeiling) None
+        else {
+          val s = scala.collection.mutable.HashSet[String]()
+          collected.foreach(r => s += r.getString(0))
+          Some(s)
+        }
       val out = Seq.newBuilder[(String, String, Long)]
       var learned = 0
       var live = true
@@ -763,12 +776,15 @@ object TextAnalysis {
           .toIndexedSeq
         if (top.isEmpty) live = false
         else {
-          val batch =
-            greedyBatch(top, top.length < topM, rounds - learned, symbols.toSet)
+          val batch = symbols match {
+            case Some(s) =>
+              greedyBatch(top, top.length < topM, rounds - learned, s.toSet)
+            case None => top.take(1) // unknown universe: plain greedy
+          }
           var next = vocab
           batch.foreach { case (a, b, cnt) =>
             out += ((a, b, cnt))
-            symbols += (a + b)
+            symbols.foreach(_ += (a + b))
             next = next.select(col("freq"), mergeOnce(col("syms"), a, b).as("syms"))
           }
           next = next.localCheckpoint()
