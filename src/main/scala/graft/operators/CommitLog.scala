@@ -173,13 +173,15 @@ object CommitLog {
       constraintsField: Option[Constraints] = None,
       dvs: FileDvs = Map.empty,
       expectedVersion: Option[Long] = None,
-      pins: Map[String, Long] = Map.empty): Long = {
+      pins: Map[String, Long] = Map.empty,
+      batchApp: Option[String] = None): Long = {
     val log = new Path(tablePath, LogDir)
     val fs = fsOf(spark, log)
     fs.mkdirs(log)
     val tmp = new Path(log, s".tmp-${java.util.UUID.randomUUID()}")
     var v = latestVersion(spark, tablePath) + 1
-    val batchField = batchId.fold("")(b => s""","batchId":$b""")
+    val batchField = batchId.fold("")(b => s""","batchId":$b""") +
+      batchApp.fold("")(a => s""","batchApp":"${esc(a)}"""")
     val pinsField = if (pins.isEmpty) "" else
       pins.toSeq.sortBy(_._1).map { case (k, ver) => s""""${esc(k)}":$ver""" }
         .mkString(""","pins":{""", ",", "}")
@@ -263,21 +265,67 @@ object CommitLog {
     }
   }
 
-  /** batchIds already committed to this table (the streaming sink's
-    * replay ledger). Metadata-sized: one log read per trigger. */
-  def committedBatchIds(spark: SparkSession, tablePath: String): Set[Long] = {
+  /** Incremental per-table ledger memo: commit files are immutable
+    * and the log append-only above the vacuum horizon, so only NEW
+    * versions need reading per call. Keyed by the FIRST retained
+    * version's (number, mtime): vacuum's horizon rewrite and a table
+    * dropped-and-recreated at the same path both change that identity
+    * and force a clean rescan of the (then small) retained log. */
+  private case class LedgerState(firstV: Long, firstMtime: Long,
+      through: Long, ids: Set[(Option[String], Long)])
+  private val ledgerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LedgerState]()
+
+  private val batchAppRe = """"batchApp":"((?:[^"\\]|\\.)*)"""".r
+
+  /** (writer identity, batchId) pairs already committed — the
+    * streaming sink's replay ledger, APP-QUALIFIED (Delta's txnAppId
+    * shape): two different streaming queries both restart their
+    * epochs at 0, so a bare-epoch ledger would silently discard the
+    * second query's batches as replays of the first's. Entries from
+    * writers that declared no identity carry None. O(new commits) per
+    * call, not O(log): commit files are immutable and the log
+    * append-only above the vacuum horizon, so only versions past the
+    * cached watermark are read; the cache keys on the FIRST retained
+    * version's (number, mtime) — vacuum's horizon rewrite and a table
+    * dropped-and-recreated at the same path both change that identity
+    * and force a clean rescan of the (then small) retained log. */
+  private[graft] def committedBatches(spark: SparkSession,
+      tablePath: String): Set[(Option[String], Long)] = {
     val log = new Path(tablePath, LogDir)
     val fs = fsOf(spark, log)
-    versions(spark, tablePath).flatMap { v =>
+    val vs = versions(spark, tablePath)
+    if (vs.isEmpty) return Set.empty
+    def idOf(v: Long): Option[(Option[String], Long)] = {
       val in = fs.open(new Path(log, f"$v%08d.json"))
       val line = try new String(
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
       val i = line.indexOf("\"batchId\":")
       if (i < 0) None
       else scala.util.Try(
-        line.substring(i + 10).takeWhile(c => c.isDigit || c == '-').toLong).toOption
-    }.toSet
+        line.substring(i + 10).takeWhile(c => c.isDigit || c == '-').toLong)
+        .toOption.map { id =>
+          batchAppRe.findFirstMatchIn(line).map(m => unescKey(m.group(1))) -> id
+        }
+    }
+    val firstV = vs.head
+    val firstMtime = scala.util.Try(
+      fs.getFileStatus(new Path(log, f"$firstV%08d.json")).getModificationTime)
+      .getOrElse(0L)
+    val cached = Option(ledgerCache.get(tablePath)).filter(s =>
+      s.firstV == firstV && s.firstMtime == firstMtime && s.through <= vs.last)
+    val base = cached.getOrElse(LedgerState(firstV, firstMtime, firstV - 1, Set.empty))
+    val ids = base.ids ++ vs.filter(_ > base.through).flatMap(idOf)
+    ledgerCache.put(tablePath, LedgerState(firstV, firstMtime, vs.last, ids))
+    ids
   }
+
+  /** batchIds already committed, identity-blind — the foreachBatch
+    * writers' ledger view (one single-writer stream per table by
+    * construction, so any carrier of the id is that stream's own
+    * earlier publish). */
+  def committedBatchIds(spark: SparkSession, tablePath: String): Set[Long] =
+    committedBatches(spark, tablePath).map(_._2)
 
   /** Exactly-once streaming append: the TRANSACTIONAL form of the
     * per-batch file-naming trick ([[Similarity.appendIvfIndexBatch]])
@@ -974,8 +1022,17 @@ object CommitLog {
       cleanup: => Unit): Unit = {
     val cs = constraints(spark, tablePath)
     if (cs.nonEmpty && relNames.nonEmpty) {
+      // read under the DECLARED schema when one exists, not the
+      // writer's: a legal subset-schema write (omitted columns
+      // null-fill on read) must evaluate a constraint referencing an
+      // omitted column against NULL — under the write schema the
+      // expression fails to resolve, the epoch dies with an
+      // AnalysisException, and the staged files leak (cleanup only
+      // runs on a COUNTED violation); the batch path already reads
+      // under the declared schema
+      val gateSchema = tableSchema(spark, tablePath).getOrElse(schema)
       val stagedDf = spark.read
-        .schema(StructType(schema.fields.map(_.copy(nullable = true))))
+        .schema(StructType(gateSchema.fields.map(_.copy(nullable = true))))
         .parquet(relNames.map(f => s"$tablePath/$f"): _*)
       val bad = violationCounts(stagedDf, cs)
       if (bad.nonEmpty) {
@@ -983,6 +1040,27 @@ object CommitLog {
         throw new IllegalArgumentException(
           s"constraint violation on $what — nothing committed: " +
           bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
+      }
+    }
+  }
+
+  /** The declared-schema WRITE gate shared by the batch staging path
+    * and the streaming sink factory: staged columns must be a SUBSET
+    * of the declared schema with identical types (absent columns
+    * null-fill on read). One definition so the two paths can never
+    * drift. */
+  private[graft] def enforceSchemaSubset(tablePath: String,
+      declared: StructType, staged: StructType): Unit = {
+    val decl = declared.fields.map(f => f.name -> f.dataType).toMap
+    staged.fields.foreach { f =>
+      decl.get(f.name) match {
+        case None => throw new IllegalArgumentException(
+          s"schema enforcement: $tablePath declares no column ${f.name} " +
+          "(evolveSchema to add it)")
+        case Some(dt) if dt != f.dataType => throw new IllegalArgumentException(
+          s"schema enforcement: ${f.name} is declared ${dt.catalogString}, " +
+          s"staged ${f.dataType.catalogString}")
+        case _ => ()
       }
     }
   }
@@ -1268,6 +1346,17 @@ object CommitLog {
       asOf: Option[Long]): ResolvedMeta = {
     val vs = versions(spark, tablePath)
     val pin = vs.filter(v => asOf.forall(_ >= v)).foldLeft(-1L)(math.max)
+    // an explicit VERSION AS OF below the retained log must refuse
+    // LOUDLY: with pin = -1 the resolve below would fall through to
+    // the newest checkpoint and serve the LATEST snapshot labeled as
+    // the requested version — the same contract versionAtTimestamp
+    // already enforces for timestamps
+    if (pin < 0 && asOf.isDefined)
+      throw new IllegalArgumentException(
+        s"no version <= ${asOf.get} exists in $tablePath" +
+          (if (vs.nonEmpty) s" — oldest retained is v${vs.head} " +
+            "(below the vacuum horizon)"
+          else " (empty log)"))
     def resolve(): ResolvedMeta = {
       val at = if (pin < 0) None else Some(pin)
       val cp = bestCheckpoint(spark, tablePath, at)
@@ -1963,10 +2052,13 @@ object CommitLog {
     // zones for the cluster cols AND every other numeric column — the
     // rewrite touches every row anyway, so the stats are free, and a
     // grouped MIN/MAX over any numeric column can then serve from
-    // metadata too
+    // metadata too. DateType is NOT auto-included: the staging stats
+    // aggregate computes min/max via cast("double"), which Spark
+    // refuses for DATE — a date column would fail the whole OPTIMIZE
+    // with an AnalysisException rather than skip its zone
     val statCols = (cols ++ df.schema.fields.collect {
       case f if Seq(org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.DateType,
+        org.apache.spark.sql.types.LongType,
         org.apache.spark.sql.types.FloatType, org.apache.spark.sql.types.DoubleType)
         .contains(f.dataType) => f.name
     }).distinct
@@ -2340,18 +2432,33 @@ object CommitLog {
       if (i < 0) ""
       else {
         val rest = keepFromLine.drop(i + 10).takeWhile(c => c.isDigit || c == '-')
-        s""","batchId":$rest"""
+        // the writer identity qualifying the batchId survives too —
+        // the app-scoped ledger must recognize the replay after vacuum
+        val app = batchAppRe.findFirstMatchIn(keepFromLine)
+          .map(m => s""","batchApp":"${m.group(1)}"""").getOrElse("")
+        s""","batchId":$rest$app"""
       }
     }
     // the ORIGINAL commit's wall time survives the rewrite, so
     // TIMESTAMP AS OF stays monotone across the horizon
     val tsField = tsMillisRe.findFirstMatchIn(keepFromLine)
       .map(m => s""""tsMillis":${m.group(1)},""").getOrElse("")
+    // the newest pinned TRANSACTION at-or-before the horizon must
+    // survive the rewrite too: a truncated manifest commit may have
+    // been its only carrier, and txnPins() scanning a pins-free log
+    // would silently serve UNPINNED state to transaction-pinned
+    // readers — the mixed-visibility failure the manifest exists to
+    // prevent
+    val horizonPins = versions(spark, tablePath).filter(_ <= keepFrom)
+      .reverseIterator
+      .map(v => extractSection(commitLine(spark, tablePath, v), "pins"))
+      .collectFirst { case Some(body) => s""","pins":{$body}""" }
+      .getOrElse("")
     val log = new Path(tablePath, LogDir)
     val cp = new Path(log, f"$keepFrom%08d.json")
     val out = fs.create(cp, true)
     try out.write(
-      s"""{"version":$keepFrom,$tsField"adds":${jarr(horizonState)},"removes":[]$schemaField$consField$batchField,"checkpoint":true}"""
+      s"""{"version":$keepFrom,$tsField"adds":${jarr(horizonState)},"removes":[]$schemaField$consField$batchField$horizonPins,"checkpoint":true}"""
         .getBytes("UTF-8"))
     finally out.close()
     val dataDir = new Path(tablePath, DataDir)
@@ -2460,20 +2567,7 @@ object CommitLog {
     // the declared schema with identical types (absent columns are
     // fine — the reader null-fills them from the declared schema)
     val declared = tableSchema(spark, tablePath)
-    declared.foreach { d =>
-      val decl = d.fields.map(f => f.name -> f.dataType).toMap
-      df.schema.fields.foreach { f =>
-        decl.get(f.name) match {
-          case None => throw new IllegalArgumentException(
-            s"schema enforcement: $tablePath declares no column ${f.name} " +
-            "(evolveSchema to add it)")
-          case Some(dt) if dt != f.dataType => throw new IllegalArgumentException(
-            s"schema enforcement: ${f.name} is declared ${dt.catalogString}, " +
-            s"staged ${f.dataType.catalogString}")
-          case _ => ()
-        }
-      }
-    }
+    declared.foreach(d => enforceSchemaSubset(tablePath, d, df.schema))
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(root, s"_staging_$stamp")
     df.write.mode("overwrite").parquet(tmp.toString)

@@ -54,27 +54,15 @@ import graft.plans.BloomAggregate
   * the staged files before publish, refusing the whole epoch. */
 class GraftStreamingWrite(tablePath: String, schema: StructType,
     statsCols: Seq[String], bloomCols: Seq[String], mBits: Int, k: Int,
-    truncateEachEpoch: Boolean) extends StreamingWrite {
+    truncateEachEpoch: Boolean, queryId: String) extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val spark = SparkSession.active
-    // declared-schema gate BEFORE any task writes: same subset-with-
-    // identical-types contract stageWithMeta enforces for batch
-    CommitLog.tableSchema(spark, tablePath).foreach { d =>
-      val decl = d.fields.map(f => f.name -> f.dataType).toMap
-      schema.fields.foreach { f =>
-        decl.get(f.name) match {
-          case None => throw new IllegalArgumentException(
-            s"schema enforcement: $tablePath declares no column ${f.name} " +
-            "(evolveSchema to add it)")
-          case Some(dt) if dt != f.dataType => throw new IllegalArgumentException(
-            s"schema enforcement: ${f.name} is declared ${dt.catalogString}, " +
-            s"staged ${f.dataType.catalogString}")
-          case _ => ()
-        }
-      }
-    }
+    // declared-schema gate BEFORE any task writes: the SAME shared
+    // subset-with-identical-types contract stageWithMeta enforces
+    CommitLog.tableSchema(spark, tablePath).foreach(d =>
+      CommitLog.enforceSchemaSubset(tablePath, d, schema))
     GraftStreamWriterFactory(tablePath, schema, statsCols, bloomCols, mBits, k)
   }
 
@@ -91,8 +79,16 @@ class GraftStreamingWrite(tablePath: String, schema: StructType,
         scala.util.Try(fs.delete(new Path(tablePath, m.relName), false)))
     }
     // exactly-once: a replayed epoch re-staged fresh files — the
-    // earlier publish already carries this batch, so drop the copies
-    if (CommitLog.committedBatchIds(spark, tablePath).contains(epochId)) {
+    // earlier publish already carries this batch, so drop the copies.
+    // The ledger match is APP-QUALIFIED on the streaming queryId
+    // (stable across restarts from the same checkpoint): a DIFFERENT
+    // query writing to this table restarts its epochs at 0 and must
+    // NOT have its batches discarded as the first query's replays.
+    // A bare (identity-free) ledger entry still matches — tables
+    // written before app qualification keep their replay protection.
+    val ledger = CommitLog.committedBatches(spark, tablePath)
+    if (ledger.contains((Some(queryId), epochId)) ||
+        ledger.contains((None, epochId))) {
       deleteStaged(); return
     }
     val adds = staged.map(_.relName).toSeq
@@ -119,10 +115,11 @@ class GraftStreamingWrite(tablePath: String, schema: StructType,
         else CommitLog.snapshot(spark, tablePath, Some(v0))
       CommitLog.commit(spark, tablePath, adds, removes,
         batchId = Some(epochId), stats = stats, blooms = blooms,
-        expectedVersion = Some(v0))
+        expectedVersion = Some(v0), batchApp = Some(queryId))
     } else {
       CommitLog.commit(spark, tablePath, adds, Seq.empty,
-        batchId = Some(epochId), stats = stats, blooms = blooms)
+        batchId = Some(epochId), stats = stats, blooms = blooms,
+        batchApp = Some(queryId))
     }
     ()
   }
@@ -203,6 +200,8 @@ class GraftStreamDataWriter(tablePath: String, schema: StructType,
     schema.fields(schema.fieldIndex(c)).dataType).toArray
   private val statMin = Array.fill(statsCols.length)(Double.PositiveInfinity)
   private val statMax = Array.fill(statsCols.length)(Double.NegativeInfinity)
+  private val statNaN = Array.fill(statsCols.length)(false)
+  private val statNonNull = Array.fill(statsCols.length)(0L)
 
   private val bloomIdx: Array[Int] = bloomCols.map(schema.fieldIndex).toArray
   private val bloomType: Array[DataType] = bloomCols.map(c =>
@@ -220,12 +219,19 @@ class GraftStreamDataWriter(tablePath: String, schema: StructType,
     var i = 0
     while (i < statIdx.length) {
       if (!row.isNullAt(statIdx(i))) {
+        statNonNull(i) += 1L
         // the batch path's `min(col).cast("double")` domain: numerics
         // widen, timestamps become fractional epoch seconds, anything
-        // else logs nothing (cast-null parity); NaN never widens an
-        // extent — zoneKeep treats NaN rows as unprunable anyway
+        // else logs nothing (cast-null parity). A NaN POISONS the
+        // column's zone for this file (no stats entry published):
+        // Spark orders NaN above every double, so a [min,max] that
+        // silently skipped NaN rows would let a `c > hi` range filter
+        // prune a file whose NaN rows SATISFY it (NaN > hi is true) —
+        // the batch path agrees (SQL max() returns NaN, which zoneKeep
+        // treats as unprunable).
         val d = doubleOf(row, statIdx(i), statType(i))
-        if (!d.isNaN) {
+        if (d.isNaN) statNaN(i) = true
+        else {
           if (d < statMin(i)) statMin(i) = d
           if (d > statMax(i)) statMax(i) = d
         }
@@ -251,10 +257,26 @@ class GraftStreamDataWriter(tablePath: String, schema: StructType,
     if (writer == null) return GraftFileMessage(null, 0L, Map.empty, Map.empty)
     writer.close()
     writer = null
-    val stats = statsCols.indices.flatMap { i =>
-      if (statMin(i).isInfinite || statMax(i).isInfinite) None
+    val zoneStats = statsCols.indices.flatMap { i =>
+      if (statNaN(i) || statMin(i).isInfinite || statMax(i).isInfinite) None
       else Some(statsCols(i) -> (statMin(i), statMax(i)))
     }.toMap
+    // the reserved row-count and per-column non-null stats ride along
+    // exactly as in the batch staging path (stageWithMeta): COUNT(*)
+    // pushdown, SPJ hot-group splitting, the grouped-aggregate
+    // null-free proof, and sort elimination all rest on them — a COW
+    // rewrite through this writer must not strip them. Same collision
+    // posture as batch: a data column named like a reserved key skips
+    // that key's publication.
+    val rowStat =
+      if (schema.fieldNames.contains(CommitLog.RowCountStat)) Map.empty
+      else Map(CommitLog.RowCountStat -> (rows.toDouble, rows.toDouble))
+    val nnStats = statsCols.indices.flatMap { i =>
+      val key = CommitLog.nonNullStat(statsCols(i))
+      if (schema.fieldNames.contains(key)) None
+      else Some(key -> (statNonNull(i).toDouble, statNonNull(i).toDouble))
+    }.toMap
+    val stats = zoneStats ++ nnStats ++ rowStat
     val blooms = bloomCols.indices.map { i =>
       bloomCols(i) -> (k.toString + ":" + java.util.Base64.getEncoder
         .encodeToString(BloomAggregate.bytesOf(bloomWords(i))))

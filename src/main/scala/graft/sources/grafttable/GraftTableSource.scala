@@ -351,7 +351,10 @@ class GraftWriteBuilder(tablePath: String, info: LogicalWriteInfo)
       new GraftStreamingWrite(tablePath, info.schema(),
         csv("statsCols"), csv("bloomCols"),
         intOpt("bloomBits", 1 << 16), intOpt("bloomK", 5),
-        truncateEachEpoch = overwrite)
+        truncateEachEpoch = overwrite,
+        // the engine's queryId is stable across restarts from the same
+        // checkpoint — the writer identity the replay ledger keys on
+        queryId = info.queryId())
   }
 }
 
@@ -521,12 +524,23 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
     } else {
       // Delta's partition-level answer generalized to clustering:
       // every live file must store EVERY group column as a POINT zone
-      // (min == max, not NaN) so its group is decidable from metadata
-      // alone; one output row per distinct key tuple
+      // (min == max, not NaN) AND prove the column NULL-FREE
+      // (__nn_col == __rows) so its group is decidable from metadata
+      // alone — zones are computed over non-NULL values, so a point
+      // zone ALONE does not rule out NULL-group rows hiding in the
+      // file (they would be silently folded into the point's group and
+      // the NULL group dropped); one output row per distinct key tuple
+      def nullFree(f: String, g: String): Boolean =
+        zones.get(f).exists { st =>
+          st.get(CommitLog.RowCountStat).exists { case (rows, _) =>
+            st.get(CommitLog.nonNullStat(g)).exists(_._1 == rows)
+          }
+        }
       val keyed: Seq[Option[(Seq[Double], String)]] = files.map { f =>
         val key = groupCols.map { g =>
           zones.get(f).flatMap(_.get(g)) match {
-            case Some((lo, hi)) if lo == hi && !lo.isNaN => Some(lo)
+            case Some((lo, hi)) if lo == hi && !lo.isNaN && nullFree(f, g) =>
+              Some(lo)
             case _ => None
           }
         }

@@ -1406,6 +1406,61 @@ class CommitLogSpec extends SparkSpec {
     }
   }
 
+  test("optimizeClusterBy works on tables with a date column (r13 regression)") {
+    // the auto statCols collect used to include DateType, whose
+    // min/max cast("double") Spark refuses — the whole OPTIMIZE died
+    // with an AnalysisException on any table carrying a date
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.append(spark, t,
+        Seq((1, java.sql.Date.valueOf("2024-01-01")),
+          (1, java.sql.Date.valueOf("2024-02-02")),
+          (2, java.sql.Date.valueOf("2024-03-03")))
+          .toDF("k", "d").coalesce(1))
+      CommitLog.optimizeClusterBy(spark, t, Seq("k"))
+      val got = CommitLog.read(spark, t).collect()
+      assert(got.length === 3)
+      assert(got.map(_.getDate(1).toString).sorted ===
+        Array("2024-01-01", "2024-02-02", "2024-03-03"))
+    } finally cleanup(t)
+  }
+
+  test("vacuum preserves the newest transaction pins (r13 regression)") {
+    // the horizon rewrite kept schema/constraints/batchId but dropped
+    // the pins field — vacuuming a manifest silently unpinned every
+    // transaction-pinned reader
+    val m = tempTable()
+    try {
+      CommitLog.txnCommit(spark, m, 1L, Map("index" -> 3L, "norms" -> 4L))
+      CommitLog.txnCommit(spark, m, 2L, Map("index" -> 5L, "norms" -> 6L))
+      val latest = CommitLog.latestVersion(spark, m)
+      CommitLog.vacuum(spark, m, keepFrom = latest)
+      assert(CommitLog.txnPins(spark, m) === Map("index" -> 5L, "norms" -> 6L),
+        "vacuum lost the newest transaction's pins")
+    } finally cleanup(m)
+  }
+
+  test("VERSION AS OF below the vacuum horizon refuses loudly (r13 regression)") {
+    // with pin = -1 the resolve used to fall through to the newest
+    // checkpoint and serve the LATEST snapshot labeled as the
+    // requested version
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      (0 to 4).foreach(i =>
+        CommitLog.append(spark, t, Seq((i.toLong, s"v$i")).toDF("id", "s").coalesce(1)))
+      CommitLog.vacuum(spark, t, keepFrom = 3L)
+      val e = intercept[IllegalArgumentException] {
+        CommitLog.read(spark, t, asOf = Some(1L)).collect()
+      }
+      assert(e.getMessage.contains("below the vacuum horizon"))
+      // retained versions still read exactly
+      assert(CommitLog.read(spark, t, asOf = Some(3L)).count() === 4)
+      assert(CommitLog.read(spark, t).count() === 5)
+    } finally cleanup(t)
+  }
+
   test("metaCache bounds per-table pins; evicted versions re-resolve") {
     val t = tempTable()
     try {

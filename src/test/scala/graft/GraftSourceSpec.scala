@@ -296,7 +296,8 @@ class GraftSourceSpec extends SparkSpec {
       fs.rename(part, new org.apache.hadoop.fs.Path(t, staged))
       new graft.sources.grafttable.GraftStreamingWrite(t,
         StructType(Seq(StructField("id", LongType), StructField("s", StringType))),
-        Seq.empty, Seq.empty, 1 << 16, 5, truncateEachEpoch = false)
+        Seq.empty, Seq.empty, 1 << 16, 5, truncateEachEpoch = false,
+        queryId = "q-replay")
         .commit(7L, Array(graft.sources.grafttable.GraftFileMessage(
           staged, 1L, Map.empty, Map.empty)))
       // no new version, and the re-staged file is gone
@@ -529,6 +530,159 @@ class GraftSourceSpec extends SparkSpec {
       assert(!agg3.queryExecution.executedPlan.toString.contains("GraftAggScan"))
       assert(agg3.head().getLong(0) === 1L)
     } finally cleanup(t)
+  }
+
+  test("grouped pushdown declines when the group column is not provably null-free") {
+    // REGRESSION (r13 review): zones skip NULLs, so a file holding
+    // (g=5),(g=NULL) has a POINT zone for g — serving the grouped
+    // answer from metadata would fold the NULL rows into group 5 and
+    // drop the NULL group entirely. The null-free proof (__nn == __rows)
+    // must gate the pushdown.
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.appendWithStats(spark, t,
+        Seq((Some(5), 1L), (None, 9L)).toDF("g", "x").coalesce(1), Seq("g", "x"))
+      val agg = spark.read.format("graft").load(t)
+        .groupBy(col("g")).agg(max(col("x")).as("hi"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+        "NULL-bearing group column must not serve from metadata")
+      val got = agg.collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getInt(0))) -> r.getLong(1)).toMap
+      assert(got === Map(Some(5) -> 1L, None -> 9L),
+        "grouped answer with NULL group wrong")
+      // a genuinely null-free file still serves from metadata
+      val t2 = tempTable()
+      try {
+        CommitLog.appendWithStats(spark, t2,
+          Seq((5, 1L), (5, 2L)).toDF("g", "x").coalesce(1), Seq("g", "x"))
+        val a2 = spark.read.format("graft").load(t2)
+          .groupBy(col("g")).agg(max(col("x")).as("hi"))
+        assert(a2.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+        assert(a2.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+          Seq((5, 2L)))
+      } finally cleanup(t2)
+    } finally cleanup(t)
+  }
+
+  test("streaming sink: a NaN poisons the column's zone instead of narrowing it") {
+    // REGRESSION (r13 review): Spark orders NaN above every double, so
+    // a streamed zone that silently skipped NaN rows would let a
+    // `c > hi` filter prune a file whose NaN rows satisfy it
+    val t = tempTable()
+    val in = java.nio.file.Files.createTempDirectory("graft_nan_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_nan_ck_").toString
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      Seq((1L, 1.0), (2L, 5.0), (3L, Double.NaN)).toDF("id", "c")
+        .coalesce(1).write.parquet(s"$in/b0")
+      val q = spark.readStream.schema("id LONG, c DOUBLE").parquet(s"$in/*")
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .option("statsCols", "c")
+        .trigger(Trigger.AvailableNow()).start(t)
+      q.awaitTermination()
+      // the NaN row must survive a range filter that would prune the
+      // file under a NaN-skipping [1,5] zone (NaN > 100 is TRUE)
+      val got = spark.read.format("graft").load(t)
+        .filter(col("c") > 100.0).collect()
+      assert(got.length === 1 && got(0).getLong(0) === 3L,
+        "NaN row pruned away by a NaN-skipping streamed zone")
+      // and the c zone is absent for that file (poisoned, unprunable)
+      assert(!CommitLog.fileStats(spark, t).values.exists(_.contains("c")),
+        "a NaN-bearing file must publish no zone for that column")
+    } finally { cleanup(t); cleanup(in); cleanup(ckpt) }
+  }
+
+  test("streaming sink ledger is app-qualified: a second query's epoch 0 lands") {
+    // REGRESSION (r13 review): two different streaming queries both
+    // number their epochs from 0; a bare-epoch ledger discarded the
+    // second query's first batches as replays of the first's
+    val t = tempTable()
+    val in = java.nio.file.Files.createTempDirectory("graft_app_in_").toString
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      Seq((1L, "a")).toDF("id", "s").coalesce(1).write.parquet(s"$in/b0")
+      def runFresh(): Unit = {
+        // a FRESH checkpoint each time = a new queryId = a new writer
+        val q = spark.readStream.schema("id LONG, s STRING").parquet(s"$in/*")
+          .writeStream.format("graft")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft_app_ck_").toString)
+          .trigger(Trigger.AvailableNow()).start(t)
+        q.awaitTermination()
+      }
+      runFresh()
+      assert(CommitLog.read(spark, t).count() === 1)
+      runFresh() // different query, same epoch number, same input
+      assert(CommitLog.read(spark, t).count() === 2,
+        "a second query's epoch 0 was discarded as the first's replay")
+      // both ledger entries carry distinct writer identities
+      val apps = CommitLog.committedBatches(spark, t).map(_._1)
+      assert(apps.size === 2 && apps.forall(_.isDefined))
+    } finally { cleanup(t); cleanup(in) }
+  }
+
+  test("streaming sink: subset-schema write passes a constraint on an omitted column") {
+    // REGRESSION (r13 review): the staged-file gate read under the
+    // WRITE schema, so a constraint referencing a legally-omitted
+    // column failed to resolve (AnalysisException + leaked staging)
+    // instead of evaluating against NULL like the batch path
+    val t = tempTable()
+    val in = java.nio.file.Files.createTempDirectory("graft_sub_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sub_ck_").toString
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      CommitLog.declareSchema(spark, t, StructType(Seq(
+        StructField("a", LongType), StructField("b", LongType))))
+      CommitLog.addConstraint(spark, t, "b_pos", "b > 0 OR b IS NULL")
+      Seq(Tuple1(1L), Tuple1(2L)).toDF("a").coalesce(1).write.parquet(s"$in/b0")
+      val q = spark.readStream.schema("a LONG").parquet(s"$in/*")
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(t)
+      q.awaitTermination()
+      val rows = spark.read.format("graft").load(t)
+      assert(rows.count() === 2)
+      assert(rows.select("b").collect().forall(_.isNullAt(0)),
+        "omitted column must null-fill")
+    } finally { cleanup(t); cleanup(in); cleanup(ckpt) }
+  }
+
+  test("streamed files carry __rows and __nn_ like batch-staged ones") {
+    // REGRESSION (r13 review): the streaming writer dropped the
+    // reserved stats, so COW rewrites through it stripped COUNT(*)
+    // pushdown and the grouped null-free proof from rewritten files
+    val t = tempTable()
+    val in = java.nio.file.Files.createTempDirectory("graft_rows_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rows_ck_").toString
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      Seq((7, 1L), (7, 2L)).toDF("g", "x")
+        .coalesce(1).write.parquet(s"$in/b0")
+      val q = spark.readStream.schema("g INT, x LONG").parquet(s"$in/*")
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .option("statsCols", "g,x")
+        .trigger(Trigger.AvailableNow()).start(t)
+      q.awaitTermination()
+      val st = CommitLog.fileStats(spark, t).values.head
+      assert(st.get(CommitLog.RowCountStat).contains((2.0, 2.0)),
+        s"__rows missing from streamed stats: $st")
+      assert(st.get(CommitLog.nonNullStat("g")).contains((2.0, 2.0)),
+        s"__nn_g missing from streamed stats: $st")
+      // and the grouped pushdown serves from the streamed file alone
+      val agg = spark.read.format("graft").load(t)
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      assert(agg.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+        "streamed file must support the grouped metadata serve")
+      assert(agg.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+        Seq((7, 2L)))
+    } finally { cleanup(t); cleanup(in); cleanup(ckpt) }
   }
 
   test("GROUP BY a point-zone column answers from zone maps with zero file opens") {
