@@ -70,9 +70,32 @@ object Dedup {
     */
   private def smallVocab(t: DataFrame): Option[Array[Long]] = {
     val distinctToks = t.select(explode(col("toks")).as("tok")).distinct()
-    if (distinctToks.limit(65).count() > 64) None
+    val n = distinctToks.limit(65).count()
+    // an EMPTY vocabulary (all documents tokenize to nothing) has no
+    // mask tier: maskExpr's reduce over zero symbols would throw, and
+    // a persisted "[]" sidecar would poison every later serve
+    if (n == 0 || n > 64) None
     else Some(distinctToks.orderBy(col("tok")).collect().map(_.getLong(0)))
   }
+
+  /** The vocabulary probe memoized per CORPUS (the probe is a distinct
+    * aggregate — cheap, but not free per call). Its own cache instance,
+    * so no compute lambda ever re-enters the map it is populating. */
+  private val vocabCache = new AppScopedCache[Option[Array[Long]]]()
+  private def corpusVocab(spark: SparkSession, dir: String): Option[Array[Long]] =
+    vocabCache.getOrCompute(spark, s"$dir#vocab") {
+      smallVocab(tokenSets(spark, dir))
+    }
+
+  /** A live batch's (doc_id, toks, sz) in the index's persisted shape:
+    * SORTED distinct hashed tokens — the same representation
+    * writeDedupIndex stores, so the merge-pass verification tier
+    * (graft_isect_size) never pays a per-pair sort in the corpus-sized
+    * hot loop. One definition for every batch-shaped consumer. */
+  private def batchTokenSets(batch: DataFrame): DataFrame =
+    batch.select(col("doc_id"),
+        sort_array(array_distinct(transform(tokens(col("text")), t => xxhash64(t)))).as("toks"))
+      .withColumn("sz", size(col("toks")))
 
   /** Bitmask-of-vocabulary expression over a `toks` column. */
   private def maskExpr(vocab: Array[Long]): Column =
@@ -83,7 +106,7 @@ object Dedup {
   /** doc_id, sz, and either `mask` (small vocab) or `toks`. */
   private def setRepr(spark: SparkSession, dir: String): (DataFrame, Boolean) = {
     val t = tokenSets(spark, dir)
-    smallVocab(t) match {
+    corpusVocab(spark, dir) match {
       case Some(vocab) =>
         (t.select(col("doc_id"), size(col("toks")).as("sz"), maskExpr(vocab).as("mask")), true)
       case None =>
@@ -219,15 +242,19 @@ object Dedup {
     * consumers that only need the pair set (connected components) skip
     * the global range-partition+sort a total order costs. */
   private[operators] def nearDupPairsUnsorted(spark: SparkSession, dir: String): DataFrame =
-    pairCache.getOrCompute(spark, dir) {
-      smallVocab(tokenSets(spark, dir)) match {
-        case Some(vocab) =>
+    // the branch decision runs OUTSIDE any pairCache compute: the
+    // banded arm re-enters pairCache under its own key, and a nested
+    // computeIfAbsent on one ConcurrentHashMap is forbidden (it can
+    // throw 'Recursive update' when the two keys share a bin)
+    corpusVocab(spark, dir) match {
+      case Some(vocab) =>
+        pairCache.getOrCompute(spark, dir) {
           maskedPairsFor(spark, dir, vocab).localCheckpoint(false)
-        // general corpus: share the ONE banded build with
-        // minhashLshPairsBanded — the memoized frame is already a
-        // checkpoint, so no second layer and no duplicate pipeline
-        case None => bandedPairsShared(spark, dir)
-      }
+        }
+      // general corpus: share the ONE banded build with
+      // minhashLshPairsBanded — the memoized frame is already a
+      // checkpoint, so no second layer and no duplicate pipeline
+      case None => bandedPairsShared(spark, dir)
     }
 
   private def maskedPairsFor(spark: SparkSession, dir: String,
@@ -707,20 +734,16 @@ object Dedup {
     // artifacts are consistent by construction)
     val tmpSets = new Path(root, s"_dd_append_sets_$batchId")
     val tmpBands = new Path(root, s"_dd_append_bands_$batchId")
-    batch.select(col("doc_id"),
-        array_distinct(transform(tokens(col("text")), t => xxhash64(t))).as("toks"))
-      .withColumn("sz", size(col("toks")))
-      .write.mode("overwrite").parquet(tmpSets.toString)
+    // batchTokenSets SORTS like writeDedupIndex does — an unsorted
+    // appended array would pay a dual-pivot sort on EVERY pair it
+    // joins, in every future serving session, forever (the per-pair
+    // cost the sorted on-disk representation exists to eliminate)
+    batchTokenSets(batch).write.mode("overwrite").parquet(tmpSets.toString)
     val staged = spark.read.parquet(tmpSets.toString)
     bandTableFor(staged)
       .write.mode("overwrite").partitionBy("band_id").parquet(tmpBands.toString)
-    // batch vocabulary (bounded probe, same 64-symbol bound as
-    // smallVocab) — read BEFORE the staged files move
-    val batchToks: Option[Array[Long]] = {
-      val d = staged.select(explode(col("toks")).as("tok")).distinct()
-      if (d.limit(65).count() > 64) None
-      else Some(d.collect().map(_.getLong(0)))
-    }
+    // batch vocabulary — read BEFORE the staged files move
+    val batchToks: Option[Array[Long]] = smallVocab(staged)
     def moveFlat(from: Path, into: Path): Unit = {
       fs.mkdirs(into)
       fs.listStatus(from).filter { f =>
@@ -765,7 +788,9 @@ object Dedup {
       val in = fs.open(p)
       val json = try new String(
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
-      Some(json.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toLong))
+      // a legacy empty sidecar ("[]") is no vocabulary, not a crash
+      val body = json.stripPrefix("[").stripSuffix("]").trim
+      if (body.isEmpty) None else Some(body.split(",").map(_.trim.toLong))
     }
   }
 
@@ -831,9 +856,7 @@ object Dedup {
       batch: DataFrame, threshold: Double = 0.8,
       maxBroadcastBatch: Long = IncrementalBroadcastMaxDocs,
       knownBatchDocs: Option[Long] = None): DataFrame = {
-    val batchRepr = batch.select(col("doc_id"),
-        array_distinct(transform(tokens(col("text")), t => xxhash64(t))).as("toks"))
-      .withColumn("sz", size(col("toks")))
+    val batchRepr = batchTokenSets(batch)
     val corpusSets = spark.read.parquet(s"$indexPath/sets")
     val vocab = readVocabSidecar(spark, indexPath)
     val n = knownBatchDocs.getOrElse(batch.count())
@@ -867,6 +890,11 @@ object Dedup {
         bandTableFor(batchRepr), batchRepr, threshold, selfJoin = false,
         vocab = vocab)
     pairs
+      // a replayed batch's docs already LIVE in the index: doc d on
+      // both sides pairs (d, d) at jaccard 1.0 — a self-match is not a
+      // duplicate (every other pair path guards identity; this one
+      // crosses batch against corpus, where identity means replay)
+      .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_b").as("new_doc_id"), col("doc_a").as("dup_of"), col("jaccard"))
       .orderBy(col("new_doc_id"), col("dup_of"))
   }
@@ -1053,6 +1081,7 @@ object Dedup {
       substringKs: Seq[Int] = Seq(20)): Unit = {
     clusterCache.evict(spark, dir)
     batchCountCache.remove(dir)
+    vocabCache.evict(spark, s"$dir#vocab")
     paragraphKs.foreach(k => pairCache.evict(spark, s"$dir#paras$k"))
     substringKs.foreach(k => pairCache.evict(spark, s"$dir#sgrams$k"))
     incrementalThresholds.foreach(t =>

@@ -52,6 +52,7 @@ object Search {
 
   def evictCorpus(spark: SparkSession, dir: String): Unit = {
     postingsCache.evict(spark, s"$dir#postings")
+    postingsCache.evict(spark, s"$dir#posckpt")
     indexTableCache.evict(spark, s"$dir#indextable")
     posIndexTableCache.evict(spark, s"$dir#posindextable")
     normsTableCache.evict(spark, s"$dir#normstable")
@@ -74,15 +75,20 @@ object Search {
     * tokens, one group-by-document, HAVING n_terms = |terms|. Work is
     * proportional to the queried tokens' postings, not the corpus. */
   def searchAll(spark: SparkSession, dir: String,
-      terms: Seq[String] = QueryTerms): DataFrame =
+      terms: Seq[String] = QueryTerms): DataFrame = {
+    // distinct the query: countDistinct(token) can never reach a
+    // duplicated list's size, which would silently return ZERO rows
+    // for e.g. Seq("spark", "spark")
+    val q = terms.distinct
     postings(spark, dir)
-      .filter(col("token").isin(terms: _*))
+      .filter(col("token").isin(q: _*))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("token")).as("n_terms"),
         sum(col("tf")).as("total_tf"))
-      .filter(col("n_terms") === terms.size)
+      .filter(col("n_terms") === q.size)
       .select(col("doc_id"), col("total_tf"))
       .orderBy(col("doc_id"))
+  }
 
   /** The registered phrase query — present at every fixture SF. */
   val PhraseTerms: Seq[String] = Seq("big", "order", "scan")
@@ -175,8 +181,15 @@ object Search {
     // left is the document COUNT (N2 = N1 - |docs| mirrors the
     // oracle's per-doc bigram total): a count-star scan that reads
     // zero data columns, never the text.
-    val p = graft.operators.CommitLog.read(spark, posIndexTablePath(spark, dir))
-      .localCheckpoint(false)
+    // memoized per corpus (postingsCache discipline): an unmemoized
+    // per-call localCheckpoint of the whole positional index would pin
+    // one corpus-sized block-manager copy PER CALL until app end, with
+    // no release path — the exact leak the other build-once frames in
+    // this family guard against
+    val p = postingsCache.getOrCompute(spark, s"$dir#posckpt") {
+      graft.operators.CommitLog.read(spark, posIndexTablePath(spark, dir))
+        .localCheckpoint(false)
+    }
     val uni = p.groupBy(col("token"))
       .agg(count(lit(1)).cast("double").as("c1"))
     val scalars = p
@@ -243,16 +256,21 @@ object Search {
     * the body of [[searchAllIndexed]], reusable by the
     * transaction-pinned serve. */
   def andFromIndex(spark: SparkSession, table: String,
-      terms: Seq[String], asOf: Option[Long] = None): DataFrame =
+      terms: Seq[String], asOf: Option[Long] = None): DataFrame = {
+    // distinct the query (same law as [[searchAll]] — and a duplicate
+    // here would additionally DOUBLE total_tf by unioning one term's
+    // postings scan twice)
+    val q = terms.distinct
     graft.operators.CommitLog
-      .scanEqualsMulti(spark, table, "token", terms, asOf)
+      .scanEqualsMulti(spark, table, "token", q, asOf)
       .reduce(_ unionAll _)
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("token")).as("n_terms"),
         sum(col("tf")).as("total_tf"))
-      .filter(col("n_terms") === terms.size)
+      .filter(col("n_terms") === q.size)
       .select(col("doc_id"), col("total_tf"))
       .orderBy(col("doc_id"))
+  }
 
   /** Document-length NORMS as their own commit-log segments beside
     * the token index — the Lucene norms file re-expressed on the

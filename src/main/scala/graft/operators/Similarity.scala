@@ -642,6 +642,10 @@ object Similarity {
     servedCodebooks.remove(dir)
     residualCodebookCache.evict(spark, s"$dir#ivfpq")
     servedIvfCodebooks.remove(dir)
+    sqGridCache.evict(spark, s"$dir#sqgrid")
+    sqCodesCache.evict(spark, s"$dir#sqcodes")
+    pcaCache.evict(spark, s"$dir#pca$PcaK")
+    servedPca.remove(dir)
   }
 
   /** Top-k against a materialized index: probes (vec_id < 5 from the
@@ -771,6 +775,8 @@ object Similarity {
     * per dimension; the collect is `dims` rows — bounded by the
     * embedding dimensionality, never by corpus size. */
   private val sqGridCache = new AppScopedCache[Seq[(Double, Double)]]()
+  private val sqCodesCache =
+    new AppScopedCache[DataFrame](AppScopedCache.unpersistPlanRDDs)
 
   private[operators] def sqGrid(spark: SparkSession, dir: String): Seq[(Double, Double)] =
     sqGridCache.getOrCompute(spark, s"$dir#sqgrid") {
@@ -808,9 +814,14 @@ object Similarity {
       val lo = s.getField("lo"); val hi = s.getField("hi")
       lo + c * (hi - lo) / 255.0
     }
-    val codes = emb
-      .select(col("vec_id"), zip_with(col("v"), st, (x, s) => codeOf(x, s)).as("codes"))
-      .localCheckpoint(false)
+    // the codes frame is MEMOIZED per corpus like every other serving
+    // artifact: an unmemoized per-call localCheckpoint would pin one
+    // corpus-sized block-manager copy per invocation until app end
+    val codes = sqCodesCache.getOrCompute(spark, s"$dir#sqcodes") {
+      emb.select(col("vec_id"),
+          zip_with(col("v"), st, (x, s) => codeOf(x, s)).as("codes"))
+        .localCheckpoint(false)
+    }
     val recon = codes
       .select(col("vec_id"), zip_with(col("codes"), st, (c, s) => deqOf(c, s)).as("vq"))
     val probes = recon.filter(col("vec_id") < 5)
