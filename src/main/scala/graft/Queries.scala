@@ -656,10 +656,15 @@ object Queries {
        "(PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank FROM s) " +
        "SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3 ORDER BY doc_id, rank"),
     "text_quality_gate" ->
+      // the n_src = 1 escape mirrors the engine: a single-document
+      // source's percent_rank is 0.0, and the relative gate must not
+      // delete the scarce sources it exists to protect
       (s"WITH q AS (SELECT doc_id, source, $duckQuality AS quality FROM documents), " +
        "p AS (SELECT doc_id, source, quality, percent_rank() OVER " +
-       "(PARTITION BY source ORDER BY quality, doc_id) AS pr FROM q) " +
-       "SELECT doc_id, source, quality, round(pr, 6) AS pr FROM p WHERE pr >= 0.6 ORDER BY doc_id"),
+       "(PARTITION BY source ORDER BY quality, doc_id) AS pr, " +
+       "count(*) OVER (PARTITION BY source) AS n_src FROM q) " +
+       "SELECT doc_id, source, quality, round(pr, 6) AS pr FROM p " +
+       "WHERE pr >= 0.6 OR n_src = 1 ORDER BY doc_id"),
     "sim_embed_quantized" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
        "d AS (SELECT vec_id, unnest(v) AS x, CAST(unnest(range(1, len(v) + 1)) AS BIGINT) AS dim FROM e), " +
@@ -1572,7 +1577,7 @@ object Queries {
       (s"WITH s AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens, " +
        "round(ln(greatest(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0, 1e-12)) / " +
        s"CAST(len($duckToks) AS DOUBLE), 6) AS priority FROM documents " +
-       s"WHERE CAST(len($duckToks) AS BIGINT) > 0) " +
+       s"WHERE CAST(len($duckToks) AS BIGINT) > 0 AND len(trim(text)) > 0) " +
        "SELECT doc_id, n_tokens, priority FROM s ORDER BY priority DESC, doc_id LIMIT 64"),
     "text_sample_stratified" -> {
       val cases = graft.operators.TextAnalysis.DefaultSampleFractions
@@ -1683,7 +1688,9 @@ object Queries {
     // (inclusive DuckDB slice), one chunk per 16-token stride while new
     // tokens remain: n = 1 + ceil(max(len-32,0)/16)
     "text_chunks" ->
-      (s"WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents), " +
+      // empty-string tokens filtered so empty docs emit ZERO chunks
+      // (engine twin: filter(tokens(text), len > 0))
+      (s"WITH t AS (SELECT doc_id, list_filter($duckToks, x -> len(x) > 0) AS tk FROM documents), " +
        "n AS (SELECT doc_id, tk, CASE WHEN len(tk) = 0 THEN 0 ELSE " +
        "1 + CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INTEGER) END AS nc FROM t), " +
        "c AS (SELECT doc_id, tk, unnest(range(1, nc + 1)) AS chunk_id FROM n) " +

@@ -40,7 +40,11 @@ object TextAnalysis {
       lit(1e-12))
     val w = tokenCount(col("text")).cast("double")
     Tables.documents(spark, dir)
-      .filter(tokenCount(col("text")) > 0)
+      // tokenCount of an EMPTY document is 1, not 0 (split("") is
+      // [""]), so the zero-weight guard must test the text itself —
+      // the token-count test alone would admit empty docs at weight 1
+      // (mirrored in the oracle)
+      .filter(tokenCount(col("text")) > 0 && length(trim(col("text"))) > 0)
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
         round(log(u) / w, 6).as("priority"))
       .orderBy(col("priority").desc, col("doc_id"))
@@ -209,10 +213,16 @@ object TextAnalysis {
     * one shuffle on source. */
   def qualityGate(spark: SparkSession, dir: String, pct: Double = 0.6): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+    // a SINGLE-document source must keep its doc: percent_rank of a
+    // one-row partition is 0.0 (not 1.0) in both engines, so without
+    // the n_src guard the relative gate would DELETE exactly the
+    // scarce sources it exists to protect (mirrored in the oracle)
+    val wAll = Window.partitionBy(col("source"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), qualityScore(col("text")).as("quality"))
       .withColumn("pr", percent_rank().over(w))
-      .filter(col("pr") >= pct)
+      .withColumn("n_src", count(lit(1)).over(wAll))
+      .filter(col("pr") >= pct || col("n_src") === 1)
       .select(col("doc_id"), col("source"), col("quality"), round(col("pr"), 6).as("pr"))
       .orderBy(col("doc_id"))
   }
@@ -532,7 +542,12 @@ object TextAnalysis {
     val n = when(size(col("tk")) === 0, lit(0)).otherwise(
       lit(1) + ceil((greatest(size(col("tk")) - w, lit(0))) / s.toDouble).cast("int"))
     Tables.documentsParallel(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      // empty-string tokens filtered so the size-0 guard is LIVE: an
+      // empty/whitespace document tokenizes to [""] (size 1), which
+      // would otherwise emit one phantom chunk of md5("") — a training
+      // example containing a single empty token (oracle mirrors)
+      .select(col("doc_id"),
+        filter(tokens(col("text")), t => length(t) > 0).as("tk"))
       .select(col("doc_id"),
         // sequence(1, 0) DESCENDS in Spark, so the empty-doc case must
         // short-circuit to an empty array, not an empty sequence

@@ -149,6 +149,10 @@ object ArchiveJob {
     out.repartition(col("month"), col("day"))
       .sortWithinPartitions(col("station"), col("dateTime")) // S3: order is load-bearing
       .write.mode("overwrite")
+      // pinned per write: under the session default (static) this
+      // overwrite would truncate the WHOLE archive, not just the
+      // re-run's day partitions — the job may run on a caller session
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("month", "day")
       .format(cfg.sinkFormat)
       .save(cfg.archivePath)
@@ -247,6 +251,14 @@ object ArchiveJob {
       val status = if (written > 0) 1 else 0
       publish(cfg, status, written, Some(firstDay), yesterday, yCounts)
       RunResult(status, written, Some(firstDay), yesterday, yCounts)
+    } catch {
+      case e: Throwable =>
+        // EVERY terminal path emits metrics (aristoteles.py's
+        // prom_and_exit discipline): a mid-run read/write failure must
+        // surface as status 3, not leave the previous run's 0/1 on
+        // disk for the operator to trust indefinitely
+        scala.util.Try(publish(cfg, 3, 0, Some(firstDay), yesterday, Map.empty))
+        throw e
     } finally df.unpersist()
   }
 

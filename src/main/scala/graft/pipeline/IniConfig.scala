@@ -40,12 +40,15 @@ object IniConfig {
     val (top, sections) = parse(Files.readAllLines(Paths.get(path)).asScala.toSeq)
     def req(k: String): String =
       top.getOrElse(k, throw ParseError(s"missing required config key: $k"))
+    def dbl(name: String, k: String, v: String): Double =
+      v.toDoubleOption.getOrElse(throw ParseError(
+        s"station $name: $k must be a number, got: $v"))
     val stations = sections.map { case (name, kv) =>
       ArchiveJob.StationSource(
         name = name,
         path = kv.getOrElse("db_path", throw ParseError(s"station $name missing db_path")),
-        longitude = kv.get("longitude").map(_.toDouble),
-        latitude = kv.get("latitude").map(_.toDouble),
+        longitude = kv.get("longitude").map(dbl(name, "longitude", _)),
+        latitude = kv.get("latitude").map(dbl(name, "latitude", _)),
         description = kv.get("description"))
     }.toSeq
     if (stations.isEmpty) throw ParseError("config has no station sections")
@@ -54,8 +57,8 @@ object IniConfig {
         throw ParseError(s"station ${st.name}: unreadable db_path ${st.path}")
     }
     val fmt = top.getOrElse("sink_format", "parquet")
-    if (!Seq("parquet", "orc").contains(fmt))
-      throw ParseError(s"sink_format must be parquet or orc, got: $fmt")
+    if (!Seq("parquet", "orc", "commitlog").contains(fmt))
+      throw ParseError(s"sink_format must be parquet, orc, or commitlog, got: $fmt")
     ArchiveJob.JobConfig(
       statePath = req("state_path"),
       archivePath = req("archive"),

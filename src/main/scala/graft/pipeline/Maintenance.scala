@@ -28,8 +28,9 @@ object Maintenance {
   def run(spark: SparkSession, argv: Array[String]): Either[String, String] =
     argv.toList match {
       case "compact" :: table :: rest =>
-        val mb = rest.headOption.map(_.toLong).getOrElse(128L)
-        if (mb <= 0) Left(s"targetMB must be positive, got $mb")
+        val mb = rest.headOption.map(s =>
+          s.toLongOption.getOrElse(-1L)).getOrElse(128L)
+        if (mb <= 0) Left(s"targetMB must be a positive number, got ${rest.headOption.getOrElse(mb)}")
         else {
           val reports = Compaction.compact(spark, table, mb << 20)
           Right(if (reports.isEmpty) "already compact"
@@ -41,8 +42,9 @@ object Maintenance {
         if (cs.isEmpty) Left("zonemap needs at least one column")
         else { ZoneMaps.write(spark, table, cs); Right(s"zone map over ${cs.mkString(",")}") }
       case "log-compact" :: table :: rest =>
-        val files = rest.headOption.map(_.toInt).getOrElse(1)
-        if (files <= 0) Left(s"targetFiles must be positive, got $files")
+        val files = rest.headOption.map(s =>
+          s.toIntOption.getOrElse(-1)).getOrElse(1)
+        if (files <= 0) Left(s"targetFiles must be a positive number, got ${rest.headOption.getOrElse(files)}")
         else Right(s"committed v${CommitLog.compact(spark, table, files)}")
       case "log-compact-bloom" :: table :: files :: bloomCols :: rest =>
         // compaction that RE-PUBLISHES skipping metadata: Blooms on

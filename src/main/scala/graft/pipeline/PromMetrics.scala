@@ -40,7 +40,11 @@ object PromMetrics {
     sb.append(s"# HELP aristoteles_samples_yesterday ${help("samples_yesterday")}\n")
     sb.append(s"# TYPE aristoteles_samples_yesterday gauge\n")
     s.samplesYesterday.toSeq.sortBy(_._1).foreach { case (station, n) =>
-      sb.append(s"""aristoteles_samples_yesterday{station="$station"} $n\n""")
+      // escaped like the streaming listener's labels: a quote or
+      // backslash in a station name must not produce an unparseable
+      // exposition line (which would blind the collector to ALL gauges)
+      val lbl = escapeLabel(station)
+      sb.append(s"""aristoteles_samples_yesterday{station="$lbl"} $n\n""")
     }
     sb.toString
   }

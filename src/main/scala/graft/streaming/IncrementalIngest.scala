@@ -101,6 +101,11 @@ object IncrementalIngest {
             .repartition(col("month"), col("day"))
             .sortWithinPartitions(col("station"), col("dateTime"))
             .write.mode("overwrite")
+            // pinned PER WRITE, not assumed from the session: under
+            // the default static mode this overwrite would truncate
+            // the ENTIRE archive, not just this batch's partitions —
+            // the caller's stream may not run on a GraftSession
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("month", "day", "batch_id")
             .parquet(archivePath)
         }
@@ -138,15 +143,22 @@ object IncrementalIngest {
           val pairs = graft.operators.Dedup.batchDedupIndexed(
             batch.sparkSession, indexPath, batch, threshold,
             knownBatchDocs = Some(n))
+          // ONE coherent evidence pair per doc: max over
+          // (jaccard, dup_of) structs keeps the best match's OWN id —
+          // independent min(dup_of)/max(jaccard) could report a
+          // similarity that belongs to a different corpus document
+          // (ties break to the higher dup_of, deterministically)
           batch.select(col("doc_id"))
             .join(pairs.groupBy(col("new_doc_id"))
-                .agg(min(col("dup_of")).as("dup_of"),
-                     max(col("jaccard")).as("best_jaccard")),
+                .agg(max(struct(col("jaccard"), col("dup_of"))).as("best")),
               col("doc_id") === col("new_doc_id"), "left")
-            .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
-              col("dup_of"), col("best_jaccard"))
+            .select(col("doc_id"), col("best").isNotNull.as("is_dup"),
+              col("best.dup_of").as("dup_of"),
+              col("best.jaccard").as("best_jaccard"))
             .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite").partitionBy("batch_id").parquet(flagsPath)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic") // see archiveWriter
+            .partitionBy("batch_id").parquet(flagsPath)
         }
         ()
       }
@@ -334,6 +346,11 @@ object IncrementalIngest {
               graft.operators.Search.RoleIndex -> vI,
               graft.operators.Search.RolePos -> vP,
               graft.operators.Search.RoleNorms -> vN)))
+          // release the per-batch checkpoint NOW: foreachBatch is
+          // synchronous, so the blocks are consumed once the commits
+          // land — leaving them to driver GC grows block storage for
+          // the stream's whole lifetime
+          graft.AppScopedCache.unpersistPlanRDDs(positions)
         }
         ()
       }
@@ -370,6 +387,9 @@ object IncrementalIngest {
           val bad = marked.filter(col("_violated").isNotNull)
           if (!bad.isEmpty)
             graft.operators.CommitLog.appendStream(s, quarantinePath, bad, batchId)
+          // per-batch checkpoint released once both sides landed (see
+          // searchIndexFullWriter) — not left to driver GC
+          graft.AppScopedCache.unpersistPlanRDDs(marked)
         }
         ()
       }
