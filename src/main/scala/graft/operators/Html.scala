@@ -101,8 +101,22 @@ object Html {
     * rate-limit, sample, and blocklist by. (A production registrable-
     * domain would consult the Public Suffix List; host-minus-www is
     * the deterministic stand-in at fixture scale.) */
+  /** Entity decode for ATTRIBUTE values — the named entities alone,
+    * deliberately NOT the full html-text extractor: its tag/comment/
+    * whitespace machinery would corrupt a URL containing '<'+letter
+    * (parsed as a tag and dropped to the next '>') or collapsible
+    * whitespace. &amp; decodes LAST so a double-escaped &amp;lt;
+    * yields the literal &lt;, matching browser attribute semantics. */
+  private def decodeEntities(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(c) { case (acc, (e, r)) =>
+        regexp_replace(acc, java.util.regex.Pattern.quote(e),
+          java.util.regex.Matcher.quoteReplacement(r))
+      }
+
   def htmlLinks(spark: SparkSession, dir: String): DataFrame = {
-    val href = graft.plans.VectorExpressions.htmlText(col("href")).as("url0")
+    val href = decodeEntities(col("href")).as("url0")
     val exploded = pages(spark, dir)
       .select(col("doc_id"),
         explode(expr("regexp_extract_all(html, 'href=\"([^\"]+)\"', 1)")).as("href"))

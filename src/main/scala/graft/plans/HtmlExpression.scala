@@ -94,12 +94,24 @@ object HtmlText {
       val c = s.charAt(i)
       val markup = c == '<' && i + 1 < n && {
         val p = s.charAt(i + 1)
-        Character.isLetter(p) || p == '/' || p == '!' || p == '?'
+        // HTML5 tag-open: only ASCII alpha starts a tag — '<' before a
+        // non-Latin letter is TEXT in every browser, and isLetter here
+        // would silently delete CJK/Cyrillic content after a bare '<'
+        ('a' <= p && p <= 'z') || ('A' <= p && p <= 'Z') ||
+          p == '/' || p == '!' || p == '?'
       }
       if (markup) {
         if (s.startsWith("<!--", i)) {
-          val e = s.indexOf("-->", i + 4)
-          i = if (e < 0) n else e + 3
+          // abruptly-closed empty comments first (HTML5
+          // abrupt-closing-of-empty-comment): "<!-->" and "<!--->"
+          // are COMPLETE comments — searching for "-->" past them
+          // would swallow the whole rest of the document
+          if (s.startsWith("<!-->", i)) i += 5
+          else if (s.startsWith("<!--->", i)) i += 6
+          else {
+            val e = s.indexOf("-->", i + 4)
+            i = if (e < 0) n else e + 3
+          }
           pendingWs = sb.length > 0 // dropped comment = word boundary
         } else {
           // tag name (letters only; "</x" has the name after the slash)

@@ -44,6 +44,17 @@ final class SqliteFile(in: FSDataInputStream) {
   val usableSize: Int = pageSize - reservedPerPage
   require((header(56 + 3) & 0xff) == 1 || u32(header, 56) == 1, "only UTF-8 text encoding supported")
 
+
+  /** 4-byte page numbers are UNSIGNED; past Int.MaxValue (a multi-TB
+    * single file at small page sizes) a bare .toInt goes negative and
+    * reads garbage positions — refuse loudly instead (full Long page
+    * addressing is the upgrade path; readPage already seeks in Long). */
+  private def asPageNo(v: Long): Int = {
+    if (v < 0 || v > Int.MaxValue) throw new IllegalStateException(
+      s"page number $v exceeds this reader's 2^31 page addressing")
+    v.toInt
+  }
+
   def readPage(pageNo: Int): Array[Byte] = {
     val buf = new Array[Byte](pageSize)
     in.readFully((pageNo - 1).toLong * pageSize, buf)
@@ -128,13 +139,13 @@ final class SqliteFile(in: FSDataInputStream) {
       val out = new Array[Byte](total.toInt)
       System.arraycopy(page, off, out, 0, local)
       var written = local
-      var next = u32(page, off + local).toInt
+      var next = asPageNo(u32(page, off + local))
       while (next != 0 && written < total) {
         val op = readPage(next)
         val n = math.min(usableSize - 4, (total - written).toInt)
         System.arraycopy(op, 4, out, written, n)
         written += n
-        next = u32(op, 0).toInt
+        next = asPageNo(u32(op, 0))
       }
       out
     }
@@ -149,10 +160,10 @@ final class SqliteFile(in: FSDataInputStream) {
     val (typ, cells, right) = pageMeta(pageNo, page)
     if (typ != 5) Seq.empty
     else cells.map { off =>
-      val child = u32(page, off).toInt
+      val child = asPageNo(u32(page, off))
       val (key, _) = varint(page, off + 4)
       (child, key)
-    }.toSeq :+ ((right.toInt, Long.MaxValue))
+    }.toSeq :+ ((asPageNo(right), Long.MaxValue))
   }
 
   /** Stream (rowid, payload) for every row of the table b-tree rooted at
@@ -175,12 +186,12 @@ final class SqliteFile(in: FSDataInputStream) {
         var prevKey = Long.MinValue
         val kids = Seq.newBuilder[Int]
         cells.foreach { off =>
-          val child = u32(page, off).toInt
+          val child = asPageNo(u32(page, off))
           val (key, _) = varint(page, off + 4)
           if (key >= lo && prevKey < hi) kids += child
           prevKey = key
         }
-        if (prevKey < hi) kids += right.toInt
+        if (prevKey < hi) kids += asPageNo(right)
         kids.result().iterator.flatMap(scanTable(_, lo, hi))
       case t => throw new IllegalStateException(s"unexpected page type $t in table b-tree")
     }
@@ -239,7 +250,7 @@ final class SqliteFile(in: FSDataInputStream) {
         // children right-to-left: first child intersecting [lo, hi]
         // from the right holds the max
         var prevKeys = Long.MinValue +: cells.map { off => varint(page, off + 4)._1 }
-        val children = cells.map(off => u32(page, off).toInt) :+ right.toInt
+        val children = cells.map(off => asPageNo(u32(page, off))) :+ asPageNo(right)
         val maxKeys = cells.map(off => varint(page, off + 4)._1) :+ Long.MaxValue
         children.indices.reverse.foreach { i =>
           if (maxKeys(i) >= lo && prevKeys(i) < hi) {
@@ -252,37 +263,95 @@ final class SqliteFile(in: FSDataInputStream) {
     }
   }
 
-  /** Row count without record decode: walk the tree but only read the
-    * cell COUNT from each in-range leaf header; rowid-bounded leaves at
-    * the range edges fall back to per-cell key checks. */
+  /** Row count without record decode: walk the tree reading only the
+    * cell COUNT from each leaf header whose subtree the parent's key
+    * bounds prove fully inside [lo, hi] (the same `inside` propagation
+    * as [[kthRowid]]); only EDGE leaves decode per-cell keys — a
+    * bounded range over a big table costs O(leaf headers), not
+    * O(rows) varint decodes. */
   def countRows(pageNo: Int, lo: Long, hi: Long): Long = {
-    val page = readPage(pageNo)
-    val (typ, cells, right) = pageMeta(pageNo, page)
-    typ match {
-      case 13 =>
-        if (lo == Long.MinValue && hi == Long.MaxValue) cells.length.toLong
-        else cells.count { off =>
-          val (_, n1) = varint(page, off)
-          val (rowid, _) = varint(page, off + n1)
-          rowid >= lo && rowid <= hi
-        }.toLong
-      case 5 =>
-        var prevKey = Long.MinValue
-        var total = 0L
-        cells.foreach { off =>
-          val child = u32(page, off).toInt
-          val (key, _) = varint(page, off + 4)
-          if (key >= lo && prevKey < hi) {
-            // fully-inside subtrees could skip the edge checks, but the
-            // leaf header count is already decode-free; recurse plainly
-            total += countRows(child, lo, hi)
+    def walk(pg: Int, inside: Boolean): Long = {
+      val page = readPage(pg)
+      val (typ, cells, right) = pageMeta(pg, page)
+      typ match {
+        case 13 =>
+          if (inside) cells.length.toLong
+          else cells.count { off =>
+            val (_, n1) = varint(page, off)
+            val (rowid, _) = varint(page, off + n1)
+            rowid >= lo && rowid <= hi
+          }.toLong
+        case 5 =>
+          var prevKey = Long.MinValue
+          var total = 0L
+          cells.foreach { off =>
+            val child = asPageNo(u32(page, off))
+            val (key, _) = varint(page, off + 4)
+            if (key >= lo && prevKey < hi) {
+              val childInside = inside ||
+                ((lo == Long.MinValue || prevKey >= lo - 1) &&
+                 (hi == Long.MaxValue || key <= hi))
+              total += walk(child, childInside)
+            }
+            prevKey = key
           }
-          prevKey = key
-        }
-        if (prevKey < hi) total += countRows(right.toInt, lo, hi)
-        total
-      case _ => 0L
+          if (prevKey < hi) total += walk(asPageNo(right), inside)
+          total
+        case _ => 0L
+      }
     }
+    walk(pageNo, inside = lo == Long.MinValue && hi == Long.MaxValue)
+  }
+
+  /** The admission-control question in ONE walk: Right(rowid of the
+    * k-th in-range row) when the range holds at least k rows, else
+    * Left(total in-range count). Replaces the kthRowid(k+1)-then-
+    * countRows / kthRowid(k) double walk the streaming budget path
+    * used to pay per trigger; same inside-propagation as both. */
+  def countOrKth(pageNo: Int, lo: Long, hi: Long, k: Long): Either[Long, Long] = {
+    if (k <= 0) return Left(0L)
+    var seen = 0L
+    def walk(pg: Int, inside: Boolean): Option[Long] = {
+      val page = readPage(pg)
+      val (typ, cells, right) = pageMeta(pg, page)
+      typ match {
+        case 13 =>
+          if (inside && seen + cells.length < k) { seen += cells.length; None }
+          else if (inside) {
+            val off = cells((k - seen).toInt - 1)
+            val (_, n1) = varint(page, off)
+            Some(varint(page, off + n1)._1)
+          } else {
+            cells.foreach { off =>
+              val (_, n1) = varint(page, off)
+              val (rowid, _) = varint(page, off + n1)
+              if (rowid >= lo && rowid <= hi) {
+                seen += 1
+                if (seen == k) return Some(rowid)
+              }
+            }
+            None
+          }
+        case 5 =>
+          var prevKey = Long.MinValue
+          cells.foreach { off =>
+            val child = asPageNo(u32(page, off))
+            val (key, _) = varint(page, off + 4)
+            if (key >= lo && prevKey < hi) {
+              val childInside = inside ||
+                ((lo == Long.MinValue || prevKey >= lo - 1) &&
+                 (hi == Long.MaxValue || key <= hi))
+              val r = walk(child, childInside)
+              if (r.isDefined) return r
+            }
+            prevKey = key
+          }
+          if (prevKey < hi) walk(asPageNo(right), inside) else None
+        case _ => None
+      }
+    }
+    walk(pageNo, inside = lo == Long.MinValue && hi == Long.MaxValue)
+      .toRight(seen)
   }
 
   /** Rowid of the k-th (1-based) in-range row — the b-tree's
@@ -322,7 +391,7 @@ final class SqliteFile(in: FSDataInputStream) {
         case 5 =>
           var prevKey = Long.MinValue
           cells.foreach { off =>
-            val child = u32(page, off).toInt
+            val child = asPageNo(u32(page, off))
             val (key, _) = varint(page, off + 4)
             if (key >= lo && prevKey < hi) {
               val childInside = inside ||
@@ -333,7 +402,7 @@ final class SqliteFile(in: FSDataInputStream) {
             }
             prevKey = key
           }
-          if (prevKey < hi) walk(right.toInt, inside) else None
+          if (prevKey < hi) walk(asPageNo(right), inside) else None
         case _ => None
       }
     }
@@ -415,19 +484,31 @@ object SqliteFile {
     def unquote(s: String): String =
       s.stripPrefix("\"").stripSuffix("\"").stripPrefix("`").stripSuffix("`")
         .stripPrefix("[").stripSuffix("]")
+    // constraint keywords end the declared TYPE: SQLite affinity
+    // scans the WHOLE type name ("NATIVE CHARACTER(70)" is TEXT via
+    // CHAR — keeping only the first token would misread it as REAL and
+    // null every value on read), while trailing constraints must not
+    // leak into the affinity scan ("CONSTRAINT" contains "INT")
+    val constraintKw = Set("NOT", "PRIMARY", "UNIQUE", "CHECK", "DEFAULT",
+      "COLLATE", "REFERENCES", "GENERATED", "AS", "CONSTRAINT")
     val cols = allParts
       .filterNot(p => tableConstraint.findFirstIn(p).isDefined)
       .map { p =>
         val toks = p.split("\\s+", 2)
         val rest = if (toks.length > 1) toks(1) else ""
-        (unquote(toks(0)), rest.split("\\s+").headOption.getOrElse("").toUpperCase,
-         rest.toUpperCase)
+        val typeText = rest.split("\\s+").takeWhile(t =>
+            !constraintKw.contains(t.toUpperCase.takeWhile(_.isLetter)))
+          .mkString(" ").toUpperCase
+        (unquote(toks(0)), typeText, rest.toUpperCase)
       }
-    // column-level: INTEGER + PRIMARY KEY not immediately followed by DESC
+    // column-level: type exactly INTEGER + PRIMARY KEY (ANY whitespace
+    // between the keywords — generated DDL uses tabs/newlines; a
+    // missed alias silently reads the whole column as NULL) not
+    // immediately followed by DESC
+    val pkRe = "(?s)PRIMARY\\s+KEY".r
     val colLevel = cols.indexWhere { case (_, t, rest) =>
-      val i = rest.indexOf("PRIMARY KEY")
-      t == "INTEGER" && i >= 0 &&
-        !rest.substring(i + "PRIMARY KEY".length).trim.startsWith("DESC")
+      t == "INTEGER" && pkRe.findFirstMatchIn(rest).exists(m =>
+        !rest.substring(m.end).trim.startsWith("DESC"))
     }
     // table-level: PRIMARY KEY(col ...) over a single INTEGER column.
     // Unlike the column-definition form, the spec's DESC exception does

@@ -47,7 +47,8 @@ class SqliteMicroBatchStream(rootPath: String, table: String,
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  private def conf = new Configuration()
+  // the SESSION's hadoop conf (s3a/kerberos ride spark.hadoop.*)
+  private def conf = SqliteTableProvider.hadoopConf()
 
   // Trigger.AvailableNow: Spark would otherwise wrap this source and
   // DISCARD its read limit (the generic wrapper can't cap a custom
@@ -135,12 +136,16 @@ class SqliteMicroBatchStream(rootPath: String, table: String,
             val f = SqliteFile.open(p, conf)
             try {
               val root = f.tableRoot(table)
-              f.kthRowid(root, plo, phi, budget + 1) match {
-                case None => // the whole backlog fits the budget
-                  budget -= f.countRows(root, plo, phi)
+              // ONE b-tree walk decides both questions (countOrKth):
+              // fewer than `budget` rows → their exact count; at least
+              // `budget` → the budget-th rowid as this file's cutoff
+              // (an exact fit cuts at the last available rowid — the
+              // next trigger resumes from there, nothing lost)
+              f.countOrKth(root, plo, phi, budget) match {
+                case Left(n) => // the whole backlog fits under budget
+                  budget -= n
                   p -> endRowid
-                case Some(_) =>
-                  val cutoff = f.kthRowid(root, plo, phi, budget).get
+                case Right(cutoff) =>
                   budget = 0
                   p -> cutoff
               }
@@ -181,7 +186,8 @@ class SqliteMicroBatchStream(rootPath: String, table: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SqliteReaderFactory(fullSchema, required)
+    new SqliteReaderFactory(fullSchema, required,
+      new SqliteConf(SqliteTableProvider.hadoopConf()))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

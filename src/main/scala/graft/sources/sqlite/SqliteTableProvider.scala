@@ -53,9 +53,9 @@ class SqliteTableProvider extends TableProvider with DataSourceRegister {
     val path = Option(options.get("path"))
       .getOrElse(throw new IllegalArgumentException("sqlite source requires a path"))
     val table = opt(options, "table", "archive")
-    val files = SqlitePaths.resolve(path, new Configuration())
+    val files = SqlitePaths.resolve(path, SqliteTableProvider.hadoopConf())
     require(files.nonEmpty, s"no .sdb/.db files under $path")
-    val f = SqliteFile.open(files.head._2)
+    val f = SqliteFile.open(files.head._2, SqliteTableProvider.hadoopConf())
     val base = try {
       val (cols, _) = SqliteFile.parseCreateTable(f.tableSql(table))
       StructType(cols.map { case (name, decl) => StructField(name, SqliteTableProvider.sparkType(decl)) })
@@ -100,6 +100,16 @@ object SqlitePaths {
 }
 
 object SqliteTableProvider {
+  /** The session's hadoop configuration when one is active on this
+    * thread (always true on the driver, where all these call sites
+    * run) — a bare `new Configuration()` DISCARDS every
+    * `spark.hadoop.*` setting (s3a credentials, kerberos), breaking
+    * the same-reader-on-file/hdfs/s3a promise in the class doc. */
+  def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
   /** SQLite type-affinity rules (fileformat2.html §3.1 / lang docs),
     * reduced to the four storage classes we surface. */
   def sparkType(decl: String): DataType = {
@@ -137,11 +147,11 @@ class SqliteScanBuilder(path: String, table: String, fullSchema: StructType,
   private var hi: Long = Long.MaxValue
 
   private lazy val files: Seq[(String, String)] =
-    SqlitePaths.resolve(path, new Configuration())
+    SqlitePaths.resolve(path, SqliteTableProvider.hadoopConf())
 
   // the rowid-alias column name, if the table has one (wview: dateTime)
   private lazy val rowidAliasName: Option[String] = {
-    val f = SqliteFile.open(files.head._2)
+    val f = SqliteFile.open(files.head._2, SqliteTableProvider.hadoopConf())
     try {
       val (cols, idx) = SqliteFile.parseCreateTable(f.tableSql(table))
       if (idx >= 0) Some(cols(idx)._1) else None
@@ -159,11 +169,11 @@ class SqliteScanBuilder(path: String, table: String, fullSchema: StructType,
       case _ => None
     }
     val (accepted, residual) = filters.partition {
-      case EqualTo(a, v) if a == alias => asLong(v).isDefined
-      case GreaterThan(a, v) if a == alias => asLong(v).isDefined
-      case GreaterThanOrEqual(a, v) if a == alias => asLong(v).isDefined
-      case LessThan(a, v) if a == alias => asLong(v).isDefined
-      case LessThanOrEqual(a, v) if a == alias => asLong(v).isDefined
+      case EqualTo(a, v) if a.equalsIgnoreCase(alias) => asLong(v).isDefined
+      case GreaterThan(a, v) if a.equalsIgnoreCase(alias) => asLong(v).isDefined
+      case GreaterThanOrEqual(a, v) if a.equalsIgnoreCase(alias) => asLong(v).isDefined
+      case LessThan(a, v) if a.equalsIgnoreCase(alias) => asLong(v).isDefined
+      case LessThanOrEqual(a, v) if a.equalsIgnoreCase(alias) => asLong(v).isDefined
       case _ => false
     }
     // rowid > Long.MaxValue / < Long.MinValue match nothing: l+1 / l-1
@@ -221,8 +231,8 @@ class SqliteScanBuilder(path: String, table: String, fullSchema: StructType,
         case _ => None
       }
     val out = aggregation.aggregateExpressions.toSeq.map {
-      case m: aggregate.Min => fieldOf(m.column).filter(_ == alias).map(_ => SqliteAgg.MinRowid)
-      case m: aggregate.Max => fieldOf(m.column).filter(_ == alias).map(_ => SqliteAgg.MaxRowid)
+      case m: aggregate.Min => fieldOf(m.column).filter(_.equalsIgnoreCase(alias)).map(_ => SqliteAgg.MinRowid)
+      case m: aggregate.Max => fieldOf(m.column).filter(_.equalsIgnoreCase(alias)).map(_ => SqliteAgg.MaxRowid)
       case _: aggregate.CountStar => Some(SqliteAgg.CountStar)
       case _ => None
     }
@@ -262,7 +272,8 @@ class SqliteAggScan(paths: Seq[String], table: String, aggs: Seq[SqliteAgg],
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     paths.toArray.map(p => SqliteAggPartition(p, table, aggs, lo, hi): InputPartition)
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val sconf = new SqliteConf(SqliteTableProvider.hadoopConf())
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val part = p.asInstanceOf[SqliteAggPartition]
@@ -271,7 +282,7 @@ class SqliteAggScan(paths: Seq[String], table: String, aggs: Seq[SqliteAgg],
           private var row: InternalRow = _
           override def next(): Boolean = {
             if (done) return false
-            val f = SqliteFile.open(part.path)
+            val f = SqliteFile.open(part.path, sconf.value)
             try {
               val root = f.tableRoot(part.table)
               val vals: Seq[Any] = part.aggs.map {
@@ -289,6 +300,7 @@ class SqliteAggScan(paths: Seq[String], table: String, aggs: Seq[SqliteAgg],
         }
       }
     }
+  }
 }
 
 case class SqliteAggPartition(path: String, table: String, aggs: Seq[SqliteAgg],
@@ -356,28 +368,49 @@ case class SqlitePartition(path: String, table: String, pages: Seq[Int],
                            station: String = "",
                            stationCol: Option[String] = None) extends InputPartition
 
-class SqliteReaderFactory(fullSchema: StructType, required: StructType)
-    extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[SqlitePartition]
-    new SqlitePartitionReader(p, fullSchema, required)
+/** Hadoop Configuration is not Serializable; this wrapper ships the
+  * DRIVER's configuration (s3a credentials, kerberos — everything
+  * spark.hadoop.* carries) to the executor-side readers, the standard
+  * connector pattern. */
+class SqliteConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
   }
 }
 
-class SqlitePartitionReader(p: SqlitePartition, fullSchema: StructType, required: StructType)
+class SqliteReaderFactory(fullSchema: StructType, required: StructType,
+    conf: SqliteConf = new SqliteConf(SqliteTableProvider.hadoopConf()))
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SqlitePartition]
+    new SqlitePartitionReader(p, fullSchema, required, conf.value)
+  }
+}
+
+class SqlitePartitionReader(p: SqlitePartition, fullSchema: StructType,
+    required: StructType, hconf: Configuration)
     extends PartitionReader[InternalRow] {
 
-  private val file = SqliteFile.open(p.path, new Configuration())
+  private val file = SqliteFile.open(p.path, hconf)
   private val (cols, rowidAlias) = SqliteFile.parseCreateTable(file.tableSql(p.table))
-  // source column index -> output slot (-1 = skip): column pruning
+  // source column index -> output slot (-1 = skip): column pruning.
+  // Case-insensitive like Spark's own resolver: a user-supplied
+  // schema ("datetime" vs the file's "dateTime") must map, not
+  // silently null the column
   private val wanted: Array[Int] = cols.map(_._1).zipWithIndex.map { case (n, _) =>
-    required.fieldNames.indexOf(n)
+    required.fieldNames.indexWhere(_.equalsIgnoreCase(n))
   }.toArray
   private val outTypes: Array[DataType] = required.fields.map(_.dataType)
 
   // derived station column's output slot (-1 = not requested)
   private val stationSlot: Int =
-    p.stationCol.map(required.fieldNames.indexOf(_)).getOrElse(-1)
+    p.stationCol.map(c => required.fieldNames.indexWhere(_.equalsIgnoreCase(c)))
+      .getOrElse(-1)
   private val stationValue: UTF8String = UTF8String.fromString(p.station)
 
   private val rows: Iterator[(Long, Array[Byte])] =

@@ -52,6 +52,20 @@ class HtmlSpec extends SparkSpec {
     assert(x("x < 3 and y > 1") === "x < 3 and y > 1")
     assert(x("a <3 b") === "a <3 b")
     assert(x("5<6 but 7</b>") === "5<6 but 7")
+    // only ASCII alpha opens a tag (r13 regression): '<' before a
+    // non-Latin letter is TEXT per the HTML5 tag-open state — treating
+    // it as a tag silently deleted CJK/Cyrillic content
+    assert(x("x <中文> y") === "x <中文> y")
+    assert(x("а <бв> г") === "а <бв> г")
+  }
+
+  test("abruptly-closed empty comments terminate (r13 regression)") {
+    // "<!-->" and "<!--->" are COMPLETE comments per HTML5
+    // (abrupt-closing-of-empty-comment) — the old parse searched for
+    // '-->' past them and swallowed the whole rest of the document
+    assert(x("<!-->hello world") === "hello world")
+    assert(x("<!--->hello world") === "hello world")
+    assert(x("a<!-->b<!--real comment-->c") === "a b c")
   }
 
   test("extractor is total over hostile input (fuzz, never throws)") {
