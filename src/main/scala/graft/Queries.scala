@@ -1759,8 +1759,10 @@ object Queries {
       ("WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events), " +
        "t AS (SELECT user_id, event_id, event_type, ts_us, " +
        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type FROM e), " +
+       // null-safe distinctness, mirroring the engine: a transition
+       // into a NULL event_type is a real state change
        "tr AS (SELECT user_id, event_id, event_type, ts_us FROM t " +
-       "WHERE prev_type IS NULL OR prev_type <> event_type) " +
+       "WHERE prev_type IS DISTINCT FROM event_type) " +
        "SELECT user_id, event_id, event_type AS state, ts_us AS valid_from_us, " +
        "lead(ts_us) OVER w AS valid_to_us, lead(ts_us) OVER w IS NULL AS is_current " +
        "FROM tr WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id) " +

@@ -89,7 +89,11 @@ object Changes {
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      // NULL-SAFE distinctness: a transition INTO a NULL event_type is
+      // a real state change ('A' =!= null is NULL, not true — the old
+      // filter dropped it and the prior state silently absorbed the
+      // null period); the first row's prev is NULL, also distinct
+      .filter(!(col("prev_type") <=> col("event_type")))
     transitions
       .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
       .select(col("user_id"), col("event_id"), col("event_type").as("state"),

@@ -21,12 +21,17 @@ import org.apache.spark.sql.SparkSession
   *    changes, row content and partition residency do not);
   *  - new files are fully written to a `_`-prefixed scratch dir
   *    (invisible to partition discovery) BEFORE any original is
-  *    deleted, so a crash mid-pass never loses rows — it can leave a
-  *    partition either un-compacted or doubled, and doubled is
-  *    detectable/rerunnable because the swap is per-partition. A
-  *    lakehouse table format would make the swap a metadata commit;
-  *    over raw parquet the write-then-delete ordering is the honest
-  *    equivalent.
+  *    deleted, and the swap runs under a TWO-MARKER protocol so a
+  *    crash at ANY point is recovered by the next run without
+  *    duplicating or losing a row: `_compact_intent_<s>` appears in
+  *    the leaf before any rename (recovery: the partial
+  *    `compact-<s>-*` copies are deleted — the originals are intact),
+  *    is atomically renamed to `_compact_commit_<s>` once every new
+  *    file has landed (recovery: the compacted set is complete, so
+  *    the remaining originals are deleted), and the commit marker is
+  *    removed only after every original delete has been VERIFIED.
+  *    A lakehouse table format would make the swap a metadata commit;
+  *    over raw parquet this ordering is the honest equivalent.
   *
   * Z-ordered tables compose: [[Layout]] writes clustered files, this
   * job repacks them when later appends fragment the clustering unit. */
@@ -58,7 +63,45 @@ object Compaction {
       if (dirs.isEmpty) Seq(p) else dirs.toSeq.flatMap(d => leaves(d.getPath))
     }
 
+    // crashed-run scratch sweep: a driver that died before writing its
+    // intent marker leaves only a _compact_tmp_* dir; age-gated so a
+    // concurrent run's young scratch is never reaped
+    val now = System.currentTimeMillis()
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_compact_tmp_") &&
+        now - s.getModificationTime >= 60 * 60 * 1000L)
+      .foreach(s => fs.delete(s.getPath, true))
+
+    /** Recover a leaf from any crash window of a previous run —
+      * REQUIRED before reading it, or the rerun would merge originals
+      * with a partial compacted copy and bake the duplicates in. */
+    def recover(leaf: Path): Unit = {
+      val entries = fs.listStatus(leaf)
+      // commit marker: the compacted set is complete — finish the swap
+      entries.filter(_.getPath.getName.startsWith("_compact_commit_")).foreach { m =>
+        val s = m.getPath.getName.stripPrefix("_compact_commit_")
+        fs.listStatus(leaf)
+          .filter(e => e.isFile && isData(e.getPath.getName) &&
+            !e.getPath.getName.startsWith(s"compact-$s-"))
+          .foreach(e => require(fs.delete(e.getPath, false),
+            s"recovery delete failed: ${e.getPath}"))
+        fs.delete(m.getPath, false)
+      }
+      // intent marker without commit: renames were (possibly) partial
+      // and every original is still present — drop the partial copies
+      entries.filter(_.getPath.getName.startsWith("_compact_intent_")).foreach { m =>
+        val s = m.getPath.getName.stripPrefix("_compact_intent_")
+        fs.listStatus(leaf)
+          .filter(e => e.isFile && e.getPath.getName.startsWith(s"compact-$s-"))
+          .foreach(e => require(fs.delete(e.getPath, false),
+            s"recovery delete failed: ${e.getPath}"))
+        fs.delete(m.getPath, false)
+        fs.delete(new Path(root, s"_compact_tmp_$s"), true)
+      }
+    }
+
     leaves(root).flatMap { leaf =>
+      recover(leaf)
       val files = fs.listStatus(leaf)
         .filter(s => s.isFile && isData(s.getPath.getName))
       val bytes = files.map(_.getLen).sum
@@ -74,13 +117,24 @@ object Compaction {
           .write.mode("overwrite").parquet(tmp.toString)
         val fresh = fs.listStatus(tmp)
           .filter(s => s.isFile && isData(s.getPath.getName))
-        // swap: new files land first, then originals go
+        // intent FIRST: a crash from here until the commit rename is
+        // recovered by dropping the partial compact-<stamp>-* copies
+        val intent = new Path(leaf, s"_compact_intent_$stamp")
+        fs.create(intent, true).close()
         val moved = fresh.zipWithIndex.map { case (f, i) =>
           val dst = new Path(leaf, s"compact-$stamp-$i.parquet")
           require(fs.rename(f.getPath, dst), s"rename failed: ${f.getPath}")
           dst
         }
-        files.foreach(f => fs.delete(f.getPath, false))
+        // every new file has landed: flip intent -> commit atomically;
+        // from here recovery finishes the delete side instead
+        val commit = new Path(leaf, s"_compact_commit_$stamp")
+        require(fs.rename(intent, commit), s"marker rename failed: $intent")
+        // originals go, each delete VERIFIED — an unchecked miss would
+        // leave a duplicate row set behind the removed marker
+        files.foreach(f => require(fs.delete(f.getPath, false),
+          s"delete failed (leaf left recoverable under $commit): ${f.getPath}"))
+        fs.delete(commit, false)
         fs.delete(tmp, true)
         val rel = leaf.toString.stripPrefix(root.toString).stripPrefix("/")
         Some(PartitionReport(if (rel.isEmpty) "." else rel,

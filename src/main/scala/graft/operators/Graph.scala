@@ -69,8 +69,11 @@ object Graph {
     var delta = Double.MaxValue
     while (delta > eps && iter < maxIter) {
       val next = iterate(g, ranks).localCheckpoint(false)
-      delta = next.join(ranks.withColumnRenamed("rank", "prev"), "node")
-        .agg(max(abs(col("rank") - col("prev")))).head.getDouble(0)
+      // an EMPTY graph joins to zero rows and max() aggregates to
+      // NULL — converged by definition, not an NPE
+      val d = next.join(ranks.withColumnRenamed("rank", "prev"), "node")
+        .agg(max(abs(col("rank") - col("prev")))).head
+      delta = if (d.isNullAt(0)) 0.0 else d.getDouble(0)
       ranks = next
       iter += 1
     }

@@ -40,21 +40,29 @@ object ZoneMaps {
     // for arbitrary string stats (a min/max value containing `,"`
     // would mis-split the hand parser). Gate the column types up
     // front rather than writing a manifest that can't be read back.
-    val schema = spark.read.parquet(tablePath).schema
+    // ONE reader serves the schema gate AND the stats scan — a second
+    // spark.read.parquet would repeat the O(files) listing this module
+    // exists to amortize
+    val df = spark.read.parquet(tablePath)
+    val schema = df.schema
     cols.foreach { c =>
       val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(
         throw new IllegalArgumentException(s"zone map column $c not in $tablePath"))
-      val ok = dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
-        dt == org.apache.spark.sql.types.DateType ||
-        dt == org.apache.spark.sql.types.TimestampType
-      require(ok, s"zone map column $c has type ${dt.catalogString}: only " +
-        "numeric/date/timestamp columns have interval zones (string min/max " +
-        "would also break the flat manifest format)")
+      // NUMERIC only: [[scanRange]] re-applies `col >= lo` with Double
+      // bounds, and for date/timestamp columns Spark's comparison units
+      // (days / epoch SECONDS) disagree with any millis the manifest
+      // would store — permitting them produced wrong-or-empty scans.
+      // Zone dates by their epoch-day / epoch-second NUMERIC derivation
+      // column instead.
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"zone map column $c has type ${dt.catalogString}: only numeric " +
+        "columns have comparable interval zones (for dates/timestamps, " +
+        "zone a numeric epoch derivation column instead)")
     }
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
     }
-    val rows = spark.read.parquet(tablePath)
+    val rows = df
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -119,17 +127,43 @@ object ZoneMaps {
     }.map(_("file"))
 
   /** Range scan served from the manifest: only surviving files are
-    * handed to the reader (no listing, no footer reads for pruned
-    * files), and the predicate is re-applied so results are identical
-    * to an unpruned scan. Returns an empty frame (correct schema) when
+    * handed to the reader (no footer reads for pruned files), and the
+    * predicate is re-applied so results are identical to an unpruned
+    * scan. STALENESS-SAFE: the manifest is reconciled against the
+    * table's CURRENT listing — files appended since [[write]] carry no
+    * zone and are conservatively KEPT (never silently missing from
+    * results), and manifest entries whose file has since been deleted
+    * (compaction) are dropped instead of failing the read. `basePath`
+    * keeps hive partition columns in the schema, identical to the
+    * unpruned scan's. Returns an empty frame (correct schema) when
     * every zone excludes the range. */
   def scanRange(spark: SparkSession, tablePath: String,
       column: String, lo: Double, hi: Double): DataFrame = {
-    val files = candidateFiles(spark, tablePath, column, lo, hi)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def listDataFiles(p: Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (s.isDirectory) listDataFiles(s.getPath)
+        else Seq(s.getPath.toString)
+      }
+    // membership compares SCHEME-NORMALIZED paths: input_file_name
+    // URIs (file:///x) and listing paths (file:/x) differ in spelling
+    def norm(s: String): String = new Path(s).toUri.getPath
+    val liveByNorm: Map[String, String] =
+      listDataFiles(fs.makeQualified(root)).map(p => norm(p) -> p).toMap
+    val zoned = candidateFiles(spark, tablePath, column, lo, hi)
+      .filter(f => liveByNorm.contains(norm(f)))
+    val manifestedNorm = readManifest(spark, tablePath).map(m => norm(m("file"))).toSet
+    val unzoned = liveByNorm.collect { // appended since write(): keep
+      case (n, p) if !manifestedNorm.contains(n) => p
+    }.toSeq
+    val files = zoned ++ unzoned
     val pred = col(column) >= lo && col(column) <= hi
     if (files.isEmpty)
       spark.read.parquet(tablePath).filter(lit(false))
     else
-      spark.read.parquet(files: _*).filter(pred)
+      spark.read.option("basePath", tablePath).parquet(files: _*).filter(pred)
   }
 }

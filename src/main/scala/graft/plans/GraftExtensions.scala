@@ -16,40 +16,52 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   *    tables.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Arity gate for the injected builders: a wrong argument count must
+    * fail as a clear analysis-time error, not an
+    * IndexOutOfBoundsException from exprs(n) inside resolution. */
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+      f(exprs)
+    }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => NanosRangeRewrite)
     e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+       arity("graft_dot", 2)(exprs => DotProduct(exprs(0), exprs(1)))))
     e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cos"),
        new ExpressionInfo(classOf[CosineSim].getName, "graft_cos"),
-       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+       arity("graft_cos", 2)(exprs => CosineSim(exprs(0), exprs(1)))))
     e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_isect_size"),
        new ExpressionInfo(classOf[LongSetIntersectSize].getName, "graft_isect_size"),
-       (exprs: Seq[Expression]) => LongSetIntersectSize(exprs(0), exprs(1))))
+       arity("graft_isect_size", 2)(exprs => LongSetIntersectSize(exprs(0), exprs(1)))))
     e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk"),
        new ExpressionInfo(classOf[TopKNeighbors].getName, "graft_topk"),
-       (exprs: Seq[Expression]) => TopKNeighbors(exprs(0), exprs(1), exprs(2))))
+       arity("graft_topk", 3)(exprs => TopKNeighbors(exprs(0), exprs(1), exprs(2)))))
     e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_freq_items"),
        new ExpressionInfo(classOf[FrequentItems].getName, "graft_freq_items"),
-       (exprs: Seq[Expression]) => FrequentItems(exprs(0), exprs(1))))
+       arity("graft_freq_items", 2)(exprs => FrequentItems(exprs(0), exprs(1)))))
     e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_img_meta"),
        new ExpressionInfo(classOf[ImageMeta].getName, "graft_img_meta"),
-       (exprs: Seq[Expression]) => ImageMeta(exprs(0))))
+       arity("graft_img_meta", 1)(exprs => ImageMeta(exprs(0)))))
     e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_wav_meta"),
        new ExpressionInfo(classOf[WavMeta].getName, "graft_wav_meta"),
-       (exprs: Seq[Expression]) => WavMeta(exprs(0))))
+       arity("graft_wav_meta", 1)(exprs => WavMeta(exprs(0)))))
     e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bmp_stats"),
        new ExpressionInfo(classOf[BmpStats].getName, "graft_bmp_stats"),
-       (exprs: Seq[Expression]) => BmpStats(exprs(0))))
+       arity("graft_bmp_stats", 1)(exprs => BmpStats(exprs(0)))))
     e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
        new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
@@ -61,35 +73,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_first_agree"),
        new ExpressionInfo(classOf[FirstAgree].getName, "graft_first_agree"),
-       (exprs: Seq[Expression]) => FirstAgree(exprs(0), exprs(1))))
+       arity("graft_first_agree", 2)(exprs => FirstAgree(exprs(0), exprs(1)))))
     e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_html_text"),
        new ExpressionInfo(classOf[HtmlText].getName, "graft_html_text"),
-       (exprs: Seq[Expression]) => HtmlText(exprs(0))))
+       arity("graft_html_text", 1)(exprs => HtmlText(exprs(0)))))
     e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_gif_meta"),
        new ExpressionInfo(classOf[GifMeta].getName, "graft_gif_meta"),
-       (exprs: Seq[Expression]) => GifMeta(exprs(0))))
+       arity("graft_gif_meta", 1)(exprs => GifMeta(exprs(0)))))
     e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_png_stats"),
        new ExpressionInfo(classOf[PngStats].getName, "graft_png_stats"),
-       (exprs: Seq[Expression]) => PngStats(exprs(0))))
+       arity("graft_png_stats", 1)(exprs => PngStats(exprs(0)))))
     e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_png_encode"),
        new ExpressionInfo(classOf[PngEncode].getName, "graft_png_encode"),
-       (exprs: Seq[Expression]) => PngEncode(exprs(0), exprs(1), exprs(2), exprs(3))))
+       arity("graft_png_encode", 4)(exprs => PngEncode(exprs(0), exprs(1), exprs(2), exprs(3)))))
     e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_gif_pixels"),
        new ExpressionInfo(classOf[GifPixels].getName, "graft_gif_pixels"),
-       (exprs: Seq[Expression]) => GifPixels(exprs(0))))
+       arity("graft_gif_pixels", 1)(exprs => GifPixels(exprs(0)))))
     e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_gif_encode"),
        new ExpressionInfo(classOf[GifEncode].getName, "graft_gif_encode"),
-       (exprs: Seq[Expression]) => GifEncode(exprs(0), exprs(1), exprs(2))))
+       arity("graft_gif_encode", 3)(exprs => GifEncode(exprs(0), exprs(1), exprs(2)))))
     e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom"),
        new ExpressionInfo(classOf[BloomBits].getName, "graft_bloom"),
-       (exprs: Seq[Expression]) => BloomBits(exprs(0), exprs(1), exprs(2))))
+       arity("graft_bloom", 3)(exprs => BloomBits(exprs(0), exprs(1), exprs(2)))))
   }
 }
 
@@ -195,11 +207,22 @@ object NanosRangeRewrite extends Rule[LogicalPlan] {
         micros(l).toSeq.flatMap(m =>
           (if (m >= 1L) Seq(raw -> GreaterThanOrEqual(raw, nsLit(m * 1000L))) else Nil) :+
           (raw -> LessThanOrEqual(raw, nsLit(m * 1000L + 999L))))
-      // literal-on-the-left mirror forms
+      // literal-on-the-left mirror forms — ALL of them: a bound that
+      // pushes as `ts > T` must push identically spelled `T < ts`, or
+      // predicate spelling alone decides between a pruned range read
+      // and a full scan
       case LessThanOrEqual(l: Literal, DerivedMicros(raw)) =>
         lowerSafe(l).map(m => raw -> GreaterThanOrEqual(raw, nsLit(m * 1000L)))
       case GreaterThanOrEqual(l: Literal, DerivedMicros(raw)) =>
         micros(l).map(m => raw -> LessThanOrEqual(raw, nsLit(m * 1000L + 999L)))
+      case LessThan(l: Literal, DerivedMicros(raw)) => // T < ts  ≡  ts > T
+        micros(l).map(m => raw -> GreaterThanOrEqual(raw, nsLit((m + 1) * 1000L)))
+      case GreaterThan(l: Literal, DerivedMicros(raw)) => // T > ts  ≡  ts < T
+        micros(l).map(m => raw -> LessThanOrEqual(raw, nsLit(m * 1000L - 1L)))
+      case EqualTo(l: Literal, DerivedMicros(raw)) =>
+        micros(l).toSeq.flatMap(m =>
+          (if (m >= 1L) Seq(raw -> GreaterThanOrEqual(raw, nsLit(m * 1000L))) else Nil) :+
+          (raw -> LessThanOrEqual(raw, nsLit(m * 1000L + 999L))))
       case _ => Nil
     }
   }
