@@ -21,7 +21,12 @@ object TextFunctions {
   /** Whitespace tokenization of normalized text. */
   def tokens(text: Column): Column = split(normalize(text), " ")
 
-  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  // NULL text must yield NULL, not -1: Spark's legacy size(NULL) is -1
+  // (sizeOfNull), which would flow into stats as a "count" of -1 and a
+  // nonsense uniq ratio of 1.0 for null documents
+  def tokenCount(text: Column): Column =
+    when(text.isNull, lit(null).cast("long"))
+      .otherwise(size(tokens(text)).cast("long"))
 
   def distinctTokens(text: Column): Column = array_distinct(tokens(text))
 

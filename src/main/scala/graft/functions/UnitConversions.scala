@@ -66,18 +66,9 @@ object UnitConversions {
     "amount" -> "mm"
   )
 
-  /** The reference's fixed sensor schema: column -> physical type
-    * (aristoteles.py:32-49). */
-  val sensorTypes: Map[String, String] = Map(
-    "barometer" -> "pressure", "pressure" -> "pressure", "altimeter" -> "pressure",
-    "inTemp" -> "temperature", "outTemp" -> "temperature",
-    "dewpoint" -> "temperature", "windchill" -> "temperature",
-    "heatindex" -> "temperature",
-    "inHumidity" -> "percent", "outHumidity" -> "percent",
-    "windSpeed" -> "speed", "windGust" -> "speed",
-    "windDir" -> "direction", "windGustDir" -> "direction",
-    "rainRate" -> "rate", "rain" -> "amount"
-  )
+  // The column -> physical-type mapping (aristoteles.py:32-49) lives
+  // ONCE, in graft.pipeline.WviewSchema.sensors — the copy that used
+  // to sit here was referenced by nothing and could silently drift.
 
   /** Build the converted projection for one sensor column by type. */
   def convert(physType: String, usFlag: Column, v: Column): Column = physType match {

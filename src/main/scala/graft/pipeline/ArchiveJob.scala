@@ -89,7 +89,12 @@ object ArchiveJob {
   /** S10 — the conditional unit conversion projection over all 16
     * sensors, one codegen'd when/otherwise per column. */
   def convertUnits(df: DataFrame): DataFrame = {
-    val us = col("usUnits") === 1
+    // Python truthiness (`if usUnits and value`, aristoteles.py:418):
+    // ANY nonzero flag converts — weewx metric-variant codes (16/17)
+    // included; `=== 1` would silently pass those rows through
+    // unconverted. NULL compares to NULL -> otherwise branch -> value
+    // passes through, matching `if None and v` being falsy.
+    val us = col("usUnits") =!= 0
     val converted = WviewSchema.sensors.map { case (name, phys) =>
       UnitConversions.convert(phys, us, col(name)).as(name)
     }

@@ -67,6 +67,9 @@ object Main {
         val cfg = try IniConfig.load(args.confFile) catch {
           case e: IniConfig.ParseError =>
             System.err.println(s"config error: ${e.msg}"); sys.exit(1); return
+          case e: java.io.IOException => // missing/unreadable conf file
+            System.err.println(s"config error: cannot read ${args.confFile}: $e")
+            sys.exit(1); return
         }
         val spark = GraftSession.local("aristoteles-spark")
         try {

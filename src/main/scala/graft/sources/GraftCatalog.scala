@@ -50,8 +50,12 @@ object GraftCatalog {
     // check-then-act is racy on the single contended memo key: another
     // thread's register(otherDir) can win the re-registration, so loop
     // until the memo agrees with OUR dir and fail loudly if it never
-    // does (silent success with tables pointing at another corpus is
-    // the one unacceptable outcome)
+    // does. SCOPE of the guarantee: agreement at RETURN time — the
+    // session's table names are a single global namespace, so a
+    // concurrent register(otherDir) AFTER this returns can still
+    // repoint them before this caller's queries run. Concurrent
+    // multi-corpus use needs external coordination (or per-dir table
+    // names); the engine's own drivers register one corpus per session.
     var attempts = 0
     var got = registeredDir.getOrCompute(spark, "dir")(ddl())
     while (got != dir && attempts < 5) {
@@ -67,8 +71,10 @@ object GraftCatalog {
 
   /** Forget the register-once memo (e.g. after external DDL dropped
     * one of the tables behind the session's back), so the next
-    * [[register]] call redoes the DDL. */
-  def reset(spark: SparkSession, dir: String): Unit =
+    * [[register]] call redoes the DDL. Session-global — there is ONE
+    * memo, not one per dir (a dir parameter here would misleadingly
+    * suggest dir-scoped resets). */
+  def reset(spark: SparkSession): Unit =
     registeredDir.evict(spark, "dir")
 
   /** Table + column statistics for the cost-based optimizer: row

@@ -53,6 +53,15 @@ private[graft] object ParquetGroups {
       s"$who: unsupported Catalyst leaf type $other for the low-level parquet reader")
   }
 
+  /** Physical/declared pair refusal — the file stores one thing, the
+    * declared schema asks for an incompatible slot: decoding anyway
+    * would either serve a wrong value or crash later as an unnamed
+    * ClassCastException deep inside execution. */
+  private def refuse(physical: String, declared: DataType, who: => String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$who: file stores $physical but the declared schema asks for " +
+      s"${declared.catalogString} — incompatible leaf pair")
+
   /** Parquet stores DECIMAL as the UNSCALED integer in INT32/INT64 or
     * big-endian two's-complement BINARY/FLBA. Interpret the unscaled
     * value at the FILE's annotated scale (the writer's truth), then
@@ -103,27 +112,41 @@ private[graft] object ParquetGroups {
     val pt = g.getType.getType(fi).asPrimitiveType()
     val ann = pt.getLogicalTypeAnnotation
     pt.getPrimitiveTypeName match {
-      case PrimitiveTypeName.BOOLEAN => g.getBoolean(fi, idx)
+      case PrimitiveTypeName.BOOLEAN =>
+        to match {
+          case BooleanType => g.getBoolean(fi, idx)
+          case other => refuse("BOOLEAN", other, who)
+        }
       case PrimitiveTypeName.INT32 =>
         val v = g.getInteger(fi, idx)
         to match {
           case LongType => v.toLong
           case DoubleType => v.toDouble
           case d: DecimalType => decimalOf(v.toLong, fileScaleOf(ann, d), d)
-          case _ => v // IntegerType / DateType (days) share the int repr
+          case IntegerType | DateType => v // days share the int repr
+          case other => refuse("INT32", other, who)
         }
       case PrimitiveTypeName.INT64 =>
         val v = g.getLong(fi, idx)
-        ann match {
-          case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+        (ann, to) match {
+          // unit rescaling applies ONLY when the declared slot is a
+          // timestamp: a LongType declaration over a timestamp-
+          // annotated column means the caller wants the RAW physical
+          // value (the engine's own nanosAsLong pattern) — rescaling
+          // into a long slot would serve silently 1000x-off numbers
+          case (t: TimestampLogicalTypeAnnotation, TimestampType) => t.getUnit match {
             case TimeUnit.MICROS => v
             case TimeUnit.MILLIS => v * 1000L
-            case TimeUnit.NANOS => Math.floorDiv(v, 1000L)
+            // truncate toward zero, matching the `div` derivation in
+            // Tables.events and NanosRangeRewrite's bound math — the
+            // two readers must agree on pre-epoch values too
+            case TimeUnit.NANOS => v / 1000L
           }
           case _ => to match {
             case DoubleType => v.toDouble
             case d: DecimalType => decimalOf(v, fileScaleOf(ann, d), d)
-            case _ => v
+            case LongType | TimestampType | TimestampNTZType => v
+            case other => refuse("INT64", other, who)
           }
         }
       case PrimitiveTypeName.INT96 =>
@@ -135,8 +158,16 @@ private[graft] object ParquetGroups {
         (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
       case PrimitiveTypeName.FLOAT =>
         val v = g.getFloat(fi, idx)
-        to match { case DoubleType => v.toDouble; case _ => v }
-      case PrimitiveTypeName.DOUBLE => g.getDouble(fi, idx)
+        to match {
+          case DoubleType => v.toDouble
+          case FloatType => v
+          case other => refuse("FLOAT", other, who)
+        }
+      case PrimitiveTypeName.DOUBLE =>
+        to match {
+          case DoubleType => g.getDouble(fi, idx)
+          case other => refuse("DOUBLE", other, who)
+        }
       case PrimitiveTypeName.BINARY | PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
         val bytes = g.getBinary(fi, idx).getBytes
         to match {

@@ -55,7 +55,7 @@ class CatalogSpec extends SparkSpec {
     assert(Tables.region(spark, sf).count() === 5) // files untouched
     // register() memoizes per (app, dir): after out-of-band DDL the
     // memo must be reset for the re-registration to actually run
-    GraftCatalog.reset(spark, sf)
+    GraftCatalog.reset(spark)
     GraftCatalog.register(spark, sf) // restore for other tests
     assert(spark.table("region").count() === 5)
   }
