@@ -18,7 +18,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SparkContext - neither block-manager storage pinned by checkpointed
   * frames nor driver-heap references to dead sessions' DataFrames.
   */
-final class AppScopedCache[V](onEvict: V => Unit = (_: V) => ()) {
+final class AppScopedCache[V](onEvict: V => Unit = (_: V) => (),
+    cleanupOnAppEnd: Boolean = false) {
 
   private val entries = new ConcurrentHashMap[String, V]()
   private val hookedApps = ConcurrentHashMap.newKeySet[String]()
@@ -59,16 +60,23 @@ final class AppScopedCache[V](onEvict: V => Unit = (_: V) => ()) {
       .foreach(remove)
   }
 
-  /** App-end teardown drops references WITHOUT running cleanups: the
-    * stopping SparkContext releases every block itself, and issuing
-    * unpersist RPCs here races the executor pools' shutdown — the
-    * rejected promise continuations spray RejectedExecutionException
-    * stack traces onto stderr after the app's own output (which broke
-    * the bench driver's output-tail parse in round 3). */
+  /** App-end teardown. By default it drops references WITHOUT running
+    * cleanups: the stopping SparkContext releases every block itself,
+    * and issuing unpersist RPCs here races the executor pools'
+    * shutdown — the rejected promise continuations spray
+    * RejectedExecutionException stack traces onto stderr after the
+    * app's own output (which broke the bench driver's output-tail
+    * parse in round 3). That rationale applies ONLY to block-manager
+    * cleanups: caches whose cleanup is a FILESYSTEM delete (the
+    * scratch-dir fixtures and persisted-index caches) opt into
+    * `cleanupOnAppEnd = true`, or every Bench/Verify/test JVM leaks a
+    * multi-dataset parquet tree under /tmp per run. */
   private def dropApp(appId: String): Unit = {
     import scala.jdk.CollectionConverters._
     entries.keySet().asScala.toList
-      .filter(_.startsWith(appId + ":")).foreach(entries.remove)
+      .filter(_.startsWith(appId + ":"))
+      .foreach(k =>
+        if (cleanupOnAppEnd) remove(k) else entries.remove(k))
   }
 
   private def remove(k: String): Unit = {

@@ -42,8 +42,11 @@ object Queries {
        "ORDER BY event_id"),
     "s3_ordered_scan" ->
       "SELECT event_id, CAST(ts AS DATE) AS day, user_id FROM events ORDER BY day, event_id",
+    // first_event_id = the id OF the chronologically first record
+    // (argmin, event_id tie-break) — the engine's min_by twin
     "s4_first_per_station" ->
-      ("SELECT user_id, CAST(min(ts) AS DATE) AS first_day, min(event_id) AS first_event_id " +
+      ("SELECT user_id, CAST(min(ts) AS DATE) AS first_day, " +
+       "(list(event_id ORDER BY ts, event_id))[1] AS first_event_id " +
        "FROM events GROUP BY user_id ORDER BY user_id"),
     "s5_count_range" ->
       ("SELECT user_id, count(*) AS n_samples FROM events " +
@@ -58,10 +61,15 @@ object Queries {
     "s9_completeness_gate" ->
       ("SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_samples FROM events " +
        "GROUP BY user_id, day HAVING count(*) >= 5 ORDER BY user_id, day"),
+    // a station with ZERO events that day produces no group row and is
+    // invisible to a bare min — the gate requires the day's station
+    // count to equal the CONFIGURED set's size (the reference's
+    // all(...) over the INI stations; user_id < 5 plays that set)
     "s9_gate_all_stations" ->
       ("SELECT day, min(n) AS min_station_samples, count(*) AS n_stations FROM " +
-       "(SELECT CAST(ts AS DATE) AS day, user_id, count(*) AS n FROM events GROUP BY 1, 2) " +
-       "GROUP BY day HAVING min(n) >= 1 ORDER BY day"),
+       "(SELECT CAST(ts AS DATE) AS day, user_id, count(*) AS n FROM events " +
+       "WHERE user_id < 5 GROUP BY 1, 2) " +
+       "GROUP BY day HAVING min(n) >= 1 AND count(*) = 5 ORDER BY day"),
     "s10_unit_conversion" ->
       ("SELECT event_id, event_type, value, " +
        "round(CASE WHEN event_type = 'purchase' AND value <> 0 THEN value * 1.609344 ELSE value END, 4) AS value_kmh, " +
@@ -2067,8 +2075,11 @@ object Queries {
        "sum(CASE WHEN event_type = 'click' THEN value END) AS click_v, " +
        "sum(CASE WHEN event_type = 'view' THEN value END) AS view_v " +
        "FROM events WHERE event_type IN ('click', 'view') GROUP BY 1) " +
+       // RANGE over the day number: a row frame would span more than 7
+       // calendar days across gaps (engine mirrored)
        "SELECT day, round(click_v, 2) AS click_v, round(view_v, 2) AS view_v, " +
-       "round(corr(click_v, view_v) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS corr_7d " +
+       "round(corr(click_v, view_v) OVER (ORDER BY (day - DATE '2024-01-01') " +
+       "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS corr_7d " +
        "FROM d ORDER BY day"),
     "q_funnel" ->
       ("WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events WHERE event_type = 'signup' GROUP BY user_id), " +
@@ -2076,10 +2087,13 @@ object Queries {
        "AND e.ts >= s.s_ts WHERE e.event_type = 'purchase' GROUP BY e.user_id) " +
        "SELECT s.user_id, s_ts, p_ts, coalesce(p_ts <= s_ts + INTERVAL 1 HOUR, false) AS converted_1h " +
        "FROM s LEFT JOIN p ON s.user_id = p.user_id ORDER BY s.user_id"),
+    // delta only against the CALENDAR previous day (gap -> NULL),
+    // mirroring the engine
     "q_day_over_day" ->
       ("WITH d AS (SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS day_value " +
        "FROM events GROUP BY 1) " +
-       "SELECT day, day_value, round(day_value - lag(day_value) OVER (ORDER BY day), 2) AS delta " +
+       "SELECT day, day_value, CASE WHEN day - lag(day) OVER (ORDER BY day) = 1 " +
+       "THEN round(day_value - lag(day_value) OVER (ORDER BY day), 2) END AS delta " +
        "FROM d ORDER BY day"),
     "q_array_agg" ->
       ("SELECT user_id, array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types, " +

@@ -18,15 +18,22 @@ object Analytics {
   /** TPC-H Q6 via the SQL API over registered temp views — the engine's
     * SQL entry point (same Catalyst plan as the DataFrame form). */
   def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("li_q6")
-    spark.sql("""
+    // PER-CALL view name, dropped after analysis: a fixed name is
+    // session-global mutable state — a concurrent call for another
+    // corpus could replace it between registration and spark.sql,
+    // silently resolving this query against the wrong corpus. sql()
+    // analyzes eagerly, so the returned plan no longer needs the view.
+    val view = s"li_q6_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Tables.lineitem(spark, dir).createOrReplaceTempView(view)
+    try spark.sql(s"""
       SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
-      FROM li_q6
+      FROM $view
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         AND l_discount BETWEEN 0.03 AND 0.07
         AND l_quantity < 24
     """)
+    finally { spark.catalog.dropTempView(view); () }
   }
 
   /** Statistical aggregates (variance family + correlation). */
@@ -313,8 +320,12 @@ object Analytics {
       .agg(
         sum(when(col("event_type") === "click", col("value"))).as("click_v"),
         sum(when(col("event_type") === "view", col("value"))).as("view_v"))
-    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+    // RANGE frame over the day NUMBER, not 7 observed rows: with a
+    // gap a row frame silently spans more than 7 calendar days — the
+    // same reasoning movingAvg documents (oracle mirrored)
+    val w = Window.orderBy(col("day_num")).rangeBetween(-6, Window.currentRow)
     daily
+      .withColumn("day_num", datediff(col("day"), lit("2024-01-01").cast("date")))
       .select(col("day"),
         round(col("click_v"), 2).as("click_v"),
         round(col("view_v"), 2).as("view_v"),
@@ -331,8 +342,13 @@ object Analytics {
       .agg(round(sum(col("value")), 2).as("day_value"))
       .withColumn("prev_value",
         lag(col("day_value"), 1).over(Window.orderBy(col("day"))))
+      .withColumn("prev_day", lag(col("day"), 1).over(Window.orderBy(col("day"))))
+      // day-over-day means the CALENDAR previous day: across a gap the
+      // lagged row is older than one day and the delta is NULL, not a
+      // multi-day jump presented as daily change (oracle mirrored)
       .select(col("day"), col("day_value"),
-        round(col("day_value") - col("prev_value"), 2).as("delta"))
+        when(datediff(col("day"), col("prev_day")) === 1,
+          round(col("day_value") - col("prev_value"), 2)).as("delta"))
       .orderBy(col("day"))
 
   /** JSON column surface: path extraction (get_json_object) and typed

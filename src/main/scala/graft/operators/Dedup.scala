@@ -799,7 +799,7 @@ object Dedup {
     * Similarity.ivfIndexPath; a deployment passes its own durable path
     * to [[writeDedupIndex]]/[[incrementalDedupIndexed]] directly. */
   private val dedupIndexCache =
-    new AppScopedCache[String](Similarity.deleteLocalDir)
+    new AppScopedCache[String](Similarity.deleteLocalDir, cleanupOnAppEnd = true)
 
   def dedupIndexPath(spark: SparkSession, dir: String): String =
     dedupIndexCache.getOrCompute(spark, s"$dir#dedupidx") {

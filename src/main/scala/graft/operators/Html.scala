@@ -63,7 +63,7 @@ object Html {
       .write.mode("overwrite").parquet(path)
 
   private val htmlCache =
-    new graft.AppScopedCache[String](Similarity.deleteLocalDir(_))
+    new graft.AppScopedCache[String](Similarity.deleteLocalDir(_), cleanupOnAppEnd = true)
 
   /** One persisted HTML fixture per corpus, built on first use under a
     * scratch dir deleted on app end — mirrors Multimodal.mediaFixturePath. */

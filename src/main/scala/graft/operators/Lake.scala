@@ -20,7 +20,7 @@ object Lake {
   private val tableCache = new graft.AppScopedCache[String](p => {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
     ()
-  })
+  }, cleanupOnAppEnd = true)
 
   /** orders(o_orderkey, o_orderstatus, o_totalprice) as a commit-log
     * table, range-clustered on o_totalprice (4 files with disjoint

@@ -162,11 +162,12 @@ object Multimodal {
 
   /** The per-modality fixture slices: (row filter, payload bytes),
     * mutually exclusive and exhaustive over the corpus.
-    *  - img:   PNG (even ids) / JPEG (odd); every 97th doc corrupt.
+    *  - img:   doc_id%4 picks PNG/JPEG/WebP/TIFF header fixtures (dims
+    *    from iw/ih = id-derived); every 97th doc corrupt.
     *  - audio: WAV, JUNK-prefixed on odd ids; every 89th doc corrupt.
     *  - bmp:   BMP, top-down rows on id%5=0; every 83rd doc corrupt.
-    *  - media: doc_id%4 picks BMP/WAV/PNG/JPEG (parameterized by
-    *    q = doc_id/4 so each format sweeps its value space); every
+    *  - media: doc_id%4 picks BMP/WAV/PNG/JPEG — BMP/WAV parameterized
+    *    by q = doc_id/4, PNG/JPEG by the id-derived iw/ih dims; every
     *    97th doc corrupt.
     * Sliced rather than CASE'd so each write stage codegens ONE
     * format's tree (the combined audio/media CASE trees overflow the
@@ -452,7 +453,7 @@ object Multimodal {
     * eagerly at warmup) under a scratch dir deleted on app end —
     * mirrors Similarity.ivfIndexPath / Dedup.dedupIndexPath. */
   private val mediaCache =
-    new graft.AppScopedCache[String](Similarity.deleteLocalDir(_))
+    new graft.AppScopedCache[String](Similarity.deleteLocalDir(_), cleanupOnAppEnd = true)
 
   def mediaFixturePath(spark: SparkSession, dir: String): String =
     mediaCache.getOrCompute(spark, s"$dir#media") {

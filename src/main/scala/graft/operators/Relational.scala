@@ -44,6 +44,13 @@ object Relational {
     require(joinType == "inner" || joinType == "left",
       s"saltedJoin supports only 'inner' and 'left' (big side outer); " +
       s"'$joinType' would null-extend the replicated small side once per salt")
+    // salts <= 0 would be SILENTLY wrong, not slow: explode over zero
+    // literals drops every small-side row and pmod(x, 0) yields null
+    // salts — an empty inner join / all-null left join
+    require(salts > 0, s"saltedJoin needs salts > 0, got $salts")
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "saltedJoin: column _salt is reserved (a caller column by that " +
+      "name would be silently replaced and then dropped)")
     // salt from the full row hash: deterministic (no rand(); replays
     // and retries salt identically), and a hot KEY still spreads
     // because its rows differ in other columns
@@ -868,8 +875,12 @@ object Relational {
       .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
     val perSupp = li96.groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("supp_qty"))
-    val perPart = li96.groupBy(col("l_partkey").as("t_partkey"))
-      .agg(sum(col("l_quantity")).as("total_qty"))
+    // the part totals ROLL UP from the supplier grain instead of
+    // re-scanning and re-shuffling the fact table a second time —
+    // identical values (integer quantities sum exactly in double at
+    // any grouping order), one data-sized pass saved
+    val perPart = perSupp.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("supp_qty")).as("total_qty"))
     val dominant = perSupp
       .join(perPart, col("l_partkey") === col("t_partkey"))
       .filter(col("supp_qty") > col("total_qty") * 0.25)

@@ -116,7 +116,7 @@ object Search {
     * the term. Same base/delta two-segment fixture split as
     * [[indexTablePath]]. */
   private val posIndexTableCache =
-    new graft.AppScopedCache[String](Similarity.deleteLocalDir)
+    new graft.AppScopedCache[String](Similarity.deleteLocalDir, cleanupOnAppEnd = true)
 
   def posIndexTablePath(spark: SparkSession, dir: String): String =
     posIndexTableCache.getOrCompute(spark, s"$dir#posindextable") {
@@ -226,7 +226,7 @@ object Search {
     * fixture build writes two segments: the base corpus (doc_id%10!=9)
     * then the delta (doc_id%10==9). */
   private val indexTableCache =
-    new graft.AppScopedCache[String](Similarity.deleteLocalDir)
+    new graft.AppScopedCache[String](Similarity.deleteLocalDir, cleanupOnAppEnd = true)
 
   def indexTablePath(spark: SparkSession, dir: String): String =
     indexTableCache.getOrCompute(spark, s"$dir#indextable") {
@@ -279,7 +279,7 @@ object Search {
     * base/delta two-segment split, zone stats on doc_id; time-travels
     * in step with the index (version 0 = base corpus norms). */
   private val normsTableCache =
-    new graft.AppScopedCache[String](Similarity.deleteLocalDir)
+    new graft.AppScopedCache[String](Similarity.deleteLocalDir, cleanupOnAppEnd = true)
 
   def normsTablePath(spark: SparkSession, dir: String): String =
     normsTableCache.getOrCompute(spark, s"$dir#normstable") {

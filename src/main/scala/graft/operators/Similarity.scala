@@ -556,7 +556,7 @@ object Similarity {
     * scratch directory that is deleted when the app ends. This is the
     * serving path: probes never retrain the quantizer and read only
     * their nprobe cells' files. */
-  private val indexCache = new AppScopedCache[String](deleteLocalDir)
+  private val indexCache = new AppScopedCache[String](deleteLocalDir, cleanupOnAppEnd = true)
 
   private[operators] def deleteLocalDir(path: String): Unit = {
     import java.nio.file.{Files, Path}

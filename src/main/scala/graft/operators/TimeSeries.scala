@@ -49,8 +49,13 @@ object TimeSeries {
   def firstPerStation(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("user_id"))
+      // the event_id OF the chronologically first record (argmin with
+      // an event_id tie-break for a total order) — a bare min(event_id)
+      // would report some OTHER record's id whenever ids are not
+      // assigned in ts order
       .agg(min(to_date(col("ts"))).as("first_day"),
-           min(col("event_id")).as("first_event_id"))
+           min_by(col("event_id"), struct(col("ts"), col("event_id")))
+             .as("first_event_id"))
       .orderBy(col("user_id"))
 
   /** S5 — count under a range predicate (aristoteles.py:302-313:
@@ -93,16 +98,26 @@ object TimeSeries {
       .filter(col("n_samples") >= minSamples)
       .orderBy(col("user_id"), col("day"))
 
-  /** S9 all-stations form: a day passes only if the *minimum* per-station
-    * count clears the bar (aristoteles.py:316-327 `all(...)`). */
+  /** S9 all-stations form: a day passes only if EVERY configured
+    * station clears the bar (aristoteles.py:316-327 `all(...)` over
+    * the INI's station sections) — including a station with ZERO
+    * events that day, which produces no group row and is invisible to
+    * a bare min: the day's station count must equal the configured
+    * set's size. The reference gates a handful of configured stations,
+    * not the whole population; user_id < [[GateStations]] plays that
+    * configured set here. */
+  val GateStations = 5
+
   def gateAllStations(spark: SparkSession, dir: String, minSamples: Long = 1): DataFrame =
     Tables.events(spark, dir)
+      .filter(col("user_id") < GateStations)
       .groupBy(to_date(col("ts")).as("day"), col("user_id"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("day"))
       .agg(min(col("n")).as("min_station_samples"),
            count(lit(1)).as("n_stations"))
-      .filter(col("min_station_samples") >= minSamples)
+      .filter(col("min_station_samples") >= minSamples &&
+        col("n_stations") === GateStations)
       .orderBy(col("day"))
 
   /** S10 — conditional unit conversion with the zero-skip quirk
