@@ -54,6 +54,19 @@ object Bench {
       results.collect { case (n, t) if history.get(n).exists(h => t >= 1.5 * h) => n }
     else Seq.empty
 
+  /** First-pass best-of-two under failure awareness (ADVICE r13 #2):
+    * a failed attempt never wins — if exactly one attempt succeeded,
+    * its time stands; if both failed, the SLOWER honest elapsed time
+    * is recorded (the query is broken; its cost should show, not read
+    * as near-zero). Pure, so BenchLogicSpec pins it. */
+  private[graft] def bestChecked(a: (Double, Boolean),
+      b: (Double, Boolean)): Double = (a, b) match {
+    case ((ta, true), (tb, true))   => math.min(ta, tb)
+    case ((ta, true), (_, false))   => ta
+    case ((_, false), (tb, true))   => tb
+    case ((ta, false), (tb, false)) => math.max(ta, tb)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -117,10 +130,18 @@ object Bench {
     // VERDICT r5 "What's wrong" #2). The min of two back-to-back runs
     // is the steady-state number the 100 TB projection cares about;
     // total stays bounded at <= 2x a quiet run.
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnceChecked(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    // A failed attempt reports +Infinity so it can never win a min():
+    // a query that fails FAST in a re-measurement pass (evicted
+    // fixture, transient OOM) must not replace the honest earlier
+    // number with its near-zero failure time (ADVICE r13 #2).
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val (sec, ok) = timeOnceChecked(fn)
+      if (ok) sec else Double.PositiveInfinity
     }
     // last round's per-query detail (when present): the reference for
     // the outlier re-time below. Read BEFORE this run overwrites it.
@@ -131,7 +152,7 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
 
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      name -> bestChecked(timeOnceChecked(fn), timeOnceChecked(fn))
     }
     // Outlier re-time (VERDICT r6 #7): best-of-2 back-to-back bounds a
     // one-off stall but not SUSTAINED machine load — in round 6 four

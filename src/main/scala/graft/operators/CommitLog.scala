@@ -272,7 +272,7 @@ object CommitLog {
     * dropped-and-recreated at the same path both change that identity
     * and force a clean rescan of the (then small) retained log. */
   private case class LedgerState(firstV: Long, firstMtime: Long,
-      through: Long, ids: Set[(Option[String], Long)])
+      through: Long, ids: Set[(Option[String], Long, Long)])
   private val ledgerCache =
     new java.util.concurrent.ConcurrentHashMap[String, LedgerState]()
 
@@ -291,12 +291,22 @@ object CommitLog {
     * dropped-and-recreated at the same path both change that identity
     * and force a clean rescan of the (then small) retained log. */
   private[graft] def committedBatches(spark: SparkSession,
-      tablePath: String): Set[(Option[String], Long)] = {
+      tablePath: String): Set[(Option[String], Long)] =
+    committedBatchesVersioned(spark, tablePath).map(e => (e._1, e._2))
+
+  /** [[committedBatches]] with each entry's commit VERSION attached —
+    * (writer identity, batchId, version). The version is what lets
+    * [[replayedBatch]] tell a pre-upgrade legacy bare entry (older
+    * than the table's first app-qualified entry, still honored) from
+    * a LIVE identity-free writer's entry (which must not suppress a
+    * qualified writer's same-numbered epochs — ADVICE r13 #3). */
+  private[graft] def committedBatchesVersioned(spark: SparkSession,
+      tablePath: String): Set[(Option[String], Long, Long)] = {
     val log = new Path(tablePath, LogDir)
     val fs = fsOf(spark, log)
     val vs = versions(spark, tablePath)
     if (vs.isEmpty) return Set.empty
-    def idOf(v: Long): Option[(Option[String], Long)] = {
+    def idOf(v: Long): Option[(Option[String], Long, Long)] = {
       val in = fs.open(new Path(log, f"$v%08d.json"))
       val line = try new String(
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
@@ -305,7 +315,7 @@ object CommitLog {
       else scala.util.Try(
         line.substring(i + 10).takeWhile(c => c.isDigit || c == '-').toLong)
         .toOption.map { id =>
-          batchAppRe.findFirstMatchIn(line).map(m => unescKey(m.group(1))) -> id
+          (batchAppRe.findFirstMatchIn(line).map(m => unescKey(m.group(1))), id, v)
         }
     }
     val firstV = vs.head
@@ -327,6 +337,27 @@ object CommitLog {
   def committedBatchIds(spark: SparkSession, tablePath: String): Set[Long] =
     committedBatches(spark, tablePath).map(_._2)
 
+  /** Replay check for an APP-QUALIFIED streaming writer: true when
+    * `batchId` was already committed by THIS writer. An entry carrying
+    * the same app matches outright. A bare (identity-free) entry
+    * matches only as pre-upgrade legacy — i.e. when it predates the
+    * table's first app-qualified entry. A bare entry committed AFTER
+    * qualified writing began belongs to a live identity-free writer
+    * (e.g. a foreachBatch job sharing the table) whose epoch numbering
+    * is unrelated; matching it would permanently discard this writer's
+    * same-numbered epochs (ADVICE r13 #3). */
+  def replayedBatch(spark: SparkSession, tablePath: String,
+      app: String, batchId: Long): Boolean = {
+    val entries = committedBatchesVersioned(spark, tablePath)
+    if (entries.exists(e => e._1.contains(app) && e._2 == batchId)) true
+    else {
+      val firstQualifiedV =
+        entries.filter(_._1.isDefined).map(_._3).minOption
+      entries.exists(e => e._1.isEmpty && e._2 == batchId &&
+        firstQualifiedV.forall(e._3 < _))
+    }
+  }
+
   /** Exactly-once streaming append: the TRANSACTIONAL form of the
     * per-batch file-naming trick ([[Similarity.appendIvfIndexBatch]])
     * — a replayed micro-batch (restart between publish and offset
@@ -337,11 +368,19 @@ object CommitLog {
     * gets exactly-once from an at-least-once engine contract. */
   def appendStream(spark: SparkSession, tablePath: String, df: DataFrame,
       batchId: Long, bloomCols: Seq[String] = Seq.empty,
-      statsCols: Seq[String] = Seq.empty): Option[Long] =
-    if (committedBatchIds(spark, tablePath).contains(batchId)) None
+      statsCols: Seq[String] = Seq.empty,
+      app: Option[String] = None): Option[Long] = {
+    // identity-qualified writers use the legacy-aware replay rule
+    // ([[replayedBatch]]); identity-free callers keep the blind check
+    // (their contract remains one single-writer stream per table)
+    val replayed = app match {
+      case Some(a) => replayedBatch(spark, tablePath, a, batchId)
+      case None    => committedBatchIds(spark, tablePath).contains(batchId)
+    }
+    if (replayed) None
     else if (bloomCols.isEmpty && statsCols.isEmpty)
       Some(commit(spark, tablePath, stage(spark, tablePath, df),
-        Seq.empty, Some(batchId)))
+        Seq.empty, Some(batchId), batchApp = app))
     else {
       // segment-with-metadata form: the streamed batch publishes its
       // Bloom filters / zone maps in the SAME exactly-once commit, so
@@ -349,8 +388,9 @@ object CommitLog {
       val (files, stats, blooms) =
         stageWithMeta(spark, tablePath, df, statsCols, bloomCols)
       Some(commit(spark, tablePath, files, Seq.empty, Some(batchId),
-        stats = stats, blooms = blooms))
+        stats = stats, blooms = blooms, batchApp = app))
     }
+  }
 
   // ---- cross-table transactions: the parent-commit manifest ----
   // Child tables commit independently (each exactly-once under its own

@@ -134,7 +134,11 @@ private[graft] object ParquetGroups {
           // annotated column means the caller wants the RAW physical
           // value (the engine's own nanosAsLong pattern) — rescaling
           // into a long slot would serve silently 1000x-off numbers
-          case (t: TimestampLogicalTypeAnnotation, TimestampType) => t.getUnit match {
+          // TimestampNTZType rescales identically: the NTZ/instant
+          // distinction is about zone interpretation, not the file's
+          // physical unit — a MILLIS-annotated file read as declared
+          // NTZ must still be scaled to micros, or it serves 1000x-off
+          case (t: TimestampLogicalTypeAnnotation, TimestampType | TimestampNTZType) => t.getUnit match {
             case TimeUnit.MICROS => v
             case TimeUnit.MILLIS => v * 1000L
             // truncate toward zero, matching the `div` derivation in

@@ -84,11 +84,13 @@ class GraftStreamingWrite(tablePath: String, schema: StructType,
     // (stable across restarts from the same checkpoint): a DIFFERENT
     // query writing to this table restarts its epochs at 0 and must
     // NOT have its batches discarded as the first query's replays.
-    // A bare (identity-free) ledger entry still matches — tables
-    // written before app qualification keep their replay protection.
-    val ledger = CommitLog.committedBatches(spark, tablePath)
-    if (ledger.contains((Some(queryId), epochId)) ||
-        ledger.contains((None, epochId))) {
+    // A bare (identity-free) ledger entry matches only as pre-upgrade
+    // legacy — entries OLDER than the table's first app-qualified
+    // commit. A live identity-free writer sharing the table (its
+    // entries land after qualified writing began) has unrelated epoch
+    // numbering and must not suppress this query's epochs
+    // (CommitLog.replayedBatch, ADVICE r13 #3).
+    if (CommitLog.replayedBatch(spark, tablePath, queryId, epochId)) {
       deleteStaged(); return
     }
     val adds = staged.map(_.relName).toSeq

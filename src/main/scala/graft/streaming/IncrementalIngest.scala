@@ -36,6 +36,18 @@ import graft.pipeline.{ArchiveJob, WviewSchema}
   */
 object IncrementalIngest {
 
+  /** Stable writer identity for a foreachBatch stream's commit-log
+    * ledger entries: writer KIND + destination table. Deliberately
+    * NOT the checkpoint directory — a fresh-checkpoint restart of the
+    * same logical job re-delivers the same data under the same
+    * batchIds and must still be recognized as a replay (the pinned
+    * exactly-once contract), while a DIFFERENT writer kind (or a DSv2
+    * streaming query, whose identity is its queryId) sharing the
+    * table no longer has its epochs suppressed by this stream's
+    * entries (CommitLog.replayedBatch, ADVICE r13 #3). */
+  private[graft] def appId(kind: String, path: String): String =
+    s"$kind:$path"
+
   /** Streaming source over per-station subdirectories of wview-schema
     * parquet (one `<inputDir>/<station>/` dir per station), with
     * event-time and path-derived station columns prepared. */
@@ -203,7 +215,8 @@ object IncrementalIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.CommitLog.appendStream(
-            batch.sparkSession, tablePath, batch, batchId)
+            batch.sparkSession, tablePath, batch, batchId,
+            app = Some(appId("commitLogWriter", tablePath)))
         ()
       }
 
@@ -235,7 +248,7 @@ object IncrementalIngest {
         if (!batch.isEmpty)
           graft.operators.CommitLog.appendStream(batch.sparkSession, tablePath,
             graft.operators.Multimodal.dispatchAllSelect(batch, "payload"),
-            batchId)
+            batchId, app = Some(appId("mediaTriage", tablePath)))
         ()
       }
 
@@ -265,7 +278,7 @@ object IncrementalIngest {
             .agg(count(lit(1)).as("tf"))
           graft.operators.CommitLog.appendStream(
             batch.sparkSession, tablePath, postings, batchId,
-            bloomCols = Seq("token"))
+            bloomCols = Seq("token"), app = Some(appId("searchIndex", tablePath)))
         }
         ()
       }
@@ -332,11 +345,14 @@ object IncrementalIngest {
               .getOrElse(sys.error(
                 s"batch $batchId in $table's ledger but no commit carries it")))
           val vN = landed(normsTable, graft.operators.CommitLog.appendStream(
-            sp, normsTable, norms, batchId, statsCols = Seq("doc_id")))
+            sp, normsTable, norms, batchId, statsCols = Seq("doc_id"),
+            app = Some(appId("searchIndexFull", normsTable))))
           val vP = landed(posTable, graft.operators.CommitLog.appendStream(
-            sp, posTable, positions, batchId, bloomCols = Seq("token")))
+            sp, posTable, positions, batchId, bloomCols = Seq("token"),
+            app = Some(appId("searchIndexFull", posTable))))
           val vI = landed(indexTable, graft.operators.CommitLog.appendStream(
-            sp, indexTable, postings, batchId, bloomCols = Seq("token")))
+            sp, indexTable, postings, batchId, bloomCols = Seq("token"),
+            app = Some(appId("searchIndexFull", indexTable))))
           // the PARENT commit: the trigger's three child commits become
           // atomically visible to manifest-pinned readers only here —
           // a crash anywhere above leaves the previous transaction
@@ -383,10 +399,12 @@ object IncrementalIngest {
           val marked = batch.withColumn("_violated", violated)
             .localCheckpoint(false)
           graft.operators.CommitLog.appendStream(s, tablePath,
-            marked.filter(col("_violated").isNull).drop("_violated"), batchId)
+            marked.filter(col("_violated").isNull).drop("_violated"), batchId,
+            app = Some(appId("quarantine", tablePath)))
           val bad = marked.filter(col("_violated").isNotNull)
           if (!bad.isEmpty)
-            graft.operators.CommitLog.appendStream(s, quarantinePath, bad, batchId)
+            graft.operators.CommitLog.appendStream(s, quarantinePath, bad,
+              batchId, app = Some(appId("quarantine", quarantinePath)))
           // per-batch checkpoint released once both sides landed (see
           // searchIndexFullWriter) — not left to driver GC
           graft.AppScopedCache.unpersistPlanRDDs(marked)

@@ -72,4 +72,16 @@ class BenchLogicSpec extends AnyFunSuite {
     // no history at all (first run at this SF): never fires
     assert(Bench.rescueCandidates(Seq("a" -> 9.9), Map.empty) === Seq.empty)
   }
+
+  test("a failed timing attempt can never win the best-of-two") {
+    // ADVICE r13 #2: a query failing FAST (evicted fixture, transient
+    // OOM) must not replace an honest slow measurement with its
+    // near-zero failure time
+    assert(Bench.bestChecked((0.8, true), (0.5, true)) === 0.5)
+    assert(Bench.bestChecked((0.8, true), (0.01, false)) === 0.8)
+    assert(Bench.bestChecked((0.01, false), (0.8, true)) === 0.8)
+    // both failed: the SLOWER honest elapsed is recorded — a broken
+    // query's cost shows instead of reading as zero
+    assert(Bench.bestChecked((0.01, false), (0.3, false)) === 0.3)
+  }
 }

@@ -588,6 +588,44 @@ class CommitLogSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("bare ledger entries match only as pre-upgrade legacy, not a live co-writer") {
+    // ADVICE r13 #3: a foreachBatch writer's identity-free batchIds
+    // must not permanently suppress a DSv2 query's same-numbered
+    // epochs on a shared table. Bare entries are honored only when
+    // they PREDATE the table's first app-qualified entry.
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      // pre-upgrade history: two bare (identity-free) batch commits
+      CommitLog.appendStream(spark, t, Seq((1L, "a")).toDF("id", "s"), 0L)
+      CommitLog.appendStream(spark, t, Seq((2L, "b")).toDF("id", "s"), 1L)
+      // a qualified writer arriving now DOES see those as its own
+      // legacy replays (pre-upgrade tables keep replay protection)...
+      assert(CommitLog.replayedBatch(spark, t, "appA", 0L))
+      assert(CommitLog.replayedBatch(spark, t, "appA", 1L))
+      assert(!CommitLog.replayedBatch(spark, t, "appA", 2L))
+      // ...and its first qualified commit draws the line
+      CommitLog.appendStream(spark, t, Seq((3L, "c")).toDF("id", "s"), 2L,
+        app = Some("appA")).get
+      // a LIVE identity-free co-writer lands epoch 3 after that line
+      CommitLog.appendStream(spark, t, Seq((4L, "d")).toDF("id", "s"), 3L)
+      // appA's epoch 3 is NOT a replay of the co-writer's batch 3
+      assert(!CommitLog.replayedBatch(spark, t, "appA", 3L))
+      assert(CommitLog.appendStream(spark, t,
+        Seq((5L, "e")).toDF("id", "s"), 3L, app = Some("appA")).isDefined,
+        "qualified epoch suppressed by a live co-writer's bare entry")
+      // appA's own qualified entries still replay-match...
+      assert(CommitLog.replayedBatch(spark, t, "appA", 2L))
+      assert(CommitLog.appendStream(spark, t,
+        Seq((9L, "x")).toDF("id", "s"), 2L, app = Some("appA")).isEmpty)
+      // ...but a DIFFERENT qualified app's epochs are unrelated
+      assert(!CommitLog.replayedBatch(spark, t, "appB", 2L))
+      // legacy bare entries stay honored for everyone
+      assert(CommitLog.replayedBatch(spark, t, "appB", 0L))
+      assert(CommitLog.read(spark, t).count() === 5)
+    } finally cleanup(t)
+  }
+
   test("change feed below a vacuumed horizon fails loudly, not silently empty") {
     val t = tempTable()
     try {

@@ -490,6 +490,55 @@ class GraftSourceSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("timestamp-annotated INT64 rescales by the FILE unit under both declared timestamp types") {
+    // ADVICE r13 #1: a MILLIS-annotated file read under a declared
+    // TimestampNTZ schema fell through to the raw branch and served
+    // 1000x-off values; NTZ must rescale by the file's declared unit
+    // exactly like TimestampType (the NTZ/instant distinction is zone
+    // interpretation, not physical unit).
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    val t = tempTable()
+    try {
+      val fileSchema = Types.buildMessage()
+        .addField(Types.required(PrimitiveTypeName.INT64).named("id"))
+        .addField(Types.required(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.MILLIS))
+          .named("ts"))
+        .named("t")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(fileSchema, conf)
+      val rel = "part-00000-ntz-millis.parquet"
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          new org.apache.hadoop.fs.Path(t, rel), conf))
+        .withConf(conf).build()
+      val gf = new SimpleGroupFactory(fileSchema)
+      val ms = 1700000000123L // 2023-11-14T22:13:20.123Z, sub-second tail
+      val g = gf.newGroup(); g.add("id", 1L); g.add("ts", ms); w.write(g)
+      w.close()
+      CommitLog.commit(spark, t, Seq(rel), Seq.empty)
+      CommitLog.declareSchema(spark, t, StructType(Seq(
+        StructField("id", LongType),
+        StructField("ts", org.apache.spark.sql.types.TimestampNTZType))))
+      val ntz = spark.read.format("graft").load(t).select(col("ts")).head()
+      // LocalDateTime is TZ-free: compare the fields directly
+      val ldt = ntz.getAs[java.time.LocalDateTime]("ts")
+      assert(ldt === java.time.LocalDateTime.ofEpochSecond(
+        ms / 1000, (ms % 1000).toInt * 1000000, java.time.ZoneOffset.UTC),
+        s"NTZ must rescale MILLIS->micros, got $ldt")
+      // declared TimestampType over the same file rescales identically
+      CommitLog.declareSchema(spark, t, StructType(Seq(
+        StructField("id", LongType),
+        StructField("ts", org.apache.spark.sql.types.TimestampType))))
+      val inst = spark.read.format("graft").load(t)
+        .select(unix_micros(col("ts")).as("us")).head().getLong(0)
+      assert(inst === ms * 1000L, s"instant rescale broke: $inst")
+    } finally cleanup(t)
+  }
+
   test("MIN/MAX pushdown answers from zone maps with zero data-file opens") {
     val t = tempTable()
     try {

@@ -1005,10 +1005,15 @@ class StreamingSpec extends SparkSpec {
       val norms1 = positions1.groupBy("doc_id")
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).cast("long").as("dl"))
+      // the crash simulation commits AS the writer (same identity the
+      // replay will carry) — a bare commit would model a different
+      // co-writer, whose entries no longer suppress the writer's epochs
+      val wid = (t: String) =>
+        Some(graft.streaming.IncrementalIngest.appId("searchIndexFull", t))
       assert(CommitLog.appendStream(spark, norms, norms1, 1L,
-        statsCols = Seq("doc_id")).isDefined)
+        statsCols = Seq("doc_id"), app = wid(norms)).isDefined)
       assert(CommitLog.appendStream(spark, pos, positions1, 1L,
-        bloomCols = Seq("token")).isDefined)
+        bloomCols = Seq("token"), app = wid(pos)).isDefined)
 
       // an UNPINNED read of the positions table already sees the
       // half-landed trigger — this is the window
@@ -1065,11 +1070,11 @@ class StreamingSpec extends SparkSpec {
         .agg(org.apache.spark.sql.functions.sum(
           org.apache.spark.sql.functions.col("tf")).cast("long").as("dl"))
       assert(CommitLog.appendStream(spark, norms, norms2, 2L,
-        statsCols = Seq("doc_id")).isDefined)
+        statsCols = Seq("doc_id"), app = wid(norms)).isDefined)
       assert(CommitLog.appendStream(spark, pos, positions2, 2L,
-        bloomCols = Seq("token")).isDefined)
+        bloomCols = Seq("token"), app = wid(pos)).isDefined)
       assert(CommitLog.appendStream(spark, idx, postings2, 2L,
-        bloomCols = Seq("token")).isDefined)
+        bloomCols = Seq("token"), app = wid(idx)).isDefined)
       assert(phraseDocs() === Set(1L, 2L, 10L),
         "fully-committed-but-unpublished transaction leaked into phrase")
       assert(bm25Docs() === Set(1L, 2L, 3L, 10L),
