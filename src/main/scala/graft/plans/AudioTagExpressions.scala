@@ -21,9 +21,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    per spec) — TITLE / ARTIST / ALBUM collected, vendor reported;
   *  - `ID3`: an ID3v2.3 or v2.4 tag (frame sizes plain-32-bit vs
   *    syncsafe by version — the one wire difference that matters
-  *    here), walking text frames TIT2 / TPE1 / TALB; ISO-8859-1 and
-  *    UTF-8 text encodings decode, UTF-16 fields decline to NULL
-  *    fields (never mojibake); padding terminates the frame walk.
+  *    here), walking text frames TIT2 / TPE1 / TALB; ISO-8859-1,
+  *    UTF-8, BOM'd UTF-16 (encoding 1) and v2.4's BOM-less UTF-16BE
+  *    (encoding 2) all decode STRICTLY — a missing BOM, odd length,
+  *    or malformed surrogate declines the field to NULL (the byte
+  *    order is never guessed, mojibake never served); padding
+  *    terminates the frame walk.
   *
   * Anything else — including a bare MP3 frame chain with no ID3 tag —
   * is NULL: tags either exist structurally or the row has none.
@@ -84,6 +87,36 @@ object AudioTags {
     var i = 0
     while (i < len) { if (u8(b, at + i) < 0x20) return null; i += 1 }
     new String(b, at, len, charset)
+  }
+
+  /** Strict UTF-16 decode of b[at, at+len): BOM'd UTF-16 (ID3
+    * encoding 1, v2.3/v2.4) or BOM-less UTF-16BE (encoding 2, v2.4
+    * only). Trailing 16-bit NUL terminators are stripped AFTER the
+    * BOM; odd-length payloads, a missing BOM where one is required,
+    * malformed surrogates, and decoded control characters all decline
+    * to null — the dominant encoding for non-ASCII MP3 tags decodes,
+    * but a byte order is never guessed and mojibake never served. */
+  private def textUtf16(b: Array[Byte], at0: Int, len0: Int,
+      bomRequired: Boolean): String = {
+    var at = at0; var len = len0
+    var cs: java.nio.charset.Charset = null
+    if (len >= 2 && u8(b, at) == 0xFF && u8(b, at + 1) == 0xFE) {
+      cs = java.nio.charset.StandardCharsets.UTF_16LE; at += 2; len -= 2
+    } else if (len >= 2 && u8(b, at) == 0xFE && u8(b, at + 1) == 0xFF) {
+      cs = java.nio.charset.StandardCharsets.UTF_16BE; at += 2; len -= 2
+    } else if (!bomRequired) cs = java.nio.charset.StandardCharsets.UTF_16BE
+    else return null
+    if (len < 0 || (len & 1) != 0) return null
+    while (len >= 2 && b(at + len - 1) == 0 && b(at + len - 2) == 0) len -= 2
+    if (len == 0) return ""
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    val s = try dec.decode(java.nio.ByteBuffer.wrap(b, at, len)).toString
+    catch { case _: java.nio.charset.CharacterCodingException => return null }
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) < 0x20) return null; i += 1 }
+    s
   }
 
   def parse(b: Array[Byte]): InternalRow = {
@@ -207,11 +240,17 @@ object AudioTags {
         val plain = (flags & 0x00FF) == 0 && (flags & 0xF000) == 0
         if (plain && fsize >= 1 && id.startsWith("T")) {
           val enc = u8(b, p + 10)
-          // 0 = ISO-8859-1, 3 = UTF-8 (decoded); 1/2 = UTF-16 (field
-          // declines — the bytes are real but we never guess order)
+          // 0 = ISO-8859-1, 3 = UTF-8; 1 = BOM'd UTF-16 (v2.3/v2.4);
+          // 2 = BOM-less UTF-16BE (v2.4 ONLY — in v2.3 it's invalid
+          // and declines). Order is never guessed: encoding 1 without
+          // a BOM declines the field, not the tag.
           val v =
             if (enc == 0) text(b, p + 11, fsize.toInt - 1, "ISO-8859-1")
             else if (enc == 3) text(b, p + 11, fsize.toInt - 1)
+            else if (enc == 1)
+              textUtf16(b, p + 11, fsize.toInt - 1, bomRequired = true)
+            else if (enc == 2 && ver == 4)
+              textUtf16(b, p + 11, fsize.toInt - 1, bomRequired = false)
             else null
           id match {
             case "TIT2" if title == null => title = v

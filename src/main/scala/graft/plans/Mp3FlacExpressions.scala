@@ -316,14 +316,43 @@ object Mp3Meta {
       out.write(tagVer); out.write(0); out.write(0) // no flags
       out.write((id3Len >>> 21) & 0x7F); out.write((id3Len >>> 14) & 0x7F)
       out.write((id3Len >>> 7) & 0x7F); out.write(id3Len & 0x7F)
+      // text encoding rotates by seed so the UTF-16 paths are
+      // load-bearing in the oracled fixture queries: seed%5==1 ->
+      // encoding 1 (BOM'd UTF-16LE), seed%5==2 on a v2.4 tag ->
+      // encoding 2 (BOM-less UTF-16BE), else ISO-8859-1. The decoded
+      // VALUES are identical either way (ASCII seeds), so the
+      // doc_id-recomputable oracle is unchanged.
+      val enc: Int =
+        if (seed % 5 == 1) 1
+        else if (seed % 5 == 2 && tagVer == 4) 2
+        else 0
+      def payload(v: String): Array[Byte] = enc match {
+        case 1 =>
+          val bs = new Array[Byte](2 + v.length * 2)
+          bs(0) = 0xFF.toByte; bs(1) = 0xFE.toByte // LE BOM
+          var i = 0
+          while (i < v.length) {
+            bs(2 + 2 * i) = v(i).toByte; bs(3 + 2 * i) = 0; i += 1
+          }
+          bs
+        case 2 =>
+          val bs = new Array[Byte](v.length * 2)
+          var i = 0
+          while (i < v.length) {
+            bs(2 * i) = 0; bs(2 * i + 1) = v(i).toByte; i += 1
+          }
+          bs
+        case _ => v.getBytes("ISO-8859-1")
+      }
       val frames = Seq("TIT2" -> FlacMeta.tagTitle(seed),
         "TPE1" -> FlacMeta.tagArtist(seed), "TALB" -> FlacMeta.tagAlbum(seed))
-      val need = frames.map { case (_, v) => 11 + v.length }.sum
+      val need = frames.map { case (_, v) => 11 + payload(v).length }.sum
       if (need <= id3Len) {
         var written = 0
         frames.foreach { case (fid, v) =>
           fid.foreach(c => out.write(c))
-          val fsize = 1 + v.length
+          val pl = payload(v)
+          val fsize = 1 + pl.length
           if (tagVer == 4) {
             out.write((fsize >>> 21) & 0x7F); out.write((fsize >>> 14) & 0x7F)
             out.write((fsize >>> 7) & 0x7F); out.write(fsize & 0x7F)
@@ -332,8 +361,8 @@ object Mp3Meta {
             out.write((fsize >>> 8) & 0xFF); out.write(fsize & 0xFF)
           }
           out.write(0); out.write(0) // frame flags
-          out.write(0) // text encoding: ISO-8859-1
-          v.foreach(c => out.write(c))
+          out.write(enc) // text encoding byte
+          out.write(pl, 0, pl.length)
           written += 10 + fsize
         }
         while (written < id3Len) { out.write(0); written += 1 } // padding

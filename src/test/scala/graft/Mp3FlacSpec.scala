@@ -173,6 +173,58 @@ class Mp3FlacSpec extends AnyFunSuite {
     assert(fm == null || fm.isNullAt(1))
   }
 
+  test("audio tags: UTF-16 text frames decode strictly, order never guessed") {
+    import graft.plans.AudioTags
+    // fixture rotation: seed%5==1 -> encoding 1 (BOM'd UTF-16LE);
+    // seed%5==2 on v2.4 (seed%3==0) -> encoding 2 (UTF-16BE). Decoded
+    // values must equal the ISO seeds' — the oracle is encoding-blind.
+    for (seed <- Seq(6L, 101L, 12L, 66L)) {
+      val p = Mp3Meta.encode(4, 0, 1, mono = false, seed = seed,
+        vbrStep = 1, id3Len = 120, id3v1 = false)
+      val m = AudioTags.parse(p)
+      assert(m != null && m.getString(1) === s"t${seed % 1000}" &&
+        m.getString(2) === s"a${seed % 100}" &&
+        m.getString(3) === s"b${seed % 50}", s"utf16 fixture seed=$seed")
+    }
+    // hand-built v2.4 tag: non-ASCII BE and LE payloads round-trip
+    def tag(ver: Int, enc: Int, payload: Array[Byte]): Array[Byte] = {
+      val fsize = 1 + payload.length
+      val size = 10 + fsize + 6 // frame + a little padding
+      Array[Byte]('I', 'D', '3', ver.toByte, 0, 0,
+        ((size >>> 21) & 0x7F).toByte, ((size >>> 14) & 0x7F).toByte,
+        ((size >>> 7) & 0x7F).toByte, (size & 0x7F).toByte,
+        'T', 'I', 'T', '2') ++ (
+        if (ver == 4) Array[Byte](((fsize >>> 21) & 0x7F).toByte,
+          ((fsize >>> 14) & 0x7F).toByte, ((fsize >>> 7) & 0x7F).toByte,
+          (fsize & 0x7F).toByte)
+        else Array[Byte]((fsize >>> 24).toByte, ((fsize >>> 16) & 0xFF).toByte,
+          ((fsize >>> 8) & 0xFF).toByte, (fsize & 0xFF).toByte)) ++
+        Array[Byte](0, 0, enc.toByte) ++ payload ++ Array.fill[Byte](6)(0)
+    }
+    val uml = "Müller"
+    // encoding 1, BE BOM
+    val be = Array[Byte](0xFE.toByte, 0xFF.toByte) ++ uml.getBytes("UTF-16BE")
+    val mBe = AudioTags.parse(tag(4, 1, be))
+    assert(mBe != null && mBe.getString(1) === uml, "BOM'd UTF-16BE")
+    // encoding 1, LE BOM, with trailing 16-bit NUL terminator
+    val le = Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+      uml.getBytes("UTF-16LE") ++ Array[Byte](0, 0)
+    val mLe = AudioTags.parse(tag(3, 1, le))
+    assert(mLe != null && mLe.getString(1) === uml, "BOM'd UTF-16LE + NUL")
+    // encoding 2 (BOM-less BE): v2.4 decodes, v2.3 declines the field
+    val bare = uml.getBytes("UTF-16BE")
+    val m24 = AudioTags.parse(tag(4, 2, bare))
+    assert(m24 != null && m24.getString(1) === uml, "v2.4 encoding 2")
+    val m23 = AudioTags.parse(tag(3, 2, bare))
+    assert(m23 != null && m23.isNullAt(1), "encoding 2 is not valid in v2.3")
+    // strictness: odd length, lone surrogate, missing BOM all decline
+    assert(AudioTags.parse(tag(4, 1, be.dropRight(1))).isNullAt(1), "odd length")
+    val loneSurrogate = Array[Byte](0xFE.toByte, 0xFF.toByte, 0xD8.toByte, 0x00)
+    assert(AudioTags.parse(tag(4, 1, loneSurrogate)).isNullAt(1), "lone surrogate")
+    assert(AudioTags.parse(tag(4, 1, uml.getBytes("UTF-16BE"))).isNullAt(1),
+      "encoding 1 without a BOM must decline, never guess the order")
+  }
+
   test("audio tags: key case-insensitivity, UTF-16 decline, hostile lengths") {
     import graft.plans.AudioTags
     val good = FlacMeta.encode(48000, 1, 8, 10L, 42L, 2)
