@@ -1008,7 +1008,109 @@ object CommitLog {
           s"evolveSchema: declared column ${f.name} missing from the new schema")
       }
     }
-    declareSchema(spark, tablePath, schema)
+    // surviving fields KEEP their column-mapping physical names even
+    // when the caller's schema was built without metadata — dropping a
+    // mapping here would silently orphan every pre-rename file's data
+    val mapped = StructType(schema.fields.map { f =>
+      cur.fields.find(_.name == f.name) match {
+        case Some(c) if ColumnMapping.physical(c) != c.name =>
+          ColumnMapping.withPhysical(f, ColumnMapping.physical(c))
+        case _ => f
+      }
+    })
+    declareSchema(spark, tablePath, mapped)
+  }
+
+  // ---- column lifecycle: RENAME / DROP via column mapping ----------
+
+  /** Every PHYSICAL column name any schema declaration in the log has
+    * ever used — the resurrection guard's domain: a column ADDED with
+    * a logical name matching one of these must mint a fresh physical
+    * name ([[addColumnField]]), or files written under the retired
+    * column would serve their old data through the new one. Bounded:
+    * one regex probe per retained log entry, DDL-time only. */
+  private[graft] def usedPhysicalNames(spark: SparkSession,
+      tablePath: String): Set[String] =
+    versions(spark, tablePath).flatMap(v =>
+      schemaFieldRe.findFirstMatchIn(commitLine(spark, tablePath, v)).map(m =>
+        DataType.fromJson(unb64(m.group(1))).asInstanceOf[StructType]))
+      .flatMap(_.fields.map(ColumnMapping.physical)).toSet
+
+  /** Refuse column DDL on a CHECK-constrained column: the stored
+    * expression references the LOGICAL name, and a rename/drop would
+    * leave it unresolvable (or worse, silently resolving against a
+    * later re-add). Delta refuses identically. */
+  private def requireUnconstrained(spark: SparkSession, tablePath: String,
+      colName: String, what: String): Unit =
+    constraints(spark, tablePath).foreach { case (n, sql) =>
+      val refs = scala.util.Try(
+        spark.sessionState.sqlParser.parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.head
+        }.toSet).getOrElse(Set.empty[String])
+      require(!refs.contains(colName),
+        s"$what: column $colName is referenced by CHECK constraint " +
+        s"'$n' ($sql) — drop the constraint first")
+    }
+
+  /** `ALTER TABLE RENAME COLUMN` as ONE metadata commit — no data
+    * file rewritten: the field keeps its PHYSICAL name (the name it
+    * was created under, which every existing file and zone/bloom
+    * entry is keyed by) via [[ColumnMapping]] and only the LOGICAL
+    * (user-visible) name changes. Reads before the rename's version
+    * (time travel) serve the era's own declared name. */
+  def renameColumn(spark: SparkSession, tablePath: String,
+      from: String, to: String): Long = {
+    val cur = tableSchema(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"renameColumn: $tablePath has no declared schema (declareSchema first)"))
+    val f = cur.fields.find(_.name == from).getOrElse(
+      throw new IllegalArgumentException(
+        s"renameColumn: $tablePath declares no column $from"))
+    require(!cur.fields.exists(_.name == to),
+      s"renameColumn: $tablePath already declares a column $to")
+    requireUnconstrained(spark, tablePath, from, "renameColumn")
+    declareSchema(spark, tablePath, StructType(cur.fields.map(x =>
+      if (x.name == from)
+        ColumnMapping.withPhysical(x.copy(name = to), ColumnMapping.physical(f))
+      else x)))
+  }
+
+  /** `ALTER TABLE DROP COLUMN` as ONE metadata commit — the data
+    * stays in the files (and in time travel below this version) but
+    * the declared schema no longer exposes it. A later ADD COLUMN of
+    * the same name gets a FRESH physical name ([[addColumnField]]),
+    * so the dropped data can never resurrect. */
+  def dropColumn(spark: SparkSession, tablePath: String,
+      name: String): Long = {
+    val cur = tableSchema(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"dropColumn: $tablePath has no declared schema (declareSchema first)"))
+    require(cur.fields.exists(_.name == name),
+      s"dropColumn: $tablePath declares no column $name")
+    require(cur.fields.length > 1,
+      s"dropColumn: cannot drop $tablePath's only column")
+    requireUnconstrained(spark, tablePath, name, "dropColumn")
+    declareSchema(spark, tablePath,
+      StructType(cur.fields.filterNot(_.name == name)))
+  }
+
+  /** The field for a NEW column under the resurrection guard: when
+    * the logical name collides with ANY physical name the log has
+    * ever declared (a dropped column, or a renamed column's original
+    * name), the field is minted a fresh physical name so old files'
+    * data reads as NULL through it — never the retired column's
+    * values. */
+  def addColumnField(spark: SparkSession, tablePath: String,
+      name: String, dt: DataType): StructField = {
+    val used = usedPhysicalNames(spark, tablePath)
+    if (!used.contains(name)) StructField(name, dt, nullable = true)
+    else {
+      var i = latestVersion(spark, tablePath) + 1
+      var phys = s"${name}__p$i"
+      while (used.contains(phys)) { i += 1; phys = s"${name}__p$i" }
+      ColumnMapping.withPhysical(StructField(name, dt, nullable = true), phys)
+    }
   }
 
   /** Add a CHECK constraint (a SQL boolean expression over the
@@ -1071,10 +1173,14 @@ object CommitLog {
       // runs on a COUNTED violation); the batch path already reads
       // under the declared schema
       val gateSchema = tableSchema(spark, tablePath).getOrElse(schema)
+      // staged files carry PHYSICAL names (column mapping); CHECK
+      // expressions speak logical — read physical, alias back first
       val stagedDf = spark.read
-        .schema(StructType(gateSchema.fields.map(_.copy(nullable = true))))
+        .schema(StructType(ColumnMapping.physicalSchema(gateSchema)
+          .fields.map(_.copy(nullable = true))))
         .parquet(relNames.map(f => s"$tablePath/$f"): _*)
-      val bad = violationCounts(stagedDf, cs)
+      val bad = violationCounts(
+        ColumnMapping.toLogical(stagedDf, gateSchema), cs)
       if (bad.nonEmpty) {
         cleanup
         throw new IllegalArgumentException(
@@ -1111,7 +1217,20 @@ object CommitLog {
   private def readerFor(spark: SparkSession, tablePath: String,
       asOf: Option[Long] = None) =
     tableSchema(spark, tablePath, asOf).fold(spark.read)(d =>
-      spark.read.schema(StructType(d.fields.map(_.copy(nullable = true)))))
+      // data files are written under PHYSICAL names (column mapping):
+      // read in the physical shape; callers alias back to logical
+      // AFTER anything needing `_metadata` ([[ColumnMapping]])
+      spark.read.schema(StructType(
+        ColumnMapping.physicalSchema(d).fields.map(_.copy(nullable = true)))))
+
+  /** Alias a physical-shape DataFrame back to the declared logical
+    * names — the companion every [[readerFor]] caller applies once
+    * `_metadata` consultation (DV masking, provenance selects) is
+    * done. Identity for unmapped tables. */
+  private def logicalFor(spark: SparkSession, tablePath: String,
+      asOf: Option[Long])(df: DataFrame): DataFrame =
+    tableSchema(spark, tablePath, asOf)
+      .fold(df)(d => ColumnMapping.toLogical(df, d))
 
   /** Apply the version's deletion vectors to a parquet scan over
     * `files`: look the row's file up in a (metadata-sized) literal
@@ -1281,7 +1400,11 @@ object CommitLog {
     * schema ONCE and types every term against it. */
   private def probeHashOf(schema: Option[StructType], column: String,
       value: Any): Option[Long] = {
-    val colType = schema.flatMap(_.fields.find(_.name == column).map(_.dataType))
+    // `column` may arrive as a LOGICAL name (user-facing probes) or a
+    // PHYSICAL one (the scan's mapped filters) — resolve either; a
+    // physical name is unique, so the disjunction is unambiguous
+    val colType = schema.flatMap(_.fields.find(f =>
+      f.name == column || ColumnMapping.physical(f) == column).map(_.dataType))
     val probe: Option[Any] = (colType, value) match {
       case (Some(LongType), i: Int) => Some(i.toLong)
       case (Some(LongType), l: Long) => Some(l)
@@ -1306,16 +1429,19 @@ object CommitLog {
   def scanRange(spark: SparkSession, tablePath: String, column: String,
       lo: Double, hi: Double, asOf: Option[Long] = None): DataFrame = {
     val meta = resolvedMeta(spark, tablePath, asOf)
+    // zones are keyed by PHYSICAL names (column mapping)
+    val physCol = meta.declared
+      .fold(column)(ColumnMapping.physicalName(_, column))
     val files = prunedFilesMulti(spark, tablePath, meta,
-      Seq(SkipPreds(ranges = Seq((column, lo, hi))))).head
+      Seq(SkipPreds(ranges = Seq((physCol, lo, hi))))).head
     val pred = org.apache.spark.sql.functions.col(column) >= lo &&
       org.apache.spark.sql.functions.col(column) <= hi
     if (files.isEmpty) read(spark, tablePath, asOf).filter(org.apache.spark.sql.functions.lit(false))
     // declared-schema read: a post-evolution scan over mixed-schema
     // survivors must null-fill, exactly like [[read]]
-    else maskDvsWith(tablePath, meta.dvRefs, files,
+    else logicalOf(meta)(maskDvsWith(tablePath, meta.dvRefs, files,
       readerOf(spark, meta)
-        .parquet(files.map(f => s"$tablePath/$f"): _*)).filter(pred)
+        .parquet(files.map(f => s"$tablePath/$f"): _*))).filter(pred)
   }
 
   /** Append publishing per-file zone maps for `statsCols` in the same
@@ -1528,8 +1654,12 @@ object CommitLog {
     val meta = resolvedMeta(spark, tablePath, asOf)
     // probe typing subtleties live in [[probeHashOf]]; None = no
     // pruning for this shape (conservative — identical results)
+    // blooms are keyed by PHYSICAL names (column mapping); the probe
+    // TYPE resolves through the declared (logical) schema
+    val physCol = meta.declared
+      .fold(column)(ColumnMapping.physicalName(_, column))
     val preds = values.map(v => probeHashOf(meta.probeSchema, column, v)
-      .fold(SkipPreds())(h => SkipPreds(probes = Seq((column, h)))))
+      .fold(SkipPreds())(h => SkipPreds(probes = Seq((physCol, h)))))
     val filesPer = prunedFilesMulti(spark, tablePath, meta, preds)
     val reader = readerOf(spark, meta)
     values.zip(filesPer).map { case (v, files) =>
@@ -1538,7 +1668,8 @@ object CommitLog {
         // under the empty filter (planner prunes it), or the declared
         // schema's empty relation for a file-less table
         if (meta.live.nonEmpty)
-          reader.parquet(meta.live.map(f => s"$tablePath/$f"): _*)
+          logicalOf(meta)(
+            reader.parquet(meta.live.map(f => s"$tablePath/$f"): _*))
             .filter(lit(false))
         else {
           require(meta.declared.isDefined,
@@ -1548,8 +1679,8 @@ object CommitLog {
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
             meta.declared.get)
         }
-      } else maskDvsWith(tablePath, meta.dvRefs, files,
-        reader.parquet(files.map(f => s"$tablePath/$f"): _*))
+      } else logicalOf(meta)(maskDvsWith(tablePath, meta.dvRefs, files,
+        reader.parquet(files.map(f => s"$tablePath/$f"): _*)))
         .filter(col(column) === lit(v))
     }
   }
@@ -1625,8 +1756,8 @@ object CommitLog {
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         meta.declared.get)
     }
-    maskDvsWith(tablePath, meta.dvRefs, meta.live,
-      readerOf(spark, meta).parquet(meta.live.map(f => s"$tablePath/$f"): _*))
+    logicalOf(meta)(maskDvsWith(tablePath, meta.dvRefs, meta.live,
+      readerOf(spark, meta).parquet(meta.live.map(f => s"$tablePath/$f"): _*)))
   }
 
   /** Reader honoring the resolve's declared schema (nullability
@@ -1636,7 +1767,12 @@ object CommitLog {
     * uniform-schema by contract: evolution requires a declaration). */
   private def readerOf(spark: SparkSession, meta: ResolvedMeta) =
     meta.declared.orElse(meta.probeSchema).fold(spark.read)(d =>
-      spark.read.schema(StructType(d.fields.map(_.copy(nullable = true)))))
+      spark.read.schema(StructType(
+        ColumnMapping.physicalSchema(d).fields.map(_.copy(nullable = true)))))
+
+  /** [[logicalFor]] against an already-resolved meta. */
+  private def logicalOf(meta: ResolvedMeta)(df: DataFrame): DataFrame =
+    meta.declared.fold(df)(d => ColumnMapping.toLogical(df, d))
 
   /** Stage `df` as new immutable data files and publish them in one
     * commit. Appends never rewrite existing files. */
@@ -1777,7 +1913,10 @@ object CommitLog {
     val v0 = latestVersion(spark, tablePath)
     val live = if (v0 < 0) Seq.empty[String] else snapshot(spark, tablePath, Some(v0))
     val zones = fileStats(spark, tablePath, Some(v0))
-    def extent(f: String) = zones.get(f).flatMap(_.get(column))
+    // zones + staged-file stats are keyed by PHYSICAL names
+    val declared0 = tableSchema(spark, tablePath, Some(v0))
+    val physCol = declared0.fold(column)(ColumnMapping.physicalName(_, column))
+    def extent(f: String) = zones.get(f).flatMap(_.get(physCol))
     val inside = live.filter(extent(_).exists { case (mn, mx) => mn >= lo && mx <= hi })
     val straddling = live.filter { f =>
       extent(f) match {
@@ -1789,16 +1928,19 @@ object CommitLog {
     val (survFiles, survStats) =
       if (straddling.isEmpty) (Seq.empty[String], Map.empty: FileStats)
       else {
-        val surv = readerFor(spark, tablePath, Some(v0))
-          .parquet(straddling.map(f => s"$tablePath/$f"): _*)
-          .filter(col(column) < lit(lo) || col(column) > lit(hi))
+        // survivors read in the physical shape; alias back to logical
+        // before re-staging (stageWithMeta speaks logical names)
+        val surv = logicalFor(spark, tablePath, Some(v0))(
+          readerFor(spark, tablePath, Some(v0))
+            .parquet(straddling.map(f => s"$tablePath/$f"): _*)
+            .filter(col(physCol) < lit(lo) || col(physCol) > lit(hi)))
         val (fs0, st0, _) = stageWithMeta(spark, tablePath, surv, Seq(column), Seq.empty)
         (fs0, st0)
       }
     val (newFiles, newStats, _) =
       stageWithMeta(spark, tablePath, df, Seq(column), Seq.empty)
     newStats.foreach { case (f, cols) =>
-      cols.get(column).foreach { case (mn, mx) =>
+      cols.get(physCol).foreach { case (mn, mx) =>
         require(mn >= lo && mx <= hi,
           s"replaceRange: staged file $f carries $column in [$mn, $mx], " +
           s"outside the declared range [$lo, $hi] — nothing committed")
@@ -1849,12 +1991,19 @@ object CommitLog {
     if (files.isEmpty) return None
     // mask existing DVs so an already-deleted row can't be "re-deleted"
     // into a vector diff the change feed would then re-emit
-    val scan = maskDvs(spark, tablePath, Some(v0), files,
-      readerFor(spark, tablePath, Some(v0))
-        .parquet(files.map(f => s"$tablePath/$f"): _*))
+    // materialize the `_metadata` fields BEFORE the logical aliasing
+    // (a projection loses hidden file-source metadata), so the user's
+    // logical-named predicate and the file/row provenance coexist
+    val scan = ColumnMapping.toLogical(
+      maskDvs(spark, tablePath, Some(v0), files,
+        readerFor(spark, tablePath, Some(v0))
+          .parquet(files.map(f => s"$tablePath/$f"): _*))
+        .select(col("_metadata.file_name").as("__graft_fname"),
+          col("_metadata.row_index").as("__graft_ri"), col("*")),
+      tableSchema(spark, tablePath, Some(v0)).getOrElse(new StructType()))
     val matched = scan.filter(predicate)
-      .select(col("_metadata.file_name").as("fname"),
-        col("_metadata.row_index").as("ri"))
+      .select(col("__graft_fname").as("fname"),
+        col("__graft_ri").as("ri"))
       .groupBy(col("fname"))
       .agg(graft.plans.DeletionVector.bitset(col("ri")).as("dv"))
       .collect()
@@ -2155,18 +2304,21 @@ object CommitLog {
     val files = snapshot(spark, tablePath, Some(v0))
     require(files.nonEmpty, s"merge: no live files in $tablePath")
     val keys = changes.select(col(key)).distinct()
+    // zones + file columns are keyed by PHYSICAL names (column mapping)
+    val physKey = tableSchema(spark, tablePath, Some(v0))
+      .fold(key)(ColumnMapping.physicalName(_, key))
     // data-skipping pre-prune: on a zone-statted key, files whose
     // logged [min, max] cannot intersect the changes' key range hold
     // no changed key and are skipped before the detection scan — on a
     // range-clustered table the scan touches the blast radius, not
     // the table
-    val candidates = mergeCandidates(spark, tablePath, v0, files, keys, key)
+    val candidates = mergeCandidates(spark, tablePath, v0, files, keys, key, physKey)
     val touchedNames =
       if (candidates.isEmpty) Set.empty[String]
       else maskDvs(spark, tablePath, Some(v0), candidates,
         readerFor(spark, tablePath, Some(v0))
           .parquet(candidates.map(f => s"$tablePath/$f"): _*))
-        .select(col("_metadata.file_name").as("_fn"), col(key))
+        .select(col("_metadata.file_name").as("_fn"), col(physKey).as(key))
         .join(keys, Seq(key), "left_semi")
         .select(col("_fn")).distinct()
         .collect().map(_.getString(0)).toSet
@@ -2177,9 +2329,10 @@ object CommitLog {
     val base =
       if (touched.isEmpty)
         read(spark, tablePath, Some(v0)).filter(org.apache.spark.sql.functions.lit(false))
-      else maskDvs(spark, tablePath, Some(v0), touched,
-        readerFor(spark, tablePath, Some(v0))
-          .parquet(touched.map(f => s"$tablePath/$f"): _*))
+      else logicalFor(spark, tablePath, Some(v0))(
+        maskDvs(spark, tablePath, Some(v0), touched,
+          readerFor(spark, tablePath, Some(v0))
+            .parquet(touched.map(f => s"$tablePath/$f"): _*)))
     val content = Changes.mergeApply(base, changes, key)
     commit(spark, tablePath, stage(spark, tablePath, content), touched,
       expectedVersion = Some(v0))
@@ -2194,10 +2347,14 @@ object CommitLog {
     * contain any changed key. Package-visible so the spec can pin the
     * pruning. */
   private[graft] def mergeCandidates(spark: SparkSession, tablePath: String,
-      v0: Long, files: Seq[String], keys: DataFrame, key: String): Seq[String] = {
+      v0: Long, files: Seq[String], keys: DataFrame, key: String,
+      physKey: String = null): Seq[String] = {
     import org.apache.spark.sql.functions.{col, max, min}
+    // zones are keyed by the PHYSICAL name; the change set's column is
+    // the LOGICAL one (identical unless the table maps the column)
+    val pk = Option(physKey).getOrElse(key)
     val zones = fileStats(spark, tablePath, Some(v0))
-    if (!files.exists(f => zones.get(f).exists(_.contains(key)))) return files
+    if (!files.exists(f => zones.get(f).exists(_.contains(pk)))) return files
     val range = scala.util.Try {
       val r = keys.agg(
         min(col(key).try_cast("double")).as("lo"),
@@ -2209,7 +2366,7 @@ object CommitLog {
       case None => files // non-numeric / empty change set: no pruning
       case Some((lo, hi)) =>
         files.filter { f =>
-          zones.get(f).flatMap(_.get(key)) match {
+          zones.get(f).flatMap(_.get(pk)) match {
             case Some((mn, mx)) if !mn.isNaN && !mx.isNaN => mx >= lo && mn <= hi
             case _ => true // unknown/corrupt extent: conservative keep
           }
@@ -2311,15 +2468,18 @@ object CommitLog {
       .map { case ((v, kind), ss) =>
         // declared-schema read keeps slices uniform across a schema
         // evolution (pre-evolution files null-fill)
-        readerFor(spark, tablePath).parquet(ss.map(s => s"$tablePath/${s.file}"): _*)
+        logicalFor(spark, tablePath, None)(
+          readerFor(spark, tablePath).parquet(ss.map(s => s"$tablePath/${s.file}"): _*))
           .withColumn("_change_type", lit(kind))
           .withColumn("_commit_version", lit(v))
       }
     val dvDfs = dvSlices.map { s =>
-      readerFor(spark, tablePath).parquet(s"$tablePath/${s.file}")
-        .filter(graft.plans.DeletionVector.dvTest(
-          lit(s.dvDiff.get),
-          org.apache.spark.sql.functions.col("_metadata.row_index")))
+      // the DV bit test consumes `_metadata` BEFORE the logical alias
+      logicalFor(spark, tablePath, None)(
+        readerFor(spark, tablePath).parquet(s"$tablePath/${s.file}")
+          .filter(graft.plans.DeletionVector.dvTest(
+            lit(s.dvDiff.get),
+            org.apache.spark.sql.functions.col("_metadata.row_index"))))
         .withColumn("_change_type", lit("delete"))
         .withColumn("_commit_version", lit(s.version))
     }
@@ -2608,9 +2768,18 @@ object CommitLog {
     // fine — the reader null-fills them from the declared schema)
     val declared = tableSchema(spark, tablePath)
     declared.foreach(d => enforceSchemaSubset(tablePath, d, df.schema))
+    // COLUMN MAPPING boundary: from here down the staging runs in the
+    // PHYSICAL name domain — files, zone/bloom keys and the stats
+    // aggregate all use physical names, so files written before a
+    // rename and after it are indistinguishable on disk
+    val dfP = declared.fold(df)(ColumnMapping.toPhysical(df, _))
+    val statsColsP = declared.fold(statsCols)(d =>
+      statsCols.map(ColumnMapping.physicalName(d, _)))
+    val bloomColsP = declared.fold(bloomCols)(d =>
+      bloomCols.map(ColumnMapping.physicalName(d, _)))
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(root, s"_staging_$stamp")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    dfP.write.mode("overwrite").parquet(tmp.toString)
     // heartbeat: the staging sweep (vacuum) ages a _staging_ dir by
     // its NEWEST child — which stops moving once the last part file
     // lands, even though the write is still mid-flight (constraint
@@ -2629,10 +2798,14 @@ object CommitLog {
     // so readers never see a partially-validated batch
     val cs = constraints(spark, tablePath)
     if (cs.nonEmpty) {
+      // staged files carry physical names; CHECK expressions speak
+      // logical — read physical, alias back before evaluating
       val staged = declared.fold(spark.read)(d =>
-        spark.read.schema(StructType(d.fields.map(_.copy(nullable = true)))))
+        spark.read.schema(StructType(ColumnMapping.physicalSchema(d)
+          .fields.map(_.copy(nullable = true)))))
         .parquet(tmp.toString)
-      val bad = violationCounts(staged, cs)
+      val stagedL = declared.fold(staged)(ColumnMapping.toLogical(staged, _))
+      val bad = violationCounts(stagedL, cs)
       if (bad.nonEmpty) {
         fs.delete(tmp, true)
         throw new IllegalArgumentException(
@@ -2649,16 +2822,16 @@ object CommitLog {
       // [[RowCountStat]] stats key (Delta's numRecords): COUNT(*) then
       // answers from the log with zero file opens. Skipped (collision
       // safety) in the pathological case of a data column by that name.
-      val publishRows = !df.columns.contains(RowCountStat)
+      val publishRows = !dfP.columns.contains(RowCountStat)
       // per-column NON-NULL counts ride the same aggregate (see
       // [[NonNullStatPrefix]]); a user column literally named like the
       // reserved key would collide in the stats map, so that column
       // skips publication (same collision posture as __rows)
-      val nnCols = statsCols.filter(c => !df.columns.contains(nonNullStat(c)))
-      val aggs = statsCols.flatMap(c =>
+      val nnCols = statsColsP.filter(c => !dfP.columns.contains(nonNullStat(c)))
+      val aggs = statsColsP.flatMap(c =>
         Seq(min(col(c)).cast("double").as(s"min_$c"),
           max(col(c)).cast("double").as(s"max_$c"))) ++
-        bloomCols.map(c =>
+        bloomColsP.map(c =>
           graft.plans.BloomAggregate.bloom(xxhash64(col(c)), mBits, k).as(s"bloom_$c")) ++
         nnCols.map(c => count(col(c)).cast("double").as(s"nn_$c")) ++
         (if (publishRows) Seq(count(lit(1)).cast("double").as("__nrows")) else Seq.empty)
@@ -2668,7 +2841,7 @@ object CommitLog {
         .collect()
       tmpStats = rows.map { r =>
         val name = r.getString(0).split('/').last
-        val colStats = statsCols.flatMap { c =>
+        val colStats = statsColsP.flatMap { c =>
           val lo = r.getAs[Any](s"min_$c")
           val hi = r.getAs[Any](s"max_$c")
           if (lo == null || hi == null) None
@@ -2687,7 +2860,7 @@ object CommitLog {
       }.toMap
       tmpBlooms = rows.map { r =>
         val name = r.getString(0).split('/').last
-        name -> bloomCols.map { c =>
+        name -> bloomColsP.map { c =>
           c -> (k.toString + ":" + java.util.Base64.getEncoder
             .encodeToString(r.getAs[Array[Byte]](s"bloom_$c")))
         }.toMap

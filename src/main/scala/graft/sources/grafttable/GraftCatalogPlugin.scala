@@ -102,34 +102,54 @@ class GraftCatalogPlugin extends TableCatalog {
     new GraftTable(path, schema, v, acceptAnySchema = false)
   }
 
-  /** ADD COLUMNS only, mapped onto [[CommitLog.evolveSchema]]'s
-    * widen-only contract: a top-level, positionless, defaultless new
-    * column; anything else (renames, retypes, drops) would orphan
-    * existing files' data and is refused with the evolve rule's own
-    * message. */
+  /** Column lifecycle DDL, all metadata-only commits:
+    *
+    *  - ADD COLUMNS maps onto [[CommitLog.evolveSchema]]'s widen-only
+    *    contract (top-level, positionless, defaultless), with the
+    *    resurrection guard: a name any earlier schema used physically
+    *    gets a FRESH minted physical name
+    *    ([[CommitLog.addColumnField]]);
+    *  - RENAME COLUMN / DROP COLUMN ride Delta-style COLUMN MAPPING
+    *    ([[graft.operators.ColumnMapping]]): the physical name in the
+    *    files never changes, so no data is rewritten and zone/bloom
+    *    pruning keeps working across the rename;
+    *  - retypes and nested changes are refused — they would orphan
+    *    existing files' data. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val path = pathOf(ident)
     if (!exists(path)) throw new NoSuchTableException(ident)
-    val cur = CommitLog.tableSchema(spark, path).getOrElse(
+    CommitLog.tableSchema(spark, path).getOrElse(
       throw new UnsupportedOperationException(
         s"$catalogName: $path has no declared schema — declareSchema " +
         "first (ALTER gates on the declared-schema contract)"))
-    val next = changes.foldLeft(cur) { (acc, ch) =>
-      ch match {
-        case add: TableChange.AddColumn =>
-          require(add.fieldNames.length == 1,
-            s"$catalogName: nested ADD COLUMN ${add.fieldNames.mkString(".")}")
-          require(add.position == null,
-            s"$catalogName: column position is not supported (files are " +
-            "name-addressed; order is presentational)")
-          acc.add(add.fieldNames.head, add.dataType, nullable = true)
-        case other => throw new UnsupportedOperationException(
-          s"$catalogName: unsupported ALTER ${other.getClass.getSimpleName} — " +
-          "only ADD COLUMNS widens without orphaning existing files")
-      }
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"$catalogName: nested ADD COLUMN ${add.fieldNames.mkString(".")}")
+        require(add.position == null,
+          s"$catalogName: column position is not supported (files are " +
+          "name-addressed; order is presentational)")
+        // re-read the schema per change: a multi-change ALTER must see
+        // its own earlier effects
+        val cur = CommitLog.tableSchema(spark, path).get
+        CommitLog.evolveSchema(spark, path, StructType(cur.fields :+
+          CommitLog.addColumnField(spark, path, add.fieldNames.head,
+            add.dataType)))
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          s"$catalogName: nested RENAME COLUMN ${rn.fieldNames.mkString(".")}")
+        CommitLog.renameColumn(spark, path, rn.fieldNames.head, rn.newName)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"$catalogName: nested DROP COLUMN ${del.fieldNames.mkString(".")}")
+        CommitLog.dropColumn(spark, path, del.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
+        s"$catalogName: unsupported ALTER ${other.getClass.getSimpleName} — " +
+        "ADD/RENAME/DROP COLUMN are the supported column changes " +
+        "(a retype would orphan existing files' data)")
     }
-    CommitLog.evolveSchema(spark, path, next)
+    val next = CommitLog.tableSchema(spark, path).get
     new GraftTable(path, next, CommitLog.latestVersion(spark, path), acceptAnySchema = false)
   }
 

@@ -187,12 +187,22 @@ class GraftCowWrite(op: GraftRowLevelOperation, tablePath: String,
     // carry zone-stat coverage through the rewrite: every column
     // statted on any live file of the scanned snapshot stays statted
     val scan = op.cowScan
+    // COLUMN MAPPING boundary: the COW rewrite emits PHYSICAL column
+    // names, and stat coverage intersects in the physical domain
+    // (logged stats are keyed physically)
+    import graft.operators.ColumnMapping
+    val writeSchemaP = CommitLog.tableSchema(spark, tablePath) match {
+      case Some(d) if ColumnMapping.hasMapping(d) =>
+        org.apache.spark.sql.types.StructType(writeSchema.fields.map(f =>
+          f.copy(name = ColumnMapping.physicalName(d, f.name))))
+      case _ => writeSchema
+    }
     val statted: Seq[String] =
       if (scan == null) Seq.empty
       else CommitLog.fileStats(spark, tablePath, Some(scan.version))
         .values.flatMap(_.keys).toSet
-        .intersect(writeSchema.fields.map(_.name).toSet).toSeq.sorted
-    GraftCowWriterFactory(tablePath, writeSchema, statted)
+        .intersect(writeSchemaP.fields.map(_.name).toSet).toSeq.sorted
+    GraftCowWriterFactory(tablePath, writeSchemaP, statted)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

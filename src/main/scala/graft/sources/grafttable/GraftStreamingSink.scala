@@ -61,9 +61,20 @@ class GraftStreamingWrite(tablePath: String, schema: StructType,
     val spark = SparkSession.active
     // declared-schema gate BEFORE any task writes: the SAME shared
     // subset-with-identical-types contract stageWithMeta enforces
-    CommitLog.tableSchema(spark, tablePath).foreach(d =>
-      CommitLog.enforceSchemaSubset(tablePath, d, schema))
-    GraftStreamWriterFactory(tablePath, schema, statsCols, bloomCols, mBits, k)
+    val declared = CommitLog.tableSchema(spark, tablePath)
+    declared.foreach(d => CommitLog.enforceSchemaSubset(tablePath, d, schema))
+    // COLUMN MAPPING boundary: task writers emit PHYSICAL column
+    // names (rows are positional — only the file/stats names change)
+    import graft.operators.ColumnMapping
+    val (schemaP, statsP, bloomP) = declared match {
+      case Some(d) if ColumnMapping.hasMapping(d) =>
+        (StructType(schema.fields.map(f =>
+          f.copy(name = ColumnMapping.physicalName(d, f.name)))),
+          statsCols.map(ColumnMapping.physicalName(d, _)),
+          bloomCols.map(ColumnMapping.physicalName(d, _)))
+      case _ => (schema, statsCols, bloomCols)
+    }
+    GraftStreamWriterFactory(tablePath, schemaP, statsP, bloomP, mBits, k)
   }
 
   override def commit(epochId: Long,

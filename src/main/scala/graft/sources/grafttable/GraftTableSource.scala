@@ -124,7 +124,15 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
             case _ => ()
           }
         }
-        schema
+        // re-attach COLUMN MAPPING metadata the user's hand-written
+        // subset schema lacks — without it a renamed column would
+        // silently null-fill instead of resolving its physical name
+        import graft.operators.ColumnMapping
+        if (!ColumnMapping.hasMapping(c)) schema
+        else StructType(schema.fields.map(f =>
+          c.fields.find(_.name == f.name)
+            .map(cf => ColumnMapping.withPhysical(f, ColumnMapping.physical(cf)))
+            .getOrElse(f)))
     }
     new GraftTable(path, resolved, pinned)
   }
@@ -372,6 +380,11 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
   private var pushed: Array[Filter] = Array.empty
   private var aggResult: Option[(StructType, Seq[InternalRow])] = None
 
+  // COLUMN MAPPING: zones/blooms/file columns are keyed by PHYSICAL
+  // names; the query speaks logical ones (identity when unmapped)
+  private def physOf(c: String): String =
+    graft.operators.ColumnMapping.physicalName(full, c)
+
   /** MIN/MAX/COUNT answered from the LOG's zone maps — zero file
     * opens, the metadata the cluster's driver already holds. Sound
     * only when: grouping is absent OR by ONE column whose zone is a
@@ -454,7 +467,7 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
     // files); Some(None) = NULL result, None = cannot serve
     def extremum(sub: Seq[String], c: String, isMin: Boolean): Option[Option[Double]] = {
       if (sub.isEmpty) return Some(None)
-      val perFile = sub.map(f => zones.get(f).flatMap(_.get(c)))
+      val perFile = sub.map(f => zones.get(f).flatMap(_.get(physOf(c))))
       if (perFile.exists(_.isEmpty)) return None // un-statted file
       val vals = perFile.flatten.map(t => if (isMin) t._1 else t._2)
       if (vals.exists(_.isNaN)) return None
@@ -533,12 +546,12 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
       def nullFree(f: String, g: String): Boolean =
         zones.get(f).exists { st =>
           st.get(CommitLog.RowCountStat).exists { case (rows, _) =>
-            st.get(CommitLog.nonNullStat(g)).exists(_._1 == rows)
+            st.get(CommitLog.nonNullStat(physOf(g))).exists(_._1 == rows)
           }
         }
       val keyed: Seq[Option[(Seq[Double], String)]] = files.map { f =>
         val key = groupCols.map { g =>
-          zones.get(f).flatMap(_.get(g)) match {
+          zones.get(f).flatMap(_.get(physOf(g))) match {
             case Some((lo, hi)) if lo == hi && !lo.isNaN && nullFree(f, g) =>
               Some(lo)
             case _ => None
@@ -577,11 +590,11 @@ class GraftScanBuilder(tablePath: String, version: Long, full: StructType,
   }
 
   private def exactType(c: String): Boolean =
-    // a user column literally named like the reserved row-count or
-    // non-null-count stats would read count entries from OLDER files
-    // as min/max — decline
-    c != CommitLog.RowCountStat &&
-    !c.startsWith(CommitLog.NonNullStatPrefix) &&
+    // a user column whose PHYSICAL name collides with the reserved
+    // row-count or non-null-count stats would read count entries from
+    // OLDER files as min/max — decline (stats are keyed physically)
+    physOf(c) != CommitLog.RowCountStat &&
+    !physOf(c).startsWith(CommitLog.NonNullStatPrefix) &&
     full.fields.find(_.name == c).exists {
       _.dataType match {
         case IntegerType | DateType | FloatType | DoubleType | LongType => true
@@ -752,6 +765,12 @@ class GraftScan(tablePath: String, version: Long, required: StructType,
       .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
       .filter(c => required.fieldNames.contains(c))
 
+  // COLUMN MAPPING: zone lookups key physically; clusterCols stay
+  // logical for the reported partitioning/ordering expressions
+  private lazy val physMap: Map[String, String] =
+    GraftScan.mappingOf(SparkSession.active, tablePath, version)
+  private def physOf(c: String): String = physMap.getOrElse(c, c)
+
   private lazy val zoneStats: CommitLog.FileStats =
     CommitLog.fileStats(SparkSession.active, tablePath, Some(version))
 
@@ -762,7 +781,7 @@ class GraftScan(tablePath: String, version: Long, required: StructType,
     else {
       val zones = zoneStats
       val keyed = fileSlices._1.map { f =>
-        val key = clusterCols.map(c => zones.get(f).flatMap(_.get(c)) match {
+        val key = clusterCols.map(c => zones.get(f).flatMap(_.get(physOf(c))) match {
           case Some((lo, hi)) if lo == hi && !lo.isNaN => Some(lo)
           case _ => None
         })
@@ -852,7 +871,7 @@ class GraftScan(tablePath: String, version: Long, required: StructType,
       val st = zoneStats.getOrElse(f, Map.empty)
       st.get(CommitLog.RowCountStat).exists { case (rows, _) =>
         clusterCols.forall(c =>
-          st.get(CommitLog.nonNullStat(c)).exists(_._1 == rows))
+          st.get(CommitLog.nonNullStat(physOf(c))).exists(_._1 == rows))
       }
     }
 
@@ -904,10 +923,24 @@ class GraftScan(tablePath: String, version: Long, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required)
+    new GraftReaderFactory(required,
+      GraftScan.mappingOf(SparkSession.active, tablePath, version))
 }
 
 object GraftScan {
+
+  /** logical→physical rename map of the table's declared schema at
+    * `version` (empty when unmapped) — shipped to the partition
+    * readers so file-column matching never depends on Spark
+    * preserving field metadata through column pruning. */
+  private[grafttable] def mappingOf(spark: SparkSession, tablePath: String,
+      version: Long): Map[String, String] =
+    CommitLog.tableSchema(spark, tablePath, Some(version))
+      .filter(graft.operators.ColumnMapping.hasMapping)
+      .map(d => d.fields.iterator
+        .filter(f => graft.operators.ColumnMapping.physical(f) != f.name)
+        .map(f => f.name -> graft.operators.ColumnMapping.physical(f)).toMap)
+      .getOrElse(Map.empty)
   /** The column a skippable v1 filter predicates on, if any. */
   private[grafttable] def filterColumn(f: Filter): Option[String] = f match {
     case GreaterThan(c, _) => Some(c)
@@ -926,7 +959,17 @@ object GraftScan {
     * strict lower bound survives and the residual filter decides).
     * Shared by the batch scan and the row-level COW scan. */
   private[grafttable] def skipPredsOf(spark: SparkSession, tablePath: String,
-      version: Long, pushed: Array[Filter]): CommitLog.SkipPreds = {
+      version: Long, pushed0: Array[Filter]): CommitLog.SkipPreds = {
+    // COLUMN MAPPING: filters arrive with LOGICAL names; zones, blooms
+    // and row-group ranges are keyed by PHYSICAL names — translate
+    // once here so every consumer (batch scan, COW scan, runtime
+    // filters) consults the right keys
+    val pushed = CommitLog.tableSchema(spark, tablePath, Some(version))
+      .filter(graft.operators.ColumnMapping.hasMapping) match {
+        case Some(d) => pushed0.map(graft.operators.ColumnMapping
+          .mapFilter(_, graft.operators.ColumnMapping.physicalName(d, _)))
+        case None => pushed0
+      }
     val ranges = Seq.newBuilder[(String, Double, Double)]
     val probes = Seq.newBuilder[(String, Long)]
     val probeSets = Seq.newBuilder[(String, Seq[Long])]
@@ -1000,21 +1043,22 @@ case class GraftKeyedPartition(files: Array[GraftPartition], key: InternalRow)
   override def partitionKey(): InternalRow = key
 }
 
-class GraftReaderFactory(schema: StructType) extends PartitionReaderFactory {
+class GraftReaderFactory(schema: StructType,
+    nameMap: Map[String, String] = Map.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case p: GraftPartition => new GraftPartitionReader(p, schema)
+      case p: GraftPartition => new GraftPartitionReader(p, schema, nameMap)
       case k: GraftKeyedPartition => new PartitionReader[InternalRow] {
         // chain the key's files through the ordinary single-file reader
         private var idx = 0
         private var cur: PartitionReader[InternalRow] =
-          if (k.files.isEmpty) null else new GraftPartitionReader(k.files(0), schema)
+          if (k.files.isEmpty) null else new GraftPartitionReader(k.files(0), schema, nameMap)
         override def next(): Boolean = {
           while (cur != null) {
             if (cur.next()) return true
             cur.close(); idx += 1
             cur = if (idx < k.files.length)
-              new GraftPartitionReader(k.files(idx), schema) else null
+              new GraftPartitionReader(k.files(idx), schema, nameMap) else null
           }
           false
         }
@@ -1045,10 +1089,17 @@ class GraftReaderFactory(schema: StructType) extends PartitionReaderFactory {
   * a plain signed number (no logical annotation) — the one domain
   * where footer min/max and the pushed double range are comparable
   * without conversion subtleties; everything else keeps the group. */
-class GraftPartitionReader(p: GraftPartition, schema: StructType)
+class GraftPartitionReader(p: GraftPartition, schema: StructType,
+    nameMap: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   GraftPartitionReader.filesOpened.incrementAndGet() // test observability
+
+  // COLUMN MAPPING: file columns are addressed by PHYSICAL names (the
+  // scan-time map wins; field metadata is the fallback so a factory
+  // built without one still resolves); output slots keep logical names
+  private def physName(f: StructField): String =
+    nameMap.getOrElse(f.name, graft.operators.ColumnMapping.physical(f))
 
   private val conf = new Configuration()
   private val reader =
@@ -1062,13 +1113,13 @@ class GraftPartitionReader(p: GraftPartition, schema: StructType)
   // ParquetGroups — the open-time gate only rejects a declared type
   // whose TOP-LEVEL shape contradicts the file's
   private val isFileCol: Array[Boolean] = schema.fields.map(f =>
-    f.name == GraftFileMetaColumn.name() && !fileSchema.containsField(f.name))
+    f.name == GraftFileMetaColumn.name() && !fileSchema.containsField(physName(f)))
   private val filePathUtf8 =
     org.apache.spark.unsafe.types.UTF8String.fromString(p.filePath)
   private val present: Array[StructField] =
-    schema.fields.filter(f => fileSchema.containsField(f.name))
+    schema.fields.filter(f => fileSchema.containsField(physName(f)))
   present.foreach { f =>
-    val t = fileSchema.getType(fileSchema.getFieldIndex(f.name))
+    val t = fileSchema.getType(fileSchema.getFieldIndex(physName(f)))
     if (!graft.sources.ParquetGroups.shapeCompatible(t, f.dataType))
       throw new UnsupportedOperationException(
         s"graft ${p.filePath}: column '${f.name}' is ${t} in the file but " +
@@ -1076,12 +1127,12 @@ class GraftPartitionReader(p: GraftPartition, schema: StructType)
   }
   private val projSchema: MessageType =
     new MessageType(fileSchema.getName, present.map(f =>
-      fileSchema.getType(fileSchema.getFieldIndex(f.name))): _*)
+      fileSchema.getType(fileSchema.getFieldIndex(physName(f)))): _*)
   if (present.nonEmpty) reader.setRequestedSchema(projSchema)
 
   // output slot -> projected field index (-1 = absent: null-fill)
   private val fieldIdx: Array[Int] = schema.fields.map(f =>
-    if (projSchema.containsField(f.name)) projSchema.getFieldIndex(f.name)
+    if (projSchema.containsField(physName(f))) projSchema.getFieldIndex(physName(f))
     else -1)
 
   private val dv: Array[Byte] =

@@ -106,9 +106,14 @@ class GraftCatalogSqlSpec extends SparkSpec {
       val got = spark.sql(s"SELECT * FROM graft.`$t` ORDER BY id").collect()
       assert(got.length === 2)
       assert(got(0).isNullAt(2) && got(1).getDouble(2) === 0.5)
-      // rename/retype refused by the widen-only contract
+      // r14: RENAME COLUMN now succeeds via column mapping
+      // (metadata-only — ColumnMappingSpec covers the full surface)
+      spark.sql(s"ALTER TABLE graft.`$t` RENAME COLUMN s TO label")
+      assert(spark.sql(s"SELECT * FROM graft.`$t`").columns.toSeq ===
+        Seq("id", "label", "score"))
+      // a retype is still refused — it would orphan existing files
       intercept[Exception] {
-        spark.sql(s"ALTER TABLE graft.`$t` RENAME COLUMN s TO t")
+        spark.sql(s"ALTER TABLE graft.`$t` ALTER COLUMN id TYPE INT")
       }
     } finally cleanup(t)
   }
