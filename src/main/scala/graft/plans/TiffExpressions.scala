@@ -13,9 +13,11 @@ import org.apache.spark.sql.types._
   * The DECODE envelope (everything below has passing round-trip
   * oracles and both-direction JDK differentials): grayscale
   * (PhotometricInterpretation=1), RGB (=2) and 8-bit Palette (=3,
-  * ColorMap tag 320), BOTH byte orders, uncompressed (Compression=1)
-  * or TIFF-flavor LZW (=5, see [[TiffLzw]]) with or without the
-  * horizontal predictor (317), organized as chunky strips, 16×16+
+  * ColorMap tag 320), BOTH byte orders, uncompressed (Compression=1),
+  * TIFF-flavor LZW (=5, see [[TiffLzw]]) with or without the
+  * horizontal predictor (317), or PackBits RLE (=32773, see
+  * [[TiffPackBits]]; predictor declined — the tag is LZW's
+  * companion), organized as chunky strips, 16×16+
   * tiles (322-325, padded edges ignored), or separate planes
   * (PlanarConfiguration=2, decoded in strips), 16-bit samples in
   * chunky strips (summed by the HIGH byte, the PNG-16 convention),
@@ -162,14 +164,19 @@ object TiffPixels {
       e += 1
     }
 
-    // the decode envelope: 8-bit chunky gray or RGB, uncompressed or
-    // TIFF-flavor LZW, horizontal predictor or none
+    // the decode envelope: 8-bit chunky gray or RGB, uncompressed,
+    // TIFF-flavor LZW, or PackBits (=32773, TIFF 6.0 §9 RLE),
+    // horizontal predictor or none
     if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return null
-    if ((comp != 1L && comp != 5L) || (planar != 1L && planar != 2L)) return null
+    if ((comp != 1L && comp != 5L && comp != 32773L) ||
+      (planar != 1L && planar != 2L)) return null
     if (pred != 1L && pred != 2L) return null
-    // the LZW path allocates the decompressed strip (the input bytes
-    // no longer bound it), so a hostile header needs a pixel ceiling
-    if (comp == 5L && w * h > MaxLzwPixels) return null
+    // the predictor (317) is LZW's companion in the spec; a PackBits
+    // file carrying it is out of envelope — decline, never misread
+    if (pred == 2L && comp == 32773L) return null
+    // the LZW/PackBits paths allocate the decompressed strip (the
+    // input bytes no longer bound it): hostile headers need a ceiling
+    if ((comp == 5L || comp == 32773L) && w * h > MaxLzwPixels) return null
     if (photo == 0L || photo == 1L) { if (spp != 1L) return null }
     else if (photo == 2L) { if (spp != 3L) return null }
     else if (photo == 3L) {
@@ -232,6 +239,11 @@ object TiffPixels {
           if (cnt != expect) return null
           if (at < 8 || at + expect > b.length) return null
           java.util.Arrays.copyOfRange(b, at.toInt, (at + expect).toInt)
+        } else if (comp == 32773L) {
+          if (cnt <= 0 || at < 8 || at + cnt > b.length) return null
+          val out = new Array[Byte](expect.toInt)
+          if (!TiffPackBits.decode(b, at.toInt, (at + cnt).toInt, out)) return null
+          out
         } else {
           if (cnt <= 0 || at < 8 || at + cnt > b.length) return null
           val out = new Array[Byte](expect.toInt)
@@ -540,6 +552,75 @@ object TiffLzw {
   }
 }
 
+/** TIFF PackBits (TIFF 6.0 §9) — the Apple-heritage byte-RLE every
+  * scanner pipeline emits: a signed control byte n, then n in 0..127
+  * copies n+1 literal bytes, n in -127..-1 repeats the next byte
+  * 1-n times, and -128 is a no-op. Decode is parse-or-NULL: any
+  * packet overrunning the input or the output, or a stream that
+  * fails to fill the strip exactly, refuses the file. */
+private[graft] object TiffPackBits {
+
+  def decode(b: Array[Byte], from: Int, to: Int, out: Array[Byte]): Boolean = {
+    var i = from
+    var o = 0
+    while (i < to && o < out.length) {
+      val n = b(i)
+      i += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        if (i + cnt > to || o + cnt > out.length) return false
+        System.arraycopy(b, i, out, o, cnt)
+        i += cnt; o += cnt
+      } else if (n != -128) { // -128 is a spec no-op
+        val cnt = 1 - n
+        if (i >= to || o + cnt > out.length) return false
+        java.util.Arrays.fill(out, o, o + cnt, b(i))
+        i += 1; o += cnt
+      }
+    }
+    o == out.length
+  }
+
+  /** Per-ROW compression (the spec's boundary rule: packets never
+    * cross row boundaries): greedy runs of >= 3 identical bytes
+    * become repeat packets, everything else literal packets of up to
+    * 128 bytes — real RLE, not literal-only, so the fixture exercises
+    * both packet kinds and the -128 no-op never appears. */
+  def encode(data: Array[Byte], rowBytes: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var r = 0
+    while (r < data.length) {
+      val end = math.min(r + rowBytes, data.length)
+      var i = r
+      while (i < end) {
+        // length of the run starting at i (capped at 128)
+        var run = 1
+        while (i + run < end && run < 128 && data(i + run) == data(i)) run += 1
+        if (run >= 3) {
+          out.write(1 - run) // repeat packet
+          out.write(data(i))
+          i += run
+        } else {
+          // literal packet: up to 128 bytes, stopping before a >=3 run
+          var j = i + run
+          var lit = run
+          while (j < end && lit < 128) {
+            var r2 = 1
+            while (j + r2 < end && r2 < 3 && data(j + r2) == data(j)) r2 += 1
+            if (r2 >= 3) j = end // force stop: next packet takes the run
+            else { j += 1; lit += 1 }
+          }
+          out.write(lit - 1)
+          out.write(data, i, lit)
+          i += lit
+        }
+      }
+      r = end
+    }
+    out.toByteArray
+  }
+}
+
 /** `graft_tiff_encode(w, h, seed, mode, rows_per_strip)` → binary: a
   * valid baseline TIFF. Modes 0..11 are chunky strips (`mode % 4`:
   * 0 = LE RGB, 1 = BE RGB, 2 = LE gray, 3 = BE gray; `mode / 4`:
@@ -590,7 +671,7 @@ object TiffEncode {
 
   def encode(w: Int, h: Int, seed: Long, mode: Int, rowsPerStrip: Int): Array[Byte] = {
     if (w <= 0 || w > 4096 || h <= 0 || h > 4096 || seed < 0) return null
-    if (mode < 0 || mode > 63 || rowsPerStrip <= 0) return null
+    if (mode < 0 || mode > 67 || rowsPerStrip <= 0) return null
     // modes 48..51: palette color (photometric 3) in chunky strips —
     // bit 0 = byte order, bit 1 = LZW; indices use the gray formula,
     // ColorMap maps index i to (i, 2i%256, 3i%256) scaled to 16-bit.
@@ -600,21 +681,24 @@ object TiffEncode {
     // the BitsPerSample tag entirely, pinning the spec's default-1
     // path through the fixture itself; photometric alternates 0/1 on
     // the byte-order bit (both fax polarities land in the corpus)
-    val subB = mode >= 52
+    // modes 64..67: PackBits chunky strips, same 4-way matrix as the
+    // base modes (0 = LE RGB, 1 = BE RGB, 2 = LE gray, 3 = BE gray)
+    val pb = mode >= 64
+    val subB = !pb && mode >= 52
     val subBits = if (subB) Array(1, 2, 4)((mode - 52) / 4) else 8
-    val pal = !subB && mode >= 48
-    val tiledOrg = !pal && !subB && mode >= 12 && mode < 24
-    val planarOrg = !pal && !subB && mode >= 24 && mode < 36
-    val bits16 = !pal && !subB && mode >= 36 // 16-bit chunky; sample = v<<8 | v
-    val sub = mode % 12
+    val pal = !pb && !subB && mode >= 48
+    val tiledOrg = !pb && !pal && !subB && mode >= 12 && mode < 24
+    val planarOrg = !pb && !pal && !subB && mode >= 24 && mode < 36
+    val bits16 = !pb && !pal && !subB && mode >= 36 // 16-bit chunky; sample = v<<8 | v
+    val sub = if (pb) mode - 64 else mode % 12
     val le =
       if (subB) ((mode - 52) & 1) == 0
       else if (pal) ((mode - 48) & 1) == 0 else (sub & 1) == 0
     val gray = pal || subB || (sub % 4) >= 2 // pal: gray px formula as INDEX
-    val lzw =
+    val lzw = !pb && (
       if (subB) ((mode - 52) & 2) != 0
-      else if (pal) ((mode - 48) & 2) != 0 else sub >= 4
-    val pred2 = !pal && !subB && sub >= 8
+      else if (pal) ((mode - 48) & 2) != 0 else sub >= 4)
+    val pred2 = !pb && !pal && !subB && sub >= 8
     val spp = if (gray) 1 else 3
     val rps = math.min(rowsPerStrip, h)
     val nStrips = if (tiledOrg) 0 else (h + rps - 1) / rps
@@ -766,8 +850,11 @@ object TiffEncode {
         val raw = rawPlanarStrip(i / nStrips, i % nStrips)
         if (lzw) TiffLzw.encode(raw) else raw
       }
-      else Array.tabulate(nStrips)(s =>
-        if (lzw) TiffLzw.encode(rawStrip(s)) else rawStrip(s))
+      else Array.tabulate(nStrips) { s =>
+        val raw = rawStrip(s)
+        if (pb) TiffPackBits.encode(raw, rowBytes)
+        else if (lzw) TiffLzw.encode(raw) else raw
+      }
 
     val nBlocks = strips.length
     val stripOffsets = new Array[Long](nBlocks)
@@ -848,7 +935,7 @@ object TiffEncode {
     if (subB && subBits == 1) () // bilevel: tag 258 omitted (defaults 1)
     else if (gray) entry(258, 3, 1)(w16(sampleBits)) // BitsPerSample inline
     else entry(258, 3, 3)(w32(bpsOff.toLong)) // out-of-line 3 SHORTs
-    entry(259, 3, 1)(w16(if (lzw) 5 else 1)) // Compression
+    entry(259, 3, 1)(w16(if (pb) 32773 else if (lzw) 5 else 1)) // Compression
     entry(262, 3, 1)(w16(
       if (subB) (if (le) 1 else 0) // both fax polarities in the corpus
       else if (pal) 3 else if (gray) 1 else 2)) // Photometric

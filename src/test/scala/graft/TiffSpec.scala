@@ -123,6 +123,92 @@ class TiffSpec extends SparkSpec {
     }
   }
 
+  test("PackBits strips round-trip; JDK differential both directions") {
+    import graft.plans.TiffPackBits
+    // encode→parse exact sums across the 4-way matrix, multi-strip
+    for {
+      (w, h) <- Seq((1, 1), (9, 7), (16, 11))
+      mode <- 64 to 67
+      rps <- Seq(1, 3, 100)
+    } {
+      val seed = 13L * w + h + mode
+      val t = TiffEncode.encode(w, h, seed, mode, rps)
+      assert(t != null, s"encode failed mode=$mode")
+      val r = TiffPixels.parse(t)
+      assert(r != null, s"parse failed mode=$mode rps=$rps")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        if ((mode - 64) % 4 >= 2) { val g = m(seed + 5L * x + 3L * y); sr += g; sg += g; sb += g }
+        else {
+          sr += m(seed + 3L * x + 7L * y)
+          sg += m(2L * seed + 5L * x + y)
+          sb += m(3L * seed + x + 11L * y)
+        }
+      }
+      assert(r.getInt(0) === w && r.getInt(1) === h)
+      assert(r.getLong(2) === sr && r.getLong(3) === sg && r.getLong(4) === sb,
+        s"PackBits sums diverge w=$w h=$h mode=$mode rps=$rps")
+    }
+    // forward differential: ImageIO reads our PackBits output per-pixel
+    for (mode <- 64 to 67) {
+      val (w, h, seed) = (11, 9, 311L)
+      val t = TiffEncode.encode(w, h, seed, mode, 4)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t))
+      assert(img != null, s"ImageIO rejected the PackBits output (mode=$mode)")
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w) {
+        if ((mode - 64) % 4 >= 2)
+          assert(raster.getSample(x, y, 0) === m(seed + 5L * x + 3L * y).toInt)
+        else {
+          assert(raster.getSample(x, y, 0) === m(seed + 3L * x + 7L * y).toInt)
+          assert(raster.getSample(x, y, 1) === m(2L * seed + 5L * x + y).toInt)
+          assert(raster.getSample(x, y, 2) === m(3L * seed + x + 11L * y).toInt)
+        }
+      }
+    }
+    // reverse differential: the JDK writer's OWN PackBits stream
+    val (w, h) = (37, 29)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      // long flat runs + varying tails: both packet kinds in play
+      img.setRGB(x, y, (if (x < 20) 200 << 16 else (x * 31 + y) % 256 << 16) |
+        ((y % 3) << 8) | ((x + y * 11) % 256))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("PackBits")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val r = TiffPixels.parse(bos.toByteArray)
+    assert(r != null, "our decoder refused the JDK writer's PackBits TIFF")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      sr += (if (x < 20) 200 else (x * 31 + y) % 256)
+      sg += y % 3
+      sb += (x + y * 11) % 256
+    }
+    assert(r.getLong(2) === sr && r.getLong(3) === sg && r.getLong(4) === sb,
+      "sums diverge from the JDK's PackBits stream")
+    // hostile inputs: truncated stream / overrunning packet decline
+    val good = TiffEncode.encode(9, 7, 5L, 64, 3)
+    for (n <- 0 until good.length) TiffPixels.parse(good.take(n)) // never throws
+    // a literal packet claiming bytes past the input must refuse
+    val out = new Array[Byte](8)
+    assert(!TiffPackBits.decode(Array[Byte](7, 1, 2), 0, 3, out))
+    // a repeat run overflowing the output must refuse
+    assert(!TiffPackBits.decode(Array[Byte](-127, 1), 0, 2, out))
+    // exact fill accepted (run of 8 = control -7), shortfall refused
+    assert(TiffPackBits.decode(Array[Byte](-7, 9), 0, 2, out))
+    assert(!TiffPackBits.decode(Array[Byte](-6, 9), 0, 2, out))
+    // the -128 no-op is skipped
+    assert(TiffPackBits.decode(Array[Byte](-128, -7, 9), 0, 3, out))
+    ()
+  }
+
   test("LZW width transitions: our decoder reads the JDK writer's LZW output") {
     // reverse differential: the JDK's own TIFF writer compresses with
     // LZW; our decoder must reproduce the pixels exactly — arbitrates
