@@ -216,10 +216,15 @@ class ChangesPartitionReader(p: ChangesPartition, schema: StructType)
       .withConf(conf).build()
   }
 
-  // output slot -> file field index (-1 = absent: null-fill)
+  // output slot -> file field index (-1 = absent: null-fill).
+  // COLUMN MAPPING: file columns are addressed by the field's PHYSICAL
+  // name (carried in the declared schema's metadata, which survives
+  // the stream's schema JSON round trip); logical names stay on the
+  // output slots — a renamed column keeps serving, never null-fills
   private val dataFields = schema.fields.dropRight(2) // _change_type, _commit_version appended here
   private val fieldIdx: Array[Int] = dataFields.map { f =>
-    if (fileSchema.containsField(f.name)) fileSchema.getFieldIndex(f.name) else -1
+    val phys = graft.operators.ColumnMapping.physical(f)
+    if (fileSchema.containsField(phys)) fileSchema.getFieldIndex(phys) else -1
   }
   fieldIdx.zipWithIndex.foreach { case (i, out) =>
     // nested columns (list / map / struct, recursively) decode through

@@ -166,7 +166,8 @@ class GraftCowScan(val tablePath: String, val version: Long,
       ranges = Array.empty) // no row-group skipping: every live row flows
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(schema)
+    new GraftReaderFactory(schema,
+      GraftScan.mappingOf(SparkSession.active, tablePath, version))
 
   override def description(): String =
     s"graft COW scan $tablePath v$version (${files.size} candidate files)"

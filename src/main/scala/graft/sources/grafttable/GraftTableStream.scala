@@ -130,7 +130,11 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(schema)
+    // ship the logical→physical map explicitly (column mapping):
+    // physical names never change, so the latest declaration serves
+    // every streamed version's files
+    new GraftReaderFactory(schema, GraftScan.mappingOf(spark, tablePath,
+      CommitLog.latestVersion(spark, tablePath)))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -211,6 +211,43 @@ class ColumnMappingSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("streaming reads resolve the mapping: change feed and table stream") {
+    val t = tempTable()
+    val ckpt1 = tempTable()
+    val ckpt2 = tempTable()
+    val out1 = tempTable()
+    val out2 = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.declareSchema(spark, t, StructType.fromDDL("id BIGINT, score DOUBLE"))
+      CommitLog.append(spark, t, Seq((1L, 0.5)).toDF("id", "score"))
+      CommitLog.renameColumn(spark, t, "score", "quality")
+      CommitLog.append(spark, t, Seq((2L, 1.5)).toDF("id", "quality"))
+      // graft-changes stream: both eras' files serve the logical name
+      val q1 = spark.readStream.format("graft-changes")
+        .option("startingVersion", "0").load(t)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$ckpt1/cp")
+        .option("path", out1).start()
+      try q1.processAllAvailable() finally q1.stop()
+      val ch = spark.read.parquet(out1).orderBy("id").collect()
+      assert(spark.read.parquet(out1).columns.contains("quality"))
+      assert(ch.map(_.getAs[Double]("quality")).toSeq === Seq(0.5, 1.5),
+        "change feed lost renamed column values")
+      // table stream (snapshot batch): renamed column serves old files
+      val q2 = spark.readStream.format("graft").load(t)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$ckpt2/cp")
+        .option("path", out2).start()
+      try q2.processAllAvailable() finally q2.stop()
+      val ts = spark.read.parquet(out2).orderBy("id").collect()
+      assert(ts.map(_.getAs[Double]("quality")).toSeq === Seq(0.5, 1.5),
+        "table stream lost renamed column values")
+    } finally {
+      Seq(t, ckpt1, ckpt2, out1, out2).foreach(cleanup)
+    }
+  }
+
   test("streaming DSv2 sink writes physical names after a rename") {
     val t = tempTable()
     val ckpt = tempTable()
