@@ -504,6 +504,7 @@ object Queries {
     "mm_jpeg_lossless" -> (Multimodal.jpegLosslessQ _),
     "mm_video_meta" -> (Multimodal.videoMeta _),
     "mm_mp4_meta" -> (Multimodal.mp4MetaQ _),
+    "mm_webp_meta" -> (Multimodal.webpMetaQ _),
     "mm_flac_meta" -> (Multimodal.flacMetaQ _),
     "mm_mp3_meta" -> (Multimodal.mp3MetaQ _),
     "mm_exif_meta" -> (Multimodal.exifMetaQ _),
@@ -1430,6 +1431,24 @@ object Queries {
     // restates every header field directly — certifying the box walk
     // incl. both mvhd/tkhd versions, the 64-bit largesize path, and
     // the size==0 open-mdat path, all of which cycle on doc_id
+    // WebP triage twin: the container variant cycles on doc_id%3 and
+    // every reported field is doc_id arithmetic (WebpEncode scaladoc)
+    // — the oracle restates the whole row, certifying the VP8 frame
+    // tag, VP8L packed dims + alpha bit, and VP8X flags paths alike
+    "mm_webp_meta" ->
+      ("SELECT doc_id, " +
+       "CASE WHEN doc_id % 109 = 0 THEN NULL " +
+       "WHEN doc_id % 3 = 0 THEN 'lossy' WHEN doc_id % 3 = 1 THEN 'lossless' " +
+       "ELSE 'extended' END AS variant, " +
+       "CASE WHEN doc_id % 109 = 0 THEN NULL ELSE CAST(doc_id % 640 + 10 AS INTEGER) END AS width, " +
+       "CASE WHEN doc_id % 109 = 0 THEN NULL ELSE CAST((doc_id * 3) % 480 + 10 AS INTEGER) END AS height, " +
+       "CASE WHEN doc_id % 109 = 0 THEN NULL " +
+       "WHEN doc_id % 3 = 0 THEN FALSE ELSE doc_id % 2 = 0 END AS has_alpha, " +
+       "CASE WHEN doc_id % 109 = 0 THEN NULL " +
+       "WHEN doc_id % 3 = 2 THEN doc_id % 7 = 0 ELSE FALSE END AS has_anim, " +
+       "CASE WHEN doc_id % 109 = 0 THEN NULL " +
+       "WHEN doc_id % 3 = 2 THEN doc_id % 5 = 0 ELSE FALSE END AS has_exif " +
+       "FROM documents ORDER BY doc_id"),
     "mm_mp4_meta" ->
       ("SELECT doc_id, " +
        "CASE WHEN doc_id % 127 = 0 THEN NULL ELSE 'isom' END AS brand, " +

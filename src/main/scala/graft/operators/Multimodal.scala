@@ -313,6 +313,16 @@ object Multimodal {
         (id % 131 =!= 0, graft.plans.VectorExpressions.tiffEncode(
           (id % 9 + 4).cast("int"), ((id * 3) % 7 + 4).cast("int"),
           id.cast("long"), (id % 68).cast("int"), (id % 4 + 1).cast("int"))))
+      case "webp" => Seq(
+        (id % 109 === 0, encode(text.substr(1, 26), "UTF-8")),
+        // REAL WebP containers (plans.WebpEncode): lossy VP8 frame
+        // header, lossless VP8L packed dims + alpha bit, and extended
+        // VP8X canvas + feature flags, all cycling on doc_id — every
+        // reported field is doc_id arithmetic, so the oracle restates
+        // the whole triage row
+        (id % 109 =!= 0, graft.plans.VectorExpressions.webpEncode(
+          (id % 640 + 10).cast("int"), ((id * 3) % 480 + 10).cast("int"),
+          id.cast("long"), (id % 3).cast("int"))))
       case "mp4" => Seq(
         (id % 127 === 0, encode(text.substr(1, 28), "UTF-8")),
         // REAL ISO-BMFF files (plans.Mp4Encode): 0..2 video + 1..2
@@ -438,7 +448,7 @@ object Multimodal {
   def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "gifanim",
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
-      "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "mixed")
+      "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -914,6 +924,24 @@ object Multimodal {
         col("s.width").as("width"), col("s.height").as("height"),
         col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),
         col("s.sum_b").as("sum_b"), col("s.n_pixels").as("n_pixels"))
+      .orderBy(col("doc_id"))
+
+  /** WebP triage: variant (lossy/lossless/extended), dimensions, and
+    * the alpha/animation/EXIF feature flags per doc (NULL for the
+    * non-WebP rows) — the header pass over the web's second-dominant
+    * image format. The fixture cycles all three container variants on
+    * doc_id, so the oracle certifies the VP8 frame-tag path, the VP8L
+    * packed-dims path, and the VP8X canvas+flags path alike. */
+  def webpMetaQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "webp")
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.webpMeta(col("webp")).as("m"))
+      .select(col("doc_id"),
+        col("m.variant").as("variant"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.has_alpha").as("has_alpha"),
+        col("m.has_anim").as("has_anim"),
+        col("m.has_exif").as("has_exif"))
       .orderBy(col("doc_id"))
 
   /** MP4 container triage: ISO-BMFF box-tree metadata per doc (NULL

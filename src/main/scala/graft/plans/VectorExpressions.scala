@@ -359,6 +359,10 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tiff_encode", exprs => TiffEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_webp_meta", exprs => WebpMeta(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_webp_encode", exprs => WebpEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_mp4_meta", exprs => Mp4Meta(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_mp4_encode", exprs => Mp4Encode(exprs), "scala_udf")
@@ -478,6 +482,20 @@ object VectorExpressions {
   def gifMeta(c: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_gif_meta", c)
+  }
+
+  /** WebP triage (plans.WebpMeta), column form; same registration
+    * precondition. */
+  def webpMeta(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_webp_meta", c)
+  }
+
+  /** WebP fixture encoder (plans.WebpEncode), column form; same
+    * registration precondition. */
+  def webpEncode(w: Column, h: Column, seed: Column, variant: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_webp_encode", w, h, seed, variant)
   }
 
   /** HTML visible-text extraction (plans.HtmlText), column form; same
