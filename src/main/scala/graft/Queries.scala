@@ -439,6 +439,8 @@ object Queries {
   val extensions: Map[String, Q] = Map(
     "text_stats" -> (TextAnalysis.stats _),
     "text_quality" -> (TextAnalysis.quality _),
+    "text_quality_classifier" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.qualityClassifier(s, d)),
     "text_lang_guess" -> (TextAnalysis.langGuess _),
     "text_fingerprints" -> (TextAnalysis.fingerprints _),
     "text_per_source_stats" -> (TextAnalysis.perSourceStats _),
@@ -2479,8 +2481,43 @@ object Queries {
     }
   }
 
+  // Post-run logistic-regression oracle (same served-artifact contract
+  // as bpeOracles/pcaOracles): the DuckDB twin recomputes every
+  // document's features and the linear margin with the SERVED weights
+  // as literals in the identical left-to-right multiply-add fold — a
+  // wrong feature definition, weight order, or fold shape diverges
+  // some row's rounded margin (or flips a predicted bit) and the hash
+  // fails. The sigmoid never appears: w-dot-x is bit-reproducible
+  // across engines, libm exp is not.
+  private def qualityLrOracles: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val served = graft.operators.TextAnalysis.servedQualityLr.asScala.toMap
+    served.toSeq match {
+      case Seq((_, w)) if w.length == 4 =>
+        val hits = duckHits(graft.functions.TextFunctions.stopwords("en"))
+        val z = s"(${w(0)}) + (${w(1)}) * x1 + (${w(2)}) * x2 + (${w(3)}) * x3"
+        Map("text_quality_classifier" ->
+          (s"WITH f AS (SELECT doc_id, " +
+           s"least(1.0, CAST(len($duckToks) AS DOUBLE) / 100.0) AS x1, " +
+           s"CAST(len($duckUniq) AS DOUBLE) / len($duckToks) AS x2, " +
+           s"CAST($hits AS DOUBLE) / len($duckToks) AS x3, " +
+           s"$duckQuality AS q FROM documents) " +
+           s"SELECT doc_id, round($z, 6) AS margin, ($z) > 0 AS predicted, " +
+           "q > 0.6 AS label FROM f ORDER BY doc_id"))
+      case Seq() =>
+        Map("text_quality_classifier" ->
+          "SELECT 'text_quality_classifier served no weights - query failed before training' AS error")
+      case many =>
+        System.err.println(
+          s"[graft] quality-lr oracle omitted: weights served for ${many.size} dirs " +
+          s"(${many.map(_._1).mkString(", ")}) — cannot tell which the dump refers to")
+        Map.empty
+    }
+  }
+
   def all: Map[String, Q] = timeSeries ++ relational ++ extensions ++ analytics
   def oracles: Map[String, String] =
     timeSeriesOracles ++ relationalOracles ++ extensionOracles ++ analyticsOracles ++
-      centroidOracles ++ pqOracles ++ ivfPqOracles ++ bpeOracles ++ pcaOracles
+      centroidOracles ++ pqOracles ++ ivfPqOracles ++ bpeOracles ++ pcaOracles ++
+      qualityLrOracles
 }
