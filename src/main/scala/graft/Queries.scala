@@ -481,10 +481,10 @@ object Queries {
     "sim_embed_norms" -> (Similarity.norms _),
     "sim_label_centroids" -> (Similarity.labelCentroids _),
     "knn_brute_cosine" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
+    "sim_range_search" -> ((s: SparkSession, d: String) => Similarity.rangeSearch(s, d)),
     "knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvfServed(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "sim_embed_near_dup" -> (Similarity.embeddingNearDupPairs _),
-    "sim_embed_candidates" -> (Similarity.embeddingCandidatePairs _),
     "pipeline_quality_fusion" -> ((s: SparkSession, d: String) => Similarity.qualityFusion(s, d)),
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_feature_extract" -> (Multimodal.featureExtract _),
@@ -922,6 +922,17 @@ object Queries {
        "r AS (SELECT query_id, neighbor_id, cos_sim, " +
        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank FROM s) " +
        "SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"),
+    // range search twin: same scored set as knn_brute_cosine, cut on
+    // the ROUNDED cosine (engine-portable) instead of ranked — the
+    // recall-complete retrieval shape
+    "sim_range_search" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       "p AS (SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < 5), " +
+       "s AS (SELECT query_id, vec_id AS neighbor_id, " +
+       "round(list_dot_product(q, v) / (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(v, v))), 4) AS cos_sim " +
+       "FROM e, p WHERE vec_id <> query_id) " +
+       "SELECT query_id, neighbor_id, cos_sim FROM s WHERE cos_sim >= 0.2 " +
+       "ORDER BY query_id, neighbor_id"),
     "pipeline_quality_fusion" ->
       ("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
        "d AS (SELECT label, unnest(v) AS x, CAST(unnest(range(1, len(v) + 1)) AS BIGINT) AS dim FROM e), " +

@@ -149,6 +149,22 @@ object Similarity {
   def knnBruteForce(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     topKPerQuery(bruteScores(spark, dir), k)
 
+  /** RANGE search: every corpus vector within cosine >= `threshold`
+    * of each probe — the recall-complete retrieval shape top-k cannot
+    * express (dedup candidate generation, "find ALL near-copies of
+    * this document", contamination sweeps): a hot query may have 10k
+    * matches and a cold one zero, and both answers must be exact.
+    * Same scored set as [[knnBruteForce]] (a native codegen'd dot per
+    * pair, probes broadcast), filtered on the ROUNDED cosine so the
+    * cut is engine-portable; output ordered (query, neighbor). At
+    * index scale the IVF cell pruning composes in front exactly as it
+    * does for top-k — the threshold filter is independent of k. */
+  def rangeSearch(spark: SparkSession, dir: String,
+      threshold: Double = 0.2): DataFrame =
+    bruteScores(spark, dir)
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("query_id"), col("neighbor_id"))
+
   /** Metadata-FILTERED top-k: each probe retrieves only among corpus
     * vectors sharing its label — the filtered-vector-search serving
     * pattern (tenant/language/source-restricted retrieval). The filter
