@@ -19,8 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    structure (little-endian u32 lengths: vendor string, comment
   *    count, then `KEY=value` UTF-8 entries; keys case-insensitive
   *    per spec) — TITLE / ARTIST / ALBUM collected, vendor reported;
-  *  - `ID3`: an ID3v2.3 or v2.4 tag (frame sizes plain-32-bit vs
-  *    syncsafe by version — the one wire difference that matters
+  *  - `ID3`: an ID3v2.2, v2.3 or v2.4 tag (v2.2: 3-char IDs + 3-byte
+  *    plain-BE sizes, text frames TT2/TP1/TAL; v2.3/v2.4: frame sizes
+  *    plain-32-bit vs syncsafe — the one wire difference that matters
   *    here), walking text frames TIT2 / TPE1 / TALB; ISO-8859-1,
   *    UTF-8, BOM'd UTF-16 (encoding 1) and v2.4's BOM-less UTF-16BE
   *    (encoding 2) all decode STRICTLY — a missing BOM, odd length,
@@ -198,12 +199,52 @@ object AudioTags {
     row("flac", title, artist, album, vendor)
   }
 
-  /** ID3v2.3/2.4 text-frame walk. Declines v2.2 (6-byte frames, a
-    * different grammar), unsynchronised tags, and extended headers —
-    * NULL, never a misread. */
+  /** ID3v2.2 text-frame walk (the 1990s-heritage grammar still common
+    * on old rips): 3-char frame IDs + 3-byte plain-BE sizes, no frame
+    * flags; text frames TT2/TP1/TAL with encoding 0 = ISO-8859-1 or
+    * 1 = BOM'd UCS-2 (decoded via the same strict UTF-16 path — UCS-2
+    * is its BMP subset). Unsynchronised/compressed tags decline. */
+  private def parseId3v22(b: Array[Byte], tagEnd: Int): InternalRow = {
+    var p = 10
+    var title: String = null; var artist: String = null; var album: String = null
+    var frames = 0
+    var done = false
+    while (!done && p + 6 <= tagEnd && frames < 256) {
+      if (b(p) == 0) done = true // zero padding ends the frame area
+      else {
+        val id = new String(b, p, 3, "US-ASCII")
+        if (!id.forall(ch => (ch >= 'A' && ch <= 'Z') || (ch >= '0' && ch <= '9')))
+          return null
+        val fsize = be24(b, p + 3).toLong
+        if (fsize < 0 || p + 6L + fsize > tagEnd) return null
+        if (fsize >= 1 && id.startsWith("T")) {
+          val enc = u8(b, p + 6)
+          val v =
+            if (enc == 0) text(b, p + 7, fsize.toInt - 1, "ISO-8859-1")
+            else if (enc == 1)
+              textUtf16(b, p + 7, fsize.toInt - 1, bomRequired = true)
+            else null
+          id match {
+            case "TT2" if title == null => title = v
+            case "TP1" if artist == null => artist = v
+            case "TAL" if album == null => album = v
+            case _ => ()
+          }
+        }
+        p += 6 + fsize.toInt
+        frames += 1
+      }
+    }
+    row("mp3", title, artist, album, null)
+  }
+
+  /** ID3v2.2/2.3/2.4 text-frame walk (v2.2 hands off to
+    * [[parseId3v22]] — 6-byte frames, a different grammar). Declines
+    * unsynchronised tags and extended headers — NULL, never a
+    * misread. */
   private def parseId3(b: Array[Byte]): InternalRow = {
     val ver = u8(b, 3)
-    if (ver != 3 && ver != 4) return null
+    if (ver != 2 && ver != 3 && ver != 4) return null
     if ((u8(b, 5) & 0xE0) != 0) return null // unsync/ext/experimental bits
     var size = 0
     var i = 6
@@ -214,6 +255,7 @@ object AudioTags {
     }
     val tagEnd = 10 + size
     if (tagEnd > b.length) return null
+    if (ver == 2) return parseId3v22(b, tagEnd)
     var p = 10
     var title: String = null; var artist: String = null; var album: String = null
     var frames = 0

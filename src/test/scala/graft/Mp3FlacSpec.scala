@@ -225,6 +225,48 @@ class Mp3FlacSpec extends AnyFunSuite {
       "encoding 1 without a BOM must decline, never guess the order")
   }
 
+  test("audio tags: ID3v2.2 six-byte frames decode, both encodings") {
+    import graft.plans.AudioTags
+    // hand-built v2.2 tag: 3-char IDs, 3-byte plain-BE sizes, no flags
+    def tag22(frames: Seq[(String, Int, Array[Byte])], pad: Int): Array[Byte] = {
+      val body = frames.flatMap { case (id, enc, payload) =>
+        id.getBytes("US-ASCII").toSeq ++ Seq[Byte](
+          0, 0, (1 + payload.length).toByte) ++ Seq(enc.toByte) ++ payload
+      } ++ Seq.fill[Byte](pad)(0)
+      val size = body.length
+      Array[Byte]('I', 'D', '3', 2, 0, 0,
+        ((size >>> 21) & 0x7F).toByte, ((size >>> 14) & 0x7F).toByte,
+        ((size >>> 7) & 0x7F).toByte, (size & 0x7F).toByte) ++ body
+    }
+    val uml = "Müller"
+    val iso = tag22(Seq(
+      ("TT2", 0, "Old Rip".getBytes("ISO-8859-1")),
+      ("TP1", 0, uml.getBytes("ISO-8859-1")),
+      ("TAL", 0, "B".getBytes("ISO-8859-1"))), pad = 4)
+    val m = AudioTags.parse(iso)
+    assert(m != null && m.getString(0) === "mp3")
+    assert(m.getString(1) === "Old Rip" && m.getString(2) === uml &&
+      m.getString(3) === "B", "v2.2 ISO frames")
+    // encoding 1 = BOM'd UCS-2 (both orders), decoded strictly
+    val be = Array[Byte](0xFE.toByte, 0xFF.toByte) ++ uml.getBytes("UTF-16BE")
+    val le = Array[Byte](0xFF.toByte, 0xFE.toByte) ++ uml.getBytes("UTF-16LE")
+    val u16 = tag22(Seq(("TT2", 1, be), ("TP1", 1, le)), pad = 2)
+    val mu = AudioTags.parse(u16)
+    assert(mu != null && mu.getString(1) === uml && mu.getString(2) === uml,
+      "v2.2 UCS-2 frames")
+    // BOM-less UCS-2 declines the field (order never guessed)
+    val noBom = tag22(Seq(("TT2", 1, uml.getBytes("UTF-16BE"))), pad = 2)
+    assert(AudioTags.parse(noBom).isNullAt(1))
+    // hostile frame size past the tag: NULL, never a misread
+    val hostile = iso.clone()
+    val tt2 = new String(hostile, "ISO-8859-1").indexOf("TT2")
+    hostile(tt2 + 5) = 0x7F // 3-byte size now far past tagEnd
+    assert(AudioTags.parse(hostile) == null)
+    // truncation law
+    for (n <- 0 until iso.length) AudioTags.parse(iso.take(n))
+    for (n <- 0 until u16.length) AudioTags.parse(u16.take(n))
+  }
+
   test("audio tags: key case-insensitivity, UTF-16 decline, hostile lengths") {
     import graft.plans.AudioTags
     val good = FlacMeta.encode(48000, 1, 8, 10L, 42L, 2)
