@@ -22,13 +22,14 @@ import org.apache.spark.sql.types._
   * (PlanarConfiguration=2, decoded in strips), 16-bit samples in
   * chunky strips (summed by the HIGH byte, the PNG-16 convention),
   * and 1/2/4-bit packed grayscale/bilevel (the fax/scan shapes,
-  * photometric 0 or 1) in chunky strips — MSB-first within each
+  * photometric 0 or 1) plus 4-bit PACKED PALETTES in chunky strips — MSB-first within each
   * byte, rows byte-aligned, RAW sample-value sums, BitsPerSample
   * defaulting to 1 when the tag is absent per spec.
   *
   * The DECLINE envelope (NULL, never wrong-valued; format/dims still
   * triage via graft_img_meta): JPEG-in-TIFF and other compressions,
-  * palette outside 8-bit chunky strips, 16-bit tiled/planar
+  * palette outside 4/8-bit chunky strips (and any index-width /
+  * ColorMap-size disagreement), 16-bit tiled/planar
   * combinations, sub-8-bit outside single-sample chunky strips (or
   * with a predictor — tag 317 is defined on 8/16-bit samples),
   * WhiteIsZero outside the sub-byte shapes, and >16-bit samples.
@@ -180,11 +181,13 @@ object TiffPixels {
     if (photo == 0L || photo == 1L) { if (spp != 1L) return null }
     else if (photo == 2L) { if (spp != 3L) return null }
     else if (photo == 3L) {
-      // Palette color (TIFF 6.0 §5): one 8-bit index per pixel looked
-      // up in ColorMap (320) — 3 × 2^bits 16-bit planes (r, g, b).
-      // Envelope: 8-bit indices in chunky strips (reusing the strip /
-      // LZW machinery); 4/16-bit palettes, tiles and planar decline.
-      if (spp != 1L || colorMap == null || colorMap.length != 3 * 256)
+      // Palette color (TIFF 6.0 §5): one 4- or 8-bit index per pixel
+      // looked up in ColorMap (320) — 3 × 2^bits 16-bit planes
+      // (r, g, b). Envelope: 4/8-bit indices in chunky strips
+      // (reusing the strip / LZW / PackBits machinery); 16-bit
+      // palettes, tiles and planar decline.
+      if (spp != 1L || colorMap == null ||
+        (colorMap.length != 3 * 256 && colorMap.length != 3 * 16))
         return null
     }
     else return null
@@ -213,11 +216,15 @@ object TiffPixels {
     if (!tiled && (offsets == null || counts == null)) return null
     if (tiled && planar == 2L) return null
     if (bits16 && (tiled || planar == 2L)) return null // 16-bit: chunky strips
-    if (palette && (bitsN != 8L || tiled || planar == 2L)) return null // 8-bit chunky strips only
-    // sub-8-bit: single-sample gray/bilevel chunky strips, no
+    if (palette && ((bitsN != 8L && bitsN != 4L) || tiled || planar == 2L))
+      return null // 4/8-bit chunky strips only
+    // the index width and the ColorMap size must agree — a 4-bit file
+    // with a 256-entry map (or vice versa) is malformed, not guessable
+    if (palette && colorMap.length != 3 * (1 << bitsN.toInt)) return null
+    // sub-8-bit: single-sample gray/bilevel/palette chunky strips, no
     // predictor (tag 317's byte/value differencing is defined on
     // 8/16-bit samples)
-    if (subByte && (spp != 1L || palette || tiled || planar == 2L || pred != 1L))
+    if (subByte && (spp != 1L || tiled || planar == 2L || pred != 1L))
       return null
     // WhiteIsZero only enters through the sub-byte fax/scan shapes;
     // the certified 8/16-bit envelope stays at photometric 1/2/3
@@ -337,13 +344,21 @@ object TiffPixels {
           val mask = (1 << bitsI) - 1
           val rb = rowBytes.toInt
           val wI = w.toInt
+          val cmSize = if (palette) 1 << bitsI else 0
           var r0 = 0
           while (r0 < rows.toInt) {
             val base = r0 * rb
             var x = 0
             while (x < wI) {
               val shift = 8 - bitsI * (x % perByte + 1)
-              sr += (u8(strip, base + x / perByte) >> shift) & mask
+              val v = (u8(strip, base + x / perByte) >> shift) & mask
+              if (palette) {
+                // packed palette index → ColorMap high bytes (the
+                // same convention as the 8-bit palette path)
+                sr += colorMap(v) >> 8
+                sg += colorMap(cmSize + v) >> 8
+                sb += colorMap(2 * cmSize + v) >> 8
+              } else sr += v
               x += 1
             }
             r0 += 1
@@ -671,7 +686,7 @@ object TiffEncode {
 
   def encode(w: Int, h: Int, seed: Long, mode: Int, rowsPerStrip: Int): Array[Byte] = {
     if (w <= 0 || w > 4096 || h <= 0 || h > 4096 || seed < 0) return null
-    if (mode < 0 || mode > 67 || rowsPerStrip <= 0) return null
+    if (mode < 0 || mode > 71 || rowsPerStrip <= 0) return null
     // modes 48..51: palette color (photometric 3) in chunky strips —
     // bit 0 = byte order, bit 1 = LZW; indices use the gray formula,
     // ColorMap maps index i to (i, 2i%256, 3i%256) scaled to 16-bit.
@@ -681,24 +696,31 @@ object TiffEncode {
     // the BitsPerSample tag entirely, pinning the spec's default-1
     // path through the fixture itself; photometric alternates 0/1 on
     // the byte-order bit (both fax polarities land in the corpus)
+    // modes 68..71: 4-bit palette chunky strips (bit 0 = byte order,
+    // bit 1 = LZW) — packed indices through the sub-byte machinery,
+    // ColorMap of 16 entries scaled i*17 to the 8-bit domain
+    val pal4 = mode >= 68
     // modes 64..67: PackBits chunky strips, same 4-way matrix as the
     // base modes (0 = LE RGB, 1 = BE RGB, 2 = LE gray, 3 = BE gray)
-    val pb = mode >= 64
-    val subB = !pb && mode >= 52
-    val subBits = if (subB) Array(1, 2, 4)((mode - 52) / 4) else 8
-    val pal = !pb && !subB && mode >= 48
-    val tiledOrg = !pb && !pal && !subB && mode >= 12 && mode < 24
-    val planarOrg = !pb && !pal && !subB && mode >= 24 && mode < 36
-    val bits16 = !pb && !pal && !subB && mode >= 36 // 16-bit chunky; sample = v<<8 | v
+    val pb = !pal4 && mode >= 64
+    val subB = !pal4 && !pb && mode >= 52
+    val subBits =
+      if (subB) Array(1, 2, 4)((mode - 52) / 4) else if (pal4) 4 else 8
+    val pal = !pal4 && !pb && !subB && mode >= 48
+    val tiledOrg = !pal4 && !pb && !pal && !subB && mode >= 12 && mode < 24
+    val planarOrg = !pal4 && !pb && !pal && !subB && mode >= 24 && mode < 36
+    val bits16 = !pal4 && !pb && !pal && !subB && mode >= 36 // 16-bit chunky; sample = v<<8 | v
     val sub = if (pb) mode - 64 else mode % 12
     val le =
-      if (subB) ((mode - 52) & 1) == 0
+      if (pal4) ((mode - 68) & 1) == 0
+      else if (subB) ((mode - 52) & 1) == 0
       else if (pal) ((mode - 48) & 1) == 0 else (sub & 1) == 0
-    val gray = pal || subB || (sub % 4) >= 2 // pal: gray px formula as INDEX
+    val gray = pal || pal4 || subB || (sub % 4) >= 2 // pal: gray px formula as INDEX
     val lzw = !pb && (
-      if (subB) ((mode - 52) & 2) != 0
+      if (pal4) ((mode - 68) & 2) != 0
+      else if (subB) ((mode - 52) & 2) != 0
       else if (pal) ((mode - 48) & 2) != 0 else sub >= 4)
-    val pred2 = !pb && !pal && !subB && sub >= 8
+    val pred2 = !pal4 && !pb && !pal && !subB && sub >= 8
     val spp = if (gray) 1 else 3
     val rps = math.min(rowsPerStrip, h)
     val nStrips = if (tiledOrg) 0 else (h + rps - 1) / rps
@@ -728,7 +750,7 @@ object TiffEncode {
     // block payloads first (compressed sizes vary), offsets after
     def rawStrip(s: Int): Array[Byte] = {
       val rows = math.min(rps, h - s * rps)
-      if (subB) {
+      if (subB || pal4) {
         // packed sub-byte rows, MSB-first, byte-aligned per row; the
         // sample is the gray formula reduced mod 2^bits
         val rb = (w * subBits + 7) / 8
@@ -868,15 +890,15 @@ object TiffEncode {
     val auxStart = cursor.toInt
     val bpsOff = auxStart // RGB: 3 SHORTs out-of-line (6 bytes)
     val bpsLen = if (gray) 0 else 6
-    val cmOff = bpsOff + bpsLen // palette ColorMap: 768 SHORTs
-    val cmLen = if (pal) 3 * 256 * 2 else 0
+    val cmOff = bpsOff + bpsLen // palette ColorMap: 3 * 2^bits SHORTs
+    val cmLen = if (pal) 3 * 256 * 2 else if (pal4) 3 * 16 * 2 else 0
     val soOff = cmOff + cmLen
     val soLen = if (nBlocks > 1) nBlocks * 4 else 0
     val scOff = soOff + soLen
     val scLen = soLen
     val ifdOff = scOff + scLen
     val nEntries = (if (tiledOrg) 11 else 10) +
-      (if (pred2) 1 else 0) + (if (pal) 1 else 0) +
+      (if (pred2) 1 else 0) + (if (pal || pal4) 1 else 0) +
       (if (subB && subBits == 1) -1 else 0) // bilevel omits tag 258
     val total = ifdOff + 2 + nEntries * 12 + 4
 
@@ -916,6 +938,15 @@ object TiffEncode {
       i = 0
       while (i < 256) { w16(((3 * i) % 256) * 257); i += 1 } // blue
     }
+    if (pal4) {
+      // 16-entry map scaled to the 8-bit domain: high byte = f(i)*17
+      var i = 0
+      while (i < 16) { w16((i * 17) * 257); i += 1 } // red
+      i = 0
+      while (i < 16) { w16((((2 * i) % 16) * 17) * 257); i += 1 } // green
+      i = 0
+      while (i < 16) { w16((((3 * i) % 16) * 17) * 257); i += 1 } // blue
+    }
     if (nBlocks > 1) {
       stripOffsets.foreach(w32)
       strips.foreach(st => w32(st.length.toLong))
@@ -931,14 +962,14 @@ object TiffEncode {
     }
     entry(256, 4, 1)(w32(w.toLong)) // ImageWidth
     entry(257, 4, 1)(w32(h.toLong)) // ImageLength
-    val sampleBits = if (bits16) 16 else if (subB) subBits else 8
+    val sampleBits = if (bits16) 16 else if (subB || pal4) subBits else 8
     if (subB && subBits == 1) () // bilevel: tag 258 omitted (defaults 1)
     else if (gray) entry(258, 3, 1)(w16(sampleBits)) // BitsPerSample inline
     else entry(258, 3, 3)(w32(bpsOff.toLong)) // out-of-line 3 SHORTs
     entry(259, 3, 1)(w16(if (pb) 32773 else if (lzw) 5 else 1)) // Compression
     entry(262, 3, 1)(w16(
       if (subB) (if (le) 1 else 0) // both fax polarities in the corpus
-      else if (pal) 3 else if (gray) 1 else 2)) // Photometric
+      else if (pal || pal4) 3 else if (gray) 1 else 2)) // Photometric
     if (!tiledOrg) {
       if (nBlocks > 1) entry(273, 4, nBlocks.toLong)(w32(soOff.toLong))
       else entry(273, 4, 1)(w32(stripOffsets(0)))
@@ -952,6 +983,7 @@ object TiffEncode {
     entry(284, 3, 1)(w16(if (planarOrg) 2 else 1)) // PlanarConfiguration
     if (pred2) entry(317, 3, 1)(w16(2)) // Predictor = horizontal
     if (pal) entry(320, 3, 3 * 256)(w32(cmOff.toLong)) // ColorMap
+    if (pal4) entry(320, 3, 3 * 16)(w32(cmOff.toLong)) // 16-entry ColorMap
     if (tiledOrg) {
       entry(322, 4, 1)(w32(TileDim.toLong)) // TileWidth
       entry(323, 4, 1)(w32(TileDim.toLong)) // TileLength

