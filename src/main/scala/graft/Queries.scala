@@ -485,6 +485,7 @@ object Queries {
     "knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvfServed(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "sim_embed_near_dup" -> (Similarity.embeddingNearDupPairs _),
+    "sim_embed_candidates" -> (Similarity.embeddingCandidatePairs _),
     "pipeline_quality_fusion" -> ((s: SparkSession, d: String) => Similarity.qualityFusion(s, d)),
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_feature_extract" -> (Multimodal.featureExtract _),

@@ -74,14 +74,24 @@ object ColumnMapping {
     else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
       .remove(PhysicalKey).build())
 
+  /** Apply a rename map to EVERY column in one simultaneous
+    * projection. Deliberately not `withColumnsRenamed`: Spark expands
+    * that as a sequential fold over the pairs, so a map where one
+    * pair's target equals a later pair's source (reachable after
+    * chained renames) would cascade — the first rename's output gets
+    * renamed again by the second pair. A single select aliases every
+    * ORIGINAL column exactly once, so pairs can never interact. */
+  private def renameAll(df: DataFrame, m: Map[String, String]): DataFrame =
+    if (m.isEmpty) df
+    else df.select(df.columns.map(c => df(s"`$c`").as(m.getOrElse(c, c))): _*)
+
   /** Rename a DataFrame's declared columns logical→physical (columns
     * the schema doesn't declare pass through untouched). */
   def toPhysical(df: DataFrame, declared: StructType): DataFrame = {
     if (!hasMapping(declared)) return df
-    val m = declared.fields.iterator
+    renameAll(df, declared.fields.iterator
       .filter(f => physical(f) != f.name)
-      .map(f => f.name -> physical(f)).toMap
-    if (m.isEmpty) df else df.withColumnsRenamed(m)
+      .map(f => f.name -> physical(f)).toMap)
   }
 
   /** Rename a DataFrame's physical columns back to logical — the
@@ -90,11 +100,19 @@ object ColumnMapping {
     * metadata does not survive it). */
   def toLogical(df: DataFrame, declared: StructType): DataFrame = {
     if (!hasMapping(declared)) return df
-    val m = declared.fields.iterator
+    renameAll(df, declared.fields.iterator
       .filter(f => physical(f) != f.name)
-      .map(f => physical(f) -> f.name).toMap
-    if (m.isEmpty) df else df.withColumnsRenamed(m)
+      .map(f => physical(f) -> f.name).toMap)
   }
+
+  /** The write-boundary schema: the task writer's (logical-named)
+    * write schema with each field renamed to its declared physical
+    * name — shared by the DSv2 streaming sink and the COW rewrite so
+    * the two can never drift. */
+  def physicalWriteSchema(schema: StructType, declared: StructType): StructType =
+    if (!hasMapping(declared)) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = physicalName(declared, f.name))))
 
   /** Rewrite a pushed filter's single-part column names through `m`
     * (the zone/bloom consultation and row-group ranges are keyed by

@@ -272,11 +272,16 @@ object CommitLog {
     * dropped-and-recreated at the same path both change that identity
     * and force a clean rescan of the (then small) retained log. */
   private case class LedgerState(firstV: Long, firstMtime: Long,
-      through: Long, ids: Set[(Option[String], Long, Long)])
+      through: Long, ids: Set[(Option[String], Long, Long)],
+      floorQual: Option[Long])
   private val ledgerCache =
     new java.util.concurrent.ConcurrentHashMap[String, LedgerState]()
 
   private val batchAppRe = """"batchApp":"((?:[^"\\]|\\.)*)"""".r
+  // vacuum's horizon rewrite carries the pre-truncation "first
+  // app-qualified entry" evidence forward under this field, so the
+  // legacy-bare-entry rule ([[replayedBatch]]) stays vacuum-stable
+  private val firstQualVRe = """"firstQualV":(\d+)""".r
 
   /** (writer identity, batchId) pairs already committed — the
     * streaming sink's replay ledger, APP-QUALIFIED (Delta's txnAppId
@@ -301,15 +306,24 @@ object CommitLog {
     * a LIVE identity-free writer's entry (which must not suppress a
     * qualified writer's same-numbered epochs — ADVICE r13 #3). */
   private[graft] def committedBatchesVersioned(spark: SparkSession,
-      tablePath: String): Set[(Option[String], Long, Long)] = {
+      tablePath: String): Set[(Option[String], Long, Long)] =
+    ledgerState(spark, tablePath)._1
+
+  /** The full ledger view: versioned (app, batchId, version) entries
+    * plus the vacuum-carried "first qualified version" floor (see
+    * [[replayedBatch]]). Incremental per-table memo as before. */
+  private def ledgerState(spark: SparkSession,
+      tablePath: String): (Set[(Option[String], Long, Long)], Option[Long]) = {
     val log = new Path(tablePath, LogDir)
     val fs = fsOf(spark, log)
     val vs = versions(spark, tablePath)
-    if (vs.isEmpty) return Set.empty
-    def idOf(v: Long): Option[(Option[String], Long, Long)] = {
+    if (vs.isEmpty) return (Set.empty, None)
+    def lineOf(v: Long): String = {
       val in = fs.open(new Path(log, f"$v%08d.json"))
-      val line = try new String(
+      try new String(
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    }
+    def idOf(line: String, v: Long): Option[(Option[String], Long, Long)] = {
       val i = line.indexOf("\"batchId\":")
       if (i < 0) None
       else scala.util.Try(
@@ -324,10 +338,20 @@ object CommitLog {
       .getOrElse(0L)
     val cached = Option(ledgerCache.get(tablePath)).filter(s =>
       s.firstV == firstV && s.firstMtime == firstMtime && s.through <= vs.last)
-    val base = cached.getOrElse(LedgerState(firstV, firstMtime, firstV - 1, Set.empty))
-    val ids = base.ids ++ vs.filter(_ > base.through).flatMap(idOf)
-    ledgerCache.put(tablePath, LedgerState(firstV, firstMtime, vs.last, ids))
-    ids
+    val base = cached.getOrElse(
+      LedgerState(firstV, firstMtime, firstV - 1, Set.empty, None))
+    var floor = base.floorQual
+    val fresh = vs.filter(_ > base.through).flatMap { v =>
+      val line = lineOf(v)
+      firstQualVRe.findFirstMatchIn(line).foreach { m =>
+        val fq = m.group(1).toLong
+        floor = Some(floor.fold(fq)(math.min(_, fq)))
+      }
+      idOf(line, v)
+    }
+    val ids = base.ids ++ fresh
+    ledgerCache.put(tablePath, LedgerState(firstV, firstMtime, vs.last, ids, floor))
+    (ids, floor)
   }
 
   /** batchIds already committed, identity-blind — the foreachBatch
@@ -348,11 +372,16 @@ object CommitLog {
     * same-numbered epochs (ADVICE r13 #3). */
   def replayedBatch(spark: SparkSession, tablePath: String,
       app: String, batchId: Long): Boolean = {
-    val entries = committedBatchesVersioned(spark, tablePath)
+    val (entries, floorQual) = ledgerState(spark, tablePath)
     if (entries.exists(e => e._1.contains(app) && e._2 == batchId)) true
     else {
+      // the floor carried by vacuum's horizon rewrite keeps the rule
+      // stable when the qualified entries themselves were truncated —
+      // without it a surviving LIVE bare co-writer entry would be
+      // reclassified as pre-upgrade legacy and suppress a qualified
+      // writer's brand-new epoch
       val firstQualifiedV =
-        entries.filter(_._1.isDefined).map(_._3).minOption
+        (entries.filter(_._1.isDefined).map(_._3) ++ floorQual).minOption
       entries.exists(e => e._1.isEmpty && e._2 == batchId &&
         firstQualifiedV.forall(e._3 < _))
     }
@@ -1029,12 +1058,22 @@ object CommitLog {
     * name ([[addColumnField]]), or files written under the retired
     * column would serve their old data through the new one. Bounded:
     * one regex probe per retained log entry, DDL-time only. */
+  private val usedPhysRe = """"usedPhys":\[([^\]]*)\]""".r
+  private val jsonStrRe = """"((?:[^"\\]|\\.)*)"""".r
+
   private[graft] def usedPhysicalNames(spark: SparkSession,
       tablePath: String): Set[String] =
-    versions(spark, tablePath).flatMap(v =>
-      schemaFieldRe.findFirstMatchIn(commitLine(spark, tablePath, v)).map(m =>
-        DataType.fromJson(unb64(m.group(1))).asInstanceOf[StructType]))
-      .flatMap(_.fields.map(ColumnMapping.physical)).toSet
+    versions(spark, tablePath).flatMap { v =>
+      val line = commitLine(spark, tablePath, v)
+      val declared = schemaFieldRe.findFirstMatchIn(line).toSeq.flatMap(m =>
+        DataType.fromJson(unb64(m.group(1))).asInstanceOf[StructType]
+          .fields.map(ColumnMapping.physical))
+      // names carried forward by vacuum's horizon rewrite — the
+      // truncated declarations may have been their only carriers
+      val carried = usedPhysRe.findFirstMatchIn(line).toSeq.flatMap(m =>
+        jsonStrRe.findAllMatchIn(m.group(1)).map(x => unescKey(x.group(1))))
+      declared ++ carried
+    }.toSet
 
   /** Refuse column DDL on a CHECK-constrained column: the stored
     * expression references the LOGICAL name, and a rename/drop would
@@ -1064,16 +1103,35 @@ object CommitLog {
     val cur = tableSchema(spark, tablePath).getOrElse(
       throw new IllegalArgumentException(
         s"renameColumn: $tablePath has no declared schema (declareSchema first)"))
+    declareSchema(spark, tablePath, applyRename(spark, tablePath, cur, from, to))
+  }
+
+  /** Pure rename validation + schema rewrite — shared by
+    * [[renameColumn]] and the catalog's multi-change ALTER (which
+    * must validate EVERY change before committing anything). */
+  private[graft] def applyRename(spark: SparkSession, tablePath: String,
+      cur: StructType, from: String, to: String): StructType = {
     val f = cur.fields.find(_.name == from).getOrElse(
       throw new IllegalArgumentException(
         s"renameColumn: $tablePath declares no column $from"))
     require(!cur.fields.exists(_.name == to),
       s"renameColumn: $tablePath already declares a column $to")
+    // a logical name must NEVER equal a DIFFERENT column's physical
+    // name: files, zones and blooms are keyed physically, so the
+    // crossing would make every name lookup ambiguous (which column
+    // is 'y'?) — refuse, except for renaming a column BACK to its own
+    // physical (original) name. Delta's column mapping draws the same
+    // line via its globally-unique physical names.
+    require(!cur.fields.exists(x =>
+      x.name != from && ColumnMapping.physical(x) == to),
+      s"renameColumn: '$to' is another column's physical (original) " +
+      s"name in $tablePath — the crossing would make name resolution " +
+      "ambiguous; pick a fresh name")
     requireUnconstrained(spark, tablePath, from, "renameColumn")
-    declareSchema(spark, tablePath, StructType(cur.fields.map(x =>
+    StructType(cur.fields.map(x =>
       if (x.name == from)
         ColumnMapping.withPhysical(x.copy(name = to), ColumnMapping.physical(f))
-      else x)))
+      else x))
   }
 
   /** `ALTER TABLE DROP COLUMN` as ONE metadata commit — the data
@@ -1086,13 +1144,19 @@ object CommitLog {
     val cur = tableSchema(spark, tablePath).getOrElse(
       throw new IllegalArgumentException(
         s"dropColumn: $tablePath has no declared schema (declareSchema first)"))
+    declareSchema(spark, tablePath, applyDrop(spark, tablePath, cur, name))
+  }
+
+  /** Pure drop validation + schema rewrite — [[dropColumn]]'s core,
+    * shared with the catalog's atomic multi-change ALTER. */
+  private[graft] def applyDrop(spark: SparkSession, tablePath: String,
+      cur: StructType, name: String): StructType = {
     require(cur.fields.exists(_.name == name),
       s"dropColumn: $tablePath declares no column $name")
     require(cur.fields.length > 1,
       s"dropColumn: cannot drop $tablePath's only column")
     requireUnconstrained(spark, tablePath, name, "dropColumn")
-    declareSchema(spark, tablePath,
-      StructType(cur.fields.filterNot(_.name == name)))
+    StructType(cur.fields.filterNot(_.name == name))
   }
 
   /** The field for a NEW column under the resurrection guard: when
@@ -1102,8 +1166,26 @@ object CommitLog {
     * data reads as NULL through it — never the retired column's
     * values. */
   def addColumnField(spark: SparkSession, tablePath: String,
-      name: String, dt: DataType): StructField = {
-    val used = usedPhysicalNames(spark, tablePath)
+      name: String, dt: DataType): StructField =
+    applyAdd(spark, tablePath,
+      tableSchema(spark, tablePath).getOrElse(new StructType()), name, dt)
+
+  /** [[addColumnField]] validated against an IN-FLIGHT schema `cur`
+    * (the catalog's multi-change ALTER folds its own earlier changes
+    * into it), with the resurrection-guard mint drawn from the log's
+    * full declaration history PLUS `cur`'s own physicals. */
+  private[graft] def applyAdd(spark: SparkSession, tablePath: String,
+      cur: StructType, name: String, dt: DataType): StructField = {
+    // invariant shared with [[applyRename]]: a LIVE column's logical
+    // name must never equal a different live column's physical name —
+    // minting would fix the new column's physical but the logical
+    // collision alone already makes name resolution ambiguous
+    require(!cur.fields.exists(x =>
+      x.name != name && ColumnMapping.physical(x) == name),
+      s"addColumn: '$name' is a live column's physical (original) " +
+      s"name in $tablePath — pick a different name")
+    val used = usedPhysicalNames(spark, tablePath) ++
+      cur.fields.map(ColumnMapping.physical)
     if (!used.contains(name)) StructField(name, dt, nullable = true)
     else {
       var i = latestVersion(spark, tablePath) + 1
@@ -2643,6 +2725,26 @@ object CommitLog {
     // TIMESTAMP AS OF stays monotone across the horizon
     val tsField = tsMillisRe.findFirstMatchIn(keepFromLine)
       .map(m => s""""tsMillis":${m.group(1)},""").getOrElse("")
+    // COLUMN-MAPPING + LEDGER evidence the truncated commits may have
+    // been the only carriers of (computed BEFORE truncation):
+    //  - every physical column name any declaration ever used — the
+    //    ADD-after-DROP resurrection guard's domain must survive
+    //    retention, or a re-added name could serve retired data;
+    //  - the first app-qualified ledger version — the bare-entry
+    //    legacy rule must not reclassify a live co-writer's surviving
+    //    entry as pre-upgrade history once the qualified entries
+    //    below it are truncated.
+    val usedPhysField = {
+      val used = usedPhysicalNames(spark, tablePath)
+      if (used.isEmpty) ""
+      else s""","usedPhys":[${used.toSeq.sorted
+        .map(n => "\"" + esc(n) + "\"").mkString(",")}]"""
+    }
+    val firstQualField = {
+      val (entries, floor) = ledgerState(spark, tablePath)
+      (entries.filter(_._1.isDefined).map(_._3) ++ floor).minOption
+        .fold("")(v => s""","firstQualV":$v""")
+    }
     // the newest pinned TRANSACTION at-or-before the horizon must
     // survive the rewrite too: a truncated manifest commit may have
     // been its only carrier, and txnPins() scanning a pins-free log
@@ -2658,7 +2760,7 @@ object CommitLog {
     val cp = new Path(log, f"$keepFrom%08d.json")
     val out = fs.create(cp, true)
     try out.write(
-      s"""{"version":$keepFrom,$tsField"adds":${jarr(horizonState)},"removes":[]$schemaField$consField$batchField$horizonPins,"checkpoint":true}"""
+      s"""{"version":$keepFrom,$tsField"adds":${jarr(horizonState)},"removes":[]$schemaField$consField$batchField$horizonPins$usedPhysField$firstQualField,"checkpoint":true}"""
         .getBytes("UTF-8"))
     finally out.close()
     val dataDir = new Path(tablePath, DataDir)

@@ -119,37 +119,39 @@ class GraftCatalogPlugin extends TableCatalog {
       changes: TableChange*): Table = {
     val path = pathOf(ident)
     if (!exists(path)) throw new NoSuchTableException(ident)
-    CommitLog.tableSchema(spark, path).getOrElse(
+    val cur = CommitLog.tableSchema(spark, path).getOrElse(
       throw new UnsupportedOperationException(
         s"$catalogName: $path has no declared schema — declareSchema " +
         "first (ALTER gates on the declared-schema contract)"))
-    changes.foreach {
-      case add: TableChange.AddColumn =>
-        require(add.fieldNames.length == 1,
-          s"$catalogName: nested ADD COLUMN ${add.fieldNames.mkString(".")}")
-        require(add.position == null,
-          s"$catalogName: column position is not supported (files are " +
-          "name-addressed; order is presentational)")
-        // re-read the schema per change: a multi-change ALTER must see
-        // its own earlier effects
-        val cur = CommitLog.tableSchema(spark, path).get
-        CommitLog.evolveSchema(spark, path, StructType(cur.fields :+
-          CommitLog.addColumnField(spark, path, add.fieldNames.head,
-            add.dataType)))
-      case rn: TableChange.RenameColumn =>
-        require(rn.fieldNames.length == 1,
-          s"$catalogName: nested RENAME COLUMN ${rn.fieldNames.mkString(".")}")
-        CommitLog.renameColumn(spark, path, rn.fieldNames.head, rn.newName)
-      case del: TableChange.DeleteColumn =>
-        require(del.fieldNames.length == 1,
-          s"$catalogName: nested DROP COLUMN ${del.fieldNames.mkString(".")}")
-        CommitLog.dropColumn(spark, path, del.fieldNames.head)
-      case other => throw new UnsupportedOperationException(
-        s"$catalogName: unsupported ALTER ${other.getClass.getSimpleName} — " +
-        "ADD/RENAME/DROP COLUMN are the supported column changes " +
-        "(a retype would orphan existing files' data)")
+    // VALIDATE EVERY change against the in-flight schema FIRST, then
+    // publish ONE commit: a multi-change ALTER that fails partway must
+    // leave the table untouched, not half-altered (the pure helpers
+    // throw before anything is written)
+    val next = changes.foldLeft(cur) { (acc, ch) =>
+      ch match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames.length == 1,
+            s"$catalogName: nested ADD COLUMN ${add.fieldNames.mkString(".")}")
+          require(add.position == null,
+            s"$catalogName: column position is not supported (files are " +
+            "name-addressed; order is presentational)")
+          StructType(acc.fields :+ CommitLog.applyAdd(spark, path, acc,
+            add.fieldNames.head, add.dataType))
+        case rn: TableChange.RenameColumn =>
+          require(rn.fieldNames.length == 1,
+            s"$catalogName: nested RENAME COLUMN ${rn.fieldNames.mkString(".")}")
+          CommitLog.applyRename(spark, path, acc, rn.fieldNames.head, rn.newName)
+        case del: TableChange.DeleteColumn =>
+          require(del.fieldNames.length == 1,
+            s"$catalogName: nested DROP COLUMN ${del.fieldNames.mkString(".")}")
+          CommitLog.applyDrop(spark, path, acc, del.fieldNames.head)
+        case other => throw new UnsupportedOperationException(
+          s"$catalogName: unsupported ALTER ${other.getClass.getSimpleName} — " +
+          "ADD/RENAME/DROP COLUMN are the supported column changes " +
+          "(a retype would orphan existing files' data)")
+      }
     }
-    val next = CommitLog.tableSchema(spark, path).get
+    CommitLog.declareSchema(spark, path, next)
     new GraftTable(path, next, CommitLog.latestVersion(spark, path), acceptAnySchema = false)
   }
 

@@ -192,12 +192,8 @@ class GraftCowWrite(op: GraftRowLevelOperation, tablePath: String,
     // names, and stat coverage intersects in the physical domain
     // (logged stats are keyed physically)
     import graft.operators.ColumnMapping
-    val writeSchemaP = CommitLog.tableSchema(spark, tablePath) match {
-      case Some(d) if ColumnMapping.hasMapping(d) =>
-        org.apache.spark.sql.types.StructType(writeSchema.fields.map(f =>
-          f.copy(name = ColumnMapping.physicalName(d, f.name))))
-      case _ => writeSchema
-    }
+    val writeSchemaP = CommitLog.tableSchema(spark, tablePath)
+      .fold(writeSchema)(ColumnMapping.physicalWriteSchema(writeSchema, _))
     val statted: Seq[String] =
       if (scan == null) Seq.empty
       else CommitLog.fileStats(spark, tablePath, Some(scan.version))

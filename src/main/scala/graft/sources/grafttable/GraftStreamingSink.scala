@@ -68,8 +68,7 @@ class GraftStreamingWrite(tablePath: String, schema: StructType,
     import graft.operators.ColumnMapping
     val (schemaP, statsP, bloomP) = declared match {
       case Some(d) if ColumnMapping.hasMapping(d) =>
-        (StructType(schema.fields.map(f =>
-          f.copy(name = ColumnMapping.physicalName(d, f.name)))),
+        (ColumnMapping.physicalWriteSchema(schema, d),
           statsCols.map(ColumnMapping.physicalName(d, _)),
           bloomCols.map(ColumnMapping.physicalName(d, _)))
       case _ => (schema, statsCols, bloomCols)

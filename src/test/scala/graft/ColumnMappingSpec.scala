@@ -123,6 +123,100 @@ class ColumnMappingSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("crossing renames and physical-name collisions are refused at DDL time") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.declareSchema(spark, t, StructType.fromDDL("c BIGINT, y BIGINT"))
+      CommitLog.append(spark, t, Seq((1L, 10L)).toDF("c", "y"))
+      CommitLog.renameColumn(spark, t, "y", "z") // z's physical stays 'y'
+      // the crossing: 'y' is now z's PHYSICAL name — renaming c onto it
+      // would make every name lookup ambiguous (review r14 #1/#4)
+      val e = intercept[IllegalArgumentException](
+        CommitLog.renameColumn(spark, t, "c", "y"))
+      assert(e.getMessage.contains("physical"))
+      // ...and so would ADDING a column named 'y'
+      intercept[IllegalArgumentException](
+        CommitLog.addColumnField(spark, t, "y", LongType))
+      // renaming a column BACK to its own physical name stays legal
+      CommitLog.renameColumn(spark, t, "z", "y")
+      assert(CommitLog.read(spark, t).columns.toSeq === Seq("c", "y"))
+      assert(CommitLog.read(spark, t).head.getLong(1) === 10L)
+    } finally cleanup(t)
+  }
+
+  test("a failed multi-change ALTER leaves the table untouched") {
+    val t = tempTable()
+    try {
+      ensureCatalog()
+      spark.sql(s"CREATE TABLE graft.`$t` (id BIGINT, s STRING)")
+      val v0 = CommitLog.latestVersion(spark, t)
+      // second change is unsupported (positioned column): the FIRST
+      // must not have been committed either (review r14 #5)
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS (a INT, b INT AFTER a)")
+      }
+      assert(CommitLog.latestVersion(spark, t) === v0,
+        "failed ALTER left a committed change behind")
+      assert(CommitLog.tableSchema(spark, t).get.fieldNames.toSeq ===
+        Seq("id", "s"))
+      // a VALID multi-change ALTER lands as ONE commit
+      spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS (a INT, b INT)")
+      assert(CommitLog.latestVersion(spark, t) === v0 + 1)
+      assert(CommitLog.tableSchema(spark, t).get.fieldNames.toSeq ===
+        Seq("id", "s", "a", "b"))
+    } finally cleanup(t)
+  }
+
+  test("vacuum preserves the resurrection guard and the ledger's legacy floor") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      // --- resurrection guard across vacuum (review r14 #2) ---
+      CommitLog.declareSchema(spark, t, StructType.fromDDL("id BIGINT, tag STRING")) // v0
+      CommitLog.append(spark, t, Seq((1L, "old-secret")).toDF("id", "tag")) // v1
+      CommitLog.dropColumn(spark, t, "tag") // v2
+      CommitLog.append(spark, t, Seq(2L).toDF("id")) // v3
+      CommitLog.vacuum(spark, t, keepFrom = 3L)
+      // every declaration mentioning 'tag' was truncated; the horizon
+      // rewrite must have carried the physical-name history
+      assert(CommitLog.usedPhysicalNames(spark, t).contains("tag"),
+        "vacuum forgot the retired physical names")
+      val f = CommitLog.addColumnField(spark, t, "tag", StringType)
+      assert(graft.operators.ColumnMapping.physical(f) !== "tag",
+        "post-vacuum re-add reused the retired physical name")
+      val cur = CommitLog.tableSchema(spark, t).get
+      CommitLog.evolveSchema(spark, t, StructType(cur.fields :+ f))
+      val r = CommitLog.read(spark, t).orderBy("id").collect()
+      assert(r.forall(_.isNullAt(1)),
+        s"dropped data resurrected after vacuum: ${r.toSeq}")
+    } finally cleanup(t)
+  }
+
+  test("ledger legacy floor survives vacuum: live co-writer can't suppress new epochs") {
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      // qualified writer appA commits epochs 0..2 (review r14 #3)
+      (0L to 2L).foreach(i => CommitLog.appendStream(spark, t,
+        Seq((i, s"a$i")).toDF("id", "s"), i, app = Some("appA")))
+      // a live identity-free co-writer lands batchId 3
+      CommitLog.appendStream(spark, t, Seq((100L, "bare")).toDF("id", "s"), 3L)
+      // vacuum ABOVE every qualified entry: only the bare entry's
+      // commit (v3) survives with the horizon rewrite
+      CommitLog.vacuum(spark, t, keepFrom = 3L)
+      // appA's brand-new epoch 3 must still land — the floor carried
+      // by the rewrite keeps the bare entry classified as LIVE
+      assert(CommitLog.appendStream(spark, t,
+        Seq((3L, "a3")).toDF("id", "s"), 3L, app = Some("appA")).isDefined,
+        "vacuum reclassified a live co-writer's entry as legacy")
+      assert(CommitLog.read(spark, t).count() === 5)
+      // and appA's own replay of epoch 3 is still recognized
+      assert(CommitLog.appendStream(spark, t,
+        Seq((3L, "a3")).toDF("id", "s"), 3L, app = Some("appA")).isEmpty)
+    } finally cleanup(t)
+  }
+
   test("SQL DDL: ALTER TABLE RENAME/DROP/ADD COLUMN through the catalog") {
     val t = tempTable()
     try {
