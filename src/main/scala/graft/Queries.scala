@@ -508,6 +508,7 @@ object Queries {
     "mm_video_meta" -> (Multimodal.videoMeta _),
     "mm_mp4_meta" -> (Multimodal.mp4MetaQ _),
     "mm_webp_meta" -> (Multimodal.webpMetaQ _),
+    "mm_avif_meta" -> (Multimodal.avifMetaQ _),
     "mm_flac_meta" -> (Multimodal.flacMetaQ _),
     "mm_mp3_meta" -> (Multimodal.mp3MetaQ _),
     "mm_exif_meta" -> (Multimodal.exifMetaQ _),
@@ -1465,6 +1466,21 @@ object Queries {
        "WHEN doc_id % 3 = 2 THEN doc_id % 7 = 0 ELSE FALSE END AS has_anim, " +
        "CASE WHEN doc_id % 109 = 0 THEN NULL " +
        "WHEN doc_id % 3 = 2 THEN doc_id % 5 = 0 ELSE FALSE END AS has_exif " +
+       "FROM documents ORDER BY doc_id"),
+    // AVIF triage twin: brand/dims/depth/channels all doc_id
+    // arithmetic (AvifEncode scaladoc) — certifies the ISO-BMFF walk
+    // through meta/iprp/ipco to ispe + pixi on every non-filler row
+    "mm_avif_meta" ->
+      ("SELECT doc_id, " +
+       "CASE WHEN doc_id % 113 = 0 THEN NULL " +
+       "WHEN doc_id % 7 = 0 THEN 'avis' ELSE 'avif' END AS brand, " +
+       "CASE WHEN doc_id % 113 = 0 THEN NULL ELSE CAST(doc_id % 800 + 16 AS INTEGER) END AS width, " +
+       "CASE WHEN doc_id % 113 = 0 THEN NULL ELSE CAST((doc_id * 5) % 600 + 16 AS INTEGER) END AS height, " +
+       "CASE WHEN doc_id % 113 = 0 THEN NULL " +
+       "ELSE CAST((CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 10 ELSE 12 END) AS INTEGER) END AS depth, " +
+       "CASE WHEN doc_id % 113 = 0 THEN NULL " +
+       "ELSE CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INTEGER) END AS channels, " +
+       "CASE WHEN doc_id % 113 = 0 THEN NULL ELSE doc_id % 7 = 0 END AS animated " +
        "FROM documents ORDER BY doc_id"),
     "mm_mp4_meta" ->
       ("SELECT doc_id, " +

@@ -324,6 +324,15 @@ object Multimodal {
         (id % 109 =!= 0, graft.plans.VectorExpressions.webpEncode(
           (id % 640 + 10).cast("int"), ((id * 3) % 480 + 10).cast("int"),
           id.cast("long"), (id % 3).cast("int"))))
+      case "avif" => Seq(
+        (id % 113 === 0, encode(text.substr(1, 24), "UTF-8")),
+        // REAL AVIF shells (plans.AvifEncode): ftyp avif/avis on
+        // id%7, meta/iprp/ipco with a real ispe + pixi (depth 8/10/12
+        // on id%3, channels 1/3 on id%2) — every reported field is
+        // doc_id arithmetic, so the oracle restates the triage row
+        (id % 113 =!= 0, graft.plans.VectorExpressions.avifEncode(
+          (id % 800 + 16).cast("int"), ((id * 5) % 600 + 16).cast("int"),
+          id.cast("long"), id % 7 === 0)))
       case "mp4" => Seq(
         (id % 127 === 0, encode(text.substr(1, 28), "UTF-8")),
         // REAL ISO-BMFF files (plans.Mp4Encode): 0..2 video + 1..2
@@ -449,7 +458,8 @@ object Multimodal {
   def writeMediaFixture(spark: SparkSession, dir: String, path: String): Unit =
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "gifanim",
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
-      "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "mixed")
+      "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "avif",
+      "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -943,6 +953,22 @@ object Multimodal {
         col("m.has_alpha").as("has_alpha"),
         col("m.has_anim").as("has_anim"),
         col("m.has_exif").as("has_exif"))
+      .orderBy(col("doc_id"))
+
+  /** AVIF triage: HEIF item-property metadata per doc (NULL for the
+    * non-AVIF rows) — brand (still avif / sequence avis), ispe
+    * dimensions, pixi depth + channels. The fastest-growing crawl
+    * image format; the fixture cycles both brands, all three depths,
+    * and both channel counts on doc_id. */
+  def avifMetaQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "avif")
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.avifMeta(col("avif")).as("m"))
+      .select(col("doc_id"),
+        col("m.brand").as("brand"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.depth").as("depth"), col("m.channels").as("channels"),
+        col("m.animated").as("animated"))
       .orderBy(col("doc_id"))
 
   /** MP4 container triage: ISO-BMFF box-tree metadata per doc (NULL

@@ -363,6 +363,10 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_webp_encode", exprs => WebpEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_avif_meta", exprs => AvifMeta(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_avif_encode", exprs => AvifEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_mp4_meta", exprs => Mp4Meta(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_mp4_encode", exprs => Mp4Encode(exprs), "scala_udf")
@@ -496,6 +500,20 @@ object VectorExpressions {
   def webpEncode(w: Column, h: Column, seed: Column, variant: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_webp_encode", w, h, seed, variant)
+  }
+
+  /** AVIF triage (plans.AvifMeta), column form; same registration
+    * precondition. */
+  def avifMeta(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_avif_meta", c)
+  }
+
+  /** AVIF fixture encoder (plans.AvifEncode), column form; same
+    * registration precondition. */
+  def avifEncode(w: Column, h: Column, seed: Column, animated: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_avif_encode", w, h, seed, animated)
   }
 
   /** HTML visible-text extraction (plans.HtmlText), column form; same

@@ -34,7 +34,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "Mp3Meta" -> (graft.plans.Mp3Meta.parse(_)),
     "ExifMeta" -> (graft.plans.ExifMeta.parse(_)),
     "AudioTags" -> (graft.plans.AudioTags.parse(_)),
-    "WebpMeta" -> (graft.plans.WebpMeta.parse(_)))
+    "WebpMeta" -> (graft.plans.WebpMeta.parse(_)),
+    "AvifMeta" -> (graft.plans.AvifMeta.parse(_)))
 
   // magic prefixes steer the fuzz into each format's deep parse path
   private val prefixes: Seq[Array[Byte]] = Seq(
@@ -53,7 +54,9 @@ class ParserFuzzSpec extends AnyFunSuite {
     "ID3".getBytes ++ hx("0300000000000A"), // ID3v2 header → syncsafe skip
     hx("FFFB"), // MPEG-1 Layer III frame sync → frame-chain walk
     hx("FFD8FFE100A0") ++ "Exif".getBytes ++ hx("0000"), // APP1/EXIF → IFD walk
-    "RIFF".getBytes ++ hx("40000000") ++ "WEBP".getBytes) // WebP form → chunk walk
+    "RIFF".getBytes ++ hx("40000000") ++ "WEBP".getBytes, // WebP form → chunk walk
+    hx("00000014") ++ "ftypavif".getBytes ++ hx("00000000") ++
+      "avif".getBytes) // AVIF ftyp → meta/iprp walk
 
   private def neverThrows(name: String, p: Array[Byte] => AnyRef,
       input: Array[Byte], what: String): Unit =
