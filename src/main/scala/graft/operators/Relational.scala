@@ -66,10 +66,14 @@ object Relational {
 
   /** The salted join as a verified query: revenue per order status,
     * computed through the salted path — hash-identical to the plain
-    * join the oracle runs. */
+    * join the oracle runs. salts=4 for the DEMO (the sf0.1 corpus has
+    * no skew, so the bench line prices pure replication overhead — the
+    * cost the operator exists to accept UNDER skew; a production call
+    * sizes salts to the observed hot-key fanout, and the semantics are
+    * salt-count-invariant, which the oracle proves). */
   def saltedJoinRevenue(spark: SparkSession, dir: String): DataFrame =
     saltedJoin(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
-        "l_orderkey", "o_orderkey", salts = 8)
+        "l_orderkey", "o_orderkey", salts = 4)
       .groupBy(col("o_orderstatus"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
            count(lit(1)).as("n_items"))
@@ -83,7 +87,7 @@ object Relational {
     saltedJoin(Tables.lineitem(spark, dir),
         Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"), col("o_orderstatus")),
-        "l_orderkey", "o_orderkey", salts = 8, joinType = "left")
+        "l_orderkey", "o_orderkey", salts = 4, joinType = "left")
       .groupBy(coalesce(col("o_orderstatus"), lit("(none)")).as("status_bucket"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
            count(lit(1)).as("n_items"))
