@@ -59,23 +59,45 @@ object Dedup {
 
   /** Adaptive set representation. Exact set similarity is dominated by
     * per-pair intersection cost (measured ~9us/pair for string-array
-    * intersect — 110s over 12M pairs on this corpus). When the global
-    * vocabulary fits in 64 symbols, dictionary-encode it and represent
-    * every token set as one 64-bit mask: jaccard becomes two popcounts
-    * (~ns/pair). The vocabulary probe is a single distinct-aggregate —
-    * cheap at any scale — and the driver-side collect happens only under
-    * the 64-symbol bound. Larger vocabularies keep the array form (the
-    * general path; a production build would add a multi-word bitmap or
-    * sorted-int-array tier between these).
-    */
+    * intersect — 110s over 12M pairs on this corpus). Three tiers:
+    *  - vocabulary ≤ 64 symbols: dictionary-encode and represent every
+    *    token set as ONE 64-bit mask — jaccard is two popcounts
+    *    (~ns/pair);
+    *  - vocabulary ≤ 512 symbols: the MULTI-WORD bitmap (r14, closing
+    *    the gap this comment used to name) — a fixed ≤8-long word
+    *    array per set, per-pair intersect = ≤8 ANDs + popcounts
+    *    (graft_words_isect), still far under the merge walk of two
+    *    full token arrays;
+    *  - larger vocabularies keep the sorted-long-array form verified
+    *    by the one-pass merge (graft_isect_size).
+    * The vocabulary probe is a single distinct-aggregate — cheap at any
+    * scale — and the driver-side collect happens only under the
+    * 512-symbol bound (≤4 KB). */
   private def smallVocab(t: DataFrame): Option[Array[Long]] = {
     val distinctToks = t.select(explode(col("toks")).as("tok")).distinct()
-    val n = distinctToks.limit(65).count()
+    val n = distinctToks.limit(WordsSymbols + 1).count()
     // an EMPTY vocabulary (all documents tokenize to nothing) has no
     // mask tier: maskExpr's reduce over zero symbols would throw, and
     // a persisted "[]" sidecar would poison every later serve
-    if (n == 0 || n > 64) None
+    if (n == 0 || n > WordsSymbols) None
     else Some(distinctToks.orderBy(col("tok")).collect().map(_.getLong(0)))
+  }
+
+  /** Verify-tier bounds: ≤ [[MaskSymbols]] → single-long popcount mask;
+    * ≤ [[WordsSymbols]] → multi-word bitmap; beyond → sorted-array
+    * merge. */
+  private[operators] val MaskSymbols = 64
+  private[operators] val WordsSymbols = 512
+
+  /** The per-pair verification representation a vocabulary admits. */
+  private sealed trait SetTier
+  private case object ArrayTier extends SetTier
+  private final case class MaskTier(vocab: Array[Long]) extends SetTier
+  private final case class WordsTier(vocab: Array[Long]) extends SetTier
+  private def tierOf(vocab: Option[Array[Long]]): SetTier = vocab match {
+    case Some(v) if v.length <= MaskSymbols => MaskTier(v)
+    case Some(v)                            => WordsTier(v)
+    case None                               => ArrayTier
   }
 
   /** The vocabulary probe memoized per CORPUS (the probe is a distinct
@@ -97,61 +119,80 @@ object Dedup {
         sort_array(array_distinct(transform(tokens(col("text")), t => xxhash64(t)))).as("toks"))
       .withColumn("sz", size(col("toks")))
 
-  /** Bitmask-of-vocabulary expression over a `toks` column. */
+  /** Bitmask-of-vocabulary expression over a `toks` column (the ≤64
+    * single-long tier). */
   private def maskExpr(vocab: Array[Long]): Column =
     vocab.zipWithIndex.map { case (w, i) =>
       when(array_contains(col("toks"), w), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
-  /** doc_id, sz, and either `mask` (small vocab) or `toks`. */
-  private def setRepr(spark: SparkSession, dir: String): (DataFrame, Boolean) = {
+  /** Multi-word bitmap expression over a `toks` column (the ≤512
+    * tier): one native pass per DOC — binary-search each token in the
+    * ascending vocabulary literal, set its bit (graft_vocab_words). */
+  private def wordsExpr(vocab: Array[Long]): Column =
+    graft.plans.VectorExpressions.vocabWords(col("toks"), vocab)
+
+  /** doc_id, sz, and the tier's payload: `mask` (≤64 vocab), `words`
+    * (≤512 vocab), or `toks`. */
+  private def setRepr(spark: SparkSession, dir: String): (DataFrame, SetTier) = {
     val t = tokenSets(spark, dir)
-    corpusVocab(spark, dir) match {
-      case Some(vocab) =>
-        (t.select(col("doc_id"), size(col("toks")).as("sz"), maskExpr(vocab).as("mask")), true)
-      case None =>
-        (t.select(col("doc_id"), size(col("toks")).as("sz"), col("toks")), false)
+    val tier = tierOf(corpusVocab(spark, dir))
+    val payload = tier match {
+      case MaskTier(v)  => maskExpr(v).as("mask")
+      case WordsTier(v) => wordsExpr(v).as("words")
+      case ArrayTier    => col("toks")
     }
+    (t.select(col("doc_id"), size(col("toks")).as("sz"), payload), tier)
   }
 
-  /** Exact jaccard over pre-paired rows carrying (sa, sb) and either
-    * (mask_a, mask_b) or (toks_a, toks_b). The unmasked branch is the
-    * SORTED-INT-ARRAY tier (advice r8 #5): graft_isect_size merges the
-    * per-doc-sorted long arrays in one pass — the same value as
-    * size(array_intersect) (differential-pinned in ExtensionsSpec)
-    * without its per-pair boxed hash-set build. Every consumer
-    * (jaccard_pairs, banded verify, incremental, indexed) inherits the
-    * tier through this one dispatch. */
-  private def pairJaccard(masked: Boolean): Column =
-    if (masked)
+  /** Exact jaccard over pre-paired rows carrying (sa, sb) and the
+    * tier's payload pair: (mask_a, mask_b), (words_a, words_b), or
+    * (toks_a, toks_b). The array branch is the SORTED-INT-ARRAY tier
+    * (advice r8 #5): graft_isect_size merges the per-doc-sorted long
+    * arrays in one pass — the same value as size(array_intersect)
+    * (differential-pinned in ExtensionsSpec) without its per-pair boxed
+    * hash-set build. The words branch computes i via ≤8 ANDs+popcounts
+    * and derives the union from the TRUE sizes (i/(sa+sb-i) — the same
+    * rational the array form computes, so the rounded value is
+    * bit-identical). Every consumer (jaccard_pairs, banded verify,
+    * incremental, indexed) inherits the tier through this dispatch. */
+  private def pairJaccard(tier: SetTier): Column = tier match {
+    case MaskTier(_) =>
       bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double") /
         bit_count(col("mask_a").bitwiseOR(col("mask_b")))
-    else {
+    case WordsTier(_) =>
+      val i = graft.plans.VectorExpressions.wordsIsect(col("words_a"), col("words_b"))
+      i.cast("double") / (col("sa") + col("sb") - i)
+    case ArrayTier =>
       val i = graft.plans.VectorExpressions.isectSize(col("toks_a"), col("toks_b"))
       i.cast("double") / (col("sa") + col("sb") - i)
-    }
+  }
 
   /** Exact jaccard + final threshold over pre-paired rows (callers
     * that haven't already applied the size-ratio prefilter use
     * [[verifyPairs]]). */
-  private def jaccardVerify(pairs: DataFrame, threshold: Double, masked: Boolean): DataFrame =
+  private def jaccardVerify(pairs: DataFrame, threshold: Double, tier: SetTier): DataFrame =
     pairs
       .select(col("doc_a"), col("doc_b"),
-              round(pairJaccard(masked), 4).as("jaccard"))
+              round(pairJaccard(tier), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
   /** Size-ratio prefilter (sound: i <= min(sa,sb) and union >= max, so
     * j <= min/max — pairs failing it can never reach the threshold) +
     * exact jaccard + final threshold. */
-  private def verifyPairs(pairs: DataFrame, threshold: Double, masked: Boolean): DataFrame =
+  private def verifyPairs(pairs: DataFrame, threshold: Double, tier: SetTier): DataFrame =
     jaccardVerify(
       pairs.filter(least(col("sa"), col("sb")).cast("double") /
                    greatest(col("sa"), col("sb")) >= threshold),
-      threshold, masked)
+      threshold, tier)
 
-  private def sides(repr: DataFrame, masked: Boolean): (DataFrame, DataFrame) = {
+  private def sides(repr: DataFrame, tier: SetTier): (DataFrame, DataFrame) = {
     def side(suffix: String) = {
-      val payload = if (masked) col("mask").as(s"mask_$suffix") else col("toks").as(s"toks_$suffix")
+      val payload = tier match {
+        case MaskTier(_)  => col("mask").as(s"mask_$suffix")
+        case WordsTier(_) => col("words").as(s"words_$suffix")
+        case ArrayTier    => col("toks").as(s"toks_$suffix")
+      }
       repr.select(col("doc_id").as(s"doc_$suffix"), col("sz").as(s"s$suffix"), payload)
     }
     (side("a"), side("b"))
@@ -160,9 +201,9 @@ object Dedup {
   /** Exact n-gram(1) Jaccard over a deterministic 20% sample — the
     * quadratic brute-force baseline, deliberately bounded. */
   def jaccardPairsSampled(spark: SparkSession, dir: String): DataFrame = {
-    val (repr, masked) = setRepr(spark, dir)
-    val (a, b) = sides(repr.filter(col("doc_id") % 5 === 0), masked)
-    verifyPairs(a.join(b, col("doc_a") < col("doc_b")), 0.5, masked)
+    val (repr, tier) = setRepr(spark, dir)
+    val (a, b) = sides(repr.filter(col("doc_id") % 5 === 0), tier)
+    verifyPairs(a.join(b, col("doc_a") < col("doc_b")), 0.5, tier)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -247,14 +288,19 @@ object Dedup {
     // computeIfAbsent on one ConcurrentHashMap is forbidden (it can
     // throw 'Recursive update' when the two keys share a bin)
     corpusVocab(spark, dir) match {
-      case Some(vocab) =>
+      // the all-pairs degenerate-LSH argument below is specific to the
+      // TINY (≤64-symbol) vocabulary, where most pairs agree on most
+      // bands; a 65..512-symbol corpus bands fine and stays on the LSH
+      // plan — it gets the multi-word popcount tier at VERIFY time
+      // through bandedPairsShared's vocab thread instead
+      case Some(vocab) if vocab.length <= MaskSymbols =>
         pairCache.getOrCompute(spark, dir) {
           maskedPairsFor(spark, dir, vocab).localCheckpoint(false)
         }
       // general corpus: share the ONE banded build with
       // minhashLshPairsBanded — the memoized frame is already a
       // checkpoint, so no second layer and no duplicate pipeline
-      case None => bandedPairsShared(spark, dir)
+      case _ => bandedPairsShared(spark, dir)
     }
 
   private def maskedPairsFor(spark: SparkSession, dir: String,
@@ -269,14 +315,19 @@ object Dedup {
     val streamSide = side("a").repartition(
       repr.sparkSession.sparkContext.defaultParallelism * 2)
     verifyPairs(streamSide.join(broadcast(side("b")), col("doc_a") < col("doc_b")),
-                0.8, masked = true)
+                0.8, MaskTier(vocab))
   }
 
   /** The single memoized banded build per corpus, shared by the
     * adaptive path and the explicit banded query. */
   private def bandedPairsShared(spark: SparkSession, dir: String): DataFrame =
     pairCache.getOrCompute(spark, s"$dir#banded") {
-      bandedPairsFor(tokenSets(spark, dir), 0.8, s"$dir#banded").localCheckpoint(false)
+      // the corpus vocabulary (when ≤512 symbols) upgrades the VERIFY
+      // stage to a popcount tier; the banding itself is unchanged.
+      // Sound here because the vocab is computed over the SAME unigram
+      // token sets being banded — it covers every token on both sides.
+      bandedPairsFor(tokenSets(spark, dir), 0.8, s"$dir#banded",
+        vocab = corpusVocab(spark, dir)).localCheckpoint(false)
     }
 
   /** The general-corpus LSH banding path (blocking equi-join on
@@ -316,8 +367,8 @@ object Dedup {
     * scale, shuffles on doc_id at large). Measured at sf0.1 this cut
     * the pair build ~3x vs carrying toks through the band join. */
   private[operators] def bandedPairsFor(sets: DataFrame, threshold: Double,
-      scope: String): DataFrame =
-    bandedPairsCore(sets, None, threshold, scope)
+      scope: String, vocab: Option[Array[Long]] = None): DataFrame =
+    bandedPairsCore(sets, None, threshold, scope, vocab)
 
   /** Banded near-dup pairs BETWEEN two disjoint set frames — the
     * incremental-ingest shape (side a = standing corpus, side b =
@@ -327,11 +378,13 @@ object Dedup {
     * collisions — the property that makes a large backfill batch
     * ingestible at 100 TB where a broadcast would OOM. */
   private[operators] def bandedPairsAcross(setsA: DataFrame, setsB: DataFrame,
-      threshold: Double, scope: String): DataFrame =
-    bandedPairsCore(setsA, Some(setsB), threshold, scope)
+      threshold: Double, scope: String,
+      vocab: Option[Array[Long]] = None): DataFrame =
+    bandedPairsCore(setsA, Some(setsB), threshold, scope, vocab)
 
   private def bandedPairsCore(setsA: DataFrame, setsB: Option[DataFrame],
-      threshold: Double, scope: String): DataFrame = {
+      threshold: Double, scope: String,
+      vocab: Option[Array[Long]] = None): DataFrame = {
     val spark = setsA.sparkSession
     // materialized once: the band table and both candidate-attach
     // joins below all read this frame — without the checkpoint each
@@ -355,7 +408,7 @@ object Dedup {
     val bandsA = bandTable(reprA)
     val bandsB = setsB.map(_ => bandTable(reprB)).getOrElse(bandsA)
     bandJoinVerify(bandsA, reprA, bandsB, reprB, threshold,
-      selfJoin = setsB.isEmpty)
+      selfJoin = setsB.isEmpty, vocab = vocab)
   }
 
   /** The thin band table — (doc_id, sz, bks, band_id, band_key) — from
@@ -409,8 +462,8 @@ object Dedup {
     // re-shuffle; the query-surface wrappers add their own orderBy.
     // (candidates already passed the size-ratio prefilter above, so
     // this is the jaccard check alone — one place owns each predicate)
-    vocab match {
-      case Some(v) =>
+    tierOf(vocab) match {
+      case MaskTier(v) =>
         // CORPUS-vocabulary popcount tier (the banded twin of setRepr's
         // bitmask fast path): each side is dictionary-masked once per
         // DOC before the attach, and the per-PAIR verify is two
@@ -419,11 +472,21 @@ object Dedup {
         val mb = reprB.select(col("doc_id").as("doc_b"), maskExpr(v).as("mask_b"))
         hybridVerify(candidates.join(ma, Seq("doc_a")).join(mb, Seq("doc_b")),
           threshold)
-      case None =>
+      case WordsTier(v) =>
+        // multi-word bitmap tier (65..512 symbols): masked once per
+        // DOC like the single-long tier, per-PAIR verify = ≤8 ANDs +
+        // popcounts. Same cross-side soundness contract as
+        // [[hybridVerify]]: the vocab covers every side-a token, so
+        // any intersecting token is in-vocab and i is exact.
+        val wa = reprA.select(col("doc_id").as("doc_a"), wordsExpr(v).as("words_a"))
+        val wb = reprB.select(col("doc_id").as("doc_b"), wordsExpr(v).as("words_b"))
+        wordsVerify(candidates.join(wa, Seq("doc_a")).join(wb, Seq("doc_b")),
+          threshold)
+      case ArrayTier =>
         val withSets = candidates
           .join(reprA.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
           .join(reprB.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
-        jaccardVerify(withSets, threshold, masked = false)
+        jaccardVerify(withSets, threshold, ArrayTier)
     }
   }
 
@@ -437,6 +500,22 @@ object Dedup {
     * bit-identical after the shared round(_, 4). */
   private def hybridVerify(pairs: DataFrame, threshold: Double): DataFrame = {
     val i = bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double")
+    pairs
+      .select(col("doc_a"), col("doc_b"),
+        round(i / (col("sa") + col("sb") - i), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The multi-word twin of [[hybridVerify]]: exact jaccard over
+    * (doc_a, doc_b, sa, sb, words_a, words_b) rows where the word
+    * arrays were built from a dictionary covering EVERY side-a token
+    * (same soundness argument — an intersecting token must be
+    * in-vocab, so Σ popcount(and) is the exact intersection, and with
+    * the TRUE sizes i/(sa+sb-i) is the exact jaccard, bit-identical
+    * after the shared round(_, 4)). */
+  private def wordsVerify(pairs: DataFrame, threshold: Double): DataFrame = {
+    val i = graft.plans.VectorExpressions
+      .wordsIsect(col("words_a"), col("words_b")).cast("double")
     pairs
       .select(col("doc_a"), col("doc_b"),
         round(i / (col("sa") + col("sb") - i), 4).as("jaccard"))
@@ -612,11 +691,11 @@ object Dedup {
       // applies the sound size-ratio prefilter before paying for any
       // intersect — same Jaccard, same oracle argument, one
       // implementation to maintain
-      val (repr, masked) = setRepr(spark, dir)
-      val (aAll, bAll) = sides(repr, masked)
+      val (repr, tier) = setRepr(spark, dir)
+      val (aAll, bAll) = sides(repr, tier)
       val incoming = aAll.filter(col("doc_a") % 10 === 0)
       val corpus = bAll.filter(col("doc_b") % 10 =!= 0)
-      verifyPairs(corpus.crossJoin(broadcast(incoming)), threshold, masked)
+      verifyPairs(corpus.crossJoin(broadcast(incoming)), threshold, tier)
         .select(col("doc_a").as("new_doc_id"), col("doc_b").as("dup_of"), col("jaccard"))
         .orderBy(col("new_doc_id"), col("dup_of"))
     } else {
@@ -644,10 +723,13 @@ object Dedup {
   private[graft] def incrementalBandedRaw(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
     val sets = tokenSets(spark, dir)
+    // corpusVocab covers the FULL corpus (both the standing and batch
+    // splits), so threading it is sound on both sides — verify runs at
+    // the popcount tier whenever the vocabulary admits one
     bandedPairsAcross(
       sets.filter(col("doc_id") % 10 =!= 0),
       sets.filter(col("doc_id") % 10 === 0),
-      threshold, s"$dir#incremental")
+      threshold, s"$dir#incremental", vocab = corpusVocab(spark, dir))
   }
 
   /** On-disk dedup corpus index — the persisted twin of the IVF index
@@ -675,8 +757,9 @@ object Dedup {
       .write.mode("overwrite").partitionBy("band_id").parquet(s"$indexPath/bands")
     // Adaptive verification tier, persisted WITH the index (mirrors
     // the IVF _centroids.json: the quantizer is part of the index):
-    // when the corpus vocabulary fits 64 symbols, store the dictionary
-    // so every serving session verifies candidates at popcount speed.
+    // when the corpus vocabulary fits 512 symbols, store the dictionary
+    // so every serving session verifies candidates at popcount speed
+    // (single-long mask <=64 symbols, multi-word bitmap <=512).
     // Threshold-free like the rest of the index; absent sidecar = the
     // general array-intersect tier.
     smallVocab(written).foreach { vocab =>
@@ -706,7 +789,7 @@ object Dedup {
     * the sidecar covers EVERY corpus token (see [[hybridVerify]]'s
     * soundness note — corpus-side masks must be complete). The append
     * therefore extends the sidecar with the batch's tokens when the
-    * union still fits the 64-symbol tier, and DELETES it otherwise —
+    * union still fits the 512-symbol tier, and DELETES it otherwise —
     * serving then falls back to the general intersect tier, which is
     * correct on any vocabulary. */
   def appendDedupIndexBatch(spark: SparkSession, indexPath: String,
@@ -765,7 +848,7 @@ object Dedup {
     // the replay repeats this block)
     readVocabSidecar(spark, indexPath).foreach { old =>
       batchToks.map(bt => (old ++ bt).distinct.sorted) match {
-        case Some(u) if u.length <= 64 =>
+        case Some(u) if u.length <= WordsSymbols =>
           val out = fs.create(new Path(root, "_vocab.json"), true)
           try out.write(u.mkString("[", ",", "]").getBytes("UTF-8"))
           finally out.close()
@@ -867,19 +950,28 @@ object Dedup {
       // verify when present, array intersect otherwise.
       val sizeOk = least(col("sa"), col("sb")).cast("double") /
         greatest(col("sa"), col("sb")) >= threshold
-      vocab match {
-        case Some(v) =>
+      tierOf(vocab) match {
+        case MaskTier(v) =>
           val a = corpusSets.select(col("doc_id").as("doc_a"),
             col("sz").as("sa"), maskExpr(v).as("mask_a"))
           val b = batchRepr.select(col("doc_id").as("doc_b"),
             col("sz").as("sb"), maskExpr(v).as("mask_b"))
           hybridVerify(a.crossJoin(broadcast(b)).filter(sizeOk), threshold)
-        case None =>
+        case WordsTier(v) =>
+          // multi-word sidecar tier: same cross-side soundness as the
+          // mask arm (the sidecar covers every CORPUS token; batch
+          // out-of-vocab tokens set no bit and cannot intersect)
+          val a = corpusSets.select(col("doc_id").as("doc_a"),
+            col("sz").as("sa"), wordsExpr(v).as("words_a"))
+          val b = batchRepr.select(col("doc_id").as("doc_b"),
+            col("sz").as("sb"), wordsExpr(v).as("words_b"))
+          wordsVerify(a.crossJoin(broadcast(b)).filter(sizeOk), threshold)
+        case ArrayTier =>
           val a = corpusSets.select(col("doc_id").as("doc_a"),
             col("sz").as("sa"), col("toks").as("toks_a"))
           val b = batchRepr.select(col("doc_id").as("doc_b"),
             col("sz").as("sb"), col("toks").as("toks_b"))
-          verifyPairs(a.crossJoin(broadcast(b)), threshold, masked = false)
+          verifyPairs(a.crossJoin(broadcast(b)), threshold, ArrayTier)
       }
     } else
       // batchRepr is deliberately NOT checkpointed here: it is read

@@ -43,6 +43,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
        new ExpressionInfo(classOf[LongSetIntersectSize].getName, "graft_isect_size"),
        arity("graft_isect_size", 2)(exprs => LongSetIntersectSize(exprs(0), exprs(1)))))
     e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_vocab_words"),
+       new ExpressionInfo(classOf[VocabWordsMask].getName, "graft_vocab_words"),
+       arity("graft_vocab_words", 2)(exprs => VocabWordsMask(exprs(0), exprs(1)))))
+    e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_words_isect"),
+       new ExpressionInfo(classOf[WordMaskIsectSize].getName, "graft_words_isect"),
+       arity("graft_words_isect", 2)(exprs => WordMaskIsectSize(exprs(0), exprs(1)))))
+    e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk"),
        new ExpressionInfo(classOf[TopKNeighbors].getName, "graft_topk"),
        arity("graft_topk", 3)(exprs => TopKNeighbors(exprs(0), exprs(1), exprs(2)))))

@@ -241,12 +241,141 @@ object LongSetIntersectSize {
   }
 }
 
+/** `graft_vocab_words(toks, vocab)` → array<bigint>: the multi-word
+  * bitmap of a hashed-token set against an ASCENDING vocabulary array
+  * — the dedup verify tier between the 64-symbol single-long mask and
+  * the sorted-array merge (Dedup.scala names the gap). Word i bit j is
+  * set iff vocab[i*64+j] occurs in `toks`; the output always has
+  * ceil(|vocab|/64) words. Tokens absent from the vocabulary set no
+  * bit (the cross-side soundness contract: when the vocabulary covers
+  * every CORPUS token, any intersecting token is in-vocab, so the
+  * masked intersection is exact even when the other side carries
+  * out-of-vocab tokens). Lookup is a binary search per token — the
+  * vocabulary rides the plan as one ascending literal, same move as
+  * the PCA components. Null token elements are skipped (token sets
+  * hash non-null tokens, so none occur). */
+case class VocabWordsMask(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_vocab_words expects (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_vocab_words"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VocabWordsMask.mask(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.VocabWordsMask.mask($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VocabWordsMask {
+  /** Binary search over an ascending long ArrayData; -1 when absent.
+    * (The vocabulary is sorted signed-ascending at collection — the
+    * same order `Array.sorted`/`orderBy` produce — so plain signed
+    * compares agree with the writer.) */
+  private def indexOf(vocab: ArrayData, v: Long): Int = {
+    var lo = 0
+    var hi = vocab.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val x = vocab.getLong(mid)
+      if (x < v) lo = mid + 1
+      else if (x > v) hi = mid - 1
+      else return mid
+    }
+    -1
+  }
+
+  def mask(toks: ArrayData, vocab: ArrayData): ArrayData = {
+    val nWords = (vocab.numElements() + 63) >>> 6
+    val words = new Array[Long](nWords)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val idx = indexOf(vocab, toks.getLong(i))
+        if (idx >= 0) words(idx >>> 6) |= (1L << (idx & 63))
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(words)
+  }
+}
+
+/** `graft_words_isect(a, b)` → int: Σ popcount(a[i] & b[i]) over the
+  * common prefix — the per-pair intersect of two [[VocabWordsMask]]
+  * word arrays: ≤8 ANDs + popcounts per pair at the 512-symbol tier
+  * where the merge intersect walks both full token arrays. Distinct
+  * semantics are inherent (a bit is one vocabulary symbol). */
+case class WordMaskIsectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_words_isect expects (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_words_isect"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(x.getLong(i) & y.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $acc = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += java.lang.Long.bitCount($a.getLong($i) & $b.getLong($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Idempotently register graft_dot / graft_cos in the session's
     * function registry (SQL-callable). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_isect_size", exprs => LongSetIntersectSize(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vocab_words", exprs => VocabWordsMask(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_words_isect", exprs => WordMaskIsectSize(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -466,6 +595,21 @@ object VectorExpressions {
   def isectSize(a: Column, b: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_isect_size", a, b)
+  }
+
+  /** Multi-word vocabulary bitmap of a hashed-token set (the 512-symbol
+    * dedup verify tier); the ascending vocabulary rides the plan as a
+    * literal. Column form; same registration precondition. */
+  def vocabWords(toks: Column, vocab: Array[Long]): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_vocab_words", toks, org.apache.spark.sql.functions.lit(vocab))
+  }
+
+  /** Σ popcount(a[i] & b[i]) — word-array intersect size, column form;
+    * same registration precondition. */
+  def wordsIsect(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_words_isect", a, b)
   }
 
   /** Fused cosine, column form; same registration precondition. */

@@ -101,11 +101,73 @@ class DedupIndexSpec extends SparkSpec {
     val n = extended.stripPrefix("[").stripSuffix("]").split(",").length
     assert(vocabFile.exists() && n === 5, // 1,2,3 + hashed alpha/beta
       s"sidecar should hold the 5-token union, got $extended")
-    // a batch with > 64 distinct tokens overflows any union
-    val wide = Seq((9100002L, (1 to 70).map(i => s"tok$i").mkString(" ")))
+    // a batch with > 512 distinct tokens overflows any union (the
+    // multi-word tier bound — 64 was the single-long bound before r14)
+    val wide = Seq((9100002L, (1 to 520).map(i => s"tok$i").mkString(" ")))
       .toDF("doc_id", "text")
     Dedup.appendDedupIndexBatch(spark, idx, wide, batchId = 12L)
     assert(!vocabFile.exists(), "outgrown sidecar must be retired")
+  }
+
+  test("multi-word tier: a 65..512-symbol corpus serves popcount-verified, value-identical") {
+    import spark.implicits._
+    // synthetic corpus over a 100-word vocabulary — too big for the
+    // single-long mask, inside the ≤512 multi-word tier. Docs share
+    // 18-word subsets with 1-2 word edits so the %10 split has true
+    // near-dups (jaccard 17/19 ≈ 0.8947 and 18/20 = 0.9).
+    val words = (0 until 100).map(i => s"w$i")
+    def doc(ids: Seq[Int]): String = ids.map(words).mkString(" ")
+    val base = (0 until 18)
+    val docs = Seq(
+      (10L, doc(base)),                      // batch side (%10 == 0)
+      (11L, doc(base :+ 50)),                // corpus near-dup of 10
+      (20L, doc(base.map(_ + 40))),          // batch, different region
+      (21L, doc(base.map(_ + 40) :+ 99)),    // corpus near-dup of 20
+      (33L, doc(Seq(1, 5, 9))),              // corpus noise, tiny
+      (47L, doc(60 until 99)),               // corpus noise
+      (55L, doc(base.take(9)))               // corpus, jaccard 0.5 vs 10 — below gate
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_mw_corpus").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val idx = Files.createTempDirectory("graft_dedupidx_mw").toString
+    Dedup.writeDedupIndex(spark, dir, idx)
+    // the sidecar must persist the >64-symbol vocabulary now
+    val sidecar = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(idx, "_vocab.json").toPath), "UTF-8")
+    val nVocab = sidecar.stripPrefix("[").stripSuffix("]").split(",").length
+    assert(nVocab > 64 && nVocab <= 512, s"expected 65..512 sidecar symbols, got $nVocab")
+
+    // expected pairs from the GENERIC form (size(array_intersect) over
+    // the raw token sets) — the value the popcount tier must reproduce
+    val sets = docs.select(col("doc_id"),
+      array_distinct(transform(
+        graft.functions.TextFunctions.tokens(col("text")), t => xxhash64(t))).as("toks"))
+    val expected = sets.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("dup_of"), col("toks").as("ta"))
+      .crossJoin(sets.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("new_doc_id"), col("toks").as("tb")))
+      .select(col("new_doc_id"), col("dup_of"),
+        round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+              size(array_union(col("ta"), col("tb"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("new_doc_id"), col("dup_of"))
+      .collect().map(_.toString).toSeq
+    assert(expected.size === 2, s"fixture should plant exactly 2 cross-split near-dups: $expected")
+
+    // index-served banded path (bandJoinVerify WordsTier arm)
+    val served = Dedup.incrementalDedupIndexed(spark, dir, idx)
+      .collect().map(_.toString).toSeq
+    assert(served === expected, s"served=$served expected=$expected")
+    // live broadcast path (setRepr/verifyPairs WordsTier)
+    val live = Dedup.incrementalDedup(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(live === expected, s"live=$live expected=$expected")
+    // batch-vs-index broadcast path (batchDedupIndexed WordsTier arm)
+    val probe = Seq((500L, doc(base :+ 77))).toDF("doc_id", "text")
+    val hits = Dedup.batchDedupIndexed(spark, idx, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hits === Seq((500L, 11L)), s"probe should near-dup doc 11 only: $hits")
   }
 
   test("bands layout partition-prunes on band_id") {

@@ -420,6 +420,57 @@ class ExtensionsSpec extends SparkSpec {
     assert(edge.isNullAt(5))
   }
 
+  test("graft_vocab_words + graft_words_isect equal size(array_intersect) — the multi-word tier") {
+    import org.apache.spark.sql.functions.{array_intersect, size => asize}
+    import graft.plans.VectorExpressions.{vocabWords, wordsIsect}
+    // a 300-symbol vocabulary — squarely in the 65..512 band the tier
+    // exists for (too big for one long, small enough for ≤8 words)
+    val rnd = new scala.util.Random(41)
+    val vocabSet = scala.collection.mutable.LinkedHashSet.empty[Long]
+    while (vocabSet.size < 300) vocabSet += rnd.nextLong()
+    val vocab = vocabSet.toArray.sorted
+    // side-a sets ⊆ vocab (the soundness precondition); side-b sets
+    // carry OUT-OF-VOCAB tokens too — they must not perturb the count
+    // (an intersecting token is by construction in-vocab)
+    def subset(seed: Int): Seq[Long] = {
+      val r = new scala.util.Random(seed)
+      vocab.filter(_ => r.nextDouble() < 0.3).toSeq
+    }
+    val oovSet = scala.collection.mutable.LinkedHashSet.empty[Long]
+    while (oovSet.size < 50) { val v = rnd.nextLong(); if (!vocabSet.contains(v)) oovSet += v }
+    val oov = oovSet.toSeq
+    import spark.implicits._
+    val a = (0 until 40).map(i => (i.toLong, subset(i))).toDF("da", "ta")
+    val b = (0 until 40).map { i =>
+      val r = new scala.util.Random(1000 + i)
+      (i.toLong, (subset(1000 + i) ++ oov.filter(_ => r.nextDouble() < 0.2)).sorted)
+    }.toDF("db", "tb")
+    val diff = a.crossJoin(b)
+      .select(
+        wordsIsect(vocabWords(col("ta"), vocab), vocabWords(col("tb"), vocab)).as("tier"),
+        asize(array_intersect(col("ta"), col("tb"))).as("generic"))
+      .filter(col("tier") =!= col("generic"))
+    assert(diff.count() === 0,
+      "multi-word tier disagrees with array_intersect under the side-a⊆vocab contract")
+    // word-array shape: ceil(|vocab|/64) words always — 300 → 5
+    val shaped = a.select(asize(vocabWords(col("ta"), vocab)).as("n")).distinct().collect()
+    assert(shaped.map(_.getInt(0)).toSeq === Seq(5))
+    // edges: empty set → all-zero words; duplicate tokens count once
+    // (bit semantics); null array → null; null ELEMENTS skipped
+    val edge = spark.sql(
+      "SELECT graft_words_isect(graft_vocab_words(CAST(array() AS ARRAY<BIGINT>), array(1L, 2L)), " +
+      "                         graft_vocab_words(array(1L, 2L), array(1L, 2L))) AS empty, " +
+      "graft_words_isect(graft_vocab_words(array(1L, 1L, 2L), array(1L, 2L)), " +
+      "                  graft_vocab_words(array(2L, 2L, 1L), array(1L, 2L))) AS dups, " +
+      "graft_vocab_words(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS nullarr, " +
+      "graft_words_isect(graft_vocab_words(array(1L, CAST(NULL AS BIGINT), 2L), array(1L, 2L)), " +
+      "                  graft_vocab_words(array(1L, 2L), array(1L, 2L))) AS nullelem").head
+    assert(edge.getInt(0) === 0)
+    assert(edge.getInt(1) === 2)
+    assert(edge.isNullAt(2))
+    assert(edge.getInt(3) === 2)
+  }
+
   test("graft_first_agree is identical to the composed zip_with/array_position form") {
     import org.apache.spark.sql.functions.{array, array_position, coalesce, lit, transform, sequence, when, xxhash64, zip_with}
     // independently re-derived composed form: 1-based position of the
