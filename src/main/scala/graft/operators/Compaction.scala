@@ -48,9 +48,16 @@ object Compaction {
   /** Bin-pack every fragmented leaf partition of `tablePath` into
     * ~targetBytes files. Returns one report per partition actually
     * rewritten (empty = table already compact; the pass is
-    * idempotent). */
+    * idempotent).
+    *
+    * `keepFile` names data files the pass must leave UNTOUCHED (they
+    * are neither read, counted toward the bin-pack decision, nor
+    * deleted) — the hook the replay-safe INDEX compactors use to
+    * exclude the newest micro-batch's deterministically-named files,
+    * whose presence a crash-replay's pre-delete depends on. */
   def compact(spark: SparkSession, tablePath: String,
-      targetBytes: Long = 128L << 20): Seq[PartitionReport] = {
+      targetBytes: Long = 128L << 20,
+      keepFile: String => Boolean = _ => false): Seq[PartitionReport] = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
     // qualified so relative-partition reporting strips a like prefix
@@ -80,9 +87,20 @@ object Compaction {
       // commit marker: the compacted set is complete — finish the swap
       entries.filter(_.getPath.getName.startsWith("_compact_commit_")).foreach { m =>
         val s = m.getPath.getName.stripPrefix("_compact_commit_")
+        // the marker lists the merged originals (one name per line);
+        // delete exactly those. A legacy EMPTY marker (pre-list
+        // protocol) falls back to deleting every non-compacted data
+        // file — correct only because legacy runs had no keep set.
+        val in = fs.open(m.getPath)
+        val listed = (try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close())
+          .split("\n").map(_.trim).filter(_.nonEmpty).toSet
         fs.listStatus(leaf)
-          .filter(e => e.isFile && isData(e.getPath.getName) &&
-            !e.getPath.getName.startsWith(s"compact-$s-"))
+          .filter { e =>
+            val n = e.getPath.getName
+            e.isFile && isData(n) && !n.startsWith(s"compact-$s-") &&
+              (listed.isEmpty || listed.contains(n))
+          }
           .foreach(e => require(fs.delete(e.getPath, false),
             s"recovery delete failed: ${e.getPath}"))
         fs.delete(m.getPath, false)
@@ -103,7 +121,8 @@ object Compaction {
     leaves(root).flatMap { leaf =>
       recover(leaf)
       val files = fs.listStatus(leaf)
-        .filter(s => s.isFile && isData(s.getPath.getName))
+        .filter(s => s.isFile && isData(s.getPath.getName) &&
+          !keepFile(s.getPath.getName))
       val bytes = files.map(_.getLen).sum
       val needed = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       if (files.length <= needed) None
@@ -112,15 +131,22 @@ object Compaction {
         val tmp = new Path(root, s"_compact_tmp_$stamp")
         // map-only merge of this partition's files; partition values
         // live in the directory name and are untouched
-        spark.read.parquet(leaf.toString)
+        // read the merge set by explicit file list (NOT the leaf dir:
+        // kept files must not be folded into the rewrite)
+        spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
           .coalesce(needed)
           .write.mode("overwrite").parquet(tmp.toString)
         val fresh = fs.listStatus(tmp)
           .filter(s => s.isFile && isData(s.getPath.getName))
         // intent FIRST: a crash from here until the commit rename is
-        // recovered by dropping the partial compact-<stamp>-* copies
+        // recovered by dropping the partial compact-<stamp>-* copies.
+        // The marker CARRIES the merged originals' names: after the
+        // atomic intent->commit rename, recovery deletes exactly that
+        // set — never a file the run was told to keep.
         val intent = new Path(leaf, s"_compact_intent_$stamp")
-        fs.create(intent, true).close()
+        val mOut = fs.create(intent, true)
+        try mOut.write(files.map(_.getPath.getName).mkString("\n").getBytes("UTF-8"))
+        finally mOut.close()
         val moved = fresh.zipWithIndex.map { case (f, i) =>
           val dst = new Path(leaf, s"compact-$stamp-$i.parquet")
           require(fs.rename(f.getPath, dst), s"rename failed: ${f.getPath}")

@@ -861,6 +861,37 @@ object Dedup {
     }
   }
 
+  /** Bin-pack the dedup index's sets/ and bands/band_id=* directories
+    * — the twin of [[Similarity.compactIvfIndex]]: each
+    * [[appendDedupIndexBatch]] lands one `ddb<id>-*` file set per
+    * directory, and after O(1000) micro-batches the serve path pays
+    * per-file open costs. The NEWEST batch's files are excluded (the
+    * crash-replay pre-delete depends on their deterministic names —
+    * only the highest committed batchId can be re-delivered); the
+    * `_vocab.json` verify-tier sidecar is untouched; band_id partition
+    * pruning survives (files move within their band directories). */
+  def compactDedupIndex(spark: SparkSession, indexPath: String,
+      targetBytes: Long = 128L << 20): Seq[Compaction.PartitionReport] = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(indexPath))
+    val pat = "ddb(\\d+)-.*".r
+    def batchIdsUnder(p: org.apache.hadoop.fs.Path): Seq[Long] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory && s.getPath.getName.startsWith("band_id="))
+          batchIdsUnder(s.getPath)
+        else s.getPath.getName match {
+          case pat(id) => Seq(id.toLong)
+          case _ => Seq.empty
+        }
+      }
+    val maxBatch = (batchIdsUnder(new org.apache.hadoop.fs.Path(root, "sets")) ++
+      batchIdsUnder(new org.apache.hadoop.fs.Path(root, "bands"))).maxOption
+    Compaction.compact(spark, indexPath, targetBytes,
+      keepFile = n => maxBatch.exists(b => n.startsWith(s"ddb$b-")))
+  }
+
   /** The persisted vocabulary tier of a dedup index, when present. */
   private def readVocabSidecar(spark: SparkSession,
       indexPath: String): Option[Array[Long]] = {

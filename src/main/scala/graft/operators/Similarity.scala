@@ -538,6 +538,39 @@ object Similarity {
     fs.delete(tmp, true)
   }
 
+  /** Bin-pack the IVF index's cell directories — the maintenance pass
+    * a long-running streaming ingest needs: [[appendIvfIndexBatch]]
+    * lands one file set per micro-batch per cell, and after O(1000)
+    * batches the serve path pays per-file open/footer costs (the exact
+    * problem [[Compaction]] solves for data tables; same two-marker
+    * crash protocol, work ∝ fragmentation).
+    *
+    * Replay safety: the NEWEST batch's `ivfb<id>-*` files are excluded
+    * from the merge — exactly-once under crash-replay relies on the
+    * replayed batch pre-deleting its own deterministically-named
+    * files, and only the HIGHEST committed batchId can ever be
+    * re-delivered (earlier offsets were committed before it started).
+    * Older batches' files are safe to fold. The `_centroids.json`
+    * quantizer sidecar is untouched (underscore names are invisible
+    * to the pass), and serving is directory-addressed, so a compacted
+    * index is read by the identical plan. */
+  def compactIvfIndex(spark: SparkSession, indexPath: String,
+      targetBytes: Long = 128L << 20): Seq[Compaction.PartitionReport] = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(indexPath))
+    val pat = "ivfb(\\d+)-.*".r
+    val maxBatch = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .flatMap(f => f.getPath.getName match {
+        case pat(id) => Some(id.toLong)
+        case _ => None
+      }).maxOption
+    Compaction.compact(spark, indexPath, targetBytes,
+      keepFile = n => maxBatch.exists(b => n.startsWith(s"ivfb$b-")))
+  }
+
   private def writeCentroidSidecar(spark: SparkSession, indexPath: String,
       cents: Seq[Array[Double]]): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/_centroids.json")

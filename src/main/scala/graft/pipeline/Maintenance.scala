@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.SparkSession
 import graft.GraftSession
-import graft.operators.{CommitLog, Compaction, ZoneMaps}
+import graft.operators.{CommitLog, Compaction, Dedup, Similarity, ZoneMaps}
 
 /** Ops CLI for the table-maintenance jobs a long-lived deployment
   * schedules (the counterpart of [[Main]]'s ingest loop — the
@@ -33,6 +33,21 @@ object Maintenance {
         if (mb <= 0) Left(s"targetMB must be a positive number, got ${rest.headOption.getOrElse(mb)}")
         else {
           val reports = Compaction.compact(spark, table, mb << 20)
+          Right(if (reports.isEmpty) "already compact"
+          else reports.map(r =>
+            s"${r.partition}: ${r.filesBefore} -> ${r.filesAfter} files").mkString("; "))
+        }
+      case ("compact-ivf-index" | "compact-dedup-index") :: index :: rest =>
+        // index maintenance: bin-pack appended micro-batch files under
+        // cell=/band_id= dirs, newest batch excluded for replay safety
+        val mb = rest.headOption.map(s =>
+          s.toLongOption.getOrElse(-1L)).getOrElse(128L)
+        if (mb <= 0) Left(s"targetMB must be a positive number, got ${rest.headOption.getOrElse(mb)}")
+        else {
+          val reports =
+            if (argv.head == "compact-ivf-index")
+              Similarity.compactIvfIndex(spark, index, mb << 20)
+            else Dedup.compactDedupIndex(spark, index, mb << 20)
           Right(if (reports.isEmpty) "already compact"
           else reports.map(r =>
             s"${r.partition}: ${r.filesBefore} -> ${r.filesAfter} files").mkString("; "))
@@ -134,7 +149,9 @@ object Maintenance {
           s"v${r.getLong(0)}$when: +${r.getInt(2)}/-${r.getInt(3)}$batch$flags"
         }.mkString("\n"))
       case other =>
-        Left("usage: compact <table> [targetMB] | zonemap <table> <cols> | " +
+        Left("usage: compact <table> [targetMB] | " +
+          s"compact-ivf-index <index> [targetMB] | " +
+          s"compact-dedup-index <index> [targetMB] | zonemap <table> <cols> | " +
           s"log-compact <table> [targetFiles] | " +
           s"log-compact-bloom <table> <targetFiles> <bloomCols> [statsCols] | " +
           s"zorder <table> <targetFiles> <cols> | cluster-by <table> <cols> | " +

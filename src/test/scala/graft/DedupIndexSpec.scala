@@ -170,6 +170,63 @@ class DedupIndexSpec extends SparkSpec {
     assert(hits === Seq((500L, 11L)), s"probe should near-dup doc 11 only: $hits")
   }
 
+  test("compaction: serve identical, file counts bounded, newest batch kept replay-safe") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_dedupidx_compact").toString
+    Dedup.writeDedupIndex(spark, sf, idx)
+    // several appended micro-batches fragment sets/ and every band dir
+    def batch(b: Int) = Seq(
+      (9200000L + b * 10, s"compactable batch$b doc alpha$b beta$b gamma$b"),
+      (9200001L + b * 10, s"compactable batch$b doc alpha$b beta$b delta$b"))
+      .toDF("doc_id", "text")
+    (1 to 4).foreach(b => Dedup.appendDedupIndexBatch(spark, idx, batch(b), b.toLong))
+    def dataFiles(sub: String): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(idx, sub)).map(_.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith(".") && !n.endsWith(".crc"))
+    }
+    val vocabBefore = new java.io.File(idx, "_vocab.json").exists()
+    val setsBefore = dataFiles("sets")
+    val bandsBefore = dataFiles("bands")
+    val probe = Seq((700L, "compactable batch2 doc alpha2 beta2 gamma2 extra")).toDF("doc_id", "text")
+    val servedBefore = Dedup.batchDedupIndexed(spark, idx, probe)
+      .collect().map(_.toString).toSeq
+    assert(servedBefore.nonEmpty, "vacuous: probe found no near-dups pre-compaction")
+    val setsRowsBefore = spark.read.parquet(s"$idx/sets")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+
+    val reports = Dedup.compactDedupIndex(spark, idx)
+    assert(reports.nonEmpty, "fragmented index should trigger rewrites")
+
+    // rows, serve results, and the sidecar are identical post-compaction
+    assert(spark.read.parquet(s"$idx/sets")
+      .orderBy("doc_id").collect().map(_.toString).toSeq === setsRowsBefore)
+    assert(Dedup.batchDedupIndexed(spark, idx, probe)
+      .collect().map(_.toString).toSeq === servedBefore)
+    assert(new java.io.File(idx, "_vocab.json").exists() === vocabBefore,
+      "compaction must not touch the vocabulary sidecar")
+    // file counts shrink; the NEWEST batch's files survive for replay
+    val setsAfter = dataFiles("sets")
+    val bandsAfter = dataFiles("bands")
+    assert(setsAfter.length < setsBefore.length,
+      s"sets/: ${setsBefore.length} -> ${setsAfter.length}")
+    assert(bandsAfter.length < bandsBefore.length,
+      s"bands/: ${bandsBefore.length} -> ${bandsAfter.length}")
+    assert(setsAfter.exists(_.startsWith("ddb4-")),
+      "newest batch's set files must be excluded from the merge")
+    // band_id partition pruning survives the rewrite
+    val pruned = spark.read.parquet(s"$idx/bands").filter(col("band_id") === 3)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    // replay of the newest batch AFTER compaction is still exactly-once
+    val totalSets = setsRowsBefore.length.toLong
+    Dedup.appendDedupIndexBatch(spark, idx, batch(4), 4L)
+    assert(spark.read.parquet(s"$idx/sets").count() === totalSets,
+      "post-compaction replay duplicated the newest batch")
+    // second pass: no-op
+    assert(Dedup.compactDedupIndex(spark, idx).isEmpty)
+  }
+
   test("bands layout partition-prunes on band_id") {
     val idx = Files.createTempDirectory("graft_dedupidx_prune").toString
     Dedup.writeDedupIndex(spark, sf, idx)

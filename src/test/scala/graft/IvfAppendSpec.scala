@@ -108,4 +108,68 @@ class IvfAppendSpec extends SparkSpec {
       ()
     }
   }
+
+  test("compaction: serve identical, file count bounded, newest batch kept replay-safe") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfcompact_").toString
+    try {
+      val emb = Tables.embeddings(spark, sf)
+      Similarity.writeIvfIndexFrom(spark, emb.filter(col("vec_id") % 2 === 0), tmp)
+      // five appended micro-batches fragment every cell directory
+      def batchFrame(b: Int) = emb.filter(col("vec_id") % 10 === b)
+        .select((col("vec_id") + b * 1000000L).as("vec_id"),
+          col("embedding"), col("label"))
+      (1 to 5).foreach(b => Similarity.appendIvfIndexBatch(spark, tmp, batchFrame(b), b.toLong))
+      val sidecarBefore = sidecarBytes(tmp)
+      def cellFiles = new java.io.File(tmp).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+        .flatMap(_.listFiles()).map(_.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      val filesBefore = cellFiles
+      val rowsBefore = spark.read.parquet(tmp)
+        .orderBy("vec_id").collect().map(_.toString).toSeq
+      val servedBefore = Similarity.knnIvfIndexed(spark, sf, tmp)
+        .collect().map(_.toString).toSeq
+
+      val reports = Similarity.compactIvfIndex(spark, tmp)
+      assert(reports.nonEmpty, "fragmented index should trigger at least one rewrite")
+
+      // rows and served probes are bit-identical post-compaction
+      assert(spark.read.parquet(tmp)
+        .orderBy("vec_id").collect().map(_.toString).toSeq === rowsBefore)
+      assert(Similarity.knnIvfIndexed(spark, sf, tmp)
+        .collect().map(_.toString).toSeq === servedBefore)
+      // file count strictly bounded: each compacted cell holds one
+      // merged file (+ the kept newest-batch file when present)
+      val filesAfter = cellFiles
+      assert(filesAfter.length < filesBefore.length,
+        s"expected fewer files, got ${filesBefore.length} -> ${filesAfter.length}")
+      new java.io.File(tmp).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("cell=")).foreach { d =>
+          val names = d.listFiles().map(_.getName)
+            .filter(n => !n.startsWith("_") && !n.startsWith("."))
+          val kept = names.count(_.startsWith("ivfb5-"))
+          assert(names.length - kept <= 1,
+            s"cell ${d.getName} not packed to one file (+kept): ${names.mkString(",")}")
+        }
+      // the NEWEST batch's deterministically-named files survive —
+      // the crash-replay pre-delete depends on them
+      assert(filesAfter.exists(_.startsWith("ivfb5-")),
+        "newest batch's files must be excluded from the merge")
+      // (an older batch's file may survive only where its cell was
+      // already compact — one non-kept file needs no rewrite)
+      // quantizer sidecar untouched
+      assert(java.util.Arrays.equals(sidecarBefore, sidecarBytes(tmp)))
+      // replay of the newest batch AFTER compaction is still
+      // exactly-once (its pre-delete finds its files intact)
+      val totalRows = rowsBefore.length.toLong
+      Similarity.appendIvfIndexBatch(spark, tmp, batchFrame(5), 5L)
+      assert(spark.read.parquet(tmp).count() === totalRows,
+        "post-compaction replay duplicated the newest batch")
+      // a SECOND pass is a no-op (idempotence)
+      assert(Similarity.compactIvfIndex(spark, tmp).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      ()
+    }
+  }
 }

@@ -12,6 +12,8 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.run(spark, Array.empty).isLeft)
     assert(Maintenance.run(spark, Array("frobnicate", "/tmp/x")).isLeft)
     assert(Maintenance.run(spark, Array("compact", "/tmp/x", "0")).isLeft)
+    assert(Maintenance.run(spark, Array("compact-ivf-index", "/tmp/x", "0")).isLeft)
+    assert(Maintenance.run(spark, Array("compact-dedup-index", "/tmp/x", "-3")).isLeft)
     assert(Maintenance.run(spark, Array("zonemap", "/tmp/x", "")).isLeft)
     assert(Maintenance.run(spark, Array("vacuum", "/tmp/x", "notaversion")).isLeft)
   }
@@ -28,6 +30,23 @@ class MaintenanceSpec extends SparkSpec {
       assert(z.isRight)
       assert(new java.io.File(s"$tmp/_zonemaps.json").exists())
       assert(spark.read.parquet(tmp).count() === 500)
+      // the index-compaction subcommands route to the replay-safe
+      // wrappers (full behavior pinned in IvfAppendSpec/DedupIndexSpec;
+      // here: an already-compact index is a Right no-op)
+      val idx = java.nio.file.Files.createTempDirectory("graft_maint_ivf").toString
+      graft.operators.Similarity.writeIvfIndex(spark, sf, idx)
+      Maintenance.run(spark, Array("compact-ivf-index", idx, "512")) match {
+        case Right(_) => ()
+        case Left(e) => fail(s"compact-ivf-index failed: $e")
+      }
+      val didx = java.nio.file.Files.createTempDirectory("graft_maint_ddidx").toString
+      graft.operators.Dedup.writeDedupIndex(spark, sf, didx)
+      Maintenance.run(spark, Array("compact-dedup-index", didx, "512")) match {
+        case Right(_) => ()
+        case Left(e) => fail(s"compact-dedup-index failed: $e")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(didx))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       ()
