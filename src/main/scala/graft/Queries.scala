@@ -508,6 +508,8 @@ object Queries {
     "mm_video_meta" -> (Multimodal.videoMeta _),
     "mm_mp4_meta" -> (Multimodal.mp4MetaQ _),
     "mm_webp_meta" -> (Multimodal.webpMetaQ _),
+    "mm_gzip_meta" -> (Multimodal.gzipMetaQ _),
+    "mm_pdf_meta" -> (Multimodal.pdfMetaQ _),
     "mm_avif_meta" -> (Multimodal.avifMetaQ _),
     "mm_flac_meta" -> (Multimodal.flacMetaQ _),
     "mm_mp3_meta" -> (Multimodal.mp3MetaQ _),
@@ -1453,6 +1455,40 @@ object Queries {
     // every reported field is doc_id arithmetic (WebpEncode scaladoc)
     // — the oracle restates the whole row, certifying the VP8 frame
     // tag, VP8L packed dims + alpha bit, and VP8X flags paths alike
+    // PDF triage twin: every field is doc_id arithmetic (PdfEncode
+    // scaladoc) — the oracle restates the full startxref → xref →
+    // trailer → Catalog → Pages walk: version minor, /Count, the
+    // /Encrypt flag, and the in-use object census (catalog + pages
+    // node + one object per page + the encrypt dict when present)
+    "mm_pdf_meta" ->
+      ("SELECT doc_id, " +
+       "CASE WHEN doc_id % 151 = 0 THEN NULL " +
+       "ELSE '1.' || CAST(doc_id % 8 AS VARCHAR) END AS version, " +
+       "CASE WHEN doc_id % 151 = 0 THEN NULL " +
+       "ELSE CAST(doc_id % 24 + 1 AS INTEGER) END AS n_pages, " +
+       "CASE WHEN doc_id % 151 = 0 THEN NULL ELSE doc_id % 11 = 0 END AS encrypted, " +
+       "CASE WHEN doc_id % 151 = 0 THEN NULL " +
+       "ELSE CAST(doc_id % 24 + 3 + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS INTEGER) " +
+       "END AS n_objects " +
+       "FROM documents ORDER BY doc_id"),
+    // gzip triage twin: header variant cycles on doc_id%3, payload
+    // length and mtime are doc_id arithmetic, a second member lands on
+    // every 4th doc — the oracle restates the whole row, certifying
+    // the optional-field walk, FHCRC, the JDK-inflated trailer
+    // validation (crc_ok TRUE by construction), and the member counter
+    "mm_gzip_meta" ->
+      ("SELECT doc_id, " +
+       "CASE WHEN doc_id % 139 = 0 OR doc_id % 3 = 0 THEN NULL " +
+       "ELSE 'doc' || CAST(doc_id % 1000 AS VARCHAR) || '.txt' END AS fname, " +
+       "CASE WHEN doc_id % 139 = 0 THEN NULL ELSE CAST(doc_id % 100000 AS BIGINT) END AS mtime, " +
+       "CASE WHEN doc_id % 139 = 0 THEN NULL ELSE CAST(3 AS INTEGER) END AS os, " +
+       "CASE WHEN doc_id % 139 = 0 THEN NULL ELSE doc_id % 3 = 1 END AS text_flag, " +
+       "CASE WHEN doc_id % 139 = 0 THEN NULL ELSE CAST(doc_id % 120 + 30 AS BIGINT) END AS isize, " +
+       "CASE WHEN doc_id % 139 = 0 THEN NULL ELSE CAST(doc_id % 120 + 30 AS BIGINT) END AS n_bytes, " +
+       "CASE WHEN doc_id % 139 = 0 THEN NULL ELSE TRUE END AS crc_ok, " +
+       "CASE WHEN doc_id % 139 = 0 THEN NULL " +
+       "WHEN doc_id % 4 = 0 THEN CAST(2 AS INTEGER) ELSE CAST(1 AS INTEGER) END AS n_members " +
+       "FROM documents ORDER BY doc_id"),
     "mm_webp_meta" ->
       ("SELECT doc_id, " +
        "CASE WHEN doc_id % 109 = 0 THEN NULL " +

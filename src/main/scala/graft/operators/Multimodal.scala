@@ -324,6 +324,28 @@ object Multimodal {
         (id % 109 =!= 0, graft.plans.VectorExpressions.webpEncode(
           (id % 640 + 10).cast("int"), ((id * 3) % 480 + 10).cast("int"),
           id.cast("long"), (id % 3).cast("int"))))
+      case "pdf" => Seq(
+        (id % 151 === 0, encode(text.substr(1, 26), "UTF-8")),
+        // REAL classic-xref PDFs (plans.PdfEncode): Catalog → Pages →
+        // Page objects with a byte-exact cross-reference table, page
+        // count 1..24 on doc_id, version minor cycling 0..7, an
+        // /Encrypt dictionary on every 11th doc, and a seed-length
+        // comment so xref offsets differ on every row — every
+        // reported field is doc_id arithmetic, so the oracle restates
+        // the full xref walk
+        (id % 151 =!= 0, graft.plans.VectorExpressions.pdfEncode(
+          id.cast("long"), (id % 24 + 1).cast("int"), (id % 8).cast("int"),
+          id % 11 === 0)))
+      case "gzip" => Seq(
+        (id % 139 === 0, encode(text.substr(1, 22), "UTF-8")),
+        // REAL gzip members (plans.GzipEncode): deterministic payload
+        // DEFLATE'd by the JDK, header variants cycling on doc_id
+        // (bare / FNAME+FTEXT / FEXTRA+FNAME+FHCRC), a second member
+        // on every 4th doc — every REPORTED field is doc_id
+        // arithmetic, so the oracle restates the triage row
+        (id % 139 =!= 0, graft.plans.VectorExpressions.gzipEncode(
+          id.cast("long"), (id % 120 + 30).cast("int"), (id % 3).cast("int"),
+          when(id % 4 === 0, 2).otherwise(1).cast("int"))))
       case "avif" => Seq(
         (id % 113 === 0, encode(text.substr(1, 24), "UTF-8")),
         // REAL AVIF shells (plans.AvifEncode): ftyp avif/avis on
@@ -459,7 +481,7 @@ object Multimodal {
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "gifanim",
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
       "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "avif",
-      "mixed")
+      "gzip", "pdf", "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -953,6 +975,41 @@ object Multimodal {
         col("m.has_alpha").as("has_alpha"),
         col("m.has_anim").as("has_anim"),
         col("m.has_exif").as("has_exif"))
+      .orderBy(col("doc_id"))
+
+  /** Gzip member triage: header fields, trailer validation verdict,
+    * and member count per doc (NULL for the non-gzip rows) — the
+    * envelope pass a crawl pipeline runs before anything else (WARC
+    * records ARE gzip members; HTTP bodies arrive content-encoded).
+    * The fixture cycles the three header shapes and plants a second
+    * member on every 4th doc, so the oracle certifies the optional-
+    * field walk, the FHCRC check, the JDK-inflated trailer
+    * validation, and the multi-member counter alike. */
+  /** PDF triage: version, page count, encryption, object census per
+    * doc (NULL for the non-PDF rows) — the structural pass a corpus
+    * pipeline runs over the crawl's dominant document format before
+    * any text extraction, by the REAL xref walk (startxref → table →
+    * trailer → Catalog → page-tree root), never a regex scan. */
+  def pdfMetaQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "pdf")
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.pdfMeta(col("pdf")).as("m"))
+      .select(col("doc_id"),
+        col("m.version").as("version"),
+        col("m.n_pages").as("n_pages"),
+        col("m.encrypted").as("encrypted"),
+        col("m.n_objects").as("n_objects"))
+      .orderBy(col("doc_id"))
+
+  def gzipMetaQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "gzip")
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.gzipMeta(col("gzip")).as("m"))
+      .select(col("doc_id"),
+        col("m.fname").as("fname"), col("m.mtime").as("mtime"),
+        col("m.os").as("os"), col("m.text_flag").as("text_flag"),
+        col("m.isize").as("isize"), col("m.n_bytes").as("n_bytes"),
+        col("m.crc_ok").as("crc_ok"), col("m.n_members").as("n_members"))
       .orderBy(col("doc_id"))
 
   /** AVIF triage: HEIF item-property metadata per doc (NULL for the

@@ -492,6 +492,14 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_webp_encode", exprs => WebpEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gzip_meta", exprs => GzipMeta(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gzip_encode", exprs => GzipEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pdf_meta", exprs => PdfMeta(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pdf_encode", exprs => PdfEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_avif_meta", exprs => AvifMeta(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_avif_encode", exprs => AvifEncode(exprs), "scala_udf")
@@ -644,6 +652,36 @@ object VectorExpressions {
   def webpEncode(w: Column, h: Column, seed: Column, variant: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_webp_encode", w, h, seed, variant)
+  }
+
+  /** PDF triage (plans.PdfMeta), column form; same registration
+    * precondition. */
+  def pdfMeta(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_pdf_meta", c)
+  }
+
+  /** PDF fixture encoder (plans.PdfEncode), column form; same
+    * registration precondition. */
+  def pdfEncode(seed: Column, nPages: Column, minor: Column,
+      encrypted: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_pdf_encode", seed, nPages, minor, encrypted)
+  }
+
+  /** Gzip member triage (plans.GzipMeta), column form; same
+    * registration precondition. */
+  def gzipMeta(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_gzip_meta", c)
+  }
+
+  /** Gzip fixture encoder (plans.GzipEncode), column form; same
+    * registration precondition. */
+  def gzipEncode(seed: Column, nPayload: Column, variant: Column,
+      members: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_gzip_encode", seed, nPayload, variant, members)
   }
 
   /** AVIF triage (plans.AvifMeta), column form; same registration

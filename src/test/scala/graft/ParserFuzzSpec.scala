@@ -35,7 +35,9 @@ class ParserFuzzSpec extends AnyFunSuite {
     "ExifMeta" -> (graft.plans.ExifMeta.parse(_)),
     "AudioTags" -> (graft.plans.AudioTags.parse(_)),
     "WebpMeta" -> (graft.plans.WebpMeta.parse(_)),
-    "AvifMeta" -> (graft.plans.AvifMeta.parse(_)))
+    "AvifMeta" -> (graft.plans.AvifMeta.parse(_)),
+    "GzipMeta" -> (graft.plans.GzipMeta.parse(_)),
+    "PdfMeta" -> (graft.plans.PdfMeta.parse(_)))
 
   // magic prefixes steer the fuzz into each format's deep parse path
   private val prefixes: Seq[Array[Byte]] = Seq(
@@ -56,7 +58,9 @@ class ParserFuzzSpec extends AnyFunSuite {
     hx("FFD8FFE100A0") ++ "Exif".getBytes ++ hx("0000"), // APP1/EXIF → IFD walk
     "RIFF".getBytes ++ hx("40000000") ++ "WEBP".getBytes, // WebP form → chunk walk
     hx("00000014") ++ "ftypavif".getBytes ++ hx("00000000") ++
-      "avif".getBytes) // AVIF ftyp → meta/iprp walk
+      "avif".getBytes, // AVIF ftyp → meta/iprp walk
+    hx("1F8B0808") ++ hx("00000000") ++ hx("0003"), // gzip FNAME header → field walk + inflate
+    "%PDF-1.4\n".getBytes) // PDF header → tail/startxref/xref walk
 
   private def neverThrows(name: String, p: Array[Byte] => AnyRef,
       input: Array[Byte], what: String): Unit =
@@ -176,11 +180,26 @@ class ParserFuzzSpec extends AnyFunSuite {
       graft.plans.ExifMeta.encode(77L, false, false, 6, "cam",
         "2021:02:03 04:05:06", "2001:04:08 05:11:13"))
     fullExifs.foreach(f => assert(graft.plans.ExifMeta.parse(f) != null))
+    // REAL gzip members across the header variants and a multi-member
+    // file: corruptions land in the optional-field walk, the FHCRC,
+    // the DEFLATE stream (the JDK inflater must be caught, not
+    // trusted), and the trailer arithmetic
+    val fullGzips = Seq(
+      graft.plans.GzipEncode.encode(77L, 60, 0, 1),
+      graft.plans.GzipEncode.encode(78L, 60, 1, 1),
+      graft.plans.GzipEncode.encode(79L, 60, 2, 2))
+    fullGzips.foreach(f => assert(graft.plans.GzipMeta.parse(f) != null))
+    // REAL classic-xref PDFs: corruptions land in the startxref tail,
+    // the 20-byte entry grid, the trailer dict, and the object walks
+    val fullPdfs = Seq(
+      graft.plans.PdfEncode.encode(77L, 3, 4, false),
+      graft.plans.PdfEncode.encode(78L, 24, 7, true))
+    fullPdfs.foreach(f => assert(graft.plans.PdfMeta.parse(f) != null))
     val rnd = new scala.util.Random(0xF00D)
     for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif, fullJpeg,
         fullJpegColor, fullJpegLossless, fullJpeg12, fullAvi, fullWav, fullFloat,
         fullFlac, fullMp3) ++
-        fullExifs ++ fullG711s ++ fullMp4s ++ fullTiffs;
+        fullExifs ++ fullG711s ++ fullMp4s ++ fullTiffs ++ fullGzips ++ fullPdfs;
         _ <- 0 until 800) {
       val truncated = f.take(rnd.nextInt(f.length + 1))
       val corrupted = f.clone()
