@@ -510,6 +510,7 @@ object Queries {
     "mm_webp_meta" -> (Multimodal.webpMetaQ _),
     "mm_gzip_meta" -> (Multimodal.gzipMetaQ _),
     "mm_pdf_meta" -> (Multimodal.pdfMetaQ _),
+    "mm_warc_records" -> (Multimodal.warcRecordsQ _),
     "mm_avif_meta" -> (Multimodal.avifMetaQ _),
     "mm_flac_meta" -> (Multimodal.flacMetaQ _),
     "mm_mp3_meta" -> (Multimodal.mp3MetaQ _),
@@ -1455,6 +1456,22 @@ object Queries {
     // every reported field is doc_id arithmetic (WebpEncode scaladoc)
     // — the oracle restates the whole row, certifying the VP8 frame
     // tag, VP8L packed dims + alpha bit, and VP8X flags paths alike
+    // WARC triage twin: every doc (bar the corrupt gate) carries
+    // exactly three records whose type/URI/length are doc_id
+    // arithmetic (WarcEncode.recordPlan); compressed vs uncompressed
+    // layout is invisible in the output BY DESIGN, so this one oracle
+    // certifies the gzip member-split and the length-delimited walk
+    // against each other
+    "mm_warc_records" ->
+      ("SELECT doc_id, CAST(t.i AS INTEGER) AS rec_idx, " +
+       "CASE t.i WHEN 0 THEN 'warcinfo' WHEN 1 THEN 'request' ELSE 'response' END AS warc_type, " +
+       "CASE WHEN t.i = 0 THEN NULL " +
+       "ELSE 'http://ex' || CAST(doc_id % 100 AS VARCHAR) || '.org/p' || CAST(doc_id % 13 AS VARCHAR) " +
+       "END AS target_uri, " +
+       "CAST(CASE t.i WHEN 0 THEN doc_id % 40 + 10 WHEN 1 THEN doc_id % 30 + 8 " +
+       "ELSE doc_id % 200 + 50 END AS BIGINT) AS content_length " +
+       "FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS t(i) " +
+       "WHERE doc_id % 157 <> 0 ORDER BY doc_id, rec_idx"),
     // PDF triage twin: every field is doc_id arithmetic (PdfEncode
     // scaladoc) — the oracle restates the full startxref → xref →
     // trailer → Catalog → Pages walk: version minor, /Count, the

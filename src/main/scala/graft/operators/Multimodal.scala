@@ -324,6 +324,16 @@ object Multimodal {
         (id % 109 =!= 0, graft.plans.VectorExpressions.webpEncode(
           (id % 640 + 10).cast("int"), ((id * 3) % 480 + 10).cast("int"),
           id.cast("long"), (id % 3).cast("int"))))
+      case "warc" => Seq(
+        (id % 157 === 0, encode(text.substr(1, 24), "UTF-8")),
+        // REAL three-record WARC archives (plans.WarcEncode):
+        // warcinfo + request + response with seed-derived URIs and
+        // content lengths, HALF the corpus in the Annex D compressed
+        // layout (one gzip member per record) and half uncompressed —
+        // identical records either way, so ONE oracle certifies both
+        // the member-split and the length-delimited walk
+        (id % 157 =!= 0, graft.plans.VectorExpressions.warcEncode(
+          id.cast("long"), id % 2 === 0)))
       case "pdf" => Seq(
         (id % 151 === 0, encode(text.substr(1, 26), "UTF-8")),
         // REAL classic-xref PDFs (plans.PdfEncode): Catalog → Pages →
@@ -481,7 +491,7 @@ object Multimodal {
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "gifanim",
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
       "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "avif",
-      "gzip", "pdf", "mixed")
+      "gzip", "pdf", "warc", "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -985,6 +995,23 @@ object Multimodal {
     * member on every 4th doc, so the oracle certifies the optional-
     * field walk, the FHCRC check, the JDK-inflated trailer
     * validation, and the multi-member counter alike. */
+  /** WARC record triage: one row per record per doc — type, target
+    * URI, content length, in archive order (non-WARC rows contribute
+    * nothing). Half the fixture corpus is compressed (one gzip member
+    * per record, the Annex D layout), half uncompressed; the records
+    * are identical either way, so the single oracle certifies the
+    * member-split path and the length-delimited walk against each
+    * other. The ingest shape every Common-Crawl-scale pipeline runs. */
+  def warcRecordsQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "warc")
+      .select(col("doc_id"),
+        posexplode(graft.plans.VectorExpressions.warcRecords(col("warc"))))
+      .select(col("doc_id"), col("pos").cast("int").as("rec_idx"),
+        col("col.warc_type").as("warc_type"),
+        col("col.target_uri").as("target_uri"),
+        col("col.content_length").as("content_length"))
+      .orderBy(col("doc_id"), col("rec_idx"))
+
   /** PDF triage: version, page count, encryption, object census per
     * doc (NULL for the non-PDF rows) — the structural pass a corpus
     * pipeline runs over the crawl's dominant document format before

@@ -87,8 +87,23 @@ object GzipMeta {
     u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
       (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
 
-  /** One member starting at `off`; None = structural decline. */
-  private def member(b: Array[Byte], off: Int): Option[Member] = {
+  /** One member's inflated payload + end offset — the hook the WARC
+    * triage composes (each WARC record is its own gzip member). Same
+    * header walk, trailer validation, and bomb ceiling as the triage;
+    * None on any structural failure OR a failed CRC (a consumer that
+    * materializes bytes must not serve corrupt ones). */
+  private[plans] def inflateMember(b: Array[Byte], off: Int): Option[(Array[Byte], Int)] = {
+    val out = new java.io.ByteArrayOutputStream()
+    member(b, off, out).flatMap { m =>
+      if (m.crcOk) Some((out.toByteArray, m.end)) else None
+    }
+  }
+
+  /** One member starting at `off`; None = structural decline. When
+    * `collect` is non-null the inflated bytes are accumulated into it
+    * (still under the ceiling); when null only count+CRC stream. */
+  private def member(b: Array[Byte], off: Int,
+      collect: java.io.ByteArrayOutputStream = null): Option[Member] = {
     if (off + 10 > b.length) return None
     if (u8(b, off) != 0x1F || u8(b, off + 1) != 0x8B) return None
     if (u8(b, off + 2) != 8) return None // CM: deflate only
@@ -137,7 +152,10 @@ object GzipMeta {
         val n = try inf.inflate(window) catch {
           case _: java.util.zip.DataFormatException => return None
         }
-        if (n > 0) { crc.update(window, 0, n); total += n }
+        if (n > 0) {
+          crc.update(window, 0, n); total += n
+          if (collect != null) collect.write(window, 0, n)
+        }
         else if (!inf.finished()) return None // needsInput/needsDict: truncated
         if (total > MaxInflate) return None // bomb ceiling
       }

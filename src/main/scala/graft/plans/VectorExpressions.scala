@@ -500,6 +500,10 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pdf_encode", exprs => PdfEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_warc_records", exprs => WarcRecords(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_warc_encode", exprs => WarcEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_avif_meta", exprs => AvifMeta(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_avif_encode", exprs => AvifEncode(exprs), "scala_udf")
@@ -652,6 +656,20 @@ object VectorExpressions {
   def webpEncode(w: Column, h: Column, seed: Column, variant: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_webp_encode", w, h, seed, variant)
+  }
+
+  /** WARC record triage (plans.WarcRecords), column form; same
+    * registration precondition. */
+  def warcRecords(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_warc_records", c)
+  }
+
+  /** WARC fixture encoder (plans.WarcEncode), column form; same
+    * registration precondition. */
+  def warcEncode(seed: Column, compressed: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_warc_encode", seed, compressed)
   }
 
   /** PDF triage (plans.PdfMeta), column form; same registration

@@ -37,7 +37,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "WebpMeta" -> (graft.plans.WebpMeta.parse(_)),
     "AvifMeta" -> (graft.plans.AvifMeta.parse(_)),
     "GzipMeta" -> (graft.plans.GzipMeta.parse(_)),
-    "PdfMeta" -> (graft.plans.PdfMeta.parse(_)))
+    "PdfMeta" -> (graft.plans.PdfMeta.parse(_)),
+    "WarcRecords" -> (graft.plans.WarcRecords.parse(_)))
 
   // magic prefixes steer the fuzz into each format's deep parse path
   private val prefixes: Seq[Array[Byte]] = Seq(
@@ -60,7 +61,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     hx("00000014") ++ "ftypavif".getBytes ++ hx("00000000") ++
       "avif".getBytes, // AVIF ftyp → meta/iprp walk
     hx("1F8B0808") ++ hx("00000000") ++ hx("0003"), // gzip FNAME header → field walk + inflate
-    "%PDF-1.4\n".getBytes) // PDF header → tail/startxref/xref walk
+    "%PDF-1.4\n".getBytes, // PDF header → tail/startxref/xref walk
+    "WARC/1.0\r\nWARC-Type: response\r\n".getBytes) // WARC header walk
 
   private def neverThrows(name: String, p: Array[Byte] => AnyRef,
       input: Array[Byte], what: String): Unit =
@@ -195,11 +197,19 @@ class ParserFuzzSpec extends AnyFunSuite {
       graft.plans.PdfEncode.encode(77L, 3, 4, false),
       graft.plans.PdfEncode.encode(78L, 24, 7, true))
     fullPdfs.foreach(f => assert(graft.plans.PdfMeta.parse(f) != null))
+    // REAL WARC archives, both layouts: corruptions land in the
+    // version line, the header block, the Content-Length arithmetic,
+    // and (compressed) the per-record gzip members
+    val fullWarcs = Seq(
+      graft.plans.WarcEncode.encode(77L, compressed = false),
+      graft.plans.WarcEncode.encode(78L, compressed = true))
+    fullWarcs.foreach(f => assert(graft.plans.WarcRecords.parse(f) != null))
     val rnd = new scala.util.Random(0xF00D)
     for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif, fullJpeg,
         fullJpegColor, fullJpegLossless, fullJpeg12, fullAvi, fullWav, fullFloat,
         fullFlac, fullMp3) ++
-        fullExifs ++ fullG711s ++ fullMp4s ++ fullTiffs ++ fullGzips ++ fullPdfs;
+        fullExifs ++ fullG711s ++ fullMp4s ++ fullTiffs ++ fullGzips ++
+        fullPdfs ++ fullWarcs;
         _ <- 0 until 800) {
       val truncated = f.take(rnd.nextInt(f.length + 1))
       val corrupted = f.clone()
