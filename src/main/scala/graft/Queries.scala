@@ -992,7 +992,7 @@ object Queries {
     // hash across a whole format slice
     "mm_dispatch_all" ->
       ("WITH d AS (SELECT doc_id, doc_id % 173 = 0 AS corrupt, " +
-       "doc_id % 8 AS f, doc_id // 8 AS q FROM documents), " +
+       "doc_id % 11 AS f, doc_id // 11 AS q FROM documents), " +
        "m AS (SELECT doc_id, corrupt, f, q, " +
        // mp3 sample-rate table indexed by verSel*3 + rateIdx
        "([44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000, 8000])" +
@@ -1001,7 +1001,8 @@ object Queries {
        "SELECT doc_id, " +
        "CASE WHEN corrupt THEN NULL WHEN f = 0 THEN 'bmp' WHEN f = 1 THEN 'wav' " +
        "WHEN f = 2 THEN 'png' WHEN f = 3 THEN 'jpeg' WHEN f = 4 THEN 'flac' " +
-       "WHEN f = 5 THEN 'mp3' WHEN f = 6 THEN 'mp4' ELSE 'tiff' END AS media_type, " +
+       "WHEN f = 5 THEN 'mp3' WHEN f = 6 THEN 'mp4' WHEN f = 7 THEN 'tiff' " +
+       "WHEN f = 8 THEN 'pdf' WHEN f = 9 THEN 'gzip' ELSE 'warc' END AS media_type, " +
        "CAST(CASE WHEN corrupt THEN NULL " +
        "WHEN f = 0 THEN 2 * (1 + q % 3) " +
        "WHEN f = 2 OR f = 3 OR f = 7 THEN doc_id % 1021 + 16 " +

@@ -462,22 +462,34 @@ object Multimodal {
           (id % 97 =!= 0 && id % 4 === 2, pngBytes(iw, ih)),
           (id % 97 =!= 0 && id % 4 === 3, jpegBytes(iw, ih)))
       case "mixed" =>
-        // the WIDE heterogeneous column: doc_id%8 picks one of EIGHT
-        // real formats spanning every triage tier (image header,
-        // audio chunk, compressed-audio chain, video container) — the
-        // corpus the full-family dispatch (mm_dispatch_all) scans
-        val q = (id / 8).cast("long")
+        // the WIDE heterogeneous column: doc_id%11 picks one of ELEVEN
+        // real formats spanning every triage tier (image header, audio
+        // chunk, compressed-audio chain, video container, and — r14 —
+        // the crawl payload formats: PDF, gzip, uncompressed WARC) —
+        // the corpus the full-family dispatch (mm_dispatch_all) scans.
+        // A COMPRESSED WARC is gzip by magic and routes as gzip, which
+        // is the honest answer (it IS a gzip stream); the WARC route
+        // key is the uncompressed layout's "WARC/" line.
+        val q = (id / 11).cast("long")
         Seq(
           (id % 173 === 0, encode(text.substr(1, 16), "UTF-8")),
-          (id % 173 =!= 0 && id % 8 === 0, bmpBytes(q, id, None)),
-          (id % 173 =!= 0 && id % 8 === 1, wavBytes(q, q % 2 === 1)),
-          (id % 173 =!= 0 && id % 8 === 2, pngBytes(iw, ih)),
-          (id % 173 =!= 0 && id % 8 === 3, jpegBytes(iw, ih)),
-          (id % 173 =!= 0 && id % 8 === 4, flacFixture(id)),
+          (id % 173 =!= 0 && id % 11 === 0, bmpBytes(q, id, None)),
+          (id % 173 =!= 0 && id % 11 === 1, wavBytes(q, q % 2 === 1)),
+          (id % 173 =!= 0 && id % 11 === 2, pngBytes(iw, ih)),
+          (id % 173 =!= 0 && id % 11 === 3, jpegBytes(iw, ih)),
+          (id % 173 =!= 0 && id % 11 === 4, flacFixture(id)),
           // always an ID3 tag here: it is the dispatch's MP3 route key
-          (id % 173 =!= 0 && id % 8 === 5, mp3Fixture(id, noId3When = lit(false))),
-          (id % 173 =!= 0 && id % 8 === 6, mp4Fixture(id)),
-          (id % 173 =!= 0 && id % 8 === 7, tiffBytes(iw, ih)))
+          (id % 173 =!= 0 && id % 11 === 5, mp3Fixture(id, noId3When = lit(false))),
+          (id % 173 =!= 0 && id % 11 === 6, mp4Fixture(id)),
+          (id % 173 =!= 0 && id % 11 === 7, tiffBytes(iw, ih)),
+          (id % 173 =!= 0 && id % 11 === 8, graft.plans.VectorExpressions.pdfEncode(
+            id.cast("long"), (id % 24 + 1).cast("int"), (id % 8).cast("int"),
+            id % 7 === 0)),
+          (id % 173 =!= 0 && id % 11 === 9, graft.plans.VectorExpressions.gzipEncode(
+            id.cast("long"), (id % 120 + 30).cast("int"), (id % 3).cast("int"),
+            when(id % 4 === 0, 2).otherwise(1).cast("int"))),
+          (id % 173 =!= 0 && id % 11 === 10, graft.plans.VectorExpressions.warcEncode(
+            id.cast("long"), lit(false))))
     }
   }
 
@@ -616,14 +628,15 @@ object Multimodal {
   }
 
   /** The FULL-FAMILY dispatch: one scan over a heterogeneous media
-    * column routing EIGHT formats — BMP, WAV, PNG, JPEG, FLAC, MP3
-    * (by ID3), MP4 (by ftyp), TIFF — each to its native spec-walking
-    * parser behind one codegen'd CASE (magic bytes only, never
-    * out-of-band hints), unified into (media_type, width, height,
-    * channels, sample_rate, duration_ms). CaseWhen short-circuits per
-    * row, so every payload pays exactly its own format's parse — the
-    * production crawl-curation scan across all the triage tiers this
-    * engine has, in one pass. */
+    * column routing ELEVEN formats — BMP, WAV, PNG, JPEG, FLAC, MP3
+    * (by ID3), MP4 (by ftyp), TIFF, and the crawl payload formats
+    * PDF, gzip, WARC (r14) — each to its native spec-walking parser
+    * behind one codegen'd CASE (magic bytes only, never out-of-band
+    * hints), unified into (media_type, width, height, channels,
+    * sample_rate, duration_ms); payload formats carry the type alone.
+    * CaseWhen short-circuits per row, so every payload pays exactly
+    * its own format's parse — the production crawl-curation scan
+    * across all the triage tiers this engine has, in one pass. */
   def dispatchAll(spark: SparkSession, dir: String): DataFrame =
     dispatchAllSelect(mediaTable(spark, dir, "mixed"), "mixed")
       .orderBy(col("doc_id"))
@@ -643,12 +656,20 @@ object Multimodal {
     val isImg = hex(p.substr(1, 8)) === "89504E470D0A1A0A" ||
       hex(p.substr(1, 2)) === "FFD8" ||
       hex(p.substr(1, 4)) === "49492A00" || hex(p.substr(1, 4)) === "4D4D002A"
+    // crawl payload formats (r14): a compressed WARC is gzip by magic
+    // and honestly reports as gzip; "WARC/" keys the uncompressed walk
+    val isPdf = hex(p.substr(1, 5)) === "255044462D"  // "%PDF-"
+    val isGzip = hex(p.substr(1, 2)) === "1F8B"
+    val isWarc = hex(p.substr(1, 5)) === "574152432F" // "WARC/"
     val bmp = graft.plans.VectorExpressions.bmpStats(p)
     val wav = graft.plans.VectorExpressions.wavMeta(p)
     val flac = graft.plans.VectorExpressions.flacMeta(p)
     val mp3 = graft.plans.VectorExpressions.mp3Meta(p)
     val mp4 = graft.plans.VectorExpressions.mp4Meta(p)
     val img = graft.plans.VectorExpressions.imgMeta(p)
+    val pdf = graft.plans.VectorExpressions.pdfMeta(p)
+    val gz = graft.plans.VectorExpressions.gzipMeta(p)
+    val warc = graft.plans.VectorExpressions.warcRecords(p)
     val nullInt = lit(null).cast("int")
     val nullLong = lit(null).cast("bigint")
     df.select(
@@ -658,6 +679,9 @@ object Multimodal {
           .when(isFlac, when(flac.isNotNull, "flac"))
           .when(isId3, when(mp3.isNotNull, "mp3"))
           .when(isMp4, when(mp4.isNotNull, "mp4"))
+          .when(isPdf, when(pdf.isNotNull, "pdf"))
+          .when(isGzip, when(gz.isNotNull, "gzip"))
+          .when(isWarc, when(warc.isNotNull, "warc"))
           .when(isImg, img.getField("format")).as("media_type"),
         when(isBmp, bmp.getField("width"))
           .when(isMp4, mp4.getField("width"))
