@@ -183,6 +183,9 @@ object GzipMeta {
             case None => return null // trailing garbage is hostile
           }
         }
+        // the member-count ceiling is a DECLINE, not a silent cap — a
+        // reported count must mean the whole file was walked
+        if (at < b.length) return null
         new GenericInternalRow(Array[Any](
           if (first.fname == null) null else UTF8String.fromString(first.fname),
           first.mtime, first.os, first.text, first.isize, first.nBytes,

@@ -103,6 +103,18 @@ object PdfMeta {
       i += s.length
       true
     }
+    /** A NAME token: the keyword followed by a delimiter — "/Prev2"
+      * must not match "/Prev" (ISO 32000 names end at whitespace or a
+      * delimiter character). */
+    def name(s: String): Boolean = {
+      val mark = i
+      if (!keyword(s)) return false
+      if (i >= b.length) return true
+      val c = b(i) & 0xFF
+      val delim = isWs(c) || c == '/' || c == '[' || c == ']' ||
+        c == '<' || c == '>' || c == '(' || c == ')' || c == '%'
+      if (!delim) { i = mark; false } else true
+    }
     def int(): Long = {
       skipWs()
       val start = i
@@ -165,13 +177,13 @@ object PdfMeta {
       c.skipWs()
       if (c.keyword("<<")) depth += 1
       else if (c.keyword(">>")) depth -= 1
-      else if (depth == 1 && c.keyword("/Root")) {
+      else if (depth == 1 && c.name("/Root")) {
         root = c.int()
         if (c.int() < 0 || !c.keyword("R")) return None
-      } else if (depth == 1 && c.keyword("/Prev")) {
+      } else if (depth == 1 && c.name("/Prev")) {
         prev = c.int()
         if (prev < 0) return None
-      } else if (depth == 1 && c.keyword("/Encrypt")) enc = true
+      } else if (depth == 1 && c.name("/Encrypt")) enc = true
       else c.i += 1
     }
     if (depth != 0) return None
@@ -195,10 +207,10 @@ object PdfMeta {
       c.skipWs()
       if (c.keyword("<<")) depth += 1
       else if (c.keyword(">>")) depth -= 1
-      else if (depth == 1 && objType.nonEmpty && c.keyword("/Type") && {
-        c.skipWs(); c.keyword("/" + objType)
+      else if (depth == 1 && objType.nonEmpty && c.name("/Type") && {
+        c.skipWs(); c.name("/" + objType)
       }) typeOk = true
-      else if (depth == 1 && c.keyword(key)) {
+      else if (depth == 1 && c.name(key)) {
         val v = c.int()
         if (v < 0) return -1L
         if (ref) { if (c.int() < 0 || !c.keyword("R")) return -1L }

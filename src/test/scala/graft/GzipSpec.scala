@@ -104,6 +104,19 @@ class GzipSpec extends AnyFunSuite {
     assert(r2 != null && !fld(r2).crcOk)
   }
 
+  test("member-count ceiling is a decline, not a silent cap") {
+    val one = GzipEncode.encode(3L, 4, 0, 1)
+    val many = new java.io.ByteArrayOutputStream()
+    (0 until 4097).foreach(_ => many.write(one, 0, one.length))
+    assert(GzipMeta.parse(many.toByteArray) == null,
+      "a file with more members than the walk ceiling must decline")
+    // and exactly AT the ceiling still parses honestly
+    val atCap = new java.io.ByteArrayOutputStream()
+    (0 until 4096).foreach(_ => atCap.write(one, 0, one.length))
+    val r = GzipMeta.parse(atCap.toByteArray)
+    assert(r != null && fld(r).members === 4096)
+  }
+
   test("decompression bomb ceiling declines instead of materializing") {
     // 2 MiB of zeros compresses to ~2 KB: over the 1 MiB ceiling
     val payload = new Array[Byte](2 << 20)

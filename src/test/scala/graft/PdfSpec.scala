@@ -84,6 +84,12 @@ class PdfSpec extends AnyFunSuite {
     dies(looped.getBytes("ISO-8859-1"))
     // Root pointing at a freed object
     dies(s.replace("/Root 1 0 R", "/Root 0 0 R").getBytes("ISO-8859-1"))
+    // NAME-token boundary: /Encryption is NOT /Encrypt (prefix match
+    // would falsely report encryption)
+    val prefixed = s.replace("/Root 1 0 R >>", "/Root 1 0 R /Encryption 5 0 R >>")
+    val rp = PdfMeta.parse(prefixed.getBytes("ISO-8859-1"))
+    assert(rp != null && !rp.getBoolean(2),
+      "/Encryption (a different name) must not set the /Encrypt flag")
     // truncation law: every prefix parses or NULLs, never throws
     (0 until good.length).foreach(i => PdfMeta.parse(good.take(i)))
   }
