@@ -1485,8 +1485,12 @@ object Queries {
        "CASE WHEN doc_id % 151 = 0 THEN NULL " +
        "ELSE CAST(doc_id % 24 + 1 AS INTEGER) END AS n_pages, " +
        "CASE WHEN doc_id % 151 = 0 THEN NULL ELSE doc_id % 11 = 0 END AS encrypted, " +
+       // census per layout (doc_id%3): classic = catalog + pages +
+       // one per page (+enc); the xref-STREAM layouts add the xref
+       // stream object itself (+1) and the ObjStm container (+1 more)
        "CASE WHEN doc_id % 151 = 0 THEN NULL " +
-       "ELSE CAST(doc_id % 24 + 3 + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS INTEGER) " +
+       "ELSE CAST(doc_id % 24 + 3 + doc_id % 3 + " +
+       "CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS INTEGER) " +
        "END AS n_objects " +
        "FROM documents ORDER BY doc_id"),
     // gzip triage twin: header variant cycles on doc_id%3, payload

@@ -336,16 +336,18 @@ object Multimodal {
           id.cast("long"), id % 2 === 0)))
       case "pdf" => Seq(
         (id % 151 === 0, encode(text.substr(1, 26), "UTF-8")),
-        // REAL classic-xref PDFs (plans.PdfEncode): Catalog → Pages →
-        // Page objects with a byte-exact cross-reference table, page
-        // count 1..24 on doc_id, version minor cycling 0..7, an
-        // /Encrypt dictionary on every 11th doc, and a seed-length
-        // comment so xref offsets differ on every row — every
-        // reported field is doc_id arithmetic, so the oracle restates
-        // the full xref walk
+        // REAL PDFs across all THREE layouts cycling on doc_id%3
+        // (plans.PdfEncode): classic xref table, cross-reference
+        // STREAM (FlateDecode + PNG Up predictor — the modern writer
+        // default), and xref stream + Catalog/Pages in an object
+        // STREAM (type-2 entries); page count 1..24, version minor
+        // 0..7, /Encrypt on every 11th doc, a seed-length comment so
+        // offsets differ per row — every reported field is doc_id
+        // arithmetic, so the oracle restates the full walk of each
+        // layout
         (id % 151 =!= 0, graft.plans.VectorExpressions.pdfEncode(
           id.cast("long"), (id % 24 + 1).cast("int"), (id % 8).cast("int"),
-          id % 11 === 0)))
+          id % 11 === 0, (id % 3).cast("int"))))
       case "gzip" => Seq(
         (id % 139 === 0, encode(text.substr(1, 22), "UTF-8")),
         // REAL gzip members (plans.GzipEncode): deterministic payload
@@ -484,7 +486,7 @@ object Multimodal {
           (id % 173 =!= 0 && id % 11 === 7, tiffBytes(iw, ih)),
           (id % 173 =!= 0 && id % 11 === 8, graft.plans.VectorExpressions.pdfEncode(
             id.cast("long"), (id % 24 + 1).cast("int"), (id % 8).cast("int"),
-            id % 7 === 0)),
+            id % 7 === 0, (id % 3).cast("int"))),
           (id % 173 =!= 0 && id % 11 === 9, graft.plans.VectorExpressions.gzipEncode(
             id.cast("long"), (id % 120 + 30).cast("int"), (id % 3).cast("int"),
             when(id % 4 === 0, 2).otherwise(1).cast("int"))),

@@ -680,11 +680,12 @@ object VectorExpressions {
   }
 
   /** PDF fixture encoder (plans.PdfEncode), column form; same
-    * registration precondition. */
+    * registration precondition. layout: 0 classic xref table, 1 xref
+    * stream (predictor), 2 xref stream + object stream. */
   def pdfEncode(seed: Column, nPages: Column, minor: Column,
-      encrypted: Column): Column = {
+      encrypted: Column, layout: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
-    call_function("graft_pdf_encode", seed, nPages, minor, encrypted)
+    call_function("graft_pdf_encode", seed, nPages, minor, encrypted, layout)
   }
 
   /** Gzip member triage (plans.GzipMeta), column form; same

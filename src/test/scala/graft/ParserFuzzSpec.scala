@@ -194,8 +194,9 @@ class ParserFuzzSpec extends AnyFunSuite {
     // REAL classic-xref PDFs: corruptions land in the startxref tail,
     // the 20-byte entry grid, the trailer dict, and the object walks
     val fullPdfs = Seq(
-      graft.plans.PdfEncode.encode(77L, 3, 4, false),
-      graft.plans.PdfEncode.encode(78L, 24, 7, true))
+      graft.plans.PdfEncode.encode(77L, 3, 4, false, 0),
+      graft.plans.PdfEncode.encode(78L, 24, 7, true, 1),
+      graft.plans.PdfEncode.encode(79L, 8, 5, false, 2))
     fullPdfs.foreach(f => assert(graft.plans.PdfMeta.parse(f) != null))
     // REAL WARC archives, both layouts: corruptions land in the
     // version line, the header block, the Content-Length arithmetic,

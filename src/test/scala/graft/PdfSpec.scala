@@ -16,22 +16,24 @@ class PdfSpec extends AnyFunSuite {
   private def fld(r: org.apache.spark.sql.catalyst.InternalRow): Fields =
     Fields(r.getUTF8String(0).toString, r.getInt(1), r.getBoolean(2), r.getInt(3))
 
-  test("round trips across the page/version/encryption grid") {
+  test("round trips across the page/version/encryption/layout grid") {
     for (seed <- Seq(1L, 17L, 4242L); pages <- Seq(1, 3, 24, 512);
-         minor <- Seq(0, 4, 7); enc <- Seq(false, true)) {
-      val b = PdfEncode.encode(seed, pages, minor, enc)
+         minor <- Seq(0, 4, 7); enc <- Seq(false, true); layout <- 0 to 2) {
+      val b = PdfEncode.encode(seed, pages, minor, enc, layout)
       val r = PdfMeta.parse(b)
-      assert(r != null, s"seed=$seed pages=$pages minor=$minor enc=$enc")
+      assert(r != null, s"seed=$seed pages=$pages minor=$minor enc=$enc layout=$layout")
       val f = fld(r)
       assert(f.version === s"1.$minor")
       assert(f.nPages === pages)
       assert(f.encrypted === enc)
-      assert(f.nObjects === 2 + pages + (if (enc) 1 else 0))
+      // the xref-stream layouts add the stream object (+1) and the
+      // ObjStm container (+1 more) to the census
+      assert(f.nObjects === 2 + pages + layout + (if (enc) 1 else 0))
     }
   }
 
   test("incremental update: /Prev chain walked, newest section shadows") {
-    val base = new String(PdfEncode.encode(7L, 3, 4, false), "ISO-8859-1")
+    val base = new String(PdfEncode.encode(7L, 3, 4, false, 0), "ISO-8859-1")
     // NOT lastIndexOf("xref\n") — that matches the tail of "startxref\n"
     val baseXref = base.indexOf("\nxref\n") + 1
     // update 1: append object 6 (an annotation-ish dict) + an xref
@@ -64,7 +66,7 @@ class PdfSpec extends AnyFunSuite {
 
   test("decline envelope: hostile structures NULL, never throw") {
     def dies(b: Array[Byte]): Unit = assert(PdfMeta.parse(b) == null)
-    val good = PdfEncode.encode(3L, 4, 5, false)
+    val good = PdfEncode.encode(3L, 4, 5, false, 0)
     val s = new String(good, "ISO-8859-1")
     // no header / no startxref / lying xref offset
     dies("not a pdf at all, definitely not".getBytes)
