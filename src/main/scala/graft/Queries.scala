@@ -511,6 +511,7 @@ object Queries {
     "mm_gzip_meta" -> (Multimodal.gzipMetaQ _),
     "mm_pdf_meta" -> (Multimodal.pdfMetaQ _),
     "mm_warc_records" -> (Multimodal.warcRecordsQ _),
+    "pipeline_warc_ingest" -> (Multimodal.warcIngest _),
     "mm_avif_meta" -> (Multimodal.avifMetaQ _),
     "mm_flac_meta" -> (Multimodal.flacMetaQ _),
     "mm_mp3_meta" -> (Multimodal.mp3MetaQ _),
@@ -1457,6 +1458,19 @@ object Queries {
     // every reported field is doc_id arithmetic (WebpEncode scaladoc)
     // — the oracle restates the whole row, certifying the VP8 frame
     // tag, VP8L packed dims + alpha bit, and VP8X flags paths alike
+    // the composed ingest: the response payload IS the html fixture's
+    // page, so the expected extraction is text_html_extract's proven
+    // round-trip expression; the URI is the WARC fixture's arithmetic;
+    // compressed-vs-plain (doc_id%2) is invisible BY DESIGN
+    "pipeline_warc_ingest" ->
+      ("SELECT doc_id, " +
+       "'http://ex' || CAST(doc_id % 100 AS VARCHAR) || '.org/p' || CAST(doc_id % 13 AS VARCHAR) AS target_uri, " +
+       "'Doc ' || CAST(doc_id AS VARCHAR) || ' - ' || source || " +
+       "' Doc ' || CAST(doc_id AS VARCHAR) || ' ' || " +
+       "regexp_replace(trim(text), '\\s+', ' ', 'g') || " +
+       "' Entities: & <b> \"q\" AB &unknown; end more ' || " +
+       "CAST(doc_id % 7 AS VARCHAR) || ' home' AS extracted " +
+       "FROM documents WHERE doc_id % 163 <> 0 ORDER BY doc_id"),
     // WARC triage twin: every doc (bar the corrupt gate) carries
     // exactly three records whose type/URI/length are doc_id
     // arithmetic (WarcEncode.recordPlan); compressed vs uncompressed

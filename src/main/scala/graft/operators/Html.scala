@@ -31,8 +31,11 @@ object Html {
 
   /** Deterministic page around one document row (doc_id, text, source,
     * lang). Kept in one concat so fixture writes are a single
-    * projection — no per-row format cost beyond string building. */
-  private def htmlOf: Column = {
+    * projection — no per-row format cost beyond string building.
+    * Exposed to [[Multimodal]]'s warchtml fixture: the composed
+    * WARC-ingest query wraps THIS page as the response payload, so its
+    * oracle is the proven text_html_extract round-trip contract. */
+  private[operators] def htmlOf: Column = {
     val id = col("doc_id").cast("string")
     val m7 = (col("doc_id") % 7).cast("string")
     concat(

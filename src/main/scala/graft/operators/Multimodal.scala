@@ -334,6 +334,15 @@ object Multimodal {
         // the member-split and the length-delimited walk
         (id % 157 =!= 0, graft.plans.VectorExpressions.warcEncode(
           id.cast("long"), id % 2 === 0)))
+      case "warchtml" => Seq(
+        (id % 163 === 0, encode(text.substr(1, 24), "UTF-8")),
+        // the COMPOSED-ingest corpus: each archive's response payload
+        // is the SAME deterministic HTML page the html fixture builds
+        // (Html.htmlOf), half compressed half not — the end-to-end
+        // raw-WARC → inflate → HTML-extract query's oracle is then the
+        // proven text_html_extract round-trip contract
+        (id % 163 =!= 0, graft.plans.VectorExpressions.warcWrap(
+          id.cast("long"), id % 2 === 0, encode(Html.htmlOf, "UTF-8"))))
       case "pdf" => Seq(
         (id % 151 === 0, encode(text.substr(1, 26), "UTF-8")),
         // REAL PDFs across all THREE layouts cycling on doc_id%3
@@ -505,7 +514,7 @@ object Multimodal {
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "gifanim",
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
       "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "avif",
-      "gzip", "pdf", "warc", "mixed")
+      "gzip", "pdf", "warc", "warchtml", "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -1037,6 +1046,24 @@ object Multimodal {
         col("col.target_uri").as("target_uri"),
         col("col.content_length").as("content_length"))
       .orderBy(col("doc_id"), col("rec_idx"))
+
+  /** The COMPOSED crawl-ingest pipeline in ONE query: raw WARC bytes →
+    * record split (gzip members inflated on half the corpus, CRC-gated)
+    * → the response record's payload → HTML visible-text extraction —
+    * the exact first hop of a Common-Crawl-scale corpus build, per doc
+    * in a single shuffle-free scan. The response body is the html
+    * fixture's own page, so the oracle is the PROVEN
+    * text_html_extract round-trip contract plus the WARC target URI. */
+  def warcIngest(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "warchtml")
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.warcResponse(col("warchtml")).as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("doc_id"),
+        col("m.target_uri").as("target_uri"),
+        graft.plans.VectorExpressions.htmlText(
+          col("m.payload").cast("string")).as("extracted"))
+      .orderBy(col("doc_id"))
 
   /** PDF triage: version, page count, encryption, object census per
     * doc (NULL for the non-PDF rows) — the structural pass a corpus

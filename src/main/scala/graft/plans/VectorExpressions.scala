@@ -504,6 +504,10 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_warc_encode", exprs => WarcEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_warc_response", exprs => WarcResponse(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_warc_wrap", exprs => WarcWrap(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_avif_meta", exprs => AvifMeta(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_avif_encode", exprs => AvifEncode(exprs), "scala_udf")
@@ -670,6 +674,21 @@ object VectorExpressions {
   def warcEncode(seed: Column, compressed: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_warc_encode", seed, compressed)
+  }
+
+  /** First response record's (target_uri, payload) — the ingest hop
+    * (plans.WarcResponse), column form; same registration
+    * precondition. */
+  def warcResponse(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_warc_response", c)
+  }
+
+  /** WARC fixture with an explicit response body (plans.WarcWrap),
+    * column form; same registration precondition. */
+  def warcWrap(seed: Column, compressed: Column, body: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_warc_wrap", seed, compressed, body)
   }
 
   /** PDF triage (plans.PdfMeta), column form; same registration

@@ -130,6 +130,48 @@ object WarcRecords {
       if (uri == null) null else UTF8String.fromString(uri),
       clen))
 
+  /** The FIRST response record's (target_uri, payload bytes), or null
+    * — the ingest hop that routes crawl content onward (the archive up
+    * to and including that record must be structurally sound; the
+    * same per-record grammar and gzip machinery as [[parse]]). */
+  def parseResponse(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 12) return null
+    def fromRecord(bytes: Array[Byte], uri: String, clen: Long,
+        end: Int): InternalRow =
+      new GenericInternalRow(Array[Any](
+        if (uri == null) null else UTF8String.fromString(uri),
+        java.util.Arrays.copyOfRange(bytes, end - 4 - clen.toInt, end - 4)))
+    if ((b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B) {
+      var at = 0
+      var seen = 0
+      while (at < b.length && seen < MaxRecords) {
+        GzipMeta.inflateMember(b, at) match {
+          case None => return null
+          case Some((bytes, end)) =>
+            record(bytes, 0) match {
+              case Some((t, uri, clen, recEnd)) if recEnd == bytes.length =>
+                if (t == "response") return fromRecord(bytes, uri, clen, recEnd)
+              case _ => return null
+            }
+            at = end; seen += 1
+        }
+      }
+      null
+    } else if (b.length >= 7 && new String(b, 0, 5, "ISO-8859-1") == "WARC/") {
+      var at = 0
+      var seen = 0
+      while (at < b.length && seen < MaxRecords) {
+        record(b, at) match {
+          case None => return null
+          case Some((t, uri, clen, end)) =>
+            if (t == "response") return fromRecord(b, uri, clen, end)
+            at = end; seen += 1
+        }
+      }
+      null
+    } else null
+  }
+
   def parse(b: Array[Byte]): GenericArrayData = {
     if (b == null || b.length < 12) return null
     val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
@@ -210,18 +252,21 @@ object WarcEncode {
       ("response", uri, (seed % 200 + 50).toInt))
   }
 
+  /** Deterministic filler payload for record `idx`. */
+  private def filler(seed: Long, idx: Int, clen: Int): Array[Byte] =
+    Array.tabulate(clen)(j =>
+      (((seed + 17L * idx + 7L * j) % 251 + 251) % 251).toByte)
+
   private def recordBytes(seed: Long, idx: Int, t: String, uri: String,
-      clen: Int): Array[Byte] = {
+      payload: Array[Byte]): Array[Byte] = {
     val sb = new StringBuilder()
     sb.append("WARC/1.0\r\n")
     sb.append(s"WARC-Type: $t\r\n")
     sb.append(s"WARC-Record-ID: <urn:graft:$seed-$idx>\r\n")
     if (uri != null) sb.append(s"WARC-Target-URI: $uri\r\n")
-    sb.append(s"Content-Length: $clen\r\n")
+    sb.append(s"Content-Length: ${payload.length}\r\n")
     sb.append("\r\n")
     val head = sb.toString.getBytes("ISO-8859-1")
-    val payload = Array.tabulate(clen)(j =>
-      (((seed + 17L * idx + 7L * j) % 251 + 251) % 251).toByte)
     head ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
   }
 
@@ -247,14 +292,81 @@ object WarcEncode {
     out.toByteArray
   }
 
-  def encode(seed: Long, compressed: Boolean): Array[Byte] = {
+  def encode(seed: Long, compressed: Boolean): Array[Byte] =
+    encodeWith(seed, compressed, None)
+
+  /** The same three-record archive with an EXPLICIT response body —
+    * the composed-pipeline fixture (the body is the HTML page the
+    * ingest query extracts); None = the default filler. */
+  def encodeWith(seed: Long, compressed: Boolean,
+      responseBody: Option[Array[Byte]]): Array[Byte] = {
     if (seed < 0) return null
     val out = new java.io.ByteArrayOutputStream()
     recordPlan(seed).zipWithIndex.foreach { case ((t, uri, clen), idx) =>
-      val rec = recordBytes(seed, idx, t, uri, clen)
+      val payload =
+        if (t == "response") responseBody.getOrElse(filler(seed, idx, clen))
+        else filler(seed, idx, clen)
+      val rec = recordBytes(seed, idx, t, uri, payload)
       val bytes = if (compressed) gzipMember(rec) else rec
       out.write(bytes, 0, bytes.length)
     }
     out.toByteArray
   }
+}
+
+/** `graft_warc_response(binary)` → `struct<target_uri string,
+  * payload binary>`: the first response record's URI + raw payload —
+  * the hop that routes crawl content onward. */
+case class WarcResponse(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_warc_response expects a binary column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("target_uri", StringType),
+    StructField("payload", BinaryType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_warc_response"
+
+  override def nullSafeEval(input: Any): Any =
+    WarcRecords.parseResponse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.plans.WarcRecords.parseResponse($b);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): WarcResponse =
+    copy(child = newChild)
+}
+
+/** `graft_warc_wrap(seed, compressed, body)` → binary: the fixture
+  * archive with `body` as the response record's payload — the
+  * composed-ingest corpus builder. */
+case class WarcWrap(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val expected = Seq(LongType, BooleanType, BinaryType)
+    if (children.length == 3 && children.map(_.dataType) == expected)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_warc_wrap expects (long seed, boolean compressed, binary body)")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_warc_wrap"
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) null
+    else WarcEncode.encodeWith(vs(0).asInstanceOf[Long],
+      vs(1).asInstanceOf[Boolean],
+      Some(vs(2).asInstanceOf[Array[Byte]]))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WarcWrap = copy(children = newChildren)
 }

@@ -44,6 +44,28 @@ class WarcSpec extends AnyFunSuite {
       "the payload's embedded record must be SKIPPED, not parsed")
   }
 
+  test("response hop: URI + exact payload bytes from both layouts") {
+    val body = "<html><body><p>hello crawl</p></body></html>".getBytes("UTF-8")
+    for (compressed <- Seq(true, false)) {
+      val b = WarcEncode.encodeWith(31L, compressed, Some(body))
+      val r = WarcRecords.parseResponse(b)
+      assert(r != null, s"compressed=$compressed")
+      assert(r.getUTF8String(0).toString === "http://ex31.org/p5")
+      assert(r.getBinary(1).toSeq === body.toSeq,
+        "the response payload must round-trip byte-exactly")
+    }
+    // an archive with NO response record answers null (not a decline
+    // of the doc — the archive is sound, the hop just has no target)
+    val onlyInfo = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "Content-Length: 2\r\n\r\nab\r\n\r\n").getBytes("ISO-8859-1")
+    assert(WarcRecords.parseResponse(onlyInfo) == null)
+    // a corrupt member BEFORE the response declines the hop too
+    val gz = WarcEncode.encodeWith(31L, compressed = true, Some(body))
+    val corrupt = gz.clone()
+    corrupt(20) = (corrupt(20) ^ 0x7F).toByte // inside the first member
+    assert(WarcRecords.parseResponse(corrupt) == null)
+  }
+
   test("whole-doc decline: one bad record nulls the archive") {
     def dies(b: Array[Byte]): Unit = assert(WarcRecords.parse(b) == null)
     val good = WarcEncode.encode(9L, compressed = false)
