@@ -512,6 +512,7 @@ object Queries {
     "mm_pdf_meta" -> (Multimodal.pdfMetaQ _),
     "mm_warc_records" -> (Multimodal.warcRecordsQ _),
     "pipeline_warc_ingest" -> (Multimodal.warcIngest _),
+    "pipeline_http_ingest" -> (Multimodal.warcHttpIngest _),
     "mm_avif_meta" -> (Multimodal.avifMetaQ _),
     "mm_flac_meta" -> (Multimodal.flacMetaQ _),
     "mm_mp3_meta" -> (Multimodal.mp3MetaQ _),
@@ -1458,6 +1459,21 @@ object Queries {
     // every reported field is doc_id arithmetic (WebpEncode scaladoc)
     // — the oracle restates the whole row, certifying the VP8 frame
     // tag, VP8L packed dims + alpha bit, and VP8X flags paths alike
+    // the FULL-stack ingest: WARC → HTTP message (status/type routing
+    // drops the planted 404 text/plain rows) → HTML extraction; the
+    // transfer mode (Content-Length / chunked / read-to-end, doc_id%3)
+    // is invisible BY DESIGN — one oracle certifies de-chunking
+    // against the length paths
+    "pipeline_http_ingest" ->
+      ("SELECT doc_id, " +
+       "'http://ex' || CAST(doc_id % 100 AS VARCHAR) || '.org/p' || CAST(doc_id % 13 AS VARCHAR) AS target_uri, " +
+       "CAST(200 AS INTEGER) AS status, " +
+       "'Doc ' || CAST(doc_id AS VARCHAR) || ' - ' || source || " +
+       "' Doc ' || CAST(doc_id AS VARCHAR) || ' ' || " +
+       "regexp_replace(trim(text), '\\s+', ' ', 'g') || " +
+       "' Entities: & <b> \"q\" AB &unknown; end more ' || " +
+       "CAST(doc_id % 7 AS VARCHAR) || ' home' AS extracted " +
+       "FROM documents WHERE doc_id % 163 <> 0 AND doc_id % 17 <> 0 ORDER BY doc_id"),
     // the composed ingest: the response payload IS the html fixture's
     // page, so the expected extraction is text_html_extract's proven
     // round-trip expression; the URI is the WARC fixture's arithmetic;

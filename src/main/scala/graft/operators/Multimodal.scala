@@ -343,6 +343,26 @@ object Multimodal {
         // proven text_html_extract round-trip contract
         (id % 163 =!= 0, graft.plans.VectorExpressions.warcWrap(
           id.cast("long"), id % 2 === 0, encode(Html.htmlOf, "UTF-8"))))
+      case "warchttp" => Seq(
+        (id % 163 === 0, encode(text.substr(1, 24), "UTF-8")),
+        // the FULL authentic crawl stack: WARC response payloads are
+        // raw HTTP/1.1 messages (what the wire carried — Common
+        // Crawl's layout). 200 text/html carrying the html fixture's
+        // page on most docs; every 17th doc is a 404 text/plain the
+        // ingest query must ROUTE OUT; transfer mode cycles on id%3
+        // (Content-Length / chunked / read-to-end) and is invisible
+        // in the output — one oracle certifies de-chunking against
+        // the length-delimited paths
+        (id % 163 =!= 0 && id % 17 === 0, graft.plans.VectorExpressions.warcWrap(
+          id.cast("long"), id % 2 === 0,
+          graft.plans.VectorExpressions.httpWrap(
+            id.cast("long"), lit(404).cast("int"), lit("text/plain"),
+            encode(lit("not found"), "UTF-8"), (id % 3).cast("int")))),
+        (id % 163 =!= 0 && id % 17 =!= 0, graft.plans.VectorExpressions.warcWrap(
+          id.cast("long"), id % 2 === 0,
+          graft.plans.VectorExpressions.httpWrap(
+            id.cast("long"), lit(200).cast("int"), lit("text/html"),
+            encode(Html.htmlOf, "UTF-8"), (id % 3).cast("int")))))
       case "pdf" => Seq(
         (id % 151 === 0, encode(text.substr(1, 26), "UTF-8")),
         // REAL PDFs across all THREE layouts cycling on doc_id%3
@@ -514,7 +534,7 @@ object Multimodal {
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "gifanim",
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
       "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "avif",
-      "gzip", "pdf", "warc", "warchtml", "mixed")
+      "gzip", "pdf", "warc", "warchtml", "warchttp", "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -1063,6 +1083,29 @@ object Multimodal {
         col("m.target_uri").as("target_uri"),
         graft.plans.VectorExpressions.htmlText(
           col("m.payload").cast("string")).as("extracted"))
+      .orderBy(col("doc_id"))
+
+  /** The FULL authentic crawl stack in ONE query: raw WARC bytes →
+    * record split (half gzip members) → the response payload, which is
+    * a raw HTTP/1.1 MESSAGE (Common Crawl's layout) → status line +
+    * header triage + body (Content-Length / chunked / read-to-end all
+    * cycling) → route on (status, content type): the 404 text/plain
+    * rows are dropped HERE, before any text work — → HTML visible-text
+    * extraction. Still one shuffle-free scan; the oracle is the proven
+    * html round-trip + the HTTP routing arithmetic. */
+  def warcHttpIngest(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "warchttp")
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.warcResponse(col("warchttp")).as("w"))
+      .filter(col("w").isNotNull)
+      .select(col("doc_id"), col("w.target_uri").as("target_uri"),
+        graft.plans.VectorExpressions.httpBody(col("w.payload")).as("h"))
+      .filter(col("h").isNotNull &&
+        col("h.status") === 200 && col("h.content_type") === "text/html")
+      .select(col("doc_id"), col("target_uri"),
+        col("h.status").as("status"),
+        graft.plans.VectorExpressions.htmlText(
+          col("h.body").cast("string")).as("extracted"))
       .orderBy(col("doc_id"))
 
   /** PDF triage: version, page count, encryption, object census per

@@ -508,6 +508,10 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_warc_wrap", exprs => WarcWrap(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_http_body", exprs => HttpBody(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_http_wrap", exprs => HttpWrap(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_avif_meta", exprs => AvifMeta(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_avif_encode", exprs => AvifEncode(exprs), "scala_udf")
@@ -689,6 +693,21 @@ object VectorExpressions {
   def warcWrap(seed: Column, compressed: Column, body: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_warc_wrap", seed, compressed, body)
+  }
+
+  /** HTTP response-message triage (plans.HttpBody), column form; same
+    * registration precondition. */
+  def httpBody(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_http_body", c)
+  }
+
+  /** HTTP response fixture builder (plans.HttpWrap), column form;
+    * same registration precondition. */
+  def httpWrap(seed: Column, status: Column, contentType: Column,
+      body: Column, mode: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_http_wrap", seed, status, contentType, body, mode)
   }
 
   /** PDF triage (plans.PdfMeta), column form; same registration

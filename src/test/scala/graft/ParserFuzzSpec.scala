@@ -38,7 +38,9 @@ class ParserFuzzSpec extends AnyFunSuite {
     "AvifMeta" -> (graft.plans.AvifMeta.parse(_)),
     "GzipMeta" -> (graft.plans.GzipMeta.parse(_)),
     "PdfMeta" -> (graft.plans.PdfMeta.parse(_)),
-    "WarcRecords" -> (graft.plans.WarcRecords.parse(_)))
+    "WarcRecords" -> (graft.plans.WarcRecords.parse(_)),
+    "WarcResponse" -> (graft.plans.WarcRecords.parseResponse(_)),
+    "HttpBody" -> (graft.plans.HttpBody.parse(_)))
 
   // magic prefixes steer the fuzz into each format's deep parse path
   private val prefixes: Seq[Array[Byte]] = Seq(
@@ -62,7 +64,8 @@ class ParserFuzzSpec extends AnyFunSuite {
       "avif".getBytes, // AVIF ftyp → meta/iprp walk
     hx("1F8B0808") ++ hx("00000000") ++ hx("0003"), // gzip FNAME header → field walk + inflate
     "%PDF-1.4\n".getBytes, // PDF header → tail/startxref/xref walk
-    "WARC/1.0\r\nWARC-Type: response\r\n".getBytes) // WARC header walk
+    "WARC/1.0\r\nWARC-Type: response\r\n".getBytes, // WARC header walk
+    "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n".getBytes) // HTTP chunk walk
 
   private def neverThrows(name: String, p: Array[Byte] => AnyRef,
       input: Array[Byte], what: String): Unit =
@@ -205,12 +208,18 @@ class ParserFuzzSpec extends AnyFunSuite {
       graft.plans.WarcEncode.encode(77L, compressed = false),
       graft.plans.WarcEncode.encode(78L, compressed = true))
     fullWarcs.foreach(f => assert(graft.plans.WarcRecords.parse(f) != null))
+    // REAL HTTP responses across the three body framings: corruptions
+    // land in the status line, header block, and chunk-size grammar
+    val fullHttps = (0 to 2).map(m =>
+      graft.plans.HttpBody.wrap(77L, 200, "text/html",
+        ("p" * 200).getBytes("ISO-8859-1"), m))
+    fullHttps.foreach(f => assert(graft.plans.HttpBody.parse(f) != null))
     val rnd = new scala.util.Random(0xF00D)
     for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif, fullJpeg,
         fullJpegColor, fullJpegLossless, fullJpeg12, fullAvi, fullWav, fullFloat,
         fullFlac, fullMp3) ++
         fullExifs ++ fullG711s ++ fullMp4s ++ fullTiffs ++ fullGzips ++
-        fullPdfs ++ fullWarcs;
+        fullPdfs ++ fullWarcs ++ fullHttps;
         _ <- 0 until 800) {
       val truncated = f.take(rnd.nextInt(f.length + 1))
       val corrupted = f.clone()
