@@ -513,6 +513,8 @@ object Queries {
     "mm_warc_records" -> (Multimodal.warcRecordsQ _),
     "pipeline_warc_ingest" -> (Multimodal.warcIngest _),
     "pipeline_http_ingest" -> (Multimodal.warcHttpIngest _),
+    "text_robots_rules" -> (Html.robotsRules _),
+    "pipeline_robots_gate" -> (Html.robotsGate _),
     "mm_avif_meta" -> (Multimodal.avifMetaQ _),
     "mm_flac_meta" -> (Multimodal.flacMetaQ _),
     "mm_mp3_meta" -> (Multimodal.mp3MetaQ _),
@@ -1459,6 +1461,33 @@ object Queries {
     // every reported field is doc_id arithmetic (WebpEncode scaladoc)
     // — the oracle restates the whole row, certifying the VP8 frame
     // tag, VP8L packed dims + alpha bit, and VP8X flags paths alike
+    // robots.txt directives: fixed 5-row shape per doc (two groups +
+    // the standalone sitemap), every path doc_id arithmetic
+    "text_robots_rules" ->
+      ("SELECT doc_id, CAST(t.i AS INTEGER) AS rule_idx, " +
+       "CASE WHEN t.i <= 2 THEN '*' WHEN t.i = 3 THEN 'graftbot' ELSE NULL END AS agent, " +
+       "CASE t.i WHEN 0 THEN 'disallow' WHEN 1 THEN 'allow' WHEN 2 THEN 'crawl-delay' " +
+       "WHEN 3 THEN 'disallow' ELSE 'sitemap' END AS rule, " +
+       "CASE t.i WHEN 0 THEN '/private' || CAST(doc_id % 5 AS VARCHAR) || '/' " +
+       "WHEN 1 THEN '/private' || CAST(doc_id % 5 AS VARCHAR) || '/ok/' " +
+       "WHEN 2 THEN CAST(doc_id % 30 + 1 AS VARCHAR) " +
+       "WHEN 3 THEN '/docs/*x' || CAST(doc_id % 9 AS VARCHAR) || '.tmp$' " +
+       "ELSE 'https://ex' || CAST(doc_id % 100 AS VARCHAR) || '.org/sitemap.xml' END AS path " +
+       "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3), (4)) AS t(i) " +
+       "ORDER BY doc_id, rule_idx"),
+    // the RFC 9309 verdict: group selection (exact token beats *),
+    // longest-match allow-over-disallow, wildcard, $ anchor — the
+    // expected booleans are invariants of the planted rule shapes
+    "pipeline_robots_gate" ->
+      ("SELECT doc_id, CAST(t.i AS INTEGER) AS case_id, " +
+       "CASE WHEN t.i IN (0, 1, 4) THEN 'anybot' ELSE 'graftbot' END AS agent, " +
+       "CASE t.i WHEN 0 THEN '/private' || CAST(doc_id % 5 AS VARCHAR) || '/ok/page' " +
+       "WHEN 1 THEN '/private' || CAST(doc_id % 5 AS VARCHAR) || '/secret' " +
+       "WHEN 3 THEN '/docs/ax' || CAST(doc_id % 9 AS VARCHAR) || '.tmp.bak' " +
+       "ELSE '/docs/ax' || CAST(doc_id % 9 AS VARCHAR) || '.tmp' END AS path, " +
+       "t.i IN (0, 3, 4) AS allowed " +
+       "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3), (4)) AS t(i) " +
+       "ORDER BY doc_id, case_id"),
     // the FULL-stack ingest: WARC → HTTP message (status/type routing
     // drops the planted 404 text/plain rows) → HTML extraction; the
     // transfer mode (Content-Length / chunked / read-to-end, doc_id%3)

@@ -208,4 +208,68 @@ object Html {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("domain"))
   }
+
+  /** Deterministic per-doc robots.txt (the crawl POLICY fixture):
+    * a `*` group with a disallow/allow pair and a Crawl-delay, a
+    * bot-specific group with a wildcard+anchor pattern, and a
+    * standalone Sitemap — every directive doc_id arithmetic, so the
+    * rules and gate queries are fully oracled. */
+  private def robotsOf: Column = {
+    val id = col("doc_id")
+    concat(
+      lit("# graft fixture "), id.cast("string"), lit("\n"),
+      lit("User-agent: *\n"),
+      lit("Disallow: /private"), (id % 5).cast("string"), lit("/\n"),
+      lit("Allow: /private"), (id % 5).cast("string"), lit("/ok/\n"),
+      lit("Crawl-delay: "), (id % 30 + 1).cast("string"), lit("\n\n"),
+      lit("User-agent: graftbot\n"),
+      lit("Disallow: /docs/*x"), (id % 9).cast("string"), lit(".tmp$\n"),
+      lit("Sitemap: https://ex"), (id % 100).cast("string"),
+      lit(".org/sitemap.xml\n"))
+  }
+
+  private def robotsTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), robotsOf.as("robots"))
+
+  /** The parsed directive list, one row per (group agent × rule) plus
+    * the standalone sitemaps — what a crawl scheduler materializes per
+    * host. Malformed lines SKIP (robots.txt is famously dirty; a
+    * policy parser that declined whole files would fail open). */
+  def robotsRules(spark: SparkSession, dir: String): DataFrame =
+    robotsTable(spark, dir)
+      .select(col("doc_id"),
+        posexplode(graft.plans.VectorExpressions.robotsRules(col("robots"))))
+      .select(col("doc_id"), col("pos").cast("int").as("rule_idx"),
+        col("col.agent").as("agent"), col("col.rule").as("rule"),
+        col("col.path").as("path"))
+      .orderBy(col("doc_id"), col("rule_idx"))
+
+  /** The access VERDICT (RFC 9309 §2.2): five planted probes per doc
+    * exercising group selection (exact token beats `*`), longest-match
+    * allow-over-disallow, the `*` wildcard, and the `$` anchor — the
+    * gate a compliant fetcher runs per URL before any fetch. */
+  def robotsGate(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val p = (id % 5).cast("string")
+    val w = (id % 9).cast("string")
+    val cases = array(
+      struct(lit(0).as("case_id"), lit("anybot").as("agent"),
+        concat(lit("/private"), p, lit("/ok/page")).as("path")),
+      struct(lit(1).as("case_id"), lit("anybot").as("agent"),
+        concat(lit("/private"), p, lit("/secret")).as("path")),
+      struct(lit(2).as("case_id"), lit("graftbot").as("agent"),
+        concat(lit("/docs/ax"), w, lit(".tmp")).as("path")),
+      struct(lit(3).as("case_id"), lit("graftbot").as("agent"),
+        concat(lit("/docs/ax"), w, lit(".tmp.bak")).as("path")),
+      struct(lit(4).as("case_id"), lit("anybot").as("agent"),
+        concat(lit("/docs/ax"), w, lit(".tmp")).as("path")))
+    robotsTable(spark, dir)
+      .select(col("doc_id"), col("robots"), explode(cases).as("c"))
+      .select(col("doc_id"), col("c.case_id").as("case_id"),
+        col("c.agent").as("agent"), col("c.path").as("path"),
+        graft.plans.VectorExpressions.robotsAllowed(
+          col("robots"), col("c.agent"), col("c.path")).as("allowed"))
+      .orderBy(col("doc_id"), col("case_id"))
+  }
 }

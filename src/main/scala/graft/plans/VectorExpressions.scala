@@ -512,6 +512,10 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_http_wrap", exprs => HttpWrap(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_robots_rules", exprs => RobotsRules(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_robots_allowed", exprs => RobotsAllowed(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_avif_meta", exprs => AvifMeta(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_avif_encode", exprs => AvifEncode(exprs), "scala_udf")
@@ -693,6 +697,20 @@ object VectorExpressions {
   def warcWrap(seed: Column, compressed: Column, body: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_warc_wrap", seed, compressed, body)
+  }
+
+  /** robots.txt directive list (plans.RobotsRules), column form; same
+    * registration precondition. */
+  def robotsRules(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_robots_rules", c)
+  }
+
+  /** robots.txt access verdict (plans.RobotsAllowed), column form;
+    * same registration precondition. */
+  def robotsAllowed(txt: Column, agent: Column, path: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_robots_allowed", txt, agent, path)
   }
 
   /** HTTP response-message triage (plans.HttpBody), column form; same

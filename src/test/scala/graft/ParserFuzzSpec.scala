@@ -40,7 +40,13 @@ class ParserFuzzSpec extends AnyFunSuite {
     "PdfMeta" -> (graft.plans.PdfMeta.parse(_)),
     "WarcRecords" -> (graft.plans.WarcRecords.parse(_)),
     "WarcResponse" -> (graft.plans.WarcRecords.parseResponse(_)),
-    "HttpBody" -> (graft.plans.HttpBody.parse(_)))
+    "HttpBody" -> (graft.plans.HttpBody.parse(_)),
+    // robots is a STRING parser (fail-open, never declines) — fuzzed
+    // through a lossless byte→string bridge for the never-throw law
+    "RobotsRules" -> ((b: Array[Byte]) =>
+      graft.plans.Robots.rules(new String(b, "ISO-8859-1"))),
+    "RobotsAllowed" -> ((b: Array[Byte]) => java.lang.Boolean.valueOf(
+      graft.plans.Robots.allowed(new String(b, "ISO-8859-1"), "bot", "/x/y"))))
 
   // magic prefixes steer the fuzz into each format's deep parse path
   private val prefixes: Seq[Array[Byte]] = Seq(

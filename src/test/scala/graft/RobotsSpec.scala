@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.Robots
+
+/** robots.txt policy layer (plans.Robots): RFC 9309 parsing and the
+  * access verdict. Pins: group stacking, rule ordering, the
+  * standalone Sitemap, dirty-input skipping (fail-open, never throw),
+  * group selection (exact beats *), longest-match allow/disallow with
+  * the allow tie-break, wildcard and $-anchor semantics, and the
+  * empty-Disallow rule. */
+class RobotsSpec extends AnyFunSuite {
+
+  private val txt =
+    """# policy
+      |User-agent: *
+      |Disallow: /a/
+      |Allow: /a/ok/
+      |Crawl-delay: 7
+      |
+      |User-agent: FooBot
+      |User-agent: BarBot
+      |Disallow: /shared/
+      |
+      |User-agent: WildBot
+      |Disallow: /x/*.tmp$
+      |Allow: /x/
+      |Sitemap: https://e.org/s.xml
+      |this line is garbage and must skip
+      |Disallow-ish: /typo
+      |""".stripMargin
+
+  test("directive list: groups, stacking, sitemap, dirty lines skip") {
+    val arr = Robots.rules(txt)
+    val rows = (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 3)
+      (if (r.isNullAt(0)) null else r.getUTF8String(0).toString,
+        r.getUTF8String(1).toString, r.getUTF8String(2).toString)
+    }
+    assert(rows === Seq(
+      ("*", "disallow", "/a/"),
+      ("*", "allow", "/a/ok/"),
+      ("*", "crawl-delay", "7"),
+      // stacked agents: the shared rule repeats per agent
+      ("foobot", "disallow", "/shared/"),
+      ("barbot", "disallow", "/shared/"),
+      ("wildbot", "disallow", "/x/*.tmp$"),
+      ("wildbot", "allow", "/x/"),
+      (null, "sitemap", "https://e.org/s.xml")))
+  }
+
+  test("verdicts: group selection, longest match, wildcard, anchor") {
+    // '*' group: longest match wins; allow /a/ok/ beats disallow /a/
+    assert(Robots.allowed(txt, "SomeBot", "/a/ok/page"))
+    assert(!Robots.allowed(txt, "SomeBot", "/a/hidden"))
+    assert(Robots.allowed(txt, "SomeBot", "/elsewhere"))
+    // exact group beats '*': FooBot gets /shared/ denied, but NOT /a/
+    // (its group REPLACES the * group, §2.2.1)
+    assert(!Robots.allowed(txt, "FooBot", "/shared/x"))
+    assert(Robots.allowed(txt, "foobot", "/a/hidden"), "exact group replaces *")
+    // wildcard + anchor
+    assert(!Robots.allowed(txt, "WildBot", "/x/a.tmp"))
+    assert(Robots.allowed(txt, "WildBot", "/x/a.tmp.bak"), "$ must anchor")
+    assert(Robots.allowed(txt, "WildBot", "/x/a.txt"))
+    // tie: equal-length allow and disallow → allow
+    val tie = "User-agent: *\nDisallow: /p/\nAllow: /q/\n"
+    assert(Robots.allowed(tie, "b", "/q/z") && !Robots.allowed(tie, "b", "/p/z"))
+    // empty Disallow matches nothing → everything allowed
+    val open = "User-agent: *\nDisallow:\n"
+    assert(Robots.allowed(open, "b", "/anything"))
+    // no groups at all → allowed (fail open)
+    assert(Robots.allowed("just junk\n", "b", "/x"))
+  }
+
+  test("wildcard matcher unit laws") {
+    assert(Robots.matches("/a/", "/a/b"))        // prefix
+    assert(!Robots.matches("/a/", "/b/a/"))      // anchored at start
+    assert(Robots.matches("/*/z", "/any/thing/z")) // * spans slashes
+    assert(Robots.matches("/a*b$", "/axxxb"))
+    assert(!Robots.matches("/a*b$", "/axxxbc"))
+    assert(Robots.matches("/a*b", "/axxxbc"))    // unanchored prefix after *
+    assert(!Robots.matches("", "/x"))            // empty pattern: no match
+    assert(Robots.matches("/*", "/"))
+  }
+}
