@@ -510,6 +510,7 @@ object Queries {
     "mm_webp_meta" -> (Multimodal.webpMetaQ _),
     "mm_gzip_meta" -> (Multimodal.gzipMetaQ _),
     "mm_pdf_meta" -> (Multimodal.pdfMetaQ _),
+    "mm_zip_entries" -> (Multimodal.zipEntriesQ _),
     "mm_warc_records" -> (Multimodal.warcRecordsQ _),
     "pipeline_warc_ingest" -> (Multimodal.warcIngest _),
     "pipeline_http_ingest" -> (Multimodal.warcHttpIngest _),
@@ -1552,6 +1553,18 @@ object Queries {
        "CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS INTEGER) " +
        "END AS n_objects " +
        "FROM documents ORDER BY doc_id"),
+    // ZIP census twin: 1..6 entries per doc, every reported field
+    // doc_id arithmetic (names e<i>.txt, methods alternate STORED 0 /
+    // DEFLATED 8, sizes (doc_id+i)%100+10); the fixture writer is the
+    // JDK itself, so the hash compare is a reference differential
+    "mm_zip_entries" ->
+      ("SELECT doc_id, CAST(t.i AS INTEGER) AS entry_idx, " +
+       "'e' || CAST(t.i AS VARCHAR) || '.txt' AS name, " +
+       "CAST(CASE WHEN t.i % 2 = 0 THEN 0 ELSE 8 END AS INTEGER) AS method, " +
+       "CAST((doc_id + t.i) % 100 + 10 AS BIGINT) AS usize " +
+       "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5)) AS t(i) " +
+       "WHERE doc_id % 149 <> 0 AND t.i < doc_id % 6 + 1 " +
+       "ORDER BY doc_id, entry_idx"),
     // gzip triage twin: header variant cycles on doc_id%3, payload
     // length and mtime are doc_id arithmetic, a second member lands on
     // every 4th doc — the oracle restates the whole row, certifying

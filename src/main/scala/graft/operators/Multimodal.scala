@@ -334,6 +334,15 @@ object Multimodal {
         // the member-split and the length-delimited walk
         (id % 157 =!= 0, graft.plans.VectorExpressions.warcEncode(
           id.cast("long"), id % 2 === 0)))
+      case "zip" => Seq(
+        (id % 149 === 0, encode(text.substr(1, 20), "UTF-8")),
+        // REAL zips written by the JDK's ZipOutputStream (the fixture
+        // writer IS the reference implementation — parsing it is the
+        // differential): 1..6 entries with deterministic names/sizes,
+        // STORED/DEFLATED alternating, an archive comment on every
+        // 3rd doc so the EOCD tail scan is load-bearing
+        (id % 149 =!= 0, graft.plans.VectorExpressions.zipEncode(
+          id.cast("long"), (id % 6 + 1).cast("int"), id % 3 === 0)))
       case "warchtml" => Seq(
         (id % 163 === 0, encode(text.substr(1, 24), "UTF-8")),
         // the COMPOSED-ingest corpus: each archive's response payload
@@ -534,7 +543,7 @@ object Multimodal {
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "gifanim",
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
       "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "avif",
-      "gzip", "pdf", "warc", "warchtml", "warchttp", "mixed")
+      "gzip", "pdf", "warc", "warchtml", "warchttp", "zip", "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -1041,6 +1050,21 @@ object Multimodal {
         col("m.has_anim").as("has_anim"),
         col("m.has_exif").as("has_exif"))
       .orderBy(col("doc_id"))
+
+  /** ZIP central-directory census: one row per archive entry per doc
+    * (name, method, uncompressed size), read through the EOCD — the
+    * envelope pass over the office-document family (docx/xlsx/epub/jar
+    * are all ZIP). The fixture's archives are written by the JDK's own
+    * ZipOutputStream, so the query IS a differential against the
+    * reference implementation. */
+  def zipEntriesQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "zip")
+      .select(col("doc_id"),
+        posexplode(graft.plans.VectorExpressions.zipEntries(col("zip"))))
+      .select(col("doc_id"), col("pos").cast("int").as("entry_idx"),
+        col("col.name").as("name"), col("col.method").as("method"),
+        col("col.usize").as("usize"))
+      .orderBy(col("doc_id"), col("entry_idx"))
 
   /** Gzip member triage: header fields, trailer validation verdict,
     * and member count per doc (NULL for the non-gzip rows) — the

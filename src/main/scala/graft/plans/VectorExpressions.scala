@@ -512,6 +512,10 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_http_wrap", exprs => HttpWrap(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_zip_entries", exprs => ZipEntries(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_zip_encode", exprs => ZipEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_robots_rules", exprs => RobotsRules(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_robots_allowed", exprs => RobotsAllowed(exprs(0), exprs(1), exprs(2)), "scala_udf")
@@ -697,6 +701,21 @@ object VectorExpressions {
   def warcWrap(seed: Column, compressed: Column, body: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_warc_wrap", seed, compressed, body)
+  }
+
+  /** ZIP central-directory entries (plans.ZipEntries), column form;
+    * same registration precondition. */
+  def zipEntries(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_zip_entries", c)
+  }
+
+  /** ZIP fixture encoder — the JDK ZipOutputStream behind an
+    * expression (plans.ZipEncode), column form; same registration
+    * precondition. */
+  def zipEncode(seed: Column, nEntries: Column, comment: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_zip_encode", seed, nEntries, comment)
   }
 
   /** robots.txt directive list (plans.RobotsRules), column form; same

@@ -41,6 +41,7 @@ class ParserFuzzSpec extends AnyFunSuite {
     "WarcRecords" -> (graft.plans.WarcRecords.parse(_)),
     "WarcResponse" -> (graft.plans.WarcRecords.parseResponse(_)),
     "HttpBody" -> (graft.plans.HttpBody.parse(_)),
+    "ZipEntries" -> (graft.plans.ZipEntries.parse(_)),
     // robots is a STRING parser (fail-open, never declines) — fuzzed
     // through a lossless byte→string bridge for the never-throw law
     "RobotsRules" -> ((b: Array[Byte]) =>
@@ -71,7 +72,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     hx("1F8B0808") ++ hx("00000000") ++ hx("0003"), // gzip FNAME header → field walk + inflate
     "%PDF-1.4\n".getBytes, // PDF header → tail/startxref/xref walk
     "WARC/1.0\r\nWARC-Type: response\r\n".getBytes, // WARC header walk
-    "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n".getBytes) // HTTP chunk walk
+    "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n".getBytes, // HTTP chunk walk
+    "PK".getBytes ++ hx("0304")) // ZIP local-header magic → EOCD tail scan
 
   private def neverThrows(name: String, p: Array[Byte] => AnyRef,
       input: Array[Byte], what: String): Unit =
@@ -220,12 +222,18 @@ class ParserFuzzSpec extends AnyFunSuite {
       graft.plans.HttpBody.wrap(77L, 200, "text/html",
         ("p" * 200).getBytes("ISO-8859-1"), m))
     fullHttps.foreach(f => assert(graft.plans.HttpBody.parse(f) != null))
+    // REAL JDK-written zips: corruptions land in the EOCD fields, the
+    // central-directory entry grid, and the name-length arithmetic
+    val fullZips = Seq(
+      graft.plans.ZipEncode.encode(77L, 3, false),
+      graft.plans.ZipEncode.encode(78L, 6, true))
+    fullZips.foreach(f => assert(graft.plans.ZipEntries.parse(f) != null))
     val rnd = new scala.util.Random(0xF00D)
     for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif, fullJpeg,
         fullJpegColor, fullJpegLossless, fullJpeg12, fullAvi, fullWav, fullFloat,
         fullFlac, fullMp3) ++
         fullExifs ++ fullG711s ++ fullMp4s ++ fullTiffs ++ fullGzips ++
-        fullPdfs ++ fullWarcs ++ fullHttps;
+        fullPdfs ++ fullWarcs ++ fullHttps ++ fullZips;
         _ <- 0 until 800) {
       val truncated = f.take(rnd.nextInt(f.length + 1))
       val corrupted = f.clone()
