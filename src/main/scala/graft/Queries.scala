@@ -1426,21 +1426,21 @@ object Queries {
       // formula reduced mod 2^bits (bits = 1/2/4 by (m-52)//4), raw
       // sample-value sums replicated to all three channels
       ("WITH d AS (SELECT doc_id, 4 + doc_id % 9 AS w, 4 + (doc_id * 3) % 7 AS h, " +
-       "doc_id % 72 AS m FROM documents), " +
+       "doc_id % 80 AS m FROM documents), " +
        "px AS (SELECT doc_id, w, h, m, " +
        "CASE WHEN m >= 52 AND m < 64 THEN (CASE (m - 52) // 4 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16 END) " +
        "ELSE 256 END AS md, " +
        "unnest(range(w * h)) AS i FROM d WHERE doc_id % 131 <> 0), " +
        "s AS (SELECT doc_id, " +
-       "sum(CASE WHEN m >= 68 THEN ((doc_id + 5 * (i % w) + 3 * (i // w)) % 16) * 17 " +
+       "sum(CASE WHEN m >= 68 AND m < 72 THEN ((doc_id + 5 * (i % w) + 3 * (i // w)) % 16) * 17 " +
        "WHEN (m >= 48 AND m < 64) OR m % 4 >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % md " +
        "ELSE (doc_id + 3 * (i % w) + 7 * (i // w)) % 256 END) AS sr, " +
-       "sum(CASE WHEN m >= 68 THEN ((2 * ((doc_id + 5 * (i % w) + 3 * (i // w)) % 16)) % 16) * 17 " +
+       "sum(CASE WHEN m >= 68 AND m < 72 THEN ((2 * ((doc_id + 5 * (i % w) + 3 * (i // w)) % 16)) % 16) * 17 " +
        "WHEN m >= 52 AND m < 64 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % md " +
        "WHEN m >= 48 AND m < 64 THEN (2 * ((doc_id + 5 * (i % w) + 3 * (i // w)) % 256)) % 256 " +
        "WHEN m % 4 >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
        "ELSE (2 * doc_id + 5 * (i % w) + (i // w)) % 256 END) AS sg, " +
-       "sum(CASE WHEN m >= 68 THEN ((3 * ((doc_id + 5 * (i % w) + 3 * (i // w)) % 16)) % 16) * 17 " +
+       "sum(CASE WHEN m >= 68 AND m < 72 THEN ((3 * ((doc_id + 5 * (i % w) + 3 * (i // w)) % 16)) % 16) * 17 " +
        "WHEN m >= 52 AND m < 64 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % md " +
        "WHEN m >= 48 AND m < 64 THEN (3 * ((doc_id + 5 * (i % w) + 3 * (i // w)) % 256)) % 256 " +
        "WHEN m % 4 >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +

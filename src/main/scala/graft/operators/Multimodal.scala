@@ -307,13 +307,14 @@ object Multimodal {
         // packed grayscale/bilevel fax/scan strips (the 1-bit modes
         // omit BitsPerSample — the spec-default path), PackBits RLE
         // strips, AND 4-bit packed palettes, all cycling on doc_id
-        // (mode = id%72; 48-51 = 8-bit palette, 52-63 = sub-8-bit,
-        // 64-67 = PackBits, 68-71 = 4-bit palette), rows-per-strip
+        // (mode = id%80; 48-51 = 8-bit palette, 52-63 = sub-8-bit,
+        // 64-67 = PackBits, 68-71 = 4-bit palette, 72-75 = 16-bit
+        // tiles, 76-79 = 16-bit separate planes), rows-per-strip
         // 1..4 so multi-strip layouts with out-of-line offset arrays
         // land on most rows
         (id % 131 =!= 0, graft.plans.VectorExpressions.tiffEncode(
           (id % 9 + 4).cast("int"), ((id * 3) % 7 + 4).cast("int"),
-          id.cast("long"), (id % 72).cast("int"), (id % 4 + 1).cast("int"))))
+          id.cast("long"), (id % 80).cast("int"), (id % 4 + 1).cast("int"))))
       case "webp" => Seq(
         (id % 109 === 0, encode(text.substr(1, 26), "UTF-8")),
         // REAL WebP containers (plans.WebpEncode): lossy VP8 frame

@@ -215,7 +215,6 @@ object TiffPixels {
     if (tiled && (offsets != null || counts != null)) return null
     if (!tiled && (offsets == null || counts == null)) return null
     if (tiled && planar == 2L) return null
-    if (bits16 && (tiled || planar == 2L)) return null // 16-bit: chunky strips
     if (palette && ((bitsN != 8L && bitsN != 4L) || tiled || planar == 2L))
       return null // 4/8-bit chunky strips only
     // the index width and the ColorMap size must agree — a 4-bit file
@@ -285,6 +284,10 @@ object TiffPixels {
       block
     }
 
+    // 8- vs 16-bit stride and the HIGH byte's offset in the file byte
+    // order — shared by every organization (chunky/planar/tiled)
+    val bytesPerG = if (bits16) 2 else 1
+    val hbOffG = if (bits16 && le) 1 else 0
     if (!tiled && planar == 2L) {
       // separate-plane layout (PlanarConfiguration = 2): the strip
       // arrays hold plane 0's strips, then plane 1's, ... — each strip
@@ -299,16 +302,16 @@ object TiffPixels {
         var s = 0
         while (s < nStrips) {
           val rows = math.min(rps, h - s.toLong * rps)
-          val expect = rows * w
+          val expect = rows * w * bytesPerG
           if (expect > Int.MaxValue) return null
           val strip = loadBlock(offsets(c * nStrips + s), counts(c * nStrips + s),
-            expect, rows.toInt, w.toInt, 1)
+            expect, rows.toInt, (w * bytesPerG).toInt, 1)
           if (strip == null) return null
           var i = 0
           while (i < strip.length) {
-            val v = u8(strip, i)
+            val v = u8(strip, i + hbOffG)
             if (c == 0) sr += v else if (c == 1) sg += v else sb += v
-            i += 1
+            i += bytesPerG
           }
           s += 1
         }
@@ -319,12 +322,11 @@ object TiffPixels {
       if (rps <= 0) return null
       val nStrips = ((h + rps - 1) / rps).toInt
       if (offsets.length != nStrips || counts.length != nStrips) return null
-      val bytesPer = if (bits16) 2 else 1
+      val bytesPer = bytesPerG
       val rowBytes =
         if (subByte) (w * bitsN + 7) / 8 // packed rows, byte-aligned
         else w * spp * bytesPer
-      // 16-bit: the sample's HIGH byte position in the file byte order
-      val hbOff = if (bits16 && le) 1 else 0
+      val hbOff = hbOffG
       var s = 0
       while (s < nStrips) {
         val rows = math.min(rps, h - s.toLong * rps)
@@ -398,8 +400,8 @@ object TiffPixels {
       if (nTiles > 65536 ||
           tileOffsets.length != nTiles || tileCounts.length != nTiles)
         return null
-      val tileRowBytes = (tw * spp).toInt
-      val expect = tw * th * spp
+      val tileRowBytes = (tw * spp * bytesPerG).toInt
+      val expect = tw * th * spp * bytesPerG
       var t = 0
       while (t < nTiles) {
         val tile = loadBlock(tileOffsets(t), tileCounts(t), expect,
@@ -412,13 +414,15 @@ object TiffPixels {
         var y2 = 0
         while (y2 < ys) {
           var i = y2 * tileRowBytes
-          val end = i + xs * sppI
+          val end = i + xs * sppI * bytesPerG
           if (spp == 1L) {
-            while (i < end) { sr += u8(tile, i); i += 1 }
+            while (i < end) { sr += u8(tile, i + hbOffG); i += bytesPerG }
           } else {
             while (i < end) {
-              sr += u8(tile, i); sg += u8(tile, i + 1); sb += u8(tile, i + 2)
-              i += 3
+              sr += u8(tile, i + hbOffG)
+              sg += u8(tile, i + bytesPerG + hbOffG)
+              sb += u8(tile, i + 2 * bytesPerG + hbOffG)
+              i += 3 * bytesPerG
             }
           }
           y2 += 1
@@ -686,7 +690,7 @@ object TiffEncode {
 
   def encode(w: Int, h: Int, seed: Long, mode: Int, rowsPerStrip: Int): Array[Byte] = {
     if (w <= 0 || w > 4096 || h <= 0 || h > 4096 || seed < 0) return null
-    if (mode < 0 || mode > 71 || rowsPerStrip <= 0) return null
+    if (mode < 0 || mode > 79 || rowsPerStrip <= 0) return null
     // modes 48..51: palette color (photometric 3) in chunky strips —
     // bit 0 = byte order, bit 1 = LZW; indices use the gray formula,
     // ColorMap maps index i to (i, 2i%256, 3i%256) scaled to 16-bit.
@@ -699,28 +703,38 @@ object TiffEncode {
     // modes 68..71: 4-bit palette chunky strips (bit 0 = byte order,
     // bit 1 = LZW) — packed indices through the sub-byte machinery,
     // ColorMap of 16 entries scaled i*17 to the 8-bit domain
-    val pal4 = mode >= 68
+    // modes 72..75: 16-bit TILES; 76..79: 16-bit SEPARATE PLANES —
+    // bit 0 = byte order, bit 1 = gray vs RGB; uncompressed, no
+    // predictor (the organizations are the point, the sample path is
+    // the certified v*257 16-bit convention)
+    val t16 = mode >= 72 && mode < 76
+    val p16 = mode >= 76
+    val wide = t16 || p16
+    val pal4 = mode >= 68 && mode < 72
     // modes 64..67: PackBits chunky strips, same 4-way matrix as the
     // base modes (0 = LE RGB, 1 = BE RGB, 2 = LE gray, 3 = BE gray)
-    val pb = !pal4 && mode >= 64
-    val subB = !pal4 && !pb && mode >= 52
+    val pb = mode >= 64 && mode < 68
+    val subB = mode >= 52 && mode < 64
     val subBits =
       if (subB) Array(1, 2, 4)((mode - 52) / 4) else if (pal4) 4 else 8
-    val pal = !pal4 && !pb && !subB && mode >= 48
-    val tiledOrg = !pal4 && !pb && !pal && !subB && mode >= 12 && mode < 24
-    val planarOrg = !pal4 && !pb && !pal && !subB && mode >= 24 && mode < 36
-    val bits16 = !pal4 && !pb && !pal && !subB && mode >= 36 // 16-bit chunky; sample = v<<8 | v
+    val pal = mode >= 48 && mode < 52
+    val tiledOrg = (mode >= 12 && mode < 24) || t16
+    val planarOrg = (mode >= 24 && mode < 36) || p16
+    val bits16 = (mode >= 36 && mode < 48) || wide // 16-bit; sample = v<<8 | v
     val sub = if (pb) mode - 64 else mode % 12
     val le =
-      if (pal4) ((mode - 68) & 1) == 0
+      if (wide) (mode & 1) == 0
+      else if (pal4) ((mode - 68) & 1) == 0
       else if (subB) ((mode - 52) & 1) == 0
       else if (pal) ((mode - 48) & 1) == 0 else (sub & 1) == 0
-    val gray = pal || pal4 || subB || (sub % 4) >= 2 // pal: gray px formula as INDEX
-    val lzw = !pb && (
+    val gray =
+      if (wide) (mode & 2) != 0
+      else pal || pal4 || subB || (sub % 4) >= 2 // pal: gray px formula as INDEX
+    val lzw = !pb && !wide && (
       if (pal4) ((mode - 68) & 2) != 0
       else if (subB) ((mode - 52) & 2) != 0
       else if (pal) ((mode - 48) & 2) != 0 else sub >= 4)
-    val pred2 = !pal4 && !pb && !pal && !subB && sub >= 8
+    val pred2 = !pal4 && !pb && !pal && !subB && !wide && sub >= 8
     val spp = if (gray) 1 else 3
     val rps = math.min(rowsPerStrip, h)
     val nStrips = if (tiledOrg) 0 else (h + rps - 1) / rps
@@ -826,15 +840,22 @@ object TiffEncode {
       }
     }
     // one PLANE's strip (PlanarConfiguration = 2): one sample per px
+    // (two bytes when 16-bit: v*257, byte order immaterial)
     def rawPlanarStrip(c: Int, s: Int): Array[Byte] = {
       val rows = math.min(rps, h - s * rps)
-      val out = new Array[Byte](rows * w)
+      val bp = if (bits16) 2 else 1
+      val out = new Array[Byte](rows * w * bp)
       var i = 0
       var y = s * rps
       val yEnd = y + rows
       while (y < yEnd) {
         var x = 0
-        while (x < w) { out(i) = px(c, x, y); i += 1; x += 1 }
+        while (x < w) {
+          val v = px(c, x, y)
+          out(i) = v
+          if (bits16) { out(i + 1) = v; i += 2 } else i += 1
+          x += 1
+        }
         y += 1
       }
       if (pred2) diffRows(out, rows, w, 1)
@@ -845,7 +866,8 @@ object TiffEncode {
     def rawTile(t: Int): Array[Byte] = {
       val x0 = (t % across) * TileDim
       val y0 = (t / across) * TileDim
-      val out = new Array[Byte](TileDim * TileDim * spp)
+      val bp = if (bits16) 2 else 1
+      val out = new Array[Byte](TileDim * TileDim * spp * bp)
       var y2 = 0
       while (y2 < TileDim) {
         var x2 = 0
@@ -854,7 +876,10 @@ object TiffEncode {
           if (x < w && y < h) {
             var c = 0
             while (c < spp) {
-              out((y2 * TileDim + x2) * spp + c) = px(c, x, y)
+              val at = ((y2 * TileDim + x2) * spp + c) * bp
+              val v = px(c, x, y)
+              out(at) = v
+              if (bits16) out(at + 1) = v
               c += 1
             }
           }

@@ -170,7 +170,7 @@ class ParserFuzzSpec extends AnyFunSuite {
     // encodings (uncompressed / LZW / LZW+predictor): corruptions land
     // in the IFD entry walk, the out-of-line value arrays, the strip
     // bounds arithmetic, and the LZW code stream
-    val fullTiffs = (0 to 51).map(mode =>
+    val fullTiffs = ((0 to 51) ++ (72 to 79)).map(mode =>
       graft.plans.TiffEncode.encode(9, 7, 77L, mode, 2))
     fullTiffs.foreach(f => assert(graft.plans.TiffPixels.parse(f) != null))
     // a REAL FLAC metadata chain: corruptions land in the packed

@@ -457,6 +457,26 @@ class TiffSpec extends SparkSpec {
     }
   }
 
+  test("16-bit tiles and separate planes decode like 16-bit chunky strips") {
+    // the organizations must be sum-equivalent: a 16-bit sample v*257
+    // decodes by its high byte (= v) whatever the layout, so every
+    // mode pair below reports IDENTICAL channel sums for the same
+    // (w, h, seed) — tiles incl. padded edges, planes incl. multi-strip
+    for (seed <- Seq(5L, 77L); (w, h) <- Seq((8, 6), (17, 19), (16, 16))) {
+      def sums(mode: Int): (Long, Long, Long) = {
+        val r = TiffPixels.parse(TiffEncode.encode(w, h, seed, mode, 3))
+        assert(r != null, s"mode=$mode w=$w h=$h")
+        (r.getLong(2), r.getLong(3), r.getLong(4))
+      }
+      val rgb8 = sums(0) // 8-bit LE RGB chunky: the reference sums
+      val gray8 = sums(2)
+      for (m <- Seq(72, 73)) assert(sums(m) === rgb8, s"16-bit RGB tiles mode $m")
+      for (m <- Seq(74, 75)) assert(sums(m) === gray8, s"16-bit gray tiles mode $m")
+      for (m <- Seq(76, 77)) assert(sums(m) === rgb8, s"16-bit RGB planes mode $m")
+      for (m <- Seq(78, 79)) assert(sums(m) === gray8, s"16-bit gray planes mode $m")
+    }
+  }
+
   test("out-of-envelope TIFFs decline to NULL instead of guessing") {
     val good = TiffEncode.encode(8, 6, 5L, 0, 2)
     assert(TiffPixels.parse(good) != null)
