@@ -88,7 +88,6 @@ object PdfMeta {
   /** Cursor-style tokenizer over the byte array; all methods bounds-
     * checked, failure = -1 / None. */
   private final class Cur(val b: Array[Byte], var i: Int) {
-    def ok: Boolean = i >= 0 && i <= b.length
     def skipWs(): Unit = {
       var guard = 0
       while (i < b.length && guard < (1 << 20)) {
