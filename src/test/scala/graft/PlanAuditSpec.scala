@@ -78,6 +78,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("r14 crawl-stack queries are shuffle-free single scans") {
+    import graft.operators.{Html, Multimodal}
+    // every payload walk — gzip inflate, PDF xref, ZIP directory, WARC
+    // split, the composed WARC→HTTP→HTML stack, the robots verdicts —
+    // runs inside one codegen'd projection over its fixture scan; only
+    // the presentation sort may exchange (robots fixtures ride the
+    // documentsParallel spread, so they get that one extra exchange)
+    for (df <- Seq(Multimodal.gzipMetaQ(spark, sf),
+        Multimodal.pdfMetaQ(spark, sf), Multimodal.zipEntriesQ(spark, sf),
+        Multimodal.warcRecordsQ(spark, sf), Multimodal.warcIngest(spark, sf),
+        Multimodal.warcHttpIngest(spark, sf))) {
+      val plan = planOf(df)
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"payload triage should only exchange for the orderBy:\n$plan")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("mapPartitions"),
+        "payload triage must stay native")
+      assert(!plan.contains("Join"), s"payload triage must not join:\n$plan")
+    }
+    for (df <- Seq(Html.robotsRules(spark, sf), Html.robotsGate(spark, sf))) {
+      val plan = planOf(df)
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 2, s"robots pass grew extra shuffles:\n$plan")
+      assert(!plan.contains("Join"), s"robots pass must not join:\n$plan")
+    }
+  }
+
   test("text_clean is one scan: repartition spread + presentation sort only") {
     val plan = planOf(graft.operators.TextAnalysis.clean(spark, sf))
     val exchanges = "Exchange".r.findAllIn(plan).length
