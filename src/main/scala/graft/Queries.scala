@@ -515,6 +515,7 @@ object Queries {
     "pipeline_warc_ingest" -> (Multimodal.warcIngest _),
     "pipeline_http_ingest" -> (Multimodal.warcHttpIngest _),
     "text_robots_rules" -> (Html.robotsRules _),
+    "text_sitemap_urls" -> (Html.sitemapUrls _),
     "pipeline_robots_gate" -> (Html.robotsGate _),
     "mm_avif_meta" -> (Multimodal.avifMetaQ _),
     "mm_flac_meta" -> (Multimodal.flacMetaQ _),
@@ -1462,6 +1463,21 @@ object Queries {
     // every reported field is doc_id arithmetic (WebpEncode scaladoc)
     // — the oracle restates the whole row, certifying the VP8 frame
     // tag, VP8L packed dims + alpha bit, and VP8X flags paths alike
+    // sitemap entries: two-level index docs on every 9th id, urlset
+    // docs otherwise (1..6 urls, locs with &amp;-coded queries that
+    // must DECODE) — every field doc_id arithmetic
+    "text_sitemap_urls" ->
+      ("SELECT doc_id, CAST(t.i AS INTEGER) AS url_idx, " +
+       "CASE WHEN doc_id % 9 = 0 THEN 'sitemap' ELSE 'url' END AS kind, " +
+       "CASE WHEN doc_id % 9 = 0 THEN " +
+       "'https://ex' || CAST(doc_id % 100 AS VARCHAR) || '.org/sitemap' || CAST(t.i AS VARCHAR) || '.xml' " +
+       "ELSE 'https://ex' || CAST(doc_id % 100 AS VARCHAR) || '.org/p' || CAST(t.i AS VARCHAR) || " +
+       "'?a=1&b=' || CAST(t.i AS VARCHAR) END AS loc, " +
+       "CASE WHEN doc_id % 9 = 0 THEN '2024-0' || CAST(t.i + 1 AS VARCHAR) || '-01' " +
+       "ELSE '2024-01-' || lpad(CAST((doc_id + t.i) % 28 + 1 AS VARCHAR), 2, '0') END AS lastmod " +
+       "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5)) AS t(i) " +
+       "WHERE (doc_id % 9 = 0 AND t.i < 2) OR (doc_id % 9 <> 0 AND t.i <= doc_id % 6) " +
+       "ORDER BY doc_id, url_idx"),
     // robots.txt directives: fixed 5-row shape per doc (two groups +
     // the standalone sitemap), every path doc_id arithmetic
     "text_robots_rules" ->

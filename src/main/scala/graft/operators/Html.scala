@@ -232,6 +232,44 @@ object Html {
     Tables.documentsParallel(spark, dir)
       .select(col("doc_id"), robotsOf.as("robots"))
 
+  /** Deterministic per-doc sitemap.xml — the discovery half of the
+    * policy pair: every 9th doc a two-level `<sitemapindex>`, the rest
+    * `<urlset>` documents whose locs carry `&amp;`-coded query strings
+    * (the entity-decode path is load-bearing on most rows). */
+  private def sitemapOf: Column = {
+    val id = col("doc_id")
+    val m = (id % 100).cast("string")
+    def urlEntry(i: Int): Column = concat(
+      lit(s"<url><loc>https://ex"), m, lit(s".org/p$i?a=1&amp;b=$i</loc>"),
+      lit("<lastmod>2024-01-"),
+      lpad(((id + i) % 28 + 1).cast("string"), 2, "0"),
+      lit("</lastmod></url>\n"))
+    val urls = (0 until 6).map(i =>
+      when(id % 6 >= i, urlEntry(i)).otherwise(lit(""))).reduce(concat(_, _))
+    when(id % 9 === 0,
+      concat(
+        lit("<?xml version=\"1.0\"?>\n<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+        lit("<sitemap><loc>https://ex"), m, lit(".org/sitemap0.xml</loc>"),
+        lit("<lastmod>2024-01-01</lastmod></sitemap>\n"),
+        lit("<sitemap><loc>https://ex"), m, lit(".org/sitemap1.xml</loc>"),
+        lit("<lastmod>2024-02-01</lastmod></sitemap>\n</sitemapindex>\n")))
+      .otherwise(concat(
+        lit("<?xml version=\"1.0\"?>\n<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+        urls, lit("</urlset>\n")))
+  }
+
+  /** The sitemap entry list, one row per url/sitemap element — what a
+    * crawl FRONTIER loads per host after the robots fetch. */
+  def sitemapUrls(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsParallel(spark, dir)
+      .select(col("doc_id"), sitemapOf.as("xml"))
+      .select(col("doc_id"),
+        posexplode(graft.plans.VectorExpressions.sitemapUrls(col("xml"))))
+      .select(col("doc_id"), col("pos").cast("int").as("url_idx"),
+        col("col.kind").as("kind"), col("col.loc").as("loc"),
+        col("col.lastmod").as("lastmod"))
+      .orderBy(col("doc_id"), col("url_idx"))
+
   /** The parsed directive list, one row per (group agent × rule) plus
     * the standalone sitemaps — what a crawl scheduler materializes per
     * host. Malformed lines SKIP (robots.txt is famously dirty; a

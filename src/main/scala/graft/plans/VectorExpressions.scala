@@ -516,6 +516,8 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_zip_encode", exprs => ZipEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sitemap_urls", exprs => SitemapUrls(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_robots_rules", exprs => RobotsRules(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_robots_allowed", exprs => RobotsAllowed(exprs(0), exprs(1), exprs(2)), "scala_udf")
@@ -716,6 +718,13 @@ object VectorExpressions {
   def zipEncode(seed: Column, nEntries: Column, comment: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_zip_encode", seed, nEntries, comment)
+  }
+
+  /** sitemap.xml entry list (plans.SitemapUrls), column form; same
+    * registration precondition. */
+  def sitemapUrls(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_sitemap_urls", c)
   }
 
   /** robots.txt directive list (plans.RobotsRules), column form; same

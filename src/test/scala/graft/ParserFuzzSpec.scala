@@ -47,7 +47,9 @@ class ParserFuzzSpec extends AnyFunSuite {
     "RobotsRules" -> ((b: Array[Byte]) =>
       graft.plans.Robots.rules(new String(b, "ISO-8859-1"))),
     "RobotsAllowed" -> ((b: Array[Byte]) => java.lang.Boolean.valueOf(
-      graft.plans.Robots.allowed(new String(b, "ISO-8859-1"), "bot", "/x/y"))))
+      graft.plans.Robots.allowed(new String(b, "ISO-8859-1"), "bot", "/x/y"))),
+    "SitemapUrls" -> ((b: Array[Byte]) =>
+      graft.plans.Sitemap.parse(new String(b, "ISO-8859-1"))))
 
   // magic prefixes steer the fuzz into each format's deep parse path
   private val prefixes: Seq[Array[Byte]] = Seq(

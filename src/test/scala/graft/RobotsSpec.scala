@@ -72,6 +72,39 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.allowed("just junk\n", "b", "/x"))
   }
 
+  test("sitemap entries: urlset, index, entity decode, lenient skips") {
+    import graft.plans.Sitemap
+    def rows(x: String): Seq[(String, String, String)] = {
+      val arr = Sitemap.parse(x)
+      if (arr == null) null
+      else (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 3)
+        (r.getUTF8String(0).toString, r.getUTF8String(1).toString,
+          if (r.isNullAt(2)) null else r.getUTF8String(2).toString)
+      }
+    }
+    val urlset =
+      """<?xml version="1.0"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc>https://e.org/a?x=1&amp;y=2</loc><lastmod>2024-01-05</lastmod></url>
+        |<url><lastmod>2024-01-06</lastmod></url>
+        |<url><loc> https://e.org/b </loc></url>
+        |</urlset>""".stripMargin
+    assert(rows(urlset) === Seq(
+      ("url", "https://e.org/a?x=1&y=2", "2024-01-05"), // entity decoded
+      // the loc-less entry SKIPPED (protocol lenience), whitespace trims
+      ("url", "https://e.org/b", null)))
+    val index =
+      "<sitemapindex><sitemap><loc>https://e.org/s1.xml</loc></sitemap>" +
+      "<sitemap><loc>https://e.org/s2.xml</loc><lastmod>2024-02-01</lastmod></sitemap></sitemapindex>"
+    assert(rows(index) === Seq(
+      ("sitemap", "https://e.org/s1.xml", null),
+      ("sitemap", "https://e.org/s2.xml", "2024-02-01")))
+    // not a sitemap at all → NULL; an empty urlset → empty list
+    assert(rows("<html><body>nope</body></html>") == null)
+    assert(rows("<urlset></urlset>") === Seq())
+  }
+
   test("wildcard matcher unit laws") {
     assert(Robots.matches("/a/", "/a/b"))        // prefix
     assert(!Robots.matches("/a/", "/b/a/"))      // anchored at start
