@@ -282,6 +282,12 @@ object CommitLog {
   // app-qualified entry" evidence forward under this field, so the
   // legacy-bare-entry rule ([[replayedBatch]]) stays vacuum-stable
   private val firstQualVRe = """"firstQualV":(\d+)""".r
+  // a vacuum-rewritten ledger entry's ORIGINAL commit version — the
+  // legacy-vs-live classification in [[replayedBatch]] compares entry
+  // versions against the first app-qualified version, so a rewrite
+  // inheriting the checkpoint's own version could reclassify a
+  // pre-upgrade bare entry as a live co-writer (ADVICE r14 #3)
+  private val batchVRe = """"batchV":(-?\d+)""".r
 
   /** (writer identity, batchId) pairs already committed — the
     * streaming sink's replay ledger, APP-QUALIFIED (Delta's txnAppId
@@ -329,7 +335,11 @@ object CommitLog {
       else scala.util.Try(
         line.substring(i + 10).takeWhile(c => c.isDigit || c == '-').toLong)
         .toOption.map { id =>
-          (batchAppRe.findFirstMatchIn(line).map(m => unescKey(m.group(1))), id, v)
+          // a checkpoint line carries the entry's original version —
+          // classification must see THAT, not the rewrite's version
+          val entryV = batchVRe.findFirstMatchIn(line)
+            .map(_.group(1).toLong).getOrElse(v)
+          (batchAppRe.findFirstMatchIn(line).map(m => unescKey(m.group(1))), id, entryV)
         }
     }
     val firstV = vs.head
@@ -1039,15 +1049,28 @@ object CommitLog {
     }
     // surviving fields KEEP their column-mapping physical names even
     // when the caller's schema was built without metadata — dropping a
-    // mapping here would silently orphan every pre-rename file's data
-    val mapped = StructType(schema.fields.map { f =>
-      cur.fields.find(_.name == f.name) match {
-        case Some(c) if ColumnMapping.physical(c) != c.name =>
+    // mapping here would silently orphan every pre-rename file's data.
+    // Brand-NEW fields go through the same resurrection guard as the
+    // catalog ALTER path ([[applyAdd]]): a widened-in column whose name
+    // matches a retired physical name must mint a fresh physical, or
+    // every pre-drop file would serve the retired column's data
+    // through it.
+    var inFlight = StructType(schema.fields.flatMap { f =>
+      cur.fields.find(_.name == f.name).map { c =>
+        if (ColumnMapping.physical(c) != c.name)
           ColumnMapping.withPhysical(f, ColumnMapping.physical(c))
-        case _ => f
+        else f
       }
     })
-    declareSchema(spark, tablePath, mapped)
+    schema.fields.filterNot(f => cur.fields.exists(_.name == f.name))
+      .foreach { f =>
+        inFlight = StructType(inFlight.fields :+
+          applyAdd(spark, tablePath, inFlight, f.name, f.dataType))
+      }
+    // restore the caller's column order (applyAdd appended new fields)
+    val byName = inFlight.fields.map(x => x.name -> x).toMap
+    declareSchema(spark, tablePath,
+      StructType(schema.fields.map(f => byName(f.name))))
   }
 
   // ---- column lifecycle: RENAME / DROP via column mapping ----------
@@ -1176,6 +1199,11 @@ object CommitLog {
     * full declaration history PLUS `cur`'s own physicals. */
   private[graft] def applyAdd(spark: SparkSession, tablePath: String,
       cur: StructType, name: String, dt: DataType): StructField = {
+    // a same-named live column means this is a duplicate ADD, not an
+    // add — Spark's SQL analyzer catches the catalog path upstream,
+    // but a direct alterTable call must be refused here too
+    require(!cur.fields.exists(_.name == name),
+      s"addColumn: $tablePath already declares a column $name")
     // invariant shared with [[applyRename]]: a LIVE column's logical
     // name must never equal a different live column's physical name —
     // minting would fix the new column's physical but the logical
@@ -2718,7 +2746,16 @@ object CommitLog {
         // the app-scoped ledger must recognize the replay after vacuum
         val app = batchAppRe.findFirstMatchIn(keepFromLine)
           .map(m => s""","batchApp":"${m.group(1)}"""").getOrElse("")
-        s""","batchId":$rest$app"""
+        // the entry's ORIGINAL commit version rides every rewrite
+        // (including re-vacuums of an already-rewritten line), so the
+        // bare-entry legacy rule stays version-faithful after
+        // retention — without it a carried pre-upgrade bare entry
+        // would inherit keepFrom (>= the firstQualV floor) and be
+        // reclassified as a live co-writer, un-suppressing a
+        // qualified writer's replay of that legacy batchId
+        val origV = batchVRe.findFirstMatchIn(keepFromLine)
+          .map(_.group(1).toLong).getOrElse(keepFrom)
+        s""","batchId":$rest$app,"batchV":$origV"""
       }
     }
     // the ORIGINAL commit's wall time survives the rewrite, so

@@ -31,9 +31,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Malformed lines skip (robots.txt is famously dirty — a policy
   * parser that declines the whole file would FAIL OPEN on real
-  * crawls); the only NULL is a NULL input. Bounds: 512 lines, 4 KiB
-  * lines, the wildcard matcher is the classic two-pointer scan (no
-  * backtracking blowup). */
+  * crawls). Bounds: RFC 9309 §2.4's 500 KiB parse floor (we cap at
+  * 512 KiB / 64 Ki lines of ≤4 KiB), and a file EXCEEDING the cap
+  * declines (NULL) rather than truncating silently — for a
+  * policy-verdict operator, serving a verdict computed from half the
+  * policy is the unsafe direction (a Disallow past the cap would
+  * fail open). The wildcard matcher is the classic two-pointer scan
+  * (no backtracking blowup). */
 case class RobotsRules(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -74,9 +78,15 @@ case class RobotsAllowed(first: Expression, second: Expression,
     Robots.allowed(t.asInstanceOf[UTF8String].toString,
       a.asInstanceOf[UTF8String].toString, p.asInstanceOf[UTF8String].toString)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (t, a, p) =>
-      s"${ev.value} = graft.plans.Robots.allowed($t.toString(), $a.toString(), $p.toString());")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boxed = ctx.freshName("robotsVerdict")
+    nullSafeCodeGen(ctx, ev, (t, a, p) => s"""
+      java.lang.Boolean $boxed =
+        graft.plans.Robots.allowed($t.toString(), $a.toString(), $p.toString());
+      ${ev.isNull} = $boxed == null;
+      ${ev.value} = $boxed == null ? false : $boxed.booleanValue();
+    """)
+  }
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): RobotsAllowed = copy(first = f, second = s, third = t)
@@ -89,14 +99,19 @@ object Robots {
     StructField("rule", StringType),
     StructField("path", StringType)))
 
-  private val MaxLines = 512
+  private val MaxLines = 65536
   private val MaxLine = 4096
+  private val MaxChars = 512 * 1024 // RFC 9309 §2.4: parse ≥ 500 KiB
 
   private final case class Group(agents: Seq[String],
       rules: Seq[(String, String)])
 
-  /** Parsed groups + standalone sitemap values. Malformed lines skip. */
-  private def parseGroups(txt: String): (Seq[Group], Seq[String]) = {
+  /** Parsed groups + standalone sitemap values + a truncation flag
+    * (true = the input exceeded the parse bounds, so the returned
+    * groups may be MISSING rules — verdict consumers must decline
+    * rather than serve a possibly-fail-open answer). Malformed lines
+    * skip. */
+  private def parseGroups(txt: String): (Seq[Group], Seq[String], Boolean) = {
     val groups = new scala.collection.mutable.ArrayBuffer[Group]()
     val sitemaps = new scala.collection.mutable.ArrayBuffer[String]()
     var agents = new scala.collection.mutable.ArrayBuffer[String]()
@@ -108,6 +123,10 @@ object Robots {
       rules = new scala.collection.mutable.ArrayBuffer[(String, String)]()
     }
     val lines = txt.split("\n", MaxLines + 1)
+    // a line longer than MaxLine may hide a directive too — only an
+    // over-cap line count or byte size marks the parse incomplete;
+    // oversized single lines are handled below (skipped AND flagged)
+    var truncated = txt.length > MaxChars || lines.length > MaxLines
     var li = 0
     while (li < lines.length && li < MaxLines) {
       val raw = lines(li)
@@ -116,6 +135,7 @@ object Robots {
         if (h >= 0) raw.substring(0, h) else raw
       }
       val line = noComment.stripSuffix("\r").trim
+      if (line.length > MaxLine) truncated = true
       if (line.nonEmpty && line.length <= MaxLine) {
         val colon = line.indexOf(':')
         if (colon > 0) {
@@ -144,12 +164,13 @@ object Robots {
       li += 1
     }
     closeGroup()
-    (groups.toSeq, sitemaps.toSeq)
+    (groups.toSeq, sitemaps.toSeq, truncated)
   }
 
   def rules(txt: String): GenericArrayData = {
     if (txt == null) return null
-    val (groups, sitemaps) = parseGroups(txt)
+    val (groups, sitemaps, truncated) = parseGroups(txt)
+    if (truncated) return null // incomplete rule list — decline the row
     val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
     for (g <- groups; a <- g.agents; (r, p) <- g.rules)
       out += new GenericInternalRow(Array[Any](
@@ -184,9 +205,14 @@ object Robots {
     pi == pat.length // anchored (or exact-length) end
   }
 
-  def allowed(txt: String, agent: String, path: String): Boolean = {
-    if (txt == null || agent == null || path == null) return true
-    val (groups, _) = parseGroups(txt)
+  /** Boxed verdict: null = DECLINE (the file exceeded the parse
+    * bounds, so a Disallow may sit past what was read — RFC 9309
+    * leaves over-limit handling to the crawler, and for a verdict
+    * operator silently failing open is the unsafe direction). */
+  def allowed(txt: String, agent: String, path: String): java.lang.Boolean = {
+    if (txt == null || agent == null || path == null) return java.lang.Boolean.TRUE
+    val (groups, _, truncated) = parseGroups(txt)
+    if (truncated) return null
     val a = agent.toLowerCase(java.util.Locale.ROOT)
     val exact = groups.filter(_.agents.contains(a))
     val chosen = if (exact.nonEmpty) exact else groups.filter(_.agents.contains("*"))

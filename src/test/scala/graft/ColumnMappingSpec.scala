@@ -95,6 +95,47 @@ class ColumnMappingSpec extends SparkSpec {
     } finally cleanup(t)
   }
 
+  test("evolveSchema routes brand-new fields through the resurrection guard") {
+    // ADVICE r14 #1: the PUBLIC evolveSchema path (not just the
+    // catalog ALTER) must mint a fresh physical name for a re-added
+    // column, or every pre-drop file serves the retired data
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      CommitLog.declareSchema(spark, t, StructType.fromDDL("id BIGINT, tag STRING"))
+      CommitLog.append(spark, t, Seq((1L, "old-secret")).toDF("id", "tag"))
+      CommitLog.dropColumn(spark, t, "tag")
+      // re-add via evolveSchema with a PLAIN field — no addColumnField
+      val cur = CommitLog.tableSchema(spark, t).get
+      CommitLog.evolveSchema(spark, t,
+        StructType(cur.fields :+ StructField("tag", StringType)))
+      val declared = CommitLog.tableSchema(spark, t).get
+      assert(ColumnMapping.physical(declared("tag")) !== "tag",
+        "evolveSchema bypassed the ADD-after-DROP resurrection guard")
+      val r = CommitLog.read(spark, t).collect()
+      assert(r.length === 1 && r(0).isNullAt(1),
+        s"dropped data resurrected through evolveSchema: ${r.toSeq}")
+      // caller's column order is preserved despite the guard detour
+      assert(declared.fieldNames.toSeq === Seq("id", "tag"))
+      // new appends serve through the minted physical name
+      CommitLog.append(spark, t, Seq((2L, "fresh")).toDF("id", "tag"))
+      val r2 = CommitLog.read(spark, t).orderBy("id").collect()
+      assert(r2(0).isNullAt(1) && r2(1).getString(1) === "fresh")
+    } finally cleanup(t)
+  }
+
+  test("adding an already-declared column name is refused at the log layer") {
+    // ADVICE r14 #2: a direct alterTable ADD COLUMN of an existing
+    // name must be refused here, not only by Spark's SQL analyzer
+    val t = tempTable()
+    try {
+      CommitLog.declareSchema(spark, t, StructType.fromDDL("id BIGINT, tag STRING"))
+      val e = intercept[IllegalArgumentException](
+        CommitLog.addColumnField(spark, t, "tag", StringType))
+      assert(e.getMessage.contains("already declares"))
+    } finally cleanup(t)
+  }
+
   test("rename/drop guards: constrained columns, duplicate names, last column") {
     val t = tempTable()
     try {
@@ -214,6 +255,37 @@ class ColumnMappingSpec extends SparkSpec {
       // and appA's own replay of epoch 3 is still recognized
       assert(CommitLog.appendStream(spark, t,
         Seq((3L, "a3")).toDF("id", "s"), 3L, app = Some("appA")).isEmpty)
+    } finally cleanup(t)
+  }
+
+  test("vacuum keeps a pre-upgrade bare ledger entry classified as legacy") {
+    // ADVICE r14 #3: the horizon rewrite carries the entry's ORIGINAL
+    // version (batchV), so a carried pre-upgrade bare entry can never
+    // be reclassified as a live co-writer by comparing against the
+    // firstQualV floor — a qualified writer's replay of that legacy
+    // batchId must stay suppressed after any number of vacuums
+    val t = tempTable()
+    try {
+      import spark.implicits._
+      // pre-upgrade history: a bare batch commit at v0
+      CommitLog.appendStream(spark, t, Seq((1L, "a")).toDF("id", "s"), 5L)
+      // qualified writing begins at v1
+      CommitLog.appendStream(spark, t, Seq((2L, "b")).toDF("id", "s"), 6L,
+        app = Some("appA"))
+      assert(CommitLog.replayedBatch(spark, t, "appA", 5L),
+        "pre-upgrade legacy entry not honored before vacuum")
+      CommitLog.vacuum(spark, t, keepFrom = 0L)
+      assert(CommitLog.replayedBatch(spark, t, "appA", 5L),
+        "vacuum rewrite reclassified the legacy bare entry as live")
+      // idempotent under repeated vacuums (the rewrite re-reads its
+      // own carried batchV, never inherits the checkpoint's version)
+      CommitLog.vacuum(spark, t, keepFrom = 0L)
+      assert(CommitLog.replayedBatch(spark, t, "appA", 5L))
+      // and the replay itself lands nothing
+      assert(CommitLog.appendStream(spark, t,
+        Seq((1L, "a")).toDF("id", "s"), 5L, app = Some("appA")).isEmpty,
+        "legacy replay landed twice after vacuum")
+      assert(CommitLog.read(spark, t).count() === 2)
     } finally cleanup(t)
   }
 

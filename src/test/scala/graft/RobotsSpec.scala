@@ -105,6 +105,24 @@ class RobotsSpec extends AnyFunSuite {
     assert(rows("<urlset></urlset>") === Seq())
   }
 
+  test("over-cap files DECLINE the verdict instead of failing open") {
+    // ADVICE r14 #4: a Disallow past the parse bound must not be
+    // silently dropped — for a policy verdict, truncation declines
+    val pad = (1 to 70000).map(i => s"# filler $i").mkString("\n")
+    val big = s"User-agent: *\n$pad\nDisallow: /hidden/\n"
+    assert(Robots.allowed(big, "bot", "/hidden/x") == null,
+      "over-cap robots.txt served a verdict computed from half the policy")
+    assert(Robots.rules(big) == null, "over-cap rule list not declined")
+    // an oversized single line is also an incomplete parse
+    val longLine = "User-agent: *\nDisallow: /" + "a" * 5000 + "\n"
+    assert(Robots.allowed(longLine, "bot", "/x") == null)
+    // a big-but-under-cap file still parses and serves verdicts
+    val under = (1 to 400).map(i => s"# c $i").mkString("\n") +
+      "\nUser-agent: *\nDisallow: /deep/\n"
+    assert(Robots.allowed(under, "bot", "/deep/x") == java.lang.Boolean.FALSE)
+    assert(Robots.allowed(under, "bot", "/ok") == java.lang.Boolean.TRUE)
+  }
+
   test("wildcard matcher unit laws") {
     assert(Robots.matches("/a/", "/a/b"))        // prefix
     assert(!Robots.matches("/a/", "/b/a/"))      // anchored at start
