@@ -514,6 +514,7 @@ object Queries {
     "mm_warc_records" -> (Multimodal.warcRecordsQ _),
     "pipeline_warc_ingest" -> (Multimodal.warcIngest _),
     "pipeline_http_ingest" -> (Multimodal.warcHttpIngest _),
+    "pipeline_http_charset" -> (Multimodal.httpCharsetIngest _),
     "text_robots_rules" -> (Html.robotsRules _),
     "text_sitemap_urls" -> (Html.sitemapUrls _),
     "pipeline_robots_gate" -> (Html.robotsGate _),
@@ -1520,6 +1521,22 @@ object Queries {
        "' Entities: & <b> \"q\" AB &unknown; end more ' || " +
        "CAST(doc_id % 7 AS VARCHAR) || ' home' AS extracted " +
        "FROM documents WHERE doc_id % 163 <> 0 AND doc_id % 17 <> 0 ORDER BY doc_id"),
+    // the charset leg: every surviving row's text is the SAME decoded
+    // page whichever key decoded it — declared cp1252 (v0), the
+    // WHATWG iso-8859-1→cp1252 label mapping (v1), the <meta charset>
+    // prescan (v2, charset column NULL by design), honest utf-8 (v3);
+    // v4 (utf-8 declared over cp1252 bytes) DECLINES and is absent.
+    // Transfer framing and content coding cycle underneath, invisible
+    "pipeline_http_charset" ->
+      ("SELECT doc_id, " +
+       "CASE doc_id % 5 WHEN 0 THEN 'windows-1252' WHEN 1 THEN 'iso-8859-1' " +
+       "WHEN 3 THEN 'utf-8' ELSE NULL END AS charset, " +
+       "'<html><head>' || " +
+       "CASE WHEN doc_id % 5 = 2 THEN '<meta charset=\"windows-1252\">' ELSE '' END || " +
+       "'</head><body>Café “quote” – € id=' || CAST(doc_id AS VARCHAR) || " +
+       "'</body></html>' AS text " +
+       "FROM documents WHERE doc_id % 141 <> 0 AND doc_id % 5 <> 4 " +
+       "ORDER BY doc_id"),
     // the composed ingest: the response payload IS the html fixture's
     // page, so the expected extraction is text_html_extract's proven
     // round-trip expression; the URI is the WARC fixture's arithmetic;

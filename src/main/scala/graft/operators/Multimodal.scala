@@ -360,19 +360,66 @@ object Multimodal {
         // Crawl's layout). 200 text/html carrying the html fixture's
         // page on most docs; every 17th doc is a 404 text/plain the
         // ingest query must ROUTE OUT; transfer mode cycles on id%3
-        // (Content-Length / chunked / read-to-end) and is invisible
-        // in the output — one oracle certifies de-chunking against
-        // the length-delimited paths
+        // (Content-Length / chunked / read-to-end) and CONTENT coding
+        // on (id/3)%4 (identity / gzip / zlib-deflate / raw-deflate —
+        // real wire bodies are routinely content-coded), so the full
+        // 3×4 framing×coding matrix incl. chunked-then-gzip lands
+        // across the corpus — both layers are invisible in the
+        // output, ONE oracle certifies all twelve paths against each
+        // other
         (id % 163 =!= 0 && id % 17 === 0, graft.plans.VectorExpressions.warcWrap(
           id.cast("long"), id % 2 === 0,
           graft.plans.VectorExpressions.httpWrap(
             id.cast("long"), lit(404).cast("int"), lit("text/plain"),
-            encode(lit("not found"), "UTF-8"), (id % 3).cast("int")))),
+            encode(lit("not found"), "UTF-8"), (id % 3).cast("int"),
+            ((id / 3) % 4).cast("int")))),
         (id % 163 =!= 0 && id % 17 =!= 0, graft.plans.VectorExpressions.warcWrap(
           id.cast("long"), id % 2 === 0,
           graft.plans.VectorExpressions.httpWrap(
             id.cast("long"), lit(200).cast("int"), lit("text/html"),
-            encode(Html.htmlOf, "UTF-8"), (id % 3).cast("int")))))
+            encode(Html.htmlOf, "UTF-8"), (id % 3).cast("int"),
+            ((id / 3) % 4).cast("int")))))
+      case "httplegacy" => {
+        // the charset LONG TAIL: raw HTTP messages whose bodies are a
+        // small legacy European page. variant = id%5: 0 declares
+        // charset=windows-1252 with cp1252 bytes; 1 declares
+        // iso-8859-1 over the SAME bytes (WHATWG: that label IS
+        // cp1252 — one oracle pins the label mapping); 2 declares NO
+        // charset param but the page carries <meta
+        // charset="windows-1252"> (the prescan path); 3 is honest
+        // UTF-8; 4 DECLARES utf-8 over cp1252 bytes (invalid UTF-8 —
+        // the mojibake-never decline). The raw cp1252 bytes are built
+        // as \u00XX latin-1 chars encoded ISO-8859-1 (byte-identical
+        // writer); transfer framing and content coding keep cycling
+        // underneath (mode id%3, coding (id/3)%4).
+        val ids = id.cast("string")
+        val cp1252Body = encode(concat(
+          lit("<html><head></head><body>Caf\u00e9 \u0093quote\u0094 \u0096 \u0080 id="),
+          ids, lit("</body></html>")), "ISO-8859-1")
+        val cp1252Meta = encode(concat(
+          lit("<html><head><meta charset=\"windows-1252\"></head><body>" +
+            "Caf\u00e9 \u0093quote\u0094 \u0096 \u0080 id="),
+          ids, lit("</body></html>")), "ISO-8859-1")
+        val utf8Body = encode(concat(
+          lit("<html><head></head><body>Café “quote” – € id="),
+          ids, lit("</body></html>")), "UTF-8")
+        val mode = (id % 3).cast("int")
+        val coding = ((id / 3) % 4).cast("int")
+        def msg(ct: String, body: Column) =
+          graft.plans.VectorExpressions.httpWrap(
+            id.cast("long"), lit(200).cast("int"), lit(ct), body, mode, coding)
+        Seq(
+          (id % 141 === 0, encode(text.substr(1, 20), "UTF-8")),
+          (id % 141 =!= 0 && id % 5 === 0,
+            msg("text/html; charset=windows-1252", cp1252Body)),
+          (id % 141 =!= 0 && id % 5 === 1,
+            msg("text/html; charset=iso-8859-1", cp1252Body)),
+          (id % 141 =!= 0 && id % 5 === 2, msg("text/html", cp1252Meta)),
+          (id % 141 =!= 0 && id % 5 === 3,
+            msg("text/html; charset=utf-8", utf8Body)),
+          (id % 141 =!= 0 && id % 5 === 4,
+            msg("text/html; charset=utf-8", cp1252Body)))
+      }
       case "pdf" => Seq(
         (id % 151 === 0, encode(text.substr(1, 26), "UTF-8")),
         // REAL PDFs across all THREE layouts cycling on doc_id%3
@@ -544,7 +591,8 @@ object Multimodal {
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "gifanim",
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
       "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "avif",
-      "gzip", "pdf", "warc", "warchtml", "warchttp", "zip", "mixed")
+      "gzip", "pdf", "warc", "warchtml", "warchttp", "httplegacy", "zip",
+      "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -1113,11 +1161,15 @@ object Multimodal {
   /** The FULL authentic crawl stack in ONE query: raw WARC bytes →
     * record split (half gzip members) → the response payload, which is
     * a raw HTTP/1.1 MESSAGE (Common Crawl's layout) → status line +
-    * header triage + body (Content-Length / chunked / read-to-end all
-    * cycling) → route on (status, content type): the 404 text/plain
-    * rows are dropped HERE, before any text work — → HTML visible-text
-    * extraction. Still one shuffle-free scan; the oracle is the proven
-    * html round-trip + the HTTP routing arithmetic. */
+    * header triage + body (Content-Length / chunked / read-to-end ×
+    * Content-Encoding identity / gzip / zlib- / raw-deflate, all
+    * cycling and all decoded) → route on (status, content type): the
+    * 404 text/plain rows are dropped HERE, before any text work — →
+    * charset-aware decode (the Content-Type param when present, the
+    * page's own `<meta charset>` prescan otherwise — never a blind
+    * UTF-8 cast) → HTML visible-text extraction. Still one
+    * shuffle-free scan; the oracle is the proven html round-trip +
+    * the HTTP routing arithmetic. */
   def warcHttpIngest(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir, "warchttp")
       .select(col("doc_id"),
@@ -1130,7 +1182,28 @@ object Multimodal {
       .select(col("doc_id"), col("target_uri"),
         col("h.status").as("status"),
         graft.plans.VectorExpressions.htmlText(
-          col("h.body").cast("string")).as("extracted"))
+          graft.plans.VectorExpressions.httpText(
+            col("h.body"), col("h.charset"))).as("extracted"))
+      .orderBy(col("doc_id"))
+
+  /** The charset leg of the ingest stack: raw HTTP messages over the
+    * legacy-European corpus ([[fixtureSlices]] `httplegacy`) → triage
+    * (which KEEPS the Content-Type charset parameter) → charset-aware
+    * decode. One query pins all four decode keys — declared cp1252,
+    * declared iso-8859-1 (the WHATWG label mapping), the `<meta
+    * charset>` prescan, honest UTF-8 — and the mojibake-never law:
+    * the rows whose declared utf-8 contradicts their cp1252 bytes
+    * DECLINE (filtered out here), they never garble. Shuffle-free
+    * single scan like the rest of the stack. */
+  def httpCharsetIngest(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "httplegacy")
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.httpBody(col("httplegacy")).as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("doc_id"), col("h.charset").as("charset"),
+        graft.plans.VectorExpressions.httpText(
+          col("h.body"), col("h.charset")).as("text"))
+      .filter(col("text").isNotNull)
       .orderBy(col("doc_id"))
 
   /** PDF triage: version, page count, encryption, object census per

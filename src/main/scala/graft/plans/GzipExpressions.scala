@@ -99,6 +99,58 @@ object GzipMeta {
     }
   }
 
+  /** The WHOLE stream's inflated payload — every back-to-back member
+    * concatenated (RFC 1952 §2.2: a multi-member file's data is the
+    * concatenation), each CRC-gated and bomb-ceilinged, the TOTAL
+    * under the ceiling too. None on any structural failure, trailing
+    * garbage, or over-ceiling output — the `Content-Encoding: gzip`
+    * decode hook ([[HttpBody]]). */
+  private[plans] def inflateAll(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b == null || b.length == 0) return None
+    val out = new java.io.ByteArrayOutputStream()
+    var at = 0
+    var members = 0
+    while (at < b.length && members < 4096) {
+      member(b, at, out) match {
+        case Some(m) if m.crcOk =>
+          members += 1; at = m.end
+          if (out.size() > MaxInflate) return None
+        case _ => return None
+      }
+    }
+    if (at < b.length) return None // member-count ceiling = decline
+    Some(out.toByteArray)
+  }
+
+  /** `Content-Encoding: deflate` decode (RFC 9110 §8.4.1.2): the
+    * registered form is a ZLIB container (RFC 1950, Adler-32 verified
+    * by the JDK Inflater), but a long tail of real servers ships RAW
+    * deflate under the same token — the classic interop bug every
+    * browser accommodates, so we try zlib first and fall back. Same
+    * bomb ceiling and truncation decline as the gzip path. */
+  private[plans] def inflateZlibOrRaw(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b == null || b.length == 0) return None
+    def tryInflate(raw: Boolean): Option[Array[Byte]] = {
+      val inf = new java.util.zip.Inflater(raw)
+      try {
+        inf.setInput(b)
+        val out = new java.io.ByteArrayOutputStream()
+        val window = new Array[Byte](4096)
+        while (!inf.finished()) {
+          val n = try inf.inflate(window) catch {
+            case _: java.util.zip.DataFormatException => return None
+          }
+          if (n > 0) out.write(window, 0, n)
+          else if (!inf.finished()) return None // truncated stream
+          if (out.size() > MaxInflate) return None // bomb ceiling
+        }
+        if (inf.getRemaining > 0) return None // trailing garbage
+        Some(out.toByteArray)
+      } finally inf.end()
+    }
+    tryInflate(raw = false).orElse(tryInflate(raw = true))
+  }
+
   /** One member starting at `off`; None = structural decline. When
     * `collect` is non-null the inflated bytes are accumulated into it
     * (still under the ceiling); when null only count+CRC stream. */

@@ -15,24 +15,38 @@ import org.apache.spark.unsafe.types.UTF8String
   * dropped long before extraction).
   *
   * `graft_http_body(binary)` → `struct<status int, content_type
-  * string, body binary>`:
+  * string, charset string, body binary>`:
   *
   *  - status line `HTTP/1.<d> <3 digits> <reason>` (reason optional);
   *  - CRLF header block, names case-insensitive; `Content-Type`
-  *    reported as its media type alone (parameters after ';'
-  *    dropped, lowercased — the routing key, not the charset);
-  *  - the body = everything after the blank line, raw. When a
+  *    reported as its media type alone (lowercased — the routing
+  *    key), with the `charset` PARAMETER kept separately (lowercased,
+  *    quotes stripped) — the text pipeline's decode key, never
+  *    silently dropped;
+  *  - the body = everything after the blank line. When a
   *    `Content-Length` header is present it must not claim MORE than
   *    the bytes available (a lying length is a truncated capture —
   *    decline); fewer is allowed (the WARC record's own length is
   *    authoritative, trailing bytes beyond the claim are kept out);
   *  - `Transfer-Encoding: chunked` bodies are DE-CHUNKED (RFC 9112
   *    §7.1 — crawlers store what the wire carried): hex sizes,
-  *    per-chunk CRLFs, the 0-chunk terminator; trailers skipped.
+  *    per-chunk CRLFs, the 0-chunk terminator; trailers skipped;
+  *  - `Content-Encoding: gzip`/`x-gzip`/`deflate` bodies are DECODED
+  *    (RFC 9110 §8.4 — a large fraction of real wire bodies are
+  *    content-coded, and serving compressed bytes as "the body" hands
+  *    garbage to every text consumer): gzip through the CRC-gated,
+  *    bomb-ceilinged member walk ([[GzipMeta.inflateAll]]), deflate as
+  *    zlib with the ubiquitous raw-deflate server-bug fallback
+  *    ([[GzipMeta.inflateZlibOrRaw]]). Framing is removed FIRST, then the
+  *    content coding (RFC 9112 §6.1 layering). A coding we cannot
+  *    decode (`br`, `zstd`, `compress`, stacked codings) DECLINES the
+  *    row — compressed bytes must never masquerade as content
+  *    (decline envelope: no brotli/zstd decoder offline in the JDK).
   *
   * Parse-or-NULL: malformed status line, header without ':', chunk
-  * framing errors, and bounds violations NULL the row; 64 headers,
-  * 4 KiB lines, 4096 chunks. */
+  * framing errors, content-coding decode failures, and bounds
+  * violations NULL the row; 64 headers, 4 KiB lines, 4096 chunks,
+  * 1 MiB inflated. */
 case class HttpBody(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -61,6 +75,7 @@ object HttpBody {
   val schema: StructType = StructType(Seq(
     StructField("status", IntegerType),
     StructField("content_type", StringType),
+    StructField("charset", StringType),
     StructField("body", BinaryType)))
 
   private val MaxHeaders = 64
@@ -87,8 +102,10 @@ object HttpBody {
     if (!code.forall(_.isDigit) ||
       (status.length > 12 && status.charAt(12) != ' ')) return null
     var contentType: String = null
+    var charset: String = null
     var contentLength = -1L
     var chunked = false
+    var contentCoding: String = null // lowercased; null = identity
     var headers = 0
     var done = false
     while (!done && headers < MaxHeaders) {
@@ -105,6 +122,18 @@ object HttpBody {
             val semi = value.indexOf(';')
             val t = (if (semi >= 0) value.substring(0, semi) else value).trim
             contentType = t.toLowerCase(java.util.Locale.ROOT)
+            // keep the charset parameter (RFC 9110 §8.3.1) — the
+            // long tail of legacy pages declares windows-1252 /
+            // ISO-8859-1 here, and dropping it manufactures mojibake
+            if (semi >= 0) value.substring(semi + 1).split(';').foreach { p =>
+              val eq = p.indexOf('=')
+              if (eq > 0 &&
+                p.substring(0, eq).trim.equalsIgnoreCase("charset")) {
+                val v = p.substring(eq + 1).trim.stripPrefix("\"")
+                  .stripSuffix("\"").trim
+                if (v.nonEmpty) charset = v.toLowerCase(java.util.Locale.ROOT)
+              }
+            }
           case "content-length" =>
             if (value.isEmpty || !value.forall(_.isDigit) ||
               value.length > 15) return null
@@ -112,6 +141,12 @@ object HttpBody {
           case "transfer-encoding" =>
             if (value.toLowerCase(java.util.Locale.ROOT).contains("chunked"))
               chunked = true
+          case "content-encoding" =>
+            // token list; `identity` entries are no-ops (RFC 9110)
+            val codings = value.toLowerCase(java.util.Locale.ROOT)
+              .split(',').map(_.trim).filter(c => c.nonEmpty && c != "identity")
+            if (codings.length > 1) return null // stacked codings: decline
+            if (codings.length == 1) contentCoding = codings(0)
           case _ => ()
         }
         headers += 1
@@ -160,42 +195,90 @@ object HttpBody {
           else contentLength
         java.util.Arrays.copyOfRange(b, i, i + take.toInt)
       }
+    // layering (RFC 9112 §6.1): transfer coding removed above, the
+    // CONTENT coding removed here — what remains is the representation
+    val decoded: Array[Byte] = contentCoding match {
+      case null => body
+      case "gzip" | "x-gzip" =>
+        GzipMeta.inflateAll(body) match {
+          case Some(d) => d
+          case None => return null // corrupt / truncated / bomb: decline
+        }
+      case "deflate" =>
+        GzipMeta.inflateZlibOrRaw(body) match {
+          case Some(d) => d
+          case None => return null
+        }
+      case _ => return null // br / zstd / compress: no decoder offline
+    }
     new GenericInternalRow(Array[Any](
       code.toInt,
       if (contentType == null) null else UTF8String.fromString(contentType),
-      body))
+      if (charset == null) null else UTF8String.fromString(charset),
+      decoded))
   }
 
   /** Fixture twin: wrap `body` in a deterministic HTTP/1.1 response.
     * mode 0 = Content-Length; 1 = chunked (seed-derived chunk sizes,
     * an extension on the first chunk, one trailer); 2 = neither
-    * (read-to-end). status/content-type ride from the caller so the
-    * oracle restates them. */
+    * (read-to-end). coding 0 = identity; 1 = gzip (JDK
+    * GZIPOutputStream — the writer IS an independent reference for
+    * the decode path); 2 = deflate as a zlib stream (JDK Deflater);
+    * 3 = deflate RAW (the server-bug form the fallback exists for).
+    * Coding is applied BEFORE framing (the wire layering), so
+    * chunked-then-gzip rows exercise the full de-chunk → inflate
+    * stack. status/content-type ride from the caller so the oracle
+    * restates them. */
   def wrap(seed: Long, status: Int, contentType: String, body: Array[Byte],
-      mode: Int): Array[Byte] = {
-    if (seed < 0 || status < 100 || status > 999 || mode < 0 || mode > 2) return null
+      mode: Int, coding: Int): Array[Byte] = {
+    if (seed < 0 || status < 100 || status > 999 ||
+      mode < 0 || mode > 2 || coding < 0 || coding > 3) return null
+    val coded: Array[Byte] = coding match {
+      case 0 => body
+      case 1 =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(body); gz.close()
+        bos.toByteArray
+      case _ =>
+        val raw = coding == 3
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+        try {
+          d.setInput(body); d.finish()
+          val bos = new java.io.ByteArrayOutputStream()
+          val window = new Array[Byte](4096)
+          while (!d.finished()) {
+            val n = d.deflate(window)
+            bos.write(window, 0, n)
+          }
+          bos.toByteArray
+        } finally d.end()
+    }
     val sb = new StringBuilder()
     sb.append(s"HTTP/1.1 $status OK\r\n")
     sb.append(s"Server: graft/${seed % 10}\r\n")
     sb.append(s"Content-Type: $contentType\r\n")
+    if (coding == 1) sb.append("Content-Encoding: gzip\r\n")
+    if (coding == 2 || coding == 3) sb.append("Content-Encoding: deflate\r\n")
     mode match {
-      case 0 => sb.append(s"Content-Length: ${body.length}\r\n\r\n")
+      case 0 => sb.append(s"Content-Length: ${coded.length}\r\n\r\n")
       case 1 => sb.append("Transfer-Encoding: chunked\r\n\r\n")
       case _ => sb.append(s"X-Graft-Seed: $seed\r\n\r\n")
     }
     val head = sb.toString.getBytes("ISO-8859-1")
-    if (mode != 1) return head ++ body
-    // chunked: split the body into 1..4 seed-sized chunks
+    if (mode != 1) return head ++ coded
+    // chunked: split the coded body into seed-sized chunks
     val out = new java.io.ByteArrayOutputStream()
     out.write(head, 0, head.length)
     var at = 0
     var k = 0
-    while (at < body.length) {
-      val sz = math.min(body.length - at, (seed % 97 + 40 + 13 * k).toInt)
+    while (at < coded.length) {
+      val sz = math.min(coded.length - at, (seed % 97 + 40 + 13 * k).toInt)
       val ext = if (k == 0) ";graft=1" else ""
       val hdr = s"${sz.toHexString}$ext\r\n".getBytes("ISO-8859-1")
       out.write(hdr, 0, hdr.length)
-      out.write(body, at, sz)
+      out.write(coded, at, sz)
       out.write('\r'); out.write('\n')
       at += sz
       k += 1
@@ -206,17 +289,155 @@ object HttpBody {
   }
 }
 
-/** `graft_http_wrap(seed, status, content_type, body, mode)` → binary:
-  * the fixture's HTTP response builder (see [[HttpBody.wrap]]). */
+/** `graft_http_text(body, charset)` → string: the BODY bytes decoded
+  * to text, charset-aware — the step `cast(body as string)` gets
+  * wrong for every legacy page (it assumes UTF-8, so the long
+  * windows-1252 / ISO-8859-1 tail of a real crawl arrives as
+  * mojibake). Decode key, in priority order (WHATWG Encoding
+  * sniffing, simplified to the batch case):
+  *
+  *  1. the `charset` argument — the Content-Type parameter the HTTP
+  *     triage kept ([[HttpBody]]);
+  *  2. an HTML `<meta charset=…>` / `http-equiv` prescan over the
+  *     first 1024 bytes (the HTML5 prescan window);
+  *  3. UTF-8.
+  *
+  * Labels normalize per the WHATWG Encoding registry: `iso-8859-1`,
+  * `latin1`, `us-ascii` and friends ARE `windows-1252` (the standard
+  * maps them, because real pages labeled 8859-1 use cp1252 bytes),
+  * decoded by the spec's own byte table (the five undefined cp1252
+  * bytes map to their C1 controls, never an error). UTF-8 decodes
+  * STRICTLY. The mojibake-never law: an undecodable body (malformed
+  * UTF-8, an unknown label) returns NULL — a declined row is
+  * recoverable, silently garbled text poisons every downstream
+  * dedup/quality/tokenize pass. */
+case class HttpText(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_http_text expects (binary body, string charset)")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_http_text"
+
+  // the charset argument is OPTIONAL per row (NULL = sniff) — only a
+  // NULL body nulls the result structurally
+  override def eval(input: InternalRow): Any = {
+    val b = left.eval(input)
+    if (b == null) return null
+    val cs = right.eval(input)
+    HttpText.decode(b.asInstanceOf[Array[Byte]],
+      if (cs == null) null else cs.asInstanceOf[UTF8String].toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val csArg = ctx.freshName("charsetArg")
+    ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+      .BlockHelper(new StringContext(s"""
+        ${leftGen.code}
+        boolean ${ev.isNull} = true;
+        UTF8String ${ev.value} = null;
+        if (!${leftGen.isNull}) {
+          ${rightGen.code}
+          UTF8String $csArg = ${rightGen.isNull} ? null : ${rightGen.value};
+          ${ev.value} = graft.plans.HttpText.decode(${leftGen.value},
+            $csArg == null ? null : $csArg.toString());
+          ${ev.isNull} = ${ev.value} == null;
+        }
+      """)).code())
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): HttpText = copy(left = l, right = r)
+}
+
+object HttpText {
+
+  /** WHATWG windows-1252 high table: bytes 0x80..0x9F → code points
+    * (the five holes 0x81/0x8D/0x8F/0x90/0x9D map to their C1
+    * controls per the standard's index, never an error). 0x00..0x7F
+    * are ASCII and 0xA0..0xFF are the Latin-1 identity. */
+  private val Cp1252High: Array[Char] = Array(
+    '€', '', '‚', 'ƒ', '„', '…', '†', '‡',
+    'ˆ', '‰', 'Š', '‹', 'Œ', '', 'Ž', '',
+    '', '‘', '’', '“', '”', '•', '–', '—',
+    '˜', '™', 'š', '›', 'œ', '', 'ž', 'Ÿ')
+
+  /** WHATWG label → canonical name, the subset a crawl pipeline
+    * meets: the UTF-8 labels, and the pile of labels the standard
+    * maps to windows-1252 (including all of ISO-8859-1's). Unknown
+    * label → null → the caller declines. */
+  private def canonical(label: String): String =
+    label.trim.toLowerCase(java.util.Locale.ROOT) match {
+      case "utf-8" | "utf8" | "unicode-1-1-utf-8" => "utf-8"
+      case "windows-1252" | "cp1252" | "x-cp1252" | "ansi_x3.4-1968" |
+        "ascii" | "us-ascii" | "iso-8859-1" | "iso8859-1" | "iso88591" |
+        "iso_8859-1" | "iso-ir-100" | "l1" | "latin1" | "csisolatin1" |
+        "cp819" | "ibm819" | "iso_8859-1:1987" => "windows-1252"
+      case _ => null
+    }
+
+  private val MetaWindow = 1024
+  private val metaRe =
+    """(?is)<meta[^>]{0,256}?charset\s*=\s*["']?\s*([a-zA-Z0-9_\-:.]+)""".r
+
+  def decode(body: Array[Byte], declared: String): UTF8String = {
+    if (body == null) return null
+    val label =
+      if (declared != null) declared
+      else {
+        // HTML5 prescan: a <meta charset> (or http-equiv content=)
+        // inside the first 1024 bytes; the window is ASCII-compatible
+        // in every charset we decode, so the latin-1 view is safe
+        val head = new String(body, 0,
+          math.min(body.length, MetaWindow), "ISO-8859-1")
+        metaRe.findFirstMatchIn(head).map(_.group(1)).orNull
+      }
+    val cs = if (label == null) "utf-8" else canonical(label)
+    cs match {
+      case "utf-8" =>
+        // strict: malformed sequences DECLINE (mojibake-never), they
+        // are never replaced with U+FFFD
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        try UTF8String.fromString(
+          dec.decode(java.nio.ByteBuffer.wrap(body)).toString)
+        catch { case _: java.nio.charset.CharacterCodingException => null }
+      case "windows-1252" =>
+        val out = new Array[Char](body.length)
+        var i = 0
+        while (i < body.length) {
+          val u = body(i) & 0xFF
+          out(i) =
+            if (u < 0x80 || u >= 0xA0) u.toChar
+            else Cp1252High(u - 0x80)
+          i += 1
+        }
+        UTF8String.fromString(new String(out))
+      case _ => null // unknown label: decline, never guess-garble
+    }
+  }
+}
+
+/** `graft_http_wrap(seed, status, content_type, body, mode, coding)`
+  * → binary: the fixture's HTTP response builder (see
+  * [[HttpBody.wrap]]). */
 case class HttpWrap(children: Seq[Expression]) extends Expression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val expected = Seq(LongType, IntegerType, StringType, BinaryType, IntegerType)
-    if (children.length == 5 && children.map(_.dataType) == expected)
+    val expected = Seq(LongType, IntegerType, StringType, BinaryType,
+      IntegerType, IntegerType)
+    if (children.length == 6 && children.map(_.dataType) == expected)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "graft_http_wrap expects (long seed, int status, string content_type, binary body, int mode)")
+      "graft_http_wrap expects (long seed, int status, string content_type, binary body, int mode, int coding)")
   }
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -227,7 +448,8 @@ case class HttpWrap(children: Seq[Expression]) extends Expression
     if (vs.exists(_ == null)) null
     else HttpBody.wrap(vs(0).asInstanceOf[Long], vs(1).asInstanceOf[Int],
       vs(2).asInstanceOf[UTF8String].toString,
-      vs(3).asInstanceOf[Array[Byte]], vs(4).asInstanceOf[Int])
+      vs(3).asInstanceOf[Array[Byte]], vs(4).asInstanceOf[Int],
+      vs(5).asInstanceOf[Int])
   }
 
   override protected def withNewChildrenInternal(

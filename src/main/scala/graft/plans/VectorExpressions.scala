@@ -512,6 +512,8 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_http_wrap", exprs => HttpWrap(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_http_text", exprs => HttpText(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_zip_entries", exprs => ZipEntries(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_zip_encode", exprs => ZipEncode(exprs), "scala_udf")
@@ -748,12 +750,20 @@ object VectorExpressions {
     call_function("graft_http_body", c)
   }
 
+  /** Charset-aware body → text decode (plans.HttpText), column form;
+    * same registration precondition. */
+  def httpText(body: Column, charset: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_http_text", body, charset)
+  }
+
   /** HTTP response fixture builder (plans.HttpWrap), column form;
     * same registration precondition. */
   def httpWrap(seed: Column, status: Column, contentType: Column,
-      body: Column, mode: Column): Column = {
+      body: Column, mode: Column, coding: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
-    call_function("graft_http_wrap", seed, status, contentType, body, mode)
+    call_function("graft_http_wrap", seed, status, contentType, body, mode,
+      coding)
   }
 
   /** PDF triage (plans.PdfMeta), column form; same registration

@@ -1,30 +1,40 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.plans.HttpBody
+import graft.plans.{HttpBody, HttpText}
 
 /** HTTP response-message triage (plans.HttpBody): status line, header
-  * block, and the three body framings (Content-Length / chunked /
-  * read-to-end). Pins: framing equivalence (identical body from all
-  * three modes), chunked grammar details (extensions, trailers,
-  * multi-chunk reassembly), content-type parameter stripping, the
-  * lying-length decline, and the truncation law. */
+  * block, the three body framings (Content-Length / chunked /
+  * read-to-end), and the four content codings (identity / gzip /
+  * zlib-deflate / raw-deflate). Pins: the 3×4 framing×coding matrix
+  * all reassembling the identical body (each path certifies the
+  * others — the cross-witness discipline; the gzip/deflate writers
+  * are the JDK's, an independent implementation of the decode path),
+  * chunked grammar details, charset parameter retention, the
+  * lying-length and corrupt-stream declines, the inflate ceiling, and
+  * the charset-aware text decode (plans.HttpText) with its
+  * mojibake-never law. */
 class HttpSpec extends AnyFunSuite {
 
   private def parse(b: Array[Byte]) = HttpBody.parse(b)
   private def body(r: org.apache.spark.sql.catalyst.InternalRow): Array[Byte] =
-    r.getBinary(2)
+    r.getBinary(3)
+  private def charset(r: org.apache.spark.sql.catalyst.InternalRow): String =
+    if (r.isNullAt(2)) null else r.getUTF8String(2).toString
 
-  test("all three framings reassemble the identical body") {
+  test("the full framing x coding matrix reassembles the identical body") {
     val payload = (0 until 500).map(i => s"w$i").mkString(" ").getBytes("UTF-8")
-    for (mode <- 0 to 2; seed <- Seq(3L, 77L, 999L)) {
-      val msg = HttpBody.wrap(seed, 200, "text/html; charset=utf-8", payload, mode)
+    for (mode <- 0 to 2; coding <- 0 to 3; seed <- Seq(3L, 77L, 999L)) {
+      val msg = HttpBody.wrap(seed, 200, "text/html; charset=utf-8",
+        payload, mode, coding)
       val r = parse(msg)
-      assert(r != null, s"mode=$mode seed=$seed")
+      assert(r != null, s"mode=$mode coding=$coding seed=$seed")
       assert(r.getInt(0) === 200)
-      // parameters after ';' dropped, lowercased — the routing key
+      // parameters after ';' split off the routing key, kept as charset
       assert(r.getUTF8String(1).toString === "text/html")
-      assert(body(r).toSeq === payload.toSeq, s"mode=$mode body diverged")
+      assert(charset(r) === "utf-8")
+      assert(body(r).toSeq === payload.toSeq,
+        s"mode=$mode coding=$coding body diverged")
     }
   }
 
@@ -35,6 +45,59 @@ class HttpSpec extends AnyFunSuite {
     val r = parse(msg)
     assert(r != null)
     assert(new String(body(r), "ISO-8859-1") === "ab, 0123456789")
+  }
+
+  test("content-coding declines: corrupt stream, ceiling, unknown codings") {
+    val payload = "content body".getBytes("UTF-8")
+    // corrupt gzip: flip a byte inside the deflate stream
+    val gz = HttpBody.wrap(5L, 200, "text/html", payload, 0, 1)
+    val headEnd = {
+      var k = 0
+      while (!(gz(k) == '\r' && gz(k + 1) == '\n' &&
+        gz(k + 2) == '\r' && gz(k + 3) == '\n')) k += 1
+      k + 4
+    }
+    val corrupt = gz.clone()
+    corrupt(headEnd + 15) = (corrupt(headEnd + 15) ^ 0x5A).toByte
+    assert(parse(corrupt) == null, "corrupt gzip body served")
+    // truncated coded body (chop mid-stream): decline, whatever the cut
+    (headEnd until gz.length).foreach(i => assert(parse(gz.take(i)) == null))
+    // bomb ceiling: 2 MiB of zeros inflates past the 1 MiB cap
+    val bomb = HttpBody.wrap(5L, 200, "text/html",
+      new Array[Byte](2 * 1024 * 1024), 0, 1)
+    assert(parse(bomb) == null, "over-ceiling inflate served")
+    // unknown / stacked codings decline — compressed bytes must never
+    // masquerade as content (brotli: no JDK decoder offline)
+    def withCoding(ce: String): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Encoding: $ce\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1") ++ payload
+    assert(parse(withCoding("br")) == null)
+    assert(parse(withCoding("zstd")) == null)
+    assert(parse(withCoding("gzip, deflate")) == null)
+    // identity tokens are no-ops
+    val idy = parse(withCoding("identity"))
+    assert(idy != null && body(idy).toSeq === payload.toSeq)
+    // x-gzip is gzip (RFC 9110 §8.4.1.3)
+    val xg = HttpBody.wrap(5L, 200, "text/html", payload, 0, 1)
+    val xgMsg = new String(xg, "ISO-8859-1")
+      .replace("Content-Encoding: gzip", "Content-Encoding: x-gzip")
+      .getBytes("ISO-8859-1")
+    // header-only replace shifts no binary bytes (same length)
+    val xr = parse(xgMsg)
+    assert(xr != null && body(xr).toSeq === payload.toSeq)
+  }
+
+  test("charset parameter retention: quotes, case, absence") {
+    def msgWith(ct: String): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\nContent-Length: 2\r\n\r\nhi")
+        .getBytes("ISO-8859-1")
+    assert(charset(parse(msgWith("text/html; charset=Windows-1252"))) ===
+      "windows-1252")
+    assert(charset(parse(msgWith("text/html;charset=\"UTF-8\""))) === "utf-8")
+    assert(charset(parse(msgWith("text/html; boundary=x; charset=ISO-8859-1")))
+      === "iso-8859-1")
+    assert(charset(parse(msgWith("text/html"))) == null)
+    assert(parse(msgWith("text/plain")).getUTF8String(1).toString === "text/plain")
   }
 
   test("declines and honest edges") {
@@ -59,8 +122,51 @@ class HttpSpec extends AnyFunSuite {
     // 404 with no Content-Type: type NULL, status honest
     val nf = parse("HTTP/1.1 404 Not Found\r\n\r\ngone".getBytes)
     assert(nf != null && nf.getInt(0) === 404 && nf.isNullAt(1))
-    // truncation law over a chunked instance
-    val full = HttpBody.wrap(7L, 200, "text/html", "x".repeat(300).getBytes, 1)
+    // truncation law over a chunked+gzip instance
+    val full = HttpBody.wrap(7L, 200, "text/html", "x".repeat(300).getBytes, 1, 1)
     (0 until full.length).foreach(i => parse(full.take(i)))
+  }
+
+  test("charset-aware decode: cp1252 table, label mapping, prescan, strictness") {
+    def dec(b: Array[Byte], cs: String): String = {
+      val u = HttpText.decode(b, cs)
+      if (u == null) null else u.toString
+    }
+    // WHATWG cp1252 high table incl. the euro and smart quotes
+    val raw = Array[Byte](0x80.toByte, 0x93.toByte, 0x94.toByte,
+      0x96.toByte, 0xE9.toByte)
+    assert(dec(raw, "windows-1252") === "€“”–é")
+    // the five undefined cp1252 bytes map to C1 controls, never error
+    val holes = Array[Byte](0x81.toByte, 0x8D.toByte, 0x8F.toByte,
+      0x90.toByte, 0x9D.toByte)
+    assert(dec(holes, "cp1252") === "\u0081\u008d\u008f\u0090\u009d")
+    // the WHATWG label law: iso-8859-1 / latin1 / us-ascii ARE cp1252
+    for (label <- Seq("iso-8859-1", "ISO8859-1", "latin1", "us-ascii", "ascii"))
+      assert(dec(raw, label) === "€“”–é", label)
+    // honest utf-8, and strictness: cp1252 bytes under a utf-8 label
+    // DECLINE (mojibake-never), they are never U+FFFD-garbled
+    assert(dec("Café €".getBytes("UTF-8"), "utf-8") === "Café €")
+    assert(dec(raw, "utf-8") == null)
+    assert(dec(raw, "UTF8") == null)
+    // unknown labels decline, never guess
+    assert(dec("abc".getBytes, "shift_jis") == null)
+    assert(dec("abc".getBytes, "klingon-8") == null)
+    // meta prescan when no charset is declared (null label)
+    val metaPage = ("<html><head><meta charset=\"windows-1252\"></head>" +
+      "<body>\u0080ok</body></html>").getBytes("ISO-8859-1")
+    assert(dec(metaPage, null) === metaPage.map(b => b & 0xFF).map(u =>
+      if (u == 0x80) '€' else u.toChar).mkString)
+    // http-equiv form
+    val equivPage = ("<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=iso-8859-1\"></head><body>\u0093q\u0094</body>")
+      .getBytes("ISO-8859-1")
+    assert(dec(equivPage, null).contains("“q”"))
+    // no declaration anywhere: UTF-8 default, still strict
+    assert(dec("plain ascii".getBytes, null) === "plain ascii")
+    assert(dec(raw, null) == null)
+    // the declared param BEATS a conflicting meta (priority order)
+    val lying = ("<html><head><meta charset=\"utf-8\"></head>" +
+      "<body>\u0080</body></html>").getBytes("ISO-8859-1")
+    assert(dec(lying, "windows-1252").contains("€"))
   }
 }

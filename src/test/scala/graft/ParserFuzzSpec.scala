@@ -46,8 +46,13 @@ class ParserFuzzSpec extends AnyFunSuite {
     // through a lossless byte→string bridge for the never-throw law
     "RobotsRules" -> ((b: Array[Byte]) =>
       graft.plans.Robots.rules(new String(b, "ISO-8859-1"))),
-    "RobotsAllowed" -> ((b: Array[Byte]) => java.lang.Boolean.valueOf(
-      graft.plans.Robots.allowed(new String(b, "ISO-8859-1"), "bot", "/x/y"))),
+    // allowed() is boxed (null = over-cap decline) — pass it through
+    "RobotsAllowed" -> ((b: Array[Byte]) =>
+      graft.plans.Robots.allowed(new String(b, "ISO-8859-1"), "bot", "/x/y")),
+    // charset decode: the sniff + strict-utf8 path must never throw
+    "HttpText" -> ((b: Array[Byte]) => graft.plans.HttpText.decode(b, null)),
+    "HttpTextCp1252" -> ((b: Array[Byte]) =>
+      graft.plans.HttpText.decode(b, "windows-1252")),
     "SitemapUrls" -> ((b: Array[Byte]) =>
       graft.plans.Sitemap.parse(new String(b, "ISO-8859-1"))))
 
@@ -218,11 +223,12 @@ class ParserFuzzSpec extends AnyFunSuite {
       graft.plans.WarcEncode.encode(77L, compressed = false),
       graft.plans.WarcEncode.encode(78L, compressed = true))
     fullWarcs.foreach(f => assert(graft.plans.WarcRecords.parse(f) != null))
-    // REAL HTTP responses across the three body framings: corruptions
-    // land in the status line, header block, and chunk-size grammar
-    val fullHttps = (0 to 2).map(m =>
+    // REAL HTTP responses across the framing × content-coding matrix:
+    // corruptions land in the status line, header block, chunk-size
+    // grammar, and the gzip/deflate streams the decode path inflates
+    val fullHttps = for (m <- 0 to 2; c <- 0 to 3) yield
       graft.plans.HttpBody.wrap(77L, 200, "text/html",
-        ("p" * 200).getBytes("ISO-8859-1"), m))
+        ("p" * 200).getBytes("ISO-8859-1"), m, c)
     fullHttps.foreach(f => assert(graft.plans.HttpBody.parse(f) != null))
     // REAL JDK-written zips: corruptions land in the EOCD fields, the
     // central-directory entry grid, and the name-length arithmetic
