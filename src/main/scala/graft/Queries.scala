@@ -482,6 +482,7 @@ object Queries {
     "sim_label_centroids" -> (Similarity.labelCentroids _),
     "knn_brute_cosine" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
     "sim_range_search" -> ((s: SparkSession, d: String) => Similarity.rangeSearch(s, d)),
+    "sim_range_search_ivf" -> ((s: SparkSession, d: String) => Similarity.rangeSearchIvfServed(s, d)),
     "knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvfServed(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "sim_embed_near_dup" -> (Similarity.embeddingNearDupPairs _),
@@ -510,7 +511,10 @@ object Queries {
     "mm_webp_meta" -> (Multimodal.webpMetaQ _),
     "mm_gzip_meta" -> (Multimodal.gzipMetaQ _),
     "mm_pdf_meta" -> (Multimodal.pdfMetaQ _),
+    "text_pdf_extract" -> (Multimodal.pdfTextQ _),
     "mm_zip_entries" -> (Multimodal.zipEntriesQ _),
+    "mm_zip_extract" -> (Multimodal.zipExtractQ _),
+    "pipeline_docx_ingest" -> (Multimodal.docxIngest _),
     "mm_warc_records" -> (Multimodal.warcRecordsQ _),
     "pipeline_warc_ingest" -> (Multimodal.warcIngest _),
     "pipeline_http_ingest" -> (Multimodal.warcHttpIngest _),
@@ -938,6 +942,18 @@ object Queries {
     // the ROUNDED cosine (engine-portable) instead of ranked — the
     // recall-complete retrieval shape
     "sim_range_search" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       "p AS (SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < 5), " +
+       "s AS (SELECT query_id, vec_id AS neighbor_id, " +
+       "round(list_dot_product(q, v) / (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(v, v))), 4) AS cos_sim " +
+       "FROM e, p WHERE vec_id <> query_id) " +
+       "SELECT query_id, neighbor_id, cos_sim FROM s WHERE cos_sim >= 0.2 " +
+       "ORDER BY query_id, neighbor_id"),
+    // the IVF-served range search is VALUE-IDENTICAL to brute by the
+    // conservative cell bound (Similarity.rangeCells scaladoc), so the
+    // brute oracle certifies it verbatim — the strongest witness shape:
+    // an independent engine computing the un-indexed answer
+    "sim_range_search_ivf" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
        "p AS (SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < 5), " +
        "s AS (SELECT query_id, vec_id AS neighbor_id, " +
@@ -1427,22 +1443,28 @@ object Queries {
       // modes 52-63 are sub-8-bit packed gray/bilevel: the gray
       // formula reduced mod 2^bits (bits = 1/2/4 by (m-52)//4), raw
       // sample-value sums replicated to all three channels
+      // modes 80-83 are 16-BIT palette: the 65536-entry ColorMap's
+      // planes fold mod 256, so the channel sums share the 8-bit
+      // palette closed forms — index width invisible BY DESIGN
       ("WITH d AS (SELECT doc_id, 4 + doc_id % 9 AS w, 4 + (doc_id * 3) % 7 AS h, " +
-       "doc_id % 80 AS m FROM documents), " +
+       "doc_id % 84 AS m FROM documents), " +
        "px AS (SELECT doc_id, w, h, m, " +
        "CASE WHEN m >= 52 AND m < 64 THEN (CASE (m - 52) // 4 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16 END) " +
        "ELSE 256 END AS md, " +
        "unnest(range(w * h)) AS i FROM d WHERE doc_id % 131 <> 0), " +
        "s AS (SELECT doc_id, " +
        "sum(CASE WHEN m >= 68 AND m < 72 THEN ((doc_id + 5 * (i % w) + 3 * (i // w)) % 16) * 17 " +
+       "WHEN m >= 80 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
        "WHEN (m >= 48 AND m < 64) OR m % 4 >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % md " +
        "ELSE (doc_id + 3 * (i % w) + 7 * (i // w)) % 256 END) AS sr, " +
        "sum(CASE WHEN m >= 68 AND m < 72 THEN ((2 * ((doc_id + 5 * (i % w) + 3 * (i // w)) % 16)) % 16) * 17 " +
+       "WHEN m >= 80 THEN (2 * (doc_id + 5 * (i % w) + 3 * (i // w))) % 256 " +
        "WHEN m >= 52 AND m < 64 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % md " +
        "WHEN m >= 48 AND m < 64 THEN (2 * ((doc_id + 5 * (i % w) + 3 * (i // w)) % 256)) % 256 " +
        "WHEN m % 4 >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
        "ELSE (2 * doc_id + 5 * (i % w) + (i // w)) % 256 END) AS sg, " +
        "sum(CASE WHEN m >= 68 AND m < 72 THEN ((3 * ((doc_id + 5 * (i % w) + 3 * (i // w)) % 16)) % 16) * 17 " +
+       "WHEN m >= 80 THEN (3 * (doc_id + 5 * (i % w) + 3 * (i // w))) % 256 " +
        "WHEN m >= 52 AND m < 64 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % md " +
        "WHEN m >= 48 AND m < 64 THEN (3 * ((doc_id + 5 * (i % w) + 3 * (i // w)) % 256)) % 256 " +
        "WHEN m % 4 >= 2 THEN (doc_id + 5 * (i % w) + 3 * (i // w)) % 256 " +
@@ -1586,6 +1608,23 @@ object Queries {
        "CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS INTEGER) " +
        "END AS n_objects " +
        "FROM documents ORDER BY doc_id"),
+    // PDF text-extraction twin: one row per (doc, page); the decoded
+    // page text is PdfTextEncode.decodedPage restated â line 1 with
+    // its escaped parens and octal-escape 'A', line 2's TJ word-break
+    // contract (-250 = space, -40 = nothing), and line 3's encoding-
+    // specific characters (WinAnsi on even docs, Standard on odd).
+    // FlateDecode (%3), the intermediate-/Pages tree with inherited
+    // resources (%5) and the two-stream /Contents array (%7) are
+    // invisible BY DESIGN â one oracle certifies all the layouts
+    "text_pdf_extract" ->
+      ("SELECT doc_id, CAST(t.i AS INTEGER) AS page_no, " +
+       "'Doc ' || CAST(doc_id AS VARCHAR) || ' (page ' || CAST(t.i + 1 AS VARCHAR) || ') A' || chr(10) || " +
+       "'alpha betagamma' || chr(10) || " +
+       "CASE WHEN doc_id % 2 = 0 THEN 'café “q” – € end' " +
+       "ELSE 'caf‘q’ «g» ﬁn – end' END AS page_text " +
+       "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
+       "WHERE doc_id % 151 <> 0 AND t.i < doc_id % 4 + 1 " +
+       "ORDER BY doc_id, page_no"),
     // ZIP census twin: 1..6 entries per doc, every reported field
     // doc_id arithmetic (names e<i>.txt, methods alternate STORED 0 /
     // DEFLATED 8, sizes (doc_id+i)%100+10); the fixture writer is the
@@ -1598,6 +1637,32 @@ object Queries {
        "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5)) AS t(i) " +
        "WHERE doc_id % 149 <> 0 AND t.i < doc_id % 6 + 1 " +
        "ORDER BY doc_id, entry_idx"),
+    // ZIP extraction twin: the payload byte at position j is
+    // (doc_id + 13i + 7j) % 251 (ZipEncode.payload), so length and the
+    // two boundary bytes are closed-form doc_id arithmetic; content
+    // BETWEEN the boundaries is certified by the expression's internal
+    // CRC-32 gate (wrong bytes decline, they cannot hash-match)
+    "mm_zip_extract" ->
+      ("SELECT doc_id, CAST(t.i AS INTEGER) AS entry_idx, " +
+       "CAST((doc_id + t.i) % 100 + 10 AS BIGINT) AS n_bytes, " +
+       "CAST((doc_id + 13 * t.i) % 251 AS INTEGER) AS first_byte, " +
+       "CAST((doc_id + 13 * t.i + 7 * ((doc_id + t.i) % 100 + 9)) % 251 AS INTEGER) AS last_byte " +
+       "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5)) AS t(i) " +
+       "WHERE doc_id % 149 <> 0 AND t.i < doc_id % 6 + 1 " +
+       "ORDER BY doc_id, entry_idx"),
+    // docx ingest twin: one row per paragraph; the decoded text is
+    // DocxEncode.decodedPara restated — three runs concatenated
+    // (xml:space run keeps its padding, entities decode), the <w:pPr>
+    // block invisible by the tag-delimiter rule, and the tab run on
+    // every (doc_id+i)%3==0 paragraph
+    "pipeline_docx_ingest" ->
+      ("SELECT doc_id, CAST(t.i AS INTEGER) AS para_idx, " +
+       "'Para ' || CAST(t.i AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) || " +
+       "' has & <tags> x=' || CAST((doc_id + t.i) % 7 AS VARCHAR) || " +
+       "CASE WHEN (doc_id + t.i) % 3 = 0 THEN chr(9) || 'end' ELSE '' END AS para " +
+       "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
+       "WHERE doc_id % 147 <> 0 AND t.i < doc_id % 4 + 1 " +
+       "ORDER BY doc_id, para_idx"),
     // gzip triage twin: header variant cycles on doc_id%3, payload
     // length and mtime are doc_id arithmetic, a second member lands on
     // every 4th doc — the oracle restates the whole row, certifying

@@ -307,14 +307,15 @@ object Multimodal {
         // packed grayscale/bilevel fax/scan strips (the 1-bit modes
         // omit BitsPerSample — the spec-default path), PackBits RLE
         // strips, AND 4-bit packed palettes, all cycling on doc_id
-        // (mode = id%80; 48-51 = 8-bit palette, 52-63 = sub-8-bit,
+        // (mode = id%84; 48-51 = 8-bit palette, 52-63 = sub-8-bit,
         // 64-67 = PackBits, 68-71 = 4-bit palette, 72-75 = 16-bit
-        // tiles, 76-79 = 16-bit separate planes), rows-per-strip
+        // tiles, 76-79 = 16-bit separate planes, 80-83 = 16-BIT
+        // palette with the 65536-entry ColorMap), rows-per-strip
         // 1..4 so multi-strip layouts with out-of-line offset arrays
         // land on most rows
         (id % 131 =!= 0, graft.plans.VectorExpressions.tiffEncode(
           (id % 9 + 4).cast("int"), ((id * 3) % 7 + 4).cast("int"),
-          id.cast("long"), (id % 80).cast("int"), (id % 4 + 1).cast("int"))))
+          id.cast("long"), (id % 84).cast("int"), (id % 4 + 1).cast("int"))))
       case "webp" => Seq(
         (id % 109 === 0, encode(text.substr(1, 26), "UTF-8")),
         // REAL WebP containers (plans.WebpEncode): lossy VP8 frame
@@ -344,6 +345,16 @@ object Multimodal {
         // 3rd doc so the EOCD tail scan is load-bearing
         (id % 149 =!= 0, graft.plans.VectorExpressions.zipEncode(
           id.cast("long"), (id % 6 + 1).cast("int"), id % 3 === 0)))
+      case "docx" => Seq(
+        (id % 147 === 0, encode(text.substr(1, 22), "UTF-8")),
+        // REAL docx archives written by the JDK (plans.DocxEncode):
+        // the minimal OPC part set with 1..4 WordprocessingML
+        // paragraphs, each split across three runs (xml:space +
+        // entities live) with a <w:pPr> block and a tab run on every
+        // (doc_id+i)%3==0 paragraph — the decoded text is pure doc_id
+        // arithmetic (DocxEncode.decodedPara), restated by the oracle
+        (id % 147 =!= 0, graft.plans.VectorExpressions.docxEncode(
+          id.cast("long"), (id % 4 + 1).cast("int"))))
       case "warchtml" => Seq(
         (id % 163 === 0, encode(text.substr(1, 24), "UTF-8")),
         // the COMPOSED-ingest corpus: each archive's response payload
@@ -434,6 +445,17 @@ object Multimodal {
         (id % 151 =!= 0, graft.plans.VectorExpressions.pdfEncode(
           id.cast("long"), (id % 24 + 1).cast("int"), (id % 8).cast("int"),
           id % 11 === 0, (id % 3).cast("int"))))
+      case "pdftext" => Seq(
+        (id % 151 === 0, encode(text.substr(1, 26), "UTF-8")),
+        // PDFs with REAL content streams (plans.PdfTextEncode): font
+        // encoding WinAnsi/Standard on doc_id%2 (Standard explicit vs
+        // the absent-/Encoding default on %4), FlateDecode'd streams
+        // on %3==0, an intermediate /Pages node + INHERITED root
+        // /Resources on %5==0, /Contents as a two-stream ARRAY on
+        // %7==0 — every decoded character is doc_id arithmetic, so
+        // the oracle restates the extraction verbatim
+        (id % 151 =!= 0, graft.plans.VectorExpressions.pdfTextEncode(
+          id.cast("long"), (id % 4 + 1).cast("int"))))
       case "gzip" => Seq(
         (id % 139 === 0, encode(text.substr(1, 22), "UTF-8")),
         // REAL gzip members (plans.GzipEncode): deterministic payload
@@ -591,8 +613,8 @@ object Multimodal {
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "gifanim",
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
       "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "avif",
-      "gzip", "pdf", "warc", "warchtml", "warchttp", "httplegacy", "zip",
-      "mixed")
+      "gzip", "pdf", "pdftext", "warc", "warchtml", "warchttp", "httplegacy",
+      "zip", "docx", "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -1115,6 +1137,44 @@ object Multimodal {
         col("col.usize").as("usize"))
       .orderBy(col("doc_id"), col("entry_idx"))
 
+  /** ZIP entry EXTRACTION: every census entry's payload pulled
+    * through the CRC-gated inflate ([[graft.plans.ZipExtract]]) —
+    * length, first and last byte per entry (the payload bytes are
+    * doc_id arithmetic, so these three certify positioning while the
+    * expression's internal CRC-32 + size gates certify content: wrong
+    * bytes cannot reach the output, they decline). STORED and
+    * DEFLATED both land on every doc via the census fixture's
+    * alternating methods. */
+  def zipExtractQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "zip")
+      .select(col("doc_id"), col("zip"),
+        posexplode(graft.plans.VectorExpressions.zipEntries(col("zip"))))
+      .select(col("doc_id"), col("pos").cast("int").as("entry_idx"),
+        graft.plans.VectorExpressions.zipExtract(
+          col("zip"), col("col.name")).as("payload"))
+      .select(col("doc_id"), col("entry_idx"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        conv(hex(substring(col("payload"), 1, 1)), 16, 10)
+          .cast("int").as("first_byte"),
+        conv(hex(substring(col("payload"), -1, 1)), 16, 10)
+          .cast("int").as("last_byte"))
+      .orderBy(col("doc_id"), col("entry_idx"))
+
+  /** The office-document ingest: docx → ZIP extract of
+    * word/document.xml → WordprocessingML tag scan → one row per
+    * paragraph. The whole hop (CRC-gated inflate + XML walk) is one
+    * codegen'd expression over the fixture scan; the non-docx gate
+    * rows decline to NULL and drop. */
+  def docxIngest(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "docx")
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.docxText(col("docx")).as("t"))
+      .filter(col("t").isNotNull)
+      .select(col("doc_id"), posexplode(split(col("t"), "\n")))
+      .select(col("doc_id"), col("pos").cast("int").as("para_idx"),
+        col("col").as("para"))
+      .orderBy(col("doc_id"), col("para_idx"))
+
   /** Gzip member triage: header fields, trailer validation verdict,
     * and member count per doc (NULL for the non-gzip rows) — the
     * envelope pass a crawl pipeline runs before anything else (WARC
@@ -1221,6 +1281,21 @@ object Multimodal {
         col("m.encrypted").as("encrypted"),
         col("m.n_objects").as("n_objects"))
       .orderBy(col("doc_id"))
+
+  /** PDF TEXT extraction, one row per (doc, page): the content-stream
+    * tier over the `pdftext` corpus — xref walk, page-TREE traversal
+    * (intermediate nodes + inherited /Resources), /Contents arrays,
+    * FlateDecode, the §9.4 text operator subset, and the Appendix D
+    * simple-font decode (WinAnsi + Standard). Non-PDF rows decline to
+    * NULL and drop at the posexplode — the same single codegen'd scan
+    * shape as every triage in the family. */
+  def pdfTextQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "pdftext")
+      .select(col("doc_id"), posexplode(
+        graft.plans.VectorExpressions.pdfPageTexts(col("pdftext"))))
+      .select(col("doc_id"), col("pos").cast("int").as("page_no"),
+        col("col").as("page_text"))
+      .orderBy(col("doc_id"), col("page_no"))
 
   def gzipMetaQ(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir, "gzip")

@@ -451,14 +451,15 @@ object Similarity {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cents = centroidCache.getOrCompute(spark, dir)(kmeansCentroids(base))
-    assignCells(base, cents)
-      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    val assigned = assignCells(base, cents)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(indexPath)
     // The quantizer IS part of the index: probes must score against the
     // centroids the data was partitioned by, not whatever a fresh
     // training run would produce after the corpus (or its partitioning,
     // or the session) changed. Underscore name keeps it out of
     // partition discovery.
     writeCentroidSidecar(spark, indexPath, cents)
+    writeCellBoundsSidecar(spark, indexPath, computeCellBounds(assigned, cents))
   }
 
   /** Build an index from an explicit (vec_id, embedding) frame —
@@ -469,9 +470,10 @@ object Similarity {
       indexPath: String): Unit = {
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cents = kmeansCentroids(base)
-    assignCells(base, cents)
-      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    val assigned = assignCells(base, cents)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(indexPath)
     writeCentroidSidecar(spark, indexPath, cents)
+    writeCellBoundsSidecar(spark, indexPath, computeCellBounds(assigned, cents))
   }
 
   /** Incremental index maintenance: assign NEW vectors to the cells of
@@ -488,8 +490,13 @@ object Similarity {
   def appendIvfIndex(spark: SparkSession, indexPath: String,
       newVecs: DataFrame): Unit = {
     val cents = readCentroidSidecar(spark, indexPath)
-    assignCells(newVecs.select(col("vec_id"), asDouble(col("embedding")).as("v")), cents)
-      .write.mode("append").partitionBy("cell").parquet(indexPath)
+    val assigned = assignCells(
+      newVecs.select(col("vec_id"), asDouble(col("embedding")).as("v")), cents)
+    // bounds widen BEFORE the rows land: a crash between the two
+    // leaves the bound conservatively wide (never wrong), and the
+    // min-merge is idempotent under replay
+    widenCellBounds(spark, indexPath, assigned, cents)
+    assigned.write.mode("append").partitionBy("cell").parquet(indexPath)
   }
 
   /** Replay-safe append for a STREAMING ingest: batch `batchId`'s rows
@@ -518,7 +525,12 @@ object Similarity {
         .foreach(f => fs.delete(f.getPath, false))
     }
     val tmp = new org.apache.hadoop.fs.Path(root, s"_ivf_append_tmp_$batchId")
-    assignCells(newVecs.select(col("vec_id"), asDouble(col("embedding")).as("v")), cents)
+    val assigned = assignCells(
+      newVecs.select(col("vec_id"), asDouble(col("embedding")).as("v")), cents)
+    // bounds widen FIRST (crash-safe: wide is never wrong, min-merge
+    // is idempotent under the replay this writer already supports)
+    widenCellBounds(spark, indexPath, assigned, cents)
+    assigned
       .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
     fs.listStatus(tmp)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
@@ -569,6 +581,65 @@ object Similarity {
       }).maxOption
     Compaction.compact(spark, indexPath, targetBytes,
       keepFile = n => maxBatch.exists(b => n.startsWith(s"ivfb$b-")))
+  }
+
+  // ---- per-cell angular bounds (the range-search pruning sidecar) ---
+
+  /** Per-cell angular radius, recorded as the MINIMUM cosine between
+    * the cell's centroid direction and any member direction — the
+    * fact that lets a range query prune whole cells: on the unit
+    * sphere, angle(q, v) >= angle(q, c) - angle(c, v), so a cell
+    * whose best-possible member cosine is below the threshold cannot
+    * contain a match. One map-side-combined aggregation over the
+    * assigned rows; NaN (zero-norm member) records -1 = unboundable,
+    * so the cell is never pruned. */
+  private def computeCellBounds(assigned: DataFrame,
+      cents: Seq[Array[Double]]): Array[Double] = {
+    val cellCos = element_at(
+      array(cents.map(c => cosine(col("v"),
+        array(c.toIndexedSeq.map(lit): _*))): _*), col("cell"))
+    val rows = assigned
+      .select(col("cell"),
+        when(isnan(cellCos) || cellCos.isNull, lit(-1.0)).otherwise(cellCos).as("c"))
+      .groupBy(col("cell")).agg(min(col("c")).as("min_cos"))
+      .collect()
+    // empty cells keep 1.0 (zero radius): nothing is in them, so
+    // pruning them is vacuously safe
+    val out = Array.fill(cents.length)(1.0)
+    rows.foreach(r => out(r.getInt(0) - 1) = r.getDouble(1))
+    out
+  }
+
+  /** Min-merge a batch's bounds into the standing sidecar — only when
+    * one exists (a pre-bounds index stays boundless and is served
+    * without pruning rather than with a bound that ignores its
+    * standing rows). Called BEFORE the batch's rows land. */
+  private def widenCellBounds(spark: SparkSession, indexPath: String,
+      assigned: DataFrame, cents: Seq[Array[Double]]): Unit =
+    readCellBoundsSidecar(spark, indexPath).foreach { old =>
+      val batch = computeCellBounds(assigned, cents)
+      writeCellBoundsSidecar(spark, indexPath,
+        old.zip(batch).map { case (a, b) => math.min(a, b) })
+    }
+
+  private def writeCellBoundsSidecar(spark: SparkSession, indexPath: String,
+      bounds: Array[Double]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_cellbounds.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(bounds.mkString("[", ",", "]").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[graft] def readCellBoundsSidecar(spark: SparkSession,
+      indexPath: String): Option[Array[Double]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_cellbounds.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val json = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    Some(json.stripPrefix("[").stripSuffix("]").split(",").map(_.toDouble))
   }
 
   private def writeCentroidSidecar(spark: SparkSession, indexPath: String,
@@ -729,6 +800,99 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
               round(cosine(col("q"), col("v")), 4).as("cos_sim"))
     topKPerQuery(scored, k)
+  }
+
+  /** RANGE search served from the materialized IVF index — the
+    * indexed tier in front of [[rangeSearch]]'s recall-complete brute
+    * yardstick. Value-identical to brute BY CONSTRUCTION: cells are
+    * pruned only on the conservative spherical-triangle bound
+    * angle(q, v) >= angle(q, c) - radius(c), where radius(c) is the
+    * `_cellbounds.json` sidecar's recorded max member angle (widened
+    * ahead of every append, so it can over-cover but never under).
+    * A cell survives when cos(max(0, θ_qc - θ_c)) could still reach
+    * the threshold (minus a 1e-4 margin covering the output's 4dp
+    * rounding), i.e. even its best-placed possible member clears the
+    * cut. An index without the sidecar serves with ALL cells — slower,
+    * never wrong. At 100 TB the kept cells are partition-pruned
+    * directory reads, the same PartitionFilters shape as
+    * [[knnIvfIndexed]], with selectivity growing as the threshold
+    * rises (dedup sweeps at 0.9+ touch a handful of cells). */
+  def rangeSearchIvfServed(spark: SparkSession, dir: String,
+      threshold: Double = 0.2): DataFrame = {
+    val indexPath = ivfIndexPath(spark, dir)
+    servedCentroids.put(dir, readCentroidSidecar(spark, indexPath))
+    val probes = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
+    rangeSearchIvfCore(spark, indexPath, probes, threshold)
+  }
+
+  /** The cells probe `q` must visit at `threshold` — the driver-side
+    * pruning decision, pure so the conservativeness law is
+    * unit-testable in isolation. `cellTheta` None = boundless index,
+    * visit everything. */
+  private[graft] def rangeCells(cents: Seq[Array[Double]],
+      cellTheta: Option[Array[Double]], q: Array[Double],
+      threshold: Double): Seq[Int] = {
+    def clamp(x: Double) = math.max(-1.0, math.min(1.0, x))
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    (1 to cents.length).filter { c =>
+      cellTheta match {
+        case None => true // boundless index: never prune
+        case Some(thetas) =>
+          val cent = cents(c - 1)
+          val cn = math.sqrt(cent.map(x => x * x).sum)
+          if (qn == 0 || cn == 0) true // unboundable directions
+          else {
+            val cosQC = clamp(
+              q.zip(cent).map { case (a, b) => a * b }.sum / (qn * cn))
+            val reach = math.acos(cosQC) - thetas(c - 1)
+            // best possible member cosine vs the rounding-padded cut
+            reach <= 0 || math.cos(reach) >= threshold - 1e-4
+          }
+      }
+    }
+  }
+
+  /** Core over any (query_id, q) probe frame — unit-testable against
+    * planted corpora where pruning provably fires. */
+  private[graft] def rangeSearchIvfCore(spark: SparkSession, indexPath: String,
+      probes: DataFrame, threshold: Double): DataFrame = {
+    val cents = readCentroidSidecar(spark, indexPath)
+    val bounds = readCellBoundsSidecar(spark, indexPath)
+    def clamp(x: Double) = math.max(-1.0, math.min(1.0, x))
+    val cellTheta = bounds.map(_.map(b => math.acos(clamp(b))))
+    // probe set is tiny (the serving contract): select kept cells on
+    // the driver — NumCells acos calls per probe, no corpus row read
+    val probeRows = probes.collect()
+    val keptPairs = probeRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Double](1).toArray
+      rangeCells(cents, cellTheta, q, threshold).map(c => (qid, q, c))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("q",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType)))
+    val rows: Seq[org.apache.spark.sql.Row] = keptPairs.toIndexedSeq
+      .map { case (qid, q, c) =>
+        org.apache.spark.sql.Row(qid, q.toIndexedSeq, c) }
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    val probeCells = keptPairs.map(_._3).distinct
+    val index = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf).toSeq: _*))
+      .select(col("cell").cast("int").as("cell"), col("vec_id"), col("v"))
+    index.join(broadcast(probesLocal), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              round(cosine(col("q"), col("v")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("query_id"), col("neighbor_id"))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,

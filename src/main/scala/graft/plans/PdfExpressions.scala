@@ -86,8 +86,9 @@ object PdfMeta {
     c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
 
   /** Cursor-style tokenizer over the byte array; all methods bounds-
-    * checked, failure = -1 / None. */
-  private final class Cur(val b: Array[Byte], var i: Int) {
+    * checked, failure = -1 / None. Shared with [[PdfPageTexts]] (the
+    * content-stream tier walks the same xref machinery). */
+  private[plans] final class Cur(val b: Array[Byte], var i: Int) {
     def skipWs(): Unit = {
       var guard = 0
       while (i < b.length && guard < (1 << 20)) {
@@ -134,7 +135,7 @@ object PdfMeta {
 
   /** One cross-reference entry: kind 0 = free, 1 = at byte offset `a`,
     * 2 = object number `a`'s object STREAM, index `b` within it. */
-  private final case class Entry(kind: Int, a: Long, b: Long)
+  private[plans] final case class Entry(kind: Int, a: Long, b: Long)
 
   /** The trailer facts of one xref SECTION. */
   private final case class Section(rootObj: Long, encrypted: Boolean,
@@ -244,7 +245,7 @@ object PdfMeta {
   /** zlib-inflate `len` bytes at `off` (FlateDecode is zlib-wrapped,
     * ISO 32000 §7.4.4), capped at [[GzipMeta.MaxInflate]]; null on any
     * failure — same bomb/hostile discipline as the gzip triage. */
-  private def flate(b: Array[Byte], off: Int, len: Long): Array[Byte] = {
+  private[plans] def flate(b: Array[Byte], off: Int, len: Long): Array[Byte] = {
     if (off < 0 || len < 0 || off + len > b.length) return null
     val inf = new java.util.zip.Inflater()
     try {
@@ -520,13 +521,21 @@ object PdfMeta {
     }
   }
 
-  def parse(b: Array[Byte]): InternalRow = {
+  /** The resolved xref state of one file: the shadowed entry map, the
+    * /Root object number, and the /Encrypt flag — everything both the
+    * triage and the text tier need before touching an object. */
+  private[plans] final case class Chain(
+      entries: java.util.HashMap[Long, Entry], root: Long, encrypted: Boolean)
+
+  /** Header check + startxref + the full /Prev chain walk (steps 1-4
+    * of the triage contract), shared with [[PdfPageTexts]]. Null on
+    * any structural failure. */
+  private[plans] def chainWalk(b: Array[Byte]): Chain = {
     if (b == null || b.length < 32) return null
     // 1. header
     if (!(b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F' &&
       b(4) == '-' && b(5).toChar.isDigit && b(6) == '.' &&
       b(7).toChar.isDigit)) return null
-    val version = new String(b, 5, 3, "ISO-8859-1")
     // 2. startxref in the tail
     val tailStart = math.max(0, b.length - 128)
     val tail = new String(b, tailStart, b.length - tailStart, "ISO-8859-1")
@@ -557,6 +566,16 @@ object PdfMeta {
     }
     if (off >= 0) return null // /Prev chain exceeded the hop bound
     if (rootObj < 0) return null
+    Chain(entries, rootObj, encrypted)
+  }
+
+  def parse(b: Array[Byte]): InternalRow = {
+    val chain = chainWalk(b)
+    if (chain == null) return null
+    val version = new String(b, 5, 3, "ISO-8859-1")
+    val entries = chain.entries
+    val rootObj = chain.root
+    val encrypted = chain.encrypted
     var nObjects = 0
     val it = entries.entrySet().iterator()
     while (it.hasNext) {

@@ -1,0 +1,830 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** PDF TEXT extraction, first tier — the part of a PDF an LLM corpus
+  * pipeline actually wants, built on the triage's xref machinery
+  * ([[PdfMeta.chainWalk]]: both table layouts, /Prev chains, object
+  * streams, FlateDecode) plus three new pieces from ISO 32000 alone:
+  * a full object parser (§7.3: literal/hex strings, names, arrays,
+  * dicts, indirect references), the page-TREE walk (§7.7.3 —
+  * intermediate /Pages nodes, attribute inheritance of /Resources),
+  * and a content-stream interpreter over the text operator subset
+  * (§9.4): BT/ET, Tj, TJ, ', ", Td, TD, T*, Tm, Tf.
+  *
+  * `graft_pdf_page_texts(binary)` → `array<string>`, one element per
+  * leaf page in page-tree order. Extraction contract (documented
+  * because layout reconstruction is heuristic by nature, and the
+  * contract must be deterministic for the oracle):
+  *
+  *  - Tj / the string operand of ' and " append the decoded string;
+  *  - TJ appends its string elements; a numeric element <= -100
+  *    (thousandths of an em — a gap wider than a tenth of the font
+  *    size, the conventional word-break cut) appends ONE space;
+  *    smaller kerning adjustments append nothing;
+  *  - line-advance operators (Td/TD with a nonzero ty, T*, ', ", Tm)
+  *    append '\n' — but only when the page buffer is non-empty and
+  *    does not already end with one, so a positioning preamble before
+  *    the first show never fabricates blank lines;
+  *  - multiple /Contents streams concatenate with a newline between
+  *    (§7.8.2 treats them as one stream with whitespace between);
+  *  - pages with no /Contents contribute an empty string.
+  *
+  * Character decode is through the page font's SIMPLE encoding
+  * (Appendix D tables, transcribed below): /WinAnsiEncoding,
+  * /StandardEncoding, or an absent /Encoding (Standard — the
+  * non-symbolic Type1 default). The mojibake-never law from the HTTP
+  * text tier applies: a code the encoding leaves UNDEFINED, a font
+  * this tier cannot decode faithfully (/Type0 CID fonts,
+  * /MacRomanEncoding, an /Encoding dict carrying /Differences), an
+  * encrypted file, an inline image (BI — its raw payload would
+  * desynchronize any token walk), or a non-Flate stream filter all
+  * DECLINE the document (NULL) rather than emit wrong text. These are
+  * the recorded envelope; each is a later tier, none is ever garbled.
+  *
+  * Parse-or-NULL bounds throughout: object parse depth 16, 4096
+  * array elements / 256 dict pairs / 64 KiB strings, 2048 page-tree
+  * nodes / 512 leaf pages, 64 resolved objects per document with
+  * cycle detection, every inflate behind the shared 1 MiB bomb
+  * ceiling, and a global token guard per content stream. */
+case class PdfPageTexts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_pdf_page_texts expects a binary column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pdf_page_texts"
+
+  override def nullSafeEval(input: Any): Any =
+    PdfPageTexts.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.plans.PdfPageTexts.parse($b);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): PdfPageTexts =
+    copy(child = newChild)
+}
+
+object PdfPageTexts {
+
+  private val MaxDepth = 16
+  private val MaxArr = 4096
+  private val MaxDictPairs = 256
+  private val MaxStr = 1 << 16
+  private val MaxTreeNodes = 2048
+  private val MaxPages = 512
+  private val MaxResolved = 4096
+  private val MaxOps = 1 << 20
+
+  // ---- object model (§7.3) ------------------------------------------
+
+  private sealed trait PObj
+  private final case class PNum(v: Double) extends PObj
+  private final case class PName(v: String) extends PObj
+  private final case class PStr(v: Array[Byte]) extends PObj
+  private final case class PArr(v: Vector[PObj]) extends PObj
+  private final case class PDict(m: Map[String, PObj]) extends PObj
+  private final case class PRef(num: Long) extends PObj
+  private final case class PBool(v: Boolean) extends PObj
+  private case object PNull extends PObj
+  /** An indirect stream object: its dict plus the DECODED payload. */
+  private final case class PStream(dict: PDict, data: Array[Byte]) extends PObj
+
+  /** Decline-by-exception internally (cheaper to write than Option
+    * threading through a recursive grammar); [[parse]] catches it once
+    * at the top. Never escapes this object. */
+  private final class Decline extends RuntimeException(null, null, false, false)
+  private def decline(): Nothing = throw new Decline
+
+  private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+  private def isDelim(c: Int): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  // ---- lexer / object parser ----------------------------------------
+
+  private final class Lex(val b: Array[Byte], var i: Int) {
+    def atEnd: Boolean = i >= b.length
+
+    def skipWs(): Unit = {
+      var guard = 0
+      while (i < b.length && guard < MaxOps) {
+        if (isWs(b(i) & 0xFF)) i += 1
+        else if (b(i) == '%') {
+          while (i < b.length && b(i) != '\n' && b(i) != '\r') i += 1
+        } else return
+        guard += 1
+      }
+    }
+
+    def peek: Int = if (i < b.length) b(i) & 0xFF else -1
+
+    /** A regular-character token (operator or bare keyword). */
+    def token(): String = {
+      skipWs()
+      val start = i
+      while (i < b.length && !isWs(b(i) & 0xFF) && !isDelim(b(i) & 0xFF) &&
+        i - start < 32) i += 1
+      if (i == start) decline()
+      new String(b, start, i - start, "ISO-8859-1")
+    }
+
+    def name(): String = {
+      // caller consumed '/'
+      val sb = new java.lang.StringBuilder(16)
+      while (i < b.length && !isWs(b(i) & 0xFF) && !isDelim(b(i) & 0xFF)) {
+        if (sb.length > 256) decline()
+        val c = b(i) & 0xFF
+        if (c == '#' && i + 2 < b.length) { // #xx hex escape (§7.3.5)
+          val h = Character.digit(b(i + 1), 16)
+          val l = Character.digit(b(i + 2), 16)
+          if (h < 0 || l < 0) decline()
+          sb.append(((h << 4) | l).toChar)
+          i += 3
+        } else { sb.append(c.toChar); i += 1 }
+      }
+      sb.toString
+    }
+
+    def number(): Double = {
+      skipWs()
+      val start = i
+      var seen = false
+      if (i < b.length && (b(i) == '+' || b(i) == '-')) i += 1
+      while (i < b.length && ((b(i) >= '0' && b(i) <= '9') || b(i) == '.') &&
+        i - start < 24) { seen = true; i += 1 }
+      if (!seen) decline()
+      val s = new String(b, start, i - start, "ISO-8859-1")
+      try s.toDouble catch { case _: NumberFormatException => decline() }
+    }
+
+    /** Literal string (§7.3.4.2): balanced parens, the eight escapes,
+      * octal escapes, escaped-EOL continuation. */
+    def literalString(): Array[Byte] = {
+      // caller consumed '('
+      val out = new java.io.ByteArrayOutputStream(64)
+      var depth = 1
+      var guard = 0
+      while (depth > 0) {
+        if (i >= b.length || guard > MaxStr) decline()
+        guard += 1
+        val c = b(i) & 0xFF; i += 1
+        if (c == '\\') {
+          if (i >= b.length) decline()
+          val e = b(i) & 0xFF; i += 1
+          e match {
+            case 'n' => out.write('\n')
+            case 'r' => out.write('\r')
+            case 't' => out.write('\t')
+            case 'b' => out.write('\b')
+            case 'f' => out.write('\f')
+            case '(' => out.write('(')
+            case ')' => out.write(')')
+            case '\\' => out.write('\\')
+            case '\r' => if (i < b.length && b(i) == '\n') i += 1 // line fold
+            case '\n' => ()
+            case d if d >= '0' && d <= '7' =>
+              var v = d - '0'
+              var k = 0
+              while (k < 2 && i < b.length && b(i) >= '0' && b(i) <= '7') {
+                v = v * 8 + (b(i) - '0'); i += 1; k += 1
+              }
+              out.write(v & 0xFF)
+            case other => out.write(other) // \x = x (§7.3.4.2)
+          }
+        } else if (c == '(') { depth += 1; out.write('(') }
+        else if (c == ')') { depth -= 1; if (depth > 0) out.write(')') }
+        else out.write(c)
+      }
+      out.toByteArray
+    }
+
+    /** Hex string (§7.3.4.3); odd final digit pads with 0. */
+    def hexString(): Array[Byte] = {
+      // caller consumed '<'
+      val out = new java.io.ByteArrayOutputStream(32)
+      var hi = -1
+      var guard = 0
+      while (true) {
+        if (i >= b.length || guard > MaxStr * 2) decline()
+        guard += 1
+        val c = b(i) & 0xFF; i += 1
+        if (c == '>') {
+          if (hi >= 0) out.write(hi << 4)
+          return out.toByteArray
+        } else if (!isWs(c)) {
+          val d = Character.digit(c, 16)
+          if (d < 0) decline()
+          if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+        }
+      }
+      null // unreachable
+    }
+
+    /** One object. `refs` allows the `N G R` indirect-reference form
+      * (object space); content-stream operands set it false so bare
+      * integers stay numbers. */
+    def obj(depth: Int, refs: Boolean): PObj = {
+      if (depth > MaxDepth) decline()
+      skipWs()
+      if (i >= b.length) decline()
+      val c = b(i) & 0xFF
+      if (c == '/') { i += 1; PName(name()) }
+      else if (c == '(') { i += 1; PStr(literalString()) }
+      else if (c == '[') {
+        i += 1
+        val buf = Vector.newBuilder[PObj]
+        var n = 0
+        while ({ skipWs(); peek != ']' }) {
+          if (n >= MaxArr || atEnd) decline()
+          buf += obj(depth + 1, refs)
+          n += 1
+        }
+        i += 1
+        PArr(buf.result())
+      } else if (c == '<') {
+        if (i + 1 < b.length && b(i + 1) == '<') {
+          i += 2
+          val m = Map.newBuilder[String, PObj]
+          var n = 0
+          while ({ skipWs(); !(peek == '>' && i + 1 < b.length && b(i + 1) == '>') }) {
+            if (n >= MaxDictPairs || atEnd) decline()
+            skipWs()
+            if (peek != '/') decline()
+            i += 1
+            val k = name()
+            m += k -> obj(depth + 1, refs)
+            n += 1
+          }
+          i += 2
+          PDict(m.result())
+        } else { i += 1; PStr(hexString()) }
+      } else if (c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        val v = number()
+        if (refs && v >= 0 && v == math.floor(v)) {
+          // lookahead for "gen R"
+          val mark = i
+          skipWs()
+          val p2 = peek
+          if (p2 >= '0' && p2 <= '9') {
+            try {
+              number()
+              skipWs()
+              if (peek == 'R') {
+                i += 1
+                val after = if (i < b.length) b(i) & 0xFF else ' '
+                if (isWs(after) || isDelim(after)) return PRef(v.toLong)
+              }
+            } catch { case _: Decline => () }
+          }
+          i = mark
+        }
+        PNum(v)
+      } else {
+        token() match {
+          case "true" => PBool(true)
+          case "false" => PBool(false)
+          case "null" => PNull
+          case _ => decline()
+        }
+      }
+    }
+  }
+
+  // ---- indirect-object resolution -----------------------------------
+
+  /** Per-document resolution state: the chain's entry map plus a memo
+    * with in-progress markers (cycle = decline). */
+  private final class Resolver(b: Array[Byte],
+      entries: java.util.HashMap[Long, PdfMeta.Entry]) {
+    private val memo = new java.util.HashMap[Long, PObj]()
+    private val inProgress = new java.util.HashSet[Long]()
+    private var resolved = 0
+
+    def apply(o: PObj): PObj = o match {
+      case PRef(n) => resolve(n)
+      case other => other
+    }
+
+    def resolve(num: Long): PObj = {
+      val hit = memo.get(num)
+      if (hit != null) return hit
+      if (!inProgress.add(num)) decline() // reference cycle
+      resolved += 1
+      if (resolved > MaxResolved) decline()
+      val e = entries.get(num)
+      if (e == null) decline()
+      val out = e.kind match {
+        case 1 => atOffset(e.a)
+        case 2 => fromObjStm(e.a, num)
+        case _ => decline()
+      }
+      inProgress.remove(num)
+      memo.put(num, out)
+      out
+    }
+
+    /** Parse the object at a type-1 entry's byte offset; if its dict
+      * is followed by `stream`, decode the payload (§7.3.8). */
+    private def atOffset(off: Long): PObj = {
+      if (off < 0 || off >= b.length) decline()
+      val lex = new Lex(b, off.toInt)
+      lex.number(); lex.skipWs(); lex.number() // "N G obj"
+      if (lex.token() != "obj") decline()
+      val o = lex.obj(0, refs = true)
+      val mark = lex.i
+      lex.skipWs()
+      val isStream = lex.i + 6 <= b.length &&
+        new String(b, lex.i, 6, "ISO-8859-1") == "stream"
+      if (!isStream) { lex.i = mark; return o }
+      val dict = o match { case d: PDict => d; case _ => decline() }
+      lex.i += 6
+      if (lex.i < b.length && b(lex.i) == '\r') lex.i += 1
+      if (lex.i >= b.length || b(lex.i) != '\n') decline()
+      lex.i += 1
+      val len = this(dict.m.getOrElse("Length", decline())) match {
+        case PNum(v) if v >= 0 && v == math.floor(v) => v.toLong
+        case _ => decline()
+      }
+      if (lex.i + len > b.length) decline()
+      val raw = dict.m.get("Filter") match {
+        case None =>
+          java.util.Arrays.copyOfRange(b, lex.i, lex.i + len.toInt)
+        case Some(PName("FlateDecode")) => flateOrDecline(dict, lex.i, len)
+        case Some(PArr(Vector(PName("FlateDecode")))) =>
+          flateOrDecline(dict, lex.i, len)
+        case _ => decline() // other filters: recorded envelope
+      }
+      PStream(dict, raw)
+    }
+
+    private def flateOrDecline(dict: PDict, off: Int, len: Long): Array[Byte] = {
+      // a predictor on a CONTENT stream is never emitted by real
+      // writers; declining beats silently misreading rows of bytes
+      dict.m.get("DecodeParms") match {
+        case Some(PDict(p)) => p.get("Predictor") match {
+          case None | Some(PNum(1)) => ()
+          case _ => decline()
+        }
+        case None => ()
+        case _ => decline()
+      }
+      val out = PdfMeta.flate(b, off, len)
+      if (out == null) decline()
+      out
+    }
+
+    /** A type-2 entry: member `num` of object stream `stmNum`
+      * (§7.5.7). Members are headerless and never streams. */
+    private def fromObjStm(stmNum: Long, num: Long): PObj = {
+      val container = resolve(stmNum) match {
+        case s: PStream => s
+        case _ => decline()
+      }
+      (container.dict.m.get("Type"), container.dict.m.get("N"),
+        container.dict.m.get("First")) match {
+        case (Some(PName("ObjStm")), Some(PNum(n)), Some(PNum(first)))
+            if n > 0 && n <= 4096 && first >= 0 =>
+          val data = container.data
+          val h = new Lex(data, 0)
+          var k = 0
+          while (k < n.toInt) {
+            val objNum = h.number()
+            val rel = h.number()
+            if (objNum == num) {
+              val at = first + rel
+              if (at < 0 || at >= data.length) decline()
+              return new Lex(data, at.toInt).obj(0, refs = true)
+            }
+            k += 1
+          }
+          decline()
+        case _ => decline()
+      }
+    }
+  }
+
+  // ---- encodings (ISO 32000 Appendix D) -------------------------------
+
+  /** WinAnsiEncoding: the cp1252 high table with Appendix D's own
+    * quirks — 0xA0 is a second code for SPACE and 0xAD for HYPHEN
+    * (not no-break space / soft hyphen); the five cp1252 holes are
+    * undefined. 0 = undefined (decline). */
+  private[plans] val WinAnsi: Array[Char] = {
+    val t = new Array[Char](256)
+    var i = 0x20
+    while (i <= 0x7E) { t(i) = i.toChar; i += 1 }
+    // 0x80..0x9F: the cp1252 printables; the five holes (81 8D 8F
+    // 90 9D) stay 0 = undefined (decline, never garble)
+    val high = Seq(
+      0x80 -> '€', 0x82 -> '‚', 0x83 -> 'ƒ', 0x84 -> '„',
+      0x85 -> '…', 0x86 -> '†', 0x87 -> '‡', 0x88 -> 'ˆ',
+      0x89 -> '‰', 0x8A -> 'Š', 0x8B -> '‹', 0x8C -> 'Œ',
+      0x8E -> 'Ž', 0x91 -> '‘', 0x92 -> '’', 0x93 -> '“',
+      0x94 -> '”', 0x95 -> '•', 0x96 -> '–', 0x97 -> '—',
+      0x98 -> '˜', 0x99 -> '™', 0x9A -> 'š', 0x9B -> '›',
+      0x9C -> 'œ', 0x9E -> 'ž', 0x9F -> 'Ÿ')
+    high.foreach { case (c, ch) => t(c) = ch }
+    i = 0xA0
+    while (i <= 0xFF) { t(i) = i.toChar; i += 1 }
+    t(0xA0) = ' ' // space's second code
+    t(0xAD) = '-' // hyphen's second code
+    t
+  }
+
+  /** StandardEncoding, transcribed from the Appendix D table. The two
+    * ASCII-range deviations are 0x27 → quoteright and 0x60 →
+    * quoteleft; the high range is the sparse Adobe set. 0 = undefined. */
+  private[plans] val Standard: Array[Char] = {
+    val t = new Array[Char](256)
+    var i = 0x20
+    while (i <= 0x7E) { t(i) = i.toChar; i += 1 }
+    t(0x27) = '’' // quoteright
+    t(0x60) = '‘' // quoteleft
+    val high = Seq(
+      0xA1 -> '¡', 0xA2 -> '¢', 0xA3 -> '£', 0xA4 -> '⁄',
+      0xA5 -> '¥', 0xA6 -> 'ƒ', 0xA7 -> '§', 0xA8 -> '¤',
+      0xA9 -> '\'', 0xAA -> '“', 0xAB -> '«', 0xAC -> '‹',
+      0xAD -> '›', 0xAE -> 'ﬁ', 0xAF -> 'ﬂ',
+      0xB1 -> '–', 0xB2 -> '†', 0xB3 -> '‡', 0xB4 -> '·',
+      0xB6 -> '¶', 0xB7 -> '•', 0xB8 -> '‚', 0xB9 -> '„',
+      0xBA -> '”', 0xBB -> '»', 0xBC -> '…', 0xBD -> '‰',
+      0xBF -> '¿',
+      0xC1 -> '`', 0xC2 -> '´', 0xC3 -> 'ˆ', 0xC4 -> '˜',
+      0xC5 -> '¯', 0xC6 -> '˘', 0xC7 -> '˙', 0xC8 -> '¨',
+      0xCA -> '˚', 0xCB -> '¸', 0xCD -> '˝', 0xCE -> '˛',
+      0xCF -> 'ˇ', 0xD0 -> '—',
+      0xE1 -> 'Æ', 0xE3 -> 'ª', 0xE8 -> 'Ł', 0xE9 -> 'Ø',
+      0xEA -> 'Œ', 0xEB -> 'º',
+      0xF1 -> 'æ', 0xF5 -> 'ı', 0xF8 -> 'ł', 0xF9 -> 'ø',
+      0xFA -> 'œ', 0xFB -> 'ß')
+    high.foreach { case (c, ch) => t(c) = ch }
+    t
+  }
+
+  /** The simple-encoding table for one font object, or decline. */
+  private def fontTable(r: Resolver, font: PObj): Array[Char] = {
+    val dict = r(font) match { case PDict(m) => m; case _ => decline() }
+    dict.get("Subtype") match {
+      case Some(PName("Type1")) | Some(PName("TrueType")) |
+        Some(PName("Type3")) | Some(PName("MMType1")) | None => ()
+      case _ => decline() // Type0/CID: recorded envelope
+    }
+    r(dict.getOrElse("Encoding", PName("StandardEncoding"))) match {
+      case PName("WinAnsiEncoding") => WinAnsi
+      case PName("StandardEncoding") => Standard
+      case PDict(enc) =>
+        if (enc.contains("Differences")) decline() // faithful-or-decline
+        enc.get("BaseEncoding") match {
+          case Some(PName("WinAnsiEncoding")) => WinAnsi
+          case Some(PName("StandardEncoding")) | None => Standard
+          case _ => decline()
+        }
+      case _ => decline() // MacRoman/MacExpert/symbolic: envelope
+    }
+  }
+
+  // ---- the content-stream interpreter ---------------------------------
+
+  private final class PageState(fonts: Map[String, Array[Char]]) {
+    val out = new java.lang.StringBuilder(256)
+    private var table: Array[Char] = null
+
+    def setFont(n: String): Unit =
+      table = fonts.getOrElse(n, decline())
+
+    def newline(): Unit = {
+      val len = out.length
+      if (len > 0 && out.charAt(len - 1) != '\n') out.append('\n')
+    }
+
+    def show(s: Array[Byte]): Unit = {
+      if (table == null) decline() // show before any Tf
+      var i = 0
+      while (i < s.length) {
+        val ch = table(s(i) & 0xFF)
+        if (ch == 0) decline() // undefined code: never garble
+        out.append(ch)
+        i += 1
+      }
+    }
+  }
+
+  private def runContent(data: Array[Byte], st: PageState): Unit = {
+    val lex = new Lex(data, 0)
+    val operands = new scala.collection.mutable.ArrayBuffer[PObj](8)
+    var guard = 0
+    while ({ lex.skipWs(); !lex.atEnd }) {
+      guard += 1
+      if (guard > MaxOps) decline()
+      val c = lex.peek
+      if (c == '/' || c == '(' || c == '<' || c == '[' || c == '+' ||
+        c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        if (operands.length >= 32) decline()
+        operands += lex.obj(0, refs = false)
+      } else {
+        val op = lex.token()
+        op match {
+          case "Tf" => operands.headOption match {
+            case Some(PName(n)) if operands.length == 2 => st.setFont(n)
+            case _ => decline()
+          }
+          case "Tj" => operands match {
+            case collection.Seq(PStr(s)) => st.show(s)
+            case _ => decline()
+          }
+          case "'" => operands match {
+            case collection.Seq(PStr(s)) => st.newline(); st.show(s)
+            case _ => decline()
+          }
+          case "\"" => operands match {
+            case collection.Seq(PNum(_), PNum(_), PStr(s)) =>
+              st.newline(); st.show(s)
+            case _ => decline()
+          }
+          case "TJ" => operands match {
+            case collection.Seq(PArr(elems)) =>
+              elems.foreach {
+                case PStr(s) => st.show(s)
+                case PNum(v) => if (v <= -100) st.out.append(' ')
+                case _ => decline()
+              }
+            case _ => decline()
+          }
+          case "Td" | "TD" => operands match {
+            case collection.Seq(PNum(_), PNum(ty)) =>
+              if (ty != 0) st.newline()
+            case _ => decline()
+          }
+          case "T*" | "Tm" => st.newline()
+          case "BI" => decline() // inline image: raw bytes would
+          // desynchronize the token walk — recorded envelope
+          case _ => () // BT/ET/graphics/state ops: no text effect
+        }
+        operands.clear()
+      }
+    }
+  }
+
+  // ---- the page-tree walk ----------------------------------------------
+
+  def parse(b: Array[Byte]): GenericArrayData =
+    try {
+      val chain = PdfMeta.chainWalk(b)
+      if (chain == null) return null
+      if (chain.encrypted) return null // no decryption tier
+      val r = new Resolver(b, chain.entries)
+      val catalog = r.resolve(chain.root) match {
+        case PDict(m) => m; case _ => decline()
+      }
+      val pagesRef = catalog.getOrElse("Pages", decline())
+      // iterative depth-first walk, document order; (node, inherited
+      // /Resources) — §7.7.3.4 inheritable attributes
+      var stack = List[(PObj, Option[PObj])]((pagesRef, None))
+      val pages = Vector.newBuilder[UTF8String]
+      var nodes = 0
+      var nPages = 0
+      while (stack.nonEmpty) {
+        nodes += 1
+        if (nodes > MaxTreeNodes) decline()
+        val (ref, inh) = stack.head
+        stack = stack.tail
+        val node = r(ref) match { case PDict(m) => m; case _ => decline() }
+        val res = node.get("Resources").orElse(inh)
+        node.get("Type") match {
+          case Some(PName("Pages")) =>
+            val kids = r(node.getOrElse("Kids", decline())) match {
+              case PArr(k) => k; case _ => decline()
+            }
+            stack = kids.map(k => (k, res)).toList ::: stack
+          case Some(PName("Page")) =>
+            nPages += 1
+            if (nPages > MaxPages) decline()
+            pages += UTF8String.fromString(pageText(r, node, res))
+          case _ => decline()
+        }
+      }
+      new GenericArrayData(pages.result().toArray[Any])
+    } catch { case _: Decline => null }
+
+  private def pageText(r: Resolver, page: Map[String, PObj],
+      res: Option[PObj]): String = {
+    val fonts: Map[String, Array[Char]] = res match {
+      case None => Map.empty
+      case Some(resObj) => r(resObj) match {
+        case PDict(rm) => rm.get("Font") match {
+          case None => Map.empty
+          case Some(f) => r(f) match {
+            case PDict(fm) => fm.map { case (k, v) => k -> fontTable(r, v) }
+            case _ => decline()
+          }
+        }
+        case _ => decline()
+      }
+    }
+    val st = new PageState(fonts)
+    page.get("Contents") match {
+      case None => ()
+      case Some(contents) =>
+        val streams = r(contents) match {
+          case s: PStream => Vector(s)
+          case PArr(elems) => elems.map(e => r(e) match {
+            case s: PStream => s; case _ => decline()
+          })
+          case _ => decline()
+        }
+        streams.foreach { s =>
+          // §7.8.2: multiple streams act as one with whitespace between
+          if (st.out.length > 0) st.newline()
+          runContent(s.data, st)
+        }
+    }
+    st.out.toString
+  }
+}
+
+/** `graft_pdf_text_encode(seed, n_pages)` → binary: a classic-xref PDF
+  * whose pages carry REAL content streams — the fixture for the text
+  * tier, every decoded character (seed, page) arithmetic so the
+  * DuckDB oracle restates the extraction verbatim.
+  *
+  * Grammar coverage cycles on seed so every few corpus rows land each
+  * path:
+  *  - font encoding: even seeds /WinAnsiEncoding (cp1252-family bytes
+  *    0x80/0x93/0x94/0x96/0xE9 in line 3), odd seeds Standard — via an
+  *    explicit /StandardEncoding name (seed%4==1) or an ABSENT
+  *    /Encoding (seed%4==3, the default path), with Standard's own
+  *    bytes (quoteleft/right 0x60/0x27, guillemets 0xAB/0xBB, the fi
+  *    ligature 0xAE, endash 0xB1);
+  *  - seed%3==0: content streams behind /FlateDecode;
+  *  - seed%5==0: an INTERMEDIATE /Pages node splits the kids and
+  *    /Resources lives on the page-tree ROOT only (inheritance);
+  *  - seed%7==0: /Contents is an ARRAY of two streams split mid-page;
+  *  - every page: escaped parens + an octal escape in line 1, a TJ
+  *    array whose -250 gap is a word break and -40 is not, and a '
+  *    (move-show) for line 3. */
+case class PdfTextEncode(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val expected = Seq(LongType, IntegerType)
+    if (children.length == 2 && children.map(_.dataType) == expected)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_pdf_text_encode expects (long seed, int n_pages)")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pdf_text_encode"
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) null
+    else PdfTextEncode.encode(vs(0).asInstanceOf[Long], vs(1).asInstanceOf[Int])
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PdfTextEncode =
+    copy(children = newChildren)
+}
+
+object PdfTextEncode {
+
+  // ISO-8859-1 is byte-bijective: binary payloads ride the
+  // StringBuilder losslessly (the PdfEncode discipline)
+  private def bin(bytes: Array[Byte]): String = new String(bytes, "ISO-8859-1")
+
+  private def zlib(payload: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(payload); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Line 3's SHOWN bytes per encoding — paired with [[decodedLine3]],
+    * which the oracle restates. */
+  private def line3Bytes(winAnsi: Boolean): String =
+    if (winAnsi) "café q   end" // é “q” – € in cp1252
+    else "caf`q' «g» ®n ± end" // ‘ ’ « » ﬁ –
+
+  /** What [[PdfPageTexts]] must decode page p (0-based) to — the
+    * oracle's contract, kept next to the encoder that implies it. */
+  def decodedPage(seed: Long, p: Int): String = {
+    val winAnsi = seed % 2 == 0
+    val line3 =
+      if (winAnsi) "café “q” – € end"
+      else "caf‘q’ «g» ﬁn – end"
+    s"Doc $seed (page ${p + 1}) A\nalpha betagamma\n$line3"
+  }
+
+  def encode(seed: Long, nPages: Int): Array[Byte] = {
+    if (seed < 0 || nPages < 1 || nPages > 64) return null
+    val winAnsi = seed % 2 == 0
+    val flated = seed % 3 == 0
+    val treed = seed % 5 == 0
+    val splitContents = seed % 7 == 0
+
+    val sb = new StringBuilder()
+    sb.append("%PDF-1.6\n%")
+    val filler = (seed % 37).toInt + 4
+    var i = 0
+    while (i < filler) { sb.append(('a' + ((seed + 7 * i) % 26)).toChar); i += 1 }
+    sb.append("\n")
+
+    val offsets = new scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(body: String): Int = {
+      offsets += sb.length
+      val num = offsets.length
+      sb.append(s"$num 0 obj\n$body\nendobj\n")
+      num
+    }
+    def streamObj(payload: Array[Byte], extraKeys: String): Int = {
+      val (data, filter) =
+        if (flated) (zlib(payload), "/Filter /FlateDecode ") else (payload, "")
+      obj(s"<< $extraKeys$filter/Length ${data.length} >>\nstream\n" +
+        bin(data) + "\nendstream")
+    }
+
+    // content stream SOURCE per page, split point after line 2's TJ
+    def contentA(p: Int): String =
+      s"BT /F1 12 Tf 72 720 Td (Doc $seed \\(page ${p + 1}\\) \\101) Tj " +
+        "0 -14 TD [(alpha) -250 (beta) -40 (gamma)] TJ "
+    def contentB(): String =
+      s"(${line3Bytes(winAnsi)}) ' ET"
+
+    // object numbering: 1 Catalog, 2 Pages root, 3 Font, [4,5 the
+    // intermediate nodes], then per page: Page, content stream(s)
+    val fontBody = {
+      val enc =
+        if (winAnsi) " /Encoding /WinAnsiEncoding"
+        else if (seed % 4 == 1) " /Encoding /StandardEncoding"
+        else "" // absent /Encoding: the Standard default path
+      s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica$enc >>"
+    }
+    val fontNum = 3
+    val interNums = if (treed) Seq(4, 5) else Seq.empty
+    val firstPageNum = 3 + interNums.length + 1
+    val perPage = if (splitContents) 3 else 2
+    def pageNum(p: Int) = firstPageNum + p * perPage
+    val resourcesStr = s"/Resources << /Font << /F1 $fontNum 0 R >> >>"
+
+    // Catalog + Pages root (+ intermediates) are emitted FIRST so
+    // object numbers match offsets positionally in the classic table
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    if (!treed) {
+      val kids = (0 until nPages).map(p => s"${pageNum(p)} 0 R").mkString(" ")
+      obj(s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>")
+      obj(fontBody)
+    } else {
+      // root holds /Resources (inherited by every leaf); kids split
+      // between two intermediate /Pages nodes
+      obj(s"<< /Type /Pages /Kids [ 4 0 R 5 0 R ] /Count $nPages $resourcesStr >>")
+      obj(fontBody)
+      val cut = (nPages + 1) / 2
+      val kidsA = (0 until cut).map(p => s"${pageNum(p)} 0 R").mkString(" ")
+      val kidsB = (cut until nPages).map(p => s"${pageNum(p)} 0 R").mkString(" ")
+      obj(s"<< /Type /Pages /Parent 2 0 R /Kids [ $kidsA ] /Count $cut >>")
+      // an empty /Kids array is legal and keeps the walk honest when
+      // every page landed in the first half (nPages == 1)
+      obj(s"<< /Type /Pages /Parent 2 0 R /Kids [ $kidsB ] /Count ${nPages - cut} >>")
+    }
+    (0 until nPages).foreach { p =>
+      val contentRefs =
+        if (splitContents) s"[ ${pageNum(p) + 1} 0 R ${pageNum(p) + 2} 0 R ]"
+        else s"${pageNum(p) + 1} 0 R"
+      val pageRes = if (treed) "" else s" $resourcesStr"
+      obj(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ]$pageRes " +
+        s"/Contents $contentRefs >>")
+      if (splitContents) {
+        streamObj(contentA(p).getBytes("ISO-8859-1"), "")
+        streamObj(contentB().getBytes("ISO-8859-1"), "")
+      } else {
+        streamObj((contentA(p) + contentB()).getBytes("ISO-8859-1"), "")
+      }
+    }
+
+    val size = offsets.length + 1
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 $size\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    sb.toString.getBytes("ISO-8859-1")
+  }
+}

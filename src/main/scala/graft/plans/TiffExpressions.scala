@@ -106,7 +106,8 @@ object TiffPixels {
         case 4 => 4L
         case _ => return null
       }
-      if (count <= 0 || count > 65536) return null
+      // 3 * 65536: a 16-bit palette's ColorMap, the largest legal array
+      if (count <= 0 || count > 3 * 65536) return null
       val total = count * size
       val at =
         if (total <= 4) off + 8L
@@ -181,13 +182,13 @@ object TiffPixels {
     if (photo == 0L || photo == 1L) { if (spp != 1L) return null }
     else if (photo == 2L) { if (spp != 3L) return null }
     else if (photo == 3L) {
-      // Palette color (TIFF 6.0 §5): one 4- or 8-bit index per pixel
-      // looked up in ColorMap (320) — 3 × 2^bits 16-bit planes
-      // (r, g, b). Envelope: 4/8-bit indices in chunky strips
-      // (reusing the strip / LZW / PackBits machinery); 16-bit
-      // palettes, tiles and planar decline.
+      // Palette color (TIFF 6.0 §5): one 4-, 8- or 16-bit index per
+      // pixel looked up in ColorMap (320) — 3 × 2^bits 16-bit planes
+      // (r, g, b). Envelope: chunky strips (reusing the strip / LZW /
+      // PackBits machinery); tiles and planar decline.
       if (spp != 1L || colorMap == null ||
-        (colorMap.length != 3 * 256 && colorMap.length != 3 * 16))
+        (colorMap.length != 3 * 256 && colorMap.length != 3 * 16 &&
+          colorMap.length != 3 * 65536))
         return null
     }
     else return null
@@ -215,8 +216,9 @@ object TiffPixels {
     if (tiled && (offsets != null || counts != null)) return null
     if (!tiled && (offsets == null || counts == null)) return null
     if (tiled && planar == 2L) return null
-    if (palette && ((bitsN != 8L && bitsN != 4L) || tiled || planar == 2L))
-      return null // 4/8-bit chunky strips only
+    if (palette && ((bitsN != 8L && bitsN != 4L && bitsN != 16L) ||
+      tiled || planar == 2L))
+      return null // 4/8/16-bit chunky strips only
     // the index width and the ColorMap size must agree — a 4-bit file
     // with a 256-entry map (or vice versa) is malformed, not guessable
     if (palette && colorMap.length != 3 * (1 << bitsN.toInt)) return null
@@ -364,6 +366,19 @@ object TiffPixels {
               x += 1
             }
             r0 += 1
+          }
+        } else if (palette && bits16) {
+          // 16-bit index in the FILE byte order (unlike the sample
+          // path's high-byte shortcut, the whole index addresses the
+          // 65536-entry map — both bytes are load-bearing)
+          while (i + 1 < strip.length) {
+            val idx =
+              if (le) u8(strip, i) | (u8(strip, i + 1) << 8)
+              else (u8(strip, i) << 8) | u8(strip, i + 1)
+            sr += colorMap(idx) >> 8
+            sg += colorMap(65536 + idx) >> 8
+            sb += colorMap(2 * 65536 + idx) >> 8
+            i += 2
           }
         } else if (palette) {
           // index → 16-bit ColorMap entry; report the HIGH byte, the
@@ -690,7 +705,7 @@ object TiffEncode {
 
   def encode(w: Int, h: Int, seed: Long, mode: Int, rowsPerStrip: Int): Array[Byte] = {
     if (w <= 0 || w > 4096 || h <= 0 || h > 4096 || seed < 0) return null
-    if (mode < 0 || mode > 79 || rowsPerStrip <= 0) return null
+    if (mode < 0 || mode > 83 || rowsPerStrip <= 0) return null
     // modes 48..51: palette color (photometric 3) in chunky strips —
     // bit 0 = byte order, bit 1 = LZW; indices use the gray formula,
     // ColorMap maps index i to (i, 2i%256, 3i%256) scaled to 16-bit.
@@ -707,8 +722,16 @@ object TiffEncode {
     // bit 0 = byte order, bit 1 = gray vs RGB; uncompressed, no
     // predictor (the organizations are the point, the sample path is
     // the certified v*257 16-bit convention)
+    // modes 80..83: 16-BIT palette chunky strips (bit 0 = byte order,
+    // bit 1 = LZW) — the scanner-pipeline shape with a 65536-entry
+    // ColorMap; indices are (seed+5x+3y)%65536 in the REAL file byte
+    // order (both bytes load-bearing, unlike the v*257 sample trick),
+    // and the map's planes fold mod 256 so the channel sums match the
+    // 8-bit palette oracle exactly — the layouts are invisible BY
+    // DESIGN under one oracle
+    val pal16 = mode >= 80
     val t16 = mode >= 72 && mode < 76
-    val p16 = mode >= 76
+    val p16 = mode >= 76 && mode < 80
     val wide = t16 || p16
     val pal4 = mode >= 68 && mode < 72
     // modes 64..67: PackBits chunky strips, same 4-way matrix as the
@@ -720,21 +743,24 @@ object TiffEncode {
     val pal = mode >= 48 && mode < 52
     val tiledOrg = (mode >= 12 && mode < 24) || t16
     val planarOrg = (mode >= 24 && mode < 36) || p16
-    val bits16 = (mode >= 36 && mode < 48) || wide // 16-bit; sample = v<<8 | v
+    val bits16 = (mode >= 36 && mode < 48) || wide || pal16
     val sub = if (pb) mode - 64 else mode % 12
     val le =
-      if (wide) (mode & 1) == 0
+      if (pal16) (mode & 1) == 0
+      else if (wide) (mode & 1) == 0
       else if (pal4) ((mode - 68) & 1) == 0
       else if (subB) ((mode - 52) & 1) == 0
       else if (pal) ((mode - 48) & 1) == 0 else (sub & 1) == 0
     val gray =
-      if (wide) (mode & 2) != 0
+      if (pal16) true // single sample: the 16-bit INDEX
+      else if (wide) (mode & 2) != 0
       else pal || pal4 || subB || (sub % 4) >= 2 // pal: gray px formula as INDEX
     val lzw = !pb && !wide && (
-      if (pal4) ((mode - 68) & 2) != 0
+      if (pal16) (mode & 2) != 0
+      else if (pal4) ((mode - 68) & 2) != 0
       else if (subB) ((mode - 52) & 2) != 0
       else if (pal) ((mode - 48) & 2) != 0 else sub >= 4)
-    val pred2 = !pal4 && !pb && !pal && !subB && !wide && sub >= 8
+    val pred2 = !pal16 && !pal4 && !pb && !pal && !subB && !wide && sub >= 8
     val spp = if (gray) 1 else 3
     val rps = math.min(rowsPerStrip, h)
     val nStrips = if (tiledOrg) 0 else (h + rps - 1) / rps
@@ -782,6 +808,26 @@ object TiffEncode {
             x += 1
           }
           r0 += 1
+        }
+        out
+      } else if (pal16) {
+        // 16-bit index in the REAL file byte order — both bytes carry
+        // information ((seed+5x+3y)%65536), so the decoder's byte-order
+        // index assembly is load-bearing on every pixel
+        val out = new Array[Byte](rows * w * 2)
+        var i = 0
+        var y = s * rps
+        val yEnd = y + rows
+        while (y < yEnd) {
+          var x = 0
+          while (x < w) {
+            val v = ((seed + 5L * x + 3L * y) % 65536).toInt
+            if (le) { out(i) = (v & 0xFF).toByte; out(i + 1) = ((v >> 8) & 0xFF).toByte }
+            else { out(i) = ((v >> 8) & 0xFF).toByte; out(i + 1) = (v & 0xFF).toByte }
+            i += 2
+            x += 1
+          }
+          y += 1
         }
         out
       } else if (!bits16) {
@@ -916,14 +962,15 @@ object TiffEncode {
     val bpsOff = auxStart // RGB: 3 SHORTs out-of-line (6 bytes)
     val bpsLen = if (gray) 0 else 6
     val cmOff = bpsOff + bpsLen // palette ColorMap: 3 * 2^bits SHORTs
-    val cmLen = if (pal) 3 * 256 * 2 else if (pal4) 3 * 16 * 2 else 0
+    val cmLen = if (pal16) 3 * 65536 * 2
+      else if (pal) 3 * 256 * 2 else if (pal4) 3 * 16 * 2 else 0
     val soOff = cmOff + cmLen
     val soLen = if (nBlocks > 1) nBlocks * 4 else 0
     val scOff = soOff + soLen
     val scLen = soLen
     val ifdOff = scOff + scLen
     val nEntries = (if (tiledOrg) 11 else 10) +
-      (if (pred2) 1 else 0) + (if (pal || pal4) 1 else 0) +
+      (if (pred2) 1 else 0) + (if (pal || pal4 || pal16) 1 else 0) +
       (if (subB && subBits == 1) -1 else 0) // bilevel omits tag 258
     val total = ifdOff + 2 + nEntries * 12 + 4
 
@@ -972,6 +1019,17 @@ object TiffEncode {
       i = 0
       while (i < 16) { w16((((3 * i) % 16) * 17) * 257); i += 1 } // blue
     }
+    if (pal16) {
+      // 65536-entry map whose planes FOLD mod 256 (high byte =
+      // f(i) % 256): the decoded channel sums coincide with the 8-bit
+      // palette twin's, so one oracle covers both index widths
+      var i = 0
+      while (i < 65536) { w16((i % 256) * 257); i += 1 } // red
+      i = 0
+      while (i < 65536) { w16(((2 * i) % 256) * 257); i += 1 } // green
+      i = 0
+      while (i < 65536) { w16(((3 * i) % 256) * 257); i += 1 } // blue
+    }
     if (nBlocks > 1) {
       stripOffsets.foreach(w32)
       strips.foreach(st => w32(st.length.toLong))
@@ -994,7 +1052,7 @@ object TiffEncode {
     entry(259, 3, 1)(w16(if (pb) 32773 else if (lzw) 5 else 1)) // Compression
     entry(262, 3, 1)(w16(
       if (subB) (if (le) 1 else 0) // both fax polarities in the corpus
-      else if (pal || pal4) 3 else if (gray) 1 else 2)) // Photometric
+      else if (pal || pal4 || pal16) 3 else if (gray) 1 else 2)) // Photometric
     if (!tiledOrg) {
       if (nBlocks > 1) entry(273, 4, nBlocks.toLong)(w32(soOff.toLong))
       else entry(273, 4, 1)(w32(stripOffsets(0)))
@@ -1009,6 +1067,7 @@ object TiffEncode {
     if (pred2) entry(317, 3, 1)(w16(2)) // Predictor = horizontal
     if (pal) entry(320, 3, 3 * 256)(w32(cmOff.toLong)) // ColorMap
     if (pal4) entry(320, 3, 3 * 16)(w32(cmOff.toLong)) // 16-entry ColorMap
+    if (pal16) entry(320, 3, 3 * 65536)(w32(cmOff.toLong)) // 65536-entry map
     if (tiledOrg) {
       entry(322, 4, 1)(w32(TileDim.toLong)) // TileWidth
       entry(323, 4, 1)(w32(TileDim.toLong)) // TileLength

@@ -500,6 +500,10 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pdf_encode", exprs => PdfEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pdf_page_texts", exprs => PdfPageTexts(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pdf_text_encode", exprs => PdfTextEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_warc_records", exprs => WarcRecords(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_warc_encode", exprs => WarcEncode(exprs), "scala_udf")
@@ -517,6 +521,12 @@ object VectorExpressions {
       "graft_zip_entries", exprs => ZipEntries(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_zip_encode", exprs => ZipEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_zip_extract", exprs => ZipExtract(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_docx_text", exprs => DocxText(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_docx_encode", exprs => DocxEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sitemap_urls", exprs => SitemapUrls(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -722,6 +732,27 @@ object VectorExpressions {
     call_function("graft_zip_encode", seed, nEntries, comment)
   }
 
+  /** ZIP entry payload extraction (plans.ZipExtract), column form;
+    * same registration precondition. */
+  def zipExtract(zip: Column, name: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_zip_extract", zip, name)
+  }
+
+  /** docx text extraction (plans.DocxText), column form; same
+    * registration precondition. */
+  def docxText(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_docx_text", c)
+  }
+
+  /** docx fixture encoder (plans.DocxEncode), column form; same
+    * registration precondition. */
+  def docxEncode(seed: Column, nParas: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_docx_encode", seed, nParas)
+  }
+
   /** sitemap.xml entry list (plans.SitemapUrls), column form; same
     * registration precondition. */
   def sitemapUrls(c: Column): Column = {
@@ -780,6 +811,20 @@ object VectorExpressions {
       encrypted: Column, layout: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_pdf_encode", seed, nPages, minor, encrypted, layout)
+  }
+
+  /** PDF page-text extraction (plans.PdfPageTexts), column form; same
+    * registration precondition. */
+  def pdfPageTexts(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_pdf_page_texts", c)
+  }
+
+  /** PDF text-fixture encoder (plans.PdfTextEncode), column form;
+    * same registration precondition. */
+  def pdfTextEncode(seed: Column, nPages: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_pdf_text_encode", seed, nPages)
   }
 
   /** Gzip member triage (plans.GzipMeta), column form; same

@@ -67,17 +67,19 @@ object ZipEntries {
   private val MaxEntries = 4096
   private val MaxName = 1 << 16
 
-  private def u16(b: Array[Byte], i: Int): Int =
+  private[plans] def u16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
-  private def u32(b: Array[Byte], i: Int): Long =
+  private[plans] def u32(b: Array[Byte], i: Int): Long =
     (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
       ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
 
-  def parse(b: Array[Byte]): GenericArrayData = {
-    if (b == null || b.length < 22) return null
-    // EOCD: scan back through the possible comment (≤ 64 KiB); the
-    // record is only accepted when its comment-length field lands the
-    // record exactly at the buffer end
+  /** EOCD offset, or -1: scan back through the possible comment
+    * (≤ 64 KiB); the record is only accepted when its comment-length
+    * field lands the record exactly at the buffer end — the rule that
+    * rejects PK\5\6 bytes occurring INSIDE a comment. Shared with
+    * [[ZipExtract]]. */
+  private[plans] def eocdAt(b: Array[Byte]): Int = {
+    if (b == null || b.length < 22) return -1
     var eocd = -1
     var i = b.length - 22
     val floor = math.max(0, b.length - 22 - 0xFFFF)
@@ -86,6 +88,11 @@ object ZipEntries {
         i + 22 + u16(b, i + 20) == b.length) eocd = i
       else i -= 1
     }
+    eocd
+  }
+
+  def parse(b: Array[Byte]): GenericArrayData = {
+    val eocd = eocdAt(b)
     if (eocd < 0) return null
     // multi-disk archives decline (disk fields must be 0)
     if (u16(b, eocd + 4) != 0 || u16(b, eocd + 6) != 0) return null
@@ -181,6 +188,357 @@ object ZipEncode {
         } else e.setMethod(java.util.zip.ZipEntry.DEFLATED)
         z.putNextEntry(e)
         z.write(data)
+        z.closeEntry()
+      }
+    } finally z.close()
+    bos.toByteArray
+  }
+}
+
+/** ZIP ENTRY extraction — the payload hop the census deliberately
+  * skipped, and the prerequisite for every office-document format
+  * (docx/xlsx/pptx/epub are ZIP-of-XML). Addressed the way the census
+  * walks: through the CENTRAL directory (authoritative per APPNOTE —
+  * local headers may lie via data descriptors), then one hop to the
+  * local header only to locate the data start (its OWN name/extra
+  * lengths, which legally differ from the directory's).
+  *
+  * `graft_zip_extract(zip, name)` → binary: the named entry's
+  * uncompressed bytes, or NULL. STORED (0) copies; DEFLATED (8) runs
+  * the JDK's raw inflater under the shared 1 MiB bomb ceiling. The
+  * result is served ONLY when the inflated length equals the
+  * directory's uncompressed size AND its CRC-32 matches the
+  * directory's — a lying size or corrupt stream declines, never
+  * serves wrong bytes (the gzip triage's discipline). Other methods
+  * and ZIP64 sentinels decline with the census's recorded envelope. */
+case class ZipExtract(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_zip_extract expects (binary zip, string name)")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_zip_extract"
+
+  override def nullSafeEval(zip: Any, name: Any): Any =
+    ZipExtract.extract(zip.asInstanceOf[Array[Byte]],
+      name.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (z, n) => s"""
+      ${ev.value} = graft.plans.ZipExtract.extract($z, $n.toString());
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZipExtract =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZipExtract {
+
+  /** Shared with the gzip/PDF tiers: never inflate more than 1 MiB. */
+  private def MaxOut = GzipMeta.MaxInflate
+
+  def extract(b: Array[Byte], name: String): Array[Byte] = {
+    val eocd = ZipEntries.eocdAt(b)
+    if (eocd < 0 || name == null) return null
+    if (ZipEntries.u16(b, eocd + 4) != 0 || ZipEntries.u16(b, eocd + 6) != 0)
+      return null // multi-disk
+    val count = ZipEntries.u16(b, eocd + 10)
+    val cdOff = ZipEntries.u32(b, eocd + 16)
+    if (count == 0xFFFF || cdOff == 0xFFFFFFFFL) return null // ZIP64
+    val nameBytes = name.getBytes("UTF-8")
+    var at = cdOff
+    var k = 0
+    while (k < count) {
+      val e = at.toInt
+      if (at + 46 > eocd) return null
+      if (!(b(e) == 'P' && b(e + 1) == 'K' && b(e + 2) == 1 && b(e + 3) == 2))
+        return null
+      val method = ZipEntries.u16(b, e + 10)
+      val crc = ZipEntries.u32(b, e + 16)
+      val csize = ZipEntries.u32(b, e + 20)
+      val usize = ZipEntries.u32(b, e + 24)
+      val nameLen = ZipEntries.u16(b, e + 28)
+      val extraLen = ZipEntries.u16(b, e + 30)
+      val commentLen = ZipEntries.u16(b, e + 32)
+      val lho = ZipEntries.u32(b, e + 42)
+      if (at + 46 + nameLen + extraLen + commentLen > eocd) return null
+      val matches = nameLen == nameBytes.length && {
+        var j = 0
+        var ok = true
+        while (ok && j < nameLen) { ok = b(e + 46 + j) == nameBytes(j); j += 1 }
+        ok
+      }
+      if (matches) {
+        // ZIP64 sentinels and the bomb ceiling decline before any work
+        if (csize == 0xFFFFFFFFL || usize == 0xFFFFFFFFL ||
+          lho == 0xFFFFFFFFL || usize > MaxOut) return null
+        // the LOCAL header locates the data (its own lengths)
+        val l = lho.toInt
+        if (lho + 30 > b.length) return null
+        if (!(b(l) == 'P' && b(l + 1) == 'K' && b(l + 2) == 3 && b(l + 3) == 4))
+          return null
+        val dataAt = lho + 30 + ZipEntries.u16(b, l + 26) + ZipEntries.u16(b, l + 28)
+        if (dataAt + csize > b.length) return null
+        val out: Array[Byte] = method match {
+          case 0 => // STORED: sizes must agree
+            if (csize != usize) return null
+            java.util.Arrays.copyOfRange(b, dataAt.toInt, (dataAt + csize).toInt)
+          case 8 => // DEFLATED: raw inflate, ceiling-bounded
+            val inf = new java.util.zip.Inflater(true)
+            try {
+              // the documented nowrap quirk: the zlib binding needs a
+              // dummy byte after the raw-deflate data to finish
+              val inBuf = new Array[Byte](csize.toInt + 1)
+              System.arraycopy(b, dataAt.toInt, inBuf, 0, csize.toInt)
+              inf.setInput(inBuf)
+              val bos = new java.io.ByteArrayOutputStream(
+                math.min(usize, 1 << 16).toInt)
+              val window = new Array[Byte](4096)
+              while (!inf.finished()) {
+                val n = try inf.inflate(window) catch {
+                  case _: java.util.zip.DataFormatException => return null
+                }
+                if (n > 0) bos.write(window, 0, n)
+                else if (!inf.finished()) return null
+                if (bos.size() > MaxOut || bos.size() > usize) return null
+              }
+              bos.toByteArray
+            } finally inf.end()
+          case _ => return null // other methods: recorded envelope
+        }
+        // serve ONLY directory-verified bytes
+        if (out.length != usize) return null
+        val c = new java.util.zip.CRC32()
+        c.update(out)
+        if (c.getValue != crc) return null
+        return out
+      }
+      at += 46 + nameLen + extraLen + commentLen
+      k += 1
+    }
+    null // no such entry
+  }
+}
+
+/** docx text extraction — the office-document hop: a .docx is a ZIP
+  * whose `word/document.xml` holds the text in WordprocessingML runs.
+  * Machine-generated against a fixed schema, so the sitemap triage's
+  * bounded tag scan applies — no general XML machinery:
+  *
+  * `graft_docx_text(binary)` → string: `<w:p>` paragraphs joined with
+  * '\n'; within a paragraph, `<w:t>` run contents concatenate in
+  * document order (xml:space and other attributes ride along
+  * untouched — content is whatever sits between the tags), `<w:tab/>`
+  * appends a tab. The five XML entities plus numeric character
+  * references decode. `<w:pPr>`/`<w:rPr>` property blocks and every
+  * other element are inert by the name-delimiter rule ("<w:p" only
+  * matches the paragraph tag itself). NULL when the archive or its
+  * document part is absent/corrupt (one CRC-gated [[ZipExtract]]
+  * hop). Bounds: 8192 paragraphs, 1 MiB payload (the extract
+  * ceiling). */
+case class DocxText(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_docx_text expects a binary column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_docx_text"
+
+  override def nullSafeEval(input: Any): Any =
+    DocxText.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.plans.DocxText.parse($b);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): DocxText =
+    copy(child = newChild)
+}
+
+object DocxText {
+
+  private val MaxParas = 8192
+
+  /** The five named entities + decimal/hex character references. */
+  private def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val ent = s.substring(i + 1, semi)
+          val rep: String = ent match {
+            case "amp" => "&"
+            case "lt" => "<"
+            case "gt" => ">"
+            case "quot" => "\""
+            case "apos" => "'"
+            case _ if ent.startsWith("#x") || ent.startsWith("#X") =>
+              try {
+                val cp = Integer.parseInt(ent.substring(2), 16)
+                if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else null
+              } catch { case _: NumberFormatException => null }
+            case _ if ent.startsWith("#") =>
+              try {
+                val cp = Integer.parseInt(ent.substring(1))
+                if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else null
+              } catch { case _: NumberFormatException => null }
+            case _ => null
+          }
+          if (rep != null) { sb.append(rep); i = semi + 1 }
+          else { sb.append(c); i += 1 } // unknown entity rides through
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** True when the tag NAME ends at `at` (next char is whitespace,
+    * '>', or '/') — "<w:p" must not match "<w:pPr". */
+  private def delimAt(x: String, at: Int): Boolean =
+    at >= x.length || {
+      val c = x.charAt(at)
+      c == '>' || c == '/' || c == ' ' || c == '\t' || c == '\n' || c == '\r'
+    }
+
+  def parse(zip: Array[Byte]): UTF8String = {
+    val xmlBytes = ZipExtract.extract(zip, "word/document.xml")
+    if (xmlBytes == null) return null
+    val x = new String(xmlBytes, "UTF-8")
+    val out = new java.lang.StringBuilder(256)
+    var at = 0
+    var paras = 0
+    while (paras < MaxParas) {
+      var open = x.indexOf("<w:p", at)
+      while (open >= 0 && !delimAt(x, open + 4)) open = x.indexOf("<w:p", open + 4)
+      if (open < 0) return UTF8String.fromString(out.toString)
+      val openGt = x.indexOf('>', open)
+      if (openGt < 0) return null
+      if (paras > 0) out.append('\n')
+      paras += 1
+      if (x.charAt(openGt - 1) == '/') { at = openGt + 1 } // empty <w:p/>
+      else {
+        val end = x.indexOf("</w:p>", openGt)
+        if (end < 0) return null
+        var i = openGt + 1
+        while (i < end) {
+          val lt = x.indexOf('<', i)
+          if (lt < 0 || lt >= end) { i = end }
+          else if (x.startsWith("<w:t", lt) && delimAt(x, lt + 4)) {
+            val gt = x.indexOf('>', lt)
+            if (gt < 0 || gt > end) return null
+            if (x.charAt(gt - 1) == '/') i = gt + 1 // empty run
+            else {
+              val close = x.indexOf("</w:t>", gt + 1)
+              if (close < 0 || close > end) return null
+              out.append(decodeEntities(x.substring(gt + 1, close)))
+              i = close + 6
+            }
+          } else if (x.startsWith("<w:tab", lt) && delimAt(x, lt + 6)) {
+            out.append('\t')
+            val gt = x.indexOf('>', lt)
+            if (gt < 0 || gt > end) return null
+            i = gt + 1
+          } else i = lt + 1
+        }
+        at = end + 6
+      }
+    }
+    UTF8String.fromString(out.toString)
+  }
+}
+
+/** `graft_docx_encode(seed, n_paras)` → binary: a REAL docx written by
+  * the JDK's ZipOutputStream (the writer IS the reference — parsing
+  * it back is a differential), with the minimal OPC parts
+  * ([Content_Types].xml, _rels/.rels, word/document.xml). Each
+  * paragraph splits across THREE runs (one with xml:space="preserve"
+  * and live entities), carries a `<w:pPr>` property block (pinning
+  * the "<w:p" delimiter rule), and every (seed+i)%3==0 paragraph ends
+  * with a `<w:tab/>` run. Decoded text per paragraph i:
+  * `Para {i} of doc {seed} has & <tags> x={(seed+i)%7}` plus
+  * `\tend` when tabbed — all (seed, i) arithmetic for the oracle. */
+case class DocxEncode(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val expected = Seq(LongType, IntegerType)
+    if (children.length == 2 && children.map(_.dataType) == expected)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_docx_encode expects (long seed, int n_paras)")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_docx_encode"
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) null
+    else DocxEncode.encode(vs(0).asInstanceOf[Long], vs(1).asInstanceOf[Int])
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DocxEncode = copy(children = newChildren)
+}
+
+object DocxEncode {
+
+  /** The paragraph text [[DocxText]] must produce — the oracle's
+    * contract, kept beside the encoder that implies it. */
+  def decodedPara(seed: Long, i: Int): String =
+    s"Para $i of doc $seed has & <tags> x=${(seed + i) % 7}" +
+      (if ((seed + i) % 3 == 0) "\tend" else "")
+
+  private val ContentTypes =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+      |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+      |<Default Extension="xml" ContentType="application/xml"/>
+      |<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>
+      |</Types>""".stripMargin
+
+  private val Rels =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+      |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>
+      |</Relationships>""".stripMargin
+
+  def encode(seed: Long, nParas: Int): Array[Byte] = {
+    if (seed < 0 || nParas < 1 || nParas > 64) return null
+    val doc = new StringBuilder()
+    doc.append("<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>\n")
+    doc.append("<w:document xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\"><w:body>")
+    (0 until nParas).foreach { i =>
+      doc.append("<w:p><w:pPr><w:pStyle w:val=\"Normal\"/></w:pPr>")
+      doc.append(s"<w:r><w:t>Para $i of doc $seed</w:t></w:r>")
+      doc.append("<w:r><w:t xml:space=\"preserve\"> has &amp; &lt;tags&gt; </w:t></w:r>")
+      doc.append(s"<w:r><w:t>x=${(seed + i) % 7}</w:t></w:r>")
+      if ((seed + i) % 3 == 0)
+        doc.append("<w:r><w:tab/><w:t>end</w:t></w:r>")
+      doc.append("</w:p>")
+    }
+    doc.append("</w:body></w:document>")
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    try {
+      Seq("[Content_Types].xml" -> ContentTypes, "_rels/.rels" -> Rels,
+        "word/document.xml" -> doc.toString).foreach { case (n, body) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(n))
+        z.write(body.getBytes("UTF-8"))
         z.closeEntry()
       }
     } finally z.close()

@@ -1,0 +1,204 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{PdfEncode, PdfPageTexts, PdfTextEncode}
+
+/** PDF text extraction (plans.PdfPageTexts): the content-stream tier.
+  * Pins: fixture round trips across the encoding/filter/tree/contents
+  * grid (expected text = PdfTextEncode.decodedPage, the oracle's
+  * contract), the §7.3 string grammar (hex strings, octal escapes,
+  * line folds), the text-operator semantics (TJ word-break boundary,
+  * ", T* newline coalescing, horizontal Td), the decline envelope
+  * (Type0 / MacRoman / Differences fonts, undefined codes, inline
+  * images, non-Flate filters, encryption), and the never-throw law
+  * over truncations and bit flips. */
+class PdfTextSpec extends AnyFunSuite {
+
+  private def texts(b: Array[Byte]): Seq[String] = {
+    val r = PdfPageTexts.parse(b)
+    if (r == null) null
+    else (0 until r.numElements()).map(i => r.getUTF8String(i).toString)
+  }
+
+  // ---- the fixture grid ----------------------------------------------
+
+  test("fixture round trips: decoded text is decodedPage across the grid") {
+    // seeds land every variant: evens WinAnsi, odds Standard (explicit
+    // %4==1 / absent %4==3), %3==0 Flate, %5==0 tree+inheritance,
+    // %7==0 split /Contents; 105 = 3*5*7 stacks them all
+    for (seed <- Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L, 9L, 10L, 14L, 15L, 21L,
+           35L, 70L, 105L, 4242L); pages <- Seq(1, 2, 4)) {
+      val b = PdfTextEncode.encode(seed, pages)
+      val got = texts(b)
+      assert(got != null, s"seed=$seed pages=$pages declined")
+      assert(got.length === pages, s"seed=$seed pages=$pages")
+      (0 until pages).foreach { p =>
+        assert(got(p) === PdfTextEncode.decodedPage(seed, p),
+          s"seed=$seed page=$p")
+      }
+    }
+  }
+
+  test("triage-fixture PDFs (no /Contents) extract empty pages, all three layouts") {
+    // the text walk rides the SAME xref machinery as the triage, so
+    // the classic table, the xref STREAM, and the ObjStm layout all
+    // resolve; pages carry no /Contents → empty strings, never null
+    for (layout <- 0 to 2) {
+      val b = PdfEncode.encode(11L, 3, 5, false, layout)
+      assert(texts(b) === Seq("", "", ""), s"layout=$layout")
+    }
+  }
+
+  test("encrypted files decline (no decryption tier)") {
+    assert(texts(PdfEncode.encode(3L, 2, 4, true, 0)) === null)
+    val withText = PdfTextEncode.encode(4L, 1)
+    assert(texts(withText) != null) // sanity: same shape, unencrypted, passes
+  }
+
+  // ---- handcrafted single-page files for grammar/operator pins --------
+
+  /** Minimal classic-xref PDF: 1 Catalog, 2 Pages, 3 Page, 4 font
+    * (body given), 5 content stream (bytes given, no filter unless
+    * `filter` set). Offsets computed, so the xref table is honest. */
+  private def mini(fontBody: String, content: String,
+      filter: String = ""): Array[Byte] = {
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offsets = new scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(body: String): Unit = {
+      offsets += sb.length
+      sb.append(s"${offsets.length} 0 obj\n$body\nendobj\n")
+    }
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    obj("<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>")
+    obj("<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> >> " +
+      "/Contents 5 0 R >>")
+    obj(fontBody)
+    obj(s"<< $filter/Length ${content.length} >>\nstream\n$content\nendstream")
+    val size = offsets.length + 1
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 $size\n0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  private val winAnsiFont =
+    "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
+
+  test("hex strings, octal escapes, and escaped-EOL line folds decode") {
+    val content = "BT /F1 9 Tf <414243> Tj (\\101\\102) Tj (a\\\nb) Tj ET"
+    assert(texts(mini(winAnsiFont, content)) === Seq("ABCABab"))
+  }
+
+  test("TJ word-break boundary: -100 is a space, -99 is not") {
+    val content = "BT /F1 9 Tf [ (a) -100 (b) -99 (c) 250 (d) ] TJ ET"
+    assert(texts(mini(winAnsiFont, content)) === Seq("a bcd"))
+  }
+
+  test("quote operators and newline coalescing") {
+    // " takes (aw, ac, string); repeated T* between shows must not
+    // stack blank lines (the documented coalescing rule)
+    val content = "BT /F1 9 Tf (one) Tj 2 3 (two) \" T* T* (three) ' ET"
+    assert(texts(mini(winAnsiFont, content)) === Seq("one\ntwo\nthree"))
+  }
+
+  test("horizontal Td keeps the line; vertical Td breaks it") {
+    val content = "BT /F1 9 Tf (a) Tj 5 0 Td (b) Tj 0 -12 Td (c) Tj ET"
+    assert(texts(mini(winAnsiFont, content)) === Seq("ab\nc"))
+  }
+
+  test("comments and unknown graphics operators are inert") {
+    val content = "% preamble\n0.5 w 1 0 0 1 10 20 cm BT /F1 9 Tf\n" +
+      "% mid-stream comment\n(ok) Tj ET Q"
+    assert(texts(mini(winAnsiFont, content)) === Seq("ok"))
+  }
+
+  // ---- the decline envelope (faithful-or-NULL, never garble) ----------
+
+  test("Type0, MacRoman, and Differences fonts decline") {
+    val content = "BT /F1 9 Tf (abc) Tj ET"
+    val type0 =
+      "<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding /Identity-H >>"
+    val mac =
+      "<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding /MacRomanEncoding >>"
+    val diffs = "<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding " +
+      "<< /BaseEncoding /WinAnsiEncoding /Differences [ 65 /x ] >> >>"
+    assert(texts(mini(type0, content)) === null)
+    assert(texts(mini(mac, content)) === null)
+    assert(texts(mini(diffs, content)) === null)
+    // the same Encoding DICT without Differences is fine
+    val bare = "<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding " +
+      "<< /BaseEncoding /WinAnsiEncoding >> >>"
+    assert(texts(mini(bare, content)) === Seq("abc"))
+  }
+
+  test("undefined codes decline: cp1252 holes and control bytes") {
+    // 0x81 is a WinAnsi hole; 0x07 is below the defined range
+    assert(texts(mini(winAnsiFont, "BT /F1 9 Tf (ab) Tj ET")) === null)
+    assert(texts(mini(winAnsiFont, "BT /F1 9 Tf (ab) Tj ET")) === null)
+    // the WinAnsi second-code quirks DECODE (Appendix D, not cp1252):
+    // 0xA0 is space's second code, 0xAD is hyphen's
+    assert(texts(mini(winAnsiFont, "BT /F1 9 Tf (a b­c) Tj ET"))
+      === Seq("a b-c"))
+  }
+
+  test("a show with no font set declines; inline images decline") {
+    assert(texts(mini(winAnsiFont, "BT (abc) Tj ET")) === null)
+    assert(texts(mini(winAnsiFont,
+      "BT /F1 9 Tf (a) Tj BI /W 1 /H 1 ID x EI ET")) === null)
+  }
+
+  test("non-Flate content filters decline") {
+    val content = "BT /F1 9 Tf (abc) Tj ET"
+    assert(texts(mini(winAnsiFont, content, "/Filter /LZWDecode ")) === null)
+  }
+
+  test("Standard encoding: the two ASCII deviations decode as curly quotes") {
+    val font = "<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman >>"
+    // absent /Encoding → Standard: 0x60 quoteleft, 0x27 quoteright
+    val got = texts(mini(font, "BT /F1 9 Tf (`a') Tj ET"))
+    assert(got === Seq("‘a’"))
+  }
+
+  // ---- never-throw law -------------------------------------------------
+
+  test("truncations and bit flips never throw") {
+    val b = PdfTextEncode.encode(105L, 4)
+    var cut = 1
+    while (cut < b.length) {
+      PdfPageTexts.parse(java.util.Arrays.copyOf(b, cut)) // must not throw
+      cut += 7
+    }
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val m = b.clone()
+      val at = rnd.nextInt(m.length)
+      m(at) = (m(at) ^ (1 << rnd.nextInt(8))).toByte
+      PdfPageTexts.parse(m) // must not throw; null or text both fine
+    }
+  }
+}
+
+/** The registered query against its own contract: every
+  * (doc_id, page_no, page_text) row of text_pdf_extract must equal
+  * PdfTextEncode.decodedPage — the exact expression the DuckDB oracle
+  * restates, so this is the oracle differential run in-JVM. */
+class PdfTextQuerySpec extends SparkSpec {
+
+  test("text_pdf_extract rows equal the decodedPage contract at sf0.001") {
+    val rows = graft.operators.Multimodal.pdfTextQ(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (doc, page, text) = (r.getLong(0), r.getInt(1), r.getString(2))
+      assert(page < doc % 4 + 1, s"doc=$doc page=$page out of range")
+      assert(text === PdfTextEncode.decodedPage(doc, page), s"doc=$doc page=$page")
+    }
+    // the non-PDF gate rows (doc_id % 151 == 0) must be absent, and
+    // every other doc contributes exactly doc_id%4+1 pages
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keys.forall(_ % 151 != 0))
+    byDoc.foreach { case (doc, rs) =>
+      assert(rs.length === (doc % 4 + 1).toInt, s"doc=$doc page count")
+    }
+  }
+}

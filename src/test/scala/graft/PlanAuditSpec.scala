@@ -104,6 +104,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("r15 document-text queries are shuffle-free native scans") {
+    import graft.operators.Multimodal
+    // pdf: the full xref walk + page-tree traversal + content-stream
+    // interpretation inside one codegen'd projection; zip/docx: the
+    // CRC-gated extraction + XML walk likewise — posexplode and the
+    // presentation sort are the only other operators
+    for (df <- Seq(Multimodal.pdfTextQ(spark, sf),
+        Multimodal.zipExtractQ(spark, sf), Multimodal.docxIngest(spark, sf))) {
+      val plan = planOf(df)
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"doc text should only exchange for the orderBy:\n$plan")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("mapPartitions"),
+        "doc text must stay native")
+      assert(!plan.contains("Join"), s"doc text must not join:\n$plan")
+    }
+  }
+
   test("text_clean is one scan: repartition spread + presentation sort only") {
     val plan = planOf(graft.operators.TextAnalysis.clean(spark, sf))
     val exchanges = "Exchange".r.findAllIn(plan).length

@@ -133,4 +133,46 @@ class RobotsSpec extends AnyFunSuite {
     assert(!Robots.matches("", "/x"))            // empty pattern: no match
     assert(Robots.matches("/*", "/"))
   }
+
+  /** Independent-witness pin (the WARC half-compressed pattern): RFC
+    * 9309 verdicts are a function of the SELECTED group's rule SET —
+    * group order, rule order within a group, and interleaving with
+    * other agents' groups are all presentation. A seeded generator
+    * emits random rule sets; every permutation of groups and shuffle
+    * of rules must produce identical verdicts for every (agent, path)
+    * probe. A misreading that latches the first matching group or
+    * gives earlier rules precedence cannot pass this, so the fixture
+    * certifies the evaluator without a second implementation. */
+  test("verdicts are invariant under group reordering and rule shuffles") {
+    val rnd = new scala.util.Random(1234)
+    (0 until 25).foreach { trial =>
+      val agents = Seq("*", "alphabot", "betabot")
+      val dirs = Seq("/a/", "/a/ok/", "/b/", "/b/*.tmp$", "/c/deep/", "/d")
+      val groups = agents.map { a =>
+        val n = rnd.nextInt(4) + 1
+        val rules = (0 until n).map { _ =>
+          val verb = if (rnd.nextBoolean()) "Allow" else "Disallow"
+          s"$verb: ${dirs(rnd.nextInt(dirs.length))}"
+        }
+        a -> rules
+      }
+      def render(order: Seq[(String, Seq[String])], shuffleRules: Boolean): String =
+        order.map { case (a, rules) =>
+          val rs = if (shuffleRules) rnd.shuffle(rules) else rules
+          s"User-agent: $a\n" + rs.mkString("\n") + "\n"
+        }.mkString("\n")
+      val probes = for {
+        agent <- Seq("alphabot", "betabot", "otherbot")
+        path <- Seq("/a/x", "/a/ok/x", "/b/f.tmp", "/b/f.tmp.bak", "/c/deep/z", "/d", "/e")
+      } yield (agent, path)
+      val baseline = render(groups, shuffleRules = false)
+      val expected = probes.map { case (a, p) => Robots.allowed(baseline, a, p) }
+      (0 until 6).foreach { _ =>
+        val variant = render(rnd.shuffle(groups), shuffleRules = true)
+        val got = probes.map { case (a, p) => Robots.allowed(variant, a, p) }
+        assert(got === expected,
+          s"trial $trial: verdicts changed under reordering\n$baseline\n---\n$variant")
+      }
+    }
+  }
 }

