@@ -515,9 +515,13 @@ object Queries {
     "mm_zip_entries" -> (Multimodal.zipEntriesQ _),
     "mm_zip_extract" -> (Multimodal.zipExtractQ _),
     "pipeline_docx_ingest" -> (Multimodal.docxIngest _),
+    "pipeline_xlsx_ingest" -> (Multimodal.xlsxIngest _),
+    "pipeline_pptx_ingest" -> (Multimodal.pptxIngest _),
+    "pipeline_epub_ingest" -> (Multimodal.epubIngest _),
     "mm_warc_records" -> (Multimodal.warcRecordsQ _),
     "pipeline_warc_ingest" -> (Multimodal.warcIngest _),
     "pipeline_http_ingest" -> (Multimodal.warcHttpIngest _),
+    "pipeline_pdf_ingest" -> (Multimodal.warcPdfIngest _),
     "pipeline_http_charset" -> (Multimodal.httpCharsetIngest _),
     "text_robots_rules" -> (Html.robotsRules _),
     "text_sitemap_urls" -> (Html.sitemapUrls _),
@@ -1608,6 +1612,60 @@ object Queries {
        "CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS INTEGER) " +
        "END AS n_objects " +
        "FROM documents ORDER BY doc_id"),
+    // the document leg of the composed ingest: the PDF text oracle's
+    // page expression behind the WARC/HTTP/status gates â transfer
+    // framing, content coding, and WARC compression are invisible BY
+    // DESIGN, so this one oracle certifies de-chunking, gzip content
+    // decode, and the PDF walk against each other
+    "pipeline_pdf_ingest" ->
+      ("SELECT doc_id, " +
+       "'http://ex' || CAST(doc_id % 100 AS VARCHAR) || '.org/p' || CAST(doc_id % 13 AS VARCHAR) AS target_uri, " +
+       "CAST(t.i AS INTEGER) AS page_no, " +
+       "'Doc ' || CAST(doc_id AS VARCHAR) || ' (page ' || CAST(t.i + 1 AS VARCHAR) || ') ' || " +
+       "CASE WHEN doc_id % 11 = 0 THEN 'é€' ELSE 'A' END || chr(10) || " +
+       "'alpha betagamma' || chr(10) || " +
+       "CASE WHEN doc_id % 2 = 0 THEN 'café “q” – € end' " +
+       "ELSE 'caf‘q’ «g» ﬁn – end' END AS page_text " +
+       "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
+       "WHERE doc_id % 159 <> 0 AND doc_id % 19 <> 0 AND t.i < doc_id % 4 + 1 " +
+       "ORDER BY doc_id, page_no"),
+    // xlsx ingest twin: one row per cell, ordered by ref; A-cells via
+    // the REVERSED shared-string table (the index hop certified), B
+    // numeric passthrough, C inline strings on r%3==0 rows only, the
+    // styling-only D cells absent BY DESIGN
+    "pipeline_xlsx_ingest" ->
+      ("SELECT doc_id, c.col || CAST(t.r AS VARCHAR) AS ref, " +
+       "CASE c.col WHEN 'A' THEN 'Item ' || CAST(doc_id + t.r AS VARCHAR) || ' & <co>' " +
+       "WHEN 'B' THEN CAST((doc_id + 7 * t.r) % 1000 AS VARCHAR) " +
+       "ELSE 'inline ' || CAST(t.r AS VARCHAR) END AS value " +
+       "FROM documents CROSS JOIN (VALUES (1), (2), (3), (4)) AS t(r) " +
+       "CROSS JOIN (VALUES ('A'), ('B'), ('C')) AS c(col) " +
+       "WHERE doc_id % 133 <> 0 AND t.r <= doc_id % 4 + 1 " +
+       "AND (c.col <> 'C' OR t.r % 3 = 0) " +
+       "ORDER BY doc_id, ref"),
+    // pptx ingest twin: one row per slide; title paragraph + the
+    // split-run body with entities, the <a:br/> line break on
+    // alternating slides — DrawingML property blocks invisible
+    "pipeline_pptx_ingest" ->
+      ("SELECT doc_id, CAST(t.i AS INTEGER) AS slide_no, " +
+       "'Slide ' || CAST(t.i + 1 AS VARCHAR) || ' of deck ' || CAST(doc_id AS VARCHAR) || chr(10) || " +
+       "'note & <pt> k=' || CAST((doc_id + t.i + 1) % 9 AS VARCHAR) || " +
+       "CASE WHEN (doc_id + t.i + 1) % 2 = 0 THEN chr(10) || 'more' ELSE '' END AS slide_text " +
+       "FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS t(i) " +
+       "WHERE doc_id % 129 <> 0 AND t.i < doc_id % 3 + 1 " +
+       "ORDER BY doc_id, slide_no"),
+    // epub ingest twin: one row per spine chapter in READING order
+    // (the fixture's manifest is reversed BY DESIGN); the text is the
+    // HtmlText extraction of the chapter XHTML — title visible,
+    // <style> stripped, entities decoded, whitespace normalized
+    "pipeline_epub_ingest" ->
+      ("SELECT doc_id, CAST(t.i AS INTEGER) AS chapter_no, " +
+       "'c' || CAST(t.i + 1 AS VARCHAR) || ' Chapter ' || CAST(t.i + 1 AS VARCHAR) || " +
+       "' of book ' || CAST(doc_id AS VARCHAR) || ': alpha & beta ' || " +
+       "CAST((doc_id + 3 * (t.i + 1)) % 11 AS VARCHAR) || ' done' AS chapter_text " +
+       "FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS t(i) " +
+       "WHERE doc_id % 123 <> 0 AND t.i < doc_id % 3 + 1 " +
+       "ORDER BY doc_id, chapter_no"),
     // PDF text-extraction twin: one row per (doc, page); the decoded
     // page text is PdfTextEncode.decodedPage restated â line 1 with
     // its escaped parens and octal-escape 'A', line 2's TJ word-break
@@ -1618,7 +1676,8 @@ object Queries {
     // invisible BY DESIGN â one oracle certifies all the layouts
     "text_pdf_extract" ->
       ("SELECT doc_id, CAST(t.i AS INTEGER) AS page_no, " +
-       "'Doc ' || CAST(doc_id AS VARCHAR) || ' (page ' || CAST(t.i + 1 AS VARCHAR) || ') A' || chr(10) || " +
+       "'Doc ' || CAST(doc_id AS VARCHAR) || ' (page ' || CAST(t.i + 1 AS VARCHAR) || ') ' || " +
+       "CASE WHEN doc_id % 11 = 0 THEN 'é€' ELSE 'A' END || chr(10) || " +
        "'alpha betagamma' || chr(10) || " +
        "CASE WHEN doc_id % 2 = 0 THEN 'café “q” – € end' " +
        "ELSE 'caf‘q’ «g» ﬁn – end' END AS page_text " +

@@ -355,6 +355,33 @@ object Multimodal {
         // arithmetic (DocxEncode.decodedPara), restated by the oracle
         (id % 147 =!= 0, graft.plans.VectorExpressions.docxEncode(
           id.cast("long"), (id % 4 + 1).cast("int"))))
+      case "xlsx" => Seq(
+        (id % 133 === 0, encode(text.substr(1, 24), "UTF-8")),
+        // REAL xlsx archives written by the JDK (plans.XlsxEncode):
+        // 1..4 rows of shared-string / numeric / inline-string cells
+        // with the shared table in REVERSE order (the <v> index hop
+        // is load-bearing) and a styling-only cell the scan must skip
+        // — every value doc_id arithmetic (XlsxEncode.decodedCells)
+        (id % 133 =!= 0, graft.plans.VectorExpressions.xlsxEncode(
+          id.cast("long"), (id % 4 + 1).cast("int"))))
+      case "pptx" => Seq(
+        (id % 129 === 0, encode(text.substr(1, 24), "UTF-8")),
+        // REAL pptx decks written by the JDK (plans.PptxEncode): 1..3
+        // slides of DrawingML paragraphs — split runs with live
+        // entities, an <a:br/> on alternating slides, property blocks
+        // inert by the delimiter rule — every character doc_id
+        // arithmetic (PptxEncode.decodedSlide)
+        (id % 129 =!= 0, graft.plans.VectorExpressions.pptxEncode(
+          id.cast("long"), (id % 3 + 1).cast("int"))))
+      case "epub" => Seq(
+        (id % 123 === 0, encode(text.substr(1, 24), "UTF-8")),
+        // REAL EPUBs written by the JDK (plans.EpubEncode): OCF
+        // container → OPF with the manifest in REVERSE chapter order
+        // and the spine in reading order (the id→href hop and the
+        // order source both load-bearing) → XHTML chapters through
+        // the crawl stack's own HtmlText extractor
+        (id % 123 =!= 0, graft.plans.VectorExpressions.epubEncode(
+          id.cast("long"), (id % 3 + 1).cast("int"))))
       case "warchtml" => Seq(
         (id % 163 === 0, encode(text.substr(1, 24), "UTF-8")),
         // the COMPOSED-ingest corpus: each archive's response payload
@@ -364,6 +391,29 @@ object Multimodal {
         // proven text_html_extract round-trip contract
         (id % 163 =!= 0, graft.plans.VectorExpressions.warcWrap(
           id.cast("long"), id % 2 === 0, encode(Html.htmlOf, "UTF-8"))))
+      case "warcpdf" => Seq(
+        (id % 159 === 0, encode(text.substr(1, 24), "UTF-8")),
+        // the crawl's DOCUMENT leg: WARC-wrapped HTTP responses whose
+        // bodies are REAL PDFs with content streams (Common Crawl
+        // carries millions of application/pdf responses). Transfer
+        // framing (id%3) and content coding ((id/3)%4 — PDFs arrive
+        // gzip-coded too) cycle underneath; every 19th doc is a 404
+        // text/plain the ingest must route out; WARC compression
+        // alternates. All three layers are invisible in the output —
+        // ONE oracle certifies the whole WARC→HTTP→PDF→text stack
+        (id % 159 =!= 0 && id % 19 === 0, graft.plans.VectorExpressions.warcWrap(
+          id.cast("long"), id % 2 === 0,
+          graft.plans.VectorExpressions.httpWrap(
+            id.cast("long"), lit(404).cast("int"), lit("text/plain"),
+            encode(lit("gone"), "UTF-8"), (id % 3).cast("int"),
+            ((id / 3) % 4).cast("int")))),
+        (id % 159 =!= 0 && id % 19 =!= 0, graft.plans.VectorExpressions.warcWrap(
+          id.cast("long"), id % 2 === 0,
+          graft.plans.VectorExpressions.httpWrap(
+            id.cast("long"), lit(200).cast("int"), lit("application/pdf"),
+            graft.plans.VectorExpressions.pdfTextEncode(
+              id.cast("long"), (id % 4 + 1).cast("int")),
+            (id % 3).cast("int"), ((id / 3) % 4).cast("int")))))
       case "warchttp" => Seq(
         (id % 163 === 0, encode(text.substr(1, 24), "UTF-8")),
         // the FULL authentic crawl stack: WARC response payloads are
@@ -613,8 +663,8 @@ object Multimodal {
     Seq("img", "audio", "bmp", "media", "gif", "png", "gifpx", "gifanim",
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
       "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "avif",
-      "gzip", "pdf", "pdftext", "warc", "warchtml", "warchttp", "httplegacy",
-      "zip", "docx", "mixed")
+      "gzip", "pdf", "pdftext", "warc", "warchtml", "warchttp", "warcpdf",
+      "httplegacy", "zip", "docx", "xlsx", "pptx", "epub", "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -1175,6 +1225,39 @@ object Multimodal {
         col("col").as("para"))
       .orderBy(col("doc_id"), col("para_idx"))
 
+  /** The spreadsheet ingest: xlsx → CRC-gated extraction of the sheet
+    * grid AND the shared string table → the SpreadsheetML cell walk
+    * (index hop, rich-text runs, inline strings, numeric passthrough)
+    * → one row per cell. Same single-scan shape as the docx hop. */
+  def xlsxIngest(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "xlsx")
+      .select(col("doc_id"), posexplode(
+        graft.plans.VectorExpressions.xlsxCells(col("xlsx"))))
+      .select(col("doc_id"), col("col.ref").as("ref"),
+        col("col.value").as("value"))
+      .orderBy(col("doc_id"), col("ref"))
+
+  /** The presentation ingest: pptx → per-slide CRC-gated extraction →
+    * the DrawingML paragraph/run walk → one row per slide. */
+  def pptxIngest(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "pptx")
+      .select(col("doc_id"), posexplode(
+        graft.plans.VectorExpressions.pptxSlides(col("pptx"))))
+      .select(col("doc_id"), col("pos").cast("int").as("slide_no"),
+        col("col").as("slide_text"))
+      .orderBy(col("doc_id"), col("slide_no"))
+
+  /** The ebook ingest: EPUB → OCF container → OPF manifest/spine →
+    * XHTML chapters in READING order → the crawl stack's HtmlText
+    * extractor — one row per chapter, one codegen'd scan. */
+  def epubIngest(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "epub")
+      .select(col("doc_id"), posexplode(
+        graft.plans.VectorExpressions.epubChapters(col("epub"))))
+      .select(col("doc_id"), col("pos").cast("int").as("chapter_no"),
+        col("col").as("chapter_text"))
+      .orderBy(col("doc_id"), col("chapter_no"))
+
   /** Gzip member triage: header fields, trailer validation verdict,
     * and member count per doc (NULL for the non-gzip rows) — the
     * envelope pass a crawl pipeline runs before anything else (WARC
@@ -1245,6 +1328,29 @@ object Multimodal {
           graft.plans.VectorExpressions.httpText(
             col("h.body"), col("h.charset"))).as("extracted"))
       .orderBy(col("doc_id"))
+
+  /** The crawl's DOCUMENT leg, end to end: WARC record split → gzip
+    * member walk (compressed WARCs) → HTTP de-framing + content
+    * decoding (chunked and gzip-coded PDFs alike) → status/type
+    * routing → the full PDF text tier (xref walk, page tree, content
+    * streams, Appendix D decode), one row per page. The whole stack
+    * is ONE shuffle-free codegen'd scan — at 100 TB this is a
+    * map-only pass over raw crawl archives whose output feeds the
+    * text pipeline directly. */
+  def warcPdfIngest(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "warcpdf")
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.warcResponse(col("warcpdf")).as("w"))
+      .filter(col("w").isNotNull)
+      .select(col("doc_id"), col("w.target_uri").as("target_uri"),
+        graft.plans.VectorExpressions.httpBody(col("w.payload")).as("h"))
+      .filter(col("h").isNotNull &&
+        col("h.status") === 200 && col("h.content_type") === "application/pdf")
+      .select(col("doc_id"), col("target_uri"), posexplode(
+        graft.plans.VectorExpressions.pdfPageTexts(col("h.body"))))
+      .select(col("doc_id"), col("target_uri"),
+        col("pos").cast("int").as("page_no"), col("col").as("page_text"))
+      .orderBy(col("doc_id"), col("page_no"))
 
   /** The charset leg of the ingest stack: raw HTTP messages over the
     * legacy-European corpus ([[fixtureSlices]] `httplegacy`) → triage

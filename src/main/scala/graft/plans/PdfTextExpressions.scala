@@ -38,15 +38,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Character decode is through the page font's SIMPLE encoding
   * (Appendix D tables, transcribed below): /WinAnsiEncoding,
-  * /StandardEncoding, or an absent /Encoding (Standard — the
-  * non-symbolic Type1 default). The mojibake-never law from the HTTP
-  * text tier applies: a code the encoding leaves UNDEFINED, a font
-  * this tier cannot decode faithfully (/Type0 CID fonts,
-  * /MacRomanEncoding, an /Encoding dict carrying /Differences), an
-  * encrypted file, an inline image (BI — its raw payload would
-  * desynchronize any token walk), or a non-Flate stream filter all
-  * DECLINE the document (NULL) rather than emit wrong text. These are
-  * the recorded envelope; each is a later tier, none is ever garbled.
+  * /StandardEncoding, an absent /Encoding (Standard — the
+  * non-symbolic Type1 default), or an /Encoding DICT with
+  * /BaseEncoding and /Differences — the §9.6.5 per-code overrides
+  * resolved through an Adobe-Glyph-List-convention name map (ASCII +
+  * Latin-1 + the publishing set + the algorithmic uniXXXX/uXXXX
+  * forms). The mojibake-never law from the HTTP text tier applies: a
+  * code the encoding leaves UNDEFINED, a glyph NAME outside the map,
+  * a font this tier cannot decode faithfully (/Type0 CID fonts,
+  * /MacRomanEncoding), an encrypted file, an inline image (BI — its
+  * raw payload would desynchronize any token walk), or a non-Flate
+  * stream filter all DECLINE the document (NULL) rather than emit
+  * wrong text. These are the recorded envelope; each is a later
+  * tier, none is ever garbled.
   *
   * Parse-or-NULL bounds throughout: object parse depth 16, 4096
   * array elements / 256 dict pairs / 64 KiB strings, 2048 page-tree
@@ -474,6 +478,94 @@ object PdfPageTexts {
     t
   }
 
+  /** Glyph-name → character map for /Differences (the Adobe Glyph
+    * List conventions): ASCII names, letters as their own names, the
+    * Latin-1 accented set, the Appendix D publishing set, and the
+    * algorithmic uniXXXX / uXXXX forms. A name outside all of these
+    * DECLINES the document — faithful-or-NULL, never a guessed
+    * glyph. */
+  private[plans] val GlyphNames: Map[String, Char] = {
+    val ascii = Seq(
+      "space" -> ' ', "exclam" -> '!', "quotedbl" -> '"',
+      "numbersign" -> '#', "dollar" -> '$', "percent" -> '%',
+      "ampersand" -> '&', "quotesingle" -> '\'', "parenleft" -> '(',
+      "parenright" -> ')', "asterisk" -> '*', "plus" -> '+',
+      "comma" -> ',', "hyphen" -> '-', "period" -> '.', "slash" -> '/',
+      "colon" -> ':', "semicolon" -> ';', "less" -> '<', "equal" -> '=',
+      "greater" -> '>', "question" -> '?', "at" -> '@',
+      "bracketleft" -> '[', "backslash" -> '\\', "bracketright" -> ']',
+      "asciicircum" -> '^', "underscore" -> '_', "grave" -> '`',
+      "braceleft" -> '{', "bar" -> '|', "braceright" -> '}',
+      "asciitilde" -> '~')
+    val letters = (('A' to 'Z') ++ ('a' to 'z')).map(c => c.toString -> c)
+    val digits = Seq("zero", "one", "two", "three", "four", "five",
+      "six", "seven", "eight", "nine").zipWithIndex
+      .map { case (n, i) => n -> ('0' + i).toChar }
+    val latin1 = Seq(
+      "exclamdown" -> '¡', "cent" -> '¢', "sterling" -> '£',
+      "currency" -> '¤', "yen" -> '¥', "brokenbar" -> '¦',
+      "section" -> '§', "dieresis" -> '¨', "copyright" -> '©',
+      "ordfeminine" -> 'ª', "guillemotleft" -> '«', "logicalnot" -> '¬',
+      "registered" -> '®', "macron" -> '¯', "degree" -> '°',
+      "plusminus" -> '±', "acute" -> '´', "mu" -> 'µ',
+      "paragraph" -> '¶', "periodcentered" -> '·', "cedilla" -> '¸',
+      "ordmasculine" -> 'º', "guillemotright" -> '»',
+      "onequarter" -> '¼', "onehalf" -> '½', "threequarters" -> '¾',
+      "questiondown" -> '¿',
+      "Agrave" -> 'À', "Aacute" -> 'Á', "Acircumflex" -> 'Â',
+      "Atilde" -> 'Ã', "Adieresis" -> 'Ä', "Aring" -> 'Å', "AE" -> 'Æ',
+      "Ccedilla" -> 'Ç', "Egrave" -> 'È', "Eacute" -> 'É',
+      "Ecircumflex" -> 'Ê', "Edieresis" -> 'Ë', "Igrave" -> 'Ì',
+      "Iacute" -> 'Í', "Icircumflex" -> 'Î', "Idieresis" -> 'Ï',
+      "Eth" -> 'Ð', "Ntilde" -> 'Ñ', "Ograve" -> 'Ò', "Oacute" -> 'Ó',
+      "Ocircumflex" -> 'Ô', "Otilde" -> 'Õ', "Odieresis" -> 'Ö',
+      "multiply" -> '×', "Oslash" -> 'Ø', "Ugrave" -> 'Ù',
+      "Uacute" -> 'Ú', "Ucircumflex" -> 'Û', "Udieresis" -> 'Ü',
+      "Yacute" -> 'Ý', "Thorn" -> 'Þ', "germandbls" -> 'ß',
+      "agrave" -> 'à', "aacute" -> 'á', "acircumflex" -> 'â',
+      "atilde" -> 'ã', "adieresis" -> 'ä', "aring" -> 'å', "ae" -> 'æ',
+      "ccedilla" -> 'ç', "egrave" -> 'è', "eacute" -> 'é',
+      "ecircumflex" -> 'ê', "edieresis" -> 'ë', "igrave" -> 'ì',
+      "iacute" -> 'í', "icircumflex" -> 'î', "idieresis" -> 'ï',
+      "eth" -> 'ð', "ntilde" -> 'ñ', "ograve" -> 'ò', "oacute" -> 'ó',
+      "ocircumflex" -> 'ô', "otilde" -> 'õ', "odieresis" -> 'ö',
+      "divide" -> '÷', "oslash" -> 'ø', "ugrave" -> 'ù',
+      "uacute" -> 'ú', "ucircumflex" -> 'û', "udieresis" -> 'ü',
+      "yacute" -> 'ý', "thorn" -> 'þ', "ydieresis" -> 'ÿ')
+    val publishing = Seq(
+      "quoteleft" -> '‘', "quoteright" -> '’', "quotedblleft" -> '“',
+      "quotedblright" -> '”', "quotesinglbase" -> '‚',
+      "quotedblbase" -> '„', "dagger" -> '†', "daggerdbl" -> '‡',
+      "bullet" -> '•', "ellipsis" -> '…', "perthousand" -> '‰',
+      "guilsinglleft" -> '‹', "guilsinglright" -> '›',
+      "endash" -> '–', "emdash" -> '—', "trademark" -> '™',
+      "Euro" -> '€', "florin" -> 'ƒ', "circumflex" -> 'ˆ',
+      "tilde" -> '˜', "Scaron" -> 'Š', "scaron" -> 'š',
+      "Zcaron" -> 'Ž', "zcaron" -> 'ž', "OE" -> 'Œ', "oe" -> 'œ',
+      "Ydieresis" -> 'Ÿ', "fi" -> 'ﬁ', "fl" -> 'ﬂ', "fraction" -> '⁄',
+      "dotlessi" -> 'ı', "Lslash" -> 'Ł', "lslash" -> 'ł',
+      "breve" -> '˘', "dotaccent" -> '˙', "ring" -> '˚',
+      "ogonek" -> '˛', "caron" -> 'ˇ', "hungarumlaut" -> '˝')
+    (ascii ++ letters ++ digits ++ latin1 ++ publishing).toMap
+  }
+
+  private def glyphChar(name: String): Char =
+    GlyphNames.getOrElse(name, {
+      // AGL algorithmic forms: uniXXXX (exactly 4 hex) / uXXXX-uXXXXXX
+      val hex =
+        if (name.startsWith("uni") && name.length == 7) name.substring(3)
+        else if (name.startsWith("u") && name.length >= 5 && name.length <= 7)
+          name.substring(1)
+        else decline()
+      if (!hex.forall(c => Character.digit(c, 16) >= 0)) decline()
+      val cp = Integer.parseInt(hex, 16)
+      // BMP, printable, not a surrogate — outside that, decline (the
+      // Char tables cannot carry supplementary planes faithfully)
+      if (cp < 0x20 || cp > 0xFFFF || (cp >= 0xD800 && cp <= 0xDFFF))
+        decline()
+      cp.toChar
+    })
+
   /** The simple-encoding table for one font object, or decline. */
   private def fontTable(r: Resolver, font: PObj): Array[Char] = {
     val dict = r(font) match { case PDict(m) => m; case _ => decline() }
@@ -486,11 +578,32 @@ object PdfPageTexts {
       case PName("WinAnsiEncoding") => WinAnsi
       case PName("StandardEncoding") => Standard
       case PDict(enc) =>
-        if (enc.contains("Differences")) decline() // faithful-or-decline
-        enc.get("BaseEncoding") match {
+        val base = enc.get("BaseEncoding") match {
           case Some(PName("WinAnsiEncoding")) => WinAnsi
           case Some(PName("StandardEncoding")) | None => Standard
           case _ => decline()
+        }
+        enc.get("Differences") match {
+          case None => base
+          case Some(dref) => r(dref) match {
+            case PArr(elems) =>
+              // §9.6.5: an integer sets the next code, each following
+              // name claims consecutive codes
+              val t = base.clone()
+              var code = -1
+              elems.foreach {
+                case PNum(n) =>
+                  if (n < 0 || n > 255 || n != math.floor(n)) decline()
+                  code = n.toInt
+                case PName(g) =>
+                  if (code < 0 || code > 255) decline()
+                  t(code) = glyphChar(g)
+                  code += 1
+                case _ => decline()
+              }
+              t
+            case _ => decline()
+          }
         }
       case _ => decline() // MacRoman/MacExpert/symbolic: envelope
     }
@@ -672,6 +785,10 @@ object PdfPageTexts {
   *  - seed%5==0: an INTERMEDIATE /Pages node splits the kids and
   *    /Resources lives on the page-tree ROOT only (inheritance);
   *  - seed%7==0: /Contents is an ARRAY of two streams split mid-page;
+  *  - seed%11==0: the /Encoding DICT form with /Differences remapping
+  *    codes 65/66 to /eacute + /uni20AC (named AND algorithmic glyph
+  *    resolution, plus the consecutive-codes rule), so line 1's tail
+  *    decodes "é€" instead of "A";
   *  - every page: escaped parens + an octal escape in line 1, a TJ
   *    array whose -250 gap is a word break and -40 is not, and a '
   *    (move-show) for line 3. */
@@ -724,13 +841,17 @@ object PdfTextEncode {
     else "caf`q' «g» ®n ± end" // ‘ ’ « » ﬁ –
 
   /** What [[PdfPageTexts]] must decode page p (0-based) to — the
-    * oracle's contract, kept next to the encoder that implies it. */
+    * oracle's contract, kept next to the encoder that implies it.
+    * seed%11==0 docs carry a /Differences encoding remapping codes
+    * 65/66 ('A'/'B') to eacute and uni20AC, so their line-1 tail
+    * decodes "é€" where plain docs show "A". */
   def decodedPage(seed: Long, p: Int): String = {
     val winAnsi = seed % 2 == 0
     val line3 =
       if (winAnsi) "café “q” – € end"
       else "caf‘q’ «g» ﬁn – end"
-    s"Doc $seed (page ${p + 1}) A\nalpha betagamma\n$line3"
+    val tail = if (seed % 11 == 0) "é€" else "A"
+    s"Doc $seed (page ${p + 1}) $tail\nalpha betagamma\n$line3"
   }
 
   def encode(seed: Long, nPages: Int): Array[Byte] = {
@@ -739,6 +860,7 @@ object PdfTextEncode {
     val flated = seed % 3 == 0
     val treed = seed % 5 == 0
     val splitContents = seed % 7 == 0
+    val diffs = seed % 11 == 0
 
     val sb = new StringBuilder()
     sb.append("%PDF-1.6\n%")
@@ -761,9 +883,12 @@ object PdfTextEncode {
         bin(data) + "\nendstream")
     }
 
-    // content stream SOURCE per page, split point after line 2's TJ
+    // content stream SOURCE per page, split point after line 2's TJ;
+    // the line-1 tail is \101 ('A') — or \101\102 on Differences docs,
+    // whose encoding remaps those codes to eacute + uni20AC
     def contentA(p: Int): String =
-      s"BT /F1 12 Tf 72 720 Td (Doc $seed \\(page ${p + 1}\\) \\101) Tj " +
+      s"BT /F1 12 Tf 72 720 Td (Doc $seed \\(page ${p + 1}\\) \\101" +
+        (if (diffs) "\\102" else "") + ") Tj " +
         "0 -14 TD [(alpha) -250 (beta) -40 (gamma)] TJ "
     def contentB(): String =
       s"(${line3Bytes(winAnsi)}) ' ET"
@@ -772,7 +897,14 @@ object PdfTextEncode {
     // intermediate nodes], then per page: Page, content stream(s)
     val fontBody = {
       val enc =
-        if (winAnsi) " /Encoding /WinAnsiEncoding"
+        if (diffs)
+          // the §9.6.5 dict form: 65 -> eacute, then uni20AC claims 66
+          // (the consecutive-codes rule); BaseEncoding rides when the
+          // doc is a WinAnsi one, absent -> Standard otherwise
+          " /Encoding << " +
+            (if (winAnsi) "/BaseEncoding /WinAnsiEncoding " else "") +
+            "/Differences [ 65 /eacute /uni20AC ] >>"
+        else if (winAnsi) " /Encoding /WinAnsiEncoding"
         else if (seed % 4 == 1) " /Encoding /StandardEncoding"
         else "" // absent /Encoding: the Standard default path
       s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica$enc >>"

@@ -528,6 +528,18 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_docx_encode", exprs => DocxEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_xlsx_cells", exprs => XlsxCells(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_xlsx_encode", exprs => XlsxEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pptx_slides", exprs => PptxSlides(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pptx_encode", exprs => PptxEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_epub_chapters", exprs => EpubChapters(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_epub_encode", exprs => EpubEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sitemap_urls", exprs => SitemapUrls(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_robots_rules", exprs => RobotsRules(exprs(0)), "scala_udf")
@@ -751,6 +763,48 @@ object VectorExpressions {
   def docxEncode(seed: Column, nParas: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_docx_encode", seed, nParas)
+  }
+
+  /** xlsx cell extraction (plans.XlsxCells), column form; same
+    * registration precondition. */
+  def xlsxCells(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_xlsx_cells", c)
+  }
+
+  /** xlsx fixture encoder (plans.XlsxEncode), column form; same
+    * registration precondition. */
+  def xlsxEncode(seed: Column, nRows: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_xlsx_encode", seed, nRows)
+  }
+
+  /** pptx slide texts (plans.PptxSlides), column form; same
+    * registration precondition. */
+  def pptxSlides(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_pptx_slides", c)
+  }
+
+  /** pptx fixture encoder (plans.PptxEncode), column form; same
+    * registration precondition. */
+  def pptxEncode(seed: Column, nSlides: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_pptx_encode", seed, nSlides)
+  }
+
+  /** EPUB chapter texts (plans.EpubChapters), column form; same
+    * registration precondition. */
+  def epubChapters(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_epub_chapters", c)
+  }
+
+  /** EPUB fixture encoder (plans.EpubEncode), column form; same
+    * registration precondition. */
+  def epubEncode(seed: Column, nChapters: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_epub_encode", seed, nChapters)
   }
 
   /** sitemap.xml entry list (plans.SitemapUrls), column form; same

@@ -369,8 +369,9 @@ object DocxText {
 
   private val MaxParas = 8192
 
-  /** The five named entities + decimal/hex character references. */
-  private def decodeEntities(s: String): String = {
+  /** The five named entities + decimal/hex character references.
+    * Shared with the xlsx tier (same machine-generated-XML family). */
+  private[plans] def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0

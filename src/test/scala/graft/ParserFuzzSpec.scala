@@ -54,7 +54,15 @@ class ParserFuzzSpec extends AnyFunSuite {
     "HttpTextCp1252" -> ((b: Array[Byte]) =>
       graft.plans.HttpText.decode(b, "windows-1252")),
     "SitemapUrls" -> ((b: Array[Byte]) =>
-      graft.plans.Sitemap.parse(new String(b, "ISO-8859-1"))))
+      graft.plans.Sitemap.parse(new String(b, "ISO-8859-1"))),
+    // the r15 document-text tier: the PDF content-stream walk and the
+    // ZIP-of-XML family (extraction + tag scans behind the CRC gate)
+    "PdfPageTexts" -> (graft.plans.PdfPageTexts.parse(_)),
+    "ZipExtract" -> (graft.plans.ZipExtract.extract(_, "e0.txt")),
+    "DocxText" -> (graft.plans.DocxText.parse(_)),
+    "XlsxCells" -> (graft.plans.XlsxCells.parse(_)),
+    "PptxSlides" -> (graft.plans.PptxSlides.parse(_)),
+    "EpubChapters" -> (graft.plans.EpubChapters.parse(_)))
 
   // magic prefixes steer the fuzz into each format's deep parse path
   private val prefixes: Seq[Array[Byte]] = Seq(
@@ -236,12 +244,26 @@ class ParserFuzzSpec extends AnyFunSuite {
       graft.plans.ZipEncode.encode(77L, 3, false),
       graft.plans.ZipEncode.encode(78L, 6, true))
     fullZips.foreach(f => assert(graft.plans.ZipEntries.parse(f) != null))
+    // REAL document-text fixtures: corruptions land in content
+    // streams, xref offsets, OPC part XML, and the OPF indirection
+    val fullDocs = Seq(
+      graft.plans.PdfTextEncode.encode(77L, 3),
+      graft.plans.PdfTextEncode.encode(105L, 2), // Flate+tree+split stack
+      graft.plans.DocxEncode.encode(77L, 3),
+      graft.plans.XlsxEncode.encode(77L, 4),
+      graft.plans.PptxEncode.encode(77L, 3),
+      graft.plans.EpubEncode.encode(77L, 3))
+    assert(graft.plans.PdfPageTexts.parse(fullDocs(0)) != null)
+    assert(graft.plans.DocxText.parse(fullDocs(2)) != null)
+    assert(graft.plans.XlsxCells.parse(fullDocs(3)) != null)
+    assert(graft.plans.PptxSlides.parse(fullDocs(4)) != null)
+    assert(graft.plans.EpubChapters.parse(fullDocs(5)) != null)
     val rnd = new scala.util.Random(0xF00D)
     for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif, fullJpeg,
         fullJpegColor, fullJpegLossless, fullJpeg12, fullAvi, fullWav, fullFloat,
         fullFlac, fullMp3) ++
         fullExifs ++ fullG711s ++ fullMp4s ++ fullTiffs ++ fullGzips ++
-        fullPdfs ++ fullWarcs ++ fullHttps ++ fullZips;
+        fullPdfs ++ fullWarcs ++ fullHttps ++ fullZips ++ fullDocs;
         _ <- 0 until 800) {
       val truncated = f.take(rnd.nextInt(f.length + 1))
       val corrupted = f.clone()

@@ -9,7 +9,8 @@ import graft.plans.{PdfEncode, PdfPageTexts, PdfTextEncode}
   * contract), the §7.3 string grammar (hex strings, octal escapes,
   * line folds), the text-operator semantics (TJ word-break boundary,
   * ", T* newline coalescing, horizontal Td), the decline envelope
-  * (Type0 / MacRoman / Differences fonts, undefined codes, inline
+  * (Type0 / MacRoman fonts, unknown Differences glyphs, undefined
+  * codes, inline
   * images, non-Flate filters, encryption), and the never-throw law
   * over truncations and bit flips. */
 class PdfTextSpec extends AnyFunSuite {
@@ -25,9 +26,11 @@ class PdfTextSpec extends AnyFunSuite {
   test("fixture round trips: decoded text is decodedPage across the grid") {
     // seeds land every variant: evens WinAnsi, odds Standard (explicit
     // %4==1 / absent %4==3), %3==0 Flate, %5==0 tree+inheritance,
-    // %7==0 split /Contents; 105 = 3*5*7 stacks them all
-    for (seed <- Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L, 9L, 10L, 14L, 15L, 21L,
-           35L, 70L, 105L, 4242L); pages <- Seq(1, 2, 4)) {
+    // %7==0 split /Contents, %11==0 the /Differences dict form;
+    // 105 = 3*5*7 and 2310 = 2*3*5*7*11 stack them
+    for (seed <- Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L, 9L, 10L, 11L, 14L, 15L,
+           21L, 22L, 33L, 35L, 55L, 70L, 77L, 105L, 110L, 2310L, 4242L);
+         pages <- Seq(1, 2, 4)) {
       val b = PdfTextEncode.encode(seed, pages)
       val got = texts(b)
       assert(got != null, s"seed=$seed pages=$pages declined")
@@ -115,17 +118,29 @@ class PdfTextSpec extends AnyFunSuite {
 
   // ---- the decline envelope (faithful-or-NULL, never garble) ----------
 
-  test("Type0, MacRoman, and Differences fonts decline") {
+  test("Type0 and MacRoman decline; Differences decodes or declines by name") {
     val content = "BT /F1 9 Tf (abc) Tj ET"
     val type0 =
       "<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding /Identity-H >>"
     val mac =
       "<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding /MacRomanEncoding >>"
-    val diffs = "<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding " +
-      "<< /BaseEncoding /WinAnsiEncoding /Differences [ 65 /x ] >> >>"
     assert(texts(mini(type0, content)) === null)
     assert(texts(mini(mac, content)) === null)
-    assert(texts(mini(diffs, content)) === null)
+    // Differences with KNOWN names decodes faithfully: a named glyph,
+    // the consecutive-codes rule (quoteright claims 98 right after
+    // eacute's 97), and the algorithmic uniXXXX form at 99
+    val known = "<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding " +
+      "<< /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [ 97 /eacute /quoteright 99 /uni20AC ] >> >>"
+    assert(texts(mini(known, content)) === Seq("é’€"))
+    // an UNKNOWN glyph name declines the document, never guesses
+    val unknown = "<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding " +
+      "<< /BaseEncoding /WinAnsiEncoding /Differences [ 97 /notaglyph ] >> >>"
+    assert(texts(mini(unknown, content)) === null)
+    // so does a surrogate uniXXXX (no faithful Char for it)
+    val surrogate = "<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding " +
+      "<< /Differences [ 97 /uniD800 ] >> >>"
+    assert(texts(mini(surrogate, content)) === null)
     // the same Encoding DICT without Differences is fine
     val bare = "<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding " +
       "<< /BaseEncoding /WinAnsiEncoding >> >>"

@@ -171,3 +171,167 @@ class ZipExtractSpec extends AnyFunSuite {
     }
   }
 }
+
+/** xlsx cell extraction (plans.XlsxCells): the shared-string index
+  * hop, rich-text runs, inline strings, numeric passthrough, the
+  * skip-vs-decline boundary, and the JDK-writer differential. */
+class XlsxSpec extends AnyFunSuite {
+
+  import graft.plans.{XlsxCells, XlsxEncode}
+
+  private def cells(b: Array[Byte]): Seq[(String, String)] = {
+    val arr = XlsxCells.parse(b)
+    if (arr == null) null
+    else (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 2)
+      (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+    }
+  }
+
+  test("fixture round trip: cells equal the decodedCells contract") {
+    for (seed <- Seq(0L, 1L, 2L, 3L, 5L, 6L, 17L, 4242L); n <- Seq(1, 2, 3, 4)) {
+      val got = cells(XlsxEncode.encode(seed, n))
+      assert(got != null, s"seed=$seed n=$n")
+      assert(got === XlsxEncode.decodedCells(seed, n), s"seed=$seed n=$n")
+    }
+  }
+
+  private def wrap(parts: (String, String)*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    try parts.foreach { case (n, body) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(n))
+      z.write(body.getBytes("UTF-8"))
+      z.closeEntry()
+    } finally z.close()
+    bos.toByteArray
+  }
+
+  test("skip vs decline: empty cells skip, bad indices and types decline") {
+    val sst = "<sst><si><t>only</t></si></sst>"
+    def sheet(cellsXml: String) =
+      s"<worksheet><sheetData><row r=\"1\">$cellsXml</row></sheetData></worksheet>"
+    def doc(cellsXml: String) = wrap(
+      "xl/sharedStrings.xml" -> sst,
+      "xl/worksheets/sheet1.xml" -> sheet(cellsXml))
+    // value-less and self-closing cells skip; good index resolves
+    assert(cells(doc("<c r=\"A1\" t=\"s\"><v>0</v></c><c r=\"B1\" s=\"2\"/>" +
+      "<c r=\"C1\" t=\"s\"></c>")) === Seq("A1" -> "only"))
+    // an out-of-range shared index is corruption: the DOC declines
+    assert(cells(doc("<c r=\"A1\" t=\"s\"><v>7</v></c>")) === null)
+    // an unsupported cell type declines (error cells, booleans)
+    assert(cells(doc("<c r=\"A1\" t=\"e\"><v>#DIV/0!</v></c>")) === null)
+    // a formula-string cell decodes its entities
+    assert(cells(doc("<c r=\"A1\" t=\"str\"><v>a &amp; b</v></c>"))
+      === Seq("A1" -> "a & b"))
+    // no sheet part at all -> null; a sheet with no shared table but
+    // only numeric cells is fine
+    assert(cells(wrap("other.xml" -> "x")) === null)
+    assert(cells(wrap("xl/worksheets/sheet1.xml" ->
+      sheet("<c r=\"A1\"><v>42</v></c>"))) === Seq("A1" -> "42"))
+  }
+
+  test("truncations never throw (xlsx)") {
+    val b = XlsxEncode.encode(23L, 4)
+    var cut = 1
+    while (cut < b.length) {
+      XlsxCells.parse(java.util.Arrays.copyOf(b, cut))
+      cut += 7
+    }
+  }
+}
+
+/** pptx slide extraction + EPUB chapter extraction: the remaining
+  * ZIP-of-XML family members — JDK-written fixtures, order contracts
+  * (slide numbering, spine-over-manifest), and decline envelopes. */
+class PptxEpubSpec extends AnyFunSuite {
+
+  import graft.plans.{PptxSlides, PptxEncode, EpubChapters, EpubEncode}
+
+  private def arr(g: org.apache.spark.sql.catalyst.util.GenericArrayData): Seq[String] =
+    if (g == null) null
+    else (0 until g.numElements()).map(i => g.getUTF8String(i).toString)
+
+  test("pptx round trip: slides decode to the decodedSlide contract, in order") {
+    for (seed <- Seq(0L, 1L, 2L, 3L, 7L, 12L, 4242L); n <- Seq(1, 2, 3)) {
+      val got = arr(PptxSlides.parse(PptxEncode.encode(seed, n)))
+      assert(got != null, s"seed=$seed n=$n")
+      assert(got === (1 to n).map(PptxEncode.decodedSlide(seed, _)), s"seed=$seed n=$n")
+    }
+  }
+
+  test("epub round trip: chapters come out in SPINE order despite the reversed manifest") {
+    for (seed <- Seq(0L, 1L, 2L, 3L, 7L, 12L, 4242L); n <- Seq(1, 2, 3)) {
+      val got = arr(EpubChapters.parse(EpubEncode.encode(seed, n)))
+      assert(got != null, s"seed=$seed n=$n")
+      assert(got === (1 to n).map(EpubEncode.decodedChapter(seed, _)), s"seed=$seed n=$n")
+    }
+  }
+
+  private def wrap(parts: (String, String)*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    try parts.foreach { case (n, body) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(n))
+      z.write(body.getBytes("UTF-8"))
+      z.closeEntry()
+    } finally z.close()
+    bos.toByteArray
+  }
+
+  test("epub declines: dangling idref, non-xhtml spine item, climbing href, no spine") {
+    val container = "<container><rootfiles>" +
+      "<rootfile full-path=\"OEBPS/content.opf\"/></rootfiles></container>"
+    def opf(manifest: String, spine: String) =
+      s"<package><manifest>$manifest</manifest><spine>$spine</spine></package>"
+    val ch = "<html><body>x</body></html>"
+    // dangling idref
+    assert(EpubChapters.parse(wrap(
+      "META-INF/container.xml" -> container,
+      "OEBPS/content.opf" -> opf("", "<itemref idref=\"ghost\"/>"),
+      "OEBPS/ch1.xhtml" -> ch)) === null)
+    // spine item that is not xhtml (fixed-layout image tier)
+    assert(EpubChapters.parse(wrap(
+      "META-INF/container.xml" -> container,
+      "OEBPS/content.opf" -> opf(
+        "<item id=\"c1\" href=\"cover.png\" media-type=\"image/png\"/>",
+        "<itemref idref=\"c1\"/>"),
+      "OEBPS/cover.png" -> "PNG")) === null)
+    // an href climbing out of the OPF directory is never resolved
+    assert(EpubChapters.parse(wrap(
+      "META-INF/container.xml" -> container,
+      "OEBPS/content.opf" -> opf(
+        "<item id=\"c1\" href=\"../secret.xhtml\" media-type=\"application/xhtml+xml\"/>",
+        "<itemref idref=\"c1\"/>"),
+      "secret.xhtml" -> ch)) === null)
+    // an empty spine is not a book
+    assert(EpubChapters.parse(wrap(
+      "META-INF/container.xml" -> container,
+      "OEBPS/content.opf" -> opf(
+        "<item id=\"c1\" href=\"ch1.xhtml\" media-type=\"application/xhtml+xml\"/>", ""),
+      "OEBPS/ch1.xhtml" -> ch)) === null)
+    // and the happy path over the same handcrafted parts works
+    assert(arr(EpubChapters.parse(wrap(
+      "META-INF/container.xml" -> container,
+      "OEBPS/content.opf" -> opf(
+        "<item id=\"c1\" href=\"ch1.xhtml\" media-type=\"application/xhtml+xml\"/>",
+        "<itemref idref=\"c1\"/>"),
+      "OEBPS/ch1.xhtml" -> ch))) === Seq("x"))
+  }
+
+  test("pptx declines: a deck with no slide parts; empty slides are kept") {
+    assert(PptxSlides.parse(wrap("ppt/presentation.xml" -> "<p:presentation/>")) === null)
+    // a slide with no <a:p> at all contributes an empty string
+    assert(arr(PptxSlides.parse(wrap(
+      "ppt/slides/slide1.xml" -> "<p:sld><p:cSld/></p:sld>"))) === Seq(""))
+  }
+
+  test("truncations never throw (pptx + epub)") {
+    val p = PptxEncode.encode(9L, 3)
+    val e = EpubEncode.encode(9L, 3)
+    var cut = 1
+    while (cut < p.length) { PptxSlides.parse(java.util.Arrays.copyOf(p, cut)); cut += 7 }
+    cut = 1
+    while (cut < e.length) { EpubChapters.parse(java.util.Arrays.copyOf(e, cut)); cut += 7 }
+  }
+}
