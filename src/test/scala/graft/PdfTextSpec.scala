@@ -175,6 +175,33 @@ class PdfTextSpec extends AnyFunSuite {
     assert(got === Seq("‘a’"))
   }
 
+  test("incremental updates shadow content streams in the TEXT path") {
+    // append a replacement for page 1's content stream + an xref
+    // section covering it with /Prev → the original table: the spec's
+    // newest-section-wins rule must serve the NEW text (a stale read
+    // here would silently extract superseded content)
+    val seed = 9L // odd, %3!=0, %5!=0, %7!=0: plain single-stream pages
+    val base = new String(PdfTextEncode.encode(seed, 2), "ISO-8859-1")
+    val baseXref = base.indexOf("\nxref\n") + 1
+    // object numbering (no tree, no split): 1 catalog, 2 pages, 3
+    // font, 4 page1, 5 content1, 6 page2, 7 content2
+    val newContent = "BT /F1 12 Tf 72 720 Td (Replaced!) Tj ET"
+    val sb = new StringBuilder(base)
+    val objAt = sb.length
+    sb.append(s"5 0 obj\n<< /Length ${newContent.length} >>\nstream\n" +
+      newContent + "\nendstream\nendobj\n")
+    val xrefAt = sb.length
+    sb.append("xref\n5 1\n")
+    sb.append(f"$objAt%010d 00000 n \n")
+    sb.append(s"trailer\n<< /Size 9 /Root 1 0 R /Prev $baseXref >>\n")
+    sb.append(s"startxref\n$xrefAt\n%%EOF\n")
+    val updated = sb.toString.getBytes("ISO-8859-1")
+    val got = texts(updated)
+    assert(got != null)
+    assert(got === Seq("Replaced!", PdfTextEncode.decodedPage(seed, 1)),
+      "page 1 must serve the update, page 2 the original")
+  }
+
   // ---- never-throw law -------------------------------------------------
 
   test("truncations and bit flips never throw") {
