@@ -518,6 +518,7 @@ object Queries {
     "pipeline_xlsx_ingest" -> (Multimodal.xlsxIngest _),
     "pipeline_pptx_ingest" -> (Multimodal.pptxIngest _),
     "pipeline_epub_ingest" -> (Multimodal.epubIngest _),
+    "pipeline_office_ingest" -> (Multimodal.officeIngest _),
     "mm_warc_records" -> (Multimodal.warcRecordsQ _),
     "pipeline_warc_ingest" -> (Multimodal.warcIngest _),
     "pipeline_http_ingest" -> (Multimodal.warcHttpIngest _),
@@ -1643,6 +1644,45 @@ object Queries {
        "WHERE doc_id % 133 <> 0 AND t.r <= doc_id % 4 + 1 " +
        "AND (c.col <> 'C' OR t.r % 3 = 0) " +
        "ORDER BY doc_id, ref"),
+    // the ROUTED attachment ingest twin: kind from doc_id%5, units
+    // from each format's own contract — the docx paragraphs, xlsx
+    // ref=value cells (position by row-then-column order), pptx
+    // slides, epub chapters, and the unitless plain-zip rows whose
+    // routing verdict is the payload
+    "pipeline_office_ingest" ->
+      ("WITH d AS (SELECT doc_id, doc_id % 5 AS m, doc_id % 4 + 1 AS n4, " +
+       "doc_id % 3 + 1 AS n3 FROM documents WHERE doc_id % 121 <> 0), " +
+       "u AS (" +
+       "SELECT doc_id, 'docx' AS kind, t.i AS idx, " +
+       "'Para ' || CAST(t.i AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) || " +
+       "' has & <tags> x=' || CAST((doc_id + t.i) % 7 AS VARCHAR) || " +
+       "CASE WHEN (doc_id + t.i) % 3 = 0 THEN chr(9) || 'end' ELSE '' END AS unit " +
+       "FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) WHERE m = 0 AND t.i < n4 " +
+       "UNION ALL " +
+       "SELECT doc_id, 'xlsx', ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY t.r, c.col) - 1, " +
+       "c.col || CAST(t.r AS VARCHAR) || '=' || " +
+       "CASE c.col WHEN 'A' THEN 'Item ' || CAST(doc_id + t.r AS VARCHAR) || ' & <co>' " +
+       "WHEN 'B' THEN CAST((doc_id + 7 * t.r) % 1000 AS VARCHAR) " +
+       "ELSE 'inline ' || CAST(t.r AS VARCHAR) END " +
+       "FROM d CROSS JOIN (VALUES (1), (2), (3), (4)) AS t(r) " +
+       "CROSS JOIN (VALUES ('A'), ('B'), ('C')) AS c(col) " +
+       "WHERE m = 1 AND t.r <= n4 AND (c.col <> 'C' OR t.r % 3 = 0) " +
+       "UNION ALL " +
+       "SELECT doc_id, 'pptx', t.i, " +
+       "'Slide ' || CAST(t.i + 1 AS VARCHAR) || ' of deck ' || CAST(doc_id AS VARCHAR) || chr(10) || " +
+       "'note & <pt> k=' || CAST((doc_id + t.i + 1) % 9 AS VARCHAR) || " +
+       "CASE WHEN (doc_id + t.i + 1) % 2 = 0 THEN chr(10) || 'more' ELSE '' END " +
+       "FROM d CROSS JOIN (VALUES (0), (1), (2)) AS t(i) WHERE m = 2 AND t.i < n3 " +
+       "UNION ALL " +
+       "SELECT doc_id, 'epub', t.i, " +
+       "'c' || CAST(t.i + 1 AS VARCHAR) || ' Chapter ' || CAST(t.i + 1 AS VARCHAR) || " +
+       "' of book ' || CAST(doc_id AS VARCHAR) || ': alpha & beta ' || " +
+       "CAST((doc_id + 3 * (t.i + 1)) % 11 AS VARCHAR) || ' done' " +
+       "FROM d CROSS JOIN (VALUES (0), (1), (2)) AS t(i) WHERE m = 3 AND t.i < n3 " +
+       "UNION ALL " +
+       "SELECT doc_id, 'zip', -1, NULL FROM d WHERE m = 4) " +
+       "SELECT doc_id, kind, CAST(idx AS INTEGER) AS unit_idx, unit FROM u " +
+       "ORDER BY doc_id, unit_idx"),
     // pptx ingest twin: one row per slide; title paragraph + the
     // split-run body with entities, the <a:br/> line break on
     // alternating slides — DrawingML property blocks invisible

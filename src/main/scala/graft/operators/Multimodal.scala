@@ -382,6 +382,23 @@ object Multimodal {
         // the crawl stack's own HtmlText extractor
         (id % 123 =!= 0, graft.plans.VectorExpressions.epubEncode(
           id.cast("long"), (id % 3 + 1).cast("int"))))
+      case "office" => Seq(
+        (id % 121 === 0, encode(text.substr(1, 22), "UTF-8")),
+        // the HETEROGENEOUS attachment column: every 5th doc cycles
+        // docx / xlsx / pptx / epub / plain zip — all "PK" by magic,
+        // so the directory-name classifier (graft_zip_kind) is the
+        // only way to route them; sizes reuse each format's own
+        // fixture arithmetic so the routed extraction oracles verbatim
+        (id % 121 =!= 0 && id % 5 === 0, graft.plans.VectorExpressions.docxEncode(
+          id.cast("long"), (id % 4 + 1).cast("int"))),
+        (id % 121 =!= 0 && id % 5 === 1, graft.plans.VectorExpressions.xlsxEncode(
+          id.cast("long"), (id % 4 + 1).cast("int"))),
+        (id % 121 =!= 0 && id % 5 === 2, graft.plans.VectorExpressions.pptxEncode(
+          id.cast("long"), (id % 3 + 1).cast("int"))),
+        (id % 121 =!= 0 && id % 5 === 3, graft.plans.VectorExpressions.epubEncode(
+          id.cast("long"), (id % 3 + 1).cast("int"))),
+        (id % 121 =!= 0 && id % 5 === 4, graft.plans.VectorExpressions.zipEncode(
+          id.cast("long"), (id % 6 + 1).cast("int"), id % 3 === 0)))
       case "warchtml" => Seq(
         (id % 163 === 0, encode(text.substr(1, 24), "UTF-8")),
         // the COMPOSED-ingest corpus: each archive's response payload
@@ -664,7 +681,7 @@ object Multimodal {
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
       "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "avif",
       "gzip", "pdf", "pdftext", "warc", "warchtml", "warchttp", "warcpdf",
-      "httplegacy", "zip", "docx", "xlsx", "pptx", "epub", "mixed")
+      "httplegacy", "zip", "docx", "xlsx", "pptx", "epub", "office", "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -1257,6 +1274,39 @@ object Multimodal {
       .select(col("doc_id"), col("pos").cast("int").as("chapter_no"),
         col("col").as("chapter_text"))
       .orderBy(col("doc_id"), col("chapter_no"))
+
+  /** The ROUTED attachment ingest: a heterogeneous "PK"-magic column
+    * (docx/xlsx/pptx/epub/plain zip — indistinguishable by magic
+    * bytes) classified by the central directory's member names
+    * (graft_zip_kind, one directory walk, nothing inflated), then
+    * each row extracted by ITS format's walk — paragraphs, ref=value
+    * cells, slides, chapters — into uniform (kind, unit_idx, unit)
+    * rows; plain zips keep a unitless row so the routing verdict
+    * itself is in the output. One codegen'd scan: the short-circuit
+    * CASE means each row runs exactly one extractor. */
+  def officeIngest(spark: SparkSession, dir: String): DataFrame = {
+    val o = col("office")
+    mediaTable(spark, dir, "office")
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.zipKind(o).as("kind"), o)
+      .filter(col("kind").isNotNull)
+      .select(col("doc_id"), col("kind"),
+        when(col("kind") === "docx",
+          split(graft.plans.VectorExpressions.docxText(o), "\n"))
+        .when(col("kind") === "xlsx",
+          transform(graft.plans.VectorExpressions.xlsxCells(o),
+            c => concat_ws("=", c.getField("ref"), c.getField("value"))))
+        .when(col("kind") === "pptx",
+          graft.plans.VectorExpressions.pptxSlides(o))
+        .when(col("kind") === "epub",
+          graft.plans.VectorExpressions.epubChapters(o))
+        .otherwise(array().cast("array<string>")).as("units"))
+      .select(col("doc_id"), col("kind"), posexplode_outer(col("units")))
+      .select(col("doc_id"), col("kind"),
+        coalesce(col("pos"), lit(-1)).cast("int").as("unit_idx"),
+        col("col").as("unit"))
+      .orderBy(col("doc_id"), col("unit_idx"))
+  }
 
   /** Gzip member triage: header fields, trailer validation verdict,
     * and member count per doc (NULL for the non-gzip rows) — the

@@ -196,6 +196,12 @@ object PptxEncode {
         s"<a:r><a:rPr b=\"1\"/><a:t>&lt;pt&gt; k=$k</a:t></a:r>$brkRun</a:p>" +
         "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
     }
+    val presentation =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>\n" +
+        "<p:presentation xmlns:p=\"http://schemas.openxmlformats.org/presentationml/2006/main\">" +
+        "<p:sldIdLst>" +
+        (1 to nSlides).map(i => s"""<p:sldId id="${255 + i}"/>""").mkString +
+        "</p:sldIdLst></p:presentation>"
     val bos = new java.io.ByteArrayOutputStream()
     val z = new java.util.zip.ZipOutputStream(bos)
     try {
@@ -203,6 +209,9 @@ object PptxEncode {
       z.write(ContentTypes.getBytes("UTF-8")); z.closeEntry()
       z.putNextEntry(new java.util.zip.ZipEntry("_rels/.rels"))
       z.write(Rels.getBytes("UTF-8")); z.closeEntry()
+      // the main part — also graft_zip_kind's routing anchor
+      z.putNextEntry(new java.util.zip.ZipEntry("ppt/presentation.xml"))
+      z.write(presentation.getBytes("UTF-8")); z.closeEntry()
       (1 to nSlides).foreach { i =>
         z.putNextEntry(new java.util.zip.ZipEntry(s"ppt/slides/slide$i.xml"))
         z.write(slide(i).getBytes("UTF-8")); z.closeEntry()

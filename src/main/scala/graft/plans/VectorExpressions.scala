@@ -540,6 +540,8 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_epub_encode", exprs => EpubEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_zip_kind", exprs => ZipKind(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sitemap_urls", exprs => SitemapUrls(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_robots_rules", exprs => RobotsRules(exprs(0)), "scala_udf")
@@ -805,6 +807,13 @@ object VectorExpressions {
   def epubEncode(seed: Column, nChapters: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_epub_encode", seed, nChapters)
+  }
+
+  /** ZIP sub-format detection (plans.ZipKind), column form; same
+    * registration precondition. */
+  def zipKind(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_zip_kind", c)
   }
 
   /** sitemap.xml entry list (plans.SitemapUrls), column form; same

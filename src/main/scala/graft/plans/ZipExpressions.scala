@@ -546,3 +546,62 @@ object DocxEncode {
     bos.toByteArray
   }
 }
+
+/** ZIP sub-format detection — the routing hop in front of the
+  * ZIP-of-XML extractors: by magic bytes alone every office document,
+  * ebook, and jar is just "PK", so a corpus pipeline classifies by
+  * the CENTRAL DIRECTORY's member names (no payload inflated, no
+  * local header touched — one directory walk):
+  *
+  * `graft_zip_kind(binary)` → string: `docx` (word/document.xml),
+  * `xlsx` (xl/workbook.xml), `pptx` (ppt/presentation.xml), `epub`
+  * (META-INF/container.xml), or `zip` (a valid archive that is none
+  * of these); NULL when the bytes are not a readable archive at all
+  * (same decline envelope as the census). The marker parts are the
+  * formats' own normative anchors — OPC main-part locations and the
+  * OCF container — not heuristics. */
+case class ZipKind(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_zip_kind expects a binary column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_zip_kind"
+
+  override def nullSafeEval(input: Any): Any =
+    ZipKind.classify(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.plans.ZipKind.classify($b);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): ZipKind =
+    copy(child = newChild)
+}
+
+object ZipKind {
+
+  def classify(b: Array[Byte]): UTF8String = {
+    val entries = ZipEntries.parse(b)
+    if (entries == null) return null
+    var kind = "zip"
+    var i = 0
+    val n = entries.numElements()
+    while (i < n && kind == "zip") {
+      val name = entries.getStruct(i, 3).getUTF8String(0).toString
+      name match {
+        case "word/document.xml" => kind = "docx"
+        case "xl/workbook.xml" => kind = "xlsx"
+        case "ppt/presentation.xml" => kind = "pptx"
+        case "META-INF/container.xml" => kind = "epub"
+        case _ => ()
+      }
+      i += 1
+    }
+    UTF8String.fromString(kind)
+  }
+}

@@ -326,6 +326,20 @@ class PptxEpubSpec extends AnyFunSuite {
       "ppt/slides/slide1.xml" -> "<p:sld><p:cSld/></p:sld>"))) === Seq(""))
   }
 
+  test("zip kind routes the whole PK family by directory names") {
+    import graft.plans.{ZipKind, DocxEncode, XlsxEncode, ZipEncode}
+    def kind(b: Array[Byte]): String = {
+      val k = ZipKind.classify(b)
+      if (k == null) null else k.toString
+    }
+    assert(kind(DocxEncode.encode(7L, 2)) === "docx")
+    assert(kind(XlsxEncode.encode(7L, 2)) === "xlsx")
+    assert(kind(PptxEncode.encode(7L, 2)) === "pptx")
+    assert(kind(EpubEncode.encode(7L, 2)) === "epub")
+    assert(kind(ZipEncode.encode(7L, 3, true)) === "zip")
+    assert(kind("not a zip at all".getBytes) === null)
+  }
+
   test("truncations never throw (pptx + epub)") {
     val p = PptxEncode.encode(9L, 3)
     val e = EpubEncode.encode(9L, 3)
