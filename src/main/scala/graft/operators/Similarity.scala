@@ -622,6 +622,25 @@ object Similarity {
         old.zip(batch).map { case (a, b) => math.min(a, b) })
     }
 
+  /** Recompute the angular-radius sidecar EXACTLY from the index's
+    * current rows — the periodic maintenance pass pairing
+    * [[widenCellBounds]]'s conservatism: every append can only widen
+    * a bound (correct but pruning degrades as bounds drift loose,
+    * e.g. after a batch of outliers later compacted away), so a
+    * deployment re-tightens on the compaction cadence. One
+    * map-side-combined aggregation over the index; the result can
+    * only move bounds TOWARD the data (never past it), so serving
+    * stays value-identical before, during, and after. Returns the
+    * new per-cell minimum cosines. */
+  def tightenCellBounds(spark: SparkSession, indexPath: String): Array[Double] = {
+    val cents = readCentroidSidecar(spark, indexPath)
+    val rows = spark.read.parquet(indexPath)
+      .select(col("cell").cast("int").as("cell"), col("v"))
+    val bounds = computeCellBounds(rows, cents)
+    writeCellBoundsSidecar(spark, indexPath, bounds)
+    bounds
+  }
+
   private def writeCellBoundsSidecar(spark: SparkSession, indexPath: String,
       bounds: Array[Double]): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/_cellbounds.json")

@@ -52,6 +52,15 @@ object Maintenance {
           else reports.map(r =>
             s"${r.partition}: ${r.filesBefore} -> ${r.filesAfter} files").mkString("; "))
         }
+      case "tighten-range-bounds" :: index :: Nil =>
+        // the pairing pass to append-time widening: recompute the
+        // range-search pruning sidecar exactly from the index's
+        // current rows (bounds only ever move TOWARD the data, so
+        // serving stays value-identical); run on the compaction
+        // cadence after bounds drift loose
+        val bounds = Similarity.tightenCellBounds(spark, index)
+        Right(s"cell bounds tightened: ${bounds.map(b => f"$b%.4f").mkString(", ")}")
+
       case "zonemap" :: table :: cols :: Nil =>
         val cs = cols.split(',').toSeq.filter(_.nonEmpty)
         if (cs.isEmpty) Left("zonemap needs at least one column")
@@ -151,6 +160,7 @@ object Maintenance {
       case other =>
         Left("usage: compact <table> [targetMB] | " +
           s"compact-ivf-index <index> [targetMB] | " +
+          s"tighten-range-bounds <index> | " +
           s"compact-dedup-index <index> [targetMB] | zonemap <table> <cols> | " +
           s"log-compact <table> [targetFiles] | " +
           s"log-compact-bloom <table> <targetFiles> <bloomCols> [statsCols] | " +

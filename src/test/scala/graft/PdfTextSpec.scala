@@ -175,6 +175,27 @@ class PdfTextSpec extends AnyFunSuite {
     assert(got === Seq("‘a’"))
   }
 
+  test("cross-witness: the tree WALK agrees with the /Count claim on every fixture") {
+    // two independent page counts from two independent code paths:
+    // PdfMeta reads the page-tree ROOT's /Count (no recursion),
+    // PdfPageTexts walks the actual tree (never reads /Count) — a
+    // misreading of either layout cannot satisfy both, the same
+    // cross-certification shape as the WARC half-compressed fixture
+    for (seed <- Seq(0L, 3L, 5L, 7L, 11L, 35L, 105L, 2310L); pages <- Seq(1, 3, 4)) {
+      val b = PdfTextEncode.encode(seed, pages)
+      val meta = graft.plans.PdfMeta.parse(b)
+      val walked = texts(b)
+      assert(meta != null && walked != null, s"seed=$seed")
+      assert(meta.getInt(1) === walked.length,
+        s"seed=$seed: /Count vs walked tree")
+    }
+    for (seed <- Seq(1L, 17L); pages <- Seq(1, 24); layout <- 0 to 2) {
+      val b = PdfEncode.encode(seed, pages, 5, false, layout)
+      assert(graft.plans.PdfMeta.parse(b).getInt(1) === texts(b).length,
+        s"triage fixture layout=$layout")
+    }
+  }
+
   test("incremental updates shadow content streams in the TEXT path") {
     // append a replacement for page 1's content stream + an xref
     // section covering it with /Prev → the original table: the spec's

@@ -150,6 +150,42 @@ class RangeSearchIvfSpec extends SparkSpec {
     }
   }
 
+  test("tighten-range-bounds recovers exact bounds after crash-widened drift") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rstighten_").toString
+    try {
+      val emb = Tables.embeddings(spark, sf)
+      Similarity.writeIvfIndexFrom(spark, emb, tmp)
+      val exact = Similarity.readCellBoundsSidecar(spark, tmp).get
+      // simulate crash residue: a widen landed (bounds -1 everywhere)
+      // but its batch's rows never did — serving is conservative-slow.
+      // (Written through the Hadoop fs so the local .crc stays honest.)
+      val p = new org.apache.hadoop.fs.Path(s"$tmp/_cellbounds.json")
+      val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val os = hfs.create(p, true)
+      os.write(Array.fill(Similarity.NumCells)(-1.0)
+        .mkString("[", ",", "]").getBytes("UTF-8"))
+      os.close()
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), x => x.cast("double")).as("q"))
+      val brute = rows(Similarity.rangeSearch(spark, sf))
+      assert(rows(Similarity.rangeSearchIvfCore(spark, tmp, probes, 0.2)) === brute,
+        "drifted bounds must stay value-identical (just slower)")
+      // the maintenance verb recomputes exactly from the index rows
+      val r = graft.pipeline.Maintenance.run(spark,
+        Array("tighten-range-bounds", tmp))
+      assert(r.isRight, r.toString)
+      val tightened = Similarity.readCellBoundsSidecar(spark, tmp).get
+      exact.zip(tightened).foreach { case (e, t) =>
+        assert(math.abs(e - t) < 1e-12, "tighten must land on the exact bound")
+      }
+      assert(rows(Similarity.rangeSearchIvfCore(spark, tmp, probes, 0.2)) === brute)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      ()
+    }
+  }
+
   test("a boundless (pre-sidecar) index serves without pruning, still exact") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_rsnobound_").toString
     try {
