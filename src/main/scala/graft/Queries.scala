@@ -519,6 +519,7 @@ object Queries {
     "pipeline_pptx_ingest" -> (Multimodal.pptxIngest _),
     "pipeline_epub_ingest" -> (Multimodal.epubIngest _),
     "pipeline_office_ingest" -> (Multimodal.officeIngest _),
+    "pipeline_doc_triage" -> (Multimodal.docTriage _),
     "mm_warc_records" -> (Multimodal.warcRecordsQ _),
     "pipeline_warc_ingest" -> (Multimodal.warcIngest _),
     "pipeline_http_ingest" -> (Multimodal.warcHttpIngest _),
@@ -1644,6 +1645,56 @@ object Queries {
        "WHERE doc_id % 133 <> 0 AND t.r <= doc_id % 4 + 1 " +
        "AND (c.col <> 'C' OR t.r % 3 = 0) " +
        "ORDER BY doc_id, ref"),
+    // the document-triage twin: one row per mixed-corpus doc â kind
+    // from the magic routing (doc_id%6), text = that format's units
+    // joined with newlines (string_agg in unit order); plain zips are
+    // kind-only with NULL text. The SAME unit expressions as the
+    // per-unit ingest oracles, re-aggregated
+    "pipeline_doc_triage" ->
+      ("WITH d AS (SELECT doc_id, doc_id % 6 AS m, doc_id % 4 + 1 AS n4, " +
+       "doc_id % 3 + 1 AS n3 FROM documents WHERE doc_id % 119 <> 0), " +
+       "u AS (" +
+       "SELECT doc_id, t.i AS idx, " +
+       "'Para ' || CAST(t.i AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) || " +
+       "' has & <tags> x=' || CAST((doc_id + t.i) % 7 AS VARCHAR) || " +
+       "CASE WHEN (doc_id + t.i) % 3 = 0 THEN chr(9) || 'end' ELSE '' END AS unit " +
+       "FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) WHERE m = 0 AND t.i < n4 " +
+       "UNION ALL " +
+       "SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY t.r, c.col) - 1, " +
+       "c.col || CAST(t.r AS VARCHAR) || '=' || " +
+       "CASE c.col WHEN 'A' THEN 'Item ' || CAST(doc_id + t.r AS VARCHAR) || ' & <co>' " +
+       "WHEN 'B' THEN CAST((doc_id + 7 * t.r) % 1000 AS VARCHAR) " +
+       "ELSE 'inline ' || CAST(t.r AS VARCHAR) END " +
+       "FROM d CROSS JOIN (VALUES (1), (2), (3), (4)) AS t(r) " +
+       "CROSS JOIN (VALUES ('A'), ('B'), ('C')) AS c(col) " +
+       "WHERE m = 1 AND t.r <= n4 AND (c.col <> 'C' OR t.r % 3 = 0) " +
+       "UNION ALL " +
+       "SELECT doc_id, t.i, " +
+       "'Slide ' || CAST(t.i + 1 AS VARCHAR) || ' of deck ' || CAST(doc_id AS VARCHAR) || chr(10) || " +
+       "'note & <pt> k=' || CAST((doc_id + t.i + 1) % 9 AS VARCHAR) || " +
+       "CASE WHEN (doc_id + t.i + 1) % 2 = 0 THEN chr(10) || 'more' ELSE '' END " +
+       "FROM d CROSS JOIN (VALUES (0), (1), (2)) AS t(i) WHERE m = 2 AND t.i < n3 " +
+       "UNION ALL " +
+       "SELECT doc_id, t.i, " +
+       "'c' || CAST(t.i + 1 AS VARCHAR) || ' Chapter ' || CAST(t.i + 1 AS VARCHAR) || " +
+       "' of book ' || CAST(doc_id AS VARCHAR) || ': alpha & beta ' || " +
+       "CAST((doc_id + 3 * (t.i + 1)) % 11 AS VARCHAR) || ' done' " +
+       "FROM d CROSS JOIN (VALUES (0), (1), (2)) AS t(i) WHERE m = 3 AND t.i < n3 " +
+       "UNION ALL " +
+       "SELECT doc_id, t.i, " +
+       "'Doc ' || CAST(doc_id AS VARCHAR) || ' (page ' || CAST(t.i + 1 AS VARCHAR) || ') ' || " +
+       "CASE WHEN doc_id % 11 = 0 THEN 'é€' ELSE 'A' END || chr(10) || " +
+       "'alpha betagamma' || chr(10) || " +
+       "CASE WHEN doc_id % 2 = 0 THEN 'café “q” – € end' " +
+       "ELSE 'caf‘q’ «g» ﬁn – end' END " +
+       "FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) WHERE m = 5 AND t.i < n4), " +
+       "agg AS (SELECT doc_id, string_agg(unit, chr(10) ORDER BY idx) AS text " +
+       "FROM u GROUP BY doc_id) " +
+       "SELECT d.doc_id, " +
+       "CASE m WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx' WHEN 2 THEN 'pptx' " +
+       "WHEN 3 THEN 'epub' WHEN 4 THEN 'zip' ELSE 'pdf' END AS kind, " +
+       "agg.text AS text " +
+       "FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id"),
     // the ROUTED attachment ingest twin: kind from doc_id%5, units
     // from each format's own contract — the docx paragraphs, xlsx
     // ref=value cells (position by row-then-column order), pptx

@@ -399,6 +399,24 @@ object Multimodal {
           id.cast("long"), (id % 3 + 1).cast("int"))),
         (id % 121 =!= 0 && id % 5 === 4, graft.plans.VectorExpressions.zipEncode(
           id.cast("long"), (id % 6 + 1).cast("int"), id % 3 === 0)))
+      case "docmix" => Seq(
+        (id % 119 === 0, encode(text.substr(1, 22), "UTF-8")),
+        // the full DOCUMENT corpus: PDF and the five PK kinds mixed on
+        // doc_id%6 — the two magics route to different tiers (%PDF- →
+        // the content-stream walk, PK → the directory-name classifier)
+        // and every extracted character is doc_id arithmetic
+        (id % 119 =!= 0 && id % 6 === 0, graft.plans.VectorExpressions.docxEncode(
+          id.cast("long"), (id % 4 + 1).cast("int"))),
+        (id % 119 =!= 0 && id % 6 === 1, graft.plans.VectorExpressions.xlsxEncode(
+          id.cast("long"), (id % 4 + 1).cast("int"))),
+        (id % 119 =!= 0 && id % 6 === 2, graft.plans.VectorExpressions.pptxEncode(
+          id.cast("long"), (id % 3 + 1).cast("int"))),
+        (id % 119 =!= 0 && id % 6 === 3, graft.plans.VectorExpressions.epubEncode(
+          id.cast("long"), (id % 3 + 1).cast("int"))),
+        (id % 119 =!= 0 && id % 6 === 4, graft.plans.VectorExpressions.zipEncode(
+          id.cast("long"), (id % 6 + 1).cast("int"), id % 3 === 0)),
+        (id % 119 =!= 0 && id % 6 === 5, graft.plans.VectorExpressions.pdfTextEncode(
+          id.cast("long"), (id % 4 + 1).cast("int"))))
       case "warchtml" => Seq(
         (id % 163 === 0, encode(text.substr(1, 24), "UTF-8")),
         // the COMPOSED-ingest corpus: each archive's response payload
@@ -681,7 +699,8 @@ object Multimodal {
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
       "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "avif",
       "gzip", "pdf", "pdftext", "warc", "warchtml", "warchttp", "warcpdf",
-      "httplegacy", "zip", "docx", "xlsx", "pptx", "epub", "office", "mixed")
+      "httplegacy", "zip", "docx", "xlsx", "pptx", "epub", "office", "docmix",
+      "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -1274,6 +1293,51 @@ object Multimodal {
       .select(col("doc_id"), col("pos").cast("int").as("chapter_no"),
         col("col").as("chapter_text"))
       .orderBy(col("doc_id"), col("chapter_no"))
+
+  /** The document-TEXT triage projection over an opaque payload
+    * column — the whole r15 tier as ONE reusable select, shared
+    * verbatim by the batch query and the streaming writer (the
+    * dispatchAllSelect discipline, so streamed == batch is a pin, not
+    * a hope): `%PDF-` magic routes to the content-stream tier, `PK`
+    * magic to the directory-name classifier and then each format's
+    * extractor; text is the units joined with newlines (pages,
+    * paragraphs, ref=value cells, slides, chapters), NULL for plain
+    * zips and payloads whose extraction declines — kind stays, so a
+    * decline is visible, never silent. Output: (doc_id, kind, text).
+    * Rows that are neither magic get a NULL kind (callers route them
+    * out). */
+  def docTextSelect(df: DataFrame, payloadCol: String): DataFrame = {
+    val p = col(payloadCol)
+    val kinded = df.select(col("doc_id"),
+      when(substring(p, 1, 5) === lit("%PDF-".getBytes("US-ASCII")), lit("pdf"))
+        .when(substring(p, 1, 2) === lit("PK".getBytes("US-ASCII")),
+          graft.plans.VectorExpressions.zipKind(p)).as("kind"),
+      p.as("payload"))
+    kinded.select(col("doc_id"), col("kind"),
+      when(col("kind") === "pdf", array_join(
+        graft.plans.VectorExpressions.pdfPageTexts(col("payload")), "\n"))
+      .when(col("kind") === "docx",
+        graft.plans.VectorExpressions.docxText(col("payload")))
+      .when(col("kind") === "xlsx", array_join(
+        transform(graft.plans.VectorExpressions.xlsxCells(col("payload")),
+          c => concat_ws("=", c.getField("ref"), c.getField("value"))), "\n"))
+      .when(col("kind") === "pptx", array_join(
+        graft.plans.VectorExpressions.pptxSlides(col("payload")), "\n"))
+      .when(col("kind") === "epub", array_join(
+        graft.plans.VectorExpressions.epubChapters(col("payload")), "\n"))
+      .as("text"))
+  }
+
+  /** The batch side of the document triage: one row per document of
+    * the mixed corpus (PDF + the five PK kinds), kind + full
+    * extracted text. [[graft.streaming.IncrementalIngest.docTriageWriter]]
+    * commits the IDENTICAL projection per micro-batch. */
+  def docTriage(spark: SparkSession, dir: String): DataFrame =
+    docTextSelect(
+      mediaTable(spark, dir, "docmix").withColumnRenamed("docmix", "payload"),
+      "payload")
+      .filter(col("kind").isNotNull)
+      .orderBy(col("doc_id"))
 
   /** The ROUTED attachment ingest: a heterogeneous "PK"-magic column
     * (docx/xlsx/pptx/epub/plain zip — indistinguishable by magic

@@ -252,6 +252,29 @@ object IncrementalIngest {
         ()
       }
 
+  /** Streaming DOCUMENT-TEXT triage: the as-it-arrives counterpart of
+    * [[mediaTriageWriter]] for the document family — every micro-batch
+    * of opaque payloads runs the identical projection the batch query
+    * uses (Multimodal.docTextSelect: %PDF- → the content-stream tier,
+    * PK → the directory-name classifier → each format's extractor)
+    * and the (doc_id, kind, text) rows commit exactly-once under the
+    * batchId ledger. Non-document rows (NULL kind) are routed out
+    * inside the batch, so the table holds only triaged documents. */
+  def docTriageWriter(media: DataFrame, tablePath: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    media.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.CommitLog.appendStream(batch.sparkSession, tablePath,
+            graft.operators.Multimodal.docTextSelect(batch, "payload")
+              .filter(org.apache.spark.sql.functions.col("kind").isNotNull),
+            batchId, app = Some(appId("docTriage", tablePath)))
+        ()
+      }
+
   /** Streaming inverted-index maintenance: every micro-batch of
     * incoming documents tokenizes to a postings segment (token,
     * doc_id, tf) and commits it to the persisted search index table

@@ -811,6 +811,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming document triage: routed text extraction per micro-batch, exactly-once") {
+    import graft.operators.{CommitLog, Multimodal}
+    val in = Files.createTempDirectory("graft_doc_in_").toString
+    val table = Files.createTempDirectory("graft_doc_triage_").toString
+    try {
+      // input = the mixed document corpus (PDF + the five PK kinds)
+      // re-landed as a streaming (doc_id, payload) drop dir
+      spark.read.parquet(s"${Multimodal.mediaFixturePath(spark, sf)}/docmix")
+        .withColumnRenamed("docmix", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      val ckpt = Files.createTempDirectory("graft_doc_ckpt_").toString
+      def runOnce(cp: String): Unit = {
+        val q = graft.streaming.IncrementalIngest.docTriageWriter(
+          graft.streaming.IncrementalIngest.mediaSource(spark, in), table, cp)
+          .start()
+        assert(q.awaitTermination(120000), "doc triage stream did not finish")
+      }
+      runOnce(ckpt)
+      // streamed == batch, the shared-projection pin
+      val want = Multimodal.docTriage(spark, sf).collect()
+        .map(_.toString).sorted
+      val got = CommitLog.read(spark, table).collect().map(_.toString).sorted
+      assert(got.length === want.length, s"${got.length} vs ${want.length}")
+      assert(got === want, "streamed doc triage diverges from the batch query")
+      // fresh checkpoint (full re-delivery): the ledger lands nothing
+      runOnce(Files.createTempDirectory("graft_doc_ckpt2_").toString)
+      assert(CommitLog.read(spark, table).count() === want.length,
+        "re-delivered doc batch landed twice")
+    } finally {
+      Seq(in, table).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    }
+  }
+
   test("streaming media triage: full-family dispatch per micro-batch, exactly-once") {
     import graft.operators.{CommitLog, Multimodal}
     val in = Files.createTempDirectory("graft_media_in_").toString
