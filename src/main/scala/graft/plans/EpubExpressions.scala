@@ -25,8 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * declines the document, as does a spine idref with no manifest
   * item, a non-XHTML spine item (fixed-layout image spines are a
   * later tier), or an href that climbs out of the OPF's directory
-  * ('..' — never resolved, a zip-slip-shaped lie). Bounds: 64 spine
-  * items, 512 manifest items, the shared 1 MiB ceiling per part. */
+  * ('..' — never resolved, a zip-slip-shaped lie), or a spine/
+  * manifest past the 64/512-entry caps (over-cap declines, never a
+  * partial reading order). Shared 1 MiB ceiling per part. */
 case class EpubChapters(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -103,9 +104,10 @@ object EpubChapters {
     val items = new java.util.HashMap[String, (String, String)]() // id -> (href, type)
     var at = 0
     var n = 0
-    while (n < MaxManifest) {
+    var manifestDone = false
+    while (!manifestDone && n < MaxManifest) {
       val (head, next) = tagHead(opf, "item", at)
-      if (next < 0) n = MaxManifest // no more <item> tags
+      if (next < 0) manifestDone = true // no more <item> tags
       else {
         val id = attr(head, "id")
         val href = attr(head, "href")
@@ -116,6 +118,9 @@ object EpubChapters {
         n += 1
       }
     }
+    // caps reached with MORE entries present: decline — a partial
+    // manifest or reading order is silent truncation, not a book
+    if (!manifestDone && tagHead(opf, "item", at)._2 >= 0) return null
     val spine = Vector.newBuilder[String]
     at = 0
     var count = 0
@@ -131,6 +136,7 @@ object EpubChapters {
         count += 1
       }
     }
+    if (!done && tagHead(opf, "itemref", at)._2 >= 0) return null
     val refs = spine.result()
     if (refs.isEmpty) return null
     // 3. each spine item: resolve, extract, reduce to visible text

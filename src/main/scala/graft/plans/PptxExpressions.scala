@@ -27,9 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    inert by the tag-name-delimiter rule.
   *
   * Each part arrives through the census's CRC-gated [[ZipExtract]].
-  * NULL when the archive is corrupt or has NO slide parts at all (a
-  * deck with zero slides is not a deck). Bounds: 8192 paragraphs per
-  * slide, the shared 1 MiB extract ceiling per part. */
+  * NULL when the archive is corrupt, has NO slide parts at all (a
+  * deck with zero slides is not a deck), or exceeds the 256-slide /
+  * 8192-paragraph caps with more content present — over-cap
+  * declines, never truncates. Shared 1 MiB extract ceiling per
+  * part. */
 case class PptxSlides(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -106,7 +108,10 @@ object PptxSlides {
         at = end + 6
       }
     }
-    out.toString
+    // cap reached: decline if more paragraphs remain (never truncate)
+    var more = x.indexOf("<a:p", at)
+    while (more >= 0 && !delimAt(x, more + 4)) more = x.indexOf("<a:p", more + 4)
+    if (more >= 0) null else out.toString
   }
 
   def parse(zip: Array[Byte]): GenericArrayData = {
@@ -123,6 +128,10 @@ object PptxSlides {
         n += 1
       }
     }
+    // at the slide cap with the NEXT part still present, the deck is
+    // bigger than the walk: decline rather than serve a partial deck
+    if (!done && ZipExtract.extract(zip, s"ppt/slides/slide$n.xml") != null)
+      return null
     val out = slides.result()
     if (out.isEmpty) null else new GenericArrayData(out.toArray[Any])
   }

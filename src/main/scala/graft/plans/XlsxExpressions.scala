@@ -35,8 +35,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Both parts arrive through the census's CRC-gated [[ZipExtract]]
   * (wrong bytes cannot reach the scan). NULL when the archive or its
-  * sheet part is absent/corrupt. Bounds: 65536 shared strings, 65536
-  * cells, the shared 1 MiB extract ceiling per part. */
+  * sheet part is absent/corrupt, or when the 65536-string/-cell caps
+  * are hit with more content remaining (over-cap declines, never
+  * truncates). Shared 1 MiB extract ceiling per part. */
 case class XlsxCells(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -135,6 +136,10 @@ object XlsxCells {
           }
           if (i >= x.length) return parseSheet(sheet, out.toArray)
         }
+        // string cap reached with more entries present: decline (the
+        // no-silent-caps posture — a truncated table serves wrong
+        // indices as corruption anyway)
+        if (x.indexOf("<si", i) >= 0) return null
         out.toArray
       }
     parseSheet(sheet, shared)
@@ -186,7 +191,10 @@ object XlsxCells {
         i = end + 4
       }
     }
-    new GenericArrayData(out.toArray[Any])
+    // cell cap reached: decline if more cells remain (never truncate)
+    var more = x.indexOf("<c", i)
+    while (more >= 0 && !delimAt(x, more + 2)) more = x.indexOf("<c", more + 2)
+    if (more >= 0) null else new GenericArrayData(out.toArray[Any])
   }
 }
 

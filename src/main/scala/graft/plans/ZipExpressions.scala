@@ -340,8 +340,9 @@ object ZipExtract {
   * other element are inert by the name-delimiter rule ("<w:p" only
   * matches the paragraph tag itself). NULL when the archive or its
   * document part is absent/corrupt (one CRC-gated [[ZipExtract]]
-  * hop). Bounds: 8192 paragraphs, 1 MiB payload (the extract
-  * ceiling). */
+  * hop), or when the 8192-paragraph cap is hit with MORE content
+  * remaining — over-cap DECLINES, never truncates silently (the
+  * robots posture). 1 MiB payload ceiling (the extract bound). */
 case class DocxText(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -458,7 +459,11 @@ object DocxText {
         at = end + 6
       }
     }
-    UTF8String.fromString(out.toString)
+    // cap reached: DECLINE if more paragraphs remain — the robots
+    // posture (a silent truncation would read as complete extraction)
+    var more = x.indexOf("<w:p", at)
+    while (more >= 0 && !delimAt(x, more + 4)) more = x.indexOf("<w:p", more + 4)
+    if (more >= 0) null else UTF8String.fromString(out.toString)
   }
 }
 

@@ -156,6 +156,48 @@ class ZipExtractSpec extends AnyFunSuite {
     assert(DocxText.parse(bos.toByteArray) === null)
   }
 
+  test("over-cap documents DECLINE instead of truncating silently") {
+    // the robots posture, applied to the office scanners: a document
+    // past the paragraph/slide/spine caps must NULL, never serve a
+    // prefix that reads as complete extraction
+    def zipOf(parts: (String, String)*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      try parts.foreach { case (n, body) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(n))
+        z.write(body.getBytes("UTF-8")); z.closeEntry()
+      } finally z.close()
+      bos.toByteArray
+    }
+    // docx: 8193 paragraphs (one past the cap)
+    val manyParas = new StringBuilder("<w:document><w:body>")
+    (0 until 8193).foreach(_ => manyParas.append("<w:p><w:r><w:t>x</w:t></w:r></w:p>"))
+    manyParas.append("</w:body></w:document>")
+    assert(DocxText.parse(zipOf("word/document.xml" -> manyParas.toString)) === null)
+    // exactly AT the cap is fine
+    val atCap = new StringBuilder("<w:document><w:body>")
+    (0 until 8192).foreach(_ => atCap.append("<w:p><w:r><w:t>x</w:t></w:r></w:p>"))
+    atCap.append("</w:body></w:document>")
+    assert(DocxText.parse(zipOf("word/document.xml" -> atCap.toString)) != null)
+    // pptx: 257 slide parts (one past the 256 cap)
+    import graft.plans.PptxSlides
+    val slides257 = (1 to 257).map(i =>
+      s"ppt/slides/slide$i.xml" -> "<p:sld><a:p><a:r><a:t>s</a:t></a:r></a:p></p:sld>")
+    assert(PptxSlides.parse(zipOf(slides257: _*)) === null)
+    // epub: 65 spine itemrefs (one past the 64 cap)
+    import graft.plans.EpubChapters
+    val items = (1 to 65).map(i =>
+      s"""<item id="c$i" href="c$i.xhtml" media-type="application/xhtml+xml"/>""").mkString
+    val refs = (1 to 65).map(i => s"""<itemref idref="c$i"/>""").mkString
+    val chapters = (1 to 65).map(i => s"OEBPS/c$i.xhtml" -> "<html>x</html>")
+    val epubParts = Seq(
+      "META-INF/container.xml" ->
+        "<container><rootfiles><rootfile full-path=\"OEBPS/content.opf\"/></rootfiles></container>",
+      "OEBPS/content.opf" ->
+        s"<package><manifest>$items</manifest><spine>$refs</spine></package>") ++ chapters
+    assert(EpubChapters.parse(zipOf(epubParts: _*)) === null)
+  }
+
   test("truncations never throw (extract + docx)") {
     val zip = ZipEncode.encode(17L, 4, true)
     val docx = DocxEncode.encode(17L, 3)
