@@ -54,7 +54,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Parse-or-NULL bounds throughout: object parse depth 16, 4096
   * array elements / 256 dict pairs / 64 KiB strings, 2048 page-tree
-  * nodes / 512 leaf pages, 64 resolved objects per document with
+  * nodes / 512 leaf pages, 4096 resolved objects per document with
   * cycle detection, every inflate behind the shared 1 MiB bomb
   * ceiling, and a global token guard per content stream. */
 case class PdfPageTexts(child: Expression) extends UnaryExpression {

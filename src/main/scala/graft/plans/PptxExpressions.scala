@@ -128,10 +128,23 @@ object PptxSlides {
         n += 1
       }
     }
-    // at the slide cap with the NEXT part still present, the deck is
-    // bigger than the walk: decline rather than serve a partial deck
-    if (!done && ZipExtract.extract(zip, s"ppt/slides/slide$n.xml") != null)
-      return null
+    // slide part numbers need not be contiguous (order is normatively
+    // presentation.xml's sldIdLst, and parts aren't renumbered on
+    // deletion): any slideK.xml at or beyond the walk's stop point in
+    // the central directory means the consecutive walk would silently
+    // truncate the deck — decline rather than serve a partial deck.
+    // This also covers the deck-bigger-than-MaxSlides case.
+    val names = ZipEntries.entryNames(zip)
+    if (names == null) return null
+    val SlidePart = "ppt/slides/slide([0-9]+)\\.xml".r
+    var j = 0
+    while (j < names.length) {
+      names(j) match {
+        case SlidePart(k) if k.length > 9 || k.toInt >= n => return null
+        case _ =>
+      }
+      j += 1
+    }
     val out = slides.result()
     if (out.isEmpty) null else new GenericArrayData(out.toArray[Any])
   }

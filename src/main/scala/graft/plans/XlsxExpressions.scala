@@ -79,21 +79,36 @@ object XlsxCells {
 
   /** Concatenated `<t>` run contents inside [from, to), entities
     * decoded — shared by `<si>` entries and `<is>` inline blocks.
+    * `<rPh>…</rPh>` phonetic blocks (Excel's East-Asian furigana
+    * readings — display metadata, not cell text) are skipped whole;
+    * other `<t…`-prefixed tags that aren't a `<t>` run (e.g. a
+    * nested `<tabColor…`) are stepped past, not an early return.
     * Null on malformed nesting. */
   private def tRuns(x: String, from: Int, to: Int): String = {
     val sb = new java.lang.StringBuilder(32)
     var i = from
     while (i < to) {
-      val lt = x.indexOf("<t", i)
-      if (lt < 0 || lt >= to || !delimAt(x, lt + 2)) return sb.toString
-      val gt = x.indexOf('>', lt)
-      if (gt < 0 || gt > to) return null
-      if (x.charAt(gt - 1) == '/') i = gt + 1
-      else {
-        val close = x.indexOf("</t>", gt + 1)
-        if (close < 0 || close > to) return null
-        sb.append(DocxText.decodeEntities(x.substring(gt + 1, close)))
-        i = close + 4
+      var lt = x.indexOf("<t", i)
+      while (lt >= 0 && lt < to && !delimAt(x, lt + 2)) lt = x.indexOf("<t", lt + 2)
+      if (lt < 0 || lt >= to) return sb.toString
+      // a phonetic block opening before the next run swallows its
+      // <t> children: jump past the whole block
+      var rph = x.indexOf("<rPh", i)
+      while (rph >= 0 && rph < lt && !delimAt(x, rph + 4)) rph = x.indexOf("<rPh", rph + 4)
+      if (rph >= 0 && rph < lt) {
+        val close = x.indexOf("</rPh>", rph)
+        if (close < 0 || close + 6 > to) return null
+        i = close + 6
+      } else {
+        val gt = x.indexOf('>', lt)
+        if (gt < 0 || gt > to) return null
+        if (x.charAt(gt - 1) == '/') i = gt + 1
+        else {
+          val close = x.indexOf("</t>", gt + 1)
+          if (close < 0 || close > to) return null
+          sb.append(DocxText.decodeEntities(x.substring(gt + 1, close)))
+          i = close + 4
+        }
       }
     }
     sb.toString

@@ -130,6 +130,17 @@ object ZipEntries {
     if (at != cdOff + cdSize) return null
     new GenericArrayData(out)
   }
+
+  /** Central-directory entry NAMES, or null when the directory
+    * doesn't parse — for consumers that need the member inventory
+    * (e.g. the pptx gap-numbered-slide decline) without payloads. */
+  private[plans] def entryNames(b: Array[Byte]): Array[String] = {
+    val arr = parse(b)
+    if (arr == null) return null
+    Array.tabulate(arr.numElements()) { i =>
+      arr.getStruct(i, 3).getUTF8String(0).toString
+    }
+  }
 }
 
 /** `graft_zip_encode(seed, n_entries, comment)` → binary: a REAL zip
@@ -391,12 +402,17 @@ object DocxText {
             case _ if ent.startsWith("#x") || ent.startsWith("#X") =>
               try {
                 val cp = Integer.parseInt(ent.substring(2), 16)
-                if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else null
+                // surrogate code points (isValidCodePoint accepts them)
+                // would emit a lone surrogate char — malformed UTF-16
+                // that garbles downstream UTF-8; ride through unknown
+                if (Character.isValidCodePoint(cp) && !(cp >= 0xD800 && cp <= 0xDFFF))
+                  new String(Character.toChars(cp)) else null
               } catch { case _: NumberFormatException => null }
             case _ if ent.startsWith("#") =>
               try {
                 val cp = Integer.parseInt(ent.substring(1))
-                if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else null
+                if (Character.isValidCodePoint(cp) && !(cp >= 0xD800 && cp <= 0xDFFF))
+                  new String(Character.toChars(cp)) else null
               } catch { case _: NumberFormatException => null }
             case _ => null
           }

@@ -198,6 +198,29 @@ class ZipExtractSpec extends AnyFunSuite {
     assert(EpubChapters.parse(zipOf(epubParts: _*)) === null)
   }
 
+  test("numeric character references in the surrogate range never emit a lone surrogate") {
+    def wrap(docXml: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      try {
+        z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+        z.write(docXml.getBytes("UTF-8"))
+        z.closeEntry()
+      } finally z.close()
+      bos.toByteArray
+    }
+    def para(t: String) =
+      s"<w:document><w:body><w:p><w:r><w:t>$t</w:t></w:r></w:p></w:body></w:document>"
+    // &#xD800; / &#57343; are surrogate code points: Character.toChars
+    // would emit a lone surrogate char (malformed UTF-16) — they must
+    // ride through as unknown entities instead
+    assert(DocxText.parse(wrap(para("x&#xD800;y"))).toString === "x&#xD800;y")
+    assert(DocxText.parse(wrap(para("x&#57343;y"))).toString === "x&#57343;y")
+    // a valid astral code point still decodes via a surrogate PAIR
+    assert(DocxText.parse(wrap(para("x&#x1F600;y"))).toString ===
+      "x" + new String(Character.toChars(0x1F600)) + "y")
+  }
+
   test("truncations never throw (extract + docx)") {
     val zip = ZipEncode.encode(17L, 4, true)
     val docx = DocxEncode.encode(17L, 3)
@@ -271,6 +294,36 @@ class XlsxSpec extends AnyFunSuite {
     assert(cells(wrap("other.xml" -> "x")) === null)
     assert(cells(wrap("xl/worksheets/sheet1.xml" ->
       sheet("<c r=\"A1\"><v>42</v></c>"))) === Seq("A1" -> "42"))
+  }
+
+  test("rPh phonetic blocks are display metadata, not cell text") {
+    // East-Asian workbooks carry furigana readings in <rPh> blocks
+    // inside <si>: their <t> runs must not be appended to the value
+    val sst = "<sst><si><t>kanji</t>" +
+      "<rPh sb=\"0\" eb=\"2\"><t>READING</t></rPh>" +
+      "<phoneticPr fontId=\"1\" type=\"noConversion\"/></si></sst>"
+    val sheet = "<worksheet><sheetData><row r=\"1\">" +
+      "<c r=\"A1\" t=\"s\"><v>0</v></c></row></sheetData></worksheet>"
+    assert(cells(wrap(
+      "xl/sharedStrings.xml" -> sst,
+      "xl/worksheets/sheet1.xml" -> sheet)) === Seq("A1" -> "kanji"))
+    // rich-text runs around a phonetic block: both kept, reading dropped
+    val sst2 = "<sst><si><r><t>a</t></r>" +
+      "<rPh sb=\"0\" eb=\"1\"><t>x</t></rPh><r><t>b</t></r></si></sst>"
+    assert(cells(wrap(
+      "xl/sharedStrings.xml" -> sst2,
+      "xl/worksheets/sheet1.xml" -> sheet)) === Seq("A1" -> "ab"))
+  }
+
+  test("a non-run '<t…' tag is stepped past, not an early return") {
+    // a tag whose name merely starts with 't' must not truncate the
+    // run scan: runs after it are still served
+    val sst = "<sst><si><t>a</t><ts/><t>b</t></si></sst>"
+    val sheet = "<worksheet><sheetData><row r=\"1\">" +
+      "<c r=\"A1\" t=\"s\"><v>0</v></c></row></sheetData></worksheet>"
+    assert(cells(wrap(
+      "xl/sharedStrings.xml" -> sst,
+      "xl/worksheets/sheet1.xml" -> sheet)) === Seq("A1" -> "ab"))
   }
 
   test("truncations never throw (xlsx)") {
@@ -359,6 +412,27 @@ class PptxEpubSpec extends AnyFunSuite {
         "<item id=\"c1\" href=\"ch1.xhtml\" media-type=\"application/xhtml+xml\"/>",
         "<itemref idref=\"c1\"/>"),
       "OEBPS/ch1.xhtml" -> ch))) === Seq("x"))
+  }
+
+  test("pptx gap-numbered decks DECLINE: the consecutive walk never truncates silently") {
+    val body = "<p:sld><a:p><a:r><a:t>s</a:t></a:r></a:p></p:sld>"
+    // slide2 deleted without renumbering: slide1 + slide3 remain —
+    // serving just slide1 would be a silent truncation
+    assert(PptxSlides.parse(wrap(
+      "ppt/slides/slide1.xml" -> body,
+      "ppt/slides/slide3.xml" -> body)) === null)
+    // a deck starting at slide2 (no slide1) declines too
+    assert(PptxSlides.parse(wrap(
+      "ppt/presentation.xml" -> "<p:presentation/>",
+      "ppt/slides/slide2.xml" -> body)) === null)
+    // an absurd part number past any int also declines, never overflows
+    assert(PptxSlides.parse(wrap(
+      "ppt/slides/slide1.xml" -> body,
+      "ppt/slides/slide9999999999.xml" -> body)) === null)
+    // contiguous decks are unaffected
+    assert(arr(PptxSlides.parse(wrap(
+      "ppt/slides/slide1.xml" -> body,
+      "ppt/slides/slide2.xml" -> body))) === Seq("s", "s"))
   }
 
   test("pptx declines: a deck with no slide parts; empty slides are kept") {
