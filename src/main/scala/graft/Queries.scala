@@ -1624,9 +1624,11 @@ object Queries {
        "'http://ex' || CAST(doc_id % 100 AS VARCHAR) || '.org/p' || CAST(doc_id % 13 AS VARCHAR) AS target_uri, " +
        "CAST(t.i AS INTEGER) AS page_no, " +
        "'Doc ' || CAST(doc_id AS VARCHAR) || ' (page ' || CAST(t.i + 1 AS VARCHAR) || ') ' || " +
-       "CASE WHEN doc_id % 11 = 0 THEN 'é€' ELSE 'A' END || chr(10) || " +
+       "CASE WHEN doc_id % 13 = 0 THEN 'é€𝄞ffi' " +
+       "WHEN doc_id % 11 = 0 THEN 'é€' ELSE 'A' END || chr(10) || " +
        "'alpha betagamma' || chr(10) || " +
-       "CASE WHEN doc_id % 2 = 0 THEN 'café “q” – € end' " +
+       "CASE WHEN doc_id % 13 = 0 THEN 'ABC end' " +
+       "WHEN doc_id % 2 = 0 THEN 'café “q” – € end' " +
        "ELSE 'caf‘q’ «g» ﬁn – end' END AS page_text " +
        "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
        "WHERE doc_id % 159 <> 0 AND doc_id % 19 <> 0 AND t.i < doc_id % 4 + 1 " +
@@ -1683,9 +1685,11 @@ object Queries {
        "UNION ALL " +
        "SELECT doc_id, t.i, " +
        "'Doc ' || CAST(doc_id AS VARCHAR) || ' (page ' || CAST(t.i + 1 AS VARCHAR) || ') ' || " +
-       "CASE WHEN doc_id % 11 = 0 THEN 'é€' ELSE 'A' END || chr(10) || " +
+       "CASE WHEN doc_id % 13 = 0 THEN 'é€𝄞ffi' " +
+       "WHEN doc_id % 11 = 0 THEN 'é€' ELSE 'A' END || chr(10) || " +
        "'alpha betagamma' || chr(10) || " +
-       "CASE WHEN doc_id % 2 = 0 THEN 'café “q” – € end' " +
+       "CASE WHEN doc_id % 13 = 0 THEN 'ABC end' " +
+       "WHEN doc_id % 2 = 0 THEN 'café “q” – € end' " +
        "ELSE 'caf‘q’ «g» ﬁn – end' END " +
        "FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) WHERE m = 5 AND t.i < n4), " +
        "agg AS (SELECT doc_id, string_agg(unit, chr(10) ORDER BY idx) AS text " +
@@ -1762,15 +1766,20 @@ object Queries {
     // its escaped parens and octal-escape 'A', line 2's TJ word-break
     // contract (-250 = space, -40 = nothing), and line 3's encoding-
     // specific characters (WinAnsi on even docs, Standard on odd).
+    // %13==0 docs are the Type0 Identity-H + /ToUnicode tier: line 1
+    // carries the CMap bfchar specials (incl. a surrogate pair and a
+    // multi-unit target), line 3 the array-form bfrange.
     // FlateDecode (%3), the intermediate-/Pages tree with inherited
     // resources (%5) and the two-stream /Contents array (%7) are
     // invisible BY DESIGN â one oracle certifies all the layouts
     "text_pdf_extract" ->
       ("SELECT doc_id, CAST(t.i AS INTEGER) AS page_no, " +
        "'Doc ' || CAST(doc_id AS VARCHAR) || ' (page ' || CAST(t.i + 1 AS VARCHAR) || ') ' || " +
-       "CASE WHEN doc_id % 11 = 0 THEN 'é€' ELSE 'A' END || chr(10) || " +
+       "CASE WHEN doc_id % 13 = 0 THEN 'é€𝄞ffi' " +
+       "WHEN doc_id % 11 = 0 THEN 'é€' ELSE 'A' END || chr(10) || " +
        "'alpha betagamma' || chr(10) || " +
-       "CASE WHEN doc_id % 2 = 0 THEN 'café “q” – € end' " +
+       "CASE WHEN doc_id % 13 = 0 THEN 'ABC end' " +
+       "WHEN doc_id % 2 = 0 THEN 'café “q” – € end' " +
        "ELSE 'caf‘q’ «g» ﬁn – end' END AS page_text " +
        "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
        "WHERE doc_id % 151 <> 0 AND t.i < doc_id % 4 + 1 " +

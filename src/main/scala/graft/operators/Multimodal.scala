@@ -537,8 +537,9 @@ object Multimodal {
         // the absent-/Encoding default on %4), FlateDecode'd streams
         // on %3==0, an intermediate /Pages node + INHERITED root
         // /Resources on %5==0, /Contents as a two-stream ARRAY on
-        // %7==0 — every decoded character is doc_id arithmetic, so
-        // the oracle restates the extraction verbatim
+        // %7==0, a /Type0 Identity-H font with a real /ToUnicode CMap
+        // on %13==0 — every decoded character is doc_id arithmetic,
+        // so the oracle restates the extraction verbatim
         (id % 151 =!= 0, graft.plans.VectorExpressions.pdfTextEncode(
           id.cast("long"), (id % 4 + 1).cast("int"))))
       case "gzip" => Seq(
@@ -1505,8 +1506,9 @@ object Multimodal {
   /** PDF TEXT extraction, one row per (doc, page): the content-stream
     * tier over the `pdftext` corpus — xref walk, page-TREE traversal
     * (intermediate nodes + inherited /Resources), /Contents arrays,
-    * FlateDecode, the §9.4 text operator subset, and the Appendix D
-    * simple-font decode (WinAnsi + Standard). Non-PDF rows decline to
+    * FlateDecode, the §9.4 text operator subset, the Appendix D
+    * simple-font decode (WinAnsi + Standard), and the Type0
+    * Identity-H + /ToUnicode CMap tier. Non-PDF rows decline to
     * NULL and drop at the posexplode — the same single codegen'd scan
     * shape as every triage in the family. */
   def pdfTextQ(spark: SparkSession, dir: String): DataFrame =

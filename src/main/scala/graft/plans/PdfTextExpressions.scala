@@ -36,21 +36,29 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (§7.8.2 treats them as one stream with whitespace between);
   *  - pages with no /Contents contribute an empty string.
   *
-  * Character decode is through the page font's SIMPLE encoding
-  * (Appendix D tables, transcribed below): /WinAnsiEncoding,
+  * Character decode has two tiers. SIMPLE fonts go through the
+  * Appendix D encodings (transcribed below): /WinAnsiEncoding,
   * /StandardEncoding, an absent /Encoding (Standard — the
   * non-symbolic Type1 default), or an /Encoding DICT with
   * /BaseEncoding and /Differences — the §9.6.5 per-code overrides
   * resolved through an Adobe-Glyph-List-convention name map (ASCII +
   * Latin-1 + the publishing set + the algorithmic uniXXXX/uXXXX
-  * forms). The mojibake-never law from the HTTP text tier applies: a
-  * code the encoding leaves UNDEFINED, a glyph NAME outside the map,
-  * a font this tier cannot decode faithfully (/Type0 CID fonts,
-  * /MacRomanEncoding), an encrypted file, an inline image (BI — its
-  * raw payload would desynchronize any token walk), or a non-Flate
-  * stream filter all DECLINE the document (NULL) rather than emit
-  * wrong text. These are the recorded envelope; each is a later
-  * tier, none is ever garbled.
+  * forms). /Type0 COMPOSITE fonts (§9.7 — the dominant modern-PDF
+  * case) decode when /Encoding is the NAME Identity-H (2-byte codes)
+  * and a /ToUnicode CMap stream (§9.10.3) is present: its
+  * bfchar/bfrange sections map each code to well-formed UTF-16 text
+  * (multi-unit targets and surrogate PAIRS included), the range
+  * increment walks the final UTF-16 unit and declines rather than
+  * enter the surrogate block. The mojibake-never law from the HTTP
+  * text tier applies: a code the encoding leaves UNDEFINED, a glyph
+  * NAME outside the map, an unmapped CID, a ragged (odd-length)
+  * 2-byte string, a font outside both tiers (/MacRomanEncoding,
+  * Identity-V vertical writing, embedded-CMap-stream encodings, a
+  * Type0 with no /ToUnicode, `usecmap` composition), an encrypted
+  * file, an inline image (BI — its raw payload would desynchronize
+  * any token walk), or a non-Flate stream filter all DECLINE the
+  * document (NULL) rather than emit wrong text. These are the
+  * recorded envelope; each is a later tier, none is ever garbled.
   *
   * Parse-or-NULL bounds throughout: object parse depth 16, 4096
   * array elements / 256 dict pairs / 64 KiB strings, 2048 page-tree
@@ -566,14 +574,179 @@ object PdfPageTexts {
       cp.toChar
     })
 
-  /** The simple-encoding table for one font object, or decline. */
-  private def fontTable(r: Resolver, font: PObj): Array[Char] = {
+  /** A decodable font: a simple 1-byte Appendix D table, or an
+    * Identity-H CID font's 2-byte code → unicode map. */
+  private sealed trait FontDec
+  private final case class SimpleFont(table: Array[Char]) extends FontDec
+  private final case class CidFont(map: java.util.HashMap[Integer, String])
+    extends FontDec
+
+  /** The decode for one font object, or decline. */
+  private def fontDec(r: Resolver, font: PObj): FontDec = {
     val dict = r(font) match { case PDict(m) => m; case _ => decline() }
     dict.get("Subtype") match {
+      case Some(PName("Type0")) => return cidFont(r, dict)
       case Some(PName("Type1")) | Some(PName("TrueType")) |
         Some(PName("Type3")) | Some(PName("MMType1")) | None => ()
-      case _ => decline() // Type0/CID: recorded envelope
+      case _ => decline()
     }
+    SimpleFont(simpleTable(r, dict))
+  }
+
+  /** The /Type0 tier (§9.7): horizontal Identity ordering only —
+    * /Encoding must be the NAME Identity-H (Identity-V vertical
+    * writing and embedded-CMap-stream encodings are the recorded
+    * envelope), and the unicode text comes from the font's /ToUnicode
+    * CMap (§9.10.3). A Type0 with no /ToUnicode declines: CIDs carry
+    * no inherent character identity, serving them would be a guess. */
+  private def cidFont(r: Resolver, dict: Map[String, PObj]): FontDec = {
+    r(dict.getOrElse("Encoding", decline())) match {
+      case PName("Identity-H") => ()
+      case _ => decline()
+    }
+    val tu = r(dict.getOrElse("ToUnicode", decline())) match {
+      case s: PStream => s.data
+      case _ => decline()
+    }
+    CidFont(parseToUnicode(tu))
+  }
+
+  /** Total bfchar/bfrange mapping PUTS a ToUnicode CMap may perform —
+    * bounds the expansion work of hostile wide ranges. */
+  private val MaxCidPuts = 1 << 17
+  private val MaxBfSegments = 4096
+
+  /** §9.10.3 ToUnicode CMap: a PostScript-dialect stream whose
+    * beginbfchar/endbfchar pairs and beginbfrange/endbfrange triples
+    * define 2-byte code → UTF-16BE text. Source codes outside the
+    * 2-byte Identity-H space decline; destination strings must be
+    * well-formed UTF-16 (surrogates only in pairs, never empty); the
+    * range-increment form walks the LAST UTF-16 unit and declines on
+    * overflow or entry into the surrogate block; `usecmap`
+    * composition declines. The PostScript wrapper (findresource,
+    * dict/begin/end, CIDSystemInfo, codespacerange contents) is
+    * inert. */
+  private def parseToUnicode(
+      data: Array[Byte]): java.util.HashMap[Integer, String] = {
+    val map = new java.util.HashMap[Integer, String]()
+    val lex = new Lex(data, 0)
+    var guard = 0
+    var segments = 0
+    var puts = 0
+
+    def put(code: Int, s: String): Unit = {
+      puts += 1
+      if (puts > MaxCidPuts) decline()
+      map.put(code, s)
+    }
+    def srcCode(o: PObj): Int = o match {
+      case PStr(bs) if bs.length == 2 => ((bs(0) & 0xFF) << 8) | (bs(1) & 0xFF)
+      case _ => decline() // 1- or >2-byte code space: outside this tier
+    }
+    /** The next section element, or None at the section's end token. */
+    def elemOrEnd(end: String): Option[PObj] = {
+      lex.skipWs()
+      if (lex.atEnd) decline()
+      val c = lex.peek
+      if (c == '<' || c == '(' || c == '[') Some(lex.obj(0, refs = false))
+      else { if (lex.token() != end) decline(); None }
+    }
+
+    while ({ lex.skipWs(); !lex.atEnd }) {
+      guard += 1
+      if (guard > MaxOps) decline()
+      val c = lex.peek
+      if (c == '/' || c == '(' || c == '<' || c == '[' || c == '+' ||
+        c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        lex.obj(0, refs = false) // counts, codespace bounds, wrapper dicts
+      } else lex.token() match {
+        case "beginbfchar" =>
+          var going = true
+          while (going) {
+            segments += 1
+            if (segments > MaxBfSegments) decline()
+            elemOrEnd("endbfchar") match {
+              case None => going = false
+              case Some(src) =>
+                val dst = lex.obj(0, refs = false) match {
+                  case PStr(bs) => utf16be(bs)
+                  case _ => decline()
+                }
+                put(srcCode(src), dst)
+            }
+          }
+        case "beginbfrange" =>
+          var going = true
+          while (going) {
+            segments += 1
+            if (segments > MaxBfSegments) decline()
+            elemOrEnd("endbfrange") match {
+              case None => going = false
+              case Some(loObj) =>
+                val lo = srcCode(loObj)
+                val hi = srcCode(lex.obj(0, refs = false))
+                if (hi < lo) decline()
+                lex.obj(0, refs = false) match {
+                  case PStr(base) =>
+                    val s0 = utf16be(base)
+                    var k = 0
+                    while (k <= hi - lo) { put(lo + k, bumpLast(s0, k)); k += 1 }
+                  case PArr(elems) =>
+                    if (elems.length != hi - lo + 1) decline()
+                    var k = 0
+                    elems.foreach {
+                      case PStr(bs) => put(lo + k, utf16be(bs)); k += 1
+                      case _ => decline()
+                    }
+                  case _ => decline()
+                }
+            }
+          }
+        case "usecmap" => decline() // CMap composition: recorded envelope
+        case _ => () // PostScript wrapper: inert
+      }
+    }
+    map
+  }
+
+  /** Decode a CMap destination as UTF-16BE; decline on odd length,
+    * emptiness, over-long targets, or unpaired surrogates — a lone
+    * surrogate would garble every downstream UTF-8 encode. */
+  private def utf16be(bs: Array[Byte]): String = {
+    if (bs.length == 0 || bs.length % 2 != 0 || bs.length > 64) decline()
+    val n = bs.length / 2
+    val cs = new Array[Char](n)
+    var i = 0
+    while (i < n) {
+      cs(i) = (((bs(2 * i) & 0xFF) << 8) | (bs(2 * i + 1) & 0xFF)).toChar
+      i += 1
+    }
+    var k = 0
+    while (k < n) {
+      val ch = cs(k)
+      if (Character.isHighSurrogate(ch)) {
+        if (k + 1 >= n || !Character.isLowSurrogate(cs(k + 1))) decline()
+        k += 2
+      } else if (Character.isLowSurrogate(ch)) decline()
+      else k += 1
+    }
+    new String(cs)
+  }
+
+  /** The bfrange increment: base's final UTF-16 unit advanced by k.
+    * Declines when the base ends in a surrogate or the advance would
+    * overflow or land in the surrogate block — never a garbled char. */
+  private def bumpLast(base: String, k: Int): String = {
+    if (k == 0) return base
+    val last = base.charAt(base.length - 1)
+    if (Character.isSurrogate(last)) decline()
+    val v = last.toInt + k
+    if (v > 0xFFFF || (v >= 0xD800 && v <= 0xDFFF)) decline()
+    base.substring(0, base.length - 1) + v.toChar
+  }
+
+  /** The simple-encoding table for one non-composite font dict. */
+  private def simpleTable(r: Resolver, dict: Map[String, PObj]): Array[Char] = {
     r(dict.getOrElse("Encoding", PName("StandardEncoding"))) match {
       case PName("WinAnsiEncoding") => WinAnsi
       case PName("StandardEncoding") => Standard
@@ -611,27 +784,39 @@ object PdfPageTexts {
 
   // ---- the content-stream interpreter ---------------------------------
 
-  private final class PageState(fonts: Map[String, Array[Char]]) {
+  private final class PageState(fonts: Map[String, FontDec]) {
     val out = new java.lang.StringBuilder(256)
-    private var table: Array[Char] = null
+    private var font: FontDec = null
 
     def setFont(n: String): Unit =
-      table = fonts.getOrElse(n, decline())
+      font = fonts.getOrElse(n, decline())
 
     def newline(): Unit = {
       val len = out.length
       if (len > 0 && out.charAt(len - 1) != '\n') out.append('\n')
     }
 
-    def show(s: Array[Byte]): Unit = {
-      if (table == null) decline() // show before any Tf
-      var i = 0
-      while (i < s.length) {
-        val ch = table(s(i) & 0xFF)
-        if (ch == 0) decline() // undefined code: never garble
-        out.append(ch)
-        i += 1
-      }
+    def show(s: Array[Byte]): Unit = font match {
+      case null => decline() // show before any Tf
+      case SimpleFont(table) =>
+        var i = 0
+        while (i < s.length) {
+          val ch = table(s(i) & 0xFF)
+          if (ch == 0) decline() // undefined code: never garble
+          out.append(ch)
+          i += 1
+        }
+      case CidFont(map) =>
+        // Identity-H strings are 2-byte codes; a ragged string would
+        // desynchronize every following code — decline
+        if (s.length % 2 != 0) decline()
+        var i = 0
+        while (i < s.length) {
+          val u = map.get(((s(i) & 0xFF) << 8) | (s(i + 1) & 0xFF))
+          if (u == null) decline() // unmapped CID: never garble
+          out.append(u)
+          i += 2
+        }
     }
   }
 
@@ -734,13 +919,13 @@ object PdfPageTexts {
 
   private def pageText(r: Resolver, page: Map[String, PObj],
       res: Option[PObj]): String = {
-    val fonts: Map[String, Array[Char]] = res match {
+    val fonts: Map[String, FontDec] = res match {
       case None => Map.empty
       case Some(resObj) => r(resObj) match {
         case PDict(rm) => rm.get("Font") match {
           case None => Map.empty
           case Some(f) => r(f) match {
-            case PDict(fm) => fm.map { case (k, v) => k -> fontTable(r, v) }
+            case PDict(fm) => fm.map { case (k, v) => k -> fontDec(r, v) }
             case _ => decline()
           }
         }
@@ -789,6 +974,12 @@ object PdfPageTexts {
   *    codes 65/66 to /eacute + /uni20AC (named AND algorithmic glyph
   *    resolution, plus the consecutive-codes rule), so line 1's tail
   *    decodes "é€" instead of "A";
+  *  - seed%13==0: a /Type0 Identity-H font (2-byte hex-string codes)
+  *    with a REAL /ToUnicode CMap — an ASCII bfrange (increment
+  *    form), bfchars for é/€, a surrogate-PAIR target (U+1D11E) and a
+  *    multi-unit "ffi" target, plus an ARRAY-form bfrange — so CID
+  *    docs decode "é€𝄞ffi" in line 1 and "ABC end" in line 3,
+  *    certifying every CMap section shape against the oracle;
   *  - every page: escaped parens + an octal escape in line 1, a TJ
   *    array whose -250 gap is a word break and -40 is not, and a '
   *    (move-show) for line 3. */
@@ -842,10 +1033,14 @@ object PdfTextEncode {
 
   /** What [[PdfPageTexts]] must decode page p (0-based) to — the
     * oracle's contract, kept next to the encoder that implies it.
-    * seed%11==0 docs carry a /Differences encoding remapping codes
-    * 65/66 ('A'/'B') to eacute and uni20AC, so their line-1 tail
-    * decodes "é€" where plain docs show "A". */
+    * seed%13==0 docs use the Type0 Identity-H font: line 1's tail is
+    * the CMap specials "é€𝄞ffi" and line 3 is the array-range "ABC
+    * end". Otherwise seed%11==0 docs carry a /Differences encoding
+    * remapping codes 65/66 ('A'/'B') to eacute and uni20AC, so their
+    * line-1 tail decodes "é€" where plain docs show "A". */
   def decodedPage(seed: Long, p: Int): String = {
+    if (seed % 13 == 0)
+      return s"Doc $seed (page ${p + 1}) é€𝄞ffi\nalpha betagamma\nABC end"
     val winAnsi = seed % 2 == 0
     val line3 =
       if (winAnsi) "café “q” – € end"
@@ -861,6 +1056,7 @@ object PdfTextEncode {
     val treed = seed % 5 == 0
     val splitContents = seed % 7 == 0
     val diffs = seed % 11 == 0
+    val cid = seed % 13 == 0
 
     val sb = new StringBuilder()
     sb.append("%PDF-1.6\n%")
@@ -883,35 +1079,75 @@ object PdfTextEncode {
         bin(data) + "\nendstream")
     }
 
+    // ASCII text as 2-byte Identity-H hex codes (the CMap's ASCII
+    // bfrange maps code == code point)
+    def cidHex(s: String): String = s.map(c => f"${c.toInt}%04x").mkString
+
     // content stream SOURCE per page, split point after line 2's TJ;
     // the line-1 tail is \101 ('A') — or \101\102 on Differences docs,
-    // whose encoding remaps those codes to eacute + uni20AC
+    // whose encoding remaps those codes to eacute + uni20AC. CID docs
+    // write the same layout in 2-byte hex strings: the line-1 tail is
+    // the four bfchar specials (0100 é, 0101 €, 0102 the surrogate-
+    // pair 𝄞, 0104 the multi-unit ffi), line 3 the array-form range
+    // 0200..0202 ("ABC") + ASCII
     def contentA(p: Int): String =
-      s"BT /F1 12 Tf 72 720 Td (Doc $seed \\(page ${p + 1}\\) \\101" +
-        (if (diffs) "\\102" else "") + ") Tj " +
-        "0 -14 TD [(alpha) -250 (beta) -40 (gamma)] TJ "
+      if (cid)
+        s"BT /F1 12 Tf 72 720 Td <${cidHex(s"Doc $seed (page ${p + 1}) ")}" +
+          "0100010101020104> Tj " +
+          s"0 -14 TD [<${cidHex("alpha")}> -250 <${cidHex("beta")}> -40 " +
+          s"<${cidHex("gamma")}>] TJ "
+      else
+        s"BT /F1 12 Tf 72 720 Td (Doc $seed \\(page ${p + 1}\\) \\101" +
+          (if (diffs) "\\102" else "") + ") Tj " +
+          "0 -14 TD [(alpha) -250 (beta) -40 (gamma)] TJ "
     def contentB(): String =
-      s"(${line3Bytes(winAnsi)}) ' ET"
+      if (cid) s"<020002010202${cidHex(" end")}> ' ET"
+      else s"(${line3Bytes(winAnsi)}) ' ET"
 
     // object numbering: 1 Catalog, 2 Pages root, 3 Font, [4,5 the
-    // intermediate nodes], then per page: Page, content stream(s)
-    val fontBody = {
-      val enc =
-        if (diffs)
-          // the §9.6.5 dict form: 65 -> eacute, then uni20AC claims 66
-          // (the consecutive-codes rule); BaseEncoding rides when the
-          // doc is a WinAnsi one, absent -> Standard otherwise
-          " /Encoding << " +
-            (if (winAnsi) "/BaseEncoding /WinAnsiEncoding " else "") +
-            "/Differences [ 65 /eacute /uni20AC ] >>"
-        else if (winAnsi) " /Encoding /WinAnsiEncoding"
-        else if (seed % 4 == 1) " /Encoding /StandardEncoding"
-        else "" // absent /Encoding: the Standard default path
-      s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica$enc >>"
-    }
+    // intermediate nodes], [then descendant font + ToUnicode stream
+    // on CID docs], then per page: Page, content stream(s)
     val fontNum = 3
     val interNums = if (treed) Seq(4, 5) else Seq.empty
-    val firstPageNum = 3 + interNums.length + 1
+    val descNum = 4 + interNums.length
+    val tuNum = descNum + 1
+    val fontBody = {
+      if (cid)
+        s"<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+          s"/Encoding /Identity-H /DescendantFonts [ $descNum 0 R ] " +
+          s"/ToUnicode $tuNum 0 R >>"
+      else {
+        val enc =
+          if (diffs)
+            // the §9.6.5 dict form: 65 -> eacute, then uni20AC claims 66
+            // (the consecutive-codes rule); BaseEncoding rides when the
+            // doc is a WinAnsi one, absent -> Standard otherwise
+            " /Encoding << " +
+              (if (winAnsi) "/BaseEncoding /WinAnsiEncoding " else "") +
+              "/Differences [ 65 /eacute /uni20AC ] >>"
+          else if (winAnsi) " /Encoding /WinAnsiEncoding"
+          else if (seed % 4 == 1) " /Encoding /StandardEncoding"
+          else "" // absent /Encoding: the Standard default path
+        s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica$enc >>"
+      }
+    }
+    val firstPageNum = 3 + interNums.length + (if (cid) 2 else 0) + 1
+
+    // the ToUnicode CMap SOURCE (§9.10.3) — the full PostScript shell
+    // real writers emit, with every section shape the parser serves:
+    // an increment-form ASCII bfrange, bfchars incl. a surrogate pair
+    // and a multi-unit target, and an array-form bfrange
+    val cmapSrc =
+      "/CIDInit /ProcSet findresource begin\n" +
+        "12 dict begin\nbegincmap\n" +
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def\n" +
+        "/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n" +
+        "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n" +
+        "1 beginbfrange\n<0020> <007e> <0020>\nendbfrange\n" +
+        "4 beginbfchar\n<0100> <00e9>\n<0101> <20ac>\n" +
+        "<0102> <d834dd1e>\n<0104> <006600660069>\nendbfchar\n" +
+        "1 beginbfrange\n<0200> <0202> [<0041> <0042> <0043>]\nendbfrange\n" +
+        "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
     val perPage = if (splitContents) 3 else 2
     def pageNum(p: Int) = firstPageNum + p * perPage
     val resourcesStr = s"/Resources << /Font << /F1 $fontNum 0 R >> >>"
@@ -935,6 +1171,12 @@ object PdfTextEncode {
       // an empty /Kids array is legal and keeps the walk honest when
       // every page landed in the first half (nPages == 1)
       obj(s"<< /Type /Pages /Parent 2 0 R /Kids [ $kidsB ] /Count ${nPages - cut} >>")
+    }
+    if (cid) {
+      obj("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCID " +
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) " +
+        "/Supplement 0 >> /CIDToGIDMap /Identity >>")
+      streamObj(cmapSrc.getBytes("ISO-8859-1"), "")
     }
     (0 until nPages).foreach { p =>
       val contentRefs =

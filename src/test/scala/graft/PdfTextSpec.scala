@@ -26,10 +26,12 @@ class PdfTextSpec extends AnyFunSuite {
   test("fixture round trips: decoded text is decodedPage across the grid") {
     // seeds land every variant: evens WinAnsi, odds Standard (explicit
     // %4==1 / absent %4==3), %3==0 Flate, %5==0 tree+inheritance,
-    // %7==0 split /Contents, %11==0 the /Differences dict form;
-    // 105 = 3*5*7 and 2310 = 2*3*5*7*11 stack them
+    // %7==0 split /Contents, %11==0 the /Differences dict form,
+    // %13==0 the Type0 Identity-H + ToUnicode tier; 105 = 3*5*7,
+    // 2310 = 2*3*5*7*11, and 30030 = 2*3*5*7*11*13 stack them
     for (seed <- Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L, 9L, 10L, 11L, 14L, 15L,
-           21L, 22L, 33L, 35L, 55L, 70L, 77L, 105L, 110L, 2310L, 4242L);
+           21L, 22L, 33L, 35L, 55L, 70L, 77L, 105L, 110L, 2310L, 4242L,
+           13L, 26L, 39L, 65L, 91L, 143L, 195L, 30030L);
          pages <- Seq(1, 2, 4)) {
       val b = PdfTextEncode.encode(seed, pages)
       val got = texts(b)
@@ -120,6 +122,8 @@ class PdfTextSpec extends AnyFunSuite {
 
   test("Type0 and MacRoman decline; Differences decodes or declines by name") {
     val content = "BT /F1 9 Tf (abc) Tj ET"
+    // a Type0 with Identity-H but NO /ToUnicode still declines: CIDs
+    // carry no inherent character identity to serve
     val type0 =
       "<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding /Identity-H >>"
     val mac =
@@ -145,6 +149,83 @@ class PdfTextSpec extends AnyFunSuite {
     val bare = "<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding " +
       "<< /BaseEncoding /WinAnsiEncoding >> >>"
     assert(texts(mini(bare, content)) === Seq("abc"))
+  }
+
+  /** Minimal CID PDF: 1 Catalog, 2 Pages, 3 Page, 4 Type0 font with
+    * the given /Encoding name, 5 content stream, 6 the ToUnicode CMap
+    * stream (source given raw). */
+  private def miniCid(content: String, cmap: String,
+      encoding: String = "/Identity-H"): Array[Byte] = {
+    val sb = new StringBuilder("%PDF-1.6\n")
+    val offsets = new scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(body: String): Unit = {
+      offsets += sb.length
+      sb.append(s"${offsets.length} 0 obj\n$body\nendobj\n")
+    }
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    obj("<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>")
+    obj("<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> >> " +
+      "/Contents 5 0 R >>")
+    obj(s"<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding $encoding " +
+      "/ToUnicode 6 0 R >>")
+    obj(s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+    obj(s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream")
+    val size = offsets.length + 1
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 $size\n0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  private val asciiCmap =
+    "begincmap\n1 beginbfrange\n<0020> <007e> <0020>\nendbfrange\nendcmap"
+
+  test("Identity-H: every ToUnicode section shape decodes") {
+    // increment-form range (ASCII), bfchars with a multi-unit target
+    // and a surrogate PAIR, and the array-form range, in one CMap
+    val cmap = "begincmap\n" +
+      "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n" +
+      "1 beginbfrange\n<0020> <007e> <0020>\nendbfrange\n" +
+      "3 beginbfchar\n<0100> <00e9>\n<0101> <d834dd1e>\n" +
+      "<0102> <006600660069>\nendbfchar\n" +
+      "1 beginbfrange\n<0200> <0202> [<0041> <0042> <0043>]\nendbfrange\n" +
+      "endcmap"
+    val content = "BT /F1 9 Tf <00480069002001000101010202000201> Tj ET"
+    assert(texts(miniCid(content, cmap)) ===
+      Seq("Hi é" + new String(Character.toChars(0x1D11E)) + "ffiAB"))
+  }
+
+  test("Identity-H declines: vertical writing, unmapped CIDs, ragged strings, bad CMaps") {
+    val hi = "BT /F1 9 Tf <00480069> Tj ET"
+    // happy baseline
+    assert(texts(miniCid(hi, asciiCmap)) === Seq("Hi"))
+    // Identity-V (vertical writing) is the recorded envelope
+    assert(texts(miniCid(hi, asciiCmap, "/Identity-V")) === null)
+    // an unmapped CID declines, never a placeholder
+    assert(texts(miniCid("BT /F1 9 Tf <0548> Tj ET", asciiCmap)) === null)
+    // a ragged (odd-length) 2-byte string would desynchronize: decline
+    assert(texts(miniCid("BT /F1 9 Tf <004800690a> Tj ET", asciiCmap)) === null)
+    // a 1-byte source code is outside the Identity-H code space
+    assert(texts(miniCid(hi,
+      "begincmap\n1 beginbfchar\n<48> <0048>\nendbfchar\nendcmap")) === null)
+    // a lone-surrogate destination would garble downstream UTF-8
+    assert(texts(miniCid(hi,
+      "begincmap\n1 beginbfchar\n<0048> <d800>\nendbfchar\nendcmap")) === null)
+    // an EMPTY destination would silently drop glyphs
+    assert(texts(miniCid(hi,
+      "begincmap\n1 beginbfchar\n<0048> <>\nendbfchar\nendcmap")) === null)
+    // a range increment that would enter the surrogate block declines
+    assert(texts(miniCid(hi,
+      "begincmap\n1 beginbfrange\n<0040> <0050> <d7fe>\nendbfrange\nendcmap"))
+      === null)
+    // usecmap composition is the recorded envelope
+    assert(texts(miniCid(hi,
+      "/Other usecmap\n" + asciiCmap)) === null)
+    // an array-form range whose array length disagrees declines
+    assert(texts(miniCid(hi,
+      "begincmap\n1 beginbfrange\n<0048> <0049> [<0041>]\nendbfrange\nendcmap"))
+      === null)
   }
 
   test("undefined codes decline: cp1252 holes and control bytes") {
