@@ -1623,13 +1623,14 @@ object Queries {
       ("SELECT doc_id, " +
        "'http://ex' || CAST(doc_id % 100 AS VARCHAR) || '.org/p' || CAST(doc_id % 13 AS VARCHAR) AS target_uri, " +
        "CAST(t.i AS INTEGER) AS page_no, " +
+       "CASE WHEN doc_id % 17 = 0 AND t.i = 1 THEN NULL ELSE " +
        "'Doc ' || CAST(doc_id AS VARCHAR) || ' (page ' || CAST(t.i + 1 AS VARCHAR) || ') ' || " +
        "CASE WHEN doc_id % 13 = 0 THEN 'é€𝄞ffi' " +
        "WHEN doc_id % 11 = 0 THEN 'é€' ELSE 'A' END || chr(10) || " +
        "'alpha betagamma' || chr(10) || " +
        "CASE WHEN doc_id % 13 = 0 THEN 'ABC end' " +
        "WHEN doc_id % 2 = 0 THEN 'café “q” – € end' " +
-       "ELSE 'caf‘q’ «g» ﬁn – end' END AS page_text " +
+       "ELSE 'caf‘q’ «g» ﬁn – end' END END AS page_text " +
        "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
        "WHERE doc_id % 159 <> 0 AND doc_id % 19 <> 0 AND t.i < doc_id % 4 + 1 " +
        "ORDER BY doc_id, page_no"),
@@ -1691,7 +1692,11 @@ object Queries {
        "CASE WHEN doc_id % 13 = 0 THEN 'ABC end' " +
        "WHEN doc_id % 2 = 0 THEN 'café “q” – € end' " +
        "ELSE 'caf‘q’ «g» ﬁn – end' END " +
-       "FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) WHERE m = 5 AND t.i < n4), " +
+       "FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) WHERE m = 5 AND t.i < n4 " +
+       // a %17 doc with >=2 pages has a DECLINED page: the whole-doc
+       // text is NULL (excluding its units here leaves the LEFT JOIN
+       // serving NULL), never a truncated concatenation
+       "AND NOT (doc_id % 17 = 0 AND doc_id % 4 >= 1)), " +
        "agg AS (SELECT doc_id, string_agg(unit, chr(10) ORDER BY idx) AS text " +
        "FROM u GROUP BY doc_id) " +
        "SELECT d.doc_id, " +
@@ -1774,13 +1779,14 @@ object Queries {
     // invisible BY DESIGN â one oracle certifies all the layouts
     "text_pdf_extract" ->
       ("SELECT doc_id, CAST(t.i AS INTEGER) AS page_no, " +
+       "CASE WHEN doc_id % 17 = 0 AND t.i = 1 THEN NULL ELSE " +
        "'Doc ' || CAST(doc_id AS VARCHAR) || ' (page ' || CAST(t.i + 1 AS VARCHAR) || ') ' || " +
        "CASE WHEN doc_id % 13 = 0 THEN 'é€𝄞ffi' " +
        "WHEN doc_id % 11 = 0 THEN 'é€' ELSE 'A' END || chr(10) || " +
        "'alpha betagamma' || chr(10) || " +
        "CASE WHEN doc_id % 13 = 0 THEN 'ABC end' " +
        "WHEN doc_id % 2 = 0 THEN 'café “q” – € end' " +
-       "ELSE 'caf‘q’ «g» ﬁn – end' END AS page_text " +
+       "ELSE 'caf‘q’ «g» ﬁn – end' END END AS page_text " +
        "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
        "WHERE doc_id % 151 <> 0 AND t.i < doc_id % 4 + 1 " +
        "ORDER BY doc_id, page_no"),

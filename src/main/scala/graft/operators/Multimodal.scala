@@ -1314,9 +1314,14 @@ object Multimodal {
         .when(substring(p, 1, 2) === lit("PK".getBytes("US-ASCII")),
           graft.plans.VectorExpressions.zipKind(p)).as("kind"),
       p.as("payload"))
+    // the PDF tier declines at PAGE granularity (a NULL element);
+    // array_join would skip it silently — a doc with any declined
+    // page yields NULL text here, never a truncated concatenation
+    val pdfPages = graft.plans.VectorExpressions.pdfPageTexts(col("payload"))
     kinded.select(col("doc_id"), col("kind"),
-      when(col("kind") === "pdf", array_join(
-        graft.plans.VectorExpressions.pdfPageTexts(col("payload")), "\n"))
+      when(col("kind") === "pdf",
+        when(exists(pdfPages, _.isNull), lit(null))
+          .otherwise(array_join(pdfPages, "\n")))
       .when(col("kind") === "docx",
         graft.plans.VectorExpressions.docxText(col("payload")))
       .when(col("kind") === "xlsx", array_join(

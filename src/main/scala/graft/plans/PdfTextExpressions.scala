@@ -50,15 +50,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * (multi-unit targets and surrogate PAIRS included), the range
   * increment walks the final UTF-16 unit and declines rather than
   * enter the surrogate block. The mojibake-never law from the HTTP
-  * text tier applies: a code the encoding leaves UNDEFINED, a glyph
-  * NAME outside the map, an unmapped CID, a ragged (odd-length)
-  * 2-byte string, a font outside both tiers (/MacRomanEncoding,
-  * Identity-V vertical writing, embedded-CMap-stream encodings, a
-  * Type0 with no /ToUnicode, `usecmap` composition), an encrypted
-  * file, an inline image (BI — its raw payload would desynchronize
-  * any token walk), or a non-Flate stream filter all DECLINE the
-  * document (NULL) rather than emit wrong text. These are the
-  * recorded envelope; each is a later tier, none is ever garbled.
+  * text tier applies at PAGE granularity: a code the encoding leaves
+  * UNDEFINED, a glyph NAME outside the map, an unmapped CID, a
+  * ragged (odd-length) 2-byte string, a font outside both tiers
+  * (/MacRomanEncoding, Identity-V vertical writing,
+  * embedded-CMap-stream encodings, a Type0 with no /ToUnicode,
+  * `usecmap` composition), an inline image (BI — its raw payload
+  * would desynchronize any token walk), or a non-Flate stream filter
+  * DECLINES that page — a NULL array element — while the rest of the
+  * document still serves (fonts decode lazily on Tf, so a broken
+  * font poisons only pages that select it). STRUCTURAL failures —
+  * the xref chain, encryption, the catalog, the page TREE — decline
+  * the whole document (NULL). Either way nothing is ever garbled;
+  * each declined case is a later tier.
   *
   * Parse-or-NULL bounds throughout: object parse depth 16, 4096
   * array elements / 256 dict pairs / 64 KiB strings, 2048 page-tree
@@ -71,7 +75,7 @@ case class PdfPageTexts(child: Expression) extends UnaryExpression {
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"graft_pdf_page_texts expects a binary column, got ${child.dataType.catalogString}")
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_pdf_page_texts"
 
@@ -329,6 +333,12 @@ object PdfPageTexts {
       case PRef(n) => resolve(n)
       case other => other
     }
+
+    /** Clear in-flight markers after a PAGE-scoped decline was caught:
+      * an exception mid-resolve leaves entries that would read as
+      * false cycles on the next page. The memo only ever holds
+      * COMPLETED results, so it stays. */
+    def recover(): Unit = inProgress.clear()
 
     def resolve(num: Long): PObj = {
       val hit = memo.get(num)
@@ -784,12 +794,12 @@ object PdfPageTexts {
 
   // ---- the content-stream interpreter ---------------------------------
 
-  private final class PageState(fonts: Map[String, FontDec]) {
+  private final class PageState(lookup: String => FontDec) {
     val out = new java.lang.StringBuilder(256)
     private var font: FontDec = null
 
     def setFont(n: String): Unit =
-      font = fonts.getOrElse(n, decline())
+      font = lookup(n)
 
     def newline(): Unit = {
       val len = out.length
@@ -891,7 +901,7 @@ object PdfPageTexts {
       // iterative depth-first walk, document order; (node, inherited
       // /Resources) — §7.7.3.4 inheritable attributes
       var stack = List[(PObj, Option[PObj])]((pagesRef, None))
-      val pages = Vector.newBuilder[UTF8String]
+      val pages = Vector.newBuilder[Any]
       var nodes = 0
       var nPages = 0
       while (stack.nonEmpty) {
@@ -910,7 +920,11 @@ object PdfPageTexts {
           case Some(PName("Page")) =>
             nPages += 1
             if (nPages > MaxPages) decline()
-            pages += UTF8String.fromString(pageText(r, node, res))
+            // the decline unit is the PAGE: a font/filter/code
+            // outside the envelope nulls this element, the rest of
+            // the document still serves
+            pages += (try UTF8String.fromString(pageText(r, node, res))
+              catch { case _: Decline => r.recover(); null })
           case _ => decline()
         }
       }
@@ -919,20 +933,31 @@ object PdfPageTexts {
 
   private def pageText(r: Resolver, page: Map[String, PObj],
       res: Option[PObj]): String = {
-    val fonts: Map[String, FontDec] = res match {
+    val fontRaw: Map[String, PObj] = res match {
       case None => Map.empty
       case Some(resObj) => r(resObj) match {
         case PDict(rm) => rm.get("Font") match {
           case None => Map.empty
           case Some(f) => r(f) match {
-            case PDict(fm) => fm.map { case (k, v) => k -> fontDec(r, v) }
+            case PDict(fm) => fm
             case _ => decline()
           }
         }
         case _ => decline()
       }
     }
-    val st = new PageState(fonts)
+    // fonts decode LAZILY on Tf: a broken font in the resource dict
+    // only poisons pages that actually select it
+    val fontCache = new java.util.HashMap[String, FontDec]()
+    val st = new PageState(n => {
+      val hit = fontCache.get(n)
+      if (hit != null) hit
+      else {
+        val d = fontDec(r, fontRaw.getOrElse(n, decline()))
+        fontCache.put(n, d)
+        d
+      }
+    })
     page.get("Contents") match {
       case None => ()
       case Some(contents) =>
@@ -980,6 +1005,11 @@ object PdfPageTexts {
   *    multi-unit "ffi" target, plus an ARRAY-form bfrange — so CID
   *    docs decode "é€𝄞ffi" in line 1 and "ABC end" in line 3,
   *    certifying every CMap section shape against the oracle;
+  *  - seed%17==0: the SECOND page (when present) shows code 0x81 —
+  *    undefined in WinAnsi AND Standard, and an unmapped CID through
+  *    the Type0 path — so the page-granular envelope yields a NULL
+  *    element there while the document's other pages serve
+  *    ([[badPage]] is the oracle's restatement);
   *  - every page: escaped parens + an octal escape in line 1, a TJ
   *    array whose -250 gap is a word break and -40 is not, and a '
   *    (move-show) for line 3. */
@@ -1038,7 +1068,13 @@ object PdfTextEncode {
     * end". Otherwise seed%11==0 docs carry a /Differences encoding
     * remapping codes 65/66 ('A'/'B') to eacute and uni20AC, so their
     * line-1 tail decodes "é€" where plain docs show "A". */
+  /** True when the fixture plants page p (0-based) as a DECLINED
+    * page: seed%17==0 docs carry an undefined/unmapped code on their
+    * second page, so [[PdfPageTexts]] serves a NULL element there. */
+  def badPage(seed: Long, p: Int): Boolean = seed % 17 == 0 && p == 1
+
   def decodedPage(seed: Long, p: Int): String = {
+    if (badPage(seed, p)) return null
     if (seed % 13 == 0)
       return s"Doc $seed (page ${p + 1}) é€𝄞ffi\nalpha betagamma\nABC end"
     val winAnsi = seed % 2 == 0
@@ -1091,7 +1127,12 @@ object PdfTextEncode {
     // pair 𝄞, 0104 the multi-unit ffi), line 3 the array-form range
     // 0200..0202 ("ABC") + ASCII
     def contentA(p: Int): String =
-      if (cid)
+      if (badPage(seed, p))
+        // code 0x81: a WinAnsi hole, undefined in Standard, and (as
+        // the 2-byte pair "x\201" = CID 0x7881) unmapped through the
+        // Type0 path — this page declines under EVERY font variant
+        "BT /F1 12 Tf 72 720 Td (x\\201) Tj "
+      else if (cid)
         s"BT /F1 12 Tf 72 720 Td <${cidHex(s"Doc $seed (page ${p + 1}) ")}" +
           "0100010101020104> Tj " +
           s"0 -14 TD [<${cidHex("alpha")}> -250 <${cidHex("beta")}> -40 " +

@@ -8,17 +8,19 @@ import graft.plans.{PdfEncode, PdfPageTexts, PdfTextEncode}
   * grid (expected text = PdfTextEncode.decodedPage, the oracle's
   * contract), the §7.3 string grammar (hex strings, octal escapes,
   * line folds), the text-operator semantics (TJ word-break boundary,
-  * ", T* newline coalescing, horizontal Td), the decline envelope
-  * (Type0 / MacRoman fonts, unknown Differences glyphs, undefined
-  * codes, inline
-  * images, non-Flate filters, encryption), and the never-throw law
-  * over truncations and bit flips. */
+  * ", T* newline coalescing, horizontal Td), the decline envelope at
+  * its two scopes — PAGE-granular (MacRoman / Type0-sans-ToUnicode
+  * fonts, unknown Differences glyphs, undefined codes, unmapped
+  * CIDs, inline images, non-Flate filters → a NULL array element)
+  * and document-level (encryption, xref/tree structure) — and the
+  * never-throw law over truncations and bit flips. */
 class PdfTextSpec extends AnyFunSuite {
 
   private def texts(b: Array[Byte]): Seq[String] = {
     val r = PdfPageTexts.parse(b)
     if (r == null) null
-    else (0 until r.numElements()).map(i => r.getUTF8String(i).toString)
+    else (0 until r.numElements()).map(i =>
+      if (r.isNullAt(i)) null else r.getUTF8String(i).toString)
   }
 
   // ---- the fixture grid ----------------------------------------------
@@ -27,11 +29,15 @@ class PdfTextSpec extends AnyFunSuite {
     // seeds land every variant: evens WinAnsi, odds Standard (explicit
     // %4==1 / absent %4==3), %3==0 Flate, %5==0 tree+inheritance,
     // %7==0 split /Contents, %11==0 the /Differences dict form,
-    // %13==0 the Type0 Identity-H + ToUnicode tier; 105 = 3*5*7,
-    // 2310 = 2*3*5*7*11, and 30030 = 2*3*5*7*11*13 stack them
+    // %13==0 the Type0 Identity-H + ToUnicode tier, %17==0 the
+    // planted DECLINED second page (null element, page-granular
+    // envelope); 105 = 3*5*7, 2310 = 2*3*5*7*11, 30030 =
+    // 2*3*5*7*11*13 stack them, 221 = 13*17 is a CID doc with a bad
+    // page
     for (seed <- Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L, 9L, 10L, 11L, 14L, 15L,
            21L, 22L, 33L, 35L, 55L, 70L, 77L, 105L, 110L, 2310L, 4242L,
-           13L, 26L, 39L, 65L, 91L, 143L, 195L, 30030L);
+           13L, 26L, 39L, 65L, 91L, 143L, 195L, 30030L,
+           17L, 34L, 51L, 85L, 119L, 187L, 221L, 510510L);
          pages <- Seq(1, 2, 4)) {
       val b = PdfTextEncode.encode(seed, pages)
       val got = texts(b)
@@ -128,8 +134,8 @@ class PdfTextSpec extends AnyFunSuite {
       "<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding /Identity-H >>"
     val mac =
       "<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding /MacRomanEncoding >>"
-    assert(texts(mini(type0, content)) === null)
-    assert(texts(mini(mac, content)) === null)
+    assert(texts(mini(type0, content)) === Seq(null))
+    assert(texts(mini(mac, content)) === Seq(null))
     // Differences with KNOWN names decodes faithfully: a named glyph,
     // the consecutive-codes rule (quoteright claims 98 right after
     // eacute's 97), and the algorithmic uniXXXX form at 99
@@ -140,11 +146,11 @@ class PdfTextSpec extends AnyFunSuite {
     // an UNKNOWN glyph name declines the document, never guesses
     val unknown = "<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding " +
       "<< /BaseEncoding /WinAnsiEncoding /Differences [ 97 /notaglyph ] >> >>"
-    assert(texts(mini(unknown, content)) === null)
+    assert(texts(mini(unknown, content)) === Seq(null))
     // so does a surrogate uniXXXX (no faithful Char for it)
     val surrogate = "<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding " +
       "<< /Differences [ 97 /uniD800 ] >> >>"
-    assert(texts(mini(surrogate, content)) === null)
+    assert(texts(mini(surrogate, content)) === Seq(null))
     // the same Encoding DICT without Differences is fine
     val bare = "<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding " +
       "<< /BaseEncoding /WinAnsiEncoding >> >>"
@@ -201,37 +207,76 @@ class PdfTextSpec extends AnyFunSuite {
     // happy baseline
     assert(texts(miniCid(hi, asciiCmap)) === Seq("Hi"))
     // Identity-V (vertical writing) is the recorded envelope
-    assert(texts(miniCid(hi, asciiCmap, "/Identity-V")) === null)
+    assert(texts(miniCid(hi, asciiCmap, "/Identity-V")) === Seq(null))
     // an unmapped CID declines, never a placeholder
-    assert(texts(miniCid("BT /F1 9 Tf <0548> Tj ET", asciiCmap)) === null)
+    assert(texts(miniCid("BT /F1 9 Tf <0548> Tj ET", asciiCmap)) === Seq(null))
     // a ragged (odd-length) 2-byte string would desynchronize: decline
-    assert(texts(miniCid("BT /F1 9 Tf <004800690a> Tj ET", asciiCmap)) === null)
+    assert(texts(miniCid("BT /F1 9 Tf <004800690a> Tj ET", asciiCmap)) === Seq(null))
     // a 1-byte source code is outside the Identity-H code space
     assert(texts(miniCid(hi,
-      "begincmap\n1 beginbfchar\n<48> <0048>\nendbfchar\nendcmap")) === null)
+      "begincmap\n1 beginbfchar\n<48> <0048>\nendbfchar\nendcmap")) === Seq(null))
     // a lone-surrogate destination would garble downstream UTF-8
     assert(texts(miniCid(hi,
-      "begincmap\n1 beginbfchar\n<0048> <d800>\nendbfchar\nendcmap")) === null)
+      "begincmap\n1 beginbfchar\n<0048> <d800>\nendbfchar\nendcmap")) === Seq(null))
     // an EMPTY destination would silently drop glyphs
     assert(texts(miniCid(hi,
-      "begincmap\n1 beginbfchar\n<0048> <>\nendbfchar\nendcmap")) === null)
+      "begincmap\n1 beginbfchar\n<0048> <>\nendbfchar\nendcmap")) === Seq(null))
     // a range increment that would enter the surrogate block declines
     assert(texts(miniCid(hi,
       "begincmap\n1 beginbfrange\n<0040> <0050> <d7fe>\nendbfrange\nendcmap"))
-      === null)
+      === Seq(null))
     // usecmap composition is the recorded envelope
     assert(texts(miniCid(hi,
-      "/Other usecmap\n" + asciiCmap)) === null)
+      "/Other usecmap\n" + asciiCmap)) === Seq(null))
     // an array-form range whose array length disagrees declines
     assert(texts(miniCid(hi,
       "begincmap\n1 beginbfrange\n<0048> <0049> [<0041>]\nendbfrange\nendcmap"))
-      === null)
+      === Seq(null))
+  }
+
+  test("one bad page among good ones: the decline unit is the page") {
+    // the %17 fixture plants an undefined code on page 1 only: the
+    // other pages serve text, never the whole document declining
+    for (seed <- Seq(17L, 34L, 221L, 510510L)) {
+      val got = texts(PdfTextEncode.encode(seed, 4))
+      assert(got != null && got.length === 4, s"seed=$seed")
+      assert(got(1) === null, s"seed=$seed: planted page must be NULL")
+      Seq(0, 2, 3).foreach { p =>
+        assert(got(p) === PdfTextEncode.decodedPage(seed, p),
+          s"seed=$seed page=$p must still serve")
+      }
+    }
+    // a broken font only poisons pages that SELECT it (lazy decode):
+    // page 1 uses the MacRoman font, page 2 never touches it
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offsets = new scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(body: String): Unit = {
+      offsets += sb.length
+      sb.append(s"${offsets.length} 0 obj\n$body\nendobj\n")
+    }
+    val c1 = "BT /F2 9 Tf (bad) Tj ET"
+    val c2 = "BT /F1 9 Tf (good) Tj ET"
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    obj("<< /Type /Pages /Kids [ 3 0 R 4 0 R ] /Count 2 " +
+      "/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> >>")
+    obj("<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>")
+    obj("<< /Type /Page /Parent 2 0 R /Contents 8 0 R >>")
+    obj(winAnsiFont)
+    obj("<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding /MacRomanEncoding >>")
+    obj(s"<< /Length ${c1.length} >>\nstream\n$c1\nendstream")
+    obj(s"<< /Length ${c2.length} >>\nstream\n$c2\nendstream")
+    val size = offsets.length + 1
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 $size\n0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    assert(texts(sb.toString.getBytes("ISO-8859-1")) === Seq(null, "good"))
   }
 
   test("undefined codes decline: cp1252 holes and control bytes") {
     // 0x81 is a WinAnsi hole; 0x07 is below the defined range
-    assert(texts(mini(winAnsiFont, "BT /F1 9 Tf (ab) Tj ET")) === null)
-    assert(texts(mini(winAnsiFont, "BT /F1 9 Tf (ab) Tj ET")) === null)
+    assert(texts(mini(winAnsiFont, "BT /F1 9 Tf (ab) Tj ET")) === Seq(null))
+    assert(texts(mini(winAnsiFont, "BT /F1 9 Tf (ab) Tj ET")) === Seq(null))
     // the WinAnsi second-code quirks DECODE (Appendix D, not cp1252):
     // 0xA0 is space's second code, 0xAD is hyphen's
     assert(texts(mini(winAnsiFont, "BT /F1 9 Tf (a b­c) Tj ET"))
@@ -239,14 +284,14 @@ class PdfTextSpec extends AnyFunSuite {
   }
 
   test("a show with no font set declines; inline images decline") {
-    assert(texts(mini(winAnsiFont, "BT (abc) Tj ET")) === null)
+    assert(texts(mini(winAnsiFont, "BT (abc) Tj ET")) === Seq(null))
     assert(texts(mini(winAnsiFont,
-      "BT /F1 9 Tf (a) Tj BI /W 1 /H 1 ID x EI ET")) === null)
+      "BT /F1 9 Tf (a) Tj BI /W 1 /H 1 ID x EI ET")) === Seq(null))
   }
 
   test("non-Flate content filters decline") {
     val content = "BT /F1 9 Tf (abc) Tj ET"
-    assert(texts(mini(winAnsiFont, content, "/Filter /LZWDecode ")) === null)
+    assert(texts(mini(winAnsiFont, content, "/Filter /LZWDecode ")) === Seq(null))
   }
 
   test("Standard encoding: the two ASCII deviations decode as curly quotes") {
