@@ -1549,21 +1549,32 @@ object Queries {
        "' Entities: & <b> \"q\" AB &unknown; end more ' || " +
        "CAST(doc_id % 7 AS VARCHAR) || ' home' AS extracted " +
        "FROM documents WHERE doc_id % 163 <> 0 AND doc_id % 17 <> 0 ORDER BY doc_id"),
-    // the charset leg: every surviving row's text is the SAME decoded
-    // page whichever key decoded it — declared cp1252 (v0), the
-    // WHATWG iso-8859-1→cp1252 label mapping (v1), the <meta charset>
-    // prescan (v2, charset column NULL by design), honest utf-8 (v3);
-    // v4 (utf-8 declared over cp1252 bytes) DECLINES and is absent.
+    // the charset leg: every surviving row's text is that variant's
+    // decoded page whichever key decoded it — declared cp1252 (v0),
+    // the WHATWG iso-8859-1→cp1252 label mapping (v1), the <meta
+    // charset> prescan (v2, charset column NULL by design), honest
+    // utf-8 (v3); v4 (utf-8 declared over cp1252 bytes) DECLINES and
+    // is absent; v5-9 are the multi-byte East-Asian tier (shift_jis /
+    // euc-jp / gb2312 / big5 / euc-kr), their REAL multi-byte wire
+    // bytes invisible here BY DESIGN — the decoded unicode restated.
     // Transfer framing and content coding cycle underneath, invisible
     "pipeline_http_charset" ->
       ("SELECT doc_id, " +
-       "CASE doc_id % 5 WHEN 0 THEN 'windows-1252' WHEN 1 THEN 'iso-8859-1' " +
-       "WHEN 3 THEN 'utf-8' ELSE NULL END AS charset, " +
+       "CASE doc_id % 10 WHEN 0 THEN 'windows-1252' WHEN 1 THEN 'iso-8859-1' " +
+       "WHEN 3 THEN 'utf-8' WHEN 5 THEN 'shift_jis' WHEN 6 THEN 'euc-jp' " +
+       "WHEN 7 THEN 'gb2312' WHEN 8 THEN 'big5' WHEN 9 THEN 'euc-kr' " +
+       "ELSE NULL END AS charset, " +
        "'<html><head>' || " +
-       "CASE WHEN doc_id % 5 = 2 THEN '<meta charset=\"windows-1252\">' ELSE '' END || " +
-       "'</head><body>Café “quote” – € id=' || CAST(doc_id AS VARCHAR) || " +
+       "CASE WHEN doc_id % 10 = 2 THEN '<meta charset=\"windows-1252\">' ELSE '' END || " +
+       "'</head><body>' || " +
+       "CASE WHEN doc_id % 10 IN (5, 6) THEN 'こんにちは世界 テスト' " +
+       "WHEN doc_id % 10 = 7 THEN '你好世界 测试' " +
+       "WHEN doc_id % 10 = 8 THEN '你好世界 測試' " +
+       "WHEN doc_id % 10 = 9 THEN '안녕하세요 세계' " +
+       "ELSE 'Café “quote” – €' END || " +
+       "' id=' || CAST(doc_id AS VARCHAR) || " +
        "'</body></html>' AS text " +
-       "FROM documents WHERE doc_id % 141 <> 0 AND doc_id % 5 <> 4 " +
+       "FROM documents WHERE doc_id % 141 <> 0 AND doc_id % 10 <> 4 " +
        "ORDER BY doc_id"),
     // the composed ingest: the response payload IS the html fixture's
     // page, so the expected extraction is text_html_extract's proven

@@ -477,17 +477,23 @@ object Multimodal {
             ((id / 3) % 4).cast("int")))))
       case "httplegacy" => {
         // the charset LONG TAIL: raw HTTP messages whose bodies are a
-        // small legacy European page. variant = id%5: 0 declares
+        // small legacy page. variant = id%10: 0 declares
         // charset=windows-1252 with cp1252 bytes; 1 declares
         // iso-8859-1 over the SAME bytes (WHATWG: that label IS
         // cp1252 — one oracle pins the label mapping); 2 declares NO
         // charset param but the page carries <meta
         // charset="windows-1252"> (the prescan path); 3 is honest
         // UTF-8; 4 DECLARES utf-8 over cp1252 bytes (invalid UTF-8 —
-        // the mojibake-never decline). The raw cp1252 bytes are built
-        // as \u00XX latin-1 chars encoded ISO-8859-1 (byte-identical
-        // writer); transfer framing and content coding keep cycling
-        // underneath (mode id%3, coding (id/3)%4).
+        // the mojibake-never decline); 5-9 are the multi-byte
+        // East-Asian legacy tier, each with REAL multi-byte text
+        // encoded by the JDK charset implementing its WHATWG index:
+        // shift_jis (Windows-31J bytes), euc-jp, gb2312 (GBK bytes),
+        // big5, euc-kr (windows-949 bytes). The raw cp1252 bytes are
+        // built as \u00XX latin-1 chars encoded ISO-8859-1
+        // (byte-identical writer); the multi-byte prefixes are
+        // JDK-encoded Scala-side (binary literals) with the ASCII id
+        // concatenated in-plan; transfer framing and content coding
+        // keep cycling underneath (mode id%3, coding (id/3)%4).
         val ids = id.cast("string")
         val cp1252Body = encode(concat(
           lit("<html><head></head><body>Caf\u00e9 \u0093quote\u0094 \u0096 \u0080 id="),
@@ -499,6 +505,12 @@ object Multimodal {
         val utf8Body = encode(concat(
           lit("<html><head></head><body>Café “quote” – € id="),
           ids, lit("</body></html>")), "UTF-8")
+        def mbBody(text: String, jdkCharset: String): Column = concat(
+          lit(("<html><head></head><body>" + text + " id=")
+            .getBytes(jdkCharset)),
+          encode(ids, "US-ASCII"),
+          lit("</body></html>".getBytes("US-ASCII")))
+        val jp = "こんにちは世界 テスト"
         val mode = (id % 3).cast("int")
         val coding = ((id / 3) % 4).cast("int")
         def msg(ct: String, body: Column) =
@@ -506,15 +518,25 @@ object Multimodal {
             id.cast("long"), lit(200).cast("int"), lit(ct), body, mode, coding)
         Seq(
           (id % 141 === 0, encode(text.substr(1, 20), "UTF-8")),
-          (id % 141 =!= 0 && id % 5 === 0,
+          (id % 141 =!= 0 && id % 10 === 0,
             msg("text/html; charset=windows-1252", cp1252Body)),
-          (id % 141 =!= 0 && id % 5 === 1,
+          (id % 141 =!= 0 && id % 10 === 1,
             msg("text/html; charset=iso-8859-1", cp1252Body)),
-          (id % 141 =!= 0 && id % 5 === 2, msg("text/html", cp1252Meta)),
-          (id % 141 =!= 0 && id % 5 === 3,
+          (id % 141 =!= 0 && id % 10 === 2, msg("text/html", cp1252Meta)),
+          (id % 141 =!= 0 && id % 10 === 3,
             msg("text/html; charset=utf-8", utf8Body)),
-          (id % 141 =!= 0 && id % 5 === 4,
-            msg("text/html; charset=utf-8", cp1252Body)))
+          (id % 141 =!= 0 && id % 10 === 4,
+            msg("text/html; charset=utf-8", cp1252Body)),
+          (id % 141 =!= 0 && id % 10 === 5,
+            msg("text/html; charset=shift_jis", mbBody(jp, "windows-31j"))),
+          (id % 141 =!= 0 && id % 10 === 6,
+            msg("text/html; charset=euc-jp", mbBody(jp, "EUC-JP"))),
+          (id % 141 =!= 0 && id % 10 === 7,
+            msg("text/html; charset=gb2312", mbBody("你好世界 测试", "GBK"))),
+          (id % 141 =!= 0 && id % 10 === 8,
+            msg("text/html; charset=big5", mbBody("你好世界 測試", "Big5"))),
+          (id % 141 =!= 0 && id % 10 === 9,
+            msg("text/html; charset=euc-kr", mbBody("안녕하세요 세계", "x-windows-949"))))
       }
       case "pdf" => Seq(
         (id % 151 === 0, encode(text.substr(1, 26), "UTF-8")),
@@ -1473,14 +1495,17 @@ object Multimodal {
       .orderBy(col("doc_id"), col("page_no"))
 
   /** The charset leg of the ingest stack: raw HTTP messages over the
-    * legacy-European corpus ([[fixtureSlices]] `httplegacy`) → triage
-    * (which KEEPS the Content-Type charset parameter) → charset-aware
-    * decode. One query pins all four decode keys — declared cp1252,
+    * legacy corpus ([[fixtureSlices]] `httplegacy`) → triage (which
+    * KEEPS the Content-Type charset parameter) → charset-aware
+    * decode. One query pins all the decode keys — declared cp1252,
     * declared iso-8859-1 (the WHATWG label mapping), the `<meta
-    * charset>` prescan, honest UTF-8 — and the mojibake-never law:
-    * the rows whose declared utf-8 contradicts their cp1252 bytes
-    * DECLINE (filtered out here), they never garble. Shuffle-free
-    * single scan like the rest of the stack. */
+    * charset>` prescan, honest UTF-8, and the five multi-byte
+    * East-Asian legacy encodings (shift_jis / euc-jp / gb2312 / big5
+    * / euc-kr, real multi-byte wire bytes through the JDK decoders
+    * implementing their WHATWG indexes) — and the mojibake-never
+    * law: the rows whose declared utf-8 contradicts their cp1252
+    * bytes DECLINE (filtered out here), they never garble.
+    * Shuffle-free single scan like the rest of the stack. */
   def httpCharsetIngest(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir, "httplegacy")
       .select(col("doc_id"),

@@ -307,9 +307,15 @@ object HttpBody {
   * maps them, because real pages labeled 8859-1 use cp1252 bytes),
   * decoded by the spec's own byte table (the five undefined cp1252
   * bytes map to their C1 controls, never an error). UTF-8 decodes
-  * STRICTLY. The mojibake-never law: an undecodable body (malformed
-  * UTF-8, an unknown label) returns NULL — a declined row is
-  * recoverable, silently garbled text poisons every downstream
+  * STRICTLY. The five multi-byte East-Asian legacy encodings decode
+  * through the JDK charsets implementing their WHATWG indexes —
+  * shift_jis (= Windows-31J, incl. the `sjis`/`ms_kanji` labels),
+  * euc-jp, gbk (incl. every `gb2312` label), big5 (the
+  * HKSCS-extended index), euc-kr (= windows-949) — strictly:
+  * malformed or unmappable sequences DECLINE, never U+FFFD. The
+  * mojibake-never law: an undecodable body (malformed bytes, an
+  * unknown label) returns NULL — a declined row is recoverable,
+  * silently garbled text poisons every downstream
   * dedup/quality/tokenize pass. */
 case class HttpText(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -369,9 +375,10 @@ object HttpText {
     '˜', '™', 'š', '›', 'œ', '', 'ž', 'Ÿ')
 
   /** WHATWG label → canonical name, the subset a crawl pipeline
-    * meets: the UTF-8 labels, and the pile of labels the standard
-    * maps to windows-1252 (including all of ISO-8859-1's). Unknown
-    * label → null → the caller declines. */
+    * meets: the UTF-8 labels, the pile of labels the standard maps
+    * to windows-1252 (including all of ISO-8859-1's), and the five
+    * multi-byte East-Asian legacy encodings (each with its WHATWG
+    * label set). Unknown label → null → the caller declines. */
   private def canonical(label: String): String =
     label.trim.toLowerCase(java.util.Locale.ROOT) match {
       case "utf-8" | "utf8" | "unicode-1-1-utf-8" => "utf-8"
@@ -379,7 +386,41 @@ object HttpText {
         "ascii" | "us-ascii" | "iso-8859-1" | "iso8859-1" | "iso88591" |
         "iso_8859-1" | "iso-ir-100" | "l1" | "latin1" | "csisolatin1" |
         "cp819" | "ibm819" | "iso_8859-1:1987" => "windows-1252"
+      case "shift_jis" | "shift-jis" | "sjis" | "x-sjis" | "csshiftjis" |
+        "ms_kanji" | "ms932" | "windows-31j" => "shift_jis"
+      case "euc-jp" | "x-euc-jp" | "cseucpkdfmtjapanese" => "euc-jp"
+      case "gbk" | "gb2312" | "gb_2312" | "gb_2312-80" | "chinese" |
+        "csgb2312" | "csiso58gb231280" | "iso-ir-58" | "x-gbk" => "gbk"
+      case "big5" | "big5-hkscs" | "cn-big5" | "csbig5" | "x-x-big5" => "big5"
+      case "euc-kr" | "korean" | "csksc56011987" | "iso-ir-149" |
+        "ks_c_5601-1987" | "ks_c_5601-1989" | "ksc5601" | "ksc_5601" |
+        "windows-949" => "euc-kr"
       case _ => null
+    }
+
+  /** The JDK charset implementing each multi-byte canonical name —
+    * per the WHATWG indexes: shift_jis IS Windows-31J (CP932), euc-kr
+    * IS windows-949, big5 includes the HKSCS extension. */
+  private def jdkName(canonical: String): String = canonical match {
+    case "shift_jis" => "windows-31j"
+    case "euc-jp" => "EUC-JP"
+    case "gbk" => "GBK"
+    case "big5" => "Big5-HKSCS"
+    case "euc-kr" => "x-windows-949"
+    case _ => null
+  }
+
+  /** Strict decode through a JDK decoder: malformed input and
+    * unmappable sequences DECLINE (mojibake-never), never U+FFFD. */
+  private def strictDecode(body: Array[Byte], charset: String): UTF8String =
+    try {
+      val dec = java.nio.charset.Charset.forName(charset).newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      UTF8String.fromString(dec.decode(java.nio.ByteBuffer.wrap(body)).toString)
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => null
+      case _: java.nio.charset.UnsupportedCharsetException => null // stripped JRE
     }
 
   private val MetaWindow = 1024
@@ -400,15 +441,7 @@ object HttpText {
       }
     val cs = if (label == null) "utf-8" else canonical(label)
     cs match {
-      case "utf-8" =>
-        // strict: malformed sequences DECLINE (mojibake-never), they
-        // are never replaced with U+FFFD
-        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-        try UTF8String.fromString(
-          dec.decode(java.nio.ByteBuffer.wrap(body)).toString)
-        catch { case _: java.nio.charset.CharacterCodingException => null }
+      case "utf-8" => strictDecode(body, "UTF-8")
       case "windows-1252" =>
         val out = new Array[Char](body.length)
         var i = 0
@@ -420,6 +453,8 @@ object HttpText {
           i += 1
         }
         UTF8String.fromString(new String(out))
+      case "shift_jis" | "euc-jp" | "gbk" | "big5" | "euc-kr" =>
+        strictDecode(body, jdkName(cs))
       case _ => null // unknown label: decline, never guess-garble
     }
   }

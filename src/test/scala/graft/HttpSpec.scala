@@ -148,8 +148,9 @@ class HttpSpec extends AnyFunSuite {
     assert(dec("Café €".getBytes("UTF-8"), "utf-8") === "Café €")
     assert(dec(raw, "utf-8") == null)
     assert(dec(raw, "UTF8") == null)
-    // unknown labels decline, never guess
-    assert(dec("abc".getBytes, "shift_jis") == null)
+    // unknown labels decline, never guess (koi8-r is a real WHATWG
+    // label, just outside this tier's registry)
+    assert(dec("abc".getBytes, "koi8-r") == null)
     assert(dec("abc".getBytes, "klingon-8") == null)
     // meta prescan when no charset is declared (null label)
     val metaPage = ("<html><head><meta charset=\"windows-1252\"></head>" +
@@ -168,5 +169,66 @@ class HttpSpec extends AnyFunSuite {
     val lying = ("<html><head><meta charset=\"utf-8\"></head>" +
       "<body>\u0080</body></html>").getBytes("ISO-8859-1")
     assert(dec(lying, "windows-1252").contains("€"))
+  }
+
+  test("multi-byte legacy charsets: JDK-decoder round trips per WHATWG label") {
+    def dec(b: Array[Byte], cs: String): String = {
+      val u = HttpText.decode(b, cs)
+      if (u == null) null else u.toString
+    }
+    val jp = "こんにちは世界 テスト id=7"
+    val zhS = "你好世界 测试"
+    val zhT = "你好世界 測試"
+    val ko = "안녕하세요 세계"
+    // each canonical encoding round-trips REAL multi-byte bytes, and
+    // every WHATWG label for it decodes identically
+    for (l <- Seq("shift_jis", "Shift-JIS", "sjis", "x-sjis", "ms_kanji",
+        "windows-31j", "csshiftjis"))
+      assert(dec(jp.getBytes("windows-31j"), l) === jp, l)
+    for (l <- Seq("euc-jp", "x-euc-jp", "cseucpkdfmtjapanese"))
+      assert(dec(jp.getBytes("EUC-JP"), l) === jp, l)
+    for (l <- Seq("gbk", "gb2312", "GB_2312-80", "chinese", "csgb2312",
+        "iso-ir-58", "x-gbk"))
+      assert(dec(zhS.getBytes("GBK"), l) === zhS, l)
+    for (l <- Seq("big5", "big5-hkscs", "cn-big5", "csbig5", "x-x-big5"))
+      assert(dec(zhT.getBytes("Big5"), l) === zhT, l)
+    for (l <- Seq("euc-kr", "korean", "ks_c_5601-1987", "ksc5601",
+        "windows-949", "iso-ir-149"))
+      assert(dec(ko.getBytes("x-windows-949"), l) === ko, l)
+    // shift_jis is the WHATWG index = Windows-31J: the CP932 NEC/IBM
+    // extensions decode (plain JIS X 0208 would reject them)
+    val cp932ext = "①㈱髙"
+    assert(dec(cp932ext.getBytes("windows-31j"), "shift_jis") === cp932ext)
+    // euc-kr is the WHATWG index = windows-949: a syllable OUTSIDE
+    // KS X 1001's precomposed set still decodes
+    val ks949 = "뷁"
+    assert(dec(ks949.getBytes("x-windows-949"), "euc-kr") === ks949)
+  }
+
+  test("multi-byte mojibake-never: malformed or cross-charset bytes DECLINE per charset") {
+    def dec(b: Array[Byte], cs: String): String = {
+      val u = HttpText.decode(b, cs)
+      if (u == null) null else u.toString
+    }
+    val jpSjis = "こんにちは世界".getBytes("windows-31j")
+    val jpEuc = "こんにちは世界".getBytes("EUC-JP")
+    val koBytes = "안녕하세요".getBytes("x-windows-949")
+    // a truncated final multi-byte sequence declines, never U+FFFD
+    for ((bytes, label) <- Seq(
+        (jpSjis, "shift_jis"), (jpEuc, "euc-jp"),
+        ("你好世界".getBytes("GBK"), "gbk"),
+        ("你好世界".getBytes("Big5"), "big5"), (koBytes, "euc-kr")))
+      assert(dec(bytes.dropRight(1), label) == null, s"truncated $label")
+    // a dangling lead byte followed by an invalid trail declines
+    for (label <- Seq("shift_jis", "euc-jp", "gbk", "big5", "euc-kr")) {
+      val bad = "ok".getBytes("US-ASCII") ++
+        Array(0xE3.toByte, 0x0A.toByte) ++ "tail".getBytes("US-ASCII")
+      assert(dec(bad, label) == null, s"dangling lead $label")
+    }
+    // cross-charset garbling never serves the ORIGINAL text as if
+    // decoded right: EUC-JP bytes under a shift_jis label either
+    // decline or decode to something visibly different
+    val cross = dec(jpEuc, "shift_jis")
+    assert(cross == null || cross != "こんにちは世界")
   }
 }
