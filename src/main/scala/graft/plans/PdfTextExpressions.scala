@@ -56,7 +56,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * (/MacRomanEncoding, Identity-V vertical writing,
   * embedded-CMap-stream encodings, a Type0 with no /ToUnicode,
   * `usecmap` composition), an inline image (BI — its raw payload
-  * would desynchronize any token walk), or a non-Flate stream filter
+  * would desynchronize any token walk), or a stream filter outside
+  * FlateDecode and LZWDecode (§7.4.4, EarlyChange quirk honored)
   * DECLINES that page — a NULL array element — while the rest of the
   * document still serves (fonts decode lazily on Tf, so a broken
   * font poisons only pages that select it). STRUCTURAL failures —
@@ -319,6 +320,140 @@ object PdfPageTexts {
     }
   }
 
+  // ---- LZW (ISO 32000 §7.4.4) ----------------------------------------
+
+  /** The PDF flavor of LZW: MSB-first variable-width codes (9→12
+    * bits), code 256 = clear-table, 257 = EOD, new entries from 258.
+    * The EarlyChange quirk (default 1) widens the code one step EARLY
+    * — at table size 511/1023/2047 instead of 512/1024/2048.
+    * [[decode]] is strict parse-or-NULL: an out-of-range code, a
+    * table overflow without a clear, a stream that ends without EOD,
+    * or output past the ceiling all return null. [[encode]] is the
+    * fixture twin (the round-trip differential), mirroring the
+    * decoder's table growth exactly — including the one-entry lag
+    * between encoder and decoder dictionaries that the width
+    * bookkeeping must track. */
+  private[graft] object LzwCodec {
+
+    def decode(b: Array[Byte], earlyChange: Int, ceiling: Int): Array[Byte] = {
+      if (b == null) return null
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Byte](4096)
+      val length = new Array[Int](4096)
+      var i = 0
+      while (i < 256) { prefix(i) = -1; suffix(i) = i.toByte; length(i) = 1; i += 1 }
+      var next = 258
+      var width = 9
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 3, 1 << 16))
+      val tmp = new Array[Byte](4096)
+      // MSB-first bit reader
+      var bitBuf = 0L
+      var nbits = 0
+      var pos = 0
+      def read(): Int = {
+        while (nbits < width) {
+          if (pos >= b.length) return -1
+          bitBuf = (bitBuf << 8) | (b(pos) & 0xFF); pos += 1; nbits += 8
+        }
+        val v = ((bitBuf >>> (nbits - width)) & ((1 << width) - 1)).toInt
+        nbits -= width
+        v
+      }
+      /** Emit one table entry; returns its FIRST byte, or -1 past the
+        * ceiling. */
+      def emit(code: Int): Int = {
+        val l = length(code)
+        if (out.size() + l > ceiling) return -1
+        var c = code
+        var k = l
+        while (c >= 0) { k -= 1; tmp(k) = suffix(c); c = prefix(c) }
+        out.write(tmp, 0, l)
+        tmp(0) & 0xFF
+      }
+      var prev = -1
+      while (true) {
+        val code = read()
+        if (code < 0) return null // ran out of bits before EOD
+        if (code == 256) { next = 258; width = 9; prev = -1 }
+        else if (code == 257) return out.toByteArray
+        else if (prev < 0) {
+          if (code > 255) return null // first code after clear: literal only
+          if (emit(code) < 0) return null
+          prev = code
+        } else {
+          if (code > next || next >= 4096) return null
+          val first =
+            if (code < next) {
+              val f = emit(code)
+              if (f < 0) return null
+              f
+            } else {
+              // KwKwK: the entry being defined right now
+              var c = prev
+              while (prefix(c) >= 0) c = prefix(c)
+              suffix(c) & 0xFF
+            }
+          prefix(next) = prev
+          suffix(next) = first.toByte
+          length(next) = length(prev) + 1
+          next += 1
+          if (code == next - 1 && emit(code) < 0) return null // the KwKwK emit
+          prev = code
+          if (width < 12 && next + earlyChange >= (1 << width)) width += 1
+        }
+      }
+      null // unreachable
+    }
+
+    def encode(data: Array[Byte], earlyChange: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(data.length)
+      var bitBuf = 0L
+      var nbits = 0
+      var width = 9
+      def write(code: Int): Unit = {
+        bitBuf = (bitBuf << width) | code; nbits += width
+        while (nbits >= 8) {
+          out.write(((bitBuf >>> (nbits - 8)) & 0xFF).toInt); nbits -= 8
+        }
+      }
+      // (prefixCode << 8 | byte) -> code
+      val dict = new java.util.HashMap[Integer, Integer]()
+      var encNext = 258
+      var decNext = 258 // the DECODER's table size: lags encNext by one
+      var first = true
+      def postEmit(): Unit = {
+        if (!first) decNext += 1
+        first = false
+        if (width < 12 && decNext + earlyChange >= (1 << width)) width += 1
+      }
+      write(256)
+      if (data.length > 0) {
+        var w = data(0) & 0xFF
+        var i = 1
+        while (i < data.length) {
+          val k = data(i) & 0xFF
+          val key = Integer.valueOf((w << 8) | k)
+          val hit = dict.get(key)
+          if (hit != null) w = hit.intValue()
+          else {
+            write(w); postEmit()
+            if (encNext < 4096) { dict.put(key, encNext); encNext += 1 }
+            else {
+              write(256)
+              dict.clear(); encNext = 258; decNext = 258; width = 9; first = true
+            }
+            w = k
+          }
+          i += 1
+        }
+        write(w); postEmit()
+      }
+      write(257)
+      if (nbits > 0) out.write(((bitBuf << (8 - nbits)) & 0xFF).toInt)
+      out.toByteArray
+    }
+  }
+
   // ---- indirect-object resolution -----------------------------------
 
   /** Per-document resolution state: the chain's entry map plus a memo
@@ -387,9 +522,37 @@ object PdfPageTexts {
         case Some(PName("FlateDecode")) => flateOrDecline(dict, lex.i, len)
         case Some(PArr(Vector(PName("FlateDecode")))) =>
           flateOrDecline(dict, lex.i, len)
+        case Some(PName("LZWDecode")) => lzwOrDecline(dict, lex.i, len)
+        case Some(PArr(Vector(PName("LZWDecode")))) =>
+          lzwOrDecline(dict, lex.i, len)
         case _ => decline() // other filters: recorded envelope
       }
       PStream(dict, raw)
+    }
+
+    /** §7.4.4 LZWDecode with the EarlyChange quirk honored (0 or 1,
+      * default 1); a predictor declines like the Flate path. The
+      * inflate shares the same 1 MiB bomb ceiling. */
+    private def lzwOrDecline(dict: PDict, off: Int, len: Long): Array[Byte] = {
+      val early = dict.m.get("DecodeParms") match {
+        case Some(PDict(p)) =>
+          p.get("Predictor") match {
+            case None | Some(PNum(1)) => ()
+            case _ => decline()
+          }
+          p.get("EarlyChange") match {
+            case None => 1
+            case Some(PNum(1)) => 1
+            case Some(PNum(0)) => 0
+            case _ => decline()
+          }
+        case None => 1
+        case _ => decline()
+      }
+      val out = LzwCodec.decode(
+        java.util.Arrays.copyOfRange(b, off, (off + len).toInt), early, 1 << 20)
+      if (out == null) decline()
+      out
     }
 
     private def flateOrDecline(dict: PDict, off: Int, len: Long): Array[Byte] = {
@@ -1010,6 +1173,9 @@ object PdfPageTexts {
   *    the Type0 path — so the page-granular envelope yields a NULL
   *    element there while the document's other pages serve
   *    ([[badPage]] is the oracle's restatement);
+  *  - seed%19==0: every stream rides /LZWDecode (default EarlyChange)
+  *    instead of Flate — the §7.4.4 filter exercised end to end,
+  *    invisible in the output like the Flate docs;
   *  - every page: escaped parens + an octal escape in line 1, a TJ
   *    array whose -250 gap is a word break and -40 is not, and a '
   *    (move-show) for line 3. */
@@ -1093,6 +1259,7 @@ object PdfTextEncode {
     val splitContents = seed % 7 == 0
     val diffs = seed % 11 == 0
     val cid = seed % 13 == 0
+    val lzw = seed % 19 == 0
 
     val sb = new StringBuilder()
     sb.append("%PDF-1.6\n%")
@@ -1110,7 +1277,9 @@ object PdfTextEncode {
     }
     def streamObj(payload: Array[Byte], extraKeys: String): Int = {
       val (data, filter) =
-        if (flated) (zlib(payload), "/Filter /FlateDecode ") else (payload, "")
+        if (lzw) (PdfPageTexts.LzwCodec.encode(payload, 1), "/Filter /LZWDecode ")
+        else if (flated) (zlib(payload), "/Filter /FlateDecode ")
+        else (payload, "")
       obj(s"<< $extraKeys$filter/Length ${data.length} >>\nstream\n" +
         bin(data) + "\nendstream")
     }

@@ -34,10 +34,13 @@ class PdfTextSpec extends AnyFunSuite {
     // envelope); 105 = 3*5*7, 2310 = 2*3*5*7*11, 30030 =
     // 2*3*5*7*11*13 stack them, 221 = 13*17 is a CID doc with a bad
     // page
+    // %19==0 adds the LZWDecode stream filter (9699690 stacks ALL
+    // eight variants: 2*3*5*7*11*13*17*19)
     for (seed <- Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L, 9L, 10L, 11L, 14L, 15L,
            21L, 22L, 33L, 35L, 55L, 70L, 77L, 105L, 110L, 2310L, 4242L,
            13L, 26L, 39L, 65L, 91L, 143L, 195L, 30030L,
-           17L, 34L, 51L, 85L, 119L, 187L, 221L, 510510L);
+           17L, 34L, 51L, 85L, 119L, 187L, 221L, 510510L,
+           19L, 38L, 57L, 95L, 133L, 209L, 247L, 323L, 9699690L);
          pages <- Seq(1, 2, 4)) {
       val b = PdfTextEncode.encode(seed, pages)
       val got = texts(b)
@@ -232,6 +235,98 @@ class PdfTextSpec extends AnyFunSuite {
     assert(texts(miniCid(hi,
       "begincmap\n1 beginbfrange\n<0048> <0049> [<0041>]\nendbfrange\nendcmap"))
       === Seq(null))
+  }
+
+  // ---- LZWDecode (§7.4.4) ---------------------------------------------
+
+  test("LZW: hand-packed code sequences decode exactly (independent witness)") {
+    import graft.plans.PdfPageTexts.LzwCodec
+    // a bit-writer independent of LzwCodec.encode: pack 9-bit codes
+    def pack(codes: Seq[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var buf = 0L; var n = 0
+      codes.foreach { c =>
+        buf = (buf << 9) | c; n += 9
+        while (n >= 8) { out.write(((buf >>> (n - 8)) & 0xFF).toInt); n -= 8 }
+      }
+      if (n > 0) out.write(((buf << (8 - n)) & 0xFF).toInt)
+      out.toByteArray
+    }
+    // clear, A, B, 258(=AB), EOD → "ABAB" (entry built while decoding)
+    assert(new String(LzwCodec.decode(pack(Seq(256, 65, 66, 258, 257)), 1, 1 << 20))
+      === "ABAB")
+    // the KwKwK case: clear, A, 258 (defined BY this very code) → "AAA"
+    assert(new String(LzwCodec.decode(pack(Seq(256, 65, 258, 257)), 1, 1 << 20))
+      === "AAA")
+    // out-of-range code (> next) declines
+    assert(LzwCodec.decode(pack(Seq(256, 65, 300, 257)), 1, 1 << 20) === null)
+    // a first-after-clear code that isn't a literal declines
+    assert(LzwCodec.decode(pack(Seq(256, 258, 257)), 1, 1 << 20) === null)
+    // no EOD before the bits run out declines
+    assert(LzwCodec.decode(pack(Seq(256, 65, 66)), 1, 1 << 20) === null)
+  }
+
+  test("LZW: round-trip differential across sizes, alphabets, and both EarlyChange values") {
+    import graft.plans.PdfPageTexts.LzwCodec
+    val rnd = new scala.util.Random(0xC0DE)
+    for (early <- Seq(0, 1);
+         (size, alpha) <- Seq((0, 1), (1, 1), (10, 3), (300, 2), (1000, 4),
+           (5000, 3), (20000, 2), (20000, 256), (60000, 3))) {
+      val data = Array.fill[Byte](size)((rnd.nextInt(alpha) + 97).toByte)
+      val enc = LzwCodec.encode(data, early)
+      val dec = LzwCodec.decode(enc, early, 1 << 20)
+      assert(dec != null, s"size=$size alpha=$alpha early=$early declined")
+      assert(java.util.Arrays.equals(dec, data),
+        s"size=$size alpha=$alpha early=$early round trip")
+    }
+    // the 60k/3 case crosses the 511 AND 1023 table boundaries, so the
+    // early-change width bookkeeping is load-bearing above; prove it:
+    // a stream encoded early=1 read as early=0 must NOT round-trip
+    val data = Array.fill[Byte](60000)((rnd.nextInt(3) + 97).toByte)
+    val enc1 = LzwCodec.encode(data, 1)
+    val asEarly0 = LzwCodec.decode(enc1, 0, 1 << 20)
+    assert(asEarly0 == null || !java.util.Arrays.equals(asEarly0, data),
+      "EarlyChange must be load-bearing")
+    // bomb ceiling: refuse to inflate past the cap
+    assert(LzwCodec.decode(LzwCodec.encode(data, 1), 1, 1024) === null)
+  }
+
+  test("LZW content streams serve; EarlyChange 0 honored; garbage declines the page") {
+    import graft.plans.PdfPageTexts.LzwCodec
+    val content = "BT /F1 9 Tf (lzw ok) Tj ET"
+    def lzwMini(early: Int, parms: String): Array[Byte] = {
+      val data = LzwCodec.encode(content.getBytes("ISO-8859-1"), early)
+      // mini() writes /Length content.length — rebuild with the coded
+      // bytes through the same classic-xref shell
+      val sb = new StringBuilder("%PDF-1.4\n")
+      val offsets = new scala.collection.mutable.ArrayBuffer[Int]()
+      def obj(body: String): Unit = {
+        offsets += sb.length
+        sb.append(s"${offsets.length} 0 obj\n$body\nendobj\n")
+      }
+      obj("<< /Type /Catalog /Pages 2 0 R >>")
+      obj("<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>")
+      obj("<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> >> " +
+        "/Contents 5 0 R >>")
+      obj(winAnsiFont)
+      obj(s"<< /Filter /LZWDecode $parms/Length ${data.length} >>\nstream\n" +
+        new String(data, "ISO-8859-1") + "\nendstream")
+      val size = offsets.length + 1
+      val xrefAt = sb.length
+      sb.append(s"xref\n0 $size\n0000000000 65535 f \n")
+      offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+      sb.append(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+      sb.toString.getBytes("ISO-8859-1")
+    }
+    assert(texts(lzwMini(1, "")) === Seq("lzw ok"))
+    assert(texts(lzwMini(1, "/DecodeParms << /EarlyChange 1 >> ")) === Seq("lzw ok"))
+    assert(texts(lzwMini(0, "/DecodeParms << /EarlyChange 0 >> ")) === Seq("lzw ok"))
+    // a predictor on LZW declines like the Flate path
+    assert(texts(lzwMini(1, "/DecodeParms << /Predictor 2 >> ")) === Seq(null))
+    // raw (unencoded) bytes under an LZW filter decline the page
+    assert(texts(mini(winAnsiFont, content, "/Filter /LZWDecode ")) === Seq(null))
+    // filters still outside the envelope decline
+    assert(texts(mini(winAnsiFont, content, "/Filter /RunLengthDecode ")) === Seq(null))
   }
 
   test("one bad page among good ones: the decline unit is the page") {
