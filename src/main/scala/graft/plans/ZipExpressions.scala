@@ -432,10 +432,26 @@ object DocxText {
       c == '>' || c == '/' || c == ' ' || c == '\t' || c == '\n' || c == '\r'
     }
 
+  private val WmlNs =
+    "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
   def parse(zip: Array[Byte]): UTF8String = {
     val xmlBytes = ZipExtract.extract(zip, "word/document.xml")
     if (xmlBytes == null) return null
     val x = new String(xmlBytes, "UTF-8")
+    // the scan keys on the CONVENTIONAL w: prefix (what every real
+    // writer emits); a document binding the WML namespace to some
+    // OTHER prefix would silently extract nothing — decline instead.
+    // The root tag must carry xmlns:w="…wordprocessingml/2006/main";
+    // this also makes the check attribute-ORDER invariant for free.
+    var rootAt = x.indexOf('<')
+    while (rootAt >= 0 && (x.startsWith("<?", rootAt) || x.startsWith("<!", rootAt)))
+      rootAt = x.indexOf('<', rootAt + 2)
+    if (rootAt < 0) return null
+    val rootGt = x.indexOf('>', rootAt)
+    if (rootGt < 0) return null
+    if (x.substring(rootAt, rootGt).indexOf("xmlns:w=\"" + WmlNs + "\"") < 0)
+      return null
     val out = new java.lang.StringBuilder(256)
     var at = 0
     var paras = 0

@@ -141,7 +141,7 @@ class ZipExtractSpec extends AnyFunSuite {
       } finally z.close()
       bos.toByteArray
     }
-    val xml = "<w:document><w:body>" +
+    val xml = "<w:document xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\"><w:body>" +
       "<w:p><w:pPr><w:tabs/></w:pPr><w:r><w:t>a&#65;&#x42;</w:t></w:r>" +
       "<w:r><w:t/></w:r><w:r><w:t>b</w:t></w:r></w:p>" +
       "<w:p/>" + // self-closing paragraph: present but empty
@@ -154,6 +154,50 @@ class ZipExtractSpec extends AnyFunSuite {
     z.putNextEntry(new java.util.zip.ZipEntry("other.xml"))
     z.write("x".getBytes); z.closeEntry(); z.close()
     assert(DocxText.parse(bos.toByteArray) === null)
+  }
+
+  test("independent witness: docx text invariant under attribute reorder + foreign-prefix rename") {
+    // the tag-delimiter scan keys on tag NAMES only — the same
+    // document with every attribute list permuted and every NON-w
+    // namespace prefix renamed must extract identical text; a doc
+    // that binds the WML namespace to a DIFFERENT prefix must
+    // DECLINE (the scan would silently extract nothing)
+    def wrap(docXml: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      try {
+        z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+        z.write(docXml.getBytes("UTF-8"))
+        z.closeEntry()
+      } finally z.close()
+      bos.toByteArray
+    }
+    val wml = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    val rel = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    val a =
+      s"""<w:document xmlns:w="$wml" xmlns:r="$rel" r:id="rId1"><w:body>""" +
+        """<w:p><w:r w:rsidR="0A" w:rsidDel="0B"><w:t xml:space="preserve">a b</w:t></w:r>""" +
+        """<w:r><w:t>c</w:t></w:r></w:p></w:body></w:document>"""
+    // attributes permuted, r: renamed to q:, extra whitespace
+    val b =
+      s"""<w:document r:id="rId1"  xmlns:r="$rel"""".replace("r:id", "q:id")
+        .replace("xmlns:r", "xmlns:q") +
+        s""" xmlns:w="$wml"><w:body>""" +
+        """<w:p><w:r w:rsidDel="0B" w:rsidR="0A"><w:t xml:space="preserve">a b</w:t></w:r>""" +
+        """<w:r><w:t>c</w:t></w:r></w:p></w:body></w:document>"""
+    val ta = DocxText.parse(wrap(a))
+    val tb = DocxText.parse(wrap(b))
+    assert(ta != null && ta.toString === "a bc")
+    assert(tb != null && tb.toString === ta.toString,
+      "attribute order / foreign prefix must be invisible")
+    // the WML namespace bound to x: instead of w: — never silently ""
+    val renamed = a.replace("<w:", "<x:").replace("</w:", "</x:")
+      .replace("xmlns:w=", "xmlns:x=").replace(" w:rsid", " x:rsid")
+    assert(DocxText.parse(wrap(renamed)) === null,
+      "a renamed WML prefix must decline, not extract nothing")
+    // no namespace binding at all declines too
+    val unbound = a.replace(s""" xmlns:w="$wml"""", "")
+    assert(DocxText.parse(wrap(unbound)) === null)
   }
 
   test("over-cap documents DECLINE instead of truncating silently") {
@@ -170,12 +214,12 @@ class ZipExtractSpec extends AnyFunSuite {
       bos.toByteArray
     }
     // docx: 8193 paragraphs (one past the cap)
-    val manyParas = new StringBuilder("<w:document><w:body>")
+    val manyParas = new StringBuilder("<w:document xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\"><w:body>")
     (0 until 8193).foreach(_ => manyParas.append("<w:p><w:r><w:t>x</w:t></w:r></w:p>"))
     manyParas.append("</w:body></w:document>")
     assert(DocxText.parse(zipOf("word/document.xml" -> manyParas.toString)) === null)
     // exactly AT the cap is fine
-    val atCap = new StringBuilder("<w:document><w:body>")
+    val atCap = new StringBuilder("<w:document xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\"><w:body>")
     (0 until 8192).foreach(_ => atCap.append("<w:p><w:r><w:t>x</w:t></w:r></w:p>"))
     atCap.append("</w:body></w:document>")
     assert(DocxText.parse(zipOf("word/document.xml" -> atCap.toString)) != null)
@@ -210,7 +254,7 @@ class ZipExtractSpec extends AnyFunSuite {
       bos.toByteArray
     }
     def para(t: String) =
-      s"<w:document><w:body><w:p><w:r><w:t>$t</w:t></w:r></w:p></w:body></w:document>"
+      s"<w:document xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\"><w:body><w:p><w:r><w:t>$t</w:t></w:r></w:p></w:body></w:document>"
     // &#xD800; / &#57343; are surrogate code points: Character.toChars
     // would emit a lone surrogate char (malformed UTF-16) — they must
     // ride through as unknown entities instead
@@ -294,6 +338,36 @@ class XlsxSpec extends AnyFunSuite {
     assert(cells(wrap("other.xml" -> "x")) === null)
     assert(cells(wrap("xl/worksheets/sheet1.xml" ->
       sheet("<c r=\"A1\"><v>42</v></c>"))) === Seq("A1" -> "42"))
+  }
+
+  test("independent witness: cell text invariant under sharedStrings permutation") {
+    // the INDEX hop witnessed from a second direction: permuting the
+    // shared-string TABLE while rewriting the cells' <v> indices to
+    // match must serve identical (ref, value) rows — a scanner that
+    // read entries positionally-by-cell or ignored the index could
+    // not satisfy both layouts
+    val sheetFor = (ia: Int, ib: Int, ic: Int) =>
+      "<worksheet><sheetData><row r=\"1\">" +
+        s"""<c r="A1" t="s"><v>$ia</v></c>""" +
+        s"""<c r="B1" t="s"><v>$ib</v></c>""" +
+        s"""<c r="C1" t="s"><v>$ic</v></c>""" +
+        "</row></sheetData></worksheet>"
+    val sstFor = (order: Seq[String]) =>
+      "<sst>" + order.map(s => s"<si><t>$s</t></si>").mkString + "</sst>"
+    val strings = Seq("alpha", "beta", "gamma")
+    // identity layout: table [alpha beta gamma], cells 0,1,2
+    val idOrder = cells(wrap(
+      "xl/sharedStrings.xml" -> sstFor(strings),
+      "xl/worksheets/sheet1.xml" -> sheetFor(0, 1, 2)))
+    assert(idOrder === Seq("A1" -> "alpha", "B1" -> "beta", "C1" -> "gamma"))
+    // every permutation of the TABLE, indices rewritten to match
+    for (perm <- strings.permutations) {
+      val idx = strings.map(perm.indexOf)
+      val got = cells(wrap(
+        "xl/sharedStrings.xml" -> sstFor(perm.toSeq),
+        "xl/worksheets/sheet1.xml" -> sheetFor(idx(0), idx(1), idx(2))))
+      assert(got === idOrder, s"permutation $perm must be invisible")
+    }
   }
 
   test("rPh phonetic blocks are display metadata, not cell text") {
