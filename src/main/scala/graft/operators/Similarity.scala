@@ -942,13 +942,45 @@ object Similarity {
     semanticDedupCore(emb, threshold)
   }
 
+  /** Per-cell vector ceiling for [[semanticDedupCore]]: a cell at the
+    * cap costs ~3.4e7 cosine pairs — the largest per-cell task the
+    * 100 TB posture tolerates before the k-independent-cells claim
+    * stops being true. */
+  private[graft] val DefaultMaxCellSize = 8192
+
+  private lazy val dedupLog =
+    org.slf4j.LoggerFactory.getLogger("graft.operators.Similarity")
+
   /** Core over any (cell, vec_id, v) frame — unit-testable on
-    * synthesized corpora with planted near-dups. */
+    * synthesized corpora with planted near-dups.
+    *
+    * The SemDeDup trick is O((N/k)²) per cell only while cells stay
+    * bounded — real corpora cluster, and ONE skewed quantizer cell
+    * silently degrades the self-join toward all-pairs. The guard is
+    * a k-row census up front: cells past `maxCellSize` are DECLINED
+    * with evidence — their rows keep (vec_id, cell) but carry NULL
+    * decision columns (n_prior included, so a declined row is
+    * distinguishable from an honest singleton's 0) — and the capped
+    * cells are logged with their sizes. Decision semantics for every
+    * in-bound cell are unchanged. */
   private[graft] def semanticDedupCore(emb: DataFrame,
-      threshold: Double): DataFrame = {
-    val prior = emb.select(col("cell"),
+      threshold: Double, maxCellSize: Int = DefaultMaxCellSize): DataFrame = {
+    val counts = emb.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    val over = counts.filter(col("cell_n") > maxCellSize)
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    if (over.nonEmpty) {
+      val detail = over.sortBy(-_._2).take(8)
+        .map { case (c, n) => s"cell $c: $n vectors" }.mkString(", ")
+      dedupLog.warn(s"semanticDedup: ${over.length} cell(s) past the " +
+        s"$maxCellSize-vector ceiling DECLINED rather than degrade " +
+        s"toward all-pairs: $detail")
+    }
+    val sized = emb.join(broadcast(counts), Seq("cell"))
+    val good = sized.filter(col("cell_n") <= maxCellSize)
+      .select(col("cell"), col("vec_id"), col("v"))
+    val prior = good.select(col("cell"),
       col("vec_id").as("nb_id"), col("v").as("nv"))
-    val pairs = emb.join(prior, Seq("cell"))
+    val pairs = good.join(prior, Seq("cell"))
       .filter(col("nb_id") < col("vec_id"))
       .select(col("vec_id"), col("nb_id"),
         round(cosine(col("v"), col("nv")), 4).as("cos"))
@@ -956,13 +988,19 @@ object Similarity {
       .agg(count(lit(1)).as("n_prior"),
         max(col("cos")).as("max_prior_cos"),
         min(when(col("cos") >= threshold, col("nb_id"))).as("dup_of"))
-    emb.select(col("vec_id"), col("cell"))
+    val served = good.select(col("vec_id"), col("cell"))
       .join(agg, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("n_prior"), lit(0L)).as("n_prior"),
         col("max_prior_cos"),
         col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
-      .orderBy(col("vec_id"))
+    val declined = sized.filter(col("cell_n") > maxCellSize)
+      .select(col("vec_id"), col("cell"),
+        lit(null).cast("long").as("n_prior"),
+        lit(null).cast("double").as("max_prior_cos"),
+        lit(null).cast("boolean").as("is_dup"),
+        lit(null).cast("long").as("dup_of"))
+    served.unionByName(declined).orderBy(col("vec_id"))
   }
 
   /** Int8 scalar quantization of the embedding corpus: per-dimension

@@ -617,6 +617,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(out(20L).getLong(2) === 0)
   }
 
+  test("semantic dedup cell-size guard: a planted skewed cell DECLINES with evidence") {
+    import spark.implicits._
+    val base = Array.tabulate(8)(i => if (i < 4) 1.0 else 0.0)
+    val nearDup = base.clone(); nearDup(7) = 0.1
+    // cell 1: bounded, with a planted near-dup; cell 9: SKEWED (6
+    // vectors against a ceiling of 4 — the all-pairs degradation)
+    val skewed = (0 until 6).map(i => (9, 100L + i, base))
+    val emb = (Seq(
+      (1, 10L, base), (1, 11L, nearDup), (1, 12L, base.map(-_))) ++ skewed)
+      .toDF("cell", "vec_id", "v")
+    val out = graft.operators.Similarity
+      .semanticDedupCore(emb, 0.95, maxCellSize = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 9, "every row still present, declined included")
+    // the bounded cell's decisions are UNCHANGED by the guard
+    assert(!out(10L).getBoolean(4) && out(10L).getLong(2) === 0)
+    assert(out(11L).getBoolean(4) && out(11L).getLong(5) === 10L)
+    // the skewed cell fires the guard: decision columns NULL — a
+    // declined row is distinguishable from an honest singleton's 0
+    (100L until 106L).foreach { id =>
+      assert(out(id).isNullAt(2), s"$id n_prior must be NULL (declined)")
+      assert(out(id).isNullAt(3), s"$id max_prior_cos must be NULL")
+      assert(out(id).isNullAt(4), s"$id is_dup must be NULL, never a guess")
+      assert(out(id).isNullAt(5), s"$id dup_of must be NULL")
+    }
+    // with the default ceiling, the same corpus is untouched: the
+    // guard changes nothing unless a cell is genuinely oversized
+    val unguarded = graft.operators.Similarity.semanticDedupCore(emb, 0.95)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(unguarded(103L).getBoolean(4) && unguarded(103L).getLong(5) === 100L)
+    assert(unguarded(10L).getLong(2) === 0 && unguarded(11L).getBoolean(4))
+  }
+
   test("embedding candidate pairs: bucket join surfaces pairs on the fixture") {
     val cands = Similarity.embeddingCandidatePairs(spark, sf).collect()
     assert(cands.nonEmpty, "birthday collisions across 256 buckets expected")
