@@ -67,7 +67,23 @@ object Bench {
     case ((ta, false), (tb, false)) => math.max(ta, tb)
   }
 
+  /** Hypervisor steal accounting from /proc/stat's first line:
+    * (user+nice+system, steal) jiffies. The round-16 drift hunt
+    * (BENCH_DRIFT.md) pinned every quiet-to-quiet anchor drift on
+    * host CPU contention — steal ran 0-28% of busy CPU across
+    * same-day windows with identical code — so the run's steal share
+    * is now part of the record: a hot anchor is diagnosable at a
+    * glance instead of costing a round of hypothesis-killing. */
+  private def cpuJiffies(): Option[(Long, Long)] = try {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val v = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+      Some((v(0) + v(1) + v(2), v(7)))
+    } finally src.close()
+  } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
+    val jiffies0 = cpuJiffies()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(
@@ -151,7 +167,19 @@ object Bench {
         "UTF-8"), sfDir)
     } catch { case _: Throwable => Map.empty }
 
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Experiment knobs (absent in driver runs — the contract output is
+    // unchanged): SPARK_GRAFT_BENCH_ONLY / SPARK_GRAFT_BENCH_EXCLUDE
+    // take comma-separated query names and bound the timed set, so a
+    // subset can be timed in ONE JVM against the full suite — the
+    // harness the registry-pressure drift hypothesis needs (BENCH_DRIFT.md).
+    def envSet(k: String): Option[Set[String]] = sys.env.get(k)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val only = envSet("SPARK_GRAFT_BENCH_ONLY")
+    val exclude = envSet("SPARK_GRAFT_BENCH_EXCLUDE").getOrElse(Set.empty[String])
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) && !exclude.contains(n) }
+
+    val firstPass = selected.map { case (name, fn) =>
       name -> bestChecked(timeOnceChecked(fn), timeOnceChecked(fn))
     }
     // Outlier re-time (VERDICT r6 #7): best-of-2 back-to-back bounds a
@@ -208,6 +236,13 @@ object Bench {
         name -> math.min(t, timeOnce(SparkEntry.queries(name)))
       }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // steal share of busy CPU over the whole run, percent (−1 when
+    // /proc/stat is unavailable)
+    val stealPct: Double = (jiffies0, cpuJiffies()) match {
+      case (Some((w0, s0)), Some((w1, s1))) if (w1 - w0) + (s1 - s0) > 0 =>
+        math.round((s1 - s0).toDouble / ((w1 - w0) + (s1 - s0)) * 1000) / 10.0
+      case _ => -1.0
+    }
     def jmap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
@@ -218,7 +253,7 @@ object Bench {
     val detail = jmap(results.map { case (k, v) => k -> v.toString })
     val passes = if (secondPass) 2 else 1
     val detailLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"passes":$passes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"passes":$passes,"steal_pct":$stealPct,"sf":"$sfDir"}"""
     println(detailLine)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_DETAIL.json"),
@@ -233,7 +268,7 @@ object Bench {
     val headline = jmap(results.sortBy(-_._2).take(20)
       .map { case (k, v) => k -> f"$v%.3f" })
     try spark.stop() catch { case _: Throwable => }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$headline,"n_queries":${results.size},"passes":$passes,"detail_file":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$headline,"n_queries":${results.size},"passes":$passes,"steal_pct":$stealPct,"detail_file":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     System.out.flush()
   }
 }
