@@ -57,7 +57,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * embedded-CMap-stream encodings, a Type0 with no /ToUnicode,
   * `usecmap` composition), an inline image (BI — its raw payload
   * would desynchronize any token walk), or a stream filter outside
-  * FlateDecode and LZWDecode (§7.4.4, EarlyChange quirk honored)
+  * the served set — FlateDecode, LZWDecode (§7.4.4, EarlyChange
+  * quirk honored), ASCIIHexDecode, ASCII85Decode, chained per the
+  * §7.4 /Filter array up to 4 deep —
   * DECLINES that page — a NULL array element — while the rest of the
   * document still serves (fonts decode lazily on Tf, so a broken
   * font poisons only pages that select it). STRUCTURAL failures —
@@ -454,6 +456,107 @@ object PdfPageTexts {
     }
   }
 
+  /** §7.4.2 ASCIIHexDecode: hex pairs, whitespace skipped, '>' is
+    * EOD (an odd final digit pads with 0); any other character, or a
+    * missing EOD, declines (null). */
+  private[graft] def asciiHexDecode(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length / 2)
+    var hi = -1
+    var i = 0
+    while (i < b.length) {
+      val c = b(i) & 0xFF
+      if (c == '>') {
+        if (hi >= 0) out.write(hi << 4)
+        return out.toByteArray
+      } else if (!isWs(c)) {
+        val d = Character.digit(c, 16)
+        if (d < 0) return null
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      }
+      i += 1
+    }
+    null // no EOD marker
+  }
+
+  /** §7.4.3 ASCII85Decode: 5 chars '!'..'u' → 4 bytes base 85; 'z' =
+    * four zero bytes (only between groups); whitespace skipped; '~>'
+    * is EOD, with a final partial group of n chars (2..4) yielding
+    * n−1 bytes via 'u' padding. Value overflow past 2^32−1, a 1-char
+    * partial group, 'z' inside a group, any other character, or a
+    * missing EOD declines (null). */
+  private[graft] def ascii85Decode(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    val group = new Array[Int](5)
+    var n = 0
+    def flush(chars: Int): Boolean = {
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < chars) group(k) else 84); k += 1 }
+      if (v > 0xFFFFFFFFL) return false
+      var shift = 24
+      var emitted = 0
+      while (emitted < chars - 1) {
+        out.write(((v >>> shift) & 0xFF).toInt)
+        shift -= 8
+        emitted += 1
+      }
+      true
+    }
+    var i = 0
+    while (i < b.length) {
+      val c = b(i) & 0xFF
+      if (c == '~') {
+        if (i + 1 >= b.length || b(i + 1) != '>') return null
+        if (n == 1) return null // a 1-char partial group is malformed
+        if (n > 1 && !flush(n)) return null
+        return out.toByteArray
+      } else if (c == 'z') {
+        if (n != 0) return null // 'z' inside a group is malformed
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (c >= '!' && c <= 'u') {
+        group(n) = c - '!'
+        n += 1
+        if (n == 5) { if (!flush(5)) return null; n = 0 }
+      } else if (!isWs(c)) return null
+      i += 1
+    }
+    null // no EOD marker
+  }
+
+  /** The encoder twins for the fixture differential. */
+  private[graft] def asciiHexEncode(data: Array[Byte]): Array[Byte] = {
+    val sb = new java.lang.StringBuilder(data.length * 2 + 1)
+    data.foreach(x => sb.append(f"${x & 0xFF}%02x"))
+    sb.append('>')
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  private[graft] def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new java.lang.StringBuilder(data.length * 5 / 4 + 8)
+    var i = 0
+    while (i < data.length) {
+      val rem = math.min(4, data.length - i)
+      var v = 0L
+      var k = 0
+      while (k < 4) {
+        v = (v << 8) | (if (k < rem) data(i + k) & 0xFF else 0)
+        k += 1
+      }
+      if (v == 0 && rem == 4) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var w = v
+        k = 4
+        while (k >= 0) { cs(k) = ('!' + (w % 85).toInt).toChar; w /= 85; k -= 1 }
+        var emit = 0
+        while (emit < rem + 1) { sb.append(cs(emit)); emit += 1 }
+      }
+      i += 4
+    }
+    sb.append("~>")
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
   // ---- indirect-object resolution -----------------------------------
 
   /** Per-document resolution state: the chain's entry map plus a memo
@@ -516,59 +619,86 @@ object PdfPageTexts {
         case _ => decline()
       }
       if (lex.i + len > b.length) decline()
-      val raw = dict.m.get("Filter") match {
-        case None =>
-          java.util.Arrays.copyOfRange(b, lex.i, lex.i + len.toInt)
-        case Some(PName("FlateDecode")) => flateOrDecline(dict, lex.i, len)
-        case Some(PArr(Vector(PName("FlateDecode")))) =>
-          flateOrDecline(dict, lex.i, len)
-        case Some(PName("LZWDecode")) => lzwOrDecline(dict, lex.i, len)
-        case Some(PArr(Vector(PName("LZWDecode")))) =>
-          lzwOrDecline(dict, lex.i, len)
-        case _ => decline() // other filters: recorded envelope
-      }
+      val raw = decodeFilters(dict,
+        java.util.Arrays.copyOfRange(b, lex.i, lex.i + len.toInt))
       PStream(dict, raw)
     }
 
-    /** §7.4.4 LZWDecode with the EarlyChange quirk honored (0 or 1,
-      * default 1); a predictor declines like the Flate path. The
-      * inflate shares the same 1 MiB bomb ceiling. */
-    private def lzwOrDecline(dict: PDict, off: Int, len: Long): Array[Byte] = {
-      val early = dict.m.get("DecodeParms") match {
-        case Some(PDict(p)) =>
-          p.get("Predictor") match {
-            case None | Some(PNum(1)) => ()
-            case _ => decline()
-          }
-          p.get("EarlyChange") match {
+    /** The §7.4 filter pipeline: /Filter as a name or an array of up
+      * to 4 names applied in order, /DecodeParms a parallel dict /
+      * null / array. The served set — FlateDecode, LZWDecode
+      * (EarlyChange 0|1), ASCIIHexDecode, ASCII85Decode — covers
+      * every spec'd text-bearing combination (the classic legacy
+      * chain is [/ASCII85Decode /FlateDecode]); anything else is the
+      * recorded envelope. Every stage is strict parse-or-NULL behind
+      * the shared 1 MiB ceiling. */
+    private def decodeFilters(dict: PDict, raw: Array[Byte]): Array[Byte] = {
+      val filters: Vector[String] = dict.m.get("Filter") match {
+        case None => return raw
+        case Some(PName(n)) => Vector(n)
+        case Some(PArr(elems)) =>
+          elems.map { case PName(n) => n; case _ => decline() }
+        case _ => decline()
+      }
+      if (filters.isEmpty || filters.length > 4) decline()
+      val parms: Vector[Option[Map[String, PObj]]] =
+        dict.m.get("DecodeParms") match {
+          case None => Vector.fill(filters.length)(None)
+          case Some(PDict(p)) =>
+            if (filters.length != 1) decline()
+            Vector(Some(p))
+          case Some(PNull) => Vector.fill(filters.length)(None)
+          case Some(PArr(elems)) =>
+            if (elems.length != filters.length) decline()
+            elems.map {
+              case PDict(p) => Some(p)
+              case PNull => None
+              case _ => decline()
+            }
+          case _ => decline()
+        }
+      var data = raw
+      var k = 0
+      while (k < filters.length) {
+        data = applyFilter(filters(k), parms(k), data)
+        k += 1
+      }
+      data
+    }
+
+    private def applyFilter(name: String, parms: Option[Map[String, PObj]],
+        data: Array[Byte]): Array[Byte] = {
+      // a predictor on a text-bearing stream is never emitted by real
+      // writers; declining beats silently misreading rows of bytes
+      parms.foreach(_.get("Predictor") match {
+        case None | Some(PNum(1)) => ()
+        case _ => decline()
+      })
+      name match {
+        case "FlateDecode" =>
+          val out = PdfMeta.flate(data, 0, data.length)
+          if (out == null) decline()
+          out
+        case "LZWDecode" =>
+          val early = parms.flatMap(_.get("EarlyChange")) match {
             case None => 1
             case Some(PNum(1)) => 1
             case Some(PNum(0)) => 0
             case _ => decline()
           }
-        case None => 1
-        case _ => decline()
+          val out = LzwCodec.decode(data, early, 1 << 20)
+          if (out == null) decline()
+          out
+        case "ASCIIHexDecode" =>
+          val out = asciiHexDecode(data)
+          if (out == null) decline()
+          out
+        case "ASCII85Decode" =>
+          val out = ascii85Decode(data)
+          if (out == null) decline()
+          out
+        case _ => decline() // DCT/JBIG2/CCITT/RunLength/Crypt: envelope
       }
-      val out = LzwCodec.decode(
-        java.util.Arrays.copyOfRange(b, off, (off + len).toInt), early, 1 << 20)
-      if (out == null) decline()
-      out
-    }
-
-    private def flateOrDecline(dict: PDict, off: Int, len: Long): Array[Byte] = {
-      // a predictor on a CONTENT stream is never emitted by real
-      // writers; declining beats silently misreading rows of bytes
-      dict.m.get("DecodeParms") match {
-        case Some(PDict(p)) => p.get("Predictor") match {
-          case None | Some(PNum(1)) => ()
-          case _ => decline()
-        }
-        case None => ()
-        case _ => decline()
-      }
-      val out = PdfMeta.flate(b, off, len)
-      if (out == null) decline()
-      out
     }
 
     /** A type-2 entry: member `num` of object stream `stmNum`
@@ -1176,6 +1306,9 @@ object PdfPageTexts {
   *  - seed%19==0: every stream rides /LZWDecode (default EarlyChange)
   *    instead of Flate — the §7.4.4 filter exercised end to end,
   *    invisible in the output like the Flate docs;
+  *  - seed%23==0: every stream rides the classic legacy CHAIN
+  *    [/ASCII85Decode /FlateDecode] (§7.4.2-3 + the §7.4 array form,
+  *    decode applied in array order), equally invisible;
   *  - every page: escaped parens + an octal escape in line 1, a TJ
   *    array whose -250 gap is a word break and -40 is not, and a '
   *    (move-show) for line 3. */
@@ -1260,6 +1393,7 @@ object PdfTextEncode {
     val diffs = seed % 11 == 0
     val cid = seed % 13 == 0
     val lzw = seed % 19 == 0
+    val a85 = seed % 23 == 0
 
     val sb = new StringBuilder()
     sb.append("%PDF-1.6\n%")
@@ -1277,7 +1411,9 @@ object PdfTextEncode {
     }
     def streamObj(payload: Array[Byte], extraKeys: String): Int = {
       val (data, filter) =
-        if (lzw) (PdfPageTexts.LzwCodec.encode(payload, 1), "/Filter /LZWDecode ")
+        if (a85) (PdfPageTexts.ascii85Encode(zlib(payload)),
+          "/Filter [ /ASCII85Decode /FlateDecode ] ")
+        else if (lzw) (PdfPageTexts.LzwCodec.encode(payload, 1), "/Filter /LZWDecode ")
         else if (flated) (zlib(payload), "/Filter /FlateDecode ")
         else (payload, "")
       obj(s"<< $extraKeys$filter/Length ${data.length} >>\nstream\n" +

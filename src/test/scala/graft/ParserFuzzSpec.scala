@@ -252,6 +252,7 @@ class ParserFuzzSpec extends AnyFunSuite {
       graft.plans.PdfTextEncode.encode(13L, 2), // Type0 Identity-H + ToUnicode
       graft.plans.PdfTextEncode.encode(30030L, 2), // CID × every other variant
       graft.plans.PdfTextEncode.encode(19L, 2), // LZWDecode streams
+      graft.plans.PdfTextEncode.encode(23L, 2), // ASCII85+Flate chain
       graft.plans.DocxEncode.encode(77L, 3),
       graft.plans.XlsxEncode.encode(77L, 4),
       graft.plans.PptxEncode.encode(77L, 3),
@@ -260,10 +261,11 @@ class ParserFuzzSpec extends AnyFunSuite {
     assert(graft.plans.PdfPageTexts.parse(fullDocs(2)) != null)
     assert(graft.plans.PdfPageTexts.parse(fullDocs(3)) != null)
     assert(graft.plans.PdfPageTexts.parse(fullDocs(4)) != null)
-    assert(graft.plans.DocxText.parse(fullDocs(5)) != null)
-    assert(graft.plans.XlsxCells.parse(fullDocs(6)) != null)
-    assert(graft.plans.PptxSlides.parse(fullDocs(7)) != null)
-    assert(graft.plans.EpubChapters.parse(fullDocs(8)) != null)
+    assert(graft.plans.PdfPageTexts.parse(fullDocs(5)) != null)
+    assert(graft.plans.DocxText.parse(fullDocs(6)) != null)
+    assert(graft.plans.XlsxCells.parse(fullDocs(7)) != null)
+    assert(graft.plans.PptxSlides.parse(fullDocs(8)) != null)
+    assert(graft.plans.EpubChapters.parse(fullDocs(9)) != null)
     val rnd = new scala.util.Random(0xF00D)
     for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif, fullJpeg,
         fullJpegColor, fullJpegLossless, fullJpeg12, fullAvi, fullWav, fullFloat,

@@ -34,13 +34,15 @@ class PdfTextSpec extends AnyFunSuite {
     // envelope); 105 = 3*5*7, 2310 = 2*3*5*7*11, 30030 =
     // 2*3*5*7*11*13 stack them, 221 = 13*17 is a CID doc with a bad
     // page
-    // %19==0 adds the LZWDecode stream filter (9699690 stacks ALL
-    // eight variants: 2*3*5*7*11*13*17*19)
+    // %19==0 adds the LZWDecode stream filter, %23==0 the
+    // [/ASCII85Decode /FlateDecode] chain (223092870 stacks ALL nine
+    // variants: 2*3*5*7*11*13*17*19*23)
     for (seed <- Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L, 9L, 10L, 11L, 14L, 15L,
            21L, 22L, 33L, 35L, 55L, 70L, 77L, 105L, 110L, 2310L, 4242L,
            13L, 26L, 39L, 65L, 91L, 143L, 195L, 30030L,
            17L, 34L, 51L, 85L, 119L, 187L, 221L, 510510L,
-           19L, 38L, 57L, 95L, 133L, 209L, 247L, 323L, 9699690L);
+           19L, 38L, 57L, 95L, 133L, 209L, 247L, 323L, 9699690L,
+           23L, 46L, 69L, 115L, 161L, 253L, 299L, 391L, 437L, 223092870L);
          pages <- Seq(1, 2, 4)) {
       val b = PdfTextEncode.encode(seed, pages)
       val got = texts(b)
@@ -235,6 +237,113 @@ class PdfTextSpec extends AnyFunSuite {
     assert(texts(miniCid(hi,
       "begincmap\n1 beginbfrange\n<0048> <0049> [<0041>]\nendbfrange\nendcmap"))
       === Seq(null))
+  }
+
+  // ---- ASCIIHex / ASCII85 / filter chains (§7.4.2-3) -------------------
+
+  test("ASCIIHex and ASCII85: hand-pinned vectors + round trips + declines") {
+    import graft.plans.PdfPageTexts.{asciiHexDecode, ascii85Decode,
+      asciiHexEncode, ascii85Encode}
+    def hexD(s: String) = asciiHexDecode(s.getBytes("ISO-8859-1"))
+    def a85D(s: String) = ascii85Decode(s.getBytes("ISO-8859-1"))
+    // hex: whitespace skipped, case-insensitive, odd digit pads 0
+    assert(new String(hexD("48 65 6C 6c 6F>")) === "Hello")
+    assert(hexD("4>").toSeq === Array(0x40.toByte).toSeq)
+    assert(hexD("48") === null) // no EOD
+    assert(hexD("4G>") === null) // bad digit
+    // a85: vectors generated with CPython's base64.a85encode — an
+    // independent reference implementation of the same §7.4.3 coding
+    assert(new String(ascii85Encode("sure".getBytes), "ISO-8859-1") === "F*2M7~>")
+    assert(new String(a85D("F*2M7~>")) === "sure")
+    assert(new String(ascii85Encode("Man ".getBytes), "ISO-8859-1") === "9jqo^~>")
+    assert(new String(a85D("87cURD_*#4DfTZ)+T~>")) === "Hello, World!")
+    assert(new String(ascii85Encode("ab".getBytes), "ISO-8859-1") === "@:B~>")
+    // z shorthand for a zero group; partial final group
+    assert(a85D("z~>").toSeq === Array[Byte](0, 0, 0, 0).toSeq)
+    assert(new String(a85D("F*2M7z~>")) === "sure    ")
+    // declines: z inside a group, 1-char partial, overflow, no EOD,
+    // character outside the alphabet
+    assert(a85D("F*z~>") === null)
+    assert(a85D("F~>") === null)
+    assert(a85D("uuuuu~>") === null) // 84*85^4+... > 2^32-1
+    assert(a85D("F*2M7") === null)
+    assert(a85D("F*ÿ2M7~>") === null)
+    // round trips over random payloads, all lengths mod 4
+    val rnd = new scala.util.Random(85)
+    for (len <- Seq(0, 1, 2, 3, 4, 5, 7, 100, 1000, 4096)) {
+      val data = Array.fill[Byte](len)(rnd.nextInt().toByte)
+      assert(java.util.Arrays.equals(asciiHexDecode(asciiHexEncode(data)), data),
+        s"hex len=$len")
+      assert(java.util.Arrays.equals(ascii85Decode(ascii85Encode(data)), data),
+        s"a85 len=$len")
+    }
+    // all-zero payload exercises the z path
+    val zeros = new Array[Byte](64)
+    assert(java.util.Arrays.equals(ascii85Decode(ascii85Encode(zeros)), zeros))
+  }
+
+  test("filter chains: [ASCII85 Flate] serves; malformed stages and deep chains decline") {
+    import graft.plans.PdfPageTexts.{ascii85Encode, asciiHexEncode}
+    def zlib(p: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      try {
+        d.setInput(p); d.finish()
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        out.toByteArray
+      } finally d.end()
+    }
+    val content = "BT /F1 9 Tf (chained) Tj ET"
+    def chained(data: Array[Byte], filter: String): Array[Byte] = {
+      val sb = new StringBuilder("%PDF-1.4\n")
+      val offsets = new scala.collection.mutable.ArrayBuffer[Int]()
+      def obj(body: String): Unit = {
+        offsets += sb.length
+        sb.append(s"${offsets.length} 0 obj\n$body\nendobj\n")
+      }
+      obj("<< /Type /Catalog /Pages 2 0 R >>")
+      obj("<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>")
+      obj("<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> >> " +
+        "/Contents 5 0 R >>")
+      obj(winAnsiFont)
+      obj(s"<< $filter/Length ${data.length} >>\nstream\n" +
+        new String(data, "ISO-8859-1") + "\nendstream")
+      val size = offsets.length + 1
+      val xrefAt = sb.length
+      sb.append(s"xref\n0 $size\n0000000000 65535 f \n")
+      offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+      sb.append(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+      sb.toString.getBytes("ISO-8859-1")
+    }
+    val raw = content.getBytes("ISO-8859-1")
+    // the classic legacy chain, decode applied in array order
+    assert(texts(chained(ascii85Encode(zlib(raw)),
+      "/Filter [ /ASCII85Decode /FlateDecode ] ")) === Seq("chained"))
+    // single ASCIIHex and ASCII85 filters serve too
+    assert(texts(chained(asciiHexEncode(raw), "/Filter /ASCIIHexDecode ")) ===
+      Seq("chained"))
+    assert(texts(chained(ascii85Encode(raw), "/Filter /ASCII85Decode ")) ===
+      Seq("chained"))
+    // hex wrapping a85-wrapping-flate: a 3-deep chain
+    assert(texts(chained(asciiHexEncode(ascii85Encode(zlib(raw))),
+      "/Filter [ /ASCIIHexDecode /ASCII85Decode /FlateDecode ] ")) ===
+      Seq("chained"))
+    // wrong ORDER declines (a85 bytes are not zlib)
+    assert(texts(chained(ascii85Encode(zlib(raw)),
+      "/Filter [ /FlateDecode /ASCII85Decode ] ")) === Seq(null))
+    // a 5-deep chain is past the bound
+    assert(texts(chained(asciiHexEncode(asciiHexEncode(asciiHexEncode(
+      asciiHexEncode(asciiHexEncode(raw))))),
+      "/Filter [ /ASCIIHexDecode /ASCIIHexDecode /ASCIIHexDecode " +
+        "/ASCIIHexDecode /ASCIIHexDecode ] ")) === Seq(null))
+    // DecodeParms as a parallel array: nulls ride, a predictor declines
+    assert(texts(chained(ascii85Encode(zlib(raw)),
+      "/Filter [ /ASCII85Decode /FlateDecode ] " +
+        "/DecodeParms [ null null ] ")) === Seq("chained"))
+    assert(texts(chained(ascii85Encode(zlib(raw)),
+      "/Filter [ /ASCII85Decode /FlateDecode ] " +
+        "/DecodeParms [ null << /Predictor 12 >> ] ")) === Seq(null))
   }
 
   // ---- LZWDecode (§7.4.4) ---------------------------------------------
