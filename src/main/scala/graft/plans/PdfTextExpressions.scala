@@ -38,7 +38,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Character decode has two tiers. SIMPLE fonts go through the
   * Appendix D encodings (transcribed below): /WinAnsiEncoding,
-  * /StandardEncoding, an absent /Encoding (Standard — the
+  * /StandardEncoding, /MacRomanEncoding, an absent /Encoding
+  * (Standard — the
   * non-symbolic Type1 default), or an /Encoding DICT with
   * /BaseEncoding and /Differences — the §9.6.5 per-code overrides
   * resolved through an Adobe-Glyph-List-convention name map (ASCII +
@@ -53,7 +54,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * text tier applies at PAGE granularity: a code the encoding leaves
   * UNDEFINED, a glyph NAME outside the map, an unmapped CID, a
   * ragged (odd-length) 2-byte string, a font outside both tiers
-  * (/MacRomanEncoding, Identity-V vertical writing,
+  * (/MacExpertEncoding, symbolic fonts, Identity-V vertical writing,
   * embedded-CMap-stream encodings, a Type0 with no /ToUnicode,
   * `usecmap` composition), an inline image (BI — its raw payload
   * would desynchronize any token walk), or a stream filter outside
@@ -789,6 +790,35 @@ object PdfPageTexts {
     t
   }
 
+  /** MacRomanEncoding: ASCII + the Mac OS Roman high table, built
+    * from the JDK's own x-MacRoman decoder (an independent
+    * transcription of the same Apple table) with Appendix D's OWN
+    * deviations patched on top: 0xCA is a second code for SPACE (not
+    * no-break space), 0xDB is the CURRENCY sign (Appendix D predates
+    * Mac OS 8.5 moving the euro there), and 0xF0 (the Apple-logo
+    * glyph) stays undefined — no faithful Unicode char exists, so
+    * that code declines rather than guesses. On a JRE without the
+    * charset the high range stays undefined (those codes decline —
+    * still faithful, never garbled). */
+  private[plans] val MacRoman: Array[Char] = {
+    val t = new Array[Char](256)
+    var i = 0x20
+    while (i <= 0x7E) { t(i) = i.toChar; i += 1 }
+    try {
+      val dec = java.nio.charset.Charset.forName("x-MacRoman")
+      i = 0x80
+      while (i <= 0xFF) {
+        val s = new String(Array(i.toByte), dec)
+        if (s.length == 1 && s.charAt(0) != '�') t(i) = s.charAt(0)
+        i += 1
+      }
+      t(0xCA) = ' '
+      t(0xDB) = '¤'
+      t(0xF0) = 0.toChar
+    } catch { case _: Exception => () }
+    t
+  }
+
   /** Glyph-name → character map for /Differences (the Adobe Glyph
     * List conventions): ASCII names, letters as their own names, the
     * Latin-1 accented set, the Appendix D publishing set, and the
@@ -1053,9 +1083,11 @@ object PdfPageTexts {
     r(dict.getOrElse("Encoding", PName("StandardEncoding"))) match {
       case PName("WinAnsiEncoding") => WinAnsi
       case PName("StandardEncoding") => Standard
+      case PName("MacRomanEncoding") => MacRoman
       case PDict(enc) =>
         val base = enc.get("BaseEncoding") match {
           case Some(PName("WinAnsiEncoding")) => WinAnsi
+          case Some(PName("MacRomanEncoding")) => MacRoman
           case Some(PName("StandardEncoding")) | None => Standard
           case _ => decline()
         }
@@ -1081,7 +1113,7 @@ object PdfPageTexts {
             case _ => decline()
           }
         }
-      case _ => decline() // MacRoman/MacExpert/symbolic: envelope
+      case _ => decline() // MacExpert/symbolic: envelope
     }
   }
 

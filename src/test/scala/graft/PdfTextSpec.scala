@@ -131,14 +131,34 @@ class PdfTextSpec extends AnyFunSuite {
 
   // ---- the decline envelope (faithful-or-NULL, never garble) ----------
 
-  test("Type0 and MacRoman decline; Differences decodes or declines by name") {
+  test("MacRomanEncoding decodes with Appendix D's own deviations") {
+    val mac =
+      "<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding /MacRomanEncoding >>"
+    // high-table cells hand-verified against the public Appendix D
+    // table: 0x8E eacute, 0xA5 bullet, 0xC9 ellipsis, 0xD0 endash,
+    // 0xD2/0xD3 curly double quotes
+    assert(texts(mini(mac,
+      "BT /F1 9 Tf <616263> Tj <8EA5C9D0D2D3> Tj ET")) ===
+      Seq("abc" + "é•…–“”"))
+    // the Appendix D deviations from Mac OS Roman proper: 0xCA is a
+    // second code for SPACE, 0xDB is CURRENCY (not the euro)
+    assert(texts(mini(mac, "BT /F1 9 Tf <61CA62DB> Tj ET")) === Seq("a b¤"))
+    // the Apple-logo code has no faithful Unicode char: decline
+    assert(texts(mini(mac, "BT /F1 9 Tf <61F0> Tj ET")) === Seq(null))
+    // Differences over a MacRoman base
+    val diffMac = "<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding " +
+      "<< /BaseEncoding /MacRomanEncoding /Differences [ 97 /eacute ] >> >>"
+    assert(texts(mini(diffMac, "BT /F1 9 Tf <61C9> Tj ET")) === Seq("é…"))
+  }
+
+  test("Type0-sans-ToUnicode and MacExpert decline; Differences decodes or declines by name") {
     val content = "BT /F1 9 Tf (abc) Tj ET"
     // a Type0 with Identity-H but NO /ToUnicode still declines: CIDs
     // carry no inherent character identity to serve
     val type0 =
       "<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding /Identity-H >>"
     val mac =
-      "<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding /MacRomanEncoding >>"
+      "<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding /MacExpertEncoding >>"
     assert(texts(mini(type0, content)) === Seq(null))
     assert(texts(mini(mac, content)) === Seq(null))
     // Differences with KNOWN names decodes faithfully: a named glyph,
@@ -451,7 +471,7 @@ class PdfTextSpec extends AnyFunSuite {
       }
     }
     // a broken font only poisons pages that SELECT it (lazy decode):
-    // page 1 uses the MacRoman font, page 2 never touches it
+    // page 1 uses the MacExpert font, page 2 never touches it
     val sb = new StringBuilder("%PDF-1.4\n")
     val offsets = new scala.collection.mutable.ArrayBuffer[Int]()
     def obj(body: String): Unit = {
@@ -466,7 +486,7 @@ class PdfTextSpec extends AnyFunSuite {
     obj("<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>")
     obj("<< /Type /Page /Parent 2 0 R /Contents 8 0 R >>")
     obj(winAnsiFont)
-    obj("<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding /MacRomanEncoding >>")
+    obj("<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding /MacExpertEncoding >>")
     obj(s"<< /Length ${c1.length} >>\nstream\n$c1\nendstream")
     obj(s"<< /Length ${c2.length} >>\nstream\n$c2\nendstream")
     val size = offsets.length + 1
