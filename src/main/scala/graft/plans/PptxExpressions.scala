@@ -66,9 +66,23 @@ object PptxSlides {
       c == '>' || c == '/' || c == ' ' || c == '\t' || c == '\n' || c == '\r'
     }
 
+  private val DrawingMlNs =
+    "http://schemas.openxmlformats.org/drawingml/2006/main"
+
   /** One slide part's text: the docx walk with the `a:` prefix. Null
-    * on malformed nesting. */
+    * on malformed nesting — or when the slide binds the DrawingML
+    * namespace to a prefix OTHER than `a:` (the scan would silently
+    * read such a slide as empty; every real writer binds `a:`, so
+    * the rename case declines instead). A slide with no DrawingML
+    * binding at all stays legal: a genuinely empty slide has no text
+    * namespace to bind. */
   private def slideText(x: String): String = {
+    var nsAt = x.indexOf(DrawingMlNs)
+    while (nsAt >= 0) {
+      if (nsAt < 9 || !x.regionMatches(nsAt - 9, "xmlns:a=\"", 0, 9))
+        return null
+      nsAt = x.indexOf(DrawingMlNs, nsAt + 1)
+    }
     val out = new java.lang.StringBuilder(128)
     var at = 0
     var paras = 0

@@ -488,6 +488,31 @@ class PptxEpubSpec extends AnyFunSuite {
       "OEBPS/ch1.xhtml" -> ch))) === Seq("x"))
   }
 
+  test("independent witness: pptx text invariant under attribute reorder; a: rename declines") {
+    val dml = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    val pml = "http://schemas.openxmlformats.org/presentationml/2006/main"
+    val a = s"""<p:sld xmlns:a="$dml" xmlns:p="$pml"><p:cSld>""" +
+      """<a:p><a:pPr algn="l" indent="0"/><a:r><a:rPr lang="en" b="1"/>""" +
+      """<a:t>hi</a:t></a:r><a:r><a:t> there</a:t></a:r></a:p></p:cSld></p:sld>"""
+    val b = s"""<p:sld xmlns:p="$pml" xmlns:a="$dml"><p:cSld>""" +
+      """<a:p><a:pPr indent="0" algn="l"/><a:r><a:rPr b="1" lang="en"/>""" +
+      """<a:t>hi</a:t></a:r><a:r><a:t> there</a:t></a:r></a:p></p:cSld></p:sld>"""
+    val ga = arr(PptxSlides.parse(wrap("ppt/slides/slide1.xml" -> a)))
+    val gb = arr(PptxSlides.parse(wrap("ppt/slides/slide1.xml" -> b)))
+    assert(ga === Seq("hi there"))
+    assert(gb === ga, "attribute order / xmlns order must be invisible")
+    // DrawingML bound to a prefix other than a: would silently read
+    // as an EMPTY slide — it must decline instead
+    val renamed = a.replace("<a:", "<x:").replace("</a:", "</x:")
+      .replace("xmlns:a=", "xmlns:x=")
+    assert(PptxSlides.parse(wrap("ppt/slides/slide1.xml" -> renamed)) === null)
+    // a slide with NO DrawingML binding and no text stays a legal
+    // empty slide (the existing empty-slide contract)
+    assert(arr(PptxSlides.parse(wrap(
+      "ppt/slides/slide1.xml" -> s"""<p:sld xmlns:p="$pml"><p:cSld/></p:sld>""")))
+      === Seq(""))
+  }
+
   test("pptx gap-numbered decks DECLINE: the consecutive walk never truncates silently") {
     val body = "<p:sld><a:p><a:r><a:t>s</a:t></a:r></a:p></p:sld>"
     // slide2 deleted without renumbering: slide1 + slide3 remain —
