@@ -515,6 +515,7 @@ object Queries {
     "mm_zip_entries" -> (Multimodal.zipEntriesQ _),
     "mm_zip_extract" -> (Multimodal.zipExtractQ _),
     "pipeline_docx_ingest" -> (Multimodal.docxIngest _),
+    "text_rtf_extract" -> (Multimodal.rtfIngest _),
     "pipeline_xlsx_ingest" -> (Multimodal.xlsxIngest _),
     "pipeline_pptx_ingest" -> (Multimodal.pptxIngest _),
     "pipeline_epub_ingest" -> (Multimodal.epubIngest _),
@@ -1839,6 +1840,22 @@ object Queries {
        "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
        "WHERE doc_id % 147 <> 0 AND t.i < doc_id % 4 + 1 " +
        "ORDER BY doc_id, para_idx"),
+    // RTF extraction twin: RtfEncode.decodedPara restated — the
+    // fonttbl/colortbl/info/starred destinations invisible, paragraph
+    // variants on (doc_id+i)%3 (named punctuation words / cp1252
+    // \'hh escapes / \uN with its uc-protocol fallback SKIPPED), each
+    // paragraph's \par a newline (incl. the trailing one)
+    "text_rtf_extract" ->
+      ("SELECT doc_id, string_agg(" +
+       "'Para ' || CAST(t.i AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) || ': ' || " +
+       "CASE CAST((doc_id + t.i) % 3 AS INTEGER) " +
+       "WHEN 0 THEN '— “q” • fin' " +
+       "WHEN 1 THEN 'café résumé' " +
+       "ELSE '€ §' || chr(9) || 'end' END, " +
+       "chr(10) ORDER BY t.i) || chr(10) AS text " +
+       "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
+       "WHERE doc_id % 179 <> 0 AND t.i < doc_id % 4 + 1 " +
+       "GROUP BY doc_id ORDER BY doc_id"),
     // gzip triage twin: header variant cycles on doc_id%3, payload
     // length and mtime are doc_id arithmetic, a second member lands on
     // every 4th doc — the oracle restates the whole row, certifying

@@ -355,6 +355,17 @@ object Multimodal {
         // arithmetic (DocxEncode.decodedPara), restated by the oracle
         (id % 147 =!= 0, graft.plans.VectorExpressions.docxEncode(
           id.cast("long"), (id % 4 + 1).cast("int"))))
+      case "rtf" => Seq(
+        (id % 179 === 0, encode(text.substr(1, 22), "UTF-8")),
+        // REAL RTF documents (plans.RtfEncode): fonttbl/colortbl/info
+        // destinations + a starred generator group (all invisible),
+        // formatting noise, and per-paragraph variants cycling on
+        // (doc_id+i)%3 — named punctuation words / cp1252 \'hh
+        // escapes / a \uN escape whose uc-protocol fallback must be
+        // skipped — the decoded text is pure doc_id arithmetic
+        // (RtfEncode.decodedPara), restated by the oracle
+        (id % 179 =!= 0, graft.plans.VectorExpressions.rtfEncode(
+          id.cast("long"), (id % 4 + 1).cast("int"))))
       case "xlsx" => Seq(
         (id % 133 === 0, encode(text.substr(1, 24), "UTF-8")),
         // REAL xlsx archives written by the JDK (plans.XlsxEncode):
@@ -722,8 +733,8 @@ object Multimodal {
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
       "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "avif",
       "gzip", "pdf", "pdftext", "warc", "warchtml", "warchttp", "warcpdf",
-      "httplegacy", "zip", "docx", "xlsx", "pptx", "epub", "office", "docmix",
-      "mixed")
+      "httplegacy", "zip", "docx", "rtf", "xlsx", "pptx", "epub", "office",
+      "docmix", "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -1274,6 +1285,18 @@ object Multimodal {
     * paragraph. The whole hop (CRC-gated inflate + XML walk) is one
     * codegen'd expression over the fixture scan; the non-docx gate
     * rows decline to NULL and drop. */
+  /** The legacy word-processing leg: RTF documents → the control-word
+    * walk (destination groups skipped, cp1252 \'hh + \uN escapes with
+    * the uc fallback protocol, named punctuation) → whole-document
+    * text per row. Non-RTF rows decline to NULL and drop — the same
+    * single codegen'd scan shape as the rest of the document family. */
+  def rtfIngest(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "rtf")
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.rtfText(col("rtf")).as("text"))
+      .filter(col("text").isNotNull)
+      .orderBy(col("doc_id"))
+
   def docxIngest(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir, "docx")
       .select(col("doc_id"),

@@ -368,7 +368,7 @@ object HttpText {
     * (the five holes 0x81/0x8D/0x8F/0x90/0x9D map to their C1
     * controls per the standard's index, never an error). 0x00..0x7F
     * are ASCII and 0xA0..0xFF are the Latin-1 identity. */
-  private val Cp1252High: Array[Char] = Array(
+  private[plans] val Cp1252High: Array[Char] = Array(
     '€', '', '‚', 'ƒ', '„', '…', '†', '‡',
     'ˆ', '‰', 'Š', '‹', 'Œ', '', 'Ž', '',
     '', '‘', '’', '“', '”', '•', '–', '—',

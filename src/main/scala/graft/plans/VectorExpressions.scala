@@ -540,6 +540,10 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_epub_encode", exprs => EpubEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rtf_text", exprs => RtfText(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rtf_encode", exprs => RtfEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_zip_kind", exprs => ZipKind(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sitemap_urls", exprs => SitemapUrls(exprs(0)), "scala_udf")
@@ -751,6 +755,20 @@ object VectorExpressions {
   def zipExtract(zip: Column, name: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_zip_extract", zip, name)
+  }
+
+  /** RTF text extraction (plans.RtfText), column form; same
+    * registration precondition. */
+  def rtfText(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_rtf_text", c)
+  }
+
+  /** RTF fixture encoder (plans.RtfEncode), column form; same
+    * registration precondition. */
+  def rtfEncode(seed: Column, nParas: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_rtf_encode", seed, nParas)
   }
 
   /** docx text extraction (plans.DocxText), column form; same
