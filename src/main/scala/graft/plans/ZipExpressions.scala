@@ -29,11 +29,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    read; the general-purpose UTF-8 flag bit 11 is the common case
   *    and cp437-only names are legacy) — entry count and total size
   *    must agree with the EOCD's claims;
-  *  - ZIP64 archives decline with the recorded envelope (the EOCD64
-  *    locator grammar is a later tier; 0xFFFF/0xFFFFFFFF sentinel
-  *    fields decline rather than serve wrong values).
+  *  - ZIP64 archives SERVE (APPNOTE §4.3.14-15, §4.5.3): the EOCD64
+  *    locator + record carry the 8-byte entry count / directory
+  *    size / offset, and per-entry 0xFFFFFFFF sentinels resolve
+  *    through the 0x0001 extended-information extra. Every
+  *    non-sentinel classic field must AGREE with the 64-bit record;
+  *    a sentinel with no ZIP64 record/extra, multi-disk layouts, and
+  *    any disagreement decline rather than serve wrong values.
   *
-  * Parse-or-NULL; 4096-entry census cap, 64 KiB name bound. */
+  * Parse-or-NULL; 131072-entry census cap, 64 KiB name bound. */
 case class ZipEntries(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -64,7 +68,9 @@ object ZipEntries {
     StructField("method", IntegerType),
     StructField("usize", LongType)))
 
-  private val MaxEntries = 4096
+  /** High enough for real ZIP64 archives (the format's trigger is
+    * 65535 entries), still a hard bomb bound on the directory walk. */
+  private val MaxEntries = 1 << 17
   private val MaxName = 1 << 16
 
   private[plans] def u16(b: Array[Byte], i: Int): Int =
@@ -72,6 +78,8 @@ object ZipEntries {
   private[plans] def u32(b: Array[Byte], i: Int): Long =
     (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
       ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+  private[plans] def u64(b: Array[Byte], i: Int): Long =
+    u32(b, i) | (u32(b, i + 4) << 32)
 
   /** EOCD offset, or -1: scan back through the possible comment
     * (≤ 64 KiB); the record is only accepted when its comment-length
@@ -91,43 +99,130 @@ object ZipEntries {
     eocd
   }
 
-  def parse(b: Array[Byte]): GenericArrayData = {
+  /** The resolved central directory: entry count plus the walk's
+    * byte range, after any ZIP64 indirection. */
+  private[plans] final case class Directory(count: Long, cdOff: Long, cdEnd: Long)
+
+  /** Resolve the EOCD — and, when the ZIP64 locator (PK\6\7) sits
+    * immediately before it, the EOCD64 record (PK\6\6) it points at
+    * (APPNOTE §4.3.14-15): 8-byte entry count / directory size /
+    * offset, single-disk only, with every non-sentinel EOCD field
+    * required to AGREE with the 64-bit record (a disagreement is
+    * corruption, never a choice). A sentinel EOCD field with no
+    * locator declines. Null on anything malformed. */
+  private[plans] def directory(b: Array[Byte]): Directory = {
     val eocd = eocdAt(b)
     if (eocd < 0) return null
     // multi-disk archives decline (disk fields must be 0)
     if (u16(b, eocd + 4) != 0 || u16(b, eocd + 6) != 0) return null
-    val count = u16(b, eocd + 10)
-    if (u16(b, eocd + 8) != count) return null // this-disk vs total
-    val cdSize = u32(b, eocd + 12)
-    val cdOff = u32(b, eocd + 16)
-    // ZIP64 sentinels decline (a later tier, never a wrong value)
-    if (count == 0xFFFF || cdSize == 0xFFFFFFFFL || cdOff == 0xFFFFFFFFL)
+    val count16 = u16(b, eocd + 10)
+    if (u16(b, eocd + 8) != count16) return null // this-disk vs total
+    val cdSize32 = u32(b, eocd + 12)
+    val cdOff32 = u32(b, eocd + 16)
+    val sentinel = count16 == 0xFFFF || cdSize32 == 0xFFFFFFFFL ||
+      cdOff32 == 0xFFFFFFFFL
+    val locAt = eocd - 20
+    val hasLocator = locAt >= 0 && b(locAt) == 'P' && b(locAt + 1) == 'K' &&
+      b(locAt + 2) == 6 && b(locAt + 3) == 7
+    if (!hasLocator) {
+      if (sentinel) return null // a sentinel with no ZIP64 record
+      if (cdOff32 + cdSize32 > eocd) return null
+      return Directory(count16, cdOff32, cdOff32 + cdSize32)
+    }
+    // locator: disk-with-EOCD64 must be 0, total disks must be 1
+    if (u32(b, locAt + 4) != 0 || u32(b, locAt + 16) != 1) return null
+    val z64 = u64(b, locAt + 8)
+    if (z64 < 0 || z64 + 56 > locAt) return null
+    val z = z64.toInt
+    if (!(b(z) == 'P' && b(z + 1) == 'K' && b(z + 2) == 6 && b(z + 3) == 6))
       return null
-    if (count > MaxEntries || cdOff + cdSize > eocd) return null
-    val out = new Array[Any](count)
-    var at = cdOff
+    if (u32(b, z + 16) != 0 || u32(b, z + 20) != 0) return null // disks
+    val n1 = u64(b, z + 24)
+    val n2 = u64(b, z + 32)
+    if (n1 != n2 || n2 < 0) return null
+    val cdSize = u64(b, z + 40)
+    val cdOff = u64(b, z + 48)
+    if (cdSize < 0 || cdOff < 0) return null
+    // non-sentinel EOCD fields must agree with the 64-bit record
+    if (count16 != 0xFFFF && count16 != n2) return null
+    if (cdSize32 != 0xFFFFFFFFL && cdSize32 != cdSize) return null
+    if (cdOff32 != 0xFFFFFFFFL && cdOff32 != cdOff) return null
+    // the directory must end exactly at the EOCD64 record
+    if (cdOff + cdSize != z64) return null
+    Directory(n2, cdOff, z64)
+  }
+
+  /** The ZIP64 extended-information extra field (id 0x0001): 8-byte
+    * replacements, IN ORDER, for whichever of usize/csize/lho carried
+    * the 0xFFFFFFFF sentinel in the fixed record (APPNOTE §4.5.3).
+    * Returns (usize, csize, lho) resolved, or null when a sentinel
+    * has no replacement or the extra walk is malformed. */
+  private[plans] def resolveZip64(b: Array[Byte], extraAt: Int, extraLen: Int,
+      usize0: Long, csize0: Long, lho0: Long): (Long, Long, Long) = {
+    if (usize0 != 0xFFFFFFFFL && csize0 != 0xFFFFFFFFL && lho0 != 0xFFFFFFFFL)
+      return (usize0, csize0, lho0)
+    var at = extraAt
+    val end = extraAt + extraLen
+    while (at + 4 <= end) {
+      val id = u16(b, at)
+      val sz = u16(b, at + 2)
+      if (at + 4 + sz > end) return null
+      if (id == 0x0001) {
+        var f = at + 4
+        var usize = usize0
+        var csize = csize0
+        var lho = lho0
+        if (usize == 0xFFFFFFFFL) {
+          if (f + 8 > at + 4 + sz) return null
+          usize = u64(b, f); f += 8
+        }
+        if (csize == 0xFFFFFFFFL) {
+          if (f + 8 > at + 4 + sz) return null
+          csize = u64(b, f); f += 8
+        }
+        if (lho == 0xFFFFFFFFL) {
+          if (f + 8 > at + 4 + sz) return null
+          lho = u64(b, f); f += 8
+        }
+        if (usize < 0 || csize < 0 || lho < 0) return null
+        return (usize, csize, lho)
+      }
+      at += 4 + sz
+    }
+    null // a sentinel with no ZIP64 extra
+  }
+
+  def parse(b: Array[Byte]): GenericArrayData = {
+    val dir = directory(b)
+    if (dir == null) return null
+    val count = dir.count
+    val cdEnd = dir.cdEnd
+    if (count > MaxEntries) return null
+    val out = new Array[Any](count.toInt)
+    var at = dir.cdOff
     var k = 0
     while (k < count) {
       val e = at.toInt
-      if (at + 46 > eocd) return null
+      if (at + 46 > cdEnd) return null
       if (!(b(e) == 'P' && b(e + 1) == 'K' && b(e + 2) == 1 && b(e + 3) == 2))
         return null
       val method = u16(b, e + 10)
-      val usize = u32(b, e + 24)
-      if (usize == 0xFFFFFFFFL) return null // ZIP64 entry
       val nameLen = u16(b, e + 28)
       val extraLen = u16(b, e + 30)
       val commentLen = u16(b, e + 32)
-      if (nameLen > MaxName || at + 46 + nameLen + extraLen + commentLen > eocd)
+      if (nameLen > MaxName || at + 46 + nameLen + extraLen + commentLen > cdEnd)
         return null
+      val resolved = resolveZip64(b, e + 46 + nameLen, extraLen,
+        u32(b, e + 24), u32(b, e + 20), u32(b, e + 42))
+      if (resolved == null) return null
       val name = new String(b, e + 46, nameLen, "UTF-8")
       out(k) = new GenericInternalRow(Array[Any](
-        UTF8String.fromString(name), method, usize))
+        UTF8String.fromString(name), method, resolved._1))
       at += 46 + nameLen + extraLen + commentLen
       k += 1
     }
-    // the directory must end where the EOCD said it does
-    if (at != cdOff + cdSize) return null
+    // the directory must end where the record said it does
+    if (at != cdEnd) return null
     new GenericArrayData(out)
   }
 
@@ -220,8 +315,9 @@ object ZipEncode {
   * result is served ONLY when the inflated length equals the
   * directory's uncompressed size AND its CRC-32 matches the
   * directory's — a lying size or corrupt stream declines, never
-  * serves wrong bytes (the gzip triage's discipline). Other methods
-  * and ZIP64 sentinels decline with the census's recorded envelope. */
+  * serves wrong bytes (the gzip triage's discipline). ZIP64 entries
+  * resolve their sizes/offset through the 0x0001 extra like the
+  * census; other compression methods decline. */
 case class ZipExtract(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
@@ -255,30 +351,24 @@ object ZipExtract {
   private def MaxOut = GzipMeta.MaxInflate
 
   def extract(b: Array[Byte], name: String): Array[Byte] = {
-    val eocd = ZipEntries.eocdAt(b)
-    if (eocd < 0 || name == null) return null
-    if (ZipEntries.u16(b, eocd + 4) != 0 || ZipEntries.u16(b, eocd + 6) != 0)
-      return null // multi-disk
-    val count = ZipEntries.u16(b, eocd + 10)
-    val cdOff = ZipEntries.u32(b, eocd + 16)
-    if (count == 0xFFFF || cdOff == 0xFFFFFFFFL) return null // ZIP64
+    val dir = ZipEntries.directory(b)
+    if (dir == null || name == null) return null
+    val count = dir.count
+    val cdEnd = dir.cdEnd
     val nameBytes = name.getBytes("UTF-8")
-    var at = cdOff
+    var at = dir.cdOff
     var k = 0
     while (k < count) {
       val e = at.toInt
-      if (at + 46 > eocd) return null
+      if (at + 46 > cdEnd) return null
       if (!(b(e) == 'P' && b(e + 1) == 'K' && b(e + 2) == 1 && b(e + 3) == 2))
         return null
       val method = ZipEntries.u16(b, e + 10)
       val crc = ZipEntries.u32(b, e + 16)
-      val csize = ZipEntries.u32(b, e + 20)
-      val usize = ZipEntries.u32(b, e + 24)
       val nameLen = ZipEntries.u16(b, e + 28)
       val extraLen = ZipEntries.u16(b, e + 30)
       val commentLen = ZipEntries.u16(b, e + 32)
-      val lho = ZipEntries.u32(b, e + 42)
-      if (at + 46 + nameLen + extraLen + commentLen > eocd) return null
+      if (at + 46 + nameLen + extraLen + commentLen > cdEnd) return null
       val matches = nameLen == nameBytes.length && {
         var j = 0
         var ok = true
@@ -286,9 +376,14 @@ object ZipExtract {
         ok
       }
       if (matches) {
-        // ZIP64 sentinels and the bomb ceiling decline before any work
-        if (csize == 0xFFFFFFFFL || usize == 0xFFFFFFFFL ||
-          lho == 0xFFFFFFFFL || usize > MaxOut) return null
+        // ZIP64 sentinels resolve through the 0x0001 extra; the bomb
+        // ceiling declines before any work
+        val resolved = ZipEntries.resolveZip64(b, e + 46 + nameLen, extraLen,
+          ZipEntries.u32(b, e + 24), ZipEntries.u32(b, e + 20),
+          ZipEntries.u32(b, e + 42))
+        if (resolved == null) return null
+        val (usize, csize, lho) = resolved
+        if (usize > MaxOut) return null
         // the LOCAL header locates the data (its own lengths)
         val l = lho.toInt
         if (lho + 30 > b.length) return null

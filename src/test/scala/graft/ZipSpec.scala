@@ -43,6 +43,83 @@ class ZipSpec extends AnyFunSuite {
     assert(got === Seq(("a.txt", 8, 2L)))
   }
 
+  test("ZIP64: a JDK-written 65600-entry archive serves census and extraction") {
+    // 65535+ entries force the JDK writer onto the EOCD64 locator +
+    // record path (count sentinel in the classic EOCD) — the writer
+    // is the reference implementation, parsing it back is the
+    // differential
+    val bos = new java.io.ByteArrayOutputStream(1 << 23)
+    val z = new java.util.zip.ZipOutputStream(bos)
+    val n = 65600
+    var i = 0
+    while (i < n) {
+      z.putNextEntry(new java.util.zip.ZipEntry(s"e$i"))
+      if (i % 1000 == 0) z.write(s"payload$i".getBytes("UTF-8"))
+      z.closeEntry()
+      i += 1
+    }
+    z.close()
+    val zip = bos.toByteArray
+    val arr = ZipEntries.parse(zip)
+    assert(arr != null, "ZIP64 census declined")
+    assert(arr.numElements() === n)
+    val first = arr.getStruct(0, 3)
+    assert(first.getUTF8String(0).toString === "e0")
+    assert(first.getLong(2) === 8L) // "payload0"
+    val last = arr.getStruct(n - 1, 3)
+    assert(last.getUTF8String(0).toString === s"e${n - 1}")
+    // extraction through the same ZIP64 directory
+    import graft.plans.ZipExtract
+    assert(new String(ZipExtract.extract(zip, "e0"), "UTF-8") === "payload0")
+    assert(new String(ZipExtract.extract(zip, "e64000"), "UTF-8") === "payload64000")
+    assert(ZipExtract.extract(zip, s"e${n - 1}").length === 0)
+    // truncation law (sampled — the archive is megabytes)
+    var cut = 1
+    while (cut < zip.length) {
+      ZipEntries.parse(java.util.Arrays.copyOf(zip, cut))
+      cut += 8191
+    }
+  }
+
+  test("ZIP64: per-entry 0xFFFFFFFF sentinels resolve through the 0x0001 extra") {
+    // handcraft: one STORED entry whose central usize/csize/lho are
+    // ALL sentinels, the real values riding the extended-information
+    // extra — the indirection itself is what's under test
+    val data = "hi".getBytes("UTF-8")
+    val crc = { val c = new java.util.zip.CRC32(); c.update(data); c.getValue }
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Long): Unit = { w16((v & 0xFFFF).toInt); w16(((v >> 16) & 0xFFFF).toInt) }
+    def w64(v: Long): Unit = { w32(v & 0xFFFFFFFFL); w32((v >> 32) & 0xFFFFFFFFL) }
+    val name = "a.txt".getBytes("UTF-8")
+    // local header at offset 0
+    out.write(Array[Byte]('P', 'K', 3, 4)); w16(45); w16(0); w16(0)
+    w16(0); w16(0); w32(crc); w32(data.length); w32(data.length)
+    w16(name.length); w16(0); out.write(name); out.write(data)
+    val cdOff = out.size()
+    out.write(Array[Byte]('P', 'K', 1, 2)); w16(45); w16(45); w16(0); w16(0)
+    w16(0); w16(0); w32(crc)
+    w32(0xFFFFFFFFL); w32(0xFFFFFFFFL) // csize, usize: sentinels
+    w16(name.length); w16(4 + 24); w16(0) // name, extra, comment
+    w16(0); w16(0); w32(0) // disk, int/ext attrs
+    w32(0xFFFFFFFFL) // lho: sentinel
+    out.write(name)
+    w16(0x0001); w16(24); w64(data.length); w64(data.length); w64(0) // the extra
+    val cdSize = out.size() - cdOff
+    out.write(Array[Byte]('P', 'K', 5, 6)); w16(0); w16(0); w16(1); w16(1)
+    w32(cdSize); w32(cdOff); w16(0)
+    val zip = out.toByteArray
+    assert(rows(zip) === Seq(("a.txt", 0, 2L)))
+    import graft.plans.ZipExtract
+    assert(new String(ZipExtract.extract(zip, "a.txt"), "UTF-8") === "hi")
+    // the same entry WITHOUT the extra is a sentinel with no
+    // replacement: decline, never a 4 GiB guess. The extra's id sits
+    // right after the 46-byte fixed record + 5-byte name.
+    val noExtra = zip.clone()
+    noExtra(cdOff + 46 + name.length) = 2 // id 0x0001 -> 0x0002
+    assert(ZipEntries.parse(noExtra) === null)
+  }
+
   test("declines: multi-disk, ZIP64 sentinels, lying directory, truncation law") {
     def dies(b: Array[Byte]): Unit = assert(ZipEntries.parse(b) == null)
     val good = ZipEncode.encode(5L, 3, false)
