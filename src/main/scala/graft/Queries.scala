@@ -1661,12 +1661,12 @@ object Queries {
        "AND (c.col <> 'C' OR t.r % 3 = 0) " +
        "ORDER BY doc_id, ref"),
     // the document-triage twin: one row per mixed-corpus doc â kind
-    // from the magic routing (doc_id%6), text = that format's units
+    // from the magic routing (doc_id%7), text = that format's units
     // joined with newlines (string_agg in unit order); plain zips are
     // kind-only with NULL text. The SAME unit expressions as the
     // per-unit ingest oracles, re-aggregated
     "pipeline_doc_triage" ->
-      ("WITH d AS (SELECT doc_id, doc_id % 6 AS m, doc_id % 4 + 1 AS n4, " +
+      ("WITH d AS (SELECT doc_id, doc_id % 7 AS m, doc_id % 4 + 1 AS n4, " +
        "doc_id % 3 + 1 AS n3 FROM documents WHERE doc_id % 119 <> 0), " +
        "u AS (" +
        "SELECT doc_id, t.i AS idx, " +
@@ -1708,12 +1708,25 @@ object Queries {
        // a %17 doc with >=2 pages has a DECLINED page: the whole-doc
        // text is NULL (excluding its units here leaves the LEFT JOIN
        // serving NULL), never a truncated concatenation
-       "AND NOT (doc_id % 17 = 0 AND doc_id % 4 >= 1)), " +
+       "AND NOT (doc_id % 17 = 0 AND doc_id % 4 >= 1) " +
+       "UNION ALL " +
+       // rtf: decodedPara paragraphs + the trailing \par newline (the
+       // empty unit at i = n4 makes string_agg end with chr(10))
+       "SELECT doc_id, t.i, " +
+       "CASE WHEN t.i = n4 THEN '' ELSE " +
+       "'Para ' || CAST(t.i AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) || ': ' || " +
+       "CASE CAST((doc_id + t.i) % 3 AS INTEGER) " +
+       "WHEN 0 THEN '— “q” • fin' " +
+       "WHEN 1 THEN 'café résumé' " +
+       "ELSE '€ §' || chr(9) || 'end' END END " +
+       "FROM d CROSS JOIN (VALUES (0), (1), (2), (3), (4)) AS t(i) " +
+       "WHERE m = 6 AND t.i <= n4), " +
        "agg AS (SELECT doc_id, string_agg(unit, chr(10) ORDER BY idx) AS text " +
        "FROM u GROUP BY doc_id) " +
        "SELECT d.doc_id, " +
        "CASE m WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx' WHEN 2 THEN 'pptx' " +
-       "WHEN 3 THEN 'epub' WHEN 4 THEN 'zip' ELSE 'pdf' END AS kind, " +
+       "WHEN 3 THEN 'epub' WHEN 4 THEN 'zip' WHEN 5 THEN 'pdf' " +
+       "ELSE 'rtf' END AS kind, " +
        "agg.text AS text " +
        "FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id"),
     // the ROUTED attachment ingest twin: kind from doc_id%5, units

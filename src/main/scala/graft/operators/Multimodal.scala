@@ -412,21 +412,24 @@ object Multimodal {
           id.cast("long"), (id % 6 + 1).cast("int"), id % 3 === 0)))
       case "docmix" => Seq(
         (id % 119 === 0, encode(text.substr(1, 22), "UTF-8")),
-        // the full DOCUMENT corpus: PDF and the five PK kinds mixed on
-        // doc_id%6 — the two magics route to different tiers (%PDF- →
-        // the content-stream walk, PK → the directory-name classifier)
+        // the full DOCUMENT corpus: PDF, RTF, and the five PK kinds
+        // mixed on doc_id%7 — the three magics route to different
+        // tiers (%PDF- → the content-stream walk, {\\rtf → the
+        // control-word walk, PK → the directory-name classifier)
         // and every extracted character is doc_id arithmetic
-        (id % 119 =!= 0 && id % 6 === 0, graft.plans.VectorExpressions.docxEncode(
+        (id % 119 =!= 0 && id % 7 === 0, graft.plans.VectorExpressions.docxEncode(
           id.cast("long"), (id % 4 + 1).cast("int"))),
-        (id % 119 =!= 0 && id % 6 === 1, graft.plans.VectorExpressions.xlsxEncode(
+        (id % 119 =!= 0 && id % 7 === 1, graft.plans.VectorExpressions.xlsxEncode(
           id.cast("long"), (id % 4 + 1).cast("int"))),
-        (id % 119 =!= 0 && id % 6 === 2, graft.plans.VectorExpressions.pptxEncode(
+        (id % 119 =!= 0 && id % 7 === 2, graft.plans.VectorExpressions.pptxEncode(
           id.cast("long"), (id % 3 + 1).cast("int"))),
-        (id % 119 =!= 0 && id % 6 === 3, graft.plans.VectorExpressions.epubEncode(
+        (id % 119 =!= 0 && id % 7 === 3, graft.plans.VectorExpressions.epubEncode(
           id.cast("long"), (id % 3 + 1).cast("int"))),
-        (id % 119 =!= 0 && id % 6 === 4, graft.plans.VectorExpressions.zipEncode(
+        (id % 119 =!= 0 && id % 7 === 4, graft.plans.VectorExpressions.zipEncode(
           id.cast("long"), (id % 6 + 1).cast("int"), id % 3 === 0)),
-        (id % 119 =!= 0 && id % 6 === 5, graft.plans.VectorExpressions.pdfTextEncode(
+        (id % 119 =!= 0 && id % 7 === 5, graft.plans.VectorExpressions.pdfTextEncode(
+          id.cast("long"), (id % 4 + 1).cast("int"))),
+        (id % 119 =!= 0 && id % 7 === 6, graft.plans.VectorExpressions.rtfEncode(
           id.cast("long"), (id % 4 + 1).cast("int"))))
       case "warchtml" => Seq(
         (id % 163 === 0, encode(text.substr(1, 24), "UTF-8")),
@@ -1356,6 +1359,7 @@ object Multimodal {
     val p = col(payloadCol)
     val kinded = df.select(col("doc_id"),
       when(substring(p, 1, 5) === lit("%PDF-".getBytes("US-ASCII")), lit("pdf"))
+        .when(substring(p, 1, 5) === lit("{\\rtf".getBytes("US-ASCII")), lit("rtf"))
         .when(substring(p, 1, 2) === lit("PK".getBytes("US-ASCII")),
           graft.plans.VectorExpressions.zipKind(p)).as("kind"),
       p.as("payload"))
@@ -1367,6 +1371,8 @@ object Multimodal {
       when(col("kind") === "pdf",
         when(exists(pdfPages, _.isNull), lit(null))
           .otherwise(array_join(pdfPages, "\n")))
+      .when(col("kind") === "rtf",
+        graft.plans.VectorExpressions.rtfText(col("payload")))
       .when(col("kind") === "docx",
         graft.plans.VectorExpressions.docxText(col("payload")))
       .when(col("kind") === "xlsx", array_join(
@@ -1380,7 +1386,7 @@ object Multimodal {
   }
 
   /** The batch side of the document triage: one row per document of
-    * the mixed corpus (PDF + the five PK kinds), kind + full
+    * the mixed corpus (PDF + RTF + the five PK kinds), kind + full
     * extracted text. [[graft.streaming.IncrementalIngest.docTriageWriter]]
     * commits the IDENTICAL projection per micro-batch. */
   def docTriage(spark: SparkSession, dir: String): DataFrame =
