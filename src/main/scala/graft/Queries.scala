@@ -1638,9 +1638,11 @@ object Queries {
        "CASE WHEN doc_id % 17 = 0 AND t.i = 1 THEN NULL ELSE " +
        "'Doc ' || CAST(doc_id AS VARCHAR) || ' (page ' || CAST(t.i + 1 AS VARCHAR) || ') ' || " +
        "CASE WHEN doc_id % 13 = 0 THEN 'é€𝄞ffi' " +
+       "WHEN doc_id % 29 = 0 THEN '☃' " +
        "WHEN doc_id % 11 = 0 THEN 'é€' ELSE 'A' END || chr(10) || " +
        "'alpha betagamma' || chr(10) || " +
        "CASE WHEN doc_id % 13 = 0 THEN 'ABC end' " +
+       "WHEN doc_id % 29 = 0 THEN 'sym end' " +
        "WHEN doc_id % 2 = 0 THEN 'café “q” – € end' " +
        "ELSE 'caf‘q’ «g» ﬁn – end' END END AS page_text " +
        "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
@@ -1699,9 +1701,11 @@ object Queries {
        "SELECT doc_id, t.i, " +
        "'Doc ' || CAST(doc_id AS VARCHAR) || ' (page ' || CAST(t.i + 1 AS VARCHAR) || ') ' || " +
        "CASE WHEN doc_id % 13 = 0 THEN 'é€𝄞ffi' " +
+       "WHEN doc_id % 29 = 0 THEN '☃' " +
        "WHEN doc_id % 11 = 0 THEN 'é€' ELSE 'A' END || chr(10) || " +
        "'alpha betagamma' || chr(10) || " +
        "CASE WHEN doc_id % 13 = 0 THEN 'ABC end' " +
+       "WHEN doc_id % 29 = 0 THEN 'sym end' " +
        "WHEN doc_id % 2 = 0 THEN 'café “q” – € end' " +
        "ELSE 'caf‘q’ «g» ﬁn – end' END " +
        "FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) WHERE m = 5 AND t.i < n4 " +
@@ -1807,9 +1811,11 @@ object Queries {
        "CASE WHEN doc_id % 17 = 0 AND t.i = 1 THEN NULL ELSE " +
        "'Doc ' || CAST(doc_id AS VARCHAR) || ' (page ' || CAST(t.i + 1 AS VARCHAR) || ') ' || " +
        "CASE WHEN doc_id % 13 = 0 THEN 'é€𝄞ffi' " +
+       "WHEN doc_id % 29 = 0 THEN '☃' " +
        "WHEN doc_id % 11 = 0 THEN 'é€' ELSE 'A' END || chr(10) || " +
        "'alpha betagamma' || chr(10) || " +
        "CASE WHEN doc_id % 13 = 0 THEN 'ABC end' " +
+       "WHEN doc_id % 29 = 0 THEN 'sym end' " +
        "WHEN doc_id % 2 = 0 THEN 'café “q” – € end' " +
        "ELSE 'caf‘q’ «g» ﬁn – end' END END AS page_text " +
        "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +

@@ -36,8 +36,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (§7.8.2 treats them as one stream with whitespace between);
   *  - pages with no /Contents contribute an empty string.
   *
-  * Character decode has two tiers. SIMPLE fonts go through the
-  * Appendix D encodings (transcribed below): /WinAnsiEncoding,
+  * Character decode has three tiers. A SIMPLE font's /ToUnicode
+  * CMap, when present, is the extraction AUTHORITY (§9.10.2 lists it
+  * first): 1-byte codes through its bfchar/bfrange sections — the
+  * only faithful path for the symbolic subsetted fonts modern
+  * writers emit. Without one, SYMBOLIC fonts (descriptor flag bit 3,
+  * or the Symbol/ZapfDingbats standard-14 names) DECLINE — their
+  * codes index glyphs, not characters — and non-symbolic simple
+  * fonts go through the Appendix D encodings (transcribed below):
+  * /WinAnsiEncoding,
   * /StandardEncoding, /MacRomanEncoding, an absent /Encoding
   * (Standard — the
   * non-symbolic Type1 default), or an /Encoding DICT with
@@ -907,14 +914,25 @@ object PdfPageTexts {
       cp.toChar
     })
 
-  /** A decodable font: a simple 1-byte Appendix D table, or an
-    * Identity-H CID font's 2-byte code → unicode map. */
+  /** A decodable font: a simple 1-byte Appendix D table, a simple
+    * font's 1-byte /ToUnicode map, or an Identity-H CID font's 2-byte
+    * code → unicode map. */
   private sealed trait FontDec
   private final case class SimpleFont(table: Array[Char]) extends FontDec
+  private final case class ByteMapFont(map: java.util.HashMap[Integer, String])
+    extends FontDec
   private final case class CidFont(map: java.util.HashMap[Integer, String])
     extends FontDec
 
-  /** The decode for one font object, or decline. */
+  /** The decode for one font object, or decline.
+    *
+    * For simple fonts a /ToUnicode CMap, when present, is the
+    * extraction AUTHORITY (§9.10.2 lists it first) — 1-byte codes
+    * through its bfchar/bfrange sections. Without one, a SYMBOLIC
+    * font declines: its codes index glyphs, not characters, so the
+    * Appendix D tables would serve mojibake (symbolic = the
+    * FontDescriptor's flag bit 3, or the two symbolic standard-14
+    * base fonts). Non-symbolic fonts take the Appendix D path. */
   private def fontDec(r: Resolver, font: PObj): FontDec = {
     val dict = r(font) match { case PDict(m) => m; case _ => decline() }
     dict.get("Subtype") match {
@@ -923,7 +941,35 @@ object PdfPageTexts {
         Some(PName("Type3")) | Some(PName("MMType1")) | None => ()
       case _ => decline()
     }
+    dict.get("ToUnicode") match {
+      case Some(tuRef) => r(tuRef) match {
+        case s: PStream => return ByteMapFont(parseToUnicode(s.data, 1))
+        case _ => decline()
+      }
+      case None => ()
+    }
+    if (isSymbolic(r, dict)) decline()
     SimpleFont(simpleTable(r, dict))
+  }
+
+  /** §9.8.2 flag bit 3 on the font descriptor, or a symbolic
+    * standard-14 base font (those ship no descriptor). */
+  private def isSymbolic(r: Resolver, dict: Map[String, PObj]): Boolean = {
+    dict.get("BaseFont") match {
+      case Some(PName(n)) if n == "Symbol" || n == "ZapfDingbats" => return true
+      case _ => ()
+    }
+    dict.get("FontDescriptor") match {
+      case None => false
+      case Some(fd) => r(fd) match {
+        case PDict(d) => d.get("Flags") match {
+          case Some(PNum(f)) if f >= 0 && f == math.floor(f) =>
+            (f.toLong & 4L) != 0
+          case _ => decline() // a malformed descriptor: never guess
+        }
+        case _ => decline()
+      }
+    }
   }
 
   /** The /Type0 tier (§9.7): horizontal Identity ordering only —
@@ -941,7 +987,7 @@ object PdfPageTexts {
       case s: PStream => s.data
       case _ => decline()
     }
-    CidFont(parseToUnicode(tu))
+    CidFont(parseToUnicode(tu, 2))
   }
 
   /** Total bfchar/bfrange mapping PUTS a ToUnicode CMap may perform —
@@ -951,16 +997,17 @@ object PdfPageTexts {
 
   /** §9.10.3 ToUnicode CMap: a PostScript-dialect stream whose
     * beginbfchar/endbfchar pairs and beginbfrange/endbfrange triples
-    * define 2-byte code → UTF-16BE text. Source codes outside the
-    * 2-byte Identity-H space decline; destination strings must be
-    * well-formed UTF-16 (surrogates only in pairs, never empty); the
-    * range-increment form walks the LAST UTF-16 unit and declines on
-    * overflow or entry into the surrogate block; `usecmap`
-    * composition declines. The PostScript wrapper (findresource,
-    * dict/begin/end, CIDSystemInfo, codespacerange contents) is
-    * inert. */
-  private def parseToUnicode(
-      data: Array[Byte]): java.util.HashMap[Integer, String] = {
+    * define code → UTF-16BE text; `codeBytes` is the tier's code
+    * width (2 for Identity-H composite fonts, 1 for simple fonts).
+    * Source codes of any other width decline; destination strings
+    * must be well-formed UTF-16 (surrogates only in pairs, never
+    * empty); the range-increment form walks the LAST UTF-16 unit and
+    * declines on overflow or entry into the surrogate block;
+    * `usecmap` composition declines. The PostScript wrapper
+    * (findresource, dict/begin/end, CIDSystemInfo, codespacerange
+    * contents) is inert. */
+  private def parseToUnicode(data: Array[Byte],
+      codeBytes: Int): java.util.HashMap[Integer, String] = {
     val map = new java.util.HashMap[Integer, String]()
     val lex = new Lex(data, 0)
     var guard = 0
@@ -973,8 +1020,10 @@ object PdfPageTexts {
       map.put(code, s)
     }
     def srcCode(o: PObj): Int = o match {
-      case PStr(bs) if bs.length == 2 => ((bs(0) & 0xFF) << 8) | (bs(1) & 0xFF)
-      case _ => decline() // 1- or >2-byte code space: outside this tier
+      case PStr(bs) if bs.length == codeBytes =>
+        if (codeBytes == 1) bs(0) & 0xFF
+        else ((bs(0) & 0xFF) << 8) | (bs(1) & 0xFF)
+      case _ => decline() // a code outside this tier's width
     }
     /** The next section element, or None at the section's end token. */
     def elemOrEnd(end: String): Option[PObj] = {
@@ -1139,6 +1188,14 @@ object PdfPageTexts {
           val ch = table(s(i) & 0xFF)
           if (ch == 0) decline() // undefined code: never garble
           out.append(ch)
+          i += 1
+        }
+      case ByteMapFont(map) =>
+        var i = 0
+        while (i < s.length) {
+          val u = map.get(s(i) & 0xFF)
+          if (u == null) decline() // unmapped code: never garble
+          out.append(u)
           i += 1
         }
       case CidFont(map) =>
@@ -1341,6 +1398,12 @@ object PdfPageTexts {
   *  - seed%23==0: every stream rides the classic legacy CHAIN
   *    [/ASCII85Decode /FlateDecode] (§7.4.2-3 + the §7.4 array form,
   *    decode applied in array order), equally invisible;
+  *  - seed%29==0 (and not CID): the font is a SYMBOLIC subsetted
+  *    TrueType (descriptor flag bit 3) whose /ToUnicode CMap is the
+  *    decode authority — a 1-byte ASCII bfrange plus a bfchar
+  *    mapping code 0x01 to U+2603 — so line 1's tail decodes "☃"
+  *    and line 3 is "sym end" (the modern-writer case where Appendix
+  *    D would be mojibake);
   *  - every page: escaped parens + an octal escape in line 1, a TJ
   *    array whose -250 gap is a word break and -40 is not, and a '
   *    (move-show) for line 3. */
@@ -1408,6 +1471,8 @@ object PdfTextEncode {
     if (badPage(seed, p)) return null
     if (seed % 13 == 0)
       return s"Doc $seed (page ${p + 1}) é€𝄞ffi\nalpha betagamma\nABC end"
+    if (seed % 29 == 0)
+      return s"Doc $seed (page ${p + 1}) ☃\nalpha betagamma\nsym end"
     val winAnsi = seed % 2 == 0
     val line3 =
       if (winAnsi) "café “q” – € end"
@@ -1426,6 +1491,7 @@ object PdfTextEncode {
     val cid = seed % 13 == 0
     val lzw = seed % 19 == 0
     val a85 = seed % 23 == 0
+    val sym = !cid && seed % 29 == 0
 
     val sb = new StringBuilder()
     sb.append("%PDF-1.6\n%")
@@ -1474,12 +1540,17 @@ object PdfTextEncode {
           "0100010101020104> Tj " +
           s"0 -14 TD [<${cidHex("alpha")}> -250 <${cidHex("beta")}> -40 " +
           s"<${cidHex("gamma")}>] TJ "
+      else if (sym)
+        // ASCII rides the 1-byte bfrange; \001 is the bfchar snowman
+        s"BT /F1 12 Tf 72 720 Td (Doc $seed \\(page ${p + 1}\\) \\001) Tj " +
+          "0 -14 TD [(alpha) -250 (beta) -40 (gamma)] TJ "
       else
         s"BT /F1 12 Tf 72 720 Td (Doc $seed \\(page ${p + 1}\\) \\101" +
           (if (diffs) "\\102" else "") + ") Tj " +
           "0 -14 TD [(alpha) -250 (beta) -40 (gamma)] TJ "
     def contentB(): String =
       if (cid) s"<020002010202${cidHex(" end")}> ' ET"
+      else if (sym) "(sym end) ' ET"
       else s"(${line3Bytes(winAnsi)}) ' ET"
 
     // object numbering: 1 Catalog, 2 Pages root, 3 Font, [4,5 the
@@ -1494,6 +1565,11 @@ object PdfTextEncode {
         s"<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
           s"/Encoding /Identity-H /DescendantFonts [ $descNum 0 R ] " +
           s"/ToUnicode $tuNum 0 R >>"
+      else if (sym)
+        // symbolic subsetted TrueType: no /Encoding, the descriptor's
+        // flag bit 3 set, the ToUnicode CMap the decode authority
+        s"<< /Type /Font /Subtype /TrueType /BaseFont /GRAFTS+Sym " +
+          s"/FontDescriptor $descNum 0 R /ToUnicode $tuNum 0 R >>"
       else {
         val enc =
           if (diffs)
@@ -1509,7 +1585,7 @@ object PdfTextEncode {
         s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica$enc >>"
       }
     }
-    val firstPageNum = 3 + interNums.length + (if (cid) 2 else 0) + 1
+    val firstPageNum = 3 + interNums.length + (if (cid || sym) 2 else 0) + 1
 
     // the ToUnicode CMap SOURCE (§9.10.3) — the full PostScript shell
     // real writers emit, with every section shape the parser serves:
@@ -1526,6 +1602,17 @@ object PdfTextEncode {
         "<0102> <d834dd1e>\n<0104> <006600660069>\nendbfchar\n" +
         "1 beginbfrange\n<0200> <0202> [<0041> <0042> <0043>]\nendbfrange\n" +
         "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+
+    // the 1-byte simple-font CMap: ASCII identity range + the bfchar
+    // snowman at code 0x01
+    val cmap1Src =
+      "/CIDInit /ProcSet findresource begin\n" +
+        "12 dict begin\nbegincmap\n" +
+        "/CMapName /Graft-Sym-UCS def\n/CMapType 2 def\n" +
+        "1 begincodespacerange\n<00> <ff>\nendcodespacerange\n" +
+        "1 beginbfrange\n<20> <7e> <0020>\nendbfrange\n" +
+        "1 beginbfchar\n<01> <2603>\nendbfchar\n" +
+        "endcmap\nend\nend"
     val perPage = if (splitContents) 3 else 2
     def pageNum(p: Int) = firstPageNum + p * perPage
     val resourcesStr = s"/Resources << /Font << /F1 $fontNum 0 R >> >>"
@@ -1555,6 +1642,11 @@ object PdfTextEncode {
         "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) " +
         "/Supplement 0 >> /CIDToGIDMap /Identity >>")
       streamObj(cmapSrc.getBytes("ISO-8859-1"), "")
+    } else if (sym) {
+      obj("<< /Type /FontDescriptor /FontName /GRAFTS+Sym /Flags 4 " +
+        "/FontBBox [ 0 0 1000 1000 ] /ItalicAngle 0 /Ascent 800 " +
+        "/Descent -200 /CapHeight 700 /StemV 80 >>")
+      streamObj(cmap1Src.getBytes("ISO-8859-1"), "")
     }
     (0 until nPages).foreach { p =>
       val contentRefs =
