@@ -17,11 +17,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *  - `\par` and `\line` (and the bare `\<CR>`/`\<LF>` equivalents)
   *    append '\n'; `\tab` appends '\t';
-  *  - `\'hh` is a byte in the document code page — cp1252 (the
-  *    `\ansi`/`\ansicpg1252` default, decoded by the same WHATWG
-  *    table as the HTTP tier); any OTHER declared `\ansicpg`
-  *    DECLINES the document (decoding its bytes as cp1252 would be
-  *    mojibake);
+  *  - `\'hh` is a byte in the document code page — cp1252 by default
+  *    (the `\ansi` default, decoded by the same WHATWG table as the
+  *    HTTP tier), with `\ansicpg1250`-`1258` rebinding the table
+  *    through the JDK's own single-byte Windows decoders (the
+  *    Central-European / Cyrillic / Greek / Turkish / Hebrew /
+  *    Arabic / Baltic / Vietnamese legacy tails); a multi-byte code
+  *    page (932, 936, 949, 950...) DECLINES the document — `\'hh` is
+  *    one byte, serving MBCS pairs through it would be mojibake —
+  *    and a byte UNDEFINED in the declared page declines too;
   *  - `\uN` is a signed 16-bit Unicode scalar (negative N + 65536);
   *    the following `\ucN`-many fallback characters (plain chars or
   *    `\'hh` escapes) are SKIPPED per the spec's uc protocol;
@@ -85,15 +89,53 @@ object RtfText {
     "listoverridetable", "revtbl", "themedata", "colorschememapping",
     "datastore", "latentstyles", "pntext", "pntxta", "pntxtb")
 
-  private def cp1252(u: Int): Char =
-    if (u < 0x80 || u >= 0xA0) u.toChar
-    else HttpText.Cp1252High(u - 0x80)
+  /** Per-code-page byte tables for \'hh: cp1252 is the WHATWG table
+    * the HTTP tier uses; the other single-byte Windows pages
+    * (1250-1258 — the Central-European / Cyrillic / Greek / Turkish
+    * / Hebrew / Arabic / Baltic / Vietnamese legacy tails) build from
+    * the JDK's own decoders, with undecodable bytes left 0 =
+    * undefined (a document that USES one declines). Multi-byte code
+    * pages (932, 936, ...) are outside this model — \'hh is one byte
+    * — so they decline at declaration. */
+  private val cpCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Char]]()
+
+  private def cpTable(cp: Int): Array[Char] = {
+    val hit = cpCache.get(cp)
+    if (hit != null) return hit
+    val t: Array[Char] =
+      if (cp == 1252) {
+        val a = new Array[Char](256)
+        var i = 0
+        while (i < 256) {
+          a(i) = if (i < 0x80 || i >= 0xA0) i.toChar
+          else HttpText.Cp1252High(i - 0x80)
+          i += 1
+        }
+        a
+      } else if (cp >= 1250 && cp <= 1258) {
+        try {
+          val dec = java.nio.charset.Charset.forName("windows-" + cp)
+          val a = new Array[Char](256)
+          var i = 0
+          while (i < 256) {
+            val s = new String(Array(i.toByte), dec)
+            if (s.length == 1 && s.charAt(0) != '�') a(i) = s.charAt(0)
+            i += 1
+          }
+          a
+        } catch { case _: Exception => null }
+      } else null
+    if (t != null) cpCache.put(cp, t)
+    t
+  }
 
   def parse(b: Array[Byte]): UTF8String = {
     if (b == null || b.length < 6 || b.length > MaxLen) return null
     if (!(b(0) == '{' && b(1) == '\\' && b(2) == 'r' && b(3) == 't' &&
       b(4) == 'f')) return null
     val out = new java.lang.StringBuilder(256)
+    var table: Array[Char] = cpTable(1252) // the \ansi default
     // group state: bit-packed (skipping, uc) per depth
     val skipStack = new Array[Boolean](MaxDepth + 1)
     val ucStack = new Array[Int](MaxDepth + 1)
@@ -191,9 +233,12 @@ object RtfText {
               if (param < 0 || param > 8) return null
               uc = param.toInt
             case "ansicpg" =>
-              // cp1252 is the \'hh table below; any other code page
-              // served through it would be mojibake — decline
-              if (param != 1252) return null
+              // single-byte Windows pages rebind the \'hh table; a
+              // code page outside them (the MBCS family) declines —
+              // decoding its byte pairs one at a time is mojibake
+              if (param < 0 || param > 65535) return null
+              table = cpTable(param.toInt)
+              if (table == null) return null
             case "bin" =>
               // raw binary payload: consume it wherever it appears —
               // its bytes would desynchronize the brace walk
@@ -211,7 +256,9 @@ object RtfText {
               val l = Character.digit(b(i + 1), 16)
               if (h < 0 || l < 0) return null
               i += 2
-              emit(cp1252((h << 4) | l))
+              val ch = table((h << 4) | l)
+              if (ch == 0) return null // undefined in this code page
+              emit(ch)
             case '\\' => emit('\\')
             case '{' => emit('{')
             case '}' => emit('}')

@@ -75,9 +75,24 @@ class RtfSpec extends AnyFunSuite {
     assert(txt("{\\rtf1 \\bin99 xx}") === null)
   }
 
+  test("single-byte Windows code pages rebind the escape table") {
+    // cp1251 Cyrillic: "Привет" is bytes CF F0 E8 E2 E5 F2
+    assert(txt("{\\rtf1\\ansi\\ansicpg1251 \\'cf\\'f0\\'e8\\'e2\\'e5\\'f2!}")
+      === "Привет!")
+    // cp1250 Central European: 0xF8 is ř, 0xB9 is ą
+    assert(txt("{\\rtf1\\ansicpg1250 \\'f8\\'b9}") === "řą")
+    // cp1253 Greek: 0xE1 is α; and its UNDEFINED byte 0xAA declines
+    assert(txt("{\\rtf1\\ansicpg1253 \\'e1}") === "α")
+    assert(txt("{\\rtf1\\ansicpg1253 \\'aa}") === null)
+    // the same bytes under the default cp1252 decode differently —
+    // the declaration is load-bearing, never ignored
+    assert(txt("{\\rtf1 \\'cf\\'f0}") === "Ïð")
+  }
+
   test("decline envelope: foreign code pages, structure, trailing bytes") {
-    // a non-1252 code page would make every \'hh a guess
+    // a MULTI-byte code page can't be served through 1-byte escapes
     assert(txt("{\\rtf1\\ansi\\ansicpg932 caf\\'e9}") === null)
+    assert(txt("{\\rtf1\\ansi\\ansicpg936 x}") === null)
     assert(txt("{\\rtf1\\ansicpg1252 caf\\'e9}") === "café")
     // not RTF at all
     assert(txt("plain text") === null)

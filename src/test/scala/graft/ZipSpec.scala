@@ -618,6 +618,34 @@ class PptxEpubSpec extends AnyFunSuite {
       "ppt/slides/slide1.xml" -> "<p:sld><p:cSld/></p:sld>"))) === Seq(""))
   }
 
+  test("independent witness: epub chapters invariant under attribute reorder") {
+    // the manifest/spine walks key on attribute NAMES: the same book
+    // with every attribute list permuted (id/href/media-type,
+    // idref/linear) must serve identical chapters in spine order
+    val container = "<container><rootfiles>" +
+      "<rootfile full-path=\"OEBPS/content.opf\"/></rootfiles></container>"
+    val ch1 = "<html><body>one</body></html>"
+    val ch2 = "<html><body>two</body></html>"
+    val opfA = "<package><manifest>" +
+      "<item id=\"c1\" href=\"ch1.xhtml\" media-type=\"application/xhtml+xml\"/>" +
+      "<item id=\"c2\" href=\"ch2.xhtml\" media-type=\"application/xhtml+xml\"/>" +
+      "</manifest><spine>" +
+      "<itemref idref=\"c2\" linear=\"yes\"/><itemref idref=\"c1\"/></spine></package>"
+    val opfB = "<package><manifest>" +
+      "<item media-type=\"application/xhtml+xml\" href=\"ch2.xhtml\" id=\"c2\"/>" +
+      "<item href=\"ch1.xhtml\" media-type=\"application/xhtml+xml\" id=\"c1\"/>" +
+      "</manifest><spine>" +
+      "<itemref linear=\"yes\" idref=\"c2\"/><itemref idref=\"c1\"/></spine></package>"
+    def book(opf: String) = wrap(
+      "META-INF/container.xml" -> container,
+      "OEBPS/content.opf" -> opf,
+      "OEBPS/ch1.xhtml" -> ch1, "OEBPS/ch2.xhtml" -> ch2)
+    val a = arr(EpubChapters.parse(book(opfA)))
+    val b = arr(EpubChapters.parse(book(opfB)))
+    assert(a === Seq("two", "one")) // spine order, not manifest order
+    assert(b === a, "attribute order (and manifest item order) must be invisible")
+  }
+
   test("zip kind routes the whole PK family by directory names") {
     import graft.plans.{ZipKind, DocxEncode, XlsxEncode, ZipEncode}
     def kind(b: Array[Byte]): String = {
