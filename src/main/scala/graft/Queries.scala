@@ -516,6 +516,7 @@ object Queries {
     "mm_zip_extract" -> (Multimodal.zipExtractQ _),
     "pipeline_docx_ingest" -> (Multimodal.docxIngest _),
     "text_rtf_extract" -> (Multimodal.rtfIngest _),
+    "text_odt_extract" -> (Multimodal.odtIngest _),
     "pipeline_xlsx_ingest" -> (Multimodal.xlsxIngest _),
     "pipeline_pptx_ingest" -> (Multimodal.pptxIngest _),
     "pipeline_epub_ingest" -> (Multimodal.epubIngest _),
@@ -1663,12 +1664,12 @@ object Queries {
        "AND (c.col <> 'C' OR t.r % 3 = 0) " +
        "ORDER BY doc_id, ref"),
     // the document-triage twin: one row per mixed-corpus doc â kind
-    // from the magic routing (doc_id%7), text = that format's units
+    // from the magic routing (doc_id%8), text = that format's units
     // joined with newlines (string_agg in unit order); plain zips are
     // kind-only with NULL text. The SAME unit expressions as the
     // per-unit ingest oracles, re-aggregated
     "pipeline_doc_triage" ->
-      ("WITH d AS (SELECT doc_id, doc_id % 7 AS m, doc_id % 4 + 1 AS n4, " +
+      ("WITH d AS (SELECT doc_id, doc_id % 8 AS m, doc_id % 4 + 1 AS n4, " +
        "doc_id % 3 + 1 AS n3 FROM documents WHERE doc_id % 119 <> 0), " +
        "u AS (" +
        "SELECT doc_id, t.i AS idx, " +
@@ -1724,13 +1725,23 @@ object Queries {
        "WHEN 1 THEN 'café résumé' " +
        "ELSE '€ §' || chr(9) || 'end' END END " +
        "FROM d CROSS JOIN (VALUES (0), (1), (2), (3), (4)) AS t(i) " +
-       "WHERE m = 6 AND t.i <= n4), " +
+       "WHERE m = 6 AND t.i <= n4 " +
+       "UNION ALL " +
+       // odt: heading + items, no trailing newline
+       "SELECT doc_id, t.i, " +
+       "CASE WHEN t.i = 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR) || ' heading' " +
+       "ELSE 'Item ' || CAST(t.i AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) || " +
+       "': a & b  <x=' || CAST((doc_id + t.i) % 9 AS VARCHAR) || '>' || " +
+       "CASE WHEN (doc_id + t.i) % 3 = 0 THEN chr(9) || 'end' ELSE '' END " +
+       "END " +
+       "FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
+       "WHERE m = 7 AND t.i < n4), " +
        "agg AS (SELECT doc_id, string_agg(unit, chr(10) ORDER BY idx) AS text " +
        "FROM u GROUP BY doc_id) " +
        "SELECT d.doc_id, " +
        "CASE m WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx' WHEN 2 THEN 'pptx' " +
        "WHEN 3 THEN 'epub' WHEN 4 THEN 'zip' WHEN 5 THEN 'pdf' " +
-       "ELSE 'rtf' END AS kind, " +
+       "WHEN 6 THEN 'rtf' ELSE 'odt' END AS kind, " +
        "agg.text AS text " +
        "FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id"),
     // the ROUTED attachment ingest twin: kind from doc_id%5, units
@@ -1858,6 +1869,21 @@ object Queries {
        "CASE WHEN (doc_id + t.i) % 3 = 0 THEN chr(9) || 'end' ELSE '' END AS para " +
        "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
        "WHERE doc_id % 147 <> 0 AND t.i < doc_id % 4 + 1 " +
+       "ORDER BY doc_id, para_idx"),
+    // ODT extraction twin: OdtEncode.decodedPara restated — the
+    // heading as paragraph 0, then items with inline spans invisible,
+    // entities decoded, the <text:s text:c="2"/> double space, the
+    // skipped annotation on (doc_id+i)%4==0 (absent BY DESIGN), and
+    // the tab run on (doc_id+i)%3==0
+    "text_odt_extract" ->
+      ("SELECT doc_id, CAST(t.i AS INTEGER) AS para_idx, " +
+       "CASE WHEN t.i = 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR) || ' heading' " +
+       "ELSE 'Item ' || CAST(t.i AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) || " +
+       "': a & b  <x=' || CAST((doc_id + t.i) % 9 AS VARCHAR) || '>' || " +
+       "CASE WHEN (doc_id + t.i) % 3 = 0 THEN chr(9) || 'end' ELSE '' END " +
+       "END AS para " +
+       "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
+       "WHERE doc_id % 181 <> 0 AND t.i < doc_id % 4 + 1 " +
        "ORDER BY doc_id, para_idx"),
     // RTF extraction twin: RtfEncode.decodedPara restated — the
     // fonttbl/colortbl/info/starred destinations invisible, paragraph

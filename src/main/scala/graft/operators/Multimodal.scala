@@ -366,6 +366,17 @@ object Multimodal {
         // (RtfEncode.decodedPara), restated by the oracle
         (id % 179 =!= 0, graft.plans.VectorExpressions.rtfEncode(
           id.cast("long"), (id % 4 + 1).cast("int"))))
+      case "odt" => Seq(
+        (id % 181 === 0, encode(text.substr(1, 22), "UTF-8")),
+        // REAL odt archives written by the JDK (plans.OdtEncode): the
+        // OASIS shell (stored mimetype first, manifest, content.xml)
+        // with a <text:h> heading + <text:p> paragraphs carrying
+        // inline spans, live entities, <text:s text:c="2"/> escapes,
+        // skipped <office:annotation> blocks, and tab runs — the
+        // decoded text is pure doc_id arithmetic
+        // (OdtEncode.decodedPara), restated by the oracle
+        (id % 181 =!= 0, graft.plans.VectorExpressions.odtEncode(
+          id.cast("long"), (id % 4 + 1).cast("int"))))
       case "xlsx" => Seq(
         (id % 133 === 0, encode(text.substr(1, 24), "UTF-8")),
         // REAL xlsx archives written by the JDK (plans.XlsxEncode):
@@ -412,24 +423,26 @@ object Multimodal {
           id.cast("long"), (id % 6 + 1).cast("int"), id % 3 === 0)))
       case "docmix" => Seq(
         (id % 119 === 0, encode(text.substr(1, 22), "UTF-8")),
-        // the full DOCUMENT corpus: PDF, RTF, and the five PK kinds
-        // mixed on doc_id%7 — the three magics route to different
+        // the full DOCUMENT corpus: PDF, RTF, ODT, and the five PK
+        // kinds mixed on doc_id%8 — the three magics route to different
         // tiers (%PDF- → the content-stream walk, {\\rtf → the
         // control-word walk, PK → the directory-name classifier)
         // and every extracted character is doc_id arithmetic
-        (id % 119 =!= 0 && id % 7 === 0, graft.plans.VectorExpressions.docxEncode(
+        (id % 119 =!= 0 && id % 8 === 0, graft.plans.VectorExpressions.docxEncode(
           id.cast("long"), (id % 4 + 1).cast("int"))),
-        (id % 119 =!= 0 && id % 7 === 1, graft.plans.VectorExpressions.xlsxEncode(
+        (id % 119 =!= 0 && id % 8 === 1, graft.plans.VectorExpressions.xlsxEncode(
           id.cast("long"), (id % 4 + 1).cast("int"))),
-        (id % 119 =!= 0 && id % 7 === 2, graft.plans.VectorExpressions.pptxEncode(
+        (id % 119 =!= 0 && id % 8 === 2, graft.plans.VectorExpressions.pptxEncode(
           id.cast("long"), (id % 3 + 1).cast("int"))),
-        (id % 119 =!= 0 && id % 7 === 3, graft.plans.VectorExpressions.epubEncode(
+        (id % 119 =!= 0 && id % 8 === 3, graft.plans.VectorExpressions.epubEncode(
           id.cast("long"), (id % 3 + 1).cast("int"))),
-        (id % 119 =!= 0 && id % 7 === 4, graft.plans.VectorExpressions.zipEncode(
+        (id % 119 =!= 0 && id % 8 === 4, graft.plans.VectorExpressions.zipEncode(
           id.cast("long"), (id % 6 + 1).cast("int"), id % 3 === 0)),
-        (id % 119 =!= 0 && id % 7 === 5, graft.plans.VectorExpressions.pdfTextEncode(
+        (id % 119 =!= 0 && id % 8 === 5, graft.plans.VectorExpressions.pdfTextEncode(
           id.cast("long"), (id % 4 + 1).cast("int"))),
-        (id % 119 =!= 0 && id % 7 === 6, graft.plans.VectorExpressions.rtfEncode(
+        (id % 119 =!= 0 && id % 8 === 6, graft.plans.VectorExpressions.rtfEncode(
+          id.cast("long"), (id % 4 + 1).cast("int"))),
+        (id % 119 =!= 0 && id % 8 === 7, graft.plans.VectorExpressions.odtEncode(
           id.cast("long"), (id % 4 + 1).cast("int"))))
       case "warchtml" => Seq(
         (id % 163 === 0, encode(text.substr(1, 24), "UTF-8")),
@@ -736,8 +749,8 @@ object Multimodal {
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
       "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "avif",
       "gzip", "pdf", "pdftext", "warc", "warchtml", "warchttp", "warcpdf",
-      "httplegacy", "zip", "docx", "rtf", "xlsx", "pptx", "epub", "office",
-      "docmix", "mixed")
+      "httplegacy", "zip", "docx", "rtf", "odt", "xlsx", "pptx", "epub",
+      "office", "docmix", "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -1300,6 +1313,20 @@ object Multimodal {
       .filter(col("text").isNotNull)
       .orderBy(col("doc_id"))
 
+  /** The OpenDocument leg: odt → CRC-gated content.xml extraction →
+    * the ODF paragraph walk (headings + paragraphs, inline spans,
+    * whitespace escapes, skipped annotations) → one row per
+    * paragraph. The docx hop's shape for the other office family. */
+  def odtIngest(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "odt")
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.odtText(col("odt")).as("t"))
+      .filter(col("t").isNotNull)
+      .select(col("doc_id"), posexplode(split(col("t"), "\n")))
+      .select(col("doc_id"), col("pos").cast("int").as("para_idx"),
+        col("col").as("para"))
+      .orderBy(col("doc_id"), col("para_idx"))
+
   def docxIngest(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir, "docx")
       .select(col("doc_id"),
@@ -1373,6 +1400,8 @@ object Multimodal {
           .otherwise(array_join(pdfPages, "\n")))
       .when(col("kind") === "rtf",
         graft.plans.VectorExpressions.rtfText(col("payload")))
+      .when(col("kind") === "odt",
+        graft.plans.VectorExpressions.odtText(col("payload")))
       .when(col("kind") === "docx",
         graft.plans.VectorExpressions.docxText(col("payload")))
       .when(col("kind") === "xlsx", array_join(

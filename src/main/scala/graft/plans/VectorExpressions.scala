@@ -544,6 +544,10 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rtf_encode", exprs => RtfEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_odt_text", exprs => OdtText(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_odt_encode", exprs => OdtEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_zip_kind", exprs => ZipKind(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sitemap_urls", exprs => SitemapUrls(exprs(0)), "scala_udf")
@@ -755,6 +759,20 @@ object VectorExpressions {
   def zipExtract(zip: Column, name: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_zip_extract", zip, name)
+  }
+
+  /** ODT text extraction (plans.OdtText), column form; same
+    * registration precondition. */
+  def odtText(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_odt_text", c)
+  }
+
+  /** ODT fixture encoder (plans.OdtEncode), column form; same
+    * registration precondition. */
+  def odtEncode(seed: Column, nParas: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_odt_encode", seed, nParas)
   }
 
   /** RTF text extraction (plans.RtfText), column form; same

@@ -730,6 +730,9 @@ object ZipKind {
         case "xl/workbook.xml" => kind = "xlsx"
         case "ppt/presentation.xml" => kind = "pptx"
         case "META-INF/container.xml" => kind = "epub"
+        // ODF packaging: content.xml + the manifest dir (epub's
+        // container.xml wins above when both somehow appear)
+        case "META-INF/manifest.xml" => kind = "odt"
         case _ => ()
       }
       i += 1
