@@ -1750,7 +1750,7 @@ object Queries {
     // slides, epub chapters, and the unitless plain-zip rows whose
     // routing verdict is the payload
     "pipeline_office_ingest" ->
-      ("WITH d AS (SELECT doc_id, doc_id % 5 AS m, doc_id % 4 + 1 AS n4, " +
+      ("WITH d AS (SELECT doc_id, doc_id % 6 AS m, doc_id % 4 + 1 AS n4, " +
        "doc_id % 3 + 1 AS n3 FROM documents WHERE doc_id % 121 <> 0), " +
        "u AS (" +
        "SELECT doc_id, 'docx' AS kind, t.i AS idx, " +
@@ -1780,7 +1780,16 @@ object Queries {
        "CAST((doc_id + 3 * (t.i + 1)) % 11 AS VARCHAR) || ' done' " +
        "FROM d CROSS JOIN (VALUES (0), (1), (2)) AS t(i) WHERE m = 3 AND t.i < n3 " +
        "UNION ALL " +
-       "SELECT doc_id, 'zip', -1, NULL FROM d WHERE m = 4) " +
+       "SELECT doc_id, 'zip', -1, NULL FROM d WHERE m = 4 " +
+       "UNION ALL " +
+       "SELECT doc_id, 'odt', t.i, " +
+       "CASE WHEN t.i = 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR) || ' heading' " +
+       "ELSE 'Item ' || CAST(t.i AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) || " +
+       "': a & b  <x=' || CAST((doc_id + t.i) % 9 AS VARCHAR) || '>' || " +
+       "CASE WHEN (doc_id + t.i) % 3 = 0 THEN chr(9) || 'end' ELSE '' END " +
+       "END " +
+       "FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
+       "WHERE m = 5 AND t.i < n4) " +
        "SELECT doc_id, kind, CAST(idx AS INTEGER) AS unit_idx, unit FROM u " +
        "ORDER BY doc_id, unit_idx"),
     // pptx ingest twin: one row per slide; title paragraph + the

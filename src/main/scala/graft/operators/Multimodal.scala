@@ -406,21 +406,23 @@ object Multimodal {
           id.cast("long"), (id % 3 + 1).cast("int"))))
       case "office" => Seq(
         (id % 121 === 0, encode(text.substr(1, 22), "UTF-8")),
-        // the HETEROGENEOUS attachment column: every 5th doc cycles
-        // docx / xlsx / pptx / epub / plain zip — all "PK" by magic,
+        // the HETEROGENEOUS attachment column: every 6th doc cycles
+        // docx / xlsx / pptx / epub / plain zip / odt — all "PK" by magic,
         // so the directory-name classifier (graft_zip_kind) is the
         // only way to route them; sizes reuse each format's own
         // fixture arithmetic so the routed extraction oracles verbatim
-        (id % 121 =!= 0 && id % 5 === 0, graft.plans.VectorExpressions.docxEncode(
+        (id % 121 =!= 0 && id % 6 === 0, graft.plans.VectorExpressions.docxEncode(
           id.cast("long"), (id % 4 + 1).cast("int"))),
-        (id % 121 =!= 0 && id % 5 === 1, graft.plans.VectorExpressions.xlsxEncode(
+        (id % 121 =!= 0 && id % 6 === 1, graft.plans.VectorExpressions.xlsxEncode(
           id.cast("long"), (id % 4 + 1).cast("int"))),
-        (id % 121 =!= 0 && id % 5 === 2, graft.plans.VectorExpressions.pptxEncode(
+        (id % 121 =!= 0 && id % 6 === 2, graft.plans.VectorExpressions.pptxEncode(
           id.cast("long"), (id % 3 + 1).cast("int"))),
-        (id % 121 =!= 0 && id % 5 === 3, graft.plans.VectorExpressions.epubEncode(
+        (id % 121 =!= 0 && id % 6 === 3, graft.plans.VectorExpressions.epubEncode(
           id.cast("long"), (id % 3 + 1).cast("int"))),
-        (id % 121 =!= 0 && id % 5 === 4, graft.plans.VectorExpressions.zipEncode(
-          id.cast("long"), (id % 6 + 1).cast("int"), id % 3 === 0)))
+        (id % 121 =!= 0 && id % 6 === 4, graft.plans.VectorExpressions.zipEncode(
+          id.cast("long"), (id % 6 + 1).cast("int"), id % 3 === 0)),
+        (id % 121 =!= 0 && id % 6 === 5, graft.plans.VectorExpressions.odtEncode(
+          id.cast("long"), (id % 4 + 1).cast("int"))))
       case "docmix" => Seq(
         (id % 119 === 0, encode(text.substr(1, 22), "UTF-8")),
         // the full DOCUMENT corpus: PDF, RTF, ODT, and the five PK
@@ -1450,6 +1452,8 @@ object Multimodal {
           graft.plans.VectorExpressions.pptxSlides(o))
         .when(col("kind") === "epub",
           graft.plans.VectorExpressions.epubChapters(o))
+        .when(col("kind") === "odt",
+          split(graft.plans.VectorExpressions.odtText(o), "\n"))
         .otherwise(array().cast("array<string>")).as("units"))
       .select(col("doc_id"), col("kind"), posexplode_outer(col("units")))
       .select(col("doc_id"), col("kind"),
