@@ -517,6 +517,7 @@ object Queries {
     "pipeline_docx_ingest" -> (Multimodal.docxIngest _),
     "text_rtf_extract" -> (Multimodal.rtfIngest _),
     "text_odt_extract" -> (Multimodal.odtIngest _),
+    "pipeline_ods_ingest" -> (Multimodal.odsIngest _),
     "pipeline_xlsx_ingest" -> (Multimodal.xlsxIngest _),
     "pipeline_pptx_ingest" -> (Multimodal.pptxIngest _),
     "pipeline_epub_ingest" -> (Multimodal.epubIngest _),
@@ -1750,7 +1751,7 @@ object Queries {
     // slides, epub chapters, and the unitless plain-zip rows whose
     // routing verdict is the payload
     "pipeline_office_ingest" ->
-      ("WITH d AS (SELECT doc_id, doc_id % 6 AS m, doc_id % 4 + 1 AS n4, " +
+      ("WITH d AS (SELECT doc_id, doc_id % 7 AS m, doc_id % 4 + 1 AS n4, " +
        "doc_id % 3 + 1 AS n3 FROM documents WHERE doc_id % 121 <> 0), " +
        "u AS (" +
        "SELECT doc_id, 'docx' AS kind, t.i AS idx, " +
@@ -1789,7 +1790,28 @@ object Queries {
        "CASE WHEN (doc_id + t.i) % 3 = 0 THEN chr(9) || 'end' ELSE '' END " +
        "END " +
        "FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
-       "WHERE m = 5 AND t.i < n4) " +
+       "WHERE m = 5 AND t.i < n4 " +
+       "UNION ALL " +
+       // ods: row-major cells as 'r,c=v' units
+       "SELECT doc_id, 'ods', ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rr, cc) - 1, " +
+       "CAST(rr AS VARCHAR) || ',' || CAST(cc AS VARCHAR) || '=' || vv FROM (" +
+       "SELECT d.doc_id, t.r AS rr, 1 AS cc, " +
+       "CAST((d.doc_id + 31 * t.r) % 1000 AS VARCHAR) || '.' || " +
+       "CAST((d.doc_id + t.r) % 10 AS VARCHAR) AS vv " +
+       "FROM d CROSS JOIN (VALUES (1), (2), (3), (4)) AS t(r) " +
+       "WHERE m = 6 AND t.r <= n4 " +
+       "UNION ALL " +
+       "SELECT d.doc_id, t.r, CASE WHEN (d.doc_id + t.r) % 3 = 0 THEN 4 ELSE 2 END, " +
+       "'Row ' || CAST(t.r AS VARCHAR) || ' of doc ' || CAST(d.doc_id AS VARCHAR) || ' & <ods>' " +
+       "FROM d CROSS JOIN (VALUES (1), (2), (3), (4)) AS t(r) " +
+       "WHERE m = 6 AND t.r <= n4 " +
+       "UNION ALL " +
+       "SELECT d.doc_id, t.r, " +
+       "(CASE WHEN (d.doc_id + t.r) % 3 = 0 THEN 4 ELSE 2 END) + k.k, " +
+       "'rep ' || CAST(t.r AS VARCHAR) " +
+       "FROM d CROSS JOIN (VALUES (1), (2), (3), (4)) AS t(r) " +
+       "CROSS JOIN (VALUES (1), (2)) AS k(k) " +
+       "WHERE m = 6 AND t.r <= n4 AND (d.doc_id + t.r) % 4 = 0) q) " +
        "SELECT doc_id, kind, CAST(idx AS INTEGER) AS unit_idx, unit FROM u " +
        "ORDER BY doc_id, unit_idx"),
     // pptx ingest twin: one row per slide; title paragraph + the
@@ -1894,6 +1916,32 @@ object Queries {
        "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
        "WHERE doc_id % 181 <> 0 AND t.i < doc_id % 4 + 1 " +
        "ORDER BY doc_id, para_idx"),
+    // ODS grid twin: OdsEncode.decodedRow restated — the float
+    // column's office:value VERBATIM, the empty repeated gap shifting
+    // B to col 4 on (doc_id+r)%3==0 rows, entities decoded from both
+    // the string-value attribute (even rows) and the <text:p> body
+    // (odd), and the repeated string cell expanded to both columns
+    "pipeline_ods_ingest" ->
+      ("SELECT doc_id, CAST(r AS INTEGER) AS row, CAST(c AS INTEGER) AS col, value FROM (" +
+       "SELECT doc_id, t.r AS r, 1 AS c, " +
+       "CAST((doc_id + 31 * t.r) % 1000 AS VARCHAR) || '.' || " +
+       "CAST((doc_id + t.r) % 10 AS VARCHAR) AS value " +
+       "FROM documents CROSS JOIN (VALUES (1), (2), (3), (4)) AS t(r) " +
+       "WHERE doc_id % 191 <> 0 AND t.r <= doc_id % 4 + 1 " +
+       "UNION ALL " +
+       "SELECT doc_id, t.r, CASE WHEN (doc_id + t.r) % 3 = 0 THEN 4 ELSE 2 END, " +
+       "'Row ' || CAST(t.r AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) || ' & <ods>' " +
+       "FROM documents CROSS JOIN (VALUES (1), (2), (3), (4)) AS t(r) " +
+       "WHERE doc_id % 191 <> 0 AND t.r <= doc_id % 4 + 1 " +
+       "UNION ALL " +
+       "SELECT doc_id, t.r, " +
+       "(CASE WHEN (doc_id + t.r) % 3 = 0 THEN 4 ELSE 2 END) + k.k, " +
+       "'rep ' || CAST(t.r AS VARCHAR) " +
+       "FROM documents CROSS JOIN (VALUES (1), (2), (3), (4)) AS t(r) " +
+       "CROSS JOIN (VALUES (1), (2)) AS k(k) " +
+       "WHERE doc_id % 191 <> 0 AND t.r <= doc_id % 4 + 1 " +
+       "AND (doc_id + t.r) % 4 = 0) " +
+       "ORDER BY doc_id, row, col"),
     // RTF extraction twin: RtfEncode.decodedPara restated — the
     // fonttbl/colortbl/info/starred destinations invisible, paragraph
     // variants on (doc_id+i)%3 (named punctuation words / cp1252

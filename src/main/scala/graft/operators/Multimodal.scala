@@ -377,6 +377,16 @@ object Multimodal {
         // (OdtEncode.decodedPara), restated by the oracle
         (id % 181 =!= 0, graft.plans.VectorExpressions.odtEncode(
           id.cast("long"), (id % 4 + 1).cast("int"))))
+      case "ods" => Seq(
+        (id % 191 === 0, encode(text.substr(1, 22), "UTF-8")),
+        // REAL ods archives (plans.OdsEncode): the OASIS shell with a
+        // float column (office:value served VERBATIM), empty repeated
+        // gaps shifting the string column on (doc_id+r)%3==0 rows,
+        // string cells alternating the string-value attribute and a
+        // <text:p> body, and a repeated string cell on %4==0 rows —
+        // the grid is pure doc_id arithmetic (OdsEncode.decodedRow)
+        (id % 191 =!= 0, graft.plans.VectorExpressions.odsEncode(
+          id.cast("long"), (id % 4 + 1).cast("int"))))
       case "xlsx" => Seq(
         (id % 133 === 0, encode(text.substr(1, 24), "UTF-8")),
         // REAL xlsx archives written by the JDK (plans.XlsxEncode):
@@ -406,22 +416,24 @@ object Multimodal {
           id.cast("long"), (id % 3 + 1).cast("int"))))
       case "office" => Seq(
         (id % 121 === 0, encode(text.substr(1, 22), "UTF-8")),
-        // the HETEROGENEOUS attachment column: every 6th doc cycles
-        // docx / xlsx / pptx / epub / plain zip / odt — all "PK" by magic,
+        // the HETEROGENEOUS attachment column: every 7th doc cycles
+        // docx / xlsx / pptx / epub / plain zip / odt / ods — all "PK" by magic,
         // so the directory-name classifier (graft_zip_kind) is the
         // only way to route them; sizes reuse each format's own
         // fixture arithmetic so the routed extraction oracles verbatim
-        (id % 121 =!= 0 && id % 6 === 0, graft.plans.VectorExpressions.docxEncode(
+        (id % 121 =!= 0 && id % 7 === 0, graft.plans.VectorExpressions.docxEncode(
           id.cast("long"), (id % 4 + 1).cast("int"))),
-        (id % 121 =!= 0 && id % 6 === 1, graft.plans.VectorExpressions.xlsxEncode(
+        (id % 121 =!= 0 && id % 7 === 1, graft.plans.VectorExpressions.xlsxEncode(
           id.cast("long"), (id % 4 + 1).cast("int"))),
-        (id % 121 =!= 0 && id % 6 === 2, graft.plans.VectorExpressions.pptxEncode(
+        (id % 121 =!= 0 && id % 7 === 2, graft.plans.VectorExpressions.pptxEncode(
           id.cast("long"), (id % 3 + 1).cast("int"))),
-        (id % 121 =!= 0 && id % 6 === 3, graft.plans.VectorExpressions.epubEncode(
+        (id % 121 =!= 0 && id % 7 === 3, graft.plans.VectorExpressions.epubEncode(
           id.cast("long"), (id % 3 + 1).cast("int"))),
-        (id % 121 =!= 0 && id % 6 === 4, graft.plans.VectorExpressions.zipEncode(
+        (id % 121 =!= 0 && id % 7 === 4, graft.plans.VectorExpressions.zipEncode(
           id.cast("long"), (id % 6 + 1).cast("int"), id % 3 === 0)),
-        (id % 121 =!= 0 && id % 6 === 5, graft.plans.VectorExpressions.odtEncode(
+        (id % 121 =!= 0 && id % 7 === 5, graft.plans.VectorExpressions.odtEncode(
+          id.cast("long"), (id % 4 + 1).cast("int"))),
+        (id % 121 =!= 0 && id % 7 === 6, graft.plans.VectorExpressions.odsEncode(
           id.cast("long"), (id % 4 + 1).cast("int"))))
       case "docmix" => Seq(
         (id % 119 === 0, encode(text.substr(1, 22), "UTF-8")),
@@ -751,8 +763,8 @@ object Multimodal {
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
       "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "avif",
       "gzip", "pdf", "pdftext", "warc", "warchtml", "warchttp", "warcpdf",
-      "httplegacy", "zip", "docx", "rtf", "odt", "xlsx", "pptx", "epub",
-      "office", "docmix", "mixed")
+      "httplegacy", "zip", "docx", "rtf", "odt", "ods", "xlsx", "pptx",
+      "epub", "office", "docmix", "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -1329,6 +1341,18 @@ object Multimodal {
         col("col").as("para"))
       .orderBy(col("doc_id"), col("para_idx"))
 
+  /** The OpenDocument SPREADSHEET leg: ods → the ODF grid walk
+    * (typed float values served verbatim, string cells via attribute
+    * or body, repetition expanded exactly) → one row per populated
+    * cell. The xlsx ingest's shape for the ODF family. */
+  def odsIngest(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "ods")
+      .select(col("doc_id"), posexplode(
+        graft.plans.VectorExpressions.odsCells(col("ods"))))
+      .select(col("doc_id"), col("col.row").as("row"),
+        col("col.col").as("col"), col("col.value").as("value"))
+      .orderBy(col("doc_id"), col("row"), col("col"))
+
   def docxIngest(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir, "docx")
       .select(col("doc_id"),
@@ -1454,6 +1478,10 @@ object Multimodal {
           graft.plans.VectorExpressions.epubChapters(o))
         .when(col("kind") === "odt",
           split(graft.plans.VectorExpressions.odtText(o), "\n"))
+        .when(col("kind") === "ods",
+          transform(graft.plans.VectorExpressions.odsCells(o),
+            c => concat_ws("=", concat_ws(",", c.getField("row").cast("string"),
+              c.getField("col").cast("string")), c.getField("value"))))
         .otherwise(array().cast("array<string>")).as("units"))
       .select(col("doc_id"), col("kind"), posexplode_outer(col("units")))
       .select(col("doc_id"), col("kind"),

@@ -548,6 +548,10 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_odt_encode", exprs => OdtEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ods_cells", exprs => OdsCells(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ods_encode", exprs => OdsEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_zip_kind", exprs => ZipKind(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sitemap_urls", exprs => SitemapUrls(exprs(0)), "scala_udf")
@@ -773,6 +777,20 @@ object VectorExpressions {
   def odtEncode(seed: Column, nParas: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_odt_encode", seed, nParas)
+  }
+
+  /** ODS cell extraction (plans.OdsCells), column form; same
+    * registration precondition. */
+  def odsCells(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_ods_cells", c)
+  }
+
+  /** ODS fixture encoder (plans.OdsEncode), column form; same
+    * registration precondition. */
+  def odsEncode(seed: Column, nRows: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_ods_encode", seed, nRows)
   }
 
   /** RTF text extraction (plans.RtfText), column form; same

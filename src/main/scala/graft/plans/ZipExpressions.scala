@@ -730,9 +730,16 @@ object ZipKind {
         case "xl/workbook.xml" => kind = "xlsx"
         case "ppt/presentation.xml" => kind = "pptx"
         case "META-INF/container.xml" => kind = "epub"
-        // ODF packaging: content.xml + the manifest dir (epub's
-        // container.xml wins above when both somehow appear)
-        case "META-INF/manifest.xml" => kind = "odt"
+        // ODF packaging: the manifest marks the family; the STORED
+        // mimetype entry (OASIS requires it first) carries the member
+        // format — one CRC-gated extract of a ~40-byte entry
+        case "META-INF/manifest.xml" =>
+          val mt = ZipExtract.extract(b, "mimetype")
+          if (mt != null) new String(mt, "US-ASCII") match {
+            case "application/vnd.oasis.opendocument.text" => kind = "odt"
+            case "application/vnd.oasis.opendocument.spreadsheet" => kind = "ods"
+            case _ => () // presentation/graphics: a later tier
+          }
         case _ => ()
       }
       i += 1
