@@ -1745,7 +1745,7 @@ object Queries {
        "WHEN 6 THEN 'rtf' ELSE 'odt' END AS kind, " +
        "agg.text AS text " +
        "FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id"),
-    // the ROUTED attachment ingest twin: kind from doc_id%5, units
+    // the ROUTED attachment ingest twin: kind from doc_id%7, units
     // from each format's own contract — the docx paragraphs, xlsx
     // ref=value cells (position by row-then-column order), pptx
     // slides, epub chapters, and the unitless plain-zip rows whose
