@@ -518,6 +518,7 @@ object Queries {
     "text_rtf_extract" -> (Multimodal.rtfIngest _),
     "text_odt_extract" -> (Multimodal.odtIngest _),
     "pipeline_ods_ingest" -> (Multimodal.odsIngest _),
+    "pipeline_odp_ingest" -> (Multimodal.odpIngest _),
     "pipeline_xlsx_ingest" -> (Multimodal.xlsxIngest _),
     "pipeline_pptx_ingest" -> (Multimodal.pptxIngest _),
     "pipeline_epub_ingest" -> (Multimodal.epubIngest _),
@@ -1916,6 +1917,18 @@ object Queries {
        "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
        "WHERE doc_id % 181 <> 0 AND t.i < doc_id % 4 + 1 " +
        "ORDER BY doc_id, para_idx"),
+    // ODP deck twin: OdpEncode.decodedSlide restated — title + body
+    // paragraphs joined by newline, the double-space escape, the tab
+    // on (doc_id+k)%2==0 slides, and the speaker-notes block absent
+    // BY DESIGN (skipped whole)
+    "pipeline_odp_ingest" ->
+      ("SELECT doc_id, CAST(t.k - 1 AS INTEGER) AS slide_no, " +
+       "'Slide ' || CAST(t.k AS VARCHAR) || ' of show ' || CAST(doc_id AS VARCHAR) || " +
+       "chr(10) || 'body & <pt>  j=' || CAST((doc_id + t.k) % 9 AS VARCHAR) || " +
+       "CASE WHEN (doc_id + t.k) % 2 = 0 THEN chr(9) || 'note' ELSE '' END AS slide_text " +
+       "FROM documents CROSS JOIN (VALUES (1), (2), (3)) AS t(k) " +
+       "WHERE doc_id % 193 <> 0 AND t.k <= doc_id % 3 + 1 " +
+       "ORDER BY doc_id, slide_no"),
     // ODS grid twin: OdsEncode.decodedRow restated — the float
     // column's office:value VERBATIM, the empty repeated gap shifting
     // B to col 4 on (doc_id+r)%3==0 rows, entities decoded from both

@@ -387,6 +387,16 @@ object Multimodal {
         // the grid is pure doc_id arithmetic (OdsEncode.decodedRow)
         (id % 191 =!= 0, graft.plans.VectorExpressions.odsEncode(
           id.cast("long"), (id % 4 + 1).cast("int"))))
+      case "odp" => Seq(
+        (id % 193 === 0, encode(text.substr(1, 22), "UTF-8")),
+        // REAL odp archives (plans.OdpEncode): one draw:page per
+        // slide with a title + body paragraph in a draw frame (live
+        // entities, the double-space escape, a tab on (doc_id+k)%2==0
+        // slides) and a SKIPPED presentation:notes block — the
+        // decoded deck is pure doc_id arithmetic
+        // (OdpEncode.decodedSlide), restated by the oracle
+        (id % 193 =!= 0, graft.plans.VectorExpressions.odpEncode(
+          id.cast("long"), (id % 3 + 1).cast("int"))))
       case "xlsx" => Seq(
         (id % 133 === 0, encode(text.substr(1, 24), "UTF-8")),
         // REAL xlsx archives written by the JDK (plans.XlsxEncode):
@@ -763,8 +773,8 @@ object Multimodal {
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
       "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "avif",
       "gzip", "pdf", "pdftext", "warc", "warchtml", "warchttp", "warcpdf",
-      "httplegacy", "zip", "docx", "rtf", "odt", "ods", "xlsx", "pptx",
-      "epub", "office", "docmix", "mixed")
+      "httplegacy", "zip", "docx", "rtf", "odt", "ods", "odp", "xlsx",
+      "pptx", "epub", "office", "docmix", "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
@@ -1353,6 +1363,17 @@ object Multimodal {
         col("col.col").as("col"), col("col.value").as("value"))
       .orderBy(col("doc_id"), col("row"), col("col"))
 
+  /** The OpenDocument PRESENTATION leg: odp → the draw:page walk
+    * (speaker notes skipped) → one row per slide. Completes the ODF
+    * triad alongside [[odtIngest]] and [[odsIngest]]. */
+  def odpIngest(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "odp")
+      .select(col("doc_id"), posexplode(
+        graft.plans.VectorExpressions.odpSlides(col("odp"))))
+      .select(col("doc_id"), col("pos").cast("int").as("slide_no"),
+        col("col").as("slide_text"))
+      .orderBy(col("doc_id"), col("slide_no"))
+
   def docxIngest(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir, "docx")
       .select(col("doc_id"),
@@ -1428,6 +1449,12 @@ object Multimodal {
         graft.plans.VectorExpressions.rtfText(col("payload")))
       .when(col("kind") === "odt",
         graft.plans.VectorExpressions.odtText(col("payload")))
+      .when(col("kind") === "ods", array_join(
+        transform(graft.plans.VectorExpressions.odsCells(col("payload")),
+          c => concat_ws("=", concat_ws(",", c.getField("row").cast("string"),
+            c.getField("col").cast("string")), c.getField("value"))), "\n"))
+      .when(col("kind") === "odp", array_join(
+        graft.plans.VectorExpressions.odpSlides(col("payload")), "\n"))
       .when(col("kind") === "docx",
         graft.plans.VectorExpressions.docxText(col("payload")))
       .when(col("kind") === "xlsx", array_join(

@@ -200,7 +200,9 @@ object OdsCells {
                           if (selfClosed) return null
                           val body = x.substring(gt + 1,
                             bodyEnd - "</table:table-cell>".length)
-                          textParas(body)
+                          val tp = textParas(body)
+                          if (tp == null) return null // malformed body
+                          tp
                       }
                     case _ => return null // date/bool/...: a later tier
                   }
@@ -234,8 +236,10 @@ object OdsCells {
   }
 
   /** A string cell's `<text:p>` bodies joined with '\n' — inline
-    * tags inert, entities decoded; null body text is "" (an empty
-    * string cell is still a populated cell). */
+    * tags inert, entities decoded; a cell with no paragraphs is ""
+    * (an empty string cell is still a populated cell). NULL on
+    * malformed nesting — a partial body must decline the document,
+    * never serve as complete cell text. */
   private def textParas(body: String): String = {
     val sb = new java.lang.StringBuilder(32)
     var first = true
@@ -245,13 +249,13 @@ object OdsCells {
       while (p >= 0 && !delimAt(body, p + 7)) p = body.indexOf("<text:p", p + 7)
       if (p < 0) return sb.toString
       val gt = body.indexOf('>', p)
-      if (gt < 0) return sb.toString
+      if (gt < 0) return null
       if (!first) sb.append('\n')
       first = false
       if (body.charAt(gt - 1) == '/') at = gt + 1
       else {
         val end = body.indexOf("</text:p>", gt)
-        if (end < 0) return sb.toString
+        if (end < 0) return null
         var i = gt + 1
         while (i < end) {
           val lt = body.indexOf('<', i)
@@ -260,7 +264,7 @@ object OdsCells {
           if (stop >= end) i = end
           else {
             val g = body.indexOf('>', lt)
-            if (g < 0) return sb.toString
+            if (g < 0) return null
             i = g + 1
           }
         }

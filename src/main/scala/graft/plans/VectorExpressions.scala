@@ -548,6 +548,10 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_odt_encode", exprs => OdtEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_odp_slides", exprs => OdpSlides(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_odp_encode", exprs => OdpEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ods_cells", exprs => OdsCells(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ods_encode", exprs => OdsEncode(exprs), "scala_udf")
@@ -777,6 +781,20 @@ object VectorExpressions {
   def odtEncode(seed: Column, nParas: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_odt_encode", seed, nParas)
+  }
+
+  /** ODP slide extraction (plans.OdpSlides), column form; same
+    * registration precondition. */
+  def odpSlides(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_odp_slides", c)
+  }
+
+  /** ODP fixture encoder (plans.OdpEncode), column form; same
+    * registration precondition. */
+  def odpEncode(seed: Column, nSlides: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_odp_encode", seed, nSlides)
   }
 
   /** ODS cell extraction (plans.OdsCells), column form; same

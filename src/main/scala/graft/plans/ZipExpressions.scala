@@ -738,7 +738,8 @@ object ZipKind {
           if (mt != null) new String(mt, "US-ASCII") match {
             case "application/vnd.oasis.opendocument.text" => kind = "odt"
             case "application/vnd.oasis.opendocument.spreadsheet" => kind = "ods"
-            case _ => () // presentation/graphics: a later tier
+            case "application/vnd.oasis.opendocument.presentation" => kind = "odp"
+            case _ => () // graphics/formula: a later tier
           }
         case _ => ()
       }

@@ -106,6 +106,11 @@ class OdsSpec extends AnyFunSuite {
     // a float cell with no office:value is corrupt
     assert(cells(wrap(doc(
       """<table:table-row><table:table-cell office:value-type="float"/></table:table-row>"""))) === null)
+    // a string cell whose <text:p> body is malformed declines the
+    // document — a partial body must never serve as complete text
+    assert(cells(wrap(doc(
+      """<table:table-row><table:table-cell office:value-type="string">""" +
+        "<text:p>truncated</table:table-cell></table:table-row>"))) === null)
   }
 
   test("zip kind tells odt and ods apart by the stored mimetype") {

@@ -65,7 +65,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "EpubChapters" -> (graft.plans.EpubChapters.parse(_)),
     "RtfText" -> (graft.plans.RtfText.parse(_)),
     "OdtText" -> (graft.plans.OdtText.parse(_)),
-    "OdsCells" -> (graft.plans.OdsCells.parse(_)))
+    "OdsCells" -> (graft.plans.OdsCells.parse(_)),
+    "OdpSlides" -> (graft.plans.OdpSlides.parse(_)))
 
   // magic prefixes steer the fuzz into each format's deep parse path
   private val prefixes: Seq[Array[Byte]] = Seq(
@@ -259,6 +260,7 @@ class ParserFuzzSpec extends AnyFunSuite {
       graft.plans.RtfEncode.encode(77L, 3),
       graft.plans.OdtEncode.encode(77L, 3),
       graft.plans.OdsEncode.encode(77L, 3),
+      graft.plans.OdpEncode.encode(77L, 3),
       graft.plans.DocxEncode.encode(77L, 3),
       graft.plans.XlsxEncode.encode(77L, 4),
       graft.plans.PptxEncode.encode(77L, 3),
@@ -271,10 +273,11 @@ class ParserFuzzSpec extends AnyFunSuite {
     assert(graft.plans.RtfText.parse(fullDocs(6)) != null)
     assert(graft.plans.OdtText.parse(fullDocs(7)) != null)
     assert(graft.plans.OdsCells.parse(fullDocs(8)) != null)
-    assert(graft.plans.DocxText.parse(fullDocs(9)) != null)
-    assert(graft.plans.XlsxCells.parse(fullDocs(10)) != null)
-    assert(graft.plans.PptxSlides.parse(fullDocs(11)) != null)
-    assert(graft.plans.EpubChapters.parse(fullDocs(12)) != null)
+    assert(graft.plans.OdpSlides.parse(fullDocs(9)) != null)
+    assert(graft.plans.DocxText.parse(fullDocs(10)) != null)
+    assert(graft.plans.XlsxCells.parse(fullDocs(11)) != null)
+    assert(graft.plans.PptxSlides.parse(fullDocs(12)) != null)
+    assert(graft.plans.EpubChapters.parse(fullDocs(13)) != null)
     val rnd = new scala.util.Random(0xF00D)
     for (f <- Seq(png, jpeg, wav, bmp, gif, fullPng, fullGif, fullJpeg,
         fullJpegColor, fullJpegLossless, fullJpeg12, fullAvi, fullWav, fullFloat,
