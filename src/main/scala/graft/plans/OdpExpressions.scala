@@ -57,6 +57,8 @@ object OdpSlides {
 
   private val MaxSlides = 256
   private val MaxParas = 8192
+  // per-slide output ceiling: <text:s text:c="9999"/> amplifies ~450x
+  private val MaxOut = 1 << 20
   private val DrawNs = "urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"
   private val TextNs = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
 
@@ -151,6 +153,7 @@ object OdpSlides {
               if (end < 0 || end > pEnd) return null
               var j = gt + 1
               while (j < end) {
+                if (out.length > MaxOut) return null
                 val lt = x.indexOf('<', j)
                 val stop = if (lt < 0 || lt > end) end else lt
                 if (stop > j)

@@ -69,6 +69,8 @@ object OdsCells {
 
   private val MaxCells = 65536
   private val MaxRepeat = 1 << 20
+  // per-cell text ceiling (the house office-walk output bound)
+  private val MaxOut = 1 << 20
 
   private val OfficeNs = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
   private val TableNs = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
@@ -150,6 +152,7 @@ object OdsCells {
           // one pass collects the row's populated cells, then they
           // re-emit for each repetition (exact expansion)
           val rowCells = Vector.newBuilder[(Int, String)]
+          var rowCellCount = 0
           var col = 1
           var i = rGt + 1
           while (i < rEnd) {
@@ -207,8 +210,14 @@ object OdsCells {
                     case _ => return null // date/bool/...: a later tier
                   }
                 if (value != null) {
+                  // decline BEFORE expanding: a valued repeat that
+                  // cannot fit the cap must never allocate its copies
+                  // (a crafted repeated-cell row would otherwise build
+                  // millions of tuples before the drain-time check)
+                  if (cells + rowCellCount + colRepeat > MaxCells) return null
                   var k = 0
                   while (k < colRepeat) { rowCells += ((col + k, value)); k += 1 }
+                  rowCellCount += colRepeat
                 }
                 col += colRepeat
                 i = bodyEnd
@@ -245,6 +254,7 @@ object OdsCells {
     var first = true
     var at = 0
     while (at < body.length) {
+      if (sb.length > MaxOut) return null
       var p = body.indexOf("<text:p", at)
       while (p >= 0 && !delimAt(body, p + 7)) p = body.indexOf("<text:p", p + 7)
       if (p < 0) return sb.toString

@@ -61,6 +61,9 @@ case class OdtText(child: Expression) extends UnaryExpression {
 object OdtText {
 
   private val MaxParas = 8192
+  // output ceiling: <text:s text:c="9999"/> is a ~450x amplifier (22
+  // input bytes → 9999 spaces), so the builder is bounded like RTF's
+  private val MaxOut = 1 << 20
   private val TextNs = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
 
   private def delimAt(x: String, at: Int): Boolean =
@@ -141,6 +144,7 @@ object OdtText {
         }
         var i = openGt + 1
         while (i < end) {
+          if (out.length > MaxOut) return null
           val lt = x.indexOf('<', i)
           val stop = if (lt < 0 || lt > end) end else lt
           if (stop > i)

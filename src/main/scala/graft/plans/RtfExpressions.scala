@@ -25,7 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    Arabic / Baltic / Vietnamese legacy tails); a multi-byte code
   *    page (932, 936, 949, 950...) DECLINES the document — `\'hh` is
   *    one byte, serving MBCS pairs through it would be mojibake —
-  *    and a byte UNDEFINED in the declared page declines too;
+  *    and a byte UNDEFINED in the declared page declines too; raw
+  *    unescaped bytes >= 0x80 in plain text decode through the SAME
+  *    table (never a Latin-1 identity);
   *  - `\uN` is a signed 16-bit Unicode scalar (negative N + 65536);
   *    the following `\ucN`-many fallback characters (plain chars or
   *    `\'hh` escapes) are SKIPPED per the spec's uc protocol;
@@ -87,7 +89,8 @@ object RtfText {
     "printim", "revtim", "rxe", "subject", "title", "author",
     "operator", "keywords", "generator", "filetbl", "listtable",
     "listoverridetable", "revtbl", "themedata", "colorschememapping",
-    "datastore", "latentstyles", "pntext", "pntxta", "pntxtb")
+    "datastore", "latentstyles", "pntext", "pntxta", "pntxtb",
+    "footnote", "ftncn", "aftncn", "atnref", "atrfstart", "atrfend")
 
   /** Per-code-page byte tables for \'hh: cp1252 is the WHATWG table
     * the HTTP tier uses; the other single-byte Windows pages
@@ -195,8 +198,8 @@ object RtfText {
           // then one optional space delimiter
           val start = i
           while (i < b.length && (b(i) & 0xFF) >= 'a' && (b(i) & 0xFF) <= 'z' &&
-            i - start < 32) i += 1
-          if (i - start >= 32) return null
+            i - start < 33) i += 1
+          if (i - start > 32) return null // the spec allows exactly 32
           val word = new String(b, start, i - start, "ISO-8859-1")
           var param = Long.MinValue
           if (i < b.length && (b(i) == '-' || ((b(i) & 0xFF) >= '0' && (b(i) & 0xFF) <= '9'))) {
@@ -271,7 +274,16 @@ object RtfText {
           }
         }
       } else {
-        if (c != '\r' && c != '\n') emit(c.toChar)
+        // raw plain-text bytes: ASCII identity; a high byte is a byte
+        // in the declared code page exactly like \'hh (real RTF —
+        // especially \ansicpg1251 — carries them unescaped; a Latin-1
+        // identity here would be silent mojibake), declining when the
+        // page leaves it undefined
+        if (c >= 0x80) {
+          val ch = table(c)
+          if (ch == 0) return null
+          emit(ch)
+        } else if (c != '\r' && c != '\n') emit(c.toChar)
         i += 1
       }
     }

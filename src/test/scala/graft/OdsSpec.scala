@@ -113,6 +113,20 @@ class OdsSpec extends AnyFunSuite {
         "<text:p>truncated</table:table-cell></table:table-row>"))) === null)
   }
 
+  test("a valued repeat past the cap declines BEFORE expanding") {
+    // every cell claims 2^20 valued copies: the decline must fire at
+    // the repeat attribute, never after allocating the expansion (the
+    // pre-fix walk built the row's tuples first — a thousand such
+    // cells is a billion-tuple bomb)
+    val cell = """<table:table-cell office:value-type="string" """ +
+      """table:number-columns-repeated="1048576"><text:p>x</text:p>""" +
+      "</table:table-cell>"
+    val bomb = wrap(doc("<table:table-row>" + cell * 400 + "</table:table-row>"))
+    val t0 = System.nanoTime()
+    assert(cells(bomb) === null)
+    assert(System.nanoTime() - t0 < 5000000000L, "decline was not early")
+  }
+
   test("zip kind tells odt and ods apart by the stored mimetype") {
     import graft.plans.{OdtEncode, ZipKind}
     assert(ZipKind.classify(OdsEncode.encode(7L, 2)).toString === "ods")

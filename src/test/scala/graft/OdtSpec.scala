@@ -100,6 +100,17 @@ class OdtSpec extends AnyFunSuite {
     assert(txt(wrap(doc(atCap.toString))) != null)
   }
 
+  test("whitespace-escape amplification declines at the output ceiling") {
+    // 300 copies of <text:s text:c="9999"/> (~7 KB of input) claim
+    // ~3M spaces — past the 1 MiB output bound the document declines
+    // instead of building a gigabyte string
+    val esc = """<text:s text:c="9999"/>"""
+    assert(txt(wrap(doc("<text:p>a" + esc * 300 + "b</text:p>"))) === null)
+    // under the ceiling the expansion is exact
+    assert(txt(wrap(doc("""<text:p>a<text:s text:c="9999"/>b</text:p>""")))
+      === "a" + " " * 9999 + "b")
+  }
+
   test("zip kind classifies odt by the ODF manifest") {
     import graft.plans.ZipKind
     assert(ZipKind.classify(OdtEncode.encode(7L, 2)).toString === "odt")

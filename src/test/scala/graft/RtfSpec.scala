@@ -89,6 +89,30 @@ class RtfSpec extends AnyFunSuite {
     assert(txt("{\\rtf1 \\'cf\\'f0}") === "Ïð")
   }
 
+  test("raw high bytes in plain text decode through the declared page") {
+    // cp1251 Cyrillic: a raw unescaped 0xE9 is й — the old Latin-1
+    // identity would have served é, silent mojibake
+    assert(txt("{\\rtf1\\ansicpg1251 xéy}") === "xйy")
+    // the cp1252 default: raw 0x80 is € per the WHATWG table
+    assert(txt("{\\rtf1 ab}") === "a€b")
+    // a raw byte UNDEFINED in the declared page declines (cp1253 0xAA)
+    assert(txt("{\\rtf1\\ansicpg1253 aªb}") === null)
+    // and the same raw bytes stay consistent with their \'hh twins
+    assert(txt("{\\rtf1\\ansicpg1251 Ïðèâåò}")
+      === "Привет")
+  }
+
+  test("footnote destinations are invisible; 32-letter control words parse") {
+    // {\footnote ...} bodies are margin text, not the paragraph's
+    assert(txt("{\\rtf1 body{\\footnote hidden note}end}") === "bodyend")
+    assert(txt("{\\rtf1 a{\\aftncn x}{\\ftncn y}b}") === "ab")
+    // the spec's maximum: EXACTLY 32 letters is a legal (unknown,
+    // inert) control word; 33 declines
+    val w32 = "a" * 32
+    assert(txt(s"{\\rtf1 x\\$w32 y}") === "xy")
+    assert(txt(s"{\\rtf1 x\\${w32}a y}") === null)
+  }
+
   test("decline envelope: foreign code pages, structure, trailing bytes") {
     // a MULTI-byte code page can't be served through 1-byte escapes
     assert(txt("{\\rtf1\\ansi\\ansicpg932 caf\\'e9}") === null)
