@@ -1745,7 +1745,12 @@ object Queries {
        "WHEN 3 THEN 'epub' WHEN 4 THEN 'zip' WHEN 5 THEN 'pdf' " +
        "WHEN 6 THEN 'rtf' ELSE 'odt' END AS kind, " +
        "agg.text AS text " +
-       "FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id"),
+       "FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id " +
+       // the %119 plain-text rows are no recognized magic: the triage
+       // accounts for them as kind='other' (NULL text), never drops them
+       "UNION ALL SELECT doc_id, 'other' AS kind, NULL AS text " +
+       "FROM documents WHERE doc_id % 119 = 0 " +
+       "ORDER BY doc_id"),
     // the ROUTED attachment ingest twin: kind from doc_id%7, units
     // from each format's own contract — the docx paragraphs, xlsx
     // ref=value cells (position by row-then-column order), pptx

@@ -1427,15 +1427,20 @@ object Multimodal {
     * paragraphs, ref=value cells, slides, chapters), NULL for plain
     * zips and payloads whose extraction declines — kind stays, so a
     * decline is visible, never silent. Output: (doc_id, kind, text).
-    * Rows that are neither magic get a NULL kind (callers route them
-    * out). */
+    * Rows that are no recognized magic (and PK payloads whose
+    * directory classification declines) get kind='other' with NULL
+    * text — the triage accounts for 100% of its input rows, so a
+    * corpus-composition shift toward an unhandled format surfaces as
+    * a counted bucket instead of vanishing. */
   def docTextSelect(df: DataFrame, payloadCol: String): DataFrame = {
     val p = col(payloadCol)
     val kinded = df.select(col("doc_id"),
-      when(substring(p, 1, 5) === lit("%PDF-".getBytes("US-ASCII")), lit("pdf"))
-        .when(substring(p, 1, 5) === lit("{\\rtf".getBytes("US-ASCII")), lit("rtf"))
-        .when(substring(p, 1, 2) === lit("PK".getBytes("US-ASCII")),
-          graft.plans.VectorExpressions.zipKind(p)).as("kind"),
+      coalesce(
+        when(substring(p, 1, 5) === lit("%PDF-".getBytes("US-ASCII")), lit("pdf"))
+          .when(substring(p, 1, 5) === lit("{\\rtf".getBytes("US-ASCII")), lit("rtf"))
+          .when(substring(p, 1, 2) === lit("PK".getBytes("US-ASCII")),
+            graft.plans.VectorExpressions.zipKind(p)),
+        lit("other")).as("kind"),
       p.as("payload"))
     // the PDF tier declines at PAGE granularity (a NULL element);
     // array_join would skip it silently — a doc with any declined
@@ -1475,7 +1480,6 @@ object Multimodal {
     docTextSelect(
       mediaTable(spark, dir, "docmix").withColumnRenamed("docmix", "payload"),
       "payload")
-      .filter(col("kind").isNotNull)
       .orderBy(col("doc_id"))
 
   /** The ROUTED attachment ingest: a heterogeneous "PK"-magic column

@@ -258,8 +258,9 @@ object IncrementalIngest {
     * uses (Multimodal.docTextSelect: %PDF- → the content-stream tier,
     * PK → the directory-name classifier → each format's extractor)
     * and the (doc_id, kind, text) rows commit exactly-once under the
-    * batchId ledger. Non-document rows (NULL kind) are routed out
-    * inside the batch, so the table holds only triaged documents. */
+    * batchId ledger. Unrecognized payloads land as the projection's
+    * kind='other' bucket (NULL text), so the table accounts for every
+    * arrived row — streamed == batch down to the decline buckets. */
   def docTriageWriter(media: DataFrame, tablePath: String,
       checkpointDir: String): DataStreamWriter[Row] =
     media.writeStream
@@ -269,8 +270,7 @@ object IncrementalIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.CommitLog.appendStream(batch.sparkSession, tablePath,
-            graft.operators.Multimodal.docTextSelect(batch, "payload")
-              .filter(org.apache.spark.sql.functions.col("kind").isNotNull),
+            graft.operators.Multimodal.docTextSelect(batch, "payload"),
             batchId, app = Some(appId("docTriage", tablePath)))
         ()
       }

@@ -835,6 +835,11 @@ class StreamingSpec extends SparkSpec {
       val got = CommitLog.read(spark, table).collect().map(_.toString).sorted
       assert(got.length === want.length, s"${got.length} vs ${want.length}")
       assert(got === want, "streamed doc triage diverges from the batch query")
+      // the kind='other' bucket (unrecognized payloads) is accounted
+      // for in BOTH sides — a decline is a counted row, never a drop
+      assert(CommitLog.read(spark, table)
+        .filter(org.apache.spark.sql.functions.col("kind") === "other")
+        .count() > 0, "the 'other' bucket vanished from the streamed triage")
       // fresh checkpoint (full re-delivery): the ledger lands nothing
       runOnce(Files.createTempDirectory("graft_doc_ckpt2_").toString)
       assert(CommitLog.read(spark, table).count() === want.length,
