@@ -1565,7 +1565,11 @@ object Queries {
     "pipeline_http_charset" ->
       ("SELECT doc_id, " +
        "CASE doc_id % 10 WHEN 0 THEN 'windows-1252' WHEN 1 THEN 'iso-8859-1' " +
-       "WHEN 3 THEN 'utf-8' WHEN 5 THEN 'shift_jis' WHEN 6 THEN 'euc-jp' " +
+       // variant 3's sub-cycle: honest utf-8 / BOM'd UTF-16LE behind a
+       // charset=utf-8 header (the BOM outranks — same decoded text) /
+       // labeled utf-16be; the charset column is the DECLARED label
+       "WHEN 3 THEN (CASE WHEN (doc_id // 10) % 3 = 2 THEN 'utf-16be' ELSE 'utf-8' END) " +
+       "WHEN 5 THEN 'shift_jis' WHEN 6 THEN 'euc-jp' " +
        "WHEN 7 THEN 'gb2312' WHEN 8 THEN 'big5' WHEN 9 THEN 'euc-kr' " +
        "ELSE NULL END AS charset, " +
        "'<html><head>' || " +

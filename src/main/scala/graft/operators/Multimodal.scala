@@ -556,6 +556,19 @@ object Multimodal {
         val utf8Body = encode(concat(
           lit("<html><head></head><body>Café “quote” – € id="),
           ids, lit("</body></html>")), "UTF-8")
+        // the UTF-16 tier rides variant 3's sub-cycle (doc_id/10)%3:
+        // the SAME page text, so the decoded oracle column is shared —
+        // sub 1 is BOM'd UTF-16LE behind a LYING charset=utf-8 header
+        // (the WHATWG sniff must outrank the label or the row declines
+        // as invalid UTF-8), sub 2 is BOM-less labeled utf-16be
+        val utf16leBom = concat(
+          lit(Array(0xFF.toByte, 0xFE.toByte)),
+          encode(concat(
+            lit("<html><head></head><body>Café “quote” – € id="),
+            ids, lit("</body></html>")), "UTF-16LE"))
+        val utf16beBody = encode(concat(
+          lit("<html><head></head><body>Café “quote” – € id="),
+          ids, lit("</body></html>")), "UTF-16BE")
         def mbBody(text: String, jdkCharset: String): Column = concat(
           lit(("<html><head></head><body>" + text + " id=")
             .getBytes(jdkCharset)),
@@ -574,8 +587,12 @@ object Multimodal {
           (id % 141 =!= 0 && id % 10 === 1,
             msg("text/html; charset=iso-8859-1", cp1252Body)),
           (id % 141 =!= 0 && id % 10 === 2, msg("text/html", cp1252Meta)),
-          (id % 141 =!= 0 && id % 10 === 3,
+          (id % 141 =!= 0 && id % 10 === 3 && floor(id / 10) % 3 === 0,
             msg("text/html; charset=utf-8", utf8Body)),
+          (id % 141 =!= 0 && id % 10 === 3 && floor(id / 10) % 3 === 1,
+            msg("text/html; charset=utf-8", utf16leBom)),
+          (id % 141 =!= 0 && id % 10 === 3 && floor(id / 10) % 3 === 2,
+            msg("text/html; charset=utf-16be", utf16beBody)),
           (id % 141 =!= 0 && id % 10 === 4,
             msg("text/html; charset=utf-8", cp1252Body)),
           (id % 141 =!= 0 && id % 10 === 5,

@@ -376,9 +376,11 @@ object HttpText {
 
   /** WHATWG label → canonical name, the subset a crawl pipeline
     * meets: the UTF-8 labels, the pile of labels the standard maps
-    * to windows-1252 (including all of ISO-8859-1's), and the five
-    * multi-byte East-Asian legacy encodings (each with its WHATWG
-    * label set). Unknown label → null → the caller declines. */
+    * to windows-1252 (including all of ISO-8859-1's), the five
+    * multi-byte East-Asian legacy encodings, and the UTF-16 family
+    * (the bare "utf-16" label IS utf-16le per the standard; a BOM,
+    * checked before any label, outranks). Unknown label → null → the
+    * caller declines. */
   private def canonical(label: String): String =
     label.trim.toLowerCase(java.util.Locale.ROOT) match {
       case "utf-8" | "utf8" | "unicode-1-1-utf-8" => "utf-8"
@@ -395,6 +397,9 @@ object HttpText {
       case "euc-kr" | "korean" | "csksc56011987" | "iso-ir-149" |
         "ks_c_5601-1987" | "ks_c_5601-1989" | "ksc5601" | "ksc_5601" |
         "windows-949" => "euc-kr"
+      case "utf-16" | "utf-16le" | "unicode" | "csunicode" | "ucs-2" |
+        "unicodefeff" | "iso-10646-ucs-2" => "utf-16le"
+      case "utf-16be" | "unicodefffe" => "utf-16be"
       case _ => null
     }
 
@@ -429,6 +434,25 @@ object HttpText {
 
   def decode(body: Array[Byte], declared: String): UTF8String = {
     if (body == null) return null
+    // WHATWG BOM sniffing OUTRANKS the declared label (Encoding §4.2
+    // "decode" step 1): a UTF-8 / UTF-16 BOM picks the encoding and
+    // is consumed, whatever the Content-Type header claimed — a
+    // UTF-16LE page behind a charset=utf-8 header is commonplace and
+    // decoding it as UTF-8 would be mojibake or a spurious decline
+    if (body.length >= 2) {
+      val b0 = body(0) & 0xFF
+      val b1 = body(1) & 0xFF
+      if (b0 == 0xEF && b1 == 0xBB && body.length >= 3 &&
+        (body(2) & 0xFF) == 0xBF)
+        return strictDecode(
+          java.util.Arrays.copyOfRange(body, 3, body.length), "UTF-8")
+      if (b0 == 0xFE && b1 == 0xFF)
+        return strictDecode(
+          java.util.Arrays.copyOfRange(body, 2, body.length), "UTF-16BE")
+      if (b0 == 0xFF && b1 == 0xFE)
+        return strictDecode(
+          java.util.Arrays.copyOfRange(body, 2, body.length), "UTF-16LE")
+    }
     val label =
       if (declared != null) declared
       else {
@@ -455,6 +479,8 @@ object HttpText {
         UTF8String.fromString(new String(out))
       case "shift_jis" | "euc-jp" | "gbk" | "big5" | "euc-kr" =>
         strictDecode(body, jdkName(cs))
+      case "utf-16le" => strictDecode(body, "UTF-16LE")
+      case "utf-16be" => strictDecode(body, "UTF-16BE")
       case _ => null // unknown label: decline, never guess-garble
     }
   }

@@ -231,4 +231,36 @@ class HttpSpec extends AnyFunSuite {
     val cross = dec(jpEuc, "shift_jis")
     assert(cross == null || cross != "こんにちは世界")
   }
+
+  test("UTF-16: BOM sniffing outranks the label; strict decode; labels map") {
+    def dec(b: Array[Byte], cs: String): String = {
+      val u = HttpText.decode(b, cs)
+      if (u == null) null else u.toString
+    }
+    val text = "Café – € 𝄞 done" // incl. an astral pair
+    val le = text.getBytes("UTF-16LE")
+    val be = text.getBytes("UTF-16BE")
+    val bomLE = Array(0xFF.toByte, 0xFE.toByte) ++ le
+    val bomBE = Array(0xFE.toByte, 0xFF.toByte) ++ be
+    // a BOM picks the encoding WHATEVER the header label says — the
+    // lying charset=utf-8 header must not turn the page into a decline
+    assert(dec(bomLE, "utf-8") === text)
+    assert(dec(bomBE, "utf-8") === text)
+    // and a BOM beats even the OPPOSITE utf-16 label
+    assert(dec(bomLE, "utf-16be") === text)
+    // the UTF-8 BOM is consumed, not served as U+FEFF
+    assert(dec(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "abc".getBytes("UTF-8"), null) === "abc")
+    // BOM-less labeled decode: the WHATWG label pile
+    assert(dec(le, "utf-16le") === text)
+    assert(dec(be, "utf-16be") === text)
+    assert(dec(le, "utf-16") === text) // bare utf-16 IS utf-16le
+    assert(dec(le, "unicode") === text)
+    assert(dec(be, "unicodefffe") === text)
+    // mojibake-never: odd length and lone surrogates decline
+    assert(dec(le.dropRight(1), "utf-16le") === null)
+    assert(dec("x".getBytes("UTF-16LE") ++ Array(0x34.toByte, 0xD8.toByte),
+      "utf-16le") === null) // lone high surrogate
+    assert(dec(Array(0x1E.toByte, 0xDD.toByte), "utf-16le") === null) // lone low
+  }
 }
