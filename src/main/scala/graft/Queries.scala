@@ -513,6 +513,7 @@ object Queries {
     "mm_pdf_meta" -> (Multimodal.pdfMetaQ _),
     "text_pdf_extract" -> (Multimodal.pdfTextQ _),
     "mm_zip_entries" -> (Multimodal.zipEntriesQ _),
+    "mm_tar_entries" -> (Multimodal.tarEntriesQ _),
     "mm_zip_extract" -> (Multimodal.zipExtractQ _),
     "pipeline_docx_ingest" -> (Multimodal.docxIngest _),
     "text_rtf_extract" -> (Multimodal.rtfIngest _),
@@ -1884,6 +1885,26 @@ object Queries {
        "CAST((doc_id + t.i) % 100 + 10 AS BIGINT) AS usize " +
        "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5)) AS t(i) " +
        "WHERE doc_id % 149 <> 0 AND t.i < doc_id % 6 + 1 " +
+       "ORDER BY doc_id, entry_idx"),
+    // tar census twin: entry 0 a directory, 0..4 files; names cycle
+    // plain / GNU-'L' long ((doc_id+i)%4=0, >100 chars — the census
+    // must serve the 'L' payload, the header field is truncated) /
+    // POSIX prefix-split ((doc_id+i)%7=0); sizes and mtimes are
+    // doc_id arithmetic (TarEncode.entryName/entrySize contract)
+    "mm_tar_entries" ->
+      ("SELECT doc_id, CAST(t.i AS INTEGER) AS entry_idx, " +
+       "CASE WHEN t.i = 0 THEN 'd' || CAST(doc_id % 10 AS VARCHAR) || '/' " +
+       "WHEN (doc_id + t.i) % 4 = 0 THEN 'd' || CAST(doc_id % 10 AS VARCHAR) || " +
+       "'/f' || CAST(t.i AS VARCHAR) || '_' || repeat('x', 110) || '.dat' " +
+       "WHEN (doc_id + t.i) % 7 = 0 THEN 'p' || CAST(doc_id % 10 AS VARCHAR) || " +
+       "'/f' || CAST(t.i AS VARCHAR) || '.dat' " +
+       "ELSE 'd' || CAST(doc_id % 10 AS VARCHAR) || '/f' || CAST(t.i AS VARCHAR) || '.dat' " +
+       "END AS name, " +
+       "CASE WHEN t.i = 0 THEN '5' ELSE '0' END AS typeflag, " +
+       "CAST(CASE WHEN t.i = 0 THEN 0 ELSE (doc_id + 11 * t.i) % 200 + 5 END AS BIGINT) AS n_bytes, " +
+       "CAST(CASE WHEN t.i = 0 THEN doc_id * 100 ELSE doc_id * 100 + t.i END AS BIGINT) AS mtime " +
+       "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3), (4)) AS t(i) " +
+       "WHERE doc_id % 169 <> 0 AND t.i < doc_id % 5 + 1 " +
        "ORDER BY doc_id, entry_idx"),
     // ZIP extraction twin: the payload byte at position j is
     // (doc_id + 13i + 7j) % 251 (ZipEncode.payload), so length and the

@@ -345,6 +345,14 @@ object Multimodal {
         // 3rd doc so the EOCD tail scan is load-bearing
         (id % 149 =!= 0, graft.plans.VectorExpressions.zipEncode(
           id.cast("long"), (id % 6 + 1).cast("int"), id % 3 === 0)))
+      case "tar" => Seq(
+        (id % 169 === 0, encode(text.substr(1, 20), "UTF-8")),
+        // REAL ustar archives (plans.TarEncode): a directory member,
+        // 0..4 files with arithmetic payloads, a GNU 'L' long-name
+        // member on (id+i)%4==0 files, a POSIX prefix-split path on
+        // (id+i)%7==0 — every census field is doc_id arithmetic
+        (id % 169 =!= 0, graft.plans.VectorExpressions.tarEncode(
+          id.cast("long"), (id % 5 + 1).cast("int"))))
       case "docx" => Seq(
         (id % 147 === 0, encode(text.substr(1, 22), "UTF-8")),
         // REAL docx archives written by the JDK (plans.DocxEncode):
@@ -790,7 +798,7 @@ object Multimodal {
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
       "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "avif",
       "gzip", "pdf", "pdftext", "warc", "warchtml", "warchttp", "warcpdf",
-      "httplegacy", "zip", "docx", "rtf", "odt", "ods", "odp", "xlsx",
+      "httplegacy", "zip", "tar", "docx", "rtf", "odt", "ods", "odp", "xlsx",
       "pptx", "epub", "office", "docmix", "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
@@ -1312,6 +1320,21 @@ object Multimodal {
       .select(col("doc_id"), col("pos").cast("int").as("entry_idx"),
         col("col.name").as("name"), col("col.method").as("method"),
         col("col.usize").as("usize"))
+      .orderBy(col("doc_id"), col("entry_idx"))
+
+  /** tar member census: one row per archive member per doc (name,
+    * typeflag, size, mtime), through the checksum-verified 512-byte
+    * header walk with the GNU 'L' long-name protocol and the POSIX
+    * prefix composition — the remaining common archive wrapper in
+    * data dumps after ZIP. The non-tar gate rows decline to NULL and
+    * drop at the posexplode; one shuffle-free codegen'd scan. */
+  def tarEntriesQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "tar")
+      .select(col("doc_id"),
+        posexplode(graft.plans.VectorExpressions.tarEntries(col("tar"))))
+      .select(col("doc_id"), col("pos").cast("int").as("entry_idx"),
+        col("col.name").as("name"), col("col.typeflag").as("typeflag"),
+        col("col.n_bytes").as("n_bytes"), col("col.mtime").as("mtime"))
       .orderBy(col("doc_id"), col("entry_idx"))
 
   /** ZIP entry EXTRACTION: every census entry's payload pulled

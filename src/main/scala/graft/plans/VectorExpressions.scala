@@ -556,6 +556,10 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ods_encode", exprs => OdsEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tar_entries", exprs => TarEntries(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tar_encode", exprs => TarEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_zip_kind", exprs => ZipKind(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sitemap_urls", exprs => SitemapUrls(exprs(0)), "scala_udf")
@@ -809,6 +813,20 @@ object VectorExpressions {
   def odsEncode(seed: Column, nRows: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_ods_encode", seed, nRows)
+  }
+
+  /** tar member census (plans.TarEntries), column form; same
+    * registration precondition. */
+  def tarEntries(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_tar_entries", c)
+  }
+
+  /** tar fixture encoder (plans.TarEncode), column form; same
+    * registration precondition. */
+  def tarEncode(seed: Column, nEntries: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_tar_encode", seed, nEntries)
   }
 
   /** RTF text extraction (plans.RtfText), column form; same

@@ -116,7 +116,8 @@ class PlanAuditSpec extends SparkSpec {
         Multimodal.pptxIngest(spark, sf), Multimodal.epubIngest(spark, sf),
         Multimodal.officeIngest(spark, sf), Multimodal.docTriage(spark, sf),
         Multimodal.rtfIngest(spark, sf), Multimodal.odtIngest(spark, sf),
-        Multimodal.odsIngest(spark, sf), Multimodal.odpIngest(spark, sf))) {
+        Multimodal.odsIngest(spark, sf), Multimodal.odpIngest(spark, sf),
+        Multimodal.tarEntriesQ(spark, sf))) {
       val plan = planOf(df)
       val exchanges = "Exchange".r.findAllIn(plan).length
       assert(exchanges <= 1, s"doc text should only exchange for the orderBy:\n$plan")
