@@ -53,6 +53,22 @@ class OdpSpec extends AnyFunSuite {
       === Seq("visible\nafter", "", "last"))
   }
 
+  test("independent witness: attribute reorder + escape re-encoding are invisible") {
+    // page/paragraph attributes permuted (plus foreign extras) must
+    // not change the deck; <text:s text:c="2"/> and two bare
+    // <text:s/> escapes are the same two spaces
+    val a = slides(wrap(doc(
+      """<draw:page draw:name="p1" draw:style-name="dp1">""" +
+        """<text:p text:style-name="P1">a<text:s text:c="2"/>b</text:p>""" +
+        "</draw:page>")))
+    val b = slides(wrap(doc(
+      """<draw:page draw:style-name="dp1"  draw:name="p1">""" +
+        """<text:p text:cond-style-name="X" text:style-name="P1">a""" +
+        "<text:s/><text:s/>b</text:p></draw:page>")))
+    assert(a === Seq("a  b"))
+    assert(b === a, "attribute order / escape re-encoding must be invisible")
+  }
+
   test("declines: renamed prefixes, no pages, over-cap") {
     // draw: bound to another prefix would silently serve nothing
     val renamed = doc("<d:page><text:p>x</text:p></d:page>")

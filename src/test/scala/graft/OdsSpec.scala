@@ -113,6 +113,36 @@ class OdsSpec extends AnyFunSuite {
         "<text:p>truncated</table:table-cell></table:table-row>"))) === null)
   }
 
+  test("independent witness: repetition re-encoding and attribute order are invisible") {
+    // table:number-columns-repeated="3" and three literal cells are
+    // the SAME grid — a scanner keyed to the fixture encoder's choice
+    // of encoding would break on real writers, which use either
+    val cell = """<table:table-cell office:value-type="string">""" +
+      "<text:p>v</text:p></table:table-cell>"
+    val lit3 = cells(wrap(doc("<table:table-row>" + cell * 3 + "</table:table-row>")))
+    val rep3 = cells(wrap(doc("<table:table-row>" +
+      """<table:table-cell office:value-type="string" """ +
+      """table:number-columns-repeated="3"><text:p>v</text:p>""" +
+      "</table:table-cell></table:table-row>")))
+    assert(lit3 === Seq((1, 1, "v"), (1, 2, "v"), (1, 3, "v")))
+    assert(rep3 === lit3, "column-repeat re-encoding must be invisible")
+    // and the row form: two literal identical rows == rows-repeated=2
+    val row = "<table:table-row>" + cell + "</table:table-row>"
+    val lit2r = cells(wrap(doc(row + row)))
+    val rep2r = cells(wrap(doc(
+      """<table:table-row table:number-rows-repeated="2">""" + cell +
+        "</table:table-row>")))
+    assert(lit2r === Seq((1, 1, "v"), (2, 1, "v")) && rep2r === lit2r)
+    // attribute order within a cell head is invisible
+    val a = cells(wrap(doc("<table:table-row>" +
+      """<table:table-cell office:value-type="float" office:value="5.5"/>""" +
+      "</table:table-row>")))
+    val b = cells(wrap(doc("<table:table-row>" +
+      """<table:table-cell office:value="5.5"  office:value-type="float"/>""" +
+      "</table:table-row>")))
+    assert(a === Seq((1, 1, "5.5")) && b === a)
+  }
+
   test("a valued repeat past the cap declines BEFORE expanding") {
     // every cell claims 2^20 valued copies: the decline must fire at
     // the repeat attribute, never after allocating the expansion (the

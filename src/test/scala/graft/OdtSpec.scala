@@ -100,6 +100,30 @@ class OdtSpec extends AnyFunSuite {
     assert(txt(wrap(doc(atCap.toString))) != null)
   }
 
+  test("independent witness: attribute reorder + annotation position are invisible") {
+    // the scan keys on tag NAMES: the same document with every
+    // attribute list permuted (and foreign attributes added) must
+    // extract identical text — the fixture encoder and the scanner
+    // must not share a byte-layout assumption
+    val a = doc("""<text:p text:style-name="P1" text:cond-style-name="Q">""" +
+      """one <text:span text:style-name="T1" text:class-names="c">two</text:span>""" +
+      """<text:s text:c="2"/>three<text:tab/>4</text:p>""")
+    val b = doc("""<text:p text:cond-style-name="Q"  text:style-name="P1">""" +
+      """one <text:span text:class-names="c" text:style-name="T1">two</text:span>""" +
+      """<text:s text:c="2"/>three<text:tab/>4</text:p>""")
+    val ta = txt(wrap(a))
+    assert(ta === "one two  three\t4")
+    assert(txt(wrap(b)) === ta, "attribute order must be invisible")
+    // moving a skipped annotation block WITHIN the paragraph must not
+    // change the extracted text (its position is commentary anchoring,
+    // not document text)
+    val ann = "<office:annotation><text:p>margin</text:p></office:annotation>"
+    val early = txt(wrap(doc(s"<text:p>a${ann}bc</text:p>")))
+    val late = txt(wrap(doc(s"<text:p>ab${ann}c</text:p>")))
+    assert(early === "abc" && late === early,
+      "annotation position must be invisible")
+  }
+
   test("whitespace-escape amplification declines at the output ceiling") {
     // 300 copies of <text:s text:c="9999"/> (~7 KB of input) claim
     // ~3M spaces — past the 1 MiB output bound the document declines
