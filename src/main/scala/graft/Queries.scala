@@ -517,6 +517,8 @@ object Queries {
     "mm_zip_extract" -> (Multimodal.zipExtractQ _),
     "pipeline_docx_ingest" -> (Multimodal.docxIngest _),
     "text_rtf_extract" -> (Multimodal.rtfIngest _),
+    "text_doc_extract" -> (Multimodal.docBinIngest _),
+    "mm_cfb_entries" -> (Multimodal.cfbEntriesQ _),
     "text_odt_extract" -> (Multimodal.odtIngest _),
     "pipeline_ods_ingest" -> (Multimodal.odsIngest _),
     "pipeline_odp_ingest" -> (Multimodal.odpIngest _),
@@ -1742,12 +1744,26 @@ object Queries {
        "CASE WHEN (doc_id + t.i) % 3 = 0 THEN chr(9) || 'end' ELSE '' END " +
        "END " +
        "FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
-       "WHERE m = 7 AND t.i < n4), " +
+       "WHERE m = 7 AND t.i < n4 " +
+       "UNION ALL " +
+       // binary .doc (the m=4 CFB sub-split): DocEncode.decodedPara
+       // paragraphs, each ending with the \r paragraph mark (the empty
+       // unit at i = n4 makes string_agg end with chr(10))
+       "SELECT doc_id, t.i, " +
+       "CASE WHEN t.i = n4 THEN '' ELSE " +
+       "'Para ' || CAST(t.i AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) || ': ' || " +
+       "CASE WHEN t.i < (n4 + 1) // 2 " +
+       "THEN 'café §' || CAST((doc_id + t.i) % 9 AS VARCHAR) " +
+       "ELSE '€ — 𝄞 ok' END END " +
+       "FROM d CROSS JOIN (VALUES (0), (1), (2), (3), (4)) AS t(i) " +
+       "WHERE m = 4 AND (doc_id // 8) % 2 = 1 AND t.i <= n4), " +
        "agg AS (SELECT doc_id, string_agg(unit, chr(10) ORDER BY idx) AS text " +
        "FROM u GROUP BY doc_id) " +
        "SELECT d.doc_id, " +
        "CASE m WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx' WHEN 2 THEN 'pptx' " +
-       "WHEN 3 THEN 'epub' WHEN 4 THEN 'zip' WHEN 5 THEN 'pdf' " +
+       "WHEN 3 THEN 'epub' " +
+       "WHEN 4 THEN (CASE WHEN (d.doc_id // 8) % 2 = 1 THEN 'doc' ELSE 'zip' END) " +
+       "WHEN 5 THEN 'pdf' " +
        "WHEN 6 THEN 'rtf' ELSE 'odt' END AS kind, " +
        "agg.text AS text " +
        "FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id " +
@@ -2001,6 +2017,31 @@ object Queries {
        "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
        "WHERE doc_id % 179 <> 0 AND t.i < doc_id % 4 + 1 " +
        "GROUP BY doc_id ORDER BY doc_id"),
+    // Word 97 binary twin: paragraphs 0..n-1 each end with the \r
+    // paragraph mark (→ chr(10)); the first ceil(n/2) live in the
+    // cp1252 COMPRESSED piece, the rest in the UTF-16LE piece with an
+    // astral pair (DocEncode.decodedPara contract) — the oracle
+    // certifies the CFB walk, FIB, and piece table end to end
+    "text_doc_extract" ->
+      ("SELECT doc_id, string_agg(" +
+       "'Para ' || CAST(t.i AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) || ': ' || " +
+       "CASE WHEN t.i < (doc_id % 4 + 2) // 2 " +
+       "THEN 'café §' || CAST((doc_id + t.i) % 9 AS VARCHAR) " +
+       "ELSE '€ — 𝄞 ok' END, " +
+       "chr(10) ORDER BY t.i) || chr(10) AS text " +
+       "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
+       "WHERE doc_id % 165 <> 0 AND t.i < doc_id % 4 + 1 " +
+       "GROUP BY doc_id ORDER BY doc_id"),
+    // CFB directory census twin: every valid container carries exactly
+    // Root Entry (type 5), WordDocument, 1Table (type 2) in directory
+    // order — the layout-independent envelope row
+    "mm_cfb_entries" ->
+      ("SELECT doc_id, CAST(t.i AS INTEGER) AS entry_idx, " +
+       "CASE t.i WHEN 0 THEN 'Root Entry' WHEN 1 THEN 'WordDocument' " +
+       "ELSE '1Table' END AS name, " +
+       "CAST(CASE WHEN t.i = 0 THEN 5 ELSE 2 END AS INTEGER) AS obj_type " +
+       "FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS t(i) " +
+       "WHERE doc_id % 165 <> 0 ORDER BY doc_id, entry_idx"),
     // gzip triage twin: header variant cycles on doc_id%3, payload
     // length and mtime are doc_id arithmetic, a second member lands on
     // every 4th doc — the oracle restates the whole row, certifying

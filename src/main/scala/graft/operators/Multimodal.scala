@@ -345,6 +345,15 @@ object Multimodal {
         // 3rd doc so the EOCD tail scan is load-bearing
         (id % 149 =!= 0, graft.plans.VectorExpressions.zipEncode(
           id.cast("long"), (id % 6 + 1).cast("int"), id % 3 === 0)))
+      case "docbin" => Seq(
+        (id % 165 === 0, encode(text.substr(1, 20), "UTF-8")),
+        // REAL Word 97 binary documents in REAL CFB containers
+        // (plans.DocEncode): FAT-chained WordDocument stream, the
+        // 1Table companion in the MINI stream, a two-piece piece
+        // table (cp1252 + UTF-16LE) — every decoded character is
+        // doc_id arithmetic
+        (id % 165 =!= 0, graft.plans.VectorExpressions.docEncode(
+          id.cast("long"), (id % 4 + 1).cast("int"))))
       case "tar" => Seq(
         (id % 169 === 0, encode(text.substr(1, 20), "UTF-8")),
         // REAL ustar archives (plans.TarEncode): a directory member,
@@ -468,8 +477,14 @@ object Multimodal {
           id.cast("long"), (id % 3 + 1).cast("int"))),
         (id % 119 =!= 0 && id % 8 === 3, graft.plans.VectorExpressions.epubEncode(
           id.cast("long"), (id % 3 + 1).cast("int"))),
-        (id % 119 =!= 0 && id % 8 === 4, graft.plans.VectorExpressions.zipEncode(
-          id.cast("long"), (id % 6 + 1).cast("int"), id % 3 === 0)),
+        // m=4 sub-splits: plain zip vs the CFB-magic binary .doc (the
+        // D0CF11E0 route — its extractor is the piece-table walk)
+        (id % 119 =!= 0 && id % 8 === 4 && floor(id / 8) % 2 === 0,
+          graft.plans.VectorExpressions.zipEncode(
+            id.cast("long"), (id % 6 + 1).cast("int"), id % 3 === 0)),
+        (id % 119 =!= 0 && id % 8 === 4 && floor(id / 8) % 2 === 1,
+          graft.plans.VectorExpressions.docEncode(
+            id.cast("long"), (id % 4 + 1).cast("int"))),
         (id % 119 =!= 0 && id % 8 === 5, graft.plans.VectorExpressions.pdfTextEncode(
           id.cast("long"), (id % 4 + 1).cast("int"))),
         (id % 119 =!= 0 && id % 8 === 6, graft.plans.VectorExpressions.rtfEncode(
@@ -798,7 +813,7 @@ object Multimodal {
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
       "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "avif",
       "gzip", "pdf", "pdftext", "warc", "warchtml", "warchttp", "warcpdf",
-      "httplegacy", "zip", "tar", "docx", "rtf", "odt", "ods", "odp", "xlsx",
+      "httplegacy", "zip", "tar", "docbin", "docx", "rtf", "odt", "ods", "odp", "xlsx",
       "pptx", "epub", "office", "docmix", "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
@@ -1370,6 +1385,31 @@ object Multimodal {
     * the uc fallback protocol, named punctuation) → whole-document
     * text per row. Non-RTF rows decline to NULL and drop — the same
     * single codegen'd scan shape as the rest of the document family. */
+  /** The Word 97-2003 BINARY leg: .doc → the CFB FAT/directory walk →
+    * FIB → piece table → text (cp1252 + UTF-16LE pieces) — the legacy
+    * format a real crawl's attachments still carry in volume, served
+    * through two public specs (MS-CFB + MS-DOC) in one shuffle-free
+    * codegen'd scan. The non-doc gate rows decline to NULL and drop. */
+  def docBinIngest(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "docbin")
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.docText(col("docbin")).as("text"))
+      .filter(col("text").isNotNull)
+      .orderBy(col("doc_id"))
+
+  /** CFB directory census over the binary-Office corpus: one row per
+    * directory entry per doc (name, object type) — the container
+    * envelope pass (the ZIP census's sibling for the D0CF11E0
+    * family). Sizes are served by the expression but the census
+    * projects the layout-independent columns. */
+  def cfbEntriesQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "docbin")
+      .select(col("doc_id"),
+        posexplode(graft.plans.VectorExpressions.cfbEntries(col("docbin"))))
+      .select(col("doc_id"), col("pos").cast("int").as("entry_idx"),
+        col("col.name").as("name"), col("col.obj_type").as("obj_type"))
+      .orderBy(col("doc_id"), col("entry_idx"))
+
   def rtfIngest(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir, "rtf")
       .select(col("doc_id"),
@@ -1479,7 +1519,10 @@ object Multimodal {
         when(substring(p, 1, 5) === lit("%PDF-".getBytes("US-ASCII")), lit("pdf"))
           .when(substring(p, 1, 5) === lit("{\\rtf".getBytes("US-ASCII")), lit("rtf"))
           .when(substring(p, 1, 2) === lit("PK".getBytes("US-ASCII")),
-            graft.plans.VectorExpressions.zipKind(p)),
+            graft.plans.VectorExpressions.zipKind(p))
+          .when(substring(p, 1, 8) === lit(Array(0xD0, 0xCF, 0x11, 0xE0,
+            0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)),
+            graft.plans.VectorExpressions.cfbKind(p)),
         lit("other")).as("kind"),
       p.as("payload"))
     // the PDF tier declines at PAGE granularity (a NULL element);
@@ -1509,6 +1552,8 @@ object Multimodal {
         graft.plans.VectorExpressions.pptxSlides(col("payload")), "\n"))
       .when(col("kind") === "epub", array_join(
         graft.plans.VectorExpressions.epubChapters(col("payload")), "\n"))
+      .when(col("kind") === "doc",
+        graft.plans.VectorExpressions.docText(col("payload")))
       .as("text"))
   }
 

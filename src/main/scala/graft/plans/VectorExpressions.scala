@@ -556,6 +556,14 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ods_encode", exprs => OdsEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cfb_entries", exprs => CfbEntries(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cfb_kind", exprs => CfbKind(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_doc_text", exprs => DocText(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_doc_encode", exprs => DocEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tar_entries", exprs => TarEntries(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tar_encode", exprs => TarEncode(exprs), "scala_udf")
@@ -813,6 +821,34 @@ object VectorExpressions {
   def odsEncode(seed: Column, nRows: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_ods_encode", seed, nRows)
+  }
+
+  /** CFB directory census (plans.CfbEntries), column form; same
+    * registration precondition. */
+  def cfbEntries(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_cfb_entries", c)
+  }
+
+  /** CFB stream-name classifier (plans.CfbKind), column form; same
+    * registration precondition. */
+  def cfbKind(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_cfb_kind", c)
+  }
+
+  /** Word 97-2003 binary text extraction (plans.DocText), column
+    * form; same registration precondition. */
+  def docText(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_doc_text", c)
+  }
+
+  /** Word 97 binary fixture encoder (plans.DocEncode), column form;
+    * same registration precondition. */
+  def docEncode(seed: Column, nParas: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_doc_encode", seed, nParas)
   }
 
   /** tar member census (plans.TarEntries), column form; same
