@@ -518,6 +518,7 @@ object Queries {
     "pipeline_docx_ingest" -> (Multimodal.docxIngest _),
     "text_rtf_extract" -> (Multimodal.rtfIngest _),
     "text_doc_extract" -> (Multimodal.docBinIngest _),
+    "text_pdf_encrypted" -> (Multimodal.pdfEncryptedTextQ _),
     "mm_cfb_entries" -> (Multimodal.cfbEntriesQ _),
     "text_odt_extract" -> (Multimodal.odtIngest _),
     "pipeline_ods_ingest" -> (Multimodal.odsIngest _),
@@ -2017,6 +2018,17 @@ object Queries {
        "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
        "WHERE doc_id % 179 <> 0 AND t.i < doc_id % 4 + 1 " +
        "GROUP BY doc_id ORDER BY doc_id"),
+    // encrypted-PDF twin: one row per page, the shown text pure
+    // doc_id arithmetic — hash-equality certifies the whole handler
+    // matrix (RC4-40/128, AESV2, AESV3/R6) since a wrong key cannot
+    // produce the plaintext
+    "text_pdf_encrypted" ->
+      ("SELECT doc_id, CAST(t.p AS INTEGER) AS page_no, " +
+       "'Enc ' || CAST(doc_id AS VARCHAR) || ' page ' || CAST(t.p + 1 AS VARCHAR) || " +
+       "' café ' || CAST((doc_id + t.p) % 7 AS VARCHAR) AS page_text " +
+       "FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS t(p) " +
+       "WHERE doc_id % 155 <> 0 AND t.p < doc_id % 3 + 1 " +
+       "ORDER BY doc_id, page_no"),
     // Word 97 binary twin: paragraphs 0..n-1 each end with the \r
     // paragraph mark (→ chr(10)); the first ceil(n/2) live in the
     // cp1252 COMPRESSED piece, the rest in the UTF-16LE piece with an

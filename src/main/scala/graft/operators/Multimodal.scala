@@ -345,6 +345,15 @@ object Multimodal {
         // 3rd doc so the EOCD tail scan is load-bearing
         (id % 149 =!= 0, graft.plans.VectorExpressions.zipEncode(
           id.cast("long"), (id % 6 + 1).cast("int"), id % 3 === 0)))
+      case "pdfenc" => Seq(
+        (id % 155 === 0, encode(text.substr(1, 24), "UTF-8")),
+        // REAL encrypted PDFs (plans.PdfEncryptEncode): the standard
+        // security handler with an EMPTY user password, mode id%4
+        // cycling V1/R2 RC4-40, V2/R3 RC4-128, V4/R4 AESV2 (with
+        // EncryptMetadata false on odd ids), V5/R6 AESV3 — the shown
+        // text is doc_id arithmetic
+        (id % 155 =!= 0, graft.plans.VectorExpressions.pdfEncryptEncode(
+          id.cast("long"), (id % 3 + 1).cast("int"), (id % 4).cast("int"))))
       case "docbin" => Seq(
         (id % 165 === 0, encode(text.substr(1, 20), "UTF-8")),
         // REAL Word 97 binary documents in REAL CFB containers
@@ -813,7 +822,7 @@ object Multimodal {
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
       "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "avif",
       "gzip", "pdf", "pdftext", "warc", "warchtml", "warchttp", "warcpdf",
-      "httplegacy", "zip", "tar", "docbin", "docx", "rtf", "odt", "ods", "odp", "xlsx",
+      "httplegacy", "zip", "tar", "docbin", "pdfenc", "docx", "rtf", "odt", "ods", "odp", "xlsx",
       "pptx", "epub", "office", "docmix", "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
@@ -1751,6 +1760,20 @@ object Multimodal {
     mediaTable(spark, dir, "pdftext")
       .select(col("doc_id"), posexplode(
         graft.plans.VectorExpressions.pdfPageTexts(col("pdftext"))))
+      .select(col("doc_id"), col("pos").cast("int").as("page_no"),
+        col("col").as("page_text"))
+      .orderBy(col("doc_id"), col("page_no"))
+
+  /** Encrypted-PDF text extraction, one row per (doc, page): the
+    * standard security handler (empty user password) in front of the
+    * same content-stream tier — /U verification, Algorithm 2 / 2.B
+    * file keys, per-object RC4 / AES-CBC stream decryption, then the
+    * usual xref + page-tree + font walk. Non-PDF gate rows decline
+    * and drop at the posexplode; one shuffle-free codegen'd scan. */
+  def pdfEncryptedTextQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "pdfenc")
+      .select(col("doc_id"), posexplode(
+        graft.plans.VectorExpressions.pdfPageTexts(col("pdfenc"))))
       .select(col("doc_id"), col("pos").cast("int").as("page_no"),
         col("col").as("page_text"))
       .orderBy(col("doc_id"), col("page_no"))

@@ -131,15 +131,44 @@ object PdfMeta {
       }
       if (i == start) -1L else v
     }
+    /** A hex string `<...>` → bytes (odd digit count pads 0 per
+      * §7.3.4.3), or null — the /ID elements every real writer
+      * emits. */
+    def hexStr(): Array[Byte] = {
+      skipWs()
+      if (i >= b.length || b(i) != '<') return null
+      i += 1
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      var guard = 0
+      while (i < b.length && guard < 1024) {
+        val ch = b(i) & 0xFF
+        if (ch == '>') {
+          i += 1
+          if (hi >= 0) out.write(hi << 4)
+          return out.toByteArray
+        }
+        val d = Character.digit(ch, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+        } else if (!isWs(ch)) return null
+        i += 1
+        guard += 1
+      }
+      null
+    }
   }
 
   /** One cross-reference entry: kind 0 = free, 1 = at byte offset `a`,
     * 2 = object number `a`'s object STREAM, index `b` within it. */
   private[plans] final case class Entry(kind: Int, a: Long, b: Long)
 
-  /** The trailer facts of one xref SECTION. */
+  /** The trailer facts of one xref SECTION. `encObj` is the /Encrypt
+    * dictionary's object number (-1 when absent or a non-reference);
+    * `id0` the first /ID element's bytes (null when absent) — both
+    * feed the text tier's standard-security-handler hookup. */
   private final case class Section(rootObj: Long, encrypted: Boolean,
-      prev: Long)
+      prev: Long, encObj: Long, id0: Array[Byte])
 
   /** Parse one classic xref table at `off` into `entries` (first-writer
     * = newest-section wins; callers walk newest → oldest). Returns the
@@ -183,6 +212,8 @@ object PdfMeta {
     var root = -1L
     var prev = -1L
     var enc = false
+    var encObj = -1L
+    var id0: Array[Byte] = null
     var depth = 1
     val dictStart = c.i
     while (depth > 0 && c.i < b.length && c.i - dictStart < DictWindow) {
@@ -195,11 +226,22 @@ object PdfMeta {
       } else if (depth == 1 && c.name("/Prev")) {
         prev = c.int()
         if (prev < 0) return None
-      } else if (depth == 1 && c.name("/Encrypt")) enc = true
-      else c.i += 1
+      } else if (depth == 1 && c.name("/Encrypt")) {
+        enc = true
+        val mark = c.i
+        val n = c.int()
+        if (n >= 0 && c.int() >= 0 && c.keyword("R")) encObj = n
+        else c.i = mark // a direct dict: flagged, not decryptable
+      } else if (depth == 1 && c.name("/ID")) {
+        val mark = c.i
+        if (c.keyword("[")) {
+          val h = c.hexStr()
+          if (h != null) id0 = h else c.i = mark
+        } else c.i = mark
+      } else c.i += 1
     }
     if (depth != 0) return None
-    Some(Section(root, enc, prev))
+    Some(Section(root, enc, prev, encObj, id0))
   }
 
   /** Scan a dictionary starting at `start` (must open with `<<`) for
@@ -319,6 +361,8 @@ object PdfMeta {
     var w1 = -1L; var w2 = -1L; var w3 = -1L
     var size = -1L; var root = -1L; var prev = -1L; var length = -1L
     var enc = false
+    var encObj = -1L
+    var id0: Array[Byte] = null
     var flateFilter = false; var anyFilter = false
     var predictor = 1L; var columns = 1L
     val index = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
@@ -354,8 +398,19 @@ object PdfMeta {
         if (c.int() < 0 || !c.keyword("R")) return None
       } else if (depth == 1 && c.name("/Prev")) {
         prev = c.int(); if (prev < 0) return None
-      } else if (depth == 1 && c.name("/Encrypt")) enc = true
-      else if (depth == 1 && c.name("/Filter")) {
+      } else if (depth == 1 && c.name("/Encrypt")) {
+        enc = true
+        val mark = c.i
+        val n = c.int()
+        if (n >= 0 && c.int() >= 0 && c.keyword("R")) encObj = n
+        else c.i = mark
+      } else if (depth == 1 && c.name("/ID")) {
+        val mark = c.i
+        if (c.keyword("[")) {
+          val h = c.hexStr()
+          if (h != null) id0 = h else c.i = mark
+        } else c.i = mark
+      } else if (depth == 1 && c.name("/Filter")) {
         anyFilter = true
         c.skipWs()
         if (c.name("/FlateDecode")) flateFilter = true
@@ -443,7 +498,7 @@ object PdfMeta {
         k += 1
       }
     }
-    Some(Section(root, enc, prev))
+    Some(Section(root, enc, prev, encObj, id0))
   }
 
   /** One xref section at `off`, whichever layout: the classic table
@@ -525,7 +580,8 @@ object PdfMeta {
     * /Root object number, and the /Encrypt flag — everything both the
     * triage and the text tier need before touching an object. */
   private[plans] final case class Chain(
-      entries: java.util.HashMap[Long, Entry], root: Long, encrypted: Boolean)
+      entries: java.util.HashMap[Long, Entry], root: Long, encrypted: Boolean,
+      encObj: Long, id0: Array[Byte])
 
   /** Header check + startxref + the full /Prev chain walk (steps 1-4
     * of the triage contract), shared with [[PdfPageTexts]]. Null on
@@ -552,6 +608,8 @@ object PdfMeta {
     val entries = new java.util.HashMap[Long, Entry]()
     var rootObj = -1L
     var encrypted = false
+    var encObj = -1L
+    var id0: Array[Byte] = null
     var off = xrefOff
     var hops = 0
     while (off >= 0 && hops < MaxPrevHops) {
@@ -560,13 +618,15 @@ object PdfMeta {
         case Some(s) =>
           if (rootObj < 0 && s.rootObj >= 0) rootObj = s.rootObj
           encrypted |= s.encrypted
+          if (encObj < 0 && s.encObj >= 0) encObj = s.encObj
+          if (id0 == null && s.id0 != null) id0 = s.id0
           off = s.prev
           hops += 1
       }
     }
     if (off >= 0) return null // /Prev chain exceeded the hop bound
     if (rootObj < 0) return null
-    Chain(entries, rootObj, encrypted)
+    Chain(entries, rootObj, encrypted, encObj, id0)
   }
 
   def parse(b: Array[Byte]): InternalRow = {

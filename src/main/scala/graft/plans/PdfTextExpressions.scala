@@ -71,9 +71,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * DECLINES that page — a NULL array element — while the rest of the
   * document still serves (fonts decode lazily on Tf, so a broken
   * font poisons only pages that select it). STRUCTURAL failures —
-  * the xref chain, encryption, the catalog, the page TREE — decline
-  * the whole document (NULL). Either way nothing is ever garbled;
-  * each declined case is a later tier.
+  * the xref chain, the catalog, the page TREE — decline the whole
+  * document (NULL). Encrypted documents serve through the standard
+  * security handler when the USER password is empty ([[PdfCrypt]]:
+  * RC4 V1/V2, AESV2, AESV3 R5/R6); a real password or a non-Standard
+  * handler declines. Either way nothing is ever garbled; each
+  * declined case is a later tier.
   *
   * Parse-or-NULL bounds throughout: object parse depth 16, 4096
   * array elements / 256 dict pairs / 64 KiB strings, 2048 page-tree
@@ -574,6 +577,9 @@ object PdfPageTexts {
     private val memo = new java.util.HashMap[Long, PObj]()
     private val inProgress = new java.util.HashSet[Long]()
     private var resolved = 0
+    /** The standard-security-handler decryptor, installed AFTER the
+      * /Encrypt dict itself was resolved (it is never encrypted). */
+    var crypt: PdfCrypt = null
 
     def apply(o: PObj): PObj = o match {
       case PRef(n) => resolve(n)
@@ -609,7 +615,9 @@ object PdfPageTexts {
     private def atOffset(off: Long): PObj = {
       if (off < 0 || off >= b.length) decline()
       val lex = new Lex(b, off.toInt)
-      lex.number(); lex.skipWs(); lex.number() // "N G obj"
+      val objNum = lex.number() // "N G obj" — the pair keys Algorithm 1
+      lex.skipWs()
+      val genNum = lex.number()
       if (lex.token() != "obj") decline()
       val o = lex.obj(0, refs = true)
       val mark = lex.i
@@ -627,8 +635,19 @@ object PdfPageTexts {
         case _ => decline()
       }
       if (lex.i + len > b.length) decline()
-      val raw = decodeFilters(dict,
-        java.util.Arrays.copyOfRange(b, lex.i, lex.i + len.toInt))
+      val body = java.util.Arrays.copyOfRange(b, lex.i, lex.i + len.toInt)
+      // decryption precedes the filter pipeline (§7.6.2 order); xref
+      // streams are NEVER encrypted whatever the handler says
+      val plain =
+        if (crypt == null) body
+        else dict.m.get("Type") match {
+          case Some(PName("XRef")) => body
+          case _ =>
+            val d = crypt.decryptStream(objNum.toLong, genNum.toInt, body)
+            if (d == null) decline()
+            d
+        }
+      val raw = decodeFilters(dict, plain)
       PStream(dict, raw)
     }
 
@@ -1274,8 +1293,21 @@ object PdfPageTexts {
     try {
       val chain = PdfMeta.chainWalk(b)
       if (chain == null) return null
-      if (chain.encrypted) return null // no decryption tier
       val r = new Resolver(b, chain.entries)
+      if (chain.encrypted) {
+        // the standard security handler, EMPTY user password only —
+        // the "permissions-protected" PDF every viewer opens silently;
+        // a real password (the /U check fails) or a non-Standard
+        // handler declines the document whole
+        if (chain.encObj < 0) return null
+        val encDict = r.resolve(chain.encObj) match {
+          case PDict(m) => m
+          case _ => return null
+        }
+        val crypt = buildCrypt(r, encDict, chain.id0)
+        if (crypt == null) return null
+        r.crypt = crypt
+      }
       val catalog = r.resolve(chain.root) match {
         case PDict(m) => m; case _ => decline()
       }
@@ -1312,6 +1344,58 @@ object PdfPageTexts {
       }
       new GenericArrayData(pages.result().toArray[Any])
     } catch { case _: Decline => null }
+
+  /** The /Encrypt dict → a [[PdfCrypt]], or null (unsupported tier /
+    * wrong password). Field extraction only — the algorithms live in
+    * [[PdfCrypt.make]]. */
+  private def buildCrypt(r: Resolver, m: Map[String, PObj],
+      id0: Array[Byte]): PdfCrypt = {
+    def num(k: String, dflt: Long): Long = m.get(k).map(r(_)) match {
+      case Some(PNum(v)) if v == math.floor(v) => v.toLong
+      case None => dflt
+      case _ => Long.MinValue
+    }
+    def bytes(k: String): Array[Byte] = m.get(k).map(r(_)) match {
+      case Some(PStr(v)) => v
+      case _ => null
+    }
+    val filter = m.get("Filter").map(r(_)) match {
+      case Some(PName(n)) => n
+      case _ => return null
+    }
+    val v = num("V", 0)
+    val rev = num("R", 0)
+    val len = num("Length", 40)
+    val p = num("P", Long.MinValue)
+    if (v == Long.MinValue || rev == Long.MinValue || len == Long.MinValue ||
+      p == Long.MinValue) return null
+    val encMeta = m.get("EncryptMetadata").map(r(_)) match {
+      case Some(PBool(x)) => x
+      case None => true
+      case _ => return null
+    }
+    var cfm = ""
+    var stmfStd = false
+    if (v >= 4) {
+      val stdCf = m.get("CF").map(r(_)) match {
+        case Some(PDict(cf)) => cf.get("StdCF").map(r(_)) match {
+          case Some(PDict(s)) => s
+          case _ => return null
+        }
+        case _ => return null
+      }
+      cfm = stdCf.get("CFM") match {
+        case Some(PName(n)) => n
+        case _ => return null
+      }
+      stmfStd = m.get("StmF").map(r(_)) match {
+        case Some(PName("StdCF")) => true
+        case _ => false
+      }
+    }
+    PdfCrypt.make(filter, v.toInt, rev.toInt, len.toInt, bytes("O"),
+      bytes("U"), bytes("OE"), bytes("UE"), p, encMeta, cfm, stmfStd, id0)
+  }
 
   private def pageText(r: Resolver, page: Map[String, PObj],
       res: Option[PObj]): String = {

@@ -556,6 +556,8 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ods_encode", exprs => OdsEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pdf_encrypt_encode", exprs => PdfEncryptEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cfb_entries", exprs => CfbEntries(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cfb_kind", exprs => CfbKind(exprs(0)), "scala_udf")
@@ -821,6 +823,13 @@ object VectorExpressions {
   def odsEncode(seed: Column, nRows: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_ods_encode", seed, nRows)
+  }
+
+  /** Encrypted-PDF fixture encoder (plans.PdfEncryptEncode), column
+    * form; same registration precondition. */
+  def pdfEncryptEncode(seed: Column, nPages: Column, mode: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_pdf_encrypt_encode", seed, nPages, mode)
   }
 
   /** CFB directory census (plans.CfbEntries), column form; same

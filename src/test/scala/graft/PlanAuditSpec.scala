@@ -118,7 +118,8 @@ class PlanAuditSpec extends SparkSpec {
         Multimodal.rtfIngest(spark, sf), Multimodal.odtIngest(spark, sf),
         Multimodal.odsIngest(spark, sf), Multimodal.odpIngest(spark, sf),
         Multimodal.tarEntriesQ(spark, sf), Multimodal.docBinIngest(spark, sf),
-        Multimodal.cfbEntriesQ(spark, sf))) {
+        Multimodal.cfbEntriesQ(spark, sf),
+        Multimodal.pdfEncryptedTextQ(spark, sf))) {
       val plan = planOf(df)
       val exchanges = "Exchange".r.findAllIn(plan).length
       assert(exchanges <= 1, s"doc text should only exchange for the orderBy:\n$plan")
