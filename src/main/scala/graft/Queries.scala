@@ -519,6 +519,7 @@ object Queries {
     "text_rtf_extract" -> (Multimodal.rtfIngest _),
     "text_doc_extract" -> (Multimodal.docBinIngest _),
     "text_pdf_encrypted" -> (Multimodal.pdfEncryptedTextQ _),
+    "text_pdf_cmap" -> (Multimodal.pdfCMapTextQ _),
     "mm_cfb_entries" -> (Multimodal.cfbEntriesQ _),
     "text_odt_extract" -> (Multimodal.odtIngest _),
     "pipeline_ods_ingest" -> (Multimodal.odsIngest _),
@@ -2028,6 +2029,16 @@ object Queries {
        "' café ' || CAST((doc_id + t.p) % 7 AS VARCHAR) AS page_text " +
        "FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS t(p) " +
        "WHERE doc_id % 155 <> 0 AND t.p < doc_id % 3 + 1 " +
+       "ORDER BY doc_id, page_no"),
+    // embedded-CMap composite twin: one row per page, the decoded
+    // text doc_id arithmetic (ASCII through the 1-byte band, the
+    // three specials through 2-byte bfchars — PdfCMapEncode contract)
+    "text_pdf_cmap" ->
+      ("SELECT doc_id, CAST(t.p AS INTEGER) AS page_no, " +
+       "'Cmap ' || CAST(doc_id AS VARCHAR) || ' page ' || CAST(t.p + 1 AS VARCHAR) || " +
+       "' é€𝄞 ' || CAST((doc_id + t.p) % 5 AS VARCHAR) AS page_text " +
+       "FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS t(p) " +
+       "WHERE doc_id % 135 <> 0 AND t.p < doc_id % 3 + 1 " +
        "ORDER BY doc_id, page_no"),
     // Word 97 binary twin: paragraphs 0..n-1 each end with the \r
     // paragraph mark (→ chr(10)); the first ceil(n/2) live in the

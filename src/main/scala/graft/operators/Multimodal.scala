@@ -354,6 +354,12 @@ object Multimodal {
         // text is doc_id arithmetic
         (id % 155 =!= 0, graft.plans.VectorExpressions.pdfEncryptEncode(
           id.cast("long"), (id % 3 + 1).cast("int"), (id % 4).cast("int"))))
+      case "pdfcmap" => Seq(
+        (id % 135 === 0, encode(text.substr(1, 24), "UTF-8")),
+        // composite-font PDFs whose /Encoding is an embedded CMap
+        // STREAM with a mixed 1-/2-byte codespace (plans.PdfCMapEncode)
+        (id % 135 =!= 0, graft.plans.VectorExpressions.pdfCMapEncode(
+          id.cast("long"), (id % 3 + 1).cast("int"))))
       case "docbin" => Seq(
         (id % 165 === 0, encode(text.substr(1, 20), "UTF-8")),
         // REAL Word 97 binary documents in REAL CFB containers
@@ -822,7 +828,7 @@ object Multimodal {
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
       "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "avif",
       "gzip", "pdf", "pdftext", "warc", "warchtml", "warchttp", "warcpdf",
-      "httplegacy", "zip", "tar", "docbin", "pdfenc", "docx", "rtf", "odt", "ods", "odp", "xlsx",
+      "httplegacy", "zip", "tar", "docbin", "pdfenc", "pdfcmap", "docx", "rtf", "odt", "ods", "odp", "xlsx",
       "pptx", "epub", "office", "docmix", "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
@@ -1774,6 +1780,19 @@ object Multimodal {
     mediaTable(spark, dir, "pdfenc")
       .select(col("doc_id"), posexplode(
         graft.plans.VectorExpressions.pdfPageTexts(col("pdfenc"))))
+      .select(col("doc_id"), col("pos").cast("int").as("page_no"),
+        col("col").as("page_text"))
+      .orderBy(col("doc_id"), col("page_no"))
+
+  /** Embedded-CMap composite-font text extraction, one row per (doc,
+    * page): the §9.7.5.3 tier — /Encoding as a CMap STREAM whose
+    * mixed-width codespace segments the show strings (the CJK shape),
+    * decoded through a variable-width /ToUnicode. Same single
+    * codegen'd scan as every PDF query. */
+  def pdfCMapTextQ(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "pdfcmap")
+      .select(col("doc_id"), posexplode(
+        graft.plans.VectorExpressions.pdfPageTexts(col("pdfcmap"))))
       .select(col("doc_id"), col("pos").cast("int").as("page_no"),
         col("col").as("page_text"))
       .orderBy(col("doc_id"), col("page_no"))

@@ -942,6 +942,38 @@ object PdfPageTexts {
     extends FontDec
   private final case class CidFont(map: java.util.HashMap[Integer, String])
     extends FontDec
+  /** An embedded-CMap composite font: the /Encoding stream's
+    * codespace segments the show string into 1- and 2-byte codes;
+    * the /ToUnicode map is keyed by (length, value) — see
+    * [[codeKey]]. */
+  private final case class CmapFont(cs: CodeSpace,
+      map: java.util.HashMap[Integer, String]) extends FontDec
+
+  /** A parsed codespacerange set: inclusive first-byte spans per code
+    * length (the byte-length dispatch is BY FIRST BYTE — mixed-length
+    * spans sharing a first byte decline at parse time, so the
+    * segmentation is never ambiguous). */
+  private final case class CodeSpace(
+      one: Vector[(Int, Int)], two: Vector[(Int, Int)]) {
+    def lenAt(first: Int): Int = {
+      var i = 0
+      while (i < one.length) {
+        if (first >= one(i)._1 && first <= one(i)._2) return 1
+        i += 1
+      }
+      i = 0
+      while (i < two.length) {
+        if (first >= two(i)._1 && first <= two(i)._2) return 2
+        i += 1
+      }
+      0 // outside every range: decline at the call site
+    }
+  }
+
+  /** Variable-width code → map key: 1-byte codes live at 0..255,
+    * 2-byte at 0x10000+code — the lengths never collide. */
+  private def codeKey(len: Int, code: Int): Int =
+    if (len == 1) code else 0x10000 + code
 
   /** The decode for one font object, or decline.
     *
@@ -991,22 +1023,97 @@ object PdfPageTexts {
     }
   }
 
-  /** The /Type0 tier (§9.7): horizontal Identity ordering only —
-    * /Encoding must be the NAME Identity-H (Identity-V vertical
-    * writing and embedded-CMap-stream encodings are the recorded
-    * envelope), and the unicode text comes from the font's /ToUnicode
-    * CMap (§9.10.3). A Type0 with no /ToUnicode declines: CIDs carry
-    * no inherent character identity, serving them would be a guess. */
+  /** The /Type0 tier (§9.7), horizontal writing only. /Encoding is
+    * either the NAME Identity-H (2-byte codes) or an EMBEDDED CMAP
+    * STREAM (§9.7.5.3) whose codespacerange sections drive the 1-/
+    * 2-byte code segmentation (the CJK composite case; cidrange
+    * content is glyph selection and inert for extraction). Vertical
+    * writing (Identity-V or /WMode 1), `usecmap` composition, and
+    * 3-/4-byte codespaces stay the recorded envelope. Unicode text
+    * comes from the font's /ToUnicode CMap (§9.10.3) in both forms;
+    * a Type0 with no /ToUnicode declines: CIDs carry no inherent
+    * character identity, serving them would be a guess. */
   private def cidFont(r: Resolver, dict: Map[String, PObj]): FontDec = {
-    r(dict.getOrElse("Encoding", decline())) match {
-      case PName("Identity-H") => ()
-      case _ => decline()
-    }
+    val enc = r(dict.getOrElse("Encoding", decline()))
     val tu = r(dict.getOrElse("ToUnicode", decline())) match {
       case s: PStream => s.data
       case _ => decline()
     }
-    CidFont(parseToUnicode(tu, 2))
+    enc match {
+      case PName("Identity-H") => CidFont(parseToUnicode(tu, 2))
+      case s: PStream =>
+        CmapFont(parseCidCMap(s.data), parseToUnicode(tu, -1))
+      case _ => decline()
+    }
+  }
+
+  /** An embedded /Encoding CMap stream: collect the codespacerange
+    * spans (1- and 2-byte; anything wider declines), reject vertical
+    * writing (/WMode 1) and `usecmap`, leave cidrange/cidchar inert.
+    * Mixed-length spans sharing a first byte decline — the show-string
+    * segmentation must be deterministic. */
+  private def parseCidCMap(data: Array[Byte]): CodeSpace = {
+    val lex = new Lex(data, 0)
+    var guard = 0
+    val one = Vector.newBuilder[(Int, Int)]
+    val two = Vector.newBuilder[(Int, Int)]
+    var sawSpace = false
+    while ({ lex.skipWs(); !lex.atEnd }) {
+      guard += 1
+      if (guard > MaxOps) decline()
+      val c = lex.peek
+      if (c == '/') {
+        lex.i += 1
+        val n = lex.name()
+        if (n == "WMode") {
+          lex.obj(0, refs = false) match {
+            case PNum(v) if v == 0 => ()
+            case _ => decline() // vertical writing: recorded envelope
+          }
+        }
+      } else if (c == '(' || c == '<' || c == '[' || c == '+' || c == '-' ||
+        c == '.' || (c >= '0' && c <= '9')) {
+        lex.obj(0, refs = false)
+      } else lex.token() match {
+        case "begincodespacerange" =>
+          var going = true
+          while (going) {
+            lex.skipWs()
+            if (lex.atEnd) decline()
+            if (lex.peek == '<') {
+              val lo = lex.obj(0, refs = false) match {
+                case PStr(bs) => bs
+                case _ => decline()
+              }
+              val hi = lex.obj(0, refs = false) match {
+                case PStr(bs) => bs
+                case _ => decline()
+              }
+              if (lo.length != hi.length) decline()
+              sawSpace = true
+              lo.length match {
+                case 1 => one += (((lo(0) & 0xFF), (hi(0) & 0xFF)))
+                case 2 => two += (((lo(0) & 0xFF), (hi(0) & 0xFF)))
+                case _ => decline() // 3-/4-byte codes: recorded envelope
+              }
+            } else if (lex.token() != "endcodespacerange") decline()
+            else going = false
+          }
+        case "usecmap" => decline() // composition: recorded envelope
+        case _ => () // cidrange/cidchar content and PS shell: inert
+      }
+    }
+    if (!sawSpace) decline()
+    val cs = CodeSpace(one.result(), two.result())
+    // the first-byte dispatch must be unambiguous
+    var f = 0
+    while (f < 256) {
+      val in1 = cs.one.exists(r => f >= r._1 && f <= r._2)
+      val in2 = cs.two.exists(r => f >= r._1 && f <= r._2)
+      if (in1 && in2) decline()
+      f += 1
+    }
+    cs
   }
 
   /** Total bfchar/bfrange mapping PUTS a ToUnicode CMap may perform —
@@ -1038,10 +1145,16 @@ object PdfPageTexts {
       if (puts > MaxCidPuts) decline()
       map.put(code, s)
     }
+    // codeBytes -1 = the variable-width embedded-CMap tier: 1- and
+    // 2-byte codes both legal, keyed by (length, value) via codeKey
     def srcCode(o: PObj): Int = o match {
       case PStr(bs) if bs.length == codeBytes =>
         if (codeBytes == 1) bs(0) & 0xFF
         else ((bs(0) & 0xFF) << 8) | (bs(1) & 0xFF)
+      case PStr(bs) if codeBytes == -1 && bs.length == 1 =>
+        codeKey(1, bs(0) & 0xFF)
+      case PStr(bs) if codeBytes == -1 && bs.length == 2 =>
+        codeKey(2, ((bs(0) & 0xFF) << 8) | (bs(1) & 0xFF))
       case _ => decline() // a code outside this tier's width
     }
     /** The next section element, or None at the section's end token. */
@@ -1087,6 +1200,9 @@ object PdfPageTexts {
                 val lo = srcCode(loObj)
                 val hi = srcCode(lex.obj(0, refs = false))
                 if (hi < lo) decline()
+                // variable-width tier: a range must stay in one width
+                if (codeBytes == -1 && (lo >= 0x10000) != (hi >= 0x10000))
+                  decline()
                 lex.obj(0, refs = false) match {
                   case PStr(base) =>
                     val s0 = utf16be(base)
@@ -1227,6 +1343,22 @@ object PdfPageTexts {
           if (u == null) decline() // unmapped CID: never garble
           out.append(u)
           i += 2
+        }
+      case CmapFont(cs, map) =>
+        // the embedded CMap's codespace segments the string; a first
+        // byte outside every range, a truncated 2-byte code, or an
+        // unmapped code declines — never a resynchronization guess
+        var i = 0
+        while (i < s.length) {
+          val len = cs.lenAt(s(i) & 0xFF)
+          if (len == 0 || i + len > s.length) decline()
+          val code =
+            if (len == 1) s(i) & 0xFF
+            else ((s(i) & 0xFF) << 8) | (s(i + 1) & 0xFF)
+          val u = map.get(codeKey(len, code))
+          if (u == null) decline()
+          out.append(u)
+          i += len
         }
     }
   }
@@ -1747,6 +1879,111 @@ object PdfTextEncode {
       }
     }
 
+    val size = offsets.length + 1
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 $size\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    sb.toString.getBytes("ISO-8859-1")
+  }
+}
+
+/** `graft_pdf_cmap_encode(seed, n_pages)` → binary: a REAL composite-
+  * font PDF whose /Encoding is an EMBEDDED CMAP STREAM (§9.7.5.3) with
+  * a MIXED-WIDTH codespace — 1-byte codes <00>-<7f> and 2-byte codes
+  * <8000>-<ffff>, the CJK shift-JIS shape — plus a variable-width
+  * /ToUnicode (an ASCII bfrange over the 1-byte band, bfchars over
+  * the 2-byte band incl. a surrogate-pair target). Every shown
+  * character is (seed, p) arithmetic: [[PdfCMapEncode.decodedPage]]. */
+case class PdfCMapEncode(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val expected = Seq(LongType, IntegerType)
+    if (children.length == 2 && children.map(_.dataType) == expected)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_pdf_cmap_encode expects (long seed, int n_pages)")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pdf_cmap_encode"
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) null
+    else PdfCMapEncode.encode(vs(0).asInstanceOf[Long], vs(1).asInstanceOf[Int])
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PdfCMapEncode =
+    copy(children = newChildren)
+}
+
+object PdfCMapEncode {
+
+  /** What [[PdfPageTexts]] must decode page p (0-based) to — the
+    * oracle's contract: ASCII through the 1-byte band, é/€/𝄞 through
+    * the 2-byte bfchars. */
+  def decodedPage(seed: Long, p: Int): String =
+    s"Cmap $seed page ${p + 1} é€𝄞 ${(seed + p) % 5}"
+
+  private def asciiHex(s: String): String =
+    s.map(c => f"${c.toInt}%02x").mkString
+
+  def encode(seed: Long, nPages: Int): Array[Byte] = {
+    if (seed < 0 || nPages < 1 || nPages > 64) return null
+    val encodingCMap =
+      "%!PS-Adobe-3.0 Resource-CMap\n" +
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+        "/CIDSystemInfo << /Registry (Graft) /Ordering (Mixed) " +
+        "/Supplement 0 >> def\n" +
+        "/CMapName /Graft-Mixed-H def\n/CMapType 1 def\n/WMode 0 def\n" +
+        "2 begincodespacerange\n<00> <7f>\n<8000> <ffff>\n" +
+        "endcodespacerange\n" +
+        "2 begincidrange\n<20> <7e> 1\n<8000> <80ff> 100\nendcidrange\n" +
+        "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+    val toUnicode =
+      "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+        "/CMapName /Graft-Mixed-UCS def\n/CMapType 2 def\n" +
+        "2 begincodespacerange\n<00> <7f>\n<8000> <ffff>\n" +
+        "endcodespacerange\n" +
+        "1 beginbfrange\n<20> <7e> <0020>\nendbfrange\n" +
+        "3 beginbfchar\n<8001> <00e9>\n<8002> <20ac>\n<8003> <d834dd1e>\n" +
+        "endbfchar\nendcmap\nend\nend"
+
+    val sb = new StringBuilder()
+    sb.append("%PDF-1.6\n%âãÏÓ\n")
+    val offsets = new scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(body: String): Int = {
+      offsets += sb.length
+      val num = offsets.length
+      sb.append(s"$num 0 obj\n$body\nendobj\n")
+      num
+    }
+    val kids = (0 until nPages).map(p => s"${7 + p * 2} 0 R").mkString(" ")
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    obj(s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>")
+    obj("<< /Type /Font /Subtype /Type0 /BaseFont /GraftMixed " +
+      "/Encoding 5 0 R /DescendantFonts [ 4 0 R ] /ToUnicode 6 0 R >>")
+    obj("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftMixed " +
+      "/CIDSystemInfo << /Registry (Graft) /Ordering (Mixed) " +
+      "/Supplement 0 >> /CIDToGIDMap /Identity >>")
+    obj(s"<< /Type /CMap /CMapName /Graft-Mixed-H /WMode 0 " +
+      s"/Length ${encodingCMap.length} >>\nstream\n$encodingCMap\nendstream")
+    obj(s"<< /Length ${toUnicode.length} >>\nstream\n$toUnicode\nendstream")
+    (0 until nPages).foreach { pg =>
+      val contentNum = 7 + pg * 2 + 1
+      obj(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+        s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contentNum 0 R >>")
+      // the show string MIXES widths: ASCII 1-byte codes around the
+      // three 2-byte specials — exactly the segmentation under test
+      val hexStr = asciiHex(s"Cmap $seed page ${pg + 1} ") +
+        "800180028003" + asciiHex(s" ${(seed + pg) % 5}")
+      val src = s"BT /F1 12 Tf 72 720 Td <$hexStr> Tj ET"
+      obj(s"<< /Length ${src.length} >>\nstream\n$src\nendstream")
+    }
     val size = offsets.length + 1
     val xrefAt = sb.length
     sb.append(s"xref\n0 $size\n")

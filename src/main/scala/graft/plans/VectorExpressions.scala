@@ -558,6 +558,8 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pdf_encrypt_encode", exprs => PdfEncryptEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pdf_cmap_encode", exprs => PdfCMapEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cfb_entries", exprs => CfbEntries(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cfb_kind", exprs => CfbKind(exprs(0)), "scala_udf")
@@ -830,6 +832,13 @@ object VectorExpressions {
   def pdfEncryptEncode(seed: Column, nPages: Column, mode: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_pdf_encrypt_encode", seed, nPages, mode)
+  }
+
+  /** Embedded-CMap composite-font PDF encoder (plans.PdfCMapEncode),
+    * column form; same registration precondition. */
+  def pdfCMapEncode(seed: Column, nPages: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_pdf_cmap_encode", seed, nPages)
   }
 
   /** CFB directory census (plans.CfbEntries), column form; same

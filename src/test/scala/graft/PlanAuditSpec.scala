@@ -119,7 +119,8 @@ class PlanAuditSpec extends SparkSpec {
         Multimodal.odsIngest(spark, sf), Multimodal.odpIngest(spark, sf),
         Multimodal.tarEntriesQ(spark, sf), Multimodal.docBinIngest(spark, sf),
         Multimodal.cfbEntriesQ(spark, sf),
-        Multimodal.pdfEncryptedTextQ(spark, sf))) {
+        Multimodal.pdfEncryptedTextQ(spark, sf),
+        Multimodal.pdfCMapTextQ(spark, sf))) {
       val plan = planOf(df)
       val exchanges = "Exchange".r.findAllIn(plan).length
       assert(exchanges <= 1, s"doc text should only exchange for the orderBy:\n$plan")
