@@ -518,6 +518,8 @@ object Queries {
     "pipeline_docx_ingest" -> (Multimodal.docxIngest _),
     "text_rtf_extract" -> (Multimodal.rtfIngest _),
     "text_doc_extract" -> (Multimodal.docBinIngest _),
+    "text_xls_extract" -> (Multimodal.xlsBinIngest _),
+    "text_ppt_extract" -> (Multimodal.pptBinIngest _),
     "text_pdf_encrypted" -> (Multimodal.pdfEncryptedTextQ _),
     "text_pdf_cmap" -> (Multimodal.pdfCMapTextQ _),
     "mm_cfb_entries" -> (Multimodal.cfbEntriesQ _),
@@ -2055,6 +2057,41 @@ object Queries {
        "FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i) " +
        "WHERE doc_id % 165 <> 0 AND t.i < doc_id % 4 + 1 " +
        "GROUP BY doc_id ORDER BY doc_id"),
+    // PowerPoint 97 binary twin: slides joined with chr(10); even
+    // slides a TextBytesAtom with an internal CR line break, odd a
+    // TextCharsAtom with unicode (PptEncode.decodedSlide)
+    "text_ppt_extract" ->
+      ("SELECT doc_id, string_agg(" +
+       "CASE WHEN t.i % 2 = 0 THEN " +
+       "'Deck ' || CAST(doc_id AS VARCHAR) || ' slide ' || CAST(t.i AS VARCHAR) || " +
+       "' café' || chr(10) || 'line ' || CAST((doc_id + t.i) % 8 AS VARCHAR) " +
+       "ELSE 'Deck ' || CAST(doc_id AS VARCHAR) || ' slide ' || CAST(t.i AS VARCHAR) || " +
+       "' € 𝄞 k=' || CAST((doc_id + t.i) % 8 AS VARCHAR) END, " +
+       "chr(10) ORDER BY t.i) AS text " +
+       "FROM documents CROSS JOIN (VALUES (1), (2), (3)) AS t(i) " +
+       "WHERE doc_id % 125 <> 0 AND t.i <= doc_id % 3 + 1 " +
+       "GROUP BY doc_id ORDER BY doc_id"),
+    // Excel 97 binary twin: per row r — col 1 an RK (int on even r,
+    // cents/100 on odd, restating Scala's shortest-double rendering),
+    // col 2 the SST string (high-byte unicode tail on odd r), col 3 a
+    // Number, cols 4-5 a MulRk run on r%3=0 (XlsEncode.decodedRow)
+    "text_xls_extract" ->
+      ("SELECT doc_id, CAST(t.r AS INTEGER) AS row, CAST(c.col AS INTEGER) AS col, " +
+       "CASE c.col " +
+       "WHEN 1 THEN (CASE WHEN t.r % 2 = 0 THEN CAST((doc_id + 11 * t.r) % 500 AS VARCHAR) " +
+       "WHEN ((doc_id + 11 * t.r) % 500) % 100 = 0 THEN CAST(((doc_id + 11 * t.r) % 500) // 100 AS VARCHAR) " +
+       "WHEN ((doc_id + 11 * t.r) % 500) % 10 = 0 THEN CAST(((doc_id + 11 * t.r) % 500) // 100 AS VARCHAR) || '.' || CAST((((doc_id + 11 * t.r) % 500) % 100) // 10 AS VARCHAR) " +
+       "ELSE CAST(((doc_id + 11 * t.r) % 500) // 100 AS VARCHAR) || '.' || lpad(CAST(((doc_id + 11 * t.r) % 500) % 100 AS VARCHAR), 2, '0') END) " +
+       "WHEN 2 THEN 'Row ' || CAST(t.r AS VARCHAR) || ' of wb ' || CAST(doc_id AS VARCHAR) || " +
+       "(CASE WHEN t.r % 2 = 1 THEN ' é€' ELSE ' ok' END) " +
+       "WHEN 3 THEN CAST((doc_id + 7 * t.r) % 1000 AS VARCHAR) " +
+       "WHEN 4 THEN CAST((doc_id + t.r) % 90 AS VARCHAR) " +
+       "ELSE CAST((doc_id + t.r) % 90 + 1 AS VARCHAR) END AS value " +
+       "FROM documents CROSS JOIN (VALUES (1), (2), (3), (4)) AS t(r) " +
+       "CROSS JOIN (VALUES (1), (2), (3), (4), (5)) AS c(col) " +
+       "WHERE doc_id % 145 <> 0 AND t.r <= doc_id % 4 + 1 " +
+       "AND (c.col <= 3 OR t.r % 3 = 0) " +
+       "ORDER BY doc_id, row, col"),
     // CFB directory census twin: every valid container carries exactly
     // Root Entry (type 5), WordDocument, 1Table (type 2) in directory
     // order — the layout-independent envelope row

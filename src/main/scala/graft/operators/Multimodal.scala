@@ -354,6 +354,21 @@ object Multimodal {
         // text is doc_id arithmetic
         (id % 155 =!= 0, graft.plans.VectorExpressions.pdfEncryptEncode(
           id.cast("long"), (id % 3 + 1).cast("int"), (id % 4).cast("int"))))
+      case "pptbin" => Seq(
+        (id % 125 === 0, encode(text.substr(1, 20), "UTF-8")),
+        // REAL PowerPoint 97 streams in REAL CFB containers
+        // (plans.PptEncode): SlideListWithText with TextBytesAtom and
+        // TextCharsAtom alternating — all doc_id arithmetic
+        (id % 125 =!= 0, graft.plans.VectorExpressions.pptEncode(
+          id.cast("long"), (id % 3 + 1).cast("int"))))
+      case "xlsbin" => Seq(
+        (id % 145 === 0, encode(text.substr(1, 20), "UTF-8")),
+        // REAL BIFF8 workbooks in REAL CFB containers (plans.XlsEncode):
+        // SST with compressed + high-byte + rich-run strings, LabelSst
+        // / Number / RK (int and fX100) / MulRk cells — all doc_id
+        // arithmetic
+        (id % 145 =!= 0, graft.plans.VectorExpressions.xlsEncode(
+          id.cast("long"), (id % 4 + 1).cast("int"))))
       case "pdfcmap" => Seq(
         (id % 135 === 0, encode(text.substr(1, 24), "UTF-8")),
         // composite-font PDFs whose /Encoding is an embedded CMap
@@ -828,7 +843,7 @@ object Multimodal {
       "apng", "jpgpx", "jpg12", "jpgcol", "jpgprog", "jpgll", "avi", "mp4", "tiff",
       "wavpcm", "wavg711", "wavfloat", "flac", "mp3", "exif", "webp", "avif",
       "gzip", "pdf", "pdftext", "warc", "warchtml", "warchttp", "warcpdf",
-      "httplegacy", "zip", "tar", "docbin", "pdfenc", "pdfcmap", "docx", "rtf", "odt", "ods", "odp", "xlsx",
+      "httplegacy", "zip", "tar", "docbin", "xlsbin", "pptbin", "pdfenc", "pdfcmap", "docx", "rtf", "odt", "ods", "odp", "xlsx",
       "pptx", "epub", "office", "docmix", "mixed")
       .foreach(writeMediaFixtureOne(spark, dir, path, _))
 
@@ -1425,6 +1440,29 @@ object Multimodal {
         col("col.name").as("name"), col("col.obj_type").as("obj_type"))
       .orderBy(col("doc_id"), col("entry_idx"))
 
+  /** The Excel 97-2003 BINARY leg: .xls → CFB → the BIFF8 record walk
+    * (globals SST + BoundSheet8, the first sheet's LabelSst / Number /
+    * RK / MulRk cells) → one row per populated cell, 1-based coords —
+    * the ods/xlsx grid shape for the third legacy container format. */
+  def xlsBinIngest(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "xlsbin")
+      .select(col("doc_id"), posexplode(
+        graft.plans.VectorExpressions.xlsCells(col("xlsbin"))))
+      .select(col("doc_id"), col("col.row").as("row"),
+        col("col.col").as("col"), col("col.value").as("value"))
+      .orderBy(col("doc_id"), col("row"), col("col"))
+
+  /** The PowerPoint 97-2003 BINARY leg: .ppt → CFB → the record-tree
+    * walk → the text atoms, one row per document. Completes the
+    * legacy binary Office triad with [[docBinIngest]] and
+    * [[xlsBinIngest]]. */
+  def pptBinIngest(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir, "pptbin")
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.pptText(col("pptbin")).as("text"))
+      .filter(col("text").isNotNull)
+      .orderBy(col("doc_id"))
+
   def rtfIngest(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir, "rtf")
       .select(col("doc_id"),
@@ -1569,6 +1607,12 @@ object Multimodal {
         graft.plans.VectorExpressions.epubChapters(col("payload")), "\n"))
       .when(col("kind") === "doc",
         graft.plans.VectorExpressions.docText(col("payload")))
+      .when(col("kind") === "xls", array_join(
+        transform(graft.plans.VectorExpressions.xlsCells(col("payload")),
+          c => concat_ws("=", concat_ws(",", c.getField("row").cast("string"),
+            c.getField("col").cast("string")), c.getField("value"))), "\n"))
+      .when(col("kind") === "ppt",
+        graft.plans.VectorExpressions.pptText(col("payload")))
       .as("text"))
   }
 

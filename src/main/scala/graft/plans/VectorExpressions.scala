@@ -568,6 +568,14 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_doc_encode", exprs => DocEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ppt_text", exprs => PptText(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ppt_encode", exprs => PptEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_xls_cells", exprs => XlsCells(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_xls_encode", exprs => XlsEncode(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tar_entries", exprs => TarEntries(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tar_encode", exprs => TarEncode(exprs), "scala_udf")
@@ -853,6 +861,34 @@ object VectorExpressions {
   def cfbKind(c: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_cfb_kind", c)
+  }
+
+  /** PowerPoint 97-2003 binary text extraction (plans.PptText),
+    * column form; same registration precondition. */
+  def pptText(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_ppt_text", c)
+  }
+
+  /** PowerPoint 97 binary fixture encoder (plans.PptEncode), column
+    * form; same registration precondition. */
+  def pptEncode(seed: Column, nSlides: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_ppt_encode", seed, nSlides)
+  }
+
+  /** Excel 97-2003 binary cell extraction (plans.XlsCells), column
+    * form; same registration precondition. */
+  def xlsCells(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_xls_cells", c)
+  }
+
+  /** Excel 97 binary fixture encoder (plans.XlsEncode), column form;
+    * same registration precondition. */
+  def xlsEncode(seed: Column, nRows: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_xls_encode", seed, nRows)
   }
 
   /** Word 97-2003 binary text extraction (plans.DocText), column

@@ -1,0 +1,400 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Excel 97-2003 binary cell extraction (MS-XLS BIFF8, an open
+  * Microsoft spec) — the spreadsheet member of the CFB family
+  * ([[CfbParse]]). The Workbook stream is a sequence of BIFF records
+  * (2-byte type, 2-byte length, payload, all little-endian):
+  *
+  *  - the GLOBALS substream (BOF dt=0x0005) carries BoundSheet8
+  *    records (each sheet's absolute substream position + name) and
+  *    the Shared String Table (SST: XLUnicodeRichExtendedString
+  *    entries — 1- or 2-byte chars by fHighByte, rich runs and
+  *    ExtRst skipped by their own declared lengths);
+  *  - the FIRST sheet's substream (BOF dt=0x0010, at BoundSheet8's
+  *    lbPlyPos — the xlsx/ods first-sheet parity) serves its cells:
+  *    LabelSst (SST index), Number (IEEE double), RK (the packed
+  *    30-bit form: fX100 / fInt), and MulRk runs;
+  *  - unknown record types are INERT (BIFF interleaves dozens of
+  *    formatting records by design), but a cell-BEARING record this
+  *    tier does not serve — Formula, Label, RString, BoolErr —
+  *    DECLINES the document: silently dropping cell content would be
+  *    an unfaithful grid;
+  *  - an SST spilling into Continue records declines (the recorded
+  *    envelope: re-stated grbit resync is a later tier), as does
+  *    FilePass (encryption).
+  *
+  * `graft_xls_cells(binary)` → `array<struct<row int, col int, value
+  * string>>`, 1-based coordinates in record order; numbers render
+  * minimally (integral doubles without the trailing ".0"). NULL on
+  * any structural failure — faithful-or-NULL. */
+case class XlsCells(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_xls_cells expects a binary column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(XlsCells.cellSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_xls_cells"
+
+  override def nullSafeEval(input: Any): Any =
+    XlsCells.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.plans.XlsCells.parse($b);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): XlsCells =
+    copy(child = newChild)
+}
+
+object XlsCells {
+
+  val cellSchema: StructType = StructType(Seq(
+    StructField("row", IntegerType),
+    StructField("col", IntegerType),
+    StructField("value", StringType)))
+
+  private val MaxCells = 65536
+  private val MaxSstEntries = 65536
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def u32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFFL)) | ((b(o + 1) & 0xFFL) << 8) |
+      ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+
+  /** Minimal double rendering: integral values without ".0" (the
+    * grid's values are text for the census; DuckDB's VARCHAR cast of
+    * an integer matches). */
+  private def renderNum(d: Double): String = {
+    if (d.isNaN || d.isInfinite) return null
+    if (d == math.floor(d) && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+  }
+
+  /** RkNumber (MS-XLS 2.5.217): bit0 fX100, bit1 fInt, bits 2-31 the
+    * value (a 30-bit signed int, or the TOP 30 bits of an IEEE
+    * double). */
+  private def rkValue(rk: Long): Double = {
+    val fX100 = (rk & 1L) != 0
+    val fInt = (rk & 2L) != 0
+    val v =
+      if (fInt) {
+        val raw = (rk >> 2) & 0x3FFFFFFFL
+        val signed = if ((raw & 0x20000000L) != 0) raw - 0x40000000L else raw
+        signed.toDouble
+      } else java.lang.Double.longBitsToDouble((rk & 0xFFFFFFFCL) << 32)
+    if (fX100) v / 100.0 else v
+  }
+
+  def parse(b: Array[Byte]): GenericArrayData = {
+    val cfb = CfbParse.open(b)
+    if (cfb == null) return null
+    val wb = cfb.stream("Workbook")
+    if (wb == null) return null
+
+    // ---- the globals substream: BoundSheet8 positions + the SST ----
+    if (wb.length < 8 || u16(wb, 0) != 0x0809) return null
+    val sst = new scala.collection.mutable.ArrayBuffer[String]()
+    var firstSheetAt = -1L
+    var at = 0
+    var inGlobals = true
+    while (inGlobals) {
+      if (at + 4 > wb.length) return null
+      val typ = u16(wb, at)
+      val len = u16(wb, at + 2)
+      val payload = at + 4
+      if (payload + len > wb.length) return null
+      typ match {
+        case 0x000A => inGlobals = false // EOF: globals done
+        case 0x002F => return null // FilePass: encrypted workbook
+        case 0x0085 => // BoundSheet8
+          if (len < 8) return null
+          val pos = u32(wb, payload)
+          if (firstSheetAt < 0) firstSheetAt = pos
+        case 0x00FC => // SST
+          if (len < 8) return null
+          // a Continue immediately after would spill strings: decline
+          if (payload + len + 4 <= wb.length &&
+            u16(wb, payload + len) == 0x003C) return null
+          val unique = u32(wb, payload + 4)
+          if (unique < 0 || unique > MaxSstEntries) return null
+          var p = payload + 8
+          var k = 0L
+          while (k < unique) {
+            if (p + 3 > payload + len) return null
+            val cch = u16(wb, p)
+            val flags = wb(p + 2) & 0xFF
+            if ((flags & 0xF2) != 0) return null // reserved bits
+            val high = (flags & 0x01) != 0
+            val rich = (flags & 0x08) != 0
+            val ext = (flags & 0x04) != 0
+            p += 3
+            var cRun = 0
+            var cbExt = 0L
+            if (rich) {
+              if (p + 2 > payload + len) return null
+              cRun = u16(wb, p); p += 2
+            }
+            if (ext) {
+              if (p + 4 > payload + len) return null
+              cbExt = u32(wb, p); p += 4
+            }
+            val nBytes = if (high) cch * 2 else cch
+            if (p + nBytes > payload + len) return null
+            val s =
+              if (high) new String(wb, p, nBytes, "UTF-16LE")
+              else {
+                // low bytes of UTF-16 code units: the Latin-1 view
+                val cs = new Array[Char](cch)
+                var i = 0
+                while (i < cch) { cs(i) = (wb(p + i) & 0xFF).toChar; i += 1 }
+                new String(cs)
+              }
+            if (s.exists(c => Character.isSurrogate(c))) {
+              // lone surrogates cannot ride (pairs split across the
+              // high-byte toggle would need Continue handling anyway)
+              var i = 0
+              val n = s.length
+              while (i < n) {
+                val c = s.charAt(i)
+                if (Character.isHighSurrogate(c)) {
+                  if (i + 1 >= n || !Character.isLowSurrogate(s.charAt(i + 1)))
+                    return null
+                  i += 2
+                } else if (Character.isLowSurrogate(c)) return null
+                else i += 1
+              }
+            }
+            p += nBytes
+            p += cRun * 4
+            if (cbExt < 0 || p + cbExt > payload + len) return null
+            p += cbExt.toInt
+            sst += s
+            k += 1
+          }
+        case _ => () // formatting and bookkeeping records: inert
+      }
+      if (typ != 0x000A) at = payload + len
+    }
+    if (firstSheetAt < 0 || firstSheetAt + 8 > wb.length) return null
+
+    // ---- the first sheet's substream --------------------------------
+    at = firstSheetAt.toInt
+    if (u16(wb, at) != 0x0809) return null
+    val out = Vector.newBuilder[Any]
+    var cells = 0
+    def put(rw: Int, col: Int, v: String): Boolean = {
+      if (v == null) return false
+      cells += 1
+      if (cells > MaxCells) return false
+      out += new GenericInternalRow(Array[Any](
+        rw + 1, col + 1, UTF8String.fromString(v)))
+      true
+    }
+    var inSheet = true
+    while (inSheet) {
+      if (at + 4 > wb.length) return null
+      val typ = u16(wb, at)
+      val len = u16(wb, at + 2)
+      val p = at + 4
+      if (p + len > wb.length) return null
+      typ match {
+        case 0x000A => inSheet = false
+        case 0x00FD => // LabelSst
+          if (len < 10) return null
+          val isst = u32(wb, p + 6)
+          if (isst < 0 || isst >= sst.length) return null
+          if (!put(u16(wb, p), u16(wb, p + 2), sst(isst.toInt))) return null
+        case 0x0203 => // Number
+          if (len < 14) return null
+          var bits = 0L
+          var i = 0
+          while (i < 8) { bits |= (wb(p + 6 + i) & 0xFFL) << (8 * i); i += 1 }
+          if (!put(u16(wb, p), u16(wb, p + 2),
+            renderNum(java.lang.Double.longBitsToDouble(bits)))) return null
+        case 0x027E => // RK
+          if (len < 10) return null
+          if (!put(u16(wb, p), u16(wb, p + 2),
+            renderNum(rkValue(u32(wb, p + 6))))) return null
+        case 0x00BD => // MulRk: rw, colFirst, (ixfe+rk)*n, colLast
+          if (len < 6 || (len - 6) % 6 != 0) return null
+          val rw = u16(wb, p)
+          val colFirst = u16(wb, p + 2)
+          val n = (len - 6) / 6
+          if (u16(wb, p + len - 2) != colFirst + n - 1) return null
+          var k = 0
+          while (k < n) {
+            if (!put(rw, colFirst + k,
+              renderNum(rkValue(u32(wb, p + 4 + k * 6 + 2))))) return null
+            k += 1
+          }
+        case 0x0006 | 0x0204 | 0x00D6 | 0x0205 =>
+          // Formula / Label / RString / BoolErr: cell content this
+          // tier does not serve — decline, never silently drop
+          return null
+        case _ => () // dimensions, formats, window state...: inert
+      }
+      if (typ != 0x000A) at = p + len
+    }
+    new GenericArrayData(out.result().toArray[Any])
+  }
+}
+
+/** `graft_xls_encode(seed, n_rows)` → binary: a REAL BIFF8 workbook in
+  * a REAL CFB container — globals (BOF, BoundSheet8, SST with BOTH
+  * string forms: compressed low-byte and fHighByte UTF-16, plus a
+  * rich-run entry whose runs must be skipped), then the sheet
+  * substream with LabelSst, Number, RK (integer AND fX100 forms), and
+  * a MulRk run on every 3rd row — all (seed, r) arithmetic for the
+  * oracle ([[XlsEncode.decodedRow]]). */
+case class XlsEncode(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val expected = Seq(LongType, IntegerType)
+    if (children.length == 2 && children.map(_.dataType) == expected)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_xls_encode expects (long seed, int n_rows)")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_xls_encode"
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) null
+    else XlsEncode.encode(vs(0).asInstanceOf[Long], vs(1).asInstanceOf[Int])
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): XlsEncode =
+    copy(children = newChildren)
+}
+
+object XlsEncode {
+
+  /** What [[XlsCells]] must serve for row r (1-based): the oracle's
+    * contract, (col, value) pairs in record order. Col A: an RK
+    * (integer on even r, fX100 cents on odd). Col B: the SST string
+    * (high-byte unicode "é€" tail on odd r). Col C: a Number double
+    * (integral, renders without ".0"). Cols D,E on r%3==0: a MulRk
+    * integer run. */
+  def decodedRow(seed: Long, r: Int): Seq[(Int, String)] = {
+    val cents = (seed + 11 * r) % 500
+    val a =
+      if (r % 2 == 0) cents.toString
+      else {
+        val d = cents / 100.0
+        if (d == math.floor(d)) d.toLong.toString else d.toString
+      }
+    val b = s"Row $r of wb $seed" + (if (r % 2 == 1) " é€" else " ok")
+    val c = ((seed + 7 * r) % 1000).toString
+    val base = Seq((1, a), (2, b), (3, c))
+    if (r % 3 == 0)
+      base ++ Seq((4, ((seed + r) % 90).toString), (5, ((seed + r) % 90 + 1).toString))
+    else base
+  }
+
+  private def rec(typ: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](4 + payload.length)
+    out(0) = typ.toByte; out(1) = (typ >> 8).toByte
+    out(2) = payload.length.toByte; out(3) = (payload.length >> 8).toByte
+    System.arraycopy(payload, 0, out, 4, payload.length)
+    out
+  }
+  private def w16(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+  private def w32(v: Long): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def dbl(d: Double): Array[Byte] = {
+    val bits = java.lang.Double.doubleToLongBits(d)
+    (0 until 8).map(i => ((bits >> (8 * i)) & 0xFF).toByte).toArray
+  }
+  private def rkInt(v: Int): Array[Byte] = w32((v.toLong << 2) | 2L)
+  private def rkX100Int(cents: Int): Array[Byte] =
+    w32((cents.toLong << 2) | 3L) // fInt + fX100: cents / 100
+
+  def encode(seed: Long, nRows: Int): Array[Byte] = {
+    if (seed < 0 || nRows < 1 || nRows > 64) return null
+    val bof = rec(0x0809, w16(0x0600) ++ w16(0x0005) ++ w16(0x0DBB) ++
+      w16(0x07CC) ++ w32(0xC1L) ++ w32(0x0606L))
+    val bofSheet = rec(0x0809, w16(0x0600) ++ w16(0x0010) ++ w16(0x0DBB) ++
+      w16(0x07CC) ++ w32(0xC1L) ++ w32(0x0606L))
+
+    // SST entries: one per row (cell B), compressed or high-byte; the
+    // FIRST entry is a rich-run string (unused by any cell) whose
+    // runs the walk must skip to stay aligned
+    val sstEntries = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val richText = "skip me"
+    sstEntries += (w16(richText.length) ++ Array(0x08.toByte) ++ w16(2) ++
+      richText.getBytes("ISO-8859-1") ++ w32(0L) ++ w32(0x00010002L))
+    var r = 1
+    while (r <= nRows) {
+      val s = s"Row $r of wb $seed" + (if (r % 2 == 1) " é€" else " ok")
+      if (r % 2 == 1)
+        sstEntries += (w16(s.length) ++ Array(0x01.toByte) ++
+          s.getBytes("UTF-16LE"))
+      else
+        sstEntries += (w16(s.length) ++ Array(0x00.toByte) ++
+          s.map(c => c.toByte).toArray)
+      r += 1
+    }
+    val sstBody = w32(nRows + 1L) ++ w32(nRows + 1L) ++
+      sstEntries.toArray.flatten
+    val sstRec = rec(0x00FC, sstBody)
+
+    // sheet cells
+    val sheetCells = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    r = 1
+    while (r <= nRows) {
+      val rw = r - 1
+      if (r % 2 == 0)
+        sheetCells += rec(0x027E, w16(rw) ++ w16(0) ++ w16(0) ++
+          rkInt(((seed + 11 * r) % 500).toInt))
+      else
+        sheetCells += rec(0x027E, w16(rw) ++ w16(0) ++ w16(0) ++
+          rkX100Int(((seed + 11 * r) % 500).toInt))
+      sheetCells += rec(0x00FD, w16(rw) ++ w16(1) ++ w16(0) ++ w32(r.toLong))
+      sheetCells += rec(0x0203, w16(rw) ++ w16(2) ++ w16(0) ++
+        dbl(((seed + 7 * r) % 1000).toDouble))
+      if (r % 3 == 0) {
+        val v = ((seed + r) % 90).toInt
+        sheetCells += rec(0x00BD, w16(rw) ++ w16(3) ++
+          (w16(0) ++ rkInt(v)) ++ (w16(0) ++ rkInt(v + 1)) ++ w16(4))
+      }
+      r += 1
+    }
+    val eof = rec(0x000A, new Array[Byte](0))
+
+    // assemble: globals need BoundSheet8 whose lbPlyPos = the sheet
+    // BOF's absolute offset — computed from the globals' own length
+    val window2 = rec(0x023E, w16(0x06B6) ++ w16(0) ++ w16(0)) // inert noise
+    val name = "Sheet1"
+    def boundSheet(pos: Long): Array[Byte] =
+      rec(0x0085, w32(pos) ++ w16(0) ++ Array(name.length.toByte, 0x00.toByte) ++
+        name.getBytes("ISO-8859-1"))
+    val globalsLen = bof.length + boundSheet(0).length + sstRec.length +
+      window2.length + eof.length
+    val globals = bof ++ boundSheet(globalsLen.toLong) ++ sstRec ++
+      window2 ++ eof
+    val sheet = bofSheet ++ sheetCells.toArray.flatten ++ eof
+    val stream = globals ++ sheet
+    // the Workbook stream takes the BIG (FAT) path; a summary stream
+    // rides the MINI path so both container halves stay load-bearing
+    val wb = java.util.Arrays.copyOf(stream, math.max(4096, stream.length))
+    DocEncode.cfbContainer("Workbook", wb, "DocumentSummaryInformation",
+      Array[Byte](0x01, 0x02, 0x03, 0x04))
+  }
+}

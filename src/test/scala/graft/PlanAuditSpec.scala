@@ -120,7 +120,8 @@ class PlanAuditSpec extends SparkSpec {
         Multimodal.tarEntriesQ(spark, sf), Multimodal.docBinIngest(spark, sf),
         Multimodal.cfbEntriesQ(spark, sf),
         Multimodal.pdfEncryptedTextQ(spark, sf),
-        Multimodal.pdfCMapTextQ(spark, sf))) {
+        Multimodal.pdfCMapTextQ(spark, sf), Multimodal.xlsBinIngest(spark, sf),
+        Multimodal.pptBinIngest(spark, sf))) {
       val plan = planOf(df)
       val exchanges = "Exchange".r.findAllIn(plan).length
       assert(exchanges <= 1, s"doc text should only exchange for the orderBy:\n$plan")

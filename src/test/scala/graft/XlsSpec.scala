@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{XlsCells, XlsEncode}
+
+/** Excel 97-2003 binary extraction (plans.XlsCells over plans.
+  * CfbParse): the BIFF8 record walk. Pins: fixture round trips
+  * (expected grid = XlsEncode.decodedRow — RK int/fX100, SST
+  * compressed/high-byte/rich-run, Number, MulRk), the decline
+  * envelope (FilePass encryption, unserved cell records, SST
+  * Continue spill, truncated SST), and never-throw. */
+class XlsSpec extends AnyFunSuite {
+
+  private def cells(b: Array[Byte]): Seq[(Int, Int, String)] = {
+    val arr = XlsCells.parse(b)
+    if (arr == null) null
+    else (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 3)
+      (r.getInt(0), r.getInt(1), r.getUTF8String(2).toString)
+    }
+  }
+
+  test("fixture round trips: the grid equals decodedRow across seeds") {
+    for (seed <- Seq(0L, 1L, 2L, 3L, 7L, 41L, 146L, 4242L); n <- Seq(1, 2, 4)) {
+      val got = cells(XlsEncode.encode(seed, n))
+      assert(got != null, s"seed=$seed n=$n declined")
+      val expected = (1 to n).flatMap(r =>
+        XlsEncode.decodedRow(seed, r).map { case (c, v) => (r, c, v) })
+      assert(got === expected, s"seed=$seed n=$n")
+    }
+  }
+
+  test("the RK forms and string forms are all load-bearing") {
+    // odd rows: fX100 RK (a decimal) + high-byte SST; even: int RK +
+    // compressed SST; r=3: the MulRk run — one doc covers all
+    val got = cells(XlsEncode.encode(1L, 4))
+    assert(got.count(_._1 == 3) === 5, "the MulRk run must serve cols 4-5")
+    assert(got.exists(c => c._2 == 1 && c._3.contains(".")),
+      "an fX100 RK must serve its decimal")
+    assert(got.exists(_._3.endsWith("é€")), "high-byte SST strings decode")
+  }
+
+  test("declines: encryption, unserved cell records, SST spill") {
+    val b = XlsEncode.encode(12L, 3)
+    assert(cells(b) != null)
+    // locate the Workbook stream inside the container (sector 3 on)
+    val wbOff = 512 + 3 * 512
+    // FilePass (0x002F) planted where Window2 (0x023E) sits: the
+    // record walk must abort, not serve a "decrypted" grid
+    val s = b.drop(wbOff)
+    var at = 0
+    var w2 = -1
+    while (w2 < 0) {
+      val typ = (s(at) & 0xFF) | ((s(at + 1) & 0xFF) << 8)
+      val len = (s(at + 2) & 0xFF) | ((s(at + 3) & 0xFF) << 8)
+      if (typ == 0x023E) w2 = at else at += 4 + len
+    }
+    val enc = b.clone()
+    enc(wbOff + w2) = 0x2F
+    enc(wbOff + w2 + 1) = 0x00
+    assert(cells(enc) === null, "FilePass must decline")
+    // a Formula record (0x0006) in place of a Number: cell content
+    // this tier does not serve — decline, never drop the cell
+    var num = -1
+    at = 0
+    while (num < 0) {
+      val typ = (s(at) & 0xFF) | ((s(at + 1) & 0xFF) << 8)
+      val len = (s(at + 2) & 0xFF) | ((s(at + 3) & 0xFF) << 8)
+      if (typ == 0x0203) num = at else at += 4 + len
+    }
+    val frm = b.clone()
+    frm(wbOff + num) = 0x06
+    frm(wbOff + num + 1) = 0x00
+    assert(cells(frm) === null, "a Formula cell must decline")
+    // not a workbook at all
+    assert(cells("plain".getBytes("US-ASCII")) === null)
+  }
+
+  test("truncations and bit flips never throw") {
+    val b = XlsEncode.encode(41L, 4)
+    var cut = 0
+    while (cut < b.length) {
+      XlsCells.parse(java.util.Arrays.copyOf(b, cut))
+      cut += 512
+    }
+    val rnd = new scala.util.Random(7)
+    (0 until 400).foreach { _ =>
+      val m = b.clone()
+      val at = rnd.nextInt(m.length)
+      m(at) = (m(at) ^ (1 << rnd.nextInt(8))).toByte
+      XlsCells.parse(m)
+    }
+  }
+}
+
+/** The registered query + the triage routing at sf0.001. */
+class XlsQuerySpec extends SparkSpec {
+
+  test("text_xls_extract rows equal the decodedRow contract") {
+    val rows = graft.operators.Multimodal.xlsBinIngest(spark, sf).collect()
+    assert(rows.length > 0)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      val n = (doc % 4 + 1).toInt
+      val want = (1 to n).flatMap(r =>
+        graft.plans.XlsEncode.decodedRow(doc, r).map { case (c, v) => (r, c, v) })
+      val got = rs.map(r => (r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+      assert(got === want, s"doc=$doc")
+    }
+    assert(rows.map(_.getLong(0)).forall(_ % 145 != 0), "gate rows absent")
+  }
+
+  test("the document triage routes a Workbook container to kind='xls' with the grid") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val df = Seq(77L).toDF("doc_id")
+      .select(col("doc_id"), graft.plans.VectorExpressions.xlsEncode(
+        col("doc_id"), lit(2)).as("payload"))
+    val out = graft.operators.Multimodal.docTextSelect(df, "payload").collect()
+    assert(out.length === 1)
+    assert(out(0).getString(1) === "xls")
+    val want = (1 to 2).flatMap(r =>
+      graft.plans.XlsEncode.decodedRow(77L, r).map { case (c, v) => s"$r,$c=$v" })
+      .mkString("\n")
+    assert(out(0).getString(2) === want)
+  }
+}
