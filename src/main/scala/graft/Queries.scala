@@ -1771,9 +1771,13 @@ object Queries {
        "WHEN 6 THEN 'rtf' ELSE 'odt' END AS kind, " +
        "agg.text AS text " +
        "FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id " +
-       // the %119 plain-text rows are no recognized magic: the triage
-       // accounts for them as kind='other' (NULL text), never drops them
-       "UNION ALL SELECT doc_id, 'other' AS kind, NULL AS text " +
+       // the %119 no-container rows: even ids are plain text (raw /
+       // BOM'd UTF-8 / BOM'd UTF-16LE all decode to the SAME string —
+       // one column certifies all three paths), odd ids are a binary
+       // blob the text gate refuses → the counted kind='other' bucket
+       "UNION ALL SELECT doc_id, " +
+       "CASE WHEN doc_id % 2 = 0 THEN 'txt' ELSE 'other' END AS kind, " +
+       "CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, 22) ELSE NULL END AS text " +
        "FROM documents WHERE doc_id % 119 = 0 " +
        "ORDER BY doc_id"),
     // the ROUTED attachment ingest twin: kind from doc_id%7, units
@@ -1909,8 +1913,11 @@ object Queries {
     // tar census twin: entry 0 a directory, 0..4 files; names cycle
     // plain / GNU-'L' long ((doc_id+i)%4=0, >100 chars — the census
     // must serve the 'L' payload, the header field is truncated) /
-    // POSIX prefix-split ((doc_id+i)%7=0); sizes and mtimes are
-    // doc_id arithmetic (TarEncode.entryName/entrySize contract)
+    // POSIX prefix-split ((doc_id+i)%7=0) / pax 'x' path
+    // ((doc_id+i)%9=0 — UTF-8 name, fractional pax mtime floored,
+    // pax size authoritative over a zero octal field); sizes and
+    // mtimes are doc_id arithmetic (TarEncode.entryName/entrySize
+    // contract); seed%3=0 archives carry an inert global 'g' header
     "mm_tar_entries" ->
       ("SELECT doc_id, CAST(t.i AS INTEGER) AS entry_idx, " +
        "CASE WHEN t.i = 0 THEN 'd' || CAST(doc_id % 10 AS VARCHAR) || '/' " +
@@ -1918,6 +1925,8 @@ object Queries {
        "'/f' || CAST(t.i AS VARCHAR) || '_' || repeat('x', 110) || '.dat' " +
        "WHEN (doc_id + t.i) % 7 = 0 THEN 'p' || CAST(doc_id % 10 AS VARCHAR) || " +
        "'/f' || CAST(t.i AS VARCHAR) || '.dat' " +
+       "WHEN (doc_id + t.i) % 9 = 0 THEN 'd' || CAST(doc_id % 10 AS VARCHAR) || " +
+       "'/f' || CAST(t.i AS VARCHAR) || '_é.dat' " +
        "ELSE 'd' || CAST(doc_id % 10 AS VARCHAR) || '/f' || CAST(t.i AS VARCHAR) || '.dat' " +
        "END AS name, " +
        "CASE WHEN t.i = 0 THEN '5' ELSE '0' END AS typeflag, " +

@@ -493,7 +493,22 @@ object Multimodal {
         (id % 121 =!= 0 && id % 7 === 6, graft.plans.VectorExpressions.odsEncode(
           id.cast("long"), (id % 4 + 1).cast("int"))))
       case "docmix" => Seq(
-        (id % 119 === 0, encode(text.substr(1, 22), "UTF-8")),
+        // the %119 rows are the NO-CONTAINER tier: even ids are plain
+        // text (encoding cycles raw UTF-8 / BOM'd UTF-8 / BOM'd
+        // UTF-16LE on (id/119)%3 — the DECODED text is identical, so
+        // one oracle column certifies all three decode paths), odd ids
+        // are a binary blob (control bytes) the text gate must refuse
+        // — the counted kind='other' bucket stays load-bearing
+        (id % 119 === 0 && id % 2 === 0 && floor(id / 119) % 3 === 0,
+          encode(text.substr(1, 22), "UTF-8")),
+        (id % 119 === 0 && id % 2 === 0 && floor(id / 119) % 3 === 1,
+          concat(lit(Array(0xEF, 0xBB, 0xBF).map(_.toByte)),
+            encode(text.substr(1, 22), "UTF-8"))),
+        (id % 119 === 0 && id % 2 === 0 && floor(id / 119) % 3 === 2,
+          concat(lit(Array(0xFF, 0xFE).map(_.toByte)),
+            encode(text.substr(1, 22), "UTF-16LE"))),
+        (id % 119 === 0 && id % 2 === 1,
+          lit(Array(0x00, 0x01, 0x02, 0x03).map(_.toByte))),
         // the full DOCUMENT corpus: PDF, RTF, ODT, and the five PK
         // kinds mixed on doc_id%8 — the three magics route to different
         // tiers (%PDF- → the content-stream walk, {\\rtf → the
@@ -1560,8 +1575,11 @@ object Multimodal {
     * paragraphs, ref=value cells, slides, chapters), NULL for plain
     * zips and payloads whose extraction declines — kind stays, so a
     * decline is visible, never silent. Output: (doc_id, kind, text).
-    * Rows that are no recognized magic (and PK payloads whose
-    * directory classification declines) get kind='other' with NULL
+    * Rows that are no recognized magic fall to the plain-text
+    * classifier ([[graft.plans.PlainText]]: strict BOM-sniffed
+    * UTF-8/UTF-16, control-byte gate) → kind='txt' with the decoded
+    * payload as text; whatever remains (and PK payloads whose
+    * directory classification declines) gets kind='other' with NULL
     * text — the triage accounts for 100% of its input rows, so a
     * corpus-composition shift toward an unhandled format surfaces as
     * a counted bucket instead of vanishing. */
@@ -1576,6 +1594,7 @@ object Multimodal {
           .when(substring(p, 1, 8) === lit(Array(0xD0, 0xCF, 0x11, 0xE0,
             0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)),
             graft.plans.VectorExpressions.cfbKind(p)),
+        when(graft.plans.VectorExpressions.plainText(p).isNotNull, lit("txt")),
         lit("other")).as("kind"),
       p.as("payload"))
     // the PDF tier declines at PAGE granularity (a NULL element);
@@ -1613,6 +1632,8 @@ object Multimodal {
             c.getField("col").cast("string")), c.getField("value"))), "\n"))
       .when(col("kind") === "ppt",
         graft.plans.VectorExpressions.pptText(col("payload")))
+      .when(col("kind") === "txt",
+        graft.plans.VectorExpressions.plainText(col("payload")))
       .as("text"))
   }
 

@@ -578,6 +578,8 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tar_entries", exprs => TarEntries(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_plain_text", exprs => PlainText(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tar_encode", exprs => TarEncode(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_zip_kind", exprs => ZipKind(exprs(0)), "scala_udf")
@@ -917,6 +919,13 @@ object VectorExpressions {
   def tarEncode(seed: Column, nEntries: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_tar_encode", seed, nEntries)
+  }
+
+  /** Plain-text payload decode (plans.PlainText), column form; same
+    * registration precondition. */
+  def plainText(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_plain_text", c)
   }
 
   /** RTF text extraction (plans.RtfText), column form; same

@@ -27,9 +27,23 @@ import org.apache.spark.unsafe.types.UTF8String
   *    tier does not serve — Formula, Label, RString, BoolErr —
   *    DECLINES the document: silently dropping cell content would be
   *    an unfaithful grid;
-  *  - an SST spilling into Continue records declines (the recorded
-  *    envelope: re-stated grbit resync is a later tier), as does
-  *    FilePass (encryption).
+  *  - an SST spilling into Continue records (any real spreadsheet
+  *    with more than ~8 KiB of strings — the 8224-byte record cap)
+  *    PARSES: the SST's data is the concatenation of the SST record
+  *    and its immediately-following Continue records, EXCEPT that a
+  *    string's character data resuming in a new Continue re-declares
+  *    its fHighByte in a fresh option byte (which may DIFFER from the
+  *    original — a compressed string may resume as UTF-16 and vice
+  *    versa, per 2.5.293); fixed fields (cch/flags/cRun/cbExt) must
+  *    not straddle a record boundary, rich-run and ExtRst bytes skip
+  *    across boundaries raw, and a 2-byte character split across the
+  *    boundary or reserved bits in the re-declared option byte
+  *    decline;
+  *  - a Continue record in the SHEET substream following a record
+  *    type this tier serves declines (it would carry cell content
+  *    the walk cannot faithfully re-attach); after inert records it
+  *    is inert;
+  *  - FilePass (encryption) declines.
   *
   * `graft_xls_cells(binary)` → `array<struct<row int, col int, value
   * string>>`, 1-based coordinates in record order; numbers render
@@ -98,6 +112,83 @@ object XlsCells {
     if (fX100) v / 100.0 else v
   }
 
+  /** A read cursor over the SST record's data and its Continue
+    * records' data, as a sequence of (offset, length) segments of the
+    * workbook stream. Fixed fields refuse to straddle a segment
+    * boundary; character data re-declares fHighByte at each boundary
+    * it resumes past (MS-XLS 2.5.293); raw skips cross boundaries
+    * byte-wise. */
+  private final class SstCursor(b: Array[Byte], offs: Array[Int], lens: Array[Int]) {
+    private var si = 0
+    private var off = offs(0)
+    private def segEnd: Int = offs(si) + lens(si)
+    /** Hop to the next non-exhausted segment (no option byte — fixed
+      * fields and raw skips resume verbatim). False at end-of-data. */
+    private def hop(): Boolean = {
+      while (off == segEnd) {
+        if (si == offs.length - 1) return false
+        si += 1; off = offs(si)
+      }
+      true
+    }
+    /** Absolute offset of an n-byte fixed field, or -1 when it would
+      * straddle a boundary (writers never split cch/flags/cRun/cbExt). */
+    def fixed(n: Int): Int = {
+      if (!hop()) return -1
+      if (off + n > segEnd) return -1
+      val o = off; off += n; o
+    }
+    /** Skip n raw bytes (rich runs, ExtRst) across boundaries. */
+    def skip(n: Long): Boolean = {
+      var rem = n
+      while (rem > 0) {
+        if (!hop()) return false
+        val take = math.min(rem, (segEnd - off).toLong)
+        off += take.toInt; rem -= take
+      }
+      true
+    }
+    /** Read cch characters starting under flags0's fHighByte; every
+      * boundary crossed while characters remain consumes a fresh
+      * option byte (only bit 0 may be set) that may CHANGE the width.
+      * Null on straddled 2-byte chars, reserved bits, or truncation. */
+    def chars(cch: Int, high0: Boolean): String = {
+      val sb = new java.lang.StringBuilder(cch)
+      var high = high0
+      var rem = cch
+      while (rem > 0) {
+        if (off == segEnd) {
+          if (!hop()) return null
+          // the resumed character data re-declares its width
+          if (off + 1 > segEnd) return null
+          val f = b(off) & 0xFF
+          if ((f & 0xFE) != 0) return null
+          high = (f & 1) != 0
+          off += 1
+          if (off == segEnd) return null // an option byte with no chars
+        }
+        val per = if (high) 2 else 1
+        val avail = (segEnd - off) / per
+        if (avail == 0) return null // a split 2-byte character
+        val take = math.min(rem, avail)
+        var i = 0
+        if (high) {
+          while (i < take) {
+            sb.append((((b(off + 2 * i) & 0xFF)) |
+              ((b(off + 2 * i + 1) & 0xFF) << 8)).toChar)
+            i += 1
+          }
+        } else {
+          // low bytes of UTF-16 code units: the Latin-1 view
+          while (i < take) { sb.append((b(off + i) & 0xFF).toChar); i += 1 }
+        }
+        off += take * per
+        rem -= take
+      }
+      sb.toString
+    }
+  }
+
   def parse(b: Array[Byte]): GenericArrayData = {
     val cfb = CfbParse.open(b)
     if (cfb == null) return null
@@ -115,6 +206,7 @@ object XlsCells {
       val typ = u16(wb, at)
       val len = u16(wb, at + 2)
       val payload = at + 4
+      var nextAt = payload + len
       if (payload + len > wb.length) return null
       typ match {
         case 0x000A => inGlobals = false // EOF: globals done
@@ -123,48 +215,46 @@ object XlsCells {
           if (len < 8) return null
           val pos = u32(wb, payload)
           if (firstSheetAt < 0) firstSheetAt = pos
-        case 0x00FC => // SST
+        case 0x00FC => // SST (+ its Continue spill, MS-XLS 2.5.293)
           if (len < 8) return null
-          // a Continue immediately after would spill strings: decline
-          if (payload + len + 4 <= wb.length &&
-            u16(wb, payload + len) == 0x003C) return null
+          val offsB = scala.collection.mutable.ArrayBuffer[Int](payload + 8)
+          val lensB = scala.collection.mutable.ArrayBuffer[Int](len - 8)
+          while (nextAt + 4 <= wb.length && u16(wb, nextAt) == 0x003C) {
+            val clen = u16(wb, nextAt + 2)
+            if (nextAt + 4 + clen > wb.length) return null
+            offsB += nextAt + 4
+            lensB += clen
+            nextAt += 4 + clen
+          }
+          val cur = new SstCursor(wb, offsB.toArray, lensB.toArray)
           val unique = u32(wb, payload + 4)
           if (unique < 0 || unique > MaxSstEntries) return null
-          var p = payload + 8
           var k = 0L
           while (k < unique) {
-            if (p + 3 > payload + len) return null
-            val cch = u16(wb, p)
-            val flags = wb(p + 2) & 0xFF
+            val h = cur.fixed(3)
+            if (h < 0) return null
+            val cch = u16(wb, h)
+            val flags = wb(h + 2) & 0xFF
             if ((flags & 0xF2) != 0) return null // reserved bits
             val high = (flags & 0x01) != 0
             val rich = (flags & 0x08) != 0
             val ext = (flags & 0x04) != 0
-            p += 3
             var cRun = 0
             var cbExt = 0L
             if (rich) {
-              if (p + 2 > payload + len) return null
-              cRun = u16(wb, p); p += 2
+              val o = cur.fixed(2)
+              if (o < 0) return null
+              cRun = u16(wb, o)
             }
             if (ext) {
-              if (p + 4 > payload + len) return null
-              cbExt = u32(wb, p); p += 4
+              val o = cur.fixed(4)
+              if (o < 0) return null
+              cbExt = u32(wb, o)
             }
-            val nBytes = if (high) cch * 2 else cch
-            if (p + nBytes > payload + len) return null
-            val s =
-              if (high) new String(wb, p, nBytes, "UTF-16LE")
-              else {
-                // low bytes of UTF-16 code units: the Latin-1 view
-                val cs = new Array[Char](cch)
-                var i = 0
-                while (i < cch) { cs(i) = (wb(p + i) & 0xFF).toChar; i += 1 }
-                new String(cs)
-              }
+            val s = cur.chars(cch, high)
+            if (s == null) return null
             if (s.exists(c => Character.isSurrogate(c))) {
-              // lone surrogates cannot ride (pairs split across the
-              // high-byte toggle would need Continue handling anyway)
+              // lone surrogates cannot ride
               var i = 0
               val n = s.length
               while (i < n) {
@@ -177,16 +267,14 @@ object XlsCells {
                 else i += 1
               }
             }
-            p += nBytes
-            p += cRun * 4
-            if (cbExt < 0 || p + cbExt > payload + len) return null
-            p += cbExt.toInt
+            if (cbExt < 0 || !cur.skip(cRun * 4L) || !cur.skip(cbExt))
+              return null
             sst += s
             k += 1
           }
         case _ => () // formatting and bookkeeping records: inert
       }
-      if (typ != 0x000A) at = payload + len
+      if (typ != 0x000A) at = nextAt
     }
     if (firstSheetAt < 0 || firstSheetAt + 8 > wb.length) return null
 
@@ -204,12 +292,16 @@ object XlsCells {
       true
     }
     var inSheet = true
+    var prevServed = false // a Continue after a served record would carry cell content
     while (inSheet) {
       if (at + 4 > wb.length) return null
       val typ = u16(wb, at)
       val len = u16(wb, at + 2)
       val p = at + 4
       if (p + len > wb.length) return null
+      if (typ == 0x003C && prevServed) return null
+      prevServed = typ == 0x00FD || typ == 0x0203 || typ == 0x027E ||
+        typ == 0x00BD
       typ match {
         case 0x000A => inSheet = false
         case 0x00FD => // LabelSst
@@ -258,7 +350,17 @@ object XlsCells {
   * rich-run entry whose runs must be skipped), then the sheet
   * substream with LabelSst, Number, RK (integer AND fX100 forms), and
   * a MulRk run on every 3rd row — all (seed, r) arithmetic for the
-  * oracle ([[XlsEncode.decodedRow]]). */
+  * oracle ([[XlsEncode.decodedRow]]).
+  *
+  * seed%5==2 workbooks write the SST SPLIT into a Continue record
+  * (MS-XLS 2.5.293): one string's character data is cut after 3
+  * characters and resumes in the Continue under a RE-DECLARED option
+  * byte — always UTF-16, so a compressed victim exercises the width
+  * CHANGE — and, when n_rows >= 2, the following string lives
+  * entirely inside the Continue (the string-boundary case). The
+  * decoded grid is IDENTICAL to the unsplit layout, so the oracle
+  * and [[decodedRow]] are unchanged — the split is pure wire-format
+  * variation, which is exactly what makes it a differential. */
 case class XlsEncode(children: Seq[Expression]) extends Expression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -337,12 +439,14 @@ object XlsEncode {
     // FIRST entry is a rich-run string (unused by any cell) whose
     // runs the walk must skip to stay aligned
     val sstEntries = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val rowStrings = new scala.collection.mutable.ArrayBuffer[String]()
     val richText = "skip me"
     sstEntries += (w16(richText.length) ++ Array(0x08.toByte) ++ w16(2) ++
       richText.getBytes("ISO-8859-1") ++ w32(0L) ++ w32(0x00010002L))
     var r = 1
     while (r <= nRows) {
       val s = s"Row $r of wb $seed" + (if (r % 2 == 1) " é€" else " ok")
+      rowStrings += s
       if (r % 2 == 1)
         sstEntries += (w16(s.length) ++ Array(0x01.toByte) ++
           s.getBytes("UTF-16LE"))
@@ -351,9 +455,29 @@ object XlsEncode {
           s.map(c => c.toByte).toArray)
       r += 1
     }
-    val sstBody = w32(nRows + 1L) ++ w32(nRows + 1L) ++
-      sstEntries.toArray.flatten
-    val sstRec = rec(0x00FC, sstBody)
+    val sstHeader = w32(nRows + 1L) ++ w32(nRows + 1L)
+    val sstRec =
+      if (seed % 5 == 2) {
+        // the Continue layout: cut the victim string's characters
+        // after 3, resume them in the Continue under a re-declared
+        // ALWAYS-UTF-16 option byte (a width change when the victim
+        // was compressed), and carry every later entry wholly inside
+        // the Continue
+        val vi = math.max(1, nRows - 1) // victim row (1-based)
+        val s = rowStrings(vi - 1)
+        val origHigh = vi % 2 == 1
+        val head = s.substring(0, 3)
+        val tail = s.substring(3)
+        val part1 = w16(s.length) ++
+          Array((if (origHigh) 0x01 else 0x00).toByte) ++
+          (if (origHigh) head.getBytes("UTF-16LE")
+           else head.map(c => c.toByte).toArray)
+        val part2 = Array(0x01.toByte) ++ tail.getBytes("UTF-16LE")
+        val before = sstEntries.take(vi).toArray.flatten // rich + rows < vi
+        val after = sstEntries.drop(vi + 1).toArray.flatten // rows > vi
+        rec(0x00FC, sstHeader ++ before ++ part1) ++
+          rec(0x003C, part2 ++ after)
+      } else rec(0x00FC, sstHeader ++ sstEntries.toArray.flatten)
 
     // sheet cells
     val sheetCells = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()

@@ -840,6 +840,12 @@ class StreamingSpec extends SparkSpec {
       assert(CommitLog.read(spark, table)
         .filter(org.apache.spark.sql.functions.col("kind") === "other")
         .count() > 0, "the 'other' bucket vanished from the streamed triage")
+      // the plain-text tier serves in the stream too (the even %119
+      // rows: BOM-sniffed strict decode, text present)
+      assert(CommitLog.read(spark, table)
+        .filter(org.apache.spark.sql.functions.col("kind") === "txt" &&
+          org.apache.spark.sql.functions.col("text").isNotNull)
+        .count() > 0, "the 'txt' tier vanished from the streamed triage")
       // fresh checkpoint (full re-delivery): the ledger lands nothing
       runOnce(Files.createTempDirectory("graft_doc_ckpt2_").toString)
       assert(CommitLog.read(spark, table).count() === want.length,

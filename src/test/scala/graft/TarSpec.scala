@@ -6,11 +6,57 @@ import graft.plans.{TarEncode, TarEntries}
 /** tar member census (plans.TarEntries): the checksum-verified
   * 512-byte header walk. Pins: fixture round trips (names/sizes/
   * flags/mtimes = the TarEncode contract the oracle restates), the
-  * GNU 'L' long-name protocol, POSIX prefix composition, both
-  * checksum conventions, the decline envelope (bad magic/checksum,
-  * pax headers, base-256 sizes, a dangling 'L', truncation, content
-  * past the terminator), and the never-throw law. */
+  * GNU 'L' long-name protocol, POSIX prefix composition, pax 'x'/'g'
+  * extended headers (path/size/mtime applied, inert keys ignored,
+  * size authoritative over the octal field), both checksum
+  * conventions, the decline envelope (bad magic/checksum, base-256
+  * sizes, a dangling 'L'/'x', malformed pax records, sparse keys,
+  * truncation, content past the terminator), and the never-throw
+  * law. */
 class TarSpec extends AnyFunSuite {
+
+  /** A spec-local ustar header builder (the encoder's private
+    * twin) so decline pins can craft hostile pax members without
+    * reaching into TarEncode. */
+  private def mkHeader(name: String, size: Long, mtime: Long,
+      flag: Byte): Array[Byte] = {
+    val h = new Array[Byte](512)
+    val nb = name.getBytes("US-ASCII")
+    System.arraycopy(nb, 0, h, 0, nb.length)
+    def oct(off: Int, len: Int, v: Long): Unit = {
+      var i = off + len - 2; var x = v
+      while (i >= off) { h(i) = ('0' + (x & 7)).toByte; x >>= 3; i -= 1 }
+    }
+    oct(100, 8, 420); oct(108, 8, 0); oct(116, 8, 0)
+    oct(124, 12, size); oct(136, 12, mtime)
+    h(156) = flag
+    System.arraycopy("ustar".getBytes("US-ASCII"), 0, h, 257, 5)
+    h(263) = '0'; h(264) = '0'
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L; var i = 0
+    while (i < 512) { sum += h(i) & 0xFF; i += 1 }
+    var j = 153; var x = sum
+    while (j >= 148) { h(j) = ('0' + (x & 7)).toByte; x >>= 3; j -= 1 }
+    h(154) = 0; h(155) = ' '
+    h
+  }
+  private def padded(data: Array[Byte]): Array[Byte] = {
+    val p = new Array[Byte](((data.length + 511) / 512) * 512)
+    System.arraycopy(data, 0, p, 0, data.length); p
+  }
+  private def rec(key: String, value: String): Array[Byte] = {
+    val body = s" $key=$value\n".getBytes("UTF-8")
+    var digits = 1
+    while (s"${body.length + digits}".length > digits) digits += 1
+    s"${body.length + digits}".getBytes("US-ASCII") ++ body
+  }
+  /** dir + [x header with `recs`] + one 5-byte file + terminator. */
+  private def paxArchive(recs: Array[Byte]): Array[Byte] = {
+    mkHeader("d/", 0, 100, '5') ++
+      mkHeader("PaxHeaders.0/f.dat", recs.length, 0, 'x') ++ padded(recs) ++
+      mkHeader("f.dat", 5, 7, '0') ++ padded("hello".getBytes("US-ASCII")) ++
+      new Array[Byte](1024)
+  }
 
   private def entries(b: Array[Byte]): Seq[(String, String, Long, Long)] = {
     val arr = TarEntries.parse(b)
@@ -75,27 +121,76 @@ class TarSpec extends AnyFunSuite {
     assert(entries(m3) != null, "signed checksum convention rejected")
   }
 
-  test("decline envelope: magic, pax, base-256, dangling L, terminator") {
-    val b = TarEncode.encode(12L, 3)
+  test("pax 'x': path/size/mtime applied, inert keys ignored, size authoritative") {
+    // the honest round trip: path with a non-ASCII char, fractional
+    // mtime floored, atime ignored, size from the pax key while the
+    // member header's octal field says 5
+    val ok = paxArchive(rec("path", "d/pé.dat") ++ rec("mtime", "41.75") ++
+      rec("atime", "99") ++ rec("uname", "nobody"))
+    assert(entries(ok) === Seq(("d/", "5", 0L, 100L), ("d/pé.dat", "0", 5L, 41L)))
+    // pax size OUTRANKS the octal field for both the report and the
+    // data skip: octal says 0, pax says 5 — the walk must still land
+    // on the next header
+    val sz = mkHeader("d/", 0, 100, '5') ++
+      mkHeader("PaxHeaders.0/f.dat", rec("size", "5").length, 0, 'x') ++
+      padded(rec("size", "5")) ++
+      mkHeader("f.dat", 0, 7, '0') ++ padded("hello".getBytes("US-ASCII")) ++
+      new Array[Byte](1024)
+    assert(entries(sz) === Seq(("d/", "5", 0L, 100L), ("f.dat", "0", 5L, 7L)))
+    // a global 'g' default applies to following members; a per-member
+    // 'x' key beats it
+    val g = mkHeader("pax_global_header", rec("mtime", "1000").length, 0, 'g') ++
+      padded(rec("mtime", "1000")) ++
+      mkHeader("a.dat", 5, 7, '0') ++ padded("aaaaa".getBytes("US-ASCII")) ++
+      mkHeader("PaxHeaders.0/b.dat", rec("mtime", "2000").length, 0, 'x') ++
+      padded(rec("mtime", "2000")) ++
+      mkHeader("b.dat", 5, 7, '0') ++ padded("bbbbb".getBytes("US-ASCII")) ++
+      new Array[Byte](1024)
+    assert(entries(g) === Seq(("a.dat", "0", 5L, 1000L), ("b.dat", "0", 5L, 2000L)))
+  }
+
+  test("pax decline envelope: malformed records, sparse, bad UTF-8, dangling") {
+    // a record whose length field lies declines
+    assert(entries(paxArchive("7 a=b\n".getBytes("US-ASCII"))) === null)
+    // records must tile the data exactly — a trailing byte declines
+    assert(entries(paxArchive(rec("atime", "9") ++ Array('x'.toByte))) === null)
+    // a key with no '=' declines
+    assert(entries(paxArchive("6 abcd\n".getBytes("US-ASCII"))) === null)
+    // GNU sparse members change the data layout: decline
+    assert(entries(paxArchive(rec("GNU.sparse.size", "5"))) === null)
+    // a non-UTF-8 declared hdrcharset declines
+    assert(entries(paxArchive(rec("hdrcharset", "BINARY"))) === null)
+    // a malformed UTF-8 path declines (mojibake-never)
+    val raw = paxArchive(rec("path", "d/pé.dat"))
+    var at = 1024 // the x data block
+    while (!(raw(at) == 'd' && raw(at + 1) == '/' && raw(at + 2) == 'p')) at += 1
+    raw(at + 3) = 0xFF.toByte // clobber the é's lead byte
+    assert(entries(raw) === null)
+    // a negative / non-decimal pax size declines
+    assert(entries(paxArchive(rec("size", "-1"))) === null)
+    assert(entries(paxArchive(rec("size", "5x"))) === null)
+    // a dangling 'x' (no member follows) declines like a dangling 'L'
+    val dangling = mkHeader("PaxHeaders.0/f.dat", rec("atime", "9").length, 0, 'x') ++
+      padded(rec("atime", "9")) ++ new Array[Byte](1024)
+    assert(entries(dangling) === null)
+    // two 'x' members in a row decline
+    val xx = mkHeader("PaxHeaders.0/f.dat", rec("atime", "9").length, 0, 'x') ++
+      padded(rec("atime", "9")) ++
+      mkHeader("PaxHeaders.0/f.dat", rec("atime", "9").length, 0, 'x') ++
+      padded(rec("atime", "9")) ++
+      mkHeader("f.dat", 5, 7, '0') ++ padded("hello".getBytes("US-ASCII")) ++
+      new Array[Byte](1024)
+    assert(entries(xx) === null)
+  }
+
+  test("decline envelope: magic, base-256, dangling L, terminator") {
+    // seed 13: no 'g' header (13%3!=0), so member 1's header sits at
+    // offset 512 — the byte surgeries below rely on that layout
+    val b = TarEncode.encode(13L, 3)
     // pre-POSIX v7 magic (zeros where ustar lives) declines
     val v7 = b.clone()
     java.util.Arrays.fill(v7, 257, 265, 0.toByte)
     assert(entries(v7) === null)
-    // a pax 'x' typeflag declines (its payload can override the very
-    // fields this census reports) — re-checksum so ONLY the flag gate
-    // fires
-    val pax = b.clone()
-    pax(512 + 156) = 'x'.toByte
-    var sum = 0L; var i = 512
-    while (i < 1024) {
-      sum += (if (i >= 512 + 148 && i < 512 + 156) 32L else pax(i) & 0xFF)
-      i += 1
-    }
-    var j = 512 + 153; var x = sum
-    java.util.Arrays.fill(pax, 512 + 148, 512 + 156, ' '.toByte)
-    while (j >= 512 + 148) { pax(j) = ('0' + (x & 7)).toByte; x >>= 3; j -= 1 }
-    pax(512 + 154) = 0; pax(512 + 155) = ' '.toByte
-    assert(entries(pax) === null)
     // a GNU base-256 size (high bit) declines, never misparses
     val b256 = b.clone()
     b256(512 + 124) = 0x80.toByte

@@ -6,9 +6,13 @@ import graft.plans.{XlsCells, XlsEncode}
 /** Excel 97-2003 binary extraction (plans.XlsCells over plans.
   * CfbParse): the BIFF8 record walk. Pins: fixture round trips
   * (expected grid = XlsEncode.decodedRow — RK int/fX100, SST
-  * compressed/high-byte/rich-run, Number, MulRk), the decline
-  * envelope (FilePass encryption, unserved cell records, SST
-  * Continue spill, truncated SST), and never-throw. */
+  * compressed/high-byte/rich-run, Number, MulRk), the SST Continue
+  * protocol (seed%5==2 layouts: mid-string split with a re-declared
+  * option byte incl. the compressed→UTF-16 width change, a whole
+  * string inside the Continue, split == unsplit), the decline
+  * envelope (FilePass encryption, unserved cell records, reserved
+  * bits in a continuation option byte, a sheet Continue after a
+  * served record, truncated SST), and never-throw. */
 class XlsSpec extends AnyFunSuite {
 
   private def cells(b: Array[Byte]): Seq[(Int, Int, String)] = {
@@ -21,7 +25,9 @@ class XlsSpec extends AnyFunSuite {
   }
 
   test("fixture round trips: the grid equals decodedRow across seeds") {
-    for (seed <- Seq(0L, 1L, 2L, 3L, 7L, 41L, 146L, 4242L); n <- Seq(1, 2, 4)) {
+    // seeds 2, 7, 4242 are the Continue layouts (seed%5==2); n=3 puts
+    // the victim on an even row — the compressed→UTF-16 width change
+    for (seed <- Seq(0L, 1L, 2L, 3L, 7L, 41L, 146L, 4242L); n <- Seq(1, 2, 3, 4)) {
       val got = cells(XlsEncode.encode(seed, n))
       assert(got != null, s"seed=$seed n=$n declined")
       val expected = (1 to n).flatMap(r =>
@@ -74,6 +80,50 @@ class XlsSpec extends AnyFunSuite {
     assert(cells(frm) === null, "a Formula cell must decline")
     // not a workbook at all
     assert(cells("plain".getBytes("US-ASCII")) === null)
+  }
+
+  test("SST Continue: split == unsplit, bad option bytes and sheet continues decline") {
+    // the split layout (seed%5==2) serves the same grid as a
+    // neighboring unsplit seed's CONTRACT — and its own contract
+    for (n <- Seq(1, 2, 3, 4)) {
+      val got = cells(XlsEncode.encode(2L, n))
+      assert(got != null, s"continue layout declined at n=$n")
+      val expected = (1 to n).flatMap(r =>
+        XlsEncode.decodedRow(2L, r).map { case (c, v) => (r, c, v) })
+      assert(got === expected, s"n=$n")
+    }
+    // locate the Continue record (0x003C) in the workbook stream and
+    // set a reserved bit in its leading option byte: decline
+    val b = XlsEncode.encode(2L, 3)
+    val wbOff = 512 + 3 * 512
+    val s = b.drop(wbOff)
+    var at = 0
+    var cont = -1
+    while (cont < 0) {
+      val typ = (s(at) & 0xFF) | ((s(at + 1) & 0xFF) << 8)
+      val len = (s(at + 2) & 0xFF) | ((s(at + 3) & 0xFF) << 8)
+      if (typ == 0x003C) cont = at else at += 4 + len
+    }
+    val badFlag = b.clone()
+    badFlag(wbOff + cont + 4) = (badFlag(wbOff + cont + 4) | 0x02).toByte
+    assert(cells(badFlag) === null, "reserved continuation bits must decline")
+    // a Continue in the SHEET after a served record would carry cell
+    // content the walk cannot re-attach: retype row 3's MulRk
+    // (0x00BD) as 0x003C in a no-SST-continue workbook
+    val b2 = XlsEncode.encode(11L, 3)
+    assert(cells(b2) != null)
+    val s2 = b2.drop(wbOff)
+    at = 0
+    var mul = -1
+    while (mul < 0) {
+      val typ = (s2(at) & 0xFF) | ((s2(at + 1) & 0xFF) << 8)
+      val len = (s2(at + 2) & 0xFF) | ((s2(at + 3) & 0xFF) << 8)
+      if (typ == 0x00BD) mul = at else at += 4 + len
+    }
+    val shCont = b2.clone()
+    shCont(wbOff + mul) = 0x3C
+    shCont(wbOff + mul + 1) = 0x00
+    assert(cells(shCont) === null, "a sheet Continue after a served record must decline")
   }
 
   test("truncations and bit flips never throw") {
