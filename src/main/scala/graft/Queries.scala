@@ -2095,11 +2095,24 @@ object Queries {
        "(CASE WHEN t.r % 2 = 1 THEN ' é€' ELSE ' ok' END) " +
        "WHEN 3 THEN CAST((doc_id + 7 * t.r) % 1000 AS VARCHAR) " +
        "WHEN 4 THEN CAST((doc_id + t.r) % 90 AS VARCHAR) " +
-       "ELSE CAST((doc_id + t.r) % 90 + 1 AS VARCHAR) END AS value " +
+       "WHEN 5 THEN CAST((doc_id + t.r) % 90 + 1 AS VARCHAR) " +
+       // col 6: the Formula's cached result (a non-integral double /
+       // the following String record); col 7: BoolErr booleans and
+       // the cached error literal; col 8: the Label inline string
+       "WHEN 6 THEN (CASE WHEN t.r % 2 = 0 " +
+       "THEN CAST((doc_id + 13 * t.r) % 777 AS VARCHAR) || '.5' " +
+       "ELSE 'Fml ' || CAST(t.r AS VARCHAR) || ' é' || CAST((doc_id + t.r) % 7 AS VARCHAR) END) " +
+       "WHEN 7 THEN (CASE WHEN t.r % 2 = 0 THEN " +
+       "(CASE WHEN t.r % 4 = 0 THEN 'TRUE' ELSE 'FALSE' END) " +
+       "ELSE '#DIV/0!' END) " +
+       "ELSE 'Lbl ' || CAST(t.r AS VARCHAR) || ' of wb ' || CAST(doc_id AS VARCHAR) " +
+       "END AS value " +
        "FROM documents CROSS JOIN (VALUES (1), (2), (3), (4)) AS t(r) " +
-       "CROSS JOIN (VALUES (1), (2), (3), (4), (5)) AS c(col) " +
+       "CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7), (8)) AS c(col) " +
        "WHERE doc_id % 145 <> 0 AND t.r <= doc_id % 4 + 1 " +
-       "AND (c.col <= 3 OR t.r % 3 = 0) " +
+       "AND (c.col <= 3 OR c.col IN (6, 7) " +
+       "OR (c.col IN (4, 5) AND t.r % 3 = 0) " +
+       "OR (c.col = 8 AND t.r % 3 = 1)) " +
        "ORDER BY doc_id, row, col"),
     // CFB directory census twin: every valid container carries exactly
     // Root Entry (type 5), WordDocument, 1Table (type 2) in directory

@@ -22,9 +22,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *    lbPlyPos — the xlsx/ods first-sheet parity) serves its cells:
   *    LabelSst (SST index), Number (IEEE double), RK (the packed
   *    30-bit form: fX100 / fInt), and MulRk runs;
-  *  - unknown record types are INERT (BIFF interleaves dozens of
-  *    formatting records by design), but a cell-BEARING record this
-  *    tier does not serve — Formula, Label, RString, BoolErr —
+  *  - Formula cells (0x0006) serve their CACHED RESULT (the value the
+  *    last save computed, stored in the record — this tier never
+  *    evaluates formulas): an IEEE double renders like Number; the
+  *    0xFFFF-tagged forms serve a following String record (type 0 —
+  *    ShrFmla/Array/Table records may sit between, any other record
+  *    first declines), a boolean (type 1 → TRUE/FALSE), or the empty
+  *    string (type 3); a cached ERROR (type 2) serves the spec's
+  *    enumerated error literal (#DIV/0!, #N/A, …);
+  *  - Label (0x0204, the inline non-SST string cell) and BoolErr
+  *    (0x0205: booleans as TRUE/FALSE, errors as their enumerated
+  *    literals) serve;
+  *  - a cell-BEARING record this tier does not serve — RString —
   *    DECLINES the document: silently dropping cell content would be
   *    an unfaithful grid;
   *  - an SST spilling into Continue records (any real spreadsheet
@@ -291,8 +300,57 @@ object XlsCells {
         rw + 1, col + 1, UTF8String.fromString(v)))
       true
     }
+    // the spec's BErr error-code literals (MS-XLS 2.5.97.2)
+    def errLit(code: Int): String = code match {
+      case 0x00 => "#NULL!"
+      case 0x07 => "#DIV/0!"
+      case 0x0F => "#VALUE!"
+      case 0x17 => "#REF!"
+      case 0x1D => "#NAME?"
+      case 0x24 => "#NUM!"
+      case 0x2A => "#N/A"
+      case _ => null
+    }
+    def validSurrogates(s: String): Boolean = {
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        val c = s.charAt(i)
+        if (Character.isHighSurrogate(c)) {
+          if (i + 1 >= n || !Character.isLowSurrogate(s.charAt(i + 1)))
+            return false
+          i += 2
+        } else if (Character.isLowSurrogate(c)) return false
+        else i += 1
+      }
+      true
+    }
+    /** An in-record XLUnicodeString (cch, flags with only fHighByte,
+      * chars) at wb(o), bounded by `end`. Null on malformed. */
+    def uniString(o: Int, end: Int): String = {
+      if (o + 3 > end) return null
+      val cch = u16(wb, o)
+      val flags = wb(o + 2) & 0xFF
+      if ((flags & 0xFE) != 0) return null
+      val high = (flags & 1) != 0
+      val nBytes = if (high) cch * 2 else cch
+      if (o + 3 + nBytes > end) return null
+      val s =
+        if (high) new String(wb, o + 3, nBytes, "UTF-16LE")
+        else {
+          val cs = new Array[Char](cch)
+          var i = 0
+          while (i < cch) { cs(i) = (wb(o + 3 + i) & 0xFF).toChar; i += 1 }
+          new String(cs)
+        }
+      if (!validSurrogates(s)) null else s
+    }
     var inSheet = true
     var prevServed = false // a Continue after a served record would carry cell content
+    // a Formula whose cached result is a string: the (row, col) whose
+    // value arrives in the NEXT String record
+    var pendStrRw = -1
+    var pendStrCol = -1
     while (inSheet) {
       if (at + 4 > wb.length) return null
       val typ = u16(wb, at)
@@ -301,7 +359,13 @@ object XlsCells {
       if (p + len > wb.length) return null
       if (typ == 0x003C && prevServed) return null
       prevServed = typ == 0x00FD || typ == 0x0203 || typ == 0x027E ||
-        typ == 0x00BD
+        typ == 0x00BD || typ == 0x0006 || typ == 0x0204 || typ == 0x0205 ||
+        typ == 0x0207
+      // an outstanding string-formula result tolerates only the
+      // records the spec allows between Formula and String
+      // (ShrFmla 0x04BC, Array 0x0221, Table 0x0236)
+      if (pendStrRw >= 0 && typ != 0x0207 && typ != 0x04BC &&
+        typ != 0x0221 && typ != 0x0236) return null
       typ match {
         case 0x000A => inSheet = false
         case 0x00FD => // LabelSst
@@ -332,9 +396,51 @@ object XlsCells {
               renderNum(rkValue(u32(wb, p + 4 + k * 6 + 2))))) return null
             k += 1
           }
-        case 0x0006 | 0x0204 | 0x00D6 | 0x0205 =>
-          // Formula / Label / RString / BoolErr: cell content this
-          // tier does not serve — decline, never silently drop
+        case 0x0006 => // Formula: serve the CACHED result, never evaluate
+          if (len < 20) return null
+          val rw = u16(wb, p)
+          val c = u16(wb, p + 2)
+          if (u16(wb, p + 12) == 0xFFFF) {
+            (wb(p + 6) & 0xFF) match {
+              case 0 => // string result: the next String record carries it
+                pendStrRw = rw; pendStrCol = c
+              case 1 =>
+                if (!put(rw, c, if (wb(p + 8) != 0) "TRUE" else "FALSE"))
+                  return null
+              case 2 =>
+                if (!put(rw, c, errLit(wb(p + 8) & 0xFF))) return null
+              case 3 =>
+                if (!put(rw, c, "")) return null
+              case _ => return null
+            }
+          } else {
+            var bits = 0L
+            var i = 0
+            while (i < 8) { bits |= (wb(p + 6 + i) & 0xFFL) << (8 * i); i += 1 }
+            if (!put(rw, c, renderNum(java.lang.Double.longBitsToDouble(bits))))
+              return null
+          }
+        case 0x0207 => // String: a string formula's cached result
+          if (pendStrRw < 0) return null // orphaned String record
+          val s = uniString(p, p + len)
+          if (s == null) return null
+          if (!put(pendStrRw, pendStrCol, s)) return null
+          pendStrRw = -1; pendStrCol = -1
+        case 0x0204 => // Label: the inline non-SST string cell
+          if (len < 9) return null
+          val s = uniString(p + 6, p + len)
+          if (s == null) return null
+          if (!put(u16(wb, p), u16(wb, p + 2), s)) return null
+        case 0x0205 => // BoolErr
+          if (len < 8) return null
+          val v =
+            if ((wb(p + 7) & 0xFF) == 0) { if (wb(p + 6) != 0) "TRUE" else "FALSE" }
+            else if ((wb(p + 7) & 0xFF) == 1) errLit(wb(p + 6) & 0xFF)
+            else null
+          if (!put(u16(wb, p), u16(wb, p + 2), v)) return null
+        case 0x00D6 =>
+          // RString: cell content this tier does not serve — decline,
+          // never silently drop
           return null
         case _ => () // dimensions, formats, window state...: inert
       }
@@ -393,7 +499,11 @@ object XlsEncode {
     * (integer on even r, fX100 cents on odd). Col B: the SST string
     * (high-byte unicode "é€" tail on odd r). Col C: a Number double
     * (integral, renders without ".0"). Cols D,E on r%3==0: a MulRk
-    * integer run. */
+    * integer run. Col F: a Formula's CACHED result — a non-integral
+    * double on even r ((seed+13r)%777 + .5), a String-record string
+    * with a high-byte char on odd r. Col G: BoolErr — TRUE/FALSE on
+    * even r (TRUE when r%4==0), the cached #DIV/0! error literal on
+    * odd r. Col H on r%3==1: a Label inline string. */
   def decodedRow(seed: Long, r: Int): Seq[(Int, String)] = {
     val cents = (seed + 11 * r) % 500
     val a =
@@ -405,9 +515,19 @@ object XlsEncode {
     val b = s"Row $r of wb $seed" + (if (r % 2 == 1) " é€" else " ok")
     val c = ((seed + 7 * r) % 1000).toString
     val base = Seq((1, a), (2, b), (3, c))
-    if (r % 3 == 0)
-      base ++ Seq((4, ((seed + r) % 90).toString), (5, ((seed + r) % 90 + 1).toString))
-    else base
+    val mul =
+      if (r % 3 == 0)
+        Seq((4, ((seed + r) % 90).toString), (5, ((seed + r) % 90 + 1).toString))
+      else Seq.empty
+    val f =
+      if (r % 2 == 0) (6, s"${(seed + 13 * r) % 777}.5")
+      else (6, s"Fml $r é${(seed + r) % 7}")
+    val g =
+      if (r % 2 == 0) (7, if (r % 4 == 0) "TRUE" else "FALSE")
+      else (7, "#DIV/0!")
+    val lbl =
+      if (r % 3 == 1) Seq((8, s"Lbl $r of wb $seed")) else Seq.empty
+    base ++ mul ++ Seq(f, g) ++ lbl
   }
 
   private def rec(typ: Int, payload: Array[Byte]): Array[Byte] = {
@@ -497,6 +617,35 @@ object XlsEncode {
         val v = ((seed + r) % 90).toInt
         sheetCells += rec(0x00BD, w16(rw) ++ w16(3) ++
           (w16(0) ++ rkInt(v)) ++ (w16(0) ++ rkInt(v + 1)) ++ w16(4))
+      }
+      // col F: a Formula with its CACHED result (an rgce the tier
+      // never evaluates — ptgInt 7, 3 bytes)
+      val rgce = w16(3) ++ Array(0x1E.toByte) ++ w16(7)
+      if (r % 2 == 0) {
+        sheetCells += rec(0x0006, w16(rw) ++ w16(5) ++ w16(0) ++
+          dbl((seed + 13 * r) % 777 + 0.5) ++ w16(0) ++ w32(0L) ++ rgce)
+      } else {
+        // string result: FormulaValue = type 0 + 0xFFFF tail, the
+        // value rides the FOLLOWING String record (high-byte form)
+        sheetCells += rec(0x0006, w16(rw) ++ w16(5) ++ w16(0) ++
+          Array[Byte](0, 0, 0, 0, 0, 0, 0xFF.toByte, 0xFF.toByte) ++
+          w16(0) ++ w32(0L) ++ rgce)
+        val s = s"Fml $r é${(seed + r) % 7}"
+        sheetCells += rec(0x0207, w16(s.length) ++ Array(0x01.toByte) ++
+          s.getBytes("UTF-16LE"))
+      }
+      // col G: BoolErr — a boolean on even rows, a cached #DIV/0! on odd
+      if (r % 2 == 0)
+        sheetCells += rec(0x0205, w16(rw) ++ w16(6) ++ w16(0) ++
+          Array[Byte](if (r % 4 == 0) 1 else 0, 0))
+      else
+        sheetCells += rec(0x0205, w16(rw) ++ w16(6) ++ w16(0) ++
+          Array[Byte](0x07, 1))
+      // col H on r%3==1: a Label inline string (compressed form)
+      if (r % 3 == 1) {
+        val s = s"Lbl $r of wb $seed"
+        sheetCells += rec(0x0204, w16(rw) ++ w16(7) ++ w16(0) ++
+          w16(s.length) ++ Array(0x00.toByte) ++ s.map(ch => ch.toByte).toArray)
       }
       r += 1
     }

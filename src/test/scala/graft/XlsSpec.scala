@@ -36,14 +36,26 @@ class XlsSpec extends AnyFunSuite {
     }
   }
 
-  test("the RK forms and string forms are all load-bearing") {
-    // odd rows: fX100 RK (a decimal) + high-byte SST; even: int RK +
-    // compressed SST; r=3: the MulRk run — one doc covers all
+  test("the RK forms, string forms, and cached-result forms are all load-bearing") {
+    // odd rows: fX100 RK (a decimal) + high-byte SST + a String-record
+    // formula result + a cached #DIV/0!; even: int RK + compressed SST
+    // + a double formula result + TRUE/FALSE; r=3: the MulRk run;
+    // r%3==1: the Label cell — one doc covers all
     val got = cells(XlsEncode.encode(1L, 4))
-    assert(got.count(_._1 == 3) === 5, "the MulRk run must serve cols 4-5")
+    assert(got.count(_._1 == 3) === 7, "row 3 must serve MulRk + Formula + BoolErr")
     assert(got.exists(c => c._2 == 1 && c._3.contains(".")),
       "an fX100 RK must serve its decimal")
     assert(got.exists(_._3.endsWith("é€")), "high-byte SST strings decode")
+    assert(got.exists(c => c._2 == 6 && c._3.startsWith("Fml")),
+      "a string formula's String record must serve")
+    assert(got.exists(c => c._2 == 6 && c._3.endsWith(".5")),
+      "a numeric formula's cached double must serve")
+    assert(got.count(c => c._2 == 7 && (c._3 == "TRUE" || c._3 == "FALSE")) === 2,
+      "BoolErr booleans must serve")
+    assert(got.count(c => c._2 == 7 && c._3 == "#DIV/0!") === 2,
+      "cached error literals must serve")
+    assert(got.exists(c => c._2 == 8 && c._3.startsWith("Lbl")),
+      "Label inline strings must serve")
   }
 
   test("declines: encryption, unserved cell records, SST spill") {
@@ -65,8 +77,8 @@ class XlsSpec extends AnyFunSuite {
     enc(wbOff + w2) = 0x2F
     enc(wbOff + w2 + 1) = 0x00
     assert(cells(enc) === null, "FilePass must decline")
-    // a Formula record (0x0006) in place of a Number: cell content
-    // this tier does not serve — decline, never drop the cell
+    // a Number retyped as a Formula is 14 bytes — too short for the
+    // Formula grammar: decline, never misparse the cached value
     var num = -1
     at = 0
     while (num < 0) {
@@ -77,7 +89,37 @@ class XlsSpec extends AnyFunSuite {
     val frm = b.clone()
     frm(wbOff + num) = 0x06
     frm(wbOff + num + 1) = 0x00
-    assert(cells(frm) === null, "a Formula cell must decline")
+    assert(cells(frm) === null, "a malformed Formula must decline")
+    // an RString (0x00D6) — cell content this tier does not serve
+    val rstr = b.clone()
+    rstr(wbOff + num) = 0xD6.toByte
+    rstr(wbOff + num + 1) = 0x00
+    assert(cells(rstr) === null, "an RString cell must decline")
+    // an ORPHANED String record (no string formula outstanding)
+    var lbl = -1
+    at = 0
+    while (lbl < 0) {
+      val typ = (s(at) & 0xFF) | ((s(at + 1) & 0xFF) << 8)
+      val len = (s(at + 2) & 0xFF) | ((s(at + 3) & 0xFF) << 8)
+      if (typ == 0x0204) lbl = at else at += 4 + len
+    }
+    val orphan = b.clone()
+    orphan(wbOff + lbl) = 0x07
+    orphan(wbOff + lbl + 1) = 0x02
+    assert(cells(orphan) === null, "an orphaned String record must decline")
+    // a string formula whose String record never arrives (the String
+    // retyped as inert noise): the pending result must not vanish
+    var str = -1
+    at = 0
+    while (str < 0) {
+      val typ = (s(at) & 0xFF) | ((s(at + 1) & 0xFF) << 8)
+      val len = (s(at + 2) & 0xFF) | ((s(at + 3) & 0xFF) << 8)
+      if (typ == 0x0207) str = at else at += 4 + len
+    }
+    val lost = b.clone()
+    lost(wbOff + str) = 0x08
+    lost(wbOff + str + 1) = 0x02
+    assert(cells(lost) === null, "a lost string-formula result must decline")
     // not a workbook at all
     assert(cells("plain".getBytes("US-ASCII")) === null)
   }
