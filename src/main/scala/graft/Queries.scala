@@ -1760,13 +1760,55 @@ object Queries {
        "THEN 'café §' || CAST((doc_id + t.i) % 9 AS VARCHAR) " +
        "ELSE '€ — 𝄞 ok' END END " +
        "FROM d CROSS JOIN (VALUES (0), (1), (2), (3), (4)) AS t(i) " +
-       "WHERE m = 4 AND (doc_id // 8) % 2 = 1 AND t.i <= n4), " +
+       "WHERE m = 4 AND (doc_id // 8) % 4 = 1 AND t.i <= n4 " +
+       "UNION ALL " +
+       // binary .xls (the m=4 CFB sub-split): the BIFF8 grid as
+       // row,col=value lines in row-then-column order —
+       // XlsEncode.decodedRow restated (RK / SST / Number / MulRk /
+       // Formula cached results / BoolErr / Label)
+       "SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY t.r, c.col) - 1, " +
+       "CAST(t.r AS VARCHAR) || ',' || CAST(c.col AS VARCHAR) || '=' || " +
+       "CASE c.col " +
+       "WHEN 1 THEN (CASE WHEN t.r % 2 = 0 THEN CAST((doc_id + 11 * t.r) % 500 AS VARCHAR) " +
+       "WHEN ((doc_id + 11 * t.r) % 500) % 100 = 0 THEN CAST(((doc_id + 11 * t.r) % 500) // 100 AS VARCHAR) " +
+       "WHEN ((doc_id + 11 * t.r) % 500) % 10 = 0 THEN CAST(((doc_id + 11 * t.r) % 500) // 100 AS VARCHAR) || '.' || CAST((((doc_id + 11 * t.r) % 500) % 100) // 10 AS VARCHAR) " +
+       "ELSE CAST(((doc_id + 11 * t.r) % 500) // 100 AS VARCHAR) || '.' || lpad(CAST(((doc_id + 11 * t.r) % 500) % 100 AS VARCHAR), 2, '0') END) " +
+       "WHEN 2 THEN 'Row ' || CAST(t.r AS VARCHAR) || ' of wb ' || CAST(doc_id AS VARCHAR) || " +
+       "(CASE WHEN t.r % 2 = 1 THEN ' é€' ELSE ' ok' END) " +
+       "WHEN 3 THEN CAST((doc_id + 7 * t.r) % 1000 AS VARCHAR) " +
+       "WHEN 4 THEN CAST((doc_id + t.r) % 90 AS VARCHAR) " +
+       "WHEN 5 THEN CAST((doc_id + t.r) % 90 + 1 AS VARCHAR) " +
+       "WHEN 6 THEN (CASE WHEN t.r % 2 = 0 " +
+       "THEN CAST((doc_id + 13 * t.r) % 777 AS VARCHAR) || '.5' " +
+       "ELSE 'Fml ' || CAST(t.r AS VARCHAR) || ' é' || CAST((doc_id + t.r) % 7 AS VARCHAR) END) " +
+       "WHEN 7 THEN (CASE WHEN t.r % 2 = 0 THEN " +
+       "(CASE WHEN t.r % 4 = 0 THEN 'TRUE' ELSE 'FALSE' END) " +
+       "ELSE '#DIV/0!' END) " +
+       "ELSE 'Lbl ' || CAST(t.r AS VARCHAR) || ' of wb ' || CAST(doc_id AS VARCHAR) END " +
+       "FROM d CROSS JOIN (VALUES (1), (2), (3), (4)) AS t(r) " +
+       "CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7), (8)) AS c(col) " +
+       "WHERE m = 4 AND (doc_id // 8) % 4 = 2 AND t.r <= n4 " +
+       "AND (c.col <= 3 OR c.col IN (6, 7) " +
+       "OR (c.col IN (4, 5) AND t.r % 3 = 0) " +
+       "OR (c.col = 8 AND t.r % 3 = 1)) " +
+       "UNION ALL " +
+       // binary .ppt (the m=4 CFB sub-split): PptEncode.decodedSlide
+       // restated — each slide's own text already contains a newline
+       "SELECT doc_id, t.i, " +
+       "CASE WHEN t.i % 2 = 0 THEN " +
+       "'Deck ' || CAST(doc_id AS VARCHAR) || ' slide ' || CAST(t.i AS VARCHAR) || " +
+       "' café' || chr(10) || 'line ' || CAST((doc_id + t.i) % 8 AS VARCHAR) " +
+       "ELSE 'Deck ' || CAST(doc_id AS VARCHAR) || ' slide ' || CAST(t.i AS VARCHAR) || " +
+       "' € 𝄞 k=' || CAST((doc_id + t.i) % 8 AS VARCHAR) END " +
+       "FROM d CROSS JOIN (VALUES (1), (2), (3)) AS t(i) " +
+       "WHERE m = 4 AND (doc_id // 8) % 4 = 3 AND t.i <= n3), " +
        "agg AS (SELECT doc_id, string_agg(unit, chr(10) ORDER BY idx) AS text " +
        "FROM u GROUP BY doc_id) " +
        "SELECT d.doc_id, " +
        "CASE m WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx' WHEN 2 THEN 'pptx' " +
        "WHEN 3 THEN 'epub' " +
-       "WHEN 4 THEN (CASE WHEN (d.doc_id // 8) % 2 = 1 THEN 'doc' ELSE 'zip' END) " +
+       "WHEN 4 THEN (CASE (d.doc_id // 8) % 4 WHEN 1 THEN 'doc' " +
+       "WHEN 2 THEN 'xls' WHEN 3 THEN 'ppt' ELSE 'zip' END) " +
        "WHEN 5 THEN 'pdf' " +
        "WHEN 6 THEN 'rtf' ELSE 'odt' END AS kind, " +
        "agg.text AS text " +

@@ -522,14 +522,22 @@ object Multimodal {
           id.cast("long"), (id % 3 + 1).cast("int"))),
         (id % 119 =!= 0 && id % 8 === 3, graft.plans.VectorExpressions.epubEncode(
           id.cast("long"), (id % 3 + 1).cast("int"))),
-        // m=4 sub-splits: plain zip vs the CFB-magic binary .doc (the
-        // D0CF11E0 route — its extractor is the piece-table walk)
-        (id % 119 =!= 0 && id % 8 === 4 && floor(id / 8) % 2 === 0,
+        // m=4 sub-splits on (id/8)%4: plain zip / the three CFB-magic
+        // binary formats (doc piece table, xls BIFF8 grid, ppt record
+        // tree) — one magic byte prefix, four routes, all through the
+        // cfb_kind classifier
+        (id % 119 =!= 0 && id % 8 === 4 && floor(id / 8) % 4 === 0,
           graft.plans.VectorExpressions.zipEncode(
             id.cast("long"), (id % 6 + 1).cast("int"), id % 3 === 0)),
-        (id % 119 =!= 0 && id % 8 === 4 && floor(id / 8) % 2 === 1,
+        (id % 119 =!= 0 && id % 8 === 4 && floor(id / 8) % 4 === 1,
           graft.plans.VectorExpressions.docEncode(
             id.cast("long"), (id % 4 + 1).cast("int"))),
+        (id % 119 =!= 0 && id % 8 === 4 && floor(id / 8) % 4 === 2,
+          graft.plans.VectorExpressions.xlsEncode(
+            id.cast("long"), (id % 4 + 1).cast("int"))),
+        (id % 119 =!= 0 && id % 8 === 4 && floor(id / 8) % 4 === 3,
+          graft.plans.VectorExpressions.pptEncode(
+            id.cast("long"), (id % 3 + 1).cast("int"))),
         (id % 119 =!= 0 && id % 8 === 5, graft.plans.VectorExpressions.pdfTextEncode(
           id.cast("long"), (id % 4 + 1).cast("int"))),
         (id % 119 =!= 0 && id % 8 === 6, graft.plans.VectorExpressions.rtfEncode(

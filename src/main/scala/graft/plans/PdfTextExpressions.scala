@@ -62,8 +62,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * UNDEFINED, a glyph NAME outside the map, an unmapped CID, a
   * ragged (odd-length) 2-byte string, a font outside both tiers
   * (/MacExpertEncoding, symbolic fonts, Identity-V vertical writing,
-  * embedded-CMap-stream encodings, a Type0 with no /ToUnicode,
-  * `usecmap` composition), an inline image (BI — its raw payload
+  * a Type0 with no /ToUnicode, `usecmap` of anything but Identity-H
+  * — embedded CMap streams themselves decode, see [[parseCidCMap]]),
+  * an inline image (BI — its raw payload
   * would desynchronize any token walk), or a stream filter outside
   * the served set — FlateDecode, LZWDecode (§7.4.4, EarlyChange
   * quirk honored), ASCIIHexDecode, ASCII85Decode, chained per the
@@ -1027,8 +1028,10 @@ object PdfPageTexts {
     * either the NAME Identity-H (2-byte codes) or an EMBEDDED CMAP
     * STREAM (§9.7.5.3) whose codespacerange sections drive the 1-/
     * 2-byte code segmentation (the CJK composite case; cidrange
-    * content is glyph selection and inert for extraction). Vertical
-    * writing (Identity-V or /WMode 1), `usecmap` composition, and
+    * content is glyph selection and inert for extraction); an
+    * embedded CMap may incorporate Identity-H's 2-byte codespace via
+    * `usecmap`. Vertical writing (Identity-V or /WMode 1), `usecmap`
+    * of any OTHER CMap (predefined CJK resources are external), and
     * 3-/4-byte codespaces stay the recorded envelope. Unicode text
     * comes from the font's /ToUnicode CMap (§9.10.3) in both forms;
     * a Type0 with no /ToUnicode declines: CIDs carry no inherent
@@ -1049,8 +1052,13 @@ object PdfPageTexts {
 
   /** An embedded /Encoding CMap stream: collect the codespacerange
     * spans (1- and 2-byte; anything wider declines), reject vertical
-    * writing (/WMode 1) and `usecmap`, leave cidrange/cidchar inert.
-    * Mixed-length spans sharing a first byte decline — the show-string
+    * writing (/WMode 1), leave cidrange/cidchar inert. `usecmap`
+    * composition (§9.7.5.3) incorporates the used CMap's codespace
+    * when — and only when — the operand is the spec-defined
+    * Identity-H name (the 2-byte <0000> <FFFF> space): Identity-V is
+    * vertical and the predefined CJK CMaps are external resources
+    * this offline tier does not ship, so both decline. Mixed-length
+    * spans sharing a first byte decline — the show-string
     * segmentation must be deterministic. */
   private def parseCidCMap(data: Array[Byte]): CodeSpace = {
     val lex = new Lex(data, 0)
@@ -1058,6 +1066,10 @@ object PdfPageTexts {
     val one = Vector.newBuilder[(Int, Int)]
     val two = Vector.newBuilder[(Int, Int)]
     var sawSpace = false
+    // the name object immediately preceding a usecmap operator (any
+    // other intervening object clears it — usecmap's operand is the
+    // name on the operand stack, nothing looser)
+    var lastName: String = null
     while ({ lex.skipWs(); !lex.atEnd }) {
       guard += 1
       if (guard > MaxOps) decline()
@@ -1071,11 +1083,14 @@ object PdfPageTexts {
             case _ => decline() // vertical writing: recorded envelope
           }
         }
+        lastName = n
       } else if (c == '(' || c == '<' || c == '[' || c == '+' || c == '-' ||
         c == '.' || (c >= '0' && c <= '9')) {
         lex.obj(0, refs = false)
+        lastName = null
       } else lex.token() match {
         case "begincodespacerange" =>
+          lastName = null
           var going = true
           while (going) {
             lex.skipWs()
@@ -1099,8 +1114,15 @@ object PdfPageTexts {
             } else if (lex.token() != "endcodespacerange") decline()
             else going = false
           }
-        case "usecmap" => decline() // composition: recorded envelope
-        case _ => () // cidrange/cidchar content and PS shell: inert
+        case "usecmap" =>
+          // only Identity-H composes; its codespace is the full
+          // 2-byte band (ISO 32000 9.7.5.2 defines it in the spec
+          // itself — nothing external to resolve)
+          if (lastName != "Identity-H") decline()
+          two += ((0x00, 0xFF))
+          sawSpace = true
+          lastName = null
+        case _ => lastName = null // cidrange/cidchar content and PS shell: inert
       }
     }
     if (!sawSpace) decline()
@@ -1924,34 +1946,62 @@ case class PdfCMapEncode(children: Seq[Expression]) extends Expression
 object PdfCMapEncode {
 
   /** What [[PdfPageTexts]] must decode page p (0-based) to — the
-    * oracle's contract: ASCII through the 1-byte band, é/€/𝄞 through
-    * the 2-byte bfchars. */
+    * oracle's contract: ASCII through the 1-byte band (even seeds)
+    * or 2-byte codes under the Identity-H usecmap space (odd seeds),
+    * é/€/𝄞 through the 2-byte bfchars either way. */
   def decodedPage(seed: Long, p: Int): String =
     s"Cmap $seed page ${p + 1} é€𝄞 ${(seed + p) % 5}"
 
   private def asciiHex(s: String): String =
     s.map(c => f"${c.toInt}%02x").mkString
+  private def asciiHex4(s: String): String =
+    s.map(c => f"${c.toInt}%04x").mkString
 
   def encode(seed: Long, nPages: Int): Array[Byte] = {
     if (seed < 0 || nPages < 1 || nPages > 64) return null
+    // even seeds: an own mixed 1-/2-byte codespace; odd seeds: NO own
+    // codespace — the 2-byte band arrives via `/Identity-H usecmap`
+    // (§9.7.5.3 composition), every show code 2 bytes wide. Both
+    // decode to the same contract string, so one oracle column
+    // certifies both forms.
+    val useCmap = seed % 2 == 1
     val encodingCMap =
-      "%!PS-Adobe-3.0 Resource-CMap\n" +
-        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
-        "/CIDSystemInfo << /Registry (Graft) /Ordering (Mixed) " +
-        "/Supplement 0 >> def\n" +
-        "/CMapName /Graft-Mixed-H def\n/CMapType 1 def\n/WMode 0 def\n" +
-        "2 begincodespacerange\n<00> <7f>\n<8000> <ffff>\n" +
-        "endcodespacerange\n" +
-        "2 begincidrange\n<20> <7e> 1\n<8000> <80ff> 100\nendcidrange\n" +
-        "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+      if (useCmap)
+        "%!PS-Adobe-3.0 Resource-CMap\n" +
+          "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+          "/Identity-H usecmap\n" +
+          "/CIDSystemInfo << /Registry (Graft) /Ordering (Mixed) " +
+          "/Supplement 0 >> def\n" +
+          "/CMapName /Graft-Use-H def\n/CMapType 1 def\n/WMode 0 def\n" +
+          "1 begincidrange\n<8000> <80ff> 100\nendcidrange\n" +
+          "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+      else
+        "%!PS-Adobe-3.0 Resource-CMap\n" +
+          "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+          "/CIDSystemInfo << /Registry (Graft) /Ordering (Mixed) " +
+          "/Supplement 0 >> def\n" +
+          "/CMapName /Graft-Mixed-H def\n/CMapType 1 def\n/WMode 0 def\n" +
+          "2 begincodespacerange\n<00> <7f>\n<8000> <ffff>\n" +
+          "endcodespacerange\n" +
+          "2 begincidrange\n<20> <7e> 1\n<8000> <80ff> 100\nendcidrange\n" +
+          "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
     val toUnicode =
-      "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
-        "/CMapName /Graft-Mixed-UCS def\n/CMapType 2 def\n" +
-        "2 begincodespacerange\n<00> <7f>\n<8000> <ffff>\n" +
-        "endcodespacerange\n" +
-        "1 beginbfrange\n<20> <7e> <0020>\nendbfrange\n" +
-        "3 beginbfchar\n<8001> <00e9>\n<8002> <20ac>\n<8003> <d834dd1e>\n" +
-        "endbfchar\nendcmap\nend\nend"
+      if (useCmap)
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+          "/CMapName /Graft-Use-UCS def\n/CMapType 2 def\n" +
+          "1 begincodespacerange\n<0000> <ffff>\n" +
+          "endcodespacerange\n" +
+          "1 beginbfrange\n<0020> <007e> <0020>\nendbfrange\n" +
+          "3 beginbfchar\n<8001> <00e9>\n<8002> <20ac>\n<8003> <d834dd1e>\n" +
+          "endbfchar\nendcmap\nend\nend"
+      else
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+          "/CMapName /Graft-Mixed-UCS def\n/CMapType 2 def\n" +
+          "2 begincodespacerange\n<00> <7f>\n<8000> <ffff>\n" +
+          "endcodespacerange\n" +
+          "1 beginbfrange\n<20> <7e> <0020>\nendbfrange\n" +
+          "3 beginbfchar\n<8001> <00e9>\n<8002> <20ac>\n<8003> <d834dd1e>\n" +
+          "endbfchar\nendcmap\nend\nend"
 
     val sb = new StringBuilder()
     sb.append("%PDF-1.6\n%âãÏÓ\n")
@@ -1977,10 +2027,17 @@ object PdfCMapEncode {
       val contentNum = 7 + pg * 2 + 1
       obj(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
         s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contentNum 0 R >>")
-      // the show string MIXES widths: ASCII 1-byte codes around the
-      // three 2-byte specials — exactly the segmentation under test
-      val hexStr = asciiHex(s"Cmap $seed page ${pg + 1} ") +
-        "800180028003" + asciiHex(s" ${(seed + pg) % 5}")
+      // even seeds: the show string MIXES widths — ASCII 1-byte codes
+      // around the three 2-byte specials, exactly the segmentation
+      // under test; odd seeds: EVERY code is 2 bytes wide under the
+      // usecmap'd Identity-H space
+      val hexStr =
+        if (useCmap)
+          asciiHex4(s"Cmap $seed page ${pg + 1} ") +
+            "800180028003" + asciiHex4(s" ${(seed + pg) % 5}")
+        else
+          asciiHex(s"Cmap $seed page ${pg + 1} ") +
+            "800180028003" + asciiHex(s" ${(seed + pg) % 5}")
       val src = s"BT /F1 12 Tf 72 720 Td <$hexStr> Tj ET"
       obj(s"<< /Length ${src.length} >>\nstream\n$src\nendstream")
     }

@@ -27,8 +27,35 @@ class PdfCMapSpec extends AnyFunSuite {
     }
   }
 
+  test("usecmap composition: Identity-H incorporates, anything else declines") {
+    // odd seeds write the usecmap layout: NO own codespacerange, every
+    // show code 2 bytes under the incorporated Identity-H band
+    val b = PdfCMapEncode.encode(9L, 2)
+    assert(pages(b) === (0 until 2).map(PdfCMapEncode.decodedPage(9L, _)))
+    val s = new String(b, "ISO-8859-1")
+    def mut(f: String => String): Seq[String] = {
+      val m = f(s)
+      assert(m.length == s.length, "mutations must keep xref offsets valid")
+      val out = pages(m.getBytes("ISO-8859-1"))
+      assert(out != null, "these are page-level declines, not structural")
+      out
+    }
+    // Identity-V is vertical writing: decline
+    assert(mut(_.replace("/Identity-H usecmap", "/Identity-V usecmap"))
+      .forall(_ == null), "usecmap of Identity-V must decline")
+    // an unknown (predefined CJK) CMap name: an external resource this
+    // offline tier does not ship — decline, never guess
+    assert(mut(_.replace("/Identity-H usecmap", "/Xdentity-H usecmap"))
+      .forall(_ == null), "usecmap of an unknown CMap must decline")
+    // an intervening object between the name and usecmap clears the
+    // operand: numbers directly precede the operator (same length)
+    assert(mut(_.replace("/Identity-H usecmap", "  1 2 3 4   usecmap"))
+      .forall(_ == null), "usecmap without a name operand must decline")
+  }
+
   test("declines: vertical writing, usecmap, ambiguous codespace, ragged code") {
-    val b = PdfCMapEncode.encode(9L, 1)
+    // seed 10: the even-seed layout (own mixed codespace, no usecmap)
+    val b = PdfCMapEncode.encode(10L, 1)
     val s = new String(b, "ISO-8859-1")
     def mut(f: String => String): Seq[String] = {
       val m = f(s)
