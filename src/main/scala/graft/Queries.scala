@@ -1571,10 +1571,16 @@ object Queries {
     // Transfer framing and content coding cycle underneath, invisible
     "pipeline_http_charset" ->
       ("SELECT doc_id, " +
-       "CASE doc_id % 10 WHEN 0 THEN 'windows-1252' WHEN 1 THEN 'iso-8859-1' " +
-       // variant 3's sub-cycle: honest utf-8 / BOM'd UTF-16LE behind a
-       // charset=utf-8 header (the BOM outranks — same decoded text) /
-       // labeled utf-16be; the charset column is the DECLARED label
+       // variant 0's sub-cycle: the single-byte family, each row's
+       // charset the DECLARED label (alias piles exercised: greek,
+       // cp1256, latin2); variant 3's: honest utf-8 / BOM'd UTF-16LE
+       // behind a charset=utf-8 header (the BOM outranks — same
+       // decoded text) / labeled utf-16be
+       "CASE doc_id % 10 WHEN 0 THEN " +
+       "(CASE (doc_id // 10) % 6 WHEN 0 THEN 'windows-1252' " +
+       "WHEN 1 THEN 'windows-1251' WHEN 2 THEN 'greek' " +
+       "WHEN 3 THEN 'koi8-r' WHEN 4 THEN 'cp1256' ELSE 'latin2' END) " +
+       "WHEN 1 THEN 'iso-8859-1' " +
        "WHEN 3 THEN (CASE WHEN (doc_id // 10) % 3 = 2 THEN 'utf-16be' ELSE 'utf-8' END) " +
        "WHEN 5 THEN 'shift_jis' WHEN 6 THEN 'euc-jp' " +
        "WHEN 7 THEN 'gb2312' WHEN 8 THEN 'big5' WHEN 9 THEN 'euc-kr' " +
@@ -1582,7 +1588,14 @@ object Queries {
        "'<html><head>' || " +
        "CASE WHEN doc_id % 10 = 2 THEN '<meta charset=\"windows-1252\">' ELSE '' END || " +
        "'</head><body>' || " +
-       "CASE WHEN doc_id % 10 IN (5, 6) THEN 'こんにちは世界 テスト' " +
+       "CASE WHEN doc_id % 10 = 0 THEN " +
+       "(CASE (doc_id // 10) % 6 WHEN 0 THEN 'Café “quote” – €' " +
+       "WHEN 1 THEN 'Привет «мир» №' " +
+       "WHEN 2 THEN 'Γειά σου € κόσμε' " +
+       "WHEN 3 THEN 'Привет ё мир' " +
+       "WHEN 4 THEN 'مرحبا بالعالم' " +
+       "ELSE 'Žluťoučký kůň' END) " +
+       "WHEN doc_id % 10 IN (5, 6) THEN 'こんにちは世界 テスト' " +
        "WHEN doc_id % 10 = 7 THEN '你好世界 测试' " +
        "WHEN doc_id % 10 = 8 THEN '你好世界 測試' " +
        "WHEN doc_id % 10 = 9 THEN '안녕하세요 세계' " +

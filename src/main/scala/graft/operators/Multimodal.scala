@@ -650,6 +650,18 @@ object Multimodal {
             .getBytes(jdkCharset)),
           encode(ids, "US-ASCII"),
           lit("</body></html>".getBytes("US-ASCII")))
+        // the WHATWG single-byte tail: bytes written by the DECODE
+        // table's own inverse (graft.plans.HttpText.singleByteEncode —
+        // the encoder twin), so the hash-exact oracle certifies the
+        // table round trip; the declared labels exercise the alias
+        // piles (greek / cp1256 / latin2)
+        def sbBody(text: String, canonical: String): Column = {
+          val pre = graft.plans.HttpText.singleByteEncode(
+            "<html><head></head><body>" + text + " id=", canonical)
+          require(pre != null, s"fixture text not representable in $canonical")
+          concat(lit(pre), encode(ids, "US-ASCII"),
+            lit("</body></html>".getBytes("US-ASCII")))
+        }
         val jp = "こんにちは世界 テスト"
         val mode = (id % 3).cast("int")
         val coding = ((id / 3) % 4).cast("int")
@@ -658,8 +670,27 @@ object Multimodal {
             id.cast("long"), lit(200).cast("int"), lit(ct), body, mode, coding)
         Seq(
           (id % 141 === 0, encode(text.substr(1, 20), "UTF-8")),
-          (id % 141 =!= 0 && id % 10 === 0,
+          // variant 0's sub-cycle (doc_id/10)%6: cp1252, then five
+          // single-byte legacy pages across the family's scripts —
+          // Cyrillic (1251 + koi8-r), Greek with the 2003 euro at
+          // 0xA4, Arabic (1256), Central-European (8859-2)
+          (id % 141 =!= 0 && id % 10 === 0 && floor(id / 10) % 6 === 0,
             msg("text/html; charset=windows-1252", cp1252Body)),
+          (id % 141 =!= 0 && id % 10 === 0 && floor(id / 10) % 6 === 1,
+            msg("text/html; charset=windows-1251",
+              sbBody("Привет «мир» №", "windows-1251"))),
+          (id % 141 =!= 0 && id % 10 === 0 && floor(id / 10) % 6 === 2,
+            msg("text/html; charset=greek",
+              sbBody("Γειά σου € κόσμε", "iso-8859-7"))),
+          (id % 141 =!= 0 && id % 10 === 0 && floor(id / 10) % 6 === 3,
+            msg("text/html; charset=koi8-r",
+              sbBody("Привет ё мир", "koi8-r"))),
+          (id % 141 =!= 0 && id % 10 === 0 && floor(id / 10) % 6 === 4,
+            msg("text/html; charset=cp1256",
+              sbBody("مرحبا بالعالم", "windows-1256"))),
+          (id % 141 =!= 0 && id % 10 === 0 && floor(id / 10) % 6 === 5,
+            msg("text/html; charset=latin2",
+              sbBody("Žluťoučký kůň", "iso-8859-2"))),
           (id % 141 =!= 0 && id % 10 === 1,
             msg("text/html; charset=iso-8859-1", cp1252Body)),
           (id % 141 =!= 0 && id % 10 === 2, msg("text/html", cp1252Meta)),

@@ -313,10 +313,16 @@ object HttpBody {
   * euc-jp, gbk (incl. every `gb2312` label), big5 (the
   * HKSCS-extended index), euc-kr (= windows-949) — strictly:
   * malformed or unmappable sequences DECLINE, never U+FFFD. The
-  * mojibake-never law: an undecodable body (malformed bytes, an
-  * unknown label) returns NULL — a declined row is recoverable,
-  * silently garbled text poisons every downstream
-  * dedup/quality/tokenize pass. */
+  * whole WHATWG SINGLE-BYTE family decodes by 256-entry index
+  * tables ([[sbTable]]: windows-1250-1258, windows-874 incl. the
+  * tis-620/iso-8859-11 labels, iso-8859-2..8/13/15 — with -9 → 1254
+  * per the registry and the -7 2003 euro revision — koi8-r/u,
+  * ibm866, macintosh), an undefined index position declining.
+  * iso-8859-10/-14/-16 and x-mac-cyrillic stay the recorded envelope
+  * (no faithful index offline). The mojibake-never law: an
+  * undecodable body (malformed bytes, an unknown label) returns NULL
+  * — a declined row is recoverable, silently garbled text poisons
+  * every downstream dedup/quality/tokenize pass. */
 case class HttpText(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
@@ -400,8 +406,154 @@ object HttpText {
       case "utf-16" | "utf-16le" | "unicode" | "csunicode" | "ucs-2" |
         "unicodefeff" | "iso-10646-ucs-2" => "utf-16le"
       case "utf-16be" | "unicodefffe" => "utf-16be"
+      // ---- the WHATWG single-byte family (each a 256-entry index;
+      // decoded through [[sbTable]]) ----
+      case "cp1250" | "windows-1250" | "x-cp1250" => "windows-1250"
+      case "cp1251" | "windows-1251" | "x-cp1251" => "windows-1251"
+      case "cp1253" | "windows-1253" | "x-cp1253" => "windows-1253"
+      // WHATWG maps the iso-8859-9 (latin5 / Turkish) labels to
+      // windows-1254 — the same superset relationship as latin1
+      case "cp1254" | "csisolatin5" | "iso-8859-9" | "iso-ir-148" |
+        "iso8859-9" | "iso88599" | "iso_8859-9" | "iso_8859-9:1989" |
+        "l5" | "latin5" | "windows-1254" | "x-cp1254" => "windows-1254"
+      case "cp1255" | "windows-1255" | "x-cp1255" => "windows-1255"
+      case "cp1256" | "windows-1256" | "x-cp1256" => "windows-1256"
+      case "cp1257" | "windows-1257" | "x-cp1257" => "windows-1257"
+      case "cp1258" | "windows-1258" | "x-cp1258" => "windows-1258"
+      // likewise iso-8859-11 (Thai) labels ARE windows-874
+      case "dos-874" | "iso-8859-11" | "iso8859-11" | "iso885911" |
+        "tis-620" | "windows-874" => "windows-874"
+      case "csisolatin2" | "iso-8859-2" | "iso-ir-101" | "iso8859-2" |
+        "iso88592" | "iso_8859-2" | "iso_8859-2:1987" | "l2" |
+        "latin2" => "iso-8859-2"
+      case "csisolatin3" | "iso-8859-3" | "iso-ir-109" | "iso8859-3" |
+        "iso88593" | "iso_8859-3" | "iso_8859-3:1988" | "l3" |
+        "latin3" => "iso-8859-3"
+      case "csisolatin4" | "iso-8859-4" | "iso-ir-110" | "iso8859-4" |
+        "iso88594" | "iso_8859-4" | "iso_8859-4:1988" | "l4" |
+        "latin4" => "iso-8859-4"
+      case "csisolatincyrillic" | "cyrillic" | "iso-8859-5" |
+        "iso-ir-144" | "iso8859-5" | "iso88595" | "iso_8859-5" |
+        "iso_8859-5:1988" => "iso-8859-5"
+      case "arabic" | "asmo-708" | "csiso88596e" | "csiso88596i" |
+        "csisolatinarabic" | "ecma-114" | "iso-8859-6" | "iso-8859-6-e" |
+        "iso-8859-6-i" | "iso-ir-127" | "iso8859-6" | "iso88596" |
+        "iso_8859-6" | "iso_8859-6:1987" => "iso-8859-6"
+      case "csisolatingreek" | "ecma-118" | "elot_928" | "greek" |
+        "greek8" | "iso-8859-7" | "iso-ir-126" | "iso8859-7" |
+        "iso88597" | "iso_8859-7" | "iso_8859-7:1987" |
+        "sun_eu_greek" => "iso-8859-7"
+      // -8 (visual) and -8-i (logical) are distinct WHATWG encodings
+      // with the SAME index; for byte decoding they are one table
+      case "csiso88598e" | "csisolatinhebrew" | "hebrew" | "iso-8859-8" |
+        "iso-8859-8-e" | "iso-ir-138" | "iso8859-8" | "iso88598" |
+        "iso_8859-8" | "iso_8859-8:1988" | "visual" |
+        "csiso88598i" | "iso-8859-8-i" | "logical" => "iso-8859-8"
+      case "iso-8859-13" | "iso8859-13" | "iso885913" => "iso-8859-13"
+      case "csisolatin9" | "iso-8859-15" | "iso8859-15" | "iso885915" |
+        "iso_8859-15" | "l9" => "iso-8859-15"
+      case "cskoi8r" | "koi" | "koi8" | "koi8-r" | "koi8_r" => "koi8-r"
+      case "koi8-ru" | "koi8-u" => "koi8-u"
+      case "866" | "cp866" | "csibm866" | "ibm866" => "ibm866"
+      case "csmacintosh" | "mac" | "macintosh" | "x-mac-roman" =>
+        "macintosh"
+      // iso-8859-10/-14/-16 and x-mac-cyrillic: labels the stripped
+      // JRE has no faithful index for — the recorded envelope
       case _ => null
     }
+
+  /** The single-byte canonical names [[decode]] serves via a 256-char
+    * table. */
+  private val SingleByte = Set(
+    "windows-1250", "windows-1251", "windows-1253", "windows-1254",
+    "windows-1255", "windows-1256", "windows-1257", "windows-1258",
+    "windows-874", "iso-8859-2", "iso-8859-3", "iso-8859-4",
+    "iso-8859-5", "iso-8859-6", "iso-8859-7", "iso-8859-8",
+    "iso-8859-13", "iso-8859-15", "koi8-r", "koi8-u", "ibm866",
+    "macintosh")
+
+  private val sbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Char]]()
+
+  /** The 256-entry WHATWG index for a single-byte canonical name:
+    * 0x00-0x7F are ASCII in every member; the high half builds from
+    * the JDK decoder implementing the vendor page, then the
+    * spec-exact patches land on top —
+    *  - windows-125x / windows-874: a 0x80-0x9F position the vendor
+    *    page leaves undefined is its C1 control in the WHATWG index
+    *    (the cp1252-holes rule, generalized);
+    *  - windows-1253 0xAA/0xD2/0xFF and windows-1257 0xA1/0xA5 and
+    *    windows-874 0xDB-0xDE/0xFC-0xFF are UNMAPPED in the index
+    *    (decode → error), whatever a best-fit decoder says;
+    *  - windows-1255 0xCA is U+05BA (the index adds it over the
+    *    vendor page);
+    *  - iso-8859-7 carries the 2003 revision: 0xA4 → € and 0xA5 → ₯;
+    *  - macintosh 0xBD is U+03A9 GREEK CAPITAL OMEGA (the index
+    *    deviates from the JDK's MacRoman OHM SIGN).
+    * A 0 entry is undefined: a body byte landing there DECLINES
+    * (mojibake-never — WHATWG "decode error" is this tier's NULL). */
+  private[plans] def sbTable(name: String): Array[Char] = {
+    val hit = sbCache.get(name)
+    if (hit != null) return hit
+    val jdk = name match {
+      case "windows-874" => "x-windows-874"
+      case "koi8-r" => "KOI8-R"
+      case "koi8-u" => "KOI8-U"
+      case "ibm866" => "IBM866"
+      case "macintosh" => "x-MacRoman"
+      case other => other // windows-125x and iso-8859-x resolve directly
+    }
+    val cs = java.nio.charset.Charset.forName(jdk)
+    val t = new Array[Char](256)
+    var i = 0
+    while (i < 256) {
+      if (i < 0x80) t(i) = i.toChar
+      else {
+        val s = new String(Array(i.toByte), cs)
+        if (s.length == 1 && s.charAt(0) != '�') t(i) = s.charAt(0)
+      }
+      i += 1
+    }
+    if ((name.startsWith("windows-125") || name == "windows-874")) {
+      i = 0x80
+      while (i < 0xA0) { if (t(i) == 0) t(i) = i.toChar; i += 1 }
+    }
+    name match {
+      case "windows-1253" => t(0xAA) = 0; t(0xD2) = 0; t(0xFF) = 0
+      case "windows-1255" => t(0xCA) = '\u05BA'
+      case "windows-1257" => t(0xA1) = 0; t(0xA5) = 0
+      case "windows-874" =>
+        var j = 0xDB
+        while (j <= 0xDE) { t(j) = 0; j += 1 }
+        j = 0xFC
+        while (j <= 0xFF) { t(j) = 0; j += 1 }
+      case "iso-8859-7" => t(0xA4) = '\u20AC'; t(0xA5) = '\u20AF'
+      case "macintosh" => t(0xBD) = '\u03A9'
+      case _ => ()
+    }
+    sbCache.put(name, t)
+    t
+  }
+
+  /** Fixture-encoder twin: text → bytes by inverting [[sbTable]].
+    * Null when a character has no byte in the index — the fixture
+    * must be representable, never best-fit. */
+  private[graft] def singleByteEncode(text: String, name: String): Array[Byte] = {
+    val t = sbTable(name)
+    val out = new Array[Byte](text.length)
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      var b = -1
+      var j = 0
+      // t(j)==0 marks "undefined" everywhere but j==0 (the real NUL)
+      while (j < 256 && b < 0) { if (t(j) == c && (c != 0 || j == 0)) b = j; j += 1 }
+      if (b < 0) return null
+      out(i) = b.toByte
+      i += 1
+    }
+    out
+  }
 
   /** The JDK charset implementing each multi-byte canonical name —
     * per the WHATWG indexes: shift_jis IS Windows-31J (CP932), euc-kr
@@ -481,6 +633,20 @@ object HttpText {
         strictDecode(body, jdkName(cs))
       case "utf-16le" => strictDecode(body, "UTF-16LE")
       case "utf-16be" => strictDecode(body, "UTF-16BE")
+      case sb if sb != null && SingleByte.contains(sb) =>
+        // the WHATWG single-byte family: table lookup, an undefined
+        // index position declines (the spec's decode error)
+        val t = sbTable(sb)
+        val out = new Array[Char](body.length)
+        var i = 0
+        while (i < body.length) {
+          val u = body(i) & 0xFF
+          val c = t(u)
+          if (c == 0 && u != 0) return null
+          out(i) = c
+          i += 1
+        }
+        UTF8String.fromString(new String(out))
       case _ => null // unknown label: decline, never guess-garble
     }
   }

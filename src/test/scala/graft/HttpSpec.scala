@@ -148,9 +148,10 @@ class HttpSpec extends AnyFunSuite {
     assert(dec("Café €".getBytes("UTF-8"), "utf-8") === "Café €")
     assert(dec(raw, "utf-8") == null)
     assert(dec(raw, "UTF8") == null)
-    // unknown labels decline, never guess (koi8-r is a real WHATWG
-    // label, just outside this tier's registry)
-    assert(dec("abc".getBytes, "koi8-r") == null)
+    // unknown labels decline, never guess (iso-8859-16 is a real
+    // WHATWG label, just outside this tier's registry — no faithful
+    // index offline)
+    assert(dec("abc".getBytes, "iso-8859-16") == null)
     assert(dec("abc".getBytes, "klingon-8") == null)
     // meta prescan when no charset is declared (null label)
     val metaPage = ("<html><head><meta charset=\"windows-1252\"></head>" +
@@ -262,5 +263,95 @@ class HttpSpec extends AnyFunSuite {
     assert(dec("x".getBytes("UTF-16LE") ++ Array(0x34.toByte, 0xD8.toByte),
       "utf-16le") === null) // lone high surrogate
     assert(dec(Array(0x1E.toByte, 0xDD.toByte), "utf-16le") === null) // lone low
+  }
+
+  test("single-byte family: hand-pinned WHATWG index witnesses per encoding") {
+    def dec(b: Array[Byte], cs: String): String = {
+      val u = HttpText.decode(b, cs)
+      if (u == null) null else u.toString
+    }
+    def one(byte: Int, cs: String): String = dec(Array(byte.toByte), cs)
+    // witnesses drawn from the published WHATWG index files — these
+    // pin the JDK-built tables to the registry, independent of the
+    // encoder twin
+    assert(one(0x8A, "windows-1250") === "Š")
+    assert(one(0xA5, "windows-1250") === "Ą")
+    assert(one(0x80, "windows-1251") === "Ђ")
+    assert(one(0xA8, "windows-1251") === "Ё")
+    assert(one(0xC0, "windows-1251") === "А")
+    assert(one(0xFF, "windows-1251") === "я")
+    assert(one(0xC1, "windows-1253") === "Α")
+    assert(one(0xD0, "windows-1254") === "Ğ")
+    assert(one(0xDD, "windows-1254") === "İ")
+    assert(one(0xA4, "windows-1255") === "₪")
+    assert(one(0xE0, "windows-1255") === "א")
+    // the index ADDS U+05BA over the vendor page at 0xCA
+    assert(one(0xCA, "windows-1255") === "\u05BA")
+    assert(one(0xC1, "windows-1256") === "ء")
+    assert(one(0xC0, "windows-1257") === "Ą")
+    // cp1258's combining diacritics
+    assert(one(0xCC, "windows-1258") === "\u0300")
+    assert(one(0xA1, "iso-8859-2") === "Ą")
+    assert(one(0xB0, "iso-8859-5") === "А")
+    assert(one(0xF0, "iso-8859-5") === "№")
+    assert(one(0xC1, "iso-8859-6") === "ء")
+    // iso-8859-7 carries the 2003 revision: euro and drachma
+    assert(one(0xA4, "iso-8859-7") === "€")
+    assert(one(0xA5, "iso-8859-7") === "₯")
+    assert(one(0xC1, "iso-8859-7") === "Α")
+    assert(one(0xE0, "iso-8859-8") === "א")
+    assert(one(0xA8, "iso-8859-13") === "Ø")
+    assert(one(0xA4, "iso-8859-15") === "€")
+    assert(one(0xBC, "iso-8859-15") === "Œ")
+    assert(one(0xA3, "koi8-r") === "ё")
+    assert(one(0xC1, "koi8-r") === "а")
+    assert(one(0xE1, "koi8-r") === "А")
+    assert(one(0xA4, "koi8-u") === "є")
+    assert(one(0xA7, "koi8-u") === "ї")
+    assert(one(0xAD, "koi8-u") === "ґ")
+    assert(one(0x80, "ibm866") === "А")
+    assert(one(0xF1, "ibm866") === "ё")
+    // macintosh 0xBD is GREEK CAPITAL OMEGA in the index, not the
+    // MacRoman OHM SIGN
+    assert(one(0xBD, "macintosh") === "Ω")
+    assert(one(0x8E, "macintosh") === "é")
+    // windows-874: Thai + the cp1252-style layout
+    assert(one(0x80, "windows-874") === "€")
+    assert(one(0xA1, "windows-874") === "ก")
+    // the label piles resolve (iso-8859-9 IS windows-1254; tis-620 IS
+    // windows-874; -8-i shares -8's index)
+    assert(one(0xD0, "iso-8859-9") === "Ğ")
+    assert(one(0xD0, "latin5") === "Ğ")
+    assert(one(0xA1, "tis-620") === "ก")
+    assert(one(0xE0, "iso-8859-8-i") === "א")
+    assert(one(0xC1, "greek") === "Α")
+    assert(one(0xC0, "cp1251") === "А")
+    // undefined index positions DECLINE (the WHATWG decode error):
+    // 1253's three holes, 1257's two, 874's high holes, and the
+    // windows-125x C1 positions map to controls (never errors)
+    assert(one(0xAA, "windows-1253") === null)
+    assert(one(0xD2, "windows-1253") === null)
+    assert(one(0xFF, "windows-1253") === null)
+    assert(one(0xA1, "windows-1257") === null)
+    assert(one(0xA5, "windows-1257") === null)
+    assert(one(0xDB, "windows-874") === null)
+    assert(one(0xFF, "windows-874") === null)
+    assert(one(0x81, "windows-1250") === "\u0081")
+    assert(one(0x98, "windows-1251") === "\u0098")
+    // iso-8859-10/-14/-16 and x-mac-cyrillic: the recorded envelope
+    assert(dec("abc".getBytes("US-ASCII"), "iso-8859-10") === null)
+    assert(dec("abc".getBytes("US-ASCII"), "x-mac-cyrillic") === null)
+    // encoder-twin round trips across scripts (the fixture's own path)
+    for ((text, cs) <- Seq(
+      ("Привет «мир» №", "windows-1251"),
+      ("Γειά σου € κόσμε", "iso-8859-7"),
+      ("Привет ё мир", "koi8-r"),
+      ("مرحبا بالعالم", "windows-1256"),
+      ("Žluťoučký kůň", "iso-8859-2"),
+      ("สวัสดี", "windows-874"))) {
+      val b = HttpText.singleByteEncode(text, cs)
+      assert(b != null, s"$cs fixture text must be representable")
+      assert(dec(b, cs) === text, cs)
+    }
   }
 }
