@@ -86,8 +86,16 @@ object PptText {
         if (len < 0 || payload + len > end) return false
         if (typ == 0x2F14) return false // CryptSession10: encrypted
         if ((verInst & 0x0F) == 0x0F) {
-          // container: recurse into the nested records
-          if (!walk(payload, (payload + len).toInt, depth + 1)) return false
+          // container: recurse into the nested records — EXCEPT the
+          // master (recInstance 1) and notes (recInstance 2)
+          // SlideListWithText variants, whose atoms are presentation
+          // chrome ("Click to edit Master title style") and speaker
+          // notes, not deck text (the ODP walk skips notes the same
+          // way); instance 0 is the slide list this tier serves
+          val inst = verInst >>> 4
+          if (!(typ == 0x0FF0 && (inst == 1 || inst == 2))) {
+            if (!walk(payload, (payload + len).toInt, depth + 1)) return false
+          }
         } else if (typ == 0x0FA0) { // TextCharsAtom: UTF-16LE
           if (len % 2 != 0) return false
           val t = decodeUtf16le(s, payload, len.toInt)
@@ -176,7 +184,10 @@ object PptText {
   * (Latin-1-expressible, with a CR paragraph mark) and TextCharsAtom
   * (UTF-16 with € and an astral pair), TextHeaderAtoms as inert
   * neighbors — all (seed, i) arithmetic for the oracle
-  * ([[PptEncode.decodedSlide]]). */
+  * ([[PptEncode.decodedSlide]]). Odd seeds append master- and
+  * notes-instance SlideListWithText containers whose atoms the walk
+  * must SKIP (presentation chrome, not deck text) — the contract
+  * string never mentions them, so the hash-exact oracle is the pin. */
 case class PptEncode(children: Seq[Expression]) extends Expression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -235,7 +246,21 @@ object PptEncode {
     }
     val slwtBody = slideRecs.toArray.flatten
     val slwt = hdr(0x000F, 0x0FF0, slwtBody.length) ++ slwtBody
-    val doc = hdr(0x000F, 0x03E8, slwt.length) ++ slwt
+    // odd seeds carry master- and notes-instance SlideListWithText
+    // containers whose atoms must stay OUT of the served text (the
+    // contract string never mentions them — the fixture round trip is
+    // the pin)
+    val chrome =
+      if (seed % 2 == 1) {
+        val master = s"Click to edit Master title style $seed"
+          .map(_.toByte).toArray
+        val note = s"Speaker note for deck $seed".map(_.toByte).toArray
+        hdr(0x001F, 0x0FF0, 8 + master.length) ++
+          hdr(0x0000, 0x0FA8, master.length) ++ master ++
+          hdr(0x002F, 0x0FF0, 8 + note.length) ++
+          hdr(0x0000, 0x0FA8, note.length) ++ note
+      } else Array.empty[Byte]
+    val doc = hdr(0x000F, 0x03E8, slwt.length + chrome.length) ++ slwt ++ chrome
     val stream = java.util.Arrays.copyOf(doc, math.max(4096, doc.length))
     DocEncode.cfbContainer("PowerPoint Document", stream, "Current User",
       Array[Byte](0x0F, 0x00, 0x00, 0x00))

@@ -26,6 +26,16 @@ class PptSpec extends AnyFunSuite {
     }
   }
 
+  test("master/notes SlideListWithText instances are chrome, never deck text") {
+    // odd seeds carry a master (instance 1) and a notes (instance 2)
+    // SLWT with their own text atoms: the served text must equal the
+    // slide contract EXACTLY — no leaked chrome
+    val got = txt(PptEncode.encode(7L, 2))
+    assert(got === expected(7L, 2))
+    assert(!got.contains("Master"), "master chrome leaked into deck text")
+    assert(!got.contains("Speaker note"), "notes leaked into deck text")
+  }
+
   test("declines: encryption container, record overrun, not a deck") {
     val b = PptEncode.encode(9L, 2)
     assert(txt(b) != null)
