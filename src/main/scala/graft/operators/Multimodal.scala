@@ -1624,18 +1624,27 @@ object Multimodal {
     * a counted bucket instead of vanishing. */
   def docTextSelect(df: DataFrame, payloadCol: String): DataFrame = {
     val p = col(payloadCol)
-    val kinded = df.select(col("doc_id"),
-      coalesce(
-        when(substring(p, 1, 5) === lit("%PDF-".getBytes("US-ASCII")), lit("pdf"))
-          .when(substring(p, 1, 5) === lit("{\\rtf".getBytes("US-ASCII")), lit("rtf"))
-          .when(substring(p, 1, 2) === lit("PK".getBytes("US-ASCII")),
-            graft.plans.VectorExpressions.zipKind(p))
-          .when(substring(p, 1, 8) === lit(Array(0xD0, 0xCF, 0x11, 0xE0,
-            0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)),
-            graft.plans.VectorExpressions.cfbKind(p)),
-        when(graft.plans.VectorExpressions.plainText(p).isNotNull, lit("txt")),
-        lit("other")).as("kind"),
-      p.as("payload"))
+    // stage 1: the cheap magic/container classifiers (null = no magic)
+    val staged = df.select(col("doc_id"), p.as("payload"),
+      when(substring(p, 1, 5) === lit("%PDF-".getBytes("US-ASCII")), lit("pdf"))
+        .when(substring(p, 1, 5) === lit("{\\rtf".getBytes("US-ASCII")), lit("rtf"))
+        .when(substring(p, 1, 2) === lit("PK".getBytes("US-ASCII")),
+          graft.plans.VectorExpressions.zipKind(p))
+        .when(substring(p, 1, 8) === lit(Array(0xD0, 0xCF, 0x11, 0xE0,
+          0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)),
+          graft.plans.VectorExpressions.cfbKind(p)).as("_mk"))
+    // stage 2: the plain-text decode runs ONCE, and only for rows no
+    // magic claimed — its result serves as both the 'txt' kind gate
+    // and the text column (the two references keep CollapseProject
+    // from inlining the non-cheap decode twice)
+    val kinded = staged.select(col("doc_id"), col("payload"),
+      when(col("_mk").isNull,
+        graft.plans.VectorExpressions.plainText(col("payload"))).as("_txt"),
+      col("_mk"))
+      .select(col("doc_id"), col("payload"), col("_txt"),
+        coalesce(col("_mk"),
+          when(col("_txt").isNotNull, lit("txt")),
+          lit("other")).as("kind"))
     // the PDF tier declines at PAGE granularity (a NULL element);
     // array_join would skip it silently — a doc with any declined
     // page yields NULL text here, never a truncated concatenation
@@ -1671,8 +1680,7 @@ object Multimodal {
             c.getField("col").cast("string")), c.getField("value"))), "\n"))
       .when(col("kind") === "ppt",
         graft.plans.VectorExpressions.pptText(col("payload")))
-      .when(col("kind") === "txt",
-        graft.plans.VectorExpressions.plainText(col("payload")))
+      .when(col("kind") === "txt", col("_txt"))
       .as("text"))
   }
 

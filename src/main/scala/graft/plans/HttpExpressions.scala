@@ -503,7 +503,15 @@ object HttpText {
       case "macintosh" => "x-MacRoman"
       case other => other // windows-125x and iso-8859-x resolve directly
     }
-    val cs = java.nio.charset.Charset.forName(jdk)
+    // a stripped JRE (no jdk.charsets module) lacks these vendor
+    // decoders: the table is null and the caller DECLINES, matching
+    // the strictDecode posture — never an exception out of a task
+    val cs =
+      try java.nio.charset.Charset.forName(jdk)
+      catch {
+        case _: java.nio.charset.UnsupportedCharsetException => return null
+        case _: java.nio.charset.IllegalCharsetNameException => return null
+      }
     val t = new Array[Char](256)
     var i = 0
     while (i < 256) {
@@ -529,6 +537,11 @@ object HttpText {
         while (j <= 0xFF) { t(j) = 0; j += 1 }
       case "iso-8859-7" => t(0xA4) = '\u20AC'; t(0xA5) = '\u20AF'
       case "macintosh" => t(0xBD) = '\u03A9'
+      case "koi8-u" =>
+        // the WHATWG koi8-u index is the KOI8-RU variant: it carries
+        // the Belarusian \u045E/\u040E at 0xAE/0xBE where the JDK's RFC-2319
+        // KOI8-U has box-drawing glyphs
+        t(0xAE) = '\u045E'; t(0xBE) = '\u040E'
       case _ => ()
     }
     sbCache.put(name, t)
@@ -540,6 +553,7 @@ object HttpText {
     * must be representable, never best-fit. */
   private[graft] def singleByteEncode(text: String, name: String): Array[Byte] = {
     val t = sbTable(name)
+    if (t == null) return null
     val out = new Array[Byte](text.length)
     var i = 0
     while (i < text.length) {
@@ -637,6 +651,7 @@ object HttpText {
         // the WHATWG single-byte family: table lookup, an undefined
         // index position declines (the spec's decode error)
         val t = sbTable(sb)
+        if (t == null) return null // stripped JRE: decline, never throw
         val out = new Array[Char](body.length)
         var i = 0
         while (i < body.length) {

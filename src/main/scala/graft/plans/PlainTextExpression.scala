@@ -60,13 +60,21 @@ object PlainText {
 
   private val MaxLen = 1 << 22
 
-  private def strict(b: Array[Byte], off: Int, cs: java.nio.charset.Charset): String = {
+  /** Strict REPORT-mode decode of b[off, off+len): null on any
+    * malformed or unmappable sequence — the plans package's one
+    * shared mojibake-never decode ([[TarEntries]] delegates here for
+    * pax values). */
+  private[plans] def strictOrNull(b: Array[Byte], off: Int, len: Int,
+      cs: java.nio.charset.Charset): String = {
     val dec = cs.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-    try dec.decode(java.nio.ByteBuffer.wrap(b, off, b.length - off)).toString
+    try dec.decode(java.nio.ByteBuffer.wrap(b, off, len)).toString
     catch { case _: java.nio.charset.CharacterCodingException => null }
   }
+
+  private def strict(b: Array[Byte], off: Int, cs: java.nio.charset.Charset): String =
+    strictOrNull(b, off, b.length - off, cs)
 
   def decode(b: Array[Byte]): UTF8String = {
     if (b == null || b.length == 0 || b.length > MaxLen) return null

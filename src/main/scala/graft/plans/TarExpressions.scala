@@ -207,8 +207,10 @@ object TarEntries {
           var j = vStart
           var d = 0
           while (j < recEnd && b(j) >= '0' && b(j) <= '9') {
+            // pre-multiply bound: a wrap can land POSITIVE, so a
+            // post-hoc v<0 check would serve a garbage mtime
+            if (v > (Long.MaxValue - 9) / 10) { out.bad = true; return out }
             v = v * 10 + (b(j) - '0')
-            if (v < 0) { out.bad = true; return out }
             d += 1; j += 1
           }
           if (d == 0) { out.bad = true; return out }
@@ -241,13 +243,9 @@ object TarEntries {
 
   /** Strict UTF-8 decode (pax values are UTF-8 by default). Null on
     * malformed input — a mangled path must decline, never mojibake. */
-  private def utf8(b: Array[Byte], off: Int, len: Int): String = {
-    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-    try dec.decode(java.nio.ByteBuffer.wrap(b, off, len)).toString
-    catch { case _: java.nio.charset.CharacterCodingException => null }
-  }
+  private def utf8(b: Array[Byte], off: Int, len: Int): String =
+    PlainText.strictOrNull(b, off, len,
+      java.nio.charset.StandardCharsets.UTF_8)
 
   def parse(b: Array[Byte]): GenericArrayData = {
     if (b == null || b.length < 1024 || b.length > MaxLen ||

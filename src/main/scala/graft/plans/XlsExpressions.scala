@@ -207,6 +207,7 @@ object XlsCells {
     // ---- the globals substream: BoundSheet8 positions + the SST ----
     if (wb.length < 8 || u16(wb, 0) != 0x0809) return null
     val sst = new scala.collection.mutable.ArrayBuffer[String]()
+    var sawSst = false
     var firstSheetAt = -1L
     var at = 0
     var inGlobals = true
@@ -226,6 +227,11 @@ object XlsCells {
           if (firstSheetAt < 0) firstSheetAt = pos
         case 0x00FC => // SST (+ its Continue spill, MS-XLS 2.5.293)
           if (len < 8) return null
+          // BIFF8 defines exactly ONE SST per globals substream; a
+          // second would shift every LabelSst index — decline, never
+          // serve a misresolved grid
+          if (sawSst) return null
+          sawSst = true
           val offsB = scala.collection.mutable.ArrayBuffer[Int](payload + 8)
           val lensB = scala.collection.mutable.ArrayBuffer[Int](len - 8)
           while (nextAt + 4 <= wb.length && u16(wb, nextAt) == 0x003C) {

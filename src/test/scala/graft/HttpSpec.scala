@@ -309,6 +309,10 @@ class HttpSpec extends AnyFunSuite {
     assert(one(0xA4, "koi8-u") === "є")
     assert(one(0xA7, "koi8-u") === "ї")
     assert(one(0xAD, "koi8-u") === "ґ")
+    // the WHATWG koi8-u index is the KOI8-RU variant: Belarusian ў/Ў
+    // at 0xAE/0xBE (the JDK's RFC-2319 table has box-drawing there)
+    assert(one(0xAE, "koi8-u") === "ў")
+    assert(one(0xBE, "koi8-u") === "Ў")
     assert(one(0x80, "ibm866") === "А")
     assert(one(0xF1, "ibm866") === "ё")
     // macintosh 0xBD is GREEK CAPITAL OMEGA in the index, not the

@@ -169,6 +169,10 @@ class TarSpec extends AnyFunSuite {
     // a negative / non-decimal pax size declines
     assert(entries(paxArchive(rec("size", "-1"))) === null)
     assert(entries(paxArchive(rec("size", "5x"))) === null)
+    // an mtime whose digits overflow a Long declines — a wrap can land
+    // POSITIVE, so this must never serve a garbage timestamp
+    assert(entries(paxArchive(rec("mtime", "20000000000000000000"))) === null)
+    assert(entries(paxArchive(rec("mtime", "99999999999999999999999"))) === null)
     // a dangling 'x' (no member follows) declines like a dangling 'L'
     val dangling = mkHeader("PaxHeaders.0/f.dat", rec("atime", "9").length, 0, 'x') ++
       padded(rec("atime", "9")) ++ new Array[Byte](1024)

@@ -168,6 +168,49 @@ class XlsSpec extends AnyFunSuite {
     assert(cells(shCont) === null, "a sheet Continue after a served record must decline")
   }
 
+  test("a second SST record declines: indexes must never misresolve") {
+    // hand-built BIFF8 stream: globals with TWO SSTs (the second would
+    // shift every LabelSst index) vs the same stream with the second
+    // retyped inert
+    def rec(typ: Int, payload: Array[Byte]): Array[Byte] =
+      Array(typ.toByte, (typ >> 8).toByte, payload.length.toByte,
+        (payload.length >> 8).toByte) ++ payload
+    def w16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def w32(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+      (v >> 24).toByte)
+    val bof = rec(0x0809, w16(0x0600) ++ w16(0x0005) ++ w16(0) ++ w16(0) ++
+      w32(0) ++ w32(0))
+    val bofSheet = rec(0x0809, w16(0x0600) ++ w16(0x0010) ++ w16(0) ++ w16(0) ++
+      w32(0) ++ w32(0))
+    val sstBody = w32(1) ++ w32(1) ++ w16(2) ++ Array(0x00.toByte) ++
+      "ab".getBytes("US-ASCII")
+    val eof = rec(0x000A, Array.empty[Byte])
+    def globals(secondTyp: Int): Array[Byte] = {
+      val second = rec(secondTyp, sstBody)
+      val name = "Sheet1"
+      val bs = rec(0x0085, w32(0) ++ w16(0) ++
+        Array(name.length.toByte, 0x00.toByte) ++ name.getBytes("US-ASCII"))
+      val g0 = bof ++ bs ++ rec(0x00FC, sstBody) ++ second ++ eof
+      // patch lbPlyPos now that the globals length is known
+      val bsAt = bof.length
+      val fixed = g0.clone()
+      val pos = g0.length
+      fixed(bsAt + 4) = pos.toByte
+      fixed(bsAt + 5) = (pos >> 8).toByte
+      fixed
+    }
+    val cell = rec(0x00FD, w16(0) ++ w16(0) ++ w16(0) ++ w32(0))
+    def wb(secondTyp: Int): Array[Byte] = {
+      val stream = globals(secondTyp) ++ bofSheet ++ cell ++ eof
+      graft.plans.DocEncode.cfbContainer("Workbook",
+        java.util.Arrays.copyOf(stream, math.max(4096, stream.length)),
+        "DocumentSummaryInformation", Array[Byte](1, 2, 3, 4))
+    }
+    assert(cells(wb(0x00FC)) === null, "a second SST must decline")
+    assert(cells(wb(0x0022)) === Seq((1, 1, "ab")),
+      "the control stream (second record inert) must serve")
+  }
+
   test("truncations and bit flips never throw") {
     val b = XlsEncode.encode(41L, 4)
     var cut = 0
