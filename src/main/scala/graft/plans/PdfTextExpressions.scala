@@ -16,7 +16,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * dicts, indirect references), the page-TREE walk (§7.7.3 —
   * intermediate /Pages nodes, attribute inheritance of /Resources),
   * and a content-stream interpreter over the text operator subset
-  * (§9.4): BT/ET, Tj, TJ, ', ", Td, TD, T*, Tm, Tf.
+  * (§9.4): BT/ET, Tj, TJ, ', ", Td, TD, T*, Tm, Tf — plus q/Q font
+  * save/restore (§8.4.2) and Do over /Form XObjects (§8.10: the
+  * form's content executes in place under its OWN /Resources with
+  * the implicit state save/restore, depth-bounded; image XObjects
+  * are inert).
   *
   * `graft_pdf_page_texts(binary)` → `array<string>`, one element per
   * leaf page in page-tree order. Extraction contract (documented
@@ -65,7 +69,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * a Type0 with no /ToUnicode, `usecmap` of anything but Identity-H
   * — embedded CMap streams themselves decode, see [[parseCidCMap]]),
   * an inline image (BI — its raw payload
-  * would desynchronize any token walk), or a stream filter outside
+  * would desynchronize any token walk), a Do naming a missing or
+  * non-Form/Image XObject, an orphan Q, a form nest past depth 8
+  * (incl. reference cycles), or a stream filter outside
   * the served set — FlateDecode, LZWDecode (§7.4.4, EarlyChange
   * quirk honored), ASCIIHexDecode, ASCII85Decode, chained per the
   * §7.4 /Filter array up to 4 deep —
@@ -1325,12 +1331,29 @@ object PdfPageTexts {
 
   // ---- the content-stream interpreter ---------------------------------
 
-  private final class PageState(lookup: String => FontDec) {
+  private final class PageState {
     val out = new java.lang.StringBuilder(256)
     private var font: FontDec = null
+    // q/Q: the text-relevant slice of the graphics state is the
+    // selected font — Tf inside q..Q must not leak past the Q
+    // (§8.4.2; a leaked font decodes the following shows through the
+    // WRONG table, which is exactly the garbling this tier refuses)
+    private val saved = new scala.collection.mutable.ArrayBuffer[FontDec](4)
+    // ONE op budget shared across the page and every form XObject it
+    // invokes — nested forms cannot multiply work past MaxOps
+    var ops = 0
 
-    def setFont(n: String): Unit =
-      font = lookup(n)
+    def setFontDec(f: FontDec): Unit = font = f
+    def fontNow: FontDec = font
+    def push(): Unit = {
+      if (saved.length >= 64) decline() // runaway q nesting
+      saved += font
+    }
+    def pop(): Unit = {
+      if (saved.isEmpty) decline() // an orphan Q: invalid nesting
+      font = saved.remove(saved.length - 1)
+    }
+    def depth: Int = saved.length
 
     def newline(): Unit = {
       val len = out.length
@@ -1385,13 +1408,72 @@ object PdfPageTexts {
     }
   }
 
-  private def runContent(data: Array[Byte], st: PageState): Unit = {
+  /** The resource context a content stream runs under: lazy font and
+    * XObject lookups against ITS OWN /Resources dict (a form XObject
+    * gets a fresh context over its own resources; one missing there
+    * falls back to the invoker's, the universal reader-compat rule
+    * for pre-1.2 forms). */
+  private final class ResCtx(r: Resolver, res: Option[PObj]) {
+    private lazy val resMap: Map[String, PObj] = res match {
+      case None => Map.empty
+      case Some(o) => r(o) match {
+        case PDict(m) => m
+        case _ => decline()
+      }
+    }
+    private lazy val fontRaw: Map[String, PObj] = resMap.get("Font") match {
+      case None => Map.empty
+      case Some(f) => r(f) match {
+        case PDict(m) => m
+        case _ => decline()
+      }
+    }
+    // fonts decode LAZILY on Tf: a broken font in the resource dict
+    // only poisons pages that actually select it
+    private val fontCache = new java.util.HashMap[String, FontDec]()
+    def font(n: String): FontDec = {
+      val hit = fontCache.get(n)
+      if (hit != null) hit
+      else {
+        val d = fontDec(r, fontRaw.getOrElse(n, decline()))
+        fontCache.put(n, d)
+        d
+      }
+    }
+    /** Resolve a Do operand: Some((form stream, the resources its
+      * content runs under)) for /Form, None for /Image (paints
+      * pixels, no text effect), decline for anything else or a name
+      * the dict does not carry. */
+    def xobjForm(n: String): Option[(PStream, Option[PObj])] = {
+      val xm = resMap.get("XObject") match {
+        case None => decline() // a Do with no /XObject dict at all
+        case Some(x) => r(x) match {
+          case PDict(m) => m
+          case _ => decline()
+        }
+      }
+      r(xm.getOrElse(n, decline())) match {
+        case s: PStream => s.dict.m.get("Subtype") match {
+          case Some(PName("Image")) => None
+          case Some(PName("Form")) =>
+            Some((s, s.dict.m.get("Resources").orElse(res)))
+          case _ => decline() // /PS and friends: the recorded envelope
+        }
+        case _ => decline()
+      }
+    }
+  }
+
+  private val MaxFormDepth = 8
+
+  private def runContent(data: Array[Byte], st: PageState, ctx: ResCtx,
+      r: Resolver, depth: Int): Unit = {
+    if (depth > MaxFormDepth) decline() // incl. form reference cycles
     val lex = new Lex(data, 0)
     val operands = new scala.collection.mutable.ArrayBuffer[PObj](8)
-    var guard = 0
     while ({ lex.skipWs(); !lex.atEnd }) {
-      guard += 1
-      if (guard > MaxOps) decline()
+      st.ops += 1
+      if (st.ops > MaxOps) decline()
       val c = lex.peek
       if (c == '/' || c == '(' || c == '<' || c == '[' || c == '+' ||
         c == '-' || c == '.' || (c >= '0' && c <= '9')) {
@@ -1401,7 +1483,8 @@ object PdfPageTexts {
         val op = lex.token()
         op match {
           case "Tf" => operands.headOption match {
-            case Some(PName(n)) if operands.length == 2 => st.setFont(n)
+            case Some(PName(n)) if operands.length == 2 =>
+              st.setFontDec(ctx.font(n))
             case _ => decline()
           }
           case "Tj" => operands match {
@@ -1432,6 +1515,24 @@ object PdfPageTexts {
             case _ => decline()
           }
           case "T*" | "Tm" => st.newline()
+          case "q" => st.push()
+          case "Q" => st.pop()
+          case "Do" => operands match {
+            case collection.Seq(PName(n)) => ctx.xobjForm(n) match {
+              case None => () // an image paints pixels: no text effect
+              case Some((s, formRes)) =>
+                // §8.10.1: Do saves the graphics state, paints the
+                // form, restores — a font the form selects must not
+                // leak into the invoker's following shows, and the
+                // form's q/Q must balance within it
+                val f0 = st.fontNow
+                val d0 = st.depth
+                runContent(s.data, st, new ResCtx(r, formRes), r, depth + 1)
+                if (st.depth != d0) decline()
+                st.setFontDec(f0)
+            }
+            case _ => decline()
+          }
           case "BI" => decline() // inline image: raw bytes would
           // desynchronize the token walk — recorded envelope
           case _ => () // BT/ET/graphics/state ops: no text effect
@@ -1553,31 +1654,8 @@ object PdfPageTexts {
 
   private def pageText(r: Resolver, page: Map[String, PObj],
       res: Option[PObj]): String = {
-    val fontRaw: Map[String, PObj] = res match {
-      case None => Map.empty
-      case Some(resObj) => r(resObj) match {
-        case PDict(rm) => rm.get("Font") match {
-          case None => Map.empty
-          case Some(f) => r(f) match {
-            case PDict(fm) => fm
-            case _ => decline()
-          }
-        }
-        case _ => decline()
-      }
-    }
-    // fonts decode LAZILY on Tf: a broken font in the resource dict
-    // only poisons pages that actually select it
-    val fontCache = new java.util.HashMap[String, FontDec]()
-    val st = new PageState(n => {
-      val hit = fontCache.get(n)
-      if (hit != null) hit
-      else {
-        val d = fontDec(r, fontRaw.getOrElse(n, decline()))
-        fontCache.put(n, d)
-        d
-      }
-    })
+    val ctx = new ResCtx(r, res)
+    val st = new PageState
     page.get("Contents") match {
       case None => ()
       case Some(contents) =>
@@ -1591,7 +1669,7 @@ object PdfPageTexts {
         streams.foreach { s =>
           // §7.8.2: multiple streams act as one with whitespace between
           if (st.out.length > 0) st.newline()
-          runContent(s.data, st)
+          runContent(s.data, st, ctx, r, 0)
         }
     }
     st.out.toString
@@ -1642,6 +1720,11 @@ object PdfPageTexts {
   *    mapping code 0x01 to U+2603 — so line 1's tail decodes "☃"
   *    and line 3 is "sym end" (the modern-writer case where Appendix
   *    D would be mojibake);
+  *  - seed%31==0 (non-cid/sym): line 2 is painted by a /Form XOBJECT
+  *    (Do) carrying its OWN font resource, and the page wraps a
+  *    throwaway font switch in q/Q — the decoded text is unchanged,
+  *    so the oracle doubles as the state-restore differential (a
+  *    leaked font decodes line 3 through the wrong table);
   *  - every page: escaped parens + an octal escape in line 1, a TJ
   *    array whose -250 gap is a word break and -40 is not, and a '
   *    (move-show) for line 3. */
@@ -1730,6 +1813,12 @@ object PdfTextEncode {
     val lzw = seed % 19 == 0
     val a85 = seed % 23 == 0
     val sym = !cid && seed % 29 == 0
+    // form docs show line 2 from INSIDE a /Form XObject with its own
+    // font, plus an in-page q/Q-wrapped font switch — the decoded text
+    // is IDENTICAL to the plain layout, so the oracle is unchanged and
+    // any state leak (a font surviving the Q or the Do's implicit
+    // restore) decodes line 3 through the wrong table and is caught
+    val form = !cid && !sym && seed % 31 == 0
 
     val sb = new StringBuilder()
     sb.append("%PDF-1.6\n%")
@@ -1773,6 +1862,13 @@ object PdfTextEncode {
         // the 2-byte pair "x\201" = CID 0x7881) unmapped through the
         // Type0 path — this page declines under EVERY font variant
         "BT /F1 12 Tf 72 720 Td (x\\201) Tj "
+      else if (form)
+        // line 1 under F1; a q/Q-wrapped switch to the form's font
+        // (the Q must restore F1); line 2 painted by the form XObject
+        // (whose implicit save/restore must hand F1 back for line 3)
+        s"BT /F1 12 Tf 72 720 Td (Doc $seed \\(page ${p + 1}\\) \\101" +
+          (if (diffs) "\\102" else "") + ") Tj ET " +
+          "q BT /FD 12 Tf ET Q /X1 Do BT "
       else if (cid)
         s"BT /F1 12 Tf 72 720 Td <${cidHex(s"Doc $seed (page ${p + 1}) ")}" +
           "0100010101020104> Tj " +
@@ -1823,7 +1919,12 @@ object PdfTextEncode {
         s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica$enc >>"
       }
     }
-    val firstPageNum = 3 + interNums.length + (if (cid || sym) 2 else 0) + 1
+    // form docs add the FD font + the /Form XObject stream in the
+    // descNum/tuNum slots (form excludes cid/sym, so no collision)
+    val fdNum = descNum
+    val xformNum = tuNum
+    val firstPageNum = 3 + interNums.length +
+      (if (cid || sym || form) 2 else 0) + 1
 
     // the ToUnicode CMap SOURCE (§9.10.3) — the full PostScript shell
     // real writers emit, with every section shape the parser serves:
@@ -1853,7 +1954,13 @@ object PdfTextEncode {
         "endcmap\nend\nend"
     val perPage = if (splitContents) 3 else 2
     def pageNum(p: Int) = firstPageNum + p * perPage
-    val resourcesStr = s"/Resources << /Font << /F1 $fontNum 0 R >> >>"
+    val resourcesStr =
+      if (form)
+        // FD rides the page dict too (the in-page q/Q exercise selects
+        // it); the form still resolves FD through its OWN resources
+        s"/Resources << /Font << /F1 $fontNum 0 R /FD $fdNum 0 R >> " +
+          s"/XObject << /X1 $xformNum 0 R >> >>"
+      else s"/Resources << /Font << /F1 $fontNum 0 R >> >>"
 
     // Catalog + Pages root (+ intermediates) are emitted FIRST so
     // object numbers match offsets positionally in the classic table
@@ -1874,6 +1981,19 @@ object PdfTextEncode {
       // an empty /Kids array is legal and keeps the walk honest when
       // every page landed in the first half (nPages == 1)
       obj(s"<< /Type /Pages /Parent 2 0 R /Kids [ $kidsB ] /Count ${nPages - cut} >>")
+    }
+    if (form) {
+      // FD: a Differences font whose BASE is the OPPOSITE of the page
+      // font's — if the Do restore or the Q pop leaks it, line 3's
+      // bytes decode through the wrong table (a visible mismatch on
+      // Standard docs, a decline on WinAnsi ones), never silently
+      obj(s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding << " +
+        (if (!winAnsi) "/BaseEncoding /WinAnsiEncoding " else "") +
+        "/Differences [ 65 /eacute ] >> >>")
+      val formSrc = "BT /FD 12 Tf 0 -14 TD [(alpha) -250 (beta) -40 (gamma)] TJ ET"
+      streamObj(formSrc.getBytes("ISO-8859-1"),
+        "/Type /XObject /Subtype /Form /BBox [ 0 0 612 792 ] " +
+          s"/Resources << /Font << /FD $fdNum 0 R >> >> ")
     }
     if (cid) {
       obj("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCID " +

@@ -128,9 +128,129 @@ class PdfTextSpec extends AnyFunSuite {
   }
 
   test("comments and unknown graphics operators are inert") {
-    val content = "% preamble\n0.5 w 1 0 0 1 10 20 cm BT /F1 9 Tf\n" +
-      "% mid-stream comment\n(ok) Tj ET Q"
+    val content = "% preamble\nq 0.5 w 1 0 0 1 10 20 cm Q BT /F1 9 Tf\n" +
+      "% mid-stream comment\n(ok) Tj ET"
     assert(texts(mini(winAnsiFont, content)) === Seq("ok"))
+  }
+
+  test("q/Q: a font set inside the pair does not leak; an orphan Q declines") {
+    // F1 WinAnsi, F2 a Differences font remapping 'A' — if the Q
+    // fails to restore F1, the tail's \101 decodes é instead of A
+    val twoFonts = mini2Fonts(
+      "q BT /F2 9 Tf (\\101) Tj ET Q BT /F1 9 Tf (\\101) Tj ET")
+    assert(texts(twoFonts) === Seq("éA"))
+    // without the restore the SECOND show (no Tf re-issue) would ride
+    // F2: pin that a post-Q show uses the pre-q font
+    val noTf = mini2Fonts(
+      "BT /F1 9 Tf (\\101) Tj ET q BT /F2 9 Tf (\\101) Tj ET Q BT (\\101) Tj ET")
+    assert(texts(noTf) === Seq("AéA"))
+    // an orphan Q (pop on an empty stack) declines the page
+    assert(texts(mini(winAnsiFont, "BT /F1 9 Tf (ok) Tj ET Q")) === Seq(null))
+    // unbalanced q at stream end is tolerated (the state dies with the
+    // page) — but a q-flood declines
+    assert(texts(mini(winAnsiFont, "q BT /F1 9 Tf (ok) Tj ET")) === Seq("ok"))
+  }
+
+  /** Like [[mini]] but with a second font F2 (Differences: 65→eacute)
+    * in the page resources. */
+  private def mini2Fonts(content: String): Array[Byte] = {
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offsets = new scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(body: String): Unit = {
+      offsets += sb.length
+      sb.append(s"${offsets.length} 0 obj\n$body\nendobj\n")
+    }
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    obj("<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>")
+    obj("<< /Type /Page /Parent 2 0 R /Resources " +
+      "<< /Font << /F1 4 0 R /F2 5 0 R >> >> /Contents 6 0 R >>")
+    obj(winAnsiFont)
+    obj("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding << /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [ 65 /eacute ] >> >>")
+    obj(s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+    val size = offsets.length + 1
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 $size\n0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  /** A 1-page doc whose resources carry an XObject (form or image)
+    * and whose content invokes it with Do. */
+  private def miniXObj(xobjDict: String, xobjContent: String,
+      pageContent: String): Array[Byte] = {
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offsets = new scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(body: String): Unit = {
+      offsets += sb.length
+      sb.append(s"${offsets.length} 0 obj\n$body\nendobj\n")
+    }
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    obj("<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>")
+    obj("<< /Type /Page /Parent 2 0 R /Resources " +
+      "<< /Font << /F1 4 0 R >> /XObject << /X1 5 0 R >> >> /Contents 6 0 R >>")
+    obj(winAnsiFont)
+    obj(s"<< $xobjDict /Length ${xobjContent.length} >>\nstream\n" +
+      s"$xobjContent\nendstream")
+    obj(s"<< /Length ${pageContent.length} >>\nstream\n$pageContent\nendstream")
+    val size = offsets.length + 1
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 $size\n0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  test("Do: form text serves in place, image Do is inert, cycles decline") {
+    // a form with NO resources of its own inherits the invoker's F1
+    val formInherit = miniXObj(
+      "/Type /XObject /Subtype /Form /BBox [ 0 0 10 10 ]",
+      "BT /F1 9 Tf (mid) Tj ET",
+      "BT /F1 9 Tf (a) Tj ET /X1 Do BT (z) Tj ET")
+    assert(texts(formInherit) === Seq("amidz"))
+    // an image Do paints pixels: no text effect, no decline
+    val imageDo = miniXObj(
+      "/Type /XObject /Subtype /Image /Width 1 /Height 1 " +
+        "/ColorSpace /DeviceGray /BitsPerComponent 8",
+      "ÿ",
+      "BT /F1 9 Tf (a) Tj ET /X1 Do BT (z) Tj ET")
+    assert(texts(imageDo) === Seq("az"))
+    // a SELF-referencing form (its own resources name itself): the
+    // depth bound declines the page, never loops
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offsets = new scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(body: String): Unit = {
+      offsets += sb.length
+      sb.append(s"${offsets.length} 0 obj\n$body\nendobj\n")
+    }
+    val loopContent = "/X1 Do"
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    obj("<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>")
+    obj("<< /Type /Page /Parent 2 0 R /Resources " +
+      "<< /Font << /F1 4 0 R >> /XObject << /X1 5 0 R >> >> /Contents 6 0 R >>")
+    obj(winAnsiFont)
+    obj("<< /Type /XObject /Subtype /Form /BBox [ 0 0 10 10 ] /Resources " +
+      s"<< /XObject << /X1 5 0 R >> >> /Length ${loopContent.length} >>\n" +
+      s"stream\n$loopContent\nendstream")
+    val pc = "BT /F1 9 Tf (a) Tj ET /X1 Do"
+    obj(s"<< /Length ${pc.length} >>\nstream\n$pc\nendstream")
+    val size = offsets.length + 1
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 $size\n0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    assert(texts(sb.toString.getBytes("ISO-8859-1")) === Seq(null))
+    // an unknown XObject subtype declines; a missing name declines
+    assert(texts(miniXObj(
+      "/Type /XObject /Subtype /PS",
+      "x",
+      "BT /F1 9 Tf (a) Tj ET /X1 Do")) === Seq(null))
+    assert(texts(miniXObj(
+      "/Type /XObject /Subtype /Form /BBox [ 0 0 10 10 ]",
+      "BT /F1 9 Tf (mid) Tj ET",
+      "BT /F1 9 Tf (a) Tj ET /X9 Do")) === Seq(null))
   }
 
   // ---- the decline envelope (faithful-or-NULL, never garble) ----------
