@@ -348,12 +348,13 @@ object Multimodal {
       case "pdfenc" => Seq(
         (id % 155 === 0, encode(text.substr(1, 24), "UTF-8")),
         // REAL encrypted PDFs (plans.PdfEncryptEncode): the standard
-        // security handler with an EMPTY user password, mode id%4
+        // security handler with an EMPTY user password, mode id%5
         // cycling V1/R2 RC4-40, V2/R3 RC4-128, V4/R4 AESV2 (with
-        // EncryptMetadata false on odd ids), V5/R6 AESV3 — the shown
-        // text is doc_id arithmetic
+        // EncryptMetadata false on odd ids), V5/R6 AESV3, and V4 with
+        // /StmF /Identity (streams plaintext, no key schedule) — the
+        // shown text is doc_id arithmetic, identical across modes
         (id % 155 =!= 0, graft.plans.VectorExpressions.pdfEncryptEncode(
-          id.cast("long"), (id % 3 + 1).cast("int"), (id % 4).cast("int"))))
+          id.cast("long"), (id % 3 + 1).cast("int"), (id % 5).cast("int"))))
       case "pptbin" => Seq(
         (id % 125 === 0, encode(text.substr(1, 20), "UTF-8")),
         // REAL PowerPoint 97 streams in REAL CFB containers

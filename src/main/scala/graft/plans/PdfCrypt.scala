@@ -274,8 +274,11 @@ private[graft] object PdfCrypt {
   * RC4-40, 1 = V2/R3 RC4-128, 2 = V4/R4 /AESV2 (with
   * /EncryptMetadata false on odd seeds, exercising the FFFFFFFF key
   * branch), 3 = V5/R6 /AESV3 (AES-256, Algorithm 2.B hashes, /UE key
-  * wrap, the spec /Perms blob). Every shown character is (seed, p)
-  * arithmetic: [[PdfEncryptEncode.decodedPage]]. */
+  * wrap, the spec /Perms blob), 4 = V4/R4 with /StmF /Identity (a
+  * real /Encrypt dict but content streams PLAINTEXT — the handler's
+  * stream filter selection, §7.6.5, whose default is Identity).
+  * Every shown character is (seed, p) arithmetic:
+  * [[PdfEncryptEncode.decodedPage]]. */
 case class PdfEncryptEncode(children: Seq[Expression]) extends Expression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -326,19 +329,22 @@ object PdfEncryptEncode {
   }
 
   def encode(seed: Long, nPages: Int, mode: Int): Array[Byte] = {
-    if (seed < 0 || nPages < 1 || nPages > 64 || mode < 0 || mode > 3)
+    if (seed < 0 || nPages < 1 || nPages > 64 || mode < 0 || mode > 4)
       return null
     val id0 = detBytes(seed, 1, 16)
     val ownerPwd = s"own$seed".getBytes("ISO-8859-1")
     val p = -44L // print + copy denied: a typical permissions mask
     val encMeta = mode != 2 || seed % 2 == 0
+    // mode 4: V4/R4 with /StmF /Identity — the /Encrypt dict is real
+    // (O/U computed like mode 2) but content STREAMS are plaintext,
+    // per the handler's stream-filter selection
 
     // ---- the handler's file key + /Encrypt dict fields -------------
     var fileKey: Array[Byte] = null
     var encDict: String = null
     def hex(b: Array[Byte]): String =
       "<" + b.map(x => f"${x & 0xFF}%02x").mkString + ">"
-    if (mode <= 2) {
+    if (mode <= 2 || mode == 4) {
       val r = if (mode == 0) 2 else if (mode == 1) 3 else 4
       val bits = if (mode == 0) 40 else 128
       val n = bits / 8
@@ -368,6 +374,9 @@ object PdfEncryptEncode {
       val vPart =
         if (mode == 0) "/V 1 /R 2"
         else if (mode == 1) "/V 2 /R 3 /Length 128"
+        else if (mode == 4) "/V 4 /R 4 /Length 128 " +
+          "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
+          "/StmF /Identity /StrF /StdCF"
         else "/V 4 /R 4 /Length 128 " +
           "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
           "/StmF /StdCF /StrF /StdCF" +
@@ -430,9 +439,11 @@ object PdfEncryptEncode {
       val text = s"Enc $seed page ${pg + 1} café ${(seed + pg) % 7}"
       val src = (s"BT /F1 12 Tf 72 720 Td ($text) Tj ET")
         .getBytes("ISO-8859-1")
-      // encrypt the content stream with ITS object number's key
+      // encrypt the content stream with ITS object number's key —
+      // mode 4 (/StmF /Identity) writes it PLAINTEXT
       val data =
-        if (crypt.cfm == 0) PdfCrypt.rc4(objKeyFor(crypt, fileKey,
+        if (mode == 4) src
+        else if (crypt.cfm == 0) PdfCrypt.rc4(objKeyFor(crypt, fileKey,
           contentNum, aes = false), src)
         else {
           val key = if (crypt.cfm == 1)

@@ -1559,9 +1559,30 @@ object PdfPageTexts {
           case PDict(m) => m
           case _ => return null
         }
-        val crypt = buildCrypt(r, encDict, chain.id0)
-        if (crypt == null) return null
-        r.crypt = crypt
+        // /StmF /Identity (or ABSENT — Identity is the §7.6.5 default)
+        // under the V>=4 standard handler means STREAMS are not
+        // encrypted at all: the text lives in plaintext whatever the
+        // passwords are, so no key schedule runs and no /U check gates
+        // the extraction (only strings are protected, and show strings
+        // ride inside the streams)
+        val stdFilter = encDict.get("Filter").map(r(_)) match {
+          case Some(PName("Standard")) => true
+          case _ => false
+        }
+        val vNum = encDict.get("V").map(r(_)) match {
+          case Some(PNum(x)) if x == math.floor(x) => x.toLong
+          case _ => -1L
+        }
+        val stmfIdentity = vNum >= 4 && (encDict.get("StmF").map(r(_)) match {
+          case None => true
+          case Some(PName("Identity")) => true
+          case _ => false
+        })
+        if (!(stdFilter && stmfIdentity)) {
+          val crypt = buildCrypt(r, encDict, chain.id0)
+          if (crypt == null) return null
+          r.crypt = crypt
+        }
       }
       val catalog = r.resolve(chain.root) match {
         case PDict(m) => m; case _ => decline()

@@ -21,8 +21,8 @@ class PdfEncSpec extends AnyFunSuite {
     }
   }
 
-  test("the mode matrix round trips: RC4-40, RC4-128, AESV2, AESV3/R6") {
-    for (mode <- 0 to 3; seed <- Seq(0L, 1L, 2L, 3L, 7L, 41L, 156L, 4242L);
+  test("the mode matrix round trips: RC4-40, RC4-128, AESV2, AESV3/R6, StmF-Identity") {
+    for (mode <- 0 to 4; seed <- Seq(0L, 1L, 2L, 3L, 7L, 41L, 156L, 4242L);
         n <- Seq(1, 2, 3)) {
       val got = pages(PdfEncryptEncode.encode(seed, n, mode))
       assert(got != null, s"mode=$mode seed=$seed n=$n declined")
@@ -59,6 +59,22 @@ class PdfEncSpec extends AnyFunSuite {
       m(uAt + 4) = (if (b(uAt + 4) == '0') '1' else '0').toByte
       assert(pages(m) === null, s"mode=$mode tampered /U must decline")
     }
+    // mode 4 (/StmF /Identity): the streams are plaintext whatever
+    // the passwords are, so a real user password (tampered /U) does
+    // NOT gate the text — no key schedule runs at all
+    val b4 = PdfEncryptEncode.encode(21L, 2, 4)
+    val s4 = new String(b4, "ISO-8859-1")
+    val uAt4 = s4.indexOf("/U <")
+    val m4 = b4.clone()
+    m4(uAt4 + 4) = (if (b4(uAt4 + 4) == '0') '1' else '0').toByte
+    assert(pages(m4) === (0 until 2).map(PdfEncryptEncode.decodedPage(21L, _)),
+      "StmF-Identity text must serve regardless of the password")
+    // an ABSENT /StmF defaults to Identity (§7.6.5): hide the key
+    // behind a same-length unknown name and the doc still serves
+    val absent = s4.replace("/StmF /Identity", "/Stmf /Identity")
+    assert(pages(absent.getBytes("ISO-8859-1")) ===
+      (0 until 2).map(PdfEncryptEncode.decodedPage(21L, _)),
+      "the absent-/StmF Identity default must serve")
   }
 
   test("declines: unsupported V, missing /ID, Identity StmF, tampered AES padding") {
@@ -70,10 +86,14 @@ class PdfEncSpec extends AnyFunSuite {
     // drop the /ID: the R<=4 key derivation cannot run
     val noId = s.replace("/ID [ <", "/XD [ <")
     assert(pages(noId.getBytes("ISO-8859-1")) === null)
-    // /StmF /StdCF -> /Identity (streams would be plaintext; this
-    // engine declines the combination rather than guessing)
+    // /StmF /StdCF -> /Identity on a doc whose streams ARE ciphertext:
+    // the Identity selection means "read streams as-is", so the
+    // ciphertext parses as garbage content and the pages decline —
+    // never the original text (decryption must not run)
     val ident = s.replace("/StmF /StdCF", "/StmF /Identity")
-    assert(pages(ident.getBytes("ISO-8859-1")) === null)
+    val identOut = pages(ident.getBytes("ISO-8859-1"))
+    assert(identOut == null || identOut.forall(_ == null),
+      "ciphertext under /StmF /Identity must never serve")
     // tamper the AES ciphertext tail: strict PKCS#7 must decline,
     // never serve garbage (the content stream is the FIRST page's)
     val streamAt = s.indexOf("stream\n", s.indexOf("5 0 obj"))
