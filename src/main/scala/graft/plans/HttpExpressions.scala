@@ -317,9 +317,9 @@ object HttpBody {
   * tables ([[sbTable]]: windows-1250-1258, windows-874 incl. the
   * tis-620/iso-8859-11 labels, iso-8859-2..8/13/15 — with -9 → 1254
   * per the registry and the -7 2003 euro revision — koi8-r/u,
-  * ibm866, macintosh), an undefined index position declining.
-  * iso-8859-10/-14/-16 and x-mac-cyrillic stay the recorded envelope
-  * (no faithful index offline). The mojibake-never law: an
+  * ibm866, macintosh, x-mac-cyrillic, x-user-defined), an undefined
+  * index position declining. iso-8859-10/-14/-16 stay the recorded
+  * envelope (no faithful index offline). The mojibake-never law: an
   * undecodable body (malformed bytes, an unknown label) returns NULL
   * — a declined row is recoverable, silently garbled text poisons
   * every downstream dedup/quality/tokenize pass. */
@@ -457,8 +457,12 @@ object HttpText {
       case "866" | "cp866" | "csibm866" | "ibm866" => "ibm866"
       case "csmacintosh" | "mac" | "macintosh" | "x-mac-roman" =>
         "macintosh"
-      // iso-8859-10/-14/-16 and x-mac-cyrillic: labels the stripped
-      // JRE has no faithful index for — the recorded envelope
+      case "x-mac-cyrillic" | "x-mac-ukrainian" => "x-mac-cyrillic"
+      // x-user-defined is defined by the Encoding standard itself:
+      // ASCII + a private-use ramp (legacy binary-over-XHR pages)
+      case "x-user-defined" => "x-user-defined"
+      // iso-8859-10/-14/-16: labels the stripped JRE has no faithful
+      // index for — the recorded envelope
       case _ => null
     }
 
@@ -470,7 +474,7 @@ object HttpText {
     "windows-874", "iso-8859-2", "iso-8859-3", "iso-8859-4",
     "iso-8859-5", "iso-8859-6", "iso-8859-7", "iso-8859-8",
     "iso-8859-13", "iso-8859-15", "koi8-r", "koi8-u", "ibm866",
-    "macintosh")
+    "macintosh", "x-mac-cyrillic", "x-user-defined")
 
   private val sbCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Char]]()
@@ -495,12 +499,25 @@ object HttpText {
   private[plans] def sbTable(name: String): Array[Char] = {
     val hit = sbCache.get(name)
     if (hit != null) return hit
+    if (name == "x-user-defined") {
+      // defined wholly by the Encoding standard: ASCII + the
+      // U+F780..U+F7FF private-use ramp — no JDK decoder involved
+      val t = new Array[Char](256)
+      var i = 0
+      while (i < 256) {
+        t(i) = if (i < 0x80) i.toChar else (0xF780 + i - 0x80).toChar
+        i += 1
+      }
+      sbCache.put(name, t)
+      return t
+    }
     val jdk = name match {
       case "windows-874" => "x-windows-874"
       case "koi8-r" => "KOI8-R"
       case "koi8-u" => "KOI8-U"
       case "ibm866" => "IBM866"
       case "macintosh" => "x-MacRoman"
+      case "x-mac-cyrillic" => "x-MacCyrillic"
       case other => other // windows-125x and iso-8859-x resolve directly
     }
     // a stripped JRE (no jdk.charsets module) lacks these vendor
@@ -537,6 +554,10 @@ object HttpText {
         while (j <= 0xFF) { t(j) = 0; j += 1 }
       case "iso-8859-7" => t(0xA4) = '\u20AC'; t(0xA5) = '\u20AF'
       case "macintosh" => t(0xBD) = '\u03A9'
+      case "x-mac-cyrillic" =>
+        // the index carries the Mac OS 9.0 revision: \u20AC at 0xFF (the
+        // older table's currency sign)
+        t(0xFF) = '\u20AC'
       case "koi8-u" =>
         // the WHATWG koi8-u index is the KOI8-RU variant: it carries
         // the Belarusian \u045E/\u040E at 0xAE/0xBE where the JDK's RFC-2319

@@ -342,9 +342,18 @@ class HttpSpec extends AnyFunSuite {
     assert(one(0xFF, "windows-874") === null)
     assert(one(0x81, "windows-1250") === "\u0081")
     assert(one(0x98, "windows-1251") === "\u0098")
-    // iso-8859-10/-14/-16 and x-mac-cyrillic: the recorded envelope
+    // x-mac-cyrillic: the Mac OS 9.0 index (€ at 0xFF over the older
+    // currency sign)
+    assert(one(0x80, "x-mac-cyrillic") === "А")
+    assert(one(0xDF, "x-mac-cyrillic") === "я")
+    assert(one(0xFF, "x-mac-cyrillic") === "€")
+    // x-user-defined: ASCII + the standard's own private-use ramp
+    assert(one(0x80, "x-user-defined") === "\uF780")
+    assert(one(0xFF, "x-user-defined") === "\uF7FF")
+    assert(dec("plain".getBytes("US-ASCII"), "x-user-defined") === "plain")
+    // iso-8859-10/-14/-16: the recorded envelope
     assert(dec("abc".getBytes("US-ASCII"), "iso-8859-10") === null)
-    assert(dec("abc".getBytes("US-ASCII"), "x-mac-cyrillic") === null)
+    assert(dec("abc".getBytes("US-ASCII"), "iso-8859-14") === null)
     // encoder-twin round trips across scripts (the fixture's own path)
     for ((text, cs) <- Seq(
       ("Привет «мир» №", "windows-1251"),
