@@ -556,8 +556,11 @@ object HttpText {
       case "macintosh" => t(0xBD) = '\u03A9'
       case "x-mac-cyrillic" =>
         // the index carries the Mac OS 9.0 revision: \u20AC at 0xFF (the
-        // older table's currency sign)
+        // older table's currency sign) and \u0490/\u0491 at 0xA2/0xB6 where the
+        // JDK's pre-9.0 table has \u00A2 and the partial-differential sign
         t(0xFF) = '\u20AC'
+        t(0xA2) = '\u0490'
+        t(0xB6) = '\u0491'
       case "koi8-u" =>
         // the WHATWG koi8-u index is the KOI8-RU variant: it carries
         // the Belarusian \u045E/\u040E at 0xAE/0xBE where the JDK's RFC-2319
@@ -648,7 +651,13 @@ object HttpText {
         // in every charset we decode, so the latin-1 view is safe
         val head = new String(body, 0,
           math.min(body.length, MetaWindow), "ISO-8859-1")
-        metaRe.findFirstMatchIn(head).map(_.group(1)).orNull
+        val m = metaRe.findFirstMatchIn(head).map(_.group(1)).orNull
+        // the HTML prescan algorithm's one label rewrite: a
+        // META-declared x-user-defined means windows-1252 (the ramp
+        // is correct only for the transport-layer label)
+        if (m != null &&
+          m.trim.equalsIgnoreCase("x-user-defined")) "windows-1252"
+        else m
       }
     val cs = if (label == null) "utf-8" else canonical(label)
     cs match {

@@ -1343,6 +1343,12 @@ object PdfPageTexts {
     // invokes — nested forms cannot multiply work past MaxOps
     var ops = 0
 
+    // a form XObject executes with the q-stack FLOOR raised to its
+    // entry depth: its content cannot pop the invoker's saved entries
+    // (a hostile 'Q ... q' body would otherwise swap the invoker's
+    // restore target while keeping the net depth balanced)
+    private var floor = 0
+
     def setFontDec(f: FontDec): Unit = font = f
     def fontNow: FontDec = font
     def push(): Unit = {
@@ -1350,10 +1356,12 @@ object PdfPageTexts {
       saved += font
     }
     def pop(): Unit = {
-      if (saved.isEmpty) decline() // an orphan Q: invalid nesting
+      if (saved.length <= floor) decline() // an orphan Q: invalid nesting
       font = saved.remove(saved.length - 1)
     }
     def depth: Int = saved.length
+    def raiseFloor(): Int = { val f0 = floor; floor = saved.length; f0 }
+    def restoreFloor(f0: Int): Unit = floor = f0
 
     def newline(): Unit = {
       val len = out.length
@@ -1440,11 +1448,18 @@ object PdfPageTexts {
         d
       }
     }
-    /** Resolve a Do operand: Some((form stream, the resources its
+    /** Resolve a Do operand: Some((form stream, the context its
       * content runs under)) for /Form, None for /Image (paints
       * pixels, no text effect), decline for anything else or a name
-      * the dict does not carry. */
-    def xobjForm(n: String): Option[(PStream, Option[PObj])] = {
+      * the dict does not carry. The resolved form CONTEXT is memoized
+      * per name so a page invoking the same form many times parses
+      * its fonts once (the per-page font-cache discipline, extended
+      * to forms). */
+    private val xobjCache =
+      new java.util.HashMap[String, Option[(PStream, ResCtx)]]()
+    def xobjForm(n: String): Option[(PStream, ResCtx)] = {
+      val hit = xobjCache.get(n)
+      if (hit != null) return hit
       val xm = resMap.get("XObject") match {
         case None => decline() // a Do with no /XObject dict at all
         case Some(x) => r(x) match {
@@ -1452,15 +1467,17 @@ object PdfPageTexts {
           case _ => decline()
         }
       }
-      r(xm.getOrElse(n, decline())) match {
+      val out = r(xm.getOrElse(n, decline())) match {
         case s: PStream => s.dict.m.get("Subtype") match {
           case Some(PName("Image")) => None
           case Some(PName("Form")) =>
-            Some((s, s.dict.m.get("Resources").orElse(res)))
+            Some((s, new ResCtx(r, s.dict.m.get("Resources").orElse(res))))
           case _ => decline() // /PS and friends: the recorded envelope
         }
         case _ => decline()
       }
+      xobjCache.put(n, out)
+      out
     }
   }
 
@@ -1520,15 +1537,18 @@ object PdfPageTexts {
           case "Do" => operands match {
             case collection.Seq(PName(n)) => ctx.xobjForm(n) match {
               case None => () // an image paints pixels: no text effect
-              case Some((s, formRes)) =>
+              case Some((s, formCtx)) =>
                 // §8.10.1: Do saves the graphics state, paints the
                 // form, restores — a font the form selects must not
-                // leak into the invoker's following shows, and the
-                // form's q/Q must balance within it
+                // leak into the invoker's following shows, the form's
+                // q/Q must balance within it, and the raised floor
+                // keeps its Qs off the invoker's saved entries
                 val f0 = st.fontNow
                 val d0 = st.depth
-                runContent(s.data, st, new ResCtx(r, formRes), r, depth + 1)
+                val fl0 = st.raiseFloor()
+                runContent(s.data, st, formCtx, r, depth + 1)
                 if (st.depth != d0) decline()
+                st.restoreFloor(fl0)
                 st.setFontDec(f0)
             }
             case _ => decline()

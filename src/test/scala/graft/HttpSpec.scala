@@ -347,6 +347,15 @@ class HttpSpec extends AnyFunSuite {
     assert(one(0x80, "x-mac-cyrillic") === "А")
     assert(one(0xDF, "x-mac-cyrillic") === "я")
     assert(one(0xFF, "x-mac-cyrillic") === "€")
+    // the 9.0 revision also planted Ґ/ґ where the pre-9.0 table (and
+    // the JDK) has ¢ and the partial-differential sign
+    assert(one(0xA2, "x-mac-cyrillic") === "Ґ")
+    assert(one(0xB6, "x-mac-cyrillic") === "ґ")
+    // META-declared x-user-defined is windows-1252 per the HTML
+    // prescan (the ramp applies only to the transport-layer label)
+    assert(dec(("<html><head><meta charset=\"x-user-defined\"></head>" +
+      "<body>Café</body></html>").getBytes("ISO-8859-1"), null) ===
+      "<html><head><meta charset=\"x-user-defined\"></head><body>Café</body></html>")
     // x-user-defined: ASCII + the standard's own private-use ramp
     assert(one(0x80, "x-user-defined") === "\uF780")
     assert(one(0xFF, "x-user-defined") === "\uF7FF")

@@ -151,24 +151,15 @@ class PdfTextSpec extends AnyFunSuite {
     assert(texts(mini(winAnsiFont, "q BT /F1 9 Tf (ok) Tj ET")) === Seq("ok"))
   }
 
-  /** Like [[mini]] but with a second font F2 (Differences: 65→eacute)
-    * in the page resources. */
-  private def mini2Fonts(content: String): Array[Byte] = {
+  /** The one classic-xref scaffold every hand-built doc here shares:
+    * numbered object bodies in, xref + trailer (/Root 1) appended. */
+  private def buildPdf(bodies: Seq[String]): Array[Byte] = {
     val sb = new StringBuilder("%PDF-1.4\n")
     val offsets = new scala.collection.mutable.ArrayBuffer[Int]()
-    def obj(body: String): Unit = {
+    bodies.foreach { body =>
       offsets += sb.length
       sb.append(s"${offsets.length} 0 obj\n$body\nendobj\n")
     }
-    obj("<< /Type /Catalog /Pages 2 0 R >>")
-    obj("<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>")
-    obj("<< /Type /Page /Parent 2 0 R /Resources " +
-      "<< /Font << /F1 4 0 R /F2 5 0 R >> >> /Contents 6 0 R >>")
-    obj(winAnsiFont)
-    obj("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
-      "/Encoding << /BaseEncoding /WinAnsiEncoding " +
-      "/Differences [ 65 /eacute ] >> >>")
-    obj(s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
     val size = offsets.length + 1
     val xrefAt = sb.length
     sb.append(s"xref\n0 $size\n0000000000 65535 f \n")
@@ -176,32 +167,33 @@ class PdfTextSpec extends AnyFunSuite {
     sb.append(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
     sb.toString.getBytes("ISO-8859-1")
   }
+  private def streamBody(content: String, extra: String = ""): String =
+    s"<< $extra/Length ${content.length} >>\nstream\n$content\nendstream"
+
+  /** Like [[mini]] but with a second font F2 (Differences: 65→eacute)
+    * in the page resources. */
+  private def mini2Fonts(content: String): Array[Byte] = buildPdf(Seq(
+    "<< /Type /Catalog /Pages 2 0 R >>",
+    "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+    "<< /Type /Page /Parent 2 0 R /Resources " +
+      "<< /Font << /F1 4 0 R /F2 5 0 R >> >> /Contents 6 0 R >>",
+    winAnsiFont,
+    "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding << /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [ 65 /eacute ] >> >>",
+    streamBody(content)))
 
   /** A 1-page doc whose resources carry an XObject (form or image)
     * and whose content invokes it with Do. */
   private def miniXObj(xobjDict: String, xobjContent: String,
-      pageContent: String): Array[Byte] = {
-    val sb = new StringBuilder("%PDF-1.4\n")
-    val offsets = new scala.collection.mutable.ArrayBuffer[Int]()
-    def obj(body: String): Unit = {
-      offsets += sb.length
-      sb.append(s"${offsets.length} 0 obj\n$body\nendobj\n")
-    }
-    obj("<< /Type /Catalog /Pages 2 0 R >>")
-    obj("<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>")
-    obj("<< /Type /Page /Parent 2 0 R /Resources " +
-      "<< /Font << /F1 4 0 R >> /XObject << /X1 5 0 R >> >> /Contents 6 0 R >>")
-    obj(winAnsiFont)
-    obj(s"<< $xobjDict /Length ${xobjContent.length} >>\nstream\n" +
-      s"$xobjContent\nendstream")
-    obj(s"<< /Length ${pageContent.length} >>\nstream\n$pageContent\nendstream")
-    val size = offsets.length + 1
-    val xrefAt = sb.length
-    sb.append(s"xref\n0 $size\n0000000000 65535 f \n")
-    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
-    sb.append(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
-    sb.toString.getBytes("ISO-8859-1")
-  }
+      pageContent: String): Array[Byte] = buildPdf(Seq(
+    "<< /Type /Catalog /Pages 2 0 R >>",
+    "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+    "<< /Type /Page /Parent 2 0 R /Resources " +
+      "<< /Font << /F1 4 0 R >> /XObject << /X1 5 0 R >> >> /Contents 6 0 R >>",
+    winAnsiFont,
+    streamBody(xobjContent, s"$xobjDict "),
+    streamBody(pageContent)))
 
   test("Do: form text serves in place, image Do is inert, cycles decline") {
     // a form with NO resources of its own inherits the invoker's F1
@@ -219,29 +211,26 @@ class PdfTextSpec extends AnyFunSuite {
     assert(texts(imageDo) === Seq("az"))
     // a SELF-referencing form (its own resources name itself): the
     // depth bound declines the page, never loops
-    val sb = new StringBuilder("%PDF-1.4\n")
-    val offsets = new scala.collection.mutable.ArrayBuffer[Int]()
-    def obj(body: String): Unit = {
-      offsets += sb.length
-      sb.append(s"${offsets.length} 0 obj\n$body\nendobj\n")
-    }
-    val loopContent = "/X1 Do"
-    obj("<< /Type /Catalog /Pages 2 0 R >>")
-    obj("<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>")
-    obj("<< /Type /Page /Parent 2 0 R /Resources " +
-      "<< /Font << /F1 4 0 R >> /XObject << /X1 5 0 R >> >> /Contents 6 0 R >>")
-    obj(winAnsiFont)
-    obj("<< /Type /XObject /Subtype /Form /BBox [ 0 0 10 10 ] /Resources " +
-      s"<< /XObject << /X1 5 0 R >> >> /Length ${loopContent.length} >>\n" +
-      s"stream\n$loopContent\nendstream")
-    val pc = "BT /F1 9 Tf (a) Tj ET /X1 Do"
-    obj(s"<< /Length ${pc.length} >>\nstream\n$pc\nendstream")
-    val size = offsets.length + 1
-    val xrefAt = sb.length
-    sb.append(s"xref\n0 $size\n0000000000 65535 f \n")
-    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
-    sb.append(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
-    assert(texts(sb.toString.getBytes("ISO-8859-1")) === Seq(null))
+    val loop = buildPdf(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Resources " +
+        "<< /Font << /F1 4 0 R >> /XObject << /X1 5 0 R >> >> /Contents 6 0 R >>",
+      winAnsiFont,
+      streamBody("/X1 Do",
+        "/Type /XObject /Subtype /Form /BBox [ 0 0 10 10 ] /Resources " +
+          "<< /XObject << /X1 5 0 R >> >> "),
+      streamBody("BT /F1 9 Tf (a) Tj ET /X1 Do")))
+    assert(texts(loop) === Seq(null))
+    // a form whose body pops the INVOKER's q entry and re-pushes (net
+    // depth balanced): the raised floor declines it — the invoker's
+    // later Q must never restore a font the form planted
+    val floorAttack = miniXObj(
+      "/Type /XObject /Subtype /Form /BBox [ 0 0 10 10 ]",
+      "Q q",
+      "BT /F1 9 Tf (a) Tj ET q /X1 Do Q BT (z) Tj ET")
+    assert(texts(floorAttack) === Seq(null),
+      "a form must not pop past its entry depth")
     // an unknown XObject subtype declines; a missing name declines
     assert(texts(miniXObj(
       "/Type /XObject /Subtype /PS",
