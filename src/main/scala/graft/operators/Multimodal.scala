@@ -659,8 +659,16 @@ object Multimodal {
         def sbBody(text: String, canonical: String): Column = {
           val pre = graft.plans.HttpText.singleByteEncode(
             "<html><head></head><body>" + text + " id=", canonical)
-          require(pre != null, s"fixture text not representable in $canonical")
-          concat(lit(pre), encode(ids, "US-ASCII"),
+          // stripped-JRE posture (no jdk.charsets → sbTable, and so
+          // the encoder twin, returns null): substitute an ASCII body
+          // instead of crashing the generator — the decode side's
+          // table is equally absent, so these rows degrade to the
+          // same NULL decline as any undecodable payload
+          val preB =
+            if (pre != null) pre
+            else ("<html><head></head><body>" + canonical +
+              " unavailable id=").getBytes("US-ASCII")
+          concat(lit(preB), encode(ids, "US-ASCII"),
             lit("</body></html>".getBytes("US-ASCII")))
         }
         val jp = "こんにちは世界 テスト"

@@ -24,11 +24,18 @@ import org.apache.spark.sql.types._
   *    file key unwrapped from /UE with the intermediate key — the
   *    per-object key IS the file key (no derivation in V5).
   *
+  * /StmF /Identity (or an ABSENT /StmF — Identity is the §7.6.5
+  * default) under V>=4 means content streams are PLAINTEXT; such
+  * documents serve through [[PdfCrypt.IdentityStreams]] — but only
+  * AFTER the same empty-user-password /U (or R5/R6 SHA) validation,
+  * so a real-password document declines rather than leaking whatever
+  * happens to sit unencrypted in its streams.
+  *
   * Everything else DECLINES: a non-Standard /Filter, a user password
   * that is not empty (the /U check fails — reading those requires a
-  * secret this engine must not guess at), /StmF /Identity, unknown
-  * /CFM or /V, and any malformed field. RC4 is hand-rolled (20 lines
-  * of public spec); MD5/SHA-2 and AES-CBC come from the JDK. */
+  * secret this engine must not guess at), unknown /CFM or /V, and any
+  * malformed field. RC4 is hand-rolled (20 lines of public spec);
+  * MD5/SHA-2 and AES-CBC come from the JDK. */
 private[graft] final class PdfCrypt(
     val cfm: Int, // 0 = RC4 per-object, 1 = AESV2, 2 = AESV3
     fileKey: Array[Byte]) {
@@ -36,6 +43,7 @@ private[graft] final class PdfCrypt(
   /** Decrypt one stream's raw bytes; null = decline (bad padding /
     * short input). */
   def decryptStream(num: Long, gen: Int, data: Array[Byte]): Array[Byte] = {
+    if (cfm < 0) return data // /StmF /Identity: streams are plaintext
     if (cfm == 0) return PdfCrypt.rc4(objectKey(num, gen, aes = false), data)
     val key = if (cfm == 1) objectKey(num, gen, aes = true) else fileKey
     if (data.length < 16 || (data.length - 16) % 16 != 0 ||
@@ -202,6 +210,39 @@ private[graft] object PdfCrypt {
         new javax.crypto.spec.IvParameterSpec(iv))
       c.doFinal(data)
     } catch { case _: java.security.GeneralSecurityException => null }
+
+  /** The /StmF /Identity sentinel: streams pass through untouched.
+    * Installed only after [[verifyEmptyUser]] succeeds. */
+  private[graft] val IdentityStreams: PdfCrypt =
+    new PdfCrypt(-1, new Array[Byte](0))
+
+  /** The empty-user-password validation ALONE — Algorithm 4/5 at V=4,
+    * the R5/R6 SHA check at V=5 — without building a decryptor. The
+    * /StmF /Identity path needs no key schedule (streams are
+    * plaintext) but the handler contract still gates serving on this
+    * check: a document whose /U does not authenticate the empty
+    * password requires a secret this engine must not guess. */
+  private[graft] def verifyEmptyUser(v: Int, r: Int, lengthBits: Int,
+      o: Array[Byte], u: Array[Byte], p: Long, encryptMetadata: Boolean,
+      id0: Array[Byte]): Boolean = {
+    if (v == 4) {
+      if (r != 4 || o == null || o.length != 32 || u == null ||
+        u.length < 16 || id0 == null) return false
+      if (lengthBits < 40 || lengthBits > 128 || lengthBits % 8 != 0)
+        return false
+      val key = algo2Key(o, p, id0, r, lengthBits, encryptMetadata)
+      constEq(expectedU(key, id0, r), u, 16)
+    } else if (v == 5) {
+      if ((r != 5 && r != 6) || u == null || u.length < 48) return false
+      val hash = java.util.Arrays.copyOfRange(u, 0, 32)
+      val vSalt = java.util.Arrays.copyOfRange(u, 32, 40)
+      val empty = new Array[Byte](0)
+      val check =
+        if (r == 5) sha("SHA-256", empty, vSalt)
+        else hash2B(empty, vSalt, empty)
+      check != null && constEq(check, hash, 32)
+    } else false
+  }
 
   /** Build the decryptor from the /Encrypt dict's resolved fields, or
     * null (unsupported variant / the user password is not empty).

@@ -1579,30 +1579,17 @@ object PdfPageTexts {
           case PDict(m) => m
           case _ => return null
         }
-        // /StmF /Identity (or ABSENT — Identity is the §7.6.5 default)
-        // under the V>=4 standard handler means STREAMS are not
-        // encrypted at all: the text lives in plaintext whatever the
-        // passwords are, so no key schedule runs and no /U check gates
-        // the extraction (only strings are protected, and show strings
-        // ride inside the streams)
-        val stdFilter = encDict.get("Filter").map(r(_)) match {
-          case Some(PName("Standard")) => true
-          case _ => false
-        }
-        val vNum = encDict.get("V").map(r(_)) match {
-          case Some(PNum(x)) if x == math.floor(x) => x.toLong
-          case _ => -1L
-        }
-        val stmfIdentity = vNum >= 4 && (encDict.get("StmF").map(r(_)) match {
-          case None => true
-          case Some(PName("Identity")) => true
-          case _ => false
-        })
-        if (!(stdFilter && stmfIdentity)) {
-          val crypt = buildCrypt(r, encDict, chain.id0)
-          if (crypt == null) return null
-          r.crypt = crypt
-        }
+        // buildCrypt handles the whole matrix, including /StmF
+        // /Identity (or ABSENT — Identity is the §7.6.5 default) under
+        // V>=4, where streams are plaintext: that path installs the
+        // pass-through sentinel but STILL verifies the empty user
+        // password first, so a real-password document declines
+        // (page-text strings ride inside content streams; top-level
+        // file strings under /StrF carry no page text, so no string
+        // decryptor is needed)
+        val crypt = buildCrypt(r, encDict, chain.id0)
+        if (crypt == null) return null
+        r.crypt = crypt
       }
       val catalog = r.resolve(chain.root) match {
         case PDict(m) => m; case _ => decline()
@@ -1673,6 +1660,20 @@ object PdfPageTexts {
     var cfm = ""
     var stmfStd = false
     if (v >= 4) {
+      // /StmF selects the stream filter; ABSENT defaults to Identity
+      // (§7.6.5), under which streams are plaintext — serve through
+      // the pass-through sentinel, gated on the same empty-user
+      // /U (V=4) or SHA (V=5) validation as the encrypted tiers
+      val stmfIdentity = m.get("StmF").map(r(_)) match {
+        case None => true
+        case Some(PName("Identity")) => true
+        case _ => false
+      }
+      if (stmfIdentity) {
+        return if (PdfCrypt.verifyEmptyUser(v.toInt, rev.toInt, len.toInt,
+          bytes("O"), bytes("U"), p, encMeta, id0)) PdfCrypt.IdentityStreams
+        else null
+      }
       val stdCf = m.get("CF").map(r(_)) match {
         case Some(PDict(cf)) => cf.get("StdCF").map(r(_)) match {
           case Some(PDict(s)) => s

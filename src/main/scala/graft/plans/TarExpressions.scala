@@ -294,15 +294,20 @@ object TarEntries {
       val mtime = octal(b, at + 136, 12)
       if (mtime < 0) return null
       val flag = b(at + 156)
-      // a pax `size` key is AUTHORITATIVE for a real member's data
-      // extent (the octal field cannot hold >8 GiB); metadata members
-      // ('L'/'K'/'x'/'g') always use their own octal size
+      // a pax `size` key is AUTHORITATIVE for a REGULAR file's data
+      // extent (the octal field cannot hold >8 GiB); POSIX says size
+      // has no meaning for link/directory members ('1'/'2'/'5' carry
+      // no data blocks), so a pax size there is ignored — exactly what
+      // real tar does — rather than desynchronizing the walk by
+      // skipping nonexistent data; metadata members ('L'/'K'/'x'/'g')
+      // always use their own octal size
       val isMember = flag == '0' || flag == 0 || flag == '1' ||
         flag == '2' || flag == '5'
+      val isReg = flag == '0' || flag == 0
       // per-key precedence (POSIX): 'x' beats 'g' beats the header —
       // an 'x' without `size` still inherits a global `size`
       val effSize =
-        if (!isMember) size
+        if (!isReg) size
         else if (pendingPax != null && pendingPax.size >= 0) pendingPax.size
         else if (globalPax != null && globalPax.size >= 0) globalPax.size
         else size

@@ -147,6 +147,11 @@ object XlsCells {
       if (off + n > segEnd) return -1
       val o = off; off += n; o
     }
+    /** True when every byte of the record chain is consumed — the
+      * post-parse exhaustion check: trailing bytes after the last
+      * string (or an orphan Continue the collection loop absorbed)
+      * mean the count and the data disagree. */
+    def exhausted: Boolean = !hop()
     /** Skip n raw bytes (rich runs, ExtRst) across boundaries. */
     def skip(n: Long): Boolean = {
       var rem = n
@@ -287,6 +292,10 @@ object XlsCells {
             sst += s
             k += 1
           }
+          // cstTotal strings read: the record chain must be spent —
+          // leftover bytes (or an absorbed orphan Continue) mean the
+          // declared count and the data disagree; faithful-or-NULL
+          if (!cur.exhausted) return null
         case _ => () // formatting and bookkeeping records: inert
       }
       if (typ != 0x000A) at = nextAt

@@ -59,16 +59,17 @@ class PdfEncSpec extends AnyFunSuite {
       m(uAt + 4) = (if (b(uAt + 4) == '0') '1' else '0').toByte
       assert(pages(m) === null, s"mode=$mode tampered /U must decline")
     }
-    // mode 4 (/StmF /Identity): the streams are plaintext whatever
-    // the passwords are, so a real user password (tampered /U) does
-    // NOT gate the text — no key schedule runs at all
+    // mode 4 (/StmF /Identity): streams are plaintext, but the
+    // handler contract still authenticates the EMPTY user password —
+    // a tampered /U (what a real user password looks like) declines
+    // the document rather than leaking its unencrypted streams
     val b4 = PdfEncryptEncode.encode(21L, 2, 4)
     val s4 = new String(b4, "ISO-8859-1")
     val uAt4 = s4.indexOf("/U <")
     val m4 = b4.clone()
     m4(uAt4 + 4) = (if (b4(uAt4 + 4) == '0') '1' else '0').toByte
-    assert(pages(m4) === (0 until 2).map(PdfEncryptEncode.decodedPage(21L, _)),
-      "StmF-Identity text must serve regardless of the password")
+    assert(pages(m4) === null,
+      "StmF-Identity with a failing /U check must decline")
     // an ABSENT /StmF defaults to Identity (§7.6.5): hide the key
     // behind a same-length unknown name and the doc still serves
     val absent = s4.replace("/StmF /Identity", "/Stmf /Identity")

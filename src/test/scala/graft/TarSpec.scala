@@ -149,6 +149,35 @@ class TarSpec extends AnyFunSuite {
     assert(entries(g) === Seq(("a.dat", "0", 5L, 1000L), ("b.dat", "0", 5L, 2000L)))
   }
 
+  test("pax size on link/directory members is ignored: no phantom data skip") {
+    // POSIX: size has no meaning for members without data blocks
+    // ('1'/'2'/'5'); real tar ignores a pax size there — honoring it
+    // would skip nonexistent data and desynchronize the walk
+    val sym = mkHeader("d/", 0, 100, '5') ++
+      mkHeader("PaxHeaders.0/ln", rec("size", "512").length, 0, 'x') ++
+      padded(rec("size", "512")) ++
+      mkHeader("ln", 0, 7, '2') ++
+      mkHeader("f.dat", 5, 9, '0') ++ padded("hello".getBytes("US-ASCII")) ++
+      new Array[Byte](1024)
+    assert(entries(sym) === Seq(("d/", "5", 0L, 100L), ("ln", "2", 0L, 7L),
+      ("f.dat", "0", 5L, 9L)))
+    // same for a hard link and a directory under an 'x' size
+    val hard = mkHeader("PaxHeaders.0/h", rec("size", "512").length, 0, 'x') ++
+      padded(rec("size", "512")) ++
+      mkHeader("h", 0, 3, '1') ++
+      mkHeader("d2/", 0, 50, '5') ++
+      new Array[Byte](1024)
+    assert(entries(hard) === Seq(("h", "1", 0L, 3L), ("d2/", "5", 0L, 50L)))
+    // a GLOBAL pax size: ignored by the directory, authoritative for
+    // the regular file that follows (per-key precedence unchanged)
+    val g = mkHeader("pax_global_header", rec("size", "3").length, 0, 'g') ++
+      padded(rec("size", "3")) ++
+      mkHeader("d3/", 0, 60, '5') ++
+      mkHeader("g.dat", 0, 9, '0') ++ padded("abc".getBytes("US-ASCII")) ++
+      new Array[Byte](1024)
+    assert(entries(g) === Seq(("d3/", "5", 0L, 60L), ("g.dat", "0", 3L, 9L)))
+  }
+
   test("pax decline envelope: malformed records, sparse, bad UTF-8, dangling") {
     // a record whose length field lies declines
     assert(entries(paxArchive("7 a=b\n".getBytes("US-ASCII"))) === null)

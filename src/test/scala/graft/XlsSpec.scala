@@ -211,6 +211,47 @@ class XlsSpec extends AnyFunSuite {
       "the control stream (second record inert) must serve")
   }
 
+  test("SST exhaustion: trailing bytes or an orphan Continue decline") {
+    // the declared cstUnique and the record-chain bytes must agree:
+    // leftover bytes after the last string mean a malformed workbook
+    def rec(typ: Int, payload: Array[Byte]): Array[Byte] =
+      Array(typ.toByte, (typ >> 8).toByte, payload.length.toByte,
+        (payload.length >> 8).toByte) ++ payload
+    def w16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def w32(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+      (v >> 24).toByte)
+    val bof = rec(0x0809, w16(0x0600) ++ w16(0x0005) ++ w16(0) ++ w16(0) ++
+      w32(0) ++ w32(0))
+    val bofSheet = rec(0x0809, w16(0x0600) ++ w16(0x0010) ++ w16(0) ++
+      w16(0) ++ w32(0) ++ w32(0))
+    val eof = rec(0x000A, Array.empty[Byte])
+    val cell = rec(0x00FD, w16(0) ++ w16(0) ++ w16(0) ++ w32(0))
+    def wb(sstRecs: Array[Byte]): Array[Byte] = {
+      val name = "Sheet1"
+      val bs = rec(0x0085, w32(0) ++ w16(0) ++
+        Array(name.length.toByte, 0x00.toByte) ++ name.getBytes("US-ASCII"))
+      val g0 = bof ++ bs ++ sstRecs ++ eof
+      val fixed = g0.clone()
+      val pos = g0.length
+      val bsAt = bof.length
+      fixed(bsAt + 4) = pos.toByte
+      fixed(bsAt + 5) = (pos >> 8).toByte
+      val stream = fixed ++ bofSheet ++ cell ++ eof
+      graft.plans.DocEncode.cfbContainer("Workbook",
+        java.util.Arrays.copyOf(stream, math.max(4096, stream.length)),
+        "DocumentSummaryInformation", Array[Byte](1, 2, 3, 4))
+    }
+    val sstBody = w32(1) ++ w32(1) ++ w16(2) ++ Array(0x00.toByte) ++
+      "ab".getBytes("US-ASCII")
+    assert(cells(wb(rec(0x00FC, sstBody))) === Seq((1, 1, "ab")),
+      "the exact-length control must serve")
+    assert(cells(wb(rec(0x00FC, sstBody ++ Array(0x00.toByte)))) === null,
+      "a trailing byte after the last string must decline")
+    assert(cells(wb(rec(0x00FC, sstBody) ++ rec(0x003C,
+      Array[Byte](0x00, 'x'.toByte)))) === null,
+      "an orphan Continue after the last string must decline")
+  }
+
   test("truncations and bit flips never throw") {
     val b = XlsEncode.encode(41L, 4)
     var cut = 0
