@@ -913,7 +913,15 @@ object Multimodal {
   private[graft] def writeMediaFixtureOne(spark: SparkSession, dir: String,
       path: String, kind: String): Unit =
     fixtureSlices(kind).zipWithIndex.foreach { case ((cond, payload), i) =>
-      Tables.documents(spark, dir)
+      // documentsParallel, not documents: the source parquet is one
+      // row group (one task), so without the spread the per-doc ENCODE
+      // trees here would run serially AND the fixture would land as a
+      // single file — which then caps every downstream decode scan at
+      // one task too (a parquet split cannot cross a row-group
+      // boundary). A real 100 TB media corpus is thousands of files;
+      // writing the fixture that way is the honest layout, and it is
+      // what lets the CPU-bound decode queries scale with cores.
+      Tables.documentsParallel(spark, dir)
         .filter(cond)
         .select(col("doc_id"), payload.as(kind))
         .write.mode(if (i == 0) "overwrite" else "append").parquet(s"$path/$kind")
@@ -938,8 +946,19 @@ object Multimodal {
   def evictCorpus(spark: SparkSession, dir: String): Unit =
     mediaCache.evict(spark, s"$dir#media")
 
-  private def mediaTable(spark: SparkSession, dir: String, kind: String): DataFrame =
-    spark.read.parquet(s"${mediaFixturePath(spark, dir)}/$kind")
+  /** Fixture-slice schemas memoized like [[graft.Tables]]' driver
+    * tables: every slice is (doc_id: long, <kind>: binary/string) and
+    * immutable once written, so re-inferring it per decode query is
+    * repeated footer work a catalog would hold. */
+  private val mediaSchemaCache =
+    new graft.AppScopedCache[org.apache.spark.sql.types.StructType]()
+
+  private def mediaTable(spark: SparkSession, dir: String, kind: String): DataFrame = {
+    val path = s"${mediaFixturePath(spark, dir)}/$kind"
+    val schema = mediaSchemaCache.getOrCompute(spark, path)(
+      spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** The documents table as a multimodal table: text re-encoded as the
     * opaque binary payload + deterministic digests. Fully

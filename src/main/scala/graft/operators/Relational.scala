@@ -72,7 +72,18 @@ object Relational {
     * sizes salts to the observed hot-key fanout, and the semantics are
     * salt-count-invariant, which the oracle proves). */
   def saltedJoinRevenue(spark: SparkSession, dir: String): DataFrame =
-    saltedJoin(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+    // project BOTH sides to the columns the aggregate needs BEFORE the
+    // salted join (guide §2.3): the salt is xxhash64 over the input
+    // frame's columns, so feeding the full tables made the scan read
+    // all 16 lineitem + 9 orders columns and carry them through the
+    // join. ReadSchema is now 3+2 columns; the salt still spreads a
+    // hot key (rows differ in price/discount) and the join result is
+    // salt-invariant (the oracle is the plain unsalted join).
+    saltedJoin(
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderstatus")),
         "l_orderkey", "o_orderkey", salts = 4)
       .groupBy(col("o_orderstatus"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
@@ -84,7 +95,10 @@ object Relational {
     * '(none)' bucket otherwise — unmatched big-side rows must appear
     * exactly once, which the oracle (a plain SQL LEFT JOIN) proves. */
   def saltedJoinLeftRevenue(spark: SparkSession, dir: String): DataFrame =
-    saltedJoin(Tables.lineitem(spark, dir),
+    // same §2.3 projection as saltedJoinRevenue: 3-column big side
+    saltedJoin(
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
         Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"), col("o_orderstatus")),
         "l_orderkey", "o_orderkey", salts = 4, joinType = "left")

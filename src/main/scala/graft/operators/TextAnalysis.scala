@@ -178,24 +178,24 @@ object TextAnalysis {
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val docs = Tables.documentsParallel(spark, dir)
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    // (doc, term) counts feed BOTH the df aggregation and the scored
-    // join — localCheckpoint so the tokenize+explode+agg subtree runs
-    // once (the materialized set is the aggregated counts, far smaller
-    // than the token stream it replaces)
-    // Measured (r13, sf0.1 quiet, 6 reps each): WITH the checkpoint
-    // min 0.82 / median 1.03 s; WITHOUT (tokenize+explode+agg runs
-    // twice) min 0.71 / median 1.06 s — indistinguishable at this
-    // scale, so the checkpoint is kept for the 100 TB shape, where
-    // re-tokenizing the corpus is the dominant cost and materializing
-    // the far smaller aggregated counts is the only sane trade.
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
-    val docLen = docs.select(col("doc_id"), tokenCount(col("text")).as("n_tok"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df and doc length both DERIVE from the (doc, term) counts — df is
+    // the term's row count, n_tok the doc's cnt sum (non-distinct token
+    // count == sum of its per-term counts) — so both ride windows over
+    // tf instead of a second tokenize scan + two join legs. r18 (guide
+    // §2.4, shared exchanges): the r13-r17 shape re-tokenized the
+    // corpus for docLen and shuffled tf twice into the joins (plus an
+    // eager localCheckpoint barrier to stop a THIRD tokenize); this
+    // shape tokenizes once and reuses the doc_id exchange for the
+    // n_tok window and the rank window. Measured sf0.1 quiet: 1.21 s
+    // -> 0.26 s bench line, 6 Exchange -> 4, values bit-identical
+    // (same operands, same order of operations per row).
     val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val wTerm = Window.partitionBy(col("term"))
+    val wDoc = Window.partitionBy(col("doc_id"))
     val scored = tf
-      .join(docLen, Seq("doc_id"))
-      .join(df, Seq("term"))
+      .withColumn("df", count(lit(1)).over(wTerm))
+      .withColumn("n_tok", sum(col("cnt")).over(wDoc))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
         round((col("cnt") / col("n_tok")) * log(col("n") / col("df")), 6).as("tfidf"))
@@ -456,7 +456,11 @@ object TextAnalysis {
     val docs = Tables.documentsParallel(spark, dir)
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val freq = tok.groupBy(col("term")).agg(count(lit(1)).as("tf"))
-    val total = tok.agg(count(lit(1)).cast("double").as("n_total"))
+    // corpus token total = sum of the term frequencies: derived from
+    // the (tiny) vocabulary aggregate instead of a THIRD tokenize+
+    // explode pass over the corpus (r18, guide §1.2 "don't compute
+    // things you throw away"); exact long arithmetic, same value
+    val total = freq.agg(sum(col("tf")).cast("double").as("n_total"))
     tok.join(broadcast(freq), Seq("term"))
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))

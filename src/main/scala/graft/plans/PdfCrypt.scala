@@ -49,7 +49,7 @@ private[graft] final class PdfCrypt(
     if (data.length < 16 || (data.length - 16) % 16 != 0 ||
       data.length == 16) return null
     try {
-      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      val c = PdfCrypt.cbcCipher()
       c.init(javax.crypto.Cipher.DECRYPT_MODE,
         new javax.crypto.spec.SecretKeySpec(key, "AES"),
         new javax.crypto.spec.IvParameterSpec(data, 0, 16))
@@ -68,7 +68,7 @@ private[graft] final class PdfCrypt(
 
   /** Algorithm 1's per-object key (V <= 4). */
   private def objectKey(num: Long, gen: Int, aes: Boolean): Array[Byte] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = PdfCrypt.md5Digest()
     md.update(fileKey)
     md.update(Array(num.toByte, (num >> 8).toByte, (num >> 16).toByte,
       gen.toByte, (gen >> 8).toByte))
@@ -87,13 +87,45 @@ private[graft] object PdfCrypt {
     0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
 
+  /** Per-task-thread crypto primitives, constructed once and reused:
+    * `MessageDigest.getInstance` / `Cipher.getInstance` do a provider
+    * lookup + allocation on every call, and the hot paths here invoke
+    * them inside per-round loops (Algorithm 2's 50 MD5 rounds,
+    * Algorithm 2.B's >= 64 AES+SHA rounds) for every document of a
+    * corpus scan — reuse cuts that to one lookup per executor thread
+    * for the life of the task (digest() resets the digest; Cipher
+    * re-`init` with the round key is the supported reuse path). */
+  private def mdLocal(alg: String) = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance(alg)
+  }
+  private val md5TL = mdLocal("MD5")
+  private val sha256TL = mdLocal("SHA-256")
+  private val sha384TL = mdLocal("SHA-384")
+  private val sha512TL = mdLocal("SHA-512")
+  private val aesCbcTL = new ThreadLocal[javax.crypto.Cipher] {
+    override def initialValue(): javax.crypto.Cipher =
+      javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+  }
+  private[plans] def cbcCipher(): javax.crypto.Cipher = aesCbcTL.get()
+  private[plans] def md5Digest(): java.security.MessageDigest = {
+    val md = md5TL.get(); md.reset(); md
+  }
+  private def shaTL(alg: String): java.security.MessageDigest = (alg match {
+    case "SHA-256" => sha256TL
+    case "SHA-384" => sha384TL
+    case _ => sha512TL
+  }).get()
+
   private[graft] def md5(parts: Array[Byte]*): Array[Byte] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5TL.get()
+    md.reset()
     parts.foreach(md.update)
     md.digest()
   }
   private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
-    val md = java.security.MessageDigest.getInstance(alg)
+    val md = shaTL(alg)
+    md.reset()
     parts.foreach(md.update)
     md.digest()
   }
@@ -129,7 +161,8 @@ private[graft] object PdfCrypt {
     * password. */
   private[graft] def algo2Key(o: Array[Byte], p: Long, id0: Array[Byte],
       r: Int, lengthBits: Int, encryptMetadata: Boolean): Array[Byte] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5TL.get()
+    md.reset()
     md.update(Pad) // the empty user password pads to exactly Pad
     md.update(o, 0, 32)
     md.update(intLE(p))
@@ -169,19 +202,21 @@ private[graft] object PdfCrypt {
     var round = 0
     var lastE = 0
     var done = false
+    // k's length cycles 32/48/64 across rounds; size the repeat buffer
+    // once for the largest block and slice per round
+    val k1 = new Array[Byte]((password.length + 64 + udata.length) * 64)
+    val c = aesCbcTL.get()
     while (!done) {
       val block = password ++ k ++ udata
-      val k1 = new Array[Byte](block.length * 64)
       var i = 0
       while (i < 64) {
         System.arraycopy(block, 0, k1, i * block.length, block.length)
         i += 1
       }
-      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
       c.init(javax.crypto.Cipher.ENCRYPT_MODE,
         new javax.crypto.spec.SecretKeySpec(k, 0, 16, "AES"),
         new javax.crypto.spec.IvParameterSpec(k, 16, 16))
-      val e = c.doFinal(k1)
+      val e = c.doFinal(k1, 0, block.length * 64)
       var sum = 0
       i = 0
       while (i < 16) { sum += e(i) & 0xFF; i += 1 }
@@ -203,7 +238,7 @@ private[graft] object PdfCrypt {
   private[graft] def aesCbc(encrypt: Boolean, key: Array[Byte],
       iv: Array[Byte], data: Array[Byte]): Array[Byte] =
     try {
-      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      val c = aesCbcTL.get()
       c.init(if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
         else javax.crypto.Cipher.DECRYPT_MODE,
         new javax.crypto.spec.SecretKeySpec(key, "AES"),
@@ -512,7 +547,7 @@ object PdfEncryptEncode {
   /** The encoder's twin of Algorithm 1 (per-object key). */
   private def objKeyFor(crypt: PdfCrypt, fileKey: Array[Byte], num: Int,
       aes: Boolean): Array[Byte] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = PdfCrypt.md5Digest()
     md.update(fileKey)
     md.update(Array(num.toByte, (num >> 8).toByte, (num >> 16).toByte,
       0.toByte, 0.toByte))
