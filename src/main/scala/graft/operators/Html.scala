@@ -83,8 +83,18 @@ object Html {
     linksCache.evict(spark, s"$dir#links")
   }
 
-  private def pages(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(htmlFixturePath(spark, dir))
+  /** Fixture schema memoized per app like the Multimodal slices —
+    * (doc_id, html) is immutable once written; skip the per-query
+    * footer re-inference. */
+  private val pagesSchemaCache =
+    new graft.AppScopedCache[org.apache.spark.sql.types.StructType]()
+
+  private def pages(spark: SparkSession, dir: String): DataFrame = {
+    val path = htmlFixturePath(spark, dir)
+    val schema = pagesSchemaCache.getOrCompute(spark, path)(
+      spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Visible text per page via the native extractor — one codegen'd
     * scan over the fixture. Oracled as a ROUND-TRIP: extraction must

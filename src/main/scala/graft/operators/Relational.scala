@@ -56,8 +56,18 @@ object Relational {
     // because its rows differ in other columns
     val salted = big.withColumn("_salt",
       pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(salts)))
+    // shuffle_hash hint: a salted join IS a shuffle join — salting
+    // exists to spread one reducer's hot key across `salts` reducers,
+    // and a small side cheap enough to broadcast would never be salted
+    // (the broadcast replicates to every task already). Without the
+    // hint the planner broadcasts the exploded small side at demo
+    // scale, which both serializes the build+probe into the big
+    // side's scan task and benches a plan the operator's 100 TB story
+    // never executes. Hash, not sort-merge: the build side is small
+    // per partition by construction (r18; guide §3.1).
     val replicated = small.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
+      .hint("shuffle_hash")
     salted.join(replicated,
         salted(bigKey) === replicated(smallKey) && salted("_salt") === replicated("_salt"),
         joinType)

@@ -187,9 +187,13 @@ object TextAnalysis {
     // corpus for docLen and shuffled tf twice into the joins (plus an
     // eager localCheckpoint barrier to stop a THIRD tokenize); this
     // shape tokenizes once and reuses the doc_id exchange for the
-    // n_tok window and the rank window. Measured sf0.1 quiet: 1.21 s
-    // -> 0.26 s bench line, 6 Exchange -> 4, values bit-identical
-    // (same operands, same order of operations per row).
+    // n_tok window and the rank window. Locally the bench line is
+    // unchanged (the window sorts over tf cost what the join legs
+    // did); the win is the 100 TB shape — ONE corpus tokenize pass
+    // instead of two, and the sorts run over the aggregated (doc,
+    // term) table, orders of magnitude smaller than the corpus.
+    // Values bit-identical (same operands, same per-row operation
+    // order).
     val n = docs.agg(count(lit(1)).cast("double").as("n"))
     val wTerm = Window.partitionBy(col("term"))
     val wDoc = Window.partitionBy(col("doc_id"))
