@@ -871,8 +871,13 @@ object Relational {
     * so the join input is bounded by the association count, not row
     * count. */
   def q16SupplierRelation(spark: SparkSession, dir: String): DataFrame = {
+    // no pre-distinct: count(DISTINCT l_suppkey) below absorbs
+    // duplicate (part, supplier) pairs by definition, and Spark plans
+    // it as a two-level hash aggregate whose first level groups by
+    // (brand, type, size, suppkey) — the pre-distinct's own exchange
+    // was a third data-sized shuffle buying nothing (r18, guide §2.4)
     val assoc = Tables.lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .select(col("l_partkey"), col("l_suppkey"))
     val badSupp = Tables.supplier(spark, dir)
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
     val parts = Tables.part(spark, dir)

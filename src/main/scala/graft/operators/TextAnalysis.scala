@@ -195,10 +195,15 @@ object TextAnalysis {
     // Values bit-identical (same operands, same per-row operation
     // order).
     val n = docs.agg(count(lit(1)).cast("double").as("n"))
-    val wTerm = Window.partitionBy(col("term"))
+    // df as a broadcast of the (small) vocabulary aggregate, not a
+    // window: the window form sorts the whole tf table by term; the
+    // aggregate's subtree duplicates tf, but physical planning reuses
+    // tf's exchange (ReusedExchange), so tokenize+map-agg still run
+    // once and only the cheap post-shuffle final agg repeats
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id"))
     val scored = tf
-      .withColumn("df", count(lit(1)).over(wTerm))
+      .join(broadcast(df), Seq("term"))
       .withColumn("n_tok", sum(col("cnt")).over(wDoc))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
