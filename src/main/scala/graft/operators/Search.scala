@@ -197,10 +197,19 @@ object Search {
       .crossJoin(Tables.documents(spark, dir)
         .agg(count(lit(1)).cast("double").as("nd")))
       .select(col("n1"), (col("n1") - col("nd")).as("n2"))
-    val pairs = p.select(col("doc_id"), col("pos"), col("token").as("w1"))
-      .join(p.select(col("doc_id"), (col("pos") - 1).as("pos"), col("token").as("w2")),
-        Seq("doc_id", "pos"))
-      .groupBy(col("w1"), col("w2"))
+    // adjacent bigrams via lead() over the per-doc position order
+    // instead of a positional SELF-JOIN (r18, guide §2.4): the join
+    // shuffled the index twice (both projections) and hashed ~N1 rows
+    // against ~N1 rows; the window shuffles it once by doc_id. The
+    // pos+1 guard keeps the pairing identical to the join even if a
+    // doc's positions ever had gaps.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = p.select(col("doc_id"), col("pos"), col("token"))
+      .withColumn("w2", lead(col("token"), 1).over(w))
+      .withColumn("nextPos", lead(col("pos"), 1).over(w))
+      .filter(col("nextPos") === col("pos") + 1)
+      .groupBy(col("token").as("w1"), col("w2"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minCount)
     val pmi = log((col("n_pair").cast("double") / col("n2")) /

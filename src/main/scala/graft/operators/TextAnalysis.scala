@@ -525,7 +525,16 @@ object TextAnalysis {
       array(CleanStopwords.map(lit): _*)))
     val flagged = arrays_overlap(tk, array(CleanBadwords.map(lit): _*))
     // documentsParallel: two full-text regexp passes + tokenize are the
-    // same interpreted-heavy per-row shape the rollout covers
+    // same interpreted-heavy per-row shape the rollout covers.
+    // localCheckpoint BETWEEN the scoring projection and the keep
+    // filter (r18): predicate pushdown rewrites the filter in terms of
+    // text and pushes it below the spread exchange, so the whole
+    // regex+tokenize chain evaluated a FIRST time inside the one-task
+    // scan stage (serially, for every document) and a second time
+    // post-shuffle for the survivors — profiled at 475 ms of the
+    // query's 630 ms. The barrier pins the projection to its intended
+    // side of the exchange; what materializes is the 6-column scored
+    // manifest, ~40 bytes/row, not text.
     Tables.documentsParallel(spark, dir)
       .select(col("doc_id"),
         size(tk).cast("long").as("n_tokens"),
@@ -533,6 +542,7 @@ object TextAnalysis {
         flagged.as("flagged"),
         length(scrubbed).cast("long").as("clean_len"),
         md5(scrubbed).as("clean_fp"))
+      .localCheckpoint(false)
       .filter(col("n_tokens") >= minTokens && col("stop_hits") >= minStopwords)
       .orderBy(col("doc_id"))
   }
