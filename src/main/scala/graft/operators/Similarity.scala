@@ -395,10 +395,17 @@ object Similarity {
     * term is common to all cells), computed as one codegen'd dot per
     * centroid — no distance expansion. */
   private def cellScores(v: Column, cents: Seq[Array[Double]]): Column =
-    array(cents.map { c =>
-      val halfNormSq = c.map(x => x * x).sum / 2.0
-      dot(v, array(c.toIndexedSeq.map(lit): _*)) - lit(halfNormSq)
-    }: _*)
+    // the centroid matrix and half-norms ride as TWO complex literals
+    // (typedLit) instead of cells x dims scalar-literal nodes: the
+    // unrolled form built ~1000-node trees whose ANALYSIS/OPTIMIZATION
+    // dominated every ANN query's wall time (r18 StageProfile:
+    // knn_pq_adc 1.28 s wall vs 0.32 s stage time). zip_with applies
+    // the SAME per-centroid expression — dot(v, c) - h with identical
+    // operands in identical order — so scores are bit-identical.
+    zip_with(
+      typedLit(cents.map(_.toSeq)),
+      typedLit(cents.map(c => c.map(x => x * x).sum / 2.0)),
+      (c, h) => dot(v, c) - h)
 
   /** IVF ANN: corpus in argmax cell; probes search their top-nprobe
     * cells via equi-join on cell id. */
@@ -1230,8 +1237,7 @@ object Similarity {
     * `array_position`'s assignment) — one literal array-of-arrays,
     * shared by the residual encode and the serve-side base dot. */
   private def centLookup(cell: Column, cents: Seq[Array[Double]]): Column =
-    element_at(array(cents.map(c =>
-      array(c.toIndexedSeq.map(lit): _*)): _*), cell)
+    element_at(typedLit(cents.map(_.toSeq)), cell)
 
   /** r = x − centroid(cell): the quantity residual PQ encodes. */
   private def residualOf(v: Column, cell: Column,
@@ -1266,10 +1272,12 @@ object Similarity {
     * the DuckDB `list_position(s, list_max(s))` twin, so assignment
     * ties break identically. */
   private def pqSubScores(v: Column, m: Int, cents: Seq[Array[Double]]): Column =
-    array(cents.map { c =>
-      val halfNormSq = c.map(x => x * x).sum / 2.0
-      dot(slice(v, m * PqDim + 1, PqDim), array(c.toIndexedSeq.map(lit): _*)) - lit(halfNormSq)
-    }: _*)
+    // compact-literal form like [[cellScores]]: same per-element
+    // arithmetic, two literal nodes instead of codes x dims scalars
+    zip_with(
+      typedLit(cents.map(_.toSeq)),
+      typedLit(cents.map(c => c.map(x => x * x).sum / 2.0)),
+      (c, h) => dot(slice(v, m * PqDim + 1, PqDim), c) - h)
 
   private def pqCode(v: Column, m: Int, cb: Seq[Seq[Array[Double]]]): Column = {
     val s = pqSubScores(v, m, cb(m))
@@ -1283,9 +1291,8 @@ object Similarity {
     * layout and the 1-based code indexing cannot drift between them. */
   private def pqLutCols(q: Column, cb: Seq[Seq[Array[Double]]]): Seq[Column] =
     (0 until PqSubspaces).map { m =>
-      array(cb(m).map(c =>
-        dot(slice(q, m * PqDim + 1, PqDim),
-          array(c.toIndexedSeq.map(lit): _*))): _*).as(s"lut$m")
+      transform(typedLit(cb(m).map(_.toSeq)),
+        c => dot(slice(q, m * PqDim + 1, PqDim), c)).as(s"lut$m")
     }
 
   private def pqAdcExpr: Column =
