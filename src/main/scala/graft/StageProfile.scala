@@ -52,11 +52,15 @@ object StageProfile {
       stages.clear()
       record = true
       val t0 = System.nanoTime()
-      val cnt = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      val cnt = df.count()
       val wall = (System.nanoTime() - t0) / 1e9
       record = false
       Thread.sleep(200) // let listener drain
-      println(f"[prof] $name wall=$wall%.3f s rows=$cnt")
+      val phases = df.queryExecution.tracker.phases
+        .map { case (p, s) => s"$p=${s.endTimeMs - s.startTimeMs}ms" }
+        .mkString(" ")
+      println(f"[prof] $name wall=$wall%.3f s rows=$cnt  [$phases]")
       import scala.jdk.CollectionConverters._
       val recs = stages.asScala.toSeq.sortBy(r => (r.jobId, r.stageId))
       val totalStage = recs.map(_.durMs).sum
