@@ -166,6 +166,19 @@ object Tables {
     * by-comparison-tiny doc table before a CPU-bound stage is still
     * the right trade. Hash on doc_id: deterministic assignment, even
     * spread. */
+  /** An engine-built artifact parquet (IVF index, dedup index) read
+    * with a memoized footer/partition schema — the same catalog-
+    * metadata discipline as [[apply]]: these artifacts are written
+    * once per (app, corpus) and appends never alter their schema, yet
+    * every serve-path `spark.read.parquet` re-ran a one-task schema-
+    * inference JOB per query (r19 StageProfile: 25-30 ms + a full AQE
+    * job round each on knn_ivf_pq / dedup_incremental_indexed). */
+  def artifactParquet(spark: SparkSession, path: String): DataFrame = {
+    val schema = schemaCache.getOrCompute(spark, path)(
+      spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
+
   def documentsParallel(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     documents(spark, dir)

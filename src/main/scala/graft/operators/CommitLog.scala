@@ -990,6 +990,22 @@ object CommitLog {
 
   // ---- declared schema + CHECK constraints (table-boundary gate) ----
 
+  /** Footer schema of one immutable data file, memoized per app —
+    * catalog metadata, same discipline as the Tables schema memo:
+    * data files are never rewritten in place (uuid names, rename-
+    * based commit), so a footer read can be reused for the app's
+    * lifetime. Undeclared tables resolve their schema through this on
+    * EVERY read (DataFrameReader calls inferSchema + getTable per
+    * .load), which without the memo costs 2-4 one-task Spark jobs per
+    * lake query. */
+  private val footerSchemaCache = new graft.AppScopedCache[StructType]()
+
+  private[graft] def footerSchema(spark: SparkSession, tablePath: String,
+      file: String): StructType =
+    footerSchemaCache.getOrCompute(spark, s"$tablePath/$file#footer") {
+      spark.read.parquet(s"$tablePath/$file").schema
+    }
+
   private val schemaFieldRe = """"schemaB64":"([^"]*)"""".r
 
   /** The declared schema in force at `asOf` (latest declaration at or
@@ -1503,7 +1519,7 @@ object CommitLog {
       asOf: Option[Long], column: String, value: Any): Option[Long] =
     probeHashOf(tableSchema(spark, tablePath, asOf)
       .orElse(snapshot(spark, tablePath, asOf).headOption.map(f =>
-        spark.read.parquet(s"$tablePath/$f").schema)), column, value)
+        footerSchema(spark, tablePath, f))), column, value)
 
   /** The probe-typing core of [[probeHashFor]] against an
     * already-resolved schema — the multi-probe path resolves the

@@ -942,8 +942,8 @@ object Dedup {
     val batchBands = pairCache.getOrCompute(spark, s"$dir#incridx#bands") {
       bandTableFor(batchRepr).localCheckpoint(false)
     }
-    val corpusSets = spark.read.parquet(s"$indexPath/sets")
-    val corpusBands = spark.read.parquet(s"$indexPath/bands")
+    val corpusSets = graft.Tables.artifactParquet(spark, s"$indexPath/sets")
+    val corpusBands = graft.Tables.artifactParquet(spark, s"$indexPath/bands")
     bandJoinVerify(corpusBands, corpusSets, batchBands, batchRepr,
         threshold, selfJoin = false, vocab = readVocabSidecar(spark, indexPath))
       .select(col("doc_b").as("new_doc_id"), col("doc_a").as("dup_of"), col("jaccard"))
@@ -971,7 +971,7 @@ object Dedup {
       maxBroadcastBatch: Long = IncrementalBroadcastMaxDocs,
       knownBatchDocs: Option[Long] = None): DataFrame = {
     val batchRepr = batchTokenSets(batch)
-    val corpusSets = spark.read.parquet(s"$indexPath/sets")
+    val corpusSets = graft.Tables.artifactParquet(spark, s"$indexPath/sets")
     val vocab = readVocabSidecar(spark, indexPath)
     val n = knownBatchDocs.getOrElse(batch.count())
     val pairs = if (n <= maxBroadcastBatch) {
@@ -1009,7 +1009,7 @@ object Dedup {
       // twice (band table + verification attach) but is the small side
       // and recompute is ∝ batch, where per-call checkpoints inside a
       // long-running stream would grow block storage without bound
-      bandJoinVerify(spark.read.parquet(s"$indexPath/bands"), corpusSets,
+      bandJoinVerify(graft.Tables.artifactParquet(spark, s"$indexPath/bands"), corpusSets,
         bandTableFor(batchRepr), batchRepr, threshold, selfJoin = false,
         vocab = vocab)
     pairs
@@ -1069,10 +1069,11 @@ object Dedup {
     * explicit broadcast. */
   def paragraphFlags(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val chunks = paragraphChunks(spark, dir, k)
+    // min != max ⟺ countDistinct > 1 on non-null ids; one-phase partials
     val shared = chunks
       .groupBy(col("para_fp"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1)
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
       .select(col("para_fp"), lit(true).as("is_dup"))
     chunks.join(broadcast(shared), Seq("para_fp"), "left")
       .groupBy(col("doc_id"))
@@ -1104,9 +1105,15 @@ object Dedup {
     * unchecked self-join recomputes the grams twice (the q11/q15
     * pattern). */
   private[graft] def substringSpansOf(grams: DataFrame, k: Int): DataFrame = {
+    // "shared by >1 doc" as min(doc_id) != max(doc_id) — identical
+    // predicate to countDistinct(doc_id) > 1 on non-null ids, but a
+    // one-phase partial aggregate: count(DISTINCT) plans a (fp, doc_id)
+    // dedup hash-aggregate before the exchange (r19 StageProfile: the
+    // 296 ms dominant stage of dedup_substrings), min/max partials
+    // aggregate in place and ship one row per distinct fp per task.
     val dupFp = grams.groupBy(col("fp"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1)
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
       .select(col("fp"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -1157,9 +1164,11 @@ object Dedup {
     val grams = pairCache.getOrCompute(spark, s"$dir#sgrams$k") {
       substringGrams(Tables.documentsParallel(spark, dir), k).localCheckpoint(false)
     }
+    // min != max — same one-phase-partial-aggregate move as
+    // substringSpansOf (predicate identical to countDistinct > 1)
     val dupFp = grams.groupBy(col("fp"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1)
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
       .select(col("fp"))
     val covered = grams.join(dupFp, Seq("fp"))
       .select(col("doc_id"),

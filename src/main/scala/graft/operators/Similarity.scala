@@ -641,7 +641,7 @@ object Similarity {
     * new per-cell minimum cosines. */
   def tightenCellBounds(spark: SparkSession, indexPath: String): Array[Double] = {
     val cents = readCentroidSidecar(spark, indexPath)
-    val rows = spark.read.parquet(indexPath)
+    val rows = Tables.artifactParquet(spark, indexPath)
       .select(col("cell").cast("int").as("cell"), col("v"))
     val bounds = computeCellBounds(rows, cents)
     writeCellBoundsSidecar(spark, indexPath, bounds)
@@ -766,7 +766,7 @@ object Similarity {
     // cannot hinge on float noise (vec_id breaks the residual ties)
     val u = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)
-    val base = spark.read.parquet(indexPath)
+    val base = Tables.artifactParquet(spark, indexPath)
       .select(col("cell").cast("int").as("cell"), col("vec_id"), u.as("u"))
     val w = Window.partitionBy(col("cell")).orderBy(col("u"), col("vec_id"))
     base.withColumn("pick", row_number().over(w))
@@ -818,7 +818,7 @@ object Similarity {
     val probeCells = probeRows.map(_.getInt(2)).distinct
     val probesLocal = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probes.schema)
-    val index = spark.read.parquet(indexPath)
+    val index = Tables.artifactParquet(spark, indexPath)
       .filter(col("cell").isin(probeCells.map(Integer.valueOf).toSeq: _*))
       .select(col("cell").cast("int").as("cell"), col("vec_id"), col("v"))
     val scored = index.join(broadcast(probesLocal), Seq("cell"))
@@ -910,7 +910,7 @@ object Similarity {
     val probesLocal = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), schema)
     val probeCells = keptPairs.map(_._3).distinct
-    val index = spark.read.parquet(indexPath)
+    val index = Tables.artifactParquet(spark, indexPath)
       .filter(col("cell").isin(probeCells.map(Integer.valueOf).toSeq: _*))
       .select(col("cell").cast("int").as("cell"), col("vec_id"), col("v"))
     index.join(broadcast(probesLocal), Seq("cell"))
@@ -944,7 +944,7 @@ object Similarity {
       threshold: Double = 0.95): DataFrame = {
     val indexPath = ivfIndexPath(spark, dir)
     servedCentroids.put(dir, readCentroidSidecar(spark, indexPath))
-    val emb = spark.read.parquet(indexPath)
+    val emb = Tables.artifactParquet(spark, indexPath)
       .select(col("cell").cast("int").as("cell"), col("vec_id"), col("v"))
     semanticDedupCore(emb, threshold)
   }
@@ -1256,7 +1256,7 @@ object Similarity {
   private[graft] def ivfResidualCodebooks(spark: SparkSession, dir: String,
       indexPath: String, cents: Seq[Array[Double]]): Seq[Seq[Array[Double]]] =
     residualCodebookCache.getOrCompute(spark, s"$dir#ivfpq") {
-      val res = spark.read.parquet(indexPath)
+      val res = Tables.artifactParquet(spark, indexPath)
         .select(col("vec_id").as("id"),
           residualOf(col("v"), col("cell").cast("int"), cents).as("v"))
       val init = seedParallel(res, PqSubspaces, PqCodes,
@@ -1322,23 +1322,31 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val coded = emb.select(col("vec_id"),
       array((0 until PqSubspaces).map(m => pqCode(col("v"), m, cb)): _*).as("codes"))
+    // ONE probe frame (q + LUTs together) consumed by BOTH joins: the
+    // coarse and exact legs then share a single canonical
+    // BroadcastExchange (ReusedExchange) instead of two probe scans —
+    // r18 StageProfile showed 3 near-identical 13-task probe-side scan
+    // jobs per query; this plus the shortlist fusion below cuts them.
     val probes = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id") +: col("v").as("q") +:
         pqLutCols(col("q"), cb): _*)
-    val coarse = coded.crossJoin(broadcast(probes.drop("q")))
+    val coarse = coded.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(pqAdcExpr, 6).as("adc"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id"))
-    val shortlist = coarse.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= coarseK)
-      .select(col("query_id"), col("neighbor_id"))
-    val exactProbes = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    // shortlist via the partial-aggregable bounded heap instead of the
+    // row_number window: the window shuffled EVERY coarse-scored corpus
+    // row onto P probe partitions (the skew funnel guide §2.5 warns
+    // about — at 100 TB an N*P-row exchange landing on 5 reducers);
+    // graft_topk keeps coarseK rows per probe per map task, so the
+    // exchange carries P*coarseK*tasks rows. Ordering contract is the
+    // window's exactly: score desc, neighbor_id asc on ties.
+    val shortlist = coarse.groupBy(col("query_id"))
+      .agg(graft.plans.TopKAggregate.topk(col("adc"), col("neighbor_id"), coarseK).as("topk"))
+      .select(col("query_id"), explode(col("topk.neighbor_id")).as("neighbor_id"))
     val exact = shortlist
       .join(emb, col("neighbor_id") === emb("vec_id"))
-      .join(broadcast(exactProbes), Seq("query_id"))
+      .join(broadcast(probes), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("q"), col("v")), 4).as("cos_sim"))
     topKPerQuery(exact, k)
@@ -1390,7 +1398,7 @@ object Similarity {
       .select(col("query_id") +: col("cell") +: col("q").as("q") +:
         dot(col("q"), centLookup(col("cell"), cents)).as("qc") +:
         pqLutCols(col("q"), cb): _*)
-    val index = spark.read.parquet(indexPath)
+    val index = Tables.artifactParquet(spark, indexPath)
       .filter(col("cell").isin(probeCells.map(Integer.valueOf).toSeq: _*))
       .select(col("cell").cast("int").as("cell"), col("vec_id"), col("v"))
     // residual computed ONCE per row, then 8 code assignments off it
@@ -1403,13 +1411,25 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(col("qc") + pqAdcExpr, 6).as("adc"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id"))
-    val shortlist = coarse.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= coarseK)
-      .select(col("query_id"), col("neighbor_id"))
-    val exactProbes = probesLocal
-      .select(col("query_id"), col("q")).distinct()
+    // shortlist via the bounded-heap partial aggregate, not the
+    // row_number window (same fusion as knnPqAdc: the window shuffled
+    // every coarse-scored row onto P probe partitions; the heap ships
+    // P*coarseK rows per map task, ordering contract identical —
+    // score desc, neighbor_id asc).
+    val shortlist = coarse.groupBy(col("query_id"))
+      .agg(graft.plans.TopKAggregate.topk(col("adc"), col("neighbor_id"), coarseK).as("topk"))
+      .select(col("query_id"), explode(col("topk.neighbor_id")).as("neighbor_id"))
+    // exact-rerank probes deduped on the DRIVER from the already-
+    // collected probe rows: the previous probesLocal.distinct() was an
+    // Aggregate over a LocalRelation — a full exchange + two AQE job
+    // rounds per query to dedup <= 10 rows (every (q, cell) explosion
+    // of one probe carries the identical q).
+    val exactRows = probeRows.groupBy(_.getLong(0)).map(_._2.head).toSeq
+      .map(r => org.apache.spark.sql.Row(r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_.getLong(0))
+    val exactProbes = spark.createDataFrame(
+      java.util.Arrays.asList(exactRows: _*),
+      org.apache.spark.sql.types.StructType(probes.schema.fields.take(2)))
     val exact = shortlist
       .join(index.select(col("vec_id"), col("v")),
         col("neighbor_id") === col("vec_id"))

@@ -74,8 +74,9 @@ class ChangesTableProvider extends TableProvider with DataSourceRegister {
         s"graft-changes: $table has no live files and no declared schema")
       // one footer read, driver-side — metadata, not a table scan;
       // the NEWEST live file (same fallback as the batch source's
-      // schemaAt) so later appends' widened columns survive
-      spark.read.parquet(s"$table/${files.last}").schema
+      // schemaAt) so later appends' widened columns survive; memoized
+      // per (table, file) like the batch source's resolve
+      CommitLog.footerSchema(spark, table, files.last)
     }
     base
       .add(StructField("_change_type", StringType, nullable = false))

@@ -181,7 +181,10 @@ object GraftTableProvider {
       val files = CommitLog.snapshot(spark, path, Some(version))
       require(files.nonEmpty,
         s"graft: no live files in $path at version $version and no declared schema")
-      spark.read.parquet(s"$path/${files.last}").schema
+      // memoized per (path, file): the footer of an immutable committed
+      // file — without this every .load() of an undeclared table pays a
+      // one-task schema-inference Spark job (twice: inferSchema+getTable)
+      CommitLog.footerSchema(spark, path, files.last)
     }
 }
 
