@@ -850,20 +850,19 @@ object TextAnalysis {
     val words = Tables.documentsParallel(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
-    // one PROJECTION per merge, not one nested expression: mergeOnce
-    // references its input several times, so a directly-chained tree
-    // grows ~4^rounds nodes (it OOMed plan conversion at 10 rounds);
-    // as staged projections each fold references the previous stage's
-    // ATTRIBUTE, the tree stays linear, and CollapseProject leaves
-    // multi-reference non-cheap projections uncollapsed
-    var staged = words.select(col("doc_id"),
-      length(col("word")).cast("long").as("nc"),
-      charSyms(col("word")).as("s"))
-    merges.foreach { case (a, b, _) =>
-      staged = staged.select(col("doc_id"), col("nc"),
-        mergeOnce(col("s"), a, b).as("s"))
-    }
-    staged
+    // the WHOLE merge chain as ONE native expression (plans.
+    // BpeMergeChain, r19): the previous 50 staged mergeOnce projections
+    // cost ~0.35 s of driver planning per query (StageProfile: wall
+    // 0.455 s vs 0.110 s stage time) plus 50 interpreted aggregate-HOF
+    // folds per word, each rebuilding its accumulator array per
+    // element. The native chain applies each merge as a greedy
+    // left-to-right scan — value-identical to the fold (differential-
+    // pinned in BpeSpec; the fold cannot cascade within a round because
+    // a minted token never equals its own left side).
+    words.select(col("doc_id"),
+        length(col("word")).cast("long").as("nc"),
+        graft.plans.BpeMergeChain(charSyms(col("word")),
+          merges.map(_._1), merges.map(_._2)).as("s"))
       .select(col("doc_id"), col("nc"), size(col("s")).cast("long").as("nt"))
       .groupBy(col("doc_id"))
       .agg(sum(col("nc")).as("n_chars"), sum(col("nt")).as("n_bpe_tokens"))

@@ -107,6 +107,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
        new ExpressionInfo(classOf[GifEncode].getName, "graft_gif_encode"),
        arity("graft_gif_encode", 3)(exprs => GifEncode(exprs(0), exprs(1), exprs(2)))))
     e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bpe_apply"),
+       new ExpressionInfo(classOf[BpeMergeChain].getName, "graft_bpe_apply"),
+       arity("graft_bpe_apply", 3)(exprs => BpeMergeChain.fromArgs(exprs))))
+    e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom"),
        new ExpressionInfo(classOf[BloomBits].getName, "graft_bloom"),
        arity("graft_bloom", 3)(exprs => BloomBits(exprs(0), exprs(1), exprs(2)))))

@@ -145,6 +145,37 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("the native merge chain equals the staged mergeOnce folds on adversarial arrays") {
+    import org.apache.spark.sql.functions.col
+    // the r19 BpeMergeChain expression replaces 50 staged interpreted
+    // folds with one native pass per merge; this pins value-identity
+    // against the fold CHAIN (not just single merges) on the inputs
+    // where greedy/fold semantics could diverge: overlap runs,
+    // self-pairs, minted-token lookalikes, empty/singleton arrays,
+    // and chains where one round's output feeds the next round's pair
+    val arrays = Seq(
+      Seq.empty[String], Seq("a"), Seq("a", "a"), Seq("a", "a", "a"),
+      Seq("a", "a", "a", "a"), Seq("a", "b", "a", "b"),
+      Seq("b", "a", "b", "a", "b"), Seq("a", "b", "b", "a"),
+      Seq("aa", "a", "a"), Seq("a", "aa", "a"), Seq("ab", "a", "b"),
+      Seq("a", "b", "ab"), Seq("x", "a", "b", "y", "a", "b"),
+      Seq("a", "b", "c", "d"), Seq("ab", "c", "d"), Seq("a", "b", "cd"))
+    val chain = Seq(("a", "a"), ("a", "b"), ("ab", "c"), ("aa", "a"), ("abc", "d"))
+    import spark.implicits._
+    val df = arrays.zipWithIndex.toDF("arr", "i")
+    var staged = df.select(col("i"), col("arr").as("m"))
+    chain.foreach { case (a, b) =>
+      staged = staged.select(col("i"), TextAnalysis.mergeOnce(col("m"), a, b).as("m"))
+    }
+    val want = staged.orderBy(col("i")).collect().map(_.getSeq[String](1).toVector)
+    val got = df.select(col("i"),
+        graft.plans.BpeMergeChain(col("arr"), chain.map(_._1), chain.map(_._2)).as("m"))
+      .orderBy(col("i")).collect().map(_.getSeq[String](1).toVector)
+    got.zip(want).zip(arrays).foreach { case ((g, w), in) =>
+      assert(g === w, s"native chain diverges from the fold chain on $in")
+    }
+  }
+
   test("greedyBatch admits only provably greedy-equivalent prefixes") {
     def gb(ps: Seq[(String, String, Long)], complete: Boolean = true,
         maxN: Int = 16, syms: Set[String] = Set.empty) =
