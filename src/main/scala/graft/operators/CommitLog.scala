@@ -571,13 +571,33 @@ object CommitLog {
       tsMillis: Long): DataFrame =
     read(spark, tablePath, Some(versionAtTimestamp(spark, tablePath, tsMillis)))
 
+  // ---- version-pinned metadata memos (r19) ----------------------------
+  // The resolved state AT A PINNED VERSION is immutable — commits are
+  // rename-published, never rewritten; a later checkpoint changes how
+  // the state is computed, not what it is — so the replay result is
+  // catalog metadata, memoizable per (table, version) with the same
+  // app-scoped lifetime as the footer-schema memo above. Every DSv2
+  // scan resolves snapshot + stats + DV refs (+ blooms under runtime
+  // filters) against its PINNED version, several times per query
+  // (schema resolve, planning, partition build); before the memo each
+  // resolve re-listed the log and re-read the commit tail. Unpinned
+  // (asOf=None) calls still replay fresh — they must see new commits.
+  private val snapshotCache = new graft.AppScopedCache[Seq[String]]()
+  private val fileStatsCache = new graft.AppScopedCache[FileStats]()
+  private val fileBloomsCache = new graft.AppScopedCache[FileBlooms]()
+  private val dvRefsCache = new graft.AppScopedCache[FileDvs]()
+  private val tableSchemaCache = new graft.AppScopedCache[Option[StructType]]()
+
   /** The live file set at `asOf` (default: latest): start from the
     * newest parquet checkpoint at or below it (when one exists) and
     * replay only the JSON tail after it — O(checkpoint + tail), not
     * O(versions). Paths relative to root. */
   def snapshot(spark: SparkSession, tablePath: String,
-      asOf: Option[Long] = None): Seq[String] =
-    prunedSnapshot(spark, tablePath, asOf, identity, (_, _) => true)
+      asOf: Option[Long] = None): Seq[String] = asOf match {
+    case Some(v) => snapshotCache.getOrCompute(spark, s"$tablePath#snap#$v")(
+      prunedSnapshot(spark, tablePath, asOf, identity, (_, _) => true))
+    case None => prunedSnapshot(spark, tablePath, asOf, identity, (_, _) => true)
+  }
 
   /** Snapshot resolution with a metadata predicate pushed into the
     * parquet domain: `keepCp` filters the checkpoint's (file, stats,
@@ -632,7 +652,14 @@ object CommitLog {
     * committed without stats simply never prune. Served from the
     * newest parquet checkpoint + JSON tail, like [[snapshot]]. */
   def fileStats(spark: SparkSession, tablePath: String,
-      asOf: Option[Long] = None): FileStats = {
+      asOf: Option[Long] = None): FileStats = asOf match {
+    case Some(v) => fileStatsCache.getOrCompute(spark, s"$tablePath#stats#$v")(
+      fileStatsUncached(spark, tablePath, asOf))
+    case None => fileStatsUncached(spark, tablePath, asOf)
+  }
+
+  private def fileStatsUncached(spark: SparkSession, tablePath: String,
+      asOf: Option[Long]): FileStats = {
     val acc = scala.collection.mutable.Map.empty[String, Map[String, (Double, Double)]]
     val cp = bestCheckpoint(spark, tablePath, asOf)
     cp.foreach { c =>
@@ -699,7 +726,14 @@ object CommitLog {
     * [[fileStats]]: a file's filters ride the commit that ADDED it;
     * files committed without them simply never prune. */
   def fileBlooms(spark: SparkSession, tablePath: String,
-      asOf: Option[Long] = None): FileBlooms = {
+      asOf: Option[Long] = None): FileBlooms = asOf match {
+    case Some(v) => fileBloomsCache.getOrCompute(spark, s"$tablePath#blooms#$v")(
+      fileBloomsUncached(spark, tablePath, asOf))
+    case None => fileBloomsUncached(spark, tablePath, asOf)
+  }
+
+  private def fileBloomsUncached(spark: SparkSession, tablePath: String,
+      asOf: Option[Long]): FileBlooms = {
     val acc = scala.collection.mutable.Map.empty[String, Map[String, String]]
     val cp = bestCheckpoint(spark, tablePath, asOf)
     cp.foreach { c =>
@@ -728,7 +762,14 @@ object CommitLog {
     * Entries for files no longer live may linger until a checkpoint
     * prunes them; callers filter by the snapshot's file set. */
   def deletionVectorRefs(spark: SparkSession, tablePath: String,
-      asOf: Option[Long] = None): FileDvs = {
+      asOf: Option[Long] = None): FileDvs = asOf match {
+    case Some(v) => dvRefsCache.getOrCompute(spark, s"$tablePath#dvs#$v")(
+      deletionVectorRefsUncached(spark, tablePath, asOf))
+    case None => deletionVectorRefsUncached(spark, tablePath, asOf)
+  }
+
+  private def deletionVectorRefsUncached(spark: SparkSession, tablePath: String,
+      asOf: Option[Long]): FileDvs = {
     val acc = scala.collection.mutable.Map.empty[String, String]
     val cp = bestCheckpoint(spark, tablePath, asOf)
     cp.foreach { c =>
@@ -1012,7 +1053,14 @@ object CommitLog {
     * before it), replayed from the log. None = never declared: the
     * table behaves as raw parquet, schema inferred from footers. */
   def tableSchema(spark: SparkSession, tablePath: String,
-      asOf: Option[Long] = None): Option[StructType] =
+      asOf: Option[Long] = None): Option[StructType] = asOf match {
+    case Some(v) => tableSchemaCache.getOrCompute(spark, s"$tablePath#schema#$v")(
+      tableSchemaUncached(spark, tablePath, asOf))
+    case None => tableSchemaUncached(spark, tablePath, asOf)
+  }
+
+  private def tableSchemaUncached(spark: SparkSession, tablePath: String,
+      asOf: Option[Long]): Option[StructType] =
     versions(spark, tablePath).filter(v => asOf.forall(v <= _)).reverseIterator
       .map(v => schemaFieldRe.findFirstMatchIn(commitLine(spark, tablePath, v)))
       .collectFirst { case Some(m) =>

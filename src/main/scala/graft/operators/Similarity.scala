@@ -1322,15 +1322,21 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val coded = emb.select(col("vec_id"),
       array((0 until PqSubspaces).map(m => pqCode(col("v"), m, cb)): _*).as("codes"))
-    // ONE probe frame (q + LUTs together) consumed by BOTH joins: the
-    // coarse and exact legs then share a single canonical
-    // BroadcastExchange (ReusedExchange) instead of two probe scans —
-    // r18 StageProfile showed 3 near-identical 13-task probe-side scan
-    // jobs per query; this plus the shortlist fusion below cuts them.
-    val probes = emb.filter(col("vec_id") < 5)
+    // probes COLLECTED once (5 rows) and re-planned as a LocalRelation
+    // (r19, the knnIvfPq pattern): the probe frame fed two broadcast
+    // builds, and column pruning gave each its own projection of a
+    // FULL embeddings scan (r19 StageProfile: four near-identical
+    // 13-task scan stages per query, two of them probe builds). A
+    // LocalRelation broadcast builds driver-side with no scan job; the
+    // LUTs are computed by the SAME Catalyst expressions over the
+    // collected doubles, so every score is bit-identical.
+    val probeRows = emb.filter(col("vec_id") < 5).collect()
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), emb.schema)
+    val probes = probesLocal
       .select(col("vec_id").as("query_id") +: col("v").as("q") +:
         pqLutCols(col("q"), cb): _*)
-    val coarse = coded.crossJoin(broadcast(probes))
+    val coarse = coded.crossJoin(broadcast(probes.drop("q")))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(pqAdcExpr, 6).as("adc"))
@@ -1346,7 +1352,7 @@ object Similarity {
       .select(col("query_id"), explode(col("topk.neighbor_id")).as("neighbor_id"))
     val exact = shortlist
       .join(emb, col("neighbor_id") === emb("vec_id"))
-      .join(broadcast(probes), Seq("query_id"))
+      .join(broadcast(probes.select(col("query_id"), col("q"))), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("q"), col("v")), 4).as("cos_sim"))
     topKPerQuery(exact, k)
