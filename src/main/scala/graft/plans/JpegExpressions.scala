@@ -95,6 +95,22 @@ object JpegPixels {
     cu / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
   }
 
+  /** Precomputed per-coefficient basis plane: CtProd(v)(y*8+x) =
+    * Ct(x)(v&7) * Ct(y)(v>>3) — the exact double product the
+    * coefficient-inner loop used to recompute per pixel (same two
+    * operands, same order, so each stored value is bit-identical to
+    * the product it replaces). 64x64 doubles = 32 KiB, shared
+    * read-only across tasks. */
+  private val CtProd: Array[Array[Double]] = Array.tabulate(64) { v =>
+    val t = new Array[Double](64)
+    var p = 0
+    while (p < 64) {
+      t(p) = Ct(p & 7)(v & 7) * Ct(p >> 3)(v >> 3)
+      p += 1
+    }
+    t
+  }
+
   // canonical Huffman decode tables per T.81 F.2.2.3
   private final class HuffTable(bits: Array[Int], vals: Array[Byte]) {
     val minCode = new Array[Int](17)
@@ -177,18 +193,32 @@ object JpegPixels {
     * (P = 8 or 12) and the progressive final render (P = 8). */
   private def idctInto(coef: Array[Int], plane: Array[Int], cw: Int,
       ox: Int, oy: Int, half: Int = 128, maxV: Int = 255): Unit = {
+    // coefficient-OUTER accumulation (r19): the pixel-outer form ran a
+    // 64-iteration loop with a zero test per PIXEL — 4096 branchy
+    // iterations per block when typical quantized blocks carry only a
+    // handful of nonzero coefficients. Skipping zeros once and adding
+    // each nonzero coefficient's basis plane into a 64-double buffer
+    // performs the SAME additions in the SAME per-pixel order
+    // (ascending v, (Ct*Ct)*cf association via CtProd), so every
+    // output sample is bit-identical — pinned by JpegSpec and the
+    // mm_jpeg oracles.
+    val buf = new Array[Double](64)
+    var v = 0
+    while (v < 64) {
+      val cf = coef(v)
+      if (cf != 0) {
+        val t = CtProd(v)
+        val c = cf.toDouble
+        var p = 0
+        while (p < 64) { buf(p) += t(p) * c; p += 1 }
+      }
+      v += 1
+    }
     var y = 0
     while (y < 8) {
       var x = 0
       while (x < 8) {
-        var acc = 0.0
-        var v = 0
-        while (v < 64) {
-          val cf = coef(v)
-          if (cf != 0) acc += Ct(x)(v & 7) * Ct(y)(v >> 3) * cf
-          v += 1
-        }
-        var s = math.round(acc).toInt + half
+        var s = math.round(buf(y * 8 + x)).toInt + half
         if (s < 0) s = 0 else if (s > maxV) s = maxV
         plane((oy + y) * cw + ox + x) = s
         x += 1
