@@ -660,11 +660,13 @@ object TextAnalysis {
     * the zip-with-tail construction shared by the pair query and every
     * training round. */
   private def adjacentPairs(df: DataFrame): DataFrame =
+    // native one-pass pair expression (r19): the zip_with-over-slices
+    // form allocated two sliced arrays and drove the lambda
+    // interpreter per element, per vocab row, per training round —
+    // graft_adj_pairs emits the identical struct array in one scan
+    // (differential-pinned in BpeSpec)
     df.select(col("freq"),
-        explode(zip_with(
-          slice(col("syms"), lit(1), size(col("syms")) - 1),
-          slice(col("syms"), lit(2), size(col("syms")) - 1),
-          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        explode(graft.plans.AdjacentSymPairs(col("syms"))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("freq")).as("cnt"))
 

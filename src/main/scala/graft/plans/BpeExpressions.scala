@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.trees.TernaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `graft_bpe_apply(syms, array(a...), array(b...))` — the WHOLE BPE
@@ -113,6 +113,64 @@ case class BpeMergeChain(syms: Expression, mergeA: Expression, mergeB: Expressio
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(syms = newFirst, mergeA = newSecond, mergeB = newThird)
+}
+
+/** `graft_adj_pairs(syms)` → `array<struct<a,b>>` of adjacent symbol
+  * pairs — one native pass replacing the interpreted
+  * `zip_with(slice(syms,1,n-1), slice(syms,2,n-1), struct)` chain
+  * (two slice allocations + a lambda interpreter call per element)
+  * that every BPE pair aggregation runs per vocab row. Twin semantics
+  * exactly: NULL input → NULL; size <= 1 → empty array; NULL elements
+  * ride into the structs untouched. */
+case class AdjacentSymPairs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_adj_pairs expects array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = AdjacentSymPairs.resultType
+  override def prettyName: String = "graft_adj_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    AdjacentSymPairs.pairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.AdjacentSymPairs.pairs($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AdjacentSymPairs {
+  val resultType: ArrayType = ArrayType(StructType(Seq(
+    StructField("a", StringType, nullable = true),
+    StructField("b", StringType, nullable = true))), containsNull = false)
+
+  def pairs(syms: ArrayData): ArrayData = {
+    val n = syms.numElements()
+    if (n <= 1) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var prev: UTF8String = if (syms.isNullAt(0)) null else syms.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = if (syms.isNullAt(i)) null else syms.getUTF8String(i)
+      out(i - 1) = InternalRow(prev, cur)
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(syms: Column): Column = {
+    SparkSession.getActiveSession.foreach { spark =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_adj_pairs", exprs => AdjacentSymPairs(exprs(0)), "scala_udf")
+    }
+    call_function("graft_adj_pairs", syms)
+  }
 }
 
 object BpeMergeChain {

@@ -111,6 +111,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
        new ExpressionInfo(classOf[BpeMergeChain].getName, "graft_bpe_apply"),
        arity("graft_bpe_apply", 3)(exprs => BpeMergeChain.fromArgs(exprs))))
     e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_adj_pairs"),
+       new ExpressionInfo(classOf[AdjacentSymPairs].getName, "graft_adj_pairs"),
+       arity("graft_adj_pairs", 1)(exprs => AdjacentSymPairs(exprs(0)))))
+    e.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom"),
        new ExpressionInfo(classOf[BloomBits].getName, "graft_bloom"),
        arity("graft_bloom", 3)(exprs => BloomBits(exprs(0), exprs(1), exprs(2)))))

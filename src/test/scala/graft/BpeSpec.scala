@@ -176,6 +176,33 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("the native adjacent-pair expression equals the zip_with-over-slices form") {
+    import org.apache.spark.sql.functions.{col, explode, lit, size, slice, struct, zip_with}
+    // the zip_with-over-slices reference REJECTS empty arrays (slice
+    // length -1); the pipeline never produces them (words are
+    // non-empty), so the twin claim covers n >= 1 — the native form's
+    // empty-array behavior (empty output) is pinned separately below
+    val arrays = Seq(
+      Seq("a"), Seq("a", "b"), Seq("a", "b", "c"),
+      Seq("ab", "c", "ab", "c"), Seq("x"), Seq("a", "a", "a", "a", "b"))
+    import spark.implicits._
+    val df = arrays.zipWithIndex.toDF("syms", "i")
+    val empty = Seq((Seq.empty[String], 0)).toDF("syms", "i")
+      .select(graft.plans.AdjacentSymPairs(col("syms")).as("p")).collect()
+    assert(empty.head.getSeq[Any](0).isEmpty)
+    def collectPairs(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy(col("i")).collect()
+        .map(r => (r.getInt(0), r.getStruct(1).getString(0), r.getStruct(1).getString(1)))
+        .toSeq
+    val want = collectPairs(df.select(col("i"), explode(zip_with(
+      slice(col("syms"), lit(1), size(col("syms")) - 1),
+      slice(col("syms"), lit(2), size(col("syms")) - 1),
+      (x, y) => struct(x.as("a"), y.as("b")))).as("p")))
+    val got = collectPairs(df.select(col("i"),
+      explode(graft.plans.AdjacentSymPairs(col("syms"))).as("p")))
+    assert(got === want)
+  }
+
   test("greedyBatch admits only provably greedy-equivalent prefixes") {
     def gb(ps: Seq[(String, String, Long)], complete: Boolean = true,
         maxN: Int = 16, syms: Set[String] = Set.empty) =
